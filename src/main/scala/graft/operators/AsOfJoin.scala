@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal) join, the operator family Spark SQL lacks natively.
+  *
+  * Semantics: for each left row, attach the payload of the latest right row
+  * with the same key and `rightTime <= leftTime` (backward as-of, inclusive —
+  * matches DuckDB's `ASOF JOIN ... ON l.t >= r.t`).
+  *
+  * Scale design: instead of the naive `join + filter + row_number` (which
+  * explodes to |L|×|R| per key before pruning), we union both sides into one
+  * relation, shuffle ONCE on the key, sort each partition by (time, side) and
+  * sweep with a `last(_, ignoreNulls)` running window. Cost is a single
+  * hash-partitioned sort — the same plan shape a dedicated merge-based as-of
+  * operator would produce, expressed declaratively so Catalyst/AQE still
+  * handle skew and partition sizing. At 100 TB this is one shuffle of
+  * |L|+|R| rows; no broadcast, no explosion.
+  */
+object AsOfJoin {
+
+  /** Backward as-of join; right rows sort before left rows at equal
+    * timestamps, so an exactly-simultaneous right row IS matched.
+    *
+    * @param payload right columns to attach (must not collide with left names)
+    */
+  def asOfBackward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      inner: Boolean = true): DataFrame = {
+    val lCols = left.columns.toSeq
+    val lTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    val rTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    require(payload.forall(right.columns.contains), "payload must be right columns")
+    require(payload.intersect(lCols).isEmpty, "payload/left name collision")
+
+    val keyType = lTypes(leftKey)
+    val lPart = left.select(
+      Seq(
+        col(leftKey).cast(keyType).as("__k"),
+        col(leftTime).as("__t"),
+        lit(1).as("__side")) ++
+        lCols.map(col) ++
+        payload.map(c => lit(null).cast(rTypes(c)).as(c)): _*)
+    val rPart = right.select(
+      Seq(
+        col(rightKey).cast(keyType).as("__k"),
+        col(rightTime).as("__t"),
+        lit(0).as("__side")) ++
+        lCols.map(c => lit(null).cast(lTypes(c)).as(c)) ++
+        payload.map(col): _*)
+
+    val w = Window
+      .partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val swept = lPart
+      .unionByName(rPart)
+      .select(
+        Seq(col("__side")) ++
+          lCols.map(col) ++
+          payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("__side") === 1)
+      .select(lCols.map(col) ++ payload.map(col): _*)
+
+    if (inner) swept.filter(col(payload.head).isNotNull) else swept
+  }
+}

@@ -1,0 +1,469 @@
+package graft.operators
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational / SQL operator pack (SURVEY.md §2.2), oracle-checked vs DuckDB.
+  *
+  * Oracle-parity rules (SURVEY.md §4):
+  *  - money sums go through DECIMAL(18,2) so the sum is exact and
+  *    order-independent, then cast to DOUBLE — bitwise identical in both
+  *    engines regardless of aggregation order (a requirement at 100 TB where
+  *    partial-agg ordering is nondeterministic).
+  *  - every result has a total ORDER BY (ties broken by keys) and identical
+  *    column aliases in Spark and SQL.
+  *  - int-typed scalars are cast to BIGINT on both sides.
+  */
+object Relational {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Exact, order-independent money sum surfaced as DOUBLE. */
+  private def moneySum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+
+  val all: Seq[Q] = Seq(
+    // ---- q01: hash aggregate, TPC-H Q1 shape --------------------------------
+    Q(
+      "q01_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(l_quantity) AS DOUBLE) / count(*) AS avg_qty,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    ) { (s, d) =>
+      T.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
+            .cast(DoubleType).as("sum_disc_price"),
+          (sum(col("l_quantity")).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---- q02: scan + predicate pushdown + column pruning --------------------
+    Q(
+      "q02_filter_project",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    ) { (s, d) =>
+      T.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ---- q03: shuffle joins + agg + deterministic top-k (Q3 shape) ----------
+    Q(
+      "q03_join_agg",
+      """SELECT l_orderkey,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+    ) { (s, d) =>
+      val c = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = T.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      val l = T.lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01").cast(TimestampType))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
+          .cast(DoubleType).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // ---- q04: broadcast dimension join --------------------------------------
+    Q(
+      "q04_broadcast_join",
+      """SELECT p_brand, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+    ) { (s, d) =>
+      T.lineitem(s, d)
+        .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("p_brand"))
+    },
+
+    // ---- q05: 6-table join (Q5 shape) ---------------------------------------
+    Q(
+      "q05_multi_join",
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |            JOIN customer ON c_nationkey = n_nationkey
+        |            JOIN orders ON o_custkey = c_custkey
+        |            JOIN lineitem ON l_orderkey = o_orderkey
+        |            JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+    ) { (s, d) =>
+      val dims = broadcast(
+        T.nation(s, d).join(
+          broadcast(T.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey")))
+      T.lineitem(s, d)
+        .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(dims, col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ---- q06: selective filter + global agg (Q6 shape) ----------------------
+    Q(
+      "q06_selective",
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin
+    ) { (s, d) =>
+      T.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(
+          sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // ---- q07: left-semi (EXISTS) --------------------------------------------
+    Q(
+      "q07_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin
+    ) { (s, d) =>
+      T.customer(s, d)
+        .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- q08: left-anti (NOT EXISTS) ----------------------------------------
+    Q(
+      "q08_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin
+    ) { (s, d) =>
+      T.customer(s, d)
+        .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- q09: left outer join + null-safe agg -------------------------------
+    Q(
+      "q09_outer_join",
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |       CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+    ) { (s, d) =>
+      T.customer(s, d)
+        .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(dec2(col("o_totalprice"))), lit(0)).cast(DoubleType).as("total_spend"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- q10: window row_number, top-n per group ----------------------------
+    Q(
+      "q10_window_topk",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast(LongType).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+
+    // ---- q11: running-sum frame window --------------------------------------
+    Q(
+      "q11_window_running",
+      // NOTE: (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
+      // so both the window order and the output order break ties all the way
+      // down to l_extendedprice; fully-tied rows produce identical output
+      // rows, which keeps the result deterministic across engines.
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+        |FROM lineitem ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice, running_rev""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), col("l_extendedprice"),
+          sum(dec2(col("l_extendedprice"))).over(w).cast(DoubleType).as("running_rev"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"), col("running_rev"))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_rev"))
+    },
+
+    // ---- q12: multi count-distinct ------------------------------------------
+    Q(
+      "q12_distinct_agg",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      T.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- q13: union all ------------------------------------------------------
+    Q(
+      "q13_union",
+      """SELECT src, key FROM (
+        |  SELECT 'customer' AS src, c_custkey AS key FROM customer
+        |  UNION ALL SELECT 'supplier' AS src, s_suppkey AS key FROM supplier) t
+        |ORDER BY src, key""".stripMargin
+    ) { (s, d) =>
+      T.customer(s, d).select(lit("customer").as("src"), col("c_custkey").as("key"))
+        .unionByName(
+          T.supplier(s, d).select(lit("supplier").as("src"), col("s_suppkey").as("key")))
+        .orderBy(col("src"), col("key"))
+    },
+
+    // ---- q14: EXCEPT / INTERSECT --------------------------------------------
+    Q(
+      "q14_except_intersect",
+      """SELECT tag, k FROM (
+        |  SELECT 'both' AS tag, k FROM (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders) a
+        |  UNION ALL
+        |  SELECT 'only_cust' AS tag, k FROM (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders) b) t
+        |ORDER BY tag, k""".stripMargin
+    ) { (s, d) =>
+      val ck = T.customer(s, d).select(col("c_custkey").as("k"))
+      val ok = T.orders(s, d).select(col("o_custkey").as("k"))
+      ck.intersect(ok).select(lit("both").as("tag"), col("k"))
+        .unionByName(ck.except(ok).select(lit("only_cust").as("tag"), col("k")))
+        .orderBy(col("tag"), col("k"))
+    },
+
+    // ---- q15: ROLLUP ---------------------------------------------------------
+    Q(
+      "q15_rollup",
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag, coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin
+    ) { (s, d) =>
+      T.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("rflag"), col("lstatus"))
+    },
+
+    // ---- q16: CUBE -----------------------------------------------------------
+    Q(
+      "q16_cube",
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag, coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin
+    ) { (s, d) =>
+      T.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("rflag"), col("lstatus"))
+    },
+
+    // ---- q17: CASE-WHEN conditional aggregation (manual pivot) ---------------
+    Q(
+      "q17_case_pivot",
+      """SELECT o_custkey,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+    ) { (s, d) =>
+      def flag(v: String) = sum(when(col("o_orderstatus") === v, 1).otherwise(0)).cast(LongType)
+      T.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(flag("F").as("n_f"), flag("O").as("n_o"), flag("P").as("n_p"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // ---- q18: scalar subquery ------------------------------------------------
+    Q(
+      "q18_subquery",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      val o = T.orders(s, d)
+      val avgPrice = o.agg(avg(col("o_totalprice")).as("a"))
+      o.join(broadcast(avgPrice), col("o_totalprice") > col("a"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ---- q19: string functions ----------------------------------------------
+    Q(
+      "q19_string_funcs",
+      """SELECT c_custkey, upper(c_name) AS uname, substr(c_name, 1, 8) AS pre,
+        |       CAST(length(c_name) AS BIGINT) AS name_len,
+        |       concat(c_mktsegment, '_', c_name) AS tagged
+        |FROM customer WHERE c_name LIKE '%er%' ORDER BY c_custkey""".stripMargin
+    ) { (s, d) =>
+      T.customer(s, d)
+        .filter(col("c_name").like("%er%"))
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          substring(col("c_name"), 1, 8).as("pre"),
+          length(col("c_name")).cast(LongType).as("name_len"),
+          concat(col("c_mktsegment"), lit("_"), col("c_name")).as("tagged"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- q20: date functions -------------------------------------------------
+    Q(
+      "q20_date_funcs",
+      """SELECT date_trunc('month', o_orderdate) AS mon, count(*) AS n,
+        |       CAST(min(datediff('day', TIMESTAMP '1995-01-01', o_orderdate)) AS BIGINT) AS min_day,
+        |       CAST(max(year(o_orderdate)) AS BIGINT) AS max_yr
+        |FROM orders GROUP BY mon ORDER BY mon""".stripMargin
+    ) { (s, d) =>
+      T.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(datediff(col("o_orderdate"), lit("1995-01-01").cast(DateType)))
+            .cast(LongType).as("min_day"),
+          max(year(col("o_orderdate"))).cast(LongType).as("max_yr"))
+        .orderBy(col("mon"))
+    },
+
+    // ---- q21: exact interpolated percentiles --------------------------------
+    Q(
+      "q21_percentile",
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 3) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.9), 3) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      T.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.5)), 3).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.9)), 3).as("p90"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- q22: as-of join (custom operator; DuckDB ASOF JOIN oracle) ----------
+    Q(
+      "q22_asof_join",
+      """SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS last_order
+        |FROM events e ASOF JOIN (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate) o
+        |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin
+    ) { (s, d) =>
+      val e = T.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      // Dedup right side to one order per (cust, instant) so the as-of match
+      // is deterministic in both engines.
+      val o = T.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      AsOfJoin.asOfBackward(
+        e.withColumn("__ts_cmp", col("ts").cast(TimestampType)), o,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "__ts_cmp", rightTime = "o_orderdate",
+        payload = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("o_orderkey").as("last_order"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---- q23: range (band) join ---------------------------------------------
+    Q(
+      "q23_range_join",
+      """SELECT p_size, count(*) AS n FROM part p
+        |JOIN lineitem l ON l.l_quantity >= p.p_size - 2 AND l.l_quantity <= p.p_size + 2
+        |GROUP BY p_size ORDER BY p_size""".stripMargin
+    ) { (s, d) =>
+      val p = broadcast(T.part(s, d).select(col("p_partkey"), col("p_size")))
+      T.lineitem(s, d).select(col("l_quantity"))
+        .join(p, col("l_quantity") >= col("p_size") - 2 &&
+          col("l_quantity") <= col("p_size") + 2)
+        .groupBy(col("p_size"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("p_size"))
+    },
+
+    // ---- q24: HLL approx distinct (sketch — rows-only gate) ------------------
+    Q.rowsOnly("q24_approx_distinct") { (s, d) =>
+      T.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- q25: global sort + limit (top-k) ------------------------------------
+    Q(
+      "q25_topk",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+    ) { (s, d) =>
+      T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    }
+  )
+}
