@@ -8,7 +8,11 @@ object SparkEntry {
 
   /** All operator packs. Each Q carries its Spark impl + DuckDB oracle. */
   def allQueries: Seq[Q] =
-    operators.Relational.all
+    operators.Relational.all ++
+      operators.Dedup.all ++
+      operators.Similarity.all ++
+      operators.TextAnalysis.all ++
+      operators.Versioned.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,258 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NonEmptyNamespaceException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.versioned.GraftRepo
+
+/** Spark TableCatalog over graft repos: identifiers are
+  * `<catalog>.<repo>.<branch>.<db>.<table>`, the same addressing scheme
+  * the reference exposes (LakeFSCatalog.java:42 — `lakefs.repo.branch
+  * .db.table`). Register with:
+  * {{{
+  *   spark.sql.catalog.g      = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.g.root = /path/to/warehouse
+  * }}}
+  * Namespace levels: `[repo]`, `[repo, branch]`, `[repo, branch, db]`.
+  * `CREATE NAMESPACE g.repo` initializes a repo (with branch `main`);
+  * `CREATE NAMESPACE g.repo.dev` creates branch `dev` from `main`
+  * (zero-copy); `CREATE NAMESPACE g.repo.main.db` creates a database on
+  * that branch (a commit). `USE g.repo.branch.db`, `SHOW TABLES`,
+  * SELECT/INSERT/DELETE and `VERSION AS OF '<commitId>'` all work from
+  * SQL; branch/commit/merge/diff are Scala API (graft.versioned).
+  *
+  * Rename is unsupported, mirroring the reference
+  * (LakeFSCatalog.java:218).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Paths.get(Option(options.get("root")).getOrElse(
+      sys.props("java.io.tmpdir") + s"/graft-$name"))
+    Files.createDirectories(root)
+  }
+
+  override def name(): String = catalogName
+
+  private def repoPath(repo: String): Path = root.resolve(repo)
+  private def repoExists(repo: String): Boolean = GraftRepo.exists(repoPath(repo))
+  private def repo(ns: Array[String]): GraftRepo = {
+    if (!repoExists(ns(0))) throw new NoSuchNamespaceException(ns)
+    GraftRepo.open(repoPath(ns(0)))
+  }
+  private def tableKey(ident: Identifier): String =
+    s"${ident.namespace()(2)}/${ident.name()}"
+
+  private def checkNs(ns: Array[String]): Unit =
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+
+  // ---- namespaces ------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    Files.list(root).iterator().asScala
+      .filter(p => GraftRepo.exists(p))
+      .map(p => Array(p.getFileName.toString)).toArray.sortBy(_.head)
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] = ns match {
+    case Array() => listNamespaces()
+    case Array(r) =>
+      repo(ns).branches.map(b => Array(r, b)).toArray
+    case Array(r, b) =>
+      val g = repo(ns)
+      if (!g.branchExists(b)) throw new NoSuchNamespaceException(ns)
+      g.headCommit(b).namespaces.keys.toSeq.sorted.map(db => Array(r, b, db)).toArray
+    case Array(_, _, _) => checkNs(ns); Array.empty
+    case _ => throw new NoSuchNamespaceException(ns)
+  }
+
+  override def namespaceExists(ns: Array[String]): Boolean = ns match {
+    case Array(r) => repoExists(r)
+    case Array(r, b) => repoExists(r) && GraftRepo.open(repoPath(r)).branchExists(b)
+    case Array(r, b, db) =>
+      repoExists(r) && {
+        val g = GraftRepo.open(repoPath(r))
+        g.branchExists(b) && {
+          val c = g.headCommit(b)
+          c.namespaces.contains(db) || c.tables.keys.exists(_.startsWith(db + "/"))
+        }
+      }
+    case _ => false
+  }
+
+  override def loadNamespaceMetadata(ns: Array[String]): JMap[String, String] = {
+    checkNs(ns)
+    ns match {
+      case Array(_, b, db) =>
+        repo(ns).headCommit(b).namespaces.getOrElse(db, Map.empty).asJava
+      case _ => Map.empty[String, String].asJava
+    }
+  }
+
+  override def createNamespace(ns: Array[String], props: JMap[String, String]): Unit = {
+    if (namespaceExists(ns)) throw new NamespaceAlreadyExistsException(ns)
+    ns match {
+      case Array(r) =>
+        GraftRepo.init(repoPath(r))
+      case Array(_, b) =>
+        // branch create from `from` property (default main) — zero-copy ref
+        repo(ns).createBranch(b, Option(props.get("from")).getOrElse("main"))
+      case Array(_, b, db) =>
+        val g = repo(ns)
+        if (!g.branchExists(b)) throw new NoSuchNamespaceException(ns.take(2))
+        g.commitRetry(b, s"create namespace $db") { base =>
+          (base.tables, base.namespaces + (db -> props.asScala.toMap))
+        }
+      case _ => throw new NoSuchNamespaceException(ns)
+    }
+  }
+
+  override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit = {
+    checkNs(ns)
+    ns match {
+      case Array(_, b, db) =>
+        repo(ns).commitRetry(b, s"alter namespace $db") { base =>
+          var props = base.namespaces.getOrElse(db, Map.empty)
+          changes.foreach {
+            case s: NamespaceChange.SetProperty => props += (s.property() -> s.value())
+            case r: NamespaceChange.RemoveProperty => props -= r.property()
+            case _ => ()
+          }
+          (base.tables, base.namespaces + (db -> props))
+        }
+      case _ => throw new UnsupportedOperationException(
+        "only db-level namespaces carry properties")
+    }
+  }
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(ns)) return false
+    ns match {
+      case Array(_, b, db) =>
+        val g = repo(ns)
+        val tables = g.headCommit(b).tables.keys.filter(_.startsWith(db + "/"))
+        if (tables.nonEmpty && !cascade) throw new NonEmptyNamespaceException(ns)
+        g.commitRetry(b, s"drop namespace $db") { base =>
+          (base.tables.view.filterKeys(!_.startsWith(db + "/")).toMap,
+            base.namespaces - db)
+        }
+        true
+      case Array(_, b) =>
+        repo(ns).dropBranch(b); true
+      case Array(r) =>
+        // recursive delete of the repo directory
+        val p = repoPath(r)
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.delete)
+        true
+      case _ => false
+    }
+  }
+
+  // ---- tables ----------------------------------------------------------
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    checkNs(ns)
+    val Array(_, b, db) = ns: @unchecked
+    repo(ns).headCommit(b).tables.keys.toSeq
+      .filter(_.startsWith(db + "/")).sorted
+      .map(k => Identifier.of(ns, k.substring(db.length + 1))).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val ns = ident.namespace()
+    if (ns.length != 3) throw new NoSuchTableException(ident)
+    val g = repo(ns)
+    if (!g.branchExists(ns(1))) throw new NoSuchTableException(ident)
+    val c = g.headCommit(ns(1))
+    val key = tableKey(ident)
+    c.tables.get(key) match {
+      case Some(sid) => new GraftTable(g, Some(ns(1)), key, g.snapshot(sid), ident)
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
+
+  /** Time travel: `VERSION AS OF '<commitId>'`. Read-only table. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val ns = ident.namespace()
+    val g = repo(ns)
+    val c = try g.commit(version) catch {
+      case _: java.nio.file.NoSuchFileException => throw new NoSuchTableException(ident)
+    }
+    val key = tableKey(ident)
+    c.tables.get(key) match {
+      case Some(sid) => new GraftTable(g, None, key, g.snapshot(sid), ident)
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
+
+  /** Time travel: `TIMESTAMP AS OF` (micros) — latest first-parent commit
+    * at or before the timestamp.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val ns = ident.namespace()
+    val g = repo(ns)
+    if (!g.branchExists(ns(1))) throw new NoSuchTableException(ident)
+    val tsMillis = timestamp / 1000
+    var c = g.headCommit(ns(1))
+    while (c.ts > tsMillis && c.parents.nonEmpty) c = g.commit(c.parents.head)
+    if (c.ts > tsMillis) throw new NoSuchTableException(ident)
+    val key = tableKey(ident)
+    c.tables.get(key) match {
+      case Some(sid) => new GraftTable(g, None, key, g.snapshot(sid), ident)
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    val ns = ident.namespace()
+    if (ns.length != 3) throw new NoSuchNamespaceException(ns)
+    val g = repo(ns)
+    if (!g.branchExists(ns(1))) throw new NoSuchNamespaceException(ns)
+    val key = tableKey(ident)
+    if (g.headCommit(ns(1)).tables.contains(key))
+      throw new TableAlreadyExistsException(ident)
+    g.commitRetry(ns(1), s"create table $key") { base =>
+      if (base.tables.contains(key)) throw new TableAlreadyExistsException(ident)
+      val snap = g.writeSnapshot(key, schema.json, Nil)
+      (base.tables + (key -> snap.id),
+        // implicit db namespace, like path-based catalogs
+        if (base.namespaces.contains(ns(2))) base.namespaces
+        else base.namespaces + (ns(2) -> Map.empty[String, String]))
+    }
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val ns = ident.namespace()
+    if (ns.length != 3 || !repoExists(ns(0))) return false
+    val g = repo(ns)
+    if (!g.branchExists(ns(1))) return false
+    val key = tableKey(ident)
+    if (!g.headCommit(ns(1)).tables.contains(key)) return false
+    g.commitRetry(ns(1), s"drop table $key") { base =>
+      (base.tables - key, base.namespaces)
+    }
+    true
+  }
+
+  /** Rename unsupported — mirrors the reference (LakeFSCatalog.java:218):
+    * a rename across branches would break the immutable-snapshot model.
+    */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("rename is not supported")
+}

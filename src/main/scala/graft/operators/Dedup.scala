@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.{Q, Tables => T}
+import graft.functions.TextVec._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication pack (SURVEY.md §2.3) over the `documents` /
+  * `embeddings` tables.
+  *
+  * Scale posture: every candidate-generation step is a keyed shuffle
+  * (hash / LSH band / simhash chunk / label block) — never an unblocked
+  * cross join. At 100 TB the bucket-join pattern keeps pair enumeration
+  * proportional to Σ bucket², which LSH keeps near-linear.
+  */
+object Dedup {
+
+  /** Exact dedup: normalize → md5 → groupBy, keep lowest doc_id.
+    * One shuffle on the text hash; at scale group counts are heavily
+    * map-side combined (partial min/count before the exchange).
+    */
+  private def exact(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .groupBy(md5(normText(col("text"))).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** MinHash + LSH near-dup pairs: 64-perm signature, 8 bands × 8 rows
+    * (catches Jaccard ≳ 0.77 w.h.p.), candidates blocked by (lang, band,
+    * band-hash) — lang is the cheap blocking key a real pipeline adds to
+    * keep Σ bucket² near-linear — then exact word-set Jaccard ≥ 0.9.
+    * This synthetic corpus is pathologically self-similar (shared ~50-word
+    * vocabulary), so thresholds sit high to keep pair output bounded.
+    */
+  private def minhashLsh(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), col("lang"), wordSet(col("text")).as("ws"))
+      .withColumn("sig", minHashSignatureExpr("ws", k = 64))
+    val bands = docs
+      .select(col("doc_id"), col("lang"),
+        posexplode(lshBandsExpr("sig", bands = 8, rowsPerBand = 8)))
+      .toDF("doc_id", "lang", "band", "bh")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+          col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val w = docs.select(col("doc_id"), col("ws"))
+    cand
+      .join(w.select(col("doc_id").as("id_a"), col("ws").as("ws_a")), "id_a")
+      .join(w.select(col("doc_id").as("id_b"), col("ws").as("ws_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("ws_a"), col("ws_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash near-dups: 64-bit fingerprint, 4×16-bit chunk blocking
+    * (pigeonhole guarantees full recall for hamming ≤ 3; sparse 65k-value
+    * buckets keep the candidate join near-linear at scale), exact hamming
+    * ≤ 6 filter.
+    */
+  private def simhash(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("fp", simHash64Expr("ws"))
+      .select(col("doc_id"), col("fp"))
+    val chunks = docs.select(
+      col("doc_id"), col("fp"),
+      posexplode(expr("transform(sequence(0, 3), c -> shiftright(fp, c * 16) & 65535)")))
+      .toDF("doc_id", "fp", "chunk", "cv")
+    val pairs = chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        hamming64(col("a.fp"), col("b.fp")).as("hamming"))
+      .distinct()
+    pairs.filter(col("hamming") <= 6).orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact word-set n-gram Jaccard on a deterministic pair set
+    * (consecutive doc ids) — DuckDB-oracle-checked.
+    */
+  private def ngramJaccard(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d).select(col("doc_id"), wordSet(col("text")).as("ws"))
+    docs.as("a")
+      .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(
+        col("a.doc_id").as("id_a"),
+        col("b.doc_id").as("id_b"),
+        (size(array_intersect(col("a.ws"), col("b.ws"))).cast("double") /
+          size(array_union(col("a.ws"), col("b.ws"))).cast("double")).as("jaccard"))
+      .orderBy(col("id_a"))
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by `label` (the blocking key a
+    * real pipeline gets from a coarse clusterer), threshold 0.35 —
+    * DuckDB-oracle-checked (list_cosine via double-widened lists).
+    */
+  private def embedCosine(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+    e.as("a")
+      .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.35)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "dd_exact",
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |ORDER BY keep_id""".stripMargin
+    )(exact),
+    Q.rowsOnly("dd_minhash_lsh")(minhashLsh),
+    Q.rowsOnly("dd_simhash")(simhash),
+    Q(
+      "dd_ngram_jaccard",
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+        |       len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
+        |FROM (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents) a
+        |JOIN (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents) b
+        |  ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin
+    )(ngramJaccard),
+    Q(
+      "dd_embed_cosine",
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings)
+        |SELECT id_a, id_b, cos_sim FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
+        |               (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+        |                sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos_sim
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
+        |WHERE cos_sim >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin
+    )(embedCosine)
+  )
+}

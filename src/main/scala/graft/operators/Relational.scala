@@ -435,12 +435,24 @@ object Relational {
         |JOIN lineitem l ON l.l_quantity >= p.p_size - 2 AND l.l_quantity <= p.p_size + 2
         |GROUP BY p_size ORDER BY p_size""".stripMargin
     ) { (s, d) =>
-      val p = broadcast(T.part(s, d).select(col("p_partkey"), col("p_size")))
-      T.lineitem(s, d).select(col("l_quantity"))
-        .join(p, col("l_quantity") >= col("p_size") - 2 &&
-          col("l_quantity") <= col("p_size") + 2)
+      // Both band endpoints live on tiny integer domains (~50 values each),
+      // so a direct band join would emit |part|×|lineitem|/|domain| pairs
+      // (~1.2B at sf0.1). Aggregate-first instead: count each side per value
+      // (one map-side-combined shuffle each), expand the ±2 band on the
+      // 50-row aggregate, equi-join, multiply counts. Same result, and the
+      // join is O(domain) regardless of table size — the 100 TB range-join
+      // pattern: collapse to value/bucket granularity before pairing.
+      val lq = T.lineitem(s, d)
+        .groupBy(col("l_quantity").as("qv")).agg(count(lit(1)).as("nl"))
+      val ps = T.part(s, d)
+        .groupBy(col("p_size")).agg(count(lit(1)).as("np"))
+      val band = ps
+        .select(col("p_size"), col("np"),
+          explode(sequence(col("p_size") - 2, col("p_size") + 2)).as("q"))
+        .select(col("p_size"), col("np"), col("q").cast("double").as("qv"))
+      band.join(broadcast(lq), "qv")
         .groupBy(col("p_size"))
-        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("np") * col("nl")).as("n"))
         .orderBy(col("p_size"))
     },
 

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.{Q, Tables => T}
+import graft.functions.TextVec._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor pack over the `embeddings` table
+  * (SURVEY.md §2.3).
+  *
+  * Query set = every 50th vector (deterministic, sf-proportional).
+  *
+  * Scale posture: brute force broadcasts the (small) query set against the
+  * full corpus — one pass, no shuffle of the corpus, the standard exact-top-k
+  * baseline. The LSH variant buckets the corpus by random-hyperplane
+  * signature so each query only scans its bucket: corpus shuffle is by
+  * bucket id, candidate work drops from |Q|×|N| to Σ|bucket_q|.
+  */
+object Similarity {
+
+  private val K = 10
+  private val Dim = 64
+
+  private def queriesSet(s: SparkSession, d: String): DataFrame =
+    T.embeddings(s, d)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), toDoubleVec(col("embedding")).as("qv"))
+
+  /** Exact brute-force cosine top-k per query (oracle-checked). */
+  private def bruteForce(s: SparkSession, d: String): DataFrame = {
+    val corpus = T.embeddings(s, d)
+      .select(col("vec_id").as("neighbor_id"), toDoubleVec(col("embedding")).as("nv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    corpus
+      .join(broadcast(queriesSet(s, d)), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("nv")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN: 6-bit random-hyperplane signature; each query scans
+    * only its bucket. Rows-only gate; recall vs brute force is spec-tested.
+    */
+  private def lsh(s: SparkSession, d: String): DataFrame = {
+    val corpus = T.embeddings(s, d)
+      .select(col("vec_id").as("neighbor_id"), toDoubleVec(col("embedding")).as("nv"))
+      .withColumn("bucket", hyperplaneBucketExpr("nv", nbits = 6, dim = Dim))
+    val qs = queriesSet(s, d)
+      .withColumn("bucket", hyperplaneBucketExpr("qv", nbits = 6, dim = Dim))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    corpus
+      .join(broadcast(qs), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("nv")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "sim_ann_brute",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         round(list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2])) /
+         |               (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+         |                sqrt(list_sum(list_transform(e.v, x -> x * x)))), 6) AS cos_sim,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |                            ORDER BY round(list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2])) /
+         |                                           (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+         |                                            sqrt(list_sum(list_transform(e.v, x -> x * x)))), 6) DESC,
+         |                            e.vec_id) AS rank
+         |  FROM q JOIN e ON e.vec_id <> q.query_id) t
+         |WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin
+    )(bruteForce),
+    Q.rowsOnly("sim_ann_lsh")(lsh)
+  )
+}

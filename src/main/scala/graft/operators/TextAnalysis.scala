@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.{Q, Tables => T}
+import graft.functions.TextVec._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis pack (SURVEY.md §2.3): language ID, quality scoring,
+  * token counting, document fingerprinting. All row-local codegen'd
+  * expressions over the scan — linear, shuffle-free, embarrassingly
+  * parallel at 100 TB.
+  */
+object TextAnalysis {
+
+  private val stops = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "en", "que", "pour", "dans"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "中"))
+
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Quality scoring: structural ratios + composite score (oracle-checked). */
+  private def quality(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .withColumn("ws", words(col("text")))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars2"),
+        size(col("ws")).cast("long").as("n_words"),
+        (length(col("text")).cast("double") / size(col("ws"))).as("avg_word_len"),
+        // no rounding anywhere: the divisions are bitwise deterministic given
+        // identical inputs, while round() itself disagrees across engines at
+        // decimal midpoints.
+        (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+          length(col("text"))).as("alpha_ratio"),
+        (expr(s"size(filter(ws, w -> w IN ${inList(stops("en"))}))").cast("double") /
+          size(col("ws"))).as("stop_ratio"))
+      .withColumn("quality_score",
+        lit(0.4) * col("alpha_ratio") +
+          lit(0.3) * least(lit(1.0), col("n_words").cast("double") / 100.0) +
+          lit(0.3) * (lit(1.0) - col("stop_ratio")))
+      .orderBy(col("doc_id"))
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens, and a
+    * chars/3.5 BPE-size estimate (oracle-checked).
+    */
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+          .as("re_tokens"),
+        ceil(length(col("text")).cast("double") / 3.5).cast("long").as("bpe_est"))
+      .orderBy(col("doc_id"))
+
+  /** Language ID: stopword-hit scoring per candidate language, argmax with
+    * deterministic tie-break (lexicographic). Rows-only (heuristic op).
+    */
+  private def langid(s: SparkSession, d: String): DataFrame = {
+    val scoreCols = stops.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      s"struct(-size(filter(ws, w -> w IN ${inList(ws)})) AS neg, '$lang' AS lang)"
+    }
+    T.documents(s, d)
+      .withColumn("ws", words(col("text")))
+      .withColumn("best", expr(s"array_sort(array(${scoreCols.mkString(", ")}))[0]"))
+      .select(
+        col("doc_id"), col("lang"),
+        col("best.lang").as("pred_lang"),
+        round((-col("best.neg")).cast("double") / size(col("ws")), 6).as("conf"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting by winnowing: word-3-gram rolling hashes,
+    * window-of-4 minima, distinct minima = fingerprint sketch. Rows-only.
+    */
+  private def fingerprint(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .withColumn("w", words(col("text")))
+      .withColumn("sh", expr(
+        """transform(sequence(0, greatest(size(w) - 3, 0)), i ->
+          |  xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2])))""".stripMargin))
+      .withColumn("fps", expr(
+        """array_distinct(transform(sequence(0, greatest(size(sh) - 4, 0)), i ->
+          |  least(sh[i], sh[i+1], sh[i+2], sh[i+3])))""".stripMargin))
+      .select(
+        col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("min_fp"),
+        expr("aggregate(fps, 0L, (acc, x) -> acc ^ x)").as("xor_fp"))
+      .orderBy(col("doc_id"))
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "tx_quality",
+      """SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_chars2,
+        |       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+        |       CAST(length(text) AS DOUBLE) / len(string_split(lower(text), ' ')) AS avg_word_len,
+        |       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+        |       CAST(len(list_filter(string_split(lower(text), ' '),
+        |             w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for'))) AS DOUBLE)
+        |             / len(string_split(lower(text), ' ')) AS stop_ratio,
+        |       0.4 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text))
+        |           + 0.3 * least(1.0, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 100.0)
+        |           + 0.3 * (1.0 - CAST(len(list_filter(string_split(lower(text), ' '),
+        |                 w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for'))) AS DOUBLE)
+        |                 / len(string_split(lower(text), ' '))) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )(quality),
+    Q(
+      "tx_tokens",
+      """SELECT doc_id,
+        |       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS re_tokens,
+        |       CAST(ceil(CAST(length(text) AS DOUBLE) / 3.5) AS BIGINT) AS bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )(tokens),
+    Q.rowsOnly("tx_langid")(langid),
+    Q.rowsOnly("tx_fingerprint")(fingerprint)
+  )
+}

@@ -1,0 +1,256 @@
+package graft.versioned
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.security.MessageDigest
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+/** A graft repository: git-like version graph over table snapshots.
+  *
+  * Spark-first re-expression of the reference's capability surface —
+  * branches/commits/merges over tables (tests/test_iceberg.py:9-57) with
+  * the optimistic, lock-free commit protocol of
+  * LakeFSTableOperations.java:115-147: metadata objects are immutable and
+  * content-addressed; the only mutable state is the branch ref, advanced
+  * by atomically publishing `refs/<branch>/v{N+1}` with fail-if-exists.
+  * A stale-base committer loses the race and gets CommitConflictException.
+  *
+  * Nothing here touches data files: branch create is a ref copy
+  * (zero-copy, like lakeFS branching), merge moves refs, diff compares
+  * table->snapshot maps. Only DML (TableOps) writes data.
+  */
+final class GraftRepo private (val root: Path) {
+  private def refsDir = root.resolve("refs")
+  private def commitsDir = root.resolve("commits")
+  private def snapshotsDir = root.resolve("snapshots")
+  def dataDir: Path = root.resolve("data")
+
+  // ---- immutable object store ------------------------------------------
+
+  private def sha(s: String): String =
+    MessageDigest.getInstance("SHA-1").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  def writeCommit(parents: Seq[String], message: String,
+      tables: Map[String, String],
+      namespaces: Map[String, Map[String, String]]): Commit = {
+    val body = Json.write(Map(
+      "parents" -> parents, "message" -> message,
+      "tables" -> tables, "namespaces" -> namespaces))
+    val id = "c" + sha(body + System.nanoTime())
+    val c = Commit(id, parents, System.currentTimeMillis(), message, tables, namespaces)
+    Files.writeString(commitsDir.resolve(s"$id.json"), Json.write(c),
+      StandardOpenOption.CREATE_NEW)
+    c
+  }
+
+  def commit(id: String): Commit =
+    Json.read[Commit](Files.readString(commitsDir.resolve(s"$id.json")))
+
+  def writeSnapshot(table: String, schemaJson: String, files: Seq[FileEntry]): Snapshot = {
+    val id = "s" + UUID.randomUUID().toString.replace("-", "")
+    val s = Snapshot(id, table, schemaJson, files)
+    Files.writeString(snapshotsDir.resolve(s"$id.json"), Json.write(s),
+      StandardOpenOption.CREATE_NEW)
+    s
+  }
+
+  def snapshot(id: String): Snapshot =
+    Json.read[Snapshot](Files.readString(snapshotsDir.resolve(s"$id.json")))
+
+  // ---- refs ------------------------------------------------------------
+
+  def branches: Seq[String] =
+    Files.list(refsDir).iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+
+  def branchExists(name: String): Boolean = Files.isDirectory(refsDir.resolve(name))
+
+  /** Head of a branch: (ref version, commit id). */
+  def head(branch: String): (Int, String) = {
+    val dir = refsDir.resolve(branch)
+    require(Files.isDirectory(dir), s"no such branch: $branch")
+    val vs = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString.stripPrefix("v").toInt).toSeq
+    val n = vs.max
+    (n, Files.readString(dir.resolve(s"v$n")).trim)
+  }
+
+  def headCommit(branch: String): Commit = commit(head(branch)._2)
+
+  /** Resolve a ref (branch name or commit id) to a commit. */
+  def resolve(ref: String): Commit =
+    if (branchExists(ref)) headCommit(ref)
+    else commit(ref)
+
+  /** Atomically publish `refs/<branch>/v{base+1} = cid`. The write goes to
+    * a temp file first, then is linked into place — hard-link creation is
+    * the local-FS set-if-absent primitive (same role as the reference's
+    * `OutputFile.createOrOverwrite` guard against concurrent writers).
+    */
+  private def casRef(branch: String, base: Int, cid: String): Unit = {
+    val dir = refsDir.resolve(branch)
+    val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp, cid, StandardOpenOption.CREATE_NEW)
+    try Files.createLink(dir.resolve(s"v${base + 1}"), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(
+          s"branch $branch moved past v$base; rebase and retry")
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Commit with an explicit base ref version — rejected if stale. */
+  def commitAt(branch: String, baseVersion: Int, parents: Seq[String],
+      message: String, tables: Map[String, String],
+      namespaces: Map[String, Map[String, String]]): Commit = {
+    val c = writeCommit(parents, message, tables, namespaces)
+    casRef(branch, baseVersion, c.id)
+    c
+  }
+
+  /** Optimistic-retry commit: apply `mutate` to the current head and CAS;
+    * on a lost race, re-read the new head and re-apply (table-level
+    * rebase — `mutate` only touches its own table keys, so replaying onto
+    * the new head is the natural rebase).
+    */
+  def commitRetry(branch: String, message: String)(
+      mutate: Commit => (Map[String, String], Map[String, Map[String, String]])): Commit = {
+    var attempts = 0
+    while (true) {
+      val (v, hid) = head(branch)
+      val base = commit(hid)
+      val (tables, namespaces) = mutate(base)
+      try return commitAt(branch, v, Seq(hid), message, tables, namespaces)
+      catch {
+        case e: CommitConflictException =>
+          attempts += 1
+          if (attempts >= 10) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  // ---- branch / merge / diff -------------------------------------------
+
+  /** Zero-copy branch: new ref pointing at `fromRef`'s commit. */
+  def createBranch(name: String, fromRef: String): Unit = {
+    val cid = resolve(fromRef).id
+    val dir = refsDir.resolve(name)
+    Files.createDirectories(dir)
+    casRef(name, 0, cid)
+  }
+
+  def dropBranch(name: String): Unit = {
+    val dir = refsDir.resolve(name)
+    Files.list(dir).iterator().asScala.foreach(Files.delete)
+    Files.delete(dir)
+  }
+
+  /** All ancestors of a commit (BFS over parents), including itself. */
+  private def ancestors(cid: String): Set[String] = {
+    val seen = scala.collection.mutable.Set[String]()
+    val q = scala.collection.mutable.Queue(cid)
+    while (q.nonEmpty) {
+      val c = q.dequeue()
+      if (seen.add(c)) q.enqueueAll(commit(c).parents)
+    }
+    seen.toSet
+  }
+
+  /** Lowest common ancestor (first src-ancestor found walking dst's
+    * history breadth-first).
+    */
+  def mergeBase(aCid: String, bCid: String): String = {
+    val aAnc = ancestors(aCid)
+    val q = scala.collection.mutable.Queue(bCid)
+    val seen = scala.collection.mutable.Set[String]()
+    while (q.nonEmpty) {
+      val c = q.dequeue()
+      if (aAnc.contains(c)) return c
+      if (seen.add(c)) q.enqueueAll(commit(c).parents)
+    }
+    throw new IllegalStateException("no common ancestor")
+  }
+
+  /** Merge `srcBranch` into `dstBranch` (mirrors
+    * tests/test_iceberg.py:29-41 delete-on-dev-and-merge semantics).
+    * Fast-forward when dst is an ancestor of src; otherwise a 3-way
+    * table-level merge: per table take whichever side changed vs the
+    * base; both changed -> MergeConflictException.
+    */
+  def merge(srcBranch: String, dstBranch: String, message: String = ""): Commit = {
+    var attempts = 0
+    while (true) {
+      val srcCid = head(srcBranch)._2
+      val (dstV, dstCid) = head(dstBranch)
+      if (srcCid == dstCid) return commit(dstCid)
+      val base = mergeBase(srcCid, dstCid)
+      if (base == srcCid) return commit(dstCid) // src already contained
+      try {
+        if (base == dstCid) { // fast-forward
+          casRef(dstBranch, dstV, srcCid)
+          return commit(srcCid)
+        }
+        val b = commit(base); val s = commit(srcCid); val d = commit(dstCid)
+        val keys = b.tables.keySet ++ s.tables.keySet ++ d.tables.keySet
+        val merged = keys.flatMap { k =>
+          val (bv, sv, dv) = (b.tables.get(k), s.tables.get(k), d.tables.get(k))
+          if (sv == bv) dv.map(k -> _)                // src untouched -> dst wins
+          else if (dv == bv) sv.map(k -> _)           // dst untouched -> src wins
+          else if (sv == dv) sv.map(k -> _)           // both converged
+          else throw new MergeConflictException(s"table $k changed on both sides")
+        }.toMap
+        val nsKeys = b.namespaces.keySet ++ s.namespaces.keySet ++ d.namespaces.keySet
+        val mergedNs = nsKeys.flatMap { k =>
+          val (bv, sv, dv) = (b.namespaces.get(k), s.namespaces.get(k), d.namespaces.get(k))
+          if (sv == bv) dv.map(k -> _) else sv.map(k -> _)
+        }.toMap
+        val msg = if (message.nonEmpty) message else s"merge $srcBranch into $dstBranch"
+        val c = writeCommit(Seq(dstCid, srcCid), msg, merged, mergedNs)
+        casRef(dstBranch, dstV, c.id)
+        return c
+      } catch {
+        case e: CommitConflictException =>
+          attempts += 1; if (attempts >= 10) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Table-level diff: table -> "added" | "removed" | "changed". */
+  def diff(refA: String, refB: String): Map[String, String] = {
+    val a = resolve(refA).tables; val b = resolve(refB).tables
+    val keys = a.keySet ++ b.keySet
+    keys.flatMap { k =>
+      (a.get(k), b.get(k)) match {
+        case (None, Some(_)) => Some(k -> "added")
+        case (Some(_), None) => Some(k -> "removed")
+        case (Some(x), Some(y)) if x != y => Some(k -> "changed")
+        case _ => None
+      }
+    }.toMap
+  }
+}
+
+object GraftRepo {
+  /** Create a repo with an empty root commit on branch `main`. */
+  def init(root: Path): GraftRepo = {
+    Seq("refs", "commits", "snapshots", "data")
+      .foreach(d => Files.createDirectories(root.resolve(d)))
+    val repo = new GraftRepo(root)
+    val c0 = repo.writeCommit(Nil, "repo init", Map.empty, Map.empty)
+    Files.createDirectories(root.resolve("refs/main"))
+    Files.writeString(root.resolve("refs/main/v1"), c0.id, StandardOpenOption.CREATE_NEW)
+    repo
+  }
+
+  def open(root: Path): GraftRepo = {
+    require(Files.isDirectory(root.resolve("refs")), s"not a graft repo: $root")
+    new GraftRepo(root)
+  }
+
+  def exists(root: Path): Boolean = Files.isDirectory(root.resolve("refs"))
+
+  def initOrOpen(root: Path): GraftRepo =
+    if (exists(root)) open(root) else init(root)
+}

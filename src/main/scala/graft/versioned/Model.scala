@@ -1,0 +1,65 @@
+package graft.versioned
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.{ClassTagExtensions, DefaultScalaModule}
+
+/** On-disk metadata model for the graft versioned table format
+  * (SURVEY.md §3). Everything is an immutable JSON object; only branch
+  * ref files advance, via a set-if-absent protocol that mirrors the
+  * reference's optimistic commit (LakeFSTableOperations.java:115-147).
+  *
+  * Layout under `<catalogRoot>/<repo>/`:
+  * {{{
+  *   refs/<branch>/v{N}      text: commit id; head = max N; each vN is
+  *                           published atomically with fail-if-exists
+  *   commits/<cid>.json      Commit (content-addressed, immutable)
+  *   snapshots/<sid>.json    Snapshot (schema + data-file list + stats)
+  *   data/<uuid>/part-N.parquet   immutable data files
+  * }}}
+  */
+object Json {
+  val mapper: ObjectMapper with ClassTagExtensions =
+    new ObjectMapper with ClassTagExtensions
+  mapper.registerModule(DefaultScalaModule)
+  mapper.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+  def write(v: Any): String = mapper.writeValueAsString(v)
+  def read[T: Manifest](s: String): T = mapper.readValue[T](s)
+}
+
+/** One immutable parquet data file with per-column min/max stats (as
+  * strings, typed via the snapshot schema) for scan-time file pruning —
+  * at 100 TB, pruning by stats is what turns a selective DELETE/SELECT
+  * from a full-table scan into a few-file rewrite.
+  *
+  * @param path  relative to the repo root
+  */
+final case class FileEntry(
+    path: String,
+    rows: Long,
+    min: Map[String, String],
+    max: Map[String, String])
+
+/** Immutable table snapshot: schema (Spark StructType JSON) + file list. */
+final case class Snapshot(
+    id: String,
+    table: String,
+    schemaJson: String,
+    files: Seq[FileEntry])
+
+/** Immutable commit: full table map of the repo at a point in time.
+  * `tables` maps "db/table" -> snapshot id; `namespaces` maps db ->
+  * properties. Branch = chain of commits; merge commits have 2 parents.
+  */
+final case class Commit(
+    id: String,
+    parents: Seq[String],
+    ts: Long,
+    message: String,
+    tables: Map[String, String],
+    namespaces: Map[String, Map[String, String]])
+
+/** Commit was rejected because the branch head moved (stale base). */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+/** Both sides of a merge changed the same table since the merge base. */
+final class MergeConflictException(msg: String) extends RuntimeException(msg)

@@ -1,0 +1,206 @@
+package graft.versioned
+
+import java.nio.file.{Files, Path}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+
+/** Data-plane operations on graft tables: snapshot reads with stats-based
+  * file pruning, append/overwrite writes, and copy-on-write DELETE that
+  * rewrites only the files whose min/max stats admit matching rows — the
+  * 100 TB posture: a selective DELETE touches a handful of files, never
+  * the whole table (the same effect Iceberg gets from manifest stats).
+  */
+object TableOps {
+
+  /** Columns we keep min/max stats for (orderable atomic types). */
+  private def statable(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | DateType | BooleanType => true
+    case _ => false
+  }
+
+  // ---- write -----------------------------------------------------------
+
+  /** Write `df` as immutable parquet files under `data/<uuid>/` and return
+    * FileEntry metadata with per-file row counts and min/max column stats
+    * (collected in ONE scan of the freshly written files, grouped by
+    * input_file_name).
+    */
+  def writeFiles(spark: SparkSession, repo: GraftRepo, df: DataFrame): Seq[FileEntry] = {
+    val schema = df.schema
+    val dir = repo.dataDir.resolve(UUID.randomUUID().toString.replace("-", ""))
+    df.write.parquet(dir.toString)
+    val written = spark.read.schema(schema).parquet(dir.toString)
+    val statCols = schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
+      Seq(min(col(f.name)).cast("string").as(s"min:${f.name}"),
+        max(col(f.name)).cast("string").as(s"max:${f.name}"))
+    }
+    val rows = written
+      .groupBy(input_file_name().as("__file"))
+      .agg(count(lit(1)).as("__rows"), statCols.toIndexedSeq: _*)
+      .collect()
+    rows.toIndexedSeq.map { r =>
+      val file = r.getAs[String]("__file").stripPrefix("file:")
+      val rel = repo.root.relativize(java.nio.file.Paths.get(file)).toString
+      def stats(prefix: String): Map[String, String] =
+        schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
+          Option(r.getAs[String](s"$prefix:${f.name}")).map(f.name -> _)
+        }.toMap
+      FileEntry(rel, r.getAs[Long]("__rows"), stats("min"), stats("max"))
+    }
+  }
+
+  /** Append (or overwrite) `df` into `db/table` on `branch`, committing
+    * with optimistic retry.
+    */
+  def insert(spark: SparkSession, repo: GraftRepo, branch: String, key: String,
+      df: DataFrame, overwrite: Boolean): Unit = {
+    val newFiles = writeFiles(spark, repo, df)
+    repo.commitRetry(branch, s"${if (overwrite) "overwrite" else "append"} $key") { base =>
+      val prior = base.tables.get(key).map(repo.snapshot)
+        .map(_.files).getOrElse(Nil)
+      val files = if (overwrite) newFiles else prior ++ newFiles
+      val snap = repo.writeSnapshot(key, df.schema.json, files)
+      (base.tables + (key -> snap.id), base.namespaces)
+    }
+  }
+
+  // ---- read ------------------------------------------------------------
+
+  def absolutePaths(repo: GraftRepo, snap: Snapshot): Seq[String] =
+    snap.files.map(f => repo.root.resolve(f.path).toString)
+
+  /** DataFrame over a snapshot, scanning only files that survive stats
+    * pruning against `filters`.
+    */
+  def readSnapshot(spark: SparkSession, repo: GraftRepo, snap: Snapshot,
+      filters: Seq[sources.Filter] = Nil): DataFrame = {
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val live = pruneFiles(snap, schema, filters)
+    if (live.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      spark.read.schema(schema)
+        .parquet(live.map(f => repo.root.resolve(f.path).toString): _*)
+  }
+
+  /** Keep only files whose [min,max] interval may satisfy every filter. */
+  def pruneFiles(snap: Snapshot, schema: StructType,
+      filters: Seq[sources.Filter]): Seq[FileEntry] =
+    snap.files.filter(f => filters.forall(mayMatch(f, schema, _)))
+
+  /** Conservative per-file predicate test on stored min/max (strings,
+    * compared via the column's type). Unknown filter shapes / missing
+    * stats -> keep the file.
+    */
+  private def mayMatch(f: FileEntry, schema: StructType, filter: sources.Filter): Boolean = {
+    def cmp(attr: String, v: Any): Option[(Int, Int)] = // (cmp(min,v), cmp(max,v))
+      for {
+        field <- schema.fields.find(_.name == attr)
+        lo <- f.min.get(attr)
+        hi <- f.max.get(attr)
+        c <- comparator(field.dataType)
+      } yield (c(lo, v), c(hi, v))
+    filter match {
+      case sources.EqualTo(a, v) => cmp(a, v).forall { case (l, h) => l <= 0 && h >= 0 }
+      case sources.GreaterThan(a, v) => cmp(a, v).forall(_._2 > 0)
+      case sources.GreaterThanOrEqual(a, v) => cmp(a, v).forall(_._2 >= 0)
+      case sources.LessThan(a, v) => cmp(a, v).forall(_._1 < 0)
+      case sources.LessThanOrEqual(a, v) => cmp(a, v).forall(_._1 <= 0)
+      case sources.In(a, vs) => vs.exists(v => cmp(a, v).forall { case (l, h) => l <= 0 && h >= 0 })
+      case sources.And(l, r) => mayMatch(f, schema, l) && mayMatch(f, schema, r)
+      case sources.Or(l, r) => mayMatch(f, schema, l) || mayMatch(f, schema, r)
+      case _ => true
+    }
+  }
+
+  /** (storedMin, literal) => sign comparator per type; None -> no pruning. */
+  private def comparator(dt: DataType): Option[(String, Any) => Int] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Some((s, v) => java.lang.Long.compare(s.toLong, v.asInstanceOf[Number].longValue()))
+    case FloatType | DoubleType | _: DecimalType =>
+      Some((s, v) => java.lang.Double.compare(s.toDouble, v.asInstanceOf[Number].doubleValue()))
+    case StringType => Some((s, v) => s.compareTo(v.toString))
+    case DateType => Some((s, v) => s.compareTo(v.toString)) // ISO yyyy-MM-dd sorts lexically
+    case _ => None
+  }
+
+  // ---- translate v1 Filters to Column predicates -----------------------
+
+  /** Best-effort translation of a v1 source Filter to a Column. None ->
+    * not translatable (caller must reject or post-filter).
+    */
+  def filterToColumn(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.Not(c) => filterToColumn(c).map(!_)
+    case sources.And(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+    case _ => None
+  }
+
+  // ---- copy-on-write delete --------------------------------------------
+
+  /** DELETE WHERE via copy-on-write: stats-prune to candidate files,
+    * rewrite only those without the matching rows, commit untouched +
+    * rewritten file lists. Mirrors the reference contract exercised by
+    * tests/test_iceberg.py:29-41 (DELETE on a branch, then merge).
+    */
+  def deleteWhere(spark: SparkSession, repo: GraftRepo, branch: String,
+      key: String, filters: Seq[sources.Filter]): Unit = {
+    val cond = filters.flatMap(filterToColumn) match {
+      case cs if cs.nonEmpty => cs.reduce(_ && _)
+      case _ if filters.isEmpty => lit(true) // unconditional DELETE FROM t
+      case _ => throw new UnsupportedOperationException(
+        s"untranslatable delete predicate: ${filters.mkString(", ")}")
+    }
+    repo.commitRetry(branch, s"delete from $key") { base =>
+      val snapId = base.tables.getOrElse(key,
+        throw new NoSuchElementException(s"no such table: $key"))
+      val snap = repo.snapshot(snapId)
+      val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+      val candidates = pruneFiles(snap, schema, filters)
+      if (candidates.isEmpty) (base.tables, base.namespaces)
+      else {
+        val untouched = snap.files.diff(candidates)
+        val candDf = spark.read.schema(schema)
+          .parquet(candidates.map(f => repo.root.resolve(f.path).toString): _*)
+        val kept = candDf.filter(!coalesce(cond, lit(false)))
+        val rewritten = if (kept.isEmpty) Nil else writeFiles(spark, repo, kept)
+        val newSnap = repo.writeSnapshot(key, snap.schemaJson, untouched ++ rewritten)
+        (base.tables + (key -> newSnap.id), base.namespaces)
+      }
+    }
+  }
+
+  /** Row-level diff between two refs of one table: rows only in A and
+    * only in B (exceptAll both ways), tagged with a `side` column.
+    */
+  def diffRows(spark: SparkSession, repo: GraftRepo, refA: String, refB: String,
+      key: String): DataFrame = {
+    def read(ref: String): DataFrame = {
+      val c = repo.resolve(ref)
+      c.tables.get(key).map(id => readSnapshot(spark, repo, repo.snapshot(id)))
+        .getOrElse(spark.emptyDataFrame)
+    }
+    val a = read(refA); val b = read(refB)
+    a.exceptAll(b).withColumn("side", lit("only_" + refA))
+      .unionByName(b.exceptAll(a).withColumn("side", lit("only_" + refB)))
+  }
+}

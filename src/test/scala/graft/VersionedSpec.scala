@@ -1,0 +1,181 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.matchers.should.Matchers
+
+import graft.versioned.{CommitConflictException, GraftRepo, MergeConflictException, TableOps}
+
+/** Mirrors the reference's behavioral contract (tests/test_iceberg.py:9-57):
+  * zero-copy branches, branch-isolated DML, merge convergence — plus the
+  * optimistic-concurrency commit protocol of LakeFSTableOperations.java.
+  */
+class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.catalog.g", classOf[graft.catalog.GraftCatalog].getName)
+    .config("spark.sql.catalog.g.root", Files.createTempDirectory("graft-cat").toString)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def sql(q: String) = spark.sql(q)
+  private def rows(q: String): Seq[Seq[Any]] =
+    sql(q).collect().toIndexedSeq.map(_.toSeq)
+
+  private def setupRepo(repoName: String): Unit = {
+    sql(s"CREATE NAMESPACE g.$repoName")
+    sql(s"CREATE NAMESPACE g.$repoName.main.db")
+    sql(s"CREATE TABLE g.$repoName.main.db.t (id INT, name STRING)")
+    sql(s"INSERT INTO g.$repoName.main.db.t VALUES " +
+      (1 to 8).map(i => s"($i, 'name_$i')").mkString(", "))
+  }
+
+  // tests/test_iceberg.py:9 test_diff_two_same_branches
+  test("branch from main → tables identical on both branches (zero-copy)") {
+    setupRepo("r1")
+    sql("CREATE NAMESPACE g.r1.dev")   // branch dev from main
+    val main = rows("SELECT * FROM g.r1.main.db.t ORDER BY id")
+    val dev = rows("SELECT * FROM g.r1.dev.db.t ORDER BY id")
+    main should have size 8
+    dev shouldBe main
+    // SHOW TABLES + USE on the branch namespace
+    sql("USE g.r1.dev.db")
+    sql("SHOW TABLES").collect().map(_.getString(1)) should contain("t")
+    spark.catalog.setCurrentCatalog("spark_catalog")
+  }
+
+  // tests/test_iceberg.py:29 test_delete_on_dev_and_merge
+  test("DELETE on dev branch → isolated → merge into main → identical") {
+    setupRepo("r2")
+    sql("CREATE NAMESPACE g.r2.dev")
+    sql("DELETE FROM g.r2.dev.db.t WHERE id = 6")
+    rows("SELECT id FROM g.r2.dev.db.t ORDER BY id").flatten shouldBe
+      Seq(1, 2, 3, 4, 5, 7, 8)
+    // main untouched before the merge (branch isolation)
+    rows("SELECT id FROM g.r2.main.db.t ORDER BY id").flatten shouldBe (1 to 8)
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "r2"))
+    repo.merge("dev", "main")
+    rows("SELECT * FROM g.r2.main.db.t ORDER BY id") shouldBe
+      rows("SELECT * FROM g.r2.dev.db.t ORDER BY id")
+    rows("SELECT id FROM g.r2.main.db.t ORDER BY id").flatten shouldBe
+      Seq(1, 2, 3, 4, 5, 7, 8)
+  }
+
+  // tests/test_iceberg.py:43 test_multiple_changes_and_merge
+  test("multiple DELETEs + INSERT on dev → merge → identical, schema kept") {
+    setupRepo("r3")
+    sql("CREATE NAMESPACE g.r3.dev")
+    sql("DELETE FROM g.r3.dev.db.t WHERE id = 6")
+    sql("DELETE FROM g.r3.dev.db.t WHERE id = 2")
+    sql("INSERT INTO g.r3.dev.db.t VALUES (9, 'name_9'), (10, 'name_10')")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "r3"))
+    repo.merge("dev", "main")
+    rows("SELECT id FROM g.r3.main.db.t ORDER BY id").flatten shouldBe
+      Seq(1, 3, 4, 5, 7, 8, 9, 10)
+    sql("SELECT * FROM g.r3.main.db.t").schema.fieldNames shouldBe Array("id", "name")
+  }
+
+  test("time travel: VERSION AS OF reads the pre-delete commit") {
+    setupRepo("r4")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "r4"))
+    val preDelete = repo.headCommit("main").id
+    sql("DELETE FROM g.r4.main.db.t WHERE id <= 4")
+    rows("SELECT count(*) FROM g.r4.main.db.t").head.head shouldBe 4L
+    rows(s"SELECT count(*) FROM g.r4.main.db.t VERSION AS OF '$preDelete'")
+      .head.head shouldBe 8L
+  }
+
+  test("3-way merge takes the changed side; both-changed conflicts") {
+    setupRepo("r5")
+    val root = java.nio.file.Paths.get(spark.conf.get("spark.sql.catalog.g.root"), "r5")
+    val repo = GraftRepo.open(root)
+    sql("CREATE NAMESPACE g.r5.dev")
+    // diverge: dev deletes from t; main creates an unrelated table u
+    sql("DELETE FROM g.r5.dev.db.t WHERE id = 1")
+    sql("CREATE TABLE g.r5.main.db.u (x INT)")
+    sql("INSERT INTO g.r5.main.db.u VALUES (42)")
+    repo.merge("dev", "main") // 3-way, no table overlaps
+    rows("SELECT id FROM g.r5.main.db.t ORDER BY id").flatten shouldBe (2 to 8)
+    rows("SELECT x FROM g.r5.main.db.u").flatten shouldBe Seq(42)
+    // now make both sides change t → conflict
+    sql("CREATE NAMESPACE g.r5.dev2")
+    sql("DELETE FROM g.r5.dev2.db.t WHERE id = 2")
+    sql("DELETE FROM g.r5.main.db.t WHERE id = 3")
+    a[MergeConflictException] should be thrownBy repo.merge("dev2", "main")
+  }
+
+  test("optimistic concurrency: stale-base commit rejected, retry rebases") {
+    val root = Files.createTempDirectory("graft-cc")
+    val repo = GraftRepo.init(root)
+    val (v, hid) = repo.head("main")
+    // two committers race from the same base; second set-if-absent loses
+    repo.commitAt("main", v, Seq(hid), "a", Map("db/a" -> "s1"), Map.empty)
+    a[CommitConflictException] should be thrownBy
+      repo.commitAt("main", v, Seq(hid), "b", Map("db/b" -> "s2"), Map.empty)
+    // commitRetry re-reads the head and lands on top
+    repo.commitRetry("main", "b") { base =>
+      (base.tables + ("db/b" -> "s2"), base.namespaces)
+    }
+    repo.headCommit("main").tables.keySet shouldBe Set("db/a", "db/b")
+  }
+
+  test("table-level diff + row-level diff between refs") {
+    setupRepo("r6")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "r6"))
+    sql("CREATE NAMESPACE g.r6.dev")
+    repo.diff("main", "dev") shouldBe empty
+    sql("DELETE FROM g.r6.dev.db.t WHERE id IN (3, 5)")
+    repo.diff("main", "dev") shouldBe Map("db/t" -> "changed")
+    val d = TableOps.diffRows(spark, repo, "main", "dev", "db/t")
+    d.collect().map(r => (r.getInt(0), r.getString(2))).sorted shouldBe
+      Array((3, "only_main"), (5, "only_main"))
+  }
+
+  test("drop table / drop namespace / file pruning on selective scans") {
+    setupRepo("r7")
+    sql("DROP TABLE g.r7.main.db.t")
+    sql("SHOW TABLES IN g.r7.main.db").collect() shouldBe empty
+    sql("DROP NAMESPACE g.r7.main.db")
+    spark.catalog.tableExists("g.r7.main.db.t") shouldBe false
+  }
+
+  test("stats-based file pruning: selective DELETE rewrites only hit files") {
+    val root = Files.createTempDirectory("graft-prune")
+    val repo = GraftRepo.init(root)
+    import spark.implicits._
+    // 4 separate appends -> 4+ files with disjoint id ranges
+    (0 until 4).foreach { i =>
+      val df = ((i * 100) until (i * 100 + 100)).toDF("id").coalesce(1)
+      TableOps.insert(spark, repo, "main", "db/t", df, overwrite = false)
+    }
+    val before = repo.snapshot(repo.headCommit("main").tables("db/t")).files
+    before.size should be >= 4
+    TableOps.deleteWhere(spark, repo, "main", "db/t",
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 150)))
+    val after = repo.snapshot(repo.headCommit("main").tables("db/t")).files
+    // only the one file containing id=150 was rewritten
+    after.toSet.intersect(before.toSet).size shouldBe before.size - 1
+    val df = TableOps.readSnapshot(spark, repo,
+      repo.snapshot(repo.headCommit("main").tables("db/t")))
+    df.count() shouldBe 399
+    // scan-level pruning: an id=250 lookup reads exactly one file
+    TableOps.pruneFiles(
+      repo.snapshot(repo.headCommit("main").tables("db/t")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.IntegerType))),
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 250))).size shouldBe 1
+  }
+}
