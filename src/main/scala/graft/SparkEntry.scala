@@ -12,7 +12,9 @@ object SparkEntry {
       operators.Dedup.all ++
       operators.Similarity.all ++
       operators.TextAnalysis.all ++
-      operators.Versioned.all
+      operators.Versioned.all ++
+      operators.Streaming.all ++
+      operators.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

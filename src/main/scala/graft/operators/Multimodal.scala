@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables => T}
+
+/** Multimodal-column pack (SURVEY.md §2.3 mm_decode): image/audio/video
+  * payloads as opaque `binary` columns + typed metadata, processed in
+  * fixed-size batches through `mapPartitions` — the Scala analog of the
+  * mapInPandas batch shape (iterator of bounded row batches, so a decode
+  * library amortizes per-batch setup and memory stays bounded no matter
+  * the partition size). At 100 TB the payloads stay columnar in parquet,
+  * scans prune to (id, payload, meta), and decode parallelism = partition
+  * count — no shuffle anywhere.
+  *
+  * The decode kernel itself is STUBBED (no image/audio libs in this
+  * container): `decodeStub` derives deterministic fake dimensions /
+  * frame counts from the payload bytes. The Spark-side plumbing —
+  * schema, batching, partitioning, output shape — is real and
+  * spec-tested (MultimodalSpec).
+  */
+object Multimodal {
+
+  val BatchSize = 64
+
+  case class MediaIn(doc_id: Long, format: String, payload: Array[Byte])
+  case class MediaFeatures(
+      doc_id: Long,
+      format: String,
+      byte_len: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      mean_byte: Double,
+      batch_size: Int) // observed batch size, spec asserts the shape
+
+  /** STUB decoder — stands in for an image/audio/video decode library.
+    * Deterministic: "dimensions" are derived from payload length and a
+    * simple byte checksum, so specs and reruns agree. A real deployment
+    * replaces ONLY this function (signature: one bounded batch in,
+    * features out).
+    */
+  def decodeStub(batch: Seq[MediaIn]): Seq[MediaFeatures] = {
+    val n = batch.size
+    batch.map { m =>
+      val len = m.payload.length
+      var sum = 0L
+      var i = 0
+      while (i < len) { sum += (m.payload(i) & 0xff); i += 1 }
+      val w = 16 + (sum % 64).toInt
+      val h = 16 + (len % 64)
+      val frames = m.format match {
+        case "video" => 1 + (len % 30)
+        case "audio" => 1 + (len % 100)
+        case _ => 1
+      }
+      MediaFeatures(m.doc_id, m.format, len.toLong, w, h, frames,
+        if (len == 0) 0.0 else sum.toDouble / len, n)
+    }
+  }
+
+  /** documents -> simulated media table: payload = utf8 bytes of `text`
+    * (stand-in for image bytes), format assigned deterministically.
+    */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d).select(
+      col("doc_id"),
+      element_at(lit(Array("image", "audio", "video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** Batched decode / feature-extract over the media table. */
+  def decode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).as[MediaIn]
+      .mapPartitions(_.grouped(BatchSize).flatMap(b => decodeStub(b)))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(
+    // Oracle covers the REAL plumbing (ids, formats, byte lengths — what
+    // parquet+batching must preserve); decoded dims are stub outputs and
+    // spec-gated instead.
+    Q(
+      "mm_decode",
+      """SELECT doc_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS format,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      decode(s, d).select(col("doc_id"), col("format"), col("byte_len"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

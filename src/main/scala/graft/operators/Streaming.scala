@@ -1,0 +1,205 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.time.Instant
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.Q
+
+/** Structured Streaming pack (SURVEY.md §2.4) over the `events` table.
+  *
+  * Each query replays the events parquet as a file-source stream
+  * (AvailableNow-style synchronous run into a memory sink) — the same
+  * code runs unchanged against a live stream at scale; only the source/
+  * sink bindings differ. Event-time correctness (not arrival-time) is
+  * the design point: watermarks bound state, so a 100 TB/day stream
+  * holds only in-flight windows/sessions in the state store.
+  *
+  * Deterministic end-of-stream flushing: sessionization emits on
+  * event-time timeout, which requires the watermark to pass the last
+  * session's gap. The stream is staged as [events file, sentinel file]
+  * with maxFilesPerTrigger=1, so the far-future sentinel event advances
+  * the watermark in a final batch and closes all real sessions — making
+  * the result complete, deterministic, and DuckDB-oracle-checkable.
+  */
+object Streaming {
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // raw parquet NANOS (legacy nanosAsLong)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Stage `events.parquet` (+ optional far-future sentinel) into a fresh
+    * stream dir; returns a streaming DataFrame with µs-truncated
+    * TIMESTAMP_NTZ `ts` (same normalization as Tables.events).
+    */
+  private def eventStream(s: SparkSession, d: String, sentinel: Boolean): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = Files.createTempDirectory("graft-stream")
+    Files.copy(Paths.get(s"$d/events.parquet"), dir.resolve("0_events.parquet"),
+      StandardCopyOption.COPY_ATTRIBUTES)
+    if (sentinel) {
+      import s.implicits._
+      // one event far past every real timestamp; filtered back out downstream
+      val maxNs = s.read.schema(eventSchema).parquet(s"$d/events.parquet")
+        .agg(max(col("ts"))).head().getLong(0)
+      Seq((-1L, maxNs + 86400L * 1000000000L, -1L, "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(dir.resolve("z_sentinel").toString)
+      Files.list(dir.resolve("z_sentinel")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => Files.move(p, dir.resolve("1_sentinel.parquet")))
+    }
+    // LTZ timestamp: watermarks require TIMESTAMP; session tz is UTC so the
+    // instant is identical to the NTZ oracle view — outputs cast back to NTZ.
+    s.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DataFrame synchronously into a memory sink. */
+  private def runToTable(s: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = "st_" + UUID.randomUUID().toString.replace("-", "").take(10)
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  /** Tumbling 1h event-time window agg with a watermark. Complete mode:
+    * every window emits at end of replay. DECIMAL-summed value for
+    * order-independent oracle parity.
+    */
+  private def windowAgg(s: SparkSession, d: String): DataFrame = {
+    val agg = eventStream(s, d, sentinel = false)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    runToTable(s, agg, OutputMode.Complete())
+      .select(col("w.start").cast(TimestampNTZType).as("ws"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("ws"), col("event_type"))
+  }
+
+  // not `private`: encoder codegen instantiates these from generated code
+  case class Ev(user_id: Long, ts: Instant)
+  case class SessionState(start: Long, end: Long, n: Long) // µs epoch
+  case class Session(user_id: Long, session_start: Instant,
+      session_end: Instant, n_events: Long)
+
+  private val GapUs = 30L * 60 * 1000 * 1000
+
+  private def toUs(t: Instant): Long =
+    t.getEpochSecond * 1000000L + t.getNano / 1000
+  private def fromUs(us: Long): Instant =
+    Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+      Math.floorMod(us, 1000000L) * 1000)
+
+  /** Gap-based sessionization (30 min) via flatMapGroupsWithState with
+    * event-time timeout — closed sessions emit as the watermark passes
+    * their gap; the sentinel batch closes the final open sessions.
+    * State per user is one open session: O(active users), not O(events).
+    */
+  private def sessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stream = eventStream(s, d, sentinel = true)
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"))
+      .as[Ev]
+
+    val sessions = stream
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, events: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(uid, fromUs(st.start), fromUs(st.end), st.n))
+          } else {
+            val sorted = events.map(e => toUs(e.ts)).toIndexedSeq.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(st) if t - st.end <= GapUs =>
+                  cur = Some(st.copy(end = t, n = st.n + 1))
+                case Some(st) =>
+                  closed ::= Session(uid, fromUs(st.start), fromUs(st.end), st.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              // GroupState event-time timeouts are in epoch MILLIS
+              state.setTimeoutTimestamp(st.end / 1000 + GapUs / 1000 + 1)
+            }
+            closed.reverseIterator
+          }
+      }
+    runToTable(s, sessions.toDF(), OutputMode.Append())
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        col("session_start").cast(TimestampNTZType).as("session_start"),
+        col("session_end").cast(TimestampNTZType).as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Streaming exact dedup on (user_id, event_type) within the watermark
+    * (dropDuplicates keyed state) — output is the distinct key set.
+    */
+  private def dedupStream(s: SparkSession, d: String): DataFrame = {
+    val dedup = eventStream(s, d, sentinel = false)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .dropDuplicates("user_id", "event_type")
+    runToTable(s, dedup, OutputMode.Append())
+      .select(col("user_id"), col("event_type"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "st_window_agg",
+      """SELECT date_trunc('hour', ts) AS ws, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
+    )(windowAgg),
+    Q(
+      "st_sessionize",
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts,
+        |             sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |      FROM o)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
+    )(sessionize),
+    Q(
+      "st_dedup_stream",
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin
+    )(dedupStream)
+  )
+}

@@ -189,6 +189,42 @@ object TableOps {
     }
   }
 
+  /** UPDATE ... SET ... WHERE via copy-on-write (SURVEY.md §2.1
+    * vc_update_cow): stats-prune to candidate files, rewrite them with
+    * `set` applied to matching rows, keep untouched files as-is. API-level
+    * (Spark SQL UPDATE requires SupportsRowLevelOperations; the reference
+    * likewise exposes row-level ops through the table API).
+    */
+  def updateWhere(spark: SparkSession, repo: GraftRepo, branch: String,
+      key: String, filters: Seq[sources.Filter], set: Map[String, Column]): Unit = {
+    val cond = filters.flatMap(filterToColumn) match {
+      case cs if cs.nonEmpty => cs.reduce(_ && _)
+      case _ => lit(true)
+    }
+    repo.commitRetry(branch, s"update $key") { base =>
+      val snap = repo.snapshot(base.tables(key))
+      val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+      val candidates = pruneFiles(snap, schema, filters)
+      if (candidates.isEmpty) (base.tables, base.namespaces)
+      else {
+        val untouched = snap.files.diff(candidates)
+        val candDf = spark.read.schema(schema)
+          .parquet(candidates.map(f => repo.root.resolve(f.path).toString): _*)
+        val hit = coalesce(cond, lit(false))
+        val updated = schema.fields.foldLeft(candDf) { (df, f) =>
+          set.get(f.name) match {
+            case Some(v) => df.withColumn(f.name,
+              when(hit, v.cast(f.dataType)).otherwise(col(f.name)))
+            case None => df
+          }
+        }
+        val rewritten = writeFiles(spark, repo, updated)
+        val newSnap = repo.writeSnapshot(key, snap.schemaJson, untouched ++ rewritten)
+        (base.tables + (key -> newSnap.id), base.namespaces)
+      }
+    }
+  }
+
   /** Row-level diff between two refs of one table: rows only in A and
     * only in B (exceptAll both ways), tagged with a `side` column.
     */

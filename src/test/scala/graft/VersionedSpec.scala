@@ -143,6 +143,20 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       Array((3, "only_main"), (5, "only_main"))
   }
 
+  test("UPDATE (CoW): set column on matching rows, others untouched") {
+    setupRepo("r8")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "r8"))
+    TableOps.updateWhere(spark, repo, "main", "db/t",
+      Seq(org.apache.spark.sql.sources.GreaterThan("id", 6)),
+      Map("name" -> org.apache.spark.sql.functions.lit("renamed")))
+    rows("SELECT name FROM g.r8.main.db.t WHERE id > 6").flatten.toSet shouldBe
+      Set("renamed")
+    rows("SELECT name FROM g.r8.main.db.t WHERE id = 1").flatten shouldBe
+      Seq("name_1")
+    rows("SELECT count(*) FROM g.r8.main.db.t").head.head shouldBe 8L
+  }
+
   test("drop table / drop namespace / file pruning on selective scans") {
     setupRepo("r7")
     sql("DROP TABLE g.r7.main.db.t")
