@@ -1,0 +1,162 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native hash kernels for the dedup family. Each replaces a
+  * higher-order-function formulation whose per-element interpreted lambda
+  * dominated the scan at scale; these run one tight JVM loop per row,
+  * invoked from generated code (the static-helper codegen pattern keeps
+  * the WholeStageCodegen span intact).
+  *
+  * Hash values are bit-compatible with the SQL formulations they replace:
+  * Spark's own XxHash64Function with the SQL-default seed 42, chained for
+  * multi-argument hashes exactly as the `xxhash64(...)` expression chains.
+  */
+object HashKernels {
+  final val Seed = 42L
+
+  private def hashWord(w: org.apache.spark.unsafe.types.UTF8String): Long =
+    XxHash64Function.hash(w, StringType, Seed)
+
+  /** SimHash64: per-bit ±1 votes from xxhash64 of each word, fingerprint
+    * bit b set when votes are positive. Matches the HOF formulation
+    * (xxhash64(w) seed 42, bit = shiftright(h,b)&1).
+    */
+  def simhash64(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = hashWord(arr.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  /** MinHash signature: k per-permutation minima of
+    * xxhash64(w, i) = hashInt(i, seed = xxhash64(w)) — the same chaining
+    * the SQL `xxhash64(w, i)` performs, but the per-word base hash is
+    * computed once instead of once per permutation.
+    */
+  def minhashSig(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val hw = hashWord(arr.getUTF8String(i))
+        var p = 0
+        while (p < k) {
+          // boxed Int p is JVM-Integer-cache-hit for k<=128; hash() chains
+          // identically to the SQL xxhash64(w, i) two-arg form
+          val h = XxHash64Function.hash(p, org.apache.spark.sql.types.IntegerType, hw)
+          if (h < mins(p)) mins(p) = h
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** |A∩B| / |A∪B| for distinct-element string arrays (nulls skipped). */
+  def setJaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](na * 2)
+    var i = 0
+    var sa = 0
+    while (i < na) {
+      if (!a.isNullAt(i)) { if (set.add(a.getUTF8String(i))) sa += 1 }
+      i += 1
+    }
+    var inter = 0
+    var sb = 0
+    i = 0
+    while (i < nb) {
+      if (!b.isNullAt(i)) {
+        sb += 1
+        if (set.contains(b.getUTF8String(i))) inter += 1
+      }
+      i += 1
+    }
+    val union = sa + sb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+}
+
+/** Exact Jaccard of two DISTINCT-element string arrays: one hash-set pass,
+  * no intermediate array allocation (vs array_intersect + array_union).
+  */
+case class SetJaccard(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_set_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.setJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.setJaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash of an array-of-string column (codegen'd). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** k-permutation MinHash signature of an array-of-string column. */
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minhashSig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhashSig($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashExpressions {
+  def simHash64Native(wsCol: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(wsCol)))
+  def minHashSignatureNative(setCol: Column, k: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(setCol), k))
+  def setJaccardNative(a: Column, b: Column): Column =
+    Bridge.column(SetJaccard(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -84,11 +84,11 @@ object TextVec {
   def toDoubleVec(v: Column): Column =
     transform(v, x => x.cast("double"))
 
-  /** Dot product of two double-array columns (left-to-right fold, matching
-    * DuckDB's list_sum order for oracle parity).
+  /** Dot product of two double-array columns — native codegen'd Catalyst
+    * expression (VectorExpressions.DotProduct). Left-to-right accumulation,
+    * matching DuckDB's list_sum order for oracle parity.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = VectorExpressions.dotNative(a, b)
 
   /** L2 norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))

@@ -34,9 +34,16 @@ object Dedup {
     * vocabulary), so thresholds sit high to keep pair output bounded.
     */
   private def minhashLsh(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    // docs (with word sets + signatures) feeds bands AND the verification
+    // lookup — cache it once. The verification joins BROADCAST the 5000-row
+    // word-set table so the multi-million-pair candidate stream never
+    // shuffles; at 100 TB the same shape holds per LSH partition (the pair
+    // stream stays partition-local, only the doc->set dictionary moves).
     val docs = T.documents(s, d)
       .select(col("doc_id"), col("lang"), wordSet(col("text")).as("ws"))
-      .withColumn("sig", minHashSignatureExpr("ws", k = 64))
+      .withColumn("sig",
+        graft.functions.HashExpressions.minHashSignatureNative(col("ws"), k = 64))
+      .cache()
     val bands = docs
       .select(col("doc_id"), col("lang"),
         posexplode(lshBandsExpr("sig", bands = 8, rowsPerBand = 8)))
@@ -49,10 +56,11 @@ object Dedup {
       .distinct()
     val w = docs.select(col("doc_id"), col("ws"))
     cand
-      .join(w.select(col("doc_id").as("id_a"), col("ws").as("ws_a")), "id_a")
-      .join(w.select(col("doc_id").as("id_b"), col("ws").as("ws_b")), "id_b")
+      .join(broadcast(w.select(col("doc_id").as("id_a"), col("ws").as("ws_a"))), "id_a")
+      .join(broadcast(w.select(col("doc_id").as("id_b"), col("ws").as("ws_b"))), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("ws_a"), col("ws_b")), 6).as("jaccard"))
+        round(graft.functions.HashExpressions.setJaccardNative(
+          col("ws_a"), col("ws_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.9)
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -63,10 +71,13 @@ object Dedup {
     * ≤ 6 filter.
     */
   private def simhash(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    // fp is 5000 tiny rows feeding BOTH sides of the self-join — cache so
+    // the |words|×64 vote aggregate runs once per doc, not once per side.
     val docs = T.documents(s, d)
       .select(col("doc_id"), words(col("text")).as("ws"))
-      .withColumn("fp", simHash64Expr("ws"))
+      .withColumn("fp", graft.functions.HashExpressions.simHash64Native(col("ws")))
       .select(col("doc_id"), col("fp"))
+      .cache()
     val chunks = docs.select(
       col("doc_id"), col("fp"),
       posexplode(expr("transform(sequence(0, 3), c -> shiftright(fp, c * 16) & 65535)")))
@@ -101,12 +112,16 @@ object Dedup {
     * DuckDB-oracle-checked (list_cosine via double-widened lists).
     */
   private def embedCosine(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    // Norms precomputed per vector BEFORE the pair join: one codegen'd dot
+    // per pair instead of three HOF folds (same fold order -> identical
+    // doubles -> oracle-safe).
     val e = T.embeddings(s, d)
       .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
     e.as("a")
       .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= 0.35)
       .orderBy(col("id_a"), col("id_b"))
   }

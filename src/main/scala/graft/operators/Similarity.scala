@@ -26,17 +26,22 @@ object Similarity {
     T.embeddings(s, d)
       .filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), toDoubleVec(col("embedding")).as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
 
-  /** Exact brute-force cosine top-k per query (oracle-checked). */
+  /** Exact brute-force cosine top-k per query (oracle-checked). Norms are
+    * precomputed per side so the |Q|×|N| loop does ONE codegen'd dot per
+    * pair (same fold order as the oracle -> identical doubles).
+    */
   private def bruteForce(s: SparkSession, d: String): DataFrame = {
     val corpus = T.embeddings(s, d)
       .select(col("vec_id").as("neighbor_id"), toDoubleVec(col("embedding")).as("nv"))
+      .withColumn("nn", l2norm(col("nv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     corpus
       .join(broadcast(queriesSet(s, d)), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("nv")), 6).as("cos_sim"))
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .orderBy(col("query_id"), col("rank"))
@@ -48,6 +53,7 @@ object Similarity {
   private def lsh(s: SparkSession, d: String): DataFrame = {
     val corpus = T.embeddings(s, d)
       .select(col("vec_id").as("neighbor_id"), toDoubleVec(col("embedding")).as("nv"))
+      .withColumn("nn", l2norm(col("nv")))
       .withColumn("bucket", hyperplaneBucketExpr("nv", nbits = 6, dim = Dim))
     val qs = queriesSet(s, d)
       .withColumn("bucket", hyperplaneBucketExpr("qv", nbits = 6, dim = Dim))
@@ -57,7 +63,7 @@ object Similarity {
       .join(broadcast(qs), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("nv")), 6).as("cos_sim"))
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .orderBy(col("query_id"), col("rank"))
