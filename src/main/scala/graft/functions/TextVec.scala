@@ -98,12 +98,15 @@ object TextVec {
 
   /** Random-hyperplane LSH bucket for double-vector column `vCol`: `nbits`
     * sign bits of projections onto pseudo-random ±1 hyperplanes derived from
-    * xxhash64(dim, plane). Deterministic, row-local.
+    * xxhash64(dim, plane). `planeOffset` selects a disjoint plane family per
+    * LSH table (multi-table LSH). Deterministic, row-local.
     */
-  def hyperplaneBucketExpr(vCol: String, nbits: Int, dim: Int): Column = {
+  def hyperplaneBucketExpr(vCol: String, nbits: Int, dim: Int,
+      planeOffset: Int = 0): Column = {
     val bits = (0 until nbits).map { j =>
+      val plane = planeOffset + j
       s"""CASE WHEN aggregate(sequence(0, ${dim - 1}), cast(0 as double), (acc, i) ->
-         |  acc + $vCol[i] * (CASE WHEN (xxhash64(i, $j) & 1) = 1 THEN 1.0d ELSE -1.0d END)) > 0
+         |  acc + $vCol[i] * (CASE WHEN (xxhash64(i, $plane) & 1) = 1 THEN 1.0d ELSE -1.0d END)) > 0
          |THEN ${1L << j}L ELSE 0L END""".stripMargin
     }
     expr(bits.mkString("(", " + ", ")"))

@@ -27,11 +27,13 @@ object Dedup {
       .orderBy(col("keep_id"))
 
   /** MinHash + LSH near-dup pairs: 64-perm signature, 8 bands × 8 rows
-    * (catches Jaccard ≳ 0.77 w.h.p.), candidates blocked by (lang, band,
-    * band-hash) — lang is the cheap blocking key a real pipeline adds to
-    * keep Σ bucket² near-linear — then exact word-set Jaccard ≥ 0.9.
-    * This synthetic corpus is pathologically self-similar (shared ~50-word
-    * vocabulary), so thresholds sit high to keep pair output bounded.
+    * (catches Jaccard ≳ 0.77 w.h.p.), candidates blocked by (band,
+    * band-hash), then exact word-set Jaccard ≥ 0.9. No metadata blocking
+    * key: in this corpus the `lang` label is uncorrelated with content, and
+    * blocking on it was measured to split true near-dup pairs (recall spec
+    * in LlmOpsSpec). This synthetic corpus is pathologically self-similar
+    * (shared ~50-word vocabulary), so thresholds sit high to keep pair
+    * output bounded.
     */
   private def minhashLsh(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     // docs (with word sets + signatures) feeds bands AND the verification
@@ -40,17 +42,17 @@ object Dedup {
     // shuffles; at 100 TB the same shape holds per LSH partition (the pair
     // stream stays partition-local, only the doc->set dictionary moves).
     val docs = T.documents(s, d)
-      .select(col("doc_id"), col("lang"), wordSet(col("text")).as("ws"))
+      .select(col("doc_id"), wordSet(col("text")).as("ws"))
       .withColumn("sig",
         graft.functions.HashExpressions.minHashSignatureNative(col("ws"), k = 64))
       .cache()
     val bands = docs
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"),
         posexplode(lshBandsExpr("sig", bands = 8, rowsPerBand = 8)))
-      .toDF("doc_id", "lang", "band", "bh")
+      .toDF("doc_id", "band", "bh")
     val cand = bands.as("a")
       .join(bands.as("b"),
-        col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+        col("a.band") === col("b.band") &&
           col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()

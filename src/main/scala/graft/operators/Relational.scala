@@ -476,6 +476,19 @@ object Relational {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
         .limit(100)
+    },
+
+    // ---- q26: stratified sample (rows-only: sampling RNG is engine-specific) --
+    // Per-stratum Bernoulli sampling with a fixed seed: one scan, no shuffle,
+    // deterministic for a given Spark version. Returns per-flag sampled counts
+    // so the result is small and stable to inspect.
+    Q.rowsOnly("q26_strat_sample") { (s, d) =>
+      T.lineitem(s, d)
+        .stat.sampleBy("l_returnflag",
+          Map("A" -> 0.1, "N" -> 0.02, "R" -> 0.1), seed = 42L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables => T}
 import graft.functions.TextVec._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -47,23 +47,38 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** LSH-bucketed ANN: 6-bit random-hyperplane signature; each query scans
-    * only its bucket. Rows-only gate; recall vs brute force is spec-tested.
+  /** Multi-table LSH ANN: L independent 6-bit random-hyperplane tables;
+    * a corpus vector is a candidate for a query if they share a bucket in
+    * ANY table (recall 1-(1-p^b)^L vs p^b for one table — the standard
+    * multi-table construction; single-table recall measured ~0.04 on this
+    * data, multi-table >=0.25, spec-gated in LlmOpsSpec). Each side
+    * explodes to L (table, bucket) keys; candidate work is Σ|bucket| per
+    * table and the corpus never joins itself. Rows-only gate.
     */
   private def lsh(s: SparkSession, d: String): DataFrame = {
+    val L = 8
+    val NBits = 6
+    def tables(vCol: String): Column = array(
+      (0 until L).map(t =>
+        hyperplaneBucketExpr(vCol, nbits = NBits, dim = Dim, planeOffset = t * NBits)): _*)
     val corpus = T.embeddings(s, d)
       .select(col("vec_id").as("neighbor_id"), toDoubleVec(col("embedding")).as("nv"))
       .withColumn("nn", l2norm(col("nv")))
-      .withColumn("bucket", hyperplaneBucketExpr("nv", nbits = 6, dim = Dim))
+      .select(col("neighbor_id"), col("nv"), col("nn"),
+        posexplode(tables("nv")))
+      .toDF("neighbor_id", "nv", "nn", "tbl", "bucket")
     val qs = queriesSet(s, d)
-      .withColumn("bucket", hyperplaneBucketExpr("qv", nbits = 6, dim = Dim))
+      .select(col("query_id"), col("qv"), col("qn"), posexplode(tables("qv")))
+      .toDF("query_id", "qv", "qn", "tbl", "bucket")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     corpus
-      .join(broadcast(qs), Seq("bucket"))
+      .join(broadcast(qs), Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos_sim"))
+      .groupBy(col("query_id"), col("neighbor_id")) // dedupe multi-table hits
+      .agg(first(col("cos_sim")).as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .orderBy(col("query_id"), col("rank"))
