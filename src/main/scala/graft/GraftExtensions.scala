@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{DotProduct, MinHashSignature, SetJaccard, SimHash64}
+
+/** Session extensions exposing graft's native Catalyst kernels to SQL:
+  * {{{
+  *   spark.sql.extensions = graft.GraftExtensions
+  *
+  *   SELECT graft_dot(a.v, b.v)            -- codegen'd double[] dot product
+  *   SELECT graft_simhash64(words)         -- 64-bit SimHash fingerprint
+  *   SELECT graft_minhash_sig(words, 64)   -- k-perm MinHash signature
+  *   SELECT graft_set_jaccard(ws_a, ws_b)  -- exact set Jaccard
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, clazz: Class[_]) =
+    new ExpressionInfo(clazz.getCanonicalName, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", classOf[DotProduct]),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", classOf[SimHash64]),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+
+    ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", classOf[MinHashSignature]),
+      (args: Seq[Expression]) => args(1) match {
+        case Literal(k: Int, IntegerType) => MinHashSignature(args(0), k)
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash_sig(arr, k): k must be an integer literal, got $other")
+      }))
+
+    ext.injectFunction((FunctionIdentifier("graft_set_jaccard"),
+      info("graft_set_jaccard", classOf[SetJaccard]),
+      (args: Seq[Expression]) => SetJaccard(args(0), args(1))))
+  }
+}

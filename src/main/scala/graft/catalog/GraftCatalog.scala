@@ -234,8 +234,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported")
+  /** Schema evolution, metadata-only (like Iceberg): ADD COLUMN (appears
+    * as null in pre-existing files — the explicit read schema fills it)
+    * and DROP COLUMN (old files keep the bytes; the read schema stops
+    * projecting them). No data rewrite. Renames/type-changes are rejected:
+    * our files bind columns by name, so a rename would silently null the
+    * column (the reference similarly rejects rename,
+    * LakeFSCatalog.java:218).
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val ns = ident.namespace()
+    val g = repo(ns)
+    val key = tableKey(ident)
+    g.commitRetry(ns(1), s"alter table $key") { base =>
+      val snapId = base.tables.getOrElse(key, throw new NoSuchTableException(ident))
+      val snap = g.snapshot(snapId)
+      var schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+        .asInstanceOf[StructType]
+      changes.foreach {
+        case a: TableChange.AddColumn =>
+          if (a.fieldNames().length != 1)
+            throw new UnsupportedOperationException("nested ADD COLUMN not supported")
+          schema = schema.add(a.fieldNames()(0), a.dataType(), nullable = true)
+        case del: TableChange.DeleteColumn =>
+          if (del.fieldNames().length != 1)
+            throw new UnsupportedOperationException("nested DROP COLUMN not supported")
+          val name = del.fieldNames()(0)
+          if (!schema.fieldNames.contains(name))
+            throw new IllegalArgumentException(s"no such column: $name")
+          schema = StructType(schema.fields.filterNot(_.name == name))
+        case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
+        case other => throw new UnsupportedOperationException(
+          s"unsupported table change: $other")
+      }
+      val newSnap = g.writeSnapshot(key, schema.json, snap.files)
+      (base.tables + (key -> newSnap.id), base.namespaces)
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val ns = ident.namespace()

@@ -69,8 +69,11 @@ final class GraftRepo private (val root: Path) {
   def head(branch: String): (Int, String) = {
     val dir = refsDir.resolve(branch)
     require(Files.isDirectory(dir), s"no such branch: $branch")
+    // ignore in-flight .tmp-* files from concurrent committers
     val vs = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString.stripPrefix("v").toInt).toSeq
+      .map(_.getFileName.toString)
+      .collect { case n if n.matches("v\\d+") => n.stripPrefix("v").toInt }
+      .toSeq
     val n = vs.max
     (n, Files.readString(dir.resolve(s"v$n")).trim)
   }
@@ -215,6 +218,37 @@ final class GraftRepo private (val root: Path) {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Garbage-collect data files not referenced by any snapshot of any
+    * commit reachable from a branch head (the lakeFS-GC / Iceberg
+    * remove-orphan-files analog: immutable files become garbage when a
+    * branch drop or a crashed writer makes them unreachable — never from
+    * DML itself, since ancestor commits keep their snapshots). Returns
+    * deleted file count.
+    */
+  def vacuum(): Int = {
+    val reachableCommits = branches.flatMap(b => ancestors(head(b)._2)).toSet
+    val referenced: Set[Path] = reachableCommits
+      .flatMap(cid => commit(cid).tables.values)
+      .flatMap(sid => snapshot(sid).files.map(f => root.resolve(f.path).normalize()))
+    var deleted = 0
+    if (Files.isDirectory(dataDir)) {
+      // only data files count; committer markers (_SUCCESS, .crc) are noise
+      val all = Files.walk(dataDir).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toList
+      all.foreach { p =>
+        if (!referenced.contains(p.normalize())) { Files.delete(p); deleted += 1 }
+      }
+      // prune now-empty data subdirectories
+      Files.walk(dataDir).sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala
+        .filter(p => p != dataDir && Files.isDirectory(p))
+        .foreach(p => if (!Files.list(p).iterator().hasNext) Files.delete(p))
+    }
+    deleted
   }
 
   /** Table-level diff: table -> "added" | "removed" | "changed". */

@@ -165,6 +165,51 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     spark.catalog.tableExists("g.r7.main.db.t") shouldBe false
   }
 
+  test("ALTER TABLE: add column appears null in old files; drop column hides") {
+    setupRepo("r9")
+    sql("ALTER TABLE g.r9.main.db.t ADD COLUMN score DOUBLE")
+    assert(rows("SELECT score FROM g.r9.main.db.t WHERE id = 1").head.head == null)
+    sql("INSERT INTO g.r9.main.db.t VALUES (20, 'name_20', 0.5)")
+    rows("SELECT score FROM g.r9.main.db.t WHERE id = 20").head.head shouldBe 0.5
+    sql("ALTER TABLE g.r9.main.db.t DROP COLUMN score")
+    sql("SELECT * FROM g.r9.main.db.t").schema.fieldNames shouldBe Array("id", "name")
+    rows("SELECT count(*) FROM g.r9.main.db.t").head.head shouldBe 9L
+    a[Exception] should be thrownBy
+      sql("ALTER TABLE g.r9.main.db.t RENAME COLUMN name TO nm")
+  }
+
+  test("vacuum: dropping a branch makes its files collectable, main intact") {
+    setupRepo("r10")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "r10"))
+    repo.vacuum() shouldBe 0 // everything reachable
+    sql("CREATE NAMESPACE g.r10.dev")
+    sql("INSERT INTO g.r10.dev.db.t VALUES (100, 'dev_only')")
+    repo.vacuum() shouldBe 0 // dev head references the new file
+    repo.dropBranch("dev")
+    repo.vacuum() should be >= 1 // dev-only files now orphaned
+    rows("SELECT count(*) FROM g.r10.main.db.t").head.head shouldBe 8L
+  }
+
+  test("concurrent committers: all retried commits land, none lost") {
+    val root = Files.createTempDirectory("graft-race")
+    val repo = GraftRepo.init(root)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val futures = (1 to 8).map { i =>
+      Future {
+        repo.commitRetry("main", s"commit $i") { base =>
+          (base.tables + (s"db/t$i" -> s"s$i"), base.namespaces)
+        }
+      }
+    }
+    Await.result(Future.sequence(futures), 60.seconds)
+    val headC = repo.headCommit("main")
+    headC.tables.keySet shouldBe (1 to 8).map(i => s"db/t$i").toSet
+    repo.head("main")._1 shouldBe 9 // v1 init + 8 commits
+  }
+
   test("stats-based file pruning: selective DELETE rewrites only hit files") {
     val root = Files.createTempDirectory("graft-prune")
     val repo = GraftRepo.init(root)
