@@ -92,7 +92,41 @@ object TextAnalysis {
         expr("aggregate(fps, 0L, (acc, x) -> acc ^ x)").as("xor_fp"))
       .orderBy(col("doc_id"))
 
+  /** Composite training-data pipeline stage: quality gate -> exact dedup
+    * (keep lowest doc_id per normalized text) -> surviving corpus. The
+    * shape a 100 TB pre-training cleanup runs: row-local filters first
+    * (shrink before any shuffle), then one hash-partitioned dedup.
+    */
+  private def pipeline(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .withColumn("ws", words(col("text")))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+          length(col("text")))
+      .filter(col("n_words") >= 30 && col("alpha_ratio") >= 0.7)
+      .groupBy(md5(normText(col("text"))).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+        max(col("n_words")).as("n_words"))
+      .select(col("keep_id"), col("n_copies"), col("n_words"))
+      .orderBy(col("keep_id"))
+
   val all: Seq[Q] = Seq(
+    Q(
+      "tx_pipeline",
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words
+        |  FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 30
+        |    AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |        / length(text) >= 0.7)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        |       max(n_words) AS n_words
+        |FROM f
+        |GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |ORDER BY keep_id""".stripMargin
+    )(pipeline),
     Q(
       "tx_quality",
       """SELECT doc_id,

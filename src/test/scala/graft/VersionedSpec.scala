@@ -210,6 +210,30 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     repo.head("main")._1 shouldBe 9 // v1 init + 8 commits
   }
 
+  // mirrors the reference's setup flow (tests/conftest.py:52 —
+  // df.write.saveAsTable("lakefs.repo.main.company.workers"))
+  test("df.write.saveAsTable and SQL CTAS create tables through the catalog") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.r11")
+    sql("CREATE NAMESPACE g.r11.main.company")
+    val df = Seq(
+      (1, "James", "Smith", 32, "M"),
+      (2, "Michael", "Rose", 35, "M"),
+      (3, "Robert", "Williams", 41, "M"),
+      (4, "Maria", "Jones", 36, "F"),
+      (5, "Jen", "Brown", 44, "F"),
+      (6, "Monika", "Geller", 31, "F"))
+      .toDF("id", "firstname", "lastname", "age", "gender")
+    df.write.saveAsTable("g.r11.main.company.workers")
+    rows("SELECT count(*) FROM g.r11.main.company.workers").head.head shouldBe 6L
+    sql("DELETE FROM g.r11.main.company.workers WHERE id = 6")
+    rows("SELECT count(*) FROM g.r11.main.company.workers").head.head shouldBe 5L
+    sql("CREATE TABLE g.r11.main.company.adults AS " +
+      "SELECT * FROM g.r11.main.company.workers WHERE age >= 35")
+    rows("SELECT id FROM g.r11.main.company.adults ORDER BY id").flatten shouldBe
+      Seq(2, 3, 4, 5)
+  }
+
   test("stats-based file pruning: selective DELETE rewrites only hit files") {
     val root = Files.createTempDirectory("graft-prune")
     val repo = GraftRepo.init(root)
