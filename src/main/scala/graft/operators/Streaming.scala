@@ -92,6 +92,22 @@ object Streaming {
       .orderBy(col("ws"), col("event_type"))
   }
 
+  /** Sliding 2h window / 1h slide: each event lands in two windows; the
+    * DuckDB oracle replays that by unioning the two window starts per
+    * event.
+    */
+  private def slidingAgg(s: SparkSession, d: String): DataFrame = {
+    val agg = eventStream(s, d, sentinel = false)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    runToTable(s, agg, OutputMode.Complete())
+      .select(col("w.start").cast(TimestampNTZType).as("ws"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("ws"), col("event_type"))
+  }
+
   // not `private`: encoder codegen instantiates these from generated code
   case class Ev(user_id: Long, ts: Instant)
   case class SessionState(start: Long, end: Long, n: Long) // µs epoch
@@ -180,6 +196,17 @@ object Streaming {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
     )(windowAgg),
+    Q(
+      "st_sliding_agg",
+      """SELECT ws, event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events)
+        |GROUP BY ws, event_type
+        |ORDER BY ws, event_type""".stripMargin
+    )(slidingAgg),
     Q(
       "st_sessionize",
       """WITH o AS (
