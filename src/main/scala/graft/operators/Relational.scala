@@ -478,6 +478,37 @@ object Relational {
         .limit(100)
     },
 
+    // ---- q27: salted skew join ------------------------------------------------
+    // l_returnflag has 3 values -> a naive repartition join puts ~1/3 of the
+    // fact table on ONE reducer. Salting: replicate the dim ×16 with a salt
+    // column, key the fact side by (flag, hash%16) -> even 16-way spread per
+    // hot key. (With a broadcastable dim AQE avoids the issue entirely; the
+    // salted form is the pattern for when BOTH sides are too big to
+    // broadcast, demonstrated here oracle-checked against the plain join.)
+    Q(
+      "q27_salted_skew_join",
+      """SELECT f.l_returnflag, count(*) AS n, sum(CAST(d.weight AS DOUBLE)) AS sum_w
+        |FROM lineitem f
+        |JOIN (VALUES ('A', 1.0), ('N', 2.0), ('R', 3.0)) d(flag, weight)
+        |  ON f.l_returnflag = d.flag
+        |GROUP BY f.l_returnflag ORDER BY f.l_returnflag""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val Salts = 16
+      val dim = Seq(("A", 1.0), ("N", 2.0), ("R", 3.0)).toDF("flag", "weight")
+        .withColumn("salt", explode(sequence(lit(0), lit(Salts - 1))))
+      val fact = T.lineitem(s, d)
+        .select(col("l_returnflag"),
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(Salts))
+            .cast("int").as("salt"))
+      fact
+        .hint("shuffle_hash") // force the shuffled path the salt exists for
+        .join(dim, fact("l_returnflag") === dim("flag") && fact("salt") === dim("salt"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("weight")).as("sum_w"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // ---- q26: stratified sample (rows-only: sampling RNG is engine-specific) --
     // Per-stratum Bernoulli sampling with a fixed seed: one scan, no shuffle,
     // deterministic for a given Spark version. Returns per-flag sampled counts

@@ -225,6 +225,47 @@ object TableOps {
     }
   }
 
+  /** MERGE-style upsert (the Iceberg `MERGE INTO … WHEN MATCHED THEN
+    * UPDATE WHEN NOT MATCHED THEN INSERT` shape, API-level): rows of
+    * `source` replace target rows with equal `keyCols`; unmatched source
+    * rows append. Copy-on-write: when the source key set is small enough
+    * to enumerate, target files are stats-pruned by an In-filter and only
+    * hit files are rewritten (anti-join against the source); otherwise
+    * every file joins — at 100 TB the broadcast anti-join of a small
+    * source against pruned files is the common fast path.
+    */
+  def upsert(spark: SparkSession, repo: GraftRepo, branch: String, key: String,
+      source: DataFrame, keyCols: Seq[String], maxEnumeratedKeys: Int = 10000): Unit = {
+    val src = source.cache()
+    val enumerable: Option[Seq[sources.Filter]] =
+      if (keyCols.size == 1 && src.count() <= maxEnumeratedKeys) {
+        val vs = src.select(keyCols.head).collect().map(_.get(0))
+        Some(Seq(sources.In(keyCols.head, vs)))
+      } else None
+    repo.commitRetry(branch, s"upsert into $key") { base =>
+      val snap = repo.snapshot(base.tables(key))
+      val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+      val candidates = pruneFiles(snap, schema, enumerable.getOrElse(Nil))
+      val untouched = snap.files.diff(candidates)
+      val survivors =
+        if (candidates.isEmpty) None
+        else {
+          val candDf = spark.read.schema(schema)
+            .parquet(candidates.map(f => repo.root.resolve(f.path).toString): _*)
+          val kept = candDf.join(broadcast(src.select(keyCols.map(col): _*)),
+            keyCols, "left_anti")
+          if (kept.isEmpty) None else Some(kept)
+        }
+      val rewritten = survivors.map(writeFiles(spark, repo, _)).getOrElse(Nil)
+      val appended = writeFiles(spark, repo,
+        src.select(schema.fieldNames.toIndexedSeq.map(col): _*))
+      val newSnap = repo.writeSnapshot(key, snap.schemaJson,
+        untouched ++ rewritten ++ appended)
+      (base.tables + (key -> newSnap.id), base.namespaces)
+    }
+    src.unpersist()
+  }
+
   /** Row-level diff between two refs of one table: rows only in A and
     * only in B (exceptAll both ways), tagged with a `side` column.
     */

@@ -210,6 +210,33 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     repo.head("main")._1 shouldBe 9 // v1 init + 8 commits
   }
 
+  test("upsert (MERGE shape): matched keys replaced, unmatched appended") {
+    setupRepo("r12")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "r12"))
+    import spark.implicits._
+    val source = Seq((3, "updated_3"), (99, "new_99")).toDF("id", "name")
+    TableOps.upsert(spark, repo, "main", "db/t", source, Seq("id"))
+    rows("SELECT name FROM g.r12.main.db.t WHERE id = 3").flatten shouldBe
+      Seq("updated_3")
+    rows("SELECT name FROM g.r12.main.db.t WHERE id = 99").flatten shouldBe
+      Seq("new_99")
+    rows("SELECT count(*) FROM g.r12.main.db.t").head.head shouldBe 9L
+    rows("SELECT name FROM g.r12.main.db.t WHERE id = 1").flatten shouldBe
+      Seq("name_1")
+  }
+
+  test("cross-ref query: one SQL statement joins two branches of a table") {
+    setupRepo("r13")
+    sql("CREATE NAMESPACE g.r13.dev")
+    sql("DELETE FROM g.r13.dev.db.t WHERE id >= 5")
+    // rows on main whose id is absent on dev — pure SQL across refs
+    rows(
+      """SELECT m.id FROM g.r13.main.db.t m
+        |LEFT ANTI JOIN g.r13.dev.db.t d ON m.id = d.id
+        |ORDER BY m.id""".stripMargin).flatten shouldBe Seq(5, 6, 7, 8)
+  }
+
   // mirrors the reference's setup flow (tests/conftest.py:52 —
   // df.write.saveAsTable("lakefs.repo.main.company.workers"))
   test("df.write.saveAsTable and SQL CTAS create tables through the catalog") {
