@@ -68,11 +68,20 @@ object Streaming {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Run a streaming DataFrame synchronously into a memory sink. */
+  /** Run a streaming DataFrame synchronously into a memory sink. The
+    * stateful shuffle width is pinned to 8 for the run: state-store
+    * commit cost scales with partition count, and these replays hold
+    * hundreds of keys, not millions (a real deployment sizes this to
+    * keys/partition instead).
+    */
   private def runToTable(s: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
     val name = "st_" + UUID.randomUUID().toString.replace("-", "").take(10)
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 

@@ -25,14 +25,18 @@ object TableOps {
 
   // ---- write -----------------------------------------------------------
 
-  /** Write `df` as immutable parquet files under `data/<uuid>/` and return
-    * FileEntry metadata with per-file row counts and min/max column stats
-    * (collected in ONE scan of the freshly written files, grouped by
-    * input_file_name).
+  /** Write `df` as immutable parquet files under
+    * `data/<db>/<table>/<uuid>/` and return FileEntry metadata with
+    * per-file row counts and min/max column stats (collected in ONE scan
+    * of the freshly written files, grouped by input_file_name). The
+    * per-table directory keeps a stable glob per table, which is what
+    * makes [[readStreamAppends]] possible.
     */
-  def writeFiles(spark: SparkSession, repo: GraftRepo, df: DataFrame): Seq[FileEntry] = {
+  def writeFiles(spark: SparkSession, repo: GraftRepo, df: DataFrame,
+      key: String = "adhoc"): Seq[FileEntry] = {
     val schema = df.schema
-    val dir = repo.dataDir.resolve(UUID.randomUUID().toString.replace("-", ""))
+    val dir = repo.dataDir.resolve(key)
+      .resolve(UUID.randomUUID().toString.replace("-", ""))
     df.write.parquet(dir.toString)
     val written = spark.read.schema(schema).parquet(dir.toString)
     val statCols = schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
@@ -59,7 +63,7 @@ object TableOps {
     */
   def insert(spark: SparkSession, repo: GraftRepo, branch: String, key: String,
       df: DataFrame, overwrite: Boolean): Unit = {
-    val newFiles = writeFiles(spark, repo, df)
+    val newFiles = writeFiles(spark, repo, df, key)
     repo.commitRetry(branch, s"${if (overwrite) "overwrite" else "append"} $key") { base =>
       val prior = base.tables.get(key).map(repo.snapshot)
         .map(_.files).getOrElse(Nil)
@@ -86,6 +90,24 @@ object TableOps {
     else
       spark.read.schema(schema)
         .parquet(live.map(f => repo.root.resolve(f.path).toString): _*)
+  }
+
+  /** Structured-Streaming source over a graft table's APPEND stream: the
+    * per-table data directory only ever gains immutable files, so a file
+    * stream over its glob sees every committed append exactly once —
+    * a zero-infrastructure CDC feed for append-only tables. CoW rewrites
+    * (DELETE/UPDATE/upsert-matched) re-emit surviving rows; restrict to
+    * append-only tables when exactly-once row semantics matter.
+    */
+  def readStreamAppends(spark: SparkSession, repo: GraftRepo, key: String): DataFrame = {
+    val c = repo.headCommit("main")
+    val snapId = c.tables.getOrElse(key,
+      throw new NoSuchElementException(s"no such table: $key"))
+    val schema = DataType.fromJson(repo.snapshot(snapId).schemaJson)
+      .asInstanceOf[StructType]
+    spark.readStream
+      .schema(schema)
+      .parquet(repo.dataDir.resolve(key).toString + "/*")
   }
 
   /** Keep only files whose [min,max] interval may satisfy every filter. */
@@ -182,7 +204,7 @@ object TableOps {
         val candDf = spark.read.schema(schema)
           .parquet(candidates.map(f => repo.root.resolve(f.path).toString): _*)
         val kept = candDf.filter(!coalesce(cond, lit(false)))
-        val rewritten = if (kept.isEmpty) Nil else writeFiles(spark, repo, kept)
+        val rewritten = if (kept.isEmpty) Nil else writeFiles(spark, repo, kept, key)
         val newSnap = repo.writeSnapshot(key, snap.schemaJson, untouched ++ rewritten)
         (base.tables + (key -> newSnap.id), base.namespaces)
       }
@@ -218,7 +240,7 @@ object TableOps {
             case None => df
           }
         }
-        val rewritten = writeFiles(spark, repo, updated)
+        val rewritten = writeFiles(spark, repo, updated, key)
         val newSnap = repo.writeSnapshot(key, snap.schemaJson, untouched ++ rewritten)
         (base.tables + (key -> newSnap.id), base.namespaces)
       }
@@ -256,9 +278,9 @@ object TableOps {
             keyCols, "left_anti")
           if (kept.isEmpty) None else Some(kept)
         }
-      val rewritten = survivors.map(writeFiles(spark, repo, _)).getOrElse(Nil)
+      val rewritten = survivors.map(writeFiles(spark, repo, _, key)).getOrElse(Nil)
       val appended = writeFiles(spark, repo,
-        src.select(schema.fieldNames.toIndexedSeq.map(col): _*))
+        src.select(schema.fieldNames.toIndexedSeq.map(col): _*), key)
       val newSnap = repo.writeSnapshot(key, snap.schemaJson,
         untouched ++ rewritten ++ appended)
       (base.tables + (key -> newSnap.id), base.namespaces)

@@ -210,6 +210,25 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     repo.head("main")._1 shouldBe 9 // v1 init + 8 commits
   }
 
+  test("streaming appends: a file stream over a graft table sees each commit") {
+    val root = Files.createTempDirectory("graft-stream-tbl")
+    val repo = GraftRepo.init(root)
+    import spark.implicits._
+    TableOps.insert(spark, repo, "main", "db/ev",
+      Seq((1, "a"), (2, "b")).toDF("id", "v"), overwrite = false)
+    val q = TableOps.readStreamAppends(spark, repo, "db/ev")
+      .writeStream.format("memory").queryName("graft_appends")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table("graft_appends").count() shouldBe 2
+      TableOps.insert(spark, repo, "main", "db/ev",
+        Seq((3, "c")).toDF("id", "v"), overwrite = false)
+      q.processAllAvailable()
+      spark.table("graft_appends").count() shouldBe 3
+    } finally q.stop()
+  }
+
   test("upsert (MERGE shape): matched keys replaced, unmatched appended") {
     setupRepo("r12")
     val repo = GraftRepo.open(java.nio.file.Paths.get(
