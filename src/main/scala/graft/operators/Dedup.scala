@@ -41,6 +41,11 @@ object Dedup {
     // word-set table so the multi-million-pair candidate stream never
     // shuffles; at 100 TB the same shape holds per LSH partition (the pair
     // stream stays partition-local, only the doc->set dictionary moves).
+    // Measured alternative (sf0.1, 10.1M raw candidates): first-match band
+    // emission instead of pair-distinct is 3× SLOWER here (21s vs 7s) —
+    // it widens every raw candidate with both word-set arrays before
+    // filtering, while distinct shuffles only skinny (id,id) pairs. Keep
+    // distinct-then-verify.
     val docs = T.documents(s, d)
       .select(col("doc_id"), wordSet(col("text")).as("ws"))
       .withColumn("sig",
