@@ -24,9 +24,14 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn(
-      "ts",
-      timestamp_micros(expr("ts div 1000").cast(LongType)).cast(TimestampNTZType))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => // raw nanos via nanosAsLong: floor to µs like DuckDB
+        df.withColumn("ts",
+          timestamp_micros(expr("ts div 1000").cast(LongType)).cast(TimestampNTZType))
+      case TimestampNTZType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampNTZType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
