@@ -461,8 +461,8 @@ object Relational {
       T.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+          approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"))
         .orderBy(col("l_returnflag"))
     },
 

@@ -58,6 +58,20 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     exact.diff(found) shouldBe empty
   }
 
+  test("q24_approx_distinct: HLL estimates within 5% of exact counts") {
+    val approx = SparkEntry.queries("q24_approx_distinct")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.countDistinct("l_partkey").as("p"),
+        org.apache.spark.sql.functions.countDistinct("l_orderkey").as("o"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (flag, (p, o)) =>
+      approx(flag)._1.toDouble shouldBe p.toDouble +- p * 0.05
+      approx(flag)._2.toDouble shouldBe o.toDouble +- o * 0.05
+    }
+  }
+
   test("dd_exact: groups partition the corpus (sum of copies = row count)") {
     val out = SparkEntry.queries("dd_exact")(spark, sfDir).collect()
     out.map(_.getAs[Long]("n_copies")).sum shouldBe
