@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,7 +24,12 @@ object AsOfJoin {
   /** Backward as-of join; right rows sort before left rows at equal
     * timestamps, so an exactly-simultaneous right row IS matched.
     *
-    * @param payload right columns to attach (must not collide with left names)
+    * @param payload   right columns to attach (must not collide with left names)
+    * @param tolerance optional max allowed left−right time gap (same unit
+    *                  as a `ts1 - ts2` subtraction of the time columns,
+    *                  e.g. an INTERVAL for timestamps) — pandas
+    *                  merge_asof-style bound: matches older than the
+    *                  tolerance are dropped (null payload / filtered)
     */
   def asOfBackward(
       left: DataFrame,
@@ -34,7 +39,8 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       payload: Seq[String],
-      inner: Boolean = true): DataFrame = {
+      inner: Boolean = true,
+      tolerance: Option[Column] = None): DataFrame = {
     val lCols = left.columns.toSeq
     val lTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
     val rTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -62,15 +68,78 @@ object AsOfJoin {
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val swept = lPart
+    val matchTime = last(when(col("__side") === 0, col("__t")), ignoreNulls = true)
+      .over(w).as("__mt")
+    val swept0 = lPart
       .unionByName(rPart)
       .select(
-        Seq(col("__side")) ++
+        Seq(col("__side"), col("__t"), matchTime) ++
           lCols.map(col) ++
           payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
       .filter(col("__side") === 1)
-      .select(lCols.map(col) ++ payload.map(col): _*)
+    val swept1 = tolerance match {
+      case Some(tol) => // void matches older than the tolerance
+        val stale = col("__mt").isNull || (col("__t") - col("__mt")) > tol
+        swept0.select(
+          Seq(col("__t"), col("__mt")) ++ lCols.map(col) ++
+            payload.map(c => when(stale, lit(null)).otherwise(col(c)).as(c)): _*)
+      case None => swept0
+    }
+    val swept = swept1.select(lCols.map(col) ++ payload.map(col): _*)
+    if (inner) swept.filter(col(payload.head).isNotNull) else swept
+  }
 
+  /** Forward as-of join: attach the EARLIEST right row with the same key
+    * and `rightTime >= leftTime` (matches DuckDB `ASOF JOIN … ON l.t <=
+    * r.t`). Same single-shuffle union-sweep, run in descending time.
+    */
+  def asOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      inner: Boolean = true,
+      tolerance: Option[Column] = None): DataFrame = {
+    val lCols = left.columns.toSeq
+    val lTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    val rTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    require(payload.forall(right.columns.contains), "payload must be right columns")
+    require(payload.intersect(lCols).isEmpty, "payload/left name collision")
+    val keyType = lTypes(leftKey)
+    val lPart = left.select(
+      Seq(col(leftKey).cast(keyType).as("__k"), col(leftTime).as("__t"),
+        lit(1).as("__side")) ++
+        lCols.map(col) ++
+        payload.map(c => lit(null).cast(rTypes(c)).as(c)): _*)
+    val rPart = right.select(
+      Seq(col(rightKey).cast(keyType).as("__k"), col(rightTime).as("__t"),
+        lit(0).as("__side")) ++
+        lCols.map(c => lit(null).cast(lTypes(c)).as(c)) ++
+        payload.map(col): _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").desc, col("__side")) // desc time: sweep from future
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matchTime = last(when(col("__side") === 0, col("__t")), ignoreNulls = true)
+      .over(w).as("__mt")
+    val swept0 = lPart
+      .unionByName(rPart)
+      .select(
+        Seq(col("__side"), col("__t"), matchTime) ++
+          lCols.map(col) ++
+          payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("__side") === 1)
+    val swept1 = tolerance match {
+      case Some(tol) =>
+        val stale = col("__mt").isNull || (col("__mt") - col("__t")) > tol
+        swept0.select(
+          Seq(col("__t"), col("__mt")) ++ lCols.map(col) ++
+            payload.map(c => when(stale, lit(null)).otherwise(col(c)).as(c)): _*)
+      case None => swept0
+    }
+    val swept = swept1.select(lCols.map(col) ++ payload.map(col): _*)
     if (inner) swept.filter(col(payload.head).isNotNull) else swept
   }
 }

@@ -13,7 +13,8 @@ object TestSpark {
   val sf: String = "/root/testdata/sf0.001"
 }
 
-class RelationalSpec extends AnyFunSuite {
+class RelationalSpec extends AnyFunSuite
+    with org.scalatest.matchers.should.Matchers {
   import TestSpark._
 
   // Queries whose result is legitimately empty on the tiny sf0.001 slice
@@ -53,6 +54,29 @@ class RelationalSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("q10_window_topk")(spark, sf)
       .groupBy("o_custkey").count().collect()
     assert(rows.forall(_.getAs[Long]("count") <= 3))
+  }
+
+  test("as-of join: forward and tolerance variants on a hand-computed case") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 25L), (2L, 5L)).toDF("k", "t")
+    val right = Seq((1L, 8L, "r8"), (1L, 20L, "r20"), (2L, 30L, "r30"))
+      .toDF("k", "rt", "v")
+    def collect(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)).getOrElse("-"))).toSet
+    // backward: latest right with rt <= t
+    collect(operators.AsOfJoin.asOfBackward(left, right, "k", "k", "t", "rt",
+      Seq("v"), inner = false)) shouldBe
+      Set((1L, 10L, "r8"), (1L, 25L, "r20"), (2L, 5L, "-"))
+    // forward: earliest right with rt >= t
+    collect(operators.AsOfJoin.asOfForward(left, right, "k", "k", "t", "rt",
+      Seq("v"), inner = false)) shouldBe
+      Set((1L, 10L, "r20"), (1L, 25L, "-"), (2L, 5L, "r30"))
+    // backward with tolerance 3: match at distance 2 kept, distance 5 voided
+    collect(operators.AsOfJoin.asOfBackward(left, right, "k", "k", "t", "rt",
+      Seq("v"), inner = false, tolerance = Some(lit(3L)))) shouldBe
+      Set((1L, 10L, "r8"), (1L, 25L, "-"), (2L, 5L, "-"))
   }
 
   test("as-of join attaches the latest preceding order") {

@@ -210,6 +210,13 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     repo.head("main")._1 shouldBe 9 // v1 init + 8 commits
   }
 
+  test("INSERT OVERWRITE replaces table contents (truncate write path)") {
+    setupRepo("r14")
+    sql("INSERT OVERWRITE g.r14.main.db.t VALUES (100, 'only_row')")
+    rows("SELECT id, name FROM g.r14.main.db.t") shouldBe
+      Seq(Seq(100, "only_row"))
+  }
+
   test("streaming appends: a file stream over a graft table sees each commit") {
     val root = Files.createTempDirectory("graft-stream-tbl")
     val repo = GraftRepo.init(root)
