@@ -133,6 +133,51 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Dedup cluster resolution: connected components over the near-dup
+    * pair graph, each doc labeled with its cluster's minimum doc_id (the
+    * canonical survivor). Iterative min-label propagation — each round is
+    * one grouped aggregation over the edge list (both directions), the
+    * alternating-star shape that converges in O(log n) rounds on 100 TB
+    * graphs (CC-in-MapReduce family); the driver loop only checks a
+    * convergence count, all data work is distributed.
+    */
+  private def clusters(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val pairs = minhashLsh(s, d).select(col("id_a"), col("id_b"))
+    val docs = T.documents(s, d).select(col("doc_id"))
+    val edges = pairs
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst")
+      .cache()
+    // labels start as self; propagate min(label of any neighbor) until
+    // fixpoint. localCheckpoint truncates lineage each round — without it
+    // the logical plan nests once per iteration and planning time (and
+    // stack depth) grows without bound, the classic iterative-DataFrame
+    // trap.
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels.as("l")
+        .join(neighborMin.as("n"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.as("a").join(labels.as("b"), "doc_id")
+        .filter(col("a.label") =!= col("b.label")).count()
+      labels = next
+      rounds += 1
+    }
+    labels
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy(col("cluster_id"))
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "dd_exact",
@@ -143,6 +188,7 @@ object Dedup {
     )(exact),
     Q.rowsOnly("dd_minhash_lsh")(minhashLsh),
     Q.rowsOnly("dd_simhash")(simhash),
+    Q.rowsOnly("dd_cluster")(clusters),
     Q(
       "dd_ngram_jaccard",
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,

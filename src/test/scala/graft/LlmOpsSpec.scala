@@ -72,6 +72,33 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     }
   }
 
+  test("dd_cluster: components cover the corpus; every near-dup edge is " +
+    "within one cluster; cluster ids are member minima") {
+    val out = SparkEntry.queries("dd_cluster")(spark, sfDir).collect()
+    out.map(_.getAs[Long]("cluster_size")).sum shouldBe
+      Tables.documents(spark, sfDir).count()
+    // recompute labels per doc to validate edge containment
+    val pairs = SparkEntry.queries("dd_minhash_lsh")(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // naive union-find on the driver as the oracle (sf0.01 corpus is small)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val docIds = Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = docIds.groupBy(id => find(id)).map { case (root, members) =>
+      members.min -> members.length.toLong
+    }
+    val got = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe expected
+  }
+
   test("dd_exact: groups partition the corpus (sum of copies = row count)") {
     val out = SparkEntry.queries("dd_exact")(spark, sfDir).collect()
     out.map(_.getAs[Long]("n_copies")).sum shouldBe
