@@ -142,7 +142,11 @@ object Dedup {
     * convergence count, all data work is distributed.
     */
   private def clusters(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    // materialize the pair list ONCE: the symmetric union below references
+    // it twice, and without this the whole minhash pipeline runs per side
+    // (measured 2× the total query cost)
     val pairs = minhashLsh(s, d).select(col("id_a"), col("id_b"))
+      .localCheckpoint()
     val docs = T.documents(s, d).select(col("doc_id"))
     val edges = pairs
       .union(pairs.select(col("id_b"), col("id_a")))
@@ -158,18 +162,30 @@ object Dedup {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
+      // label table is |V| rows (small vs |E|): broadcast it so each round
+      // is one map-side pass over the cached edge list + a |V|-group agg
       val neighborMin = edges
-        .join(labels, edges("dst") === labels("doc_id"))
+        .join(broadcast(labels), edges("dst") === labels("doc_id"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("label")).as("nmin"))
-      val next = labels.as("l")
+      // materialize the propagated labels ONCE per round — they feed both
+      // sides of the pointer-jump join below, and an unmaterialized plan
+      // would re-run the |E| join per reference
+      val prop = labels.as("l")
         .join(neighborMin.as("n"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = next.as("a").join(labels.as("b"), "doc_id")
-        .filter(col("a.label") =!= col("b.label")).count()
-      labels = next
+      // pointer jumping (label := label's label): halves chain depth each
+      // round, so long chains converge in O(log diameter) rounds
+      val parent = prop.select(col("doc_id").as("p_id"), col("label").as("p_label"))
+      val next = prop
+        .join(broadcast(parent), prop("label") === parent("p_id"), "left")
+        .select(col("doc_id"), col("old"),
+          least(col("label"), coalesce(col("p_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("doc_id"), col("label"))
       rounds += 1
     }
     labels
