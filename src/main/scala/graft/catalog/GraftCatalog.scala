@@ -171,6 +171,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val ns = ident.namespace()
+    // Iceberg-style metadata tables: g.repo.branch.db.t.files / .history /
+    // .snapshots parse as a 4-level namespace whose last level is the table
+    if (ns.length == 4 && MetaTable.kinds.contains(ident.name())) {
+      val g = repo(ns)
+      if (!g.branchExists(ns(1))) throw new NoSuchTableException(ident)
+      val key = s"${ns(2)}/${ns(3)}"
+      if (!g.headCommit(ns(1)).tables.contains(key))
+        throw new NoSuchTableException(ident)
+      return new MetaTable(g, ns(1), key, ident.name(), ident)
+    }
     if (ns.length != 3) throw new NoSuchTableException(ident)
     val g = repo(ns)
     if (!g.branchExists(ns(1))) throw new NoSuchTableException(ident)

@@ -1,0 +1,103 @@
+package graft.catalog
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.versioned.GraftRepo
+
+/** Read-only metadata tables over a graft table, addressed
+  * `catalog.repo.branch.db.table.<kind>` (the Iceberg metadata-table
+  * idiom):
+  *
+  *  - `files`      current snapshot's data files + row counts
+  *  - `snapshots`  every snapshot of this table reachable from the branch
+  *  - `history`    branch commits that changed this table
+  *
+  * Metadata volumes are O(commits + files) — driver-side row building is
+  * appropriate here; the DATA path never does this.
+  */
+final class MetaTable(
+    repo: GraftRepo,
+    branch: String,
+    key: String,
+    kind: String,
+    ident: Identifier) extends Table with SupportsRead {
+
+  override def name(): String = ident.toString
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def schema(): StructType = kind match {
+    case "files" => StructType(Seq(
+      StructField("path", StringType),
+      StructField("rows", LongType),
+      StructField("min_stats", MapType(StringType, StringType)),
+      StructField("max_stats", MapType(StringType, StringType))))
+    case "snapshots" => StructType(Seq(
+      StructField("commit_id", StringType),
+      StructField("snapshot_id", StringType),
+      StructField("n_files", IntegerType),
+      StructField("n_rows", LongType)))
+    case "history" => StructType(Seq(
+      StructField("commit_id", StringType),
+      StructField("ts", LongType),
+      StructField("message", StringType),
+      StructField("snapshot_id", StringType)))
+  }
+
+  private def rows(): Seq[Row] = kind match {
+    case "files" =>
+      val snap = repo.snapshot(repo.headCommit(branch).tables(key))
+      snap.files.map(f => Row(f.path, f.rows, f.min, f.max))
+    case "snapshots" | "history" =>
+      // walk first-parent history of the branch
+      var out = List.empty[Row]
+      var c = repo.headCommit(branch)
+      var done = false
+      while (!done) {
+        val sid = c.tables.get(key)
+        (kind, sid) match {
+          case ("snapshots", Some(s)) =>
+            val snap = repo.snapshot(s)
+            out :+= Row(c.id, s, snap.files.size, snap.files.map(_.rows).sum)
+          case ("history", Some(s)) =>
+            out :+= Row(c.id, c.ts, c.message, s)
+          case _ => ()
+        }
+        if (c.parents.isEmpty) done = true else c = repo.commit(c.parents.head)
+      }
+      // history/snapshots: only commits where this table's snapshot CHANGED
+      out.foldLeft((List.empty[Row], Option.empty[String])) {
+        case ((acc, prev), r) =>
+          val sid = if (kind == "snapshots") r.getString(1) else r.getString(3)
+          if (prev.contains(sid)) (acc, prev) else (acc :+ r, Some(sid))
+      }._1
+    case _ => Nil
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = schema()
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = MetaTable.this.schema()
+            override def buildScan(): RDD[Row] =
+              context.sparkContext.parallelize(rows(), 1)
+          }.asInstanceOf[T]
+      }
+    }
+}
+
+object MetaTable {
+  val kinds: Set[String] = Set("files", "snapshots", "history")
+}

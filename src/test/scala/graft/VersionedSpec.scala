@@ -210,6 +210,21 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     repo.head("main")._1 shouldBe 9 // v1 init + 8 commits
   }
 
+  test("metadata tables: t.files / t.history / t.snapshots") {
+    setupRepo("r15")
+    sql("DELETE FROM g.r15.main.db.t WHERE id = 1")
+    sql("INSERT INTO g.r15.main.db.t VALUES (50, 'late')")
+    val files = sql("SELECT * FROM g.r15.main.db.t.files").collect()
+    files.map(_.getAs[Long]("rows")).sum shouldBe 8L // 7 survivors + 1 new
+    val hist = sql("SELECT * FROM g.r15.main.db.t.history ORDER BY ts").collect()
+    // create, insert, delete, insert -> 4 distinct snapshots
+    hist.length shouldBe 4
+    hist.map(_.getAs[String]("snapshot_id")).distinct.length shouldBe 4
+    val snaps = sql(
+      "SELECT n_rows FROM g.r15.main.db.t.snapshots ORDER BY n_rows").collect()
+    snaps.map(_.getLong(0)) shouldBe Array(0L, 7L, 8L, 8L)
+  }
+
   test("INSERT OVERWRITE replaces table contents (truncate write path)") {
     setupRepo("r14")
     sql("INSERT OVERWRITE g.r14.main.db.t VALUES (100, 'only_row')")
