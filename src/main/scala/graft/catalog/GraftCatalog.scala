@@ -192,11 +192,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
-  /** Time travel: `VERSION AS OF '<commitId>'`. Read-only table. */
+  /** Time travel: `VERSION AS OF '<commitId | tag | branch>'`. Read-only. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val ns = ident.namespace()
     val g = repo(ns)
-    val c = try g.commit(version) catch {
+    val c = try g.resolve(version) catch {
       case _: java.nio.file.NoSuchFileException => throw new NoSuchTableException(ident)
     }
     val key = tableKey(ident)

@@ -80,9 +80,11 @@ final class GraftRepo private (val root: Path) {
 
   def headCommit(branch: String): Commit = commit(head(branch)._2)
 
-  /** Resolve a ref (branch name or commit id) to a commit. */
+  /** Resolve a ref (branch name, tag name, or commit id) to a commit. */
   def resolve(ref: String): Commit =
     if (branchExists(ref)) headCommit(ref)
+    else if (tagExists(ref))
+      commit(Files.readString(root.resolve("tags").resolve(ref)).trim)
     else commit(ref)
 
   /** Atomically publish `refs/<branch>/v{base+1} = cid`. The write goes to
@@ -134,6 +136,28 @@ final class GraftRepo private (val root: Path) {
   }
 
   // ---- branch / merge / diff -------------------------------------------
+
+  /** Immutable tag: a named pointer to a commit (lakeFS/git tag analog).
+    * Set-if-absent — re-tagging an existing name fails.
+    */
+  def createTag(name: String, ref: String): Unit = {
+    val cid = resolve(ref).id
+    val dir = root.resolve("tags")
+    Files.createDirectories(dir)
+    try Files.writeString(dir.resolve(name), cid, StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(s"tag already exists: $name")
+    }
+  }
+
+  def tags: Seq[String] =
+    if (!Files.isDirectory(root.resolve("tags"))) Nil
+    else Files.list(root.resolve("tags")).iterator().asScala
+      .map(_.getFileName.toString).toSeq.sorted
+
+  def tagExists(name: String): Boolean =
+    Files.isRegularFile(root.resolve("tags").resolve(name))
 
   /** Zero-copy branch: new ref pointing at `fromRef`'s commit. */
   def createBranch(name: String, fromRef: String): Unit = {
@@ -228,7 +252,8 @@ final class GraftRepo private (val root: Path) {
     * deleted file count.
     */
   def vacuum(): Int = {
-    val reachableCommits = branches.flatMap(b => ancestors(head(b)._2)).toSet
+    val roots = branches.map(b => head(b)._2) ++ tags.map(t => resolve(t).id)
+    val reachableCommits = roots.flatMap(ancestors).toSet
     val referenced: Set[Path] = reachableCommits
       .flatMap(cid => commit(cid).tables.values)
       .flatMap(sid => snapshot(sid).files.map(f => root.resolve(f.path).normalize()))

@@ -210,6 +210,22 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     repo.head("main")._1 shouldBe 9 // v1 init + 8 commits
   }
 
+  test("tags: immutable refs usable from VERSION AS OF, protect vacuum") {
+    setupRepo("r16")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "r16"))
+    repo.createTag("v1.0", "main")
+    sql("DELETE FROM g.r16.main.db.t WHERE id <= 4")
+    rows("SELECT count(*) FROM g.r16.main.db.t").head.head shouldBe 4L
+    rows("SELECT count(*) FROM g.r16.main.db.t VERSION AS OF 'v1.0'")
+      .head.head shouldBe 8L
+    a[Exception] should be thrownBy repo.createTag("v1.0", "main") // immutable
+    // the tagged commit's files survive vacuum even after CoW rewrote them
+    repo.vacuum()
+    rows("SELECT count(*) FROM g.r16.main.db.t VERSION AS OF 'v1.0'")
+      .head.head shouldBe 8L
+  }
+
   test("metadata tables: t.files / t.history / t.snapshots") {
     setupRepo("r15")
     sql("DELETE FROM g.r15.main.db.t WHERE id = 1")
