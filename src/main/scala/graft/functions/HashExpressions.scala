@@ -77,6 +77,31 @@ object HashKernels {
     new GenericArrayData(mins)
   }
 
+  /** Random-hyperplane sign bucket of a double vector: bit j = sign of the
+    * projection onto a ±1 hyperplane whose entries derive from
+    * xxhash64(i, planeOffset+j) — chained exactly like the SQL two-arg
+    * xxhash64, so buckets are bit-compatible with the HOF formulation.
+    */
+  def hyperplaneBucket(v: ArrayData, nbits: Int, planeOffset: Int): Long = {
+    val dim = v.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < nbits) {
+      val plane = planeOffset + j
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        val hi = XxHash64Function.hash(i, org.apache.spark.sql.types.IntegerType, Seed)
+        val h = XxHash64Function.hash(plane, org.apache.spark.sql.types.IntegerType, hi)
+        acc += v.getDouble(i) * (if ((h & 1L) == 1L) 1.0 else -1.0)
+        i += 1
+      }
+      if (acc > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
   /** |A∩B| / |A∪B| for distinct-element string arrays (nulls skipped). */
   def setJaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
@@ -122,6 +147,23 @@ case class SetJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-LSH bucket of a double-array column (codegen'd). */
+case class HyperplaneBucket(child: Expression, nbits: Int, planeOffset: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_bucket"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.hyperplaneBucket(input.asInstanceOf[ArrayData], nbits, planeOffset)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.hyperplaneBucket($c, $nbits, $planeOffset)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of an array-of-string column (codegen'd). */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -159,4 +201,6 @@ object HashExpressions {
     Bridge.column(MinHashSignature(Bridge.expression(setCol), k))
   def setJaccardNative(a: Column, b: Column): Column =
     Bridge.column(SetJaccard(Bridge.expression(a), Bridge.expression(b)))
+  def hyperplaneBucketNative(v: Column, nbits: Int, planeOffset: Int): Column =
+    Bridge.column(HyperplaneBucket(Bridge.expression(v), nbits, planeOffset))
 }

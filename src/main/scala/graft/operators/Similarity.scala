@@ -59,8 +59,8 @@ object Similarity {
     val L = 8
     val NBits = 6
     def tables(vCol: String): Column = array(
-      (0 until L).map(t =>
-        hyperplaneBucketExpr(vCol, nbits = NBits, dim = Dim, planeOffset = t * NBits)): _*)
+      (0 until L).map(t => graft.functions.HashExpressions
+        .hyperplaneBucketNative(col(vCol), nbits = NBits, planeOffset = t * NBits)): _*)
     val corpus = T.embeddings(s, d)
       .select(col("vec_id").as("neighbor_id"), toDoubleVec(col("embedding")).as("nv"))
       .withColumn("nn", l2norm(col("nv")))
