@@ -428,6 +428,29 @@ object Relational {
         .orderBy(col("event_id"))
     },
 
+    // ---- q22b: FORWARD as-of join (earliest order at-or-after the event) -----
+    Q(
+      "q22b_asof_forward",
+      """SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS next_order
+        |FROM events e ASOF JOIN (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate) o
+        |ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin
+    ) { (s, d) =>
+      val e = T.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      val o = T.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      AsOfJoin.asOfForward(
+        e.withColumn("__ts_cmp", col("ts").cast(TimestampType)), o,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "__ts_cmp", rightTime = "o_orderdate",
+        payload = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("o_orderkey").as("next_order"))
+        .orderBy(col("event_id"))
+    },
+
     // ---- q23: range (band) join ---------------------------------------------
     Q(
       "q23_range_join",
