@@ -428,27 +428,32 @@ object Relational {
         .orderBy(col("event_id"))
     },
 
-    // ---- q22b: FORWARD as-of join (earliest order at-or-after the event) -----
+    // ---- q22b: FORWARD as-of join (earliest event at-or-after the order) -----
+    // (orders predate the event stream, so this direction is the non-trivial
+    // one on this data)
     Q(
       "q22b_asof_forward",
-      """SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS next_order
-        |FROM events e ASOF JOIN (
-        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
-        |  FROM orders GROUP BY o_custkey, o_orderdate) o
-        |ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
-        |ORDER BY e.event_id""".stripMargin
+      """SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, e.event_id AS next_event
+        |FROM orders o ASOF JOIN (
+        |  SELECT user_id, ts, max(event_id) AS event_id
+        |  FROM events GROUP BY user_id, ts) e
+        |ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |ORDER BY o.o_orderkey""".stripMargin
     ) { (s, d) =>
-      val e = T.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
-      val o = T.orders(s, d)
-        .groupBy(col("o_custkey"), col("o_orderdate"))
-        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      val o = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      // Dedup right side to one event per (user, instant) so the as-of match
+      // is deterministic in both engines.
+      val e = T.events(s, d)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("event_id"))
       AsOfJoin.asOfForward(
-        e.withColumn("__ts_cmp", col("ts").cast(TimestampType)), o,
-        leftKey = "user_id", rightKey = "o_custkey",
-        leftTime = "__ts_cmp", rightTime = "o_orderdate",
-        payload = Seq("o_orderkey"))
-        .select(col("event_id"), col("user_id"), col("ts"), col("o_orderkey").as("next_order"))
-        .orderBy(col("event_id"))
+        o.withColumn("__ts_cmp", col("o_orderdate").cast(TimestampNTZType)), e,
+        leftKey = "o_custkey", rightKey = "user_id",
+        leftTime = "__ts_cmp", rightTime = "ts",
+        payload = Seq("event_id"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("event_id").as("next_event"))
+        .orderBy(col("o_orderkey"))
     },
 
     // ---- q23: range (band) join ---------------------------------------------
