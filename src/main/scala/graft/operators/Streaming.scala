@@ -117,6 +117,23 @@ object Streaming {
       .orderBy(col("ws"), col("event_type"))
   }
 
+  /** Stream-static enrichment join: the event stream joins the static
+    * customer dimension (broadcast per micro-batch — no stream state),
+    * then aggregates per nation. The standard dimension-enrichment shape:
+    * at 100 TB/day the stream only shuffles for the final agg.
+    */
+  private def staticJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = graft.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val agg = eventStream(s, d, sentinel = false)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    runToTable(s, agg, OutputMode.Complete())
+      .orderBy(col("c_nationkey"))
+  }
+
   // not `private`: encoder codegen instantiates these from generated code
   case class Ev(user_id: Long, ts: Instant)
   case class SessionState(start: Long, end: Long, n: Long) // µs epoch
@@ -216,6 +233,13 @@ object Streaming {
         |GROUP BY ws, event_type
         |ORDER BY ws, event_type""".stripMargin
     )(slidingAgg),
+    Q(
+      "st_static_join",
+      """SELECT c.c_nationkey, count(*) AS n_events,
+        |       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin
+    )(staticJoin),
     Q(
       "st_sessionize",
       """WITH o AS (
