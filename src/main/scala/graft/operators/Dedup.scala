@@ -10,8 +10,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: every candidate-generation step is a keyed shuffle
   * (hash / LSH band / simhash chunk / label block) — never an unblocked
-  * cross join. At 100 TB the bucket-join pattern keeps pair enumeration
-  * proportional to Σ bucket², which LSH keeps near-linear.
+  * cross join — and NO corpus-sized relation is ever broadcast: the
+  * verification and label-propagation joins are plain equi-joins, so
+  * Catalyst/AQE picks broadcast only when a side is genuinely small and
+  * falls back to shuffle joins at corpus scale. At 100 TB the bucket-join
+  * pattern keeps pair enumeration proportional to Σ bucket², which LSH
+  * keeps near-linear.
   */
 object Dedup {
 
@@ -36,21 +40,28 @@ object Dedup {
     * output bounded.
     */
   private def minhashLsh(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    // docs (with word sets + signatures) feeds bands AND the verification
-    // lookup — cache it once. The verification joins BROADCAST the 5000-row
-    // word-set table so the multi-million-pair candidate stream never
-    // shuffles; at 100 TB the same shape holds per LSH partition (the pair
-    // stream stays partition-local, only the doc->set dictionary moves).
+    // docs (word sets + signatures) feeds the band self-join AND both
+    // verification sides — materialize it ONCE (eager localCheckpoint:
+    // lineage-truncated, storage freed on GC, so repeated calls never
+    // trip "already cached" re-registration). The expensive part (64
+    // perm-hashes per word) runs exactly once per doc.
+    //
+    // Verification is two plain equi-joins of the skinny distinct
+    // (id_a, id_b) pair list against the doc→word-set dictionary: the
+    // dictionary is corpus-sized, so it is NOT broadcast-hinted — AQE
+    // broadcasts it only while it is actually small and otherwise both
+    // joins are keyed shuffles of the (tiny) pair list + dictionary,
+    // the shape that survives a 5-billion-doc corpus.
     // Measured alternative (sf0.1, 10.1M raw candidates): first-match band
-    // emission instead of pair-distinct is 3× SLOWER here (21s vs 7s) —
-    // it widens every raw candidate with both word-set arrays before
-    // filtering, while distinct shuffles only skinny (id,id) pairs. Keep
+    // emission instead of pair-distinct is 3× SLOWER here — it widens
+    // every raw candidate with both word-set arrays before filtering,
+    // while distinct shuffles only skinny (id,id) pairs. Keep
     // distinct-then-verify.
     val docs = T.documents(s, d)
       .select(col("doc_id"), wordSet(col("text")).as("ws"))
       .withColumn("sig",
         graft.functions.HashExpressions.minHashSignatureNative(col("ws"), k = 64))
-      .cache()
+      .localCheckpoint()
     val bands = docs
       .select(col("doc_id"),
         posexplode(lshBandsExpr("sig", bands = 8, rowsPerBand = 8)))
@@ -63,8 +74,8 @@ object Dedup {
       .distinct()
     val w = docs.select(col("doc_id"), col("ws"))
     cand
-      .join(broadcast(w.select(col("doc_id").as("id_a"), col("ws").as("ws_a"))), "id_a")
-      .join(broadcast(w.select(col("doc_id").as("id_b"), col("ws").as("ws_b"))), "id_b")
+      .join(w.select(col("doc_id").as("id_a"), col("ws").as("ws_a")), "id_a")
+      .join(w.select(col("doc_id").as("id_b"), col("ws").as("ws_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(graft.functions.HashExpressions.setJaccardNative(
           col("ws_a"), col("ws_b")), 6).as("jaccard"))
@@ -78,13 +89,14 @@ object Dedup {
     * ≤ 6 filter.
     */
   private def simhash(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    // fp is 5000 tiny rows feeding BOTH sides of the self-join — cache so
-    // the |words|×64 vote aggregate runs once per doc, not once per side.
+    // fp is a skinny (doc_id, fp) table feeding BOTH sides of the
+    // self-join — materialize so the |words|×64 vote aggregate runs once
+    // per doc, not once per side (localCheckpoint: freed on GC).
     val docs = T.documents(s, d)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .withColumn("fp", graft.functions.HashExpressions.simHash64Native(col("ws")))
       .select(col("doc_id"), col("fp"))
-      .cache()
+      .localCheckpoint()
     val chunks = docs.select(
       col("doc_id"), col("fp"),
       posexplode(expr("transform(sequence(0, 3), c -> shiftright(fp, c * 16) & 65535)")))
@@ -133,44 +145,49 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Dedup cluster resolution: connected components over the near-dup
-    * pair graph, each doc labeled with its cluster's minimum doc_id (the
-    * canonical survivor). Iterative min-label propagation — each round is
-    * one grouped aggregation over the edge list (both directions), the
-    * alternating-star shape that converges in O(log n) rounds on 100 TB
-    * graphs (CC-in-MapReduce family); the driver loop only checks a
-    * convergence count, all data work is distributed.
+  /** Connected components over an arbitrary undirected pair graph:
+    * iterative min-label propagation + pointer jumping (the
+    * alternating-star family — O(log n) rounds on 100 TB graphs), each
+    * round one grouped aggregation over the edge list. Returns one row
+    * per vertex: (doc_id, label) where label = the component's minimum
+    * doc_id.
+    *
+    * Scale posture (this replaced per-round `broadcast(labels)` /
+    * `broadcast(parent)` — |V|-sized relations that OOM at corpus scale):
+    *  - the symmetrized edge list is hash-partitioned by `dst` ONCE and
+    *    localCheckpoint'ed; every round's neighbor-min join reuses that
+    *    layout, so |E| never re-shuffles — only the skinny |V| label
+    *    table moves per round.
+    *  - all joins are plain equi-joins: AQE broadcasts the label table
+    *    only while it is genuinely under the threshold, otherwise they
+    *    are shuffle joins co-partitioned with the cached edges.
+    *  - localCheckpoint each round truncates lineage (without it the
+    *    plan nests per iteration and planning blows up) and frees the
+    *    previous round's blocks on GC.
     */
-  private def clusters(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    // materialize the pair list ONCE: the symmetric union below references
-    // it twice, and without this the whole minhash pipeline runs per side
-    // (measured 2× the total query cost)
-    val pairs = minhashLsh(s, d).select(col("id_a"), col("id_b"))
-      .localCheckpoint()
-    val docs = T.documents(s, d).select(col("doc_id"))
-    val edges = pairs
-      .union(pairs.select(col("id_b"), col("id_a")))
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.toDF("id_a", "id_b")
+    val sym = edges
+      .union(edges.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")
-      .cache()
-    // labels start as self; propagate min(label of any neighbor) until
-    // fixpoint. localCheckpoint truncates lineage each round — without it
-    // the logical plan nests once per iteration and planning time (and
-    // stack depth) grows without bound, the classic iterative-DataFrame
-    // trap.
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      .repartition(col("dst"))
+      .localCheckpoint()
+    var labels = vertices.toDF("doc_id")
+      .select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
-      // label table is |V| rows (small vs |E|): broadcast it so each round
-      // is one map-side pass over the cached edge list + a |V|-group agg
-      val neighborMin = edges
-        .join(broadcast(labels), edges("dst") === labels("doc_id"))
+      // min(label) over each vertex's neighborhood: the labels side is
+      // shuffled by doc_id to meet the pre-partitioned edges — one |V|
+      // shuffle + one |V|-group agg per round, no |E| movement
+      val neighborMin = sym
+        .join(labels, sym("dst") === labels("doc_id"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("label")).as("nmin"))
       // materialize the propagated labels ONCE per round — they feed both
       // sides of the pointer-jump join below, and an unmaterialized plan
-      // would re-run the |E| join per reference
+      // would re-run the neighbor join per reference
       val prop = labels.as("l")
         .join(neighborMin.as("n"), Seq("doc_id"), "left")
         .select(col("doc_id"), col("label").as("old"),
@@ -180,7 +197,7 @@ object Dedup {
       // round, so long chains converge in O(log diameter) rounds
       val parent = prop.select(col("doc_id").as("p_id"), col("label").as("p_label"))
       val next = prop
-        .join(broadcast(parent), prop("label") === parent("p_id"), "left")
+        .join(parent, prop("label") === parent("p_id"), "left")
         .select(col("doc_id"), col("old"),
           least(col("label"), coalesce(col("p_label"), col("label"))).as("label"))
         .localCheckpoint()
@@ -189,6 +206,27 @@ object Dedup {
       rounds += 1
     }
     labels
+  }
+
+  /** Dedup cluster resolution: connected components over a near-dup pair
+    * graph, each doc labeled with its cluster's minimum doc_id (the
+    * canonical survivor). The driver-checked query runs
+    * [[connectedComponents]] over the DETERMINISTIC consecutive-id
+    * n-gram-Jaccard ≥ 0.7 graph, which a DuckDB recursive CTE can
+    * replicate exactly (full hash-matched oracle); the same operator over
+    * the MinHash-LSH pair graph is gated by the union-find spec in
+    * LlmOpsSpec.
+    */
+  private def clusters(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val ws = T.documents(s, d).select(col("doc_id"), wordSet(col("text")).as("ws"))
+    val pairs = ws.as("a")
+      .join(ws.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (size(array_intersect(col("a.ws"), col("b.ws"))).cast("double") /
+          size(array_union(col("a.ws"), col("b.ws"))).cast("double")).as("j"))
+      .filter(col("j") >= 0.7)
+      .select(col("id_a"), col("id_b"))
+    connectedComponents(T.documents(s, d).select(col("doc_id")), pairs)
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .orderBy(col("cluster_id"))
@@ -204,7 +242,27 @@ object Dedup {
     )(exact),
     Q.rowsOnly("dd_minhash_lsh")(minhashLsh),
     Q.rowsOnly("dd_simhash")(simhash),
-    Q.rowsOnly("dd_cluster")(clusters),
+    Q(
+      "dd_cluster",
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
+        |  WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.ws, b.ws))) >= 0.7
+        |),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON edges.src = reach.r
+        |)
+        |SELECT cluster_id, count(*) AS cluster_size FROM (
+        |  SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+        |) GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+    )(clusters),
     Q(
       "dd_ngram_jaccard",
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,

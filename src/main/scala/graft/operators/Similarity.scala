@@ -31,21 +31,36 @@ object Similarity {
   /** Exact brute-force cosine top-k per query (oracle-checked). Norms are
     * precomputed per side so the |Q|×|N| loop does ONE codegen'd dot per
     * pair (same fold order as the oracle -> identical doubles).
+    *
+    * The query set is broadcast ONLY while it is provably small
+    * (size-guarded by an up-front count of the skinny id column): a small
+    * query batch against a huge corpus is one broadcast-NL pass with no
+    * corpus shuffle — the standard exact baseline. Past the guard the
+    * work is inherently |Q|×|N| and falls back to a block-partitioned
+    * cartesian (every corpus-partition × query-partition pair lands on
+    * some executor; no single node ever holds the query set).
     */
-  private def bruteForce(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bruteForceImpl(s: SparkSession, d: String,
+      maxBroadcastQueries: Long = 500000): DataFrame = {
     val corpus = T.embeddings(s, d)
       .select(col("vec_id").as("neighbor_id"), toDoubleVec(col("embedding")).as("nv"))
       .withColumn("nn", l2norm(col("nv")))
+    val qs = queriesSet(s, d)
+    val nQueries = qs.select(col("query_id")).count()
+    val qSide = if (nQueries <= maxBroadcastQueries) broadcast(qs) else qs
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     corpus
-      .join(broadcast(queriesSet(s, d)), col("neighbor_id") =!= col("query_id"))
+      .join(qSide, col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  private def bruteForce(s: SparkSession, d: String): DataFrame =
+    bruteForceImpl(s, d)
 
   /** Multi-table LSH ANN: L independent 6-bit random-hyperplane tables;
     * a corpus vector is a candidate for a query if they share a bucket in
@@ -72,8 +87,12 @@ object Similarity {
       .toDF("query_id", "qv", "qn", "tbl", "bucket")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    // plain equi-join on (table, bucket): AQE broadcasts the exploded
+    // query side only while it is genuinely small; at corpus-sized query
+    // batches this is a keyed shuffle co-partitioned on the bucket id —
+    // never an unbounded broadcast
     corpus
-      .join(broadcast(qs), Seq("tbl", "bucket"))
+      .join(qs, Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos_sim"))

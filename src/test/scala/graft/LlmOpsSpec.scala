@@ -37,6 +37,37 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     lsh.size should be <= brute.size
   }
 
+  test("sim_ann_brute: size-guarded query broadcast — forced shuffle path " +
+    "returns identical results") {
+    val broadcastPath = SparkEntry.queries("sim_ann_brute")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    // guard=0 forces the block-partitioned cartesian (large-query) path
+    val shufflePath = operators.Similarity
+      .bruteForceImpl(spark, sfDir, maxBroadcastQueries = 0)
+      .collect().map(_.toSeq).toSet
+    shufflePath shouldBe broadcastPath
+  }
+
+  test("sim_ann_lsh: candidate join degrades to a shuffle join (not a " +
+    "broadcast) when the engine may not broadcast") {
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe =
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    def restore(key: String, v: Option[String]): Unit =
+      v.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("sim_ann_lsh")(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      plan should not include "BroadcastHashJoin"
+      df.count() should be > 0L
+    } finally {
+      restore("spark.sql.autoBroadcastJoinThreshold", prev)
+      restore("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+    }
+  }
+
   test("dd_simhash: hamming bound respected and pairs deduplicated") {
     val out = SparkEntry.queries("dd_simhash")(spark, sfDir).collect()
     all(out.map(_.getAs[Long]("hamming"))) should be <= 6L
@@ -72,15 +103,9 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     }
   }
 
-  test("dd_cluster: components cover the corpus; every near-dup edge is " +
-    "within one cluster; cluster ids are member minima") {
-    val out = SparkEntry.queries("dd_cluster")(spark, sfDir).collect()
-    out.map(_.getAs[Long]("cluster_size")).sum shouldBe
-      Tables.documents(spark, sfDir).count()
-    // recompute labels per doc to validate edge containment
-    val pairs = SparkEntry.queries("dd_minhash_lsh")(spark, sfDir)
-      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
-    // naive union-find on the driver as the oracle (sf0.01 corpus is small)
+  /** Driver-side union-find oracle over an arbitrary pair list. */
+  private def unionFindClusters(pairs: Array[(Long, Long)],
+      docIds: Array[Long]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       val p = parent.getOrElseUpdate(x, x)
@@ -90,13 +115,39 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    val docIds = Tables.documents(spark, sfDir)
-      .select("doc_id").collect().map(_.getLong(0))
-    val expected = docIds.groupBy(id => find(id)).map { case (root, members) =>
+    docIds.groupBy(id => find(id)).map { case (_, members) =>
       members.min -> members.length.toLong
     }
+  }
+
+  test("dd_cluster: components cover the corpus; cluster ids and sizes match " +
+    "a union-find oracle over the same n-gram pair graph") {
+    val out = SparkEntry.queries("dd_cluster")(spark, sfDir).collect()
+    out.map(_.getAs[Long]("cluster_size")).sum shouldBe
+      Tables.documents(spark, sfDir).count()
+    val pairs = SparkEntry.queries("dd_ngram_jaccard")(spark, sfDir).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.7)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val docIds = Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = unionFindClusters(pairs, docIds)
     val got = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
     got shouldBe expected
+  }
+
+  test("connectedComponents over the MinHash-LSH pair graph matches a " +
+    "union-find oracle (no corpus broadcast in the loop)") {
+    val lshPairs = SparkEntry.queries("dd_minhash_lsh")(spark, sfDir)
+      .select("id_a", "id_b")
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    val got = operators.Dedup.connectedComponents(docs, lshPairs)
+      .groupBy("label")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = lshPairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val docIds = docs.collect().map(_.getLong(0))
+    got shouldBe unionFindClusters(pairs, docIds)
   }
 
   test("dd_exact: groups partition the corpus (sum of copies = row count)") {
