@@ -3,27 +3,26 @@ package graft.catalog
 import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession, SQLContext}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.versioned.{GraftRepo, Snapshot, TableOps}
 
 /** A graft versioned table surfaced through DataSource V2.
   *
-  * Reads go through the V1Scan bridge: the scan prunes snapshot files by
-  * min/max stats, then delegates the actual parquet decode to Spark's
-  * built-in columnar parquet source (so WholeStageCodegen, vectorized
-  * decode and parquet-level predicate pushdown all still apply inside the
-  * relation). Writes are immutable-file appends + an optimistic snapshot
-  * commit; DELETE is stats-pruned copy-on-write (TableOps).
+  * Reads are fully columnar DSv2: the scan builder prunes snapshot files
+  * by min/max stats, then returns Spark's own vectorized `ParquetScan`
+  * over the surviving file list (WholeStageCodegen + parquet row-group
+  * pruning apply end-to-end; no V1 row bridge). Writes are
+  * immutable-file appends + an optimistic snapshot commit; DELETE is
+  * stats-pruned copy-on-write (TableOps).
   *
   * `branch = None` marks a time-travel read (VERSION AS OF) — reads work,
   * mutations are rejected, mirroring reading a detached ref.
@@ -105,23 +104,17 @@ final class GraftScanBuilder(repo: GraftRepo, snap: Snapshot, fullSchema: Struct
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new V1Scan {
-    override def readSchema(): StructType = required
-
-    override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
-      new BaseRelation with TableScan {
-        override def sqlContext: SQLContext = context
-        override def schema: StructType = required
-        override def buildScan(): RDD[Row] = {
-          val spark = context.sparkSession
-          var df = TableOps.readSnapshot(spark, repo, snap, pushed.toIndexedSeq)
-          pushed.flatMap(TableOps.filterToColumn).foreach(c => df = df.filter(c))
-          val projected =
-            if (required.fieldNames.sameElements(fullSchema.fieldNames)) df
-            else if (required.isEmpty) df.select()
-            else df.select(required.fieldNames.toIndexedSeq.map(col): _*)
-          projected.rdd
-        }
-      }.asInstanceOf[T]
+  /** Native columnar scan: snapshot files that survive min/max stats
+    * pruning are handed to Spark's own DSv2 `ParquetScan` (vectorized
+    * decode + row-group pruning + WholeStageCodegen) — no row-by-row
+    * V1 bridge anywhere on the read path.
+    */
+  override def build(): Scan = {
+    val spark = SparkSession.active
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val live = TableOps.pruneFiles(snap, schema, pushed.toIndexedSeq)
+    val paths = live.map(f =>
+      new org.apache.hadoop.fs.Path(repo.root.resolve(f.path).toUri))
+    graftbridge.ParquetReadBridge.scan(spark, paths, schema, required, pushed)
   }
 }

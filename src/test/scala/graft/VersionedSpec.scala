@@ -345,4 +345,22 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
           org.apache.spark.sql.types.IntegerType))),
       Seq(org.apache.spark.sql.sources.EqualTo("id", 250))).size shouldBe 1
   }
+
+  test("catalog reads are native columnar parquet BatchScans (no V1/RDD bridge)") {
+    spark.sql("CREATE NAMESPACE g.rcol")
+    spark.sql("CREATE NAMESPACE g.rcol.main.db")
+    spark.sql("CREATE TABLE g.rcol.main.db.t (id INT, v STRING)")
+    spark.sql("INSERT INTO g.rcol.main.db.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val df = spark.table("g.rcol.main.db.t")
+      .filter(org.apache.spark.sql.functions.col("id") > 1)
+      .select(org.apache.spark.sql.functions.col("v"))
+    df.collect().map(_.getString(0)).sorted shouldBe Array("b", "c")
+    val plan = df.queryExecution.executedPlan
+    val planStr = plan.toString
+    planStr should include("BatchScan")
+    planStr should not include "Scan ExistingRDD"
+    // the scan node itself must hand Spark columnar batches (vectorized
+    // parquet), not externally-converted rows
+    plan.collectLeaves().exists(_.supportsColumnar) shouldBe true
+  }
 }
