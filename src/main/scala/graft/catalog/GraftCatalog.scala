@@ -224,6 +224,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
+  /** Translate DSv2 partition transforms to the graft spec. Supported:
+    * identity(col) and bucket(n, col) — the layout-control pair the
+    * reference's users get from Iceberg partition specs. Anything else
+    * fails loudly instead of being silently dropped.
+    */
+  private def parseTransforms(schema: StructType,
+      partitions: Array[Transform]): Seq[graft.versioned.PartitionField] =
+    partitions.toIndexedSeq.map { t =>
+      def sourceCol: String = {
+        val refs = t.references()
+        if (refs.length != 1 || refs(0).fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"partition transform must reference one top-level column: $t")
+        val c = refs(0).fieldNames()(0)
+        if (!schema.fieldNames.contains(c))
+          throw new IllegalArgumentException(s"no such partition source column: $c")
+        c
+      }
+      t.name() match {
+        case "identity" =>
+          graft.versioned.PartitionField(sourceCol, "identity", sourceCol)
+        case "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Number] => l.value().asInstanceOf[Number].intValue()
+          }.getOrElse(throw new IllegalArgumentException(s"bucket needs a count: $t"))
+          if (n <= 0) throw new IllegalArgumentException(s"bucket count must be > 0: $n")
+          graft.versioned.PartitionField(s"${sourceCol}_bucket", "bucket", sourceCol, n)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported partition transform: $other (only identity/bucket)")
+      }
+    }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     val ns = ident.namespace()
@@ -233,9 +266,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val key = tableKey(ident)
     if (g.headCommit(ns(1)).tables.contains(key))
       throw new TableAlreadyExistsException(ident)
+    val spec = parseTransforms(schema, partitions)
     g.commitRetry(ns(1), s"create table $key") { base =>
       if (base.tables.contains(key)) throw new TableAlreadyExistsException(ident)
-      val snap = g.writeSnapshot(key, schema.json, Nil)
+      val snap = g.writeSnapshot(key, schema.json, Nil,
+        if (spec.isEmpty) None else Some(spec))
       (base.tables + (key -> snap.id),
         // implicit db namespace, like path-based catalogs
         if (base.namespaces.contains(ns(2))) base.namespaces
@@ -277,7 +312,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         case other => throw new UnsupportedOperationException(
           s"unsupported table change: $other")
       }
-      val newSnap = g.writeSnapshot(key, schema.json, snap.files)
+      val newSnap = g.writeSnapshot(key, schema.json, snap.files, snap.partitionBy)
       (base.tables + (key -> newSnap.id), base.namespaces)
     }
     loadTable(ident)

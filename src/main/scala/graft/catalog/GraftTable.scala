@@ -40,6 +40,14 @@ final class GraftTable(
 
   override def name(): String = ident.toString
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    snap.partitionFields.map { pf =>
+      import org.apache.spark.sql.connector.expressions.Expressions
+      pf.transform match {
+        case "bucket" => Expressions.bucket(pf.numBuckets, pf.source)
+        case _ => Expressions.identity(pf.source)
+      }
+    }.toArray
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,

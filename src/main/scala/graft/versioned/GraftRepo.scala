@@ -47,9 +47,10 @@ final class GraftRepo private (val root: Path) {
   def commit(id: String): Commit =
     Json.read[Commit](Files.readString(commitsDir.resolve(s"$id.json")))
 
-  def writeSnapshot(table: String, schemaJson: String, files: Seq[FileEntry]): Snapshot = {
+  def writeSnapshot(table: String, schemaJson: String, files: Seq[FileEntry],
+      partitionBy: Option[Seq[PartitionField]] = None): Snapshot = {
     val id = "s" + UUID.randomUUID().toString.replace("-", "")
-    val s = Snapshot(id, table, schemaJson, files)
+    val s = Snapshot(id, table, schemaJson, files, partitionBy)
     Files.writeString(snapshotsDir.resolve(s"$id.json"), Json.write(s),
       StandardOpenOption.CREATE_NEW)
     s

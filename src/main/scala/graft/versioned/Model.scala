@@ -26,10 +26,27 @@ object Json {
   def read[T: Manifest](s: String): T = mapper.readValue[T](s)
 }
 
+/** One field of a table's partition spec (Iceberg-transform analog —
+  * the reference's users get partition specs through the Iceberg
+  * metadata the adapter serves, LakeFSTableOperations.java:36).
+  *
+  * @param name      partition field name (directory key)
+  * @param transform "identity" | "bucket"
+  * @param source    source data column
+  * @param numBuckets bucket count (bucket transform only)
+  */
+final case class PartitionField(
+    name: String,
+    transform: String,
+    source: String,
+    numBuckets: Int = 0)
+
 /** One immutable parquet data file with per-column min/max stats (as
   * strings, typed via the snapshot schema) for scan-time file pruning —
   * at 100 TB, pruning by stats is what turns a selective DELETE/SELECT
-  * from a full-table scan into a few-file rewrite.
+  * from a full-table scan into a few-file rewrite. Partitioned tables
+  * additionally record the file's partition values (field name ->
+  * string value), pruned BEFORE stats are consulted.
   *
   * @param path  relative to the repo root
   */
@@ -37,14 +54,24 @@ final case class FileEntry(
     path: String,
     rows: Long,
     min: Map[String, String],
-    max: Map[String, String])
+    max: Map[String, String],
+    partitionValues: Option[Map[String, String]] = None) {
+  def partValues: Map[String, String] =
+    Option(partitionValues).flatten.getOrElse(Map.empty)
+}
 
-/** Immutable table snapshot: schema (Spark StructType JSON) + file list. */
+/** Immutable table snapshot: schema (Spark StructType JSON) + file list
+  * + optional partition spec (set at CREATE TABLE, immutable after).
+  */
 final case class Snapshot(
     id: String,
     table: String,
     schemaJson: String,
-    files: Seq[FileEntry])
+    files: Seq[FileEntry],
+    partitionBy: Option[Seq[PartitionField]] = None) {
+  def partitionFields: Seq[PartitionField] =
+    Option(partitionBy).flatten.getOrElse(Nil)
+}
 
 /** Immutable commit: full table map of the repo at a point in time.
   * `tables` maps "db/table" -> snapshot id; `namespaces` maps db ->

@@ -31,14 +31,29 @@ object TableOps {
     * of the freshly written files, grouped by input_file_name). The
     * per-table directory keeps a stable glob per table, which is what
     * makes [[readStreamAppends]] possible.
+    *
+    * With a partition `spec`, rows land in hive-style
+    * `__p_<field>=<value>` directories (synthetic transform columns, so
+    * every DATA column — including identity sources — stays inside the
+    * files) and each FileEntry records its partition values for
+    * partition-first pruning.
     */
   def writeFiles(spark: SparkSession, repo: GraftRepo, df: DataFrame,
-      key: String = "adhoc"): Seq[FileEntry] = {
+      key: String = "adhoc", spec: Seq[PartitionField] = Nil): Seq[FileEntry] = {
     val schema = df.schema
     val dir = repo.dataDir.resolve(key)
       .resolve(UUID.randomUUID().toString.replace("-", ""))
-    df.write.parquet(dir.toString)
-    val written = spark.read.schema(schema).parquet(dir.toString)
+    if (spec.isEmpty) df.write.parquet(dir.toString)
+    else {
+      val dirCols = spec.map(pf =>
+        Partitioning.partitionColumn(pf).as(Partitioning.dirColName(pf)))
+      df.select(schema.fieldNames.toIndexedSeq.map(col) ++ dirCols: _*)
+        .write.partitionBy(spec.map(Partitioning.dirColName): _*)
+        .parquet(dir.toString)
+    }
+    // no explicit schema: partitioned layouts surface the synthetic
+    // __p_ columns via directory inference; stats only read data columns
+    val written = spark.read.parquet(dir.toString)
     val statCols = schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
       Seq(min(col(f.name)).cast("string").as(s"min:${f.name}"),
         max(col(f.name)).cast("string").as(s"max:${f.name}"))
@@ -54,7 +69,9 @@ object TableOps {
         schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
           Option(r.getAs[String](s"$prefix:${f.name}")).map(f.name -> _)
         }.toMap
-      FileEntry(rel, r.getAs[Long]("__rows"), stats("min"), stats("max"))
+      val pvals =
+        if (spec.isEmpty) None else Some(Partitioning.valuesFromPath(rel))
+      FileEntry(rel, r.getAs[Long]("__rows"), stats("min"), stats("max"), pvals)
     }
   }
 
@@ -63,12 +80,17 @@ object TableOps {
     */
   def insert(spark: SparkSession, repo: GraftRepo, branch: String, key: String,
       df: DataFrame, overwrite: Boolean): Unit = {
-    val newFiles = writeFiles(spark, repo, df, key)
+    // the partition spec is set at CREATE TABLE and immutable after, so
+    // reading it from the current head outside the commit race is safe
+    val spec = repo.headCommit(branch).tables.get(key)
+      .map(id => repo.snapshot(id).partitionFields).getOrElse(Nil)
+    val newFiles = writeFiles(spark, repo, df, key, spec)
     repo.commitRetry(branch, s"${if (overwrite) "overwrite" else "append"} $key") { base =>
       val prior = base.tables.get(key).map(repo.snapshot)
         .map(_.files).getOrElse(Nil)
       val files = if (overwrite) newFiles else prior ++ newFiles
-      val snap = repo.writeSnapshot(key, df.schema.json, files)
+      val snap = repo.writeSnapshot(key, df.schema.json, files,
+        if (spec.isEmpty) None else Some(spec))
       (base.tables + (key -> snap.id), base.namespaces)
     }
   }
@@ -110,10 +132,15 @@ object TableOps {
       .parquet(repo.dataDir.resolve(key).toString + "/*")
   }
 
-  /** Keep only files whose [min,max] interval may satisfy every filter. */
+  /** Keep only files that survive BOTH partition-value pruning (cheap,
+    * eliminates whole directories first) and min/max stats pruning.
+    */
   def pruneFiles(snap: Snapshot, schema: StructType,
-      filters: Seq[sources.Filter]): Seq[FileEntry] =
-    snap.files.filter(f => filters.forall(mayMatch(f, schema, _)))
+      filters: Seq[sources.Filter]): Seq[FileEntry] = {
+    val spec = snap.partitionFields
+    snap.files.filter(f => filters.forall(fl =>
+      Partitioning.mayMatch(f, spec, schema, fl) && mayMatch(f, schema, fl)))
+  }
 
   /** Conservative per-file predicate test on stored min/max (strings,
     * compared via the column's type). Unknown filter shapes / missing
@@ -125,7 +152,7 @@ object TableOps {
         field <- schema.fields.find(_.name == attr)
         lo <- f.min.get(attr)
         hi <- f.max.get(attr)
-        c <- comparator(field.dataType)
+        c <- statsComparator(field.dataType)
       } yield (c(lo, v), c(hi, v))
     filter match {
       case sources.EqualTo(a, v) => cmp(a, v).forall { case (l, h) => l <= 0 && h >= 0 }
@@ -140,8 +167,10 @@ object TableOps {
     }
   }
 
-  /** (storedMin, literal) => sign comparator per type; None -> no pruning. */
-  private def comparator(dt: DataType): Option[(String, Any) => Int] = dt match {
+  /** (storedMin, literal) => sign comparator per type; None -> no pruning.
+    * Shared with partition-value pruning (Partitioning.mayMatch).
+    */
+  private[versioned] def statsComparator(dt: DataType): Option[(String, Any) => Int] = dt match {
     case ByteType | ShortType | IntegerType | LongType =>
       Some((s, v) => java.lang.Long.compare(s.toLong, v.asInstanceOf[Number].longValue()))
     case FloatType | DoubleType | _: DecimalType =>
@@ -204,8 +233,11 @@ object TableOps {
         val candDf = spark.read.schema(schema)
           .parquet(candidates.map(f => repo.root.resolve(f.path).toString): _*)
         val kept = candDf.filter(!coalesce(cond, lit(false)))
-        val rewritten = if (kept.isEmpty) Nil else writeFiles(spark, repo, kept, key)
-        val newSnap = repo.writeSnapshot(key, snap.schemaJson, untouched ++ rewritten)
+        val rewritten =
+          if (kept.isEmpty) Nil
+          else writeFiles(spark, repo, kept, key, snap.partitionFields)
+        val newSnap = repo.writeSnapshot(key, snap.schemaJson,
+          untouched ++ rewritten, snap.partitionBy)
         (base.tables + (key -> newSnap.id), base.namespaces)
       }
     }
@@ -240,8 +272,9 @@ object TableOps {
             case None => df
           }
         }
-        val rewritten = writeFiles(spark, repo, updated, key)
-        val newSnap = repo.writeSnapshot(key, snap.schemaJson, untouched ++ rewritten)
+        val rewritten = writeFiles(spark, repo, updated, key, snap.partitionFields)
+        val newSnap = repo.writeSnapshot(key, snap.schemaJson,
+          untouched ++ rewritten, snap.partitionBy)
         (base.tables + (key -> newSnap.id), base.namespaces)
       }
     }
@@ -278,11 +311,13 @@ object TableOps {
             keyCols, "left_anti")
           if (kept.isEmpty) None else Some(kept)
         }
-      val rewritten = survivors.map(writeFiles(spark, repo, _, key)).getOrElse(Nil)
+      val rewritten = survivors
+        .map(writeFiles(spark, repo, _, key, snap.partitionFields)).getOrElse(Nil)
       val appended = writeFiles(spark, repo,
-        src.select(schema.fieldNames.toIndexedSeq.map(col): _*), key)
+        src.select(schema.fieldNames.toIndexedSeq.map(col): _*), key,
+        snap.partitionFields)
       val newSnap = repo.writeSnapshot(key, snap.schemaJson,
-        untouched ++ rewritten ++ appended)
+        untouched ++ rewritten ++ appended, snap.partitionBy)
       (base.tables + (key -> newSnap.id), base.namespaces)
     }
     src.unpersist()

@@ -36,8 +36,14 @@ object ParquetReadBridge {
       readSchema: StructType,
       pushed: Array[Filter]): Scan = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // empty partition spec pinned: graft encodes partition values in
+    // `__p_<field>=<v>` directories purely for ITS OWN pruning metadata —
+    // the data columns live inside the files, so directory inference must
+    // never resurface them as extra columns
     val index = new InMemoryFileIndex(
-      classic, paths, Map.empty[String, String], Some(dataSchema))
+      classic, paths, Map.empty[String, String], Some(dataSchema),
+      userSpecifiedPartitionSpec =
+        Some(org.apache.spark.sql.execution.datasources.PartitionSpec.emptySpec))
     val hadoopConf =
       classic.sessionState.newHadoopConfWithOptions(Map.empty[String, String])
     ParquetScan(

@@ -346,6 +346,48 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       Seq(org.apache.spark.sql.sources.EqualTo("id", 250))).size shouldBe 1
   }
 
+  test("partitioned tables: identity + bucket transforms, partition values " +
+    "recorded per file, partition-first pruning, partition-local CoW delete") {
+    import org.apache.spark.sql.sources.EqualTo
+    sql("CREATE NAMESPACE g.rp")
+    sql("CREATE NAMESPACE g.rp.main.db")
+    sql("CREATE TABLE g.rp.main.db.pt (id INT, cat STRING, v DOUBLE) " +
+      "PARTITIONED BY (cat, bucket(4, id))")
+    sql("INSERT INTO g.rp.main.db.pt VALUES " +
+      (1 to 12).map(i => s"($i, '${"abc".charAt(i % 3)}', ${i * 1.5})").mkString(", "))
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rp"))
+    val snap = repo.snapshot(repo.headCommit("main").tables("db/pt"))
+    snap.partitionFields.map(f => (f.transform, f.source)) shouldBe
+      Seq(("identity", "cat"), ("bucket", "id"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    all(snap.files.map(_.partValues.keySet)) shouldBe Set("cat", "id_bucket")
+    // identity pruning: only cat=a files survive a cat='a' filter
+    val byCat = TableOps.pruneFiles(snap, schema, Seq(EqualTo("cat", "a")))
+    byCat should not be empty
+    byCat.size should be < snap.files.size
+    all(byCat.map(_.partValues("cat"))) shouldBe "a"
+    // bucket pruning: an id lookup keeps only the one matching bucket
+    val byId = TableOps.pruneFiles(snap, schema, Seq(EqualTo("id", 5)))
+    byId.size should be < snap.files.size
+    all(byId.map(_.partValues("id_bucket").toInt)) shouldBe
+      graft.versioned.Partitioning.bucketOfLiteral(
+        5, org.apache.spark.sql.types.IntegerType, 4)
+    // SQL correctness through the pruned scan (data columns intact)
+    rows("SELECT id, cat, v FROM g.rp.main.db.pt WHERE cat = 'a' ORDER BY id")
+      .map(_.head) shouldBe (1 to 12).filter(i => "abc".charAt(i % 3) == 'a')
+    rows("SELECT v FROM g.rp.main.db.pt WHERE id = 5").flatten shouldBe Seq(7.5)
+    // CoW delete on one category rewrites no other category's files
+    val before = snap.files.toSet
+    sql("DELETE FROM g.rp.main.db.pt WHERE cat = 'b'")
+    val after = repo.snapshot(repo.headCommit("main").tables("db/pt")).files
+    after.filter(f => f.partValues("cat") != "b").toSet shouldBe
+      before.filter(f => f.partValues("cat") != "b")
+    rows("SELECT count(*) FROM g.rp.main.db.pt").flatten shouldBe
+      Seq((1 to 12).count(i => "abc".charAt(i % 3) != 'b').toLong)
+  }
+
   test("catalog reads are native columnar parquet BatchScans (no V1/RDD bridge)") {
     spark.sql("CREATE NAMESPACE g.rcol")
     spark.sql("CREATE NAMESPACE g.rcol.main.db")
