@@ -33,7 +33,8 @@ final class GraftTable(
     key: String, // "db/table"
     snap: Snapshot,
     ident: Identifier) extends Table
-    with SupportsRead with SupportsWrite with SupportsDelete {
+    with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
 
   private val tableSchema =
     org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
@@ -79,6 +80,15 @@ final class GraftTable(
           }
       }
     }
+
+  // ---- SQL UPDATE / MERGE INTO (group-based copy-on-write) -------------
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val b = requireBranch
+    () => new GraftRowLevelOperation(repo, b, key, snap, info.command())
+  }
 
   // ---- DELETE FROM ... WHERE -------------------------------------------
 

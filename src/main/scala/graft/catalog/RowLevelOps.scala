@@ -1,0 +1,168 @@
+package graft.catalog
+
+import java.util.UUID
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.graftbridge
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.versioned.{FileEntry, GraftRepo, Snapshot, TableOps}
+
+/** Group-based (copy-on-write) row-level operations: the DSv2 surface
+  * behind SQL `UPDATE` and `MERGE INTO` (and `DELETE` with predicates
+  * the metadata path can't handle). Mirrors the contract the reference's
+  * users get from Iceberg's copy-on-write row-level plans.
+  *
+  * Protocol (Spark's group-based rewrite):
+  *  1. [[GraftCoWScanBuilder]] receives the command's condition as
+  *     pushed filters and uses them ONLY to select affected files
+  *     (partition + stats pruning) — every row of a surviving file is
+  *     returned, because unchanged rows must be copied into the
+  *     replacement. Nothing is reported as pushed.
+  *  2. Spark computes the full replacement content of those files
+  *     (updated + copied rows) and writes it through [[GraftCoWWrite]],
+  *     which stages parquet via Spark's own DSv2 parquet writer.
+  *  3. Commit swaps exactly the scanned files for the staged ones in a
+  *     new snapshot (optimistic retry; concurrent appends to OTHER
+  *     files survive untouched).
+  *
+  * At 100 TB this is the same few-files-rewritten shape as the
+  * metadata DELETE path: the scan's group pruning bounds the rewrite to
+  * files that can contain matches.
+  */
+final class GraftRowLevelOperation(
+    repo: GraftRepo,
+    branch: String,
+    key: String,
+    snap: Snapshot,
+    override val command: RowLevelOperation.Command) extends RowLevelOperation {
+
+  private val tableSchema =
+    DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+
+  /** Files covered by the row-level scan — exactly the set the write
+    * replaces. Set during scan planning (driver-side, before execution).
+    */
+  @volatile private[catalog] var replaced: Seq[FileEntry] = snap.files
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftCoWScanBuilder(this, repo, snap, tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val staging = repo.dataDir.resolve(key)
+      .resolve(UUID.randomUUID().toString.replace("-", ""))
+    val inner = graftbridge.ParquetWriteBridge.writeBuilder(
+      SparkSession.active, staging.toString, tableSchema, info)
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def description(): String = s"graft-cow-$command $key"
+        override def toBatch: BatchWrite =
+          new GraftCoWWrite(GraftRowLevelOperation.this, repo, branch, key,
+            staging, tableSchema, inner.build().toBatch)
+      }
+    }
+  }
+}
+
+/** Selects the files a row-level command may touch. Pushed filters are
+  * consumed for file-level pruning only; `pushedFilters()` stays empty
+  * so no layer above or below drops the non-matching rows that must be
+  * copied through the rewrite.
+  */
+final class GraftCoWScanBuilder(
+    op: GraftRowLevelOperation,
+    repo: GraftRepo,
+    snap: Snapshot,
+    fullSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var groupFilters: Array[sources.Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    groupFilters = filters
+    filters // everything residual: Spark re-evaluates the condition itself
+  }
+  override def pushedFilters(): Array[sources.Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val live = TableOps.pruneFiles(snap, fullSchema, groupFilters.toIndexedSeq)
+    op.replaced = live
+    val paths = live.map(f =>
+      new org.apache.hadoop.fs.Path(repo.root.resolve(f.path).toUri))
+    // NO filters into the parquet reader: whole-file row fidelity
+    graftbridge.ParquetReadBridge.scan(
+      SparkSession.active, paths, fullSchema, required, Array.empty)
+  }
+}
+
+/** Replacement writer: executors stream rows through Spark's vectorized
+  * parquet DSv2 writer into a staging directory under the table's data
+  * dir; the driver-side commit collects per-file stats and publishes a
+  * snapshot with the scanned files swapped for the staged ones.
+  */
+final class GraftCoWWrite(
+    op: GraftRowLevelOperation,
+    repo: GraftRepo,
+    branch: String,
+    key: String,
+    staging: java.nio.file.Path,
+    schema: StructType,
+    inner: BatchWrite) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftCoWWriterFactory(inner.createBatchWriterFactory(info), schema)
+  override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    inner.commit(messages)
+    val spark = SparkSession.active
+    val entries = TableOps.statsForStaged(spark, repo, staging, schema)
+    val replacedPaths = op.replaced.map(_.path).toSet
+    repo.commitRetry(branch, s"${op.command.toString.toLowerCase} $key") { base =>
+      val cur = repo.snapshot(base.tables.getOrElse(key,
+        throw new NoSuchElementException(s"no such table: $key")))
+      val untouched = cur.files.filterNot(f => replacedPaths.contains(f.path))
+      val newSnap = repo.writeSnapshot(key, cur.schemaJson,
+        untouched ++ entries, cur.partitionBy)
+      (base.tables + (key -> newSnap.id), base.namespaces)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    inner.abort(messages)
+}
+
+/** Spark's group-based rewrite prepends a `__row_operation` routing
+  * column to the replacement rows and only strips it when the operation
+  * declares metadata attributes (ReplaceDataExec.writingTask picks the
+  * plain DataWritingSparkTask otherwise). This factory restores the
+  * declared table arity on the executor: rows arriving one field wide
+  * of the schema are projected past the leading operation column.
+  */
+final class GraftCoWWriterFactory(
+    inner: DataWriterFactory,
+    schema: StructType) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
+    val d = inner.createWriter(partitionId, taskId)
+    new DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+      private val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+        schema, 1 to schema.length)
+      override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        if (row.numFields == schema.length + 1) { proj.project(row); d.write(proj) }
+        else d.write(row)
+      override def commit(): WriterCommitMessage = d.commit()
+      override def abort(): Unit = d.abort()
+      override def close(): Unit = d.close()
+    }
+  }
+}

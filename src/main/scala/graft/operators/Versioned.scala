@@ -82,6 +82,41 @@ object Versioned {
       "ORDER BY n_nationkey")
   }
 
+  /** Literal SQL UPDATE on the dev branch (modulo predicate: the
+    * metadata path can't translate it, so this exercises the full
+    * group-based copy-on-write row-level rewrite), then read dev.
+    */
+  private def updateRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = setup(s, d)
+    s.sql(s"UPDATE $cat.r.dev.db.nation " +
+      "SET n_name = concat(n_name, '_X'), n_regionkey = n_regionkey + 10 " +
+      "WHERE n_nationkey % 2 = 0")
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey FROM $cat.r.dev.db.nation " +
+      "ORDER BY n_nationkey")
+  }
+
+  /** Literal SQL MERGE INTO on the dev branch: matched keys update,
+    * unmatched keys insert (both clauses exercised), then read dev.
+    */
+  private def mergeInto(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = setup(s, d)
+    s.sql(
+      s"""MERGE INTO $cat.r.dev.db.nation t
+         |USING (
+         |  SELECT n_nationkey, concat(n_name, '_M') AS n_name, n_regionkey
+         |  FROM $cat.r.main.db.nation WHERE n_nationkey < 5
+         |  UNION ALL
+         |  SELECT n_nationkey + 1000, n_name, n_regionkey
+         |  FROM $cat.r.main.db.nation WHERE n_nationkey < 3
+         |) s
+         |ON t.n_nationkey = s.n_nationkey
+         |WHEN MATCHED THEN UPDATE SET n_name = s.n_name
+         |WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
+         |  VALUES (s.n_nationkey, s.n_name, s.n_regionkey)""".stripMargin)
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey FROM $cat.r.dev.db.nation " +
+      "ORDER BY n_nationkey")
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "vc_read_branch",
@@ -96,6 +131,23 @@ object Versioned {
       "vc_time_travel",
       "SELECT * FROM nation ORDER BY n_nationkey"
     )(timeTravel),
+    Q(
+      "vc_update_read",
+      """SELECT n_nationkey,
+        |       CASE WHEN n_nationkey % 2 = 0 THEN n_name || '_X' ELSE n_name END AS n_name,
+        |       CASE WHEN n_nationkey % 2 = 0 THEN n_regionkey + 10 ELSE n_regionkey END AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin
+    )(updateRead),
+    Q(
+      "vc_merge_into",
+      """SELECT n_nationkey,
+        |       CASE WHEN n_nationkey < 5 THEN n_name || '_M' ELSE n_name END AS n_name,
+        |       n_regionkey
+        |FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 1000, n_name, n_regionkey FROM nation WHERE n_nationkey < 3
+        |ORDER BY n_nationkey""".stripMargin
+    )(mergeInto),
     Q(
       "vc_merge_read",
       """SELECT n_nationkey, n_name, n_regionkey FROM nation

@@ -75,6 +75,33 @@ object TableOps {
     }
   }
 
+  /** FileEntry metadata (row counts + min/max stats) for parquet files
+    * already staged under `dir` by an external writer (the CoW row-level
+    * write path). Empty result when the replacement is empty.
+    */
+  def statsForStaged(spark: SparkSession, repo: GraftRepo,
+      dir: java.nio.file.Path, schema: StructType): Seq[FileEntry] = {
+    val hasFiles = Files.isDirectory(dir) &&
+      Files.list(dir).iterator().asScala.exists(_.toString.endsWith(".parquet"))
+    if (!hasFiles) return Nil
+    val written = spark.read.schema(schema).parquet(dir.toString)
+    val statCols = schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
+      Seq(min(col(f.name)).cast("string").as(s"min:${f.name}"),
+        max(col(f.name)).cast("string").as(s"max:${f.name}"))
+    }
+    written.groupBy(input_file_name().as("__file"))
+      .agg(count(lit(1)).as("__rows"), statCols.toIndexedSeq: _*)
+      .collect().toIndexedSeq.map { r =>
+        val file = r.getAs[String]("__file").stripPrefix("file:")
+        val rel = repo.root.relativize(java.nio.file.Paths.get(file)).toString
+        def stats(prefix: String): Map[String, String] =
+          schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
+            Option(r.getAs[String](s"$prefix:${f.name}")).map(f.name -> _)
+          }.toMap
+        FileEntry(rel, r.getAs[Long]("__rows"), stats("min"), stats("max"))
+      }
+  }
+
   /** Append (or overwrite) `df` into `db/table` on `branch`, committing
     * with optimistic retry.
     */

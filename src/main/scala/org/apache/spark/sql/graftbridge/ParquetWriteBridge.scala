@@ -1,0 +1,33 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Bridge to Spark's native DSv2 parquet BatchWrite (`private[sql]`
+  * surface): a throwaway ParquetTable aimed at a staging directory
+  * provides the distributed writer (task commit protocol, codegen'd
+  * parquet encoding) that graft's copy-on-write row-level operations
+  * stream their replacement rows through.
+  */
+object ParquetWriteBridge {
+
+  def writeBuilder(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      info: LogicalWriteInfo): WriteBuilder = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val table = new ParquetTable(
+      "graft-cow-staging",
+      classic,
+      CaseInsensitiveStringMap.empty(),
+      Seq(path),
+      Some(schema),
+      classOf[ParquetFileFormat])
+    table.newWriteBuilder(info)
+  }
+}

@@ -388,6 +388,58 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       Seq((1 to 12).count(i => "abc".charAt(i % 3) != 'b').toLong)
   }
 
+  test("SQL UPDATE: group-based copy-on-write rewrites only files that can " +
+    "match; literal UPDATE SQL works on a branch") {
+    sql("CREATE NAMESPACE g.rrl")
+    sql("CREATE NAMESPACE g.rrl.main.db")
+    sql("CREATE TABLE g.rrl.main.db.t (id INT, name STRING, qty INT)")
+    // two appends -> at least two files with disjoint id ranges
+    sql("INSERT INTO g.rrl.main.db.t VALUES (1, 'a', 10), (2, 'b', 20)")
+    sql("INSERT INTO g.rrl.main.db.t VALUES (100, 'x', 30), (200, 'y', 40)")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rrl"))
+    val before = repo.snapshot(repo.headCommit("main").tables("db/t")).files
+    before.size should be >= 2
+    sql("UPDATE g.rrl.main.db.t SET qty = qty + 100 WHERE id <= 2")
+    rows("SELECT id, qty FROM g.rrl.main.db.t ORDER BY id") shouldBe
+      Seq(Seq(1, 110), Seq(2, 120), Seq(100, 30), Seq(200, 40))
+    // the high-id file's stats exclude id<=2 -> it must survive untouched
+    val after = repo.snapshot(repo.headCommit("main").tables("db/t")).files
+    val untouchedHigh = before.filter(_.min.get("id").exists(_.toInt > 2))
+    untouchedHigh should not be empty
+    untouchedHigh.toSet.subsetOf(after.toSet) shouldBe true
+  }
+
+  test("SQL MERGE INTO: matched rows update, unmatched rows insert (CoW)") {
+    sql("CREATE NAMESPACE g.rmg")
+    sql("CREATE NAMESPACE g.rmg.main.db")
+    sql("CREATE TABLE g.rmg.main.db.t (id INT, v STRING)")
+    sql("INSERT INTO g.rmg.main.db.t VALUES (1, 'old1'), (2, 'old2'), (3, 'old3')")
+    sql("""MERGE INTO g.rmg.main.db.t t
+          |USING (SELECT * FROM VALUES (2, 'new2'), (9, 'new9') AS s(id, v)) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    rows("SELECT id, v FROM g.rmg.main.db.t ORDER BY id") shouldBe
+      Seq(Seq(1, "old1"), Seq(2, "new2"), Seq(3, "old3"), Seq(9, "new9"))
+    // MERGE with a delete clause
+    sql("""MERGE INTO g.rmg.main.db.t t
+          |USING (SELECT * FROM VALUES (1, 'zap') AS s(id, v)) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    rows("SELECT id FROM g.rmg.main.db.t ORDER BY id").flatten shouldBe Seq(2, 3, 9)
+  }
+
+  test("DELETE with an untranslatable predicate falls through to the CoW " +
+    "rewrite (metadata path declines, rewrite handles it)") {
+    sql("CREATE NAMESPACE g.rdl")
+    sql("CREATE NAMESPACE g.rdl.main.db")
+    sql("CREATE TABLE g.rdl.main.db.t (id INT)")
+    sql("INSERT INTO g.rdl.main.db.t VALUES (1), (2), (3), (4), (5), (6)")
+    sql("DELETE FROM g.rdl.main.db.t WHERE id % 2 = 1")
+    rows("SELECT id FROM g.rdl.main.db.t ORDER BY id").flatten shouldBe Seq(2, 4, 6)
+  }
+
   test("catalog reads are native columnar parquet BatchScans (no V1/RDD bridge)") {
     spark.sql("CREATE NAMESPACE g.rcol")
     spark.sql("CREATE NAMESPACE g.rcol.main.db")
