@@ -279,13 +279,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  /** Allowed metadata-only type changes: strict widenings the parquet
+    * readers upcast on the fly (old narrow files read as the wide type).
+    */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
   /** Schema evolution, metadata-only (like Iceberg): ADD COLUMN (appears
-    * as null in pre-existing files — the explicit read schema fills it)
-    * and DROP COLUMN (old files keep the bytes; the read schema stops
-    * projecting them). No data rewrite. Renames/type-changes are rejected:
-    * our files bind columns by name, so a rename would silently null the
-    * column (the reference similarly rejects rename,
-    * LakeFSCatalog.java:218).
+    * as null in pre-existing files — the explicit read schema fills it),
+    * DROP COLUMN (old files keep the bytes; the read schema stops
+    * projecting them), RENAME COLUMN (name-mapping indirection: the
+    * physical as-written name never changes, so old files keep reading
+    * and pruning correctly — the stability Iceberg gets from field IDs),
+    * and type WIDENING (int→long, float→double...; readers upcast old
+    * narrow files). No data rewrite for any of them. Table rename stays
+    * rejected, mirroring the reference (LakeFSCatalog.java:218).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val ns = ident.namespace()
@@ -296,23 +314,63 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       val snap = g.snapshot(snapId)
       var schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
         .asInstanceOf[StructType]
+      var mapping = snap.nameMapping
+      var spec = snap.partitionFields
+      def single(fieldNames: Array[String], what: String): String = {
+        if (fieldNames.length != 1)
+          throw new UnsupportedOperationException(s"nested $what not supported")
+        fieldNames(0)
+      }
       changes.foreach {
         case a: TableChange.AddColumn =>
-          if (a.fieldNames().length != 1)
-            throw new UnsupportedOperationException("nested ADD COLUMN not supported")
-          schema = schema.add(a.fieldNames()(0), a.dataType(), nullable = true)
+          val name = single(a.fieldNames(), "ADD COLUMN")
+          if (schema.fieldNames.contains(name))
+            throw new IllegalArgumentException(s"column already exists: $name")
+          // a new column's physical name = its logical name; reject names
+          // still occupied by a renamed column's physical storage, or old
+          // files would surface that column's bytes as the new column
+          if (mapping.values.exists(_ == name))
+            throw new IllegalArgumentException(
+              s"name $name is reserved by a renamed column's physical storage")
+          schema = schema.add(name, a.dataType(), nullable = true)
         case del: TableChange.DeleteColumn =>
-          if (del.fieldNames().length != 1)
-            throw new UnsupportedOperationException("nested DROP COLUMN not supported")
-          val name = del.fieldNames()(0)
+          val name = single(del.fieldNames(), "DROP COLUMN")
           if (!schema.fieldNames.contains(name))
             throw new IllegalArgumentException(s"no such column: $name")
           schema = StructType(schema.fields.filterNot(_.name == name))
+          mapping -= name
+          spec = spec.filterNot(_.source == name)
+        case r: TableChange.RenameColumn =>
+          val from = single(r.fieldNames(), "RENAME COLUMN")
+          val to = r.newName()
+          if (!schema.fieldNames.contains(from))
+            throw new IllegalArgumentException(s"no such column: $from")
+          if (schema.fieldNames.contains(to))
+            throw new IllegalArgumentException(s"column already exists: $to")
+          val physical = mapping.getOrElse(from, from)
+          mapping = mapping - from + (to -> physical)
+          schema = StructType(schema.fields.map(f =>
+            if (f.name == from) f.copy(name = to) else f))
+          // partition spec tracks the LOGICAL source name
+          spec = spec.map(pf =>
+            if (pf.source == from) pf.copy(source = to) else pf)
+        case t: TableChange.UpdateColumnType =>
+          val name = single(t.fieldNames(), "ALTER COLUMN TYPE")
+          val field = schema.fields.find(_.name == name)
+            .getOrElse(throw new IllegalArgumentException(s"no such column: $name"))
+          if (!widens(field.dataType, t.newDataType()))
+            throw new UnsupportedOperationException(
+              s"only widening type changes are metadata-only: " +
+                s"${field.dataType.simpleString} -> ${t.newDataType().simpleString}")
+          schema = StructType(schema.fields.map(f =>
+            if (f.name == name) f.copy(dataType = t.newDataType()) else f))
         case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
         case other => throw new UnsupportedOperationException(
           s"unsupported table change: $other")
       }
-      val newSnap = g.writeSnapshot(key, schema.json, snap.files, snap.partitionBy)
+      val newSnap = g.writeSnapshot(key, schema.json, snap.files,
+        if (spec.isEmpty) None else Some(spec),
+        if (mapping.isEmpty) None else Some(mapping))
       (base.tables + (key -> newSnap.id), base.namespaces)
     }
     loadTable(ident)

@@ -122,10 +122,13 @@ final class GraftScanBuilder(repo: GraftRepo, snap: Snapshot, fullSchema: Struct
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Native columnar scan: snapshot files that survive min/max stats
+  /** Native columnar scan: snapshot files that survive partition + stats
     * pruning are handed to Spark's own DSv2 `ParquetScan` (vectorized
     * decode + row-group pruning + WholeStageCodegen) — no row-by-row
-    * V1 bridge anywhere on the read path.
+    * V1 bridge anywhere on the read path. After RENAME COLUMN the
+    * parquet side reads PHYSICAL names (with filters translated) and a
+    * thin wrapper re-labels the scan with the logical schema — rows are
+    * positional, so no conversion happens.
     */
   override def build(): Scan = {
     val spark = SparkSession.active
@@ -133,6 +136,22 @@ final class GraftScanBuilder(repo: GraftRepo, snap: Snapshot, fullSchema: Struct
     val live = TableOps.pruneFiles(snap, schema, pushed.toIndexedSeq)
     val paths = live.map(f =>
       new org.apache.hadoop.fs.Path(repo.root.resolve(f.path).toUri))
-    graftbridge.ParquetReadBridge.scan(spark, paths, schema, required, pushed)
+    val m = snap.nameMapping
+    val inner = graftbridge.ParquetReadBridge.scan(
+      spark, paths,
+      TableOps.toPhysical(schema, m),
+      TableOps.toPhysical(required, m),
+      pushed.map(TableOps.renameFilter(_, m)))
+    if (m.isEmpty) inner
+    else {
+      val logicalRequired = required
+      new Scan {
+        override def readSchema(): StructType = logicalRequired
+        override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+        override def description(): String = inner.description()
+        override def columnarSupportMode(): Scan.ColumnarSupportMode =
+          inner.columnarSupportMode()
+      }
+    }
   }
 }

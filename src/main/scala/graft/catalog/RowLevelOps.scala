@@ -55,14 +55,25 @@ final class GraftRowLevelOperation(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val staging = repo.dataDir.resolve(key)
       .resolve(UUID.randomUUID().toString.replace("-", ""))
+    // replacement files are written (and stats keyed) under PHYSICAL
+    // names, like every other write path — rows are positional, so
+    // re-labeling the write schema is free
+    val physSchema = TableOps.toPhysical(tableSchema, snap.nameMapping)
+    val physInfo: LogicalWriteInfo = new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap = info.options()
+      override def queryId(): String = info.queryId()
+      override def schema(): StructType = physSchema
+      override def rowIdSchema(): java.util.Optional[StructType] = info.rowIdSchema()
+      override def metadataSchema(): java.util.Optional[StructType] = info.metadataSchema()
+    }
     val inner = graftbridge.ParquetWriteBridge.writeBuilder(
-      SparkSession.active, staging.toString, tableSchema, info)
+      SparkSession.active, staging.toString, physSchema, physInfo)
     new WriteBuilder {
       override def build(): Write = new Write {
         override def description(): String = s"graft-cow-$command $key"
         override def toBatch: BatchWrite =
           new GraftCoWWrite(GraftRowLevelOperation.this, repo, branch, key,
-            staging, tableSchema, inner.build().toBatch)
+            staging, physSchema, inner.build().toBatch)
       }
     }
   }
@@ -97,9 +108,23 @@ final class GraftCoWScanBuilder(
     op.replaced = live
     val paths = live.map(f =>
       new org.apache.hadoop.fs.Path(repo.root.resolve(f.path).toUri))
+    val m = snap.nameMapping
     // NO filters into the parquet reader: whole-file row fidelity
-    graftbridge.ParquetReadBridge.scan(
-      SparkSession.active, paths, fullSchema, required, Array.empty)
+    val inner = graftbridge.ParquetReadBridge.scan(
+      SparkSession.active, paths,
+      TableOps.toPhysical(fullSchema, m),
+      TableOps.toPhysical(required, m), Array.empty)
+    if (m.isEmpty) inner
+    else {
+      val logicalRequired = required
+      new Scan {
+        override def readSchema(): StructType = logicalRequired
+        override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+        override def description(): String = inner.description()
+        override def columnarSupportMode(): Scan.ColumnarSupportMode =
+          inner.columnarSupportMode()
+      }
+    }
   }
 }
 
@@ -131,7 +156,7 @@ final class GraftCoWWrite(
         throw new NoSuchElementException(s"no such table: $key")))
       val untouched = cur.files.filterNot(f => replacedPaths.contains(f.path))
       val newSnap = repo.writeSnapshot(key, cur.schemaJson,
-        untouched ++ entries, cur.partitionBy)
+        untouched ++ entries, cur.partitionBy, cur.physicalNames)
       (base.tables + (key -> newSnap.id), base.namespaces)
     }
   }

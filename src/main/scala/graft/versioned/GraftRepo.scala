@@ -48,9 +48,10 @@ final class GraftRepo private (val root: Path) {
     Json.read[Commit](Files.readString(commitsDir.resolve(s"$id.json")))
 
   def writeSnapshot(table: String, schemaJson: String, files: Seq[FileEntry],
-      partitionBy: Option[Seq[PartitionField]] = None): Snapshot = {
+      partitionBy: Option[Seq[PartitionField]] = None,
+      physicalNames: Option[Map[String, String]] = None): Snapshot = {
     val id = "s" + UUID.randomUUID().toString.replace("-", "")
-    val s = Snapshot(id, table, schemaJson, files, partitionBy)
+    val s = Snapshot(id, table, schemaJson, files, partitionBy, physicalNames)
     Files.writeString(snapshotsDir.resolve(s"$id.json"), Json.write(s),
       StandardOpenOption.CREATE_NEW)
     s

@@ -61,16 +61,30 @@ final case class FileEntry(
 }
 
 /** Immutable table snapshot: schema (Spark StructType JSON) + file list
-  * + optional partition spec (set at CREATE TABLE, immutable after).
+  * + optional partition spec (set at CREATE TABLE, immutable after)
+  * + optional logical->physical column-name mapping.
+  *
+  * Name mapping is how RENAME COLUMN stays metadata-only (the Delta
+  * column-mapping idea, the same stability Iceberg gets from field
+  * IDs): the PHYSICAL name a column was first written under never
+  * changes; renames only rebind the logical name. Data files and their
+  * min/max stats are always keyed by physical name, so every file ever
+  * written stays readable and prunable after any number of renames.
   */
 final case class Snapshot(
     id: String,
     table: String,
     schemaJson: String,
     files: Seq[FileEntry],
-    partitionBy: Option[Seq[PartitionField]] = None) {
+    partitionBy: Option[Seq[PartitionField]] = None,
+    physicalNames: Option[Map[String, String]] = None) {
   def partitionFields: Seq[PartitionField] =
     Option(partitionBy).flatten.getOrElse(Nil)
+  /** logical -> physical; identity for never-renamed columns. */
+  def nameMapping: Map[String, String] =
+    Option(physicalNames).flatten.getOrElse(Map.empty)
+  def physicalName(logical: String): String =
+    nameMapping.getOrElse(logical, logical)
 }
 
 /** Immutable commit: full table map of the repo at a point in time.

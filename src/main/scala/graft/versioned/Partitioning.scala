@@ -28,14 +28,19 @@ object Partitioning {
 
   /** The write-side partition value column for one spec field. The
     * bucket hash MUST agree bit-for-bit with [[bucketOfLiteral]] (both
-    * are Spark's XxHash64, seed 42).
+    * are Spark's XxHash64, seed 42). `physicalNames` resolves the source
+    * column when the write happens under as-written (physical) names.
     */
-  def partitionColumn(pf: PartitionField): Column = pf.transform match {
-    case "identity" => col(pf.source)
-    case "bucket" =>
-      pmod(xxhash64(col(pf.source)), lit(pf.numBuckets.toLong)).cast("int")
-    case other =>
-      throw new UnsupportedOperationException(s"unknown transform: $other")
+  def partitionColumn(pf: PartitionField,
+      physicalNames: Map[String, String] = Map.empty): Column = {
+    val src = col(physicalNames.getOrElse(pf.source, pf.source))
+    pf.transform match {
+      case "identity" => src
+      case "bucket" =>
+        pmod(xxhash64(src), lit(pf.numBuckets.toLong)).cast("int")
+      case other =>
+        throw new UnsupportedOperationException(s"unknown transform: $other")
+    }
   }
 
   /** Literal-side bucket: same XxHash64(seed=42) Spark applies on the

@@ -23,6 +23,42 @@ object TableOps {
     case _ => false
   }
 
+  // ---- logical <-> physical column names (RENAME COLUMN support) -------
+
+  /** Schema with logical names replaced by their physical (as-written)
+    * names; types stay logical (possibly widened — the parquet readers
+    * upcast int->long / float->double on the fly).
+    */
+  def toPhysical(schema: StructType, m: Map[String, String]): StructType =
+    if (m.isEmpty) schema
+    else StructType(schema.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
+
+  /** Rewrite a v1 filter's attribute references logical -> physical (for
+    * pushing into the parquet reader after renames).
+    */
+  def renameFilter(f: sources.Filter, m: Map[String, String]): sources.Filter = {
+    if (m.isEmpty) return f
+    def p(a: String): String = m.getOrElse(a, a)
+    f match {
+      case sources.EqualTo(a, v) => sources.EqualTo(p(a), v)
+      case sources.EqualNullSafe(a, v) => sources.EqualNullSafe(p(a), v)
+      case sources.GreaterThan(a, v) => sources.GreaterThan(p(a), v)
+      case sources.GreaterThanOrEqual(a, v) => sources.GreaterThanOrEqual(p(a), v)
+      case sources.LessThan(a, v) => sources.LessThan(p(a), v)
+      case sources.LessThanOrEqual(a, v) => sources.LessThanOrEqual(p(a), v)
+      case sources.In(a, vs) => sources.In(p(a), vs)
+      case sources.IsNull(a) => sources.IsNull(p(a))
+      case sources.IsNotNull(a) => sources.IsNotNull(p(a))
+      case sources.StringStartsWith(a, v) => sources.StringStartsWith(p(a), v)
+      case sources.StringEndsWith(a, v) => sources.StringEndsWith(p(a), v)
+      case sources.StringContains(a, v) => sources.StringContains(p(a), v)
+      case sources.Not(c) => sources.Not(renameFilter(c, m))
+      case sources.And(l, r) => sources.And(renameFilter(l, m), renameFilter(r, m))
+      case sources.Or(l, r) => sources.Or(renameFilter(l, m), renameFilter(r, m))
+      case other => other
+    }
+  }
+
   // ---- write -----------------------------------------------------------
 
   /** Write `df` as immutable parquet files under
@@ -39,15 +75,24 @@ object TableOps {
     * partition-first pruning.
     */
   def writeFiles(spark: SparkSession, repo: GraftRepo, df: DataFrame,
-      key: String = "adhoc", spec: Seq[PartitionField] = Nil): Seq[FileEntry] = {
-    val schema = df.schema
+      key: String = "adhoc", spec: Seq[PartitionField] = Nil,
+      physicalNames: Map[String, String] = Map.empty): Seq[FileEntry] = {
+    // files are ALWAYS written (and stats keyed) under physical names —
+    // the invariant that keeps renames metadata-only
+    val logical = df.schema
+    val out =
+      if (physicalNames.isEmpty) df
+      else df.toDF(logical.fieldNames.toIndexedSeq
+        .map(n => physicalNames.getOrElse(n, n)): _*)
+    val schema = out.schema
     val dir = repo.dataDir.resolve(key)
       .resolve(UUID.randomUUID().toString.replace("-", ""))
-    if (spec.isEmpty) df.write.parquet(dir.toString)
+    if (spec.isEmpty) out.write.parquet(dir.toString)
     else {
       val dirCols = spec.map(pf =>
-        Partitioning.partitionColumn(pf).as(Partitioning.dirColName(pf)))
-      df.select(schema.fieldNames.toIndexedSeq.map(col) ++ dirCols: _*)
+        Partitioning.partitionColumn(pf, physicalNames)
+          .as(Partitioning.dirColName(pf)))
+      out.select(schema.fieldNames.toIndexedSeq.map(col) ++ dirCols: _*)
         .write.partitionBy(spec.map(Partitioning.dirColName): _*)
         .parquet(dir.toString)
     }
@@ -107,17 +152,20 @@ object TableOps {
     */
   def insert(spark: SparkSession, repo: GraftRepo, branch: String, key: String,
       df: DataFrame, overwrite: Boolean): Unit = {
-    // the partition spec is set at CREATE TABLE and immutable after, so
-    // reading it from the current head outside the commit race is safe
-    val spec = repo.headCommit(branch).tables.get(key)
-      .map(id => repo.snapshot(id).partitionFields).getOrElse(Nil)
-    val newFiles = writeFiles(spark, repo, df, key, spec)
+    // partition spec + name mapping are fixed by DDL, not by concurrent
+    // DML, so reading them from the current head outside the commit race
+    // is safe
+    val head = repo.headCommit(branch).tables.get(key).map(repo.snapshot)
+    val spec = head.map(_.partitionFields).getOrElse(Nil)
+    val mapping = head.map(_.nameMapping).getOrElse(Map.empty)
+    val newFiles = writeFiles(spark, repo, df, key, spec, mapping)
     repo.commitRetry(branch, s"${if (overwrite) "overwrite" else "append"} $key") { base =>
       val prior = base.tables.get(key).map(repo.snapshot)
         .map(_.files).getOrElse(Nil)
       val files = if (overwrite) newFiles else prior ++ newFiles
       val snap = repo.writeSnapshot(key, df.schema.json, files,
-        if (spec.isEmpty) None else Some(spec))
+        if (spec.isEmpty) None else Some(spec),
+        if (mapping.isEmpty) None else Some(mapping))
       (base.tables + (key -> snap.id), base.namespaces)
     }
   }
@@ -134,11 +182,26 @@ object TableOps {
       filters: Seq[sources.Filter] = Nil): DataFrame = {
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val live = pruneFiles(snap, schema, filters)
+    val m = snap.nameMapping
     if (live.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else
-      spark.read.schema(schema)
+    else {
+      val df = spark.read.schema(toPhysical(schema, m))
         .parquet(live.map(f => repo.root.resolve(f.path).toString): _*)
+      if (m.isEmpty) df else df.toDF(schema.fieldNames.toIndexedSeq: _*)
+    }
+  }
+
+  /** Candidate-file read for CoW rewrites: physical-name read, logical
+    * names restored (columns may have been renamed since the files were
+    * written).
+    */
+  private def readFiles(spark: SparkSession, repo: GraftRepo, snap: Snapshot,
+      schema: StructType, files: Seq[FileEntry]): DataFrame = {
+    val m = snap.nameMapping
+    val df = spark.read.schema(toPhysical(schema, m))
+      .parquet(files.map(f => repo.root.resolve(f.path).toString): _*)
+    if (m.isEmpty) df else df.toDF(schema.fieldNames.toIndexedSeq: _*)
   }
 
   /** Structured-Streaming source over a graft table's APPEND stream: the
@@ -165,22 +228,27 @@ object TableOps {
   def pruneFiles(snap: Snapshot, schema: StructType,
       filters: Seq[sources.Filter]): Seq[FileEntry] = {
     val spec = snap.partitionFields
+    val m = snap.nameMapping
     snap.files.filter(f => filters.forall(fl =>
-      Partitioning.mayMatch(f, spec, schema, fl) && mayMatch(f, schema, fl)))
+      Partitioning.mayMatch(f, spec, schema, fl) && mayMatch(f, schema, fl, m)))
   }
 
   /** Conservative per-file predicate test on stored min/max (strings,
     * compared via the column's type). Unknown filter shapes / missing
-    * stats -> keep the file.
+    * stats -> keep the file. Stats are keyed by PHYSICAL column name;
+    * `m` translates the filter's logical attribute.
     */
-  private def mayMatch(f: FileEntry, schema: StructType, filter: sources.Filter): Boolean = {
-    def cmp(attr: String, v: Any): Option[(Int, Int)] = // (cmp(min,v), cmp(max,v))
+  private def mayMatch(f: FileEntry, schema: StructType, filter: sources.Filter,
+      m: Map[String, String] = Map.empty): Boolean = {
+    def cmp(attr: String, v: Any): Option[(Int, Int)] = { // (cmp(min,v), cmp(max,v))
+      val phys = m.getOrElse(attr, attr)
       for {
         field <- schema.fields.find(_.name == attr)
-        lo <- f.min.get(attr)
-        hi <- f.max.get(attr)
+        lo <- f.min.get(phys)
+        hi <- f.max.get(phys)
         c <- statsComparator(field.dataType)
       } yield (c(lo, v), c(hi, v))
+    }
     filter match {
       case sources.EqualTo(a, v) => cmp(a, v).forall { case (l, h) => l <= 0 && h >= 0 }
       case sources.GreaterThan(a, v) => cmp(a, v).forall(_._2 > 0)
@@ -188,8 +256,8 @@ object TableOps {
       case sources.LessThan(a, v) => cmp(a, v).forall(_._1 < 0)
       case sources.LessThanOrEqual(a, v) => cmp(a, v).forall(_._1 <= 0)
       case sources.In(a, vs) => vs.exists(v => cmp(a, v).forall { case (l, h) => l <= 0 && h >= 0 })
-      case sources.And(l, r) => mayMatch(f, schema, l) && mayMatch(f, schema, r)
-      case sources.Or(l, r) => mayMatch(f, schema, l) || mayMatch(f, schema, r)
+      case sources.And(l, r) => mayMatch(f, schema, l, m) && mayMatch(f, schema, r, m)
+      case sources.Or(l, r) => mayMatch(f, schema, l, m) || mayMatch(f, schema, r, m)
       case _ => true
     }
   }
@@ -257,14 +325,14 @@ object TableOps {
       if (candidates.isEmpty) (base.tables, base.namespaces)
       else {
         val untouched = snap.files.diff(candidates)
-        val candDf = spark.read.schema(schema)
-          .parquet(candidates.map(f => repo.root.resolve(f.path).toString): _*)
+        val candDf = readFiles(spark, repo, snap, schema, candidates)
         val kept = candDf.filter(!coalesce(cond, lit(false)))
         val rewritten =
           if (kept.isEmpty) Nil
-          else writeFiles(spark, repo, kept, key, snap.partitionFields)
+          else writeFiles(spark, repo, kept, key, snap.partitionFields,
+            snap.nameMapping)
         val newSnap = repo.writeSnapshot(key, snap.schemaJson,
-          untouched ++ rewritten, snap.partitionBy)
+          untouched ++ rewritten, snap.partitionBy, snap.physicalNames)
         (base.tables + (key -> newSnap.id), base.namespaces)
       }
     }
@@ -289,8 +357,7 @@ object TableOps {
       if (candidates.isEmpty) (base.tables, base.namespaces)
       else {
         val untouched = snap.files.diff(candidates)
-        val candDf = spark.read.schema(schema)
-          .parquet(candidates.map(f => repo.root.resolve(f.path).toString): _*)
+        val candDf = readFiles(spark, repo, snap, schema, candidates)
         val hit = coalesce(cond, lit(false))
         val updated = schema.fields.foldLeft(candDf) { (df, f) =>
           set.get(f.name) match {
@@ -299,9 +366,10 @@ object TableOps {
             case None => df
           }
         }
-        val rewritten = writeFiles(spark, repo, updated, key, snap.partitionFields)
+        val rewritten = writeFiles(spark, repo, updated, key,
+          snap.partitionFields, snap.nameMapping)
         val newSnap = repo.writeSnapshot(key, snap.schemaJson,
-          untouched ++ rewritten, snap.partitionBy)
+          untouched ++ rewritten, snap.partitionBy, snap.physicalNames)
         (base.tables + (key -> newSnap.id), base.namespaces)
       }
     }
@@ -332,19 +400,19 @@ object TableOps {
       val survivors =
         if (candidates.isEmpty) None
         else {
-          val candDf = spark.read.schema(schema)
-            .parquet(candidates.map(f => repo.root.resolve(f.path).toString): _*)
+          val candDf = readFiles(spark, repo, snap, schema, candidates)
           val kept = candDf.join(broadcast(src.select(keyCols.map(col): _*)),
             keyCols, "left_anti")
           if (kept.isEmpty) None else Some(kept)
         }
       val rewritten = survivors
-        .map(writeFiles(spark, repo, _, key, snap.partitionFields)).getOrElse(Nil)
+        .map(writeFiles(spark, repo, _, key, snap.partitionFields,
+          snap.nameMapping)).getOrElse(Nil)
       val appended = writeFiles(spark, repo,
         src.select(schema.fieldNames.toIndexedSeq.map(col): _*), key,
-        snap.partitionFields)
+        snap.partitionFields, snap.nameMapping)
       val newSnap = repo.writeSnapshot(key, snap.schemaJson,
-        untouched ++ rewritten ++ appended, snap.partitionBy)
+        untouched ++ rewritten ++ appended, snap.partitionBy, snap.physicalNames)
       (base.tables + (key -> newSnap.id), base.namespaces)
     }
     src.unpersist()

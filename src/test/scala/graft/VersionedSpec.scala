@@ -174,8 +174,9 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     sql("ALTER TABLE g.r9.main.db.t DROP COLUMN score")
     sql("SELECT * FROM g.r9.main.db.t").schema.fieldNames shouldBe Array("id", "name")
     rows("SELECT count(*) FROM g.r9.main.db.t").head.head shouldBe 9L
-    a[Exception] should be thrownBy
-      sql("ALTER TABLE g.r9.main.db.t RENAME COLUMN name TO nm")
+    // rename is metadata-only name mapping (see the schema-evolution spec)
+    sql("ALTER TABLE g.r9.main.db.t RENAME COLUMN name TO nm")
+    rows("SELECT nm FROM g.r9.main.db.t WHERE id = 1").flatten shouldBe Seq("name_1")
   }
 
   test("vacuum: dropping a branch makes its files collectable, main intact") {
@@ -386,6 +387,41 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       before.filter(f => f.partValues("cat") != "b")
     rows("SELECT count(*) FROM g.rp.main.db.pt").flatten shouldBe
       Seq((1 to 12).count(i => "abc".charAt(i % 3) != 'b').toLong)
+  }
+
+  test("schema evolution: RENAME COLUMN is metadata-only (old files keep " +
+    "reading + pruning), widening int->long reads old and new files wide") {
+    sql("CREATE NAMESPACE g.rse")
+    sql("CREATE NAMESPACE g.rse.main.db")
+    sql("CREATE TABLE g.rse.main.db.t (id INT, amount INT, tag STRING)")
+    sql("INSERT INTO g.rse.main.db.t VALUES (1, 10, 'x'), (2, 20, 'y')")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rse"))
+    val filesBefore = repo.snapshot(repo.headCommit("main").tables("db/t")).files
+    // rename: no files rewritten
+    sql("ALTER TABLE g.rse.main.db.t RENAME COLUMN amount TO total")
+    repo.snapshot(repo.headCommit("main").tables("db/t")).files shouldBe filesBefore
+    rows("SELECT id, total FROM g.rse.main.db.t ORDER BY id") shouldBe
+      Seq(Seq(1, 10), Seq(2, 20))
+    // filter on the renamed column (exercises stats translation + pushdown)
+    rows("SELECT id FROM g.rse.main.db.t WHERE total = 20").flatten shouldBe Seq(2)
+    // inserts after the rename land under the physical name; mixed read works
+    sql("INSERT INTO g.rse.main.db.t VALUES (3, 30, 'z')")
+    rows("SELECT id, total FROM g.rse.main.db.t ORDER BY id") shouldBe
+      Seq(Seq(1, 10), Seq(2, 20), Seq(3, 30))
+    // widen int -> bigint: metadata-only, old narrow files read wide
+    sql("ALTER TABLE g.rse.main.db.t ALTER COLUMN total TYPE BIGINT")
+    sql("INSERT INTO g.rse.main.db.t VALUES (4, 40000000000, 'w')")
+    rows("SELECT id, total FROM g.rse.main.db.t ORDER BY id") shouldBe
+      Seq(Seq(1, 10L), Seq(2, 20L), Seq(3, 30L), Seq(4, 40000000000L))
+    // UPDATE through the renamed+widened column (CoW respects mapping)
+    sql("UPDATE g.rse.main.db.t SET total = total + 1 WHERE id = 1")
+    rows("SELECT total FROM g.rse.main.db.t WHERE id = 1").flatten shouldBe Seq(11L)
+    // narrowing and colliding renames are rejected
+    intercept[Exception](sql("ALTER TABLE g.rse.main.db.t ALTER COLUMN total TYPE INT"))
+    intercept[Exception](sql("ALTER TABLE g.rse.main.db.t RENAME COLUMN tag TO total"))
+    // a new column may not squat on a renamed column's physical name
+    intercept[Exception](sql("ALTER TABLE g.rse.main.db.t ADD COLUMN amount INT"))
   }
 
   test("SQL UPDATE: group-based copy-on-write rewrites only files that can " +
