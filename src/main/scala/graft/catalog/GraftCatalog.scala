@@ -148,9 +148,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         }
         true
       case Array(_, b) =>
-        repo(ns).dropBranch(b); true
+        // a branch whose head still has tables is non-empty: a plain
+        // DROP NAMESPACE must not destroy it (the reference refuses too,
+        // LakeFSCatalog.java:312 NamespaceNotEmptyException)
+        val g = repo(ns)
+        if (!cascade && g.headCommit(b).tables.nonEmpty)
+          throw new NonEmptyNamespaceException(ns)
+        g.dropBranch(b); true
       case Array(r) =>
-        // recursive delete of the repo directory
+        // repo-level drop deletes every branch/commit/data file — require
+        // CASCADE whenever any branch head still has tables
+        val g = repo(ns)
+        if (!cascade && g.branches.exists(b => g.headCommit(b).tables.nonEmpty))
+          throw new NonEmptyNamespaceException(ns)
         val p = repoPath(r)
         Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
           .iterator().asScala.foreach(Files.delete)

@@ -73,12 +73,15 @@ final class MetaTable(
         }
         if (c.parents.isEmpty) done = true else c = repo.commit(c.parents.head)
       }
-      // history/snapshots: only commits where this table's snapshot CHANGED
-      out.foldLeft((List.empty[Row], Option.empty[String])) {
-        case ((acc, prev), r) =>
-          val sid = if (kind == "snapshots") r.getString(1) else r.getString(3)
-          if (prev.contains(sid)) (acc, prev) else (acc :+ r, Some(sid))
-      }._1
+      // history/snapshots: only commits where this table's snapshot CHANGED.
+      // Walking head->oldest, a run of equal snapshot ids means the newer
+      // commits of the run touched OTHER tables — attribute the snapshot
+      // to the commit that introduced it: keep a row only when the NEXT
+      // (parent-side) row carries a different snapshot id.
+      def sidOf(r: Row): String =
+        if (kind == "snapshots") r.getString(1) else r.getString(3)
+      out.zipAll(out.drop(1).map(Option(_)), null.asInstanceOf[Row], None)
+        .collect { case (r, next) if !next.exists(n => sidOf(n) == sidOf(r)) => r }
     case _ => Nil
   }
 

@@ -68,25 +68,31 @@ object AsOfJoin {
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // ONE struct of all payload columns, gated on the right side: the
+    // payload moves atomically per right row (independent per-column
+    // sweeps would mix columns across right rows whenever a matching row
+    // carries a NULL payload value), and match-ness is carried by __mt —
+    // so inner joins keep matched rows even when their payload is NULL
+    // (DuckDB ASOF semantics for nullable payloads).
     val matchTime = last(when(col("__side") === 0, col("__t")), ignoreNulls = true)
       .over(w).as("__mt")
+    val pStruct = last(when(col("__side") === 0, struct(payload.map(col): _*)),
+      ignoreNulls = true).over(w).as("__p")
     val swept0 = lPart
       .unionByName(rPart)
-      .select(
-        Seq(col("__side"), col("__t"), matchTime) ++
-          lCols.map(col) ++
-          payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .select(Seq(col("__side"), col("__t"), matchTime, pStruct) ++
+        lCols.map(col): _*)
       .filter(col("__side") === 1)
-    val swept1 = tolerance match {
+    val matched = tolerance match {
       case Some(tol) => // void matches older than the tolerance
-        val stale = col("__mt").isNull || (col("__t") - col("__mt")) > tol
-        swept0.select(
-          Seq(col("__t"), col("__mt")) ++ lCols.map(col) ++
-            payload.map(c => when(stale, lit(null)).otherwise(col(c)).as(c)): _*)
-      case None => swept0
+        col("__mt").isNotNull && !((col("__t") - col("__mt")) > tol)
+      case None => col("__mt").isNotNull
     }
-    val swept = swept1.select(lCols.map(col) ++ payload.map(col): _*)
-    if (inner) swept.filter(col(payload.head).isNotNull) else swept
+    val swept = swept0.select(
+      Seq(matched.as("__matched")) ++ lCols.map(col) ++
+        payload.map(c => when(matched, col("__p").getField(c)).as(c)): _*)
+    val out = if (inner) swept.filter(col("__matched")) else swept
+    out.select(lCols.map(col) ++ payload.map(col): _*)
   }
 
   /** Forward as-of join: attach the EARLIEST right row with the same key
@@ -122,24 +128,25 @@ object AsOfJoin {
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").desc, col("__side")) // desc time: sweep from future
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // same atomic struct sweep as the backward direction (see above)
     val matchTime = last(when(col("__side") === 0, col("__t")), ignoreNulls = true)
       .over(w).as("__mt")
+    val pStruct = last(when(col("__side") === 0, struct(payload.map(col): _*)),
+      ignoreNulls = true).over(w).as("__p")
     val swept0 = lPart
       .unionByName(rPart)
-      .select(
-        Seq(col("__side"), col("__t"), matchTime) ++
-          lCols.map(col) ++
-          payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .select(Seq(col("__side"), col("__t"), matchTime, pStruct) ++
+        lCols.map(col): _*)
       .filter(col("__side") === 1)
-    val swept1 = tolerance match {
+    val matched = tolerance match {
       case Some(tol) =>
-        val stale = col("__mt").isNull || (col("__mt") - col("__t")) > tol
-        swept0.select(
-          Seq(col("__t"), col("__mt")) ++ lCols.map(col) ++
-            payload.map(c => when(stale, lit(null)).otherwise(col(c)).as(c)): _*)
-      case None => swept0
+        col("__mt").isNotNull && !((col("__mt") - col("__t")) > tol)
+      case None => col("__mt").isNotNull
     }
-    val swept = swept1.select(lCols.map(col) ++ payload.map(col): _*)
-    if (inner) swept.filter(col(payload.head).isNotNull) else swept
+    val swept = swept0.select(
+      Seq(matched.as("__matched")) ++ lCols.map(col) ++
+        payload.map(c => when(matched, col("__p").getField(c)).as(c)): _*)
+    val out = if (inner) swept.filter(col("__matched")) else swept
+    out.select(lCols.map(col) ++ payload.map(col): _*)
   }
 }

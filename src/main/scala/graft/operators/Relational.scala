@@ -470,7 +470,18 @@ object Relational {
       // 50-row aggregate, equi-join, multiply counts. Same result, and the
       // join is O(domain) regardless of table size — the 100 TB range-join
       // pattern: collapse to value/bucket granularity before pairing.
+      //
+      // PRECONDITION (integral domain): expanding the band as the integer
+      // sequence [p_size-2, p_size+2] only equals the BETWEEN semantics
+      // because l_quantity takes exactly integral values in this data
+      // (asserted below so non-integral data fails loudly instead of
+      // silently dropping fractional quantities). For a continuous
+      // domain, bucket both sides with floor() and post-filter the exact
+      // band.
       val lq = T.lineitem(s, d)
+        .filter(when(col("l_quantity") === floor(col("l_quantity")), lit(true))
+          .otherwise(raise_error(lit(
+            "q23 aggregate-first band rewrite requires integral l_quantity"))))
         .groupBy(col("l_quantity").as("qv")).agg(count(lit(1)).as("nl"))
       val ps = T.part(s, d)
         .groupBy(col("p_size")).agg(count(lit(1)).as("np"))

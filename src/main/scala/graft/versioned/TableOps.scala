@@ -303,6 +303,17 @@ object TableOps {
 
   // ---- copy-on-write delete --------------------------------------------
 
+  /** Conjunction of ALL filters, or a loud failure if any one of them
+    * cannot be translated — silently and-ing a translatable subset would
+    * make the predicate WEAKER and touch rows the caller never named.
+    * Empty filter list -> whole-table (the unconditional DML form).
+    */
+  private def translateAll(filters: Seq[sources.Filter], what: String): Column =
+    if (filters.isEmpty) lit(true)
+    else filters.map(f => filterToColumn(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"untranslatable $what predicate: $f"))).reduce(_ && _)
+
   /** DELETE WHERE via copy-on-write: stats-prune to candidate files,
     * rewrite only those without the matching rows, commit untouched +
     * rewritten file lists. Mirrors the reference contract exercised by
@@ -310,12 +321,9 @@ object TableOps {
     */
   def deleteWhere(spark: SparkSession, repo: GraftRepo, branch: String,
       key: String, filters: Seq[sources.Filter]): Unit = {
-    val cond = filters.flatMap(filterToColumn) match {
-      case cs if cs.nonEmpty => cs.reduce(_ && _)
-      case _ if filters.isEmpty => lit(true) // unconditional DELETE FROM t
-      case _ => throw new UnsupportedOperationException(
-        s"untranslatable delete predicate: ${filters.mkString(", ")}")
-    }
+    // all-or-nothing translation (mirrors canDeleteWhere): and-ing only a
+    // translatable SUBSET would delete more rows than the caller asked for
+    val cond = translateAll(filters, "delete")
     repo.commitRetry(branch, s"delete from $key") { base =>
       val snapId = base.tables.getOrElse(key,
         throw new NoSuchElementException(s"no such table: $key"))
@@ -346,10 +354,9 @@ object TableOps {
     */
   def updateWhere(spark: SparkSession, repo: GraftRepo, branch: String,
       key: String, filters: Seq[sources.Filter], set: Map[String, Column]): Unit = {
-    val cond = filters.flatMap(filterToColumn) match {
-      case cs if cs.nonEmpty => cs.reduce(_ && _)
-      case _ => lit(true)
-    }
+    // all-or-nothing: an untranslatable predicate must never silently
+    // widen to updating every row
+    val cond = translateAll(filters, "update")
     repo.commitRetry(branch, s"update $key") { base =>
       val snap = repo.snapshot(base.tables(key))
       val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]

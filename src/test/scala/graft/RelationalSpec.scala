@@ -56,6 +56,28 @@ class RelationalSpec extends AnyFunSuite
     assert(rows.forall(_.getAs[Long]("count") <= 3))
   }
 
+  test("as-of join: nullable payload values travel atomically per right " +
+    "row; inner keeps matched rows whose payload is NULL") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 20L), (2L, 7L)).toDF("k", "t")
+    val right = Seq(
+      (1L, 5L, Option.empty[String], Option("b5")),
+      (1L, 15L, Option("a15"), Option.empty[String])
+    ).toDF("k", "rt", "a", "b")
+    val out = operators.AsOfJoin.asOfBackward(
+      left, right, "k", "k", "t", "rt", payload = Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)), Option(r.getString(3)))).sortBy(x => (x._1, x._2))
+    // t=10 matches right t=5: payload (null, b5) — a NULL payload value
+    // must NOT be backfilled from an older row, and inner must KEEP the
+    // matched row despite payload.head being null.
+    // t=20 matches right t=15: (a15, null) — not (a15, b5) mixed.
+    // k=2 has no match: dropped by inner.
+    out shouldBe Array(
+      (1L, 10L, None, Some("b5")),
+      (1L, 20L, Some("a15"), None))
+  }
+
   test("as-of join: forward and tolerance variants on a hand-computed case") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

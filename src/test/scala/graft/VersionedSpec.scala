@@ -389,6 +389,62 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       Seq((1 to 12).count(i => "abc".charAt(i % 3) != 'b').toLong)
   }
 
+  test("metadata history attributes a change to the commit that introduced " +
+    "it, even with interleaved commits touching other tables") {
+    sql("CREATE NAMESPACE g.rmh")
+    sql("CREATE NAMESPACE g.rmh.main.db")
+    sql("CREATE TABLE g.rmh.main.db.t1 (id INT)")
+    sql("INSERT INTO g.rmh.main.db.t1 VALUES (1)")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rmh"))
+    val t1Insert = repo.headCommit("main").id
+    // two commits that only touch t2 — t1's snapshot is unchanged through them
+    sql("CREATE TABLE g.rmh.main.db.t2 (id INT)")
+    sql("INSERT INTO g.rmh.main.db.t2 VALUES (9)")
+    val hist = sql("SELECT commit_id FROM g.rmh.main.db.t1.history")
+      .collect().map(_.getString(0))
+    // newest-first: t1's current snapshot must be attributed to the commit
+    // that INSERTed into t1, not to the later t2-only commits
+    hist.head shouldBe t1Insert
+  }
+
+  test("DROP NAMESPACE honors cascade at branch and repo level") {
+    sql("CREATE NAMESPACE g.rcd")
+    sql("CREATE NAMESPACE g.rcd.main.db")
+    sql("CREATE TABLE g.rcd.main.db.t (id INT)")
+    sql("INSERT INTO g.rcd.main.db.t VALUES (1)")
+    sql("CREATE NAMESPACE g.rcd.dev") // branch with the table on its head
+    // plain (non-cascade) drops must refuse to destroy data
+    intercept[Exception](sql("DROP NAMESPACE g.rcd.dev"))
+    intercept[Exception](sql("DROP NAMESPACE g.rcd"))
+    spark.catalog.tableExists("g.rcd.main.db.t") shouldBe true
+    // CASCADE is the explicit opt-in
+    sql("DROP NAMESPACE g.rcd.dev CASCADE")
+    sql("DROP NAMESPACE g.rcd CASCADE")
+    sql("SHOW NAMESPACES IN g").collect()
+      .map(_.getString(0)) should not contain "rcd"
+  }
+
+  test("Scala-API updateWhere/deleteWhere reject untranslatable predicates " +
+    "instead of silently widening the condition") {
+    import org.apache.spark.sql.functions.lit
+    val root = Files.createTempDirectory("graft-strict")
+    val repo = GraftRepo.init(root)
+    import spark.implicits._
+    TableOps.insert(spark, repo, "main", "db/t",
+      Seq(1, 2, 3).toDF("id"), overwrite = false)
+    val untranslatable = org.apache.spark.sql.sources.AlwaysTrue
+    intercept[UnsupportedOperationException](
+      TableOps.deleteWhere(spark, repo, "main", "db/t", Seq(untranslatable)))
+    intercept[UnsupportedOperationException](
+      TableOps.updateWhere(spark, repo, "main", "db/t", Seq(untranslatable),
+        Map("id" -> lit(0))))
+    // nothing was deleted or updated
+    TableOps.readSnapshot(spark, repo,
+      repo.snapshot(repo.headCommit("main").tables("db/t")))
+      .collect().map(_.getInt(0)).sorted shouldBe Array(1, 2, 3)
+  }
+
   test("schema evolution: RENAME COLUMN is metadata-only (old files keep " +
     "reading + pruning), widening int->long reads old and new files wide") {
     sql("CREATE NAMESPACE g.rse")
