@@ -399,6 +399,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     true
   }
 
+  /** DROP TABLE ... PURGE: drop the table from the branch head AND
+    * delete its data files immediately — the reference's
+    * `dropTable(purge=true)` contract (LakeFSCatalog.java:186-215,
+    * Iceberg purge semantics). Like Iceberg, purge discards history:
+    * time travel to commits that referenced this table's files will no
+    * longer find them. Non-purge `dropTable` keeps files for ancestor
+    * commits and defers deletion to `vacuum()`.
+    *
+    * Only files under the table's OWN data directory are deleted (a
+    * purged table can never take another table's files with it).
+    */
+  override def purgeTable(ident: Identifier): Boolean = {
+    val ns = ident.namespace()
+    if (ns.length != 3 || !repoExists(ns(0))) return false
+    val g = repo(ns)
+    val key = tableKey(ident)
+    val victim = g.headCommit(ns(1)).tables.get(key).map(g.snapshot)
+    if (victim.isEmpty || !dropTable(ident)) return false
+    // files still referenced by ANY other branch/tag HEAD must survive —
+    // purge discards this branch's history for the table, never another
+    // branch's present
+    val liveHeads = g.branches.map(g.headCommit) ++ g.tags.map(g.resolve)
+    val stillReferenced = liveHeads
+      .flatMap(_.tables.get(key)).distinct.map(g.snapshot)
+      .flatMap(_.files).map(_.path).toSet
+    victim.get.files.filterNot(f => stillReferenced.contains(f.path))
+      .foreach(f => Files.deleteIfExists(g.root.resolve(f.path)))
+    true
+  }
+
   /** Rename unsupported — mirrors the reference (LakeFSCatalog.java:218):
     * a rename across branches would break the immutable-snapshot model.
     */

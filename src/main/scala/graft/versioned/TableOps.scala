@@ -151,7 +151,7 @@ object TableOps {
     * with optimistic retry.
     */
   def insert(spark: SparkSession, repo: GraftRepo, branch: String, key: String,
-      df: DataFrame, overwrite: Boolean): Unit = {
+      df: DataFrame, overwrite: Boolean, message: Option[String] = None): Unit = {
     // partition spec + name mapping are fixed by DDL, not by concurrent
     // DML, so reading them from the current head outside the commit race
     // is safe
@@ -159,7 +159,8 @@ object TableOps {
     val spec = head.map(_.partitionFields).getOrElse(Nil)
     val mapping = head.map(_.nameMapping).getOrElse(Map.empty)
     val newFiles = writeFiles(spark, repo, df, key, spec, mapping)
-    repo.commitRetry(branch, s"${if (overwrite) "overwrite" else "append"} $key") { base =>
+    val msg = message.getOrElse(s"${if (overwrite) "overwrite" else "append"} $key")
+    repo.commitRetry(branch, msg) { base =>
       val prior = base.tables.get(key).map(repo.snapshot)
         .map(_.files).getOrElse(Nil)
       val files = if (overwrite) newFiles else prior ++ newFiles
@@ -220,6 +221,25 @@ object TableOps {
     spark.readStream
       .schema(schema)
       .parquet(repo.dataDir.resolve(key).toString + "/*")
+  }
+
+  /** Structured-Streaming SINK into a graft table: each microbatch
+    * commits one optimistic append, so a streaming pipeline lands in the
+    * same branch/commit/merge world as batch writers (the dual of
+    * [[readStreamAppends]]). Exactly-once per epoch: the batch id is
+    * recorded in the commit message and a restarted epoch whose id is
+    * already at the branch head is skipped — Spark replays at most the
+    * last unacknowledged batch, so checking the head suffices.
+    *
+    * Usage: `df.writeStream.foreachBatch(TableOps.streamingAppend(repo,
+    * branch, key)).start()`.
+    */
+  def streamingAppend(repo: GraftRepo, branch: String, key: String)
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    val marker = s"stream-append $key batch=$batchId"
+    if (repo.headCommit(branch).message != marker)
+      insert(batch.sparkSession, repo, branch, key, batch,
+        overwrite = false, message = Some(marker))
   }
 
   /** Keep only files that survive BOTH partition-value pruning (cheap,

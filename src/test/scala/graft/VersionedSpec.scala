@@ -268,6 +268,56 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming sink: writeStream lands microbatches as graft commits, " +
+    "idempotent per epoch") {
+    val root = Files.createTempDirectory("graft-stream-sink")
+    val repo = GraftRepo.init(root)
+    import spark.implicits._
+    TableOps.insert(spark, repo, "main", "db/sk",
+      Seq((0, "seed")).toDF("id", "v"), overwrite = false)
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Int, String)](spark)
+    val q = src.toDF().toDF("id", "v")
+      .writeStream
+      .foreachBatch(TableOps.streamingAppend(repo, "main", "db/sk"))
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sink-ckpt").toString)
+      .start()
+    try {
+      src.addData((1, "a"), (2, "b"))
+      q.processAllAvailable()
+      src.addData((3, "c"))
+      q.processAllAvailable()
+      val read = TableOps.readSnapshot(spark, repo,
+        repo.snapshot(repo.headCommit("main").tables("db/sk")))
+      read.collect().map(_.getInt(0)).sorted shouldBe Array(0, 1, 2, 3)
+      // replaying the head epoch is a no-op (exactly-once per epoch)
+      val headBefore = repo.headCommit("main").id
+      val lastBatchId = repo.headCommit("main").message
+        .stripPrefix("stream-append db/sk batch=").toLong
+      TableOps.streamingAppend(repo, "main", "db/sk")(
+        Seq((3, "c")).toDF("id", "v"), lastBatchId)
+      repo.headCommit("main").id shouldBe headBefore
+    } finally q.stop()
+  }
+
+  test("TIMESTAMP AS OF reads the latest commit at or before the timestamp") {
+    sql("CREATE NAMESPACE g.rts")
+    sql("CREATE NAMESPACE g.rts.main.db")
+    sql("CREATE TABLE g.rts.main.db.t (id INT)")
+    sql("INSERT INTO g.rts.main.db.t VALUES (1)")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rts"))
+    val tsAfterFirst = repo.headCommit("main").ts
+    Thread.sleep(5) // commit timestamps are millis
+    sql("INSERT INTO g.rts.main.db.t VALUES (2)")
+    val asOf = java.time.Instant.ofEpochMilli(tsAfterFirst)
+      .toString.replace("T", " ").stripSuffix("Z")
+    rows(s"SELECT id FROM g.rts.main.db.t TIMESTAMP AS OF '$asOf' ORDER BY id")
+      .flatten shouldBe Seq(1)
+    rows("SELECT id FROM g.rts.main.db.t ORDER BY id").flatten shouldBe Seq(1, 2)
+  }
+
   test("upsert (MERGE shape): matched keys replaced, unmatched appended") {
     setupRepo("r12")
     val repo = GraftRepo.open(java.nio.file.Paths.get(
@@ -387,6 +437,30 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       before.filter(f => f.partValues("cat") != "b")
     rows("SELECT count(*) FROM g.rp.main.db.pt").flatten shouldBe
       Seq((1 to 12).count(i => "abc".charAt(i % 3) != 'b').toLong)
+  }
+
+  test("DROP TABLE PURGE deletes data files immediately but never another " +
+    "branch's live files") {
+    sql("CREATE NAMESPACE g.rpg")
+    sql("CREATE NAMESPACE g.rpg.main.db")
+    sql("CREATE TABLE g.rpg.main.db.t (id INT)")
+    sql("INSERT INTO g.rpg.main.db.t VALUES (1), (2)")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rpg"))
+    val shared = repo.snapshot(repo.headCommit("main").tables("db/t")).files
+    sql("CREATE NAMESPACE g.rpg.dev") // dev still references the same files
+    sql("INSERT INTO g.rpg.main.db.t VALUES (3)") // main-only file
+    val mainOnly = repo.snapshot(repo.headCommit("main").tables("db/t")).files
+      .filterNot(shared.contains)
+    mainOnly should not be empty
+    sql("DROP TABLE g.rpg.main.db.t PURGE")
+    spark.catalog.tableExists("g.rpg.main.db.t") shouldBe false
+    // main-only file gone immediately; dev's shared files intact + readable
+    mainOnly.foreach(f =>
+      java.nio.file.Files.exists(repo.root.resolve(f.path)) shouldBe false)
+    shared.foreach(f =>
+      java.nio.file.Files.exists(repo.root.resolve(f.path)) shouldBe true)
+    rows("SELECT id FROM g.rpg.dev.db.t ORDER BY id").flatten shouldBe Seq(1, 2)
   }
 
   test("metadata history attributes a change to the commit that introduced " +
