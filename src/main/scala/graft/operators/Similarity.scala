@@ -103,6 +103,96 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: a spherical k-means coarse quantizer
+    * partitions the corpus into k cells; each query probes only its
+    * `nprobe` nearest cells. The 100 TB scale path next to LSH:
+    *
+    *  - TRAIN: k = O(√N) centroids, deterministic init (every N/k-th
+    *    unit vector), 2 Lloyd rounds. Assignment is a |N|×k codegen'd
+    *    dot-product pass; the new means are a (cell, dim) aggregation.
+    *    Only the k×dim centroid MODEL is ever collected/broadcast —
+    *    bounded like any model parameter, never the corpus.
+    *  - INDEX: every corpus vector belongs to exactly ONE cell (so probe
+    *    results need no dedup, unlike multi-table LSH).
+    *  - QUERY: |Q|×k centroid ranking picks nprobe cells; the candidate
+    *    join is a keyed shuffle on cell id — work drops from |Q|×|N| to
+    *    (nprobe/k)·|N| per query.
+    */
+  private[graft] def ivf(s: SparkSession, d: String,
+      k: Int = 0, nprobe: Int = 8, lloydRounds: Int = 2): DataFrame = {
+    import s.implicits._
+    val corpus = T.embeddings(s, d)
+      .select(col("vec_id").as("neighbor_id"), toDoubleVec(col("embedding")).as("nv"))
+      .withColumn("nn", l2norm(col("nv")))
+      .withColumn("u", expr("transform(nv, x -> x / nn)")) // unit vectors
+      .localCheckpoint() // reused per Lloyd round + final index
+    val n = corpus.count()
+    val kk = if (k > 0) k else math.max(4, math.sqrt(n.toDouble).toInt)
+    val step = math.max(1, n / kk)
+
+    // deterministic init: every step-th unit vector
+    var centroids = corpus
+      .filter(col("neighbor_id") % step === 0)
+      .limit(kk)
+      .select(col("neighbor_id").as("cell"), col("u").as("cv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+
+    def centroidDf = s.createDataFrame(centroids).toDF("cell", "cv")
+    def assign(): DataFrame = {
+      val w = Window.partitionBy(col("neighbor_id"))
+        .orderBy(col("sim").desc, col("cell"))
+      corpus
+        .join(broadcast(centroidDf), lit(true)) // k-row model, not corpus
+        .select(col("neighbor_id"), col("u"), col("nv"), col("nn"), col("cell"),
+          dot(col("u"), col("cv")).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn", "sim")
+    }
+
+    for (_ <- 1 to lloydRounds) {
+      val assigned = assign()
+      // new centroid = normalized mean of member unit vectors:
+      // (cell, dim)-grained aggregation, k×dim rows back to the driver
+      val means = assigned
+        .select(col("cell"), posexplode(col("u")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dims"))
+        .select(col("cell"), expr("transform(dims, d -> d.m)").as("cv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .map { case (c, v) =>
+          val nrm = math.sqrt(v.map(x => x * x).sum)
+          (c, if (nrm == 0) v else v.map(_ / nrm))
+        }.toSeq
+      centroids = means
+    }
+
+    val index = assign().select(col("neighbor_id"), col("nv"), col("nn"), col("cell"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val queryCells = queriesSet(s, d)
+      .withColumn("qu", expr("transform(qv, x -> x / qn)"))
+      .join(broadcast(centroidDf), lit(true))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"),
+        dot(col("qu"), col("cv")).as("csim"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    // keyed shuffle on cell id; each vector lives in exactly one cell
+    index
+      .join(queryCells, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "sim_ann_brute",
@@ -123,6 +213,7 @@ object Similarity {
          |WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin
     )(bruteForce),
-    Q.rowsOnly("sim_ann_lsh")(lsh)
+    Q.rowsOnly("sim_ann_lsh")(lsh),
+    Q.rowsOnly("sim_ann_ivf")((s, d) => ivf(s, d))
   )
 }

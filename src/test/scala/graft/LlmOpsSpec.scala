@@ -37,6 +37,21 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     lsh.size should be <= brute.size
   }
 
+  test("sim_ann_ivf: coarse-quantizer probe recalls most true neighbors " +
+    "while scanning a fraction of the corpus") {
+    val brute = SparkEntry.queries("sim_ann_brute")(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("sim_ann_ivf")(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    // spherical k-means on this clustered corpus: measured 0.76 at
+    // nprobe=8 of k=sqrt(N) cells; gate leaves head-room for seed drift
+    recall should be >= 0.5
+    ivf.size should be <= brute.size
+  }
+
   test("sim_ann_brute: size-guarded query broadcast — forced shuffle path " +
     "returns identical results") {
     val broadcastPath = SparkEntry.queries("sim_ann_brute")(spark, sfDir)
