@@ -277,10 +277,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (g.headCommit(ns(1)).tables.contains(key))
       throw new TableAlreadyExistsException(ident)
     val spec = parseTransforms(schema, partitions)
+    // user TBLPROPERTIES travel with the snapshot; engine-reserved keys
+    // (provider/location/owner) are not user state
+    val userProps = properties.asScala.toMap --
+      Seq("provider", "location", "owner", "external")
     g.commitRetry(ns(1), s"create table $key") { base =>
       if (base.tables.contains(key)) throw new TableAlreadyExistsException(ident)
       val snap = g.writeSnapshot(key, schema.json, Nil,
-        if (spec.isEmpty) None else Some(spec))
+        if (spec.isEmpty) None else Some(spec),
+        None,
+        if (userProps.isEmpty) None else Some(userProps))
       (base.tables + (key -> snap.id),
         // implicit db namespace, like path-based catalogs
         if (base.namespaces.contains(ns(2))) base.namespaces
@@ -326,6 +332,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         .asInstanceOf[StructType]
       var mapping = snap.nameMapping
       var spec = snap.partitionFields
+      var tblProps = snap.properties
       def single(fieldNames: Array[String], what: String): String = {
         if (fieldNames.length != 1)
           throw new UnsupportedOperationException(s"nested $what not supported")
@@ -374,13 +381,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                 s"${field.dataType.simpleString} -> ${t.newDataType().simpleString}")
           schema = StructType(schema.fields.map(f =>
             if (f.name == name) f.copy(dataType = t.newDataType()) else f))
-        case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
+        case sp: TableChange.SetProperty =>
+          tblProps += (sp.property() -> sp.value())
+        case rp: TableChange.RemoveProperty =>
+          tblProps -= rp.property()
         case other => throw new UnsupportedOperationException(
           s"unsupported table change: $other")
       }
       val newSnap = g.writeSnapshot(key, schema.json, snap.files,
         if (spec.isEmpty) None else Some(spec),
-        if (mapping.isEmpty) None else Some(mapping))
+        if (mapping.isEmpty) None else Some(mapping),
+        if (tblProps.isEmpty) None else Some(tblProps))
       (base.tables + (key -> newSnap.id), base.namespaces)
     }
     loadTable(ident)

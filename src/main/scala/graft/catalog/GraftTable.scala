@@ -55,7 +55,7 @@ final class GraftTable(
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def properties(): JMap[String, String] =
-    Map("provider" -> "graft", "snapshot" -> snap.id).asJava
+    (snap.properties ++ Map("provider" -> "graft", "snapshot" -> snap.id)).asJava
 
   private def requireBranch: String = branch.getOrElse(
     throw new UnsupportedOperationException(

@@ -156,7 +156,7 @@ final class GraftCoWWrite(
         throw new NoSuchElementException(s"no such table: $key")))
       val untouched = cur.files.filterNot(f => replacedPaths.contains(f.path))
       val newSnap = repo.writeSnapshot(key, cur.schemaJson,
-        untouched ++ entries, cur.partitionBy, cur.physicalNames)
+        untouched ++ entries, cur.partitionBy, cur.physicalNames, cur.props)
       (base.tables + (key -> newSnap.id), base.namespaces)
     }
   }

@@ -111,7 +111,59 @@ object TextAnalysis {
       .select(col("keep_id"), col("n_copies"), col("n_words"))
       .orderBy(col("keep_id"))
 
+  /** PII scrub: email / phone / IPv4 redaction via sequential
+    * regexp_replace — the standard pre-training privacy pass. Row-local
+    * (no shuffle at any scale). The synthetic corpus carries no PII, so
+    * the query plants deterministic PII per doc first and then scrubs
+    * it; the oracle performs the identical plant+scrub, verifying the
+    * redaction rules themselves (patterns are restricted to syntax Java
+    * regex and DuckDB's RE2 interpret identically).
+    */
+  private def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com tel 555-123-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" host 10.0."), (col("doc_id") % 200).cast("string"), lit(".7 end"))
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(planted,
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+        "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>")
+    T.documents(s, d)
+      .select(col("doc_id"), scrubbed.as("clean"))
+      .withColumn("n_redacted",
+        (size(split(col("clean"), "<EMAIL>|<PHONE>|<IP>")) - 1).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q(
+      "tx_pii_scrub",
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' contact user' || doc_id || '@example.com tel 555-123-' ||
+        |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |        ' host 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7 end',
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS clean,
+        |  CAST(len(string_split_regex(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          text || ' contact user' || doc_id || '@example.com tel 555-123-' ||
+        |          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |          ' host 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7 end',
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |    '<EMAIL>|<PHONE>|<IP>')) - 1 AS BIGINT) AS n_redacted
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )(piiScrub),
     Q(
       "tx_pipeline",
       """WITH f AS (

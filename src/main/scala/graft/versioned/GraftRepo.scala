@@ -49,9 +49,10 @@ final class GraftRepo private (val root: Path) {
 
   def writeSnapshot(table: String, schemaJson: String, files: Seq[FileEntry],
       partitionBy: Option[Seq[PartitionField]] = None,
-      physicalNames: Option[Map[String, String]] = None): Snapshot = {
+      physicalNames: Option[Map[String, String]] = None,
+      props: Option[Map[String, String]] = None): Snapshot = {
     val id = "s" + UUID.randomUUID().toString.replace("-", "")
-    val s = Snapshot(id, table, schemaJson, files, partitionBy, physicalNames)
+    val s = Snapshot(id, table, schemaJson, files, partitionBy, physicalNames, props)
     Files.writeString(snapshotsDir.resolve(s"$id.json"), Json.write(s),
       StandardOpenOption.CREATE_NEW)
     s

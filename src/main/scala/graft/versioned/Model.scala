@@ -77,7 +77,8 @@ final case class Snapshot(
     schemaJson: String,
     files: Seq[FileEntry],
     partitionBy: Option[Seq[PartitionField]] = None,
-    physicalNames: Option[Map[String, String]] = None) {
+    physicalNames: Option[Map[String, String]] = None,
+    props: Option[Map[String, String]] = None) {
   def partitionFields: Seq[PartitionField] =
     Option(partitionBy).flatten.getOrElse(Nil)
   /** logical -> physical; identity for never-renamed columns. */
@@ -85,6 +86,8 @@ final case class Snapshot(
     Option(physicalNames).flatten.getOrElse(Map.empty)
   def physicalName(logical: String): String =
     nameMapping.getOrElse(logical, logical)
+  /** User table properties (TBLPROPERTIES). */
+  def properties: Map[String, String] = Option(props).flatten.getOrElse(Map.empty)
 }
 
 /** Immutable commit: full table map of the repo at a point in time.

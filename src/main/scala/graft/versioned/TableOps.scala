@@ -166,7 +166,8 @@ object TableOps {
       val files = if (overwrite) newFiles else prior ++ newFiles
       val snap = repo.writeSnapshot(key, df.schema.json, files,
         if (spec.isEmpty) None else Some(spec),
-        if (mapping.isEmpty) None else Some(mapping))
+        if (mapping.isEmpty) None else Some(mapping),
+        head.flatMap(_.props))
       (base.tables + (key -> snap.id), base.namespaces)
     }
   }
@@ -360,7 +361,7 @@ object TableOps {
           else writeFiles(spark, repo, kept, key, snap.partitionFields,
             snap.nameMapping)
         val newSnap = repo.writeSnapshot(key, snap.schemaJson,
-          untouched ++ rewritten, snap.partitionBy, snap.physicalNames)
+          untouched ++ rewritten, snap.partitionBy, snap.physicalNames, snap.props)
         (base.tables + (key -> newSnap.id), base.namespaces)
       }
     }
@@ -396,7 +397,7 @@ object TableOps {
         val rewritten = writeFiles(spark, repo, updated, key,
           snap.partitionFields, snap.nameMapping)
         val newSnap = repo.writeSnapshot(key, snap.schemaJson,
-          untouched ++ rewritten, snap.partitionBy, snap.physicalNames)
+          untouched ++ rewritten, snap.partitionBy, snap.physicalNames, snap.props)
         (base.tables + (key -> newSnap.id), base.namespaces)
       }
     }
@@ -439,7 +440,7 @@ object TableOps {
         src.select(schema.fieldNames.toIndexedSeq.map(col): _*), key,
         snap.partitionFields, snap.nameMapping)
       val newSnap = repo.writeSnapshot(key, snap.schemaJson,
-        untouched ++ rewritten ++ appended, snap.partitionBy, snap.physicalNames)
+        untouched ++ rewritten ++ appended, snap.partitionBy, snap.physicalNames, snap.props)
       (base.tables + (key -> newSnap.id), base.namespaces)
     }
     src.unpersist()

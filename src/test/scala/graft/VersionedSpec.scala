@@ -439,6 +439,30 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       Seq((1 to 12).count(i => "abc".charAt(i % 3) != 'b').toLong)
   }
 
+  test("TBLPROPERTIES persist through DDL and DML; ALTER SET/UNSET works") {
+    sql("CREATE NAMESPACE g.rtp")
+    sql("CREATE NAMESPACE g.rtp.main.db")
+    sql("CREATE TABLE g.rtp.main.db.t (id INT) " +
+      "TBLPROPERTIES ('quality.tier' = 'gold', 'retention.days' = '30')")
+    def props(): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      spark.sessionState.catalogManager.catalog("g")
+        .asInstanceOf[graft.catalog.GraftCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("rtp", "main", "db"), "t"))
+        .properties().asScala.toMap
+    }
+    props()("quality.tier") shouldBe "gold"
+    sql("INSERT INTO g.rtp.main.db.t VALUES (1)") // DML must carry props
+    props()("retention.days") shouldBe "30"
+    sql("ALTER TABLE g.rtp.main.db.t SET TBLPROPERTIES ('quality.tier' = 'silver')")
+    sql("ALTER TABLE g.rtp.main.db.t UNSET TBLPROPERTIES ('retention.days')")
+    props()("quality.tier") shouldBe "silver"
+    props().contains("retention.days") shouldBe false
+    sql("UPDATE g.rtp.main.db.t SET id = 2 WHERE id = 1") // row-level op carries props
+    props()("quality.tier") shouldBe "silver"
+  }
+
   test("DROP TABLE PURGE deletes data files immediately but never another " +
     "branch's live files") {
     sql("CREATE NAMESPACE g.rpg")
