@@ -333,6 +333,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       var mapping = snap.nameMapping
       var spec = snap.partitionFields
       var tblProps = snap.properties
+      var retired = snap.retiredNames
       def single(fieldNames: Array[String], what: String): String = {
         if (fieldNames.length != 1)
           throw new UnsupportedOperationException(s"nested $what not supported")
@@ -343,17 +344,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           val name = single(a.fieldNames(), "ADD COLUMN")
           if (schema.fieldNames.contains(name))
             throw new IllegalArgumentException(s"column already exists: $name")
-          // a new column's physical name = its logical name; reject names
-          // still occupied by a renamed column's physical storage, or old
-          // files would surface that column's bytes as the new column
-          if (mapping.values.exists(_ == name))
-            throw new IllegalArgumentException(
-              s"name $name is reserved by a renamed column's physical storage")
+          // a new column's physical name defaults to its logical name,
+          // but names still occupied by stored bytes — a renamed
+          // column's physical storage, or a DROPPED column's retired
+          // physical name — must get a FRESH physical name, or old
+          // files' dead bytes would resurface as the new column instead
+          // of nulls (Iceberg avoids this by never reusing field ids)
+          val occupied = mapping.values.toSet ++ retired
+          if (occupied.contains(name)) {
+            val fresh = Iterator.from(1).map(i => s"${name}__r$i")
+              .find(p => !occupied.contains(p) && !schema.fieldNames.contains(p))
+              .get
+            mapping += (name -> fresh)
+          }
           schema = schema.add(name, a.dataType(), nullable = true)
         case del: TableChange.DeleteColumn =>
           val name = single(del.fieldNames(), "DROP COLUMN")
           if (!schema.fieldNames.contains(name))
             throw new IllegalArgumentException(s"no such column: $name")
+          // the dropped column's physical bytes stay in old files —
+          // retire the physical name so it is never re-bound
+          retired += mapping.getOrElse(name, name)
           schema = StructType(schema.fields.filterNot(_.name == name))
           mapping -= name
           spec = spec.filterNot(_.source == name)
@@ -391,7 +402,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       val newSnap = g.writeSnapshot(key, schema.json, snap.files,
         if (spec.isEmpty) None else Some(spec),
         if (mapping.isEmpty) None else Some(mapping),
-        if (tblProps.isEmpty) None else Some(tblProps))
+        if (tblProps.isEmpty) None else Some(tblProps),
+        if (retired.isEmpty) None else Some(retired.toSeq.sorted))
       (base.tables + (key -> newSnap.id), base.namespaces)
     }
     loadTable(ident)

@@ -154,15 +154,42 @@ final class GraftCoWWrite(
     repo.commitRetry(branch, s"${op.command.toString.toLowerCase} $key") { base =>
       val cur = repo.snapshot(base.tables.getOrElse(key,
         throw new NoSuchElementException(s"no such table: $key")))
+      // Serializable-rewrite validation (Iceberg's CoW conflict rule):
+      // the replacement content was computed from the files this
+      // operation scanned, so every one of them must still be live in
+      // the snapshot we rebase onto. If a concurrent DELETE/UPDATE
+      // already rewrote one, silently swapping would resurrect its
+      // deleted rows / double-apply updates — fail instead and let the
+      // caller re-run the whole row-level operation on the new head.
+      GraftCoWWrite.validateReplaced(replacedPaths, cur, key)
       val untouched = cur.files.filterNot(f => replacedPaths.contains(f.path))
       val newSnap = repo.writeSnapshot(key, cur.schemaJson,
-        untouched ++ entries, cur.partitionBy, cur.physicalNames, cur.props)
+        untouched ++ entries, cur.partitionBy, cur.physicalNames,
+        cur.props, cur.retired)
       (base.tables + (key -> newSnap.id), base.namespaces)
     }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     inner.abort(messages)
+}
+
+object GraftCoWWrite {
+  /** Fails when any file this row-level operation scanned (and whose
+    * replacement it is about to publish) is no longer live in `cur` —
+    * i.e. a concurrent rewrite/delete won the race. Separated out so the
+    * conflict rule is unit-testable without driving a full DSv2 write.
+    */
+  def validateReplaced(replacedPaths: Set[String], cur: Snapshot,
+      key: String): Unit = {
+    val live = cur.files.map(_.path).toSet
+    val gone = replacedPaths.diff(live)
+    if (gone.nonEmpty)
+      throw new graft.versioned.MergeConflictException(
+        s"row-level operation on $key conflicts with a concurrent rewrite: " +
+          s"${gone.size} scanned file(s) were replaced by another commit " +
+          s"(e.g. ${gone.head}); re-run the operation")
+  }
 }
 
 /** Spark's group-based rewrite prepends a `__row_operation` routing

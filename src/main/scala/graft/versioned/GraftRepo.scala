@@ -4,6 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import java.security.MessageDigest
 import java.util.UUID
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 /** A graft repository: git-like version graph over table snapshots.
   *
@@ -50,9 +51,11 @@ final class GraftRepo private (val root: Path) {
   def writeSnapshot(table: String, schemaJson: String, files: Seq[FileEntry],
       partitionBy: Option[Seq[PartitionField]] = None,
       physicalNames: Option[Map[String, String]] = None,
-      props: Option[Map[String, String]] = None): Snapshot = {
+      props: Option[Map[String, String]] = None,
+      retired: Option[Seq[String]] = None): Snapshot = {
     val id = "s" + UUID.randomUUID().toString.replace("-", "")
-    val s = Snapshot(id, table, schemaJson, files, partitionBy, physicalNames, props)
+    val s = Snapshot(id, table, schemaJson, files, partitionBy, physicalNames,
+      props, retired)
     Files.writeString(snapshotsDir.resolve(s"$id.json"), Json.write(s),
       StandardOpenOption.CREATE_NEW)
     s
@@ -63,8 +66,11 @@ final class GraftRepo private (val root: Path) {
 
   // ---- refs ------------------------------------------------------------
 
+  // every Files.list/walk stream is closed eagerly (Using): head() runs
+  // on the driver once per commit/read, so leaked directory fds add up
   def branches: Seq[String] =
-    Files.list(refsDir).iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+    Using.resource(Files.list(refsDir))(
+      _.iterator().asScala.map(_.getFileName.toString).toSeq.sorted)
 
   def branchExists(name: String): Boolean = Files.isDirectory(refsDir.resolve(name))
 
@@ -73,10 +79,11 @@ final class GraftRepo private (val root: Path) {
     val dir = refsDir.resolve(branch)
     require(Files.isDirectory(dir), s"no such branch: $branch")
     // ignore in-flight .tmp-* files from concurrent committers
-    val vs = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case n if n.matches("v\\d+") => n.stripPrefix("v").toInt }
-      .toSeq
+    val vs = Using.resource(Files.list(dir))(
+      _.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.matches("v\\d+") => n.stripPrefix("v").toInt }
+        .toSeq)
     val n = vs.max
     (n, Files.readString(dir.resolve(s"v$n")).trim)
   }
@@ -156,8 +163,8 @@ final class GraftRepo private (val root: Path) {
 
   def tags: Seq[String] =
     if (!Files.isDirectory(root.resolve("tags"))) Nil
-    else Files.list(root.resolve("tags")).iterator().asScala
-      .map(_.getFileName.toString).toSeq.sorted
+    else Using.resource(Files.list(root.resolve("tags")))(
+      _.iterator().asScala.map(_.getFileName.toString).toSeq.sorted)
 
   def tagExists(name: String): Boolean =
     Files.isRegularFile(root.resolve("tags").resolve(name))
@@ -172,7 +179,7 @@ final class GraftRepo private (val root: Path) {
 
   def dropBranch(name: String): Unit = {
     val dir = refsDir.resolve(name)
-    Files.list(dir).iterator().asScala.foreach(Files.delete)
+    Using.resource(Files.list(dir))(_.iterator().asScala.foreach(Files.delete))
     Files.delete(dir)
   }
 
@@ -263,18 +270,23 @@ final class GraftRepo private (val root: Path) {
     var deleted = 0
     if (Files.isDirectory(dataDir)) {
       // only data files count; committer markers (_SUCCESS, .crc) are noise
-      val all = Files.walk(dataDir).iterator().asScala
-        .filter(Files.isRegularFile(_))
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .toList
+      val all = Using.resource(Files.walk(dataDir))(
+        _.iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toList)
       all.foreach { p =>
         if (!referenced.contains(p.normalize())) { Files.delete(p); deleted += 1 }
       }
       // prune now-empty data subdirectories
-      Files.walk(dataDir).sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator().asScala
-        .filter(p => p != dataDir && Files.isDirectory(p))
-        .foreach(p => if (!Files.list(p).iterator().hasNext) Files.delete(p))
+      Using.resource(Files.walk(dataDir))(
+        _.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala
+          .filter(p => p != dataDir && Files.isDirectory(p))
+          .foreach { p =>
+            val empty = Using.resource(Files.list(p))(!_.iterator().hasNext)
+            if (empty) Files.delete(p)
+          })
     }
     deleted
   }

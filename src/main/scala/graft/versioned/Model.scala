@@ -78,7 +78,8 @@ final case class Snapshot(
     files: Seq[FileEntry],
     partitionBy: Option[Seq[PartitionField]] = None,
     physicalNames: Option[Map[String, String]] = None,
-    props: Option[Map[String, String]] = None) {
+    props: Option[Map[String, String]] = None,
+    retired: Option[Seq[String]] = None) {
   def partitionFields: Seq[PartitionField] =
     Option(partitionBy).flatten.getOrElse(Nil)
   /** logical -> physical; identity for never-renamed columns. */
@@ -88,6 +89,12 @@ final case class Snapshot(
     nameMapping.getOrElse(logical, logical)
   /** User table properties (TBLPROPERTIES). */
   def properties: Map[String, String] = Option(props).flatten.getOrElse(Map.empty)
+  /** Physical names of DROPPED columns: old files still hold their
+    * bytes, so a later ADD COLUMN with such a name must get a fresh
+    * physical name or the dead bytes would resurface instead of nulls
+    * (the invariant Iceberg gets from never-reused field ids).
+    */
+  def retiredNames: Set[String] = Option(retired).flatten.getOrElse(Nil).toSet
 }
 
 /** Immutable commit: full table map of the repo at a point in time.

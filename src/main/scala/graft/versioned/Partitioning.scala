@@ -26,28 +26,55 @@ object Partitioning {
 
   def dirColName(pf: PartitionField): String = DirPrefix + pf.name
 
+  /** Bucket-hash input normalization: integral sources hash as LONG,
+    * floating as DOUBLE (Iceberg's bucket-transform rule). Spark's
+    * XxHash64 hashes the 4-byte and 8-byte paths differently, so without
+    * this a metadata-only type widening (int->long, float->double) on a
+    * bucket source column would silently re-bucket every value — old
+    * files would be wrongly pruned and new writes would land in
+    * different buckets than equal old values.
+    */
+  private def bucketHashType(dt: DataType): DataType = dt match {
+    case ByteType | ShortType | IntegerType | LongType => LongType
+    case FloatType | DoubleType => DoubleType
+    case other => other
+  }
+
   /** The write-side partition value column for one spec field. The
     * bucket hash MUST agree bit-for-bit with [[bucketOfLiteral]] (both
-    * are Spark's XxHash64, seed 42). `physicalNames` resolves the source
-    * column when the write happens under as-written (physical) names.
+    * are Spark's XxHash64, seed 42, over the width-normalized type).
+    * `physicalNames` resolves the source column when the write happens
+    * under as-written (physical) names; `sourceType` is the column's
+    * CURRENT logical type (possibly widened since CREATE).
     */
-  def partitionColumn(pf: PartitionField,
+  def partitionColumn(pf: PartitionField, sourceType: DataType,
       physicalNames: Map[String, String] = Map.empty): Column = {
     val src = col(physicalNames.getOrElse(pf.source, pf.source))
     pf.transform match {
       case "identity" => src
       case "bucket" =>
-        pmod(xxhash64(src), lit(pf.numBuckets.toLong)).cast("int")
+        val hashed =
+          if (bucketHashType(sourceType) == sourceType) src
+          else src.cast(bucketHashType(sourceType))
+        pmod(xxhash64(hashed), lit(pf.numBuckets.toLong)).cast("int")
       case other =>
         throw new UnsupportedOperationException(s"unknown transform: $other")
     }
   }
 
   /** Literal-side bucket: same XxHash64(seed=42) Spark applies on the
-    * write side, evaluated on the driver during pruning.
+    * write side, evaluated on the driver during pruning, with the same
+    * width normalization as [[partitionColumn]].
     */
   def bucketOfLiteral(v: Any, dt: DataType, numBuckets: Int): Int = {
-    val h = new XxHash64(Seq(CatalystLiteral.create(v, dt)))
+    val (nv, ndt): (Any, DataType) =
+      if (v == null) (v, dt)
+      else bucketHashType(dt) match {
+        case LongType => (v.asInstanceOf[Number].longValue(), LongType)
+        case DoubleType => (v.asInstanceOf[Number].doubleValue(), DoubleType)
+        case _ => (v, dt)
+      }
+    val h = new XxHash64(Seq(CatalystLiteral.create(nv, ndt)))
       .eval(null).asInstanceOf[Long]
     (((h % numBuckets) + numBuckets) % numBuckets).toInt
   }

@@ -89,9 +89,13 @@ object TableOps {
       .resolve(UUID.randomUUID().toString.replace("-", ""))
     if (spec.isEmpty) out.write.parquet(dir.toString)
     else {
-      val dirCols = spec.map(pf =>
-        Partitioning.partitionColumn(pf, physicalNames)
-          .as(Partitioning.dirColName(pf)))
+      val dirCols = spec.map { pf =>
+        val srcType = logical.fields.find(_.name == pf.source).map(_.dataType)
+          .getOrElse(throw new IllegalArgumentException(
+            s"partition source column not in write schema: ${pf.source}"))
+        Partitioning.partitionColumn(pf, srcType, physicalNames)
+          .as(Partitioning.dirColName(pf))
+      }
       out.select(schema.fieldNames.toIndexedSeq.map(col) ++ dirCols: _*)
         .write.partitionBy(spec.map(Partitioning.dirColName): _*)
         .parquet(dir.toString)
@@ -126,8 +130,13 @@ object TableOps {
     */
   def statsForStaged(spark: SparkSession, repo: GraftRepo,
       dir: java.nio.file.Path, schema: StructType): Seq[FileEntry] = {
-    val hasFiles = Files.isDirectory(dir) &&
-      Files.list(dir).iterator().asScala.exists(_.toString.endsWith(".parquet"))
+    val hasFiles = Files.isDirectory(dir) && {
+      // Files.list holds a directory fd until closed — this runs on the
+      // driver once per CoW commit, so an unclosed stream is a slow leak
+      val s = Files.list(dir)
+      try s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+      finally s.close()
+    }
     if (!hasFiles) return Nil
     val written = spark.read.schema(schema).parquet(dir.toString)
     val statCols = schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
@@ -151,7 +160,8 @@ object TableOps {
     * with optimistic retry.
     */
   def insert(spark: SparkSession, repo: GraftRepo, branch: String, key: String,
-      df: DataFrame, overwrite: Boolean, message: Option[String] = None): Unit = {
+      df: DataFrame, overwrite: Boolean, message: Option[String] = None,
+      extraProps: Map[String, String] = Map.empty): Unit = {
     // partition spec + name mapping are fixed by DDL, not by concurrent
     // DML, so reading them from the current head outside the commit race
     // is safe
@@ -161,13 +171,23 @@ object TableOps {
     val newFiles = writeFiles(spark, repo, df, key, spec, mapping)
     val msg = message.getOrElse(s"${if (overwrite) "overwrite" else "append"} $key")
     repo.commitRetry(branch, msg) { base =>
+      // props re-read from the rebased head inside the race so a
+      // concurrent property change (or stream-batch marker) is not lost
       val prior = base.tables.get(key).map(repo.snapshot)
-        .map(_.files).getOrElse(Nil)
-      val files = if (overwrite) newFiles else prior ++ newFiles
-      val snap = repo.writeSnapshot(key, df.schema.json, files,
+      val files =
+        if (overwrite) newFiles
+        else prior.map(_.files).getOrElse(Nil) ++ newFiles
+      val props = prior.map(_.properties).getOrElse(Map.empty) ++ extraProps
+      // INSERT never changes the table schema: keep the snapshot's DDL
+      // schema (nullability included — an incoming VALUES df is
+      // non-nullable and must not turn table columns into REQUIRED
+      // parquet fields that pre-existing files lack)
+      val schemaJson = prior.map(_.schemaJson).getOrElse(df.schema.json)
+      val snap = repo.writeSnapshot(key, schemaJson, files,
         if (spec.isEmpty) None else Some(spec),
         if (mapping.isEmpty) None else Some(mapping),
-        head.flatMap(_.props))
+        if (props.isEmpty) None else Some(props),
+        prior.flatMap(_.retired))
       (base.tables + (key -> snap.id), base.namespaces)
     }
   }
@@ -224,23 +244,34 @@ object TableOps {
       .parquet(repo.dataDir.resolve(key).toString + "/*")
   }
 
+  /** Snapshot property recording the last stream batch id committed into
+    * a table (single streaming writer per table, ids monotone — Spark's
+    * foreachBatch contract).
+    */
+  val StreamBatchProp = "graft.stream.lastBatch"
+
   /** Structured-Streaming SINK into a graft table: each microbatch
     * commits one optimistic append, so a streaming pipeline lands in the
     * same branch/commit/merge world as batch writers (the dual of
-    * [[readStreamAppends]]). Exactly-once per epoch: the batch id is
-    * recorded in the commit message and a restarted epoch whose id is
-    * already at the branch head is skipped — Spark replays at most the
-    * last unacknowledged batch, so checking the head suffices.
+    * [[readStreamAppends]]). Exactly-once per epoch: the committed batch
+    * id is recorded DURABLY in the table snapshot's properties (not just
+    * the head commit message — any unrelated commit landing between the
+    * epoch and a post-crash replay would hide a head-message marker and
+    * double-append the batch), and every later snapshot threads props
+    * through, so a replayed epoch with id <= the recorded one is
+    * skipped no matter what else committed in between.
     *
     * Usage: `df.writeStream.foreachBatch(TableOps.streamingAppend(repo,
     * branch, key)).start()`.
     */
   def streamingAppend(repo: GraftRepo, branch: String, key: String)
       : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
-    val marker = s"stream-append $key batch=$batchId"
-    if (repo.headCommit(branch).message != marker)
-      insert(batch.sparkSession, repo, branch, key, batch,
-        overwrite = false, message = Some(marker))
+    val committed = repo.headCommit(branch).tables.get(key).map(repo.snapshot)
+      .flatMap(_.properties.get(StreamBatchProp)).map(_.toLong)
+    if (!committed.exists(_ >= batchId))
+      insert(batch.sparkSession, repo, branch, key, batch, overwrite = false,
+        message = Some(s"stream-append $key batch=$batchId"),
+        extraProps = Map(StreamBatchProp -> batchId.toString))
   }
 
   /** Keep only files that survive BOTH partition-value pruning (cheap,
@@ -361,7 +392,8 @@ object TableOps {
           else writeFiles(spark, repo, kept, key, snap.partitionFields,
             snap.nameMapping)
         val newSnap = repo.writeSnapshot(key, snap.schemaJson,
-          untouched ++ rewritten, snap.partitionBy, snap.physicalNames, snap.props)
+          untouched ++ rewritten, snap.partitionBy, snap.physicalNames,
+          snap.props, snap.retired)
         (base.tables + (key -> newSnap.id), base.namespaces)
       }
     }
@@ -397,7 +429,8 @@ object TableOps {
         val rewritten = writeFiles(spark, repo, updated, key,
           snap.partitionFields, snap.nameMapping)
         val newSnap = repo.writeSnapshot(key, snap.schemaJson,
-          untouched ++ rewritten, snap.partitionBy, snap.physicalNames, snap.props)
+          untouched ++ rewritten, snap.partitionBy, snap.physicalNames,
+          snap.props, snap.retired)
         (base.tables + (key -> newSnap.id), base.namespaces)
       }
     }
@@ -440,7 +473,8 @@ object TableOps {
         src.select(schema.fieldNames.toIndexedSeq.map(col): _*), key,
         snap.partitionFields, snap.nameMapping)
       val newSnap = repo.writeSnapshot(key, snap.schemaJson,
-        untouched ++ rewritten ++ appended, snap.partitionBy, snap.physicalNames, snap.props)
+        untouched ++ rewritten ++ appended, snap.partitionBy, snap.physicalNames,
+        snap.props, snap.retired)
       (base.tables + (key -> newSnap.id), base.namespaces)
     }
     src.unpersist()

@@ -298,6 +298,18 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       TableOps.streamingAppend(repo, "main", "db/sk")(
         Seq((3, "c")).toDF("id", "v"), lastBatchId)
       repo.headCommit("main").id shouldBe headBefore
+      // the batch id survives UNRELATED commits landing on the branch:
+      // the guard is the snapshot property, not the head commit message,
+      // so a post-crash replay after someone else's commit is still a
+      // no-op (no double append)
+      repo.commitRetry("main", "unrelated ddl")(b => (b.tables, b.namespaces))
+      val rowsBefore = TableOps.readSnapshot(spark, repo,
+        repo.snapshot(repo.headCommit("main").tables("db/sk"))).count()
+      TableOps.streamingAppend(repo, "main", "db/sk")(
+        Seq((9, "dup")).toDF("id", "v"), lastBatchId)
+      TableOps.readSnapshot(spark, repo,
+        repo.snapshot(repo.headCommit("main").tables("db/sk")))
+        .count() shouldBe rowsBefore
     } finally q.stop()
   }
 
@@ -574,8 +586,83 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // narrowing and colliding renames are rejected
     intercept[Exception](sql("ALTER TABLE g.rse.main.db.t ALTER COLUMN total TYPE INT"))
     intercept[Exception](sql("ALTER TABLE g.rse.main.db.t RENAME COLUMN tag TO total"))
-    // a new column may not squat on a renamed column's physical name
-    intercept[Exception](sql("ALTER TABLE g.rse.main.db.t ADD COLUMN amount INT"))
+    // re-adding a name whose physical storage is occupied (here: the
+    // renamed column's as-written name) binds a FRESH physical name —
+    // old files' bytes must NOT resurface; all pre-existing rows read null
+    sql("ALTER TABLE g.rse.main.db.t ADD COLUMN amount INT")
+    rows("SELECT amount FROM g.rse.main.db.t").flatten shouldBe Seq(null, null, null, null)
+    sql("INSERT INTO g.rse.main.db.t VALUES (5, 50, 'v', 99)")
+    rows("SELECT amount FROM g.rse.main.db.t WHERE id = 5").flatten shouldBe Seq(99)
+    rows("SELECT total FROM g.rse.main.db.t WHERE id = 5").flatten shouldBe Seq(50L)
+  }
+
+  test("schema evolution: DROP then re-ADD a column reads nulls from old " +
+    "files, never the dropped bytes (retired physical names)") {
+    sql("CREATE NAMESPACE g.rdr")
+    sql("CREATE NAMESPACE g.rdr.main.db")
+    sql("CREATE TABLE g.rdr.main.db.t (id INT, c STRING)")
+    sql("INSERT INTO g.rdr.main.db.t VALUES (1, 'old-bytes'), (2, 'dead')")
+    sql("ALTER TABLE g.rdr.main.db.t DROP COLUMN c")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rdr"))
+    repo.snapshot(repo.headCommit("main").tables("db/t"))
+      .retiredNames shouldBe Set("c")
+    sql("ALTER TABLE g.rdr.main.db.t ADD COLUMN c STRING")
+    // the re-added column must NOT surface the dropped column's bytes
+    rows("SELECT id, c FROM g.rdr.main.db.t ORDER BY id") shouldBe
+      Seq(Seq(1, null), Seq(2, null))
+    sql("INSERT INTO g.rdr.main.db.t VALUES (3, 'fresh')")
+    rows("SELECT c FROM g.rdr.main.db.t WHERE id = 3").flatten shouldBe Seq("fresh")
+    // survives DML (tombstones thread through CoW snapshots)
+    sql("DELETE FROM g.rdr.main.db.t WHERE id = 1")
+    rows("SELECT id, c FROM g.rdr.main.db.t ORDER BY id") shouldBe
+      Seq(Seq(2, null), Seq(3, "fresh"))
+  }
+
+  test("bucket partitioning hashes integral sources width-normalized: " +
+    "widening int->bigint keeps old buckets valid and lookups correct") {
+    import org.apache.spark.sql.sources.EqualTo
+    sql("CREATE NAMESPACE g.rbw")
+    sql("CREATE NAMESPACE g.rbw.main.db")
+    sql("CREATE TABLE g.rbw.main.db.t (id INT, v STRING) " +
+      "PARTITIONED BY (bucket(8, id))")
+    sql("INSERT INTO g.rbw.main.db.t VALUES " +
+      (1 to 32).map(i => s"($i, 'v$i')").mkString(", "))
+    // int and long literals agree on the bucket BEFORE widening
+    graft.versioned.Partitioning.bucketOfLiteral(
+      7, org.apache.spark.sql.types.IntegerType, 8) shouldBe
+      graft.versioned.Partitioning.bucketOfLiteral(
+        7L, org.apache.spark.sql.types.LongType, 8)
+    sql("ALTER TABLE g.rbw.main.db.t ALTER COLUMN id TYPE BIGINT")
+    // lookups through the widened type still find rows written narrow
+    // (pruning re-hashes the literal as LONG; files recorded int-written
+    // buckets — width normalization makes them identical)
+    for (i <- Seq(1, 7, 19, 32))
+      rows(s"SELECT v FROM g.rbw.main.db.t WHERE id = $i").flatten shouldBe Seq(s"v$i")
+    // new writes after widening land in the same bucket as equal old values
+    sql("INSERT INTO g.rbw.main.db.t VALUES (7, 'v7b')")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rbw"))
+    val snap = repo.snapshot(repo.headCommit("main").tables("db/t"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val hit = TableOps.pruneFiles(snap, schema, Seq(EqualTo("id", 7L)))
+    hit.map(_.partValues("id_bucket")).toSet.size shouldBe 1
+    rows("SELECT v FROM g.rbw.main.db.t WHERE id = 7 ORDER BY v")
+      .flatten shouldBe Seq("v7", "v7b")
+  }
+
+  test("CoW row-level commit validation rejects swapping files a concurrent " +
+    "rewrite already replaced") {
+    val snap = graft.versioned.Snapshot("s1", "db/t", "{}",
+      Seq(graft.versioned.FileEntry("data/a.parquet", 1, Map.empty, Map.empty)))
+    // all scanned files still live -> fine
+    graft.catalog.GraftCoWWrite.validateReplaced(Set("data/a.parquet"), snap, "db/t")
+    // a scanned file vanished (concurrent DELETE/UPDATE rewrote it) -> conflict
+    intercept[graft.versioned.MergeConflictException] {
+      graft.catalog.GraftCoWWrite.validateReplaced(
+        Set("data/a.parquet", "data/gone.parquet"), snap, "db/t")
+    }
   }
 
   test("SQL UPDATE: group-based copy-on-write rewrites only files that can " +
