@@ -57,8 +57,17 @@ object Dedup {
     // every raw candidate with both word-set arrays before filtering,
     // while distinct shuffles only skinny (id,id) pairs. Keep
     // distinct-then-verify.
+    // EXPLICIT-width repartitions at the explosion points. AQE sizes
+    // partitions by BYTES (the doc table is tiny), so it coalesces the
+    // band shuffle to ~1 partition — and then the self-join's 10M-pair
+    // output and the per-pair Jaccard kernel run on ONE core. Pinning
+    // the width (explicit numPartitions is never overridden by AQE)
+    // keeps the CPU-heavy stages wide; at corpus scale the same shape
+    // holds, with width = cluster parallelism.
+    val par = s.sparkContext.defaultParallelism
     val docs = T.documents(s, d)
       .select(col("doc_id"), wordSet(col("text")).as("ws"))
+      .repartition(par, col("doc_id"))
       .withColumn("sig",
         graft.functions.HashExpressions.minHashSignatureNative(col("ws"), k = 64))
       .localCheckpoint()
@@ -66,6 +75,7 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(lshBandsExpr("sig", bands = 8, rowsPerBand = 8)))
       .toDF("doc_id", "band", "bh")
+      .repartition(par, col("band"), col("bh"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") &&
@@ -74,6 +84,7 @@ object Dedup {
       .distinct()
     val w = docs.select(col("doc_id"), col("ws"))
     cand
+      .repartition(par, col("id_a")) // pairs are skinny; the Jaccard kernel is not
       .join(w.select(col("doc_id").as("id_a"), col("ws").as("ws_a")), "id_a")
       .join(w.select(col("doc_id").as("id_b"), col("ws").as("ws_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -94,6 +105,7 @@ object Dedup {
     // per doc, not once per side (localCheckpoint: freed on GC).
     val docs = T.documents(s, d)
       .select(col("doc_id"), words(col("text")).as("ws"))
+      .repartition(col("doc_id")) // spread the |words|×64 vote kernel (see minhashLsh)
       .withColumn("fp", graft.functions.HashExpressions.simHash64Native(col("ws")))
       .select(col("doc_id"), col("fp"))
       .localCheckpoint()
