@@ -106,12 +106,21 @@ final class GraftTable(
   * re-applies them above the scan (returned as residual) — double
   * evaluation of cheap predicates in exchange for guaranteed correctness
   * on edge semantics.
+  *
+  * Whole aggregates are also pushed when they are answerable from
+  * snapshot METADATA alone (`COUNT(*)`, `MIN`/`MAX` of stats-covered
+  * columns, no filters, no grouping): the scan collapses to a driver-
+  * local row — at 100 TB, `SELECT count(*)` touches zero data files
+  * (the same trick Iceberg plays from its manifests).
   */
 final class GraftScanBuilder(repo: GraftRepo, snap: Snapshot, fullSchema: StructType)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[sources.Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var metaAgg: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     pushed = filters.filter(f => TableOps.filterToColumn(f).isDefined)
@@ -122,36 +131,215 @@ final class GraftScanBuilder(repo: GraftRepo, snap: Snapshot, fullSchema: Struct
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    MetadataAggregates.answer(snap, fullSchema, agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    // Spark only attempts aggregate pushdown when every filter was fully
+    // pushed; we always report filters as residual, so this is reached
+    // only for unfiltered scans — exactly the metadata-answerable case
+    if (pushed.nonEmpty) return false
+    metaAgg = MetadataAggregates.answer(snap, fullSchema, agg)
+    metaAgg.isDefined
+  }
+
   /** Native columnar scan: snapshot files that survive partition + stats
     * pruning are handed to Spark's own DSv2 `ParquetScan` (vectorized
     * decode + row-group pruning + WholeStageCodegen) — no row-by-row
     * V1 bridge anywhere on the read path. After RENAME COLUMN the
-    * parquet side reads PHYSICAL names (with filters translated) and a
-    * thin wrapper re-labels the scan with the logical schema — rows are
+    * parquet side reads PHYSICAL names (with filters translated) and the
+    * wrapper re-labels the scan with the logical schema — rows are
     * positional, so no conversion happens.
     */
-  override def build(): Scan = {
-    val spark = SparkSession.active
-    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-    val live = TableOps.pruneFiles(snap, schema, pushed.toIndexedSeq)
-    val paths = live.map(f =>
-      new org.apache.hadoop.fs.Path(repo.root.resolve(f.path).toUri))
-    val m = snap.nameMapping
-    val inner = graftbridge.ParquetReadBridge.scan(
-      spark, paths,
-      TableOps.toPhysical(schema, m),
-      TableOps.toPhysical(required, m),
-      pushed.map(TableOps.renameFilter(_, m)))
-    if (m.isEmpty) inner
-    else {
-      val logicalRequired = required
-      new Scan {
-        override def readSchema(): StructType = logicalRequired
-        override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
-        override def description(): String = inner.description()
-        override def columnarSupportMode(): Scan.ColumnarSupportMode =
-          inner.columnarSupportMode()
+  override def build(): Scan = metaAgg match {
+    case Some((aggSchema, row)) =>
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+        override def readSchema(): StructType = aggSchema
+        override def description(): String =
+          s"GraftMetadataAggregate ${snap.table} ${aggSchema.fieldNames.mkString(", ")}"
       }
+    case None => new GraftScan(repo, snap, fullSchema, required, pushed)
+  }
+}
+
+/** The graft DSv2 scan: delegates decode to Spark's vectorized
+  * `ParquetScan` over the pruned file list, and carries the planner
+  * integration a 100 TB table needs:
+  *
+  *  - [[SupportsReportStatistics]]: EXACT row counts + on-disk bytes
+  *    from snapshot metadata (post file-pruning), so Catalyst/AQE make
+  *    the right broadcast/shuffle choices for versioned-table joins.
+  *  - [[SupportsRuntimeFiltering]]: dynamic file pruning — runtime `In`
+  *    filters on partition source columns (from a joined dimension's
+  *    build side) re-prune the file list before execution, the DSv2
+  *    analog of dynamic partition pruning.
+  */
+final class GraftScan(
+    repo: GraftRepo,
+    snap: Snapshot,
+    schema: StructType,
+    required: StructType,
+    pushed: Array[sources.Filter]) extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  private var runtime: Array[sources.Filter] = Array.empty
+  private var cached: Scan = null // rebuilt when runtime filters arrive
+
+  private[graft] def liveFiles: Seq[graft.versioned.FileEntry] =
+    TableOps.pruneFiles(snap, schema, (pushed ++ runtime).toIndexedSeq)
+
+  private def inner: Scan = {
+    if (cached == null) {
+      val m = snap.nameMapping
+      val paths = liveFiles.map(f =>
+        new org.apache.hadoop.fs.Path(repo.root.resolve(f.path).toUri))
+      cached = graftbridge.ParquetReadBridge.scan(
+        SparkSession.active, paths,
+        TableOps.toPhysical(schema, m),
+        TableOps.toPhysical(required, m),
+        (pushed ++ runtime).map(TableOps.renameFilter(_, m)))
     }
+    cached
+  }
+
+  override def readSchema(): StructType = required
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
+  override def description(): String =
+    s"GraftScan ${snap.table} (${snap.files.size} files, " +
+      s"pushed=[${pushed.mkString(", ")}])"
+
+  /** Exact statistics from snapshot metadata, after static file pruning.
+    * Row counts are exact (CoW keeps them so); bytes are recorded
+    * per-file at commit (estimated for pre-`bytes` snapshots).
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val files = liveFiles
+    val rows = files.map(_.rows).sum
+    // planner sizeInBytes wants an in-memory-ish width: scale on-disk
+    // parquet bytes by the projected fraction of columns
+    val widthFrac =
+      if (schema.isEmpty) 1.0
+      else math.max(required.size.toDouble / schema.size.toDouble, 0.1)
+    val bytes = files.map(_.sizeBytes(bytesPerRow = 64L)).sum
+    val scaled = math.max((bytes * widthFrac).toLong, rows * 8L)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(scaled)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
+  /** Runtime (join-driven) filters apply to partition source columns —
+    * the columns whose values prune whole files via partition values
+    * and min/max stats.
+    */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    snap.partitionFields.map(pf =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(pf.source)).toArray
+
+  override def filter(filters: Array[sources.Filter]): Unit = {
+    // best-effort pruning: runtime filters come from the join build side,
+    // so rows in unpruned files are still filtered by the join itself
+    runtime = filters.filter(f => TableOps.filterToColumn(f).isDefined)
+    cached = null
+  }
+}
+
+/** Answers whole `Aggregation`s from snapshot metadata: COUNT(*) from
+  * per-file row counts; MIN/MAX from per-file min/max stats when every
+  * live file carries the stat for that column. Returns None (-> normal
+  * scan) for anything else.
+  */
+private[catalog] object MetadataAggregates {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.types._
+
+  def answer(snap: Snapshot, schema: StructType,
+      agg: Aggregation): Option[(StructType, InternalRow)] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val m = snap.nameMapping
+    val cols = agg.aggregateExpressions.toIndexedSeq.map {
+      case _: CountStar =>
+        Some((StructField("count(*)", LongType, nullable = false),
+          snap.files.map(_.rows).sum: Any))
+      case mn: Min => minMax(snap, schema, m, mn.column, isMin = true)
+      case mx: Max => minMax(snap, schema, m, mx.column, isMin = false)
+      case _ => None
+    }
+    if (cols.exists(_.isEmpty)) None
+    else {
+      val resolved = cols.map(_.get)
+      Some((StructType(resolved.map(_._1)),
+        InternalRow.fromSeq(resolved.map(_._2))))
+    }
+  }
+
+  private def minMax(snap: Snapshot, schema: StructType, m: Map[String, String],
+      colExpr: org.apache.spark.sql.connector.expressions.Expression,
+      isMin: Boolean): Option[(StructField, Any)] = {
+    val name = colExpr match {
+      case f: NamedReference if f.fieldNames().length == 1 => f.fieldNames()(0)
+      case _ => return None
+    }
+    val field = schema.fields.find(_.name == name).getOrElse(return None)
+    val phys = m.getOrElse(name, name)
+    val side = if (isMin) (f: graft.versioned.FileEntry) => f.min
+      else (f: graft.versioned.FileEntry) => f.max
+    // every live file must carry the stat (a file with an all-null or
+    // unstatable column would make the metadata answer wrong)
+    val vals = snap.files.map(f => side(f).get(phys))
+    if (snap.files.nonEmpty && vals.exists(_.isEmpty)) return None
+    val parsed = vals.flatten.flatMap(s => parse(s, field.dataType))
+    if (parsed.size != vals.size) return None
+    val out: Any =
+      if (parsed.isEmpty) null
+      else {
+        val ord = ordering(field.dataType).getOrElse(return None)
+        if (isMin) parsed.min(ord) else parsed.max(ord)
+      }
+    Some((StructField(s"${if (isMin) "min" else "max"}($name)",
+      field.dataType, nullable = true), out))
+  }
+
+  /** String stat -> Catalyst internal value of `dt`. */
+  private def parse(s: String, dt: DataType): Option[Any] = dt match {
+    case ByteType => Some(s.toByte)
+    case ShortType => Some(s.toShort)
+    case IntegerType => Some(s.toInt)
+    case LongType => Some(s.toLong)
+    case FloatType => Some(s.toFloat)
+    case DoubleType => Some(s.toDouble)
+    case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    case DateType => Some(java.time.LocalDate.parse(s).toEpochDay.toInt)
+    case _ => None // decimals/booleans/timestamps: fall back to a real scan
+  }
+
+  private def ordering(dt: DataType): Option[Ordering[Any]] = {
+    val o: Option[Ordering[_]] = dt match {
+      case ByteType => Some(Ordering.Byte)
+      case ShortType => Some(Ordering.Short)
+      case IntegerType => Some(Ordering.Int)
+      case LongType => Some(Ordering.Long)
+      case FloatType => Some(Ordering.Float.TotalOrdering)
+      case DoubleType => Some(Ordering.Double.TotalOrdering)
+      case StringType => Some(Ordering.comparatorToOrdering(
+        new java.util.Comparator[org.apache.spark.unsafe.types.UTF8String] {
+          def compare(a: org.apache.spark.unsafe.types.UTF8String,
+              b: org.apache.spark.unsafe.types.UTF8String): Int = a.compareTo(b)
+        }))
+      case DateType => Some(Ordering.Int)
+      case _ => None
+    }
+    o.map(_.asInstanceOf[Ordering[Any]])
   }
 }

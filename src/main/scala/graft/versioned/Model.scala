@@ -55,9 +55,20 @@ final case class FileEntry(
     rows: Long,
     min: Map[String, String],
     max: Map[String, String],
-    partitionValues: Option[Map[String, String]] = None) {
+    partitionValues: Option[Map[String, String]] = None,
+    bytes: Option[Long] = None) {
   def partValues: Map[String, String] =
     Option(partitionValues).flatten.getOrElse(Map.empty)
+  /** On-disk size; falls back to a rows-based guess for pre-`bytes`
+    * snapshots (used only for planner statistics, never correctness).
+    * jackson-scala materializes small JSON numbers as boxed Integers
+    * inside Option despite the declared Long — widen via Number.
+    */
+  def sizeBytes(bytesPerRow: Long): Long =
+    Option(bytes).flatten.asInstanceOf[Option[Any]] match {
+      case Some(n: Number) => n.longValue()
+      case _ => rows * bytesPerRow
+    }
 }
 
 /** Immutable table snapshot: schema (Spark StructType JSON) + file list

@@ -120,7 +120,8 @@ object TableOps {
         }.toMap
       val pvals =
         if (spec.isEmpty) None else Some(Partitioning.valuesFromPath(rel))
-      FileEntry(rel, r.getAs[Long]("__rows"), stats("min"), stats("max"), pvals)
+      FileEntry(rel, r.getAs[Long]("__rows"), stats("min"), stats("max"), pvals,
+        Some(Files.size(java.nio.file.Paths.get(file))))
     }
   }
 
@@ -152,7 +153,8 @@ object TableOps {
           schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
             Option(r.getAs[String](s"$prefix:${f.name}")).map(f.name -> _)
           }.toMap
-        FileEntry(rel, r.getAs[Long]("__rows"), stats("min"), stats("max"))
+        FileEntry(rel, r.getAs[Long]("__rows"), stats("min"), stats("max"),
+          None, Some(Files.size(java.nio.file.Paths.get(file))))
       }
   }
 

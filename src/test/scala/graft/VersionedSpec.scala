@@ -717,6 +717,93 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     rows("SELECT id FROM g.rdl.main.db.t ORDER BY id").flatten shouldBe Seq(2, 4, 6)
   }
 
+
+  test("planner statistics: exact row counts + bytes reported from snapshot " +
+    "metadata (broadcast decisions see real sizes)") {
+    sql("CREATE NAMESPACE g.rst")
+    sql("CREATE NAMESPACE g.rst.main.db")
+    sql("CREATE TABLE g.rst.main.db.t (id INT, v STRING)")
+    sql("INSERT INTO g.rst.main.db.t VALUES " +
+      (1 to 100).map(i => s"($i, 'v$i')").mkString(", "))
+    val st = spark.table("g.rst.main.db.t").queryExecution.optimizedPlan.stats
+    st.rowCount shouldBe Some(BigInt(100))
+    st.sizeInBytes.toLong should be > 0L
+    // stats follow static file pruning: a selective filter reports fewer rows
+    sql("INSERT INTO g.rst.main.db.t VALUES " +
+      (101 to 200).map(i => s"($i, 'v$i')").mkString(", "))
+    val pruned = spark.table("g.rst.main.db.t").where("id > 150")
+      .queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats.rowCount.get
+      }
+    // only files whose [min,max] admits id>150 survive (the 151..200 span)
+    pruned.get should be < BigInt(200)
+    pruned.get shouldBe BigInt(50)
+  }
+
+  test("metadata-only aggregates: COUNT(*)/MIN/MAX answered from the " +
+    "snapshot without scanning data files") {
+    sql("CREATE NAMESPACE g.rma")
+    sql("CREATE NAMESPACE g.rma.main.db")
+    sql("CREATE TABLE g.rma.main.db.t (id INT, v STRING)")
+    sql("INSERT INTO g.rma.main.db.t VALUES " +
+      (1 to 50).map(i => s"($i, 'v$i')").mkString(", "))
+    def planOf(q: String): String = sql(q).queryExecution.executedPlan.toString
+    // pushed: the scan collapses to a local (driver) row - no BatchScan
+    planOf("SELECT count(*) FROM g.rma.main.db.t") should include ("LocalTableScan")
+    rows("SELECT count(*) FROM g.rma.main.db.t").flatten shouldBe Seq(50L)
+    planOf("SELECT min(id), max(id), count(*) FROM g.rma.main.db.t") should
+      include ("LocalTableScan")
+    rows("SELECT min(id), max(id), count(*) FROM g.rma.main.db.t") shouldBe
+      Seq(Seq(1, 50, 50L))
+    rows("SELECT min(v), max(v) FROM g.rma.main.db.t") shouldBe Seq(Seq("v1", "v9"))
+    // stays correct through DML (CoW keeps metadata exact)
+    sql("DELETE FROM g.rma.main.db.t WHERE id <= 10")
+    rows("SELECT count(*), min(id) FROM g.rma.main.db.t") shouldBe Seq(Seq(40L, 11))
+    // filtered/grouped aggregates fall back to a real scan and stay right
+    planOf("SELECT count(*) FROM g.rma.main.db.t WHERE id > 30") should
+      include ("BatchScan")
+    rows("SELECT count(*) FROM g.rma.main.db.t WHERE id > 30").flatten shouldBe Seq(20L)
+    rows("SELECT v, count(*) FROM g.rma.main.db.t WHERE id IN (11, 12) GROUP BY v " +
+      "ORDER BY v").map(_.head) shouldBe Seq("v11", "v12")
+    // avg is not metadata-answerable -> full scan, correct result
+    planOf("SELECT avg(id) FROM g.rma.main.db.t") should include ("BatchScan")
+  }
+
+  test("runtime filtering: join-driven In filters prune files of a " +
+    "partitioned table before execution (DSv2 dynamic pruning)") {
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    sql("CREATE NAMESPACE g.rrf")
+    sql("CREATE NAMESPACE g.rrf.main.db")
+    sql("CREATE TABLE g.rrf.main.db.fact (id INT, cat STRING, v DOUBLE) " +
+      "PARTITIONED BY (cat)")
+    sql("INSERT INTO g.rrf.main.db.fact VALUES " +
+      (1 to 30).map(i => s"($i, 'c${i % 5}', ${i * 1.0})").mkString(", "))
+    val cat = spark.sessionState.catalogManager.catalog("g")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("rrf", "main", "db"), "fact"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+    val scan = tbl.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()).build()
+    val rf = scan.asInstanceOf[SupportsRuntimeFiltering]
+    rf.filterAttributes().map(_.toString) shouldBe Array("cat")
+    val gs = scan.asInstanceOf[graft.catalog.GraftScan]
+    val fullFiles = gs.liveFiles.size
+    rf.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("cat", Array("c1"))))
+    gs.liveFiles.size should be < fullFiles
+    all(gs.liveFiles.map(_.partValues("cat"))) shouldBe "c1"
+    gs.liveFiles.map(_.rows).sum shouldBe (1 to 30).count(_ % 5 == 1)
+    // end-to-end: a dimension-filtered join stays correct with DPP active
+    spark.range(0, 5).selectExpr("concat('c', id) AS cat",
+      "CASE WHEN id = 2 THEN 'keep' ELSE 'drop' END AS tag")
+      .createOrReplaceTempView("dim")
+    rows("SELECT f.id FROM g.rrf.main.db.fact f JOIN dim d ON f.cat = d.cat " +
+      "WHERE d.tag = 'keep' ORDER BY f.id").flatten shouldBe
+      (1 to 30).filter(i => i % 5 == 2)
+  }
+
   test("catalog reads are native columnar parquet BatchScans (no V1/RDD bridge)") {
     spark.sql("CREATE NAMESPACE g.rcol")
     spark.sql("CREATE NAMESPACE g.rcol.main.db")
