@@ -117,11 +117,32 @@ object Versioned {
       "ORDER BY n_nationkey")
   }
 
+  /** Fragmented ingest (one commit per region) followed by sort-clustered
+    * compaction (OPTIMIZE), then a full read — rows must be exactly the
+    * source table regardless of layout.
+    */
+  private def compactRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    // fragment: several more small commits on top of setup's initial load
+    s.sql(s"DELETE FROM $cat.r.main.db.nation WHERE n_nationkey >= 0") // empty it
+    (0 to 4).foreach(rk =>
+      s.sql(s"INSERT INTO $cat.r.main.db.nation " +
+        s"SELECT n_nationkey, n_name, n_regionkey FROM $cat.r.dev.db.nation " +
+        s"WHERE n_regionkey = $rk"))
+    graft.versioned.TableOps.compact(s, repo, "main", "db/nation",
+      sortBy = Seq("n_nationkey"))
+    s.sql(s"SELECT * FROM $cat.r.main.db.nation ORDER BY n_nationkey")
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "vc_read_branch",
       "SELECT * FROM nation ORDER BY n_nationkey"
     )(readBranch),
+    Q(
+      "vc_compact_read",
+      "SELECT * FROM nation ORDER BY n_nationkey"
+    )(compactRead),
     Q(
       "vc_diff_rows",
       """SELECT n_nationkey, n_name, 'only_main' AS side FROM nation

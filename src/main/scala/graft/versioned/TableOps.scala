@@ -482,6 +482,89 @@ object TableOps {
     src.unpersist()
   }
 
+  // ---- compaction (OPTIMIZE) -------------------------------------------
+
+  /** Compaction: rewrite a table's file layout without changing its rows.
+    *
+    *  - Bin-packing (default): within each partition-value group, files
+    *    smaller than `targetFileBytes` are packed into bins and each bin
+    *    is rewritten as ONE file — the antidote to the small-files
+    *    problem a streaming sink or frequent small appends create (at
+    *    100 TB, scan task count and open-file overhead track file count,
+    *    not byte count).
+    *  - Sort clustering (`sortBy` non-empty): every file in the group is
+    *    rewritten, range-partitioned + sorted by `sortBy`, producing
+    *    files with DISJOINT min/max ranges on those columns — after
+    *    which stats pruning answers selective filters with single-file
+    *    scans even when ingest order was random (the lightweight cousin
+    *    of Iceberg's rewrite-with-sort-order).
+    *
+    * Pure layout change: committed with the same liveness validation as
+    * row-level rewrites — if concurrent DML replaced any input file, the
+    * commit aborts (re-run compaction) rather than resurrecting rows.
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, repo: GraftRepo, branch: String, key: String,
+      targetFileBytes: Long = 128L << 20, sortBy: Seq[String] = Nil): (Int, Int) = {
+    val snap = repo.headCommit(branch).tables.get(key).map(repo.snapshot)
+      .getOrElse(throw new NoSuchElementException(s"no such table: $key"))
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    // rewrite units, planned per partition-value group (compaction must
+    // never move rows across partition directories)
+    val units: Seq[Seq[FileEntry]] = snap.files.groupBy(_.partValues).toSeq
+      .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+      .flatMap { case (_, files) =>
+        if (sortBy.nonEmpty) {
+          if (files.isEmpty) Nil else Seq(files) // global re-cluster of the group
+        } else {
+          val small = files.filter(_.sizeBytes(bytesPerRow = 64L) < targetFileBytes)
+          // greedy first-fit bins; only bins that actually merge >1 file
+          val bins = scala.collection.mutable.ListBuffer[List[FileEntry]]()
+          var cur = List.empty[FileEntry]; var curBytes = 0L
+          small.sortBy(-_.sizeBytes(64L)).foreach { f =>
+            val b = f.sizeBytes(64L)
+            if (cur.nonEmpty && curBytes + b > targetFileBytes) {
+              bins += cur; cur = Nil; curBytes = 0L
+            }
+            cur = f :: cur; curBytes += b
+          }
+          if (cur.nonEmpty) bins += cur
+          bins.filter(_.size > 1).map(_.reverse).toSeq
+        }
+      }
+    if (units.isEmpty) return (snap.files.size, snap.files.size)
+    val replacedPaths = units.flatten.map(_.path).toSet
+    val newEntries = units.flatMap { unit =>
+      val df = readFiles(spark, repo, snap, schema, unit)
+      val out =
+        if (sortBy.isEmpty) df.coalesce(1)
+        else {
+          val totalBytes = unit.map(_.sizeBytes(64L)).sum
+          val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+          val cols = sortBy.map(col)
+          df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
+        }
+      writeFiles(spark, repo, out, key, snap.partitionFields, snap.nameMapping)
+    }
+    val committed = repo.commitRetry(branch, s"compact $key") { base =>
+      val cur = repo.snapshot(base.tables.getOrElse(key,
+        throw new NoSuchElementException(s"no such table: $key")))
+      val live = cur.files.map(_.path).toSet
+      val gone = replacedPaths.diff(live)
+      if (gone.nonEmpty)
+        throw new MergeConflictException(
+          s"compaction of $key conflicts with a concurrent rewrite of " +
+            s"${gone.size} file(s); re-run compaction")
+      val untouched = cur.files.filterNot(f => replacedPaths.contains(f.path))
+      val newSnap = repo.writeSnapshot(key, cur.schemaJson,
+        untouched ++ newEntries, cur.partitionBy, cur.physicalNames,
+        cur.props, cur.retired)
+      (base.tables + (key -> newSnap.id), base.namespaces)
+    }
+    (snap.files.size,
+      repo.snapshot(committed.tables(key)).files.size)
+  }
+
   /** Row-level diff between two refs of one table: rows only in A and
     * only in B (exceptAll both ways), tagged with a `side` column.
     */

@@ -804,6 +804,86 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       (1 to 30).filter(i => i % 5 == 2)
   }
 
+
+  test("compaction: bin-packing merges small files; rows, stats and " +
+    "partition layout are preserved") {
+    sql("CREATE NAMESPACE g.rcp")
+    sql("CREATE NAMESPACE g.rcp.main.db")
+    sql("CREATE TABLE g.rcp.main.db.t (id INT, v STRING)")
+    for (b <- 0 until 6)
+      sql(s"INSERT INTO g.rcp.main.db.t VALUES " +
+        (1 to 10).map(i => s"(${b * 10 + i}, 'v${b * 10 + i}')").mkString(", "))
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rcp"))
+    val before = repo.snapshot(repo.headCommit("main").tables("db/t")).files.size
+    before should be >= 6
+    val (b0, a0) = TableOps.compact(spark, repo, "main", "db/t")
+    b0 shouldBe before
+    a0 shouldBe 1
+    rows("SELECT count(*), min(id), max(id) FROM g.rcp.main.db.t") shouldBe
+      Seq(Seq(60L, 1, 60))
+    rows("SELECT v FROM g.rcp.main.db.t WHERE id = 33").flatten shouldBe Seq("v33")
+    // compacting an already-compact table is a no-op
+    TableOps.compact(spark, repo, "main", "db/t") shouldBe ((1, 1))
+    // old files are unreferenced, not deleted (time travel still works);
+    // vacuum keeps everything while ancestor commits reference them
+    repo.snapshot(repo.headCommit("main").tables("db/t")).files should have size 1
+  }
+
+  test("compaction with sort clustering: files get disjoint ranges, " +
+    "selective filters prune to a single file") {
+    import org.apache.spark.sql.sources.EqualTo
+    sql("CREATE NAMESPACE g.rcs")
+    sql("CREATE NAMESPACE g.rcs.main.db")
+    sql("CREATE TABLE g.rcs.main.db.t (id INT, v STRING)")
+    // ingest in pseudo-random order: file splits are contiguous slices of
+    // the INSERT order, so every file spans ~the full id range and a
+    // point lookup can prune (almost) nothing before clustering
+    for (m <- 0 until 4)
+      sql(s"INSERT INTO g.rcs.main.db.t VALUES " +
+        (0 until 100).filter(_ % 4 == m).sortBy(i => i * 37 % 100)
+          .map(i => s"($i, 'v$i')").mkString(", "))
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rcs"))
+    def snap() = repo.snapshot(repo.headCommit("main").tables("db/t"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap().schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val prunedBefore = TableOps.pruneFiles(snap(), schema, Seq(EqualTo("id", 57))).size
+    prunedBefore should be > 2 // overlapping ranges: lookup hits many files
+    // cluster by id into ~4 files of disjoint ranges
+    val (_, after) = TableOps.compact(spark, repo, "main", "db/t",
+      targetFileBytes = 2048, sortBy = Seq("id"))
+    after should be >= 2
+    val fs = snap().files
+    // ranges are pairwise disjoint
+    val ranges = fs.map(f => (f.min("id").toInt, f.max("id").toInt)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => hi should be < lo2
+      case _ =>
+    }
+    TableOps.pruneFiles(snap(), schema, Seq(EqualTo("id", 57))).size shouldBe 1
+    rows("SELECT count(*), sum(id) FROM g.rcs.main.db.t") shouldBe
+      Seq(Seq(100L, (0 until 100).sum.toLong))
+  }
+
+  test("compaction on a partitioned table never merges across partition " +
+    "directories") {
+    sql("CREATE NAMESPACE g.rcpp")
+    sql("CREATE NAMESPACE g.rcpp.main.db")
+    sql("CREATE TABLE g.rcpp.main.db.t (id INT, cat STRING) PARTITIONED BY (cat)")
+    for (_ <- 0 until 3)
+      sql("INSERT INTO g.rcpp.main.db.t VALUES (1, 'a'), (2, 'a'), (3, 'b')")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rcpp"))
+    val (b, a) = TableOps.compact(spark, repo, "main", "db/t")
+    b should be >= 6
+    a shouldBe 2 // one file per category
+    val fs = repo.snapshot(repo.headCommit("main").tables("db/t")).files
+    fs.map(_.partValues("cat")).sorted shouldBe Seq("a", "b")
+    rows("SELECT cat, count(*) FROM g.rcpp.main.db.t GROUP BY cat ORDER BY cat")
+      .map(_.toList) shouldBe Seq(List("a", 6L), List("b", 3L))
+  }
+
   test("catalog reads are native columnar parquet BatchScans (no V1/RDD bridge)") {
     spark.sql("CREATE NAMESPACE g.rcol")
     spark.sql("CREATE NAMESPACE g.rcol.main.db")
