@@ -244,6 +244,31 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** SemDeDup (semantic dedup over embeddings): spherical k-means
+    * clusters the corpus (the [[Similarity]] IVF quantizer, deterministic
+    * init), then WITHIN each cluster a vector is a duplicate iff its
+    * cosine to ANY lower-id cluster member is >= tau — survivors are the
+    * greedy lowest-id representatives. The pair join never crosses
+    * cluster boundaries, so candidate work is sum of cluster sizes
+    * squared (~N^1.5 for k=sqrt(N)), never all-pairs; only the k-row
+    * centroid model is broadcast. Rows-only gate (k-means is
+    * engine-specific); determinism + no-surviving-near-dup invariant are
+    * spec-gated in LlmOpsSpec.
+    */
+  private def semdedup(s: org.apache.spark.sql.SparkSession, d: String,
+      tau: Double = 0.35): DataFrame = {
+    val idx = Similarity.kmeansIndex(s, d)._1.localCheckpoint()
+    val dups = idx.as("a")
+      .join(idx.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(dot(col("a.nv"), col("b.nv")) / (col("a.nn") * col("b.nn")) >= tau)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    idx.join(dups, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "dd_exact",
@@ -254,6 +279,7 @@ object Dedup {
     )(exact),
     Q.rowsOnly("dd_minhash_lsh")(minhashLsh),
     Q.rowsOnly("dd_simhash")(simhash),
+    Q.rowsOnly("dd_semdedup")((s, d) => semdedup(s, d)),
     Q(
       "dd_cluster",
       """WITH RECURSIVE

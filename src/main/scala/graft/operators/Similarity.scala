@@ -118,11 +118,18 @@ object Similarity {
     *    join is a keyed shuffle on cell id — work drops from |Q|×|N| to
     *    (nprobe/k)·|N| per query.
     */
-  private[graft] def ivf(s: SparkSession, d: String,
-      k: Int = 0, nprobe: Int = 8, lloydRounds: Int = 2): DataFrame = {
+  /** Spherical k-means coarse quantizer over the embeddings table:
+    * deterministic init (every N/k-th unit vector), `lloydRounds` Lloyd
+    * iterations, one cell per vector. Returns the assignment
+    * (vec_id, nv, nn, cell) plus the trained k×dim centroid model —
+    * also the clustering stage of [[Dedup]]'s SemDeDup. Only the model
+    * is ever collected/broadcast.
+    */
+  private[graft] def kmeansIndex(s: SparkSession, d: String,
+      k: Int = 0, lloydRounds: Int = 2): (DataFrame, Seq[(Long, Seq[Double])]) = {
     import s.implicits._
     val corpus = T.embeddings(s, d)
-      .select(col("vec_id").as("neighbor_id"), toDoubleVec(col("embedding")).as("nv"))
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("nv"))
       .withColumn("nn", l2norm(col("nv")))
       .withColumn("u", expr("transform(nv, x -> x / nn)")) // unit vectors
       .localCheckpoint() // reused per Lloyd round + final index
@@ -132,18 +139,18 @@ object Similarity {
 
     // deterministic init: every step-th unit vector
     var centroids = corpus
-      .filter(col("neighbor_id") % step === 0)
+      .filter(col("vec_id") % step === 0)
       .limit(kk)
-      .select(col("neighbor_id").as("cell"), col("u").as("cv"))
+      .select(col("vec_id").as("cell"), col("u").as("cv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
 
     def centroidDf = s.createDataFrame(centroids).toDF("cell", "cv")
     def assign(): DataFrame = {
-      val w = Window.partitionBy(col("neighbor_id"))
+      val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("sim").desc, col("cell"))
       corpus
         .join(broadcast(centroidDf), lit(true)) // k-row model, not corpus
-        .select(col("neighbor_id"), col("u"), col("nv"), col("nn"), col("cell"),
+        .select(col("vec_id"), col("u"), col("nv"), col("nn"), col("cell"),
           dot(col("u"), col("cv")).as("sim"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -168,8 +175,15 @@ object Similarity {
         }.toSeq
       centroids = means
     }
+    (assign().select(col("vec_id"), col("nv"), col("nn"), col("cell")), centroids)
+  }
 
-    val index = assign().select(col("neighbor_id"), col("nv"), col("nn"), col("cell"))
+  private[graft] def ivf(s: SparkSession, d: String,
+      k: Int = 0, nprobe: Int = 8, lloydRounds: Int = 2): DataFrame = {
+    import s.implicits._
+    val (idx, model) = kmeansIndex(s, d, k, lloydRounds)
+    val index = idx.toDF("neighbor_id", "nv", "nn", "cell")
+    val centroidDf = s.createDataFrame(model).toDF("cell", "cv")
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("cell"))
     val queryCells = queriesSet(s, d)

@@ -73,24 +73,76 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Document fingerprinting by winnowing: word-3-gram rolling hashes,
-    * window-of-4 minima, distinct minima = fingerprint sketch. Rows-only.
+  /** Document fingerprinting by winnowing: word-3-gram hashes (md5 —
+    * engine-portable, so the whole sketch is DuckDB-oracle-checked),
+    * window-of-4 minima, distinct minima = fingerprint sketch. Row-local
+    * and linear per document.
     */
   private def fingerprint(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
       .withColumn("w", words(col("text")))
       .withColumn("sh", expr(
         """transform(sequence(0, greatest(size(w) - 3, 0)), i ->
-          |  xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2])))""".stripMargin))
+          |  md5(concat_ws(' ', w[i], w[i+1], w[i+2])))""".stripMargin))
       .withColumn("fps", expr(
         """array_distinct(transform(sequence(0, greatest(size(sh) - 4, 0)), i ->
-          |  least(sh[i], sh[i+1], sh[i+2], sh[i+3])))""".stripMargin))
+          |  least(coalesce(sh[i], 'zz'), coalesce(sh[i+1], 'zz'),
+          |        coalesce(sh[i+2], 'zz'), coalesce(sh[i+3], 'zz'))))""".stripMargin))
       .select(
         col("doc_id"),
         size(col("fps")).cast("long").as("n_fp"),
         array_min(col("fps")).as("min_fp"),
-        expr("aggregate(fps, 0L, (acc, x) -> acc ^ x)").as("xor_fp"))
+        array_max(col("fps")).as("max_fp"))
       .orderBy(col("doc_id"))
+
+  /** Gopher-style repetition metrics: duplicate word / bigram / trigram
+    * fractions (1 - distinct/total), plus a composite `repetitive` flag.
+    * Linear per document (distinct counts, no pairwise work) — the
+    * cheap structural half of a repetition filter at 100 TB.
+    */
+  private def repetition(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .withColumn("w", words(col("text")))
+      .withColumn("g2", expr(
+        "transform(sequence(0, greatest(size(w) - 2, 0)), i -> concat_ws(' ', w[i], w[i+1]))"))
+      .withColumn("g3", expr(
+        "transform(sequence(0, greatest(size(w) - 3, 0)), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        (lit(1.0) - size(array_distinct(col("w"))).cast("double") / size(col("w")))
+          .as("dup_word_ratio"),
+        (lit(1.0) - size(array_distinct(col("g2"))).cast("double") / size(col("g2")))
+          .as("dup_bigram_ratio"),
+        (lit(1.0) - size(array_distinct(col("g3"))).cast("double") / size(col("g3")))
+          .as("dup_trigram_ratio"))
+      .withColumn("repetitive",
+        col("dup_word_ratio") > 0.5 || col("dup_trigram_ratio") > 0.2)
+      .orderBy(col("doc_id"))
+
+  /** Benchmark decontamination: the eval set is every 97th document; a
+    * training document is contaminated if it shares ANY distinct word
+    * 5-gram with any eval document. Shape at 100 TB: per-doc distinct
+    * shingles (row-local) -> keyed equi-join against the (small,
+    * broadcastable) eval shingle set -> per-doc hit count; the corpus
+    * never self-joins.
+    */
+  private def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d).withColumn("w", words(col("text")))
+    val grams = docs.select(col("doc_id"), explode(expr(
+      """array_distinct(transform(sequence(0, greatest(size(w) - 5, 0)), i ->
+        |  concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))""".stripMargin)).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+    val hits = grams.filter(col("doc_id") % 97 =!= 0)
+      .join(evalGrams, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    docs.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= 1)
+      .orderBy(col("doc_id"))
+  }
 
   /** Composite training-data pipeline stage: quality gate -> exact dedup
     * (keep lowest doc_id per normalized text) -> surviving corpus. The
@@ -204,7 +256,76 @@ object TextAnalysis {
         |       CAST(ceil(CAST(length(text) AS DOUBLE) / 3.5) AS BIGINT) AS bpe_est
         |FROM documents ORDER BY doc_id""".stripMargin
     )(tokens),
-    Q.rowsOnly("tx_langid")(langid),
-    Q.rowsOnly("tx_fingerprint")(fingerprint)
+    Q(
+      "tx_langid",
+      s"""WITH s2 AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter(ws, w -> w IN ${inList(stops("de"))})) AS s_de,
+         |    len(list_filter(ws, w -> w IN ${inList(stops("en"))})) AS s_en,
+         |    len(list_filter(ws, w -> w IN ${inList(stops("es"))})) AS s_es,
+         |    len(list_filter(ws, w -> w IN ${inList(stops("fr"))})) AS s_fr,
+         |    len(list_filter(ws, w -> w IN ${inList(stops("zh"))})) AS s_zh,
+         |    len(ws) AS nw
+         |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents))
+         |SELECT doc_id, lang,
+         |  CASE WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en'
+         |       WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr'
+         |       ELSE 'zh' END AS pred_lang,
+         |  round(CAST(m AS DOUBLE) / nw, 6) AS conf
+         |FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM s2)
+         |ORDER BY doc_id""".stripMargin
+    )(langid),
+    Q(
+      "tx_fingerprint",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(0, greatest(len(sh) - 4, 0) + 1), i ->
+        |      least(coalesce(sh[i+1], 'zz'), coalesce(sh[i+2], 'zz'),
+        |            coalesce(sh[i+3], 'zz'), coalesce(sh[i+4], 'zz')))) AS fps
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_transform(range(0, greatest(len(w) - 3, 0) + 1), i ->
+        |        md5(concat_ws(' ', w[i+1], w[i+2], w[i+3]))) AS sh
+        |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)))
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+        |       list_aggregate(fps, 'min') AS min_fp,
+        |       list_aggregate(fps, 'max') AS max_fp
+        |FROM f ORDER BY doc_id""".stripMargin
+    )(fingerprint),
+    Q(
+      "tx_repetition",
+      """WITH r AS (
+        |  SELECT doc_id, w,
+        |    list_transform(range(0, greatest(len(w) - 2, 0) + 1),
+        |      i -> concat_ws(' ', w[i+1], w[i+2])) AS g2,
+        |    list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+        |      i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])) AS g3
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents))
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |  1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_word_ratio,
+        |  1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) AS dup_bigram_ratio,
+        |  1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) AS dup_trigram_ratio,
+        |  (1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) > 0.5 OR
+        |  (1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)) > 0.2 AS repetitive
+        |FROM r ORDER BY doc_id""".stripMargin
+    )(repetition),
+    Q(
+      "tx_decontaminate",
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(w) - 5, 0) + 1),
+        |    i -> concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4], w[i+5])))) AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+        |hits AS (
+        |  SELECT g.doc_id, count(*) AS n_shared
+        |  FROM g JOIN ev USING (g) WHERE g.doc_id % 97 <> 0
+        |  GROUP BY g.doc_id)
+        |SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared,
+        |       coalesce(h.n_shared, 0) >= 1 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |WHERE d.doc_id % 97 <> 0
+        |ORDER BY d.doc_id""".stripMargin
+    )(decontaminate)
   )
 }

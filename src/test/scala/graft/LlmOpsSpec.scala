@@ -104,6 +104,39 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     exact.diff(found) shouldBe empty
   }
 
+  test("dd_semdedup: deterministic survivors; no survivor has a lower-id " +
+    "near-duplicate in its own cluster; duplicates were actually removed") {
+    import org.apache.spark.sql.functions._
+    val run1 = SparkEntry.queries("dd_semdedup")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val run2 = SparkEntry.queries("dd_semdedup")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    run1 shouldBe run2 // deterministic clustering + greedy rule
+    val total = graft.Tables.embeddings(spark, sfDir).count()
+    run1.length.toLong should be < total   // something was deduped
+    run1.length.toLong should be > total / 2 // but not everything
+    // invariant: within a cluster, survivors are pairwise below tau OR
+    // separated such that each survivor's lower-id near-dups were all in
+    // OTHER clusters — verify directly with a brute-force recompute
+    val surv = run1.toSet
+    val byCluster = run1.groupBy(_._2)
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    byCluster.values.foreach { members =>
+      val ids = members.map(_._1).sorted
+      for (i <- ids.indices; j <- 0 until i)
+        withClue(s"survivors ${ids(j)} and ${ids(i)} in one cluster: ") {
+          cos(vecs(ids(j)), vecs(ids(i))) should be < 0.35
+        }
+    }
+  }
+
   test("q24_approx_distinct: HLL estimates within 5% of exact counts") {
     val approx = SparkEntry.queries("q24_approx_distinct")(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
