@@ -31,7 +31,8 @@ import graft.versioned.GraftRepo
   * Rename is unsupported, mirroring the reference
   * (LakeFSCatalog.java:218).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -57,12 +58,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def checkNs(ns: Array[String]): Unit =
     if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
 
+  // ---- stored procedures (CALL g.system.<proc>(...)) -------------------
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace().sameElements(Array("system")))
+      throw new UnsupportedOperationException(s"unknown procedure namespace: $ident")
+    GraftProcedures.load(root, ident.name()).getOrElse(
+      throw new UnsupportedOperationException(s"unknown procedure: $ident"))
+  }
+
+  override def listProcedures(ns: Array[String]): Array[Identifier] =
+    if (ns.isEmpty || ns.sameElements(Array("system")))
+      GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
   // ---- namespaces ------------------------------------------------------
 
-  override def listNamespaces(): Array[Array[String]] =
-    Files.list(root).iterator().asScala
+  override def listNamespaces(): Array[Array[String]] = {
+    val s = Files.list(root)
+    try s.iterator().asScala
       .filter(p => GraftRepo.exists(p))
       .map(p => Array(p.getFileName.toString)).toArray.sortBy(_.head)
+    finally s.close()
+  }
 
   override def listNamespaces(ns: Array[String]): Array[Array[String]] = ns match {
     case Array() => listNamespaces()

@@ -1,0 +1,123 @@
+package graft.catalog
+
+import java.nio.file.Path
+import java.util.{Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.versioned.{GraftRepo, TableOps}
+
+/** SQL stored procedures for catalog maintenance — the DSv2
+  * `ProcedureCatalog` surface, addressed Iceberg-style:
+  * {{{
+  *   CALL g.system.compact('repo', 'main', 'db.t', 134217728, 'id')
+  *   CALL g.system.vacuum('repo')
+  *   CALL g.system.create_tag('repo', 'v1', 'main')
+  *   CALL g.system.create_branch('repo', 'dev', 'main')
+  *   CALL g.system.merge('repo', 'dev', 'main')
+  * }}}
+  * This closes the SQL-only gap for the version-control verbs the
+  * reference's users reach through lakeFS itself (branch/tag/merge) and
+  * for table maintenance (compaction, GC): a SQL-only client needs no
+  * Scala API for day-2 operations.
+  */
+private[catalog] object GraftProcedures {
+
+  /** One procedure: fixed IN parameters, single-row result produced on
+    * the driver (maintenance verbs are metadata operations; the heavy
+    * lifting inside compact() is regular distributed Spark jobs).
+    */
+  private final class Proc(
+      override val name: String,
+      params: Seq[(String, DataType, Option[String])],
+      out: StructType,
+      exec: InternalRow => Seq[Any]) extends UnboundProcedure with BoundProcedure {
+    override def description(): String = s"graft system procedure $name"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] =
+      params.map { case (n, dt, dflt) =>
+        val b = ProcedureParameter.in(n, dt)
+        dflt.foreach(b.defaultValue)
+        b.build()
+      }.toArray
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val row = InternalRow.fromSeq(exec(input))
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = out
+        override def description(): String = s"graft procedure $name result"
+      }
+      java.util.List.of(scan).iterator()
+    }
+  }
+
+  private def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
+
+  def names: Seq[String] =
+    Seq("compact", "vacuum", "create_tag", "create_branch", "merge")
+
+  def load(root: Path, name: String): Option[UnboundProcedure] = {
+    def open(repo: String) = GraftRepo.open(root.resolve(repo))
+    name match {
+      case "compact" => Some(new Proc(
+        "compact",
+        Seq(
+          ("repo", StringType, None),
+          ("branch", StringType, None),
+          ("tbl", StringType, None),
+          ("target_bytes", LongType, Some((128L << 20).toString)),
+          ("sort_by", StringType, Some("''"))),
+        StructType(Seq(
+          StructField("files_before", IntegerType, nullable = false),
+          StructField("files_after", IntegerType, nullable = false))),
+        { in =>
+          val key = str(in, 2).replace('.', '/')
+          val sortBy = str(in, 4).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val (b, a) = TableOps.compact(SparkSession.active, open(str(in, 0)),
+            str(in, 1), key, in.getLong(3), sortBy)
+          Seq(b, a)
+        }))
+      case "vacuum" => Some(new Proc(
+        "vacuum",
+        Seq(("repo", StringType, None)),
+        StructType(Seq(StructField("deleted_files", IntegerType, nullable = false))),
+        in => Seq(open(str(in, 0)).vacuum())))
+      case "create_tag" => Some(new Proc(
+        "create_tag",
+        Seq(("repo", StringType, None), ("tag", StringType, None),
+          ("ref", StringType, Some("'main'"))),
+        StructType(Seq(StructField("commit_id", StringType, nullable = false))),
+        { in =>
+          val g = open(str(in, 0))
+          g.createTag(str(in, 1), str(in, 2))
+          Seq(UTF8String.fromString(g.resolve(str(in, 1)).id))
+        }))
+      case "create_branch" => Some(new Proc(
+        "create_branch",
+        Seq(("repo", StringType, None), ("branch", StringType, None),
+          ("from_ref", StringType, Some("'main'"))),
+        StructType(Seq(StructField("commit_id", StringType, nullable = false))),
+        { in =>
+          val g = open(str(in, 0))
+          g.createBranch(str(in, 1), str(in, 2))
+          Seq(UTF8String.fromString(g.headCommit(str(in, 1)).id))
+        }))
+      case "merge" => Some(new Proc(
+        "merge",
+        Seq(("repo", StringType, None), ("src", StringType, None),
+          ("dst", StringType, None)),
+        StructType(Seq(StructField("commit_id", StringType, nullable = false))),
+        { in =>
+          val c = open(str(in, 0)).merge(str(in, 1), str(in, 2))
+          Seq(UTF8String.fromString(c.id))
+        }))
+      case _ => None
+    }
+  }
+}

@@ -884,6 +884,33 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       .map(_.toList) shouldBe Seq(List("a", 6L), List("b", 3L))
   }
 
+
+  test("SQL stored procedures: CALL g.system.{create_branch,merge," +
+    "create_tag,compact,vacuum}") {
+    sql("CREATE NAMESPACE g.rpc")
+    sql("CREATE NAMESPACE g.rpc.main.db")
+    sql("CREATE TABLE g.rpc.main.db.t (id INT, v STRING)")
+    for (b <- 0 until 3)
+      sql(s"INSERT INTO g.rpc.main.db.t VALUES ($b, 'v$b')")
+    // branch via CALL, isolated DML, merge via CALL
+    val bc = rows("CALL g.system.create_branch('rpc', 'dev', 'main')")
+    bc.head.head.toString should startWith ("c")
+    sql("DELETE FROM g.rpc.dev.db.t WHERE id = 1")
+    rows("SELECT count(*) FROM g.rpc.main.db.t").flatten shouldBe Seq(3L)
+    rows("CALL g.system.merge('rpc', 'dev', 'main')")
+    rows("SELECT id FROM g.rpc.main.db.t ORDER BY id").flatten shouldBe Seq(0, 2)
+    // tag the merged state; time travel through the tag still works
+    rows("CALL g.system.create_tag('rpc', 'after-merge', 'main')")
+    rows("SELECT count(*) FROM g.rpc.main.db.t VERSION AS OF 'after-merge'")
+      .flatten shouldBe Seq(2L)
+    // compaction via CALL (named defaults for target/sort)
+    val c = rows("CALL g.system.compact('rpc', 'main', 'db.t')")
+    c.head(1).asInstanceOf[Int] should be <= c.head(0).asInstanceOf[Int]
+    rows("SELECT id FROM g.rpc.main.db.t ORDER BY id").flatten shouldBe Seq(0, 2)
+    // vacuum via CALL: nothing deletable while history references files
+    rows("CALL g.system.vacuum('rpc')").head.head.asInstanceOf[Int] should be >= 0
+  }
+
   test("catalog reads are native columnar parquet BatchScans (no V1/RDD bridge)") {
     spark.sql("CREATE NAMESPACE g.rcol")
     spark.sql("CREATE NAMESPACE g.rcol.main.db")
