@@ -201,6 +201,38 @@ object Streaming {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Stream-stream interval join: per user, each click joins purchases
+    * landing within the following hour. Both sides carry watermarks and
+    * the join condition bounds event-time distance, so Spark's
+    * symmetric-hash join keeps only one watermark-window of state per
+    * side — the attribution-join shape that holds at 100 TB/day (state
+    * is O(in-flight window), never O(stream)). Inner matches emit as
+    * soon as both rows arrive; the watermark only drives state eviction.
+    */
+  private def streamJoin(s: SparkSession, d: String): DataFrame = {
+    // two INDEPENDENT file sources (not two filters of one stream):
+    // mirrors a real deployment's separate topics
+    val clicks = eventStream(s, d, sentinel = false)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventStream(s, d, sentinel = false)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+    runToTable(s, joined, OutputMode.Append())
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts").cast(TimestampNTZType).as("click_ts"),
+        col("purchase_ts").cast(TimestampNTZType).as("purchase_ts"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** Streaming exact dedup on (user_id, event_type) within the watermark
     * (dropDuplicates keyed state) — output is the distinct key set.
     */
@@ -260,6 +292,16 @@ object Streaming {
       "st_dedup_stream",
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin
-    )(dedupStream)
+    )(dedupStream),
+    Q(
+      "st_stream_join",
+      """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+        |       a.ts AS click_ts, b.ts AS purchase_ts
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY a.user_id, click_id, purchase_id""".stripMargin
+    )(streamJoin)
   )
 }
