@@ -15,12 +15,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+    }
+    // a throwing query must NOT silently vanish from the correctness gate
+    // (its output dir would simply be absent from the compare) — fail the
+    // whole dump loudly instead
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] FAILED queries: ${failed.sorted.mkString(", ")}")
+      spark.stop()
+      sys.exit(1)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

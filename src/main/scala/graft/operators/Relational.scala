@@ -548,6 +548,102 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // ---- q28: lateral explode + re-aggregate ---------------------------------
+    // Unnest a per-row array (comment words) and aggregate over the exploded
+    // rows — the LATERAL VIEW shape. Generate is pipelined inside the scan
+    // stage (no shuffle until the final agg), so at 100 TB the explode adds
+    // zero extra exchanges.
+    Q(
+      "q28_explode_agg",
+      """SELECT w AS word, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |      FROM documents)
+        |WHERE length(w) >= 6
+        |GROUP BY w
+        |HAVING count(*) >= 50
+        |ORDER BY n DESC, word LIMIT 50""".stripMargin
+    ) { (s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) >= 6)
+        .groupBy(col("w").as("word"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n") >= 50)
+        .orderBy(col("n").desc, col("word"))
+        .limit(50)
+    },
+
+    // ---- q29: higher-order array functions -----------------------------------
+    // Per-order array built with a DETERMINISTIC order (sort_array over
+    // (linenumber, qty) structs), then transform/filter/aggregate lambdas —
+    // all codegen-friendly, no UDFs. DuckDB mirrors with list(... ORDER BY)
+    // + list_transform/list_filter/list_sum.
+    Q(
+      "q29_higher_order",
+      """SELECT o_orderkey, qtys,
+        |       list_transform(qtys, q -> q * 2) AS doubled,
+        |       len(list_filter(qtys, q -> q >= 30)) AS n_big,
+        |       CAST(list_sum(qtys) AS DOUBLE) AS total_qty
+        |FROM (
+        |  SELECT l_orderkey AS o_orderkey,
+        |         list(l_quantity ORDER BY l_linenumber, l_quantity) AS qtys
+        |  FROM lineitem GROUP BY l_orderkey)
+        |WHERE len(qtys) >= 6
+        |ORDER BY o_orderkey LIMIT 1000""".stripMargin
+    ) { (s, d) =>
+      T.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(l_linenumber, l_quantity))), x -> x.l_quantity)")
+          .as("qtys"))
+        .filter(size(col("qtys")) >= 6)
+        .select(
+          col("o_orderkey"), col("qtys"),
+          expr("transform(qtys, q -> q * 2)").as("doubled"),
+          expr("size(filter(qtys, q -> q >= 30))").cast("long").as("n_big"),
+          expr("aggregate(qtys, 0.0D, (acc, q) -> acc + q)").as("total_qty"))
+        .orderBy(col("o_orderkey"))
+        .limit(1000)
+    },
+
+    // ---- q30: full analytic-window battery -----------------------------------
+    // lead/lag/dense_rank/ntile/first/last over one partition spec: one
+    // hash-partition exchange + one sort feeds EVERY window function
+    // (single Window node — the planner shares the partitioning).
+    Q(
+      "q30_window_battery",
+      """SELECT c_custkey, o_orderkey,
+        |       lag(o_totalprice) OVER w AS prev_price,
+        |       lead(o_totalprice) OVER w AS next_price,
+        |       dense_rank() OVER w AS dr,
+        |       ntile(4) OVER w AS quartile,
+        |       first_value(o_orderkey) OVER w AS first_ok,
+        |       o_totalprice - max(o_totalprice) OVER
+        |         (PARTITION BY c_custkey) AS delta_max
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_custkey % 10 = 0
+        |WINDOW w AS (PARTITION BY c_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY c_custkey, o_orderkey""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wAll = Window.partitionBy(col("c_custkey"))
+      T.orders(s, d)
+        .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_custkey") % 10 === 0)
+        .select(
+          col("c_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          dense_rank().over(w).cast("long").as("dr"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          (col("o_totalprice") - max(col("o_totalprice")).over(wAll))
+            .as("delta_max"))
+        .orderBy(col("c_custkey"), col("o_orderkey"))
+    },
+
     // ---- q26: stratified sample (rows-only: sampling RNG is engine-specific) --
     // Per-stratum Bernoulli sampling with a fixed seed: one scan, no shuffle,
     // deterministic for a given Spark version. Returns per-flag sampled counts
