@@ -92,6 +92,31 @@ object Multimodal {
     ) { (s, d) =>
       decode(s, d).select(col("doc_id"), col("format"), col("byte_len"))
         .orderBy(col("doc_id"))
+    },
+    // Frame sampling over the decoded video rows: every 5th frame index
+    // explodes to one row (generate pipelines inside the decode stage —
+    // no shuffle), each sampled frame gets a deterministic signature
+    // (stand-in for a per-frame embedding; a real pipeline swaps ONLY
+    // the kernel). Frame counts derive from the stubbed decode, which is
+    // itself a pure function of payload length — so the whole sampling
+    // plan is DuckDB-oracle-checked end-to-end.
+    Q(
+      "mm_framesample",
+      """SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx,
+        |       md5(doc_id || ':' || idx) AS frame_sig
+        |FROM (SELECT doc_id,
+        |             unnest(range(0, 1 + octet_length(CAST(text AS BLOB)) % 30, 5)) AS idx
+        |      FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY doc_id, frame_idx""".stripMargin
+    ) { (s, d) =>
+      decode(s, d)
+        .filter(col("format") === "video")
+        .select(col("doc_id"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(5))).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("frame_idx").cast("string"))).as("frame_sig"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     }
   )
 }

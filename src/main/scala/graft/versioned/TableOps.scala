@@ -464,7 +464,12 @@ object TableOps {
         if (candidates.isEmpty) None
         else {
           val candDf = readFiles(spark, repo, snap, schema, candidates)
-          val kept = candDf.join(broadcast(src.select(keyCols.map(col): _*)),
+          // broadcast the source key set only when it is PROVEN small
+          // (the enumerable guard already counted it); a huge merge
+          // source must shuffle-join, never broadcast
+          val srcKeys = src.select(keyCols.map(col): _*)
+          val kept = candDf.join(
+            if (enumerable.isDefined) broadcast(srcKeys) else srcKeys,
             keyCols, "left_anti")
           if (kept.isEmpty) None else Some(kept)
         }
