@@ -254,9 +254,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** Translate DSv2 partition transforms to the graft spec. Supported:
-    * identity(col) and bucket(n, col) — the layout-control pair the
-    * reference's users get from Iceberg partition specs. Anything else
-    * fails loudly instead of being silently dropped.
+    * identity(col), bucket(n, col), the temporal family years/months/
+    * days/hours(ts) (the workhorse layout for time-series at scale), and
+    * truncate(w, col) for integral/string sources — the Iceberg
+    * transform set. Anything else fails loudly instead of being
+    * silently dropped.
     */
   private def parseTransforms(schema: StructType,
       partitions: Array[Transform]): Seq[graft.versioned.PartitionField] =
@@ -271,18 +273,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           throw new IllegalArgumentException(s"no such partition source column: $c")
         c
       }
+      def sourceType: org.apache.spark.sql.types.DataType =
+        schema.fields.find(_.name == sourceCol).get.dataType
+      def intArg(what: String): Int = t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+          if l.value().isInstanceOf[Number] => l.value().asInstanceOf[Number].intValue()
+      }.getOrElse(throw new IllegalArgumentException(s"$what needs a count: $t"))
       t.name() match {
         case "identity" =>
           graft.versioned.PartitionField(sourceCol, "identity", sourceCol)
         case "bucket" =>
-          val n = t.arguments().collectFirst {
-            case l: org.apache.spark.sql.connector.expressions.Literal[_]
-              if l.value().isInstanceOf[Number] => l.value().asInstanceOf[Number].intValue()
-          }.getOrElse(throw new IllegalArgumentException(s"bucket needs a count: $t"))
+          val n = intArg("bucket")
           if (n <= 0) throw new IllegalArgumentException(s"bucket count must be > 0: $n")
           graft.versioned.PartitionField(s"${sourceCol}_bucket", "bucket", sourceCol, n)
+        case tn @ ("years" | "months" | "days" | "hours") =>
+          import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+          sourceType match {
+            case TimestampType | TimestampNTZType | DateType => ()
+            case other => throw new IllegalArgumentException(
+              s"$tn transform needs a timestamp/date source, got ${other.simpleString}")
+          }
+          graft.versioned.PartitionField(
+            s"${sourceCol}_${tn.stripSuffix("s")}", tn, sourceCol)
+        case "truncate" =>
+          import org.apache.spark.sql.types._
+          sourceType match {
+            case ByteType | ShortType | IntegerType | LongType | StringType => ()
+            case other => throw new IllegalArgumentException(
+              s"truncate transform needs an integral or string source, got ${other.simpleString}")
+          }
+          val w = intArg("truncate")
+          if (w <= 0) throw new IllegalArgumentException(s"truncate width must be > 0: $w")
+          graft.versioned.PartitionField(s"${sourceCol}_trunc", "truncate", sourceCol, w)
         case other => throw new UnsupportedOperationException(
-          s"unsupported partition transform: $other (only identity/bucket)")
+          s"unsupported partition transform: $other " +
+            "(identity/bucket/years/months/days/hours/truncate)")
       }
     }
 

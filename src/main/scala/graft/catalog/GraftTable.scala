@@ -46,6 +46,12 @@ final class GraftTable(
       import org.apache.spark.sql.connector.expressions.Expressions
       pf.transform match {
         case "bucket" => Expressions.bucket(pf.numBuckets, pf.source)
+        case "years" => Expressions.years(pf.source)
+        case "months" => Expressions.months(pf.source)
+        case "days" => Expressions.days(pf.source)
+        case "hours" => Expressions.hours(pf.source)
+        case "truncate" => Expressions.apply("truncate",
+          Expressions.literal(pf.numBuckets), Expressions.column(pf.source))
         case _ => Expressions.identity(pf.source)
       }
     }.toArray

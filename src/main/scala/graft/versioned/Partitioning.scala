@@ -47,6 +47,15 @@ object Partitioning {
     * under as-written (physical) names; `sourceType` is the column's
     * CURRENT logical type (possibly widened since CREATE).
     */
+  /** Directory-value format per temporal transform (session tz is UTC by
+    * the catalog contract, so instants and NTZ values format identically).
+    * The formats sort LEXICALLY in time order, which is what lets range
+    * filters prune directories with plain string compares.
+    */
+  private val TemporalFmt = Map(
+    "years" -> "yyyy", "months" -> "yyyy-MM",
+    "days" -> "yyyy-MM-dd", "hours" -> "yyyy-MM-dd-HH")
+
   def partitionColumn(pf: PartitionField, sourceType: DataType,
       physicalNames: Map[String, String] = Map.empty): Column = {
     val src = col(physicalNames.getOrElse(pf.source, pf.source))
@@ -57,10 +66,54 @@ object Partitioning {
           if (bucketHashType(sourceType) == sourceType) src
           else src.cast(bucketHashType(sourceType))
         pmod(xxhash64(hashed), lit(pf.numBuckets.toLong)).cast("int")
+      case t if TemporalFmt.contains(t) =>
+        date_format(src, TemporalFmt(t))
+      case "truncate" => sourceType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          (src - pmod(src, lit(pf.numBuckets))).cast("long")
+        case StringType => substring(src, 1, pf.numBuckets)
+        case other => throw new UnsupportedOperationException(
+          s"truncate transform needs an integral or string source, got $other")
+      }
       case other =>
         throw new UnsupportedOperationException(s"unknown transform: $other")
     }
   }
+
+  /** Literal -> UTC LocalDateTime for temporal-transform pruning. Covers
+    * every value shape Spark's v1 filters use for timestamp/date columns.
+    */
+  private def toUtcDateTime(v: Any): Option[java.time.LocalDateTime] = v match {
+    case t: java.sql.Timestamp =>
+      Some(java.time.LocalDateTime.ofInstant(t.toInstant, java.time.ZoneOffset.UTC))
+    case i: java.time.Instant =>
+      Some(java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC))
+    case l: java.time.LocalDateTime => Some(l)
+    case d: java.sql.Date => Some(d.toLocalDate.atStartOfDay)
+    case d: java.time.LocalDate => Some(d.atStartOfDay)
+    case s: String =>
+      scala.util.Try(java.time.LocalDateTime.parse(s.replace(' ', 'T'))).toOption
+        .orElse(scala.util.Try(java.time.LocalDate.parse(s).atStartOfDay).toOption)
+    case _ => None
+  }
+
+  /** The directory value a literal lands in under `transform` — the
+    * floor of the literal. None when the literal shape is unknown
+    * (caller keeps the file).
+    */
+  private[versioned] def floorOfLiteral(v: Any, pf: PartitionField): Option[String] =
+    pf.transform match {
+      case t if TemporalFmt.contains(t) => toUtcDateTime(v).map(dt =>
+        dt.format(java.time.format.DateTimeFormatter.ofPattern(TemporalFmt(t))))
+      case "truncate" => v match {
+        case n: Number =>
+          val w = pf.numBuckets
+          Some((n.longValue() - java.lang.Math.floorMod(n.longValue(), w.toLong)).toString)
+        case s: String => Some(s.take(pf.numBuckets))
+        case _ => None
+      }
+      case _ => None
+    }
 
   /** Literal-side bucket: same XxHash64(seed=42) Spark applies on the
     * write side, evaluated on the driver during pruning, with the same
@@ -119,63 +172,78 @@ object Partitioning {
       case sources.Or(l, r) => mayMatch(f, spec, schema, l) || mayMatch(f, spec, schema, r)
       case sources.EqualTo(a, v) => testValue(f, spec, schema, a, v)
       case sources.In(a, vs) => vs.exists(v => testValue(f, spec, schema, a, v))
-      case sources.GreaterThan(a, v) => identityCmp(f, spec, schema, a, v).forall(_ > 0)
-      case sources.GreaterThanOrEqual(a, v) => identityCmp(f, spec, schema, a, v).forall(_ >= 0)
-      case sources.LessThan(a, v) => identityCmp(f, spec, schema, a, v).forall(_ < 0)
-      case sources.LessThanOrEqual(a, v) => identityCmp(f, spec, schema, a, v).forall(_ <= 0)
+      // range filters: identity compares EXACT values (s>v etc.); floor
+      // transforms (days/months/years/hours, numeric truncate) compare
+      // against the literal's floor — a file whose dir value equals the
+      // floor may still straddle the bound, so those keep on equality
+      case sources.GreaterThan(a, v) =>
+        boundCmp(f, spec, schema, a, v).forall { case (c, exact) =>
+          if (exact) c > 0 else c >= 0 }
+      case sources.GreaterThanOrEqual(a, v) =>
+        boundCmp(f, spec, schema, a, v).forall(_._1 >= 0)
+      case sources.LessThan(a, v) =>
+        boundCmp(f, spec, schema, a, v).forall { case (c, exact) =>
+          if (exact) c < 0 else c <= 0 }
+      case sources.LessThanOrEqual(a, v) =>
+        boundCmp(f, spec, schema, a, v).forall(_._1 <= 0)
+      // null maps to the hive null marker under EVERY transform
       case sources.IsNull(a) =>
-        identityField(spec, a).forall(pf => f.partValues.get(pf.name)
+        spec.filter(_.source == a).forall(pf => stored(f, pf)
           .forall(_ == NullMarker))
       case sources.IsNotNull(a) =>
-        identityField(spec, a).forall(pf => f.partValues.get(pf.name)
+        spec.filter(_.source == a).forall(pf => stored(f, pf)
           .forall(_ != NullMarker))
       case _ => true
     }
   }
 
-  /** Can this file's partition value equal `v` on column `a`? Covers
-    * both identity (typed compare) and bucket (literal re-hash).
+  /** Can this file's partition value equal `v` on column `a`? Identity
+    * compares typed values, bucket re-hashes the literal, temporal /
+    * truncate transforms compare the literal's floor.
     */
   private def testValue(f: FileEntry, spec: Seq[PartitionField],
       schema: StructType, a: String, v: Any): Boolean =
-    spec.filter(_.source == a).forall {
-      case pf if pf.transform == "identity" =>
-        stored(f, pf) match {
-          case Some(NullMarker) => false // stored null never equals a literal
-          case Some(s) => typedCmp(schema, a, s, v).forall(_ == 0)
-          case None => true
-        }
-      case pf if pf.transform == "bucket" =>
-        stored(f, pf) match {
-          case Some(NullMarker) => false
-          case Some(s) =>
+    spec.filter(_.source == a).forall { pf =>
+      stored(f, pf) match {
+        case Some(NullMarker) => false // stored null never equals a literal
+        case Some(s) => pf.transform match {
+          case "identity" => typedCmp(schema, a, s, v).forall(_ == 0)
+          case "bucket" =>
             schema.fields.find(_.name == a).forall(fd =>
               s.toInt == bucketOfLiteral(v, fd.dataType, pf.numBuckets))
-          case None => true
+          case _ => floorOfLiteral(v, pf).forall(_ == s)
         }
-      case _ => true
+        case None => true
+      }
     }
 
-  /** cmp(storedIdentityValue, literal) for range filters — None when the
-    * column has no identity partition field, the value is null, or the
-    * type is not comparable as a string (caller keeps the file).
+  /** cmp(stored partition value, bound(literal)) for range filters, plus
+    * whether the compare is EXACT (identity) or floor-grained. None when
+    * no usable partition field / unknown literal (caller keeps the file).
     */
-  private def identityCmp(f: FileEntry, spec: Seq[PartitionField],
-      schema: StructType, a: String, v: Any): Option[Int] =
-    for {
-      pf <- identityField(spec, a)
-      s <- stored(f, pf) if s != NullMarker
-      c <- TableOps.statsComparator(
-        schema.fields.find(_.name == a).map(_.dataType).getOrElse(NullType))
-    } yield c(s, v)
+  private def boundCmp(f: FileEntry, spec: Seq[PartitionField],
+      schema: StructType, a: String, v: Any): Option[(Int, Boolean)] =
+    spec.filter(pf => pf.source == a && pf.transform != "bucket")
+      .flatMap { pf =>
+        stored(f, pf).filter(_ != NullMarker).flatMap { s =>
+          pf.transform match {
+            case "identity" => typedCmp(schema, a, s, v).map((_, true))
+            case t if TemporalFmt.contains(t) =>
+              floorOfLiteral(v, pf).map(fv => (s.compareTo(fv), false))
+            case "truncate" => v match {
+              case _: Number => floorOfLiteral(v, pf).map(fv =>
+                (java.lang.Long.compare(s.toLong, fv.toLong), false))
+              case _ => None // string truncate: prefix ranges stay conservative
+            }
+            case _ => None
+          }
+        }
+      }.headOption
 
   private def typedCmp(schema: StructType, a: String, s: String, v: Any): Option[Int] =
     schema.fields.find(_.name == a)
       .flatMap(fd => TableOps.statsComparator(fd.dataType))
       .map(c => c(s, v))
-
-  private def identityField(spec: Seq[PartitionField], a: String): Option[PartitionField] =
-    spec.find(pf => pf.source == a && pf.transform == "identity")
 
   private def stored(f: FileEntry, pf: PartitionField): Option[String] =
     f.partValues.get(pf.name)

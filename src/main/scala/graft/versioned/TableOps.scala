@@ -20,6 +20,7 @@ object TableOps {
   /** Columns we keep min/max stats for (orderable atomic types). */
   private def statable(dt: DataType): Boolean = dt match {
     case _: NumericType | StringType | DateType | BooleanType => true
+    case TimestampType | TimestampNTZType => true
     case _ => false
   }
 
@@ -326,7 +327,39 @@ object TableOps {
       Some((s, v) => java.lang.Double.compare(s.toDouble, v.asInstanceOf[Number].doubleValue()))
     case StringType => Some((s, v) => s.compareTo(v.toString))
     case DateType => Some((s, v) => s.compareTo(v.toString)) // ISO yyyy-MM-dd sorts lexically
+    case TimestampType | TimestampNTZType =>
+      Some { (s, v) =>
+        (tsMicros(s), tsLiteralMicros(v)) match {
+          case (Some(a), Some(b)) => java.lang.Long.compare(a, b)
+          case _ => 0 // unknown shapes: compare as equal -> file kept
+        }
+      }
     case _ => None
+  }
+
+  /** Stored stat string ("yyyy-MM-dd HH:mm:ss[.f]", session tz UTC) ->
+    * epoch micros.
+    */
+  private def tsMicros(s: String): Option[Long] =
+    scala.util.Try(java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC)).toOption
+      .map(i => i.getEpochSecond * 1000000L + i.getNano / 1000)
+
+  /** v1-filter timestamp literal (Timestamp / Instant / LocalDateTime /
+    * String) -> epoch micros, interpreting NTZ shapes as UTC (the
+    * catalog's session-timezone contract).
+    */
+  private def tsLiteralMicros(v: Any): Option[Long] = {
+    val inst: Option[java.time.Instant] = v match {
+      case t: java.sql.Timestamp => Some(t.toInstant)
+      case i: java.time.Instant => Some(i)
+      case l: java.time.LocalDateTime => Some(l.toInstant(java.time.ZoneOffset.UTC))
+      case s: String =>
+        scala.util.Try(java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC)).toOption
+      case _ => None
+    }
+    inst.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000)
   }
 
   // ---- translate v1 Filters to Column predicates -----------------------

@@ -911,6 +911,83 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     rows("CALL g.system.vacuum('rpc')").head.head.asInstanceOf[Int] should be >= 0
   }
 
+
+  test("temporal partition transforms: days(ts) prunes date ranges before " +
+    "stats; CoW delete touches only the matching day") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan}
+    sql("CREATE NAMESPACE g.rtt")
+    sql("CREATE NAMESPACE g.rtt.main.db")
+    sql("CREATE TABLE g.rtt.main.db.ev (id INT, ts TIMESTAMP, v DOUBLE) " +
+      "PARTITIONED BY (days(ts))")
+    sql("INSERT INTO g.rtt.main.db.ev VALUES " +
+      (0 until 40).map(i => s"($i, TIMESTAMP '2024-03-0${1 + i % 5} " +
+        f"${6 + i / 5}%02d:15:00', ${i * 1.0})").mkString(", "))
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rtt"))
+    def snap() = repo.snapshot(repo.headCommit("main").tables("db/ev"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap().schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    snap().partitionFields.map(f => (f.transform, f.name)) shouldBe
+      Seq(("days", "ts_day"))
+    all(snap().files.map(_.partValues.keySet)) shouldBe Set("ts_day")
+    // equality day pruning
+    val d3 = java.sql.Timestamp.valueOf("2024-03-03 10:15:00")
+    val hit = TableOps.pruneFiles(snap(), schema, Seq(EqualTo("ts", d3)))
+    hit should not be empty
+    all(hit.map(_.partValues("ts_day"))) shouldBe "2024-03-03"
+    // range pruning: ts >= 03-04 keeps only days 04 and 05
+    val lo = java.sql.Timestamp.valueOf("2024-03-04 00:00:00")
+    TableOps.pruneFiles(snap(), schema, Seq(GreaterThanOrEqual("ts", lo)))
+      .map(_.partValues("ts_day")).toSet shouldBe Set("2024-03-04", "2024-03-05")
+    // partition pruning keeps day 04 (floor equality is conservative) but
+    // the NEW timestamp min/max stats prune it exactly: its min is 06:15,
+    // so ts < 00:00 is impossible in that file
+    TableOps.pruneFiles(snap(), schema, Seq(LessThan("ts", lo)))
+      .map(_.partValues("ts_day")).toSet shouldBe
+      Set("2024-03-01", "2024-03-02", "2024-03-03")
+    // SQL answers stay correct through the pruned scans
+    rows("SELECT count(*) FROM g.rtt.main.db.ev " +
+      "WHERE ts >= TIMESTAMP '2024-03-04 00:00:00'").flatten shouldBe
+      Seq((0 until 40).count(i => i % 5 >= 3).toLong)
+    // day-local CoW delete: other days' files untouched
+    val before = snap().files.filterNot(_.partValues("ts_day") == "2024-03-02").toSet
+    sql("DELETE FROM g.rtt.main.db.ev WHERE ts >= TIMESTAMP '2024-03-02 00:00:00' " +
+      "AND ts < TIMESTAMP '2024-03-03 00:00:00'")
+    snap().files.filterNot(_.partValues("ts_day") == "2024-03-02").toSet shouldBe before
+    rows("SELECT count(*) FROM g.rtt.main.db.ev").flatten shouldBe
+      Seq((0 until 40).count(i => i % 5 != 1).toLong)
+  }
+
+  test("truncate partition transform: integral floors and string prefixes " +
+    "prune files; lookups stay correct") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
+    sql("CREATE NAMESPACE g.rtr")
+    sql("CREATE NAMESPACE g.rtr.main.db")
+    sql("CREATE TABLE g.rtr.main.db.t (id INT, code STRING) " +
+      "PARTITIONED BY (truncate(10, id), truncate(2, code))")
+    sql("INSERT INTO g.rtr.main.db.t VALUES " +
+      (0 until 40).map(i => s"($i, '${"abcd".charAt(i % 4)}X$i')").mkString(", "))
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rtr"))
+    val snap = repo.snapshot(repo.headCommit("main").tables("db/t"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    snap.partitionFields.map(_.transform) shouldBe Seq("truncate", "truncate")
+    // integral floor: id = 23 -> only the [20, 30) file group
+    val byId = TableOps.pruneFiles(snap, schema, Seq(EqualTo("id", 23)))
+    byId should not be empty
+    all(byId.map(_.partValues("id_trunc"))) shouldBe "20"
+    // integral range floor: id >= 25 keeps groups 20 and 30
+    TableOps.pruneFiles(snap, schema, Seq(GreaterThanOrEqual("id", 25)))
+      .map(_.partValues("id_trunc")).toSet shouldBe Set("20", "30")
+    // string prefix: code = 'cX6' -> only the 'cX' prefix group
+    val byCode = TableOps.pruneFiles(snap, schema, Seq(EqualTo("code", "cX6")))
+    byCode should not be empty
+    all(byCode.map(_.partValues("code_trunc"))) shouldBe "cX"
+    rows("SELECT code FROM g.rtr.main.db.t WHERE id = 23").flatten shouldBe Seq("dX23")
+    rows("SELECT id FROM g.rtr.main.db.t WHERE code = 'cX6'").flatten shouldBe Seq(6)
+  }
+
   test("catalog reads are native columnar parquet BatchScans (no V1/RDD bridge)") {
     spark.sql("CREATE NAMESPACE g.rcol")
     spark.sql("CREATE NAMESPACE g.rcol.main.db")
