@@ -97,7 +97,14 @@ object TableOps {
         Partitioning.partitionColumn(pf, srcType, physicalNames)
           .as(Partitioning.dirColName(pf))
       }
+      // cluster rows by partition value BEFORE the write: without this,
+      // EVERY task writes a file into EVERY partition value it happens to
+      // hold (tasks × values files per insert — the small-files explosion
+      // at scale). One keyed shuffle makes each partition value land in
+      // one task -> one file per value per insert. (The DSv2-native
+      // spelling of the same request is RequiresDistributionAndOrdering.)
       out.select(schema.fieldNames.toIndexedSeq.map(col) ++ dirCols: _*)
+        .repartition(spec.map(pf => col(Partitioning.dirColName(pf))): _*)
         .write.partitionBy(spec.map(Partitioning.dirColName): _*)
         .parquet(dir.toString)
     }
