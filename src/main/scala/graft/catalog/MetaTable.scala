@@ -38,6 +38,8 @@ final class MetaTable(
     case "files" => StructType(Seq(
       StructField("path", StringType),
       StructField("rows", LongType),
+      StructField("bytes", LongType),
+      StructField("partition", MapType(StringType, StringType)),
       StructField("min_stats", MapType(StringType, StringType)),
       StructField("max_stats", MapType(StringType, StringType))))
     case "snapshots" => StructType(Seq(
@@ -55,7 +57,9 @@ final class MetaTable(
   private def rows(): Seq[Row] = kind match {
     case "files" =>
       val snap = repo.snapshot(repo.headCommit(branch).tables(key))
-      snap.files.map(f => Row(f.path, f.rows, f.min, f.max))
+      snap.files.map(f =>
+        Row(f.path, f.rows, f.sizeBytes(bytesPerRow = 64L), f.partValues,
+          f.min, f.max))
     case "snapshots" | "history" =>
       // walk first-parent history of the branch
       var out = List.empty[Row]
