@@ -6,10 +6,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.types._
 
-/** Partition-transform support for graft tables: identity and bucket
-  * transforms (the two Iceberg transforms that matter most for layout
-  * control), written as hive-style `__p_<field>=<value>` directories so
-  * the data columns themselves stay inside the files.
+/** Partition-transform support for graft tables — the Iceberg transform
+  * set: identity, bucket(n), years/months/days/hours, truncate(w) —
+  * written as hive-style `__p_<field>=<value>` directories so the data
+  * columns themselves stay inside the files.
   *
   * At 100 TB partition pruning is the single biggest scan-reduction
   * lever: a filter on a partition source column eliminates whole
@@ -40,13 +40,6 @@ object Partitioning {
     case other => other
   }
 
-  /** The write-side partition value column for one spec field. The
-    * bucket hash MUST agree bit-for-bit with [[bucketOfLiteral]] (both
-    * are Spark's XxHash64, seed 42, over the width-normalized type).
-    * `physicalNames` resolves the source column when the write happens
-    * under as-written (physical) names; `sourceType` is the column's
-    * CURRENT logical type (possibly widened since CREATE).
-    */
   /** Directory-value format per temporal transform (session tz is UTC by
     * the catalog contract, so instants and NTZ values format identically).
     * The formats sort LEXICALLY in time order, which is what lets range
@@ -56,6 +49,13 @@ object Partitioning {
     "years" -> "yyyy", "months" -> "yyyy-MM",
     "days" -> "yyyy-MM-dd", "hours" -> "yyyy-MM-dd-HH")
 
+  /** The write-side partition value column for one spec field. The
+    * bucket hash MUST agree bit-for-bit with [[bucketOfLiteral]] (both
+    * are Spark's XxHash64, seed 42, over the width-normalized type).
+    * `physicalNames` resolves the source column when the write happens
+    * under as-written (physical) names; `sourceType` is the column's
+    * CURRENT logical type (possibly widened since CREATE).
+    */
   def partitionColumn(pf: PartitionField, sourceType: DataType,
       physicalNames: Map[String, String] = Map.empty): Column = {
     val src = col(physicalNames.getOrElse(pf.source, pf.source))
@@ -101,7 +101,7 @@ object Partitioning {
     * floor of the literal. None when the literal shape is unknown
     * (caller keeps the file).
     */
-  private[versioned] def floorOfLiteral(v: Any, pf: PartitionField): Option[String] =
+  private[graft] def floorOfLiteral(v: Any, pf: PartitionField): Option[String] =
     pf.transform match {
       case t if TemporalFmt.contains(t) => toUtcDateTime(v).map(dt =>
         dt.format(java.time.format.DateTimeFormatter.ofPattern(TemporalFmt(t))))

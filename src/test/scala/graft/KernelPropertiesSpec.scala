@@ -70,4 +70,55 @@ class KernelPropertiesSpec extends AnyFunSuite with Matchers {
     val agree = (0 until k).count(i => sa.getLong(i) == sb.getLong(i))
     (agree.toDouble / k) shouldBe 0.5 +- 0.12 // ±~4σ for k=256
   }
+
+  test("bucketOfLiteral: width-normalized — equal values bucket identically " +
+    "across int/long and float/double (type widening never re-buckets)") {
+    import org.apache.spark.sql.types._
+    import graft.versioned.Partitioning.bucketOfLiteral
+    val rnd = new scala.util.Random(7)
+    (1 to 300).foreach { _ =>
+      val v = rnd.nextInt()
+      val n = 1 + rnd.nextInt(64)
+      val b = bucketOfLiteral(v, IntegerType, n)
+      b should (be >= 0 and be < n)
+      bucketOfLiteral(v.toLong, LongType, n) shouldBe b
+      bucketOfLiteral(v.toShort, ShortType, n) shouldBe
+        bucketOfLiteral(v.toShort.toLong, LongType, n)
+      val f = rnd.nextFloat() * 1000f
+      bucketOfLiteral(f, FloatType, n) shouldBe
+        bucketOfLiteral(f.toDouble, DoubleType, n)
+    }
+  }
+
+  test("floorOfLiteral: temporal floors agree across literal shapes and " +
+    "sort lexically in time order") {
+    import graft.versioned.{PartitionField, Partitioning}
+    val day = PartitionField("ts_day", "days", "ts")
+    val month = PartitionField("ts_month", "months", "ts")
+    val hour = PartitionField("ts_hour", "hours", "ts")
+    val t = java.sql.Timestamp.valueOf("2024-03-07 13:45:10")
+    Partitioning.floorOfLiteral(t, day) shouldBe Some("2024-03-07")
+    Partitioning.floorOfLiteral(t.toInstant, day) shouldBe Some("2024-03-07")
+    Partitioning.floorOfLiteral("2024-03-07 13:45:10", day) shouldBe Some("2024-03-07")
+    Partitioning.floorOfLiteral(t, month) shouldBe Some("2024-03")
+    Partitioning.floorOfLiteral(t, hour) shouldBe Some("2024-03-07-13")
+    // lexical order == time order for the fixed-width formats
+    val rnd = new scala.util.Random(11)
+    val times = (1 to 100).map(_ => java.sql.Timestamp.valueOf(
+      f"20${10 + rnd.nextInt(20)}%d-${1 + rnd.nextInt(12)}%02d-" +
+        f"${1 + rnd.nextInt(28)}%02d ${rnd.nextInt(24)}%02d:00:00"))
+    val floors = times.map(x => (x.getTime, Partitioning.floorOfLiteral(x, hour).get))
+    floors.sortBy(_._1).map(_._2) shouldBe floors.sortBy(_._2).map(_._2)
+  }
+
+  test("truncate floors: numeric floor handles negatives; string prefix") {
+    import graft.versioned.{PartitionField, Partitioning}
+    val t10 = PartitionField("id_trunc", "truncate", "id", 10)
+    Partitioning.floorOfLiteral(23, t10) shouldBe Some("20")
+    Partitioning.floorOfLiteral(-3, t10) shouldBe Some("-10")
+    Partitioning.floorOfLiteral(-10, t10) shouldBe Some("-10")
+    val s2 = PartitionField("c_trunc", "truncate", "c", 2)
+    Partitioning.floorOfLiteral("abcdef", s2) shouldBe Some("ab")
+    Partitioning.floorOfLiteral("a", s2) shouldBe Some("a")
+  }
 }
