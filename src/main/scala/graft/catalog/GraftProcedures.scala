@@ -72,15 +72,16 @@ private[catalog] object GraftProcedures {
           ("branch", StringType, None),
           ("tbl", StringType, None),
           ("target_bytes", LongType, Some((128L << 20).toString)),
-          ("sort_by", StringType, Some("''"))),
+          ("sort_by", StringType, Some("''")),
+          ("zorder_by", StringType, Some("''"))),
         StructType(Seq(
           StructField("files_before", IntegerType, nullable = false),
           StructField("files_after", IntegerType, nullable = false))),
         { in =>
           val key = str(in, 2).replace('.', '/')
-          val sortBy = str(in, 4).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          def cols(i: Int) = str(in, i).split(',').map(_.trim).filter(_.nonEmpty).toSeq
           val (b, a) = TableOps.compact(SparkSession.active, open(str(in, 0)),
-            str(in, 1), key, in.getLong(3), sortBy)
+            str(in, 1), key, in.getLong(3), cols(4), cols(5))
           Seq(b, a)
         }))
       case "vacuum" => Some(new Proc(

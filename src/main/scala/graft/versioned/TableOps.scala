@@ -549,8 +549,53 @@ object TableOps {
     * commit aborts (re-run compaction) rather than resurrecting rows.
     * Returns (filesBefore, filesAfter).
     */
+  /** Z-order key over `cols`: each column is min/max-normalized to 16
+    * bits using the SNAPSHOT's file stats (no extra data pass), then the
+    * bits are interleaved — rows close in EVERY dimension get close
+    * keys, so after range-partitioning by the key, per-file min/max
+    * ranges are tight on ALL dimensions at once and a point filter on
+    * any one of them prunes files. The multi-column answer where a
+    * lexicographic sort only helps its leading column.
+    */
+  private def zorderColumn(snap: Snapshot, schema: StructType,
+      cols: Seq[String]): Column = {
+    require(cols.size >= 2, "zorderBy needs at least 2 columns")
+    val k = cols.size
+    val normed = cols.zipWithIndex.map { case (c, j) =>
+      val field = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no such column: $c"))
+      val phys = snap.physicalName(c)
+      val cmpParse: String => Double = field.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => _.toLong.toDouble
+        case FloatType | DoubleType | _: DecimalType => _.toDouble
+        case other => throw new IllegalArgumentException(
+          s"zorderBy needs numeric columns, got $c: ${other.simpleString}")
+      }
+      val los = snap.files.flatMap(_.min.get(phys))
+      val his = snap.files.flatMap(_.max.get(phys))
+      if (los.size != snap.files.size || his.size != snap.files.size)
+        throw new IllegalArgumentException(s"column $c lacks stats in some files")
+      val lo = los.map(cmpParse).min
+      val hi = his.map(cmpParse).max
+      val scaled =
+        if (hi <= lo) lit(0L)
+        else least(lit(65535L), greatest(lit(0L),
+          ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * 65535.0).cast("long")))
+      (scaled, j)
+    }
+    // interleave: bit i of column j lands at position i*k + j
+    normed.map { case (n, j) =>
+      (0 until 16).map(i =>
+        shiftleft(shiftright(n, i).bitwiseAND(lit(1L)), i * k + j).cast("long"))
+        .reduce((a, b) => a.bitwiseOR(b))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
   def compact(spark: SparkSession, repo: GraftRepo, branch: String, key: String,
-      targetFileBytes: Long = 128L << 20, sortBy: Seq[String] = Nil): (Int, Int) = {
+      targetFileBytes: Long = 128L << 20, sortBy: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil): (Int, Int) = {
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "sortBy and zorderBy are mutually exclusive")
     val snap = repo.headCommit(branch).tables.get(key).map(repo.snapshot)
       .getOrElse(throw new NoSuchElementException(s"no such table: $key"))
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
@@ -559,7 +604,7 @@ object TableOps {
     val units: Seq[Seq[FileEntry]] = snap.files.groupBy(_.partValues).toSeq
       .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
       .flatMap { case (_, files) =>
-        if (sortBy.nonEmpty) {
+        if (sortBy.nonEmpty || zorderBy.nonEmpty) {
           if (files.isEmpty) Nil else Seq(files) // global re-cluster of the group
         } else {
           val small = files.filter(_.sizeBytes(bytesPerRow = 64L) < targetFileBytes)
@@ -581,14 +626,24 @@ object TableOps {
     val replacedPaths = units.flatten.map(_.path).toSet
     val newEntries = units.flatMap { unit =>
       val df = readFiles(spark, repo, snap, schema, unit)
+      val totalBytes = unit.map(_.sizeBytes(64L)).sum
+      val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
       val out =
-        if (sortBy.isEmpty) df.coalesce(1)
-        else {
-          val totalBytes = unit.map(_.sizeBytes(64L)).sum
-          val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+        if (zorderBy.nonEmpty) {
+          // cluster on the interleaved key, then DROP it (projection
+          // after the sort keeps row order; the key is derivable, not
+          // stored). Files end up tight on EVERY zorder dimension.
+          val zc = zorderColumn(snap, schema, zorderBy)
+          df.withColumn("__zorder", zc)
+            .repartitionByRange(n, col("__zorder"))
+            .sortWithinPartitions(col("__zorder"))
+            .drop("__zorder")
+        }
+        else if (sortBy.nonEmpty) {
           val cols = sortBy.map(col)
           df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
         }
+        else df.coalesce(1)
       writeFiles(spark, repo, out, key, snap.partitionFields, snap.nameMapping)
     }
     val committed = repo.commitRetry(branch, s"compact $key") { base =>

@@ -988,6 +988,48 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     rows("SELECT id FROM g.rtr.main.db.t WHERE code = 'cX6'").flatten shouldBe Seq(6)
   }
 
+
+  test("compaction with Z-order clustering: point filters on EITHER " +
+    "dimension prune files (lexicographic sort only helps the leading one)") {
+    import org.apache.spark.sql.sources.EqualTo
+    sql("CREATE NAMESPACE g.rz")
+    sql("CREATE NAMESPACE g.rz.main.db")
+    sql("CREATE TABLE g.rz.main.db.t (x INT, y INT, v STRING)")
+    // x and y independent, inserted in x-shuffled order: pre-compaction
+    // files span ~the full range of both dimensions
+    val rnd = new scala.util.Random(5)
+    val pts = (for (x <- 0 until 64; y <- 0 until 64 if (x + y) % 16 == 0)
+      yield (x, y)).sortBy(_ => rnd.nextInt())
+    pts.grouped(64).foreach(g =>
+      sql("INSERT INTO g.rz.main.db.t VALUES " +
+        g.map { case (x, y) => s"($x, $y, 'v$x-$y')" }.mkString(", ")))
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rz"))
+    def snap() = repo.snapshot(repo.headCommit("main").tables("db/t"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap().schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val total0 = snap().files.size
+    // shuffled ingest: a point lookup can prune (almost) nothing yet
+    TableOps.pruneFiles(snap(), schema,
+      Seq(EqualTo("x", 7))).size should be >= total0 - 2
+    TableOps.pruneFiles(snap(), schema,
+      Seq(EqualTo("y", 9))).size should be >= total0 - 2
+    val nRows = rows("SELECT count(*) FROM g.rz.main.db.t").head.head
+    TableOps.compact(spark, repo, "main", "db/t",
+      targetFileBytes = 1400, zorderBy = Seq("x", "y"))
+    val total = snap().files.size
+    total should be >= 4
+    // BOTH dimensions prune now — the Z-order property
+    val px = TableOps.pruneFiles(snap(), schema, Seq(EqualTo("x", 7))).size
+    val py = TableOps.pruneFiles(snap(), schema, Seq(EqualTo("y", 9))).size
+    px should be < total
+    py should be < total
+    // rows and lookups intact
+    rows("SELECT count(*) FROM g.rz.main.db.t").head.head shouldBe nRows
+    rows("SELECT v FROM g.rz.main.db.t WHERE x = 8 AND y = 8").flatten shouldBe
+      Seq("v8-8")
+  }
+
   test("catalog reads are native columnar parquet BatchScans (no V1/RDD bridge)") {
     spark.sql("CREATE NAMESPACE g.rcol")
     spark.sql("CREATE NAMESPACE g.rcol.main.db")
