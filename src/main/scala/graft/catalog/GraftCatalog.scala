@@ -75,13 +75,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // ---- namespaces ------------------------------------------------------
 
-  override def listNamespaces(): Array[Array[String]] = {
-    val s = Files.list(root)
-    try s.iterator().asScala
-      .filter(p => GraftRepo.exists(p))
-      .map(p => Array(p.getFileName.toString)).toArray.sortBy(_.head)
-    finally s.close()
-  }
+  override def listNamespaces(): Array[Array[String]] =
+    scala.util.Using.resource(Files.list(root))(
+      _.iterator().asScala
+        .filter(p => GraftRepo.exists(p))
+        .map(p => Array(p.getFileName.toString)).toArray.sortBy(_.head))
 
   override def listNamespaces(ns: Array[String]): Array[Array[String]] = ns match {
     case Array() => listNamespaces()

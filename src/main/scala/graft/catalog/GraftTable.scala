@@ -127,6 +127,19 @@ final class GraftScanBuilder(repo: GraftRepo, snap: Snapshot, fullSchema: Struct
   private var pushed: Array[sources.Filter] = Array.empty
   private var required: StructType = fullSchema
   private var metaAgg: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+  // memoized per Aggregation instance: supportCompletePushDown and
+  // pushAggregation both ask, and each answer walks every file's stats
+  private var lastAgg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation = _
+
+  private def answer(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = {
+    if (!(agg eq lastAgg)) {
+      lastAgg = agg
+      metaAgg = MetadataAggregates.answer(snap, fullSchema, agg)
+    }
+    metaAgg
+  }
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     pushed = filters.filter(f => TableOps.filterToColumn(f).isDefined)
@@ -139,16 +152,15 @@ final class GraftScanBuilder(repo: GraftRepo, snap: Snapshot, fullSchema: Struct
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    MetadataAggregates.answer(snap, fullSchema, agg).isDefined
+    pushed.isEmpty && answer(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     // Spark only attempts aggregate pushdown when every filter was fully
     // pushed; we always report filters as residual, so this is reached
     // only for unfiltered scans — exactly the metadata-answerable case
-    if (pushed.nonEmpty) return false
-    metaAgg = MetadataAggregates.answer(snap, fullSchema, agg)
-    metaAgg.isDefined
+    if (pushed.nonEmpty) { metaAgg = None; return false }
+    answer(agg).isDefined
   }
 
   /** Native columnar scan: snapshot files that survive partition + stats

@@ -186,26 +186,49 @@ object Partitioning {
           if (exact) c < 0 else c <= 0 }
       case sources.LessThanOrEqual(a, v) =>
         boundCmp(f, spec, schema, a, v).forall(_._1 <= 0)
-      // null maps to the hive null marker under EVERY transform
+      // IS NULL / IS NOT NULL via partition dirs — with two carve-outs:
+      //  - bucket: Spark's xxhash64 of a NULL input returns the seed, so
+      //    null rows land in bucket pmod(seed, n), NEVER the null-marker
+      //    dir; bucket fields prove nothing about nulls
+      //  - string-typed sources: Spark's dynamic-partition writer maps
+      //    the EMPTY STRING to the same marker as null, so a marker dir
+      //    may hold non-null (empty) values and a non-marker dir proves
+      //    the absence of nulls but not the converse
       case sources.IsNull(a) =>
-        spec.filter(_.source == a).forall(pf => stored(f, pf)
-          .forall(_ == NullMarker))
+        spec.filter(pf => pf.source == a && pf.transform != "bucket")
+          .forall(pf => stored(f, pf).forall(_ == NullMarker))
       case sources.IsNotNull(a) =>
-        spec.filter(_.source == a).forall(pf => stored(f, pf)
-          .forall(_ != NullMarker))
+        spec.filter(pf => pf.source == a && pf.transform != "bucket" &&
+            !stringSourced(schema, a))
+          .forall(pf => stored(f, pf).forall(_ != NullMarker))
       case _ => true
     }
   }
 
+  private def stringSourced(schema: StructType, a: String): Boolean =
+    schema.fields.find(_.name == a).exists(_.dataType == StringType)
+
   /** Can this file's partition value equal `v` on column `a`? Identity
     * compares typed values, bucket re-hashes the literal, temporal /
-    * truncate transforms compare the literal's floor.
+    * truncate transforms compare the literal's floor. The hive null
+    * marker also covers EMPTY-STRING partition values (Spark writes both
+    * the same way), so a marker dir can still match a literal whose
+    * transformed value is the empty string.
     */
   private def testValue(f: FileEntry, spec: Seq[PartitionField],
       schema: StructType, a: String, v: Any): Boolean =
     spec.filter(_.source == a).forall { pf =>
+      def literalDir: Option[String] = pf.transform match {
+        case "identity" => v match {
+          case s: String => Some(s)
+          case _ => None // non-string identity: marker == null, never a literal
+        }
+        case _ => floorOfLiteral(v, pf)
+      }
       stored(f, pf) match {
-        case Some(NullMarker) => false // stored null never equals a literal
+        case Some(NullMarker) =>
+          // marker holds nulls AND empty-string-valued rows
+          pf.transform != "bucket" && literalDir.contains("")
         case Some(s) => pf.transform match {
           case "identity" => typedCmp(schema, a, s, v).forall(_ == 0)
           case "bucket" =>
@@ -243,7 +266,7 @@ object Partitioning {
   private def typedCmp(schema: StructType, a: String, s: String, v: Any): Option[Int] =
     schema.fields.find(_.name == a)
       .flatMap(fd => TableOps.statsComparator(fd.dataType))
-      .map(c => c(s, v))
+      .flatMap(c => c(s, v))
 
   private def stored(f: FileEntry, pf: PartitionField): Option[String] =
     f.partValues.get(pf.name)

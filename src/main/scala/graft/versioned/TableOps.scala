@@ -77,7 +77,8 @@ object TableOps {
     */
   def writeFiles(spark: SparkSession, repo: GraftRepo, df: DataFrame,
       key: String = "adhoc", spec: Seq[PartitionField] = Nil,
-      physicalNames: Map[String, String] = Map.empty): Seq[FileEntry] = {
+      physicalNames: Map[String, String] = Map.empty,
+      preserveLayout: Boolean = false): Seq[FileEntry] = {
     // files are ALWAYS written (and stats keyed) under physical names —
     // the invariant that keeps renames metadata-only
     val logical = df.schema
@@ -103,9 +104,17 @@ object TableOps {
       // at scale). One keyed shuffle makes each partition value land in
       // one task -> one file per value per insert. (The DSv2-native
       // spelling of the same request is RequiresDistributionAndOrdering.)
-      out.select(schema.fieldNames.toIndexedSeq.map(col) ++ dirCols: _*)
-        .repartition(spec.map(pf => col(Partitioning.dirColName(pf))): _*)
-        .write.partitionBy(spec.map(Partitioning.dirColName): _*)
+      // `preserveLayout` skips the shuffle: compaction feeds data it has
+      // ALREADY range-partitioned + sorted (all rows of a rewrite unit
+      // share one partition value, so the clustering shuffle would
+      // collapse them into one task and destroy the sort).
+      val projected = out.select(
+        schema.fieldNames.toIndexedSeq.map(col) ++ dirCols: _*)
+      val laid =
+        if (preserveLayout) projected
+        else projected.repartition(
+          spec.map(pf => col(Partitioning.dirColName(pf))): _*)
+      laid.write.partitionBy(spec.map(Partitioning.dirColName): _*)
         .parquet(dir.toString)
     }
     // no explicit schema: partitioned layouts surface the synthetic
@@ -139,13 +148,10 @@ object TableOps {
     */
   def statsForStaged(spark: SparkSession, repo: GraftRepo,
       dir: java.nio.file.Path, schema: StructType): Seq[FileEntry] = {
-    val hasFiles = Files.isDirectory(dir) && {
-      // Files.list holds a directory fd until closed — this runs on the
-      // driver once per CoW commit, so an unclosed stream is a slow leak
-      val s = Files.list(dir)
-      try s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
-      finally s.close()
-    }
+    val hasFiles = Files.isDirectory(dir) &&
+      // closed eagerly (Using) like every other Files.list in the repo
+      scala.util.Using.resource(Files.list(dir))(
+        _.iterator().asScala.exists(_.toString.endsWith(".parquet")))
     if (!hasFiles) return Nil
     val written = spark.read.schema(schema).parquet(dir.toString)
     val statCols = schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
@@ -309,7 +315,9 @@ object TableOps {
         lo <- f.min.get(phys)
         hi <- f.max.get(phys)
         c <- statsComparator(field.dataType)
-      } yield (c(lo, v), c(hi, v))
+        cl <- c(lo, v)
+        ch <- c(hi, v)
+      } yield (cl, ch)
     }
     filter match {
       case sources.EqualTo(a, v) => cmp(a, v).forall { case (l, h) => l <= 0 && h >= 0 }
@@ -327,19 +335,26 @@ object TableOps {
   /** (storedMin, literal) => sign comparator per type; None -> no pruning.
     * Shared with partition-value pruning (Partitioning.mayMatch).
     */
-  private[versioned] def statsComparator(dt: DataType): Option[(String, Any) => Int] = dt match {
+  /** Per-type comparator over (stored stat string, filter literal).
+    * Inner Option: None = this particular value pair is not comparable
+    * (e.g. an unexpected timestamp literal shape) — the caller MUST keep
+    * the file. A strict-range check that treated "unknown" as "equal"
+    * would wrongly prune (GreaterThan needs cmp > 0).
+    */
+  private[versioned] def statsComparator(dt: DataType)
+      : Option[(String, Any) => Option[Int]] = dt match {
     case ByteType | ShortType | IntegerType | LongType =>
-      Some((s, v) => java.lang.Long.compare(s.toLong, v.asInstanceOf[Number].longValue()))
+      Some((s, v) => Some(java.lang.Long.compare(s.toLong,
+        v.asInstanceOf[Number].longValue())))
     case FloatType | DoubleType | _: DecimalType =>
-      Some((s, v) => java.lang.Double.compare(s.toDouble, v.asInstanceOf[Number].doubleValue()))
-    case StringType => Some((s, v) => s.compareTo(v.toString))
-    case DateType => Some((s, v) => s.compareTo(v.toString)) // ISO yyyy-MM-dd sorts lexically
+      Some((s, v) => Some(java.lang.Double.compare(s.toDouble,
+        v.asInstanceOf[Number].doubleValue())))
+    case StringType => Some((s, v) => Some(s.compareTo(v.toString)))
+    case DateType => Some((s, v) => Some(s.compareTo(v.toString))) // ISO sorts lexically
     case TimestampType | TimestampNTZType =>
       Some { (s, v) =>
-        (tsMicros(s), tsLiteralMicros(v)) match {
-          case (Some(a), Some(b)) => java.lang.Long.compare(a, b)
-          case _ => 0 // unknown shapes: compare as equal -> file kept
-        }
+        for (a <- tsMicros(s); b <- tsLiteralMicros(v))
+          yield java.lang.Long.compare(a, b)
       }
     case _ => None
   }
@@ -561,6 +576,11 @@ object TableOps {
       cols: Seq[String]): Column = {
     require(cols.size >= 2, "zorderBy needs at least 2 columns")
     val k = cols.size
+    // interleaved key must fit 63 bits (no sign bit: Java shifts are
+    // mod-64 and a negative key would range-partition before all
+    // others): bit i of column j lands at i*k+j <= bitsPer*k - 1 <= 62
+    val bitsPer = math.min(16, 62 / k)
+    val maxVal = (1L << bitsPer) - 1
     val normed = cols.zipWithIndex.map { case (c, j) =>
       val field = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"no such column: $c"))
@@ -579,13 +599,14 @@ object TableOps {
       val hi = his.map(cmpParse).max
       val scaled =
         if (hi <= lo) lit(0L)
-        else least(lit(65535L), greatest(lit(0L),
-          ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * 65535.0).cast("long")))
+        else least(lit(maxVal), greatest(lit(0L),
+          ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * maxVal.toDouble)
+            .cast("long")))
       (scaled, j)
     }
     // interleave: bit i of column j lands at position i*k + j
     normed.map { case (n, j) =>
-      (0 until 16).map(i =>
+      (0 until bitsPer).map(i =>
         shiftleft(shiftright(n, i).bitwiseAND(lit(1L)), i * k + j).cast("long"))
         .reduce((a, b) => a.bitwiseOR(b))
     }.reduce((a, b) => a.bitwiseOR(b))
@@ -644,7 +665,8 @@ object TableOps {
           df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
         }
         else df.coalesce(1)
-      writeFiles(spark, repo, out, key, snap.partitionFields, snap.nameMapping)
+      writeFiles(spark, repo, out, key, snap.partitionFields, snap.nameMapping,
+        preserveLayout = true)
     }
     val committed = repo.commitRetry(branch, s"compact $key") { base =>
       val cur = repo.snapshot(base.tables.getOrElse(key,

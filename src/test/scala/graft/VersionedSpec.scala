@@ -650,6 +650,13 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     hit.map(_.partValues("id_bucket")).toSet.size shouldBe 1
     rows("SELECT v FROM g.rbw.main.db.t WHERE id = 7 ORDER BY v")
       .flatten shouldBe Seq("v7", "v7b")
+    // NULL bucket sources: xxhash64(NULL) = seed, so null rows land in a
+    // NUMERIC bucket dir, not the hive null marker — IS NULL must not
+    // prune by bucket dirs (it would lose the row)
+    sql("INSERT INTO g.rbw.main.db.t VALUES (NULL, 'vnull')")
+    rows("SELECT v FROM g.rbw.main.db.t WHERE id IS NULL").flatten shouldBe Seq("vnull")
+    rows("SELECT count(*) FROM g.rbw.main.db.t WHERE id IS NOT NULL")
+      .flatten shouldBe Seq(33L)
   }
 
   test("CoW row-level commit validation rejects swapping files a concurrent " +
@@ -882,6 +889,22 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     fs.map(_.partValues("cat")).sorted shouldBe Seq("a", "b")
     rows("SELECT cat, count(*) FROM g.rcpp.main.db.t GROUP BY cat ORDER BY cat")
       .map(_.toList) shouldBe Seq(List("a", 6L), List("b", 3L))
+    // sort-clustered compaction on a PARTITIONED table: the clustering
+    // layout must survive the partition-dir write (no re-shuffle), so
+    // each category's files carry disjoint, ordered id ranges
+    sql("INSERT INTO g.rcpp.main.db.t VALUES " +
+      (10 to 49).map(i => s"($i, '${"ab".charAt(i % 2)}')").mkString(", "))
+    TableOps.compact(spark, repo, "main", "db/t",
+      targetFileBytes = 900, sortBy = Seq("id"))
+    val clustered = repo.snapshot(repo.headCommit("main").tables("db/t")).files
+    clustered.groupBy(_.partValues("cat")).values.foreach { group =>
+      val ranges = group.map(f => (f.min("id").toInt, f.max("id").toInt)).sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) => hi should be < lo2
+        case _ =>
+      }
+    }
+    rows("SELECT count(*) FROM g.rcpp.main.db.t").flatten shouldBe Seq(49L)
   }
 
 
@@ -986,6 +1009,13 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     all(byCode.map(_.partValues("code_trunc"))) shouldBe "cX"
     rows("SELECT code FROM g.rtr.main.db.t WHERE id = 23").flatten shouldBe Seq("dX23")
     rows("SELECT id FROM g.rtr.main.db.t WHERE code = 'cX6'").flatten shouldBe Seq(6)
+    // EMPTY-STRING partition values share hive's null-marker directory:
+    // equality on '' and IS NOT NULL must still find the row
+    sql("INSERT INTO g.rtr.main.db.t VALUES (100, ''), (101, NULL)")
+    rows("SELECT id FROM g.rtr.main.db.t WHERE code = ''").flatten shouldBe Seq(100)
+    rows("SELECT count(*) FROM g.rtr.main.db.t WHERE code IS NOT NULL")
+      .flatten shouldBe Seq(41L)
+    rows("SELECT id FROM g.rtr.main.db.t WHERE code IS NULL").flatten shouldBe Seq(101)
   }
 
 
