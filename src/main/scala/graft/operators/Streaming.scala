@@ -233,6 +233,26 @@ object Streaming {
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** Native session windows (session_window + watermark): same 30-min-gap
+    * semantics as [[sessionize]] but expressed with Spark's built-in
+    * session-window aggregation — state merging, gap tracking and
+    * emission are the engine's own implementation (vs the custom
+    * flatMapGroupsWithState variant, which exists for semantics Spark
+    * can't express natively). Same DuckDB gap-islands oracle.
+    */
+  private def sessionWindow(s: SparkSession, d: String): DataFrame = {
+    val agg = eventStream(s, d, sentinel = true)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+    runToTable(s, agg, OutputMode.Append())
+      .filter(col("user_id") >= 0) // drop the sentinel flush row
+      .select(col("user_id"),
+        col("w.start").cast(TimestampNTZType).as("session_start"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Streaming exact dedup on (user_id, event_type) within the watermark
     * (dropDuplicates keyed state) — output is the distinct key set.
     */
@@ -293,6 +313,21 @@ object Streaming {
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin
     )(dedupStream),
+    Q(
+      "st_session_window",
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts,
+        |             sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |      FROM o)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
+    )(sessionWindow),
     Q(
       "st_stream_join",
       """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,

@@ -687,6 +687,33 @@ object TableOps {
       repo.snapshot(committed.tables(key)).files.size)
   }
 
+  /** Incremental read: rows in the files that `toRef`'s snapshot has
+    * and `fromRef`'s does not — for an append-only table, exactly the
+    * rows committed in between (the batch analog of
+    * [[readStreamAppends]]: a consumer checkpoints a commit id and reads
+    * only the delta, metadata-pruned, no row-level anti-join). CoW
+    * rewrites re-emit surviving rows of rewritten files; use
+    * [[diffRows]] when row-exact deltas matter on rewritten tables.
+    */
+  def appendsBetween(spark: SparkSession, repo: GraftRepo,
+      fromRef: String, toRef: String, key: String): DataFrame = {
+    def filesOf(ref: String): Seq[FileEntry] =
+      repo.resolve(ref).tables.get(key)
+        .map(id => repo.snapshot(id).files).getOrElse(Nil)
+    val newSnapId = repo.resolve(toRef).tables.get(key)
+    val before = filesOf(fromRef).map(_.path).toSet
+    newSnapId match {
+      case None => spark.emptyDataFrame
+      case Some(id) =>
+        val snap = repo.snapshot(id)
+        val delta = snap.files.filterNot(f => before.contains(f.path))
+        val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+        if (delta.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        else readFiles(spark, repo, snap, schema, delta)
+    }
+  }
+
   /** Row-level diff between two refs of one table: rows only in A and
     * only in B (exceptAll both ways), tagged with a `side` column.
     */

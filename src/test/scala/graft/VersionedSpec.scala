@@ -1060,6 +1060,30 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       Seq("v8-8")
   }
 
+
+  test("incremental read: appendsBetween returns exactly the rows " +
+    "committed between two refs of an append-only table") {
+    sql("CREATE NAMESPACE g.rinc")
+    sql("CREATE NAMESPACE g.rinc.main.db")
+    sql("CREATE TABLE g.rinc.main.db.t (id INT, v STRING)")
+    sql("INSERT INTO g.rinc.main.db.t VALUES (1, 'a'), (2, 'b')")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rinc"))
+    val checkpoint = repo.headCommit("main").id
+    sql("INSERT INTO g.rinc.main.db.t VALUES (3, 'c')")
+    sql("INSERT INTO g.rinc.main.db.t VALUES (4, 'd'), (5, 'e')")
+    // delta = only the two commits after the checkpoint
+    TableOps.appendsBetween(spark, repo, checkpoint, "main", "db/t")
+      .collect().map(_.getInt(0)).sorted shouldBe Array(3, 4, 5)
+    // same-ref delta is empty; from-empty delta is the whole table
+    TableOps.appendsBetween(spark, repo, "main", "main", "db/t")
+      .count() shouldBe 0
+    // tags work as checkpoints too
+    repo.createTag("ckpt", checkpoint)
+    TableOps.appendsBetween(spark, repo, "ckpt", "main", "db/t")
+      .count() shouldBe 3
+  }
+
   test("catalog reads are native columnar parquet BatchScans (no V1/RDD bridge)") {
     spark.sql("CREATE NAMESPACE g.rcol")
     spark.sql("CREATE NAMESPACE g.rcol.main.db")
