@@ -126,14 +126,14 @@ final class GraftScanBuilder(repo: GraftRepo, snap: Snapshot, fullSchema: Struct
 
   private var pushed: Array[sources.Filter] = Array.empty
   private var required: StructType = fullSchema
-  private var metaAgg: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+  private var metaAgg: Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = None
   // memoized per Aggregation instance: supportCompletePushDown and
   // pushAggregation both ask, and each answer walks every file's stats
   private var lastAgg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation = _
 
   private def answer(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = {
+      : Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = {
     if (!(agg eq lastAgg)) {
       lastAgg = agg
       metaAgg = MetadataAggregates.answer(snap, fullSchema, agg)
@@ -172,9 +172,10 @@ final class GraftScanBuilder(repo: GraftRepo, snap: Snapshot, fullSchema: Struct
     * positional, so no conversion happens.
     */
   override def build(): Scan = metaAgg match {
-    case Some((aggSchema, row)) =>
+    case Some((aggSchema, rws)) =>
       new org.apache.spark.sql.connector.read.LocalScan {
-        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          rws.toArray
         override def readSchema(): StructType = aggSchema
         override def description(): String =
           s"GraftMetadataAggregate ${snap.table} ${aggSchema.fieldNames.mkString(", ")}"
@@ -273,8 +274,12 @@ final class GraftScan(
 
 /** Answers whole `Aggregation`s from snapshot metadata: COUNT(*) from
   * per-file row counts; MIN/MAX from per-file min/max stats when every
-  * live file carries the stat for that column. Returns None (-> normal
-  * scan) for anything else.
+  * live file carries the stat for that column. GROUP BY is supported
+  * when every group column is an IDENTITY partition source — each file
+  * belongs to exactly one group, so per-group counts/min/max are just
+  * the per-file metadata bucketed by recorded partition value
+  * (`SELECT day, count(*) ... GROUP BY day` on a 100 TB table reads
+  * zero data files). Returns None (-> normal scan) for anything else.
   */
 private[catalog] object MetadataAggregates {
   import org.apache.spark.sql.catalyst.InternalRow
@@ -283,26 +288,70 @@ private[catalog] object MetadataAggregates {
   import org.apache.spark.sql.types._
 
   def answer(snap: Snapshot, schema: StructType,
-      agg: Aggregation): Option[(StructType, InternalRow)] = {
-    if (agg.groupByExpressions.nonEmpty) return None
+      agg: Aggregation): Option[(StructType, Seq[InternalRow])] = {
     val m = snap.nameMapping
-    val cols = agg.aggregateExpressions.toIndexedSeq.map {
-      case _: CountStar =>
-        Some((StructField("count(*)", LongType, nullable = false),
-          snap.files.map(_.rows).sum: Any))
-      case mn: Min => minMax(snap, schema, m, mn.column, isMin = true)
-      case mx: Max => minMax(snap, schema, m, mx.column, isMin = false)
-      case _ => None
+    // resolve group columns -> identity partition fields
+    val groupCols: Seq[(StructField, graft.versioned.PartitionField)] =
+      agg.groupByExpressions.toIndexedSeq.map {
+        case f: NamedReference if f.fieldNames().length == 1 =>
+          val name = f.fieldNames()(0)
+          val field = schema.fields.find(_.name == name).getOrElse(return None)
+          val pf = snap.partitionFields.find(p =>
+            p.source == name && p.transform == "identity").getOrElse(return None)
+          // NullMarker dirs are ambiguous (null vs empty string) and
+          // unparsable group keys are unanswerable — checked per file below
+          (field, pf)
+        case _ => return None
+      }
+    // bucket files by group key; any file lacking a clean key -> fallback
+    val grouped: Seq[(Seq[Any], Seq[graft.versioned.FileEntry])] =
+      if (groupCols.isEmpty) Seq((Nil, snap.files))
+      else {
+        val keyed = snap.files.map { file =>
+          val key = groupCols.map { case (field, pf) =>
+            file.partValues.get(pf.name) match {
+              case Some(v) if v != graft.versioned.Partitioning.NullMarker =>
+                parse(v, field.dataType).getOrElse(return None)
+              case _ => return None
+            }
+          }
+          (key, file)
+        }
+        keyed.groupBy(_._1).toSeq
+          .map { case (k, fs) => (k, fs.map(_._2)) }
+          .sortBy(_._1.map(String.valueOf(_)).mkString(" "))
+      }
+    def aggCols(files: Seq[graft.versioned.FileEntry]) =
+      agg.aggregateExpressions.toIndexedSeq.map {
+        case _: CountStar =>
+          Some((StructField("count(*)", LongType, nullable = false),
+            files.map(_.rows).sum: Any))
+        case mn: Min => minMax(files, schema, m, mn.column, isMin = true)
+        case mx: Max => minMax(files, schema, m, mx.column, isMin = false)
+        case _ => None
+      }
+    val perGroup = grouped.map { case (key, files) =>
+      val cols = aggCols(files)
+      if (cols.exists(_.isEmpty)) return None
+      (key, cols.map(_.get))
     }
-    if (cols.exists(_.isEmpty)) None
-    else {
-      val resolved = cols.map(_.get)
-      Some((StructType(resolved.map(_._1)),
-        InternalRow.fromSeq(resolved.map(_._2))))
+    if (perGroup.isEmpty) {
+      // empty table, grouped: zero groups, zero rows — but we need the
+      // schema; derive from an empty-file aggregation
+      val cols = aggCols(Nil)
+      if (cols.exists(_.isEmpty)) return None
+      val s = StructType(groupCols.map(_._1) ++ cols.map(_.get._1))
+      return Some((s, Nil))
     }
+    val outSchema = StructType(
+      groupCols.map(_._1) ++ perGroup.head._2.map(_._1))
+    Some((outSchema, perGroup.map { case (key, cols) =>
+      InternalRow.fromSeq(key ++ cols.map(_._2))
+    }))
   }
 
-  private def minMax(snap: Snapshot, schema: StructType, m: Map[String, String],
+  private def minMax(files: Seq[graft.versioned.FileEntry],
+      schema: StructType, m: Map[String, String],
       colExpr: org.apache.spark.sql.connector.expressions.Expression,
       isMin: Boolean): Option[(StructField, Any)] = {
     val name = colExpr match {
@@ -315,8 +364,8 @@ private[catalog] object MetadataAggregates {
       else (f: graft.versioned.FileEntry) => f.max
     // every live file must carry the stat (a file with an all-null or
     // unstatable column would make the metadata answer wrong)
-    val vals = snap.files.map(f => side(f).get(phys))
-    if (snap.files.nonEmpty && vals.exists(_.isEmpty)) return None
+    val vals = files.map(f => side(f).get(phys))
+    if (files.nonEmpty && vals.exists(_.isEmpty)) return None
     val parsed = vals.flatten.flatMap(s => parse(s, field.dataType))
     if (parsed.size != vals.size) return None
     val out: Any =

@@ -775,6 +775,23 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       "ORDER BY v").map(_.head) shouldBe Seq("v11", "v12")
     // avg is not metadata-answerable -> full scan, correct result
     planOf("SELECT avg(id) FROM g.rma.main.db.t") should include ("BatchScan")
+    // GROUP BY an identity-partition column: per-group counts/min/max
+    // come straight from per-file partition values + metadata
+    sql("CREATE TABLE g.rma.main.db.p (id INT, cat STRING) PARTITIONED BY (cat)")
+    sql("INSERT INTO g.rma.main.db.p VALUES " +
+      (1 to 30).map(i => s"($i, '${"xyz".charAt(i % 3)}')").mkString(", "))
+    planOf("SELECT cat, count(*) FROM g.rma.main.db.p GROUP BY cat") should
+      include ("LocalTableScan")
+    rows("SELECT cat, count(*), min(id), max(id) FROM g.rma.main.db.p " +
+      "GROUP BY cat ORDER BY cat").map(_.toList) shouldBe Seq(
+      List("x", 10L, 3, 30), List("y", 10L, 1, 28), List("z", 10L, 2, 29))
+    // stays exact through partition-local DML
+    sql("DELETE FROM g.rma.main.db.p WHERE cat = 'y'")
+    rows("SELECT cat, count(*) FROM g.rma.main.db.p GROUP BY cat ORDER BY cat")
+      .map(_.toList) shouldBe Seq(List("x", 10L), List("z", 10L))
+    // GROUP BY a non-partition column falls back to a real scan
+    planOf("SELECT id % 2, count(*) FROM g.rma.main.db.p GROUP BY id % 2") should
+      include ("BatchScan")
   }
 
   test("runtime filtering: join-driven In filters prune files of a " +
