@@ -190,7 +190,50 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Paragraph/sentence-level dedup stats (the CCNet/C4 pipeline step
+    * that removes boilerplate repeated ACROSS documents): split each doc
+    * into sentences, normalize, count global occurrences of each
+    * sentence, and report per document how many of its sentences are
+    * shared with at least one other document. Shape at 100 TB: explode
+    * (pipelined in the scan), ONE keyed shuffle to count sentence
+    * occurrences, one join back on the sentence hash — the corpus never
+    * self-joins.
+    */
+  private def sentenceDedup(s: SparkSession, d: String): DataFrame = {
+    val sents = T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("sent"))
+      .select(col("doc_id"),
+        lower(trim(col("sent"))).as("ns"))
+      .filter(length(col("ns")) >= 20) // ignore trivial fragments
+    val counts = sents.groupBy(col("ns"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    sents.join(counts, "ns")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_sents"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        col("n_shared").cast("double") / col("n_sents"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q(
+      "tx_sentence_dedup",
+      """WITH sents AS (
+        |  SELECT doc_id, lower(trim(sent)) AS ns
+        |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\. ')) AS sent
+        |        FROM documents)
+        |  WHERE length(lower(trim(sent))) >= 20),
+        |counts AS (
+        |  SELECT ns, count(DISTINCT doc_id) AS n_docs FROM sents GROUP BY ns)
+        |SELECT s.doc_id, count(*) AS n_sents,
+        |       sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS n_shared,
+        |       CAST(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS shared_frac
+        |FROM sents s JOIN counts c USING (ns)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+    )(sentenceDedup),
     Q(
       "tx_pii_scrub",
       """SELECT doc_id,
