@@ -390,6 +390,8 @@ object TableOps {
     * not translatable (caller must reject or post-filter).
     */
   def filterToColumn(f: sources.Filter): Option[Column] = f match {
+    case _: sources.AlwaysTrue => Some(lit(true)) // TRUNCATE TABLE arrives as deleteWhere(AlwaysTrue)
+    case _: sources.AlwaysFalse => Some(lit(false))
     case sources.EqualTo(a, v) => Some(col(a) === lit(v))
     case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
     case sources.GreaterThan(a, v) => Some(col(a) > lit(v))

@@ -1101,6 +1101,32 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       .count() shouldBe 3
   }
 
+
+  test("SQL surface odds and ends: TRUNCATE TABLE, SHOW TBLPROPERTIES, " +
+    "DESCRIBE shows partitioning") {
+    sql("CREATE NAMESPACE g.rsql")
+    sql("CREATE NAMESPACE g.rsql.main.db")
+    sql("CREATE TABLE g.rsql.main.db.t (id INT, cat STRING) " +
+      "PARTITIONED BY (cat) TBLPROPERTIES ('owner.team' = 'data-eng')")
+    sql("INSERT INTO g.rsql.main.db.t VALUES (1, 'a'), (2, 'b')")
+    // SHOW TBLPROPERTIES surfaces snapshot props
+    rows("SHOW TBLPROPERTIES g.rsql.main.db.t").map(_.toList)
+      .collect { case List("owner.team", v) => v } shouldBe Seq("data-eng")
+    // DESCRIBE includes the partition column
+    sql("DESCRIBE EXTENDED g.rsql.main.db.t").collect()
+      .map(_.getString(0)) should contain ("# Partition Information")
+    // TRUNCATE TABLE empties but keeps the table + history
+    sql("TRUNCATE TABLE g.rsql.main.db.t")
+    rows("SELECT count(*) FROM g.rsql.main.db.t").flatten shouldBe Seq(0L)
+    sql("INSERT INTO g.rsql.main.db.t VALUES (3, 'c')")
+    rows("SELECT id FROM g.rsql.main.db.t").flatten shouldBe Seq(3)
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rsql"))
+    // pre-truncate state still reachable through history
+    val cs = spark.sql("SELECT * FROM g.rsql.main.db.t.history").collect()
+    cs.length should be >= 3
+  }
+
   test("catalog reads are native columnar parquet BatchScans (no V1/RDD bridge)") {
     spark.sql("CREATE NAMESPACE g.rcol")
     spark.sql("CREATE NAMESPACE g.rcol.main.db")
