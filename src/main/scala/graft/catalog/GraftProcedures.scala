@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.versioned.{GraftRepo, TableOps}
+import graft.versioned.{GraftRepo, PartitionField, TableOps}
 
 /** SQL stored procedures for catalog maintenance — the DSv2
   * `ProcedureCatalog` surface, addressed Iceberg-style:
@@ -60,7 +60,38 @@ private[catalog] object GraftProcedures {
   private def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
 
   def names: Seq[String] =
-    Seq("compact", "vacuum", "create_tag", "create_branch", "merge")
+    Seq("compact", "vacuum", "create_tag", "create_branch", "merge",
+      "rollback", "revert", "expire_snapshots", "set_partition_spec")
+
+  /** Parse an Iceberg-style spec string: `"identity(cat), bucket(4, id),
+    * days(ts), truncate(3, name)"`; a bare column name means identity;
+    * empty string = unpartitioned. Type/width validation happens against
+    * the table schema inside [[TableOps.setPartitionSpec]].
+    */
+  private[catalog] def parseSpecString(s: String): Seq[PartitionField] = {
+    val rx = """(\w+)\s*\(([^)]*)\)|([A-Za-z_][\w]*)""".r
+    rx.findAllMatchIn(s.trim).map { m =>
+      if (m.group(3) != null) PartitionField(m.group(3), "identity", m.group(3))
+      else {
+        val args = m.group(2).split(',').map(_.trim).filter(_.nonEmpty)
+        def arg(i: Int): String =
+          if (i < args.length) args(i)
+          else throw new IllegalArgumentException(s"bad transform args: ${m.matched}")
+        m.group(1) match {
+          case "identity" => PartitionField(arg(0), "identity", arg(0))
+          case "bucket" =>
+            PartitionField(s"${arg(1)}_bucket", "bucket", arg(1), arg(0).toInt)
+          case t @ ("years" | "months" | "days" | "hours") =>
+            PartitionField(s"${arg(0)}_${t.stripSuffix("s")}", t, arg(0))
+          case "truncate" =>
+            PartitionField(s"${arg(1)}_trunc", "truncate", arg(1), arg(0).toInt)
+          case other => throw new IllegalArgumentException(
+            s"unknown transform: $other " +
+              "(identity/bucket/years/months/days/hours/truncate)")
+        }
+      }
+    }.toSeq
+  }
 
   def load(root: Path, name: String): Option[UnboundProcedure] = {
     def open(repo: String) = GraftRepo.open(root.resolve(repo))
@@ -117,6 +148,51 @@ private[catalog] object GraftProcedures {
         { in =>
           val c = open(str(in, 0)).merge(str(in, 1), str(in, 2))
           Seq(UTF8String.fromString(c.id))
+        }))
+      case "rollback" => Some(new Proc(
+        "rollback",
+        Seq(("repo", StringType, None), ("branch", StringType, None),
+          ("to_ref", StringType, None)),
+        StructType(Seq(StructField("commit_id", StringType, nullable = false))),
+        { in =>
+          val c = open(str(in, 0)).rollback(str(in, 1), str(in, 2))
+          Seq(UTF8String.fromString(c.id))
+        }))
+      case "revert" => Some(new Proc(
+        "revert",
+        Seq(("repo", StringType, None), ("branch", StringType, None),
+          ("to_ref", StringType, None)),
+        StructType(Seq(StructField("commit_id", StringType, nullable = false))),
+        { in =>
+          val c = open(str(in, 0)).revert(str(in, 1), str(in, 2))
+          Seq(UTF8String.fromString(c.id))
+        }))
+      case "expire_snapshots" => Some(new Proc(
+        "expire_snapshots",
+        Seq(("repo", StringType, None),
+          ("older_than_ms", LongType, Some("0"))),
+        StructType(Seq(
+          StructField("expired_commits", IntegerType, nullable = false),
+          StructField("expired_snapshots", IntegerType, nullable = false),
+          StructField("deleted_files", IntegerType, nullable = false))),
+        { in =>
+          val (c, s, d) = open(str(in, 0)).expireSnapshots(in.getLong(1))
+          Seq(c, s, d)
+        }))
+      case "set_partition_spec" => Some(new Proc(
+        "set_partition_spec",
+        Seq(("repo", StringType, None), ("branch", StringType, None),
+          ("tbl", StringType, None), ("spec", StringType, Some("''"))),
+        StructType(Seq(StructField("spec", StringType, nullable = false))),
+        { in =>
+          val key = str(in, 2).replace('.', '/')
+          val committed = TableOps.setPartitionSpec(open(str(in, 0)),
+            str(in, 1), key, parseSpecString(str(in, 3)))
+          val rendered = committed.map { pf =>
+            val n = if (pf.numBuckets > 0) s"${pf.numBuckets}, " else ""
+            s"${pf.transform}($n${pf.source}) AS ${pf.name}"
+          }.mkString(", ")
+          Seq(UTF8String.fromString(rendered))
         }))
       case _ => None
     }

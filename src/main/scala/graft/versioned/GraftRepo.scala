@@ -254,14 +254,86 @@ final class GraftRepo private (val root: Path) {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Hard-reset a branch head to an older commit (lakeFS `branches reset`,
+    * Iceberg `rollback_to_snapshot`). The target must be an ancestor of the
+    * current head — rolling forward or sideways would silently adopt another
+    * branch's history; use merge for that. Commits after the target stay on
+    * disk (other refs may reach them; `expireSnapshots` reclaims them once
+    * nothing does). CAS-retried like every ref move.
+    */
+  def rollback(branch: String, toRef: String): Commit = {
+    val target = resolve(toRef)
+    var attempts = 0
+    while (true) {
+      val (v, hid) = head(branch)
+      if (hid == target.id) return target
+      require(ancestors(hid).contains(target.id),
+        s"rollback target ${target.id} is not an ancestor of $branch head $hid")
+      try { casRef(branch, v, target.id); return target }
+      catch {
+        case e: CommitConflictException =>
+          attempts += 1; if (attempts >= 10) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** History-preserving undo (lakeFS/git `revert` of everything since
+    * `toRef`): publish a NEW commit whose table state equals `toRef`'s,
+    * parented on the current head. Unlike [[rollback]] the undone commits
+    * remain reachable, so time travel to them keeps working and no
+    * concurrent reader ever sees history rewritten under it.
+    */
+  def revert(branch: String, toRef: String, message: String = ""): Commit = {
+    val target = resolve(toRef)
+    val msg = if (message.nonEmpty) message else s"revert $branch to ${target.id}"
+    commitRetry(branch, msg)(_ => (target.tables, target.namespaces))
+  }
+
+  /** Expire version metadata unreachable from every branch/tag head
+    * (Iceberg `expire_snapshots` / git `gc --prune`): rollbacks, drops and
+    * crashed writers leave commit/snapshot JSONs behind that [[vacuum]]'s
+    * data-only GC never touches. Deletes unreachable commit + snapshot
+    * objects older than `olderThanMs` (the age guard protects a concurrent
+    * committer's freshly written objects whose ref publish hasn't landed
+    * yet), then vacuums newly-orphaned data files. Reachable history is
+    * never truncated — ancestry walks (merge-base, time travel) stay whole.
+    * Returns (commits, snapshots, dataFiles) deleted.
+    */
+  def expireSnapshots(olderThanMs: Long = 0L): (Int, Int, Int) = {
+    val roots = branches.map(b => head(b)._2) ++ tags.map(t => resolve(t).id)
+    val reachable = roots.flatMap(ancestors).toSet
+    val liveSnaps: Set[String] =
+      reachable.flatMap(cid => commit(cid).tables.values)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    def expire(dir: Path, live: String => Boolean): Int = {
+      var n = 0
+      val victims = Using.resource(Files.list(dir))(
+        _.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".json"))
+          .filter(p => !live(p.getFileName.toString.stripSuffix(".json")))
+          .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+          .toList)
+      victims.foreach { p => Files.deleteIfExists(p); n += 1 }
+      n
+    }
+    val c = expire(commitsDir, reachable)
+    val s = expire(snapshotsDir, liveSnaps)
+    (c, s, vacuum(olderThanMs))
+  }
+
   /** Garbage-collect data files not referenced by any snapshot of any
     * commit reachable from a branch head (the lakeFS-GC / Iceberg
     * remove-orphan-files analog: immutable files become garbage when a
     * branch drop or a crashed writer makes them unreachable — never from
-    * DML itself, since ancestor commits keep their snapshots). Returns
+    * DML itself, since ancestor commits keep their snapshots). Files
+    * younger than `olderThanMs` are spared (Iceberg orphan-file-GC age
+    * guard): a concurrent writer stages data before its commit publishes,
+    * and an unguarded sweep would eat the in-flight batch. Returns
     * deleted file count.
     */
-  def vacuum(): Int = {
+  def vacuum(olderThanMs: Long = 0L): Int = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
     val roots = branches.map(b => head(b)._2) ++ tags.map(t => resolve(t).id)
     val reachableCommits = roots.flatMap(ancestors).toSet
     val referenced: Set[Path] = reachableCommits
@@ -276,7 +348,10 @@ final class GraftRepo private (val root: Path) {
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .toList)
       all.foreach { p =>
-        if (!referenced.contains(p.normalize())) { Files.delete(p); deleted += 1 }
+        if (!referenced.contains(p.normalize()) &&
+            Files.getLastModifiedTime(p).toMillis < cutoff) {
+          Files.delete(p); deleted += 1
+        }
       }
       // prune now-empty data subdirectories
       Using.resource(Files.walk(dataDir))(

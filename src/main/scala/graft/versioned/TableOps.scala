@@ -574,6 +574,88 @@ object TableOps {
     * any one of them prunes files. The multi-column answer where a
     * lexicographic sort only helps its leading column.
     */
+  /** Validate a partition spec against a table's (logical) schema — the
+    * same rules the catalog enforces at CREATE TABLE.
+    */
+  def validateSpec(schema: StructType, spec: Seq[PartitionField]): Unit = {
+    val names = spec.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate partition field names: ${names.mkString(", ")}")
+    spec.foreach { pf =>
+      val fd = schema.fields.find(_.name == pf.source).getOrElse(
+        throw new IllegalArgumentException(s"no such partition source column: ${pf.source}"))
+      pf.transform match {
+        case "identity" => ()
+        case "bucket" =>
+          require(pf.numBuckets > 0, s"bucket count must be > 0: ${pf.numBuckets}")
+        case "years" | "months" | "days" | "hours" => fd.dataType match {
+          case TimestampType | TimestampNTZType | DateType => ()
+          case other => throw new IllegalArgumentException(
+            s"${pf.transform} transform needs a timestamp/date source, got ${other.simpleString}")
+        }
+        case "truncate" =>
+          require(pf.numBuckets > 0, s"truncate width must be > 0: ${pf.numBuckets}")
+          fd.dataType match {
+            case ByteType | ShortType | IntegerType | LongType | StringType => ()
+            case other => throw new IllegalArgumentException(
+              s"truncate transform needs an integral or string source, got ${other.simpleString}")
+          }
+        case other => throw new UnsupportedOperationException(
+          s"unknown transform: $other (identity/bucket/years/months/days/hours/truncate)")
+      }
+    }
+  }
+
+  /** Partition-spec evolution (Iceberg partition evolution): replace the
+    * table's spec going FORWARD, metadata-only — zero files rewritten.
+    * Existing files keep the partition values the old spec wrote;
+    * [[Partitioning.mayMatch]] keeps any file lacking a field's value, so
+    * a mixed-layout table stays correct — old files just stop benefiting
+    * from pruning on the new fields until compaction rewrites them.
+    *
+    * Field-NAME reuse hazard: `FileEntry.partitionValues` is keyed by
+    * field name. If an evolved field reused a name whose recorded values
+    * came from a DIFFERENT transform (bucket(4,id) -> bucket(8,id)), the
+    * new spec would misread old values and prune live rows. A field
+    * identical to the current spec keeps its name (continuity); any other
+    * collision with a name present in live file metadata or the old spec
+    * is rebound to a fresh `<name>_vN` — the invariant Iceberg gets from
+    * never-reused field ids. Returns the spec as committed.
+    */
+  def setPartitionSpec(repo: GraftRepo, branch: String, key: String,
+      newSpec: Seq[PartitionField]): Seq[PartitionField] = {
+    var committed: Seq[PartitionField] = Nil
+    repo.commitRetry(branch, s"set partition spec on $key") { base =>
+      val sid = base.tables.getOrElse(key,
+        throw new IllegalArgumentException(s"no such table: $key"))
+      val snap = repo.snapshot(sid)
+      val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+      validateSpec(schema, newSpec)
+      val current = snap.partitionFields.map(f => f.name -> f).toMap
+      val recorded: Set[String] =
+        snap.files.iterator.flatMap(_.partValues.keys).toSet ++ current.keySet
+      val taken = scala.collection.mutable.Set[String]() ++ recorded
+      val rebound = newSpec.map { pf =>
+        if (current.get(pf.name).contains(pf)) pf // unchanged field: keep name
+        else if (!taken.contains(pf.name)) { taken += pf.name; pf }
+        else {
+          val fresh = Iterator.from(2).map(i => s"${pf.name}_v$i")
+            .find(n => !taken.contains(n)).get
+          taken += fresh
+          pf.copy(name = fresh)
+        }
+      }
+      val ns = repo.writeSnapshot(key, snap.schemaJson, snap.files,
+        if (rebound.isEmpty) None else Some(rebound),
+        Option(snap.physicalNames).flatten,
+        Option(snap.props).flatten,
+        Option(snap.retired).flatten)
+      committed = rebound
+      (base.tables + (key -> ns.id), base.namespaces)
+    }
+    committed
+  }
+
   private def zorderColumn(snap: Snapshot, schema: StructType,
       cols: Seq[String]): Column = {
     require(cols.size >= 2, "zorderBy needs at least 2 columns")

@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.matchers.should.Matchers
 
-import graft.versioned.{CommitConflictException, GraftRepo, MergeConflictException, TableOps}
+import graft.versioned.{CommitConflictException, GraftRepo, MergeConflictException, Partitioning, TableOps}
 
 /** Mirrors the reference's behavioral contract (tests/test_iceberg.py:9-57):
   * zero-copy branches, branch-isolated DML, merge convergence — plus the
@@ -543,7 +543,11 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     import spark.implicits._
     TableOps.insert(spark, repo, "main", "db/t",
       Seq(1, 2, 3).toDF("id"), overwrite = false)
-    val untranslatable = org.apache.spark.sql.sources.AlwaysTrue
+    // every plain v1 filter now translates (AlwaysTrue backs TRUNCATE);
+    // collation-aware filters are the remaining genuinely untranslatable
+    // shape (naive === would apply the wrong comparison semantics)
+    val untranslatable = org.apache.spark.sql.sources.CollatedEqualTo(
+      "id", 1, org.apache.spark.sql.types.StringType)
     intercept[UnsupportedOperationException](
       TableOps.deleteWhere(spark, repo, "main", "db/t", Seq(untranslatable)))
     intercept[UnsupportedOperationException](
@@ -949,6 +953,125 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     rows("SELECT id FROM g.rpc.main.db.t ORDER BY id").flatten shouldBe Seq(0, 2)
     // vacuum via CALL: nothing deletable while history references files
     rows("CALL g.system.vacuum('rpc')").head.head.asInstanceOf[Int] should be >= 0
+  }
+
+
+  test("partition-spec evolution: forward-only metadata change; old files " +
+    "stay correct (conservative) and a changed transform rebinds to a fresh " +
+    "field name") {
+    import org.apache.spark.sql.sources.EqualTo
+    sql("CREATE NAMESPACE g.rpe")
+    sql("CREATE NAMESPACE g.rpe.main.db")
+    sql("CREATE TABLE g.rpe.main.db.t (id INT, cat STRING) " +
+      "PARTITIONED BY (bucket(4, id))")
+    sql("INSERT INTO g.rpe.main.db.t VALUES " +
+      (0 until 10).map(i => s"($i, 'c${i % 2}')").mkString(", "))
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rpe"))
+    def snap() = repo.snapshot(repo.headCommit("main").tables("db/t"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap().schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val oldPaths = snap().files.map(_.path).toSet
+    oldPaths.size should be >= 2 // one file per hit bucket
+
+    // evolve: wider bucket on id + identity on cat. Same-name field with a
+    // DIFFERENT transform (bucket 4 -> 8) must get a fresh name, or the
+    // new spec would misread old files' recorded bucket values.
+    val out = rows(
+      "CALL g.system.set_partition_spec('rpe', 'main', 'db.t', 'bucket(8, id), cat')")
+    out.head.head.toString should include ("id_bucket_v2")
+    snap().partitionFields.map(_.name) shouldBe Seq("id_bucket_v2", "cat")
+
+    sql("INSERT INTO g.rpe.main.db.t VALUES " +
+      (10 until 20).map(i => s"($i, 'c${i % 2}')").mkString(", "))
+    // correctness across the mixed layout
+    rows("SELECT count(*) FROM g.rpe.main.db.t").flatten shouldBe Seq(20L)
+    rows("SELECT id FROM g.rpe.main.db.t WHERE id IN (3, 13) ORDER BY id")
+      .flatten shouldBe Seq(3, 13)
+
+    // partition-level pruning on the evolved spec: every OLD file is
+    // conservatively kept (no id_bucket_v2 value recorded — min/max stats,
+    // not partition values, are what may still exclude it), while new
+    // files prune to one bucket
+    val evolved = snap().partitionFields
+    snap().files.filter(f => oldPaths(f.path)).foreach { f =>
+      Partitioning.mayMatch(f, evolved, schema, EqualTo("id", 13)) shouldBe true
+    }
+    val hit = TableOps.pruneFiles(snap(), schema, Seq(EqualTo("id", 13)))
+      .map(_.path).toSet
+    val newFiles = snap().files.map(_.path).toSet -- oldPaths
+    (hit -- oldPaths).size should be < newFiles.size
+    // new files carry values for BOTH evolved fields
+    snap().files.filter(f => newFiles(f.path)).foreach { f =>
+      f.partValues.keySet shouldBe Set("id_bucket_v2", "cat")
+    }
+    // identity(cat) on new files prunes to one cat per file group
+    val catHit = TableOps.pruneFiles(snap(), schema, Seq(EqualTo("cat", "c1")))
+      .map(_.path).toSet
+    oldPaths.subsetOf(catHit) shouldBe true
+    (catHit -- oldPaths) should not be newFiles
+
+    // evolving to unpartitioned: later inserts record no partition values
+    rows("CALL g.system.set_partition_spec('rpe', 'main', 'db.t', '')")
+    snap().partitionFields shouldBe Nil
+    sql("INSERT INTO g.rpe.main.db.t VALUES (20, 'c0')")
+    rows("SELECT count(*) FROM g.rpe.main.db.t").flatten shouldBe Seq(21L)
+    // a spec naming a missing column is rejected
+    intercept[Exception] {
+      rows("CALL g.system.set_partition_spec('rpe', 'main', 'db.t', 'nope')")
+    }
+  }
+
+
+  test("rollback / revert / expire_snapshots: hard reset, history-preserving " +
+    "undo, unreachable-metadata GC") {
+    sql("CREATE NAMESPACE g.rrb")
+    sql("CREATE NAMESPACE g.rrb.main.db")
+    sql("CREATE TABLE g.rrb.main.db.t (id INT)")
+    sql("INSERT INTO g.rrb.main.db.t VALUES (1)")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rrb"))
+    val good = repo.headCommit("main").id
+    sql("INSERT INTO g.rrb.main.db.t VALUES (2)")
+    sql("INSERT INTO g.rrb.main.db.t VALUES (3)")
+    val full = repo.headCommit("main").id
+
+    // revert: new commit restoring `good`'s state; pre-revert head stays
+    // reachable, so time travel across the undo keeps working
+    rows(s"CALL g.system.revert('rrb', 'main', '$good')")
+    rows("SELECT count(*) FROM g.rrb.main.db.t").flatten shouldBe Seq(1L)
+    repo.headCommit("main").parents should contain (full)
+    rows(s"SELECT count(*) FROM g.rrb.main.db.t VERSION AS OF '$full'")
+      .flatten shouldBe Seq(3L)
+
+    // rollback: head moves to the ancestor itself; later commits dangle
+    rows(s"CALL g.system.rollback('rrb', 'main', '$good')")
+      .flatten shouldBe Seq(good)
+    repo.headCommit("main").id shouldBe good
+    rows("SELECT count(*) FROM g.rrb.main.db.t").flatten shouldBe Seq(1L)
+
+    // expire_snapshots: the two inserts + the revert commit are now
+    // unreachable -> 3 commits, their 2 distinct snapshots (the revert
+    // reused `good`'s snapshot object), and the orphaned insert files go
+    val ex = rows("CALL g.system.expire_snapshots('rrb')").head
+    ex(0).asInstanceOf[Int] shouldBe 3
+    ex(1).asInstanceOf[Int] shouldBe 2
+    ex(2).asInstanceOf[Int] should be >= 2
+    rows("SELECT count(*) FROM g.rrb.main.db.t").flatten shouldBe Seq(1L)
+    intercept[Exception] {
+      rows(s"SELECT * FROM g.rrb.main.db.t VERSION AS OF '$full'")
+    }
+
+    // rollback refuses a target that is not an ancestor of the head
+    rows("CALL g.system.create_branch('rrb', 'dev', 'main')")
+    sql("INSERT INTO g.rrb.dev.db.t VALUES (9)")
+    val devHead = repo.headCommit("dev").id
+    intercept[Exception] {
+      rows(s"CALL g.system.rollback('rrb', 'main', '$devHead')")
+    }
+    // and an age guard spares young unreachable objects
+    repo.rollback("dev", good)
+    repo.expireSnapshots(olderThanMs = 60_000L) shouldBe ((0, 0, 0))
   }
 
 
