@@ -217,7 +217,60 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-budget sequence packing (training-shard assignment): greedy-fill
+    * shards of <= `Budget` whitespace tokens, walking doc_id order inside
+    * contiguous `Span`-doc groups. The group bound is the scale contract:
+    * ONE shuffle on the group key, every group holds <= Span docs, so the
+    * per-group greedy walk is O(Span) memory regardless of corpus size —
+    * at 100 TB the packing runs as ~|corpus|/Span independent tasks (the
+    * same local-greedy compromise production packers make; a single global
+    * sequential pack is inherently unparallelizable). A doc larger than
+    * the budget gets a singleton shard; shard ids restart per group, so
+    * (grp, shard) is the global shard key.
+    */
+  private val Span = 64L
+  private val Budget = 2048L
+  private def pack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T.documents(s, d)
+      .select(col("doc_id").cast("long"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+      .as[(Long, Long)]
+      .groupByKey(_._1 / Span)
+      .flatMapGroups { (grp, it) =>
+        val docs = it.toArray.sortBy(_._1)
+        var shard = 0L
+        var acc = 0L
+        docs.iterator.zipWithIndex.map { case ((id, tk), i) =>
+          if (i == 0) { shard = 0L; acc = tk }
+          else if (acc + tk > Budget) { shard += 1; acc = tk }
+          else acc += tk
+          (id, tk, grp, shard)
+        }
+      }
+      .toDF("doc_id", "tokens", "grp", "shard")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q(
+      "tx_pack",
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens,
+        |         doc_id // 64 AS grp,
+        |         row_number() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pack AS (
+        |  SELECT doc_id, tokens, grp, rn, CAST(0 AS BIGINT) AS shard, tokens AS acc
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.doc_id, t.tokens, t.grp, t.rn,
+        |         CASE WHEN p.acc + t.tokens > 2048 THEN p.shard + 1 ELSE p.shard END,
+        |         CASE WHEN p.acc + t.tokens > 2048 THEN t.tokens ELSE p.acc + t.tokens END
+        |  FROM t JOIN pack p ON t.grp = p.grp AND t.rn = p.rn + 1)
+        |SELECT doc_id, tokens, grp, shard FROM pack ORDER BY doc_id""".stripMargin
+    )(pack),
     Q(
       "tx_sentence_dedup",
       """WITH sents AS (

@@ -104,6 +104,22 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     exact.diff(found) shouldBe empty
   }
 
+  test("tx_pack: every doc assigned exactly once; no multi-doc shard " +
+    "exceeds the token budget; shards fill contiguously in doc_id order") {
+    val out = SparkEntry.queries("tx_pack")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.map(_._1).distinct.length shouldBe out.length
+    val byShard = out.groupBy(t => (t._3, t._4))
+    byShard.values.foreach { ds =>
+      if (ds.length > 1) ds.map(_._2).sum should be <= 2048L
+    }
+    // within a group, shard ids are non-decreasing along doc_id order
+    out.groupBy(_._3).values.foreach { g =>
+      val shards = g.sortBy(_._1).map(_._4)
+      shards.zip(shards.tail).foreach { case (a, b) => b should be >= a }
+    }
+  }
+
   test("dd_semdedup: deterministic survivors; no survivor has a lower-id " +
     "near-duplicate in its own cluster; duplicates were actually removed") {
     import org.apache.spark.sql.functions._
