@@ -644,14 +644,35 @@ object Relational {
         .orderBy(col("c_custkey"), col("o_orderkey"))
     },
 
-    // ---- q26: stratified sample (rows-only: sampling RNG is engine-specific) --
-    // Per-stratum Bernoulli sampling with a fixed seed: one scan, no shuffle,
-    // deterministic for a given Spark version. Returns per-flag sampled counts
-    // so the result is small and stable to inspect.
-    Q.rowsOnly("q26_strat_sample") { (s, d) =>
+    // ---- q26: stratified sample -------------------------------------------
+    // Per-stratum Bernoulli sampling with a DETERMINISTIC hash coin
+    // (md5 of the row key -> uniform [0,1)) instead of engine RNG: one
+    // scan, no shuffle, and the sample is reproducible across engines,
+    // retries and cluster sizes — what a production pipeline wants from
+    // sampling at 100 TB (re-running a stage must not re-draw the
+    // sample). Fully oracle-checked since md5 is engine-portable.
+    Q(
+      "q26_strat_sample",
+      """SELECT l_returnflag, count(*) AS n_sampled FROM (
+        |  SELECT l_returnflag,
+        |    CAST(('0x' || substring(md5(l_orderkey || '|' || l_linenumber || '|' ||
+        |      l_partkey || '|' || l_suppkey), 1, 8)) AS BIGINT) / 4294967296.0 AS coin
+        |  FROM lineitem)
+        |WHERE coin < CASE l_returnflag WHEN 'A' THEN 0.1 WHEN 'N' THEN 0.02
+        |                               WHEN 'R' THEN 0.1 ELSE 0 END
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      val key = concat_ws("|",
+        col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
+        col("l_partkey").cast("string"), col("l_suppkey").cast("string"))
+      val coin = conv(substring(md5(key), 1, 8), 16, 10)
+        .cast("bigint").cast("double") / 4294967296.0
+      val frac = when(col("l_returnflag") === "A", 0.1)
+        .when(col("l_returnflag") === "N", 0.02)
+        .when(col("l_returnflag") === "R", 0.1)
+        .otherwise(0.0)
       T.lineitem(s, d)
-        .stat.sampleBy("l_returnflag",
-          Map("A" -> 0.1, "N" -> 0.02, "R" -> 0.1), seed = 42L)
+        .filter(coin < frac)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy(col("l_returnflag"))
