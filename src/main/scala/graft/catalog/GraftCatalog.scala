@@ -32,7 +32,8 @@ import graft.versioned.GraftRepo
   * (LakeFSCatalog.java:218).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -308,6 +309,65 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "(identity/bucket/years/months/days/hours/truncate)")
       }
     }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) ------------------------
+
+  private def stage(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String],
+      mode: String): org.apache.spark.sql.connector.catalog.StagedTable = {
+    val ns = ident.namespace()
+    if (ns.length != 3) throw new NoSuchNamespaceException(ns)
+    val g = repo(ns)
+    if (!g.branchExists(ns(1))) throw new NoSuchNamespaceException(ns)
+    val key = tableKey(ident)
+    // early existence check for fail-fast UX; the commit re-validates
+    // atomically inside the ref race
+    val exists = g.headCommit(ns(1)).tables.contains(key)
+    if (mode == "create" && exists) throw new TableAlreadyExistsException(ident)
+    if (mode == "replace" && !exists)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val spec = parseTransforms(schema, partitions)
+    val userProps = properties.asScala.toMap --
+      Seq("provider", "location", "owner", "external")
+    new GraftStagedTable(g, ns(1), key, ident, schema, spec, userProps, ns(2), mode)
+  }
+
+  private def toStruct(columns: Array[org.apache.spark.sql.connector.catalog.Column]): StructType =
+    StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties, "create")
+
+  override def stageCreate(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: JMap[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, toStruct(columns), partitions, properties, "create")
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties, "replace")
+
+  override def stageReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: JMap[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, toStruct(columns), partitions, properties, "replace")
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties, "createOrReplace")
+
+  override def stageCreateOrReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: JMap[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, toStruct(columns), partitions, properties, "createOrReplace")
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
