@@ -19,6 +19,10 @@ import graft.versioned.GraftRepo
   *  - `files`      current snapshot's data files + row counts
   *  - `snapshots`  every snapshot of this table reachable from the branch
   *  - `history`    branch commits that changed this table
+  *  - `partitions` per-partition-value file/row/byte rollup (Iceberg's
+  *                 partitions metadata table — the first thing an
+  *                 operator checks for skew/small-files at 100 TB)
+  *  - `refs`       repo branches and tags with their head commits
   *
   * Metadata volumes are O(commits + files) — driver-side row building is
   * appropriate here; the DATA path never does this.
@@ -51,6 +55,16 @@ final class MetaTable(
       StructField("commit_id", StringType),
       StructField("ts", LongType),
       StructField("message", StringType),
+      StructField("snapshot_id", StringType)))
+    case "partitions" => StructType(Seq(
+      StructField("partition", MapType(StringType, StringType)),
+      StructField("n_files", IntegerType),
+      StructField("n_rows", LongType),
+      StructField("bytes", LongType)))
+    case "refs" => StructType(Seq(
+      StructField("name", StringType),
+      StructField("kind", StringType),
+      StructField("commit_id", StringType),
       StructField("snapshot_id", StringType)))
   }
 
@@ -86,6 +100,24 @@ final class MetaTable(
         if (kind == "snapshots") r.getString(1) else r.getString(3)
       out.zipAll(out.drop(1).map(Option(_)), null.asInstanceOf[Row], None)
         .collect { case (r, next) if !next.exists(n => sidOf(n) == sidOf(r)) => r }
+    case "partitions" =>
+      val snap = repo.snapshot(repo.headCommit(branch).tables(key))
+      snap.files.groupBy(_.partValues).toSeq
+        .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+        .map { case (pv, fs) =>
+          Row(pv, fs.size, fs.map(_.rows).sum,
+            fs.map(_.sizeBytes(bytesPerRow = 64L)).sum)
+        }
+    case "refs" =>
+      val bs = repo.branches.map { b =>
+        val c = repo.headCommit(b)
+        Row(b, "branch", c.id, c.tables.get(key).orNull)
+      }
+      val ts = repo.tags.map { t =>
+        val c = repo.resolve(t)
+        Row(t, "tag", c.id, c.tables.get(key).orNull)
+      }
+      bs ++ ts
     case _ => Nil
   }
 
@@ -106,5 +138,5 @@ final class MetaTable(
 }
 
 object MetaTable {
-  val kinds: Set[String] = Set("files", "snapshots", "history")
+  val kinds: Set[String] = Set("files", "snapshots", "history", "partitions", "refs")
 }

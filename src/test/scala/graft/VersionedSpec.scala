@@ -240,6 +240,24 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     val snaps = sql(
       "SELECT n_rows FROM g.r15.main.db.t.snapshots ORDER BY n_rows").collect()
     snaps.map(_.getLong(0)) shouldBe Array(0L, 7L, 8L, 8L)
+    // refs: main branch present, pointing at the current head + snapshot
+    val refs = sql("SELECT * FROM g.r15.main.db.t.refs").collect()
+    val mainRef = refs.find(_.getAs[String]("name") == "main").get
+    mainRef.getAs[String]("kind") shouldBe "branch"
+    mainRef.getAs[String]("snapshot_id") should not be null
+  }
+
+  test("metadata tables: t.partitions rolls up files per partition value") {
+    sql("CREATE NAMESPACE g.rmp")
+    sql("CREATE NAMESPACE g.rmp.main.db")
+    sql("CREATE TABLE g.rmp.main.db.t (id INT, cat STRING) PARTITIONED BY (cat)")
+    sql("INSERT INTO g.rmp.main.db.t VALUES (1,'a'), (2,'a'), (3,'b')")
+    sql("INSERT INTO g.rmp.main.db.t VALUES (4,'b')")
+    val parts = sql(
+      "SELECT partition['cat'] AS cat, n_files, n_rows " +
+        "FROM g.rmp.main.db.t.partitions ORDER BY cat").collect()
+    parts.map(r => (r.getString(0), r.getInt(1), r.getLong(2))) shouldBe
+      Array(("a", 1, 2L), ("b", 2, 2L))
   }
 
   test("INSERT OVERWRITE replaces table contents (truncate write path)") {
@@ -953,6 +971,46 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     rows("SELECT id FROM g.rpc.main.db.t ORDER BY id").flatten shouldBe Seq(0, 2)
     // vacuum via CALL: nothing deletable while history references files
     rows("CALL g.system.vacuum('rpc')").head.head.asInstanceOf[Int] should be >= 0
+  }
+
+
+  test("atomic CTAS / CREATE OR REPLACE AS SELECT: one staged commit, " +
+    "replaced state stays time-travelable, failed RTAS aborts cleanly") {
+    sql("CREATE NAMESPACE g.rct")
+    sql("CREATE NAMESPACE g.rct.main.db")
+    sql("CREATE TABLE g.rct.main.db.t AS SELECT 1 AS id, 'a' AS v")
+    rows("SELECT id, v FROM g.rct.main.db.t").map(_.toList) shouldBe
+      Seq(List(1, "a"))
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rct"))
+    val before = repo.headCommit("main").id
+
+    sql("CREATE OR REPLACE TABLE g.rct.main.db.t AS SELECT 2 AS id, 'b' AS v")
+    rows("SELECT id FROM g.rct.main.db.t").flatten shouldBe Seq(2)
+    // the replace is a commit like any other: pre-replace content stays
+    // reachable through history
+    rows(s"SELECT id FROM g.rct.main.db.t VERSION AS OF '$before'")
+      .flatten shouldBe Seq(1)
+
+    // REPLACE of a missing table is rejected up front
+    intercept[Exception] {
+      sql("REPLACE TABLE g.rct.main.db.nope AS SELECT 1 AS x")
+    }
+
+    // failed RTAS: the query dies mid-write -> abort deletes staged
+    // files, the table is untouched, no half-replaced state is visible
+    def dataFiles: Long = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(repo.dataDir))(
+        _.iterator().asScala.count(p => p.toString.endsWith(".parquet")).toLong)
+    }
+    val nBefore = dataFiles
+    intercept[Exception] {
+      sql("CREATE OR REPLACE TABLE g.rct.main.db.t AS " +
+        "SELECT raise_error(v) AS boom FROM g.rct.main.db.t")
+    }
+    rows("SELECT id FROM g.rct.main.db.t").flatten shouldBe Seq(2)
+    dataFiles shouldBe nBefore
   }
 
 
