@@ -102,6 +102,23 @@ object HashKernels {
     bucket
   }
 
+  /** Count of aligned equal positions of two long arrays (minhash
+    * signature agreement — matches/k estimates Jaccard unbiasedly). One
+    * linear pass, no allocation: the sketch-verify prefilter that keeps
+    * the expensive exact-Jaccard kernel off the overwhelming majority of
+    * LSH candidate pairs.
+    */
+  def sigAgree(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var m = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) m += 1
+      i += 1
+    }
+    m
+  }
+
   /** |A∩B| / |A∪B| for distinct-element string arrays (nulls skipped). */
   def setJaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
@@ -141,6 +158,26 @@ case class SetJaccard(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.setJaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Aligned-position agreement count of two long-array minhash signatures
+  * (codegen'd). Signatures are built with `containsNull = false`, so
+  * elements read via the primitive `getLong` path.
+  */
+case class SigAgree(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_sig_agree"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.sigAgree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.sigAgree($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -201,6 +238,8 @@ object HashExpressions {
     Bridge.column(MinHashSignature(Bridge.expression(setCol), k))
   def setJaccardNative(a: Column, b: Column): Column =
     Bridge.column(SetJaccard(Bridge.expression(a), Bridge.expression(b)))
+  def sigAgreeNative(a: Column, b: Column): Column =
+    Bridge.column(SigAgree(Bridge.expression(a), Bridge.expression(b)))
   def hyperplaneBucketNative(v: Column, nbits: Int, planeOffset: Int): Column =
     Bridge.column(HyperplaneBucket(Bridge.expression(v), nbits, planeOffset))
 }

@@ -82,6 +82,16 @@ object Dedup {
           col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    // Measured alternative (sf0.1): a sketch-verify prefilter (join sigs,
+    // keep pairs with >= 51/64 agreeing minhash components, then exact-
+    // verify survivors — HashKernels.sigAgree) is NET NEGATIVE on this
+    // corpus: it keeps 71% of the 4.1M candidates (~1M pairs genuinely
+    // have J >= 0.9 here), so it doubles the pair-join volume to save a
+    // kernel that costs 1.8s total. Profiled stage times: sig build 5.6s
+    // (first-job warmup dominated), distinct 3.5s, exact verify ALL
+    // pairs 1.8s, prefilter path 7.5s. On a corpus where near-dups are
+    // rare (the usual case), the prefilter wins — it stays available as
+    // HashExpressions.sigAgreeNative.
     val w = docs.select(col("doc_id"), col("ws"))
     cand
       .repartition(par, col("id_a")) // pairs are skinny; the Jaccard kernel is not

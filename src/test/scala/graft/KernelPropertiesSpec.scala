@@ -49,6 +49,31 @@ class KernelPropertiesSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("sigAgree: bounds, identity, symmetry, naive-equal, estimates " +
+    "jaccard within binomial tolerance") {
+    val longArr = (xs: Seq[Long]) => new GenericArrayData(xs.toArray[Any])
+    cases(200).foreach { case (a, b) =>
+      if (a.nonEmpty && b.nonEmpty) {
+        val sa = HashKernels.minhashSig(arr(a), 64)
+        val sb = HashKernels.minhashSig(arr(b), 64)
+        val m = HashKernels.sigAgree(sa, sb)
+        m should (be >= 0 and be <= 64)
+        HashKernels.sigAgree(sb, sa) shouldBe m
+        HashKernels.sigAgree(sa, sa) shouldBe 64
+        val naive = (0 until 64).count(i => sa.getLong(i) == sb.getLong(i))
+        m shouldBe naive
+        // minhash agreement is an unbiased Jaccard estimator: 64 perms
+        // put the estimate within ~4 sd of the true value
+        val (xa, xb) = (a.toSet, b.toSet)
+        val j = if (xa.union(xb).isEmpty) 0.0
+          else xa.intersect(xb).size.toDouble / xa.union(xb).size
+        math.abs(m / 64.0 - j) should be <= (4 * math.sqrt(j.max(0.01) * (1 - j.min(0.99)) / 64) + 0.02)
+      }
+    }
+    // truncated/mismatched lengths: agreement over the common prefix
+    HashKernels.sigAgree(longArr(Seq(1L, 2L, 3L)), longArr(Seq(1L, 9L))) shouldBe 1
+  }
+
   test("minhashSig: k minima, deterministic, element-monotone") {
     cases(200).map(_._1).filter(_.nonEmpty).foreach { ws =>
       val sig = HashKernels.minhashSig(arr(ws), 16)
