@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, MinHashSignature, SetJaccard, SimHash64}
+import graft.functions.{DotProduct, MinHashSignature, SetJaccard, SigAgree, SimHash64}
 
 /** Session extensions exposing graft's native Catalyst kernels to SQL:
   * {{{
@@ -15,6 +15,7 @@ import graft.functions.{DotProduct, MinHashSignature, SetJaccard, SimHash64}
   *   SELECT graft_simhash64(words)         -- 64-bit SimHash fingerprint
   *   SELECT graft_minhash_sig(words, 64)   -- k-perm MinHash signature
   *   SELECT graft_set_jaccard(ws_a, ws_b)  -- exact set Jaccard
+  *   SELECT graft_sig_agree(sig_a, sig_b)  -- minhash agreement count
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -42,5 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_set_jaccard"),
       info("graft_set_jaccard", classOf[SetJaccard]),
       (args: Seq[Expression]) => SetJaccard(args(0), args(1))))
+
+    ext.injectFunction((FunctionIdentifier("graft_sig_agree"),
+      info("graft_sig_agree", classOf[SigAgree]),
+      (args: Seq[Expression]) => SigAgree(args(0), args(1))))
   }
 }

@@ -60,6 +60,47 @@ object Multimodal {
     }
   }
 
+  case class ResizedMedia(
+      doc_id: Long,
+      byte_len: Long,
+      stride: Int,
+      resized_len: Long,
+      resized_mean: Double)
+
+  /** STUB resize — stands in for an image resample kernel. Deterministic
+    * stride-decimation: keep every `stride`-th payload byte so the output
+    * is <= ~256 "pixels" (stride = max(1, len/256)). Like decodeStub, a
+    * real deployment replaces ONLY this function; the batching, schema
+    * and partitioning around it are the real contract.
+    */
+  def resizeStub(batch: Seq[MediaIn]): Seq[ResizedMedia] = {
+    batch.map { m =>
+      val len = m.payload.length
+      val stride = math.max(1, len / 256)
+      var i = 0
+      var n = 0
+      var sum = 0L
+      while (i < len) {
+        sum += (m.payload(i) & 0xff)
+        n += 1
+        i += stride
+      }
+      ResizedMedia(m.doc_id, len.toLong, stride, n.toLong,
+        if (n == 0) 0.0 else sum.toDouble / n)
+    }
+  }
+
+  /** Batched resize over the media table (same bounded-batch shape as
+    * [[decode]]).
+    */
+  def resize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).as[MediaIn]
+      .mapPartitions(_.grouped(BatchSize).flatMap(b => resizeStub(b)))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** documents -> simulated media table: payload = utf8 bytes of `text`
     * (stand-in for image bytes), format assigned deterministically.
     */
@@ -91,6 +132,24 @@ object Multimodal {
         |FROM documents ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       decode(s, d).select(col("doc_id"), col("format"), col("byte_len"))
+        .orderBy(col("doc_id"))
+    },
+    // Resize plumbing: stride/length arithmetic is a pure function of
+    // payload length, so the batch contract (what a real resample kernel
+    // would see and emit) is oracle-checked; the decimated bytes
+    // themselves are spec-gated in MultimodalSpec.
+    Q(
+      "mm_resize",
+      """SELECT doc_id, byte_len, CAST(stride AS INTEGER) AS stride,
+        |       CAST((byte_len + stride - 1) // stride AS BIGINT) AS resized_len
+        |FROM (SELECT doc_id,
+        |             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        |             GREATEST(1, octet_length(CAST(text AS BLOB)) // 256) AS stride
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      resize(s, d)
+        .select(col("doc_id"), col("byte_len"), col("stride"), col("resized_len"))
         .orderBy(col("doc_id"))
     },
     // Frame sampling over the decoded video rows: every 5th frame index

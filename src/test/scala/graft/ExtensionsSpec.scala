@@ -57,4 +57,16 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       "SELECT graft_set_jaccard(array('a','b','c'), array('b','c','d')) AS j")
       .head().getDouble(0) shouldBe 0.5
   }
+
+  test("graft_sig_agree from SQL: agreement of identical sigs is k") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_sig_agree(graft_minhash_sig(array('a','b'), 16),
+        |                  graft_minhash_sig(array('a','b'), 16)) AS same,
+        |  graft_sig_agree(CAST(array(1, 2, 3) AS ARRAY<BIGINT>),
+        |                  CAST(array(1, 9, 3) AS ARRAY<BIGINT>)) AS partial
+        |""".stripMargin).head()
+    r.getInt(0) shouldBe 16
+    r.getInt(1) shouldBe 2
+  }
 }

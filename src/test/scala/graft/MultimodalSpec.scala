@@ -45,6 +45,20 @@ class MultimodalSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       classOf[MediaFeatures].getDeclaredFields.map(_.getName)
   }
 
+  test("stub resize decimates by stride: exact bytes, mean, determinism") {
+    val bytes = (0 until 1000).map(i => ((i * 37) % 251).toByte).toArray
+    val r = Multimodal.resizeStub(Seq(MediaIn(7, "image", bytes))).head
+    r.stride shouldBe 1000 / 256
+    val sampled = bytes.indices.by(r.stride).map(i => bytes(i) & 0xff)
+    r.resized_len shouldBe sampled.length.toLong
+    r.resized_mean shouldBe sampled.sum.toDouble / sampled.length
+    Multimodal.resizeStub(Seq(MediaIn(7, "image", bytes))).head shouldBe r
+    // short payloads: stride clamps to 1, output = input length
+    val tiny = Multimodal.resizeStub(Seq(MediaIn(8, "image", "ab".getBytes))).head
+    tiny.stride shouldBe 1
+    tiny.resized_len shouldBe 2L
+  }
+
   test("payload stays binary, metadata typed, partition-parallel") {
     val media = Multimodal.mediaTable(spark, sfDir)
     media.schema("payload").dataType.typeName shouldBe "binary"
