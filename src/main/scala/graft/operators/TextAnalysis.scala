@@ -252,7 +252,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Data-mixture reweighting (domain balancing for pretraining): per
+    * source, its token share of the corpus and the resampling weight that
+    * moves the mixture to a uniform-over-sources target (weight =
+    * target_share / actual_share — >1 upsample, <1 downsample). Shape at
+    * 100 TB: one map-side-combined groupBy to per-source totals (|sources|
+    * rows), then window arithmetic over that tiny aggregate — corpus is
+    * touched exactly once.
+    */
+  private def domainMix(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    T.documents(s, d)
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"))
+      .withColumn("token_share",
+        col("n_tokens").cast("double") / sum(col("n_tokens")).over(w))
+      .withColumn("weight",
+        (lit(1.0) / count(lit(1)).over(w)) / col("token_share"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("token_share"), col("weight"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q(
+      "tx_domain_mix",
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         sum(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
+        |           AS n_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |       CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS token_share,
+        |       (1.0 / count(*) OVER ()) /
+        |         (CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()) AS weight
+        |FROM per ORDER BY source""".stripMargin
+    )(domainMix),
     Q(
       "tx_pack",
       """WITH RECURSIVE t AS (
