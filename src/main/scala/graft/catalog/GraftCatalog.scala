@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.versioned.GraftRepo
+import graft.versioned.{GraftRepo, TableOps}
 
 /** Spark TableCatalog over graft repos: identifiers are
   * `<catalog>.<repo>.<branch>.<db>.<table>`, the same addressing scheme
@@ -260,20 +260,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * silently dropped.
     */
   private def parseTransforms(schema: StructType,
-      partitions: Array[Transform]): Seq[graft.versioned.PartitionField] =
-    partitions.toIndexedSeq.map { t =>
+      partitions: Array[Transform]): Seq[graft.versioned.PartitionField] = {
+    val spec = partitions.toIndexedSeq.map { t =>
       def sourceCol: String = {
         val refs = t.references()
         if (refs.length != 1 || refs(0).fieldNames().length != 1)
           throw new UnsupportedOperationException(
             s"partition transform must reference one top-level column: $t")
-        val c = refs(0).fieldNames()(0)
-        if (!schema.fieldNames.contains(c))
-          throw new IllegalArgumentException(s"no such partition source column: $c")
-        c
+        refs(0).fieldNames()(0)
       }
-      def sourceType: org.apache.spark.sql.types.DataType =
-        schema.fields.find(_.name == sourceCol).get.dataType
       def intArg(what: String): Int = t.arguments().collectFirst {
         case l: org.apache.spark.sql.connector.expressions.Literal[_]
           if l.value().isInstanceOf[Number] => l.value().asInstanceOf[Number].intValue()
@@ -282,33 +277,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case "identity" =>
           graft.versioned.PartitionField(sourceCol, "identity", sourceCol)
         case "bucket" =>
-          val n = intArg("bucket")
-          if (n <= 0) throw new IllegalArgumentException(s"bucket count must be > 0: $n")
-          graft.versioned.PartitionField(s"${sourceCol}_bucket", "bucket", sourceCol, n)
+          graft.versioned.PartitionField(
+            s"${sourceCol}_bucket", "bucket", sourceCol, intArg("bucket"))
         case tn @ ("years" | "months" | "days" | "hours") =>
-          import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
-          sourceType match {
-            case TimestampType | TimestampNTZType | DateType => ()
-            case other => throw new IllegalArgumentException(
-              s"$tn transform needs a timestamp/date source, got ${other.simpleString}")
-          }
           graft.versioned.PartitionField(
             s"${sourceCol}_${tn.stripSuffix("s")}", tn, sourceCol)
         case "truncate" =>
-          import org.apache.spark.sql.types._
-          sourceType match {
-            case ByteType | ShortType | IntegerType | LongType | StringType => ()
-            case other => throw new IllegalArgumentException(
-              s"truncate transform needs an integral or string source, got ${other.simpleString}")
-          }
-          val w = intArg("truncate")
-          if (w <= 0) throw new IllegalArgumentException(s"truncate width must be > 0: $w")
-          graft.versioned.PartitionField(s"${sourceCol}_trunc", "truncate", sourceCol, w)
+          graft.versioned.PartitionField(
+            s"${sourceCol}_trunc", "truncate", sourceCol, intArg("truncate"))
         case other => throw new UnsupportedOperationException(
           s"unsupported partition transform: $other " +
             "(identity/bucket/years/months/days/hours/truncate)")
       }
     }
+    // one shared rule set with set_partition_spec (source existence,
+    // transform/source-type compatibility, positive widths)
+    TableOps.validateSpec(schema, spec)
+    spec
+  }
 
   // ---- atomic CTAS / RTAS (StagingTableCatalog) ------------------------
 

@@ -70,6 +70,13 @@ private[catalog] object GraftProcedures {
     */
   private[catalog] def parseSpecString(s: String): Seq[PartitionField] = {
     val rx = """(\w+)\s*\(([^)]*)\)|([A-Za-z_][\w]*)""".r
+    // reject anything the grammar doesn't cover (e.g. an unclosed paren
+    // would otherwise degrade 'bucket(8, id' into identity(bucket),
+    // identity(id) and silently commit a wrong spec)
+    val residue = rx.replaceAllIn(s.trim, "")
+    if (!residue.matches("""[\s,]*"""))
+      throw new IllegalArgumentException(
+        s"malformed partition spec near '${residue.trim.take(30)}': $s")
     rx.findAllMatchIn(s.trim).map { m =>
       if (m.group(3) != null) PartitionField(m.group(3), "identity", m.group(3))
       else {
@@ -169,8 +176,10 @@ private[catalog] object GraftProcedures {
         }))
       case "expire_snapshots" => Some(new Proc(
         "expire_snapshots",
+        // default age guard 10 min: sweeping younger unreachable objects
+        // races in-flight committers (see GraftRepo.expireSnapshots)
         Seq(("repo", StringType, None),
-          ("older_than_ms", LongType, Some("0"))),
+          ("older_than_ms", LongType, Some("600000"))),
         StructType(Seq(
           StructField("expired_commits", IntegerType, nullable = false),
           StructField("expired_snapshots", IntegerType, nullable = false),

@@ -169,9 +169,17 @@ case class SetJaccard(left: Expression, right: Expression)
   * elements read via the primitive `getLong` path.
   */
 case class SigAgree(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "graft_sig_agree"
+  // declared input types make Spark CAST int-array inputs to long arrays;
+  // without them, getLong over an int-packed UnsafeArrayData reads
+  // misaligned slots and returns garbage under codegen
+  // (covariant override: AbstractDataType itself is private[sql])
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType, containsNull = false),
+      ArrayType(LongType, containsNull = false))
 
   override def nullSafeEval(a: Any, b: Any): Any =
     HashKernels.sigAgree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -299,8 +299,13 @@ final class GraftRepo private (val root: Path) {
     * yet), then vacuums newly-orphaned data files. Reachable history is
     * never truncated — ancestry walks (merge-base, time travel) stay whole.
     * Returns (commits, snapshots, dataFiles) deleted.
+    *
+    * The default guard is 10 minutes, NOT zero: a writer creates its
+    * commit object before publishing the ref, and an unguarded sweep in
+    * that window deletes the commit file the ref is about to point at —
+    * corrupting the branch. Pass 0 only when no writer can be in flight.
     */
-  def expireSnapshots(olderThanMs: Long = 0L): (Int, Int, Int) = {
+  def expireSnapshots(olderThanMs: Long = 600000L): (Int, Int, Int) = {
     val roots = branches.map(b => head(b)._2) ++ tags.map(t => resolve(t).id)
     val reachable = roots.flatMap(ancestors).toSet
     val liveSnaps: Set[String] =

@@ -166,6 +166,10 @@ object Partitioning {
     */
   def mayMatch(f: FileEntry, spec: Seq[PartitionField], schema: StructType,
       filter: sources.Filter): Boolean = {
+    filter match {
+      case _: sources.AlwaysFalse => return false // constant-false: no file matches
+      case _ => ()
+    }
     if (spec.isEmpty || f.partValues.isEmpty) return true
     filter match {
       case sources.And(l, r) => mayMatch(f, spec, schema, l) && mayMatch(f, spec, schema, r)

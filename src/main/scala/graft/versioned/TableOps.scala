@@ -320,6 +320,10 @@ object TableOps {
       } yield (cl, ch)
     }
     filter match {
+      // a constant-false predicate (DELETE ... WHERE 1=2) proves NO file
+      // matches — without this, every file is a "candidate" and the CoW
+      // path would rewrite the whole table to delete nothing
+      case _: sources.AlwaysFalse => false
       case sources.EqualTo(a, v) => cmp(a, v).forall { case (l, h) => l <= 0 && h >= 0 }
       case sources.GreaterThan(a, v) => cmp(a, v).forall(_._2 > 0)
       case sources.GreaterThanOrEqual(a, v) => cmp(a, v).forall(_._2 >= 0)

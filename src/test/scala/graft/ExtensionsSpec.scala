@@ -63,8 +63,7 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       """SELECT
         |  graft_sig_agree(graft_minhash_sig(array('a','b'), 16),
         |                  graft_minhash_sig(array('a','b'), 16)) AS same,
-        |  graft_sig_agree(CAST(array(1, 2, 3) AS ARRAY<BIGINT>),
-        |                  CAST(array(1, 9, 3) AS ARRAY<BIGINT>)) AS partial
+        |  graft_sig_agree(array(1, 2, 3), array(1, 9, 3)) AS partial
         |""".stripMargin).head()
     r.getInt(0) shouldBe 16
     r.getInt(1) shouldBe 2

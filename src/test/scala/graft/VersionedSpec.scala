@@ -1078,6 +1078,11 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     intercept[Exception] {
       rows("CALL g.system.set_partition_spec('rpe', 'main', 'db.t', 'nope')")
     }
+    // malformed spec strings fail loudly instead of degrading to
+    // bare-identity fields (unclosed paren used to parse as identity(bucket))
+    intercept[Exception] {
+      rows("CALL g.system.set_partition_spec('rpe', 'main', 'db.t', 'bucket(8, id')")
+    }
   }
 
 
@@ -1111,7 +1116,7 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // expire_snapshots: the two inserts + the revert commit are now
     // unreachable -> 3 commits, their 2 distinct snapshots (the revert
     // reused `good`'s snapshot object), and the orphaned insert files go
-    val ex = rows("CALL g.system.expire_snapshots('rrb')").head
+    val ex = rows("CALL g.system.expire_snapshots('rrb', 0)").head
     ex(0).asInstanceOf[Int] shouldBe 3
     ex(1).asInstanceOf[Int] shouldBe 2
     ex(2).asInstanceOf[Int] should be >= 2
@@ -1127,9 +1132,9 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     intercept[Exception] {
       rows(s"CALL g.system.rollback('rrb', 'main', '$devHead')")
     }
-    // and an age guard spares young unreachable objects
+    // and the age guard (also the SQL default) spares young unreachables
     repo.rollback("dev", good)
-    repo.expireSnapshots(olderThanMs = 60_000L) shouldBe ((0, 0, 0))
+    repo.expireSnapshots() shouldBe ((0, 0, 0))
   }
 
 
@@ -1296,6 +1301,13 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // DESCRIBE includes the partition column
     sql("DESCRIBE EXTENDED g.rsql.main.db.t").collect()
       .map(_.getString(0)) should contain ("# Partition Information")
+    // constant-false DELETE is a no-op: no candidate files, no rewrite,
+    // snapshot id unchanged (used to rewrite the whole table)
+    val repo0 = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rsql"))
+    val sidBefore = repo0.headCommit("main").tables("db/t")
+    sql("DELETE FROM g.rsql.main.db.t WHERE 1 = 2")
+    repo0.headCommit("main").tables("db/t") shouldBe sidBefore
     // TRUNCATE TABLE empties but keeps the table + history
     sql("TRUNCATE TABLE g.rsql.main.db.t")
     rows("SELECT count(*) FROM g.rsql.main.db.t").flatten shouldBe Seq(0L)
