@@ -15,6 +15,16 @@ object Bench {
       .map(_.split(',').map(_.trim).toSet)
     val picked = only.fold(SparkEntry.queries)(ks =>
       SparkEntry.queries.filter { case (k, _) => ks(k) })
+    // Warm the session before timing: JIT/codegen, shuffle machinery and
+    // the input page cache are per-JVM costs, not per-query costs —
+    // without this, whichever query happens to run FIRST absorbs ~4-5 s
+    // of warmup and the per-query numbers aren't comparable across runs.
+    Seq("lineitem", "orders", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
+    spark.range(1000000).selectExpr("id % 7 AS k", "id")
+      .groupBy("k").count().collect()
     val results = picked.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
