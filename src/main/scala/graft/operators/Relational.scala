@@ -644,6 +644,34 @@ object Relational {
         .orderBy(col("c_custkey"), col("o_orderkey"))
     },
 
+    // ---- q31: unpivot (melt) + re-aggregate ---------------------------------
+    // Wide-to-long reshape: three measure columns melt to (measure, value)
+    // rows — Spark's native Unpivot node (Generate-free, pipelined in the
+    // scan stage), then a 3-group aggregate. Decimal-exact sums for
+    // engine parity (double addition is order-dependent).
+    Q(
+      "q31_unpivot",
+      """SELECT measure, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+        |GROUP BY measure ORDER BY measure""".stripMargin
+    ) { (s, d) =>
+      T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "value")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy(col("measure"))
+    },
+
     // ---- q26: stratified sample -------------------------------------------
     // Per-stratum Bernoulli sampling with a DETERMINISTIC hash coin
     // (md5 of the row key -> uniform [0,1)) instead of engine RNG: one
