@@ -33,6 +33,7 @@ import graft.versioned.{GraftRepo, TableOps}
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with ProcedureCatalog
+    with FunctionCatalog
     with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
@@ -46,6 +47,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def name(): String = catalogName
+
+  // ---- FunctionCatalog: partition-transform functions ------------------
+  // Spark resolves a `bucket` transform reported in a scan's
+  // KeyGroupedPartitioning (storage-partitioned joins) by loading the
+  // function from the TABLE'S catalog with an empty namespace.
+  override def listFunctions(ns: Array[String]): Array[Identifier] =
+    if (ns.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else { checkNs(ns); Array.empty }
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   private def repoPath(repo: String): Path = root.resolve(repo)
   private def repoExists(repo: String): Boolean = GraftRepo.exists(repoPath(repo))

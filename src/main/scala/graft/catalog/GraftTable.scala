@@ -203,7 +203,8 @@ final class GraftScan(
     required: StructType,
     pushed: Array[sources.Filter]) extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private var runtime: Array[sources.Filter] = Array.empty
   private var cached: Scan = null // rebuilt when runtime filters arrive
@@ -225,8 +226,104 @@ final class GraftScan(
     cached
   }
 
+  // ---- storage-partitioned joins (SPJ) ---------------------------------
+  // When the session opts in (spark.sql.sources.v2.bucketing.enabled) and
+  // every partition field is identity/bucket with a provable per-file key,
+  // the scan reports KeyGroupedPartitioning and plans ONE input partition
+  // per distinct key: a join of two graft tables partitioned the same way
+  // runs with zero Exchange. Groups are frozen at build time (static,
+  // pushed-filter pruning only); runtime filters prune files WITHIN
+  // groups so the partitioning Spark planned against never shifts.
+
+  /** Partition key of one file, in spec order — None if any field's key
+    * can't be proven from recorded metadata (unknown transform, missing
+    * or unparsable value, or a string-identity null marker, which holds
+    * both nulls and empty strings).
+    */
+  private def fileKey(f: graft.versioned.FileEntry): Option[Seq[Any]] = {
+    val vals = snap.partitionFields.map { pf =>
+      val srcType = schema.fields.find(_.name == pf.source).map(_.dataType)
+        .getOrElse(return None)
+      f.partValues.get(pf.name) match {
+        case None => return None
+        case Some(graft.versioned.Partitioning.NullMarker) =>
+          pf.transform match {
+            // non-string identity: marker is a genuine null key
+            case "identity" if srcType != org.apache.spark.sql.types.StringType => null
+            case _ => return None
+          }
+        case Some(v) => pf.transform match {
+          case "identity" => MetadataAggregates.parse(v, srcType).getOrElse(return None)
+          case "bucket" => v.toIntOption.getOrElse(return None)
+          case _ => return None
+        }
+      }
+    }
+    Some(vals)
+  }
+
+  /** Distinct-key file groups, or None when SPJ doesn't apply. Lazy —
+    * outputPartitioning() and toBatch must agree on one answer.
+    */
+  private lazy val spjGroups: Option[Seq[(Seq[Any], Seq[graft.versioned.FileEntry])]] =
+    computeSpjGroups()
+
+  private def computeSpjGroups(): Option[Seq[(Seq[Any], Seq[graft.versioned.FileEntry])]] = {
+    val enabled = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
+    if (!enabled || snap.partitionFields.isEmpty) None
+    else if (!snap.partitionFields.forall(pf =>
+      pf.transform == "identity" || pf.transform == "bucket")) None
+    else {
+      val files = TableOps.pruneFiles(snap, schema, pushed.toIndexedSeq)
+      if (files.isEmpty) None
+      else {
+        val keyed = files.map(f => fileKey(f) match {
+          case Some(k) => (k, f)
+          case None => return None // one unprovable file sinks the whole scan
+        })
+        Some(keyed.groupBy(_._1).toSeq
+          .map { case (k, fs) => (k, fs.map(_._2)) }
+          .sortBy(_._1.map(String.valueOf(_)).mkString(" ")))
+      }
+    }
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    spjGroups match {
+      case Some(groups) =>
+        val keys: Array[org.apache.spark.sql.connector.expressions.Expression] =
+          snap.partitionFields.map { pf =>
+            if (pf.transform == "bucket") Expressions.bucket(pf.numBuckets, pf.source)
+            else Expressions.identity(pf.source)
+          }.toArray
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          keys, groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+  }
+
   override def readSchema(): StructType = required
-  override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = spjGroups match {
+    case Some(groups) =>
+      val m = snap.nameMapping
+      val live = liveFiles.map(_.path).toSet // runtime filters prune within groups
+      val keyedPaths = groups.map { case (key, fs) =>
+        (org.apache.spark.sql.catalyst.InternalRow.fromSeq(key),
+          fs.filter(f => live(f.path)).map(f =>
+            new org.apache.hadoop.fs.Path(repo.root.resolve(f.path).toUri)))
+      }
+      graftbridge.KeyedReadBridge.keyedBatch(
+        SparkSession.active, keyedPaths,
+        TableOps.toPhysical(schema, m),
+        TableOps.toPhysical(required, m),
+        (pushed ++ runtime).map(TableOps.renameFilter(_, m)))
+    case None => inner.toBatch
+  }
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     inner.columnarSupportMode()
   override def description(): String =
@@ -379,7 +476,7 @@ private[catalog] object MetadataAggregates {
   }
 
   /** String stat -> Catalyst internal value of `dt`. */
-  private def parse(s: String, dt: DataType): Option[Any] = dt match {
+  private[catalog] def parse(s: String, dt: DataType): Option[Any] = dt match {
     case ByteType => Some(s.toByte)
     case ShortType => Some(s.toShort)
     case IntegerType => Some(s.toInt)

@@ -134,7 +134,47 @@ object Versioned {
     s.sql(s"SELECT * FROM $cat.r.main.db.nation ORDER BY n_nationkey")
   }
 
+  /** Storage-partitioned join: customer and orders land in graft tables
+    * bucketed 8 ways on the SAME join key, the session opts into DSv2
+    * v2-bucketing, and the fact-fact join runs with no hash exchange on
+    * either side (SpjSpec asserts the plan; this query gates the rows).
+    * At 100 TB this is the difference between shuffling two full tables
+    * and zipping co-located buckets.
+    */
+  private def spjJoin(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = freshCatalog(s)
+    s.sql(s"CREATE NAMESPACE $cat.r")
+    s.sql(s"CREATE NAMESPACE $cat.r.main.db")
+    val customer = T.customer(s, d)
+    val orders = T.orders(s, d)
+    s.sql(s"CREATE TABLE $cat.r.main.db.customer (${customer.schema.toDDL}) " +
+      "PARTITIONED BY (bucket(8, c_custkey))")
+    customer.writeTo(s"$cat.r.main.db.customer").append()
+    s.sql(s"CREATE TABLE $cat.r.main.db.orders (${orders.schema.toDDL}) " +
+      "PARTITIONED BY (bucket(8, o_custkey))")
+    orders.writeTo(s"$cat.r.main.db.orders").append()
+    // session-level opt-in, same conf Spark's own SPJ machinery keys on;
+    // only graft tables with provable identity/bucket layouts react
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    s.sql(
+      s"""SELECT c.c_custkey, c.c_name, count(*) AS n_orders,
+         |       min(o.o_orderkey) AS first_order
+         |FROM $cat.r.main.db.customer c
+         |JOIN $cat.r.main.db.orders o ON c.c_custkey = o.o_custkey
+         |GROUP BY c.c_custkey, c.c_name
+         |ORDER BY c.c_custkey""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
+    Q(
+      "vc_spj_join",
+      """SELECT c.c_custkey, c.c_name, count(*) AS n_orders,
+        |       min(o.o_orderkey) AS first_order
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey, c.c_name
+        |ORDER BY c.c_custkey""".stripMargin
+    )(spjJoin),
     Q(
       "vc_read_branch",
       "SELECT * FROM nation ORDER BY n_nationkey"

@@ -117,9 +117,21 @@ object Partitioning {
 
   /** Literal-side bucket: same XxHash64(seed=42) Spark applies on the
     * write side, evaluated on the driver during pruning, with the same
-    * width normalization as [[partitionColumn]].
+    * width normalization as [[partitionColumn]]. `v` is an EXTERNAL JVM
+    * value (as carried by v1 `sources.Filter` literals).
     */
-  def bucketOfLiteral(v: Any, dt: DataType, numBuckets: Int): Int = {
+  def bucketOfLiteral(v: Any, dt: DataType, numBuckets: Int): Int =
+    bucketOf(v, dt, numBuckets, CatalystLiteral.create(_, _))
+
+  /** Same bucket for a CATALYST-internal value (UTF8String, Int, …) —
+    * used by the SQL-exposed `bucket` ScalarFunction that backs
+    * storage-partitioned join key comparison.
+    */
+  def bucketOfCatalyst(v: Any, dt: DataType, numBuckets: Int): Int =
+    bucketOf(v, dt, numBuckets, new CatalystLiteral(_, _))
+
+  private def bucketOf(v: Any, dt: DataType, numBuckets: Int,
+      lit: (Any, DataType) => CatalystLiteral): Int = {
     val (nv, ndt): (Any, DataType) =
       if (v == null) (v, dt)
       else bucketHashType(dt) match {
@@ -127,8 +139,7 @@ object Partitioning {
         case DoubleType => (v.asInstanceOf[Number].doubleValue(), DoubleType)
         case _ => (v, dt)
       }
-    val h = new XxHash64(Seq(CatalystLiteral.create(nv, ndt)))
-      .eval(null).asInstanceOf[Long]
+    val h = new XxHash64(Seq(lit(nv, ndt))).eval(null).asInstanceOf[Long]
     (((h % numBuckets) + numBuckets) % numBuckets).toInt
   }
 
