@@ -154,16 +154,25 @@ object Versioned {
       "PARTITIONED BY (bucket(8, o_custkey))")
     orders.writeTo(s"$cat.r.main.db.orders").append()
     // session-level opt-in, same conf Spark's own SPJ machinery keys on;
-    // only graft tables with provable identity/bucket layouts react
+    // only graft tables with provable identity/bucket layouts react. The
+    // opt-in is scoped to THIS query: the join is materialized eagerly
+    // (localCheckpoint) inside the enabled window, then the conf is
+    // restored so later queries in the shared driver session keep their
+    // normal split-per-file read parallelism.
     s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
-    s.sql(
-      s"""SELECT c.c_custkey, c.c_name, count(*) AS n_orders,
-         |       min(o.o_orderkey) AS first_order
-         |FROM $cat.r.main.db.customer c
-         |JOIN $cat.r.main.db.orders o ON c.c_custkey = o.o_custkey
-         |GROUP BY c.c_custkey, c.c_name
-         |ORDER BY c.c_custkey""".stripMargin)
+    try {
+      s.sql(
+        s"""SELECT c.c_custkey, c.c_name, count(*) AS n_orders,
+           |       min(o.o_orderkey) AS first_order
+           |FROM $cat.r.main.db.customer c
+           |JOIN $cat.r.main.db.orders o ON c.c_custkey = o.o_custkey
+           |GROUP BY c.c_custkey, c.c_name
+           |ORDER BY c.c_custkey""".stripMargin).localCheckpoint(true)
+    } finally {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "false")
+    }
   }
 
   val all: Seq[Q] = Seq(
