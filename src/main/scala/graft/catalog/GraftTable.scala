@@ -274,6 +274,24 @@ final class GraftScan(
     if (!enabled || snap.partitionFields.isEmpty) None
     else if (!snap.partitionFields.forall(pf =>
       pf.transform == "identity" || pf.transform == "bucket")) None
+    else if (!snap.partitionFields.forall { pf =>
+      // float/double keys are SPJ-ineligible: 0.0 vs -0.0 land in
+      // different partition dirs (and buckets) but compare equal in SQL,
+      // so zero-shuffle alignment would silently drop their matches
+      schema.fields.find(_.name == pf.source).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.FloatType
+                  | org.apache.spark.sql.types.DoubleType) => false
+        case Some(_) => true
+        case None => false
+      }
+    }) None
+    else if (!snap.partitionFields.forall(pf =>
+      required.fieldNames.contains(pf.source))) {
+      // Spark drops a KeyGroupedPartitioning whose key columns aren't in
+      // the scan output — grouping files one-task-per-key there would
+      // cost read parallelism for zero SPJ benefit
+      None
+    }
     else {
       val files = TableOps.pruneFiles(snap, schema, pushed.toIndexedSeq)
       if (files.isEmpty) None
@@ -475,18 +493,22 @@ private[catalog] object MetadataAggregates {
       field.dataType, nullable = true), out))
   }
 
-  /** String stat -> Catalyst internal value of `dt`. */
-  private[catalog] def parse(s: String, dt: DataType): Option[Any] = dt match {
-    case ByteType => Some(s.toByte)
-    case ShortType => Some(s.toShort)
-    case IntegerType => Some(s.toInt)
-    case LongType => Some(s.toLong)
-    case FloatType => Some(s.toFloat)
-    case DoubleType => Some(s.toDouble)
-    case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
-    case DateType => Some(java.time.LocalDate.parse(s).toEpochDay.toInt)
-    case _ => None // decimals/booleans/timestamps: fall back to a real scan
-  }
+  /** String stat -> Catalyst internal value of `dt`. Total: a malformed
+    * value (corrupted metadata, hand-edited layout) is None — callers
+    * fall back to a real scan — never an exception at plan time.
+    */
+  private[catalog] def parse(s: String, dt: DataType): Option[Any] =
+    scala.util.Try[Option[Any]](dt match {
+      case ByteType => Some(s.toByte)
+      case ShortType => Some(s.toShort)
+      case IntegerType => Some(s.toInt)
+      case LongType => Some(s.toLong)
+      case FloatType => Some(s.toFloat)
+      case DoubleType => Some(s.toDouble)
+      case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case DateType => Some(java.time.LocalDate.parse(s).toEpochDay.toInt)
+      case _ => None // decimals/booleans/timestamps: fall back to a real scan
+    }).toOption.flatten
 
   private def ordering(dt: DataType): Option[Ordering[Any]] = {
     val o: Option[Ordering[_]] = dt match {

@@ -159,8 +159,10 @@ object Versioned {
     // (localCheckpoint) inside the enabled window, then the conf is
     // restored so later queries in the shared driver session keep their
     // normal split-per-file read parallelism.
-    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    val confs = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+    val prior = confs.map(k => k -> s.conf.getOption(k))
+    confs.foreach(s.conf.set(_, "true"))
     try {
       s.sql(
         s"""SELECT c.c_custkey, c.c_name, count(*) AS n_orders,
@@ -169,9 +171,9 @@ object Versioned {
            |JOIN $cat.r.main.db.orders o ON c.c_custkey = o.o_custkey
            |GROUP BY c.c_custkey, c.c_name
            |ORDER BY c.c_custkey""".stripMargin).localCheckpoint(true)
-    } finally {
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
-      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "false")
+    } finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
     }
   }
 

@@ -31,23 +31,24 @@ object KeyedReadBridge {
       dataSchema: StructType,
       readSchema: StructType,
       pushed: Array[Filter]): Batch = {
-    def batchFor(paths: Seq[Path]): Batch =
-      ParquetReadBridge.scan(spark, paths, dataSchema, readSchema, pushed).toBatch
-    // reader factory config (schemas, filters, hadoop conf) is identical
-    // for every group — build it once over the union of files
-    val factory = batchFor(groups.flatMap(_._2)).createReaderFactory()
+    // ONE parquet scan over the union of files (one file listing, one
+    // reader-factory config), then the planned splits are re-bucketed
+    // into their key groups by file path
+    val union = ParquetReadBridge.scan(
+      spark, groups.flatMap(_._2), dataSchema, readSchema, pushed).toBatch
+    val byPath = union.planInputPartitions()
+      .flatMap(_.asInstanceOf[FilePartition].files)
+      .groupBy(_.filePath.toPath.toString)
     val parts: Array[InputPartition] = groups.zipWithIndex.map {
       case ((key, paths), i) =>
-        val files =
-          if (paths.isEmpty) Array.empty[org.apache.spark.sql.execution.datasources.PartitionedFile]
-          else batchFor(paths).planInputPartitions()
-            .flatMap(_.asInstanceOf[FilePartition].files)
+        val files = paths.toArray.flatMap(p => byPath.getOrElse(p.toString,
+          Array.empty[org.apache.spark.sql.execution.datasources.PartitionedFile]))
         GraftKeyedPartition(key, FilePartition(i, files)): InputPartition
     }.toArray
     new Batch {
       override def planInputPartitions(): Array[InputPartition] = parts
       override def createReaderFactory(): PartitionReaderFactory =
-        new KeyedReaderFactory(factory)
+        new KeyedReaderFactory(union.createReaderFactory())
     }
   }
 }

@@ -123,6 +123,41 @@ class SpjSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     }
   }
 
+  test("scan without partition columns in output keeps split-per-file reads") {
+    withSpj {
+      // fa's bucket source (id) is pruned from this scan's output: Spark
+      // would discard a KeyGroupedPartitioning anyway, so the scan must
+      // NOT collapse to one-task-per-key groups
+      val df = sql("SELECT a FROM g.spj1.main.db.fa")
+      df.collect().length shouldBe 40
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      scans should not be empty
+      all(scans.flatMap(_.inputPartitions)) should not be
+        a[org.apache.spark.sql.graftbridge.GraftKeyedPartition]
+    }
+  }
+
+  test("float partition keys are SPJ-ineligible (0.0 vs -0.0)") {
+    sql("CREATE NAMESPACE g.spjf")
+    sql("CREATE NAMESPACE g.spjf.main.db")
+    sql("CREATE TABLE g.spjf.main.db.da (k DOUBLE, a INT) PARTITIONED BY (k)")
+    sql("CREATE TABLE g.spjf.main.db.db (k DOUBLE, b INT) PARTITIONED BY (k)")
+    sql("INSERT INTO g.spjf.main.db.da VALUES (cast(0.0 as double), 1), (cast(1.5 as double), 2)")
+    sql("INSERT INTO g.spjf.main.db.db VALUES (cast(-0.0 as double), 10), (cast(1.5 as double), 20)")
+    val q = "SELECT da.k, da.a, db.b FROM g.spjf.main.db.da da " +
+      "JOIN g.spjf.main.db.db db ON da.k = db.k ORDER BY da.a"
+    val expected = sql(q).collect().map(_.toSeq).toSeq
+    withSpj {
+      // must fall back to a shuffled join: 0.0 and -0.0 live in different
+      // partition dirs but are SQL-equal, so key-aligned zipping would
+      // lose their match
+      sql(q).collect().map(_.toSeq).toSeq shouldBe expected
+    }
+    expected.length shouldBe 2
+  }
+
   test("driver query vc_spj_join matches a plain parquet join") {
     import org.apache.spark.sql.functions._
     val d = "/root/testdata/sf0.001"
