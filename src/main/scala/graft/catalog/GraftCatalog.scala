@@ -464,6 +464,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val name = single(del.fieldNames(), "DROP COLUMN")
           if (!schema.fieldNames.contains(name))
             throw new IllegalArgumentException(s"no such column: $name")
+          // a live merge-on-read tombstone that references the column
+          // could no longer be evaluated — deleted rows would resurrect
+          val phys = mapping.getOrElse(name, name)
+          val tombRefs = graft.versioned.Tombstones.of(snap)
+            .flatMap(t => graft.versioned.FilterJson.columns(t.filter)).toSet
+          if (tombRefs.contains(phys))
+            throw new UnsupportedOperationException(
+              s"cannot drop column $name: a merge-on-read delete tombstone " +
+                "references it; run compaction first to materialize the delete")
           // the dropped column's physical bytes stay in old files —
           // retire the physical name so it is never re-bound
           retired += mapping.getOrElse(name, name)

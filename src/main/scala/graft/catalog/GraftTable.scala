@@ -101,9 +101,21 @@ final class GraftTable(
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
     branch.isDefined && filters.forall(f => TableOps.filterToColumn(f).isDefined)
 
-  override def deleteWhere(filters: Array[sources.Filter]): Unit =
-    TableOps.deleteWhere(SparkSession.active, repo, requireBranch, key,
+  /** With `graft.delete.mode = merge-on-read` and an exactly
+    * serializable predicate, DELETE is an O(1) tombstone commit
+    * ([[graft.versioned.Tombstones]]); otherwise (default mode,
+    * TRUNCATE's AlwaysTrue, or non-serializable shapes) the stats-pruned
+    * copy-on-write rewrite runs.
+    */
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    val b = requireBranch
+    val mor = graft.versioned.Tombstones.morEnabled(snap) &&
+      filters.nonEmpty &&
+      filters.forall(f => graft.versioned.FilterJson.toJson(f).isDefined)
+    if (mor) TableOps.deleteWhereMoR(repo, b, key, filters.toIndexedSeq)
+    else TableOps.deleteWhere(SparkSession.active, repo, b, key,
       filters.toIndexedSeq)
+  }
 }
 
 /** Filter + column pushdown for graft scans. Pushed filters drive
@@ -136,7 +148,12 @@ final class GraftScanBuilder(repo: GraftRepo, snap: Snapshot, fullSchema: Struct
       : Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = {
     if (!(agg eq lastAgg)) {
       lastAgg = agg
-      metaAgg = MetadataAggregates.answer(snap, fullSchema, agg)
+      // merge-on-read tombstones invalidate metadata counts/extremes
+      // (a deleted row may hold the min; counts include deleted rows)
+      metaAgg =
+        if (graft.versioned.Tombstones.dirty(snap,
+          TableOps.toPhysical(fullSchema, snap.nameMapping))) None
+        else MetadataAggregates.answer(snap, fullSchema, agg)
     }
     metaAgg
   }
@@ -272,6 +289,9 @@ final class GraftScan(
     val enabled = org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
     if (!enabled || snap.partitionFields.isEmpty) None
+    // merge-on-read tombstones force the filtered read path — no SPJ
+    else if (graft.versioned.Tombstones.dirty(snap,
+      TableOps.toPhysical(schema, snap.nameMapping))) None
     else if (!snap.partitionFields.forall(pf =>
       pf.transform == "identity" || pf.transform == "bucket")) None
     else if (!snap.partitionFields.forall { pf =>
@@ -340,10 +360,32 @@ final class GraftScan(
         TableOps.toPhysical(schema, m),
         TableOps.toPhysical(required, m),
         (pushed ++ runtime).map(TableOps.renameFilter(_, m)))
-    case None => inner.toBatch
+    case None =>
+      val m = snap.nameMapping
+      val physData = TableOps.toPhysical(schema, m)
+      val (clean, dirty) =
+        graft.versioned.Tombstones.split(snap, physData, liveFiles)
+      if (dirty.isEmpty) inner.toBatch
+      else {
+        def pathsOf(fs: Seq[graft.versioned.FileEntry]) =
+          fs.map(f => new org.apache.hadoop.fs.Path(repo.root.resolve(f.path).toUri))
+        graftbridge.TombstoneReadBridge.scan(
+          SparkSession.active, pathsOf(clean),
+          dirty.map { case (fs, tombs) =>
+            (pathsOf(fs), graft.versioned.Tombstones.filterJsons(tombs))
+          },
+          physData,
+          TableOps.toPhysical(required, m),
+          (pushed ++ runtime).map(TableOps.renameFilter(_, m))).toBatch
+      }
   }
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    inner.columnarSupportMode()
+    // statically dirty -> per-partition decision (clean splits stay
+    // columnar, tombstoned splits read row-based)
+    if (graft.versioned.Tombstones.dirty(snap,
+      TableOps.toPhysical(schema, snap.nameMapping)))
+      Scan.ColumnarSupportMode.PARTITION_DEFINED
+    else inner.columnarSupportMode()
   override def description(): String =
     s"GraftScan ${snap.table} (${snap.files.size} files, " +
       s"pushed=[${pushed.mkString(", ")}])"

@@ -44,6 +44,9 @@ final class GraftRowLevelOperation(
   private val tableSchema =
     DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
 
+  /** The snapshot this operation scanned (tombstone conflict checks). */
+  private[catalog] def snapshot: Snapshot = snap
+
   /** Files covered by the row-level scan — exactly the set the write
     * replaces. Set during scan planning (driver-side, before execution).
     */
@@ -106,14 +109,26 @@ final class GraftCoWScanBuilder(
   override def build(): Scan = {
     val live = TableOps.pruneFiles(snap, fullSchema, groupFilters.toIndexedSeq)
     op.replaced = live
-    val paths = live.map(f =>
-      new org.apache.hadoop.fs.Path(repo.root.resolve(f.path).toUri))
     val m = snap.nameMapping
-    // NO filters into the parquet reader: whole-file row fidelity
-    val inner = graftbridge.ParquetReadBridge.scan(
-      SparkSession.active, paths,
-      TableOps.toPhysical(fullSchema, m),
-      TableOps.toPhysical(required, m), Array.empty)
+    val physData = TableOps.toPhysical(fullSchema, m)
+    val physRequired = TableOps.toPhysical(required, m)
+    def pathsOf(fs: Seq[FileEntry]) = fs.map(f =>
+      new org.apache.hadoop.fs.Path(repo.root.resolve(f.path).toUri))
+    // merge-on-read tombstones are applied here too: the replacement
+    // content a row-level rewrite publishes must never carry
+    // MoR-deleted rows back to life. NO query filters go into the
+    // parquet reader (whole-file row fidelity) — only tombstones.
+    val (clean, dirty) = graft.versioned.Tombstones.split(snap, physData, live)
+    val inner =
+      if (dirty.isEmpty)
+        graftbridge.ParquetReadBridge.scan(
+          SparkSession.active, pathsOf(live), physData, physRequired, Array.empty)
+      else graftbridge.TombstoneReadBridge.scan(
+        SparkSession.active, pathsOf(clean),
+        dirty.map { case (fs, tombs) =>
+          (pathsOf(fs), graft.versioned.Tombstones.filterJsons(tombs))
+        },
+        physData, physRequired, Array.empty)
     if (m.isEmpty) inner
     else {
       val logicalRequired = required
@@ -151,6 +166,7 @@ final class GraftCoWWrite(
     val spark = SparkSession.active
     val entries = TableOps.statsForStaged(spark, repo, staging, schema)
     val replacedPaths = op.replaced.map(_.path).toSet
+    val scannedTombs = graft.versioned.Tombstones.of(op.snapshot).map(_.seq).toSet
     repo.commitRetry(branch, s"${op.command.toString.toLowerCase} $key") { base =>
       val cur = repo.snapshot(base.tables.getOrElse(key,
         throw new NoSuchElementException(s"no such table: $key")))
@@ -162,10 +178,22 @@ final class GraftCoWWrite(
       // deleted rows / double-apply updates — fail instead and let the
       // caller re-run the whole row-level operation on the new head.
       GraftCoWWrite.validateReplaced(replacedPaths, cur, key)
+      // same rule for a concurrent MERGE-ON-READ delete: it commits no
+      // file change, but our replacement rows were filtered against the
+      // tombstones of the SCANNED snapshot — publishing them with a
+      // fresh seq would erase the newer tombstone's effect
+      if (graft.versioned.Tombstones.of(cur).map(_.seq).toSet != scannedTombs)
+        throw new graft.versioned.MergeConflictException(
+          s"row-level operation on $key conflicts with a concurrent " +
+            "merge-on-read delete; re-run the operation")
+      val next = graft.versioned.Tombstones.lastSeq(cur.properties) + 1
+      val props = cur.properties +
+        (graft.versioned.Tombstones.SeqProp -> next.toString)
       val untouched = cur.files.filterNot(f => replacedPaths.contains(f.path))
       val newSnap = repo.writeSnapshot(key, cur.schemaJson,
-        untouched ++ entries, cur.partitionBy, cur.physicalNames,
-        cur.props, cur.retired)
+        untouched ++ entries.map(_.copy(seq = Some(next))),
+        cur.partitionBy, cur.physicalNames,
+        Some(props), cur.retired)
       (base.tables + (key -> newSnap.id), base.namespaces)
     }
   }

@@ -177,7 +177,56 @@ object Versioned {
     }
   }
 
+  /** Merge-on-read DELETE flow: orders lands in a MoR-mode graft table,
+    * a predicate DELETE commits as an O(1) tombstone (zero files
+    * rewritten), a later INSERT adds rows the earlier tombstone must NOT
+    * touch (even where they match its predicate), and the aggregate read
+    * back proves the tombstoned scan + later-file exemption end-to-end
+    * against the DuckDB oracle (which replays the same delete+insert
+    * relationally).
+    */
+  private def morRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = freshCatalog(s)
+    s.sql(s"CREATE NAMESPACE $cat.r")
+    s.sql(s"CREATE NAMESPACE $cat.r.main.db")
+    val orders = T.orders(s, d)
+    s.sql(s"CREATE TABLE $cat.r.main.db.orders (${orders.schema.toDDL}) " +
+      "TBLPROPERTIES('graft.delete.mode'='merge-on-read')")
+    orders.writeTo(s"$cat.r.main.db.orders").append()
+    s.sql(s"DELETE FROM $cat.r.main.db.orders " +
+      "WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0")
+    // rows inserted AFTER the tombstone survive it, matching or not
+    s.sql(s"INSERT INTO $cat.r.main.db.orders VALUES " +
+      "(9000001, 1, 'F', 42.0, TIMESTAMP'2024-01-01 00:00:00', 'graft-test')," +
+      "(9000002, 2, 'O', 43.0, TIMESTAMP'2024-01-02 00:00:00', 'graft-test')")
+    s.sql(
+      s"""SELECT o_orderstatus,
+         |       count(*) AS n,
+         |       cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |       min(o_orderkey) AS first_key
+         |FROM $cat.r.main.db.orders
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
+    Q(
+      "vc_mor_read",
+      """SELECT o_orderstatus,
+        |       count(*) AS n,
+        |       cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       min(o_orderkey) AS first_key
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
+        |  UNION ALL
+        |  SELECT 9000001, 'F', 42.0
+        |  UNION ALL
+        |  SELECT 9000002, 'O', 43.0
+        |)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
+    )(morRead),
     Q(
       "vc_spj_join",
       """SELECT c.c_custkey, c.c_name, count(*) AS n_orders,

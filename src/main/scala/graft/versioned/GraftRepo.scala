@@ -53,9 +53,18 @@ final class GraftRepo private (val root: Path) {
       physicalNames: Option[Map[String, String]] = None,
       props: Option[Map[String, String]] = None,
       retired: Option[Seq[String]] = None): Snapshot = {
+    // retire merge-on-read tombstones no surviving file needs (a full
+    // rewrite/compaction materializes them; this is where they vanish)
+    val effProps = props.map { p =>
+      val physSchema = TableOps.toPhysical(
+        org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType],
+        physicalNames.getOrElse(Map.empty))
+      Tombstones.prune(p, files, physSchema)
+    }.filter(_.nonEmpty)
     val id = "s" + UUID.randomUUID().toString.replace("-", "")
     val s = Snapshot(id, table, schemaJson, files, partitionBy, physicalNames,
-      props, retired)
+      effProps, retired)
     Files.writeString(snapshotsDir.resolve(s"$id.json"), Json.write(s),
       StandardOpenOption.CREATE_NEW)
     s

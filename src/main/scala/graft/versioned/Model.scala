@@ -24,6 +24,24 @@ object Json {
   mapper.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
   def write(v: Any): String = mapper.writeValueAsString(v)
   def read[T: Manifest](s: String): T = mapper.readValue[T](s)
+
+  /** Untyped read: JSON -> Map[String, Any] / Seq[Any] / String / Long /
+    * Double / Boolean / null (jackson-scala cannot bind nested generic
+    * targets like Seq[Map[String, Any]] through Manifests).
+    */
+  def readAny(s: String): Any = fromNode(mapper.readTree(s))
+
+  private def fromNode(n: com.fasterxml.jackson.databind.JsonNode): Any = {
+    import scala.jdk.CollectionConverters._
+    if (n.isObject)
+      n.fields().asScala.map(e => e.getKey -> fromNode(e.getValue)).toMap
+    else if (n.isArray) n.elements().asScala.map(fromNode).toSeq
+    else if (n.isTextual) n.asText()
+    else if (n.isIntegralNumber) n.asLong()
+    else if (n.isFloatingPointNumber) n.asDouble()
+    else if (n.isBoolean) n.asBoolean()
+    else null
+  }
 }
 
 /** One field of a table's partition spec (Iceberg-transform analog —
@@ -56,7 +74,8 @@ final case class FileEntry(
     min: Map[String, String],
     max: Map[String, String],
     partitionValues: Option[Map[String, String]] = None,
-    bytes: Option[Long] = None) {
+    bytes: Option[Long] = None,
+    seq: Option[Long] = None) {
   def partValues: Map[String, String] =
     Option(partitionValues).flatten.getOrElse(Map.empty)
   /** On-disk size; falls back to a rows-based guess for pre-`bytes`
@@ -69,6 +88,16 @@ final case class FileEntry(
       case Some(n: Number) => n.longValue()
       case _ => rows * bytesPerRow
     }
+  /** Commit sequence at which the file was added (merge-on-read delete
+    * ordering: a tombstone applies to every file with a LOWER seq).
+    * Legacy/unstamped files read as 0 — they predate any tombstone, so
+    * "every tombstone applies" is exactly right. Same jackson boxing
+    * caveat as `bytes`.
+    */
+  def seqNo: Long = Option(seq).flatten.asInstanceOf[Option[Any]] match {
+    case Some(n: Number) => n.longValue()
+    case _ => 0L
+  }
 }
 
 /** Immutable table snapshot: schema (Spark StructType JSON) + file list

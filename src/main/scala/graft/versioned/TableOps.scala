@@ -190,10 +190,15 @@ object TableOps {
       // props re-read from the rebased head inside the race so a
       // concurrent property change (or stream-batch marker) is not lost
       val prior = base.tables.get(key).map(repo.snapshot)
+      val props0 = prior.map(_.properties).getOrElse(Map.empty) ++ extraProps
+      // new files stamped with the table's next commit sequence: MoR
+      // tombstones committed EARLIER never apply to these rows
+      val next = Tombstones.lastSeq(props0) + 1
+      val stamped = newFiles.map(_.copy(seq = Some(next)))
       val files =
-        if (overwrite) newFiles
-        else prior.map(_.files).getOrElse(Nil) ++ newFiles
-      val props = prior.map(_.properties).getOrElse(Map.empty) ++ extraProps
+        if (overwrite) stamped
+        else prior.map(_.files).getOrElse(Nil) ++ stamped
+      val props = props0 + (Tombstones.SeqProp -> next.toString)
       // INSERT never changes the table schema: keep the snapshot's DDL
       // schema (nullability included — an incoming VALUES df is
       // non-nullable and must not turn table columns into REQUIRED
@@ -220,25 +225,30 @@ object TableOps {
       filters: Seq[sources.Filter] = Nil): DataFrame = {
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val live = pruneFiles(snap, schema, filters)
-    val m = snap.nameMapping
     if (live.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else {
-      val df = spark.read.schema(toPhysical(schema, m))
-        .parquet(live.map(f => repo.root.resolve(f.path).toString): _*)
-      if (m.isEmpty) df else df.toDF(schema.fieldNames.toIndexedSeq: _*)
-    }
+    else readFiles(spark, repo, snap, schema, live)
   }
 
   /** Candidate-file read for CoW rewrites: physical-name read, logical
     * names restored (columns may have been renamed since the files were
-    * written).
+    * written). Merge-on-read tombstones are APPLIED — every rewrite path
+    * (CoW delete/update, upsert, compaction) reads through here, so a
+    * rewrite can never resurrect MoR-deleted rows.
     */
   private def readFiles(spark: SparkSession, repo: GraftRepo, snap: Snapshot,
       schema: StructType, files: Seq[FileEntry]): DataFrame = {
     val m = snap.nameMapping
-    val df = spark.read.schema(toPhysical(schema, m))
-      .parquet(files.map(f => repo.root.resolve(f.path).toString): _*)
+    val physSchema = toPhysical(schema, m)
+    def read(fs: Seq[FileEntry]): DataFrame = spark.read.schema(physSchema)
+      .parquet(fs.map(f => repo.root.resolve(f.path).toString): _*)
+    val (clean, dirty) = Tombstones.split(snap, physSchema, files)
+    val parts =
+      (if (clean.isEmpty) Nil else Seq(read(clean))) ++
+        dirty.map { case (fs, tombs) =>
+          read(fs).filter(Tombstones.keepColumn(tombs))
+        }
+    val df = parts.reduce(_ unionAll _)
     if (m.isEmpty) df else df.toDF(schema.fieldNames.toIndexedSeq: _*)
   }
 
@@ -300,6 +310,13 @@ object TableOps {
     snap.files.filter(f => filters.forall(fl =>
       Partitioning.mayMatch(f, spec, schema, fl) && mayMatch(f, schema, fl, m)))
   }
+
+  /** [[mayMatch]] for filters already in PHYSICAL names (tombstone
+    * applicability: can this file hold rows the predicate touches?).
+    */
+  private[versioned] def statsMayMatch(f: FileEntry, physSchema: StructType,
+      filter: sources.Filter): Boolean =
+    mayMatch(f, physSchema, filter, Map.empty)
 
   /** Conservative per-file predicate test on stored min/max (strings,
     * compared via the column's type). Unknown filter shapes / missing
@@ -416,6 +433,45 @@ object TableOps {
     case _ => None
   }
 
+  /** (next commit sequence, snapshot props with the counter advanced). */
+  private def bumpSeq(snap: Snapshot): (Long, Map[String, String]) = {
+    val next = Tombstones.lastSeq(snap.properties) + 1
+    (next, snap.properties + (Tombstones.SeqProp -> next.toString))
+  }
+
+  // ---- merge-on-read delete --------------------------------------------
+
+  /** DELETE WHERE via merge-on-read: an O(1) METADATA commit — no data
+    * file is read or written. The predicate (physical names, exact
+    * serializable shapes only — [[FilterJson.toJson]]) is appended as a
+    * tombstone; reads apply `NOT p` to older files, compaction
+    * materializes. Rebase semantics: on a lost commit race the
+    * predicate is re-applied to the new head, i.e. the delete behaves
+    * as of its COMMIT time (rows a concurrent insert added that match
+    * `p` are deleted too — the same outcome as running the DELETE a
+    * moment later).
+    */
+  def deleteWhereMoR(repo: GraftRepo, branch: String, key: String,
+      filters: Seq[sources.Filter]): Unit = {
+    require(filters.nonEmpty, "merge-on-read DELETE needs a predicate")
+    repo.commitRetry(branch, s"delete (merge-on-read) from $key") { base =>
+      val snap = repo.snapshot(base.tables.getOrElse(key,
+        throw new NoSuchElementException(s"no such table: $key")))
+      val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+      val candidates = pruneFiles(snap, schema, filters)
+      if (candidates.isEmpty) (base.tables, base.namespaces) // provably no match
+      else {
+        val m = snap.nameMapping
+        val phys = filters.map(renameFilter(_, m)).reduce(sources.And(_, _))
+        val next = Tombstones.lastSeq(snap.properties) + 1
+        val props = Tombstones.append(snap.properties, next, phys)
+        val ns = repo.writeSnapshot(key, snap.schemaJson, snap.files,
+          snap.partitionBy, snap.physicalNames, Some(props), snap.retired)
+        (base.tables + (key -> ns.id), base.namespaces)
+      }
+    }
+  }
+
   // ---- copy-on-write delete --------------------------------------------
 
   /** Conjunction of ALL filters, or a loud failure if any one of them
@@ -450,13 +506,14 @@ object TableOps {
         val untouched = snap.files.diff(candidates)
         val candDf = readFiles(spark, repo, snap, schema, candidates)
         val kept = candDf.filter(!coalesce(cond, lit(false)))
+        val (next, props) = bumpSeq(snap)
         val rewritten =
           if (kept.isEmpty) Nil
           else writeFiles(spark, repo, kept, key, snap.partitionFields,
-            snap.nameMapping)
+            snap.nameMapping).map(_.copy(seq = Some(next)))
         val newSnap = repo.writeSnapshot(key, snap.schemaJson,
           untouched ++ rewritten, snap.partitionBy, snap.physicalNames,
-          snap.props, snap.retired)
+          Some(props), snap.retired)
         (base.tables + (key -> newSnap.id), base.namespaces)
       }
     }
@@ -489,11 +546,12 @@ object TableOps {
             case None => df
           }
         }
+        val (next, props) = bumpSeq(snap)
         val rewritten = writeFiles(spark, repo, updated, key,
-          snap.partitionFields, snap.nameMapping)
+          snap.partitionFields, snap.nameMapping).map(_.copy(seq = Some(next)))
         val newSnap = repo.writeSnapshot(key, snap.schemaJson,
           untouched ++ rewritten, snap.partitionBy, snap.physicalNames,
-          snap.props, snap.retired)
+          Some(props), snap.retired)
         (base.tables + (key -> newSnap.id), base.namespaces)
       }
     }
@@ -534,6 +592,7 @@ object TableOps {
             keyCols, "left_anti")
           if (kept.isEmpty) None else Some(kept)
         }
+      val (next, props) = bumpSeq(snap)
       val rewritten = survivors
         .map(writeFiles(spark, repo, _, key, snap.partitionFields,
           snap.nameMapping)).getOrElse(Nil)
@@ -541,8 +600,9 @@ object TableOps {
         src.select(schema.fieldNames.toIndexedSeq.map(col): _*), key,
         snap.partitionFields, snap.nameMapping)
       val newSnap = repo.writeSnapshot(key, snap.schemaJson,
-        untouched ++ rewritten ++ appended, snap.partitionBy, snap.physicalNames,
-        snap.props, snap.retired)
+        (untouched ++ (rewritten ++ appended).map(_.copy(seq = Some(next)))),
+        snap.partitionBy, snap.physicalNames,
+        Some(props), snap.retired)
       (base.tables + (key -> newSnap.id), base.namespaces)
     }
     src.unpersist()
@@ -708,6 +768,13 @@ object TableOps {
     val snap = repo.headCommit(branch).tables.get(key).map(repo.snapshot)
       .getOrElse(throw new NoSuchElementException(s"no such table: $key"))
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    // merge-on-read cleanup: files with applicable tombstones are ALWAYS
+    // rewrite candidates (regardless of size) — compaction is what
+    // materializes MoR deletes and lets the tombstones retire
+    val physSchema = toPhysical(schema, snap.nameMapping)
+    val tombs = Tombstones.of(snap)
+    def isDirty(f: FileEntry): Boolean =
+      Tombstones.applicable(tombs, f, physSchema).nonEmpty
     // rewrite units, planned per partition-value group (compaction must
     // never move rows across partition directories)
     val units: Seq[Seq[FileEntry]] = snap.files.groupBy(_.partValues).toSeq
@@ -716,8 +783,10 @@ object TableOps {
         if (sortBy.nonEmpty || zorderBy.nonEmpty) {
           if (files.isEmpty) Nil else Seq(files) // global re-cluster of the group
         } else {
-          val small = files.filter(_.sizeBytes(bytesPerRow = 64L) < targetFileBytes)
-          // greedy first-fit bins; only bins that actually merge >1 file
+          val small = files.filter(f =>
+            f.sizeBytes(bytesPerRow = 64L) < targetFileBytes || isDirty(f))
+          // greedy first-fit bins; only bins that merge >1 file or
+          // materialize a tombstone do real work
           val bins = scala.collection.mutable.ListBuffer[List[FileEntry]]()
           var cur = List.empty[FileEntry]; var curBytes = 0L
           small.sortBy(-_.sizeBytes(64L)).foreach { f =>
@@ -728,7 +797,7 @@ object TableOps {
             cur = f :: cur; curBytes += b
           }
           if (cur.nonEmpty) bins += cur
-          bins.filter(_.size > 1).map(_.reverse).toSeq
+          bins.filter(b => b.size > 1 || b.exists(isDirty)).map(_.reverse).toSeq
         }
       }
     if (units.isEmpty) return (snap.files.size, snap.files.size)
@@ -765,10 +834,19 @@ object TableOps {
         throw new MergeConflictException(
           s"compaction of $key conflicts with a concurrent rewrite of " +
             s"${gone.size} file(s); re-run compaction")
+      // the rewrite applied the tombstones of the PLANNING snapshot; a
+      // concurrent MoR delete since then would be silently materialized
+      // away (its rows resurrected with a fresh seq) — conflict instead
+      if (Tombstones.of(cur).map(_.seq).toSet != tombs.map(_.seq).toSet)
+        throw new MergeConflictException(
+          s"compaction of $key conflicts with a concurrent merge-on-read " +
+            "delete; re-run compaction")
+      val (next, props) = bumpSeq(cur)
       val untouched = cur.files.filterNot(f => replacedPaths.contains(f.path))
       val newSnap = repo.writeSnapshot(key, cur.schemaJson,
-        untouched ++ newEntries, cur.partitionBy, cur.physicalNames,
-        cur.props, cur.retired)
+        untouched ++ newEntries.map(_.copy(seq = Some(next))),
+        cur.partitionBy, cur.physicalNames,
+        Some(props), cur.retired)
       (base.tables + (key -> newSnap.id), base.namespaces)
     }
     (snap.files.size,

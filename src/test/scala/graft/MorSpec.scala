@@ -1,0 +1,210 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.matchers.should.Matchers
+
+import graft.versioned.{GraftRepo, TableOps, Tombstones}
+
+/** Merge-on-read DELETE: predicate tombstones, O(1) metadata commits,
+  * read-time application, compaction materialization. The contract
+  * Iceberg's `write.delete.mode=merge-on-read` users rely on,
+  * re-expressed as re-checkable predicates.
+  */
+class MorSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
+
+  private val catRoot = Files.createTempDirectory("graft-mor")
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.catalog.g", classOf[graft.catalog.GraftCatalog].getName)
+    .config("spark.sql.catalog.g.root", catRoot.toString)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def sql(q: String) = spark.sql(q)
+  private def ids(q: String): Seq[Int] =
+    sql(q).collect().toIndexedSeq.map(_.getInt(0))
+
+  private var n = 0
+  /** Fresh repo with a MoR-mode table holding ids 1..8. Returns repo name. */
+  private def setup(mor: Boolean = true): String = {
+    n += 1; val r = s"m$n"
+    sql(s"CREATE NAMESPACE g.$r")
+    sql(s"CREATE NAMESPACE g.$r.main.db")
+    val props =
+      if (mor) " TBLPROPERTIES('graft.delete.mode'='merge-on-read')" else ""
+    sql(s"CREATE TABLE g.$r.main.db.t (id INT, name STRING)$props")
+    sql(s"INSERT INTO g.$r.main.db.t VALUES " +
+      (1 to 8).map(i => s"($i, 'name_$i')").mkString(", "))
+    r
+  }
+
+  private def repoOf(r: String): GraftRepo = GraftRepo.open(catRoot.resolve(r))
+  private def headSnap(r: String) =
+    repoOf(r).snapshot(repoOf(r).headCommit("main").tables("db/t"))
+
+  test("MoR DELETE commits a tombstone, zero file changes, correct reads") {
+    val r = setup()
+    val before = headSnap(r).files.map(_.path)
+    sql(s"DELETE FROM g.$r.main.db.t WHERE id >= 6")
+    val after = headSnap(r)
+    after.files.map(_.path) shouldBe before // no rewrite, no new files
+    Tombstones.of(after) should have size 1
+    ids(s"SELECT id FROM g.$r.main.db.t ORDER BY id") shouldBe (1 to 5)
+    // filters + projections still work through the tombstoned scan
+    ids(s"SELECT id FROM g.$r.main.db.t WHERE id > 2 ORDER BY id") shouldBe (3 to 5)
+    sql(s"SELECT name FROM g.$r.main.db.t").collect().map(_.getString(0)).sorted shouldBe
+      (1 to 5).map(i => s"name_$i").sorted
+  }
+
+  test("rows inserted AFTER a tombstone survive it even when matching") {
+    val r = setup()
+    sql(s"DELETE FROM g.$r.main.db.t WHERE id >= 6")
+    sql(s"INSERT INTO g.$r.main.db.t VALUES (7, 'resurrected_no'), (9, 'new')")
+    ids(s"SELECT id FROM g.$r.main.db.t ORDER BY id") shouldBe Seq(1, 2, 3, 4, 5, 7, 9)
+    // a second delete applies to everything current
+    sql(s"DELETE FROM g.$r.main.db.t WHERE id = 7")
+    ids(s"SELECT id FROM g.$r.main.db.t ORDER BY id") shouldBe Seq(1, 2, 3, 4, 5, 9)
+    Tombstones.of(headSnap(r)) should have size 2
+  }
+
+  test("MoR matches CoW results exactly on the same deletes") {
+    val rm = setup(mor = true)
+    val rc = setup(mor = false)
+    for (r <- Seq(rm, rc)) {
+      sql(s"DELETE FROM g.$r.main.db.t WHERE id IN (2, 4) OR name = 'name_7'")
+      sql(s"INSERT INTO g.$r.main.db.t VALUES (10, 'ten')")
+      sql(s"DELETE FROM g.$r.main.db.t WHERE id > 7 AND id < 10")
+    }
+    val a = sql(s"SELECT * FROM g.$rm.main.db.t ORDER BY id").collect().map(_.toSeq)
+    val b = sql(s"SELECT * FROM g.$rc.main.db.t ORDER BY id").collect().map(_.toSeq)
+    a shouldBe b
+    Tombstones.of(headSnap(rm)).size should be >= 2 // really took the MoR path
+    Tombstones.of(headSnap(rc)) shouldBe empty      // really took the CoW path
+  }
+
+  test("time travel sees pre-delete rows; tombstones travel with snapshots") {
+    val r = setup()
+    val v0 = repoOf(r).headCommit("main").id
+    sql(s"DELETE FROM g.$r.main.db.t WHERE id <= 3")
+    ids(s"SELECT id FROM g.$r.main.db.t VERSION AS OF '$v0' ORDER BY id") shouldBe (1 to 8)
+    ids(s"SELECT id FROM g.$r.main.db.t ORDER BY id") shouldBe (4 to 8)
+  }
+
+  test("compaction materializes tombstones and retires them") {
+    val r = setup()
+    sql(s"DELETE FROM g.$r.main.db.t WHERE id >= 6")
+    sql(s"INSERT INTO g.$r.main.db.t VALUES (11, 'eleven')")
+    val repo = repoOf(r)
+    val (before, after) = TableOps.compact(spark, repo, "main", "db/t")
+    after should be < before
+    val snap = headSnap(r)
+    Tombstones.of(snap) shouldBe empty // no surviving file needs it
+    ids(s"SELECT id FROM g.$r.main.db.t ORDER BY id") shouldBe Seq(1, 2, 3, 4, 5, 11)
+    // and the plain fast columnar path is back
+    ids(s"SELECT id FROM g.$r.main.db.t WHERE id = 11") shouldBe Seq(11)
+  }
+
+  test("aggregates stay correct under tombstones (no stale metadata answers)") {
+    val r = setup()
+    sql(s"SELECT count(*) FROM g.$r.main.db.t").collect()(0).getLong(0) shouldBe 8
+    sql(s"DELETE FROM g.$r.main.db.t WHERE id >= 6")
+    val row = sql(s"SELECT count(*) AS c, min(id) AS lo, max(id) AS hi " +
+      s"FROM g.$r.main.db.t").collect()(0)
+    row.getLong(0) shouldBe 5
+    row.getInt(1) shouldBe 1
+    row.getInt(2) shouldBe 5
+  }
+
+  test("SQL UPDATE (CoW rewrite) on a tombstoned table does not resurrect rows") {
+    val r = setup()
+    sql(s"DELETE FROM g.$r.main.db.t WHERE id >= 6")
+    sql(s"UPDATE g.$r.main.db.t SET name = 'upd' WHERE id = 2")
+    ids(s"SELECT id FROM g.$r.main.db.t ORDER BY id") shouldBe (1 to 5)
+    sql(s"SELECT name FROM g.$r.main.db.t WHERE id = 2")
+      .collect()(0).getString(0) shouldBe "upd"
+  }
+
+  test("DELETE on a dev branch stays isolated and merges into main") {
+    val r = setup()
+    sql(s"CREATE NAMESPACE g.$r.dev")
+    sql(s"DELETE FROM g.$r.dev.db.t WHERE id = 6")
+    ids(s"SELECT id FROM g.$r.main.db.t ORDER BY id") shouldBe (1 to 8)
+    repoOf(r).merge("dev", "main")
+    ids(s"SELECT id FROM g.$r.main.db.t ORDER BY id") shouldBe
+      Seq(1, 2, 3, 4, 5, 7, 8)
+  }
+
+  test("rename + widen keep old tombstones valid; DROP of a referenced column is rejected") {
+    val r = setup()
+    sql(s"DELETE FROM g.$r.main.db.t WHERE id = 8")
+    sql(s"ALTER TABLE g.$r.main.db.t RENAME COLUMN id TO ident")
+    sql(s"ALTER TABLE g.$r.main.db.t ALTER COLUMN ident TYPE BIGINT")
+    sql(s"SELECT ident FROM g.$r.main.db.t ORDER BY ident")
+      .collect().map(_.getLong(0)) shouldBe (1L to 7L)
+    val e = intercept[Exception] {
+      sql(s"ALTER TABLE g.$r.main.db.t DROP COLUMN ident")
+    }
+    e.getMessage should include("merge-on-read")
+    // after compaction the drop goes through
+    TableOps.compact(spark, repoOf(r), "main", "db/t")
+    sql(s"ALTER TABLE g.$r.main.db.t DROP COLUMN ident")
+    sql(s"SELECT * FROM g.$r.main.db.t").schema.fieldNames shouldBe Array("name")
+  }
+
+  test("non-serializable predicates and TRUNCATE fall back to copy-on-write") {
+    val r = setup()
+    // TRUNCATE arrives as deleteWhere(AlwaysTrue) -> CoW (drops all files)
+    sql(s"TRUNCATE TABLE g.$r.main.db.t")
+    sql(s"SELECT * FROM g.$r.main.db.t").collect() shouldBe empty
+    Tombstones.of(headSnap(r)) shouldBe empty
+  }
+
+  test("MERGE INTO on a tombstoned table respects deletes") {
+    val r = setup()
+    sql(s"DELETE FROM g.$r.main.db.t WHERE id >= 6")
+    sql(
+      s"""MERGE INTO g.$r.main.db.t t USING (
+         |  SELECT 5 AS id, 'five_new' AS name UNION ALL
+         |  SELECT 6 AS id, 'six_back' AS name) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET t.name = s.name
+         |WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id, s.name)
+         |""".stripMargin)
+    // 6 was MoR-deleted, so it is NOT MATCHED and inserts fresh; 7,8 stay dead
+    sql(s"SELECT id, name FROM g.$r.main.db.t ORDER BY id").collect()
+      .map(row => (row.getInt(0), row.getString(1))).toSeq shouldBe Seq(
+      (1, "name_1"), (2, "name_2"), (3, "name_3"), (4, "name_4"),
+      (5, "five_new"), (6, "six_back"))
+  }
+
+  test("partitioned MoR: tombstones compose with partition pruning") {
+    val r = setup() // plain table also exists; make a partitioned one
+    sql(s"CREATE TABLE g.$r.main.db.p (id INT, cat INT) " +
+      "PARTITIONED BY (cat) " +
+      "TBLPROPERTIES('graft.delete.mode'='merge-on-read')")
+    sql(s"INSERT INTO g.$r.main.db.p VALUES " +
+      (1 to 20).map(i => s"($i, ${i % 4})").mkString(", "))
+    sql(s"DELETE FROM g.$r.main.db.p WHERE cat = 1 AND id > 5")
+    ids(s"SELECT id FROM g.$r.main.db.p WHERE cat = 1 ORDER BY id") shouldBe
+      Seq(1, 5)
+    ids(s"SELECT id FROM g.$r.main.db.p ORDER BY id") shouldBe
+      (1 to 20).filterNot(i => i % 4 == 1 && i > 5)
+  }
+
+  test("Scala-API snapshot reads and diffs apply tombstones") {
+    val r = setup()
+    sql(s"DELETE FROM g.$r.main.db.t WHERE id >= 6")
+    val repo = repoOf(r)
+    val df = TableOps.readSnapshot(spark, repo, headSnap(r))
+    df.collect().map(_.getInt(0)).sorted shouldBe (1 to 5)
+  }
+}
