@@ -504,8 +504,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           schema = StructType(schema.fields.map(f =>
             if (f.name == name) f.copy(dataType = t.newDataType()) else f))
         case sp: TableChange.SetProperty =>
+          // graft.mor.* is engine state (tombstones / commit sequence):
+          // user edits would resurrect deleted rows or brick the table
+          if (sp.property().startsWith("graft.mor."))
+            throw new UnsupportedOperationException(
+              s"${sp.property()} is engine-managed merge-on-read state")
           tblProps += (sp.property() -> sp.value())
         case rp: TableChange.RemoveProperty =>
+          if (rp.property().startsWith("graft.mor."))
+            throw new UnsupportedOperationException(
+              s"${rp.property()} is engine-managed merge-on-read state")
           tblProps -= rp.property()
         case other => throw new UnsupportedOperationException(
           s"unsupported table change: $other")

@@ -143,16 +143,18 @@ final class GraftScanBuilder(repo: GraftRepo, snap: Snapshot, fullSchema: Struct
   // pushAggregation both ask, and each answer walks every file's stats
   private var lastAgg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation = _
 
+  // merge-on-read tombstones invalidate metadata counts/extremes
+  // (a deleted row may hold the min; counts include deleted rows)
+  private lazy val morDirty = graft.versioned.Tombstones.dirty(snap,
+    TableOps.toPhysical(fullSchema, snap.nameMapping))
+
   private def answer(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = {
     if (!(agg eq lastAgg)) {
       lastAgg = agg
-      // merge-on-read tombstones invalidate metadata counts/extremes
-      // (a deleted row may hold the min; counts include deleted rows)
       metaAgg =
-        if (graft.versioned.Tombstones.dirty(snap,
-          TableOps.toPhysical(fullSchema, snap.nameMapping))) None
+        if (morDirty) None
         else MetadataAggregates.answer(snap, fullSchema, agg)
     }
     metaAgg
@@ -226,6 +228,14 @@ final class GraftScan(
   private var runtime: Array[sources.Filter] = Array.empty
   private var cached: Scan = null // rebuilt when runtime filters arrive
 
+  // tombstone state memoized per scan — planning asks for it from up to
+  // four angles (meta-agg, SPJ eligibility, columnar mode, toBatch) and
+  // the snapshot is immutable
+  private lazy val physDataSchema = TableOps.toPhysical(schema, snap.nameMapping)
+  private lazy val morTombs = graft.versioned.Tombstones.of(snap)
+  private lazy val morDirty = morTombs.nonEmpty && snap.files.exists(f =>
+    graft.versioned.Tombstones.applicable(morTombs, f, physDataSchema).nonEmpty)
+
   private[graft] def liveFiles: Seq[graft.versioned.FileEntry] =
     TableOps.pruneFiles(snap, schema, (pushed ++ runtime).toIndexedSeq)
 
@@ -290,8 +300,7 @@ final class GraftScan(
       .getConfString("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
     if (!enabled || snap.partitionFields.isEmpty) None
     // merge-on-read tombstones force the filtered read path — no SPJ
-    else if (graft.versioned.Tombstones.dirty(snap,
-      TableOps.toPhysical(schema, snap.nameMapping))) None
+    else if (morDirty) None
     else if (!snap.partitionFields.forall(pf =>
       pf.transform == "identity" || pf.transform == "bucket")) None
     else if (!snap.partitionFields.forall { pf =>
@@ -322,7 +331,7 @@ final class GraftScan(
         })
         Some(keyed.groupBy(_._1).toSeq
           .map { case (k, fs) => (k, fs.map(_._2)) }
-          .sortBy(_._1.map(String.valueOf(_)).mkString(" ")))
+          .sortBy(_._1.map(String.valueOf(_)).mkString("\u0000")))
       }
     }
   }
@@ -362,9 +371,8 @@ final class GraftScan(
         (pushed ++ runtime).map(TableOps.renameFilter(_, m)))
     case None =>
       val m = snap.nameMapping
-      val physData = TableOps.toPhysical(schema, m)
       val (clean, dirty) =
-        graft.versioned.Tombstones.split(snap, physData, liveFiles)
+        graft.versioned.Tombstones.split(morTombs, physDataSchema, liveFiles)
       if (dirty.isEmpty) inner.toBatch
       else {
         def pathsOf(fs: Seq[graft.versioned.FileEntry]) =
@@ -374,7 +382,7 @@ final class GraftScan(
           dirty.map { case (fs, tombs) =>
             (pathsOf(fs), graft.versioned.Tombstones.filterJsons(tombs))
           },
-          physData,
+          physDataSchema,
           TableOps.toPhysical(required, m),
           (pushed ++ runtime).map(TableOps.renameFilter(_, m))).toBatch
       }
@@ -382,9 +390,7 @@ final class GraftScan(
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     // statically dirty -> per-partition decision (clean splits stay
     // columnar, tombstoned splits read row-based)
-    if (graft.versioned.Tombstones.dirty(snap,
-      TableOps.toPhysical(schema, snap.nameMapping)))
-      Scan.ColumnarSupportMode.PARTITION_DEFINED
+    if (morDirty) Scan.ColumnarSupportMode.PARTITION_DEFINED
     else inner.columnarSupportMode()
   override def description(): String =
     s"GraftScan ${snap.table} (${snap.files.size} files, " +
@@ -476,7 +482,7 @@ private[catalog] object MetadataAggregates {
         }
         keyed.groupBy(_._1).toSeq
           .map { case (k, fs) => (k, fs.map(_._2)) }
-          .sortBy(_._1.map(String.valueOf(_)).mkString(" "))
+          .sortBy(_._1.map(String.valueOf(_)).mkString("\u0000"))
       }
     def aggCols(files: Seq[graft.versioned.FileEntry]) =
       agg.aggregateExpressions.toIndexedSeq.map {

@@ -118,7 +118,8 @@ final class GraftCoWScanBuilder(
     // content a row-level rewrite publishes must never carry
     // MoR-deleted rows back to life. NO query filters go into the
     // parquet reader (whole-file row fidelity) — only tombstones.
-    val (clean, dirty) = graft.versioned.Tombstones.split(snap, physData, live)
+    val (clean, dirty) = graft.versioned.Tombstones.split(
+      graft.versioned.Tombstones.of(snap), physData, live)
     val inner =
       if (dirty.isEmpty)
         graftbridge.ParquetReadBridge.scan(
@@ -166,7 +167,7 @@ final class GraftCoWWrite(
     val spark = SparkSession.active
     val entries = TableOps.statsForStaged(spark, repo, staging, schema)
     val replacedPaths = op.replaced.map(_.path).toSet
-    val scannedTombs = graft.versioned.Tombstones.of(op.snapshot).map(_.seq).toSet
+    val scannedTombs = graft.versioned.Tombstones.signature(op.snapshot)
     repo.commitRetry(branch, s"${op.command.toString.toLowerCase} $key") { base =>
       val cur = repo.snapshot(base.tables.getOrElse(key,
         throw new NoSuchElementException(s"no such table: $key")))
@@ -182,10 +183,7 @@ final class GraftCoWWrite(
       // file change, but our replacement rows were filtered against the
       // tombstones of the SCANNED snapshot — publishing them with a
       // fresh seq would erase the newer tombstone's effect
-      if (graft.versioned.Tombstones.of(cur).map(_.seq).toSet != scannedTombs)
-        throw new graft.versioned.MergeConflictException(
-          s"row-level operation on $key conflicts with a concurrent " +
-            "merge-on-read delete; re-run the operation")
+      GraftCoWWrite.validateTombstones(scannedTombs, cur, key)
       val next = graft.versioned.Tombstones.lastSeq(cur.properties) + 1
       val props = cur.properties +
         (graft.versioned.Tombstones.SeqProp -> next.toString)
@@ -218,6 +216,19 @@ object GraftCoWWrite {
           s"${gone.size} scanned file(s) were replaced by another commit " +
           s"(e.g. ${gone.head}); re-run the operation")
   }
+
+  /** Fails when the rebase target's merge-on-read tombstone set differs
+    * from the one the operation's scan applied — a concurrent MoR delete
+    * (or revert/re-delete reusing a seq, hence the predicate in the
+    * signature) landed since, and the replacement content does not
+    * reflect it. Unit-testable like [[validateReplaced]].
+    */
+  def validateTombstones(scanned: Set[(Long, String)], cur: Snapshot,
+      key: String): Unit =
+    if (graft.versioned.Tombstones.signature(cur) != scanned)
+      throw new graft.versioned.MergeConflictException(
+        s"row-level operation on $key conflicts with a concurrent " +
+          "merge-on-read delete; re-run the operation")
 }
 
 /** Spark's group-based rewrite prepends a `__row_operation` routing

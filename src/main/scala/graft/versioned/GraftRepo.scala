@@ -54,13 +54,18 @@ final class GraftRepo private (val root: Path) {
       props: Option[Map[String, String]] = None,
       retired: Option[Seq[String]] = None): Snapshot = {
     // retire merge-on-read tombstones no surviving file needs (a full
-    // rewrite/compaction materializes them; this is where they vanish)
+    // rewrite/compaction materializes them; this is where they vanish).
+    // Schema parse only when tombstones actually exist — this runs on
+    // every metadata commit of every table.
     val effProps = props.map { p =>
-      val physSchema = TableOps.toPhysical(
-        org.apache.spark.sql.types.DataType.fromJson(schemaJson)
-          .asInstanceOf[org.apache.spark.sql.types.StructType],
-        physicalNames.getOrElse(Map.empty))
-      Tombstones.prune(p, files, physSchema)
+      if (!p.contains(Tombstones.TombProp)) p
+      else {
+        val physSchema = TableOps.toPhysical(
+          org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType],
+          physicalNames.getOrElse(Map.empty))
+        Tombstones.prune(p, files, physSchema)
+      }
     }.filter(_.nonEmpty)
     val id = "s" + UUID.randomUUID().toString.replace("-", "")
     val s = Snapshot(id, table, schemaJson, files, partitionBy, physicalNames,

@@ -242,7 +242,7 @@ object TableOps {
     val physSchema = toPhysical(schema, m)
     def read(fs: Seq[FileEntry]): DataFrame = spark.read.schema(physSchema)
       .parquet(fs.map(f => repo.root.resolve(f.path).toString): _*)
-    val (clean, dirty) = Tombstones.split(snap, physSchema, files)
+    val (clean, dirty) = Tombstones.split(Tombstones.of(snap), physSchema, files)
     val parts =
       (if (clean.isEmpty) Nil else Seq(read(clean))) ++
         dirty.map { case (fs, tombs) =>
@@ -367,9 +367,21 @@ object TableOps {
     case ByteType | ShortType | IntegerType | LongType =>
       Some((s, v) => Some(java.lang.Long.compare(s.toLong,
         v.asInstanceOf[Number].longValue())))
-    case FloatType | DoubleType | _: DecimalType =>
+    // float stats MUST compare at float precision: the stat string is a
+    // float's decimal rendering ("0.1"), and parsing it as double gives
+    // 0.1000000000000000055… ≠ (0.1f).toDouble = 0.1000000014901161… —
+    // an equality filter would be wrongly "disproven" and prune live
+    // rows (with MoR tombstones that LOSES committed deletes)
+    case FloatType =>
+      Some((s, v) => Some(java.lang.Float.compare(s.toFloat,
+        v.asInstanceOf[Number].floatValue())))
+    case DoubleType =>
       Some((s, v) => Some(java.lang.Double.compare(s.toDouble,
         v.asInstanceOf[Number].doubleValue())))
+    // decimals compare exactly; an unparsable literal shape -> keep
+    case _: DecimalType =>
+      Some((s, v) => scala.util.Try(new java.math.BigDecimal(s)
+        .compareTo(new java.math.BigDecimal(v.toString))).toOption)
     case StringType => Some((s, v) => Some(s.compareTo(v.toString)))
     case DateType => Some((s, v) => Some(s.compareTo(v.toString))) // ISO sorts lexically
     case TimestampType | TimestampNTZType =>
@@ -836,8 +848,10 @@ object TableOps {
             s"${gone.size} file(s); re-run compaction")
       // the rewrite applied the tombstones of the PLANNING snapshot; a
       // concurrent MoR delete since then would be silently materialized
-      // away (its rows resurrected with a fresh seq) — conflict instead
-      if (Tombstones.of(cur).map(_.seq).toSet != tombs.map(_.seq).toSet)
+      // away (its rows resurrected with a fresh seq) — conflict instead.
+      // Signatures (seq + predicate), not bare seqs: revert can rewind
+      // the counter and alias a seq onto a different delete.
+      if (Tombstones.signature(cur) != Tombstones.signature(snap))
         throw new MergeConflictException(
           s"compaction of $key conflicts with a concurrent merge-on-read " +
             "delete; re-run compaction")

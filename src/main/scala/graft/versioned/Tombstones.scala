@@ -104,11 +104,11 @@ object Tombstones {
 
   /** Split `files` into (clean, dirtyGroups): files in a dirty group
     * share the same applicable tombstone set, so one scan + one
-    * predicate serves the whole group.
+    * predicate serves the whole group. Takes pre-parsed tombstones so
+    * callers on the planning hot path parse the property JSON once.
     */
-  def split(snap: Snapshot, physSchema: StructType, files: Seq[FileEntry])
+  def split(tombs: Seq[Tombstone], physSchema: StructType, files: Seq[FileEntry])
       : (Seq[FileEntry], Seq[(Seq[FileEntry], Seq[Tombstone])]) = {
-    val tombs = of(snap)
     if (tombs.isEmpty) (files, Nil)
     else {
       val keyed = files.map(f => (f, applicable(tombs, f, physSchema)))
@@ -137,6 +137,15 @@ object Tombstones {
     */
   def filterJsons(tombs: Seq[Tombstone]): Seq[String] =
     tombs.map(t => Json.write(FilterJson.toJson(t.filter).get))
+
+  /** Conflict-check identity of a snapshot's tombstone set. Includes the
+    * PREDICATE, not just the seq: CALL revert/rollback rewinds the
+    * lastseq counter, so a different delete can reuse a seq number —
+    * comparing bare seqs would let a rewrite computed against the old
+    * predicate slip past the concurrent-MoR-delete check.
+    */
+  def signature(snap: Snapshot): Set[(Long, String)] =
+    of(snap).map(t => (t.seq, Json.write(FilterJson.toJson(t.filter).get))).toSet
 
   /** Drop tombstones no file needs anymore (everything they applied to
     * was compacted/rewritten away). Called on every snapshot write, so

@@ -140,6 +140,12 @@ object TombstoneReadBridge {
   /** Keep-predicate: a row survives when NO tombstone predicate is
     * definitely true (null = unmatched = kept — SQL DELETE semantics).
     */
+  /** Test hook: the scan path's keep predicate, for cross-checking
+    * against the DataFrame dialect (Tombstones.keepColumn) in specs.
+    */
+  def keepExpressionForTest(filterJsons: Seq[String],
+      schema: StructType): Expression = keepExpression(filterJsons, schema)
+
   private[graftbridge] def keepExpression(filterJsons: Seq[String],
       schema: StructType): Expression =
     filterJsons.map[Expression] { js =>

@@ -200,6 +200,67 @@ class MorSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       (1 to 20).filterNot(i => i % 4 == 1 && i > 5)
   }
 
+  test("CoW rewrites conflict with concurrent MoR deletes (signature check)") {
+    import graft.catalog.GraftCoWWrite
+    import graft.versioned.MergeConflictException
+    val r = setup()
+    val s0 = headSnap(r) // no tombstones
+    sql(s"DELETE FROM g.$r.main.db.t WHERE id = 8")
+    val s1 = headSnap(r) // one tombstone
+    // scan saw s0, rebases onto s1 (tombstone landed since) -> conflict
+    intercept[MergeConflictException] {
+      GraftCoWWrite.validateTombstones(Tombstones.signature(s0), s1, "db/t")
+    }
+    // scan saw s1, rebases onto s1 -> fine
+    GraftCoWWrite.validateTombstones(Tombstones.signature(s1), s1, "db/t")
+    // same SEQ but a different predicate (revert + re-delete aliasing)
+    // must still conflict: the signature carries the predicate
+    val repo = repoOf(r)
+    val aliased = repo.writeSnapshot("db/t", s1.schemaJson, s1.files,
+      s1.partitionBy, s1.physicalNames,
+      Some(Tombstones.append(s0.properties,
+        Tombstones.of(s1).head.seq, // SAME seq number
+        org.apache.spark.sql.sources.EqualTo("id", 3))), s1.retired)
+    intercept[MergeConflictException] {
+      GraftCoWWrite.validateTombstones(Tombstones.signature(s1), aliased, "db/t")
+    }
+  }
+
+  test("scan-path and rewrite-path keep predicates agree on nulls and types") {
+    import org.apache.spark.sql.{sources => S}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("x", DoubleType, nullable = true),
+      StructField("name", StringType, nullable = true)))
+    val rows = Seq(
+      Row(1, 1.5, "alpha"), Row(2, null, "beta"), Row(3, 3.0, null),
+      Row(4, -0.5, "gamma"), Row(5, null, null), Row(6, 2.5, "alp"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val filters: Seq[S.Filter] = Seq(
+      S.EqualTo("id", 2),
+      S.And(S.GreaterThan("x", 1.0), S.StringStartsWith("name", "alp")),
+      S.Or(S.IsNull("x"), S.LessThanOrEqual("id", 1)),
+      S.Not(S.IsNotNull("name")),
+      S.In("id", Array(4, 6)))
+    for (f <- filters) {
+      val t = graft.versioned.Tombstone(1L, f)
+      // DataFrame dialect (rewrite paths)
+      val kept = df.filter(Tombstones.keepColumn(Seq(t)))
+        .collect().map(_.getInt(0)).toSet
+      // Catalyst dialect (DSv2 scan path) over the same rows
+      val js = Tombstones.filterJsons(Seq(t))
+      val keep = org.apache.spark.sql.catalyst.expressions.Predicate.create(
+        org.apache.spark.sql.graftbridge.TombstoneReadBridge
+          .keepExpressionForTest(js, schema))
+      val keptScan = df.queryExecution.toRdd.map(_.copy()).collect()
+        .filter(keep.eval).map(_.getInt(0)).toSet
+      withClue(s"filter $f: ") { keptScan shouldBe kept }
+    }
+  }
+
   test("Scala-API snapshot reads and diffs apply tombstones") {
     val r = setup()
     sql(s"DELETE FROM g.$r.main.db.t WHERE id >= 6")
