@@ -259,15 +259,26 @@ object TableOps {
     * (DELETE/UPDATE/upsert-matched) re-emit surviving rows; restrict to
     * append-only tables when exactly-once row semantics matter.
     */
-  def readStreamAppends(spark: SparkSession, repo: GraftRepo, key: String): DataFrame = {
+  /** `maxFilesPerTrigger` bounds each microbatch's file count — the
+    * admission-control knob that keeps a backlogged consumer (catching
+    * up on a 100 TB table after downtime) from planning one giant batch
+    * that overwhelms executor memory; None = Spark's default (all
+    * available files in the first batch). Merge-on-read caveat: the
+    * stream reads raw committed files, so MoR-deleted rows still flow —
+    * restrict to append-only tables (same caveat as CoW rewrites,
+    * documented above).
+    */
+  def readStreamAppends(spark: SparkSession, repo: GraftRepo, key: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val c = repo.headCommit("main")
     val snapId = c.tables.getOrElse(key,
       throw new NoSuchElementException(s"no such table: $key"))
     val schema = DataType.fromJson(repo.snapshot(snapId).schemaJson)
       .asInstanceOf[StructType]
-    spark.readStream
-      .schema(schema)
-      .parquet(repo.dataDir.resolve(key).toString + "/*")
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader.parquet(repo.dataDir.resolve(key).toString + "/*")
   }
 
   /** Snapshot property recording the last stream batch id committed into

@@ -123,6 +123,26 @@ class SpjSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     }
   }
 
+  test("one side missing partition values entirely still joins correctly (pushPartValues)") {
+    sql("CREATE NAMESPACE g.spjm")
+    sql("CREATE NAMESPACE g.spjm.main.db")
+    sql("CREATE TABLE g.spjm.main.db.ma (cat INT, x INT) PARTITIONED BY (cat)")
+    sql("CREATE TABLE g.spjm.main.db.mb (cat INT, y INT) PARTITIONED BY (cat)")
+    // ma holds cats {0,1,2}; mb holds cats {1,2,3} — each side misses one
+    sql("INSERT INTO g.spjm.main.db.ma VALUES (0, 1), (1, 2), (2, 3)")
+    sql("INSERT INTO g.spjm.main.db.mb VALUES (1, 20), (2, 30), (3, 40)")
+    val q = "SELECT ma.cat, ma.x, mb.y FROM g.spjm.main.db.ma ma " +
+      "JOIN g.spjm.main.db.mb mb ON ma.cat = mb.cat ORDER BY ma.cat"
+    val expected = sql(q).collect().map(_.toSeq).toSeq
+    withSpj {
+      val df = sql(q)
+      val plan = planOf(df)
+      plan.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 0
+      df.collect().map(_.toSeq).toSeq shouldBe expected
+    }
+    expected.map(_.head) shouldBe Seq(1, 2)
+  }
+
   test("scan without partition columns in output keeps split-per-file reads") {
     withSpj {
       // fa's bucket source (id) is pruned from this scan's output: Spark

@@ -286,6 +286,28 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming appends: maxFilesPerTrigger bounds each microbatch") {
+    val root = Files.createTempDirectory("graft-stream-rate")
+    val repo = GraftRepo.init(root)
+    import spark.implicits._
+    // three separate commits -> at least three files on disk
+    for (i <- 1 to 3)
+      TableOps.insert(spark, repo, "main", "db/rl",
+        Seq((i, s"v$i")).toDF("id", "v"), overwrite = false)
+    val q = TableOps.readStreamAppends(spark, repo, "db/rl",
+        maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("graft_rl")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // all rows arrive, but across MULTIPLE batches of <=1 file each
+      spark.table("graft_rl").count() shouldBe 3
+      q.recentProgress.count(_.numInputRows > 0) should be >= 3
+      q.recentProgress.filter(_.numInputRows > 0)
+        .foreach(_.numInputRows should be <= 1L)
+    } finally q.stop()
+  }
+
   test("streaming sink: writeStream lands microbatches as graft commits, " +
     "idempotent per epoch") {
     val root = Files.createTempDirectory("graft-stream-sink")
