@@ -58,6 +58,7 @@ final class GraftTable(
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def properties(): JMap[String, String] =
@@ -70,7 +71,7 @@ final class GraftTable(
   // ---- read ------------------------------------------------------------
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(repo, snap, tableSchema)
+    new GraftScanBuilder(repo, snap, tableSchema, branch, key, options)
 
   // ---- write (INSERT INTO / INSERT OVERWRITE / CTAS / df.writeTo) ------
 
@@ -131,7 +132,9 @@ final class GraftTable(
   * local row — at 100 TB, `SELECT count(*)` touches zero data files
   * (the same trick Iceberg plays from its manifests).
   */
-final class GraftScanBuilder(repo: GraftRepo, snap: Snapshot, fullSchema: StructType)
+final class GraftScanBuilder(repo: GraftRepo, snap: Snapshot, fullSchema: StructType,
+    branch: Option[String] = None, key: String = "",
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -199,7 +202,8 @@ final class GraftScanBuilder(repo: GraftRepo, snap: Snapshot, fullSchema: Struct
         override def description(): String =
           s"GraftMetadataAggregate ${snap.table} ${aggSchema.fieldNames.mkString(", ")}"
       }
-    case None => new GraftScan(repo, snap, fullSchema, required, pushed)
+    case None =>
+      new GraftScan(repo, snap, fullSchema, required, pushed, branch, key, options)
   }
 }
 
@@ -220,7 +224,10 @@ final class GraftScan(
     snap: Snapshot,
     schema: StructType,
     required: StructType,
-    pushed: Array[sources.Filter]) extends Scan
+    pushed: Array[sources.Filter],
+    branch: Option[String] = None,
+    key: String = "",
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty()) extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -387,6 +394,19 @@ final class GraftScan(
           (pushed ++ runtime).map(TableOps.renameFilter(_, m))).toBatch
       }
   }
+  /** Structured-Streaming read of the table's commit log — see
+    * [[GraftMicroBatchStream]]. Requires a live branch (streaming a
+    * frozen time-travel ref would never see data, by definition).
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val b = branch.getOrElse(throw new UnsupportedOperationException(
+      s"$key: cannot stream a time-travel (VERSION AS OF) reference"))
+    new GraftMicroBatchStream(repo, b, key, snap, schema, required, pushed,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      startFromLatest = options.getOrDefault("startFrom", "earliest") == "latest")
+  }
+
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     // statically dirty -> per-partition decision (clean splits stay
     // columnar, tombstoned splits read row-based)

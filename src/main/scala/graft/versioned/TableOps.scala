@@ -325,7 +325,7 @@ object TableOps {
   /** [[mayMatch]] for filters already in PHYSICAL names (tombstone
     * applicability: can this file hold rows the predicate touches?).
     */
-  private[versioned] def statsMayMatch(f: FileEntry, physSchema: StructType,
+  private[graft] def statsMayMatch(f: FileEntry, physSchema: StructType,
       filter: sources.Filter): Boolean =
     mayMatch(f, physSchema, filter, Map.empty)
 

@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.matchers.should.Matchers
+
+/** The native DSv2 micro-batch source ([[graft.catalog.GraftMicroBatchStream]]):
+  * commit-snapshot offsets (no directory listing), admission control,
+  * exactly-once restart from checkpoint, metadata-only commits emit
+  * nothing.
+  */
+class StreamSourceSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.catalog.g", classOf[graft.catalog.GraftCatalog].getName)
+    .config("spark.sql.catalog.g.root", Files.createTempDirectory("graft-ss").toString)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def sql(q: String) = spark.sql(q)
+
+  private def setup(repo: String, rows: Seq[(Int, String)]*): String = {
+    sql(s"CREATE NAMESPACE g.$repo")
+    sql(s"CREATE NAMESPACE g.$repo.main.db")
+    sql(s"CREATE TABLE g.$repo.main.db.t (id INT, v STRING)")
+    rows.foreach { batch =>
+      sql(s"INSERT INTO g.$repo.main.db.t VALUES " +
+        batch.map { case (i, s) => s"($i, '$s')" }.mkString(", "))
+    }
+    s"g.$repo.main.db.t"
+  }
+
+  test("streams existing commits, then live appends — via readStream.table") {
+    val t = setup("s1", Seq((1, "a"), (2, "b")), Seq((3, "c")))
+    val q = spark.readStream.table(t)
+      .writeStream.format("memory").queryName("ss_basic")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table("ss_basic").count() shouldBe 3
+      sql(s"INSERT INTO $t VALUES (4, 'd'), (5, 'e')")
+      q.processAllAvailable()
+      spark.table("ss_basic").select("id").collect().map(_.getInt(0)).sorted shouldBe
+        Array(1, 2, 3, 4, 5)
+    } finally q.stop()
+  }
+
+  test("maxFilesPerTrigger bounds each microbatch (admission control)") {
+    val t = setup("s2", Seq((1, "a")), Seq((2, "b")), Seq((3, "c")))
+    val q = spark.readStream.option("maxFilesPerTrigger", "1").table(t)
+      .writeStream.format("memory").queryName("ss_rate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table("ss_rate").count() shouldBe 3
+      // three separate single-file commits -> at least 3 non-empty batches
+      q.recentProgress.count(_.numInputRows > 0) should be >= 3
+      q.recentProgress.filter(_.numInputRows > 0)
+        .foreach(_.numInputRows should be <= 1L)
+    } finally q.stop()
+  }
+
+  test("restart from checkpoint resumes exactly-once (no re-emission)") {
+    val t = setup("s3", Seq((1, "a"), (2, "b")))
+    val ckpt = Files.createTempDirectory("graft-ss-ckpt").toString
+    val out = Files.createTempDirectory("graft-ss-out").toString
+    def run(): Unit = {
+      val q = spark.readStream.table(t)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    spark.read.parquet(out).count() shouldBe 2
+    sql(s"INSERT INTO $t VALUES (3, 'c')")
+    // same checkpoint: the restarted query appends ONLY the new commit —
+    // total row count proves no re-emission of batches 0..n
+    run()
+    spark.read.parquet(out).select("id").collect()
+      .map(_.getInt(0)).sorted shouldBe Array(1, 2, 3)
+  }
+
+  test("startFrom=latest skips history, streams only new commits") {
+    val t = setup("s4", Seq((1, "old")), Seq((2, "old")))
+    val q = spark.readStream.option("startFrom", "latest").table(t)
+      .writeStream.format("memory").queryName("ss_latest")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table("ss_latest").count() shouldBe 0
+      sql(s"INSERT INTO $t VALUES (3, 'new')")
+      q.processAllAvailable()
+      spark.table("ss_latest").select("v").collect().map(_.getString(0)) shouldBe
+        Array("new")
+    } finally q.stop()
+  }
+
+  test("merge-on-read DELETE (metadata-only commit) emits nothing") {
+    val t = setup("s5", Seq((1, "a"), (2, "b")))
+    sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    val q = spark.readStream.table(t)
+      .writeStream.format("memory").queryName("ss_mor")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table("ss_mor").count() shouldBe 2
+      sql(s"DELETE FROM $t WHERE id = 1") // tombstone: no files added
+      q.processAllAvailable()
+      spark.table("ss_mor").count() shouldBe 2 // nothing re-emitted or retracted
+      // the batch read sees the delete
+      sql(s"SELECT id FROM $t").collect().map(_.getInt(0)) shouldBe Array(2)
+    } finally q.stop()
+  }
+
+  test("streaming a VERSION AS OF reference is rejected") {
+    val t = setup("s6", Seq((1, "a")))
+    val commitId = sql(s"SELECT commit_id FROM $t.history LIMIT 1")
+      .collect().head.getString(0)
+    // resolve the table AT a version (branchless, as VERSION AS OF does),
+    // then ask its scan to stream — must refuse
+    import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, TableCatalog}
+    val cat = spark.sessionState.catalogManager.catalog("g")
+      .asInstanceOf[TableCatalog]
+    val tbl = cat.loadTable(
+      Identifier.of(Array("s6", "main", "db"), "t"), commitId)
+    val scan = tbl.asInstanceOf[SupportsRead]
+      .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      .build()
+    val ex = intercept[UnsupportedOperationException] {
+      scan.toMicroBatchStream("/tmp/unused-ckpt")
+    }
+    ex.getMessage should include("time-travel")
+  }
+}
