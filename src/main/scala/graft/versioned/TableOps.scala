@@ -553,6 +553,12 @@ object TableOps {
     // all-or-nothing: an untranslatable predicate must never silently
     // widen to updating every row
     val cond = translateAll(filters, "update")
+    val headSnap = repo.headCommit(branch).tables.get(key).map(repo.snapshot)
+    if (headSnap.exists(s =>
+      s.properties.get(Tombstones.UpdateModeProp).contains(Tombstones.MergeOnRead)) &&
+      filters.nonEmpty &&
+      filters.forall(f => FilterJson.toJson(f).isDefined))
+      return updateWhereMoR(spark, repo, branch, key, filters, set)
     repo.commitRetry(branch, s"update $key") { base =>
       val snap = repo.snapshot(base.tables(key))
       val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
@@ -562,13 +568,16 @@ object TableOps {
         val untouched = snap.files.diff(candidates)
         val candDf = readFiles(spark, repo, snap, schema, candidates)
         val hit = coalesce(cond, lit(false))
-        val updated = schema.fields.foldLeft(candDf) { (df, f) =>
+        // ONE projection: every SET right-hand side sees the OLD row
+        // (sequential withColumn would leak already-updated values into
+        // later assignments — UPDATE semantics are simultaneous)
+        val updated = candDf.select(schema.fields.toIndexedSeq.map { f =>
           set.get(f.name) match {
-            case Some(v) => df.withColumn(f.name,
-              when(hit, v.cast(f.dataType)).otherwise(col(f.name)))
-            case None => df
+            case Some(v) =>
+              when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
           }
-        }
+        }: _*)
         val (next, props) = bumpSeq(snap)
         val rewritten = writeFiles(spark, repo, updated, key,
           snap.partitionFields, snap.nameMapping).map(_.copy(seq = Some(next)))
@@ -576,6 +585,55 @@ object TableOps {
           untouched ++ rewritten, snap.partitionBy, snap.physicalNames,
           Some(props), snap.retired)
         (base.tables + (key -> newSnap.id), base.namespaces)
+      }
+    }
+  }
+
+  /** UPDATE via merge-on-read (`graft.update.mode = merge-on-read`):
+    * commits a predicate tombstone (deleting the OLD versions of
+    * matching rows from every earlier file, exactly as a MoR DELETE
+    * would) plus new files holding the UPDATED rows, stamped at the
+    * tombstone's own sequence so they are exempt from it — one commit,
+    * delete+insert semantics, no existing file rewritten. At 100 TB a
+    * selective UPDATE writes only |matched rows| instead of rewriting
+    * every file that holds one (the write-amplification trade of
+    * Iceberg's merge-on-read UPDATE, with predicate tombstones standing
+    * in for positional delete files). Reads, compaction, conflict
+    * signatures, schema-evolution guards: all shared with MoR DELETE.
+    *
+    * Rebase semantics on a lost commit race: re-reads matching rows from
+    * the NEW head (the update behaves as of its commit time).
+    */
+  def updateWhereMoR(spark: SparkSession, repo: GraftRepo, branch: String,
+      key: String, filters: Seq[sources.Filter], set: Map[String, Column]): Unit = {
+    require(filters.nonEmpty, "merge-on-read UPDATE needs a predicate")
+    val cond = translateAll(filters, "update")
+    repo.commitRetry(branch, s"update (merge-on-read) $key") { base =>
+      val snap = repo.snapshot(base.tables.getOrElse(key,
+        throw new NoSuchElementException(s"no such table: $key")))
+      val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+      val candidates = pruneFiles(snap, schema, filters)
+      if (candidates.isEmpty) (base.tables, base.namespaces) // provably no match
+      else {
+        val m = snap.nameMapping
+        val phys = filters.map(renameFilter(_, m)).reduce(sources.And(_, _))
+        // matching rows, with PRIOR tombstones applied (readFiles) — a
+        // row an earlier MoR delete removed must not resurrect updated
+        val matching = readFiles(spark, repo, snap, schema, candidates)
+          .filter(coalesce(cond, lit(false)))
+        // one projection: simultaneous-assignment UPDATE semantics
+        val updated = matching.select(schema.fields.toIndexedSeq.map { f =>
+          set.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
+        }: _*)
+        val next = Tombstones.lastSeq(snap.properties) + 1
+        val props = Tombstones.append(snap.properties, next, phys)
+        // seq = next: exempt from this tombstone (applicable is strict >),
+        // subject to every later one
+        val appended = writeFiles(spark, repo, updated, key,
+          snap.partitionFields, m).map(_.copy(seq = Some(next)))
+        val ns = repo.writeSnapshot(key, snap.schemaJson, snap.files ++ appended,
+          snap.partitionBy, snap.physicalNames, Some(props), snap.retired)
+        (base.tables + (key -> ns.id), base.namespaces)
       }
     }
   }

@@ -35,6 +35,10 @@ final case class Tombstone(seq: Long, filter: sources.Filter)
 object Tombstones {
   /** Table property selecting DELETE's write path. */
   val ModeProp = "graft.delete.mode"
+  /** Table property selecting UPDATE's write path (Scala API; SQL UPDATE
+    * stays group-based CoW — Spark plans that rewrite itself).
+    */
+  val UpdateModeProp = "graft.update.mode"
   val MergeOnRead = "merge-on-read"
   /** Snapshot property: JSON list of tombstones. */
   val TombProp = "graft.mor.tombstones"

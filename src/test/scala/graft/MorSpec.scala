@@ -268,4 +268,92 @@ class MorSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     val df = TableOps.readSnapshot(spark, repo, headSnap(r))
     df.collect().map(_.getInt(0)).sorted shouldBe (1 to 5)
   }
+
+  // ---- merge-on-read UPDATE --------------------------------------------
+
+  private def morUpdateTable(): String = {
+    val r = setup()
+    sql(s"ALTER TABLE g.$r.main.db.t " +
+      "SET TBLPROPERTIES('graft.update.mode'='merge-on-read')")
+    r
+  }
+
+  test("MoR UPDATE: tombstone + appended rows, zero files rewritten") {
+    import org.apache.spark.sql.functions.{concat, lit => slit}
+    import org.apache.spark.sql.sources
+    val r = morUpdateTable()
+    val before = headSnap(r).files.map(_.path).toSet
+    TableOps.updateWhere(spark, repoOf(r), "main", "db/t",
+      Seq(sources.GreaterThanOrEqual("id", 6)),
+      Map("name" -> concat(slit("upd_"), org.apache.spark.sql.functions.col("name"))))
+    val after = headSnap(r)
+    // every pre-update file is still there untouched; only appends
+    before.subsetOf(after.files.map(_.path).toSet) shouldBe true
+    after.files.size should be > before.size
+    Tombstones.of(after) should have size 1
+    sql(s"SELECT name FROM g.$r.main.db.t WHERE id = 7")
+      .collect().head.getString(0) shouldBe "upd_name_7"
+    sql(s"SELECT count(*) FROM g.$r.main.db.t")
+      .collect().head.getLong(0) shouldBe 8 // no duplicates, no losses
+  }
+
+  test("MoR UPDATE rows still matching the predicate survive their own tombstone") {
+    import org.apache.spark.sql.functions.{lit => slit}
+    import org.apache.spark.sql.sources
+    val r = morUpdateTable()
+    // SET name but keep id: updated rows still match id = 3
+    TableOps.updateWhere(spark, repoOf(r), "main", "db/t",
+      Seq(sources.EqualTo("id", 3)), Map("name" -> slit("three")))
+    ids(s"SELECT id FROM g.$r.main.db.t ORDER BY id") shouldBe (1 to 8)
+    sql(s"SELECT name FROM g.$r.main.db.t WHERE id = 3")
+      .collect().head.getString(0) shouldBe "three"
+    // a LATER delete with the same predicate removes the updated row
+    sql(s"DELETE FROM g.$r.main.db.t WHERE id = 3")
+    ids(s"SELECT id FROM g.$r.main.db.t ORDER BY id") shouldBe
+      Seq(1, 2, 4, 5, 6, 7, 8)
+  }
+
+  test("MoR UPDATE matches CoW UPDATE results exactly") {
+    import org.apache.spark.sql.functions.{col, lit => slit}
+    import org.apache.spark.sql.sources
+    val rMor = morUpdateTable()
+    val rCow = setup(mor = false)
+    for (r <- Seq(rMor, rCow))
+      TableOps.updateWhere(spark, repoOf(r), "main", "db/t",
+        Seq(sources.LessThan("id", 4)),
+        Map("id" -> (col("id") + slit(100)), "name" -> slit("x")))
+    val q = (r: String) =>
+      sql(s"SELECT id, name FROM g.$r.main.db.t ORDER BY id")
+        .collect().toSeq.map(_.toSeq)
+    q(rMor) shouldBe q(rCow)
+  }
+
+  test("MoR UPDATE SET expressions all see the OLD row (simultaneous assignment)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.sources
+    val r = morUpdateTable()
+    sql(s"ALTER TABLE g.$r.main.db.t ADD COLUMN m INT")
+    sql(s"INSERT INTO g.$r.main.db.t VALUES (100, 'swap', 7)")
+    // swap id and m: both right-hand sides must read pre-update values
+    TableOps.updateWhere(spark, repoOf(r), "main", "db/t",
+      Seq(sources.EqualTo("id", 100)),
+      Map("id" -> col("m"), "m" -> col("id")))
+    val row = sql(s"SELECT id, m FROM g.$r.main.db.t WHERE name = 'swap'")
+      .collect().head
+    (row.getInt(0), row.getInt(1)) shouldBe ((7, 100))
+  }
+
+  test("compaction materializes MoR updates and retires their tombstones") {
+    import org.apache.spark.sql.functions.{lit => slit}
+    import org.apache.spark.sql.sources
+    val r = morUpdateTable()
+    TableOps.updateWhere(spark, repoOf(r), "main", "db/t",
+      Seq(sources.GreaterThan("id", 5)), Map("name" -> slit("big")))
+    TableOps.compact(spark, repoOf(r), "main", "db/t")
+    val after = headSnap(r)
+    Tombstones.of(after) shouldBe empty
+    sql(s"SELECT count(*) FROM g.$r.main.db.t WHERE name = 'big'")
+      .collect().head.getLong(0) shouldBe 3
+    ids(s"SELECT id FROM g.$r.main.db.t ORDER BY id") shouldBe (1 to 8)
+  }
 }
