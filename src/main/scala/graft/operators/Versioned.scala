@@ -209,7 +209,50 @@ object Versioned {
          |ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** The native DSv2 micro-batch source end-to-end ([[graft.catalog
+    * .GraftMicroBatchStream]]): nation lands across two commits, the
+    * stream replays them from snapshot-metadata offsets (no directory
+    * listing, one file per trigger), a third commit lands mid-stream and
+    * is picked up live, and the aggregate over everything streamed must
+    * equal the batch answer.
+    */
+  private def streamRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = setup(s, d)
+    s.sql(s"INSERT INTO $cat.r.main.db.nation " +
+      s"SELECT n_nationkey + 1000, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation WHERE n_nationkey < 5")
+    val name = "vcs" + UUID.randomUUID().toString.replace("-", "").take(10)
+    val q = s.readStream.option("maxFilesPerTrigger", "1")
+      .table(s"$cat.r.main.db.nation")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      s.sql(s"INSERT INTO $cat.r.main.db.nation VALUES (2000, 'STREAMLAND', 0)")
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"),
+        max(col("n_nationkey")).as("last_key"))
+      .orderBy(col("n_regionkey"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q(
+      "vc_stream_read",
+      """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name,
+        |       max(n_nationkey) AS last_key
+        |FROM (
+        |  SELECT * FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 1000, n_name, n_regionkey FROM nation
+        |  WHERE n_nationkey < 5
+        |  UNION ALL
+        |  SELECT 2000, 'STREAMLAND', 0
+        |)
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin
+    )(streamRead),
     Q(
       "vc_mor_read",
       """SELECT o_orderstatus,
