@@ -567,7 +567,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .flatMap(_.tables.get(key)).distinct.map(g.snapshot)
       .flatMap(_.files).map(_.path).toSet
     victim.get.files.filterNot(f => stillReferenced.contains(f.path))
-      .foreach(f => Files.deleteIfExists(g.root.resolve(f.path)))
+      .foreach { f =>
+        Files.deleteIfExists(g.root.resolve(f.path))
+        Files.deleteIfExists(g.root.resolve(f.path + ".bloom"))
+      }
     true
   }
 

@@ -85,5 +85,8 @@ private[catalog] final class GraftStagedTable(
   }
 
   override def abortStagedChanges(): Unit =
-    staged.foreach(f => Files.deleteIfExists(g.root.resolve(f.path)))
+    staged.foreach { f =>
+      Files.deleteIfExists(g.root.resolve(f.path))
+      Files.deleteIfExists(g.root.resolve(f.path + ".bloom"))
+    }
 }

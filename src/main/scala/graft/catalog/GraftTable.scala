@@ -243,8 +243,14 @@ final class GraftScan(
   private lazy val morDirty = morTombs.nonEmpty && snap.files.exists(f =>
     graft.versioned.Tombstones.applicable(morTombs, f, physDataSchema).nonEmpty)
 
-  private[graft] def liveFiles: Seq[graft.versioned.FileEntry] =
-    TableOps.pruneFiles(snap, schema, (pushed ++ runtime).toIndexedSeq)
+  private[graft] def liveFiles: Seq[graft.versioned.FileEntry] = {
+    val fs = (pushed ++ runtime).toIndexedSeq
+    // bloom sidecars load only for files equality filters couldn't be
+    // disproven on by partition values or min/max — point lookups on
+    // unclustered columns prune here (including runtime DPP In-filters)
+    graft.versioned.Blooms.prune(repo.root, snap, schema, fs,
+      TableOps.pruneFiles(snap, schema, fs))
+  }
 
   private def inner: Scan = {
     if (cached == null) {

@@ -370,6 +370,8 @@ final class GraftRepo private (val root: Path) {
         if (!referenced.contains(p.normalize()) &&
             Files.getLastModifiedTime(p).toMillis < cutoff) {
           Files.delete(p); deleted += 1
+          // a data file's bloom sidecar dies with it
+          Files.deleteIfExists(p.resolveSibling(p.getFileName.toString + ".bloom"))
         }
       }
       // prune now-empty data subdirectories

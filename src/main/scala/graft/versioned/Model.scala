@@ -75,7 +75,12 @@ final case class FileEntry(
     max: Map[String, String],
     partitionValues: Option[Map[String, String]] = None,
     bytes: Option[Long] = None,
-    seq: Option[Long] = None) {
+    seq: Option[Long] = None,
+    bloomCols: Option[Seq[String]] = None) {
+  /** Physical columns with a bloom sidecar (`<path>.bloom`) — advertised
+    * here so planning never probes the filesystem for absent sidecars.
+    */
+  def bloomColsList: Seq[String] = Option(bloomCols).flatten.getOrElse(Nil)
   def partValues: Map[String, String] =
     Option(partitionValues).flatten.getOrElse(Map.empty)
   /** On-disk size; falls back to a rows-based guess for pre-`bytes`

@@ -78,7 +78,9 @@ object TableOps {
   def writeFiles(spark: SparkSession, repo: GraftRepo, df: DataFrame,
       key: String = "adhoc", spec: Seq[PartitionField] = Nil,
       physicalNames: Map[String, String] = Map.empty,
-      preserveLayout: Boolean = false): Seq[FileEntry] = {
+      preserveLayout: Boolean = false,
+      bloomCols: Seq[String] = Nil,
+      bloomItems: Long = Blooms.DefaultItems): Seq[FileEntry] = {
     // files are ALWAYS written (and stats keyed) under physical names —
     // the invariant that keeps renames metadata-only
     val logical = df.schema
@@ -124,9 +126,15 @@ object TableOps {
       Seq(min(col(f.name)).cast("string").as(s"min:${f.name}"),
         max(col(f.name)).cast("string").as(s"max:${f.name}"))
     }
+    // blooms ride the SAME per-file aggregation pass as min/max — one
+    // scan of the fresh files covers rows, stats, and filters
+    val blooms = bloomCols.filter(c => schema.fields.exists(_.name == c))
+    val bloomAggs = blooms.map(c =>
+      Blooms.aggColumn(c, schema.fields.find(_.name == c).get.dataType,
+        bloomItems).as(s"bloom:$c"))
     val rows = written
       .groupBy(input_file_name().as("__file"))
-      .agg(count(lit(1)).as("__rows"), statCols.toIndexedSeq: _*)
+      .agg(count(lit(1)).as("__rows"), (statCols.toIndexedSeq ++ bloomAggs): _*)
       .collect()
     rows.toIndexedSeq.map { r =>
       val file = r.getAs[String]("__file").stripPrefix("file:")
@@ -137,8 +145,12 @@ object TableOps {
         }.toMap
       val pvals =
         if (spec.isEmpty) None else Some(Partitioning.valuesFromPath(rel))
+      val sidecar = blooms.flatMap(c =>
+        Option(r.getAs[Array[Byte]](s"bloom:$c")).map(c -> _)).toMap
+      if (sidecar.nonEmpty) Blooms.write(repo.root, rel, sidecar)
       FileEntry(rel, r.getAs[Long]("__rows"), stats("min"), stats("max"), pvals,
-        Some(Files.size(java.nio.file.Paths.get(file))))
+        Some(Files.size(java.nio.file.Paths.get(file))),
+        bloomCols = if (sidecar.isEmpty) None else Some(sidecar.keys.toSeq.sorted))
     }
   }
 
@@ -184,7 +196,13 @@ object TableOps {
     val head = repo.headCommit(branch).tables.get(key).map(repo.snapshot)
     val spec = head.map(_.partitionFields).getOrElse(Nil)
     val mapping = head.map(_.nameMapping).getOrElse(Map.empty)
-    val newFiles = writeFiles(spark, repo, df, key, spec, mapping)
+    val blooms = head.map(s =>
+      Blooms.physCols(s, toPhysical(
+        DataType.fromJson(s.schemaJson).asInstanceOf[StructType], mapping)))
+      .getOrElse(Nil)
+    val newFiles = writeFiles(spark, repo, df, key, spec, mapping,
+      bloomCols = blooms,
+      bloomItems = head.map(Blooms.items).getOrElse(Blooms.DefaultItems))
     val msg = message.getOrElse(s"${if (overwrite) "overwrite" else "append"} $key")
     repo.commitRetry(branch, msg) { base =>
       // props re-read from the rebased head inside the race so a
@@ -310,6 +328,18 @@ object TableOps {
         message = Some(s"stream-append $key batch=$batchId"),
         extraProps = Map(StreamBatchProp -> batchId.toString))
   }
+
+  /** [[pruneFiles]] plus bloom-sidecar pruning ([[Blooms.prune]]) — the
+    * row-level ops' candidate selection: a point DELETE/UPDATE on an
+    * unclustered high-cardinality column narrows to the files that
+    * might actually hold the row, not every file whose [min,max]
+    * spans it. Sound for rewrite selection: a bloom "absent" is a
+    * proof (no false negatives), so skipped files hold no matching row.
+    */
+  def pruneFilesBloom(repo: GraftRepo, snap: Snapshot, schema: StructType,
+      filters: Seq[sources.Filter]): Seq[FileEntry] =
+    Blooms.prune(repo.root, snap, schema, filters,
+      pruneFiles(snap, schema, filters))
 
   /** Keep only files that survive BOTH partition-value pruning (cheap,
     * eliminates whole directories first) and min/max stats pruning.
@@ -481,7 +511,7 @@ object TableOps {
       val snap = repo.snapshot(base.tables.getOrElse(key,
         throw new NoSuchElementException(s"no such table: $key")))
       val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-      val candidates = pruneFiles(snap, schema, filters)
+      val candidates = pruneFilesBloom(repo, snap, schema, filters)
       if (candidates.isEmpty) (base.tables, base.namespaces) // provably no match
       else {
         val m = snap.nameMapping
@@ -523,7 +553,7 @@ object TableOps {
         throw new NoSuchElementException(s"no such table: $key"))
       val snap = repo.snapshot(snapId)
       val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-      val candidates = pruneFiles(snap, schema, filters)
+      val candidates = pruneFilesBloom(repo, snap, schema, filters)
       if (candidates.isEmpty) (base.tables, base.namespaces)
       else {
         val untouched = snap.files.diff(candidates)
@@ -562,7 +592,7 @@ object TableOps {
     repo.commitRetry(branch, s"update $key") { base =>
       val snap = repo.snapshot(base.tables(key))
       val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-      val candidates = pruneFiles(snap, schema, filters)
+      val candidates = pruneFilesBloom(repo, snap, schema, filters)
       if (candidates.isEmpty) (base.tables, base.namespaces)
       else {
         val untouched = snap.files.diff(candidates)
@@ -612,7 +642,7 @@ object TableOps {
       val snap = repo.snapshot(base.tables.getOrElse(key,
         throw new NoSuchElementException(s"no such table: $key")))
       val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-      val candidates = pruneFiles(snap, schema, filters)
+      val candidates = pruneFilesBloom(repo, snap, schema, filters)
       if (candidates.isEmpty) (base.tables, base.namespaces) // provably no match
       else {
         val m = snap.nameMapping
@@ -658,7 +688,7 @@ object TableOps {
     repo.commitRetry(branch, s"upsert into $key") { base =>
       val snap = repo.snapshot(base.tables(key))
       val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-      val candidates = pruneFiles(snap, schema, enumerable.getOrElse(Nil))
+      val candidates = pruneFilesBloom(repo, snap, schema, enumerable.getOrElse(Nil))
       val untouched = snap.files.diff(candidates)
       val survivors =
         if (candidates.isEmpty) None
@@ -904,7 +934,9 @@ object TableOps {
         }
         else df.coalesce(1)
       writeFiles(spark, repo, out, key, snap.partitionFields, snap.nameMapping,
-        preserveLayout = true)
+        preserveLayout = true,
+        bloomCols = Blooms.physCols(snap, physSchema),
+        bloomItems = Blooms.items(snap))
     }
     val committed = repo.commitRetry(branch, s"compact $key") { base =>
       val cur = repo.snapshot(base.tables.getOrElse(key,

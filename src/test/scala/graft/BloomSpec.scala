@@ -1,0 +1,193 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.sources
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.matchers.should.Matchers
+
+import graft.versioned.{Blooms, GraftRepo, TableOps}
+
+/** Per-file bloom sidecars ([[graft.versioned.Blooms]]): point-lookup
+  * file pruning where min/max stats are useless (unclustered columns),
+  * width-normalized hashing across type widening, sound rewrite
+  * selection for row-level ops, GC of sidecars with their data files.
+  */
+class BloomSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
+
+  private val catRoot = Files.createTempDirectory("graft-bloom")
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.catalog.g", classOf[graft.catalog.GraftCatalog].getName)
+    .config("spark.sql.catalog.g.root", catRoot.toString)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def sql(q: String) = spark.sql(q)
+
+  private var n = 0
+  /** Fresh repo with a bloom-on-id table: 4 single-file commits × 25
+    * ids, id ranges OVERLAPPING across files (interleaved by residue
+    * mod 4) so min/max stats can never separate them — only the bloom
+    * can. (repartition(1) pins one file per commit; a SQL VALUES insert
+    * may split across tasks.)
+    */
+  private def setup(): String = {
+    n += 1; val r = s"b$n"
+    sql(s"CREATE NAMESPACE g.$r")
+    sql(s"CREATE NAMESPACE g.$r.main.db")
+    sql(s"CREATE TABLE g.$r.main.db.t (id INT, v STRING) " +
+      "TBLPROPERTIES('graft.bloom.columns'='id')")
+    import spark.implicits._
+    for (res <- 0 until 4) {
+      val df = (0 until 100).filter(_ % 4 == res).map(i => (i, s"v_$i"))
+        .toDF("id", "v").repartition(1)
+      TableOps.insert(spark, repoOf(r), "main", "db/t", df, overwrite = false)
+    }
+    r
+  }
+
+  private def repoOf(r: String): GraftRepo = GraftRepo.open(catRoot.resolve(r))
+  private def headSnap(r: String) =
+    repoOf(r).snapshot(repoOf(r).headCommit("main").tables("db/t"))
+
+  test("sidecars are written and advertised; min/max alone cannot separate the files") {
+    val r = setup()
+    val snap = headSnap(r)
+    snap.files should have size 4
+    snap.files.foreach { f =>
+      f.bloomColsList shouldBe Seq("id")
+      Files.exists(Blooms.sidecar(repoOf(r).root, f.path)) shouldBe true
+      // every file's [min,max] spans nearly the whole id domain
+      f.min("id").toInt should be <= 3
+      f.max("id").toInt should be >= 96
+    }
+  }
+
+  test("equality lookup prunes to exactly the file holding the value") {
+    val r = setup()
+    val repo = repoOf(r); val snap = headSnap(r)
+    val schema = spark.table(s"g.$r.main.db.t").schema
+    // id=42 lives in the residue-2 file; min/max keeps all 4, bloom keeps 1
+    TableOps.pruneFiles(snap, schema,
+      Seq(sources.EqualTo("id", 42))) should have size 4
+    val kept = TableOps.pruneFilesBloom(repo, snap, schema,
+      Seq(sources.EqualTo("id", 42)))
+    kept should have size 1
+    // absent value: bloom proves no file can match
+    TableOps.pruneFilesBloom(repo, snap, schema,
+      Seq(sources.EqualTo("id", 5000))) shouldBe empty
+    // result correctness through SQL (the scan path applies the same prune)
+    sql(s"SELECT v FROM g.$r.main.db.t WHERE id = 42")
+      .collect().map(_.getString(0)) shouldBe Array("v_42")
+  }
+
+  test("In-filters, Or-composition, and non-equality shapes behave soundly") {
+    val r = setup()
+    val repo = repoOf(r); val snap = headSnap(r)
+    val schema = spark.table(s"g.$r.main.db.t").schema
+    // In over two residues keeps exactly those two files
+    TableOps.pruneFilesBloom(repo, snap, schema,
+      Seq(sources.In("id", Array(8, 13)))) should have size 2
+    // Or of two equalities likewise
+    TableOps.pruneFilesBloom(repo, snap, schema,
+      Seq(sources.Or(sources.EqualTo("id", 0), sources.EqualTo("id", 1))))
+      .should(have size 2)
+    // ranges and negations never bloom-prune
+    TableOps.pruneFilesBloom(repo, snap, schema,
+      Seq(sources.GreaterThan("id", 90))) should have size 4
+    TableOps.pruneFilesBloom(repo, snap, schema,
+      Seq(sources.Not(sources.EqualTo("id", 42)))) should have size 4
+    sql(s"SELECT count(*) FROM g.$r.main.db.t WHERE id IN (8, 13)")
+      .collect().head.getLong(0) shouldBe 2
+  }
+
+  test("type widening keeps old blooms valid (width-normalized hashing)") {
+    val r = setup()
+    sql(s"ALTER TABLE g.$r.main.db.t ALTER COLUMN id TYPE BIGINT")
+    val repo = repoOf(r); val snap = headSnap(r)
+    val schema = spark.table(s"g.$r.main.db.t").schema
+    schema("id").dataType shouldBe org.apache.spark.sql.types.LongType
+    // pre-widening sidecars still prove presence/absence for long probes
+    TableOps.pruneFilesBloom(repo, snap, schema,
+      Seq(sources.EqualTo("id", 42L))) should have size 1
+    TableOps.pruneFilesBloom(repo, snap, schema,
+      Seq(sources.EqualTo("id", 5000L))) shouldBe empty
+    sql(s"SELECT v FROM g.$r.main.db.t WHERE id = 42")
+      .collect().map(_.getString(0)) shouldBe Array("v_42")
+  }
+
+  test("point DELETE rewrites only the file the bloom admits") {
+    val r = setup()
+    val before = headSnap(r).files.map(_.path).toSet
+    sql(s"DELETE FROM g.$r.main.db.t WHERE id = 42")
+    val after = headSnap(r).files.map(_.path).toSet
+    // 3 of 4 original files untouched; exactly one replaced
+    (before intersect after) should have size 3
+    (before diff after) should have size 1
+    sql(s"SELECT count(*) FROM g.$r.main.db.t").collect().head.getLong(0) shouldBe 99
+  }
+
+  test("compaction rewrites carry fresh blooms; vacuum GCs orphaned sidecars") {
+    val r = setup()
+    val repo = repoOf(r)
+    sql(s"DELETE FROM g.$r.main.db.t WHERE id = 42")
+    TableOps.compact(spark, repo, "main", "db/t")
+    val snap = headSnap(r)
+    snap.files.foreach(_.bloomColsList shouldBe Seq("id"))
+    snap.files.foreach(f =>
+      Files.exists(Blooms.sidecar(repo.root, f.path)) shouldBe true)
+    // orphan a file + its sidecar: dev-only commit, then drop the branch
+    // (DML alone orphans nothing — ancestor commits keep their files)
+    sql(s"CREATE NAMESPACE g.$r.dev")
+    sql(s"INSERT INTO g.$r.dev.db.t VALUES (999, 'dev_only')")
+    val devOnly = repoOf(r).snapshot(
+      repoOf(r).headCommit("dev").tables("db/t")).files
+      .filterNot(f => snap.files.map(_.path).contains(f.path))
+    devOnly should not be empty
+    devOnly.foreach(f =>
+      Files.exists(Blooms.sidecar(repo.root, f.path)) shouldBe true)
+    repo.dropBranch("dev")
+    repo.vacuum() should be >= 1
+    devOnly.foreach { f =>
+      Files.exists(repo.root.resolve(f.path)) shouldBe false
+      Files.exists(Blooms.sidecar(repo.root, f.path)) shouldBe false // GC'd together
+    }
+  }
+
+  test("renamed bloom column keeps pruning (physical-name sidecars)") {
+    val r = setup()
+    sql(s"ALTER TABLE g.$r.main.db.t RENAME COLUMN id TO doc_id")
+    val repo = repoOf(r); val snap = headSnap(r)
+    val schema = spark.table(s"g.$r.main.db.t").schema
+    TableOps.pruneFilesBloom(repo, snap, schema,
+      Seq(sources.EqualTo("doc_id", 42))) should have size 1
+    sql(s"SELECT v FROM g.$r.main.db.t WHERE doc_id = 42")
+      .collect().map(_.getString(0)) shouldBe Array("v_42")
+  }
+
+  test("lossy literals and absent sidecars never wrongly prune") {
+    val r = setup()
+    val repo = repoOf(r); val snap = headSnap(r)
+    val schema = spark.table(s"g.$r.main.db.t").schema
+    // fractional probe against an int column: bloom must not answer
+    Blooms.literalHash(java.lang.Double.valueOf(5.7),
+      org.apache.spark.sql.types.IntegerType) shouldBe None
+    // delete ONE file's sidecar out from under the metadata (the
+    // residue-0 file), then probe id=42 (residue 2): the sidecar-less
+    // file degrades to "keep" — a lost sidecar costs speed, never rows
+    val blind = snap.files.find(_.min("id") == "0").get
+    Files.delete(Blooms.sidecar(repo.root, blind.path))
+    val kept = TableOps.pruneFilesBloom(repo, snap, schema,
+      Seq(sources.EqualTo("id", 42)))
+    kept.map(_.path).toSet shouldBe
+      Set(blind.path, snap.files.find(_.min("id") == "2").get.path)
+  }
+}
