@@ -70,8 +70,26 @@ final class GraftTable(
 
   // ---- read ------------------------------------------------------------
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(repo, snap, tableSchema, branch, key, options)
+  /** Incremental (CDC) reads: `spark.read.option("graft.fromRef", ref)
+    * .table(...)` scans only the files ADDED since `ref` (commit id,
+    * branch, or tag) — resolved against snapshot metadata, zero listing.
+    * The upper bound is whatever this table resolved to, so `VERSION AS
+    * OF c2` + `fromRef = c1` reads exactly the (c1, c2] delta — the
+    * checkpointed-consumer batch pattern (Iceberg's incremental scan).
+    * Everything downstream — stats, metadata aggregates, MoR tombstones,
+    * pruning — sees the delta as a consistent small table.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val effSnap = Option(options.get("graft.fromRef")) match {
+      case None => snap
+      case Some(ref) =>
+        val before: Set[String] = repo.resolve(ref).tables.get(key)
+          .map(id => repo.snapshot(id).files.map(_.path).toSet)
+          .getOrElse(Set.empty)
+        snap.copy(files = snap.files.filterNot(f => before(f.path)))
+    }
+    new GraftScanBuilder(repo, effSnap, tableSchema, branch, key, options)
+  }
 
   // ---- write (INSERT INTO / INSERT OVERWRITE / CTAS / df.writeTo) ------
 

@@ -237,7 +237,38 @@ object Versioned {
       .orderBy(col("n_regionkey"))
   }
 
+  /** Bloom-sidecar point lookups ([[graft.versioned.Blooms]]): nation
+    * lands in 4 commits interleaved by key residue, so every file's
+    * [min,max] spans the whole key domain and only the per-file blooms
+    * separate them. The driver checks RESULTS (same rows with or
+    * without pruning); BloomSpec asserts the files-pruned counts.
+    */
+  private def bloomRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val nation = T.nation(s, d)
+    s.sql(s"CREATE NAMESPACE $cat.r")
+    s.sql(s"CREATE NAMESPACE $cat.r.main.db")
+    s.sql(s"CREATE TABLE $cat.r.main.db.nation (${nation.schema.toDDL}) " +
+      "TBLPROPERTIES('graft.bloom.columns'='n_nationkey,n_name')")
+    val repo = GraftRepo.open(root.resolve("r"))
+    for (res <- 0 until 4)
+      TableOps.insert(s, repo, "main", "db/nation",
+        nation.filter(col("n_nationkey") % 4 === res).repartition(1),
+        overwrite = false)
+    s.sql(
+      s"""SELECT n_nationkey, n_name, n_regionkey
+         |FROM $cat.r.main.db.nation
+         |WHERE n_nationkey IN (2, 7, 11) OR n_name = 'CANADA'
+         |ORDER BY n_nationkey""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
+    Q(
+      "vc_bloom_read",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey IN (2, 7, 11) OR n_name = 'CANADA'
+        |ORDER BY n_nationkey""".stripMargin
+    )(bloomRead),
     Q(
       "vc_stream_read",
       """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name,

@@ -286,6 +286,30 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("incremental read: graft.fromRef scans only files added since the ref") {
+    setupRepo("r17")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "r17"))
+    val c1 = repo.headCommit("main").id
+    sql("INSERT INTO g.r17.main.db.t VALUES (9, 'name_9'), (10, 'name_10')")
+    val c2 = repo.headCommit("main").id
+    sql("INSERT INTO g.r17.main.db.t VALUES (11, 'name_11')")
+    // delta since c1, up to the CURRENT head
+    spark.read.option("graft.fromRef", c1).table("g.r17.main.db.t")
+      .select("id").collect().map(_.getInt(0)).sorted shouldBe Array(9, 10, 11)
+    // bounded range (c1, c2] via time travel as the upper end
+    val bounded = spark.read.option("graft.fromRef", c1)
+      .option("versionAsOf", c2).table("g.r17.main.db.t")
+    bounded.select("id").collect().map(_.getInt(0)).sorted shouldBe Array(9, 10)
+    // metadata aggregates stay consistent: count(*) of the delta
+    spark.read.option("graft.fromRef", c1).table("g.r17.main.db.t")
+      .count() shouldBe 3
+    // a branch name resolves too: delta vs dev's head is empty pre-DML
+    sql("CREATE NAMESPACE g.r17.dev")
+    spark.read.option("graft.fromRef", "dev").table("g.r17.main.db.t")
+      .count() shouldBe 0
+  }
+
   test("streaming appends: maxFilesPerTrigger bounds each microbatch") {
     val root = Files.createTempDirectory("graft-stream-rate")
     val repo = GraftRepo.init(root)
