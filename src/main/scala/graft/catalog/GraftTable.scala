@@ -167,7 +167,7 @@ final class GraftScanBuilder(repo: GraftRepo, snap: Snapshot, fullSchema: Struct
   // merge-on-read tombstones invalidate metadata counts/extremes
   // (a deleted row may hold the min; counts include deleted rows)
   private lazy val morDirty = graft.versioned.Tombstones.dirty(snap,
-    TableOps.toPhysical(fullSchema, snap.nameMapping))
+    TableOps.toPhysical(fullSchema, snap.nameMapping), Some(repo.root))
 
   private def answer(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
@@ -259,7 +259,8 @@ final class GraftScan(
   private lazy val physDataSchema = TableOps.toPhysical(schema, snap.nameMapping)
   private lazy val morTombs = graft.versioned.Tombstones.of(snap)
   private lazy val morDirty = morTombs.nonEmpty && snap.files.exists(f =>
-    graft.versioned.Tombstones.applicable(morTombs, f, physDataSchema).nonEmpty)
+    graft.versioned.Tombstones.applicable(morTombs, f, physDataSchema,
+      Some(repo.root)).nonEmpty)
 
   private[graft] def liveFiles: Seq[graft.versioned.FileEntry] = {
     val fs = (pushed ++ runtime).toIndexedSeq
@@ -403,7 +404,8 @@ final class GraftScan(
     case None =>
       val m = snap.nameMapping
       val (clean, dirty) =
-        graft.versioned.Tombstones.split(morTombs, physDataSchema, liveFiles)
+        graft.versioned.Tombstones.split(morTombs, physDataSchema, liveFiles,
+          Some(repo.root))
       if (dirty.isEmpty) inner.toBatch
       else {
         def pathsOf(fs: Seq[graft.versioned.FileEntry]) =

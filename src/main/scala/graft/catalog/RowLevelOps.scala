@@ -119,7 +119,7 @@ final class GraftCoWScanBuilder(
     // MoR-deleted rows back to life. NO query filters go into the
     // parquet reader (whole-file row fidelity) — only tombstones.
     val (clean, dirty) = graft.versioned.Tombstones.split(
-      graft.versioned.Tombstones.of(snap), physData, live)
+      graft.versioned.Tombstones.of(snap), physData, live, Some(repo.root))
     val inner =
       if (dirty.isEmpty)
         graftbridge.ParquetReadBridge.scan(

@@ -64,7 +64,7 @@ final class GraftRepo private (val root: Path) {
           org.apache.spark.sql.types.DataType.fromJson(schemaJson)
             .asInstanceOf[org.apache.spark.sql.types.StructType],
           physicalNames.getOrElse(Map.empty))
-        Tombstones.prune(p, files, physSchema)
+        Tombstones.prune(p, files, physSchema, Some(root))
       }
     }.filter(_.nonEmpty)
     val id = "s" + UUID.randomUUID().toString.replace("-", "")

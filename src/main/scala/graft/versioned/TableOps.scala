@@ -91,7 +91,17 @@ object TableOps {
     val schema = out.schema
     val dir = repo.dataDir.resolve(key)
       .resolve(UUID.randomUUID().toString.replace("-", ""))
-    if (spec.isEmpty) out.write.parquet(dir.toString)
+    // bloom columns get parquet-NATIVE bloom filters too (footer-level,
+    // per row group): the sidecar prunes whole FILES at plan time, the
+    // parquet bloom prunes ROW GROUPS inside files the sidecar admits —
+    // both fed by the same opt-in, both invisible to correctness
+    def withBlooms(w: org.apache.spark.sql.DataFrameWriter[Row])
+        : org.apache.spark.sql.DataFrameWriter[Row] =
+      bloomCols.filter(c => schema.fields.exists(_.name == c))
+        .foldLeft(w)((w2, c) => w2
+          .option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c", bloomItems.toString))
+    if (spec.isEmpty) withBlooms(out.write).parquet(dir.toString)
     else {
       val dirCols = spec.map { pf =>
         val srcType = logical.fields.find(_.name == pf.source).map(_.dataType)
@@ -116,7 +126,7 @@ object TableOps {
         if (preserveLayout) projected
         else projected.repartition(
           spec.map(pf => col(Partitioning.dirColName(pf))): _*)
-      laid.write.partitionBy(spec.map(Partitioning.dirColName): _*)
+      withBlooms(laid.write).partitionBy(spec.map(Partitioning.dirColName): _*)
         .parquet(dir.toString)
     }
     // no explicit schema: partitioned layouts surface the synthetic
@@ -260,7 +270,8 @@ object TableOps {
     val physSchema = toPhysical(schema, m)
     def read(fs: Seq[FileEntry]): DataFrame = spark.read.schema(physSchema)
       .parquet(fs.map(f => repo.root.resolve(f.path).toString): _*)
-    val (clean, dirty) = Tombstones.split(Tombstones.of(snap), physSchema, files)
+    val (clean, dirty) = Tombstones.split(Tombstones.of(snap), physSchema, files,
+      Some(repo.root))
     val parts =
       (if (clean.isEmpty) Nil else Seq(read(clean))) ++
         dirty.map { case (fs, tombs) =>
@@ -885,7 +896,7 @@ object TableOps {
     val physSchema = toPhysical(schema, snap.nameMapping)
     val tombs = Tombstones.of(snap)
     def isDirty(f: FileEntry): Boolean =
-      Tombstones.applicable(tombs, f, physSchema).nonEmpty
+      Tombstones.applicable(tombs, f, physSchema, Some(repo.root)).nonEmpty
     // rewrite units, planned per partition-value group (compaction must
     // never move rows across partition directories)
     val units: Seq[Seq[FileEntry]] = snap.files.groupBy(_.partValues).toSeq

@@ -90,20 +90,33 @@ object Tombstones {
   /** Tombstones that can affect `f`: committed after it AND not
     * disproven by its min/max stats (`physSchema` = schema under
     * physical names — tombstone filters and file stats are both keyed
-    * physically).
+    * physically) AND — when the repo `root` is supplied and `f` carries
+    * bloom sidecars — not disproven by the blooms. A point MoR DELETE
+    * on a bloomed column then dirties only the file(s) that might hold
+    * the row: every other file keeps the columnar fast path, metadata
+    * aggregates stay answerable, and compaction rewrites almost
+    * nothing. Sound in both directions (bloom "absent" is a proof), and
+    * deterministic across call sites: sidecars are immutable, so every
+    * caller that passes `root` sees the same applicability.
     */
   def applicable(tombs: Seq[Tombstone], f: FileEntry,
-      physSchema: StructType): Seq[Tombstone] =
+      physSchema: StructType,
+      root: Option[java.nio.file.Path] = None): Seq[Tombstone] = {
+    lazy val blooms =
+      root.filter(_ => f.bloomColsList.nonEmpty).map(Blooms.load(_, f))
     tombs.filter(t => t.seq > f.seqNo &&
-      TableOps.statsMayMatch(f, physSchema, t.filter))
+      TableOps.statsMayMatch(f, physSchema, t.filter) &&
+      blooms.forall(b => Blooms.mayMatch(physSchema, t.filter, () => b)))
+  }
 
   /** Any live file affected by any tombstone? (The "is this snapshot
     * readable by the plain fast path" test.)
     */
-  def dirty(snap: Snapshot, physSchema: StructType): Boolean = {
+  def dirty(snap: Snapshot, physSchema: StructType,
+      root: Option[java.nio.file.Path] = None): Boolean = {
     val tombs = of(snap)
     tombs.nonEmpty && snap.files.exists(f =>
-      applicable(tombs, f, physSchema).nonEmpty)
+      applicable(tombs, f, physSchema, root).nonEmpty)
   }
 
   /** Split `files` into (clean, dirtyGroups): files in a dirty group
@@ -111,11 +124,12 @@ object Tombstones {
     * predicate serves the whole group. Takes pre-parsed tombstones so
     * callers on the planning hot path parse the property JSON once.
     */
-  def split(tombs: Seq[Tombstone], physSchema: StructType, files: Seq[FileEntry])
+  def split(tombs: Seq[Tombstone], physSchema: StructType, files: Seq[FileEntry],
+      root: Option[java.nio.file.Path] = None)
       : (Seq[FileEntry], Seq[(Seq[FileEntry], Seq[Tombstone])]) = {
     if (tombs.isEmpty) (files, Nil)
     else {
-      val keyed = files.map(f => (f, applicable(tombs, f, physSchema)))
+      val keyed = files.map(f => (f, applicable(tombs, f, physSchema, root)))
       val (cleanK, dirtyK) = keyed.partition(_._2.isEmpty)
       val groups = dirtyK.groupBy(_._2.map(_.seq))
         .toSeq.sortBy(_._1.mkString(","))
@@ -156,13 +170,14 @@ object Tombstones {
     * a full rewrite naturally retires its tombstones.
     */
   def prune(props: Map[String, String], files: Seq[FileEntry],
-      physSchema: StructType): Map[String, String] =
+      physSchema: StructType,
+      root: Option[java.nio.file.Path] = None): Map[String, String] =
     props.get(TombProp) match {
       case None => props
       case Some(_) =>
         val tombs = ofProps(props)
         val kept = tombs.filter(t => files.exists(f =>
-          applicable(Seq(t), f, physSchema).nonEmpty))
+          applicable(Seq(t), f, physSchema, root).nonEmpty))
         if (kept.size == tombs.size) props
         else if (kept.isEmpty) props - TombProp
         else props + (TombProp -> write(kept))

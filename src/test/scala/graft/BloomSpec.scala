@@ -71,6 +71,24 @@ class BloomSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     }
   }
 
+  test("data files carry parquet-native blooms on the same columns (row-group pruning)") {
+    import scala.jdk.CollectionConverters._
+    val r = setup()
+    val f = headSnap(r).files.head
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(repoOf(r).root.resolve(f.path).toUri), conf))
+    try {
+      val rg = rd.getRowGroups.get(0)
+      val idCol = rg.getColumns.asScala.find(_.getPath.toDotString == "id").get
+      rd.getBloomFilterDataReader(rg).readBloomFilter(idCol) should not be null
+      // v (not a bloom column) has none
+      val vCol = rg.getColumns.asScala.find(_.getPath.toDotString == "v").get
+      Option(rd.getBloomFilterDataReader(rg).readBloomFilter(vCol)) shouldBe None
+    } finally rd.close()
+  }
+
   test("equality lookup prunes to exactly the file holding the value") {
     val r = setup()
     val repo = repoOf(r); val snap = headSnap(r)
@@ -160,6 +178,44 @@ class BloomSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       Files.exists(repo.root.resolve(f.path)) shouldBe false
       Files.exists(Blooms.sidecar(repo.root, f.path)) shouldBe false // GC'd together
     }
+  }
+
+  test("merge-on-read × blooms: tombstones dirty only files that might hold the row") {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    import graft.versioned.Tombstones
+    n += 1; val r = s"b$n"
+    sql(s"CREATE NAMESPACE g.$r")
+    sql(s"CREATE NAMESPACE g.$r.main.db")
+    sql(s"CREATE TABLE g.$r.main.db.t (id INT, v STRING) TBLPROPERTIES(" +
+      "'graft.bloom.columns'='id', 'graft.delete.mode'='merge-on-read')")
+    import spark.implicits._
+    // EVEN ids only, residue-interleaved: every file spans ~the whole
+    // domain, and odd probes are in-range but provably absent
+    for (res <- 0 until 4)
+      TableOps.insert(spark, repoOf(r), "main", "db/t",
+        (0 until 100).filter(_ % 4 == res).map(i => (i * 2, s"v_${i * 2}"))
+          .toDF("id", "v").repartition(1), overwrite = false)
+    // absent value (85 is odd): blooms prove NO file holds it -> the MoR
+    // delete is a provable no-op, no tombstone commits
+    sql(s"DELETE FROM g.$r.main.db.t WHERE id = 85")
+    Tombstones.of(headSnap(r)) shouldBe empty
+    // present value: tombstone commits, but dirties ONLY the one file
+    // whose bloom admits it — the other three keep the columnar path
+    sql(s"DELETE FROM g.$r.main.db.t WHERE id = 84")
+    val snap = headSnap(r)
+    Tombstones.of(snap) should have size 1
+    val physSchema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val (clean, dirty) = Tombstones.split(Tombstones.of(snap), physSchema,
+      snap.files, Some(repoOf(r).root))
+    clean should have size 3
+    dirty.map(_._1.size).sum shouldBe 1
+    // without blooms every file would be dirty (min/max all span 84)
+    val (cleanNoBloom, _) = Tombstones.split(Tombstones.of(snap), physSchema,
+      snap.files, None)
+    cleanNoBloom shouldBe empty
+    sql(s"SELECT count(*) FROM g.$r.main.db.t").collect().head.getLong(0) shouldBe 99
+    sql(s"SELECT count(*) FROM g.$r.main.db.t WHERE id = 84")
+      .collect().head.getLong(0) shouldBe 0
   }
 
   test("renamed bloom column keeps pruning (physical-name sidecars)") {
