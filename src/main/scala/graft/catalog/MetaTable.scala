@@ -23,6 +23,8 @@ import graft.versioned.GraftRepo
   *                 partitions metadata table — the first thing an
   *                 operator checks for skew/small-files at 100 TB)
   *  - `refs`       repo branches and tags with their head commits
+  *  - `tombstones` live merge-on-read predicate tombstones (seq +
+  *                 predicate + how many files each still applies to)
   *
   * Metadata volumes are O(commits + files) — driver-side row building is
   * appropriate here; the DATA path never does this.
@@ -66,6 +68,10 @@ final class MetaTable(
       StructField("kind", StringType),
       StructField("commit_id", StringType),
       StructField("snapshot_id", StringType)))
+    case "tombstones" => StructType(Seq(
+      StructField("seq", LongType),
+      StructField("predicate", StringType),
+      StructField("n_files_affected", IntegerType)))
   }
 
   private def rows(): Seq[Row] = kind match {
@@ -118,6 +124,15 @@ final class MetaTable(
         Row(t, "tag", c.id, c.tables.get(key).orNull)
       }
       bs ++ ts
+    case "tombstones" =>
+      val snap = repo.snapshot(repo.headCommit(branch).tables(key))
+      val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+      val phys = graft.versioned.TableOps.toPhysical(schema, snap.nameMapping)
+      graft.versioned.Tombstones.of(snap).map { t =>
+        val n = snap.files.count(f => graft.versioned.Tombstones
+          .applicable(Seq(t), f, phys, Some(repo.root)).nonEmpty)
+        Row(t.seq, t.filter.toString, n)
+      }
     case _ => Nil
   }
 
@@ -138,5 +153,6 @@ final class MetaTable(
 }
 
 object MetaTable {
-  val kinds: Set[String] = Set("files", "snapshots", "history", "partitions", "refs")
+  val kinds: Set[String] =
+    Set("files", "snapshots", "history", "partitions", "refs", "tombstones")
 }

@@ -672,6 +672,36 @@ object Relational {
         .orderBy(col("measure"))
     },
 
+    // ---- q32: explicit GROUPING SETS ----------------------------------------
+    // Arbitrary grouping-set lattice — ((rf,ls),(ls),()) is neither a
+    // rollup nor a cube (it drops the FIRST key before the second), so it
+    // exercises Spark's native Expand-based grouping-sets path. One scan,
+    // one Expand (3× row multiplication only into the aggregate), one
+    // shuffle — same cost shape as rollup at any scale.
+    Q(
+      "q32_grouping_sets",
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY rflag, lstatus""".stripMargin
+    ) { (s, d) =>
+      T.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("rflag"), col("lstatus"))
+    },
+
     // ---- q26: stratified sample -------------------------------------------
     // Per-stratum Bernoulli sampling with a DETERMINISTIC hash coin
     // (md5 of the row key -> uniform [0,1)) instead of engine RNG: one

@@ -269,6 +269,29 @@ class MorSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     df.collect().map(_.getInt(0)).sorted shouldBe (1 to 5)
   }
 
+  test("t.tombstones metadata table lists live tombstones + affected files") {
+    val r = setup()
+    sql(s"DELETE FROM g.$r.main.db.t WHERE id >= 6")
+    sql(s"INSERT INTO g.$r.main.db.t VALUES (9, 'after')") // exempt file
+    val rows = sql(s"SELECT seq, predicate, n_files_affected " +
+      s"FROM g.$r.main.db.t.tombstones").collect()
+    rows should have size 1
+    val seq = rows.head.getLong(0)
+    rows.head.getString(1) should include("6")
+    // exactly the PRE-tombstone files whose [min,max] admits id>=6 — the
+    // post-tombstone insert (id=9, committed later) is exempt and never
+    // counted even though it matches the predicate
+    val snap = headSnap(r)
+    val expected = snap.files.count(f =>
+      f.seqNo < seq && f.max("id").toInt >= 6)
+    expected should be >= 1
+    rows.head.getInt(2) shouldBe expected
+    expected should be < snap.files.size
+    // compaction materializes -> table empties
+    TableOps.compact(spark, repoOf(r), "main", "db/t")
+    sql(s"SELECT * FROM g.$r.main.db.t.tombstones").collect() shouldBe empty
+  }
+
   // ---- merge-on-read UPDATE --------------------------------------------
 
   private def morUpdateTable(): String = {
