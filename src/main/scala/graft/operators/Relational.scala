@@ -702,6 +702,61 @@ object Relational {
         .orderBy(col("rflag"), col("lstatus"))
     },
 
+    // ---- q33: native PIVOT --------------------------------------------------
+    // RelationalGroupedDataset.pivot with EXPLICIT values (the implicit
+    // form runs a distinct-scan job first — at 100 TB always enumerate):
+    // plans ONE two-phase pivot aggregate, no per-value scans (vs q17's
+    // manual CASE battery). DuckDB oracle via FILTER clauses.
+    Q(
+      "q33_pivot",
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_F,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_O,
+        |       count(*) FILTER (WHERE l_linestatus = 'F') AS n_F,
+        |       count(*) FILTER (WHERE l_linestatus = 'O') AS n_O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      val p = T.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("qty"), count(lit(1)).as("n"))
+      p.select(col("l_returnflag"),
+          col("F_qty").as("qty_F"), col("O_qty").as("qty_O"),
+          coalesce(col("F_n"), lit(0L)).as("n_F"),
+          coalesce(col("O_n"), lit(0L)).as("n_O"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- q34: LATERAL correlated join ---------------------------------------
+    // LATERAL subquery: per customer, the 2 most recent orders — the
+    // decorrelator rewrites this into the same window/top-k shape as
+    // q10 (no nested-loop re-execution per row). Tie-break on o_orderkey
+    // for full determinism.
+    Q(
+      "q34_lateral",
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |     LATERAL (SELECT o_orderkey, o_totalprice
+        |              FROM orders
+        |              WHERE o_custkey = c.c_custkey
+        |              ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2) o
+        |WHERE c.c_custkey <= 200
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin
+    ) { (s, d) =>
+      T.customer(s, d).createOrReplaceTempView("q34_customer")
+      T.orders(s, d).createOrReplaceTempView("q34_orders")
+      s.sql(
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          |FROM q34_customer c,
+          |     LATERAL (SELECT o_orderkey, o_totalprice
+          |              FROM q34_orders
+          |              WHERE o_custkey = c.c_custkey
+          |              ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2) o
+          |WHERE c.c_custkey <= 200
+          |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
+    },
+
     // ---- q26: stratified sample -------------------------------------------
     // Per-stratum Bernoulli sampling with a DETERMINISTIC hash coin
     // (md5 of the row key -> uniform [0,1)) instead of engine RNG: one
