@@ -207,6 +207,127 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-PQ: the coarse IVF quantizer above plus PRODUCT QUANTIZATION —
+    * the memory-bound 100 TB ANN answer (FAISS's IVFADC layout). Each
+    * unit vector splits into `m` subvectors; a per-subspace codebook of
+    * `ks` centroids (trained by grouped Lloyd rounds — ALL subspaces in
+    * one job per round, never a job per subspace) encodes the corpus as
+    * m small codes: 64 dims × 8 bytes → m=8 codes (32× compression), so
+    * the scan side of a probe touches codes, not vectors.
+    *
+    * Query = asymmetric distance computation (ADC): the query's per-
+    * (subspace, code) dot contributions form a |Q|×(m·ks) table; probed-
+    * cell candidates explode to (neighbor, subspace, code) and a keyed
+    * join + sum reconstructs approximate cosine — every step a keyed
+    * shuffle or a model-sized (m·ks rows) broadcast, corpus never
+    * broadcast, no cartesian. Top-`rerank` by ADC then re-rank EXACTLY
+    * against the true vectors (the standard refine step: PQ error only
+    * affects which candidates reach the exact pass).
+    */
+  private[graft] def ivfpq(s: SparkSession, d: String,
+      k: Int = 0, nprobe: Int = 8, m: Int = 8, ks: Int = 16,
+      rerank: Int = 50): DataFrame = {
+    import s.implicits._
+    val dimPer = Dim / m
+    val (idx, model) = kmeansIndex(s, d, k, 2)
+    val index = idx.toDF("neighbor_id", "nv", "nn", "cell")
+    // subvectors of the UNIT vector: approx cos(q,v) = Σ_j qu_j · cb[j][code_j]
+    val subCol = expr(s"transform(sequence(0, ${m - 1}), " +
+      s"j -> slice(transform(nv, x -> x / nn), j * $dimPer + 1, $dimPer))")
+    val sub = index
+      .select(col("neighbor_id"), posexplode(subCol))
+      .toDF("neighbor_id", "j", "sv")
+      .localCheckpoint() // reused per Lloyd round + final encoding
+    val n = sub.select(col("neighbor_id")).distinct().count()
+    val step = math.max(1, n / ks)
+
+    // deterministic init per subspace: every step-th vector's subvector
+    val initW = Window.partitionBy(col("j")).orderBy(col("neighbor_id"))
+    var codebook: Seq[(Int, Int, Seq[Double])] = sub
+      .filter(col("neighbor_id") % step === 0)
+      .withColumn("rn", row_number().over(initW))
+      .filter(col("rn") <= ks)
+      .select(col("j"), (col("rn") - 1).cast("int").as("code"), col("sv"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+
+    def cbDf = s.createDataFrame(codebook).toDF("j", "code", "cb")
+    // nearest code per (vector, subspace): L2 argmin == argmin of
+    // (||cb||² - 2·sv·cb) — ||sv||² is constant per row
+    def encode(): DataFrame = {
+      val w = Window.partitionBy(col("neighbor_id"), col("j"))
+        .orderBy(col("d2"), col("code"))
+      sub.join(broadcast(cbDf), Seq("j")) // m·ks-row model, never corpus
+        .select(col("neighbor_id"), col("j"), col("sv"), col("code"),
+          (dot(col("cb"), col("cb")) - lit(2.0) * dot(col("sv"), col("cb")))
+            .as("d2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("neighbor_id"), col("j"), col("sv"), col("code"))
+    }
+    for (_ <- 1 to 2) { // Lloyd rounds, all subspaces in ONE job
+      codebook = encode()
+        .select(col("j"), col("code"), posexplode(col("sv")))
+        .groupBy(col("j"), col("code"), col("pos"))
+        .agg(avg(col("col")).as("c"))
+        .groupBy(col("j"), col("code"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("dims"))
+        .select(col("j"), col("code"), expr("transform(dims, x -> x.c)").as("cb"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+    }
+    // PQ-encoded corpus: m codes per vector (+ its IVF cell)
+    val encoded = encode()
+      .groupBy(col("neighbor_id"))
+      .agg(sort_array(collect_list(struct(col("j"), col("code")))).as("cs"))
+      .select(col("neighbor_id"), expr("transform(cs, x -> x.code)").as("codes"))
+      .join(index.select(col("neighbor_id"), col("cell")), Seq("neighbor_id"))
+
+    // query side: probed cells (coarse) + ADC contribution table
+    val centroidDf = s.createDataFrame(model).toDF("cell", "cv")
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val qs = queriesSet(s, d).withColumn("qu", expr("transform(qv, x -> x / qn)"))
+    val queryCells = qs
+      .join(broadcast(centroidDf), lit(true))
+      .select(col("query_id"), col("cell"), dot(col("qu"), col("cv")).as("csim"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val qSubCol = expr(s"transform(sequence(0, ${m - 1}), " +
+      s"j -> slice(qu, j * $dimPer + 1, $dimPer))")
+    val adc = qs
+      .select(col("query_id"), posexplode(qSubCol)).toDF("query_id", "j", "qsv")
+      .join(broadcast(cbDf), Seq("j"))
+      .select(col("query_id"), col("j"), col("code"),
+        dot(col("qsv"), col("cb")).as("contrib"))
+
+    // candidates from probed cells, scored by ADC: keyed joins only
+    val approxW = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_sim").desc, col("neighbor_id"))
+    val shortlist = encoded
+      .join(queryCells, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), posexplode(col("codes")))
+      .toDF("query_id", "neighbor_id", "j", "code")
+      .join(adc, Seq("query_id", "j", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("contrib")).as("approx_sim"))
+      .withColumn("rn", row_number().over(approxW))
+      .filter(col("rn") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+
+    // exact re-rank of the shortlist (true vectors, true cosine)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    shortlist
+      .join(index.select(col("neighbor_id"), col("nv"), col("nn")), Seq("neighbor_id"))
+      .join(qs.select(col("query_id"), col("qv"), col("qn")), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "sim_ann_brute",
@@ -228,6 +349,7 @@ object Similarity {
          |ORDER BY query_id, rank""".stripMargin
     )(bruteForce),
     Q.rowsOnly("sim_ann_lsh")(lsh),
-    Q.rowsOnly("sim_ann_ivf")((s, d) => ivf(s, d))
+    Q.rowsOnly("sim_ann_ivf")((s, d) => ivf(s, d)),
+    Q.rowsOnly("sim_ann_ivfpq")((s, d) => ivfpq(s, d))
   )
 }

@@ -52,6 +52,29 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     ivf.size should be <= brute.size
   }
 
+  test("sim_ann_ivfpq: PQ codes + exact re-rank track the plain IVF probe") {
+    val brute = SparkEntry.queries("sim_ann_brute")(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SparkEntry.queries("sim_ann_ivfpq")(spark, sfDir)
+      .select("query_id", "neighbor_id", "cos_sim").collect()
+    val pqPairs = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // PQ error only affects which candidates reach the exact pass, so
+    // recall sits just under plain IVF's; gate leaves head-room
+    val recall = pqPairs.intersect(brute).size.toDouble / brute.size
+    info(f"ivfpq recall@10 vs brute = $recall%.3f")
+    recall should be >= 0.4
+    pqPairs.size should be <= brute.size
+    // the re-rank is EXACT: every reported cos_sim equals the true one
+    val bruteSims = SparkEntry.queries("sim_ann_brute")(spark, sfDir)
+      .select("query_id", "neighbor_id", "cos_sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    pq.foreach { r =>
+      bruteSims.get((r.getLong(0), r.getLong(1)))
+        .foreach(_ shouldBe r.getDouble(2) +- 1e-9)
+    }
+  }
+
   test("sim_ann_brute: size-guarded query broadcast — forced shuffle path " +
     "returns identical results") {
     val broadcastPath = SparkEntry.queries("sim_ann_brute")(spark, sfDir)
