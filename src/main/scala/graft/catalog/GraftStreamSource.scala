@@ -54,7 +54,9 @@ final class GraftMicroBatchStream(
     required: StructType,
     pushed: Array[sources.Filter],
     maxFilesPerTrigger: Option[Int],
-    startFromLatest: Boolean) extends MicroBatchStream with SupportsAdmissionControl {
+    startFromLatest: Boolean) extends MicroBatchStream
+    with SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
 
   // logical->physical resolution is pinned at stream start: physical
   // as-written names NEVER change (rename is metadata-only), so this
@@ -154,6 +156,22 @@ final class GraftMicroBatchStream(
       SparkSession.active,
       files.map(f => new org.apache.hadoop.fs.Path(repo.root.resolve(f.path).toUri)),
       physSchema, physRequired, physFilters)
+
+  /** Backlog visibility in StreamingQueryProgress.sources[i].metrics:
+    * files/bytes committed to the table but not yet consumed — how far
+    * behind the head a rate-limited consumer is (all from snapshot
+    * metadata, no listing).
+    */
+  override def metrics(latestConsumed: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    val consumed =
+      if (latestConsumed.isPresent) consumedPaths(offsetOf(latestConsumed.get))
+      else Set.empty[String]
+    val behind = ordered(headSnap).filterNot(f => consumed(f.path))
+    java.util.Map.of(
+      "filesBehindHead", behind.size.toString,
+      "bytesBehindHead", behind.map(_.sizeBytes(bytesPerRow = 64L)).sum.toString)
+  }
 
   override def deserializeOffset(json: String): Offset = parse(json)
   override def commit(end: Offset): Unit = ()

@@ -757,6 +757,54 @@ object Relational {
           |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
     },
 
+    // ---- q35: time-interval RANGE window frames -----------------------------
+    // RANGE BETWEEN INTERVAL ... PRECEDING: the frame is defined by the
+    // ORDER-BY VALUE (event time), not row position — peers (equal ts)
+    // share one frame, so the result is deterministic under any tie
+    // order. One hash exchange on event_type + one sort; the sliding
+    // frame itself is O(rows) streaming state per partition.
+    Q(
+      "q35_range_frame",
+      """SELECT event_id, event_type,
+        |       count(*) OVER w AS n_1h,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events WHERE user_id < 100
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts
+        |             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin
+    ) { (s, d) =>
+      T.events(s, d).filter(col("user_id") < 100)
+        .createOrReplaceTempView("q35_events")
+      s.sql(
+        """SELECT event_id, event_type,
+          |       count(*) OVER w AS n_1h,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+          |FROM q35_events
+          |WINDOW w AS (PARTITION BY event_type ORDER BY ts
+          |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin)
+    },
+
+    // ---- q36: semi-structured JSON extraction -------------------------------
+    // get_json_object over the events props column (JSON path, codegen'd
+    // Jackson walk — row-local, pipelined in the scan stage; the
+    // aggregate is the only shuffle).
+    Q(
+      "q36_json",
+      """SELECT event_type, count(*) AS n,
+        |       sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+        |       count(DISTINCT CAST(props->>'k' AS BIGINT)) AS nk
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, d) =>
+      T.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("nk"))
+        .orderBy(col("event_type"))
+    },
+
     // ---- q26: stratified sample -------------------------------------------
     // Per-stratum Bernoulli sampling with a DETERMINISTIC hash coin
     // (md5 of the row key -> uniform [0,1)) instead of engine RNG: one

@@ -121,6 +121,38 @@ class StreamSourceSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll 
     } finally q.stop()
   }
 
+  test("table as streaming hub: writeStream sink commits feed the native source") {
+    import graft.versioned.{GraftRepo, TableOps}
+    // producer: a rate-limited file stream of rows lands in the graft
+    // table through the exactly-once foreachBatch sink; consumer: the
+    // native micro-batch source picks up each commit — the table is the
+    // durable, versioned buffer between two streaming jobs
+    val t = setup("s7", Seq((1, "seed")))
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "s7"))
+    val consumer = spark.readStream.table(t)
+      .writeStream.format("memory").queryName("ss_hub")
+      .outputMode("append").start()
+    val srcDir = Files.createTempDirectory("graft-hub-src")
+    import spark.implicits._
+    Seq((2, "p1"), (3, "p1")).toDF("id", "v").repartition(1)
+      .write.parquet(srcDir.resolve("a").toString)
+    val producer = spark.readStream
+      .schema("id INT, v STRING").option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString + "/*")
+      .writeStream.foreachBatch(TableOps.streamingAppend(repo, "main", "db/t"))
+      .start()
+    try {
+      producer.processAllAvailable()
+      consumer.processAllAvailable()
+      spark.table("ss_hub").select("id").collect().map(_.getInt(0)).sorted shouldBe
+        Array(1, 2, 3)
+      // source metrics expose the backlog (0 once caught up)
+      val m = consumer.lastProgress.sources.head.metrics
+      m.get("filesBehindHead") shouldBe "0"
+    } finally { producer.stop(); consumer.stop() }
+  }
+
   test("streaming a VERSION AS OF reference is rejected") {
     val t = setup("s6", Seq((1, "a")))
     val commitId = sql(s"SELECT commit_id FROM $t.history LIMIT 1")
