@@ -55,9 +55,10 @@ object Streaming {
       Seq((-1L, maxNs + 86400L * 1000000000L, -1L, "sentinel", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.parquet(dir.resolve("z_sentinel").toString)
-      Files.list(dir.resolve("z_sentinel")).iterator().asScala
-        .filter(_.toString.endsWith(".parquet"))
-        .foreach(p => Files.move(p, dir.resolve("1_sentinel.parquet")))
+      scala.util.Using.resource(Files.list(dir.resolve("z_sentinel")))(
+        _.iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .foreach(p => Files.move(p, dir.resolve("1_sentinel.parquet"))))
     }
     // LTZ timestamp: watermarks require TIMESTAMP; session tz is UTC so the
     // instant is identical to the NTZ oracle view — outputs cast back to NTZ.

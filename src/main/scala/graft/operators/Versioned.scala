@@ -117,6 +117,25 @@ object Versioned {
       "ORDER BY n_nationkey")
   }
 
+  /** CDC change feed: CoW DELETE + INSERT on main, then the NET row
+    * changes between the pre-DML commit and head. The CoW delete
+    * rewrites a whole file, but only the two deleted rows surface as
+    * changes — the rewrite's 23 surviving rows appear on both sides of
+    * the file diff and cancel (TableOps.changesBetween's exceptAll).
+    */
+  private def changesRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    val pre = repo.headCommit("main").id
+    s.sql(s"DELETE FROM $cat.r.main.db.nation WHERE n_nationkey IN (3, 7)")
+    s.sql(s"INSERT INTO $cat.r.main.db.nation " +
+      s"SELECT n_nationkey + 1000, n_name, n_regionkey " +
+      s"FROM $cat.r.dev.db.nation WHERE n_nationkey < 2")
+    TableOps.changesBetween(s, repo, pre, "main", "db/nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        col("_change_type"))
+      .orderBy(col("_change_type"), col("n_nationkey"))
+  }
+
   /** Fragmented ingest (one commit per region) followed by sort-clustered
     * compaction (OPTIMIZE), then a full read — rows must be exactly the
     * source table regardless of layout.
@@ -313,6 +332,15 @@ object Versioned {
       "vc_read_branch",
       "SELECT * FROM nation ORDER BY n_nationkey"
     )(readBranch),
+    Q(
+      "vc_changes_read",
+      """SELECT n_nationkey, n_name, n_regionkey, 'delete' AS _change_type
+        |FROM nation WHERE n_nationkey IN (3, 7)
+        |UNION ALL
+        |SELECT n_nationkey + 1000, n_name, n_regionkey, 'insert' AS _change_type
+        |FROM nation WHERE n_nationkey < 2
+        |ORDER BY _change_type, n_nationkey""".stripMargin
+    )(changesRead),
     Q(
       "vc_compact_read",
       "SELECT * FROM nation ORDER BY n_nationkey"

@@ -1020,4 +1020,72 @@ object TableOps {
     a.exceptAll(b).withColumn("side", lit("only_" + refA))
       .unionByName(b.exceptAll(a).withColumn("side", lit("only_" + refB)))
   }
+
+  /** CDC change feed: the NET row-level changes of one table between two
+    * refs, as `_change_type` ∈ insert/delete rows (an update = delete of
+    * the old version + insert of the new — Iceberg's changelog contract).
+    *
+    * The 100 TB property: unlike [[diffRows]] (exceptAll over BOTH full
+    * table states — O(table)), this plans from the snapshot file diff and
+    * reads ONLY the files the two snapshots disagree on: files added,
+    * files removed, and common files whose applicable merge-on-read
+    * tombstone set changed (row visibility in an IMMUTABLE common file
+    * can change no other way). A commit that touched 3 files of a
+    * 10-million-file table costs a 3-file scan, not a table scan. The
+    * exceptAll pair nets out copy-on-write noise — a CoW DELETE rewrites
+    * whole files, but its surviving rows appear on both the removed and
+    * added side and cancel; only true changes survive.
+    *
+    * Both refs must share the table's logical schema (CDC across a
+    * schema change is ambiguous — which shape should changed rows take?);
+    * callers diff up to the evolution commit, then from it.
+    */
+  def changesBetween(spark: SparkSession, repo: GraftRepo,
+      fromRef: String, toRef: String, key: String): DataFrame = {
+    def snapOf(ref: String): Option[Snapshot] =
+      repo.resolve(ref).tables.get(key).map(repo.snapshot)
+    val sFrom = snapOf(fromRef); val sTo = snapOf(toRef)
+    val schema = (sTo orElse sFrom).map(s =>
+      DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
+      .getOrElse(throw new NoSuchElementException(s"no such table: $key"))
+    val out = schema.add("_change_type", StringType, nullable = false)
+    def empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], out)
+    for (a <- sFrom; b <- sTo)
+      if (a.schemaJson != b.schemaJson)
+        throw new UnsupportedOperationException(
+          s"changesBetween across a schema change of $key; diff in two " +
+            "steps at the evolution commit")
+    // per-file visibility signature: the applicable tombstones (seq +
+    // predicate — seqs alone can alias across revert/rollback)
+    def visSig(s: Snapshot): Map[String, Seq[(Long, String)]] = {
+      val phys = toPhysical(
+        DataType.fromJson(s.schemaJson).asInstanceOf[StructType], s.nameMapping)
+      val (clean, dirty) = Tombstones.split(Tombstones.of(s), phys, s.files,
+        Some(repo.root))
+      (clean.map(_.path -> Seq.empty[(Long, String)]) ++
+        dirty.flatMap { case (fs, tombs) =>
+          val sig = tombs.map(t =>
+            (t.seq, Json.write(FilterJson.toJson(t.filter).get)))
+          fs.map(_.path -> sig)
+        }).toMap
+    }
+    val fromSig = sFrom.map(visSig).getOrElse(Map.empty)
+    val toSig = sTo.map(visSig).getOrElse(Map.empty)
+    // a common file contributes only when its tombstone signature moved
+    def changedSide(s: Option[Snapshot], mine: Map[String, Seq[(Long, String)]],
+        other: Map[String, Seq[(Long, String)]]): Seq[FileEntry] =
+      s.map(_.files.filter(f => other.get(f.path) match {
+        case None => true // file only on this side
+        case Some(sig) => sig != mine(f.path)
+      })).getOrElse(Nil)
+    val delFiles = changedSide(sFrom, fromSig, toSig)
+    val insFiles = changedSide(sTo, toSig, fromSig)
+    def visible(s: Option[Snapshot], fs: Seq[FileEntry]): DataFrame =
+      if (fs.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else readFiles(spark, repo, s.get, schema, fs)
+    val deleted = visible(sFrom, delFiles)
+    val inserted = visible(sTo, insFiles)
+    inserted.exceptAll(deleted).withColumn("_change_type", lit("insert"))
+      .unionByName(deleted.exceptAll(inserted).withColumn("_change_type", lit("delete")))
+  }
 }

@@ -1366,6 +1366,71 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     cs.length should be >= 3
   }
 
+  test("changesBetween: net CDC rows across CoW delete + insert") {
+    setupRepo("rcdc1")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rcdc1"))
+    val pre = repo.headCommit("main").id
+    sql("DELETE FROM g.rcdc1.main.db.t WHERE id = 6") // CoW: whole-file rewrite
+    sql("INSERT INTO g.rcdc1.main.db.t VALUES (9, 'name_9'), (10, 'name_10')")
+    val ch = TableOps.changesBetween(spark, repo, pre, "main", "db/t")
+      .collect().map(r => (r.getInt(0), r.getString(2))).sorted
+    // the rewrite's 7 surviving rows cancel; only true changes surface
+    ch shouldBe Array((6, "delete"), (9, "insert"), (10, "insert"))
+    // no changes between identical refs
+    TableOps.changesBetween(spark, repo, "main", "main", "db/t")
+      .count() shouldBe 0L
+  }
+
+  test("changesBetween: merge-on-read tombstone delta on a common file") {
+    sql("CREATE NAMESPACE g.rcdc2")
+    sql("CREATE NAMESPACE g.rcdc2.main.db")
+    sql("CREATE TABLE g.rcdc2.main.db.t (id INT, name STRING) " +
+      "TBLPROPERTIES('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO g.rcdc2.main.db.t VALUES " +
+      (1 to 8).map(i => s"($i, 'n$i')").mkString(", "))
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rcdc2"))
+    val pre = repo.headCommit("main").id
+    sql("DELETE FROM g.rcdc2.main.db.t WHERE id >= 7") // O(1) tombstone commit
+    // zero file adds/removes — yet the visibility change is detected
+    val ch = TableOps.changesBetween(spark, repo, pre, "main", "db/t")
+      .collect().map(r => (r.getInt(0), r.getString(2))).sorted
+    ch shouldBe Array((7, "delete"), (8, "delete"))
+  }
+
+  test("changesBetween scans only the files the snapshots disagree on") {
+    sql("CREATE NAMESPACE g.rcdc3")
+    sql("CREATE NAMESPACE g.rcdc3.main.db")
+    sql("CREATE TABLE g.rcdc3.main.db.t (id INT, name STRING)")
+    // four append commits → four files with disjoint id ranges
+    Seq(1, 11, 21, 31).foreach(base =>
+      sql(s"INSERT INTO g.rcdc3.main.db.t VALUES " +
+        (base until base + 8).map(i => s"($i, 'n$i')").mkString(", ")))
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rcdc3"))
+    val pre = repo.headCommit("main").id
+    sql("DELETE FROM g.rcdc3.main.db.t WHERE id = 25") // stats-pruned: 1 file
+    val ch = TableOps.changesBetween(spark, repo, pre, "main", "db/t")
+    ch.collect().map(r => (r.getInt(0), r.getString(2))) shouldBe
+      Array((25, "delete"))
+    val head = repo.snapshot(repo.headCommit("main").tables("db/t"))
+    head.files.size should be >= 4
+    // O(delta): one removed + one replacement file read, not the table
+    ch.inputFiles.length shouldBe 2
+  }
+
+  test("changesBetween refuses to diff across a schema change") {
+    setupRepo("rcdc4")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rcdc4"))
+    val pre = repo.headCommit("main").id
+    sql("ALTER TABLE g.rcdc4.main.db.t ADD COLUMN extra INT")
+    sql("INSERT INTO g.rcdc4.main.db.t VALUES (99, 'x', 1)")
+    an[UnsupportedOperationException] should be thrownBy
+      TableOps.changesBetween(spark, repo, pre, "main", "db/t").collect()
+  }
+
   test("catalog reads are native columnar parquet BatchScans (no V1/RDD bridge)") {
     spark.sql("CREATE NAMESPACE g.rcol")
     spark.sql("CREATE NAMESPACE g.rcol.main.db")
