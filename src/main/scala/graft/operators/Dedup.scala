@@ -148,6 +148,68 @@ object Dedup {
       .orderBy(col("id_a"))
   }
 
+  /** EXACT all-pairs set-similarity join via prefix filtering (the
+    * PPJoin family — Vernica/Carey/Li's VLDB'10 MapReduce formulation):
+    * every pair of documents with word-set Jaccard ≥ t, FULL recall, no
+    * sketch — the exact counterpart to [[minhashLsh]]'s approximate
+    * candidates.
+    *
+    * Why this scales where the naive all-pairs join cannot: tokens are
+    * globally ordered by document frequency (rarest first), and each doc
+    * exposes only its first `|s| - ceil(t·|s|) + 1` tokens in that order
+    * as its PREFIX. Two sets with Jaccard ≥ t must share a prefix token
+    * (pigeonhole on the overlap bound), so the candidate join keys on
+    * prefix tokens only — and prefixes hold each doc's RAREST tokens, so
+    * bucket sizes stay small precisely where a frequency-skewed
+    * vocabulary would blow up a token-keyed join (stopwords sort LAST in
+    * the global order and never enter short prefixes). A doc's prefix
+    * emission is ~(1-t)·|s| rows — the index stays linear in corpus
+    * size. Candidate pruning: size filter t·|a| ≤ |b| (J ≥ t forces
+    * min ≥ t·max), then one exact verify join of the skinny distinct
+    * pair list against the word-set dictionary (never broadcast-hinted —
+    * same shuffle shape as minhashLsh verification).
+    */
+  private def setsimJoin(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = 0.9
+    val par = s.sparkContext.defaultParallelism
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), wordSet(col("text")).as("ws"))
+      .repartition(par, col("doc_id"))
+      .withColumn("sz", size(col("ws")))
+      .localCheckpoint() // feeds tokenization AND both verify sides once
+    val tok = docs.select(col("doc_id"), col("sz"), explode(col("ws")).as("tok"))
+    // global document-frequency order; ties broken lexically so the
+    // order (hence the prefix) is deterministic across runs/engines
+    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val prefix = tok
+      .join(dfreq, "tok") // keyed shuffle; AQE may broadcast small vocab
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+      .filter(col("rn") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+      .select(col("tok"), col("doc_id"), col("sz"))
+      .repartition(par, col("tok"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          // J ≥ t ⟹ t·max(|a|,|b|) ≤ min(|a|,|b|)
+          lit(t) * greatest(col("a.sz"), col("b.sz")) <=
+            least(col("a.sz"), col("b.sz")))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val w = docs.select(col("doc_id"), col("ws"))
+    cand
+      .repartition(par, col("id_a"))
+      .join(w.select(col("doc_id").as("id_a"), col("ws").as("ws_a")), "id_a")
+      .join(w.select(col("doc_id").as("id_b"), col("ws").as("ws_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.HashExpressions.setJaccardNative(
+          col("ws_a"), col("ws_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= t)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by `label` (the blocking key a
     * real pipeline gets from a coarse clusterer), threshold 0.35 —
     * DuckDB-oracle-checked (list_cosine via double-widened lists).
@@ -288,6 +350,18 @@ object Dedup {
         |ORDER BY keep_id""".stripMargin
     )(exact),
     Q.rowsOnly("dd_minhash_lsh")(minhashLsh),
+    Q(
+      "dd_setsim",
+      """WITH w AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
+        |           FROM documents)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+        |               len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
+        |  FROM w a JOIN w b ON a.doc_id < b.doc_id) p
+        |WHERE jaccard >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin
+    )(setsimJoin),
     Q.rowsOnly("dd_simhash")(simhash),
     Q.rowsOnly("dd_semdedup")((s, d) => semdedup(s, d)),
     Q(

@@ -217,6 +217,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** C4/CCNet boilerplate REMOVAL (the rewrite the stats above inform):
+    * drop every text span that occurs verbatim in more than one
+    * document (nav bars, cookie banners, license footers), reassemble
+    * each doc's surviving spans in original order. The span unit is a
+    * non-overlapping 5-word window — this corpus carries no sentence
+    * punctuation, so the fixed window stands in for C4's line unit; the
+    * pipeline shape is identical either way. Scale shape mirrors
+    * [[sentenceDedup]]: explode pipelined in the scan, ONE keyed
+    * shuffle to count span occurrences, one join back, one per-doc
+    * aggregation — the corpus never self-joins and there is no
+    * driver-side state. collect_list skips the nulls the CASE leaves
+    * behind; array_sort on (grp, span) structs restores document order
+    * deterministically.
+    */
+  private def spanScrub(s: SparkSession, d: String): DataFrame = {
+    val spans = T.documents(s, d)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
+      .toDF("doc_id", "pos", "wd")
+      .groupBy(col("doc_id"), (col("pos") / 5).cast("long").as("grp"))
+      .agg(concat_ws(" ",
+        expr("transform(array_sort(collect_list(struct(pos, wd))), x -> x.wd)"))
+        .as("span"))
+    val dups = spans
+      .groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select(col("span"), lit(1).as("dup"))
+    spans.join(dups, Seq("span"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ",
+          expr("transform(array_sort(collect_list(" +
+            "CASE WHEN dup IS NULL THEN struct(grp, span) END)), x -> x.span)"))
+          .as("clean"),
+        count(lit(1)).as("n_spans"),
+        sum(when(col("dup").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget sequence packing (training-shard assignment): greedy-fill
     * shards of <= `Budget` whitespace tokens, walking doc_id order inside
     * contiguous `Span`-doc groups. The group bound is the scale contract:
@@ -309,6 +348,27 @@ object TextAnalysis {
         |  FROM t JOIN pack p ON t.grp = p.grp AND t.rn = p.rn + 1)
         |SELECT doc_id, tokens, grp, shard FROM pack ORDER BY doc_id""".stripMargin
     )(pack),
+    Q(
+      "tx_span_scrub",
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(lower(text), ' ')) AS wd,
+        |         unnest(generate_series(1, len(string_split(lower(text), ' ')))) AS pos
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, (pos - 1) // 5 AS grp,
+        |         string_agg(wd, ' ' ORDER BY pos) AS span
+        |  FROM w GROUP BY doc_id, (pos - 1) // 5),
+        |dups AS (
+        |  SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) > 1)
+        |SELECT doc_id,
+        |       coalesce(string_agg(
+        |         CASE WHEN span NOT IN (SELECT span FROM dups) THEN span END,
+        |         ' ' ORDER BY grp), '') AS clean,
+        |       count(*) AS n_spans,
+        |       sum(CASE WHEN span IN (SELECT span FROM dups) THEN 1 ELSE 0 END) AS n_removed
+        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    )(spanScrub),
     Q(
       "tx_sentence_dedup",
       """WITH sents AS (

@@ -21,6 +21,29 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("dd_setsim: prefix filtering is EXACT — identical to the " +
+    "brute-force all-pairs join") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextVec._
+    val small = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, small)
+      .select(col("doc_id"), wordSet(col("text")).as("ws"))
+    val brute = docs.as("a")
+      .join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        round(org.apache.spark.sql.functions.size(
+          array_intersect(col("a.ws"), col("b.ws"))).cast("double") /
+          org.apache.spark.sql.functions.size(
+            array_union(col("a.ws"), col("b.ws"))).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pp = SparkEntry.queries("dd_setsim")(spark, small)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    pp shouldBe brute // full recall AND full precision, values included
+    brute.size should be > 0
+  }
+
   test("sim_ann_lsh: bucketed candidates are a subset of brute-force ranks " +
     "with usable recall") {
     val brute = SparkEntry.queries("sim_ann_brute")(spark, sfDir)
