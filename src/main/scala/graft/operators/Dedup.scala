@@ -301,19 +301,43 @@ object Dedup {
     * the MinHash-LSH pair graph is gated by the union-find spec in
     * LlmOpsSpec.
     */
-  private def clusters(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  /** The deterministic near-dup pair graph both CC queries run on
+    * (consecutive-id pairs with word-set Jaccard ≥ 0.7 — DuckDB can
+    * replay it exactly, so both stay fully oracle-checked).
+    */
+  private def pairGraph(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val ws = T.documents(s, d).select(col("doc_id"), wordSet(col("text")).as("ws"))
-    val pairs = ws.as("a")
+    ws.as("a")
       .join(ws.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         (size(array_intersect(col("a.ws"), col("b.ws"))).cast("double") /
           size(array_union(col("a.ws"), col("b.ws"))).cast("double")).as("j"))
       .filter(col("j") >= 0.7)
       .select(col("id_a"), col("id_b"))
-    connectedComponents(T.documents(s, d).select(col("doc_id")), pairs)
+  }
+
+  private def clusters(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    connectedComponents(T.documents(s, d).select(col("doc_id")), pairGraph(s, d))
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .orderBy(col("cluster_id"))
+
+  /** Dedup APPLICATION (the rewrite [[clusters]] informs): keep exactly
+    * one representative per near-dup cluster — the minimum doc_id, the
+    * deterministic production convention — and report how many docs it
+    * absorbed. The anti-join of losers is implicit: survivors are the
+    * rows whose label equals their own id, a row-local filter on the CC
+    * output, then one |clusters|-sized join for the absorbed counts. At
+    * 100 TB this adds one skinny shuffle on top of the CC rounds.
+    */
+  private def prune(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val labels = connectedComponents(
+      T.documents(s, d).select(col("doc_id")), pairGraph(s, d))
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_absorbed"))
+    labels.filter(col("doc_id") === col("label"))
+      .join(sizes, "label")
+      .select(col("doc_id"), col("n_absorbed"))
+      .orderBy(col("doc_id"))
   }
 
   /** SemDeDup (semantic dedup over embeddings): spherical k-means
@@ -385,6 +409,30 @@ object Dedup {
         |  SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
         |) GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
     )(clusters),
+    Q(
+      "dd_prune",
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
+        |  WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.ws, b.ws))) >= 0.7
+        |),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON edges.src = reach.r
+        |),
+        |lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+        |SELECT l.node AS doc_id, c.n_absorbed
+        |FROM lab l
+        |JOIN (SELECT cluster_id, count(*) AS n_absorbed FROM lab GROUP BY cluster_id) c
+        |  ON l.node = c.cluster_id
+        |ORDER BY doc_id""".stripMargin
+    )(prune),
     Q(
       "dd_ngram_jaccard",
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,

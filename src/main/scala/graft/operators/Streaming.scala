@@ -42,23 +42,39 @@ object Streaming {
     * stream dir; returns a streaming DataFrame with µs-truncated
     * TIMESTAMP_NTZ `ts` (same normalization as Tables.events).
     */
-  private def eventStream(s: SparkSession, d: String, sentinel: Boolean): DataFrame = {
+  private def eventStream(s: SparkSession, d: String, sentinel: Boolean,
+      sentinels: Int = 1,
+      sentinelTypes: Seq[String] = Seq("sentinel")): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = Files.createTempDirectory("graft-stream")
     Files.copy(Paths.get(s"$d/events.parquet"), dir.resolve("0_events.parquet"),
       StandardCopyOption.COPY_ATTRIBUTES)
     if (sentinel) {
       import s.implicits._
-      // one event far past every real timestamp; filtered back out downstream
+      // events far past every real timestamp; filtered back out
+      // downstream (negative user_id/event_id mark them — remove them
+      // AFTER the stream completes: a filter in the STREAMING plan gets
+      // pushed below the EventTimeWatermark node by Catalyst, and a
+      // sentinel dropped pre-watermark advances nothing). Queries that
+      // pre-filter the stream on event_type pass `sentinelTypes` so one
+      // sentinel survives each branch's pushed filter. More than one
+      // sentinel BATCH is needed by operators whose state flush happens
+      // on the batch AFTER a watermark bump (stream-stream outer joins
+      // emit evictions while processing data, so the bump batch itself
+      // still sees the old watermark).
       val maxNs = s.read.schema(eventSchema).parquet(s"$d/events.parquet")
         .agg(max(col("ts"))).head().getLong(0)
-      Seq((-1L, maxNs + 86400L * 1000000000L, -1L, "sentinel", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.parquet(dir.resolve("z_sentinel").toString)
-      scala.util.Using.resource(Files.list(dir.resolve("z_sentinel")))(
-        _.iterator().asScala
-          .filter(_.toString.endsWith(".parquet"))
-          .foreach(p => Files.move(p, dir.resolve("1_sentinel.parquet"))))
+      (1 to sentinels).foreach { i =>
+        val stage = dir.resolve(s"z_sentinel_$i")
+        sentinelTypes.zipWithIndex.map { case (t, j) =>
+          (-1L - j, maxNs + i * 86400L * 1000000000L, -1L - j, t, 0.0, "{}")
+        }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.parquet(stage.toString)
+        scala.util.Using.resource(Files.list(stage))(
+          _.iterator().asScala
+            .filter(_.toString.endsWith(".parquet"))
+            .foreach(p => Files.move(p, dir.resolve(s"${i}_sentinel.parquet"))))
+      }
     }
     // LTZ timestamp: watermarks require TIMESTAMP; session tz is UTC so the
     // instant is identical to the NTZ oracle view — outputs cast back to NTZ.
@@ -234,6 +250,49 @@ object Streaming {
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: like [[streamJoin]], but a
+    * click with no purchase in its hour still emits — null-padded — once
+    * the global watermark passes its join window (outer-row emission is
+    * watermark-gated: only then can "no match" be known final). State
+    * stays O(in-flight window) per side, exactly as the inner join. The
+    * far-future sentinel event rides BOTH sources to push the final
+    * watermark past every real window (the same flush trick
+    * [[sessionize]] uses); the event-type filters run AFTER the
+    * withWatermark node so the sentinel still advances event time
+    * before being dropped from the join inputs.
+    */
+  private def streamOuterJoin(s: SparkSession, d: String): DataFrame = {
+    // typed sentinels: the event_type filters are pushed BELOW the
+    // watermark node, so each side needs a far-future event of its own
+    // type to keep advancing event time (see eventStream); the click
+    // sentinels carry user_id -1 / the purchase ones -2, so they never
+    // join a real row and the static post-stream filter removes them
+    val clicks = eventStream(s, d, sentinel = true, sentinels = 2,
+      sentinelTypes = Seq("click", "purchase"))
+      .withWatermark("ts", "1 hour")
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = eventStream(s, d, sentinel = true, sentinels = 2,
+      sentinelTypes = Seq("click", "purchase"))
+      .withWatermark("ts", "1 hour")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+    runToTable(s, joined, OutputMode.Append())
+      .filter(col("user_id") >= 0) // static filter: sentinel rows out
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts").cast(TimestampNTZType).as("click_ts"),
+        col("purchase_ts").cast(TimestampNTZType).as("purchase_ts"))
+      .orderBy(col("user_id"), col("click_id"),
+        col("purchase_id").asc_nulls_first)
+  }
+
   /** Native session windows (session_window + watermark): same 30-min-gap
     * semantics as [[sessionize]] but expressed with Spark's built-in
     * session-window aggregation — state merging, gap tracking and
@@ -338,6 +397,16 @@ object Streaming {
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |ORDER BY a.user_id, click_id, purchase_id""".stripMargin
-    )(streamJoin)
+    )(streamJoin),
+    Q(
+      "st_stream_outer",
+      """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+        |       a.ts AS click_ts, b.ts AS purchase_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY a.user_id, click_id, purchase_id ASC NULLS FIRST""".stripMargin
+    )(streamOuterJoin)
   )
 }

@@ -229,6 +229,62 @@ final class GraftRepo private (val root: Path) {
     * table-level merge: per table take whichever side changed vs the
     * base; both changed -> MergeConflictException.
     */
+  /** Row-level 3-way merge of one table changed on BOTH branches: when
+    * each side only APPENDED files to the base snapshot (no deletes, no
+    * rewrites, no tombstones, no schema/spec change), the true merge is
+    * the union of both sides' appends — concurrent ingest into the same
+    * table on two branches merges cleanly, the way lakeFS users expect
+    * (tests/test_iceberg.py's merge flows generalized to both-sides
+    * writers). Anything beyond pure appends still conflicts: a delete or
+    * rewrite on one side could target rows the other side's reader
+    * already consumed — correctness over convenience.
+    *
+    * Commit-sequence note: both sides stamped their appends against the
+    * base's counter, so the merged snapshot takes max(lastSeq). With
+    * zero tombstones in play (a fast-path precondition) seqs order
+    * nothing yet; the max just keeps the next MoR delete strictly newer
+    * than every merged file.
+    */
+  private def mergeAppendOnly(key: String, baseId: String, srcId: String,
+      dstId: String): String = {
+    val b = snapshot(baseId); val s = snapshot(srcId); val d = snapshot(dstId)
+    def conflict(why: String): Nothing =
+      throw new MergeConflictException(
+        s"table $key changed on both sides ($why)")
+    def shape(x: Snapshot) =
+      (x.schemaJson, x.partitionFields, x.nameMapping, x.retiredNames)
+    if (shape(s) != shape(b) || shape(d) != shape(b))
+      conflict("schema or partition spec diverged")
+    if (Tombstones.of(b).nonEmpty || Tombstones.of(s).nonEmpty ||
+        Tombstones.of(d).nonEmpty)
+      conflict("merge-on-read tombstones present")
+    val basePaths = b.files.map(_.path).toSet
+    def appendsOf(x: Snapshot): Seq[FileEntry] = {
+      val mine = x.files.map(_.path).toSet
+      if (!basePaths.subsetOf(mine)) conflict("files deleted or rewritten")
+      x.files.filterNot(f => basePaths.contains(f.path))
+    }
+    val sNew = appendsOf(s); val dNew = appendsOf(d)
+    // engine counters merge by max; USER properties merge 3-way and
+    // conflict when both sides changed one differently
+    val numericMax = Set(Tombstones.SeqProp, TableOps.StreamBatchProp)
+    val propKeys = b.properties.keySet ++ s.properties.keySet ++ d.properties.keySet
+    val props = propKeys.flatMap { pk =>
+      val (pb, ps, pd) = (b.properties.get(pk), s.properties.get(pk),
+        d.properties.get(pk))
+      val v =
+        if (numericMax.contains(pk))
+          Seq(ps, pd, pb).flatten.map(_.toLong).maxOption.map(_.toString)
+        else if (ps == pb) pd
+        else if (pd == pb || ps == pd) ps
+        else conflict(s"property $pk changed on both sides")
+      v.map(pk -> _)
+    }.toMap
+    writeSnapshot(key, b.schemaJson, b.files ++ sNew ++ dNew,
+      b.partitionBy, b.physicalNames,
+      if (props.isEmpty) None else Some(props), b.retired).id
+  }
+
   def merge(srcBranch: String, dstBranch: String, message: String = ""): Commit = {
     var attempts = 0
     while (true) {
@@ -249,7 +305,14 @@ final class GraftRepo private (val root: Path) {
           if (sv == bv) dv.map(k -> _)                // src untouched -> dst wins
           else if (dv == bv) sv.map(k -> _)           // dst untouched -> src wins
           else if (sv == dv) sv.map(k -> _)           // both converged
-          else throw new MergeConflictException(s"table $k changed on both sides")
+          else (bv, sv, dv) match {
+            // both sides changed: row-level 3-way merge when both only
+            // APPENDED (the dominant concurrent-ingest case)
+            case (Some(bid), Some(sid), Some(did)) =>
+              Some(k -> mergeAppendOnly(k, bid, sid, did))
+            case _ =>
+              throw new MergeConflictException(s"table $k changed on both sides")
+          }
         }.toMap
         val nsKeys = b.namespaces.keySet ++ s.namespaces.keySet ++ d.namespaces.keySet
         val mergedNs = nsKeys.flatMap { k =>

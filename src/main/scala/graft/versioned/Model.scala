@@ -76,7 +76,9 @@ final case class FileEntry(
     partitionValues: Option[Map[String, String]] = None,
     bytes: Option[Long] = None,
     seq: Option[Long] = None,
-    bloomCols: Option[Seq[String]] = None) {
+    bloomCols: Option[Seq[String]] = None,
+    nulls: Option[Map[String, Long]] = None,
+    ndv: Option[Map[String, Long]] = None) {
   /** Physical columns with a bloom sidecar (`<path>.bloom`) — advertised
     * here so planning never probes the filesystem for absent sidecars.
     */
@@ -103,6 +105,18 @@ final case class FileEntry(
     case Some(n: Number) => n.longValue()
     case _ => 0L
   }
+  /** Per-physical-column null counts / approx distinct counts recorded
+    * at write time (CBO column statistics). Same jackson boxing caveat
+    * as `bytes`; absent for pre-stat snapshots → None (planner falls
+    * back to row-count-only estimates, never guesses).
+    */
+  private def longMap(o: Option[Map[String, Long]]): Map[String, Long] =
+    // erase the value type BEFORE destructuring: a typed (String, Long)
+    // pattern match would unbox jackson's Integers and throw
+    Option(o).flatten.getOrElse(Map.empty).asInstanceOf[Map[String, Any]]
+      .map { case (k, v) => k -> v.asInstanceOf[Number].longValue() }
+  def nullCounts: Map[String, Long] = longMap(nulls)
+  def ndvCounts: Map[String, Long] = longMap(ndv)
 }
 
 /** Immutable table snapshot: schema (Spark StructType JSON) + file list

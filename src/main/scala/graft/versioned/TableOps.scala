@@ -113,18 +113,24 @@ object TableOps {
       // cluster rows by partition value BEFORE the write: without this,
       // EVERY task writes a file into EVERY partition value it happens to
       // hold (tasks × values files per insert — the small-files explosion
-      // at scale). One keyed shuffle makes each partition value land in
-      // one task -> one file per value per insert. (The DSv2-native
-      // spelling of the same request is RequiresDistributionAndOrdering.)
-      // `preserveLayout` skips the shuffle: compaction feeds data it has
-      // ALREADY range-partitioned + sorted (all rows of a rewrite unit
-      // share one partition value, so the clustering shuffle would
-      // collapse them into one task and destroy the sort).
+      // at scale). The clustering is a REBALANCE (AQE-managed) shuffle,
+      // not a plain repartition: plain hash-by-value pins each partition
+      // value to ONE task, so a hot value (the skew case at 100 TB — one
+      // day holding half the ingest) funnels through a single core into
+      // one giant file. Rebalance lets AQE split oversized value groups
+      // into several advisory-sized files AND coalesce small ones — the
+    // same request Iceberg spells write.distribution-mode=hash +
+      // advisory partitioning. Without AQE it degrades to the plain
+      // keyed shuffle (correct, just unsplit). `preserveLayout` skips
+      // the shuffle: compaction feeds data it has ALREADY
+      // range-partitioned + sorted (all rows of a rewrite unit share one
+      // partition value, so the clustering shuffle would collapse them
+      // into one task and destroy the sort).
       val projected = out.select(
         schema.fieldNames.toIndexedSeq.map(col) ++ dirCols: _*)
       val laid =
         if (preserveLayout) projected
-        else projected.repartition(
+        else projected.hint("rebalance",
           spec.map(pf => col(Partitioning.dirColName(pf))): _*)
       withBlooms(laid.write).partitionBy(spec.map(Partitioning.dirColName): _*)
         .parquet(dir.toString)
@@ -132,9 +138,14 @@ object TableOps {
     // no explicit schema: partitioned layouts surface the synthetic
     // __p_ columns via directory inference; stats only read data columns
     val written = spark.read.parquet(dir.toString)
+    // min/max + null count + approx NDV all ride ONE per-file
+    // aggregation pass — column stats (CBO join estimation) cost no
+    // extra scan of the fresh files
     val statCols = schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
       Seq(min(col(f.name)).cast("string").as(s"min:${f.name}"),
-        max(col(f.name)).cast("string").as(s"max:${f.name}"))
+        max(col(f.name)).cast("string").as(s"max:${f.name}"),
+        sum(isnull(col(f.name)).cast("long")).as(s"nulls:${f.name}"),
+        approx_count_distinct(col(f.name)).as(s"ndv:${f.name}"))
     }
     // blooms ride the SAME per-file aggregation pass as min/max — one
     // scan of the fresh files covers rows, stats, and filters
@@ -153,6 +164,11 @@ object TableOps {
         schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
           Option(r.getAs[String](s"$prefix:${f.name}")).map(f.name -> _)
         }.toMap
+      def longStats(prefix: String): Map[String, Long] =
+        schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
+          Option(r.getAs[Any](s"$prefix:${f.name}"))
+            .map(v => f.name -> v.asInstanceOf[Number].longValue())
+        }.toMap
       val pvals =
         if (spec.isEmpty) None else Some(Partitioning.valuesFromPath(rel))
       val sidecar = blooms.flatMap(c =>
@@ -160,7 +176,8 @@ object TableOps {
       if (sidecar.nonEmpty) Blooms.write(repo.root, rel, sidecar)
       FileEntry(rel, r.getAs[Long]("__rows"), stats("min"), stats("max"), pvals,
         Some(Files.size(java.nio.file.Paths.get(file))),
-        bloomCols = if (sidecar.isEmpty) None else Some(sidecar.keys.toSeq.sorted))
+        bloomCols = if (sidecar.isEmpty) None else Some(sidecar.keys.toSeq.sorted),
+        nulls = Some(longStats("nulls")), ndv = Some(longStats("ndv")))
     }
   }
 
@@ -178,7 +195,9 @@ object TableOps {
     val written = spark.read.schema(schema).parquet(dir.toString)
     val statCols = schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
       Seq(min(col(f.name)).cast("string").as(s"min:${f.name}"),
-        max(col(f.name)).cast("string").as(s"max:${f.name}"))
+        max(col(f.name)).cast("string").as(s"max:${f.name}"),
+        sum(isnull(col(f.name)).cast("long")).as(s"nulls:${f.name}"),
+        approx_count_distinct(col(f.name)).as(s"ndv:${f.name}"))
     }
     written.groupBy(input_file_name().as("__file"))
       .agg(count(lit(1)).as("__rows"), statCols.toIndexedSeq: _*)
@@ -189,8 +208,14 @@ object TableOps {
           schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
             Option(r.getAs[String](s"$prefix:${f.name}")).map(f.name -> _)
           }.toMap
+        def longStats(prefix: String): Map[String, Long] =
+          schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
+            Option(r.getAs[Any](s"$prefix:${f.name}"))
+              .map(v => f.name -> v.asInstanceOf[Number].longValue())
+          }.toMap
         FileEntry(rel, r.getAs[Long]("__rows"), stats("min"), stats("max"),
-          None, Some(Files.size(java.nio.file.Paths.get(file))))
+          None, Some(Files.size(java.nio.file.Paths.get(file))),
+          nulls = Some(longStats("nulls")), ndv = Some(longStats("ndv")))
       }
   }
 
@@ -1019,6 +1044,53 @@ object TableOps {
     val a = read(refA); val b = read(refB)
     a.exceptAll(b).withColumn("side", lit("only_" + refA))
       .unionByName(b.exceptAll(a).withColumn("side", lit("only_" + refB)))
+  }
+
+  /** Multi-table ATOMIC append: stage writes for several tables, then
+    * publish them all in ONE commit — either every table advances or
+    * none does (readers never observe a partial cross-table state).
+    * This is the repo-level transactionality the reference's design
+    * inherits from lakeFS (a lakeFS commit captures the whole repo
+    * state, LakeFSTableOperations.java's set-if-absent protocol per
+    * metadata pointer) and that per-table Iceberg commits cannot give:
+    * fact + dimension land together or not at all. Data files are
+    * written outside the commit race (expensive, conflict-free);
+    * only the snapshot pointer swap retries under contention. Each
+    * table's files are seq-stamped against its own counter, same as a
+    * single-table insert.
+    */
+  def atomicAppend(spark: SparkSession, repo: GraftRepo, branch: String,
+      tables: Seq[(String, DataFrame)], message: String = ""): Unit = {
+    val staged = tables.map { case (key, df) =>
+      val head = repo.headCommit(branch).tables.get(key).map(repo.snapshot)
+      val spec = head.map(_.partitionFields).getOrElse(Nil)
+      val mapping = head.map(_.nameMapping).getOrElse(Map.empty)
+      val blooms = head.map(s =>
+        Blooms.physCols(s, toPhysical(
+          DataType.fromJson(s.schemaJson).asInstanceOf[StructType], mapping)))
+        .getOrElse(Nil)
+      key -> writeFiles(spark, repo, df, key, spec, mapping,
+        bloomCols = blooms,
+        bloomItems = head.map(Blooms.items).getOrElse(Blooms.DefaultItems))
+    }
+    val msg = if (message.nonEmpty) message
+      else s"atomic append ${tables.map(_._1).mkString(", ")}"
+    repo.commitRetry(branch, msg) { base =>
+      val updated = staged.foldLeft(base.tables) { case (acc, (key, newFiles)) =>
+        val prior = acc.get(key).map(repo.snapshot).getOrElse(
+          throw new NoSuchElementException(s"no such table: $key"))
+        val props0 = prior.properties
+        val next = Tombstones.lastSeq(props0) + 1
+        val stamped = newFiles.map(_.copy(seq = Some(next)))
+        val snap = repo.writeSnapshot(key, prior.schemaJson,
+          prior.files ++ stamped,
+          prior.partitionBy, prior.physicalNames,
+          Some(props0 + (Tombstones.SeqProp -> next.toString)),
+          prior.retired)
+        acc + (key -> snap.id)
+      }
+      (updated, base.namespaces)
+    }
   }
 
   /** CDC change feed: the NET row-level changes of one table between two

@@ -260,6 +260,35 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       Array(("a", 1, 2L), ("b", 2, 2L))
   }
 
+  test("partitioned writes rebalance: a skewed (hot) partition value " +
+    "splits into several advisory-sized files; cold values stay compact") {
+    sql("CREATE NAMESPACE g.rwb")
+    sql("CREATE NAMESPACE g.rwb.main.db")
+    sql("CREATE TABLE g.rwb.main.db.t (id INT, cat STRING) PARTITIONED BY (cat)")
+    val adv = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prev = spark.conf.get(adv)
+    try {
+      spark.conf.set(adv, "16k")
+      // 'h' carries ~99.9% of rows — the one-task-per-value layout would
+      // funnel it through a single writer into one giant file
+      sql("INSERT INTO g.rwb.main.db.t " +
+        "SELECT cast(id AS int), CASE WHEN id % 10000 = 1 THEN 'c' ELSE 'h' END " +
+        "FROM range(20000)")
+    } finally spark.conf.set(adv, prev)
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rwb"))
+    val files = repo.snapshot(repo.headCommit("main").tables("db/t")).files
+    val byVal = files.groupBy(_.partValues("cat")).view.mapValues(_.size).toMap
+    byVal("h") should be > 1 // AQE split the hot value
+    // the cold value stays near-single-file (it may straddle one split
+    // boundary when it shares a shuffle partition with the hot key —
+    // AQE slices skewed partitions by map range, not by key)
+    byVal("c") should be <= 2
+    // and the split is invisible to readers: counts + pruning intact
+    rows("SELECT count(*) FROM g.rwb.main.db.t WHERE cat = 'h'")
+      .flatten shouldBe Seq(19998L)
+  }
+
   test("INSERT OVERWRITE replaces table contents (truncate write path)") {
     setupRepo("r14")
     sql("INSERT OVERWRITE g.r14.main.db.t VALUES (100, 'only_row')")
@@ -816,6 +845,44 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     pruned.get shouldBe BigInt(50)
   }
 
+  test("column statistics: null + distinct counts from write-time file " +
+    "stats reach the optimizer (no ANALYZE pass)") {
+    sql("CREATE NAMESPACE g.rcbo")
+    sql("CREATE NAMESPACE g.rcbo.main.db")
+    sql("CREATE TABLE g.rcbo.main.db.t (id INT, grp STRING)")
+    // 100 rows, 10 distinct grp values, 20 null ids — two commits so the
+    // per-file stats must MERGE (nulls sum; NDVs upper-bound-merge)
+    Seq(0, 50).foreach(base =>
+      sql("INSERT INTO g.rcbo.main.db.t VALUES " + (1 to 50).map { i =>
+        val id = if (i <= 10) "NULL" else s"${base + i}"
+        s"($id, 'g${i % 10}')"
+      }.mkString(", ")))
+    val attrs = spark.table("g.rcbo.main.db.t")
+      .queryExecution.optimizedPlan.stats.attributeStats
+    attrs.size shouldBe 2
+    val byName = attrs.map { case (a, cs) => a.name -> cs }
+    byName("id").nullCount shouldBe Some(BigInt(20))
+    // approx NDV of 80 distinct non-null ids across two files: the
+    // upper-bound merge stays in a sane band (exact=80, cap=100)
+    byName("id").distinctCount.get.toLong should be >= 60L
+    byName("id").distinctCount.get.toLong should be <= 100L
+    // grp has 10 true distinct values; the reported count is the
+    // upper-bound merge Σ per-file NDVs (each insert fans out over
+    // several write tasks → files), capped at the row count
+    byName("grp").nullCount shouldBe Some(BigInt(0))
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rcbo"))
+    val nFiles = repo.snapshot(repo.headCommit("main").tables("db/t")).files.size
+    byName("grp").distinctCount.get.toLong should be >= 10L
+    byName("grp").distinctCount.get.toLong should be <= math.min(10L * nFiles, 100L)
+    // a renamed column keeps its statistics (physical-name indirection)
+    sql("ALTER TABLE g.rcbo.main.db.t RENAME COLUMN grp TO category")
+    val renamed = spark.table("g.rcbo.main.db.t")
+      .queryExecution.optimizedPlan.stats.attributeStats
+      .map { case (a, cs) => a.name -> cs }
+    renamed("category").distinctCount.get.toLong should be >= 10L
+  }
+
   test("metadata-only aggregates: COUNT(*)/MIN/MAX answered from the " +
     "snapshot without scanning data files") {
     sql("CREATE NAMESPACE g.rma")
@@ -1364,6 +1431,67 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // pre-truncate state still reachable through history
     val cs = spark.sql("SELECT * FROM g.rsql.main.db.t.history").collect()
     cs.length should be >= 3
+  }
+
+  test("merge: both branches appended to the same table → row-level " +
+    "3-way merge unions the appends") {
+    setupRepo("rmrg1")
+    sql("CREATE NAMESPACE g.rmrg1.dev")
+    sql("INSERT INTO g.rmrg1.main.db.t VALUES (100, 'from_main')")
+    sql("INSERT INTO g.rmrg1.dev.db.t VALUES (200, 'from_dev'), (201, 'from_dev2')")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rmrg1"))
+    repo.merge("dev", "main")
+    rows("SELECT id FROM g.rmrg1.main.db.t ORDER BY id").flatten shouldBe
+      ((1 to 8) ++ Seq(100, 200, 201))
+    // dev unchanged until it merges main back (fast-forward-able)
+    rows("SELECT id FROM g.rmrg1.dev.db.t ORDER BY id").flatten shouldBe
+      ((1 to 8) ++ Seq(200, 201))
+  }
+
+  test("merge: append + delete on the two sides still conflicts " +
+    "(append-union only covers pure appends)") {
+    setupRepo("rmrg2")
+    sql("CREATE NAMESPACE g.rmrg2.dev")
+    sql("DELETE FROM g.rmrg2.main.db.t WHERE id = 3")
+    sql("INSERT INTO g.rmrg2.dev.db.t VALUES (200, 'from_dev')")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rmrg2"))
+    a[MergeConflictException] should be thrownBy repo.merge("dev", "main")
+    // schema divergence conflicts too, even with appends only
+    sql("ALTER TABLE g.rmrg2.dev.db.t ADD COLUMN extra INT")
+    a[MergeConflictException] should be thrownBy repo.merge("dev", "main")
+  }
+
+  test("atomicAppend: several tables advance in ONE commit (no partial " +
+    "cross-table state)") {
+    sql("CREATE NAMESPACE g.rtxn")
+    sql("CREATE NAMESPACE g.rtxn.main.db")
+    sql("CREATE TABLE g.rtxn.main.db.fact (id INT, v STRING)")
+    sql("CREATE TABLE g.rtxn.main.db.dim (id INT, name STRING)")
+    sql("INSERT INTO g.rtxn.main.db.fact VALUES (1, 'a')")
+    sql("INSERT INTO g.rtxn.main.db.dim VALUES (10, 'x')")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rtxn"))
+    val commitsBefore = sql("SELECT * FROM g.rtxn.main.db.fact.history").count()
+    import spark.implicits._
+    TableOps.atomicAppend(spark, repo, "main", Seq(
+      "db/fact" -> Seq((2, "b"), (3, "c")).toDF("id", "v"),
+      "db/dim" -> Seq((20, "y")).toDF("id", "name")))
+    rows("SELECT id FROM g.rtxn.main.db.fact ORDER BY id").flatten shouldBe Seq(1, 2, 3)
+    rows("SELECT id FROM g.rtxn.main.db.dim ORDER BY id").flatten shouldBe Seq(10, 20)
+    // exactly ONE commit landed, and it carries BOTH table updates
+    sql("SELECT * FROM g.rtxn.main.db.fact.history").count() shouldBe commitsBefore + 1
+    val head = repo.headCommit("main")
+    val parent = repo.commit(head.parents.head)
+    head.tables("db/fact") should not be parent.tables("db/fact")
+    head.tables("db/dim") should not be parent.tables("db/dim")
+    // appending to a missing table aborts the whole transaction
+    an[Exception] should be thrownBy
+      TableOps.atomicAppend(spark, repo, "main", Seq(
+        "db/fact" -> Seq((4, "d")).toDF("id", "v"),
+        "db/nope" -> Seq((1, "z")).toDF("id", "name")))
+    rows("SELECT id FROM g.rtxn.main.db.fact ORDER BY id").flatten shouldBe Seq(1, 2, 3)
   }
 
   test("changesBetween: net CDC rows across CoW delete + insert") {
