@@ -34,7 +34,8 @@ import graft.versioned.{GraftRepo, TableOps}
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with ProcedureCatalog
     with FunctionCatalog
-    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -72,6 +73,141 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def checkNs(ns: Array[String]): Unit =
     if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+
+  // ---- versioned SQL views (ViewCatalog) -------------------------------
+  //
+  // A view definition lives IN the commit, next to the table pointers:
+  // CREATE VIEW on a branch is a commit, branches see their own view
+  // set (zero-copy at branch create), merge three-ways them, VERSION AS
+  // OF-era commits keep the definitions they had. At load the BRANCH
+  // segment of the stored resolution namespace is rebound to the branch
+  // being read, so a view written with RELATIVE table references
+  // follows the reader's branch — views behave like code checked into
+  // the repo, the semantics a lakeFS user expects. Fully-qualified
+  // references in the view text stay pinned to their branch (the
+  // author's explicit choice).
+
+  import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, ViewAlreadyExistsException}
+  import org.apache.spark.sql.connector.catalog.{View, ViewChange, ViewInfo}
+  import graft.versioned.ViewDef
+
+  private def viewKey(ident: Identifier): String =
+    s"${ident.namespace()(2)}/${ident.name()}"
+
+  private def graftView(ident: Identifier, vd: ViewDef): View = {
+    val branch = ident.namespace()(1)
+    // rebind the branch segment when the stored context points into
+    // this catalog's 3-level namespace shape
+    val boundNs =
+      if (vd.namespace.length == 3 && vd.catalog == catalogName)
+        Array(vd.namespace(0), branch, vd.namespace(2))
+      else vd.namespace.toArray
+    new View {
+      override def name(): String = ident.toString
+      override def query(): String = vd.sql
+      override def currentCatalog(): String = vd.catalog
+      override def currentNamespace(): Array[String] = boundNs
+      override def schema(): StructType =
+        org.apache.spark.sql.types.DataType.fromJson(vd.schemaJson)
+          .asInstanceOf[StructType]
+      override def queryColumnNames(): Array[String] = vd.queryColumnNames.toArray
+      override def columnAliases(): Array[String] = vd.columnAliases.toArray
+      override def columnComments(): Array[String] = vd.columnComments.toArray
+      override def properties(): java.util.Map[String, String] =
+        vd.properties.asJava
+    }
+  }
+
+  override def loadView(ident: Identifier): View = {
+    val ns = ident.namespace()
+    if (ns.length != 3) throw new NoSuchViewException(ident)
+    val g = repo(ns)
+    if (!g.branchExists(ns(1))) throw new NoSuchViewException(ident)
+    g.headCommit(ns(1)).viewMap.get(viewKey(ident)) match {
+      case Some(vd) => graftView(ident, vd)
+      case None => throw new NoSuchViewException(ident)
+    }
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident()
+    val ns = ident.namespace()
+    if (ns.length != 3) throw new NoSuchNamespaceException(ns)
+    checkNs(ns)
+    val g = repo(ns)
+    val key = viewKey(ident)
+    val vd = ViewDef(
+      sql = info.sql(),
+      catalog = info.currentCatalog(),
+      namespace = info.currentNamespace().toIndexedSeq,
+      schemaJson = info.schema().json,
+      queryColumnNames = info.queryColumnNames().toIndexedSeq,
+      columnAliases = info.columnAliases().toIndexedSeq,
+      columnComments = info.columnComments().toIndexedSeq,
+      // reserved keys (comment/owner/engine versions) are kept verbatim:
+      // they're catalog-managed metadata, and this catalog stores them
+      // in the commit like any other view property
+      properties = info.properties().asScala.toMap)
+    g.commitRetryViews(ns(1), s"create view $key") { base =>
+      if (base.viewMap.contains(key) || base.tables.contains(key))
+        throw new ViewAlreadyExistsException(ident)
+      base.viewMap + (key -> vd)
+    }
+    graftView(ident, vd)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val ns = ident.namespace()
+    val g = repo(ns)
+    val key = viewKey(ident)
+    val committed = g.commitRetryViews(ns(1), s"alter view $key") { base =>
+      val vd = base.viewMap.getOrElse(key, throw new NoSuchViewException(ident))
+      val props = changes.foldLeft(vd.properties) {
+        case (acc, sp: ViewChange.SetProperty) => acc + (sp.property() -> sp.value())
+        case (acc, rp: ViewChange.RemoveProperty) => acc - rp.property()
+        case (_, other) => throw new UnsupportedOperationException(
+          s"unsupported view change: $other")
+      }
+      base.viewMap + (key -> vd.copy(properties = props))
+    }
+    graftView(ident, committed.viewMap(key))
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    val ns = ident.namespace()
+    if (ns.length != 3 || !repoExists(ns(0))) return false
+    val g = repo(ns)
+    if (!g.branchExists(ns(1))) return false
+    val key = viewKey(ident)
+    if (!g.headCommit(ns(1)).viewMap.contains(key)) return false
+    g.commitRetryViews(ns(1), s"drop view $key")(base => base.viewMap - key)
+    true
+  }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val ns = oldIdent.namespace()
+    if (!ns.sameElements(newIdent.namespace()))
+      throw new UnsupportedOperationException(
+        "renaming a view across namespaces is not supported")
+    val g = repo(ns)
+    val oldKey = viewKey(oldIdent); val newKey = viewKey(newIdent)
+    g.commitRetryViews(ns(1), s"rename view $oldKey -> $newKey") { base =>
+      val vd = base.viewMap.getOrElse(oldKey,
+        throw new NoSuchViewException(oldIdent))
+      if (base.viewMap.contains(newKey) || base.tables.contains(newKey))
+        throw new ViewAlreadyExistsException(newIdent)
+      base.viewMap - oldKey + (newKey -> vd)
+    }
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    if (ns.length != 3) return Array.empty
+    checkNs(ns)
+    repo(ns).headCommit(ns(1)).viewMap.keys.toArray.sorted
+      .filter(_.startsWith(ns(2) + "/"))
+      .map(k => Identifier.of(ns, k.substring(ns(2).length + 1)))
+  }
 
   // ---- stored procedures (CALL g.system.<proc>(...)) -------------------
 
@@ -385,6 +521,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Seq("provider", "location", "owner", "external")
     g.commitRetry(ns(1), s"create table $key") { base =>
       if (base.tables.contains(key)) throw new TableAlreadyExistsException(ident)
+      if (base.viewMap.contains(key))
+        throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
       val snap = g.writeSnapshot(key, schema.json, Nil,
         if (spec.isEmpty) None else Some(spec),
         None,

@@ -136,6 +136,52 @@ object Versioned {
       .orderBy(col("_change_type"), col("n_nationkey"))
   }
 
+  /** Materialized view with INCREMENTAL refresh: full-compute at
+    * create, append rows, refresh — the refresh reads only the appended
+    * delta files (never rescans the source), combines with affected MV
+    * rows, and lands rows + watermark in one commit.
+    */
+  private def mvRead(s: SparkSession, d: String): DataFrame = {
+    import graft.versioned.MaterializedView
+    val (cat, repo) = setup(s, d)
+    MaterializedView.create(s, repo, "main", "db/nation", "db/nation_mv",
+      Seq("n_regionkey"),
+      Seq(("count", "n_nationkey", "n_nations"),
+        ("sum", "n_nationkey", "key_sum"),
+        ("max", "n_name", "last_name")))
+    s.sql(s"INSERT INTO $cat.r.main.db.nation " +
+      s"SELECT n_nationkey + 1000, n_name, n_regionkey " +
+      s"FROM $cat.r.dev.db.nation WHERE n_nationkey < 2")
+    val mode = MaterializedView.refresh(s, repo, "main", "db/nation_mv")
+    require(mode == "incremental", s"expected incremental refresh, got $mode")
+    s.sql(s"SELECT n_regionkey, n_nations, key_sum, last_name " +
+      s"FROM $cat.r.main.db.nation_mv ORDER BY n_regionkey")
+  }
+
+  /** Versioned VIEW read: a view defined with a RELATIVE table
+    * reference on main is read through the dev branch after a dev-side
+    * DELETE — the view follows the reader's branch (branch segment of
+    * the stored resolution context rebound at load), so it sees dev's
+    * table state while main's stays intact.
+    */
+  private def viewRead(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+    val (cat, repo) = setup(s, d)
+    val vcat = graft.catalog.GraftViews.viewCatalog(s, cat)
+    val viewSql = "SELECT n_nationkey, n_name FROM nation WHERE n_regionkey <= 2"
+    val schema = s.sql(
+      s"SELECT n_nationkey, n_name FROM $cat.r.main.db.nation LIMIT 0").schema
+    vcat.createView(new ViewInfo(
+      Identifier.of(Array("r", "main", "db"), "top"), viewSql, cat,
+      Array("r", "main", "db"), schema,
+      Array("n_nationkey", "n_name"), Array.empty, Array.empty,
+      java.util.Map.of()))
+    repo.merge("main", "dev") // fast-forward: dev picks up the view commit
+    s.sql(s"DELETE FROM $cat.r.dev.db.nation WHERE n_nationkey >= 20")
+    graft.catalog.GraftViews.select(s, s"$cat.r.dev.db.top")
+      .orderBy(col("n_nationkey"))
+  }
+
   /** Fragmented ingest (one commit per region) followed by sort-clustered
     * compaction (OPTIMIZE), then a full read — rows must be exactly the
     * source table regardless of layout.
@@ -332,6 +378,26 @@ object Versioned {
       "vc_read_branch",
       "SELECT * FROM nation ORDER BY n_nationkey"
     )(readBranch),
+    Q(
+      "vc_mv_read",
+      """SELECT n_regionkey, count(*) AS n_nations,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+        |       max(n_name) AS last_name
+        |FROM (
+        |  SELECT * FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 1000, n_name, n_regionkey FROM nation
+        |  WHERE n_nationkey < 2
+        |)
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin
+    )(mvRead),
+    Q(
+      "vc_view_read",
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_regionkey <= 2 AND n_nationkey < 20
+        |ORDER BY n_nationkey""".stripMargin
+    )(viewRead),
     Q(
       "vc_changes_read",
       """SELECT n_nationkey, n_name, n_regionkey, 'delete' AS _change_type

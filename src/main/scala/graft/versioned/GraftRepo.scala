@@ -34,12 +34,14 @@ final class GraftRepo private (val root: Path) {
 
   def writeCommit(parents: Seq[String], message: String,
       tables: Map[String, String],
-      namespaces: Map[String, Map[String, String]]): Commit = {
+      namespaces: Map[String, Map[String, String]],
+      views: Map[String, ViewDef] = Map.empty): Commit = {
     val body = Json.write(Map(
       "parents" -> parents, "message" -> message,
       "tables" -> tables, "namespaces" -> namespaces))
     val id = "c" + sha(body + System.nanoTime())
-    val c = Commit(id, parents, System.currentTimeMillis(), message, tables, namespaces)
+    val c = Commit(id, parents, System.currentTimeMillis(), message, tables,
+      namespaces, if (views.isEmpty) None else Some(views))
     Files.writeString(commitsDir.resolve(s"$id.json"), Json.write(c),
       StandardOpenOption.CREATE_NEW)
     c
@@ -131,8 +133,9 @@ final class GraftRepo private (val root: Path) {
   /** Commit with an explicit base ref version — rejected if stale. */
   def commitAt(branch: String, baseVersion: Int, parents: Seq[String],
       message: String, tables: Map[String, String],
-      namespaces: Map[String, Map[String, String]]): Commit = {
-    val c = writeCommit(parents, message, tables, namespaces)
+      namespaces: Map[String, Map[String, String]],
+      views: Map[String, ViewDef] = Map.empty): Commit = {
+    val c = writeCommit(parents, message, tables, namespaces, views)
     casRef(branch, baseVersion, c.id)
     c
   }
@@ -149,7 +152,30 @@ final class GraftRepo private (val root: Path) {
       val (v, hid) = head(branch)
       val base = commit(hid)
       val (tables, namespaces) = mutate(base)
-      try return commitAt(branch, v, Seq(hid), message, tables, namespaces)
+      // table commits carry the base's views forward untouched
+      try return commitAt(branch, v, Seq(hid), message, tables, namespaces,
+        base.viewMap)
+      catch {
+        case e: CommitConflictException =>
+          attempts += 1
+          if (attempts >= 10) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** View-map commit with the same optimistic-retry protocol; tables and
+    * namespaces ride through untouched.
+    */
+  def commitRetryViews(branch: String, message: String)(
+      mutate: Commit => Map[String, ViewDef]): Commit = {
+    var attempts = 0
+    while (true) {
+      val (v, hid) = head(branch)
+      val base = commit(hid)
+      val views = mutate(base)
+      try return commitAt(branch, v, Seq(hid), message, base.tables,
+        base.namespaces, views)
       catch {
         case e: CommitConflictException =>
           attempts += 1
@@ -319,8 +345,17 @@ final class GraftRepo private (val root: Path) {
           val (bv, sv, dv) = (b.namespaces.get(k), s.namespaces.get(k), d.namespaces.get(k))
           if (sv == bv) dv.map(k -> _) else sv.map(k -> _)
         }.toMap
+        // views three-way like tables (a view is one definition — no
+        // row-level sub-merge to attempt)
+        val vKeys = b.viewMap.keySet ++ s.viewMap.keySet ++ d.viewMap.keySet
+        val mergedViews = vKeys.flatMap { k =>
+          val (bv, sv, dv) = (b.viewMap.get(k), s.viewMap.get(k), d.viewMap.get(k))
+          if (sv == bv) dv.map(k -> _)
+          else if (dv == bv || sv == dv) sv.map(k -> _)
+          else throw new MergeConflictException(s"view $k changed on both sides")
+        }.toMap
         val msg = if (message.nonEmpty) message else s"merge $srcBranch into $dstBranch"
-        val c = writeCommit(Seq(dstCid, srcCid), msg, merged, mergedNs)
+        val c = writeCommit(Seq(dstCid, srcCid), msg, merged, mergedNs, mergedViews)
         casRef(dstBranch, dstV, c.id)
         return c
       } catch {
@@ -364,7 +399,19 @@ final class GraftRepo private (val root: Path) {
   def revert(branch: String, toRef: String, message: String = ""): Commit = {
     val target = resolve(toRef)
     val msg = if (message.nonEmpty) message else s"revert $branch to ${target.id}"
-    commitRetry(branch, msg)(_ => (target.tables, target.namespaces))
+    // views restore to the TARGET's view map too (commitRetry would
+    // carry the head's forward)
+    var attempts = 0
+    while (true) {
+      val (v, hid) = head(branch)
+      try return commitAt(branch, v, Seq(hid), msg, target.tables,
+        target.namespaces, target.viewMap)
+      catch {
+        case e: CommitConflictException =>
+          attempts += 1; if (attempts >= 10) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Expire version metadata unreachable from every branch/tag head

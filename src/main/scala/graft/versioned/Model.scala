@@ -160,13 +160,34 @@ final case class Snapshot(
   * `tables` maps "db/table" -> snapshot id; `namespaces` maps db ->
   * properties. Branch = chain of commits; merge commits have 2 parents.
   */
+/** A versioned SQL view definition, stored IN the commit like a table
+  * pointer: branch create copies it for free, merge three-ways it, and
+  * reading a branch resolves the view against that branch's state.
+  * `namespace` records the creation-time resolution context; the BRANCH
+  * segment is rebound to the reading branch at load, so a view written
+  * with relative table references follows the branch it is read on
+  * (fully-qualified references stay pinned — the author's choice).
+  */
+final case class ViewDef(
+    sql: String,
+    catalog: String,
+    namespace: Seq[String],
+    schemaJson: String,
+    queryColumnNames: Seq[String] = Nil,
+    columnAliases: Seq[String] = Nil,
+    columnComments: Seq[String] = Nil,
+    properties: Map[String, String] = Map.empty)
+
 final case class Commit(
     id: String,
     parents: Seq[String],
     ts: Long,
     message: String,
     tables: Map[String, String],
-    namespaces: Map[String, Map[String, String]])
+    namespaces: Map[String, Map[String, String]],
+    views: Option[Map[String, ViewDef]] = None) {
+  def viewMap: Map[String, ViewDef] = Option(views).flatten.getOrElse(Map.empty)
+}
 
 /** Commit was rejected because the branch head moved (stale base). */
 final class CommitConflictException(msg: String) extends RuntimeException(msg)

@@ -714,7 +714,8 @@ object TableOps {
     * source against pruned files is the common fast path.
     */
   def upsert(spark: SparkSession, repo: GraftRepo, branch: String, key: String,
-      source: DataFrame, keyCols: Seq[String], maxEnumeratedKeys: Int = 10000): Unit = {
+      source: DataFrame, keyCols: Seq[String], maxEnumeratedKeys: Int = 10000,
+      extraProps: Map[String, String] = Map.empty): Unit = {
     val src = source.cache()
     val enumerable: Option[Seq[sources.Filter]] =
       if (keyCols.size == 1 && src.count() <= maxEnumeratedKeys) {
@@ -749,7 +750,7 @@ object TableOps {
       val newSnap = repo.writeSnapshot(key, snap.schemaJson,
         (untouched ++ (rewritten ++ appended).map(_.copy(seq = Some(next)))),
         snap.partitionBy, snap.physicalNames,
-        Some(props), snap.retired)
+        Some(props ++ extraProps), snap.retired)
       (base.tables + (key -> newSnap.id), base.namespaces)
     }
     src.unpersist()

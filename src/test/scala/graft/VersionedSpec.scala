@@ -1433,6 +1433,108 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     cs.length should be >= 3
   }
 
+  test("materialized views: incremental refresh reads only the appended " +
+    "delta; deletes trigger full recompute; refresh is crash-safe") {
+    import graft.versioned.MaterializedView
+    setupRepo("rmv")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rmv"))
+    MaterializedView.create(spark, repo, "main", "db/t", "db/t_mv",
+      Seq("name"), Seq(("count", "id", "n"), ("sum", "id", "id_sum"),
+        ("max", "id", "id_max")))
+    def mv(): Map[String, (Long, Long, Int)] =
+      rows("SELECT name, n, id_sum, id_max FROM g.rmv.main.db.t_mv")
+        .map(r => r.head.toString ->
+          (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long],
+            r(3).asInstanceOf[Int])).toMap
+    mv()("name_3") shouldBe (1L, 3L, 3)
+    // append two rows (one existing group, one new) → incremental
+    sql("INSERT INTO g.rmv.main.db.t VALUES (30, 'name_3'), (99, 'name_new')")
+    MaterializedView.refresh(spark, repo, "main", "db/t_mv") shouldBe "incremental"
+    mv()("name_3") shouldBe (2L, 33L, 30)
+    mv()("name_new") shouldBe (1L, 99L, 99)
+    mv()("name_5") shouldBe (1L, 5L, 5) // untouched group untouched
+    // nothing new → noop, watermark still advances
+    MaterializedView.refresh(spark, repo, "main", "db/t_mv") shouldBe "noop"
+    // a DELETE on the source breaks append-only → full recompute
+    sql("DELETE FROM g.rmv.main.db.t WHERE id = 30")
+    MaterializedView.refresh(spark, repo, "main", "db/t_mv") shouldBe "full"
+    mv()("name_3") shouldBe (1L, 3L, 3)
+    // and the MV always equals the from-scratch aggregate
+    val expect = rows("SELECT name, count(*), sum(id), max(id) " +
+      "FROM g.rmv.main.db.t GROUP BY name")
+      .map(r => r.head.toString ->
+        (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long],
+          r(3).asInstanceOf[Int])).toMap
+    mv() shouldBe expect
+  }
+
+  test("versioned views: commit-stored definitions, branch-relative " +
+    "resolution, rename and drop") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+    setupRepo("rvw")
+    val cat = graft.catalog.GraftViews.viewCatalog(spark, "g")
+    val ident = Identifier.of(Array("rvw", "main", "db"), "big")
+    val viewSql = "SELECT id, name FROM t WHERE id > 4"
+    val schema = sql("SELECT id, name FROM g.rvw.main.db.t WHERE id > 4").schema
+    cat.createView(new ViewInfo(ident, viewSql, "g",
+      Array("rvw", "main", "db"), schema,
+      Array("id", "name"), Array.empty, Array.empty,
+      java.util.Map.of("comment", "ids above four")))
+    // the definition is commit state: a NEW branch sees it zero-copy
+    sql("CREATE NAMESPACE g.rvw.dev")
+    graft.catalog.GraftViews.select(spark, "g.rvw.dev.db.big")
+      .collect().map(_.getInt(0)).sorted shouldBe Array(5, 6, 7, 8)
+    // branch-relative: the view text's relative `t` follows the branch
+    sql("DELETE FROM g.rvw.dev.db.t WHERE id = 6")
+    graft.catalog.GraftViews.select(spark, "g.rvw.dev.db.big")
+      .collect().map(_.getInt(0)).sorted shouldBe Array(5, 7, 8)
+    graft.catalog.GraftViews.select(spark, "g.rvw.main.db.big")
+      .collect().map(_.getInt(0)).sorted shouldBe Array(5, 6, 7, 8)
+    // listViews / viewExists / properties surface
+    cat.listViews("rvw", "main", "db").map(_.name()) shouldBe Array("big")
+    cat.viewExists(ident) shouldBe true
+    cat.loadView(ident).properties().get("comment") shouldBe "ids above four"
+    // alter properties is a commit
+    cat.alterView(ident,
+      org.apache.spark.sql.connector.catalog.ViewChange.setProperty("owner2", "me"))
+    cat.loadView(ident).properties().get("owner2") shouldBe "me"
+    // rename within the namespace, then drop
+    cat.renameView(ident, Identifier.of(Array("rvw", "main", "db"), "big2"))
+    cat.viewExists(ident) shouldBe false
+    cat.dropView(Identifier.of(Array("rvw", "main", "db"), "big2")) shouldBe true
+    cat.listViews("rvw", "main", "db") shouldBe empty
+    // a view can't collide with a table and vice versa
+    an[Exception] should be thrownBy cat.createView(new ViewInfo(
+      Identifier.of(Array("rvw", "main", "db"), "t"), "SELECT 1", "g",
+      Array("rvw", "main", "db"), schema,
+      Array.empty, Array.empty, Array.empty, java.util.Map.of()))
+  }
+
+  test("versioned views: created on a branch, merged into main; " +
+    "both-sides edits conflict") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+    setupRepo("rvw2")
+    sql("CREATE NAMESPACE g.rvw2.dev")
+    val cat = graft.catalog.GraftViews.viewCatalog(spark, "g")
+    val schema = sql("SELECT id FROM g.rvw2.main.db.t").schema
+    def mkView(branch: String, name: String, text: String): Unit =
+      cat.createView(new ViewInfo(
+        Identifier.of(Array("rvw2", branch, "db"), name), text, "g",
+        Array("rvw2", branch, "db"), schema,
+        Array("id"), Array.empty, Array.empty, java.util.Map.of()))
+    mkView("dev", "small", "SELECT id FROM t WHERE id < 3")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rvw2"))
+    repo.merge("dev", "main")
+    graft.catalog.GraftViews.select(spark, "g.rvw2.main.db.small")
+      .collect().map(_.getInt(0)).sorted shouldBe Array(1, 2)
+    // same view key created differently on both sides → merge conflict
+    mkView("dev", "clash", "SELECT id FROM t WHERE id < 4")
+    mkView("main", "clash", "SELECT id FROM t WHERE id < 5")
+    a[MergeConflictException] should be thrownBy repo.merge("dev", "main")
+  }
+
   test("merge: both branches appended to the same table → row-level " +
     "3-way merge unions the appends") {
     setupRepo("rmrg1")
