@@ -156,9 +156,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     graftView(ident, vd)
   }
 
+  /** Shared shape/existence validation: every ViewCatalog entry point
+    * reports a malformed identifier or a missing branch as
+    * NoSuchViewException, never an index error or raw IO failure.
+    */
+  private def viewRepo(ident: Identifier): GraftRepo = {
+    val ns = ident.namespace()
+    if (ns.length != 3 || !repoExists(ns(0)))
+      throw new NoSuchViewException(ident)
+    val g = repo(ns)
+    if (!g.branchExists(ns(1))) throw new NoSuchViewException(ident)
+    g
+  }
+
   override def alterView(ident: Identifier, changes: ViewChange*): View = {
     val ns = ident.namespace()
-    val g = repo(ns)
+    val g = viewRepo(ident)
     val key = viewKey(ident)
     val committed = g.commitRetryViews(ns(1), s"alter view $key") { base =>
       val vd = base.viewMap.getOrElse(key, throw new NoSuchViewException(ident))
@@ -189,7 +202,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!ns.sameElements(newIdent.namespace()))
       throw new UnsupportedOperationException(
         "renaming a view across namespaces is not supported")
-    val g = repo(ns)
+    val g = viewRepo(oldIdent)
     val oldKey = viewKey(oldIdent); val newKey = viewKey(newIdent)
     g.commitRetryViews(ns(1), s"rename view $oldKey -> $newKey") { base =>
       val vd = base.viewMap.getOrElse(oldKey,

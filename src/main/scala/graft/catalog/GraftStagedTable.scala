@@ -74,6 +74,10 @@ private[catalog] final class GraftStagedTable(
       val exists = base.tables.contains(key)
       if (mode == "create" && exists) throw new TableAlreadyExistsException(ident)
       if (mode == "replace" && !exists) throw new NoSuchTableException(ident)
+      // the table/view namespace is shared: CTAS must not shadow a view
+      // (same invariant as createTable/createView)
+      if (base.viewMap.contains(key))
+        throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
       val snap = g.writeSnapshot(key, schemaJson, staged,
         if (spec.isEmpty) None else Some(spec),
         None,

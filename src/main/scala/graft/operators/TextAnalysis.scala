@@ -239,6 +239,9 @@ object TextAnalysis {
       .agg(concat_ws(" ",
         expr("transform(array_sort(collect_list(struct(pos, wd))), x -> x.wd)"))
         .as("span"))
+      // feeds the dup count AND the join's left side — materialize once
+      // (scan + explode + span-assembly shuffle would otherwise run twice)
+      .localCheckpoint()
     val dups = spans
       .groupBy(col("span"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))

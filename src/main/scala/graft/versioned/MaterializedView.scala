@@ -44,11 +44,19 @@ object MaterializedView {
       s"aggregate $other is not incrementally maintainable (use sum/count/min/max)")
   }
 
-  /** How an existing MV value combines with a delta value. */
+  /** How an existing MV value combines with a delta value. NULL handling
+    * must mirror a full recompute: sum ignores NULL inputs (a delta
+    * batch whose values for a group are all NULL must not null the
+    * running sum), but a group that has ONLY ever seen NULLs stays NULL.
+    * least/greatest already skip NULL operands.
+    */
   private def combine(fn: String, existing: Column, delta: Column): Column = fn match {
-    case "sum" | "count" => coalesce(existing, lit(0L)) + delta
-    case "min" => least(coalesce(existing, delta), delta)
-    case "max" => greatest(coalesce(existing, delta), delta)
+    case "count" => coalesce(existing, lit(0L)) + delta
+    case "sum" =>
+      when(existing.isNull && delta.isNull, lit(null))
+        .otherwise(coalesce(existing, lit(0L)) + coalesce(delta, lit(0L)))
+    case "min" => least(existing, delta)
+    case "max" => greatest(existing, delta)
     case other => throw new IllegalArgumentException(other)
   }
 
@@ -63,6 +71,25 @@ object MaterializedView {
     s.split(';').toIndexedSeq.map { e =>
       val Array(f, sc, o) = e.split(':'); (f, sc, o)
     }
+
+  /** Full recompute + publish with the new watermark (create's sibling,
+    * also the fallback when incremental maintenance isn't sound).
+    */
+  private def refreshFull(spark: SparkSession, repo: GraftRepo,
+      branch: String, mvKey: String, head: Commit, curSnap: Snapshot,
+      groupCols: Seq[String], aggs: Seq[Agg]): String = {
+    val full = aggregate(TableOps.readSnapshot(spark, repo, curSnap),
+      groupCols, aggs)
+    val files = TableOps.writeFiles(spark, repo, full, mvKey)
+    repo.commitRetry(branch, s"refresh mv $mvKey (full)") { base =>
+      val cur = repo.snapshot(base.tables(mvKey))
+      val snap = repo.writeSnapshot(mvKey, cur.schemaJson, files,
+        cur.partitionBy, cur.physicalNames,
+        Some(cur.properties + (SinceProp -> head.id)), cur.retired)
+      (base.tables + (mvKey -> snap.id), base.namespaces)
+    }
+    "full"
+  }
 
   /** Full-compute + create the MV table in one commit, watermarked at
     * the commit whose source state was read.
@@ -91,6 +118,12 @@ object MaterializedView {
   /** Refresh. Returns the mode taken: "incremental" (delta merged),
     * "full" (source had non-append changes → recompute), or "noop"
     * (nothing new; watermark advanced).
+    *
+    * Run ONE refresher per MV at a time (the usual scheduler contract):
+    * a refresh is crash-safe and re-runnable, but two CONCURRENT
+    * refreshes race between reading the MV state and publishing, and
+    * the optimistic rebase can't detect that the other's combined rows
+    * were computed against a stale MV snapshot.
     */
   def refresh(spark: SparkSession, repo: GraftRepo, branch: String,
       mvKey: String): String = {
@@ -104,12 +137,15 @@ object MaterializedView {
     val aggs = decodeAggs(props(AggProp))
     val curSnap = repo.snapshot(head.tables.getOrElse(srcKey,
       throw new NoSuchElementException(s"mv source dropped: $srcKey")))
-    val oldSnap = repo.resolve(since).tables.get(srcKey).map(repo.snapshot)
+    // the watermark commit can be GONE (expire_snapshots GC'd it):
+    // unresolvable watermark → full recompute, never a bricked MV
+    val oldSnap = scala.util.Try(repo.resolve(since)).toOption
+      .flatMap(_.tables.get(srcKey)).map(repo.snapshot)
     val oldPaths = oldSnap.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
-    val appendOnly =
+    val appendOnly = oldSnap.isDefined &&
       oldPaths.subsetOf(curSnap.files.map(_.path).toSet) &&
-        oldSnap.map(Tombstones.signature).getOrElse(Set.empty) ==
-          Tombstones.signature(curSnap)
+      oldSnap.map(Tombstones.signature).getOrElse(Set.empty) ==
+        Tombstones.signature(curSnap)
     def bumpWatermark(mode: String): String = {
       repo.commitRetry(branch, s"refresh mv $mvKey ($mode)") { base =>
         val cur = repo.snapshot(base.tables(mvKey))
@@ -122,22 +158,20 @@ object MaterializedView {
     }
     if (!appendOnly) {
       // deletes/rewrites/tombstones since the watermark: recompute
-      val full = aggregate(TableOps.readSnapshot(spark, repo, curSnap),
-        groupCols, aggs)
-      val files = TableOps.writeFiles(spark, repo, full, mvKey)
-      repo.commitRetry(branch, s"refresh mv $mvKey (full)") { base =>
-        val cur = repo.snapshot(base.tables(mvKey))
-        val snap = repo.writeSnapshot(mvKey, cur.schemaJson, files,
-          cur.partitionBy, cur.physicalNames,
-          Some(cur.properties + (SinceProp -> head.id)), cur.retired)
-        (base.tables + (mvKey -> snap.id), base.namespaces)
-      }
-      "full"
+      refreshFull(spark, repo, branch, mvKey, head, curSnap, groupCols, aggs)
     } else {
       val delta = TableOps.appendsBetween(spark, repo, since, head.id, srcKey)
       if (delta.isEmpty) bumpWatermark("noop")
       else {
-        val deltaAgg = aggregate(delta, groupCols, aggs)
+        val deltaAgg = aggregate(delta, groupCols, aggs).localCheckpoint()
+        // NULL group keys break the equality join below AND upsert's key
+        // match (SQL equality never matches NULL): recompute instead of
+        // silently duplicating the NULL group's row. deltaAgg is tiny.
+        val nullGroup = deltaAgg
+          .filter(groupCols.map(col(_).isNull).reduce(_ || _))
+          .limit(1).count() > 0
+        if (nullGroup) return refreshFull(spark, repo, branch, mvKey, head,
+          curSnap, groupCols, aggs)
         val mvDf = TableOps.readSnapshot(spark, repo, mvSnap)
         // delta groups join their existing MV row (left: new groups get
         // nulls → combine() seeds them); untouched groups never move

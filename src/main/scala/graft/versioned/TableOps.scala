@@ -24,6 +24,16 @@ object TableOps {
     case _ => false
   }
 
+  /** Per-file long-valued stats (null counts / NDVs) out of one stats
+    * row, keyed `<prefix>:<col>` — shared by both write-side stat
+    * collection passes.
+    */
+  private def longStatsOf(r: Row, schema: StructType, prefix: String): Map[String, Long] =
+    schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
+      Option(r.getAs[Any](s"$prefix:${f.name}"))
+        .map(v => f.name -> v.asInstanceOf[Number].longValue())
+    }.toMap
+
   // ---- logical <-> physical column names (RENAME COLUMN support) -------
 
   /** Schema with logical names replaced by their physical (as-written)
@@ -164,11 +174,6 @@ object TableOps {
         schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
           Option(r.getAs[String](s"$prefix:${f.name}")).map(f.name -> _)
         }.toMap
-      def longStats(prefix: String): Map[String, Long] =
-        schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
-          Option(r.getAs[Any](s"$prefix:${f.name}"))
-            .map(v => f.name -> v.asInstanceOf[Number].longValue())
-        }.toMap
       val pvals =
         if (spec.isEmpty) None else Some(Partitioning.valuesFromPath(rel))
       val sidecar = blooms.flatMap(c =>
@@ -177,7 +182,8 @@ object TableOps {
       FileEntry(rel, r.getAs[Long]("__rows"), stats("min"), stats("max"), pvals,
         Some(Files.size(java.nio.file.Paths.get(file))),
         bloomCols = if (sidecar.isEmpty) None else Some(sidecar.keys.toSeq.sorted),
-        nulls = Some(longStats("nulls")), ndv = Some(longStats("ndv")))
+        nulls = Some(longStatsOf(r, schema, "nulls")),
+        ndv = Some(longStatsOf(r, schema, "ndv")))
     }
   }
 
@@ -208,14 +214,10 @@ object TableOps {
           schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
             Option(r.getAs[String](s"$prefix:${f.name}")).map(f.name -> _)
           }.toMap
-        def longStats(prefix: String): Map[String, Long] =
-          schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
-            Option(r.getAs[Any](s"$prefix:${f.name}"))
-              .map(v => f.name -> v.asInstanceOf[Number].longValue())
-          }.toMap
         FileEntry(rel, r.getAs[Long]("__rows"), stats("min"), stats("max"),
           None, Some(Files.size(java.nio.file.Paths.get(file))),
-          nulls = Some(longStats("nulls")), ndv = Some(longStats("ndv")))
+          nulls = Some(longStatsOf(r, schema, "nulls")),
+          ndv = Some(longStatsOf(r, schema, "ndv")))
       }
   }
 
@@ -1121,8 +1123,6 @@ object TableOps {
     val schema = (sTo orElse sFrom).map(s =>
       DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
       .getOrElse(throw new NoSuchElementException(s"no such table: $key"))
-    val out = schema.add("_change_type", StringType, nullable = false)
-    def empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], out)
     for (a <- sFrom; b <- sTo)
       if (a.schemaJson != b.schemaJson)
         throw new UnsupportedOperationException(

@@ -1443,7 +1443,8 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       Seq("name"), Seq(("count", "id", "n"), ("sum", "id", "id_sum"),
         ("max", "id", "id_max")))
     def mv(): Map[String, (Long, Long, Int)] =
-      rows("SELECT name, n, id_sum, id_max FROM g.rmv.main.db.t_mv")
+      rows("SELECT name, n, id_sum, id_max FROM g.rmv.main.db.t_mv " +
+        "WHERE name IS NOT NULL")
         .map(r => r.head.toString ->
           (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long],
             r(3).asInstanceOf[Int])).toMap
@@ -1460,13 +1461,57 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     sql("DELETE FROM g.rmv.main.db.t WHERE id = 30")
     MaterializedView.refresh(spark, repo, "main", "db/t_mv") shouldBe "full"
     mv()("name_3") shouldBe (1L, 3L, 3)
+    // an all-NULL delta for a group must not null its running sum
+    // (sum ignores NULL inputs, as in a full recompute)
+    sql("INSERT INTO g.rmv.main.db.t VALUES (NULL, 'name_3')")
+    MaterializedView.refresh(spark, repo, "main", "db/t_mv") shouldBe "incremental"
+    mv()("name_3") shouldBe (2L, 3L, 3)
+    // a NULL group KEY can't ride the equality joins — refresh detects
+    // it and recomputes rather than duplicating the NULL group's row
+    sql("INSERT INTO g.rmv.main.db.t VALUES (77, NULL)")
+    MaterializedView.refresh(spark, repo, "main", "db/t_mv") shouldBe "full"
+    rows("SELECT n, id_sum FROM g.rmv.main.db.t_mv WHERE name IS NULL") shouldBe
+      Seq(Seq(1L, 77L))
     // and the MV always equals the from-scratch aggregate
     val expect = rows("SELECT name, count(*), sum(id), max(id) " +
-      "FROM g.rmv.main.db.t GROUP BY name")
+      "FROM g.rmv.main.db.t WHERE name IS NOT NULL GROUP BY name")
       .map(r => r.head.toString ->
         (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long],
           r(3).asInstanceOf[Int])).toMap
     mv() shouldBe expect
+  }
+
+  test("streaming ingest keeps a materialized view fresh: sink commit + " +
+    "incremental MV refresh per micro-batch") {
+    import graft.versioned.MaterializedView
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft-smv")
+    val repo = GraftRepo.init(root)
+    import spark.implicits._
+    TableOps.insert(spark, repo, "main", "db/ev",
+      Seq((1, "a"), (2, "b")).toDF("id", "cat"), overwrite = false)
+    MaterializedView.create(spark, repo, "main", "db/ev", "db/ev_mv",
+      Seq("cat"), Seq(("count", "id", "n"), ("sum", "id", "id_sum")))
+    val modes = scala.collection.mutable.ArrayBuffer[String]()
+    val in = MemoryStream[(Int, String)](spark)
+    val q = in.toDF().toDF("id", "cat").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        TableOps.streamingAppend(repo, "main", "db/ev")(df.toDF(), id)
+        modes += MaterializedView.refresh(spark, repo, "main", "db/ev_mv")
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-smv-ckpt").toString)
+      .start()
+    try {
+      in.addData((3, "a"), (10, "c")); q.processAllAvailable()
+      in.addData((4, "a")); q.processAllAvailable()
+    } finally q.stop()
+    modes.toSeq shouldBe Seq("incremental", "incremental")
+    val mv = TableOps.readSnapshot(spark, repo,
+      repo.snapshot(repo.headCommit("main").tables("db/ev_mv")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    mv shouldBe Map("a" -> (3L, 8L), "b" -> (1L, 2L), "c" -> (1L, 10L))
   }
 
   test("versioned views: commit-stored definitions, branch-relative " +
