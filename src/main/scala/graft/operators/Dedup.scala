@@ -187,7 +187,7 @@ object Dedup {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
       .filter(col("rn") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
-      .select(col("tok"), col("doc_id"), col("sz"))
+      .select(col("tok"), col("doc_id"), col("sz"), col("rn"))
       .repartition(par, col("tok"))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
@@ -195,7 +195,16 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id") &&
           // J ≥ t ⟹ t·max(|a|,|b|) ≤ min(|a|,|b|)
           lit(t) * greatest(col("a.sz"), col("b.sz")) <=
-            least(col("a.sz"), col("b.sz")))
+            least(col("a.sz"), col("b.sz")) &&
+          // PPJoin positional filter: a token matched at ranks (ra, rb)
+          // caps the achievable overlap at 1 + min(sa-ra, sb-rb), which
+          // must reach the J ≥ t overlap requirement
+          // ceil(t/(1+t)·(sa+sb)). Recall-safe: for a true pair the
+          // FIRST shared token (provably inside both prefixes) always
+          // passes; later shared tokens may be pruned, which only
+          // thins duplicate emissions of the same pair.
+          lit(1) + least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn")) >=
+            ceil(lit(t) / (1 + t) * (col("a.sz") + col("b.sz"))))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     val w = docs.select(col("doc_id"), col("ws"))
