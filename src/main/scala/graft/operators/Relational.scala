@@ -505,6 +505,23 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // ---- q37: approximate quantile sketch (rows-only gate) -------------------
+    // The t-digest-family counterpart to q24's HLL: approx_percentile
+    // merges per-partition sketches (one map-side pass + tiny shuffle)
+    // where q21's EXACT percentile must shuffle the whole column per
+    // group — the only viable quantile at 100 TB. Accuracy vs the exact
+    // answers is spec-gated (RelationalSpec); the sketch itself is
+    // engine-specific, hence no DuckDB oracle.
+    Q.rowsOnly("q37_approx_quantile") { (s, d) =>
+      T.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95), 10000)")
+            .as("price_quantiles"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("qty_median"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // ---- q25: global sort + limit (top-k) ------------------------------------
     Q(
       "q25_topk",

@@ -101,6 +101,29 @@ class RelationalSpec extends AnyFunSuite
       Set((1L, 10L, "r8"), (1L, 25L, "-"), (2L, 5L, "-"))
   }
 
+  test("q37 approx quantiles land within 1% relative error of the " +
+    "exact percentiles") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q37_approx_quantile")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1), r.getDouble(2))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))")
+          .as("pq"),
+        expr("percentile(l_quantity, 0.5)").as("qm"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1), r.getDouble(2))).toMap
+    exact.keys.foreach { k =>
+      val (aq, am) = approx(k); val (eq, em) = exact(k)
+      aq.zip(eq).foreach { case (a, e) =>
+        math.abs(a - e) / e should be < 0.01
+      }
+      math.abs(am - em) / em should be < 0.01
+    }
+  }
+
   test("as-of join attaches the latest preceding order") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("q22_asof_join")(spark, sf)
