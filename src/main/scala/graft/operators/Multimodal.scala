@@ -152,6 +152,53 @@ object Multimodal {
         .select(col("doc_id"), col("byte_len"), col("stride"), col("resized_len"))
         .orderBy(col("doc_id"))
     },
+    // Audio chunking: segment each audio payload into fixed-duration
+    // windows (10 ms at the stream's sample rate) — the shard unit an
+    // ASR/embedding stage consumes. Sample metadata is derived
+    // deterministically from payload bytes (1 byte = 1 sample stand-in;
+    // rate ∈ {8,12,16} kHz from length), so chunk boundaries are pure
+    // integer arithmetic and the WHOLE plan — per-chunk start/length +
+    // signature — is DuckDB-oracle-checked. The chunk explode pipelines
+    // inside the scan stage (no shuffle); a real pipeline swaps only the
+    // per-chunk kernel, exactly like decode/resize.
+    Q(
+      "mm_audiochunk",
+      """WITH a AS (
+        |  SELECT doc_id,
+        |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_samples,
+        |         8000 + (octet_length(CAST(text AS BLOB)) % 3) * 4000 AS sample_rate
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |c AS (SELECT doc_id, n_samples, CAST(sample_rate AS INTEGER) AS sample_rate,
+        |             CAST(sample_rate // 100 AS BIGINT) AS chunk_len
+        |      FROM a)
+        |SELECT doc_id, sample_rate, CAST(idx AS BIGINT) AS chunk_idx,
+        |       CAST(idx * chunk_len AS BIGINT) AS start_sample,
+        |       CAST(LEAST(chunk_len, n_samples - idx * chunk_len) AS BIGINT) AS chunk_samples,
+        |       md5(doc_id || '#' || idx) AS chunk_sig
+        |FROM (SELECT *, unnest(range(0, (n_samples + chunk_len - 1) // chunk_len)) AS idx
+        |      FROM c)
+        |ORDER BY doc_id, chunk_idx""".stripMargin
+    ) { (s, d) =>
+      mediaTable(s, d).filter(col("format") === "audio")
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("n_samples"))
+        .withColumn("sample_rate",
+          (lit(8000) + pmod(col("n_samples"), lit(3)) * 4000).cast("int"))
+        .withColumn("chunk_len", (col("sample_rate") / 100).cast("long"))
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"), col("chunk_len"),
+          // integral div (not /, which is double division on longs and
+          // can over-count chunks vs the oracle's // semantics)
+          explode(sequence(lit(0L),
+            expr("(n_samples + chunk_len - 1) div chunk_len") - 1,
+            lit(1L))).as("chunk_idx"))
+        .select(col("doc_id"), col("sample_rate"), col("chunk_idx"),
+          (col("chunk_idx") * col("chunk_len")).as("start_sample"),
+          least(col("chunk_len"),
+            col("n_samples") - col("chunk_idx") * col("chunk_len")).as("chunk_samples"),
+          md5(concat(col("doc_id").cast("string"), lit("#"),
+            col("chunk_idx").cast("string"))).as("chunk_sig"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
     // Frame sampling over the decoded video rows: every 5th frame index
     // explodes to one row (generate pipelines inside the decode stage —
     // no shuffle), each sampled frame gets a deterministic signature
