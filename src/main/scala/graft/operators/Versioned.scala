@@ -136,6 +136,48 @@ object Versioned {
       .orderBy(col("_change_type"), col("n_nationkey"))
   }
 
+  /** Multi-table ATOMIC append: nation and region rows land in ONE
+    * commit; the read joins both tables from that single published
+    * state (no partial cross-table visibility ever existed).
+    */
+  private def txnRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    val region = T.region(s, d)
+    s.sql(s"CREATE TABLE $cat.r.main.db.region (${region.schema.toDDL})")
+    region.writeTo(s"$cat.r.main.db.region").append()
+    val pre = s.sql(s"SELECT count(*) FROM $cat.r.main.db.nation.history").head().getLong(0)
+    TableOps.atomicAppend(s, repo, "main", Seq(
+      "db/nation" -> s.sql(
+        s"SELECT n_nationkey + 500 AS n_nationkey, n_name, n_regionkey " +
+          s"FROM $cat.r.main.db.nation WHERE n_nationkey < 3"),
+      "db/region" -> s.sql(
+        s"SELECT r_regionkey + 500 AS r_regionkey, r_name " +
+          s"FROM $cat.r.main.db.region WHERE r_regionkey < 2")))
+    val post = s.sql(s"SELECT count(*) FROM $cat.r.main.db.nation.history").head().getLong(0)
+    require(post == pre + 1, s"expected ONE commit, got ${post - pre}")
+    s.sql(
+      s"""SELECT n.n_nationkey, n.n_name, r.r_regionkey, r.r_name
+         |FROM $cat.r.main.db.nation n JOIN $cat.r.main.db.region r
+         |  ON n.n_regionkey = r.r_regionkey
+         |ORDER BY n.n_nationkey, r.r_regionkey""".stripMargin)
+  }
+
+  /** Row-level append-union merge: BOTH branches append to nation, the
+    * merge unions both sides' new files instead of conflicting.
+    */
+  private def mergeUnionRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    s.sql(s"INSERT INTO $cat.r.main.db.nation " +
+      s"SELECT n_nationkey + 200, n_name, n_regionkey " +
+      s"FROM $cat.r.dev.db.nation WHERE n_nationkey < 2")
+    s.sql(s"INSERT INTO $cat.r.dev.db.nation " +
+      s"SELECT n_nationkey + 300, n_name, n_regionkey " +
+      s"FROM $cat.r.dev.db.nation WHERE n_nationkey < 3")
+    repo.merge("dev", "main")
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
+  }
+
   /** Materialized view with INCREMENTAL refresh: full-compute at
     * create, append rows, refresh — the refresh reads only the appended
     * delta files (never rescans the source), combines with affected MV
@@ -378,6 +420,34 @@ object Versioned {
       "vc_read_branch",
       "SELECT * FROM nation ORDER BY n_nationkey"
     )(readBranch),
+    Q(
+      "vc_txn_read",
+      """SELECT n.n_nationkey, n.n_name, r.r_regionkey, r.r_name
+        |FROM (
+        |  SELECT * FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 500, n_name, n_regionkey FROM nation
+        |  WHERE n_nationkey < 3
+        |) n
+        |JOIN (
+        |  SELECT * FROM region
+        |  UNION ALL
+        |  SELECT r_regionkey + 500, r_name FROM region WHERE r_regionkey < 2
+        |) r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY n.n_nationkey, r.r_regionkey""".stripMargin
+    )(txnRead),
+    Q(
+      "vc_merge_union_read",
+      """SELECT n_nationkey, n_name, n_regionkey FROM (
+        |  SELECT * FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 200, n_name, n_regionkey FROM nation
+        |  WHERE n_nationkey < 2
+        |  UNION ALL
+        |  SELECT n_nationkey + 300, n_name, n_regionkey FROM nation
+        |  WHERE n_nationkey < 3
+        |) ORDER BY n_nationkey""".stripMargin
+    )(mergeUnionRead),
     Q(
       "vc_mv_read",
       """SELECT n_regionkey, count(*) AS n_nations,

@@ -1072,7 +1072,19 @@ object TableOps {
         Blooms.physCols(s, toPhysical(
           DataType.fromJson(s.schemaJson).asInstanceOf[StructType], mapping)))
         .getOrElse(Nil)
-      key -> writeFiles(spark, repo, df, key, spec, mapping,
+      // align source columns to the table schema BY NAME (the check SQL
+      // INSERT gets from the analyzer): a stray/misnamed column — e.g.
+      // an unaliased `x + 1` — would otherwise be written under its
+      // expression name and read back as NULL
+      val aligned = head.map { s =>
+        val names = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+          .fieldNames.toIndexedSeq
+        require(df.columns.toSet == names.toSet,
+          s"atomicAppend column mismatch for $key: " +
+            s"expected ${names.mkString(",")}, got ${df.columns.mkString(",")}")
+        df.select(names.map(col): _*)
+      }.getOrElse(df)
+      key -> writeFiles(spark, repo, aligned, key, spec, mapping,
         bloomCols = blooms,
         bloomItems = head.map(Blooms.items).getOrElse(Blooms.DefaultItems))
     }
