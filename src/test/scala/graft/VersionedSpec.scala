@@ -1556,6 +1556,43 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       Array.empty, Array.empty, Array.empty, java.util.Map.of()))
   }
 
+  test("concurrent table inserts and view creates: neither commit path " +
+    "drops the other's state (views carry through table rebases)") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+    setupRepo("rcvc")
+    val cat = graft.catalog.GraftViews.viewCatalog(spark, "g")
+    val schema = sql("SELECT id FROM g.rcvc.main.db.t").schema
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def run(body: => Unit): java.util.concurrent.Future[_] =
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try body catch { case t: Throwable => errs.add(t) }
+      })
+    val fs =
+      (0 until 2).map(i => run {
+        (0 until 3).foreach(j =>
+          sql(s"INSERT INTO g.rcvc.main.db.t VALUES (${100 + i * 10 + j}, 'w$i$j')"))
+      }) ++
+        (0 until 2).map(i => run {
+          (0 until 3).foreach(j =>
+            cat.createView(new ViewInfo(
+              Identifier.of(Array("rcvc", "main", "db"), s"v_${i}_$j"),
+              s"SELECT id FROM t WHERE id > ${i * 10 + j}", "g",
+              Array("rcvc", "main", "db"), schema,
+              Array("id"), Array.empty, Array.empty, java.util.Map.of())))
+        })
+    fs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    errs.toArray.headOption.foreach(t => fail(t.asInstanceOf[Throwable]))
+    // every insert landed...
+    rows("SELECT count(*) FROM g.rcvc.main.db.t WHERE id >= 100")
+      .flatten shouldBe Seq(6L)
+    // ...and every view, despite racing table commits in between
+    cat.listViews("rcvc", "main", "db").map(_.name()).sorted shouldBe
+      Array("v_0_0", "v_0_1", "v_0_2", "v_1_0", "v_1_1", "v_1_2")
+  }
+
   test("versioned views: created on a branch, merged into main; " +
     "both-sides edits conflict") {
     import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
