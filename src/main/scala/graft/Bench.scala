@@ -33,7 +33,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // stdout tail-capture can truncate the per-query map (BENCH_r03 lost
+    // 24 queries) — the file is the durable copy of the same line
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_results.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

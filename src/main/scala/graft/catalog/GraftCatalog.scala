@@ -1,6 +1,6 @@
 package graft.catalog
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Path, Paths}
 import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.versioned.{GraftRepo, TableOps}
+import graft.versioned.{GraftIO, GraftRepo, LocalGraftIO, TableOps}
 
 /** Spark TableCatalog over graft repos: identifiers are
   * `<catalog>.<repo>.<branch>.<db>.<table>`, the same addressing scheme
@@ -39,12 +39,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private var catalogName: String = _
   private var root: Path = _
+  // the storage seam every repo opened by this catalog uses; swap for an
+  // object-store GraftIO when the root isn't a local path (GraftIO docs
+  // spell out the set-if-absent contract a backend must supply)
+  protected val io: GraftIO = LocalGraftIO.instance
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     root = Paths.get(Option(options.get("root")).getOrElse(
       sys.props("java.io.tmpdir") + s"/graft-$name"))
-    Files.createDirectories(root)
+    io.mkdirs(root)
   }
 
   override def name(): String = catalogName
@@ -63,10 +67,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   private def repoPath(repo: String): Path = root.resolve(repo)
-  private def repoExists(repo: String): Boolean = GraftRepo.exists(repoPath(repo))
+  private def repoExists(repo: String): Boolean =
+    GraftRepo.exists(repoPath(repo), io)
   private def repo(ns: Array[String]): GraftRepo = {
     if (!repoExists(ns(0))) throw new NoSuchNamespaceException(ns)
-    GraftRepo.open(repoPath(ns(0)))
+    GraftRepo.open(repoPath(ns(0)), io)
   }
   private def tableKey(ident: Identifier): String =
     s"${ident.namespace()(2)}/${ident.name()}"
@@ -120,9 +125,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadView(ident: Identifier): View = {
     val ns = ident.namespace()
-    if (ns.length != 3) throw new NoSuchViewException(ident)
-    val g = repo(ns)
-    if (!g.branchExists(ns(1))) throw new NoSuchViewException(ident)
+    val g = viewRepo(ident) // missing repo/branch -> NoSuchViewException
     g.headCommit(ns(1)).viewMap.get(viewKey(ident)) match {
       case Some(vd) => graftView(ident, vd)
       case None => throw new NoSuchViewException(ident)
@@ -240,10 +243,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // ---- namespaces ------------------------------------------------------
 
   override def listNamespaces(): Array[Array[String]] =
-    scala.util.Using.resource(Files.list(root))(
-      _.iterator().asScala
-        .filter(p => GraftRepo.exists(p))
-        .map(p => Array(p.getFileName.toString)).toArray.sortBy(_.head))
+    io.list(root)
+      .filter(p => GraftRepo.exists(p, io))
+      .map(p => Array(p.getFileName.toString)).toArray.sortBy(_.head)
 
   override def listNamespaces(ns: Array[String]): Array[Array[String]] = ns match {
     case Array() => listNamespaces()
@@ -259,10 +261,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def namespaceExists(ns: Array[String]): Boolean = ns match {
     case Array(r) => repoExists(r)
-    case Array(r, b) => repoExists(r) && GraftRepo.open(repoPath(r)).branchExists(b)
+    case Array(r, b) => repoExists(r) && GraftRepo.open(repoPath(r), io).branchExists(b)
     case Array(r, b, db) =>
       repoExists(r) && {
-        val g = GraftRepo.open(repoPath(r))
+        val g = GraftRepo.open(repoPath(r), io)
         g.branchExists(b) && {
           val c = g.headCommit(b)
           c.namespaces.contains(db) || c.tables.keys.exists(_.startsWith(db + "/"))
@@ -284,7 +286,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (namespaceExists(ns)) throw new NamespaceAlreadyExistsException(ns)
     ns match {
       case Array(r) =>
-        GraftRepo.init(repoPath(r))
+        GraftRepo.init(repoPath(r), io)
       case Array(_, b) =>
         // branch create from `from` property (default main) — zero-copy ref
         repo(ns).createBranch(b, Option(props.get("from")).getOrElse("main"))
@@ -343,8 +345,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (!cascade && g.branches.exists(b => g.headCommit(b).tables.nonEmpty))
           throw new NonEmptyNamespaceException(ns)
         val p = repoPath(r)
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-          .iterator().asScala.foreach(Files.delete)
+        io.walk(p).sorted(Ordering[Path].reverse).foreach(io.delete)
         true
       case _ => false
     }
@@ -719,8 +720,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .flatMap(_.files).map(_.path).toSet
     victim.get.files.filterNot(f => stillReferenced.contains(f.path))
       .foreach { f =>
-        Files.deleteIfExists(g.root.resolve(f.path))
-        Files.deleteIfExists(g.root.resolve(f.path + ".bloom"))
+        g.io.deleteIfExists(g.root.resolve(f.path))
+        g.io.deleteIfExists(g.root.resolve(f.path + ".bloom"))
       }
     true
   }

@@ -1,6 +1,5 @@
 package graft.catalog
 
-import java.nio.file.Files
 import java.util.{Map => JMap}
 
 import org.apache.spark.sql.DataFrame
@@ -90,7 +89,7 @@ private[catalog] final class GraftStagedTable(
 
   override def abortStagedChanges(): Unit =
     staged.foreach { f =>
-      Files.deleteIfExists(g.root.resolve(f.path))
-      Files.deleteIfExists(g.root.resolve(f.path + ".bloom"))
+      g.io.deleteIfExists(g.root.resolve(f.path))
+      g.io.deleteIfExists(g.root.resolve(f.path + ".bloom"))
     }
 }

@@ -185,6 +185,9 @@ object Multimodal {
         .withColumn("sample_rate",
           (lit(8000) + pmod(col("n_samples"), lit(3)) * 4000).cast("int"))
         .withColumn("chunk_len", (col("sample_rate") / 100).cast("long"))
+        // empty payload -> zero chunks (the oracle's range(0, 0) emits no
+        // rows, but sequence(0, -1) throws 'illegal sequence boundaries')
+        .filter(col("n_samples") > 0)
         .select(col("doc_id"), col("sample_rate"), col("n_samples"), col("chunk_len"),
           // integral div (not /, which is double division on longs and
           // can over-count chunks vs the oracle's // semantics)

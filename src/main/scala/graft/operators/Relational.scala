@@ -513,12 +513,22 @@ object Relational {
     // answers is spec-gated (RelationalSpec); the sketch itself is
     // engine-specific, hence no DuckDB oracle.
     Q.rowsOnly("q37_approx_quantile") { (s, d) =>
+      // Scalar projection of the quantile array (p25..p95): the driver
+      // harness can't sort/hash array columns, and four named doubles are
+      // the friendlier API anyway. One sketch pass feeds all four.
       T.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
           expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95), 10000)")
-            .as("price_quantiles"),
+            .as("pq"),
           expr("approx_percentile(l_quantity, 0.5, 10000)").as("qty_median"))
+        .select(
+          col("l_returnflag"),
+          element_at(col("pq"), 1).as("price_p25"),
+          element_at(col("pq"), 2).as("price_p50"),
+          element_at(col("pq"), 3).as("price_p75"),
+          element_at(col("pq"), 4).as("price_p95"),
+          col("qty_median"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -597,8 +607,11 @@ object Relational {
     // + list_transform/list_filter/list_sum.
     Q(
       "q29_higher_order",
-      """SELECT o_orderkey, qtys,
-        |       list_transform(qtys, q -> q * 2) AS doubled,
+      """SELECT o_orderkey,
+        |       array_to_string(list_transform(qtys,
+        |         q -> CAST(CAST(q AS BIGINT) AS VARCHAR)), ',') AS qtys_csv,
+        |       array_to_string(list_transform(qtys,
+        |         q -> CAST(CAST(q * 2 AS BIGINT) AS VARCHAR)), ',') AS doubled_csv,
         |       len(list_filter(qtys, q -> q >= 30)) AS n_big,
         |       CAST(list_sum(qtys) AS DOUBLE) AS total_qty
         |FROM (
@@ -608,6 +621,10 @@ object Relational {
         |WHERE len(qtys) >= 6
         |ORDER BY o_orderkey LIMIT 1000""".stripMargin
     ) { (s, d) =>
+      // Driver-facing columns must be scalar (the harness' pandas sort can't
+      // hash arrays), so the per-order quantity lists are emitted as CSV via
+      // a lossless double->BIGINT->string element cast (quantities are
+      // integral 1..50) — same higher-order lambdas, portable rendering.
       T.lineitem(s, d)
         .groupBy(col("l_orderkey").as("o_orderkey"))
         .agg(expr(
@@ -615,8 +632,11 @@ object Relational {
           .as("qtys"))
         .filter(size(col("qtys")) >= 6)
         .select(
-          col("o_orderkey"), col("qtys"),
-          expr("transform(qtys, q -> q * 2)").as("doubled"),
+          col("o_orderkey"),
+          expr("array_join(transform(qtys, q -> CAST(CAST(q AS BIGINT) AS STRING)), ',')")
+            .as("qtys_csv"),
+          expr("array_join(transform(qtys, q -> CAST(CAST(q * 2 AS BIGINT) AS STRING)), ',')")
+            .as("doubled_csv"),
           expr("size(filter(qtys, q -> q >= 30))").cast("long").as("n_big"),
           expr("aggregate(qtys, 0.0D, (acc, q) -> acc + q)").as("total_qty"))
         .orderBy(col("o_orderkey"))
@@ -809,7 +829,7 @@ object Relational {
     Q(
       "q36_json",
       """SELECT event_type, count(*) AS n,
-        |       sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+        |       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(DISTINCT CAST(props->>'k' AS BIGINT)) AS nk
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     ) { (s, d) =>

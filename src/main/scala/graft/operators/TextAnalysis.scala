@@ -324,8 +324,8 @@ object TextAnalysis {
       "tx_domain_mix",
       """WITH per AS (
         |  SELECT source, count(*) AS n_docs,
-        |         sum(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
-        |           AS n_tokens
+        |         CAST(sum(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
+        |              AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY source)
         |SELECT source, n_docs, n_tokens,
         |       CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS token_share,
@@ -369,7 +369,8 @@ object TextAnalysis {
         |         CASE WHEN span NOT IN (SELECT span FROM dups) THEN span END,
         |         ' ' ORDER BY grp), '') AS clean,
         |       count(*) AS n_spans,
-        |       sum(CASE WHEN span IN (SELECT span FROM dups) THEN 1 ELSE 0 END) AS n_removed
+        |       CAST(sum(CASE WHEN span IN (SELECT span FROM dups) THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_removed
         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin
     )(spanScrub),
     Q(
@@ -382,7 +383,7 @@ object TextAnalysis {
         |counts AS (
         |  SELECT ns, count(DISTINCT doc_id) AS n_docs FROM sents GROUP BY ns)
         |SELECT s.doc_id, count(*) AS n_sents,
-        |       sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS n_shared,
+        |       CAST(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
         |       CAST(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |         / count(*) AS shared_frac
         |FROM sents s JOIN counts c USING (ns)

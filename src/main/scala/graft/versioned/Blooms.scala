@@ -1,6 +1,6 @@
 package graft.versioned
 
-import java.nio.file.{Files, Path}
+import java.nio.file.Path
 import java.util.Base64
 
 import org.apache.spark.sql.Column
@@ -124,8 +124,11 @@ object Blooms {
   def sidecar(root: Path, dataFileRel: String): Path =
     root.resolve(dataFileRel + ".bloom")
 
-  def write(root: Path, dataFileRel: String, blooms: Map[String, Array[Byte]]): Unit =
-    Files.write(sidecar(root, dataFileRel), Json.write(
+  def write(root: Path, dataFileRel: String, blooms: Map[String, Array[Byte]],
+      io: GraftIO = LocalGraftIO.instance): Unit =
+    // overwrite-allowed: the sidecar is keyed by its immutable data file,
+    // so a re-write (stats rebuild) carries identical content
+    io.overwrite(sidecar(root, dataFileRel), Json.write(
       blooms.map { case (c, b) => c -> Base64.getEncoder.encodeToString(b) })
       .getBytes("UTF-8"))
 
@@ -144,13 +147,14 @@ object Blooms {
     * unreadable (pruning degrades to "keep the file" — a lost sidecar
     * can cost speed, never rows).
     */
-  def load(root: Path, f: FileEntry): Map[String, BloomFilter] = {
+  def load(root: Path, f: FileEntry,
+      io: GraftIO = LocalGraftIO.instance): Map[String, BloomFilter] = {
     val p = sidecar(root, f.path)
     cache.synchronized { Option(cache.get(p)) } match {
       case Some(m) => m
       case None =>
         val m = scala.util.Try {
-          Json.readAny(new String(Files.readAllBytes(p), "UTF-8"))
+          Json.readAny(new String(io.readBytes(p), "UTF-8"))
             .asInstanceOf[Map[String, Any]]
             .map { case (c, b64) =>
               c -> BloomFilter.readFrom(
@@ -199,7 +203,8 @@ object Blooms {
     * min/max pruning, so sidecar loads touch only surviving candidates.
     */
   def prune(root: Path, snap: Snapshot, schema: StructType,
-      filters: Seq[sources.Filter], files: Seq[FileEntry]): Seq[FileEntry] = {
+      filters: Seq[sources.Filter], files: Seq[FileEntry],
+      io: GraftIO = LocalGraftIO.instance): Seq[FileEntry] = {
     if (filters.isEmpty) return files
     val m = snap.nameMapping
     val physSchema = TableOps.toPhysical(schema, m)
@@ -211,7 +216,7 @@ object Blooms {
       val advertised = f.bloomColsList.toSet
       if (advertised.isEmpty) true
       else {
-        lazy val loaded = load(root, f)
+        lazy val loaded = load(root, f, io)
         phys.forall(pf => mayMatch(physSchema, pf, () => loaded))
       }
     }

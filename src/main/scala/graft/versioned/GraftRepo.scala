@@ -1,10 +1,8 @@
 package graft.versioned
 
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.nio.file.Path
 import java.security.MessageDigest
 import java.util.UUID
-import scala.jdk.CollectionConverters._
-import scala.util.Using
 
 /** A graft repository: git-like version graph over table snapshots.
   *
@@ -20,7 +18,7 @@ import scala.util.Using
   * (zero-copy, like lakeFS branching), merge moves refs, diff compares
   * table->snapshot maps. Only DML (TableOps) writes data.
   */
-final class GraftRepo private (val root: Path) {
+final class GraftRepo private (val root: Path, val io: GraftIO) {
   private def refsDir = root.resolve("refs")
   private def commitsDir = root.resolve("commits")
   private def snapshotsDir = root.resolve("snapshots")
@@ -42,13 +40,13 @@ final class GraftRepo private (val root: Path) {
     val id = "c" + sha(body + System.nanoTime())
     val c = Commit(id, parents, System.currentTimeMillis(), message, tables,
       namespaces, if (views.isEmpty) None else Some(views))
-    Files.writeString(commitsDir.resolve(s"$id.json"), Json.write(c),
-      StandardOpenOption.CREATE_NEW)
+    if (!io.createExclusive(commitsDir.resolve(s"$id.json"), Json.write(c)))
+      throw new IllegalStateException(s"commit object collision: $id")
     c
   }
 
   def commit(id: String): Commit =
-    Json.read[Commit](Files.readString(commitsDir.resolve(s"$id.json")))
+    Json.read[Commit](io.readString(commitsDir.resolve(s"$id.json")))
 
   def writeSnapshot(table: String, schemaJson: String, files: Seq[FileEntry],
       partitionBy: Option[Seq[PartitionField]] = None,
@@ -72,36 +70,31 @@ final class GraftRepo private (val root: Path) {
     val id = "s" + UUID.randomUUID().toString.replace("-", "")
     val s = Snapshot(id, table, schemaJson, files, partitionBy, physicalNames,
       effProps, retired)
-    Files.writeString(snapshotsDir.resolve(s"$id.json"), Json.write(s),
-      StandardOpenOption.CREATE_NEW)
+    if (!io.createExclusive(snapshotsDir.resolve(s"$id.json"), Json.write(s)))
+      throw new IllegalStateException(s"snapshot object collision: $id")
     s
   }
 
   def snapshot(id: String): Snapshot =
-    Json.read[Snapshot](Files.readString(snapshotsDir.resolve(s"$id.json")))
+    Json.read[Snapshot](io.readString(snapshotsDir.resolve(s"$id.json")))
 
   // ---- refs ------------------------------------------------------------
 
-  // every Files.list/walk stream is closed eagerly (Using): head() runs
-  // on the driver once per commit/read, so leaked directory fds add up
   def branches: Seq[String] =
-    Using.resource(Files.list(refsDir))(
-      _.iterator().asScala.map(_.getFileName.toString).toSeq.sorted)
+    io.list(refsDir).map(_.getFileName.toString).sorted
 
-  def branchExists(name: String): Boolean = Files.isDirectory(refsDir.resolve(name))
+  def branchExists(name: String): Boolean = io.isDirectory(refsDir.resolve(name))
 
   /** Head of a branch: (ref version, commit id). */
   def head(branch: String): (Int, String) = {
     val dir = refsDir.resolve(branch)
-    require(Files.isDirectory(dir), s"no such branch: $branch")
+    require(io.isDirectory(dir), s"no such branch: $branch")
     // ignore in-flight .tmp-* files from concurrent committers
-    val vs = Using.resource(Files.list(dir))(
-      _.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case n if n.matches("v\\d+") => n.stripPrefix("v").toInt }
-        .toSeq)
+    val vs = io.list(dir)
+      .map(_.getFileName.toString)
+      .collect { case n if n.matches("v\\d+") => n.stripPrefix("v").toInt }
     val n = vs.max
-    (n, Files.readString(dir.resolve(s"v$n")).trim)
+    (n, io.readString(dir.resolve(s"v$n")).trim)
   }
 
   def headCommit(branch: String): Commit = commit(head(branch)._2)
@@ -110,25 +103,18 @@ final class GraftRepo private (val root: Path) {
   def resolve(ref: String): Commit =
     if (branchExists(ref)) headCommit(ref)
     else if (tagExists(ref))
-      commit(Files.readString(root.resolve("tags").resolve(ref)).trim)
+      commit(io.readString(root.resolve("tags").resolve(ref)).trim)
     else commit(ref)
 
-  /** Atomically publish `refs/<branch>/v{base+1} = cid`. The write goes to
-    * a temp file first, then is linked into place — hard-link creation is
-    * the local-FS set-if-absent primitive (same role as the reference's
-    * `OutputFile.createOrOverwrite` guard against concurrent writers).
+  /** Atomically publish `refs/<branch>/v{base+1} = cid` via the backend's
+    * set-if-absent primitive ([[GraftIO.createExclusive]] — same role as
+    * the reference's `OutputFile.createOrOverwrite` guard against
+    * concurrent writers). A lost race is a CommitConflictException.
     */
-  private def casRef(branch: String, base: Int, cid: String): Unit = {
-    val dir = refsDir.resolve(branch)
-    val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.writeString(tmp, cid, StandardOpenOption.CREATE_NEW)
-    try Files.createLink(dir.resolve(s"v${base + 1}"), tmp)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new CommitConflictException(
-          s"branch $branch moved past v$base; rebase and retry")
-    } finally Files.deleteIfExists(tmp)
-  }
+  private def casRef(branch: String, base: Int, cid: String): Unit =
+    if (!io.createExclusive(refsDir.resolve(branch).resolve(s"v${base + 1}"), cid))
+      throw new CommitConflictException(
+        s"branch $branch moved past v$base; rebase and retry")
 
   /** Commit with an explicit base ref version — rejected if stale. */
   def commitAt(branch: String, baseVersion: Int, parents: Seq[String],
@@ -193,34 +179,29 @@ final class GraftRepo private (val root: Path) {
   def createTag(name: String, ref: String): Unit = {
     val cid = resolve(ref).id
     val dir = root.resolve("tags")
-    Files.createDirectories(dir)
-    try Files.writeString(dir.resolve(name), cid, StandardOpenOption.CREATE_NEW)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new CommitConflictException(s"tag already exists: $name")
-    }
+    io.mkdirs(dir)
+    if (!io.createExclusive(dir.resolve(name), cid))
+      throw new CommitConflictException(s"tag already exists: $name")
   }
 
   def tags: Seq[String] =
-    if (!Files.isDirectory(root.resolve("tags"))) Nil
-    else Using.resource(Files.list(root.resolve("tags")))(
-      _.iterator().asScala.map(_.getFileName.toString).toSeq.sorted)
+    io.list(root.resolve("tags")).map(_.getFileName.toString).sorted
 
   def tagExists(name: String): Boolean =
-    Files.isRegularFile(root.resolve("tags").resolve(name))
+    io.isFile(root.resolve("tags").resolve(name))
 
   /** Zero-copy branch: new ref pointing at `fromRef`'s commit. */
   def createBranch(name: String, fromRef: String): Unit = {
     val cid = resolve(fromRef).id
     val dir = refsDir.resolve(name)
-    Files.createDirectories(dir)
+    io.mkdirs(dir)
     casRef(name, 0, cid)
   }
 
   def dropBranch(name: String): Unit = {
     val dir = refsDir.resolve(name)
-    Using.resource(Files.list(dir))(_.iterator().asScala.foreach(Files.delete))
-    Files.delete(dir)
+    io.list(dir).foreach(io.delete)
+    io.delete(dir)
   }
 
   /** All ancestors of a commit (BFS over parents), including itself. */
@@ -354,6 +335,16 @@ final class GraftRepo private (val root: Path) {
           else if (dv == bv || sv == dv) sv.map(k -> _)
           else throw new MergeConflictException(s"view $k changed on both sides")
         }.toMap
+        // Tables and views merge independently above, so a table db/x
+        // created on one branch and a view db/x on the other would both
+        // land in the merged commit — breaking the shared table/view
+        // namespace that createTable/createView/CTAS enforce (loadTable
+        // and loadView would each resolve the same key). Reject the merge.
+        val shared = merged.keySet.intersect(mergedViews.keySet)
+        shared.headOption.foreach { k =>
+          throw new MergeConflictException(
+            s"$k is a table on one side and a view on the other")
+        }
         val msg = if (message.nonEmpty) message else s"merge $srcBranch into $dstBranch"
         val c = writeCommit(Seq(dstCid, srcCid), msg, merged, mergedNs, mergedViews)
         casRef(dstBranch, dstV, c.id)
@@ -437,13 +428,11 @@ final class GraftRepo private (val root: Path) {
     val cutoff = System.currentTimeMillis() - olderThanMs
     def expire(dir: Path, live: String => Boolean): Int = {
       var n = 0
-      val victims = Using.resource(Files.list(dir))(
-        _.iterator().asScala
-          .filter(p => p.getFileName.toString.endsWith(".json"))
-          .filter(p => !live(p.getFileName.toString.stripSuffix(".json")))
-          .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-          .toList)
-      victims.foreach { p => Files.deleteIfExists(p); n += 1 }
+      val victims = io.list(dir)
+        .filter(p => p.getFileName.toString.endsWith(".json"))
+        .filter(p => !live(p.getFileName.toString.stripSuffix(".json")))
+        .filter(p => io.mtimeMs(p) < cutoff)
+      victims.foreach { p => io.deleteIfExists(p); n += 1 }
       n
     }
     val c = expire(commitsDir, reachable)
@@ -469,30 +458,22 @@ final class GraftRepo private (val root: Path) {
       .flatMap(cid => commit(cid).tables.values)
       .flatMap(sid => snapshot(sid).files.map(f => root.resolve(f.path).normalize()))
     var deleted = 0
-    if (Files.isDirectory(dataDir)) {
+    if (io.isDirectory(dataDir)) {
       // only data files count; committer markers (_SUCCESS, .crc) are noise
-      val all = Using.resource(Files.walk(dataDir))(
-        _.iterator().asScala
-          .filter(Files.isRegularFile(_))
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .toList)
+      val all = io.walk(dataDir)
+        .filter(io.isFile)
+        .filter(_.getFileName.toString.endsWith(".parquet"))
       all.foreach { p =>
-        if (!referenced.contains(p.normalize()) &&
-            Files.getLastModifiedTime(p).toMillis < cutoff) {
-          Files.delete(p); deleted += 1
+        if (!referenced.contains(p.normalize()) && io.mtimeMs(p) < cutoff) {
+          io.delete(p); deleted += 1
           // a data file's bloom sidecar dies with it
-          Files.deleteIfExists(p.resolveSibling(p.getFileName.toString + ".bloom"))
+          io.deleteIfExists(p.resolveSibling(p.getFileName.toString + ".bloom"))
         }
       }
-      // prune now-empty data subdirectories
-      Using.resource(Files.walk(dataDir))(
-        _.sorted(java.util.Comparator.reverseOrder[Path]())
-          .iterator().asScala
-          .filter(p => p != dataDir && Files.isDirectory(p))
-          .foreach { p =>
-            val empty = Using.resource(Files.list(p))(!_.iterator().hasNext)
-            if (empty) Files.delete(p)
-          })
+      // prune now-empty data subdirectories (deepest first)
+      io.walk(dataDir).sorted(Ordering[Path].reverse)
+        .filter(p => p != dataDir && io.isDirectory(p))
+        .foreach { p => if (io.list(p).isEmpty) io.delete(p) }
     }
     deleted
   }
@@ -514,23 +495,24 @@ final class GraftRepo private (val root: Path) {
 
 object GraftRepo {
   /** Create a repo with an empty root commit on branch `main`. */
-  def init(root: Path): GraftRepo = {
+  def init(root: Path, io: GraftIO = LocalGraftIO.instance): GraftRepo = {
     Seq("refs", "commits", "snapshots", "data")
-      .foreach(d => Files.createDirectories(root.resolve(d)))
-    val repo = new GraftRepo(root)
+      .foreach(d => io.mkdirs(root.resolve(d)))
+    val repo = new GraftRepo(root, io)
     val c0 = repo.writeCommit(Nil, "repo init", Map.empty, Map.empty)
-    Files.createDirectories(root.resolve("refs/main"))
-    Files.writeString(root.resolve("refs/main/v1"), c0.id, StandardOpenOption.CREATE_NEW)
+    io.mkdirs(root.resolve("refs/main"))
+    io.createExclusive(root.resolve("refs/main/v1"), c0.id)
     repo
   }
 
-  def open(root: Path): GraftRepo = {
-    require(Files.isDirectory(root.resolve("refs")), s"not a graft repo: $root")
-    new GraftRepo(root)
+  def open(root: Path, io: GraftIO = LocalGraftIO.instance): GraftRepo = {
+    require(io.isDirectory(root.resolve("refs")), s"not a graft repo: $root")
+    new GraftRepo(root, io)
   }
 
-  def exists(root: Path): Boolean = Files.isDirectory(root.resolve("refs"))
+  def exists(root: Path, io: GraftIO = LocalGraftIO.instance): Boolean =
+    io.isDirectory(root.resolve("refs"))
 
-  def initOrOpen(root: Path): GraftRepo =
-    if (exists(root)) open(root) else init(root)
+  def initOrOpen(root: Path, io: GraftIO = LocalGraftIO.instance): GraftRepo =
+    if (exists(root, io)) open(root, io) else init(root, io)
 }

@@ -97,6 +97,15 @@ object MaterializedView {
   def create(spark: SparkSession, repo: GraftRepo, branch: String,
       srcKey: String, mvKey: String, groupCols: Seq[String],
       aggs: Seq[Agg]): Unit = {
+    // the spec round-trips through ','/';'/':'-separated snapshot
+    // properties — a column name containing a separator would silently
+    // mis-parse on refresh, so reject it up front
+    (groupCols ++ aggs.flatMap { case (f, s, o) => Seq(f, s, o) })
+      .find(n => n.exists(c => c == ',' || c == ';' || c == ':'))
+      .foreach { n =>
+        throw new IllegalArgumentException(
+          s"column name '$n' contains a reserved separator (',', ';', ':')")
+      }
     val head = repo.headCommit(branch)
     val srcSnap = repo.snapshot(head.tables.getOrElse(srcKey,
       throw new NoSuchElementException(s"no such table: $srcKey")))
@@ -141,6 +150,10 @@ object MaterializedView {
     // unresolvable watermark → full recompute, never a bricked MV
     val oldSnap = scala.util.Try(repo.resolve(since)).toOption
       .flatMap(_.tables.get(srcKey)).map(repo.snapshot)
+    // idle source -> TRUE no-op: no commit, or every scheduled refresh of
+    // an idle source would grow the commit log forever (and the refresh
+    // commit itself advances head, making the next run "new" again)
+    if (since == head.id || oldSnap.exists(_.id == curSnap.id)) return "noop"
     val oldPaths = oldSnap.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
     val appendOnly = oldSnap.isDefined &&
       oldPaths.subsetOf(curSnap.files.map(_.path).toSet) &&

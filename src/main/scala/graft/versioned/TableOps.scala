@@ -1,6 +1,6 @@
 package graft.versioned
 
-import java.nio.file.{Files, Path}
+import java.nio.file.Path
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 
@@ -178,9 +178,9 @@ object TableOps {
         if (spec.isEmpty) None else Some(Partitioning.valuesFromPath(rel))
       val sidecar = blooms.flatMap(c =>
         Option(r.getAs[Array[Byte]](s"bloom:$c")).map(c -> _)).toMap
-      if (sidecar.nonEmpty) Blooms.write(repo.root, rel, sidecar)
+      if (sidecar.nonEmpty) Blooms.write(repo.root, rel, sidecar, repo.io)
       FileEntry(rel, r.getAs[Long]("__rows"), stats("min"), stats("max"), pvals,
-        Some(Files.size(java.nio.file.Paths.get(file))),
+        Some(repo.io.size(java.nio.file.Paths.get(file))),
         bloomCols = if (sidecar.isEmpty) None else Some(sidecar.keys.toSeq.sorted),
         nulls = Some(longStatsOf(r, schema, "nulls")),
         ndv = Some(longStatsOf(r, schema, "ndv")))
@@ -193,10 +193,8 @@ object TableOps {
     */
   def statsForStaged(spark: SparkSession, repo: GraftRepo,
       dir: java.nio.file.Path, schema: StructType): Seq[FileEntry] = {
-    val hasFiles = Files.isDirectory(dir) &&
-      // closed eagerly (Using) like every other Files.list in the repo
-      scala.util.Using.resource(Files.list(dir))(
-        _.iterator().asScala.exists(_.toString.endsWith(".parquet")))
+    val hasFiles = repo.io.isDirectory(dir) &&
+      repo.io.list(dir).exists(_.toString.endsWith(".parquet"))
     if (!hasFiles) return Nil
     val written = spark.read.schema(schema).parquet(dir.toString)
     val statCols = schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
@@ -215,7 +213,7 @@ object TableOps {
             Option(r.getAs[String](s"$prefix:${f.name}")).map(f.name -> _)
           }.toMap
         FileEntry(rel, r.getAs[Long]("__rows"), stats("min"), stats("max"),
-          None, Some(Files.size(java.nio.file.Paths.get(file))),
+          None, Some(repo.io.size(java.nio.file.Paths.get(file))),
           nulls = Some(longStatsOf(r, schema, "nulls")),
           ndv = Some(longStatsOf(r, schema, "ndv")))
       }

@@ -106,7 +106,8 @@ class RelationalSpec extends AnyFunSuite
     import org.apache.spark.sql.functions._
     val approx = SparkEntry.queries("q37_approx_quantile")(spark, sf)
       .collect().map(r => r.getString(0) ->
-        (r.getSeq[Double](1), r.getDouble(2))).toMap
+        (Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)),
+          r.getDouble(5))).toMap
     val exact = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
       .agg(

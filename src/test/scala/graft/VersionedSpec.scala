@@ -1455,8 +1455,18 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     mv()("name_3") shouldBe (2L, 33L, 30)
     mv()("name_new") shouldBe (1L, 99L, 99)
     mv()("name_5") shouldBe (1L, 5L, 5) // untouched group untouched
-    // nothing new → noop, watermark still advances
+    // nothing new → TRUE noop: no commit written (an idle source must not
+    // grow the commit log on every scheduled refresh)
+    val headBeforeNoop = repo.headCommit("main").id
     MaterializedView.refresh(spark, repo, "main", "db/t_mv") shouldBe "noop"
+    MaterializedView.refresh(spark, repo, "main", "db/t_mv") shouldBe "noop"
+    repo.headCommit("main").id shouldBe headBeforeNoop
+    // a column name carrying a spec-encoding separator is rejected at
+    // create (it would silently mis-parse on refresh)
+    intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, repo, "main", "db/t", "db/t_mv2",
+        Seq("name"), Seq(("sum", "id", "a:b")))
+    }
     // a DELETE on the source breaks append-only → full recompute
     sql("DELETE FROM g.rmv.main.db.t WHERE id = 30")
     MaterializedView.refresh(spark, repo, "main", "db/t_mv") shouldBe "full"
@@ -1615,6 +1625,33 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     mkView("dev", "clash", "SELECT id FROM t WHERE id < 4")
     mkView("main", "clash", "SELECT id FROM t WHERE id < 5")
     a[MergeConflictException] should be thrownBy repo.merge("dev", "main")
+  }
+
+  test("merge: a table on one branch and a view with the same key on the " +
+    "other conflict (shared table/view namespace survives merges)") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+    setupRepo("rtvns")
+    sql("CREATE NAMESPACE g.rtvns.dev")
+    val cat = graft.catalog.GraftViews.viewCatalog(spark, "g")
+    val schema = sql("SELECT id FROM g.rtvns.main.db.t").schema
+    sql("CREATE TABLE g.rtvns.main.db.x (id INT)")
+    cat.createView(new ViewInfo(
+      Identifier.of(Array("rtvns", "dev", "db"), "x"),
+      "SELECT id FROM t", "g", Array("rtvns", "dev", "db"), schema,
+      Array("id"), Array.empty, Array.empty, java.util.Map.of()))
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rtvns"))
+    a[MergeConflictException] should be thrownBy repo.merge("dev", "main")
+    a[MergeConflictException] should be thrownBy repo.merge("main", "dev")
+  }
+
+  test("loadView on a missing repo/branch reports NoSuchViewException " +
+    "like every other ViewCatalog entry point") {
+    import org.apache.spark.sql.catalyst.analysis.NoSuchViewException
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cat = graft.catalog.GraftViews.viewCatalog(spark, "g")
+    a[NoSuchViewException] should be thrownBy cat.loadView(
+      Identifier.of(Array("no_such_repo_xyz", "main", "db"), "v"))
   }
 
   test("merge: both branches appended to the same table → row-level " +
