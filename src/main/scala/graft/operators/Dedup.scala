@@ -170,11 +170,34 @@ object Dedup {
     * same shuffle shape as minhashLsh verification).
     */
   private def setsimJoin(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val t = 0.9
-    val par = s.sparkContext.defaultParallelism
+    val maxPost = s.conf.getOption("spark.graft.setsim.maxPostings")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1024)
     val docs = T.documents(s, d)
       .select(col("doc_id"), wordSet(col("text")).as("ws"))
+    setsimPairs(s, docs, 0.9, maxPost)
+  }
+
+  /** The exact prefix-filter join over an arbitrary (doc_id, ws) corpus —
+    * factored out so specs can drive it on synthetic (skewed) corpora
+    * with a forced `maxPost`.
+    *
+    * `maxPost` caps the per-reducer work of the candidate join: any
+    * prefix token whose posting list exceeds it is GRID-SALTED. The
+    * list's docs are hash-assigned to `nch = ceil(cnt/maxPost)` chunks,
+    * and each side replicates each row once per partner chunk, keyed by
+    * the ordered chunk pair — cell (i, j) joins chunk i against chunk j
+    * on its own reducer, so a single hot token (dense vocabularies make
+    * them inevitable) spreads over nch² reducers of ≤ maxPost² cheap
+    * codegen'd comparisons instead of serializing one. Each pair is
+    * produced by EXACTLY one cell (the (q_a, q_b) one) so the transform
+    * is exactness-preserving, and cold tokens (nch = 1) degenerate to
+    * the unsalted join with zero replication.
+    */
+  private[graft] def setsimPairs(s: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, t: Double, maxPost: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val par = s.sparkContext.defaultParallelism
+    val docs = corpus
       .repartition(par, col("doc_id"))
       .withColumn("sz", size(col("ws")))
       .localCheckpoint() // feeds tokenization AND both verify sides once
@@ -189,9 +212,23 @@ object Dedup {
       .filter(col("rn") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
       .select(col("tok"), col("doc_id"), col("sz"), col("rn"))
       .repartition(par, col("tok"))
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
+    // chunk assignment: posting-list length -> chunk count; doc -> chunk
+    // by hash (deterministic, no per-token sort). counts is |prefix
+    // vocab| rows — broadcast by AQE.
+    val counts = prefix.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val chunked = prefix.join(counts, "tok")
+      .withColumn("nch", ceil(col("cnt") / maxPost).cast("int"))
+      .withColumn("q", pmod(xxhash64(col("doc_id")), col("nch")).cast("int"))
+      .select(col("tok"), col("doc_id"), col("sz"), col("rn"), col("nch"), col("q"))
+    // each side replicated once per partner chunk (nch copies; 1 for
+    // cold tokens). cell identity = (a.q, b.q) via the cross conditions.
+    def salted = chunked.withColumn("cell",
+      explode(sequence(lit(0), col("nch") - 1)))
+    val cand = salted.as("a")
+      .join(salted.as("b"),
         col("a.tok") === col("b.tok") &&
+          col("a.cell") === col("b.q") && // a's copy aimed at b's chunk
+          col("b.cell") === col("a.q") && // b's copy aimed at a's chunk
           col("a.doc_id") < col("b.doc_id") &&
           // J ≥ t ⟹ t·max(|a|,|b|) ≤ min(|a|,|b|)
           lit(t) * greatest(col("a.sz"), col("b.sz")) <=

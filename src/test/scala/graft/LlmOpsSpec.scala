@@ -44,6 +44,29 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     brute.size should be > 0
   }
 
+  test("dd_setsim: hot-token grid salting is exactness-preserving on a " +
+    "skewed corpus (one token in every prefix)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 300 docs, every word-set led (df-order) by the same rare-ish token
+    // distribution: 'hot' appears in ALL docs, so with a tiny vocabulary
+    // its posting list is one giant bucket — the skew the salting exists
+    // for. Clone pairs (i, i+150) are exact duplicates -> jaccard 1.0.
+    val docs = (0 until 150).flatMap { i =>
+      val ws = Seq("hot", s"w${i % 5}", s"v${i % 7}", s"u${i % 11}")
+      Seq((i.toLong, ws), ((i + 150).toLong, ws))
+    }.toDF("doc_id", "ws")
+    def run(maxPost: Int): Set[(Long, Long, Double)] =
+      graft.operators.Dedup.setsimPairs(spark, docs, 0.9, maxPost)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unsalted = run(1000000) // nch = 1 everywhere: the plain join
+    val salted = run(10)        // force many chunks on every posting list
+    salted shouldBe unsalted
+    // the corpus really does contain the expected duplicate pairs
+    unsalted.size should be >= 150
+    unsalted.foreach { case (a, b, j) => j should be >= 0.9 }
+  }
+
   test("sim_ann_lsh: bucketed candidates are a subset of brute-force ranks " +
     "with usable recall") {
     val brute = SparkEntry.queries("sim_ann_brute")(spark, sfDir)
