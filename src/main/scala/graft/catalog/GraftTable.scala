@@ -6,7 +6,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.InsertableRelation
@@ -55,11 +56,19 @@ final class GraftTable(
         case _ => Expressions.identity(pf.source)
       }
     }.toArray
+  // Spark rejects a non-V1Write from a table declaring V1_BATCH_WRITE,
+  // so the capability advertises whichever single write path this
+  // table's layout takes (native DSv2 vs the V1 layout bridge below)
+  private[catalog] def nativeWritePath: Boolean =
+    snap.partitionFields.isEmpty &&
+      graft.versioned.Blooms.physCols(snap,
+        TableOps.toPhysical(tableSchema, snap.nameMapping)).isEmpty
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE,
+      if (nativeWritePath) TableCapability.BATCH_WRITE
+      else TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def properties(): JMap[String, String] =
     (snap.properties ++ Map("provider" -> "graft", "snapshot" -> snap.id)).asJava
@@ -93,16 +102,67 @@ final class GraftTable(
 
   // ---- write (INSERT INTO / INSERT OVERWRITE / CTAS / df.writeTo) ------
 
+  /** Unpartitioned, bloom-free tables take the NATIVE DSv2 batch write:
+    * executors stream rows through Spark's vectorized parquet writer
+    * into a staging dir (same bridge the CoW row-level path uses), and
+    * the driver-side [[org.apache.spark.sql.connector.write.BatchWrite]]
+    * commit runs the stats pass + optimistic snapshot publish. The V1
+    * bridge remains only where the write needs the engine's own layout
+    * machinery — partition-directory routing and bloom sidecar builds.
+    * There it DECLARES its clustering via
+    * `RequiresDistributionAndOrdering` (visible in the INSERT plan as a
+    * rebalance on the transform expressions); Spark's V1 fallback does
+    * not execute the prepared distribution, so the internal AQE
+    * rebalance in [[TableOps.writeFiles]] remains what actually
+    * clusters rows into partition-value files.
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
-          new InsertableRelation {
-            override def insert(data: DataFrame, overwriteIgnored: Boolean): Unit =
-              TableOps.insert(data.sparkSession, repo, requireBranch, key, data, overwrite)
+      override def build(): Write = {
+        if (nativeWritePath)
+          new GraftInsertWrite(repo, requireBranch, key, snap, tableSchema,
+            info, overwrite)
+        else {
+          // The distribution is DECLARED for transforms Spark can
+          // resolve against this catalog's FunctionCatalog (identity
+          // needs none; bucket is registered) — it documents the write's
+          // clustering contract in the plan and becomes active the day
+          // partitioned writes go native. Spark's V1 fallback EXECUTES
+          // the original query (the prepared rebalance is not run), so
+          // the internal AQE rebalance below remains the mechanism that
+          // actually clusters rows into partition-value files.
+          val requestable = snap.partitionFields.nonEmpty &&
+            snap.partitionFields.forall(pf =>
+              pf.transform == "identity" || pf.transform == "bucket")
+          val b = requireBranch
+          if (requestable)
+            new V1Write with RequiresDistributionAndOrdering {
+              override def requiredDistribution: Distribution =
+                Distributions.clustered(
+                  partitioning().map(t =>
+                    t: org.apache.spark.sql.connector.expressions.Expression))
+              override def requiredOrdering
+                  : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+                Array.empty
+              // advisory, not strict: AQE plans a rebalance (skew-safe,
+              // size-targeted) rather than a hard hash repartition
+              override def distributionStrictlyRequired(): Boolean = false
+              override def toInsertableRelation: InsertableRelation =
+                new InsertableRelation {
+                  override def insert(data: DataFrame, overwriteIgnored: Boolean): Unit =
+                    TableOps.insert(data.sparkSession, repo, b, key, data, overwrite)
+                }
+            }
+          else new V1Write {
+            override def toInsertableRelation: InsertableRelation =
+              new InsertableRelation {
+                override def insert(data: DataFrame, overwriteIgnored: Boolean): Unit =
+                  TableOps.insert(data.sparkSession, repo, b, key, data, overwrite)
+              }
           }
+        }
       }
     }
 
@@ -653,5 +713,64 @@ private[catalog] object MetadataAggregates {
       case _ => None
     }
     o.map(_.asInstanceOf[Ordering[Any]])
+  }
+}
+
+/** Native DSv2 append/overwrite for unpartitioned, bloom-free tables.
+  *
+  * Executors write parquet through Spark's own vectorized DSv2 writer
+  * (no V1 InsertableRelation bridge, no extra job): rows stream into a
+  * staging directory under the table's data dir in PHYSICAL column
+  * names, and `BatchWrite.commit` — running once, driver-side, after
+  * every task committed — collects per-file stats and publishes the
+  * snapshot with the same optimistic-retry append commit the Scala API
+  * uses. An aborted query deletes its staged files; nothing was ever
+  * referenced by a snapshot, so concurrent readers never saw them.
+  */
+final class GraftInsertWrite(
+    repo: GraftRepo,
+    branch: String,
+    key: String,
+    snap: Snapshot,
+    tableSchema: StructType,
+    info: LogicalWriteInfo,
+    overwrite: Boolean) extends Write {
+
+  private val staging = repo.dataDir.resolve(key)
+    .resolve(java.util.UUID.randomUUID().toString.replace("-", ""))
+  private val physSchema = TableOps.toPhysical(tableSchema, snap.nameMapping)
+
+  override def description(): String = s"graft-insert $key"
+
+  override def toBatch: BatchWrite = {
+    // staged files carry physical names; rows are positional so
+    // re-labeling the write schema is free (same trick as the CoW path)
+    val physInfo: LogicalWriteInfo = new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap = info.options()
+      override def queryId(): String = info.queryId()
+      override def schema(): StructType = physSchema
+      override def rowIdSchema(): java.util.Optional[StructType] = info.rowIdSchema()
+      override def metadataSchema(): java.util.Optional[StructType] = info.metadataSchema()
+    }
+    val inner = graftbridge.ParquetWriteBridge.writeBuilder(
+      SparkSession.active, staging.toString, physSchema, physInfo)
+      .build().toBatch
+    new BatchWrite {
+      override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
+        inner.createBatchWriterFactory(p)
+      override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        inner.commit(messages)
+        val spark = SparkSession.active
+        val entries = TableOps.statsForStaged(spark, repo, staging, physSchema)
+        TableOps.commitAppend(repo, branch, key, entries, overwrite,
+          Nil, snap.nameMapping, tableSchema.json)
+      }
+      override def abort(messages: Array[WriterCommitMessage]): Unit = {
+        inner.abort(messages)
+        repo.io.walk(staging).sorted(Ordering[java.nio.file.Path].reverse)
+          .foreach(p => repo.io.deleteIfExists(p))
+      }
+    }
   }
 }

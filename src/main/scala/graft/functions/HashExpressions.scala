@@ -51,6 +51,55 @@ object HashKernels {
     fp
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of md5(utf8(w)) as a big-endian signed long — an
+    * ENGINE-PORTABLE 64-bit word hash: any engine with md5() reproduces
+    * it from hex ((hi32 as signed) * 2^32 + lo32, i.e. the first 16 hex
+    * chars read as a signed 64-bit value).
+    */
+  def md5Word64(w: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(w.getBytes)
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
+  /** [[simhash64]] with the PORTABLE md5 word hash instead of xxhash64 —
+    * the variant the oracle-checked dd_simhash query fingerprints with
+    * (a DuckDB expression reproduces it bit-for-bit; xxhash64 has no
+    * cross-engine SQL form).
+    */
+  def simhash64Md5(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = md5Word64(arr.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
   /** MinHash signature: k per-permutation minima of
     * xxhash64(w, i) = hashInt(i, seed = xxhash64(w)) — the same chaining
     * the SQL `xxhash64(w, i)` performs, but the per-word base hash is
@@ -224,6 +273,23 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 64-bit SimHash over the PORTABLE md5 word hash (codegen'd) — see
+  * [[HashKernels.simhash64Md5]].
+  */
+case class SimHash64Md5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64_md5"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simhash64Md5(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash64Md5($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** k-permutation MinHash signature of an array-of-string column. */
 case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -242,6 +308,8 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
 object HashExpressions {
   def simHash64Native(wsCol: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(wsCol)))
+  def simHash64Md5Native(wsCol: Column): Column =
+    Bridge.column(SimHash64Md5(Bridge.expression(wsCol)))
   def minHashSignatureNative(setCol: Column, k: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(setCol), k))
   def setJaccardNative(a: Column, b: Column): Column =

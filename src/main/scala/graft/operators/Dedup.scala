@@ -107,7 +107,10 @@ object Dedup {
   /** SimHash near-dups: 64-bit fingerprint, 4×16-bit chunk blocking
     * (pigeonhole guarantees full recall for hamming ≤ 3; sparse 65k-value
     * buckets keep the candidate join near-linear at scale), exact hamming
-    * ≤ 6 filter.
+    * ≤ 6 filter. The fingerprint votes over the PORTABLE md5 word hash
+    * ([[graft.functions.HashKernels.md5Word64]]) so the whole query —
+    * fingerprint, blocking, hamming — is DuckDB-oracle-checked; the
+    * xxhash64 variant stays SQL-exposed as `graft_simhash64`.
     */
   private def simhash(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     // fp is a skinny (doc_id, fp) table feeding BOTH sides of the
@@ -116,7 +119,7 @@ object Dedup {
     val docs = T.documents(s, d)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .repartition(col("doc_id")) // spread the |words|×64 vote kernel (see minhashLsh)
-      .withColumn("fp", graft.functions.HashExpressions.simHash64Native(col("ws")))
+      .withColumn("fp", graft.functions.HashExpressions.simHash64Md5Native(col("ws")))
       .select(col("doc_id"), col("fp"))
       .localCheckpoint()
     val chunks = docs.select(
@@ -386,24 +389,43 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** SemDeDup (semantic dedup over embeddings): spherical k-means
-    * clusters the corpus (the [[Similarity]] IVF quantizer, deterministic
-    * init), then WITHIN each cluster a vector is a duplicate iff its
-    * cosine to ANY lower-id cluster member is >= tau — survivors are the
-    * greedy lowest-id representatives. The pair join never crosses
-    * cluster boundaries, so candidate work is sum of cluster sizes
-    * squared (~N^1.5 for k=sqrt(N)), never all-pairs; only the k-row
-    * centroid model is broadcast. Rows-only gate (k-means is
-    * engine-specific); determinism + no-surviving-near-dup invariant are
-    * spec-gated in LlmOpsSpec.
+  /** SemDeDup (semantic dedup over embeddings): an IVF-FLAT quantizer
+    * with data-sampled centroids buckets the corpus — k = ceil(sqrt(N))
+    * centroids are the embeddings of the k lowest vec_ids (the
+    * deterministic analog of IVF's random training sample; no Lloyd
+    * refinement, so the whole quantizer is plain relational algebra) —
+    * then WITHIN each cell a vector is a duplicate iff its cosine to ANY
+    * lower-id cell member is >= tau. The pair join never crosses cell
+    * boundaries, so candidate work is sum of cell sizes squared
+    * (~N^1.5), never all-pairs; only the k-row centroid model rides a
+    * broadcast. Cosines round to 6 places BEFORE the argmax/threshold
+    * (the [[embedCosine]] parity trick), making assignment and survivor
+    * set engine-portable — fully DuckDB-oracle-checked. The Lloyd-refined
+    * spherical k-means quantizer remains showcased by sim_ann_ivf/ivfpq.
     */
   private def semdedup(s: org.apache.spark.sql.SparkSession, d: String,
       tau: Double = 0.35): DataFrame = {
-    val idx = Similarity.kmeansIndex(s, d)._1.localCheckpoint()
+    import org.apache.spark.sql.expressions.Window
+    val e = T.embeddings(s, d)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .localCheckpoint() // feeds centroid sample, assignment, and verify
+    val k = math.ceil(math.sqrt(e.count().toDouble)).toLong
+    val cents = e.orderBy(col("vec_id")).limit(k.toInt)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("sim",
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"), col("v"), col("nrm"))
+    val idx = assigned.repartition(col("cell")).localCheckpoint()
     val dups = idx.as("a")
       .join(idx.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .filter(dot(col("a.nv"), col("b.nv")) / (col("a.nn") * col("b.nn")) >= tau)
+      .filter(round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+        >= tau)
       .select(col("b.vec_id").as("vec_id"))
       .distinct()
     idx.join(dups, Seq("vec_id"), "left_anti")
@@ -432,8 +454,77 @@ object Dedup {
         |WHERE jaccard >= 0.9
         |ORDER BY id_a, id_b""".stripMargin
     )(setsimJoin),
-    Q.rowsOnly("dd_simhash")(simhash),
-    Q.rowsOnly("dd_semdedup")((s, d) => semdedup(s, d)),
+    Q(
+      "dd_simhash",
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS wd
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         (CAST('0x' || substring(md5(wd), 1, 8) AS BIGINT)
+        |          - CASE WHEN CAST('0x' || substring(md5(wd), 1, 8) AS BIGINT)
+        |                      >= 2147483648 THEN 4294967296 ELSE 0 END)
+        |         * 4294967296
+        |         + CAST('0x' || substring(md5(wd), 9, 8) AS BIGINT) AS h
+        |  FROM w),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
+        |  GROUP BY doc_id, b),
+        |fp AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN votes > 0 AND b < 63
+        |                       THEN CAST(1 AS HUGEINT) << CAST(b AS INTEGER)
+        |                       ELSE 0 END)
+        |              - CASE WHEN max(CASE WHEN b = 63 AND votes > 0
+        |                              THEN 1 ELSE 0 END) = 1
+        |                     THEN CAST(9223372036854775808 AS HUGEINT)
+        |                     ELSE 0 END AS BIGINT) AS fp
+        |  FROM bits GROUP BY doc_id),
+        |chunks AS (
+        |  SELECT doc_id, fp, c, (fp >> CAST(c * 16 AS INTEGER)) & 65535 AS cv
+        |  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS c))
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        |FROM chunks a JOIN chunks b
+        |  ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin
+    )(simhash),
+    Q(
+      "dd_semdedup",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |en AS (
+        |  SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e),
+        |cents AS (
+        |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en
+        |  ORDER BY vec_id
+        |  LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e)),
+        |assign AS (
+        |  SELECT vec_id, cell, v, nrm FROM (
+        |    SELECT e.vec_id, c.cid AS cell, e.v, e.nrm,
+        |           row_number() OVER (
+        |             PARTITION BY e.vec_id
+        |             ORDER BY round(list_sum(list_transform(list_zip(e.v, c.cv),
+        |                             p -> p[1] * p[2])) / (e.nrm * c.cnrm), 6)
+        |                        DESC, c.cid) AS rn
+        |    FROM en e CROSS JOIN cents c) t
+        |  WHERE rn = 1),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assign a JOIN assign b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_sum(list_transform(list_zip(a.v, b.v),
+        |                p -> p[1] * p[2])) / (a.nrm * b.nrm), 6) >= 0.35)
+        |SELECT vec_id, cell FROM assign
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+        |ORDER BY vec_id""".stripMargin
+    )((s, d) => semdedup(s, d)),
     Q(
       "dd_cluster",
       """WITH RECURSIVE

@@ -238,6 +238,20 @@ object TableOps {
     val newFiles = writeFiles(spark, repo, df, key, spec, mapping,
       bloomCols = blooms,
       bloomItems = head.map(Blooms.items).getOrElse(Blooms.DefaultItems))
+    commitAppend(repo, branch, key, newFiles, overwrite, spec, mapping,
+      df.schema.json, message, extraProps)
+  }
+
+  /** Publish already-written files as an append (or overwrite) commit —
+    * the metadata half of [[insert]], shared with the native DSv2 batch
+    * write (which stages its files through Spark's own parquet writer
+    * before landing here).
+    */
+  def commitAppend(repo: GraftRepo, branch: String, key: String,
+      newFiles: Seq[FileEntry], overwrite: Boolean,
+      spec: Seq[PartitionField], mapping: Map[String, String],
+      fallbackSchemaJson: String, message: Option[String] = None,
+      extraProps: Map[String, String] = Map.empty): Unit = {
     val msg = message.getOrElse(s"${if (overwrite) "overwrite" else "append"} $key")
     repo.commitRetry(branch, msg) { base =>
       // props re-read from the rebased head inside the race so a
@@ -256,7 +270,7 @@ object TableOps {
       // schema (nullability included — an incoming VALUES df is
       // non-nullable and must not turn table columns into REQUIRED
       // parquet fields that pre-existing files lack)
-      val schemaJson = prior.map(_.schemaJson).getOrElse(df.schema.json)
+      val schemaJson = prior.map(_.schemaJson).getOrElse(fallbackSchemaJson)
       val snap = repo.writeSnapshot(key, schemaJson, files,
         if (spec.isEmpty) None else Some(spec),
         if (mapping.isEmpty) None else Some(mapping),
