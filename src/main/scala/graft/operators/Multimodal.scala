@@ -14,11 +14,15 @@ import graft.{Q, Tables => T}
   * scans prune to (id, payload, meta), and decode parallelism = partition
   * count — no shuffle anywhere.
   *
-  * The decode kernel itself is STUBBED (no image/audio libs in this
-  * container): `decodeStub` derives deterministic fake dimensions /
-  * frame counts from the payload bytes. The Spark-side plumbing —
-  * schema, batching, partitioning, output shape — is real and
-  * spec-tested (MultimodalSpec).
+  * Decode kernels are CAPABILITY-GATED by magic bytes: JPEG/PNG/GIF/BMP
+  * payloads decode for real through javax.imageio and RIFF/WAVE PCM
+  * through javax.sound (both in-JDK — no external media libs needed),
+  * spec-tested on in-memory fixtures; any other payload (including this
+  * container's synthetic text-byte corpus) takes the deterministic
+  * stub, which derives fake dimensions / frame counts from the payload
+  * bytes. The Spark-side plumbing — schema, batching, partitioning,
+  * output shape — is identical on both paths and spec-tested
+  * (MultimodalSpec).
   */
 object Multimodal {
 
@@ -35,11 +39,68 @@ object Multimodal {
       mean_byte: Double,
       batch_size: Int) // observed batch size, spec asserts the shape
 
-  /** STUB decoder — stands in for an image/audio/video decode library.
-    * Deterministic: "dimensions" are derived from payload length and a
-    * simple byte checksum, so specs and reruns agree. A real deployment
-    * replaces ONLY this function (signature: one bounded batch in,
-    * features out).
+  // ---- real in-JDK decode kernels (capability-gated by magic bytes) ----
+  //
+  // The container ships no media libraries, but the JDK itself decodes
+  // JPEG/PNG/GIF/BMP (javax.imageio) and WAV/AIFF PCM (javax.sound).
+  // Payloads whose MAGIC BYTES match take the REAL kernel; everything
+  // else (the synthetic text-byte corpus included) falls through to the
+  // deterministic stub, so driver-facing rows never change while a real
+  // image/audio payload gets real dimensions / frame counts. A real
+  // deployment swaps these per-batch kernels for its codec library; the
+  // batching, schema and partitioning around them are the contract.
+
+  private def isImageMagic(p: Array[Byte]): Boolean =
+    (p.length > 3 &&
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 && (p(2) & 0xff) == 0xff) || // JPEG
+      (p.length > 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') || // PNG
+      (p.length > 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F') || // GIF
+      (p.length > 2 && p(0) == 'B' && p(1) == 'M') // BMP
+
+  private def isRiffWave(p: Array[Byte]): Boolean =
+    p.length > 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** Real image decode: (width, height, mean luminance 0-255). None when
+    * ImageIO cannot parse the payload (corrupt file → stub fallback,
+    * never a task failure).
+    */
+  private[operators] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        var sum = 0.0
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Some((img.getWidth, img.getHeight,
+          sum / (img.getWidth.toLong * img.getHeight)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Real PCM audio decode: (frame count, sample rate). */
+  private[operators] def decodeWav(payload: Array[Byte]): Option[(Long, Int)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try Some((in.getFrameLength, in.getFormat.getSampleRate.toInt))
+      finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-batch decode kernel: real JPEG/PNG/GIF/BMP and WAV payloads
+    * decode for real; everything else takes the DETERMINISTIC stub
+    * ("dimensions" derived from payload length + byte checksum, so specs
+    * and reruns agree).
     */
   def decodeStub(batch: Seq[MediaIn]): Seq[MediaFeatures] = {
     val n = batch.size
@@ -48,15 +109,26 @@ object Multimodal {
       var sum = 0L
       var i = 0
       while (i < len) { sum += (m.payload(i) & 0xff); i += 1 }
-      val w = 16 + (sum % 64).toInt
-      val h = 16 + (len % 64)
-      val frames = m.format match {
-        case "video" => 1 + (len % 30)
-        case "audio" => 1 + (len % 100)
-        case _ => 1
+      val mean = if (len == 0) 0.0 else sum.toDouble / len
+      val real: Option[MediaFeatures] =
+        if (isImageMagic(m.payload))
+          decodeImage(m.payload).map { case (w, h, _) =>
+            MediaFeatures(m.doc_id, m.format, len.toLong, w, h, 1, mean, n) }
+        else if (isRiffWave(m.payload))
+          decodeWav(m.payload).map { case (frames, _) =>
+            MediaFeatures(m.doc_id, m.format, len.toLong, 0, 0,
+              frames.toInt, mean, n) }
+        else None
+      real.getOrElse {
+        val w = 16 + (sum % 64).toInt
+        val h = 16 + (len % 64)
+        val frames = m.format match {
+          case "video" => 1 + (len % 30)
+          case "audio" => 1 + (len % 100)
+          case _ => 1
+        }
+        MediaFeatures(m.doc_id, m.format, len.toLong, w, h, frames, mean, n)
       }
-      MediaFeatures(m.doc_id, m.format, len.toLong, w, h, frames,
-        if (len == 0) 0.0 else sum.toDouble / len, n)
     }
   }
 
@@ -67,26 +139,72 @@ object Multimodal {
       resized_len: Long,
       resized_mean: Double)
 
-  /** STUB resize — stands in for an image resample kernel. Deterministic
-    * stride-decimation: keep every `stride`-th payload byte so the output
-    * is <= ~256 "pixels" (stride = max(1, len/256)). Like decodeStub, a
-    * real deployment replaces ONLY this function; the batching, schema
-    * and partitioning around it are the real contract.
+  /** Real image resample: scale so the longest side is <= `target` px
+    * (Graphics2D bilinear, in-JDK), returning (scale divisor, scaled
+    * pixel count, scaled mean luminance).
+    */
+  private[operators] def resizeImage(payload: Array[Byte], target: Int = 16)
+      : Option[(Int, Long, Double)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val div = math.max(1, math.ceil(
+          math.max(img.getWidth, img.getHeight).toDouble / target).toInt)
+        val (w, h) = (math.max(1, img.getWidth / div), math.max(1, img.getHeight / div))
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = out.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Some((div, w.toLong * h, sum / (w.toLong * h)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-batch resize kernel: payloads with image magic take the REAL
+    * Graphics2D resample ([[resizeImage]]); everything else the
+    * deterministic stride-decimation stub (keep every `stride`-th payload
+    * byte so the output is <= ~256 "pixels"). Like decodeStub, a real
+    * deployment replaces ONLY these kernels; the batching, schema and
+    * partitioning around them are the real contract.
     */
   def resizeStub(batch: Seq[MediaIn]): Seq[ResizedMedia] = {
     batch.map { m =>
       val len = m.payload.length
-      val stride = math.max(1, len / 256)
-      var i = 0
-      var n = 0
-      var sum = 0L
-      while (i < len) {
-        sum += (m.payload(i) & 0xff)
-        n += 1
-        i += stride
+      val real: Option[ResizedMedia] =
+        if (isImageMagic(m.payload))
+          resizeImage(m.payload).map { case (div, px, mean) =>
+            ResizedMedia(m.doc_id, len.toLong, div, px, mean) }
+        else None
+      real.getOrElse {
+        val stride = math.max(1, len / 256)
+        var i = 0
+        var n = 0
+        var sum = 0L
+        while (i < len) {
+          sum += (m.payload(i) & 0xff)
+          n += 1
+          i += stride
+        }
+        ResizedMedia(m.doc_id, len.toLong, stride, n.toLong,
+          if (n == 0) 0.0 else sum.toDouble / n)
       }
-      ResizedMedia(m.doc_id, len.toLong, stride, n.toLong,
-        if (n == 0) 0.0 else sum.toDouble / n)
     }
   }
 

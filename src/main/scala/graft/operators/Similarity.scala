@@ -134,7 +134,18 @@ object Similarity {
       .withColumn("u", expr("transform(nv, x -> x / nn)")) // unit vectors
       .localCheckpoint() // reused per Lloyd round + final index
     val n = corpus.count()
-    val kk = if (k > 0) k else math.max(4, math.sqrt(n.toDouble).toInt)
+    // Model-size guard: the Lloyd loop collects the k×dim centroid model
+    // to the driver (k·dim·8 bytes — at k=4096, dim=1024 that is ~32 MB,
+    // a model parameter, not data). Beyond the cap the model stops being
+    // driver-sized, so k is clamped; the documented scale-up path past
+    // the cap is to keep centroids DISTRIBUTED — assignment becomes a
+    // keyed join against a (cell, cv) table instead of a broadcast, and
+    // the mean-update aggregation already is distributed. Override with
+    // spark.graft.kmeans.maxModelK.
+    val maxModelK = s.conf.getOption("spark.graft.kmeans.maxModelK")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(4096)
+    val kk = math.min(
+      if (k > 0) k else math.max(4, math.sqrt(n.toDouble).toInt), maxModelK)
     val step = math.max(1, n / kk)
 
     // deterministic init: every step-th unit vector

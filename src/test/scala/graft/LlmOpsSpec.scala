@@ -222,6 +222,17 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     }
   }
 
+  test("kmeans model cap: spark.graft.kmeans.maxModelK clamps the collected " +
+    "centroid count (driver-model scale guard)") {
+    val key = "spark.graft.kmeans.maxModelK"
+    spark.conf.set(key, "3")
+    try {
+      val (idx, model) = graft.operators.Similarity.kmeansIndex(spark, sfDir)
+      model.size should be <= 3
+      idx.select("cell").distinct().count() should be <= 3L
+    } finally spark.conf.unset(key)
+  }
+
   test("q24_approx_distinct: HLL estimates within 5% of exact counts") {
     val approx = SparkEntry.queries("q24_approx_distinct")(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
