@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, MinHashSignature, SetJaccard, SigAgree, SimHash64}
+import graft.functions.{DotProduct, MinHashSignature, SetJaccard, SigAgree, SimHash64, SimHash64Md5}
 
 /** Session extensions exposing graft's native Catalyst kernels to SQL:
   * {{{
@@ -31,6 +31,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64", classOf[SimHash64]),
       (args: Seq[Expression]) => SimHash64(args(0))))
+
+    // engine-portable variant (md5 word hash — any engine with md5()
+    // reproduces it; what the oracle-checked dd_simhash fingerprints with)
+    ext.injectFunction((FunctionIdentifier("graft_simhash64_md5"),
+      info("graft_simhash64_md5", classOf[SimHash64Md5]),
+      (args: Seq[Expression]) => SimHash64Md5(args(0))))
 
     ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig", classOf[MinHashSignature]),

@@ -231,7 +231,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     if (!ident.namespace().sameElements(Array("system")))
       throw new UnsupportedOperationException(s"unknown procedure namespace: $ident")
-    GraftProcedures.load(root, ident.name()).getOrElse(
+    GraftProcedures.load(root, ident.name(), io).getOrElse(
       throw new UnsupportedOperationException(s"unknown procedure: $ident"))
   }
 

@@ -100,8 +100,10 @@ private[catalog] object GraftProcedures {
     }.toSeq
   }
 
-  def load(root: Path, name: String): Option[UnboundProcedure] = {
-    def open(repo: String) = GraftRepo.open(root.resolve(repo))
+  def load(root: Path, name: String,
+      io: graft.versioned.GraftIO = graft.versioned.LocalGraftIO.instance)
+      : Option[UnboundProcedure] = {
+    def open(repo: String) = GraftRepo.open(root.resolve(repo), io)
     name match {
       case "compact" => Some(new Proc(
         "compact",

@@ -52,6 +52,28 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     r.getSeq[Long](2) shouldBe r.getSeq[Long](3)
   }
 
+  test("graft_simhash64_md5 matches the portable md5 HOF formulation") {
+    // word hash = first 16 md5 hex chars as a signed big-endian 64-bit
+    // value: (hi32 as signed) * 2^32 + lo32 — the same arithmetic the
+    // DuckDB oracle computes
+    val h64 = """(CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)
+                |  - IF(CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)
+                |       >= 2147483648L, 4294967296L, 0L)) * 4294967296L
+                |  + CAST(conv(substring(md5(w), 9, 8), 16, 10) AS BIGINT)""".stripMargin
+    val r = spark.sql(
+      s"""SELECT graft_simhash64_md5(ws) AS nat_fp,
+         |       aggregate(zip_with(
+         |         aggregate(ws, array_repeat(0, 64), (acc, w) -> zip_with(acc,
+         |           transform(sequence(0, 63), i ->
+         |             CASE WHEN (shiftright($h64, i) & 1) = 1 THEN 1 ELSE -1 END),
+         |           (x, y) -> x + y)),
+         |         sequence(0, 63), (v, i) -> IF(v > 0, shiftleft(1L, i), 0L)),
+         |         0L, (acc, x) -> acc + x) AS hof_fp
+         |FROM (SELECT array('the', 'quick', 'brown', 'fox', 'fox') AS ws)""".stripMargin)
+      .head()
+    r.getLong(0) shouldBe r.getLong(1)
+  }
+
   test("graft_set_jaccard from SQL") {
     spark.sql(
       "SELECT graft_set_jaccard(array('a','b','c'), array('b','c','d')) AS j")
