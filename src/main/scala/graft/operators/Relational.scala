@@ -842,6 +842,69 @@ object Relational {
         .orderBy(col("event_type"))
     },
 
+    // ---- q38: ordered conversion funnel -------------------------------------
+    // Sequential-event analytics (view -> click -> purchase, each stage
+    // strictly AFTER the previous stage's FIRST occurrence and within
+    // 24 h of it — the conversion-window form): three
+    // conditional min-aggregations, every one keyed on user_id — the
+    // per-stage join-backs reuse one hash partitioning, so at 100 TB the
+    // funnel costs one shuffle of the events table plus per-user-sized
+    // joins (150 rows here; |users| rows at scale, never |events|²).
+    // Purely timestamp/count arithmetic -> bit-exact cross-engine.
+    Q(
+      "q38_funnel",
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |    AND e.ts <= v.t_view + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |    AND e.ts <= c.t_click + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
+        |            WHEN c.user_id IS NOT NULL THEN 2
+        |            WHEN v.user_id IS NOT NULL THEN 1
+        |            ELSE 0 END AS funnel_depth,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |       LEFT JOIN p USING (user_id)
+        |GROUP BY 1 ORDER BY funnel_depth""".stripMargin
+    ) { (s, d) =>
+      val ev = T.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") > col("t_view") &&
+          col("ts") <= col("t_view") + expr("INTERVAL 24 HOUR"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") > col("t_click") &&
+          col("ts") <= col("t_click") + expr("INTERVAL 24 HOUR"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      ev.select(col("user_id")).distinct()
+        .join(v.select(col("user_id"), lit(1).as("hv")), Seq("user_id"), "left")
+        .join(c.select(col("user_id"), lit(1).as("hc")), Seq("user_id"), "left")
+        .join(p.select(col("user_id"), lit(1).as("hp")), Seq("user_id"), "left")
+        .select(
+          when(col("hp").isNotNull, 3)
+            .when(col("hc").isNotNull, 2)
+            .when(col("hv").isNotNull, 1)
+            .otherwise(0).as("funnel_depth"))
+        .groupBy(col("funnel_depth"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("funnel_depth"))
+    },
+
     // ---- q26: stratified sample -------------------------------------------
     // Per-stratum Bernoulli sampling with a DETERMINISTIC hash coin
     // (md5 of the row key -> uniform [0,1)) instead of engine RNG: one

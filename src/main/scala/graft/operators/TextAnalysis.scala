@@ -259,6 +259,89 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Content-defined chunking (the FastCDC/rsync idea at word
+    * granularity) + cross-document chunk dedup stats: a chunk boundary
+    * falls after any word whose trailing 4-gram hashes to 0 mod 16
+    * (portable md5 gear hash → expected ~16-word chunks), so boundaries
+    * are a pure function of LOCAL content. That is the property that
+    * makes CDC the production sub-document dedup unit: inserting one
+    * word shifts every fixed-window span ([[spanScrub]]'s unit) but
+    * re-synchronizes CDC boundaries within one chunk, so shared
+    * boilerplate keeps deduping across edited documents. Plan shape:
+    * explode pipelined in the scan, ONE shuffle on doc_id whose sort
+    * feeds the 4-gram lags, the boundary running-sum AND the chunk
+    * assembly (a single window partitioning, reused), one keyed
+    * occurrence count on chunk signature, one join back. No self-join,
+    * no driver state — [[sentenceDedup]]'s scale contract with a
+    * content-defined unit.
+    */
+  private def cdcChunk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = T.documents(s, d)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
+      .toDF("doc_id", "pos", "wd")
+    val chunks = words
+      .withColumn("g4", concat_ws(" ",
+        lag(col("wd"), 3).over(w), lag(col("wd"), 2).over(w),
+        lag(col("wd"), 1).over(w), col("wd")))
+      .withColumn("bflag",
+        when(col("pos") >= 3 &&
+          conv(substring(md5(col("g4")), 1, 8), 16, 10).cast("long") % 16 === 0,
+          1L).otherwise(0L))
+      // a boundary word ENDS its chunk: the next word starts a new one
+      .withColumn("chunk_idx", coalesce(
+        sum(col("bflag")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(pos, wd))), x -> x.wd)")))
+          .as("sig"))
+      .localCheckpoint() // feeds the dup count AND the join-back once
+    val dups = chunks.groupBy(col("sig"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("sig"), lit(1).as("dup"))
+    chunks.join(dups, Seq("sig"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dup").isNotNull, 1L).otherwise(0L)).as("n_shared_chunks"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-LM novelty scoring (the perplexity-filter shape from
+    * CCNet-style quality pipelines, kept in INTEGER arithmetic so the
+    * oracle hashes bit-exactly): corpus-wide bigram frequencies, then
+    * per doc the count of bigrams rarer than the corpus mean frequency.
+    * Two shuffles — one keyed count over bigrams, one join back — and
+    * the frequency table is the only broadcast-sized side. A real LM
+    * filter swaps the mean-frequency test for a log-probability sum;
+    * the data flow (corpus statistics pass → per-doc join-back score)
+    * is identical, and that flow is what has to scale.
+    */
+  private def lmNovelty(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = T.documents(s, d)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
+      .toDF("doc_id", "pos", "wd")
+      .withColumn("bg", concat_ws(" ", lag(col("wd"), 1).over(w), col("wd")))
+      .filter(col("pos") >= 1)
+      .select(col("doc_id"), col("bg"))
+    val freq = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("f"))
+    // integer threshold: floor of corpus mean bigram frequency
+    val thr = freq.agg((sum(col("f")) / count(lit(1))).cast("long").as("thr"))
+    bigrams.join(freq, "bg")
+      .crossJoin(broadcast(thr))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("f") < col("thr"), 1L).otherwise(0L)).as("n_rare"),
+        countDistinct(col("bg")).as("n_distinct"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget sequence packing (training-shard assignment): greedy-fill
     * shards of <= `Budget` whitespace tokens, walking doc_id order inside
     * contiguous `Span`-doc groups. The group bound is the scale contract:
@@ -351,6 +434,58 @@ object TextAnalysis {
         |  FROM t JOIN pack p ON t.grp = p.grp AND t.rn = p.rn + 1)
         |SELECT doc_id, tokens, grp, shard FROM pack ORDER BY doc_id""".stripMargin
     )(pack),
+    Q(
+      "tx_cdc_chunk",
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(lower(text), ' ')) AS wd,
+        |         unnest(generate_series(1, len(string_split(lower(text), ' ')))) AS pos
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, pos, wd,
+        |         CASE WHEN pos >= 4 AND
+        |           CAST('0x' || substring(md5(concat_ws(' ',
+        |             lag(wd, 3) OVER pw, lag(wd, 2) OVER pw,
+        |             lag(wd, 1) OVER pw, wd)), 1, 8) AS BIGINT) % 16 = 0
+        |         THEN 1 ELSE 0 END AS bflag
+        |  FROM w WINDOW pw AS (PARTITION BY doc_id ORDER BY pos)),
+        |c AS (
+        |  SELECT doc_id, pos, wd,
+        |         coalesce(sum(bflag) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+        |  FROM b),
+        |chunks AS (
+        |  SELECT doc_id, chunk_idx, count(*) AS n_tokens,
+        |         md5(string_agg(wd, ' ' ORDER BY pos)) AS sig
+        |  FROM c GROUP BY doc_id, chunk_idx),
+        |dup AS (SELECT sig FROM chunks GROUP BY sig
+        |        HAVING count(DISTINCT doc_id) > 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(CASE WHEN sig IN (SELECT sig FROM dup)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM chunks GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    )(cdcChunk),
+    Q(
+      "tx_lm_novelty",
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(lower(text), ' ')) AS wd,
+        |         unnest(generate_series(1, len(string_split(lower(text), ' ')))) AS pos
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lag(wd, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+        |                   || ' ' || wd AS bg
+        |  FROM w QUALIFY pos >= 2),
+        |freq AS (SELECT bg, count(*) AS f FROM bg GROUP BY bg),
+        |thr AS (SELECT CAST(sum(f) / count(*) AS BIGINT) AS thr FROM freq)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(CASE WHEN f < (SELECT thr FROM thr)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |       CAST(count(DISTINCT bg) AS BIGINT) AS n_distinct
+        |FROM bg JOIN freq USING (bg)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    )(lmNovelty),
     Q(
       "tx_span_scrub",
       """WITH w AS (
