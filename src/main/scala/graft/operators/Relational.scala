@@ -937,6 +937,84 @@ object Relational {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // ---- q39: cohort retention matrix -------------------------------------
+    // Cohort = week of a user's first purchase; cell (cohort_week, k) =
+    // distinct users of that cohort active in week k after joining. Plan:
+    // one user-keyed aggregation builds the |users|-row cohort table, one
+    // user-keyed join tags every event with its cohort (AQE broadcasts the
+    // skinny cohort side while it is small; at 100 TB it is a co-keyed
+    // shuffle join on user_id — the events table never self-joins), then
+    // one (cohort, offset)-keyed distinct-count. Week arithmetic is done
+    // on week-truncated timestamps so datediff/7 is exact in both engines.
+    Q(
+      "q39_retention",
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |           FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+        |       CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS BIGINT) AS week_offset,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |WHERE e.ts >= f.cohort_week
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, d) =>
+      val ev = T.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val cohorts = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      ev.join(cohorts, "user_id")
+        .filter(col("ts") >= col("cohort_week"))
+        .select(col("cohort_week"),
+          floor(datediff(date_trunc("week", col("ts")), col("cohort_week")) / 7)
+            .cast("long").as("week_offset"),
+          col("user_id"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .select(col("cohort_week").cast("date").as("cohort_week"),
+          col("week_offset"), col("n_active"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
+    // ---- q40: recursive CTE (hierarchy walk) ------------------------------
+    // Spark 4.1's native WITH RECURSIVE (UnionLoop): walk a synthetic
+    // part hierarchy (parent key = key/10, roots are keys < 10) from the
+    // roots down, carrying root id and depth, then aggregate per level.
+    // Each recursion step is one keyed join of the frontier against the
+    // part table — frontier-sized, never |part|² — and Catalyst plans the
+    // loop itself, so the step join gets the same pushdown/broadcast
+    // treatment as any other join. Depth is data-bounded (log10 of the
+    // key space); `spark.sql.cteRecursionLevelLimit` guards runaways.
+    // DuckDB runs the identical recursion (`//` = Spark's DIV).
+    Q(
+      "q40_recursive",
+      """WITH RECURSIVE h AS (
+        |  SELECT p_partkey AS part_key, p_partkey AS root_key, 0 AS depth
+        |  FROM part WHERE p_partkey < 10
+        |  UNION ALL
+        |  SELECT p.p_partkey AS part_key, h.root_key, h.depth + 1 AS depth
+        |  FROM part p JOIN h ON p.p_partkey // 10 = h.part_key
+        |  WHERE p.p_partkey >= 10)
+        |SELECT CAST(depth AS BIGINT) AS depth,
+        |       CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(count(DISTINCT root_key) AS BIGINT) AS n_roots,
+        |       CAST(sum(part_key) AS BIGINT) AS sum_keys
+        |FROM h GROUP BY depth ORDER BY depth""".stripMargin
+    ) { (s, d) =>
+      T.part(s, d).createOrReplaceTempView("q40_part")
+      s.sql(
+        """WITH RECURSIVE h AS (
+          |  SELECT p_partkey AS part_key, p_partkey AS root_key, 0 AS depth
+          |  FROM q40_part WHERE p_partkey < 10
+          |  UNION ALL
+          |  SELECT p.p_partkey AS part_key, h.root_key, h.depth + 1 AS depth
+          |  FROM q40_part p JOIN h ON p.p_partkey DIV 10 = h.part_key
+          |  WHERE p.p_partkey >= 10)
+          |SELECT CAST(depth AS BIGINT) AS depth,
+          |       CAST(count(*) AS BIGINT) AS n_parts,
+          |       CAST(count(DISTINCT root_key) AS BIGINT) AS n_roots,
+          |       CAST(sum(part_key) AS BIGINT) AS sum_keys
+          |FROM h GROUP BY depth ORDER BY depth""".stripMargin)
     }
   )
 }

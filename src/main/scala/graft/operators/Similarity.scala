@@ -339,7 +339,45 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Exact cosine RANGE search (radius query): every corpus vector with
+    * cos_sim >= tau for each query, not a fixed top-k. Same broadcast
+    * guard and codegen'd dot kernel as [[bruteForceImpl]]; the result
+    * size is data-driven (|matches|), which is the point — a top-k scan
+    * can't express "all near-duplicate candidates above a similarity
+    * bar". Rounding to 6 dp happens BEFORE the threshold compare so the
+    * Spark and DuckDB filters see bit-identical doubles.
+    */
+  private val Tau = 0.3
+  private def rangeSearch(s: SparkSession, d: String): DataFrame = {
+    val corpus = T.embeddings(s, d)
+      .select(col("vec_id").as("neighbor_id"), toDoubleVec(col("embedding")).as("nv"))
+      .withColumn("nn", l2norm(col("nv")))
+    val qs = queriesSet(s, d)
+    val nQueries = qs.select(col("query_id")).count()
+    val qSide = if (nQueries <= 500000) broadcast(qs) else qs
+    corpus
+      .join(qSide, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= Tau)
+      .orderBy(col("query_id"), col("cos_sim").desc, col("neighbor_id"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q(
+      "sim_range_search",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0)
+         |SELECT query_id, neighbor_id, cos_sim FROM (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         round(list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2])) /
+         |               (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+         |                sqrt(list_sum(list_transform(e.v, x -> x * x)))), 6) AS cos_sim
+         |  FROM q JOIN e ON e.vec_id <> q.query_id) t
+         |WHERE cos_sim >= $Tau
+         |ORDER BY query_id, cos_sim DESC, neighbor_id""".stripMargin
+    )(rangeSearch),
     Q(
       "sim_ann_brute",
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
