@@ -61,7 +61,8 @@ private[catalog] object GraftProcedures {
 
   def names: Seq[String] =
     Seq("compact", "vacuum", "create_tag", "create_branch", "merge",
-      "rollback", "revert", "expire_snapshots", "set_partition_spec")
+      "rollback", "revert", "cherry_pick", "expire_snapshots",
+      "set_partition_spec")
 
   /** Parse an Iceberg-style spec string: `"identity(cat), bucket(4, id),
     * days(ts), truncate(3, name)"`; a bare column name means identity;
@@ -174,6 +175,15 @@ private[catalog] object GraftProcedures {
         StructType(Seq(StructField("commit_id", StringType, nullable = false))),
         { in =>
           val c = open(str(in, 0)).revert(str(in, 1), str(in, 2))
+          Seq(UTF8String.fromString(c.id))
+        }))
+      case "cherry_pick" => Some(new Proc(
+        "cherry_pick",
+        Seq(("repo", StringType, None), ("branch", StringType, None),
+          ("ref", StringType, None)),
+        StructType(Seq(StructField("commit_id", StringType, nullable = false))),
+        { in =>
+          val c = open(str(in, 0)).cherryPick(str(in, 1), str(in, 2))
           Seq(UTF8String.fromString(c.id))
         }))
       case "expire_snapshots" => Some(new Proc(

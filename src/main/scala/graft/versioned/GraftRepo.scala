@@ -287,7 +287,12 @@ final class GraftRepo private (val root: Path, val io: GraftIO) {
         else conflict(s"property $pk changed on both sides")
       v.map(pk -> _)
     }.toMap
-    writeSnapshot(key, b.schemaJson, b.files ++ sNew ++ dNew,
+    // dedupe by path: disjoint for two branch writers (UUID file names),
+    // but a cherry-pick re-applying an already-picked commit sees its own
+    // file on BOTH sides — union must not double-count it
+    val sPaths = sNew.map(_.path).toSet
+    writeSnapshot(key, b.schemaJson,
+      b.files ++ sNew ++ dNew.filterNot(f => sPaths.contains(f.path)),
       b.partitionBy, b.physicalNames,
       if (props.isEmpty) None else Some(props), b.retired).id
   }
@@ -397,6 +402,76 @@ final class GraftRepo private (val root: Path, val io: GraftIO) {
       val (v, hid) = head(branch)
       try return commitAt(branch, v, Seq(hid), msg, target.tables,
         target.namespaces, target.viewMap)
+      catch {
+        case e: CommitConflictException =>
+          attempts += 1; if (attempts >= 10) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Cherry-pick (git/lakeFS `cherry-pick`): apply ONE commit's delta —
+    * its state vs its FIRST parent — onto this branch's head as a NEW
+    * commit, without bringing the rest of the source branch's history
+    * along (that is merge's job). Per key changed by the pick, three-way
+    * against the pick's parent:
+    *   - head still at the parent's version -> take the pick's version
+    *   - head already at the pick's version -> no-op (already applied)
+    *   - head diverged on a table, but both deltas vs the pick's parent
+    *     are pure appends -> row-level append-union (same fast path as
+    *     [[merge]]); any other divergence -> MergeConflictException
+    * Keys the pick did not change are untouched on the target, so a
+    * cherry-pick never drags along unrelated state from the source
+    * branch. History-preserving (new commit parented on the current
+    * head — the picked commit stays where it was) and CAS-retried.
+    */
+  def cherryPick(branch: String, ref: String, message: String = ""): Commit = {
+    val pick = resolve(ref)
+    require(pick.parents.nonEmpty, s"cannot cherry-pick root commit ${pick.id}")
+    val base = commit(pick.parents.head)
+    val msg = if (message.nonEmpty) message
+      else s"cherry-pick ${pick.id}: ${pick.message}"
+    var attempts = 0
+    while (true) {
+      val (v, hid) = head(branch)
+      val h = commit(hid)
+      def conflict(kind: String, k: String): Nothing =
+        throw new MergeConflictException(s"cherry-pick conflict on $kind " +
+          s"$k: $branch diverged from the pick's parent")
+      var tables = h.tables
+      (base.tables.keySet ++ pick.tables.keySet).foreach { k =>
+        val (bv, pv, hv) = (base.tables.get(k), pick.tables.get(k), h.tables.get(k))
+        if (pv != bv && hv != pv) {
+          if (hv == bv) tables = pv.fold(tables - k)(x => tables + (k -> x))
+          else (bv, pv, hv) match {
+            case (Some(bid), Some(pid), Some(hcur)) =>
+              tables += (k -> mergeAppendOnly(k, bid, pid, hcur))
+            case _ => conflict("table", k)
+          }
+        }
+      }
+      // namespace metadata: pick wins on divergence, same as merge's
+      // src-wins rule for namespaces
+      var ns = h.namespaces
+      (base.namespaces.keySet ++ pick.namespaces.keySet).foreach { k =>
+        val (bv, pv) = (base.namespaces.get(k), pick.namespaces.get(k))
+        if (pv != bv && ns.get(k) != pv)
+          ns = pv.fold(ns - k)(x => ns + (k -> x))
+      }
+      var views = h.viewMap
+      (base.viewMap.keySet ++ pick.viewMap.keySet).foreach { k =>
+        val (bv, pv, hv) = (base.viewMap.get(k), pick.viewMap.get(k), h.viewMap.get(k))
+        if (pv != bv && hv != pv) {
+          if (hv == bv) views = pv.fold(views - k)(x => views + (k -> x))
+          else conflict("view", k)
+        }
+      }
+      // same shared-namespace invariant the merge path enforces
+      tables.keySet.intersect(views.keySet).headOption.foreach { k =>
+        throw new MergeConflictException(
+          s"$k is a table on one side and a view on the other")
+      }
+      try return commitAt(branch, v, Seq(hid), msg, tables, ns, views)
       catch {
         case e: CommitConflictException =>
           attempts += 1; if (attempts >= 10) throw e

@@ -1251,6 +1251,53 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
   }
 
 
+  test("cherry-pick: one commit's delta applies onto another branch; " +
+    "append-union on concurrent appends; re-pick idempotent; rewrites conflict") {
+    setupRepo("rchp")
+    sql("CREATE NAMESPACE g.rchp.dev")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rchp"))
+    // dev: create+fill table u (two commits), THEN append to t (one commit)
+    sql("CREATE TABLE g.rchp.dev.db.u (id INT)")
+    sql("INSERT INTO g.rchp.dev.db.u VALUES (100)")
+    sql("INSERT INTO g.rchp.dev.db.t VALUES (9, 'name_9')")
+    val pickT = repo.headCommit("dev").id
+
+    // picking only the t-append brings t's delta and NOT u
+    rows(s"CALL g.system.cherry_pick('rchp', 'main', '$pickT')")
+    rows("SELECT id FROM g.rchp.main.db.t ORDER BY id").flatten shouldBe (1 to 9)
+    intercept[Exception] { rows("SELECT * FROM g.rchp.main.db.u") }
+    // the picked commit stays on dev; main's new head is its own commit
+    repo.headCommit("main").id should not be pickT
+    repo.headCommit("main").parents should have size 1
+
+    // append-union: main and the pick both appended vs the pick's parent
+    sql("INSERT INTO g.rchp.main.db.t VALUES (10, 'name_10')")
+    sql("INSERT INTO g.rchp.dev.db.t VALUES (11, 'name_11')")
+    val pick2 = repo.headCommit("dev").id
+    rows(s"CALL g.system.cherry_pick('rchp', 'main', '$pick2')")
+    rows("SELECT id FROM g.rchp.main.db.t ORDER BY id").flatten shouldBe (1 to 11)
+    // dev never saw main's rows (cherry-pick is one-directional)
+    rows("SELECT id FROM g.rchp.dev.db.t ORDER BY id").flatten shouldBe
+      ((1 to 9) :+ 11)
+
+    // re-picking an already-applied commit must not double-count its file
+    rows(s"CALL g.system.cherry_pick('rchp', 'main', '$pick2')")
+    rows("SELECT id FROM g.rchp.main.db.t ORDER BY id").flatten shouldBe (1 to 11)
+
+    // a rewrite (CoW delete) on the pick with a diverged target conflicts
+    sql("DELETE FROM g.rchp.dev.db.t WHERE id = 1")
+    val pick3 = repo.headCommit("dev").id
+    intercept[MergeConflictException] { repo.cherryPick("main", pick3) }
+    // and the root commit is not pickable
+    val root = {
+      var c = repo.headCommit("main")
+      while (c.parents.nonEmpty) c = repo.commit(c.parents.head)
+      c.id
+    }
+    intercept[IllegalArgumentException] { repo.cherryPick("main", root) }
+  }
+
   test("temporal partition transforms: days(ts) prunes date ranges before " +
     "stats; CoW delete touches only the matching day") {
     import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan}
