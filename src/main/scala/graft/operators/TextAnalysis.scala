@@ -659,6 +659,57 @@ object TextAnalysis {
         |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
         |WHERE d.doc_id % 97 <> 0
         |ORDER BY d.doc_id""".stripMargin
-    )(decontaminate)
+    )(decontaminate),
+
+    // ---- tx_keyword: df-weighted top terms per document -------------------
+    // TF-IDF-shaped keyword extraction with a transcendental-free idf
+    // analog (tf * (N+1)/(df+1)) so both engines compute bit-identical
+    // doubles from integer inputs — ln() could differ in the last ulp
+    // across libm implementations and flip a rank. The canonical
+    // distributed TF-IDF shape: one (doc, term) count, one term-keyed
+    // document-frequency count, one term-keyed join (the |vocab|-sized df
+    // table co-keys with the tf table — never a broadcast of the corpus),
+    // one doc-keyed top-k window. Four keyed shuffles, each on a
+    // different, well-distributed key; nothing is ever |docs|².
+    Q(
+      "tx_keyword",
+      """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |           FROM documents),
+        |w2 AS (SELECT doc_id, term FROM w WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tfc FROM w2 GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM w2 GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tfc, df.dfc,
+        |             CAST(tf.tfc AS DOUBLE) * (n.n_docs + 1) / (df.dfc + 1) AS raw,
+        |             row_number() OVER (
+        |               PARTITION BY tf.doc_id
+        |               ORDER BY CAST(tf.tfc AS DOUBLE) * (n.n_docs + 1) / (df.dfc + 1) DESC,
+        |                        tf.term) AS rnk
+        |      FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term,
+        |       CAST(tfc AS BIGINT) AS tf, CAST(dfc AS BIGINT) AS df,
+        |       round(raw, 6) AS score
+        |FROM s WHERE rnk <= 3 ORDER BY doc_id, rank""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val words = T.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = words.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tfc"))
+      val df = words.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("dfc"))
+      val nDocs = T.documents(s, d).agg(count(lit(1)).cast("double").as("n_docs"))
+      val raw = col("tfc").cast("double") * (col("n_docs") + 1) / (col("dfc") + 1)
+      val w = Window.partitionBy(col("doc_id")).orderBy(raw.desc, col("term"))
+      tf.join(df, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk").cast("long").as("rank"), col("term"),
+          col("tfc").cast("long").as("tf"), col("dfc").cast("long").as("df"),
+          round(raw, 6).as("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    }
   )
 }
