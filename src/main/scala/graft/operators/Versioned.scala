@@ -178,6 +178,29 @@ object Versioned {
       s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
   }
 
+  /** Cherry-pick: dev makes TWO append commits; main diverges with its
+    * own append; picking only the SECOND dev commit replays that one
+    * delta onto main — the first dev commit must NOT come along, and
+    * main's own rows survive (the delta applies onto a head that is
+    * sideways of the pick's parent).
+    */
+  private def cherryRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    s.sql(s"INSERT INTO $cat.r.dev.db.nation " +
+      s"SELECT n_nationkey + 200, n_name, n_regionkey " +
+      s"FROM $cat.r.dev.db.nation WHERE n_nationkey < 2")
+    s.sql(s"INSERT INTO $cat.r.dev.db.nation " +
+      s"SELECT n_nationkey + 300, n_name, n_regionkey " +
+      s"FROM $cat.r.dev.db.nation WHERE n_nationkey < 3")
+    val pick = repo.headCommit("dev").id
+    s.sql(s"INSERT INTO $cat.r.main.db.nation " +
+      s"SELECT n_nationkey + 400, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation WHERE n_nationkey < 2")
+    repo.cherryPick("main", pick)
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
+  }
+
   /** Materialized view with INCREMENTAL refresh: full-compute at
     * create, append rows, refresh — the refresh reads only the appended
     * delta files (never rescans the source), combines with affected MV
@@ -448,6 +471,18 @@ object Versioned {
         |  WHERE n_nationkey < 3
         |) ORDER BY n_nationkey""".stripMargin
     )(mergeUnionRead),
+    Q(
+      "vc_cherry_read",
+      """SELECT n_nationkey, n_name, n_regionkey FROM (
+        |  SELECT * FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 300, n_name, n_regionkey FROM nation
+        |  WHERE n_nationkey < 3
+        |  UNION ALL
+        |  SELECT n_nationkey + 400, n_name, n_regionkey FROM nation
+        |  WHERE n_nationkey < 2
+        |) ORDER BY n_nationkey""".stripMargin
+    )(cherryRead),
     Q(
       "vc_mv_read",
       """SELECT n_regionkey, count(*) AS n_nations,

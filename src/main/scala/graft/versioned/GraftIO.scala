@@ -105,3 +105,104 @@ final class LocalGraftIO extends GraftIO {
 object LocalGraftIO {
   val instance: GraftIO = new LocalGraftIO
 }
+
+/** In-memory GraftIO: one concurrent map, no filesystem. Two jobs:
+  *
+  *  1. '''Executable proof the seam is complete''' — GraftIOSpec runs the
+  *     whole version-graph lifecycle (init, commits, branch, tag, merge,
+  *     cherry-pick, rollback, racing committers) against this backend;
+  *     any engine code that slipped a direct `java.nio.Files` call past
+  *     the seam would throw on the nonexistent paths.
+  *  2. '''Reference shape for an object-store backend''' — the key-value
+  *     model below is exactly S3's: no real directories (a "directory"
+  *     exists iff keys live under its prefix, plus explicit markers from
+  *     mkdirs, the way console-created S3 folders work), `putIfAbsent`
+  *     as the atomic set-if-absent publish (S3: `If-None-Match: *`
+  *     conditional PUT), strongly consistent list-after-put.
+  *
+  * Not a data-plane store: parquet data files go through Spark's own
+  * Hadoop FileSystem — this backend only ever serves repo metadata.
+  */
+final class InMemoryGraftIO extends GraftIO {
+  private val files =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Byte], Long)]()
+  private val dirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def k(p: Path): String = p.toAbsolutePath.normalize.toString
+  private def get(p: Path): (Array[Byte], Long) = {
+    val v = files.get(k(p))
+    if (v == null) throw new java.nio.file.NoSuchFileException(k(p))
+    v
+  }
+
+  override def createExclusive(path: Path, content: String): Boolean =
+    files.putIfAbsent(k(path),
+      (content.getBytes("UTF-8"), System.currentTimeMillis())) == null
+  override def overwrite(path: Path, content: Array[Byte]): Unit =
+    files.put(k(path), (content, System.currentTimeMillis()))
+  override def readString(path: Path): String =
+    new String(get(path)._1, "UTF-8")
+  override def readBytes(path: Path): Array[Byte] = get(path)._1
+
+  override def list(path: Path): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    val prefix = k(path) + "/"
+    def firstSeg(key: String): Option[String] =
+      if (key.startsWith(prefix))
+        Some(key.substring(prefix.length).takeWhile(_ != '/'))
+      else None
+    (files.keySet().asScala.flatMap(firstSeg(_)) ++
+      dirs.asScala.flatMap(firstSeg(_)))
+      .filter(_.nonEmpty).toSeq.distinct.sorted
+      .map(n => java.nio.file.Paths.get(k(path), n))
+  }
+  override def walk(path: Path): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    val self = k(path)
+    val prefix = self + "/"
+    val under = (files.keySet().asScala ++ dirs.asScala)
+      .filter(s => s == self || s.startsWith(prefix))
+    // parents synthesized so callers' children-before-parent reverse
+    // sorts behave like Files.walk output
+    val withParents = under.flatMap { s =>
+      Iterator.iterate(s)(x => x.substring(0, x.lastIndexOf('/')))
+        .takeWhile(x => x.length >= self.length && x.contains('/'))
+        .toSeq :+ self
+    }
+    withParents.toSeq.distinct.sorted.map(java.nio.file.Paths.get(_))
+  }
+
+  override def isDirectory(path: Path): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val key = k(path)
+    dirs.contains(key) || {
+      val prefix = key + "/"
+      files.keySet().asScala.exists(_.startsWith(prefix)) ||
+        dirs.asScala.exists(_.startsWith(prefix))
+    }
+  }
+  override def isFile(path: Path): Boolean = files.containsKey(k(path))
+  override def size(path: Path): Long = get(path)._1.length.toLong
+  override def mtimeMs(path: Path): Long = get(path)._2
+
+  override def mkdirs(path: Path): Unit = {
+    var p = path.toAbsolutePath.normalize
+    while (p != null && p.getParent != null) { dirs.add(k(p)); p = p.getParent }
+  }
+  override def delete(path: Path): Unit =
+    if (!deleteIfExists(path)) throw new java.nio.file.NoSuchFileException(k(path))
+  override def deleteIfExists(path: Path): Boolean = {
+    val key = k(path)
+    if (files.remove(key) != null) true
+    else if (dirs.contains(key)) {
+      if (isDirectory(path) && list(path).nonEmpty)
+        throw new java.nio.file.DirectoryNotEmptyException(key)
+      dirs.remove(key)
+    } else false
+  }
+  override def move(path: Path, to: Path): Unit = {
+    val v = get(path)
+    files.put(k(to), v)
+    files.remove(k(path))
+  }
+}

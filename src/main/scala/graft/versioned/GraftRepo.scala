@@ -287,9 +287,8 @@ final class GraftRepo private (val root: Path, val io: GraftIO) {
         else conflict(s"property $pk changed on both sides")
       v.map(pk -> _)
     }.toMap
-    // dedupe by path: disjoint for two branch writers (UUID file names),
-    // but a cherry-pick re-applying an already-picked commit sees its own
-    // file on BOTH sides — union must not double-count it
+    // the two sides' appends are disjoint (UUID file names), but dedupe
+    // by path anyway — a snapshot must never list one file twice
     val sPaths = sNew.map(_.path).toSet
     writeSnapshot(key, b.schemaJson,
       b.files ++ sNew ++ dNew.filterNot(f => sPaths.contains(f.path)),
@@ -410,16 +409,62 @@ final class GraftRepo private (val root: Path, val io: GraftIO) {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Replay a pick's APPEND delta onto an arbitrary head state: legal
+    * when the pick only appended files vs its parent, schema/spec/name
+    * mapping agree across all three states, and no merge-on-read
+    * tombstones are live. Unlike [[mergeAppendOnly]] the head needs NO
+    * ancestry relation to the pick's parent — the head may be ahead,
+    * behind, or sideways of it; only the pick's own delta must be a pure
+    * append. Delta files the head already holds are skipped, which makes
+    * re-picking an applied commit a no-op rather than a double-count.
+    */
+  private def applyAppendDelta(key: String, baseId: String, pickId: String,
+      headId: String): String = {
+    val b = snapshot(baseId); val p = snapshot(pickId); val h = snapshot(headId)
+    def conflict(why: String): Nothing =
+      throw new MergeConflictException(
+        s"cherry-pick conflict on table $key ($why)")
+    def shape(x: Snapshot) =
+      (x.schemaJson, x.partitionFields, x.nameMapping, x.retiredNames)
+    if (shape(p) != shape(b) || shape(h) != shape(b))
+      conflict("schema or partition spec diverged")
+    if (Seq(b, p, h).exists(Tombstones.of(_).nonEmpty))
+      conflict("merge-on-read tombstones present")
+    val basePaths = b.files.map(_.path).toSet
+    if (!basePaths.subsetOf(p.files.map(_.path).toSet))
+      conflict("pick deleted or rewrote files")
+    val headPaths = h.files.map(_.path).toSet
+    val delta = p.files.filterNot(f =>
+      basePaths.contains(f.path) || headPaths.contains(f.path))
+    if (delta.isEmpty) return headId // already applied — keep head snapshot
+    // engine counters merge by max (same rule as mergeAppendOnly); with
+    // zero tombstones in play the seq stamps order nothing yet
+    val numericMax = Set(Tombstones.SeqProp, TableOps.StreamBatchProp)
+    val propKeys = h.properties.keySet ++ p.properties.keySet
+    val props = propKeys.flatMap { pk =>
+      val v =
+        if (numericMax.contains(pk))
+          Seq(p.properties.get(pk), h.properties.get(pk)).flatten
+            .map(_.toLong).maxOption.map(_.toString)
+        else h.properties.get(pk).orElse(p.properties.get(pk)) // head wins
+      v.map(pk -> _)
+    }.toMap
+    writeSnapshot(key, h.schemaJson, h.files ++ delta, h.partitionBy,
+      h.physicalNames, if (props.isEmpty) None else Some(props), h.retired).id
+  }
+
   /** Cherry-pick (git/lakeFS `cherry-pick`): apply ONE commit's delta —
     * its state vs its FIRST parent — onto this branch's head as a NEW
     * commit, without bringing the rest of the source branch's history
-    * along (that is merge's job). Per key changed by the pick, three-way
-    * against the pick's parent:
+    * along (that is merge's job). Per key changed by the pick:
     *   - head still at the parent's version -> take the pick's version
+    *     (covers rewrites, deletes, schema changes — an exact replay)
     *   - head already at the pick's version -> no-op (already applied)
-    *   - head diverged on a table, but both deltas vs the pick's parent
-    *     are pure appends -> row-level append-union (same fast path as
-    *     [[merge]]); any other divergence -> MergeConflictException
+    *   - head diverged on a table -> replay the pick's APPEND delta onto
+    *     the head ([[applyAppendDelta]] — the head may be ahead, behind
+    *     or sideways; only a pick that itself deleted/rewrote files
+    *     conflicts, because a rewrite cannot be replayed onto rows it
+    *     never saw)
     * Keys the pick did not change are untouched on the target, so a
     * cherry-pick never drags along unrelated state from the source
     * branch. History-preserving (new commit parented on the current
@@ -445,7 +490,7 @@ final class GraftRepo private (val root: Path, val io: GraftIO) {
           if (hv == bv) tables = pv.fold(tables - k)(x => tables + (k -> x))
           else (bv, pv, hv) match {
             case (Some(bid), Some(pid), Some(hcur)) =>
-              tables += (k -> mergeAppendOnly(k, bid, pid, hcur))
+              tables += (k -> applyAppendDelta(k, bid, pid, hcur))
             case _ => conflict("table", k)
           }
         }

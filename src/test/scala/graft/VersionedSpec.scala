@@ -1252,7 +1252,7 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
 
 
   test("cherry-pick: one commit's delta applies onto another branch; " +
-    "append-union on concurrent appends; re-pick idempotent; rewrites conflict") {
+    "append delta replays onto any head state; re-pick idempotent; rewrites conflict") {
     setupRepo("rchp")
     sql("CREATE NAMESPACE g.rchp.dev")
     val repo = GraftRepo.open(java.nio.file.Paths.get(
@@ -1284,6 +1284,17 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // re-picking an already-applied commit must not double-count its file
     rows(s"CALL g.system.cherry_pick('rchp', 'main', '$pick2')")
     rows("SELECT id FROM g.rchp.main.db.t ORDER BY id").flatten shouldBe (1 to 11)
+
+    // head BEHIND the pick's parent: dev makes two append commits A, B;
+    // picking only B onto a main that has NEITHER must bring B's rows
+    // and not A's (the delta replays onto any head state)
+    sql("CREATE NAMESPACE g.rchp.rel")
+    sql("INSERT INTO g.rchp.rel.db.t VALUES (20, 'name_20')")
+    sql("INSERT INTO g.rchp.rel.db.t VALUES (21, 'name_21')")
+    val pickB = repo.headCommit("rel").id
+    repo.cherryPick("dev", pickB)
+    rows("SELECT id FROM g.rchp.dev.db.t ORDER BY id").flatten shouldBe
+      ((1 to 9) :+ 11 :+ 21)
 
     // a rewrite (CoW delete) on the pick with a diverged target conflicts
     sql("DELETE FROM g.rchp.dev.db.t WHERE id = 1")
