@@ -697,8 +697,12 @@ object TextAnalysis {
         .filter(col("term") =!= "")
       val tf = words.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tfc"))
-      val df = words.groupBy(col("term"))
-        .agg(countDistinct(col("doc_id")).as("dfc"))
+      // df from tf, not from a second explode pass: tf already holds one
+      // row per (doc, term), so count(*) per term IS the document
+      // frequency — halves the scan+explode work and replaces a
+      // distinct-count with a plain count over the much smaller table
+      val df = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("dfc"))
       val nDocs = T.documents(s, d).agg(count(lit(1)).cast("double").as("n_docs"))
       val raw = col("tfc").cast("double") * (col("n_docs") + 1) / (col("dfc") + 1)
       val w = Window.partitionBy(col("doc_id")).orderBy(raw.desc, col("term"))

@@ -201,8 +201,10 @@ final class InMemoryGraftIO extends GraftIO {
     } else false
   }
   override def move(path: Path, to: Path): Unit = {
-    val v = get(path)
-    files.put(k(to), v)
+    val v = get(path) // throws NoSuchFileException like Files.move
+    if (k(path) == k(to)) return // Files.move(p, p) is a no-op
+    if (files.putIfAbsent(k(to), v) != null)
+      throw new java.nio.file.FileAlreadyExistsException(k(to))
     files.remove(k(path))
   }
 }
