@@ -661,6 +661,40 @@ object TextAnalysis {
         |ORDER BY d.doc_id""".stripMargin
     )(decontaminate),
 
+    // ---- tx_split: deterministic train/val/test assignment ----------------
+    // Hash-coin split (md5 of the doc key -> uniform [0,1) -> 90/5/5),
+    // reported as a per-source stratification audit. The same coin trick
+    // as q26's sampler, doing the other production job: split membership
+    // must be a PURE FUNCTION of the row key — stable across engines,
+    // retries, cluster sizes and reruns (an RNG split leaks val into
+    // train on every recompute). Row-local + one small aggregate; no
+    // shuffle before the 20-row audit group-by.
+    Q(
+      "tx_split",
+      """WITH c AS (SELECT doc_id, source,
+        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 AS coin
+        |  FROM documents)
+        |SELECT source,
+        |       CASE WHEN coin < 0.90 THEN 'train'
+        |            WHEN coin < 0.95 THEN 'val' ELSE 'test' END AS split,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(min(doc_id) AS BIGINT) AS min_doc,
+        |       CAST(max(doc_id) AS BIGINT) AS max_doc
+        |FROM c GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+    ) { (s, d) =>
+      val coin = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint").cast("double") / 4294967296.0
+      T.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          when(coin < 0.90, "train").when(coin < 0.95, "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("source"), col("split"))
+    },
+
     // ---- tx_keyword: df-weighted top terms per document -------------------
     // TF-IDF-shaped keyword extraction with a transcendental-free idf
     // analog (tf * (N+1)/(df+1)) so both engines compute bit-identical
