@@ -58,12 +58,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // KeyGroupedPartitioning (storage-partitioned joins) by loading the
   // function from the TABLE'S catalog with an empty namespace.
   override def listFunctions(ns: Array[String]): Array[Identifier] =
-    if (ns.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    if (ns.isEmpty)
+      GraftFunctions.transforms.keys.toArray.sorted
+        .map(n => Identifier.of(Array.empty, n))
     else { checkNs(ns); Array.empty }
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.namespace.isEmpty && ident.name == "bucket") GraftBucketFunction
+    if (ident.namespace.isEmpty) GraftFunctions.transforms.getOrElse(ident.name,
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   private def repoPath(repo: String): Path = root.resolve(repo)

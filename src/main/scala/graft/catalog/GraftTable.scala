@@ -3,18 +3,39 @@ package graft.catalog
 import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.versioned.{GraftRepo, Snapshot, TableOps}
+import graft.versioned.{GraftRepo, PartitionField, Snapshot, TableOps}
+
+object GraftTable {
+  /** Partition spec -> connector Transform expressions — the table's
+    * reported partitioning, and the clustering/ordering the native
+    * partitioned write requests. Every non-identity transform here has
+    * a loadable implementation in [[GraftFunctions.transforms]].
+    */
+  def specTransforms(spec: Seq[PartitionField])
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    spec.map { pf =>
+      import org.apache.spark.sql.connector.expressions.Expressions
+      pf.transform match {
+        case "bucket" => Expressions.bucket(pf.numBuckets, pf.source)
+        case "years" => Expressions.years(pf.source)
+        case "months" => Expressions.months(pf.source)
+        case "days" => Expressions.days(pf.source)
+        case "hours" => Expressions.hours(pf.source)
+        case "truncate" => Expressions.apply("truncate",
+          Expressions.literal(pf.numBuckets), Expressions.column(pf.source))
+        case _ => Expressions.identity(pf.source)
+      }
+    }.toArray
+}
 
 /** A graft versioned table surfaced through DataSource V2.
   *
@@ -43,32 +64,12 @@ final class GraftTable(
   override def name(): String = ident.toString
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
-    snap.partitionFields.map { pf =>
-      import org.apache.spark.sql.connector.expressions.Expressions
-      pf.transform match {
-        case "bucket" => Expressions.bucket(pf.numBuckets, pf.source)
-        case "years" => Expressions.years(pf.source)
-        case "months" => Expressions.months(pf.source)
-        case "days" => Expressions.days(pf.source)
-        case "hours" => Expressions.hours(pf.source)
-        case "truncate" => Expressions.apply("truncate",
-          Expressions.literal(pf.numBuckets), Expressions.column(pf.source))
-        case _ => Expressions.identity(pf.source)
-      }
-    }.toArray
-  // Spark rejects a non-V1Write from a table declaring V1_BATCH_WRITE,
-  // so the capability advertises whichever single write path this
-  // table's layout takes (native DSv2 vs the V1 layout bridge below)
-  private[catalog] def nativeWritePath: Boolean =
-    snap.partitionFields.isEmpty &&
-      graft.versioned.Blooms.physCols(snap,
-        TableOps.toPhysical(tableSchema, snap.nameMapping)).isEmpty
+    GraftTable.specTransforms(snap.partitionFields)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      if (nativeWritePath) TableCapability.BATCH_WRITE
-      else TableCapability.V1_BATCH_WRITE,
+      TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def properties(): JMap[String, String] =
     (snap.properties ++ Map("provider" -> "graft", "snapshot" -> snap.id)).asJava
@@ -102,67 +103,36 @@ final class GraftTable(
 
   // ---- write (INSERT INTO / INSERT OVERWRITE / CTAS / df.writeTo) ------
 
-  /** Unpartitioned, bloom-free tables take the NATIVE DSv2 batch write:
-    * executors stream rows through Spark's vectorized parquet writer
-    * into a staging dir (same bridge the CoW row-level path uses), and
-    * the driver-side [[org.apache.spark.sql.connector.write.BatchWrite]]
-    * commit runs the stats pass + optimistic snapshot publish. The V1
-    * bridge remains only where the write needs the engine's own layout
-    * machinery — partition-directory routing and bloom sidecar builds.
-    * There it DECLARES its clustering via
-    * `RequiresDistributionAndOrdering` (visible in the INSERT plan as a
-    * rebalance on the transform expressions); Spark's V1 fallback does
-    * not execute the prepared distribution, so the internal AQE
-    * rebalance in [[TableOps.writeFiles]] remains what actually
-    * clusters rows into partition-value files.
+  /** Every INSERT/CTAS/df.writeTo path is NATIVE DSv2 — no V1
+    * `InsertableRelation` bridge anywhere:
+    *
+    *  - unpartitioned, bloom-free tables stream rows through Spark's own
+    *    vectorized parquet writer into a staging dir
+    *    ([[GraftInsertWrite]]);
+    *  - partitioned and/or bloom-carrying tables take
+    *    [[GraftPartitionedInsertWrite]], which DECLARES its clustering +
+    *    ordering on the partition transforms via
+    *    `RequiresDistributionAndOrdering` (Spark plans the AQE rebalance
+    *    + sort — visible in the INSERT plan), routes rows into the
+    *    hive-style partition layout executor-side, and builds bloom
+    *    sidecars in its commit stats pass.
+    *
+    * Both converge on [[TableOps.commitAppend]]'s optimistic-retry
+    * snapshot publish.
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
       override def build(): Write = {
-        if (nativeWritePath)
-          new GraftInsertWrite(repo, requireBranch, key, snap, tableSchema,
+        val b = requireBranch
+        val blooms = graft.versioned.Blooms.physCols(snap,
+          TableOps.toPhysical(tableSchema, snap.nameMapping))
+        if (snap.partitionFields.isEmpty && blooms.isEmpty)
+          new GraftInsertWrite(repo, b, key, snap, tableSchema, info, overwrite)
+        else
+          new GraftPartitionedInsertWrite(repo, b, key, snap, tableSchema,
             info, overwrite)
-        else {
-          // The distribution is DECLARED for transforms Spark can
-          // resolve against this catalog's FunctionCatalog (identity
-          // needs none; bucket is registered) — it documents the write's
-          // clustering contract in the plan and becomes active the day
-          // partitioned writes go native. Spark's V1 fallback EXECUTES
-          // the original query (the prepared rebalance is not run), so
-          // the internal AQE rebalance below remains the mechanism that
-          // actually clusters rows into partition-value files.
-          val requestable = snap.partitionFields.nonEmpty &&
-            snap.partitionFields.forall(pf =>
-              pf.transform == "identity" || pf.transform == "bucket")
-          val b = requireBranch
-          if (requestable)
-            new V1Write with RequiresDistributionAndOrdering {
-              override def requiredDistribution: Distribution =
-                Distributions.clustered(
-                  partitioning().map(t =>
-                    t: org.apache.spark.sql.connector.expressions.Expression))
-              override def requiredOrdering
-                  : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-                Array.empty
-              // advisory, not strict: AQE plans a rebalance (skew-safe,
-              // size-targeted) rather than a hard hash repartition
-              override def distributionStrictlyRequired(): Boolean = false
-              override def toInsertableRelation: InsertableRelation =
-                new InsertableRelation {
-                  override def insert(data: DataFrame, overwriteIgnored: Boolean): Unit =
-                    TableOps.insert(data.sparkSession, repo, b, key, data, overwrite)
-                }
-            }
-          else new V1Write {
-            override def toInsertableRelation: InsertableRelation =
-              new InsertableRelation {
-                override def insert(data: DataFrame, overwriteIgnored: Boolean): Unit =
-                  TableOps.insert(data.sparkSession, repo, b, key, data, overwrite)
-              }
-          }
-        }
       }
     }
 

@@ -1015,6 +1015,67 @@ object Relational {
           |       CAST(count(DISTINCT root_key) AS BIGINT) AS n_roots,
           |       CAST(sum(part_key) AS BIGINT) AS sum_keys
           |FROM h GROUP BY depth ORDER BY depth""".stripMargin)
+    },
+
+    // ---- q41: statistical aggregates from exact moments -------------------
+    // corr / covar / stddev / regression per group, computed NOT with the
+    // engines' one-pass float kernels (whose partial-aggregation order
+    // differs run to run and engine to engine) but from EXACT decimal
+    // moment sums (n, Σx, Σy, Σx², Σy², Σxy) — order-independent by
+    // construction, so the same closed-form double arithmetic on top is
+    // bit-identical in Spark and DuckDB. Column choice is deliberate:
+    // qty ≤ 50, discount ≤ 0.1 keep every scaled moment integer below
+    // 2^53, so even DuckDB's two-step decimal→double cast (int128 to
+    // double, then /10^scale) is exact — no 1-ulp divergence from
+    // Spark's single correctly-rounded BigDecimal cast. This is also the
+    // 100 TB shape: one map-side-combined aggregate producing six
+    // numbers per group, no second pass, no collect.
+    Q(
+      "q41_stats_moments",
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |         CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |       CAST(n AS BIGINT) AS n,
+        |       (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_disc,
+        |       (n * sxy - sx * sy) / (n * (n - 1)) AS covar_qty_disc,
+        |       sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS sd_qty,
+        |       sqrt((n * syy - sy * sy) / (n * (n - 1))) AS sd_disc,
+        |       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_disc_on_qty,
+        |       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS icept_disc_on_qty
+        |FROM m ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      val x = dec2(col("l_quantity"))
+      val y = dec2(col("l_discount"))
+      val m = T.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          sum(x).cast(DoubleType).as("sx"),
+          sum(y).cast(DoubleType).as("sy"),
+          sum(x * x).cast(DoubleType).as("sxx"),
+          sum(y * y).cast(DoubleType).as("syy"),
+          sum(x * y).cast(DoubleType).as("sxy"))
+      val n = col("n"); val sx = col("sx"); val sy = col("sy")
+      val sxx = col("sxx"); val syy = col("syy"); val sxy = col("sxy")
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      m.select(
+        col("l_returnflag"),
+        n.cast("long").as("n"),
+        ((n * sxy - sx * sy) /
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).as("corr_qty_disc"),
+        ((n * sxy - sx * sy) / (n * (n - lit(1)))).as("covar_qty_disc"),
+        sqrt((n * sxx - sx * sx) / (n * (n - lit(1)))).as("sd_qty"),
+        sqrt((n * syy - sy * sy) / (n * (n - lit(1)))).as("sd_disc"),
+        slope.as("slope_disc_on_qty"),
+        ((sy - slope * sx) / n).as("icept_disc_on_qty"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

@@ -34,6 +34,14 @@ object Partitioning {
     * files would be wrongly pruned and new writes would land in
     * different buckets than equal old values.
     */
+  /** Source types the truncate transform floors numerically (vs string
+    * prefix) — shared with the SQL-exposed `truncate` catalog function.
+    */
+  def integralTruncate(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
   private def bucketHashType(dt: DataType): DataType = dt match {
     case ByteType | ShortType | IntegerType | LongType => LongType
     case FloatType | DoubleType => DoubleType

@@ -219,6 +219,52 @@ object TableOps {
       }
   }
 
+  /** FileEntry metadata for an EXPLICIT list of parquet files (absolute
+    * paths) — the native partitioned DSv2 write's commit pass. Unlike
+    * [[statsForStaged]]'s directory scan, only files named in task
+    * commit messages are read, so stray output from failed/speculative
+    * attempts can never leak into a snapshot. Partition values parse
+    * from the hive-style path segments; bloom sidecars (when the table
+    * opted in) ride the same single aggregation pass as min/max/NDV.
+    */
+  def statsForFiles(spark: SparkSession, repo: GraftRepo,
+      paths: Seq[String], schema: StructType, spec: Seq[PartitionField],
+      bloomCols: Seq[String] = Nil,
+      bloomItems: Long = Blooms.DefaultItems): Seq[FileEntry] = {
+    if (paths.isEmpty) return Nil
+    val written = spark.read.schema(schema).parquet(paths: _*)
+    val statCols = schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
+      Seq(min(col(f.name)).cast("string").as(s"min:${f.name}"),
+        max(col(f.name)).cast("string").as(s"max:${f.name}"),
+        sum(isnull(col(f.name)).cast("long")).as(s"nulls:${f.name}"),
+        approx_count_distinct(col(f.name)).as(s"ndv:${f.name}"))
+    }
+    val blooms = bloomCols.filter(c => schema.fields.exists(_.name == c))
+    val bloomAggs = blooms.map(c =>
+      Blooms.aggColumn(c, schema.fields.find(_.name == c).get.dataType,
+        bloomItems).as(s"bloom:$c"))
+    written.groupBy(input_file_name().as("__file"))
+      .agg(count(lit(1)).as("__rows"), (statCols.toIndexedSeq ++ bloomAggs): _*)
+      .collect().toIndexedSeq.map { r =>
+        val file = r.getAs[String]("__file").stripPrefix("file:")
+        val rel = repo.root.relativize(java.nio.file.Paths.get(file)).toString
+        def stats(prefix: String): Map[String, String] =
+          schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
+            Option(r.getAs[String](s"$prefix:${f.name}")).map(f.name -> _)
+          }.toMap
+        val pvals =
+          if (spec.isEmpty) None else Some(Partitioning.valuesFromPath(rel))
+        val sidecar = blooms.flatMap(c =>
+          Option(r.getAs[Array[Byte]](s"bloom:$c")).map(c -> _)).toMap
+        if (sidecar.nonEmpty) Blooms.write(repo.root, rel, sidecar, repo.io)
+        FileEntry(rel, r.getAs[Long]("__rows"), stats("min"), stats("max"),
+          pvals, Some(repo.io.size(java.nio.file.Paths.get(file))),
+          bloomCols = if (sidecar.isEmpty) None else Some(sidecar.keys.toSeq.sorted),
+          nulls = Some(longStatsOf(r, schema, "nulls")),
+          ndv = Some(longStatsOf(r, schema, "ndv")))
+      }
+  }
+
   /** Append (or overwrite) `df` into `db/table` on `branch`, committing
     * with optimistic retry.
     */
