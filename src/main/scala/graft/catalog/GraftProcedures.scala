@@ -62,7 +62,7 @@ private[catalog] object GraftProcedures {
   def names: Seq[String] =
     Seq("compact", "vacuum", "create_tag", "create_branch", "merge",
       "rollback", "revert", "cherry_pick", "expire_snapshots",
-      "set_partition_spec")
+      "clone_table", "set_partition_spec")
 
   /** Parse an Iceberg-style spec string: `"identity(cat), bucket(4, id),
     * days(ts), truncate(3, name)"`; a bare column name means identity;
@@ -199,6 +199,41 @@ private[catalog] object GraftProcedures {
         { in =>
           val (c, s, d) = open(str(in, 0)).expireSnapshots(in.getLong(1))
           Seq(c, s, d)
+        }))
+      case "clone_table" => Some(new Proc(
+        // Zero-copy table clone: the destination entry points at the
+        // SOURCE's current snapshot — no data read, no data written,
+        // O(1) metadata commit (the table-level analog of the repo's
+        // zero-copy branches; Delta's SHALLOW CLONE verb). Safe because
+        // snapshots and data files are immutable and every file-GC path
+        // (vacuum, expire_snapshots) walks ALL tables of ALL reachable
+        // commits, so shared files stay referenced until the LAST
+        // referent goes. Subsequent writes to either side produce new
+        // snapshots — clones never interfere.
+        "clone_table",
+        Seq(("repo", StringType, None), ("branch", StringType, None),
+          ("src", StringType, None), ("dst", StringType, None)),
+        StructType(Seq(StructField("snapshot_id", StringType, nullable = false))),
+        { in =>
+          val g = open(str(in, 0))
+          val branch = str(in, 1)
+          val srcKey = str(in, 2).replace('.', '/')
+          val dstKey = str(in, 3).replace('.', '/')
+          var sid: String = null
+          g.commitRetry(branch, s"clone $srcKey -> $dstKey") { base =>
+            sid = base.tables.getOrElse(srcKey,
+              throw new IllegalArgumentException(s"no such table: $srcKey"))
+            // same shared table/view namespace invariant createTable,
+            // CTAS and merge enforce
+            if (base.tables.contains(dstKey) || base.viewMap.contains(dstKey))
+              throw new IllegalArgumentException(
+                s"table or view exists: $dstKey")
+            val db = dstKey.split('/').head
+            if (!base.namespaces.contains(db))
+              throw new IllegalArgumentException(s"no such namespace: $db")
+            (base.tables + (dstKey -> sid), base.namespaces)
+          }
+          Seq(UTF8String.fromString(sid))
         }))
       case "set_partition_spec" => Some(new Proc(
         "set_partition_spec",

@@ -201,6 +201,27 @@ object Versioned {
       s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
   }
 
+  /** Zero-copy table clone (CALL g.system.clone_table): the clone's
+    * table entry points at the source's snapshot — O(1) metadata
+    * commit, no data movement. Then mutate BOTH sides (delete on the
+    * source, append on the clone) and read both: full isolation in
+    * either direction is what the oracle checks.
+    */
+  private def cloneRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = setup(s, d)
+    s.sql(s"CALL $cat.system.clone_table('r', 'main', 'db.nation', 'db.nation_c')")
+    s.sql(s"DELETE FROM $cat.r.main.db.nation WHERE n_nationkey >= 10")
+    s.sql(s"INSERT INTO $cat.r.main.db.nation_c " +
+      s"SELECT n_nationkey + 600, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation_c WHERE n_nationkey < 2")
+    s.sql(
+      s"""SELECT side, n_nationkey, n_name, n_regionkey FROM (
+         |  SELECT 'clone' AS side, * FROM $cat.r.main.db.nation_c
+         |  UNION ALL
+         |  SELECT 'src' AS side, * FROM $cat.r.main.db.nation
+         |) ORDER BY side, n_nationkey""".stripMargin)
+  }
+
   /** Materialized view with INCREMENTAL refresh: full-compute at
     * create, append rows, refresh — the refresh reads only the appended
     * delta files (never rescans the source), combines with affected MV
@@ -483,6 +504,18 @@ object Versioned {
         |  WHERE n_nationkey < 2
         |) ORDER BY n_nationkey""".stripMargin
     )(cherryRead),
+    Q(
+      "vc_clone_read",
+      """SELECT side, n_nationkey, n_name, n_regionkey FROM (
+        |  SELECT 'clone' AS side, n_nationkey, n_name, n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT 'clone', n_nationkey + 600, n_name, n_regionkey FROM nation
+        |  WHERE n_nationkey < 2
+        |  UNION ALL
+        |  SELECT 'src', n_nationkey, n_name, n_regionkey FROM nation
+        |  WHERE n_nationkey < 10
+        |) ORDER BY side, n_nationkey""".stripMargin
+    )(cloneRead),
     Q(
       "vc_mv_read",
       """SELECT n_regionkey, count(*) AS n_nations,

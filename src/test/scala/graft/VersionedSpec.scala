@@ -1087,6 +1087,65 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
   }
 
 
+  test("zero-copy clone_table: O(1) shared-snapshot commit, writes fully " +
+    "isolated both ways, vacuum keeps shared files, name conflicts rejected") {
+    sql("CREATE NAMESPACE g.rcl")
+    sql("CREATE NAMESPACE g.rcl.main.db")
+    sql("CREATE TABLE g.rcl.main.db.t (id INT, v STRING)")
+    sql("INSERT INTO g.rcl.main.db.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rcl"))
+
+    rows("CALL g.system.clone_table('rcl', 'main', 'db.t', 'db.t2')")
+    // zero-copy: both table entries point at the SAME snapshot id
+    val head = repo.headCommit("main")
+    head.tables("db/t") shouldBe head.tables("db/t2")
+    rows("SELECT id, v FROM g.rcl.main.db.t2 ORDER BY id") shouldBe
+      rows("SELECT id, v FROM g.rcl.main.db.t ORDER BY id")
+
+    // isolation in both directions: delete on the source, append on the
+    // clone — neither sees the other's change
+    sql("DELETE FROM g.rcl.main.db.t WHERE id = 2")
+    sql("INSERT INTO g.rcl.main.db.t2 VALUES (9, 'z')")
+    rows("SELECT id FROM g.rcl.main.db.t ORDER BY id").flatten shouldBe Seq(1, 3)
+    rows("SELECT id FROM g.rcl.main.db.t2 ORDER BY id").flatten shouldBe
+      Seq(1, 2, 3, 9)
+
+    // GC safety: dropping the source and vacuuming must not delete the
+    // files the clone still references
+    sql("DROP TABLE g.rcl.main.db.t")
+    rows("CALL g.system.vacuum('rcl')")
+    rows("SELECT id FROM g.rcl.main.db.t2 ORDER BY id").flatten shouldBe
+      Seq(1, 2, 3, 9)
+
+    // shared table/view namespace invariant: clone onto an existing name
+    // (table or view) is rejected
+    intercept[Exception] {
+      sql("CALL g.system.clone_table('rcl', 'main', 'db.t2', 'db.t2')")
+    }
+    locally {
+      import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+      val cat = graft.catalog.GraftViews.viewCatalog(spark, "g")
+      val schema = sql("SELECT id FROM g.rcl.main.db.t2").schema
+      cat.createView(new ViewInfo(
+        Identifier.of(Array("rcl", "main", "db"), "vv"),
+        "SELECT id FROM t2", "g", Array("rcl", "main", "db"), schema,
+        Array("id"), Array.empty, Array.empty,
+        java.util.Map.of()))
+    }
+    intercept[Exception] {
+      sql("CALL g.system.clone_table('rcl', 'main', 'db.t2', 'db.vv')")
+    }
+    // and a missing source/namespace is a clean error, not a commit
+    intercept[Exception] {
+      sql("CALL g.system.clone_table('rcl', 'main', 'db.nope', 'db.t3')")
+    }
+    intercept[Exception] {
+      sql("CALL g.system.clone_table('rcl', 'main', 'db.t2', 'nodb.t3')")
+    }
+  }
+
+
   test("atomic CTAS / CREATE OR REPLACE AS SELECT: one staged commit, " +
     "replaced state stays time-travelable, failed RTAS aborts cleanly") {
     sql("CREATE NAMESPACE g.rct")
