@@ -4,17 +4,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") // contract: local[32]
-    // streaming offset/commit WALs fsync per micro-batch; on a VM with a
-    // slow virtual disk that dominates small-trigger streaming queries.
-    // tmpfs keeps the bench measuring the ENGINE, not the host's fsync —
-    // a real deployment checkpoints to reliable storage, but the bench
-    // harness's own WAL durability is not part of the measured engine.
-    val ckpt = java.nio.file.Files.exists(java.nio.file.Paths.get("/dev/shm"))
-      match {
-        case true => "/dev/shm/graft-bench-ckpt-" + java.util.UUID.randomUUID()
-        case false => sys.props("java.io.tmpdir") + "/graft-bench-ckpt-" +
-          java.util.UUID.randomUUID()
-      }
+    // streaming offset/commit WALs fsync per micro-batch, and the vc_*
+    // queries build whole throwaway repos under java.io.tmpdir — on a VM
+    // with a slow virtual disk those fixed I/O costs dominate the small
+    // queries. tmpfs keeps the bench measuring the ENGINE, not the
+    // host's fsync: a real deployment checkpoints and commits to
+    // reliable storage, but the bench harness's own scratch durability
+    // is not part of the measured engine.
+    val shm = java.nio.file.Files.exists(java.nio.file.Paths.get("/dev/shm"))
+    if (shm) {
+      val tmp = "/dev/shm/graft-bench-tmp-" + java.util.UUID.randomUUID()
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+      sys.props("java.io.tmpdir") = tmp
+    }
+    val ckpt = sys.props("java.io.tmpdir") + "/graft-bench-ckpt-" +
+      java.util.UUID.randomUUID()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
