@@ -10,22 +10,24 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
 import org.apache.spark.sql.graftbridge.PartitionedWriteBridge
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.util.SerializableConfiguration
 
-import graft.versioned.{Blooms, GraftRepo, PartitionField, Partitioning, Snapshot, TableOps}
+import graft.versioned.{GraftRepo, PartitionField, Partitioning, TableOps}
 
-/** Native DSv2 batch write for PARTITIONED graft tables.
-  *
-  * The unpartitioned path ([[GraftInsertWrite]]) rides Spark's own
-  * `ParquetTable` write; that writer cannot route rows into the
-  * hive-style `__p_<field>=<value>` directory layout graft's partition
-  * pruning reads, so partitioned inserts used to fall back to a V1
-  * bridge whose clustering came from an internal AQE rebalance — real,
-  * but invisible to Spark's planner. This Write closes that gap:
+/** Native DSv2 batch write through graft's OWN layout machinery —
+  * hive-style partition directories, per-file stats, bloom sidecars —
+  * shared by partitioned/bloomed INSERT ([[GraftTable.newWriteBuilder]])
+  * and atomic CTAS/RTAS ([[GraftStagedTable]]); what happens to the
+  * collected [[FileEntry]]s is the caller's `onCommit` (an optimistic
+  * append commit for INSERT; accumulation until `commitStagedChanges`
+  * for CTAS). Spark's own `ParquetTable` writer cannot route rows into
+  * this layout, and the old V1 bridge's clustering came from an internal
+  * AQE rebalance invisible to Spark's planner. This Write closes both
+  * gaps:
   *
   *  - it DECLARES its layout via [[RequiresDistributionAndOrdering]]:
   *    clustering on the partition transforms (advisory, so AQE plans a
@@ -44,27 +46,27 @@ import graft.versioned.{Blooms, GraftRepo, PartitionField, Partitioning, Snapsho
   *    ordering is not delivered — correctness never depends on it;
   *  - `BatchWrite.commit` computes stats/blooms for EXACTLY the files
   *    named in the task commit messages (stray files from failed
-  *    attempts are never picked up) and publishes through the same
-  *    optimistic-retry [[TableOps.commitAppend]] every other write path
-  *    uses. Readers never see staged files: nothing references them
-  *    until the snapshot commit.
+  *    attempts are never picked up) before handing the entries to
+  *    `onCommit`. Readers never see staged files: nothing references
+  *    them until a snapshot commit publishes the entries.
   */
-final class GraftPartitionedInsertWrite(
+final class GraftLayoutWrite(
     repo: GraftRepo,
-    branch: String,
     key: String,
-    snap: Snapshot,
-    tableSchema: StructType,
-    info: LogicalWriteInfo,
-    overwrite: Boolean) extends Write with RequiresDistributionAndOrdering {
+    tableSchema: StructType, // logical
+    mapping: Map[String, String],
+    spec: Seq[PartitionField],
+    blooms: Seq[String], // physical bloom column names
+    bloomItems: Long,
+    label: String,
+    onCommit: Seq[graft.versioned.FileEntry] => Unit)
+    extends Write with RequiresDistributionAndOrdering {
 
-  private val spec = snap.partitionFields
-  private val mapping = snap.nameMapping
   private val physSchema = TableOps.toPhysical(tableSchema, mapping)
   private val staging = repo.dataDir.resolve(key)
     .resolve(UUID.randomUUID().toString.replace("-", ""))
 
-  override def description(): String = s"graft-insert-partitioned $key"
+  override def description(): String = label
 
   private def transformExprs
       : Array[org.apache.spark.sql.connector.expressions.Expression] =
@@ -85,15 +87,14 @@ final class GraftPartitionedInsertWrite(
 
   override def toBatch: BatchWrite = {
     val spark = SparkSession.active
-    val blooms = Blooms.physCols(snap, physSchema)
     // parquet-native (footer) bloom filters ride the job conf — the
     // sidecar file-level blooms are built in the commit stats pass
     val bloomConf = blooms.flatMap(c => Seq(
       s"parquet.bloom.filter.enabled#$c" -> "true",
-      s"parquet.bloom.filter.expected.ndv#$c" -> Blooms.items(snap).toString)).toMap
+      s"parquet.bloom.filter.expected.ndv#$c" -> bloomItems.toString)).toMap
     val (owf, conf) = PartitionedWriteBridge.parquetWriterFactory(
       spark, physSchema, bloomConf)
-    // the SAME expressions the V1 layout path feeds partitionBy —
+    // the SAME expressions the old V1 layout path fed partitionBy —
     // resolved by the analyzer (session time zone included), bound to
     // physical-name ordinals, cast to the directory string
     val dirCols = spec.map { pf =>
@@ -118,10 +119,8 @@ final class GraftPartitionedInsertWrite(
           case _ => Nil
         }.toIndexedSeq
         val spark = SparkSession.active
-        val entries = TableOps.statsForFiles(spark, repo, paths, physSchema,
-          spec, blooms, Blooms.items(snap))
-        TableOps.commitAppend(repo, branch, key, entries, overwrite,
-          spec, mapping, tableSchema.json)
+        onCommit(TableOps.statsForFiles(spark, repo, paths, physSchema,
+          spec, blooms, bloomItems))
       }
 
       override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -2,14 +2,12 @@ package graft.catalog
 
 import java.util.{Map => JMap}
 
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, StagedTable, SupportsWrite, TableCapability}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, Write, WriteBuilder}
 import org.apache.spark.sql.types.StructType
 
-import graft.versioned.{FileEntry, GraftRepo, PartitionField, TableOps}
+import graft.versioned.{Blooms, FileEntry, GraftRepo, PartitionField}
 
 /** Atomic CTAS / RTAS / CREATE-OR-REPLACE staging (DSv2
   * `StagingTableCatalog` surface): the AS-SELECT data is written to
@@ -23,8 +21,10 @@ import graft.versioned.{FileEntry, GraftRepo, PartitionField, TableOps}
   * which is the repo's native transaction anyway.
   *
   * Staged-write scale posture is identical to INSERT: the data job runs
-  * fully distributed through [[TableOps.writeFiles]] (partition-value
-  * clustering included); only the final metadata swap is driver-side.
+  * fully distributed through the native DSv2 [[GraftLayoutWrite]]
+  * (declared partition clustering + ordering, per-directory writers,
+  * bloom sidecars from TBLPROPERTIES); only the final metadata swap is
+  * driver-side.
   */
 private[catalog] final class GraftStagedTable(
     g: GraftRepo,
@@ -43,7 +43,7 @@ private[catalog] final class GraftStagedTable(
   override def name(): String = ident.toString
   override def schema(): StructType = dataSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def properties(): JMap[String, String] = {
     import scala.jdk.CollectionConverters._
     (userProps ++ Map("provider" -> "graft")).asJava
@@ -54,14 +54,14 @@ private[catalog] final class GraftStagedTable(
       // CTAS/RTAS data lands in a brand-new snapshot either way; the
       // truncate flag Spark sets for overwrite modes is a no-op here
       override def truncate(): WriteBuilder = this
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
-          new InsertableRelation {
-            override def insert(data: DataFrame, overwriteIgnored: Boolean): Unit =
-              staged = staged ++
-                TableOps.writeFiles(data.sparkSession, g, data, key, spec)
-          }
-      }
+      // CTAS has no snapshot yet: logical = physical names, bloom opt-in
+      // read straight from the CREATE's TBLPROPERTIES
+      override def build(): Write = new GraftLayoutWrite(
+        g, key, dataSchema, Map.empty, spec,
+        Blooms.physColsFromProps(userProps, dataSchema),
+        Blooms.itemsFromProps(userProps),
+        s"graft-ctas $key",
+        entries => synchronized { staged = staged ++ entries })
     }
 
   override def commitStagedChanges(): Unit = {

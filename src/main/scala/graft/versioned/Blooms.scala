@@ -60,14 +60,23 @@ object Blooms {
 
   /** PHYSICAL names of the table's bloom columns present in `physSchema`. */
   def physCols(snap: Snapshot, physSchema: StructType): Seq[String] =
-    snap.properties.get(ColumnsProp).toSeq
+    physColsFromProps(snap.properties, physSchema, snap.physicalName)
+
+  /** Same, from raw table properties — the CTAS path, where no snapshot
+    * exists yet (logical = physical names there).
+    */
+  def physColsFromProps(props: Map[String, String], physSchema: StructType,
+      physicalName: String => String = identity): Seq[String] =
+    props.get(ColumnsProp).toSeq
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
-      .map(l => snap.physicalName(l))
+      .map(physicalName)
       .filter(p => physSchema.fields.exists(f =>
         f.name == p && eligible(f.dataType)))
 
-  def items(snap: Snapshot): Long =
-    snap.properties.get(ItemsProp).flatMap(_.toLongOption)
+  def items(snap: Snapshot): Long = itemsFromProps(snap.properties)
+
+  def itemsFromProps(props: Map[String, String]): Long =
+    props.get(ItemsProp).flatMap(_.toLongOption)
       .filter(_ > 0).getOrElse(DefaultItems)
 
   /** Hash input type: integrals NORMALIZE to LONG before xxhash64 —

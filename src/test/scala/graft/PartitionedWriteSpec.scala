@@ -165,6 +165,33 @@ class PartitionedWriteSpec extends AnyFunSuite with Matchers with BeforeAndAfter
       Set("r0", "r1", "r2", "r3")
   }
 
+  test("partitioned CTAS with bloom TBLPROPERTIES: native layout write, " +
+    "sidecars built at create time") {
+    sql("CREATE NAMESPACE g.pw9")
+    sql("CREATE NAMESPACE g.pw9.main.db")
+    sql("""CREATE TABLE g.pw9.main.db.t
+          PARTITIONED BY (region)
+          TBLPROPERTIES ('graft.bloom.columns'='id')
+          AS SELECT CAST(id AS BIGINT) AS id, concat('r', id % 3) AS region
+             FROM range(0, 300)""")
+    val files = fileEntries(repo("pw9"), "db/t")
+    files should not be empty
+    files.foreach { f =>
+      f.path should include("__p_region=")
+      f.partValues.keySet should contain("region")
+      f.bloomCols shouldBe Some(Seq("id"))
+    }
+    sql("SELECT count(*) FROM g.pw9.main.db.t").collect().head.getLong(0) shouldBe 300
+    sql("SELECT region FROM g.pw9.main.db.t WHERE id = 42")
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("r0")
+    // RTAS through the same native path
+    sql("""CREATE OR REPLACE TABLE g.pw9.main.db.t
+          PARTITIONED BY (region)
+          AS SELECT CAST(id AS BIGINT) AS id, concat('r', id % 2) AS region
+             FROM range(0, 10)""")
+    sql("SELECT count(*) FROM g.pw9.main.db.t").collect().head.getLong(0) shouldBe 10
+  }
+
   test("INSERT OVERWRITE replaces content through the native path") {
     sql("CREATE NAMESPACE g.pw8")
     sql("CREATE NAMESPACE g.pw8.main.db")
