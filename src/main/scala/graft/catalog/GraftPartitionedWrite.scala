@@ -88,12 +88,16 @@ final class GraftLayoutWrite(
   override def toBatch: BatchWrite = {
     val spark = SparkSession.active
     // parquet-native (footer) bloom filters ride the job conf — the
-    // sidecar file-level blooms are built in the commit stats pass
-    val bloomConf = blooms.flatMap(c => Seq(
+    // sidecar file-level blooms are built in the commit stats pass.
+    // Timestamps are FORCED to MICROS (not the INT96 default): INT96
+    // chunks carry no usable parquet statistics, and the footer IS the
+    // write path's stats source now.
+    val writerConf = blooms.flatMap(c => Seq(
       s"parquet.bloom.filter.enabled#$c" -> "true",
-      s"parquet.bloom.filter.expected.ndv#$c" -> bloomItems.toString)).toMap
+      s"parquet.bloom.filter.expected.ndv#$c" -> bloomItems.toString)).toMap +
+      ("spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
     val (owf, conf) = PartitionedWriteBridge.parquetWriterFactory(
-      spark, physSchema, bloomConf)
+      spark, physSchema, writerConf)
     // the SAME expressions the old V1 layout path fed partitionBy —
     // resolved by the analyzer (session time zone included), bound to
     // physical-name ordinals, cast to the directory string
@@ -105,29 +109,61 @@ final class GraftLayoutWrite(
     }
     val dirExprs = PartitionedWriteBridge.boundProjection(spark, physSchema, dirCols)
     val dirNames = spec.map(Partitioning.dirColName)
+    // inline-NDV hash projection: one codegen'd xxhash64 per statable
+    // column, fed into a per-file HLL as rows stream through — the only
+    // stat a parquet footer cannot supply
+    val statFields = physSchema.fields.zipWithIndex.toIndexedSeq
+      .filter { case (f, _) => TableOps.statable(f.dataType) }
+    val hashExprs: Seq[Expression] = statFields.map { case (f, i) =>
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          i, f.dataType, nullable = true)))
+    }
     val jobTrackerId = java.time.LocalDateTime.now()
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss"))
 
     new BatchWrite {
       override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
         new GraftPartitionedWriterFactory(owf, conf, physSchema, dirNames,
-          dirExprs, staging.toString, jobTrackerId)
+          dirExprs, statFields.map { case (f, i) => (f.name, i) }, hashExprs,
+          staging.toString, jobTrackerId)
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
-        val paths = messages.flatMap {
-          case m: GraftWrittenFiles => m.paths
+        val files = messages.flatMap {
+          case m: GraftWrittenFiles => m.files
           case _ => Nil
         }.toIndexedSeq
-        val spark = SparkSession.active
-        onCommit(TableOps.statsForFiles(spark, repo, paths, physSchema,
-          spec, blooms, bloomItems))
+        val entries =
+          if (blooms.nonEmpty)
+            // sidecar builds genuinely need the data: keep the scan pass
+            TableOps.statsForFiles(SparkSession.active, repo,
+              files.map(_.path), physSchema, spec, blooms, bloomItems)
+          else files.map { wf =>
+            // SINGLE-PASS stats: footer min/max/nulls/rows + inline HLL
+            // NDV, rendered to the same stat strings the scan produced
+            val rel = repo.root.relativize(
+              java.nio.file.Paths.get(wf.path)).toString
+            def render(m: Map[String, Any]): Map[String, String] =
+              m.map { case (c, v) =>
+                c -> graft.versioned.FooterStats.render(v,
+                  physSchema.fields.find(_.name == c).get.dataType)
+              }
+            graft.versioned.FileEntry(rel, wf.rows,
+              render(wf.mins), render(wf.maxs),
+              if (spec.isEmpty) None
+              else Some(Partitioning.valuesFromPath(rel)),
+              Some(wf.bytes),
+              nulls = Some(wf.nulls),
+              ndv = Some(wf.ndv))
+          }
+        onCommit(entries)
       }
 
       override def abort(messages: Array[WriterCommitMessage]): Unit = {
         messages.foreach {
           case m: GraftWrittenFiles =>
-            m.paths.foreach(p =>
-              try repo.io.deleteIfExists(java.nio.file.Paths.get(p))
+            m.files.foreach(f =>
+              try repo.io.deleteIfExists(java.nio.file.Paths.get(f.path))
               catch { case _: Exception => () })
           case _ => ()
         }
@@ -140,10 +176,13 @@ final class GraftLayoutWrite(
   }
 }
 
-/** Task commit message: absolute paths of the parquet files this task
-  * attempt wrote (and committed).
+/** Task commit message: the parquet files this task attempt wrote,
+  * with their executor-collected statistics (footer min/max/nulls/rows
+  * + inline HLL NDV) — the driver never re-reads the data.
   */
-final case class GraftWrittenFiles(paths: Seq[String]) extends WriterCommitMessage
+final case class GraftWrittenFiles(
+    files: Seq[graft.versioned.FooterStats.WrittenFile])
+    extends WriterCommitMessage
 
 private[catalog] final class GraftPartitionedWriterFactory(
     owf: OutputWriterFactory,
@@ -151,12 +190,14 @@ private[catalog] final class GraftPartitionedWriterFactory(
     physSchema: StructType,
     dirNames: Seq[String],
     dirExprs: Seq[Expression],
+    statCols: Seq[(String, Int)], // (physical name, row ordinal)
+    hashExprs: Seq[Expression],
     stagingDir: String,
     jobTrackerId: String) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftPartitionedDataWriter(owf, conf, physSchema, dirNames, dirExprs,
-      stagingDir, jobTrackerId, partitionId, taskId)
+      statCols, hashExprs, stagingDir, jobTrackerId, partitionId, taskId)
 }
 
 private final class GraftPartitionedDataWriter(
@@ -165,10 +206,14 @@ private final class GraftPartitionedDataWriter(
     physSchema: StructType,
     dirNames: Seq[String],
     dirExprs: Seq[Expression],
+    statCols: Seq[(String, Int)],
+    hashExprs: Seq[Expression],
     stagingDir: String,
     jobTrackerId: String,
     partitionId: Int,
     taskId: Long) extends DataWriter[InternalRow] {
+
+  import graft.versioned.FooterStats
 
   /** Open-writer cap: with the requested sort delivered this never
     * exceeds 1; without it (strict-off rebalance edge, manual writes)
@@ -177,22 +222,37 @@ private final class GraftPartitionedDataWriter(
     */
   private val MaxOpen = 16
 
+  private final class Sink(val path: String, val writer: OutputWriter) {
+    val hlls: Array[FooterStats.Hll] =
+      Array.fill(statCols.size)(new FooterStats.Hll)
+  }
+
   private val ctx = PartitionedWriteBridge.taskAttemptContext(
     conf.value, jobTrackerId, partitionId, 0)
   private val ext = owf.getFileExtension(ctx)
   private val proj = PartitionedWriteBridge.projection(dirExprs)
-  private val open = mutable.LinkedHashMap.empty[String, OutputWriter]
+  private val hashProj = PartitionedWriteBridge.projection(hashExprs)
+  private val open = mutable.LinkedHashMap.empty[String, Sink]
+  // path -> per-column NDV, recorded when a sink closes
+  private val closedNdv = mutable.ArrayBuffer.empty[(String, Map[String, Long])]
+  // every path this attempt created (open or closed) — the abort list
   private val written = mutable.ArrayBuffer.empty[String]
   private val uid = UUID.randomUUID().toString.replace("-", "")
   private var fileSeq = 0
 
-  private def newWriter(frag: String): OutputWriter = {
+  private def newSink(frag: String): Sink = {
     val dir = if (frag.isEmpty) stagingDir else s"$stagingDir/$frag"
     val file = f"part-$partitionId%05d-$taskId-$uid-$fileSeq$ext"
     fileSeq += 1
     val path = s"$dir/$file"
     written += path
-    owf.newInstance(path, physSchema, ctx)
+    new Sink(path, owf.newInstance(path, physSchema, ctx))
+  }
+
+  private def closeSink(s: Sink): Unit = {
+    s.writer.close()
+    closedNdv += ((s.path, statCols.indices.map(i =>
+      statCols(i)._1 -> s.hlls(i).estimate).toMap))
   }
 
   override def write(row: InternalRow): Unit = {
@@ -203,28 +263,39 @@ private final class GraftPartitionedDataWriter(
         else PartitionedWriteBridge.escapePathName(vals.getUTF8String(i).toString)
       s"${dirNames(i)}=$v"
     }.mkString("/")
-    val w = open.remove(frag) match {
-      case Some(w0) => w0 // re-insert below: LinkedHashMap head = LRU victim
+    val s = open.remove(frag) match {
+      case Some(s0) => s0 // re-insert below: LinkedHashMap head = LRU victim
       case None =>
         if (open.size >= MaxOpen) {
-          val (_, victim) = open.head
-          open.remove(open.head._1)
-          victim.close()
+          val (k, victim) = open.head
+          open.remove(k)
+          closeSink(victim)
         }
-        newWriter(frag)
+        newSink(frag)
     }
-    open.put(frag, w)
-    w.write(row)
+    open.put(frag, s)
+    val hashes = hashProj(row)
+    var i = 0
+    while (i < statCols.size) {
+      if (!row.isNullAt(statCols(i)._2)) s.hlls(i).add(hashes.getLong(i))
+      i += 1
+    }
+    s.writer.write(row)
   }
 
   override def commit(): WriterCommitMessage = {
-    open.valuesIterator.foreach(_.close())
+    open.valuesIterator.foreach(closeSink)
     open.clear()
-    GraftWrittenFiles(written.toSeq)
+    // footers of files THIS task just wrote: local, page-hot, a few KB —
+    // the stats collection is fully distributed, the driver only renders
+    GraftWrittenFiles(closedNdv.toSeq.map { case (path, ndv) =>
+      FooterStats.read(path, conf.value, physSchema, ndv)
+    })
   }
 
   override def abort(): Unit = {
-    open.valuesIterator.foreach(w => try w.close() catch { case _: Exception => () })
+    open.valuesIterator.foreach(s =>
+      try s.writer.close() catch { case _: Exception => () })
     open.clear()
     val fs = new Path(stagingDir).getFileSystem(conf.value)
     written.foreach(p =>
@@ -232,7 +303,8 @@ private final class GraftPartitionedDataWriter(
   }
 
   override def close(): Unit = {
-    open.valuesIterator.foreach(w => try w.close() catch { case _: Exception => () })
+    open.valuesIterator.foreach(s =>
+      try s.writer.close() catch { case _: Exception => () })
     open.clear()
   }
 }

@@ -103,22 +103,16 @@ final class GraftTable(
 
   // ---- write (INSERT INTO / INSERT OVERWRITE / CTAS / df.writeTo) ------
 
-  /** Every INSERT/CTAS/df.writeTo path is NATIVE DSv2 — no V1
-    * `InsertableRelation` bridge anywhere:
-    *
-    *  - unpartitioned, bloom-free tables stream rows through Spark's own
-    *    vectorized parquet writer into a staging dir
-    *    ([[GraftInsertWrite]]);
-    *  - partitioned and/or bloom-carrying tables take
-    *    [[GraftPartitionedInsertWrite]], which DECLARES its clustering +
-    *    ordering on the partition transforms via
-    *    `RequiresDistributionAndOrdering` (Spark plans the AQE rebalance
-    *    + sort — visible in the INSERT plan), routes rows into the
-    *    hive-style partition layout executor-side, and builds bloom
-    *    sidecars in its commit stats pass.
-    *
-    * Both converge on [[TableOps.commitAppend]]'s optimistic-retry
-    * snapshot publish.
+  /** Every INSERT/CTAS/df.writeTo path is ONE native DSv2 write —
+    * [[GraftLayoutWrite]]: no V1 `InsertableRelation` bridge anywhere,
+    * partitioned tables DECLARE clustering + ordering on their
+    * transforms via `RequiresDistributionAndOrdering` (the AQE rebalance
+    * + sort are visible in the INSERT plan), executor tasks route rows
+    * into the hive-style layout and collect file statistics AS THEY
+    * WRITE (parquet footers + inline HLL NDV — no second read of the
+    * data; bloom-sidecar tables keep the one stats scan their sidecar
+    * build needs). Commit converges on [[TableOps.commitAppend]]'s
+    * optimistic-retry snapshot publish.
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -128,14 +122,11 @@ final class GraftTable(
         val b = requireBranch
         val blooms = graft.versioned.Blooms.physCols(snap,
           TableOps.toPhysical(tableSchema, snap.nameMapping))
-        if (snap.partitionFields.isEmpty && blooms.isEmpty)
-          new GraftInsertWrite(repo, b, key, snap, tableSchema, info, overwrite)
-        else
-          new GraftLayoutWrite(repo, key, tableSchema, snap.nameMapping,
-            snap.partitionFields, blooms, graft.versioned.Blooms.items(snap),
-            s"graft-insert-partitioned $key",
-            entries => TableOps.commitAppend(repo, b, key, entries, overwrite,
-              snap.partitionFields, snap.nameMapping, tableSchema.json))
+        new GraftLayoutWrite(repo, key, tableSchema, snap.nameMapping,
+          snap.partitionFields, blooms, graft.versioned.Blooms.items(snap),
+          s"graft-insert $key",
+          entries => TableOps.commitAppend(repo, b, key, entries, overwrite,
+            snap.partitionFields, snap.nameMapping, tableSchema.json))
       }
     }
 
@@ -686,64 +677,5 @@ private[catalog] object MetadataAggregates {
       case _ => None
     }
     o.map(_.asInstanceOf[Ordering[Any]])
-  }
-}
-
-/** Native DSv2 append/overwrite for unpartitioned, bloom-free tables.
-  *
-  * Executors write parquet through Spark's own vectorized DSv2 writer
-  * (no V1 InsertableRelation bridge, no extra job): rows stream into a
-  * staging directory under the table's data dir in PHYSICAL column
-  * names, and `BatchWrite.commit` — running once, driver-side, after
-  * every task committed — collects per-file stats and publishes the
-  * snapshot with the same optimistic-retry append commit the Scala API
-  * uses. An aborted query deletes its staged files; nothing was ever
-  * referenced by a snapshot, so concurrent readers never saw them.
-  */
-final class GraftInsertWrite(
-    repo: GraftRepo,
-    branch: String,
-    key: String,
-    snap: Snapshot,
-    tableSchema: StructType,
-    info: LogicalWriteInfo,
-    overwrite: Boolean) extends Write {
-
-  private val staging = repo.dataDir.resolve(key)
-    .resolve(java.util.UUID.randomUUID().toString.replace("-", ""))
-  private val physSchema = TableOps.toPhysical(tableSchema, snap.nameMapping)
-
-  override def description(): String = s"graft-insert $key"
-
-  override def toBatch: BatchWrite = {
-    // staged files carry physical names; rows are positional so
-    // re-labeling the write schema is free (same trick as the CoW path)
-    val physInfo: LogicalWriteInfo = new LogicalWriteInfo {
-      override def options(): CaseInsensitiveStringMap = info.options()
-      override def queryId(): String = info.queryId()
-      override def schema(): StructType = physSchema
-      override def rowIdSchema(): java.util.Optional[StructType] = info.rowIdSchema()
-      override def metadataSchema(): java.util.Optional[StructType] = info.metadataSchema()
-    }
-    val inner = graftbridge.ParquetWriteBridge.writeBuilder(
-      SparkSession.active, staging.toString, physSchema, physInfo)
-      .build().toBatch
-    new BatchWrite {
-      override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
-        inner.createBatchWriterFactory(p)
-      override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
-      override def commit(messages: Array[WriterCommitMessage]): Unit = {
-        inner.commit(messages)
-        val spark = SparkSession.active
-        val entries = TableOps.statsForStaged(spark, repo, staging, physSchema)
-        TableOps.commitAppend(repo, branch, key, entries, overwrite,
-          Nil, snap.nameMapping, tableSchema.json)
-      }
-      override def abort(messages: Array[WriterCommitMessage]): Unit = {
-        inner.abort(messages)
-        repo.io.walk(staging).sorted(Ordering[java.nio.file.Path].reverse)
-          .foreach(p => repo.io.deleteIfExists(p))
-      }
-    }
   }
 }

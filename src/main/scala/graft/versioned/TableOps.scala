@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
 object TableOps {
 
   /** Columns we keep min/max stats for (orderable atomic types). */
-  private def statable(dt: DataType): Boolean = dt match {
+  private[graft] def statable(dt: DataType): Boolean = dt match {
     case _: NumericType | StringType | DateType | BooleanType => true
     case TimestampType | TimestampNTZType => true
     case _ => false

@@ -42,10 +42,13 @@ object PartitionedWriteBridge {
       : (OutputWriterFactory, SerializableConfiguration) = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val hadoopConf = classic.sessionState.newHadoopConfWithOptions(Map.empty)
-    extraConf.foreach { case (k, v) => hadoopConf.set(k, v) }
     val job = Job.getInstance(hadoopConf)
     val factory = new ParquetFileFormat()
       .prepareWrite(classic, job, Map.empty, schema)
+    // AFTER prepareWrite: it stamps session values (e.g. the INT96
+    // default for spark.sql.parquet.outputTimestampType) over anything
+    // set earlier — the caller's overrides must win
+    extraConf.foreach { case (k, v) => job.getConfiguration.set(k, v) }
     (factory, new SerializableConfiguration(job.getConfiguration))
   }
 

@@ -192,6 +192,55 @@ class PartitionedWriteSpec extends AnyFunSuite with Matchers with BeforeAndAfter
     sql("SELECT count(*) FROM g.pw9.main.db.t").collect().head.getLong(0) shouldBe 10
   }
 
+  test("single-pass footer stats are IDENTICAL to a scan-computed stats " +
+    "pass (min/max/nulls/rows; NDV within sketch band)") {
+    sql("CREATE NAMESPACE g.pw10")
+    sql("CREATE NAMESPACE g.pw10.main.db")
+    sql("""CREATE TABLE g.pw10.main.db.t
+          (id BIGINT, name STRING, price DOUBLE, ts TIMESTAMP, d DATE,
+           maybe INT) PARTITIONED BY (bucket(3, id))""")
+    sql("""INSERT INTO g.pw10.main.db.t
+          SELECT id, concat('n', id % 97),
+                 CAST(id AS DOUBLE) / 7.0,
+                 timestamp'2024-05-01 00:00:00' + make_interval(0,0,0,0,0,0,CAST(id*13 AS INT)),
+                 date'2024-01-01' + CAST(id % 200 AS INT),
+                 CASE WHEN id % 5 = 0 THEN NULL ELSE CAST(id % 40 AS INT) END
+          FROM range(0, 2000)""")
+    val r = repo("pw10")
+    val entries = fileEntries(r, "db/t")
+    entries should not be empty
+    // recompute what the old scan pass would have produced on the SAME
+    // files, and compare stat for stat
+    val spark2 = spark
+    val snap = r.snapshot(r.headCommit("main").tables("db/t"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val scanned = graft.versioned.TableOps.statsForFiles(spark2, r,
+      entries.map(e => r.root.resolve(e.path).toString), schema,
+      snap.partitionFields).map(e => e.path -> e).toMap
+    // parquet normalizes float/double zero bounds (min→-0.0, max→+0.0 —
+    // conservative in the safe direction); the scan's Spark min/max
+    // reports the sign it saw. Numerically equal, so compare modulo it.
+    def normZero(m: Map[String, String]): Map[String, String] =
+      m.map { case (k, v) => k -> (if (v == "-0.0") "0.0" else v) }
+    entries.foreach { e =>
+      val s = scanned(e.path)
+      e.rows shouldBe s.rows
+      normZero(e.min) shouldBe normZero(s.min)
+      normZero(e.max) shouldBe normZero(s.max)
+      e.nullCounts shouldBe s.nullCounts
+      e.partValues shouldBe s.partValues
+      // NDV: a different sketch (HLL vs approx_count_distinct) — band
+      val ndvF = e.ndvCounts
+      val ndvS = s.ndvCounts
+      ndvF.keySet shouldBe ndvS.keySet
+      ndvF.foreach { case (c, v) =>
+        val ref = math.max(ndvS(c), 1L)
+        (v.toDouble / ref) should (be >= 0.7 and be <= 1.4)
+      }
+    }
+  }
+
   test("INSERT OVERWRITE replaces content through the native path") {
     sql("CREATE NAMESPACE g.pw8")
     sql("CREATE NAMESPACE g.pw8.main.db")

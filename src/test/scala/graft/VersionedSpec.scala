@@ -1558,7 +1558,7 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // the plan carries the native Write's description — no V1 bridge
     val plan = rows("EXPLAIN EXTENDED INSERT INTO g.rdsv2.main.db.flat " +
       "VALUES (1, 'a')").flatten.mkString("\n")
-    plan should include ("GraftInsertWrite") // native Write, no V1 bridge
+    plan should include ("GraftLayoutWrite") // native Write, no V1 bridge
     sql("INSERT INTO g.rdsv2.main.db.flat VALUES (1, 'a'), (2, 'b')")
     rows("SELECT count(*) FROM g.rdsv2.main.db.flat").flatten shouldBe Seq(2L)
     sql("INSERT OVERWRITE g.rdsv2.main.db.flat VALUES (3, 'c')")
