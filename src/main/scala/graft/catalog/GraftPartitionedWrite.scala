@@ -59,7 +59,10 @@ final class GraftLayoutWrite(
     blooms: Seq[String], // physical bloom column names
     bloomItems: Long,
     label: String,
-    onCommit: Seq[graft.versioned.FileEntry] => Unit)
+    onCommit: Seq[graft.versioned.FileEntry] => Unit,
+    // epoch-aware commit for the STREAMING sink (exactly-once append);
+    // None = this write surface is batch-only (CTAS staging)
+    onEpochCommit: Option[(Long, Seq[graft.versioned.FileEntry]) => Unit] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   private val physSchema = TableOps.toPhysical(tableSchema, mapping)
@@ -85,7 +88,13 @@ final class GraftLayoutWrite(
     GraftTable.specTransforms(spec)
       .map(t => Expressions.sort(t, SortDirection.ASCENDING))
 
-  override def toBatch: BatchWrite = {
+  /** Shared batch/streaming setup: writer factory + the
+    * messages→FileEntry conversion (footer stats or the bloom-sidecar
+    * scan).
+    */
+  private def writeSetup(): (GraftPartitionedWriterFactory,
+      Array[WriterCommitMessage] => Seq[graft.versioned.FileEntry],
+      Array[WriterCommitMessage] => Unit) = {
     val spark = SparkSession.active
     // parquet-native (footer) bloom filters ride the job conf — the
     // sidecar file-level blooms are built in the commit stats pass.
@@ -121,57 +130,91 @@ final class GraftLayoutWrite(
     }
     val jobTrackerId = java.time.LocalDateTime.now()
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss"))
+    val factory = new GraftPartitionedWriterFactory(owf, conf, physSchema,
+      dirNames, dirExprs, statFields.map { case (f, i) => (f.name, i) },
+      hashExprs, staging.toString, jobTrackerId)
 
+    val entriesOf = (messages: Array[WriterCommitMessage]) => {
+      val files = messages.flatMap {
+        case m: GraftWrittenFiles => m.files
+        case _ => Nil
+      }.toIndexedSeq
+      if (blooms.nonEmpty)
+        // sidecar builds genuinely need the data: keep the scan pass
+        TableOps.statsForFiles(SparkSession.active, repo,
+          files.map(_.path), physSchema, spec, blooms, bloomItems)
+      else files.map { wf =>
+        // SINGLE-PASS stats: footer min/max/nulls/rows + inline HLL
+        // NDV, rendered to the same stat strings the scan produced
+        val rel = repo.root.relativize(
+          java.nio.file.Paths.get(wf.path)).toString
+        def render(m: Map[String, Any]): Map[String, String] =
+          m.map { case (c, v) =>
+            c -> graft.versioned.FooterStats.render(v,
+              physSchema.fields.find(_.name == c).get.dataType)
+          }
+        graft.versioned.FileEntry(rel, wf.rows,
+          render(wf.mins), render(wf.maxs),
+          if (spec.isEmpty) None
+          else Some(Partitioning.valuesFromPath(rel)),
+          Some(wf.bytes),
+          nulls = Some(wf.nulls),
+          ndv = Some(wf.ndv))
+      }
+    }
+
+    val abortAll = (messages: Array[WriterCommitMessage]) => {
+      messages.foreach {
+        case m: GraftWrittenFiles =>
+          m.files.foreach(f =>
+            try repo.io.deleteIfExists(java.nio.file.Paths.get(f.path))
+            catch { case _: Exception => () })
+        case _ => ()
+      }
+      try
+        repo.io.walk(staging).sorted(Ordering[java.nio.file.Path].reverse)
+          .foreach(p => repo.io.deleteIfExists(p))
+      catch { case _: Exception => () }
+    }
+
+    (factory, entriesOf, abortAll)
+  }
+
+  override def toBatch: BatchWrite = {
+    val (factory, entriesOf, abortAll) = writeSetup()
     new BatchWrite {
       override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
-        new GraftPartitionedWriterFactory(owf, conf, physSchema, dirNames,
-          dirExprs, statFields.map { case (f, i) => (f.name, i) }, hashExprs,
-          staging.toString, jobTrackerId)
+        factory
+      override def commit(messages: Array[WriterCommitMessage]): Unit =
+        onCommit(entriesOf(messages))
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        abortAll(messages)
+    }
+  }
 
-      override def commit(messages: Array[WriterCommitMessage]): Unit = {
-        val files = messages.flatMap {
-          case m: GraftWrittenFiles => m.files
-          case _ => Nil
-        }.toIndexedSeq
-        val entries =
-          if (blooms.nonEmpty)
-            // sidecar builds genuinely need the data: keep the scan pass
-            TableOps.statsForFiles(SparkSession.active, repo,
-              files.map(_.path), physSchema, spec, blooms, bloomItems)
-          else files.map { wf =>
-            // SINGLE-PASS stats: footer min/max/nulls/rows + inline HLL
-            // NDV, rendered to the same stat strings the scan produced
-            val rel = repo.root.relativize(
-              java.nio.file.Paths.get(wf.path)).toString
-            def render(m: Map[String, Any]): Map[String, String] =
-              m.map { case (c, v) =>
-                c -> graft.versioned.FooterStats.render(v,
-                  physSchema.fields.find(_.name == c).get.dataType)
-              }
-            graft.versioned.FileEntry(rel, wf.rows,
-              render(wf.mins), render(wf.maxs),
-              if (spec.isEmpty) None
-              else Some(Partitioning.valuesFromPath(rel)),
-              Some(wf.bytes),
-              nulls = Some(wf.nulls),
-              ndv = Some(wf.ndv))
-          }
-        onCommit(entries)
-      }
-
-      override def abort(messages: Array[WriterCommitMessage]): Unit = {
-        messages.foreach {
-          case m: GraftWrittenFiles =>
-            m.files.foreach(f =>
-              try repo.io.deleteIfExists(java.nio.file.Paths.get(f.path))
-              catch { case _: Exception => () })
-          case _ => ()
-        }
-        try
-          repo.io.walk(staging).sorted(Ordering[java.nio.file.Path].reverse)
-            .foreach(p => repo.io.deleteIfExists(p))
-        catch { case _: Exception => () }
-      }
+  /** Native streaming sink (`df.writeStream.toTable(...)`): each epoch
+    * lands as one exactly-once append commit through the SAME layout
+    * writer — partition routing, footer stats, bloom sidecars included.
+    * A replayed epoch is a no-op (durable batch-id in the snapshot
+    * properties); an aborted epoch's files are deleted, never
+    * referenced.
+    */
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    val commitEpoch = onEpochCommit.getOrElse(
+      throw new UnsupportedOperationException(
+        s"$label does not support streaming writes"))
+    val (factory, entriesOf, abortAll) = writeSetup()
+    new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+      override def createStreamingWriterFactory(p: PhysicalWriteInfo)
+          : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+        factory
+      override def commit(epochId: Long,
+          messages: Array[WriterCommitMessage]): Unit =
+        commitEpoch(epochId, entriesOf(messages))
+      override def abort(epochId: Long,
+          messages: Array[WriterCommitMessage]): Unit =
+        abortAll(messages)
     }
   }
 }
@@ -193,11 +236,18 @@ private[catalog] final class GraftPartitionedWriterFactory(
     statCols: Seq[(String, Int)], // (physical name, row ordinal)
     hashExprs: Seq[Expression],
     stagingDir: String,
-    jobTrackerId: String) extends DataWriterFactory {
+    jobTrackerId: String) extends DataWriterFactory
+    with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftPartitionedDataWriter(owf, conf, physSchema, dirNames, dirExprs,
       statCols, hashExprs, stagingDir, jobTrackerId, partitionId, taskId)
+
+  // streaming epochs reuse the same writer — file names are uniquified
+  // by a per-writer UUID, so replayed epochs can never collide
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    createWriter(partitionId, taskId)
 }
 
 private final class GraftPartitionedDataWriter(

@@ -70,6 +70,7 @@ final class GraftTable(
       TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
   override def properties(): JMap[String, String] =
     (snap.properties ++ Map("provider" -> "graft", "snapshot" -> snap.id)).asJava
@@ -126,7 +127,9 @@ final class GraftTable(
           snap.partitionFields, blooms, graft.versioned.Blooms.items(snap),
           s"graft-insert $key",
           entries => TableOps.commitAppend(repo, b, key, entries, overwrite,
-            snap.partitionFields, snap.nameMapping, tableSchema.json))
+            snap.partitionFields, snap.nameMapping, tableSchema.json),
+          onEpochCommit = Some(TableOps.streamingCommitAppend(repo, b, key,
+            snap.partitionFields, snap.nameMapping, tableSchema.json)))
       }
     }
 

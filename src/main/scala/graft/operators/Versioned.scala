@@ -389,6 +389,23 @@ object Versioned {
       .orderBy(col("n_regionkey"))
   }
 
+  /** Incremental (checkpointed-consumer) read: `graft.fromRef = <c1>`
+    * scans ONLY the files appended since commit c1 — resolved purely
+    * from snapshot metadata (no listing, no diffing data). The batch
+    * dual of the streaming source: a consumer that remembers the last
+    * commit it processed reads exactly the (c1, head] delta.
+    */
+  private def incrementalRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    val c1 = repo.headCommit("main").id
+    s.sql(s"INSERT INTO $cat.r.main.db.nation " +
+      s"SELECT n_nationkey + 500, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation WHERE n_nationkey < 4")
+    s.read.option("graft.fromRef", c1).table(s"$cat.r.main.db.nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
   /** Streaming CDC apply (the bronze→silver upsert loop): events land in
     * a graft table across two commits, a stream reads them through the
     * native micro-batch source, and `foreachBatch` MERGEs each batch's
@@ -569,6 +586,12 @@ object Versioned {
         |  WHERE n_nationkey < 2
         |) ORDER BY n_nationkey""".stripMargin
     )(cherryRead),
+    Q(
+      "vc_incr_read",
+      """SELECT n_nationkey + 500 AS n_nationkey, n_name, n_regionkey
+        |FROM nation WHERE n_nationkey < 4
+        |ORDER BY n_nationkey""".stripMargin
+    )(incrementalRead),
     Q(
       "vc_stream_upsert",
       """SELECT user_id,

@@ -425,6 +425,28 @@ object TableOps {
         extraProps = Map(StreamBatchProp -> batchId.toString))
   }
 
+  /** Epoch-commit half of the NATIVE streaming sink
+    * (`df.writeStream.toTable(...)` — GraftTable's STREAMING_WRITE):
+    * publish already-written files as one append commit stamped with the
+    * epoch id, under the same durable exactly-once protocol as
+    * [[streamingAppend]] — a replayed epoch with id ≤ the snapshot's
+    * recorded batch is a no-op (its staged files stay unreferenced and
+    * die with vacuum). Empty epochs commit nothing: an idle stream must
+    * not grow the commit log one snapshot per trigger.
+    */
+  def streamingCommitAppend(repo: GraftRepo, branch: String, key: String,
+      spec: Seq[PartitionField], mapping: Map[String, String],
+      fallbackSchemaJson: String)(epochId: Long, entries: Seq[FileEntry]): Unit = {
+    if (entries.isEmpty) return
+    val committed = repo.headCommit(branch).tables.get(key).map(repo.snapshot)
+      .flatMap(_.properties.get(StreamBatchProp)).map(_.toLong)
+    if (!committed.exists(_ >= epochId))
+      commitAppend(repo, branch, key, entries, overwrite = false, spec,
+        mapping, fallbackSchemaJson,
+        message = Some(s"stream-append $key batch=$epochId"),
+        extraProps = Map(StreamBatchProp -> epochId.toString))
+  }
+
   /** [[pruneFiles]] plus bloom-sidecar pruning ([[Blooms.prune]]) — the
     * row-level ops' candidate selection: a point DELETE/UPDATE on an
     * unclustered high-cardinality column narrows to the files that

@@ -241,6 +241,51 @@ class PartitionedWriteSpec extends AnyFunSuite with Matchers with BeforeAndAfter
     }
   }
 
+  test("native STREAMING_WRITE: writeStream.toTable lands exactly-once " +
+    "epoch commits through the layout writer (partition dirs included)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.pws")
+    sql("CREATE NAMESPACE g.pws.main.db")
+    sql("CREATE TABLE g.pws.main.db.t (id INT, region STRING) PARTITIONED BY (region)")
+    val in = MemoryStream[(Int, String)](spark)
+    val q = in.toDF().toDF("id", "region").writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-pws-ckpt").toString)
+      .toTable("g.pws.main.db.t")
+    try {
+      in.addData((1, "a"), (2, "b")); q.processAllAvailable()
+      in.addData((3, "a")); q.processAllAvailable()
+    } finally q.stop()
+    sql("SELECT id, region FROM g.pws.main.db.t ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+      Seq((1, "a"), (2, "b"), (3, "a"))
+    val r = repo("pws")
+    val snap = r.snapshot(r.headCommit("main").tables("db/t"))
+    // partition layout + durable epoch marker both present
+    snap.files.flatMap(_.partValues.get("region")).toSet shouldBe Set("a", "b")
+    snap.properties(graft.versioned.TableOps.StreamBatchProp).toLong should be >= 1L
+    // partition pruning works on stream-written files
+    sql("SELECT count(*) FROM g.pws.main.db.t WHERE region = 'a'")
+      .collect().head.getLong(0) shouldBe 2
+
+    // the exactly-once guard: a REPLAYED epoch id must be a no-op even
+    // with fresh staged entries
+    val head = r.headCommit("main").id
+    val lastEpoch = snap.properties(graft.versioned.TableOps.StreamBatchProp).toLong
+    graft.versioned.TableOps.streamingCommitAppend(r, "main", "db/t",
+      snap.partitionFields, snap.nameMapping, snap.schemaJson)(
+      lastEpoch,
+      Seq(graft.versioned.FileEntry("db/t/bogus.parquet", 1, Map.empty,
+        Map.empty, Some(Map("region" -> "z")), Some(1L))))
+    r.headCommit("main").id shouldBe head // no commit happened
+    // and an empty epoch commits nothing either
+    graft.versioned.TableOps.streamingCommitAppend(r, "main", "db/t",
+      snap.partitionFields, snap.nameMapping, snap.schemaJson)(
+      lastEpoch + 100, Nil)
+    r.headCommit("main").id shouldBe head
+  }
+
   test("INSERT OVERWRITE replaces content through the native path") {
     sql("CREATE NAMESPACE g.pw8")
     sql("CREATE NAMESPACE g.pw8.main.db")
