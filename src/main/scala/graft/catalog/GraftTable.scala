@@ -498,10 +498,18 @@ final class GraftScan(
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
     required.fields.foreach { f =>
       val phys = snap.physicalName(f.name)
-      if (files.nonEmpty && files.forall(e => e.ndvCounts.contains(phys) &&
-          e.nullCounts.contains(phys))) {
+      // null counts must cover every file; NDV may be PARTIAL (CoW
+      // rewrites and un-hinted helper writes record none) — extrapolate
+      // the upper-bound merge from the covered row share
+      val withNdv = files.filter(_.ndvCounts.contains(phys))
+      if (files.nonEmpty && withNdv.nonEmpty &&
+          files.forall(_.nullCounts.contains(phys))) {
         val nulls = files.map(_.nullCounts(phys)).sum
-        val distinct = math.min(files.map(_.ndvCounts(phys)).sum, rows)
+        val ndvRows = math.max(1L, withNdv.map(_.rows).sum)
+        val distinct = math.min(
+          math.round(withNdv.map(_.ndvCounts(phys)).sum.toDouble
+            * rows / ndvRows),
+          rows)
         colStats.put(
           org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
           new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {

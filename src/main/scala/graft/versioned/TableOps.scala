@@ -90,7 +90,8 @@ object TableOps {
       physicalNames: Map[String, String] = Map.empty,
       preserveLayout: Boolean = false,
       bloomCols: Seq[String] = Nil,
-      bloomItems: Long = Blooms.DefaultItems): Seq[FileEntry] = {
+      bloomItems: Long = Blooms.DefaultItems,
+      ndvHint: Map[String, Long] = Map.empty): Seq[FileEntry] = {
     // files are ALWAYS written (and stats keyed) under physical names —
     // the invariant that keeps renames metadata-only
     val logical = df.schema
@@ -111,6 +112,12 @@ object TableOps {
         .foldLeft(w)((w2, c) => w2
           .option(s"parquet.bloom.filter.enabled#$c", "true")
           .option(s"parquet.bloom.filter.expected.ndv#$c", bloomItems.toString))
+    // stats come from FOOTERS after the write (see entriesFromFooters):
+    // INT96 chunks carry no statistics, so force MICROS for the write
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val tsPrev = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
     if (spec.isEmpty) withBlooms(out.write).parquet(dir.toString)
     else {
       val dirCols = spec.map { pf =>
@@ -145,78 +152,112 @@ object TableOps {
       withBlooms(laid.write).partitionBy(spec.map(Partitioning.dirColName): _*)
         .parquet(dir.toString)
     }
-    // no explicit schema: partitioned layouts surface the synthetic
-    // __p_ columns via directory inference; stats only read data columns
-    val written = spark.read.parquet(dir.toString)
-    // min/max + null count + approx NDV all ride ONE per-file
-    // aggregation pass — column stats (CBO join estimation) cost no
-    // extra scan of the fresh files
-    val statCols = schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
-      Seq(min(col(f.name)).cast("string").as(s"min:${f.name}"),
-        max(col(f.name)).cast("string").as(s"max:${f.name}"),
-        sum(isnull(col(f.name)).cast("long")).as(s"nulls:${f.name}"),
-        approx_count_distinct(col(f.name)).as(s"ndv:${f.name}"))
+    } finally tsPrev match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
     }
-    // blooms ride the SAME per-file aggregation pass as min/max — one
-    // scan of the fresh files covers rows, stats, and filters
+    val paths = repo.io.walk(dir).filter(repo.io.isFile)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString)
     val blooms = bloomCols.filter(c => schema.fields.exists(_.name == c))
-    val bloomAggs = blooms.map(c =>
-      Blooms.aggColumn(c, schema.fields.find(_.name == c).get.dataType,
-        bloomItems).as(s"bloom:$c"))
-    val rows = written
-      .groupBy(input_file_name().as("__file"))
-      .agg(count(lit(1)).as("__rows"), (statCols.toIndexedSeq ++ bloomAggs): _*)
-      .collect()
-    rows.toIndexedSeq.map { r =>
-      val file = r.getAs[String]("__file").stripPrefix("file:")
-      val rel = repo.root.relativize(java.nio.file.Paths.get(file)).toString
-      def stats(prefix: String): Map[String, String] =
-        schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
-          Option(r.getAs[String](s"$prefix:${f.name}")).map(f.name -> _)
-        }.toMap
-      val pvals =
-        if (spec.isEmpty) None else Some(Partitioning.valuesFromPath(rel))
-      val sidecar = blooms.flatMap(c =>
-        Option(r.getAs[Array[Byte]](s"bloom:$c")).map(c -> _)).toMap
-      if (sidecar.nonEmpty) Blooms.write(repo.root, rel, sidecar, repo.io)
-      FileEntry(rel, r.getAs[Long]("__rows"), stats("min"), stats("max"), pvals,
-        Some(repo.io.size(java.nio.file.Paths.get(file))),
-        bloomCols = if (sidecar.isEmpty) None else Some(sidecar.keys.toSeq.sorted),
-        nulls = Some(longStatsOf(r, schema, "nulls")),
-        ndv = Some(longStatsOf(r, schema, "ndv")))
-    }
-  }
-
-  /** FileEntry metadata (row counts + min/max stats) for parquet files
-    * already staged under `dir` by an external writer (the CoW row-level
-    * write path). Empty result when the replacement is empty.
-    */
-  def statsForStaged(spark: SparkSession, repo: GraftRepo,
-      dir: java.nio.file.Path, schema: StructType): Seq[FileEntry] = {
-    val hasFiles = repo.io.isDirectory(dir) &&
-      repo.io.list(dir).exists(_.toString.endsWith(".parquet"))
-    if (!hasFiles) return Nil
-    val written = spark.read.schema(schema).parquet(dir.toString)
-    val statCols = schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
-      Seq(min(col(f.name)).cast("string").as(s"min:${f.name}"),
-        max(col(f.name)).cast("string").as(s"max:${f.name}"),
-        sum(isnull(col(f.name)).cast("long")).as(s"nulls:${f.name}"),
-        approx_count_distinct(col(f.name)).as(s"ndv:${f.name}"))
-    }
-    written.groupBy(input_file_name().as("__file"))
-      .agg(count(lit(1)).as("__rows"), statCols.toIndexedSeq: _*)
-      .collect().toIndexedSeq.map { r =>
+    if (blooms.isEmpty)
+      // SINGLE-PASS stats: the parquet writer already computed
+      // min/max/nulls/rows — read the FOOTERS, not the data
+      entriesFromFooters(spark, repo, paths, schema, spec, ndvHint)
+    else {
+      // bloom tables: sidecar builds genuinely need the values, so
+      // rows/min/max/nulls/NDV/blooms all ride ONE scan of the files
+      val written = spark.read.schema(schema).parquet(paths: _*)
+      val statCols = schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
+        Seq(min(col(f.name)).cast("string").as(s"min:${f.name}"),
+          max(col(f.name)).cast("string").as(s"max:${f.name}"),
+          sum(isnull(col(f.name)).cast("long")).as(s"nulls:${f.name}"),
+          approx_count_distinct(col(f.name)).as(s"ndv:${f.name}"))
+      }
+      val bloomAggs = blooms.map(c =>
+        Blooms.aggColumn(c, schema.fields.find(_.name == c).get.dataType,
+          bloomItems).as(s"bloom:$c"))
+      val rows = written
+        .groupBy(input_file_name().as("__file"))
+        .agg(count(lit(1)).as("__rows"), (statCols.toIndexedSeq ++ bloomAggs): _*)
+        .collect()
+      rows.toIndexedSeq.map { r =>
         val file = r.getAs[String]("__file").stripPrefix("file:")
         val rel = repo.root.relativize(java.nio.file.Paths.get(file)).toString
         def stats(prefix: String): Map[String, String] =
           schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
             Option(r.getAs[String](s"$prefix:${f.name}")).map(f.name -> _)
           }.toMap
-        FileEntry(rel, r.getAs[Long]("__rows"), stats("min"), stats("max"),
-          None, Some(repo.io.size(java.nio.file.Paths.get(file))),
+        val pvals =
+          if (spec.isEmpty) None else Some(Partitioning.valuesFromPath(rel))
+        val sidecar = blooms.flatMap(c =>
+          Option(r.getAs[Array[Byte]](s"bloom:$c")).map(c -> _)).toMap
+        if (sidecar.nonEmpty) Blooms.write(repo.root, rel, sidecar, repo.io)
+        FileEntry(rel, r.getAs[Long]("__rows"), stats("min"), stats("max"), pvals,
+          Some(repo.io.size(java.nio.file.Paths.get(file))),
+          bloomCols = if (sidecar.isEmpty) None else Some(sidecar.keys.toSeq.sorted),
           nulls = Some(longStatsOf(r, schema, "nulls")),
           ndv = Some(longStatsOf(r, schema, "ndv")))
       }
+    }
+  }
+
+  /** FileEntries from parquet FOOTERS — the zero-data-read stats pass
+    * shared by every non-bloom write (the native DSv2 writes collect
+    * these executor-side during the write itself; this variant serves
+    * the DataFrame-writer paths: compaction, CoW staging, MV/stream
+    * helpers). Footer reads distribute across the cluster — the driver
+    * only renders. NDV (no footer equivalent) comes from `ndvHint`
+    * (e.g. compaction passes its INPUT files' merged NDV) apportioned
+    * per file by row share; absent a hint the entries carry no NDV and
+    * CBO extrapolates from whatever files still have one.
+    */
+  def entriesFromFooters(spark: SparkSession, repo: GraftRepo,
+      paths: Seq[String], schema: StructType, spec: Seq[PartitionField],
+      ndvHint: Map[String, Long] = Map.empty): Seq[FileEntry] = {
+    if (paths.isEmpty) return Nil
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val slices = math.max(1, math.min(paths.size, 64))
+    val raw = spark.sparkContext.parallelize(paths, slices)
+      .map(p => FooterStats.read(p, conf.value, schema, Map.empty))
+      .collect().toIndexedSeq
+    val totalRows = math.max(1L, raw.map(_.rows).sum)
+    raw.map { wf =>
+      val rel = repo.root.relativize(java.nio.file.Paths.get(wf.path)).toString
+      def render(m: Map[String, Any]): Map[String, String] =
+        m.map { case (c, v) =>
+          c -> FooterStats.render(v, schema.fields.find(_.name == c).get.dataType)
+        }
+      val ndv =
+        if (ndvHint.isEmpty) None
+        else Some(ndvHint.map { case (c, n) =>
+          c -> math.max(1L, math.min(wf.rows,
+            math.round(n.toDouble * wf.rows / totalRows)))
+        })
+      FileEntry(rel, wf.rows, render(wf.mins), render(wf.maxs),
+        if (spec.isEmpty) None else Some(Partitioning.valuesFromPath(rel)),
+        Some(wf.bytes),
+        nulls = Some(wf.nulls),
+        ndv = ndv)
+    }
+  }
+
+  /** FileEntry metadata for parquet files already staged under `dir` by
+    * an external writer (the CoW row-level write path). FOOTER-based —
+    * no re-read of the staged data; a rewrite's stats cost is a footer
+    * per file regardless of how many rows it rewrote. (The bridge
+    * writer may emit INT96 timestamps, whose chunks carry no stats —
+    * those columns simply record none and pruning keeps the file.)
+    * Empty result when the replacement is empty.
+    */
+  def statsForStaged(spark: SparkSession, repo: GraftRepo,
+      dir: java.nio.file.Path, schema: StructType): Seq[FileEntry] = {
+    if (!repo.io.isDirectory(dir)) return Nil
+    val paths = repo.io.walk(dir).filter(repo.io.isFile)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString)
+    entriesFromFooters(spark, repo, paths, schema, Nil)
   }
 
   /** FileEntry metadata for an EXPLICIT list of parquet files (absolute
@@ -1052,10 +1093,21 @@ object TableOps {
           df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
         }
         else df.coalesce(1)
+      // NDV hint for the footer-stats path: the rewrite unit's merged
+      // input NDV (Σ per-file, capped by rows — the same upper-bound
+      // merge CBO applies), so compaction keeps column statistics alive
+      // without re-scanning what it just wrote
+      val unitRows = math.max(1L, unit.map(_.rows).sum)
+      val hint = physSchema.fields.map(_.name).flatMap { c =>
+        val vals = unit.flatMap(_.ndvCounts.get(c))
+        if (vals.size != unit.size) None
+        else Some(c -> math.min(vals.sum, unitRows))
+      }.toMap
       writeFiles(spark, repo, out, key, snap.partitionFields, snap.nameMapping,
         preserveLayout = true,
         bloomCols = Blooms.physCols(snap, physSchema),
-        bloomItems = Blooms.items(snap))
+        bloomItems = Blooms.items(snap),
+        ndvHint = hint)
     }
     val committed = repo.commitRetry(branch, s"compact $key") { base =>
       val cur = repo.snapshot(base.tables.getOrElse(key,
