@@ -146,4 +146,31 @@ class KernelPropertiesSpec extends AnyFunSuite with Matchers {
     Partitioning.floorOfLiteral("abcdef", s2) shouldBe Some("ab")
     Partitioning.floorOfLiteral("a", s2) shouldBe Some("a")
   }
+
+  test("write-time HLL sketch: accuracy bands across cardinalities, " +
+    "duplicate-insensitive, deterministic") {
+    import graft.versioned.FooterStats
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(5, 50, 1000, 50000, 500000)) {
+      val vals = Array.fill(n)(rnd.nextLong()) // stand-in for xxhash64 output
+      val h = new FooterStats.Hll
+      vals.foreach(h.add)
+      // re-adding half the values must not move the estimate (set semantics)
+      val before = h.estimate
+      vals.take(n / 2).foreach(h.add)
+      h.estimate shouldBe before
+      val err = math.abs(h.estimate.toDouble - n) / n
+      // 2^12 registers: ~1.6% standard error; allow 3 sigma + small-range
+      // linear-counting exactness at tiny n
+      val band = if (n <= 1000) 0.02 else 0.05
+      withClue(s"n=$n est=${h.estimate}: ") { err should be <= band }
+    }
+    // determinism: same inputs, same estimate
+    val h1 = new FooterStats.Hll
+    val h2 = new FooterStats.Hll
+    val vs = Array.fill(10000)(rnd.nextLong())
+    vs.foreach(h1.add)
+    vs.foreach(h2.add)
+    h1.estimate shouldBe h2.estimate
+  }
 }
