@@ -247,9 +247,10 @@ object TableOps {
     * an external writer (the CoW row-level write path). FOOTER-based —
     * no re-read of the staged data; a rewrite's stats cost is a footer
     * per file regardless of how many rows it rewrote. (The bridge
-    * writer may emit INT96 timestamps, whose chunks carry no stats —
-    * those columns simply record none and pruning keeps the file.)
-    * Empty result when the replacement is empty.
+    * writer pins MICROS timestamps so footers carry real stats; any
+    * column whose stats a footer cannot prove simply records none and
+    * pruning keeps the file.) Empty result when the replacement is
+    * empty.
     */
   def statsForStaged(spark: SparkSession, repo: GraftRepo,
       dir: java.nio.file.Path, schema: StructType): Seq[FileEntry] = {

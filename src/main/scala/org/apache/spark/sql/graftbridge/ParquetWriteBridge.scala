@@ -21,9 +21,16 @@ object ParquetWriteBridge {
       schema: StructType,
       info: LogicalWriteInfo): WriteBuilder = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // a cloned session pins MICROS timestamps for the staged files: the
+    // CoW stats pass reads FOOTERS now, and INT96 chunks (the session
+    // default) carry no statistics — a rewrite would silently drop
+    // timestamp min/max from every file it touches
+    val writeSession = classic.cloneSession()
+    writeSession.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
     val table = new ParquetTable(
       "graft-cow-staging",
-      classic,
+      writeSession,
       CaseInsensitiveStringMap.empty(),
       Seq(path),
       Some(schema),
