@@ -94,7 +94,8 @@ final class GraftLayoutWrite(
     */
   private def writeSetup(): (GraftPartitionedWriterFactory,
       Array[WriterCommitMessage] => Seq[graft.versioned.FileEntry],
-      Array[WriterCommitMessage] => Unit) = {
+      Array[WriterCommitMessage] => Unit, // batch abort (staging wipe ok)
+      Array[WriterCommitMessage] => Unit) = { // epoch abort (listed files only)
     val spark = SparkSession.active
     // parquet-native (footer) bloom filters ride the job conf — the
     // sidecar file-level blooms are built in the commit stats pass.
@@ -163,7 +164,14 @@ final class GraftLayoutWrite(
       }
     }
 
-    val abortAll = (messages: Array[WriterCommitMessage]) => {
+    // Driver-side abort, two flavors. Deleting the files the completed
+    // tasks reported is always safe (nothing references them until a
+    // snapshot commit publishes the entries). The recursive staging-dir
+    // wipe is ONLY safe for batch: one staging dir serves every epoch of
+    // a streaming query, and committed epochs' files are published IN
+    // PLACE inside it — a failed micro-batch after the first committed
+    // epoch must not touch them.
+    val abortEpoch = (messages: Array[WriterCommitMessage]) => {
       messages.foreach {
         case m: GraftWrittenFiles =>
           m.files.foreach(f =>
@@ -171,24 +179,27 @@ final class GraftLayoutWrite(
             catch { case _: Exception => () })
         case _ => ()
       }
+    }
+    val abortBatch = (messages: Array[WriterCommitMessage]) => {
+      abortEpoch(messages)
       try
         repo.io.walk(staging).sorted(Ordering[java.nio.file.Path].reverse)
           .foreach(p => repo.io.deleteIfExists(p))
       catch { case _: Exception => () }
     }
 
-    (factory, entriesOf, abortAll)
+    (factory, entriesOf, abortBatch, abortEpoch)
   }
 
   override def toBatch: BatchWrite = {
-    val (factory, entriesOf, abortAll) = writeSetup()
+    val (factory, entriesOf, abortBatch, _) = writeSetup()
     new BatchWrite {
       override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
         factory
       override def commit(messages: Array[WriterCommitMessage]): Unit =
         onCommit(entriesOf(messages))
       override def abort(messages: Array[WriterCommitMessage]): Unit =
-        abortAll(messages)
+        abortBatch(messages)
     }
   }
 
@@ -204,7 +215,7 @@ final class GraftLayoutWrite(
     val commitEpoch = onEpochCommit.getOrElse(
       throw new UnsupportedOperationException(
         s"$label does not support streaming writes"))
-    val (factory, entriesOf, abortAll) = writeSetup()
+    val (factory, entriesOf, _, abortEpoch) = writeSetup()
     new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
       override def createStreamingWriterFactory(p: PhysicalWriteInfo)
           : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
@@ -214,7 +225,7 @@ final class GraftLayoutWrite(
         commitEpoch(epochId, entriesOf(messages))
       override def abort(epochId: Long,
           messages: Array[WriterCommitMessage]): Unit =
-        abortAll(messages)
+        abortEpoch(messages)
     }
   }
 }

@@ -128,8 +128,12 @@ final class GraftTable(
           s"graft-insert $key",
           entries => TableOps.commitAppend(repo, b, key, entries, overwrite,
             snap.partitionFields, snap.nameMapping, tableSchema.json),
+          // Complete-mode streaming sets overwrite via truncate(): each
+          // epoch then REPLACES the table (overwrite-per-epoch) instead
+          // of silently appending duplicate aggregate snapshots
           onEpochCommit = Some(TableOps.streamingCommitAppend(repo, b, key,
-            snap.partitionFields, snap.nameMapping, tableSchema.json)))
+            snap.partitionFields, snap.nameMapping, tableSchema.json,
+            overwrite)))
       }
     }
 

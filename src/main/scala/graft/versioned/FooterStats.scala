@@ -167,7 +167,14 @@ object FooterStats {
     */
   private def pick(a: Any, b: Any, dt: DataType, takeMin: Boolean): Any = {
     val c = dt match {
-      case StringType => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+      // UTF-8 BINARY order (what parquet per-group stats and Spark's
+      // UTF8String comparison use) — java.lang.String.compareTo is
+      // UTF-16 code-unit order, which disagrees beyond the BMP and
+      // could fold a bound that does not bound the file
+      case StringType => org.apache.spark.unsafe.types.UTF8String
+        .fromString(a.asInstanceOf[String])
+        .compareTo(org.apache.spark.unsafe.types.UTF8String
+          .fromString(b.asInstanceOf[String]))
       case FloatType => java.lang.Float.compare(
         a.asInstanceOf[Float], b.asInstanceOf[Float])
       case DoubleType => java.lang.Double.compare(

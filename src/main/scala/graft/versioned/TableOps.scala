@@ -113,12 +113,12 @@ object TableOps {
           .option(s"parquet.bloom.filter.enabled#$c", "true")
           .option(s"parquet.bloom.filter.expected.ndv#$c", bloomItems.toString))
     // stats come from FOOTERS after the write (see entriesFromFooters):
-    // INT96 chunks carry no statistics, so force MICROS for the write
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val tsPrev = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try {
-    if (spec.isEmpty) withBlooms(out.write).parquet(dir.toString)
+    // INT96 chunks carry no statistics, so pin MICROS — via a CLONED
+    // session (no shared-conf mutation; concurrent writes on one
+    // session must not race on the override)
+    val outM = org.apache.spark.sql.graftbridge.ParquetWriteBridge
+      .withMicrosTimestamps(out)
+    if (spec.isEmpty) withBlooms(outM.write).parquet(dir.toString)
     else {
       val dirCols = spec.map { pf =>
         val srcType = logical.fields.find(_.name == pf.source).map(_.dataType)
@@ -143,7 +143,7 @@ object TableOps {
       // range-partitioned + sorted (all rows of a rewrite unit share one
       // partition value, so the clustering shuffle would collapse them
       // into one task and destroy the sort).
-      val projected = out.select(
+      val projected = outM.select(
         schema.fieldNames.toIndexedSeq.map(col) ++ dirCols: _*)
       val laid =
         if (preserveLayout) projected
@@ -151,10 +151,6 @@ object TableOps {
           spec.map(pf => col(Partitioning.dirColName(pf))): _*)
       withBlooms(laid.write).partitionBy(spec.map(Partitioning.dirColName): _*)
         .parquet(dir.toString)
-    }
-    } finally tsPrev match {
-      case Some(v) => spark.conf.set(tsKey, v)
-      case None => spark.conf.unset(tsKey)
     }
     val paths = repo.io.walk(dir).filter(repo.io.isFile)
       .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -478,14 +474,18 @@ object TableOps {
     */
   def streamingCommitAppend(repo: GraftRepo, branch: String, key: String,
       spec: Seq[PartitionField], mapping: Map[String, String],
-      fallbackSchemaJson: String)(epochId: Long, entries: Seq[FileEntry]): Unit = {
-    if (entries.isEmpty) return
+      fallbackSchemaJson: String, overwrite: Boolean = false)(
+      epochId: Long, entries: Seq[FileEntry]): Unit = {
+    // Complete-mode epochs (overwrite) REPLACE the table per trigger —
+    // an empty result must still truncate, so no empty early-out there
+    if (entries.isEmpty && !overwrite) return
     val committed = repo.headCommit(branch).tables.get(key).map(repo.snapshot)
       .flatMap(_.properties.get(StreamBatchProp)).map(_.toLong)
     if (!committed.exists(_ >= epochId))
-      commitAppend(repo, branch, key, entries, overwrite = false, spec,
+      commitAppend(repo, branch, key, entries, overwrite = overwrite, spec,
         mapping, fallbackSchemaJson,
-        message = Some(s"stream-append $key batch=$epochId"),
+        message = Some(
+          s"stream-${if (overwrite) "overwrite" else "append"} $key batch=$epochId"),
         extraProps = Map(StreamBatchProp -> epochId.toString))
   }
 
@@ -583,7 +583,13 @@ object TableOps {
     case _: DecimalType =>
       Some((s, v) => scala.util.Try(new java.math.BigDecimal(s)
         .compareTo(new java.math.BigDecimal(v.toString))).toOption)
-    case StringType => Some((s, v) => Some(s.compareTo(v.toString)))
+    // UTF-8 BINARY order to match Spark's UTF8String comparison (and
+    // parquet stat order) — String.compareTo is UTF-16 code-unit order,
+    // which disagrees for supplementary characters and could wrongly
+    // prune a file whose bounds straddle the literal in engine order
+    case StringType => Some((s, v) => Some(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s).compareTo(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v.toString))))
     case DateType => Some((s, v) => Some(s.compareTo(v.toString))) // ISO sorts lexically
     case TimestampType | TimestampNTZType =>
       Some { (s, v) =>

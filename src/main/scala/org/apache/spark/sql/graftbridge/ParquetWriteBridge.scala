@@ -37,4 +37,21 @@ object ParquetWriteBridge {
       classOf[ParquetFileFormat])
     table.newWriteBuilder(info)
   }
+
+  /** Rebind a DataFrame to a CLONED session pinned to MICROS parquet
+    * timestamps. The per-session pin replaces mutate-then-restore of the
+    * SHARED session conf (TableOps.writeFiles's old pattern), which
+    * raced under concurrent writes on one session — a thread could
+    * capture another's override as "previous" and leak the setting, or
+    * write INT96 and silently lose timestamp footer stats.
+    */
+  def withMicrosTimestamps(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val writeSession = ds.sparkSession.cloneSession()
+    writeSession.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    org.apache.spark.sql.classic.Dataset.ofRows(writeSession,
+      ds.queryExecution.analyzed)
+  }
 }

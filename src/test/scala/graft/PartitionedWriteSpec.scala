@@ -286,6 +286,90 @@ class PartitionedWriteSpec extends AnyFunSuite with Matchers with BeforeAndAfter
     r.headCommit("main").id shouldBe head
   }
 
+  test("outputMode(complete) streaming REPLACES the table per epoch " +
+    "(truncate semantics — no duplicate aggregate snapshots)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.count
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.pw13")
+    sql("CREATE NAMESPACE g.pw13.main.db")
+    sql("CREATE TABLE g.pw13.main.db.agg (region STRING, n BIGINT)")
+    val in = MemoryStream[(Int, String)](spark)
+    val q = in.toDF().toDF("id", "region")
+      .groupBy($"region").agg(count("*").as("n"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-pw13-ckpt").toString)
+      .toTable("g.pw13.main.db.agg")
+    try {
+      in.addData((1, "a"), (2, "b")); q.processAllAvailable()
+      in.addData((3, "a")); q.processAllAvailable()
+    } finally q.stop()
+    // two Complete triggers ran; the table holds ONE copy of the latest
+    // full result — the old behavior appended both, duplicating region
+    // rows with stale counts
+    sql("SELECT region, n FROM g.pw13.main.db.agg ORDER BY region")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+      Seq(("a", 2L), ("b", 1L))
+  }
+
+  test("streaming epoch ABORT deletes only that epoch's files — " +
+    "earlier committed epochs survive (shared staging dir)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.unsafe.types.UTF8String
+    sql("CREATE NAMESPACE g.pw14")
+    sql("CREATE NAMESPACE g.pw14.main.db")
+    sql("CREATE TABLE g.pw14.main.db.t (id INT, v STRING)")
+    val r = repo("pw14")
+    val snap = r.snapshot(r.headCommit("main").tables("db/t"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[StructType]
+    // ONE GraftLayoutWrite (= one staging dir) serves every epoch of a
+    // streaming query — exactly the production shape
+    val w = new graft.catalog.GraftLayoutWrite(r, "db/t", schema,
+      snap.nameMapping, snap.partitionFields, Nil, 0L, "abort-test",
+      onCommit = _ => (),
+      onEpochCommit = Some(graft.versioned.TableOps.streamingCommitAppend(
+        r, "main", "db/t", snap.partitionFields, snap.nameMapping,
+        snap.schemaJson)))
+    val sw = w.toStreaming
+    val f = sw.createStreamingWriterFactory(null)
+    // epoch 0 commits a row
+    val dw0 = f.createWriter(0, 0L, 0L)
+    dw0.write(InternalRow(1, UTF8String.fromString("a")))
+    sw.commit(0, Array(dw0.commit()))
+    sql("SELECT count(*) FROM g.pw14.main.db.t")
+      .collect().head.getLong(0) shouldBe 1
+    // epoch 1: tasks completed (files staged, messages sent), then the
+    // epoch aborts driver-side
+    val dw1 = f.createWriter(0, 1L, 1L)
+    dw1.write(InternalRow(2, UTF8String.fromString("b")))
+    sw.abort(1, Array(dw1.commit()))
+    // epoch 0's PUBLISHED file (same staging dir) must still be readable;
+    // the old recursive staging wipe destroyed it
+    sql("SELECT id FROM g.pw14.main.db.t").collect()
+      .map(_.getInt(0)) shouldBe Array(1)
+    val survivor = r.snapshot(r.headCommit("main").tables("db/t")).files
+    survivor.map(_.path).foreach { p =>
+      r.io.isFile(r.root.resolve(p)) shouldBe true
+    }
+  }
+
+  test("string stats prune in UTF-8 BINARY order (supplementary chars)") {
+    sql("CREATE NAMESPACE g.pw15")
+    sql("CREATE NAMESPACE g.pw15.main.db")
+    sql("CREATE TABLE g.pw15.main.db.t (id INT, v STRING)")
+    // U+1F600 is F0 9F 98 80 in UTF-8 (ABOVE ￿ = EF BF BF) but
+    // D83D DE00 in UTF-16 code units (BELOW ￿) — a UTF-16
+    // comparator concludes file-max < literal and wrongly prunes the
+    // file, dropping the live emoji row
+    val emoji = "😀"
+    sql(s"INSERT INTO g.pw15.main.db.t VALUES (1, '￿'), (2, '$emoji')")
+    sql(s"SELECT id FROM g.pw15.main.db.t WHERE v > '￿'")
+      .collect().map(_.getInt(0)) shouldBe Array(2)
+  }
+
   test("INSERT OVERWRITE replaces content through the native path") {
     sql("CREATE NAMESPACE g.pw8")
     sql("CREATE NAMESPACE g.pw8.main.db")
