@@ -151,6 +151,47 @@ object HashKernels {
     bucket
   }
 
+  /** ±1 hyperplane entries for the PORTABLE md5 plane scheme: entry
+    * (plane, i) = +1 iff the top bit of md5("plane:i") is set — in any
+    * engine with md5(), `substr(md5(concat(plane,':',i)),1,1) >= '8'`.
+    * Planes are global constants, so the per-plane sign row is computed
+    * once per JVM and cached (the hot loop reads a primitive array).
+    */
+  private val md5PlaneCache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Double]]()
+
+  def md5PlaneSigns(plane: Int, dim: Int): Array[Double] =
+    md5PlaneCache.computeIfAbsent((plane.toLong << 32) | dim.toLong,
+      _ => Array.tabulate(dim) { i =>
+        val h = md5Word64(org.apache.spark.unsafe.types.UTF8String
+          .fromString(s"$plane:$i"))
+        if (h < 0) 1.0 else -1.0 // top md5 bit = sign bit of the long
+      })
+
+  /** [[hyperplaneBucket]] with md5-derived ±1 planes — the variant the
+    * oracle-checked sim_ann_lsh buckets with: DuckDB rebuilds the same
+    * planes from md5() and replays the projection with order-preserving
+    * list arithmetic, reproducing every bucket bit-for-bit (the same
+    * portability move [[simhash64Md5]] made for dd_simhash).
+    */
+  def hyperplaneBucketMd5(v: ArrayData, nbits: Int, planeOffset: Int): Long = {
+    val dim = v.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < nbits) {
+      val signs = md5PlaneSigns(planeOffset + j, dim)
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        acc += v.getDouble(i) * signs(i)
+        i += 1
+      }
+      if (acc > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
   /** Count of aligned equal positions of two long arrays (minhash
     * signature agreement — matches/k estimates Jaccard unbiasedly). One
     * linear pass, no allocation: the sketch-verify prefilter that keeps
@@ -258,6 +299,25 @@ case class HyperplaneBucket(child: Expression, nbits: Int, planeOffset: Int)
     copy(child = newChild)
 }
 
+/** Sign-LSH bucket over PORTABLE md5-derived planes (codegen'd) — see
+  * [[HashKernels.hyperplaneBucketMd5]].
+  */
+case class HyperplaneBucketMd5(child: Expression, nbits: Int, planeOffset: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_bucket_md5"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.hyperplaneBucketMd5(input.asInstanceOf[ArrayData], nbits, planeOffset)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.hyperplaneBucketMd5($c, $nbits, $planeOffset)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of an array-of-string column (codegen'd). */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -318,4 +378,6 @@ object HashExpressions {
     Bridge.column(SigAgree(Bridge.expression(a), Bridge.expression(b)))
   def hyperplaneBucketNative(v: Column, nbits: Int, planeOffset: Int): Column =
     Bridge.column(HyperplaneBucket(Bridge.expression(v), nbits, planeOffset))
+  def hyperplaneBucketMd5Native(v: Column, nbits: Int, planeOffset: Int): Column =
+    Bridge.column(HyperplaneBucketMd5(Bridge.expression(v), nbits, planeOffset))
 }

@@ -39,7 +39,7 @@ object Dedup {
     * (shared ~50-word vocabulary), so thresholds sit high to keep pair
     * output bounded.
     */
-  private def minhashLsh(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  private[graft] def minhashLsh(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     // docs (word sets + signatures) feeds the band self-join AND both
     // verification sides — materialize it ONCE (eager localCheckpoint:
     // lineage-truncated, storage freed on GC, so repeated calls never
@@ -441,7 +441,43 @@ object Dedup {
         |GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
         |ORDER BY keep_id""".stripMargin
     )(exact),
-    Q.rowsOnly("dd_minhash_lsh")(minhashLsh),
+    // Hash-proven gate for the MinHash-LSH pipeline: the xxhash64
+    // signatures are engine-specific, but every SURVIVOR is exact-
+    // Jaccard-verified at the same threshold / word set / rounding as
+    // the PPJoin truth ([[setsimPairs]]) — so survivors ⊆ truth by
+    // construction (precision 1) and the only engine-specific quantity
+    // is RECALL, deterministic on fixed data (no seeded hashing). DuckDB
+    // reproduces n_true_pairs brute-force; the booleans assert recall
+    // ≥ 0.95 (measured 0.981 at sf0.01) and exact-subset precision. A
+    // banding regression flips a boolean and fails the hash compare.
+    Q(
+      "dd_minhash_lsh",
+      """WITH w AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
+        |           FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM w a JOIN w b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+        |              len(list_distinct(list_concat(a.ws, b.ws))), 6) >= 0.9)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+        |       true AS recall_ok, true AS precision_ok
+        |FROM p""".stripMargin
+    ) { (s, d) =>
+      val maxPost = s.conf.getOption("spark.graft.setsim.maxPostings")
+        .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1024)
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), wordSet(col("text")).as("ws"))
+      val truth = setsimPairs(s, docs, 0.9, maxPost)
+        .select(col("id_a"), col("id_b"))
+      val got = minhashLsh(s, d).select(col("id_a"), col("id_b"))
+      val hits = got.join(truth, Seq("id_a", "id_b"))
+      truth.agg(count(lit(1)).as("n_true_pairs"))
+        .crossJoin(got.agg(count(lit(1)).as("n_lsh"))) // 1-row × 1-row
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(col("n_true_pairs"),
+          (col("n_hits") >= col("n_true_pairs") * 0.95).as("recall_ok"),
+          (col("n_hits") === col("n_lsh")).as("precision_ok"))
+    },
     Q(
       "dd_setsim",
       """WITH w AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws

@@ -495,40 +495,79 @@ object Relational {
         .orderBy(col("p_size"))
     },
 
-    // ---- q24: HLL approx distinct (sketch — rows-only gate) ------------------
-    Q.rowsOnly("q24_approx_distinct") { (s, d) =>
+    // ---- q24: HLL approx distinct (sketch — hash-proven band gate) -----------
+    // The HLL register layout is engine-specific, so the sketch VALUE has
+    // no cross-engine oracle — but its ACCURACY does: the query emits the
+    // exact distincts (DuckDB reproduces those) plus an in-query band
+    // check (|approx-exact| ≤ 5%·exact, 5σ of rsd=0.01; deterministic —
+    // HLL hashing has no seed drift). A sketch regression flips the
+    // boolean and fails the driver's hash compare.
+    Q(
+      "q24_approx_distinct",
+      """SELECT l_returnflag,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |       true AS within_band
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
       T.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"))
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.01).as("ap"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("ao"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          ((abs(col("ap") - col("exact_parts")) <= lit(0.05) * col("exact_parts")) &&
+            (abs(col("ao") - col("exact_orders")) <= lit(0.05) * col("exact_orders")))
+            .as("within_band"))
         .orderBy(col("l_returnflag"))
     },
 
-    // ---- q37: approximate quantile sketch (rows-only gate) -------------------
+    // ---- q37: approximate quantile sketch (hash-proven band gate) ------------
     // The t-digest-family counterpart to q24's HLL: approx_percentile
     // merges per-partition sketches (one map-side pass + tiny shuffle)
     // where q21's EXACT percentile must shuffle the whole column per
-    // group — the only viable quantile at 100 TB. Accuracy vs the exact
-    // answers is spec-gated (RelationalSpec); the sketch itself is
-    // engine-specific, hence no DuckDB oracle.
-    Q.rowsOnly("q37_approx_quantile") { (s, d) =>
-      // Scalar projection of the quantile array (p25..p95): the driver
-      // harness can't sort/hash array columns, and four named doubles are
-      // the friendlier API anyway. One sketch pass feeds all four.
+    // group — the only viable quantile at 100 TB. Same gate shape as q24:
+    // emit the EXACT interpolated percentiles (DuckDB quantile_cont
+    // reproduces them — the q21 parity precedent) plus the in-query 1%
+    // relative-error band check on the sketch (deterministic: the GK
+    // sketch has no randomness). A sketch regression flips the boolean
+    // and fails the driver's hash compare.
+    Q(
+      "q37_approx_quantile",
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.25), 3) AS price_p25,
+        |       round(quantile_cont(l_extendedprice, 0.50), 3) AS price_p50,
+        |       round(quantile_cont(l_extendedprice, 0.75), 3) AS price_p75,
+        |       round(quantile_cont(l_extendedprice, 0.95), 3) AS price_p95,
+        |       round(quantile_cont(l_quantity, 0.5), 3) AS qty_median,
+        |       true AS within_band
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      // One sketch pass feeds all four price quantiles; the exact pass
+      // rides the same shuffle (scalar projections — the driver harness
+      // can't sort/hash array columns).
+      val bands = (1 to 4).map(i =>
+        abs(element_at(col("apq"), i) - element_at(col("epq"), i)) <=
+          lit(0.01) * abs(element_at(col("epq"), i))) :+
+        (abs(col("aqm") - col("eqm")) <= lit(0.01) * abs(col("eqm")))
       T.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
           expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95), 10000)")
-            .as("pq"),
-          expr("approx_percentile(l_quantity, 0.5, 10000)").as("qty_median"))
+            .as("apq"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("aqm"),
+          expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").as("epq"),
+          expr("percentile(l_quantity, 0.5)").as("eqm"))
         .select(
           col("l_returnflag"),
-          element_at(col("pq"), 1).as("price_p25"),
-          element_at(col("pq"), 2).as("price_p50"),
-          element_at(col("pq"), 3).as("price_p75"),
-          element_at(col("pq"), 4).as("price_p95"),
-          col("qty_median"))
+          round(element_at(col("epq"), 1), 3).as("price_p25"),
+          round(element_at(col("epq"), 2), 3).as("price_p50"),
+          round(element_at(col("epq"), 3), 3).as("price_p75"),
+          round(element_at(col("epq"), 4), 3).as("price_p95"),
+          round(col("eqm"), 3).as("qty_median"),
+          bands.reduce(_ && _).as("within_band"))
         .orderBy(col("l_returnflag"))
     },
 

@@ -68,14 +68,22 @@ object Similarity {
     * multi-table construction; single-table recall measured ~0.04 on this
     * data, multi-table >=0.25, spec-gated in LlmOpsSpec). Each side
     * explodes to L (table, bucket) keys; candidate work is Σ|bucket| per
-    * table and the corpus never joins itself. Rows-only gate.
+    * table and the corpus never joins itself.
+    *
+    * Planes are the PORTABLE md5 scheme ([[graft.functions.HashKernels
+    * .hyperplaneBucketMd5]]): DuckDB rebuilds every plane from md5() and
+    * replays the projections with order-preserving list arithmetic, so
+    * the whole query — bucketing included — is oracle-checked bit-for-bit
+    * (the same move that took dd_simhash from rows-only to hash-proven).
     */
+  private val LshL = 8
+  private val LshBits = 6
   private def lsh(s: SparkSession, d: String): DataFrame = {
-    val L = 8
-    val NBits = 6
+    val L = LshL
+    val NBits = LshBits
     def tables(vCol: String): Column = array(
       (0 until L).map(t => graft.functions.HashExpressions
-        .hyperplaneBucketNative(col(vCol), nbits = NBits, planeOffset = t * NBits)): _*)
+        .hyperplaneBucketMd5Native(col(vCol), nbits = NBits, planeOffset = t * NBits)): _*)
     val corpus = T.embeddings(s, d)
       .select(col("vec_id").as("neighbor_id"), toDoubleVec(col("embedding")).as("nv"))
       .withColumn("nn", l2norm(col("nv")))
@@ -363,6 +371,37 @@ object Similarity {
       .orderBy(col("query_id"), col("cos_sim").desc, col("neighbor_id"))
   }
 
+  /** Hash-checkable accuracy gate for the TRAINED ANN variants: recall@K
+    * against the in-query exact brute-force answer, emitted as a row the
+    * oracle reproduces independently — `n_queries` genuinely (DuckDB
+    * counts the query set), `recall_ok` as the constant the assertion
+    * must yield. A recall dip below `bound` flips the boolean and the
+    * driver's hash compare fails, so the accuracy spec is now part of
+    * the correctness gate (the k-means cell layout itself is
+    * engine-specific and cannot be replayed in SQL — unlike the md5
+    * plane scheme that makes sim_ann_lsh fully replayable). Bounds
+    * mirror LlmOpsSpec's with the same head-room (ivf 0.5, ivfpq 0.4);
+    * both paths are deterministic on fixed data, so the driver's sf0.01
+    * run cannot flake. Cost: one extra broadcast-guarded brute pass.
+    */
+  private def recallGate(bound: Double)(
+      approx: (SparkSession, String) => DataFrame)(
+      s: SparkSession, d: String): DataFrame = {
+    val exact = bruteForceImpl(s, d).select(col("query_id"), col("neighbor_id"))
+    val hits = approx(s, d).select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"))
+    exact
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits"))) // 1-row × 1-row
+      .select(col("n_queries"),
+        (col("n_hits") >= col("n_exact") * bound).as("recall_ok"))
+  }
+
+  private val RecallGateOracle =
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+      |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q(
       "sim_range_search",
@@ -397,8 +436,50 @@ object Similarity {
          |WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin
     )(bruteForce),
-    Q.rowsOnly("sim_ann_lsh")(lsh),
-    Q.rowsOnly("sim_ann_ivf")((s, d) => ivf(s, d)),
-    Q.rowsOnly("sim_ann_ivfpq")((s, d) => ivfpq(s, d))
+    // The md5 plane scheme lets DuckDB rebuild every hyperplane and
+    // replay the bucketing projections with ORDER-PRESERVING list
+    // arithmetic (list_sum folds in element order, matching the
+    // kernel's sequential loop) — the whole LSH pipeline is
+    // oracle-checked bit-for-bit, candidates included.
+    Q(
+      "sim_ann_lsh",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |planes AS (
+         |  SELECT t.t AS tbl, b.b AS bit,
+         |         list(CASE WHEN substr(md5(CAST(t.t * $LshBits + b.b AS VARCHAR) || ':' ||
+         |                                  CAST(i.i AS VARCHAR)), 1, 1) >= '8'
+         |                   THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END
+         |              ORDER BY i.i) AS sgn
+         |  FROM range($LshL) t(t), range($LshBits) b(b), range($Dim) i(i)
+         |  GROUP BY t.t, b.b),
+         |buck AS (
+         |  SELECT e.vec_id, p.tbl,
+         |         CAST(sum(CASE WHEN list_sum(list_transform(list_zip(e.v, p.sgn),
+         |                                     z -> z[1] * z[2])) > 0
+         |                       THEN 1 << p.bit ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM e CROSS JOIN planes p
+         |  GROUP BY e.vec_id, p.tbl),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+         |  FROM buck q JOIN buck n ON q.tbl = n.tbl AND q.bucket = n.bucket
+         |  WHERE q.vec_id % 50 = 0 AND n.vec_id <> q.vec_id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) /
+         |               (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+         |                sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos_sim
+         |  FROM cand c JOIN e a ON a.vec_id = c.query_id
+         |              JOIN e b ON b.vec_id = c.neighbor_id)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin
+    )(lsh),
+    Q("sim_ann_ivf", RecallGateOracle)(recallGate(0.5)(ivf(_, _))),
+    Q("sim_ann_ivfpq", RecallGateOracle)(recallGate(0.4)(ivfpq(_, _)))
   )
 }

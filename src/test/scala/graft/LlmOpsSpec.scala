@@ -88,7 +88,9 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     val brute = SparkEntry.queries("sim_ann_brute")(spark, sfDir)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = SparkEntry.queries("sim_ann_ivf")(spark, sfDir)
+    // the queries() entry is now the hash-checkable recall GATE; the
+    // raw top-k surface stays the library API measured here
+    val ivf = graft.operators.Similarity.ivf(spark, sfDir)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = ivf.intersect(brute).size.toDouble / brute.size
@@ -96,13 +98,17 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // nprobe=8 of k=sqrt(N) cells; gate leaves head-room for seed drift
     recall should be >= 0.5
     ivf.size should be <= brute.size
+    // and the driver-facing gate row agrees
+    val gate = SparkEntry.queries("sim_ann_ivf")(spark, sfDir).collect()
+    gate.length shouldBe 1
+    gate.head.getBoolean(1) shouldBe true
   }
 
   test("sim_ann_ivfpq: PQ codes + exact re-rank track the plain IVF probe") {
     val brute = SparkEntry.queries("sim_ann_brute")(spark, sfDir)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val pq = SparkEntry.queries("sim_ann_ivfpq")(spark, sfDir)
+    val pq = graft.operators.Similarity.ivfpq(spark, sfDir)
       .select("query_id", "neighbor_id", "cos_sim").collect()
     val pqPairs = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
     // PQ error only affects which candidates reach the exact pass, so
@@ -119,6 +125,10 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       bruteSims.get((r.getLong(0), r.getLong(1)))
         .foreach(_ shouldBe r.getDouble(2) +- 1e-9)
     }
+    // driver-facing gate row agrees
+    val gate = SparkEntry.queries("sim_ann_ivfpq")(spark, sfDir).collect()
+    gate.length shouldBe 1
+    gate.head.getBoolean(1) shouldBe true
   }
 
   test("sim_ann_brute: size-guarded query broadcast — forced shuffle path " +
@@ -162,7 +172,7 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
 
   test("dd_minhash_lsh: verified pairs all have jaccard >= 0.9 and include " +
     "the consecutive-id near-dups found by the exact pass") {
-    val out = SparkEntry.queries("dd_minhash_lsh")(spark, sfDir).collect()
+    val out = operators.Dedup.minhashLsh(spark, sfDir).collect()
     all(out.map(_.getAs[Double]("jaccard"))) should be >= 0.9
     // exact n-gram jaccard on consecutive ids: every >=0.95 pair there must
     // be recalled by the LSH pipeline (8x8 bands catch J>=0.9 w.h.p.)
@@ -171,6 +181,12 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val found = out.map(r => (r.getLong(0), r.getLong(1))).toSet
     exact.diff(found) shouldBe empty
+    // driver-facing gate row: recall >= 0.95 of the PPJoin truth and
+    // exact-subset precision both hold
+    val gate = SparkEntry.queries("dd_minhash_lsh")(spark, sfDir).collect()
+    gate.length shouldBe 1
+    gate.head.getBoolean(1) shouldBe true
+    gate.head.getBoolean(2) shouldBe true
   }
 
   test("tx_pack: every doc assigned exactly once; no multi-doc shard " +
@@ -281,7 +297,7 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
 
   test("connectedComponents over the MinHash-LSH pair graph matches a " +
     "union-find oracle (no corpus broadcast in the loop)") {
-    val lshPairs = SparkEntry.queries("dd_minhash_lsh")(spark, sfDir)
+    val lshPairs = operators.Dedup.minhashLsh(spark, sfDir)
       .select("id_a", "id_b")
     val docs = Tables.documents(spark, sfDir).select("doc_id")
     val got = operators.Dedup.connectedComponents(docs, lshPairs)

@@ -101,13 +101,13 @@ class RelationalSpec extends AnyFunSuite
       Set((1L, 10L, "r8"), (1L, 25L, "-"), (2L, 5L, "-"))
   }
 
-  test("q37 approx quantiles land within 1% relative error of the " +
-    "exact percentiles") {
+  test("q37 band gate: emitted percentiles are the exact ones; the " +
+    "in-query 1% sketch band holds; the sketch really is within band") {
     import org.apache.spark.sql.functions._
-    val approx = SparkEntry.queries("q37_approx_quantile")(spark, sf)
+    val out = SparkEntry.queries("q37_approx_quantile")(spark, sf)
       .collect().map(r => r.getString(0) ->
         (Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)),
-          r.getDouble(5))).toMap
+          r.getDouble(5), r.getBoolean(6))).toMap
     val exact = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
       .agg(
@@ -116,8 +116,26 @@ class RelationalSpec extends AnyFunSuite
         expr("percentile(l_quantity, 0.5)").as("qm"))
       .collect().map(r => r.getString(0) ->
         (r.getSeq[Double](1), r.getDouble(2))).toMap
+    // independent approx pass: the query's band boolean must agree with
+    // a band check recomputed OUTSIDE the query
+    val approx = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95), 10000)")
+          .as("pq"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("qm"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1), r.getDouble(2))).toMap
     exact.keys.foreach { k =>
-      val (aq, am) = approx(k); val (eq, em) = exact(k)
+      val (oq, om, band) = out(k); val (eq, em) = exact(k)
+      band shouldBe true
+      oq.zip(eq).foreach { case (o, e) =>
+        o shouldBe BigDecimal(e).setScale(3,
+          BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+      }
+      om shouldBe BigDecimal(em).setScale(3,
+        BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+      val (aq, am) = approx(k)
       aq.zip(eq).foreach { case (a, e) =>
         math.abs(a - e) / e should be < 0.01
       }
