@@ -5,10 +5,10 @@ import java.nio.file.{Files, Path}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
-import graft.versioned.{GraftIO, InMemoryGraftIO, LocalGraftIO}
+import graft.versioned.{GraftIO, InMemoryGraftIO, InMemoryObjectStore, LocalGraftIO, ObjectStoreGraftIO}
 
 /** Differential model test: LocalGraftIO (the shipped backend) and
-  * InMemoryGraftIO (the object-store-shaped reference model) must be
+  * InMemoryGraftIO and ObjectStoreGraftIO (the S3-shaped backends) must be
   * observationally equivalent under random operation sequences — same
   * return values, same exception classes, same observable tree after
   * every step. This is what makes the seam's contract real: an engine
@@ -72,6 +72,8 @@ class GraftIOModelSpec extends AnyFunSuite with Matchers {
       val memRoot = java.nio.file.Paths.get(s"/graftio-model/$caseId")
       val local: GraftIO = new LocalGraftIO
       val mem: GraftIO = new InMemoryGraftIO
+      val ossRoot = java.nio.file.Paths.get(s"/graftio-oss/$caseId")
+      val oss: GraftIO = new ObjectStoreGraftIO(new InMemoryObjectStore())
 
       def randDir() = dirPool(rnd.nextInt(dirPool.length))
       def randFile() = filePool(rnd.nextInt(filePool.length))
@@ -94,6 +96,7 @@ class GraftIOModelSpec extends AnyFunSuite with Matchers {
       // parents first, both sides, like every engine write path
       dirPool.foreach { d =>
         local.mkdirs(localRoot.resolve(d)); mem.mkdirs(memRoot.resolve(d))
+        oss.mkdirs(ossRoot.resolve(d))
       }
       ops.zipWithIndex.foreach { case (op, i) =>
         // engine write policy: a publish's parent is mkdirs'd first
@@ -102,6 +105,7 @@ class GraftIOModelSpec extends AnyFunSuite with Matchers {
         def prep(p: String): Unit = Option(java.nio.file.Paths.get(p).getParent)
           .map(_.toString).foreach { d =>
             local.mkdirs(localRoot.resolve(d)); mem.mkdirs(memRoot.resolve(d))
+            oss.mkdirs(ossRoot.resolve(d))
           }
         op match {
           case Create(p, _) => prep(p)
@@ -111,7 +115,9 @@ class GraftIOModelSpec extends AnyFunSuite with Matchers {
         }
         val a = step(local, localRoot, op)
         val b = step(mem, memRoot, op)
+        val c = step(oss, ossRoot, op)
         withClue(s"case $caseId op#$i $op: local=$a mem=$b\n") { b shouldBe a }
+        withClue(s"case $caseId op#$i $op: local=$a oss=$c\n") { c shouldBe a }
       }
       // final observable tree agrees (paths + per-file contents)
       def tree(io: GraftIO, root: Path): Seq[String] =
@@ -123,6 +129,7 @@ class GraftIOModelSpec extends AnyFunSuite with Matchers {
         }.sorted
       withClue(s"case $caseId final tree\n") {
         tree(mem, memRoot) shouldBe tree(local, localRoot)
+        tree(oss, ossRoot) shouldBe tree(local, localRoot)
       }
       local.walk(localRoot).sorted(Ordering[Path].reverse)
         .foreach(p => local.deleteIfExists(p))
