@@ -165,7 +165,22 @@ final class GraftCoWWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     inner.commit(messages)
     val spark = SparkSession.active
-    val entries = TableOps.statsForStaged(spark, repo, staging, schema)
+    // NDV hint for the footer-stats pass — same transfer compaction
+    // performs: the REPLACED files' merged NDV (Σ per-file capped by
+    // rows, CBO's own upper-bound merge), apportioned over the staged
+    // files by row share. A rewrite preserves cardinality up to the
+    // rows it deleted/updated, so the carried estimate keeps column
+    // statistics alive (previously staged files recorded NO NDV and
+    // CBO extrapolated); requires every replaced file to carry the
+    // column's NDV — partial coverage would under-count.
+    val replacedEntries = op.replaced
+    val inRows = math.max(1L, replacedEntries.map(_.rows).sum)
+    val hint = schema.fields.map(_.name).flatMap { c =>
+      val vals = replacedEntries.flatMap(_.ndvCounts.get(c))
+      if (replacedEntries.isEmpty || vals.size != replacedEntries.size) None
+      else Some(c -> math.min(vals.sum, inRows))
+    }.toMap
+    val entries = TableOps.statsForStaged(spark, repo, staging, schema, hint)
     val replacedPaths = op.replaced.map(_.path).toSet
     val scannedTombs = graft.versioned.Tombstones.signature(op.snapshot)
     repo.commitRetry(branch, s"${op.command.toString.toLowerCase} $key") { base =>

@@ -249,12 +249,13 @@ object TableOps {
     * empty.
     */
   def statsForStaged(spark: SparkSession, repo: GraftRepo,
-      dir: java.nio.file.Path, schema: StructType): Seq[FileEntry] = {
+      dir: java.nio.file.Path, schema: StructType,
+      ndvHint: Map[String, Long] = Map.empty): Seq[FileEntry] = {
     if (!repo.io.isDirectory(dir)) return Nil
     val paths = repo.io.walk(dir).filter(repo.io.isFile)
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(_.toString)
-    entriesFromFooters(spark, repo, paths, schema, Nil)
+    entriesFromFooters(spark, repo, paths, schema, Nil, ndvHint)
   }
 
   /** FileEntry metadata for an EXPLICIT list of parquet files (absolute

@@ -35,7 +35,26 @@ object ParquetWriteBridge {
       Seq(path),
       Some(schema),
       classOf[ParquetFileFormat])
-    table.newWriteBuilder(info)
+    val inner = table.newWriteBuilder(info)
+    // FileWrite.toBatch snapshots SQLConf from SparkSession.ACTIVE (not
+    // the table's session — verified against FileWrite bytecode), so
+    // the cloned session's pin must be active exactly while the write
+    // job description (and its serialized Hadoop conf) is created.
+    // Without this the pin silently does nothing and staged files land
+    // as INT96 — zero timestamp footer stats.
+    new WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write = {
+        val w = inner.build()
+        new org.apache.spark.sql.connector.write.Write {
+          override def description(): String = w.description()
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+            val prev = SparkSession.getActiveSession
+            try { SparkSession.setActiveSession(writeSession); w.toBatch }
+            finally prev.foreach(SparkSession.setActiveSession)
+          }
+        }
+      }
+    }
   }
 
   /** Rebind a DataFrame to a CLONED session pinned to MICROS parquet

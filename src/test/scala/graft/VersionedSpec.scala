@@ -157,6 +157,42 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     rows("SELECT count(*) FROM g.r8.main.db.t").head.head shouldBe 8L
   }
 
+  test("CoW UPDATE keeps column statistics alive on the rewritten files " +
+    "(NDV hint transfer + timestamp footer stats)") {
+    sql("CREATE NAMESPACE g.rnd")
+    sql("CREATE NAMESPACE g.rnd.main.db")
+    sql("CREATE TABLE g.rnd.main.db.t (id INT, qty BIGINT, ts TIMESTAMP)")
+    sql("INSERT INTO g.rnd.main.db.t SELECT CAST(id AS INT), id * 10, " +
+      "timestamp'2024-05-01 00:00:00' + " +
+      "make_interval(0,0,0,0,CAST(id % 48 AS INT),0,0) FROM range(0, 100)")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rnd"))
+    val before = repo.snapshot(repo.headCommit("main").tables("db/t")).files
+    before should not be empty
+    before.foreach(_.ndvCounts.keySet should contain allOf ("id", "qty", "ts"))
+
+    sql("UPDATE g.rnd.main.db.t SET qty = qty + 1 WHERE id >= 0") // full rewrite
+    val after = repo.snapshot(repo.headCommit("main").tables("db/t")).files
+    after should not be empty
+    after.map(_.path).toSet.intersect(before.map(_.path).toSet) shouldBe empty
+    after.foreach { f =>
+      // footer min/max survived the rewrite — TIMESTAMP included (the
+      // staging writer pins MICROS so footers carry real ts stats)
+      f.min.keySet should contain allOf ("id", "qty", "ts")
+      f.max.keySet should contain allOf ("id", "qty", "ts")
+      // NDV carried through the replaced-files hint (was: absent -> CBO
+      // extrapolated)
+      f.ndvCounts.keySet should contain allOf ("id", "qty", "ts")
+      f.ndvCounts.values.foreach(_ should be > 0L)
+    }
+    // the carried estimate is SANE: id had ~100 distincts across the
+    // replaced input; the apportioned sum lands within sketch+rounding
+    // slack of that
+    val idSum = after.flatMap(_.ndvCounts.get("id")).sum
+    idSum should be >= 85L
+    idSum should be <= 115L
+  }
+
   test("drop table / drop namespace / file pruning on selective scans") {
     setupRepo("r7")
     sql("DROP TABLE g.r7.main.db.t")
