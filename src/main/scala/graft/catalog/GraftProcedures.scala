@@ -62,7 +62,7 @@ private[catalog] object GraftProcedures {
   def names: Seq[String] =
     Seq("compact", "vacuum", "create_tag", "create_branch", "merge",
       "rollback", "revert", "cherry_pick", "expire_snapshots",
-      "clone_table", "set_partition_spec")
+      "clone_table", "set_partition_spec", "iceberg_export")
 
   /** Parse an Iceberg-style spec string: `"identity(cat), bucket(4, id),
     * days(ts), truncate(3, name)"`; a bare column name means identity;
@@ -234,6 +234,25 @@ private[catalog] object GraftProcedures {
             (base.tables + (dstKey -> sid), base.namespaces)
           }
           Seq(UTF8String.fromString(sid))
+        }))
+      case "iceberg_export" => Some(new Proc(
+        // Metadata-only Iceberg v1 export (see IcebergExport): external
+        // engines read the published snapshot via standard Iceberg
+        // metadata pointing at graft's parquet files in place.
+        "iceberg_export",
+        Seq(("repo", StringType, None), ("ref", StringType, None),
+          ("tbl", StringType, None), ("dest", StringType, None)),
+        StructType(Seq(
+          StructField("metadata_path", StringType, nullable = false),
+          StructField("data_files", IntegerType, nullable = false))),
+        { in =>
+          val g = open(str(in, 0))
+          val ref = str(in, 1)
+          val key = str(in, 2).replace('.', '/')
+          val p = graft.versioned.IcebergExport.export(
+            g, ref, key, java.nio.file.Paths.get(str(in, 3)))
+          val n = g.snapshot(g.resolve(ref).tables(key)).files.size
+          Seq(UTF8String.fromString(p.toString), n)
         }))
       case "set_partition_spec" => Some(new Proc(
         "set_partition_spec",
