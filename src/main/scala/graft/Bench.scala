@@ -41,14 +41,57 @@ object Bench {
     }
     spark.range(1000000).selectExpr("id % 7 AS k", "id")
       .groupBy("k").count().collect()
-    val results = picked.map { case (name, fn) =>
+    // Warm the STREAMING trigger path too: the first streaming query of
+    // a JVM pays microbatch-scheduler spin-up, state-store codegen and
+    // the checkpoint WAL's first fsyncs — previously absorbed by
+    // whichever st_*/vc_stream_* row ran first (the three-rounds-running
+    // "trigger-scheduling noise band" in BENCH breaches). One throwaway
+    // MemoryStream aggregate retires those costs outside the timings.
+    try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = classic.sqlContext
+      val in = MemoryStream[Long]
+      in.addData(1L to 1000L: _*)
+      val q = in.toDF().selectExpr("value % 7 AS k")
+        .groupBy("k").count()
+        .writeStream.format("memory").queryName("bench_warmup")
+        .outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+    } catch { case _: Throwable => () }
+    // Warm the dedup kernel codegen (wordSet split + set-Jaccard +
+    // minhash): dd_setsim / dd_minhash_lsh cost whole-run JIT when they
+    // land early in the (now deterministic) order — measured as the
+    // r4-round driver breach on dd_setsim (16.1 s driver vs 6.2 s warm).
+    try {
+      import org.apache.spark.sql.functions._
+      val docs = spark.range(512).selectExpr(
+        "id AS doc_id",
+        "concat('w', id % 11, ' w', id % 7, ' w', id % 5, ' w', id % 3) AS text")
+        .select(col("doc_id"), graft.functions.TextVec.wordSet(col("text")).as("ws"))
+      docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id") - 500)
+        .select(graft.functions.HashExpressions.setJaccardNative(
+          col("a.ws"), col("b.ws")).as("j"))
+        .agg(sum(col("j"))).collect()
+      docs.select(graft.functions.HashExpressions
+        .minHashSignatureNative(col("ws"), 64).as("s"))
+        .agg(count(col("s"))).collect()
+    } catch { case _: Throwable => () }
+    if (!sys.props("java.io.tmpdir").startsWith("/dev/shm"))
+      System.err.println("[bench] WARNING: scratch is NOT tmpfs — " +
+        "streaming WAL fsyncs will pollute small-query timings")
+    // deterministic name order: run-to-run and driver-vs-local runs
+    // attribute warmup/contention to the SAME rows (a scala HashMap's
+    // arbitrary order made per-query comparisons attribution-noisy)
+    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
