@@ -467,9 +467,13 @@ object Dedup {
         .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1024)
       val docs = T.documents(s, d)
         .select(col("doc_id"), wordSet(col("text")).as("ws"))
+      // both pair lists feed a count AND the hit join — materialize the
+      // skinny (id, id) sets once (eager localCheckpoint) so neither
+      // pipeline runs twice
       val truth = setsimPairs(s, docs, 0.9, maxPost)
-        .select(col("id_a"), col("id_b"))
+        .select(col("id_a"), col("id_b")).localCheckpoint()
       val got = minhashLsh(s, d).select(col("id_a"), col("id_b"))
+        .localCheckpoint()
       val hits = got.join(truth, Seq("id_a", "id_b"))
       truth.agg(count(lit(1)).as("n_true_pairs"))
         .crossJoin(got.agg(count(lit(1)).as("n_lsh"))) // 1-row × 1-row

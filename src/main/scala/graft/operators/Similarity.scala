@@ -387,7 +387,11 @@ object Similarity {
   private def recallGate(bound: Double)(
       approx: (SparkSession, String) => DataFrame)(
       s: SparkSession, d: String): DataFrame = {
+    // skinny (query, neighbor) pairs, referenced by BOTH the hit join
+    // and the count aggregate — materialize once (eager localCheckpoint)
+    // instead of running the brute pass per subtree
     val exact = bruteForceImpl(s, d).select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
     val hits = approx(s, d).select(col("query_id"), col("neighbor_id"))
       .join(exact, Seq("query_id", "neighbor_id"))
     exact
