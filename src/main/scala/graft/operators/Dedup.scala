@@ -71,17 +71,6 @@ object Dedup {
       .withColumn("sig",
         graft.functions.HashExpressions.minHashSignatureNative(col("ws"), k = 64))
       .localCheckpoint()
-    val bands = docs
-      .select(col("doc_id"),
-        posexplode(lshBandsExpr("sig", bands = 8, rowsPerBand = 8)))
-      .toDF("doc_id", "band", "bh")
-      .repartition(par, col("band"), col("bh"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
     // Measured alternative (sf0.1): a sketch-verify prefilter (join sigs,
     // keep pairs with >= 51/64 agreeing minhash components, then exact-
     // verify survivors — HashKernels.sigAgree) is NET NEGATIVE on this
@@ -92,16 +81,51 @@ object Dedup {
     // pairs 1.8s, prefilter path 7.5s. On a corpus where near-dups are
     // rare (the usual case), the prefilter wins — it stays available as
     // HashExpressions.sigAgreeNative.
+    verifyPairs(s, docs, lshCandidates(s, docs).distinct(), 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Raw LSH band-collision candidates over a (doc_id, …, sig) corpus —
+    * NOT distinct (a pair surfaces once per colliding band). Both sides
+    * of the band self-join are the same shuffled subtree, so the band
+    * exchange is planned once and reused (ReusedExchange).
+    */
+  private def lshCandidates(s: org.apache.spark.sql.SparkSession,
+      docs: DataFrame): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val bands = docs
+      .select(col("doc_id"),
+        posexplode(lshBandsExpr("sig", bands = 8, rowsPerBand = 8)))
+      .toDF("doc_id", "band", "bh")
+      .repartition(par, col("band"), col("bh"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+  }
+
+  /** Exact set-Jaccard verification of a skinny pair list against the
+    * (doc_id, ws) dictionary: two keyed equi-joins (never broadcast-
+    * hinted — AQE broadcasts only while the dictionary is genuinely
+    * small; the shape survives a 5-billion-doc corpus), one codegen'd
+    * kernel per pair, J ≥ t filter. Extra columns riding on `pairs`
+    * (e.g. source tags) pass through untouched.
+    */
+  private def verifyPairs(s: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, pairs: DataFrame, t: Double): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
     val w = docs.select(col("doc_id"), col("ws"))
-    cand
+    pairs
       .repartition(par, col("id_a")) // pairs are skinny; the Jaccard kernel is not
       .join(w.select(col("doc_id").as("id_a"), col("ws").as("ws_a")), "id_a")
       .join(w.select(col("doc_id").as("id_b"), col("ws").as("ws_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
+      .withColumn("jaccard",
         round(graft.functions.HashExpressions.setJaccardNative(
-          col("ws_a"), col("ws_b")), 6).as("jaccard"))
-      .filter(col("jaccard") >= 0.9)
-      .orderBy(col("id_a"), col("id_b"))
+          col("ws_a"), col("ws_b")), 6))
+      .filter(col("jaccard") >= t)
+      // using-joins reorder columns (key first) — restore the caller's
+      .select(pairs.columns.map(col) :+ col("jaccard"): _*)
   }
 
   /** SimHash near-dups: 64-bit fingerprint, 4×16-bit chunk blocking
@@ -198,12 +222,25 @@ object Dedup {
     */
   private[graft] def setsimPairs(s: org.apache.spark.sql.SparkSession,
       corpus: DataFrame, t: Double, maxPost: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val par = s.sparkContext.defaultParallelism
     val docs = corpus
       .repartition(par, col("doc_id"))
       .withColumn("sz", size(col("ws")))
       .localCheckpoint() // feeds tokenization AND both verify sides once
+    verifyPairs(s, docs, ppCandidates(s, docs, t, maxPost).distinct(), t)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Raw prefix-filter (PPJoin) candidates over a (doc_id, ws, sz)
+    * corpus — NOT distinct (a pair surfaces once per shared prefix token
+    * that survives the positional filter). See [[setsimPairs]] for the
+    * salting contract.
+    */
+  private def ppCandidates(s: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, t: Double, maxPost: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val par = s.sparkContext.defaultParallelism
     val tok = docs.select(col("doc_id"), col("sz"), explode(col("ws")).as("tok"))
     // global document-frequency order; ties broken lexically so the
     // order (hence the prefix) is deterministic across runs/engines
@@ -227,7 +264,7 @@ object Dedup {
     // cold tokens). cell identity = (a.q, b.q) via the cross conditions.
     def salted = chunked.withColumn("cell",
       explode(sequence(lit(0), col("nch") - 1)))
-    val cand = salted.as("a")
+    salted.as("a")
       .join(salted.as("b"),
         col("a.tok") === col("b.tok") &&
           col("a.cell") === col("b.q") && // a's copy aimed at b's chunk
@@ -246,17 +283,6 @@ object Dedup {
           lit(1) + least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn")) >=
             ceil(lit(t) / (1 + t) * (col("a.sz") + col("b.sz"))))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    val w = docs.select(col("doc_id"), col("ws"))
-    cand
-      .repartition(par, col("id_a"))
-      .join(w.select(col("doc_id").as("id_a"), col("ws").as("ws_a")), "id_a")
-      .join(w.select(col("doc_id").as("id_b"), col("ws").as("ws_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(graft.functions.HashExpressions.setJaccardNative(
-          col("ws_a"), col("ws_b")), 6).as("jaccard"))
-      .filter(col("jaccard") >= t)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Embedding-cosine near-dup pairs, blocked by `label` (the blocking key a
@@ -442,13 +468,14 @@ object Dedup {
         |ORDER BY keep_id""".stripMargin
     )(exact),
     // Hash-proven gate for the MinHash-LSH pipeline: the xxhash64
-    // signatures are engine-specific, but every SURVIVOR is exact-
+    // signatures are engine-specific, but every survivor is exact-
     // Jaccard-verified at the same threshold / word set / rounding as
-    // the PPJoin truth ([[setsimPairs]]) — so survivors ⊆ truth by
-    // construction (precision 1) and the only engine-specific quantity
-    // is RECALL, deterministic on fixed data (no seeded hashing). DuckDB
-    // reproduces n_true_pairs brute-force; the booleans assert recall
-    // ≥ 0.95 (measured 0.981 at sf0.01) and exact-subset precision. A
+    // the PPJoin truth ([[ppCandidates]] + [[verifyPairs]]) — the only
+    // engine-specific quantity is RECALL, deterministic on fixed data
+    // (no seeded hashing). DuckDB reproduces n_true_pairs brute-force;
+    // the booleans assert recall ≥ 0.95 (measured 0.981 at sf0.01) and
+    // that no verified LSH pair escaped the prefix filter (PPJoin
+    // completeness cross-checked by an independent candidate source). A
     // banding regression flips a boolean and fails the hash compare.
     Q(
       "dd_minhash_lsh",
@@ -465,22 +492,37 @@ object Dedup {
     ) { (s, d) =>
       val maxPost = s.conf.getOption("spark.graft.setsim.maxPostings")
         .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1024)
+      val par = s.sparkContext.defaultParallelism
+      // ONE corpus pass (word sets + sizes + signatures checkpointed
+      // together), ONE pair-dedup aggregate over the union of both
+      // candidate streams tagged by source, ONE exact-verify join —
+      // instead of two monolithic pipelines verified separately (both
+      // use the same setJaccardNative kernel, so the second verify
+      // proved nothing) followed by a hit join. Since PPJoin is
+      // recall-complete, truth = verified ∧ in_pp and LSH survivors =
+      // verified ∧ in_lsh; precision_ok now asserts no verified LSH
+      // pair ESCAPED the prefix filter — a real cross-check of PPJoin
+      // completeness against an independent candidate generator, where
+      // the old survivors-⊆-truth join was true by construction.
       val docs = T.documents(s, d)
         .select(col("doc_id"), wordSet(col("text")).as("ws"))
-      // both pair lists feed a count AND the hit join — materialize the
-      // skinny (id, id) sets once (eager localCheckpoint) so neither
-      // pipeline runs twice
-      val truth = setsimPairs(s, docs, 0.9, maxPost)
-        .select(col("id_a"), col("id_b")).localCheckpoint()
-      val got = minhashLsh(s, d).select(col("id_a"), col("id_b"))
+        .repartition(par, col("doc_id"))
+        .withColumn("sz", size(col("ws")))
+        .withColumn("sig",
+          graft.functions.HashExpressions.minHashSignatureNative(col("ws"), k = 64))
         .localCheckpoint()
-      val hits = got.join(truth, Seq("id_a", "id_b"))
-      truth.agg(count(lit(1)).as("n_true_pairs"))
-        .crossJoin(got.agg(count(lit(1)).as("n_lsh"))) // 1-row × 1-row
-        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      val tagged = ppCandidates(s, docs, 0.9, maxPost).withColumn("src", lit(0))
+        .unionByName(lshCandidates(s, docs).withColumn("src", lit(1)))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(max(col("src") === 0).as("in_pp"), max(col("src") === 1).as("in_lsh"))
+      verifyPairs(s, docs, tagged, 0.9)
+        .agg(
+          count(when(col("in_pp"), lit(1))).as("n_true_pairs"),
+          count(when(col("in_lsh"), lit(1))).as("n_lsh_true"),
+          count(when(col("in_lsh") && !col("in_pp"), lit(1))).as("n_escaped"))
         .select(col("n_true_pairs"),
-          (col("n_hits") >= col("n_true_pairs") * 0.95).as("recall_ok"),
-          (col("n_hits") === col("n_lsh")).as("precision_ok"))
+          (col("n_lsh_true") >= col("n_true_pairs") * 0.95).as("recall_ok"),
+          (col("n_escaped") === lit(0L)).as("precision_ok"))
     },
     Q(
       "dd_setsim",
