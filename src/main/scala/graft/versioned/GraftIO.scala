@@ -63,6 +63,11 @@ trait GraftIO {
   def mkdirs(path: Path): Unit
   def delete(path: Path): Unit
   def deleteIfExists(path: Path): Boolean
+  /** Move `path` to `to`, failing if `to` exists. NOT guaranteed atomic:
+    * object-store backends have no rename, so they copy-then-delete — a
+    * crash in between may leave BOTH keys (callers must tolerate a
+    * surviving source object; no engine metadata path relies on atomic
+    * move). Filesystem backends use native atomic rename. */
   def move(path: Path, to: Path): Unit
 }
 

@@ -52,7 +52,12 @@ object IcebergExport {
 
     val metaDir = dest.resolve("metadata")
     Files.createDirectories(metaDir)
-    val snapshotId = math.abs(snap.id.hashCode.toLong * 2654435761L)
+    // 64-bit name-UUID of the graft snapshot sha — stable across exports
+    // of the same snapshot, collision-resistant across distinct ones
+    // (String.hashCode gave 32 bits and could be 0), never 0 or negative
+    val snapshotId = math.max(1L, UUID.nameUUIDFromBytes(
+      snap.id.getBytes(StandardCharsets.UTF_8))
+      .getMostSignificantBits & Long.MaxValue)
     val nowMs = System.currentTimeMillis()
 
     // ---- manifest (Avro, field-id-annotated; one per export) ----------

@@ -113,8 +113,14 @@ final class InMemoryObjectStore(
     Option(objects.get(key)).map { case (b, t) => (b.clone(), t) }
   }
 
-  override def listKeys(prefix: String): Seq[String] =
+  override def listKeys(prefix: String): Seq[String] = {
+    // reads have no mutation, so FailAfterApply degenerates to FailBefore
+    faultFor("list", prefix) match {
+      case Fault.None => ()
+      case _ => throw new ObjectStoreTransientException(s"500 list $prefix")
+    }
     objects.keySet().asScala.filter(_.startsWith(prefix)).toSeq.sorted
+  }
 
   override def deleteKey(key: String): Boolean = {
     faultFor("delete", key) match {
@@ -234,9 +240,10 @@ final class ObjectStoreGraftIO(
   override def readBytes(path: Path): Array[Byte] = getOrThrow(path)._1
 
   // prefix scans mirror InMemoryGraftIO: children derived from the key
-  // space (real keys and '/'-suffixed dir markers both contribute)
+  // space (real keys and '/'-suffixed dir markers both contribute).
+  // LIST is idempotent — plain retry, same as get.
   private def keysUnder(key: String): Seq[String] =
-    client.listKeys(key + "/")
+    retrying(s"list $key/")(client.listKeys(key + "/"))
 
   override def list(path: Path): Seq[Path] = {
     val key = k(path)
@@ -297,16 +304,47 @@ final class ObjectStoreGraftIO(
     }
   }
 
+  /** Copy-then-delete — NOT atomic (object stores have no rename): a
+    * crash between the put and the delete leaves both keys, which the
+    * GraftIO contract documents as permissible for move on stores
+    * without rename. The conditional-PUT leg follows createExclusive's
+    * ambiguity discipline: a lost response may have published OUR copy,
+    * so a 412 after a transient failure triggers the byte-equality
+    * probe instead of a spurious FileAlreadyExistsException (which
+    * would also leave the source undeleted — a duplicate object).
+    */
   override def move(path: Path, to: Path): Unit = {
     val v = getOrThrow(path)
     if (k(path) == k(to)) return
-    retrying(s"put ${k(to)}") {
-      client.put(k(to), v._1, ifNoneMatch = true) match {
-        case PutResult.Ok => ()
-        case PutResult.PreconditionFailed =>
-          throw new java.nio.file.FileAlreadyExistsException(k(to))
+    val toKey = k(to)
+    var ambiguous = false
+    var attempt = 1
+    var last: Throwable = null
+    var published = false
+    while (!published && attempt <= maxAttempts) {
+      try {
+        client.put(toKey, v._1, ifNoneMatch = true) match {
+          case PutResult.Ok => published = true
+          case PutResult.PreconditionFailed =>
+            // Ours (an ambiguous earlier attempt landed) or a foreign
+            // object? Only an ambiguous history warrants the probe.
+            if (ambiguous && retrying(s"get $toKey")(client.get(toKey))
+                .exists(o => java.util.Arrays.equals(o._1, v._1)))
+              published = true
+            else
+              throw new java.nio.file.FileAlreadyExistsException(toKey)
+        }
+      } catch {
+        case e: ObjectStoreTransientException =>
+          last = e
+          ambiguous = true
+          if (backoffMs > 0) Thread.sleep(backoffMs.toLong * attempt)
+          attempt += 1
       }
     }
+    if (!published)
+      throw new java.io.IOException(
+        s"move $toKey: $maxAttempts attempts exhausted", last)
     retrying(s"delete ${k(path)}")(client.deleteKey(k(path)))
     ()
   }

@@ -46,12 +46,27 @@ object ParquetWriteBridge {
       override def build(): org.apache.spark.sql.connector.write.Write = {
         val w = inner.build()
         new org.apache.spark.sql.connector.write.Write {
-          override def description(): String = w.description()
-          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+          private def withActive[A](f: => A): A = {
             val prev = SparkSession.getActiveSession
-            try { SparkSession.setActiveSession(writeSession); w.toBatch }
+            try { SparkSession.setActiveSession(writeSession); f }
             finally prev.foreach(SparkSession.setActiveSession)
           }
+          override def description(): String = w.description()
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            withActive(w.toBatch)
+          // same ACTIVE-session exposure as toBatch — pin there too, so a
+          // future streaming use of the bridge keeps MICROS stats
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            withActive(w.toStreaming)
+          // pass metric surfaces through — the interface defaults would
+          // silently drop the parquet write's metrics for CoW writes
+          override def supportedCustomMetrics()
+              : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+            w.supportedCustomMetrics()
+          override def reportDriverMetrics()
+              : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+            w.reportDriverMetrics()
         }
       }
     }

@@ -169,4 +169,51 @@ class ObjectStoreIOSpec extends AnyFunSuite with Matchers {
     io2.readString(Paths.get(key2)) shouldBe "y"
     store2.requestCount("get", key2) shouldBe 2
   }
+
+  test("LIST retries past transient 500s like get/put — list-backed ops " +
+    "(list, walk, isDirectory, deleteIfExists) survive a flaky listing") {
+    val store = new InMemoryObjectStore((op, k, attempt) =>
+      if (op == "list" && attempt % 2 == 1) Fault.FailBefore // every 1st
+      else Fault.None)
+    val io = new ObjectStoreGraftIO(store)
+    io.createExclusive(Paths.get("/r/d/a"), "1") shouldBe true
+    io.createExclusive(Paths.get("/r/d/b"), "2") shouldBe true
+    io.list(Paths.get("/r/d")).map(_.getFileName.toString) shouldBe
+      Seq("a", "b")
+    io.isDirectory(Paths.get("/r/d")) shouldBe true
+    io.walk(Paths.get("/r/d")).map(_.toString) should contain ("/r/d/a")
+    store.requestCount("list", "/r/d/") should be >= 2
+  }
+
+  test("move survives the ambiguous lost-response conditional PUT: the " +
+    "copy LANDED, the retry's 412 resolves via the byte probe, and the " +
+    "source is deleted — no duplicate object, no spurious failure") {
+    val dst = "/r/mv/dst"
+    val store = new InMemoryObjectStore((op, k, attempt) =>
+      if (op == "put" && k == dst && attempt == 1) Fault.FailAfterApply
+      else Fault.None)
+    val io = new ObjectStoreGraftIO(store)
+    io.createExclusive(Paths.get("/r/mv/src"), "payload") shouldBe true
+    io.move(Paths.get("/r/mv/src"), Paths.get(dst))
+    io.readString(Paths.get(dst)) shouldBe "payload"
+    io.isFile(Paths.get("/r/mv/src")) shouldBe false // source gone
+    store.requestCount("put", dst) shouldBe 2 // ambiguous + probed 412
+  }
+
+  test("move to a key a FOREIGN writer owns still fails and leaves the " +
+    "source intact (the probe only claims byte-identical objects)") {
+    val dst = "/r/mv2/dst"
+    val store = new InMemoryObjectStore((op, k, attempt) =>
+      // foreign object lands via attempt 1; mover's attempt 2 dies
+      // before applying (ambiguous), its retry hits the foreign 412
+      if (op == "put" && k == dst && attempt == 2) Fault.FailBefore
+      else Fault.None)
+    val io = new ObjectStoreGraftIO(store)
+    io.createExclusive(Paths.get(dst), "foreign") shouldBe true
+    io.createExclusive(Paths.get("/r/mv2/src"), "mine") shouldBe true
+    intercept[java.nio.file.FileAlreadyExistsException](
+      io.move(Paths.get("/r/mv2/src"), Paths.get(dst)))
+    io.readString(Paths.get(dst)) shouldBe "foreign"
+    io.readString(Paths.get("/r/mv2/src")) shouldBe "mine" // not deleted
+  }
 }
