@@ -87,7 +87,15 @@ object Bench {
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop the query's localCheckpoint/persist blocks OUTSIDE its
+      // timing: leaked checkpoint storage accumulating across the
+      // 105-query JVM inflated later shuffle-heavy queries (r5:
+      // dd_simhash 6.5x its pin on unchanged code)
+      try org.apache.spark.sql.graftbridge.CheckpointLifecycle
+        .sweepPersistentRDDs(spark)
+      catch { case _: Throwable => () }
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

