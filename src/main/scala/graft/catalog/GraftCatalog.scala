@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.versioned.{GraftIO, GraftRepo, LocalGraftIO, TableOps}
+import graft.versioned.{GraftIO, GraftRepo, HadoopFsObjectStoreClient, LocalGraftIO, ObjectStoreGraftIO, TableOps}
 
 /** Spark TableCatalog over graft repos: identifiers are
   * `<catalog>.<repo>.<branch>.<db>.<table>`, the same addressing scheme
@@ -39,13 +39,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private var catalogName: String = _
   private var root: Path = _
-  // the storage seam every repo opened by this catalog uses; swap for an
-  // object-store GraftIO when the root isn't a local path (GraftIO docs
-  // spell out the set-if-absent contract a backend must supply)
-  protected val io: GraftIO = LocalGraftIO.instance
+  // the storage seam every repo opened by this catalog uses — selected
+  // by the catalog option `io` so a deployment picks its metadata
+  // backend in spark conf (GraftIO docs spell out the set-if-absent
+  // contract a backend must supply):
+  //   (absent) | local      -> direct filesystem calls (default)
+  //   hadoop-object-store   -> ObjectStoreGraftIO over the Hadoop
+  //                            FileSystem API (file://, and s3a://
+  //                            with conditional writes, HADOOP-19256).
+  //                            Data files must live on the same store
+  //                            Spark's parquet writers target — the
+  //                            production split the reference gets from
+  //                            a per-repo Hadoop FS.
+  protected var io: GraftIO = LocalGraftIO.instance
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    io = Option(options.get("io")).getOrElse("local") match {
+      case "local" => LocalGraftIO.instance
+      case "hadoop-object-store" =>
+        new ObjectStoreGraftIO(HadoopFsObjectStoreClient.local())
+      case other => throw new IllegalArgumentException(
+        s"unknown io backend: $other (local/hadoop-object-store)")
+    }
     root = Paths.get(Option(options.get("root")).getOrElse(
       sys.props("java.io.tmpdir") + s"/graft-$name"))
     io.mkdirs(root)

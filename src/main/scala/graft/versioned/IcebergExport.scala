@@ -30,10 +30,18 @@ import org.apache.spark.sql.types._
   *  - merge-on-read tombstones must be compacted first — an Iceberg
   *    reader knows nothing of graft tombstones and would resurrect
   *    deleted rows;
-  *  - the export is an unpartitioned Iceberg spec: graft data files
-  *    always contain every data column (identity sources included), so
-  *    reads are correct; only Iceberg-side partition pruning is
-  *    forfeited.
+  *  - a partitioned graft table exports its REAL partition spec
+  *    (identity/bucket/truncate/year/month/day/hour — graft's transform
+  *    set IS Iceberg's) with typed per-file partition values in the
+  *    manifest, so external engines partition-prune the export. The
+  *    spec falls back to UNPARTITIONED — correct reads, no Iceberg-side
+  *    pruning, reason recorded in `graft.export.partition-fallback` —
+  *    when any live file predates the current spec (partition
+  *    evolution: exporting null values for such files would let an
+  *    Iceberg reader prune rows that exist) or a field's value type
+  *    has no manifest mapping. Data files always contain every data
+  *    column (identity sources included), so reads stay correct either
+  *    way.
   */
 object IcebergExport {
 
@@ -50,6 +58,28 @@ object IcebergExport {
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val phys = TableOps.toPhysical(schema, snap.nameMapping)
 
+    // Partitioned export is all-or-nothing per the doc comment: every
+    // current spec field must have a manifest-typed mapping AND a
+    // recorded value in EVERY live file (a file predating an evolved
+    // spec has no value — exporting it as null would tell readers
+    // "this file's rows transform to null" and mis-prune live rows).
+    val pfAll = snap.partitionFields
+    val srcTypeOf: PartitionField => DataType = pf =>
+      schema.fields.find(_.name == pf.source).map(_.dataType).getOrElse(NullType)
+    val unmappable = pfAll.filter(pf => partitionAvroSchema(pf, srcTypeOf(pf)).isEmpty)
+    val incomplete = pfAll.nonEmpty &&
+      snap.files.exists(f => pfAll.exists(pf => !f.partValues.contains(pf.name)))
+    val (specFields, fallbackReason) =
+      if (pfAll.isEmpty) (Nil, None)
+      else if (unmappable.nonEmpty)
+        (Nil, Some("no manifest value mapping for partition field(s): " +
+          unmappable.map(pf => s"${pf.name} (${pf.transform} on " +
+            s"${srcTypeOf(pf).simpleString})").mkString(", ")))
+      else if (incomplete)
+        (Nil, Some("live files predate the current partition spec " +
+          "(partition evolution); compact to rewrite them, then re-export"))
+      else (pfAll, None)
+
     val metaDir = dest.resolve("metadata")
     Files.createDirectories(metaDir)
     // 64-bit name-UUID of the graft snapshot sha — stable across exports
@@ -60,9 +90,23 @@ object IcebergExport {
       .getMostSignificantBits & Long.MaxValue)
     val nowMs = System.currentTimeMillis()
 
+    // partition-spec fields JSON (shared by metadata JSON + manifest meta)
+    val specFieldList: java.util.List[Any] = java.util.List.of(
+      specFields.zipWithIndex.map { case (pf, i) =>
+        val m = new java.util.LinkedHashMap[String, Any]
+        m.put("name", pf.name)
+        m.put("transform", icebergTransform(pf))
+        m.put("source-id", schema.fieldIndex(pf.source) + 1)
+        m.put("field-id", 1000 + i)
+        m
+      }: _*)
+    val specFieldsJson = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(specFieldList)
+
     // ---- manifest (Avro, field-id-annotated; one per export) ----------
     val manifestPath = metaDir.resolve(s"${UUID.randomUUID()}-m0.avro")
-    writeManifest(manifestPath, repo, snap, snapshotId, icebergSchemaJson(phys))
+    writeManifest(manifestPath, repo, snap, snapshotId, icebergSchemaJson(phys),
+      specFields, srcTypeOf, specFieldsJson)
     // ---- manifest list --------------------------------------------------
     val listPath = metaDir.resolve(
       s"snap-$snapshotId-1-${UUID.randomUUID()}.avro")
@@ -79,13 +123,13 @@ object IcebergExport {
     meta.put("schema", schemaMap)
     meta.put("schemas", java.util.List.of(schemaMap))
     meta.put("current-schema-id", 0)
-    meta.put("partition-spec", java.util.List.of())
+    meta.put("partition-spec", specFieldList) // v1 legacy flat list
     val spec0 = new java.util.LinkedHashMap[String, Any]
     spec0.put("spec-id", 0)
-    spec0.put("fields", java.util.List.of())
+    spec0.put("fields", specFieldList)
     meta.put("partition-specs", java.util.List.of(spec0))
     meta.put("default-spec-id", 0)
-    meta.put("last-partition-id", 999)
+    meta.put("last-partition-id", 999 + specFields.length)
     val order0 = new java.util.LinkedHashMap[String, Any]
     order0.put("order-id", 0)
     order0.put("fields", java.util.List.of())
@@ -95,6 +139,7 @@ object IcebergExport {
     props.put("schema.name-mapping.default", nameMappingJson(phys))
     props.put("graft.source-snapshot", snap.id)
     props.put("graft.source-ref", ref)
+    fallbackReason.foreach(r => props.put("graft.export.partition-fallback", r))
     meta.put("properties", props)
     meta.put("current-snapshot-id", snapshotId)
     val snapMap = new java.util.LinkedHashMap[String, Any]
@@ -173,6 +218,117 @@ object IcebergExport {
       .writeValueAsString(java.util.List.of(entries.toSeq: _*))
   }
 
+  // ---- partition spec export -------------------------------------------
+
+  /** Iceberg transform name (spec's canonical singular forms; graft's
+    * field model uses Iceberg's Java-API plural temporal names). */
+  private def icebergTransform(pf: PartitionField): String = pf.transform match {
+    case "identity" => "identity"
+    case "bucket" => s"bucket[${pf.numBuckets}]"
+    case "truncate" => s"truncate[${pf.numBuckets}]"
+    case "years" => "year"
+    case "months" => "month"
+    case "days" => "day"
+    case "hours" => "hour"
+    case other => throw new UnsupportedOperationException(
+      s"unknown transform: $other")
+  }
+
+  private def logical(t: Schema.Type, logicalType: String,
+      adjustToUtc: Option[Boolean] = None): Schema = {
+    val sc = Schema.create(t)
+    sc.addProp("logicalType", logicalType)
+    adjustToUtc.foreach(b => sc.addProp("adjust-to-utc", b: java.lang.Boolean))
+    sc
+  }
+
+  /** Avro schema of the transform RESULT type (pre-null-union), per the
+    * Iceberg spec's transform result-type table. None = this field has
+    * no manifest value mapping (identity/truncate on an exotic source)
+    * and forces the unpartitioned fallback.
+    */
+  private def partitionAvroSchema(pf: PartitionField,
+      srcType: DataType): Option[Schema] = pf.transform match {
+    case "identity" => srcType match {
+      case ByteType | ShortType | IntegerType => Some(s(Schema.Type.INT))
+      case LongType => Some(s(Schema.Type.LONG))
+      case StringType => Some(s(Schema.Type.STRING))
+      case BooleanType => Some(s(Schema.Type.BOOLEAN))
+      case FloatType => Some(s(Schema.Type.FLOAT))
+      case DoubleType => Some(s(Schema.Type.DOUBLE))
+      case DateType => Some(logical(Schema.Type.INT, "date"))
+      case TimestampType =>
+        Some(logical(Schema.Type.LONG, "timestamp-micros", Some(true)))
+      case TimestampNTZType =>
+        Some(logical(Schema.Type.LONG, "timestamp-micros", Some(false)))
+      case _ => None
+    }
+    case "bucket" => Some(s(Schema.Type.INT))
+    case "truncate" => srcType match {
+      case ByteType | ShortType | IntegerType => Some(s(Schema.Type.INT))
+      case LongType => Some(s(Schema.Type.LONG))
+      case StringType => Some(s(Schema.Type.STRING))
+      case _ => None
+    }
+    case "years" | "months" | "hours" => Some(s(Schema.Type.INT))
+    case "days" => Some(logical(Schema.Type.INT, "date"))
+    case _ => None
+  }
+
+  /** Typed manifest value for one recorded partition-directory string
+    * ([[Partitioning.valuesFromPath]] output: unescaped; nulls are the
+    * hive marker). Directory formats are [[Partitioning]]'s: temporal
+    * transforms use lexically-ordered UTC patterns, integral truncate
+    * records the floor, bucket the int, identity the plain rendering.
+    */
+  private def partitionValue(pf: PartitionField, srcType: DataType,
+      raw: String): Any = {
+    if (raw == Partitioning.NullMarker) return null
+    def micros(sTxt: String): Long = {
+      val ldt = java.time.LocalDateTime.parse(sTxt.replace(' ', 'T'))
+      ldt.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+        ldt.getNano / 1000L
+    }
+    pf.transform match {
+      case "identity" => srcType match {
+        case ByteType | ShortType | IntegerType => raw.toInt: Integer
+        case LongType => raw.toLong: java.lang.Long
+        case StringType => raw
+        case BooleanType => raw.toBoolean: java.lang.Boolean
+        case FloatType => raw.toFloat: java.lang.Float
+        case DoubleType => raw.toDouble: java.lang.Double
+        case DateType =>
+          java.time.LocalDate.parse(raw).toEpochDay.toInt: Integer
+        case TimestampType | TimestampNTZType => micros(raw): java.lang.Long
+        case other => throw new UnsupportedOperationException(
+          s"identity partition value on ${other.simpleString}")
+      }
+      case "bucket" => raw.toInt: Integer
+      case "truncate" => srcType match {
+        case ByteType | ShortType | IntegerType => raw.toLong.toInt: Integer
+        case LongType => raw.toLong: java.lang.Long
+        case StringType => raw
+        case other => throw new UnsupportedOperationException(
+          s"truncate partition value on ${other.simpleString}")
+      }
+      // temporal transform results count from the 1970 epoch (spec):
+      // year -> years, month -> months, day -> days (date), hour -> hours
+      case "years" => raw.toInt - 1970: Integer
+      case "months" =>
+        val Array(y, m) = raw.split('-')
+        (y.toInt - 1970) * 12 + (m.toInt - 1): Integer
+      case "days" =>
+        java.time.LocalDate.parse(raw).toEpochDay.toInt: Integer
+      case "hours" =>
+        val p = raw.split('-')
+        val ldt = java.time.LocalDateTime.of(p(0).toInt, p(1).toInt,
+          p(2).toInt, p(3).toInt, 0)
+        (ldt.toEpochSecond(java.time.ZoneOffset.UTC) / 3600).toInt: Integer
+      case other => throw new UnsupportedOperationException(
+        s"unknown transform: $other")
+    }
+  }
+
   // ---- Avro layouts ----------------------------------------------------
 
   private def field(name: String, fieldId: Int, schema: Schema,
@@ -190,11 +346,19 @@ object IcebergExport {
 
   /** manifest_entry / r2 / r102 — the v1 manifest record layout with the
     * required core columns (optional per-column stats omitted: absence
-    * is spec-legal and readers fall back to scanning).
+    * is spec-legal and readers fall back to scanning). The r102
+    * partition record carries one OPTIONAL field per spec field, typed
+    * by the transform result and id'd 1000+i to match the spec JSON —
+    * the rows Iceberg-side partition pruning runs on.
     */
-  private def manifestEntrySchema: Schema = {
+  private def manifestEntrySchema(specFields: Seq[PartitionField],
+      srcTypeOf: PartitionField => DataType): Schema = {
     val partition = Schema.createRecord("r102", null, null, false)
-    partition.setFields(java.util.List.of()) // unpartitioned spec
+    partition.setFields(java.util.List.of(
+      specFields.zipWithIndex.map { case (pf, i) =>
+        field(pf.name, 1000 + i,
+          partitionAvroSchema(pf, srcTypeOf(pf)).get, optional = true)
+      }: _*))
     val dataFile = Schema.createRecord("r2", null, null, false)
     dataFile.setFields(java.util.List.of(
       field("file_path", 100, s(Schema.Type.STRING), optional = false),
@@ -212,13 +376,16 @@ object IcebergExport {
   }
 
   private def writeManifest(path: Path, repo: GraftRepo, snap: Snapshot,
-      snapshotId: Long, schemaJson: String): Unit = {
-    val entrySchema = manifestEntrySchema
+      snapshotId: Long, schemaJson: String,
+      specFields: Seq[PartitionField],
+      srcTypeOf: PartitionField => DataType,
+      specFieldsJson: String): Unit = {
+    val entrySchema = manifestEntrySchema(specFields, srcTypeOf)
     val writer = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](entrySchema))
     writer.setMeta("schema", schemaJson)
     writer.setMeta("schema-id", "0")
-    writer.setMeta("partition-spec", "[]")
+    writer.setMeta("partition-spec", specFieldsJson)
     writer.setMeta("partition-spec-id", "0")
     writer.setMeta("format-version", "1")
     writer.setMeta("content", "data")
@@ -231,7 +398,13 @@ object IcebergExport {
         val df = new GenericData.Record(dfSchema)
         df.put("file_path", abs.toUri.toString)
         df.put("file_format", "PARQUET")
-        df.put("partition", new GenericData.Record(partSchema))
+        val part = new GenericData.Record(partSchema)
+        specFields.foreach { pf =>
+          // export() guarantees every live file records every field
+          part.put(pf.name, partitionValue(pf, srcTypeOf(pf),
+            f.partValues(pf.name)))
+        }
+        df.put("partition", part)
         df.put("record_count", f.rows)
         // true on-disk length (readers plan range reads from it — the
         // snapshot's estimate is not good enough here)

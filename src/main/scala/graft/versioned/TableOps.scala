@@ -431,7 +431,17 @@ object TableOps {
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
-    reader.parquet(repo.dataDir.resolve(key).toString + "/*")
+    // recursive lookup (not a one-level glob): batch dirs of PARTITIONED
+    // tables nest hive-style __p_* directories, and mixing them with
+    // unpartitioned batch dirs (compaction output) trips the file
+    // source's partition discovery (CONFLICTING_DIRECTORY_STRUCTURES).
+    // Discovery has nothing to infer anyway — every data column lives
+    // INSIDE graft files; __p_* dirs are engine-internal pruning
+    // metadata. The glob filter keeps .bloom sidecars out of the scan.
+    reader
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(repo.dataDir.resolve(key).toString)
   }
 
   /** Snapshot property recording the last stream batch id committed into

@@ -130,6 +130,94 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     viaManifest shouldBe viaGraft
   }
 
+  test("partitioned export: real spec fields (identity/bucket/day) with " +
+    "typed per-file partition values in the manifest, so external " +
+    "readers partition-prune") {
+    sql("CREATE NAMESPACE g.icep")
+    sql("CREATE NAMESPACE g.icep.main.db")
+    sql("CREATE TABLE g.icep.main.db.t (id INT, cat STRING, ts TIMESTAMP) " +
+      "PARTITIONED BY (cat, bucket(4, id), days(ts))")
+    sql("INSERT INTO g.icep.main.db.t SELECT CAST(id AS INT), " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END, " +
+      "timestamp'2024-06-01 00:00:00' + make_interval(0,0,0,CAST(id % 3 AS INT),0,0,0) " +
+      "FROM range(0, 40)")
+    val dest = Files.createTempDirectory("ice-export-part")
+    val metaPath = sql("CALL g.system.iceberg_export('icep', 'main', 'db.t', " +
+      s"'$dest')").collect().head.getString(0)
+
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(Files.readString(java.nio.file.Paths.get(metaPath)))
+    // spec JSON: canonical transform names, schema source-ids, 1000+ ids
+    val spec = meta.get("partition-specs").get(0)
+    spec.get("spec-id").asInt() shouldBe 0
+    val fields = spec.get("fields")
+    fields.size() shouldBe 3
+    fields.get(0).get("name").asText() shouldBe "cat"
+    fields.get(0).get("transform").asText() shouldBe "identity"
+    fields.get(0).get("source-id").asInt() shouldBe 2
+    fields.get(0).get("field-id").asInt() shouldBe 1000
+    fields.get(1).get("transform").asText() shouldBe "bucket[4]"
+    fields.get(1).get("source-id").asInt() shouldBe 1
+    fields.get(2).get("transform").asText() shouldBe "day"
+    fields.get(2).get("source-id").asInt() shouldBe 3
+    meta.get("partition-spec").size() shouldBe 3 // v1 legacy flat list
+    meta.get("last-partition-id").asInt() shouldBe 1002
+    meta.has("properties") shouldBe true
+    Option(meta.get("properties").get("graft.export.partition-fallback")) shouldBe None
+
+    // manifest: r102 carries typed values per file matching graft's own
+    // partition metadata (bucket int, day = days-since-epoch with an
+    // avro date logical type, identity string)
+    val listUri = java.net.URI.create(
+      meta.get("snapshots").get(0).get("manifest-list").asText())
+    val (listRecs, _) = readAvro(java.nio.file.Paths.get(listUri).toString)
+    val manifestPath = java.nio.file.Paths.get(
+      java.net.URI.create(listRecs.head.get("manifest_path").toString))
+    val (entries, mMeta) = readAvro(manifestPath.toString)
+    mapper.readTree(mMeta("partition-spec")).size() shouldBe 3
+
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "icep"))
+    val snap = repo.snapshot(repo.headCommit("main").tables("db/t"))
+    val byPath = snap.files.map(f =>
+      repo.root.resolve(f.path).toUri.toString -> f.partValues).toMap
+    entries.length shouldBe snap.files.size
+    entries.foreach { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      val part = df.get("partition").asInstanceOf[GenericRecord]
+      val expected = byPath(df.get("file_path").toString)
+      part.get("cat").toString shouldBe expected("cat")
+      part.get("id_bucket").asInstanceOf[Int] shouldBe
+        expected("id_bucket").toInt
+      part.get("ts_day").asInstanceOf[Int] shouldBe
+        java.time.LocalDate.parse(expected("ts_day")).toEpochDay.toInt
+      // avro field ids + date logical type on the partition record
+      val ps = part.getSchema
+      ps.getField("cat").getObjectProp("field-id") shouldBe 1000
+      ps.getField("ts_day").schema().getTypes.asScala
+        .find(_.getType != org.apache.avro.Schema.Type.NULL).get
+        .getProp("logicalType") shouldBe "date"
+    }
+  }
+
+  test("partition evolution falls back to an unpartitioned export when " +
+    "live files predate the current spec (null values would mis-prune)") {
+    sql("CREATE NAMESPACE g.icev")
+    sql("CREATE NAMESPACE g.icev.main.db")
+    sql("CREATE TABLE g.icev.main.db.t (id INT, cat STRING)")
+    sql("INSERT INTO g.icev.main.db.t VALUES (1, 'a'), (2, 'b')")
+    sql("CALL g.system.set_partition_spec('icev', 'main', 'db.t', 'cat')")
+    sql("INSERT INTO g.icev.main.db.t VALUES (3, 'c')")
+    val dest = Files.createTempDirectory("ice-export-evo")
+    val metaPath = sql("CALL g.system.iceberg_export('icev', 'main', 'db.t', " +
+      s"'$dest')").collect().head.getString(0)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(Files.readString(java.nio.file.Paths.get(metaPath)))
+    meta.get("partition-specs").get(0).get("fields").size() shouldBe 0
+    meta.get("properties").get("graft.export.partition-fallback").asText() should
+      include("predate")
+  }
+
   test("export refuses a table with merge-on-read tombstones (an external " +
     "reader would resurrect deleted rows)") {
     sql("CREATE NAMESPACE g.ice2")
