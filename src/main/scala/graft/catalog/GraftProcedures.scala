@@ -62,7 +62,8 @@ private[catalog] object GraftProcedures {
   def names: Seq[String] =
     Seq("compact", "vacuum", "create_tag", "create_branch", "merge",
       "rollback", "revert", "cherry_pick", "expire_snapshots",
-      "clone_table", "set_partition_spec", "iceberg_export")
+      "clone_table", "set_partition_spec", "iceberg_export",
+      "iceberg_import")
 
   /** Parse an Iceberg-style spec string: `"identity(cat), bucket(4, id),
     * days(ts), truncate(3, name)"`; a bare column name means identity;
@@ -236,9 +237,11 @@ private[catalog] object GraftProcedures {
           Seq(UTF8String.fromString(sid))
         }))
       case "iceberg_export" => Some(new Proc(
-        // Metadata-only Iceberg v1 export (see IcebergExport): external
+        // Metadata-only Iceberg export (see IcebergExport): external
         // engines read the published snapshot via standard Iceberg
-        // metadata pointing at graft's parquet files in place.
+        // metadata pointing at graft's parquet files in place. The
+        // active session enables the v2 positional-delete path for
+        // merge-on-read snapshots.
         "iceberg_export",
         Seq(("repo", StringType, None), ("ref", StringType, None),
           ("tbl", StringType, None), ("dest", StringType, None)),
@@ -250,9 +253,30 @@ private[catalog] object GraftProcedures {
           val ref = str(in, 1)
           val key = str(in, 2).replace('.', '/')
           val p = graft.versioned.IcebergExport.export(
-            g, ref, key, java.nio.file.Paths.get(str(in, 3)))
+            g, ref, key, java.nio.file.Paths.get(str(in, 3)),
+            Some(org.apache.spark.sql.SparkSession.active))
           val n = g.snapshot(g.resolve(ref).tables(key)).files.size
           Seq(UTF8String.fromString(p.toString), n)
+        }))
+      case "iceberg_import" => Some(new Proc(
+        // Register an external Iceberg table (v1/v2, parquet data,
+        // positional deletes) as a session temp view via the
+        // independent IcebergImport reader — no iceberg-runtime needed.
+        "iceberg_import",
+        Seq(("metadata_path", StringType, None), ("view", StringType, None)),
+        StructType(Seq(
+          StructField("view", StringType, nullable = false),
+          StructField("data_files", IntegerType, nullable = false),
+          StructField("delete_files", IntegerType, nullable = false))),
+        { in =>
+          val mp = java.nio.file.Paths.get(str(in, 0))
+          val view = str(in, 1)
+          val s = org.apache.spark.sql.SparkSession.active
+          val plan = graft.versioned.IcebergImport.plan(mp)
+          graft.versioned.IcebergImport.read(s, mp)
+            .createOrReplaceTempView(view)
+          Seq(UTF8String.fromString(view), plan.dataFiles.size,
+            plan.deleteFiles.size)
         }))
       case "set_partition_spec" => Some(new Proc(
         "set_partition_spec",

@@ -46,6 +46,16 @@ object Streaming {
       sentinels: Int = 1,
       sentinelTypes: Seq[String] = Seq("sentinel")): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `ts` is raw NANOS (legacy long) or TIMESTAMP(µs) depending on the
+    // testdata generation — sniff the actual file type exactly like
+    // Tables.events, and stage sentinels in the SAME encoding (the file
+    // stream reads every staged file through one schema)
+    val tsIsNanos = s.read.parquet(s"$d/events.parquet")
+      .schema("ts").dataType == LongType
+    val schema =
+      if (tsIsNanos) eventSchema
+      else StructType(eventSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
     val dir = Files.createTempDirectory("graft-stream")
     Files.copy(Paths.get(s"$d/events.parquet"), dir.resolve("0_events.parquet"),
       StandardCopyOption.COPY_ATTRIBUTES)
@@ -62,14 +72,20 @@ object Streaming {
       // on the batch AFTER a watermark bump (stream-stream outer joins
       // emit evictions while processing data, so the bump batch itself
       // still sees the old watermark).
-      val maxNs = s.read.schema(eventSchema).parquet(s"$d/events.parquet")
-        .agg(max(col("ts"))).head().getLong(0)
+      val maxUs = graft.Tables.events(s, d)
+        .agg(unix_micros(max(col("ts").cast(TimestampType))))
+        .head().getLong(0)
       (1 to sentinels).foreach { i =>
         val stage = dir.resolve(s"z_sentinel_$i")
-        sentinelTypes.zipWithIndex.map { case (t, j) =>
-          (-1L - j, maxNs + i * 86400L * 1000000000L, -1L - j, t, 0.0, "{}")
+        val sentUs = maxUs + i * 86400L * 1000000L
+        val base = sentinelTypes.zipWithIndex.map { case (t, j) =>
+          (-1L - j, sentUs, -1L - j, t, 0.0, "{}")
         }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.parquet(stage.toString)
+        val typed =
+          if (tsIsNanos) base.withColumn("ts", col("ts") * 1000L)
+          else base.withColumn("ts",
+            timestamp_micros(col("ts")).cast(TimestampNTZType))
+        typed.coalesce(1).write.parquet(stage.toString)
         scala.util.Using.resource(Files.list(stage))(
           _.iterator().asScala
             .filter(_.toString.endsWith(".parquet"))
@@ -78,11 +94,12 @@ object Streaming {
     }
     // LTZ timestamp: watermarks require TIMESTAMP; session tz is UTC so the
     // instant is identical to the NTZ oracle view — outputs cast back to NTZ.
-    s.readStream
-      .schema(eventSchema)
+    val raw = s.readStream
+      .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (tsIsNanos) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", col("ts").cast(TimestampType))
   }
 
   /** Run a streaming DataFrame synchronously into a memory sink. The

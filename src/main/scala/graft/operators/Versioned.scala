@@ -361,6 +361,45 @@ object Versioned {
          |ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** Iceberg interop end-to-end: orders lands in a merge-on-read graft
+    * table, a predicate DELETE commits an O(1) tombstone, a later
+    * INSERT adds rows the tombstone must NOT touch, `CALL
+    * iceberg_export` writes spec-v2 metadata + positional delete files
+    * (deleted row positions re-derived per applicable file), and the
+    * INDEPENDENT [[graft.versioned.IcebergImport]] reader — which
+    * shares only the spec constants with the writer — reads the export
+    * back. The aggregate must match DuckDB replaying the same
+    * delete+insert relationally, which hash-proves the whole v2
+    * export/import surface: delete-file content, sequence exemption,
+    * manifest file lists, and the anti-join delete application.
+    */
+  private def icebergRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = freshCatalog(s)
+    s.sql(s"CREATE NAMESPACE $cat.r")
+    s.sql(s"CREATE NAMESPACE $cat.r.main.db")
+    val orders = T.orders(s, d)
+    s.sql(s"CREATE TABLE $cat.r.main.db.orders (${orders.schema.toDDL}) " +
+      "TBLPROPERTIES('graft.delete.mode'='merge-on-read')")
+    orders.writeTo(s"$cat.r.main.db.orders").append()
+    s.sql(s"DELETE FROM $cat.r.main.db.orders " +
+      "WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0")
+    // rows inserted AFTER the tombstone survive it, matching or not
+    s.sql(s"INSERT INTO $cat.r.main.db.orders VALUES " +
+      "(9100001, 1, 'O', 900001.0, TIMESTAMP'2024-02-01 00:00:00', 'graft-ice')," +
+      "(9100002, 2, 'F', 900002.0, TIMESTAMP'2024-02-02 00:00:00', 'graft-ice')")
+    val dest = Files.createTempDirectory("graft-ice-export")
+    val metaPath = s.sql(s"CALL $cat.system.iceberg_export('r', 'main', " +
+      s"'db.orders', '$dest')").collect().head.getString(0)
+    graft.versioned.IcebergImport.read(s, java.nio.file.Paths.get(metaPath))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("total"),
+        min(col("o_orderkey")).as("first_key"))
+      .orderBy("o_orderstatus")
+  }
+
   /** The native DSv2 micro-batch source end-to-end ([[graft.catalog
     * .GraftMicroBatchStream]]): nation lands across two commits, the
     * stream replays them from snapshot-metadata offsets (no directory
@@ -534,6 +573,23 @@ object Versioned {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin
     )(morRead),
+    Q(
+      "vc_iceberg_read",
+      """SELECT o_orderstatus,
+        |       count(*) AS n,
+        |       cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       min(o_orderkey) AS first_key
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE NOT (o_orderstatus = 'O' AND o_totalprice > 200000.0)
+        |  UNION ALL
+        |  SELECT 9100001, 'O', 900001.0
+        |  UNION ALL
+        |  SELECT 9100002, 'F', 900002.0
+        |)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
+    )(icebergRead),
     Q(
       "vc_spj_join",
       """SELECT c.c_custkey, c.c_name, count(*) AS n_orders,

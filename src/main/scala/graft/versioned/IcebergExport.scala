@@ -4,19 +4,22 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path}
 import java.util.UUID
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.avro.Schema
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
 
-/** Export a graft snapshot as APACHE ICEBERG table metadata (spec v1) so
-  * external engines — Trino, DuckDB's iceberg extension, any
-  * iceberg-core reader — can read a published graft table. This closes
-  * the one capability class the reference has structurally (its tables
-  * ARE Iceberg, pom.xml iceberg-core) that graft's own format lacks.
+/** Export a graft snapshot as APACHE ICEBERG table metadata so external
+  * engines — Trino, DuckDB's iceberg extension, any iceberg-core
+  * reader — can read a published graft table. This closes the one
+  * capability class the reference has structurally (its tables ARE
+  * Iceberg, pom.xml iceberg-core) that graft's own format lacks.
   *
-  * The export is METADATA-ONLY: it writes `v1.metadata.json`, a
-  * manifest list and a manifest (Iceberg's Avro layouts, field-id
+  * The export is METADATA-ONLY for data: it writes `v1.metadata.json`,
+  * a manifest list and manifests (Iceberg's Avro layouts, field-id
   * annotations included) that point at the snapshot's EXISTING parquet
   * data files in place — zero data copies, O(files) driver work, so a
   * 100 TB table exports in seconds. Because graft parquet carries no
@@ -26,35 +29,76 @@ import org.apache.spark.sql.types._
   * names actually inside the files (renames are metadata-only in both
   * systems; re-export after a rename to surface new logical names).
   *
-  * Scope guards (fail loudly rather than export wrong data):
-  *  - merge-on-read tombstones must be compacted first — an Iceberg
-  *    reader knows nothing of graft tombstones and would resurrect
-  *    deleted rows;
-  *  - a partitioned graft table exports its REAL partition spec
-  *    (identity/bucket/truncate/year/month/day/hour — graft's transform
-  *    set IS Iceberg's) with typed per-file partition values in the
-  *    manifest, so external engines partition-prune the export. The
-  *    spec falls back to UNPARTITIONED — correct reads, no Iceberg-side
-  *    pruning, reason recorded in `graft.export.partition-fallback` —
-  *    when any live file predates the current spec (partition
-  *    evolution: exporting null values for such files would let an
-  *    Iceberg reader prune rows that exist) or a field's value type
-  *    has no manifest mapping. Data files always contain every data
-  *    column (identity sources included), so reads stay correct either
-  *    way.
+  * Format version is chosen by content:
+  *  - no live merge-on-read tombstones → spec v1 (widest reader
+  *    compatibility; nothing v2 adds is needed);
+  *  - tombstoned snapshot + a SparkSession → spec v2 with POSITIONAL
+  *    DELETE FILES: each tombstone predicate is re-evaluated over the
+  *    files it applies to ([[Tombstones.split]] — the same stats/bloom
+  *    pruning the engine's own reads use) with `_metadata.row_index`,
+  *    and matching positions land in spec-shaped delete parquet
+  *    (field ids 2147483546/2147483545, sorted by file_path, pos)
+  *    under `dest/data/`. Data and delete files share one sequence
+  *    number: positional deletes apply at data_seq <= delete_seq, and
+  *    file_path scoping makes application exact regardless. Rows a
+  *    tombstone must NOT touch (files committed after it) are never
+  *    scanned, so the exemption is structural, not re-filtered.
+  *  - tombstoned snapshot, NO SparkSession → refuse loudly (an Iceberg
+  *    reader fed v1 metadata would resurrect deleted rows).
+  *
+  * A partitioned graft table exports its REAL partition spec
+  * (identity/bucket/truncate/year/month/day/hour — graft's transform
+  * set IS Iceberg's) with typed per-file partition values in the
+  * manifest, so external engines partition-prune the export; delete
+  * files are then written per data file and stamped with that file's
+  * partition values, so deletes prune alongside the data they mask.
+  * The spec falls back to UNPARTITIONED — correct reads, no
+  * Iceberg-side pruning, reason recorded in
+  * `graft.export.partition-fallback` — when any live file predates the
+  * current spec (partition evolution: exporting null values for such
+  * files would let an Iceberg reader prune rows that exist) or a
+  * field's value type has no manifest mapping. Data files always
+  * contain every data column (identity sources included), so reads
+  * stay correct either way.
   */
 object IcebergExport {
 
-  /** Write Iceberg metadata for `ref:key` under `dest` (a fresh export
-    * directory). Returns the path of the written metadata JSON.
+  /** Iceberg spec: reserved field ids of the positional-delete schema. */
+  val DeletePathFieldId = 2147483546L
+  val DeletePosFieldId = 2147483545L
+
+  /** One written positional-delete parquet (v2 export only).
+    *
+    * @param partValues partition values of the single data file the
+    *                   deletes reference (empty when the export spec is
+    *                   unpartitioned — one delete file may then cover a
+    *                   whole tombstone group, sorted by file_path, pos)
     */
-  def export(repo: GraftRepo, ref: String, key: String, dest: Path): Path = {
+  private final case class DeleteFile(path: Path, rows: Long,
+      partValues: Map[String, String])
+
+  /** One manifest row — a data file or a positional-delete file.
+    * `content` is the spec's data_file.content: 0 = data, 1 = position
+    * deletes.
+    */
+  private final case class MEntry(uri: String, rows: Long, size: Long,
+      partValues: Map[String, String], content: Int)
+
+  /** Write Iceberg metadata for `ref:key` under `dest` (a fresh export
+    * directory). Returns the path of the written metadata JSON. This
+    * overload has no SparkSession, so merge-on-read tombstones refuse.
+    */
+  def export(repo: GraftRepo, ref: String, key: String, dest: Path): Path =
+    export(repo, ref, key, dest, None)
+
+  /** Full export; `spark` enables the v2 positional-delete path for
+    * merge-on-read snapshots (CALL graft.system.iceberg_export passes
+    * the active session).
+    */
+  def export(repo: GraftRepo, ref: String, key: String, dest: Path,
+      spark: Option[SparkSession]): Path = {
     val snap = repo.snapshot(repo.resolve(ref).tables.getOrElse(key,
       throw new NoSuchElementException(s"no such table: $key @ $ref")))
-    if (Tombstones.of(snap).nonEmpty)
-      throw new UnsupportedOperationException(
-        s"$key has merge-on-read tombstones; run CALL graft.system.compact " +
-          "first — an external Iceberg reader would resurrect deleted rows")
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val phys = TableOps.toPhysical(schema, snap.nameMapping)
 
@@ -80,6 +124,22 @@ object IcebergExport {
           "(partition evolution); compact to rewrite them, then re-export"))
       else (pfAll, None)
 
+    val tombs = Tombstones.of(snap)
+    val deletes: Seq[DeleteFile] =
+      if (tombs.isEmpty) Nil
+      else spark match {
+        case Some(s) =>
+          writePositionDeletes(s, repo, snap, phys, specFields, dest)
+        case None => throw new UnsupportedOperationException(
+          s"$key has merge-on-read tombstones; export through CALL " +
+            "graft.system.iceberg_export (writes Iceberg v2 positional " +
+            "delete files) or run CALL graft.system.compact first — a " +
+            "v1 reader would resurrect deleted rows")
+      }
+    // v1 when nothing needs v2: widest reader compatibility (all live
+    // tombstones pruned away by stats/blooms also land here)
+    val v = if (deletes.isEmpty) 1 else 2
+
     val metaDir = dest.resolve("metadata")
     Files.createDirectories(metaDir)
     // 64-bit name-UUID of the graft snapshot sha — stable across exports
@@ -103,27 +163,46 @@ object IcebergExport {
     val specFieldsJson = new com.fasterxml.jackson.databind.ObjectMapper()
       .writeValueAsString(specFieldList)
 
-    // ---- manifest (Avro, field-id-annotated; one per export) ----------
+    // ---- manifests (Avro, field-id-annotated) --------------------------
+    val dataEntries = snap.files.map { f =>
+      val abs = repo.root.resolve(f.path)
+      // true on-disk length (readers plan range reads from it — the
+      // snapshot's estimate is not good enough here)
+      MEntry(abs.toUri.toString, f.rows, Files.size(abs), f.partValues, 0)
+    }
+    val deleteEntries = deletes.map(d =>
+      MEntry(d.path.toUri.toString, d.rows, Files.size(d.path), d.partValues, 1))
     val manifestPath = metaDir.resolve(s"${UUID.randomUUID()}-m0.avro")
-    writeManifest(manifestPath, repo, snap, snapshotId, icebergSchemaJson(phys),
-      specFields, srcTypeOf, specFieldsJson)
+    writeManifest(manifestPath, dataEntries, snapshotId,
+      icebergSchemaJson(phys), specFields, srcTypeOf, specFieldsJson, v,
+      manifestContent = "data")
+    val deleteManifest = if (deleteEntries.isEmpty) None else {
+      val p = metaDir.resolve(s"${UUID.randomUUID()}-m1.avro")
+      writeManifest(p, deleteEntries, snapshotId, icebergSchemaJson(phys),
+        specFields, srcTypeOf, specFieldsJson, v, manifestContent = "deletes")
+      Some(p)
+    }
     // ---- manifest list --------------------------------------------------
     val listPath = metaDir.resolve(
       s"snap-$snapshotId-1-${UUID.randomUUID()}.avro")
-    writeManifestList(listPath, manifestPath, snapshotId, snap)
+    writeManifestList(listPath, snapshotId, v,
+      Seq((manifestPath, 0, dataEntries.size, dataEntries.map(_.rows).sum)) ++
+        deleteManifest.map(p =>
+          (p, 1, deleteEntries.size, deleteEntries.map(_.rows).sum)))
     // ---- table metadata JSON -------------------------------------------
     val meta = new java.util.LinkedHashMap[String, Any]
-    meta.put("format-version", 1)
+    meta.put("format-version", v)
     meta.put("table-uuid", UUID.nameUUIDFromBytes(
       snap.id.getBytes(StandardCharsets.UTF_8)).toString)
     meta.put("location", dest.toUri.toString.stripSuffix("/"))
+    if (v >= 2) meta.put("last-sequence-number", 1L)
     meta.put("last-updated-ms", nowMs)
     meta.put("last-column-id", phys.fields.length)
     val schemaMap = icebergSchemaMap(phys)
-    meta.put("schema", schemaMap)
+    if (v == 1) meta.put("schema", schemaMap) // v1 legacy single schema
     meta.put("schemas", java.util.List.of(schemaMap))
     meta.put("current-schema-id", 0)
-    meta.put("partition-spec", specFieldList) // v1 legacy flat list
+    if (v == 1) meta.put("partition-spec", specFieldList) // v1 legacy flat list
     val spec0 = new java.util.LinkedHashMap[String, Any]
     spec0.put("spec-id", 0)
     spec0.put("fields", specFieldList)
@@ -144,11 +223,16 @@ object IcebergExport {
     meta.put("current-snapshot-id", snapshotId)
     val snapMap = new java.util.LinkedHashMap[String, Any]
     snapMap.put("snapshot-id", snapshotId)
+    if (v >= 2) snapMap.put("sequence-number", 1L)
     snapMap.put("timestamp-ms", nowMs)
     val summary = new java.util.LinkedHashMap[String, Any]
     summary.put("operation", "append")
     summary.put("added-data-files", snap.files.size.toString)
     summary.put("added-records", snap.files.map(_.rows).sum.toString)
+    if (deletes.nonEmpty) {
+      summary.put("added-delete-files", deletes.size.toString)
+      summary.put("added-position-deletes", deletes.map(_.rows).sum.toString)
+    }
     snapMap.put("summary", summary)
     snapMap.put("manifest-list", listPath.toUri.toString)
     snapMap.put("schema-id", 0)
@@ -163,6 +247,97 @@ object IcebergExport {
     // HadoopCatalog-style discovery: readers resolve v<hint>.metadata.json
     Files.writeString(metaDir.resolve("version-hint.text"), "1")
     metaPath
+  }
+
+  // ---- positional delete files (v2) ------------------------------------
+
+  /** Re-evaluate each tombstone group's predicate over exactly the files
+    * it applies to and write matching `(file_path, pos)` rows as
+    * spec-shaped delete parquet under `dest/data/`. Partitioned spec →
+    * one delete file per data file (stamped with its partition values so
+    * Iceberg prunes deletes alongside data); unpartitioned → one delete
+    * file per tombstone group (multi-file, sorted — spec-legal). Files a
+    * predicate turns out not to touch (stats/bloom false positives)
+    * produce no delete file at all.
+    */
+  private def writePositionDeletes(s: SparkSession, repo: GraftRepo,
+      snap: Snapshot, phys: StructType, specFields: Seq[PartitionField],
+      dest: Path): Seq[DeleteFile] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val tombs = Tombstones.of(snap)
+    val (_, groups) = Tombstones.split(tombs, phys, snap.files, Some(repo.root))
+    val dataDir = dest.resolve("data")
+    Files.createDirectories(dataDir)
+    groups.flatMap { case (files, gTombs) =>
+      // deleted = ANY applicable tombstone predicate true (null-safe:
+      // null = not matched = kept, SQL DELETE semantics)
+      val delCond = gTombs.map(t =>
+        coalesce(TableOps.filterToColumn(t.filter).getOrElse(
+          throw new IllegalStateException(s"unevaluable tombstone: ${t.filter}")),
+          lit(false))).reduce(_ || _)
+      // file_path literal = the manifest's exact URI string (external
+      // readers match delete rows to data files byte-for-byte)
+      def positions(f: FileEntry): DataFrame = {
+        val abs = repo.root.resolve(f.path)
+        s.read.parquet(abs.toString).where(delCond)
+          .select(lit(abs.toUri.toString).as("file_path"),
+            col("_metadata.row_index").as("pos"))
+      }
+      if (specFields.nonEmpty)
+        files.flatMap(f => writeDeleteParquet(s, positions(f), dataDir)
+          .map { case (p, n) => DeleteFile(p, n, f.partValues) })
+      else
+        writeDeleteParquet(s,
+          files.map(positions).reduce(_ union _), dataDir)
+          .map { case (p, n) => DeleteFile(p, n, Map.empty) }.toSeq
+    }
+  }
+
+  /** Write `df(file_path, pos)` as ONE sorted parquet file carrying the
+    * spec's reserved field ids (readers bind the delete schema by id).
+    * Returns None when no row matched — the delete file is not written.
+    */
+  private def writeDeleteParquet(s: SparkSession, df: DataFrame,
+      dataDir: Path): Option[(Path, Long)] = {
+    import org.apache.spark.sql.functions.col
+    def idMeta(id: Long) =
+      new MetadataBuilder().putLong("parquet.field.id", id).build()
+    val tmp = Files.createTempDirectory("graft-ice-del")
+    // repartition(1) + sortWithinPartitions = one globally-sorted file
+    // (orderBy-then-coalesce would interleave sorted partitions); delete
+    // sets are per-file/per-group row positions — bounded by the rows
+    // the tombstone's stats/bloom-pruned file set actually holds
+    df.select(col("file_path").as("file_path", idMeta(DeletePathFieldId)),
+        col("pos").as("pos", idMeta(DeletePosFieldId)))
+      .repartition(1).sortWithinPartitions("file_path", "pos")
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(p => p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no parquet written in $tmp"))
+    val rows = parquetRowCount(s, part)
+    if (rows == 0L) { deleteRecursively(tmp); None }
+    else {
+      val out = dataDir.resolve(s"${UUID.randomUUID()}-deletes.parquet")
+      Files.move(part, out)
+      deleteRecursively(tmp)
+      Some((out, rows))
+    }
+  }
+
+  /** Exact row count from the parquet footer (no data scan). */
+  private def parquetRowCount(s: SparkSession, p: Path): Long = {
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri),
+        s.sessionState.newHadoopConf()))
+    try rd.getRecordCount finally rd.close()
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toList.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
   }
 
   // ---- Iceberg schema JSON (field ids 1..n, physical names) ------------
@@ -180,7 +355,7 @@ object IcebergExport {
     case TimestampNTZType => "timestamp"
     case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
     case other => throw new UnsupportedOperationException(
-      s"no Iceberg v1 export mapping for ${other.simpleString}")
+      s"no Iceberg export mapping for ${other.simpleString}")
   }
 
   private def icebergSchemaMap(phys: StructType): java.util.Map[String, Any] = {
@@ -344,15 +519,17 @@ object IcebergExport {
   }
   private def s(t: Schema.Type): Schema = Schema.create(t)
 
-  /** manifest_entry / r2 / r102 — the v1 manifest record layout with the
+  /** manifest_entry / r2 / r102 — the manifest record layout with the
     * required core columns (optional per-column stats omitted: absence
     * is spec-legal and readers fall back to scanning). The r102
     * partition record carries one OPTIONAL field per spec field, typed
     * by the transform result and id'd 1000+i to match the spec JSON —
-    * the rows Iceberg-side partition pruning runs on.
+    * the rows Iceberg-side partition pruning runs on. v2 adds the
+    * entry's sequence-number pair, data_file.content, and drops v1's
+    * block_size_in_bytes.
     */
   private def manifestEntrySchema(specFields: Seq[PartitionField],
-      srcTypeOf: PartitionField => DataType): Schema = {
+      srcTypeOf: PartitionField => DataType, v: Int): Schema = {
     val partition = Schema.createRecord("r102", null, null, false)
     partition.setFields(java.util.List.of(
       specFields.zipWithIndex.map { case (pf, i) =>
@@ -360,100 +537,135 @@ object IcebergExport {
           partitionAvroSchema(pf, srcTypeOf(pf)).get, optional = true)
       }: _*))
     val dataFile = Schema.createRecord("r2", null, null, false)
-    dataFile.setFields(java.util.List.of(
-      field("file_path", 100, s(Schema.Type.STRING), optional = false),
-      field("file_format", 101, s(Schema.Type.STRING), optional = false),
-      field("partition", 102, partition, optional = false),
-      field("record_count", 103, s(Schema.Type.LONG), optional = false),
-      field("file_size_in_bytes", 104, s(Schema.Type.LONG), optional = false),
-      field("block_size_in_bytes", 105, s(Schema.Type.LONG), optional = false)))
+    val dfFields = Seq.newBuilder[Schema.Field]
+    if (v >= 2) dfFields += field("content", 134, s(Schema.Type.INT), optional = false)
+    dfFields += field("file_path", 100, s(Schema.Type.STRING), optional = false)
+    dfFields += field("file_format", 101, s(Schema.Type.STRING), optional = false)
+    dfFields += field("partition", 102, partition, optional = false)
+    dfFields += field("record_count", 103, s(Schema.Type.LONG), optional = false)
+    dfFields += field("file_size_in_bytes", 104, s(Schema.Type.LONG), optional = false)
+    if (v == 1)
+      dfFields += field("block_size_in_bytes", 105, s(Schema.Type.LONG), optional = false)
+    dataFile.setFields(java.util.List.of(dfFields.result(): _*))
     val entry = Schema.createRecord("manifest_entry", null, null, false)
-    entry.setFields(java.util.List.of(
-      field("status", 0, s(Schema.Type.INT), optional = false),
-      field("snapshot_id", 1, s(Schema.Type.LONG), optional = true),
-      field("data_file", 2, dataFile, optional = false)))
+    val eFields = Seq.newBuilder[Schema.Field]
+    eFields += field("status", 0, s(Schema.Type.INT), optional = false)
+    eFields += field("snapshot_id", 1, s(Schema.Type.LONG), optional = true)
+    if (v >= 2) {
+      eFields += field("sequence_number", 3, s(Schema.Type.LONG), optional = true)
+      eFields += field("file_sequence_number", 4, s(Schema.Type.LONG), optional = true)
+    }
+    eFields += field("data_file", 2, dataFile, optional = false)
+    entry.setFields(java.util.List.of(eFields.result(): _*))
     entry
   }
 
-  private def writeManifest(path: Path, repo: GraftRepo, snap: Snapshot,
+  private def writeManifest(path: Path, entries: Seq[MEntry],
       snapshotId: Long, schemaJson: String,
       specFields: Seq[PartitionField],
       srcTypeOf: PartitionField => DataType,
-      specFieldsJson: String): Unit = {
-    val entrySchema = manifestEntrySchema(specFields, srcTypeOf)
+      specFieldsJson: String, v: Int, manifestContent: String): Unit = {
+    val entrySchema = manifestEntrySchema(specFields, srcTypeOf, v)
     val writer = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](entrySchema))
     writer.setMeta("schema", schemaJson)
     writer.setMeta("schema-id", "0")
     writer.setMeta("partition-spec", specFieldsJson)
     writer.setMeta("partition-spec-id", "0")
-    writer.setMeta("format-version", "1")
-    writer.setMeta("content", "data")
+    writer.setMeta("format-version", v.toString)
+    writer.setMeta("content", manifestContent)
     writer.create(entrySchema, path.toFile)
     try {
       val dfSchema = entrySchema.getField("data_file").schema()
       val partSchema = dfSchema.getField("partition").schema()
-      snap.files.foreach { f =>
-        val abs = repo.root.resolve(f.path)
+      entries.foreach { me =>
         val df = new GenericData.Record(dfSchema)
-        df.put("file_path", abs.toUri.toString)
+        if (v >= 2) df.put("content", me.content)
+        df.put("file_path", me.uri)
         df.put("file_format", "PARQUET")
         val part = new GenericData.Record(partSchema)
         specFields.foreach { pf =>
-          // export() guarantees every live file records every field
+          // export() guarantees every live data file records every
+          // field; a delete file inherits its referenced data file's
+          // values (absent only in the unpartitioned-spec case, where
+          // the record has no fields)
           part.put(pf.name, partitionValue(pf, srcTypeOf(pf),
-            f.partValues(pf.name)))
+            me.partValues(pf.name)))
         }
         df.put("partition", part)
-        df.put("record_count", f.rows)
-        // true on-disk length (readers plan range reads from it — the
-        // snapshot's estimate is not good enough here)
-        df.put("file_size_in_bytes", java.nio.file.Files.size(abs))
-        df.put("block_size_in_bytes", 64L << 20)
+        df.put("record_count", me.rows)
+        df.put("file_size_in_bytes", me.size)
+        if (v == 1) df.put("block_size_in_bytes", 64L << 20)
         val e = new GenericData.Record(entrySchema)
         e.put("status", 1) // ADDED in this (single) snapshot
         e.put("snapshot_id", snapshotId)
+        if (v >= 2) {
+          // one snapshot, one sequence number; positional deletes apply
+          // at data_seq <= delete_seq, and file_path scoping already
+          // pins each delete row to exactly one data file
+          e.put("sequence_number", 1L)
+          e.put("file_sequence_number", 1L)
+        }
         e.put("data_file", df)
         writer.append(e)
       }
     } finally writer.close()
   }
 
-  /** manifest_file — the v1 manifest-list record layout. */
-  private def manifestFileSchema: Schema = {
+  /** manifest_file — the manifest-list record layout. v2 adds content /
+    * sequence_number / min_sequence_number and makes the counts
+    * required (spec names: *_files_count; v1 keeps the legacy
+    * *_data_files_count names).
+    */
+  private def manifestFileSchema(v: Int): Schema = {
     val rec = Schema.createRecord("manifest_file", null, null, false)
-    rec.setFields(java.util.List.of(
-      field("manifest_path", 500, s(Schema.Type.STRING), optional = false),
-      field("manifest_length", 501, s(Schema.Type.LONG), optional = false),
-      field("partition_spec_id", 502, s(Schema.Type.INT), optional = false),
-      field("added_snapshot_id", 503, s(Schema.Type.LONG), optional = true),
-      field("added_data_files_count", 504, s(Schema.Type.INT), optional = true),
-      field("existing_data_files_count", 505, s(Schema.Type.INT), optional = true),
-      field("deleted_data_files_count", 506, s(Schema.Type.INT), optional = true),
-      field("added_rows_count", 512, s(Schema.Type.LONG), optional = true),
-      field("existing_rows_count", 513, s(Schema.Type.LONG), optional = true),
-      field("deleted_rows_count", 514, s(Schema.Type.LONG), optional = true)))
+    val fs = Seq.newBuilder[Schema.Field]
+    fs += field("manifest_path", 500, s(Schema.Type.STRING), optional = false)
+    fs += field("manifest_length", 501, s(Schema.Type.LONG), optional = false)
+    fs += field("partition_spec_id", 502, s(Schema.Type.INT), optional = false)
+    if (v >= 2) {
+      fs += field("content", 517, s(Schema.Type.INT), optional = false)
+      fs += field("sequence_number", 515, s(Schema.Type.LONG), optional = false)
+      fs += field("min_sequence_number", 516, s(Schema.Type.LONG), optional = false)
+    }
+    val opt = v == 1 // counts optional in v1, required in v2
+    val n = if (v == 1) "_data_files_count" else "_files_count"
+    fs += field("added_snapshot_id", 503, s(Schema.Type.LONG), optional = true)
+    fs += field(s"added$n", 504, s(Schema.Type.INT), optional = opt)
+    fs += field(s"existing$n", 505, s(Schema.Type.INT), optional = opt)
+    fs += field(s"deleted$n", 506, s(Schema.Type.INT), optional = opt)
+    fs += field("added_rows_count", 512, s(Schema.Type.LONG), optional = opt)
+    fs += field("existing_rows_count", 513, s(Schema.Type.LONG), optional = opt)
+    fs += field("deleted_rows_count", 514, s(Schema.Type.LONG), optional = opt)
+    rec.setFields(java.util.List.of(fs.result(): _*))
     rec
   }
 
-  private def writeManifestList(path: Path, manifestPath: Path,
-      snapshotId: Long, snap: Snapshot): Unit = {
-    val schema = manifestFileSchema
+  /** `manifests` = (path, content 0|1, file count, row count). */
+  private def writeManifestList(path: Path, snapshotId: Long, v: Int,
+      manifests: Seq[(Path, Int, Int, Long)]): Unit = {
+    val schema = manifestFileSchema(v)
     val writer = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](schema))
     writer.setMeta("snapshot-id", snapshotId.toString)
-    writer.setMeta("format-version", "1")
+    writer.setMeta("format-version", v.toString)
     writer.create(schema, path.toFile)
-    try {
+    val n = if (v == 1) "_data_files_count" else "_files_count"
+    try manifests.foreach { case (mp, content, files, rows) =>
       val r = new GenericData.Record(schema)
-      r.put("manifest_path", manifestPath.toUri.toString)
-      r.put("manifest_length", Files.size(manifestPath))
+      r.put("manifest_path", mp.toUri.toString)
+      r.put("manifest_length", Files.size(mp))
       r.put("partition_spec_id", 0)
+      if (v >= 2) {
+        r.put("content", content)
+        r.put("sequence_number", 1L)
+        r.put("min_sequence_number", 1L)
+      }
       r.put("added_snapshot_id", snapshotId)
-      r.put("added_data_files_count", snap.files.size)
-      r.put("existing_data_files_count", 0)
-      r.put("deleted_data_files_count", 0)
-      r.put("added_rows_count", snap.files.map(_.rows).sum)
+      r.put(s"added$n", files)
+      r.put(s"existing$n", 0)
+      r.put(s"deleted$n", 0)
+      r.put("added_rows_count", rows)
       r.put("existing_rows_count", 0L)
       r.put("deleted_rows_count", 0L)
       writer.append(r)

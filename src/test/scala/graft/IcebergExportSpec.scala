@@ -218,8 +218,8 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
       include("predate")
   }
 
-  test("export refuses a table with merge-on-read tombstones (an external " +
-    "reader would resurrect deleted rows)") {
+  test("export refuses a table with merge-on-read tombstones when no " +
+    "SparkSession is supplied (a v1 reader would resurrect deleted rows)") {
     sql("CREATE NAMESPACE g.ice2")
     sql("CREATE NAMESPACE g.ice2.main.db")
     sql("CREATE TABLE g.ice2.main.db.t (id INT, v STRING) " +
@@ -232,5 +232,180 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     val e = intercept[UnsupportedOperationException](
       graft.versioned.IcebergExport.export(repo, "main", "db/t", dest))
     e.getMessage should include("tombstones")
+  }
+
+  private def parquetFooterSchema(p: java.nio.file.Path) = {
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri),
+        new org.apache.hadoop.conf.Configuration()))
+    try rd.getFooter.getFileMetaData.getSchema finally rd.close()
+  }
+
+  test("merge-on-read snapshot exports as v2 with positional delete " +
+    "files (spec field ids, sorted, later inserts exempt) and the " +
+    "independent import reproduces the graft read") {
+    sql("CREATE NAMESPACE g.icem")
+    sql("CREATE NAMESPACE g.icem.main.db")
+    sql("CREATE TABLE g.icem.main.db.t (id INT, grp STRING, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO g.icem.main.db.t SELECT CAST(id AS INT), " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END, CAST(id AS DOUBLE) " +
+      "FROM range(0, 100)")
+    sql("DELETE FROM g.icem.main.db.t WHERE grp = 'a' AND id < 40")
+    // rows inserted AFTER the tombstone survive it, matching or not
+    sql("INSERT INTO g.icem.main.db.t VALUES (2, 'a', -1.0), (200, 'a', -2.0)")
+    val dest = Files.createTempDirectory("ice-export-v2")
+    val out = sql("CALL g.system.iceberg_export('icem', 'main', 'db.t', " +
+      s"'$dest')").collect()
+    val metaPath = java.nio.file.Paths.get(out.head.getString(0))
+
+    // ---- v2 metadata ---------------------------------------------------
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(Files.readString(metaPath))
+    meta.get("format-version").asInt() shouldBe 2
+    meta.get("last-sequence-number").asLong() shouldBe 1L
+    meta.has("schema") shouldBe false // v1-only legacy keys absent in v2
+    meta.has("partition-spec") shouldBe false
+    val snapNode = meta.get("snapshots").get(0)
+    snapNode.get("sequence-number").asLong() shouldBe 1L
+    snapNode.get("summary").get("added-position-deletes").asText().toLong should be > 0L
+
+    // ---- manifest list: one data + one deletes manifest ----------------
+    val (listRecs, _) = readAvro(java.nio.file.Paths.get(
+      java.net.URI.create(snapNode.get("manifest-list").asText())).toString)
+    listRecs.length shouldBe 2
+    val byContent = listRecs.map(r => r.get("content").asInstanceOf[Int] -> r).toMap
+    byContent.keySet shouldBe Set(0, 1)
+    listRecs.foreach { r =>
+      r.get("sequence_number").asInstanceOf[Long] shouldBe 1L
+      r.get("min_sequence_number").asInstanceOf[Long] shouldBe 1L
+      r.getSchema.getField("added_files_count") should not be null
+    }
+
+    // ---- delete manifest + delete parquet ------------------------------
+    val delManifest = java.nio.file.Paths.get(java.net.URI.create(
+      byContent(1).get("manifest_path").toString))
+    val (delEntries, delMeta) = readAvro(delManifest.toString)
+    delMeta("content") shouldBe "deletes"
+    delMeta("format-version") shouldBe "2"
+    delEntries.length shouldBe 1 // unpartitioned: one file per tombstone group
+    val delFileRec = delEntries.head.get("data_file").asInstanceOf[GenericRecord]
+    delFileRec.get("content").asInstanceOf[Int] shouldBe 1
+    val delPath = java.nio.file.Paths.get(
+      java.net.URI.create(delFileRec.get("file_path").toString))
+    Files.size(delPath) shouldBe
+      delFileRec.get("file_size_in_bytes").asInstanceOf[Long]
+    // spec's reserved field ids in the parquet footer itself
+    val delSchema = parquetFooterSchema(delPath)
+    delSchema.getType(Seq("file_path"): _*).getId.intValue() shouldBe 2147483546
+    delSchema.getType(Seq("pos"): _*).getId.intValue() shouldBe 2147483545
+    // rows sorted by (file_path, pos); every file_path is a manifest
+    // data-file path; pos < that file's record_count
+    val delRows = spark.read.parquet(delPath.toString)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    delRows.length.toLong shouldBe
+      delFileRec.get("record_count").asInstanceOf[Long]
+    delRows.sortBy(identity).toSeq shouldBe delRows.toSeq
+    val (dataEntries, dataMeta) = readAvro(java.nio.file.Paths.get(
+      java.net.URI.create(byContent(0).get("manifest_path").toString)).toString)
+    dataMeta("content") shouldBe "data"
+    val dataByPath = dataEntries.map { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      df.get("content").asInstanceOf[Int] shouldBe 0
+      df.get("file_path").toString -> df.get("record_count").asInstanceOf[Long]
+    }.toMap
+    delRows.foreach { case (p, pos) =>
+      dataByPath.keySet should contain(p)
+      pos should be < dataByPath(p)
+    }
+    // the deletes reference ONLY files the tombstone applies to — the
+    // post-delete insert's file carries a higher commit seq and is
+    // never scanned (20 'a'-rows below 40 died; id=2 re-insert lives)
+    delRows.length shouldBe 20
+
+    // ---- round trip: independent reader == graft read ------------------
+    val imported = graft.versioned.IcebergImport.read(spark, metaPath)
+      .orderBy("id", "v")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    val viaGraft = sql(
+      "SELECT id, grp, v FROM g.icem.main.db.t ORDER BY id, v")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    imported shouldBe viaGraft
+    imported.length shouldBe 82 // 100 - 20 deleted + 2 late inserts
+  }
+
+  test("partitioned merge-on-read export stamps per-file delete files " +
+    "with the data file's partition values; round trip holds") {
+    sql("CREATE NAMESPACE g.icemp")
+    sql("CREATE NAMESPACE g.icemp.main.db")
+    sql("CREATE TABLE g.icemp.main.db.t (id INT, cat STRING, v DOUBLE) " +
+      "PARTITIONED BY (cat) TBLPROPERTIES " +
+      "('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO g.icemp.main.db.t SELECT CAST(id AS INT), " +
+      "CASE WHEN id % 3 = 0 THEN 'x' WHEN id % 3 = 1 THEN 'y' ELSE 'z' END, " +
+      "CAST(id AS DOUBLE) FROM range(0, 60)")
+    sql("DELETE FROM g.icemp.main.db.t WHERE id < 9") // touches all cats
+    val dest = Files.createTempDirectory("ice-export-v2p")
+    val metaPath = java.nio.file.Paths.get(
+      sql(s"CALL g.system.iceberg_export('icemp', 'main', 'db.t', '$dest')")
+        .collect().head.getString(0))
+
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(Files.readString(metaPath))
+    meta.get("format-version").asInt() shouldBe 2
+    // real partitioned spec survives the v2 path
+    meta.get("partition-specs").get(0).get("fields").size() shouldBe 1
+    val (listRecs, _) = readAvro(java.nio.file.Paths.get(java.net.URI.create(
+      meta.get("snapshots").get(0).get("manifest-list").asText())).toString)
+    val delManifestRec = listRecs.find(_.get("content").asInstanceOf[Int] == 1).get
+    val (delEntries, _) = readAvro(java.nio.file.Paths.get(
+      java.net.URI.create(delManifestRec.get("manifest_path").toString)).toString)
+    delEntries should not be empty
+    // each delete file references exactly one data file and carries its
+    // partition value (so Iceberg readers prune deletes with the data)
+    delEntries.foreach { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      df.get("content").asInstanceOf[Int] shouldBe 1
+      val cat = df.get("partition").asInstanceOf[GenericRecord]
+        .get("cat").toString
+      val rows = spark.read.parquet(java.nio.file.Paths.get(
+        java.net.URI.create(df.get("file_path").toString)).toString)
+        .select("file_path").distinct().collect().map(_.getString(0))
+      rows.length shouldBe 1
+      // the referenced data file lives in this partition's directory
+      rows.head should include(s"cat=$cat")
+    }
+
+    val imported = graft.versioned.IcebergImport.read(spark, metaPath)
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    val viaGraft = sql("SELECT id, cat FROM g.icemp.main.db.t ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    imported shouldBe viaGraft
+    imported.length shouldBe 51
+  }
+
+  test("import reads a clean v1 export (no deletes) identically to graft") {
+    sql("CREATE NAMESPACE g.icei")
+    sql("CREATE NAMESPACE g.icei.main.db")
+    sql("CREATE TABLE g.icei.main.db.t (id INT, name STRING, d DATE)")
+    sql("INSERT INTO g.icei.main.db.t SELECT CAST(id AS INT), " +
+      "concat('r', id), DATE'2024-01-01' + CAST(id % 10 AS INT) " +
+      "FROM range(0, 30)")
+    val dest = Files.createTempDirectory("ice-export-imp")
+    val metaPath = sql("CALL g.system.iceberg_export('icei', 'main', " +
+      s"'db.t', '$dest')").collect().head.getString(0)
+    val imp = sql(s"CALL g.system.iceberg_import('$metaPath', 'ice_imp_v')")
+      .collect().head
+    imp.getString(0) shouldBe "ice_imp_v"
+    imp.getInt(1) should be > 0 // data files
+    imp.getInt(2) shouldBe 0 // no deletes in a clean v1 export
+    // the CALL registered a temp view over the import
+    val viaView = sql("SELECT id, name, d FROM ice_imp_v ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDate(2)))
+    val viaGraft = sql("SELECT id, name, d FROM g.icei.main.db.t ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDate(2)))
+    viaView shouldBe viaGraft
+    viaView.length shouldBe 30
   }
 }
