@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.avro.file.DataFileReader
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, regexp_replace}
+import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
 import org.apache.spark.sql.types._
 
 /** Read an APACHE ICEBERG table (spec v1 or v2) from its metadata JSON —
@@ -36,21 +36,37 @@ import org.apache.spark.sql.types._
   * positional-delete merge.
   *
   * Reader subset (documented, loud on violation): the current snapshot
-  * only (no time travel), PARQUET data files, positional deletes
-  * (equality deletes — which this engine never writes — are refused),
-  * and flat schemas (the only shape graft tables have). Column binding
-  * is BY NAME — correct for any writer that uses
+  * only (no time travel), PARQUET data files, positional AND equality
+  * delete files (graft's own exporter writes only positional ones, but
+  * external CDC writers — Flink upserts — emit equality deletes), and
+  * flat schemas (the only shape graft tables have). Column binding is
+  * BY NAME — correct for any writer that uses
   * `schema.name-mapping.default` with physical names, which includes
   * every [[IcebergExport]] output.
   */
 object IcebergImport {
 
   /** Planned current-snapshot file sets of an Iceberg table. */
+  /** One live data file: path + its data sequence number (v1 → 0). */
+  final case class DataFile(path: String, seq: Long)
+
+  /** One live delete file. `equalityIds` is empty for positional
+    * deletes (content=1) and the referenced schema field ids for
+    * equality deletes (content=2).
+    */
+  final case class DeleteFile(path: String, content: Int, seq: Long,
+      equalityIds: Seq[Int])
+
   final case class Plan(
       formatVersion: Int,
       schema: StructType,
-      dataFiles: Seq[String],
-      deleteFiles: Seq[String])
+      fieldIdToName: Map[Int, String],
+      dataFiles: Seq[DataFile],
+      deleteFiles: Seq[DeleteFile]) {
+    def dataPaths: Seq[String] = dataFiles.map(_.path)
+    def positionDeletes: Seq[DeleteFile] = deleteFiles.filter(_.content == 1)
+    def equalityDeletes: Seq[DeleteFile] = deleteFiles.filter(_.content == 2)
+  }
 
   /** Parse metadata JSON + manifests into the current snapshot's plan. */
   def plan(metadataPath: Path): Plan = {
@@ -74,10 +90,12 @@ object IcebergImport {
       StructField(f.get("name").asText(), sparkType(f.get("type").asText()),
         nullable = !f.get("required").asBoolean(false))
     }.toSeq)
+    val idToName = schemaNode.get("fields").elements().asScala.map(f =>
+      f.get("id").asInt() -> f.get("name").asText()).toMap
 
     val snapIdOpt = Option(meta.get("current-snapshot-id")).map(_.asLong())
       .filter(_ != -1L)
-    if (snapIdOpt.isEmpty) return Plan(v, schema, Nil, Nil) // empty table
+    if (snapIdOpt.isEmpty) return Plan(v, schema, idToName, Nil, Nil)
     val snapId = snapIdOpt.get
     val snap = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == snapId)
@@ -85,15 +103,18 @@ object IcebergImport {
         s"current-snapshot-id $snapId not in snapshots"))
     val listPath = toLocal(snap.get("manifest-list").asText())
 
-    // manifest list → (manifest path, content); v1 has no content field
+    // manifest list → (manifest path, content, sequence number); v1 has
+    // neither content nor sequence numbers
     val manifests = readAvro(listPath).map { r =>
       val content = Option(r.getSchema.getField("content"))
         .map(_ => r.get("content").asInstanceOf[Int]).getOrElse(0)
-      (toLocal(r.get("manifest_path").toString), content)
+      val seq = Option(r.getSchema.getField("sequence_number"))
+        .map(_ => r.get("sequence_number").asInstanceOf[Long]).getOrElse(0L)
+      (toLocal(r.get("manifest_path").toString), content, seq)
     }
-    val data = Seq.newBuilder[String]
-    val deletes = Seq.newBuilder[String]
-    manifests.foreach { case (mPath, mContent) =>
+    val data = Seq.newBuilder[DataFile]
+    val deletes = Seq.newBuilder[DeleteFile]
+    manifests.foreach { case (mPath, mContent, mSeq) =>
       readAvro(mPath).foreach { e =>
         val status = e.get("status").asInstanceOf[Int]
         if (status != 2) { // 2 = DELETED: file no longer live
@@ -103,24 +124,40 @@ object IcebergImport {
           val content = Option(df.getSchema.getField("content"))
             .map(_ => df.get("content").asInstanceOf[Int]).getOrElse(0)
           val path = toLocal(df.get("file_path").toString)
+          // spec inheritance: a null entry sequence_number on an ADDED
+          // entry inherits the manifest's sequence number
+          val seq = Option(e.getSchema.getField("sequence_number"))
+            .flatMap(_ => Option(e.get("sequence_number")))
+            .map(_.asInstanceOf[Long]).getOrElse(mSeq)
           content match {
             case 0 =>
               require(mContent == 0, s"data file $path in a delete manifest")
-              data += path
-            case 1 => deletes += path
-            case 2 => throw new UnsupportedOperationException(
-              s"equality delete files are not supported: $path")
+              data += DataFile(path, seq)
+            case 1 => deletes += DeleteFile(path, 1, seq, Nil)
+            case 2 =>
+              val ids = Option(df.getSchema.getField("equality_ids"))
+                .flatMap(_ => Option(df.get("equality_ids"))).map {
+                  case l: java.util.List[_] =>
+                    l.asScala.map(_.asInstanceOf[Number].intValue()).toSeq
+                  case other => throw new IllegalArgumentException(
+                    s"bad equality_ids $other for $path")
+                }.getOrElse(throw new UnsupportedOperationException(
+                  s"equality delete without equality_ids: $path"))
+              deletes += DeleteFile(path, 2, seq, ids)
             case other => throw new IllegalArgumentException(
               s"unknown data_file.content $other for $path")
           }
         }
       }
     }
-    Plan(v, schema, data.result(), deletes.result())
+    Plan(v, schema, idToName, data.result(), deletes.result())
   }
 
   /** The table's current snapshot as a DataFrame (schema order/types per
-    * the Iceberg schema, positional deletes applied).
+    * the Iceberg schema, positional AND equality deletes applied with
+    * the spec's sequence-number semantics: a positional delete masks
+    * rows of the file it names; an equality delete masks matching rows
+    * in data files with a STRICTLY LOWER data sequence number).
     */
   def read(spark: SparkSession, metadataPath: Path): DataFrame = {
     val p = plan(metadataPath)
@@ -128,22 +165,68 @@ object IcebergImport {
     if (p.dataFiles.isEmpty)
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), p.schema)
-    val data = spark.read.parquet(p.dataFiles: _*)
-    if (p.deleteFiles.isEmpty) data.select(outCols.toSeq: _*)
-    else {
+    var data = spark.read.parquet(p.dataPaths: _*)
+
+    if (p.positionDeletes.nonEmpty || p.equalityDeletes.nonEmpty)
       // Spark renders local paths as file:/..., manifests as file:///...
-      // — normalize both sides of the join to one form
-      val del = spark.read.parquet(p.deleteFiles: _*)
+      // — normalize every path column to one form before comparing
+      data = data.withColumn("__ice_path", normPath(col("_metadata.file_path")))
+
+    if (p.positionDeletes.nonEmpty) {
+      val del = spark.read.parquet(p.positionDeletes.map(_.path): _*)
         .select(normPath(col("file_path")).as("__ice_del_path"),
           col("pos").as("__ice_del_pos"))
-      data
-        .withColumn("__ice_path", normPath(col("_metadata.file_path")))
+      data = data
         .withColumn("__ice_pos", col("_metadata.row_index"))
         .join(del, col("__ice_path") === col("__ice_del_path") &&
           col("__ice_pos") === col("__ice_del_pos"), "left_anti")
-        .select(outCols.toSeq: _*)
+        .drop("__ice_pos")
     }
+
+    if (p.equalityDeletes.nonEmpty) {
+      // data sequence number via a broadcast (path → seq) lookup — the
+      // strict `<` comparison rides the anti-join condition, so rows
+      // from files as new as the delete survive even when they match
+      val seqDf = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          p.dataFiles.map(f => org.apache.spark.sql.Row(
+            normStr(f.path), f.seq)).asJava),
+        StructType(Seq(StructField("__ice_seq_path", StringType),
+          StructField("__ice_seq", LongType))))
+      data = data.join(broadcast(seqDf),
+        col("__ice_path") === col("__ice_seq_path"), "left")
+        .drop("__ice_seq_path")
+      // one anti-join per (column set, sequence) group; external writers
+      // produce few groups (typically one flink/CDC writer per schema)
+      p.equalityDeletes.groupBy(d => (d.equalityIds, d.seq)).toSeq
+        .sortBy { case ((ids, seq), _) => (ids.mkString(","), seq) }
+        .foreach { case ((ids, seq), files) =>
+          val cols = ids.map(id => p.fieldIdToName.getOrElse(id,
+            throw new IllegalArgumentException(
+              s"equality_ids references unknown field id $id")))
+          val del = spark.read.parquet(files.map(_.path): _*)
+            .select(cols.map(c => col(c).as(s"__ice_eq_$c")): _*)
+            .distinct()
+          // null-safe equality per the spec (a null in the delete row
+          // matches a null in the data row)
+          val cond = cols.map(c => col(c) <=> col(s"__ice_eq_$c"))
+            .reduce(_ && _) && col("__ice_seq") < lit(seq)
+          data = data.join(del, cond, "left_anti")
+        }
+      data = data.drop("__ice_seq")
+    }
+    data.select(outCols.toSeq: _*)
   }
+
+  /** Driver-side twin of [[normPath]] for plan paths ([[toLocal]] output:
+    * absolute local paths or non-file URIs) — renders the same canonical
+    * form `normPath(_metadata.file_path)` produces on executors.
+    */
+  private def normStr(s: String): String =
+    if (s.startsWith("/")) "file://" + s
+    else if (s.startsWith("file:"))
+      "file:///" + s.stripPrefix("file:").dropWhile(_ == '/')
+    else s
 
   /** file:/x, file://x, file:///x → file:///x (other schemes untouched). */
   private def normPath(c: Column): Column =

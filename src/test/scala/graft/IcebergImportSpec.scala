@@ -1,0 +1,197 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.matchers.should.Matchers
+
+import graft.versioned.IcebergImport
+
+/** IcebergImport against a HAND-BUILT external-style Iceberg v2 table —
+  * layouts written directly from the spec text (not by IcebergExport),
+  * so this exercises the reader against the shapes OTHER engines
+  * produce: explicit per-entry sequence numbers, equality delete files
+  * (Flink-CDC-style), sequence-number inheritance, and the mixed
+  * positional+equality application order.
+  */
+class IcebergImportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Write `df` as exactly one parquet file at `out`. */
+  private def writeOneParquet(df: org.apache.spark.sql.DataFrame,
+      out: Path): Unit = {
+    val tmp = Files.createTempDirectory("ice-fixture")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(p => p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, out)
+  }
+
+  private val entrySchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
+      |{"name":"file_sequence_number","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int"},
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"},
+      |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+      |"default":null}]}}]}""".stripMargin.replaceAll("\n", ""))
+
+  private val listSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"},
+      |{"name":"sequence_number","type":"long"},
+      |{"name":"min_sequence_number","type":"long"},
+      |{"name":"added_snapshot_id","type":["null","long"],"default":null},
+      |{"name":"added_files_count","type":"int"},
+      |{"name":"existing_files_count","type":"int"},
+      |{"name":"deleted_files_count","type":"int"},
+      |{"name":"added_rows_count","type":"long"},
+      |{"name":"existing_rows_count","type":"long"},
+      |{"name":"deleted_rows_count","type":"long"}]}""".stripMargin
+      .replaceAll("\n", ""))
+
+  /** (path, content, seq or null → inherit, equalityIds) */
+  private def writeManifest(out: Path,
+      files: Seq[(Path, Int, Option[Long], Seq[Int])]): Unit = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](entrySchema))
+    w.setMeta("format-version", "2")
+    w.create(entrySchema, out.toFile)
+    try files.foreach { case (p, content, seq, eqIds) =>
+      val dfS = entrySchema.getField("data_file").schema()
+      val df = new GenericData.Record(dfS)
+      df.put("content", content)
+      df.put("file_path", p.toUri.toString)
+      df.put("file_format", "PARQUET")
+      df.put("partition",
+        new GenericData.Record(dfS.getField("partition").schema()))
+      df.put("record_count", 1L)
+      df.put("file_size_in_bytes", Files.size(p))
+      if (eqIds.nonEmpty)
+        df.put("equality_ids", eqIds.map(Int.box).asJava)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", 77L)
+      seq.foreach(sq => e.put("sequence_number", sq))
+      e.put("data_file", df)
+      w.append(e)
+    } finally w.close()
+  }
+
+  test("external-style v2 table: equality deletes apply to strictly " +
+    "older data files, positional deletes to the named file, inherited " +
+    "sequence numbers resolve from the manifest list") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ice-ext")
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    val metaDir = Files.createDirectories(root.resolve("metadata"))
+
+    // data file A @ seq 1: ids 0..9; data file B @ seq 2: ids 100..104
+    val fileA = dataDir.resolve("a.parquet")
+    val fileB = dataDir.resolve("b.parquet")
+    writeOneParquet((0 until 10).map(i => (i, s"a$i")).toDF("id", "v"), fileA)
+    writeOneParquet((100 until 105).map(i => (i, s"b$i")).toDF("id", "v"), fileB)
+    // positional delete @ seq 2: (A, pos 0) → id 0 dies
+    val posDel = dataDir.resolve("pos-del.parquet")
+    writeOneParquet(Seq((fileA.toUri.toString, 0L)).toDF("file_path", "pos"),
+      posDel)
+    // equality delete @ seq 2 on field id 1 (= column `id`): ids 1, 3,
+    // 100 — kills A's 1 and 3; B's 100 SURVIVES (B.seq == delete.seq,
+    // strict `<` exempts it — the Flink upsert-own-batch rule)
+    val eqDel = dataDir.resolve("eq-del.parquet")
+    writeOneParquet(Seq(1, 3, 100).toDF("id"), eqDel)
+
+    // data manifest: A has an explicit seq, B a NULL seq (inherits the
+    // manifest list's sequence_number = 2)
+    val mData = metaDir.resolve("m-data.avro")
+    writeManifest(mData, Seq(
+      (fileA, 0, Some(1L), Nil), (fileB, 0, None, Nil)))
+    val mDel = metaDir.resolve("m-del.avro")
+    writeManifest(mDel, Seq(
+      (posDel, 1, Some(2L), Nil), (eqDel, 2, Some(2L), Seq(1))))
+
+    val listPath = metaDir.resolve("snap-77.avro")
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](listSchema))
+    lw.setMeta("format-version", "2")
+    lw.create(listSchema, listPath.toFile)
+    try Seq((mData, 0, 2L, 1L), (mDel, 1, 2L, 2L)).foreach {
+      case (p, content, seq, minSeq) =>
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", p.toUri.toString)
+        r.put("manifest_length", Files.size(p))
+        r.put("partition_spec_id", 0)
+        r.put("content", content)
+        r.put("sequence_number", seq)
+        r.put("min_sequence_number", minSeq)
+        r.put("added_snapshot_id", 77L)
+        r.put("added_files_count", 2)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", 2L)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        lw.append(r)
+    } finally lw.close()
+
+    val metaPath = metaDir.resolve("v1.metadata.json")
+    Files.writeString(metaPath,
+      s"""{"format-version":2,"table-uuid":"00000000-0000-0000-0000-000000000077",
+         |"location":"${root.toUri.toString.stripSuffix("/")}",
+         |"last-sequence-number":2,"last-updated-ms":0,"last-column-id":2,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"id","required":false,"type":"int"},
+         |{"id":2,"name":"v","required":false,"type":"string"}]}],
+         |"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"last-partition-id":999,
+         |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,
+         |"properties":{},"current-snapshot-id":77,
+         |"snapshots":[{"snapshot-id":77,"sequence-number":2,"timestamp-ms":0,
+         |"summary":{"operation":"append"},
+         |"manifest-list":"${listPath.toUri.toString}","schema-id":0}],
+         |"snapshot-log":[],"metadata-log":[]}""".stripMargin
+        .replaceAll("\n", ""))
+
+    // ---- plan ----------------------------------------------------------
+    val plan = IcebergImport.plan(metaPath)
+    plan.formatVersion shouldBe 2
+    plan.dataFiles.map(_.seq).sorted shouldBe Seq(1L, 2L) // B inherited 2
+    plan.positionDeletes.map(_.seq) shouldBe Seq(2L)
+    plan.equalityDeletes.map(d => (d.seq, d.equalityIds)) shouldBe
+      Seq((2L, Seq(1)))
+
+    // ---- read ----------------------------------------------------------
+    val got = IcebergImport.read(spark, metaPath)
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    got shouldBe (
+      (2 until 10).filter(_ != 3).map(i => (i, s"a$i")) ++ // 0 pos-deleted, 1+3 eq-deleted
+        (100 until 105).map(i => (i, s"b$i"))) // 100 survives: seq not strictly older
+  }
+}

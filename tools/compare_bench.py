@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Compare one or more Bench JSON lines against BASELINE.md's canonical
+round-6 pin table (driver-side tooling only, not part of the shipped
+library).
+
+Usage: python3 tools/compare_bench.py bench1.json [bench2.json ...]
+
+Takes the per-query MIN across the given runs (the BASELINE.md protocol
+for this noisy shared VM), prints every query above 2x its pin and the
+unpinned queries.
+"""
+import json
+import re
+import sys
+
+
+def load_pins() -> dict:
+    txt = open("BASELINE.md").read()
+    sec = txt.split("## Per-query baseline (round 6")[1]
+    sec = sec.split("## Per-query baseline (round 4")[0]
+    pins = {}
+    for line in sec.splitlines():
+        m = re.match(r"\|\s*([a-z0-9_]+)\s*\|.*\|\s*([0-9.]+)\s*\|\s*$", line)
+        if m:  # last numeric column = the pin (4-run min)
+            pins[m.group(1)] = float(m.group(2))
+    return pins
+
+
+def main():
+    pins = load_pins()
+    runs = []
+    for f in sys.argv[1:]:
+        line = open(f).read()
+        runs.append(json.loads(line[line.find('{'):]))
+    queries = {}
+    for r in runs:
+        for q, t in r["queries"].items():
+            queries[q] = min(queries.get(q, float("inf")), t)
+    print(f"pins: {len(pins)}  queries: {len(queries)}  runs: {len(runs)}")
+    print(f"run totals: {[round(r['value'], 1) for r in runs]}")
+    print(f"min-sum: {round(sum(queries.values()), 1)}  "
+          f"pin-sum: {round(sum(pins.values()), 1)}")
+    bad = [(q, round(t, 2), pins[q], round(t / pins[q], 1))
+           for q, t in sorted(queries.items())
+           if q in pins and t > 2 * pins[q]]
+    print(f"rows >2x pin: {len(bad)}")
+    for q, t, p, r in bad:
+        print(f"  {q}: {t}s vs pin {p}s ({r}x)")
+    ratios = sorted(t / pins[q] for q, t in queries.items() if q in pins)
+    print(f"median ratio: {round(ratios[len(ratios) // 2], 2)}")
+    unpinned = [q for q in queries if q not in pins]
+    if unpinned:
+        print("UNPINNED:", {q: round(queries[q], 2) for q in unpinned})
+
+
+if __name__ == "__main__":
+    main()
