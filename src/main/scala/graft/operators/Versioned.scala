@@ -362,16 +362,19 @@ object Versioned {
   }
 
   /** Iceberg interop end-to-end: orders lands in a merge-on-read graft
-    * table, a predicate DELETE commits an O(1) tombstone, a later
-    * INSERT adds rows the tombstone must NOT touch, `CALL
-    * iceberg_export` writes spec-v2 metadata + positional delete files
-    * (deleted row positions re-derived per applicable file), and the
-    * INDEPENDENT [[graft.versioned.IcebergImport]] reader — which
-    * shares only the spec constants with the writer — reads the export
-    * back. The aggregate must match DuckDB replaying the same
-    * delete+insert relationally, which hash-proves the whole v2
-    * export/import surface: delete-file content, sequence exemption,
-    * manifest file lists, and the anti-join delete application.
+    * table, a range DELETE and an equality DELETE commit O(1)
+    * tombstones, a later INSERT adds rows (one matching BOTH
+    * tombstones) that must survive, `CALL iceberg_export` writes
+    * spec-v2 metadata with BOTH delete-file kinds — positional
+    * (positions re-derived per applicable file) for the range
+    * predicate, an O(1) equality delete file (no data scanned) for the
+    * equality one — and the INDEPENDENT
+    * [[graft.versioned.IcebergImport]] reader — which shares only the
+    * spec constants with the writer — reads the export back. The
+    * aggregate must match DuckDB replaying the same deletes+insert
+    * relationally, which hash-proves the whole v2 export/import
+    * surface: both delete-file contents, strict/at-or-older sequence
+    * rules, manifest file lists, and the anti-join applications.
     */
   private def icebergRead(s: SparkSession, d: String): DataFrame = {
     val (cat, _) = freshCatalog(s)
@@ -381,11 +384,14 @@ object Versioned {
     s.sql(s"CREATE TABLE $cat.r.main.db.orders (${orders.schema.toDDL}) " +
       "TBLPROPERTIES('graft.delete.mode'='merge-on-read')")
     orders.writeTo(s"$cat.r.main.db.orders").append()
+    // range predicate → POSITIONAL delete files (per-file re-evaluation)
     s.sql(s"DELETE FROM $cat.r.main.db.orders " +
       "WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0")
-    // rows inserted AFTER the tombstone survive it, matching or not
+    // equality predicate → O(1) EQUALITY delete file (no data scanned)
+    s.sql(s"DELETE FROM $cat.r.main.db.orders WHERE o_custkey = 7")
+    // rows inserted AFTER the tombstones survive them, matching or not
     s.sql(s"INSERT INTO $cat.r.main.db.orders VALUES " +
-      "(9100001, 1, 'O', 900001.0, TIMESTAMP'2024-02-01 00:00:00', 'graft-ice')," +
+      "(9100001, 7, 'O', 900001.0, TIMESTAMP'2024-02-01 00:00:00', 'graft-ice')," +
       "(9100002, 2, 'F', 900002.0, TIMESTAMP'2024-02-02 00:00:00', 'graft-ice')")
     val dest = Files.createTempDirectory("graft-ice-export")
     val metaPath = s.sql(s"CALL $cat.system.iceberg_export('r', 'main', " +
@@ -582,6 +588,7 @@ object Versioned {
         |FROM (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |  WHERE NOT (o_orderstatus = 'O' AND o_totalprice > 200000.0)
+        |    AND NOT (o_custkey = 7)
         |  UNION ALL
         |  SELECT 9100001, 'O', 900001.0
         |  UNION ALL

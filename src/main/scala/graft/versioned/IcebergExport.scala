@@ -67,22 +67,37 @@ object IcebergExport {
   val DeletePathFieldId = 2147483546L
   val DeletePosFieldId = 2147483545L
 
-  /** One written positional-delete parquet (v2 export only).
+  /** Cap on the value-row cross product an In-conjunction tombstone may
+    * expand to as an equality delete before falling back to positional.
+    */
+  private val MaxEqualityRows = 1024
+
+  /** One written delete parquet (v2 export only).
     *
-    * @param partValues partition values of the single data file the
-    *                   deletes reference (empty when the export spec is
-    *                   unpartitioned — one delete file may then cover a
-    *                   whole tombstone group, sorted by file_path, pos)
+    * @param partValues partition values of the single data file a
+    *                   positional delete references (empty when the
+    *                   export spec is unpartitioned — one positional
+    *                   file may then cover a whole tombstone group;
+    *                   always empty for equality deletes, which are
+    *                   written only under unpartitioned specs)
+    * @param content    1 = position deletes, 2 = equality deletes
+    * @param seq        Iceberg data sequence number (= graft commit
+    *                   seq + 1, making graft's strict `t.seq > f.seq`
+    *                   applicability exactly Iceberg's strict
+    *                   `dataSeq < deleteSeq` equality-delete rule)
+    * @param equalityIds schema field ids named by an equality delete
     */
   private final case class DeleteFile(path: Path, rows: Long,
-      partValues: Map[String, String])
+      partValues: Map[String, String], content: Int, seq: Long,
+      equalityIds: Seq[Int])
 
-  /** One manifest row — a data file or a positional-delete file.
-    * `content` is the spec's data_file.content: 0 = data, 1 = position
-    * deletes.
+  /** One manifest row — a data file or a delete file. `content` is the
+    * spec's data_file.content: 0 = data, 1 = position deletes, 2 =
+    * equality deletes.
     */
   private final case class MEntry(uri: String, rows: Long, size: Long,
-      partValues: Map[String, String], content: Int)
+      partValues: Map[String, String], content: Int, seq: Long,
+      equalityIds: Seq[Int])
 
   /** Write Iceberg metadata for `ref:key` under `dest` (a fresh export
     * directory). Returns the path of the written metadata JSON. This
@@ -125,17 +140,35 @@ object IcebergExport {
       else (pfAll, None)
 
     val tombs = Tombstones.of(snap)
-    val deletes: Seq[DeleteFile] =
-      if (tombs.isEmpty) Nil
+    // Equality-expressible tombstones (EqualTo/In conjunctions) export
+    // as O(1) EQUALITY DELETE FILES — the predicate's value rows, no
+    // data scanned, no SparkSession needed: at 100 TB a
+    // `DELETE WHERE user_id = x` exports in constant time. Restricted
+    // to unpartitioned export specs: with a partitioned spec a delete
+    // file's partition tuple scopes it, and a table-wide equality
+    // delete would need a second (unpartitioned) spec. Everything else
+    // (range/string predicates, partitioned specs) takes the
+    // positional path, which re-evaluates predicates per file and
+    // needs a session.
+    val (eqTombs, posTombs) =
+      if (specFields.isEmpty)
+        tombs.partition(t => equalityRows(t.filter, phys).isDefined)
+      else (Nil, tombs)
+    val eqDeletes = eqTombs.map(t =>
+      writeEqualityDelete(t, phys, Files.createDirectories(dest.resolve("data"))))
+    val posDeletes: Seq[DeleteFile] =
+      if (posTombs.isEmpty) Nil
       else spark match {
         case Some(s) =>
-          writePositionDeletes(s, repo, snap, phys, specFields, dest)
+          writePositionDeletes(s, repo, snap, phys, specFields, posTombs, dest)
         case None => throw new UnsupportedOperationException(
-          s"$key has merge-on-read tombstones; export through CALL " +
+          s"$key has merge-on-read tombstones that are not " +
+            "equality-expressible; export through CALL " +
             "graft.system.iceberg_export (writes Iceberg v2 positional " +
             "delete files) or run CALL graft.system.compact first — a " +
             "v1 reader would resurrect deleted rows")
       }
+    val deletes = eqDeletes ++ posDeletes
     // v1 when nothing needs v2: widest reader compatibility (all live
     // tombstones pruned away by stats/blooms also land here)
     val v = if (deletes.isEmpty) 1 else 2
@@ -168,10 +201,16 @@ object IcebergExport {
       val abs = repo.root.resolve(f.path)
       // true on-disk length (readers plan range reads from it — the
       // snapshot's estimate is not good enough here)
-      MEntry(abs.toUri.toString, f.rows, Files.size(abs), f.partValues, 0)
+      MEntry(abs.toUri.toString, f.rows, Files.size(abs), f.partValues, 0,
+        f.seqNo + 1, Nil)
     }
     val deleteEntries = deletes.map(d =>
-      MEntry(d.path.toUri.toString, d.rows, Files.size(d.path), d.partValues, 1))
+      MEntry(d.path.toUri.toString, d.rows, Files.size(d.path), d.partValues,
+        d.content, d.seq, d.equalityIds))
+    // snapshot sequence = the highest sequence any entry carries (v1
+    // exports ignore it); entries keep their own explicit sequences so
+    // strictly-older equality semantics survive in one snapshot
+    val snapSeq = (dataEntries ++ deleteEntries).map(_.seq).maxOption.getOrElse(1L)
     val manifestPath = metaDir.resolve(s"${UUID.randomUUID()}-m0.avro")
     writeManifest(manifestPath, dataEntries, snapshotId,
       icebergSchemaJson(phys), specFields, srcTypeOf, specFieldsJson, v,
@@ -186,16 +225,18 @@ object IcebergExport {
     val listPath = metaDir.resolve(
       s"snap-$snapshotId-1-${UUID.randomUUID()}.avro")
     writeManifestList(listPath, snapshotId, v,
-      Seq((manifestPath, 0, dataEntries.size, dataEntries.map(_.rows).sum)) ++
+      Seq((manifestPath, 0, dataEntries.size, dataEntries.map(_.rows).sum,
+        snapSeq, dataEntries.map(_.seq).minOption.getOrElse(1L))) ++
         deleteManifest.map(p =>
-          (p, 1, deleteEntries.size, deleteEntries.map(_.rows).sum)))
+          (p, 1, deleteEntries.size, deleteEntries.map(_.rows).sum,
+            snapSeq, deleteEntries.map(_.seq).minOption.getOrElse(1L))))
     // ---- table metadata JSON -------------------------------------------
     val meta = new java.util.LinkedHashMap[String, Any]
     meta.put("format-version", v)
     meta.put("table-uuid", UUID.nameUUIDFromBytes(
       snap.id.getBytes(StandardCharsets.UTF_8)).toString)
     meta.put("location", dest.toUri.toString.stripSuffix("/"))
-    if (v >= 2) meta.put("last-sequence-number", 1L)
+    if (v >= 2) meta.put("last-sequence-number", snapSeq)
     meta.put("last-updated-ms", nowMs)
     meta.put("last-column-id", phys.fields.length)
     val schemaMap = icebergSchemaMap(phys)
@@ -223,7 +264,7 @@ object IcebergExport {
     meta.put("current-snapshot-id", snapshotId)
     val snapMap = new java.util.LinkedHashMap[String, Any]
     snapMap.put("snapshot-id", snapshotId)
-    if (v >= 2) snapMap.put("sequence-number", 1L)
+    if (v >= 2) snapMap.put("sequence-number", snapSeq)
     snapMap.put("timestamp-ms", nowMs)
     val summary = new java.util.LinkedHashMap[String, Any]
     summary.put("operation", "append")
@@ -249,6 +290,112 @@ object IcebergExport {
     metaPath
   }
 
+  // ---- equality delete files (v2) --------------------------------------
+
+  /** The (columns, value rows) an equality delete file would carry for
+    * `f`, or None when the predicate is not equality-shaped: supported
+    * are EqualTo / In and And-conjunctions over DISJOINT column sets
+    * (cross product capped at [[MaxEqualityRows]]), on types a delete
+    * parquet can carry. Values arrive in [[FilterJson]]'s canonical
+    * decoded forms (Long / Double / String / Boolean / java.sql.Date /
+    * java.sql.Timestamp).
+    */
+  private def equalityRows(f: org.apache.spark.sql.sources.Filter,
+      phys: StructType): Option[(Seq[String], Seq[Map[String, Any]])] = {
+    import org.apache.spark.sql.sources
+    def writable(c: String): Boolean =
+      phys.fields.find(_.name == c).map(_.dataType).exists {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+             DoubleType | BooleanType | StringType | DateType |
+             TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+    f match {
+      case sources.EqualTo(c, v) if v != null && writable(c) =>
+        Some((Seq(c), Seq(Map(c -> v))))
+      case sources.In(c, vs) if vs.nonEmpty && !vs.contains(null) && writable(c) =>
+        Some((Seq(c), vs.toSeq.map(v => Map(c -> v))))
+      case sources.And(l, r) =>
+        for {
+          (lc, lr) <- equalityRows(l, phys)
+          (rc, rr) <- equalityRows(r, phys)
+          if lc.intersect(rc).isEmpty &&
+            lr.size.toLong * rr.size <= MaxEqualityRows
+        } yield (lc ++ rc, for (a <- lr; b <- rr) yield a ++ b)
+      case _ => None
+    }
+  }
+
+  /** Write one tombstone as an Iceberg equality delete parquet: the
+    * predicate's VALUE rows under the referenced columns (schema field
+    * ids stamped in the footer), via parquet-hadoop's standalone writer
+    * — no Spark job, no data scanned, O(predicate) work.
+    */
+  private def writeEqualityDelete(t: Tombstone, phys: StructType,
+      dataDir: Path): DeleteFile = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val (cols, rows) = equalityRows(t.filter, phys).getOrElse(
+      throw new IllegalStateException(s"not equality-shaped: ${t.filter}"))
+    val ids = cols.map(c => phys.fieldIndex(c) + 1)
+    val fields = cols.map { c =>
+      val fieldType = phys.fields(phys.fieldIndex(c)).dataType
+      val b = fieldType match {
+        case ByteType | ShortType | IntegerType => Types.optional(INT32)
+        case LongType => Types.optional(INT64)
+        case FloatType => Types.optional(FLOAT)
+        case DoubleType => Types.optional(DOUBLE)
+        case BooleanType => Types.optional(BOOLEAN)
+        case StringType =>
+          Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+        case DateType =>
+          Types.optional(INT32).as(LogicalTypeAnnotation.dateType())
+        case TimestampType => Types.optional(INT64).as(LogicalTypeAnnotation
+          .timestampType(true, LogicalTypeAnnotation.TimeUnit.MICROS))
+        case TimestampNTZType => Types.optional(INT64).as(LogicalTypeAnnotation
+          .timestampType(false, LogicalTypeAnnotation.TimeUnit.MICROS))
+        case other => throw new IllegalStateException(
+          s"equalityRows admitted unwritable type $other") // unreachable
+      }
+      b.id(phys.fieldIndex(c) + 1).named(c)
+    }
+    val msg = new org.apache.parquet.schema.MessageType("eq_delete",
+      fields.toArray[org.apache.parquet.schema.Type]: _*)
+    val out = dataDir.resolve(s"${UUID.randomUUID()}-eq-deletes.parquet")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(out.toUri),
+        new org.apache.hadoop.conf.Configuration()))
+      .withType(msg).build()
+    val factory =
+      new org.apache.parquet.example.data.simple.SimpleGroupFactory(msg)
+    try rows.foreach { r =>
+      val g = factory.newGroup()
+      cols.foreach { c =>
+        val v = r(c)
+        phys.fields(phys.fieldIndex(c)).dataType match {
+          case ByteType | ShortType | IntegerType =>
+            g.add(c, v.asInstanceOf[Number].intValue())
+          case LongType => g.add(c, v.asInstanceOf[Number].longValue())
+          case FloatType => g.add(c, v.asInstanceOf[Number].floatValue())
+          case DoubleType => g.add(c, v.asInstanceOf[Number].doubleValue())
+          case BooleanType => g.add(c, v.asInstanceOf[Boolean])
+          case StringType => g.add(c,
+            org.apache.parquet.io.api.Binary.fromString(v.toString))
+          case DateType => g.add(c,
+            v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+          case TimestampType | TimestampNTZType =>
+            val i = v.asInstanceOf[java.sql.Timestamp].toInstant
+            g.add(c, i.getEpochSecond * 1000000L + i.getNano / 1000L)
+          case other => throw new IllegalStateException(s"unreachable: $other")
+        }
+      }
+      writer.write(g)
+    } finally writer.close()
+    DeleteFile(out, rows.size.toLong, Map.empty, content = 2,
+      seq = t.seq + 1, equalityIds = ids)
+  }
+
   // ---- positional delete files (v2) ------------------------------------
 
   /** Re-evaluate each tombstone group's predicate over exactly the files
@@ -262,13 +409,16 @@ object IcebergExport {
     */
   private def writePositionDeletes(s: SparkSession, repo: GraftRepo,
       snap: Snapshot, phys: StructType, specFields: Seq[PartitionField],
-      dest: Path): Seq[DeleteFile] = {
+      tombs: Seq[Tombstone], dest: Path): Seq[DeleteFile] = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
-    val tombs = Tombstones.of(snap)
     val (_, groups) = Tombstones.split(tombs, phys, snap.files, Some(repo.root))
     val dataDir = dest.resolve("data")
     Files.createDirectories(dataDir)
     groups.flatMap { case (files, gTombs) =>
+      // positions are path-scoped, so any delete sequence at or above
+      // the referenced files' works; the newest contributing tombstone's
+      // is the honest one
+      val seq = gTombs.map(_.seq).max + 1
       // deleted = ANY applicable tombstone predicate true (null-safe:
       // null = not matched = kept, SQL DELETE semantics)
       val delCond = gTombs.map(t =>
@@ -285,11 +435,13 @@ object IcebergExport {
       }
       if (specFields.nonEmpty)
         files.flatMap(f => writeDeleteParquet(s, positions(f), dataDir)
-          .map { case (p, n) => DeleteFile(p, n, f.partValues) })
+          .map { case (p, n) =>
+            DeleteFile(p, n, f.partValues, content = 1, seq, Nil) })
       else
         writeDeleteParquet(s,
           files.map(positions).reduce(_ union _), dataDir)
-          .map { case (p, n) => DeleteFile(p, n, Map.empty) }.toSeq
+          .map { case (p, n) =>
+            DeleteFile(p, n, Map.empty, content = 1, seq, Nil) }.toSeq
     }
   }
 
@@ -546,6 +698,12 @@ object IcebergExport {
     dfFields += field("file_size_in_bytes", 104, s(Schema.Type.LONG), optional = false)
     if (v == 1)
       dfFields += field("block_size_in_bytes", 105, s(Schema.Type.LONG), optional = false)
+    if (v >= 2) {
+      // spec field 135: schema field ids an equality delete references
+      val arr = Schema.createArray(s(Schema.Type.INT))
+      arr.addProp("element-id", 136: Integer)
+      dfFields += field("equality_ids", 135, arr, optional = true)
+    }
     dataFile.setFields(java.util.List.of(dfFields.result(): _*))
     val entry = Schema.createRecord("manifest_entry", null, null, false)
     val eFields = Seq.newBuilder[Schema.Field]
@@ -596,15 +754,19 @@ object IcebergExport {
         df.put("record_count", me.rows)
         df.put("file_size_in_bytes", me.size)
         if (v == 1) df.put("block_size_in_bytes", 64L << 20)
+        if (v >= 2 && me.equalityIds.nonEmpty)
+          df.put("equality_ids",
+            java.util.List.of(me.equalityIds.map(Int.box): _*))
         val e = new GenericData.Record(entrySchema)
         e.put("status", 1) // ADDED in this (single) snapshot
         e.put("snapshot_id", snapshotId)
         if (v >= 2) {
-          // one snapshot, one sequence number; positional deletes apply
-          // at data_seq <= delete_seq, and file_path scoping already
-          // pins each delete row to exactly one data file
-          e.put("sequence_number", 1L)
-          e.put("file_sequence_number", 1L)
+          // explicit per-entry sequences (graft commit seq + 1): the
+          // strictly-older equality rule and the at-or-older positional
+          // rule both need real data sequence ordering inside the one
+          // exported snapshot
+          e.put("sequence_number", me.seq)
+          e.put("file_sequence_number", me.seq)
         }
         e.put("data_file", df)
         writer.append(e)
@@ -641,9 +803,11 @@ object IcebergExport {
     rec
   }
 
-  /** `manifests` = (path, content 0|1, file count, row count). */
+  /** `manifests` = (path, content 0|1, file count, row count, sequence
+    * number at which the manifest was added, min entry sequence).
+    */
   private def writeManifestList(path: Path, snapshotId: Long, v: Int,
-      manifests: Seq[(Path, Int, Int, Long)]): Unit = {
+      manifests: Seq[(Path, Int, Int, Long, Long, Long)]): Unit = {
     val schema = manifestFileSchema(v)
     val writer = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](schema))
@@ -651,15 +815,15 @@ object IcebergExport {
     writer.setMeta("format-version", v.toString)
     writer.create(schema, path.toFile)
     val n = if (v == 1) "_data_files_count" else "_files_count"
-    try manifests.foreach { case (mp, content, files, rows) =>
+    try manifests.foreach { case (mp, content, files, rows, seq, minSeq) =>
       val r = new GenericData.Record(schema)
       r.put("manifest_path", mp.toUri.toString)
       r.put("manifest_length", Files.size(mp))
       r.put("partition_spec_id", 0)
       if (v >= 2) {
         r.put("content", content)
-        r.put("sequence_number", 1L)
-        r.put("min_sequence_number", 1L)
+        r.put("sequence_number", seq)
+        r.put("min_sequence_number", minSeq)
       }
       r.put("added_snapshot_id", snapshotId)
       r.put(s"added$n", files)

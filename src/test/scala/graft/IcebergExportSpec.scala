@@ -218,14 +218,15 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
       include("predate")
   }
 
-  test("export refuses a table with merge-on-read tombstones when no " +
-    "SparkSession is supplied (a v1 reader would resurrect deleted rows)") {
+  test("export refuses a table with non-equality merge-on-read " +
+    "tombstones when no SparkSession is supplied (a v1 reader would " +
+    "resurrect deleted rows)") {
     sql("CREATE NAMESPACE g.ice2")
     sql("CREATE NAMESPACE g.ice2.main.db")
     sql("CREATE TABLE g.ice2.main.db.t (id INT, v STRING) " +
       "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
     sql("INSERT INTO g.ice2.main.db.t VALUES (1, 'a'), (2, 'b')")
-    sql("DELETE FROM g.ice2.main.db.t WHERE id = 1") // tombstone commit
+    sql("DELETE FROM g.ice2.main.db.t WHERE id > 1") // range: positional only
     val repo = GraftRepo.open(java.nio.file.Paths.get(
       spark.conf.get("spark.sql.catalog.g.root"), "ice2"))
     val dest = Files.createTempDirectory("ice-export-mor")
@@ -233,6 +234,95 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
       graft.versioned.IcebergExport.export(repo, "main", "db/t", dest))
     e.getMessage should include("tombstones")
   }
+
+  test("equality-shaped tombstones export as O(1) equality delete files " +
+    "WITHOUT a SparkSession — no data scanned — and the import applies " +
+    "the strictly-older rule exactly") {
+    sql("CREATE NAMESPACE g.iceq")
+    sql("CREATE NAMESPACE g.iceq.main.db")
+    sql("CREATE TABLE g.iceq.main.db.t (id INT, grp STRING, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO g.iceq.main.db.t SELECT CAST(id AS INT), " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END, CAST(id AS DOUBLE) " +
+      "FROM range(0, 50)")
+    sql("DELETE FROM g.iceq.main.db.t WHERE id IN (1, 3, 5)") // In: equality
+    sql("DELETE FROM g.iceq.main.db.t WHERE grp = 'a' AND id = 2") // conjunction
+    // rows inserted after the tombstones survive even when they match
+    sql("INSERT INTO g.iceq.main.db.t VALUES (1, 'b', -1.0), (2, 'a', -2.0)")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "iceq"))
+    val dest = Files.createTempDirectory("ice-export-eq")
+    // NO SparkSession — the whole export is driver-side metadata work
+    val metaPath = graft.versioned.IcebergExport.export(
+      repo, "main", "db/t", dest)
+
+    val meta = mapperOf(metaPath.toString)
+    meta.get("format-version").asInt() shouldBe 2
+    val (listRecs, _) = readAvro(java.nio.file.Paths.get(java.net.URI.create(
+      meta.get("snapshots").get(0).get("manifest-list").asText())).toString)
+    val delManifest = listRecs.find(_.get("content").asInstanceOf[Int] == 1).get
+    val (delEntries, _) = readAvro(java.nio.file.Paths.get(
+      java.net.URI.create(delManifest.get("manifest_path").toString)).toString)
+    delEntries.length shouldBe 2 // one equality delete file per tombstone
+    delEntries.foreach { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      df.get("content").asInstanceOf[Int] shouldBe 2 // EQUALITY_DELETES
+    }
+    // the In-tombstone's file: 3 value rows under column `id`, field id
+    // stamped in the parquet footer
+    val byRows = delEntries.map { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      df.get("record_count").asInstanceOf[Long] -> df
+    }.toMap
+    byRows.keySet shouldBe Set(3L, 1L)
+    val inFile = java.nio.file.Paths.get(
+      java.net.URI.create(byRows(3L).get("file_path").toString))
+    parquetFooterSchema(inFile).getType(Seq("id"): _*)
+      .getId.intValue() shouldBe 1
+    spark.read.parquet(inFile.toString).collect()
+      .map(_.getInt(0)).sorted shouldBe Array(1, 3, 5)
+    // conjunction file carries both columns and both field ids
+    val andIds = byRows(1L).get("equality_ids")
+      .asInstanceOf[java.util.List[Integer]]
+    andIds.asScala.map(_.toInt).sorted shouldBe Seq(1, 2)
+
+    // round trip: id 1,3,5 and (grp a, id 2) dead from the FIRST batch;
+    // the re-inserted (1,'b') and (2,'a') SURVIVE (strictly-older rule)
+    val imported = graft.versioned.IcebergImport.read(spark, metaPath)
+      .orderBy("id", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    val viaGraft = sql("SELECT id, grp, v FROM g.iceq.main.db.t ORDER BY id, v")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    imported shouldBe viaGraft
+    imported.length shouldBe 48 // 50 - 4 deleted + 2 re-inserts
+    imported.count(_._3 < 0) shouldBe 2 // both late inserts present
+  }
+
+  test("mixed tombstones: equality-shaped ones become equality deletes, " +
+    "range ones positional — both applied in one import") {
+    sql("CREATE NAMESPACE g.icemix")
+    sql("CREATE NAMESPACE g.icemix.main.db")
+    sql("CREATE TABLE g.icemix.main.db.t (id INT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO g.icemix.main.db.t SELECT CAST(id AS INT), " +
+      "CAST(id AS DOUBLE) FROM range(0, 40)")
+    sql("DELETE FROM g.icemix.main.db.t WHERE id = 7") // equality
+    sql("DELETE FROM g.icemix.main.db.t WHERE id >= 35") // positional
+    val dest = Files.createTempDirectory("ice-export-mix")
+    val metaPath = java.nio.file.Paths.get(
+      sql(s"CALL g.system.iceberg_export('icemix', 'main', 'db.t', '$dest')")
+        .collect().head.getString(0))
+    val plan = graft.versioned.IcebergImport.plan(metaPath)
+    plan.equalityDeletes.length shouldBe 1
+    plan.positionDeletes.length shouldBe 1
+    val got = graft.versioned.IcebergImport.read(spark, metaPath)
+      .orderBy("id").collect().map(_.getInt(0))
+    got shouldBe (0 until 35).filter(_ != 7).toArray
+  }
+
+  private def mapperOf(p: String) =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(java.nio.file.Paths.get(p)))
 
   private def parquetFooterSchema(p: java.nio.file.Path) = {
     val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -264,11 +354,13 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val meta = mapper.readTree(Files.readString(metaPath))
     meta.get("format-version").asInt() shouldBe 2
-    meta.get("last-sequence-number").asLong() shouldBe 1L
+    // real sequences: insert(graft 1 -> 2), tombstone(2 -> delete at 3),
+    // late insert(3 -> 4); snapshot carries the max
+    meta.get("last-sequence-number").asLong() shouldBe 4L
     meta.has("schema") shouldBe false // v1-only legacy keys absent in v2
     meta.has("partition-spec") shouldBe false
     val snapNode = meta.get("snapshots").get(0)
-    snapNode.get("sequence-number").asLong() shouldBe 1L
+    snapNode.get("sequence-number").asLong() shouldBe 4L
     snapNode.get("summary").get("added-position-deletes").asText().toLong should be > 0L
 
     // ---- manifest list: one data + one deletes manifest ----------------
@@ -278,10 +370,11 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     val byContent = listRecs.map(r => r.get("content").asInstanceOf[Int] -> r).toMap
     byContent.keySet shouldBe Set(0, 1)
     listRecs.foreach { r =>
-      r.get("sequence_number").asInstanceOf[Long] shouldBe 1L
-      r.get("min_sequence_number").asInstanceOf[Long] shouldBe 1L
+      r.get("sequence_number").asInstanceOf[Long] shouldBe 4L
       r.getSchema.getField("added_files_count") should not be null
     }
+    byContent(0).get("min_sequence_number").asInstanceOf[Long] shouldBe 2L
+    byContent(1).get("min_sequence_number").asInstanceOf[Long] shouldBe 3L
 
     // ---- delete manifest + delete parquet ------------------------------
     val delManifest = java.nio.file.Paths.get(java.net.URI.create(
@@ -395,6 +488,8 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     val dest = Files.createTempDirectory("ice-export-imp")
     val metaPath = sql("CALL g.system.iceberg_export('icei', 'main', " +
       s"'db.t', '$dest')").collect().head.getString(0)
+    // clean table → v1, and the import CALL reports zero delete files
+    mapperOf(metaPath).get("format-version").asInt() shouldBe 1
     val imp = sql(s"CALL g.system.iceberg_import('$metaPath', 'ice_imp_v')")
       .collect().head
     imp.getString(0) shouldBe "ice_imp_v"
