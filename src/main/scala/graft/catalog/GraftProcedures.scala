@@ -244,7 +244,8 @@ private[catalog] object GraftProcedures {
         // merge-on-read snapshots.
         "iceberg_export",
         Seq(("repo", StringType, None), ("ref", StringType, None),
-          ("tbl", StringType, None), ("dest", StringType, None)),
+          ("tbl", StringType, None), ("dest", StringType, None),
+          ("snapshots", IntegerType, Some("1"))),
         StructType(Seq(
           StructField("metadata_path", StringType, nullable = false),
           StructField("data_files", IntegerType, nullable = false))),
@@ -252,9 +253,10 @@ private[catalog] object GraftProcedures {
           val g = open(str(in, 0))
           val ref = str(in, 1)
           val key = str(in, 2).replace('.', '/')
+          val maxSnaps = math.max(1, in.getInt(4))
           val p = graft.versioned.IcebergExport.export(
             g, ref, key, java.nio.file.Paths.get(str(in, 3)),
-            Some(org.apache.spark.sql.SparkSession.active))
+            Some(org.apache.spark.sql.SparkSession.active), maxSnaps)
           val n = g.snapshot(g.resolve(ref).tables(key)).files.size
           Seq(UTF8String.fromString(p.toString), n)
         }))
@@ -263,7 +265,8 @@ private[catalog] object GraftProcedures {
         // positional deletes) as a session temp view via the
         // independent IcebergImport reader — no iceberg-runtime needed.
         "iceberg_import",
-        Seq(("metadata_path", StringType, None), ("view", StringType, None)),
+        Seq(("metadata_path", StringType, None), ("view", StringType, None),
+          ("snapshot_id", LongType, Some("0"))), // 0 = current snapshot
         StructType(Seq(
           StructField("view", StringType, nullable = false),
           StructField("data_files", IntegerType, nullable = false),
@@ -271,9 +274,10 @@ private[catalog] object GraftProcedures {
         { in =>
           val mp = java.nio.file.Paths.get(str(in, 0))
           val view = str(in, 1)
+          val sid = Some(in.getLong(2)).filter(_ != 0L)
           val s = org.apache.spark.sql.SparkSession.active
-          val plan = graft.versioned.IcebergImport.plan(mp)
-          graft.versioned.IcebergImport.read(s, mp)
+          val plan = graft.versioned.IcebergImport.plan(mp, sid)
+          graft.versioned.IcebergImport.read(s, mp, sid)
             .createOrReplaceTempView(view)
           Seq(UTF8String.fromString(view), plan.dataFiles.size,
             plan.deleteFiles.size)

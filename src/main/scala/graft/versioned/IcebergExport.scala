@@ -101,19 +101,56 @@ object IcebergExport {
 
   /** Write Iceberg metadata for `ref:key` under `dest` (a fresh export
     * directory). Returns the path of the written metadata JSON. This
-    * overload has no SparkSession, so merge-on-read tombstones refuse.
+    * overload has no SparkSession, so non-equality merge-on-read
+    * tombstones refuse.
     */
   def export(repo: GraftRepo, ref: String, key: String, dest: Path): Path =
     export(repo, ref, key, dest, None)
 
-  /** Full export; `spark` enables the v2 positional-delete path for
-    * merge-on-read snapshots (CALL graft.system.iceberg_export passes
-    * the active session).
+  /** `spark` enables the v2 positional-delete path for merge-on-read
+    * snapshots (CALL graft.system.iceberg_export passes the active
+    * session).
     */
   def export(repo: GraftRepo, ref: String, key: String, dest: Path,
-      spark: Option[SparkSession]): Path = {
-    val snap = repo.snapshot(repo.resolve(ref).tables.getOrElse(key,
-      throw new NoSuchElementException(s"no such table: $key @ $ref")))
+      spark: Option[SparkSession]): Path =
+    export(repo, ref, key, dest, spark, maxSnapshots = 1)
+
+  /** One exported table version (internal, pass 1 → pass 2). */
+  private final case class SnapArtifacts(snap: Snapshot, commitTs: Long,
+      snapshotId: Long, dataEntries: Seq[MEntry], deleteEntries: Seq[MEntry])
+
+  /** Full export. `maxSnapshots` > 1 additionally exports up to that
+    * many of the branch's PRIOR table versions (first-parent commit
+    * walk) as real Iceberg snapshots with `snapshot-log` and
+    * parent-snapshot-id links, so external engines time travel over
+    * graft history. History covers the longest eligible suffix of the
+    * chain: it stops at a schema or partition-spec change (the export
+    * carries ONE schema), at a version whose files were vacuumed away,
+    * or at the table's creation. Every exported snapshot lists its
+    * files as ADDED by itself — correct for reads and time travel;
+    * Iceberg changelog/incremental consumers should diff snapshots
+    * instead of trusting the added/existing split.
+    */
+  def export(repo: GraftRepo, ref: String, key: String, dest: Path,
+      spark: Option[SparkSession], maxSnapshots: Int): Path = {
+    val headCommit = repo.resolve(ref)
+    if (!headCommit.tables.contains(key))
+      throw new NoSuchElementException(s"no such table: $key @ $ref")
+    // newest-first distinct table versions along the first-parent chain
+    val versions = {
+      val b = Seq.newBuilder[(Commit, String)]
+      var cur: Option[Commit] = Some(headCommit)
+      var lastSid: Option[String] = None
+      var n = 0
+      while (cur.exists(_.tables.contains(key)) && n < maxSnapshots) {
+        val c = cur.get
+        val sid = c.tables(key)
+        if (!lastSid.contains(sid)) { b += ((c, sid)); lastSid = Some(sid); n += 1 }
+        cur = c.parents.headOption.map(repo.commit)
+      }
+      b.result()
+    }
+    val snap = repo.snapshot(versions.head._2)
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val phys = TableOps.toPhysical(schema, snap.nameMapping)
 
@@ -139,48 +176,32 @@ object IcebergExport {
           "(partition evolution); compact to rewrite them, then re-export"))
       else (pfAll, None)
 
-    val tombs = Tombstones.of(snap)
-    // Equality-expressible tombstones (EqualTo/In conjunctions) export
-    // as O(1) EQUALITY DELETE FILES — the predicate's value rows, no
-    // data scanned, no SparkSession needed: at 100 TB a
-    // `DELETE WHERE user_id = x` exports in constant time. Restricted
-    // to unpartitioned export specs: with a partitioned spec a delete
-    // file's partition tuple scopes it, and a table-wide equality
-    // delete would need a second (unpartitioned) spec. Everything else
-    // (range/string predicates, partitioned specs) takes the
-    // positional path, which re-evaluates predicates per file and
-    // needs a session.
-    val (eqTombs, posTombs) =
-      if (specFields.isEmpty)
-        tombs.partition(t => equalityRows(t.filter, phys).isDefined)
-      else (Nil, tombs)
-    val eqDeletes = eqTombs.map(t =>
-      writeEqualityDelete(t, phys, Files.createDirectories(dest.resolve("data"))))
-    val posDeletes: Seq[DeleteFile] =
-      if (posTombs.isEmpty) Nil
-      else spark match {
-        case Some(s) =>
-          writePositionDeletes(s, repo, snap, phys, specFields, posTombs, dest)
-        case None => throw new UnsupportedOperationException(
-          s"$key has merge-on-read tombstones that are not " +
-            "equality-expressible; export through CALL " +
-            "graft.system.iceberg_export (writes Iceberg v2 positional " +
-            "delete files) or run CALL graft.system.compact first — a " +
-            "v1 reader would resurrect deleted rows")
+    // ---- history eligibility --------------------------------------------
+    // The export carries ONE schema/spec/name-mapping (the head's), so
+    // history extends back only while those are unchanged, every file
+    // still exists (vacuum breaks older reads), and partition values
+    // are complete under the exported spec.
+    def eligibleVersion(h: Snapshot): Boolean =
+      h.schemaJson == snap.schemaJson &&
+        h.partitionFields == snap.partitionFields &&
+        h.nameMapping == snap.nameMapping &&
+        h.files.forall(f => Files.exists(repo.root.resolve(f.path))) &&
+        (specFields.isEmpty || h.files.forall(f =>
+          specFields.forall(pf => f.partValues.contains(pf.name))))
+    val history: Seq[(Commit, Snapshot)] = {
+      val b = Seq.newBuilder[(Commit, Snapshot)]
+      var ok = true
+      versions.foreach { case (c, sid) =>
+        if (ok) {
+          val h = if (sid == snap.id) snap else repo.snapshot(sid)
+          if (sid == snap.id || eligibleVersion(h)) b += ((c, h)) else ok = false
+        }
       }
-    val deletes = eqDeletes ++ posDeletes
-    // v1 when nothing needs v2: widest reader compatibility (all live
-    // tombstones pruned away by stats/blooms also land here)
-    val v = if (deletes.isEmpty) 1 else 2
+      b.result()
+    }
 
     val metaDir = dest.resolve("metadata")
     Files.createDirectories(metaDir)
-    // 64-bit name-UUID of the graft snapshot sha — stable across exports
-    // of the same snapshot, collision-resistant across distinct ones
-    // (String.hashCode gave 32 bits and could be 0), never 0 or negative
-    val snapshotId = math.max(1L, UUID.nameUUIDFromBytes(
-      snap.id.getBytes(StandardCharsets.UTF_8))
-      .getMostSignificantBits & Long.MaxValue)
     val nowMs = System.currentTimeMillis()
 
     // partition-spec fields JSON (shared by metadata JSON + manifest meta)
@@ -196,47 +217,119 @@ object IcebergExport {
     val specFieldsJson = new com.fasterxml.jackson.databind.ObjectMapper()
       .writeValueAsString(specFieldList)
 
-    // ---- manifests (Avro, field-id-annotated) --------------------------
-    val dataEntries = snap.files.map { f =>
-      val abs = repo.root.resolve(f.path)
-      // true on-disk length (readers plan range reads from it — the
-      // snapshot's estimate is not good enough here)
-      MEntry(abs.toUri.toString, f.rows, Files.size(abs), f.partValues, 0,
-        f.seqNo + 1, Nil)
+    // ---- pass 1: per-version delete files + manifest entries -----------
+    // Equality-expressible tombstones (EqualTo/In conjunctions) export
+    // as O(1) EQUALITY DELETE FILES — the predicate's value rows, no
+    // data scanned, no SparkSession needed: at 100 TB a
+    // `DELETE WHERE user_id = x` exports in constant time. Restricted
+    // to unpartitioned export specs: with a partitioned spec a delete
+    // file's partition tuple scopes it, and a table-wide equality
+    // delete would need a second (unpartitioned) spec. Everything else
+    // (range/string predicates, partitioned specs) takes the
+    // positional path, which re-evaluates predicates per file and
+    // needs a session.
+    val artifacts: Seq[SnapArtifacts] = history.reverse.map { case (c, h) =>
+      val tombs = Tombstones.of(h)
+      val (eqTombs, posTombs) =
+        if (specFields.isEmpty)
+          tombs.partition(t => equalityRows(t.filter, phys).isDefined)
+        else (Nil, tombs)
+      val eqDeletes = eqTombs.map(t => writeEqualityDelete(t, phys,
+        Files.createDirectories(dest.resolve("data"))))
+      val posDeletes: Seq[DeleteFile] =
+        if (posTombs.isEmpty) Nil
+        else spark match {
+          case Some(s) =>
+            writePositionDeletes(s, repo, h, phys, specFields, posTombs, dest)
+          case None => throw new UnsupportedOperationException(
+            s"$key has merge-on-read tombstones that are not " +
+              "equality-expressible; export through CALL " +
+              "graft.system.iceberg_export (writes Iceberg v2 positional " +
+              "delete files) or run CALL graft.system.compact first — a " +
+              "v1 reader would resurrect deleted rows")
+        }
+      val dataEntries = h.files.map { f =>
+        val abs = repo.root.resolve(f.path)
+        // true on-disk length (readers plan range reads from it — the
+        // snapshot's estimate is not good enough here)
+        MEntry(abs.toUri.toString, f.rows, Files.size(abs), f.partValues, 0,
+          f.seqNo + 1, Nil)
+      }
+      val deleteEntries = (eqDeletes ++ posDeletes).map(d =>
+        MEntry(d.path.toUri.toString, d.rows, Files.size(d.path), d.partValues,
+          d.content, d.seq, d.equalityIds))
+      // 64-bit name-UUID of the graft snapshot sha — stable across
+      // exports of the same snapshot, collision-resistant across
+      // distinct ones, never 0 or negative
+      SnapArtifacts(h, c.ts, math.max(1L, UUID.nameUUIDFromBytes(
+        h.id.getBytes(StandardCharsets.UTF_8))
+        .getMostSignificantBits & Long.MaxValue), dataEntries, deleteEntries)
     }
-    val deleteEntries = deletes.map(d =>
-      MEntry(d.path.toUri.toString, d.rows, Files.size(d.path), d.partValues,
-        d.content, d.seq, d.equalityIds))
-    // snapshot sequence = the highest sequence any entry carries (v1
-    // exports ignore it); entries keep their own explicit sequences so
-    // strictly-older equality semantics survive in one snapshot
-    val snapSeq = (dataEntries ++ deleteEntries).map(_.seq).maxOption.getOrElse(1L)
-    val manifestPath = metaDir.resolve(s"${UUID.randomUUID()}-m0.avro")
-    writeManifest(manifestPath, dataEntries, snapshotId,
-      icebergSchemaJson(phys), specFields, srcTypeOf, specFieldsJson, v,
-      manifestContent = "data")
-    val deleteManifest = if (deleteEntries.isEmpty) None else {
-      val p = metaDir.resolve(s"${UUID.randomUUID()}-m1.avro")
-      writeManifest(p, deleteEntries, snapshotId, icebergSchemaJson(phys),
-        specFields, srcTypeOf, specFieldsJson, v, manifestContent = "deletes")
-      Some(p)
+    // v1 when nothing needs v2: widest reader compatibility (all live
+    // tombstones pruned away by stats/blooms also land here)
+    val v = if (artifacts.exists(_.deleteEntries.nonEmpty)) 2 else 1
+
+    // ---- pass 2: manifests + manifest lists, oldest → newest -----------
+    // Entries keep their own explicit sequences (graft commit seq + 1)
+    // so strictly-older equality semantics survive; each snapshot's
+    // sequence is the max its entries carry, forced strictly increasing
+    // along the chain as the spec requires.
+    var prevSeq = 0L
+    var parentId: Option[Long] = None
+    var lastSnapSeq = 1L
+    val snapMaps = artifacts.map { a =>
+      val snapSeq = math.max(prevSeq + 1,
+        (a.dataEntries ++ a.deleteEntries).map(_.seq).maxOption.getOrElse(1L))
+      prevSeq = snapSeq; lastSnapSeq = snapSeq
+      val manifestPath = metaDir.resolve(s"${UUID.randomUUID()}-m0.avro")
+      writeManifest(manifestPath, a.dataEntries, a.snapshotId,
+        icebergSchemaJson(phys), specFields, srcTypeOf, specFieldsJson, v,
+        manifestContent = "data")
+      val deleteManifest = if (a.deleteEntries.isEmpty) None else {
+        val p = metaDir.resolve(s"${UUID.randomUUID()}-m1.avro")
+        writeManifest(p, a.deleteEntries, a.snapshotId, icebergSchemaJson(phys),
+          specFields, srcTypeOf, specFieldsJson, v, manifestContent = "deletes")
+        Some(p)
+      }
+      val listPath = metaDir.resolve(
+        s"snap-${a.snapshotId}-1-${UUID.randomUUID()}.avro")
+      writeManifestList(listPath, a.snapshotId, v,
+        Seq((manifestPath, 0, a.dataEntries.size,
+          a.dataEntries.map(_.rows).sum, snapSeq,
+          a.dataEntries.map(_.seq).minOption.getOrElse(1L))) ++
+          deleteManifest.map(p =>
+            (p, 1, a.deleteEntries.size, a.deleteEntries.map(_.rows).sum,
+              snapSeq, a.deleteEntries.map(_.seq).minOption.getOrElse(1L))))
+      val snapMap = new java.util.LinkedHashMap[String, Any]
+      snapMap.put("snapshot-id", a.snapshotId)
+      parentId.foreach(p => snapMap.put("parent-snapshot-id", p))
+      if (v >= 2) snapMap.put("sequence-number", snapSeq)
+      snapMap.put("timestamp-ms", a.commitTs)
+      val summary = new java.util.LinkedHashMap[String, Any]
+      summary.put("operation", "append")
+      summary.put("added-data-files", a.dataEntries.size.toString)
+      summary.put("added-records", a.dataEntries.map(_.rows).sum.toString)
+      if (a.deleteEntries.nonEmpty) {
+        summary.put("added-delete-files", a.deleteEntries.size.toString)
+        summary.put("added-position-deletes", a.deleteEntries
+          .filter(_.content == 1).map(_.rows).sum.toString)
+        summary.put("added-equality-deletes", a.deleteEntries
+          .filter(_.content == 2).map(_.rows).sum.toString)
+      }
+      snapMap.put("summary", summary)
+      snapMap.put("manifest-list", listPath.toUri.toString)
+      snapMap.put("schema-id", 0)
+      parentId = Some(a.snapshotId)
+      snapMap
     }
-    // ---- manifest list --------------------------------------------------
-    val listPath = metaDir.resolve(
-      s"snap-$snapshotId-1-${UUID.randomUUID()}.avro")
-    writeManifestList(listPath, snapshotId, v,
-      Seq((manifestPath, 0, dataEntries.size, dataEntries.map(_.rows).sum,
-        snapSeq, dataEntries.map(_.seq).minOption.getOrElse(1L))) ++
-        deleteManifest.map(p =>
-          (p, 1, deleteEntries.size, deleteEntries.map(_.rows).sum,
-            snapSeq, deleteEntries.map(_.seq).minOption.getOrElse(1L))))
+    val snapshotId = artifacts.last.snapshotId // head = current snapshot
     // ---- table metadata JSON -------------------------------------------
     val meta = new java.util.LinkedHashMap[String, Any]
     meta.put("format-version", v)
     meta.put("table-uuid", UUID.nameUUIDFromBytes(
       snap.id.getBytes(StandardCharsets.UTF_8)).toString)
     meta.put("location", dest.toUri.toString.stripSuffix("/"))
-    if (v >= 2) meta.put("last-sequence-number", snapSeq)
+    if (v >= 2) meta.put("last-sequence-number", lastSnapSeq)
     meta.put("last-updated-ms", nowMs)
     meta.put("last-column-id", phys.fields.length)
     val schemaMap = icebergSchemaMap(phys)
@@ -262,23 +355,15 @@ object IcebergExport {
     fallbackReason.foreach(r => props.put("graft.export.partition-fallback", r))
     meta.put("properties", props)
     meta.put("current-snapshot-id", snapshotId)
-    val snapMap = new java.util.LinkedHashMap[String, Any]
-    snapMap.put("snapshot-id", snapshotId)
-    if (v >= 2) snapMap.put("sequence-number", snapSeq)
-    snapMap.put("timestamp-ms", nowMs)
-    val summary = new java.util.LinkedHashMap[String, Any]
-    summary.put("operation", "append")
-    summary.put("added-data-files", snap.files.size.toString)
-    summary.put("added-records", snap.files.map(_.rows).sum.toString)
-    if (deletes.nonEmpty) {
-      summary.put("added-delete-files", deletes.size.toString)
-      summary.put("added-position-deletes", deletes.map(_.rows).sum.toString)
-    }
-    snapMap.put("summary", summary)
-    snapMap.put("manifest-list", listPath.toUri.toString)
-    snapMap.put("schema-id", 0)
-    meta.put("snapshots", java.util.List.of(snapMap))
-    meta.put("snapshot-log", java.util.List.of())
+    meta.put("snapshots", java.util.List.of(snapMaps: _*))
+    // oldest → newest state-change log; external engines time travel
+    // with FOR TIMESTAMP/VERSION AS OF against it
+    meta.put("snapshot-log", java.util.List.of(artifacts.map { a =>
+      val e = new java.util.LinkedHashMap[String, Any]
+      e.put("timestamp-ms", a.commitTs)
+      e.put("snapshot-id", a.snapshotId)
+      e
+    }: _*))
     meta.put("metadata-log", java.util.List.of())
 
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

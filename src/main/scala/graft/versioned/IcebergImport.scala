@@ -69,7 +69,12 @@ object IcebergImport {
   }
 
   /** Parse metadata JSON + manifests into the current snapshot's plan. */
-  def plan(metadataPath: Path): Plan = {
+  def plan(metadataPath: Path): Plan = plan(metadataPath, None)
+
+  /** Plan a specific snapshot (`snapshotId`), or the current one when
+    * None — time travel over a history export's `snapshots` list.
+    */
+  def plan(metadataPath: Path, snapshotId: Option[Long]): Plan = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val meta = mapper.readTree(Files.readString(metadataPath))
     val v = meta.get("format-version").asInt()
@@ -93,14 +98,14 @@ object IcebergImport {
     val idToName = schemaNode.get("fields").elements().asScala.map(f =>
       f.get("id").asInt() -> f.get("name").asText()).toMap
 
-    val snapIdOpt = Option(meta.get("current-snapshot-id")).map(_.asLong())
-      .filter(_ != -1L)
+    val snapIdOpt = snapshotId.orElse(
+      Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L))
     if (snapIdOpt.isEmpty) return Plan(v, schema, idToName, Nil, Nil)
     val snapId = snapIdOpt.get
     val snap = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == snapId)
       .getOrElse(throw new IllegalArgumentException(
-        s"current-snapshot-id $snapId not in snapshots"))
+        s"snapshot-id $snapId not in snapshots"))
     val listPath = toLocal(snap.get("manifest-list").asText())
 
     // manifest list → (manifest path, content, sequence number); v1 has
@@ -159,13 +164,22 @@ object IcebergImport {
     * rows of the file it names; an equality delete masks matching rows
     * in data files with a STRICTLY LOWER data sequence number).
     */
-  def read(spark: SparkSession, metadataPath: Path): DataFrame = {
-    val p = plan(metadataPath)
+  def read(spark: SparkSession, metadataPath: Path): DataFrame =
+    read(spark, metadataPath, None)
+
+  /** Read a specific snapshot of a history export (None = current). */
+  def read(spark: SparkSession, metadataPath: Path,
+      snapshotId: Option[Long]): DataFrame = {
+    val p = plan(metadataPath, snapshotId)
     val outCols = p.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
     if (p.dataFiles.isEmpty)
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), p.schema)
-    var data = spark.read.parquet(p.dataPaths: _*)
+    // EXPLICIT schema, not footer inference: after additive schema
+    // evolution a snapshot legitimately mixes files with and without
+    // the newer columns, and inference would bind to one arbitrary
+    // file's footer. Name-mapping semantics: absent column → null.
+    var data = spark.read.schema(p.schema).parquet(p.dataPaths: _*)
 
     if (p.positionDeletes.nonEmpty || p.equalityDeletes.nonEmpty)
       // Spark renders local paths as file:/..., manifests as file:///...

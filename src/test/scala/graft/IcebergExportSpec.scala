@@ -478,6 +478,103 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     imported.length shouldBe 51
   }
 
+  test("history export: the branch's table versions become real Iceberg " +
+    "snapshots with snapshot-log + parent links; each one reads back " +
+    "equal to graft VERSION AS OF, and older snapshots ignore later " +
+    "deletes") {
+    sql("CREATE NAMESPACE g.iceh")
+    sql("CREATE NAMESPACE g.iceh.main.db")
+    sql("CREATE TABLE g.iceh.main.db.t (id INT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "iceh"))
+    // CREATE itself is version 0 (a valid empty Iceberg snapshot)
+    sql("INSERT INTO g.iceh.main.db.t SELECT CAST(id AS INT), " +
+      "CAST(id AS DOUBLE) FROM range(0, 10)")
+    val c1 = repo.headCommit("main").id
+    sql("INSERT INTO g.iceh.main.db.t SELECT CAST(id AS INT), " +
+      "CAST(id AS DOUBLE) FROM range(100, 110)")
+    val c2 = repo.headCommit("main").id
+    sql("DELETE FROM g.iceh.main.db.t WHERE id IN (3, 103)") // equality MoR
+    val c3 = repo.headCommit("main").id
+
+    val dest = Files.createTempDirectory("ice-export-hist")
+    val metaPath = java.nio.file.Paths.get(sql(
+      s"CALL g.system.iceberg_export('iceh', 'main', 'db.t', '$dest', 5)")
+      .collect().head.getString(0))
+
+    val meta = mapperOf(metaPath.toString)
+    val snaps = meta.get("snapshots")
+    snaps.size() shouldBe 4
+    val log = meta.get("snapshot-log")
+    log.size() shouldBe 4
+    // oldest → newest; log order matches snapshots order; parents chain
+    val ids = (0 until 4).map(i => snaps.get(i).get("snapshot-id").asLong())
+    (0 until 4).foreach { i =>
+      log.get(i).get("snapshot-id").asLong() shouldBe ids(i)
+      if (i > 0)
+        snaps.get(i).get("parent-snapshot-id").asLong() shouldBe ids(i - 1)
+      else snaps.get(i).has("parent-snapshot-id") shouldBe false
+    }
+    log.get(0).get("timestamp-ms").asLong() should be <=
+      log.get(3).get("timestamp-ms").asLong()
+    meta.get("current-snapshot-id").asLong() shouldBe ids(3)
+    // v2 sequence numbers strictly increase
+    (0 until 3).foreach(i =>
+      snaps.get(i).get("sequence-number").asLong() should be <
+        snaps.get(i + 1).get("sequence-number").asLong())
+
+    // each snapshot == graft VERSION AS OF; the pre-delete snapshots
+    // must NOT lose rows to the later equality delete
+    def viaGraft(cid: String) =
+      sql(s"SELECT id, v FROM g.iceh.main.db.t VERSION AS OF '$cid' ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    def viaIce(sid: Long) =
+      graft.versioned.IcebergImport.read(spark, metaPath, Some(sid))
+        .orderBy("id").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    viaIce(ids(0)).length shouldBe 0 // the empty CREATE version
+    viaIce(ids(1)) shouldBe viaGraft(c1)
+    viaIce(ids(2)) shouldBe viaGraft(c2)
+    viaIce(ids(3)) shouldBe viaGraft(c3)
+    viaIce(ids(1)).length shouldBe 10
+    viaIce(ids(2)).length shouldBe 20
+    viaIce(ids(3)).length shouldBe 18
+    // the import CALL's snapshot_id arg drives the same selection
+    sql(s"CALL g.system.iceberg_import('$metaPath', 'ice_hist_v', ${ids(1)})")
+      .collect().head.getInt(2) shouldBe 0 // pre-delete version: no deletes yet
+    sql("SELECT count(*) FROM ice_hist_v").collect().head.getLong(0) shouldBe 10L
+  }
+
+  test("history export truncates at a schema change (the export carries " +
+    "one schema)") {
+    sql("CREATE NAMESPACE g.icehs")
+    sql("CREATE NAMESPACE g.icehs.main.db")
+    sql("CREATE TABLE g.icehs.main.db.t (id INT)")
+    sql("INSERT INTO g.icehs.main.db.t VALUES (1), (2)")
+    sql("ALTER TABLE g.icehs.main.db.t ADD COLUMN v DOUBLE")
+    sql("INSERT INTO g.icehs.main.db.t VALUES (3, 3.0)")
+    val dest = Files.createTempDirectory("ice-export-hs")
+    val metaPath = sql(
+      s"CALL g.system.iceberg_export('icehs', 'main', 'db.t', '$dest', 10)")
+      .collect().head.getString(0)
+    val meta = mapperOf(metaPath)
+    // only the post-ALTER versions export (insert after ALTER = 1
+    // version; the ALTER itself produced a same-files version whose
+    // schema already matches)
+    val n = meta.get("snapshots").size()
+    n should be >= 1
+    val schemas = meta.get("schemas").get(0).get("fields")
+    schemas.size() shouldBe 2 // current schema only
+    // every exported snapshot reads back with the current 2-col schema
+    val snaps = meta.get("snapshots")
+    (0 until n).foreach { i =>
+      val got = graft.versioned.IcebergImport.read(spark,
+        java.nio.file.Paths.get(metaPath),
+        Some(snaps.get(i).get("snapshot-id").asLong()))
+      got.schema.fieldNames.toSeq shouldBe Seq("id", "v")
+    }
+  }
+
   test("import reads a clean v1 export (no deletes) identically to graft") {
     sql("CREATE NAMESPACE g.icei")
     sql("CREATE NAMESPACE g.icei.main.db")
