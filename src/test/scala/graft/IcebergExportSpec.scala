@@ -575,6 +575,32 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     }
   }
 
+  test("migration recipe: an external Iceberg table (deletes included) " +
+    "lands as a first-class graft table via iceberg_import + CTAS") {
+    sql("CREATE NAMESPACE g.icemig")
+    sql("CREATE NAMESPACE g.icemig.main.db")
+    sql("CREATE TABLE g.icemig.main.db.src (id INT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO g.icemig.main.db.src SELECT CAST(id AS INT), " +
+      "CAST(id AS DOUBLE) FROM range(0, 25)")
+    sql("DELETE FROM g.icemig.main.db.src WHERE id IN (2, 4)")
+    val dest = Files.createTempDirectory("ice-export-mig")
+    val metaPath = sql("CALL g.system.iceberg_export('icemig', 'main', " +
+      s"'db.src', '$dest')").collect().head.getString(0)
+    // the two-step adoption path for a user arriving with Iceberg tables
+    sql(s"CALL g.system.iceberg_import('$metaPath', 'mig_v')")
+    sql("CREATE TABLE g.icemig.main.db.migrated AS SELECT * FROM mig_v")
+    // full graft table: content matches, and versioned ops work on it
+    sql("SELECT count(*) FROM g.icemig.main.db.migrated")
+      .collect().head.getLong(0) shouldBe 23L
+    sql("CREATE NAMESPACE g.icemig.feat") // zero-copy branch
+    sql("DELETE FROM g.icemig.feat.db.migrated WHERE id < 10")
+    sql("SELECT count(*) FROM g.icemig.feat.db.migrated")
+      .collect().head.getLong(0) shouldBe 15L
+    sql("SELECT count(*) FROM g.icemig.main.db.migrated")
+      .collect().head.getLong(0) shouldBe 23L // main untouched
+  }
+
   test("import reads a clean v1 export (no deletes) identically to graft") {
     sql("CREATE NAMESPACE g.icei")
     sql("CREATE NAMESPACE g.icei.main.db")
