@@ -91,13 +91,24 @@ object IcebergExport {
       partValues: Map[String, String], content: Int, seq: Long,
       equalityIds: Seq[Int])
 
+  /** Per-file column statistics exported into the manifest, keyed by
+    * schema field id — the rows Iceberg-side min/max FILE PRUNING runs
+    * on (on top of partition pruning): a selective external query
+    * skips files exactly like graft's own stats-pruned scans do.
+    */
+  private final case class MStats(
+      valueCounts: Map[Int, Long],
+      nullCounts: Map[Int, Long],
+      lower: Map[Int, Array[Byte]],
+      upper: Map[Int, Array[Byte]])
+
   /** One manifest row — a data file or a delete file. `content` is the
     * spec's data_file.content: 0 = data, 1 = position deletes, 2 =
     * equality deletes.
     */
   private final case class MEntry(uri: String, rows: Long, size: Long,
       partValues: Map[String, String], content: Int, seq: Long,
-      equalityIds: Seq[Int])
+      equalityIds: Seq[Int], stats: Option[MStats] = None)
 
   /** Write Iceberg metadata for `ref:key` under `dest` (a fresh export
     * directory). Returns the path of the written metadata JSON. This
@@ -253,7 +264,7 @@ object IcebergExport {
         // true on-disk length (readers plan range reads from it — the
         // snapshot's estimate is not good enough here)
         MEntry(abs.toUri.toString, f.rows, Files.size(abs), f.partValues, 0,
-          f.seqNo + 1, Nil)
+          f.seqNo + 1, Nil, Some(fileStats(f, phys)))
       }
       val deleteEntries = (eqDeletes ++ posDeletes).map(d =>
         MEntry(d.path.toUri.toString, d.rows, Files.size(d.path), d.partValues,
@@ -373,6 +384,61 @@ object IcebergExport {
     // HadoopCatalog-style discovery: readers resolve v<hint>.metadata.json
     Files.writeString(metaDir.resolve("version-hint.text"), "1")
     metaPath
+  }
+
+  // ---- per-file column statistics --------------------------------------
+
+  /** Iceberg single-value binary serialization of one stored stat
+    * string under its column type (little-endian fixed-width numerics,
+    * raw UTF-8 strings, date as epoch days, timestamps as epoch
+    * micros). None = type has no mapping here (decimals/binary) or the
+    * string doesn't parse — the column is simply omitted from bounds,
+    * which is spec-legal (readers fall back to scanning that column).
+    */
+  private def boundBytes(dt: DataType, stat: String): Option[Array[Byte]] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int)(put: ByteBuffer => Unit): Array[Byte] = {
+      val b = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+      put(b); b.array()
+    }
+    scala.util.Try[Array[Byte]] {
+      dt match {
+        case ByteType | ShortType | IntegerType => le(4)(_.putInt(stat.toLong.toInt))
+        case LongType => le(8)(_.putLong(stat.toLong))
+        case FloatType => le(4)(_.putFloat(stat.toFloat))
+        case DoubleType => le(8)(_.putDouble(stat.toDouble))
+        case BooleanType => Array[Byte](if (stat.toBoolean) 1 else 0)
+        case StringType => stat.getBytes(StandardCharsets.UTF_8)
+        case DateType =>
+          le(4)(_.putInt(java.time.LocalDate.parse(stat).toEpochDay.toInt))
+        case TimestampType | TimestampNTZType =>
+          val ldt = java.time.LocalDateTime.parse(stat.replace(' ', 'T'))
+          le(8)(_.putLong(ldt.toInstant(java.time.ZoneOffset.UTC)
+            .getEpochSecond * 1000000L + ldt.getNano / 1000L))
+        case other => throw new UnsupportedOperationException(other.simpleString)
+      }
+    }.toOption
+  }
+
+  /** Manifest statistics of one data file from graft's stored per-file
+    * stats (full untruncated values — FooterStats stores exact bounds,
+    * so exported lower/upper are exact, not prefixes).
+    */
+  private def fileStats(f: FileEntry, phys: StructType): MStats = {
+    val nulls = f.nullCounts
+    val ids = phys.fields.zipWithIndex
+    MStats(
+      // value_counts = total values incl. nulls = the file's row count
+      // for every flat column
+      valueCounts = ids.map { case (_, i) => (i + 1) -> f.rows }.toMap,
+      nullCounts = ids.flatMap { case (fld, i) =>
+        nulls.get(fld.name).map((i + 1) -> _) }.toMap,
+      lower = ids.flatMap { case (fld, i) =>
+        f.min.get(fld.name).flatMap(boundBytes(fld.dataType, _))
+          .map((i + 1) -> _) }.toMap,
+      upper = ids.flatMap { case (fld, i) =>
+        f.max.get(fld.name).flatMap(boundBytes(fld.dataType, _))
+          .map((i + 1) -> _) }.toMap)
   }
 
   // ---- equality delete files (v2) --------------------------------------
@@ -783,6 +849,26 @@ object IcebergExport {
     dfFields += field("file_size_in_bytes", 104, s(Schema.Type.LONG), optional = false)
     if (v == 1)
       dfFields += field("block_size_in_bytes", 105, s(Schema.Type.LONG), optional = false)
+    // per-column statistics maps (optional; Iceberg's avro encodes an
+    // int-keyed map as an array of key/value records, logicalType map)
+    def mapOf(recName: String, keyId: Int, valueId: Int,
+        valueType: Schema.Type): Schema = {
+      val rec = Schema.createRecord(recName, null, null, false)
+      rec.setFields(java.util.List.of(
+        field("key", keyId, s(Schema.Type.INT), optional = false),
+        field("value", valueId, s(valueType), optional = false)))
+      val arr = Schema.createArray(rec)
+      arr.addProp("logicalType", "map")
+      arr
+    }
+    dfFields += field("value_counts", 109,
+      mapOf("k119_v120", 119, 120, Schema.Type.LONG), optional = true)
+    dfFields += field("null_value_counts", 110,
+      mapOf("k121_v122", 121, 122, Schema.Type.LONG), optional = true)
+    dfFields += field("lower_bounds", 125,
+      mapOf("k126_v127", 126, 127, Schema.Type.BYTES), optional = true)
+    dfFields += field("upper_bounds", 128,
+      mapOf("k129_v130", 129, 130, Schema.Type.BYTES), optional = true)
     if (v >= 2) {
       // spec field 135: schema field ids an equality delete references
       val arr = Schema.createArray(s(Schema.Type.INT))
@@ -839,6 +925,23 @@ object IcebergExport {
         df.put("record_count", me.rows)
         df.put("file_size_in_bytes", me.size)
         if (v == 1) df.put("block_size_in_bytes", 64L << 20)
+        me.stats.foreach { st =>
+          def kv[T](name: String, m: Map[Int, T])(conv: T => Any): Unit =
+            if (m.nonEmpty) {
+              val recSchema = dfSchema.getField(name).schema()
+                .getTypes.asScala.find(_.getType == Schema.Type.ARRAY)
+                .get.getElementType
+              df.put(name, java.util.List.of(m.toSeq.sortBy(_._1).map {
+                case (k, x) =>
+                  val r = new GenericData.Record(recSchema)
+                  r.put("key", k); r.put("value", conv(x)); r
+              }: _*))
+            }
+          kv("value_counts", st.valueCounts)(identity)
+          kv("null_value_counts", st.nullCounts)(identity)
+          kv("lower_bounds", st.lower)(java.nio.ByteBuffer.wrap(_))
+          kv("upper_bounds", st.upper)(java.nio.ByteBuffer.wrap(_))
+        }
         if (v >= 2 && me.equalityIds.nonEmpty)
           df.put("equality_ids",
             java.util.List.of(me.equalityIds.map(Int.box): _*))

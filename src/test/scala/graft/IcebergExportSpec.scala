@@ -575,6 +575,54 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     }
   }
 
+  test("manifests carry per-file column statistics (value/null counts, " +
+    "exact lower/upper bounds in Iceberg single-value binary) so " +
+    "external engines min/max-prune files") {
+    sql("CREATE NAMESPACE g.icest")
+    sql("CREATE NAMESPACE g.icest.main.db")
+    sql("CREATE TABLE g.icest.main.db.t (id INT, name STRING, ts TIMESTAMP)")
+    sql("INSERT INTO g.icest.main.db.t VALUES " +
+      "(5, 'delta', TIMESTAMP'2024-06-01 12:30:00')," +
+      "(17, 'alpha', TIMESTAMP'2024-06-03 01:02:03')," +
+      "(9, NULL, TIMESTAMP'2024-06-02 00:00:00')")
+    val dest = Files.createTempDirectory("ice-export-stats")
+    val metaPath = sql("CALL g.system.iceberg_export('icest', 'main', " +
+      s"'db.t', '$dest')").collect().head.getString(0)
+    val meta = mapperOf(metaPath)
+    val (listRecs, _) = readAvro(java.nio.file.Paths.get(java.net.URI.create(
+      meta.get("snapshots").get(0).get("manifest-list").asText())).toString)
+    val (entries, _) = readAvro(java.nio.file.Paths.get(
+      java.net.URI.create(listRecs.head.get("manifest_path").toString)).toString)
+    // the 3-row VALUES insert may split across files — aggregate the
+    // per-file maps like a manifest-pruning reader would
+    def mapsOf(name: String): Seq[Map[Int, Any]] = entries.map(
+      _.get("data_file").asInstanceOf[GenericRecord].get(name)
+        .asInstanceOf[java.util.List[GenericRecord]].asScala
+        .map(r => r.get("key").asInstanceOf[Int] -> r.get("value")).toMap)
+    mapsOf("value_counts").map(_(1).asInstanceOf[Long]).sum shouldBe 3L
+    mapsOf("null_value_counts")
+      .map(_.getOrElse(2, 0L).asInstanceOf[Long]).sum shouldBe 1L // NULL name
+    def le(bb: Any) = {
+      val b = bb.asInstanceOf[java.nio.ByteBuffer].duplicate()
+      b.order(java.nio.ByteOrder.LITTLE_ENDIAN); b
+    }
+    def str(bb: Any) = {
+      val b = bb.asInstanceOf[java.nio.ByteBuffer].duplicate()
+      val a = new Array[Byte](b.remaining()); b.get(a)
+      new String(a, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val lowers = mapsOf("lower_bounds"); val uppers = mapsOf("upper_bounds")
+    lowers.map(m => le(m(1)).getInt).min shouldBe 5 // id bounds, 4-byte LE
+    uppers.map(m => le(m(1)).getInt).max shouldBe 17
+    // string bounds exist only for files holding a non-null name;
+    // exact full values, not truncated prefixes
+    lowers.flatMap(_.get(2)).map(str).min shouldBe "alpha"
+    uppers.flatMap(_.get(2)).map(str).max shouldBe "delta"
+    lowers.map(m => le(m(3)).getLong).min shouldBe // ts micros, 8-byte LE
+      java.time.LocalDateTime.parse("2024-06-01T12:30:00")
+        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
+  }
+
   test("migration recipe: an external Iceberg table (deletes included) " +
     "lands as a first-class graft table via iceberg_import + CTAS") {
     sql("CREATE NAMESPACE g.icemig")
