@@ -232,19 +232,16 @@ object IcebergExport {
     // Equality-expressible tombstones (EqualTo/In conjunctions) export
     // as O(1) EQUALITY DELETE FILES — the predicate's value rows, no
     // data scanned, no SparkSession needed: at 100 TB a
-    // `DELETE WHERE user_id = x` exports in constant time. Restricted
-    // to unpartitioned export specs: with a partitioned spec a delete
-    // file's partition tuple scopes it, and a table-wide equality
-    // delete would need a second (unpartitioned) spec. Everything else
-    // (range/string predicates, partitioned specs) takes the
-    // positional path, which re-evaluates predicates per file and
-    // needs a session.
+    // `DELETE WHERE user_id = x` exports in constant time. Under a
+    // PARTITIONED spec they land in a second, UNPARTITIONED spec
+    // (spec-id 1) as Iceberg GLOBAL deletes — a table-wide predicate
+    // applies across partitions by construction. Everything else
+    // (range/string predicates) takes the positional path, which
+    // re-evaluates predicates per file and needs a session.
     val artifacts: Seq[SnapArtifacts] = history.reverse.map { case (c, h) =>
       val tombs = Tombstones.of(h)
       val (eqTombs, posTombs) =
-        if (specFields.isEmpty)
-          tombs.partition(t => equalityRows(t.filter, phys).isDefined)
-        else (Nil, tombs)
+        tombs.partition(t => equalityRows(t.filter, phys).isDefined)
       val eqDeletes = eqTombs.map(t => writeEqualityDelete(t, phys,
         Files.createDirectories(dest.resolve("data"))))
       val posDeletes: Seq[DeleteFile] =
@@ -295,22 +292,35 @@ object IcebergExport {
       val manifestPath = metaDir.resolve(s"${UUID.randomUUID()}-m0.avro")
       writeManifest(manifestPath, a.dataEntries, a.snapshotId,
         icebergSchemaJson(phys), specFields, srcTypeOf, specFieldsJson, v,
-        manifestContent = "data")
-      val deleteManifest = if (a.deleteEntries.isEmpty) None else {
-        val p = metaDir.resolve(s"${UUID.randomUUID()}-m1.avro")
-        writeManifest(p, a.deleteEntries, a.snapshotId, icebergSchemaJson(phys),
-          specFields, srcTypeOf, specFieldsJson, v, manifestContent = "deletes")
-        Some(p)
-      }
+        manifestContent = "data", specId = 0)
+      // positional deletes are partition-scoped (spec 0); equality
+      // deletes are GLOBAL — under a partitioned table they get the
+      // auxiliary unpartitioned spec 1 so their table-wide scope is
+      // spec-correct
+      val posEntries = a.deleteEntries.filter(_.content == 1)
+      val eqEntries = a.deleteEntries.filter(_.content == 2)
+      val eqSpecId = if (specFields.isEmpty) 0 else 1
+      def deleteManifest(entries: Seq[MEntry], specId: Int)
+          : Option[(Path, Seq[MEntry], Int)] =
+        if (entries.isEmpty) None else {
+          val p = metaDir.resolve(s"${UUID.randomUUID()}-m1.avro")
+          val (sf, sfJson) =
+            if (specId == 0) (specFields, specFieldsJson) else (Nil, "[]")
+          writeManifest(p, entries, a.snapshotId, icebergSchemaJson(phys),
+            sf, srcTypeOf, sfJson, v, manifestContent = "deletes", specId)
+          Some((p, entries, specId))
+        }
+      val deleteManifests =
+        deleteManifest(posEntries, 0) ++ deleteManifest(eqEntries, eqSpecId)
       val listPath = metaDir.resolve(
         s"snap-${a.snapshotId}-1-${UUID.randomUUID()}.avro")
       writeManifestList(listPath, a.snapshotId, v,
         Seq((manifestPath, 0, a.dataEntries.size,
           a.dataEntries.map(_.rows).sum, snapSeq,
-          a.dataEntries.map(_.seq).minOption.getOrElse(1L))) ++
-          deleteManifest.map(p =>
-            (p, 1, a.deleteEntries.size, a.deleteEntries.map(_.rows).sum,
-              snapSeq, a.deleteEntries.map(_.seq).minOption.getOrElse(1L))))
+          a.dataEntries.map(_.seq).minOption.getOrElse(1L), 0)) ++
+          deleteManifests.map { case (p, entries, specId) =>
+            (p, 1, entries.size, entries.map(_.rows).sum,
+              snapSeq, entries.map(_.seq).minOption.getOrElse(1L), specId) })
       val snapMap = new java.util.LinkedHashMap[String, Any]
       snapMap.put("snapshot-id", a.snapshotId)
       parentId.foreach(p => snapMap.put("parent-snapshot-id", p))
@@ -351,7 +361,16 @@ object IcebergExport {
     val spec0 = new java.util.LinkedHashMap[String, Any]
     spec0.put("spec-id", 0)
     spec0.put("fields", specFieldList)
-    meta.put("partition-specs", java.util.List.of(spec0))
+    // global (equality) deletes under a partitioned table live in an
+    // auxiliary unpartitioned spec
+    val usesGlobalDeleteSpec = specFields.nonEmpty &&
+      artifacts.exists(_.deleteEntries.exists(_.content == 2))
+    if (usesGlobalDeleteSpec) {
+      val spec1 = new java.util.LinkedHashMap[String, Any]
+      spec1.put("spec-id", 1)
+      spec1.put("fields", java.util.List.of())
+      meta.put("partition-specs", java.util.List.of(spec0, spec1))
+    } else meta.put("partition-specs", java.util.List.of(spec0))
     meta.put("default-spec-id", 0)
     meta.put("last-partition-id", 999 + specFields.length)
     val order0 = new java.util.LinkedHashMap[String, Any]
@@ -893,14 +912,15 @@ object IcebergExport {
       snapshotId: Long, schemaJson: String,
       specFields: Seq[PartitionField],
       srcTypeOf: PartitionField => DataType,
-      specFieldsJson: String, v: Int, manifestContent: String): Unit = {
+      specFieldsJson: String, v: Int, manifestContent: String,
+      specId: Int): Unit = {
     val entrySchema = manifestEntrySchema(specFields, srcTypeOf, v)
     val writer = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](entrySchema))
     writer.setMeta("schema", schemaJson)
     writer.setMeta("schema-id", "0")
     writer.setMeta("partition-spec", specFieldsJson)
-    writer.setMeta("partition-spec-id", "0")
+    writer.setMeta("partition-spec-id", specId.toString)
     writer.setMeta("format-version", v.toString)
     writer.setMeta("content", manifestContent)
     writer.create(entrySchema, path.toFile)
@@ -992,10 +1012,11 @@ object IcebergExport {
   }
 
   /** `manifests` = (path, content 0|1, file count, row count, sequence
-    * number at which the manifest was added, min entry sequence).
+    * number at which the manifest was added, min entry sequence,
+    * partition spec id).
     */
   private def writeManifestList(path: Path, snapshotId: Long, v: Int,
-      manifests: Seq[(Path, Int, Int, Long, Long, Long)]): Unit = {
+      manifests: Seq[(Path, Int, Int, Long, Long, Long, Int)]): Unit = {
     val schema = manifestFileSchema(v)
     val writer = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](schema))
@@ -1003,11 +1024,11 @@ object IcebergExport {
     writer.setMeta("format-version", v.toString)
     writer.create(schema, path.toFile)
     val n = if (v == 1) "_data_files_count" else "_files_count"
-    try manifests.foreach { case (mp, content, files, rows, seq, minSeq) =>
+    try manifests.foreach { case (mp, content, files, rows, seq, minSeq, specId) =>
       val r = new GenericData.Record(schema)
       r.put("manifest_path", mp.toUri.toString)
       r.put("manifest_length", Files.size(mp))
-      r.put("partition_spec_id", 0)
+      r.put("partition_spec_id", specId)
       if (v >= 2) {
         r.put("content", content)
         r.put("sequence_number", seq)

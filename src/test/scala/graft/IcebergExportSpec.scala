@@ -575,6 +575,49 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     }
   }
 
+  test("partitioned table + equality tombstone: the delete lands as a " +
+    "GLOBAL delete in an auxiliary unpartitioned spec (spec-id 1), " +
+    "no data scanned, and applies across partitions on import") {
+    sql("CREATE NAMESPACE g.icepg")
+    sql("CREATE NAMESPACE g.icepg.main.db")
+    sql("CREATE TABLE g.icepg.main.db.t (id INT, cat STRING) " +
+      "PARTITIONED BY (cat) TBLPROPERTIES " +
+      "('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO g.icepg.main.db.t SELECT CAST(id AS INT), " +
+      "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END FROM range(0, 20)")
+    sql("DELETE FROM g.icepg.main.db.t WHERE id IN (2, 5)") // spans both cats
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "icepg"))
+    val dest = Files.createTempDirectory("ice-export-pg")
+    // equality-only tombstones: NO SparkSession needed even partitioned
+    val metaPath = graft.versioned.IcebergExport.export(
+      repo, "main", "db/t", dest)
+
+    val meta = mapperOf(metaPath.toString)
+    meta.get("format-version").asInt() shouldBe 2
+    // two specs: the real partitioned one + the global-delete one
+    meta.get("partition-specs").size() shouldBe 2
+    meta.get("partition-specs").get(1).get("spec-id").asInt() shouldBe 1
+    meta.get("partition-specs").get(1).get("fields").size() shouldBe 0
+    meta.get("default-spec-id").asInt() shouldBe 0
+    val (listRecs, _) = readAvro(java.nio.file.Paths.get(java.net.URI.create(
+      meta.get("snapshots").get(0).get("manifest-list").asText())).toString)
+    val delRec = listRecs.find(_.get("content").asInstanceOf[Int] == 1).get
+    delRec.get("partition_spec_id").asInstanceOf[Int] shouldBe 1
+    listRecs.find(_.get("content").asInstanceOf[Int] == 0).get
+      .get("partition_spec_id").asInstanceOf[Int] shouldBe 0
+    val (delEntries, delMeta) = readAvro(java.nio.file.Paths.get(
+      java.net.URI.create(delRec.get("manifest_path").toString)).toString)
+    delMeta("partition-spec-id") shouldBe "1"
+    delMeta("partition-spec") shouldBe "[]"
+    delEntries.head.get("data_file").asInstanceOf[GenericRecord]
+      .get("content").asInstanceOf[Int] shouldBe 2
+
+    val got = graft.versioned.IcebergImport.read(spark, metaPath)
+      .orderBy("id").collect().map(_.getInt(0))
+    got shouldBe (0 until 20).filterNot(Set(2, 5)).toArray
+  }
+
   test("manifests carry per-file column statistics (value/null counts, " +
     "exact lower/upper bounds in Iceberg single-value binary) so " +
     "external engines min/max-prune files") {
