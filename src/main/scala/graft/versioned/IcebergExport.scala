@@ -604,9 +604,17 @@ object IcebergExport {
             col("_metadata.row_index").as("pos"))
       }
       if (specFields.nonEmpty)
-        files.flatMap(f => writeDeleteParquet(s, positions(f), dataDir)
-          .map { case (p, n) =>
-            DeleteFile(p, n, f.partValues, content = 1, seq, Nil) })
+        // batch by partition tuple: files sharing partition values may
+        // legally share one (file_path, pos)-sorted delete file, so a
+        // tombstone touching a partition costs ONE job regardless of
+        // how many files the partition holds — at 100 TB the job count
+        // is O(dirty partitions), not O(dirty files)
+        files.groupBy(_.partValues).toSeq.sortBy(_._1.toString)
+          .flatMap { case (pv, fs) =>
+            writeDeleteParquet(s, fs.map(positions).reduce(_ union _), dataDir)
+              .map { case (p, n) =>
+                DeleteFile(p, n, pv, content = 1, seq, Nil) }
+          }
       else
         writeDeleteParquet(s,
           files.map(positions).reduce(_ union _), dataDir)

@@ -455,20 +455,24 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     val (delEntries, _) = readAvro(java.nio.file.Paths.get(
       java.net.URI.create(delManifestRec.get("manifest_path").toString)).toString)
     delEntries should not be empty
-    // each delete file references exactly one data file and carries its
-    // partition value (so Iceberg readers prune deletes with the data)
+    // one delete file per dirty PARTITION (not per file): every data
+    // file it references lives in the partition it is stamped with, so
+    // Iceberg readers prune deletes with the data
     delEntries.foreach { e =>
       val df = e.get("data_file").asInstanceOf[GenericRecord]
       df.get("content").asInstanceOf[Int] shouldBe 1
       val cat = df.get("partition").asInstanceOf[GenericRecord]
         .get("cat").toString
-      val rows = spark.read.parquet(java.nio.file.Paths.get(
+      val refs = spark.read.parquet(java.nio.file.Paths.get(
         java.net.URI.create(df.get("file_path").toString)).toString)
         .select("file_path").distinct().collect().map(_.getString(0))
-      rows.length shouldBe 1
-      // the referenced data file lives in this partition's directory
-      rows.head should include(s"cat=$cat")
+      refs should not be empty
+      refs.foreach(_ should include(s"cat=$cat"))
     }
+    // partition-distinct delete files (the batching key is the tuple)
+    val delCats = delEntries.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("partition").asInstanceOf[GenericRecord].get("cat").toString)
+    delCats.distinct.length shouldBe delCats.length
 
     val imported = graft.versioned.IcebergImport.read(spark, metaPath)
       .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
