@@ -298,6 +298,32 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     imported.count(_._3 < 0) shouldBe 2 // both late inserts present
   }
 
+  test("equality deletes on date/timestamp/long columns write the typed " +
+    "single-value encodings and round trip") {
+    sql("CREATE NAMESPACE g.iceqt")
+    sql("CREATE NAMESPACE g.iceqt.main.db")
+    sql("CREATE TABLE g.iceqt.main.db.t (id BIGINT, d DATE, ts TIMESTAMP) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO g.iceqt.main.db.t SELECT CAST(id AS BIGINT), " +
+      "DATE'2024-03-01' + CAST(id % 5 AS INT), " +
+      "TIMESTAMP'2024-03-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) " +
+      "FROM range(0, 20)")
+    sql("DELETE FROM g.iceqt.main.db.t WHERE d = DATE'2024-03-02'") // ids 1,6,11,16
+    sql("DELETE FROM g.iceqt.main.db.t WHERE ts = TIMESTAMP'2024-03-01 02:00:00'") // id 2
+    sql("DELETE FROM g.iceqt.main.db.t WHERE id = 7")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "iceqt"))
+    val dest = Files.createTempDirectory("ice-export-eqt")
+    val metaPath = graft.versioned.IcebergExport.export(
+      repo, "main", "db/t", dest) // no session: all equality-shaped
+    val plan = graft.versioned.IcebergImport.plan(metaPath)
+    plan.equalityDeletes.length shouldBe 3
+    plan.positionDeletes shouldBe empty
+    val got = graft.versioned.IcebergImport.read(spark, metaPath)
+      .orderBy("id").collect().map(_.getLong(0))
+    got shouldBe (0L until 20L).filterNot(Set(1L, 6L, 11L, 16L, 2L, 7L)).toArray
+  }
+
   test("mixed tombstones: equality-shaped ones become equality deletes, " +
     "range ones positional — both applied in one import") {
     sql("CREATE NAMESPACE g.icemix")
