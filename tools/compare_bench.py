@@ -20,8 +20,11 @@ def load_pins() -> dict:
     sec = sec.split("## Per-query baseline (round 4")[0]
     pins = {}
     for line in sec.splitlines():
-        m = re.match(r"\|\s*([a-z0-9_]+)\s*\|.*\|\s*([0-9.]+)\s*\|\s*$", line)
-        if m:  # last numeric column = the pin (4-run min)
+        # 2-cell rows (| query | pin |) and wider ones (| query | r3 |
+        # r4 | pin |): the LAST numeric column is the pin
+        m = re.match(r"\|\s*([a-z0-9_]+)\s*\|(?:.*\|)?\s*([0-9.]+)\s*\|\s*$",
+                     line)
+        if m:
             pins[m.group(1)] = float(m.group(2))
     return pins
 
