@@ -79,7 +79,9 @@ object IcebergExport {
     *                   export spec is unpartitioned — one positional
     *                   file may then cover a whole tombstone group;
     *                   always empty for equality deletes, which are
-    *                   written only under unpartitioned specs)
+    *                   always unpartitioned — under a partitioned table
+    *                   spec they are GLOBAL deletes in auxiliary
+    *                   spec-id 1)
     * @param content    1 = position deletes, 2 = equality deletes
     * @param seq        Iceberg data sequence number (= graft commit
     *                   seq + 1, making graft's strict `t.seq > f.seq`
@@ -327,7 +329,10 @@ object IcebergExport {
       if (v >= 2) snapMap.put("sequence-number", snapSeq)
       snapMap.put("timestamp-ms", a.commitTs)
       val summary = new java.util.LinkedHashMap[String, Any]
-      summary.put("operation", "append")
+      // a delete-bearing snapshot is NOT an append: incremental append
+      // consumers filter on operation and would misclassify it
+      summary.put("operation",
+        if (a.deleteEntries.nonEmpty) "overwrite" else "append")
       summary.put("added-data-files", a.dataEntries.size.toString)
       summary.put("added-records", a.dataEntries.map(_.rows).sum.toString)
       if (a.deleteEntries.nonEmpty) {
@@ -446,10 +451,17 @@ object IcebergExport {
   private def fileStats(f: FileEntry, phys: StructType): MStats = {
     val nulls = f.nullCounts
     val ids = phys.fields.zipWithIndex
+    // a column is physically IN the file iff some stat was recorded for
+    // it (FooterStats writes a null count for every present column,
+    // all-null included); columns added to the schema after the file
+    // was written must not claim value_counts = rows
+    def present(name: String): Boolean =
+      nulls.contains(name) || f.min.contains(name) || f.max.contains(name)
     MStats(
       // value_counts = total values incl. nulls = the file's row count
-      // for every flat column
-      valueCounts = ids.map { case (_, i) => (i + 1) -> f.rows }.toMap,
+      // for every flat column the file actually holds
+      valueCounts = ids.collect {
+        case (fld, i) if present(fld.name) => (i + 1) -> f.rows }.toMap,
       nullCounts = ids.flatMap { case (fld, i) =>
         nulls.get(fld.name).map((i + 1) -> _) }.toMap,
       lower = ids.flatMap { case (fld, i) =>
@@ -571,23 +583,48 @@ object IcebergExport {
   /** Re-evaluate each tombstone group's predicate over exactly the files
     * it applies to and write matching `(file_path, pos)` rows as
     * spec-shaped delete parquet under `dest/data/`. Partitioned spec →
-    * one delete file per data file (stamped with its partition values so
-    * Iceberg prunes deletes alongside data); unpartitioned → one delete
-    * file per tombstone group (multi-file, sorted — spec-legal). Files a
-    * predicate turns out not to touch (stats/bloom false positives)
-    * produce no delete file at all.
+    * one delete file per (tombstone group × partition tuple), stamped
+    * with the tuple's partition values so Iceberg prunes deletes
+    * alongside data; unpartitioned → one delete file per tombstone
+    * group (multi-file, sorted — spec-legal). Files a predicate turns
+    * out not to touch (stats/bloom false positives) produce no delete
+    * file at all.
+    *
+    * Runs as ONE Spark action regardless of how many partitions the
+    * tombstones touch: every group's (pre-pruned) file set is scanned
+    * in one unioned plan, matching positions are tagged with their
+    * output slot via a broadcast path→slot map, shuffled ONCE by slot
+    * id (each slot lands wholly in one task → exactly one sorted file
+    * per slot via partitionBy), and slot directories are then renamed
+    * into place with partition values stamped from the driver's slot
+    * table. At 100 TB a tombstone touching 10⁴ partitions costs one
+    * job, not 10⁴ sequential driver-launched jobs.
     */
   private def writePositionDeletes(s: SparkSession, repo: GraftRepo,
       snap: Snapshot, phys: StructType, specFields: Seq[PartitionField],
       tombs: Seq[Tombstone], dest: Path): Seq[DeleteFile] = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, regexp_replace}
     val (_, groups) = Tombstones.split(tombs, phys, snap.files, Some(repo.root))
+    if (groups.isEmpty) return Nil
     val dataDir = dest.resolve("data")
     Files.createDirectories(dataDir)
-    groups.flatMap { case (files, gTombs) =>
+
+    // one output slot per (tombstone group × partition tuple); slot
+    // order is deterministic (group order, then tuple sort) so exported
+    // manifests keep a stable layout across runs
+    final case class Slot(gid: Int, pv: Map[String, String], seq: Long)
+    val slots = Seq.newBuilder[Slot]
+    // normalized scan path → (slot id, exact manifest URI): external
+    // readers match delete rows to data files byte-for-byte, so
+    // file_path must be the manifest's URI string, not Spark's
+    // rendering of _metadata.file_path
+    val fileTag = Seq.newBuilder[(String, Int, String)]
+    var nextGid = 0
+    val norm = (u: String) => u.replaceFirst("^file:/+", "file:///")
+    val groupFrames = groups.map { case (files, gTombs) =>
       // positions are path-scoped, so any delete sequence at or above
-      // the referenced files' works; the newest contributing tombstone's
-      // is the honest one
+      // the referenced files' works; the newest contributing
+      // tombstone's is the honest one
       val seq = gTombs.map(_.seq).max + 1
       // deleted = ANY applicable tombstone predicate true (null-safe:
       // null = not matched = kept, SQL DELETE semantics)
@@ -595,64 +632,67 @@ object IcebergExport {
         coalesce(TableOps.filterToColumn(t.filter).getOrElse(
           throw new IllegalStateException(s"unevaluable tombstone: ${t.filter}")),
           lit(false))).reduce(_ || _)
-      // file_path literal = the manifest's exact URI string (external
-      // readers match delete rows to data files byte-for-byte)
-      def positions(f: FileEntry): DataFrame = {
-        val abs = repo.root.resolve(f.path)
-        s.read.parquet(abs.toString).where(delCond)
-          .select(lit(abs.toUri.toString).as("file_path"),
-            col("_metadata.row_index").as("pos"))
+      val tuples =
+        if (specFields.nonEmpty)
+          files.groupBy(_.partValues).toSeq.sortBy(_._1.toString)
+        else Seq((Map.empty[String, String], files))
+      tuples.foreach { case (pv, fs) =>
+        val gid = nextGid; nextGid += 1
+        slots += Slot(gid, pv, seq)
+        fs.foreach { f =>
+          val uri = repo.root.resolve(f.path).toUri.toString
+          fileTag += ((norm(uri), gid, uri))
+        }
       }
-      if (specFields.nonEmpty)
-        // batch by partition tuple: files sharing partition values may
-        // legally share one (file_path, pos)-sorted delete file, so a
-        // tombstone touching a partition costs ONE job regardless of
-        // how many files the partition holds — at 100 TB the job count
-        // is O(dirty partitions), not O(dirty files)
-        files.groupBy(_.partValues).toSeq.sortBy(_._1.toString)
-          .flatMap { case (pv, fs) =>
-            writeDeleteParquet(s, fs.map(positions).reduce(_ union _), dataDir)
-              .map { case (p, n) =>
-                DeleteFile(p, n, pv, content = 1, seq, Nil) }
-          }
-      else
-        writeDeleteParquet(s,
-          files.map(positions).reduce(_ union _), dataDir)
-          .map { case (p, n) =>
-            DeleteFile(p, n, Map.empty, content = 1, seq, Nil) }.toSeq
+      // EXPLICIT physical schema, matching TableOps.readFiles: after an
+      // ADD COLUMN a predicate on the new column must null-fill over
+      // older files that lack it, exactly like the engine's own MoR read
+      s.read.schema(phys)
+        .parquet(files.map(f => repo.root.resolve(f.path).toString): _*)
+        .where(delCond)
+        .select(
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "file:///")
+            .as("__src"),
+          col("_metadata.row_index").as("pos"))
     }
-  }
 
-  /** Write `df(file_path, pos)` as ONE sorted parquet file carrying the
-    * spec's reserved field ids (readers bind the delete schema by id).
-    * Returns None when no row matched — the delete file is not written.
-    */
-  private def writeDeleteParquet(s: SparkSession, df: DataFrame,
-      dataDir: Path): Option[(Path, Long)] = {
-    import org.apache.spark.sql.functions.col
+    import s.implicits._
     def idMeta(id: Long) =
       new MetadataBuilder().putLong("parquet.field.id", id).build()
+    val tagDf = fileTag.result().toDF("__src", "__gid", "file_path")
     val tmp = Files.createTempDirectory("graft-ice-del")
-    // repartition(1) + sortWithinPartitions = one globally-sorted file
-    // (orderBy-then-coalesce would interleave sorted partitions); delete
-    // sets are per-file/per-group row positions — bounded by the rows
-    // the tombstone's stats/bloom-pruned file set actually holds
-    df.select(col("file_path").as("file_path", idMeta(DeletePathFieldId)),
+    // repartition by slot id = each slot wholly in one task; partitionBy
+    // then emits exactly one (file_path, pos)-sorted parquet per slot
+    // directory, carrying the spec's reserved field ids (readers bind
+    // the delete schema by id)
+    groupFrames.reduce(_ union _)
+      .join(broadcast(tagDf), "__src")
+      .select(col("__gid"),
+        col("file_path").as("file_path", idMeta(DeletePathFieldId)),
         col("pos").as("pos", idMeta(DeletePosFieldId)))
-      .repartition(1).sortWithinPartitions("file_path", "pos")
-      .write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).iterator().asScala
-      .find(p => p.getFileName.toString.startsWith("part-") &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(s"no parquet written in $tmp"))
-    val rows = parquetRowCount(s, part)
-    if (rows == 0L) { deleteRecursively(tmp); None }
-    else {
-      val out = dataDir.resolve(s"${UUID.randomUUID()}-deletes.parquet")
-      Files.move(part, out)
-      deleteRecursively(tmp)
-      Some((out, rows))
+      .repartition(col("__gid"))
+      .sortWithinPartitions("__gid", "file_path", "pos")
+      .write.mode("overwrite").partitionBy("__gid").parquet(tmp.toString)
+
+    val out = slots.result().flatMap { sl =>
+      val dir = tmp.resolve(s"__gid=${sl.gid}")
+      if (!Files.isDirectory(dir)) None // predicate matched nothing here
+      else {
+        val part = Files.list(dir).iterator().asScala
+          .find(p => p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no parquet in $dir"))
+        val rows = parquetRowCount(s, part)
+        if (rows == 0L) None
+        else {
+          val dst = dataDir.resolve(s"${UUID.randomUUID()}-deletes.parquet")
+          Files.move(part, dst)
+          Some(DeleteFile(dst, rows, sl.pv, content = 1, sl.seq, Nil))
+        }
+      }
     }
+    deleteRecursively(tmp)
+    out
   }
 
   /** Exact row count from the parquet footer (no data scan). */

@@ -181,26 +181,15 @@ object IcebergImport {
     // file's footer. Name-mapping semantics: absent column → null.
     var data = spark.read.schema(p.schema).parquet(p.dataPaths: _*)
 
-    if (p.positionDeletes.nonEmpty || p.equalityDeletes.nonEmpty)
+    val anyDeletes = p.positionDeletes.nonEmpty || p.equalityDeletes.nonEmpty
+    if (anyDeletes) {
       // Spark renders local paths as file:/..., manifests as file:///...
       // — normalize every path column to one form before comparing
       data = data.withColumn("__ice_path", normPath(col("_metadata.file_path")))
-
-    if (p.positionDeletes.nonEmpty) {
-      val del = spark.read.parquet(p.positionDeletes.map(_.path): _*)
-        .select(normPath(col("file_path")).as("__ice_del_path"),
-          col("pos").as("__ice_del_pos"))
-      data = data
-        .withColumn("__ice_pos", col("_metadata.row_index"))
-        .join(del, col("__ice_path") === col("__ice_del_path") &&
-          col("__ice_pos") === col("__ice_del_pos"), "left_anti")
-        .drop("__ice_pos")
-    }
-
-    if (p.equalityDeletes.nonEmpty) {
-      // data sequence number via a broadcast (path → seq) lookup — the
-      // strict `<` comparison rides the anti-join condition, so rows
-      // from files as new as the delete survive even when they match
+      // data sequence number via a broadcast (path → seq) lookup — both
+      // delete kinds compare against it: positional at `<=`, equality
+      // strictly `<` (the spec's applicability rules), so rows from
+      // files newer than the delete survive even when they match
       val seqDf = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
           p.dataFiles.map(f => org.apache.spark.sql.Row(
@@ -210,6 +199,35 @@ object IcebergImport {
       data = data.join(broadcast(seqDf),
         col("__ice_path") === col("__ice_seq_path"), "left")
         .drop("__ice_seq_path")
+    }
+
+    if (p.positionDeletes.nonEmpty) {
+      // stamp each delete row with ITS OWN file's sequence number (a
+      // broadcast join on the delete file's _metadata path — delete
+      // manifests carry the seq, the rows don't): an external v2 table
+      // that drops a data file and later re-adds the same path must not
+      // see stale position deletes re-applied to the new file
+      val delSeqDf = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          p.positionDeletes.map(f => org.apache.spark.sql.Row(
+            normStr(f.path), f.seq)).asJava),
+        StructType(Seq(StructField("__ice_del_src", StringType),
+          StructField("__ice_del_seq", LongType))))
+      val del = spark.read.parquet(p.positionDeletes.map(_.path): _*)
+        .select(normPath(col("file_path")).as("__ice_del_path"),
+          col("pos").as("__ice_del_pos"),
+          normPath(col("_metadata.file_path")).as("__ice_del_src_path"))
+        .join(broadcast(delSeqDf),
+          col("__ice_del_src_path") === col("__ice_del_src"))
+      data = data
+        .withColumn("__ice_pos", col("_metadata.row_index"))
+        .join(del, col("__ice_path") === col("__ice_del_path") &&
+          col("__ice_pos") === col("__ice_del_pos") &&
+          col("__ice_seq") <= col("__ice_del_seq"), "left_anti")
+        .drop("__ice_pos")
+    }
+
+    if (p.equalityDeletes.nonEmpty) {
       // one anti-join per (column set, sequence) group; external writers
       // produce few groups (typically one flink/CDC writer per schema)
       p.equalityDeletes.groupBy(d => (d.equalityIds, d.seq)).toSeq

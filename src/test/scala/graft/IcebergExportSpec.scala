@@ -722,6 +722,45 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
       .collect().head.getLong(0) shouldBe 23L // main untouched
   }
 
+  test("positional-delete export job count is CONSTANT in the number of " +
+    "dirty partitions (one unioned action, not a job per tuple)") {
+    def exportJobs(ns: String, nCats: Int): (Int, Int) = {
+      sql(s"CREATE NAMESPACE g.$ns")
+      sql(s"CREATE NAMESPACE g.$ns.main.db")
+      sql(s"CREATE TABLE g.$ns.main.db.t (id INT, cat STRING) " +
+        "PARTITIONED BY (cat) TBLPROPERTIES " +
+        "('graft.delete.mode'='merge-on-read')")
+      sql(s"INSERT INTO g.$ns.main.db.t SELECT CAST(id AS INT), " +
+        s"concat('c', CAST(id % $nCats AS STRING)) FROM range(0, 120)")
+      // range predicate → NOT equality-shaped → positional path; id<110
+      // touches every cat
+      sql(s"DELETE FROM g.$ns.main.db.t WHERE id < 110")
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val dest = Files.createTempDirectory(s"ice-jobs-$nCats")
+        val metaPath = sql(s"CALL g.system.iceberg_export('$ns', 'main', " +
+          s"'db.t', '$dest')").collect().head.getString(0)
+        org.apache.spark.graftbridge.TestListenerBridge.drain(spark.sparkContext)
+        val imported = graft.versioned.IcebergImport
+          .read(spark, java.nio.file.Paths.get(metaPath)).count()
+        (jobs.get(), imported.toInt)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val (fewJobs, fewRows) = exportJobs("icejf", 2)
+    val (manyJobs, manyRows) = exportJobs("icejm", 12)
+    fewRows shouldBe 10
+    manyRows shouldBe 10
+    // the import's count() also runs jobs, but identical ones in both
+    // measurements — any per-partition export loop would show up here
+    manyJobs shouldBe fewJobs
+  }
+
   test("import reads a clean v1 export (no deletes) identically to graft") {
     sql("CREATE NAMESPACE g.icei")
     sql("CREATE NAMESPACE g.icei.main.db")
