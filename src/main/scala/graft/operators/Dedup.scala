@@ -290,18 +290,52 @@ object Dedup {
     * DuckDB-oracle-checked (list_cosine via double-widened lists).
     */
   private def embedCosine(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val maxGroup = s.conf.getOption("spark.graft.embedcosine.maxGroup")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1024)
     // Norms precomputed per vector BEFORE the pair join: one codegen'd dot
     // per pair instead of three HOF folds (same fold order -> identical
     // doubles -> oracle-safe).
     val e = T.embeddings(s, d)
       .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm", l2norm(col("v")))
-    e.as("a")
-      .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    embedCosinePairs(e, 0.35, maxGroup)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The label-blocked within-group pair join over an arbitrary
+    * (vec_id, label, v, nrm) corpus — factored out so specs can drive
+    * it on skewed label distributions with a forced `maxGroup`.
+    *
+    * `maxGroup` caps the per-reducer work with [[setsimPairs]]'s
+    * GRID-SALTING contract applied to the label key: a label whose
+    * group exceeds it is hash-split into `nch = ceil(cnt/maxGroup)`
+    * chunks, each side replicates each row once per partner chunk
+    * keyed by the ordered chunk pair, and cell (i, j) joins chunk i
+    * against chunk j on its own reducer — one hot label (real
+    * clusterers produce them) spreads over nch² reducers of ≤
+    * maxGroup² dot products instead of serializing |label|²/2 onto
+    * one. Each pair is produced by EXACTLY one cell (the (q_a, q_b)
+    * one), so the transform is exactness-preserving; cold labels
+    * (nch = 1) degenerate to the unsalted join with zero replication.
+    * The `counts` side is |labels| rows — AQE broadcasts it.
+    */
+  private[graft] def embedCosinePairs(e: DataFrame, thresh: Double,
+      maxGroup: Int): DataFrame = {
+    val counts = e.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+    val chunked = e.join(counts, "label")
+      .withColumn("nch", ceil(col("cnt") / maxGroup).cast("int"))
+      .withColumn("q", pmod(xxhash64(col("vec_id")), col("nch")).cast("int"))
+    def salted = chunked.withColumn("cell",
+      explode(sequence(lit(0), col("nch") - 1)))
+    salted.as("a")
+      .join(salted.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.cell") === col("b.q") && // a's copy aimed at b's chunk
+          col("b.cell") === col("a.q") && // b's copy aimed at a's chunk
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.35)
-      .orderBy(col("id_a"), col("id_b"))
+      .filter(col("cos_sim") >= thresh)
   }
 
   /** Connected components over an arbitrary undirected pair graph:

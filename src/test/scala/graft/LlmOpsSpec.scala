@@ -67,6 +67,27 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     unsalted.foreach { case (a, b, j) => j should be >= 0.9 }
   }
 
+  test("dd_embed_cosine: hot-label grid salting is exactness-preserving " +
+    "on a skewed label distribution (one label holds everything)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextVec._
+    import spark.implicits._
+    // 240 vectors ALL under one label — the hot block the salting exists
+    // for; deterministic coords, offset keeps many pairs above 0.35
+    val e = (0 until 240).map { i =>
+      (i.toLong, "hot", Array.tabulate(8)(j => math.sin(i * 0.37 + j * 1.3) + 0.6))
+    }.toDF("vec_id", "label", "embedding")
+      .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    def run(maxGroup: Int): Set[(Long, Long, Double)] =
+      graft.operators.Dedup.embedCosinePairs(e, 0.35, maxGroup)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unsalted = run(1000000) // nch = 1: the plain within-label join
+    val salted = run(16)        // nch = 15 chunks on the hot label
+    salted shouldBe unsalted    // full recall AND precision, values included
+    unsalted.size should be > 100
+  }
+
   test("sim_ann_lsh: bucketed candidates are a subset of brute-force ranks " +
     "with usable recall") {
     val brute = SparkEntry.queries("sim_ann_brute")(spark, sfDir)
