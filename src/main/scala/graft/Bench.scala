@@ -81,10 +81,34 @@ object Bench {
     if (!sys.props("java.io.tmpdir").startsWith("/dev/shm"))
       System.err.println("[bench] WARNING: scratch is NOT tmpfs — " +
         "streaming WAL fsyncs will pollute small-query timings")
+    // ---- self-adjudication probes --------------------------------------
+    // This bench runs on a SHARED VM with roving multi-x noise windows
+    // (BASELINE.md's host-noise caveat). Each query row therefore
+    // carries two host-context markers sampled immediately before it:
+    //  - load: /proc/loadavg 1-minute figure (whole-host contention);
+    //  - calib: a fixed ~100 ms calibration micro-task (the warmup
+    //    range-agg, timed). Its drift vs the run's own minimum marks the
+    //    exact queries that ran inside a contended window, so a >2x-pin
+    //    row with drifted calib is host noise by construction, not a
+    //    regression — adjudicated per-row instead of by forensics.
+    def loadAvg(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(' ')(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1000000).selectExpr("id % 7 AS k", "id")
+        .groupBy("k").count().collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // retire the calibration plan's own codegen before sampling
+
     // deterministic name order: run-to-run and driver-vs-local runs
     // attribute warmup/contention to the SAME rows (a scala HashMap's
     // arbitrary order made per-query comparisons attribution-noisy)
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val load = loadAvg()
+      val calib = calibrate()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -95,19 +119,59 @@ object Bench {
       try org.apache.spark.sql.graftbridge.CheckpointLifecycle
         .sweepPersistentRDDs(spark)
       catch { case _: Throwable => () }
-      name -> dt
+      (name, dt, load, calib)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // stdout tail-capture can truncate the per-query map (BENCH_r03 lost
-    // 24 queries) — the file is the durable copy of the same line
+    val minCalib = results.map(_._4).filter(_ > 0).minOption.getOrElse(1.0)
+    def f3(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val qsFull = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val hostFull = results.map { case (k, _, l, c) =>
+      "\"" + k + "\":[" + f3(l) + "," + f3(c) + "]" }.mkString("{", ",", "}")
+    // durable full-fidelity copy FIRST — stdout capture is a 2000-char
+    // SUFFIX on the driver side (BENCH_r06's metric line lost its head
+    // and parsed as null), so the file is the canonical record and the
+    // stdout lines below are sized to survive the suffix window
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$qsFull,"host":$hostFull,"calib_floor":${f3(minCalib)},""" +
+      s""""sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_results.json"), line + "\n")
+      java.nio.file.Paths.get("bench_results.json"), fullLine + "\n")
     catch { case _: Throwable => () }
+    // chunked per-query lines (~900 chars each, valid standalone JSON,
+    // deliberately NOT carrying the "metric" key): whatever suffix the
+    // capture keeps is parseable line-by-line
+    val entries = results.map { case (k, v, l, c) =>
+      "\"" + k + "\":[" + f3(v) + "," + f3(l) + "," + f3(c) + "]" }
+    val chunks = {
+      val b = Seq.newBuilder[Seq[String]]
+      var cur = Seq.newBuilder[String]; var len = 0
+      entries.foreach { e =>
+        if (len + e.length > 900) { b += cur.result(); cur = Seq.newBuilder; len = 0 }
+        cur += e; len += e.length + 1
+      }
+      val last = cur.result(); if (last.nonEmpty) b += last
+      b.result()
+    }
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"chunk":${i + 1},"of":${chunks.size},"cols":""" +
+        s""""sec,load1m,calib","queries":${c.mkString("{", ",", "}")}}""")
+    }
+    // final compact metric line — MUST fit wholly inside the capture
+    // suffix: total + the slowest rows (the >2x-pin candidates) + the
+    // calib-drifted rows (the noise-window evidence for them)
+    val slowest = results.sortBy(-_._2).take(40)
+      .map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val drifted = results.filter { case (_, _, _, c) => c > 2 * minCalib }
+      .map { case (k, _, l, c) =>
+        "\"" + k + "\":[" + f3(l) + "," + f3(c) + "]" }
+    val driftStr = drifted.take(15).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$slowest,"n_queries":${results.size},""" +
+      s""""calib_floor":${f3(minCalib)},"calib_drifted":$driftStr,""" +
+      s""""n_drifted":${drifted.size},"full":"bench_results.json",""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

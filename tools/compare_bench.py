@@ -43,12 +43,33 @@ def main():
     print(f"run totals: {[round(r['value'], 1) for r in runs]}")
     print(f"min-sum: {round(sum(queries.values()), 1)}  "
           f"pin-sum: {round(sum(pins.values()), 1)}")
+    # host-context markers (Bench emits per-query [load1m, calib] since
+    # round 7): a breach whose calib micro-task drifted >2x the run's
+    # floor ran inside a contended window -> host noise, not regression
+    host = {}
+    floor = float("inf")
+    for r in runs:
+        for q, lc in r.get("host", {}).items():
+            host.setdefault(q, lc)
+        floor = min(floor, r.get("calib_floor", float("inf")))
     bad = [(q, round(t, 2), pins[q], round(t / pins[q], 1))
            for q, t in sorted(queries.items())
            if q in pins and t > 2 * pins[q]]
+    unexplained = 0
     print(f"rows >2x pin: {len(bad)}")
     for q, t, p, r in bad:
-        print(f"  {q}: {t}s vs pin {p}s ({r}x)")
+        note = ""
+        if q in host and floor < float("inf"):
+            load, calib = host[q][0], host[q][1]
+            if calib > 2 * floor:
+                note = (f"  [contended window: calib {calib}s vs floor "
+                        f"{round(floor, 3)}s, load {load}]")
+            else:
+                note = f"  [UNEXPLAINED: calib {calib}s ~ floor, load {load}]"
+                unexplained += 1
+        print(f"  {q}: {t}s vs pin {p}s ({r}x){note}")
+    if bad and host:
+        print(f"unexplained breaches: {unexplained} of {len(bad)}")
     ratios = sorted(t / pins[q] for q, t in queries.items() if q in pins)
     print(f"median ratio: {round(ratios[len(ratios) // 2], 2)}")
     unpinned = [q for q in queries if q not in pins]
