@@ -271,16 +271,30 @@ object Similarity {
 
     def cbDf = s.createDataFrame(codebook).toDF("j", "code", "cb")
     // nearest code per (vector, subspace): L2 argmin == argmin of
-    // (||cb||² - 2·sv·cb) — ||sv||² is constant per row
+    // (||cb||² - 2·sv·cb) — ||sv||² is constant per row. The codebook
+    // is an m·ks·dimPer model (~1K doubles), so the argmin is a pure
+    // codegen'd PROJECTION over a typed literal — no join, no window,
+    // no shuffle. Each of the three encode passes (2 Lloyd + final)
+    // previously paid an n·m·ks-row join + row_number sort shuffle;
+    // now none do, the exact FAISS shape (tiny local codebook, local
+    // encode). array_min + array_position picks the LOWEST code among
+    // d2 ties — identical to the old (d2, code) window order.
     def encode(): DataFrame = {
-      val w = Window.partitionBy(col("neighbor_id"), col("j"))
-        .orderBy(col("d2"), col("code"))
-      sub.join(broadcast(cbDf), Seq("j")) // m·ks-row model, never corpus
-        .select(col("neighbor_id"), col("j"), col("sv"), col("code"),
-          (dot(col("cb"), col("cb")) - lit(2.0) * dot(col("sv"), col("cb")))
-            .as("d2"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      // dense code→cb array per subspace; a code with no assigned
+      // vectors after a Lloyd update gets a far-away sentinel (1e150:
+      // d2 ≈ 8e300, finite so no NaN via 0·∞, never the argmin) —
+      // unselectable, exactly like the old join that simply lacked
+      // the row
+      val sentinel = Seq.fill(dimPer)(1e150)
+      val byJC = codebook.map(e => (e._1, e._2) -> e._3).toMap
+      val dense: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
+        (0 until ks).map(c => byJC.getOrElse((j, c), sentinel).toSeq))
+      val cbLit = typedlit(dense)
+      sub
+        .withColumn("d2s", transform(element_at(cbLit, col("j") + 1),
+          cb => dot(cb, cb) - lit(2.0) * dot(col("sv"), cb)))
+        .withColumn("code",
+          (array_position(col("d2s"), array_min(col("d2s"))) - 1).cast("int"))
         .select(col("neighbor_id"), col("j"), col("sv"), col("code"))
     }
     for (_ <- 1 to 2) { // Lloyd rounds, all subspaces in ONE job
