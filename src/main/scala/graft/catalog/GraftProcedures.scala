@@ -245,7 +245,10 @@ private[catalog] object GraftProcedures {
         "iceberg_export",
         Seq(("repo", StringType, None), ("ref", StringType, None),
           ("tbl", StringType, None), ("dest", StringType, None),
-          ("snapshots", IntegerType, Some("1"))),
+          ("snapshots", IntegerType, Some("1")),
+          // sync => true: standing subscription — every later commit
+          // to the ref re-emits metadata into dest (IcebergSync)
+          ("sync", BooleanType, Some("false"))),
         StructType(Seq(
           StructField("metadata_path", StringType, nullable = false),
           StructField("data_files", IntegerType, nullable = false))),
@@ -254,9 +257,14 @@ private[catalog] object GraftProcedures {
           val ref = str(in, 1)
           val key = str(in, 2).replace('.', '/')
           val maxSnaps = math.max(1, in.getInt(4))
-          val p = graft.versioned.IcebergExport.export(
-            g, ref, key, java.nio.file.Paths.get(str(in, 3)),
-            Some(org.apache.spark.sql.SparkSession.active), maxSnaps)
+          val spark = Some(org.apache.spark.sql.SparkSession.active)
+          val p = if (in.getBoolean(5)) {
+            val reg = graft.versioned.IcebergSync.Reg(
+              ref, key, str(in, 3), maxSnaps)
+            graft.versioned.IcebergSync.register(g.root, reg)
+            graft.versioned.IcebergSync.syncExport(g, reg, spark)
+          } else graft.versioned.IcebergExport.export(
+            g, ref, key, java.nio.file.Paths.get(str(in, 3)), spark, maxSnaps)
           val n = g.snapshot(g.resolve(ref).tables(key)).files.size
           Seq(UTF8String.fromString(p.toString), n)
         }))

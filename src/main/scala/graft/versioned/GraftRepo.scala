@@ -111,10 +111,15 @@ final class GraftRepo private (val root: Path, val io: GraftIO) {
     * the reference's `OutputFile.createOrOverwrite` guard against
     * concurrent writers). A lost race is a CommitConflictException.
     */
-  private def casRef(branch: String, base: Int, cid: String): Unit =
+  private def casRef(branch: String, base: Int, cid: String): Unit = {
     if (!io.createExclusive(refsDir.resolve(branch).resolve(s"v${base + 1}"), cid))
       throw new CommitConflictException(
         s"branch $branch moved past v$base; rebase and retry")
+    // successful advance — the single funnel every commit, merge and
+    // rollback passes through: standing Iceberg sync registrations
+    // follow the new head here (O(1) no-op when none exist)
+    IcebergSync.onRefAdvance(this, branch)
+  }
 
   /** Commit with an explicit base ref version — rejected if stale. */
   def commitAt(branch: String, baseVersion: Int, parents: Seq[String],

@@ -145,7 +145,17 @@ object IcebergExport {
     * instead of trusting the added/existing split.
     */
   def export(repo: GraftRepo, ref: String, key: String, dest: Path,
-      spark: Option[SparkSession], maxSnapshots: Int): Path = {
+      spark: Option[SparkSession], maxSnapshots: Int): Path =
+    export(repo, ref, key, dest, spark, maxSnapshots, version = 1)
+
+  /** `version` numbers the written metadata file (`v<N>.metadata.json`,
+    * version-hint updated to N) — the HadoopCatalog discovery
+    * convention. Re-exports into the SAME dest (sync mode) bump it so
+    * external readers follow the hint to the newest table state while
+    * older metadata versions stay readable in place.
+    */
+  def export(repo: GraftRepo, ref: String, key: String, dest: Path,
+      spark: Option[SparkSession], maxSnapshots: Int, version: Int): Path = {
     val headCommit = repo.resolve(ref)
     if (!headCommit.tables.contains(key))
       throw new NoSuchElementException(s"no such table: $key @ $ref")
@@ -402,11 +412,11 @@ object IcebergExport {
     meta.put("metadata-log", java.util.List.of())
 
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val metaPath = metaDir.resolve("v1.metadata.json")
+    val metaPath = metaDir.resolve(s"v$version.metadata.json")
     Files.writeString(metaPath,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
     // HadoopCatalog-style discovery: readers resolve v<hint>.metadata.json
-    Files.writeString(metaDir.resolve("version-hint.text"), "1")
+    Files.writeString(metaDir.resolve("version-hint.text"), version.toString)
     metaPath
   }
 

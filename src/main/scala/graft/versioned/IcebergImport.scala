@@ -68,6 +68,24 @@ object IcebergImport {
     def equalityDeletes: Seq[DeleteFile] = deleteFiles.filter(_.content == 2)
   }
 
+  /** HadoopCatalog-style discovery: a DIRECTORY (table root or its
+    * `metadata/`) resolves through `version-hint.text` to the newest
+    * `v<N>.metadata.json`, so re-reading the same dir after a sync-mode
+    * re-export sees the new table state; a file path is used as-is.
+    */
+  def resolveMetadata(p: Path): Path =
+    if (!Files.isDirectory(p)) p
+    else {
+      val metaDir =
+        if (p.getFileName != null && p.getFileName.toString == "metadata") p
+        else p.resolve("metadata")
+      val hint = metaDir.resolve("version-hint.text")
+      if (!Files.exists(hint))
+        throw new IllegalArgumentException(
+          s"$p is a directory but has no metadata/version-hint.text")
+      metaDir.resolve(s"v${Files.readString(hint).trim}.metadata.json")
+    }
+
   /** Parse metadata JSON + manifests into the current snapshot's plan. */
   def plan(metadataPath: Path): Plan = plan(metadataPath, None)
 
@@ -76,7 +94,7 @@ object IcebergImport {
     */
   def plan(metadataPath: Path, snapshotId: Option[Long]): Plan = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val meta = mapper.readTree(Files.readString(metadataPath))
+    val meta = mapper.readTree(Files.readString(resolveMetadata(metadataPath)))
     val v = meta.get("format-version").asInt()
     require(v == 1 || v == 2, s"unsupported Iceberg format-version: $v")
 

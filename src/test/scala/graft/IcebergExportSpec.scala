@@ -761,6 +761,40 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     manyJobs shouldBe fewJobs
   }
 
+  test("sync-mode export: later commits re-emit metadata automatically " +
+    "(new version + hint), a dir import follows the hint with no extra " +
+    "CALL, and unrelated-table commits don't re-emit") {
+    sql("CREATE NAMESPACE g.icesync")
+    sql("CREATE NAMESPACE g.icesync.main.db")
+    sql("CREATE TABLE g.icesync.main.db.t (id INT, v DOUBLE)")
+    sql("INSERT INTO g.icesync.main.db.t SELECT CAST(id AS INT), " +
+      "CAST(id AS DOUBLE) FROM range(0, 10)")
+    val dest = Files.createTempDirectory("ice-sync")
+    sql(s"CALL g.system.iceberg_export('icesync', 'main', 'db.t', " +
+      s"'$dest', sync => true)")
+    def hint: String =
+      Files.readString(dest.resolve("metadata/version-hint.text")).trim
+    hint shouldBe "1"
+    // a later commit re-emits with NO further CALL
+    sql("INSERT INTO g.icesync.main.db.t SELECT CAST(id AS INT), " +
+      "CAST(id AS DOUBLE) FROM range(10, 25)")
+    hint shouldBe "2"
+    Files.exists(dest.resolve("metadata/v2.metadata.json")) shouldBe true
+    // dir import resolves through the hint: the NEW table state
+    graft.versioned.IcebergImport.read(spark, dest).count() shouldBe 25
+    // the older metadata version stays readable in place
+    graft.versioned.IcebergImport.read(spark,
+      dest.resolve("metadata/v1.metadata.json")).count() shouldBe 10
+    // an unrelated table's commit advances the ref but NOT this export
+    sql("CREATE TABLE g.icesync.main.db.u (id INT)")
+    sql("INSERT INTO g.icesync.main.db.u VALUES (CAST(1 AS INT))")
+    hint shouldBe "2"
+    // deletes follow too (CoW delete = new snapshot id)
+    sql("DELETE FROM g.icesync.main.db.t WHERE id < 5")
+    hint shouldBe "3"
+    graft.versioned.IcebergImport.read(spark, dest).count() shouldBe 20
+  }
+
   test("import reads a clean v1 export (no deletes) identically to graft") {
     sql("CREATE NAMESPACE g.icei")
     sql("CREATE NAMESPACE g.icei.main.db")
