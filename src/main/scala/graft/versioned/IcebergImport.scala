@@ -40,7 +40,10 @@ import org.apache.spark.sql.types._
   * delete files (graft's own exporter writes only positional ones, but
   * external CDC writers — Flink upserts — emit equality deletes), and
   * flat schemas (the only shape graft tables have). Column binding is
-  * BY NAME — correct for any writer that uses
+  * FIELD-ID-FIRST when the data files' footers carry parquet field ids
+  * (external Iceberg engines stamp them; columns renamed by such an
+  * engine bind correctly by id — see [[boundScan]]) and BY NAME
+  * otherwise — correct for any writer that uses
   * `schema.name-mapping.default` with physical names, which includes
   * every [[IcebergExport]] output.
   */
@@ -193,17 +196,13 @@ object IcebergImport {
     if (p.dataFiles.isEmpty)
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), p.schema)
-    // EXPLICIT schema, not footer inference: after additive schema
-    // evolution a snapshot legitimately mixes files with and without
-    // the newer columns, and inference would bind to one arbitrary
-    // file's footer. Name-mapping semantics: absent column → null.
-    var data = spark.read.schema(p.schema).parquet(p.dataPaths: _*)
+    var data = boundScan(spark, p)
 
     val anyDeletes = p.positionDeletes.nonEmpty || p.equalityDeletes.nonEmpty
     if (anyDeletes) {
       // Spark renders local paths as file:/..., manifests as file:///...
       // — normalize every path column to one form before comparing
-      data = data.withColumn("__ice_path", normPath(col("_metadata.file_path")))
+      data = data.withColumn("__ice_path", normPath(col("__ice_fp")))
       // data sequence number via a broadcast (path → seq) lookup — both
       // delete kinds compare against it: positional at `<=`, equality
       // strictly `<` (the spec's applicability rules), so rows from
@@ -238,7 +237,7 @@ object IcebergImport {
         .join(broadcast(delSeqDf),
           col("__ice_del_src_path") === col("__ice_del_src"))
       data = data
-        .withColumn("__ice_pos", col("_metadata.row_index"))
+        .withColumn("__ice_pos", col("__ice_ri"))
         .join(del, col("__ice_path") === col("__ice_del_path") &&
           col("__ice_pos") === col("__ice_del_pos") &&
           col("__ice_seq") <= col("__ice_del_seq"), "left_anti")
@@ -266,6 +265,75 @@ object IcebergImport {
       data = data.drop("__ice_seq")
     }
     data.select(outCols.toSeq: _*)
+  }
+
+  /** Data scan with the spec's column-binding rules, emitting the
+    * Iceberg-named data columns plus `__ice_fp` / `__ice_ri` (file
+    * path / row position, for delete application).
+    *
+    * Binding is FIELD-ID-FIRST: if the first data file's footer
+    * carries parquet field ids (external writers — Iceberg's own
+    * engines — stamp them), every file's footer id→name mapping is
+    * read and files are grouped by it; each group is scanned under its
+    * own physical names and renamed to the schema names, so a column
+    * renamed by the external engine binds by ID instead of silently
+    * null-filling under its old name. Ids the footer lacks fall back
+    * to name mapping per the spec. Footer probing is driver-side
+    * O(files) — the cost Iceberg's own per-task footer opens pay at
+    * execution instead — and is SKIPPED entirely (one probe) for
+    * id-less tables, which includes every graft export.
+    *
+    * Id-less path: EXPLICIT schema, not footer inference — after
+    * additive schema evolution a snapshot legitimately mixes files
+    * with and without the newer columns, and inference would bind to
+    * one arbitrary file's footer. Name-mapping semantics: absent
+    * column → null.
+    */
+  private def boundScan(spark: SparkSession, p: Plan): DataFrame = {
+    val metaCols = Seq(col("_metadata.file_path").as("__ice_fp"),
+      col("_metadata.row_index").as("__ice_ri"))
+    footerIds(spark, p.dataPaths.head) match {
+      case None =>
+        spark.read.schema(p.schema).parquet(p.dataPaths: _*)
+          .select(p.schema.fields.map(f => col(f.name)).toSeq ++ metaCols: _*)
+      case Some(_) =>
+        val nameToId = p.fieldIdToName.map(_.swap)
+        p.dataPaths
+          .map(f => (footerIds(spark, f).getOrElse(Map.empty), f))
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+          .sortBy(_._2.head)
+          .map { case (idMap, files) =>
+            val physNames = p.schema.fields.map(f =>
+              idMap.getOrElse(nameToId(f.name), f.name))
+            if (physNames.distinct.length != physNames.length)
+              throw new UnsupportedOperationException(
+                s"field-id binding of ${files.head} maps two schema " +
+                  s"columns to one physical name (${physNames.mkString(", ")})" +
+                  " — refusing rather than mis-binding")
+            val physSchema = StructType(p.schema.fields.zip(physNames)
+              .map { case (f, n) => f.copy(name = n) })
+            spark.read.schema(physSchema).parquet(files: _*)
+              .select(p.schema.fields.zip(physNames)
+                .map { case (f, n) => col(n).as(f.name) }.toSeq ++ metaCols: _*)
+          }.reduce(_ unionByName _)
+    }
+  }
+
+  /** The footer's field-id → column-name map of one parquet file, or
+    * None when the file carries no ids (name-mapping writers).
+    */
+  private def footerIds(spark: SparkSession,
+      path: String): Option[Map[Int, String]] = {
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(new java.io.File(path).toURI),
+        spark.sessionState.newHadoopConf()))
+    try {
+      val ids = rd.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .flatMap(f => Option(f.getId).map(id => id.intValue() -> f.getName))
+        .toMap
+      if (ids.isEmpty) None else Some(ids)
+    } finally rd.close()
   }
 
   /** Driver-side twin of [[normPath]] for plan paths ([[toLocal]] output:

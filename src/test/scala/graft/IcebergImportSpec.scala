@@ -194,4 +194,77 @@ class IcebergImportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
       (2 until 10).filter(_ != 3).map(i => (i, s"a$i")) ++ // 0 pos-deleted, 1+3 eq-deleted
         (100 until 105).map(i => (i, s"b$i"))) // 100 survives: seq not strictly older
   }
+
+  test("field-id-first binding: a column renamed by an external engine " +
+    "(footer ids stable, names drifted) binds by ID; name binding would " +
+    "silently null-fill") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.MetadataBuilder
+    import spark.implicits._
+    val root = Files.createTempDirectory("ice-fid")
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    val metaDir = Files.createDirectories(root.resolve("metadata"))
+    def idMeta(id: Int) =
+      new MetadataBuilder().putLong("parquet.field.id", id.toLong).build()
+    // file A written BEFORE the rename: physical names (id, old_v),
+    // footer field ids (1, 2)
+    val fileA = dataDir.resolve("a.parquet")
+    writeOneParquet((0 until 5).map(i => (i, s"a$i")).toDF("id", "old_v")
+      .select(col("id").as("id", idMeta(1)), col("old_v").as("old_v", idMeta(2))),
+      fileA)
+    // file B written AFTER the rename: physical names (id, v), same ids
+    val fileB = dataDir.resolve("b.parquet")
+    writeOneParquet((10 until 15).map(i => (i, s"b$i")).toDF("id", "v")
+      .select(col("id").as("id", idMeta(1)), col("v").as("v", idMeta(2))),
+      fileB)
+    val mData = metaDir.resolve("m-data.avro")
+    writeManifest(mData, Seq((fileA, 0, Some(1L), Nil), (fileB, 0, Some(2L), Nil)))
+    val listPath = metaDir.resolve("snap-78.avro")
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](listSchema))
+    lw.setMeta("format-version", "2")
+    lw.create(listSchema, listPath.toFile)
+    try {
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", mData.toUri.toString)
+      r.put("manifest_length", Files.size(mData))
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("sequence_number", 2L)
+      r.put("min_sequence_number", 1L)
+      r.put("added_snapshot_id", 78L)
+      r.put("added_files_count", 2)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", 10L)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      lw.append(r)
+    } finally lw.close()
+    // table schema carries the CURRENT (post-rename) name `v` for id 2
+    val metaPath = metaDir.resolve("v1.metadata.json")
+    Files.writeString(metaPath,
+      s"""{"format-version":2,"table-uuid":"00000000-0000-0000-0000-000000000078",
+         |"location":"${root.toUri.toString.stripSuffix("/")}",
+         |"last-sequence-number":2,"last-updated-ms":0,"last-column-id":2,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"id","required":false,"type":"int"},
+         |{"id":2,"name":"v","required":false,"type":"string"}]}],
+         |"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"last-partition-id":999,
+         |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,
+         |"properties":{},"current-snapshot-id":78,
+         |"snapshots":[{"snapshot-id":78,"sequence-number":2,"timestamp-ms":0,
+         |"summary":{"operation":"append"},
+         |"manifest-list":"${listPath.toUri.toString}","schema-id":0}],
+         |"snapshot-log":[],"metadata-log":[]}""".stripMargin
+        .replaceAll("\n", ""))
+    val got = IcebergImport.read(spark, metaPath)
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    // id binding recovers file A's values under the NEW name `v`; name
+    // binding would have returned null for A's rows
+    got shouldBe ((0 until 5).map(i => (i, s"a$i")) ++
+      (10 until 15).map(i => (i, s"b$i")))
+  }
 }
