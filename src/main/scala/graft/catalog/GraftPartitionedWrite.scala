@@ -152,7 +152,7 @@ final class GraftLayoutWrite(
         def render(m: Map[String, Any]): Map[String, String] =
           m.map { case (c, v) =>
             c -> graft.versioned.FooterStats.render(v,
-              physSchema.fields.find(_.name == c).get.dataType)
+              graft.versioned.TableOps.leafType(physSchema, c))
           }
         graft.versioned.FileEntry(rel, wf.rows,
           render(wf.mins), render(wf.maxs),

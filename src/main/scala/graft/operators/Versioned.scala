@@ -223,6 +223,35 @@ object Versioned {
          |) ORDER BY side, n_nationkey""".stripMargin)
   }
 
+  /** Nested-type lifecycle (struct/array/map columns): pack nation into
+    * a nested schema, branch, DELETE keyed on a NESTED field (CoW
+    * rewrite — sources.Filter can't carry `info.region`, so the
+    * group-based path fires), INSERT on dev, 3-way merge, read main
+    * flattened back to scalars. Proves nested columns survive every
+    * versioned hop with full fidelity (driver gate forbids array
+    * outputs, hence the flatten).
+    */
+  private def nestedRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    s.sql(s"CREATE TABLE $cat.r.main.db.nn (" +
+      "n_nationkey INT, info STRUCT<name: STRING, region: INT>, " +
+      "tags ARRAY<STRING>, props MAP<STRING, INT>)")
+    s.sql(s"INSERT INTO $cat.r.main.db.nn " +
+      "SELECT n_nationkey, named_struct('name', n_name, 'region', n_regionkey), " +
+      "array('t', n_name), map('r', n_regionkey) " +
+      s"FROM $cat.r.main.db.nation")
+    s.sql(s"CREATE NAMESPACE $cat.r.nest") // branch after nn exists
+    s.sql(s"DELETE FROM $cat.r.nest.db.nn WHERE info.region = 2")
+    s.sql(s"INSERT INTO $cat.r.nest.db.nn " +
+      "SELECT n_nationkey + 100, named_struct('name', n_name, 'region', n_regionkey), " +
+      "array('t', n_name), map('r', n_regionkey) " +
+      s"FROM $cat.r.main.db.nation WHERE n_nationkey < 2")
+    repo.merge("nest", "main")
+    s.sql(s"""SELECT n_nationkey, info.name AS name, info.region AS region,
+         |       size(tags) AS n_tags, props['r'] AS r_val
+         |FROM $cat.r.main.db.nn ORDER BY n_nationkey""".stripMargin)
+  }
+
   /** Materialized view with INCREMENTAL refresh: full-compute at
     * create, append rows, refresh — the refresh reads only the appended
     * delta files (never rescans the source), combines with affected MV
@@ -676,6 +705,18 @@ object Versioned {
         |  WHERE n_nationkey < 10
         |) ORDER BY side, n_nationkey""".stripMargin
     )(cloneRead),
+    Q(
+      "vc_nested_read",
+      """SELECT n_nationkey, name, region, n_tags, r_val FROM (
+        |  SELECT n_nationkey, n_name AS name, n_regionkey AS region,
+        |         CAST(2 AS INTEGER) AS n_tags, n_regionkey AS r_val
+        |  FROM nation WHERE n_regionkey <> 2
+        |  UNION ALL
+        |  SELECT n_nationkey + 100, n_name, n_regionkey,
+        |         CAST(2 AS INTEGER), n_regionkey
+        |  FROM nation WHERE n_nationkey < 2
+        |) ORDER BY n_nationkey""".stripMargin
+    )(nestedRead),
     Q(
       "vc_mv_read",
       """SELECT n_regionkey, count(*) AS n_nations,

@@ -97,8 +97,12 @@ object FooterStats {
       // per-column Try: a stat shape this decode does not understand
       // (e.g. an unexpected physical encoding) must degrade to "no
       // stats for that column" — absence means keep-the-file — never a
-      // task failure or a partial min-without-max entry
-      physSchema.fields.foreach { f => scala.util.Try {
+      // task failure or a partial min-without-max entry. Leaves cover
+      // top-level primitives AND struct-nested primitives (dotted
+      // parquet paths) — nested-field predicates prune files too.
+      TableOps.statLeafColumns(physSchema).foreach { case (path, dt) =>
+        val f = StructField(path, dt)
+        scala.util.Try {
         val chunks = blocks.flatMap(_.getColumns.asScala
           .find(_.getPath.toDotString == f.name))
         val stats = chunks.map(_.getStatistics)

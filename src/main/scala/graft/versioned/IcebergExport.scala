@@ -367,7 +367,7 @@ object IcebergExport {
     meta.put("location", dest.toUri.toString.stripSuffix("/"))
     if (v >= 2) meta.put("last-sequence-number", lastSnapSeq)
     meta.put("last-updated-ms", nowMs)
-    meta.put("last-column-id", phys.fields.length)
+    meta.put("last-column-id", lastColumnId(phys))
     val schemaMap = icebergSchemaMap(phys)
     if (v == 1) meta.put("schema", schemaMap) // v1 legacy single schema
     meta.put("schemas", java.util.List.of(schemaMap))
@@ -460,7 +460,10 @@ object IcebergExport {
     */
   private def fileStats(f: FileEntry, phys: StructType): MStats = {
     val nulls = f.nullCounts
-    val ids = phys.fields.zipWithIndex
+    // stat-bearing columns with their Iceberg field ids: top-level
+    // columns (ids 1..n) plus struct-nested leaves under their NESTED
+    // field ids — external engines prune nested predicates too
+    val ids = statPathIds(phys)
     // a column is physically IN the file iff some stat was recorded for
     // it (FooterStats writes a null count for every present column,
     // all-null included); columns added to the schema after the file
@@ -469,17 +472,44 @@ object IcebergExport {
       nulls.contains(name) || f.min.contains(name) || f.max.contains(name)
     MStats(
       // value_counts = total values incl. nulls = the file's row count
-      // for every flat column the file actually holds
+      // for every non-repeated column the file actually holds
       valueCounts = ids.collect {
-        case (fld, i) if present(fld.name) => (i + 1) -> f.rows }.toMap,
-      nullCounts = ids.flatMap { case (fld, i) =>
-        nulls.get(fld.name).map((i + 1) -> _) }.toMap,
-      lower = ids.flatMap { case (fld, i) =>
-        f.min.get(fld.name).flatMap(boundBytes(fld.dataType, _))
-          .map((i + 1) -> _) }.toMap,
-      upper = ids.flatMap { case (fld, i) =>
-        f.max.get(fld.name).flatMap(boundBytes(fld.dataType, _))
-          .map((i + 1) -> _) }.toMap)
+        case (p, id, _) if present(p) => id -> f.rows }.toMap,
+      nullCounts = ids.flatMap { case (p, id, _) =>
+        nulls.get(p).map(id -> _) }.toMap,
+      lower = ids.flatMap { case (p, id, dt) =>
+        f.min.get(p).flatMap(boundBytes(dt, _)).map(id -> _) }.toMap,
+      upper = ids.flatMap { case (p, id, dt) =>
+        f.max.get(p).flatMap(boundBytes(dt, _)).map(id -> _) }.toMap)
+  }
+
+  /** (dotted stat path, Iceberg field id, engine type) for every column
+    * the stats maps may key: top-level fields under ids 1..n plus
+    * struct-nested leaves under the ids [[schemaNodes]] allocated
+    * (walked from the generated schema tree so the two can never
+    * disagree). List/map interiors carry no row-level stats.
+    */
+  private def statPathIds(phys: StructType)
+      : Seq[(String, Int, DataType)] = {
+    val out = Seq.newBuilder[(String, Int, DataType)]
+    def walk(prefix: Seq[String], fields: java.util.List[_]): Unit =
+      fields.forEach { fo =>
+        val fm = fo.asInstanceOf[java.util.Map[String, Any]]
+        val name = fm.get("name").asInstanceOf[String]
+        val id = fm.get("id").asInstanceOf[Int]
+        val path = (prefix :+ name).mkString(".")
+        fm.get("type") match {
+          case t: java.util.Map[_, _] if t.get("type") == "struct" =>
+            walk(prefix :+ name,
+              t.asInstanceOf[java.util.Map[String, Any]]
+                .get("fields").asInstanceOf[java.util.List[_]])
+          case _: java.util.Map[_, _] => () // list/map: repeated leaves
+          case _ =>
+            TableOps.leafField(phys, path).foreach(dt => out += ((path, id, dt)))
+        }
+      }
+    walk(Nil, schemaNodes(phys)._1.get("fields").asInstanceOf[java.util.List[_]])
+    out.result()
   }
 
   // ---- equality delete files (v2) --------------------------------------
@@ -738,21 +768,110 @@ object IcebergExport {
       s"no Iceberg export mapping for ${other.simpleString}")
   }
 
-  private def icebergSchemaMap(phys: StructType): java.util.Map[String, Any] = {
-    val fields = phys.fields.zipWithIndex.map { case (f, i) =>
+  /** Iceberg type node (JSON string for primitives, object for
+    * struct/list/map) plus the name-mapping child entries nested fields
+    * need (null for primitives), allocating nested field ids from
+    * `next`. Mapping names follow the spec's canonical child names —
+    * struct children by field name, `element` for list, `key`/`value`
+    * for map — which bind Spark's parquet 3-level list / key_value
+    * layout in every Iceberg reader's name-mapping resolver.
+    */
+  private def typeNode(dt: DataType, next: () => Int)
+      : (Any, java.util.List[Any]) = dt match {
+    case s: StructType =>
+      // ids for all direct children first, then recurse — Iceberg's own
+      // assignFreshIds order, keeps sibling ids contiguous
+      val ids = s.fields.map(_ => next())
+      val fields = new java.util.ArrayList[Any]
+      val mapping = new java.util.ArrayList[Any]
+      s.fields.zip(ids).foreach { case (f, id) =>
+        val (t, childMap) = typeNode(f.dataType, next)
+        val m = new java.util.LinkedHashMap[String, Any]
+        m.put("id", id)
+        m.put("name", f.name)
+        m.put("required", false)
+        m.put("type", t)
+        fields.add(m)
+        mapping.add(mappingEntry(id, f.name, childMap))
+      }
+      val m = new java.util.LinkedHashMap[String, Any]
+      m.put("type", "struct")
+      m.put("fields", fields)
+      (m, mapping)
+    case a: ArrayType =>
+      val eid = next()
+      val (t, childMap) = typeNode(a.elementType, next)
+      val m = new java.util.LinkedHashMap[String, Any]
+      m.put("type", "list")
+      m.put("element-id", eid)
+      m.put("element", t)
+      m.put("element-required", !a.containsNull)
+      val mapping = new java.util.ArrayList[Any]
+      mapping.add(mappingEntry(eid, "element", childMap))
+      (m, mapping)
+    case mt: MapType =>
+      val kid = next()
+      val (kt, kMap) = typeNode(mt.keyType, next)
+      val vid = next()
+      val (vt, vMap) = typeNode(mt.valueType, next)
+      val m = new java.util.LinkedHashMap[String, Any]
+      m.put("type", "map")
+      m.put("key-id", kid)
+      m.put("key", kt)
+      m.put("value-id", vid)
+      m.put("value", vt)
+      m.put("value-required", !mt.valueContainsNull)
+      val mapping = new java.util.ArrayList[Any]
+      mapping.add(mappingEntry(kid, "key", kMap))
+      mapping.add(mappingEntry(vid, "value", vMap))
+      (m, mapping)
+    case other => (icebergType(other), null)
+  }
+
+  private def mappingEntry(id: Int, name: String,
+      children: java.util.List[Any]): java.util.Map[String, Any] = {
+    val m = new java.util.LinkedHashMap[String, Any]
+    m.put("field-id", id)
+    m.put("names", java.util.List.of(name))
+    if (children != null && !children.isEmpty) m.put("fields", children)
+    m
+  }
+
+  /** Schema map + name-mapping list + last allocated field id, built in
+    * ONE deterministic traversal so every caller (metadata JSON, each
+    * manifest's embedded schema, `schema.name-mapping.default`,
+    * `last-column-id`) sees identical ids: top-level columns keep ids
+    * 1..n (the ids equality-delete `equality_ids` and manifest stats
+    * maps are keyed by), nested fields allocate n+1 onward.
+    */
+  private def schemaNodes(phys: StructType)
+      : (java.util.Map[String, Any], java.util.List[Any], Int) = {
+    var lastId = phys.fields.length
+    val next = () => { lastId += 1; lastId }
+    val fields = new java.util.ArrayList[Any]
+    val mapping = new java.util.ArrayList[Any]
+    phys.fields.zipWithIndex.foreach { case (f, i) =>
+      val (t, childMap) = typeNode(f.dataType, next)
       val m = new java.util.LinkedHashMap[String, Any]
       m.put("id", i + 1)
       m.put("name", f.name)
       m.put("required", false) // graft parquet columns are all optional
-      m.put("type", icebergType(f.dataType))
-      m
+      m.put("type", t)
+      fields.add(m)
+      mapping.add(mappingEntry(i + 1, f.name, childMap))
     }
     val m = new java.util.LinkedHashMap[String, Any]
     m.put("type", "struct")
     m.put("schema-id", 0)
-    m.put("fields", java.util.List.of(fields.toSeq: _*))
-    m
+    m.put("fields", fields)
+    (m, mapping, lastId)
   }
+
+  private def icebergSchemaMap(phys: StructType): java.util.Map[String, Any] =
+    schemaNodes(phys)._1
+
+  private[versioned] def lastColumnId(phys: StructType): Int =
+    schemaNodes(phys)._3
 
   private def icebergSchemaJson(phys: StructType): String =
     new com.fasterxml.jackson.databind.ObjectMapper()
@@ -760,18 +879,11 @@ object IcebergExport {
 
   /** Spec name-mapping (`schema.name-mapping.default`): parquet columns
     * carry no Iceberg field ids, so readers bind file columns to schema
-    * ids BY NAME through this mapping.
+    * ids BY NAME through this mapping (nested fields included).
     */
-  private def nameMappingJson(phys: StructType): String = {
-    val entries = phys.fields.zipWithIndex.map { case (f, i) =>
-      val m = new java.util.LinkedHashMap[String, Any]
-      m.put("field-id", i + 1)
-      m.put("names", java.util.List.of(f.name))
-      m
-    }
+  private def nameMappingJson(phys: StructType): String =
     new com.fasterxml.jackson.databind.ObjectMapper()
-      .writeValueAsString(java.util.List.of(entries.toSeq: _*))
-  }
+      .writeValueAsString(schemaNodes(phys)._2)
 
   // ---- partition spec export -------------------------------------------
 

@@ -39,11 +39,12 @@ import org.apache.spark.sql.types._
   * only (no time travel), PARQUET data files, positional AND equality
   * delete files (graft's own exporter writes only positional ones, but
   * external CDC writers — Flink upserts — emit equality deletes), and
-  * flat schemas (the only shape graft tables have). Column binding is
+  * NESTED schemas (struct/list/map columns parse recursively; equality
+  * deletes may only reference top-level fields). Column binding is
   * FIELD-ID-FIRST when the data files' footers carry parquet field ids
-  * (external Iceberg engines stamp them; columns renamed by such an
-  * engine bind correctly by id — see [[boundScan]]) and BY NAME
-  * otherwise — correct for any writer that uses
+  * (external Iceberg engines stamp them; TOP-LEVEL columns renamed by
+  * such an engine bind correctly by id — see [[boundScan]]; fields
+  * renamed INSIDE a struct still bind by name) and BY NAME otherwise — correct for any writer that uses
   * `schema.name-mapping.default` with physical names, which includes
   * every [[IcebergExport]] output.
   */
@@ -112,10 +113,7 @@ object IcebergImport {
       byId.orElse(Option(meta.get("schema"))).getOrElse(
         throw new IllegalArgumentException("metadata has no schema"))
     }
-    val schema = StructType(schemaNode.get("fields").elements().asScala.map { f =>
-      StructField(f.get("name").asText(), sparkType(f.get("type").asText()),
-        nullable = !f.get("required").asBoolean(false))
-    }.toSeq)
+    val schema = structOf(schemaNode)
     val idToName = schemaNode.get("fields").elements().asScala.map(f =>
       f.get("id").asInt() -> f.get("name").asText()).toMap
 
@@ -362,6 +360,31 @@ object IcebergImport {
   }
 
   private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+
+  /** A schema/struct type node → Spark StructType (recursive). */
+  private def structOf(node: com.fasterxml.jackson.databind.JsonNode)
+      : StructType =
+    StructType(node.get("fields").elements().asScala.map { f =>
+      StructField(f.get("name").asText(), sparkTypeNode(f.get("type")),
+        nullable = !f.get("required").asBoolean(false))
+    }.toSeq)
+
+  /** An Iceberg type node — textual primitive, or object struct/list/map
+    * — to its Spark type. */
+  private def sparkTypeNode(n: com.fasterxml.jackson.databind.JsonNode)
+      : DataType =
+    if (n.isTextual) sparkType(n.asText())
+    else n.get("type").asText() match {
+      case "struct" => structOf(n)
+      case "list" =>
+        ArrayType(sparkTypeNode(n.get("element")),
+          containsNull = !n.get("element-required").asBoolean(false))
+      case "map" =>
+        MapType(sparkTypeNode(n.get("key")), sparkTypeNode(n.get("value")),
+          valueContainsNull = !n.get("value-required").asBoolean(false))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported Iceberg type for import: $other")
+    }
 
   private def sparkType(t: String): DataType = t match {
     case "int" => IntegerType

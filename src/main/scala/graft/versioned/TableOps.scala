@@ -24,6 +24,52 @@ object TableOps {
     case _ => false
   }
 
+  /** Statable LEAF columns of a schema, dot-joined parquet paths: every
+    * top-level statable primitive plus primitives reachable through
+    * STRUCT nesting ("meta.author"). Array/map interiors are excluded —
+    * their parquet leaves repeat per element, so row-level min/max
+    * pruning semantics don't hold for the filters the engine pushes.
+    */
+  private[graft] def statableLeaves(schema: StructType): Seq[(String, DataType)] = {
+    def walk(prefix: Seq[String], dt: DataType): Seq[(String, DataType)] = dt match {
+      case s: StructType =>
+        s.fields.toSeq.flatMap(f => walk(prefix :+ f.name, f.dataType))
+      case other if prefix.nonEmpty && statable(other) =>
+        Seq((prefix.mkString("."), other))
+      case _ => Nil
+    }
+    walk(Nil, schema)
+  }
+
+  /** Columns the footer-stat decode visits: every top-level field (the
+    * historical set — non-statable types like binary still contribute
+    * null counts) plus struct-nested statable leaves.
+    */
+  private[graft] def statLeafColumns(schema: StructType): Seq[(String, DataType)] =
+    schema.fields.toSeq.map(f => (f.name, f.dataType)) ++
+      statableLeaves(schema).filter { case (p, _) =>
+        p.contains('.') && !schema.fieldNames.contains(p) }
+
+  /** Resolve a (possibly dotted) pushed-filter attribute to its field
+    * type: exact top-level match first (column names may legitimately
+    * contain dots), then a struct walk along the dotted path. None →
+    * unknown shape, caller keeps the file.
+    */
+  /** [[leafField]] for paths known to exist (write-side stat keys). */
+  private[graft] def leafType(schema: StructType, path: String): DataType =
+    leafField(schema, path).getOrElse(throw new IllegalStateException(
+      s"no such stat column: $path"))
+
+  private[graft] def leafField(schema: StructType, attr: String): Option[DataType] =
+    schema.fields.find(_.name == attr).map(_.dataType).orElse {
+      val parts = attr.split('.')
+      if (parts.length < 2) None
+      else parts.foldLeft(Option(schema: DataType)) {
+        case (Some(s: StructType), p) => s.fields.find(_.name == p).map(_.dataType)
+        case _ => None
+      }
+    }
+
   /** Per-file long-valued stats (null counts / NDVs) out of one stats
     * row, keyed `<prefix>:<col>` — shared by both write-side stat
     * collection passes.
@@ -49,7 +95,14 @@ object TableOps {
     */
   def renameFilter(f: sources.Filter, m: Map[String, String]): sources.Filter = {
     if (m.isEmpty) return f
-    def p(a: String): String = m.getOrElse(a, a)
+    // dotted attr (nested-field pushdown): only the head segment can be
+    // renamed — nested ALTER is unsupported
+    def p(a: String): String = m.getOrElse(a, {
+      val parts = a.split('.')
+      if (parts.length >= 2 && m.contains(parts.head))
+        (m(parts.head) +: parts.tail).mkString(".")
+      else a
+    })
     f match {
       case sources.EqualTo(a, v) => sources.EqualTo(p(a), v)
       case sources.EqualNullSafe(a, v) => sources.EqualNullSafe(p(a), v)
@@ -223,7 +276,7 @@ object TableOps {
       val rel = repo.root.relativize(java.nio.file.Paths.get(wf.path)).toString
       def render(m: Map[String, Any]): Map[String, String] =
         m.map { case (c, v) =>
-          c -> FooterStats.render(v, schema.fields.find(_.name == c).get.dataType)
+          c -> FooterStats.render(v, leafType(schema, c))
         }
       val ndv =
         if (ndvHint.isEmpty) None
@@ -538,12 +591,21 @@ object TableOps {
   private def mayMatch(f: FileEntry, schema: StructType, filter: sources.Filter,
       m: Map[String, String] = Map.empty): Boolean = {
     def cmp(attr: String, v: Any): Option[(Int, Int)] = { // (cmp(min,v), cmp(max,v))
-      val phys = m.getOrElse(attr, attr)
+      // name mapping renames TOP-LEVEL columns only (nested ALTER is
+      // unsupported), so a dotted attr translates its head segment; an
+      // exact-match attr (possibly containing literal dots) wins first
+      val phys = m.get(attr).orElse(
+        if (schema.fields.exists(_.name == attr)) Some(attr)
+        else attr.split('.').toSeq match {
+          case head +: rest if rest.nonEmpty =>
+            Some((m.getOrElse(head, head) +: rest).mkString("."))
+          case _ => Some(attr)
+        }).getOrElse(attr)
       for {
-        field <- schema.fields.find(_.name == attr)
+        dt <- leafField(schema, attr)
         lo <- f.min.get(phys)
         hi <- f.max.get(phys)
-        c <- statsComparator(field.dataType)
+        c <- statsComparator(dt)
         cl <- c(lo, v)
         ch <- c(hi, v)
       } yield (cl, ch)
