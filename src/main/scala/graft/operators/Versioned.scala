@@ -569,7 +569,52 @@ object Versioned {
          |ORDER BY n_nationkey""".stripMargin)
   }
 
+  /** Manifest-segmented snapshot metadata ([[graft.versioned.Manifests]]):
+    * with the inline threshold forced low, nation lands in enough
+    * single-file commits that the head snapshot's file list is stored as
+    * content-addressed manifest chunks, then a CoW DELETE rewrites
+    * entries THROUGH the segmented metadata. The read is correct only if
+    * chunk write → share → re-materialize preserves the exact file list,
+    * so the DuckDB oracle gates the whole manifest lifecycle.
+    */
+  private def manifestRead(s: SparkSession, d: String): DataFrame = {
+    val saved = Seq("graft.manifest.inline.max", "graft.manifest.target")
+      .map(k => k -> Option(System.getProperty(k)))
+    System.setProperty("graft.manifest.inline.max", "4")
+    System.setProperty("graft.manifest.target", "4")
+    try {
+      val (cat, root) = freshCatalog(s)
+      val nation = T.nation(s, d)
+      s.sql(s"CREATE NAMESPACE $cat.r")
+      s.sql(s"CREATE NAMESPACE $cat.r.main.db")
+      s.sql(s"CREATE TABLE $cat.r.main.db.nation (${nation.schema.toDDL})")
+      val repo = GraftRepo.open(root.resolve("r"))
+      // 5 interleaved single-file commits > inlineMax=4 → segmented head
+      for (res <- 0 until 5)
+        TableOps.insert(s, repo, "main", "db/nation",
+          nation.filter(col("n_nationkey") % 5 === res).repartition(1),
+          overwrite = false)
+      // the pre-delete head must be segmented (the CoW rewrite below may
+      // legitimately coalesce back under the threshold); the DELETE then
+      // reads its input THROUGH the segmented metadata
+      val preHead = repo.headCommit("main")
+      require(repo.snapshot(preHead.tables("db/nation")).manifestRefs.nonEmpty,
+        "vc_manifest_read: head snapshot unexpectedly inline — gate is vacuous")
+      s.sql(s"DELETE FROM $cat.r.main.db.nation WHERE n_nationkey % 7 = 3")
+      s.sql(s"SELECT n_nationkey, n_name, n_regionkey FROM $cat.r.main.db.nation " +
+        "ORDER BY n_nationkey")
+    } finally saved.foreach { case (k, v) =>
+      v.fold[AnyRef](System.clearProperty(k))(System.setProperty(k, _))
+    }
+  }
+
   val all: Seq[Q] = Seq(
+    Q(
+      "vc_manifest_read",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey % 7 <> 3
+        |ORDER BY n_nationkey""".stripMargin
+    )(manifestRead),
     Q(
       "vc_bloom_read",
       """SELECT n_nationkey, n_name, n_regionkey FROM nation

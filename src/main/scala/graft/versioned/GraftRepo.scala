@@ -68,15 +68,34 @@ final class GraftRepo private (val root: Path, val io: GraftIO) {
       }
     }.filter(_.nonEmpty)
     val id = "s" + UUID.randomUUID().toString.replace("-", "")
-    val s = Snapshot(id, table, schemaJson, files, partitionBy, physicalNames,
-      effProps, retired)
+    // Past the inline threshold the file list is segmented into
+    // content-addressed manifest objects (Manifests.scala): the snapshot
+    // JSON then carries only O(chunks) refs, and unchanged chunks are
+    // shared with ancestor snapshots byte-for-byte — commit metadata
+    // cost becomes O(changed files), not O(table files).
+    val segmented = files.size > Manifests.inlineMax
+    val (refs, reusedPaths) =
+      if (segmented)
+        Manifests.write(root, io, files, partitionBy.exists(_.nonEmpty))
+      else (Nil, Nil)
+    val s = Snapshot(id, table, schemaJson,
+      if (segmented) Nil else files, partitionBy, physicalNames,
+      effProps, retired, if (segmented) Some(refs) else None)
     if (!io.createExclusive(snapshotsDir.resolve(s"$id.json"), Json.write(s)))
       throw new IllegalStateException(s"snapshot object collision: $id")
-    s
+    // now that the snapshot object (the GC root) is published, make sure
+    // no reused manifest was swept by a racing expire pass
+    if (segmented) Manifests.verifyLive(root, io, reusedPaths, files)
+    // callers chain off the returned snapshot: hand back the same
+    // materialized view snapshot(id) would produce
+    if (segmented) s.copy(files = files) else s
   }
 
-  def snapshot(id: String): Snapshot =
-    Json.read[Snapshot](io.readString(snapshotsDir.resolve(s"$id.json")))
+  def snapshot(id: String): Snapshot = {
+    val s = Json.read[Snapshot](io.readString(snapshotsDir.resolve(s"$id.json")))
+    if (s.manifestRefs.isEmpty) s
+    else s.copy(files = Manifests.materialize(root, io, s))
+  }
 
   // ---- refs ------------------------------------------------------------
 
@@ -560,9 +579,29 @@ final class GraftRepo private (val root: Path, val io: GraftIO) {
       victims.foreach { p => io.deleteIfExists(p); n += 1 }
       n
     }
+    // Manifest liveness is collected over ALL snapshot objects on disk
+    // BEFORE any are deleted (not just reachable ones): a manifest whose
+    // only referrer dies in this pass survives until the NEXT pass. That
+    // one-pass lag is the conservative side of the reuse-vs-GC race —
+    // combined with the writer's post-publish Manifests.verifyLive, a
+    // reused chunk can never be swept out from under a landing snapshot.
+    val manifestDir = snapshotsDir.resolve("manifests")
+    val referencedManifests: Set[String] = io.list(snapshotsDir)
+      .filter(p => p.getFileName.toString.endsWith(".json"))
+      .flatMap(p => Json.read[Snapshot](io.readString(p)).manifestRefs)
+      .map(r => root.resolve(r.path).normalize().toString)
+      .toSet
     val c = expire(commitsDir, reachable)
     val s = expire(snapshotsDir, liveSnaps)
-    (c, s, vacuum(olderThanMs))
+    var m = 0
+    if (io.isDirectory(manifestDir)) {
+      io.list(manifestDir)
+        .filter(p => p.getFileName.toString.endsWith(".json"))
+        .filter(p => !referencedManifests.contains(p.normalize().toString))
+        .filter(p => io.mtimeMs(p) < cutoff)
+        .foreach { p => io.deleteIfExists(p); m += 1 }
+    }
+    (c, s + m, vacuum(olderThanMs))
   }
 
   /** Garbage-collect data files not referenced by any snapshot of any

@@ -1,0 +1,198 @@
+package graft.versioned
+
+import java.nio.file.Path
+import java.security.MessageDigest
+
+/** Manifest-segmented snapshot metadata (SURVEY.md §3).
+  *
+  * Problem at 100 TB: a snapshot over millions of data files, inlined as
+  * one JSON array, makes EVERY commit rewrite O(total files) metadata
+  * bytes — the exact failure Iceberg's manifest files exist to avoid
+  * (and the reference's users get that property through iceberg-core's
+  * ManifestFile layer, which its catalog serves untouched). graft keeps
+  * the one-funnel snapshot model but segments the file list:
+  *
+  *  - The ordered [[FileEntry]] list is split into chunks at
+  *    content-defined cut points ([[isCut]]: a 64-bit hash of the
+  *    entry's path, taken mod the target chunk size). Because the cut
+  *    decision depends only on the entry itself, an append perturbs only
+  *    the final chunk and a delete only the chunk that held the entry —
+  *    every other chunk's byte content, and therefore its address, is
+  *    unchanged.
+  *  - Each chunk is serialized once and stored CONTENT-ADDRESSED
+  *    (`snapshots/manifests/m<sha1>.json`) through the same
+  *    [[GraftIO.createExclusive]] set-if-absent primitive as every other
+  *    metadata object: a second writer producing an identical chunk
+  *    simply observes "already exists" and reuses it. Successive
+  *    commits, branches, and even unrelated tables that converge on the
+  *    same chunk bytes share the object, git-tree style.
+  *  - Loads go through a process-wide LRU [[cache]] keyed by the
+  *    immutable object path, so re-planning a table across commits
+  *    re-reads only the chunks that actually changed.
+  *
+  * Commit cost: O(changed files + 1) manifest writes and one small
+  * snapshot JSON holding the ref list. Snapshot load cost after warm-up:
+  * O(changed chunks). Driver memory: one materialized list per planned
+  * snapshot, with chunk objects shared across snapshots via the cache.
+  */
+object Manifests {
+
+  /** On-disk manifest object body (jackson-scala binds top-level case
+    * classes, not bare generic Seqs — Model.scala:30's caveat).
+    */
+  final case class ManifestBody(entries: Seq[FileEntry])
+
+  /** File lists at or below this many entries stay inline in the
+    * snapshot JSON (sys prop `graft.manifest.inline.max`). Inline is
+    * strictly better for small tables: one read, no extra objects.
+    */
+  def inlineMax: Int =
+    Integer.getInteger("graft.manifest.inline.max", 256).intValue()
+
+  /** Expected entries per manifest chunk (sys prop
+    * `graft.manifest.target`). Cut probability is 1/target per entry;
+    * a hard cap of 4× bounds the pathological no-cut run.
+    */
+  def targetChunk: Int =
+    Integer.getInteger("graft.manifest.target", 1024).intValue()
+
+  /** Record a manifest's distinct partition tuples only up to this many
+    * (beyond it the summary would approach the size of the chunk
+    * itself); None past the cap means "unknown — must load to prune".
+    */
+  val PartSummaryMax = 64
+
+  private def manifestsDir(root: Path): Path =
+    root.resolve("snapshots").resolve("manifests")
+
+  /** FNV-1a 64-bit of the entry's path — stable across JVMs, cheap, and
+    * a pure function of the entry, which is what makes chunk boundaries
+    * survive appends/deletes elsewhere in the list.
+    */
+  private def pathHash(p: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < p.length) { h ^= p.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Content-defined cut decision: close the current chunk after this
+    * entry? Deterministic per entry so boundaries are stable.
+    */
+  private[versioned] def isCut(e: FileEntry, target: Int): Boolean =
+    (pathHash(e.path) & Long.MaxValue) % target.toLong == 0L
+
+  private def sha(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-1").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  /** Split an ordered file list into content-defined chunks. */
+  private[versioned] def chunk(files: Seq[FileEntry]): Seq[Seq[FileEntry]] = {
+    val target = targetChunk
+    val cap = 4 * target
+    val out = Seq.newBuilder[Seq[FileEntry]]
+    var cur = Vector.newBuilder[FileEntry]
+    var n = 0
+    files.foreach { f =>
+      cur += f; n += 1
+      if (n >= cap || isCut(f, target)) { out += cur.result(); cur = Vector.newBuilder; n = 0 }
+    }
+    val last = cur.result()
+    if (last.nonEmpty) out += last
+    out.result()
+  }
+
+  /** Write (or reuse) the manifest objects for `files` and return their
+    * refs, in list order. Returns the refs plus the subset of paths that
+    * were REUSED (already existed) — the caller re-verifies those after
+    * publishing the snapshot (see [[verifyLive]]).
+    */
+  def write(root: Path, io: GraftIO, files: Seq[FileEntry],
+      partitioned: Boolean): (Seq[ManifestRef], Seq[String]) = {
+    val dir = manifestsDir(root)
+    io.mkdirs(dir)
+    val reused = Seq.newBuilder[String]
+    val refs = chunk(files).map { entries =>
+      val body = Json.write(ManifestBody(entries))
+      val rel = s"snapshots/manifests/m${sha(body.getBytes("UTF-8"))}.json"
+      if (!io.createExclusive(root.resolve(rel), body)) reused += rel
+      val parts =
+        if (!partitioned) None
+        else {
+          val distinct = entries.map(_.partValues).distinct
+          if (distinct.size <= PartSummaryMax) Some(distinct) else None
+        }
+      ManifestRef(rel, entries.size, entries.map(_.rows).sum, parts)
+    }
+    (refs, reused.result())
+  }
+
+  /** Close the reuse-vs-GC race: a reused manifest could in principle be
+    * an orphan (referenced by no snapshot object) that a concurrent
+    * [[GraftRepo.expireSnapshots]] pass deletes between our existence
+    * check and our snapshot publish. Called AFTER the snapshot JSON is
+    * on disk — from that point any GC pass sees the reference — this
+    * rewrites any manifest that vanished in the window. Content
+    * addressing makes the rewrite idempotent.
+    */
+  def verifyLive(root: Path, io: GraftIO, reusedPaths: Seq[String],
+      files: Seq[FileEntry]): Unit = {
+    val missing = reusedPaths.filterNot(p => io.isFile(root.resolve(p)))
+    if (missing.isEmpty) return
+    val byPath = chunk(files).map { entries =>
+      val body = Json.write(ManifestBody(entries))
+      s"snapshots/manifests/m${sha(body.getBytes("UTF-8"))}.json" -> body
+    }.toMap
+    missing.foreach { p =>
+      byPath.get(p).foreach(body => io.createExclusive(root.resolve(p), body))
+    }
+  }
+
+  /** Load one manifest's entries through the process-wide cache. */
+  def load(root: Path, io: GraftIO, ref: ManifestRef): Seq[FileEntry] = {
+    val key = root.resolve(ref.path).toAbsolutePath.normalize.toString
+    cached(key).getOrElse {
+      val entries = Json.read[ManifestBody](io.readString(root.resolve(ref.path))).entries
+      put(key, entries)
+      entries
+    }
+  }
+
+  /** Materialize a segmented snapshot's full file list, in order. */
+  def materialize(root: Path, io: GraftIO, snap: Snapshot): Seq[FileEntry] =
+    snap.manifestRefs.flatMap(load(root, io, _))
+
+  // ---- process-wide LRU cache (immutable objects: no invalidation) ----
+
+  /** Cap in cached FileEntry rows, not chunk count, so one cache budget
+    * (~a few hundred MB at 1M entries) holds whatever mix of chunk sizes
+    * shows up (sys prop `graft.manifest.cache.entries`).
+    */
+  private def cacheCap: Long =
+    java.lang.Long.getLong("graft.manifest.cache.entries", 1000000L).longValue()
+
+  private val cache = new java.util.LinkedHashMap[String, Seq[FileEntry]](
+      64, 0.75f, /*accessOrder=*/ true)
+  private var cachedEntries = 0L
+
+  private def cached(key: String): Option[Seq[FileEntry]] =
+    cache.synchronized(Option(cache.get(key)))
+
+  private def put(key: String, entries: Seq[FileEntry]): Unit = cache.synchronized {
+    if (cache.containsKey(key)) return
+    cache.put(key, entries)
+    cachedEntries += entries.size
+    val cap = cacheCap
+    val it = cache.entrySet().iterator()
+    while (cachedEntries > cap && it.hasNext) {
+      val e = it.next()
+      if (e.getKey != key) { cachedEntries -= e.getValue.size; it.remove() }
+    }
+  }
+
+  /** Test hook. */
+  private[graft] def clearCache(): Unit = cache.synchronized {
+    cache.clear(); cachedEntries = 0L
+  }
+  private[graft] def cacheSize: Int = cache.synchronized(cache.size())
+}

@@ -119,9 +119,39 @@ final case class FileEntry(
   def ndvCounts: Map[String, Long] = longMap(ndv)
 }
 
+/** One segment of a large snapshot's file list, stored out-of-line as an
+  * immutable, content-addressed object under `snapshots/manifests/`
+  * (the Iceberg manifest-file idea: a commit that touches K of N files
+  * rewrites O(K) metadata bytes, not O(N)). Chunk boundaries are
+  * content-defined (cut decided by a hash of each entry's path,
+  * [[Manifests.isCut]]), so appends and deletes only perturb the chunks
+  * they touch — every other chunk re-hashes to the same object and is
+  * reused byte-for-byte. Branches and successive commits therefore share
+  * manifest objects structurally, like git tree objects.
+  *
+  * @param path       repo-root-relative manifest object path
+  * @param count      number of [[FileEntry]] rows in the object
+  * @param rows       total data rows across those entries
+  * @param partitions distinct partition tuples covered, recorded only
+  *                   when few (≤ [[Manifests.PartSummaryMax]]) — lets a
+  *                   partition-pruned plan skip loading whole manifests;
+  *                   None = unknown, must load
+  */
+final case class ManifestRef(
+    path: String,
+    count: Int,
+    rows: Long,
+    partitions: Option[Seq[Map[String, String]]] = None)
+
 /** Immutable table snapshot: schema (Spark StructType JSON) + file list
   * + optional partition spec (set at CREATE TABLE, immutable after)
   * + optional logical->physical column-name mapping.
+  *
+  * The file list is stored inline for small tables and segmented into
+  * content-addressed [[ManifestRef]] objects past
+  * `graft.manifest.inline.max` entries; [[GraftRepo.snapshot]]
+  * re-materializes `files` on load either way, so everything downstream
+  * of a loaded snapshot sees one flat list.
   *
   * Name mapping is how RENAME COLUMN stays metadata-only (the Delta
   * column-mapping idea, the same stability Iceberg gets from field
@@ -138,7 +168,14 @@ final case class Snapshot(
     partitionBy: Option[Seq[PartitionField]] = None,
     physicalNames: Option[Map[String, String]] = None,
     props: Option[Map[String, String]] = None,
-    retired: Option[Seq[String]] = None) {
+    retired: Option[Seq[String]] = None,
+    manifests: Option[Seq[ManifestRef]] = None) {
+  /** Manifest segments backing `files`, empty for inline snapshots. A
+    * loaded snapshot carries BOTH: refs for structural/GC inspection,
+    * the materialized list for planning.
+    */
+  def manifestRefs: Seq[ManifestRef] =
+    Option(manifests).flatten.getOrElse(Nil)
   def partitionFields: Seq[PartitionField] =
     Option(partitionBy).flatten.getOrElse(Nil)
   /** logical -> physical; identity for never-renamed columns. */
