@@ -222,6 +222,28 @@ object Dedup {
     */
   private[graft] def setsimPairs(s: org.apache.spark.sql.SparkSession,
       corpus: DataFrame, t: Double, maxPost: Int): DataFrame = {
+    // DENSE-VOCABULARY fast path: when the corpus vocabulary fits in 64
+    // tokens, prefix filtering is structurally useless (a 31-token
+    // vocabulary yields 3.3M candidates for 9k true pairs — every doc
+    // shares prefix tokens with a quarter of the corpus) while the whole
+    // problem collapses to POPCOUNT ARITHMETIC: each word set is one
+    // Long bitmask, Jaccard = bit_count(a&b)/bit_count(a|b) — exactly
+    // the |∩|/|∪| integers of the array kernel, so the rounded double is
+    // bit-identical. Dedup to distinct masks first (M ≤ N), one
+    // broadcast M×M popcount pass, then expand mask pairs back to doc
+    // pairs with skinny mask-keyed joins. The probe costs one tiny
+    // distinct; corpora past 64 tokens (any real text) fall through to
+    // the PPJoin path untouched.
+    val vocabMax = s.conf.getOption("spark.graft.setsim.bitmaskVocabMax")
+      .flatMap(_.toIntOption).getOrElse(64)
+    if (vocabMax > 0) {
+      val probe = corpus.select(explode(col("ws")).as("tok"))
+        .distinct().limit(math.min(vocabMax, 64) + 1)
+        .collect().map(_.getString(0))
+      if (probe.length <= math.min(vocabMax, 64))
+        return bitmaskPairs(s, corpus, probe.sorted.toIndexedSeq, t)
+          .orderBy(col("id_a"), col("id_b"))
+    }
     val par = s.sparkContext.defaultParallelism
     val docs = corpus
       .repartition(par, col("doc_id"))
@@ -230,6 +252,57 @@ object Dedup {
     verifyPairs(s, docs, ppCandidates(s, docs, t, maxPost).distinct(), t)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact set-similarity over a ≤64-token vocabulary: word sets become
+    * Long bitmasks (token → its power-of-two bit, via a codegen'd
+    * literal map — no join, no shuffle to encode), the M DISTINCT masks
+    * pair up in one broadcast nested-loop popcount pass (M ≤ N docs;
+    * every comparison is two AND/OR + two bit_counts in whole-stage
+    * codegen), and surviving mask pairs expand back to doc pairs through
+    * skinny mask-keyed equi-joins — array-free, so a million-duplicate
+    * mask never materializes as one row. Identical-mask doc pairs
+    * (Jaccard exactly 1) come from a mask-keyed self-join. Exactness:
+    * bit_count(a&b) and bit_count(a|b) are the same integers as
+    * |ws_a ∩ ws_b| and |ws_a ∪ ws_b|, so round(÷, 6) is bit-identical
+    * to [[verifyPairs]]'s kernel and the DuckDB oracle ([[LlmOpsSpec]]
+    * holds the fast path equal to the PPJoin path on random corpora).
+    * The empty set (mask 0) shares no token with anything and is
+    * excluded from both branches, matching the prefix join (an empty
+    * doc emits no prefix tokens, hence no candidates).
+    */
+  private[graft] def bitmaskPairs(s: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, toks: Seq[String], t: Double): DataFrame = {
+    require(toks.size <= 64, s"bitmask path needs ≤64 tokens, got ${toks.size}")
+    val bitOf = map(toks.zipWithIndex.flatMap { case (w, i) =>
+      Seq(lit(w), lit(1L << i)) }: _*)
+    val masked = corpus.select(col("doc_id"),
+      aggregate(col("ws"), lit(0L),
+        (acc, w) => acc.bitwiseOR(element_at(bitOf, w))).as("mask"))
+      .localCheckpoint() // skinny (doc_id, mask); feeds 4 plan legs
+    val gm = masked.select(col("mask")).where(col("mask") =!= 0L).distinct()
+    val maskPairs = gm.select(col("mask").as("mask_a"))
+      .join(broadcast(gm.select(col("mask").as("mask_b"))),
+        col("mask_a") < col("mask_b"))
+      .withColumn("jaccard", round(
+        bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double") /
+          bit_count(col("mask_a").bitwiseOR(col("mask_b"))), 6))
+      .filter(col("jaccard") >= t)
+    val cross = masked.withColumnRenamed("doc_id", "id_x")
+      .join(broadcast(maskPairs), col("mask") === col("mask_a"))
+      .select(col("id_x"), col("mask_b"), col("jaccard"))
+      .join(masked.withColumnRenamed("doc_id", "id_y"),
+        col("mask_b") === col("mask"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"), col("jaccard"))
+    if (t > 1.0) return cross // identical sets (J = 1) can't reach t
+    val within = masked.as("x")
+      .join(masked.as("y"),
+        col("x.mask") === col("y.mask") && col("x.mask") =!= 0L &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.union(within)
   }
 
   /** Raw prefix-filter (PPJoin) candidates over a (doc_id, ws, sz)

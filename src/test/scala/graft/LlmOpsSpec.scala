@@ -44,6 +44,35 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     brute.size should be > 0
   }
 
+  test("dd_setsim: dense-vocabulary bitmask path is identical to the " +
+    "PPJoin path (duplicates, empty set, boundary jaccard)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 26-token vocabulary, seeded-random sets incl. exact duplicates
+    // (mask-equal pairs), an empty set (must pair with nothing), and
+    // near-identical sets that land just above/below t = 0.9
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 200).map { i =>
+      (i.toLong, (0 until 26).filter(_ => rnd.nextDouble() < 0.7)
+        .map(b => s"t$b"))
+    }
+    val docs = (base ++
+      base.take(30).map { case (id, ws) => (id + 1000, ws) } :+ // dups
+      (2000L, Seq.empty[String])).toDF("doc_id", "ws")
+    def run(vocabMax: Int): Set[(Long, Long, Double)] = {
+      spark.conf.set("spark.graft.setsim.bitmaskVocabMax", vocabMax.toString)
+      try graft.operators.Dedup.setsimPairs(spark, docs, 0.9, 1024)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      finally spark.conf.unset("spark.graft.setsim.bitmaskVocabMax")
+    }
+    val bitmask = run(64)
+    val ppjoin = run(0)
+    bitmask shouldBe ppjoin
+    bitmask.size should be >= 30 // the duplicate pairs at least
+    bitmask.foreach { case (a, b, _) => a should be < b }
+    bitmask.map(p => (p._1, p._2)).size shouldBe bitmask.size // no dup rows
+  }
+
   test("dd_setsim: hot-token grid salting is exactness-preserving on a " +
     "skewed corpus (one token in every prefix)") {
     import org.apache.spark.sql.functions._
@@ -56,9 +85,14 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       val ws = Seq("hot", s"w${i % 5}", s"v${i % 7}", s"u${i % 11}")
       Seq((i.toLong, ws), ((i + 150).toLong, ws))
     }.toDF("doc_id", "ws")
-    def run(maxPost: Int): Set[(Long, Long, Double)] =
-      graft.operators.Dedup.setsimPairs(spark, docs, 0.9, maxPost)
+    def run(maxPost: Int): Set[(Long, Long, Double)] = {
+      // this corpus's vocabulary fits in 64 tokens — disable the bitmask
+      // fast path so the spec actually drives the salted PPJoin kernel
+      spark.conf.set("spark.graft.setsim.bitmaskVocabMax", "0")
+      try graft.operators.Dedup.setsimPairs(spark, docs, 0.9, maxPost)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      finally spark.conf.unset("spark.graft.setsim.bitmaskVocabMax")
+    }
     val unsalted = run(1000000) // nch = 1 everywhere: the plain join
     val salted = run(10)        // force many chunks on every posting list
     salted shouldBe unsalted
