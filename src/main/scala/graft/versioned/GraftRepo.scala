@@ -74,10 +74,16 @@ final class GraftRepo private (val root: Path, val io: GraftIO) {
     // shared with ancestor snapshots byte-for-byte — commit metadata
     // cost becomes O(changed files), not O(table files).
     val segmented = files.size > Manifests.inlineMax
-    val (refs, reusedPaths) =
-      if (segmented)
+    val (refs, reusedPaths) = files match {
+      // metadata-only commit (rename, props, spec change): the caller
+      // passed a loaded segmented list straight through — reuse its refs
+      // verbatim, zero manifest work (O(1) even on a million-file table)
+      case l: Manifests.LazyFileList if segmented && l.sameStore(root) =>
+        (l.refs, Nil)
+      case _ if segmented =>
         Manifests.write(root, io, files, partitionBy.exists(_.nonEmpty))
-      else (Nil, Nil)
+      case _ => (Nil, Nil)
+    }
     val s = Snapshot(id, table, schemaJson,
       if (segmented) Nil else files, partitionBy, physicalNames,
       effProps, retired, if (segmented) Some(refs) else None)
@@ -94,7 +100,10 @@ final class GraftRepo private (val root: Path, val io: GraftIO) {
   def snapshot(id: String): Snapshot = {
     val s = Json.read[Snapshot](io.readString(snapshotsDir.resolve(s"$id.json")))
     if (s.manifestRefs.isEmpty) s
-    else s.copy(files = Manifests.materialize(root, io, s))
+    // lazy: size/isEmpty answer from ref counts, chunks load on first
+    // traversal, and partition-pruned planning (TableOps.pruneFiles)
+    // loads only the chunks its filters can't disprove
+    else s.copy(files = new Manifests.LazyFileList(root, io, s.manifestRefs))
   }
 
   // ---- refs ------------------------------------------------------------

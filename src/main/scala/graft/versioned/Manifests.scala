@@ -153,6 +153,7 @@ object Manifests {
     val key = root.resolve(ref.path).toAbsolutePath.normalize.toString
     cached(key).getOrElse {
       val entries = Json.read[ManifestBody](io.readString(root.resolve(ref.path))).entries
+      chunkReads.incrementAndGet()
       put(key, entries)
       entries
     }
@@ -161,6 +162,48 @@ object Manifests {
   /** Materialize a segmented snapshot's full file list, in order. */
   def materialize(root: Path, io: GraftIO, snap: Snapshot): Seq[FileEntry] =
     snap.manifestRefs.flatMap(load(root, io, _))
+
+  /** A segmented snapshot's file list as a LAZY Seq: size/isEmpty answer
+    * from the refs' recorded counts without touching a chunk, full
+    * traversal materializes once (memoized), and
+    * [[LazyFileList.partitionPruned]] loads ONLY the chunks whose
+    * partition-tuple summary survives the pushed filters — on a
+    * partition-selective scan of a million-file table, planning reads
+    * O(matching chunks) metadata rows, not O(all). Under Java
+    * serialization the object degrades to the materialized Vector
+    * (writeReplace), so a closure capturing a snapshot stays safe even
+    * though root/io handles are not serializable.
+    */
+  final class LazyFileList(root: Path, io: GraftIO,
+      private[versioned] val refs: Seq[ManifestRef])
+      extends scala.collection.immutable.Seq[FileEntry] {
+    /** Refs are repo-root-relative: reuse them only inside the same store. */
+    private[versioned] def sameStore(r: Path): Boolean =
+      root.toAbsolutePath.normalize == r.toAbsolutePath.normalize
+    @volatile private var materialized: Vector[FileEntry] = null
+    private def underlying: Vector[FileEntry] = {
+      if (materialized == null)
+        materialized = refs.iterator.flatMap(load(root, io, _)).toVector
+      materialized
+    }
+    private[versioned] def isMaterialized: Boolean = materialized != null
+    override def length: Int =
+      if (materialized != null) materialized.length else refs.map(_.count).sum
+    override def isEmpty: Boolean = length == 0
+    override def knownSize: Int = length
+    def apply(i: Int): FileEntry = underlying(i)
+    def iterator: Iterator[FileEntry] = underlying.iterator
+    /** Entries from chunks whose summary may satisfy ALL `keep` filters
+      * (summary-less chunks always load — conservative). The per-file
+      * predicate still runs downstream; this only skips whole-chunk
+      * loads that the summary PROVES irrelevant.
+      */
+    private[versioned] def partitionPruned(
+        keep: Seq[Map[String, String]] => Boolean): Seq[FileEntry] =
+      refs.filter(r => r.partitions.forall(keep))
+        .flatMap(load(root, io, _))
+    private def writeReplace(): Object = underlying
+  }
 
   // ---- process-wide LRU cache (immutable objects: no invalidation) ----
 
@@ -195,4 +238,10 @@ object Manifests {
     cache.clear(); cachedEntries = 0L
   }
   private[graft] def cacheSize: Int = cache.synchronized(cache.size())
+
+  /** Cache-miss chunk reads since JVM start (observability + specs:
+    * proves partition-pruned planning skipped disjoint chunks).
+    */
+  private val chunkReads = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def chunkReadCount: Long = chunkReads.get()
 }

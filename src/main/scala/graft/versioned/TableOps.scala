@@ -572,7 +572,23 @@ object TableOps {
       filters: Seq[sources.Filter]): Seq[FileEntry] = {
     val spec = snap.partitionFields
     val m = snap.nameMapping
-    snap.files.filter(f => filters.forall(fl =>
+    // Manifest-level pruning first: a lazily loaded segmented snapshot
+    // skips reading whole chunks whose recorded partition-tuple summary
+    // no filter can match — planning touches O(matching chunks) of
+    // metadata, not O(all chunks). The summary test reuses the per-file
+    // partition pruner on a values-only stub, so transform semantics
+    // (bucket/truncate/temporal, null markers) stay in ONE place; a
+    // summary-less chunk always loads (conservative).
+    val candidates = snap.files match {
+      case l: Manifests.LazyFileList
+          if !l.isMaterialized && spec.nonEmpty && filters.nonEmpty =>
+        l.partitionPruned(tuples => tuples.exists { pv =>
+          val stub = FileEntry("", 0L, Map.empty, Map.empty, Some(pv))
+          filters.forall(fl => Partitioning.mayMatch(stub, spec, schema, fl))
+        })
+      case fs => fs
+    }
+    candidates.filter(f => filters.forall(fl =>
       Partitioning.mayMatch(f, spec, schema, fl) && mayMatch(f, schema, fl, m)))
   }
 

@@ -150,10 +150,10 @@ class ManifestSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     Manifests.clearCache()
     val files = (1 to 100).map(entry(_))
     val s = repo.writeSnapshot("db/t", "{}", files)
-    repo.snapshot(s.id)
+    repo.snapshot(s.id).files.toVector // traversal loads (snapshot() is lazy)
     val after1 = Manifests.cacheSize
     after1 should be > 0
-    repo.snapshot(s.id) // warm: same objects, no growth
+    repo.snapshot(s.id).files.toVector // warm: same objects, no growth
     Manifests.cacheSize shouldBe after1
     Manifests.clearCache()
     Manifests.cacheSize shouldBe 0
@@ -195,6 +195,68 @@ class ManifestSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     Files.isRegularFile(repo.root.resolve(victim)) shouldBe true
     Manifests.clearCache()
     repo.snapshot(s.id).files shouldBe files
+  }
+
+  test("lazy load: size/isEmpty answer from ref counts without reading any chunk") {
+    val repo = freshRepo()
+    val files = (1 to 100).map(entry(_))
+    val s = repo.writeSnapshot("db/t", "{}", files)
+    Manifests.clearCache()
+    val before = Manifests.chunkReadCount
+    val loaded = repo.snapshot(s.id)
+    loaded.files.size shouldBe 100
+    loaded.files.isEmpty shouldBe false
+    Manifests.chunkReadCount shouldBe before // no chunk touched
+    loaded.files.head shouldBe entry(1) // first traversal materializes
+    Manifests.chunkReadCount should be > before
+  }
+
+  test("partition-pruned planning loads only chunks whose summary may match") {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    import org.apache.spark.sql.sources
+    val repo = freshRepo()
+    // 3 partitions interleaved; chunks are small (target=4) so most
+    // chunks hold 1-2 distinct partition tuples
+    val files = (1 to 90).map(i =>
+      entry(i, Some(Map("p" -> s"p${i % 3}"))))
+    val spec = Seq(PartitionField("p", "identity", "p"))
+    val schema = StructType(Seq(StructField("id", IntegerType),
+      StructField("p", org.apache.spark.sql.types.StringType)))
+    val s = repo.writeSnapshot("db/t", "{}", files,
+      partitionBy = Some(spec))
+    Manifests.clearCache()
+    val loaded = repo.snapshot(s.id)
+    val totalChunks = loaded.manifestRefs.size
+    val before = Manifests.chunkReadCount
+    val pruned = graft.versioned.TableOps.pruneFiles(
+      loaded.copy(schemaJson = schema.json), schema,
+      Seq(sources.EqualTo("p", "p1")))
+    val readChunks = Manifests.chunkReadCount - before
+    pruned.map(_.path).toSet shouldBe
+      files.filter(_.partValues("p") == "p1").map(_.path).toSet
+    // only the chunks whose summary contains p1 were read
+    val p1Chunks = loaded.manifestRefs.count(
+      _.partitions.forall(_.exists(_.get("p").contains("p1"))))
+    readChunks shouldBe p1Chunks
+    readChunks.toInt should be < totalChunks
+  }
+
+  test("metadata-only commit passes refs through: zero manifest objects written or read") {
+    val repo = freshRepo()
+    val files = (1 to 100).map(entry(_))
+    val s1 = repo.writeSnapshot("db/t", "{}", files)
+    Manifests.clearCache()
+    val loaded = repo.snapshot(s1.id) // lazy — chunks untouched
+    val objsBefore = manifestObjects(repo)
+    val readsBefore = Manifests.chunkReadCount
+    // rename-style commit: same (lazy, untraversed) file list straight through
+    val s2 = repo.writeSnapshot("db/t", "{}", loaded.files,
+      physicalNames = Some(Map("newname" -> "id")))
+    Manifests.chunkReadCount shouldBe readsBefore // no chunk read
+    manifestObjects(repo) shouldBe objsBefore     // no object written
+    rawSnapshot(repo, s2.id).manifestRefs shouldBe
+      rawSnapshot(repo, s1.id).manifestRefs       // refs shared verbatim
+    repo.snapshot(s2.id).files shouldBe files
   }
 
   test("engine end-to-end under segmentation: DML, time travel, branch, merge") {
