@@ -25,6 +25,9 @@ import graft.versioned.GraftRepo
   *  - `refs`       repo branches and tags with their head commits
   *  - `tombstones` live merge-on-read predicate tombstones (seq +
   *                 predicate + how many files each still applies to)
+  *  - `manifests`  manifest chunks of the current snapshot (path, file/
+  *                 row counts, partition summary — the Iceberg manifests
+  *                 metadata table); empty while the file list is inline
   *
   * Metadata volumes are O(commits + files) — driver-side row building is
   * appropriate here; the DATA path never does this.
@@ -72,6 +75,11 @@ final class MetaTable(
       StructField("seq", LongType),
       StructField("predicate", StringType),
       StructField("n_files_affected", IntegerType)))
+    case "manifests" => StructType(Seq(
+      StructField("path", StringType),
+      StructField("n_files", IntegerType),
+      StructField("n_rows", LongType),
+      StructField("partitions", ArrayType(MapType(StringType, StringType)))))
   }
 
   private def rows(): Seq[Row] = kind match {
@@ -133,6 +141,15 @@ final class MetaTable(
           .applicable(Seq(t), f, phys, Some(repo.root)).nonEmpty)
         Row(t.seq, t.filter.toString, n)
       }
+    case "manifests" =>
+      // segmentation introspection (the Iceberg manifests metadata
+      // table): one row per manifest chunk of the current snapshot —
+      // empty for inline snapshots, where the file list lives in the
+      // snapshot JSON itself. Answers straight from the refs; no chunk
+      // is loaded.
+      val snap = repo.snapshot(repo.headCommit(branch).tables(key))
+      snap.manifestRefs.map(r =>
+        Row(r.path, r.count, r.rows, r.partitions.orNull))
     case _ => Nil
   }
 
@@ -154,5 +171,6 @@ final class MetaTable(
 
 object MetaTable {
   val kinds: Set[String] =
-    Set("files", "snapshots", "history", "partitions", "refs", "tombstones")
+    Set("files", "snapshots", "history", "partitions", "refs", "tombstones",
+      "manifests")
 }

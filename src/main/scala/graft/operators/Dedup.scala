@@ -296,9 +296,26 @@ object Dedup {
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"), col("jaccard"))
     if (t > 1.0) return cross // identical sets (J = 1) can't reach t
-    val within = masked.as("x")
-      .join(masked.as("y"),
-        col("x.mask") === col("y.mask") && col("x.mask") =!= 0L &&
+    // identical-mask pairs, GRID-SALTED on the mask key (the
+    // embedCosinePairs contract): exact-duplicate clusters are the
+    // NORM in a dedup corpus, and a million-row duplicate cluster
+    // would otherwise emit its (quadratic, inherent) output through
+    // ONE reducer — chunking spreads it over nch² cells of bounded
+    // work, exactness-preserving (each pair from exactly one cell)
+    val maxGroup = s.conf.getOption("spark.graft.setsim.maxGroup")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1024)
+    val counts = masked.where(col("mask") =!= 0L)
+      .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+    val chunked = masked.join(counts, "mask")
+      .withColumn("nch", ceil(col("cnt") / maxGroup).cast("int"))
+      .withColumn("q", pmod(xxhash64(col("doc_id")), col("nch")).cast("int"))
+    def saltedM = chunked.withColumn("cell",
+      explode(sequence(lit(0), col("nch") - 1)))
+    val within = saltedM.as("x")
+      .join(saltedM.as("y"),
+        col("x.mask") === col("y.mask") &&
+          col("x.cell") === col("y.q") &&
+          col("y.cell") === col("x.q") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         lit(1.0).as("jaccard"))

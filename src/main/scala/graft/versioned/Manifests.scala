@@ -111,20 +111,39 @@ object Manifests {
       partitioned: Boolean): (Seq[ManifestRef], Seq[String]) = {
     val dir = manifestsDir(root)
     io.mkdirs(dir)
-    val reused = Seq.newBuilder[String]
-    val refs = chunk(files).map { entries =>
+    def one(entries: Seq[FileEntry]): (ManifestRef, Option[String]) = {
       val body = Json.write(ManifestBody(entries))
       val rel = s"snapshots/manifests/m${sha(body.getBytes("UTF-8"))}.json"
-      if (!io.createExclusive(root.resolve(rel), body)) reused += rel
+      val reused = !io.createExclusive(root.resolve(rel), body)
       val parts =
         if (!partitioned) None
         else {
           val distinct = entries.map(_.partValues).distinct
           if (distinct.size <= PartSummaryMax) Some(distinct) else None
         }
-      ManifestRef(rel, entries.size, entries.map(_.rows).sum, parts)
+      (ManifestRef(rel, entries.size, entries.map(_.rows).sum, parts),
+        if (reused) Some(rel) else None)
     }
-    (refs, reused.result())
+    // chunks are independent (serialize + hash + conditional PUT each):
+    // fan out over the same bounded pool as loads — a large commit's
+    // manifest work is then latency/CPU-bound on O(chunks/threads), not
+    // a serial driver stall
+    val chunks = chunk(files)
+    val threads =
+      Integer.getInteger("graft.manifest.load.threads", 16).intValue()
+    val out: Seq[(ManifestRef, Option[String])] =
+      if (chunks.size <= 1 || threads <= 1) chunks.map(one)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(threads, chunks.size))
+        try {
+          chunks.map(c => pool.submit(
+            new java.util.concurrent.Callable[(ManifestRef, Option[String])] {
+              def call(): (ManifestRef, Option[String]) = one(c)
+            })).map(_.get())
+        } finally pool.shutdown()
+      }
+    (out.map(_._1), out.flatMap(_._2))
   }
 
   /** Close the reuse-vs-GC race: a reused manifest could in principle be
@@ -161,7 +180,39 @@ object Manifests {
 
   /** Materialize a segmented snapshot's full file list, in order. */
   def materialize(root: Path, io: GraftIO, snap: Snapshot): Seq[FileEntry] =
-    snap.manifestRefs.flatMap(load(root, io, _))
+    loadAll(root, io, snap.manifestRefs)
+
+  /** Load many chunks, preserving ref order in the result. Cold loads of
+    * more than a handful of chunks fan out over a bounded IO pool: on an
+    * object store each chunk GET is tens of milliseconds of latency, and
+    * a thousand-chunk snapshot loaded serially would turn cold planning
+    * into a multi-second driver stall — latency-bound work, so the pool
+    * (sys prop `graft.manifest.load.threads`, default 16) costs nothing
+    * locally and collapses cold-load latency to O(chunks/threads)
+    * remotely. Cache hits never enter the pool.
+    */
+  private[versioned] def loadAll(root: Path, io: GraftIO,
+      refs: Seq[ManifestRef]): Seq[FileEntry] = {
+    val threads =
+      Integer.getInteger("graft.manifest.load.threads", 16).intValue()
+    val misses = refs.zipWithIndex.filterNot { case (r, _) =>
+      cached(root.resolve(r.path).toAbsolutePath.normalize.toString).isDefined
+    }
+    if (misses.size <= 1 || threads <= 1)
+      return refs.flatMap(load(root, io, _))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(threads, misses.size))
+    try {
+      val futures = misses.map { case (r, i) =>
+        i -> pool.submit(new java.util.concurrent.Callable[Seq[FileEntry]] {
+          def call(): Seq[FileEntry] = load(root, io, r)
+        })
+      }.toMap
+      refs.zipWithIndex.flatMap { case (r, i) =>
+        futures.get(i).map(_.get()).getOrElse(load(root, io, r))
+      }
+    } finally pool.shutdown()
+  }
 
   /** A segmented snapshot's file list as a LAZY Seq: size/isEmpty answer
     * from the refs' recorded counts without touching a chunk, full
@@ -183,7 +234,7 @@ object Manifests {
     @volatile private var materialized: Vector[FileEntry] = null
     private def underlying: Vector[FileEntry] = {
       if (materialized == null)
-        materialized = refs.iterator.flatMap(load(root, io, _)).toVector
+        materialized = loadAll(root, io, refs).toVector
       materialized
     }
     private[versioned] def isMaterialized: Boolean = materialized != null
@@ -200,8 +251,7 @@ object Manifests {
       */
     private[versioned] def partitionPruned(
         keep: Seq[Map[String, String]] => Boolean): Seq[FileEntry] =
-      refs.filter(r => r.partitions.forall(keep))
-        .flatMap(load(root, io, _))
+      loadAll(root, io, refs.filter(r => r.partitions.forall(keep)))
     private def writeReplace(): Object = underlying
   }
 

@@ -73,6 +73,28 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     bitmask.map(p => (p._1, p._2)).size shouldBe bitmask.size // no dup rows
   }
 
+  test("dd_setsim: bitmask within-group salting is exactness-preserving " +
+    "on a duplicate-heavy corpus (one hot mask)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 120 of 150 docs share ONE word set — the exact-duplicate cluster a
+    // real dedup corpus produces; its C(120,2) pairs must come out
+    // identically whether the mask group is salted into chunks or not
+    val hot = Seq("a", "b", "c")
+    val docs = ((0 until 120).map(i => (i.toLong, hot)) ++
+      (120 until 150).map(i => (i.toLong, Seq(s"u$i", s"v$i", "b")))).toDF("doc_id", "ws")
+    def run(maxGroup: Int): Set[(Long, Long, Double)] = {
+      spark.conf.set("spark.graft.setsim.maxGroup", maxGroup.toString)
+      try graft.operators.Dedup.setsimPairs(spark, docs, 0.9, 1024)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      finally spark.conf.unset("spark.graft.setsim.maxGroup")
+    }
+    val unsalted = run(1000000) // nch = 1: plain self-join
+    val salted = run(8)         // hot mask splits into 15 chunks
+    salted shouldBe unsalted
+    unsalted.size shouldBe 120 * 119 / 2 // the full duplicate clique
+  }
+
   test("dd_setsim: hot-token grid salting is exactness-preserving on a " +
     "skewed corpus (one token in every prefix)") {
     import org.apache.spark.sql.functions._

@@ -295,6 +295,14 @@ class ManifestSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       // time travel back across segmented history
       spark.sql(s"SELECT * FROM gm.r.main.db.t VERSION AS OF '$preMerge'")
         .count() shouldBe 24
+      // manifests metadata table: one row per chunk, counts match head
+      val mrows = spark.sql(
+        "SELECT path, n_files, n_rows FROM gm.r.main.db.t.manifests").collect()
+      val headSnap = repo.snapshot(repo.headCommit("main").tables("db/t"))
+      if (headSnap.manifestRefs.nonEmpty) {
+        mrows.length shouldBe headSnap.manifestRefs.size
+        mrows.map(_.getInt(1)).sum shouldBe headSnap.files.size
+      } else mrows shouldBe empty
     } finally spark.stop()
   }
 
