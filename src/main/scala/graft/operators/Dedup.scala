@@ -281,13 +281,30 @@ object Dedup {
         (acc, w) => acc.bitwiseOR(element_at(bitOf, w))).as("mask"))
       .localCheckpoint() // skinny (doc_id, mask); feeds 4 plan legs
     val gm = masked.select(col("mask")).where(col("mask") =!= 0L).distinct()
-    val maskPairs = gm.select(col("mask").as("mask_a"))
-      .join(broadcast(gm.select(col("mask").as("mask_b"))),
-        col("mask_a") < col("mask_b"))
+    // Pair enumeration as a broadcast HASH join, not a nested loop: a
+    // bare `mask_a < mask_b` theta-join plans as BroadcastNestedLoopJoin
+    // — interpreted, non-codegen, O(M²) row-pair evaluations. Keying on
+    // POPCOUNT SIZE makes it an equi-join: J ≥ t forces
+    // t·max(|a|,|b|) ≤ min(|a|,|b|), so side b replicates once per
+    // compatible partner size (⌈t·|b|⌉ … ⌊|b|/t⌋, ~±10% at t=0.9) and
+    // side a probes with its own size — whole-stage codegen, and the
+    // hash lookup skips every size-incompatible mask outright. Each
+    // unordered pair still surfaces exactly once (b's explode emits one
+    // row per sza value, and a's size is fixed).
+    val sized = gm.withColumn("sz", bit_count(col("mask")))
+    val bSide = sized
+      .select(col("mask").as("mask_b"),
+        explode(sequence(
+          ceil(lit(t) * col("sz")).cast("int"),
+          floor(col("sz") / lit(t)).cast("int"))).as("sz"))
+    val maskPairs = sized.select(col("mask").as("mask_a"), col("sz"))
+      .join(broadcast(bSide), Seq("sz"))
+      .filter(col("mask_a") < col("mask_b"))
       .withColumn("jaccard", round(
         bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double") /
           bit_count(col("mask_a").bitwiseOR(col("mask_b"))), 6))
       .filter(col("jaccard") >= t)
+      .drop("sz")
     val cross = masked.withColumnRenamed("doc_id", "id_x")
       .join(broadcast(maskPairs), col("mask") === col("mask_a"))
       .select(col("id_x"), col("mask_b"), col("jaccard"))
