@@ -87,7 +87,7 @@ object Manifests {
       .map("%02x".format(_)).mkString
 
   /** Split an ordered file list into content-defined chunks. */
-  private[versioned] def chunk(files: Seq[FileEntry]): Seq[Seq[FileEntry]] = {
+  private[graft] def chunk(files: Seq[FileEntry]): Seq[Seq[FileEntry]] = {
     val target = targetChunk
     val cap = 4 * target
     val out = Seq.newBuilder[Seq[FileEntry]]

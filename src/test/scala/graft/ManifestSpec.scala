@@ -306,6 +306,37 @@ class ManifestSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     } finally spark.stop()
   }
 
+  test("chunking properties over 200 seeded random edit sequences: " +
+    "lossless, order-preserving, edit-local") {
+    val saved = Option(System.getProperty("graft.manifest.target"))
+    System.setProperty("graft.manifest.target", "8")
+    try {
+      val rnd = new scala.util.Random(7)
+      (1 to 200).foreach { _ =>
+        val n = 1 + rnd.nextInt(300)
+        val files = (0 until n).map(i => entry(rnd.nextInt(100000)))
+          .distinctBy(_.path).toVector
+        val chunks = Manifests.chunk(files)
+        // lossless + order-preserving
+        chunks.flatten shouldBe files
+        // hard cap honored
+        chunks.foreach(_.size should be <= 32)
+        // edit locality: one random removal changes at most 2 chunks
+        if (files.size > 1) {
+          val victim = files(rnd.nextInt(files.size))
+          val after = Manifests.chunk(files.filterNot(_ == victim))
+          val beforeSet = chunks.map(c => c.map(_.path)).toSet
+          after.count(c => !beforeSet.contains(c.map(_.path))) should be <= 2
+        }
+        // append locality: appending changes only the tail region
+        val appended = Manifests.chunk(files :+ entry(999999))
+        val beforeSet = chunks.map(c => c.map(_.path)).toSet
+        appended.count(c => !beforeSet.contains(c.map(_.path))) should be <= 2
+      }
+    } finally saved.fold[AnyRef](System.clearProperty("graft.manifest.target"))(
+      System.setProperty("graft.manifest.target", _))
+  }
+
   test("chained writes through materialized snapshots keep chunk identity stable") {
     val repo = freshRepo()
     var files = (1 to 50).map(entry(_))
