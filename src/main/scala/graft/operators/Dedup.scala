@@ -241,8 +241,10 @@ object Dedup {
         .distinct().limit(math.min(vocabMax, 64) + 1)
         .collect().map(_.getString(0))
       if (probe.length <= math.min(vocabMax, 64))
-        return bitmaskPairs(s, corpus, probe.sorted.toIndexedSeq, t)
-          .orderBy(col("id_a"), col("id_b"))
+        bitmaskPairs(s, corpus, probe.sorted.toIndexedSeq, t) match {
+          case Some(pairs) => return pairs.orderBy(col("id_a"), col("id_b"))
+          case None => () // over the distinct-mask cap: PPJoin below
+        }
     }
     val par = s.sparkContext.defaultParallelism
     val docs = corpus
@@ -272,7 +274,7 @@ object Dedup {
     * doc emits no prefix tokens, hence no candidates).
     */
   private[graft] def bitmaskPairs(s: org.apache.spark.sql.SparkSession,
-      corpus: DataFrame, toks: Seq[String], t: Double): DataFrame = {
+      corpus: DataFrame, toks: Seq[String], t: Double): Option[DataFrame] = {
     require(toks.size <= 64, s"bitmask path needs ≤64 tokens, got ${toks.size}")
     val bitOf = map(toks.zipWithIndex.flatMap { case (w, i) =>
       Seq(lit(w), lit(1L << i)) }: _*)
@@ -281,6 +283,15 @@ object Dedup {
         (acc, w) => acc.bitwiseOR(element_at(bitOf, w))).as("mask"))
       .localCheckpoint() // skinny (doc_id, mask); feeds 4 plan legs
     val gm = masked.select(col("mask")).where(col("mask") =!= 0L).distinct()
+      .localCheckpoint() // counted for the guard, then joined twice
+    // guard the M×M popcount pass: past maxMasks distinct masks the
+    // size-bucketed join's pair volume (M × ~2·(1-t)/t·M/|sizes|) stops
+    // being a broadcast-cheap pass — fall back to the PPJoin path,
+    // which is corpus-size-linear in its index. The count rides the
+    // checkpoint job; nothing is recomputed.
+    val maxMasks = s.conf.getOption("spark.graft.setsim.bitmaskMasksMax")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1 << 17)
+    if (gm.count() > maxMasks) return None // caller takes the PPJoin path
     // Pair enumeration as a broadcast HASH join, not a nested loop: a
     // bare `mask_a < mask_b` theta-join plans as BroadcastNestedLoopJoin
     // — interpreted, non-codegen, O(M²) row-pair evaluations. Keying on
@@ -312,7 +323,7 @@ object Dedup {
         col("mask_b") === col("mask"))
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"), col("jaccard"))
-    if (t > 1.0) return cross // identical sets (J = 1) can't reach t
+    if (t > 1.0) return Some(cross) // identical sets (J = 1) can't reach t
     // identical-mask pairs, GRID-SALTED on the mask key (the
     // embedCosinePairs contract): exact-duplicate clusters are the
     // NORM in a dedup corpus, and a million-row duplicate cluster
@@ -336,7 +347,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         lit(1.0).as("jaccard"))
-    cross.union(within)
+    Some(cross.union(within))
   }
 
   /** Raw prefix-filter (PPJoin) candidates over a (doc_id, ws, sz)

@@ -608,7 +608,137 @@ object Versioned {
     }
   }
 
+  /** Full schema-evolution flow, all metadata-only: ADD COLUMN (old
+    * files null-fill), INSERT with the new column, RENAME (physical
+    * name mapping), ADD+DROP (physical-name retirement) — then one read
+    * the oracle reproduces from the original parquet.
+    */
+  private def evolutionRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = setup(s, d)
+    s.sql(s"ALTER TABLE $cat.r.main.db.nation ADD COLUMN n_extra INT")
+    s.sql(s"INSERT INTO $cat.r.main.db.nation VALUES " +
+      "(900, 'NEWLAND', 9, 42), (901, 'OLDLAND', 9, NULL)")
+    s.sql(s"ALTER TABLE $cat.r.main.db.nation RENAME COLUMN n_regionkey TO region_key")
+    s.sql(s"ALTER TABLE $cat.r.main.db.nation ADD COLUMN tmp STRING")
+    s.sql(s"ALTER TABLE $cat.r.main.db.nation DROP COLUMN tmp")
+    s.sql(s"SELECT n_nationkey, n_name, region_key, n_extra " +
+      s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
+  }
+
+  /** Junk commit, then CALL rollback to the prior head: the branch must
+    * read exactly its pre-junk state (a broken rollback would leak the
+    * junk row into the oracle compare).
+    */
+  private def rollbackRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    val good = repo.headCommit("main").id
+    s.sql(s"INSERT INTO $cat.r.main.db.nation VALUES (999, 'JUNK', 0)")
+    s.sql(s"CALL $cat.system.rollback('r', 'main', '$good')")
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
+  }
+
+  /** Tag the loaded state, mutate the branch afterwards, read VERSION AS
+    * OF the tag: tags must be immutable against later DML.
+    */
+  private def tagRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = setup(s, d)
+    s.sql(s"CALL $cat.system.create_tag('r', 'v1', 'main')")
+    s.sql(s"DELETE FROM $cat.r.main.db.nation WHERE n_nationkey < 10")
+    s.sql(s"INSERT INTO $cat.r.main.db.nation VALUES (998, 'AFTER', 1)")
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation VERSION AS OF 'v1' ORDER BY n_nationkey")
+  }
+
+  /** Identity-partitioned table, selective read: partition pruning must
+    * not change results (BloomSpec/PartitionedWriteSpec assert the
+    * files-pruned counts; this gates the VALUES end-to-end).
+    */
+  private def partitionedRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = freshCatalog(s)
+    val nation = T.nation(s, d)
+    s.sql(s"CREATE NAMESPACE $cat.r")
+    s.sql(s"CREATE NAMESPACE $cat.r.main.db")
+    s.sql(s"CREATE TABLE $cat.r.main.db.nation (${nation.schema.toDDL}) " +
+      "PARTITIONED BY (n_regionkey)")
+    nation.writeTo(s"$cat.r.main.db.nation").append()
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey FROM $cat.r.main.db.nation " +
+      "WHERE n_regionkey IN (1, 3) ORDER BY n_nationkey")
+  }
+
+  /** The `t.partitions` metadata table's per-partition row counts vs a
+    * plain GROUP BY on the source — the rollup an operator checks for
+    * skew/small files at 100 TB must agree with the data.
+    */
+  private def partitionsMeta(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = freshCatalog(s)
+    val nation = T.nation(s, d)
+    s.sql(s"CREATE NAMESPACE $cat.r")
+    s.sql(s"CREATE NAMESPACE $cat.r.main.db")
+    s.sql(s"CREATE TABLE $cat.r.main.db.nation (${nation.schema.toDDL}) " +
+      "PARTITIONED BY (n_regionkey)")
+    nation.writeTo(s"$cat.r.main.db.nation").append()
+    s.sql(s"SELECT partition['n_regionkey'] AS region, n_rows " +
+      s"FROM $cat.r.main.db.nation.partitions ORDER BY region")
+  }
+
+  /** CALL compact with a z-order: multi-file table compacts into
+    * z-ordered files — content must be exactly preserved.
+    */
+  private def zorderRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, root) = freshCatalog(s)
+    val nation = T.nation(s, d)
+    s.sql(s"CREATE NAMESPACE $cat.r")
+    s.sql(s"CREATE NAMESPACE $cat.r.main.db")
+    s.sql(s"CREATE TABLE $cat.r.main.db.nation (${nation.schema.toDDL})")
+    val repo = GraftRepo.open(root.resolve("r"))
+    for (res <- 0 until 4)
+      TableOps.insert(s, repo, "main", "db/nation",
+        nation.filter(col("n_nationkey") % 4 === res).repartition(1),
+        overwrite = false)
+    s.sql(s"CALL $cat.system.compact('r', 'main', 'db.nation', " +
+      s"${128L << 20}, '', 'n_regionkey,n_nationkey')")
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey FROM $cat.r.main.db.nation " +
+      "ORDER BY n_nationkey")
+  }
+
   val all: Seq[Q] = Seq(
+    Q(
+      "vc_evolution_read",
+      """SELECT n_nationkey, n_name, n_regionkey AS region_key,
+        |       CAST(NULL AS INTEGER) AS n_extra
+        |FROM nation
+        |UNION ALL SELECT 900, 'NEWLAND', 9, 42
+        |UNION ALL SELECT 901, 'OLDLAND', 9, CAST(NULL AS INTEGER)
+        |ORDER BY n_nationkey""".stripMargin
+    )(evolutionRead),
+    Q(
+      "vc_rollback_read",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin
+    )(rollbackRead),
+    Q(
+      "vc_tag_read",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin
+    )(tagRead),
+    Q(
+      "vc_partitioned_read",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey IN (1, 3)
+        |ORDER BY n_nationkey""".stripMargin
+    )(partitionedRead),
+    Q(
+      "vc_partitions_meta",
+      """SELECT CAST(n_regionkey AS VARCHAR) AS region,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM nation GROUP BY 1 ORDER BY region""".stripMargin
+    )(partitionsMeta),
+    Q(
+      "vc_zorder_read",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin
+    )(zorderRead),
     Q(
       "vc_manifest_read",
       """SELECT n_nationkey, n_name, n_regionkey FROM nation

@@ -73,6 +73,25 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     bitmask.map(p => (p._1, p._2)).size shouldBe bitmask.size // no dup rows
   }
 
+  test("dd_setsim: distinct-mask cap falls back to PPJoin with identical results") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val docs = (0 until 150).map { i =>
+      (i.toLong, (0 until 20).filter(_ => rnd.nextDouble() < 0.6).map(b => s"t$b"))
+    }.toDF("doc_id", "ws")
+    def run(maxMasks: Option[Int]): Set[(Long, Long, Double)] = {
+      maxMasks.foreach(m =>
+        spark.conf.set("spark.graft.setsim.bitmaskMasksMax", m.toString))
+      try graft.operators.Dedup.setsimPairs(spark, docs, 0.8, 1024)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      finally spark.conf.unset("spark.graft.setsim.bitmaskMasksMax")
+    }
+    val fast = run(None)     // bitmask path (well under the default cap)
+    val fallback = run(Some(4)) // cap forces the PPJoin path
+    fallback shouldBe fast
+  }
+
   test("dd_setsim: bitmask within-group salting is exactness-preserving " +
     "on a duplicate-heavy corpus (one hot mask)") {
     import org.apache.spark.sql.functions._

@@ -306,6 +306,33 @@ class ManifestSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     } finally spark.stop()
   }
 
+  test("segmentation runs entirely through the GraftIO seam: object-store " +
+    "backend round trip + GC") {
+    // an S3-shaped backend (conditional PUT, prefix list) — any direct
+    // java.nio.Files call in the manifest path would miss this store
+    val io = new graft.versioned.ObjectStoreGraftIO(
+      new graft.versioned.InMemoryObjectStore())
+    val root = java.nio.file.Paths.get("/graft-os-manifest")
+    val repo = GraftRepo.init(root, io)
+    val files = (1 to 100).map(entry(_))
+    val s1 = repo.writeSnapshot("db/t", "{}", files)
+    Manifests.clearCache()
+    repo.snapshot(s1.id).files shouldBe files
+    // content-addressed reuse across the same store
+    val before = repo.io.list(root.resolve("snapshots").resolve("manifests")).size
+    repo.writeSnapshot("db/t2", "{}", files)
+    repo.io.list(root.resolve("snapshots").resolve("manifests")).size shouldBe before
+    // GC: the orphaned snapshots' chunks die after two passes, the
+    // committed table's survive
+    val (v, _) = repo.head("main")
+    repo.commitAt("main", v, Seq(repo.head("main")._2), "keep",
+      Map("db/t" -> s1.id), Map.empty)
+    repo.expireSnapshots(olderThanMs = 0L)
+    repo.expireSnapshots(olderThanMs = 0L)
+    Manifests.clearCache()
+    repo.snapshot(repo.headCommit("main").tables("db/t")).files shouldBe files
+  }
+
   test("chunking properties over 200 seeded random edit sequences: " +
     "lossless, order-preserving, edit-local") {
     val saved = Option(System.getProperty("graft.manifest.target"))
