@@ -128,9 +128,24 @@ object IcebergExport {
       spark: Option[SparkSession]): Path =
     export(repo, ref, key, dest, spark, maxSnapshots = 1)
 
-  /** One exported table version (internal, pass 1 → pass 2). */
+  /** One exported table version (internal, pass 1 → pass 2).
+    * `chunkRefs` — the graft snapshot's manifest segmentation
+    * (Manifests.scala), empty for inline snapshots; `dataEntries` is in
+    * ref order, so positional prefix sums recover the per-chunk groups.
+    */
   private final case class SnapArtifacts(snap: Snapshot, commitTs: Long,
-      snapshotId: Long, dataEntries: Seq[MEntry], deleteEntries: Seq[MEntry])
+      snapshotId: Long, dataEntries: Seq[MEntry], deleteEntries: Seq[MEntry],
+      chunkRefs: Seq[ManifestRef])
+
+  /** One manifest-list row (internal): per-row snapshot attribution and
+    * added-vs-existing counts so REUSED chunk manifests stay attributed
+    * to the snapshot that first wrote them (the real Iceberg manifest-
+    * reuse semantic external incremental consumers rely on).
+    */
+  private final case class MRow(path: Path, content: Int,
+      addedFiles: Int, existingFiles: Int, addedRows: Long,
+      existingRows: Long, seq: Long, minSeq: Long, specId: Int,
+      addedSnapshotId: Long)
 
   /** Full export. `maxSnapshots` > 1 additionally exports up to that
     * many of the branch's PRIOR table versions (first-parent commit
@@ -283,7 +298,8 @@ object IcebergExport {
       // distinct ones, never 0 or negative
       SnapArtifacts(h, c.ts, math.max(1L, UUID.nameUUIDFromBytes(
         h.id.getBytes(StandardCharsets.UTF_8))
-        .getMostSignificantBits & Long.MaxValue), dataEntries, deleteEntries)
+        .getMostSignificantBits & Long.MaxValue), dataEntries, deleteEntries,
+        h.manifestRefs)
     }
     // v1 when nothing needs v2: widest reader compatibility (all live
     // tombstones pruned away by stats/blooms also land here)
@@ -297,14 +313,57 @@ object IcebergExport {
     var prevSeq = 0L
     var parentId: Option[Long] = None
     var lastSnapSeq = 1L
+    // chunk-manifest reuse ledger across the history walk (oldest →
+    // newest): graft chunk → the exported avro + the snapshot/sequence
+    // that FIRST wrote it. Combined with the content-addressed file
+    // name, a chunk shared by many exported versions (and, in sync
+    // mode, by successive exports to the same dest) is written ONCE and
+    // referenced everywhere else — export cost per emission becomes
+    // O(changed chunks), not O(table files).
+    val chunkLedger = scala.collection.mutable.Map.empty[String, (Path, Long, Long)]
+    // the avro bytes depend on (entries, schema, spec, version) only —
+    // entry snapshot_id is omitted for chunk manifests (readers inherit
+    // it from the list row, the spec's v1/v2 inheritance rule)
+    val cfgSha = shaHex(s"${icebergSchemaJson(phys)}|$specFieldsJson|$v")
     val snapMaps = artifacts.map { a =>
       val snapSeq = math.max(prevSeq + 1,
         (a.dataEntries ++ a.deleteEntries).map(_.seq).maxOption.getOrElse(1L))
       prevSeq = snapSeq; lastSnapSeq = snapSeq
-      val manifestPath = metaDir.resolve(s"${UUID.randomUUID()}-m0.avro")
-      writeManifest(manifestPath, a.dataEntries, a.snapshotId,
-        icebergSchemaJson(phys), specFields, srcTypeOf, specFieldsJson, v,
-        manifestContent = "data", specId = 0)
+      val dataRows: Seq[MRow] =
+        if (a.chunkRefs.isEmpty) {
+          val manifestPath = metaDir.resolve(s"${UUID.randomUUID()}-m0.avro")
+          writeManifest(manifestPath, a.dataEntries, Some(a.snapshotId),
+            icebergSchemaJson(phys), specFields, srcTypeOf, specFieldsJson, v,
+            manifestContent = "data", specId = 0)
+          Seq(MRow(manifestPath, 0, a.dataEntries.size, 0,
+            a.dataEntries.map(_.rows).sum, 0L, snapSeq,
+            a.dataEntries.map(_.seq).minOption.getOrElse(1L), 0, a.snapshotId))
+        } else {
+          // one Iceberg manifest per graft chunk, content-addressed off
+          // the chunk's own sha + export config; dataEntries is in ref
+          // order, so prefix sums slice the per-chunk groups
+          var off = 0
+          a.chunkRefs.map { ref =>
+            val entries = a.dataEntries.slice(off, off + ref.count)
+            off += ref.count
+            val sha = shaHex(s"${ref.path}|$cfgSha")
+            val p = metaDir.resolve(s"cm-$sha-m0.avro")
+            if (!Files.exists(p))
+              writeManifest(p, entries, entrySnapshotId = None,
+                icebergSchemaJson(phys), specFields, srcTypeOf,
+                specFieldsJson, v, manifestContent = "data", specId = 0)
+            val (path, firstSnap, firstSeq) = chunkLedger.getOrElseUpdate(
+              sha, (p, a.snapshotId, snapSeq))
+            val reused = firstSnap != a.snapshotId
+            MRow(path, 0,
+              if (reused) 0 else entries.size,
+              if (reused) entries.size else 0,
+              if (reused) 0L else entries.map(_.rows).sum,
+              if (reused) entries.map(_.rows).sum else 0L,
+              firstSeq, entries.map(_.seq).minOption.getOrElse(1L), 0,
+              firstSnap)
+          }
+        }
       // positional deletes are partition-scoped (spec 0); equality
       // deletes are GLOBAL — under a partitioned table they get the
       // auxiliary unpartitioned spec 1 so their table-wide scope is
@@ -318,7 +377,7 @@ object IcebergExport {
           val p = metaDir.resolve(s"${UUID.randomUUID()}-m1.avro")
           val (sf, sfJson) =
             if (specId == 0) (specFields, specFieldsJson) else (Nil, "[]")
-          writeManifest(p, entries, a.snapshotId, icebergSchemaJson(phys),
+          writeManifest(p, entries, Some(a.snapshotId), icebergSchemaJson(phys),
             sf, srcTypeOf, sfJson, v, manifestContent = "deletes", specId)
           Some((p, entries, specId))
         }
@@ -327,12 +386,11 @@ object IcebergExport {
       val listPath = metaDir.resolve(
         s"snap-${a.snapshotId}-1-${UUID.randomUUID()}.avro")
       writeManifestList(listPath, a.snapshotId, v,
-        Seq((manifestPath, 0, a.dataEntries.size,
-          a.dataEntries.map(_.rows).sum, snapSeq,
-          a.dataEntries.map(_.seq).minOption.getOrElse(1L), 0)) ++
+        dataRows ++
           deleteManifests.map { case (p, entries, specId) =>
-            (p, 1, entries.size, entries.map(_.rows).sum,
-              snapSeq, entries.map(_.seq).minOption.getOrElse(1L), specId) })
+            MRow(p, 1, entries.size, 0, entries.map(_.rows).sum, 0L,
+              snapSeq, entries.map(_.seq).minOption.getOrElse(1L), specId,
+              a.snapshotId) })
       val snapMap = new java.util.LinkedHashMap[String, Any]
       snapMap.put("snapshot-id", a.snapshotId)
       parentId.foreach(p => snapMap.put("parent-snapshot-id", p))
@@ -343,8 +401,12 @@ object IcebergExport {
       // consumers filter on operation and would misclassify it
       summary.put("operation",
         if (a.deleteEntries.nonEmpty) "overwrite" else "append")
-      summary.put("added-data-files", a.dataEntries.size.toString)
-      summary.put("added-records", a.dataEntries.map(_.rows).sum.toString)
+      // added-* reflect THIS snapshot's additions (chunk reuse makes the
+      // distinction real); total-* carry the full live state
+      summary.put("added-data-files", dataRows.map(_.addedFiles).sum.toString)
+      summary.put("added-records", dataRows.map(_.addedRows).sum.toString)
+      summary.put("total-data-files", a.dataEntries.size.toString)
+      summary.put("total-records", a.dataEntries.map(_.rows).sum.toString)
       if (a.deleteEntries.nonEmpty) {
         summary.put("added-delete-files", a.deleteEntries.size.toString)
         summary.put("added-position-deletes", a.deleteEntries
@@ -583,7 +645,14 @@ object IcebergExport {
     }
     val msg = new org.apache.parquet.schema.MessageType("eq_delete",
       fields.toArray[org.apache.parquet.schema.Type]: _*)
-    val out = dataDir.resolve(s"${UUID.randomUUID()}-eq-deletes.parquet")
+    // deterministic content-addressed name: a sync re-emission (or a
+    // history export covering the same tombstone) reuses the file
+    // instead of writing a new UUID copy every time
+    val fp = shaHex(s"${t.seq}|${t.filter}|${ids.mkString(",")}|$msg")
+    val out = dataDir.resolve(s"eq-$fp-deletes.parquet")
+    if (Files.exists(out))
+      return DeleteFile(out, rows.size.toLong, Map.empty, content = 2,
+        seq = t.seq + 1, equalityIds = ids)
     val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
       .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
         new org.apache.hadoop.fs.Path(out.toUri),
@@ -644,9 +713,25 @@ object IcebergExport {
       snap: Snapshot, phys: StructType, specFields: Seq[PartitionField],
       tombs: Seq[Tombstone], dest: Path): Seq[DeleteFile] = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, regexp_replace}
+    // per-snapshot memo: positions are a pure function of the graft
+    // snapshot (files + tombstones + schema all live in it), so a sync
+    // re-emission or a history export covering the same snapshot skips
+    // the whole Spark job and reuses the files from the previous
+    // emission. index.json is written LAST — a crashed emission simply
+    // recomputes.
+    val memoDir = dest.resolve("data").resolve(s"pos-${snap.id}")
+    val indexPath = memoDir.resolve("index.json")
+    if (Files.isRegularFile(indexPath))
+      return Json.read[PosIndex](Files.readString(indexPath)).entries.map(e =>
+        DeleteFile(memoDir.resolve(e.name), e.rows, e.partValues,
+          content = 1, e.seq, Nil))
     val (_, groups) = Tombstones.split(tombs, phys, snap.files, Some(repo.root))
-    if (groups.isEmpty) return Nil
-    val dataDir = dest.resolve("data")
+    if (groups.isEmpty) {
+      Files.createDirectories(memoDir)
+      Files.writeString(indexPath, Json.write(PosIndex(Nil)))
+      return Nil
+    }
+    val dataDir = memoDir
     Files.createDirectories(dataDir)
 
     // one output slot per (tombstone group × partition tuple); slot
@@ -732,8 +817,23 @@ object IcebergExport {
       }
     }
     deleteRecursively(tmp)
+    // publish the memo (index last: its presence certifies the files)
+    Files.writeString(indexPath, Json.write(PosIndex(out.map(d =>
+      PosEntry(d.path.getFileName.toString, d.rows,
+        if (d.partValues.isEmpty) None else Some(d.partValues), d.seq)))))
     out
   }
+
+  /** Per-snapshot positional-delete memo record (see
+    * [[writePositionDeletes]]): file name relative to the memo dir +
+    * the manifest metadata needed to re-reference it without a scan.
+    */
+  private final case class PosEntry(name: String, rows: Long,
+      partitionValues: Option[Map[String, String]], seq: Long) {
+    def partValues: Map[String, String] =
+      Option(partitionValues).flatten.getOrElse(Map.empty)
+  }
+  private final case class PosIndex(entries: Seq[PosEntry])
 
   /** Exact row count from the parquet footer (no data scan). */
   private def parquetRowCount(s: SparkSession, p: Path): Long = {
@@ -1078,8 +1178,19 @@ object IcebergExport {
     entry
   }
 
+  private def shaHex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** `entrySnapshotId` None ⇒ the entry's optional snapshot_id is
+    * omitted and readers inherit it from the manifest-list row's
+    * added_snapshot_id (the spec's inheritance rule) — REQUIRED for
+    * chunk manifests, whose bytes must not depend on which snapshot
+    * references them.
+    */
   private def writeManifest(path: Path, entries: Seq[MEntry],
-      snapshotId: Long, schemaJson: String,
+      entrySnapshotId: Option[Long], schemaJson: String,
       specFields: Seq[PartitionField],
       srcTypeOf: PartitionField => DataType,
       specFieldsJson: String, v: Int, manifestContent: String,
@@ -1136,8 +1247,8 @@ object IcebergExport {
           df.put("equality_ids",
             java.util.List.of(me.equalityIds.map(Int.box): _*))
         val e = new GenericData.Record(entrySchema)
-        e.put("status", 1) // ADDED in this (single) snapshot
-        e.put("snapshot_id", snapshotId)
+        e.put("status", 1) // ADDED in the snapshot the list attributes
+        entrySnapshotId.foreach(id => e.put("snapshot_id", Long.box(id)))
         if (v >= 2) {
           // explicit per-entry sequences (graft commit seq + 1): the
           // strictly-older equality rule and the at-or-older positional
@@ -1181,12 +1292,8 @@ object IcebergExport {
     rec
   }
 
-  /** `manifests` = (path, content 0|1, file count, row count, sequence
-    * number at which the manifest was added, min entry sequence,
-    * partition spec id).
-    */
   private def writeManifestList(path: Path, snapshotId: Long, v: Int,
-      manifests: Seq[(Path, Int, Int, Long, Long, Long, Int)]): Unit = {
+      manifests: Seq[MRow]): Unit = {
     val schema = manifestFileSchema(v)
     val writer = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](schema))
@@ -1194,22 +1301,25 @@ object IcebergExport {
     writer.setMeta("format-version", v.toString)
     writer.create(schema, path.toFile)
     val n = if (v == 1) "_data_files_count" else "_files_count"
-    try manifests.foreach { case (mp, content, files, rows, seq, minSeq, specId) =>
+    try manifests.foreach { m =>
       val r = new GenericData.Record(schema)
-      r.put("manifest_path", mp.toUri.toString)
-      r.put("manifest_length", Files.size(mp))
-      r.put("partition_spec_id", specId)
+      r.put("manifest_path", m.path.toUri.toString)
+      r.put("manifest_length", Files.size(m.path))
+      r.put("partition_spec_id", m.specId)
       if (v >= 2) {
-        r.put("content", content)
-        r.put("sequence_number", seq)
-        r.put("min_sequence_number", minSeq)
+        r.put("content", m.content)
+        r.put("sequence_number", m.seq)
+        r.put("min_sequence_number", m.minSeq)
       }
-      r.put("added_snapshot_id", snapshotId)
-      r.put(s"added$n", files)
-      r.put(s"existing$n", 0)
+      // the snapshot that FIRST wrote the manifest — reused chunk
+      // manifests keep their original attribution, and their entries
+      // (snapshot_id omitted) inherit it
+      r.put("added_snapshot_id", m.addedSnapshotId)
+      r.put(s"added$n", m.addedFiles)
+      r.put(s"existing$n", m.existingFiles)
       r.put(s"deleted$n", 0)
-      r.put("added_rows_count", rows)
-      r.put("existing_rows_count", 0L)
+      r.put("added_rows_count", m.addedRows)
+      r.put("existing_rows_count", m.existingRows)
       r.put("deleted_rows_count", 0L)
       writer.append(r)
     } finally writer.close()

@@ -761,6 +761,42 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     manyJobs shouldBe fewJobs
   }
 
+  test("re-emission to the same dest reuses delete files: the positional " +
+    "memo skips the Spark job entirely and the equality delete file is " +
+    "content-addressed, not re-written") {
+    sql("CREATE NAMESPACE g.icedr")
+    sql("CREATE NAMESPACE g.icedr.main.db")
+    sql("CREATE TABLE g.icedr.main.db.t (id INT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO g.icedr.main.db.t SELECT CAST(id AS INT), " +
+      "CAST(id AS DOUBLE) FROM range(0, 40)")
+    sql("DELETE FROM g.icedr.main.db.t WHERE id >= 35")  // positional
+    sql("DELETE FROM g.icedr.main.db.t WHERE id = 7")    // equality
+    val dest = Files.createTempDirectory("ice-del-reuse")
+    sql(s"CALL g.system.iceberg_export('icedr', 'main', 'db.t', '$dest')")
+    def deleteFiles = Files.walk(dest.resolve("data")).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith("-deletes.parquet"))
+      .map(p => p -> Files.getLastModifiedTime(p)).toMap
+    val before = deleteFiles
+    before.size should be >= 2
+    // second emission: zero Spark jobs (the memo answers), same files
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      sql(s"CALL g.system.iceberg_export('icedr', 'main', 'db.t', '$dest')")
+      org.apache.spark.graftbridge.TestListenerBridge.drain(spark.sparkContext)
+      jobs.get() shouldBe 0
+    } finally spark.sparkContext.removeSparkListener(listener)
+    deleteFiles shouldBe before // byte-stable: neither rewritten nor added
+    // and the re-emitted metadata still reads back correctly
+    graft.versioned.IcebergImport.read(spark, dest).count() shouldBe 34
+  }
+
   test("sync-mode export: later commits re-emit metadata automatically " +
     "(new version + hint), a dir import follows the hint with no extra " +
     "CALL, and unrelated-table commits don't re-emit") {
@@ -793,6 +829,103 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     sql("DELETE FROM g.icesync.main.db.t WHERE id < 5")
     hint shouldBe "3"
     graft.versioned.IcebergImport.read(spark, dest).count() shouldBe 20
+  }
+
+  test("segmented snapshots export one content-addressed Iceberg manifest " +
+    "per graft chunk; history versions AND sync re-emissions share " +
+    "unchanged chunks (O(changed chunks) per emission)") {
+    val saved = Seq("graft.manifest.inline.max", "graft.manifest.target")
+      .map(k => k -> Option(System.getProperty(k)))
+    System.setProperty("graft.manifest.inline.max", "4")
+    System.setProperty("graft.manifest.target", "4")
+    try {
+      sql("CREATE NAMESPACE g.icemseg")
+      sql("CREATE NAMESPACE g.icemseg.main.db")
+      sql("CREATE TABLE g.icemseg.main.db.t (id INT, v DOUBLE)")
+      val repo = GraftRepo.open(java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.catalog.g.root"), "icemseg"))
+      // 6 single-file commits → segmented head
+      (0 until 6).foreach(i =>
+        sql("INSERT INTO g.icemseg.main.db.t SELECT CAST(id AS INT), " +
+          s"CAST(id AS DOUBLE) FROM range(${i * 10}, ${i * 10 + 10})"))
+      val c1 = repo.headCommit("main").id
+      sql("INSERT INTO g.icemseg.main.db.t SELECT CAST(id AS INT), " +
+        "CAST(id AS DOUBLE) FROM range(100, 110)")
+      val c2 = repo.headCommit("main").id
+      def refsOf(cid: String) =
+        repo.snapshot(repo.commit(cid).tables("db/t")).manifestRefs
+      refsOf(c1) should not be empty
+      refsOf(c2) should not be empty
+
+      // ---- history export: versions share unchanged chunk manifests
+      val dest = Files.createTempDirectory("ice-seg")
+      val metaPath = java.nio.file.Paths.get(sql(
+        s"CALL g.system.iceberg_export('icemseg', 'main', 'db.t', '$dest', 2)")
+        .collect().head.getString(0))
+      val metaDir = dest.resolve("metadata")
+      def cmFiles = Files.list(metaDir).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("cm-") && n.endsWith(".avro")).toSeq
+      // content addressing: one avro per DISTINCT graft chunk across
+      // both exported versions, not per (version × chunk)
+      val distinctChunks =
+        (refsOf(c1).map(_.path) ++ refsOf(c2).map(_.path)).distinct.size
+      cmFiles.size shouldBe distinctChunks
+      // both versions read back exactly
+      val meta = mapperOf(metaPath.toString)
+      val snaps = meta.get("snapshots")
+      val ids = (0 until snaps.size())
+        .map(i => snaps.get(i).get("snapshot-id").asLong())
+      def viaGraft(cid: String) =
+        sql(s"SELECT id, v FROM g.icemseg.main.db.t VERSION AS OF '$cid' ORDER BY id")
+          .collect().map(r => (r.getInt(0), r.getDouble(1)))
+      def viaIce(sid: Long) =
+        graft.versioned.IcebergImport.read(spark, metaPath, Some(sid))
+          .orderBy("id").collect().map(r => (r.getInt(0), r.getDouble(1)))
+      viaIce(ids.last) shouldBe viaGraft(c2)
+      viaIce(ids(ids.size - 2)) shouldBe viaGraft(c1)
+      // reused chunks: the newest version's manifest list attributes
+      // unchanged chunks to the OLDER snapshot (added there, existing now)
+      val (listRows, _) = readAvro(
+        snaps.get(snaps.size() - 1).get("manifest-list").asText()
+          .stripPrefix("file://"))
+      val dataRows = listRows.filter(r =>
+        r.get("manifest_path").toString.contains("cm-"))
+      dataRows.map(_.get("added_snapshot_id").asInstanceOf[Long])
+        .distinct.size should be > 1
+      val existingCounts = dataRows.map { r =>
+        // v2 spells it existing_files_count, v1 existing_data_files_count
+        val f = if (r.getSchema.getField("existing_files_count") != null)
+          "existing_files_count" else "existing_data_files_count"
+        r.get(f).asInstanceOf[Int]
+      }
+      existingCounts.sum should be > 0 // shared chunks marked existing
+
+      // ---- sync mode: a later commit re-emits only the changed chunks
+      val dest2 = Files.createTempDirectory("ice-seg-sync")
+      sql(s"CALL g.system.iceberg_export('icemseg', 'main', 'db.t', " +
+        s"'$dest2', sync => true)")
+      val metaDir2 = dest2.resolve("metadata")
+      def cm2 = Files.list(metaDir2).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("cm-") && n.endsWith(".avro")).toSet
+      val before = cm2
+      before.size shouldBe refsOf(c2).map(_.path).distinct.size
+      sql("INSERT INTO g.icemseg.main.db.t SELECT CAST(id AS INT), " +
+        "CAST(id AS DOUBLE) FROM range(200, 210)")
+      val c3 = repo.headCommit("main").id
+      val after = cm2
+      // the append re-emitted O(changed chunks): every chunk manifest of
+      // the previous emission that is still a live chunk was NOT rewritten,
+      // and the new files' chunks added at most a few new avros
+      (after -- before).size should be <= 3
+      before.intersect(after).size should be >= (before.size - 3)
+      graft.versioned.IcebergImport.read(spark, dest2)
+        .orderBy("id").collect().map(r => (r.getInt(0), r.getDouble(1))) shouldBe
+        viaGraft(c3)
+    } finally saved.foreach { case (k, v) =>
+      v.fold[AnyRef](System.clearProperty(k))(System.setProperty(k, _))
+    }
   }
 
   test("import reads a clean v1 export (no deletes) identically to graft") {
