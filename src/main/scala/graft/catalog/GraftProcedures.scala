@@ -63,7 +63,7 @@ private[catalog] object GraftProcedures {
     Seq("compact", "vacuum", "create_tag", "create_branch", "merge",
       "rollback", "revert", "cherry_pick", "expire_snapshots",
       "clone_table", "set_partition_spec", "iceberg_export",
-      "iceberg_import")
+      "iceberg_import", "iceberg_export_expire")
 
   /** Parse an Iceberg-style spec string: `"identity(cat), bucket(4, id),
     * days(ts), truncate(3, name)"`; a bare column name means identity;
@@ -200,6 +200,22 @@ private[catalog] object GraftProcedures {
         { in =>
           val (c, s, d) = open(str(in, 0)).expireSnapshots(in.getLong(1))
           Seq(c, s, d)
+        }))
+      case "iceberg_export_expire" => Some(new Proc(
+        // Follower-side retention for an export/sync destination: sync
+        // appends a metadata version per commit and chunk/delete files
+        // are shared across versions — keep the newest K versions and
+        // delete everything no kept version references (the Iceberg
+        // expire_snapshots + remove_orphan_files analog for the dest).
+        "iceberg_export_expire",
+        Seq(("dest", StringType, None), ("keep_versions", IntegerType, Some("1"))),
+        StructType(Seq(
+          StructField("metadata_deleted", IntegerType, nullable = false),
+          StructField("delete_files_deleted", IntegerType, nullable = false))),
+        { in =>
+          val (m, d) = graft.versioned.IcebergExport.expireDest(
+            java.nio.file.Paths.get(str(in, 0)), in.getInt(1))
+          Seq(m, d)
         }))
       case "clone_table" => Some(new Proc(
         // Zero-copy table clone: the destination entry points at the

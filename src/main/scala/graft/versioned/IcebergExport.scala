@@ -1324,4 +1324,96 @@ object IcebergExport {
       writer.append(r)
     } finally writer.close()
   }
+
+  // ---- export-dir retention (CALL iceberg_export_expire) ---------------
+
+  /** Expire old metadata versions of an export/sync destination, keeping
+    * the newest `keepVersions`. Sync mode appends a metadata version per
+    * commit, and chunk/delete files are shared across versions — this is
+    * the follower-side analog of Iceberg's `expire_snapshots` +
+    * `remove_orphan_files`: drop the old `v<N>.metadata.json`s, then
+    * delete every manifest-list/manifest avro and delete-parquet under
+    * the dest that no KEPT version references (shared chunk manifests
+    * referenced by a kept version survive; graft's own data files live
+    * in the repo, outside the dest, and are never touched). Returns
+    * (metadata files deleted, delete files deleted).
+    */
+  def expireDest(dest: Path, keepVersions: Int): (Int, Int) = {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    val metaDir = dest.resolve("metadata")
+    if (!Files.isDirectory(metaDir)) return (0, 0)
+    val Re = """v(\d+)\.metadata\.json""".r
+    val versions = Files.list(metaDir).iterator().asScala
+      .flatMap(p => p.getFileName.toString match {
+        case Re(n) => Some(n.toInt -> p)
+        case _ => None
+      }).toSeq.sortBy(_._1)
+    val kept = versions.takeRight(keepVersions)
+    val dead = versions.dropRight(keepVersions)
+
+    // everything a kept version can reach: manifest lists → manifests →
+    // (delete manifests only) delete parquets under dest
+    val referenced = scala.collection.mutable.Set.empty[Path]
+    def norm(u: String): Option[Path] =
+      try Some(java.nio.file.Paths.get(java.net.URI.create(u))
+        .toAbsolutePath.normalize)
+      catch { case _: Exception => None }
+    def readAvro(p: Path): Seq[GenericRecord] = {
+      val rd = new org.apache.avro.file.DataFileReader[GenericRecord](
+        p.toFile, new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+      try rd.iterator().asScala.toList finally rd.close()
+    }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    kept.foreach { case (_, vPath) =>
+      val meta = om.readTree(Files.readString(vPath))
+      val snaps = meta.get("snapshots")
+      (0 until snaps.size()).foreach { i =>
+        norm(snaps.get(i).get("manifest-list").asText()).foreach { list =>
+          referenced += list
+          if (Files.exists(list)) readAvro(list).foreach { mf =>
+            norm(mf.get("manifest_path").toString).foreach { m =>
+              referenced += m
+              val isDelete = Option(mf.getSchema.getField("content"))
+                .exists(_ => mf.get("content").asInstanceOf[Int] == 1)
+              if (isDelete && Files.exists(m)) readAvro(m).foreach { e =>
+                val df = e.get("data_file").asInstanceOf[GenericRecord]
+                norm(df.get("file_path").toString).foreach(referenced += _)
+              }
+            }
+          }
+        }
+      }
+    }
+
+    var metaDeleted = 0
+    dead.foreach { case (_, p) => Files.deleteIfExists(p); metaDeleted += 1 }
+    Files.list(metaDir).iterator().asScala.toList
+      .filter(_.getFileName.toString.endsWith(".avro"))
+      .filterNot(p => referenced.contains(p.toAbsolutePath.normalize))
+      .foreach { p => Files.deleteIfExists(p); metaDeleted += 1 }
+
+    var delDeleted = 0
+    val dataDir = dest.resolve("data")
+    if (Files.isDirectory(dataDir)) {
+      Files.walk(dataDir).iterator().asScala.toList
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith("-deletes.parquet"))
+        .filterNot(p => referenced.contains(p.toAbsolutePath.normalize))
+        .foreach { p => Files.deleteIfExists(p); delDeleted += 1 }
+      // memo dirs whose files are all gone: drop the index + dir (a
+      // future export of that snapshot recomputes)
+      Files.list(dataDir).iterator().asScala.toList
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("pos-"))
+        .foreach { d =>
+          val live = Files.list(d).iterator().asScala
+            .exists(_.getFileName.toString.endsWith("-deletes.parquet"))
+          if (!live) {
+            Files.deleteIfExists(d.resolve("index.json"))
+            if (!Files.list(d).iterator().hasNext) Files.deleteIfExists(d)
+          }
+        }
+    }
+    (metaDeleted, delDeleted)
+  }
 }

@@ -761,6 +761,53 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     manyJobs shouldBe fewJobs
   }
 
+  test("iceberg_export_expire: keeps the newest K metadata versions, " +
+    "drops unreferenced manifests/delete files, latest import unaffected") {
+    sql("CREATE NAMESPACE g.iceexp")
+    sql("CREATE NAMESPACE g.iceexp.main.db")
+    sql("CREATE TABLE g.iceexp.main.db.t (id INT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO g.iceexp.main.db.t SELECT CAST(id AS INT), " +
+      "CAST(id AS DOUBLE) FROM range(0, 20)")
+    val dest = Files.createTempDirectory("ice-expire")
+    sql(s"CALL g.system.iceberg_export('iceexp', 'main', 'db.t', " +
+      s"'$dest', sync => true)")
+    sql("INSERT INTO g.iceexp.main.db.t SELECT CAST(id AS INT), " +
+      "CAST(id AS DOUBLE) FROM range(20, 30)")
+    sql("DELETE FROM g.iceexp.main.db.t WHERE id >= 28") // positional MoR
+    val metaDir = dest.resolve("metadata")
+    Files.exists(metaDir.resolve("v3.metadata.json")) shouldBe true
+    val out = sql(
+      s"CALL g.system.iceberg_export_expire('$dest', 1)").collect().head
+    out.getInt(0) should be > 0 // old versions + their avros gone
+    Files.exists(metaDir.resolve("v1.metadata.json")) shouldBe false
+    Files.exists(metaDir.resolve("v2.metadata.json")) shouldBe false
+    Files.exists(metaDir.resolve("v3.metadata.json")) shouldBe true
+    // hint still points at the survivor; import reads the latest state
+    Files.readString(metaDir.resolve("version-hint.text")).trim shouldBe "3"
+    graft.versioned.IcebergImport.read(spark, dest).count() shouldBe 28
+    // every avro left is referenced by v3 (no orphans)
+    val meta = mapperOf(metaDir.resolve("v3.metadata.json").toString)
+    val snaps = meta.get("snapshots")
+    val reachable = scala.collection.mutable.Set.empty[String]
+    (0 until snaps.size()).foreach { i =>
+      val lp = java.nio.file.Paths.get(
+        java.net.URI.create(snaps.get(i).get("manifest-list").asText()))
+      reachable += lp.getFileName.toString
+      readAvro(lp.toString)._1.foreach(mf => reachable +=
+        java.nio.file.Paths.get(java.net.URI.create(
+          mf.get("manifest_path").toString)).getFileName.toString)
+    }
+    Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".avro"))
+      .foreach(n => reachable should contain(n))
+    // a further sync emission keeps working after the expire
+    sql("INSERT INTO g.iceexp.main.db.t SELECT CAST(id AS INT), " +
+      "CAST(id AS DOUBLE) FROM range(100, 105)")
+    Files.readString(metaDir.resolve("version-hint.text")).trim shouldBe "4"
+    graft.versioned.IcebergImport.read(spark, dest).count() shouldBe 33
+  }
+
   test("re-emission to the same dest reuses delete files: the positional " +
     "memo skips the Spark job entirely and the equality delete file is " +
     "content-addressed, not re-written") {
