@@ -90,8 +90,29 @@ final class GraftRepo private (val root: Path, val io: GraftIO) {
     if (!io.createExclusive(snapshotsDir.resolve(s"$id.json"), Json.write(s)))
       throw new IllegalStateException(s"snapshot object collision: $id")
     // now that the snapshot object (the GC root) is published, make sure
-    // no reused manifest was swept by a racing expire pass
-    if (segmented) Manifests.verifyLive(root, io, reusedPaths, files)
+    // no reused manifest was swept by a racing expire pass. The
+    // refs-passthrough branch reuses EVERY chunk, so verify them all:
+    // two expire passes between the source snapshot's load and this
+    // publish could have swept a chunk whose only referrer died —
+    // content-addressed rewrite restores it from the (lazily
+    // materialized) entries.
+    files match {
+      case l: Manifests.LazyFileList if segmented && l.sameStore(root) =>
+        val missing = refs.filterNot(r => io.isFile(root.resolve(r.path)))
+        if (missing.nonEmpty) {
+          // restorable only if the entries are in memory; otherwise the
+          // SOURCE snapshot already lost data — fail loud, don't publish
+          // silently broken metadata (the ref was already advanced, but
+          // the caller's transaction surfaces the corruption)
+          if (l.isMaterializedList)
+            Manifests.verifyLive(root, io, refs.map(_.path), l.toVector)
+          else throw new IllegalStateException(
+            s"snapshot $id references swept manifest chunk(s): " +
+              missing.map(_.path).mkString(", "))
+        }
+      case _ if segmented => Manifests.verifyLive(root, io, reusedPaths, files)
+      case _ => ()
+    }
     // callers chain off the returned snapshot: hand back the same
     // materialized view snapshot(id) would produce
     if (segmented) s.copy(files = files) else s

@@ -237,7 +237,7 @@ object Manifests {
         materialized = loadAll(root, io, refs).toVector
       materialized
     }
-    private[versioned] def isMaterialized: Boolean = materialized != null
+    private[versioned] def isMaterializedList: Boolean = materialized != null
     override def length: Int =
       if (materialized != null) materialized.length else refs.map(_.count).sum
     override def isEmpty: Boolean = length == 0

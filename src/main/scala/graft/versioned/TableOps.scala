@@ -581,7 +581,7 @@ object TableOps {
     // summary-less chunk always loads (conservative).
     val candidates = snap.files match {
       case l: Manifests.LazyFileList
-          if !l.isMaterialized && spec.nonEmpty && filters.nonEmpty =>
+          if !l.isMaterializedList && spec.nonEmpty && filters.nonEmpty =>
         l.partitionPruned(tuples => tuples.exists { pv =>
           val stub = FileEntry("", 0L, Map.empty, Map.empty, Some(pv))
           filters.forall(fl => Partitioning.mayMatch(stub, spec, schema, fl))

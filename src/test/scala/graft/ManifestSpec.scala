@@ -306,6 +306,32 @@ class ManifestSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     } finally spark.stop()
   }
 
+  test("refs-passthrough commit restores a swept chunk when entries are in " +
+    "memory, and fails LOUD (not silently broken) when they are not") {
+    val repo = freshRepo()
+    val files = (1 to 100).map(entry(_))
+    val s1 = repo.writeSnapshot("db/t", "{}", files)
+    // case 1: list materialized before the sweep → restorable
+    Manifests.clearCache()
+    val loadedM = repo.snapshot(s1.id)
+    loadedM.files.toVector // materialize
+    val victim = loadedM.manifestRefs.head.path
+    Files.delete(repo.root.resolve(victim))
+    val s2 = repo.writeSnapshot("db/t", "{}", loadedM.files,
+      props = Some(Map("k" -> "v"))) // metadata-only passthrough
+    Files.isRegularFile(repo.root.resolve(victim)) shouldBe true // restored
+    Manifests.clearCache()
+    repo.snapshot(s2.id).files shouldBe files
+    // case 2: untraversed lazy list + swept chunk → the entries are
+    // gone with the chunk; publishing must surface the corruption
+    Manifests.clearCache()
+    val loadedL = repo.snapshot(s1.id)
+    Files.delete(repo.root.resolve(victim))
+    an[IllegalStateException] should be thrownBy
+      repo.writeSnapshot("db/t", "{}", loadedL.files,
+        props = Some(Map("k2" -> "v2")))
+  }
+
   test("segmentation runs entirely through the GraftIO seam: object-store " +
     "backend round trip + GC") {
     // an S3-shaped backend (conditional PUT, prefix list) — any direct
