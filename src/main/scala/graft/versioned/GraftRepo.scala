@@ -34,19 +34,36 @@ final class GraftRepo private (val root: Path, val io: GraftIO) {
       tables: Map[String, String],
       namespaces: Map[String, Map[String, String]],
       views: Map[String, ViewDef] = Map.empty): Commit = {
+    // Past the inline threshold the table map is tree-segmented
+    // (Trees.scala): the commit JSON carries O(chunks) refs, unchanged
+    // chunks are shared with ancestor commits byte-for-byte, and a
+    // single-table resolve reads one chunk — commit metadata cost is
+    // O(changed tables), not O(repo tables).
+    val segmented = tables.size > Trees.inlineMax
+    val (refs, reusedPaths) =
+      if (segmented) Trees.write(root, io, tables) else (Nil, Nil)
     val body = Json.write(Map(
       "parents" -> parents, "message" -> message,
-      "tables" -> tables, "namespaces" -> namespaces))
+      "tables" -> (if (segmented) refs else tables),
+      "namespaces" -> namespaces))
     val id = "c" + sha(body + System.nanoTime())
-    val c = Commit(id, parents, System.currentTimeMillis(), message, tables,
-      namespaces, if (views.isEmpty) None else Some(views))
+    val c = Commit(id, parents, System.currentTimeMillis(), message,
+      if (segmented) Map.empty else tables,
+      namespaces, if (views.isEmpty) None else Some(views),
+      if (segmented) Some(refs) else None)
     if (!io.createExclusive(commitsDir.resolve(s"$id.json"), Json.write(c)))
       throw new IllegalStateException(s"commit object collision: $id")
-    c
+    // commit object (the GC root) is published — restore any reused
+    // chunk a racing expire pass swept (same protocol as manifests)
+    if (segmented) Trees.verifyLive(root, io, reusedPaths, tables)
+    if (segmented) c.copy(tables = tables) else c
   }
 
-  def commit(id: String): Commit =
-    Json.read[Commit](io.readString(commitsDir.resolve(s"$id.json")))
+  def commit(id: String): Commit = {
+    val c = Json.read[Commit](io.readString(commitsDir.resolve(s"$id.json")))
+    if (c.treeRefs.isEmpty) c
+    else c.copy(tables = new Trees.LazyTableMap(root, io, c.treeRefs))
+  }
 
   def writeSnapshot(table: String, schemaJson: String, files: Seq[FileEntry],
       partitionBy: Option[Seq[PartitionField]] = None,
@@ -621,6 +638,14 @@ final class GraftRepo private (val root: Path, val io: GraftIO) {
       .flatMap(p => Json.read[Snapshot](io.readString(p)).manifestRefs)
       .map(r => root.resolve(r.path).normalize().toString)
       .toSet
+    // tree liveness: same protocol as manifests — refs collected over
+    // ALL commit objects BEFORE deletion (one-pass conservative lag)
+    val treesDir = commitsDir.resolve("trees")
+    val referencedTrees: Set[String] = io.list(commitsDir)
+      .filter(p => p.getFileName.toString.endsWith(".json"))
+      .flatMap(p => Json.read[Commit](io.readString(p)).treeRefs)
+      .map(r => root.resolve(r.path).normalize().toString)
+      .toSet
     val c = expire(commitsDir, reachable)
     val s = expire(snapshotsDir, liveSnaps)
     var m = 0
@@ -628,6 +653,13 @@ final class GraftRepo private (val root: Path, val io: GraftIO) {
       io.list(manifestDir)
         .filter(p => p.getFileName.toString.endsWith(".json"))
         .filter(p => !referencedManifests.contains(p.normalize().toString))
+        .filter(p => io.mtimeMs(p) < cutoff)
+        .foreach { p => io.deleteIfExists(p); m += 1 }
+    }
+    if (io.isDirectory(treesDir)) {
+      io.list(treesDir)
+        .filter(p => p.getFileName.toString.endsWith(".json"))
+        .filter(p => !referencedTrees.contains(p.normalize().toString))
         .filter(p => io.mtimeMs(p) < cutoff)
         .foreach { p => io.deleteIfExists(p); m += 1 }
     }

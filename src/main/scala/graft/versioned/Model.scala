@@ -222,8 +222,14 @@ final case class Commit(
     message: String,
     tables: Map[String, String],
     namespaces: Map[String, Map[String, String]],
-    views: Option[Map[String, ViewDef]] = None) {
+    views: Option[Map[String, ViewDef]] = None,
+    trees: Option[Seq[Trees.TreeRef]] = None) {
   def viewMap: Map[String, ViewDef] = Option(views).flatten.getOrElse(Map.empty)
+  /** Tree segments backing `tables` (Trees.scala), empty when inline. A
+    * loaded commit carries refs for GC inspection plus a lazy `tables`
+    * map whose point lookups read one chunk.
+    */
+  def treeRefs: Seq[Trees.TreeRef] = Option(trees).flatten.getOrElse(Nil)
 }
 
 /** Commit was rejected because the branch head moved (stale base). */

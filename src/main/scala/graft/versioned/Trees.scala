@@ -1,0 +1,181 @@
+package graft.versioned
+
+import java.nio.file.Path
+import java.security.MessageDigest
+
+/** Tree-segmented commit table maps — the [[Manifests]] idea one level
+  * up (SURVEY.md §3).
+  *
+  * A commit's `tables` map (table key → snapshot id) is inlined in the
+  * commit JSON, so a repo with 10k+ tables rewrites the whole map on
+  * EVERY commit and re-parses all of it to resolve one table. Past an
+  * inline threshold the map is split instead: entries sorted by key,
+  * chunked at content-defined cut points (FNV-1a of the key mod the
+  * target size — a pure function of the entry, so changing one table's
+  * snapshot perturbs only the chunk holding it), each chunk stored
+  * CONTENT-ADDRESSED under `commits/trees/t<sha1>.json` via the same
+  * set-if-absent primitive. Successive commits share every unchanged
+  * chunk byte-for-byte (git tree objects); commit metadata cost is
+  * O(changed tables).
+  *
+  * Reads are a lazy Map ([[LazyTableMap]]): `get` on an unmaterialized
+  * map binary-searches the refs' [firstKey, lastKey] ranges and loads
+  * ONE chunk — the `headCommit(branch).tables(key)` hot path of every
+  * table resolution reads O(1) chunks, not the whole map. Full
+  * iteration (merge, diff, GC) materializes once, memoized.
+  */
+object Trees {
+
+  /** One chunk of a segmented table map.
+    * @param path     repo-root-relative tree object path
+    * @param count    entries in the chunk
+    * @param firstKey smallest table key in the chunk (sorted order)
+    * @param lastKey  largest table key in the chunk
+    */
+  final case class TreeRef(path: String, count: Int,
+      firstKey: String, lastKey: String)
+
+  final case class TreeEntry(k: String, v: String)
+  final case class TreeBody(entries: Seq[TreeEntry])
+
+  def inlineMax: Int =
+    Integer.getInteger("graft.tree.inline.max", 256).intValue()
+  def targetChunk: Int =
+    Integer.getInteger("graft.tree.target", 512).intValue()
+
+  private def pathHash(p: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < p.length) { h ^= p.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  private def isCut(key: String, target: Int): Boolean =
+    (pathHash(key) & Long.MaxValue) % target.toLong == 0L
+
+  private def sha(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-1").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  private[graft] def chunk(tables: Map[String, String]): Seq[Seq[TreeEntry]] = {
+    val target = targetChunk
+    val cap = 4 * target
+    val out = Seq.newBuilder[Seq[TreeEntry]]
+    var cur = Vector.newBuilder[TreeEntry]
+    var n = 0
+    tables.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      cur += TreeEntry(k, v); n += 1
+      if (n >= cap || isCut(k, target)) { out += cur.result(); cur = Vector.newBuilder; n = 0 }
+    }
+    val last = cur.result()
+    if (last.nonEmpty) out += last
+    out.result()
+  }
+
+  /** Write (or reuse) the tree objects for `tables`; refs in key order.
+    * Returns refs + the reused paths (for the caller's post-publish
+    * verify, same reuse-vs-GC protocol as [[Manifests.write]]).
+    */
+  def write(root: Path, io: GraftIO, tables: Map[String, String])
+      : (Seq[TreeRef], Seq[String]) = {
+    io.mkdirs(root.resolve("commits").resolve("trees"))
+    val reused = Seq.newBuilder[String]
+    val refs = chunk(tables).map { entries =>
+      val body = Json.write(TreeBody(entries))
+      val rel = s"commits/trees/t${sha(body.getBytes("UTF-8"))}.json"
+      if (!io.createExclusive(root.resolve(rel), body)) reused += rel
+      TreeRef(rel, entries.size, entries.head.k, entries.last.k)
+    }
+    (refs, reused.result())
+  }
+
+  /** Restore any reused tree object a racing GC swept before the commit
+    * object was published (see [[Manifests.verifyLive]]).
+    */
+  def verifyLive(root: Path, io: GraftIO, reusedPaths: Seq[String],
+      tables: Map[String, String]): Unit = {
+    val missing = reusedPaths.filterNot(p => io.isFile(root.resolve(p)))
+    if (missing.isEmpty) return
+    val byPath = chunk(tables).map { entries =>
+      val body = Json.write(TreeBody(entries))
+      s"commits/trees/t${sha(body.getBytes("UTF-8"))}.json" -> body
+    }.toMap
+    missing.foreach(p =>
+      byPath.get(p).foreach(body => io.createExclusive(root.resolve(p), body)))
+  }
+
+  /** Load one tree chunk through the process-wide cache. */
+  def load(root: Path, io: GraftIO, ref: TreeRef): Seq[TreeEntry] = {
+    val key = root.resolve(ref.path).toAbsolutePath.normalize.toString
+    cached(key).getOrElse {
+      val entries =
+        Json.read[TreeBody](io.readString(root.resolve(ref.path))).entries
+      chunkReads.incrementAndGet()
+      put(key, entries)
+      entries
+    }
+  }
+
+  /** The segmented table map as a lazy immutable Map: point lookups load
+    * one range-matched chunk; iteration materializes once. Degrades to
+    * the materialized Map under Java serialization.
+    */
+  final class LazyTableMap(root: Path, io: GraftIO,
+      private[versioned] val refs: Seq[TreeRef])
+      extends scala.collection.immutable.AbstractMap[String, String] {
+    @volatile private var materialized: Map[String, String] = null
+    private def underlying: Map[String, String] = {
+      if (materialized == null)
+        materialized = refs.iterator.flatMap(load(root, io, _))
+          .map(e => e.k -> e.v).toMap
+      materialized
+    }
+    override def get(key: String): Option[String] =
+      if (materialized != null) materialized.get(key)
+      else refs.find(r => r.firstKey <= key && key <= r.lastKey) match {
+        case Some(r) => load(root, io, r).find(_.k == key).map(_.v)
+        case None => None
+      }
+    override def contains(key: String): Boolean = get(key).isDefined
+    def iterator: Iterator[(String, String)] = underlying.iterator
+    def removed(key: String): Map[String, String] = underlying.removed(key)
+    def updated[V1 >: String](key: String, value: V1): Map[String, V1] =
+      underlying.updated(key, value)
+    override def size: Int =
+      if (materialized != null) materialized.size else refs.map(_.count).sum
+    override def knownSize: Int = size
+    override def isEmpty: Boolean = size == 0
+    private def writeReplace(): Object = underlying
+  }
+
+  // ---- process-wide LRU cache (immutable objects) ----------------------
+
+  private def cacheCap: Long =
+    java.lang.Long.getLong("graft.tree.cache.entries", 500000L).longValue()
+
+  private val cache = new java.util.LinkedHashMap[String, Seq[TreeEntry]](
+      64, 0.75f, /*accessOrder=*/ true)
+  private var cachedEntries = 0L
+
+  private def cached(key: String): Option[Seq[TreeEntry]] =
+    cache.synchronized(Option(cache.get(key)))
+
+  private def put(key: String, entries: Seq[TreeEntry]): Unit =
+    cache.synchronized {
+      if (cache.containsKey(key)) return
+      cache.put(key, entries)
+      cachedEntries += entries.size
+      val cap = cacheCap
+      val it = cache.entrySet().iterator()
+      while (cachedEntries > cap && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key) { cachedEntries -= e.getValue.size; it.remove() }
+      }
+    }
+
+  private[graft] def clearCache(): Unit = cache.synchronized {
+    cache.clear(); cachedEntries = 0L
+  }
+  private val chunkReads = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def chunkReadCount: Long = chunkReads.get()
+}
