@@ -196,10 +196,11 @@ private[catalog] object GraftProcedures {
         StructType(Seq(
           StructField("expired_commits", IntegerType, nullable = false),
           StructField("expired_snapshots", IntegerType, nullable = false),
+          StructField("expired_chunks", IntegerType, nullable = false),
           StructField("deleted_files", IntegerType, nullable = false))),
         { in =>
-          val (c, s, d) = open(str(in, 0)).expireSnapshots(in.getLong(1))
-          Seq(c, s, d)
+          val (c, s, m, d) = open(str(in, 0)).expireSnapshots(in.getLong(1))
+          Seq(c, s, m, d)
         }))
       case "iceberg_export_expire" => Some(new Proc(
         // Follower-side retention for an export/sync destination: sync

@@ -604,14 +604,16 @@ final class GraftRepo private (val root: Path, val io: GraftIO) {
     * committer's freshly written objects whose ref publish hasn't landed
     * yet), then vacuums newly-orphaned data files. Reachable history is
     * never truncated — ancestry walks (merge-base, time travel) stay whole.
-    * Returns (commits, snapshots, dataFiles) deleted.
+    * Returns (commits, snapshots, metadata chunks, dataFiles) deleted —
+    * chunks are the orphaned manifest/tree segment objects, counted
+    * separately so operators don't see phantom snapshot deletions.
     *
     * The default guard is 10 minutes, NOT zero: a writer creates its
     * commit object before publishing the ref, and an unguarded sweep in
     * that window deletes the commit file the ref is about to point at —
     * corrupting the branch. Pass 0 only when no writer can be in flight.
     */
-  def expireSnapshots(olderThanMs: Long = 600000L): (Int, Int, Int) = {
+  def expireSnapshots(olderThanMs: Long = 600000L): (Int, Int, Int, Int) = {
     val roots = branches.map(b => head(b)._2) ++ tags.map(t => resolve(t).id)
     val reachable = roots.flatMap(ancestors).toSet
     val liveSnaps: Set[String] =
@@ -626,44 +628,39 @@ final class GraftRepo private (val root: Path, val io: GraftIO) {
       victims.foreach { p => io.deleteIfExists(p); n += 1 }
       n
     }
-    // Manifest liveness is collected over ALL snapshot objects on disk
-    // BEFORE any are deleted (not just reachable ones): a manifest whose
-    // only referrer dies in this pass survives until the NEXT pass. That
-    // one-pass lag is the conservative side of the reuse-vs-GC race —
-    // combined with the writer's post-publish Manifests.verifyLive, a
-    // reused chunk can never be swept out from under a landing snapshot.
+    // Chunk liveness (manifests + trees) is collected over ALL owner
+    // objects on disk BEFORE any are deleted (not just reachable ones):
+    // a chunk whose only referrer dies in this pass survives until the
+    // NEXT pass. That one-pass lag is the conservative side of the
+    // reuse-vs-GC race — combined with the writers' post-publish
+    // verifyLive, a reused chunk can never be swept out from under a
+    // landing object. The O(all objects) reference scans run ONLY when
+    // the repo actually has segmented metadata (the chunk dirs exist) —
+    // an all-inline repo keeps the old list-names-and-mtimes cost.
     val manifestDir = snapshotsDir.resolve("manifests")
-    val referencedManifests: Set[String] = io.list(snapshotsDir)
-      .filter(p => p.getFileName.toString.endsWith(".json"))
-      .flatMap(p => Json.read[Snapshot](io.readString(p)).manifestRefs)
-      .map(r => root.resolve(r.path).normalize().toString)
-      .toSet
-    // tree liveness: same protocol as manifests — refs collected over
-    // ALL commit objects BEFORE deletion (one-pass conservative lag)
     val treesDir = commitsDir.resolve("trees")
-    val referencedTrees: Set[String] = io.list(commitsDir)
-      .filter(p => p.getFileName.toString.endsWith(".json"))
-      .flatMap(p => Json.read[Commit](io.readString(p)).treeRefs)
-      .map(r => root.resolve(r.path).normalize().toString)
-      .toSet
+    var m = 0
+    def sweepChunks(ownerDir: Path, chunkDir: Path,
+        refsOf: String => Seq[String]): Unit = {
+      if (!io.isDirectory(chunkDir)) return
+      val referenced: Set[String] = io.list(ownerDir)
+        .filter(p => p.getFileName.toString.endsWith(".json"))
+        .flatMap(p => refsOf(io.readString(p)))
+        .map(rel => root.resolve(rel).normalize().toString)
+        .toSet
+      io.list(chunkDir)
+        .filter(p => p.getFileName.toString.endsWith(".json"))
+        .filter(p => !referenced.contains(p.normalize().toString))
+        .filter(p => io.mtimeMs(p) < cutoff)
+        .foreach { p => io.deleteIfExists(p); m += 1 }
+    }
+    sweepChunks(snapshotsDir, manifestDir,
+      s => Json.read[Snapshot](s).manifestRefs.map(_.path))
+    sweepChunks(commitsDir, treesDir,
+      s => Json.read[Commit](s).treeRefs.map(_.path))
     val c = expire(commitsDir, reachable)
     val s = expire(snapshotsDir, liveSnaps)
-    var m = 0
-    if (io.isDirectory(manifestDir)) {
-      io.list(manifestDir)
-        .filter(p => p.getFileName.toString.endsWith(".json"))
-        .filter(p => !referencedManifests.contains(p.normalize().toString))
-        .filter(p => io.mtimeMs(p) < cutoff)
-        .foreach { p => io.deleteIfExists(p); m += 1 }
-    }
-    if (io.isDirectory(treesDir)) {
-      io.list(treesDir)
-        .filter(p => p.getFileName.toString.endsWith(".json"))
-        .filter(p => !referencedTrees.contains(p.normalize().toString))
-        .filter(p => io.mtimeMs(p) < cutoff)
-        .foreach { p => io.deleteIfExists(p); m += 1 }
-    }
-    (c, s + m, vacuum(olderThanMs))
+    (c, s, m, vacuum(olderThanMs))
   }
 
   /** Garbage-collect data files not referenced by any snapshot of any

@@ -321,10 +321,13 @@ object IcebergExport {
     // referenced everywhere else — export cost per emission becomes
     // O(changed chunks), not O(table files).
     val chunkLedger = scala.collection.mutable.Map.empty[String, (Path, Long, Long)]
-    // the avro bytes depend on (entries, schema, spec, version) only —
-    // entry snapshot_id is omitted for chunk manifests (readers inherit
-    // it from the list row, the spec's v1/v2 inheritance rule)
-    val cfgSha = shaHex(s"${icebergSchemaJson(phys)}|$specFieldsJson|$v")
+    // the avro bytes depend on (entries, schema, spec, version) AND the
+    // repo root (entries embed absolute file URIs — a relocated repo
+    // must not reuse manifests pointing at the old mount); entry
+    // snapshot_id is omitted for chunk manifests (readers inherit it
+    // from the list row, the spec's v1/v2 inheritance rule)
+    val cfgSha = shaHex(
+      s"${repo.root.toUri}|${icebergSchemaJson(phys)}|$specFieldsJson|$v")
     val snapMaps = artifacts.map { a =>
       val snapSeq = math.max(prevSeq + 1,
         (a.dataEntries ++ a.deleteEntries).map(_.seq).maxOption.getOrElse(1L))
@@ -348,10 +351,16 @@ object IcebergExport {
             off += ref.count
             val sha = shaHex(s"${ref.path}|$cfgSha")
             val p = metaDir.resolve(s"cm-$sha-m0.avro")
-            if (!Files.exists(p))
-              writeManifest(p, entries, entrySnapshotId = None,
+            if (!Files.exists(p)) {
+              // temp-write + atomic move: presence of the final name
+              // certifies a COMPLETE avro (a crash mid-write must never
+              // leave a truncated manifest every later emission reuses)
+              val tmp = metaDir.resolve(s".tmp-${UUID.randomUUID()}.avro")
+              writeManifest(tmp, entries, entrySnapshotId = None,
                 icebergSchemaJson(phys), specFields, srcTypeOf,
                 specFieldsJson, v, manifestContent = "data", specId = 0)
+              publishAtomically(tmp, p)
+            }
             val (path, firstSnap, firstSeq) = chunkLedger.getOrElseUpdate(
               sha, (p, a.snapshotId, snapSeq))
             val reused = firstSnap != a.snapshotId
@@ -647,15 +656,19 @@ object IcebergExport {
       fields.toArray[org.apache.parquet.schema.Type]: _*)
     // deterministic content-addressed name: a sync re-emission (or a
     // history export covering the same tombstone) reuses the file
-    // instead of writing a new UUID copy every time
+    // instead of writing a new UUID copy every time. Written to a temp
+    // name and ATOMICALLY moved into place — presence of the final name
+    // certifies a complete file, so a crash mid-write can never leave a
+    // truncated parquet that every future export would reuse.
     val fp = shaHex(s"${t.seq}|${t.filter}|${ids.mkString(",")}|$msg")
     val out = dataDir.resolve(s"eq-$fp-deletes.parquet")
     if (Files.exists(out))
       return DeleteFile(out, rows.size.toLong, Map.empty, content = 2,
         seq = t.seq + 1, equalityIds = ids)
+    val tmpOut = dataDir.resolve(s".tmp-${UUID.randomUUID()}-eq.parquet")
     val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
       .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
-        new org.apache.hadoop.fs.Path(out.toUri),
+        new org.apache.hadoop.fs.Path(tmpOut.toUri),
         new org.apache.hadoop.conf.Configuration()))
       .withType(msg).build()
     val factory =
@@ -683,8 +696,23 @@ object IcebergExport {
       }
       writer.write(g)
     } finally writer.close()
+    publishAtomically(tmpOut, out)
     DeleteFile(out, rows.size.toLong, Map.empty, content = 2,
       seq = t.seq + 1, equalityIds = ids)
+  }
+
+  /** Move a fully written temp file to its content-addressed final name.
+    * A concurrent writer that got there first wins (same bytes by
+    * construction); the loser's temp is dropped.
+    */
+  private def publishAtomically(tmp: Path, dst: Path): Unit = {
+    try Files.move(tmp, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+      case e: java.nio.file.FileSystemException =>
+        if (Files.exists(dst)) Files.deleteIfExists(tmp) else throw e
+    }
   }
 
   // ---- positional delete files (v2) ------------------------------------

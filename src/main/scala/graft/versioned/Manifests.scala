@@ -163,7 +163,15 @@ object Manifests {
       s"snapshots/manifests/m${sha(body.getBytes("UTF-8"))}.json" -> body
     }.toMap
     missing.foreach { p =>
-      byPath.get(p).foreach(body => io.createExclusive(root.resolve(p), body))
+      byPath.get(p) match {
+        case Some(body) => io.createExclusive(root.resolve(p), body)
+        // re-chunking under different settings can fail to reproduce an
+        // old boundary — surfacing that beats silently publishing a
+        // snapshot that references a missing chunk
+        case None => throw new IllegalStateException(
+          s"cannot restore swept manifest $p: current chunk boundaries " +
+            "do not reproduce it (graft.manifest.target changed?)")
+      }
     }
   }
 

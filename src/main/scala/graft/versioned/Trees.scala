@@ -100,8 +100,14 @@ object Trees {
       val body = Json.write(TreeBody(entries))
       s"commits/trees/t${sha(body.getBytes("UTF-8"))}.json" -> body
     }.toMap
-    missing.foreach(p =>
-      byPath.get(p).foreach(body => io.createExclusive(root.resolve(p), body)))
+    missing.foreach { p =>
+      byPath.get(p) match {
+        case Some(body) => io.createExclusive(root.resolve(p), body)
+        case None => throw new IllegalStateException(
+          s"cannot restore swept tree chunk $p: current chunk boundaries " +
+            "do not reproduce it (graft.tree.target changed?)")
+      }
+    }
   }
 
   /** Load one tree chunk through the process-wide cache. */
@@ -132,9 +138,20 @@ object Trees {
     }
     override def get(key: String): Option[String] =
       if (materialized != null) materialized.get(key)
-      else refs.find(r => r.firstKey <= key && key <= r.lastKey) match {
-        case Some(r) => load(root, io, r).find(_.k == key).map(_.v)
-        case None => None
+      else {
+        // refs are sorted and disjoint (chunks of a sorted entry list):
+        // binary-search the last chunk whose firstKey <= key
+        var lo = 0
+        var hi = refs.size - 1
+        var hit = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (refs(mid).firstKey <= key) { hit = mid; lo = mid + 1 }
+          else hi = mid - 1
+        }
+        if (hit >= 0 && key <= refs(hit).lastKey)
+          load(root, io, refs(hit)).find(_.k == key).map(_.v)
+        else None
       }
     override def contains(key: String): Boolean = get(key).isDefined
     def iterator: Iterator[(String, String)] = underlying.iterator
