@@ -1206,10 +1206,7 @@ object IcebergExport {
     entry
   }
 
-  private def shaHex(s: String): String =
-    java.security.MessageDigest.getInstance("SHA-1")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+  private def shaHex(s: String): String = ChunkStore.shaHex(s)
 
   /** `entrySnapshotId` None ⇒ the entry's optional snapshot_id is
     * omitted and readers inherit it from the manifest-list row's

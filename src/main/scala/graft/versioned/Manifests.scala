@@ -1,7 +1,6 @@
 package graft.versioned
 
 import java.nio.file.Path
-import java.security.MessageDigest
 
 /** Manifest-segmented snapshot metadata (SURVEY.md §3).
   *
@@ -65,42 +64,11 @@ object Manifests {
   private def manifestsDir(root: Path): Path =
     root.resolve("snapshots").resolve("manifests")
 
-  /** FNV-1a 64-bit of the entry's path — stable across JVMs, cheap, and
-    * a pure function of the entry, which is what makes chunk boundaries
-    * survive appends/deletes elsewhere in the list.
+  /** Split an ordered file list into content-defined chunks (cut points
+    * from each entry's path hash — [[ChunkStore.chunkBy]]).
     */
-  private def pathHash(p: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < p.length) { h ^= p.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-    h
-  }
-
-  /** Content-defined cut decision: close the current chunk after this
-    * entry? Deterministic per entry so boundaries are stable.
-    */
-  private[versioned] def isCut(e: FileEntry, target: Int): Boolean =
-    (pathHash(e.path) & Long.MaxValue) % target.toLong == 0L
-
-  private def sha(bytes: Array[Byte]): String =
-    MessageDigest.getInstance("SHA-1").digest(bytes)
-      .map("%02x".format(_)).mkString
-
-  /** Split an ordered file list into content-defined chunks. */
-  private[graft] def chunk(files: Seq[FileEntry]): Seq[Seq[FileEntry]] = {
-    val target = targetChunk
-    val cap = 4 * target
-    val out = Seq.newBuilder[Seq[FileEntry]]
-    var cur = Vector.newBuilder[FileEntry]
-    var n = 0
-    files.foreach { f =>
-      cur += f; n += 1
-      if (n >= cap || isCut(f, target)) { out += cur.result(); cur = Vector.newBuilder; n = 0 }
-    }
-    val last = cur.result()
-    if (last.nonEmpty) out += last
-    out.result()
-  }
+  private[graft] def chunk(files: Seq[FileEntry]): Seq[Seq[FileEntry]] =
+    ChunkStore.chunkBy(files, (f: FileEntry) => f.path, targetChunk)
 
   /** Write (or reuse) the manifest objects for `files` and return their
     * refs, in list order. Returns the refs plus the subset of paths that
@@ -113,7 +81,7 @@ object Manifests {
     io.mkdirs(dir)
     def one(entries: Seq[FileEntry]): (ManifestRef, Option[String]) = {
       val body = Json.write(ManifestBody(entries))
-      val rel = s"snapshots/manifests/m${sha(body.getBytes("UTF-8"))}.json"
+      val rel = s"snapshots/manifests/m${ChunkStore.shaHex(body)}.json"
       val reused = !io.createExclusive(root.resolve(rel), body)
       val parts =
         if (!partitioned) None
@@ -160,7 +128,7 @@ object Manifests {
     if (missing.isEmpty) return
     val byPath = chunk(files).map { entries =>
       val body = Json.write(ManifestBody(entries))
-      s"snapshots/manifests/m${sha(body.getBytes("UTF-8"))}.json" -> body
+      s"snapshots/manifests/m${ChunkStore.shaHex(body)}.json" -> body
     }.toMap
     missing.foreach { p =>
       byPath.get(p) match {
@@ -178,12 +146,8 @@ object Manifests {
   /** Load one manifest's entries through the process-wide cache. */
   def load(root: Path, io: GraftIO, ref: ManifestRef): Seq[FileEntry] = {
     val key = root.resolve(ref.path).toAbsolutePath.normalize.toString
-    cached(key).getOrElse {
-      val entries = Json.read[ManifestBody](io.readString(root.resolve(ref.path))).entries
-      chunkReads.incrementAndGet()
-      put(key, entries)
-      entries
-    }
+    cache.getOrLoad(key)(
+      Json.read[ManifestBody](io.readString(root.resolve(ref.path))).entries)
   }
 
   /** Materialize a segmented snapshot's full file list, in order. */
@@ -204,7 +168,7 @@ object Manifests {
     val threads =
       Integer.getInteger("graft.manifest.load.threads", 16).intValue()
     val misses = refs.zipWithIndex.filterNot { case (r, _) =>
-      cached(root.resolve(r.path).toAbsolutePath.normalize.toString).isDefined
+      cache.get(root.resolve(r.path).toAbsolutePath.normalize.toString).isDefined
     }
     if (misses.size <= 1 || threads <= 1)
       return refs.flatMap(load(root, io, _))
@@ -264,42 +228,17 @@ object Manifests {
   }
 
   // ---- process-wide LRU cache (immutable objects: no invalidation) ----
+  // Capped in cached FileEntry rows, not chunk count (sys prop
+  // `graft.manifest.cache.entries`, default 1M ≈ a few hundred MB).
 
-  /** Cap in cached FileEntry rows, not chunk count, so one cache budget
-    * (~a few hundred MB at 1M entries) holds whatever mix of chunk sizes
-    * shows up (sys prop `graft.manifest.cache.entries`).
-    */
-  private def cacheCap: Long =
-    java.lang.Long.getLong("graft.manifest.cache.entries", 1000000L).longValue()
+  private val cache = new ChunkStore.LruCache[Seq[FileEntry]](
+    () => java.lang.Long.getLong("graft.manifest.cache.entries", 1000000L)
+      .longValue(),
+    _.size)
 
-  private val cache = new java.util.LinkedHashMap[String, Seq[FileEntry]](
-      64, 0.75f, /*accessOrder=*/ true)
-  private var cachedEntries = 0L
-
-  private def cached(key: String): Option[Seq[FileEntry]] =
-    cache.synchronized(Option(cache.get(key)))
-
-  private def put(key: String, entries: Seq[FileEntry]): Unit = cache.synchronized {
-    if (cache.containsKey(key)) return
-    cache.put(key, entries)
-    cachedEntries += entries.size
-    val cap = cacheCap
-    val it = cache.entrySet().iterator()
-    while (cachedEntries > cap && it.hasNext) {
-      val e = it.next()
-      if (e.getKey != key) { cachedEntries -= e.getValue.size; it.remove() }
-    }
-  }
-
-  /** Test hook. */
-  private[graft] def clearCache(): Unit = cache.synchronized {
-    cache.clear(); cachedEntries = 0L
-  }
-  private[graft] def cacheSize: Int = cache.synchronized(cache.size())
-
-  /** Cache-miss chunk reads since JVM start (observability + specs:
-    * proves partition-pruned planning skipped disjoint chunks).
-    */
-  private val chunkReads = new java.util.concurrent.atomic.AtomicLong
-  private[graft] def chunkReadCount: Long = chunkReads.get()
+  /** Test hooks / observability. */
+  private[graft] def clearCache(): Unit = cache.clear()
+  private[graft] def cacheSize: Int = cache.size
+  /** Cache-miss chunk reads since JVM start (specs prove pruned loading). */
+  private[graft] def chunkReadCount: Long = cache.readCount
 }

@@ -1,7 +1,6 @@
 package graft.versioned
 
 import java.nio.file.Path
-import java.security.MessageDigest
 
 /** Tree-segmented commit table maps — the [[Manifests]] idea one level
   * up (SURVEY.md §3).
@@ -43,34 +42,10 @@ object Trees {
   def targetChunk: Int =
     Integer.getInteger("graft.tree.target", 512).intValue()
 
-  private def pathHash(p: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < p.length) { h ^= p.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-    h
-  }
-
-  private def isCut(key: String, target: Int): Boolean =
-    (pathHash(key) & Long.MaxValue) % target.toLong == 0L
-
-  private def sha(bytes: Array[Byte]): String =
-    MessageDigest.getInstance("SHA-1").digest(bytes)
-      .map("%02x".format(_)).mkString
-
-  private[graft] def chunk(tables: Map[String, String]): Seq[Seq[TreeEntry]] = {
-    val target = targetChunk
-    val cap = 4 * target
-    val out = Seq.newBuilder[Seq[TreeEntry]]
-    var cur = Vector.newBuilder[TreeEntry]
-    var n = 0
-    tables.toSeq.sortBy(_._1).foreach { case (k, v) =>
-      cur += TreeEntry(k, v); n += 1
-      if (n >= cap || isCut(k, target)) { out += cur.result(); cur = Vector.newBuilder; n = 0 }
-    }
-    val last = cur.result()
-    if (last.nonEmpty) out += last
-    out.result()
-  }
+  private[graft] def chunk(tables: Map[String, String]): Seq[Seq[TreeEntry]] =
+    ChunkStore.chunkBy(
+      tables.toSeq.sortBy(_._1).map { case (k, v) => TreeEntry(k, v) },
+      (e: TreeEntry) => e.k, targetChunk)
 
   /** Write (or reuse) the tree objects for `tables`; refs in key order.
     * Returns refs + the reused paths (for the caller's post-publish
@@ -82,7 +57,7 @@ object Trees {
     val reused = Seq.newBuilder[String]
     val refs = chunk(tables).map { entries =>
       val body = Json.write(TreeBody(entries))
-      val rel = s"commits/trees/t${sha(body.getBytes("UTF-8"))}.json"
+      val rel = s"commits/trees/t${ChunkStore.shaHex(body)}.json"
       if (!io.createExclusive(root.resolve(rel), body)) reused += rel
       TreeRef(rel, entries.size, entries.head.k, entries.last.k)
     }
@@ -98,7 +73,7 @@ object Trees {
     if (missing.isEmpty) return
     val byPath = chunk(tables).map { entries =>
       val body = Json.write(TreeBody(entries))
-      s"commits/trees/t${sha(body.getBytes("UTF-8"))}.json" -> body
+      s"commits/trees/t${ChunkStore.shaHex(body)}.json" -> body
     }.toMap
     missing.foreach { p =>
       byPath.get(p) match {
@@ -113,13 +88,8 @@ object Trees {
   /** Load one tree chunk through the process-wide cache. */
   def load(root: Path, io: GraftIO, ref: TreeRef): Seq[TreeEntry] = {
     val key = root.resolve(ref.path).toAbsolutePath.normalize.toString
-    cached(key).getOrElse {
-      val entries =
-        Json.read[TreeBody](io.readString(root.resolve(ref.path))).entries
-      chunkReads.incrementAndGet()
-      put(key, entries)
-      entries
-    }
+    cache.getOrLoad(key)(
+      Json.read[TreeBody](io.readString(root.resolve(ref.path))).entries)
   }
 
   /** The segmented table map as a lazy immutable Map: point lookups load
@@ -166,33 +136,13 @@ object Trees {
   }
 
   // ---- process-wide LRU cache (immutable objects) ----------------------
+  // Capped in cached entries (sys prop `graft.tree.cache.entries`).
 
-  private def cacheCap: Long =
-    java.lang.Long.getLong("graft.tree.cache.entries", 500000L).longValue()
+  private val cache = new ChunkStore.LruCache[Seq[TreeEntry]](
+    () => java.lang.Long.getLong("graft.tree.cache.entries", 500000L)
+      .longValue(),
+    _.size)
 
-  private val cache = new java.util.LinkedHashMap[String, Seq[TreeEntry]](
-      64, 0.75f, /*accessOrder=*/ true)
-  private var cachedEntries = 0L
-
-  private def cached(key: String): Option[Seq[TreeEntry]] =
-    cache.synchronized(Option(cache.get(key)))
-
-  private def put(key: String, entries: Seq[TreeEntry]): Unit =
-    cache.synchronized {
-      if (cache.containsKey(key)) return
-      cache.put(key, entries)
-      cachedEntries += entries.size
-      val cap = cacheCap
-      val it = cache.entrySet().iterator()
-      while (cachedEntries > cap && it.hasNext) {
-        val e = it.next()
-        if (e.getKey != key) { cachedEntries -= e.getValue.size; it.remove() }
-      }
-    }
-
-  private[graft] def clearCache(): Unit = cache.synchronized {
-    cache.clear(); cachedEntries = 0L
-  }
-  private val chunkReads = new java.util.concurrent.atomic.AtomicLong
-  private[graft] def chunkReadCount: Long = chunkReads.get()
+  private[graft] def clearCache(): Unit = cache.clear()
+  private[graft] def chunkReadCount: Long = cache.readCount
 }
