@@ -141,6 +141,34 @@ class TreeSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     repo.headCommit("main").tables.size shouldBe 120
   }
 
+  test("8-thread concurrent commitRetry over a segmented repo: all land, " +
+    "every chunk referenced by the final head exists") {
+    val repo = freshRepo()
+    val (v, head) = repo.head("main")
+    repo.commitAt("main", v, Seq(head), "bulk", tables(300), Map.empty)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String =
+            repo.commitRetry("main", s"writer $i") { base =>
+              (base.tables.toMap.updated(f"db/t$i%04d", s"sW$i"), Map.empty)
+            }.id
+        })
+      }
+      futures.foreach(_.get()) // all 8 eventually land (CAS + rebase)
+    } finally pool.shutdown()
+    val h = repo.headCommit("main")
+    (1 to 8).foreach(i => h.tables.get(f"db/t$i%04d") shouldBe Some(s"sW$i"))
+    h.tables.size shouldBe 300
+    // every chunk the head references is on disk and loads
+    rawCommit(repo, h.id).treeRefs.foreach { r =>
+      Files.isRegularFile(repo.root.resolve(r.path)) shouldBe true
+    }
+    Trees.clearCache()
+    repo.commit(h.id).tables.toMap.size shouldBe 300
+  }
+
   test("legacy commit JSON (no trees key) still reads") {
     val repo = freshRepo()
     val legacy = Commit("cLEGACY", Nil, 1L, "m", tables(3), Map.empty)
