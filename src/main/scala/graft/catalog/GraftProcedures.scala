@@ -209,13 +209,16 @@ private[catalog] object GraftProcedures {
         // delete everything no kept version references (the Iceberg
         // expire_snapshots + remove_orphan_files analog for the dest).
         "iceberg_export_expire",
-        Seq(("dest", StringType, None), ("keep_versions", IntegerType, Some("1"))),
+        Seq(("dest", StringType, None), ("keep_versions", IntegerType, Some("1")),
+          // age guard for orphan sweeps (spares a concurrent emission's
+          // not-yet-referenced files); 0 only when no export is in flight
+          ("older_than_ms", LongType, Some("600000"))),
         StructType(Seq(
           StructField("metadata_deleted", IntegerType, nullable = false),
           StructField("delete_files_deleted", IntegerType, nullable = false))),
         { in =>
           val (m, d) = graft.versioned.IcebergExport.expireDest(
-            java.nio.file.Paths.get(str(in, 0)), in.getInt(1))
+            java.nio.file.Paths.get(str(in, 0)), in.getInt(1), in.getLong(2))
           Seq(m, d)
         }))
       case "clone_table" => Some(new Proc(

@@ -63,6 +63,18 @@ trait GraftIO {
   def mkdirs(path: Path): Unit
   def delete(path: Path): Unit
   def deleteIfExists(path: Path): Boolean
+  /** Best-effort freshness bump: advance `path`'s mtime to now so
+    * age-guarded GC sweeps treat the object as freshly written. Called
+    * when a content-addressed chunk is REUSED (createExclusive observed
+    * "already exists"): the chunk may be an orphan a concurrent
+    * [[GraftRepo.expireSnapshots]] pass already scanned, and the bump
+    * puts it back inside the sweep's `olderThanMs` mtime guard until the
+    * reusing writer's post-publish verifyLive has run. Backends that
+    * cannot set mtimes (real object stores) may no-op — the sweep's
+    * pre-delete reference re-check narrows the residual window there.
+    */
+  def touch(path: Path): Unit = ()
+
   /** Move `path` to `to`, failing if `to` exists. NOT guaranteed atomic:
     * object-store backends have no rename, so they copy-then-delete — a
     * crash in between may leave BOTH keys (callers must tolerate a
@@ -104,6 +116,10 @@ final class LocalGraftIO extends GraftIO {
   override def mkdirs(path: Path): Unit = Files.createDirectories(path)
   override def delete(path: Path): Unit = Files.delete(path)
   override def deleteIfExists(path: Path): Boolean = Files.deleteIfExists(path)
+  override def touch(path: Path): Unit =
+    try Files.setLastModifiedTime(path,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: java.io.IOException => () } // vanished: verifyLive rewrites
   override def move(path: Path, to: Path): Unit = Files.move(path, to)
 }
 

@@ -631,27 +631,47 @@ final class GraftRepo private (val root: Path, val io: GraftIO) {
     // Chunk liveness (manifests + trees) is collected over ALL owner
     // objects on disk BEFORE any are deleted (not just reachable ones):
     // a chunk whose only referrer dies in this pass survives until the
-    // NEXT pass. That one-pass lag is the conservative side of the
-    // reuse-vs-GC race — combined with the writers' post-publish
-    // verifyLive, a reused chunk can never be swept out from under a
-    // landing object. The O(all objects) reference scans run ONLY when
-    // the repo actually has segmented metadata (the chunk dirs exist) —
-    // an all-inline repo keeps the old list-names-and-mtimes cost.
+    // NEXT pass. Three layers close the reuse-vs-GC race: (1) writers
+    // TOUCH a reused chunk, so the mtime guard — re-checked immediately
+    // before each delete — spares it for olderThanMs just like a fresh
+    // write; (2) before deleting, the sweep re-reads owner objects that
+    // appeared AFTER its first scan and drops victims they reference;
+    // (3) writers re-verify reused chunks post-publish (verifyLive) and
+    // rewrite any that were swept anyway. On backends without mtime
+    // support (object stores, where touch no-ops) layers 2+3 still
+    // hold. The O(all objects) reference scans run ONLY when the repo
+    // actually has segmented metadata (the chunk dirs exist) — an
+    // all-inline repo keeps the old list-names-and-mtimes cost.
     val manifestDir = snapshotsDir.resolve("manifests")
     val treesDir = commitsDir.resolve("trees")
     var m = 0
     def sweepChunks(ownerDir: Path, chunkDir: Path,
         refsOf: String => Seq[String]): Unit = {
       if (!io.isDirectory(chunkDir)) return
-      val referenced: Set[String] = io.list(ownerDir)
+      def mtimeBelow(p: Path): Boolean =
+        try io.mtimeMs(p) < cutoff catch { case _: Exception => false }
+      val owners0 = io.list(ownerDir)
         .filter(p => p.getFileName.toString.endsWith(".json"))
+      val referenced: Set[String] = owners0
         .flatMap(p => refsOf(io.readString(p)))
         .map(rel => root.resolve(rel).normalize().toString)
         .toSet
-      io.list(chunkDir)
+      val victims = io.list(chunkDir)
         .filter(p => p.getFileName.toString.endsWith(".json"))
         .filter(p => !referenced.contains(p.normalize().toString))
-        .filter(p => io.mtimeMs(p) < cutoff)
+        .filter(mtimeBelow)
+      if (victims.isEmpty) return
+      // owners published since the first scan may reference a victim
+      val seen = owners0.map(_.normalize().toString).toSet
+      val lateRefs: Set[String] = io.list(ownerDir)
+        .filter(p => p.getFileName.toString.endsWith(".json"))
+        .filterNot(p => seen.contains(p.normalize().toString))
+        .flatMap(p => refsOf(io.readString(p)))
+        .map(rel => root.resolve(rel).normalize().toString)
+        .toSet
+      victims
+        .filterNot(p => lateRefs.contains(p.normalize().toString))
+        .filter(mtimeBelow) // touch-on-reuse may have bumped it since
         .foreach { p => io.deleteIfExists(p); m += 1 }
     }
     sweepChunks(snapshotsDir, manifestDir,

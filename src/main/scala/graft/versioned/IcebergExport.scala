@@ -302,8 +302,14 @@ object IcebergExport {
         h.manifestRefs)
     }
     // v1 when nothing needs v2: widest reader compatibility (all live
-    // tombstones pruned away by stats/blooms also land here)
-    val v = if (artifacts.exists(_.deleteEntries.nonEmpty)) 2 else 1
+    // tombstones pruned away by stats/blooms also land here). Segmented
+    // snapshots also force v2: chunk manifests omit each entry's
+    // snapshot_id and rely on inheritance from the manifest-list row —
+    // a v2 rule (the field is required in v1), so a strict v1 reader
+    // could reject them.
+    val v =
+      if (artifacts.exists(a => a.deleteEntries.nonEmpty || a.chunkRefs.nonEmpty)) 2
+      else 1
 
     // ---- pass 2: manifests + manifest lists, oldest → newest -----------
     // Entries keep their own explicit sequences (graft commit seq + 1)
@@ -1362,17 +1368,35 @@ object IcebergExport {
     * referenced by a kept version survive; graft's own data files live
     * in the repo, outside the dest, and are never touched). Returns
     * (metadata files deleted, delete files deleted).
+    *
+    * `olderThanMs` (default 10 min, mirroring
+    * [[GraftRepo.expireSnapshots]]'s guard) spares files younger than
+    * the cutoff: a CONCURRENT export/sync emission writes chunk
+    * manifests and delete parquets BEFORE the metadata version that
+    * references them appears, and an unguarded sweep would delete them
+    * mid-publish (or delete a chunk manifest the emission's reuse check
+    * just accepted). In-flight `.tmp-*` names are always excluded.
+    * Pass 0 only when no export to this dest can be in flight; even
+    * with the guard, do not let a single emission straddle the window.
     */
-  def expireDest(dest: Path, keepVersions: Int): (Int, Int) = {
+  def expireDest(dest: Path, keepVersions: Int,
+      olderThanMs: Long = 600000L): (Int, Int) = {
     require(keepVersions >= 1, "keepVersions must be >= 1")
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    def sweepable(p: Path): Boolean =
+      !p.getFileName.toString.startsWith(".tmp-") &&
+        (try Files.getLastModifiedTime(p).toMillis < cutoff
+         catch { case _: java.io.IOException => false })
+    def listed(dir: Path): List[Path] =
+      scala.util.Using.resource(Files.list(dir))(_.iterator().asScala.toList)
     val metaDir = dest.resolve("metadata")
     if (!Files.isDirectory(metaDir)) return (0, 0)
     val Re = """v(\d+)\.metadata\.json""".r
-    val versions = Files.list(metaDir).iterator().asScala
+    val versions = listed(metaDir)
       .flatMap(p => p.getFileName.toString match {
         case Re(n) => Some(n.toInt -> p)
         case _ => None
-      }).toSeq.sortBy(_._1)
+      }).sortBy(_._1)
     val kept = versions.takeRight(keepVersions)
     val dead = versions.dropRight(keepVersions)
 
@@ -1411,31 +1435,37 @@ object IcebergExport {
     }
 
     var metaDeleted = 0
+    // superseded version files are safe at any age (they are OLD by
+    // construction); the orphan sweeps below are what need the guard
     dead.foreach { case (_, p) => Files.deleteIfExists(p); metaDeleted += 1 }
-    Files.list(metaDir).iterator().asScala.toList
+    listed(metaDir)
       .filter(_.getFileName.toString.endsWith(".avro"))
       .filterNot(p => referenced.contains(p.toAbsolutePath.normalize))
+      .filter(sweepable)
       .foreach { p => Files.deleteIfExists(p); metaDeleted += 1 }
 
     var delDeleted = 0
     val dataDir = dest.resolve("data")
     if (Files.isDirectory(dataDir)) {
-      Files.walk(dataDir).iterator().asScala.toList
+      scala.util.Using.resource(Files.walk(dataDir))(
+        _.iterator().asScala.toList)
         .filter(p => Files.isRegularFile(p) &&
           p.getFileName.toString.endsWith("-deletes.parquet"))
         .filterNot(p => referenced.contains(p.toAbsolutePath.normalize))
+        .filter(sweepable)
         .foreach { p => Files.deleteIfExists(p); delDeleted += 1 }
       // memo dirs whose files are all gone: drop the index + dir (a
-      // future export of that snapshot recomputes)
-      Files.list(dataDir).iterator().asScala.toList
+      // future export of that snapshot recomputes). Young dirs are an
+      // in-flight emission's staging — leave them alone.
+      listed(dataDir)
         .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("pos-"))
+          p.getFileName.toString.startsWith("pos-") && sweepable(p))
         .foreach { d =>
-          val live = Files.list(d).iterator().asScala
+          val live = listed(d)
             .exists(_.getFileName.toString.endsWith("-deletes.parquet"))
           if (!live) {
             Files.deleteIfExists(d.resolve("index.json"))
-            if (!Files.list(d).iterator().hasNext) Files.deleteIfExists(d)
+            if (listed(d).isEmpty) Files.deleteIfExists(d)
           }
         }
     }

@@ -83,6 +83,10 @@ object Manifests {
       val body = Json.write(ManifestBody(entries))
       val rel = s"snapshots/manifests/m${ChunkStore.shaHex(body)}.json"
       val reused = !io.createExclusive(root.resolve(rel), body)
+      // a reused chunk keeps its OLD mtime — bump it so an age-guarded
+      // GC sweep can't take it for a stale orphan while our snapshot
+      // publish (and verifyLive) are still in flight
+      if (reused) io.touch(root.resolve(rel))
       val parts =
         if (!partitioned) None
         else {
@@ -197,9 +201,14 @@ object Manifests {
     * (writeReplace), so a closure capturing a snapshot stays safe even
     * though root/io handles are not serializable.
     */
+  // java.io.Serializable is mixed in EXPLICITLY: immutable.Seq itself is
+  // not Serializable in 2.13, and writeReplace is only consulted for
+  // classes that ARE — without the marker, serializing a Snapshot that
+  // holds one throws NotSerializableException instead of degrading.
   final class LazyFileList(root: Path, io: GraftIO,
       private[versioned] val refs: Seq[ManifestRef])
-      extends scala.collection.immutable.Seq[FileEntry] {
+      extends scala.collection.immutable.Seq[FileEntry]
+      with java.io.Serializable {
     /** Refs are repo-root-relative: reuse them only inside the same store. */
     private[versioned] def sameStore(r: Path): Boolean =
       root.toAbsolutePath.normalize == r.toAbsolutePath.normalize

@@ -58,7 +58,12 @@ object Trees {
     val refs = chunk(tables).map { entries =>
       val body = Json.write(TreeBody(entries))
       val rel = s"commits/trees/t${ChunkStore.shaHex(body)}.json"
-      if (!io.createExclusive(root.resolve(rel), body)) reused += rel
+      if (!io.createExclusive(root.resolve(rel), body)) {
+        reused += rel
+        // freshness bump — see Manifests.write (age-guarded GC must not
+        // sweep a just-reused chunk out from under the landing commit)
+        io.touch(root.resolve(rel))
+      }
       TreeRef(rel, entries.size, entries.head.k, entries.last.k)
     }
     (refs, reused.result())
@@ -96,9 +101,13 @@ object Trees {
     * one range-matched chunk; iteration materializes once. Degrades to
     * the materialized Map under Java serialization.
     */
+  // Serializable mixed in explicitly — AbstractMap is not Serializable
+  // in 2.13, and writeReplace only fires on Serializable classes (see
+  // Manifests.LazyFileList).
   final class LazyTableMap(root: Path, io: GraftIO,
       private[versioned] val refs: Seq[TreeRef])
-      extends scala.collection.immutable.AbstractMap[String, String] {
+      extends scala.collection.immutable.AbstractMap[String, String]
+      with java.io.Serializable {
     @volatile private var materialized: Map[String, String] = null
     private def underlying: Map[String, String] = {
       if (materialized == null)

@@ -777,9 +777,23 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     sql("DELETE FROM g.iceexp.main.db.t WHERE id >= 28") // positional MoR
     val metaDir = dest.resolve("metadata")
     Files.exists(metaDir.resolve("v3.metadata.json")) shouldBe true
-    val out = sql(
-      s"CALL g.system.iceberg_export_expire('$dest', 1)").collect().head
+    // default 10-min age guard: fresh orphan avros are spared (only the
+    // superseded version files themselves go), and a .tmp- staging file
+    // survives any sweep
+    val staged = metaDir.resolve(".tmp-inflight.avro")
+    Files.writeString(staged, "in-flight")
+    val avrosBefore = Files.list(metaDir).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".avro"))
+    sql(s"CALL g.system.iceberg_export_expire('$dest', 3)")
+    Files.list(metaDir).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".avro")) shouldBe avrosBefore
+    Files.exists(staged) shouldBe true
+    val out = sql(s"CALL g.system.iceberg_export_expire('$dest', 1, " +
+      "older_than_ms => 0)").collect().head
     out.getInt(0) should be > 0 // old versions + their avros gone
+    // the .tmp- exclusion holds even with the age guard disabled
+    Files.exists(staged) shouldBe true
+    Files.delete(staged)
     Files.exists(metaDir.resolve("v1.metadata.json")) shouldBe false
     Files.exists(metaDir.resolve("v2.metadata.json")) shouldBe false
     Files.exists(metaDir.resolve("v3.metadata.json")) shouldBe true

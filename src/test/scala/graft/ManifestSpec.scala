@@ -408,4 +408,26 @@ class ManifestSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     val counts = objectCounts.result()
     (counts.last - counts.head) should be <= 10
   }
+
+  test("a snapshot holding a LazyFileList java-serializes " +
+    "(writeReplace degrades to the materialized list)") {
+    val repo = freshRepo()
+    val files = (1 to 100).map(entry(_))
+    val s = repo.writeSnapshot("db/t", "{}", files)
+    val loaded = repo.snapshot(s.id)
+    loaded.files shouldBe a[Manifests.LazyFileList] // the lazy path is live
+    // Spark closures/broadcasts capturing a snapshot use exactly this
+    val bo = new java.io.ByteArrayOutputStream()
+    val oo = new java.io.ObjectOutputStream(bo)
+    oo.writeObject(loaded); oo.close()
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bo.toByteArray))
+      .readObject().asInstanceOf[Snapshot]
+    back.files.toSeq shouldBe files
+    // the deserialized form is a plain collection (no dead io handles)
+    (back.files match {
+      case _: Manifests.LazyFileList => false
+      case _ => true
+    }) shouldBe true
+  }
 }

@@ -177,4 +177,24 @@ class TreeSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       Json.write(legacy)) shouldBe true
     repo.commit("cLEGACY").tables shouldBe tables(3)
   }
+
+  test("a commit holding a LazyTableMap java-serializes " +
+    "(writeReplace degrades to the materialized map)") {
+    val repo = freshRepo()
+    val t = tables(300)
+    val c = repo.writeCommit(Nil, "m", t, Map.empty)
+    val loaded = repo.commit(c.id)
+    loaded.tables shouldBe a[Trees.LazyTableMap]
+    val bo = new java.io.ByteArrayOutputStream()
+    val oo = new java.io.ObjectOutputStream(bo)
+    oo.writeObject(loaded); oo.close()
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bo.toByteArray))
+      .readObject().asInstanceOf[Commit]
+    back.tables.toMap shouldBe t
+    (back.tables match {
+      case _: Trees.LazyTableMap => false
+      case _ => true
+    }) shouldBe true
+  }
 }
