@@ -268,7 +268,10 @@ private[catalog] object GraftProcedures {
           ("snapshots", IntegerType, Some("1")),
           // sync => true: standing subscription — every later commit
           // to the ref re-emits metadata into dest (IcebergSync)
-          ("sync", BooleanType, Some("false"))),
+          ("sync", BooleanType, Some("false")),
+          // sync-mode retention: after each emission keep only the
+          // newest K dest metadata versions (0 = keep everything)
+          ("keep_versions", IntegerType, Some("0"))),
         StructType(Seq(
           StructField("metadata_path", StringType, nullable = false),
           StructField("data_files", IntegerType, nullable = false))),
@@ -280,13 +283,25 @@ private[catalog] object GraftProcedures {
           val spark = Some(org.apache.spark.sql.SparkSession.active)
           val p = if (in.getBoolean(5)) {
             val reg = graft.versioned.IcebergSync.Reg(
-              ref, key, str(in, 3), maxSnaps)
-            graft.versioned.IcebergSync.register(g.root, reg)
+              ref, key, str(in, 3), maxSnaps, math.max(0, in.getInt(6)))
+            graft.versioned.IcebergSync.register(g, reg)
             graft.versioned.IcebergSync.syncExport(g, reg, spark)
           } else graft.versioned.IcebergExport.export(
             g, ref, key, java.nio.file.Paths.get(str(in, 3)), spark, maxSnaps)
           val n = g.snapshot(g.resolve(ref).tables(key)).files.size
           Seq(UTF8String.fromString(p.toString), n)
+        }))
+      case "iceberg_sync_remove" => Some(new Proc(
+        // Drop a standing sync registration (the dest's already-written
+        // exports stay in place; use iceberg_export_expire to prune them)
+        "iceberg_sync_remove",
+        Seq(("repo", StringType, None), ("ref", StringType, None),
+          ("tbl", StringType, None)),
+        StructType(Seq(
+          StructField("removed", IntegerType, nullable = false))),
+        { in =>
+          Seq(graft.versioned.IcebergSync.unregister(
+            open(str(in, 0)), str(in, 1), str(in, 2).replace('.', '/')))
         }))
       case "iceberg_import" => Some(new Proc(
         // Register an external Iceberg table (v1/v2, parquet data,

@@ -223,7 +223,7 @@ object IcebergExport {
       h.schemaJson == snap.schemaJson &&
         h.partitionFields == snap.partitionFields &&
         h.nameMapping == snap.nameMapping &&
-        h.files.forall(f => Files.exists(repo.root.resolve(f.path))) &&
+        h.files.forall(f => repo.io.isFile(repo.root.resolve(f.path))) &&
         (specFields.isEmpty || h.files.forall(f =>
           specFields.forall(pf => f.partValues.contains(pf.name))))
     val history: Seq[(Commit, Snapshot)] = {
@@ -287,7 +287,7 @@ object IcebergExport {
         val abs = repo.root.resolve(f.path)
         // true on-disk length (readers plan range reads from it — the
         // snapshot's estimate is not good enough here)
-        MEntry(abs.toUri.toString, f.rows, Files.size(abs), f.partValues, 0,
+        MEntry(abs.toUri.toString, f.rows, repo.io.size(abs), f.partValues, 0,
           f.seqNo + 1, Nil, Some(fileStats(f, phys)))
       }
       val deleteEntries = (eqDeletes ++ posDeletes).map(d =>
@@ -474,6 +474,12 @@ object IcebergExport {
     props.put("schema.name-mapping.default", nameMappingJson(phys))
     props.put("graft.source-snapshot", snap.id)
     props.put("graft.source-ref", ref)
+    // the graft COMMIT this export observed: a multi-table commit emits
+    // each registered table's export independently (no cross-table
+    // atomicity at the dest — see IcebergSync's contract), but every
+    // emission of the same commit carries the same id here, so external
+    // audits can join fact/dim exports on it
+    props.put("graft.source-commit", headCommit.id)
     fallbackReason.foreach(r => props.put("graft.export.partition-fallback", r))
     meta.put("properties", props)
     meta.put("current-snapshot-id", snapshotId)

@@ -15,17 +15,44 @@ import scala.jdk.CollectionConverters._
   * `iceberg_export` remains the one-shot form; sync is the standing
   * subscription.
   *
-  * Mechanics: registrations live in `<repo>/iceberg-sync.json` (one
-  * tiny JSON file; its absence is the O(1) fast path every commit
-  * takes). After any successful ref advance ([[GraftRepo]]'s CAS — the
-  * single funnel all commits, merges and rollbacks pass through), each
-  * registration on that ref compares the table's current snapshot id
-  * against the `graft.source-snapshot` recorded in the dest's newest
-  * metadata version and re-exports only on drift — self-healing (a
-  * missed or failed emission is repaired by the next commit) and
-  * idempotent (no-op when the table didn't change). Re-emission is
-  * O(files) driver work (the export is metadata-only), so following a
-  * commit costs what the reference's own metadata commit costs.
+  * Registration storage goes through the repo's [[GraftIO]] seam, like
+  * every other repo metadata byte: the current registration set is an
+  * IMMUTABLE versioned object `iceberg-sync/r<N>.json`, and `register`
+  * publishes version N+1 with the same createExclusive compare-and-set
+  * every commit uses — two concurrent registers race on the version
+  * number and the loser re-reads and retries, so neither is lost, on
+  * the local FS and object-store backends alike. Readers take the
+  * highest version present (retrying if a concurrent prune deletes a
+  * just-listed file); a handful of superseded versions are kept as a
+  * reader grace window and pruned beyond that. A pre-seam
+  * `iceberg-sync.json` (single mutable file) is still read as the
+  * version-0 fallback and migrated into the versioned stream by the
+  * next `register`.
+  *
+  * Drift protocol: after any successful ref advance ([[GraftRepo]]'s
+  * CAS — the single funnel all commits, merges and rollbacks pass
+  * through), each registration on that ref compares the table's current
+  * snapshot id against the `graft.source-snapshot` recorded in the
+  * dest's newest metadata version and re-exports only on drift —
+  * self-healing (a missed or failed emission is repaired by the next
+  * commit) and idempotent (no-op when the table didn't change).
+  * Re-emission is O(changed manifest chunks) driver work, so following
+  * a commit costs what the reference's own metadata commit costs.
+  *
+  * Multi-table commits: emissions are NOT atomic across dests — an
+  * external reader polling two dests can observe the new fact table
+  * before the new dim table (or vice versa). What IS guaranteed:
+  * registrations of one ref emit in deterministic (table, dest) order,
+  * and every emission triggered by the same commit stamps the same
+  * `graft.source-commit` property in its metadata, so external
+  * consumers needing cross-table consistency join on that id (read
+  * each dest's newest version whose source-commit matches).
+  *
+  * Retention: a registration may carry `keepVersions` >= 1, in which
+  * case each successful emission is followed by
+  * [[IcebergExport.expireDest]] with that budget (age-guarded) — a
+  * standing sync neither grows its dest without bound nor needs manual
+  * `iceberg_export_expire` calls. `keepVersions` = 0 keeps everything.
   *
   * Failure posture: a broken emission (e.g. merge-on-read tombstones
   * with no active SparkSession to write positional deletes) WARNS and
@@ -36,9 +63,18 @@ import scala.jdk.CollectionConverters._
 object IcebergSync {
 
   final case class Reg(ref: String, table: String, dest: String,
-      snapshots: Int)
+      snapshots: Int, keepVersions: Int = 0)
 
-  private def regPath(root: Path): Path = root.resolve("iceberg-sync.json")
+  /** Superseded registration versions kept as a grace window for racing
+    * readers (a reader that listed version N must still be able to read
+    * it while a register publishes N+1 and prunes).
+    */
+  private val PruneKeep = 4
+
+  private def legacyPath(root: Path): Path = root.resolve("iceberg-sync.json")
+  private def regDir(root: Path): Path = root.resolve("iceberg-sync")
+  private def regFile(root: Path, v: Int): Path =
+    regDir(root).resolve(f"r$v%08d.json")
 
   private def mapper = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -46,20 +82,100 @@ object IcebergSync {
     m
   }
 
-  def registrations(root: Path): Seq[Reg] = {
-    val p = regPath(root)
-    if (!Files.exists(p)) Nil
-    else mapper.readValue(Files.readString(p),
-      classOf[Array[Reg]]).toSeq
+  private val VRe = """r(\d+)\.json""".r
+
+  private def versionsPresent(root: Path, io: GraftIO): Seq[Int] =
+    io.list(regDir(root)).flatMap(p => p.getFileName.toString match {
+      case VRe(n) => Some(n.toInt)
+      case _ => None
+    }).sorted
+
+  /** Current registration set + the version that holds it (0 = legacy
+    * file or nothing). Retries when a concurrent prune wins the race
+    * between our list and our read — the newer version it protects is
+    * what the re-list finds.
+    */
+  private def currentWithVersion(root: Path, io: GraftIO): (Seq[Reg], Int) = {
+    var attempts = 0
+    while (attempts < 10) {
+      versionsPresent(root, io).lastOption match {
+        case Some(v) =>
+          try return (mapper.readValue(io.readString(regFile(root, v)),
+            classOf[Array[Reg]]).toSeq, v)
+          catch { case _: Exception => attempts += 1 } // pruned under us
+        case None =>
+          return (
+            if (io.isFile(legacyPath(root)))
+              mapper.readValue(io.readString(legacyPath(root)),
+                classOf[Array[Reg]]).toSeq
+            else Nil, 0)
+      }
+    }
+    throw new IllegalStateException(
+      "cannot read iceberg-sync registrations: version churn exceeded retries")
   }
 
-  /** Record a standing export; idempotent on (ref, table, dest). */
-  def register(root: Path, reg: Reg): Unit = {
-    val cur = registrations(root)
-      .filterNot(r => r.ref == reg.ref && r.table == reg.table &&
-        r.dest == reg.dest)
-    Files.writeString(regPath(root),
-      mapper.writeValueAsString((cur :+ reg).toArray))
+  def registrations(repo: GraftRepo): Seq[Reg] =
+    currentWithVersion(repo.root, repo.io)._1
+
+  /** Record a standing export; idempotent on (ref, table, dest) — a
+    * re-register replaces the matching entry (so `snapshots` /
+    * `keepVersions` can be updated in place). Safe under concurrent
+    * callers: createExclusive CAS on the next version number, re-read
+    * and retry on loss.
+    */
+  def register(repo: GraftRepo, reg: Reg): Unit = {
+    val root = repo.root
+    val io = repo.io
+    io.mkdirs(regDir(root))
+    var attempts = 0
+    while (attempts < 50) {
+      val (cur, v) = currentWithVersion(root, io)
+      val next = cur.filterNot(r => r.ref == reg.ref && r.table == reg.table &&
+        r.dest == reg.dest) :+ reg
+      if (io.createExclusive(regFile(root, v + 1),
+          mapper.writeValueAsString(next.toArray))) {
+        prune(root, io, v + 1)
+        return
+      }
+      attempts += 1 // lost the CAS: someone else published v+1; merge anew
+    }
+    throw new IllegalStateException(
+      "iceberg-sync register lost the version CAS 50 times — giving up")
+  }
+
+  /** Remove registrations matching (ref, table[, dest]); returns how
+    * many were dropped. Same CAS discipline as [[register]].
+    */
+  def unregister(repo: GraftRepo, ref: String, table: String,
+      dest: Option[String] = None): Int = {
+    val root = repo.root
+    val io = repo.io
+    var attempts = 0
+    while (attempts < 50) {
+      val (cur, v) = currentWithVersion(root, io)
+      val keep = cur.filterNot(r => r.ref == ref && r.table == table &&
+        dest.forall(_ == r.dest))
+      if (keep.size == cur.size) return 0
+      io.mkdirs(regDir(root))
+      if (io.createExclusive(regFile(root, v + 1),
+          mapper.writeValueAsString(keep.toArray))) {
+        prune(root, io, v + 1)
+        return cur.size - keep.size
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      "iceberg-sync unregister lost the version CAS 50 times — giving up")
+  }
+
+  private def prune(root: Path, io: GraftIO, published: Int): Unit = {
+    versionsPresent(root, io)
+      .filter(_ <= published - PruneKeep)
+      .foreach(v => try io.deleteIfExists(regFile(root, v))
+        catch { case _: Exception => () }) // best-effort
+    // the pre-seam file is superseded the moment a versioned set exists
+    try io.deleteIfExists(legacyPath(root)) catch { case _: Exception => () }
   }
 
   /** Newest existing metadata version in `dest` (0 = none yet). */
@@ -68,11 +184,11 @@ object IcebergSync {
     if (!Files.isDirectory(metaDir)) 0
     else {
       val Re = """v(\d+)\.metadata\.json""".r
-      Files.list(metaDir).iterator().asScala
+      scala.util.Using.resource(Files.list(metaDir))(_.iterator().asScala
         .flatMap(p => p.getFileName.toString match {
           case Re(n) => Some(n.toInt)
           case _ => None
-        }).maxOption.getOrElse(0)
+        }).maxOption.getOrElse(0))
     }
   }
 
@@ -101,27 +217,40 @@ object IcebergSync {
       latestVersion(java.nio.file.Paths.get(reg.dest)) + 1)
 
   /** Post-ref-advance hook: re-emit every drifted registration on
-    * `branch`. Never throws — see failure posture above.
+    * `branch`, in deterministic (table, dest) order, then apply each
+    * registration's retention budget. Never throws — see failure
+    * posture above.
     */
   def onRefAdvance(repo: GraftRepo, branch: String): Unit = {
-    if (!Files.exists(regPath(repo.root))) return // per-commit fast path
-    registrations(repo.root).filter(_.ref == branch).foreach { reg =>
-      try {
-        val sid = repo.resolve(branch).tables.get(reg.table)
-        sid match {
-          case Some(s) if !exportedSnapshot(
-              java.nio.file.Paths.get(reg.dest)).contains(s) =>
-            syncExport(repo, reg,
-              org.apache.spark.sql.SparkSession.getActiveSession)
-          case _ => () // table unchanged (or dropped): nothing to emit
+    // per-commit fast path: one stat when no sync has ever been set up
+    if (!repo.io.isDirectory(regDir(repo.root)) &&
+      !repo.io.isFile(legacyPath(repo.root))) return
+    registrations(repo).filter(_.ref == branch)
+      .sortBy(r => (r.table, r.dest)).foreach { reg =>
+        try {
+          val sid = repo.resolve(branch).tables.get(reg.table)
+          sid match {
+            case Some(s) if !exportedSnapshot(
+                java.nio.file.Paths.get(reg.dest)).contains(s) =>
+              syncExport(repo, reg,
+                org.apache.spark.sql.SparkSession.getActiveSession)
+              // age guard 0 is safe HERE: sync's contract makes this
+              // process the dest's only writer, the emission above has
+              // completed, and registrations emit sequentially — no
+              // unreferenced file of a concurrent publish can exist
+              if (reg.keepVersions >= 1)
+                IcebergExport.expireDest(
+                  java.nio.file.Paths.get(reg.dest), reg.keepVersions,
+                  olderThanMs = 0L)
+            case _ => () // table unchanged (or dropped): nothing to emit
+          }
+        } catch {
+          case e: Throwable => System.err.println(
+            s"[graft] WARNING: iceberg sync export of ${reg.table} @ " +
+              s"$branch -> ${reg.dest} failed (${e.getMessage}); the " +
+              "export is one version behind and will catch up on the " +
+              "next commit")
         }
-      } catch {
-        case e: Throwable => System.err.println(
-          s"[graft] WARNING: iceberg sync export of ${reg.table} @ " +
-            s"$branch -> ${reg.dest} failed (${e.getMessage}); the " +
-            "export is one version behind and will catch up on the " +
-            "next commit")
       }
-    }
   }
 }

@@ -97,17 +97,41 @@ class EngineLifecycleSpec extends AnyFunSuite with Matchers with BeforeAndAfterA
         spark.table(s"lc_$cat").count() should be >= 100L
       } finally q.stop()
     }
+
+    test(s"[$backend] iceberg sync: registration + follower emissions run " +
+      "through the backend's GraftIO") {
+      sql(s"CREATE NAMESPACE $cat.sy")
+      sql(s"CREATE NAMESPACE $cat.sy.main.db")
+      sql(s"CREATE TABLE $cat.sy.main.db.s (id INT, v STRING)")
+      sql(s"INSERT INTO $cat.sy.main.db.s VALUES (1, 'a')")
+      val dest = Files.createTempDirectory(s"lc-sync-$cat")
+      sql(s"CALL $cat.system.iceberg_export('sy', 'main', 'db.s', '$dest', " +
+        "sync => true)")
+      // registration bytes live behind the seam, under the repo root
+      val repo = graft.versioned.GraftRepo.open(
+        java.nio.file.Paths.get(
+          spark.conf.get(s"spark.sql.catalog.$cat.root"), "sy"), ioFor(cat))
+      graft.versioned.IcebergSync.registrations(repo)
+        .map(_.table) shouldBe Seq("db/s")
+      // a later commit drives the follower: dest advances to v2
+      sql(s"INSERT INTO $cat.sy.main.db.s VALUES (2, 'b')")
+      graft.versioned.IcebergSync.latestVersion(dest) shouldBe 2
+      graft.versioned.IcebergImport.read(spark, dest).count() shouldBe 2
+      sql(s"CALL $cat.system.iceberg_sync_remove('sy', 'main', 'db.s')")
+        .collect().head.getInt(0) shouldBe 1
+      sql(s"INSERT INTO $cat.sy.main.db.s VALUES (3, 'c')")
+      graft.versioned.IcebergSync.latestVersion(dest) shouldBe 2 // unsubscribed
+    }
   }
 
   /** Open the repo the way the backend does — through the same GraftIO
     * the catalog option selected. */
-  private def openRepo(cat: String): graft.versioned.GraftRepo = {
-    val root = java.nio.file.Paths.get(
-      spark.conf.get(s"spark.sql.catalog.$cat.root"), "r")
-    val io =
-      if (cat == "lcl") graft.versioned.LocalGraftIO.instance
-      else new graft.versioned.ObjectStoreGraftIO(
-        graft.versioned.HadoopFsObjectStoreClient.local())
-    graft.versioned.GraftRepo.open(root, io)
-  }
+  private def ioFor(cat: String): graft.versioned.GraftIO =
+    if (cat == "lcl") graft.versioned.LocalGraftIO.instance
+    else new graft.versioned.ObjectStoreGraftIO(
+      graft.versioned.HadoopFsObjectStoreClient.local())
+
+  private def openRepo(cat: String): graft.versioned.GraftRepo =
+    graft.versioned.GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get(s"spark.sql.catalog.$cat.root"), "r"), ioFor(cat))
 }
