@@ -217,8 +217,8 @@ private[catalog] object GraftProcedures {
           StructField("metadata_deleted", IntegerType, nullable = false),
           StructField("delete_files_deleted", IntegerType, nullable = false))),
         { in =>
-          val (m, d) = graft.versioned.IcebergExport.expireDest(
-            java.nio.file.Paths.get(str(in, 0)), in.getInt(1), in.getLong(2))
+          val (m, d) = graft.versioned.IcebergExport.expireDestAt(
+            str(in, 0), in.getInt(1), in.getLong(2))
           Seq(m, d)
         }))
       case "clone_table" => Some(new Proc(
@@ -281,15 +281,15 @@ private[catalog] object GraftProcedures {
           val key = str(in, 2).replace('.', '/')
           val maxSnaps = math.max(1, in.getInt(4))
           val spark = Some(org.apache.spark.sql.SparkSession.active)
-          val p = if (in.getBoolean(5)) {
+          val p: String = if (in.getBoolean(5)) {
             val reg = graft.versioned.IcebergSync.Reg(
               ref, key, str(in, 3), maxSnaps, math.max(0, in.getInt(6)))
             graft.versioned.IcebergSync.register(g, reg)
             graft.versioned.IcebergSync.syncExport(g, reg, spark)
-          } else graft.versioned.IcebergExport.export(
-            g, ref, key, java.nio.file.Paths.get(str(in, 3)), spark, maxSnaps)
+          } else graft.versioned.IcebergExport.exportTo(
+            g, ref, key, str(in, 3), spark, maxSnaps, version = 1)
           val n = g.snapshot(g.resolve(ref).tables(key)).files.size
-          Seq(UTF8String.fromString(p.toString), n)
+          Seq(UTF8String.fromString(p), n)
         }))
       case "iceberg_sync_remove" => Some(new Proc(
         // Drop a standing sync registration (the dest's already-written
@@ -315,7 +315,7 @@ private[catalog] object GraftProcedures {
           StructField("data_files", IntegerType, nullable = false),
           StructField("delete_files", IntegerType, nullable = false))),
         { in =>
-          val mp = java.nio.file.Paths.get(str(in, 0))
+          val mp = str(in, 0) // local path or Hadoop-scheme URI
           val view = str(in, 1)
           val sid = Some(in.getLong(2)).filter(_ != 0L)
           val s = org.apache.spark.sql.SparkSession.active

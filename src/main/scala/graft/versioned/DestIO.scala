@@ -1,0 +1,247 @@
+package graft.versioned
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+
+/** IO seam for Iceberg EXPORT DESTINATIONS (IcebergExport/IcebergSync/
+  * expireDest). The repo's own metadata goes through [[GraftIO]]; an
+  * export dest is a different store entirely — typically the bucket the
+  * external readers (Trino, DuckDB-iceberg) mount — so it gets its own
+  * seam keyed on dest-relative paths:
+  *
+  *  - [[NioDestIO]]: local filesystem via java.nio — byte-for-byte the
+  *    pre-seam behavior (golden fixtures, specs and local sync dests
+  *    are unchanged).
+  *  - [[HadoopDestIO]]: ANY Hadoop FileSystem URI — `s3a://bucket/tbl`,
+  *    `hdfs://...`, `file:///...` — resolved through the active Spark
+  *    session's Hadoop conf (credentials, endpoints), the same
+  *    machinery [[HadoopFsObjectStoreClient]] uses for repo metadata.
+  *    This is where a 100 TB deployment's external readers look: the
+  *    reference's FileIO is object-store-native
+  *    (LakeFSFileIO.java:24), and a sync dest must be too.
+  *
+  * Write contract: `writeAtomic` publishes complete objects under
+  * content-addressed or unique names (temp + rename locally; Hadoop
+  * object-store connectors publish whole objects at close, then rename
+  * is metadata-only) — a crash mid-write never leaves a truncated file
+  * under a final name that later emissions would reuse.
+  */
+private[versioned] trait DestIO {
+  /** Absolute URI for embedding into Iceberg metadata (file_path,
+    * manifest-list entries, table location). */
+  def uriOf(rel: String): String
+  /** Inverse of [[uriOf]]: the dest-relative path of a URI that points
+    * under this dest, None for foreign URIs. */
+  def relOf(uri: String): Option[String]
+  /** Human/caller-facing path of a written file (local: absolute path,
+    * remote: full URI). */
+  def displayPath(rel: String): String
+  def mkdirs(rel: String): Unit
+  def isFile(rel: String): Boolean
+  def isDirectory(rel: String): Boolean
+  def readString(rel: String): String
+  def readBytes(rel: String): Array[Byte]
+  /** Overwrite-allowed small-text write (metadata JSON, version hint). */
+  def writeString(rel: String, content: String): Unit
+  /** Publish `bytes` at `rel` as a complete object; concurrent writers
+    * of the same content-addressed name race benignly (same bytes). */
+  def writeAtomic(rel: String, bytes: Array[Byte]): Unit
+  /** Upload a fully written LOCAL file to `rel` (positional-delete
+    * parquet staged by Spark), consuming the local file. */
+  def uploadAtomic(local: Path, rel: String): Unit
+  /** Immediate child NAMES of a directory (empty if absent). */
+  def listNames(rel: String): Seq[String]
+  /** Dest-relative paths of all regular files under `rel`, recursive. */
+  def walkFiles(rel: String): Seq[String]
+  def size(rel: String): Long
+  def mtimeMs(rel: String): Long
+  def delete(rel: String): Boolean
+  /** Location string the parquet-hadoop writers/readers accept for a
+    * file at `rel` (HadoopOutputFile/HadoopInputFile). */
+  def hadoopLocation(rel: String): String
+}
+
+private[versioned] object DestIO {
+  private val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://.*".r
+
+  /** A dest string with a URI scheme routes through Hadoop; a plain
+    * path keeps the local nio fast path. */
+  def of(dest: String): DestIO = dest match {
+    case SchemeRe() => HadoopDestIO(dest)
+    case _ => new NioDestIO(java.nio.file.Paths.get(dest))
+  }
+}
+
+/** Local-filesystem dest — the pre-seam java.nio behavior. */
+private[versioned] final class NioDestIO(val root: Path) extends DestIO {
+  private def p(rel: String): Path =
+    if (rel.isEmpty) root else root.resolve(rel)
+  override def uriOf(rel: String): String = p(rel).toUri.toString
+  override def relOf(uri: String): Option[String] =
+    (try Some(java.nio.file.Paths.get(java.net.URI.create(uri))
+      .toAbsolutePath.normalize)
+    catch { case _: Exception => None })
+      .filter(_.startsWith(root.toAbsolutePath.normalize))
+      .map(root.toAbsolutePath.normalize.relativize(_).toString)
+  override def displayPath(rel: String): String = p(rel).toString
+  override def mkdirs(rel: String): Unit = Files.createDirectories(p(rel))
+  override def isFile(rel: String): Boolean = Files.isRegularFile(p(rel))
+  override def isDirectory(rel: String): Boolean = Files.isDirectory(p(rel))
+  override def readString(rel: String): String = Files.readString(p(rel))
+  override def readBytes(rel: String): Array[Byte] = Files.readAllBytes(p(rel))
+  override def writeString(rel: String, content: String): Unit =
+    Files.writeString(p(rel), content)
+  override def writeAtomic(rel: String, bytes: Array[Byte]): Unit = {
+    val dst = p(rel)
+    val tmp = dst.resolveSibling(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, bytes)
+    try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+      case e: java.nio.file.FileSystemException =>
+        if (Files.exists(dst)) Files.deleteIfExists(tmp) else throw e
+    }
+  }
+  override def uploadAtomic(local: Path, rel: String): Unit = {
+    val dst = p(rel)
+    // stage as a temp SIBLING (same file store as dst), then atomic
+    // rename — the local source may be on another device (/tmp), and a
+    // direct cross-device move would expose a partially copied file
+    // under the final name. A content-addressed race loser (dst
+    // appeared first) just drops its copy.
+    val tmp = dst.resolveSibling(s".tmp-${UUID.randomUUID()}")
+    try Files.move(local, tmp)
+    catch {
+      case _: java.nio.file.FileSystemException => // cross-device
+        Files.copy(local, tmp); Files.deleteIfExists(local)
+    }
+    try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+      case e: java.nio.file.FileSystemException =>
+        if (Files.exists(dst)) Files.deleteIfExists(tmp) else throw e
+    }
+  }
+  override def listNames(rel: String): Seq[String] =
+    if (!Files.isDirectory(p(rel))) Nil
+    else Using.resource(Files.list(p(rel)))(
+      _.iterator().asScala.map(_.getFileName.toString).toList)
+  override def walkFiles(rel: String): Seq[String] =
+    if (!Files.isDirectory(p(rel))) Nil
+    else Using.resource(Files.walk(p(rel)))(_.iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(f => p(rel).relativize(f)).map(r =>
+        if (rel.isEmpty) r.toString else s"$rel/$r").toList)
+  override def size(rel: String): Long = Files.size(p(rel))
+  override def mtimeMs(rel: String): Long =
+    Files.getLastModifiedTime(p(rel)).toMillis
+  override def delete(rel: String): Boolean = Files.deleteIfExists(p(rel))
+  override def hadoopLocation(rel: String): String = p(rel).toUri.toString
+}
+
+/** Hadoop-FileSystem dest: one FileSystem resolved from the dest URI
+  * through the active Spark session's Hadoop configuration (falling
+  * back to a fresh Configuration off-session), checksums off so object
+  * layouts match external expectations (no .crc siblings).
+  */
+private[versioned] final class HadoopDestIO(
+    fs: org.apache.hadoop.fs.FileSystem,
+    root: org.apache.hadoop.fs.Path) extends DestIO {
+  import org.apache.hadoop.fs.{Path => HPath}
+  private def p(rel: String): HPath =
+    if (rel.isEmpty) root else new HPath(root, rel)
+  override def uriOf(rel: String): String = p(rel).toUri.toString
+  override def relOf(uri: String): Option[String] = {
+    // component-wise compare: `file:/p`, `file:///p` and `file://host/p`
+    // are distinct STRINGS for one path — string-prefix matching would
+    // wrongly treat a referenced child as foreign (and GC it)
+    val u = try new HPath(uri).toUri catch { case _: Exception => return None }
+    val r = root.toUri
+    def auth(a: String) = Option(a).filter(_.nonEmpty)
+    if (u.getScheme != r.getScheme) return None
+    if (auth(u.getAuthority) != auth(r.getAuthority)) return None
+    val rp = r.getPath.stripSuffix("/") + "/"
+    Option(u.getPath).filter(_.startsWith(rp)).map(_.stripPrefix(rp))
+  }
+  override def displayPath(rel: String): String = uriOf(rel)
+  override def mkdirs(rel: String): Unit = fs.mkdirs(p(rel))
+  override def isFile(rel: String): Boolean =
+    try fs.getFileStatus(p(rel)).isFile
+    catch { case _: java.io.FileNotFoundException => false }
+  override def isDirectory(rel: String): Boolean =
+    try fs.getFileStatus(p(rel)).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+  override def readString(rel: String): String =
+    new String(readBytes(rel), java.nio.charset.StandardCharsets.UTF_8)
+  override def readBytes(rel: String): Array[Byte] =
+    Using.resource(fs.open(p(rel)))(in =>
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in))
+  override def writeString(rel: String, content: String): Unit =
+    Using.resource(fs.create(p(rel), true))(
+      _.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+  override def writeAtomic(rel: String, bytes: Array[Byte]): Unit = {
+    // object-store connectors publish the whole object at close; the
+    // tmp+rename keeps the same no-partial-final-name guarantee on
+    // directory-style filesystems (HDFS, local)
+    val dst = p(rel)
+    val tmp = new HPath(dst.getParent, s".tmp-${UUID.randomUUID()}")
+    Using.resource(fs.create(tmp, true))(_.write(bytes))
+    if (!fs.rename(tmp, dst)) {
+      // loser of a content-addressed race (same bytes) — drop the temp
+      fs.delete(tmp, false)
+      if (!isFile(rel)) throw new java.io.IOException(
+        s"rename $tmp -> $dst failed and $dst does not exist")
+    }
+  }
+  override def uploadAtomic(local: Path, rel: String): Unit =
+    fs.moveFromLocalFile(new HPath(local.toUri), p(rel))
+  override def listNames(rel: String): Seq[String] =
+    if (!isDirectory(rel)) Nil
+    else fs.listStatus(p(rel)).toSeq.map(_.getPath.getName)
+  override def walkFiles(rel: String): Seq[String] = {
+    if (!isDirectory(rel)) return Nil
+    val base = p(rel).toUri.toString.stripSuffix("/") + "/"
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(p(rel), true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) {
+        val u = st.getPath.toUri.toString
+        if (u.startsWith(base))
+          out += (if (rel.isEmpty) u.stripPrefix(base)
+                  else s"$rel/${u.stripPrefix(base)}")
+      }
+    }
+    out.result()
+  }
+  override def size(rel: String): Long = fs.getFileStatus(p(rel)).getLen
+  override def mtimeMs(rel: String): Long =
+    fs.getFileStatus(p(rel)).getModificationTime
+  override def delete(rel: String): Boolean =
+    try fs.delete(p(rel), false)
+    catch { case _: java.io.FileNotFoundException => false }
+  override def hadoopLocation(rel: String): String = p(rel).toString
+}
+
+private[versioned] object HadoopDestIO {
+  def apply(destUri: String): HadoopDestIO = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val uri = java.net.URI.create(destUri)
+    // file:// goes through the RAW local FS (no .crc sidecars polluting
+    // the export layout, no mutation of the cached shared instance —
+    // same choice as HadoopFsObjectStoreClient.local()); other schemes
+    // use the cached FileSystem for the URI's authority
+    val fs =
+      if (uri.getScheme == "file")
+        org.apache.hadoop.fs.FileSystem.getLocal(conf).getRaw
+      else org.apache.hadoop.fs.FileSystem.get(uri, conf)
+    new HadoopDestIO(fs, new org.apache.hadoop.fs.Path(destUri))
+  }
+}

@@ -89,7 +89,7 @@ object IcebergExport {
     *                   `dataSeq < deleteSeq` equality-delete rule)
     * @param equalityIds schema field ids named by an equality delete
     */
-  private final case class DeleteFile(path: Path, rows: Long,
+  private final case class DeleteFile(rel: String, size: Long, rows: Long,
       partValues: Map[String, String], content: Int, seq: Long,
       equalityIds: Seq[Int])
 
@@ -142,7 +142,7 @@ object IcebergExport {
     * to the snapshot that first wrote them (the real Iceberg manifest-
     * reuse semantic external incremental consumers rely on).
     */
-  private final case class MRow(path: Path, content: Int,
+  private final case class MRow(rel: String, len: Long, content: Int,
       addedFiles: Int, existingFiles: Int, addedRows: Long,
       existingRows: Long, seq: Long, minSeq: Long, specId: Int,
       addedSnapshotId: Long)
@@ -170,7 +170,24 @@ object IcebergExport {
     * older metadata versions stay readable in place.
     */
   def export(repo: GraftRepo, ref: String, key: String, dest: Path,
-      spark: Option[SparkSession], maxSnapshots: Int, version: Int): Path = {
+      spark: Option[SparkSession], maxSnapshots: Int, version: Int): Path =
+    java.nio.file.Paths.get(export(repo, ref, key,
+      new NioDestIO(dest): DestIO, spark, maxSnapshots, version))
+
+  /** String-dest form: a dest with a URI scheme (`s3a://bucket/tbl`,
+    * `hdfs://…`, `file:///…`) routes every dest byte through the Hadoop
+    * FileSystem for that scheme ([[HadoopDestIO]], resolved via the
+    * active session's Hadoop conf — credentials and endpoints included);
+    * a plain path keeps the local java.nio fast path. Returns the
+    * written metadata file's path or URI.
+    */
+  def exportTo(repo: GraftRepo, ref: String, key: String, dest: String,
+      spark: Option[SparkSession], maxSnapshots: Int, version: Int): String =
+    export(repo, ref, key, DestIO.of(dest), spark, maxSnapshots, version)
+
+  private[versioned] def export(repo: GraftRepo, ref: String, key: String,
+      dest: DestIO, spark: Option[SparkSession], maxSnapshots: Int,
+      version: Int): String = {
     val headCommit = repo.resolve(ref)
     if (!headCommit.tables.contains(key))
       throw new NoSuchElementException(s"no such table: $key @ $ref")
@@ -238,8 +255,7 @@ object IcebergExport {
       b.result()
     }
 
-    val metaDir = dest.resolve("metadata")
-    Files.createDirectories(metaDir)
+    dest.mkdirs("metadata")
     val nowMs = System.currentTimeMillis()
 
     // partition-spec fields JSON (shared by metadata JSON + manifest meta)
@@ -269,8 +285,7 @@ object IcebergExport {
       val tombs = Tombstones.of(h)
       val (eqTombs, posTombs) =
         tombs.partition(t => equalityRows(t.filter, phys).isDefined)
-      val eqDeletes = eqTombs.map(t => writeEqualityDelete(t, phys,
-        Files.createDirectories(dest.resolve("data"))))
+      val eqDeletes = eqTombs.map(t => writeEqualityDelete(t, phys, dest))
       val posDeletes: Seq[DeleteFile] =
         if (posTombs.isEmpty) Nil
         else spark match {
@@ -291,7 +306,7 @@ object IcebergExport {
           f.seqNo + 1, Nil, Some(fileStats(f, phys)))
       }
       val deleteEntries = (eqDeletes ++ posDeletes).map(d =>
-        MEntry(d.path.toUri.toString, d.rows, Files.size(d.path), d.partValues,
+        MEntry(dest.uriOf(d.rel), d.rows, d.size, d.partValues,
           d.content, d.seq, d.equalityIds))
       // 64-bit name-UUID of the graft snapshot sha — stable across
       // exports of the same snapshot, collision-resistant across
@@ -326,7 +341,8 @@ object IcebergExport {
     // mode, by successive exports to the same dest) is written ONCE and
     // referenced everywhere else — export cost per emission becomes
     // O(changed chunks), not O(table files).
-    val chunkLedger = scala.collection.mutable.Map.empty[String, (Path, Long, Long)]
+    val chunkLedger =
+      scala.collection.mutable.Map.empty[String, (String, Long, Long, Long)]
     // the avro bytes depend on (entries, schema, spec, version) AND the
     // repo root (entries embed absolute file URIs — a relocated repo
     // must not reuse manifests pointing at the old mount); entry
@@ -340,11 +356,12 @@ object IcebergExport {
       prevSeq = snapSeq; lastSnapSeq = snapSeq
       val dataRows: Seq[MRow] =
         if (a.chunkRefs.isEmpty) {
-          val manifestPath = metaDir.resolve(s"${UUID.randomUUID()}-m0.avro")
-          writeManifest(manifestPath, a.dataEntries, Some(a.snapshotId),
+          val rel = s"metadata/${UUID.randomUUID()}-m0.avro"
+          val bytes = manifestBytes(a.dataEntries, Some(a.snapshotId),
             icebergSchemaJson(phys), specFields, srcTypeOf, specFieldsJson, v,
             manifestContent = "data", specId = 0)
-          Seq(MRow(manifestPath, 0, a.dataEntries.size, 0,
+          dest.writeAtomic(rel, bytes)
+          Seq(MRow(rel, bytes.length.toLong, 0, a.dataEntries.size, 0,
             a.dataEntries.map(_.rows).sum, 0L, snapSeq,
             a.dataEntries.map(_.seq).minOption.getOrElse(1L), 0, a.snapshotId))
         } else {
@@ -356,21 +373,24 @@ object IcebergExport {
             val entries = a.dataEntries.slice(off, off + ref.count)
             off += ref.count
             val sha = shaHex(s"${ref.path}|$cfgSha")
-            val p = metaDir.resolve(s"cm-$sha-m0.avro")
-            if (!Files.exists(p)) {
-              // temp-write + atomic move: presence of the final name
-              // certifies a COMPLETE avro (a crash mid-write must never
-              // leave a truncated manifest every later emission reuses)
-              val tmp = metaDir.resolve(s".tmp-${UUID.randomUUID()}.avro")
-              writeManifest(tmp, entries, entrySnapshotId = None,
-                icebergSchemaJson(phys), specFields, srcTypeOf,
-                specFieldsJson, v, manifestContent = "data", specId = 0)
-              publishAtomically(tmp, p)
-            }
-            val (path, firstSnap, firstSeq) = chunkLedger.getOrElseUpdate(
-              sha, (p, a.snapshotId, snapSeq))
+            val rel = s"metadata/cm-$sha-m0.avro"
+            // serialized once, published whole (writeAtomic): presence
+            // of the final name certifies a COMPLETE avro (a crash
+            // mid-write must never leave a truncated manifest every
+            // later emission reuses)
+            val len =
+              if (dest.isFile(rel)) dest.size(rel)
+              else {
+                val bytes = manifestBytes(entries, entrySnapshotId = None,
+                  icebergSchemaJson(phys), specFields, srcTypeOf,
+                  specFieldsJson, v, manifestContent = "data", specId = 0)
+                dest.writeAtomic(rel, bytes)
+                bytes.length.toLong
+              }
+            val (mRel, mLen, firstSnap, firstSeq) = chunkLedger.getOrElseUpdate(
+              sha, (rel, len, a.snapshotId, snapSeq))
             val reused = firstSnap != a.snapshotId
-            MRow(path, 0,
+            MRow(mRel, mLen, 0,
               if (reused) 0 else entries.size,
               if (reused) entries.size else 0,
               if (reused) 0L else entries.map(_.rows).sum,
@@ -387,25 +407,27 @@ object IcebergExport {
       val eqEntries = a.deleteEntries.filter(_.content == 2)
       val eqSpecId = if (specFields.isEmpty) 0 else 1
       def deleteManifest(entries: Seq[MEntry], specId: Int)
-          : Option[(Path, Seq[MEntry], Int)] =
+          : Option[(String, Long, Seq[MEntry], Int)] =
         if (entries.isEmpty) None else {
-          val p = metaDir.resolve(s"${UUID.randomUUID()}-m1.avro")
+          val rel = s"metadata/${UUID.randomUUID()}-m1.avro"
           val (sf, sfJson) =
             if (specId == 0) (specFields, specFieldsJson) else (Nil, "[]")
-          writeManifest(p, entries, Some(a.snapshotId), icebergSchemaJson(phys),
-            sf, srcTypeOf, sfJson, v, manifestContent = "deletes", specId)
-          Some((p, entries, specId))
+          val bytes = manifestBytes(entries, Some(a.snapshotId),
+            icebergSchemaJson(phys), sf, srcTypeOf, sfJson, v,
+            manifestContent = "deletes", specId)
+          dest.writeAtomic(rel, bytes)
+          Some((rel, bytes.length.toLong, entries, specId))
         }
       val deleteManifests =
         deleteManifest(posEntries, 0) ++ deleteManifest(eqEntries, eqSpecId)
-      val listPath = metaDir.resolve(
-        s"snap-${a.snapshotId}-1-${UUID.randomUUID()}.avro")
-      writeManifestList(listPath, a.snapshotId, v,
+      val listRel =
+        s"metadata/snap-${a.snapshotId}-1-${UUID.randomUUID()}.avro"
+      dest.writeAtomic(listRel, manifestListBytes(dest, a.snapshotId, v,
         dataRows ++
-          deleteManifests.map { case (p, entries, specId) =>
-            MRow(p, 1, entries.size, 0, entries.map(_.rows).sum, 0L,
+          deleteManifests.map { case (rel, len, entries, specId) =>
+            MRow(rel, len, 1, entries.size, 0, entries.map(_.rows).sum, 0L,
               snapSeq, entries.map(_.seq).minOption.getOrElse(1L), specId,
-              a.snapshotId) })
+              a.snapshotId) }))
       val snapMap = new java.util.LinkedHashMap[String, Any]
       snapMap.put("snapshot-id", a.snapshotId)
       parentId.foreach(p => snapMap.put("parent-snapshot-id", p))
@@ -430,7 +452,7 @@ object IcebergExport {
           .filter(_.content == 2).map(_.rows).sum.toString)
       }
       snapMap.put("summary", summary)
-      snapMap.put("manifest-list", listPath.toUri.toString)
+      snapMap.put("manifest-list", dest.uriOf(listRel))
       snapMap.put("schema-id", 0)
       parentId = Some(a.snapshotId)
       snapMap
@@ -441,7 +463,7 @@ object IcebergExport {
     meta.put("format-version", v)
     meta.put("table-uuid", UUID.nameUUIDFromBytes(
       snap.id.getBytes(StandardCharsets.UTF_8)).toString)
-    meta.put("location", dest.toUri.toString.stripSuffix("/"))
+    meta.put("location", dest.uriOf("").stripSuffix("/"))
     if (v >= 2) meta.put("last-sequence-number", lastSnapSeq)
     meta.put("last-updated-ms", nowMs)
     meta.put("last-column-id", lastColumnId(phys))
@@ -495,12 +517,12 @@ object IcebergExport {
     meta.put("metadata-log", java.util.List.of())
 
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val metaPath = metaDir.resolve(s"v$version.metadata.json")
-    Files.writeString(metaPath,
+    val metaRel = s"metadata/v$version.metadata.json"
+    dest.writeString(metaRel,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
     // HadoopCatalog-style discovery: readers resolve v<hint>.metadata.json
-    Files.writeString(metaDir.resolve("version-hint.text"), version.toString)
-    metaPath
+    dest.writeString("metadata/version-hint.text", version.toString)
+    dest.displayPath(metaRel)
   }
 
   // ---- per-file column statistics --------------------------------------
@@ -637,7 +659,8 @@ object IcebergExport {
     * — no Spark job, no data scanned, O(predicate) work.
     */
   private def writeEqualityDelete(t: Tombstone, phys: StructType,
-      dataDir: Path): DeleteFile = {
+      dest: DestIO): DeleteFile = {
+    dest.mkdirs("data")
     import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val (cols, rows) = equalityRows(t.filter, phys).getOrElse(
@@ -673,11 +696,14 @@ object IcebergExport {
     // certifies a complete file, so a crash mid-write can never leave a
     // truncated parquet that every future export would reuse.
     val fp = shaHex(s"${t.seq}|${t.filter}|${ids.mkString(",")}|$msg")
-    val out = dataDir.resolve(s"eq-$fp-deletes.parquet")
-    if (Files.exists(out))
-      return DeleteFile(out, rows.size.toLong, Map.empty, content = 2,
-        seq = t.seq + 1, equalityIds = ids)
-    val tmpOut = dataDir.resolve(s".tmp-${UUID.randomUUID()}-eq.parquet")
+    val outRel = s"data/eq-$fp-deletes.parquet"
+    if (dest.isFile(outRel))
+      return DeleteFile(outRel, dest.size(outRel), rows.size.toLong,
+        Map.empty, content = 2, seq = t.seq + 1, equalityIds = ids)
+    // staged LOCALLY (parquet-hadoop needs a seekable sink), then
+    // published whole via the dest seam — works for remote dests too
+    val tmpOut = Files.createTempFile("graft-ice-eq", ".parquet")
+    Files.deleteIfExists(tmpOut) // writer refuses existing files
     val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
       .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
         new org.apache.hadoop.fs.Path(tmpOut.toUri),
@@ -708,23 +734,10 @@ object IcebergExport {
       }
       writer.write(g)
     } finally writer.close()
-    publishAtomically(tmpOut, out)
-    DeleteFile(out, rows.size.toLong, Map.empty, content = 2,
+    val size = Files.size(tmpOut)
+    dest.uploadAtomic(tmpOut, outRel)
+    DeleteFile(outRel, size, rows.size.toLong, Map.empty, content = 2,
       seq = t.seq + 1, equalityIds = ids)
-  }
-
-  /** Move a fully written temp file to its content-addressed final name.
-    * A concurrent writer that got there first wins (same bytes by
-    * construction); the loser's temp is dropped.
-    */
-  private def publishAtomically(tmp: Path, dst: Path): Unit = {
-    try Files.move(tmp, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-      case e: java.nio.file.FileSystemException =>
-        if (Files.exists(dst)) Files.deleteIfExists(tmp) else throw e
-    }
   }
 
   // ---- positional delete files (v2) ------------------------------------
@@ -751,7 +764,7 @@ object IcebergExport {
     */
   private def writePositionDeletes(s: SparkSession, repo: GraftRepo,
       snap: Snapshot, phys: StructType, specFields: Seq[PartitionField],
-      tombs: Seq[Tombstone], dest: Path): Seq[DeleteFile] = {
+      tombs: Seq[Tombstone], dest: DestIO): Seq[DeleteFile] = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, regexp_replace}
     // per-snapshot memo: positions are a pure function of the graft
     // snapshot (files + tombstones + schema all live in it), so a sync
@@ -759,20 +772,20 @@ object IcebergExport {
     // the whole Spark job and reuses the files from the previous
     // emission. index.json is written LAST — a crashed emission simply
     // recomputes.
-    val memoDir = dest.resolve("data").resolve(s"pos-${snap.id}")
-    val indexPath = memoDir.resolve("index.json")
-    if (Files.isRegularFile(indexPath))
-      return Json.read[PosIndex](Files.readString(indexPath)).entries.map(e =>
-        DeleteFile(memoDir.resolve(e.name), e.rows, e.partValues,
-          content = 1, e.seq, Nil))
+    val memoRel = s"data/pos-${snap.id}"
+    val indexRel = s"$memoRel/index.json"
+    if (dest.isFile(indexRel))
+      return Json.read[PosIndex](dest.readString(indexRel)).entries.map(e =>
+        DeleteFile(s"$memoRel/${e.name}",
+          if (e.bytes >= 0) e.bytes else dest.size(s"$memoRel/${e.name}"),
+          e.rows, e.partValues, content = 1, e.seq, Nil))
     val (_, groups) = Tombstones.split(tombs, phys, snap.files, Some(repo.root))
     if (groups.isEmpty) {
-      Files.createDirectories(memoDir)
-      Files.writeString(indexPath, Json.write(PosIndex(Nil)))
+      dest.mkdirs(memoRel)
+      dest.writeString(indexRel, Json.write(PosIndex(Nil)))
       return Nil
     }
-    val dataDir = memoDir
-    Files.createDirectories(dataDir)
+    dest.mkdirs(memoRel)
 
     // one output slot per (tombstone group × partition tuple); slot
     // order is deterministic (group order, then tuple sort) so exported
@@ -850,17 +863,19 @@ object IcebergExport {
         val rows = parquetRowCount(s, part)
         if (rows == 0L) None
         else {
-          val dst = dataDir.resolve(s"${UUID.randomUUID()}-deletes.parquet")
-          Files.move(part, dst)
-          Some(DeleteFile(dst, rows, sl.pv, content = 1, sl.seq, Nil))
+          val rel = s"$memoRel/${UUID.randomUUID()}-deletes.parquet"
+          val size = Files.size(part)
+          dest.uploadAtomic(part, rel)
+          Some(DeleteFile(rel, size, rows, sl.pv, content = 1, sl.seq, Nil))
         }
       }
     }
     deleteRecursively(tmp)
     // publish the memo (index last: its presence certifies the files)
-    Files.writeString(indexPath, Json.write(PosIndex(out.map(d =>
-      PosEntry(d.path.getFileName.toString, d.rows,
-        if (d.partValues.isEmpty) None else Some(d.partValues), d.seq)))))
+    dest.writeString(indexRel, Json.write(PosIndex(out.map(d =>
+      PosEntry(d.rel.substring(d.rel.lastIndexOf('/') + 1), d.rows,
+        if (d.partValues.isEmpty) None else Some(d.partValues), d.seq,
+        d.size)))))
     out
   }
 
@@ -868,8 +883,12 @@ object IcebergExport {
     * [[writePositionDeletes]]): file name relative to the memo dir +
     * the manifest metadata needed to re-reference it without a scan.
     */
+  // `bytes` is a primitive with a -1 "unknown" sentinel, NOT
+  // Option[Long]: jackson-scala materializes Option[Long] as a boxed
+  // Integer for small values and the unbox throws at use
   private final case class PosEntry(name: String, rows: Long,
-      partitionValues: Option[Map[String, String]], seq: Long) {
+      partitionValues: Option[Map[String, String]], seq: Long,
+      bytes: Long = -1L) {
     def partValues: Map[String, String] =
       Option(partitionValues).flatten.getOrElse(Map.empty)
   }
@@ -1226,12 +1245,13 @@ object IcebergExport {
     * chunk manifests, whose bytes must not depend on which snapshot
     * references them.
     */
-  private def writeManifest(path: Path, entries: Seq[MEntry],
+  private def manifestBytes(entries: Seq[MEntry],
       entrySnapshotId: Option[Long], schemaJson: String,
       specFields: Seq[PartitionField],
       srcTypeOf: PartitionField => DataType,
       specFieldsJson: String, v: Int, manifestContent: String,
-      specId: Int): Unit = {
+      specId: Int): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
     val entrySchema = manifestEntrySchema(specFields, srcTypeOf, v)
     val writer = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](entrySchema))
@@ -1241,7 +1261,7 @@ object IcebergExport {
     writer.setMeta("partition-spec-id", specId.toString)
     writer.setMeta("format-version", v.toString)
     writer.setMeta("content", manifestContent)
-    writer.create(entrySchema, path.toFile)
+    writer.create(entrySchema, bo)
     try {
       val dfSchema = entrySchema.getField("data_file").schema()
       val partSchema = dfSchema.getField("partition").schema()
@@ -1298,6 +1318,7 @@ object IcebergExport {
         writer.append(e)
       }
     } finally writer.close()
+    bo.toByteArray
   }
 
   /** manifest_file — the manifest-list record layout. v2 adds content /
@@ -1329,19 +1350,20 @@ object IcebergExport {
     rec
   }
 
-  private def writeManifestList(path: Path, snapshotId: Long, v: Int,
-      manifests: Seq[MRow]): Unit = {
+  private def manifestListBytes(dest: DestIO, snapshotId: Long, v: Int,
+      manifests: Seq[MRow]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
     val schema = manifestFileSchema(v)
     val writer = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](schema))
     writer.setMeta("snapshot-id", snapshotId.toString)
     writer.setMeta("format-version", v.toString)
-    writer.create(schema, path.toFile)
+    writer.create(schema, bo)
     val n = if (v == 1) "_data_files_count" else "_files_count"
     try manifests.foreach { m =>
       val r = new GenericData.Record(schema)
-      r.put("manifest_path", m.path.toUri.toString)
-      r.put("manifest_length", Files.size(m.path))
+      r.put("manifest_path", dest.uriOf(m.rel))
+      r.put("manifest_length", m.len)
       r.put("partition_spec_id", m.specId)
       if (v >= 2) {
         r.put("content", m.content)
@@ -1360,6 +1382,7 @@ object IcebergExport {
       r.put("deleted_rows_count", 0L)
       writer.append(r)
     } finally writer.close()
+    bo.toByteArray
   }
 
   // ---- export-dir retention (CALL iceberg_export_expire) ---------------
@@ -1386,53 +1409,58 @@ object IcebergExport {
     * with the guard, do not let a single emission straddle the window.
     */
   def expireDest(dest: Path, keepVersions: Int,
-      olderThanMs: Long = 600000L): (Int, Int) = {
+      olderThanMs: Long = 600000L): (Int, Int) =
+    expireDest(new NioDestIO(dest): DestIO, keepVersions, olderThanMs)
+
+  /** String-dest form (URI scheme → Hadoop FileSystem, like
+    * [[exportTo]]). */
+  def expireDestAt(dest: String, keepVersions: Int,
+      olderThanMs: Long): (Int, Int) =
+    expireDest(DestIO.of(dest), keepVersions, olderThanMs)
+
+  private[versioned] def expireDest(dest: DestIO, keepVersions: Int,
+      olderThanMs: Long): (Int, Int) = {
     require(keepVersions >= 1, "keepVersions must be >= 1")
     val cutoff = System.currentTimeMillis() - olderThanMs
-    def sweepable(p: Path): Boolean =
-      !p.getFileName.toString.startsWith(".tmp-") &&
-        (try Files.getLastModifiedTime(p).toMillis < cutoff
-         catch { case _: java.io.IOException => false })
-    def listed(dir: Path): List[Path] =
-      scala.util.Using.resource(Files.list(dir))(_.iterator().asScala.toList)
-    val metaDir = dest.resolve("metadata")
-    if (!Files.isDirectory(metaDir)) return (0, 0)
+    def sweepable(rel: String): Boolean =
+      !rel.substring(rel.lastIndexOf('/') + 1).startsWith(".tmp-") &&
+        (try dest.mtimeMs(rel) < cutoff catch { case _: Exception => false })
+    if (!dest.isDirectory("metadata")) return (0, 0)
     val Re = """v(\d+)\.metadata\.json""".r
-    val versions = listed(metaDir)
-      .flatMap(p => p.getFileName.toString match {
-        case Re(n) => Some(n.toInt -> p)
+    val versions = dest.listNames("metadata")
+      .flatMap {
+        case Re(n) => Some(n.toInt)
         case _ => None
-      }).sortBy(_._1)
+      }.sorted
     val kept = versions.takeRight(keepVersions)
     val dead = versions.dropRight(keepVersions)
 
     // everything a kept version can reach: manifest lists → manifests →
-    // (delete manifests only) delete parquets under dest
-    val referenced = scala.collection.mutable.Set.empty[Path]
-    def norm(u: String): Option[Path] =
-      try Some(java.nio.file.Paths.get(java.net.URI.create(u))
-        .toAbsolutePath.normalize)
-      catch { case _: Exception => None }
-    def readAvro(p: Path): Seq[GenericRecord] = {
+    // (delete manifests only) delete parquets under dest — all as
+    // dest-relative paths (URIs outside the dest are never swept anyway)
+    val referenced = scala.collection.mutable.Set.empty[String]
+    def readAvro(rel: String): Seq[GenericRecord] = {
       val rd = new org.apache.avro.file.DataFileReader[GenericRecord](
-        p.toFile, new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+        new org.apache.avro.file.SeekableByteArrayInput(dest.readBytes(rel)),
+        new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
       try rd.iterator().asScala.toList finally rd.close()
     }
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    kept.foreach { case (_, vPath) =>
-      val meta = om.readTree(Files.readString(vPath))
+    kept.foreach { v =>
+      val meta = om.readTree(dest.readString(s"metadata/v$v.metadata.json"))
       val snaps = meta.get("snapshots")
       (0 until snaps.size()).foreach { i =>
-        norm(snaps.get(i).get("manifest-list").asText()).foreach { list =>
+        dest.relOf(snaps.get(i).get("manifest-list").asText()).foreach { list =>
           referenced += list
-          if (Files.exists(list)) readAvro(list).foreach { mf =>
-            norm(mf.get("manifest_path").toString).foreach { m =>
+          if (dest.isFile(list)) readAvro(list).foreach { mf =>
+            dest.relOf(mf.get("manifest_path").toString).foreach { m =>
               referenced += m
               val isDelete = Option(mf.getSchema.getField("content"))
                 .exists(_ => mf.get("content").asInstanceOf[Int] == 1)
-              if (isDelete && Files.exists(m)) readAvro(m).foreach { e =>
+              if (isDelete && dest.isFile(m)) readAvro(m).foreach { e =>
                 val df = e.get("data_file").asInstanceOf[GenericRecord]
-                norm(df.get("file_path").toString).foreach(referenced += _)
+                dest.relOf(df.get("file_path").toString)
+                  .foreach(referenced += _)
               }
             }
           }
@@ -1443,35 +1471,37 @@ object IcebergExport {
     var metaDeleted = 0
     // superseded version files are safe at any age (they are OLD by
     // construction); the orphan sweeps below are what need the guard
-    dead.foreach { case (_, p) => Files.deleteIfExists(p); metaDeleted += 1 }
-    listed(metaDir)
-      .filter(_.getFileName.toString.endsWith(".avro"))
-      .filterNot(p => referenced.contains(p.toAbsolutePath.normalize))
+    dead.foreach { v =>
+      if (dest.delete(s"metadata/v$v.metadata.json")) metaDeleted += 1
+    }
+    dest.listNames("metadata")
+      .filter(_.endsWith(".avro")).map(n => s"metadata/$n")
+      .filterNot(referenced.contains)
       .filter(sweepable)
-      .foreach { p => Files.deleteIfExists(p); metaDeleted += 1 }
+      .foreach { rel => if (dest.delete(rel)) metaDeleted += 1 }
 
     var delDeleted = 0
-    val dataDir = dest.resolve("data")
-    if (Files.isDirectory(dataDir)) {
-      scala.util.Using.resource(Files.walk(dataDir))(
-        _.iterator().asScala.toList)
-        .filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith("-deletes.parquet"))
-        .filterNot(p => referenced.contains(p.toAbsolutePath.normalize))
+    if (dest.isDirectory("data")) {
+      dest.walkFiles("data")
+        .filter(_.endsWith("-deletes.parquet"))
+        .filterNot(referenced.contains)
         .filter(sweepable)
-        .foreach { p => Files.deleteIfExists(p); delDeleted += 1 }
+        .foreach { rel => if (dest.delete(rel)) delDeleted += 1 }
       // memo dirs whose files are all gone: drop the index + dir (a
       // future export of that snapshot recomputes). Young dirs are an
-      // in-flight emission's staging — leave them alone.
-      listed(dataDir)
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("pos-") && sweepable(p))
+      // in-flight emission's staging — leave them alone (object-store
+      // backends without real dir mtimes treat them as always ripe;
+      // their file-level guards above still hold).
+      dest.listNames("data")
+        .filter(_.startsWith("pos-")).map(n => s"data/$n")
+        .filter(d => dest.isDirectory(d) &&
+          (try dest.mtimeMs(d) < cutoff catch { case _: Exception => true }))
         .foreach { d =>
-          val live = listed(d)
-            .exists(_.getFileName.toString.endsWith("-deletes.parquet"))
+          val live = dest.listNames(d)
+            .exists(_.endsWith("-deletes.parquet"))
           if (!live) {
-            Files.deleteIfExists(d.resolve("index.json"))
-            if (listed(d).isEmpty) Files.deleteIfExists(d)
+            dest.delete(s"$d/index.json")
+            if (dest.listNames(d).isEmpty) dest.delete(d)
           }
         }
     }

@@ -72,33 +72,76 @@ object IcebergImport {
     def equalityDeletes: Seq[DeleteFile] = deleteFiles.filter(_.content == 2)
   }
 
+  // ---- location access: plain local paths via java.nio, URIs with a
+  // scheme (s3a://, hdfs://, file://) via the Hadoop FileSystem for
+  // that scheme — so an import can read a table living in the object
+  // store an external engine wrote it to.
+
+  private val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://.*".r
+  private def hasScheme(s: String): Boolean = SchemeRe.matches(s)
+
+  private def hadoopFs(s: String): org.apache.hadoop.fs.FileSystem = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    org.apache.hadoop.fs.FileSystem.get(java.net.URI.create(s), conf)
+  }
+  private def readBytesAt(s: String): Array[Byte] =
+    if (!hasScheme(s)) Files.readAllBytes(Paths.get(s))
+    else scala.util.Using.resource(
+      hadoopFs(s).open(new org.apache.hadoop.fs.Path(s)))(in =>
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in))
+  private def readStringAt(s: String): String =
+    new String(readBytesAt(s), java.nio.charset.StandardCharsets.UTF_8)
+  private def isDirAt(s: String): Boolean =
+    if (!hasScheme(s)) Files.isDirectory(Paths.get(s))
+    else try hadoopFs(s).getFileStatus(
+      new org.apache.hadoop.fs.Path(s)).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+  private def existsAt(s: String): Boolean =
+    if (!hasScheme(s)) Files.exists(Paths.get(s))
+    else try { hadoopFs(s).getFileStatus(
+      new org.apache.hadoop.fs.Path(s)); true }
+    catch { case _: java.io.FileNotFoundException => false }
+  private def joinLoc(base: String, child: String): String =
+    if (!hasScheme(base)) Paths.get(base).resolve(child).toString
+    else base.stripSuffix("/") + "/" + child
+  private def nameOf(s: String): String =
+    s.stripSuffix("/").substring(s.stripSuffix("/").lastIndexOf('/') + 1)
+
   /** HadoopCatalog-style discovery: a DIRECTORY (table root or its
     * `metadata/`) resolves through `version-hint.text` to the newest
     * `v<N>.metadata.json`, so re-reading the same dir after a sync-mode
     * re-export sees the new table state; a file path is used as-is.
     */
   def resolveMetadata(p: Path): Path =
-    if (!Files.isDirectory(p)) p
+    Paths.get(resolveMetadataLoc(p.toString))
+
+  /** String/URI form of [[resolveMetadata]]. */
+  def resolveMetadataLoc(p: String): String =
+    if (!isDirAt(p)) p
     else {
-      val metaDir =
-        if (p.getFileName != null && p.getFileName.toString == "metadata") p
-        else p.resolve("metadata")
-      val hint = metaDir.resolve("version-hint.text")
-      if (!Files.exists(hint))
+      val metaDir = if (nameOf(p) == "metadata") p else joinLoc(p, "metadata")
+      val hint = joinLoc(metaDir, "version-hint.text")
+      if (!existsAt(hint))
         throw new IllegalArgumentException(
           s"$p is a directory but has no metadata/version-hint.text")
-      metaDir.resolve(s"v${Files.readString(hint).trim}.metadata.json")
+      joinLoc(metaDir, s"v${readStringAt(hint).trim}.metadata.json")
     }
 
   /** Parse metadata JSON + manifests into the current snapshot's plan. */
-  def plan(metadataPath: Path): Plan = plan(metadataPath, None)
+  def plan(metadataPath: Path): Plan = plan(metadataPath.toString, None)
+
+  def plan(metadataPath: Path, snapshotId: Option[Long]): Plan =
+    plan(metadataPath.toString, snapshotId)
 
   /** Plan a specific snapshot (`snapshotId`), or the current one when
     * None — time travel over a history export's `snapshots` list.
+    * `metadataLoc` may be a local path or a URI with a Hadoop scheme.
     */
-  def plan(metadataPath: Path, snapshotId: Option[Long]): Plan = {
+  def plan(metadataLoc: String, snapshotId: Option[Long]): Plan = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val meta = mapper.readTree(Files.readString(resolveMetadata(metadataPath)))
+    val meta = mapper.readTree(readStringAt(resolveMetadataLoc(metadataLoc)))
     val v = meta.get("format-version").asInt()
     require(v == 1 || v == 2, s"unsupported Iceberg format-version: $v")
 
@@ -184,12 +227,18 @@ object IcebergImport {
     * in data files with a STRICTLY LOWER data sequence number).
     */
   def read(spark: SparkSession, metadataPath: Path): DataFrame =
-    read(spark, metadataPath, None)
+    read(spark, metadataPath.toString, None)
 
-  /** Read a specific snapshot of a history export (None = current). */
   def read(spark: SparkSession, metadataPath: Path,
+      snapshotId: Option[Long]): DataFrame =
+    read(spark, metadataPath.toString, snapshotId)
+
+  /** Read a specific snapshot of a history export (None = current).
+    * `metadataLoc` may be a local path or a Hadoop-scheme URI.
+    */
+  def read(spark: SparkSession, metadataLoc: String,
       snapshotId: Option[Long]): DataFrame = {
-    val p = plan(metadataPath, snapshotId)
+    val p = plan(metadataLoc, snapshotId)
     val outCols = p.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
     if (p.dataFiles.isEmpty)
       return spark.createDataFrame(
@@ -324,7 +373,8 @@ object IcebergImport {
       path: String): Option[Map[Int, String]] = {
     val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(new java.io.File(path).toURI),
+        new org.apache.hadoop.fs.Path(
+          if (hasScheme(path)) path else new java.io.File(path).toURI.toString),
         spark.sessionState.newHadoopConf()))
     try {
       val ids = rd.getFooter.getFileMetaData.getSchema.getFields.asScala
@@ -355,7 +405,8 @@ object IcebergImport {
 
   private def readAvro(p: String): Seq[GenericRecord] = {
     val rd = new DataFileReader[GenericRecord](
-      new java.io.File(p), new GenericDatumReader[GenericRecord]())
+      new org.apache.avro.file.SeekableByteArrayInput(readBytesAt(p)),
+      new GenericDatumReader[GenericRecord]())
     try rd.iterator().asScala.toList finally rd.close()
   }
 

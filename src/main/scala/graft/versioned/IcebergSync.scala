@@ -179,42 +179,42 @@ object IcebergSync {
   }
 
   /** Newest existing metadata version in `dest` (0 = none yet). */
-  def latestVersion(dest: Path): Int = {
-    val metaDir = dest.resolve("metadata")
-    if (!Files.isDirectory(metaDir)) 0
-    else {
-      val Re = """v(\d+)\.metadata\.json""".r
-      scala.util.Using.resource(Files.list(metaDir))(_.iterator().asScala
-        .flatMap(p => p.getFileName.toString match {
-          case Re(n) => Some(n.toInt)
-          case _ => None
-        }).maxOption.getOrElse(0))
-    }
+  def latestVersion(dest: Path): Int = latestVersion(new NioDestIO(dest))
+
+  private[versioned] def latestVersion(dest: DestIO): Int = {
+    if (!dest.isDirectory("metadata")) return 0
+    val Re = """v(\d+)\.metadata\.json""".r
+    dest.listNames("metadata").flatMap {
+      case Re(n) => Some(n.toInt)
+      case _ => None
+    }.maxOption.getOrElse(0)
   }
 
   /** The graft snapshot id the dest's newest metadata was exported
     * from, or None when nothing readable is there yet.
     */
-  private def exportedSnapshot(dest: Path): Option[String] = {
+  private def exportedSnapshot(dest: DestIO): Option[String] = {
     val v = latestVersion(dest)
     if (v == 0) None
     else scala.util.Try {
       val meta = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(Files.readString(
-          dest.resolve("metadata").resolve(s"v$v.metadata.json")))
+        .readTree(dest.readString(s"metadata/v$v.metadata.json"))
       meta.get("properties").get("graft.source-snapshot").asText()
     }.toOption
   }
 
   /** Export the next metadata version into `dest` (used by both the
-    * sync-mode CALL and the post-commit follower). Returns the written
-    * metadata path.
+    * sync-mode CALL and the post-commit follower). `Reg.dest` with a
+    * URI scheme (s3a://…) routes through the Hadoop FileSystem for
+    * that scheme — see [[IcebergExport.exportTo]]. Returns the written
+    * metadata path/URI.
     */
   def syncExport(repo: GraftRepo, reg: Reg,
-      spark: Option[org.apache.spark.sql.SparkSession]): Path =
-    IcebergExport.export(repo, reg.ref, reg.table,
-      java.nio.file.Paths.get(reg.dest), spark, reg.snapshots,
-      latestVersion(java.nio.file.Paths.get(reg.dest)) + 1)
+      spark: Option[org.apache.spark.sql.SparkSession]): String = {
+    val d = DestIO.of(reg.dest)
+    IcebergExport.export(repo, reg.ref, reg.table, d, spark, reg.snapshots,
+      latestVersion(d) + 1)
+  }
 
   /** Post-ref-advance hook: re-emit every drifted registration on
     * `branch`, in deterministic (table, dest) order, then apply each
@@ -230,8 +230,8 @@ object IcebergSync {
         try {
           val sid = repo.resolve(branch).tables.get(reg.table)
           sid match {
-            case Some(s) if !exportedSnapshot(
-                java.nio.file.Paths.get(reg.dest)).contains(s) =>
+            case Some(s) if !exportedSnapshot(DestIO.of(reg.dest))
+                .contains(s) =>
               syncExport(repo, reg,
                 org.apache.spark.sql.SparkSession.getActiveSession)
               // age guard 0 is safe HERE: sync's contract makes this
@@ -239,9 +239,8 @@ object IcebergSync {
               // completed, and registrations emit sequentially — no
               // unreferenced file of a concurrent publish can exist
               if (reg.keepVersions >= 1)
-                IcebergExport.expireDest(
-                  java.nio.file.Paths.get(reg.dest), reg.keepVersions,
-                  olderThanMs = 0L)
+                IcebergExport.expireDest(DestIO.of(reg.dest),
+                  reg.keepVersions, olderThanMs = 0L)
             case _ => () // table unchanged (or dropped): nothing to emit
           }
         } catch {
