@@ -607,73 +607,142 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       var spec = snap.partitionFields
       var tblProps = snap.properties
       var retired = snap.retiredNames
-      def single(fieldNames: Array[String], what: String): String = {
-        if (fieldNames.length != 1)
-          throw new UnsupportedOperationException(s"nested $what not supported")
-        fieldNames(0)
+
+      // ---- nested-path helpers -----------------------------------------
+      // A change names a field by path (["s","b"] = member b of struct
+      // s). Mapping keys are dotted LOGICAL paths; retired entries are
+      // dotted PHYSICAL paths (physical names never change, so a parent
+      // rename cannot orphan its children's retirement records). ALTER
+      // inside array/map element types stays unsupported.
+      def parentStructAt(parents: Seq[String]): StructType =
+        parents.foldLeft(schema) { (st, seg) =>
+          st.fields.find(_.name == seg) match {
+            case Some(f) => f.dataType match {
+              case s: StructType => s
+              case other => throw new UnsupportedOperationException(
+                s"nested ALTER inside ${other.simpleString} is not " +
+                  s"supported (struct members only): $seg")
+            }
+            case None =>
+              throw new IllegalArgumentException(s"no such column: $seg")
+          }
+        }
+      def mapStructAt(parents: Seq[String])(
+          f: StructType => StructType): Unit = {
+        def walk(st: StructType, rest: Seq[String]): StructType =
+          if (rest.isEmpty) f(st)
+          else StructType(st.fields.map { fl =>
+            if (fl.name != rest.head) fl
+            else fl.copy(dataType =
+              walk(fl.dataType.asInstanceOf[StructType], rest.tail))
+          })
+        schema = walk(schema, parents)
       }
+      /** Dotted PHYSICAL path of a logical path, via the mapping. */
+      def physPathOf(path: Seq[String]): String =
+        path.indices.map { i =>
+          mapping.getOrElse(path.take(i + 1).mkString("."), path(i))
+        }.mkString(".")
+
       changes.foreach {
         case a: TableChange.AddColumn =>
-          val name = single(a.fieldNames(), "ADD COLUMN")
-          if (schema.fieldNames.contains(name))
-            throw new IllegalArgumentException(s"column already exists: $name")
-          // a new column's physical name defaults to its logical name,
-          // but names still occupied by stored bytes — a renamed
-          // column's physical storage, or a DROPPED column's retired
-          // physical name — must get a FRESH physical name, or old
-          // files' dead bytes would resurface as the new column instead
-          // of nulls (Iceberg avoids this by never reusing field ids)
-          val occupied = mapping.values.toSet ++ retired
+          val path = a.fieldNames().toSeq
+          val (parents, name) = (path.init, path.last)
+          val parent = parentStructAt(parents)
+          if (parent.fieldNames.contains(name))
+            throw new IllegalArgumentException(
+              s"column already exists: ${path.mkString(".")}")
+          // a new field's physical name defaults to its logical name,
+          // but names still occupied by stored bytes IN THIS STRUCT —
+          // a renamed sibling's physical storage, or a DROPPED
+          // sibling's retired physical name — must get a FRESH physical
+          // name, or old files' dead bytes would resurface as the new
+          // field instead of nulls (Iceberg avoids this by never
+          // reusing field ids)
+          val physParent = physPathOf(parents) // "" at top level
+          val siblingPhys = parent.fields.map(f =>
+            mapping.getOrElse((parents :+ f.name).mkString("."), f.name)).toSet
+          val retiredHere = retired.collect {
+            case r if physParent.isEmpty && !r.contains('.') => r
+            case r if physParent.nonEmpty && r.startsWith(physParent + ".") &&
+              !r.stripPrefix(physParent + ".").contains('.') =>
+              r.stripPrefix(physParent + ".")
+          }
+          val occupied = siblingPhys ++ retiredHere
           if (occupied.contains(name)) {
             val fresh = Iterator.from(1).map(i => s"${name}__r$i")
-              .find(p => !occupied.contains(p) && !schema.fieldNames.contains(p))
-              .get
-            mapping += (name -> fresh)
+              .find(p => !occupied.contains(p)).get
+            mapping += (path.mkString(".") -> fresh)
           }
-          schema = schema.add(name, a.dataType(), nullable = true)
+          mapStructAt(parents)(_.add(name, a.dataType(), nullable = true))
         case del: TableChange.DeleteColumn =>
-          val name = single(del.fieldNames(), "DROP COLUMN")
-          if (!schema.fieldNames.contains(name))
-            throw new IllegalArgumentException(s"no such column: $name")
-          // a live merge-on-read tombstone that references the column
-          // could no longer be evaluated — deleted rows would resurrect
-          val phys = mapping.getOrElse(name, name)
+          val path = del.fieldNames().toSeq
+          val (parents, name) = (path.init, path.last)
+          val parent = parentStructAt(parents)
+          if (!parent.fieldNames.contains(name))
+            throw new IllegalArgumentException(
+              s"no such column: ${path.mkString(".")}")
+          // a live merge-on-read tombstone that references the field
+          // (or any leaf under it) could no longer be evaluated —
+          // deleted rows would resurrect
+          val physFull = physPathOf(path)
           val tombRefs = graft.versioned.Tombstones.of(snap)
             .flatMap(t => graft.versioned.FilterJson.columns(t.filter)).toSet
-          if (tombRefs.contains(phys))
+          if (tombRefs.exists(c => c == physFull ||
+              c.startsWith(physFull + ".")))
             throw new UnsupportedOperationException(
-              s"cannot drop column $name: a merge-on-read delete tombstone " +
-                "references it; run compaction first to materialize the delete")
-          // the dropped column's physical bytes stay in old files —
-          // retire the physical name so it is never re-bound
-          retired += mapping.getOrElse(name, name)
-          schema = StructType(schema.fields.filterNot(_.name == name))
-          mapping -= name
-          spec = spec.filterNot(_.source == name)
+              s"cannot drop column ${path.mkString(".")}: a merge-on-read " +
+                "delete tombstone references it; run compaction first to " +
+                "materialize the delete")
+          // the dropped field's physical bytes stay in old files —
+          // retire the physical path so it is never re-bound
+          retired += physFull
+          mapStructAt(parents)(st =>
+            StructType(st.fields.filterNot(_.name == name)))
+          val logicalFull = path.mkString(".")
+          mapping = mapping.view.filterKeys(k =>
+            k != logicalFull && !k.startsWith(logicalFull + ".")).toMap
+          if (parents.isEmpty) spec = spec.filterNot(_.source == name)
         case r: TableChange.RenameColumn =>
-          val from = single(r.fieldNames(), "RENAME COLUMN")
+          val path = r.fieldNames().toSeq
+          val (parents, from) = (path.init, path.last)
           val to = r.newName()
-          if (!schema.fieldNames.contains(from))
-            throw new IllegalArgumentException(s"no such column: $from")
-          if (schema.fieldNames.contains(to))
-            throw new IllegalArgumentException(s"column already exists: $to")
-          val physical = mapping.getOrElse(from, from)
-          mapping = mapping - from + (to -> physical)
-          schema = StructType(schema.fields.map(f =>
-            if (f.name == from) f.copy(name = to) else f))
-          // partition spec tracks the LOGICAL source name
-          spec = spec.map(pf =>
-            if (pf.source == from) pf.copy(source = to) else pf)
+          val parent = parentStructAt(parents)
+          if (!parent.fieldNames.contains(from))
+            throw new IllegalArgumentException(
+              s"no such column: ${path.mkString(".")}")
+          if (parent.fieldNames.contains(to))
+            throw new IllegalArgumentException(
+              s"column already exists: ${(parents :+ to).mkString(".")}")
+          val logicalFrom = path.mkString(".")
+          val logicalTo = (parents :+ to).mkString(".")
+          val physical = mapping.getOrElse(logicalFrom, from)
+          // descendants' mapping keys follow the renamed LOGICAL prefix
+          mapping = mapping.map {
+            case (k, v) if k == logicalFrom => logicalTo -> v
+            case (k, v) if k.startsWith(logicalFrom + ".") =>
+              (logicalTo + k.stripPrefix(logicalFrom)) -> v
+            case kv => kv
+          } + (logicalTo -> physical)
+          mapStructAt(parents)(st => StructType(st.fields.map(f =>
+            if (f.name == from) f.copy(name = to) else f)))
+          // partition spec tracks the LOGICAL source name (top level)
+          if (parents.isEmpty)
+            spec = spec.map(pf =>
+              if (pf.source == from) pf.copy(source = to) else pf)
         case t: TableChange.UpdateColumnType =>
-          val name = single(t.fieldNames(), "ALTER COLUMN TYPE")
-          val field = schema.fields.find(_.name == name)
-            .getOrElse(throw new IllegalArgumentException(s"no such column: $name"))
+          val path = t.fieldNames().toSeq
+          val (parents, name) = (path.init, path.last)
+          val parent = parentStructAt(parents)
+          val field = parent.fields.find(_.name == name)
+            .getOrElse(throw new IllegalArgumentException(
+              s"no such column: ${path.mkString(".")}"))
           if (!widens(field.dataType, t.newDataType()))
             throw new UnsupportedOperationException(
               s"only widening type changes are metadata-only: " +
                 s"${field.dataType.simpleString} -> ${t.newDataType().simpleString}")
-          schema = StructType(schema.fields.map(f =>
-            if (f.name == name) f.copy(dataType = t.newDataType()) else f))
+          mapStructAt(parents)(st => StructType(st.fields.map(f =>
+            if (f.name == name) f.copy(dataType = t.newDataType()) else f)))
         case sp: TableChange.SetProperty =>
           // graft.mor.* is engine state (tombstones / commit sequence):
           // user edits would resurrect deleted rows or brick the table

@@ -86,22 +86,42 @@ object TableOps {
     * names; types stay logical (possibly widened — the parquet readers
     * upcast int->long / float->double on the fly).
     */
-  def toPhysical(schema: StructType, m: Map[String, String]): StructType =
-    if (m.isEmpty) schema
-    else StructType(schema.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
+  /** Logical → physical schema. Mapping keys are DOTTED LOGICAL PATHS
+    * ("col", "s.member", "s.inner.leaf"); each value is the physical
+    * name of THAT field alone. Flat maps (pre-nested-ALTER snapshots)
+    * are the degenerate case: top-level paths have no dots. Structs
+    * recurse; array/map element types pass through (ALTER inside them
+    * is unsupported, so their names never diverge).
+    */
+  def toPhysical(schema: StructType, m: Map[String, String]): StructType = {
+    if (m.isEmpty) return schema
+    def walk(st: StructType, prefix: String): StructType =
+      StructType(st.fields.map { f =>
+        val path = prefix + f.name
+        val dt = f.dataType match {
+          case s: StructType => walk(s, path + ".")
+          case other => other
+        }
+        f.copy(name = m.getOrElse(path, f.name), dataType = dt)
+      })
+    walk(schema, "")
+  }
 
   /** Rewrite a v1 filter's attribute references logical -> physical (for
     * pushing into the parquet reader after renames).
     */
   def renameFilter(f: sources.Filter, m: Map[String, String]): sources.Filter = {
     if (m.isEmpty) return f
-    // dotted attr (nested-field pushdown): only the head segment can be
-    // renamed — nested ALTER is unsupported
+    // dotted attr (nested-field pushdown): map every segment through its
+    // logical-path key ("s" then "s.b" then "s.b.c") so nested renames
+    // push down under their physical names; a whole-attr hit wins (a
+    // top-level column whose name happens to contain a dot)
     def p(a: String): String = m.getOrElse(a, {
       val parts = a.split('.')
-      if (parts.length >= 2 && m.contains(parts.head))
-        (m(parts.head) +: parts.tail).mkString(".")
-      else a
+      if (parts.length < 2) a
+      else parts.indices.map { i =>
+        m.getOrElse(parts.take(i + 1).mkString("."), parts(i))
+      }.mkString(".")
     })
     f match {
       case sources.EqualTo(a, v) => sources.EqualTo(p(a), v)
@@ -455,7 +475,16 @@ object TableOps {
           read(fs).filter(Tombstones.keepColumn(tombs))
         }
     val df = parts.reduce(_ unionAll _)
-    if (m.isEmpty) df else df.toDF(schema.fieldNames.toIndexedSeq: _*)
+    if (m.isEmpty) df
+    else {
+      val top = df.toDF(schema.fieldNames.toIndexedSeq: _*)
+      // nested renames: struct member names live in the SCHEMA, not the
+      // rows — a positional cast to the logical type relabels them
+      if (!m.keysIterator.exists(_.contains('.'))) top
+      else top.select(schema.fields.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+          .as(f.name)).toIndexedSeq: _*)
+    }
   }
 
   /** Structured-Streaming source over a graft table's APPEND stream: the

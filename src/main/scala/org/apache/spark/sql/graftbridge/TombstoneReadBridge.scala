@@ -85,12 +85,31 @@ object TombstoneReadBridge {
     */
   private[graftbridge] def toCatalyst(f: Filter, schema: StructType): Expression = {
     import org.apache.spark.sql.catalyst.{expressions => E}
-    def ref(name: String): BoundReference = {
-      val i = schema.fieldIndex(name)
-      BoundReference(i, schema.fields(i).dataType, schema.fields(i).nullable)
-    }
+    // a dotted attr that is not itself a top-level column is a
+    // NESTED-LEAF reference ("s.a" from DELETE WHERE s.a = …): bind the
+    // head column, then chain GetStructField per segment
+    def chain(name: String): (Expression, DataType) =
+      schema.getFieldIndex(name) match {
+        case Some(i) =>
+          (BoundReference(i, schema.fields(i).dataType,
+            schema.fields(i).nullable), schema.fields(i).dataType)
+        case None =>
+          val parts = name.split('.')
+          val i = schema.fieldIndex(parts.head)
+          var expr: Expression = BoundReference(i,
+            schema.fields(i).dataType, schema.fields(i).nullable)
+          var dt = schema.fields(i).dataType
+          parts.tail.foreach { seg =>
+            val st = dt.asInstanceOf[StructType]
+            val j = st.fieldIndex(seg)
+            expr = E.GetStructField(expr, j, Some(seg))
+            dt = st.fields(j).dataType
+          }
+          (expr, dt)
+      }
+    def ref(name: String): Expression = chain(name)._1
     def lit(name: String, v: Any): Expression = {
-      val dt = schema.fields(schema.fieldIndex(name)).dataType
+      val dt = chain(name)._2
       Literal(internal(v, dt), dt)
     }
     f match {

@@ -275,10 +275,147 @@ class NestedTypesSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     } finally mrd.close()
   }
 
-  test("nested ALTER stays loudly unsupported") {
+  test("nested ALTER lifecycle: ADD / RENAME / DROP of struct members " +
+    "are metadata-only; old files read correctly throughout") {
+    sql("CREATE NAMESPACE g.na")
+    sql("CREATE NAMESPACE g.na.main.db")
+    sql("""CREATE TABLE g.na.main.db.e (
+        id INT,
+        meta STRUCT<author: STRING, score: DOUBLE>)""")
+    sql("""INSERT INTO g.na.main.db.e VALUES
+        (1, named_struct('author','ann','score',0.9)),
+        (2, named_struct('author','bob','score',0.4))""")
+
+    // ADD a struct member: pre-existing rows read it as null
+    sql("ALTER TABLE g.na.main.db.e ADD COLUMN meta.lang STRING")
+    rows("SELECT id, meta.lang FROM g.na.main.db.e ORDER BY id") shouldBe
+      Seq(Seq(1, null), Seq(2, null))
+    sql("INSERT INTO g.na.main.db.e VALUES " +
+      "(3, named_struct('author','cat','score',0.7,'lang','en'))")
+    rows("SELECT id, meta.lang FROM g.na.main.db.e ORDER BY id") shouldBe
+      Seq(Seq(1, null), Seq(2, null), Seq(3, "en"))
+
+    // RENAME a struct member: physical bytes untouched, old files keep
+    // reading; predicates on the new name still push down / prune
+    sql("ALTER TABLE g.na.main.db.e RENAME COLUMN meta.score TO rating")
+    rows("SELECT id, meta.rating FROM g.na.main.db.e WHERE meta.rating > 0.5 " +
+      "ORDER BY id") shouldBe Seq(Seq(1, 0.9), Seq(3, 0.7))
+    // rename the PARENT too: children resolve under the new parent name
+    sql("ALTER TABLE g.na.main.db.e RENAME COLUMN meta TO info")
+    rows("SELECT id, info.rating, info.author FROM g.na.main.db.e " +
+      "WHERE info.rating > 0.5 ORDER BY id") shouldBe
+      Seq(Seq(1, 0.9, "ann"), Seq(3, 0.7, "cat"))
+
+    // DROP a member, then re-ADD the same name: the old physical bytes
+    // must NOT resurface (fresh physical name; old rows read null)
+    sql("ALTER TABLE g.na.main.db.e DROP COLUMN info.lang")
+    sql("ALTER TABLE g.na.main.db.e ADD COLUMN info.lang STRING")
+    rows("SELECT id, info.lang FROM g.na.main.db.e ORDER BY id") shouldBe
+      Seq(Seq(1, null), Seq(2, null), Seq(3, null))
+    sql("INSERT INTO g.na.main.db.e VALUES " +
+      "(4, named_struct('author','dan','rating',0.2,'lang','fr'))")
+    rows("SELECT id, info.lang FROM g.na.main.db.e WHERE id >= 3 " +
+      "ORDER BY id") shouldBe Seq(Seq(3, null), Seq(4, "fr"))
+
+    // CoW row-level ops evaluate renamed nested predicates correctly
+    sql("DELETE FROM g.na.main.db.e WHERE info.rating < 0.3")
+    rows("SELECT id FROM g.na.main.db.e ORDER BY id").flatten shouldBe
+      Seq(1, 2, 3)
+  }
+
+  test("nested widen: struct member int -> long is metadata-only") {
+    sql("CREATE NAMESPACE g.nw")
+    sql("CREATE NAMESPACE g.nw.main.db")
+    sql("CREATE TABLE g.nw.main.db.w (id INT, m STRUCT<n: INT>)")
+    sql("INSERT INTO g.nw.main.db.w VALUES (1, named_struct('n', 7))")
+    sql("ALTER TABLE g.nw.main.db.w ALTER COLUMN m.n TYPE BIGINT")
+    rows("SELECT m.n FROM g.nw.main.db.w").head.head shouldBe 7L
+    sql("INSERT INTO g.nw.main.db.w VALUES " +
+      "(2, named_struct('n', 5000000000))")
+    rows("SELECT sum(m.n) FROM g.nw.main.db.w").head.head shouldBe 5000000007L
+    // non-widening stays refused (Spark's analyzer catches the narrow
+    // direction itself; our gate backs it up for what slips through)
     val e = intercept[Exception] {
-      sql("ALTER TABLE g.n1.main.db.t ADD COLUMN meta.extra STRING")
+      sql("ALTER TABLE g.nw.main.db.w ALTER COLUMN m.n TYPE INT")
     }
-    e.getMessage should include("nested")
+    e.getMessage should (include("widening") or
+      include("NOT_SUPPORTED_CHANGE_COLUMN"))
+  }
+
+  test("export/import round trip of an EVOLVED nested schema matches " +
+    "the graft read; physical field ids stay stable under renames") {
+    val dest = Files.createTempDirectory("ice-nested-alter")
+    sql("CALL g.system.iceberg_export('na', 'main', 'db.e', " +
+      s"'$dest')")
+    val back = graft.versioned.IcebergImport.read(spark, dest)
+    // export carries PHYSICAL names (renames are logical); compare by
+    // position against the graft read
+    val ours = sql("SELECT id, info FROM g.na.main.db.e").collect()
+      .map(_.toSeq.toList).sortBy(_.head.asInstanceOf[Int])
+    val theirs = back.collect()
+      .map(r => List(r.get(0), r.get(1))).sortBy(_.head.asInstanceOf[Int])
+    theirs.map(_.map {
+      case r: org.apache.spark.sql.Row => r.toSeq.toList
+      case v => v
+    }) shouldBe ours.map(_.map {
+      case r: org.apache.spark.sql.Row => r.toSeq.toList
+      case v => v
+    })
+    // the exported schema uses the STABLE physical member names: the
+    // original storage names survive both renames (meta->info,
+    // score->rating) and the drop/re-add got a fresh physical name
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = om.readTree(java.nio.file.Files.readString(
+      dest.resolve("metadata").resolve("v1.metadata.json")))
+    val metaField = meta.get("schemas").get(0).get("fields").get(1)
+    metaField.get("name").asText() shouldBe "meta"
+    val memberNames = (0 until metaField.get("type").get("fields").size())
+      .map(i => metaField.get("type").get("fields").get(i).get("name").asText())
+    memberNames should contain allOf ("author", "score", "lang__r1")
+  }
+
+  test("nested ALTER inside array/map element types stays loudly " +
+    "unsupported") {
+    sql("CREATE NAMESPACE g.ne")
+    sql("CREATE NAMESPACE g.ne.main.db")
+    sql("CREATE TABLE g.ne.main.db.a (id INT, tags ARRAY<STRING>)")
+    // through SQL, Spark's analyzer rejects the non-struct path itself;
+    // the catalog's own guard covers direct DSv2 callers
+    intercept[Exception] {
+      sql("ALTER TABLE g.ne.main.db.a ADD COLUMN tags.x STRING")
+    }
+    val cat = spark.sessionState.catalogManager.catalog("g")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("ne", "main", "db"), "a")
+    val e = intercept[UnsupportedOperationException] {
+      cat.alterTable(ident,
+        org.apache.spark.sql.connector.catalog.TableChange.addColumn(
+          Array("tags", "x"), org.apache.spark.sql.types.StringType))
+    }
+    e.getMessage.toLowerCase should include("not supported")
+  }
+
+  test("DROP of a nested member referenced by a live MoR tombstone " +
+    "is refused") {
+    sql("CREATE NAMESPACE g.nt")
+    sql("CREATE NAMESPACE g.nt.main.db")
+    sql("CREATE TABLE g.nt.main.db.m (id INT, s STRUCT<a: INT, b: INT>) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO g.nt.main.db.m VALUES (1, named_struct('a',1,'b',2)), " +
+      "(2, named_struct('a',2,'b',3))")
+    sql("DELETE FROM g.nt.main.db.m WHERE s.a = 2") // MoR tombstone on s.a
+    val e = intercept[Exception] {
+      sql("ALTER TABLE g.nt.main.db.m DROP COLUMN s.a")
+    }
+    e.getMessage should include("tombstone")
+    // dropping the PARENT struct is refused for the same reason
+    val e2 = intercept[Exception] {
+      sql("ALTER TABLE g.nt.main.db.m DROP COLUMN s")
+    }
+    e2.getMessage should include("tombstone")
+    // an unreferenced sibling drops fine
+    sql("ALTER TABLE g.nt.main.db.m DROP COLUMN s.b")
+    rows("SELECT s.a FROM g.nt.main.db.m").head.head shouldBe 1
   }
 }
