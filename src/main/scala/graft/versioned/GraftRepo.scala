@@ -97,6 +97,12 @@ final class GraftRepo private (val root: Path, val io: GraftIO) {
       // verbatim, zero manifest work (O(1) even on a million-file table)
       case l: Manifests.LazyFileList if segmented && l.sameStore(root) =>
         (l.refs, Nil)
+      // append commit (INSERT): base refs reused except the last chunk,
+      // only (last chunk + delta) re-serialized — O(delta), not O(table)
+      case a: Manifests.AppendedFileList if segmented =>
+        Manifests.writeAppended(root, io, a, partitionBy.exists(_.nonEmpty))
+          .getOrElse(
+            Manifests.write(root, io, files, partitionBy.exists(_.nonEmpty)))
       case _ if segmented =>
         Manifests.write(root, io, files, partitionBy.exists(_.nonEmpty))
       case _ => (Nil, Nil)

@@ -118,6 +118,57 @@ object Manifests {
     (out.map(_._1), out.flatMap(_._2))
   }
 
+  /** Append view over a loaded segmented list — the INPUT shape of an
+    * INSERT's commit (`prior.files` + the new files). [[GraftRepo
+    * .writeSnapshot]] recognizes it and reuses every base chunk ref
+    * verbatim except the last: content-defined cut decisions run
+    * left-to-right and reset at each boundary, so appending can only
+    * perturb the final chunk — re-chunking (last chunk's entries ++
+    * delta) reproduces exactly what a full re-chunk would, while the
+    * commit's serialization work drops from O(table files) to
+    * O(delta + one chunk). Never stored in a Snapshot; exists only
+    * between the staging call site and writeSnapshot.
+    */
+  final class AppendedFileList(
+      private[versioned] val base: LazyFileList,
+      private[versioned] val delta: Vector[FileEntry])
+      extends scala.collection.immutable.Seq[FileEntry]
+      with java.io.Serializable {
+    override def length: Int = base.length + delta.length
+    override def knownSize: Int = length
+    def apply(i: Int): FileEntry =
+      if (i < base.length) base(i) else delta(i - base.length)
+    def iterator: Iterator[FileEntry] = base.iterator ++ delta.iterator
+    private def writeReplace(): Object = base.toVector ++ delta
+  }
+
+  /** The append-staging constructor: keeps the lazy/append structure
+    * when `files` is a loaded segmented list, plain concat otherwise.
+    */
+  def appended(files: Seq[FileEntry], delta: Seq[FileEntry]): Seq[FileEntry] =
+    files match {
+      case l: LazyFileList if delta.nonEmpty =>
+        new AppendedFileList(l, delta.toVector)
+      case _ => files ++ delta
+    }
+
+  /** Write only the refs an append actually changes: base refs except
+    * the last reused verbatim (their paths are returned as "reused" so
+    * the caller's post-publish verify covers them), the old last chunk
+    * + delta re-chunked and written. None when the base belongs to a
+    * different store (caller falls back to a full write).
+    */
+  private[versioned] def writeAppended(root: Path, io: GraftIO,
+      a: AppendedFileList, partitioned: Boolean)
+      : Option[(Seq[ManifestRef], Seq[String])] = {
+    if (!a.base.sameStore(root) || a.base.refs.isEmpty) return None
+    val prefix = a.base.refs.init
+    val lastEntries = load(root, io, a.base.refs.last)
+    val (tailRefs, tailReused) =
+      write(root, io, lastEntries ++ a.delta, partitioned)
+    Some((prefix ++ tailRefs, tailReused ++ prefix.map(_.path)))
+  }
+
   /** Close the reuse-vs-GC race: a reused manifest could in principle be
     * an orphan (referenced by no snapshot object) that a concurrent
     * [[GraftRepo.expireSnapshots]] pass deletes between our existence

@@ -422,7 +422,7 @@ object TableOps {
       val stamped = newFiles.map(_.copy(seq = Some(next)))
       val files =
         if (overwrite) stamped
-        else prior.map(_.files).getOrElse(Nil) ++ stamped
+        else Manifests.appended(prior.map(_.files).getOrElse(Nil), stamped)
       val props = props0 + (Tombstones.SeqProp -> next.toString)
       // INSERT never changes the table schema: keep the snapshot's DDL
       // schema (nullability included — an incoming VALUES df is
@@ -636,15 +636,17 @@ object TableOps {
   private def mayMatch(f: FileEntry, schema: StructType, filter: sources.Filter,
       m: Map[String, String] = Map.empty): Boolean = {
     def cmp(attr: String, v: Any): Option[(Int, Int)] = { // (cmp(min,v), cmp(max,v))
-      // name mapping renames TOP-LEVEL columns only (nested ALTER is
-      // unsupported), so a dotted attr translates its head segment; an
+      // a dotted attr maps each segment through its logical-path key
+      // (nested renames included — same scheme as renameFilter); an
       // exact-match attr (possibly containing literal dots) wins first
       val phys = m.get(attr).orElse(
         if (schema.fields.exists(_.name == attr)) Some(attr)
-        else attr.split('.').toSeq match {
-          case head +: rest if rest.nonEmpty =>
-            Some((m.getOrElse(head, head) +: rest).mkString("."))
-          case _ => Some(attr)
+        else {
+          val parts = attr.split('.')
+          if (parts.length < 2) Some(attr)
+          else Some(parts.indices.map(i =>
+            m.getOrElse(parts.take(i + 1).mkString("."), parts(i)))
+            .mkString("."))
         }).getOrElse(attr)
       for {
         dt <- leafField(schema, attr)
@@ -945,7 +947,8 @@ object TableOps {
         // subject to every later one
         val appended = writeFiles(spark, repo, updated, key,
           snap.partitionFields, m).map(_.copy(seq = Some(next)))
-        val ns = repo.writeSnapshot(key, snap.schemaJson, snap.files ++ appended,
+        val ns = repo.writeSnapshot(key, snap.schemaJson,
+          Manifests.appended(snap.files, appended),
           snap.partitionBy, snap.physicalNames, Some(props), snap.retired)
         (base.tables + (key -> ns.id), base.namespaces)
       }
@@ -1355,7 +1358,7 @@ object TableOps {
         val next = Tombstones.lastSeq(props0) + 1
         val stamped = newFiles.map(_.copy(seq = Some(next)))
         val snap = repo.writeSnapshot(key, prior.schemaJson,
-          prior.files ++ stamped,
+          Manifests.appended(prior.files, stamped),
           prior.partitionBy, prior.physicalNames,
           Some(props0 + (Tombstones.SeqProp -> next.toString)),
           prior.retired)

@@ -409,6 +409,32 @@ class ManifestSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     (counts.last - counts.head) should be <= 10
   }
 
+  test("INSERT-shaped append (Manifests.appended) re-serializes only the " +
+    "tail: ONE chunk read, O(delta) new objects, boundaries identical " +
+    "to a full re-chunk") {
+    val repo = freshRepo()
+    val files = (1 to 200).map(entry(_))
+    val s0 = repo.writeSnapshot("db/t", "{}", files)
+    val before = manifestObjects(repo).size
+    Manifests.clearCache()
+    val loaded = repo.snapshot(s0.id)
+    val readsBefore = Manifests.chunkReadCount
+    val delta = (1000 to 1004).map(entry(_))
+    val s1 = repo.writeSnapshot("db/t", "{}",
+      Manifests.appended(loaded.files, delta))
+    // only the LAST base chunk is loaded to re-chunk the tail — the
+    // commit never touches the other N-1 chunks (the O(delta) claim)
+    (Manifests.chunkReadCount - readsBefore) shouldBe 1
+    (manifestObjects(repo).size - before) should be <= 3
+    // correctness: materializes base ++ delta in order
+    repo.snapshot(s1.id).files.toSeq shouldBe (files ++ delta)
+    // and reproduces EXACTLY the refs a full re-chunk yields (content-
+    // defined cuts run left-to-right and reset at each boundary)
+    val slow = repo.writeSnapshot("db/t2", "{}", files ++ delta)
+    rawSnapshot(repo, s1.id).manifestRefs shouldBe
+      rawSnapshot(repo, slow.id).manifestRefs
+  }
+
   test("a snapshot holding a LazyFileList java-serializes " +
     "(writeReplace degrades to the materialized list)") {
     val repo = freshRepo()
