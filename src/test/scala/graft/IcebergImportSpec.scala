@@ -267,4 +267,108 @@ class IcebergImportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     got shouldBe ((0 until 5).map(i => (i, s"a$i")) ++
       (10 until 15).map(i => (i, s"b$i")))
   }
+
+  test("v1 LEGACY foreign layout: deflate-compressed avro (iceberg-core's " +
+    "default codec), required entry snapshot_id, *_data_files_count " +
+    "names, EXISTING kept and DELETED skipped") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ice-v1-legacy")
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    val metaDir = Files.createDirectories(root.resolve("metadata"))
+    val fileA = dataDir.resolve("a.parquet") // ADDED
+    val fileB = dataDir.resolve("b.parquet") // EXISTING (earlier snapshot)
+    val fileC = dataDir.resolve("c.parquet") // DELETED (no longer live)
+    writeOneParquet((0 until 3).map(i => (i, s"a$i")).toDF("id", "v"), fileA)
+    writeOneParquet((10 until 13).map(i => (i, s"b$i")).toDF("id", "v"), fileB)
+    writeOneParquet((20 until 23).map(i => (i, s"c$i")).toDF("id", "v"), fileC)
+
+    // v1 manifest_entry: NO content/sequence fields, snapshot_id REQUIRED
+    val v1Entry = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":"long"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"}]}}]}"""
+        .stripMargin.replaceAll("\n", ""))
+    val mPath = metaDir.resolve("m-legacy.avro")
+    val mw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](v1Entry))
+    mw.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+    mw.setMeta("format-version", "1")
+    mw.create(v1Entry, mPath.toFile)
+    try Seq((fileA, 1), (fileB, 0), (fileC, 2)).foreach { case (p, status) =>
+      val dfS = v1Entry.getField("data_file").schema()
+      val df = new GenericData.Record(dfS)
+      df.put("file_path", p.toUri.toString)
+      df.put("file_format", "PARQUET")
+      df.put("partition",
+        new GenericData.Record(dfS.getField("partition").schema()))
+      df.put("record_count", 3L)
+      df.put("file_size_in_bytes", Files.size(p))
+      val e = new GenericData.Record(v1Entry)
+      e.put("status", status)
+      e.put("snapshot_id", 42L)
+      e.put("data_file", df)
+      mw.append(e)
+    } finally mw.close()
+
+    // v1 manifest_file: legacy *_data_files_count names, no content/seq
+    val v1List = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null},
+        |{"name":"added_data_files_count","type":["null","int"],"default":null},
+        |{"name":"existing_data_files_count","type":["null","int"],"default":null},
+        |{"name":"deleted_data_files_count","type":["null","int"],"default":null}]}"""
+        .stripMargin.replaceAll("\n", ""))
+    val listPath = metaDir.resolve("snap-42.avro")
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](v1List))
+    lw.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+    lw.setMeta("format-version", "1")
+    lw.create(v1List, listPath.toFile)
+    try {
+      val r = new GenericData.Record(v1List)
+      r.put("manifest_path", mPath.toUri.toString)
+      r.put("manifest_length", Files.size(mPath))
+      r.put("partition_spec_id", 0)
+      r.put("added_snapshot_id", 42L)
+      r.put("added_data_files_count", 1)
+      r.put("existing_data_files_count", 1)
+      r.put("deleted_data_files_count", 1)
+      lw.append(r)
+    } finally lw.close()
+
+    // v1 metadata: legacy single `schema` + flat `partition-spec`
+    val metaPath = metaDir.resolve("v1.metadata.json")
+    Files.writeString(metaPath,
+      s"""{"format-version":1,"table-uuid":"00000000-0000-0000-0000-000000000042",
+         |"location":"${root.toUri.toString.stripSuffix("/")}",
+         |"last-updated-ms":0,"last-column-id":2,
+         |"schema":{"type":"struct","fields":[
+         |{"id":1,"name":"id","required":false,"type":"int"},
+         |{"id":2,"name":"v","required":false,"type":"string"}]},
+         |"partition-spec":[],
+         |"properties":{},"current-snapshot-id":42,
+         |"snapshots":[{"snapshot-id":42,"timestamp-ms":0,
+         |"summary":{"operation":"append"},
+         |"manifest-list":"${listPath.toUri.toString}"}],
+         |"snapshot-log":[],"metadata-log":[]}""".stripMargin
+        .replaceAll("\n", ""))
+
+    val plan = IcebergImport.plan(metaPath)
+    plan.formatVersion shouldBe 1
+    plan.dataFiles should have size 2 // ADDED + EXISTING; DELETED skipped
+    plan.deleteFiles shouldBe empty
+    val got = IcebergImport.read(spark, metaPath)
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    got shouldBe ((0 until 3).map(i => (i, s"a$i")) ++
+      (10 until 13).map(i => (i, s"b$i")))
+  }
 }
