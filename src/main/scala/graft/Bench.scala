@@ -95,9 +95,12 @@ object Bench {
       try java.nio.file.Files.readString(
         java.nio.file.Paths.get("/proc/loadavg")).split(' ')(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // kept light (~30 ms at quiet): the probe exists to DETECT drift
+    // against the run's own floor, and 114 of them are fixed wall-time
+    // — the old 1M-row task alone was ~8 s of a quiet run
     def calibrate(): Double = {
       val t0 = System.nanoTime()
-      spark.range(1000000).selectExpr("id % 7 AS k", "id")
+      spark.range(300000).selectExpr("id % 7 AS k", "id")
         .groupBy("k").count().collect()
       (System.nanoTime() - t0) / 1e9
     }
@@ -106,7 +109,7 @@ object Bench {
     // deterministic name order: run-to-run and driver-vs-local runs
     // attribute warmup/contention to the SAME rows (a scala HashMap's
     // arbitrary order made per-query comparisons attribution-noisy)
-    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val timed = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val load = loadAvg()
       val calib = calibrate()
       val t0 = System.nanoTime()
@@ -121,13 +124,25 @@ object Bench {
       catch { case _: Throwable => () }
       (name, dt, load, calib)
     }
+    // trailing marker: row i's calib-AFTER is row i+1's leading sample
+    // (adjacent in time, zero extra cost); the final row takes one more.
+    // A noise wave that lands MID-query — invisible to the leading
+    // probe — shows in the trailing one, so those rows self-adjudicate
+    // too (the one r7 breach class the markers couldn't explain).
+    val tailCalib = calibrate()
+    val results = timed.zipWithIndex.map { case ((n, dt, l, c), i) =>
+      val after = if (i + 1 < timed.size) timed(i + 1)._4 else tailCalib
+      (n, dt, l, c, after)
+    }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val minCalib = results.map(_._4).filter(_ > 0).minOption.getOrElse(1.0)
+    val minCalib = (results.map(_._4) :+ tailCalib)
+      .filter(_ > 0).minOption.getOrElse(1.0)
     def f3(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    val qsFull = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qsFull = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val hostFull = results.map { case (k, _, l, c) =>
-      "\"" + k + "\":[" + f3(l) + "," + f3(c) + "]" }.mkString("{", ",", "}")
+    val hostFull = results.map { case (k, _, l, c, a) =>
+      "\"" + k + "\":[" + f3(l) + "," + f3(c) + "," + f3(a) + "]" }
+      .mkString("{", ",", "}")
     // durable full-fidelity copy FIRST — stdout capture is a 2000-char
     // SUFFIX on the driver side (BENCH_r06's metric line lost its head
     // and parsed as null), so the file is the canonical record and the
@@ -141,8 +156,8 @@ object Bench {
     // chunked per-query lines (~900 chars each, valid standalone JSON,
     // deliberately NOT carrying the "metric" key): whatever suffix the
     // capture keeps is parseable line-by-line
-    val entries = results.map { case (k, v, l, c) =>
-      "\"" + k + "\":[" + f3(v) + "," + f3(l) + "," + f3(c) + "]" }
+    val entries = results.map { case (k, v, l, c, a) =>
+      "\"" + k + "\":[" + f3(v) + "," + f3(l) + "," + f3(c) + "," + f3(a) + "]" }
     val chunks = {
       val b = Seq.newBuilder[Seq[String]]
       var cur = Seq.newBuilder[String]; var len = 0
@@ -155,17 +170,19 @@ object Bench {
     }
     chunks.zipWithIndex.foreach { case (c, i) =>
       println(s"""{"chunk":${i + 1},"of":${chunks.size},"cols":""" +
-        s""""sec,load1m,calib","queries":${c.mkString("{", ",", "}")}}""")
+        s""""sec,load1m,calib,calib_after",""" +
+        s""""queries":${c.mkString("{", ",", "}")}}""")
     }
     // final compact metric line — MUST fit wholly inside the capture
     // suffix: total + the slowest rows (the >2x-pin candidates) + the
     // calib-drifted rows (the noise-window evidence for them)
     val slowest = results.sortBy(-_._2).take(40)
-      .map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }
+      .map { case (k, v, _, _, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val drifted = results.filter { case (_, _, _, c) => c > 2 * minCalib }
-      .map { case (k, _, l, c) =>
-        "\"" + k + "\":[" + f3(l) + "," + f3(c) + "]" }
+    val drifted = results.filter { case (_, _, _, c, a) =>
+      c > 2 * minCalib || a > 2 * minCalib }
+      .map { case (k, _, l, c, a) =>
+        "\"" + k + "\":[" + f3(l) + "," + f3(c) + "," + f3(a) + "]" }
     val driftStr = drifted.take(15).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$slowest,"n_queries":${results.size},""" +

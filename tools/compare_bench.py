@@ -61,11 +61,16 @@ def main():
         note = ""
         if q in host and floor < float("inf"):
             load, calib = host[q][0], host[q][1]
-            if calib > 2 * floor:
-                note = (f"  [contended window: calib {calib}s vs floor "
-                        f"{round(floor, 3)}s, load {load}]")
+            # r8: a third element is the TRAILING calib sample — a wave
+            # landing mid-query drifts it even when the leading probe
+            # was clean
+            after = host[q][2] if len(host[q]) > 2 else calib
+            if calib > 2 * floor or after > 2 * floor:
+                note = (f"  [contended window: calib {calib}/{after}s vs "
+                        f"floor {round(floor, 3)}s, load {load}]")
             else:
-                note = f"  [UNEXPLAINED: calib {calib}s ~ floor, load {load}]"
+                note = (f"  [UNEXPLAINED: calib {calib}/{after}s ~ floor, "
+                        f"load {load}]")
                 unexplained += 1
         print(f"  {q}: {t}s vs pin {p}s ({r}x){note}")
     if bad and host:
