@@ -121,7 +121,9 @@ final class GraftRepo private (val root: Path, val io: GraftIO) {
     // materialized) entries.
     files match {
       case l: Manifests.LazyFileList if segmented && l.sameStore(root) =>
-        val missing = refs.filterNot(r => io.isFile(root.resolve(r.path)))
+        val missingPaths =
+          Manifests.existsMissing(root, io, refs.map(_.path)).toSet
+        val missing = refs.filter(r => missingPaths(r.path))
         if (missing.nonEmpty) {
           // restorable only if the entries are in memory; otherwise the
           // SOURCE snapshot already lost data — fail loud, don't publish

@@ -179,7 +179,7 @@ object Manifests {
     */
   def verifyLive(root: Path, io: GraftIO, reusedPaths: Seq[String],
       files: Seq[FileEntry]): Unit = {
-    val missing = reusedPaths.filterNot(p => io.isFile(root.resolve(p)))
+    val missing = existsMissing(root, io, reusedPaths)
     if (missing.isEmpty) return
     val byPath = chunk(files).map { entries =>
       val body = Json.write(ManifestBody(entries))
@@ -196,6 +196,27 @@ object Manifests {
             "do not reproduce it (graft.manifest.target changed?)")
       }
     }
+  }
+
+  /** The subset of `paths` that do NOT exist, checked over the bounded
+    * IO pool: an append commit verifies EVERY reused prefix ref after
+    * publishing, and on an object store each existence check is a
+    * ~10 ms HEAD — serially that would put an O(chunks) latency wall
+    * back into the O(delta) commit path.
+    */
+  private[versioned] def existsMissing(root: Path, io: GraftIO,
+      paths: Seq[String]): Seq[String] = {
+    val threads =
+      Integer.getInteger("graft.manifest.load.threads", 16).intValue()
+    if (paths.size <= 4 || threads <= 1)
+      return paths.filterNot(p => io.isFile(root.resolve(p)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(threads, paths.size))
+    try paths.map(p => p -> pool.submit(
+        new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = io.isFile(root.resolve(p))
+        })).filterNot(_._2.get()).map(_._1)
+    finally pool.shutdown()
   }
 
   /** Load one manifest's entries through the process-wide cache. */
