@@ -273,8 +273,18 @@ object Versioned {
       "array('t', n_name), map('r', n_regionkey) " +
       s"FROM $cat.r.main.db.nation WHERE n_nationkey < 2")
     repo.merge("nest", "main")
-    s.sql(s"""SELECT n_nationkey, info.name AS name, info.region AS region,
-         |       size(tags) AS n_tags, props['r'] AS r_val
+    // nested-field ALTER (r8) inside the gated flow: ADD a struct
+    // member (nulls over every pre-existing file), RENAME another
+    // (physical name stays; old files keep reading), then land a row
+    // that carries the new member
+    s.sql(s"ALTER TABLE $cat.r.main.db.nn ADD COLUMN info.iso STRING")
+    s.sql(s"ALTER TABLE $cat.r.main.db.nn RENAME COLUMN info.region TO reg")
+    s.sql(s"INSERT INTO $cat.r.main.db.nn VALUES (500, " +
+      "named_struct('name', 'zz', 'reg', 9, 'iso', 'ZZ'), " +
+      "array('t'), map('r', 9))")
+    s.sql(s"""SELECT n_nationkey, info.name AS name, info.reg AS region,
+         |       size(tags) AS n_tags, props['r'] AS r_val,
+         |       info.iso AS iso
          |FROM $cat.r.main.db.nn ORDER BY n_nationkey""".stripMargin)
   }
 
@@ -448,10 +458,14 @@ object Versioned {
     s.sql(s"INSERT INTO $cat.r.main.db.orders VALUES " +
       "(9100001, 7, 'O', 900001.0, TIMESTAMP'2024-02-01 00:00:00', 'graft-ice')," +
       "(9100002, 2, 'F', 900002.0, TIMESTAMP'2024-02-02 00:00:00', 'graft-ice')")
+    // dest as a file:// URI: the export AND the import both run through
+    // the Hadoop-FS dest seam (DestIO/HadoopDestIO — the s3a:// path),
+    // so the gate hash-proves that route too, not just local nio
     val dest = Files.createTempDirectory("graft-ice-export")
+      .toUri.toString.stripSuffix("/")
     val metaPath = s.sql(s"CALL $cat.system.iceberg_export('r', 'main', " +
       s"'db.orders', '$dest')").collect().head.getString(0)
-    graft.versioned.IcebergImport.read(s, java.nio.file.Paths.get(metaPath))
+    graft.versioned.IcebergImport.read(s, metaPath, None)
       .groupBy("o_orderstatus")
       .agg(
         count(lit(1)).as("n"),
@@ -908,14 +922,17 @@ object Versioned {
     )(cloneRead),
     Q(
       "vc_nested_read",
-      """SELECT n_nationkey, name, region, n_tags, r_val FROM (
+      """SELECT n_nationkey, name, region, n_tags, r_val, iso FROM (
         |  SELECT n_nationkey, n_name AS name, n_regionkey AS region,
-        |         CAST(2 AS INTEGER) AS n_tags, n_regionkey AS r_val
+        |         CAST(2 AS INTEGER) AS n_tags, n_regionkey AS r_val,
+        |         CAST(NULL AS VARCHAR) AS iso
         |  FROM nation WHERE n_regionkey <> 2
         |  UNION ALL
         |  SELECT n_nationkey + 100, n_name, n_regionkey,
-        |         CAST(2 AS INTEGER), n_regionkey
+        |         CAST(2 AS INTEGER), n_regionkey, CAST(NULL AS VARCHAR)
         |  FROM nation WHERE n_nationkey < 2
+        |  UNION ALL
+        |  SELECT 500, 'zz', 9, CAST(1 AS INTEGER), 9, 'ZZ'
         |) ORDER BY n_nationkey""".stripMargin
     )(nestedRead),
     Q(

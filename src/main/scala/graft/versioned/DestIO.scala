@@ -65,7 +65,8 @@ private[versioned] trait DestIO {
 }
 
 private[versioned] object DestIO {
-  private val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://.*".r
+  // `file:/x` (Hadoop's rendering) and `file:///x` both count
+  private val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*:/.*".r
 
   /** A dest string with a URI scheme routes through Hadoop; a plain
     * path keeps the local nio fast path. */

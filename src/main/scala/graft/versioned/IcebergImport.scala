@@ -77,7 +77,9 @@ object IcebergImport {
   // that scheme — so an import can read a table living in the object
   // store an external engine wrote it to.
 
-  private val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://.*".r
+  // single-slash forms included: Hadoop renders file URIs as
+  // `file:/tmp/x`, and both are legal URI spellings of one location
+  private val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*:/.*".r
   private def hasScheme(s: String): Boolean = SchemeRe.matches(s)
 
   private def hadoopFs(s: String): org.apache.hadoop.fs.FileSystem = {

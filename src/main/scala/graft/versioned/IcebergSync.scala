@@ -1,8 +1,6 @@
 package graft.versioned
 
-import java.nio.file.{Files, Path}
-
-import scala.jdk.CollectionConverters._
+import java.nio.file.Path
 
 /** CONTINUOUS Iceberg export ("sync mode"): once a (ref, table) is
   * registered with an export directory, every subsequent commit that

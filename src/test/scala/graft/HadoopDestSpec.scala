@@ -105,4 +105,37 @@ class HadoopDestSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     graft.versioned.IcebergImport.read(spark, destUri, None)
       .count() shouldBe 5
   }
+
+  test("segmented snapshot exports chunk manifests through the Hadoop " +
+    "dest; a sync re-emission reuses them") {
+    val saved = Option(System.getProperty("graft.manifest.inline.max"))
+    System.setProperty("graft.manifest.inline.max", "4")
+    try {
+      sql("CREATE NAMESPACE gh.h3")
+      sql("CREATE NAMESPACE gh.h3.main.db")
+      sql("CREATE TABLE gh.h3.main.db.c (id INT, v DOUBLE)")
+      (0 until 3).foreach(i => sql("INSERT INTO gh.h3.main.db.c SELECT " +
+        s"CAST(id AS INT), CAST(id AS DOUBLE) FROM range(${i * 20}, ${i * 20 + 20})"))
+      val destDir = Files.createTempDirectory("hdest-chunks")
+      val destUri = destDir.toUri.toString.stripSuffix("/")
+      sql("CALL gh.system.iceberg_export('h3', 'main', 'db.c', " +
+        s"'$destUri', sync => true)")
+      def cms: Set[String] = scala.util.Using.resource(
+        Files.list(destDir.resolve("metadata")))(_.iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("cm-")).toSet)
+      val first = cms
+      first should not be empty // chunk-aligned manifests took the seam
+      // follower emission: every previously written chunk manifest is
+      // still referenced/reused (content addressing), only the tail and
+      // the new chunk's avro are added
+      sql("INSERT INTO gh.h3.main.db.c SELECT CAST(id AS INT), " +
+        "CAST(id AS DOUBLE) FROM range(100, 120)")
+      val second = cms
+      first.intersect(second).size should be >= (first.size - 1)
+      graft.versioned.IcebergImport.read(spark, destUri, None)
+        .count() shouldBe 80
+    } finally saved.fold[AnyRef](
+      System.clearProperty("graft.manifest.inline.max"))(
+      System.setProperty("graft.manifest.inline.max", _))
+  }
 }
