@@ -623,7 +623,117 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** INCREMENTAL near-dup admission — the shape a 100 TB pipeline
+    * actually runs day to day: screen a NEW batch (delta) against the
+    * EXISTING corpus and admit only documents with no corpus
+    * near-duplicate (set-Jaccard ≥ t). The corpus is NEVER joined to
+    * itself: its prefix tokens become a posting-list INDEX (in
+    * production built once and reused across batches), each delta doc
+    * probes only the postings of its own prefix tokens, and PPJoin's
+    * size + positional filters prune before one exact-verify join.
+    * Cost is O(delta · matched postings), independent of corpus² —
+    * re-running yesterday's full dedup to admit today's 0.1% delta is
+    * exactly the waste this avoids. The prefix theorem is symmetric in
+    * the pair, so the asymmetric probe keeps FULL recall (both docs'
+    * prefixes under one global token order must share a token when
+    * J ≥ t). Long corpus posting lists are chunked (`maxPost`) and
+    * probes fan out per chunk — a hot token costs bounded reducers,
+    * never one giant cell. Delta membership here: doc_id % 10 = 0.
+    */
+  private def incremental(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = 0.9
+    val maxPost = s.conf.getOption("spark.graft.setsim.maxPostings")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1024)
+    val par = s.sparkContext.defaultParallelism
+    val isDelta = col("doc_id") % 10 === 0
+    val raw = T.documents(s, d)
+      .select(col("doc_id"), wordSet(col("text")).as("ws"))
+    def admit(dup: DataFrame): DataFrame =
+      raw.filter(isDelta).select(col("doc_id"))
+        .join(dup, Seq("doc_id"), "left_anti")
+        .select(col("doc_id").as("surviving_id"))
+        .orderBy(col("surviving_id"))
+    // DENSE-VOCABULARY fast path (the setsimPairs dispatch, same caps):
+    // prefix probing is structurally useless under ≤64 tokens — reuse
+    // the popcount kernel and keep only delta-vs-corpus pairs
+    val vocabMax = s.conf.getOption("spark.graft.setsim.bitmaskVocabMax")
+      .flatMap(_.toIntOption).getOrElse(64)
+    if (vocabMax > 0) {
+      val probe = raw.select(explode(col("ws")).as("tok"))
+        .distinct().limit(math.min(vocabMax, 64) + 1)
+        .collect().map(_.getString(0))
+      if (probe.length <= math.min(vocabMax, 64))
+        bitmaskPairs(s, raw, probe.sorted.toIndexedSeq, t) match {
+          case Some(pairs) =>
+            val dup = pairs
+              .select(col("id_a").as("doc_id"), col("id_b").as("o"))
+              .unionByName(pairs.select(col("id_b").as("doc_id"),
+                col("id_a").as("o")))
+              .filter(col("doc_id") % 10 === 0 && col("o") % 10 =!= 0)
+              .select(col("doc_id")).distinct()
+            return admit(dup)
+          case None => () // distinct-mask cap: asymmetric probe below
+        }
+    }
+    val docs = raw.withColumn("sz", size(col("ws")))
+    // one token pass, sides tagged; document-frequency order computed
+    // over BOTH sides (prefixes must share one global order)
+    val tok = docs.select(col("doc_id"), col("sz"), isDelta.as("dl"),
+      explode(col("ws")).as("tok"))
+    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val prefix = tok
+      .join(dfreq, "tok")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+      .filter(col("rn") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+      .select(col("tok"), col("doc_id"), col("sz"), col("rn"), col("dl"))
+      .repartition(par, col("tok"))
+    val index = prefix.filter(!col("dl"))
+    val probes = prefix.filter(col("dl"))
+    // chunk long corpus posting lists; a probe replicates once per
+    // partner chunk (probe tokens absent from the index join away)
+    val counts = index.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val idxC = index.join(counts, "tok")
+      .withColumn("nch", ceil(col("cnt") / maxPost).cast("int"))
+      .withColumn("q", pmod(xxhash64(col("doc_id")), col("nch")).cast("int"))
+    val prC = probes.join(counts, "tok")
+      .withColumn("nch", ceil(col("cnt") / maxPost).cast("int"))
+      .withColumn("cell", explode(sequence(lit(0), col("nch") - 1)))
+    val cand = prC.as("a")
+      .join(idxC.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.cell") === col("b.q") &&
+          // J ≥ t ⟹ t·max(|a|,|b|) ≤ min(|a|,|b|)
+          lit(t) * greatest(col("a.sz"), col("b.sz")) <=
+            least(col("a.sz"), col("b.sz")) &&
+          // positional filter (see ppCandidates; recall-safe)
+          lit(1) + least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn")) >=
+            ceil(lit(t) / (1 + t) * (col("a.sz") + col("b.sz"))))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(lit(1)) // dedup emissions
+      .select(col("id_a"), col("id_b"))
+    val dupDelta = verifyPairs(s, docs, cand, t)
+      .select(col("id_a").as("doc_id")).distinct()
+    admit(dupDelta)
+  }
+
   val all: Seq[Q] = Seq(
+    Q(
+      "dd_incremental",
+      """WITH w AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
+        |           FROM documents),
+        |dl AS (SELECT * FROM w WHERE doc_id % 10 = 0),
+        |cp AS (SELECT * FROM w WHERE doc_id % 10 <> 0),
+        |dup AS (
+        |  SELECT DISTINCT d.doc_id FROM dl d JOIN cp c ON
+        |    round(CAST(len(list_intersect(d.ws, c.ws)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(d.ws, c.ws))), 6) >= 0.9)
+        |SELECT doc_id AS surviving_id FROM dl
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY surviving_id""".stripMargin
+    )(incremental),
     Q(
       "dd_exact",
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies

@@ -411,4 +411,37 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     out.map(_.getAs[Long]("n_copies")).sum shouldBe
       Tables.documents(spark, sfDir).count()
   }
+
+  test("dd_incremental: asymmetric prefix probe admits EXACTLY the delta " +
+    "docs a brute-force delta x corpus join admits (full recall)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextVec._
+    val small = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, small)
+      .select(col("doc_id"), wordSet(col("text")).as("ws"))
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val dup = delta.as("d")
+      .join(corpus.as("c"),
+        round(org.apache.spark.sql.functions.size(
+          array_intersect(col("d.ws"), col("c.ws"))).cast("double") /
+          org.apache.spark.sql.functions.size(
+            array_union(col("d.ws"), col("c.ws"))).cast("double"), 6) >= 0.9)
+      .select(col("d.doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val expect = delta.collect().map(_.getLong(0)).filterNot(dup).sorted
+    // this corpus's tiny vocabulary engages the bitmask fast path…
+    val got = SparkEntry.queries("dd_incremental")(spark, small)
+      .collect().map(_.getLong(0))
+    got.toSeq shouldBe expect.toSeq
+    // …and the asymmetric prefix-probe path (the real-vocabulary scale
+    // route) must produce the identical admission set when forced
+    spark.conf.set("spark.graft.setsim.bitmaskVocabMax", "0")
+    try {
+      val probed = SparkEntry.queries("dd_incremental")(spark, small)
+        .collect().map(_.getLong(0))
+      probed.toSeq shouldBe expect.toSeq
+    } finally spark.conf.unset("spark.graft.setsim.bitmaskVocabMax")
+    dup.size should be > 0 // the screen actually rejected something
+  }
 }
