@@ -435,6 +435,24 @@ class ManifestSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       rawSnapshot(repo, slow.id).manifestRefs
   }
 
+  test("reusing a chunk bumps its mtime: an age-guarded GC sweep treats " +
+    "it as freshly written") {
+    val repo = freshRepo()
+    val files = (1 to 100).map(entry(_))
+    repo.writeSnapshot("db/t", "{}", files)
+    val dir = repo.root.resolve("snapshots").resolve("manifests")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * 3600 * 1000L)
+    repo.io.list(dir).foreach(p =>
+      Files.setLastModifiedTime(p, old))
+    // identical content → every chunk REUSED → touch fires on each
+    repo.writeSnapshot("db/t2", "{}", files)
+    val cutoff = System.currentTimeMillis() - 3600 * 1000L
+    repo.io.list(dir).foreach { p =>
+      Files.getLastModifiedTime(p).toMillis should be > cutoff
+    }
+  }
+
   test("a snapshot holding a LazyFileList java-serializes " +
     "(writeReplace degrades to the materialized list)") {
     val repo = freshRepo()
