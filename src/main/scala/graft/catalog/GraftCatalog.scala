@@ -610,33 +610,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
       // ---- nested-path helpers -----------------------------------------
       // A change names a field by path (["s","b"] = member b of struct
-      // s). Mapping keys are dotted LOGICAL paths; retired entries are
+      // s; ["arr","element","x"] = member x of arr's element struct —
+      // Spark's container segments `element`/`key`/`value` descend
+      // array/map types and are UNAMBIGUOUS: a struct expects a member
+      // name, an array expects `element`, a map expects `key`/`value`).
+      // Mapping keys are dotted LOGICAL paths; retired entries are
       // dotted PHYSICAL paths (physical names never change, so a parent
-      // rename cannot orphan its children's retirement records). ALTER
-      // inside array/map element types stays unsupported.
+      // rename cannot orphan its children's retirement records).
+      def childOf(dt: org.apache.spark.sql.types.DataType, seg: String)
+          : org.apache.spark.sql.types.DataType = dt match {
+        case s: StructType =>
+          s.fields.find(_.name == seg).map(_.dataType).getOrElse(
+            throw new IllegalArgumentException(s"no such column: $seg"))
+        case a: org.apache.spark.sql.types.ArrayType if seg == "element" =>
+          a.elementType
+        case m: org.apache.spark.sql.types.MapType if seg == "key" =>
+          m.keyType
+        case m: org.apache.spark.sql.types.MapType if seg == "value" =>
+          m.valueType
+        case other => throw new UnsupportedOperationException(
+          s"nested ALTER cannot descend ${other.simpleString} via '$seg' " +
+            "(structs take a member name; arrays 'element'; maps " +
+            "'key'/'value')")
+      }
       def parentStructAt(parents: Seq[String]): StructType =
-        parents.foldLeft(schema) { (st, seg) =>
-          st.fields.find(_.name == seg) match {
-            case Some(f) => f.dataType match {
-              case s: StructType => s
-              case other => throw new UnsupportedOperationException(
-                s"nested ALTER inside ${other.simpleString} is not " +
-                  s"supported (struct members only): $seg")
-            }
-            case None =>
-              throw new IllegalArgumentException(s"no such column: $seg")
-          }
+        parents.foldLeft(schema: org.apache.spark.sql.types.DataType)(
+          childOf) match {
+          case s: StructType => s
+          case other => throw new UnsupportedOperationException(
+            s"nested ALTER on a ${other.simpleString} member is not " +
+              "supported (the parent must resolve to a struct; descend " +
+              "arrays with 'element' and maps with 'key'/'value')")
         }
       def mapStructAt(parents: Seq[String])(
           f: StructType => StructType): Unit = {
-        def walk(st: StructType, rest: Seq[String]): StructType =
-          if (rest.isEmpty) f(st)
-          else StructType(st.fields.map { fl =>
-            if (fl.name != rest.head) fl
-            else fl.copy(dataType =
-              walk(fl.dataType.asInstanceOf[StructType], rest.tail))
-          })
-        schema = walk(schema, parents)
+        import org.apache.spark.sql.types.{ArrayType, MapType, DataType => DT}
+        def walk(dt: DT, rest: Seq[String]): DT =
+          if (rest.isEmpty) f(dt.asInstanceOf[StructType])
+          else dt match {
+            case s: StructType => StructType(s.fields.map { fl =>
+              if (fl.name != rest.head) fl
+              else fl.copy(dataType = walk(fl.dataType, rest.tail))
+            })
+            case a: ArrayType if rest.head == "element" =>
+              a.copy(elementType = walk(a.elementType, rest.tail))
+            case m: MapType if rest.head == "key" =>
+              m.copy(keyType = walk(m.keyType, rest.tail))
+            case m: MapType if rest.head == "value" =>
+              m.copy(valueType = walk(m.valueType, rest.tail))
+            case other => throw new UnsupportedOperationException(
+              s"nested ALTER cannot descend ${other.simpleString}")
+          }
+        schema = walk(schema, parents).asInstanceOf[StructType]
       }
       /** Dotted PHYSICAL path of a logical path, via the mapping. */
       def physPathOf(path: Seq[String]): String =

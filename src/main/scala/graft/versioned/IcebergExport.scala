@@ -856,9 +856,10 @@ object IcebergExport {
       val dir = tmp.resolve(s"__gid=${sl.gid}")
       if (!Files.isDirectory(dir)) None // predicate matched nothing here
       else {
-        val part = Files.list(dir).iterator().asScala
-          .find(p => p.getFileName.toString.startsWith("part-") &&
-            p.getFileName.toString.endsWith(".parquet"))
+        val part = scala.util.Using.resource(Files.list(dir))(
+          _.iterator().asScala
+            .find(p => p.getFileName.toString.startsWith("part-") &&
+              p.getFileName.toString.endsWith(".parquet")))
           .getOrElse(throw new IllegalStateException(s"no parquet in $dir"))
         val rows = parquetRowCount(s, part)
         if (rows == 0L) None
@@ -905,7 +906,8 @@ object IcebergExport {
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toList.foreach(deleteRecursively)
+      scala.util.Using.resource(Files.list(p))(
+        _.iterator().asScala.toList).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 

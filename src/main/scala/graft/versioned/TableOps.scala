@@ -87,22 +87,30 @@ object TableOps {
     * upcast int->long / float->double on the fly).
     */
   /** Logical → physical schema. Mapping keys are DOTTED LOGICAL PATHS
-    * ("col", "s.member", "s.inner.leaf"); each value is the physical
-    * name of THAT field alone. Flat maps (pre-nested-ALTER snapshots)
-    * are the degenerate case: top-level paths have no dots. Structs
-    * recurse; array/map element types pass through (ALTER inside them
-    * is unsupported, so their names never diverge).
+    * ("col", "s.member", "arr.element.x", "m.value.y"); each value is
+    * the physical name of THAT field alone. Flat maps
+    * (pre-nested-ALTER snapshots) are the degenerate case: top-level
+    * paths have no dots. Structs recurse on member names; array/map
+    * containers recurse through the `element` / `key` / `value` path
+    * segments (the spelling ALTER paths use — container steps
+    * themselves are never renamed).
     */
   def toPhysical(schema: StructType, m: Map[String, String]): StructType = {
     if (m.isEmpty) return schema
+    def walkDt(dt: DataType, prefix: String): DataType = dt match {
+      case s: StructType => walk(s, prefix)
+      case a: ArrayType =>
+        a.copy(elementType = walkDt(a.elementType, prefix + "element."))
+      case mt: MapType =>
+        mt.copy(keyType = walkDt(mt.keyType, prefix + "key."),
+          valueType = walkDt(mt.valueType, prefix + "value."))
+      case other => other
+    }
     def walk(st: StructType, prefix: String): StructType =
       StructType(st.fields.map { f =>
         val path = prefix + f.name
-        val dt = f.dataType match {
-          case s: StructType => walk(s, path + ".")
-          case other => other
-        }
-        f.copy(name = m.getOrElse(path, f.name), dataType = dt)
+        f.copy(name = m.getOrElse(path, f.name),
+          dataType = walkDt(f.dataType, path + "."))
       })
     walk(schema, "")
   }

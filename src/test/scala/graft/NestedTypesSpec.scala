@@ -374,8 +374,52 @@ class NestedTypesSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     memberNames should contain allOf ("author", "score", "lang__r1")
   }
 
-  test("nested ALTER inside array/map element types stays loudly " +
-    "unsupported") {
+  test("ALTER inside ARRAY<STRUCT> and MAP<_, STRUCT> element structs: " +
+    "ADD/RENAME/DROP of element members, metadata-only") {
+    sql("CREATE NAMESPACE g.nc")
+    sql("CREATE NAMESPACE g.nc.main.db")
+    sql("""CREATE TABLE g.nc.main.db.c (
+        id INT,
+        evs ARRAY<STRUCT<kind: STRING, n: INT>>,
+        attrs MAP<STRING, STRUCT<v: INT>>)""")
+    sql("""INSERT INTO g.nc.main.db.c VALUES
+        (1, array(named_struct('kind','a','n',1), named_struct('kind','b','n',2)),
+            map('x', named_struct('v', 7))),
+        (2, array(named_struct('kind','c','n',3)), map('y', named_struct('v', 8)))""")
+
+    // ADD a member to the array's element struct: pre-existing rows
+    // read it as null inside every element
+    sql("ALTER TABLE g.nc.main.db.c ADD COLUMN evs.element.w DOUBLE")
+    rows("SELECT id, e.kind, e.n, e.w FROM g.nc.main.db.c " +
+      "LATERAL VIEW explode(evs) AS e ORDER BY id, e.n") shouldBe
+      Seq(Seq(1, "a", 1, null), Seq(1, "b", 2, null), Seq(2, "c", 3, null))
+    // RENAME an element member: old files keep reading (physical stays)
+    sql("ALTER TABLE g.nc.main.db.c RENAME COLUMN evs.element.n TO cnt")
+    sql("INSERT INTO g.nc.main.db.c VALUES " +
+      "(3, array(named_struct('kind','d','cnt',4,'w',0.5)), " +
+      "map('z', named_struct('v', 9)))")
+    rows("SELECT id, e.kind, e.cnt, e.w FROM g.nc.main.db.c " +
+      "LATERAL VIEW explode(evs) AS e ORDER BY id, e.cnt") shouldBe
+      Seq(Seq(1, "a", 1, null), Seq(1, "b", 2, null),
+        Seq(2, "c", 3, null), Seq(3, "d", 4, 0.5))
+
+    // MAP value struct: ADD + RENAME, old values null-fill / keep reading
+    sql("ALTER TABLE g.nc.main.db.c ADD COLUMN attrs.value.u STRING")
+    sql("ALTER TABLE g.nc.main.db.c RENAME COLUMN attrs.value.v TO score")
+    rows("SELECT id, k, a.score, a.u FROM g.nc.main.db.c " +
+      "LATERAL VIEW explode(attrs) AS k, a ORDER BY id") shouldBe
+      Seq(Seq(1, "x", 7, null), Seq(2, "y", 8, null), Seq(3, "z", 9, null))
+
+    // DROP + re-ADD inside the element struct: old bytes never resurface
+    sql("ALTER TABLE g.nc.main.db.c DROP COLUMN evs.element.kind")
+    sql("ALTER TABLE g.nc.main.db.c ADD COLUMN evs.element.kind STRING")
+    rows("SELECT id, e.kind FROM g.nc.main.db.c " +
+      "LATERAL VIEW explode(evs) AS e WHERE e.cnt = 4 ORDER BY id") shouldBe
+      Seq(Seq(3, null))
+  }
+
+  test("nested ALTER addressing a NON-STRUCT parent (array of scalars) " +
+    "stays loudly unsupported") {
     sql("CREATE NAMESPACE g.ne")
     sql("CREATE NAMESPACE g.ne.main.db")
     sql("CREATE TABLE g.ne.main.db.a (id INT, tags ARRAY<STRING>)")
