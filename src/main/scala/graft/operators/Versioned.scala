@@ -678,6 +678,95 @@ object Versioned {
       s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
   }
 
+  /** REPLACE TABLE AS SELECT (atomic staged swap): create-or-replace
+    * twice — the read must see ONLY the second definition's rows.
+    */
+  private def rtasRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = setup(s, d)
+    s.sql(s"CREATE OR REPLACE TABLE $cat.r.main.db.big AS " +
+      s"SELECT n_nationkey, n_name FROM $cat.r.main.db.nation " +
+      "WHERE n_nationkey < 10")
+    s.sql(s"CREATE OR REPLACE TABLE $cat.r.main.db.big AS " +
+      s"SELECT n_nationkey + 50 AS n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation")
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.big ORDER BY n_nationkey")
+  }
+
+  /** `TIMESTAMP AS OF` time travel: capture the head commit's wall
+    * clock, mutate afterwards, read as of the captured instant — only
+    * the pre-mutation state may be visible.
+    */
+  private def timestampRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    val ts0 = repo.headCommit("main").ts
+    // commit timestamps have millisecond resolution: make sure the next
+    // commit lands in a LATER millisecond than the captured instant
+    while (System.currentTimeMillis() <= ts0) Thread.sleep(1)
+    s.sql(s"INSERT INTO $cat.r.main.db.nation " +
+      s"SELECT n_nationkey + 900, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation WHERE n_nationkey < 5")
+    val lit = java.time.Instant.ofEpochMilli(ts0)
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation TIMESTAMP AS OF '$lit' " +
+      "ORDER BY n_nationkey")
+  }
+
+  /** Partition evolution mid-table: rows land under spec A (identity),
+    * the spec evolves (bucket + identity), more rows land under spec B —
+    * the read must stitch the mixed layout seamlessly.
+    */
+  private def partEvoRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = freshCatalog(s)
+    val nation = T.nation(s, d)
+    s.sql(s"CREATE NAMESPACE $cat.r")
+    s.sql(s"CREATE NAMESPACE $cat.r.main.db")
+    s.sql(s"CREATE TABLE $cat.r.main.db.nation (${nation.schema.toDDL}) " +
+      "PARTITIONED BY (n_regionkey)")
+    nation.writeTo(s"$cat.r.main.db.nation").append()
+    s.sql(s"CALL $cat.system.set_partition_spec('r', 'main', 'db.nation', " +
+      "'bucket(4, n_nationkey)')")
+    s.sql(s"INSERT INTO $cat.r.main.db.nation " +
+      s"SELECT n_nationkey + 300, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation WHERE n_nationkey < 5")
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
+  }
+
+  /** truncate(width, col) partition transform: string-prefix layout,
+    * selective read over it (prefix buckets prune via recorded values).
+    */
+  private def truncateRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = freshCatalog(s)
+    val nation = T.nation(s, d)
+    s.sql(s"CREATE NAMESPACE $cat.r")
+    s.sql(s"CREATE NAMESPACE $cat.r.main.db")
+    s.sql(s"CREATE TABLE $cat.r.main.db.nation (${nation.schema.toDDL}) " +
+      "PARTITIONED BY (truncate(1, n_name))")
+    nation.writeTo(s"$cat.r.main.db.nation").append()
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation WHERE n_name >= 'M' ORDER BY n_nationkey")
+  }
+
+  /** Rollback leaves an unreachable commit; expire_snapshots(0) deletes
+    * its metadata and vacuum physically deletes its orphaned data files
+    * — the surviving state must read back EXACTLY, proving the GC never
+    * touches a referenced byte.
+    */
+  private def vacuumRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    val good = repo.headCommit("main").id
+    s.sql(s"INSERT INTO $cat.r.main.db.nation VALUES (999, 'JUNK', 0)")
+    s.sql(s"CALL $cat.system.rollback('r', 'main', '$good')")
+    s.sql(s"CALL $cat.system.expire_snapshots('r', 0)")
+    s.sql(s"CALL $cat.system.vacuum('r')")
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
+  }
+
   /** Tag the loaded state, mutate the branch afterwards, read VERSION AS
     * OF the tag: tags must be immutable against later DML.
     */
@@ -768,6 +857,35 @@ object Versioned {
         |WHERE n_regionkey IN (1, 3)
         |ORDER BY n_nationkey""".stripMargin
     )(partitionedRead),
+    Q(
+      "vc_rtas_read",
+      """SELECT n_nationkey + 50 AS n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin
+    )(rtasRead),
+    Q(
+      "vc_timestamp_read",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin
+    )(timestampRead),
+    Q(
+      "vc_part_evo_read",
+      """SELECT n_nationkey, n_name, n_regionkey FROM (
+        |  SELECT * FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 300, n_name, n_regionkey FROM nation
+        |  WHERE n_nationkey < 5
+        |) ORDER BY n_nationkey""".stripMargin
+    )(partEvoRead),
+    Q(
+      "vc_truncate_read",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_name >= 'M' ORDER BY n_nationkey""".stripMargin
+    )(truncateRead),
+    Q(
+      "vc_vacuum_read",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin
+    )(vacuumRead),
     Q(
       "vc_partitions_meta",
       """SELECT CAST(n_regionkey AS VARCHAR) AS region,
