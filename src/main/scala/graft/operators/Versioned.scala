@@ -767,6 +767,66 @@ object Versioned {
       s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
   }
 
+  /** Temporal partition transform (days(ts)) over the events stream:
+    * the workhorse time-series layout at 100 TB — per-day file groups,
+    * aggregate read must reproduce the source exactly.
+    */
+  private def temporalRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = freshCatalog(s)
+    val ev = T.events(s, d).filter(col("event_id") % 10 === 0)
+    s.sql(s"CREATE NAMESPACE $cat.r")
+    s.sql(s"CREATE NAMESPACE $cat.r.main.db")
+    s.sql(s"CREATE TABLE $cat.r.main.db.events (${ev.schema.toDDL}) " +
+      "PARTITIONED BY (days(ts))")
+    ev.writeTo(s"$cat.r.main.db.events").append()
+    s.sql(s"""SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM $cat.r.main.db.events GROUP BY 1 ORDER BY day""".stripMargin)
+  }
+
+  /** One SQL statement joining TWO refs of a table (main anti dev) —
+    * the cross-ref query shape version control exists to enable.
+    */
+  private def crossRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = setup(s, d)
+    s.sql(s"DELETE FROM $cat.r.dev.db.nation WHERE n_nationkey >= 15")
+    s.sql(s"""SELECT m.n_nationkey, m.n_name FROM $cat.r.main.db.nation m
+         |LEFT ANTI JOIN $cat.r.dev.db.nation dv
+         |  ON m.n_nationkey = dv.n_nationkey
+         |ORDER BY m.n_nationkey""".stripMargin)
+  }
+
+  /** Merge-on-read UPDATE + DELETE (tombstones, no rewrite) then a full
+    * read applying both.
+    */
+  private def morUpdateRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = freshCatalog(s)
+    val nation = T.nation(s, d)
+    s.sql(s"CREATE NAMESPACE $cat.r")
+    s.sql(s"CREATE NAMESPACE $cat.r.main.db")
+    s.sql(s"CREATE TABLE $cat.r.main.db.nation (${nation.schema.toDDL}) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    nation.writeTo(s"$cat.r.main.db.nation").append()
+    s.sql(s"UPDATE $cat.r.main.db.nation SET n_name = concat(n_name, '!') " +
+      "WHERE n_nationkey < 5")
+    s.sql(s"DELETE FROM $cat.r.main.db.nation WHERE n_nationkey >= 20")
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
+  }
+
+  /** DROP TABLE PURGE of a sibling table: the survivor's data must be
+    * untouched by the purge's file deletion (cross-table liveness).
+    */
+  private def purgeRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = setup(s, d)
+    val region = T.region(s, d)
+    s.sql(s"CREATE TABLE $cat.r.main.db.region (${region.schema.toDDL})")
+    region.writeTo(s"$cat.r.main.db.region").append()
+    s.sql(s"DROP TABLE $cat.r.main.db.region PURGE")
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
+  }
+
   /** Tag the loaded state, mutate the branch afterwards, read VERSION AS
     * OF the tag: tags must be immutable against later DML.
     */
@@ -886,6 +946,32 @@ object Versioned {
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin
     )(vacuumRead),
+    Q(
+      "vc_temporal_read",
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_id % 10 = 0
+        |GROUP BY 1 ORDER BY day""".stripMargin
+    )(temporalRead),
+    Q(
+      "vc_cross_read",
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_nationkey >= 15 ORDER BY n_nationkey""".stripMargin
+    )(crossRead),
+    Q(
+      "vc_mor_update_read",
+      """SELECT n_nationkey,
+        |       CASE WHEN n_nationkey < 5 THEN n_name || '!' ELSE n_name END
+        |         AS n_name,
+        |       n_regionkey
+        |FROM nation WHERE n_nationkey < 20
+        |ORDER BY n_nationkey""".stripMargin
+    )(morUpdateRead),
+    Q(
+      "vc_purge_read",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin
+    )(purgeRead),
     Q(
       "vc_partitions_meta",
       """SELECT CAST(n_regionkey AS VARCHAR) AS region,
