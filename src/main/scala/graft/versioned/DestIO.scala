@@ -199,8 +199,22 @@ private[versioned] final class HadoopDestIO(
         s"rename $tmp -> $dst failed and $dst does not exist")
     }
   }
-  override def uploadAtomic(local: Path, rel: String): Unit =
-    fs.moveFromLocalFile(new HPath(local.toUri), p(rel))
+  override def uploadAtomic(local: Path, rel: String): Unit = {
+    // stage to a temp sibling first: moveFromLocalFile stream-copies
+    // straight into the destination name on HDFS/file, so a crash
+    // mid-upload would leave a truncated parquet under the final
+    // (content-addressed) name that later emissions' isFile reuse
+    // check would treat as complete
+    val dst = p(rel)
+    val tmp = new HPath(dst.getParent, s".tmp-${UUID.randomUUID()}")
+    fs.moveFromLocalFile(new HPath(local.toUri), tmp)
+    if (!fs.rename(tmp, dst)) {
+      // loser of a content-addressed race (same bytes) — drop the temp
+      fs.delete(tmp, false)
+      if (!isFile(rel)) throw new java.io.IOException(
+        s"rename $tmp -> $dst failed and $dst does not exist")
+    }
+  }
   override def listNames(rel: String): Seq[String] =
     if (!isDirectory(rel)) Nil
     else fs.listStatus(p(rel)).toSeq.map(_.getPath.getName)

@@ -1400,15 +1400,18 @@ object IcebergExport {
     * in the repo, outside the dest, and are never touched). Returns
     * (metadata files deleted, delete files deleted).
     *
+    * Files reachable ONLY from the expired (dead) versions are
+    * known-published superseded history and are deleted at any age.
     * `olderThanMs` (default 10 min, mirroring
-    * [[GraftRepo.expireSnapshots]]'s guard) spares files younger than
-    * the cutoff: a CONCURRENT export/sync emission writes chunk
-    * manifests and delete parquets BEFORE the metadata version that
-    * references them appears, and an unguarded sweep would delete them
-    * mid-publish (or delete a chunk manifest the emission's reuse check
-    * just accepted). In-flight `.tmp-*` names are always excluded.
+    * [[GraftRepo.expireSnapshots]]'s guard) spares UNREFERENCED files
+    * younger than the cutoff: a CONCURRENT export/sync emission writes
+    * chunk manifests and delete parquets BEFORE the metadata version
+    * that references them appears, and an unguarded sweep would delete
+    * them mid-publish. In-flight `.tmp-*` names are always excluded.
     * Pass 0 only when no export to this dest can be in flight; even
-    * with the guard, do not let a single emission straddle the window.
+    * with the guard, do not let a single emission straddle the window,
+    * and note a concurrent emission REUSING a dead-only chunk manifest
+    * still races the sweep (same straddle caveat).
     */
   def expireDest(dest: Path, keepVersions: Int,
       olderThanMs: Long = 600000L): (Int, Int) =
@@ -1437,10 +1440,9 @@ object IcebergExport {
     val kept = versions.takeRight(keepVersions)
     val dead = versions.dropRight(keepVersions)
 
-    // everything a kept version can reach: manifest lists → manifests →
+    // everything a version set can reach: manifest lists → manifests →
     // (delete manifests only) delete parquets under dest — all as
     // dest-relative paths (URIs outside the dest are never swept anyway)
-    val referenced = scala.collection.mutable.Set.empty[String]
     def readAvro(rel: String): Seq[GenericRecord] = {
       val rd = new org.apache.avro.file.DataFileReader[GenericRecord](
         new org.apache.avro.file.SeekableByteArrayInput(dest.readBytes(rel)),
@@ -1448,27 +1450,40 @@ object IcebergExport {
       try rd.iterator().asScala.toList finally rd.close()
     }
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    kept.foreach { v =>
-      val meta = om.readTree(dest.readString(s"metadata/v$v.metadata.json"))
-      val snaps = meta.get("snapshots")
-      (0 until snaps.size()).foreach { i =>
-        dest.relOf(snaps.get(i).get("manifest-list").asText()).foreach { list =>
-          referenced += list
-          if (dest.isFile(list)) readAvro(list).foreach { mf =>
-            dest.relOf(mf.get("manifest_path").toString).foreach { m =>
-              referenced += m
-              val isDelete = Option(mf.getSchema.getField("content"))
-                .exists(_ => mf.get("content").asInstanceOf[Int] == 1)
-              if (isDelete && dest.isFile(m)) readAvro(m).foreach { e =>
-                val df = e.get("data_file").asInstanceOf[GenericRecord]
-                dest.relOf(df.get("file_path").toString)
-                  .foreach(referenced += _)
+    def reach(vs: Seq[Int]): scala.collection.mutable.Set[String] = {
+      val out = scala.collection.mutable.Set.empty[String]
+      vs.foreach { v =>
+        try {
+          val meta = om.readTree(dest.readString(s"metadata/v$v.metadata.json"))
+          val snaps = meta.get("snapshots")
+          (0 until snaps.size()).foreach { i =>
+            dest.relOf(snaps.get(i).get("manifest-list").asText()).foreach { list =>
+              out += list
+              if (dest.isFile(list)) readAvro(list).foreach { mf =>
+                dest.relOf(mf.get("manifest_path").toString).foreach { m =>
+                  out += m
+                  val isDelete = Option(mf.getSchema.getField("content"))
+                    .exists(_ => mf.get("content").asInstanceOf[Int] == 1)
+                  if (isDelete && dest.isFile(m)) readAvro(m).foreach { e =>
+                    val df = e.get("data_file").asInstanceOf[GenericRecord]
+                    dest.relOf(df.get("file_path").toString)
+                      .foreach(out += _)
+                  }
+                }
               }
             }
           }
-        }
+        } catch { case _: Exception => () } // version vanished under us
       }
+      out
     }
+    val referenced = reach(kept)
+    // files reachable from the DEAD versions (and not from a kept one)
+    // are known-published superseded history — safe to drop at any age.
+    // The age guard below protects only files NO version references:
+    // those may be a concurrent emission's just-written, not-yet-
+    // referenced manifests/deletes mid-publish.
+    val deadOnly = reach(dead) --= referenced
 
     var metaDeleted = 0
     // superseded version files are safe at any age (they are OLD by
@@ -1479,7 +1494,7 @@ object IcebergExport {
     dest.listNames("metadata")
       .filter(_.endsWith(".avro")).map(n => s"metadata/$n")
       .filterNot(referenced.contains)
-      .filter(sweepable)
+      .filter(rel => deadOnly.contains(rel) || sweepable(rel))
       .foreach { rel => if (dest.delete(rel)) metaDeleted += 1 }
 
     var delDeleted = 0
@@ -1487,7 +1502,7 @@ object IcebergExport {
       dest.walkFiles("data")
         .filter(_.endsWith("-deletes.parquet"))
         .filterNot(referenced.contains)
-        .filter(sweepable)
+        .filter(rel => deadOnly.contains(rel) || sweepable(rel))
         .foreach { rel => if (dest.delete(rel)) delDeleted += 1 }
       // memo dirs whose files are all gone: drop the index + dir (a
       // future export of that snapshot recomputes). Young dirs are an

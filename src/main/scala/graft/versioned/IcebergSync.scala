@@ -232,13 +232,15 @@ object IcebergSync {
                 .contains(s) =>
               syncExport(repo, reg,
                 org.apache.spark.sql.SparkSession.getActiveSession)
-              // age guard 0 is safe HERE: sync's contract makes this
-              // process the dest's only writer, the emission above has
-              // completed, and registrations emit sequentially — no
-              // unreferenced file of a concurrent publish can exist
+              // keep the default 10-min age guard even here: nothing
+              // ENFORCES that sync is the dest's only writer — a
+              // concurrent one-shot iceberg_export CALL (or a second
+              // repo syncing to the same dest) can have just-written,
+              // not-yet-referenced files mid-publish. The guard's only
+              // cost is delayed cleanup of this emission's own garbage.
               if (reg.keepVersions >= 1)
                 IcebergExport.expireDest(DestIO.of(reg.dest),
-                  reg.keepVersions, olderThanMs = 0L)
+                  reg.keepVersions, olderThanMs = 600000L)
             case _ => () // table unchanged (or dropped): nothing to emit
           }
         } catch {

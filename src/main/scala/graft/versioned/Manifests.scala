@@ -64,6 +64,44 @@ object Manifests {
   private def manifestsDir(root: Path): Path =
     root.resolve("snapshots").resolve("manifests")
 
+  /** The shared bounded IO pool (sys prop `graft.manifest.load.threads`,
+    * default 16, read once at first use) for manifest chunk GET/PUT/HEAD
+    * fan-out — one pool per JVM, daemon threads, instead of building and
+    * tearing down a fresh pool on every commit's load/write/verify pass.
+    * None disables fan-out (`threads <= 1`).
+    */
+  private lazy val ioPool: Option[java.util.concurrent.ExecutorService] = {
+    val threads =
+      Integer.getInteger("graft.manifest.load.threads", 16).intValue()
+    if (threads <= 1) None
+    else Some(java.util.concurrent.Executors.newFixedThreadPool(threads,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-manifest-io")
+        t.setDaemon(true)
+        t
+      }))
+  }
+
+  /** Map `f` over `items` on the shared pool (serial when the batch is
+    * at most `serialAtMost` or fan-out is disabled), unwrapping
+    * ExecutionException so callers surface the backend's own failure
+    * type, not the pool's wrapper.
+    */
+  private def fanOut[A, B](items: Seq[A], serialAtMost: Int)(
+      f: A => B): Seq[B] = ioPool match {
+    case Some(pool) if items.size > serialAtMost =>
+      items.map(a => pool.submit(new java.util.concurrent.Callable[B] {
+        def call(): B = f(a)
+      })).map { fut =>
+        try fut.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }
+    case _ => items.map(f)
+  }
+
   /** Split an ordered file list into content-defined chunks (cut points
     * from each entry's path hash — [[ChunkStore.chunkBy]]).
     */
@@ -101,20 +139,7 @@ object Manifests {
     // manifest work is then latency/CPU-bound on O(chunks/threads), not
     // a serial driver stall
     val chunks = chunk(files)
-    val threads =
-      Integer.getInteger("graft.manifest.load.threads", 16).intValue()
-    val out: Seq[(ManifestRef, Option[String])] =
-      if (chunks.size <= 1 || threads <= 1) chunks.map(one)
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(threads, chunks.size))
-        try {
-          chunks.map(c => pool.submit(
-            new java.util.concurrent.Callable[(ManifestRef, Option[String])] {
-              def call(): (ManifestRef, Option[String]) = one(c)
-            })).map(_.get())
-        } finally pool.shutdown()
-      }
+    val out: Seq[(ManifestRef, Option[String])] = fanOut(chunks, 1)(one)
     (out.map(_._1), out.flatMap(_._2))
   }
 
@@ -205,19 +230,9 @@ object Manifests {
     * back into the O(delta) commit path.
     */
   private[versioned] def existsMissing(root: Path, io: GraftIO,
-      paths: Seq[String]): Seq[String] = {
-    val threads =
-      Integer.getInteger("graft.manifest.load.threads", 16).intValue()
-    if (paths.size <= 4 || threads <= 1)
-      return paths.filterNot(p => io.isFile(root.resolve(p)))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(threads, paths.size))
-    try paths.map(p => p -> pool.submit(
-        new java.util.concurrent.Callable[Boolean] {
-          def call(): Boolean = io.isFile(root.resolve(p))
-        })).filterNot(_._2.get()).map(_._1)
-    finally pool.shutdown()
-  }
+      paths: Seq[String]): Seq[String] =
+    fanOut(paths, 4)(p => p -> io.isFile(root.resolve(p)))
+      .filterNot(_._2).map(_._1)
 
   /** Load one manifest's entries through the process-wide cache. */
   def load(root: Path, io: GraftIO, ref: ManifestRef): Seq[FileEntry] = {
@@ -241,25 +256,16 @@ object Manifests {
     */
   private[versioned] def loadAll(root: Path, io: GraftIO,
       refs: Seq[ManifestRef]): Seq[FileEntry] = {
-    val threads =
-      Integer.getInteger("graft.manifest.load.threads", 16).intValue()
     val misses = refs.zipWithIndex.filterNot { case (r, _) =>
       cache.get(root.resolve(r.path).toAbsolutePath.normalize.toString).isDefined
     }
-    if (misses.size <= 1 || threads <= 1)
-      return refs.flatMap(load(root, io, _))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(threads, misses.size))
-    try {
-      val futures = misses.map { case (r, i) =>
-        i -> pool.submit(new java.util.concurrent.Callable[Seq[FileEntry]] {
-          def call(): Seq[FileEntry] = load(root, io, r)
-        })
-      }.toMap
-      refs.zipWithIndex.flatMap { case (r, i) =>
-        futures.get(i).map(_.get()).getOrElse(load(root, io, r))
-      }
-    } finally pool.shutdown()
+    if (misses.size <= 1) return refs.flatMap(load(root, io, _))
+    val loaded = fanOut(misses, 1) { case (r, i) =>
+      i -> load(root, io, r)
+    }.toMap
+    refs.zipWithIndex.flatMap { case (r, i) =>
+      loaded.getOrElse(i, load(root, io, r))
+    }
   }
 
   /** A segmented snapshot's file list as a LAZY Seq: size/isEmpty answer
