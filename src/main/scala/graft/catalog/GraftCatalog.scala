@@ -52,9 +52,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   //                            production split the reference gets from
   //                            a per-repo Hadoop FS.
   protected var io: GraftIO = LocalGraftIO.instance
+  // catalog option `dataRoot`: base Hadoop-FS URI under which each
+  // created repo's DATA plane lives (`<dataRoot>/<repo>`) — the
+  // object-store-native posture (s3a://bucket) the reference's FileIO
+  // has; metadata stays under `root` through `io`. Persisted per repo
+  // at create time, so openers need no option.
+  private var dataRootBase: Option[String] = None
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    dataRootBase = Option(options.get("dataRoot"))
     io = Option(options.get("io")).getOrElse("local") match {
       case "local" => LocalGraftIO.instance
       case "hadoop-object-store" =>
@@ -305,7 +312,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (namespaceExists(ns)) throw new NamespaceAlreadyExistsException(ns)
     ns match {
       case Array(r) =>
-        GraftRepo.init(repoPath(r), io)
+        // per-repo data root: the CREATE NAMESPACE property wins, else
+        // the catalog-level `dataRoot` option (a base URI; each repo
+        // gets `<base>/<repo>`), else data lives under the repo root.
+        val dataRoot = Option(props.get("dataRoot"))
+          .orElse(dataRootBase.map(b => s"${b.stripSuffix("/")}/$r"))
+        GraftRepo.init(repoPath(r), io, dataRoot)
       case Array(_, b) =>
         // branch create from `from` property (default main) — zero-copy ref
         repo(ns).createBranch(b, Option(props.get("from")).getOrElse("main"))
@@ -833,8 +845,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .flatMap(_.files).map(_.path).toSet
     victim.get.files.filterNot(f => stillReferenced.contains(f.path))
       .foreach { f =>
-        g.io.deleteIfExists(g.root.resolve(f.path))
-        g.io.deleteIfExists(g.root.resolve(f.path + ".bloom"))
+        g.dataIO.delete(f.path)
+        g.dataIO.delete(f.path + ".bloom")
       }
     true
   }

@@ -66,8 +66,9 @@ final class GraftLayoutWrite(
     extends Write with RequiresDistributionAndOrdering {
 
   private val physSchema = TableOps.toPhysical(tableSchema, mapping)
-  private val staging = repo.dataDir.resolve(key)
-    .resolve(UUID.randomUUID().toString.replace("-", ""))
+  private val stagingRel =
+    s"data/$key/${UUID.randomUUID().toString.replace("-", "")}"
+  private val staging = repo.dataLocation(stagingRel)
 
   override def description(): String = label
 
@@ -133,7 +134,7 @@ final class GraftLayoutWrite(
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss"))
     val factory = new GraftPartitionedWriterFactory(owf, conf, physSchema,
       dirNames, dirExprs, statFields.map { case (f, i) => (f.name, i) },
-      hashExprs, staging.toString, jobTrackerId)
+      hashExprs, staging, jobTrackerId)
 
     val entriesOf = (messages: Array[WriterCommitMessage]) => {
       val files = messages.flatMap {
@@ -147,8 +148,7 @@ final class GraftLayoutWrite(
       else files.map { wf =>
         // SINGLE-PASS stats: footer min/max/nulls/rows + inline HLL
         // NDV, rendered to the same stat strings the scan produced
-        val rel = repo.root.relativize(
-          java.nio.file.Paths.get(wf.path)).toString
+        val rel = repo.dataRelOf(wf.path)
         def render(m: Map[String, Any]): Map[String, String] =
           m.map { case (c, v) =>
             c -> graft.versioned.FooterStats.render(v,
@@ -175,17 +175,18 @@ final class GraftLayoutWrite(
       messages.foreach {
         case m: GraftWrittenFiles =>
           m.files.foreach(f =>
-            try repo.io.deleteIfExists(java.nio.file.Paths.get(f.path))
+            try repo.dataIO.relOf(f.path).foreach(repo.dataIO.delete)
             catch { case _: Exception => () })
         case _ => ()
       }
     }
     val abortBatch = (messages: Array[WriterCommitMessage]) => {
       abortEpoch(messages)
-      try
-        repo.io.walk(staging).sorted(Ordering[java.nio.file.Path].reverse)
-          .foreach(p => repo.io.deleteIfExists(p))
-      catch { case _: Exception => () }
+      try {
+        repo.dataIO.walkFiles(stagingRel).foreach(repo.dataIO.delete)
+        (repo.dataIO.walkDirs(stagingRel) :+ stagingRel)
+          .sorted(Ordering[String].reverse).foreach(repo.dataIO.delete)
+      } catch { case _: Exception => () }
     }
 
     (factory, entriesOf, abortBatch, abortEpoch)

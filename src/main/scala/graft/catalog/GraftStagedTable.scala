@@ -89,7 +89,7 @@ private[catalog] final class GraftStagedTable(
 
   override def abortStagedChanges(): Unit =
     staged.foreach { f =>
-      g.io.deleteIfExists(g.root.resolve(f.path))
-      g.io.deleteIfExists(g.root.resolve(f.path + ".bloom"))
+      g.dataIO.delete(f.path)
+      g.dataIO.delete(f.path + ".bloom")
     }
 }

@@ -154,7 +154,7 @@ final class GraftMicroBatchStream(
   private def scanFor(files: Seq[FileEntry]) =
     graftbridge.ParquetReadBridge.scan(
       SparkSession.active,
-      files.map(f => new org.apache.hadoop.fs.Path(repo.root.resolve(f.path).toUri)),
+      files.map(f => new org.apache.hadoop.fs.Path(repo.dataLocation(f.path))),
       physSchema, physRequired, physFilters)
 
   /** Backlog visibility in StreamingQueryProgress.sources[i].metrics:

@@ -198,7 +198,7 @@ final class GraftScanBuilder(repo: GraftRepo, snap: Snapshot, fullSchema: Struct
   // merge-on-read tombstones invalidate metadata counts/extremes
   // (a deleted row may hold the min; counts include deleted rows)
   private lazy val morDirty = graft.versioned.Tombstones.dirty(snap,
-    TableOps.toPhysical(fullSchema, snap.nameMapping), Some(repo.root))
+    TableOps.toPhysical(fullSchema, snap.nameMapping), Some(repo.dataIO))
 
   private def answer(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
@@ -291,14 +291,14 @@ final class GraftScan(
   private lazy val morTombs = graft.versioned.Tombstones.of(snap)
   private lazy val morDirty = morTombs.nonEmpty && snap.files.exists(f =>
     graft.versioned.Tombstones.applicable(morTombs, f, physDataSchema,
-      Some(repo.root)).nonEmpty)
+      Some(repo.dataIO)).nonEmpty)
 
   private[graft] def liveFiles: Seq[graft.versioned.FileEntry] = {
     val fs = (pushed ++ runtime).toIndexedSeq
     // bloom sidecars load only for files equality filters couldn't be
     // disproven on by partition values or min/max — point lookups on
     // unclustered columns prune here (including runtime DPP In-filters)
-    graft.versioned.Blooms.prune(repo.root, snap, schema, fs,
+    graft.versioned.Blooms.prune(repo.dataIO, snap, schema, fs,
       TableOps.pruneFiles(snap, schema, fs))
   }
 
@@ -306,7 +306,7 @@ final class GraftScan(
     if (cached == null) {
       val m = snap.nameMapping
       val paths = liveFiles.map(f =>
-        new org.apache.hadoop.fs.Path(repo.root.resolve(f.path).toUri))
+        new org.apache.hadoop.fs.Path(repo.dataLocation(f.path)))
       cached = graftbridge.ParquetReadBridge.scan(
         SparkSession.active, paths,
         TableOps.toPhysical(schema, m),
@@ -425,7 +425,7 @@ final class GraftScan(
       val keyedPaths = groups.map { case (key, fs) =>
         (org.apache.spark.sql.catalyst.InternalRow.fromSeq(key),
           fs.filter(f => live(f.path)).map(f =>
-            new org.apache.hadoop.fs.Path(repo.root.resolve(f.path).toUri)))
+            new org.apache.hadoop.fs.Path(repo.dataLocation(f.path))))
       }
       graftbridge.KeyedReadBridge.keyedBatch(
         SparkSession.active, keyedPaths,
@@ -436,11 +436,11 @@ final class GraftScan(
       val m = snap.nameMapping
       val (clean, dirty) =
         graft.versioned.Tombstones.split(morTombs, physDataSchema, liveFiles,
-          Some(repo.root))
+          Some(repo.dataIO))
       if (dirty.isEmpty) inner.toBatch
       else {
         def pathsOf(fs: Seq[graft.versioned.FileEntry]) =
-          fs.map(f => new org.apache.hadoop.fs.Path(repo.root.resolve(f.path).toUri))
+          fs.map(f => new org.apache.hadoop.fs.Path(repo.dataLocation(f.path)))
         graftbridge.TombstoneReadBridge.scan(
           SparkSession.active, pathsOf(clean),
           dirty.map { case (fs, tombs) =>

@@ -138,7 +138,7 @@ final class MetaTable(
       val phys = graft.versioned.TableOps.toPhysical(schema, snap.nameMapping)
       graft.versioned.Tombstones.of(snap).map { t =>
         val n = snap.files.count(f => graft.versioned.Tombstones
-          .applicable(Seq(t), f, phys, Some(repo.root)).nonEmpty)
+          .applicable(Seq(t), f, phys, Some(repo.dataIO)).nonEmpty)
         Row(t.seq, t.filter.toString, n)
       }
     case "manifests" =>

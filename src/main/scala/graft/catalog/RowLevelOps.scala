@@ -56,8 +56,8 @@ final class GraftRowLevelOperation(
     new GraftCoWScanBuilder(this, repo, snap, tableSchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    val staging = repo.dataDir.resolve(key)
-      .resolve(UUID.randomUUID().toString.replace("-", ""))
+    val staging =
+      s"data/$key/${UUID.randomUUID().toString.replace("-", "")}"
     // replacement files are written (and stats keyed) under PHYSICAL
     // names, like every other write path — rows are positional, so
     // re-labeling the write schema is free
@@ -70,7 +70,7 @@ final class GraftRowLevelOperation(
       override def metadataSchema(): java.util.Optional[StructType] = info.metadataSchema()
     }
     val inner = graftbridge.ParquetWriteBridge.writeBuilder(
-      SparkSession.active, staging.toString, physSchema, physInfo)
+      SparkSession.active, repo.dataLocation(staging), physSchema, physInfo)
     new WriteBuilder {
       override def build(): Write = new Write {
         override def description(): String = s"graft-cow-$command $key"
@@ -113,13 +113,13 @@ final class GraftCoWScanBuilder(
     val physData = TableOps.toPhysical(fullSchema, m)
     val physRequired = TableOps.toPhysical(required, m)
     def pathsOf(fs: Seq[FileEntry]) = fs.map(f =>
-      new org.apache.hadoop.fs.Path(repo.root.resolve(f.path).toUri))
+      new org.apache.hadoop.fs.Path(repo.dataLocation(f.path)))
     // merge-on-read tombstones are applied here too: the replacement
     // content a row-level rewrite publishes must never carry
     // MoR-deleted rows back to life. NO query filters go into the
     // parquet reader (whole-file row fidelity) — only tombstones.
     val (clean, dirty) = graft.versioned.Tombstones.split(
-      graft.versioned.Tombstones.of(snap), physData, live, Some(repo.root))
+      graft.versioned.Tombstones.of(snap), physData, live, Some(repo.dataIO))
     val inner =
       if (dirty.isEmpty)
         graftbridge.ParquetReadBridge.scan(
@@ -154,7 +154,7 @@ final class GraftCoWWrite(
     repo: GraftRepo,
     branch: String,
     key: String,
-    staging: java.nio.file.Path,
+    staging: String, // repo-relative
     schema: StructType,
     inner: BatchWrite) extends BatchWrite {
 

@@ -130,25 +130,23 @@ object Blooms {
 
   // ---- sidecar IO ------------------------------------------------------
 
-  def sidecar(root: Path, dataFileRel: String): Path =
-    root.resolve(dataFileRel + ".bloom")
+  def sidecar(dataFileRel: String): String = dataFileRel + ".bloom"
 
-  def write(root: Path, dataFileRel: String, blooms: Map[String, Array[Byte]],
-      io: GraftIO = LocalGraftIO.instance): Unit =
+  def write(data: DestIO, dataFileRel: String,
+      blooms: Map[String, Array[Byte]]): Unit =
     // overwrite-allowed: the sidecar is keyed by its immutable data file,
     // so a re-write (stats rebuild) carries identical content
-    io.overwrite(sidecar(root, dataFileRel), Json.write(
-      blooms.map { case (c, b) => c -> Base64.getEncoder.encodeToString(b) })
-      .getBytes("UTF-8"))
+    data.writeString(sidecar(dataFileRel), Json.write(
+      blooms.map { case (c, b) => c -> Base64.getEncoder.encodeToString(b) }))
 
   /** Driver-side LRU of parsed sidecars (sidecars are immutable — named
     * after immutable data files — so cache entries never invalidate).
     */
   private val cacheMax = 4096
   private val cache =
-    new java.util.LinkedHashMap[Path, Map[String, BloomFilter]](64, 0.75f, true) {
+    new java.util.LinkedHashMap[String, Map[String, BloomFilter]](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Path, Map[String, BloomFilter]]): Boolean =
+          e: java.util.Map.Entry[String, Map[String, BloomFilter]]): Boolean =
         size() > cacheMax
     }
 
@@ -156,14 +154,13 @@ object Blooms {
     * unreadable (pruning degrades to "keep the file" — a lost sidecar
     * can cost speed, never rows).
     */
-  def load(root: Path, f: FileEntry,
-      io: GraftIO = LocalGraftIO.instance): Map[String, BloomFilter] = {
-    val p = sidecar(root, f.path)
+  def load(data: DestIO, f: FileEntry): Map[String, BloomFilter] = {
+    val p = data.hadoopLocation(sidecar(f.path))
     cache.synchronized { Option(cache.get(p)) } match {
       case Some(m) => m
       case None =>
         val m = scala.util.Try {
-          Json.readAny(new String(io.readBytes(p), "UTF-8"))
+          Json.readAny(new String(data.readBytes(sidecar(f.path)), "UTF-8"))
             .asInstanceOf[Map[String, Any]]
             .map { case (c, b64) =>
               c -> BloomFilter.readFrom(
@@ -211,9 +208,8 @@ object Blooms {
     * names; translated physically here). Applied AFTER partition +
     * min/max pruning, so sidecar loads touch only surviving candidates.
     */
-  def prune(root: Path, snap: Snapshot, schema: StructType,
-      filters: Seq[sources.Filter], files: Seq[FileEntry],
-      io: GraftIO = LocalGraftIO.instance): Seq[FileEntry] = {
+  def prune(data: DestIO, snap: Snapshot, schema: StructType,
+      filters: Seq[sources.Filter], files: Seq[FileEntry]): Seq[FileEntry] = {
     if (filters.isEmpty) return files
     val m = snap.nameMapping
     val physSchema = TableOps.toPhysical(schema, m)
@@ -225,7 +221,7 @@ object Blooms {
       val advertised = f.bloomColsList.toSet
       if (advertised.isEmpty) true
       else {
-        lazy val loaded = load(root, f, io)
+        lazy val loaded = load(data, f)
         phys.forall(pf => mayMatch(physSchema, pf, () => loaded))
       }
     }

@@ -29,7 +29,7 @@ import scala.util.Using
   * is metadata-only) — a crash mid-write never leaves a truncated file
   * under a final name that later emissions would reuse.
   */
-private[versioned] trait DestIO {
+private[graft] trait DestIO {
   /** Absolute URI for embedding into Iceberg metadata (file_path,
     * manifest-list entries, table location). */
   def uriOf(rel: String): String
@@ -56,6 +56,9 @@ private[versioned] trait DestIO {
   def listNames(rel: String): Seq[String]
   /** Dest-relative paths of all regular files under `rel`, recursive. */
   def walkFiles(rel: String): Seq[String]
+  /** Dest-relative paths of all directories strictly under `rel`,
+    * recursive (empty on stores without real directories). */
+  def walkDirs(rel: String): Seq[String]
   def size(rel: String): Long
   def mtimeMs(rel: String): Long
   def delete(rel: String): Boolean
@@ -64,7 +67,7 @@ private[versioned] trait DestIO {
   def hadoopLocation(rel: String): String
 }
 
-private[versioned] object DestIO {
+private[graft] object DestIO {
   // `file:/x` (Hadoop's rendering) and `file:///x` both count
   private val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*:/.*".r
 
@@ -77,7 +80,7 @@ private[versioned] object DestIO {
 }
 
 /** Local-filesystem dest — the pre-seam java.nio behavior. */
-private[versioned] final class NioDestIO(val root: Path) extends DestIO {
+private[graft] final class NioDestIO(val root: Path) extends DestIO {
   private def p(rel: String): Path =
     if (rel.isEmpty) root else root.resolve(rel)
   override def uriOf(rel: String): String = p(rel).toUri.toString
@@ -138,6 +141,12 @@ private[versioned] final class NioDestIO(val root: Path) extends DestIO {
       .filter(Files.isRegularFile(_))
       .map(f => p(rel).relativize(f)).map(r =>
         if (rel.isEmpty) r.toString else s"$rel/$r").toList)
+  override def walkDirs(rel: String): Seq[String] =
+    if (!Files.isDirectory(p(rel))) Nil
+    else Using.resource(Files.walk(p(rel)))(_.iterator().asScala
+      .filter(d => Files.isDirectory(d) && d != p(rel))
+      .map(d => p(rel).relativize(d)).map(r =>
+        if (rel.isEmpty) r.toString else s"$rel/$r").toList)
   override def size(rel: String): Long = Files.size(p(rel))
   override def mtimeMs(rel: String): Long =
     Files.getLastModifiedTime(p(rel)).toMillis
@@ -150,7 +159,7 @@ private[versioned] final class NioDestIO(val root: Path) extends DestIO {
   * back to a fresh Configuration off-session), checksums off so object
   * layouts match external expectations (no .crc siblings).
   */
-private[versioned] final class HadoopDestIO(
+private[graft] final class HadoopDestIO(
     fs: org.apache.hadoop.fs.FileSystem,
     root: org.apache.hadoop.fs.Path) extends DestIO {
   import org.apache.hadoop.fs.{Path => HPath}
@@ -220,18 +229,31 @@ private[versioned] final class HadoopDestIO(
     else fs.listStatus(p(rel)).toSeq.map(_.getPath.getName)
   override def walkFiles(rel: String): Seq[String] = {
     if (!isDirectory(rel)) return Nil
-    val base = p(rel).toUri.toString.stripSuffix("/") + "/"
     val out = Seq.newBuilder[String]
     val it = fs.listFiles(p(rel), true)
     while (it.hasNext) {
       val st = it.next()
-      if (st.isFile) {
-        val u = st.getPath.toUri.toString
-        if (u.startsWith(base))
-          out += (if (rel.isEmpty) u.stripPrefix(base)
-                  else s"$rel/${u.stripPrefix(base)}")
-      }
+      // component-wise relOf, NOT string-prefix matching: the listing
+      // qualifies paths through the filesystem (`file:///x`) while the
+      // root may render differently (`file:/x`) — same URI, different
+      // strings
+      if (st.isFile) relOf(st.getPath.toString).foreach(out += _)
     }
+    out.result()
+  }
+  override def walkDirs(rel: String): Seq[String] = {
+    if (!isDirectory(rel)) return Nil
+    val out = Seq.newBuilder[String]
+    def go(r: String): Unit =
+      fs.listStatus(p(r)).foreach { st =>
+        if (st.isDirectory) {
+          val child =
+            if (r.isEmpty) st.getPath.getName else s"$r/${st.getPath.getName}"
+          out += child
+          go(child)
+        }
+      }
+    go(rel)
     out.result()
   }
   override def size(rel: String): Long = fs.getFileStatus(p(rel)).getLen
@@ -243,7 +265,7 @@ private[versioned] final class HadoopDestIO(
   override def hadoopLocation(rel: String): String = p(rel).toString
 }
 
-private[versioned] object HadoopDestIO {
+private[graft] object HadoopDestIO {
   def apply(destUri: String): HadoopDestIO = {
     val conf = org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sessionState.newHadoopConf())
@@ -259,4 +281,65 @@ private[versioned] object HadoopDestIO {
       else org.apache.hadoop.fs.FileSystem.get(uri, conf)
     new HadoopDestIO(fs, new org.apache.hadoop.fs.Path(destUri))
   }
+}
+
+/** DATA-PLANE view over the repo's own [[GraftIO]] — the DEFAULT data
+  * backend when a repo has no URI data root: parquet data files and
+  * their bloom sidecars live under the repo root, accessed through
+  * whatever GraftIO backend the catalog selected (local FS,
+  * object-store adapter). Byte-identical to the pre-seam behavior;
+  * [[GraftRepo.dataIO]] swaps in [[HadoopDestIO]] when the repo was
+  * created with `dataRoot = s3a://…` (the reference's object-store-
+  * native FileIO posture, LakeFSFileIO.java:24).
+  *
+  * `relOf` must invert what Spark's `input_file_name`/written-file
+  * paths report for files under the repo root. It deliberately does
+  * NOT round-trip through java.net.URI: hive-escaped partition
+  * directories (`__p_c=a%25b`) contain percent sequences that a URI
+  * parse would decode, corrupting the stored relative path.
+  */
+private[graft] final class GraftIoDestIO(val root: Path, io: GraftIO)
+    extends DestIO {
+  private val normRoot = root.toAbsolutePath.normalize
+  private def p(rel: String): Path =
+    if (rel.isEmpty) root else root.resolve(rel)
+  override def uriOf(rel: String): String = p(rel).toUri.toString
+  override def relOf(location: String): Option[String] = {
+    val raw =
+      if (location.startsWith("file:"))
+        "/" + location.stripPrefix("file:").dropWhile(_ == '/')
+      else location
+    (try Some(java.nio.file.Paths.get(raw).toAbsolutePath.normalize)
+    catch { case _: Exception => None })
+      .filter(_.startsWith(normRoot))
+      .map(normRoot.relativize(_).toString)
+  }
+  override def displayPath(rel: String): String = p(rel).toString
+  override def mkdirs(rel: String): Unit = io.mkdirs(p(rel))
+  override def isFile(rel: String): Boolean = io.isFile(p(rel))
+  override def isDirectory(rel: String): Boolean = io.isDirectory(p(rel))
+  override def readString(rel: String): String = io.readString(p(rel))
+  override def readBytes(rel: String): Array[Byte] = io.readBytes(p(rel))
+  override def writeString(rel: String, content: String): Unit =
+    io.overwrite(p(rel), content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  override def writeAtomic(rel: String, bytes: Array[Byte]): Unit =
+    io.overwrite(p(rel), bytes)
+  override def uploadAtomic(local: Path, rel: String): Unit = {
+    io.overwrite(p(rel), Files.readAllBytes(local))
+    Files.deleteIfExists(local)
+  }
+  override def listNames(rel: String): Seq[String] =
+    io.list(p(rel)).map(_.getFileName.toString)
+  override def walkFiles(rel: String): Seq[String] =
+    io.walk(p(rel)).filter(io.isFile)
+      .map(f => p(rel).relativize(f)).map(r =>
+        if (rel.isEmpty) r.toString else s"$rel/$r")
+  override def walkDirs(rel: String): Seq[String] =
+    io.walk(p(rel)).filter(d => io.isDirectory(d) && d != p(rel))
+      .map(d => p(rel).relativize(d)).map(r =>
+        if (rel.isEmpty) r.toString else s"$rel/$r")
+  override def size(rel: String): Long = io.size(p(rel))
+  override def mtimeMs(rel: String): Long = io.mtimeMs(p(rel))
+  override def delete(rel: String): Boolean = io.deleteIfExists(p(rel))
+  override def hadoopLocation(rel: String): String = p(rel).toUri.toString
 }

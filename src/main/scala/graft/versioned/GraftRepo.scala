@@ -18,11 +18,37 @@ import java.util.UUID
   * (zero-copy, like lakeFS branching), merge moves refs, diff compares
   * table->snapshot maps. Only DML (TableOps) writes data.
   */
-final class GraftRepo private (val root: Path, val io: GraftIO) {
+final class GraftRepo private (val root: Path, val io: GraftIO,
+    val dataRootUri: Option[String]) {
   private def refsDir = root.resolve("refs")
   private def commitsDir = root.resolve("commits")
   private def snapshotsDir = root.resolve("snapshots")
   def dataDir: Path = root.resolve("data")
+
+  /** DATA-PLANE IO seam: where parquet data files and their bloom
+    * sidecars live. Default: under the repo root through the repo's
+    * own [[GraftIO]] (byte-identical to the pre-seam layout). A repo
+    * created with `dataRoot = s3a://bucket/repo` (any Hadoop FS URI,
+    * persisted in `config.json` so every opener agrees) routes every
+    * data byte — Spark reads/writes, vacuum, purge, sidecars — through
+    * the Hadoop FileSystem for that URI instead: the reference's
+    * object-store-native FileIO posture (LakeFSFileIO.java:24), with
+    * metadata staying on whatever GraftIO backend the catalog picked.
+    * Paths recorded in snapshots stay repo-RELATIVE (`data/…`) either
+    * way, so moving a repo between substrates is a config change.
+    */
+  val dataIO: DestIO =
+    dataRootUri.map(DestIO.of).getOrElse(new GraftIoDestIO(root, io))
+
+  /** Absolute location (path URI) Spark/Hadoop readers and writers use
+    * for a repo-relative data path. */
+  def dataLocation(rel: String): String = dataIO.hadoopLocation(rel)
+
+  /** Inverse of [[dataLocation]] for a file Spark reports (written-file
+    * path, `input_file_name`): the repo-relative data path. */
+  def dataRelOf(location: String): String =
+    dataIO.relOf(location).getOrElse(throw new IllegalStateException(
+      s"file is not under the repo data root: $location"))
 
   // ---- immutable object store ------------------------------------------
 
@@ -81,7 +107,7 @@ final class GraftRepo private (val root: Path, val io: GraftIO) {
           org.apache.spark.sql.types.DataType.fromJson(schemaJson)
             .asInstanceOf[org.apache.spark.sql.types.StructType],
           physicalNames.getOrElse(Map.empty))
-        Tombstones.prune(p, files, physSchema, Some(root))
+        Tombstones.prune(p, files, physSchema, Some(dataIO))
       }
     }.filter(_.nonEmpty)
     val id = "s" + UUID.randomUUID().toString.replace("-", "")
@@ -705,26 +731,28 @@ final class GraftRepo private (val root: Path, val io: GraftIO) {
     val cutoff = System.currentTimeMillis() - olderThanMs
     val roots = branches.map(b => head(b)._2) ++ tags.map(t => resolve(t).id)
     val reachableCommits = roots.flatMap(ancestors).toSet
-    val referenced: Set[Path] = reachableCommits
+    def norm(rel: String): String =
+      java.nio.file.Paths.get(rel).normalize().toString
+    val referenced: Set[String] = reachableCommits
       .flatMap(cid => commit(cid).tables.values)
-      .flatMap(sid => snapshot(sid).files.map(f => root.resolve(f.path).normalize()))
+      .flatMap(sid => snapshot(sid).files.map(f => norm(f.path)))
     var deleted = 0
-    if (io.isDirectory(dataDir)) {
+    if (dataIO.isDirectory("data")) {
       // only data files count; committer markers (_SUCCESS, .crc) are noise
-      val all = io.walk(dataDir)
-        .filter(io.isFile)
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-      all.foreach { p =>
-        if (!referenced.contains(p.normalize()) && io.mtimeMs(p) < cutoff) {
-          io.delete(p); deleted += 1
+      val all = dataIO.walkFiles("data").filter(_.endsWith(".parquet"))
+      all.foreach { rel =>
+        val old = try dataIO.mtimeMs(rel) < cutoff
+        catch { case _: Exception => false } // vanished under us
+        if (!referenced.contains(norm(rel)) && old) {
+          if (dataIO.delete(rel)) deleted += 1
           // a data file's bloom sidecar dies with it
-          io.deleteIfExists(p.resolveSibling(p.getFileName.toString + ".bloom"))
+          dataIO.delete(rel + ".bloom")
         }
       }
-      // prune now-empty data subdirectories (deepest first)
-      io.walk(dataDir).sorted(Ordering[Path].reverse)
-        .filter(p => p != dataDir && io.isDirectory(p))
-        .foreach { p => if (io.list(p).isEmpty) io.delete(p) }
+      // prune now-empty data subdirectories (deepest first; reverse
+      // lexicographic order puts children before their parents)
+      dataIO.walkDirs("data").sorted(Ordering[String].reverse)
+        .foreach { d => if (dataIO.listNames(d).isEmpty) dataIO.delete(d) }
     }
     deleted
   }
@@ -745,25 +773,43 @@ final class GraftRepo private (val root: Path, val io: GraftIO) {
 }
 
 object GraftRepo {
-  /** Create a repo with an empty root commit on branch `main`. */
-  def init(root: Path, io: GraftIO = LocalGraftIO.instance): GraftRepo = {
-    Seq("refs", "commits", "snapshots", "data")
+  /** Create a repo with an empty root commit on branch `main`.
+    * `dataRoot` (a Hadoop FS URI, e.g. `s3a://bucket/repo`) relocates
+    * the DATA plane — parquet files + sidecars — to that store; it is
+    * persisted in the repo's `config.json` so every opener agrees.
+    * Metadata stays under `root` through `io`.
+    */
+  def init(root: Path, io: GraftIO = LocalGraftIO.instance,
+      dataRoot: Option[String] = None): GraftRepo = {
+    Seq("refs", "commits", "snapshots")
       .foreach(d => io.mkdirs(root.resolve(d)))
-    val repo = new GraftRepo(root, io)
+    dataRoot.foreach { uri =>
+      io.createExclusive(root.resolve("config.json"),
+        Json.write(Map("dataRoot" -> uri)))
+    }
+    val repo = new GraftRepo(root, io, dataRoot)
+    repo.dataIO.mkdirs("data")
     val c0 = repo.writeCommit(Nil, "repo init", Map.empty, Map.empty)
     io.mkdirs(root.resolve("refs/main"))
     io.createExclusive(root.resolve("refs/main/v1"), c0.id)
     repo
   }
 
+  /** The persisted data-root URI of a repo, if it was created with one. */
+  private def configuredDataRoot(root: Path, io: GraftIO): Option[String] =
+    if (!io.isFile(root.resolve("config.json"))) None
+    else Json.readAny(io.readString(root.resolve("config.json")))
+      .asInstanceOf[Map[String, Any]].get("dataRoot").map(_.toString)
+
   def open(root: Path, io: GraftIO = LocalGraftIO.instance): GraftRepo = {
     require(io.isDirectory(root.resolve("refs")), s"not a graft repo: $root")
-    new GraftRepo(root, io)
+    new GraftRepo(root, io, configuredDataRoot(root, io))
   }
 
   def exists(root: Path, io: GraftIO = LocalGraftIO.instance): Boolean =
     io.isDirectory(root.resolve("refs"))
 
-  def initOrOpen(root: Path, io: GraftIO = LocalGraftIO.instance): GraftRepo =
-    if (exists(root, io)) open(root, io) else init(root, io)
+  def initOrOpen(root: Path, io: GraftIO = LocalGraftIO.instance,
+      dataRoot: Option[String] = None): GraftRepo =
+    if (exists(root, io)) open(root, io) else init(root, io, dataRoot)
 }

@@ -240,7 +240,7 @@ object IcebergExport {
       h.schemaJson == snap.schemaJson &&
         h.partitionFields == snap.partitionFields &&
         h.nameMapping == snap.nameMapping &&
-        h.files.forall(f => repo.io.isFile(repo.root.resolve(f.path))) &&
+        h.files.forall(f => repo.dataIO.isFile(f.path)) &&
         (specFields.isEmpty || h.files.forall(f =>
           specFields.forall(pf => f.partValues.contains(pf.name))))
     val history: Seq[(Commit, Snapshot)] = {
@@ -299,10 +299,10 @@ object IcebergExport {
               "v1 reader would resurrect deleted rows")
         }
       val dataEntries = h.files.map { f =>
-        val abs = repo.root.resolve(f.path)
         // true on-disk length (readers plan range reads from it — the
         // snapshot's estimate is not good enough here)
-        MEntry(abs.toUri.toString, f.rows, repo.io.size(abs), f.partValues, 0,
+        MEntry(repo.dataIO.uriOf(f.path), f.rows, repo.dataIO.size(f.path),
+          f.partValues, 0,
           f.seqNo + 1, Nil, Some(fileStats(f, phys)))
       }
       val deleteEntries = (eqDeletes ++ posDeletes).map(d =>
@@ -779,7 +779,7 @@ object IcebergExport {
         DeleteFile(s"$memoRel/${e.name}",
           if (e.bytes >= 0) e.bytes else dest.size(s"$memoRel/${e.name}"),
           e.rows, e.partValues, content = 1, e.seq, Nil))
-    val (_, groups) = Tombstones.split(tombs, phys, snap.files, Some(repo.root))
+    val (_, groups) = Tombstones.split(tombs, phys, snap.files, Some(repo.dataIO))
     if (groups.isEmpty) {
       dest.mkdirs(memoRel)
       dest.writeString(indexRel, Json.write(PosIndex(Nil)))
@@ -818,7 +818,7 @@ object IcebergExport {
         val gid = nextGid; nextGid += 1
         slots += Slot(gid, pv, seq)
         fs.foreach { f =>
-          val uri = repo.root.resolve(f.path).toUri.toString
+          val uri = repo.dataIO.uriOf(f.path)
           fileTag += ((norm(uri), gid, uri))
         }
       }
@@ -826,7 +826,7 @@ object IcebergExport {
       // ADD COLUMN a predicate on the new column must null-fill over
       // older files that lack it, exactly like the engine's own MoR read
       s.read.schema(phys)
-        .parquet(files.map(f => repo.root.resolve(f.path).toString): _*)
+        .parquet(files.map(f => repo.dataLocation(f.path)): _*)
         .where(delCond)
         .select(
           regexp_replace(col("_metadata.file_path"), "^file:/+", "file:///")

@@ -181,8 +181,8 @@ object TableOps {
       else df.toDF(logical.fieldNames.toIndexedSeq
         .map(n => physicalNames.getOrElse(n, n)): _*)
     val schema = out.schema
-    val dir = repo.dataDir.resolve(key)
-      .resolve(UUID.randomUUID().toString.replace("-", ""))
+    val dirRel = s"data/$key/${UUID.randomUUID().toString.replace("-", "")}"
+    val dir = repo.dataLocation(dirRel)
     // bloom columns get parquet-NATIVE bloom filters too (footer-level,
     // per row group): the sidecar prunes whole FILES at plan time, the
     // parquet bloom prunes ROW GROUPS inside files the sidecar admits —
@@ -199,7 +199,7 @@ object TableOps {
     // session must not race on the override)
     val outM = org.apache.spark.sql.graftbridge.ParquetWriteBridge
       .withMicrosTimestamps(out)
-    if (spec.isEmpty) withBlooms(outM.write).parquet(dir.toString)
+    if (spec.isEmpty) withBlooms(outM.write).parquet(dir)
     else {
       val dirCols = spec.map { pf =>
         val srcType = logical.fields.find(_.name == pf.source).map(_.dataType)
@@ -231,11 +231,11 @@ object TableOps {
         else projected.hint("rebalance",
           spec.map(pf => col(Partitioning.dirColName(pf))): _*)
       withBlooms(laid.write).partitionBy(spec.map(Partitioning.dirColName): _*)
-        .parquet(dir.toString)
+        .parquet(dir)
     }
-    val paths = repo.io.walk(dir).filter(repo.io.isFile)
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(_.toString)
+    val paths = repo.dataIO.walkFiles(dirRel)
+      .filter(_.endsWith(".parquet"))
+      .map(repo.dataLocation)
     val blooms = bloomCols.filter(c => schema.fields.exists(_.name == c))
     if (blooms.isEmpty)
       // SINGLE-PASS stats: the parquet writer already computed
@@ -259,8 +259,7 @@ object TableOps {
         .agg(count(lit(1)).as("__rows"), (statCols.toIndexedSeq ++ bloomAggs): _*)
         .collect()
       rows.toIndexedSeq.map { r =>
-        val file = r.getAs[String]("__file").stripPrefix("file:")
-        val rel = repo.root.relativize(java.nio.file.Paths.get(file)).toString
+        val rel = repo.dataRelOf(r.getAs[String]("__file"))
         def stats(prefix: String): Map[String, String] =
           schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
             Option(r.getAs[String](s"$prefix:${f.name}")).map(f.name -> _)
@@ -269,9 +268,9 @@ object TableOps {
           if (spec.isEmpty) None else Some(Partitioning.valuesFromPath(rel))
         val sidecar = blooms.flatMap(c =>
           Option(r.getAs[Array[Byte]](s"bloom:$c")).map(c -> _)).toMap
-        if (sidecar.nonEmpty) Blooms.write(repo.root, rel, sidecar, repo.io)
+        if (sidecar.nonEmpty) Blooms.write(repo.dataIO, rel, sidecar)
         FileEntry(rel, r.getAs[Long]("__rows"), stats("min"), stats("max"), pvals,
-          Some(repo.io.size(java.nio.file.Paths.get(file))),
+          Some(repo.dataIO.size(rel)),
           bloomCols = if (sidecar.isEmpty) None else Some(sidecar.keys.toSeq.sorted),
           nulls = Some(longStatsOf(r, schema, "nulls")),
           ndv = Some(longStatsOf(r, schema, "ndv")))
@@ -301,7 +300,7 @@ object TableOps {
       .collect().toIndexedSeq
     val totalRows = math.max(1L, raw.map(_.rows).sum)
     raw.map { wf =>
-      val rel = repo.root.relativize(java.nio.file.Paths.get(wf.path)).toString
+      val rel = repo.dataRelOf(wf.path)
       def render(m: Map[String, Any]): Map[String, String] =
         m.map { case (c, v) =>
           c -> FooterStats.render(v, leafType(schema, c))
@@ -330,12 +329,12 @@ object TableOps {
     * empty.
     */
   def statsForStaged(spark: SparkSession, repo: GraftRepo,
-      dir: java.nio.file.Path, schema: StructType,
+      dirRel: String, schema: StructType,
       ndvHint: Map[String, Long] = Map.empty): Seq[FileEntry] = {
-    if (!repo.io.isDirectory(dir)) return Nil
-    val paths = repo.io.walk(dir).filter(repo.io.isFile)
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(_.toString)
+    if (!repo.dataIO.isDirectory(dirRel)) return Nil
+    val paths = repo.dataIO.walkFiles(dirRel)
+      .filter(_.endsWith(".parquet"))
+      .map(repo.dataLocation)
     entriesFromFooters(spark, repo, paths, schema, Nil, ndvHint)
   }
 
@@ -366,8 +365,7 @@ object TableOps {
     written.groupBy(input_file_name().as("__file"))
       .agg(count(lit(1)).as("__rows"), (statCols.toIndexedSeq ++ bloomAggs): _*)
       .collect().toIndexedSeq.map { r =>
-        val file = r.getAs[String]("__file").stripPrefix("file:")
-        val rel = repo.root.relativize(java.nio.file.Paths.get(file)).toString
+        val rel = repo.dataRelOf(r.getAs[String]("__file"))
         def stats(prefix: String): Map[String, String] =
           schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
             Option(r.getAs[String](s"$prefix:${f.name}")).map(f.name -> _)
@@ -376,9 +374,9 @@ object TableOps {
           if (spec.isEmpty) None else Some(Partitioning.valuesFromPath(rel))
         val sidecar = blooms.flatMap(c =>
           Option(r.getAs[Array[Byte]](s"bloom:$c")).map(c -> _)).toMap
-        if (sidecar.nonEmpty) Blooms.write(repo.root, rel, sidecar, repo.io)
+        if (sidecar.nonEmpty) Blooms.write(repo.dataIO, rel, sidecar)
         FileEntry(rel, r.getAs[Long]("__rows"), stats("min"), stats("max"),
-          pvals, Some(repo.io.size(java.nio.file.Paths.get(file))),
+          pvals, Some(repo.dataIO.size(rel)),
           bloomCols = if (sidecar.isEmpty) None else Some(sidecar.keys.toSeq.sorted),
           nulls = Some(longStatsOf(r, schema, "nulls")),
           ndv = Some(longStatsOf(r, schema, "ndv")))
@@ -449,7 +447,7 @@ object TableOps {
   // ---- read ------------------------------------------------------------
 
   def absolutePaths(repo: GraftRepo, snap: Snapshot): Seq[String] =
-    snap.files.map(f => repo.root.resolve(f.path).toString)
+    snap.files.map(f => repo.dataLocation(f.path))
 
   /** DataFrame over a snapshot, scanning only files that survive stats
     * pruning against `filters`.
@@ -474,9 +472,9 @@ object TableOps {
     val m = snap.nameMapping
     val physSchema = toPhysical(schema, m)
     def read(fs: Seq[FileEntry]): DataFrame = spark.read.schema(physSchema)
-      .parquet(fs.map(f => repo.root.resolve(f.path).toString): _*)
+      .parquet(fs.map(f => repo.dataLocation(f.path)): _*)
     val (clean, dirty) = Tombstones.split(Tombstones.of(snap), physSchema, files,
-      Some(repo.root))
+      Some(repo.dataIO))
     val parts =
       (if (clean.isEmpty) Nil else Seq(read(clean))) ++
         dirty.map { case (fs, tombs) =>
@@ -531,7 +529,7 @@ object TableOps {
     reader
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*.parquet")
-      .parquet(repo.dataDir.resolve(key).toString)
+      .parquet(repo.dataLocation(s"data/$key"))
   }
 
   /** Snapshot property recording the last stream batch id committed into
@@ -599,7 +597,7 @@ object TableOps {
     */
   def pruneFilesBloom(repo: GraftRepo, snap: Snapshot, schema: StructType,
       filters: Seq[sources.Filter]): Seq[FileEntry] =
-    Blooms.prune(repo.root, snap, schema, filters,
+    Blooms.prune(repo.dataIO, snap, schema, filters,
       pruneFiles(snap, schema, filters))
 
   /** Keep only files that survive BOTH partition-value pruning (cheap,
@@ -1181,7 +1179,7 @@ object TableOps {
     val physSchema = toPhysical(schema, snap.nameMapping)
     val tombs = Tombstones.of(snap)
     def isDirty(f: FileEntry): Boolean =
-      Tombstones.applicable(tombs, f, physSchema, Some(repo.root)).nonEmpty
+      Tombstones.applicable(tombs, f, physSchema, Some(repo.dataIO)).nonEmpty
     // rewrite units, planned per partition-value group (compaction must
     // never move rows across partition directories)
     val units: Seq[Seq[FileEntry]] = snap.files.groupBy(_.partValues).toSeq
@@ -1414,7 +1412,7 @@ object TableOps {
       val phys = toPhysical(
         DataType.fromJson(s.schemaJson).asInstanceOf[StructType], s.nameMapping)
       val (clean, dirty) = Tombstones.split(Tombstones.of(s), phys, s.files,
-        Some(repo.root))
+        Some(repo.dataIO))
       (clean.map(_.path -> Seq.empty[(Long, String)]) ++
         dirty.flatMap { case (fs, tombs) =>
           val sig = tombs.map(t =>

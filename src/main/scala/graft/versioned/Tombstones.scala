@@ -97,13 +97,13 @@ object Tombstones {
     * aggregates stay answerable, and compaction rewrites almost
     * nothing. Sound in both directions (bloom "absent" is a proof), and
     * deterministic across call sites: sidecars are immutable, so every
-    * caller that passes `root` sees the same applicability.
+    * caller that passes `data` sees the same applicability.
     */
   def applicable(tombs: Seq[Tombstone], f: FileEntry,
       physSchema: StructType,
-      root: Option[java.nio.file.Path] = None): Seq[Tombstone] = {
+      data: Option[DestIO] = None): Seq[Tombstone] = {
     lazy val blooms =
-      root.filter(_ => f.bloomColsList.nonEmpty).map(Blooms.load(_, f))
+      data.filter(_ => f.bloomColsList.nonEmpty).map(Blooms.load(_, f))
     tombs.filter(t => t.seq > f.seqNo &&
       TableOps.statsMayMatch(f, physSchema, t.filter) &&
       blooms.forall(b => Blooms.mayMatch(physSchema, t.filter, () => b)))
@@ -113,10 +113,10 @@ object Tombstones {
     * readable by the plain fast path" test.)
     */
   def dirty(snap: Snapshot, physSchema: StructType,
-      root: Option[java.nio.file.Path] = None): Boolean = {
+      data: Option[DestIO] = None): Boolean = {
     val tombs = of(snap)
     tombs.nonEmpty && snap.files.exists(f =>
-      applicable(tombs, f, physSchema, root).nonEmpty)
+      applicable(tombs, f, physSchema, data).nonEmpty)
   }
 
   /** Split `files` into (clean, dirtyGroups): files in a dirty group
@@ -125,11 +125,11 @@ object Tombstones {
     * callers on the planning hot path parse the property JSON once.
     */
   def split(tombs: Seq[Tombstone], physSchema: StructType, files: Seq[FileEntry],
-      root: Option[java.nio.file.Path] = None)
+      data: Option[DestIO] = None)
       : (Seq[FileEntry], Seq[(Seq[FileEntry], Seq[Tombstone])]) = {
     if (tombs.isEmpty) (files, Nil)
     else {
-      val keyed = files.map(f => (f, applicable(tombs, f, physSchema, root)))
+      val keyed = files.map(f => (f, applicable(tombs, f, physSchema, data)))
       val (cleanK, dirtyK) = keyed.partition(_._2.isEmpty)
       val groups = dirtyK.groupBy(_._2.map(_.seq))
         .toSeq.sortBy(_._1.mkString(","))
@@ -171,13 +171,13 @@ object Tombstones {
     */
   def prune(props: Map[String, String], files: Seq[FileEntry],
       physSchema: StructType,
-      root: Option[java.nio.file.Path] = None): Map[String, String] =
+      data: Option[DestIO] = None): Map[String, String] =
     props.get(TombProp) match {
       case None => props
       case Some(_) =>
         val tombs = ofProps(props)
         val kept = tombs.filter(t => files.exists(f =>
-          applicable(Seq(t), f, physSchema, root).nonEmpty))
+          applicable(Seq(t), f, physSchema, data).nonEmpty))
         if (kept.size == tombs.size) props
         else if (kept.isEmpty) props - TombProp
         else props + (TombProp -> write(kept))

@@ -64,7 +64,7 @@ class BloomSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     snap.files should have size 4
     snap.files.foreach { f =>
       f.bloomColsList shouldBe Seq("id")
-      Files.exists(Blooms.sidecar(repoOf(r).root, f.path)) shouldBe true
+      Files.exists(repoOf(r).root.resolve(Blooms.sidecar(f.path))) shouldBe true
       // every file's [min,max] spans nearly the whole id domain
       f.min("id").toInt should be <= 3
       f.max("id").toInt should be >= 96
@@ -161,7 +161,7 @@ class BloomSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     val snap = headSnap(r)
     snap.files.foreach(_.bloomColsList shouldBe Seq("id"))
     snap.files.foreach(f =>
-      Files.exists(Blooms.sidecar(repo.root, f.path)) shouldBe true)
+      Files.exists(repo.root.resolve(Blooms.sidecar(f.path))) shouldBe true)
     // orphan a file + its sidecar: dev-only commit, then drop the branch
     // (DML alone orphans nothing — ancestor commits keep their files)
     sql(s"CREATE NAMESPACE g.$r.dev")
@@ -171,12 +171,12 @@ class BloomSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       .filterNot(f => snap.files.map(_.path).contains(f.path))
     devOnly should not be empty
     devOnly.foreach(f =>
-      Files.exists(Blooms.sidecar(repo.root, f.path)) shouldBe true)
+      Files.exists(repo.root.resolve(Blooms.sidecar(f.path))) shouldBe true)
     repo.dropBranch("dev")
     repo.vacuum() should be >= 1
     devOnly.foreach { f =>
       Files.exists(repo.root.resolve(f.path)) shouldBe false
-      Files.exists(Blooms.sidecar(repo.root, f.path)) shouldBe false // GC'd together
+      Files.exists(repo.root.resolve(Blooms.sidecar(f.path))) shouldBe false // GC'd together
     }
   }
 
@@ -206,7 +206,7 @@ class BloomSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     Tombstones.of(snap) should have size 1
     val physSchema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val (clean, dirty) = Tombstones.split(Tombstones.of(snap), physSchema,
-      snap.files, Some(repoOf(r).root))
+      snap.files, Some(repoOf(r).dataIO))
     clean should have size 3
     dirty.map(_._1.size).sum shouldBe 1
     // without blooms every file would be dirty (min/max all span 84)
@@ -240,7 +240,7 @@ class BloomSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // residue-0 file), then probe id=42 (residue 2): the sidecar-less
     // file degrades to "keep" — a lost sidecar costs speed, never rows
     val blind = snap.files.find(_.min("id") == "0").get
-    Files.delete(Blooms.sidecar(repo.root, blind.path))
+    Files.delete(repo.root.resolve(Blooms.sidecar(blind.path)))
     val kept = TableOps.pruneFilesBloom(repo, snap, schema,
       Seq(sources.EqualTo("id", 42)))
     kept.map(_.path).toSet shouldBe

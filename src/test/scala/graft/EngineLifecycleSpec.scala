@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
@@ -17,8 +19,18 @@ import org.scalatest.matchers.should.Matchers
   * metadata plane share one store. Until this spec, the object-store
   * backend was proven at the GraftIO contract level only; this runs
   * the whole TableOps surface against it.
+  *
+  * The third parameterization ("uri") creates repos whose DATA plane
+  * lives at a scheme'd Hadoop-FS URI (`file:/…`, the zero-egress stand-
+  * in for `s3a://bucket/…`), DISJOINT from the metadata root: every
+  * data byte — Spark parquet reads/writes, CoW staging, compaction,
+  * vacuum walk/delete, bloom sidecars — must route through the
+  * HadoopDestIO data seam, and the spec asserts the split (parquet
+  * under the URI root, none under the metadata root).
   */
 class EngineLifecycleSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
+
+  private val uriDataBase = Files.createTempDirectory("graft-lc-uridata")
 
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
@@ -32,6 +44,12 @@ class EngineLifecycleSpec extends AnyFunSuite with Matchers with BeforeAndAfterA
     .config("spark.sql.catalog.los.root",
       Files.createTempDirectory("graft-lc-os").toString)
     .config("spark.sql.catalog.los.io", "hadoop-object-store")
+    .config("spark.sql.catalog.uri", classOf[graft.catalog.GraftCatalog].getName)
+    .config("spark.sql.catalog.uri.root",
+      Files.createTempDirectory("graft-lc-urimeta").toString)
+    // Hadoop's rendering of a file URI — single slash, like s3a://…
+    .config("spark.sql.catalog.uri.dataRoot",
+      "file:" + uriDataBase.toString)
     .getOrCreate()
 
   override def afterAll(): Unit = spark.stop()
@@ -40,8 +58,17 @@ class EngineLifecycleSpec extends AnyFunSuite with Matchers with BeforeAndAfterA
   private def rows(q: String): Seq[Seq[Any]] =
     sql(q).collect().toSeq.map(_.toSeq)
 
-  for (cat <- Seq("lcl", "los")) {
-    val backend = if (cat == "lcl") "local FS" else "hadoop object store"
+  private def parquetCountUnder(p: java.nio.file.Path): Long =
+    if (!Files.isDirectory(p)) 0L
+    else scala.util.Using.resource(Files.walk(p))(_.iterator()
+      .asScala.count(f => f.toString.endsWith(".parquet")))
+
+  for (cat <- Seq("lcl", "los", "uri")) {
+    val backend = cat match {
+      case "lcl" => "local FS"
+      case "los" => "hadoop object store"
+      case _ => "URI data root"
+    }
 
     test(s"[$backend] lifecycle: create/insert/branch/merge/update/delete/" +
       "compact/vacuum/time-travel/stream all run through the backend") {
@@ -52,6 +79,14 @@ class EngineLifecycleSpec extends AnyFunSuite with Matchers with BeforeAndAfterA
       sql(s"INSERT INTO $cat.r.main.db.t SELECT CAST(id AS INT), " +
         "concat('v', id) FROM range(0, 100)")
       rows(s"SELECT count(*) FROM $cat.r.main.db.t").head.head shouldBe 100L
+
+      if (cat == "uri") {
+        // the data/metadata split is real: parquet lands under the
+        // scheme'd data root, never under the metadata root
+        parquetCountUnder(uriDataBase.resolve("r").resolve("data")) should be > 0L
+        parquetCountUnder(java.nio.file.Paths.get(
+          spark.conf.get(s"spark.sql.catalog.$cat.root"))) shouldBe 0L
+      }
 
       // branch + divergent writes + merge
       sql(s"CALL $cat.system.create_branch('r', 'dev', 'main')")
@@ -81,9 +116,23 @@ class EngineLifecycleSpec extends AnyFunSuite with Matchers with BeforeAndAfterA
       // compact + vacuum run the maintenance walk/delete paths
       sql(s"CALL $cat.system.compact('r', 'main', 'db.t')")
       rows(s"SELECT count(*) FROM $cat.r.main.db.t").head.head shouldBe 100L
+      // orphan a data file on purpose (branch-only insert, then drop the
+      // branch): vacuum must physically remove it through the backend
+      sql(s"CALL $cat.system.create_branch('r', 'tmp', 'main')")
+      sql(s"INSERT INTO $cat.r.tmp.db.t VALUES (900, 'orphan')")
+      val uriFilesBeforeVacuum =
+        if (cat == "uri")
+          parquetCountUnder(uriDataBase.resolve("r").resolve("data"))
+        else 0L
+      openRepo(cat).dropBranch("tmp")
       sql(s"CALL $cat.system.expire_snapshots('r', 0)")
       sql(s"CALL $cat.system.vacuum('r')")
       rows(s"SELECT count(*) FROM $cat.r.main.db.t").head.head shouldBe 100L
+      if (cat == "uri")
+        // vacuum's walk/delete ran against the URI store: the dropped
+        // branch's file is physically gone from the scheme'd data root
+        parquetCountUnder(uriDataBase.resolve("r").resolve("data")) should
+          be < uriFilesBeforeVacuum
 
       // streaming read of the table's append history via the backend
       val q = graft.versioned.TableOps
@@ -127,9 +176,9 @@ class EngineLifecycleSpec extends AnyFunSuite with Matchers with BeforeAndAfterA
   /** Open the repo the way the backend does — through the same GraftIO
     * the catalog option selected. */
   private def ioFor(cat: String): graft.versioned.GraftIO =
-    if (cat == "lcl") graft.versioned.LocalGraftIO.instance
-    else new graft.versioned.ObjectStoreGraftIO(
+    if (cat == "los") new graft.versioned.ObjectStoreGraftIO(
       graft.versioned.HadoopFsObjectStoreClient.local())
+    else graft.versioned.LocalGraftIO.instance
 
   private def openRepo(cat: String): graft.versioned.GraftRepo =
     graft.versioned.GraftRepo.open(java.nio.file.Paths.get(
