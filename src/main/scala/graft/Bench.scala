@@ -24,6 +24,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.streaming.checkpointLocation", ckpt)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // dev loop: SPARK_GRAFT_ONLY=q01_agg,dd_minhash_lsh benches a subset

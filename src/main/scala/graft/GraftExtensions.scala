@@ -24,6 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(clazz.getCanonicalName, name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL over versioned views: SELECT … FROM g.repo.branch.db.view
+    // resolves the stored, branch-rebound definition (Spark 4.1 has no
+    // analyzer wiring for DSv2 ViewCatalog — this supplies it)
+    ext.injectResolutionRule(session =>
+      new graft.catalog.GraftViewResolution(session))
+
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot", classOf[DotProduct]),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))

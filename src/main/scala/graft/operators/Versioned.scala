@@ -330,8 +330,9 @@ object Versioned {
       java.util.Map.of()))
     repo.merge("main", "dev") // fast-forward: dev picks up the view commit
     s.sql(s"DELETE FROM $cat.r.dev.db.nation WHERE n_nationkey >= 20")
-    graft.catalog.GraftViews.select(s, s"$cat.r.dev.db.top")
-      .orderBy(col("n_nationkey"))
+    // plain SQL over the view (GraftViewResolution analyzer rule): the
+    // dev-branch read must see dev's DELETE through the rebound context
+    s.sql(s"SELECT * FROM $cat.r.dev.db.top ORDER BY n_nationkey")
   }
 
   /** Fragmented ingest (one commit per region) followed by sort-clustered

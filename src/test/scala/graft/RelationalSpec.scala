@@ -9,6 +9,7 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions", classOf[GraftExtensions].getName)
     .getOrCreate()
   val sf: String = "/root/testdata/sf0.001"
 }
