@@ -52,7 +52,8 @@ object IcebergImport {
 
   /** Planned current-snapshot file sets of an Iceberg table. */
   /** One live data file: path + its data sequence number (v1 → 0). */
-  final case class DataFile(path: String, seq: Long)
+  final case class DataFile(path: String, seq: Long,
+      format: String = "PARQUET")
 
   /** One live delete file. `equalityIds` is empty for positional
     * deletes (content=1) and the referenced schema field ids for
@@ -189,7 +190,6 @@ object IcebergImport {
         if (status != 2) { // 2 = DELETED: file no longer live
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val fmt = df.get("file_format").toString.toUpperCase
-          require(fmt == "PARQUET", s"unsupported file format: $fmt")
           val content = Option(df.getSchema.getField("content"))
             .map(_ => df.get("content").asInstanceOf[Int]).getOrElse(0)
           val path = toLocal(df.get("file_path").toString)
@@ -201,9 +201,18 @@ object IcebergImport {
           content match {
             case 0 =>
               require(mContent == 0, s"data file $path in a delete manifest")
-              data += DataFile(path, seq)
-            case 1 => deletes += DeleteFile(path, 1, seq, Nil)
+              // Spark reads both natively; anything else (AVRO data
+              // files) is a loud refusal, never a silent mis-read
+              require(fmt == "PARQUET" || fmt == "ORC",
+                s"unsupported data file format: $fmt ($path)")
+              data += DataFile(path, seq, fmt)
+            case 1 =>
+              require(fmt == "PARQUET",
+                s"unsupported delete file format: $fmt ($path)")
+              deletes += DeleteFile(path, 1, seq, Nil)
             case 2 =>
+              require(fmt == "PARQUET",
+                s"unsupported delete file format: $fmt ($path)")
               val ids = Option(df.getSchema.getField("equality_ids"))
                 .flatMap(_ => Option(df.get("equality_ids"))).map {
                   case l: java.util.List[_] =>
@@ -341,13 +350,30 @@ object IcebergImport {
   private def boundScan(spark: SparkSession, p: Plan): DataFrame = {
     val metaCols = Seq(col("_metadata.file_path").as("__ice_fp"),
       col("_metadata.row_index").as("__ice_ri"))
-    footerIds(spark, p.dataPaths.head) match {
+    val (orcFiles, parquetFiles) = p.dataFiles.partition(_.format == "ORC")
+    val parts = Seq.newBuilder[DataFrame]
+    if (orcFiles.nonEmpty)
+      // ORC data files (Hive-lineage shops; iceberg-core writes ORC
+      // too) bind by NAME under the explicit schema (name-mapping
+      // semantics: absent column → null). Spark's native ORC source
+      // serves the same _metadata file_path/row_index columns the
+      // delete joins key on, so positional deletes apply unchanged.
+      parts += spark.read.schema(p.schema).orc(orcFiles.map(_.path): _*)
+        .select(p.schema.fields.map(f => col(f.name)).toSeq ++ metaCols: _*)
+    if (parquetFiles.nonEmpty) parts += boundParquetScan(
+      spark, p, parquetFiles.map(_.path), metaCols)
+    parts.result().reduce(_ unionByName _)
+  }
+
+  private def boundParquetScan(spark: SparkSession, p: Plan,
+      dataPaths: Seq[String], metaCols: Seq[Column]): DataFrame = {
+    footerIds(spark, dataPaths.head) match {
       case None =>
-        spark.read.schema(p.schema).parquet(p.dataPaths: _*)
+        spark.read.schema(p.schema).parquet(dataPaths: _*)
           .select(p.schema.fields.map(f => col(f.name)).toSeq ++ metaCols: _*)
       case Some(_) =>
         val nameToId = p.fieldIdToName.map(_.swap)
-        p.dataPaths
+        dataPaths
           .map(f => (footerIds(spark, f).getOrElse(Map.empty), f))
           .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
           .sortBy(_._2.head)

@@ -78,7 +78,8 @@ class IcebergImportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
 
   /** (path, content, seq or null → inherit, equalityIds) */
   private def writeManifest(out: Path,
-      files: Seq[(Path, Int, Option[Long], Seq[Int])]): Unit = {
+      files: Seq[(Path, Int, Option[Long], Seq[Int])],
+      formatOf: Path => String = _ => "PARQUET"): Unit = {
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](entrySchema))
     w.setMeta("format-version", "2")
@@ -88,7 +89,7 @@ class IcebergImportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
       val df = new GenericData.Record(dfS)
       df.put("content", content)
       df.put("file_path", p.toUri.toString)
-      df.put("file_format", "PARQUET")
+      df.put("file_format", formatOf(p))
       df.put("partition",
         new GenericData.Record(dfS.getField("partition").schema()))
       df.put("record_count", 1L)
@@ -193,6 +194,126 @@ class IcebergImportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     got shouldBe (
       (2 until 10).filter(_ != 3).map(i => (i, s"a$i")) ++ // 0 pos-deleted, 1+3 eq-deleted
         (100 until 105).map(i => (i, s"b$i"))) // 100 survives: seq not strictly older
+  }
+
+  test("ORC data files import through Spark's native ORC reader — mixed " +
+    "ORC+parquet snapshot, parquet positional deletes applied to ORC rows; " +
+    "AVRO data files refuse loudly") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ice-orc")
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    val metaDir = Files.createDirectories(root.resolve("metadata"))
+
+    def writeOneOrc(df: org.apache.spark.sql.DataFrame, out: Path): Unit = {
+      val tmp = Files.createTempDirectory("ice-orc-fx")
+      df.coalesce(1).write.mode("overwrite").orc(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".orc")).get
+      Files.move(part, out)
+    }
+    val fileA = dataDir.resolve("a.orc")     // ids 0..9
+    val fileB = dataDir.resolve("b.orc")     // ids 100..104
+    val fileC = dataDir.resolve("c.parquet") // ids 200..202 (mixed snapshot)
+    writeOneOrc((0 until 10).map(i => (i, s"a$i")).toDF("id", "v"), fileA)
+    writeOneOrc((100 until 105).map(i => (i, s"b$i")).toDF("id", "v"), fileB)
+    writeOneParquet((200 until 203).map(i => (i, s"c$i")).toDF("id", "v"), fileC)
+    // positional deletes (PARQUET, as iceberg requires for deletes):
+    // (A, 0) kills ORC row id=0; (C, 1) kills parquet row id=201
+    val posDel = dataDir.resolve("pos-del.parquet")
+    writeOneParquet(Seq((fileA.toUri.toString, 0L),
+      (fileC.toUri.toString, 1L)).toDF("file_path", "pos"), posDel)
+
+    val fmt: Path => String = p =>
+      if (p.getFileName.toString.endsWith(".orc")) "ORC" else "PARQUET"
+    val mData = metaDir.resolve("m-data.avro")
+    writeManifest(mData, Seq((fileA, 0, Some(1L), Nil),
+      (fileB, 0, Some(1L), Nil), (fileC, 0, Some(1L), Nil)), fmt)
+    val mDel = metaDir.resolve("m-del.avro")
+    writeManifest(mDel, Seq((posDel, 1, Some(2L), Nil)), fmt)
+
+    val listPath = metaDir.resolve("snap-88.avro")
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](listSchema))
+    lw.setMeta("format-version", "2")
+    lw.create(listSchema, listPath.toFile)
+    try Seq((mData, 0, 1L, 1L), (mDel, 1, 2L, 2L)).foreach {
+      case (p, content, seq, minSeq) =>
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", p.toUri.toString)
+        r.put("manifest_length", Files.size(p))
+        r.put("partition_spec_id", 0)
+        r.put("content", content)
+        r.put("sequence_number", seq)
+        r.put("min_sequence_number", minSeq)
+        r.put("added_snapshot_id", 88L)
+        r.put("added_files_count", 3)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", 3L)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        lw.append(r)
+    } finally lw.close()
+
+    val metaPath = metaDir.resolve("v1.metadata.json")
+    Files.writeString(metaPath,
+      s"""{"format-version":2,"table-uuid":"00000000-0000-0000-0000-000000000088",
+         |"location":"${root.toUri.toString.stripSuffix("/")}",
+         |"last-sequence-number":2,"last-updated-ms":0,"last-column-id":2,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"id","required":false,"type":"int"},
+         |{"id":2,"name":"v","required":false,"type":"string"}]}],
+         |"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"last-partition-id":999,
+         |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,
+         |"properties":{},"current-snapshot-id":88,
+         |"snapshots":[{"snapshot-id":88,"sequence-number":2,"timestamp-ms":0,
+         |"summary":{"operation":"append"},
+         |"manifest-list":"${listPath.toUri.toString}","schema-id":0}],
+         |"snapshot-log":[],"metadata-log":[]}""".stripMargin
+        .replaceAll("\n", ""))
+
+    val plan = IcebergImport.plan(metaPath)
+    plan.dataFiles.map(_.format).sorted shouldBe Seq("ORC", "ORC", "PARQUET")
+    val got = IcebergImport.read(spark, metaPath)
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    got shouldBe (
+      (1 until 10).map(i => (i, s"a$i")) ++        // a0 pos-deleted
+        (100 until 105).map(i => (i, s"b$i")) ++
+        Seq((200, "c200"), (202, "c202")))         // c201 pos-deleted
+
+    // AVRO data file: loud refusal at plan time, never a silent mis-read
+    val mAvro = metaDir.resolve("m-avro.avro")
+    writeManifest(mAvro, Seq((fileA, 0, Some(1L), Nil)), _ => "AVRO")
+    val listPath2 = metaDir.resolve("snap-89.avro")
+    val lw2 = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](listSchema))
+    lw2.setMeta("format-version", "2")
+    lw2.create(listSchema, listPath2.toFile)
+    try {
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", mAvro.toUri.toString)
+      r.put("manifest_length", Files.size(mAvro))
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("sequence_number", 1L)
+      r.put("min_sequence_number", 1L)
+      r.put("added_snapshot_id", 89L)
+      r.put("added_files_count", 1)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", 1L)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      lw2.append(r)
+    } finally lw2.close()
+    val metaPath2 = metaDir.resolve("v2.metadata.json")
+    Files.writeString(metaPath2, Files.readString(metaPath)
+      .replace(listPath.toUri.toString, listPath2.toUri.toString))
+    val e = intercept[IllegalArgumentException](IcebergImport.plan(metaPath2))
+    e.getMessage should include("unsupported data file format: AVRO")
   }
 
   test("field-id-first binding: a column renamed by an external engine " +
