@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.avro.file.DataFileReader
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
+import org.apache.spark.sql.functions.{broadcast, col, count, lit,
+  monotonically_increasing_id, regexp_replace, row_number, sum}
 import org.apache.spark.sql.types._
 
 /** Read an APACHE ICEBERG table (spec v1 or v2) from its metadata JSON —
@@ -36,7 +37,9 @@ import org.apache.spark.sql.types._
   * positional-delete merge.
   *
   * Reader subset (documented, loud on violation): the current snapshot
-  * only (no time travel), PARQUET data files, positional AND equality
+  * only (no time travel), PARQUET and ORC data files (ORC positional
+  * deletes via a derived per-file row position — see [[boundOrcScan]]),
+  * positional AND equality
   * delete files (graft's own exporter writes only positional ones, but
   * external CDC writers — Flink upserts — emit equality deletes), and
   * NESTED schemas (struct/list/map columns parse recursively; equality
@@ -254,7 +257,7 @@ object IcebergImport {
     if (p.dataFiles.isEmpty)
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), p.schema)
-    var data = boundScan(spark, p)
+    var data = boundScan(spark, p, p.positionDeletes.nonEmpty)
 
     val anyDeletes = p.positionDeletes.nonEmpty || p.equalityDeletes.nonEmpty
     if (anyDeletes) {
@@ -327,11 +330,14 @@ object IcebergImport {
 
   /** Data scan with the spec's column-binding rules, emitting the
     * Iceberg-named data columns plus `__ice_fp` / `__ice_ri` (file
-    * path / row position, for delete application).
+    * path / row position, for delete application; `__ice_ri` is null
+    * for ORC rows when no positional deletes need it — see
+    * [[boundOrcScan]] for the ORC position derivation).
     *
     * Binding is FIELD-ID-FIRST: if the first data file's footer
-    * carries parquet field ids (external writers — Iceberg's own
-    * engines — stamp them), every file's footer id→name mapping is
+    * carries field ids (parquet field ids / ORC `iceberg.id`
+    * attributes — external Iceberg engines stamp both), every file's
+    * footer id→name mapping is
     * read and files are grouped by it; each group is scanned under its
     * own physical names and renamed to the schema names, so a column
     * renamed by the external engine binds by ID instead of silently
@@ -347,34 +353,92 @@ object IcebergImport {
     * one arbitrary file's footer. Name-mapping semantics: absent
     * column → null.
     */
-  private def boundScan(spark: SparkSession, p: Plan): DataFrame = {
-    val metaCols = Seq(col("_metadata.file_path").as("__ice_fp"),
-      col("_metadata.row_index").as("__ice_ri"))
+  private def boundScan(spark: SparkSession, p: Plan,
+      needPositions: Boolean): DataFrame = {
     val (orcFiles, parquetFiles) = p.dataFiles.partition(_.format == "ORC")
     val parts = Seq.newBuilder[DataFrame]
     if (orcFiles.nonEmpty)
-      // ORC data files (Hive-lineage shops; iceberg-core writes ORC
-      // too) bind by NAME under the explicit schema (name-mapping
-      // semantics: absent column → null). Spark's native ORC source
-      // serves the same _metadata file_path/row_index columns the
-      // delete joins key on, so positional deletes apply unchanged.
-      parts += spark.read.schema(p.schema).orc(orcFiles.map(_.path): _*)
-        .select(p.schema.fields.map(f => col(f.name)).toSeq ++ metaCols: _*)
-    if (parquetFiles.nonEmpty) parts += boundParquetScan(
-      spark, p, parquetFiles.map(_.path), metaCols)
+      parts += boundOrcScan(spark, p, orcFiles.map(_.path), needPositions)
+    if (parquetFiles.nonEmpty) parts += boundFormatScan(
+      spark, p, parquetFiles.map(_.path),
+      Seq(col("_metadata.file_path").as("__ice_fp"),
+        col("_metadata.row_index").as("__ice_ri")),
+      footerIds(spark, _),
+      (schema, files) => spark.read.schema(schema).parquet(files: _*))
     parts.result().reduce(_ unionByName _)
   }
 
-  private def boundParquetScan(spark: SparkSession, p: Plan,
-      dataPaths: Seq[String], metaCols: Seq[Column]): DataFrame = {
-    footerIds(spark, dataPaths.head) match {
+  /** ORC data files (Hive-lineage shops; iceberg-core writes ORC too).
+    * Binding is field-id-first like parquet — iceberg-orc stamps each
+    * column's field id as the ORC type attribute `iceberg.id`
+    * ([[orcFooterIds]]) — with name binding (name-mapping semantics:
+    * absent column → null) when the footers carry no ids.
+    *
+    * Spark's ORC `_metadata` struct has NO `row_index` (parquet-only in
+    * this build), so when positional deletes are in the snapshot the
+    * per-file row position is DERIVED: `file_block_start` identifies
+    * each file split, a count-only second scan (column-pruned to the
+    * meta struct — stripe-metadata cheap) sizes every split, a running
+    * sum over splits of one file yields each split's starting row
+    * offset (O(splits) rows, broadcast back), and
+    * `row_number() OVER (PARTITION BY file, split ORDER BY
+    * monotonically_increasing_id)` indexes rows WITHIN a split — valid
+    * because one split is read by exactly one task in file order, so
+    * monotonic ids ascend with row position there. Costs one extra
+    * count pass + one window shuffle over the ORC rows ONLY when the
+    * snapshot actually carries positional deletes; clean/equality-only
+    * snapshots stay a single scan.
+    */
+  private def boundOrcScan(spark: SparkSession, p: Plan,
+      files: Seq[String], needPositions: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val metaCols =
+      if (needPositions)
+        Seq(col("_metadata.file_path").as("__ice_fp"),
+          col("_metadata.file_block_start").as("__ice_bs"),
+          monotonically_increasing_id().as("__ice_mono"))
+      else Seq(col("_metadata.file_path").as("__ice_fp"),
+        lit(null).cast(LongType).as("__ice_ri"))
+    val base = boundFormatScan(spark, p, files, metaCols,
+      orcFooterIds(spark, _),
+      (schema, fs) => spark.read.schema(schema).orc(fs: _*))
+    if (!needPositions) base
+    else {
+      val counts = spark.read.schema(p.schema).orc(files: _*)
+        .select(col("_metadata.file_path").as("__ice_fp"),
+          col("_metadata.file_block_start").as("__ice_bs"))
+        .groupBy("__ice_fp", "__ice_bs").agg(count(lit(1)).as("__ice_n"))
+      val offsets = counts.withColumn("__ice_off",
+        sum("__ice_n").over(
+          Window.partitionBy("__ice_fp").orderBy("__ice_bs"))
+          - col("__ice_n")).drop("__ice_n")
+      base.join(broadcast(offsets), Seq("__ice_fp", "__ice_bs"))
+        .withColumn("__ice_ri", col("__ice_off")
+          + row_number().over(Window.partitionBy("__ice_fp", "__ice_bs")
+            .orderBy("__ice_mono")) - 1)
+        .drop("__ice_bs", "__ice_mono", "__ice_off")
+    }
+  }
+
+  /** One format's data files under the spec's column-binding rules:
+    * field-id-first when the first file's footer carries ids (files
+    * grouped by their id→name map, each group scanned under its own
+    * physical names and renamed to schema names), explicit-schema name
+    * binding otherwise. See [[boundScan]]'s Scaladoc for why the
+    * id-less path never infers from footers.
+    */
+  private def boundFormatScan(spark: SparkSession, p: Plan,
+      dataPaths: Seq[String], metaCols: Seq[Column],
+      probe: String => Option[Map[Int, String]],
+      readFiles: (StructType, Seq[String]) => DataFrame): DataFrame = {
+    probe(dataPaths.head) match {
       case None =>
-        spark.read.schema(p.schema).parquet(dataPaths: _*)
+        readFiles(p.schema, dataPaths)
           .select(p.schema.fields.map(f => col(f.name)).toSeq ++ metaCols: _*)
       case Some(_) =>
         val nameToId = p.fieldIdToName.map(_.swap)
         dataPaths
-          .map(f => (footerIds(spark, f).getOrElse(Map.empty), f))
+          .map(f => (probe(f).getOrElse(Map.empty), f))
           .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
           .sortBy(_._2.head)
           .map { case (idMap, files) =>
@@ -387,11 +451,31 @@ object IcebergImport {
                   " — refusing rather than mis-binding")
             val physSchema = StructType(p.schema.fields.zip(physNames)
               .map { case (f, n) => f.copy(name = n) })
-            spark.read.schema(physSchema).parquet(files: _*)
+            readFiles(physSchema, files)
               .select(p.schema.fields.zip(physNames)
                 .map { case (f, n) => col(n).as(f.name) }.toSeq ++ metaCols: _*)
           }.reduce(_ unionByName _)
     }
+  }
+
+  /** The footer's field-id → column-name map of one ORC file (from the
+    * `iceberg.id` type attributes iceberg-orc stamps), or None when the
+    * file carries no ids (name-mapping writers, plain Spark ORC).
+    */
+  private def orcFooterIds(spark: SparkSession,
+      path: String): Option[Map[Int, String]] = {
+    val rd = org.apache.orc.OrcFile.createReader(
+      new org.apache.hadoop.fs.Path(
+        if (hasScheme(path)) path else new java.io.File(path).toURI.toString),
+      org.apache.orc.OrcFile.readerOptions(spark.sessionState.newHadoopConf()))
+    try {
+      val s = rd.getSchema
+      val ids = s.getFieldNames.asScala.zip(s.getChildren.asScala)
+        .flatMap { case (n, t) => Option(t.getAttributeValue("iceberg.id"))
+          .flatMap(v => scala.util.Try(v.trim.toInt).toOption).map(_ -> n) }
+        .toMap
+      if (ids.isEmpty) None else Some(ids)
+    } finally rd.close()
   }
 
   /** The footer's field-id → column-name map of one parquet file, or

@@ -492,4 +492,215 @@ class IcebergImportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     got shouldBe ((0 until 3).map(i => (i, s"a$i")) ++
       (10 until 13).map(i => (i, s"b$i")))
   }
+
+  /** Write one ORC file via orc-core directly, stamping each column's
+    * `iceberg.id` type attribute the way iceberg-orc writers do.
+    */
+  private def writeOrcWithIds(out: Path, rows: Seq[(Int, String)],
+      names: (String, String), ids: (Int, Int)): Unit = {
+    import org.apache.orc.{OrcFile, TypeDescription}
+    import org.apache.hadoop.hive.ql.exec.vector.{BytesColumnVector, LongColumnVector}
+    val c1 = TypeDescription.createInt()
+    c1.setAttribute("iceberg.id", ids._1.toString)
+    val c2 = TypeDescription.createString()
+    c2.setAttribute("iceberg.id", ids._2.toString)
+    val schema = TypeDescription.createStruct()
+      .addField(names._1, c1).addField(names._2, c2)
+    val w = OrcFile.createWriter(
+      new org.apache.hadoop.fs.Path(out.toUri.toString),
+      OrcFile.writerOptions(new org.apache.hadoop.conf.Configuration())
+        .setSchema(schema))
+    val batch = schema.createRowBatch()
+    val col1 = batch.cols(0).asInstanceOf[LongColumnVector]
+    val col2 = batch.cols(1).asInstanceOf[BytesColumnVector]
+    rows.foreach { case (i, s) =>
+      val r = batch.size; batch.size += 1
+      col1.vector(r) = i.toLong
+      col2.setVal(r, s.getBytes("UTF-8"))
+    }
+    w.addRowBatch(batch)
+    w.close()
+  }
+
+  test("ORC field-id-first binding: a column renamed by an external " +
+    "engine (iceberg.id attributes stable, physical names drifted) " +
+    "binds by ID; name binding would silently null-fill") {
+    val root = Files.createTempDirectory("ice-orc-fid")
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    val metaDir = Files.createDirectories(root.resolve("metadata"))
+    // file A written BEFORE the rename: physical names (id, old_v),
+    // iceberg.id attributes (1, 2)
+    val fileA = dataDir.resolve("a.orc")
+    writeOrcWithIds(fileA, (0 until 5).map(i => (i, s"a$i")),
+      ("id", "old_v"), (1, 2))
+    // file B written AFTER the rename: physical names (id, v), same ids
+    val fileB = dataDir.resolve("b.orc")
+    writeOrcWithIds(fileB, (10 until 15).map(i => (i, s"b$i")),
+      ("id", "v"), (1, 2))
+
+    val mData = metaDir.resolve("m-data.avro")
+    writeManifest(mData, Seq((fileA, 0, Some(1L), Nil),
+      (fileB, 0, Some(1L), Nil)), _ => "ORC")
+    val listPath = metaDir.resolve("snap-90.avro")
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](listSchema))
+    lw.setMeta("format-version", "2")
+    lw.create(listSchema, listPath.toFile)
+    try {
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", mData.toUri.toString)
+      r.put("manifest_length", Files.size(mData))
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("sequence_number", 1L)
+      r.put("min_sequence_number", 1L)
+      r.put("added_snapshot_id", 90L)
+      r.put("added_files_count", 2)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", 10L)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      lw.append(r)
+    } finally lw.close()
+
+    val metaPath = metaDir.resolve("v1.metadata.json")
+    Files.writeString(metaPath,
+      s"""{"format-version":2,"table-uuid":"00000000-0000-0000-0000-000000000090",
+         |"location":"${root.toUri.toString.stripSuffix("/")}",
+         |"last-sequence-number":1,"last-updated-ms":0,"last-column-id":2,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"id","required":false,"type":"int"},
+         |{"id":2,"name":"v","required":false,"type":"string"}]}],
+         |"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"last-partition-id":999,
+         |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,
+         |"properties":{},"current-snapshot-id":90,
+         |"snapshots":[{"snapshot-id":90,"sequence-number":1,"timestamp-ms":0,
+         |"summary":{"operation":"append"},
+         |"manifest-list":"${listPath.toUri.toString}","schema-id":0}],
+         |"snapshot-log":[],"metadata-log":[]}""".stripMargin
+        .replaceAll("\n", ""))
+
+    val got = IcebergImport.read(spark, metaPath)
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    // name binding would return null for old_v-era rows' v; id binding
+    // surfaces the drifted column's values under the schema name
+    got shouldBe ((0 until 5).map(i => (i, s"a$i")) ++
+      (10 until 15).map(i => (i, s"b$i")))
+  }
+
+  test("ORC positional deletes across MULTIPLE splits of one file: the " +
+    "derived row position is the file-order ordinal, not a per-split " +
+    "index — first/middle/last rows deleted by exact position") {
+    import org.apache.orc.{OrcFile, TypeDescription}
+    import org.apache.hadoop.hive.ql.exec.vector.{BytesColumnVector, LongColumnVector}
+    import spark.implicits._
+    val root = Files.createTempDirectory("ice-orc-split")
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    val metaDir = Files.createDirectories(root.resolve("metadata"))
+
+    // one ORC file, many tiny stripes, written in id order 0..n-1
+    val n = 200000
+    val fileA = dataDir.resolve("a.orc")
+    val schema = TypeDescription.fromString("struct<id:int,v:string>")
+    val w = OrcFile.createWriter(
+      new org.apache.hadoop.fs.Path(fileA.toUri.toString),
+      OrcFile.writerOptions(new org.apache.hadoop.conf.Configuration())
+        .setSchema(schema).stripeSize(65536).blockPadding(false))
+    val batch = schema.createRowBatch()
+    val col1 = batch.cols(0).asInstanceOf[LongColumnVector]
+    val col2 = batch.cols(1).asInstanceOf[BytesColumnVector]
+    (0 until n).foreach { i =>
+      if (batch.size == batch.getMaxSize) { w.addRowBatch(batch); batch.reset() }
+      val r = batch.size; batch.size += 1
+      col1.vector(r) = i.toLong
+      col2.setVal(r, s"row-$i-${"x" * 24}".getBytes("UTF-8"))
+    }
+    if (batch.size > 0) w.addRowBatch(batch)
+    w.close()
+
+    val posDel = dataDir.resolve("pos-del.parquet")
+    val killed = Seq(0L, 99999L, (n - 1).toLong)
+    writeOneParquet(killed.map(p => (fileA.toUri.toString, p))
+      .toDF("file_path", "pos"), posDel)
+
+    val mData = metaDir.resolve("m-data.avro")
+    writeManifest(mData, Seq((fileA, 0, Some(1L), Nil)), _ => "ORC")
+    val mDel = metaDir.resolve("m-del.avro")
+    writeManifest(mDel, Seq((posDel, 1, Some(2L), Nil)))
+    val listPath = metaDir.resolve("snap-91.avro")
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](listSchema))
+    lw.setMeta("format-version", "2")
+    lw.create(listSchema, listPath.toFile)
+    try Seq((mData, 0, 1L, 1L), (mDel, 1, 2L, 2L)).foreach {
+      case (p, content, seq, minSeq) =>
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", p.toUri.toString)
+        r.put("manifest_length", Files.size(p))
+        r.put("partition_spec_id", 0)
+        r.put("content", content)
+        r.put("sequence_number", seq)
+        r.put("min_sequence_number", minSeq)
+        r.put("added_snapshot_id", 91L)
+        r.put("added_files_count", 1)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", n.toLong)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        lw.append(r)
+    } finally lw.close()
+
+    val metaPath = metaDir.resolve("v1.metadata.json")
+    Files.writeString(metaPath,
+      s"""{"format-version":2,"table-uuid":"00000000-0000-0000-0000-000000000091",
+         |"location":"${root.toUri.toString.stripSuffix("/")}",
+         |"last-sequence-number":2,"last-updated-ms":0,"last-column-id":2,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"id","required":false,"type":"int"},
+         |{"id":2,"name":"v","required":false,"type":"string"}]}],
+         |"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"last-partition-id":999,
+         |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,
+         |"properties":{},"current-snapshot-id":91,
+         |"snapshots":[{"snapshot-id":91,"sequence-number":2,"timestamp-ms":0,
+         |"summary":{"operation":"append"},
+         |"manifest-list":"${listPath.toUri.toString}","schema-id":0}],
+         |"snapshot-log":[],"metadata-log":[]}""".stripMargin
+        .replaceAll("\n", ""))
+
+    // force the file into many splits so per-split indexing alone would
+    // delete the wrong rows (each split's row 0 instead of file pos 0)
+    val conf = spark.conf
+    val oldMax = conf.get("spark.sql.files.maxPartitionBytes")
+    val oldOpen = conf.get("spark.sql.files.openCostInBytes")
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      conf.set("spark.sql.files.openCostInBytes", "0")
+      val df = IcebergImport.read(spark, metaPath)
+      // sanity: the scan really is multi-split at this conf
+      val splits = spark.read
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.StringType))))
+        .orc(fileA.toUri.toString)
+        .select(org.apache.spark.sql.functions
+          .col("_metadata.file_block_start"))
+        .distinct().count()
+      splits should be > 1L
+      df.count() shouldBe (n - killed.size).toLong
+      val ids = df.select("id").as[Int].collect().toSet
+      killed.foreach(p => ids should not contain p.toInt)
+      ids should contain allOf (1, 99998, 100000, n - 2)
+    } finally {
+      conf.set("spark.sql.files.maxPartitionBytes", oldMax)
+      conf.set("spark.sql.files.openCostInBytes", oldOpen)
+    }
+  }
 }
