@@ -75,10 +75,9 @@ final class GraftViewResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         val view =
           try g.loadView(ident)
           catch { case _: Exception => return None } // a table, or absent
-        val analyzed = ViewContextBridge.withContext(spark,
-          view.currentCatalog(), view.currentNamespace()) {
-          spark.sql(view.query()).queryExecution.analyzed
-        }
+        val analyzed = ViewContextBridge.sqlWith(spark,
+          view.currentCatalog(), view.currentNamespace(), view.query())
+          .queryExecution.analyzed
         val aliased =
           if (view.columnAliases() == null || view.columnAliases().isEmpty)
             analyzed

@@ -24,12 +24,10 @@ object GraftViews {
     val view = viewCatalog(spark, parts(0)).loadView(
       Identifier.of(Array(parts(1), parts(2), parts(3)), parts(4)))
     // run the view text in its own resolution context (catalog AND
-    // namespace both matter for relative references), restoring the
-    // session's context after
-    org.apache.spark.sql.graftbridge.ViewContextBridge.withContext(
-      spark, view.currentCatalog(), view.currentNamespace()) {
-      spark.sql(view.query())
-    }
+    // namespace both matter for relative references) — isolated from
+    // the session's context, which concurrent queries may be using
+    org.apache.spark.sql.graftbridge.ViewContextBridge.sqlWith(
+      spark, view.currentCatalog(), view.currentNamespace(), view.query())
   }
 
   /** The GraftCatalog registered under `name` in this session. */

@@ -1,25 +1,32 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Runs `body` with the session's current catalog + namespace swapped to
-  * a view's stored resolution context, restoring the caller's context
-  * after. CatalogManager is private[sql]; this is the same minimal
-  * bridge pattern as the read bridges in this package.
+/** Runs a view's stored SQL under the view's stored resolution context
+  * (current catalog + namespace) in an ISOLATED `cloneSession()`, never
+  * touching the caller's CatalogManager: on a SparkSession shared by
+  * concurrent threads (Thrift server, notebook with parallel cells) a
+  * swap-analyze-restore on the shared manager would leak the view's
+  * context into concurrently-analyzing queries and clobber a concurrent
+  * `USE` — Spark's own view resolution confines the context to a
+  * thread-local `AnalysisContext` for the same reason. The clone shares
+  * the SparkContext, SharedState and session extensions (so graft's
+  * resolution rules apply recursively inside it, and view-references-
+  * view keeps working) but owns its session state; the copy is the
+  * per-view-reference cost, paid once at analysis time.
+  *
+  * CatalogManager is private[sql]; this is the same minimal bridge
+  * pattern as the read bridges in this package.
   */
 object ViewContextBridge {
-  def withContext[T](spark: SparkSession, catalog: String,
-      namespace: Array[String])(body: => T): T = {
-    val cm = spark.sessionState.catalogManager
-    val prevCat = cm.currentCatalog.name()
-    val prevNs = cm.currentNamespace
-    try {
-      cm.setCurrentCatalog(catalog)
-      cm.setCurrentNamespace(namespace)
-      body
-    } finally {
-      cm.setCurrentCatalog(prevCat)
-      cm.setCurrentNamespace(prevNs)
-    }
+  def sqlWith(spark: SparkSession, catalog: String,
+      namespace: Array[String], sqlText: String): DataFrame = {
+    // cloneSession lives on the classic implementation in Spark 4
+    val sub = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .cloneSession()
+    val cm = sub.sessionState.catalogManager
+    cm.setCurrentCatalog(catalog)
+    cm.setCurrentNamespace(namespace)
+    sub.sql(sqlText)
   }
 }

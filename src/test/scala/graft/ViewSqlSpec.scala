@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
 import org.scalatest.funsuite.AnyFunSuite
@@ -40,9 +42,7 @@ class ViewSqlSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
   private def createView(ident: Identifier, viewSql: String): Unit = {
     val cat = graft.catalog.GraftViews.viewCatalog(spark, "gv")
     val inferred = org.apache.spark.sql.graftbridge.ViewContextBridge
-      .withContext(spark, "gv", ident.namespace()) {
-        sql(viewSql).schema
-      }
+      .sqlWith(spark, "gv", ident.namespace(), viewSql).schema
     cat.createView(new ViewInfo(ident, viewSql, "gv", ident.namespace(),
       inferred, inferred.fieldNames, Array.empty, Array.empty,
       java.util.Map.of()))
@@ -105,5 +105,60 @@ class ViewSqlSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       "SELECT id FROM t")
     sql("SELECT count(*) FROM gv.tj.main.db.w a JOIN gv.tj.main.db.w b " +
       "ON a.id = b.id").collect().head.getLong(0) shouldBe 3L
+  }
+
+  test("ONE shared session, 8 threads: view resolution never leaks its " +
+    "context into concurrent queries and never clobbers a concurrent " +
+    "USE — branch-qualified view reads, view-in-view, relative reads " +
+    "after USE all stay correct") {
+    sql("CREATE NAMESPACE gv.cc")
+    sql("CREATE NAMESPACE gv.cc.main.db")
+    sql("CREATE TABLE gv.cc.main.db.t (id INT)")
+    sql("INSERT INTO gv.cc.main.db.t SELECT CAST(id AS INT) FROM range(0, 10)")
+    createView(Identifier.of(Array("cc", "main", "db"), "big"),
+      "SELECT id FROM t WHERE id >= 5")
+    createView(Identifier.of(Array("cc", "main", "db"), "outer"),
+      "SELECT id FROM big WHERE id >= 8")
+    sql("CALL gv.system.create_branch('cc', 'dev', 'main')")
+    sql("DELETE FROM gv.cc.dev.db.t WHERE id >= 8")
+    // main: t=10, big=5, outer=2;  dev: t=8, big=3, outer=0
+
+    val iters = 30
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def check(label: String, q: String, want: Long): Unit = {
+      val got = spark.sql(q).collect().head.getLong(0)
+      if (got != want) failures.add(s"$label: $q → $got (want $want)")
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = new java.util.ArrayList[java.util.concurrent.Callable[Unit]]()
+      // 7 threads hammer fully-qualified view reads on both branches
+      // (each resolution runs the stored SQL under the view's context —
+      // the window a shared-CatalogManager swap would leak)
+      (0 until 7).foreach { k =>
+        tasks.add(() => (0 until iters).foreach { _ =>
+          check(s"view-$k", "SELECT count(*) FROM gv.cc.main.db.big", 5L)
+          check(s"view-$k", "SELECT count(*) FROM gv.cc.dev.db.big", 3L)
+          check(s"view-$k", "SELECT count(*) FROM gv.cc.main.db.outer", 2L)
+          check(s"view-$k", "SELECT count(*) FROM gv.cc.dev.db.outer", 0L)
+        })
+      }
+      // 1 thread owns the session context: USE + relative single-part
+      // reads (table AND view) that must resolve against ITS namespace
+      // even while the other threads are mid-view-resolution
+      tasks.add(() => {
+        (0 until iters).foreach { _ =>
+          spark.sql("USE gv.cc.main.db")
+          check("use", "SELECT count(*) FROM t", 10L)
+          check("use", "SELECT count(*) FROM big", 5L)
+          spark.sql("USE gv.cc.dev.db")
+          check("use", "SELECT count(*) FROM t", 8L)
+          check("use", "SELECT count(*) FROM big", 3L)
+        }
+        spark.sql("USE spark_catalog.default")
+      })
+      pool.invokeAll(tasks).forEach(_.get())
+    } finally pool.shutdown()
+    failures.asScala.toSeq shouldBe empty
   }
 }
