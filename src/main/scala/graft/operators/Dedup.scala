@@ -692,8 +692,21 @@ object Dedup {
       .repartition(par, col("tok"))
     val index = prefix.filter(!col("dl"))
     val probes = prefix.filter(col("dl"))
-    // chunk long corpus posting lists; a probe replicates once per
-    // partner chunk (probe tokens absent from the index join away)
+    val cand = probeCandidates(index, probes, t, maxPost)
+    val dupDelta = verifyPairs(s, docs, cand, t)
+      .select(col("id_a").as("doc_id")).distinct()
+    admit(dupDelta)
+  }
+
+  /** PPJoin asymmetric probe: candidate (delta, corpus) pairs from a
+    * posting-list index. Both inputs carry `(tok, doc_id, sz, rn)`
+    * under ONE shared global token order. Long corpus posting lists are
+    * chunked (`maxPost`); a probe replicates once per partner chunk
+    * (probe tokens absent from the index join away), so a hot token
+    * costs bounded reducers, never one giant cell.
+    */
+  private def probeCandidates(index: DataFrame, probes: DataFrame,
+      t: Double, maxPost: Int): DataFrame = {
     val counts = index.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val idxC = index.join(counts, "tok")
       .withColumn("nch", ceil(col("cnt") / maxPost).cast("int"))
@@ -701,7 +714,7 @@ object Dedup {
     val prC = probes.join(counts, "tok")
       .withColumn("nch", ceil(col("cnt") / maxPost).cast("int"))
       .withColumn("cell", explode(sequence(lit(0), col("nch") - 1)))
-    val cand = prC.as("a")
+    prC.as("a")
       .join(idxC.as("b"),
         col("a.tok") === col("b.tok") &&
           col("a.cell") === col("b.q") &&
@@ -714,9 +727,127 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(lit(1)) // dedup emissions
       .select(col("id_a"), col("id_b"))
-    val dupDelta = verifyPairs(s, docs, cand, t)
+  }
+
+  // ---- persisted incremental-dedup index --------------------------------
+  //
+  // The operational form of [[incremental]]: the corpus posting-list
+  // index lives in GRAFT TABLES and is built ONCE, then each daily
+  // batch probes the stored index and appends its admitted docs' word
+  // sets AND postings in one atomic multi-table commit — the
+  // amortization that justifies the operator at 100 TB (screening a
+  // 0.1% delta never re-tokenizes or re-windows the corpus).
+  //
+  // Tables under `<branch>.dd`:
+  //   docs     (doc_id BIGINT, ws ARRAY<STRING>)  — tokenized word sets
+  //   postings (tok STRING, doc_id BIGINT, sz INT, rn INT) — prefix index
+  //   dfreq    (tok STRING, df BIGINT)            — FROZEN at init
+  //
+  // The prefix theorem needs both sides' prefixes under ONE total token
+  // order, but ANY fixed order preserves full recall — df order is only
+  // the optimization that keeps posting lists short. So the order is
+  // FROZEN at init time: `(df@init, tok)`, with tokens unseen at init
+  // at df 0. New batches' postings and probes both rank under the same
+  // stored dfreq, so the order — and therefore recall — stays exact
+  // forever without ever rewriting the index; dfreq is intentionally
+  // never updated (updating it would silently re-order existing
+  // postings' prefixes out from under the index).
+
+  private def repoName(repo: graft.versioned.GraftRepo): String =
+    repo.root.getFileName.toString
+
+  /** Prefix postings of `(doc_id, ws)` docs under the frozen `dfreq`
+    * order — used for the initial corpus, every batch's probes, and
+    * every admitted batch's appended postings, so all three agree.
+    */
+  private def frozenPostings(docs: DataFrame, dfreq: DataFrame,
+      t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.withColumn("sz", size(col("ws")))
+      .select(col("doc_id"), col("sz"), explode(col("ws")).as("tok"))
+      .join(dfreq.select(col("tok"), col("df")), Seq("tok"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+      .filter(col("rn") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+      .select(col("tok"), col("doc_id"), col("sz").cast("int").as("sz"),
+        col("rn").cast("int").as("rn"))
+  }
+
+  /** Create + populate the index tables from the corpus `(doc_id,
+    * text)` — the once-per-corpus cost every later batch amortizes.
+    * One atomic commit covers all three tables.
+    */
+  def indexInit(s: org.apache.spark.sql.SparkSession, cat: String,
+      repo: graft.versioned.GraftRepo, branch: String,
+      corpus: DataFrame, t: Double): Unit = {
+    val r = repoName(repo)
+    s.sql(s"CREATE TABLE $cat.$r.$branch.dd.docs " +
+      "(doc_id BIGINT, ws ARRAY<STRING>)")
+    s.sql(s"CREATE TABLE $cat.$r.$branch.dd.postings " +
+      "(tok STRING, doc_id BIGINT, sz INT, rn INT)")
+    s.sql(s"CREATE TABLE $cat.$r.$branch.dd.dfreq (tok STRING, df BIGINT)")
+    val docs = corpus
+      .select(col("doc_id").cast("long").as("doc_id"),
+        wordSet(col("text")).as("ws"))
+    val dfreq = docs.select(explode(col("ws")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // dfreq feeds both the stored table and the postings ranking below;
+    // localCheckpoint so the vocabulary aggregate runs once
+    val frozen = dfreq.localCheckpoint()
+    graft.versioned.TableOps.atomicAppend(s, repo, branch, Seq(
+      "dd/docs" -> docs,
+      "dd/postings" -> frozenPostings(docs, frozen, t),
+      "dd/dfreq" -> frozen), "dd index init")
+  }
+
+  /** Screen a batch `(doc_id, text)` against the STORED index: admitted
+    * ids (no corpus near-duplicate at Jaccard ≥ t). The corpus is never
+    * re-tokenized — probes rank under the stored dfreq, candidates come
+    * from the stored postings, and exact verification reads partner
+    * word sets from the stored docs table.
+    */
+  def indexScreen(s: org.apache.spark.sql.SparkSession, cat: String,
+      repoName: String, branch: String, delta: DataFrame,
+      t: Double): DataFrame = {
+    val maxPost = s.conf.getOption("spark.graft.setsim.maxPostings")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1024)
+    val pre = s"$cat.$repoName.$branch.dd"
+    val deltaDocs = delta
+      .select(col("doc_id").cast("long").as("doc_id"),
+        wordSet(col("text")).as("ws"))
+    val probes = frozenPostings(deltaDocs, s.table(s"$pre.dfreq"), t)
+    val cand = probeCandidates(s.table(s"$pre.postings"), probes, t, maxPost)
+    val dict = deltaDocs.unionByName(s.table(s"$pre.docs"))
+    val dup = verifyPairs(s, dict, cand, t)
       .select(col("id_a").as("doc_id")).distinct()
-    admit(dupDelta)
+    deltaDocs.select(col("doc_id"))
+      .join(dup, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("surviving_id"))
+  }
+
+  /** Screen + admit: append the admitted docs' word sets AND their
+    * postings (ranked under the frozen order) in ONE atomic multi-table
+    * commit, so a reader never observes a doc without its postings (or
+    * vice versa) and batch N+1 screens against batch N's admissions.
+    * Returns the admitted ids.
+    */
+  def indexAdmit(s: org.apache.spark.sql.SparkSession, cat: String,
+      repo: graft.versioned.GraftRepo, branch: String, delta: DataFrame,
+      t: Double): DataFrame = {
+    val pre = s"$cat.${repoName(repo)}.$branch.dd"
+    val admitted = indexScreen(s, cat, repoName(repo), branch, delta, t)
+      .localCheckpoint() // screened once; feeds the filter AND the return
+    val adDocs = delta
+      .select(col("doc_id").cast("long").as("doc_id"),
+        wordSet(col("text")).as("ws"))
+      .join(admitted.select(col("surviving_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+    graft.versioned.TableOps.atomicAppend(s, repo, branch, Seq(
+      "dd/docs" -> adDocs,
+      "dd/postings" -> frozenPostings(adDocs, s.table(s"$pre.dfreq"), t)),
+      "dd index admit")
+    admitted
   }
 
   val all: Seq[Q] = Seq(

@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.Dedup
+import graft.versioned.GraftRepo
+
+/** The PERSISTED incremental-dedup index (Dedup.indexInit / indexScreen
+  * / indexAdmit): corpus postings live in graft tables, built once;
+  * each batch screens against the stored index and its admissions are
+  * appended — docs + postings — in ONE atomic commit.
+  *
+  * The corpus text exists ONLY as a local Seq in this spec and is
+  * never written anywhere as text: after init, screening CANNOT
+  * re-tokenize the corpus even in principle — everything it knows
+  * comes from the stored tables. That makes the batch-2 rejections
+  * (one against an ORIGINAL corpus doc, one against a BATCH-1
+  * admission) positive proof of index reuse, not just absence of
+  * rebuild work.
+  */
+class DedupIncrementalSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
+
+  private val catRoot = Files.createTempDirectory("graft-ddincr")
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.catalog.gd", classOf[graft.catalog.GraftCatalog].getName)
+    .config("spark.sql.catalog.gd.root", catRoot.toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val t = 0.9
+
+  // disjoint 40-token docs: doc i's tokens are tok_i_0 .. tok_i_39, so
+  // the only near-dups are the ones this spec constructs deliberately
+  private def docText(i: Long): String =
+    (0 until 40).map(j => s"tok_${i}_$j").mkString(" ")
+  /** One token replaced → |a∩b|=39, |a∪b|=41, J≈0.951 ≥ 0.9. */
+  private def nearDupOf(i: Long): String =
+    ((0 until 39).map(j => s"tok_${i}_$j") :+ "mutant").mkString(" ")
+
+  private def df(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def screen(batch: Seq[(Long, String)]) =
+    Dedup.indexScreen(spark, "gd", "r", "main", df(batch), t)
+      .collect().map(_.getLong(0)).toSet
+
+  private def historyLen(table: String): Long =
+    spark.sql(s"SELECT count(*) FROM gd.r.main.dd.$table.history")
+      .head().getLong(0)
+
+  test("init → screen → atomic admit → batch 2 sees batch 1's admissions") {
+    spark.sql("CREATE NAMESPACE gd.r")
+    spark.sql("CREATE NAMESPACE gd.r.main.dd")
+    val repo = GraftRepo.open(catRoot.resolve("r"))
+    val corpus = (0L until 300L).map(i => (i, docText(i)))
+    Dedup.indexInit(spark, "gd", repo, "main", df(corpus), t)
+
+    // (each CREATE TABLE commits once; init's seed append is ONE more
+    // commit shared by all three tables)
+    val (hDocs, hPost, hFreq) =
+      (historyLen("docs"), historyLen("postings"), historyLen("dfreq"))
+    spark.sql("SELECT count(*) FROM gd.r.main.dd.docs")
+      .head().getLong(0) shouldBe 300L
+
+    // batch 1: one near-dup of corpus doc 5 (rejected), two fresh docs
+    val batch1 = Seq((10001L, nearDupOf(5)),
+      (10002L, docText(90001L)), (10003L, docText(90002L)))
+    screen(batch1) shouldBe Set(10002L, 10003L)
+
+    val postingsBefore =
+      spark.sql("SELECT count(*) FROM gd.r.main.dd.postings").head().getLong(0)
+    val admitted = Dedup.indexAdmit(spark, "gd", repo, "main", df(batch1), t)
+      .collect().map(_.getLong(0)).toSet
+    admitted shouldBe Set(10002L, 10003L)
+
+    // exactly ONE commit landed on BOTH tables; dfreq stays frozen
+    historyLen("docs") shouldBe hDocs + 1L
+    historyLen("postings") shouldBe hPost + 1L
+    historyLen("dfreq") shouldBe hFreq
+    spark.sql("SELECT count(*) FROM gd.r.main.dd.docs")
+      .head().getLong(0) shouldBe 302L
+    // a 40-token doc at t=0.9 carries 40 - ceil(36) + 1 = 5 prefix toks
+    spark.sql("SELECT count(*) FROM gd.r.main.dd.postings")
+      .head().getLong(0) shouldBe postingsBefore + 10L
+
+    // batch 2: near-dup of a BATCH-1 ADMISSION (the amortization
+    // proof: caught only if admitted postings joined the index), a
+    // near-dup of an ORIGINAL corpus doc, and a fresh doc
+    val batch2 = Seq((20001L, nearDupOf(90001L)), // ≈ doc 10002
+      (20002L, nearDupOf(7)), (20003L, docText(90003L)))
+    screen(batch2) shouldBe Set(20003L)
+
+    // screening does NOT rebuild: the plan windows ONLY the delta (one
+    // row_number over 3 docs' tokens) and scans the stored postings —
+    // a rebuild would window corpus+delta postings together
+    val plan = Dedup.indexScreen(spark, "gd", "r", "main", df(batch2), t)
+      .queryExecution.executedPlan.toString
+    plan.split("Window", -1).length - 1 shouldBe 1
+  }
+
+  test("frozen order keeps exact recall across batches: screen results " +
+    "equal a from-scratch exact Jaccard recompute") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE gd.r2")
+    spark.sql("CREATE NAMESPACE gd.r2.main.dd")
+    val repo = GraftRepo.open(catRoot.resolve("r2"))
+    // overlapping vocabulary this time: docs share a 120-token pool, so
+    // dfreq is non-trivial and batch tokens mix seen/unseen
+    def text(seed: Long): String =
+      (0 until 40).map(j => s"w${(seed * 7 + j * 13) % 120}").distinct
+        .mkString(" ")
+    val corpus = (0L until 200L).map(i => (i, text(i)))
+    Dedup.indexInit(spark, "gd", repo, "main", df(corpus), t)
+
+    val batch = (500L until 540L).map(i =>
+      if (i % 5 == 0) (i, corpus((i % 200L).toInt)._2) // exact copies → dups
+      else (i, text(i * 31 + 3)))
+    val got = Dedup.indexScreen(spark, "gd", "r2", "main", df(batch), t)
+      .collect().map(_.getLong(0)).toSet
+
+    // oracle: exact Jaccard of every (batch, corpus) pair
+    val want = batch.filter { case (id, tx) =>
+      val ws = tx.split(" ").toSet
+      !corpus.exists { case (_, ctx) =>
+        val cs = ctx.split(" ").toSet
+        ws.intersect(cs).size.toDouble / ws.union(cs).size >= t
+      }
+    }.map(_._1).toSet
+    got shouldBe want
+  }
+}
