@@ -375,6 +375,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val g = repo(ns)
         if (!cascade && g.branches.exists(b => g.headCommit(b).tables.nonEmpty))
           throw new NonEmptyNamespaceException(ns)
+        // a URI dataRoot lives OUTSIDE repoPath — sweep the data plane
+        // through the dataIO seam first, or every parquet + bloom
+        // sidecar under the external root would be orphaned forever
+        if (g.dataRootUri.isDefined) {
+          g.dataIO.walkFiles("").foreach(g.dataIO.delete)
+          g.dataIO.walkDirs("").sorted(Ordering[String].reverse)
+            .foreach(g.dataIO.delete)
+        }
         val p = repoPath(r)
         io.walk(p).sorted(Ordering[Path].reverse).foreach(io.delete)
         true

@@ -310,7 +310,7 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
   }
 
   /** All ancestors of a commit (BFS over parents), including itself. */
-  private def ancestors(cid: String): Set[String] = {
+  private[versioned] def ancestors(cid: String): Set[String] = {
     val seen = scala.collection.mutable.Set[String]()
     val q = scala.collection.mutable.Queue(cid)
     while (q.nonEmpty) {
@@ -740,15 +740,22 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
     if (dataIO.isDirectory("data")) {
       // only data files count; committer markers (_SUCCESS, .crc) are noise
       val all = dataIO.walkFiles("data").filter(_.endsWith(".parquet"))
-      all.foreach { rel =>
+      // referenced-set check FIRST (pure driver memory — no IO per
+      // referenced file); only unreferenced candidates pay a mtime
+      // HEAD + delete, batched through the shared manifest IO pool so
+      // a remote data root (s3a://) sees parallel round trips, not
+      // O(files) serial ones — the same fan-out the metadata sweep uses
+      val candidates = all.filterNot(rel => referenced.contains(norm(rel)))
+      deleted = Manifests.fanOut(candidates, 4) { rel =>
         val old = try dataIO.mtimeMs(rel) < cutoff
         catch { case _: Exception => false } // vanished under us
-        if (!referenced.contains(norm(rel)) && old) {
-          if (dataIO.delete(rel)) deleted += 1
+        if (old) {
+          val d = if (dataIO.delete(rel)) 1 else 0
           // a data file's bloom sidecar dies with it
           dataIO.delete(rel + ".bloom")
-        }
-      }
+          d
+        } else 0
+      }.sum
       // prune now-empty data subdirectories (deepest first; reverse
       // lexicographic order puts children before their parents)
       dataIO.walkDirs("data").sorted(Ordering[String].reverse)

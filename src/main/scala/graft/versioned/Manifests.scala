@@ -87,7 +87,7 @@ object Manifests {
     * ExecutionException so callers surface the backend's own failure
     * type, not the pool's wrapper.
     */
-  private def fanOut[A, B](items: Seq[A], serialAtMost: Int)(
+  private[versioned] def fanOut[A, B](items: Seq[A], serialAtMost: Int)(
       f: A => B): Seq[B] = ioPool match {
     case Some(pool) if items.size > serialAtMost =>
       items.map(a => pool.submit(new java.util.concurrent.Callable[B] {

@@ -173,6 +173,51 @@ class EngineLifecycleSpec extends AnyFunSuite with Matchers with BeforeAndAfterA
     }
   }
 
+  test("[URI data root] vacuum at scale: >1k orphan data files removed " +
+    "through the data seam's fan-out (shared IO pool, not per-file " +
+    "serial driver RPCs), referenced files and sidecars intact") {
+    sql("CREATE NAMESPACE uri.vs")
+    sql("CREATE NAMESPACE uri.vs.main.db")
+    sql("CREATE TABLE uri.vs.main.db.t (id INT)")
+    sql("INSERT INTO uri.vs.main.db.t VALUES (CAST(1 AS INT)), (2), (3)")
+    val dataDir = uriDataBase.resolve("vs").resolve("data")
+    val before = parquetCountUnder(dataDir)
+    before should be > 0L
+    // fabricate the crashed-writer shape vacuum exists for: orphan
+    // parquets (plus bloom sidecars) under the external data root that
+    // no snapshot references
+    val orphanDir = dataDir.resolve("db").resolve("orphans")
+    Files.createDirectories(orphanDir)
+    (0 until 1200).foreach { i =>
+      Files.write(orphanDir.resolve(f"orph-$i%04d.parquet"),
+        Array[Byte](1, 2, 3))
+      Files.write(orphanDir.resolve(f"orph-$i%04d.parquet.bloom"),
+        Array[Byte](9))
+    }
+    Thread.sleep(20) // cutoff is strict `<`: let mtimes fall behind it
+    val repo = graft.versioned.GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.uri.root"), "vs"))
+    repo.vacuum(0L) shouldBe 1200
+    parquetCountUnder(dataDir) shouldBe before // orphans gone, table intact
+    Files.exists(orphanDir) shouldBe false     // sidecars + empty dir too
+    rows("SELECT count(*) FROM uri.vs.main.db.t").head.head shouldBe 3L
+  }
+
+  test("[URI data root] DROP NAMESPACE CASCADE sweeps the EXTERNAL data " +
+    "plane through the dataIO seam — no orphaned parquet under the URI " +
+    "root after the repo is gone") {
+    sql("CREATE NAMESPACE uri.dz")
+    sql("CREATE NAMESPACE uri.dz.main.db")
+    sql("CREATE TABLE uri.dz.main.db.t (id INT)")
+    sql("INSERT INTO uri.dz.main.db.t VALUES (CAST(1 AS INT)), (2)")
+    parquetCountUnder(uriDataBase.resolve("dz")) should be > 0L
+    sql("DROP NAMESPACE uri.dz CASCADE")
+    parquetCountUnder(uriDataBase.resolve("dz")) shouldBe 0L
+    // the metadata tree is gone too
+    java.nio.file.Files.exists(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.uri.root"), "dz")) shouldBe false
+  }
+
   /** Open the repo the way the backend does — through the same GraftIO
     * the catalog option selected. */
   private def ioFor(cat: String): graft.versioned.GraftIO =
