@@ -62,6 +62,16 @@ private[graft] trait DestIO {
   def size(rel: String): Long
   def mtimeMs(rel: String): Long
   def delete(rel: String): Boolean
+  /** Best-effort mtime bump. An emission touches every content-
+    * addressed file it REUSES (chunk manifests, delete parquets, memo
+    * indexes) before embedding it in not-yet-published metadata, so a
+    * concurrent [[IcebergExport.expireDest]] sweep — whose age guard
+    * spares recently-modified files — cannot delete the file inside
+    * the reuse-to-publish window even when no surviving version
+    * references it yet. Failure is harmless (the guard still covers
+    * windows shorter than `olderThanMs`).
+    */
+  def touch(rel: String): Unit = ()
   /** Location string the parquet-hadoop writers/readers accept for a
     * file at `rel` (HadoopOutputFile/HadoopInputFile). */
   def hadoopLocation(rel: String): String
@@ -98,6 +108,10 @@ private[graft] final class NioDestIO(val root: Path) extends DestIO {
   override def readBytes(rel: String): Array[Byte] = Files.readAllBytes(p(rel))
   override def writeString(rel: String, content: String): Unit =
     Files.writeString(p(rel), content)
+  override def touch(rel: String): Unit =
+    try Files.setLastModifiedTime(p(rel),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: java.io.IOException => () }
   override def writeAtomic(rel: String, bytes: Array[Byte]): Unit = {
     val dst = p(rel)
     val tmp = dst.resolveSibling(s".tmp-${UUID.randomUUID()}")
@@ -257,6 +271,9 @@ private[graft] final class HadoopDestIO(
     out.result()
   }
   override def size(rel: String): Long = fs.getFileStatus(p(rel)).getLen
+  override def touch(rel: String): Unit =
+    try fs.setTimes(p(rel), System.currentTimeMillis(), -1)
+    catch { case _: Exception => () } // stores without setTimes: guard-only
   override def mtimeMs(rel: String): Long =
     fs.getFileStatus(p(rel)).getModificationTime
   override def delete(rel: String): Boolean =
@@ -322,10 +339,23 @@ private[graft] final class GraftIoDestIO(val root: Path, io: GraftIO)
   override def readBytes(rel: String): Array[Byte] = io.readBytes(p(rel))
   override def writeString(rel: String, content: String): Unit =
     io.overwrite(p(rel), content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-  override def writeAtomic(rel: String, bytes: Array[Byte]): Unit =
-    io.overwrite(p(rel), bytes)
+  override def writeAtomic(rel: String, bytes: Array[Byte]): Unit = {
+    // honor the trait's no-truncated-final-name contract: stage under a
+    // temp sibling, then move (LocalGraftIO.overwrite is a plain
+    // Files.write straight to the final name)
+    val dst = p(rel)
+    val tmp = dst.resolveSibling(s".tmp-${java.util.UUID.randomUUID()}")
+    io.overwrite(tmp, bytes)
+    try io.move(tmp, dst)
+    catch {
+      case e: Exception =>
+        // loser of a content-addressed race (same bytes) — drop the temp
+        io.deleteIfExists(tmp)
+        if (!io.isFile(dst)) throw e
+    }
+  }
   override def uploadAtomic(local: Path, rel: String): Unit = {
-    io.overwrite(p(rel), Files.readAllBytes(local))
+    writeAtomic(rel, Files.readAllBytes(local))
     Files.deleteIfExists(local)
   }
   override def listNames(rel: String): Seq[String] =
@@ -340,6 +370,7 @@ private[graft] final class GraftIoDestIO(val root: Path, io: GraftIO)
         if (rel.isEmpty) r.toString else s"$rel/$r")
   override def size(rel: String): Long = io.size(p(rel))
   override def mtimeMs(rel: String): Long = io.mtimeMs(p(rel))
+  override def touch(rel: String): Unit = io.touch(p(rel))
   override def delete(rel: String): Boolean = io.deleteIfExists(p(rel))
   override def hadoopLocation(rel: String): String = p(rel).toUri.toString
 }

@@ -379,7 +379,11 @@ object IcebergExport {
             // mid-write must never leave a truncated manifest every
             // later emission reuses)
             val len =
-              if (dest.isFile(rel)) dest.size(rel)
+              // reuse bumps mtime FIRST: the expire sweep's age guard
+              // then protects the file through this emission's
+              // reuse-to-publish window even if no kept version
+              // references it yet (see DestIO.touch)
+              if (dest.isFile(rel)) { dest.touch(rel); dest.size(rel) }
               else {
                 val bytes = manifestBytes(entries, entrySnapshotId = None,
                   icebergSchemaJson(phys), specFields, srcTypeOf,
@@ -697,9 +701,11 @@ object IcebergExport {
     // truncated parquet that every future export would reuse.
     val fp = shaHex(s"${t.seq}|${t.filter}|${ids.mkString(",")}|$msg")
     val outRel = s"data/eq-$fp-deletes.parquet"
-    if (dest.isFile(outRel))
+    if (dest.isFile(outRel)) {
+      dest.touch(outRel) // shield the reuse window from the expire sweep
       return DeleteFile(outRel, dest.size(outRel), rows.size.toLong,
         Map.empty, content = 2, seq = t.seq + 1, equalityIds = ids)
+    }
     // staged LOCALLY (parquet-hadoop needs a seekable sink), then
     // published whole via the dest seam — works for remote dests too
     val tmpOut = Files.createTempFile("graft-ice-eq", ".parquet")
@@ -774,11 +780,17 @@ object IcebergExport {
     // recomputes.
     val memoRel = s"data/pos-${snap.id}"
     val indexRel = s"$memoRel/index.json"
-    if (dest.isFile(indexRel))
-      return Json.read[PosIndex](dest.readString(indexRel)).entries.map(e =>
+    if (dest.isFile(indexRel)) {
+      val idx = Json.read[PosIndex](dest.readString(indexRel))
+      // shield the whole memo (index + every delete parquet) through
+      // this emission's reuse-to-publish window (see DestIO.touch)
+      dest.touch(indexRel)
+      idx.entries.foreach(e => dest.touch(s"$memoRel/${e.name}"))
+      return idx.entries.map(e =>
         DeleteFile(s"$memoRel/${e.name}",
           if (e.bytes >= 0) e.bytes else dest.size(s"$memoRel/${e.name}"),
           e.rows, e.partValues, content = 1, e.seq, Nil))
+    }
     val (_, groups) = Tombstones.split(tombs, phys, snap.files, Some(repo.dataIO))
     if (groups.isEmpty) {
       dest.mkdirs(memoRel)
@@ -1478,12 +1490,13 @@ object IcebergExport {
       out
     }
     val referenced = reach(kept)
-    // files reachable from the DEAD versions (and not from a kept one)
-    // are known-published superseded history — safe to drop at any age.
-    // The age guard below protects only files NO version references:
-    // those may be a concurrent emission's just-written, not-yet-
-    // referenced manifests/deletes mid-publish.
-    val deadOnly = reach(dead) --= referenced
+    // Files reachable only from DEAD versions are superseded history,
+    // but they get the same age guard as true orphans: a concurrent
+    // emission's chunk-manifest REUSE check may have just accepted such
+    // a file whose new referencing metadata version hasn't published
+    // yet — an any-age sweep would delete it in that window. So the
+    // sweeps below need only (not referenced) && sweepable; the guard
+    // bounds reclamation delay, never safety.
 
     var metaDeleted = 0
     // superseded version files are safe at any age (they are OLD by
@@ -1494,7 +1507,7 @@ object IcebergExport {
     dest.listNames("metadata")
       .filter(_.endsWith(".avro")).map(n => s"metadata/$n")
       .filterNot(referenced.contains)
-      .filter(rel => deadOnly.contains(rel) || sweepable(rel))
+      .filter(sweepable)
       .foreach { rel => if (dest.delete(rel)) metaDeleted += 1 }
 
     var delDeleted = 0
@@ -1502,7 +1515,7 @@ object IcebergExport {
       dest.walkFiles("data")
         .filter(_.endsWith("-deletes.parquet"))
         .filterNot(referenced.contains)
-        .filter(rel => deadOnly.contains(rel) || sweepable(rel))
+        .filter(sweepable)
         .foreach { rel => if (dest.delete(rel)) delDeleted += 1 }
       // memo dirs whose files are all gone: drop the index + dir (a
       // future export of that snapshot recomputes). Young dirs are an

@@ -188,6 +188,54 @@ object IcebergSync {
     }.maxOption.getOrElse(0)
   }
 
+  /** Cross-dest JOIN POINT for a multi-table commit — the executable
+    * form of the consistency recipe above. Emissions are not atomic
+    * across dests, so an external reader wanting ONE transaction's view
+    * of fact + dim must not read each dest's newest version; this
+    * resolves, per dest, the newest metadata version that represents
+    * the table's state AT `commit`:
+    *
+    *  - its `graft.source-commit` is `commit` or an ANCESTOR of it
+    *    (a table untouched by the commit was last emitted earlier), and
+    *  - its `graft.source-snapshot` is one of the commit's LIVE table
+    *    snapshot ids (snapshots are content-addressed, so this says
+    *    "this emission IS some table's state at the commit") — which
+    *    rejects a LAGGING follower (the table changed but its emission
+    *    hasn't landed yet; returning the older version would be a
+    *    silently inconsistent pair).
+    *
+    * Returns dest -> metadata path/URI; `None` for a dest that has no
+    * consistent version YET (mid-emission observer — retry after the
+    * follower catches up, which the next commit guarantees).
+    */
+  def consistentVersions(repo: GraftRepo, commit: String,
+      dests: Seq[String]): Map[String, Option[String]] = {
+    val anc = repo.ancestors(commit) // includes `commit` itself
+    val snapsAt = repo.commit(commit).tables.values.toSet
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val Re = """v(\d+)\.metadata\.json""".r
+    dests.map { d =>
+      val dio = DestIO.of(d)
+      val versions =
+        if (!dio.isDirectory("metadata")) Nil
+        else dio.listNames("metadata").flatMap {
+          case Re(n) => Some(n.toInt)
+          case _ => None
+        }.sorted(Ordering[Int].reverse)
+      val hit = versions.iterator.flatMap { v =>
+        scala.util.Try {
+          val props = om.readTree(
+            dio.readString(s"metadata/v$v.metadata.json")).get("properties")
+          (v, props.get("graft.source-commit").asText(),
+            props.get("graft.source-snapshot").asText())
+        }.toOption
+      }.find { case (_, srcCommit, srcSnap) =>
+        anc.contains(srcCommit) && snapsAt.contains(srcSnap)
+      }
+      d -> hit.map { case (v, _, _) => dio.displayPath(s"metadata/v$v.metadata.json") }
+    }.toMap
+  }
+
   /** The graft snapshot id the dest's newest metadata was exported
     * from, or None when nothing readable is there yet.
     */

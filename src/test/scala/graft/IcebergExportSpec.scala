@@ -835,9 +835,11 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     sql("DELETE FROM g.icedr.main.db.t WHERE id = 7")    // equality
     val dest = Files.createTempDirectory("ice-del-reuse")
     sql(s"CALL g.system.iceberg_export('icedr', 'main', 'db.t', '$dest')")
+    // content fingerprint, not mtime: reuse deliberately BUMPS mtime
+    // (DestIO.touch shields the reuse window from the expire sweep)
     def deleteFiles = Files.walk(dest.resolve("data")).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith("-deletes.parquet"))
-      .map(p => p -> Files.getLastModifiedTime(p)).toMap
+      .map(p => p -> java.util.Arrays.hashCode(Files.readAllBytes(p))).toMap
     val before = deleteFiles
     before.size should be >= 2
     // second emission: zero Spark jobs (the memo answers), same files

@@ -150,6 +150,14 @@ class IcebergSyncSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     Files.readString(dest.resolve("metadata").resolve("version-hint.text"))
       .trim shouldBe "5"
     graft.versioned.IcebergImport.read(spark, dest).count() shouldBe 50
+    // the auto-expire age guard SPARES young superseded files (a
+    // concurrent emission may be mid-reuse of one — the guard is the
+    // race shield, DestIO.touch extends it past 10-min windows), so
+    // zero-orphan holds after an explicit QUIESCENT expire, which is
+    // when the operator asserts no export is in flight
+    sql(s"CALL gs.system.iceberg_export_expire('$dest', 2, " +
+      "older_than_ms => 0)")
+    metaVersions(dest) shouldBe Seq(4, 5)
     // zero orphaned avros: everything under metadata/ is referenced by a
     // kept version
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -209,5 +217,65 @@ class IcebergSyncSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     val dv = metaVersions(dDim).max
     prop(dFact, fv, "graft.source-commit") shouldBe cid
     prop(dDim, dv, "graft.source-commit") shouldBe cid
+  }
+
+  test("consistentVersions: a fact+dim reader resolves ONE commit's view " +
+    "across dests — untouched tables resolve to their older emission, a " +
+    "lagging follower resolves to None instead of a stale pair") {
+    import graft.versioned.IcebergSync
+    sql("CREATE NAMESPACE gs.cv")
+    sql("CREATE NAMESPACE gs.cv.main.db")
+    sql("CREATE TABLE gs.cv.main.db.fact (id INT, v DOUBLE)")
+    sql("CREATE TABLE gs.cv.main.db.dim (id INT, name STRING)")
+    val dFact = Files.createTempDirectory("ice-cv-fact")
+    val dDim = Files.createTempDirectory("ice-cv-dim")
+    val repo = GraftRepo.open(Paths.get(
+      spark.conf.get("spark.sql.catalog.gs.root"), "cv"))
+    // C1: both tables in one commit; both dests emit with source-commit C1
+    graft.versioned.TableOps.atomicAppend(spark, repo, "main", Seq(
+      "db/fact" -> spark.sql("SELECT 1 AS id, CAST(1.0 AS DOUBLE) AS v"),
+      "db/dim" -> spark.sql("SELECT 1 AS id, 'a' AS name")))
+    sql(s"CALL gs.system.iceberg_export('cv', 'main', 'db.fact', '$dFact', " +
+      "sync => true)")
+    sql(s"CALL gs.system.iceberg_export('cv', 'main', 'db.dim', '$dDim', " +
+      "sync => true)")
+    val c1 = repo.headCommit("main").id
+
+    // C2 touches ONLY fact: fact's dest advances, dim's stays at C1
+    sql("INSERT INTO gs.cv.main.db.fact VALUES (2, 2.0)")
+    val c2 = repo.headCommit("main").id
+    val at2 = IcebergSync.consistentVersions(repo, c2,
+      Seq(dFact.toString, dDim.toString))
+    at2(dFact.toString).isDefined shouldBe true
+    at2(dDim.toString).isDefined shouldBe true
+    // the resolved pair IS the C2 view: fact has both rows, dim its one
+    graft.versioned.IcebergImport.read(spark,
+      at2(dFact.toString).get, None).count() shouldBe 2
+    graft.versioned.IcebergImport.read(spark,
+      at2(dDim.toString).get, None).count() shouldBe 1
+
+    // the C1 join point still resolves AFTER C2 emitted: fact maps to
+    // its OLDER version, not the newest
+    val at1 = IcebergSync.consistentVersions(repo, c1,
+      Seq(dFact.toString, dDim.toString))
+    graft.versioned.IcebergImport.read(spark,
+      at1(dFact.toString).get, None).count() shouldBe 1
+    at1(dFact.toString) should not be at2(dFact.toString)
+
+    // lagging follower: dim's sync is removed, then C3 writes BOTH
+    // tables — dim's dest never receives C3, and the join point says so
+    sql("CALL gs.system.iceberg_sync_remove('cv', 'main', 'db.dim')")
+    graft.versioned.TableOps.atomicAppend(spark, repo, "main", Seq(
+      "db/fact" -> spark.sql("SELECT 3 AS id, CAST(3.0 AS DOUBLE) AS v"),
+      "db/dim" -> spark.sql("SELECT 3 AS id, 'c' AS name")))
+    val c3 = repo.headCommit("main").id
+    // ancestry alone would WRONGLY accept dim's stale C1 emission — the
+    // source-snapshot check against the commit's live snapshots rejects it
+    val at3 = IcebergSync.consistentVersions(repo, c3,
+      Seq(dFact.toString, dDim.toString))
+    at3(dFact.toString).isDefined shouldBe true
+    graft.versioned.IcebergImport.read(spark,
+      at3(dFact.toString).get, None).count() shouldBe 3
+    at3(dDim.toString) shouldBe None
   }
 }
