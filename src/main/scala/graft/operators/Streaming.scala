@@ -23,10 +23,11 @@ import graft.Q
   *
   * Deterministic end-of-stream flushing: sessionization emits on
   * event-time timeout, which requires the watermark to pass the last
-  * session's gap. The stream is staged as [events file, sentinel file]
-  * with maxFilesPerTrigger=1, so the far-future sentinel event advances
-  * the watermark in a final batch and closes all real sessions — making
-  * the result complete, deterministic, and DuckDB-oracle-checkable.
+  * session's gap. The stream is staged as [events file, sentinel
+  * file(s)] with deterministic file order, so the far-future sentinel
+  * events advance the watermark and close all real sessions — making
+  * the result complete, deterministic, and DuckDB-oracle-checkable
+  * (see [[readStaged]] for the batch grouping).
   */
 object Streaming {
 
@@ -38,24 +39,33 @@ object Streaming {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Stage `events.parquet` (+ optional far-future sentinel) into a fresh
-    * stream dir; returns a streaming DataFrame with µs-truncated
-    * TIMESTAMP_NTZ `ts` (same normalization as Tables.events).
+  /** Per-dataset-dir (tsIsNanos, max event µs) — both are properties of
+    * the immutable testdata parquet, so every sentinel-staging query in
+    * the JVM shares one footer sniff + one max-ts aggregation job
+    * instead of paying them per stream (bench fixed-cost trim).
     */
-  private def eventStream(s: SparkSession, d: String, sentinel: Boolean,
+  private val eventMetaCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Boolean, Long)]
+
+  private def eventMeta(s: SparkSession, d: String): (Boolean, Long) =
+    eventMetaCache.getOrElseUpdate(d, {
+      val tsIsNanos = s.read.parquet(s"$d/events.parquet")
+        .schema("ts").dataType == LongType
+      val maxUs = graft.Tables.events(s, d)
+        .agg(unix_micros(max(col("ts").cast(TimestampType))))
+        .head().getLong(0)
+      (tsIsNanos, maxUs)
+    })
+
+  /** Stage `events.parquet` (+ optional far-future sentinels) into a
+    * fresh stream dir — shared by every source that reads it (the
+    * stream-stream join reads ONE staged dir from both sides).
+    */
+  private def stageStream(s: SparkSession, d: String, sentinel: Boolean,
       sentinels: Int = 1,
-      sentinelTypes: Seq[String] = Seq("sentinel")): DataFrame = {
+      sentinelTypes: Seq[String] = Seq("sentinel")): java.nio.file.Path = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `ts` is raw NANOS (legacy long) or TIMESTAMP(µs) depending on the
-    // testdata generation — sniff the actual file type exactly like
-    // Tables.events, and stage sentinels in the SAME encoding (the file
-    // stream reads every staged file through one schema)
-    val tsIsNanos = s.read.parquet(s"$d/events.parquet")
-      .schema("ts").dataType == LongType
-    val schema =
-      if (tsIsNanos) eventSchema
-      else StructType(eventSchema.map(f =>
-        if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+    val (tsIsNanos, maxUs) = eventMeta(s, d)
     val dir = Files.createTempDirectory("graft-stream")
     Files.copy(Paths.get(s"$d/events.parquet"), dir.resolve("0_events.parquet"),
       StandardCopyOption.COPY_ATTRIBUTES)
@@ -71,39 +81,71 @@ object Streaming {
       // sentinel BATCH is needed by operators whose state flush happens
       // on the batch AFTER a watermark bump (stream-stream outer joins
       // emit evictions while processing data, so the bump batch itself
-      // still sees the old watermark).
-      val maxUs = graft.Tables.events(s, d)
-        .agg(unix_micros(max(col("ts").cast(TimestampType))))
-        .head().getLong(0)
+      // still sees the old watermark). All sentinel batches write in
+      // ONE partitioned job (a file per batch index), not a job each.
+      val stage = dir.resolve("z_sentinels")
+      val base = (1 to sentinels).flatMap { i =>
+        sentinelTypes.zipWithIndex.map { case (t, j) =>
+          (i, -1L - j, maxUs + i * 86400L * 1000000L, -1L - j, t, 0.0, "{}")
+        }
+      }.toDF("b", "event_id", "ts", "user_id", "event_type", "value", "props")
+      val typed =
+        if (tsIsNanos) base.withColumn("ts", col("ts") * 1000L)
+        else base.withColumn("ts",
+          timestamp_micros(col("ts")).cast(TimestampNTZType))
+      typed.coalesce(1).write.partitionBy("b").parquet(stage.toString)
       (1 to sentinels).foreach { i =>
-        val stage = dir.resolve(s"z_sentinel_$i")
-        val sentUs = maxUs + i * 86400L * 1000000L
-        val base = sentinelTypes.zipWithIndex.map { case (t, j) =>
-          (-1L - j, sentUs, -1L - j, t, 0.0, "{}")
-        }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        val typed =
-          if (tsIsNanos) base.withColumn("ts", col("ts") * 1000L)
-          else base.withColumn("ts",
-            timestamp_micros(col("ts")).cast(TimestampNTZType))
-        typed.coalesce(1).write.parquet(stage.toString)
-        scala.util.Using.resource(Files.list(stage))(
+        val out = dir.resolve(s"${i}_sentinel.parquet")
+        scala.util.Using.resource(Files.list(stage.resolve(s"b=$i")))(
           _.iterator().asScala
             .filter(_.toString.endsWith(".parquet"))
-            .foreach(p => Files.move(p, dir.resolve(s"${i}_sentinel.parquet"))))
+            .foreach(p => Files.move(p, out)))
+        // explicit strictly-increasing mtimes: the file source orders
+        // batches by modification time, and the one-job sentinel write
+        // gives every batch's file the same ms timestamp — ties would
+        // let sentinel 2 overtake sentinel 1
+        Files.setLastModifiedTime(out, java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis() + i * 2000L))
       }
     }
-    // LTZ timestamp: watermarks require TIMESTAMP; session tz is UTC so the
-    // instant is identical to the NTZ oracle view — outputs cast back to NTZ.
+    dir
+  }
+
+  /** File-source stream over a staged dir, `ts` normalized to µs
+    * TIMESTAMP (LTZ: watermarks require TIMESTAMP; session tz is UTC so
+    * the instant equals the NTZ oracle view — outputs cast back).
+    */
+  private def readStaged(s: SparkSession, d: String,
+      dir: java.nio.file.Path): DataFrame = {
+    val (tsIsNanos, _) = eventMeta(s, d)
+    val schema =
+      if (tsIsNanos) eventSchema
+      else StructType(eventSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+    // 2 files per trigger: the DATA file and the FIRST sentinel share a
+    // micro-batch (the watermark advances at end-of-batch either way, so
+    // all data rows process under the previous watermark exactly as
+    // before, and the bump is visible from the next batch on) — one
+    // whole stateful micro-batch saved per sentinel stream. Flush
+    // semantics are unchanged: operators that emit on a post-bump DATA
+    // batch get sentinel 2 as its own batch, and single-sentinel
+    // streams flush in the engine's no-data micro-batch.
     val raw = s.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .parquet(dir.toString)
     if (tsIsNanos) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw.withColumn("ts", col("ts").cast(TimestampType))
   }
 
+  /** Stage + read in one step (single-source queries). */
+  private def eventStream(s: SparkSession, d: String, sentinel: Boolean,
+      sentinels: Int = 1,
+      sentinelTypes: Seq[String] = Seq("sentinel")): DataFrame =
+    readStaged(s, d, stageStream(s, d, sentinel, sentinels, sentinelTypes))
+
   /** Run a streaming DataFrame synchronously into a memory sink. The
-    * stateful shuffle width is pinned to 8 for the run: state-store
+    * stateful shuffle width is pinned to 4 for the run: state-store
     * commit cost scales with partition count, and these replays hold
     * hundreds of keys, not millions (a real deployment sizes this to
     * keys/partition instead).
@@ -111,7 +153,7 @@ object Streaming {
   private def runToTable(s: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
     val name = "st_" + UUID.randomUUID().toString.replace("-", "").take(10)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
       try q.processAllAvailable() finally q.stop()
@@ -284,14 +326,16 @@ object Streaming {
     // type to keep advancing event time (see eventStream); the click
     // sentinels carry user_id -1 / the purchase ones -2, so they never
     // join a real row and the static post-stream filter removes them
-    val clicks = eventStream(s, d, sentinel = true, sentinels = 2,
+    // ONE staged dir read by both sides: the copies, sentinel writes
+    // and max-ts probe are paid once, not per join input
+    val dir = stageStream(s, d, sentinel = true, sentinels = 2,
       sentinelTypes = Seq("click", "purchase"))
+    val clicks = readStaged(s, d, dir)
       .withWatermark("ts", "1 hour")
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
-    val purchases = eventStream(s, d, sentinel = true, sentinels = 2,
-      sentinelTypes = Seq("click", "purchase"))
+    val purchases = readStaged(s, d, dir)
       .withWatermark("ts", "1 hour")
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
