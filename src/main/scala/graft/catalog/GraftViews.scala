@@ -25,8 +25,10 @@ object GraftViews {
       Identifier.of(Array(parts(1), parts(2), parts(3)), parts(4)))
     // run the view text in its own resolution context (catalog AND
     // namespace both matter for relative references) — isolated from
-    // the session's context, which concurrent queries may be using
-    org.apache.spark.sql.graftbridge.ViewContextBridge.sqlWith(
+    // the session's context, which concurrent queries may be using;
+    // the result is re-bound to the CALLER's session so temp-view
+    // registration etc. land where the caller expects
+    org.apache.spark.sql.graftbridge.ViewContextBridge.sqlWithOn(
       spark, view.currentCatalog(), view.currentNamespace(), view.query())
   }
 

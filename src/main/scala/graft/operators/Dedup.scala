@@ -816,6 +816,17 @@ object Dedup {
     val deltaDocs = delta
       .select(col("doc_id").cast("long").as("doc_id"),
         wordSet(col("text")).as("ws"))
+    // ids must be disjoint from the corpus: a delta doc_id already in
+    // dd.docs would join BOTH word sets in the verify dict (a corpus
+    // row self-matches at J=1.0 → silent wrongful rejection) — refuse
+    // loudly instead. One skinny semi-join over the delta's ids.
+    val clash = deltaDocs.select(col("doc_id"))
+      .join(s.table(s"$pre.docs").select(col("doc_id")),
+        Seq("doc_id"), "left_semi").limit(5)
+      .collect().map(_.getLong(0))
+    require(clash.isEmpty,
+      s"delta doc_ids already present in $pre.docs: ${clash.mkString(", ")}" +
+        " — incremental screening requires fresh ids")
     val probes = frozenPostings(deltaDocs, s.table(s"$pre.dfreq"), t)
     val cand = probeCandidates(s.table(s"$pre.postings"), probes, t, maxPost)
     val dict = deltaDocs.unionByName(s.table(s"$pre.docs"))

@@ -45,10 +45,15 @@ object Streaming {
     * instead of paying them per stream (bench fixed-cost trim).
     */
   private val eventMetaCache =
-    scala.collection.concurrent.TrieMap.empty[String, (Boolean, Long)]
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Long), (Boolean, Long)]
 
-  private def eventMeta(s: SparkSession, d: String): (Boolean, Long) =
-    eventMetaCache.getOrElseUpdate(d, {
+  private def eventMeta(s: SparkSession, d: String): (Boolean, Long) = {
+    // key carries the file's identity (mtime + size): a regenerated
+    // events.parquet at the same path — different scale or ts encoding
+    // — must not serve stale sentinel timestamps from the cache
+    val f = Paths.get(s"$d/events.parquet")
+    val key = (d, Files.getLastModifiedTime(f).toMillis, Files.size(f))
+    eventMetaCache.getOrElseUpdate(key, {
       val tsIsNanos = s.read.parquet(s"$d/events.parquet")
         .schema("ts").dataType == LongType
       val maxUs = graft.Tables.events(s, d)
@@ -56,6 +61,7 @@ object Streaming {
         .head().getLong(0)
       (tsIsNanos, maxUs)
     })
+  }
 
   /** Stage `events.parquet` (+ optional far-future sentinels) into a
     * fresh stream dir — shared by every source that reads it (the

@@ -271,9 +271,28 @@ private[graft] final class HadoopDestIO(
     out.result()
   }
   override def size(rel: String): Long = fs.getFileStatus(p(rel)).getLen
+  /** Whether this FileSystem actually honors setTimes — s3a's is a
+    * SILENT no-op (FileSystem's default empty impl), which would leave
+    * the touch-on-reuse expire shield nonfunctional on the primary
+    * remote dest. Probed ONCE per dest with a throwaway object and a
+    * distinctive marker mtime; object stores that fail the probe fall
+    * back to re-publishing the object (a PUT refreshes its mtime).
+    */
+  private lazy val canSetTimes: Boolean = {
+    val probe = new HPath(root, s".tmp-touch-probe-${UUID.randomUUID()}")
+    try {
+      Using.resource(fs.create(probe, true))(_.write(1))
+      val marker = System.currentTimeMillis() - 12345678L
+      fs.setTimes(probe, marker, -1)
+      math.abs(fs.getFileStatus(probe).getModificationTime - marker) < 1000L
+    } catch { case _: Exception => false }
+    finally { try fs.delete(probe, false) catch { case _: Exception => () } }
+  }
   override def touch(rel: String): Unit =
-    try fs.setTimes(p(rel), System.currentTimeMillis(), -1)
-    catch { case _: Exception => () } // stores without setTimes: guard-only
+    try {
+      if (canSetTimes) fs.setTimes(p(rel), System.currentTimeMillis(), -1)
+      else writeAtomic(rel, readBytes(rel))
+    } catch { case _: Exception => () } // best-effort per the contract
   override def mtimeMs(rel: String): Long =
     fs.getFileStatus(p(rel)).getModificationTime
   override def delete(rel: String): Boolean =

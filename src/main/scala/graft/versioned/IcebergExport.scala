@@ -783,9 +783,11 @@ object IcebergExport {
     if (dest.isFile(indexRel)) {
       val idx = Json.read[PosIndex](dest.readString(indexRel))
       // shield the whole memo (index + every delete parquet) through
-      // this emission's reuse-to-publish window (see DestIO.touch)
-      dest.touch(indexRel)
-      idx.entries.foreach(e => dest.touch(s"$memoRel/${e.name}"))
+      // this emission's reuse-to-publish window (see DestIO.touch) —
+      // batched over the shared IO pool, not one serial RPC per file
+      Manifests.fanOut(
+        indexRel +: idx.entries.map(e => s"$memoRel/${e.name}"), 4)(
+        dest.touch)
       return idx.entries.map(e =>
         DeleteFile(s"$memoRel/${e.name}",
           if (e.bytes >= 0) e.bytes else dest.size(s"$memoRel/${e.name}"),

@@ -404,10 +404,16 @@ object IcebergImport {
       (schema, fs) => spark.read.schema(schema).orc(fs: _*))
     if (!needPositions) base
     else {
-      val counts = spark.read.schema(p.schema).orc(files: _*)
-        .select(col("_metadata.file_path").as("__ice_fp"),
-          col("_metadata.file_block_start").as("__ice_bs"))
-        .groupBy("__ice_fp", "__ice_bs").agg(count(lit(1)).as("__ice_n"))
+      // counts come from BASE ITSELF, never a separate scan: split
+      // boundaries depend on the scanned file SET (bytes-per-core term
+      // of maxSplitBytes), so a second all-files scan could split
+      // differently from the per-id-group scans inside base and the
+      // (file, block_start) join keys would not line up — dropping rows
+      // or mis-offsetting positions. Recomputing base's subtree re-plans
+      // the same per-group scans over the same file sets: identical keys
+      // by construction (projection does not affect split sizing).
+      val counts = base.groupBy("__ice_fp", "__ice_bs")
+        .agg(count(lit(1)).as("__ice_n"))
       val offsets = counts.withColumn("__ice_off",
         sum("__ice_n").over(
           Window.partitionBy("__ice_fp").orderBy("__ice_bs"))

@@ -179,13 +179,17 @@ object IcebergSync {
   /** Newest existing metadata version in `dest` (0 = none yet). */
   def latestVersion(dest: Path): Int = latestVersion(new NioDestIO(dest))
 
-  private[versioned] def latestVersion(dest: DestIO): Int = {
-    if (!dest.isDirectory("metadata")) return 0
+  private[versioned] def latestVersion(dest: DestIO): Int =
+    versionsOf(dest).maxOption.getOrElse(0)
+
+  /** Every v<N>.metadata.json version number present in the dest. */
+  private def versionsOf(dest: DestIO): Seq[Int] = {
+    if (!dest.isDirectory("metadata")) return Nil
     val Re = """v(\d+)\.metadata\.json""".r
     dest.listNames("metadata").flatMap {
       case Re(n) => Some(n.toInt)
       case _ => None
-    }.maxOption.getOrElse(0)
+    }
   }
 
   /** Cross-dest JOIN POINT for a multi-table commit — the executable
@@ -213,15 +217,9 @@ object IcebergSync {
     val anc = repo.ancestors(commit) // includes `commit` itself
     val snapsAt = repo.commit(commit).tables.values.toSet
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val Re = """v(\d+)\.metadata\.json""".r
     dests.map { d =>
       val dio = DestIO.of(d)
-      val versions =
-        if (!dio.isDirectory("metadata")) Nil
-        else dio.listNames("metadata").flatMap {
-          case Re(n) => Some(n.toInt)
-          case _ => None
-        }.sorted(Ordering[Int].reverse)
+      val versions = versionsOf(dio).sorted(Ordering[Int].reverse)
       val hit = versions.iterator.flatMap { v =>
         scala.util.Try {
           val props = om.readTree(

@@ -29,4 +29,16 @@ object ViewContextBridge {
     cm.setCurrentNamespace(namespace)
     sub.sql(sqlText)
   }
+
+  /** [[sqlWith]], but the returned DataFrame is BOUND TO THE CALLER'S
+    * session: the clone only hosts the analysis; the resolved plan is
+    * re-wrapped on `spark` so `createOrReplaceTempView`, conf reads and
+    * every other session-coupled operation target the session the
+    * caller actually holds (the clone would silently swallow them).
+    */
+  def sqlWithOn(spark: SparkSession, catalog: String,
+      namespace: Array[String], sqlText: String): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      sqlWith(spark, catalog, namespace, sqlText).queryExecution.analyzed)
 }

@@ -108,6 +108,12 @@ class DedupIncrementalSpec extends AnyFunSuite with Matchers with BeforeAndAfter
     val plan = Dedup.indexScreen(spark, "gd", "r", "main", df(batch2), t)
       .queryExecution.executedPlan.toString
     plan.split("Window", -1).length - 1 shouldBe 1
+
+    // id reuse refuses loudly: a delta doc_id already admitted would
+    // self-match at J=1.0 in the verify dict and be silently rejected
+    val e = intercept[IllegalArgumentException](
+      screen(Seq((10002L, docText(99999L)))))
+    e.getMessage should include("10002")
   }
 
   test("frozen order keeps exact recall across batches: screen results " +

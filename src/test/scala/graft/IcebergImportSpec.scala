@@ -591,6 +591,81 @@ class IcebergImportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
       (10 until 15).map(i => (i, s"b$i")))
   }
 
+  test("ORC grouped id-binding + positional deletes TOGETHER: the split " +
+    "counts must come from the same per-group scans as the rows, and " +
+    "deletes land on the right files across groups") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ice-orc-fidpd")
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    val metaDir = Files.createDirectories(root.resolve("metadata"))
+    // two ORC files with field ids but DIFFERENT id->name maps → two
+    // scan groups in boundFormatScan; positional deletes force the
+    // position-derivation join over their union
+    val fileA = dataDir.resolve("a.orc") // pre-rename physical names
+    writeOrcWithIds(fileA, (0 until 6).map(i => (i, s"a$i")),
+      ("id", "old_v"), (1, 2))
+    val fileB = dataDir.resolve("b.orc") // post-rename physical names
+    writeOrcWithIds(fileB, (10 until 16).map(i => (i, s"b$i")),
+      ("id", "v"), (1, 2))
+    val posDel = dataDir.resolve("pos-del.parquet")
+    // kill a0 (pos 0 of A) and b12 (pos 2 of B)
+    writeOneParquet(Seq((fileA.toUri.toString, 0L),
+      (fileB.toUri.toString, 2L)).toDF("file_path", "pos"), posDel)
+
+    val mData = metaDir.resolve("m-data.avro")
+    writeManifest(mData, Seq((fileA, 0, Some(1L), Nil),
+      (fileB, 0, Some(1L), Nil)), _ => "ORC")
+    val mDel = metaDir.resolve("m-del.avro")
+    writeManifest(mDel, Seq((posDel, 1, Some(2L), Nil)))
+    val listPath = metaDir.resolve("snap-92.avro")
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](listSchema))
+    lw.setMeta("format-version", "2")
+    lw.create(listSchema, listPath.toFile)
+    try Seq((mData, 0, 1L, 1L), (mDel, 1, 2L, 2L)).foreach {
+      case (p, content, seq, minSeq) =>
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", p.toUri.toString)
+        r.put("manifest_length", Files.size(p))
+        r.put("partition_spec_id", 0)
+        r.put("content", content)
+        r.put("sequence_number", seq)
+        r.put("min_sequence_number", minSeq)
+        r.put("added_snapshot_id", 92L)
+        r.put("added_files_count", 2)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", 12L)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        lw.append(r)
+    } finally lw.close()
+
+    val metaPath = metaDir.resolve("v1.metadata.json")
+    Files.writeString(metaPath,
+      s"""{"format-version":2,"table-uuid":"00000000-0000-0000-0000-000000000092",
+         |"location":"${root.toUri.toString.stripSuffix("/")}",
+         |"last-sequence-number":2,"last-updated-ms":0,"last-column-id":2,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"id","required":false,"type":"int"},
+         |{"id":2,"name":"v","required":false,"type":"string"}]}],
+         |"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"last-partition-id":999,
+         |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,
+         |"properties":{},"current-snapshot-id":92,
+         |"snapshots":[{"snapshot-id":92,"sequence-number":2,"timestamp-ms":0,
+         |"summary":{"operation":"append"},
+         |"manifest-list":"${listPath.toUri.toString}","schema-id":0}],
+         |"snapshot-log":[],"metadata-log":[]}""".stripMargin
+        .replaceAll("\n", ""))
+
+    val got = IcebergImport.read(spark, metaPath)
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    got shouldBe ((1 until 6).map(i => (i, s"a$i")) ++       // a0 deleted
+      Seq(10, 11, 13, 14, 15).map(i => (i, s"b$i")))         // b12 deleted
+  }
+
   test("ORC positional deletes across MULTIPLE splits of one file: the " +
     "derived row position is the file-order ordinal, not a per-split " +
     "index — first/middle/last rows deleted by exact position") {
