@@ -37,9 +37,10 @@ import org.apache.spark.sql.types._
   * positional-delete merge.
   *
   * Reader subset (documented, loud on violation): the current snapshot
-  * only (no time travel), PARQUET and ORC data files (ORC positional
-  * deletes via a derived per-file row position — see [[boundOrcScan]]),
-  * positional AND equality
+  * only (no time travel), PARQUET, ORC and AVRO data files (ORC
+  * positional deletes via a derived per-file row position — see
+  * [[boundOrcScan]]; AVRO through the explicit per-file reader — see
+  * [[boundAvroScan]]), positional AND equality
   * delete files (graft's own exporter writes only positional ones, but
   * external CDC writers — Flink upserts — emit equality deletes), and
   * NESTED schemas (struct/list/map columns parse recursively; equality
@@ -204,9 +205,10 @@ object IcebergImport {
           content match {
             case 0 =>
               require(mContent == 0, s"data file $path in a delete manifest")
-              // Spark reads both natively; anything else (AVRO data
-              // files) is a loud refusal, never a silent mis-read
-              require(fmt == "PARQUET" || fmt == "ORC",
+              // parquet/ORC through Spark's native sources, AVRO via
+              // the explicit per-file reader (boundAvroScan); anything
+              // else is a loud refusal, never a silent mis-read
+              require(fmt == "PARQUET" || fmt == "ORC" || fmt == "AVRO",
                 s"unsupported data file format: $fmt ($path)")
               data += DataFile(path, seq, fmt)
             case 1 =>
@@ -355,17 +357,161 @@ object IcebergImport {
     */
   private def boundScan(spark: SparkSession, p: Plan,
       needPositions: Boolean): DataFrame = {
-    val (orcFiles, parquetFiles) = p.dataFiles.partition(_.format == "ORC")
+    val byFmt = p.dataFiles.groupBy(_.format)
     val parts = Seq.newBuilder[DataFrame]
-    if (orcFiles.nonEmpty)
-      parts += boundOrcScan(spark, p, orcFiles.map(_.path), needPositions)
-    if (parquetFiles.nonEmpty) parts += boundFormatScan(
-      spark, p, parquetFiles.map(_.path),
+    byFmt.get("ORC").foreach(fs =>
+      parts += boundOrcScan(spark, p, fs.map(_.path), needPositions))
+    byFmt.get("PARQUET").foreach(fs => parts += boundFormatScan(
+      spark, p, fs.map(_.path),
       Seq(col("_metadata.file_path").as("__ice_fp"),
         col("_metadata.row_index").as("__ice_ri")),
       footerIds(spark, _),
-      (schema, files) => spark.read.schema(schema).parquet(files: _*))
+      (schema, files) => spark.read.schema(schema).parquet(files: _*)))
+    byFmt.get("AVRO").foreach(fs =>
+      parts += boundAvroScan(spark, p, fs.map(_.path)))
     parts.result().reduce(_ unionByName _)
+  }
+
+  /** AVRO data files (iceberg-core's third data format; Flink/CDC
+    * writers emit them). This Spark build ships no Avro file source,
+    * so the scan is an explicit per-file distributed read: one task
+    * opens its file through the Hadoop FS (conf rebuilt from a
+    * broadcast key-value snapshot of the session's), streams
+    * GenericRecords through avro's DataFileReader, binds TOP-LEVEL
+    * columns FIELD-ID-FIRST from the writer schema's `field-id` props
+    * (iceberg-avro stamps them; plain-name binding when absent, absent
+    * column → null per name mapping) and converts values by the table
+    * schema's Spark type ([[avroValue]]). Row positions are EXACT for
+    * free — the task counts records in file order — so positional
+    * deletes need no derivation at all (cf. the ORC path). Files are
+    * deliberately not split: an avro split cannot know its global row
+    * offset without reading every prior block header, so it is one
+    * task per file — the same per-file task shape Iceberg's own avro
+    * readers use.
+    */
+  private def boundAvroScan(spark: SparkSession, p: Plan,
+      files: Seq[String]): DataFrame = {
+    val schema = p.schema
+    val nameToId = p.fieldIdToName.map(_.swap)
+    val confMap: Map[String, String] = {
+      val c = spark.sessionState.newHadoopConf()
+      c.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+    }
+    val bc = spark.sparkContext.broadcast(confMap)
+    val canonical = files.map(f =>
+      if (hasScheme(f)) f else normStr(new java.io.File(f).getAbsolutePath))
+    val rdd = spark.sparkContext
+      .parallelize(canonical, canonical.size)
+      .flatMap { path =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        bc.value.foreach { case (k, v) => conf.set(k, v) }
+        val rd = new DataFileReader[GenericRecord](
+          new org.apache.avro.mapred.FsInput(
+            new org.apache.hadoop.fs.Path(path), conf),
+          new GenericDatumReader[GenericRecord]())
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ =>
+            try rd.close() catch { case _: Exception => () }))
+        val binder = avroBinder(rd.getSchema, schema.fieldNames.toSeq, nameToId)
+        var i = -1L
+        rd.iterator().asScala.map { rec =>
+          i += 1
+          org.apache.spark.sql.Row.fromSeq(
+            schema.fields.toSeq.map(f =>
+              binder.get(f.name)
+                .map(an => avroValue(rec.get(an), f.dataType)).orNull)
+              :+ path :+ i)
+        }
+      }
+    spark.createDataFrame(rdd, StructType(schema.fields.toSeq :+
+      StructField("__ice_fp", StringType) :+
+      StructField("__ice_ri", LongType)))
+  }
+
+  /** table-schema column name → avro writer-schema field name.
+    * Field-id-first when the writer schema carries any `field-id`
+    * props; plain name binding otherwise. Unmatched names are absent
+    * from the map (null-filled by the caller — name-mapping semantics).
+    */
+  private[versioned] def avroBinder(writer: org.apache.avro.Schema,
+      names: Seq[String], nameToId: Map[String, Int]): Map[String, String] = {
+    // iceberg-avro stamps field-id as a NUMERIC json prop — read via
+    // getObjectProp (getProp is textual-only and would return null)
+    def idOf(f: org.apache.avro.Schema.Field): Option[Int] =
+      Option(f.getObjectProp("field-id")).flatMap {
+        case n: Number => Some(n.intValue())
+        case s: String => scala.util.Try(s.trim.toInt).toOption
+        case _ => None
+      }
+    val fields = writer.getFields.asScala
+    val hasIds = fields.exists(f => idOf(f).isDefined)
+    names.flatMap { n =>
+      val target =
+        if (hasIds) nameToId.get(n).flatMap(id =>
+          fields.find(f => idOf(f).contains(id)).map(_.name()))
+        else Option(writer.getField(n)).map(_.name())
+      target.map(n -> _)
+    }.toMap
+  }
+
+  /** One avro datum → the Spark-external value for `dt` (recursive).
+    * Covers the Iceberg avro encodings: micros timestamps, epoch-day
+    * dates, unscaled-big-endian decimals (bytes or fixed), string maps
+    * AND the k/v-record-list encoding for non-string keys.
+    */
+  private[versioned] def avroValue(v: Any, dt: DataType): Any =
+    if (v == null) null
+    else dt match {
+      case IntegerType => v.asInstanceOf[Number].intValue()
+      case LongType => v.asInstanceOf[Number].longValue()
+      case FloatType => v.asInstanceOf[Number].floatValue()
+      case DoubleType => v.asInstanceOf[Number].doubleValue()
+      case BooleanType => v
+      case StringType => v.toString
+      case BinaryType => avroBytes(v)
+      case d: DecimalType => new java.math.BigDecimal(
+        new java.math.BigInteger(avroBytes(v)), d.scale)
+      case DateType =>
+        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue())
+      case TimestampType =>
+        val us = v.asInstanceOf[Number].longValue()
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+      case TimestampNTZType =>
+        val us = v.asInstanceOf[Number].longValue()
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case st: StructType =>
+        val rec = v.asInstanceOf[GenericRecord]
+        org.apache.spark.sql.Row.fromSeq(st.fields.toSeq.map(f =>
+          Option(rec.getSchema.getField(f.name))
+            .map(_ => avroValue(rec.get(f.name), f.dataType)).orNull))
+      case ArrayType(et, _) =>
+        v.asInstanceOf[java.util.Collection[_]].asScala
+          .map(avroValue(_, et)).toSeq
+      case MapType(kt, vt, _) => v match {
+        case m: java.util.Map[_, _] => m.asScala.map { case (k, mv) =>
+          avroValue(k, kt) -> avroValue(mv, vt) }.toMap
+        case c: java.util.Collection[_] => c.asScala.map {
+          case r: GenericRecord =>
+            avroValue(r.get("key"), kt) -> avroValue(r.get("value"), vt)
+        }.toMap
+        case other => throw new UnsupportedOperationException(
+          s"unsupported avro map encoding: ${other.getClass}")
+      }
+      case other => throw new UnsupportedOperationException(
+        s"unsupported Spark type for avro import: $other")
+    }
+
+  private def avroBytes(v: Any): Array[Byte] = v match {
+    case b: java.nio.ByteBuffer =>
+      val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
+    case f: org.apache.avro.generic.GenericFixed => f.bytes().clone()
+    case a: Array[Byte] => a
+    case other => throw new UnsupportedOperationException(
+      s"unsupported avro binary encoding: ${other.getClass}")
   }
 
   /** ORC data files (Hive-lineage shops; iceberg-core writes ORC too).

@@ -198,7 +198,7 @@ class IcebergImportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
 
   test("ORC data files import through Spark's native ORC reader — mixed " +
     "ORC+parquet snapshot, parquet positional deletes applied to ORC rows; " +
-    "AVRO data files refuse loudly") {
+    "unknown data file formats refuse loudly") {
     import spark.implicits._
     val root = Files.createTempDirectory("ice-orc")
     val dataDir = Files.createDirectories(root.resolve("data"))
@@ -284,9 +284,10 @@ class IcebergImportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
         (100 until 105).map(i => (i, s"b$i")) ++
         Seq((200, "c200"), (202, "c202")))         // c201 pos-deleted
 
-    // AVRO data file: loud refusal at plan time, never a silent mis-read
+    // unknown data file format: loud refusal at plan time, never a
+    // silent mis-read (AVRO itself imports via boundAvroScan now)
     val mAvro = metaDir.resolve("m-avro.avro")
-    writeManifest(mAvro, Seq((fileA, 0, Some(1L), Nil)), _ => "AVRO")
+    writeManifest(mAvro, Seq((fileA, 0, Some(1L), Nil)), _ => "TEXT")
     val listPath2 = metaDir.resolve("snap-89.avro")
     val lw2 = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](listSchema))
@@ -313,7 +314,7 @@ class IcebergImportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     Files.writeString(metaPath2, Files.readString(metaPath)
       .replace(listPath.toUri.toString, listPath2.toUri.toString))
     val e = intercept[IllegalArgumentException](IcebergImport.plan(metaPath2))
-    e.getMessage should include("unsupported data file format: AVRO")
+    e.getMessage should include("unsupported data file format: TEXT")
   }
 
   test("field-id-first binding: a column renamed by an external engine " +
@@ -777,5 +778,197 @@ class IcebergImportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
       conf.set("spark.sql.files.maxPartitionBytes", oldMax)
       conf.set("spark.sql.files.openCostInBytes", oldOpen)
     }
+  }
+
+  /** Write one iceberg-style avro DATA file (schema json carries the
+    * numeric `field-id` props iceberg-avro stamps).
+    */
+  private def writeAvroData(out: Path, schemaJson: String,
+      rows: Seq[Map[String, Any]]): Schema = {
+    val sch = new Schema.Parser().parse(schemaJson)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](sch))
+    w.create(sch, out.toFile)
+    try rows.foreach { m =>
+      val r = new GenericData.Record(sch)
+      m.foreach { case (k, v) => r.put(k, v) }
+      w.append(r)
+    } finally w.close()
+    sch
+  }
+
+  private def v2Metadata(metaDir: Path, root: Path, listPath: Path,
+      snapId: Long, fieldsJson: String, lastColId: Int): Path = {
+    val metaPath = metaDir.resolve("v1.metadata.json")
+    Files.writeString(metaPath,
+      s"""{"format-version":2,"table-uuid":"00000000-0000-0000-0000-0000000000$snapId",
+         |"location":"${root.toUri.toString.stripSuffix("/")}",
+         |"last-sequence-number":2,"last-updated-ms":0,"last-column-id":$lastColId,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[$fieldsJson]}],
+         |"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"last-partition-id":999,
+         |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,
+         |"properties":{},"current-snapshot-id":$snapId,
+         |"snapshots":[{"snapshot-id":$snapId,"sequence-number":2,"timestamp-ms":0,
+         |"summary":{"operation":"append"},
+         |"manifest-list":"${listPath.toUri.toString}","schema-id":0}],
+         |"snapshot-log":[],"metadata-log":[]}""".stripMargin
+        .replaceAll("\n", ""))
+    metaPath
+  }
+
+  private def writeList(listPath: Path, snapId: Long,
+      manifests: Seq[(Path, Int, Long, Long)]): Unit = {
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](listSchema))
+    lw.setMeta("format-version", "2")
+    lw.create(listSchema, listPath.toFile)
+    try manifests.foreach { case (p, content, seq, minSeq) =>
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", p.toUri.toString)
+      r.put("manifest_length", Files.size(p))
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", seq)
+      r.put("min_sequence_number", minSeq)
+      r.put("added_snapshot_id", snapId)
+      r.put("added_files_count", 1)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", 1L)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      lw.append(r)
+    } finally lw.close()
+  }
+
+  test("AVRO data files import via the explicit per-file reader: numeric " +
+    "field-id props bind drifted columns by id, positional deletes hit " +
+    "exact avro row positions, mixed with a parquet file") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ice-avro")
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    val metaDir = Files.createDirectories(root.resolve("metadata"))
+    def dataSchema(vName: String) =
+      s"""{"type":"record","name":"r","fields":[
+         |{"name":"id","type":["null","int"],"default":null,"field-id":1},
+         |{"name":"$vName","type":["null","string"],"default":null,"field-id":2}]}"""
+        .stripMargin.replaceAll("\n", "")
+    // file A written BEFORE a rename: physical name old_v, same ids
+    val fileA = dataDir.resolve("a-data.avro")
+    writeAvroData(fileA, dataSchema("old_v"),
+      (0 until 6).map(i => Map[String, Any]("id" -> i, "old_v" -> s"a$i")))
+    val fileB = dataDir.resolve("b-data.avro")
+    writeAvroData(fileB, dataSchema("v"),
+      (10 until 16).map(i => Map[String, Any]("id" -> i, "v" -> s"b$i")))
+    val fileC = dataDir.resolve("c.parquet")
+    writeOneParquet((200 until 203).map(i => (i, s"c$i")).toDF("id", "v"), fileC)
+    // positional deletes: a0 (avro pos 0) and c201 (parquet pos 1)
+    val posDel = dataDir.resolve("pos-del.parquet")
+    writeOneParquet(Seq((fileA.toUri.toString, 0L),
+      (fileC.toUri.toString, 1L)).toDF("file_path", "pos"), posDel)
+
+    val fmt: Path => String = p =>
+      if (p.getFileName.toString.endsWith(".avro")) "AVRO" else "PARQUET"
+    val mData = metaDir.resolve("m-data.avro")
+    writeManifest(mData, Seq((fileA, 0, Some(1L), Nil),
+      (fileB, 0, Some(1L), Nil), (fileC, 0, Some(1L), Nil)), fmt)
+    val mDel = metaDir.resolve("m-del.avro")
+    writeManifest(mDel, Seq((posDel, 1, Some(2L), Nil)))
+    val listPath = metaDir.resolve("snap-93.avro")
+    writeList(listPath, 93L, Seq((mData, 0, 1L, 1L), (mDel, 1, 2L, 2L)))
+    val metaPath = v2Metadata(metaDir, root, listPath, 93L,
+      """{"id":1,"name":"id","required":false,"type":"int"},
+        |{"id":2,"name":"v","required":false,"type":"string"}"""
+        .stripMargin.replaceAll("\n", ""), 2)
+
+    val plan = IcebergImport.plan(metaPath)
+    plan.dataFiles.map(_.format).sorted shouldBe Seq("AVRO", "AVRO", "PARQUET")
+    val got = IcebergImport.read(spark, metaPath)
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    got shouldBe ((1 until 6).map(i => (i, s"a$i")) ++   // a0 pos-deleted
+      (10 until 16).map(i => (i, s"b$i")) ++             // id-bound old_v
+      Seq((200, "c200"), (202, "c202")))                 // c201 pos-deleted
+  }
+
+  test("AVRO logical types round-trip: date, timestamptz, timestamp, " +
+    "decimal, binary, list, string-map, k/v-record map, struct") {
+    val root = Files.createTempDirectory("ice-avro-types")
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    val metaDir = Files.createDirectories(root.resolve("metadata"))
+    val schemaJson =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"int","field-id":1},
+        |{"name":"d","type":["null",{"type":"int","logicalType":"date"}],"default":null,"field-id":2},
+        |{"name":"tz","type":["null",{"type":"long","logicalType":"timestamp-micros"}],"default":null,"field-id":3},
+        |{"name":"tn","type":["null",{"type":"long","logicalType":"timestamp-micros"}],"default":null,"field-id":4},
+        |{"name":"dec","type":["null",{"type":"bytes","logicalType":"decimal","precision":9,"scale":2}],"default":null,"field-id":5},
+        |{"name":"bin","type":["null","bytes"],"default":null,"field-id":6},
+        |{"name":"arr","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":7},
+        |{"name":"m","type":["null",{"type":"map","values":"int"}],"default":null,"field-id":8},
+        |{"name":"kv","type":["null",{"type":"array","logicalType":"map","items":
+        |{"type":"record","name":"kvr","fields":[
+        |{"name":"key","type":"int","field-id":30},
+        |{"name":"value","type":"string","field-id":31}]}}],"default":null,"field-id":9},
+        |{"name":"s","type":["null",{"type":"record","name":"sub","fields":[
+        |{"name":"a","type":["null","int"],"default":null,"field-id":21}]}],"default":null,"field-id":10}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val sch = new Schema.Parser().parse(schemaJson)
+    def nn(f: String) = { // the non-null branch of the union
+      val t = sch.getField(f).schema()
+      if (t.getType == Schema.Type.UNION)
+        t.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+      else t
+    }
+    val micros = 1600000000000000L // 2020-09-13T12:26:40Z
+    val sub = new GenericData.Record(nn("s"))
+    sub.put("a", 7)
+    val kv1 = new GenericData.Record(nn("kv").getElementType)
+    kv1.put("key", 5); kv1.put("value", "five")
+    val fileA = dataDir.resolve("t-data.avro")
+    writeAvroData(fileA, schemaJson, Seq(Map[String, Any](
+      "id" -> 1,
+      "d" -> 19000,
+      "tz" -> micros, "tn" -> micros,
+      "dec" -> java.nio.ByteBuffer.wrap(
+        java.math.BigInteger.valueOf(12345).toByteArray),
+      "bin" -> java.nio.ByteBuffer.wrap(Array[Byte](1, 2)),
+      "arr" -> java.util.List.of(1, 2, 3),
+      "m" -> java.util.Map.of("x", 9),
+      "kv" -> java.util.List.of(kv1),
+      "s" -> sub)))
+
+    val mData = metaDir.resolve("m-data.avro")
+    writeManifest(mData, Seq((fileA, 0, Some(1L), Nil)), _ => "AVRO")
+    val listPath = metaDir.resolve("snap-94.avro")
+    writeList(listPath, 94L, Seq((mData, 0, 1L, 1L)))
+    val metaPath = v2Metadata(metaDir, root, listPath, 94L,
+      """{"id":1,"name":"id","required":true,"type":"int"},
+        |{"id":2,"name":"d","required":false,"type":"date"},
+        |{"id":3,"name":"tz","required":false,"type":"timestamptz"},
+        |{"id":4,"name":"tn","required":false,"type":"timestamp"},
+        |{"id":5,"name":"dec","required":false,"type":"decimal(9,2)"},
+        |{"id":6,"name":"bin","required":false,"type":"binary"},
+        |{"id":7,"name":"arr","required":false,"type":{"type":"list","element-id":17,"element":"int","element-required":false}},
+        |{"id":8,"name":"m","required":false,"type":{"type":"map","key-id":18,"value-id":19,"key":"string","value":"int","value-required":false}},
+        |{"id":9,"name":"kv","required":false,"type":{"type":"map","key-id":30,"value-id":31,"key":"int","value":"string","value-required":false}},
+        |{"id":10,"name":"s","required":false,"type":{"type":"struct","fields":[{"id":21,"name":"a","required":false,"type":"int"}]}}"""
+        .stripMargin.replaceAll("\n", ""), 31)
+
+    val df = IcebergImport.read(spark, metaPath)
+    val row = df.selectExpr("id", "cast(d AS STRING)", "cast(tz AS STRING)",
+      "cast(tn AS STRING)", "cast(dec AS STRING)", "bin", "arr",
+      "m['x']", "kv[5]", "s.a").collect().head
+    row.getInt(0) shouldBe 1
+    row.getString(1) shouldBe java.time.LocalDate.ofEpochDay(19000).toString
+    row.getString(2) shouldBe "2020-09-13 12:26:40"
+    row.getString(3) shouldBe "2020-09-13 12:26:40"
+    row.getString(4) shouldBe "123.45"
+    row.getAs[Array[Byte]](5).toSeq shouldBe Seq[Byte](1, 2)
+    row.getAs[Seq[Int]](6) shouldBe Seq(1, 2, 3)
+    row.getInt(7) shouldBe 9
+    row.getString(8) shouldBe "five"
+    row.getInt(9) shouldBe 7
   }
 }
