@@ -861,7 +861,63 @@ object Dedup {
     admitted
   }
 
+  /** End-to-end gate for the PERSISTED index: build the corpus index in
+    * graft tables, atomically admit batch 1, then screen batch 2
+    * against corpus + batch-1 admissions — the full daily-pipeline
+    * cycle (init → admit → screen) under one DuckDB oracle that
+    * replays both stages with exact Jaccard. Membership: corpus =
+    * doc_id%100 ∈ [10,19], batch 1 = %100=5, batch 2 = %100=0 — thin
+    * slices on purpose: the gate proves the init → admit → screen
+    * cycle, and this corpus's ~50-token shared vocabulary is the
+    * documented dense-vocab WORST CASE for prefix filtering (see the
+    * dd_setsim cost note in BASELINE.md; dd_incremental dodges it via
+    * the ≤64-token bitmask fast path, which the stored-index path
+    * deliberately does not take — a posting-list index is the 10^5+
+    * token Zipfian-vocabulary design).
+    */
+  private def incrPersist(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val t = 0.9
+    val cat = "gdd" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(10)
+    val root = java.nio.file.Files.createTempDirectory(s"graft-$cat")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+    s.sql(s"CREATE NAMESPACE $cat.r")
+    s.sql(s"CREATE NAMESPACE $cat.r.main.dd")
+    val repo = graft.versioned.GraftRepo.open(root.resolve("r"))
+    val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+    indexInit(s, cat, repo, "main",
+      docs.filter((col("doc_id") % 100).between(10, 19)), t)
+    indexAdmit(s, cat, repo, "main", docs.filter(col("doc_id") % 100 === 5), t)
+    indexScreen(s, cat, "r", "main", docs.filter(col("doc_id") % 100 === 0), t)
+      .orderBy(col("surviving_id"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q(
+      "dd_incr_persist",
+      """WITH w AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
+        |           FROM documents),
+        |cp AS (SELECT * FROM w WHERE doc_id % 100 BETWEEN 10 AND 19),
+        |b1 AS (SELECT * FROM w WHERE doc_id % 100 = 5),
+        |b2 AS (SELECT * FROM w WHERE doc_id % 100 = 0),
+        |dup1 AS (
+        |  SELECT DISTINCT d.doc_id FROM b1 d JOIN cp c ON
+        |    round(CAST(len(list_intersect(d.ws, c.ws)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(d.ws, c.ws))), 6) >= 0.9),
+        |full1 AS (
+        |  SELECT * FROM cp UNION ALL
+        |  SELECT * FROM b1 WHERE doc_id NOT IN (SELECT doc_id FROM dup1)),
+        |dup2 AS (
+        |  SELECT DISTINCT d.doc_id FROM b2 d JOIN full1 c ON
+        |    round(CAST(len(list_intersect(d.ws, c.ws)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(d.ws, c.ws))), 6) >= 0.9)
+        |SELECT doc_id AS surviving_id FROM b2
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dup2)
+        |ORDER BY surviving_id""".stripMargin
+    )(incrPersist),
     Q(
       "dd_incremental",
       """WITH w AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
