@@ -37,11 +37,13 @@ import org.apache.spark.sql.types._
   * positional-delete merge.
   *
   * Reader subset (documented, loud on violation): the current snapshot
-  * only (no time travel), PARQUET, ORC and AVRO data files (ORC
-  * positional deletes via a derived per-file row position — see
-  * [[boundOrcScan]]; AVRO through the explicit per-file reader — see
-  * [[boundAvroScan]]), positional AND equality
-  * delete files (graft's own exporter writes only positional ones, but
+  * by default, or any snapshot id present in the metadata (history
+  * exports time travel via the `snapshotId` overloads); PARQUET, ORC
+  * and AVRO data files (ORC positional deletes via a derived per-file
+  * row position — see [[boundOrcScan]]; AVRO through the explicit
+  * per-file reader — see [[boundAvroScan]]); positional AND equality
+  * delete files in ANY of the three formats (`write.delete.format` —
+  * graft's own exporter writes only parquet positional ones, but
   * external CDC writers — Flink upserts — emit equality deletes), and
   * NESTED schemas (struct/list/map columns parse recursively; equality
   * deletes may only reference top-level fields). Column binding is
@@ -64,7 +66,7 @@ object IcebergImport {
     * equality deletes (content=2).
     */
   final case class DeleteFile(path: String, content: Int, seq: Long,
-      equalityIds: Seq[Int])
+      equalityIds: Seq[Int], format: String = "PARQUET")
 
   final case class Plan(
       formatVersion: Int,
@@ -212,11 +214,11 @@ object IcebergImport {
                 s"unsupported data file format: $fmt ($path)")
               data += DataFile(path, seq, fmt)
             case 1 =>
-              require(fmt == "PARQUET",
+              require(fmt == "PARQUET" || fmt == "ORC" || fmt == "AVRO",
                 s"unsupported delete file format: $fmt ($path)")
-              deletes += DeleteFile(path, 1, seq, Nil)
+              deletes += DeleteFile(path, 1, seq, Nil, fmt)
             case 2 =>
-              require(fmt == "PARQUET",
+              require(fmt == "PARQUET" || fmt == "ORC" || fmt == "AVRO",
                 s"unsupported delete file format: $fmt ($path)")
               val ids = Option(df.getSchema.getField("equality_ids"))
                 .flatMap(_ => Option(df.get("equality_ids"))).map {
@@ -226,7 +228,7 @@ object IcebergImport {
                     s"bad equality_ids $other for $path")
                 }.getOrElse(throw new UnsupportedOperationException(
                   s"equality delete without equality_ids: $path"))
-              deletes += DeleteFile(path, 2, seq, ids)
+              deletes += DeleteFile(path, 2, seq, ids, fmt)
             case other => throw new IllegalArgumentException(
               s"unknown data_file.content $other for $path")
           }
@@ -293,10 +295,32 @@ object IcebergImport {
             normStr(f.path), f.seq)).asJava),
         StructType(Seq(StructField("__ice_del_src", StringType),
           StructField("__ice_del_seq", LongType))))
-      val del = spark.read.parquet(p.positionDeletes.map(_.path): _*)
-        .select(normPath(col("file_path")).as("__ice_del_path"),
-          col("pos").as("__ice_del_pos"),
-          normPath(col("_metadata.file_path")).as("__ice_del_src_path"))
+      // delete files themselves come in any of the three data formats
+      // (`write.delete.format`); each format group reads through its
+      // own source and the groups union — positional delete schema is
+      // fixed by the spec (file_path string, pos long; reserved ids)
+      val posSchema = StructType(Seq(StructField("file_path", StringType),
+        StructField("pos", LongType)))
+      val del = p.positionDeletes.groupBy(_.format).toSeq.sortBy(_._1)
+        .map {
+          case ("PARQUET", fs) => spark.read.parquet(fs.map(_.path): _*)
+            .select(normPath(col("file_path")).as("__ice_del_path"),
+              col("pos").cast(LongType).as("__ice_del_pos"),
+              normPath(col("_metadata.file_path")).as("__ice_del_src_path"))
+          case ("ORC", fs) =>
+            spark.read.schema(posSchema).orc(fs.map(_.path): _*)
+              .select(normPath(col("file_path")).as("__ice_del_path"),
+                col("pos").as("__ice_del_pos"),
+                normPath(col("_metadata.file_path")).as("__ice_del_src_path"))
+          case ("AVRO", fs) => avroScan(spark, fs.map(_.path), posSchema,
+            Map("file_path" -> 2147483546, "pos" -> 2147483545))
+            .select(normPath(col("file_path")).as("__ice_del_path"),
+              col("pos").as("__ice_del_pos"),
+              normPath(col("__ice_fp")).as("__ice_del_src_path"))
+          case (other, fs) => throw new IllegalStateException(
+            s"unreachable delete format $other (${fs.head.path})")
+        }
+        .reduce(_ unionByName _)
         .join(broadcast(delSeqDf),
           col("__ice_del_src_path") === col("__ice_del_src"))
       data = data
@@ -316,8 +340,22 @@ object IcebergImport {
           val cols = ids.map(id => p.fieldIdToName.getOrElse(id,
             throw new IllegalArgumentException(
               s"equality_ids references unknown field id $id")))
-          val del = spark.read.parquet(files.map(_.path): _*)
-            .select(cols.map(c => col(c).as(s"__ice_eq_$c")): _*)
+          val eqSchema = StructType(cols.map(c =>
+            p.schema.fields.find(_.name == c).getOrElse(
+              throw new IllegalArgumentException(
+                s"equality column $c missing from the table schema"))))
+          val del = files.groupBy(_.format).toSeq.sortBy(_._1)
+            .map {
+              case ("PARQUET", fs) => spark.read.parquet(fs.map(_.path): _*)
+              case ("ORC", fs) =>
+                spark.read.schema(eqSchema).orc(fs.map(_.path): _*)
+              case ("AVRO", fs) => avroScan(spark, fs.map(_.path), eqSchema,
+                cols.zip(ids).toMap)
+              case (other, fs) => throw new IllegalStateException(
+                s"unreachable delete format $other (${fs.head.path})")
+            }
+            .map(_.select(cols.map(c => col(c).as(s"__ice_eq_$c")): _*))
+            .reduce(_ unionByName _)
             .distinct()
           // null-safe equality per the spec (a null in the delete row
           // matches a null in the data row)
@@ -390,9 +428,17 @@ object IcebergImport {
     * readers use.
     */
   private def boundAvroScan(spark: SparkSession, p: Plan,
-      files: Seq[String]): DataFrame = {
-    val schema = p.schema
-    val nameToId = p.fieldIdToName.map(_.swap)
+      files: Seq[String]): DataFrame =
+    avroScan(spark, files, p.schema, p.fieldIdToName.map(_.swap))
+
+  /** The reusable avro row scan behind [[boundAvroScan]] — also reads
+    * avro-format DELETE files (`write.delete.format=avro` tables),
+    * whose rows are plain records under the same binding rules.
+    * Emits `schema` columns + `__ice_fp` (canonical file path) +
+    * `__ice_ri` (exact row position in file order).
+    */
+  private def avroScan(spark: SparkSession, files: Seq[String],
+      schema: StructType, nameToId: Map[String, Int]): DataFrame = {
     val confMap: Map[String, String] = {
       val c = spark.sessionState.newHadoopConf()
       c.iterator().asScala.map(e => e.getKey -> e.getValue).toMap

@@ -892,6 +892,85 @@ class IcebergImportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
       Seq((200, "c200"), (202, "c202")))                 // c201 pos-deleted
   }
 
+  test("delete files in ANY data format: an ORC positional delete, an " +
+    "AVRO positional delete (reserved field-ids), and an AVRO equality " +
+    "delete all apply in one snapshot") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ice-del-fmt")
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    val metaDir = Files.createDirectories(root.resolve("metadata"))
+    val fileP = dataDir.resolve("p.parquet") // ids 0..9
+    writeOneParquet((0 until 10).map(i => (i, s"p$i")).toDF("id", "v"), fileP)
+    val fileA = dataDir.resolve("a-data.avro") // ids 100..104
+    writeAvroData(fileA,
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":["null","int"],"default":null,"field-id":1},
+        |{"name":"v","type":["null","string"],"default":null,"field-id":2}]}"""
+        .stripMargin.replaceAll("\n", ""),
+      (100 until 105).map(i => Map[String, Any]("id" -> i, "v" -> s"a$i")))
+
+    // ORC positional delete: (fileP, pos 1) kills id=1
+    val delOrc = dataDir.resolve("del.orc")
+    locally {
+      import org.apache.orc.{OrcFile, TypeDescription}
+      import org.apache.hadoop.hive.ql.exec.vector.{BytesColumnVector, LongColumnVector}
+      val sch = TypeDescription.fromString("struct<file_path:string,pos:bigint>")
+      val w = OrcFile.createWriter(
+        new org.apache.hadoop.fs.Path(delOrc.toUri.toString),
+        OrcFile.writerOptions(new org.apache.hadoop.conf.Configuration())
+          .setSchema(sch))
+      val batch = sch.createRowBatch()
+      val c0 = batch.cols(0).asInstanceOf[BytesColumnVector]
+      val c1 = batch.cols(1).asInstanceOf[LongColumnVector]
+      batch.size = 1
+      c0.setVal(0, fileP.toUri.toString.getBytes("UTF-8"))
+      c1.vector(0) = 1L
+      w.addRowBatch(batch); w.close()
+    }
+    // AVRO positional delete with the spec's reserved field ids:
+    // (fileA, pos 0) kills id=100
+    val delAvroPos = dataDir.resolve("del-pos.avro")
+    writeAvroData(delAvroPos,
+      """{"type":"record","name":"pd","fields":[
+        |{"name":"file_path","type":"string","field-id":2147483546},
+        |{"name":"pos","type":"long","field-id":2147483545}]}"""
+        .stripMargin.replaceAll("\n", ""),
+      Seq(Map[String, Any]("file_path" -> fileA.toUri.toString, "pos" -> 0L)))
+    // AVRO equality delete on id=3 (equality_ids [1])
+    val delAvroEq = dataDir.resolve("del-eq.avro")
+    writeAvroData(delAvroEq,
+      """{"type":"record","name":"ed","fields":[
+        |{"name":"id","type":["null","int"],"default":null,"field-id":1}]}"""
+        .stripMargin.replaceAll("\n", ""),
+      Seq(Map[String, Any]("id" -> 3)))
+
+    val fmt: Path => String = p => p.getFileName.toString match {
+      case n if n.endsWith(".orc") => "ORC"
+      case n if n.endsWith(".avro") => "AVRO"
+      case _ => "PARQUET"
+    }
+    val mData = metaDir.resolve("m-data.avro")
+    writeManifest(mData, Seq((fileP, 0, Some(1L), Nil),
+      (fileA, 0, Some(1L), Nil)), fmt)
+    val mDel = metaDir.resolve("m-del.avro")
+    writeManifest(mDel, Seq((delOrc, 1, Some(2L), Nil),
+      (delAvroPos, 1, Some(2L), Nil), (delAvroEq, 2, Some(2L), Seq(1))), fmt)
+    val listPath = metaDir.resolve("snap-95.avro")
+    writeList(listPath, 95L, Seq((mData, 0, 1L, 1L), (mDel, 1, 2L, 2L)))
+    val metaPath = v2Metadata(metaDir, root, listPath, 95L,
+      """{"id":1,"name":"id","required":false,"type":"int"},
+        |{"id":2,"name":"v","required":false,"type":"string"}"""
+        .stripMargin.replaceAll("\n", ""), 2)
+
+    val plan = IcebergImport.plan(metaPath)
+    plan.positionDeletes.map(_.format).sorted shouldBe Seq("AVRO", "ORC")
+    plan.equalityDeletes.map(_.format) shouldBe Seq("AVRO")
+    val got = IcebergImport.read(spark, metaPath)
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    got shouldBe (Seq(0, 2, 4, 5, 6, 7, 8, 9).map(i => (i, s"p$i")) ++
+      (101 until 105).map(i => (i, s"a$i")))
+  }
+
   test("AVRO logical types round-trip: date, timestamptz, timestamp, " +
     "decimal, binary, list, string-map, k/v-record map, struct") {
     val root = Files.createTempDirectory("ice-avro-types")
