@@ -11,9 +11,9 @@ import org.apache.spark.sql.functions.{broadcast, col, count, lit,
   monotonically_increasing_id, regexp_replace, row_number, sum}
 import org.apache.spark.sql.types._
 
-/** Read an APACHE ICEBERG table (spec v1 or v2) from its metadata JSON —
-  * an independent, spec-driven reader: metadata JSON → manifest list →
-  * manifests (Avro) → parquet data files minus positional deletes.
+/** Read an APACHE ICEBERG table (spec v1, v2 or v3) from its metadata
+  * JSON — an independent, spec-driven reader: metadata JSON → manifest
+  * list → manifests (Avro) → data files minus deletes.
   *
   * Exists for two reasons:
   *  1. external interop — `CALL graft.system.iceberg_import` reads any
@@ -44,7 +44,9 @@ import org.apache.spark.sql.types._
   * per-file reader — see [[boundAvroScan]]); positional AND equality
   * delete files in ANY of the three formats (`write.delete.format` —
   * graft's own exporter writes only parquet positional ones, but
-  * external CDC writers — Flink upserts — emit equality deletes), and
+  * external CDC writers — Flink upserts — emit equality deletes); v3
+  * DELETION VECTORS (Puffin-backed roaring bitmaps, one per data file
+  * — see [[dvDeleteRows]]/[[parseDvBlob]]); and
   * NESTED schemas (struct/list/map columns parse recursively; equality
   * deletes may only reference top-level fields). Column binding is
   * FIELD-ID-FIRST when the data files' footers carry parquet field ids
@@ -66,7 +68,12 @@ object IcebergImport {
     * equality deletes (content=2).
     */
   final case class DeleteFile(path: String, content: Int, seq: Long,
-      equalityIds: Seq[Int], format: String = "PARQUET")
+      equalityIds: Seq[Int], format: String = "PARQUET",
+      dv: Option[DvRef] = None)
+
+  /** A v3 DELETION VECTOR's location: a blob inside a Puffin file,
+    * scoped to exactly one data file. */
+  final case class DvRef(referencedFile: String, offset: Long, length: Long)
 
   final case class Plan(
       formatVersion: Int,
@@ -152,7 +159,8 @@ object IcebergImport {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val meta = mapper.readTree(readStringAt(resolveMetadataLoc(metadataLoc)))
     val v = meta.get("format-version").asInt()
-    require(v == 1 || v == 2, s"unsupported Iceberg format-version: $v")
+    require(v == 1 || v == 2 || v == 3,
+      s"unsupported Iceberg format-version: $v")
 
     // current schema: v2 `schemas` + current-schema-id, v1 may have only
     // the legacy single `schema`
@@ -213,6 +221,25 @@ object IcebergImport {
               require(fmt == "PARQUET" || fmt == "ORC" || fmt == "AVRO",
                 s"unsupported data file format: $fmt ($path)")
               data += DataFile(path, seq, fmt)
+            case 1 if fmt == "PUFFIN" =>
+              // v3 DELETION VECTOR: a blob inside a Puffin file scoped
+              // to exactly one data file (replaces that file's position
+              // deletes); the manifest carries the blob coordinates
+              require(v >= 3,
+                s"PUFFIN deletion vector in a format-version $v table ($path)")
+              def longField(n: String): Long =
+                Option(df.getSchema.getField(n)).flatMap(_ => Option(df.get(n)))
+                  .map(_.asInstanceOf[Number].longValue()).getOrElse(
+                    throw new IllegalArgumentException(
+                      s"deletion vector without $n: $path"))
+              val ref = Option(df.getSchema.getField("referenced_data_file"))
+                .flatMap(_ => Option(df.get("referenced_data_file")))
+                .map(r => toLocal(r.toString)).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"deletion vector without referenced_data_file: $path"))
+              deletes += DeleteFile(path, 1, seq, Nil, fmt, Some(DvRef(
+                ref, longField("content_offset"),
+                longField("content_size_in_bytes"))))
             case 1 =>
               require(fmt == "PARQUET" || fmt == "ORC" || fmt == "AVRO",
                 s"unsupported delete file format: $fmt ($path)")
@@ -284,6 +311,7 @@ object IcebergImport {
     }
 
     if (p.positionDeletes.nonEmpty) {
+      val (dvs, fileDeletes) = p.positionDeletes.partition(_.dv.isDefined)
       // stamp each delete row with ITS OWN file's sequence number (a
       // broadcast join on the delete file's _metadata path — delete
       // manifests carry the seq, the rows don't): an external v2 table
@@ -291,7 +319,7 @@ object IcebergImport {
       // see stale position deletes re-applied to the new file
       val delSeqDf = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
-          p.positionDeletes.map(f => org.apache.spark.sql.Row(
+          fileDeletes.map(f => org.apache.spark.sql.Row(
             normStr(f.path), f.seq)).asJava),
         StructType(Seq(StructField("__ice_del_src", StringType),
           StructField("__ice_del_seq", LongType))))
@@ -301,7 +329,11 @@ object IcebergImport {
       // fixed by the spec (file_path string, pos long; reserved ids)
       val posSchema = StructType(Seq(StructField("file_path", StringType),
         StructField("pos", LongType)))
-      val del = p.positionDeletes.groupBy(_.format).toSeq.sortBy(_._1)
+      val delRowsSchema = StructType(Seq(
+        StructField("__ice_del_path", StringType),
+        StructField("__ice_del_pos", LongType),
+        StructField("__ice_del_seq", LongType)))
+      val fileDelRows = fileDeletes.groupBy(_.format).toSeq.sortBy(_._1)
         .map {
           case ("PARQUET", fs) => spark.read.parquet(fs.map(_.path): _*)
             .select(normPath(col("file_path")).as("__ice_del_path"),
@@ -320,9 +352,18 @@ object IcebergImport {
           case (other, fs) => throw new IllegalStateException(
             s"unreachable delete format $other (${fs.head.path})")
         }
-        .reduce(_ unionByName _)
-        .join(broadcast(delSeqDf),
+        .map(_.join(broadcast(delSeqDf),
           col("__ice_del_src_path") === col("__ice_del_src"))
+          .select(col("__ice_del_path"), col("__ice_del_pos"),
+            col("__ice_del_seq")))
+      // v3 deletion vectors: each DV's roaring bitmap expands into
+      // (referenced file, position) rows IN EXECUTORS — one task per
+      // DV, no driver-side materialization of potentially-millions of
+      // positions; the seq rides the task payload (no lookup join)
+      val dvRows =
+        if (dvs.isEmpty) None
+        else Some(dvDeleteRows(spark, dvs, delRowsSchema))
+      val del = (fileDelRows ++ dvRows).reduce(_ unionByName _)
       data = data
         .withColumn("__ice_pos", col("__ice_ri"))
         .join(del, col("__ice_path") === col("__ice_del_path") &&
@@ -472,6 +513,86 @@ object IcebergImport {
     spark.createDataFrame(rdd, StructType(schema.fields.toSeq :+
       StructField("__ice_fp", StringType) :+
       StructField("__ice_ri", LongType)))
+  }
+
+  /** v3 deletion vectors → delete rows `(__ice_del_path, __ice_del_pos,
+    * __ice_del_seq)`. One task per DV reads its blob slice from the
+    * Puffin file through the Hadoop FS and expands the 64-bit roaring
+    * bitmap ([[parseDvBlob]]); the referenced path is canonicalized
+    * DRIVER-side (same [[normStr]] form the data scan's `__ice_path`
+    * carries) so the anti-join keys match without re-normalization.
+    */
+  private def dvDeleteRows(spark: SparkSession, dvs: Seq[DeleteFile],
+      schema: StructType): DataFrame = {
+    val confMap: Map[String, String] = {
+      val c = spark.sessionState.newHadoopConf()
+      c.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+    }
+    val bc = spark.sparkContext.broadcast(confMap)
+    val payload = dvs.map { d =>
+      val r = d.dv.get
+      (normStr(r.referencedFile),
+        if (hasScheme(d.path)) d.path
+        else normStr(new java.io.File(d.path).getAbsolutePath),
+        r.offset, r.length, d.seq)
+    }
+    val rdd = spark.sparkContext.parallelize(payload, payload.size)
+      .flatMap { case (ref, puffin, off, len, seq) =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        bc.value.foreach { case (k, v) => conf.set(k, v) }
+        val hp = new org.apache.hadoop.fs.Path(puffin)
+        val fs = hp.getFileSystem(conf)
+        val bytes = new Array[Byte](len.toInt)
+        scala.util.Using.resource(fs.open(hp)) { in =>
+          in.seek(off); in.readFully(bytes)
+        }
+        parseDvBlob(bytes, puffin).map(pos =>
+          org.apache.spark.sql.Row(ref, pos, seq))
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Decode one v3 deletion-vector blob into sorted row positions.
+    * Layout per the Iceberg v3 spec: 4-byte BIG-endian length of
+    * (magic + vector), the magic bytes D1 D3 39 64, the vector — the
+    * 64-bit roaring bitmap "portable" serialization: 8-byte LE bitmap
+    * count, then per bitmap a 4-byte LE high-32 key + a standard
+    * 32-bit roaring serialization — and a 4-byte BIG-endian CRC-32 of
+    * (magic + vector). Malformed blobs refuse loudly (a truncated or
+    * mis-offset read must never silently delete the wrong rows).
+    */
+  private[graft] def parseDvBlob(bytes: Array[Byte],
+      src: String): Seq[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    require(bytes.length >= 12, s"deletion vector blob too short ($src)")
+    val innerLen = bb.getInt // big-endian
+    require(innerLen >= 4 && innerLen <= bytes.length - 8,
+      s"deletion vector length $innerLen inconsistent with blob " +
+        s"${bytes.length} ($src)")
+    val magic = Array(bb.get(), bb.get(), bb.get(), bb.get())
+    require(magic.map(_ & 0xff).toSeq == Seq(0xd1, 0xd3, 0x39, 0x64),
+      s"bad deletion vector magic ($src)")
+    val crc = new java.util.zip.CRC32()
+    crc.update(bytes, 4, innerLen)
+    val stored = java.nio.ByteBuffer.wrap(bytes, 4 + innerLen, 4).getInt
+    require(stored == crc.getValue.toInt,
+      s"deletion vector CRC mismatch ($src)")
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes, 8, innerLen - 4))
+    def leInt(): Int = java.lang.Integer.reverseBytes(in.readInt())
+    def leLong(): Long = java.lang.Long.reverseBytes(in.readLong())
+    val nBitmaps = leLong()
+    require(nBitmaps >= 0 && nBitmaps <= Int.MaxValue,
+      s"deletion vector bitmap count $nBitmaps ($src)")
+    val out = Seq.newBuilder[Long]
+    (0L until nBitmaps).foreach { _ =>
+      val key = leInt().toLong & 0xffffffffL
+      val rb = new org.roaringbitmap.RoaringBitmap()
+      rb.deserialize(in)
+      val it = rb.getIntIterator
+      while (it.hasNext) out += (key << 32) | (it.next().toLong & 0xffffffffL)
+    }
+    out.result()
   }
 
   /** table-schema column name → avro writer-schema field name.

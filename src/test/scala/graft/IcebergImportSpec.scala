@@ -971,6 +971,170 @@ class IcebergImportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
       (101 until 105).map(i => (i, s"a$i")))
   }
 
+  /** Serialize a v3 deletion vector blob per the Iceberg spec: 4-byte
+    * BE length of magic+vector, magic D1 D3 39 64, the 64-bit roaring
+    * "portable" vector (8-byte LE bitmap count; per bitmap 4-byte LE
+    * high key + standard 32-bit roaring serialization), 4-byte BE
+    * CRC-32 of magic+vector.
+    */
+  private def dvBlob(positions: Seq[Long]): Array[Byte] = {
+    val groups = positions.groupBy(p => (p >>> 32).toInt).toSeq.sortBy(_._1)
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeLong(java.lang.Long.reverseBytes(groups.size.toLong))
+    groups.foreach { case (k, ps) =>
+      dos.writeInt(java.lang.Integer.reverseBytes(k))
+      val rb = new org.roaringbitmap.RoaringBitmap()
+      ps.foreach(p => rb.add((p & 0xffffffffL).toInt))
+      rb.runOptimize()
+      rb.serialize(dos)
+    }
+    dos.flush()
+    val vector = bos.toByteArray
+    val magic = Array(0xd1, 0xd3, 0x39, 0x64).map(_.toByte)
+    val crc = new java.util.zip.CRC32()
+    crc.update(magic); crc.update(vector)
+    val out = java.nio.ByteBuffer.allocate(12 + vector.length)
+    out.putInt(4 + vector.length) // big-endian
+    out.put(magic).put(vector)
+    out.putInt(crc.getValue.toInt) // big-endian
+    out.array()
+  }
+
+  /** Write a minimal VALID Puffin file (PFA1 header, blobs, footer with
+    * an uncompressed json payload) holding the given blobs; returns
+    * each blob's (offset, length).
+    */
+  private def writePuffin(out: Path, blobs: Seq[Array[Byte]]): Seq[(Long, Long)] = {
+    val magic = "PFA1".getBytes("UTF-8")
+    var off = magic.length.toLong
+    val coords = blobs.map { b => val c = (off, b.length.toLong); off += b.length; c }
+    val payload = ("""{"blobs":[""" + coords.map { case (o, l) =>
+      s"""{"type":"deletion-vector-v1","fields":[],"snapshot-id":1,""" +
+        s""""sequence-number":1,"offset":$o,"length":$l}"""
+    }.mkString(",") + """],"properties":{}}""").getBytes("UTF-8")
+    val bb = java.nio.ByteBuffer
+      .allocate(magic.length * 3 + blobs.map(_.length).sum +
+        payload.length + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(magic)
+    blobs.foreach(bb.put)
+    bb.put(magic).put(payload).putInt(payload.length).putInt(0).put(magic)
+    Files.write(out, bb.array())
+    coords
+  }
+
+  test("v3 DELETION VECTORS: two DVs in one Puffin file, each scoped to " +
+    "its referenced data file, expand to exact positions and apply " +
+    "with sequence semantics") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ice-dv")
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    val metaDir = Files.createDirectories(root.resolve("metadata"))
+    val fileP = dataDir.resolve("p.parquet") // ids 0..9
+    writeOneParquet((0 until 10).map(i => (i, s"p$i")).toDF("id", "v"), fileP)
+    val fileQ = dataDir.resolve("q.parquet") // ids 100..105
+    writeOneParquet((100 until 106).map(i => (i, s"q$i")).toDF("id", "v"), fileQ)
+
+    val puffin = dataDir.resolve("deletes.puffin")
+    val coords = writePuffin(puffin,
+      Seq(dvBlob(Seq(0L, 3L, 7L)), dvBlob(Seq(1L))))
+
+    // v3 manifest entries carry the DV's blob coordinates
+    val v3EntrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"file_sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"},
+        |{"name":"referenced_data_file","type":["null","string"],"default":null},
+        |{"name":"content_offset","type":["null","long"],"default":null},
+        |{"name":"content_size_in_bytes","type":["null","long"],"default":null}
+        |]}}]}""".stripMargin.replaceAll("\n", ""))
+    def writeV3Manifest(out: Path,
+        entries: Seq[(Path, Int, String, Long,
+          Option[(String, Long, Long)])]): Unit = {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](v3EntrySchema))
+      w.setMeta("format-version", "3")
+      w.create(v3EntrySchema, out.toFile)
+      try entries.foreach { case (p, content, fmt, seq, dv) =>
+        val dfS = v3EntrySchema.getField("data_file").schema()
+        val df = new GenericData.Record(dfS)
+        df.put("content", content)
+        df.put("file_path", p.toUri.toString)
+        df.put("file_format", fmt)
+        df.put("partition",
+          new GenericData.Record(dfS.getField("partition").schema()))
+        df.put("record_count", 1L)
+        df.put("file_size_in_bytes", Files.size(p))
+        dv.foreach { case (ref, off, len) =>
+          df.put("referenced_data_file", ref)
+          df.put("content_offset", off)
+          df.put("content_size_in_bytes", len)
+        }
+        val e = new GenericData.Record(v3EntrySchema)
+        e.put("status", 1)
+        e.put("snapshot_id", 96L)
+        e.put("sequence_number", seq)
+        e.put("data_file", df)
+        w.append(e)
+      } finally w.close()
+    }
+    val mData = metaDir.resolve("m-data.avro")
+    writeV3Manifest(mData, Seq((fileP, 0, "PARQUET", 1L, None),
+      (fileQ, 0, "PARQUET", 1L, None)))
+    val mDel = metaDir.resolve("m-del.avro")
+    writeV3Manifest(mDel, Seq(
+      (puffin, 1, "PUFFIN", 2L,
+        Some((fileP.toUri.toString, coords(0)._1, coords(0)._2))),
+      (puffin, 1, "PUFFIN", 2L,
+        Some((fileQ.toUri.toString, coords(1)._1, coords(1)._2)))))
+    val listPath = metaDir.resolve("snap-96.avro")
+    writeList(listPath, 96L, Seq((mData, 0, 1L, 1L), (mDel, 1, 2L, 2L)))
+    val metaPath = metaDir.resolve("v1.metadata.json")
+    Files.writeString(metaPath,
+      s"""{"format-version":3,"table-uuid":"00000000-0000-0000-0000-000000000096",
+         |"location":"${root.toUri.toString.stripSuffix("/")}",
+         |"last-sequence-number":2,"last-updated-ms":0,"last-column-id":2,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"id","required":false,"type":"int"},
+         |{"id":2,"name":"v","required":false,"type":"string"}]}],
+         |"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"last-partition-id":999,
+         |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,
+         |"properties":{},"current-snapshot-id":96,
+         |"snapshots":[{"snapshot-id":96,"sequence-number":2,"timestamp-ms":0,
+         |"summary":{"operation":"append"},
+         |"manifest-list":"${listPath.toUri.toString}","schema-id":0}],
+         |"snapshot-log":[],"metadata-log":[]}""".stripMargin
+        .replaceAll("\n", ""))
+
+    val plan = IcebergImport.plan(metaPath)
+    plan.formatVersion shouldBe 3
+    plan.positionDeletes.map(_.format) shouldBe Seq("PUFFIN", "PUFFIN")
+    plan.positionDeletes.flatMap(_.dv).map(_.length) shouldBe
+      coords.map(_._2)
+    val got = IcebergImport.read(spark, metaPath)
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    got shouldBe (Seq(1, 2, 4, 5, 6, 8, 9).map(i => (i, s"p$i")) ++
+      Seq(100, 102, 103, 104, 105).map(i => (i, s"q$i")))
+
+    // large DV: 200k positions over two high-32 buckets round-trip the
+    // portable encoding through parseDvBlob exactly
+    val many = (0L until 100000L) ++ (0L until 100000L).map(_ + (1L << 32))
+    val blob = dvBlob(many)
+    graft.versioned.IcebergImport.parseDvBlob(blob, "test") shouldBe many
+  }
+
   test("AVRO logical types round-trip: date, timestamptz, timestamp, " +
     "decimal, binary, list, string-map, k/v-record map, struct") {
     val root = Files.createTempDirectory("ice-avro-types")
