@@ -271,7 +271,11 @@ private[catalog] object GraftProcedures {
           ("sync", BooleanType, Some("false")),
           // sync-mode retention: after each emission keep only the
           // newest K dest metadata versions (0 = keep everything)
-          ("keep_versions", IntegerType, Some("0"))),
+          ("keep_versions", IntegerType, Some("0")),
+          // 0 = auto (v1/v2 as features demand); 3 = Iceberg v3 —
+          // positional tombstones export as PUFFIN deletion vectors
+          // and the metadata carries row lineage
+          ("format_version", IntegerType, Some("0"))),
         StructType(Seq(
           StructField("metadata_path", StringType, nullable = false),
           StructField("data_files", IntegerType, nullable = false))),
@@ -280,14 +284,15 @@ private[catalog] object GraftProcedures {
           val ref = str(in, 1)
           val key = str(in, 2).replace('.', '/')
           val maxSnaps = math.max(1, in.getInt(4))
+          val fmtV = in.getInt(7)
           val spark = Some(org.apache.spark.sql.SparkSession.active)
           val p: String = if (in.getBoolean(5)) {
             val reg = graft.versioned.IcebergSync.Reg(
-              ref, key, str(in, 3), maxSnaps, math.max(0, in.getInt(6)))
+              ref, key, str(in, 3), maxSnaps, math.max(0, in.getInt(6)), fmtV)
             graft.versioned.IcebergSync.register(g, reg)
             graft.versioned.IcebergSync.syncExport(g, reg, spark)
           } else graft.versioned.IcebergExport.exportTo(
-            g, ref, key, str(in, 3), spark, maxSnaps, version = 1)
+            g, ref, key, str(in, 3), spark, maxSnaps, version = 1, fmtV)
           val n = g.snapshot(g.resolve(ref).tables(key)).files.size
           Seq(UTF8String.fromString(p), n)
         }))

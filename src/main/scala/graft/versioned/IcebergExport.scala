@@ -88,10 +88,23 @@ object IcebergExport {
     *                   applicability exactly Iceberg's strict
     *                   `dataSeq < deleteSeq` equality-delete rule)
     * @param equalityIds schema field ids named by an equality delete
+    * @param format      manifest file_format — PARQUET for delete
+    *                    parquets, PUFFIN for v3 deletion vectors
+    * @param dv          v3 only: the blob's coordinates inside the
+    *                    puffin file + the exact URI of the one data
+    *                    file it scopes to
     */
   private final case class DeleteFile(rel: String, size: Long, rows: Long,
       partValues: Map[String, String], content: Int, seq: Long,
-      equalityIds: Seq[Int])
+      equalityIds: Seq[Int], format: String = "PARQUET",
+      dv: Option[DvCoord] = None)
+
+  /** A v3 deletion vector's manifest coordinates: the referenced data
+    * file's exact manifest URI plus (content_offset,
+    * content_size_in_bytes) of the blob inside the puffin file.
+    */
+  private final case class DvCoord(referencedUri: String, offset: Long,
+      length: Long)
 
   /** Per-file column statistics exported into the manifest, keyed by
     * schema field id — the rows Iceberg-side min/max FILE PRUNING runs
@@ -110,7 +123,8 @@ object IcebergExport {
     */
   private final case class MEntry(uri: String, rows: Long, size: Long,
       partValues: Map[String, String], content: Int, seq: Long,
-      equalityIds: Seq[Int], stats: Option[MStats] = None)
+      equalityIds: Seq[Int], stats: Option[MStats] = None,
+      format: String = "PARQUET", dv: Option[DvCoord] = None)
 
   /** Write Iceberg metadata for `ref:key` under `dest` (a fresh export
     * directory). Returns the path of the written metadata JSON. This
@@ -145,7 +159,7 @@ object IcebergExport {
   private final case class MRow(rel: String, len: Long, content: Int,
       addedFiles: Int, existingFiles: Int, addedRows: Long,
       existingRows: Long, seq: Long, minSeq: Long, specId: Int,
-      addedSnapshotId: Long)
+      addedSnapshotId: Long, firstRowId: Option[Long] = None)
 
   /** Full export. `maxSnapshots` > 1 additionally exports up to that
     * many of the branch's PRIOR table versions (first-parent commit
@@ -172,7 +186,28 @@ object IcebergExport {
   def export(repo: GraftRepo, ref: String, key: String, dest: Path,
       spark: Option[SparkSession], maxSnapshots: Int, version: Int): Path =
     java.nio.file.Paths.get(export(repo, ref, key,
-      new NioDestIO(dest): DestIO, spark, maxSnapshots, version))
+      new NioDestIO(dest): DestIO, spark, maxSnapshots, version,
+      formatVersion = 0))
+
+  /** `formatVersion` forces the exported Iceberg format version:
+    * 0 = auto (v1 for clean snapshots, v2 once delete files or chunk
+    * manifests exist — the pre-r10 behavior), 2 = force v2, 3 = v3 —
+    * merge-on-read positional tombstones export as PUFFIN DELETION
+    * VECTORS (one blob per dirty data file, see
+    * [[writeDeletionVectors]]) instead of positional delete parquets,
+    * and the metadata carries v3 row lineage (`next-row-id`,
+    * per-snapshot `first-row-id`, per-data-manifest `first_row_id`
+    * with null entry ids → readers assign by the spec's inheritance
+    * rule). Row ids are synthetic per export — graft tracks no row
+    * identity, so lineage is NOT preserved across rewrites; each
+    * exported snapshot is self-consistent.
+    */
+  def export(repo: GraftRepo, ref: String, key: String, dest: Path,
+      spark: Option[SparkSession], maxSnapshots: Int, version: Int,
+      formatVersion: Int): Path =
+    java.nio.file.Paths.get(export(repo, ref, key,
+      new NioDestIO(dest): DestIO, spark, maxSnapshots, version,
+      formatVersion))
 
   /** String-dest form: a dest with a URI scheme (`s3a://bucket/tbl`,
     * `hdfs://…`, `file:///…`) routes every dest byte through the Hadoop
@@ -182,12 +217,16 @@ object IcebergExport {
     * written metadata file's path or URI.
     */
   def exportTo(repo: GraftRepo, ref: String, key: String, dest: String,
-      spark: Option[SparkSession], maxSnapshots: Int, version: Int): String =
-    export(repo, ref, key, DestIO.of(dest), spark, maxSnapshots, version)
+      spark: Option[SparkSession], maxSnapshots: Int, version: Int,
+      formatVersion: Int = 0): String =
+    export(repo, ref, key, DestIO.of(dest), spark, maxSnapshots, version,
+      formatVersion)
 
   private[versioned] def export(repo: GraftRepo, ref: String, key: String,
       dest: DestIO, spark: Option[SparkSession], maxSnapshots: Int,
-      version: Int): String = {
+      version: Int, formatVersion: Int = 0): String = {
+    require(formatVersion == 0 || formatVersion == 2 || formatVersion == 3,
+      s"format_version must be 0 (auto), 2 or 3 — got $formatVersion")
     val headCommit = repo.resolve(ref)
     if (!headCommit.tables.contains(key))
       throw new NoSuchElementException(s"no such table: $key @ $ref")
@@ -282,6 +321,12 @@ object IcebergExport {
     // (range/string predicates) takes the positional path, which
     // re-evaluates predicates per file and needs a session.
     val artifacts: Seq[SnapArtifacts] = history.reverse.map { case (c, h) =>
+      // 64-bit name-UUID of the graft snapshot sha — stable across
+      // exports of the same snapshot (needed BEFORE the delete writers:
+      // v3 puffin footers stamp it per blob)
+      val sid = math.max(1L, UUID.nameUUIDFromBytes(
+        h.id.getBytes(StandardCharsets.UTF_8))
+        .getMostSignificantBits & Long.MaxValue)
       val tombs = Tombstones.of(h)
       val (eqTombs, posTombs) =
         tombs.partition(t => equalityRows(t.filter, phys).isDefined)
@@ -289,6 +334,8 @@ object IcebergExport {
       val posDeletes: Seq[DeleteFile] =
         if (posTombs.isEmpty) Nil
         else spark match {
+          case Some(s) if formatVersion == 3 =>
+            writeDeletionVectors(s, repo, h, sid, phys, posTombs, dest)
           case Some(s) =>
             writePositionDeletes(s, repo, h, phys, specFields, posTombs, dest)
           case None => throw new UnsupportedOperationException(
@@ -307,13 +354,8 @@ object IcebergExport {
       }
       val deleteEntries = (eqDeletes ++ posDeletes).map(d =>
         MEntry(dest.uriOf(d.rel), d.rows, d.size, d.partValues,
-          d.content, d.seq, d.equalityIds))
-      // 64-bit name-UUID of the graft snapshot sha — stable across
-      // exports of the same snapshot, collision-resistant across
-      // distinct ones, never 0 or negative
-      SnapArtifacts(h, c.ts, math.max(1L, UUID.nameUUIDFromBytes(
-        h.id.getBytes(StandardCharsets.UTF_8))
-        .getMostSignificantBits & Long.MaxValue), dataEntries, deleteEntries,
+          d.content, d.seq, d.equalityIds, format = d.format, dv = d.dv))
+      SnapArtifacts(h, c.ts, sid, dataEntries, deleteEntries,
         h.manifestRefs)
     }
     // v1 when nothing needs v2: widest reader compatibility (all live
@@ -323,7 +365,9 @@ object IcebergExport {
     // a v2 rule (the field is required in v1), so a strict v1 reader
     // could reject them.
     val v =
-      if (artifacts.exists(a => a.deleteEntries.nonEmpty || a.chunkRefs.nonEmpty)) 2
+      if (formatVersion != 0) formatVersion
+      else if (artifacts.exists(a =>
+        a.deleteEntries.nonEmpty || a.chunkRefs.nonEmpty)) 2
       else 1
 
     // ---- pass 2: manifests + manifest lists, oldest → newest -----------
@@ -334,6 +378,15 @@ object IcebergExport {
     var prevSeq = 0L
     var parentId: Option[Long] = None
     var lastSnapSeq = 1L
+    // v3 row lineage: every snapshot's data manifests get explicit
+    // first_row_id values in the FRESH manifest list (prefix sums of
+    // record counts), while entries inside (possibly reused,
+    // content-addressed) chunk manifests stay null and inherit per the
+    // spec — chunk avro bytes stay identical across emissions. Row ids
+    // are therefore synthetic per snapshot (graft tracks no row
+    // identity): each exported snapshot claims a fresh non-overlapping
+    // id range and `next-row-id` advances past all of them.
+    var rowCursor = 0L
     // chunk-manifest reuse ledger across the history walk (oldest →
     // newest): graft chunk → the exported avro + the snapshot/sequence
     // that FIRST wrote it. Combined with the content-addressed file
@@ -407,6 +460,16 @@ object IcebergExport {
       // deletes are GLOBAL — under a partitioned table they get the
       // auxiliary unpartitioned spec 1 so their table-wide scope is
       // spec-correct
+      // v3 row lineage: assign this snapshot's manifest-level first
+      // row ids (entries inherit; delete manifests consume no ids)
+      val snapFirstRowId = rowCursor
+      val dataRowsL: Seq[MRow] =
+        if (v < 3) dataRows
+        else dataRows.map { r =>
+          val fr = rowCursor
+          rowCursor += r.addedRows + r.existingRows
+          r.copy(firstRowId = Some(fr))
+        }
       val posEntries = a.deleteEntries.filter(_.content == 1)
       val eqEntries = a.deleteEntries.filter(_.content == 2)
       val eqSpecId = if (specFields.isEmpty) 0 else 1
@@ -427,7 +490,7 @@ object IcebergExport {
       val listRel =
         s"metadata/snap-${a.snapshotId}-1-${UUID.randomUUID()}.avro"
       dest.writeAtomic(listRel, manifestListBytes(dest, a.snapshotId, v,
-        dataRows ++
+        dataRowsL ++
           deleteManifests.map { case (rel, len, entries, specId) =>
             MRow(rel, len, 1, entries.size, 0, entries.map(_.rows).sum, 0L,
               snapSeq, entries.map(_.seq).minOption.getOrElse(1L), specId,
@@ -436,6 +499,7 @@ object IcebergExport {
       snapMap.put("snapshot-id", a.snapshotId)
       parentId.foreach(p => snapMap.put("parent-snapshot-id", p))
       if (v >= 2) snapMap.put("sequence-number", snapSeq)
+      if (v >= 3) snapMap.put("first-row-id", snapFirstRowId)
       snapMap.put("timestamp-ms", a.commitTs)
       val summary = new java.util.LinkedHashMap[String, Any]
       // a delete-bearing snapshot is NOT an append: incremental append
@@ -469,6 +533,7 @@ object IcebergExport {
       snap.id.getBytes(StandardCharsets.UTF_8)).toString)
     meta.put("location", dest.uriOf("").stripSuffix("/"))
     if (v >= 2) meta.put("last-sequence-number", lastSnapSeq)
+    if (v >= 3) meta.put("next-row-id", rowCursor)
     meta.put("last-updated-ms", nowMs)
     meta.put("last-column-id", lastColumnId(phys))
     val schemaMap = icebergSchemaMap(phys)
@@ -909,6 +974,144 @@ object IcebergExport {
   }
   private final case class PosIndex(entries: Seq[PosEntry])
 
+  // ---- deletion vectors (v3) -------------------------------------------
+
+  /** Per-snapshot deletion-vector memo record (see
+    * [[writeDeletionVectors]]): blob coordinates + manifest metadata,
+    * so a sync re-emission or history export re-references the puffin
+    * without a scan. Same primitive-sentinel conventions as
+    * [[PosEntry]].
+    */
+  private final case class DvEntry(referencedUri: String, offset: Long,
+      length: Long, rows: Long, seq: Long,
+      partitionValues: Option[Map[String, String]]) {
+    def partValues: Map[String, String] =
+      Option(partitionValues).flatten.getOrElse(Map.empty)
+  }
+  private final case class DvIndex(puffin: String, bytes: Long,
+      entries: Seq[DvEntry])
+
+  /** v3 replacement for [[writePositionDeletes]]: matching positions
+    * group per REFERENCED DATA FILE — the v3 rule is at most one DV
+    * per data file, superseding all its position deletes — and land as
+    * roaring-bitmap blobs in ONE puffin file per snapshot
+    * (`data/dv-<id>/deletes.puffin`).
+    *
+    * Scale shape: the same single unioned Spark job as the v2 path
+    * evaluates every tombstone group's predicate over its (stats/bloom
+    * pre-pruned) file set; positions then shuffle ONCE keyed by data
+    * file, and each file's bitmap is built and serialized
+    * EXECUTOR-side ([[Puffin.Dv64]] — union/dedup across overlapping
+    * tombstone groups falls out of bitmap idempotence). The driver
+    * only streams the compressed blobs (`toLocalIterator`, one
+    * partition in memory at a time) into the puffin in deterministic
+    * file order and records their offsets — O(dirty files) blob bytes,
+    * never the positions themselves. Memoized per graft snapshot like
+    * the v2 memo: index.json published last, re-emissions touch +
+    * reuse with zero Spark jobs.
+    */
+  private def writeDeletionVectors(s: SparkSession, repo: GraftRepo,
+      snap: Snapshot, snapshotId: Long, phys: StructType,
+      tombs: Seq[Tombstone], dest: DestIO): Seq[DeleteFile] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, regexp_replace}
+    val memoRel = s"data/dv-${snap.id}"
+    val indexRel = s"$memoRel/index.json"
+    val puffinRel = s"$memoRel/deletes.puffin"
+    def fromIndex(idx: DvIndex): Seq[DeleteFile] =
+      idx.entries.map(e => DeleteFile(puffinRel, idx.bytes, e.rows,
+        e.partValues, content = 1, e.seq, Nil, format = "PUFFIN",
+        dv = Some(DvCoord(e.referencedUri, e.offset, e.length))))
+    if (dest.isFile(indexRel)) {
+      val idx = Json.read[DvIndex](dest.readString(indexRel))
+      // shield the memo through this emission's reuse-to-publish window
+      Manifests.fanOut(
+        indexRel +: (if (idx.entries.isEmpty) Nil else Seq(puffinRel)), 4)(
+        dest.touch)
+      return fromIndex(idx)
+    }
+    val (_, groups) = Tombstones.split(tombs, phys, snap.files, Some(repo.dataIO))
+    dest.mkdirs(memoRel)
+    if (groups.isEmpty) {
+      dest.writeString(indexRel, Json.write(DvIndex("deletes.puffin", 0L, Nil)))
+      return Nil
+    }
+
+    // per-referenced-file metadata: exact manifest URI, DV sequence
+    // (max contributing tombstone's + 1 — a DV supersedes ALL position
+    // deletes of its file, so the newest applicable ordering is the
+    // honest one), and the file's partition tuple (DV entries carry
+    // their referenced file's partition so readers prune them together)
+    val norm = (u: String) => u.replaceFirst("^file:/+", "file:///")
+    val fileInfo =
+      scala.collection.mutable.Map.empty[String, (String, Long, Map[String, String])]
+    val groupFrames = groups.map { case (files, gTombs) =>
+      val seq = gTombs.map(_.seq).max + 1
+      files.foreach { f =>
+        val uri = repo.dataIO.uriOf(f.path)
+        val k = norm(uri)
+        fileInfo.get(k) match {
+          case Some((u, s0, pv)) =>
+            if (seq > s0) fileInfo(k) = (u, seq, pv)
+          case None => fileInfo(k) = (uri, seq, f.partValues)
+        }
+      }
+      val delCond = gTombs.map(t =>
+        coalesce(TableOps.filterToColumn(t.filter).getOrElse(
+          throw new IllegalStateException(s"unevaluable tombstone: ${t.filter}")),
+          lit(false))).reduce(_ || _)
+      s.read.schema(phys)
+        .parquet(files.map(f => repo.dataLocation(f.path)): _*)
+        .where(delCond)
+        .select(
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "file:///")
+            .as("__src"),
+          col("_metadata.row_index").as("pos"))
+    }
+    import s.implicits._
+    val blobs = groupFrames.reduce(_ union _)
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (src, it) =>
+        val dv = new Puffin.Dv64()
+        it.foreach(t => dv.add(t._2))
+        (src, dv.blob(), dv.cardinality)
+      }
+      .orderBy("_1") // deterministic puffin layout across runs
+
+    val local = Files.createTempFile("graft-dv-", ".puffin")
+    val entries = Seq.newBuilder[DvEntry]
+    val metas = Seq.newBuilder[Puffin.BlobMeta]
+    scala.util.Using.resource(new java.io.BufferedOutputStream(
+      Files.newOutputStream(local))) { out =>
+      out.write(Puffin.FileMagic)
+      var off = Puffin.FileMagic.length.toLong
+      blobs.toLocalIterator().asScala.foreach { case (srcKey, blob, card) =>
+        val (uri, seq, pv) = fileInfo.getOrElse(srcKey,
+          throw new IllegalStateException(s"untagged delete source $srcKey"))
+        out.write(blob)
+        entries += DvEntry(uri, off, blob.length.toLong, card, seq,
+          if (pv.isEmpty) None else Some(pv))
+        metas += Puffin.BlobMeta(snapshotId, seq, off, blob.length.toLong,
+          uri, card)
+        off += blob.length
+      }
+      out.write(Puffin.footer(metas.result()))
+    }
+    val es = entries.result()
+    val idx =
+      if (es.isEmpty) { // stats/bloom false positives: nothing matched
+        Files.deleteIfExists(local)
+        DvIndex("deletes.puffin", 0L, Nil)
+      } else {
+        val size = Files.size(local)
+        dest.uploadAtomic(local, puffinRel)
+        DvIndex("deletes.puffin", size, es)
+      }
+    // publish the memo (index last: its presence certifies the puffin)
+    dest.writeString(indexRel, Json.write(idx))
+    fromIndex(idx)
+  }
+
   /** Exact row count from the parquet footer (no data scan). */
   private def parquetRowCount(s: SparkSession, p: Path): Long = {
     val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -1239,6 +1442,18 @@ object IcebergExport {
       arr.addProp("element-id", 136: Integer)
       dfFields += field("equality_ids", 135, arr, optional = true)
     }
+    if (v >= 3) {
+      // v3 row lineage: entries stay null and inherit from the
+      // manifest-list row's first_row_id (position-accumulated)
+      dfFields += field("first_row_id", 142, s(Schema.Type.LONG), optional = true)
+      // v3 deletion vectors: blob coordinates inside the puffin file +
+      // the one data file the DV scopes to
+      dfFields += field("referenced_data_file", 143,
+        s(Schema.Type.STRING), optional = true)
+      dfFields += field("content_offset", 144, s(Schema.Type.LONG), optional = true)
+      dfFields += field("content_size_in_bytes", 145,
+        s(Schema.Type.LONG), optional = true)
+    }
     dataFile.setFields(java.util.List.of(dfFields.result(): _*))
     val entry = Schema.createRecord("manifest_entry", null, null, false)
     val eFields = Seq.newBuilder[Schema.Field]
@@ -1285,7 +1500,12 @@ object IcebergExport {
         val df = new GenericData.Record(dfSchema)
         if (v >= 2) df.put("content", me.content)
         df.put("file_path", me.uri)
-        df.put("file_format", "PARQUET")
+        df.put("file_format", me.format)
+        if (v >= 3) me.dv.foreach { c =>
+          df.put("referenced_data_file", c.referencedUri)
+          df.put("content_offset", c.offset)
+          df.put("content_size_in_bytes", c.length)
+        }
         val part = new GenericData.Record(partSchema)
         specFields.foreach { pf =>
           // export() guarantees every live data file records every
@@ -1362,6 +1582,10 @@ object IcebergExport {
     fs += field("added_rows_count", 512, s(Schema.Type.LONG), optional = opt)
     fs += field("existing_rows_count", 513, s(Schema.Type.LONG), optional = opt)
     fs += field("deleted_rows_count", 514, s(Schema.Type.LONG), optional = opt)
+    // v3 row lineage: the first row id assigned to this (data)
+    // manifest; null for delete manifests, which consume no ids
+    if (v >= 3)
+      fs += field("first_row_id", 520, s(Schema.Type.LONG), optional = true)
     rec.setFields(java.util.List.of(fs.result(): _*))
     rec
   }
@@ -1396,6 +1620,7 @@ object IcebergExport {
       r.put("added_rows_count", m.addedRows)
       r.put("existing_rows_count", m.existingRows)
       r.put("deleted_rows_count", 0L)
+      if (v >= 3) m.firstRowId.foreach(fr => r.put("first_row_id", Long.box(fr)))
       writer.append(r)
     } finally writer.close()
     bo.toByteArray
@@ -1515,7 +1740,7 @@ object IcebergExport {
     var delDeleted = 0
     if (dest.isDirectory("data")) {
       dest.walkFiles("data")
-        .filter(_.endsWith("-deletes.parquet"))
+        .filter(r => r.endsWith("-deletes.parquet") || r.endsWith(".puffin"))
         .filterNot(referenced.contains)
         .filter(sweepable)
         .foreach { rel => if (dest.delete(rel)) delDeleted += 1 }
@@ -1525,12 +1750,13 @@ object IcebergExport {
       // backends without real dir mtimes treat them as always ripe;
       // their file-level guards above still hold).
       dest.listNames("data")
-        .filter(_.startsWith("pos-")).map(n => s"data/$n")
+        .filter(n => n.startsWith("pos-") || n.startsWith("dv-"))
+        .map(n => s"data/$n")
         .filter(d => dest.isDirectory(d) &&
           (try dest.mtimeMs(d) < cutoff catch { case _: Exception => true }))
         .foreach { d =>
           val live = dest.listNames(d)
-            .exists(_.endsWith("-deletes.parquet"))
+            .exists(n => n.endsWith("-deletes.parquet") || n.endsWith(".puffin"))
           if (!live) {
             dest.delete(s"$d/index.json")
             if (dest.listNames(d).isEmpty) dest.delete(d)

@@ -60,8 +60,10 @@ import java.nio.file.Path
   */
 object IcebergSync {
 
+  // formatVersion 0 = auto (pre-r10 registrations deserialize to 0 —
+  // jackson fills an absent primitive with 0); 3 = v3 deletion vectors
   final case class Reg(ref: String, table: String, dest: String,
-      snapshots: Int, keepVersions: Int = 0)
+      snapshots: Int, keepVersions: Int = 0, formatVersion: Int = 0)
 
   /** Superseded registration versions kept as a grace window for racing
     * readers (a reader that listed version N must still be able to read
@@ -257,7 +259,7 @@ object IcebergSync {
       spark: Option[org.apache.spark.sql.SparkSession]): String = {
     val d = DestIO.of(reg.dest)
     IcebergExport.export(repo, reg.ref, reg.table, d, spark, reg.snapshots,
-      latestVersion(d) + 1)
+      latestVersion(d) + 1, reg.formatVersion)
   }
 
   /** Post-ref-advance hook: re-emit every drifted registration on

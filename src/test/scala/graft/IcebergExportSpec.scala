@@ -1016,4 +1016,166 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     viaView shouldBe viaGraft
     viaView.length shouldBe 30
   }
+
+  test("v3 export: positional tombstones become PUFFIN deletion vectors " +
+    "(one blob per dirty data file, spec manifest coordinates, row " +
+    "lineage) and the independent import reproduces the graft read") {
+    sql("CREATE NAMESPACE g.icev3")
+    sql("CREATE NAMESPACE g.icev3.main.db")
+    sql("CREATE TABLE g.icev3.main.db.t (id INT, grp STRING, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO g.icev3.main.db.t SELECT CAST(id AS INT), " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END, CAST(id AS DOUBLE) " +
+      "FROM range(0, 100)")
+    sql("DELETE FROM g.icev3.main.db.t WHERE grp = 'a' AND id < 40")
+    sql("INSERT INTO g.icev3.main.db.t VALUES (2, 'a', -1.0), (200, 'a', -2.0)")
+    val dest = Files.createTempDirectory("ice-export-v3")
+    val out = sql("CALL g.system.iceberg_export('icev3', 'main', 'db.t', " +
+      s"'$dest', format_version => 3)").collect()
+    val metaPath = java.nio.file.Paths.get(out.head.getString(0))
+
+    // ---- v3 metadata + row lineage -------------------------------------
+    val meta = mapperOf(metaPath.toString)
+    meta.get("format-version").asInt() shouldBe 3
+    meta.get("next-row-id").asLong() shouldBe 102L // 100 + 2 late inserts
+    val snapNode = meta.get("snapshots").get(0)
+    snapNode.get("first-row-id").asLong() shouldBe 0L
+
+    // ---- manifest list: data manifests carry first_row_id --------------
+    val (listRecs, _) = readAvro(java.nio.file.Paths.get(
+      java.net.URI.create(snapNode.get("manifest-list").asText())).toString)
+    val byContent =
+      listRecs.groupBy(_.get("content").asInstanceOf[Int])
+    byContent.keySet shouldBe Set(0, 1)
+    var cursor = 0L
+    byContent(0).foreach { r =>
+      r.get("first_row_id").asInstanceOf[Long] shouldBe cursor
+      cursor += r.get("added_rows_count").asInstanceOf[Long] +
+        r.get("existing_rows_count").asInstanceOf[Long]
+    }
+    cursor shouldBe 102L
+    byContent(1).foreach(r => r.get("first_row_id") shouldBe null)
+
+    // ---- delete manifest: one DV entry per dirty data file -------------
+    val (delEntries, delMeta) = readAvro(java.nio.file.Paths.get(
+      java.net.URI.create(
+        byContent(1).head.get("manifest_path").toString)).toString)
+    delMeta("format-version") shouldBe "3"
+    val dataByPath = byContent(0).flatMap { r =>
+      readAvro(java.nio.file.Paths.get(java.net.URI.create(
+        r.get("manifest_path").toString)).toString)._1
+    }.map { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      df.get("file_path").toString -> df.get("record_count").asInstanceOf[Long]
+    }.toMap
+    val puffins = delEntries.map(
+      _.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString)
+    puffins.distinct.length shouldBe 1 // ONE puffin file for the snapshot
+    val puffinPath = java.nio.file.Paths.get(java.net.URI.create(puffins.head))
+    puffinPath.getFileName.toString should endWith(".puffin")
+    val puffinBytes = Files.readAllBytes(puffinPath)
+    puffinBytes.take(4) shouldBe "PFA1".getBytes("UTF-8")
+    puffinBytes.takeRight(4) shouldBe "PFA1".getBytes("UTF-8")
+    var total = 0L
+    delEntries.foreach { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      df.get("content").asInstanceOf[Int] shouldBe 1
+      df.get("file_format").toString shouldBe "PUFFIN"
+      df.get("file_size_in_bytes").asInstanceOf[Long] shouldBe
+        Files.size(puffinPath)
+      val ref = df.get("referenced_data_file").toString
+      dataByPath.keySet should contain(ref)
+      // the blob at (content_offset, content_size_in_bytes) decodes via
+      // the independent DV parser; positions stay inside the file
+      val off = df.get("content_offset").asInstanceOf[Long]
+      val len = df.get("content_size_in_bytes").asInstanceOf[Long]
+      val blob = java.util.Arrays.copyOfRange(
+        puffinBytes, off.toInt, (off + len).toInt)
+      val positions = graft.versioned.IcebergImport.parseDvBlob(blob, ref)
+      positions.length.toLong shouldBe df.get("record_count").asInstanceOf[Long]
+      positions.foreach(_ should be < dataByPath(ref))
+      total += positions.length
+    }
+    total shouldBe 20L // 20 'a'-rows below 40 died (late inserts exempt)
+
+    // ---- round trip: independent reader == graft read ------------------
+    val imported = graft.versioned.IcebergImport.read(spark, metaPath)
+      .orderBy("id", "v")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    val viaGraft = sql(
+      "SELECT id, grp, v FROM g.icev3.main.db.t ORDER BY id, v")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    imported shouldBe viaGraft
+    imported.length shouldBe 82
+  }
+
+  test("v3 partitioned export: each deletion vector carries its " +
+    "referenced file's partition tuple, and a re-emission reuses the " +
+    "puffin memo with zero Spark jobs") {
+    sql("CREATE NAMESPACE g.icev3p")
+    sql("CREATE NAMESPACE g.icev3p.main.db")
+    sql("CREATE TABLE g.icev3p.main.db.t (id INT, grp STRING, v DOUBLE) " +
+      "PARTITIONED BY (grp) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO g.icev3p.main.db.t SELECT CAST(id AS INT), " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END, CAST(id AS DOUBLE) " +
+      "FROM range(0, 60)")
+    sql("DELETE FROM g.icev3p.main.db.t WHERE id >= 50") // both partitions
+    val dest = Files.createTempDirectory("ice-export-v3p")
+    val metaPath = java.nio.file.Paths.get(
+      sql("CALL g.system.iceberg_export('icev3p', 'main', 'db.t', " +
+        s"'$dest', format_version => 3)").collect().head.getString(0))
+    val meta = mapperOf(metaPath.toString)
+    meta.get("format-version").asInt() shouldBe 3
+    val (listRecs, _) = readAvro(java.nio.file.Paths.get(
+      java.net.URI.create(meta.get("snapshots").get(0)
+        .get("manifest-list").asText())).toString)
+    val byContent = listRecs.groupBy(_.get("content").asInstanceOf[Int])
+    // data-file path → its partition tuple (grp)
+    val partByPath = byContent(0).flatMap { r =>
+      readAvro(java.nio.file.Paths.get(java.net.URI.create(
+        r.get("manifest_path").toString)).toString)._1
+    }.map { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      df.get("file_path").toString ->
+        df.get("partition").asInstanceOf[GenericRecord].get("grp").toString
+    }.toMap
+    val (delEntries, _) = readAvro(java.nio.file.Paths.get(
+      java.net.URI.create(
+        byContent(1).head.get("manifest_path").toString)).toString)
+    delEntries.length should be >= 2 // at least one DV per partition
+    delEntries.foreach { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      df.get("file_format").toString shouldBe "PUFFIN"
+      // the DV's partition tuple IS its referenced file's
+      df.get("partition").asInstanceOf[GenericRecord].get("grp").toString shouldBe
+        partByPath(df.get("referenced_data_file").toString)
+    }
+    delEntries.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("partition").asInstanceOf[GenericRecord].get("grp").toString)
+      .toSet shouldBe Set("a", "b")
+
+    graft.versioned.IcebergImport.read(spark, metaPath).count() shouldBe 50
+
+    // ---- re-emission: the DV memo answers, zero Spark jobs -------------
+    def dvFiles = Files.walk(dest.resolve("data")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".puffin"))
+      .map(p => p -> java.util.Arrays.hashCode(Files.readAllBytes(p))).toMap
+    val before = dvFiles
+    before.size shouldBe 1
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      sql("CALL g.system.iceberg_export('icev3p', 'main', 'db.t', " +
+        s"'$dest', format_version => 3)")
+      org.apache.spark.graftbridge.TestListenerBridge.drain(spark.sparkContext)
+      jobs.get() shouldBe 0
+    } finally spark.sparkContext.removeSparkListener(listener)
+    dvFiles shouldBe before // byte-stable: the puffin was reused, not rebuilt
+  }
 }
