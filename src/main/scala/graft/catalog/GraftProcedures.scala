@@ -63,7 +63,7 @@ private[catalog] object GraftProcedures {
     Seq("compact", "vacuum", "create_tag", "create_branch", "merge",
       "rollback", "revert", "cherry_pick", "expire_snapshots",
       "clone_table", "set_partition_spec", "iceberg_export",
-      "iceberg_import", "iceberg_export_expire")
+      "iceberg_import", "iceberg_import_changes", "iceberg_export_expire")
 
   /** Parse an Iceberg-style spec string: `"identity(cat), bucket(4, id),
     * days(ts), truncate(3, name)"`; a bare column name means identity;
@@ -329,6 +329,31 @@ private[catalog] object GraftProcedures {
             .createOrReplaceTempView(view)
           Seq(UTF8String.fromString(view), plan.dataFiles.size,
             plan.deleteFiles.size)
+        }))
+      case "iceberg_import_changes" => Some(new Proc(
+        // Incremental APPEND read of an external Iceberg table: the
+        // rows added by snapshots in (from_snapshot, to_snapshot] —
+        // the consumer-side analog of Iceberg's incremental append
+        // scan. Compaction (`replace`) snapshots are skipped;
+        // overwrite/delete snapshots refuse loudly. 0 = unbounded
+        // (from the beginning / to the current snapshot).
+        "iceberg_import_changes",
+        Seq(("metadata_path", StringType, None), ("view", StringType, None),
+          ("from_snapshot", LongType, Some("0")),
+          ("to_snapshot", LongType, Some("0"))),
+        StructType(Seq(
+          StructField("view", StringType, nullable = false),
+          StructField("data_files", IntegerType, nullable = false))),
+        { in =>
+          val mp = str(in, 0)
+          val view = str(in, 1)
+          val from = Some(in.getLong(2)).filter(_ != 0L)
+          val to = Some(in.getLong(3)).filter(_ != 0L)
+          val s = org.apache.spark.sql.SparkSession.active
+          val plan = graft.versioned.IcebergImport.changesPlan(mp, from, to)
+          graft.versioned.IcebergImport.readChanges(s, mp, from, to)
+            .createOrReplaceTempView(view)
+          Seq(UTF8String.fromString(view), plan.dataFiles.size)
         }))
       case "set_partition_spec" => Some(new Proc(
         "set_partition_spec",

@@ -155,13 +155,14 @@ object IcebergImport {
     * None — time travel over a history export's `snapshots` list.
     * `metadataLoc` may be a local path or a URI with a Hadoop scheme.
     */
-  def plan(metadataLoc: String, snapshotId: Option[Long]): Plan = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val meta = mapper.readTree(readStringAt(resolveMetadataLoc(metadataLoc)))
+  /** format version + current schema (+ its field id → name map) of a
+    * parsed metadata tree — shared by [[plan]] and [[changesPlan]].
+    */
+  private def parseHeader(meta: com.fasterxml.jackson.databind.JsonNode)
+      : (Int, StructType, Map[Int, String]) = {
     val v = meta.get("format-version").asInt()
     require(v == 1 || v == 2 || v == 3,
       s"unsupported Iceberg format-version: $v")
-
     // current schema: v2 `schemas` + current-schema-id, v1 may have only
     // the legacy single `schema`
     val schemaNode = {
@@ -176,6 +177,13 @@ object IcebergImport {
     val schema = structOf(schemaNode)
     val idToName = schemaNode.get("fields").elements().asScala.map(f =>
       f.get("id").asInt() -> f.get("name").asText()).toMap
+    (v, schema, idToName)
+  }
+
+  def plan(metadataLoc: String, snapshotId: Option[Long]): Plan = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(readStringAt(resolveMetadataLoc(metadataLoc)))
+    val (v, schema, idToName) = parseHeader(meta)
 
     val snapIdOpt = snapshotId.orElse(
       Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L))
@@ -265,6 +273,100 @@ object IcebergImport {
     Plan(v, schema, idToName, data.result(), deletes.result())
   }
 
+  /** Incremental APPEND scan plan — the data files ADDED by each
+    * snapshot in `(fromId, toId]` along the parent-snapshot chain (the
+    * consumer-side analog of Iceberg's own IncrementalAppendScan, e.g.
+    * Spark's `start-snapshot-id`/`end-snapshot-id` read options).
+    * `fromId` None ⇒ from the beginning of history; `toId` None ⇒ the
+    * current snapshot.
+    *
+    * Contract, loud on violation: snapshots whose summary operation is
+    * `replace` (compaction — rewrites, no new rows) are skipped;
+    * `overwrite`/`delete` snapshots REFUSE — an append-only consumer
+    * crossing one would silently miss row deletions. Ancestor deletes
+    * never apply to the added files (their data sequence numbers exceed
+    * any older delete's), so the plan carries no delete files. Added
+    * attribution follows the spec: manifests whose `added_snapshot_id`
+    * is the snapshot, entries with ADDED status whose (explicit or
+    * list-row-inherited) snapshot id matches — reused content-addressed
+    * manifests in later snapshots therefore do NOT re-surface their
+    * files.
+    */
+  def changesPlan(metadataLoc: String, fromId: Option[Long],
+      toId: Option[Long]): Plan = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(readStringAt(resolveMetadataLoc(metadataLoc)))
+    val (v, schema, idToName) = parseHeader(meta)
+    val snaps = Option(meta.get("snapshots")).map(
+      _.elements().asScala.toSeq).getOrElse(Nil)
+    def node(id: Long) = snaps.find(_.get("snapshot-id").asLong() == id)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot-id $id not in snapshots"))
+    val headId = toId.orElse(Option(meta.get("current-snapshot-id"))
+      .map(_.asLong()).filter(_ != -1L))
+    if (headId.isEmpty) return Plan(v, schema, idToName, Nil, Nil)
+
+    // parent walk newest → oldest, stopping AT fromId (exclusive)
+    val range = Seq.newBuilder[com.fasterxml.jackson.databind.JsonNode]
+    var cur: Option[com.fasterxml.jackson.databind.JsonNode] =
+      Some(node(headId.get))
+    while (cur.isDefined &&
+        !fromId.contains(cur.get.get("snapshot-id").asLong())) {
+      range += cur.get
+      cur = Option(cur.get.get("parent-snapshot-id")).map(p => node(p.asLong()))
+    }
+    if (fromId.isDefined && cur.isEmpty)
+      throw new IllegalArgumentException(
+        s"snapshot ${fromId.get} is not an ancestor of ${headId.get}")
+
+    val data = Seq.newBuilder[DataFile]
+    range.result().reverse.foreach { s => // oldest → newest
+      val sid = s.get("snapshot-id").asLong()
+      val op = Option(s.get("summary")).flatMap(n => Option(n.get("operation")))
+        .map(_.asText()).getOrElse("append")
+      op match {
+        case "replace" => () // compaction: rewritten rows, nothing new
+        case "append" =>
+          readAvro(toLocal(s.get("manifest-list").asText())).foreach { r =>
+            val addedBy = Option(r.getSchema.getField("added_snapshot_id"))
+              .flatMap(_ => Option(r.get("added_snapshot_id")))
+              .map(_.asInstanceOf[Long]).getOrElse(-1L)
+            val isData = Option(r.getSchema.getField("content"))
+              .forall(_ => r.get("content").asInstanceOf[Int] == 0)
+            if (isData && addedBy == sid) {
+              val mPath = toLocal(r.get("manifest_path").toString)
+              readAvro(mPath).foreach { e =>
+                val entrySnap = Option(e.getSchema.getField("snapshot_id"))
+                  .flatMap(_ => Option(e.get("snapshot_id")))
+                  .map(_.asInstanceOf[Long]).getOrElse(addedBy)
+                if (e.get("status").asInstanceOf[Int] == 1 && entrySnap == sid) {
+                  val df = e.get("data_file").asInstanceOf[GenericRecord]
+                  val fmt = df.get("file_format").toString.toUpperCase
+                  val path = toLocal(df.get("file_path").toString)
+                  require(fmt == "PARQUET" || fmt == "ORC" || fmt == "AVRO",
+                    s"unsupported data file format: $fmt ($path)")
+                  data += DataFile(path, 0L, fmt)
+                }
+              }
+            }
+          }
+        case other => throw new UnsupportedOperationException(
+          s"incremental append scan crossed a '$other' snapshot ($sid) — " +
+            "rows were deleted or overwritten in the range; read full " +
+            "snapshots and diff instead")
+      }
+    }
+    Plan(v, schema, idToName, data.result(), Nil)
+  }
+
+  /** The rows APPENDED between two snapshots as a DataFrame (see
+    * [[changesPlan]] for the contract). One distributed scan over the
+    * added files only — O(changed data), never a re-read of the table.
+    */
+  def readChanges(spark: SparkSession, metadataLoc: String,
+      fromId: Option[Long], toId: Option[Long]): DataFrame =
+    readPlan(spark, changesPlan(metadataLoc, fromId, toId))
+
   /** The table's current snapshot as a DataFrame (schema order/types per
     * the Iceberg schema, positional AND equality deletes applied with
     * the spec's sequence-number semantics: a positional delete masks
@@ -282,8 +384,13 @@ object IcebergImport {
     * `metadataLoc` may be a local path or a Hadoop-scheme URI.
     */
   def read(spark: SparkSession, metadataLoc: String,
-      snapshotId: Option[Long]): DataFrame = {
-    val p = plan(metadataLoc, snapshotId)
+      snapshotId: Option[Long]): DataFrame =
+    readPlan(spark, plan(metadataLoc, snapshotId))
+
+  /** The distributed read of an already-planned file set (shared by
+    * [[read]] and [[readChanges]]).
+    */
+  private def readPlan(spark: SparkSession, p: Plan): DataFrame = {
     val outCols = p.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
     if (p.dataFiles.isEmpty)
       return spark.createDataFrame(

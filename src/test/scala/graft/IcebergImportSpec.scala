@@ -28,6 +28,10 @@ class IcebergImportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // the import CALLs live under a graft catalog's system namespace
+    .config("spark.sql.catalog.g", classOf[graft.catalog.GraftCatalog].getName)
+    .config("spark.sql.catalog.g.root",
+      Files.createTempDirectory("graft-icei").toString)
     .getOrCreate()
 
   override def afterAll(): Unit = spark.stop()
@@ -1213,5 +1217,144 @@ class IcebergImportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     row.getInt(7) shouldBe 9
     row.getString(8) shouldBe "five"
     row.getInt(9) shouldBe 7
+  }
+
+  test("incremental append scan: rows ADDED in (from, to] only — " +
+    "inherited attribution, compaction snapshots skipped, overwrite " +
+    "snapshots refuse, non-ancestor from refuses") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ice-incr")
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    val metaDir = Files.createDirectories(root.resolve("metadata"))
+    def mkFile(name: String, ids: Range): Path = {
+      val p = dataDir.resolve(name)
+      writeOneParquet(ids.map(i => (i, s"r$i")).toDF("id", "v"), p)
+      p
+    }
+    val fA = mkFile("a.parquet", 0 until 10)   // appended by 101
+    val fB = mkFile("b.parquet", 10 until 20)  // appended by 102
+    val fD = mkFile("d.parquet", 0 until 20)   // 103 = compaction of A+B
+    val fC = mkFile("c.parquet", 20 until 30)  // appended by 104
+
+    // one-file manifests whose entries INHERIT snapshot attribution
+    // from the list row (added_snapshot_id), like reused manifests do
+    def mkManifest(name: String, f: Path): Path = {
+      val out = metaDir.resolve(name)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](entrySchema))
+      w.setMeta("format-version", "2")
+      w.create(entrySchema, out.toFile)
+      try {
+        val dfS = entrySchema.getField("data_file").schema()
+        val df = new GenericData.Record(dfS)
+        df.put("content", 0)
+        df.put("file_path", f.toUri.toString)
+        df.put("file_format", "PARQUET")
+        df.put("partition",
+          new GenericData.Record(dfS.getField("partition").schema()))
+        df.put("record_count", 10L)
+        df.put("file_size_in_bytes", Files.size(f))
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1)
+        e.put("data_file", df)
+        w.append(e)
+      } finally w.close()
+      out
+    }
+    val mA = mkManifest("mA.avro", fA)
+    val mB = mkManifest("mB.avro", fB)
+    val mD = mkManifest("mD.avro", fD)
+    val mC = mkManifest("mC.avro", fC)
+
+    // per-row added_snapshot_id — the attribution the scan follows
+    def mkList(name: String, rows: Seq[(Path, Long)]): Path = {
+      val out = metaDir.resolve(name)
+      val lw = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](listSchema))
+      lw.setMeta("format-version", "2")
+      lw.create(listSchema, out.toFile)
+      try rows.foreach { case (p, addedBy) =>
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", p.toUri.toString)
+        r.put("manifest_length", Files.size(p))
+        r.put("partition_spec_id", 0)
+        r.put("content", 0)
+        r.put("sequence_number", 1L)
+        r.put("min_sequence_number", 1L)
+        r.put("added_snapshot_id", addedBy)
+        r.put("added_files_count", 1)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", 10L)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        lw.append(r)
+      } finally lw.close()
+      out
+    }
+    val l101 = mkList("l101.avro", Seq((mA, 101L)))
+    val l102 = mkList("l102.avro", Seq((mA, 101L), (mB, 102L)))
+    val l103 = mkList("l103.avro", Seq((mD, 103L)))
+    val l104 = mkList("l104.avro", Seq((mD, 103L), (mC, 104L)))
+    val l105 = mkList("l105.avro", Seq((mD, 103L), (mC, 104L)))
+
+    def snapJson(id: Long, parent: Option[Long], op: String,
+        list: Path): String =
+      s"""{"snapshot-id":$id,""" +
+        parent.map(p => s""""parent-snapshot-id":$p,""").getOrElse("") +
+        s""""sequence-number":1,"timestamp-ms":$id,""" +
+        s""""summary":{"operation":"$op"},""" +
+        s""""manifest-list":"${list.toUri.toString}","schema-id":0}"""
+    val metaPath = metaDir.resolve("v1.metadata.json")
+    Files.writeString(metaPath,
+      s"""{"format-version":2,"table-uuid":"00000000-0000-0000-0000-000000000055",
+         |"location":"${root.toUri.toString.stripSuffix("/")}",
+         |"last-sequence-number":1,"last-updated-ms":0,"last-column-id":2,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"id","required":false,"type":"int"},
+         |{"id":2,"name":"v","required":false,"type":"string"}]}],
+         |"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"last-partition-id":999,
+         |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,
+         |"properties":{},"current-snapshot-id":105,
+         |"snapshots":[
+         |${snapJson(101, None, "append", l101)},
+         |${snapJson(102, Some(101), "append", l102)},
+         |${snapJson(103, Some(102), "replace", l103)},
+         |${snapJson(104, Some(103), "append", l104)},
+         |${snapJson(105, Some(104), "overwrite", l105)}],
+         |"snapshot-log":[],"metadata-log":[]}""".stripMargin
+        .replaceAll("\n", ""))
+
+    def ids(from: Option[Long], to: Option[Long]): Seq[Int] =
+      IcebergImport.readChanges(spark, metaPath.toString, from, to)
+        .orderBy("id").collect().map(_.getInt(0)).toSeq
+
+    // (101, 104]: B appended by 102, C by 104; the 103 compaction is
+    // SKIPPED — D's rows are A+B rewritten, not new
+    ids(Some(101L), Some(104L)) shouldBe (10 until 30)
+    // beginning → 102: A + B
+    ids(None, Some(102L)) shouldBe (0 until 20)
+    // (102, 104]: C only
+    ids(Some(102L), Some(104L)) shouldBe (20 until 30)
+    // crossing the overwrite snapshot refuses loudly
+    val e1 = intercept[UnsupportedOperationException] {
+      IcebergImport.changesPlan(metaPath.toString, Some(101L), Some(105L))
+    }
+    e1.getMessage should include("overwrite")
+    // from not an ancestor of to refuses
+    intercept[IllegalArgumentException] {
+      IcebergImport.changesPlan(metaPath.toString, Some(104L), Some(102L))
+    }
+
+    // the CALL registers a temp view over the incremental read
+    val out = spark.sql(s"CALL g.system.iceberg_import_changes(" +
+      s"'$metaPath', 'ice_chg_v', from_snapshot => 101, " +
+      "to_snapshot => 104)").collect().head
+    out.getString(0) shouldBe "ice_chg_v"
+    out.getInt(1) shouldBe 2 // fB + fC
+    spark.sql("SELECT count(*) FROM ice_chg_v").collect()
+      .head.getLong(0) shouldBe 20L
   }
 }
