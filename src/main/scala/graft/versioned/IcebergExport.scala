@@ -121,10 +121,18 @@ object IcebergExport {
     * spec's data_file.content: 0 = data, 1 = position deletes, 2 =
     * equality deletes.
     */
+  /** `addedBy` — the exported snapshot id that FIRST contains this
+    * file within the export window (-1 ⇒ attribute to the manifest's
+    * own snapshot). Inline history manifests write it explicitly per
+    * entry (carried files become EXISTING), making exported history an
+    * honest incremental-append source; chunk manifests omit entry ids
+    * entirely and attribute whole chunks via the list row instead.
+    */
   private final case class MEntry(uri: String, rows: Long, size: Long,
       partValues: Map[String, String], content: Int, seq: Long,
       equalityIds: Seq[Int], stats: Option[MStats] = None,
-      format: String = "PARQUET", dv: Option[DvCoord] = None)
+      format: String = "PARQUET", dv: Option[DvCoord] = None,
+      addedBy: Long = -1L)
 
   /** Write Iceberg metadata for `ref:key` under `dest` (a fresh export
     * directory). Returns the path of the written metadata JSON. This
@@ -168,10 +176,17 @@ object IcebergExport {
     * graft history. History covers the longest eligible suffix of the
     * chain: it stops at a schema or partition-spec change (the export
     * carries ONE schema), at a version whose files were vacuumed away,
-    * or at the table's creation. Every exported snapshot lists its
-    * files as ADDED by itself — correct for reads and time travel;
-    * Iceberg changelog/incremental consumers should diff snapshots
-    * instead of trusting the added/existing split.
+    * or at the table's creation. Added/existing attribution is real
+    * (r10): inline manifests stamp per-entry ADDED-vs-EXISTING with the
+    * adding snapshot's id (files carried from an older exported version
+    * never re-read as new), and chunk manifests attribute whole reused
+    * chunks via the list row — so incremental append consumers
+    * ([[IcebergImport.readChanges]] included) see exactly the appended
+    * rows, except that an append-fast-path TAIL chunk rewrite still
+    * attributes its carried entries to the rewriting snapshot (bounded
+    * over-report: one chunk's worth; entries inside shared chunk bytes
+    * cannot carry window-dependent ids without breaking cross-emission
+    * reuse).
     */
   def export(repo: GraftRepo, ref: String, key: String, dest: Path,
       spark: Option[SparkSession], maxSnapshots: Int): Path =
@@ -320,6 +335,10 @@ object IcebergExport {
     // applies across partitions by construction. Everything else
     // (range/string predicates) takes the positional path, which
     // re-evaluates predicates per file and needs a session.
+    // oldest exported version that contains each file path — inline
+    // manifests stamp it per entry so carried-over files read as
+    // EXISTING, not re-ADDED, for incremental append consumers
+    val firstSeen = scala.collection.mutable.Map.empty[String, Long]
     val artifacts: Seq[SnapArtifacts] = history.reverse.map { case (c, h) =>
       // 64-bit name-UUID of the graft snapshot sha — stable across
       // exports of the same snapshot (needed BEFORE the delete writers:
@@ -350,7 +369,8 @@ object IcebergExport {
         // snapshot's estimate is not good enough here)
         MEntry(repo.dataIO.uriOf(f.path), f.rows, repo.dataIO.size(f.path),
           f.partValues, 0,
-          f.seqNo + 1, Nil, Some(fileStats(f, phys)))
+          f.seqNo + 1, Nil, Some(fileStats(f, phys)),
+          addedBy = firstSeen.getOrElseUpdate(f.path, sid))
       }
       val deleteEntries = (eqDeletes ++ posDeletes).map(d =>
         MEntry(dest.uriOf(d.rel), d.rows, d.size, d.partValues,
@@ -414,8 +434,10 @@ object IcebergExport {
             icebergSchemaJson(phys), specFields, srcTypeOf, specFieldsJson, v,
             manifestContent = "data", specId = 0)
           dest.writeAtomic(rel, bytes)
-          Seq(MRow(rel, bytes.length.toLong, 0, a.dataEntries.size, 0,
-            a.dataEntries.map(_.rows).sum, 0L, snapSeq,
+          val (added, carried) =
+            a.dataEntries.partition(_.addedBy == a.snapshotId)
+          Seq(MRow(rel, bytes.length.toLong, 0, added.size, carried.size,
+            added.map(_.rows).sum, carried.map(_.rows).sum, snapSeq,
             a.dataEntries.map(_.seq).minOption.getOrElse(1L), 0, a.snapshotId))
         } else {
           // one Iceberg manifest per graft chunk, content-addressed off
@@ -1540,8 +1562,19 @@ object IcebergExport {
           df.put("equality_ids",
             java.util.List.of(me.equalityIds.map(Int.box): _*))
         val e = new GenericData.Record(entrySchema)
-        e.put("status", 1) // ADDED in the snapshot the list attributes
-        entrySnapshotId.foreach(id => e.put("snapshot_id", Long.box(id)))
+        entrySnapshotId match {
+          case None =>
+            // chunk manifests omit entry ids: readers inherit ADDED-by
+            // from the list row (the spec's inheritance rule)
+            e.put("status", 1)
+          case Some(sid) =>
+            // explicit attribution: files first seen by an OLDER
+            // exported version are EXISTING here, so incremental
+            // append consumers never re-read carried-over files
+            val adder = if (me.addedBy == -1L) sid else me.addedBy
+            e.put("status", if (adder == sid) 1 else 0)
+            e.put("snapshot_id", Long.box(adder))
+        }
         if (v >= 2) {
           // explicit per-entry sequences (graft commit seq + 1): the
           // strictly-older equality rule and the at-or-older positional
