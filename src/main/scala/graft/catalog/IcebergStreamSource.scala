@@ -1,0 +1,248 @@
+package graft.catalog
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.graftbridge
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.versioned.{IcebergImport, Json}
+
+/** Structured-Streaming source over an EXTERNAL Apache Iceberg table —
+  * the continuous leg of the consumer-side interop (batch =
+  * `CALL iceberg_import`, incremental = `CALL iceberg_import_changes`,
+  * streaming = this):
+  *
+  * {{{
+  * spark.readStream.format("iceberg-changes").load("/path/to/dest")
+  * }}}
+  *
+  * `load` takes the table directory (resolved through
+  * `metadata/version-hint.text` EVERY trigger, so a sync-mode dest that
+  * keeps appending metadata versions streams live) or a pinned
+  * `vN.metadata.json` (static — emits once and waits). Offsets name an
+  * immutable (metadata location, file index) position in that
+  * snapshot's deterministic MONOTONE file order (first-appearance
+  * version, then sequence, then path — see `ordered`; new files always
+  * sort last, so a consumed set is a prefix of every later version's
+  * order even under rate caps) — the same exactly-once design as
+  * graft's own table stream ([[GraftMicroBatchStream]]): consumption
+  * is tracked by PATH via the offset snapshot's metadata, never a
+  * directory listing or wall clock. Replayable as long as consumed
+  * metadata versions exist
+  * (`CALL iceberg_export_expire` with a retention shorter than consumer
+  * lag breaks resumability — the standard streaming-read retention
+  * contract).
+  *
+  * APPEND-ONLY contract, loud on violation: a snapshot carrying DELETE
+  * files (MoR tombstones, CDC deletes) REFUSES by default — emitting
+  * raw file rows would resurrect deleted rows for a downstream that
+  * cannot retract. `skipDeletes=true` opts into raw-append semantics
+  * (rows of added data files, deletes ignored — the contract of
+  * graft's own stream over MoR tables). Data files must be parquet
+  * (the format every [[graft.versioned.IcebergExport]] dest has);
+  * ORC/AVRO data files refuse rather than mis-read.
+  *
+  * Reference surface: lakefs-iceberg-catalog dests are plain Iceberg
+  * tables external engines poll (`LakeFSTableOperations.java:115-147`);
+  * this source is the Spark-native continuous poll.
+  */
+final class IcebergChangesProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "iceberg-changes"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    IcebergImport.plan(IcebergChangesProvider.location(options), None).schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new IcebergChangesTable(
+      IcebergChangesProvider.location(new CaseInsensitiveStringMap(properties)),
+      schema)
+}
+
+private object IcebergChangesProvider {
+  def location(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      "iceberg-changes needs a path: .load(<table dir or metadata json>)"))
+}
+
+final class IcebergChangesTable(loc: String, schema0: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"iceberg-changes($loc)"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.Set.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = schema0
+      override def toMicroBatchStream(checkpointLocation: String)
+          : MicroBatchStream =
+        new IcebergChangesMicroBatchStream(loc, schema0,
+          Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+          startFromLatest =
+            options.getOrDefault("startFrom", "earliest") == "latest",
+          skipDeletes =
+            options.getOrDefault("skipDeletes", "false").toBoolean)
+    }
+}
+
+/** Offset: the metadata location whose snapshot's first `idx` files (in
+  * (sequence, path) order) are consumed. `meta == ""` ⇒ nothing yet.
+  */
+final case class IcebergChangesOffset(meta: String, idx: Int) extends Offset {
+  override def json(): String = Json.write(Map("meta" -> meta, "idx" -> idx))
+}
+
+final class IcebergChangesMicroBatchStream(loc: String, schema: StructType,
+    maxFilesPerTrigger: Option[Int], startFromLatest: Boolean,
+    skipDeletes: Boolean) extends MicroBatchStream
+    with SupportsAdmissionControl {
+
+  // ---- deterministic MONOTONE file order --------------------------------
+  // (meta, idx) offsets are sound only if a consumed set is always a
+  // PREFIX of every later version's order — otherwise a rate-capped
+  // offset silently drops consumed files that sort past the cap point
+  // and re-emits them. Entry sequence numbers don't give that (v1
+  // metadata has none), so files order by the metadata VERSION in which
+  // their path first appeared (replayed incrementally over the dest's
+  // retained `v<K>.metadata.json` files in ascending K — a pure
+  // function of the dest, identical across stream restarts), then by
+  // (sequence, path) within a version. New files always sort last ⇒
+  // prefix invariant holds. If `iceberg_export_expire` drops versions,
+  // later replays start at the oldest retained one — deterministic for
+  // a given retained set; expiring versions a checkpointed offset still
+  // depends on breaks resumability (the documented retention contract).
+
+  private val VersionRe = """v(\d+)\.metadata\.json$""".r
+  private def versionOf(metaLoc: String): Int =
+    VersionRe.findFirstMatchIn(metaLoc).map(_.group(1).toInt).getOrElse(0)
+  private def versionLoc(metaLoc: String, k: Int): String =
+    VersionRe.replaceFirstIn(metaLoc, s"v$k.metadata.json")
+
+  /** path → version that first listed it; grown monotonically. */
+  private val firstSeen = scala.collection.mutable.Map.empty[String, Int]
+  private var builtThrough = 0
+  private val orderCache =
+    new java.util.LinkedHashMap[String, IndexedSeq[IcebergImport.DataFile]](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, IndexedSeq[IcebergImport.DataFile]]): Boolean =
+        size() > 4
+    }
+
+  private def planOf(metaLoc: String): IcebergImport.Plan = {
+    val p = IcebergImport.plan(metaLoc, None)
+    if (p.deleteFiles.nonEmpty && !skipDeletes)
+      throw new UnsupportedOperationException(
+        s"$metaLoc has ${p.deleteFiles.size} delete file(s); an " +
+          "append-only stream would resurrect deleted rows. Read it " +
+          "via CALL iceberg_import, or set skipDeletes=true for " +
+          "raw-append semantics (added files, deletes ignored)")
+    p.dataFiles.foreach(f => require(f.format == "PARQUET",
+      s"iceberg-changes streams parquet data files only; " +
+        s"${f.format} at ${f.path} — read via CALL iceberg_import"))
+    p
+  }
+
+  private def ordered(metaLoc: String): IndexedSeq[IcebergImport.DataFile] =
+    orderCache.synchronized {
+      val hit = orderCache.get(metaLoc)
+      if (hit != null) return hit
+      val v = versionOf(metaLoc)
+      // replay intermediate retained versions so first-appearance
+      // assignment is version-ordered (each version planned once per
+      // stream lifetime; metadata files are immutable once written)
+      ((builtThrough + 1) until v).foreach { k =>
+        val loc = versionLoc(metaLoc, k)
+        try planOf(loc).dataFiles.foreach(f =>
+          firstSeen.getOrElseUpdate(f.path, k))
+        catch { case _: java.io.FileNotFoundException |
+          _: java.nio.file.NoSuchFileException => () } // expired version
+      }
+      val p = planOf(metaLoc)
+      p.dataFiles.foreach(f => firstSeen.getOrElseUpdate(f.path, v))
+      builtThrough = math.max(builtThrough, v)
+      val out = p.dataFiles
+        .sortBy(f => (firstSeen(f.path), f.seq, f.path)).toIndexedSeq
+      orderCache.put(metaLoc, out)
+      out
+    }
+
+  private def currentMetaLoc: String = IcebergImport.resolveMetadataLoc(loc)
+
+  private def offsetOf(o: Offset): IcebergChangesOffset = o match {
+    case i: IcebergChangesOffset => i
+    case other =>
+      deserializeOffset(other.json()).asInstanceOf[IcebergChangesOffset]
+  }
+
+  private def consumedPaths(o: IcebergChangesOffset): Set[String] =
+    if (o.meta.isEmpty) Set.empty
+    else ordered(o.meta).take(o.idx).iterator.map(_.path).toSet
+
+  override def initialOffset(): Offset =
+    if (!startFromLatest) IcebergChangesOffset("", 0)
+    else {
+      val m = currentMetaLoc
+      IcebergChangesOffset(m, ordered(m).size)
+    }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "IcebergChangesMicroBatchStream uses latestOffset(Offset, ReadLimit)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val m = currentMetaLoc
+    val all = ordered(m)
+    val consumed = consumedPaths(offsetOf(start))
+    val cap = limit match {
+      case f: ReadMaxFiles => f.maxFiles()
+      case _ => Int.MaxValue
+    }
+    var idx = 0
+    var admitted = 0
+    while (idx < all.size && admitted < cap) {
+      if (!consumed(all(idx).path)) admitted += 1
+      idx += 1
+    }
+    while (idx < all.size && consumed(all(idx).path)) idx += 1
+    if (admitted == 0) start else IcebergChangesOffset(m, idx)
+  }
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val endO = offsetOf(end)
+    if (endO.meta.isEmpty) return Array.empty
+    val consumed = consumedPaths(offsetOf(start))
+    val batch = ordered(endO.meta).take(endO.idx)
+      .filterNot(f => consumed(f.path))
+    if (batch.isEmpty) return Array.empty
+    scanFor(batch.map(_.path)).toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scanFor(Nil).toBatch.createReaderFactory()
+
+  private def scanFor(paths: Seq[String]) =
+    graftbridge.ParquetReadBridge.scan(
+      SparkSession.active,
+      paths.map(p => new org.apache.hadoop.fs.Path(
+        if (p.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) p
+        else new java.io.File(p).toURI.toString)),
+      schema, schema, Array.empty)
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = Json.readAny(json).asInstanceOf[Map[String, Any]]
+    IcebergChangesOffset(m("meta").asInstanceOf[String],
+      m("idx").asInstanceOf[Number].intValue())
+  }
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"IcebergChangesMicroBatchStream($loc)"
+}
