@@ -325,7 +325,7 @@ private[catalog] object GraftProcedures {
           val sid = Some(in.getLong(2)).filter(_ != 0L)
           val s = org.apache.spark.sql.SparkSession.active
           val plan = graft.versioned.IcebergImport.plan(mp, sid)
-          graft.versioned.IcebergImport.read(s, mp, sid)
+          graft.versioned.IcebergImport.readPlan(s, plan)
             .createOrReplaceTempView(view)
           Seq(UTF8String.fromString(view), plan.dataFiles.size,
             plan.deleteFiles.size)
@@ -351,7 +351,7 @@ private[catalog] object GraftProcedures {
           val to = Some(in.getLong(3)).filter(_ != 0L)
           val s = org.apache.spark.sql.SparkSession.active
           val plan = graft.versioned.IcebergImport.changesPlan(mp, from, to)
-          graft.versioned.IcebergImport.readChanges(s, mp, from, to)
+          graft.versioned.IcebergImport.readPlan(s, plan)
             .createOrReplaceTempView(view)
           Seq(UTF8String.fromString(view), plan.dataFiles.size)
         }))

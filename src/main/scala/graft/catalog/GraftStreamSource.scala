@@ -2,7 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.Offset
 import org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.types.StructType
@@ -53,9 +53,9 @@ final class GraftMicroBatchStream(
     schema: StructType,
     required: StructType,
     pushed: Array[sources.Filter],
-    maxFilesPerTrigger: Option[Int],
-    startFromLatest: Boolean) extends MicroBatchStream
-    with SupportsAdmissionControl
+    protected val maxFilesPerTrigger: Option[Int],
+    protected val startFromLatest: Boolean)
+    extends PrefixFileStream[FileEntry]
     with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
 
   // logical->physical resolution is pinned at stream start: physical
@@ -70,21 +70,38 @@ final class GraftMicroBatchStream(
     val c = repo.headCommit(branch)
     val id = c.tables.getOrElse(key, throw new NoSuchElementException(
       s"streaming source: table $key no longer exists on branch '$branch'"))
-    repo.snapshot(id)
+    snapOf(id)
   }
+
+  // one-slot snapshot memo: currentToken loads the head snapshot and
+  // orderedAt immediately re-resolves the same id (base-class flow)
+  @volatile private var snapCache: Snapshot = startSnap
+  private def snapOf(id: String): Snapshot =
+    if (id == startSnap.id) startSnap
+    else {
+      val c = snapCache
+      if (c.id == id) c
+      else { val s = repo.snapshot(id); snapCache = s; s }
+    }
 
   /** Deterministic stream order: (commit sequence, path). Append-only
     * growth extends the order at the tail, so a consumed prefix stays a
     * prefix; rewrites shift positions, which the path-set difference in
-    * [[planInputPartitions]] absorbs (consumption is tracked by PATH,
-    * the index is just a compact cursor into an immutable snapshot).
+    * [[PrefixFileStream.batchFiles]] absorbs (consumption is tracked by
+    * PATH, the index is just a compact cursor into an immutable
+    * snapshot).
     */
-  private def ordered(s: Snapshot): IndexedSeq[FileEntry] =
-    s.files.sortBy(f => (f.seqNo, f.path)).toIndexedSeq
+  override protected def orderedAt(token: String): IndexedSeq[FileEntry] =
+    snapOf(token).files.sortBy(f => (f.seqNo, f.path)).toIndexedSeq
 
-  private def offsetOf(o: Offset): GraftStreamOffset = o match {
-    case g: GraftStreamOffset => g
-    case other => parse(other.json())
+  override protected def pathOf(f: FileEntry): String = f.path
+  override protected def currentToken: String = headSnap.id
+  override protected def initialToken: String = startSnap.id
+  override protected def mkOffset(token: String, idx: Int): Offset =
+    GraftStreamOffset(token, idx)
+  override protected def tokenIdx(o: Offset): (String, Int) = o match {
+    case g: GraftStreamOffset => (g.snap, g.idx)
+    case other => val g = parse(other.json()); (g.snap, g.idx)
   }
 
   private def parse(json: String): GraftStreamOffset = {
@@ -93,53 +110,8 @@ final class GraftMicroBatchStream(
       m("idx").asInstanceOf[Number].intValue())
   }
 
-  /** Paths consumed at an offset — the first `idx` files of the offset
-    * snapshot's stream order. Replayable: snapshots are immutable.
-    */
-  private def consumedPaths(o: GraftStreamOffset): Set[String] =
-    if (o.snap.isEmpty) Set.empty
-    else {
-      val s = if (o.snap == startSnap.id) startSnap else repo.snapshot(o.snap)
-      ordered(s).take(o.idx).iterator.map(_.path).toSet
-    }
-
-  override def initialOffset(): Offset =
-    if (startFromLatest) GraftStreamOffset(startSnap.id, startSnap.files.size)
-    else GraftStreamOffset("", 0)
-
-  override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
-
-  override def latestOffset(): Offset =
-    throw new UnsupportedOperationException(
-      "GraftMicroBatchStream uses latestOffset(Offset, ReadLimit)")
-
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = headSnap
-    val consumed = consumedPaths(offsetOf(start))
-    val all = ordered(s)
-    val cap = limit match {
-      case f: ReadMaxFiles => f.maxFiles()
-      case _ => Int.MaxValue
-    }
-    var idx = 0
-    var admitted = 0
-    while (idx < all.size && admitted < cap) {
-      if (!consumed(all(idx).path)) admitted += 1
-      idx += 1
-    }
-    // absorb already-consumed trailing files so a caught-up offset is
-    // exactly (head, |files|) — keeps offsets canonical across triggers
-    while (idx < all.size && consumed(all(idx).path)) idx += 1
-    if (admitted == 0) start else GraftStreamOffset(s.id, idx)
-  }
-
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val endO = offsetOf(end)
-    if (endO.snap.isEmpty) return Array.empty
-    val endSnap = if (endO.snap == startSnap.id) startSnap else repo.snapshot(endO.snap)
-    val consumed = consumedPaths(offsetOf(start))
-    val batch = ordered(endSnap).take(endO.idx).filterNot(f => consumed(f.path))
+    val batch = batchFiles(start, end)
     // static pushed-filter stats pruning: a pruned file is still CONSUMED
     // (offsets advance by position), it just isn't read
     val live = batch.filter(f => physFilters.forall(pf =>
@@ -165,16 +137,14 @@ final class GraftMicroBatchStream(
   override def metrics(latestConsumed: java.util.Optional[Offset])
       : java.util.Map[String, String] = {
     val consumed =
-      if (latestConsumed.isPresent) consumedPaths(offsetOf(latestConsumed.get))
+      if (latestConsumed.isPresent) consumedPaths(latestConsumed.get)
       else Set.empty[String]
-    val behind = ordered(headSnap).filterNot(f => consumed(f.path))
+    val behind = orderedAt(currentToken).filterNot(f => consumed(f.path))
     java.util.Map.of(
       "filesBehindHead", behind.size.toString,
       "bytesBehindHead", behind.map(_.sizeBytes(bytesPerRow = 64L)).sum.toString)
   }
 
   override def deserializeOffset(json: String): Offset = parse(json)
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
   override def toString: String = s"GraftMicroBatchStream($key@$branch)"
 }

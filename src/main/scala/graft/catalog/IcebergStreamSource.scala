@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -98,9 +98,9 @@ final case class IcebergChangesOffset(meta: String, idx: Int) extends Offset {
 }
 
 final class IcebergChangesMicroBatchStream(loc: String, schema: StructType,
-    maxFilesPerTrigger: Option[Int], startFromLatest: Boolean,
-    skipDeletes: Boolean) extends MicroBatchStream
-    with SupportsAdmissionControl {
+    protected val maxFilesPerTrigger: Option[Int],
+    protected val startFromLatest: Boolean,
+    skipDeletes: Boolean) extends PrefixFileStream[IcebergImport.DataFile] {
 
   // ---- deterministic MONOTONE file order --------------------------------
   // (meta, idx) offsets are sound only if a consumed set is always a
@@ -133,6 +133,20 @@ final class IcebergChangesMicroBatchStream(loc: String, schema: StructType,
         size() > 4
     }
 
+  /** parquet data paths already proven free of field-id/name drift
+    * (schema is pinned at stream start, so one probe per file suffices
+    * for the stream's lifetime).
+    */
+  private val bindChecked = scala.collection.mutable.Set.empty[String]
+
+  /** Plan of the version being EMITTED, with every contract enforced:
+    * delete refusal (unless skipDeletes), parquet-only data, and
+    * name-bindability — this stream reads through ONE shared DSv2
+    * reader factory bound by column NAME, so a file whose footer ids
+    * say a schema column lives under a renamed physical name must
+    * refuse rather than silently null-fill (the batch import
+    * field-id-binds instead; point users there).
+    */
   private def planOf(metaLoc: String): IcebergImport.Plan = {
     val p = IcebergImport.plan(metaLoc, None)
     if (p.deleteFiles.nonEmpty && !skipDeletes)
@@ -144,20 +158,29 @@ final class IcebergChangesMicroBatchStream(loc: String, schema: StructType,
     p.dataFiles.foreach(f => require(f.format == "PARQUET",
       s"iceberg-changes streams parquet data files only; " +
         s"${f.format} at ${f.path} — read via CALL iceberg_import"))
+    val fresh = p.dataFiles.map(_.path).filterNot(bindChecked)
+    IcebergImport.assertNameBindable(SparkSession.active, p, fresh)
+    bindChecked ++= fresh
     p
   }
 
-  private def ordered(metaLoc: String): IndexedSeq[IcebergImport.DataFile] =
+  override protected def orderedAt(metaLoc: String)
+      : IndexedSeq[IcebergImport.DataFile] =
     orderCache.synchronized {
       val hit = orderCache.get(metaLoc)
       if (hit != null) return hit
       val v = versionOf(metaLoc)
       // replay intermediate retained versions so first-appearance
       // assignment is version-ordered (each version planned once per
-      // stream lifetime; metadata files are immutable once written)
+      // stream lifetime; metadata files are immutable once written).
+      // LENIENT plan: replay only needs file paths for ordering — the
+      // emitted-version contracts (delete refusal, parquet-only,
+      // bindability) are [[planOf]]'s and apply to the version actually
+      // read, so a historical version that once carried deletes must
+      // not kill a stream whose head is clean
       ((builtThrough + 1) until v).foreach { k =>
         val loc = versionLoc(metaLoc, k)
-        try planOf(loc).dataFiles.foreach(f =>
+        try IcebergImport.plan(loc, None).dataFiles.foreach(f =>
           firstSeen.getOrElseUpdate(f.path, k))
         catch { case _: java.io.FileNotFoundException |
           _: java.nio.file.NoSuchFileException => () } // expired version
@@ -171,57 +194,22 @@ final class IcebergChangesMicroBatchStream(loc: String, schema: StructType,
       out
     }
 
-  private def currentMetaLoc: String = IcebergImport.resolveMetadataLoc(loc)
-
-  private def offsetOf(o: Offset): IcebergChangesOffset = o match {
-    case i: IcebergChangesOffset => i
+  override protected def pathOf(f: IcebergImport.DataFile): String = f.path
+  override protected def currentToken: String =
+    IcebergImport.resolveMetadataLoc(loc)
+  override protected def mkOffset(token: String, idx: Int): Offset =
+    IcebergChangesOffset(token, idx)
+  override protected def tokenIdx(o: Offset): (String, Int) = o match {
+    case i: IcebergChangesOffset => (i.meta, i.idx)
     case other =>
-      deserializeOffset(other.json()).asInstanceOf[IcebergChangesOffset]
-  }
-
-  private def consumedPaths(o: IcebergChangesOffset): Set[String] =
-    if (o.meta.isEmpty) Set.empty
-    else ordered(o.meta).take(o.idx).iterator.map(_.path).toSet
-
-  override def initialOffset(): Offset =
-    if (!startFromLatest) IcebergChangesOffset("", 0)
-    else {
-      val m = currentMetaLoc
-      IcebergChangesOffset(m, ordered(m).size)
-    }
-
-  override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
-
-  override def latestOffset(): Offset =
-    throw new UnsupportedOperationException(
-      "IcebergChangesMicroBatchStream uses latestOffset(Offset, ReadLimit)")
-
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val m = currentMetaLoc
-    val all = ordered(m)
-    val consumed = consumedPaths(offsetOf(start))
-    val cap = limit match {
-      case f: ReadMaxFiles => f.maxFiles()
-      case _ => Int.MaxValue
-    }
-    var idx = 0
-    var admitted = 0
-    while (idx < all.size && admitted < cap) {
-      if (!consumed(all(idx).path)) admitted += 1
-      idx += 1
-    }
-    while (idx < all.size && consumed(all(idx).path)) idx += 1
-    if (admitted == 0) start else IcebergChangesOffset(m, idx)
+      val i = deserializeOffset(other.json())
+        .asInstanceOf[IcebergChangesOffset]
+      (i.meta, i.idx)
   }
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
-    val endO = offsetOf(end)
-    if (endO.meta.isEmpty) return Array.empty
-    val consumed = consumedPaths(offsetOf(start))
-    val batch = ordered(endO.meta).take(endO.idx)
-      .filterNot(f => consumed(f.path))
+    val batch = batchFiles(start, end)
     if (batch.isEmpty) return Array.empty
     scanFor(batch.map(_.path)).toBatch.planInputPartitions()
   }
@@ -242,7 +230,5 @@ final class IcebergChangesMicroBatchStream(loc: String, schema: StructType,
     IcebergChangesOffset(m("meta").asInstanceOf[String],
       m("idx").asInstanceOf[Number].intValue())
   }
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
   override def toString: String = s"IcebergChangesMicroBatchStream($loc)"
 }

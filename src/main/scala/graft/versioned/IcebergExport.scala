@@ -157,7 +157,7 @@ object IcebergExport {
     */
   private final case class SnapArtifacts(snap: Snapshot, commitTs: Long,
       snapshotId: Long, dataEntries: Seq[MEntry], deleteEntries: Seq[MEntry],
-      chunkRefs: Seq[ManifestRef])
+      chunkRefs: Seq[ManifestRef], operation: String)
 
   /** One manifest-list row (internal): per-row snapshot attribution and
     * added-vs-existing counts so REUSED chunk manifests stay attributed
@@ -245,19 +245,24 @@ object IcebergExport {
     val headCommit = repo.resolve(ref)
     if (!headCommit.tables.contains(key))
       throw new NoSuchElementException(s"no such table: $key @ $ref")
-    // newest-first distinct table versions along the first-parent chain
+    // newest-first distinct table versions along the first-parent chain,
+    // each paired with the commit that CREATED the version (the oldest
+    // commit carrying its snapshot id), so exported timestamp-ms and the
+    // operation classification below reflect the commit that actually
+    // changed the table, not a later commit that touched other tables
     val versions = {
-      val b = Seq.newBuilder[(Commit, String)]
+      val b = scala.collection.mutable.ListBuffer.empty[(Commit, String)]
       var cur: Option[Commit] = Some(headCommit)
-      var lastSid: Option[String] = None
-      var n = 0
-      while (cur.exists(_.tables.contains(key)) && n < maxSnapshots) {
+      var done = false
+      while (!done && cur.exists(_.tables.contains(key))) {
         val c = cur.get
         val sid = c.tables(key)
-        if (!lastSid.contains(sid)) { b += ((c, sid)); lastSid = Some(sid); n += 1 }
-        cur = c.parents.headOption.map(repo.commit)
+        if (b.lastOption.exists(_._2 == sid)) b(b.size - 1) = (c, sid)
+        else if (b.size < maxSnapshots) b += ((c, sid))
+        else done = true
+        if (!done) cur = c.parents.headOption.map(repo.commit)
       }
-      b.result()
+      b.toSeq
     }
     val snap = repo.snapshot(versions.head._2)
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
@@ -339,6 +344,10 @@ object IcebergExport {
     // manifests stamp it per entry so carried-over files read as
     // EXISTING, not re-ADDED, for incremental append consumers
     val firstSeen = scala.collection.mutable.Map.empty[String, Long]
+    // summary-operation classifier state: the previous exported version's
+    // live paths + tombstone signature (see `operation` below)
+    var prevPaths: Option[Set[String]] = None
+    var prevTombSig: Option[Set[(Long, String)]] = None
     val artifacts: Seq[SnapArtifacts] = history.reverse.map { case (c, h) =>
       // 64-bit name-UUID of the graft snapshot sha — stable across
       // exports of the same snapshot (needed BEFORE the delete writers:
@@ -375,8 +384,36 @@ object IcebergExport {
       val deleteEntries = (eqDeletes ++ posDeletes).map(d =>
         MEntry(dest.uriOf(d.rel), d.rows, d.size, d.partValues,
           d.content, d.seq, d.equalityIds, format = d.format, dv = d.dv))
+      // Iceberg summary.operation — the contract incremental append
+      // consumers (changesPlan, Spark's incremental scan) key on:
+      //  - "append": every prior live file retained, no new tombstones —
+      //    the ADDED files are genuinely new rows;
+      //  - "replace": a compaction rewrite (files replaced / tombstones
+      //    materialized, LOGICAL rows unchanged) — consumers skip it, so
+      //    rewritten rows are never double-counted. Claimed ONLY for
+      //    graft's own `compact` commits (message is hardcoded by
+      //    TableOps.compact) — a wrong "replace" would silently DROP
+      //    changed rows, so everything unprovable falls through to
+      //  - "overwrite": rows were deleted or rewritten (CoW
+      //    update/delete, truncate, MoR tombstone added) — consumers
+      //    crossing it refuse loudly.
+      val curPaths = h.files.map(_.path).toSet
+      val tombSig = Tombstones.signature(h)
+      val operation = prevPaths match {
+        case None =>
+          if (deleteEntries.nonEmpty) "overwrite" else "append"
+        case Some(prev) =>
+          val filesRemoved = !prev.forall(curPaths.contains)
+          val tombsChanged = !prevTombSig.contains(tombSig)
+          if ((filesRemoved || tombsChanged) && c.message == s"compact $key")
+            "replace"
+          else if (filesRemoved || tombsChanged) "overwrite"
+          else "append"
+      }
+      prevPaths = Some(curPaths)
+      prevTombSig = Some(tombSig)
       SnapArtifacts(h, c.ts, sid, dataEntries, deleteEntries,
-        h.manifestRefs)
+        h.manifestRefs, operation)
     }
     // v1 when nothing needs v2: widest reader compatibility (all live
     // tombstones pruned away by stats/blooms also land here). Segmented
@@ -524,10 +561,11 @@ object IcebergExport {
       if (v >= 3) snapMap.put("first-row-id", snapFirstRowId)
       snapMap.put("timestamp-ms", a.commitTs)
       val summary = new java.util.LinkedHashMap[String, Any]
-      // a delete-bearing snapshot is NOT an append: incremental append
-      // consumers filter on operation and would misclassify it
-      summary.put("operation",
-        if (a.deleteEntries.nonEmpty) "overwrite" else "append")
+      // classified in pass 1 (append / replace / overwrite) — incremental
+      // append consumers filter on it, so a rewrite must never read as an
+      // append (double-counted rows) and a compaction reads as "replace"
+      // (skipped, per the spec)
+      summary.put("operation", a.operation)
       // added-* reflect THIS snapshot's additions (chunk reuse makes the
       // distinction real); total-* carry the full live state
       summary.put("added-data-files", dataRows.map(_.addedFiles).sum.toString)

@@ -299,31 +299,68 @@ object IcebergImport {
     val (v, schema, idToName) = parseHeader(meta)
     val snaps = Option(meta.get("snapshots")).map(
       _.elements().asScala.toSeq).getOrElse(Nil)
-    def node(id: Long) = snaps.find(_.get("snapshot-id").asLong() == id)
+    def nodeOpt(id: Long) = snaps.find(_.get("snapshot-id").asLong() == id)
+    def node(id: Long) = nodeOpt(id)
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot-id $id not in snapshots"))
     val headId = toId.orElse(Option(meta.get("current-snapshot-id"))
       .map(_.asLong()).filter(_ != -1L))
     if (headId.isEmpty) return Plan(v, schema, idToName, Nil, Nil)
 
-    // parent walk newest → oldest, stopping AT fromId (exclusive)
-    val range = Seq.newBuilder[com.fasterxml.jackson.databind.JsonNode]
+    // parent walk newest → oldest, stopping AT fromId (exclusive). A
+    // parent id that is no longer in `snapshots` marks the expiration
+    // boundary (expireSnapshots never rewrites the oldest retained
+    // snapshot's parent pointer) — crossing it means the range's appends
+    // are not reconstructible, which REFUSES with the retention story
+    // spelled out rather than a bare "not in snapshots" crash.
+    val range = scala.collection.mutable.ListBuffer
+      .empty[com.fasterxml.jackson.databind.JsonNode]
     var cur: Option[com.fasterxml.jackson.databind.JsonNode] =
       Some(node(headId.get))
+    var expiredParent: Option[Long] = None
     while (cur.isDefined &&
         !fromId.contains(cur.get.get("snapshot-id").asLong())) {
       range += cur.get
-      cur = Option(cur.get.get("parent-snapshot-id")).map(p => node(p.asLong()))
+      val pid = Option(cur.get.get("parent-snapshot-id"))
+        .filterNot(_.isNull).map(_.asLong())
+      cur = pid.flatMap(nodeOpt)
+      if (pid.isDefined && cur.isEmpty) expiredParent = pid
+    }
+    if (cur.isEmpty && expiredParent.isDefined) {
+      val oldest = range.last.get("snapshot-id").asLong()
+      throw new IllegalArgumentException(fromId match {
+        case Some(f) =>
+          s"snapshot $f is not a RETAINED ancestor of ${headId.get} — " +
+            s"history before snapshot $oldest was expired (parent " +
+            s"${expiredParent.get} is gone); the appends since $f cannot " +
+            "be reconstructed. Read the full snapshot (iceberg_import) " +
+            s"instead, or scan the retained range with from_snapshot=$oldest"
+        case None =>
+          s"history before snapshot $oldest was expired (parent " +
+            s"${expiredParent.get} is gone), so an appends-since-beginning " +
+            "scan cannot be reconstructed. Read the full snapshot " +
+            "(iceberg_import) instead, or pass " +
+            s"from_snapshot=$oldest for the retained range"
+      })
     }
     if (fromId.isDefined && cur.isEmpty)
       throw new IllegalArgumentException(
         s"snapshot ${fromId.get} is not an ancestor of ${headId.get}")
 
     val data = Seq.newBuilder[DataFile]
-    range.result().reverse.foreach { s => // oldest → newest
+    range.toSeq.reverse.foreach { s => // oldest → newest
       val sid = s.get("snapshot-id").asLong()
+      // `summary` (and its operation) is OPTIONAL in v1 metadata — a
+      // summary-less snapshot might have deleted rows, so defaulting it
+      // to "append" would silently miss deletions. Prove append-only
+      // from the manifest list instead (no delete manifests, no
+      // DELETED-status data entries) and refuse when the proof fails.
       val op = Option(s.get("summary")).flatMap(n => Option(n.get("operation")))
-        .map(_.asText()).getOrElse("append")
+        .filterNot(_.isNull).map(_.asText()).getOrElse {
+          if (provablyAppendOnly(toLocal(s.get("manifest-list").asText())))
+            "append"
+          else "summary-less (and not provably append-only)"
+        }
       op match {
         case "replace" => () // compaction: rewritten rows, nothing new
         case "append" =>
@@ -359,6 +396,29 @@ object IcebergImport {
     Plan(v, schema, idToName, data.result(), Nil)
   }
 
+  /** Append-only proof for a summary-less snapshot: its manifest list
+    * has no delete manifests (content != 0) and no manifest that removed
+    * data files — by `deleted_(data_)files_count` when the (optional)
+    * count is present, by an explicit entry-status scan of the manifest
+    * otherwise. Sound: an append never produces DELETED entries or
+    * delete files; any rewrite/delete does.
+    */
+  private def provablyAppendOnly(manifestListLoc: String): Boolean =
+    readAvro(manifestListLoc).forall { r =>
+      val content = Option(r.getSchema.getField("content"))
+        .map(_ => r.get("content").asInstanceOf[Int]).getOrElse(0)
+      def cnt(n: String): Option[Int] =
+        Option(r.getSchema.getField(n)).flatMap(_ => Option(r.get(n)))
+          .map(_.asInstanceOf[Number].intValue())
+      content == 0 && {
+        cnt("deleted_files_count").orElse(cnt("deleted_data_files_count")) match {
+          case Some(c) => c == 0
+          case None => readAvro(toLocal(r.get("manifest_path").toString))
+            .forall(_.get("status").asInstanceOf[Int] != 2)
+        }
+      }
+    }
+
   /** The rows APPENDED between two snapshots as a DataFrame (see
     * [[changesPlan]] for the contract). One distributed scan over the
     * added files only — O(changed data), never a re-read of the table.
@@ -388,9 +448,11 @@ object IcebergImport {
     readPlan(spark, plan(metadataLoc, snapshotId))
 
   /** The distributed read of an already-planned file set (shared by
-    * [[read]] and [[readChanges]]).
+    * [[read]] and [[readChanges]]; `private[graft]` so callers that
+    * already hold a Plan — e.g. the CALL procedures, which report plan
+    * file counts — don't re-walk the metadata/manifest tree to read it).
     */
-  private def readPlan(spark: SparkSession, p: Plan): DataFrame = {
+  private[graft] def readPlan(spark: SparkSession, p: Plan): DataFrame = {
     val outCols = p.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
     if (p.dataFiles.isEmpty)
       return spark.createDataFrame(
@@ -587,18 +649,13 @@ object IcebergImport {
     */
   private def avroScan(spark: SparkSession, files: Seq[String],
       schema: StructType, nameToId: Map[String, Int]): DataFrame = {
-    val confMap: Map[String, String] = {
-      val c = spark.sessionState.newHadoopConf()
-      c.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
-    }
-    val bc = spark.sparkContext.broadcast(confMap)
+    val bc = broadcastHadoopConf(spark)
     val canonical = files.map(f =>
       if (hasScheme(f)) f else normStr(new java.io.File(f).getAbsolutePath))
     val rdd = spark.sparkContext
       .parallelize(canonical, canonical.size)
       .flatMap { path =>
-        val conf = new org.apache.hadoop.conf.Configuration(false)
-        bc.value.foreach { case (k, v) => conf.set(k, v) }
+        val conf = rebuildHadoopConf(bc.value)
         val rd = new DataFileReader[GenericRecord](
           new org.apache.avro.mapred.FsInput(
             new org.apache.hadoop.fs.Path(path), conf),
@@ -631,11 +688,7 @@ object IcebergImport {
     */
   private def dvDeleteRows(spark: SparkSession, dvs: Seq[DeleteFile],
       schema: StructType): DataFrame = {
-    val confMap: Map[String, String] = {
-      val c = spark.sessionState.newHadoopConf()
-      c.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
-    }
-    val bc = spark.sparkContext.broadcast(confMap)
+    val bc = broadcastHadoopConf(spark)
     val payload = dvs.map { d =>
       val r = d.dv.get
       (normStr(r.referencedFile),
@@ -645,8 +698,7 @@ object IcebergImport {
     }
     val rdd = spark.sparkContext.parallelize(payload, payload.size)
       .flatMap { case (ref, puffin, off, len, seq) =>
-        val conf = new org.apache.hadoop.conf.Configuration(false)
-        bc.value.foreach { case (k, v) => conf.set(k, v) }
+        val conf = rebuildHadoopConf(bc.value)
         val hp = new org.apache.hadoop.fs.Path(puffin)
         val fs = hp.getFileSystem(conf)
         val bytes = new Array[Byte](len.toInt)
@@ -920,6 +972,52 @@ object IcebergImport {
         .toMap
       if (ids.isEmpty) None else Some(ids)
     } finally rd.close()
+  }
+
+  /** Serializable snapshot of the session Hadoop conf for executor-side
+    * FS access (Configuration itself does not serialize); rebuild on the
+    * executor with [[rebuildHadoopConf]].
+    */
+  private def broadcastHadoopConf(spark: SparkSession)
+      : org.apache.spark.broadcast.Broadcast[Map[String, String]] = {
+    val c = spark.sessionState.newHadoopConf()
+    spark.sparkContext.broadcast(
+      c.iterator().asScala.map(e => e.getKey -> e.getValue).toMap)
+  }
+
+  private[versioned] def rebuildHadoopConf(
+      m: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    m.foreach { case (k, v) => conf.set(k, v) }
+    conf
+  }
+
+  /** Guard for callers that scan plan parquet files OUTSIDE
+    * [[boundScan]]'s field-id-first binding (the streaming source binds
+    * by NAME through one shared DSv2 reader factory, which cannot switch
+    * physical schemas per file group): if any file's footer ids map a
+    * schema column to a DIFFERENT physical name (external engine renamed
+    * a column after writing), a name-bound scan would silently null-fill
+    * it — refuse loudly instead. Id-less files (every graft export) pass
+    * with a single probe.
+    */
+  private[graft] def assertNameBindable(spark: SparkSession, p: Plan,
+      files: Seq[String]): Unit = {
+    if (files.isEmpty) return
+    if (footerIds(spark, files.head).isEmpty) return // id-less writer
+    val nameToId = p.fieldIdToName.map(_.swap)
+    files.foreach { f =>
+      footerIds(spark, f).foreach { idMap =>
+        val drifted = p.schema.fields.flatMap(sf =>
+          nameToId.get(sf.name).flatMap(idMap.get)
+            .filter(_ != sf.name).map(phys => s"${sf.name} (stored as $phys)"))
+        if (drifted.nonEmpty) throw new UnsupportedOperationException(
+          s"$f stores column(s) ${drifted.mkString(", ")} under a " +
+            "physical name the schema renamed away — a name-bound " +
+            "stream would silently null-fill them. Read via CALL " +
+            "iceberg_import (field-id binding) instead")
+      }
+    }
   }
 
   /** Driver-side twin of [[normPath]] for plan paths ([[toLocal]] output:

@@ -1054,6 +1054,44 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     ids(None, None) shouldBe (0 until 30)
   }
 
+  test("history export classifies summary operations: compaction is " +
+    "'replace' (skipped by incremental consumers — no double count), " +
+    "CoW deletes are 'overwrite' (refused), appends stay 'append'") {
+    sql("CREATE NAMESPACE g.iceop")
+    sql("CREATE NAMESPACE g.iceop.main.db")
+    sql("CREATE TABLE g.iceop.main.db.t (id INT, v DOUBLE)")
+    Seq(0 -> 10, 10 -> 20).foreach { case (a, b) =>
+      sql("INSERT INTO g.iceop.main.db.t SELECT CAST(id AS INT), " +
+        s"CAST(id AS DOUBLE) FROM range($a, $b)")
+    }
+    sql("CALL g.system.compact('iceop', 'main', 'db.t')")
+    sql("INSERT INTO g.iceop.main.db.t SELECT CAST(id AS INT), " +
+      "CAST(id AS DOUBLE) FROM range(20, 30)")
+    sql("DELETE FROM g.iceop.main.db.t WHERE id >= 25") // CoW rewrite
+    val dest = Files.createTempDirectory("ice-ops")
+    val metaPath = sql("CALL g.system.iceberg_export('iceop', 'main', " +
+      s"'db.t', '$dest', snapshots => 5)").collect().head.getString(0)
+    val meta = mapperOf(metaPath)
+    val snaps = meta.get("snapshots").elements().asScala.toSeq // old → new
+    snaps.map(_.get("summary").get("operation").asText()) shouldBe
+      Seq("append", "append", "replace", "append", "overwrite")
+    val sids = snaps.map(_.get("snapshot-id").asLong())
+
+    def ids(from: Option[Long], to: Option[Long]): Seq[Int] =
+      graft.versioned.IcebergImport
+        .readChanges(spark, metaPath, from, to)
+        .orderBy("id").collect().map(_.getInt(0)).toSeq
+    // crossing the compaction must NOT re-emit the rewritten rows
+    ids(Some(sids(0)), Some(sids(3))) shouldBe (10 until 30)
+    ids(Some(sids(1)), Some(sids(3))) shouldBe (20 until 30)
+    ids(None, Some(sids(3))) shouldBe (0 until 30)
+    // crossing the CoW delete refuses loudly — rows were removed
+    val e = intercept[UnsupportedOperationException] {
+      graft.versioned.IcebergImport.changesPlan(metaPath, Some(sids(3)), None)
+    }
+    e.getMessage should include("overwrite")
+  }
+
   test("v3 export: positional tombstones become PUFFIN deletion vectors " +
     "(one blob per dirty data file, spec manifest coordinates, row " +
     "lineage) and the independent import reproduces the graft read") {
