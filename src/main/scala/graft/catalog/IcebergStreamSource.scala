@@ -45,7 +45,13 @@ import graft.versioned.{IcebergImport, Json}
   * raw file rows would resurrect deleted rows for a downstream that
   * cannot retract. `skipDeletes=true` opts into raw-append semantics
   * (rows of added data files, deletes ignored — the contract of
-  * graft's own stream over MoR tables). Data files must be parquet
+  * graft's own stream over MoR tables). Independently of skipDeletes,
+  * a snapshot PAST the stream's resume point that rewrites live data
+  * files — a compaction (`replace`) or a copy-on-write
+  * `overwrite`/`delete` — also refuses loudly: consumption is tracked
+  * by path, so the rewritten rows would re-emit as if new (the batch
+  * analog `changesPlan` skips `replace` via added_snapshot_id
+  * attribution and refuses `overwrite`). Data files must be parquet
   * (the format every [[graft.versioned.IcebergExport]] dest has);
   * ORC/AVRO data files refuse rather than mis-read.
   *
@@ -126,6 +132,89 @@ final class IcebergChangesMicroBatchStream(loc: String, schema: StructType,
   /** path → version that first listed it; grown monotonically. */
   private val firstSeen = scala.collection.mutable.Map.empty[String, Int]
   private var builtThrough = 0
+  /** snapshot ids already classified by the rewrite guard. */
+  private val seenSnaps = scala.collection.mutable.Set.empty[Long]
+  /** Version of the stream's resume point — the first token whose order
+    * this instance materialized (the checkpointed offset on restart, the
+    * head on a fresh start; [[PrefixFileStream.latestOffset]] orders the
+    * calls so). Snapshots first appearing in LATER versions are guarded:
+    * consumption is tracked by PATH, so a snapshot that rewrites
+    * already-consumed files to new paths (compaction `replace`, CoW
+    * `overwrite`) would silently re-emit their rows as if new — the
+    * guard refuses loudly instead (the batch analog: changesPlan skips
+    * `replace` via added_snapshot_id attribution and refuses
+    * `overwrite`). Snapshots at or before the resume point need no
+    * guard: their net effect IS the resume version's live set, emitted
+    * (or checkpoint-consumed) as the initial prefix.
+    */
+  private var guardFrom = Int.MaxValue
+  /** Live data paths of the last version the replay processed — the
+    * version-to-version backstop of the rewrite guard. Snapshot
+    * summaries alone cannot catch a cross-emission rewrite: a sync-mode
+    * emission carries only the current snapshot, which (having no
+    * in-emission parent) classifies as `append` even when it is a
+    * compaction of the previous emission's files. A live path that
+    * DISAPPEARS between consecutive retained versions is the
+    * ground-truth signal that rows were rewritten or deleted.
+    */
+  private var prevLive: Set[String] = null
+
+  /** Refuse when version `k` (past the resume point) removed live data
+    * paths relative to the previously processed version; then advance
+    * the tracked live set.
+    */
+  private def guardLiveSet(paths: Iterable[String], k: Int): Unit = {
+    val cur = paths.toSet
+    if (prevLive != null && k > guardFrom) {
+      val removed = prevLive.diff(cur)
+      if (removed.nonEmpty) throw new UnsupportedOperationException(
+        s"v$k.metadata.json removed ${removed.size} live data file(s) " +
+          s"(e.g. ${removed.head}) — rows were rewritten (compaction, " +
+          "copy-on-write update) or deleted, which an append-only " +
+          "stream tracking consumption by path cannot represent " +
+          "(rewritten rows would re-emit as new). Restart the stream " +
+          "with a fresh checkpoint (re-reads the current live set), or " +
+          "consume via CALL iceberg_import / iceberg_import_changes")
+    }
+    prevLive = cur
+  }
+
+  /** Classify the snapshots of version `k`'s metadata that no earlier
+    * processed version listed; refuse the ones an append-only,
+    * path-tracked stream cannot represent. MoR snapshots that only ADD
+    * delete files pass here — delete-file presence is [[planOf]]'s
+    * contract (refuse unless skipDeletes).
+    */
+  private def guardSnapshots(metaLoc: String, k: Int): Unit =
+    IcebergImport.snapshotInfos(metaLoc).foreach { s =>
+      if (!seenSnaps.contains(s.id)) {
+        // classify BEFORE marking seen: a refused snapshot must refuse
+        // again on the engine's retry, not slip through as already-seen
+        if (k > guardFrom) {
+          val op = s.summaryOp.getOrElse(
+            if (IcebergImport.provablyAppendOnlyAt(s.manifestList)) "append"
+            else "summary-less (and not provably append-only)")
+          lazy val remedy = "an append-only stream tracking consumption " +
+            "by path would re-emit the rewritten rows as new. Restart " +
+            "the stream with a fresh checkpoint (re-reads the current " +
+            "live set), or consume via CALL iceberg_import / " +
+            "iceberg_import_changes"
+          op match {
+            case "append" => ()
+            case "replace" => throw new UnsupportedOperationException(
+              s"snapshot ${s.id} (v$k.metadata.json) is a '$op' — a " +
+                s"compaction rewrote already-streamed rows to new " +
+                s"files; $remedy")
+            case other =>
+              if (IcebergImport.removedDataFiles(s.manifestList))
+                throw new UnsupportedOperationException(
+                  s"snapshot ${s.id} (v$k.metadata.json) is a '$other' " +
+                    s"that removed live data files; $remedy")
+          }
+        }
+        seenSnaps += s.id
+      }
+    }
   private val orderCache =
     new java.util.LinkedHashMap[String, IndexedSeq[IcebergImport.DataFile]](8, 0.75f, true) {
       override def removeEldestEntry(
@@ -167,9 +256,10 @@ final class IcebergChangesMicroBatchStream(loc: String, schema: StructType,
   override protected def orderedAt(metaLoc: String)
       : IndexedSeq[IcebergImport.DataFile] =
     orderCache.synchronized {
+      val v = versionOf(metaLoc)
+      guardFrom = math.min(guardFrom, v)
       val hit = orderCache.get(metaLoc)
       if (hit != null) return hit
-      val v = versionOf(metaLoc)
       // replay intermediate retained versions so first-appearance
       // assignment is version-ordered (each version planned once per
       // stream lifetime; metadata files are immutable once written).
@@ -177,15 +267,26 @@ final class IcebergChangesMicroBatchStream(loc: String, schema: StructType,
       // emitted-version contracts (delete refusal, parquet-only,
       // bindability) are [[planOf]]'s and apply to the version actually
       // read, so a historical version that once carried deletes must
-      // not kill a stream whose head is clean
+      // not kill a stream whose head is clean. The rewrite guard runs
+      // per version though: a replace/overwrite ANYWHERE past the
+      // resume point breaks path-tracked consumption, whether or not
+      // the head still shows its delete files.
       ((builtThrough + 1) until v).foreach { k =>
         val loc = versionLoc(metaLoc, k)
-        try IcebergImport.plan(loc, None).dataFiles.foreach(f =>
-          firstSeen.getOrElseUpdate(f.path, k))
-        catch { case _: java.io.FileNotFoundException |
+        try {
+          guardSnapshots(loc, k)
+          val files = IcebergImport.plan(loc, None).dataFiles
+          guardLiveSet(files.map(_.path), k)
+          files.foreach(f => firstSeen.getOrElseUpdate(f.path, k))
+        } catch { case _: java.io.FileNotFoundException |
           _: java.nio.file.NoSuchFileException => () } // expired version
+        // per-version advance: a guard refusal at version k+1 must not
+        // leave a retry re-diffing older versions against k's live set
+        builtThrough = math.max(builtThrough, k)
       }
+      guardSnapshots(metaLoc, v)
       val p = planOf(metaLoc)
+      guardLiveSet(p.dataFiles.map(_.path), v)
       p.dataFiles.foreach(f => firstSeen.getOrElseUpdate(f.path, v))
       builtThrough = math.max(builtThrough, v)
       val out = p.dataFiles

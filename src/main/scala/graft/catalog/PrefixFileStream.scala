@@ -63,9 +63,13 @@ private[catalog] trait PrefixFileStream[F] extends MicroBatchStream
       s"$toString uses latestOffset(Offset, ReadLimit)")
 
   final override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    // the START token's order materializes BEFORE the head's: subclasses
+    // anchoring per-stream state on the first-seen token (the
+    // iceberg-changes rewrite guard) must observe the checkpointed
+    // position, not the head, as the stream's resume point
+    val consumed = consumedPaths(start)
     val t = currentToken
     val all = orderedAt(t)
-    val consumed = consumedPaths(start)
     val cap = limit match {
       case f: ReadMaxFiles => f.maxFiles()
       case _ => Int.MaxValue

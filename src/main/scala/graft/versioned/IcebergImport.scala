@@ -396,6 +396,60 @@ object IcebergImport {
     Plan(v, schema, idToName, data.result(), Nil)
   }
 
+  /** One snapshot's guard-relevant metadata: id, the summary's operation
+    * (absent in summary-less v1 metadata), and its manifest-list
+    * location — consumed by the `iceberg-changes` streaming guard, which
+    * must classify snapshots it has not seen before without paying a
+    * manifest scan for ordinary appends.
+    */
+  private[graft] final case class SnapshotInfo(id: Long,
+      summaryOp: Option[String], manifestList: String)
+
+  /** Every snapshot listed in the metadata at `metadataLoc` (JSON parse
+    * only — no Avro IO).
+    */
+  private[graft] def snapshotInfos(metadataLoc: String): Seq[SnapshotInfo] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(readStringAt(resolveMetadataLoc(metadataLoc)))
+    Option(meta.get("snapshots")).map(_.elements().asScala.toSeq)
+      .getOrElse(Nil).map { s =>
+        SnapshotInfo(s.get("snapshot-id").asLong(),
+          Option(s.get("summary")).flatMap(n => Option(n.get("operation")))
+            .filterNot(_.isNull).map(_.asText()),
+          toLocal(s.get("manifest-list").asText()))
+      }
+  }
+
+  /** [[provablyAppendOnly]] for callers outside this object (the
+    * streaming guard's fallback classification of summary-less
+    * snapshots).
+    */
+  private[graft] def provablyAppendOnlyAt(manifestListLoc: String): Boolean =
+    provablyAppendOnly(manifestListLoc)
+
+  /** True when the snapshot behind this manifest list removed live DATA
+    * files (DELETED-status entries in a data manifest) — i.e. rows were
+    * rewritten or deleted copy-on-write. Adding delete files does NOT
+    * count (that is the MoR shape, governed separately by delete-file
+    * presence). Checked from the list's `deleted_(data_)files_count`
+    * when present, by an entry-status scan otherwise.
+    */
+  private[graft] def removedDataFiles(manifestListLoc: String): Boolean =
+    readAvro(manifestListLoc).exists { r =>
+      val content = Option(r.getSchema.getField("content"))
+        .map(_ => r.get("content").asInstanceOf[Int]).getOrElse(0)
+      def cnt(n: String): Option[Int] =
+        Option(r.getSchema.getField(n)).flatMap(_ => Option(r.get(n)))
+          .map(_.asInstanceOf[Number].intValue())
+      content == 0 && {
+        cnt("deleted_files_count").orElse(cnt("deleted_data_files_count")) match {
+          case Some(c) => c > 0
+          case None => readAvro(toLocal(r.get("manifest_path").toString))
+            .exists(_.get("status").asInstanceOf[Int] == 2)
+        }
+      }
+    }
+
   /** Append-only proof for a summary-less snapshot: its manifest list
     * has no delete manifests (content != 0) and no manifest that removed
     * data files — by `deleted_(data_)files_count` when the (optional)

@@ -87,6 +87,69 @@ class IcebergStreamSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
       .map(_.getInt(0)).sorted shouldBe Array(1, 2, 3)
   }
 
+  test("a compaction past the stream's resume point refuses loudly " +
+    "(path-tracked consumption would re-emit rewritten rows)") {
+    sql("CREATE NAMESPACE g.ics4")
+    sql("CREATE NAMESPACE g.ics4.main.db")
+    sql("CREATE TABLE g.ics4.main.db.t (id INT, v STRING)")
+    sql("INSERT INTO g.ics4.main.db.t VALUES (1, 'a')")
+    sql("INSERT INTO g.ics4.main.db.t VALUES (2, 'b')")
+    val dest = Files.createTempDirectory("ice-stream-compact")
+    sql(s"CALL g.system.iceberg_export('ics4', 'main', 'db.t', '$dest', " +
+      "sync => true)")
+    val q = spark.readStream.format("iceberg-changes").load(dest.toString)
+      .writeStream.format("memory").queryName("ice_stream_compact")
+      .outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        q.processAllAvailable()
+        spark.table("ice_stream_compact").count() shouldBe 2
+        // a compaction rewrites both consumed files to one new path; the
+        // sync re-emission carries it as a 'replace' snapshot
+        sql("CALL g.system.compact('ics4', 'main', 'db.t')")
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    e.getMessage should (include("removed") and include("rewritten"))
+    // no silent re-emission happened before the refusal
+    spark.table("ice_stream_compact").count() shouldBe 2
+  }
+
+  test("a copy-on-write rewrite past the resume point refuses even " +
+    "under skipDeletes; one BEFORE stream start streams fine") {
+    sql("CREATE NAMESPACE g.ics5")
+    sql("CREATE NAMESPACE g.ics5.main.db")
+    sql("CREATE TABLE g.ics5.main.db.t (id INT, v STRING)")
+    sql("INSERT INTO g.ics5.main.db.t VALUES (1, 'a'), (2, 'b')")
+    // CoW delete BEFORE export/stream start: safe — the initial batch is
+    // the current live set
+    sql("DELETE FROM g.ics5.main.db.t WHERE id = 2")
+    val dest = Files.createTempDirectory("ice-stream-cow")
+    sql(s"CALL g.system.iceberg_export('ics5', 'main', 'db.t', '$dest', " +
+      "sync => true)")
+    val q = spark.readStream.format("iceberg-changes")
+      .option("skipDeletes", "true").load(dest.toString)
+      .writeStream.format("memory").queryName("ice_stream_cow")
+      .outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        q.processAllAvailable()
+        spark.table("ice_stream_cow").select("id").collect()
+          .map(_.getInt(0)) shouldBe Array(1)
+        sql("INSERT INTO g.ics5.main.db.t VALUES (3, 'c')")
+        q.processAllAvailable()
+        spark.table("ice_stream_cow").count() shouldBe 2
+        // CoW update rewrites the file holding id=1 — an overwrite
+        // snapshot that removed live data files
+        sql("UPDATE g.ics5.main.db.t SET v = 'z' WHERE id = 1")
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    e.getMessage should (include("removed") and
+      include("live data file"))
+    spark.table("ice_stream_cow").count() shouldBe 2
+  }
+
   test("a dest with delete files refuses by default; skipDeletes=true " +
     "opts into raw-append semantics") {
     sql("CREATE NAMESPACE g.ics3")
