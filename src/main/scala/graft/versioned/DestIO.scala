@@ -46,6 +46,17 @@ private[graft] trait DestIO {
   def readBytes(rel: String): Array[Byte]
   /** Overwrite-allowed small-text write (metadata JSON, version hint). */
   def writeString(rel: String, content: String): Unit
+  /** Replace the content of a small MUTABLE control file
+    * (`version-hint.text`) so a CONCURRENT reader observes either the
+    * old or the new content, never a truncated/empty intermediate —
+    * external HadoopCatalog readers and the `iceberg-changes` stream
+    * poll the hint while sync emissions rewrite it. Default assumes the
+    * backend's plain write is already whole-object-atomic (object-store
+    * PUT); filesystem backends override with write-temp + atomic
+    * rename-over.
+    */
+  def replaceString(rel: String, content: String): Unit =
+    writeString(rel, content)
   /** Publish `bytes` at `rel` as a complete object; concurrent writers
     * of the same content-addressed name race benignly (same bytes). */
   def writeAtomic(rel: String, bytes: Array[Byte]): Unit
@@ -108,6 +119,18 @@ private[graft] final class NioDestIO(val root: Path) extends DestIO {
   override def readBytes(rel: String): Array[Byte] = Files.readAllBytes(p(rel))
   override def writeString(rel: String, content: String): Unit =
     Files.writeString(p(rel), content)
+  override def replaceString(rel: String, content: String): Unit = {
+    val dst = p(rel)
+    val tmp = dst.resolveSibling(s".tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp, content)
+    // rename(2) semantics: the name always resolves to a complete file
+    try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
   override def touch(rel: String): Unit =
     try Files.setLastModifiedTime(p(rel),
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
@@ -208,6 +231,25 @@ private[graft] final class HadoopDestIO(
   override def writeString(rel: String, content: String): Unit =
     Using.resource(fs.create(p(rel), true))(
       _.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+  override def replaceString(rel: String, content: String): Unit = {
+    val dst = p(rel)
+    val tmp = new HPath(dst.getParent, s".tmp-${UUID.randomUUID()}")
+    Using.resource(fs.create(tmp, true))(
+      _.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    // rename-over via FileContext (FileSystem.rename refuses an existing
+    // dst on HDFS): readers always resolve a complete hint
+    try org.apache.hadoop.fs.FileContext
+      .getFileContext(dst.toUri, fs.getConf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case _: Exception =>
+        // no AbstractFileSystem binding for this scheme — object-store
+        // connectors publish whole objects at close, so the plain
+        // overwrite already meets the no-truncated-read contract
+        try fs.delete(tmp, false) catch { case _: Exception => () }
+        writeString(rel, content)
+    }
+  }
   override def writeAtomic(rel: String, bytes: Array[Byte]): Unit = {
     // object-store connectors publish the whole object at close; the
     // tmp+rename keeps the same no-partial-final-name guarantee on
@@ -275,8 +317,15 @@ private[graft] final class HadoopDestIO(
     * SILENT no-op (FileSystem's default empty impl), which would leave
     * the touch-on-reuse expire shield nonfunctional on the primary
     * remote dest. Probed ONCE per dest with a throwaway object and a
-    * distinctive marker mtime; object stores that fail the probe fall
-    * back to re-publishing the object (a PUT refreshes its mtime).
+    * distinctive marker mtime. Stores that fail the probe SKIP the
+    * touch (the contract allows it): re-publishing the object instead
+    * would download + re-upload every reused content-addressed file —
+    * O(reused bytes) of network per sync emission — and stage a
+    * rewrite of a file concurrent emissions are reading. The expire
+    * sweep's pre-delete reference re-check ([[IcebergExport
+    * .expireDest]]) covers such backends: a version published between
+    * the sweep's reachability walk and its deletes still spares the
+    * files it references.
     */
   private lazy val canSetTimes: Boolean = {
     val probe = new HPath(root, s".tmp-touch-probe-${UUID.randomUUID()}")
@@ -289,10 +338,8 @@ private[graft] final class HadoopDestIO(
     finally { try fs.delete(probe, false) catch { case _: Exception => () } }
   }
   override def touch(rel: String): Unit =
-    try {
-      if (canSetTimes) fs.setTimes(p(rel), System.currentTimeMillis(), -1)
-      else writeAtomic(rel, readBytes(rel))
-    } catch { case _: Exception => () } // best-effort per the contract
+    try if (canSetTimes) fs.setTimes(p(rel), System.currentTimeMillis(), -1)
+    catch { case _: Exception => () } // best-effort per the contract
   override def mtimeMs(rel: String): Long =
     fs.getFileStatus(p(rel)).getModificationTime
   override def delete(rel: String): Boolean =

@@ -59,7 +59,8 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
   def writeCommit(parents: Seq[String], message: String,
       tables: Map[String, String],
       namespaces: Map[String, Map[String, String]],
-      views: Map[String, ViewDef] = Map.empty): Commit = {
+      views: Map[String, ViewDef] = Map.empty,
+      marker: Option[String] = None): Commit = {
     // Past the inline threshold the table map is tree-segmented
     // (Trees.scala): the commit JSON carries O(chunks) refs, unchanged
     // chunks are shared with ancestor commits byte-for-byte, and a
@@ -76,7 +77,7 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
     val c = Commit(id, parents, System.currentTimeMillis(), message,
       if (segmented) Map.empty else tables,
       namespaces, if (views.isEmpty) None else Some(views),
-      if (segmented) Some(refs) else None)
+      if (segmented) Some(refs) else None, marker)
     if (!io.createExclusive(commitsDir.resolve(s"$id.json"), Json.write(c)))
       throw new IllegalStateException(s"commit object collision: $id")
     // commit object (the GC root) is published — restore any reused
@@ -225,8 +226,9 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
   def commitAt(branch: String, baseVersion: Int, parents: Seq[String],
       message: String, tables: Map[String, String],
       namespaces: Map[String, Map[String, String]],
-      views: Map[String, ViewDef] = Map.empty): Commit = {
-    val c = writeCommit(parents, message, tables, namespaces, views)
+      views: Map[String, ViewDef] = Map.empty,
+      marker: Option[String] = None): Commit = {
+    val c = writeCommit(parents, message, tables, namespaces, views, marker)
     casRef(branch, baseVersion, c.id)
     c
   }
@@ -236,7 +238,8 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
     * rebase — `mutate` only touches its own table keys, so replaying onto
     * the new head is the natural rebase).
     */
-  def commitRetry(branch: String, message: String)(
+  def commitRetry(branch: String, message: String,
+      marker: Option[String] = None)(
       mutate: Commit => (Map[String, String], Map[String, Map[String, String]])): Commit = {
     var attempts = 0
     while (true) {
@@ -245,7 +248,7 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
       val (tables, namespaces) = mutate(base)
       // table commits carry the base's views forward untouched
       try return commitAt(branch, v, Seq(hid), message, tables, namespaces,
-        base.viewMap)
+        base.viewMap, marker)
       catch {
         case e: CommitConflictException =>
           attempts += 1

@@ -182,11 +182,12 @@ object IcebergExport {
     * never re-read as new), and chunk manifests attribute whole reused
     * chunks via the list row — so incremental append consumers
     * ([[IcebergImport.readChanges]] included) see exactly the appended
-    * rows, except that an append-fast-path TAIL chunk rewrite still
-    * attributes its carried entries to the rewriting snapshot (bounded
-    * over-report: one chunk's worth; entries inside shared chunk bytes
-    * cannot carry window-dependent ids without breaking cross-emission
-    * reuse).
+    * rows. An append-fast-path TAIL chunk rewrite (carried entries next
+    * to new ones in one freshly-written chunk) splits into an added and
+    * a carried (EXISTING, explicit ids) sub-manifest — the split is
+    * window-dependent, so split parts content-address off the carried
+    * set while uniform chunks keep the window-independent name that
+    * cross-emission reuse relies on.
     */
   def export(repo: GraftRepo, ref: String, key: String, dest: Path,
       spark: Option[SparkSession], maxSnapshots: Int): Path =
@@ -391,8 +392,9 @@ object IcebergExport {
       //  - "replace": a compaction rewrite (files replaced / tombstones
       //    materialized, LOGICAL rows unchanged) — consumers skip it, so
       //    rewritten rows are never double-counted. Claimed ONLY for
-      //    graft's own `compact` commits (message is hardcoded by
-      //    TableOps.compact) — a wrong "replace" would silently DROP
+      //    commits carrying the STRUCTURAL compaction marker (stamped by
+      //    TableOps.compact itself; a user-typed free-text message
+      //    cannot forge it) — a wrong "replace" would silently DROP
       //    changed rows, so everything unprovable falls through to
       //  - "overwrite": rows were deleted or rewritten (CoW
       //    update/delete, truncate, MoR tombstone added) — consumers
@@ -405,7 +407,8 @@ object IcebergExport {
         case Some(prev) =>
           val filesRemoved = !prev.forall(curPaths.contains)
           val tombsChanged = !prevTombSig.contains(tombSig)
-          if ((filesRemoved || tombsChanged) && c.message == s"compact $key")
+          if ((filesRemoved || tombsChanged) &&
+              c.markerOpt.contains(Commit.CompactMarker))
             "replace"
           else if (filesRemoved || tombsChanged) "overwrite"
           else "append"
@@ -451,8 +454,15 @@ object IcebergExport {
     // mode, by successive exports to the same dest) is written ONCE and
     // referenced everywhere else — export cost per emission becomes
     // O(changed chunks), not O(table files).
+    // One published piece of a chunk manifest (a uniform chunk has one;
+    // a mixed rewritten-tail chunk has an added + a carried part) and
+    // the publication record the walk's reuse keys on.
+    final case class ChunkPart(rel: String, len: Long, count: Int,
+        rows: Long, minSeq: Long, carried: Boolean)
+    final case class ChunkPub(parts: Seq[ChunkPart], firstSnap: Long,
+        firstSeq: Long)
     val chunkLedger =
-      scala.collection.mutable.Map.empty[String, (String, Long, Long, Long)]
+      scala.collection.mutable.Map.empty[String, ChunkPub]
     // the avro bytes depend on (entries, schema, spec, version) AND the
     // repo root (entries embed absolute file URIs — a relocated repo
     // must not reuse manifests pointing at the old mount); entry
@@ -479,40 +489,77 @@ object IcebergExport {
         } else {
           // one Iceberg manifest per graft chunk, content-addressed off
           // the chunk's own sha + export config; dataEntries is in ref
-          // order, so prefix sums slice the per-chunk groups
+          // order, so prefix sums slice the per-chunk groups. A chunk
+          // whose entries MIX window-attributions — the append fast
+          // path's rewritten TAIL chunk carries the old tail's entries
+          // next to the new ones — splits into an added sub-manifest
+          // (inherited attribution) and a carried sub-manifest
+          // (EXISTING, explicit older snapshot ids), so incremental
+          // append consumers never re-read the carried rows as new.
+          // The split partition depends on the export window, so split
+          // parts content-address off the carried set too (a uniform
+          // chunk keeps the window-independent cm-<sha>-m0 name that
+          // cross-emission reuse relies on).
           var off = 0
-          a.chunkRefs.map { ref =>
+          a.chunkRefs.flatMap { ref =>
             val entries = a.dataEntries.slice(off, off + ref.count)
             off += ref.count
             val sha = shaHex(s"${ref.path}|$cfgSha")
-            val rel = s"metadata/cm-$sha-m0.avro"
-            // serialized once, published whole (writeAtomic): presence
-            // of the final name certifies a COMPLETE avro (a crash
-            // mid-write must never leave a truncated manifest every
-            // later emission reuses)
-            val len =
-              // reuse bumps mtime FIRST: the expire sweep's age guard
-              // then protects the file through this emission's
-              // reuse-to-publish window even if no kept version
-              // references it yet (see DestIO.touch)
-              if (dest.isFile(rel)) { dest.touch(rel); dest.size(rel) }
-              else {
-                val bytes = manifestBytes(entries, entrySnapshotId = None,
-                  icebergSchemaJson(phys), specFields, srcTypeOf,
-                  specFieldsJson, v, manifestContent = "data", specId = 0)
-                dest.writeAtomic(rel, bytes)
-                bytes.length.toLong
+            val pub = chunkLedger.getOrElseUpdate(sha, {
+              // serialized once, published whole (writeAtomic): presence
+              // of the final name certifies a COMPLETE avro (a crash
+              // mid-write must never leave a truncated manifest every
+              // later emission reuses)
+              def publish(rel: String, es: Seq[MEntry],
+                  explicitIds: Boolean): ChunkPart = {
+                // reuse bumps mtime FIRST: the expire sweep's age guard
+                // then protects the file through this emission's
+                // reuse-to-publish window even if no kept version
+                // references it yet (see DestIO.touch)
+                val len =
+                  if (dest.isFile(rel)) { dest.touch(rel); dest.size(rel) }
+                  else {
+                    val bytes = manifestBytes(es,
+                      entrySnapshotId =
+                        if (explicitIds) Some(a.snapshotId) else None,
+                      icebergSchemaJson(phys), specFields, srcTypeOf,
+                      specFieldsJson, v, manifestContent = "data",
+                      specId = 0)
+                    dest.writeAtomic(rel, bytes)
+                    bytes.length.toLong
+                  }
+                ChunkPart(rel, len, es.size, es.map(_.rows).sum,
+                  es.map(_.seq).minOption.getOrElse(1L),
+                  carried = explicitIds)
               }
-            val (mRel, mLen, firstSnap, firstSeq) = chunkLedger.getOrElseUpdate(
-              sha, (rel, len, a.snapshotId, snapSeq))
-            val reused = firstSnap != a.snapshotId
-            MRow(mRel, mLen, 0,
-              if (reused) 0 else entries.size,
-              if (reused) entries.size else 0,
-              if (reused) 0L else entries.map(_.rows).sum,
-              if (reused) entries.map(_.rows).sum else 0L,
-              firstSeq, entries.map(_.seq).minOption.getOrElse(1L), 0,
-              firstSnap)
+              val (carried, added) =
+                entries.partition(_.addedBy != a.snapshotId)
+              if (carried.isEmpty)
+                ChunkPub(Seq(
+                  publish(s"metadata/cm-$sha-m0.avro", entries,
+                    explicitIds = false)), a.snapshotId, snapSeq)
+              else {
+                val partSha = shaHex(sha + "|" +
+                  carried.map(e => s"${e.uri}@${e.addedBy}").mkString(","))
+                val addPart =
+                  if (added.isEmpty) Nil
+                  else Seq(publish(s"metadata/cm-$partSha-m0a.avro", added,
+                    explicitIds = false))
+                ChunkPub(addPart :+
+                  publish(s"metadata/cm-$partSha-m0e.avro", carried,
+                    explicitIds = true), a.snapshotId, snapSeq)
+              }
+            })
+            val reused = pub.firstSnap != a.snapshotId
+            pub.parts.map { part =>
+              val asExisting = reused || part.carried
+              MRow(part.rel, part.len, 0,
+                if (asExisting) 0 else part.count,
+                if (asExisting) part.count else 0,
+                if (asExisting) 0L else part.rows,
+                if (asExisting) part.rows else 0L,
+                pub.firstSeq, part.minSeq, 0, pub.firstSnap)
+            }
           }
         }
       // positional deletes are partition-scoped (spec 0); equality
@@ -647,10 +694,15 @@ object IcebergExport {
 
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val metaRel = s"metadata/v$version.metadata.json"
-    dest.writeString(metaRel,
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
-    // HadoopCatalog-style discovery: readers resolve v<hint>.metadata.json
-    dest.writeString("metadata/version-hint.text", version.toString)
+    dest.writeAtomic(metaRel,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // HadoopCatalog-style discovery: readers resolve v<hint>.metadata.json.
+    // replaceString, not writeString: external readers and the
+    // iceberg-changes stream poll the hint WHILE sync emissions rewrite
+    // it — a truncate-in-place write lets them read an empty hint and
+    // chase "v.metadata.json"
+    dest.replaceString("metadata/version-hint.text", version.toString)
     dest.displayPath(metaRel)
   }
 
@@ -1802,18 +1854,39 @@ object IcebergExport {
     dead.foreach { v =>
       if (dest.delete(s"metadata/v$v.metadata.json")) metaDeleted += 1
     }
-    dest.listNames("metadata")
+    val avroCandidates = dest.listNames("metadata")
       .filter(_.endsWith(".avro")).map(n => s"metadata/$n")
       .filterNot(referenced.contains)
       .filter(sweepable)
+    val dataCandidates =
+      if (!dest.isDirectory("data")) Nil
+      else dest.walkFiles("data")
+        .filter(r => r.endsWith("-deletes.parquet") || r.endsWith(".puffin"))
+        .filterNot(referenced.contains)
+        .filter(sweepable)
+    // pre-delete reference RE-CHECK: a sync emission may have published
+    // a new metadata version between the reachability walk above and
+    // this point, referencing "unreferenced" candidates it reused. The
+    // mtime touch-on-reuse shield covers that window on backends whose
+    // setTimes works; backends where it is a silent no-op (s3a) skip
+    // the touch and rely on this re-check instead. The residual race is
+    // reuse-accepted-but-metadata-not-yet-published at re-check time —
+    // the same straddle caveat the age guard documents.
+    val lateRefs: scala.collection.Set[String] =
+      if (avroCandidates.isEmpty && dataCandidates.isEmpty) Set.empty
+      else {
+        val late = dest.listNames("metadata").flatMap {
+          case Re(n) => Some(n.toInt)
+          case _ => None
+        }.filterNot(versions.contains)
+        if (late.isEmpty) Set.empty else reach(late.sorted)
+      }
+    avroCandidates.filterNot(lateRefs.contains)
       .foreach { rel => if (dest.delete(rel)) metaDeleted += 1 }
 
     var delDeleted = 0
     if (dest.isDirectory("data")) {
-      dest.walkFiles("data")
-        .filter(r => r.endsWith("-deletes.parquet") || r.endsWith(".puffin"))
-        .filterNot(referenced.contains)
-        .filter(sweepable)
+      dataCandidates.filterNot(lateRefs.contains)
         .foreach { rel => if (dest.delete(rel)) delDeleted += 1 }
       // memo dirs whose files are all gone: drop the index + dir (a
       // future export of that snapshot recomputes). Young dirs are an

@@ -223,13 +223,29 @@ final case class Commit(
     tables: Map[String, String],
     namespaces: Map[String, Map[String, String]],
     views: Option[Map[String, ViewDef]] = None,
-    trees: Option[Seq[Trees.TreeRef]] = None) {
+    trees: Option[Seq[Trees.TreeRef]] = None,
+    marker: Option[String] = None) {
   def viewMap: Map[String, ViewDef] = Option(views).flatten.getOrElse(Map.empty)
+  /** STRUCTURAL machine-readable classification of what the commit did
+    * ([[Commit.CompactMarker]] for rewrite-only compactions) — stamped
+    * by the operation itself, never derived from the free-text
+    * `message`: incremental consumers (Iceberg export's `replace`
+    * summaries) drop a mis-classified commit's rows silently, so a
+    * user-typed message must not be able to forge one.
+    */
+  def markerOpt: Option[String] = Option(marker).flatten
   /** Tree segments backing `tables` (Trees.scala), empty when inline. A
     * loaded commit carries refs for GC inspection plus a lazy `tables`
     * map whose point lookups read one chunk.
     */
   def treeRefs: Seq[Trees.TreeRef] = Option(trees).flatten.getOrElse(Nil)
+}
+
+object Commit {
+  /** [[Commit.marker]] value of a compaction: files rewritten, LOGICAL
+    * rows unchanged — the one commit shape incremental consumers may
+    * safely skip. */
+  val CompactMarker = "compact"
 }
 
 /** Commit was rejected because the branch head moved (stale base). */

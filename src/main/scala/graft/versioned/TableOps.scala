@@ -1243,7 +1243,8 @@ object TableOps {
         bloomItems = Blooms.items(snap),
         ndvHint = hint)
     }
-    val committed = repo.commitRetry(branch, s"compact $key") { base =>
+    val committed = repo.commitRetry(branch, s"compact $key",
+      marker = Some(Commit.CompactMarker)) { base =>
       val cur = repo.snapshot(base.tables.getOrElse(key,
         throw new NoSuchElementException(s"no such table: $key")))
       val live = cur.files.map(_.path).toSet
