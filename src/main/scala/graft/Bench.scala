@@ -105,7 +105,33 @@ object Bench {
         .groupBy("k").count().collect()
       (System.nanoTime() - t0) / 1e9
     }
+    //  - disk: a durable-write micro-probe (create + fsync + delete) on
+    //    the volume the streaming checkpoint WAL lives on. The CPU calib
+    //    is BLIND to disk contention, and streaming queries block on
+    //    offset/commit WAL fsyncs (the r4d failure mode) — a disk wave
+    //    inflates the longest-running streaming row while CPU calib
+    //    stays clean, which was exactly the r10 st_stream_outer
+    //    adjudication blind spot.
+    val probeDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val probePayload = java.nio.ByteBuffer.allocate(4096)
+    def diskProbe(): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 4) {
+        val f = probeDir.resolve(s".graft-disk-probe-$i")
+        val ch = java.nio.channels.FileChannel.open(f,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+        try { probePayload.rewind(); ch.write(probePayload); ch.force(true) }
+        finally ch.close()
+        java.nio.file.Files.deleteIfExists(f)
+        i += 1
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
     calibrate() // retire the calibration plan's own codegen before sampling
+    diskProbe()
 
     // deterministic name order: run-to-run and driver-vs-local runs
     // attribute warmup/contention to the SAME rows (a scala HashMap's
@@ -113,6 +139,7 @@ object Bench {
     val timed = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val load = loadAvg()
       val calib = calibrate()
+      val disk = diskProbe()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -123,26 +150,38 @@ object Bench {
       try org.apache.spark.sql.graftbridge.CheckpointLifecycle
         .sweepPersistentRDDs(spark)
       catch { case _: Throwable => () }
-      (name, dt, load, calib)
+      (name, dt, load, calib, disk)
     }
-    // trailing marker: row i's calib-AFTER is row i+1's leading sample
-    // (adjacent in time, zero extra cost); the final row takes one more.
-    // A noise wave that lands MID-query — invisible to the leading
-    // probe — shows in the trailing one, so those rows self-adjudicate
-    // too (the one r7 breach class the markers couldn't explain).
+    // trailing marker: row i's calib/disk-AFTER is row i+1's leading
+    // sample (adjacent in time, zero extra cost); the final row takes
+    // one more. A noise wave that lands MID-query — invisible to the
+    // leading probe — shows in the trailing one, so those rows
+    // self-adjudicate too (the one r7 breach class the markers couldn't
+    // explain).
     val tailCalib = calibrate()
-    val results = timed.zipWithIndex.map { case ((n, dt, l, c), i) =>
+    val tailDisk = diskProbe()
+    // row: (name, sec, load, calib, calibAfter, disk, diskAfter)
+    val results = timed.zipWithIndex.map { case ((n, dt, l, c, d), i) =>
       val after = if (i + 1 < timed.size) timed(i + 1)._4 else tailCalib
-      (n, dt, l, c, after)
+      val diskAfter = if (i + 1 < timed.size) timed(i + 1)._5 else tailDisk
+      (n, dt, l, c, after, d, diskAfter)
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val minCalib = (results.map(_._4) :+ tailCalib)
+    val minCalib = (timed.map(_._4) :+ tailCalib)
       .filter(_ > 0).minOption.getOrElse(1.0)
+    val minDisk = (timed.map(_._5) :+ tailDisk)
+      .filter(_ > 0).minOption.getOrElse(1.0)
+    // disk drift threshold: tmpfs fsyncs are microseconds, so a pure
+    // ratio would flag jitter — require 4x the floor AND >= 10 ms
+    def diskDrifted(d: Double) = d > math.max(4 * minDisk, 0.010)
     def f3(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    val qsFull = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+    // disk samples are sub-ms on tmpfs: 3 decimals would flatten them
+    def f5(d: Double) = "%.5f".formatLocal(java.util.Locale.ROOT, d)
+    val qsFull = results.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val hostFull = results.map { case (k, _, l, c, a) =>
-      "\"" + k + "\":[" + f3(l) + "," + f3(c) + "," + f3(a) + "]" }
+    val hostFull = results.map { case (k, _, l, c, a, d, da) =>
+      "\"" + k + "\":[" + f3(l) + "," + f3(c) + "," + f3(a) + "," +
+        f5(d) + "," + f5(da) + "]" }
       .mkString("{", ",", "}")
     // durable full-fidelity copy FIRST — stdout capture is a 2000-char
     // SUFFIX on the driver side (BENCH_r06's metric line lost its head
@@ -150,15 +189,16 @@ object Bench {
     // stdout lines below are sized to survive the suffix window
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$qsFull,"host":$hostFull,"calib_floor":${f3(minCalib)},""" +
-      s""""sf":"$sfDir"}"""
+      s""""disk_floor":${f5(minDisk)},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_results.json"), fullLine + "\n")
     catch { case _: Throwable => () }
     // chunked per-query lines (~900 chars each, valid standalone JSON,
     // deliberately NOT carrying the "metric" key): whatever suffix the
     // capture keeps is parseable line-by-line
-    val entries = results.map { case (k, v, l, c, a) =>
-      "\"" + k + "\":[" + f3(v) + "," + f3(l) + "," + f3(c) + "," + f3(a) + "]" }
+    val entries = results.map { case (k, v, l, c, a, d, da) =>
+      "\"" + k + "\":[" + f3(v) + "," + f3(l) + "," + f3(c) + "," + f3(a) +
+        "," + f5(d) + "," + f5(da) + "]" }
     val chunks = {
       val b = Seq.newBuilder[Seq[String]]
       var cur = Seq.newBuilder[String]; var len = 0
@@ -171,23 +211,26 @@ object Bench {
     }
     chunks.zipWithIndex.foreach { case (c, i) =>
       println(s"""{"chunk":${i + 1},"of":${chunks.size},"cols":""" +
-        s""""sec,load1m,calib,calib_after",""" +
+        s""""sec,load1m,calib,calib_after,disk,disk_after",""" +
         s""""queries":${c.mkString("{", ",", "}")}}""")
     }
     // final compact metric line — MUST fit wholly inside the capture
     // suffix: total + the slowest rows (the >2x-pin candidates) + the
-    // calib-drifted rows (the noise-window evidence for them)
+    // calib/disk-drifted rows (the noise-window evidence for them)
     val slowest = results.sortBy(-_._2).take(40)
-      .map { case (k, v, _, _, _) => "\"" + k + "\":" + f3(v) }
+      .map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val drifted = results.filter { case (_, _, _, c, a) =>
-      c > 2 * minCalib || a > 2 * minCalib }
-      .map { case (k, _, l, c, a) =>
-        "\"" + k + "\":[" + f3(l) + "," + f3(c) + "," + f3(a) + "]" }
+    val drifted = results.filter { case (_, _, _, c, a, d, da) =>
+      c > 2 * minCalib || a > 2 * minCalib ||
+        diskDrifted(d) || diskDrifted(da) }
+      .map { case (k, _, l, c, a, d, da) =>
+        "\"" + k + "\":[" + f3(l) + "," + f3(c) + "," + f3(a) + "," +
+          f5(d) + "," + f5(da) + "]" }
     val driftStr = drifted.take(15).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$slowest,"n_queries":${results.size},""" +
-      s""""calib_floor":${f3(minCalib)},"calib_drifted":$driftStr,""" +
+      s""""calib_floor":${f3(minCalib)},"disk_floor":${f5(minDisk)},""" +
+      s""""calib_drifted":$driftStr,""" +
       s""""n_drifted":${drifted.size},"full":"bench_results.json",""" +
       s""""sf":"$sfDir"}""")
     spark.stop()

@@ -48,10 +48,12 @@ def main():
     # floor ran inside a contended window -> host noise, not regression
     host = {}
     floor = float("inf")
+    dfloor = float("inf")
     for r in runs:
         for q, lc in r.get("host", {}).items():
             host.setdefault(q, lc)
         floor = min(floor, r.get("calib_floor", float("inf")))
+        dfloor = min(dfloor, r.get("disk_floor", float("inf")))
     bad = [(q, round(t, 2), pins[q], round(t / pins[q], 1))
            for q, t in sorted(queries.items())
            if q in pins and t > 2 * pins[q]]
@@ -65,12 +67,25 @@ def main():
             # landing mid-query drifts it even when the leading probe
             # was clean
             after = host[q][2] if len(host[q]) > 2 else calib
-            if calib > 2 * floor or after > 2 * floor:
-                note = (f"  [contended window: calib {calib}/{after}s vs "
-                        f"floor {round(floor, 3)}s, load {load}]")
+            # r11: elements 4/5 are leading/trailing DISK probes
+            # (create+fsync+delete on the streaming-WAL volume) — the
+            # CPU calib is blind to disk waves, which hit the
+            # longest-running streaming rows hardest. tmpfs fsyncs are
+            # microseconds, so drift needs 4x the floor AND >= 10 ms.
+            disks = host[q][3:5] if len(host[q]) > 4 else []
+            disk_hit = dfloor < float("inf") and any(
+                d > max(4 * dfloor, 0.010) for d in disks)
+            dnote = (f", disk {'/'.join(str(d) for d in disks)}s vs "
+                     f"floor {round(dfloor, 4)}s") if disks else ""
+            if calib > 2 * floor or after > 2 * floor or disk_hit:
+                kind = "disk-contended" if (disk_hit and calib <= 2 * floor
+                                            and after <= 2 * floor) \
+                    else "contended window"
+                note = (f"  [{kind}: calib {calib}/{after}s vs "
+                        f"floor {round(floor, 3)}s{dnote}, load {load}]")
             else:
-                note = (f"  [UNEXPLAINED: calib {calib}/{after}s ~ floor, "
-                        f"load {load}]")
+                note = (f"  [UNEXPLAINED: calib {calib}/{after}s ~ floor"
+                        f"{dnote}, load {load}]")
                 unexplained += 1
         print(f"  {q}: {t}s vs pin {p}s ({r}x){note}")
     if bad and host:
