@@ -24,6 +24,11 @@ import org.apache.spark.sql.SparkSession
 object GoldenFixtureGen {
   val SrcRoot: Path = Paths.get("/tmp/graft-golden-src")
   val ExportRoot: Path = Paths.get("/tmp/graft-golden-export")
+  // v3 fixture (Puffin deletion vectors + row lineage + history) lives
+  // in its OWN trees/resource dir: regenerating one fixture must never
+  // silently rewrite the other's frozen bytes
+  val V3SrcRoot: Path = Paths.get("/tmp/graft-golden-v3-src")
+  val V3ExportRoot: Path = Paths.get("/tmp/graft-golden-v3-export")
 
   def deleteTree(p: Path): Unit = if (Files.exists(p)) {
     if (Files.isDirectory(p))
@@ -41,17 +46,30 @@ object GoldenFixtureGen {
     }
   }
 
+  /** Regenerates ONLY the fixtures named in args (`v2`, `v3`) — never
+    * both implicitly: each committed tree is a freeze of the writer at
+    * a point in time, and refreshing one must be a deliberate act that
+    * leaves the other's bytes alone.
+    */
   def main(args: Array[String]): Unit = {
+    val which = if (args.isEmpty) Set("v3") else args.toSet
+    if (which("v2")) genV2()
+    if (which("v3")) genV3()
+  }
+
+  private def session(root: Path): SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.catalog.g", classOf[graft.catalog.GraftCatalog].getName)
+    .config("spark.sql.catalog.g.root", root.toString)
+    .getOrCreate()
+
+  def genV2(): Unit = {
     deleteTree(SrcRoot); deleteTree(ExportRoot)
     Files.createDirectories(SrcRoot)
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.catalog.g", classOf[graft.catalog.GraftCatalog].getName)
-      .config("spark.sql.catalog.g.root", SrcRoot.toString)
-      .getOrCreate()
+    val spark = session(SrcRoot)
     try {
       def sql(q: String) = spark.sql(q).collect()
       sql("CREATE NAMESPACE g.gold")
@@ -70,7 +88,42 @@ object GoldenFixtureGen {
       deleteTree(res)
       copyTree(SrcRoot, res.resolve("src"))
       copyTree(ExportRoot, res.resolve("export"))
-      println(s"[golden] fixture written under $res")
+      println(s"[golden] v2 fixture written under $res")
+    } finally spark.stop()
+  }
+
+  /** The v3 freeze: a 3-commit history (two appends, then MoR deletes)
+    * exported with `format_version => 3, snapshots => 3` — Puffin
+    * deletion-vector blobs, row-lineage metadata (next-row-id /
+    * first-row-id), DV manifest entries (fields 143/144/145) and an
+    * equality delete, all as committed bytes.
+    */
+  def genV3(): Unit = {
+    deleteTree(V3SrcRoot); deleteTree(V3ExportRoot)
+    Files.createDirectories(V3SrcRoot)
+    val spark = session(V3SrcRoot)
+    try {
+      def sql(q: String) = spark.sql(q).collect()
+      sql("CREATE NAMESPACE g.gold")
+      sql("CREATE NAMESPACE g.gold.main.db")
+      sql("CREATE TABLE g.gold.main.db.t (id INT, cat STRING, v DOUBLE) " +
+        "PARTITIONED BY (cat) TBLPROPERTIES " +
+        "('graft.delete.mode'='merge-on-read')")
+      sql("INSERT INTO g.gold.main.db.t SELECT CAST(id AS INT), " +
+        "CASE WHEN id % 3 = 0 THEN 'x' WHEN id % 3 = 1 THEN 'y' ELSE 'z' " +
+        "END, CAST(id AS DOUBLE) FROM range(0, 20)")
+      sql("INSERT INTO g.gold.main.db.t SELECT CAST(id AS INT), " +
+        "CASE WHEN id % 3 = 0 THEN 'x' WHEN id % 3 = 1 THEN 'y' ELSE 'z' " +
+        "END, CAST(id AS DOUBLE) FROM range(20, 30)")
+      sql("DELETE FROM g.gold.main.db.t WHERE id < 4")   // range -> DV
+      sql("DELETE FROM g.gold.main.db.t WHERE id = 27")  // equality delete
+      sql(s"CALL g.system.iceberg_export('gold', 'main', 'db.t', " +
+        s"'$V3ExportRoot', snapshots => 4, format_version => 3)")
+      val res = Paths.get("src/test/resources/iceberg-golden-v3")
+      deleteTree(res)
+      copyTree(V3SrcRoot, res.resolve("src"))
+      copyTree(V3ExportRoot, res.resolve("export"))
+      println(s"[golden] v3 fixture written under $res")
     } finally spark.stop()
   }
 }
