@@ -34,11 +34,14 @@ import graft.versioned.{IcebergImport, Json}
   * order even under rate caps) — the same exactly-once design as
   * graft's own table stream ([[GraftMicroBatchStream]]): consumption
   * is tracked by PATH via the offset snapshot's metadata, never a
-  * directory listing or wall clock. Replayable as long as consumed
-  * metadata versions exist
-  * (`CALL iceberg_export_expire` with a retention shorter than consumer
-  * lag breaks resumability — the standard streaming-read retention
-  * contract).
+  * directory listing or wall clock. The first-appearance assignment is
+  * journaled per version into the source's checkpoint
+  * (`graft-order-log/v<k>.json`), so a restart replays only versions
+  * PAST the checkpoint and the committed order survives
+  * `CALL iceberg_export_expire` dropping old metadata versions; the
+  * OFFSET version itself must still be retained (a retention shorter
+  * than consumer lag breaks resumability — the standard streaming-read
+  * retention contract).
   *
   * APPEND-ONLY contract, loud on violation: a snapshot carrying DELETE
   * files (MoR tombstones, CDC deletes) REFUSES by default — emitting
@@ -61,8 +64,15 @@ import graft.versioned.{IcebergImport, Json}
   */
 final class IcebergChangesProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "iceberg-changes"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    IcebergImport.plan(IcebergChangesProvider.location(options), None).schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base =
+      IcebergImport.plan(IcebergChangesProvider.location(options), None).schema
+    if (IcebergChangesProvider.isCdc(options))
+      StructType(base.fields :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false))
+    else base
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
     new IcebergChangesTable(
@@ -74,6 +84,8 @@ private object IcebergChangesProvider {
   def location(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
       "iceberg-changes needs a path: .load(<table dir or metadata json>)"))
+  def isCdc(options: CaseInsensitiveStringMap): Boolean =
+    options.getOrDefault("cdc", "false").toBoolean
 }
 
 final class IcebergChangesTable(loc: String, schema0: StructType)
@@ -87,12 +99,18 @@ final class IcebergChangesTable(loc: String, schema0: StructType)
       override def readSchema(): StructType = schema0
       override def toMicroBatchStream(checkpointLocation: String)
           : MicroBatchStream =
-        new IcebergChangesMicroBatchStream(loc, schema0,
+        if (IcebergChangesProvider.isCdc(options))
+          new IcebergCdcMicroBatchStream(loc, schema0,
+            startFromLatest =
+              options.getOrDefault("startFrom", "earliest") == "latest",
+            checkpointLoc = Option(checkpointLocation).filter(_.nonEmpty))
+        else new IcebergChangesMicroBatchStream(loc, schema0,
           Option(options.get("maxFilesPerTrigger")).map(_.toInt),
           startFromLatest =
             options.getOrDefault("startFrom", "earliest") == "latest",
           skipDeletes =
-            options.getOrDefault("skipDeletes", "false").toBoolean)
+            options.getOrDefault("skipDeletes", "false").toBoolean,
+          checkpointLoc = Option(checkpointLocation).filter(_.nonEmpty))
     }
 }
 
@@ -103,10 +121,19 @@ final case class IcebergChangesOffset(meta: String, idx: Int) extends Offset {
   override def json(): String = Json.write(Map("meta" -> meta, "idx" -> idx))
 }
 
+object IcebergChangesMicroBatchStream {
+  /** Test hook: metadata versions parsed during first-appearance replay
+    * (the order log makes restarts O(versions past the checkpoint)). */
+  private[graft] val replayedVersions =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 final class IcebergChangesMicroBatchStream(loc: String, schema: StructType,
     protected val maxFilesPerTrigger: Option[Int],
     protected val startFromLatest: Boolean,
-    skipDeletes: Boolean) extends PrefixFileStream[IcebergImport.DataFile] {
+    skipDeletes: Boolean,
+    checkpointLoc: Option[String] = None)
+    extends PrefixFileStream[IcebergImport.DataFile] {
 
   // ---- deterministic MONOTONE file order --------------------------------
   // (meta, idx) offsets are sound only if a consumed set is always a
@@ -129,9 +156,74 @@ final class IcebergChangesMicroBatchStream(loc: String, schema: StructType,
   private def versionLoc(metaLoc: String, k: Int): String =
     VersionRe.replaceFirstIn(metaLoc, s"v$k.metadata.json")
 
-  /** path → version that first listed it; grown monotonically. */
+  /** path → version that first listed it; grown monotonically. Size is
+    * O(live files) — the same order as any Iceberg planner's file list
+    * (plan() materializes it per trigger anyway), so this is not the
+    * stream's memory ceiling.
+    */
   private val firstSeen = scala.collection.mutable.Map.empty[String, Int]
   private var builtThrough = 0
+
+  // ---- first-appearance ORDER LOG ---------------------------------------
+  // One tiny JSON per processed version under the source's checkpoint
+  // dir (`graft-order-log/v<k>.json`: the paths first seen at k). On
+  // restart the assignment loads from the log instead of re-planning
+  // every retained metadata version — O(versions past the checkpoint)
+  // metadata parses instead of O(retained versions × files) — and the
+  // committed order survives even if `iceberg_export_expire` later
+  // drops metadata versions the assignment was derived from (the log,
+  // not the dest, is the durable record the WAL offsets depend on).
+  private val logDir = checkpointLoc.map(c =>
+    new org.apache.hadoop.fs.Path(c, "graft-order-log"))
+  private def logFs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+  private var logLoaded = false
+
+  /** Apply logged assignments for versions ≤ `v` (the stream's resume
+    * point): entries PAST the resume point are recomputed from metadata
+    * instead, so the rewrite guard still sees those versions.
+    */
+  private def loadOrderLog(v: Int): Unit = logDir.foreach { dir =>
+    try {
+      val fs = logFs(dir)
+      if (!fs.exists(dir)) return
+      val LogRe = """v(\d+)\.json""".r
+      val entries = fs.listStatus(dir).toSeq
+        .flatMap(st => st.getPath.getName match {
+          case LogRe(k) if k.toInt <= v => Some(k.toInt -> st.getPath)
+          case _ => None
+        }).sortBy(_._1)
+      entries.foreach { case (k, p) =>
+        val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+          fs.open(p))
+        Json.readAny(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+          .asInstanceOf[Map[String, Any]]("files")
+          .asInstanceOf[Seq[Any]]
+          .foreach(f => firstSeen.getOrElseUpdate(f.asInstanceOf[String], k))
+        builtThrough = math.max(builtThrough, k)
+      }
+    } catch { case _: Exception => () } // log unreadable → replay from metadata
+  }
+
+  /** Durably record version `k`'s fresh assignments (overwrite: this
+    * instance's computation is the one its WAL offsets reference).
+    */
+  private def writeOrderLog(k: Int, fresh: Seq[String]): Unit =
+    logDir.foreach { dir =>
+      try {
+        val fs = logFs(dir)
+        fs.mkdirs(dir)
+        val dst = new org.apache.hadoop.fs.Path(dir, s"v$k.json")
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          s".tmp-v$k-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, true)
+        try out.write(Json.write(Map("files" -> fresh))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (fs.exists(dst)) fs.delete(dst, false)
+        if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
+      } catch { case _: Exception => () } // best-effort: replay still works
+    }
   /** snapshot ids already classified by the rewrite guard. */
   private val seenSnaps = scala.collection.mutable.Set.empty[Long]
   /** Version of the stream's resume point — the first token whose order
@@ -260,6 +352,7 @@ final class IcebergChangesMicroBatchStream(loc: String, schema: StructType,
       guardFrom = math.min(guardFrom, v)
       val hit = orderCache.get(metaLoc)
       if (hit != null) return hit
+      if (!logLoaded) { loadOrderLog(v); logLoaded = true }
       // replay intermediate retained versions so first-appearance
       // assignment is version-ordered (each version planned once per
       // stream lifetime; metadata files are immutable once written).
@@ -274,10 +367,13 @@ final class IcebergChangesMicroBatchStream(loc: String, schema: StructType,
       ((builtThrough + 1) until v).foreach { k =>
         val loc = versionLoc(metaLoc, k)
         try {
+          IcebergChangesMicroBatchStream.replayedVersions.incrementAndGet()
           guardSnapshots(loc, k)
           val files = IcebergImport.plan(loc, None).dataFiles
           guardLiveSet(files.map(_.path), k)
-          files.foreach(f => firstSeen.getOrElseUpdate(f.path, k))
+          val fresh = files.map(_.path).filterNot(firstSeen.contains)
+          fresh.foreach(firstSeen.update(_, k))
+          writeOrderLog(k, fresh)
         } catch { case _: java.io.FileNotFoundException |
           _: java.nio.file.NoSuchFileException => () } // expired version
         // per-version advance: a guard refusal at version k+1 must not
@@ -287,7 +383,11 @@ final class IcebergChangesMicroBatchStream(loc: String, schema: StructType,
       guardSnapshots(metaLoc, v)
       val p = planOf(metaLoc)
       guardLiveSet(p.dataFiles.map(_.path), v)
-      p.dataFiles.foreach(f => firstSeen.getOrElseUpdate(f.path, v))
+      if (v > builtThrough) {
+        val fresh = p.dataFiles.map(_.path).filterNot(firstSeen.contains)
+        fresh.foreach(firstSeen.update(_, v))
+        writeOrderLog(v, fresh)
+      } else p.dataFiles.foreach(f => firstSeen.getOrElseUpdate(f.path, v))
       builtThrough = math.max(builtThrough, v)
       val out = p.dataFiles
         .sortBy(f => (firstSeen(f.path), f.seq, f.path)).toIndexedSeq
@@ -332,4 +432,112 @@ final class IcebergChangesMicroBatchStream(loc: String, schema: StructType,
       m("idx").asInstanceOf[Number].intValue())
   }
   override def toString: String = s"IcebergChangesMicroBatchStream($loc)"
+}
+
+/** Offset of the CDC stream: the metadata version consumed THROUGH
+  * (`meta == ""` ⇒ nothing yet — the next batch is the initial
+  * full-snapshot insert load).
+  */
+final case class IcebergCdcOffset(meta: String) extends Offset {
+  override def json(): String = Json.write(Map("meta" -> meta))
+}
+
+/** DELETE-AWARE (CDC) streaming read of an external Iceberg table —
+  * `cdc=true` on the `iceberg-changes` source:
+  *
+  * {{{
+  * spark.readStream.format("iceberg-changes")
+  *   .option("cdc", "true").load("/path/to/dest")
+  * }}}
+  *
+  * Where the append-only stream REFUSES delete-bearing or rewriting
+  * snapshots, this mode emits the NET row changes of each metadata
+  * version step as `table schema + _change_type` ('insert'|'delete') —
+  * the streaming analog of graft's own `changesBetween` CDC read, via
+  * [[IcebergImport.changesBetweenVersions]]: MoR deletes stream as
+  * retractions, CoW updates as delete+insert of the modified rows
+  * only, and compactions net to zero rows. TOTAL over snapshot shapes:
+  * nothing refuses, so a MoR-writing producer can be followed
+  * continuously.
+  *
+  * Each batch `(from, to]` is one version-range diff. The diff is an
+  * exceptAll computation, not a bare file scan, so the batch
+  * materializes once into `graft-cdc-staged/b-<from>-<to>/` under the
+  * source checkpoint (a distributed write of O(changed rows), pruned
+  * at commit) and the micro-batch reads those staged files — replays
+  * of a committed-but-unfinished batch reread the staged bytes instead
+  * of recomputing.
+  */
+final class IcebergCdcMicroBatchStream(loc: String, cdcSchema: StructType,
+    startFromLatest: Boolean, checkpointLoc: Option[String])
+    extends MicroBatchStream {
+
+  private val VersionRe = """v(\d+)\.metadata\.json$""".r
+  private def versionOf(metaLoc: String): Int =
+    VersionRe.findFirstMatchIn(metaLoc).map(_.group(1).toInt).getOrElse(0)
+  private def hadoopConf =
+    SparkSession.active.sessionState.newHadoopConf()
+  private val stageRoot = new org.apache.hadoop.fs.Path(
+    checkpointLoc.getOrElse(
+      sys.props("java.io.tmpdir") + s"/graft-cdc-${java.util.UUID.randomUUID()}"),
+    "graft-cdc-staged")
+
+  private def tokenOf(o: Offset): String = o match {
+    case c: IcebergCdcOffset => c.meta
+    case other => Json.readAny(other.json())
+      .asInstanceOf[Map[String, Any]]("meta").asInstanceOf[String]
+  }
+
+  override def initialOffset(): Offset =
+    IcebergCdcOffset(
+      if (startFromLatest) IcebergImport.resolveMetadataLoc(loc) else "")
+
+  override def latestOffset(): Offset =
+    IcebergCdcOffset(IcebergImport.resolveMetadataLoc(loc))
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val a = tokenOf(start)
+    val b = tokenOf(end)
+    if (a == b || b.isEmpty) return Array.empty
+    val dir = new org.apache.hadoop.fs.Path(stageRoot,
+      s"b-${if (a.isEmpty) 0 else versionOf(a)}-${versionOf(b)}")
+    val fs = dir.getFileSystem(hadoopConf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
+      IcebergImport.changesBetweenVersions(SparkSession.active,
+          Option(a).filter(_.nonEmpty), b)
+        .write.mode("overwrite").parquet(dir.toString)
+    }
+    val parts = fs.listStatus(dir).toSeq
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    if (parts.isEmpty) return Array.empty
+    graftbridge.ParquetReadBridge.scan(SparkSession.active, parts,
+      cdcSchema, cdcSchema, Array.empty).toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    graftbridge.ParquetReadBridge.scan(SparkSession.active, Nil,
+      cdcSchema, cdcSchema, Array.empty).toBatch.createReaderFactory()
+
+  /** Staged batches at or below the committed version can never replay
+    * again — prune them. */
+  override def commit(end: Offset): Unit = try {
+    val v = versionOf(tokenOf(end))
+    val fs = stageRoot.getFileSystem(hadoopConf)
+    if (!fs.exists(stageRoot)) return
+    val StageRe = """b-(\d+)-(\d+)""".r
+    fs.listStatus(stageRoot).foreach { st =>
+      st.getPath.getName match {
+        case StageRe(_, to) if to.toInt < v => fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+  } catch { case _: Exception => () } // pruning is hygiene, never load-bearing
+
+  override def deserializeOffset(json: String): Offset =
+    IcebergCdcOffset(Json.readAny(json)
+      .asInstanceOf[Map[String, Any]]("meta").asInstanceOf[String])
+
+  override def stop(): Unit = ()
+  override def toString: String = s"IcebergCdcMicroBatchStream($loc)"
 }

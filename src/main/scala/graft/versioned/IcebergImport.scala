@@ -481,6 +481,63 @@ object IcebergImport {
       fromId: Option[Long], toId: Option[Long]): DataFrame =
     readPlan(spark, changesPlan(metadataLoc, fromId, toId))
 
+  /** Row-level CHANGES between two metadata VERSIONS of an external
+    * Iceberg table, as `table schema + _change_type` ('insert' |
+    * 'delete') — the consumer-side analog of graft's own
+    * `TableOps.changesBetween`, with the same net-change contract:
+    * only files whose VISIBILITY differs between the versions are read
+    * (added/removed data files, or files whose applicable delete set
+    * changed), each side's visible rows apply that side's deletes, and
+    * the sides cancel through exceptAll. So a compaction (or any
+    * rewrite preserving logical rows) nets to ZERO changes, a MoR
+    * delete nets to exactly the deleted rows as retractions, and a CoW
+    * update nets to the modified rows only. This is TOTAL over snapshot
+    * shapes — unlike the append-only [[changesPlan]], nothing refuses —
+    * at the cost of reading both sides of every changed file.
+    *
+    * Delete applicability is judged conservatively from manifests alone
+    * (DV: referenced file; positional: data seq at-or-older; equality:
+    * strictly older) — an over-match only reads a file on both sides
+    * and cancels, never changes the result. Cost: O(changed files +
+    * their applicable deletes), never a full re-read of the table.
+    *
+    * `fromMetaLoc` None ⇒ every live row at `toMetaLoc` is an insert
+    * (the initial CDC batch).
+    */
+  def changesBetweenVersions(spark: SparkSession,
+      fromMetaLoc: Option[String], toMetaLoc: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val planB = plan(toMetaLoc, None)
+    val planA = fromMetaLoc.map(plan(_, None))
+    planA.foreach { a =>
+      def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+      if (shape(a.schema) != shape(planB.schema))
+        throw new UnsupportedOperationException(
+          s"CDC between versions with different schemas " +
+            s"(${fromMetaLoc.get} vs $toMetaLoc); diff in two steps at " +
+            "the evolution boundary")
+    }
+    def sig(p: Plan): Map[String, Seq[String]] =
+      p.dataFiles.map(f => f.path -> p.deleteFiles.filter(d => d.dv match {
+        case Some(r) => r.referencedFile == f.path
+        case None => if (d.content == 1) d.seq >= f.seq else d.seq > f.seq
+      }).map(_.path).sorted).toMap
+    val sigA = planA.map(sig).getOrElse(Map.empty[String, Seq[String]])
+    val sigB = sig(planB)
+    val changedA = planA.map(_.dataFiles.filter(f =>
+      !sigB.get(f.path).contains(sigA(f.path)))).getOrElse(Nil)
+    val changedB = planB.dataFiles.filter(f =>
+      !sigA.get(f.path).contains(sigB(f.path)))
+    val visA = planA match {
+      case Some(a) => readPlan(spark, a.copy(dataFiles = changedA))
+      case None => readPlan(spark, planB.copy(dataFiles = Nil))
+    }
+    val visB = readPlan(spark, planB.copy(dataFiles = changedB))
+    visB.exceptAll(visA).withColumn("_change_type", lit("insert"))
+      .unionByName(
+        visA.exceptAll(visB).withColumn("_change_type", lit("delete")))
+  }
+
   /** The table's current snapshot as a DataFrame (schema order/types per
     * the Iceberg schema, positional AND equality deletes applied with
     * the spec's sequence-number semantics: a positional delete masks

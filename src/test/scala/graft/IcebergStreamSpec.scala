@@ -87,6 +87,41 @@ class IcebergStreamSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
       .map(_.getInt(0)).sorted shouldBe Array(1, 2, 3)
   }
 
+  test("restart replay is bounded by the order log: only versions past " +
+    "the checkpoint re-plan metadata, not all retained versions") {
+    sql("CREATE NAMESPACE g.ics6")
+    sql("CREATE NAMESPACE g.ics6.main.db")
+    sql("CREATE TABLE g.ics6.main.db.t (id INT)")
+    sql("INSERT INTO g.ics6.main.db.t VALUES (0)")
+    val dest = Files.createTempDirectory("ice-stream-log")
+    sql(s"CALL g.system.iceberg_export('ics6', 'main', 'db.t', '$dest', " +
+      "sync => true)")
+    // 20 more sync emissions → 21 retained metadata versions
+    (1 to 20).foreach(i => sql(s"INSERT INTO g.ics6.main.db.t VALUES ($i)"))
+    val ckpt = Files.createTempDirectory("ice-stream-log-ckpt").toString
+    val out = Files.createTempDirectory("ice-stream-log-out").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("iceberg-changes").load(dest.toString)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    spark.read.parquet(out).count() shouldBe 21
+    // two more emissions while the stream is down
+    sql("INSERT INTO g.ics6.main.db.t VALUES (21)")
+    sql("INSERT INTO g.ics6.main.db.t VALUES (22)")
+    val counter = graft.catalog.IcebergChangesMicroBatchStream.replayedVersions
+    counter.set(0)
+    run()
+    spark.read.parquet(out).select("id").collect()
+      .map(_.getInt(0)).sorted shouldBe (0 to 22).toArray
+    // the 21 pre-checkpoint versions restored from the order log; only
+    // the versions past the checkpoint re-planned their metadata
+    counter.get() should be <= 4
+  }
+
   test("a compaction past the stream's resume point refuses loudly " +
     "(path-tracked consumption would re-emit rewritten rows)") {
     sql("CREATE NAMESPACE g.ics4")
@@ -148,6 +183,104 @@ class IcebergStreamSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     e.getMessage should (include("removed") and
       include("live data file"))
     spark.table("ice_stream_cow").count() shouldBe 2
+  }
+
+  test("cdc=true streams retractions from a MoR-writing dest; every " +
+    "batch nets to graft's own changesBetween for the same commit " +
+    "range, and a compaction nets to zero rows") {
+    sql("CREATE NAMESPACE g.ics7")
+    sql("CREATE NAMESPACE g.ics7.main.db")
+    sql("CREATE TABLE g.ics7.main.db.t (id INT, v STRING) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO g.ics7.main.db.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val dest = Files.createTempDirectory("ice-stream-cdc")
+    sql(s"CALL g.system.iceberg_export('ics7', 'main', 'db.t', '$dest', " +
+      "sync => true)")
+    val repo = graft.versioned.GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "ics7"))
+
+    val q = spark.readStream.format("iceberg-changes")
+      .option("cdc", "true").load(dest.toString)
+      .writeStream.format("memory").queryName("ice_cdc")
+      .outputMode("append").start()
+    try {
+      def rows(): Seq[(Int, String, String)] =
+        spark.table("ice_cdc").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+      def oracle(fromCommit: String): Seq[(Int, String, String)] =
+        graft.versioned.TableOps.changesBetween(spark, repo,
+          fromCommit, "main", "db/t").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+      // multiset delta of the accumulating memory sink
+      def delta(before: Seq[(Int, String, String)]) = {
+        val b = scala.collection.mutable.Buffer(before: _*)
+        rows().filterNot(r => { val i = b.indexOf(r); if (i >= 0) b.remove(i); i >= 0 })
+      }
+      q.processAllAvailable()
+      rows().sorted shouldBe Seq((1, "a", "insert"), (2, "b", "insert"),
+        (3, "c", "insert"))
+
+      // MoR delete streams as a retraction
+      var pre = repo.headCommit("main").id
+      var before = rows()
+      sql("DELETE FROM g.ics7.main.db.t WHERE id = 2")
+      q.processAllAvailable()
+      delta(before).sorted shouldBe oracle(pre).sorted
+      delta(before).sorted shouldBe Seq((2, "b", "delete"))
+
+      // MoR update streams as delete + insert of the modified row only
+      pre = repo.headCommit("main").id
+      before = rows()
+      sql("UPDATE g.ics7.main.db.t SET v = 'z' WHERE id = 3")
+      q.processAllAvailable()
+      delta(before).sorted shouldBe oracle(pre).sorted
+      delta(before).sorted shouldBe Seq((3, "c", "delete"), (3, "z", "insert"))
+
+      // append streams as inserts
+      pre = repo.headCommit("main").id
+      before = rows()
+      sql("INSERT INTO g.ics7.main.db.t VALUES (4, 'd')")
+      q.processAllAvailable()
+      delta(before).sorted shouldBe oracle(pre).sorted
+      delta(before).sorted shouldBe Seq((4, "d", "insert"))
+
+      // a compaction rewrites files but preserves logical rows — the
+      // CDC diff nets to ZERO (where the append-only mode refuses)
+      before = rows()
+      sql("CALL g.system.compact('ics7', 'main', 'db.t')")
+      q.processAllAvailable()
+      delta(before) shouldBe empty
+    } finally q.stop()
+  }
+
+  test("cdc=true resumes from the checkpoint exactly once") {
+    sql("CREATE NAMESPACE g.ics8")
+    sql("CREATE NAMESPACE g.ics8.main.db")
+    sql("CREATE TABLE g.ics8.main.db.t (id INT) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO g.ics8.main.db.t VALUES (1), (2), (3)")
+    val dest = Files.createTempDirectory("ice-stream-cdc-ck")
+    sql(s"CALL g.system.iceberg_export('ics8', 'main', 'db.t', '$dest', " +
+      "sync => true)")
+    val ckpt = Files.createTempDirectory("ice-cdc-ckpt").toString
+    val out = Files.createTempDirectory("ice-cdc-out").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("iceberg-changes")
+        .option("cdc", "true").load(dest.toString)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    spark.read.parquet(out).count() shouldBe 3
+    sql("DELETE FROM g.ics8.main.db.t WHERE id = 1")
+    run()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    got.count(_ == ((1, "insert"))) shouldBe 1
+    got.count(_ == ((1, "delete"))) shouldBe 1
+    got.size shouldBe 4
   }
 
   test("a dest with delete files refuses by default; skipDeletes=true " +
