@@ -861,6 +861,26 @@ object Dedup {
     admitted
   }
 
+  /** Maintenance for the persisted index: bin-pack `dd/docs` and
+    * `dd/postings` (each daily [[indexAdmit]] appends one small file
+    * set per table — screens stay CORRECT as files accrete, but pay
+    * O(admissions) file opens until compacted). Delegates to the
+    * generic graft compaction ([[graft.versioned.TableOps.compact]]):
+    * logical rows unchanged, so a post-compaction screen is
+    * bit-identical; the commit carries the structural compaction
+    * marker, so incremental consumers of a synced index skip it.
+    * Returns (files before, files after) summed over both tables. Run
+    * after every K admissions — the postings/doc row data never needs
+    * re-derivation, this is purely file-layout hygiene.
+    */
+  def indexCompact(s: org.apache.spark.sql.SparkSession,
+      repo: graft.versioned.GraftRepo, branch: String,
+      targetFileBytes: Long = 128L << 20): (Int, Int) =
+    Seq("dd/docs", "dd/postings")
+      .map(k => graft.versioned.TableOps.compact(s, repo, branch, k,
+        targetFileBytes))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+
   /** End-to-end gate for the PERSISTED index: build the corpus index in
     * graft tables, atomically admit batch 1, then screen batch 2
     * against corpus + batch-1 admissions — the full daily-pipeline

@@ -116,6 +116,47 @@ class DedupIncrementalSpec extends AnyFunSuite with Matchers with BeforeAndAfter
     e.getMessage should include("10002")
   }
 
+  test("indexCompact bin-packs the accreted admission files; a " +
+    "post-compaction screen is bit-identical") {
+    spark.sql("CREATE NAMESPACE gd.r3")
+    spark.sql("CREATE NAMESPACE gd.r3.main.dd")
+    val repo = GraftRepo.open(catRoot.resolve("r3"))
+    val corpus = (0L until 100L).map(i => (i, docText(i)))
+    Dedup.indexInit(spark, "gd", repo, "main", df(corpus), t)
+
+    // four daily admissions: each atomic append accretes a small file
+    // set per table
+    (0 until 4).foreach { b =>
+      val batch = (0 until 3).map(j =>
+        (30000L + b * 10 + j, docText(80000L + b * 10 + j)))
+      Dedup.indexAdmit(spark, "gd", repo, "main", df(batch), t)
+    }
+    def files(key: String): Int =
+      repo.snapshot(repo.headCommit("main").tables(key)).files.size
+    val (docsBefore, postBefore) = (files("dd/docs"), files("dd/postings"))
+
+    // a screen with a near-dup of an ADMITTED doc and a fresh doc
+    val probe = Seq((40001L, nearDupOf(80000L)), (40002L, docText(70001L)))
+    val preScreen = Dedup.indexScreen(spark, "gd", "r3", "main", df(probe), t)
+      .collect().map(_.getLong(0)).toSet
+    preScreen shouldBe Set(40002L)
+
+    val (before, after) = Dedup.indexCompact(spark, repo, "main")
+    before shouldBe (docsBefore + postBefore)
+    after should be < before
+    files("dd/docs") should be < docsBefore
+    files("dd/postings") should be < postBefore
+
+    // bit-identical screen over the compacted layout
+    Dedup.indexScreen(spark, "gd", "r3", "main", df(probe), t)
+      .collect().map(_.getLong(0)).toSet shouldBe preScreen
+
+    // the compaction commits carry the structural marker (incremental
+    // consumers of a synced index skip them as 'replace')
+    repo.headCommit("main").markerOpt shouldBe
+      Some(graft.versioned.Commit.CompactMarker)
+  }
+
   test("frozen order keeps exact recall across batches: screen results " +
     "equal a from-scratch exact Jaccard recompute") {
     import spark.implicits._
