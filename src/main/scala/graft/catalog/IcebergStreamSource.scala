@@ -99,11 +99,20 @@ final class IcebergChangesTable(loc: String, schema0: StructType)
       override def readSchema(): StructType = schema0
       override def toMicroBatchStream(checkpointLocation: String)
           : MicroBatchStream =
-        if (IcebergChangesProvider.isCdc(options))
+        if (IcebergChangesProvider.isCdc(options)) {
+          // options that only mean something for the file-prefix append
+          // stream must not be silently dropped: the CDC unit of
+          // consumption is a whole version-range diff (no per-file rate
+          // cap) and deletes are the POINT of CDC mode
+          Seq("maxFilesPerTrigger", "skipDeletes").foreach(o =>
+            require(options.get(o) == null,
+              s"option $o is not supported with cdc=true (CDC consumes " +
+                "whole version-range diffs and always applies deletes)"))
           new IcebergCdcMicroBatchStream(loc, schema0,
             startFromLatest =
               options.getOrDefault("startFrom", "earliest") == "latest",
             checkpointLoc = Option(checkpointLocation).filter(_.nonEmpty))
+        }
         else new IcebergChangesMicroBatchStream(loc, schema0,
           Option(options.get("maxFilesPerTrigger")).map(_.toInt),
           startFromLatest =
@@ -181,7 +190,13 @@ final class IcebergChangesMicroBatchStream(loc: String, schema: StructType,
 
   /** Apply logged assignments for versions ≤ `v` (the stream's resume
     * point): entries PAST the resume point are recomputed from metadata
-    * instead, so the rewrite guard still sees those versions.
+    * instead, so the rewrite guard still sees those versions. Only the
+    * CONTIGUOUS prefix starting at version 1 is honored — expired
+    * versions get explicit empty entries, so a GAP means a log write
+    * failed and the gapped version's assignment must replay from
+    * metadata (honoring max instead would silently skip it and permute
+    * the order the checkpointed (meta, idx) offsets were computed
+    * against).
     */
   private def loadOrderLog(v: Int): Unit = logDir.foreach { dir =>
     try {
@@ -193,14 +208,23 @@ final class IcebergChangesMicroBatchStream(loc: String, schema: StructType,
           case LogRe(k) if k.toInt <= v => Some(k.toInt -> st.getPath)
           case _ => None
         }).sortBy(_._1)
-      entries.foreach { case (k, p) =>
-        val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(
-          fs.open(p))
-        Json.readAny(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
-          .asInstanceOf[Map[String, Any]]("files")
-          .asInstanceOf[Seq[Any]]
-          .foreach(f => firstSeen.getOrElseUpdate(f.asInstanceOf[String], k))
-        builtThrough = math.max(builtThrough, k)
+      val it = entries.iterator
+      var contiguous = true
+      while (contiguous && it.hasNext) {
+        val (k, p) = it.next()
+        if (k != builtThrough + 1) contiguous = false
+        else {
+          // read + apply fully BEFORE advancing builtThrough: a failed
+          // read must leave the version to metadata replay, not skip it
+          val bytes = scala.util.Using.resource(fs.open(p))(in =>
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in))
+          Json.readAny(
+              new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+            .asInstanceOf[Map[String, Any]]("files")
+            .asInstanceOf[Seq[Any]]
+            .foreach(f => firstSeen.getOrElseUpdate(f.asInstanceOf[String], k))
+          builtThrough = k
+        }
       }
     } catch { case _: Exception => () } // log unreadable → replay from metadata
   }
@@ -375,7 +399,12 @@ final class IcebergChangesMicroBatchStream(loc: String, schema: StructType,
           fresh.foreach(firstSeen.update(_, k))
           writeOrderLog(k, fresh)
         } catch { case _: java.io.FileNotFoundException |
-          _: java.nio.file.NoSuchFileException => () } // expired version
+          _: java.nio.file.NoSuchFileException =>
+          // expired version contributed nothing — log an explicit
+          // EMPTY entry so the order log stays gap-free (a gap means a
+          // failed write, which forces metadata replay on restart)
+          writeOrderLog(k, Nil)
+        }
         // per-version advance: a guard refusal at version k+1 must not
         // leave a retry re-diffing older versions against k's live set
         builtThrough = math.max(builtThrough, k)
@@ -482,10 +511,25 @@ final class IcebergCdcMicroBatchStream(loc: String, cdcSchema: StructType,
       sys.props("java.io.tmpdir") + s"/graft-cdc-${java.util.UUID.randomUUID()}"),
     "graft-cdc-staged")
 
+  /** Reject an append-mode offset shape loudly: it carries an `idx`
+    * into the version's FILE order, meaning the version is only
+    * partially consumed — treating it as consumed-through would
+    * silently drop the unconsumed remainder when a user flips
+    * `cdc=true` on an existing checkpoint.
+    */
+  private def parseOffset(json: String): String = {
+    val m = Json.readAny(json).asInstanceOf[Map[String, Any]]
+    require(!m.contains("idx"),
+      s"offset $json is an append-mode iceberg-changes offset (partial " +
+        "file consumption), not a CDC offset — cdc=true cannot resume an " +
+        "append-mode checkpoint; start the CDC stream with a fresh " +
+        "checkpointLocation")
+    m("meta").asInstanceOf[String]
+  }
+
   private def tokenOf(o: Offset): String = o match {
     case c: IcebergCdcOffset => c.meta
-    case other => Json.readAny(other.json())
-      .asInstanceOf[Map[String, Any]]("meta").asInstanceOf[String]
+    case other => parseOffset(other.json())
   }
 
   override def initialOffset(): Offset =
@@ -535,8 +579,7 @@ final class IcebergCdcMicroBatchStream(loc: String, cdcSchema: StructType,
   } catch { case _: Exception => () } // pruning is hygiene, never load-bearing
 
   override def deserializeOffset(json: String): Offset =
-    IcebergCdcOffset(Json.readAny(json)
-      .asInstanceOf[Map[String, Any]]("meta").asInstanceOf[String])
+    IcebergCdcOffset(parseOffset(json))
 
   override def stop(): Unit = ()
   override def toString: String = s"IcebergCdcMicroBatchStream($loc)"

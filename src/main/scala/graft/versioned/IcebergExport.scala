@@ -134,6 +134,40 @@ object IcebergExport {
       format: String = "PARQUET", dv: Option[DvCoord] = None,
       addedBy: Long = -1L)
 
+  /** Reused-file ledger for ONE export emission: every content-addressed
+    * file the emission REUSES (accepted via an isFile check instead of a
+    * fresh write) is recorded, with a restorer where the bytes can be
+    * cheaply rebuilt driver-side. Just before the metadata JSON
+    * publishes, the export re-verifies every recorded file still exists:
+    * a concurrent `iceberg_export_expire` sweep could delete an old
+    * unreferenced file inside the reuse-to-publish window — the mtime
+    * touch-on-reuse shield closes that on backends whose setTimes works,
+    * but on silent-no-op backends (s3a) this re-verify is the guard.
+    * Restorable files republish (content addressing makes it
+    * idempotent); anything else fails the emission LOUDLY before corrupt
+    * metadata can publish — the re-run recomputes the memo.
+    */
+  private final class ReuseLedger {
+    val items =
+      scala.collection.mutable.Map.empty[String, Option[() => Unit]]
+    def note(rel: String, restore: Option[() => Unit] = None): Unit =
+      synchronized { if (!items.contains(rel)) items.update(rel, restore) }
+    def verify(dest: DestIO): Unit = {
+      val gone = Manifests.fanOut(items.keys.toSeq.sorted, 4)(rel =>
+        if (dest.isFile(rel)) None else Some(rel)).flatten
+      gone.foreach { rel =>
+        items(rel) match {
+          case Some(restore) => restore()
+          case None => throw new IllegalStateException(
+            s"reused file $rel vanished mid-emission — a concurrent " +
+              "iceberg_export_expire sweep deleted it before this " +
+              "emission's metadata published. Nothing corrupt was " +
+              "written; re-run the export (the memo recomputes)")
+        }
+      }
+    }
+  }
+
   /** Write Iceberg metadata for `ref:key` under `dest` (a fresh export
     * directory). Returns the path of the written metadata JSON. This
     * overload has no SparkSession, so non-equality merge-on-read
@@ -246,6 +280,7 @@ object IcebergExport {
     val headCommit = repo.resolve(ref)
     if (!headCommit.tables.contains(key))
       throw new NoSuchElementException(s"no such table: $key @ $ref")
+    val reuse = new ReuseLedger
     // newest-first distinct table versions along the first-parent chain,
     // each paired with the commit that CREATED the version (the oldest
     // commit carrying its snapshot id), so exported timestamp-ms and the
@@ -359,14 +394,16 @@ object IcebergExport {
       val tombs = Tombstones.of(h)
       val (eqTombs, posTombs) =
         tombs.partition(t => equalityRows(t.filter, phys).isDefined)
-      val eqDeletes = eqTombs.map(t => writeEqualityDelete(t, phys, dest))
+      val eqDeletes =
+        eqTombs.map(t => writeEqualityDelete(t, phys, dest, reuse))
       val posDeletes: Seq[DeleteFile] =
         if (posTombs.isEmpty) Nil
         else spark match {
           case Some(s) if formatVersion == 3 =>
-            writeDeletionVectors(s, repo, h, sid, phys, posTombs, dest)
+            writeDeletionVectors(s, repo, h, sid, phys, posTombs, dest, reuse)
           case Some(s) =>
-            writePositionDeletes(s, repo, h, phys, specFields, posTombs, dest)
+            writePositionDeletes(s, repo, h, phys, specFields, posTombs,
+              dest, reuse)
           case None => throw new UnsupportedOperationException(
             s"$key has merge-on-read tombstones that are not " +
               "equality-expressible; export through CALL " +
@@ -407,6 +444,11 @@ object IcebergExport {
         case Some(prev) =>
           val filesRemoved = !prev.forall(curPaths.contains)
           val tombsChanged = !prevTombSig.contains(tombSig)
+          // compat note: compaction commits written by builds that
+          // predate the marker field classify as "overwrite" here —
+          // the SAFE direction (consumers refuse loudly and re-import
+          // instead of silently skipping); re-compacting refreshes the
+          // classification
           if ((filesRemoved || tombsChanged) &&
               c.markerOpt.contains(Commit.CompactMarker))
             "replace"
@@ -512,19 +554,27 @@ object IcebergExport {
               // later emission reuses)
               def publish(rel: String, es: Seq[MEntry],
                   explicitIds: Boolean): ChunkPart = {
+                def bytesOf() = manifestBytes(es,
+                  entrySnapshotId =
+                    if (explicitIds) Some(a.snapshotId) else None,
+                  icebergSchemaJson(phys), specFields, srcTypeOf,
+                  specFieldsJson, v, manifestContent = "data",
+                  specId = 0)
                 // reuse bumps mtime FIRST: the expire sweep's age guard
                 // then protects the file through this emission's
                 // reuse-to-publish window even if no kept version
-                // references it yet (see DestIO.touch)
+                // references it yet (see DestIO.touch; the ReuseLedger
+                // re-verify before metadata publish is the backstop on
+                // backends whose setTimes is a no-op — chunk bytes are
+                // rebuildable, so a swept file just republishes)
                 val len =
-                  if (dest.isFile(rel)) { dest.touch(rel); dest.size(rel) }
-                  else {
-                    val bytes = manifestBytes(es,
-                      entrySnapshotId =
-                        if (explicitIds) Some(a.snapshotId) else None,
-                      icebergSchemaJson(phys), specFields, srcTypeOf,
-                      specFieldsJson, v, manifestContent = "data",
-                      specId = 0)
+                  if (dest.isFile(rel)) {
+                    dest.touch(rel)
+                    reuse.note(rel,
+                      Some(() => dest.writeAtomic(rel, bytesOf())))
+                    dest.size(rel)
+                  } else {
+                    val bytes = bytesOf()
                     dest.writeAtomic(rel, bytes)
                     bytes.length.toLong
                   }
@@ -694,6 +744,10 @@ object IcebergExport {
 
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val metaRel = s"metadata/v$version.metadata.json"
+    // pre-publish re-verify of every reused content-addressed file: a
+    // concurrent expire sweep on a setTimes-less backend could have
+    // deleted one inside the reuse-to-publish window (see ReuseLedger)
+    reuse.verify(dest)
     dest.writeAtomic(metaRel,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -840,7 +894,7 @@ object IcebergExport {
     * — no Spark job, no data scanned, O(predicate) work.
     */
   private def writeEqualityDelete(t: Tombstone, phys: StructType,
-      dest: DestIO): DeleteFile = {
+      dest: DestIO, reuse: ReuseLedger): DeleteFile = {
     dest.mkdirs("data")
     import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -878,47 +932,55 @@ object IcebergExport {
     // truncated parquet that every future export would reuse.
     val fp = shaHex(s"${t.seq}|${t.filter}|${ids.mkString(",")}|$msg")
     val outRel = s"data/eq-$fp-deletes.parquet"
+    // staged LOCALLY (parquet-hadoop needs a seekable sink), then
+    // published whole via the dest seam — works for remote dests too;
+    // also the ReuseLedger restorer for a reused file a concurrent
+    // sweep deletes mid-emission (driver-side value rows — cheap)
+    def publishFile(): Long = {
+      val tmpOut = Files.createTempFile("graft-ice-eq", ".parquet")
+      Files.deleteIfExists(tmpOut) // writer refuses existing files
+      val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+          new org.apache.hadoop.fs.Path(tmpOut.toUri),
+          new org.apache.hadoop.conf.Configuration()))
+        .withType(msg).build()
+      val factory =
+        new org.apache.parquet.example.data.simple.SimpleGroupFactory(msg)
+      try rows.foreach { r =>
+        val g = factory.newGroup()
+        cols.foreach { c =>
+          val v = r(c)
+          phys.fields(phys.fieldIndex(c)).dataType match {
+            case ByteType | ShortType | IntegerType =>
+              g.add(c, v.asInstanceOf[Number].intValue())
+            case LongType => g.add(c, v.asInstanceOf[Number].longValue())
+            case FloatType => g.add(c, v.asInstanceOf[Number].floatValue())
+            case DoubleType => g.add(c, v.asInstanceOf[Number].doubleValue())
+            case BooleanType => g.add(c, v.asInstanceOf[Boolean])
+            case StringType => g.add(c,
+              org.apache.parquet.io.api.Binary.fromString(v.toString))
+            case DateType => g.add(c,
+              v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+            case TimestampType | TimestampNTZType =>
+              val i = v.asInstanceOf[java.sql.Timestamp].toInstant
+              g.add(c, i.getEpochSecond * 1000000L + i.getNano / 1000L)
+            case other =>
+              throw new IllegalStateException(s"unreachable: $other")
+          }
+        }
+        writer.write(g)
+      } finally writer.close()
+      val size = Files.size(tmpOut)
+      dest.uploadAtomic(tmpOut, outRel)
+      size
+    }
     if (dest.isFile(outRel)) {
       dest.touch(outRel) // shield the reuse window from the expire sweep
+      reuse.note(outRel, Some(() => { publishFile(); () }))
       return DeleteFile(outRel, dest.size(outRel), rows.size.toLong,
         Map.empty, content = 2, seq = t.seq + 1, equalityIds = ids)
     }
-    // staged LOCALLY (parquet-hadoop needs a seekable sink), then
-    // published whole via the dest seam — works for remote dests too
-    val tmpOut = Files.createTempFile("graft-ice-eq", ".parquet")
-    Files.deleteIfExists(tmpOut) // writer refuses existing files
-    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
-      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
-        new org.apache.hadoop.fs.Path(tmpOut.toUri),
-        new org.apache.hadoop.conf.Configuration()))
-      .withType(msg).build()
-    val factory =
-      new org.apache.parquet.example.data.simple.SimpleGroupFactory(msg)
-    try rows.foreach { r =>
-      val g = factory.newGroup()
-      cols.foreach { c =>
-        val v = r(c)
-        phys.fields(phys.fieldIndex(c)).dataType match {
-          case ByteType | ShortType | IntegerType =>
-            g.add(c, v.asInstanceOf[Number].intValue())
-          case LongType => g.add(c, v.asInstanceOf[Number].longValue())
-          case FloatType => g.add(c, v.asInstanceOf[Number].floatValue())
-          case DoubleType => g.add(c, v.asInstanceOf[Number].doubleValue())
-          case BooleanType => g.add(c, v.asInstanceOf[Boolean])
-          case StringType => g.add(c,
-            org.apache.parquet.io.api.Binary.fromString(v.toString))
-          case DateType => g.add(c,
-            v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
-          case TimestampType | TimestampNTZType =>
-            val i = v.asInstanceOf[java.sql.Timestamp].toInstant
-            g.add(c, i.getEpochSecond * 1000000L + i.getNano / 1000L)
-          case other => throw new IllegalStateException(s"unreachable: $other")
-        }
-      }
-      writer.write(g)
-    } finally writer.close()
-    val size = Files.size(tmpOut)
-    dest.uploadAtomic(tmpOut, outRel)
+    val size = publishFile()
     DeleteFile(outRel, size, rows.size.toLong, Map.empty, content = 2,
       seq = t.seq + 1, equalityIds = ids)
   }
@@ -947,7 +1009,8 @@ object IcebergExport {
     */
   private def writePositionDeletes(s: SparkSession, repo: GraftRepo,
       snap: Snapshot, phys: StructType, specFields: Seq[PartitionField],
-      tombs: Seq[Tombstone], dest: DestIO): Seq[DeleteFile] = {
+      tombs: Seq[Tombstone], dest: DestIO,
+      reuse: ReuseLedger): Seq[DeleteFile] = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, regexp_replace}
     // per-snapshot memo: positions are a pure function of the graft
     // snapshot (files + tombstones + schema all live in it), so a sync
@@ -961,10 +1024,13 @@ object IcebergExport {
       val idx = Json.read[PosIndex](dest.readString(indexRel))
       // shield the whole memo (index + every delete parquet) through
       // this emission's reuse-to-publish window (see DestIO.touch) —
-      // batched over the shared IO pool, not one serial RPC per file
+      // batched over the shared IO pool, not one serial RPC per file.
+      // No cheap restorer (rebuilding means the full Spark job), so the
+      // pre-publish re-verify fails LOUDLY if a sweep won the race.
       Manifests.fanOut(
         indexRel +: idx.entries.map(e => s"$memoRel/${e.name}"), 4)(
         dest.touch)
+      idx.entries.foreach(e => reuse.note(s"$memoRel/${e.name}"))
       return idx.entries.map(e =>
         DeleteFile(s"$memoRel/${e.name}",
           if (e.bytes >= 0) e.bytes else dest.size(s"$memoRel/${e.name}"),
@@ -1124,7 +1190,8 @@ object IcebergExport {
     */
   private def writeDeletionVectors(s: SparkSession, repo: GraftRepo,
       snap: Snapshot, snapshotId: Long, phys: StructType,
-      tombs: Seq[Tombstone], dest: DestIO): Seq[DeleteFile] = {
+      tombs: Seq[Tombstone], dest: DestIO,
+      reuse: ReuseLedger): Seq[DeleteFile] = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, regexp_replace}
     val memoRel = s"data/dv-${snap.id}"
     val indexRel = s"$memoRel/index.json"
@@ -1136,9 +1203,11 @@ object IcebergExport {
     if (dest.isFile(indexRel)) {
       val idx = Json.read[DvIndex](dest.readString(indexRel))
       // shield the memo through this emission's reuse-to-publish window
+      // (no cheap restorer — pre-publish re-verify fails loudly instead)
       Manifests.fanOut(
         indexRel +: (if (idx.entries.isEmpty) Nil else Seq(puffinRel)), 4)(
         dest.touch)
+      if (idx.entries.nonEmpty) reuse.note(puffinRel)
       return fromIndex(idx)
     }
     val (_, groups) = Tombstones.split(tombs, phys, snap.files, Some(repo.dataIO))

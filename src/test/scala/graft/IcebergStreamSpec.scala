@@ -283,6 +283,43 @@ class IcebergStreamSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     got.size shouldBe 4
   }
 
+  test("cdc=true refuses an append-mode checkpoint (a partially " +
+    "consumed file offset would silently drop rows) and rejects " +
+    "append-only options") {
+    sql("CREATE NAMESPACE g.ics9")
+    sql("CREATE NAMESPACE g.ics9.main.db")
+    sql("CREATE TABLE g.ics9.main.db.t (id INT)")
+    sql("INSERT INTO g.ics9.main.db.t VALUES (1), (2)")
+    val dest = Files.createTempDirectory("ice-stream-mix")
+    sql(s"CALL g.system.iceberg_export('ics9', 'main', 'db.t', '$dest', " +
+      "sync => true)")
+    val ckpt = Files.createTempDirectory("ice-mix-ckpt").toString
+    val out = Files.createTempDirectory("ice-mix-out").toString
+    val q = spark.readStream.format("iceberg-changes").load(dest.toString)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    sql("INSERT INTO g.ics9.main.db.t VALUES (3)")
+    val q2 = spark.readStream.format("iceberg-changes")
+      .option("cdc", "true").load(dest.toString)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    e.getMessage should include("append-mode")
+
+    val e2 = intercept[Exception] {
+      val q3 = spark.readStream.format("iceberg-changes")
+        .option("cdc", "true").option("maxFilesPerTrigger", "1")
+        .load(dest.toString)
+        .writeStream.format("memory").queryName("ice_mix_bad")
+        .outputMode("append").start()
+      try q3.processAllAvailable() finally q3.stop()
+    }
+    e2.getMessage should include("not supported with cdc=true")
+  }
+
   test("a dest with delete files refuses by default; skipDeletes=true " +
     "opts into raw-append semantics") {
     sql("CREATE NAMESPACE g.ics3")
