@@ -2,7 +2,7 @@ package graft.catalog
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
@@ -487,29 +487,23 @@ final case class IcebergCdcOffset(meta: String) extends Offset {
   * retractions, CoW updates as delete+insert of the modified rows
   * only, and compactions net to zero rows. TOTAL over snapshot shapes:
   * nothing refuses, so a MoR-writing producer can be followed
-  * continuously.
-  *
-  * Each batch `(from, to]` is one version-range diff. The diff is an
-  * exceptAll computation, not a bare file scan, so the batch
-  * materializes once into `graft-cdc-staged/b-<from>-<to>/` under the
-  * source checkpoint (a distributed write of O(changed rows), pruned
-  * at commit) and the micro-batch reads those staged files — replays
-  * of a committed-but-unfinished batch reread the staged bytes instead
-  * of recomputing.
+  * continuously. Batch staging/replay mechanics live in
+  * [[StagedCdcStream]] (shared with graft's own table CDC stream).
   */
-final class IcebergCdcMicroBatchStream(loc: String, cdcSchema: StructType,
-    startFromLatest: Boolean, checkpointLoc: Option[String])
-    extends MicroBatchStream {
+final class IcebergCdcMicroBatchStream(loc: String,
+    protected val cdcSchema: StructType,
+    startFromLatest: Boolean,
+    protected val checkpointLoc: Option[String])
+    extends StagedCdcStream {
 
   private val VersionRe = """v(\d+)\.metadata\.json$""".r
-  private def versionOf(metaLoc: String): Int =
-    VersionRe.findFirstMatchIn(metaLoc).map(_.group(1).toInt).getOrElse(0)
-  private def hadoopConf =
-    SparkSession.active.sessionState.newHadoopConf()
-  private val stageRoot = new org.apache.hadoop.fs.Path(
-    checkpointLoc.getOrElse(
-      sys.props("java.io.tmpdir") + s"/graft-cdc-${java.util.UUID.randomUUID()}"),
-    "graft-cdc-staged")
+  override protected def stageName: String = "graft-cdc-staged"
+  override protected def tagOf(token: String): String =
+    if (token.isEmpty) "0"
+    else VersionRe.findFirstMatchIn(token).map(_.group(1)).getOrElse("0")
+  override protected def computeDiff(from: Option[String],
+      to: String): DataFrame =
+    IcebergImport.changesBetweenVersions(SparkSession.active, from, to)
 
   /** Reject an append-mode offset shape loudly: it carries an `idx`
     * into the version's FILE order, meaning the version is only
@@ -527,7 +521,7 @@ final class IcebergCdcMicroBatchStream(loc: String, cdcSchema: StructType,
     m("meta").asInstanceOf[String]
   }
 
-  private def tokenOf(o: Offset): String = o match {
+  override protected def tokenOf(o: Offset): String = o match {
     case c: IcebergCdcOffset => c.meta
     case other => parseOffset(other.json())
   }
@@ -539,48 +533,8 @@ final class IcebergCdcMicroBatchStream(loc: String, cdcSchema: StructType,
   override def latestOffset(): Offset =
     IcebergCdcOffset(IcebergImport.resolveMetadataLoc(loc))
 
-  override def planInputPartitions(start: Offset,
-      end: Offset): Array[InputPartition] = {
-    val a = tokenOf(start)
-    val b = tokenOf(end)
-    if (a == b || b.isEmpty) return Array.empty
-    val dir = new org.apache.hadoop.fs.Path(stageRoot,
-      s"b-${if (a.isEmpty) 0 else versionOf(a)}-${versionOf(b)}")
-    val fs = dir.getFileSystem(hadoopConf)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
-      IcebergImport.changesBetweenVersions(SparkSession.active,
-          Option(a).filter(_.nonEmpty), b)
-        .write.mode("overwrite").parquet(dir.toString)
-    }
-    val parts = fs.listStatus(dir).toSeq
-      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
-    if (parts.isEmpty) return Array.empty
-    graftbridge.ParquetReadBridge.scan(SparkSession.active, parts,
-      cdcSchema, cdcSchema, Array.empty).toBatch.planInputPartitions()
-  }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    graftbridge.ParquetReadBridge.scan(SparkSession.active, Nil,
-      cdcSchema, cdcSchema, Array.empty).toBatch.createReaderFactory()
-
-  /** Staged batches at or below the committed version can never replay
-    * again — prune them. */
-  override def commit(end: Offset): Unit = try {
-    val v = versionOf(tokenOf(end))
-    val fs = stageRoot.getFileSystem(hadoopConf)
-    if (!fs.exists(stageRoot)) return
-    val StageRe = """b-(\d+)-(\d+)""".r
-    fs.listStatus(stageRoot).foreach { st =>
-      st.getPath.getName match {
-        case StageRe(_, to) if to.toInt < v => fs.delete(st.getPath, true)
-        case _ => ()
-      }
-    }
-  } catch { case _: Exception => () } // pruning is hygiene, never load-bearing
-
   override def deserializeOffset(json: String): Offset =
     IcebergCdcOffset(parseOffset(json))
 
-  override def stop(): Unit = ()
   override def toString: String = s"IcebergCdcMicroBatchStream($loc)"
 }

@@ -1,0 +1,85 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.graftbridge
+import org.apache.spark.sql.types.StructType
+
+/** Shared machinery for graft's CDC micro-batch streams
+  * ([[GraftCdcMicroBatchStream]] over a graft table's commit log,
+  * [[IcebergCdcMicroBatchStream]] over an external Iceberg table).
+  *
+  * Both share one design: the unit of consumption is a whole
+  * VERSION-RANGE DIFF `(from, to]` — net row changes as
+  * `table schema + _change_type` — and the diff is an exceptAll
+  * computation, not a bare file scan, so it cannot be expressed as
+  * DSv2 input partitions directly. Each batch therefore materializes
+  * ONCE into a staged parquet directory under the source checkpoint
+  * (a distributed write of O(changed rows)) and the micro-batch reads
+  * those staged files; a replay of a committed-but-unfinished batch
+  * rereads the staged bytes instead of recomputing, and committed
+  * batches prune their staging at `commit`.
+  */
+private[catalog] trait StagedCdcStream extends MicroBatchStream {
+
+  /** table schema + `_change_type` — the staged parquet's exact shape. */
+  protected def cdcSchema: StructType
+  /** Source checkpoint dir (None only in ad-hoc tests — falls back to a
+    * process tmpdir). */
+  protected def checkpointLoc: Option[String]
+  /** Subdirectory name under the checkpoint for this source's staging. */
+  protected def stageName: String
+  /** Filesystem-safe tag naming a token in staged dir names ("" must
+    * map to a stable tag too). */
+  protected def tagOf(token: String): String
+  /** The net row changes of `(from, to]`; `from` None ⇒ everything live
+    * at `to` is an insert (the initial CDC batch). */
+  protected def computeDiff(from: Option[String], to: String): DataFrame
+  /** Token of an offset, normalizing checkpoint-deserialized shapes
+    * (and refusing foreign ones loudly). */
+  protected def tokenOf(o: Offset): String
+
+  private lazy val stageRoot = new org.apache.hadoop.fs.Path(
+    checkpointLoc.getOrElse(sys.props("java.io.tmpdir") +
+      s"/graft-cdc-${java.util.UUID.randomUUID()}"),
+    stageName)
+  private def hadoopConf =
+    SparkSession.active.sessionState.newHadoopConf()
+
+  final override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val a = tokenOf(start)
+    val b = tokenOf(end)
+    if (a == b || b.isEmpty) return Array.empty
+    val dir = new org.apache.hadoop.fs.Path(stageRoot,
+      s"b-${tagOf(a)}-${tagOf(b)}")
+    val fs = dir.getFileSystem(hadoopConf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+      computeDiff(Option(a).filter(_.nonEmpty), b)
+        .write.mode("overwrite").parquet(dir.toString)
+    val parts = fs.listStatus(dir).toSeq
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    if (parts.isEmpty) return Array.empty
+    graftbridge.ParquetReadBridge.scan(SparkSession.active, parts,
+      cdcSchema, cdcSchema, Array.empty).toBatch.planInputPartitions()
+  }
+
+  final override def createReaderFactory(): PartitionReaderFactory =
+    graftbridge.ParquetReadBridge.scan(SparkSession.active, Nil,
+      cdcSchema, cdcSchema, Array.empty).toBatch.createReaderFactory()
+
+  /** A committed batch can never replay; batches run strictly in
+    * sequence, so every staged dir present at commit time belongs to
+    * the batch just committed (or an older one) — prune them all.
+    * Pruning is hygiene, never load-bearing: a missed prune costs disk,
+    * a recompute costs one diff.
+    */
+  final override def commit(end: Offset): Unit = try {
+    val fs = stageRoot.getFileSystem(hadoopConf)
+    if (fs.exists(stageRoot))
+      fs.listStatus(stageRoot).foreach(st => fs.delete(st.getPath, true))
+  } catch { case _: Exception => () }
+
+  override def stop(): Unit = ()
+}

@@ -504,6 +504,33 @@ object Versioned {
       .orderBy(col("n_regionkey"))
   }
 
+  /** Streaming CDC of the table's own commit log (`graft-changes`
+    * source — the retraction-aware twin of [[streamRead]]'s raw-append
+    * stream): initial full load as inserts, then per-commit NET
+    * changes — a CoW delete (retractions), an update (delete + insert
+    * of the modified row only), an append — accumulated by a memory
+    * sink. The oracle replays the same change script declaratively.
+    */
+  private def cdcRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    val name = "vcc" + UUID.randomUUID().toString.replace("-", "").take(10)
+    val q = s.readStream.format("graft-changes")
+      .option("table", "db.nation").load(repo.root.toString)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      s.sql(s"DELETE FROM $cat.r.main.db.nation WHERE n_nationkey >= 20")
+      q.processAllAvailable()
+      s.sql(s"UPDATE $cat.r.main.db.nation " +
+        "SET n_name = concat(n_name, '?') WHERE n_nationkey = 1")
+      s.sql(s"INSERT INTO $cat.r.main.db.nation VALUES (3000, 'CDCLAND', 1)")
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+      .orderBy(col("n_nationkey"), col("_change_type"), col("n_name"))
+  }
+
   /** Incremental (checkpointed-consumer) read: `graft.fromRef = <c1>`
     * scans ONLY the files appended since commit c1 — resolved purely
     * from snapshot metadata (no listing, no diffing data). The batch
@@ -1011,6 +1038,25 @@ object Versioned {
         |GROUP BY n_regionkey
         |ORDER BY n_regionkey""".stripMargin
     )(streamRead),
+    Q(
+      "vc_cdc_read",
+      """SELECT n_nationkey, n_name, n_regionkey, _change_type FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey,
+        |         'insert' AS _change_type FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey, 'delete' FROM nation
+        |  WHERE n_nationkey >= 20
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey, 'delete' FROM nation
+        |  WHERE n_nationkey = 1
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name || '?', n_regionkey, 'insert'
+        |  FROM nation WHERE n_nationkey = 1
+        |  UNION ALL
+        |  SELECT 3000, 'CDCLAND', 1, 'insert'
+        |)
+        |ORDER BY n_nationkey, _change_type, n_name""".stripMargin
+    )(cdcRead),
     Q(
       "vc_mor_read",
       """SELECT o_orderstatus,

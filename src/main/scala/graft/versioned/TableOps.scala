@@ -1395,10 +1395,18 @@ object TableOps {
     * callers diff up to the evolution commit, then from it.
     */
   def changesBetween(spark: SparkSession, repo: GraftRepo,
-      fromRef: String, toRef: String, key: String): DataFrame = {
+      fromRef: String, toRef: String, key: String): DataFrame =
+    changesBetween(spark, repo, Some(fromRef), toRef, key)
+
+  /** `fromRef` None ⇒ diff from the EMPTY state: every live row at
+    * `toRef` is an insert (the initial load of a CDC consumer — see
+    * [[graft.catalog.GraftCdcMicroBatchStream]]).
+    */
+  def changesBetween(spark: SparkSession, repo: GraftRepo,
+      fromRef: Option[String], toRef: String, key: String): DataFrame = {
     def snapOf(ref: String): Option[Snapshot] =
       repo.resolve(ref).tables.get(key).map(repo.snapshot)
-    val sFrom = snapOf(fromRef); val sTo = snapOf(toRef)
+    val sFrom = fromRef.flatMap(snapOf); val sTo = snapOf(toRef)
     val schema = (sTo orElse sFrom).map(s =>
       DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
       .getOrElse(throw new NoSuchElementException(s"no such table: $key"))

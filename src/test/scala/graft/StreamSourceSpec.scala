@@ -38,6 +38,86 @@ class StreamSourceSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll 
     s"g.$repo.main.db.t"
   }
 
+  test("graft-changes CDC stream: retractions for MoR + CoW deletes, " +
+    "delete+insert for updates, zero rows for compaction; every batch " +
+    "nets to changesBetween for the same commit range") {
+    sql("CREATE NAMESPACE g.cdc1")
+    sql("CREATE NAMESPACE g.cdc1.main.db")
+    sql("CREATE TABLE g.cdc1.main.db.t (id INT, v STRING) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO g.cdc1.main.db.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "cdc1")
+    val repo = graft.versioned.GraftRepo.open(root)
+    val q = spark.readStream.format("graft-changes")
+      .option("table", "db.t").load(root.toString)
+      .writeStream.format("memory").queryName("graft_cdc")
+      .outputMode("append").start()
+    try {
+      def rows(): Seq[(Int, String, String)] =
+        spark.table("graft_cdc").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+      def oracle(fromCommit: String): Seq[(Int, String, String)] =
+        graft.versioned.TableOps.changesBetween(spark, repo,
+          fromCommit, "main", "db/t").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+      def delta(before: Seq[(Int, String, String)]) = {
+        val b = scala.collection.mutable.Buffer(before: _*)
+        rows().filterNot(r => { val i = b.indexOf(r); if (i >= 0) b.remove(i); i >= 0 })
+      }
+      q.processAllAvailable()
+      rows().sorted shouldBe Seq((1, "a", "insert"), (2, "b", "insert"),
+        (3, "c", "insert"))
+
+      var pre = repo.headCommit("main").id
+      var before = rows()
+      sql("DELETE FROM g.cdc1.main.db.t WHERE id = 2") // MoR tombstone
+      q.processAllAvailable()
+      delta(before).sorted shouldBe oracle(pre).sorted
+      delta(before).sorted shouldBe Seq((2, "b", "delete"))
+
+      pre = repo.headCommit("main").id
+      before = rows()
+      sql("UPDATE g.cdc1.main.db.t SET v = 'z' WHERE id = 3")
+      q.processAllAvailable()
+      delta(before).sorted shouldBe oracle(pre).sorted
+      delta(before).sorted shouldBe Seq((3, "c", "delete"), (3, "z", "insert"))
+
+      before = rows()
+      sql("CALL g.system.compact('cdc1', 'main', 'db.t')")
+      q.processAllAvailable()
+      delta(before) shouldBe empty
+    } finally q.stop()
+  }
+
+  test("graft-changes CDC stream resumes from checkpoint exactly once") {
+    sql("CREATE NAMESPACE g.cdc2")
+    sql("CREATE NAMESPACE g.cdc2.main.db")
+    sql("CREATE TABLE g.cdc2.main.db.t (id INT)")
+    sql("INSERT INTO g.cdc2.main.db.t VALUES (1), (2), (3)")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "cdc2")
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
+    val out = Files.createTempDirectory("graft-cdc-out").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("table", "db.t").load(root.toString)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    spark.read.parquet(out).count() shouldBe 3
+    sql("DELETE FROM g.cdc2.main.db.t WHERE id = 1") // CoW rewrite
+    run()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    got.count(_ == ((1, "insert"))) shouldBe 1
+    got.count(_ == ((1, "delete"))) shouldBe 1
+    got.size shouldBe 4
+  }
+
   test("streams existing commits, then live appends — via readStream.table") {
     val t = setup("s1", Seq((1, "a"), (2, "b")), Seq((3, "c")))
     val q = spark.readStream.table(t)
