@@ -89,7 +89,9 @@ final class GraftChangesTable(repo: GraftRepo, branch: String, key: String,
         new GraftCdcMicroBatchStream(repo, branch, key, schema0,
           startFromLatest =
             options.getOrDefault("startFrom", "earliest") == "latest",
-          checkpointLoc = Option(checkpointLocation).filter(_.nonEmpty))
+          checkpointLoc = Option(checkpointLocation).filter(_.nonEmpty),
+          maxStepsPerTrigger =
+            Option(options.get("maxCommitsPerTrigger")).map(_.toInt))
     }
 }
 
@@ -103,7 +105,9 @@ final case class GraftCdcOffset(commit: String) extends Offset {
 final class GraftCdcMicroBatchStream(repo: GraftRepo, branch: String,
     key: String, protected val cdcSchema: StructType,
     startFromLatest: Boolean,
-    protected val checkpointLoc: Option[String]) extends StagedCdcStream {
+    protected val checkpointLoc: Option[String],
+    protected val maxStepsPerTrigger: Option[Int] = None)
+    extends StagedCdcStream {
 
   override protected def stageName: String = "graft-cdc-staged"
   // commit ids are c<sha1-hex> — filesystem-safe as-is
@@ -113,6 +117,39 @@ final class GraftCdcMicroBatchStream(repo: GraftRepo, branch: String,
   override protected def computeDiff(from: Option[String],
       to: String): DataFrame =
     TableOps.changesBetween(SparkSession.active, repo, from, to, key)
+
+  override protected def headToken: String = repo.resolve(branch).id
+
+  /** `maxCommitsPerTrigger` stride: walk the head's first-parent chain
+    * back to `from` and pick the `steps`-th commit past it WHOSE TABLE
+    * SNAPSHOT CHANGED — commits that only touched other tables (or
+    * predate the table) are free to cross, their diff is empty, and a
+    * commit without the table can never be a diff endpoint. A `from`
+    * that is not on the chain (branch reset/rewrite) falls through to
+    * the head — changesBetween diffs the two STATES, not the path
+    * between them. Walk cost is O(backlog commits).
+    */
+  override protected def boundedHead(from: String, steps: Int): String = {
+    val head = headToken
+    if (head == from) return head
+    val chain =
+      scala.collection.mutable.ListBuffer.empty[(String, Option[String])]
+    var cur = head
+    while (cur.nonEmpty && cur != from) {
+      val c = repo.commit(cur)
+      chain.prepend((cur, c.tables.get(key)))
+      cur = c.parents.headOption.getOrElse("")
+    }
+    if (cur != from && from.nonEmpty) return head // off-chain from
+    var prev =
+      if (from.isEmpty) None else repo.commit(from).tables.get(key)
+    val changes = chain.flatMap { case (id, snap) =>
+      val changed = snap != prev
+      prev = snap
+      if (changed && snap.isDefined) Some(id) else None
+    }
+    if (changes.size <= steps) head else changes(steps - 1)
+  }
 
   private def parseOffset(json: String): String = {
     val m = Json.readAny(json).asInstanceOf[Map[String, Any]]
@@ -129,10 +166,10 @@ final class GraftCdcMicroBatchStream(repo: GraftRepo, branch: String,
   }
 
   override def initialOffset(): Offset =
-    GraftCdcOffset(if (startFromLatest) repo.resolve(branch).id else "")
+    GraftCdcOffset(if (startFromLatest) headToken else "")
 
-  override def latestOffset(): Offset =
-    GraftCdcOffset(repo.resolve(branch).id)
+  override protected def mkOffset(token: String): Offset =
+    GraftCdcOffset(token)
 
   override def deserializeOffset(json: String): Offset =
     GraftCdcOffset(parseOffset(json))

@@ -102,16 +102,20 @@ final class IcebergChangesTable(loc: String, schema0: StructType)
         if (IcebergChangesProvider.isCdc(options)) {
           // options that only mean something for the file-prefix append
           // stream must not be silently dropped: the CDC unit of
-          // consumption is a whole version-range diff (no per-file rate
-          // cap) and deletes are the POINT of CDC mode
+          // consumption is a version-range diff (rate-capped in
+          // VERSIONS via maxVersionsPerTrigger, never files) and
+          // deletes are the POINT of CDC mode
           Seq("maxFilesPerTrigger", "skipDeletes").foreach(o =>
             require(options.get(o) == null,
               s"option $o is not supported with cdc=true (CDC consumes " +
-                "whole version-range diffs and always applies deletes)"))
+                "whole version-range diffs and always applies deletes; " +
+                "rate-cap with maxVersionsPerTrigger instead)"))
           new IcebergCdcMicroBatchStream(loc, schema0,
             startFromLatest =
               options.getOrDefault("startFrom", "earliest") == "latest",
-            checkpointLoc = Option(checkpointLocation).filter(_.nonEmpty))
+            checkpointLoc = Option(checkpointLocation).filter(_.nonEmpty),
+            maxStepsPerTrigger =
+              Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
         }
         else new IcebergChangesMicroBatchStream(loc, schema0,
           Option(options.get("maxFilesPerTrigger")).map(_.toInt),
@@ -493,10 +497,13 @@ final case class IcebergCdcOffset(meta: String) extends Offset {
 final class IcebergCdcMicroBatchStream(loc: String,
     protected val cdcSchema: StructType,
     startFromLatest: Boolean,
-    protected val checkpointLoc: Option[String])
+    protected val checkpointLoc: Option[String],
+    protected val maxStepsPerTrigger: Option[Int] = None)
     extends StagedCdcStream {
 
   private val VersionRe = """v(\d+)\.metadata\.json$""".r
+  private def versionOf(metaLoc: String): Int =
+    VersionRe.findFirstMatchIn(metaLoc).map(_.group(1).toInt).getOrElse(0)
   override protected def stageName: String = "graft-cdc-staged"
   override protected def tagOf(token: String): String =
     if (token.isEmpty) "0"
@@ -504,6 +511,29 @@ final class IcebergCdcMicroBatchStream(loc: String,
   override protected def computeDiff(from: Option[String],
       to: String): DataFrame =
     IcebergImport.changesBetweenVersions(SparkSession.active, from, to)
+
+  override protected def headToken: String =
+    IcebergImport.resolveMetadataLoc(loc)
+
+  /** `maxVersionsPerTrigger` stride: the target metadata version is
+    * `fromV + steps`, advanced past expired versions (their changes
+    * fold into the next retained version's diff — the net contract
+    * makes that exact, not an approximation).
+    */
+  override protected def boundedHead(from: String, steps: Int): String = {
+    val head = headToken
+    val headV = versionOf(head)
+    val fromV = if (from.isEmpty) 0 else versionOf(from)
+    var target = math.min(fromV.toLong + steps, headV.toLong).toInt
+    while (target < headV && !IcebergImport.existsAt(
+        VersionRe.replaceFirstIn(head, s"v$target.metadata.json")))
+      target += 1
+    if (target >= headV) head
+    else VersionRe.replaceFirstIn(head, s"v$target.metadata.json")
+  }
+
+  override protected def mkOffset(token: String): Offset =
+    IcebergCdcOffset(token)
 
   /** Reject an append-mode offset shape loudly: it carries an `idx`
     * into the version's FILE order, meaning the version is only
@@ -527,11 +557,7 @@ final class IcebergCdcMicroBatchStream(loc: String,
   }
 
   override def initialOffset(): Offset =
-    IcebergCdcOffset(
-      if (startFromLatest) IcebergImport.resolveMetadataLoc(loc) else "")
-
-  override def latestOffset(): Offset =
-    IcebergCdcOffset(IcebergImport.resolveMetadataLoc(loc))
+    IcebergCdcOffset(if (startFromLatest) headToken else "")
 
   override def deserializeOffset(json: String): Offset =
     IcebergCdcOffset(parseOffset(json))

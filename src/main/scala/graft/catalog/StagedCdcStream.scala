@@ -2,7 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.types.StructType
 
@@ -21,10 +21,39 @@ import org.apache.spark.sql.types.StructType
   * rereads the staged bytes instead of recomputing, and committed
   * batches prune their staging at `commit`.
   */
-private[catalog] trait StagedCdcStream extends MicroBatchStream {
+private[catalog] trait StagedCdcStream extends MicroBatchStream
+    with SupportsAdmissionControl {
 
   /** table schema + `_change_type` — the staged parquet's exact shape. */
   protected def cdcSchema: StructType
+  /** Max consumption STEPS (metadata versions / commits) a single
+    * micro-batch may span — the CDC rate cap. A consumer resuming far
+    * behind the head otherwise computes ONE giant backlog diff; capped,
+    * it walks the backlog in bounded, checkpointed strides. None = the
+    * whole backlog per trigger.
+    */
+  protected def maxStepsPerTrigger: Option[Int]
+  /** Current head token. */
+  protected def headToken: String
+  /** The newest token at most `steps` steps past `from` ("" ⇒ from the
+    * beginning), never past the head. */
+  protected def boundedHead(from: String, steps: Int): String
+  /** Offset for a token (the subclass's offset case class). */
+  protected def mkOffset(token: String): Offset
+
+  final override def getDefaultReadLimit: ReadLimit =
+    maxStepsPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+
+  final override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      s"$toString uses latestOffset(Offset, ReadLimit)")
+
+  final override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    mkOffset(limit match {
+      case f: ReadMaxFiles => boundedHead(tokenOf(start), f.maxFiles())
+      case _ => headToken
+    })
   /** Source checkpoint dir (None only in ad-hoc tests — falls back to a
     * process tmpdir). */
   protected def checkpointLoc: Option[String]

@@ -476,6 +476,53 @@ object Versioned {
       .orderBy("o_orderstatus")
   }
 
+  /** External-Iceberg CDC streaming end-to-end ([[graft.catalog
+    * .IcebergCdcMicroBatchStream]] over a live sync-mode export dest —
+    * the produce → sync → CDC-consume loop): nation exports with
+    * sync=>true, a `cdc=true` stream follows the dest; a MoR delete
+    * syncs and streams as retractions, an update as delete+insert, an
+    * append as inserts. The oracle replays the change script
+    * declaratively — hash-proving
+    * [[graft.versioned.IcebergImport.changesBetweenVersions]]'s
+    * version-diff semantics, not just its specs.
+    */
+  private def iceCdcRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = setup2(s, d)
+    val dest = Files.createTempDirectory("graft-ice-cdc")
+    s.sql(s"CALL $cat.system.iceberg_export('r', 'main', 'db.nation', " +
+      s"'$dest', sync => true)")
+    val name = "vic" + UUID.randomUUID().toString.replace("-", "").take(10)
+    val q = s.readStream.format("iceberg-changes")
+      .option("cdc", "true").load(dest.toString)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      s.sql(s"DELETE FROM $cat.r.main.db.nation WHERE n_nationkey >= 20")
+      q.processAllAvailable()
+      s.sql(s"UPDATE $cat.r.main.db.nation " +
+        "SET n_name = concat(n_name, '?') WHERE n_nationkey = 1")
+      s.sql(s"INSERT INTO $cat.r.main.db.nation VALUES (3000, 'CDCLAND', 1)")
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+      .orderBy(col("n_nationkey"), col("_change_type"), col("n_name"))
+  }
+
+  /** [[setup]] variant whose nation table is MERGE-ON-READ — the CDC
+    * fixtures exercise tombstone retractions through sync emissions.
+    */
+  private def setup2(s: SparkSession, d: String): (String, GraftRepo) = {
+    val (cat, root) = freshCatalog(s)
+    val nation = T.nation(s, d)
+    s.sql(s"CREATE NAMESPACE $cat.r")
+    s.sql(s"CREATE NAMESPACE $cat.r.main.db")
+    s.sql(s"CREATE TABLE $cat.r.main.db.nation (${nation.schema.toDDL}) " +
+      "TBLPROPERTIES('graft.delete.mode'='merge-on-read')")
+    nation.writeTo(s"$cat.r.main.db.nation").append()
+    (cat, GraftRepo.open(root.resolve("r")))
+  }
+
   /** The native DSv2 micro-batch source end-to-end ([[graft.catalog
     * .GraftMicroBatchStream]]): nation lands across two commits, the
     * stream replays them from snapshot-metadata offsets (no directory
@@ -1057,6 +1104,25 @@ object Versioned {
         |)
         |ORDER BY n_nationkey, _change_type, n_name""".stripMargin
     )(cdcRead),
+    Q(
+      "vc_ice_cdc_read",
+      """SELECT n_nationkey, n_name, n_regionkey, _change_type FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey,
+        |         'insert' AS _change_type FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey, 'delete' FROM nation
+        |  WHERE n_nationkey >= 20
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey, 'delete' FROM nation
+        |  WHERE n_nationkey = 1
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name || '?', n_regionkey, 'insert'
+        |  FROM nation WHERE n_nationkey = 1
+        |  UNION ALL
+        |  SELECT 3000, 'CDCLAND', 1, 'insert'
+        |)
+        |ORDER BY n_nationkey, _change_type, n_name""".stripMargin
+    )(iceCdcRead),
     Q(
       "vc_mor_read",
       """SELECT o_orderstatus,

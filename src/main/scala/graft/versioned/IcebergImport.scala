@@ -114,7 +114,7 @@ object IcebergImport {
     else try hadoopFs(s).getFileStatus(
       new org.apache.hadoop.fs.Path(s)).isDirectory
     catch { case _: java.io.FileNotFoundException => false }
-  private def existsAt(s: String): Boolean =
+  private[graft] def existsAt(s: String): Boolean =
     if (!hasScheme(s)) Files.exists(Paths.get(s))
     else try { hadoopFs(s).getFileStatus(
       new org.apache.hadoop.fs.Path(s)); true }

@@ -283,6 +283,30 @@ class IcebergStreamSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     got.size shouldBe 4
   }
 
+  test("cdc=true rate-caps with maxVersionsPerTrigger: a backlogged " +
+    "consumer walks the backlog in bounded strides, exactly once") {
+    sql("CREATE NAMESPACE g.ics10")
+    sql("CREATE NAMESPACE g.ics10.main.db")
+    sql("CREATE TABLE g.ics10.main.db.t (id INT)")
+    sql("INSERT INTO g.ics10.main.db.t VALUES (0)")
+    val dest = Files.createTempDirectory("ice-cdc-rate")
+    sql(s"CALL g.system.iceberg_export('ics10', 'main', 'db.t', '$dest', " +
+      "sync => true)")
+    (1 to 5).foreach(i => sql(s"INSERT INTO g.ics10.main.db.t VALUES ($i)"))
+    // 6 retained versions; stride 2 → the backlog needs >= 3 batches
+    val q = spark.readStream.format("iceberg-changes")
+      .option("cdc", "true").option("maxVersionsPerTrigger", "2")
+      .load(dest.toString)
+      .writeStream.format("memory").queryName("ice_cdc_rate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table("ice_cdc_rate").select("id").collect()
+        .map(_.getInt(0)).sorted shouldBe (0 to 5).toArray
+      q.recentProgress.count(_.numInputRows > 0) should be >= 3
+    } finally q.stop()
+  }
+
   test("cdc=true refuses an append-mode checkpoint (a partially " +
     "consumed file offset would silently drop rows) and rejects " +
     "append-only options") {

@@ -90,6 +90,27 @@ class StreamSourceSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll 
     } finally q.stop()
   }
 
+  test("graft-changes rate-caps with maxCommitsPerTrigger: bounded " +
+    "strides over a commit backlog, exactly once") {
+    sql("CREATE NAMESPACE g.cdc3")
+    sql("CREATE NAMESPACE g.cdc3.main.db")
+    sql("CREATE TABLE g.cdc3.main.db.t (id INT)")
+    (0 to 5).foreach(i => sql(s"INSERT INTO g.cdc3.main.db.t VALUES ($i)"))
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "cdc3")
+    val q = spark.readStream.format("graft-changes")
+      .option("table", "db.t").option("maxCommitsPerTrigger", "2")
+      .load(root.toString)
+      .writeStream.format("memory").queryName("graft_cdc_rate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table("graft_cdc_rate").select("id").collect()
+        .map(_.getInt(0)).sorted shouldBe (0 to 5).toArray
+      q.recentProgress.count(_.numInputRows > 0) should be >= 3
+    } finally q.stop()
+  }
+
   test("graft-changes CDC stream resumes from checkpoint exactly once") {
     sql("CREATE NAMESPACE g.cdc2")
     sql("CREATE NAMESPACE g.cdc2.main.db")
