@@ -20,6 +20,13 @@ import org.apache.spark.sql.types.StructType
   * those staged files; a replay of a committed-but-unfinished batch
   * rereads the staged bytes instead of recomputing, and committed
   * batches prune their staging at `commit`.
+  *
+  * Scale note: steady-state batches stage O(changed rows), but the
+  * INITIAL batch of a `startFrom=earliest` stream is the full live
+  * table as inserts — an O(table) staged copy. For very large tables,
+  * bootstrap with a batch read of the current state and start the CDC
+  * stream with `startFrom=latest` (the standard CDF bootstrap
+  * pattern).
   */
 private[catalog] trait StagedCdcStream extends MicroBatchStream
     with SupportsAdmissionControl {
