@@ -9,15 +9,17 @@ import org.scalatest.matchers.should.Matchers
 
 import graft.versioned.IcebergImport
 
-/** The FROZEN round-7 Iceberg export fixture (committed bytes under
-  * `src/test/resources/iceberg-golden/` — see GoldenFixtureGen for
-  * provenance): a partitioned merge-on-read table exported with v2
-  * positional + equality delete files. Reading the committed layouts —
-  * not layouts written by the code under test in the same run — means
-  * any writer/reader change that silently breaks compatibility with
+/** The FROZEN Iceberg export fixtures (committed bytes — see
+  * GoldenFixtureGen for provenance): the r7 v2 fixture under
+  * `src/test/resources/iceberg-golden/` (partitioned merge-on-read,
+  * positional + equality delete files) and the r11 v3 fixture under
+  * `iceberg-golden-v3/` (Puffin deletion vectors, row lineage,
+  * 4-snapshot history). Reading the committed layouts — not layouts
+  * written by the code under test in the same run — means any
+  * writer/reader change that silently breaks compatibility with
   * previously-exported tables (field ids, avro schemas, sequence
-  * semantics, partition values) fails HERE even when the live
-  * round-trip specs still agree with themselves.
+  * semantics, partition values, DV blob framing) fails HERE even when
+  * the live round-trip specs still agree with themselves.
   */
 class GoldenFixtureSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
 
