@@ -578,6 +578,39 @@ object Versioned {
       .orderBy(col("n_nationkey"), col("_change_type"), col("n_name"))
   }
 
+  /** CDC REPLICATION apply ([[graft.versioned.TableOps.applyCdc]]): the
+    * [[cdcRead]] change script replays on a source table while a
+    * `graft-changes` stream mirrors it into a SECOND repo via one
+    * atomic keyed MERGE per micro-batch — per key a net-change batch
+    * collapses to the winning row (insert beats the paired delete of an
+    * update). The gate returns the MIRROR's final state; the oracle
+    * computes the same state declaratively, so a replication drift of
+    * even one row hash-fails.
+    */
+  private def cdcApply(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    s.sql(s"CREATE NAMESPACE $cat.mir")
+    s.sql(s"CREATE NAMESPACE $cat.mir.main.db")
+    s.sql(s"CREATE TABLE $cat.mir.main.db.nation " +
+      s"(n_nationkey INT, n_name STRING, n_regionkey INT)")
+    val q = s.readStream.format("graft-changes")
+      .option("table", "db.nation").load(repo.root.toString)
+      .writeStream
+      .foreachBatch(TableOps.applyCdc(
+        s"$cat.mir.main.db.nation", Seq("n_nationkey")))
+      .start()
+    try {
+      q.processAllAvailable()
+      s.sql(s"DELETE FROM $cat.r.main.db.nation WHERE n_nationkey >= 20")
+      q.processAllAvailable()
+      s.sql(s"UPDATE $cat.r.main.db.nation " +
+        "SET n_name = concat(n_name, '?') WHERE n_nationkey = 1")
+      s.sql(s"INSERT INTO $cat.r.main.db.nation VALUES (3000, 'CDCLAND', 1)")
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(s"$cat.mir.main.db.nation").orderBy(col("n_nationkey"))
+  }
+
   /** Incremental (checkpointed-consumer) read: `graft.fromRef = <c1>`
     * scans ONLY the files appended since commit c1 — resolved purely
     * from snapshot metadata (no listing, no diffing data). The batch
@@ -1104,6 +1137,17 @@ object Versioned {
         |)
         |ORDER BY n_nationkey, _change_type, n_name""".stripMargin
     )(cdcRead),
+    Q(
+      "vc_cdc_apply",
+      """SELECT n_nationkey,
+        |       CASE WHEN n_nationkey = 1 THEN n_name || '?' ELSE n_name END
+        |         AS n_name,
+        |       n_regionkey
+        |FROM nation WHERE n_nationkey < 20
+        |UNION ALL
+        |SELECT 3000, 'CDCLAND', 1
+        |ORDER BY n_nationkey""".stripMargin
+    )(cdcApply),
     Q(
       "vc_ice_cdc_read",
       """SELECT n_nationkey, n_name, n_regionkey, _change_type FROM (

@@ -1013,6 +1013,62 @@ object TableOps {
     src.unpersist()
   }
 
+  /** foreachBatch body REPLICATING a CDC stream — the `graft-changes` /
+    * `iceberg-changes cdc=true` sources, or any batch of
+    * `table schema + _change_type` — into a target graft table keyed by
+    * `keyCols`: the continuous table-mirroring loop, including adopting
+    * a LIVE external Iceberg table into graft:
+    *
+    * {{{
+    * spark.readStream.format("iceberg-changes")
+    *   .option("cdc", "true").load(dest)
+    *   .writeStream
+    *   .foreachBatch(TableOps.applyCdc("g.repo.main.db.mirror", Seq("id")))
+    *   .start()
+    * }}}
+    *
+    * A net-change batch carries, per key, at most one delete (the old
+    * row) and one insert (the new row); collapsed per key — an insert
+    * wins (upsert), a lone delete deletes — ONE atomic MERGE applies
+    * the batch, so the mirror moves state-to-state exactly like the
+    * source did. Requires `keyCols` to uniquely identify rows on both
+    * sides (the precondition of any keyed replication); a delete for a
+    * key the mirror never had is a no-op (bootstrap-mid-stream
+    * tolerance).
+    */
+  def applyCdc(target: String, keyCols: Seq[String])
+      : (DataFrame, Long) => Unit = { (batch, _) =>
+    if (!batch.isEmpty) {
+      val s = batch.sparkSession
+      val dataCols = batch.columns.filterNot(_ == "_change_type").toSeq
+      require(keyCols.forall(dataCols.contains),
+        s"key columns ${keyCols.mkString(", ")} must be table columns " +
+          s"(${dataCols.mkString(", ")})")
+      import org.apache.spark.sql.expressions.Window
+      val pick = batch.withColumn("__rk", row_number().over(
+          Window.partitionBy(keyCols.map(col): _*)
+            .orderBy(when(col("_change_type") === "insert", 0)
+              .otherwise(1), col("_change_type"))))
+        .filter(col("__rk") === 1).drop("__rk")
+      val v = "graft_cdc_apply_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      pick.createOrReplaceTempView(v)
+      try {
+        val onClause = keyCols.map(k => s"t.`$k` <=> s.`$k`")
+          .mkString(" AND ")
+        val setClause = dataCols.map(c => s"`$c` = s.`$c`").mkString(", ")
+        val insCols = dataCols.map(c => s"`$c`").mkString(", ")
+        val insVals = dataCols.map(c => s"s.`$c`").mkString(", ")
+        s.sql(
+          s"""MERGE INTO $target t USING $v s ON $onClause
+             |WHEN MATCHED AND s._change_type = 'delete' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET $setClause
+             |WHEN NOT MATCHED AND s._change_type = 'insert'
+             |  THEN INSERT ($insCols) VALUES ($insVals)""".stripMargin)
+      } finally s.catalog.dropTempView(v)
+    }
+  }
+
   // ---- compaction (OPTIMIZE) -------------------------------------------
 
   /** Compaction: rewrite a table's file layout without changing its rows.

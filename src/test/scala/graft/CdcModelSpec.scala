@@ -134,6 +134,80 @@ class CdcModelSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  /** Random walk constrained so (id) stays a unique key: updates key on
+    * id, inserts use fresh ids, deletes hit id slices.
+    */
+  private def keyedWalk(tbl: String, rnd: scala.util.Random, steps: Int)(
+      tick: () => Unit): Seq[(Int, Int)] = {
+    var nextId = 1000
+    val live = scala.collection.mutable.Set(1, 2, 3)
+    (0 until steps).foreach { _ =>
+      rnd.nextInt(4) match {
+        case 0 | 1 =>
+          val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            nextId += 1; live += nextId; s"($nextId, ${rnd.nextInt(50)})"
+          }
+          sql(s"INSERT INTO $tbl VALUES ${rows.mkString(", ")}")
+        case 2 if live.nonEmpty =>
+          val id = live.toSeq(rnd.nextInt(live.size))
+          live -= id
+          sql(s"DELETE FROM $tbl WHERE id = $id")
+        case _ if live.nonEmpty =>
+          val id = live.toSeq(rnd.nextInt(live.size))
+          sql(s"UPDATE $tbl SET v = v + 1000 WHERE id = $id")
+        case _ => ()
+      }
+      if (rnd.nextBoolean()) tick()
+    }
+    tick()
+    spark.table(tbl).collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+  }
+
+  test("applyCdc replication: a graft table mirrors into another repo " +
+    "through the CDC stream, state-equal after a random keyed walk") {
+    val src = mkTable("m4", mor = true)
+    sql("CREATE NAMESPACE g.m4mirror")
+    sql("CREATE NAMESPACE g.m4mirror.main.db")
+    sql("CREATE TABLE g.m4mirror.main.db.t (id INT, v INT)")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "m4")
+    val q = spark.readStream.format("graft-changes")
+      .option("table", "db.t").load(root.toString)
+      .writeStream
+      .foreachBatch(graft.versioned.TableOps.applyCdc(
+        "g.m4mirror.main.db.t", Seq("id")))
+      .start()
+    try {
+      val fin = keyedWalk(src, new scala.util.Random(11), 12)(
+        () => q.processAllAvailable())
+      spark.table("g.m4mirror.main.db.t").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted shouldBe fin.sorted
+    } finally q.stop()
+  }
+
+  test("applyCdc replication: continuous ADOPTION of a live external " +
+    "Iceberg table into a graft mirror via cdc=true") {
+    val src = mkTable("m5", mor = true)
+    val dest = Files.createTempDirectory("cdc-adopt-dest")
+    sql(s"CALL g.system.iceberg_export('m5', 'main', 'db.t', '$dest', " +
+      "sync => true)")
+    sql("CREATE NAMESPACE g.m5mirror")
+    sql("CREATE NAMESPACE g.m5mirror.main.db")
+    sql("CREATE TABLE g.m5mirror.main.db.t (id INT, v INT)")
+    val q = spark.readStream.format("iceberg-changes")
+      .option("cdc", "true").load(dest.toString)
+      .writeStream
+      .foreachBatch(graft.versioned.TableOps.applyCdc(
+        "g.m5mirror.main.db.t", Seq("id")))
+      .start()
+    try {
+      val fin = keyedWalk(src, new scala.util.Random(13), 10)(
+        () => q.processAllAvailable())
+      spark.table("g.m5mirror.main.db.t").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted shouldBe fin.sorted
+    } finally q.stop()
+  }
+
   test("external iceberg-changes cdc=true: random MoR walk through a " +
     "live sync dest — accumulated CDC reconstructs the final state") {
     val tbl = mkTable("m3", mor = true)
