@@ -611,6 +611,37 @@ object Versioned {
     s.table(s"$cat.mir.main.db.nation").orderBy(col("n_nationkey"))
   }
 
+  /** Embedded Iceberg REST catalog ([[graft.versioned.IcebergRestServer]]):
+    * the repo serves the public REST protocol on an ephemeral port, a
+    * plain JDK HTTP client walks config → loadTable exactly as an
+    * external engine's REST client would, and the served
+    * `metadata-location` is read back through the INDEPENDENT
+    * `iceberg_import` reader — the full path a foreign engine takes to
+    * a graft table, minus only its own jar.
+    */
+  private def restRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    s.sql(s"DELETE FROM $cat.r.main.db.nation WHERE n_nationkey % 5 = 2")
+    val srv = graft.versioned.IcebergRestServer.start(repo,
+      Files.createTempDirectory("graft-rest-gate"), Some(s))
+    val view = "rest" + UUID.randomUUID().toString.replace("-", "").take(10)
+    try {
+      val ns = java.net.URLEncoder.encode("main\u001Fdb", "UTF-8")
+      val resp = java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
+          .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200, s"loadTable failed: ${resp.body()}")
+      val loc = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(resp.body()).get("metadata-location").asText()
+      s.sql(s"CALL $cat.system.iceberg_import('$loc', '$view')")
+    } finally srv.close()
+    s.table(view)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
   /** Incremental (checkpointed-consumer) read: `graft.fromRef = <c1>`
     * scans ONLY the files appended since commit c1 — resolved purely
     * from snapshot metadata (no listing, no diffing data). The batch
@@ -1137,6 +1168,12 @@ object Versioned {
         |)
         |ORDER BY n_nationkey, _change_type, n_name""".stripMargin
     )(cdcRead),
+    Q(
+      "vc_rest_read",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey % 5 <> 2
+        |ORDER BY n_nationkey""".stripMargin
+    )(restRead),
     Q(
       "vc_cdc_apply",
       """SELECT n_nationkey,
