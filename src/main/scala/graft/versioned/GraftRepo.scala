@@ -661,7 +661,11 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
       val victims = io.list(dir)
         .filter(p => p.getFileName.toString.endsWith(".json"))
         .filter(p => !live(p.getFileName.toString.stripSuffix(".json")))
-        .filter(p => io.mtimeMs(p) < cutoff)
+        // <= : at olderThanMs=0 ("no writer in flight") an object
+        // stamped in the SAME millisecond as the sweep must count as
+        // old, or a fast caller leaves it (and everything it
+        // references) one pass behind
+        .filter(p => io.mtimeMs(p) <= cutoff)
       victims.foreach { p => io.deleteIfExists(p); n += 1 }
       n
     }
@@ -685,8 +689,8 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
     def sweepChunks(ownerDir: Path, chunkDir: Path,
         refsOf: String => Seq[String]): Unit = {
       if (!io.isDirectory(chunkDir)) return
-      def mtimeBelow(p: Path): Boolean =
-        try io.mtimeMs(p) < cutoff catch { case _: Exception => false }
+      def mtimeBelow(p: Path): Boolean = // <= : same boundary as expire
+        try io.mtimeMs(p) <= cutoff catch { case _: Exception => false }
       val owners0 = io.list(ownerDir)
         .filter(p => p.getFileName.toString.endsWith(".json"))
       val referenced: Set[String] = owners0
@@ -750,7 +754,7 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
       // O(files) serial ones — the same fan-out the metadata sweep uses
       val candidates = all.filterNot(rel => referenced.contains(norm(rel)))
       deleted = Manifests.fanOut(candidates, 4) { rel =>
-        val old = try dataIO.mtimeMs(rel) < cutoff
+        val old = try dataIO.mtimeMs(rel) <= cutoff // same boundary as expire
         catch { case _: Exception => false } // vanished under us
         if (old) {
           val d = if (dataIO.delete(rel)) 1 else 0

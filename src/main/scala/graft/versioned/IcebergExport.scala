@@ -1860,7 +1860,8 @@ object IcebergExport {
     val cutoff = System.currentTimeMillis() - olderThanMs
     def sweepable(rel: String): Boolean =
       !rel.substring(rel.lastIndexOf('/') + 1).startsWith(".tmp-") &&
-        (try dest.mtimeMs(rel) < cutoff catch { case _: Exception => false })
+        (try dest.mtimeMs(rel) <= cutoff // <= : olderThanMs=0 means "now"
+        catch { case _: Exception => false })
     if (!dest.isDirectory("metadata")) return (0, 0)
     val Re = """v(\d+)\.metadata\.json""".r
     val versions = dest.listNames("metadata")
@@ -1966,7 +1967,7 @@ object IcebergExport {
         .filter(n => n.startsWith("pos-") || n.startsWith("dv-"))
         .map(n => s"data/$n")
         .filter(d => dest.isDirectory(d) &&
-          (try dest.mtimeMs(d) < cutoff catch { case _: Exception => true }))
+          (try dest.mtimeMs(d) <= cutoff catch { case _: Exception => true }))
         .foreach { d =>
           val live = dest.listNames(d)
             .exists(n => n.endsWith("-deletes.parquet") || n.endsWith(".puffin"))
