@@ -169,6 +169,48 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       b1.get("metadata-location").asText()).toFile.exists() shouldBe true
   }
 
+  test("warehouse mode: config?warehouse hands out the prefix, prefixed " +
+    "routes serve every repo under the root, missing prefix is actionable") {
+    sql("CREATE NAMESPACE g.wh2")
+    sql("CREATE NAMESPACE g.wh2.main.db")
+    sql("CREATE TABLE g.wh2.main.db.z (a INT)")
+    sql("INSERT INTO g.wh2.main.db.z VALUES (42)")
+    val reposRoot = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"))
+    val srv2 = IcebergRestServer.startWarehouse(reposRoot,
+      Files.createTempDirectory("graft-wh-exports"), Some(spark))
+    def getAt(path: String): (Int, JsonNode) = {
+      val r = http.send(
+        HttpRequest.newBuilder(URI.create(s"${srv2.uri}$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), mapper.readTree(r.body()))
+    }
+    try {
+      val (c0, cfg) = getAt("/v1/config?warehouse=wh2")
+      c0 shouldBe 200
+      cfg.get("overrides").get("prefix").asText() shouldBe "wh2"
+      getAt("/v1/config?warehouse=nope")._1 shouldBe 404
+
+      // both repos reachable through their prefixes, fully isolated
+      val (c1, body) = getAt(
+        s"/v1/wh2/namespaces/${enc("main", "db")}/tables/z")
+      withClue(body.toString) { c1 shouldBe 200 }
+      val view = "wh_" + java.util.UUID.randomUUID().toString.take(8)
+      sql(s"CALL g.system.iceberg_import(" +
+        s"'${body.get("metadata-location").asText()}', '$view')")
+      spark.table(view).collect().map(_.getInt(0)).toSeq shouldBe Seq(42)
+
+      val (c2, roots) = getAt("/v1/rest/namespaces")
+      c2 shouldBe 200
+      roots.get("namespaces").asScala() should contain (Seq("main"))
+
+      // unprefixed namespace routes don't resolve in warehouse mode
+      val (c3, err) = getAt("/v1/namespaces")
+      c3 shouldBe 404
+      err.get("error").get("message").asText() should include ("warehouse")
+    } finally srv2.close()
+  }
+
   test("HEAD table: 200 when present, bodyless 404 when missing") {
     def head(path: String): Int = http.send(
       HttpRequest.newBuilder(URI.create(s"$base$path"))
@@ -176,6 +218,52 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       HttpResponse.BodyHandlers.ofString()).statusCode()
     head(s"/v1/namespaces/${enc("main", "db")}/tables/t") shouldBe 200
     head(s"/v1/namespaces/${enc("main", "db")}/tables/nope") shouldBe 404
+  }
+
+  test("concurrent loadTable during live DML always serves a complete, " +
+    "self-consistent metadata version") {
+    sql("CREATE TABLE g.rest.main.db.c (n INT)")
+    sql("INSERT INTO g.rest.main.db.c VALUES (0)")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val readers = (1 to 4).map { _ =>
+      new Thread(() => {
+        while (!stop.get()) {
+          val (code, body) =
+            get(s"/v1/namespaces/${enc("main", "db")}/tables/c")
+          if (code != 200) bad.add(s"$code: $body")
+          else {
+            // the inline metadata must be a complete table-metadata doc
+            // whose location exists — never a torn/partial publish
+            if (!body.get("metadata").has("current-snapshot-id") ||
+              !java.nio.file.Files.exists(java.nio.file.Paths.get(
+                body.get("metadata-location").asText())))
+              bad.add(s"torn: $body")
+          }
+        }
+      })
+    }
+    readers.foreach(_.start())
+    try (1 to 6).foreach { i =>
+      sql(s"INSERT INTO g.rest.main.db.c VALUES ($i)")
+    } finally {
+      stop.set(true); readers.foreach(_.join(20000))
+    }
+    bad.asScalaQ shouldBe empty
+    // after the dust settles the newest serve reflects the final state
+    val (_, fin) = get(s"/v1/namespaces/${enc("main", "db")}/tables/c")
+    val view = "cc_" + java.util.UUID.randomUUID().toString.take(8)
+    sql(s"CALL g.system.iceberg_import(" +
+      s"'${fin.get("metadata-location").asText()}', '$view')")
+    spark.table(view).collect().map(_.getInt(0)).toSeq.sorted shouldBe
+      (0 to 6)
+  }
+
+  private implicit class QOps(q: java.util.concurrent.ConcurrentLinkedQueue[String]) {
+    def asScalaQ: Seq[String] = {
+      val it = q.iterator()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSeq
+    }
   }
 
   test("spec-shaped errors: 404 NoSuchTable/NoSuchNamespace, 405 on " +
