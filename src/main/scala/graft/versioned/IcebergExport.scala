@@ -255,9 +255,20 @@ object IcebergExport {
   def export(repo: GraftRepo, ref: String, key: String, dest: Path,
       spark: Option[SparkSession], maxSnapshots: Int, version: Int,
       formatVersion: Int): Path =
+    export(repo, ref, key, dest, spark, maxSnapshots, version,
+      formatVersion, Map.empty[String, String])
+
+  /** `extraProps` land in the exported metadata's `properties` map —
+    * the REST catalog stamps `write.data.path` here so compliant
+    * external writers stage data files directly in the repo's data
+    * plane (zero-copy commit registration).
+    */
+  def export(repo: GraftRepo, ref: String, key: String, dest: Path,
+      spark: Option[SparkSession], maxSnapshots: Int, version: Int,
+      formatVersion: Int, extraProps: Map[String, String]): Path =
     java.nio.file.Paths.get(export(repo, ref, key,
       new NioDestIO(dest): DestIO, spark, maxSnapshots, version,
-      formatVersion))
+      formatVersion, extraProps))
 
   /** String-dest form: a dest with a URI scheme (`s3a://bucket/tbl`,
     * `hdfs://…`, `file:///…`) routes every dest byte through the Hadoop
@@ -274,7 +285,8 @@ object IcebergExport {
 
   private[versioned] def export(repo: GraftRepo, ref: String, key: String,
       dest: DestIO, spark: Option[SparkSession], maxSnapshots: Int,
-      version: Int, formatVersion: Int = 0): String = {
+      version: Int, formatVersion: Int = 0,
+      extraProps: Map[String, String] = Map.empty): String = {
     require(formatVersion == 0 || formatVersion == 2 || formatVersion == 3,
       s"format_version must be 0 (auto), 2 or 3 — got $formatVersion")
     val headCommit = repo.resolve(ref)
@@ -686,8 +698,13 @@ object IcebergExport {
     // ---- table metadata JSON -------------------------------------------
     val meta = new java.util.LinkedHashMap[String, Any]
     meta.put("format-version", v)
+    // STABLE across commits (real Iceberg table identity): derived from
+    // the graft table's coordinates, not the exported snapshot — clients
+    // that cache the uuid (iceberg-core's assert-table-uuid requirement,
+    // REST commit flows) must see the same table after a refresh
     meta.put("table-uuid", UUID.nameUUIDFromBytes(
-      snap.id.getBytes(StandardCharsets.UTF_8)).toString)
+      s"graft:${repo.root}:$ref:$key".getBytes(StandardCharsets.UTF_8))
+      .toString)
     meta.put("location", dest.uriOf("").stripSuffix("/"))
     if (v >= 2) meta.put("last-sequence-number", lastSnapSeq)
     if (v >= 3) meta.put("next-row-id", rowCursor)
@@ -729,8 +746,18 @@ object IcebergExport {
     // audits can join fact/dim exports on it
     props.put("graft.source-commit", headCommit.id)
     fallbackReason.foreach(r => props.put("graft.export.partition-fallback", r))
+    extraProps.foreach { case (k, vv) => props.put(k, vv) }
     meta.put("properties", props)
     meta.put("current-snapshot-id", snapshotId)
+    // the spec's branch-ref map: clients (and REST commit flows, which
+    // build assert-ref-snapshot-id requirements from it) address the
+    // current state as branch `main`
+    val mainRef = new java.util.LinkedHashMap[String, Any]
+    mainRef.put("snapshot-id", snapshotId)
+    mainRef.put("type", "branch")
+    val refsMap = new java.util.LinkedHashMap[String, Any]
+    refsMap.put("main", mainRef)
+    meta.put("refs", refsMap)
     meta.put("snapshots", java.util.List.of(snapMaps: _*))
     // oldest → newest state-change log; external engines time travel
     // with FOR TIMESTAMP/VERSION AS OF against it

@@ -69,6 +69,9 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     meta.get("format-version").asInt() shouldBe 1
     meta.get("table-uuid").asText() should not be empty
     val snapId = meta.get("current-snapshot-id").asLong()
+    // spec branch-ref map: main tracks the current snapshot
+    meta.get("refs").get("main").get("snapshot-id").asLong() shouldBe snapId
+    meta.get("refs").get("main").get("type").asText() shouldBe "branch"
     val snaps = meta.get("snapshots")
     snaps.size() shouldBe 1
     snaps.get(0).get("snapshot-id").asLong() shouldBe snapId
@@ -1263,5 +1266,32 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
       jobs.get() shouldBe 0
     } finally spark.sparkContext.removeSparkListener(listener)
     dvFiles shouldBe before // byte-stable: the puffin was reused, not rebuilt
+  }
+
+  test("table-uuid is table identity: stable across commits and " +
+    "re-exports; refs.main tracks each version's current snapshot") {
+    sql("CREATE NAMESPACE g.iceuid")
+    sql("CREATE NAMESPACE g.iceuid.main.db")
+    sql("CREATE TABLE g.iceuid.main.db.t (id INT)")
+    sql("INSERT INTO g.iceuid.main.db.t VALUES (1)")
+    val dest = Files.createTempDirectory("ice-uuid")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "iceuid"))
+    def metaOf(version: Int): com.fasterxml.jackson.databind.JsonNode = {
+      val p = graft.versioned.IcebergExport.export(repo, "main", "db/t",
+        dest, Some(spark), 1, version, 0)
+      mapper.readTree(Files.readString(p))
+    }
+    val m1 = metaOf(1)
+    sql("INSERT INTO g.iceuid.main.db.t VALUES (2)")
+    val m2 = metaOf(2)
+    m2.get("table-uuid").asText() shouldBe m1.get("table-uuid").asText()
+    m2.get("current-snapshot-id").asLong() should not be
+      m1.get("current-snapshot-id").asLong()
+    Seq(m1, m2).foreach { m =>
+      m.get("refs").get("main").get("snapshot-id").asLong() shouldBe
+        m.get("current-snapshot-id").asLong()
+    }
   }
 }
