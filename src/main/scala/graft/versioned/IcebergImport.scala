@@ -194,7 +194,18 @@ object IcebergImport {
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot-id $snapId not in snapshots"))
     val listPath = toLocal(snap.get("manifest-list").asText())
+    val (data, deletes) = filesOfManifestList(listPath, v)
+    Plan(v, schema, idToName, data, deletes)
+  }
 
+  /** Live file sets reachable from one manifest list (the per-snapshot
+    * entry point plan() walks; also the unit a REST commit posts via its
+    * add-snapshot update). `v` gates format-version-specific shapes
+    * (PUFFIN deletion vectors are v3-only).
+    */
+  private[versioned] def filesOfManifestList(listLoc: String,
+      v: Int): (Seq[DataFile], Seq[DeleteFile]) = {
+    val listPath = toLocal(listLoc)
     // manifest list → (manifest path, content, sequence number); v1 has
     // neither content nor sequence numbers
     val manifests = readAvro(listPath).map { r =>
@@ -270,7 +281,7 @@ object IcebergImport {
         }
       }
     }
-    Plan(v, schema, idToName, data.result(), deletes.result())
+    (data.result(), deletes.result())
   }
 
   /** Incremental APPEND scan plan — the data files ADDED by each
@@ -1160,7 +1171,7 @@ object IcebergImport {
   private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
 
   /** A schema/struct type node → Spark StructType (recursive). */
-  private def structOf(node: com.fasterxml.jackson.databind.JsonNode)
+  private[versioned] def structOf(node: com.fasterxml.jackson.databind.JsonNode)
       : StructType =
     StructType(node.get("fields").elements().asScala.map { f =>
       StructField(f.get("name").asText(), sparkTypeNode(f.get("type")),

@@ -4,6 +4,8 @@ import java.net.InetSocketAddress
 import java.nio.file.{Files, Path}
 import java.util.concurrent.{ConcurrentHashMap, Executors}
 
+import scala.jdk.CollectionConverters._
+
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
 
@@ -11,7 +13,9 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 import org.apache.spark.sql.SparkSession
 
-/** Embedded read-only Apache Iceberg REST catalog over graft repos.
+/** Embedded Apache Iceberg REST catalog over graft repos — read-only by
+  * default, with an opt-in WRITE path (`writable = true`) that turns
+  * external engines' spec commits into graft commits.
   *
   * The reference is an Iceberg CATALOG ADAPTER — external engines reach
   * versioned tables through the Iceberg catalog API
@@ -44,13 +48,40 @@ import org.apache.spark.sql.SparkSession
   * unchanged table re-serves its existing metadata with zero work and a
   * changed table re-exports O(changed chunks) at the NEXT version number
   * (readers polling older metadata keep reading it in place — same
-  * contract as sync dests). Read-only: every mutating verb answers 405
-  * with a spec-shaped ErrorResponse; commits stay graft's (the
-  * reference's write path is its engine-side catalog, not REST).
+  * contract as sync dests). By default the server is read-only: every
+  * mutating verb answers 405 with a spec-shaped ErrorResponse.
+  *
+  * WRITE PATH (`writable = true`) — the REST analog of the reference's
+  * commit flow (`LakeFSTableOperations.commit`, java:115-147: engines
+  * write data, the catalog validates the base and swaps the pointer):
+  *  - `POST /v1/namespaces` creates a BRANCH (1-level, zero-copy from
+  *    `properties.from`, default main) or a db namespace on a branch.
+  *  - `POST .../namespaces/{ns}/tables` creates an empty graft table
+  *    from the posted Iceberg schema + partition spec.
+  *  - `POST .../tables/{t}` (commitTable) accepts the spec's
+  *    APPEND commit — requirements `assert-table-uuid` /
+  *    `assert-ref-snapshot-id` validated against the served metadata
+  *    AND re-checked against the graft branch head INSIDE the commit
+  *    race (a requirement that no longer holds at publish time answers
+  *    409 CommitFailedException, the client's signal to refresh and
+  *    retry); updates `add-snapshot` + `set-snapshot-ref` +
+  *    `set-properties`. The posted snapshot's manifest list is walked
+  *    with [[IcebergImport]]; files already under the repo's data plane
+  *    register ZERO-COPY (served metadata stamps `write.data.path`
+  *    inside the data plane, so compliant writers stage there), others
+  *    are copied in; FileEntry stats come from O(new files) parquet
+  *    footer reads — no Spark job, no data scan. Anything that is not
+  *    an append (delete files, removed base files, schema changes,
+  *    overwrite/replace summaries) refuses loudly with 400 — external
+  *    row-level deletes arrive through `iceberg-changes` CDC instead.
+  *  - `DELETE .../tables/{t}` drops (optionally `purgeRequested=true`
+  *    with the engine catalog's purge semantics); rename stays
+  *    unsupported, mirroring the reference (LakeFSCatalog.java:218).
   */
 final class IcebergRestServer private (single: Option[GraftRepo],
     reposRoot: Option[Path], exportRoot: Path, spark: Option[SparkSession],
-    maxSnapshots: Int, formatVersion: Int, server: HttpServer) {
+    maxSnapshots: Int, formatVersion: Int, writable: Boolean,
+    server: HttpServer) {
 
   def port: Int = server.getAddress.getPort
 
@@ -93,9 +124,9 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       val (prefix, route) = segs match {
         case "v1" +: tail => tail match {
           case "config" +: _ => (None, tail)
-          case "namespaces" +: _ => (None, tail)
-          case p +: rest if rest.headOption.contains("namespaces") =>
-            (Some(p), rest)
+          case ("namespaces" | "tables") +: _ => (None, tail)
+          case p +: rest if rest.headOption.exists(
+            h => h == "namespaces" || h == "tables") => (Some(p), rest)
           case _ => (None, tail)
         }
         case _ => (None, segs)
@@ -117,9 +148,29 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         case ("GET" | "HEAD", _) =>
           throw new NoSuchElementException(
             s"no such route: ${segs.mkString("/")}")
-        case _ =>
+        case _ if !writable =>
           replyError(ex, 405, "UnsupportedOperationException",
             s"graft REST catalog is read-only: $method not supported")
+        case ("POST", Seq("namespaces")) =>
+          reply(ex, 200, createNamespace(repoFor(prefix), body(ex)))
+        case ("POST", Seq("namespaces", ns, "tables")) =>
+          reply(ex, 200, createTable(repoFor(prefix), prefix,
+            levels(ns), body(ex)))
+        case ("POST", Seq("namespaces", ns, "tables", t)) =>
+          reply(ex, 200, commitTable(repoFor(prefix), prefix,
+            levels(ns), t, body(ex)))
+        case ("DELETE", Seq("namespaces", ns, "tables", t)) =>
+          dropTable(repoFor(prefix), levels(ns), t,
+            queryParam(query, "purgeRequested").contains("true"))
+          ex.sendResponseHeaders(204, -1); ex.close()
+        case ("POST", Seq("tables", "rename")) =>
+          throw new UnsupportedOperationException(
+            "rename is not supported (reference parity: " +
+              "LakeFSCatalog.java:218 — a rename across immutable " +
+              "snapshots would break history)")
+        case _ =>
+          replyError(ex, 405, "UnsupportedOperationException",
+            s"no such route for $method: ${segs.mkString("/")}")
       }
     } catch {
       case e: NoSuchElementException =>
@@ -127,11 +178,20 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         val t = if (msg.startsWith("no such table")) "NoSuchTableException"
         else "NoSuchNamespaceException"
         replyError(ex, 404, t, msg)
+      case e: RestConflict =>
+        replyError(ex, 409, e.typ, e.getMessage)
+      case e @ (_: IllegalArgumentException |
+                _: UnsupportedOperationException) =>
+        replyError(ex, 400, "ValidationException",
+          Option(e.getMessage).getOrElse("invalid request"))
       case e: Exception =>
         replyError(ex, 500, e.getClass.getSimpleName,
           Option(e.getMessage).getOrElse("internal error"))
     }
   }
+
+  private def body(ex: HttpExchange): com.fasterxml.jackson.databind.JsonNode =
+    mapper.readTree(ex.getRequestBody)
 
   /** Namespace URL segment → levels (spec: joined by 0x1F). */
   private def levels(seg: String): Seq[String] =
@@ -165,6 +225,14 @@ final class IcebergRestServer private (single: Option[GraftRepo],
   private def keysAt(repo: GraftRepo, ref: String): Seq[Seq[String]] =
     repo.resolve(ref).tables.keys.toSeq.sorted.map(_.split('/').toSeq)
 
+  /** Namespace paths at `ref`: table-key parents plus COMMITTED (maybe
+    * still empty) namespaces — a REST createNamespace must be visible
+    * to the next list. */
+  private def nsPathsAt(repo: GraftRepo, ref: String): Seq[Seq[String]] =
+    (keysAt(repo, ref).map(_.init) ++
+      repo.resolve(ref).namespaces.keys.map(_.split('/').toSeq))
+      .filter(_.nonEmpty).distinct
+
   private def listNamespaces(repo: GraftRepo,
       rawQuery: Option[String]): ObjectNode = {
     val parent = queryParam(rawQuery, "parent").map(levels).getOrElse(Nil)
@@ -172,8 +240,8 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       case Nil => refNames(repo).map(Seq(_))
       case ref +: dirs =>
         if (!refNames(repo).contains(ref)) throwNoNs(parent)
-        keysAt(repo, ref)
-          .filter(k => k.length > dirs.length + 1 && k.startsWith(dirs))
+        nsPathsAt(repo, ref)
+          .filter(k => k.length > dirs.length && k.startsWith(dirs))
           .map(k => parent :+ k(dirs.length)).distinct
     }
     val o = mapper.createObjectNode()
@@ -198,7 +266,7 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       case Seq(ref) if repo.tagExists(ref) =>
         props.put("graft.kind", "tag")
       case ref +: dirs if refNames(repo).contains(ref) && dirs.nonEmpty &&
-        keysAt(repo, ref).exists(k => k.length > dirs.length &&
+        nsPathsAt(repo, ref).exists(k => k.length >= dirs.length &&
           k.startsWith(dirs)) => ()
       case _ => throwNoNs(ns)
     }
@@ -236,30 +304,337 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       s"no such table: ${(ns :+ name).mkString(".")}")
   }
 
-  private def loadTable(repo: GraftRepo, prefix: Option[String],
-      ns: Seq[String], name: String): ObjectNode = {
-    val (ref, key) = resolveKey(repo, ns, name)
+  /** Repo-relative data-plane dir writers stage (and commits register)
+    * data files for a REST-served table in. */
+  private def stageRel(ref: String, key: String): String =
+    s"data/rest/$ref/$key"
+
+  /** The current metadata file for `(ref, key)` — re-exported at the
+    * next version iff the graft snapshot moved (or a writable server is
+    * serving metadata that predates the `write.data.path` stamp).
+    */
+  private def serve(repo: GraftRepo, prefix: Option[String],
+      ref: String, key: String): Path = {
     val dest = prefix.fold(exportRoot)(exportRoot.resolve)
       .resolve(ref).resolve(key)
     val lock = exportLocks.computeIfAbsent(dest.toString, _ => new Object)
-    val metaPath = lock.synchronized {
+    lock.synchronized {
       val want = repo.resolve(ref).tables(key)
+      val stageProps =
+        if (!writable || !repo.branchExists(ref)) Map.empty[String, String]
+        else Map("write.data.path" ->
+          repo.dataLocation(stageRel(ref, key)).stripSuffix("/"))
       val v = IcebergSync.latestVersion(dest)
-      val served = if (v == 0) None else scala.util.Try {
-        mapper.readTree(Files.readString(
-          dest.resolve(s"metadata/v$v.metadata.json")))
-          .get("properties").get("graft.source-snapshot").asText()
-      }.toOption
-      if (served.contains(want)) dest.resolve(s"metadata/v$v.metadata.json")
+      val current = if (v == 0) None else scala.util.Try {
+        val props = mapper.readTree(Files.readString(
+          dest.resolve(s"metadata/v$v.metadata.json"))).get("properties")
+        props.get("graft.source-snapshot").asText() == want &&
+          stageProps.forall { case (k, vv) =>
+            Option(props.get(k)).exists(_.asText() == vv)
+          }
+      }.toOption.filter(identity)
+      if (current.isDefined) dest.resolve(s"metadata/v$v.metadata.json")
       else IcebergExport.export(repo, ref, key, dest, spark,
-        maxSnapshots, v + 1, formatVersion)
+        maxSnapshots, v + 1, formatVersion, stageProps)
     }
+  }
+
+  private def loadResult(metaPath: Path): ObjectNode = {
     val o = mapper.createObjectNode()
     o.put("metadata-location", metaPath.toString)
     o.set[ObjectNode]("metadata",
       mapper.readTree(Files.readString(metaPath)).asInstanceOf[ObjectNode])
     o.set[ObjectNode]("config", mapper.createObjectNode())
     o
+  }
+
+  private def loadTable(repo: GraftRepo, prefix: Option[String],
+      ns: Seq[String], name: String): ObjectNode = {
+    val (ref, key) = resolveKey(repo, ns, name)
+    loadResult(serve(repo, prefix, ref, key))
+  }
+
+  // ---- write path (writable = true) ---------------------------------------
+
+  /** CreateNamespaceRequest: 1 level creates a BRANCH (zero-copy, from
+    * `properties.from` or main); deeper levels commit a db namespace on
+    * the branch.
+    */
+  private def createNamespace(repo: GraftRepo,
+      req: com.fasterxml.jackson.databind.JsonNode): ObjectNode = {
+    val ns = Option(req.get("namespace")).map(_.elements().asScala
+      .map(_.asText()).toSeq).getOrElse(Nil)
+    val props = Option(req.get("properties")).map(_.fields().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty[String, String])
+    ns match {
+      case Seq() => throw new IllegalArgumentException("empty namespace")
+      case Seq(b) =>
+        if (refNames(repo).contains(b))
+          throw new RestConflict("AlreadyExistsException",
+            s"namespace (ref) already exists: $b")
+        repo.createBranch(b, props.getOrElse("from", "main"))
+      case ref +: dirs =>
+        if (!repo.branchExists(ref)) throw new IllegalArgumentException(
+          if (repo.tagExists(ref)) s"namespaces commit to a branch; $ref is a tag"
+          else s"no such branch: $ref")
+        val db = dirs.mkString("/")
+        repo.commitRetry(ref, s"rest: create namespace $db") { base =>
+          if (base.namespaces.contains(db) ||
+            keysAt(repo, ref).exists(k => k.length > dirs.length &&
+              k.startsWith(dirs)))
+            throw new RestConflict("AlreadyExistsException",
+              s"namespace already exists: ${ns.mkString(".")}")
+          (base.tables, base.namespaces + (db -> (props - "from")))
+        }
+    }
+    val o = mapper.createObjectNode()
+    val a = o.putArray("namespace"); ns.foreach(a.add)
+    val p = o.putObject("properties")
+    props.foreach { case (k, v) => p.put(k, v) }
+    o
+  }
+
+  /** CreateTableRequest: an empty graft table from the posted Iceberg
+    * schema (+ identity/bucket/truncate/temporal partition spec).
+    * `stage-create` (transactional CTAS staging) is refused loudly.
+    */
+  private def createTable(repo: GraftRepo, prefix: Option[String],
+      ns: Seq[String], req: com.fasterxml.jackson.databind.JsonNode)
+      : ObjectNode = {
+    val (ref, dirs) = ns match {
+      case r +: ds if ds.nonEmpty => (r, ds)
+      case _ => throw new IllegalArgumentException(
+        s"tables live under [ref, db...]: ${ns.mkString(".")}")
+    }
+    if (!repo.branchExists(ref)) throw new IllegalArgumentException(
+      if (repo.tagExists(ref)) s"tables commit to a branch; $ref is a tag"
+      else s"no such branch: $ref")
+    if (Option(req.get("stage-create")).exists(_.asBoolean(false)))
+      throw new UnsupportedOperationException(
+        "stage-create is not supported: create, then commit appends")
+    val name = Option(req.get("name")).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException("create carries no table name"))
+    val key = (dirs :+ name).mkString("/")
+    val schemaNode = Option(req.get("schema")).getOrElse(
+      throw new IllegalArgumentException("create carries no schema"))
+    val schema = IcebergImport.structOf(schemaNode)
+    val idToName = schemaNode.get("fields").elements().asScala.map(f =>
+      f.get("id").asInt() -> f.get("name").asText()).toMap
+    val spec = Option(req.get("partition-spec"))
+      .map(n => Option(n.get("fields")).getOrElse(n)) // spec object or bare list
+      .map(_.elements().asScala.map(partitionFieldOf(_, idToName)).toSeq)
+      .getOrElse(Nil)
+    TableOps.validateSpec(schema, spec)
+    val props = Option(req.get("properties")).map(_.fields().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty[String, String])
+    repo.commitRetry(ref, s"rest: create table $key") { base =>
+      if (base.tables.contains(key))
+        throw new RestConflict("AlreadyExistsException",
+          s"table already exists: $key @ $ref")
+      val snap = repo.writeSnapshot(key, schema.json, Nil,
+        if (spec.isEmpty) None else Some(spec), None,
+        if (props.isEmpty) None else Some(props))
+      (base.tables + (key -> snap.id),
+        if (base.namespaces.contains(dirs.mkString("/"))) base.namespaces
+        else base.namespaces + (dirs.mkString("/") -> Map.empty[String, String]))
+    }
+    loadResult(serve(repo, prefix, ref, key))
+  }
+
+  /** One posted Iceberg partition field → graft [[PartitionField]]. */
+  private def partitionFieldOf(f: com.fasterxml.jackson.databind.JsonNode,
+      idToName: Map[Int, String]): PartitionField = {
+    val source = idToName.getOrElse(f.get("source-id").asInt(),
+      throw new IllegalArgumentException(
+        s"partition source-id ${f.get("source-id")} not in schema"))
+    val name = Option(f.get("name")).map(_.asText()).getOrElse(source)
+    val BucketRe = """bucket\[(\d+)\]""".r
+    val TruncRe = """truncate\[(\d+)\]""".r
+    f.get("transform").asText() match {
+      case "identity" => PartitionField(name, "identity", source)
+      case BucketRe(n) => PartitionField(name, "bucket", source, n.toInt)
+      case TruncRe(w) => PartitionField(name, "truncate", source, w.toInt)
+      case "year" => PartitionField(name, "years", source)
+      case "month" => PartitionField(name, "months", source)
+      case "day" => PartitionField(name, "days", source)
+      case "hour" => PartitionField(name, "hours", source)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform: $other")
+    }
+  }
+
+  /** CommitTableRequest → graft append commit (class doc: WRITE PATH). */
+  private def commitTable(repo: GraftRepo, prefix: Option[String],
+      ns: Seq[String], name: String,
+      req: com.fasterxml.jackson.databind.JsonNode): ObjectNode = {
+    val (ref, key) = resolveKey(repo, ns, name)
+    if (!repo.branchExists(ref)) throw new IllegalArgumentException(
+      s"commits target a branch; $ref is a tag")
+    val metaPath = serve(repo, prefix, ref, key)
+    val served = mapper.readTree(Files.readString(metaPath))
+    val servedGraftSnap =
+      served.get("properties").get("graft.source-snapshot").asText()
+    val servedSnapId = Option(served.get("current-snapshot-id"))
+      .map(_.asLong()).filter(_ != -1L)
+
+    // ---- requirements: against the served state now, re-checked
+    // against the branch head inside the commit race (precheck below)
+    Option(req.get("requirements")).toSeq
+      .flatMap(_.elements().asScala).foreach { r =>
+        r.get("type").asText() match {
+          case "assert-table-uuid" =>
+            val want = r.get("uuid").asText()
+            val have = served.get("table-uuid").asText()
+            if (want != have) throw new RestConflict("CommitFailedException",
+              s"table uuid changed: expected $want, found $have")
+          case "assert-ref-snapshot-id" =>
+            val rn = Option(r.get("ref")).map(_.asText()).getOrElse("main")
+            if (rn != "main") throw new IllegalArgumentException(
+              s"graft serves one Iceberg branch (main) per graft ref: $rn")
+            val want = Option(r.get("snapshot-id")).filterNot(_.isNull)
+              .map(_.asLong())
+            if (want != servedSnapId)
+              throw new RestConflict("CommitFailedException",
+                s"branch main moved: expected snapshot ${want.getOrElse("<none>")}, " +
+                  s"now at ${servedSnapId.getOrElse("<none>")}")
+          case "assert-create" =>
+            throw new RestConflict("CommitFailedException",
+              s"table already exists: $key @ $ref")
+          case other => throw new UnsupportedOperationException(
+            s"unsupported commit requirement: $other")
+        }
+      }
+
+    // ---- updates: exactly one add-snapshot, its set-snapshot-ref,
+    // optional set-properties; anything else refuses loudly
+    var snapNode: Option[com.fasterxml.jackson.databind.JsonNode] = None
+    var setProps = Map.empty[String, String]
+    Option(req.get("updates")).toSeq
+      .flatMap(_.elements().asScala).foreach { u =>
+        u.get("action").asText() match {
+          case "add-snapshot" =>
+            if (snapNode.isDefined) throw new UnsupportedOperationException(
+              "one add-snapshot per commit")
+            snapNode = Some(u.get("snapshot"))
+          case "set-snapshot-ref" =>
+            val rn = Option(u.get("ref-name")).map(_.asText()).getOrElse("main")
+            if (rn != "main") throw new IllegalArgumentException(
+              s"graft serves one Iceberg branch (main) per graft ref: $rn")
+          case "set-properties" =>
+            setProps ++= Option(u.get("updates")).toSeq
+              .flatMap(_.fields().asScala)
+              .map(e => e.getKey -> e.getValue.asText())
+          case other => throw new UnsupportedOperationException(
+            s"unsupported metadata update over REST: $other (appends: " +
+              "add-snapshot + set-snapshot-ref + set-properties; " +
+              "schema/spec changes and row-level deletes stay engine-side)")
+        }
+      }
+    val snap = snapNode.getOrElse(throw new IllegalArgumentException(
+      "commit carries no add-snapshot"))
+    val op = Option(snap.get("summary")).flatMap(s =>
+      Option(s.get("operation"))).map(_.asText()).getOrElse("append")
+    if (op != "append") throw new UnsupportedOperationException(
+      s"only append commits are accepted over REST (got '$op')")
+    Option(snap.get("schema-id")).map(_.asInt()).foreach { sid =>
+      val cur = Option(served.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+      if (sid != cur) throw new IllegalArgumentException(
+        s"snapshot schema-id $sid != served current-schema-id $cur")
+    }
+
+    // ---- the posted table state must be base ∪ new (a true append)
+    val v = served.get("format-version").asInt()
+    val (postedData, postedDeletes) = IcebergImport.filesOfManifestList(
+      snap.get("manifest-list").asText(), v)
+    if (postedDeletes.nonEmpty) throw new UnsupportedOperationException(
+      s"append commit carries ${postedDeletes.size} delete file(s) — " +
+        "row-level deletes stay engine-side (or arrive via iceberg-changes CDC)")
+    val base = IcebergImport.plan(metaPath.toString, None)
+    val basePaths = base.dataPaths.toSet
+    val postedPaths = postedData.map(_.path)
+    val dropped = basePaths -- postedPaths.toSet
+    if (dropped.nonEmpty) throw new UnsupportedOperationException(
+      s"posted snapshot drops ${dropped.size} base data file(s) — not an append")
+    val added = postedPaths.filterNot(basePaths)
+    added.zip(postedData.filterNot(d => basePaths(d.path))).foreach {
+      case (p, d) => if (d.format != "PARQUET")
+        throw new UnsupportedOperationException(
+          s"graft's data plane is parquet: cannot register ${d.format} file $p")
+    }
+
+    // ---- ingest: in-place when already under the data plane (writers
+    // honoring the served write.data.path), copy-in otherwise
+    val head = repo.snapshot(repo.resolve(ref).tables(key))
+    if (head.partitionFields.nonEmpty)
+      throw new UnsupportedOperationException(
+        "REST commits to partitioned tables are not supported yet " +
+          "(partition values cannot be recovered from external layouts)")
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val rels = added.map { loc =>
+      repo.dataIO.relOf(loc) match {
+        case Some(rel) => rel
+        case None =>
+          val local = java.nio.file.Paths.get(loc)
+          if (!Files.isRegularFile(local))
+            throw new IllegalArgumentException(
+              s"cannot ingest $loc: not under the repo data root and not " +
+                "a local file — point write.data.path at the served value")
+          val rel = s"${stageRel(ref, key)}/ingest-$stamp-${local.getFileName}"
+          // via a temp copy: uploadAtomic consumes its source, and the
+          // posted file belongs to the writer, not to this catalog
+          val tmp = Files.createTempFile("graft-rest-ingest", ".parquet")
+          Files.copy(local, tmp,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          repo.dataIO.uploadAtomic(tmp, rel)
+          rel
+      }
+    }
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(head.schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType]
+    val hconf = spark.map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    // stats stay keyed under PHYSICAL names — the repo-wide invariant
+    // that keeps column renames metadata-only (see TableOps.writeFiles)
+    val entries = TableOps.entriesFromFootersLocal(repo,
+      rels, TableOps.toPhysical(schema, head.nameMapping), hconf)
+    TableOps.commitAppend(repo, ref, key, entries, overwrite = false,
+      Nil, head.nameMapping, head.schemaJson,
+      Some(s"rest: append $key (${entries.size} files, " +
+        s"${entries.map(_.rows).sum} rows)"),
+      setProps,
+      precheck = b => if (!b.tables.get(key).contains(servedGraftSnap))
+        throw new RestConflict("CommitFailedException",
+          s"branch $ref moved since the served base — refresh and retry"))
+    loadResult(serve(repo, prefix, ref, key))
+  }
+
+  /** DropTableRequest; `purge` mirrors the engine catalog's
+    * `purgeTable` (files referenced by no other live head deleted). */
+  private def dropTable(repo: GraftRepo, ns: Seq[String], name: String,
+      purge: Boolean): Unit = {
+    val (ref, key) = resolveKey(repo, ns, name)
+    if (!repo.branchExists(ref)) throw new IllegalArgumentException(
+      s"drops commit to a branch; $ref is a tag")
+    val victim = repo.snapshot(repo.resolve(ref).tables(key))
+    repo.commitRetry(ref, s"rest: drop table $key") { base =>
+      if (!base.tables.contains(key))
+        throw new NoSuchElementException(s"no such table: $key @ $ref")
+      (base.tables - key, base.namespaces)
+    }
+    if (purge) {
+      val liveHeads = repo.branches.map(repo.headCommit) ++
+        repo.tags.map(repo.resolve)
+      val stillReferenced = liveHeads
+        .flatMap(_.tables.get(key)).distinct.map(repo.snapshot)
+        .flatMap(_.files).map(_.path).toSet
+      victim.files.filterNot(f => stillReferenced.contains(f.path))
+        .foreach { f =>
+          repo.dataIO.delete(f.path)
+          repo.dataIO.delete(f.path + ".bloom")
+        }
+    }
   }
 
   // ---- plumbing ----------------------------------------------------------
@@ -286,6 +661,13 @@ final class IcebergRestServer private (single: Option[GraftRepo],
   }
 }
 
+/** 409-mapped failures: a commit requirement that stopped holding, or
+  * create-on-existing. `typ` is the spec error type the client's
+  * exception mapper keys on.
+  */
+private final class RestConflict(val typ: String, msg: String)
+  extends RuntimeException(msg)
+
 object IcebergRestServer {
 
   /** Start serving ONE `repo` on 127.0.0.1:`port` (0 = ephemeral; read
@@ -297,9 +679,10 @@ object IcebergRestServer {
     */
   def start(repo: GraftRepo, exportRoot: Path,
       spark: Option[SparkSession] = None, port: Int = 0,
-      maxSnapshots: Int = 1, formatVersion: Int = 0): IcebergRestServer =
+      maxSnapshots: Int = 1, formatVersion: Int = 0,
+      writable: Boolean = false): IcebergRestServer =
     boot(Some(repo), None, exportRoot, spark, port, maxSnapshots,
-      formatVersion)
+      formatVersion, writable)
 
   /** Start serving EVERY repo under `reposRoot` (a graft catalog root:
     * each child dir with a `refs/` dir is a repo), routed by the spec's
@@ -310,17 +693,19 @@ object IcebergRestServer {
     */
   def startWarehouse(reposRoot: Path, exportRoot: Path,
       spark: Option[SparkSession] = None, port: Int = 0,
-      maxSnapshots: Int = 1, formatVersion: Int = 0): IcebergRestServer =
+      maxSnapshots: Int = 1, formatVersion: Int = 0,
+      writable: Boolean = false): IcebergRestServer =
     boot(None, Some(reposRoot), exportRoot, spark, port, maxSnapshots,
-      formatVersion)
+      formatVersion, writable)
 
   private def boot(single: Option[GraftRepo], reposRoot: Option[Path],
       exportRoot: Path, spark: Option[SparkSession], port: Int,
-      maxSnapshots: Int, formatVersion: Int): IcebergRestServer = {
+      maxSnapshots: Int, formatVersion: Int,
+      writable: Boolean): IcebergRestServer = {
     Files.createDirectories(exportRoot)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     val srv = new IcebergRestServer(single, reposRoot, exportRoot, spark,
-      maxSnapshots, formatVersion, server)
+      maxSnapshots, formatVersion, writable, server)
     server.createContext("/", (ex: HttpExchange) => srv.handle(ex))
     server.setExecutor(Executors.newFixedThreadPool(4, r => {
       val t = new Thread(r, "graft-rest-catalog"); t.setDaemon(true); t

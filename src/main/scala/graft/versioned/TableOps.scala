@@ -319,6 +319,26 @@ object TableOps {
     }
   }
 
+  /** Driver-side [[entriesFromFooters]] — no Spark session required
+    * (fanned out over the shared IO pool instead of a parallelize job).
+    * The REST catalog's commit path uses this: a catalog server
+    * registering an external engine's already-written files should not
+    * need a cluster to read O(new files) footers.
+    */
+  def entriesFromFootersLocal(repo: GraftRepo, rels: Seq[String],
+      schema: StructType,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Seq[FileEntry] =
+    Manifests.fanOut(rels, 2) { rel =>
+      val wf = FooterStats.read(repo.dataLocation(rel), hadoopConf,
+        schema, Map.empty)
+      def render(m: Map[String, Any]): Map[String, String] =
+        m.map { case (c, v) =>
+          c -> FooterStats.render(v, leafType(schema, c))
+        }
+      FileEntry(rel, wf.rows, render(wf.mins), render(wf.maxs),
+        None, Some(wf.bytes), nulls = Some(wf.nulls))
+    }
+
   /** FileEntry metadata for parquet files already staged under `dir` by
     * an external writer (the CoW row-level write path). FOOTER-based —
     * no re-read of the staged data; a rewrite's stats cost is a footer
@@ -415,9 +435,15 @@ object TableOps {
       newFiles: Seq[FileEntry], overwrite: Boolean,
       spec: Seq[PartitionField], mapping: Map[String, String],
       fallbackSchemaJson: String, message: Option[String] = None,
-      extraProps: Map[String, String] = Map.empty): Unit = {
+      extraProps: Map[String, String] = Map.empty,
+      precheck: Commit => Unit = _ => ()): Unit = {
     val msg = message.getOrElse(s"${if (overwrite) "overwrite" else "append"} $key")
     repo.commitRetry(branch, msg) { base =>
+      // caller-supplied optimistic-base validation, re-evaluated INSIDE
+      // the commit race on every retry (the REST catalog's
+      // assert-ref-snapshot-id requirement must hold at commit time,
+      // not merely at request-validation time)
+      precheck(base)
       // props re-read from the rebased head inside the race so a
       // concurrent property change (or stream-batch marker) is not lost
       val prior = base.tables.get(key).map(repo.snapshot)

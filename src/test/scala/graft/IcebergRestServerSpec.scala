@@ -285,4 +285,355 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     mapper.readTree(r.body()).get("error").get("type").asText() shouldBe
       "UnsupportedOperationException"
   }
+
+  // ---- write path (writable = true) ----------------------------------
+
+  import org.apache.avro.Schema
+  import org.apache.avro.file.DataFileWriter
+  import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+
+  private val wEntrySchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int"},
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"}]}}]}"""
+      .stripMargin.replaceAll("\n", ""))
+
+  private val wListSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"},
+      |{"name":"sequence_number","type":"long"},
+      |{"name":"min_sequence_number","type":"long"},
+      |{"name":"added_snapshot_id","type":["null","long"],"default":null}]}"""
+      .stripMargin.replaceAll("\n", ""))
+
+  /** What an external engine's commit stages: one ADDED-entries data
+    * manifest + a manifest list naming it, both fresh avro files. */
+  private def stageWriterCommit(scratch: java.nio.file.Path,
+      snapId: Long, files: Seq[java.nio.file.Path],
+      deleteContent: Option[Int] = None): java.nio.file.Path = {
+    val m = scratch.resolve(s"m-$snapId.avro")
+    val mw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](wEntrySchema))
+    mw.setMeta("format-version", "2")
+    mw.create(wEntrySchema, m.toFile)
+    try files.foreach { p =>
+      val dfS = wEntrySchema.getField("data_file").schema()
+      val df = new GenericData.Record(dfS)
+      df.put("content", deleteContent.getOrElse(0))
+      df.put("file_path", p.toUri.toString)
+      df.put("file_format", "PARQUET")
+      df.put("partition",
+        new GenericData.Record(dfS.getField("partition").schema()))
+      df.put("record_count", 1L)
+      df.put("file_size_in_bytes", Files.size(p))
+      val e = new GenericData.Record(wEntrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", snapId)
+      e.put("data_file", df)
+      mw.append(e)
+    } finally mw.close()
+    val list = scratch.resolve(s"snap-$snapId.avro")
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](wListSchema))
+    lw.setMeta("format-version", "2")
+    lw.create(wListSchema, list.toFile)
+    try {
+      val r = new GenericData.Record(wListSchema)
+      r.put("manifest_path", m.toUri.toString)
+      r.put("manifest_length", Files.size(m))
+      r.put("partition_spec_id", 0)
+      r.put("content", if (deleteContent.isDefined) 1 else 0)
+      r.put("sequence_number", 1L)
+      r.put("min_sequence_number", 1L)
+      r.put("added_snapshot_id", snapId)
+      lw.append(r)
+    } finally lw.close()
+    list
+  }
+
+  private def writeOneParquet(df: org.apache.spark.sql.DataFrame,
+      out: java.nio.file.Path): Unit = {
+    val tmp = Files.createTempDirectory("rest-writer")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    import scala.jdk.CollectionConverters._
+    val part = Files.list(tmp).iterator().asScala
+      .find(p => p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".parquet")).get
+    Files.createDirectories(out.getParent)
+    Files.move(part, out)
+  }
+
+  private def send(method: String, path: String, body: String,
+      srv: IcebergRestServer): (Int, JsonNode) = {
+    val b = HttpRequest.newBuilder(URI.create(s"${srv.uri}$path"))
+    val r = http.send(
+      (method match {
+        case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(body))
+        case "DELETE" => b.DELETE()
+      }).build(), HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(),
+      if (r.body().isEmpty) mapper.createObjectNode() else mapper.readTree(r.body()))
+  }
+
+  /** CommitTableRequest JSON for an append of `listLoc` against the
+    * served `meta` (requirements echo the served uuid + main ref —
+    * exactly what iceberg-core's UpdateRequirements would build). */
+  private def commitBody(meta: JsonNode, snapId: Long,
+      listLoc: java.nio.file.Path): String = {
+    val refSnap = Option(meta.get("refs")).flatMap(r => Option(r.get("main")))
+      .map(_.get("snapshot-id").asLong())
+    val assertRef = refSnap.map(s => s""","snapshot-id":$s""").getOrElse("")
+    s"""{"requirements":[
+       |{"type":"assert-table-uuid","uuid":"${meta.get("table-uuid").asText()}"},
+       |{"type":"assert-ref-snapshot-id","ref":"main"$assertRef}],
+       |"updates":[
+       |{"action":"add-snapshot","snapshot":{"snapshot-id":$snapId,
+       |"timestamp-ms":1700000000000,"schema-id":0,
+       |"manifest-list":"${listLoc.toUri}",
+       |"summary":{"operation":"append"}}},
+       |{"action":"set-snapshot-ref","ref-name":"main",
+       |"snapshot-id":$snapId,"type":"branch"}]}""".stripMargin
+      .replaceAll("\n", "")
+  }
+
+  test("writable server: REST createNamespace + createTable + two append " +
+    "commits (zero-copy staged + copy-in external), read back via graft " +
+    "SQL and an independent import of the refreshed metadata") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.restw")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "restw")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      Files.createTempDirectory("graft-restw-exports"), Some(spark),
+      writable = true)
+    val scratch = Files.createTempDirectory("rest-writer-scratch")
+    try {
+      // create a db namespace, then an unpartitioned table in it
+      val (cn, _) = send("POST", "/v1/namespaces",
+        """{"namespace":["main","wdb"],"properties":{"team":"x"}}""", srv)
+      cn shouldBe 200
+      get(s"/v1/namespaces?parent=${enc("main")}", srv)._2
+        .get("namespaces").toString should include ("wdb")
+      val (ct, created) = send("POST",
+        s"/v1/namespaces/${enc("main", "wdb")}/tables",
+        """{"name":"w","schema":{"type":"struct","schema-id":0,"fields":[
+          |{"id":1,"name":"id","required":false,"type":"int"},
+          |{"id":2,"name":"v","required":false,"type":"string"}]}}"""
+          .stripMargin.replaceAll("\n", ""), srv)
+      withClue(created.toString) { ct shouldBe 200 }
+      val meta0 = created.get("metadata")
+      val uuid0 = meta0.get("table-uuid").asText()
+      val stageDir = java.nio.file.Paths.get(URI.create(
+        meta0.get("properties").get("write.data.path").asText() + "/"))
+
+      // commit 1: writer honors write.data.path → ZERO-COPY registration
+      val f1 = stageDir.resolve("w1.parquet")
+      writeOneParquet(Seq((1, "a"), (2, "b")).toDF("id", "v"), f1)
+      val list1 = stageWriterCommit(scratch, 9001L, Seq(f1))
+      val (c1, resp1) = send("POST",
+        s"/v1/namespaces/${enc("main", "wdb")}/tables/w",
+        commitBody(meta0, 9001L, list1), srv)
+      withClue(resp1.toString) { c1 shouldBe 200 }
+      sql("SELECT id, v FROM g.restw.main.wdb.w ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+        Seq((1, "a"), (2, "b"))
+      // zero-copy: the staged file itself is the registered file
+      val repo = GraftRepo.open(root)
+      val snap1 = repo.snapshot(repo.resolve("main").tables("wdb/w"))
+      snap1.files.map(f =>
+        java.nio.file.Paths.get(repo.dataLocation(f.path).stripPrefix("file:"))
+          .normalize.toString) should contain (f1.toString)
+      snap1.files.foreach { f =>
+        f.rows should be > 0L
+        f.min should not be empty // footer stats registered
+      }
+      val meta1 = resp1.get("metadata")
+      meta1.get("table-uuid").asText() shouldBe uuid0 // stable identity
+      meta1.get("refs").get("main").get("snapshot-id").asLong() shouldBe
+        meta1.get("current-snapshot-id").asLong()
+
+      // commit 2: a file OUTSIDE the data plane → copy-in fallback;
+      // posted state = base file ∪ new file (a true append superset)
+      val ext = scratch.resolve("ext.parquet")
+      writeOneParquet(Seq((3, "c")).toDF("id", "v"), ext)
+      val list2 = stageWriterCommit(scratch, 9002L, Seq(f1, ext))
+      val (c2, resp2) = send("POST",
+        s"/v1/namespaces/${enc("main", "wdb")}/tables/w",
+        commitBody(meta1, 9002L, list2), srv)
+      withClue(resp2.toString) { c2 shouldBe 200 }
+      sql("SELECT id FROM g.restw.main.wdb.w ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq shouldBe Seq(1, 2, 3)
+
+      // the refreshed metadata round-trips through the independent reader
+      val view = "w_" + java.util.UUID.randomUUID().toString.take(8)
+      sql(s"CALL g.system.iceberg_import(" +
+        s"'${resp2.get("metadata-location").asText()}', '$view')")
+      spark.table(view).orderBy("id").collect().map(_.getInt(0)).toSeq shouldBe
+        Seq(1, 2, 3)
+
+      // stale requirements (commit 1's base) now conflict: 409
+      val list3 = stageWriterCommit(scratch, 9003L, Seq(f1, ext))
+      val (c3, e3) = send("POST",
+        s"/v1/namespaces/${enc("main", "wdb")}/tables/w",
+        commitBody(meta0, 9003L, list3), srv)
+      c3 shouldBe 409
+      e3.get("error").get("type").asText() shouldBe "CommitFailedException"
+    } finally { srv.close(); }
+  }
+
+  private def get(path: String, srv: IcebergRestServer): (Int, JsonNode) = {
+    val r = http.send(
+      HttpRequest.newBuilder(URI.create(s"${srv.uri}$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), mapper.readTree(r.body()))
+  }
+
+  test("concurrent REST commits against one served base: exactly one " +
+    "lands, every loser answers 409, no rows lost or duplicated") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.restc")
+    sql("CREATE NAMESPACE g.restc.main.db")
+    sql("CREATE TABLE g.restc.main.db.c (id INT)")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "restc")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      Files.createTempDirectory("graft-restc-exports"), Some(spark),
+      writable = true)
+    val scratch = Files.createTempDirectory("rest-race")
+    try {
+      val meta0 = get(s"/v1/namespaces/${enc("main", "db")}/tables/c", srv)
+        ._2.get("metadata")
+      val stageDir = java.nio.file.Paths.get(URI.create(
+        meta0.get("properties").get("write.data.path").asText() + "/"))
+      // every writer stages against the SAME served base
+      val staged = (0 until 4).map { i =>
+        val f = stageDir.resolve(s"race-$i.parquet")
+        writeOneParquet(Seq(100 + i).toDF("id"), f)
+        stageWriterCommit(Files.createDirectories(scratch.resolve(s"w$i")),
+          9200L + i, Seq(f))
+      }
+      val codes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+      val threads = staged.zipWithIndex.map { case (list, i) =>
+        new Thread(() => codes.add(send("POST",
+          s"/v1/namespaces/${enc("main", "db")}/tables/c",
+          commitBody(meta0, 9200L + i, list), srv)._1))
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(30000))
+      val results = {
+        val it = codes.iterator()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSeq
+      }
+      results.count(_ == 200) shouldBe 1
+      results.count(_ == 409) shouldBe 3
+      sql("SELECT count(*) FROM g.restc.main.db.c").collect()
+        .head.getLong(0) shouldBe 1L
+    } finally srv.close()
+  }
+
+  test("writable server: loud refusals — non-append summaries, delete " +
+    "files, schema updates, tag commits, partitioned commits; drop works") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.restr")
+    sql("CREATE NAMESPACE g.restr.main.db")
+    sql("CREATE TABLE g.restr.main.db.p (id INT, cat STRING) PARTITIONED BY (cat)")
+    sql("INSERT INTO g.restr.main.db.p VALUES (1, 'a')")
+    sql("CREATE TABLE g.restr.main.db.d (id INT)")
+    sql("INSERT INTO g.restr.main.db.d VALUES (7)")
+    sql("CALL g.system.create_tag('restr', 'pin', 'main')")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "restr")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      Files.createTempDirectory("graft-restr-exports"), Some(spark),
+      writable = true)
+    val scratch = Files.createTempDirectory("rest-refusals")
+    try {
+      val meta = get(s"/v1/namespaces/${enc("main", "db")}/tables/d", srv)
+        ._2.get("metadata")
+      val f = scratch.resolve("x.parquet")
+      writeOneParquet(Seq(8).toDF("id"), f)
+
+      // non-append summary
+      val list = stageWriterCommit(scratch, 9101L, Seq(f))
+      val overwrite = commitBody(meta, 9101L, list)
+        .replace("\"operation\":\"append\"", "\"operation\":\"overwrite\"")
+      val (co, eo) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/d", overwrite, srv)
+      co shouldBe 400
+      eo.get("error").get("message").asText() should include ("append")
+
+      // delete files in the posted snapshot
+      val delList = stageWriterCommit(scratch, 9102L,
+        Seq(f), deleteContent = Some(1))
+      send("POST", s"/v1/namespaces/${enc("main", "db")}/tables/d",
+        commitBody(meta, 9102L, delList), srv)._1 shouldBe 400
+
+      // schema evolution over REST
+      val (cs, es) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/d",
+        """{"requirements":[],"updates":[{"action":"add-schema","schema":{}}]}""",
+        srv)
+      cs shouldBe 400
+      es.get("error").get("message").asText() should include ("add-schema")
+
+      // commits against a tag namespace
+      send("POST", s"/v1/namespaces/${enc("pin", "db")}/tables/d",
+        commitBody(meta, 9103L, list), srv)._1 shouldBe 400
+
+      // partitioned tables refuse REST commits (loudly, for now)
+      val metaP = get(s"/v1/namespaces/${enc("main", "db")}/tables/p", srv)
+        ._2.get("metadata")
+      val fp = scratch.resolve("p.parquet")
+      writeOneParquet(Seq((2, "b")).toDF("id", "cat"), fp)
+      val basePFiles = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(get(
+          s"/v1/namespaces/${enc("main", "db")}/tables/p", srv)
+          ._2.get("metadata-location").asText())).dataPaths
+      val listP = stageWriterCommit(scratch, 9104L,
+        basePFiles.map(java.nio.file.Paths.get(_)) :+ fp)
+      val (cp, ep) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/p",
+        commitBody(metaP, 9104L, listP), srv)
+      cp shouldBe 400
+      ep.get("error").get("message").asText() should include ("partitioned")
+
+      // duplicate create → 409 AlreadyExists
+      val (cd, ed) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables",
+        """{"name":"d","schema":{"type":"struct","schema-id":0,"fields":[
+          |{"id":1,"name":"id","required":false,"type":"int"}]}}"""
+          .stripMargin.replaceAll("\n", ""), srv)
+      cd shouldBe 409
+      ed.get("error").get("type").asText() shouldBe "AlreadyExistsException"
+
+      // rename: unsupported, mirroring the reference
+      send("POST", "/v1/tables/rename",
+        """{"source":{},"destination":{}}""", srv)._1 shouldBe 400
+
+      // REST branch creation + drop table
+      send("POST", "/v1/namespaces",
+        """{"namespace":["feat"],"properties":{"from":"main"}}""", srv)
+        ._1 shouldBe 200
+      get(s"/v1/namespaces/${enc("feat", "db")}/tables/d", srv)
+        ._1 shouldBe 200
+      send("DELETE",
+        s"/v1/namespaces/${enc("feat", "db")}/tables/d", "", srv)
+        ._1 shouldBe 204
+      get(s"/v1/namespaces/${enc("feat", "db")}/tables/d", srv)
+        ._1 shouldBe 404
+      // main untouched by the feat drop
+      sql("SELECT id FROM g.restr.main.db.d").collect()
+        .map(_.getInt(0)).toSeq shouldBe Seq(7)
+    } finally srv.close()
+  }
 }
