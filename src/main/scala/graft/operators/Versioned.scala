@@ -642,6 +642,96 @@ object Versioned {
       .orderBy(col("n_nationkey"))
   }
 
+  /** The REST WRITE path end-to-end, driven exactly as an external
+    * engine's REST client drives it: `POST tables` creates the table
+    * from a posted Iceberg schema, then TWO spec commits
+    * (`assert-table-uuid` + `assert-ref-snapshot-id` requirements,
+    * `add-snapshot`/`set-snapshot-ref` updates) each post a freshly
+    * staged manifest list; the server registers the staged data files
+    * ZERO-COPY (they live in the repo data plane) with footer-derived
+    * stats, committing on the graft branch. Staging is emulated with
+    * graft's own exporter (real Iceberg manifests; commit 2 stages on a
+    * zero-copy clone so its list is the spec-required superset of the
+    * served base). The gate then reads the RESULTING GRAFT TABLE via
+    * plain SQL against the DuckDB oracle.
+    */
+  private def restCommit(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    val srv = graft.versioned.IcebergRestServer.start(repo,
+      Files.createTempDirectory("graft-rest-wgate"), Some(s),
+      writable = true)
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val ns = java.net.URLEncoder.encode("maindb", "UTF-8")
+      def post(path: String, body: String)
+          : com.fasterxml.jackson.databind.JsonNode = {
+        val resp = http.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${srv.uri}$path"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200,
+          s"$path -> ${resp.statusCode()}: ${resp.body()}")
+        mapper.readTree(resp.body())
+      }
+      val created = post(s"/v1/namespaces/$ns/tables",
+        """{"name":"wnation","schema":{"type":"struct","schema-id":0,
+          |"fields":[
+          |{"id":1,"name":"n_nationkey","required":false,"type":"int"},
+          |{"id":2,"name":"n_name","required":false,"type":"string"},
+          |{"id":3,"name":"n_regionkey","required":false,"type":"int"}]}}"""
+          .stripMargin.replaceAll("\n", ""))
+      // stage table -> export -> post its manifest list as a REST commit
+      def appendViaRest(stageKey: String, snapId: Long,
+          base: com.fasterxml.jackson.databind.JsonNode)
+          : com.fasterxml.jackson.databind.JsonNode = {
+        val dest = Files.createTempDirectory(s"graft-rest-stage")
+        val metaP = graft.versioned.IcebergExport.export(repo, "main",
+          s"db/$stageKey", dest, Some(s), 1, 1, 0)
+        val stageMeta = mapper.readTree(java.nio.file.Files.readString(metaP))
+        val cur = stageMeta.get("current-snapshot-id").asLong()
+        val listLoc = {
+          val it = stageMeta.get("snapshots").elements()
+          var loc = ""
+          while (it.hasNext) {
+            val n = it.next()
+            if (n.get("snapshot-id").asLong() == cur)
+              loc = n.get("manifest-list").asText()
+          }
+          loc
+        }
+        val refSnap = base.get("refs").get("main").get("snapshot-id").asLong()
+        post(s"/v1/namespaces/$ns/tables/wnation",
+          s"""{"requirements":[
+             |{"type":"assert-table-uuid",
+             |"uuid":"${base.get("table-uuid").asText()}"},
+             |{"type":"assert-ref-snapshot-id","ref":"main",
+             |"snapshot-id":$refSnap}],
+             |"updates":[
+             |{"action":"add-snapshot","snapshot":{"snapshot-id":$snapId,
+             |"timestamp-ms":1700000000000,"schema-id":0,
+             |"manifest-list":"$listLoc",
+             |"summary":{"operation":"append"}}},
+             |{"action":"set-snapshot-ref","ref-name":"main",
+             |"snapshot-id":$snapId,"type":"branch"}]}""".stripMargin
+            .replaceAll("\n", "")).get("metadata")
+      }
+      s.sql(s"CREATE TABLE $cat.r.main.db.stage1 AS " +
+        s"SELECT * FROM $cat.r.main.db.nation WHERE n_nationkey < 15")
+      val m1 = appendViaRest("stage1", 9001L, created.get("metadata"))
+      // commit 2 stages on a zero-copy clone of the committed table, so
+      // its posted list = base files ∪ new files (the append contract)
+      s.sql(s"CALL $cat.system.clone_table('r', 'main', " +
+        "'db.wnation', 'db.stage2')")
+      s.sql(s"INSERT INTO $cat.r.main.db.stage2 " +
+        s"SELECT * FROM $cat.r.main.db.nation WHERE n_nationkey >= 20")
+      appendViaRest("stage2", 9002L, m1)
+    } finally srv.close()
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.wnation ORDER BY n_nationkey")
+  }
+
   /** Incremental (checkpointed-consumer) read: `graft.fromRef = <c1>`
     * scans ONLY the files appended since commit c1 — resolved purely
     * from snapshot metadata (no listing, no diffing data). The batch
@@ -1174,6 +1264,12 @@ object Versioned {
         |WHERE n_nationkey % 5 <> 2
         |ORDER BY n_nationkey""".stripMargin
     )(restRead),
+    Q(
+      "vc_rest_commit",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey < 15 OR n_nationkey >= 20
+        |ORDER BY n_nationkey""".stripMargin
+    )(restCommit),
     Q(
       "vc_cdc_apply",
       """SELECT n_nationkey,
