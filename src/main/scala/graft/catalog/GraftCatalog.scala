@@ -834,8 +834,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * longer find them. Non-purge `dropTable` keeps files for ancestor
     * commits and defers deletion to `vacuum()`.
     *
-    * Only files under the table's OWN data directory are deleted (a
-    * purged table can never take another table's files with it).
+    * Files still referenced by ANY table at ANY live head survive —
+    * zero-copy clones share the victim's exact file paths under a
+    * DIFFERENT key, so the reference walk must cover every table, not
+    * just the purged key (the same all-referents invariant vacuum's
+    * sweep holds).
     */
   override def purgeTable(ident: Identifier): Boolean = {
     val ns = ident.namespace()
@@ -844,12 +847,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val key = tableKey(ident)
     val victim = g.headCommit(ns(1)).tables.get(key).map(g.snapshot)
     if (victim.isEmpty || !dropTable(ident)) return false
-    // files still referenced by ANY other branch/tag HEAD must survive —
     // purge discards this branch's history for the table, never another
-    // branch's present
+    // branch's (or another table's) present
     val liveHeads = g.branches.map(g.headCommit) ++ g.tags.map(g.resolve)
     val stillReferenced = liveHeads
-      .flatMap(_.tables.get(key)).distinct.map(g.snapshot)
+      .flatMap(_.tables.values).distinct.map(g.snapshot)
       .flatMap(_.files).map(_.path).toSet
     victim.get.files.filterNot(f => stillReferenced.contains(f.path))
       .foreach { f =>

@@ -618,9 +618,20 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     val mainOnly = repo.snapshot(repo.headCommit("main").tables("db/t")).files
       .filterNot(shared.contains)
     mainOnly should not be empty
+    // a zero-copy clone on the SAME branch shares t's exact file paths
+    // under a different key — purge must never take them with it
+    sql("CALL g.system.clone_table('rpg', 'main', 'db.t', 'db.keep')")
     sql("DROP TABLE g.rpg.main.db.t PURGE")
     spark.catalog.tableExists("g.rpg.main.db.t") shouldBe false
-    // main-only file gone immediately; dev's shared files intact + readable
+    // all of t's files survive: shared with dev's head AND with the clone
+    (shared ++ mainOnly).foreach(f =>
+      java.nio.file.Files.exists(repo.root.resolve(f.path)) shouldBe true)
+    rows("SELECT id FROM g.rpg.dev.db.t ORDER BY id").flatten shouldBe Seq(1, 2)
+    rows("SELECT id FROM g.rpg.main.db.keep ORDER BY id").flatten shouldBe
+      Seq(1, 2, 3)
+    // with the clone gone too, a purge of it finally reclaims the
+    // main-only file (dev still pins the shared ones)
+    sql("DROP TABLE g.rpg.main.db.keep PURGE")
     mainOnly.foreach(f =>
       java.nio.file.Files.exists(repo.root.resolve(f.path)) shouldBe false)
     shared.foreach(f =>
