@@ -87,7 +87,15 @@ final class IcebergRestServer private (single: Option[GraftRepo],
 
   def uri: String = s"http://127.0.0.1:$port"
 
-  def close(): Unit = server.stop(0)
+  def close(): Unit = {
+    server.stop(0)
+    // stop(0) does not stop a user-provided executor — without this a
+    // process cycling servers leaks 4 pool threads per instance
+    server.getExecutor match {
+      case es: java.util.concurrent.ExecutorService => es.shutdown()
+      case _ => ()
+    }
+  }
 
   private val mapper = new ObjectMapper()
   private val exportLocks = new ConcurrentHashMap[String, Object]()
@@ -180,6 +188,15 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         replyError(ex, 404, t, msg)
       case e: RestConflict =>
         replyError(ex, 409, e.typ, e.getMessage)
+      case e: CommitConflictException =>
+        // a graft CAS that lost out (e.g. commitRetry exhausted under
+        // contention) is the same refresh-and-retry signal as a failed
+        // requirement — a 500 here would read as commit-state-unknown
+        replyError(ex, 409, "CommitFailedException",
+          Option(e.getMessage).getOrElse("commit conflict"))
+      case e: com.fasterxml.jackson.core.JsonProcessingException =>
+        replyError(ex, 400, "ValidationException",
+          s"malformed JSON body: ${e.getOriginalMessage}")
       case e @ (_: IllegalArgumentException |
                 _: UnsupportedOperationException) =>
         replyError(ex, 400, "ValidationException",
@@ -192,6 +209,13 @@ final class IcebergRestServer private (single: Option[GraftRepo],
 
   private def body(ex: HttpExchange): com.fasterxml.jackson.databind.JsonNode =
     mapper.readTree(ex.getRequestBody)
+
+  /** Required field of a request node, as text — absent/null fields are
+    * the CLIENT's error (400), never a server NPE (500). */
+  private def text(node: com.fasterxml.jackson.databind.JsonNode,
+      field: String): String =
+    Option(node.get(field)).filterNot(_.isNull).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException(s"request is missing '$field'"))
 
   /** Namespace URL segment → levels (spec: joined by 0x1F). */
   private def levels(seg: String): Seq[String] =
@@ -380,9 +404,10 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           else s"no such branch: $ref")
         val db = dirs.mkString("/")
         repo.commitRetry(ref, s"rest: create namespace $db") { base =>
+          // validate against the REBASED base the CAS publishes, never a
+          // fresh head re-resolve (they differ under concurrent commits)
           if (base.namespaces.contains(db) ||
-            keysAt(repo, ref).exists(k => k.length > dirs.length &&
-              k.startsWith(dirs)))
+            base.tables.keys.exists(k => k.split('/').startsWith(dirs)))
             throw new RestConflict("AlreadyExistsException",
               s"namespace already exists: ${ns.mkString(".")}")
           (base.tables, base.namespaces + (db -> (props - "from")))
@@ -446,13 +471,15 @@ final class IcebergRestServer private (single: Option[GraftRepo],
   /** One posted Iceberg partition field → graft [[PartitionField]]. */
   private def partitionFieldOf(f: com.fasterxml.jackson.databind.JsonNode,
       idToName: Map[Int, String]): PartitionField = {
-    val source = idToName.getOrElse(f.get("source-id").asInt(),
+    val source = idToName.getOrElse(Option(f.get("source-id"))
+      .map(_.asInt()).getOrElse(throw new IllegalArgumentException(
+        "partition field is missing 'source-id'")),
       throw new IllegalArgumentException(
         s"partition source-id ${f.get("source-id")} not in schema"))
     val name = Option(f.get("name")).map(_.asText()).getOrElse(source)
     val BucketRe = """bucket\[(\d+)\]""".r
     val TruncRe = """truncate\[(\d+)\]""".r
-    f.get("transform").asText() match {
+    text(f, "transform") match {
       case "identity" => PartitionField(name, "identity", source)
       case BucketRe(n) => PartitionField(name, "bucket", source, n.toInt)
       case TruncRe(w) => PartitionField(name, "truncate", source, w.toInt)
@@ -483,9 +510,9 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     // against the branch head inside the commit race (precheck below)
     Option(req.get("requirements")).toSeq
       .flatMap(_.elements().asScala).foreach { r =>
-        r.get("type").asText() match {
+        text(r, "type") match {
           case "assert-table-uuid" =>
-            val want = r.get("uuid").asText()
+            val want = text(r, "uuid")
             val have = served.get("table-uuid").asText()
             if (want != have) throw new RestConflict("CommitFailedException",
               s"table uuid changed: expected $want, found $have")
@@ -513,11 +540,13 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     var setProps = Map.empty[String, String]
     Option(req.get("updates")).toSeq
       .flatMap(_.elements().asScala).foreach { u =>
-        u.get("action").asText() match {
+        text(u, "action") match {
           case "add-snapshot" =>
             if (snapNode.isDefined) throw new UnsupportedOperationException(
               "one add-snapshot per commit")
-            snapNode = Some(u.get("snapshot"))
+            snapNode = Some(Option(u.get("snapshot")).getOrElse(
+              throw new IllegalArgumentException(
+                "add-snapshot carries no snapshot")))
           case "set-snapshot-ref" =>
             val rn = Option(u.get("ref-name")).map(_.asText()).getOrElse("main")
             if (rn != "main") throw new IllegalArgumentException(
@@ -547,7 +576,7 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     // ---- the posted table state must be base ∪ new (a true append)
     val v = served.get("format-version").asInt()
     val (postedData, postedDeletes) = IcebergImport.filesOfManifestList(
-      snap.get("manifest-list").asText(), v)
+      text(snap, "manifest-list"), v)
     if (postedDeletes.nonEmpty) throw new UnsupportedOperationException(
       s"append commit carries ${postedDeletes.size} delete file(s) — " +
         "row-level deletes stay engine-side (or arrive via iceberg-changes CDC)")
@@ -572,15 +601,23 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         "REST commits to partitioned tables are not supported yet " +
           "(partition values cannot be recovered from external layouts)")
     val stamp = java.util.UUID.randomUUID().toString.take(8)
+    // copy-in fallback accepts ONLY files under the table's own served
+    // location (where a writer ignoring write.data.path stages, e.g.
+    // `location/data/...`) — an arbitrary posted path must not turn the
+    // catalog into a confused deputy that reads any server-local file
+    // into the queryable data plane
+    val destRoot = prefix.fold(exportRoot)(exportRoot.resolve)
+      .resolve(ref).resolve(key).toAbsolutePath.normalize
     val rels = added.map { loc =>
       repo.dataIO.relOf(loc) match {
         case Some(rel) => rel
         case None =>
-          val local = java.nio.file.Paths.get(loc)
-          if (!Files.isRegularFile(local))
+          val local = java.nio.file.Paths.get(loc).toAbsolutePath.normalize
+          if (!local.startsWith(destRoot) || !Files.isRegularFile(local))
             throw new IllegalArgumentException(
-              s"cannot ingest $loc: not under the repo data root and not " +
-                "a local file — point write.data.path at the served value")
+              s"cannot ingest $loc: data files must be staged under the " +
+                s"served write.data.path (zero-copy) or the table " +
+                s"location $destRoot")
           val rel = s"${stageRel(ref, key)}/ingest-$stamp-${local.getFileName}"
           // via a temp copy: uploadAtomic consumes its source, and the
           // posted file belongs to the writer, not to this catalog
@@ -624,10 +661,13 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       (base.tables - key, base.namespaces)
     }
     if (purge) {
+      // ALL tables at ALL live heads: zero-copy clones (and zero-copy
+      // REST registrations) share the victim's exact file paths under
+      // other keys — same all-referents invariant as the engine purge
       val liveHeads = repo.branches.map(repo.headCommit) ++
         repo.tags.map(repo.resolve)
       val stillReferenced = liveHeads
-        .flatMap(_.tables.get(key)).distinct.map(repo.snapshot)
+        .flatMap(_.tables.values).distinct.map(repo.snapshot)
         .flatMap(_.files).map(_.path).toSet
       victim.files.filterNot(f => stillReferenced.contains(f.path))
         .foreach { f =>

@@ -414,9 +414,9 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     sql("CREATE NAMESPACE g.restw")
     val root = java.nio.file.Paths.get(
       spark.conf.get("spark.sql.catalog.g.root"), "restw")
+    val exports = Files.createTempDirectory("graft-restw-exports")
     val srv = IcebergRestServer.start(GraftRepo.open(root),
-      Files.createTempDirectory("graft-restw-exports"), Some(spark),
-      writable = true)
+      exports, Some(spark), writable = true)
     val scratch = Files.createTempDirectory("rest-writer-scratch")
     try {
       // create a db namespace, then an unpartitioned table in it
@@ -463,9 +463,10 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       meta1.get("refs").get("main").get("snapshot-id").asLong() shouldBe
         meta1.get("current-snapshot-id").asLong()
 
-      // commit 2: a file OUTSIDE the data plane → copy-in fallback;
-      // posted state = base file ∪ new file (a true append superset)
-      val ext = scratch.resolve("ext.parquet")
+      // commit 2: a file OUTSIDE the data plane but under the table's
+      // served location (a writer ignoring write.data.path) → copy-in
+      // fallback; posted state = base ∪ new (a true append superset)
+      val ext = exports.resolve("main/wdb/w/data/ext.parquet")
       writeOneParquet(Seq((3, "c")).toDF("id", "v"), ext)
       val list2 = stageWriterCommit(scratch, 9002L, Seq(f1, ext))
       val (c2, resp2) = send("POST",
@@ -489,6 +490,27 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
         commitBody(meta0, 9003L, list3), srv)
       c3 shouldBe 409
       e3.get("error").get("type").asText() shouldBe "CommitFailedException"
+
+      // a posted path outside both the data plane and the table's own
+      // location is refused — the catalog must not read arbitrary
+      // server-local files into the queryable data plane
+      val rogue = scratch.resolve("rogue.parquet")
+      writeOneParquet(Seq((99, "z")).toDF("id", "v"), rogue)
+      val copiedBase = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(resp2.get("metadata-location").asText()))
+        .dataPaths.map(java.nio.file.Paths.get(_))
+      val listR = stageWriterCommit(scratch, 9004L, copiedBase :+ rogue)
+      val (cr, er) = send("POST",
+        s"/v1/namespaces/${enc("main", "wdb")}/tables/w",
+        commitBody(resp2.get("metadata"), 9004L, listR), srv)
+      cr shouldBe 400
+      er.get("error").get("message").asText() should include ("staged")
+
+      // malformed JSON body is the client's error: spec-shaped 400
+      val (cm, em) = send("POST",
+        s"/v1/namespaces/${enc("main", "wdb")}/tables/w", "not-json", srv)
+      cm shouldBe 400
+      em.get("error").get("type").asText() shouldBe "ValidationException"
     } finally { srv.close(); }
   }
 
