@@ -61,6 +61,12 @@ final class GraftChangesProvider extends TableProvider with DataSourceRegister {
 }
 
 private object GraftChangesProvider {
+  // one live handle per repo root: every stream start resolves twice
+  // (inferSchema, then getTable) and repeated opens would each rebuild
+  // the repo's caches just to throw them away
+  private val repos =
+    new java.util.concurrent.ConcurrentHashMap[String, GraftRepo]()
+
   def resolve(options: CaseInsensitiveStringMap)
       : (GraftRepo, String, String) = {
     val root = Option(options.get("path")).getOrElse(
@@ -69,7 +75,8 @@ private object GraftChangesProvider {
     val table = Option(options.get("table")).getOrElse(
       throw new IllegalArgumentException(
         "graft-changes needs .option(\"table\", \"db.t\")"))
-    (GraftRepo.open(java.nio.file.Paths.get(root)),
+    (repos.computeIfAbsent(root,
+      r => GraftRepo.open(java.nio.file.Paths.get(r))),
       options.getOrDefault("branch", "main"),
       table.replace('.', '/'))
   }

@@ -105,16 +105,23 @@ private[catalog] trait StagedCdcStream extends MicroBatchStream
     graftbridge.ParquetReadBridge.scan(SparkSession.active, Nil,
       cdcSchema, cdcSchema, Array.empty).toBatch.createReaderFactory()
 
-  /** A committed batch can never replay; batches run strictly in
-    * sequence, so every staged dir present at commit time belongs to
-    * the batch just committed (or an older one) — prune them all.
-    * Pruning is hygiene, never load-bearing: a missed prune costs disk,
-    * a recompute costs one diff.
+  /** A committed batch can never replay, so its staging (and any older
+    * batch's) is prunable — EXCEPT the dir of the batch that may
+    * already be executing: with async progress tracking
+    * (`asyncProgressTrackingEnabled`) `commit(end_N)` can fire while
+    * batch N+1 is mid-read, and batch N+1 always stages as
+    * `b-<tag(end_N)>-...` (batches execute one at a time; only the
+    * offset/commit log writes are asynchronous). Keep that prefix,
+    * prune the rest. Pruning is hygiene, never load-bearing: a missed
+    * prune costs disk, a recompute costs one diff.
     */
   final override def commit(end: Offset): Unit = try {
+    val keep = s"b-${tagOf(tokenOf(end))}-"
     val fs = stageRoot.getFileSystem(hadoopConf)
     if (fs.exists(stageRoot))
-      fs.listStatus(stageRoot).foreach(st => fs.delete(st.getPath, true))
+      fs.listStatus(stageRoot)
+        .filterNot(_.getPath.getName.startsWith(keep))
+        .foreach(st => fs.delete(st.getPath, true))
   } catch { case _: Exception => () }
 
   override def stop(): Unit = ()
