@@ -30,6 +30,62 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** Windows of this many tokens define the duplicate-substring unit in
+    * [[dupSpans]] (the "min dup length" knob of suffix-based dedup). */
+  private[graft] val DupSpanL = 8
+
+  /** Duplicate-SUBSTRING spans — the within-document repeat detector of
+    * suffix-array training-data dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"), re-expressed
+    * Spark-first: every maximal token interval of a document all of
+    * whose L-token windows (L = [[DupSpanL]]) occur ≥ 2 times ANYWHERE
+    * in the corpus — copied passages, boilerplate headers, exact
+    * repeats — reported as [span_start, span_end] 0-based token
+    * positions. A suffix array is a single-node construction; the
+    * distributed equivalent lowers the corpus to one narrow row per
+    * L-gram keyed by a 128-bit content hash: a count aggregation finds
+    * duplicated grams (map-side partial counts absorb hot boilerplate
+    * keys before the exchange), one equi-join marks their positions,
+    * and a per-doc window merges overlapping windows into maximal spans
+    * (gaps-and-islands; window ends are monotone in `pos` for fixed L,
+    * so the lag test alone is exact). Two keyed shuffles of (hash, doc,
+    * pos) rows total — at 100 TB the gram relation is O(total tokens)
+    * but ≤ ~48 bytes/row, the duplicated-hash join side arrives
+    * pre-aggregated to one row per distinct hash, and AQE skew-split
+    * covers a pathological single gram. md5 keeps the gate
+    * engine-portable (DuckDB computes the identical key); xxhash64 is
+    * the drop-in at scale where no oracle replays the hash.
+    */
+  private[graft] def dupSpans(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = DupSpanL
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), split(trim(lower(col("text"))), " ").as("toks"))
+      .filter(size(col("toks")) >= L)
+    // pos = 0-based start of each L-token window; g = md5 of its text
+    val grams = toks.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), size(col("toks")) - L),
+        i => md5(concat_ws(" ", slice(col("toks"), i + lit(1), lit(L))))))
+        .as(Seq("pos", "g")))
+    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("g"))
+    val hits = grams.join(dup, "g").select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("ni", when(lag(col("pos"), 1).over(w).isNull ||
+        col("pos") - lag(col("pos"), 1).over(w) > L, 1).otherwise(0))
+      .withColumn("isl", sum(col("ni")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + L - 1).cast("long").as("span_end"),
+        (max(col("pos")) + L - min(col("pos"))).cast("long").as("dup_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("dup_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** MinHash + LSH near-dup pairs: 64-perm signature, 8 bands × 8 rows
     * (catches Jaccard ≳ 0.77 w.h.p.), candidates blocked by (band,
     * band-hash), then exact word-set Jaccard ≥ 0.9. No metadata blocking
@@ -952,6 +1008,27 @@ object Dedup {
         |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
         |ORDER BY surviving_id""".stripMargin
     )(incremental),
+    Q(
+      "dd_dupspans",
+      """WITH t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+        |           FROM documents),
+        |g AS (
+        |  SELECT doc_id, i-1 AS pos, md5(array_to_string(toks[i:i+7],' ')) AS g
+        |  FROM t, UNNEST(range(1, len(toks)-8+2)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |d AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+        |h AS (SELECT doc_id, pos FROM g JOIN d USING (g)),
+        |i AS (SELECT doc_id, pos,
+        |        CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+        |             THEN 1 ELSE 0 END AS ni
+        |      FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |s AS (SELECT doc_id, pos,
+        |        sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS UNBOUNDED PRECEDING) AS isl FROM i)
+        |SELECT doc_id, min(pos) AS span_start, max(pos)+7 AS span_end,
+        |       max(pos)+8-min(pos) AS dup_tokens
+        |FROM s GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin
+    )(dupSpans),
     Q(
       "dd_exact",
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies

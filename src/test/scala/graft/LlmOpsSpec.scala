@@ -444,4 +444,48 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.graft.setsim.bitmaskVocabMax")
     dup.size should be > 0 // the screen actually rejected something
   }
+
+  test("dd_dupspans: distributed gram-hash spans ≡ single-node " +
+    "suffix-style brute force, and every span is genuinely duplicated") {
+    import org.apache.spark.sql.functions._
+    val L = graft.operators.Dedup.DupSpanL
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).toLowerCase.trim)
+    // brute force: count every L-gram across the corpus, mark positions
+    // whose gram occurs >= 2 times, merge overlapping windows per doc
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1) }
+    val counts = new scala.collection.mutable.HashMap[String, Int]()
+    toks.foreach { case (_, ts) =>
+      (0 to ts.length - L).foreach { i =>
+        val g = ts.slice(i, i + L).mkString(" ")
+        counts(g) = counts.getOrElse(g, 0) + 1
+      }
+    }
+    val expect = toks.flatMap { case (id, ts) =>
+      val hit = (0 to ts.length - L)
+        .filter(i => counts(ts.slice(i, i + L).mkString(" ")) >= 2)
+      val spans = scala.collection.mutable.ListBuffer[(Long, Long, Long)]()
+      hit.foreach { p =>
+        spans.lastOption match {
+          case Some((s0, e0, _)) if p <= e0 - L + 1 + L => // p - prev <= L
+            spans(spans.length - 1) = (s0, math.max(e0, p + L - 1L),
+              math.max(e0, p + L - 1L) - s0 + 1)
+          case _ => spans += ((p.toLong, p + L - 1L, L.toLong))
+        }
+      }
+      spans.map { case (a, b, n) => (id, a, b, n) }
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("dd_dupspans")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    got shouldBe expect.toSeq
+    got.size should be > 0
+    // semantic property, independent of both constructions: the first
+    // L-gram of each reported span occurs at least twice in the corpus
+    got.foreach { case (id, a, _, _) =>
+      val ts = toks.find(_._1 == id).get._2
+      counts(ts.slice(a.toInt, a.toInt + L).mkString(" ")) should be >= 2
+    }
+  }
 }
