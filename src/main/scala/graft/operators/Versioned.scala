@@ -732,6 +732,82 @@ object Versioned {
       s"FROM $cat.r.main.db.wnation ORDER BY n_nationkey")
   }
 
+  /** The REST write path's copy-on-write REWRITE, driven as an external
+    * engine drives it: the served table has two data files, the engine
+    * runs a CoW DELETE (emulated with graft itself on a zero-copy
+    * clone — real rewritten parquet in the data plane, real Iceberg
+    * manifests from the exporter) and posts the resulting state as an
+    * `overwrite` commit: one kept base file + one rewritten file, one
+    * dropped. The server lands it as a single graft rewrite commit
+    * ([[graft.versioned.TableOps.commitRewrite]]) with the dropped file
+    * leaving the live set and the rewritten file registered zero-copy.
+    * The gate reads the RESULTING graft table via plain SQL against the
+    * DuckDB oracle.
+    */
+  private def restRewrite(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    // a second data file, so the rewrite keeps one file and replaces one
+    s.sql(s"INSERT INTO $cat.r.main.db.nation " +
+      s"SELECT n_nationkey + 100, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation")
+    val srv = graft.versioned.IcebergRestServer.start(repo,
+      Files.createTempDirectory("graft-rest-owgate"), Some(s),
+      writable = true)
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val ns = java.net.URLEncoder.encode("maindb", "UTF-8")
+      val get = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
+        .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(get.statusCode() == 200, s"loadTable failed: ${get.body()}")
+      val meta0 = mapper.readTree(get.body()).get("metadata")
+      // the engine's CoW DELETE, staged on a zero-copy clone: kept files
+      // keep their base locations, only the dirty file is rewritten
+      s.sql(s"CALL $cat.system.clone_table('r', 'main', " +
+        "'db.nation', 'db.ow_stage')")
+      s.sql(s"DELETE FROM $cat.r.main.db.ow_stage WHERE n_nationkey >= 110")
+      val dest = Files.createTempDirectory("graft-rest-owstage")
+      val metaP = graft.versioned.IcebergExport.export(repo, "main",
+        "db/ow_stage", dest, Some(s), 1, 1, 0)
+      val stageMeta = mapper.readTree(java.nio.file.Files.readString(metaP))
+      val cur = stageMeta.get("current-snapshot-id").asLong()
+      val listLoc = {
+        val it = stageMeta.get("snapshots").elements()
+        var loc = ""
+        while (it.hasNext) {
+          val n = it.next()
+          if (n.get("snapshot-id").asLong() == cur)
+            loc = n.get("manifest-list").asText()
+        }
+        loc
+      }
+      val refSnap = meta0.get("refs").get("main").get("snapshot-id").asLong()
+      val resp = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          s"""{"requirements":[
+             |{"type":"assert-table-uuid",
+             |"uuid":"${meta0.get("table-uuid").asText()}"},
+             |{"type":"assert-ref-snapshot-id","ref":"main",
+             |"snapshot-id":$refSnap}],
+             |"updates":[
+             |{"action":"add-snapshot","snapshot":{"snapshot-id":9301,
+             |"timestamp-ms":1700000000000,"schema-id":0,
+             |"manifest-list":"$listLoc",
+             |"summary":{"operation":"overwrite"}}},
+             |{"action":"set-snapshot-ref","ref-name":"main",
+             |"snapshot-id":9301,"type":"branch"}]}""".stripMargin
+            .replaceAll("\n", ""))).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200,
+        s"overwrite commit failed: ${resp.statusCode()} ${resp.body()}")
+    } finally srv.close()
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
+  }
+
   /** Incremental (checkpointed-consumer) read: `graft.fromRef = <c1>`
     * scans ONLY the files appended since commit c1 — resolved purely
     * from snapshot metadata (no listing, no diffing data). The batch
@@ -1270,6 +1346,16 @@ object Versioned {
         |WHERE n_nationkey < 15 OR n_nationkey >= 20
         |ORDER BY n_nationkey""".stripMargin
     )(restCommit),
+    Q(
+      "vc_rest_rewrite",
+      """SELECT n_nationkey, n_name, n_regionkey FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 100, n_name, n_regionkey FROM nation
+        |  WHERE n_nationkey + 100 < 110
+        |)
+        |ORDER BY n_nationkey""".stripMargin
+    )(restRewrite),
     Q(
       "vc_cdc_apply",
       """SELECT n_nationkey,

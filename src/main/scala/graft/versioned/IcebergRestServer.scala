@@ -58,8 +58,8 @@ import org.apache.spark.sql.SparkSession
   *    `properties.from`, default main) or a db namespace on a branch.
   *  - `POST .../namespaces/{ns}/tables` creates an empty graft table
   *    from the posted Iceberg schema + partition spec.
-  *  - `POST .../tables/{t}` (commitTable) accepts the spec's
-  *    APPEND commit — requirements `assert-table-uuid` /
+  *  - `POST .../tables/{t}` (commitTable) accepts the spec's APPEND,
+  *    OVERWRITE and DELETE commits — requirements `assert-table-uuid` /
   *    `assert-ref-snapshot-id` validated against the served metadata
   *    AND re-checked against the graft branch head INSIDE the commit
   *    race (a requirement that no longer holds at publish time answers
@@ -70,10 +70,15 @@ import org.apache.spark.sql.SparkSession
   *    register ZERO-COPY (served metadata stamps `write.data.path`
   *    inside the data plane, so compliant writers stage there), others
   *    are copied in; FileEntry stats come from O(new files) parquet
-  *    footer reads — no Spark job, no data scan. Anything that is not
-  *    an append (delete files, removed base files, schema changes,
-  *    overwrite/replace summaries) refuses loudly with 400 — external
-  *    row-level deletes arrive through `iceberg-changes` CDC instead.
+  *    footer reads — no Spark job, no data scan. An `append` may not
+  *    drop base files; `overwrite`/`delete` is the engine's
+  *    copy-on-write rewrite — dropped base files leave the live set and
+  *    added files register at the table's next sequence in ONE commit
+  *    ([[TableOps.commitRewrite]]), which is how an external CoW
+  *    DELETE/UPDATE/MERGE lands on the graft branch. What refuses
+  *    loudly with 400: MoR delete FILES (the engine posts its CoW
+  *    rewrite instead, or the rows flow through `iceberg-changes` CDC),
+  *    schema changes, and replace summaries.
   *  - `DELETE .../tables/{t}` drops (optionally `purgeRequested=true`
   *    with the engine catalog's purge semantics); rename stays
   *    unsupported, mirroring the reference (LakeFSCatalog.java:218).
@@ -565,27 +570,37 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       "commit carries no add-snapshot"))
     val op = Option(snap.get("summary")).flatMap(s =>
       Option(s.get("operation"))).map(_.asText()).getOrElse("append")
-    if (op != "append") throw new UnsupportedOperationException(
-      s"only append commits are accepted over REST (got '$op')")
+    if (!Set("append", "overwrite", "delete")(op))
+      throw new UnsupportedOperationException(
+        s"unsupported commit operation over REST: '$op' (accepted: " +
+          "append, overwrite, delete)")
     Option(snap.get("schema-id")).map(_.asInt()).foreach { sid =>
       val cur = Option(served.get("current-schema-id")).map(_.asInt()).getOrElse(0)
       if (sid != cur) throw new IllegalArgumentException(
         s"snapshot schema-id $sid != served current-schema-id $cur")
     }
 
-    // ---- the posted table state must be base ∪ new (a true append)
+    // ---- the posted table state must be (base − dropped) ∪ new; an
+    // `append` may not drop anything, an `overwrite`/`delete` expresses
+    // the engine's CoW rewrite by dropping the files it replaced. MoR
+    // delete FILES refuse for every operation: graft's data plane holds
+    // plain parquet, and the delete-applied state arrives either as the
+    // engine's own CoW rewrite (here) or through iceberg-changes CDC.
     val v = served.get("format-version").asInt()
     val (postedData, postedDeletes) = IcebergImport.filesOfManifestList(
       text(snap, "manifest-list"), v)
     if (postedDeletes.nonEmpty) throw new UnsupportedOperationException(
-      s"append commit carries ${postedDeletes.size} delete file(s) — " +
-        "row-level deletes stay engine-side (or arrive via iceberg-changes CDC)")
+      s"$op commit carries ${postedDeletes.size} delete file(s) — post " +
+        "the copy-on-write rewrite instead (operation=overwrite dropping " +
+        "the replaced data files), or apply row-level deletes engine-side")
     val base = IcebergImport.plan(metaPath.toString, None)
     val basePaths = base.dataPaths.toSet
     val postedPaths = postedData.map(_.path)
     val dropped = basePaths -- postedPaths.toSet
-    if (dropped.nonEmpty) throw new UnsupportedOperationException(
-      s"posted snapshot drops ${dropped.size} base data file(s) — not an append")
+    if (op == "append" && dropped.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"posted snapshot drops ${dropped.size} base data file(s) — not " +
+          "an append (post operation=overwrite to rewrite files)")
     val added = postedPaths.filterNot(basePaths)
     added.zip(postedData.filterNot(d => basePaths(d.path))).foreach {
       case (p, d) => if (d.format != "PARQUET")
@@ -636,14 +651,29 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     // that keeps column renames metadata-only (see TableOps.writeFiles)
     val entries = TableOps.entriesFromFootersLocal(repo,
       rels, TableOps.toPhysical(schema, head.nameMapping), hconf)
-    TableOps.commitAppend(repo, ref, key, entries, overwrite = false,
-      Nil, head.nameMapping, head.schemaJson,
-      Some(s"rest: append $key (${entries.size} files, " +
-        s"${entries.map(_.rows).sum} rows)"),
-      setProps,
-      precheck = b => if (!b.tables.get(key).contains(servedGraftSnap))
+    val pin: graft.versioned.Commit => Unit =
+      b => if (!b.tables.get(key).contains(servedGraftSnap))
         throw new RestConflict("CommitFailedException",
-          s"branch $ref moved since the served base — refresh and retry"))
+          s"branch $ref moved since the served base — refresh and retry")
+    if (op == "append")
+      TableOps.commitAppend(repo, ref, key, entries, overwrite = false,
+        Nil, head.nameMapping, head.schemaJson,
+        Some(s"rest: append $key (${entries.size} files, " +
+          s"${entries.map(_.rows).sum} rows)"),
+        setProps, precheck = pin)
+    else {
+      // the engine's CoW rewrite: dropped base files must be data-plane
+      // rels (they are — the served export references them in place)
+      val dropRels = dropped.toSeq.sorted.map { loc =>
+        repo.dataIO.relOf(loc).getOrElse(
+          throw new IllegalStateException(
+            s"base data file outside the repo data plane: $loc"))
+      }
+      TableOps.commitRewrite(repo, ref, key, dropRels.toSet, entries,
+        Some(s"rest: $op $key (+${entries.size}/-${dropRels.size} files, " +
+          s"+${entries.map(_.rows).sum} rows)"),
+        setProps, precheck = pin)
+    }
     loadResult(serve(repo, prefix, ref, key))
   }
 

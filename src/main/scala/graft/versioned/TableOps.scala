@@ -470,6 +470,47 @@ object TableOps {
     }
   }
 
+  /** Publish an external engine's copy-on-write rewrite as one commit:
+    * drop `removeRels` from the live file set, append `newFiles` at the
+    * table's next sequence — the metadata half of a REST
+    * `overwrite`/`delete` commit ([[graft.versioned.IcebergRestServer]];
+    * the reference's pointer-swap commit, `LakeFSTableOperations
+    * .commit`, java:115-147, covers exactly this shape when the engine
+    * ran a CoW DELETE/UPDATE/MERGE). Kept files' merge-on-read
+    * tombstones stay live — the rewrite replaced only the files the
+    * writer posted, whose rows it read delete-applied — and tombstones
+    * left with nothing to apply to retire inside `writeSnapshot`.
+    * `precheck` runs INSIDE the commit race on every retry; REST uses
+    * it to pin the branch head to the served base, so a concurrent MoR
+    * delete or rewrite can never be silently materialized away (compare
+    * the weaker signature check `compact` needs because its base is
+    * allowed to advance).
+    */
+  def commitRewrite(repo: GraftRepo, branch: String, key: String,
+      removeRels: Set[String], newFiles: Seq[FileEntry],
+      message: Option[String] = None,
+      extraProps: Map[String, String] = Map.empty,
+      precheck: Commit => Unit = _ => ()): Unit =
+    repo.commitRetry(branch, message.getOrElse(s"rewrite $key")) { base =>
+      precheck(base)
+      val prior = base.tables.get(key).map(repo.snapshot).getOrElse(
+        throw new NoSuchElementException(s"no such table: $key"))
+      val live = prior.files.iterator.map(_.path).toSet
+      val missing = removeRels -- live
+      if (missing.nonEmpty) throw new MergeConflictException(
+        s"rewrite of $key drops ${missing.size} file(s) not live at the " +
+          s"commit base (e.g. ${missing.head}) — refresh and retry")
+      val props0 = prior.properties ++ extraProps
+      val next = Tombstones.lastSeq(props0) + 1
+      val stamped = newFiles.map(_.copy(seq = Some(next)))
+      val kept = prior.files.filterNot(f => removeRels(f.path))
+      val props = props0 + (Tombstones.SeqProp -> next.toString)
+      val snap = repo.writeSnapshot(key, prior.schemaJson,
+        kept ++ stamped, prior.partitionBy, prior.physicalNames,
+        Some(props), prior.retired)
+      (base.tables + (key -> snap.id), base.namespaces)
+    }
+
   // ---- read ------------------------------------------------------------
 
   def absolutePaths(repo: GraftRepo, snap: Snapshot): Seq[String] =

@@ -585,14 +585,22 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       val f = scratch.resolve("x.parquet")
       writeOneParquet(Seq(8).toDF("id"), f)
 
-      // non-append summary
+      // replace (compaction) summaries stay engine-side
       val list = stageWriterCommit(scratch, 9101L, Seq(f))
-      val overwrite = commitBody(meta, 9101L, list)
-        .replace("\"operation\":\"append\"", "\"operation\":\"overwrite\"")
+      val replace = commitBody(meta, 9101L, list)
+        .replace("\"operation\":\"append\"", "\"operation\":\"replace\"")
       val (co, eo) = send("POST",
-        s"/v1/namespaces/${enc("main", "db")}/tables/d", overwrite, srv)
+        s"/v1/namespaces/${enc("main", "db")}/tables/d", replace, srv)
       co shouldBe 400
-      eo.get("error").get("message").asText() should include ("append")
+      eo.get("error").get("message").asText() should include ("replace")
+
+      // an APPEND may not drop base files (the engine must say overwrite)
+      val dropAsAppend = commitBody(meta, 9105L,
+        stageWriterCommit(scratch, 9105L, Seq(f)))
+      val (ca, ea) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/d", dropAsAppend, srv)
+      ca shouldBe 400
+      ea.get("error").get("message").asText() should include ("not an append")
 
       // delete files in the posted snapshot
       val delList = stageWriterCommit(scratch, 9102L,
@@ -656,6 +664,107 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       // main untouched by the feat drop
       sql("SELECT id FROM g.restr.main.db.d").collect()
         .map(_.getInt(0)).toSeq shouldBe Seq(7)
+    } finally srv.close()
+  }
+
+  test("writable server: overwrite commit lands an external CoW rewrite " +
+    "(dropped file leaves, rewritten file registers zero-copy, kept file " +
+    "untouched); delete commit drops a whole file; stale rewrite → 409") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.restow")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "restow")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      Files.createTempDirectory("graft-restow-exports"), Some(spark),
+      writable = true)
+    val scratch = Files.createTempDirectory("rest-ow-scratch")
+    try {
+      send("POST", "/v1/namespaces",
+        """{"namespace":["main","odb"]}""", srv)._1 shouldBe 200
+      val (ct, created) = send("POST",
+        s"/v1/namespaces/${enc("main", "odb")}/tables",
+        """{"name":"o","schema":{"type":"struct","schema-id":0,"fields":[
+          |{"id":1,"name":"id","required":false,"type":"int"},
+          |{"id":2,"name":"v","required":false,"type":"string"}]}}"""
+          .stripMargin.replaceAll("\n", ""), srv)
+      withClue(created.toString) { ct shouldBe 200 }
+      val meta0 = created.get("metadata")
+      val stageDir = java.nio.file.Paths.get(URI.create(
+        meta0.get("properties").get("write.data.path").asText() + "/"))
+
+      // two appends → two data files
+      val f1 = stageDir.resolve("o1.parquet")
+      writeOneParquet(Seq((1, "a"), (2, "b")).toDF("id", "v"), f1)
+      val (c1, r1) = send("POST",
+        s"/v1/namespaces/${enc("main", "odb")}/tables/o",
+        commitBody(meta0, 9301L, stageWriterCommit(scratch, 9301L, Seq(f1))),
+        srv)
+      withClue(r1.toString) { c1 shouldBe 200 }
+      val f2 = stageDir.resolve("o2.parquet")
+      writeOneParquet(Seq((3, "c"), (4, "d")).toDF("id", "v"), f2)
+      val (c2, r2) = send("POST",
+        s"/v1/namespaces/${enc("main", "odb")}/tables/o",
+        commitBody(r1.get("metadata"), 9302L,
+          stageWriterCommit(scratch, 9302L, Seq(f1, f2))), srv)
+      withClue(r2.toString) { c2 shouldBe 200 }
+
+      // the engine runs a CoW DELETE of id=3: f2 is rewritten to f2b,
+      // the posted state is [f1, f2b] with an overwrite summary
+      val base2 = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(r2.get("metadata-location").asText()))
+      base2.dataPaths.size shouldBe 2
+      val f2b = stageDir.resolve("o2-rewrite.parquet")
+      writeOneParquet(Seq((4, "d")).toDF("id", "v"), f2b)
+      val keptF1 = base2.dataPaths.map(java.nio.file.Paths.get(_))
+        .find(_.getFileName.toString == "o1.parquet").get
+      val owBody = commitBody(r2.get("metadata"), 9303L,
+        stageWriterCommit(scratch, 9303L, Seq(keptF1, f2b)))
+        .replace("\"operation\":\"append\"", "\"operation\":\"overwrite\"")
+      val (c3, r3) = send("POST",
+        s"/v1/namespaces/${enc("main", "odb")}/tables/o", owBody, srv)
+      withClue(r3.toString) { c3 shouldBe 200 }
+      sql("SELECT id, v FROM g.restow.main.odb.o ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+        Seq((1, "a"), (2, "b"), (4, "d"))
+      // the rewrite is one graft commit; f1 stayed registered zero-copy
+      val repo = GraftRepo.open(root)
+      repo.headCommit("main").message should startWith ("rest: overwrite")
+      val snap3 = repo.snapshot(repo.resolve("main").tables("odb/o"))
+      snap3.files.size shouldBe 2
+      snap3.files.map(f => java.nio.file.Paths.get(
+        repo.dataLocation(f.path).stripPrefix("file:")).getFileName.toString)
+        .toSet shouldBe Set("o1.parquet", "o2-rewrite.parquet")
+      snap3.files.foreach(f => f.min should not be empty)
+      // refreshed metadata round-trips through the independent reader
+      val view = "ow_" + java.util.UUID.randomUUID().toString.take(8)
+      sql(s"CALL g.system.iceberg_import(" +
+        s"'${r3.get("metadata-location").asText()}', '$view')")
+      spark.table(view).orderBy("id").collect().map(_.getInt(0)).toSeq shouldBe
+        Seq(1, 2, 4)
+
+      // a STALE rewrite (staged against the pre-overwrite base) conflicts
+      val staleBody = commitBody(r2.get("metadata"), 9304L,
+        stageWriterCommit(scratch, 9304L, Seq(keptF1, f2b)))
+        .replace("\"operation\":\"append\"", "\"operation\":\"overwrite\"")
+      val (cs, es) = send("POST",
+        s"/v1/namespaces/${enc("main", "odb")}/tables/o", staleBody, srv)
+      cs shouldBe 409
+      es.get("error").get("type").asText() shouldBe "CommitFailedException"
+
+      // delete operation: drop f1 wholesale, keep only the rewrite
+      val base3 = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(r3.get("metadata-location").asText()))
+      val keptF2b = base3.dataPaths.map(java.nio.file.Paths.get(_))
+        .find(_.getFileName.toString == "o2-rewrite.parquet").get
+      val delBody = commitBody(r3.get("metadata"), 9305L,
+        stageWriterCommit(scratch, 9305L, Seq(keptF2b)))
+        .replace("\"operation\":\"append\"", "\"operation\":\"delete\"")
+      val (c4, r4) = send("POST",
+        s"/v1/namespaces/${enc("main", "odb")}/tables/o", delBody, srv)
+      withClue(r4.toString) { c4 shouldBe 200 }
+      sql("SELECT id FROM g.restow.main.odb.o ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq shouldBe Seq(4)
+      repo.headCommit("main").message should startWith ("rest: delete")
     } finally srv.close()
   }
 }
