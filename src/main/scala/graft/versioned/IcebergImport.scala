@@ -59,9 +59,14 @@ import org.apache.spark.sql.types._
 object IcebergImport {
 
   /** Planned current-snapshot file sets of an Iceberg table. */
-  /** One live data file: path + its data sequence number (v1 → 0). */
+  /** One live data file: path + its data sequence number (v1 → 0).
+    * `partition` is the manifest's avro-decoded partition record keyed
+    * by spec field name (Utf8 pre-lowered to String; logical types stay
+    * their physical Integer/Long) — empty under an unpartitioned spec.
+    */
   final case class DataFile(path: String, seq: Long,
-      format: String = "PARQUET")
+      format: String = "PARQUET",
+      partition: Map[String, Any] = Map.empty)
 
   /** One live delete file. `equalityIds` is empty for positional
     * deletes (content=1) and the referenced schema field ids for
@@ -203,7 +208,7 @@ object IcebergImport {
     * add-snapshot update). `v` gates format-version-specific shapes
     * (PUFFIN deletion vectors are v3-only).
     */
-  private[versioned] def filesOfManifestList(listLoc: String,
+  private[graft] def filesOfManifestList(listLoc: String,
       v: Int): (Seq[DataFile], Seq[DeleteFile]) = {
     val listPath = toLocal(listLoc)
     // manifest list → (manifest path, content, sequence number); v1 has
@@ -239,7 +244,17 @@ object IcebergImport {
               // else is a loud refusal, never a silent mis-read
               require(fmt == "PARQUET" || fmt == "ORC" || fmt == "AVRO",
                 s"unsupported data file format: $fmt ($path)")
-              data += DataFile(path, seq, fmt)
+              val part = Option(df.getSchema.getField("partition"))
+                .flatMap(_ => Option(df.get("partition")))
+                .map(_.asInstanceOf[GenericRecord]).map { p =>
+                  p.getSchema.getFields.asScala.map { f =>
+                    f.name() -> (p.get(f.name()) match {
+                      case u: org.apache.avro.util.Utf8 => u.toString
+                      case other => other
+                    })
+                  }.toMap
+                }.getOrElse(Map.empty[String, Any])
+              data += DataFile(path, seq, fmt, part)
             case 1 if fmt == "PUFFIN" =>
               // v3 DELETION VECTOR: a blob inside a Puffin file scoped
               // to exactly one data file (replaces that file's position
@@ -282,6 +297,67 @@ object IcebergImport {
       }
     }
     (data.result(), deletes.result())
+  }
+
+  /** Inverse of the exporter's manifest partition-value encoding
+    * ([[IcebergExport]]'s `partitionValue`): one avro-decoded manifest
+    * partition value → the directory string [[Partitioning]] records in
+    * `FileEntry.partitionValues`. This is what lets an EXTERNAL
+    * engine's commit land on a partitioned graft table with working
+    * partition pruning: the engine declares each file's partition tuple
+    * in its manifest (the Iceberg trust model — same as any Iceberg
+    * catalog), and graft re-renders it in its own canonical directory
+    * form. Loud on value shapes graft itself never writes
+    * (identity on float/double stays refused both ways). Exactness is
+    * spec-proven by round-trip: export a partitioned graft table, parse
+    * its manifests back through [[filesOfManifestList]], and this
+    * function must reproduce `FileEntry.partitionValues` bit-for-bit
+    * (IcebergImportSpec).
+    */
+  private[graft] def rawPartitionValue(pf: PartitionField,
+      srcType: DataType, v: Any): String = {
+    if (v == null) return Partitioning.NullMarker
+    def i = v.asInstanceOf[Number].intValue()
+    def l = v.asInstanceOf[Number].longValue()
+    def microsRaw(us: Long): String = {
+      val ldt = java.time.LocalDateTime.ofEpochSecond(
+        java.lang.Math.floorDiv(us, 1000000L),
+        (java.lang.Math.floorMod(us, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+      val base = ldt.format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+      val frac = java.lang.Math.floorMod(us, 1000000L)
+      if (frac == 0L) base
+      else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+    }
+    pf.transform match {
+      case "identity" => srcType match {
+        case ByteType | ShortType | IntegerType | LongType => l.toString
+        case StringType => v.toString
+        case BooleanType => v.toString
+        case DateType => java.time.LocalDate.ofEpochDay(l).toString
+        case TimestampType | TimestampNTZType => microsRaw(l)
+        case other => throw new UnsupportedOperationException(
+          s"identity partition value on ${other.simpleString}")
+      }
+      case "bucket" => i.toString
+      case "truncate" => srcType match {
+        case ByteType | ShortType | IntegerType | LongType => l.toString
+        case StringType => v.toString
+        case other => throw new UnsupportedOperationException(
+          s"truncate partition value on ${other.simpleString}")
+      }
+      case "years" => f"${1970 + i}%04d"
+      case "months" =>
+        f"${1970 + java.lang.Math.floorDiv(i, 12)}%04d-${java.lang.Math.floorMod(i, 12) + 1}%02d"
+      case "days" => java.time.LocalDate.ofEpochDay(l).toString
+      case "hours" =>
+        java.time.LocalDateTime.ofEpochSecond(l * 3600L, 0,
+          java.time.ZoneOffset.UTC).format(
+          java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH"))
+      case other => throw new UnsupportedOperationException(
+        s"unknown transform: $other")
+    }
   }
 
   /** Incremental APPEND scan plan — the data files ADDED by each

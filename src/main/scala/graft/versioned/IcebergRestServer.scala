@@ -601,20 +601,17 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       throw new UnsupportedOperationException(
         s"posted snapshot drops ${dropped.size} base data file(s) — not " +
           "an append (post operation=overwrite to rewrite files)")
-    val added = postedPaths.filterNot(basePaths)
-    added.zip(postedData.filterNot(d => basePaths(d.path))).foreach {
-      case (p, d) => if (d.format != "PARQUET")
-        throw new UnsupportedOperationException(
-          s"graft's data plane is parquet: cannot register ${d.format} file $p")
+    val addedFiles = postedData.filterNot(d => basePaths(d.path))
+    val added = addedFiles.map(_.path)
+    addedFiles.foreach { d =>
+      if (d.format != "PARQUET") throw new UnsupportedOperationException(
+        s"graft's data plane is parquet: cannot register ${d.format} " +
+          s"file ${d.path}")
     }
 
     // ---- ingest: in-place when already under the data plane (writers
     // honoring the served write.data.path), copy-in otherwise
     val head = repo.snapshot(repo.resolve(ref).tables(key))
-    if (head.partitionFields.nonEmpty)
-      throw new UnsupportedOperationException(
-        "REST commits to partitioned tables are not supported yet " +
-          "(partition values cannot be recovered from external layouts)")
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     // copy-in fallback accepts ONLY files under the table's own served
     // location (where a writer ignoring write.data.path stages, e.g.
@@ -649,15 +646,43 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       .getOrElse(new org.apache.hadoop.conf.Configuration())
     // stats stay keyed under PHYSICAL names — the repo-wide invariant
     // that keeps column renames metadata-only (see TableOps.writeFiles)
-    val entries = TableOps.entriesFromFootersLocal(repo,
+    // partitioned tables: the posted manifest's partition record is
+    // authoritative for each file's partition tuple (the Iceberg trust
+    // model — the catalog registers what the engine declared, exactly
+    // as it trusts the engine's row data). Values re-render into
+    // graft's canonical directory strings; a spec field the record
+    // does not carry refuses loudly.
+    val entries0 = TableOps.entriesFromFootersLocal(repo,
       rels, TableOps.toPhysical(schema, head.nameMapping), hconf)
+    val spec = head.partitionFields
+    val entries =
+      if (spec.isEmpty) entries0
+      else {
+        def srcTypeOf(pf: PartitionField): org.apache.spark.sql.types.DataType =
+          schema.fields.find(_.name == pf.source).map(_.dataType)
+            .getOrElse(throw new IllegalStateException(
+              s"partition source ${pf.source} not in table schema"))
+        entries0.zip(addedFiles).map { case (en, dfile) =>
+          val pv = spec.map { pf =>
+            if (!dfile.partition.contains(pf.name))
+              throw new IllegalArgumentException(
+                s"posted data file ${dfile.path} carries no partition " +
+                  s"value for spec field '${pf.name}' — partitioned " +
+                  "commits must declare every field in the manifest's " +
+                  "partition record")
+            pf.name -> IcebergImport.rawPartitionValue(pf, srcTypeOf(pf),
+              dfile.partition(pf.name))
+          }.toMap
+          en.copy(partitionValues = Some(pv))
+        }
+      }
     val pin: graft.versioned.Commit => Unit =
       b => if (!b.tables.get(key).contains(servedGraftSnap))
         throw new RestConflict("CommitFailedException",
           s"branch $ref moved since the served base — refresh and retry")
     if (op == "append")
       TableOps.commitAppend(repo, ref, key, entries, overwrite = false,
-        Nil, head.nameMapping, head.schemaJson,
+        spec, head.nameMapping, head.schemaJson,
         Some(s"rest: append $key (${entries.size} files, " +
           s"${entries.map(_.rows).sum} rows)"),
         setProps, precheck = pin)

@@ -1357,4 +1357,61 @@ class IcebergImportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     spark.sql("SELECT count(*) FROM ice_chg_v").collect()
       .head.getLong(0) shouldBe 20L
   }
+
+  test("manifest partition records round-trip: every transform exports, " +
+    "parses back, and rawPartitionValue reproduces graft's own " +
+    "FileEntry.partitionValues bit-for-bit (the REST partitioned-commit " +
+    "inverse is exact)") {
+    spark.sql("CREATE NAMESPACE g.rtp")
+    spark.sql("CREATE NAMESPACE g.rtp.main.db")
+    spark.sql("CREATE TABLE g.rtp.main.db.t (id INT, big BIGINT, cat STRING, " +
+      "ts TIMESTAMP, ts2 TIMESTAMP, tsi TIMESTAMP, d DATE, d2 DATE, " +
+      "di DATE) PARTITIONED BY (cat, bucket(4, id), truncate(10, big), " +
+      "days(ts), hours(ts2), tsi, months(d), years(d2), di)")
+    spark.sql("INSERT INTO g.rtp.main.db.t VALUES " +
+      "(1, 17, 'a', timestamp'2024-06-01 10:00:00', " +
+      " timestamp'2024-06-01 05:30:00', timestamp'2024-06-01 12:34:56.123', " +
+      " date'2024-06-15', date'2024-01-01', date'2024-02-29'), " +
+      "(2, -3, 'b', timestamp'1969-12-31 23:00:00', " +
+      " timestamp'2024-06-02 23:59:59', timestamp'2024-06-01 00:00:00', " +
+      " date'1969-11-30', date'1968-07-04', date'1969-12-31'), " +
+      "(3, 104, NULL, timestamp'2024-06-03 00:00:00', " +
+      " timestamp'2024-06-03 01:00:00', timestamp'2024-06-01 07:08:09.000120', " +
+      " date'2024-12-31', date'2024-06-01', date'2024-06-02')")
+    val dest = Files.createTempDirectory("ice-rtp")
+    val metaPath = spark.sql("CALL g.system.iceberg_export('rtp', 'main', " +
+      s"'db.t', '$dest')").collect().head.getString(0)
+
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(Files.readString(
+      java.nio.file.Paths.get(metaPath)))
+    val listLoc = meta.get("snapshots").get(0).get("manifest-list").asText()
+    val (data, _) = graft.versioned.IcebergImport
+      .filesOfManifestList(listLoc, 2)
+    data should not be empty
+
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rtp")
+    val repo = graft.versioned.GraftRepo.open(root)
+    val snap = repo.snapshot(repo.resolve("main").tables("db/t"))
+    val spec = snap.partitionFields
+    spec.size shouldBe 9
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    def srcTypeOf(pf: graft.versioned.PartitionField) =
+      schema.fields.find(_.name == pf.source).get.dataType
+
+    data.size shouldBe snap.files.size
+    data.foreach { df =>
+      val fname = java.nio.file.Paths.get(df.path).getFileName.toString
+      val fe = snap.files.find(f => repo.dataLocation(f.path)
+        .endsWith(fname)).getOrElse(fail(s"no graft entry for ${df.path}"))
+      df.partition.keySet shouldBe spec.map(_.name).toSet
+      val derived = spec.map(pf => pf.name ->
+        graft.versioned.IcebergImport.rawPartitionValue(
+          pf, srcTypeOf(pf), df.partition(pf.name))).toMap
+      derived shouldBe fe.partValues
+    }
+  }
 }

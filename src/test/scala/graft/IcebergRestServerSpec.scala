@@ -620,10 +620,13 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       send("POST", s"/v1/namespaces/${enc("pin", "db")}/tables/d",
         commitBody(meta, 9103L, list), srv)._1 shouldBe 400
 
-      // partitioned tables refuse REST commits (loudly, for now)
+      // partitioned commits must declare every spec field in the
+      // manifest's partition record — an empty record refuses loudly
       val metaP = get(s"/v1/namespaces/${enc("main", "db")}/tables/p", srv)
         ._2.get("metadata")
-      val fp = scratch.resolve("p.parquet")
+      val stageP = java.nio.file.Paths.get(URI.create(
+        metaP.get("properties").get("write.data.path").asText() + "/"))
+      val fp = stageP.resolve("p-noval.parquet")
       writeOneParquet(Seq((2, "b")).toDF("id", "cat"), fp)
       val basePFiles = graft.versioned.IcebergImport.plan(
         java.nio.file.Paths.get(get(
@@ -635,7 +638,7 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
         s"/v1/namespaces/${enc("main", "db")}/tables/p",
         commitBody(metaP, 9104L, listP), srv)
       cp shouldBe 400
-      ep.get("error").get("message").asText() should include ("partitioned")
+      ep.get("error").get("message").asText() should include ("partition value")
 
       // duplicate create → 409 AlreadyExists
       val (cd, ed) = send("POST",
@@ -765,6 +768,141 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       sql("SELECT id FROM g.restow.main.odb.o ORDER BY id")
         .collect().map(_.getInt(0)).toSeq shouldBe Seq(4)
       repo.headCommit("main").message should startWith ("rest: delete")
+    } finally srv.close()
+  }
+
+  /** Entry schema whose r102 partition record carries one OPTIONAL
+    * string field `cat` — what a real engine posts for a table
+    * partitioned by identity(cat). */
+  private val wEntrySchemaCat = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int"},
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"partition","type":{"type":"record","name":"r102","fields":[
+      |{"name":"cat","type":["null","string"],"default":null}]}},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"}]}}]}"""
+      .stripMargin.replaceAll("\n", ""))
+
+  private def stageWriterCommitCat(scratch: java.nio.file.Path,
+      snapId: Long, files: Seq[(java.nio.file.Path, Option[String])])
+      : java.nio.file.Path = {
+    val m = scratch.resolve(s"m-$snapId.avro")
+    val mw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](wEntrySchemaCat))
+    mw.setMeta("format-version", "2")
+    mw.create(wEntrySchemaCat, m.toFile)
+    try files.foreach { case (p, cat) =>
+      val dfS = wEntrySchemaCat.getField("data_file").schema()
+      val df = new GenericData.Record(dfS)
+      df.put("content", 0)
+      df.put("file_path", p.toUri.toString)
+      df.put("file_format", "PARQUET")
+      val part = new GenericData.Record(dfS.getField("partition").schema())
+      cat.foreach(part.put("cat", _))
+      df.put("partition", part)
+      df.put("record_count", 1L)
+      df.put("file_size_in_bytes", Files.size(p))
+      val e = new GenericData.Record(wEntrySchemaCat)
+      e.put("status", 1)
+      e.put("snapshot_id", snapId)
+      e.put("data_file", df)
+      mw.append(e)
+    } finally mw.close()
+    val list = scratch.resolve(s"snap-$snapId.avro")
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](wListSchema))
+    lw.setMeta("format-version", "2")
+    lw.create(wListSchema, list.toFile)
+    try {
+      val r = new GenericData.Record(wListSchema)
+      r.put("manifest_path", m.toUri.toString)
+      r.put("manifest_length", Files.size(m))
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("sequence_number", 1L)
+      r.put("min_sequence_number", 1L)
+      r.put("added_snapshot_id", snapId)
+      lw.append(r)
+    } finally lw.close()
+    list
+  }
+
+  test("writable server: PARTITIONED commits — the manifest's partition " +
+    "record is authoritative, values land in FileEntry.partitionValues " +
+    "in graft's canonical form, partition pruning works, a null value " +
+    "maps to the hive marker") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.restp")
+    sql("CREATE NAMESPACE g.restp.main.db")
+    sql("CREATE TABLE g.restp.main.db.pt (id INT, cat STRING) " +
+      "PARTITIONED BY (cat)")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "restp")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      Files.createTempDirectory("graft-restp-exports"), Some(spark),
+      writable = true)
+    val scratch = Files.createTempDirectory("rest-part-scratch")
+    try {
+      val meta0 = get(s"/v1/namespaces/${enc("main", "db")}/tables/pt", srv)
+        ._2.get("metadata")
+      val stageDir = java.nio.file.Paths.get(URI.create(
+        meta0.get("properties").get("write.data.path").asText() + "/"))
+      val fa = stageDir.resolve("pa.parquet")
+      writeOneParquet(Seq((1, "a"), (2, "a")).toDF("id", "cat"), fa)
+      val fb = stageDir.resolve("pb.parquet")
+      writeOneParquet(Seq((3, "b")).toDF("id", "cat"), fb)
+      val fn = stageDir.resolve("pn.parquet")
+      writeOneParquet(Seq((4, Option.empty[String])).toDF("id", "cat"), fn)
+      val list = stageWriterCommitCat(scratch, 9401L,
+        Seq(fa -> Some("a"), fb -> Some("b"), fn -> None))
+      val (c1, r1) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/pt",
+        commitBody(meta0, 9401L, list), srv)
+      withClue(r1.toString) { c1 shouldBe 200 }
+
+      sql("SELECT id FROM g.restp.main.db.pt ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq shouldBe Seq(1, 2, 3, 4)
+      sql("SELECT id FROM g.restp.main.db.pt WHERE cat = 'b'")
+        .collect().map(_.getInt(0)).toSeq shouldBe Seq(3)
+      sql("SELECT id FROM g.restp.main.db.pt WHERE cat IS NULL")
+        .collect().map(_.getInt(0)).toSeq shouldBe Seq(4)
+
+      // the registered entries carry graft-canonical partition values —
+      // partition pruning runs on THESE, not on directory layout
+      val repo = GraftRepo.open(root)
+      val snap = repo.snapshot(repo.resolve("main").tables("db/pt"))
+      snap.files.size shouldBe 3
+      def pvOf(name: String): String = snap.files.find(f =>
+        repo.dataLocation(f.path).endsWith(name)).get.partValues("cat")
+      pvOf("pa.parquet") shouldBe "a"
+      pvOf("pb.parquet") shouldBe "b"
+      pvOf("pn.parquet") shouldBe graft.versioned.Partitioning.NullMarker
+      // the spec survived the commit (partitionBy was not erased)
+      snap.partitionFields.map(_.name) shouldBe Seq("cat")
+      // and planning actually prunes: only the cat=b file may match
+      val pruned = snap.files.filter(f => graft.versioned.Partitioning
+        .mayMatch(f, snap.partitionFields,
+          org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType],
+          org.apache.spark.sql.sources.EqualTo("cat", "b")))
+      pruned.size shouldBe 1
+      repo.dataLocation(pruned.head.path) should endWith ("pb.parquet")
+
+      // a partitioned export of the REST-committed table round-trips:
+      // the served metadata re-exports with the same partition values
+      val served = get(s"/v1/namespaces/${enc("main", "db")}/tables/pt",
+        srv)._2
+      val plan = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(served.get("metadata-location").asText()))
+      plan.dataFiles.size shouldBe 3
+      plan.dataFiles.map(_.partition("cat")).toSet shouldBe
+        Set("a", "b", null)
     } finally srv.close()
   }
 }
