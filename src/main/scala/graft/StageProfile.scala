@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-side stage profiler for the heavy bench rows (BASELINE.md's
+  * stage-decomposition notes). Times cumulative prefixes of a query's
+  * plan — each prefix `count()`ed on a fresh action — so "stage cost" =
+  * prefix(i) − prefix(i−1) under the same warm JVM. Not part of the
+  * shipped surface; `sbt "runMain graft.StageProfile"` on
+  * SPARK_GRAFT_SF_DIR (default sf0.1).
+  */
+object StageProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.{Tables => T}
+    // warm: parquet footers, codegen, shuffle machinery
+    T.documents(spark, sfDir).count()
+    spark.range(1000000).selectExpr("id % 7 AS k", "id")
+      .groupBy("k").count().collect()
+
+    val L = graft.operators.Dedup.DupSpanL
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
+    }
+    val toks = T.documents(spark, sfDir)
+      .select(col("doc_id"), split(trim(lower(col("text"))), " ").as("toks"))
+      .filter(size(col("toks")) >= L)
+    val grams = toks.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), size(col("toks")) - L),
+        i => unhex(md5(concat_ws(" ", slice(col("toks"), i + lit(1), lit(L)))))))
+        .as(Seq("pos", "g")))
+    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("g"))
+    val hits = grams.join(dup, "g").select(col("doc_id"), col("pos"))
+    time("p1 tokenize+posexplode")(grams.count())
+    time("p2 + gram count-agg")(dup.count())
+    time("p3 + dup-mark equi-join")(hits.count())
+    time("p4 full dd_dupspans")(
+      graft.SparkEntry.queries("dd_dupspans")(spark, sfDir).count())
+    spark.stop()
+  }
+}

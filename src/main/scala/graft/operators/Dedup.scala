@@ -37,36 +37,49 @@ object Dedup {
   /** Duplicate-SUBSTRING spans — the within-document repeat detector of
     * suffix-array training-data dedup (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better"), re-expressed
-    * Spark-first: every maximal token interval of a document all of
-    * whose L-token windows (L = [[DupSpanL]]) occur ≥ 2 times ANYWHERE
-    * in the corpus — copied passages, boilerplate headers, exact
-    * repeats — reported as [span_start, span_end] 0-based token
-    * positions. A suffix array is a single-node construction; the
-    * distributed equivalent lowers the corpus to one narrow row per
-    * L-gram keyed by a 128-bit content hash: a count aggregation finds
-    * duplicated grams (map-side partial counts absorb hot boilerplate
-    * keys before the exchange), one equi-join marks their positions,
-    * and a per-doc window merges overlapping windows into maximal spans
-    * (gaps-and-islands; window ends are monotone in `pos` for fixed L,
-    * so the lag test alone is exact). Two keyed shuffles of (hash, doc,
-    * pos) rows total — at 100 TB the gram relation is O(total tokens)
-    * but ≤ ~48 bytes/row, the duplicated-hash join side arrives
-    * pre-aggregated to one row per distinct hash, and AQE skew-split
-    * covers a pathological single gram. md5 keeps the gate
-    * engine-portable (DuckDB computes the identical key); xxhash64 is
-    * the drop-in at scale where no oracle replays the hash.
+    * Spark-first: the maximal token intervals of a document in which
+    * EVERY token is covered by at least one L-token window
+    * (L = [[DupSpanL]]) that occurs ≥ 2 times ANYWHERE in the corpus —
+    * copied passages, boilerplate headers, exact repeats — reported as
+    * [span_start, span_end] 0-based token positions. (Cover semantics:
+    * duplicated-window hits with a positional gap of 1 < gap ≤ L still
+    * merge into one span, so a span may contain a few non-duplicated
+    * windows STARTING inside it; what is guaranteed is that every
+    * TOKEN of the span lies inside some duplicated window. This is the
+    * interval union a span-scrubber needs.) A suffix array is a
+    * single-node construction; the distributed equivalent lowers the
+    * corpus to one narrow row per L-gram keyed by a 128-bit content
+    * hash: a count aggregation finds duplicated grams (map-side
+    * partial counts absorb hot boilerplate keys before the exchange),
+    * one equi-join marks their positions, and a per-doc window merges
+    * overlapping windows into maximal spans (gaps-and-islands; window
+    * ends are monotone in `pos` for fixed L, so the lag test alone is
+    * exact). Two keyed shuffles of (hash, doc, pos) rows total — at
+    * 100 TB the gram relation is O(total tokens) but ≤ ~32 bytes/row
+    * (the key is BINARY(16) via unhex(md5), not the 32-char hex
+    * string), the duplicated-hash join side arrives pre-aggregated to
+    * one row per distinct hash, and AQE skew-split covers a
+    * pathological single gram. md5 keeps the gate engine-portable
+    * (DuckDB's unhex(md5(...)) computes the identical 16-byte key);
+    * set `spark.graft.dupspans.hash=xxhash64` at scale for an 8-byte
+    * LongType key (no string materialization, narrower shuffle) where
+    * no oracle needs to replay the hash — collision odds at 64 bits
+    * stay negligible below ~2^32 distinct grams per corpus.
     */
   private[graft] def dupSpans(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val L = DupSpanL
+    val useXx = s.conf.getOption("spark.graft.dupspans.hash").contains("xxhash64")
+    val gramKey: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      txt => if (useXx) xxhash64(txt) else unhex(md5(txt))
     val toks = T.documents(s, d)
       .select(col("doc_id"), split(trim(lower(col("text"))), " ").as("toks"))
       .filter(size(col("toks")) >= L)
-    // pos = 0-based start of each L-token window; g = md5 of its text
+    // pos = 0-based start of each L-token window; g = hash of its text
     val grams = toks.select(col("doc_id"),
       posexplode(transform(
         sequence(lit(0), size(col("toks")) - L),
-        i => md5(concat_ws(" ", slice(col("toks"), i + lit(1), lit(L))))))
+        i => gramKey(concat_ws(" ", slice(col("toks"), i + lit(1), lit(L))))))
         .as(Seq("pos", "g")))
     val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2).select(col("g"))
@@ -1013,7 +1026,7 @@ object Dedup {
       """WITH t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
         |           FROM documents),
         |g AS (
-        |  SELECT doc_id, i-1 AS pos, md5(array_to_string(toks[i:i+7],' ')) AS g
+        |  SELECT doc_id, i-1 AS pos, unhex(md5(array_to_string(toks[i:i+7],' '))) AS g
         |  FROM t, UNNEST(range(1, len(toks)-8+2)) AS u(i)
         |  WHERE len(toks) >= 8),
         |d AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),

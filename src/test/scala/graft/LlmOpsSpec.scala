@@ -487,5 +487,16 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       val ts = toks.find(_._1 == id).get._2
       counts(ts.slice(a.toInt, a.toInt + L).mkString(" ")) should be >= 2
     }
+    // the scale-path key (spark.graft.dupspans.hash=xxhash64 — 8-byte
+    // LongType gram key instead of BINARY(16) md5) must produce the
+    // identical span set: only the hash changes, and at this corpus
+    // size neither collides
+    spark.conf.set("spark.graft.dupspans.hash", "xxhash64")
+    try {
+      val xx = SparkEntry.queries("dd_dupspans")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      xx shouldBe expect.toSeq
+    } finally spark.conf.unset("spark.graft.dupspans.hash")
   }
 }
