@@ -70,7 +70,7 @@ object IcebergExport {
   /** Cap on the value-row cross product an In-conjunction tombstone may
     * expand to as an equality delete before falling back to positional.
     */
-  private val MaxEqualityRows = 1024
+  private[versioned] val MaxEqualityRows = 1024
 
   /** One written delete parquet (v2 export only).
     *
@@ -1459,7 +1459,7 @@ object IcebergExport {
   private[versioned] def lastColumnId(phys: StructType): Int =
     schemaNodes(phys)._3
 
-  private def icebergSchemaJson(phys: StructType): String =
+  private[versioned] def icebergSchemaJson(phys: StructType): String =
     new com.fasterxml.jackson.databind.ObjectMapper()
       .writeValueAsString(icebergSchemaMap(phys))
 
@@ -1475,7 +1475,7 @@ object IcebergExport {
 
   /** Iceberg transform name (spec's canonical singular forms; graft's
     * field model uses Iceberg's Java-API plural temporal names). */
-  private def icebergTransform(pf: PartitionField): String = pf.transform match {
+  private[versioned] def icebergTransform(pf: PartitionField): String = pf.transform match {
     case "identity" => "identity"
     case "bucket" => s"bucket[${pf.numBuckets}]"
     case "truncate" => s"truncate[${pf.numBuckets}]"

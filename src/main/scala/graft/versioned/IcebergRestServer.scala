@@ -57,15 +57,29 @@ import org.apache.spark.sql.SparkSession
   *  - `POST /v1/namespaces` creates a BRANCH (1-level, zero-copy from
   *    `properties.from`, default main) or a db namespace on a branch.
   *  - `POST .../namespaces/{ns}/tables` creates an empty graft table
-  *    from the posted Iceberg schema + partition spec.
+  *    from the posted Iceberg schema + partition spec; with
+  *    `stage-create: true` it answers STAGED (snapshot-less) metadata
+  *    and commits nothing — the spec's transactional CTAS staging; the
+  *    table materializes when the engine posts the staged commit.
   *  - `POST .../tables/{t}` (commitTable) accepts the spec's APPEND,
   *    OVERWRITE and DELETE commits — requirements `assert-table-uuid` /
-  *    `assert-ref-snapshot-id` validated against the served metadata
-  *    AND re-checked against the graft branch head INSIDE the commit
-  *    race (a requirement that no longer holds at publish time answers
-  *    409 CommitFailedException, the client's signal to refresh and
-  *    retry); updates `add-snapshot` + `set-snapshot-ref` +
-  *    `set-properties`. The posted snapshot's manifest list is walked
+  *    `assert-ref-snapshot-id` / `assert-current-schema-id` /
+  *    `assert-last-assigned-field-id` validated against the served
+  *    metadata AND re-checked against the graft branch head INSIDE the
+  *    commit race (a requirement that no longer holds at publish time
+  *    answers 409 CommitFailedException, the client's signal to refresh
+  *    and retry); updates `add-snapshot` + `set-snapshot-ref` +
+  *    `set-properties` + `add-schema`/`set-current-schema` (schema
+  *    evolution — lowered by field-id diff onto graft's metadata-only
+  *    evolution, [[SchemaEvolution]]: add / rename / widen / drop, with
+  *    the same guards as native ALTER; a schema-only commit needs no
+  *    snapshot, and an append may ride the same commit atomically).
+  *    `assert-create` commits publish a STAGED CREATE: schema, spec,
+  *    properties and the first snapshot land as ONE graft commit;
+  *    concurrent creators race on the key and exactly one wins
+  *    (reference parity for both: `LakeFSTableOperations.commit`,
+  *    java:115-147, accepts arbitrary TableMetadata swaps). The posted
+  *    snapshot's manifest list is walked
   *    with [[IcebergImport]]; files already under the repo's data plane
   *    register ZERO-COPY (served metadata stamps `write.data.path`
   *    inside the data plane, so compliant writers stage there), others
@@ -75,10 +89,18 @@ import org.apache.spark.sql.SparkSession
   *    copy-on-write rewrite — dropped base files leave the live set and
   *    added files register at the table's next sequence in ONE commit
   *    ([[TableOps.commitRewrite]]), which is how an external CoW
-  *    DELETE/UPDATE/MERGE lands on the graft branch. What refuses
-  *    loudly with 400: MoR delete FILES (the engine posts its CoW
-  *    rewrite instead, or the rows flow through `iceberg-changes` CDC),
-  *    schema changes, and replace summaries.
+  *    DELETE/UPDATE/MERGE lands on the graft branch. EQUALITY delete
+  *    files (content=2) lower onto graft predicate tombstones — the
+  *    inverse of the exporter's tombstone → equality-delete mapping:
+  *    value rows become ONE tombstone at the table's next sequence,
+  *    same-commit data files register at that sequence and are exempt
+  *    (the spec's strictly-lower rule — the Flink-upsert shape). What
+  *    still refuses loudly with 400: POSITIONAL delete files and DVs
+  *    (they name row positions graft would have to re-derive; the
+  *    engine posts its CoW rewrite instead, or the rows flow through
+  *    `iceberg-changes` CDC), NULL-valued or oversized
+  *    (> [[IcebergExport.MaxEqualityRows]]) equality deletes, and
+  *    replace summaries.
   *  - `DELETE .../tables/{t}` drops (optionally `purgeRequested=true`
   *    with the engine catalog's purge semantics); rename stays
   *    unsupported, mirroring the reference (LakeFSCatalog.java:218).
@@ -199,6 +221,12 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         // requirement — a 500 here would read as commit-state-unknown
         replyError(ex, 409, "CommitFailedException",
           Option(e.getMessage).getOrElse("commit conflict"))
+      case e: MergeConflictException =>
+        // commitRewrite's concurrent-rewrite validation (a dropped file
+        // already rewritten away by another committer) is a refresh-and-
+        // retry signal too, not an internal error
+        replyError(ex, 409, "CommitFailedException",
+          Option(e.getMessage).getOrElse("concurrent rewrite conflict"))
       case e: com.fasterxml.jackson.core.JsonProcessingException =>
         replyError(ex, 400, "ValidationException",
           s"malformed JSON body: ${e.getOriginalMessage}")
@@ -427,7 +455,13 @@ final class IcebergRestServer private (single: Option[GraftRepo],
 
   /** CreateTableRequest: an empty graft table from the posted Iceberg
     * schema (+ identity/bucket/truncate/temporal partition spec).
-    * `stage-create` (transactional CTAS staging) is refused loudly.
+    * `stage-create: true` answers with STAGED metadata — nothing
+    * commits to the branch, nothing is written anywhere: the response
+    * (schema, spec, location, `write.data.path`) is all an engine
+    * needs to write the CTAS data; the table materializes atomically
+    * when the engine posts the staged commit (requirement
+    * `assert-create` — [[commitStagedCreate]]). A stage that is never
+    * committed leaves NOTHING behind.
     */
   private def createTable(repo: GraftRepo, prefix: Option[String],
       ns: Seq[String], req: com.fasterxml.jackson.databind.JsonNode)
@@ -440,9 +474,6 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     if (!repo.branchExists(ref)) throw new IllegalArgumentException(
       if (repo.tagExists(ref)) s"tables commit to a branch; $ref is a tag"
       else s"no such branch: $ref")
-    if (Option(req.get("stage-create")).exists(_.asBoolean(false)))
-      throw new UnsupportedOperationException(
-        "stage-create is not supported: create, then commit appends")
     val name = Option(req.get("name")).map(_.asText()).getOrElse(
       throw new IllegalArgumentException("create carries no table name"))
     val key = (dirs :+ name).mkString("/")
@@ -459,6 +490,12 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     val props = Option(req.get("properties")).map(_.fields().asScala
       .map(e => e.getKey -> e.getValue.asText()).toMap)
       .getOrElse(Map.empty[String, String])
+    if (Option(req.get("stage-create")).exists(_.asBoolean(false))) {
+      if (repo.resolve(ref).tables.contains(key))
+        throw new RestConflict("AlreadyExistsException",
+          s"table already exists: $key @ $ref")
+      return stagedCreateResult(repo, prefix, ref, key, schema, spec, props)
+    }
     repo.commitRetry(ref, s"rest: create table $key") { base =>
       if (base.tables.contains(key))
         throw new RestConflict("AlreadyExistsException",
@@ -471,6 +508,72 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         else base.namespaces + (dirs.mkString("/") -> Map.empty[String, String]))
     }
     loadResult(serve(repo, prefix, ref, key))
+  }
+
+  /** The staged-create LoadTableResult: snapshot-less Iceberg metadata
+    * built IN MEMORY from the posted schema/spec/properties — no
+    * branch commit, no file written, so an abandoned stage leaves
+    * nothing to clean. Deliberately has NO `metadata-location` (the
+    * spec's marker that the metadata is staged, not committed); the
+    * served `location` and `write.data.path` point where a compliant
+    * engine stages the CTAS data files, which the staged commit
+    * ([[commitStagedCreate]]) then registers zero-copy.
+    */
+  private def stagedCreateResult(repo: GraftRepo, prefix: Option[String],
+      ref: String, key: String,
+      schema: org.apache.spark.sql.types.StructType,
+      spec: Seq[PartitionField], props: Map[String, String]): ObjectNode = {
+    val destRoot = prefix.fold(exportRoot)(exportRoot.resolve)
+      .resolve(ref).resolve(key).toAbsolutePath.normalize
+    val schemaNode = mapper.readTree(
+      IcebergExport.icebergSchemaJson(schema)).asInstanceOf[ObjectNode]
+    schemaNode.put("schema-id", 0)
+    val nameToId = schemaNode.get("fields").elements().asScala
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    val meta = mapper.createObjectNode()
+    meta.put("format-version", formatVersion)
+    meta.put("table-uuid", java.util.UUID.randomUUID().toString)
+    meta.put("location", destRoot.toString)
+    meta.put("last-sequence-number", 0)
+    meta.put("last-updated-ms", System.currentTimeMillis())
+    meta.put("last-column-id", IcebergExport.lastColumnId(schema))
+    meta.put("current-schema-id", 0)
+    meta.set[ObjectNode]("schemas", mapper.createArrayNode().add(schemaNode))
+    val specFields = mapper.createArrayNode()
+    spec.zipWithIndex.foreach { case (pf, i) =>
+      val f = mapper.createObjectNode()
+      f.put("name", pf.name)
+      f.put("transform", IcebergExport.icebergTransform(pf))
+      f.put("source-id", nameToId(pf.source))
+      f.put("field-id", 1000 + i)
+      specFields.add(f)
+    }
+    val spec0 = mapper.createObjectNode()
+    spec0.put("spec-id", 0)
+    spec0.set[ObjectNode]("fields", specFields)
+    meta.set[ObjectNode]("partition-specs",
+      mapper.createArrayNode().add(spec0))
+    meta.put("default-spec-id", 0)
+    meta.put("last-partition-id", 999 + spec.size)
+    val so = mapper.createObjectNode()
+    so.put("order-id", 0)
+    so.set[ObjectNode]("fields", mapper.createArrayNode())
+    meta.set[ObjectNode]("sort-orders", mapper.createArrayNode().add(so))
+    meta.put("default-sort-order-id", 0)
+    meta.put("current-snapshot-id", -1L)
+    meta.set[ObjectNode]("snapshots", mapper.createArrayNode())
+    meta.set[ObjectNode]("snapshot-log", mapper.createArrayNode())
+    meta.set[ObjectNode]("metadata-log", mapper.createArrayNode())
+    meta.set[ObjectNode]("refs", mapper.createObjectNode())
+    val pr = meta.putObject("properties")
+    props.foreach { case (k, v) => pr.put(k, v) }
+    pr.put("write.data.path",
+      repo.dataLocation(stageRel(ref, key)).stripSuffix("/"))
+    pr.put("graft.rest.staged", "true")
+    val o = mapper.createObjectNode()
+    o.set[ObjectNode]("metadata", meta)
+    o.set[ObjectNode]("config", mapper.createObjectNode())
+    o
   }
 
   /** One posted Iceberg partition field → graft [[PartitionField]]. */
@@ -497,24 +600,45 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     }
   }
 
-  /** CommitTableRequest → graft append commit (class doc: WRITE PATH). */
+  /** CommitTableRequest → graft commit (class doc: WRITE PATH).
+    * Dispatch: an existing table takes the append / CoW-rewrite /
+    * MoR-equality-delete / schema-update path; an absent table commits
+    * only with an `assert-create` requirement — the spec's staged
+    * CREATE (CTAS) publish, which creates the table and its first
+    * snapshot in ONE graft commit.
+    */
   private def commitTable(repo: GraftRepo, prefix: Option[String],
       ns: Seq[String], name: String,
       req: com.fasterxml.jackson.databind.JsonNode): ObjectNode = {
-    val (ref, key) = resolveKey(repo, ns, name)
+    val (ref, dirs) = ns match {
+      case r +: ds if ds.nonEmpty => (r, ds)
+      case _ => throw new NoSuchElementException(
+        s"no such table: ${(ns :+ name).mkString(".")}")
+    }
+    val key = (dirs :+ name).mkString("/")
+    if (!refNames(repo).contains(ref))
+      throw new NoSuchElementException(s"no such table: $key @ $ref")
     if (!repo.branchExists(ref)) throw new IllegalArgumentException(
       s"commits target a branch; $ref is a tag")
+    val reqs = Option(req.get("requirements")).toSeq
+      .flatMap(_.elements().asScala).toSeq
+    if (!repo.resolve(ref).tables.contains(key)) {
+      if (reqs.exists(r => text(r, "type") == "assert-create"))
+        return commitStagedCreate(repo, prefix, ref, dirs, key, reqs, req)
+      throw new NoSuchElementException(s"no such table: $key @ $ref")
+    }
     val metaPath = serve(repo, prefix, ref, key)
     val served = mapper.readTree(Files.readString(metaPath))
     val servedGraftSnap =
       served.get("properties").get("graft.source-snapshot").asText()
     val servedSnapId = Option(served.get("current-snapshot-id"))
       .map(_.asLong()).filter(_ != -1L)
+    val servedSchemaId =
+      Option(served.get("current-schema-id")).map(_.asInt()).getOrElse(0)
 
     // ---- requirements: against the served state now, re-checked
     // against the branch head inside the commit race (precheck below)
-    Option(req.get("requirements")).toSeq
-      .flatMap(_.elements().asScala).foreach { r =>
+    reqs.foreach { r =>
         text(r, "type") match {
           case "assert-table-uuid" =>
             val want = text(r, "uuid")
@@ -531,17 +655,41 @@ final class IcebergRestServer private (single: Option[GraftRepo],
               throw new RestConflict("CommitFailedException",
                 s"branch main moved: expected snapshot ${want.getOrElse("<none>")}, " +
                   s"now at ${servedSnapId.getOrElse("<none>")}")
+          case "assert-current-schema-id" =>
+            val want = Option(r.get("current-schema-id")).map(_.asInt())
+              .getOrElse(throw new IllegalArgumentException(
+                "assert-current-schema-id carries no current-schema-id"))
+            if (want != servedSchemaId)
+              throw new RestConflict("CommitFailedException",
+                s"current schema changed: expected $want, found $servedSchemaId")
+          case "assert-last-assigned-field-id" =>
+            val want = Option(r.get("last-assigned-field-id")).map(_.asInt())
+              .getOrElse(throw new IllegalArgumentException(
+                "assert-last-assigned-field-id carries no last-assigned-field-id"))
+            val have = Option(served.get("last-column-id")).map(_.asInt()).getOrElse(0)
+            if (want != have)
+              throw new RestConflict("CommitFailedException",
+                s"last assigned field id changed: expected $want, found $have")
           case "assert-create" =>
-            throw new RestConflict("CommitFailedException",
+            // definitive, not retryable: the CTAS lost its race (or the
+            // name was taken all along) — same answer the in-commit
+            // race gives, so the losing engine sees ONE failure shape
+            throw new RestConflict("AlreadyExistsException",
               s"table already exists: $key @ $ref")
           case other => throw new UnsupportedOperationException(
             s"unsupported commit requirement: $other")
         }
       }
 
-    // ---- updates: exactly one add-snapshot, its set-snapshot-ref,
-    // optional set-properties; anything else refuses loudly
+    // ---- updates: at most one add-snapshot (+ its set-snapshot-ref),
+    // at most one add-schema (+ set-current-schema) — the spec's
+    // schema-evolution commit, lowered onto graft's metadata-only
+    // evolution (reference parity: LakeFSTableOperations.commit,
+    // java:115-147, accepts ANY metadata swap — schema changes
+    // included) — and optional set-properties; anything else refuses
     var snapNode: Option[com.fasterxml.jackson.databind.JsonNode] = None
+    var newSchemaNode: Option[com.fasterxml.jackson.databind.JsonNode] = None
+    var setCurrentSchema: Option[Int] = None
     var setProps = Map.empty[String, String]
     Option(req.get("updates")).toSeq
       .flatMap(_.elements().asScala).foreach { u =>
@@ -560,67 +708,340 @@ final class IcebergRestServer private (single: Option[GraftRepo],
             setProps ++= Option(u.get("updates")).toSeq
               .flatMap(_.fields().asScala)
               .map(e => e.getKey -> e.getValue.asText())
+          case "add-schema" =>
+            if (newSchemaNode.isDefined) throw new UnsupportedOperationException(
+              "one add-schema per commit")
+            newSchemaNode = Some(Option(u.get("schema")).getOrElse(
+              throw new IllegalArgumentException(
+                "add-schema carries no schema")))
+          case "set-current-schema" =>
+            setCurrentSchema = Some(Option(u.get("schema-id")).map(_.asInt())
+              .getOrElse(-1))
           case other => throw new UnsupportedOperationException(
-            s"unsupported metadata update over REST: $other (appends: " +
-              "add-snapshot + set-snapshot-ref + set-properties; " +
-              "schema/spec changes and row-level deletes stay engine-side)")
+            s"unsupported metadata update over REST: $other (supported: " +
+              "add-snapshot + set-snapshot-ref + set-properties + " +
+              "add-schema + set-current-schema; row-level position " +
+              "deletes and replace summaries stay engine-side)")
         }
       }
-    val snap = snapNode.getOrElse(throw new IllegalArgumentException(
-      "commit carries no add-snapshot"))
+    // set-current-schema must point at the schema this commit added
+    // (-1 = "last added", the form engines post) or the served current
+    setCurrentSchema.foreach { sid =>
+      val addedId = newSchemaNode.flatMap(s =>
+        Option(s.get("schema-id")).map(_.asInt()))
+      if (sid != -1 && !addedId.contains(sid) && sid != servedSchemaId)
+        throw new IllegalArgumentException(
+          s"set-current-schema references schema-id $sid, which this " +
+            "commit does not add")
+    }
+    // lower the posted Iceberg schema onto graft TableChanges by FIELD
+    // ID diff against the served schema (field ids are the identity
+    // Iceberg evolution preserves)
+    val schemaChanges: Seq[org.apache.spark.sql.connector.catalog.TableChange] =
+      newSchemaNode.map { n =>
+        val cur = Option(served.get("schemas"))
+          .map(_.elements().asScala.toSeq).getOrElse(Nil)
+          .find(s => Option(s.get("schema-id")).exists(_.asInt() == servedSchemaId))
+          .getOrElse(throw new IllegalStateException(
+            s"served metadata has no schema $servedSchemaId"))
+        schemaChangesOf(cur, n)
+      }.getOrElse(Nil)
+
+    val pin: graft.versioned.Commit => Unit =
+      b => if (!b.tables.get(key).contains(servedGraftSnap))
+        throw new RestConflict("CommitFailedException",
+          s"branch $ref moved since the served base — refresh and retry")
+    val head = repo.snapshot(repo.resolve(ref).tables(key))
+
+    // ---- metadata-only commit (ALTER TABLE over REST): no snapshot
+    if (snapNode.isEmpty) {
+      if (newSchemaNode.isEmpty && setProps.isEmpty)
+        throw new IllegalArgumentException("commit carries no updates")
+      repo.commitRetry(ref, s"rest: update schema $key") { base =>
+        pin(base)
+        val prior = repo.snapshot(base.tables(key))
+        val ev = SchemaEvolution.evolve(prior, schemaChanges)
+        val props = ev.props ++ setProps
+        val ns2 = repo.writeSnapshot(key, ev.schema.json, prior.files,
+          if (ev.spec.isEmpty) None else Some(ev.spec),
+          if (ev.mapping.isEmpty) None else Some(ev.mapping),
+          if (props.isEmpty) None else Some(props),
+          if (ev.retired.isEmpty) None else Some(ev.retired.toSeq.sorted))
+        (base.tables + (key -> ns2.id), base.namespaces)
+      }
+      return loadResult(serve(repo, prefix, ref, key))
+    }
+
+    val snap = snapNode.get
     val op = Option(snap.get("summary")).flatMap(s =>
       Option(s.get("operation"))).map(_.asText()).getOrElse("append")
     if (!Set("append", "overwrite", "delete")(op))
       throw new UnsupportedOperationException(
         s"unsupported commit operation over REST: '$op' (accepted: " +
           "append, overwrite, delete)")
+    // a snapshot written under the schema this same commit adds is
+    // fine; any OTHER unknown schema-id is a client bug
     Option(snap.get("schema-id")).map(_.asInt()).foreach { sid =>
-      val cur = Option(served.get("current-schema-id")).map(_.asInt()).getOrElse(0)
-      if (sid != cur) throw new IllegalArgumentException(
-        s"snapshot schema-id $sid != served current-schema-id $cur")
+      val addedId = newSchemaNode.flatMap(s =>
+        Option(s.get("schema-id")).map(_.asInt()))
+      if (sid != servedSchemaId && !addedId.contains(sid))
+        throw new IllegalArgumentException(
+          s"snapshot schema-id $sid matches neither the served " +
+            s"current-schema-id $servedSchemaId nor a schema added by " +
+            "this commit")
     }
+
+    // the EVOLVED table shape this commit's files are described under
+    // (identity when no schema change was posted)
+    val ev = SchemaEvolution.evolve(head, schemaChanges)
+    if (schemaChanges.nonEmpty && op != "append")
+      throw new UnsupportedOperationException(
+        "schema changes combine only with append commits over REST " +
+          "(post the schema update on its own, then the rewrite)")
 
     // ---- the posted table state must be (base − dropped) ∪ new; an
     // `append` may not drop anything, an `overwrite`/`delete` expresses
-    // the engine's CoW rewrite by dropping the files it replaced. MoR
-    // delete FILES refuse for every operation: graft's data plane holds
-    // plain parquet, and the delete-applied state arrives either as the
-    // engine's own CoW rewrite (here) or through iceberg-changes CDC.
+    // the engine's CoW rewrite by dropping the files it replaced.
+    // EQUALITY delete files lower onto graft's predicate tombstones —
+    // the exact inverse of the exporter's tombstone → equality-delete
+    // mapping (SURVEY §2.1b.3): the posted value rows become one
+    // tombstone at the table's next sequence, data files added in the
+    // SAME commit register at that sequence and are exempt (Iceberg's
+    // strictly-lower rule, graft's strict `>` applicability — the
+    // Flink-upsert shape). Positional deletes / DVs keep refusing:
+    // they name row positions in files graft would have to re-read.
     val v = served.get("format-version").asInt()
     val (postedData, postedDeletes) = IcebergImport.filesOfManifestList(
       text(snap, "manifest-list"), v)
-    if (postedDeletes.nonEmpty) throw new UnsupportedOperationException(
-      s"$op commit carries ${postedDeletes.size} delete file(s) — post " +
-        "the copy-on-write rewrite instead (operation=overwrite dropping " +
-        "the replaced data files), or apply row-level deletes engine-side")
-    val base = IcebergImport.plan(metaPath.toString, None)
-    val basePaths = base.dataPaths.toSet
+    val (eqDeletes, otherDeletes) =
+      postedDeletes.partition(d => d.content == 2 && d.dv.isEmpty)
+    if (otherDeletes.nonEmpty) throw new UnsupportedOperationException(
+      s"$op commit carries ${otherDeletes.size} positional delete " +
+        "file(s)/DV(s) — post the copy-on-write rewrite instead " +
+        "(operation=overwrite dropping the replaced data files), or " +
+        "apply row-level deletes engine-side")
+    if (eqDeletes.nonEmpty && op == "append")
+      throw new IllegalArgumentException(
+        "append commit carries equality delete files (post " +
+          "operation=overwrite or delete)")
+    if (eqDeletes.nonEmpty && schemaChanges.nonEmpty)
+      throw new UnsupportedOperationException(
+        "schema changes and equality deletes cannot share one commit")
+    val basePlan = IcebergImport.plan(metaPath.toString, None)
+    val basePaths = basePlan.dataPaths.toSet
     val postedPaths = postedData.map(_.path)
     val dropped = basePaths -- postedPaths.toSet
     if (op == "append" && dropped.nonEmpty)
       throw new UnsupportedOperationException(
         s"posted snapshot drops ${dropped.size} base data file(s) — not " +
           "an append (post operation=overwrite to rewrite files)")
+    if (eqDeletes.nonEmpty && dropped.nonEmpty)
+      throw new UnsupportedOperationException(
+        "one commit mixes dropped data files (CoW) with equality " +
+          "delete files (MoR) — post them as two commits")
     val addedFiles = postedData.filterNot(d => basePaths(d.path))
-    val added = addedFiles.map(_.path)
+
+    val hconf = spark.map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val destRoot = prefix.fold(exportRoot)(exportRoot.resolve)
+      .resolve(ref).resolve(key).toAbsolutePath.normalize
+    val entries = ingestEntries(repo, ref, key, destRoot, addedFiles,
+      ev.schema, ev.mapping, ev.spec, hconf)
+
+    // equality deletes → ONE tombstone predicate (Or across files/rows)
+    val morFilter: Option[org.apache.spark.sql.sources.Filter] =
+      if (eqDeletes.isEmpty) None
+      else Some(equalityTombstoneFilter(repo, destRoot, eqDeletes,
+        basePlan.fieldIdToName, head, hconf))
+
+    val pinMsg: graft.versioned.Commit => Unit = pin
+    if (morFilter.isDefined) {
+      // MoR commit: tombstone + (optionally) same-sequence new files —
+      // graft's morUpdate commit shape, arriving over REST
+      repo.commitRetry(ref, s"rest: $op $key (merge-on-read, " +
+        s"+${entries.size} files)") { base =>
+        pinMsg(base)
+        val prior = repo.snapshot(base.tables(key))
+        val props0 = prior.properties ++ setProps
+        val next = Tombstones.lastSeq(props0) + 1
+        val props = Tombstones.append(props0, next, morFilter.get)
+        val stamped = entries.map(_.copy(seq = Some(next)))
+        val ns2 = repo.writeSnapshot(key, prior.schemaJson,
+          Manifests.appended(prior.files, stamped),
+          prior.partitionBy, prior.physicalNames, Some(props),
+          prior.retired)
+        (base.tables + (key -> ns2.id), base.namespaces)
+      }
+    } else if (op == "append" && schemaChanges.nonEmpty) {
+      // evolution + first write under the new schema, atomically
+      repo.commitRetry(ref, s"rest: evolve+append $key " +
+        s"(+${entries.size} files)") { base =>
+        pinMsg(base)
+        val prior = repo.snapshot(base.tables(key))
+        val ev2 = SchemaEvolution.evolve(prior, schemaChanges)
+        val props0 = ev2.props ++ setProps
+        val next = Tombstones.lastSeq(props0) + 1
+        val stamped = entries.map(_.copy(seq = Some(next)))
+        val props = props0 + (Tombstones.SeqProp -> next.toString)
+        val ns2 = repo.writeSnapshot(key, ev2.schema.json,
+          Manifests.appended(prior.files, stamped),
+          if (ev2.spec.isEmpty) None else Some(ev2.spec),
+          if (ev2.mapping.isEmpty) None else Some(ev2.mapping),
+          if (props.isEmpty) None else Some(props),
+          if (ev2.retired.isEmpty) None else Some(ev2.retired.toSeq.sorted))
+        (base.tables + (key -> ns2.id), base.namespaces)
+      }
+    } else if (op == "append")
+      TableOps.commitAppend(repo, ref, key, entries, overwrite = false,
+        ev.spec, ev.mapping, head.schemaJson,
+        Some(s"rest: append $key (${entries.size} files, " +
+          s"${entries.map(_.rows).sum} rows)"),
+        setProps, precheck = pin)
+    else {
+      // the engine's CoW rewrite: dropped base files must be data-plane
+      // rels (they are — the served export references them in place)
+      val dropRels = dropped.toSeq.sorted.map { loc =>
+        repo.dataIO.relOf(loc).getOrElse(
+          throw new IllegalStateException(
+            s"base data file outside the repo data plane: $loc"))
+      }
+      TableOps.commitRewrite(repo, ref, key, dropRels.toSet, entries,
+        Some(s"rest: $op $key (+${entries.size}/-${dropRels.size} files, " +
+          s"+${entries.map(_.rows).sum} rows)"),
+        setProps, precheck = pin)
+    }
+    loadResult(serve(repo, prefix, ref, key))
+  }
+
+  /** The spec's staged-create publish (`stage-create: true` then a
+    * commit with requirement `assert-create`): the posted metadata
+    * updates carry the full table build — schema, partition spec,
+    * properties, first snapshot — and land as ONE graft commit, so a
+    * CTAS from an external engine is atomic: concurrent staged creates
+    * race on `base.tables.contains(key)` and exactly one wins; an
+    * abandoned stage never touched the branch and leaves nothing.
+    */
+  private def commitStagedCreate(repo: GraftRepo, prefix: Option[String],
+      ref: String, dirs: Seq[String], key: String,
+      reqs: Seq[com.fasterxml.jackson.databind.JsonNode],
+      req: com.fasterxml.jackson.databind.JsonNode): ObjectNode = {
+    reqs.foreach { r =>
+      text(r, "type") match {
+        case "assert-create" => ()
+        case other => throw new UnsupportedOperationException(
+          s"unsupported requirement on a staged create: $other")
+      }
+    }
+    var schemaNode: Option[com.fasterxml.jackson.databind.JsonNode] = None
+    var specNode: Option[com.fasterxml.jackson.databind.JsonNode] = None
+    var snapNode: Option[com.fasterxml.jackson.databind.JsonNode] = None
+    var props = Map.empty[String, String]
+    Option(req.get("updates")).toSeq
+      .flatMap(_.elements().asScala).foreach { u =>
+        text(u, "action") match {
+          // identity/serving details graft assigns itself on export:
+          case "assign-uuid" | "upgrade-format-version" | "set-location" => ()
+          // graft tables have no sort orders; an engine's declared
+          // order is advisory (write-side clustering), safe to drop
+          case "add-sort-order" | "set-default-sort-order" => ()
+          case "set-current-schema" | "set-default-spec" => ()
+          case "add-schema" =>
+            if (schemaNode.isDefined) throw new UnsupportedOperationException(
+              "one add-schema per staged create")
+            schemaNode = Some(Option(u.get("schema")).getOrElse(
+              throw new IllegalArgumentException("add-schema carries no schema")))
+          case "add-partition-spec" =>
+            if (specNode.isDefined) throw new UnsupportedOperationException(
+              "one add-partition-spec per staged create")
+            specNode = Option(u.get("spec")).orElse(Some(u))
+          case "set-properties" =>
+            props ++= Option(u.get("updates")).toSeq
+              .flatMap(_.fields().asScala)
+              .map(e => e.getKey -> e.getValue.asText())
+          case "add-snapshot" =>
+            if (snapNode.isDefined) throw new UnsupportedOperationException(
+              "one add-snapshot per staged create")
+            snapNode = Some(Option(u.get("snapshot")).getOrElse(
+              throw new IllegalArgumentException(
+                "add-snapshot carries no snapshot")))
+          case "set-snapshot-ref" =>
+            val rn = Option(u.get("ref-name")).map(_.asText()).getOrElse("main")
+            if (rn != "main") throw new IllegalArgumentException(
+              s"graft serves one Iceberg branch (main) per graft ref: $rn")
+          case other => throw new UnsupportedOperationException(
+            s"unsupported metadata update on a staged create: $other")
+        }
+      }
+    val sNode = schemaNode.getOrElse(throw new IllegalArgumentException(
+      "staged create commit carries no add-schema"))
+    val schema = IcebergImport.structOf(sNode)
+    val idToName = sNode.get("fields").elements().asScala.map(f =>
+      f.get("id").asInt() -> f.get("name").asText()).toMap
+    val spec = specNode
+      .map(n => Option(n.get("fields")).getOrElse(n))
+      .map(_.elements().asScala.map(partitionFieldOf(_, idToName)).toSeq)
+      .getOrElse(Nil)
+    TableOps.validateSpec(schema, spec)
+
+    // first snapshot's files (a zero-row CTAS may post none)
+    val destRoot = prefix.fold(exportRoot)(exportRoot.resolve)
+      .resolve(ref).resolve(key).toAbsolutePath.normalize
+    val hconf = spark.map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val entries = snapNode.map { snap =>
+      // the engine wrote its manifest list against the staged metadata
+      // this server handed out, which serves at `formatVersion`
+      val (postedData, postedDeletes) = IcebergImport.filesOfManifestList(
+        text(snap, "manifest-list"), formatVersion)
+      if (postedDeletes.nonEmpty) throw new UnsupportedOperationException(
+        "a staged create's first snapshot carries delete files")
+      ingestEntries(repo, ref, key, destRoot, postedData, schema,
+        Map.empty, spec, hconf)
+    }.getOrElse(Nil)
+
+    repo.commitRetry(ref, s"rest: create table $key (staged, " +
+      s"${entries.size} files, ${entries.map(_.rows).sum} rows)") { base =>
+      if (base.tables.contains(key))
+        throw new RestConflict("AlreadyExistsException",
+          s"table already exists: $key @ $ref")
+      val stamped = entries.map(_.copy(seq = Some(1L)))
+      val allProps = props ++
+        (if (entries.isEmpty) Map.empty
+         else Map(Tombstones.SeqProp -> "1"))
+      val snap = repo.writeSnapshot(key, schema.json, stamped,
+        if (spec.isEmpty) None else Some(spec), None,
+        if (allProps.isEmpty) None else Some(allProps))
+      (base.tables + (key -> snap.id),
+        if (base.namespaces.contains(dirs.mkString("/"))) base.namespaces
+        else base.namespaces + (dirs.mkString("/") -> Map.empty[String, String]))
+    }
+    loadResult(serve(repo, prefix, ref, key))
+  }
+
+  /** Register the posted added files and derive their [[FileEntry]]
+    * metadata: zero-copy for files already under the data plane,
+    * copy-in for files staged under the table's served location; stats
+    * from O(new files) parquet footer reads; partition tuples from the
+    * posted manifest records, re-rendered canonically and — for
+    * identity transforms — cross-checked against the footers.
+    */
+  private def ingestEntries(repo: GraftRepo, ref: String, key: String,
+      destRoot: Path, addedFiles: Seq[IcebergImport.DataFile],
+      schema: org.apache.spark.sql.types.StructType,
+      mapping: Map[String, String], spec: Seq[PartitionField],
+      hconf: org.apache.hadoop.conf.Configuration): Seq[FileEntry] = {
     addedFiles.foreach { d =>
       if (d.format != "PARQUET") throw new UnsupportedOperationException(
         s"graft's data plane is parquet: cannot register ${d.format} " +
           s"file ${d.path}")
     }
-
-    // ---- ingest: in-place when already under the data plane (writers
-    // honoring the served write.data.path), copy-in otherwise
-    val head = repo.snapshot(repo.resolve(ref).tables(key))
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     // copy-in fallback accepts ONLY files under the table's own served
     // location (where a writer ignoring write.data.path stages, e.g.
     // `location/data/...`) — an arbitrary posted path must not turn the
     // catalog into a confused deputy that reads any server-local file
     // into the queryable data plane
-    val destRoot = prefix.fold(exportRoot)(exportRoot.resolve)
-      .resolve(ref).resolve(key).toAbsolutePath.normalize
-    val rels = added.map { loc =>
+    val rels = addedFiles.map(_.path).map { loc =>
       repo.dataIO.relOf(loc) match {
         case Some(rel) => rel
         case None =>
@@ -640,10 +1061,6 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           rel
       }
     }
-    val schema = org.apache.spark.sql.types.DataType
-      .fromJson(head.schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType]
-    val hconf = spark.map(_.sessionState.newHadoopConf())
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
     // stats stay keyed under PHYSICAL names — the repo-wide invariant
     // that keeps column renames metadata-only (see TableOps.writeFiles)
     // partitioned tables: the posted manifest's partition record is
@@ -653,53 +1070,274 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     // graft's canonical directory strings; a spec field the record
     // does not carry refuses loudly.
     val entries0 = TableOps.entriesFromFootersLocal(repo,
-      rels, TableOps.toPhysical(schema, head.nameMapping), hconf)
-    val spec = head.partitionFields
-    val entries =
-      if (spec.isEmpty) entries0
-      else {
-        def srcTypeOf(pf: PartitionField): org.apache.spark.sql.types.DataType =
-          schema.fields.find(_.name == pf.source).map(_.dataType)
-            .getOrElse(throw new IllegalStateException(
-              s"partition source ${pf.source} not in table schema"))
-        entries0.zip(addedFiles).map { case (en, dfile) =>
-          val pv = spec.map { pf =>
-            if (!dfile.partition.contains(pf.name))
-              throw new IllegalArgumentException(
-                s"posted data file ${dfile.path} carries no partition " +
-                  s"value for spec field '${pf.name}' — partitioned " +
-                  "commits must declare every field in the manifest's " +
-                  "partition record")
-            pf.name -> IcebergImport.rawPartitionValue(pf, srcTypeOf(pf),
-              dfile.partition(pf.name))
-          }.toMap
-          en.copy(partitionValues = Some(pv))
-        }
-      }
-    val pin: graft.versioned.Commit => Unit =
-      b => if (!b.tables.get(key).contains(servedGraftSnap))
-        throw new RestConflict("CommitFailedException",
-          s"branch $ref moved since the served base — refresh and retry")
-    if (op == "append")
-      TableOps.commitAppend(repo, ref, key, entries, overwrite = false,
-        spec, head.nameMapping, head.schemaJson,
-        Some(s"rest: append $key (${entries.size} files, " +
-          s"${entries.map(_.rows).sum} rows)"),
-        setProps, precheck = pin)
+      rels, TableOps.toPhysical(schema, mapping), hconf)
+    if (spec.isEmpty) entries0
     else {
-      // the engine's CoW rewrite: dropped base files must be data-plane
-      // rels (they are — the served export references them in place)
-      val dropRels = dropped.toSeq.sorted.map { loc =>
-        repo.dataIO.relOf(loc).getOrElse(
-          throw new IllegalStateException(
-            s"base data file outside the repo data plane: $loc"))
+      def srcTypeOf(pf: PartitionField): org.apache.spark.sql.types.DataType =
+        schema.fields.find(_.name == pf.source).map(_.dataType)
+          .getOrElse(throw new IllegalStateException(
+            s"partition source ${pf.source} not in table schema"))
+      def physOf(logical: String): String = mapping.getOrElse(logical, logical)
+      entries0.zip(addedFiles).map { case (en, dfile) =>
+        val pv = spec.map { pf =>
+          if (!dfile.partition.contains(pf.name))
+            throw new IllegalArgumentException(
+              s"posted data file ${dfile.path} carries no partition " +
+                s"value for spec field '${pf.name}' — partitioned " +
+                "commits must declare every field in the manifest's " +
+                "partition record")
+          val raw = IcebergImport.rawPartitionValue(pf, srcTypeOf(pf),
+            dfile.partition(pf.name))
+          // identity declarations are cheaply FALSIFIABLE here — unlike
+          // a normal Iceberg catalog this server already read the
+          // file's parquet footer in the same pass. A wrong identity
+          // value would make partition pruning silently drop the
+          // file's rows from results, so cross-check it against the
+          // footer min/max of the source column (containment, which
+          // stays valid under footer string truncation) and refuse
+          // loudly. Non-identity transforms (bucket/truncate/temporal)
+          // aren't invertible from stats alone and keep the plain
+          // Iceberg trust model.
+          if (pf.transform == "identity")
+            checkIdentityAgainstFooter(pf, srcTypeOf(pf), raw, en,
+              physOf(pf.source), dfile.path)
+          pf.name -> raw
+        }.toMap
+        en.copy(partitionValues = Some(pv))
       }
-      TableOps.commitRewrite(repo, ref, key, dropRels.toSet, entries,
-        Some(s"rest: $op $key (+${entries.size}/-${dropRels.size} files, " +
-          s"+${entries.map(_.rows).sum} rows)"),
-        setProps, precheck = pin)
     }
-    loadResult(serve(repo, prefix, ref, key))
+  }
+
+  /** FIELD-ID diff of two Iceberg schema nodes → graft TableChanges
+    * (top-level columns; field ids are the identity Iceberg evolution
+    * preserves, so id-present-in-one-side decides add/drop and
+    * same-id-different-name decides rename). Type changes lower to
+    * UpdateColumnType and inherit [[SchemaEvolution]]'s widening-only
+    * guard; nested type edits surface as a non-widening change and
+    * refuse loudly.
+    */
+  private def schemaChangesOf(oldS: com.fasterxml.jackson.databind.JsonNode,
+      newS: com.fasterxml.jackson.databind.JsonNode)
+      : Seq[org.apache.spark.sql.connector.catalog.TableChange] = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    final case class F(id: Int, name: String,
+        dt: org.apache.spark.sql.types.DataType)
+    def fieldsOf(s: com.fasterxml.jackson.databind.JsonNode): Seq[F] = {
+      if (s == null || s.get("fields") == null || !s.get("fields").isArray)
+        throw new IllegalArgumentException(
+          "malformed add-schema: schema carries no fields array")
+      val spark = IcebergImport.structOf(s)
+      s.get("fields").elements().asScala.toSeq.zip(spark.fields).map {
+        case (f, sf) => F(f.get("id").asInt(), f.get("name").asText(),
+          sf.dataType)
+      }
+    }
+    val o = fieldsOf(oldS)
+    val n = fieldsOf(newS)
+    val oldById = o.map(f => f.id -> f).toMap
+    val newIds = n.map(_.id).toSet
+    val out = scala.collection.mutable.ArrayBuffer[TableChange]()
+    // drops first: a re-added name then takes the retired-name path and
+    // gets a fresh physical name (old bytes never resurface)
+    o.filterNot(f => newIds(f.id)).foreach { f =>
+      out += TableChange.deleteColumn(Array(f.name), false)
+    }
+    n.foreach { f =>
+      oldById.get(f.id) match {
+        case None =>
+          out += TableChange.addColumn(Array(f.name), f.dt)
+        case Some(of) =>
+          var cur = of.name
+          if (of.name != f.name) {
+            out += TableChange.renameColumn(Array(of.name), f.name)
+            cur = f.name
+          }
+          if (of.dt != f.dt)
+            out += TableChange.updateColumnType(Array(cur), f.dt)
+      }
+    }
+    out.toSeq
+  }
+
+  /** Posted equality delete files → ONE graft tombstone predicate: the
+    * exact inverse of the exporter's tombstone → equality-delete
+    * mapping. Each file's value rows (read driver-side, O(delete rows))
+    * become per-row equality conjunctions over the referenced columns
+    * (In(...) for the common single-column id case), Or-combined across
+    * rows and files. Capped at [[IcebergExport.MaxEqualityRows]] total —
+    * past that the engine posts its CoW rewrite, same trade the
+    * exporter makes in the other direction.
+    */
+  private def equalityTombstoneFilter(repo: GraftRepo, destRoot: Path,
+      eqDeletes: Seq[IcebergImport.DeleteFile],
+      fieldIdToName: Map[Int, String], head: Snapshot,
+      hconf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.sql.sources.Filter = {
+    import org.apache.spark.sql.sources
+    def localOf(loc: String): String =
+      repo.dataIO.relOf(loc) match {
+        case Some(rel) => repo.dataLocation(rel)
+        case None =>
+          val local = java.nio.file.Paths.get(loc).toAbsolutePath.normalize
+          if (!local.startsWith(destRoot) || !Files.isRegularFile(local))
+            throw new IllegalArgumentException(
+              s"cannot read equality delete $loc: delete files must sit " +
+                s"under the served write.data.path or the table " +
+                s"location $destRoot")
+          local.toString
+      }
+    var totalRows = 0L
+    val perFile = eqDeletes.map { d =>
+      if (d.format != "PARQUET") throw new UnsupportedOperationException(
+        s"equality delete files must be parquet over REST: ${d.path} " +
+          s"is ${d.format}")
+      if (d.equalityIds.isEmpty) throw new IllegalArgumentException(
+        s"equality delete without equality_ids: ${d.path}")
+      val cols = d.equalityIds.map(id => fieldIdToName.getOrElse(id,
+        throw new IllegalArgumentException(
+          s"equality_ids references unknown field id $id")))
+      val physCols = cols.map(head.physicalName)
+      val rows = readEqualityRows(localOf(d.path), hconf, cols)
+      totalRows += rows.size
+      if (totalRows > IcebergExport.MaxEqualityRows)
+        throw new UnsupportedOperationException(
+          s"equality delete commit carries more than " +
+            s"${IcebergExport.MaxEqualityRows} value rows — post the " +
+            "copy-on-write rewrite instead")
+      if (rows.isEmpty) None
+      else if (rows.exists(_.values.exists(_ == null)))
+        throw new UnsupportedOperationException(
+          s"equality delete ${d.path} carries NULL values — the spec's " +
+            "null-safe match is not expressible as a graft tombstone; " +
+            "post the CoW rewrite instead")
+      else if (cols.size == 1)
+        Some(sources.In(physCols.head, rows.map(_(cols.head)).toArray))
+      else Some(rows.map { r =>
+        physCols.zip(cols).map { case (pc, c) =>
+          sources.EqualTo(pc, r(c)): sources.Filter
+        }.reduce(sources.And(_, _))
+      }.reduce(sources.Or(_, _)))
+    }
+    val filters = perFile.flatten
+    if (filters.isEmpty) throw new IllegalArgumentException(
+      "equality delete commit carries no value rows")
+    filters.reduce(sources.Or(_, _))
+  }
+
+  /** Driver-side value-row read of an equality delete parquet: the
+    * requested columns' values in [[FilterJson]]'s canonical decoded
+    * forms (Long / Double / String / Boolean / java.sql.Date /
+    * java.sql.Timestamp). Delete files are O(deleted keys), so this is
+    * the same bounded cost the footer-stats pass pays per data file.
+    */
+  private def readEqualityRows(loc: String,
+      hconf: org.apache.hadoop.conf.Configuration,
+      wantCols: Seq[String]): Seq[Map[String, Any]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val reader = org.apache.parquet.hadoop.ParquetReader.builder(
+      new org.apache.parquet.hadoop.example.GroupReadSupport(),
+      new org.apache.hadoop.fs.Path(loc)).withConf(hconf).build()
+    val out = scala.collection.mutable.ArrayBuffer[Map[String, Any]]()
+    try {
+      var g = reader.read()
+      while (g != null) {
+        val gt = g.getType
+        out += wantCols.map { c =>
+          val idx =
+            try gt.getFieldIndex(c)
+            catch { case _: Exception =>
+              throw new IllegalArgumentException(
+                s"equality delete $loc has no column '$c'")
+            }
+          if (g.getFieldRepetitionCount(idx) == 0) c -> null
+          else {
+            val pt = gt.getType(idx).asPrimitiveType()
+            val ann = Option(pt.getLogicalTypeAnnotation)
+            val value: Any = pt.getPrimitiveTypeName match {
+              case BINARY if ann.exists(
+                _.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]) =>
+                g.getString(idx, 0)
+              case INT32 if ann.exists(
+                _.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]) =>
+                java.sql.Date.valueOf(
+                  java.time.LocalDate.ofEpochDay(g.getInteger(idx, 0).toLong))
+              case INT64 if ann.exists(
+                _.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]) =>
+                val t = ann.get
+                  .asInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+                val raw = g.getLong(idx, 0)
+                val us = t.getUnit match {
+                  case LogicalTypeAnnotation.TimeUnit.MICROS => raw
+                  case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+                  case other => throw new UnsupportedOperationException(
+                    s"equality delete timestamp unit $other")
+                }
+                java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+                  Math.floorDiv(us, 1000000L),
+                  Math.floorMod(us, 1000000L) * 1000L))
+              case INT32 => g.getInteger(idx, 0).toLong
+              case INT64 => g.getLong(idx, 0)
+              case BOOLEAN => g.getBoolean(idx, 0)
+              case FLOAT => g.getFloat(idx, 0).toDouble
+              case DOUBLE => g.getDouble(idx, 0)
+              case other => throw new UnsupportedOperationException(
+                s"equality delete column '$c' has unsupported type $other")
+            }
+            c -> value
+          }
+        }.toMap
+        g = reader.read()
+      }
+    } finally reader.close()
+    out.toSeq
+  }
+
+  /** Refuse an identity partition declaration the file's own parquet
+    * footer contradicts. The Iceberg trust model registers whatever
+    * tuple the engine declared — but this server reads each added
+    * file's footer anyway (for graft's stats), so a lying or
+    * misconfigured engine is cheaply falsifiable: the declared identity
+    * value must CONTAIN the footer min/max range of the source column
+    * (containment rather than equality keeps the check valid when a
+    * footer truncates long string stats; for a genuinely
+    * single-valued file min == declared == max). Footers with no stats
+    * for the column prove nothing and pass. Without this, a wrong
+    * declaration makes partition pruning silently drop the file's rows
+    * from query results.
+    */
+  private def checkIdentityAgainstFooter(pf: PartitionField,
+      srcType: org.apache.spark.sql.types.DataType, declared: String,
+      en: FileEntry, phys: String, path: String): Unit = {
+    import org.apache.spark.sql.types._
+    if (declared == Partitioning.NullMarker) {
+      // a null identity tuple means the file holds ONLY nulls in the
+      // source column — any footer min proves a non-null value exists
+      if (en.min.contains(phys))
+        throw new IllegalArgumentException(
+          s"posted data file $path declares identity partition " +
+            s"${pf.name}=null but its footer records non-null " +
+            s"${pf.source} values (min=${en.min(phys)})")
+      return
+    }
+    (en.min.get(phys), en.max.get(phys)) match {
+      case (Some(mn), Some(mx)) =>
+        val ok = srcType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            val d = declared.toLong; mn.toLong <= d && d <= mx.toLong
+          case _ =>
+            // date/timestamp/boolean/string renderings all order
+            // lexicographically consistently with their value order
+            mn <= declared && declared <= mx
+        }
+        if (!ok) throw new IllegalArgumentException(
+          s"posted data file $path declares identity partition " +
+            s"${pf.name}=$declared but its footer stats for " +
+            s"${pf.source} span [$mn, $mx] — refusing a declaration " +
+            "the file itself contradicts (partition pruning would " +
+            "silently drop these rows)")
+      case _ => // no stats for the column — nothing to falsify
+    }
   }
 
   /** DropTableRequest; `purge` mirrors the engine catalog's

@@ -608,13 +608,14 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       send("POST", s"/v1/namespaces/${enc("main", "db")}/tables/d",
         commitBody(meta, 9102L, delList), srv)._1 shouldBe 400
 
-      // schema evolution over REST
+      // schema evolution over REST is SUPPORTED (r12) — but a malformed
+      // schema node still refuses loudly instead of 500ing
       val (cs, es) = send("POST",
         s"/v1/namespaces/${enc("main", "db")}/tables/d",
         """{"requirements":[],"updates":[{"action":"add-schema","schema":{}}]}""",
         srv)
       cs shouldBe 400
-      es.get("error").get("message").asText() should include ("add-schema")
+      es.get("error").get("message").asText() should include ("fields")
 
       // commits against a tag namespace
       send("POST", s"/v1/namespaces/${enc("pin", "db")}/tables/d",
@@ -903,6 +904,364 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       plan.dataFiles.size shouldBe 3
       plan.dataFiles.map(_.partition("cat")).toSet shouldBe
         Set("a", "b", null)
+    } finally srv.close()
+  }
+
+  // ---- r12: update-schema commits, staged CREATE, equality deletes ----
+
+  private val wEqEntrySchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"r2eq","fields":[
+      |{"name":"content","type":"int"},
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"partition","type":{"type":"record","name":"r102eq","fields":[]}},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"},
+      |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}"""
+      .stripMargin.replaceAll("\n", ""))
+
+  /** What a MoR engine (e.g. a Flink upsert) commits: one data manifest
+    * re-listing the base files plus `dataFiles`' additions, and one
+    * DELETE manifest carrying an equality delete file over `eqIds`.
+    */
+  private def stageEqDeleteCommit(scratch: java.nio.file.Path, snapId: Long,
+      dataFiles: Seq[java.nio.file.Path], eqFile: java.nio.file.Path,
+      eqIds: Seq[Int]): java.nio.file.Path = {
+    def writeManifest(name: String, entries: Seq[(java.nio.file.Path, Int, Option[Seq[Int]])])
+        : java.nio.file.Path = {
+      val m = scratch.resolve(name)
+      val mw = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](wEqEntrySchema))
+      mw.setMeta("format-version", "2")
+      mw.create(wEqEntrySchema, m.toFile)
+      try entries.foreach { case (p, content, ids) =>
+        val dfS = wEqEntrySchema.getField("data_file").schema()
+        val df = new GenericData.Record(dfS)
+        df.put("content", content)
+        df.put("file_path", p.toUri.toString)
+        df.put("file_format", "PARQUET")
+        df.put("partition",
+          new GenericData.Record(dfS.getField("partition").schema()))
+        df.put("record_count", 1L)
+        df.put("file_size_in_bytes", Files.size(p))
+        ids.foreach { is =>
+          val arr = new java.util.ArrayList[Integer]()
+          is.foreach(i => arr.add(Integer.valueOf(i)))
+          df.put("equality_ids", arr)
+        }
+        val e = new GenericData.Record(wEqEntrySchema)
+        e.put("status", 1)
+        e.put("snapshot_id", snapId)
+        e.put("data_file", df)
+        mw.append(e)
+      } finally mw.close()
+      m
+    }
+    val dataM = writeManifest(s"m-$snapId-data.avro",
+      dataFiles.map(p => (p, 0, None)))
+    val delM = writeManifest(s"m-$snapId-del.avro",
+      Seq((eqFile, 2, Some(eqIds))))
+    val list = scratch.resolve(s"snap-$snapId.avro")
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](wListSchema))
+    lw.setMeta("format-version", "2")
+    lw.create(wListSchema, list.toFile)
+    try Seq((dataM, 0), (delM, 1)).foreach { case (m, content) =>
+      val r = new GenericData.Record(wListSchema)
+      r.put("manifest_path", m.toUri.toString)
+      r.put("manifest_length", Files.size(m))
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", 2L)
+      r.put("min_sequence_number", 2L)
+      r.put("added_snapshot_id", snapId)
+      lw.append(r)
+    } finally lw.close()
+    list
+  }
+
+  test("writable server: update-schema commits — add/rename/widen land " +
+    "as graft metadata-only evolution; a later append carries the new " +
+    "column; stale requirements answer 409; non-widening refuses 400") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.restsu")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "restsu")
+    val exports = Files.createTempDirectory("graft-restsu-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true)
+    val scratch = Files.createTempDirectory("rest-su-scratch")
+    try {
+      sql("CREATE NAMESPACE g.restsu.main.db")
+      sql("CREATE TABLE g.restsu.main.db.e (id INT, v STRING)")
+      sql("INSERT INTO g.restsu.main.db.e VALUES (1, 'a'), (2, 'b')")
+      val meta = get(s"/v1/namespaces/${enc("main", "db")}/tables/e", srv)
+        ._2.get("metadata")
+      val uuid = meta.get("table-uuid").asText()
+      val curId = meta.get("current-schema-id").asInt()
+      val schema0 = meta.get("schemas").elements().next()
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val lastId = meta.get("last-column-id").asInt()
+
+      // engine ALTER TABLE ADD COLUMN w BIGINT: served schema + 1 field
+      val s1 = schema0.deepCopy()
+      s1.put("schema-id", 1)
+      val nf = mapper.createObjectNode()
+      nf.put("id", lastId + 1); nf.put("name", "w")
+      nf.put("required", false); nf.put("type", "long")
+      s1.withArray("fields").add(nf)
+      def alterBody(schemaJson: String, assertId: Int): String =
+        s"""{"requirements":[
+           |{"type":"assert-table-uuid","uuid":"$uuid"},
+           |{"type":"assert-current-schema-id","current-schema-id":$assertId}],
+           |"updates":[
+           |{"action":"add-schema","schema":$schemaJson},
+           |{"action":"set-current-schema","schema-id":-1}]}"""
+          .stripMargin.replaceAll("\n", "")
+      val (c1, _) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/e",
+        alterBody(mapper.writeValueAsString(s1), curId), srv)
+      c1 shouldBe 200
+      spark.table("g.restsu.main.db.e").columns should contain ("w")
+      sql("SELECT w FROM g.restsu.main.db.e").collect()
+        .forall(_.isNullAt(0)) shouldBe true
+
+      // an engine append under the evolved schema (new column populated;
+      // the posted snapshot re-lists the base files — full-state commit)
+      val (_, load2) = get(s"/v1/namespaces/${enc("main", "db")}/tables/e", srv)
+      val meta2 = load2.get("metadata")
+      val stage = java.nio.file.Paths.get(URI.create(
+        meta2.get("properties").get("write.data.path").asText() + "/"))
+      val f = stage.resolve("e-new.parquet")
+      writeOneParquet(Seq((3, "c", 30L)).toDF("id", "v", "w"), f)
+      val baseE = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(load2.get("metadata-location").asText()))
+        .dataPaths.map(java.nio.file.Paths.get(_))
+      val list = stageWriterCommit(scratch, 7301L, baseE :+ f)
+      send("POST", s"/v1/namespaces/${enc("main", "db")}/tables/e",
+        commitBody(meta2, 7301L, list), srv)._1 shouldBe 200
+      sql("SELECT id, v, w FROM g.restsu.main.db.e ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq shouldBe
+        Seq((1, "a", -1L), (2, "b", -1L), (3, "c", 30L))
+
+      // a STALE schema requirement answers 409, not 500
+      val (c9, e9) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/e",
+        alterBody(mapper.writeValueAsString(s1), 99), srv)
+      c9 shouldBe 409
+      e9.get("error").get("type").asText() shouldBe "CommitFailedException"
+
+      // rename v -> label (same field id) + widen id int -> long, one commit
+      val meta3 = get(s"/v1/namespaces/${enc("main", "db")}/tables/e", srv)
+        ._2.get("metadata")
+      val s2 = meta3.get("schemas").elements().next()
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode].deepCopy()
+      s2.put("schema-id", 2)
+      val fit = s2.withArray("fields").elements()
+      while (fit.hasNext) {
+        val fn = fit.next().asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        if (fn.get("name").asText() == "v") fn.put("name", "label")
+        if (fn.get("name").asText() == "id") fn.put("type", "long")
+      }
+      send("POST", s"/v1/namespaces/${enc("main", "db")}/tables/e",
+        alterBody(mapper.writeValueAsString(s2),
+          meta3.get("current-schema-id").asInt()), srv)._1 shouldBe 200
+      sql("SELECT label FROM g.restsu.main.db.e WHERE id = 1")
+        .collect().map(_.getString(0)).toSeq shouldBe Seq("a")
+      spark.table("g.restsu.main.db.e").schema("id").dataType shouldBe
+        org.apache.spark.sql.types.LongType
+
+      // non-widening type change refuses loudly
+      val meta4 = get(s"/v1/namespaces/${enc("main", "db")}/tables/e", srv)
+        ._2.get("metadata")
+      val s3 = meta4.get("schemas").elements().next()
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode].deepCopy()
+      s3.put("schema-id", 3)
+      val fit3 = s3.withArray("fields").elements()
+      while (fit3.hasNext) {
+        val fn = fit3.next().asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        if (fn.get("name").asText() == "id") fn.put("type", "int")
+      }
+      val (cN, eN) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/e",
+        alterBody(mapper.writeValueAsString(s3),
+          meta4.get("current-schema-id").asInt()), srv)
+      cN shouldBe 400
+      eN.get("error").get("message").asText() should include ("widening")
+    } finally srv.close()
+  }
+
+  test("writable server: staged CREATE (CTAS) — stage-create returns " +
+    "snapshot-less metadata and touches nothing; the assert-create " +
+    "commit lands table + first snapshot atomically; the losing racer " +
+    "gets 409; an abandoned stage leaves nothing") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.restsc")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "restsc")
+    val exports = Files.createTempDirectory("graft-restsc-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true)
+    val scratch = Files.createTempDirectory("rest-sc-scratch")
+    try {
+      sql("CREATE NAMESPACE g.restsc.main.db")
+      val createReq =
+        """{"name":"c","stage-create":true,"schema":{"type":"struct",
+          |"schema-id":0,"fields":[
+          |{"id":1,"name":"id","required":false,"type":"int"},
+          |{"id":2,"name":"v","required":false,"type":"string"}]},
+          |"properties":{"owner":"spec"}}""".stripMargin.replaceAll("\n", "")
+      val (c0, staged) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables", createReq, srv)
+      c0 shouldBe 200
+      staged.has("metadata-location") shouldBe false // staged, not committed
+      val sm = staged.get("metadata")
+      sm.get("current-snapshot-id").asLong() shouldBe -1L
+      // the catalog is untouched: the table does not exist yet
+      get(s"/v1/namespaces/${enc("main", "db")}/tables/c", srv)._1 shouldBe 404
+
+      // engine writes CTAS output under the staged write.data.path
+      val stage = java.nio.file.Paths.get(URI.create(
+        sm.get("properties").get("write.data.path").asText() + "/"))
+      val f = stage.resolve("c-0.parquet")
+      writeOneParquet(Seq((1, "x"), (2, "y")).toDF("id", "v"), f)
+      val list = stageWriterCommit(scratch, 7401L, Seq(f))
+      def stagedCommit(listLoc: java.nio.file.Path, snapId: Long): String =
+        s"""{"requirements":[{"type":"assert-create"}],"updates":[
+           |{"action":"assign-uuid","uuid":"${sm.get("table-uuid").asText()}"},
+           |{"action":"upgrade-format-version","format-version":2},
+           |{"action":"add-schema","schema":${mapper.writeValueAsString(
+               sm.get("schemas").elements().next())}},
+           |{"action":"set-current-schema","schema-id":-1},
+           |{"action":"add-partition-spec","spec":{"spec-id":0,"fields":[]}},
+           |{"action":"set-default-spec","spec-id":-1},
+           |{"action":"add-sort-order","sort-order":{"order-id":0,"fields":[]}},
+           |{"action":"set-default-sort-order","sort-order-id":-1},
+           |{"action":"set-location","location":"${sm.get("location").asText()}"},
+           |{"action":"set-properties","updates":{"owner":"spec"}},
+           |{"action":"add-snapshot","snapshot":{"snapshot-id":$snapId,
+           |"timestamp-ms":1700000000000,"schema-id":0,
+           |"manifest-list":"${listLoc.toUri}",
+           |"summary":{"operation":"append"}}},
+           |{"action":"set-snapshot-ref","ref-name":"main",
+           |"snapshot-id":$snapId,"type":"branch"}]}"""
+          .stripMargin.replaceAll("\n", "")
+      send("POST", s"/v1/namespaces/${enc("main", "db")}/tables/c",
+        stagedCommit(list, 7401L), srv)._1 shouldBe 200
+      sql("SELECT id, v FROM g.restsc.main.db.c ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+        Seq((1, "x"), (2, "y"))
+
+      // the losing concurrent CTAS: same staged commit again -> 409
+      val f2 = stage.resolve("c-1.parquet")
+      writeOneParquet(Seq((9, "z")).toDF("id", "v"), f2)
+      val (cL, eL) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/c",
+        stagedCommit(stageWriterCommit(scratch, 7402L, Seq(f2)), 7402L), srv)
+      cL shouldBe 409
+      eL.get("error").get("type").asText() shouldBe "AlreadyExistsException"
+      // the loser's rows never became visible
+      sql("SELECT count(*) FROM g.restsc.main.db.c")
+        .collect().head.getLong(0) shouldBe 2L
+
+      // staging an existing table name refuses up front
+      send("POST", s"/v1/namespaces/${enc("main", "db")}/tables",
+        createReq, srv)._1 shouldBe 409
+
+      // an abandoned stage leaves NOTHING: no table, no files anywhere
+      val (cA, stagedA) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables",
+        createReq.replace("\"name\":\"c\"", "\"name\":\"zz\""), srv)
+      cA shouldBe 200
+      stagedA.has("metadata-location") shouldBe false
+      get(s"/v1/namespaces/${enc("main", "db")}/tables/zz", srv)._1 shouldBe 404
+      Files.exists(exports.resolve("main/db/zz")) shouldBe false
+      graft.versioned.GraftRepo.open(root).resolve("main")
+        .tables.contains("db/zz") shouldBe false
+    } finally srv.close()
+  }
+
+  test("writable server: equality-delete commit lands as a graft " +
+    "merge-on-read tombstone — base rows matching the keys disappear, " +
+    "same-commit data files are exempt (the Flink-upsert shape), and " +
+    "NULL-valued delete rows refuse loudly") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.restmor")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "restmor")
+    val exports = Files.createTempDirectory("graft-restmor-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true)
+    val scratch = Files.createTempDirectory("rest-mor-scratch")
+    try {
+      sql("CREATE NAMESPACE g.restmor.main.db")
+      sql("CREATE TABLE g.restmor.main.db.m (id INT, v STRING)")
+      sql("INSERT INTO g.restmor.main.db.m VALUES (1,'a'), (2,'b'), (3,'c')")
+      val (_, load) = get(s"/v1/namespaces/${enc("main", "db")}/tables/m", srv)
+      val meta = load.get("metadata")
+      val idFieldId = {
+        val it = meta.get("schemas").elements().next().get("fields").elements()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .find(_.get("name").asText() == "id").get.get("id").asInt()
+      }
+      val stage = java.nio.file.Paths.get(URI.create(
+        meta.get("properties").get("write.data.path").asText() + "/"))
+      // the upsert: delete key id=2, add a file with the NEW id=2 row
+      // (and a fresh id=4) — the delete must not touch the new file
+      val del = stage.resolve("eq-del.parquet")
+      writeOneParquet(Seq(2).toDF("id"), del)
+      val add = stage.resolve("m-upsert.parquet")
+      writeOneParquet(Seq((2, "B2"), (4, "d")).toDF("id", "v"), add)
+      val baseFiles = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(load.get("metadata-location").asText()))
+        .dataPaths.map(java.nio.file.Paths.get(_))
+      val list = stageEqDeleteCommit(scratch, 7501L,
+        baseFiles :+ add, del, Seq(idFieldId))
+      val body = commitBody(meta, 7501L, list)
+        .replace("\"operation\":\"append\"", "\"operation\":\"overwrite\"")
+      val (cM, eM) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/m", body, srv)
+      withClue(eM.toString) { cM shouldBe 200 }
+      sql("SELECT id, v FROM g.restmor.main.db.m ORDER BY id, v")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+        Seq((1, "a"), (2, "B2"), (3, "c"), (4, "d"))
+      // it really is merge-on-read: a tombstone property exists
+      val snap = {
+        val g = graft.versioned.GraftRepo.open(root)
+        g.snapshot(g.resolve("main").tables("db/m"))
+      }
+      graft.versioned.Tombstones.of(snap).size shouldBe 1
+
+      // NULL delete values refuse (null-safe semantics not expressible)
+      val delN = stage.resolve("eq-del-null.parquet")
+      writeOneParquet(Seq[Option[Int]](None).toDF("id"), delN)
+      val (_, load2) = get(s"/v1/namespaces/${enc("main", "db")}/tables/m", srv)
+      val meta2 = load2.get("metadata")
+      val base2 = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(load2.get("metadata-location").asText()))
+        .dataPaths.map(java.nio.file.Paths.get(_))
+      val listN = stageEqDeleteCommit(scratch, 7502L, base2, delN,
+        Seq(idFieldId))
+      val bodyN = commitBody(meta2, 7502L, listN)
+        .replace("\"operation\":\"append\"", "\"operation\":\"delete\"")
+      val (cN, eN) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/m", bodyN, srv)
+      cN shouldBe 400
+      eN.get("error").get("message").asText() should include ("NULL")
+
+      // unknown equality field id refuses with a clear message
+      val listU = stageEqDeleteCommit(scratch, 7503L, base2, del, Seq(999))
+      val bodyU = commitBody(meta2, 7503L, listU)
+        .replace("\"operation\":\"append\"", "\"operation\":\"delete\"")
+      val (cU, eU) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/m", bodyU, srv)
+      cU shouldBe 400
+      eU.get("error").get("message").asText() should include ("field id")
     } finally srv.close()
   }
 }
