@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-side 10× scale smoke (SURVEY §5b's r1 protocol, re-run per
+  * round for the newest operators): replicate the tables a query
+  * family reads at 10× into /tmp with shifted keys, run the queries
+  * there under a smaller core count (local[8]) and check (a) wall
+  * clock scales roughly with the DATA THE OPERATOR TOUCHES — corpus
+  * size for dd_dupspans, per-batch change volume (not table size) for
+  * the CDC/REST gates — and (b) the plan shapes hold: no broadcast
+  * flip to a nested-loop, no cartesian, no partition collapse. Not
+  * part of the shipped surface; `sbt "runMain graft.ScaleSmoke"`.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dst = "/tmp/graft-scale10-" + java.util.UUID.randomUUID().toString.take(8)
+    val ckpt = s"$dst/ckpt"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.streaming.checkpointLocation", ckpt)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- build the 10× replica -----------------------------------------
+    // documents ×10 (shifted doc_ids — the dd_dupspans corpus), nation
+    // ×10 (shifted keys — the CDC/REST fixture table); everything else
+    // copied 1× so unrelated fixture setup stays comparable.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
+    def replicate(table: String, key: String, shift: Long): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      val kt = base.schema(key).dataType // + lit(Long) must not widen the key
+      (0 until 10).map(i =>
+        base.withColumn(key, (col(key) + lit(i * shift)).cast(kt)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
+    }
+    replicate("documents", "doc_id", 10000000L)
+    replicate("nation", "n_nationkey", 1000L)
+    Seq("region", "customer", "supplier", "part", "orders", "lineitem",
+      "events", "embeddings").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+
+    def time(name: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[smoke] $name%-16s $dt%8.2f s  rows=$n")
+      dt
+    }
+    // warm the JVM the same way Bench does
+    spark.read.parquet(s"$dst/documents.parquet").count()
+    spark.range(1000000).selectExpr("id % 7 AS k", "id")
+      .groupBy("k").count().collect()
+
+    // dd_dupspans at 10×: corpus-linear stages, and the PLAN must keep
+    // its two keyed shuffles — no cartesian, no nested-loop flip
+    val ds = SparkEntry.queries("dd_dupspans")(spark, dst)
+    val plan = ds.queryExecution.executedPlan.toString
+    require(!plan.contains("CartesianProduct"),
+      "dd_dupspans plan degraded: CartesianProduct at 10x")
+    require(!plan.contains("BroadcastNestedLoop"),
+      "dd_dupspans plan degraded: BroadcastNestedLoopJoin at 10x")
+    time("dd_dupspans")(ds.count())
+
+    // CDC + REST gates on the 10× nation: cost must track the CHANGE
+    // volume (10× rows per batch on a still-tiny table ⇒ near-pin
+    // times), and every gate must complete unchanged
+    Seq("vc_cdc_read", "vc_cdc_apply", "vc_ice_cdc_read",
+      "vc_rest_read", "vc_rest_commit", "vc_rest_rewrite").foreach { q =>
+      time(q)(SparkEntry.queries(q)(spark, dst).count())
+    }
+    println(s"[smoke] replica at $dst (delete when done)")
+    spark.stop()
+  }
+}
