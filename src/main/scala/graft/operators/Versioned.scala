@@ -808,6 +808,259 @@ object Versioned {
       s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
   }
 
+  /** Shared REST-gate plumbing: export a staged graft table and return
+    * its current snapshot's manifest-list location — what an external
+    * engine's commit posts.
+    */
+  private def exportListLoc(repo: GraftRepo, s: SparkSession,
+      key: String,
+      destOverride: Option[java.nio.file.Path] = None): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dest = destOverride.getOrElse(
+      Files.createTempDirectory("graft-rest-stage"))
+    val metaP = graft.versioned.IcebergExport.export(repo, "main",
+      key, dest, Some(s), 1, 1, 0)
+    val stageMeta = mapper.readTree(java.nio.file.Files.readString(metaP))
+    val cur = stageMeta.get("current-snapshot-id").asLong()
+    val it = stageMeta.get("snapshots").elements()
+    var loc = ""
+    while (it.hasNext) {
+      val n = it.next()
+      if (n.get("snapshot-id").asLong() == cur)
+        loc = n.get("manifest-list").asText()
+    }
+    loc
+  }
+
+  /** Schema evolution driven ENTIRELY over REST (r12): an external
+    * engine posts one add-schema/set-current-schema commit that adds
+    * `n_flag BIGINT`, renames `n_name` → `n_label` and widens
+    * `n_regionkey` to BIGINT (the server diffs by FIELD ID and lowers
+    * onto graft's metadata-only evolution — [[graft.versioned
+    * .SchemaEvolution]]), then appends a file WRITTEN UNDER THE NEW
+    * SCHEMA through the same protocol. The gate reads the final table
+    * via plain SQL: pre-evolution files answer under the renamed /
+    * widened read schema with nulls for the added column, the appended
+    * file carries real values — the whole evolution contract through
+    * the REST door, hash-checked against the DuckDB oracle.
+    */
+  private def restEvolve(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    val srv = graft.versioned.IcebergRestServer.start(repo,
+      Files.createTempDirectory("graft-rest-evgate"), Some(s),
+      writable = true)
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val ns = java.net.URLEncoder.encode("main\u001Fdb", "UTF-8")
+      def post(body: String): Unit = {
+        val resp = http.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200,
+          s"commit -> ${resp.statusCode()}: ${resp.body()}")
+      }
+      def load(): com.fasterxml.jackson.databind.JsonNode = {
+        val r = http.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
+          .GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(r.statusCode() == 200, s"loadTable failed: ${r.body()}")
+        mapper.readTree(r.body()).get("metadata")
+      }
+      val meta0 = load()
+      // the engine's ALTER: same field ids, one renamed, one widened,
+      // one appended — exactly what iceberg-core's UpdateSchema posts
+      val s1 = meta0.get("schemas").elements().next()
+        .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      s1.put("schema-id", 1)
+      val fit = s1.withArray("fields").elements()
+      while (fit.hasNext) {
+        val f = fit.next()
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        if (f.get("name").asText() == "n_name") f.put("name", "n_label")
+        if (f.get("name").asText() == "n_regionkey") f.put("type", "long")
+      }
+      val nf = mapper.createObjectNode()
+      nf.put("id", meta0.get("last-column-id").asInt() + 1)
+      nf.put("name", "n_flag"); nf.put("required", false)
+      nf.put("type", "long")
+      s1.withArray("fields").add(nf)
+      post(s"""{"requirements":[
+         |{"type":"assert-table-uuid",
+         |"uuid":"${meta0.get("table-uuid").asText()}"},
+         |{"type":"assert-current-schema-id",
+         |"current-schema-id":${meta0.get("current-schema-id").asInt()}}],
+         |"updates":[
+         |{"action":"add-schema","schema":${mapper.writeValueAsString(s1)}},
+         |{"action":"set-current-schema","schema-id":-1}]}""".stripMargin
+        .replaceAll("\n", ""))
+      // the engine's first write under the new schema: staged on a
+      // zero-copy clone (posted list = base files ∪ new file)
+      s.sql(s"CALL $cat.system.clone_table('r', 'main', " +
+        "'db.nation', 'db.ev_stage')")
+      s.sql(s"INSERT INTO $cat.r.main.db.ev_stage " +
+        s"SELECT n_nationkey + 400, n_label, n_regionkey, " +
+        s"CAST(n_nationkey * 2 AS BIGINT) " +
+        s"FROM $cat.r.main.db.nation WHERE n_nationkey < 5")
+      val listLoc = exportListLoc(repo, s, "db/ev_stage")
+      val meta1 = load()
+      val refSnap = meta1.get("refs").get("main").get("snapshot-id").asLong()
+      post(s"""{"requirements":[
+         |{"type":"assert-table-uuid",
+         |"uuid":"${meta1.get("table-uuid").asText()}"},
+         |{"type":"assert-ref-snapshot-id","ref":"main",
+         |"snapshot-id":$refSnap}],
+         |"updates":[
+         |{"action":"add-snapshot","snapshot":{"snapshot-id":9401,
+         |"timestamp-ms":1700000000000,"schema-id":0,
+         |"manifest-list":"$listLoc",
+         |"summary":{"operation":"append"}}},
+         |{"action":"set-snapshot-ref","ref-name":"main",
+         |"snapshot-id":9401,"type":"branch"}]}""".stripMargin
+        .replaceAll("\n", ""))
+    } finally srv.close()
+    s.sql(s"SELECT n_nationkey, n_label, n_regionkey, n_flag " +
+      s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
+  }
+
+  /** The spec's staged CREATE (transactional CTAS) over REST (r12):
+    * `stage-create: true` answers snapshot-less metadata and commits
+    * NOTHING; the engine writes its CTAS output (staged here on a graft
+    * table whose files live in the repo data plane — the zero-copy
+    * path a compliant writer takes via write.data.path) and publishes
+    * with an `assert-create` commit that lands schema + spec + props +
+    * first snapshot as ONE graft commit. The gate reads the resulting
+    * table via SQL against the DuckDB oracle.
+    */
+  private def restCtas(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    val srv = graft.versioned.IcebergRestServer.start(repo,
+      Files.createTempDirectory("graft-rest-ctasgate"), Some(s),
+      writable = true)
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val ns = java.net.URLEncoder.encode("main\u001Fdb", "UTF-8")
+      def post(path: String, body: String)
+          : com.fasterxml.jackson.databind.JsonNode = {
+        val resp = http.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${srv.uri}$path"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200,
+          s"$path -> ${resp.statusCode()}: ${resp.body()}")
+        mapper.readTree(resp.body())
+      }
+      val staged = post(s"/v1/namespaces/$ns/tables",
+        """{"name":"ctas","stage-create":true,"schema":{"type":"struct",
+          |"schema-id":0,"fields":[
+          |{"id":1,"name":"n_nationkey","required":false,"type":"int"},
+          |{"id":2,"name":"n_name","required":false,"type":"string"},
+          |{"id":3,"name":"n_regionkey","required":false,"type":"int"}]}}"""
+          .stripMargin.replaceAll("\n", ""))
+      require(!staged.has("metadata-location"),
+        "staged create must not claim a committed metadata-location")
+      val sm = staged.get("metadata")
+      // the engine's CTAS output, staged zero-copy in the data plane
+      s.sql(s"CREATE TABLE $cat.r.main.db.ctas_stage AS " +
+        s"SELECT n_nationkey, n_name, n_regionkey " +
+        s"FROM $cat.r.main.db.nation WHERE n_regionkey <= 2")
+      val listLoc = exportListLoc(repo, s, "db/ctas_stage")
+      post(s"/v1/namespaces/$ns/tables/ctas",
+        s"""{"requirements":[{"type":"assert-create"}],"updates":[
+           |{"action":"assign-uuid","uuid":"${sm.get("table-uuid").asText()}"},
+           |{"action":"upgrade-format-version","format-version":2},
+           |{"action":"add-schema","schema":${mapper.writeValueAsString(
+               sm.get("schemas").elements().next())}},
+           |{"action":"set-current-schema","schema-id":-1},
+           |{"action":"add-partition-spec","spec":{"spec-id":0,"fields":[]}},
+           |{"action":"set-default-spec","spec-id":-1},
+           |{"action":"set-properties","updates":{"source":"rest-ctas"}},
+           |{"action":"add-snapshot","snapshot":{"snapshot-id":9501,
+           |"timestamp-ms":1700000000000,"schema-id":0,
+           |"manifest-list":"$listLoc",
+           |"summary":{"operation":"append"}}},
+           |{"action":"set-snapshot-ref","ref-name":"main",
+           |"snapshot-id":9501,"type":"branch"}]}""".stripMargin
+          .replaceAll("\n", ""))
+    } finally srv.close()
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.ctas ORDER BY n_nationkey")
+  }
+
+  /** Equality-delete commits over REST (r12) — the full round trip:
+    * a MoR upsert is staged with graft itself on a zero-copy clone
+    * (merge-on-read DELETE of two keys + an insert), the clone EXPORTS
+    * its tombstone as real Iceberg equality delete files (§2.1b.3),
+    * and the exported manifest list is posted back to the ORIGINAL
+    * table as an `overwrite` commit — which the server lowers onto a
+    * fresh graft tombstone (the inverse mapping), with the same-commit
+    * data file exempt at the new sequence. Deleted keys disappear from
+    * the base rows, the upserted row survives; the gate reads the
+    * final table via SQL against the DuckDB oracle.
+    */
+  private def restMor(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    val srv = graft.versioned.IcebergRestServer.start(repo,
+      Files.createTempDirectory("graft-rest-morgate"), Some(s),
+      writable = true)
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val ns = java.net.URLEncoder.encode("main\u001Fdb", "UTF-8")
+      val get = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
+        .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(get.statusCode() == 200, s"loadTable failed: ${get.body()}")
+      val meta0 = mapper.readTree(get.body()).get("metadata")
+      // the engine's MoR upsert, staged on a zero-copy clone: delete
+      // keys 1 and 21, re-insert key 1 — the tombstone exports as a
+      // real equality delete file, the insert as a data file
+      s.sql(s"CALL $cat.system.clone_table('r', 'main', " +
+        "'db.nation', 'db.mor_stage')")
+      s.sql(s"ALTER TABLE $cat.r.main.db.mor_stage " +
+        "SET TBLPROPERTIES('graft.delete.mode'='merge-on-read')")
+      s.sql(s"DELETE FROM $cat.r.main.db.mor_stage " +
+        "WHERE n_nationkey IN (1, 21)")
+      s.sql(s"INSERT INTO $cat.r.main.db.mor_stage VALUES " +
+        "(1, 'UPSERTED', 0)")
+      // a real MoR engine stages its delete files under the served
+      // write.data.path (inside the repo data plane) — export there so
+      // the equality delete file sits exactly where Flink would put it
+      val stage = java.nio.file.Paths.get(java.net.URI.create(
+        meta0.get("properties").get("write.data.path").asText() + "/"))
+      Files.createDirectories(stage)
+      val listLoc = exportListLoc(repo, s, "db/mor_stage", Some(stage))
+      val refSnap = meta0.get("refs").get("main").get("snapshot-id").asLong()
+      val resp = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          s"""{"requirements":[
+             |{"type":"assert-table-uuid",
+             |"uuid":"${meta0.get("table-uuid").asText()}"},
+             |{"type":"assert-ref-snapshot-id","ref":"main",
+             |"snapshot-id":$refSnap}],
+             |"updates":[
+             |{"action":"add-snapshot","snapshot":{"snapshot-id":9601,
+             |"timestamp-ms":1700000000000,"schema-id":0,
+             |"manifest-list":"$listLoc",
+             |"summary":{"operation":"overwrite"}}},
+             |{"action":"set-snapshot-ref","ref-name":"main",
+             |"snapshot-id":9601,"type":"branch"}]}""".stripMargin
+            .replaceAll("\n", ""))).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200,
+        s"equality-delete commit failed: ${resp.statusCode()} ${resp.body()}")
+    } finally srv.close()
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation ORDER BY n_nationkey, n_name")
+  }
+
   /** Incremental (checkpointed-consumer) read: `graft.fromRef = <c1>`
     * scans ONLY the files appended since commit c1 — resolved purely
     * from snapshot metadata (no listing, no diffing data). The batch
@@ -1356,6 +1609,35 @@ object Versioned {
         |)
         |ORDER BY n_nationkey""".stripMargin
     )(restRewrite),
+    Q(
+      "vc_rest_evolve",
+      """SELECT n_nationkey, n_name AS n_label,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |       CAST(NULL AS BIGINT) AS n_flag
+        |FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 400, n_name,
+        |       CAST(n_regionkey AS BIGINT),
+        |       CAST(n_nationkey * 2 AS BIGINT)
+        |FROM nation WHERE n_nationkey < 5
+        |ORDER BY n_nationkey""".stripMargin
+    )(restEvolve),
+    Q(
+      "vc_rest_ctas",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey <= 2
+        |ORDER BY n_nationkey""".stripMargin
+    )(restCtas),
+    Q(
+      "vc_rest_mor",
+      """SELECT n_nationkey, n_name, n_regionkey FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |  WHERE n_nationkey NOT IN (1, 21)
+        |  UNION ALL
+        |  SELECT 1, 'UPSERTED', 0
+        |)
+        |ORDER BY n_nationkey, n_name""".stripMargin
+    )(restMor),
     Q(
       "vc_cdc_apply",
       """SELECT n_nationkey,

@@ -689,8 +689,19 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     // included) — and optional set-properties; anything else refuses
     var snapNode: Option[com.fasterxml.jackson.databind.JsonNode] = None
     var newSchemaNode: Option[com.fasterxml.jackson.databind.JsonNode] = None
+    var newSpecNode: Option[com.fasterxml.jackson.databind.JsonNode] = None
     var setCurrentSchema: Option[Int] = None
     var setProps = Map.empty[String, String]
+    var removeProps = Set.empty[String]
+    // graft.* table properties are engine state (MoR tombstones, commit
+    // sequence, staging markers): a REST client rewriting them could
+    // resurrect deleted rows — same guard as native ALTER's SetProperty
+    def guardProp(k: String): String = {
+      if (k.startsWith("graft."))
+        throw new UnsupportedOperationException(
+          s"$k is engine-managed graft state; not settable over REST")
+      k
+    }
     Option(req.get("updates")).toSeq
       .flatMap(_.elements().asScala).foreach { u =>
         text(u, "action") match {
@@ -707,7 +718,10 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           case "set-properties" =>
             setProps ++= Option(u.get("updates")).toSeq
               .flatMap(_.fields().asScala)
-              .map(e => e.getKey -> e.getValue.asText())
+              .map(e => guardProp(e.getKey) -> e.getValue.asText())
+          case "remove-properties" =>
+            removeProps ++= Option(u.get("removals")).toSeq
+              .flatMap(_.elements().asScala).map(n => guardProp(n.asText()))
           case "add-schema" =>
             if (newSchemaNode.isDefined) throw new UnsupportedOperationException(
               "one add-schema per commit")
@@ -717,10 +731,16 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           case "set-current-schema" =>
             setCurrentSchema = Some(Option(u.get("schema-id")).map(_.asInt())
               .getOrElse(-1))
+          case "add-partition-spec" =>
+            if (newSpecNode.isDefined) throw new UnsupportedOperationException(
+              "one add-partition-spec per commit")
+            newSpecNode = Option(u.get("spec")).orElse(Some(u))
+          case "set-default-spec" => () // validated by presence of the add
           case other => throw new UnsupportedOperationException(
             s"unsupported metadata update over REST: $other (supported: " +
               "add-snapshot + set-snapshot-ref + set-properties + " +
-              "add-schema + set-current-schema; row-level position " +
+              "remove-properties + add-schema + set-current-schema + " +
+              "add-partition-spec + set-default-spec; row-level position " +
               "deletes and replace summaries stay engine-side)")
         }
       }
@@ -753,15 +773,39 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           s"branch $ref moved since the served base — refresh and retry")
     val head = repo.snapshot(repo.resolve(ref).tables(key))
 
+    // ---- partition-spec evolution (ALTER TABLE ADD PARTITION FIELD
+    // over REST): its own metadata-only commit, lowered onto graft's
+    // forward-only spec swap (TableOps.setPartitionSpec — old files
+    // keep their recorded values, name-reuse rebinds to fresh names)
+    if (newSpecNode.isDefined) {
+      if (snapNode.isDefined || newSchemaNode.isDefined)
+        throw new UnsupportedOperationException(
+          "a partition-spec change is its own commit over REST " +
+            "(no add-snapshot / add-schema alongside)")
+      val curSchemaNode = Option(served.get("schemas"))
+        .map(_.elements().asScala.toSeq).getOrElse(Nil)
+        .find(s => Option(s.get("schema-id")).exists(_.asInt() == servedSchemaId))
+        .getOrElse(throw new IllegalStateException(
+          s"served metadata has no schema $servedSchemaId"))
+      val idToName = curSchemaNode.get("fields").elements().asScala.map(f =>
+        f.get("id").asInt() -> f.get("name").asText()).toMap
+      val spec = newSpecNode
+        .map(n => Option(n.get("fields")).getOrElse(n))
+        .map(_.elements().asScala.map(partitionFieldOf(_, idToName)).toSeq)
+        .getOrElse(Nil)
+      TableOps.setPartitionSpec(repo, ref, key, spec, precheck = pin)
+      return loadResult(serve(repo, prefix, ref, key))
+    }
+
     // ---- metadata-only commit (ALTER TABLE over REST): no snapshot
     if (snapNode.isEmpty) {
-      if (newSchemaNode.isEmpty && setProps.isEmpty)
+      if (newSchemaNode.isEmpty && setProps.isEmpty && removeProps.isEmpty)
         throw new IllegalArgumentException("commit carries no updates")
       repo.commitRetry(ref, s"rest: update schema $key") { base =>
         pin(base)
         val prior = repo.snapshot(base.tables(key))
         val ev = SchemaEvolution.evolve(prior, schemaChanges)
-        val props = ev.props ++ setProps
+        val props = (ev.props -- removeProps) ++ setProps
         val ns2 = repo.writeSnapshot(key, ev.schema.json, prior.files,
           if (ev.spec.isEmpty) None else Some(ev.spec),
           if (ev.mapping.isEmpty) None else Some(ev.mapping),
@@ -862,7 +906,7 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         s"+${entries.size} files)") { base =>
         pinMsg(base)
         val prior = repo.snapshot(base.tables(key))
-        val props0 = prior.properties ++ setProps
+        val props0 = (prior.properties -- removeProps) ++ setProps
         val next = Tombstones.lastSeq(props0) + 1
         val props = Tombstones.append(props0, next, morFilter.get)
         val stamped = entries.map(_.copy(seq = Some(next)))
@@ -879,7 +923,7 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         pinMsg(base)
         val prior = repo.snapshot(base.tables(key))
         val ev2 = SchemaEvolution.evolve(prior, schemaChanges)
-        val props0 = ev2.props ++ setProps
+        val props0 = (ev2.props -- removeProps) ++ setProps
         val next = Tombstones.lastSeq(props0) + 1
         val stamped = entries.map(_.copy(seq = Some(next)))
         val props = props0 + (Tombstones.SeqProp -> next.toString)
@@ -896,7 +940,7 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         ev.spec, ev.mapping, head.schemaJson,
         Some(s"rest: append $key (${entries.size} files, " +
           s"${entries.map(_.rows).sum} rows)"),
-        setProps, precheck = pin)
+        setProps, precheck = pin, removeProps = removeProps)
     else {
       // the engine's CoW rewrite: dropped base files must be data-plane
       // rels (they are — the served export references them in place)
@@ -908,7 +952,7 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       TableOps.commitRewrite(repo, ref, key, dropRels.toSet, entries,
         Some(s"rest: $op $key (+${entries.size}/-${dropRels.size} files, " +
           s"+${entries.map(_.rows).sum} rows)"),
-        setProps, precheck = pin)
+        setProps, precheck = pin, removeProps = removeProps)
     }
     loadResult(serve(repo, prefix, ref, key))
   }
@@ -957,7 +1001,13 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           case "set-properties" =>
             props ++= Option(u.get("updates")).toSeq
               .flatMap(_.fields().asScala)
-              .map(e => e.getKey -> e.getValue.asText())
+              .map { e =>
+                if (e.getKey.startsWith("graft."))
+                  throw new UnsupportedOperationException(
+                    s"${e.getKey} is engine-managed graft state; not " +
+                      "settable over REST")
+                e.getKey -> e.getValue.asText()
+              }
           case "add-snapshot" =>
             if (snapNode.isDefined) throw new UnsupportedOperationException(
               "one add-snapshot per staged create")

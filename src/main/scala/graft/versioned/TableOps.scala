@@ -436,7 +436,8 @@ object TableOps {
       spec: Seq[PartitionField], mapping: Map[String, String],
       fallbackSchemaJson: String, message: Option[String] = None,
       extraProps: Map[String, String] = Map.empty,
-      precheck: Commit => Unit = _ => ()): Unit = {
+      precheck: Commit => Unit = _ => (),
+      removeProps: Set[String] = Set.empty): Unit = {
     val msg = message.getOrElse(s"${if (overwrite) "overwrite" else "append"} $key")
     repo.commitRetry(branch, msg) { base =>
       // caller-supplied optimistic-base validation, re-evaluated INSIDE
@@ -447,7 +448,9 @@ object TableOps {
       // props re-read from the rebased head inside the race so a
       // concurrent property change (or stream-batch marker) is not lost
       val prior = base.tables.get(key).map(repo.snapshot)
-      val props0 = prior.map(_.properties).getOrElse(Map.empty) ++ extraProps
+      val props0 =
+        (prior.map(_.properties).getOrElse(Map.empty) -- removeProps) ++
+          extraProps
       // new files stamped with the table's next commit sequence: MoR
       // tombstones committed EARLIER never apply to these rows
       val next = Tombstones.lastSeq(props0) + 1
@@ -490,7 +493,8 @@ object TableOps {
       removeRels: Set[String], newFiles: Seq[FileEntry],
       message: Option[String] = None,
       extraProps: Map[String, String] = Map.empty,
-      precheck: Commit => Unit = _ => ()): Unit =
+      precheck: Commit => Unit = _ => (),
+      removeProps: Set[String] = Set.empty): Unit =
     repo.commitRetry(branch, message.getOrElse(s"rewrite $key")) { base =>
       precheck(base)
       val prior = base.tables.get(key).map(repo.snapshot).getOrElse(
@@ -500,7 +504,7 @@ object TableOps {
       if (missing.nonEmpty) throw new MergeConflictException(
         s"rewrite of $key drops ${missing.size} file(s) not live at the " +
           s"commit base (e.g. ${missing.head}) — refresh and retry")
-      val props0 = prior.properties ++ extraProps
+      val props0 = (prior.properties -- removeProps) ++ extraProps
       val next = Tombstones.lastSeq(props0) + 1
       val stamped = newFiles.map(_.copy(seq = Some(next)))
       val kept = prior.files.filterNot(f => removeRels(f.path))
@@ -1215,9 +1219,11 @@ object TableOps {
     * never-reused field ids. Returns the spec as committed.
     */
   def setPartitionSpec(repo: GraftRepo, branch: String, key: String,
-      newSpec: Seq[PartitionField]): Seq[PartitionField] = {
+      newSpec: Seq[PartitionField],
+      precheck: Commit => Unit = _ => ()): Seq[PartitionField] = {
     var committed: Seq[PartitionField] = Nil
     repo.commitRetry(branch, s"set partition spec on $key") { base =>
+      precheck(base)
       val sid = base.tables.getOrElse(key,
         throw new IllegalArgumentException(s"no such table: $key"))
       val snap = repo.snapshot(sid)

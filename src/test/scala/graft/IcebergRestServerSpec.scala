@@ -1264,4 +1264,79 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       eU.get("error").get("message").asText() should include ("field id")
     } finally srv.close()
   }
+
+  test("writable server: set/remove-properties commits, the graft.* " +
+    "property guard, and partition-spec evolution over REST") {
+    sql("CREATE NAMESPACE g.restpp")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "restpp")
+    val exports = Files.createTempDirectory("graft-restpp-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true)
+    try {
+      sql("CREATE NAMESPACE g.restpp.main.db")
+      sql("CREATE TABLE g.restpp.main.db.pp (id INT, cat STRING)")
+      sql("INSERT INTO g.restpp.main.db.pp VALUES (1, 'a'), (2, 'b')")
+      val meta = get(s"/v1/namespaces/${enc("main", "db")}/tables/pp", srv)
+        ._2.get("metadata")
+      val uuid = meta.get("table-uuid").asText()
+      def commit(updates: String): (Int, JsonNode) =
+        send("POST", s"/v1/namespaces/${enc("main", "db")}/tables/pp",
+          s"""{"requirements":[{"type":"assert-table-uuid","uuid":"$uuid"}],
+             |"updates":[$updates]}""".stripMargin.replaceAll("\n", ""), srv)
+
+      // properties land and removals stick, metadata-only
+      commit("""{"action":"set-properties",
+        |"updates":{"owner":"a","note":"x"}}""".stripMargin
+        .replaceAll("\n", ""))._1 shouldBe 200
+      commit("""{"action":"remove-properties","removals":["note"]},
+        |{"action":"set-properties","updates":{"owner":"b"}}""".stripMargin
+        .replaceAll("\n", ""))._1 shouldBe 200
+      val g = GraftRepo.open(root)
+      def snap() = g.snapshot(g.resolve("main").tables("db/pp"))
+      snap().properties.get("owner") shouldBe Some("b")
+      snap().properties.contains("note") shouldBe false
+
+      // engine-managed graft.* state refuses in both directions
+      val (cG, eG) = commit("""{"action":"set-properties",
+        |"updates":{"graft.mor.lastseq":"999"}}""".stripMargin
+        .replaceAll("\n", ""))
+      cG shouldBe 400
+      eG.get("error").get("message").asText() should include ("engine-managed")
+      commit("""{"action":"remove-properties",
+        |"removals":["graft.mor.tombstones"]}""".stripMargin
+        .replaceAll("\n", ""))._1 shouldBe 400
+
+      // partition evolution: identity(cat) forward-only, metadata-only
+      val catId = {
+        val it = meta.get("schemas").elements().next().get("fields").elements()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .find(_.get("name").asText() == "cat").get.get("id").asInt()
+      }
+      commit(s"""{"action":"add-partition-spec","spec":{"spec-id":1,
+        |"fields":[{"source-id":$catId,"name":"cat",
+        |"transform":"identity","field-id":1000}]}},
+        |{"action":"set-default-spec","spec-id":-1}""".stripMargin
+        .replaceAll("\n", ""))._1 shouldBe 200
+      snap().partitionFields shouldBe
+        Seq(graft.versioned.PartitionField("cat", "identity", "cat"))
+      // pre-existing files keep reading (no recorded values -> kept)
+      sql("SELECT count(*) FROM g.restpp.main.db.pp")
+        .collect().head.getLong(0) shouldBe 2L
+      // a native write under the new spec records partition values
+      sql("INSERT INTO g.restpp.main.db.pp VALUES (3, 'c')")
+      sql("SELECT id FROM g.restpp.main.db.pp WHERE cat = 'c'")
+        .collect().map(_.getInt(0)).toSeq shouldBe Seq(3)
+
+      // a spec change may not share a commit with a snapshot
+      val (cS, eS) = commit(s"""{"action":"add-partition-spec","spec":{
+        |"spec-id":2,"fields":[]}},
+        |{"action":"add-snapshot","snapshot":{"snapshot-id":1,
+        |"timestamp-ms":1700000000000,"schema-id":0,
+        |"manifest-list":"/nonexistent","summary":{"operation":"append"}}}"""
+        .stripMargin.replaceAll("\n", ""))
+      cS shouldBe 400
+      eS.get("error").get("message").asText() should include ("its own commit")
+    } finally srv.close()
+  }
 }
