@@ -75,8 +75,19 @@ final class GraftViewResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         val view =
           try g.loadView(ident)
           catch { case _: Exception => return None } // a table, or absent
+        // a view created OUTSIDE a Spark session (the REST catalog's
+        // CreateViewRequest) carries no engine catalog name and a
+        // namespace that is not this catalog's 3-level shape — resolve
+        // it in the READER's context instead: same branch-following
+        // semantics, just anchored where the view is being read
+        val effCat = Option(view.currentCatalog()).filter(_.nonEmpty)
+          .getOrElse(catName)
+        val effNs =
+          if (view.currentNamespace() != null &&
+              view.currentNamespace().length == 3) view.currentNamespace()
+          else ns
         val analyzed = ViewContextBridge.sqlWith(spark,
-          view.currentCatalog(), view.currentNamespace(), view.query())
+          effCat, effNs, view.query())
           .queryExecution.analyzed
         val aliased =
           if (view.columnAliases() == null || view.columnAliases().isEmpty)

@@ -104,6 +104,16 @@ import org.apache.spark.sql.SparkSession
   *  - `DELETE .../tables/{t}` drops (optionally `purgeRequested=true`
   *    with the engine catalog's purge semantics); rename stays
   *    unsupported, mirroring the reference (LakeFSCatalog.java:218).
+  *  - VIEWS (r12): graft's versioned views serve over the spec's REST
+  *    view API — `GET .../views` lists, `GET/HEAD .../views/{v}` load
+  *    real ViewMetadata (one current version per served head — graft
+  *    versions views by branch commit — with the stored spark-dialect
+  *    SQL representation and a default-namespace whose branch segment
+  *    is the served ref, graft's branch-following semantics);
+  *    `POST .../views` creates (writable servers; concurrent creates
+  *    race in the commit and one wins), `DELETE` drops.
+  *    Replace-view refuses with drop-and-recreate guidance (history is
+  *    in the branch either way); view rename refuses like table rename.
   */
 final class IcebergRestServer private (single: Option[GraftRepo],
     reposRoot: Option[Path], exportRoot: Path, spark: Option[SparkSession],
@@ -180,6 +190,14 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         case ("HEAD", Seq("namespaces", ns, "tables", t)) =>
           resolveKey(repoFor(prefix), levels(ns), t) // throws -> 404
           ex.sendResponseHeaders(200, -1); ex.close()
+        case ("GET", Seq("namespaces", ns, "views")) =>
+          reply(ex, 200, listViews(repoFor(prefix), levels(ns)))
+        case ("GET", Seq("namespaces", ns, "views", v)) =>
+          reply(ex, 200, loadRestView(repoFor(prefix), prefix,
+            levels(ns), v))
+        case ("HEAD", Seq("namespaces", ns, "views", v)) =>
+          resolveViewKey(repoFor(prefix), levels(ns), v) // throws -> 404
+          ex.sendResponseHeaders(200, -1); ex.close()
         case ("GET" | "HEAD", _) =>
           throw new NoSuchElementException(
             s"no such route: ${segs.mkString("/")}")
@@ -198,7 +216,18 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           dropTable(repoFor(prefix), levels(ns), t,
             queryParam(query, "purgeRequested").contains("true"))
           ex.sendResponseHeaders(204, -1); ex.close()
-        case ("POST", Seq("tables", "rename")) =>
+        case ("POST", Seq("namespaces", ns, "views")) =>
+          reply(ex, 200, createRestView(repoFor(prefix), prefix,
+            levels(ns), body(ex)))
+        case ("POST", Seq("namespaces", ns, "views", v)) =>
+          throw new UnsupportedOperationException(
+            "replace-view over REST is not supported: DROP and " +
+              "re-CREATE — a graft view is versioned by the branch " +
+              "commit either way, so history is preserved regardless")
+        case ("DELETE", Seq("namespaces", ns, "views", v)) =>
+          dropRestView(repoFor(prefix), levels(ns), v)
+          ex.sendResponseHeaders(204, -1); ex.close()
+        case ("POST", Seq("tables", "rename") | Seq("views", "rename")) =>
           throw new UnsupportedOperationException(
             "rename is not supported (reference parity: " +
               "LakeFSCatalog.java:218 — a rename across immutable " +
@@ -211,6 +240,7 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       case e: NoSuchElementException =>
         val msg = Option(e.getMessage).getOrElse("not found")
         val t = if (msg.startsWith("no such table")) "NoSuchTableException"
+        else if (msg.startsWith("no such view")) "NoSuchViewException"
         else "NoSuchNamespaceException"
         replyError(ex, 404, t, msg)
       case e: RestConflict =>
@@ -1387,6 +1417,183 @@ final class IcebergRestServer private (single: Option[GraftRepo],
             "the file itself contradicts (partition pruning would " +
             "silently drop these rows)")
       case _ => // no stats for the column — nothing to falsify
+    }
+  }
+
+  // ---- views (the spec's REST view API over graft's versioned views) ----
+
+  private def resolveViewKey(repo: GraftRepo, ns: Seq[String],
+      name: String): (String, String, ViewDef) = ns match {
+    case ref +: dirs if dirs.nonEmpty && refNames(repo).contains(ref) =>
+      val key = (dirs :+ name).mkString("/")
+      repo.resolve(ref).viewMap.get(key) match {
+        case Some(vd) => (ref, key, vd)
+        case None => throw new NoSuchElementException(
+          s"no such view: $key @ $ref")
+      }
+    case _ => throw new NoSuchElementException(
+      s"no such view: ${(ns :+ name).mkString(".")}")
+  }
+
+  private def listViews(repo: GraftRepo, ns: Seq[String]): ObjectNode =
+    ns match {
+      case ref +: dirs if refNames(repo).contains(ref) =>
+        val o = mapper.createObjectNode()
+        val arr = o.putArray("identifiers")
+        repo.resolve(ref).viewMap.keys.toSeq.sorted
+          .map(_.split('/').toSeq)
+          .filter(k => k.length == dirs.length + 1 && k.startsWith(dirs))
+          .foreach { k =>
+            val id = arr.addObject()
+            val a = id.putArray("namespace"); ns.foreach(a.add)
+            id.put("name", k.last)
+          }
+        o
+      case _ => throwNoNs(ns)
+    }
+
+  /** LoadViewResult: real spec-shaped view metadata from the graft
+    * [[ViewDef]] — ONE current version (graft versions views by branch
+    * commit, so each served head has exactly one definition), the SQL
+    * representation under the `spark` dialect it was authored in, the
+    * Iceberg schema from the stored analyzed schema, and a
+    * `default-namespace` whose BRANCH segment is the served ref (the
+    * branch-rebinding semantics graft's own resolution applies —
+    * a view read on `dev` resolves relative references on `dev`).
+    * The metadata file is memoized per definition (content-hash name)
+    * under the export root.
+    */
+  private def loadRestView(repo: GraftRepo, prefix: Option[String],
+      ns: Seq[String], name: String): ObjectNode = {
+    val (ref, key, vd) = resolveViewKey(repo, ns, name)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(vd.schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType]
+    val dest = prefix.fold(exportRoot)(exportRoot.resolve)
+      .resolve(ref).resolve(key)
+    val meta = mapper.createObjectNode()
+    meta.put("view-uuid", java.util.UUID.nameUUIDFromBytes(
+      s"graft-view:${repo.root}:$ref:$key"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString)
+    meta.put("format-version", 1)
+    meta.put("location", dest.toAbsolutePath.normalize.toString)
+    meta.put("current-version-id", 1)
+    val ts = repo.resolve(ref).ts
+    val ver = mapper.createObjectNode()
+    ver.put("version-id", 1)
+    ver.put("timestamp-ms", ts)
+    ver.put("schema-id", 0)
+    val sum = ver.putObject("summary")
+    sum.put("engine-name", "graft")
+    val reps = ver.putArray("representations")
+    val rep = mapper.createObjectNode()
+    rep.put("type", "sql"); rep.put("sql", vd.sql)
+    rep.put("dialect", "spark")
+    reps.add(rep)
+    if (vd.catalog != null && vd.catalog.nonEmpty)
+      ver.put("default-catalog", vd.catalog)
+    val dns = ver.putArray("default-namespace")
+    // creation-time namespace with the BRANCH segment rebound to the
+    // served ref (ViewDef.namespace is [repo?, branch, db...] shaped in
+    // the native catalog; over REST the repo routes via the prefix)
+    (ref +: vd.namespace.drop(2)).foreach(dns.add)
+    meta.set[ObjectNode]("versions", mapper.createArrayNode().add(ver))
+    val vl = mapper.createArrayNode()
+    val vle = mapper.createObjectNode()
+    vle.put("timestamp-ms", ts); vle.put("version-id", 1)
+    vl.add(vle)
+    meta.set[ObjectNode]("version-log", vl)
+    val schemaNode = mapper.readTree(
+      IcebergExport.icebergSchemaJson(schema)).asInstanceOf[ObjectNode]
+    schemaNode.put("schema-id", 0)
+    meta.set[ObjectNode]("schemas", mapper.createArrayNode().add(schemaNode))
+    val pr = meta.putObject("properties")
+    vd.properties.foreach { case (k, v) => pr.put(k, v) }
+    // memoized metadata file, content-addressed by the definition
+    val bytes = mapper.writeValueAsBytes(meta)
+    val hash = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).take(8).map("%02x".format(_)).mkString
+    val metaDir = dest.resolve("metadata")
+    Files.createDirectories(metaDir)
+    val metaPath = metaDir.resolve(s"view-$hash.metadata.json")
+    if (!Files.exists(metaPath)) {
+      val tmp = Files.createTempFile(metaDir, ".view", ".tmp")
+      Files.write(tmp, bytes)
+      Files.move(tmp, metaPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val o = mapper.createObjectNode()
+    o.put("metadata-location", metaPath.toString)
+    o.set[ObjectNode]("metadata", meta)
+    o.set[ObjectNode]("config", mapper.createObjectNode())
+    o
+  }
+
+  /** CreateViewRequest → a graft versioned view: the `spark`-dialect
+    * SQL representation (or the only one posted) becomes the stored
+    * definition; concurrent creates race on the key inside
+    * commitRetryViews and exactly one wins.
+    */
+  private def createRestView(repo: GraftRepo, prefix: Option[String],
+      ns: Seq[String], req: com.fasterxml.jackson.databind.JsonNode)
+      : ObjectNode = {
+    val (ref, dirs) = ns match {
+      case r +: ds if ds.nonEmpty => (r, ds)
+      case _ => throw new IllegalArgumentException(
+        s"views live under [ref, db...]: ${ns.mkString(".")}")
+    }
+    if (!repo.branchExists(ref)) throw new IllegalArgumentException(
+      if (repo.tagExists(ref)) s"views commit to a branch; $ref is a tag"
+      else s"no such branch: $ref")
+    val name = Option(req.get("name")).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException("create carries no view name"))
+    val key = (dirs :+ name).mkString("/")
+    val schemaNode = Option(req.get("schema")).getOrElse(
+      throw new IllegalArgumentException("create carries no schema"))
+    val schema = IcebergImport.structOf(schemaNode)
+    val vv = Option(req.get("view-version")).getOrElse(
+      throw new IllegalArgumentException("create carries no view-version"))
+    val reps = Option(vv.get("representations")).toSeq
+      .flatMap(_.elements().asScala).toSeq
+    val rep = reps.find(r => Option(r.get("dialect"))
+        .exists(_.asText() == "spark"))
+      .orElse(reps.headOption).getOrElse(
+        throw new IllegalArgumentException(
+          "view-version carries no SQL representation"))
+    val sql = Option(rep.get("sql")).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException("representation carries no sql"))
+    val dcat = Option(vv.get("default-catalog")).map(_.asText()).getOrElse("")
+    val dns = Option(vv.get("default-namespace")).toSeq
+      .flatMap(_.elements().asScala).map(_.asText()).toSeq
+    // store the graft-shaped resolution context: [repo, branch, db...]
+    // (the branch segment rebinds to the reading branch at load)
+    val nsStored = (prefix.toSeq :+ ref) ++
+      (if (dns.nonEmpty && refNames(repo).contains(dns.head)) dns.tail
+       else dns)
+    val props = Option(req.get("properties")).map(_.fields().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty[String, String])
+    val vd = ViewDef(sql = sql, catalog = dcat,
+      namespace = nsStored, schemaJson = schema.json,
+      properties = props)
+    repo.commitRetryViews(ref, s"rest: create view $key") { base =>
+      if (base.viewMap.contains(key) || base.tables.contains(key))
+        throw new RestConflict("AlreadyExistsException",
+          s"view already exists: $key @ $ref")
+      base.viewMap + (key -> vd)
+    }
+    loadRestView(repo, prefix, ns, name)
+  }
+
+  private def dropRestView(repo: GraftRepo, ns: Seq[String],
+      name: String): Unit = {
+    val (ref, key, _) = resolveViewKey(repo, ns, name)
+    if (!repo.branchExists(ref)) throw new IllegalArgumentException(
+      s"drops commit to a branch; $ref is a tag")
+    repo.commitRetryViews(ref, s"rest: drop view $key") { base =>
+      if (!base.viewMap.contains(key))
+        throw new NoSuchElementException(s"no such view: $key @ $ref")
+      base.viewMap - key
     }
   }
 

@@ -31,6 +31,7 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions", classOf[graft.GraftExtensions].getName)
     .config("spark.sql.catalog.g", classOf[graft.catalog.GraftCatalog].getName)
     .config("spark.sql.catalog.g.root",
       Files.createTempDirectory("graft-rest").toString)
@@ -1337,6 +1338,112 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
         .stripMargin.replaceAll("\n", ""))
       cS shouldBe 400
       eS.get("error").get("message").asText() should include ("its own commit")
+    } finally srv.close()
+  }
+
+  test("views over REST: list/load/head serve the graft view as spec " +
+    "view metadata; create lands a versioned view readable natively; " +
+    "drop removes it; replace refuses with guidance") {
+    sql("CREATE NAMESPACE g.restv")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "restv")
+    val exports = Files.createTempDirectory("graft-restv-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true)
+    try {
+      sql("CREATE NAMESPACE g.restv.main.db")
+      sql("CREATE TABLE g.restv.main.db.t (id INT, v STRING)")
+      sql("INSERT INTO g.restv.main.db.t VALUES (1, 'a'), (2, 'b')")
+      // Spark's SQL CREATE VIEW does not route to v2 ViewCatalogs; the
+      // native create goes through the catalog API (as ViewSqlSpec does)
+      locally {
+        val vcat = graft.catalog.GraftViews.viewCatalog(spark, "g")
+        val vident = org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array("restv", "main", "db"), "tv")
+        val vsql = "SELECT id, upper(v) AS uv FROM t WHERE id > 1"
+        val inferred = org.apache.spark.sql.graftbridge.ViewContextBridge
+          .sqlWith(spark, "g", vident.namespace(), vsql).schema
+        vcat.createView(new org.apache.spark.sql.connector.catalog.ViewInfo(
+          vident, vsql, "g", vident.namespace(), inferred,
+          inferred.fieldNames, Array.empty, Array.empty,
+          java.util.Map.of()))
+      }
+
+      // list + head
+      val (cL, ids) = get(s"/v1/namespaces/${enc("main", "db")}/views", srv)
+      cL shouldBe 200
+      val names = {
+        val it = ids.get("identifiers").elements()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .map(_.get("name").asText()).toSeq
+      }
+      names shouldBe Seq("tv")
+      get(s"/v1/namespaces/${enc("main", "db")}/views/missing", srv)
+        ._1 shouldBe 404
+
+      // load: spec-shaped view metadata, spark SQL representation,
+      // branch-rebound default-namespace, real metadata-location
+      val (cV, load) = get(s"/v1/namespaces/${enc("main", "db")}/views/tv", srv)
+      cV shouldBe 200
+      val vm = load.get("metadata")
+      vm.get("format-version").asInt() shouldBe 1
+      vm.get("current-version-id").asInt() shouldBe 1
+      val ver = vm.get("versions").elements().next()
+      val rep = ver.get("representations").elements().next()
+      rep.get("dialect").asText() shouldBe "spark"
+      rep.get("sql").asText() should include ("upper")
+      val dns = {
+        val it = ver.get("default-namespace").elements()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .map(_.asText()).toSeq
+      }
+      dns.head shouldBe "main" // branch segment rebound to the served ref
+      val schemaFields = vm.get("schemas").elements().next().get("fields")
+      schemaFields.size() shouldBe 2
+      java.nio.file.Files.exists(java.nio.file.Paths.get(
+        load.get("metadata-location").asText())) shouldBe true
+      // memoized: a second load serves the same metadata file
+      get(s"/v1/namespaces/${enc("main", "db")}/views/tv", srv)
+        ._2.get("metadata-location").asText() shouldBe
+        load.get("metadata-location").asText()
+
+      // create over REST -> natively readable versioned view
+      val (cC, _) = send("POST", s"/v1/namespaces/${enc("main", "db")}/views",
+        """{"name":"w","schema":{"type":"struct","schema-id":0,"fields":[
+          |{"id":1,"name":"one","required":false,"type":"int"}]},
+          |"view-version":{"version-id":1,"timestamp-ms":1700000000000,
+          |"schema-id":0,"summary":{},
+          |"representations":[{"type":"sql","sql":"SELECT 1 AS one",
+          |"dialect":"spark"}],
+          |"default-namespace":["main","db"]},
+          |"properties":{"comment":"rest-created"}}"""
+          .stripMargin.replaceAll("\n", ""), srv)
+      cC shouldBe 200
+      sql("SELECT * FROM g.restv.main.db.w")
+        .collect().map(_.getInt(0)).toSeq shouldBe Seq(1)
+      // duplicate create -> 409
+      send("POST", s"/v1/namespaces/${enc("main", "db")}/views",
+        """{"name":"w","schema":{"type":"struct","schema-id":0,"fields":[
+          |{"id":1,"name":"one","required":false,"type":"int"}]},
+          |"view-version":{"version-id":1,"timestamp-ms":1700000000000,
+          |"schema-id":0,"summary":{},
+          |"representations":[{"type":"sql","sql":"SELECT 1 AS one",
+          |"dialect":"spark"}],
+          |"default-namespace":["main","db"]}}"""
+          .stripMargin.replaceAll("\n", ""), srv)._1 shouldBe 409
+
+      // replace refuses with guidance; drop removes
+      val (cR, eR) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/views/w",
+        """{"requirements":[],"updates":[]}""", srv)
+      cR shouldBe 400
+      eR.get("error").get("message").asText() should include ("re-CREATE")
+      send("DELETE", s"/v1/namespaces/${enc("main", "db")}/views/w",
+        "", srv)._1 shouldBe 204
+      get(s"/v1/namespaces/${enc("main", "db")}/views/w", srv)._1 shouldBe 404
+      intercept[Exception] {
+        sql("SELECT * FROM g.restv.main.db.w").collect()
+      }
     } finally srv.close()
   }
 }
