@@ -1256,7 +1256,7 @@ object IcebergImport {
 
   /** An Iceberg type node — textual primitive, or object struct/list/map
     * — to its Spark type. */
-  private def sparkTypeNode(n: com.fasterxml.jackson.databind.JsonNode)
+  private[versioned] def sparkTypeNode(n: com.fasterxml.jackson.databind.JsonNode)
       : DataType =
     if (n.isTextual) sparkType(n.asText())
     else n.get("type").asText() match {

@@ -1188,54 +1188,79 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     }
   }
 
-  /** FIELD-ID diff of two Iceberg schema nodes → graft TableChanges
-    * (top-level columns; field ids are the identity Iceberg evolution
-    * preserves, so id-present-in-one-side decides add/drop and
-    * same-id-different-name decides rename). Type changes lower to
-    * UpdateColumnType and inherit [[SchemaEvolution]]'s widening-only
-    * guard; nested type edits surface as a non-widening change and
-    * refuse loudly.
+  /** FIELD-ID diff of two Iceberg schema nodes → graft TableChanges.
+    * Field ids are the identity Iceberg evolution preserves, so
+    * id-present-in-one-side decides add/drop and same-id-different-name
+    * decides rename — recursively: struct members (any depth, including
+    * structs under list `element` / map `key`/`value` positions) diff
+    * the same way, producing nested-path changes the shared
+    * [[SchemaEvolution]] core applies with its own guards. Leaf type
+    * changes lower to UpdateColumnType and inherit the widening-only
+    * guard; container-shape changes (list→scalar, changed element ids)
+    * compare as whole types and refuse loudly through the same gate.
     */
   private def schemaChangesOf(oldS: com.fasterxml.jackson.databind.JsonNode,
       newS: com.fasterxml.jackson.databind.JsonNode)
       : Seq[org.apache.spark.sql.connector.catalog.TableChange] = {
     import org.apache.spark.sql.connector.catalog.TableChange
-    final case class F(id: Int, name: String,
-        dt: org.apache.spark.sql.types.DataType)
-    def fieldsOf(s: com.fasterxml.jackson.databind.JsonNode): Seq[F] = {
-      if (s == null || s.get("fields") == null || !s.get("fields").isArray)
+    type JN = com.fasterxml.jackson.databind.JsonNode
+    val out = scala.collection.mutable.ArrayBuffer[TableChange]()
+    def kind(n: JN): String =
+      if (n == null || n.isTextual) "" else Option(n.get("type"))
+        .map(_.asText()).getOrElse("")
+    def diffFields(oldF: JN, newF: JN, path: Seq[String]): Unit = {
+      if (oldF == null || !oldF.isArray || newF == null || !newF.isArray)
         throw new IllegalArgumentException(
           "malformed add-schema: schema carries no fields array")
-      val spark = IcebergImport.structOf(s)
-      s.get("fields").elements().asScala.toSeq.zip(spark.fields).map {
-        case (f, sf) => F(f.get("id").asInt(), f.get("name").asText(),
-          sf.dataType)
+      final case class F(id: Int, name: String, tn: JN)
+      def fs(a: JN): Seq[F] = a.elements().asScala.toSeq.map(f =>
+        F(f.get("id").asInt(), f.get("name").asText(), f.get("type")))
+      val o = fs(oldF)
+      val n = fs(newF)
+      val oldById = o.map(f => f.id -> f).toMap
+      val newIds = n.map(_.id).toSet
+      // drops first: a re-added name then takes the retired-name path
+      // and gets a fresh physical name (old bytes never resurface)
+      o.filterNot(f => newIds(f.id)).foreach { f =>
+        out += TableChange.deleteColumn((path :+ f.name).toArray, false)
+      }
+      n.foreach { f =>
+        oldById.get(f.id) match {
+          case None =>
+            out += TableChange.addColumn((path :+ f.name).toArray,
+              IcebergImport.sparkTypeNode(f.tn))
+          case Some(of) =>
+            var cur = of.name
+            if (of.name != f.name) {
+              out += TableChange.renameColumn((path :+ of.name).toArray,
+                f.name)
+              cur = f.name
+            }
+            diffType(of.tn, f.tn, path :+ cur)
+        }
       }
     }
-    val o = fieldsOf(oldS)
-    val n = fieldsOf(newS)
-    val oldById = o.map(f => f.id -> f).toMap
-    val newIds = n.map(_.id).toSet
-    val out = scala.collection.mutable.ArrayBuffer[TableChange]()
-    // drops first: a re-added name then takes the retired-name path and
-    // gets a fresh physical name (old bytes never resurface)
-    o.filterNot(f => newIds(f.id)).foreach { f =>
-      out += TableChange.deleteColumn(Array(f.name), false)
-    }
-    n.foreach { f =>
-      oldById.get(f.id) match {
-        case None =>
-          out += TableChange.addColumn(Array(f.name), f.dt)
-        case Some(of) =>
-          var cur = of.name
-          if (of.name != f.name) {
-            out += TableChange.renameColumn(Array(of.name), f.name)
-            cur = f.name
-          }
-          if (of.dt != f.dt)
-            out += TableChange.updateColumnType(Array(cur), f.dt)
+    def diffType(ot: JN, nt: JN, path: Seq[String]): Unit =
+      (kind(ot), kind(nt)) match {
+        case ("struct", "struct") =>
+          diffFields(ot.get("fields"), nt.get("fields"), path)
+        case ("list", "list")
+          if ot.get("element-id").asInt() == nt.get("element-id").asInt() =>
+          diffType(ot.get("element"), nt.get("element"), path :+ "element")
+        case ("map", "map")
+          if ot.get("key-id").asInt() == nt.get("key-id").asInt() &&
+            ot.get("value-id").asInt() == nt.get("value-id").asInt() =>
+          diffType(ot.get("key"), nt.get("key"), path :+ "key")
+          diffType(ot.get("value"), nt.get("value"), path :+ "value")
+        case _ =>
+          val od = IcebergImport.sparkTypeNode(ot)
+          val nd = IcebergImport.sparkTypeNode(nt)
+          if (od != nd)
+            out += TableChange.updateColumnType(path.toArray, nd)
       }
-    }
+    diffFields(
+      Option(oldS).map(_.get("fields")).orNull,
+      Option(newS).map(_.get("fields")).orNull, Nil)
     out.toSeq
   }
 

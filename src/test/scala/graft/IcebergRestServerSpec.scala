@@ -1446,4 +1446,66 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       }
     } finally srv.close()
   }
+
+  test("writable server: NESTED schema evolution over REST — add and " +
+    "rename struct members by field-id diff; old rows answer nulls " +
+    "for the added member") {
+    sql("CREATE NAMESPACE g.restns")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "restns")
+    val exports = Files.createTempDirectory("graft-restns-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true)
+    try {
+      sql("CREATE NAMESPACE g.restns.main.db")
+      sql("CREATE TABLE g.restns.main.db.n " +
+        "(id INT, s STRUCT<a: INT, b: STRING>)")
+      sql("INSERT INTO g.restns.main.db.n VALUES " +
+        "(1, named_struct('a', 10, 'b', 'x'))")
+      val meta = get(s"/v1/namespaces/${enc("main", "db")}/tables/n", srv)
+        ._2.get("metadata")
+      val s1 = meta.get("schemas").elements().next()
+        .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      s1.put("schema-id", 1)
+      val sField = {
+        val it = s1.withArray("fields").elements()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .find(_.get("name").asText() == "s").get
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      }
+      val inner = sField.get("type")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val fit = inner.withArray("fields").elements()
+      while (fit.hasNext) {
+        val f = fit.next()
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        if (f.get("name").asText() == "b") f.put("name", "bb")
+      }
+      val nf = mapper.createObjectNode()
+      nf.put("id", meta.get("last-column-id").asInt() + 1)
+      nf.put("name", "c"); nf.put("required", false); nf.put("type", "long")
+      inner.withArray("fields").add(nf)
+      val (c1, e1) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/n",
+        s"""{"requirements":[
+           |{"type":"assert-table-uuid",
+           |"uuid":"${meta.get("table-uuid").asText()}"}],
+           |"updates":[
+           |{"action":"add-schema","schema":${mapper.writeValueAsString(s1)}},
+           |{"action":"set-current-schema","schema-id":-1}]}"""
+          .stripMargin.replaceAll("\n", ""), srv)
+      withClue(e1.toString) { c1 shouldBe 200 }
+      // renamed member reads old bytes; added member is null in old rows
+      val row = sql("SELECT s.a, s.bb, s.c FROM g.restns.main.db.n")
+        .collect().head
+      row.getInt(0) shouldBe 10
+      row.getString(1) shouldBe "x"
+      row.isNullAt(2) shouldBe true
+      // and a native write under the evolved schema round-trips
+      sql("INSERT INTO g.restns.main.db.n VALUES " +
+        "(2, named_struct('a', 20, 'bb', 'y', 'c', 200L))")
+      sql("SELECT s.c FROM g.restns.main.db.n WHERE id = 2")
+        .collect().head.getLong(0) shouldBe 200L
+    } finally srv.close()
+  }
 }
