@@ -1061,6 +1061,57 @@ object Versioned {
       s"FROM $cat.r.main.db.nation ORDER BY n_nationkey, n_name")
   }
 
+  /** Views over the REST catalog (r12): an external engine posts a
+    * CreateViewRequest (spark-dialect SQL representation, relative
+    * table reference, default-namespace [branch, db]) and the view
+    * lands as a graft VERSIONED view; loading it back over REST serves
+    * spec ViewMetadata with the identical representation; and the gate
+    * reads the view NATIVELY through the analyzer rule (which anchors
+    * a view carrying no engine catalog context in the reader's
+    * catalog), hash-checked against the DuckDB oracle.
+    */
+  private def restView(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    val srv = graft.versioned.IcebergRestServer.start(repo,
+      Files.createTempDirectory("graft-rest-viewgate"), Some(s),
+      writable = true)
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val ns = java.net.URLEncoder.encode("maindb", "UTF-8")
+      val resp = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/views"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          """{"name":"rv","schema":{"type":"struct","schema-id":0,"fields":[
+            |{"id":1,"name":"n_nationkey","required":false,"type":"int"},
+            |{"id":2,"name":"n_name","required":false,"type":"string"}]},
+            |"view-version":{"version-id":1,"timestamp-ms":1700000000000,
+            |"schema-id":0,"summary":{},
+            |"representations":[{"type":"sql",
+            |"sql":"SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1",
+            |"dialect":"spark"}],
+            |"default-namespace":["main","db"]},
+            |"properties":{"comment":"rest-created"}}"""
+            .stripMargin.replaceAll("\n", ""))).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200,
+        s"create view -> ${resp.statusCode()}: ${resp.body()}")
+      // load back: the representation round-trips verbatim
+      val get = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/views/rv"))
+        .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(get.statusCode() == 200, s"loadView failed: ${get.body()}")
+      val rep = mapper.readTree(get.body()).get("metadata")
+        .get("versions").elements().next()
+        .get("representations").elements().next()
+      require(rep.get("sql").asText().contains("n_regionkey = 1"),
+        s"representation did not round-trip: $rep")
+    } finally srv.close()
+    s.sql(s"SELECT n_nationkey, n_name FROM $cat.r.main.db.rv " +
+      "ORDER BY n_nationkey")
+  }
+
   /** Incremental (checkpointed-consumer) read: `graft.fromRef = <c1>`
     * scans ONLY the files appended since commit c1 — resolved purely
     * from snapshot metadata (no listing, no diffing data). The batch
@@ -1609,6 +1660,12 @@ object Versioned {
         |)
         |ORDER BY n_nationkey""".stripMargin
     )(restRewrite),
+    Q(
+      "vc_rest_view",
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_regionkey = 1
+        |ORDER BY n_nationkey""".stripMargin
+    )(restView),
     Q(
       "vc_rest_evolve",
       """SELECT n_nationkey, n_name AS n_label,

@@ -302,6 +302,27 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         overrides.put("prefix", w)
       }
     o.set[ObjectNode]("overrides", overrides)
+    // capability negotiation (spec `endpoints`): clients like pyiceberg
+    // only call the view/write routes a server advertises — without
+    // this list they assume the tables-only minimum
+    val eps = o.putArray("endpoints")
+    val reads = Seq(
+      "GET /v1/{prefix}/namespaces",
+      "GET /v1/{prefix}/namespaces/{namespace}",
+      "GET /v1/{prefix}/namespaces/{namespace}/tables",
+      "GET /v1/{prefix}/namespaces/{namespace}/tables/{table}",
+      "HEAD /v1/{prefix}/namespaces/{namespace}/tables/{table}",
+      "GET /v1/{prefix}/namespaces/{namespace}/views",
+      "GET /v1/{prefix}/namespaces/{namespace}/views/{view}",
+      "HEAD /v1/{prefix}/namespaces/{namespace}/views/{view}")
+    val writes = Seq(
+      "POST /v1/{prefix}/namespaces",
+      "POST /v1/{prefix}/namespaces/{namespace}/tables",
+      "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}",
+      "DELETE /v1/{prefix}/namespaces/{namespace}/tables/{table}",
+      "POST /v1/{prefix}/namespaces/{namespace}/views",
+      "DELETE /v1/{prefix}/namespaces/{namespace}/views/{view}")
+    (if (writable) reads ++ writes else reads).foreach(eps.add)
     o
   }
 
