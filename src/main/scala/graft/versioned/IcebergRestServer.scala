@@ -114,6 +114,9 @@ import org.apache.spark.sql.SparkSession
   *    race in the commit and one wins), `DELETE` drops.
   *    Replace-view refuses with drop-and-recreate guidance (history is
   *    in the branch either way); view rename refuses like table rename.
+  *  - `POST .../tables/{t}/metrics` accepts (and discards) the spec's
+  *    reader scan reports, even on read-only servers — telemetry must
+  *    never make an engine's query path log errors.
   */
 final class IcebergRestServer private (single: Option[GraftRepo],
     reposRoot: Option[Path], exportRoot: Path, spark: Option[SparkSession],
@@ -201,6 +204,13 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         case ("GET" | "HEAD", _) =>
           throw new NoSuchElementException(
             s"no such route: ${segs.mkString("/")}")
+        case ("POST", Seq("namespaces", ns, "tables", t, "metrics")) =>
+          // spec ReportMetricsRequest: READER telemetry, fire-and-forget
+          // — accepted (and discarded) even on read-only servers, since
+          // refusing makes engines log an error after every scan
+          resolveKey(repoFor(prefix), levels(ns), t) // 404 on no table
+          body(ex) // malformed JSON still answers 400, not silence
+          ex.sendResponseHeaders(204, -1); ex.close()
         case _ if !writable =>
           replyError(ex, 405, "UnsupportedOperationException",
             s"graft REST catalog is read-only: $method not supported")

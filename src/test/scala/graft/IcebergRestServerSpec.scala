@@ -267,6 +267,20 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     }
   }
 
+  test("metrics reports are accepted and discarded, even read-only") {
+    val r = http.send(HttpRequest.newBuilder(
+      URI.create(s"$base/v1/namespaces/${enc("main", "db")}/tables/t/metrics"))
+      .POST(HttpRequest.BodyPublishers.ofString(
+        """{"report-type":"scan-report","table-name":"db.t"}"""))
+      .build(), HttpResponse.BodyHandlers.ofString())
+    r.statusCode() shouldBe 204
+    // unknown table still 404s (a report for nothing is a client bug)
+    http.send(HttpRequest.newBuilder(
+      URI.create(s"$base/v1/namespaces/${enc("main", "db")}/tables/zz/metrics"))
+      .POST(HttpRequest.BodyPublishers.ofString("{}")).build(),
+      HttpResponse.BodyHandlers.ofString()).statusCode() shouldBe 404
+  }
+
   test("spec-shaped errors: 404 NoSuchTable/NoSuchNamespace, 405 on " +
     "writes") {
     val (c1, e1) = get(s"/v1/namespaces/${enc("main", "db")}/tables/nope")
