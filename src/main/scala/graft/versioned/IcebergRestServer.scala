@@ -117,6 +117,12 @@ import org.apache.spark.sql.SparkSession
   *  - `POST .../tables/{t}/metrics` accepts (and discards) the spec's
   *    reader scan reports, even on read-only servers — telemetry must
   *    never make an engine's query path log errors.
+  *  - `POST .../namespaces/{ns}/register` (r12) RE-HOMES an existing
+  *    Iceberg table: the named metadata-location's current LIVE rows
+  *    (deletes applied) are read through the independent importer and
+  *    land as native graft files in one commit — the catalog-migration
+  *    entry point, after which the table branches/merges/time-travels
+  *    like any graft table.
   */
 final class IcebergRestServer private (single: Option[GraftRepo],
     reposRoot: Option[Path], exportRoot: Path, spark: Option[SparkSession],
@@ -226,6 +232,9 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           dropTable(repoFor(prefix), levels(ns), t,
             queryParam(query, "purgeRequested").contains("true"))
           ex.sendResponseHeaders(204, -1); ex.close()
+        case ("POST", Seq("namespaces", ns, "register")) =>
+          reply(ex, 200, registerTable(repoFor(prefix), prefix,
+            levels(ns), body(ex)))
         case ("POST", Seq("namespaces", ns, "views")) =>
           reply(ex, 200, createRestView(repoFor(prefix), prefix,
             levels(ns), body(ex)))
@@ -328,6 +337,7 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     val writes = Seq(
       "POST /v1/{prefix}/namespaces",
       "POST /v1/{prefix}/namespaces/{namespace}/tables",
+      "POST /v1/{prefix}/namespaces/{namespace}/register",
       "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}",
       "DELETE /v1/{prefix}/namespaces/{namespace}/tables/{table}",
       "POST /v1/{prefix}/namespaces/{namespace}/views",
@@ -1474,6 +1484,62 @@ final class IcebergRestServer private (single: Option[GraftRepo],
             "silently drop these rows)")
       case _ => // no stats for the column — nothing to falsify
     }
+  }
+
+  /** RegisterTableRequest — the catalog-migration entry point: an
+    * existing Iceberg table (its `metadata-location`) is RE-HOMED into
+    * graft. Unlike a plain Iceberg catalog's register (which only
+    * repoints metadata), graft's data plane owns its files, so the
+    * current snapshot's LIVE ROWS are read through the independent
+    * importer (positional/equality deletes and DVs applied — the
+    * table's semantics, not its file layout) and land as native graft
+    * data files in ONE commit; versioned history then begins at the
+    * registration commit while the source keeps its own. Needs the
+    * serving SparkSession (the row copy is a distributed job).
+    * Concurrent registers race on the key and one wins; the loser's
+    * staged files are unreferenced and vacuumable. Trust model:
+    * register reads whatever metadata location the caller names —
+    * the same operator-level trust every Iceberg catalog's
+    * registerTable extends, gated here behind `writable`.
+    */
+  private def registerTable(repo: GraftRepo, prefix: Option[String],
+      ns: Seq[String], req: com.fasterxml.jackson.databind.JsonNode)
+      : ObjectNode = {
+    val (ref, dirs) = ns match {
+      case r +: ds if ds.nonEmpty => (r, ds)
+      case _ => throw new IllegalArgumentException(
+        s"tables live under [ref, db...]: ${ns.mkString(".")}")
+    }
+    if (!repo.branchExists(ref)) throw new IllegalArgumentException(
+      if (repo.tagExists(ref)) s"tables commit to a branch; $ref is a tag"
+      else s"no such branch: $ref")
+    val name = text(req, "name")
+    val key = (dirs :+ name).mkString("/")
+    val metaLoc = text(req, "metadata-location")
+    val s = spark.getOrElse(throw new UnsupportedOperationException(
+      "register-table needs the serving SparkSession: the source " +
+        "table's rows are copied into the repo data plane with a " +
+        "distributed read"))
+    if (repo.resolve(ref).tables.contains(key))
+      throw new RestConflict("AlreadyExistsException",
+        s"table already exists: $key @ $ref")
+    val plan = IcebergImport.plan(metaLoc, None)
+    val df = IcebergImport.readPlan(s, plan)
+    val entries = TableOps.writeFiles(s, repo, df, key)
+      .map(_.copy(seq = Some(1L)))
+    repo.commitRetry(ref, s"rest: register $key " +
+      s"(${entries.size} files, ${entries.map(_.rows).sum} rows " +
+      s"from $metaLoc)") { base =>
+      if (base.tables.contains(key))
+        throw new RestConflict("AlreadyExistsException",
+          s"table already exists: $key @ $ref")
+      val snap = repo.writeSnapshot(key, plan.schema.json, entries,
+        None, None, Some(Map(Tombstones.SeqProp -> "1")))
+      (base.tables + (key -> snap.id),
+        if (base.namespaces.contains(dirs.mkString("/"))) base.namespaces
+        else base.namespaces + (dirs.mkString("/") -> Map.empty[String, String]))
+    }
+    loadResult(serve(repo, prefix, ref, key))
   }
 
   // ---- views (the spec's REST view API over graft's versioned views) ----

@@ -1522,4 +1522,50 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
         .collect().head.getLong(0) shouldBe 200L
     } finally srv.close()
   }
+
+  test("register-table re-homes an existing Iceberg table: live rows " +
+    "(deletes applied) land as native graft files in one commit; " +
+    "duplicate register answers 409") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.regsrc")
+    sql("CREATE NAMESPACE g.regsrc.main.db")
+    sql("CREATE TABLE g.regsrc.main.db.src (id INT, v STRING)")
+    sql("INSERT INTO g.regsrc.main.db.src VALUES (1,'a'), (2,'b'), (3,'c')")
+    sql("DELETE FROM g.regsrc.main.db.src WHERE id = 2")
+    val srcRoot = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "regsrc")
+    val metaP = graft.versioned.IcebergExport.export(
+      GraftRepo.open(srcRoot), "main", "db/src",
+      Files.createTempDirectory("graft-reg-export"), Some(spark), 1, 1, 0)
+
+    sql("CREATE NAMESPACE g.regdst")
+    val dstRoot = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "regdst")
+    val exports = Files.createTempDirectory("graft-regdst-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(dstRoot),
+      exports, Some(spark), writable = true)
+    try {
+      sql("CREATE NAMESPACE g.regdst.main.db")
+      val bodyJson =
+        s"""{"name":"adopted","metadata-location":"$metaP"}"""
+      val (c1, r1) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/register", bodyJson, srv)
+      withClue(r1.toString) { c1 shouldBe 200 }
+      r1.get("metadata").get("current-snapshot-id").asLong() should not be -1L
+      // rows are graft-native now (delete applied at import time)
+      sql("SELECT id, v FROM g.regdst.main.db.adopted ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+        Seq((1, "a"), (3, "c"))
+      // and versioned like any graft table: branch + write + isolation
+      sql("CREATE NAMESPACE g.regdst.exp") // zero-copy branch
+      sql("INSERT INTO g.regdst.exp.db.adopted VALUES (9, 'z')")
+      sql("SELECT count(*) FROM g.regdst.main.db.adopted")
+        .collect().head.getLong(0) shouldBe 2L
+      sql("SELECT count(*) FROM g.regdst.exp.db.adopted")
+        .collect().head.getLong(0) shouldBe 3L
+      // duplicate register refuses
+      send("POST", s"/v1/namespaces/${enc("main", "db")}/register",
+        bodyJson, srv)._1 shouldBe 409
+    } finally srv.close()
+  }
 }
