@@ -967,7 +967,7 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     val morFilter: Option[org.apache.spark.sql.sources.Filter] =
       if (eqDeletes.isEmpty) None
       else Some(equalityTombstoneFilter(repo, destRoot, eqDeletes,
-        basePlan.fieldIdToName, head, hconf))
+        basePlan.fieldIdToName, hconf))
 
     val pinMsg: graft.versioned.Commit => Unit = pin
     if (morFilter.isDefined) {
@@ -1316,7 +1316,7 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     */
   private def equalityTombstoneFilter(repo: GraftRepo, destRoot: Path,
       eqDeletes: Seq[IcebergImport.DeleteFile],
-      fieldIdToName: Map[Int, String], head: Snapshot,
+      fieldIdToName: Map[Int, String],
       hconf: org.apache.hadoop.conf.Configuration)
       : org.apache.spark.sql.sources.Filter = {
     import org.apache.spark.sql.sources
@@ -1339,11 +1339,17 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           s"is ${d.format}")
       if (d.equalityIds.isEmpty) throw new IllegalArgumentException(
         s"equality delete without equality_ids: ${d.path}")
-      val cols = d.equalityIds.map(id => fieldIdToName.getOrElse(id,
+      // the served schema (what the engine saw and what the delete
+      // file's columns are named after) uses PHYSICAL column names by
+      // design (IcebergExport class doc) — which is exactly the name
+      // space tombstone predicates live in, so the served name is used
+      // VERBATIM; remapping through nameMapping would mis-target the
+      // rename-then-re-add-same-name edge (the re-added logical name
+      // maps to a FRESH physical name, not this column's bytes)
+      val physCols = d.equalityIds.map(id => fieldIdToName.getOrElse(id,
         throw new IllegalArgumentException(
           s"equality_ids references unknown field id $id")))
-      val physCols = cols.map(head.physicalName)
-      val rows = readEqualityRows(localOf(d.path), hconf, cols)
+      val rows = readEqualityRows(localOf(d.path), hconf, physCols)
       totalRows += rows.size
       if (totalRows > IcebergExport.MaxEqualityRows)
         throw new UnsupportedOperationException(
@@ -1356,11 +1362,11 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           s"equality delete ${d.path} carries NULL values — the spec's " +
             "null-safe match is not expressible as a graft tombstone; " +
             "post the CoW rewrite instead")
-      else if (cols.size == 1)
-        Some(sources.In(physCols.head, rows.map(_(cols.head)).toArray))
+      else if (physCols.size == 1)
+        Some(sources.In(physCols.head, rows.map(_(physCols.head)).toArray))
       else Some(rows.map { r =>
-        physCols.zip(cols).map { case (pc, c) =>
-          sources.EqualTo(pc, r(c)): sources.Filter
+        physCols.map { pc =>
+          sources.EqualTo(pc, r(pc)): sources.Filter
         }.reduce(sources.And(_, _))
       }.reduce(sources.Or(_, _)))
     }

@@ -1568,4 +1568,70 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
         bodyJson, srv)._1 shouldBe 409
     } finally srv.close()
   }
+
+  test("equality delete AFTER a rename targets the renamed column " +
+    "correctly: the tombstone lands on the PHYSICAL name, so old files " +
+    "still filter") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.restmr")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "restmr")
+    val exports = Files.createTempDirectory("graft-restmr-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true)
+    val scratch = Files.createTempDirectory("rest-mr-scratch")
+    try {
+      sql("CREATE NAMESPACE g.restmr.main.db")
+      sql("CREATE TABLE g.restmr.main.db.m (id INT, v STRING)")
+      sql("INSERT INTO g.restmr.main.db.m VALUES (1,'a'), (2,'b'), (3,'c')")
+      // rename id -> key over REST (same field id)
+      val meta0 = get(s"/v1/namespaces/${enc("main", "db")}/tables/m", srv)
+        ._2.get("metadata")
+      val s1 = meta0.get("schemas").elements().next()
+        .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      s1.put("schema-id", 1)
+      val fit = s1.withArray("fields").elements()
+      while (fit.hasNext) {
+        val f = fit.next()
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        if (f.get("name").asText() == "id") f.put("name", "key")
+      }
+      send("POST", s"/v1/namespaces/${enc("main", "db")}/tables/m",
+        s"""{"requirements":[{"type":"assert-table-uuid",
+           |"uuid":"${meta0.get("table-uuid").asText()}"}],
+           |"updates":[
+           |{"action":"add-schema","schema":${mapper.writeValueAsString(s1)}},
+           |{"action":"set-current-schema","schema-id":-1}]}"""
+          .stripMargin.replaceAll("\n", ""), srv)._1 shouldBe 200
+
+      // the export serves PHYSICAL column names by design (renames are
+      // metadata-only; files hold `id` bytes), so the ENGINE still sees
+      // `id` after the rename and writes its delete file under that
+      // name — while the native reader sees `key`. Same field id both
+      // sides; the tombstone must land on the physical name.
+      val (_, load2) = get(s"/v1/namespaces/${enc("main", "db")}/tables/m", srv)
+      val meta2 = load2.get("metadata")
+      val servedField = meta2.get("schemas").elements().next()
+        .get("fields").elements().next()
+      servedField.get("name").asText() shouldBe "id" // physical serving
+      val keyFieldId = servedField.get("id").asInt()
+      val stage = java.nio.file.Paths.get(URI.create(
+        meta2.get("properties").get("write.data.path").asText() + "/"))
+      val del = stage.resolve("eq-del-renamed.parquet")
+      writeOneParquet(Seq(2).toDF("id"), del)
+      val base2 = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(load2.get("metadata-location").asText()))
+        .dataPaths.map(java.nio.file.Paths.get(_))
+      val list = stageEqDeleteCommit(scratch, 7601L, base2, del,
+        Seq(keyFieldId))
+      val bodyD = commitBody(meta2, 7601L, list)
+        .replace("\"operation\":\"append\"", "\"operation\":\"delete\"")
+      val (cD, eD) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/m", bodyD, srv)
+      withClue(eD.toString) { cD shouldBe 200 }
+      sql("SELECT key, v FROM g.restmr.main.db.m ORDER BY key")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+        Seq((1, "a"), (3, "c"))
+    } finally srv.close()
+  }
 }
