@@ -1069,6 +1069,86 @@ object Versioned {
       s"FROM $cat.r.main.db.nation ORDER BY n_nationkey, n_name")
   }
 
+  /** Partition-spec evolution over REST (r12): an engine creates an
+    * unpartitioned table through the catalog, posts the spec's
+    * add-partition-spec/set-default-spec commit (lowered onto graft's
+    * forward-only spec swap), then appends files whose manifests
+    * DECLARE identity partition tuples — which the server re-renders
+    * canonically and cross-checks against each file's own footer
+    * min/max before registering. The gate reads the final table
+    * natively against the DuckDB oracle; SpjSpec-style pruning of the
+    * declared tuples is spec-asserted elsewhere, rows are proved here.
+    */
+  private def restPartEvo(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    val srv = graft.versioned.IcebergRestServer.start(repo,
+      Files.createTempDirectory("graft-rest-pegate"), Some(s),
+      writable = true)
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val ns = java.net.URLEncoder.encode("main\u001Fdb", "UTF-8")
+      def post(path: String, body: String)
+          : com.fasterxml.jackson.databind.JsonNode = {
+        val resp = http.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${srv.uri}$path"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200,
+          s"$path -> ${resp.statusCode()}: ${resp.body()}")
+        mapper.readTree(resp.body())
+      }
+      val created = post(s"/v1/namespaces/$ns/tables",
+        """{"name":"wpart","schema":{"type":"struct","schema-id":0,
+          |"fields":[
+          |{"id":1,"name":"n_nationkey","required":false,"type":"int"},
+          |{"id":2,"name":"n_name","required":false,"type":"string"},
+          |{"id":3,"name":"n_regionkey","required":false,"type":"int"}]}}"""
+          .stripMargin.replaceAll("\n", ""))
+      val meta0 = created.get("metadata")
+      // the engine's ALTER TABLE ADD PARTITION FIELD (metadata-only)
+      post(s"/v1/namespaces/$ns/tables/wpart",
+        s"""{"requirements":[
+           |{"type":"assert-table-uuid",
+           |"uuid":"${meta0.get("table-uuid").asText()}"}],
+           |"updates":[
+           |{"action":"add-partition-spec","spec":{"spec-id":1,"fields":[
+           |{"source-id":3,"name":"n_regionkey","transform":"identity",
+           |"field-id":1000}]}},
+           |{"action":"set-default-spec","spec-id":-1}]}""".stripMargin
+          .replaceAll("\n", ""))
+      // the engine's partitioned write, staged with graft itself (real
+      // per-file identity tuples in the exported manifests)
+      s.sql(s"CREATE TABLE $cat.r.main.db.pe_stage " +
+        s"(n_nationkey INT, n_name STRING, n_regionkey INT) " +
+        "PARTITIONED BY (n_regionkey)")
+      s.sql(s"INSERT INTO $cat.r.main.db.pe_stage " +
+        s"SELECT n_nationkey, n_name, n_regionkey FROM $cat.r.main.db.nation")
+      val listLoc = exportListLoc(repo, s, "db/pe_stage")
+      val get = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/wpart"))
+        .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(get.statusCode() == 200, s"loadTable failed: ${get.body()}")
+      val meta1 = mapper.readTree(get.body()).get("metadata")
+      post(s"/v1/namespaces/$ns/tables/wpart",
+        s"""{"requirements":[
+           |{"type":"assert-table-uuid",
+           |"uuid":"${meta1.get("table-uuid").asText()}"}],
+           |"updates":[
+           |{"action":"add-snapshot","snapshot":{"snapshot-id":9701,
+           |"timestamp-ms":1700000000000,"schema-id":0,
+           |"manifest-list":"$listLoc",
+           |"summary":{"operation":"append"}}},
+           |{"action":"set-snapshot-ref","ref-name":"main",
+           |"snapshot-id":9701,"type":"branch"}]}""".stripMargin
+          .replaceAll("\n", ""))
+    } finally srv.close()
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.wpart ORDER BY n_nationkey")
+  }
+
   /** Views over the REST catalog (r12): an external engine posts a
     * CreateViewRequest (spark-dialect SQL representation, relative
     * table reference, default-namespace [branch, db]) and the view
@@ -1668,6 +1748,11 @@ object Versioned {
         |)
         |ORDER BY n_nationkey""".stripMargin
     )(restRewrite),
+    Q(
+      "vc_rest_partevo",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin
+    )(restPartEvo),
     Q(
       "vc_rest_view",
       """SELECT n_nationkey, n_name FROM nation
