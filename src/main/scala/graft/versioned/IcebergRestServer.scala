@@ -761,6 +761,7 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     var snapNode: Option[com.fasterxml.jackson.databind.JsonNode] = None
     var newSchemaNode: Option[com.fasterxml.jackson.databind.JsonNode] = None
     var newSpecNode: Option[com.fasterxml.jackson.databind.JsonNode] = None
+    var sawSetDefaultSpec = false
     var setCurrentSchema: Option[Int] = None
     var setProps = Map.empty[String, String]
     var removeProps = Set.empty[String]
@@ -806,7 +807,8 @@ final class IcebergRestServer private (single: Option[GraftRepo],
             if (newSpecNode.isDefined) throw new UnsupportedOperationException(
               "one add-partition-spec per commit")
             newSpecNode = Option(u.get("spec")).orElse(Some(u))
-          case "set-default-spec" => () // validated by presence of the add
+          case "set-default-spec" =>
+            sawSetDefaultSpec = true
           case other => throw new UnsupportedOperationException(
             s"unsupported metadata update over REST: $other (supported: " +
               "add-snapshot + set-snapshot-ref + set-properties + " +
@@ -843,6 +845,16 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         throw new RestConflict("CommitFailedException",
           s"branch $ref moved since the served base — refresh and retry")
     val head = repo.snapshot(repo.resolve(ref).tables(key))
+
+    // set-default-spec must point at the spec THIS commit adds: graft
+    // stores exactly one current spec, so switching back to a
+    // previously-added spec id is not representable — ignoring it
+    // would let an engine believe a spec flip it never got
+    if (sawSetDefaultSpec && newSpecNode.isEmpty)
+      throw new UnsupportedOperationException(
+        "set-default-spec without add-partition-spec: graft keeps ONE " +
+          "current partition spec — post the full add-partition-spec " +
+          "for the layout you want")
 
     // ---- partition-spec evolution (ALTER TABLE ADD PARTITION FIELD
     // over REST): its own metadata-only commit, lowered onto graft's

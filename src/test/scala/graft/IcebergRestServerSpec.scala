@@ -1634,4 +1634,90 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
         Seq((1, "a"), (3, "c"))
     } finally srv.close()
   }
+
+  test("staged CREATE with a partition spec registers declared tuples; " +
+    "set-default-spec without add-partition-spec refuses") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.restsp")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "restsp")
+    val exports = Files.createTempDirectory("graft-restsp-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true)
+    val scratch = Files.createTempDirectory("rest-sp-scratch")
+    try {
+      sql("CREATE NAMESPACE g.restsp.main.db")
+      sql("CREATE TABLE g.restsp.main.db.pp2 (id INT)")
+      val meta = get(s"/v1/namespaces/${enc("main", "db")}/tables/pp2", srv)
+        ._2.get("metadata")
+      // orphan set-default-spec: graft keeps ONE spec — refuse, never
+      // silently ignore a spec flip the engine believes happened
+      val (cO, eO) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/pp2",
+        s"""{"requirements":[{"type":"assert-table-uuid",
+           |"uuid":"${meta.get("table-uuid").asText()}"}],
+           |"updates":[{"action":"set-default-spec","spec-id":0}]}"""
+          .stripMargin.replaceAll("\n", ""), srv)
+      cO shouldBe 400
+      eO.get("error").get("message").asText() should include ("ONE current")
+
+      // partitioned staged CTAS: the stage response echoes the spec,
+      // the assert-create commit posts spec + declared tuples
+      val (c0, staged) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables",
+        """{"name":"pc","stage-create":true,"schema":{"type":"struct",
+          |"schema-id":0,"fields":[
+          |{"id":1,"name":"id","required":false,"type":"int"},
+          |{"id":2,"name":"cat","required":false,"type":"string"}]},
+          |"partition-spec":{"spec-id":0,"fields":[
+          |{"source-id":2,"name":"cat","transform":"identity",
+          |"field-id":1000}]}}""".stripMargin.replaceAll("\n", ""), srv)
+      c0 shouldBe 200
+      staged.get("metadata").get("partition-specs").elements().next()
+        .get("fields").size() shouldBe 1
+      // the engine's partitioned CTAS output, via a graft stage table
+      // (real identity tuples in the exported manifests)
+      sql("CREATE TABLE g.restsp.main.db.pc_stage (id INT, cat STRING) " +
+        "PARTITIONED BY (cat)")
+      sql("INSERT INTO g.restsp.main.db.pc_stage VALUES " +
+        "(1,'a'), (2,'b'), (3,'a')")
+      val metaP = graft.versioned.IcebergExport.export(
+        GraftRepo.open(root), "main", "db/pc_stage",
+        Files.createTempDirectory("graft-sp-export"), Some(spark), 1, 1, 0)
+      val stageMeta = mapper.readTree(java.nio.file.Files.readString(metaP))
+      val cur = stageMeta.get("current-snapshot-id").asLong()
+      val listLoc = {
+        val it = stageMeta.get("snapshots").elements()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .find(_.get("snapshot-id").asLong() == cur).get
+          .get("manifest-list").asText()
+      }
+      val commit =
+        s"""{"requirements":[{"type":"assert-create"}],"updates":[
+           |{"action":"add-schema","schema":${mapper.writeValueAsString(
+               staged.get("metadata").get("schemas").elements().next())}},
+           |{"action":"set-current-schema","schema-id":-1},
+           |{"action":"add-partition-spec","spec":{"spec-id":0,"fields":[
+           |{"source-id":2,"name":"cat","transform":"identity",
+           |"field-id":1000}]}},
+           |{"action":"set-default-spec","spec-id":-1},
+           |{"action":"add-snapshot","snapshot":{"snapshot-id":7801,
+           |"timestamp-ms":1700000000000,"schema-id":0,
+           |"manifest-list":"$listLoc",
+           |"summary":{"operation":"append"}}},
+           |{"action":"set-snapshot-ref","ref-name":"main",
+           |"snapshot-id":7801,"type":"branch"}]}""".stripMargin
+          .replaceAll("\n", "")
+      val (cC, eC) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/pc", commit, srv)
+      withClue(eC.toString) { cC shouldBe 200 }
+      sql("SELECT id FROM g.restsp.main.db.pc WHERE cat = 'a' ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq shouldBe Seq(1, 3)
+      // the declared tuples really landed in FileEntry.partitionValues
+      val g = GraftRepo.open(root)
+      val snap = g.snapshot(g.resolve("main").tables("db/pc"))
+      snap.partitionFields.map(_.name) shouldBe Seq("cat")
+      snap.files.flatMap(_.partValues.get("cat")).toSet shouldBe Set("a", "b")
+    } finally srv.close()
+  }
 }
