@@ -1648,23 +1648,30 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     meta.set[ObjectNode]("schemas", mapper.createArrayNode().add(schemaNode))
     val pr = meta.putObject("properties")
     vd.properties.foreach { case (k, v) => pr.put(k, v) }
-    // memoized metadata file, content-addressed by the definition
-    val bytes = mapper.writeValueAsBytes(meta)
+    // memoized WRITE-ONCE per view DEFINITION (ts excluded from the
+    // key): an unrelated branch commit bumps the head ts but must not
+    // churn a new metadata file per commit — and the response body is
+    // read back from the file, so metadata-location and metadata never
+    // drift apart (first-serve ts is the version's stable timestamp)
     val hash = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(bytes).take(8).map("%02x".format(_)).mkString
+      .digest((s"${vd.sql}|${vd.schemaJson}|${vd.catalog}|" +
+        s"${vd.namespace.mkString(".")}|${vd.properties.toSeq.sorted}")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map("%02x".format(_)).mkString
     val metaDir = dest.resolve("metadata")
     Files.createDirectories(metaDir)
     val metaPath = metaDir.resolve(s"view-$hash.metadata.json")
     if (!Files.exists(metaPath)) {
       val tmp = Files.createTempFile(metaDir, ".view", ".tmp")
-      Files.write(tmp, bytes)
+      Files.write(tmp, mapper.writeValueAsBytes(meta))
       Files.move(tmp, metaPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     val o = mapper.createObjectNode()
     o.put("metadata-location", metaPath.toString)
-    o.set[ObjectNode]("metadata", meta)
+    o.set[ObjectNode]("metadata",
+      mapper.readTree(Files.readString(metaPath)).asInstanceOf[ObjectNode])
     o.set[ObjectNode]("config", mapper.createObjectNode())
     o
   }
