@@ -354,27 +354,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     ns match {
       case Array(_, b, db) =>
         val g = repo(ns)
-        val tables = g.headCommit(b).tables.keys.filter(_.startsWith(db + "/"))
-        if (tables.nonEmpty && !cascade) throw new NonEmptyNamespaceException(ns)
-        g.commitRetry(b, s"drop namespace $db") { base =>
+        val head = g.headCommit(b)
+        // VIEWS under the namespace count as content too: dropping db
+        // without them would leave ghost views that still resolve
+        val tables = head.tables.keys.filter(_.startsWith(db + "/"))
+        val views = head.viewMap.keys.filter(_.startsWith(db + "/"))
+        if ((tables.nonEmpty || views.nonEmpty) && !cascade)
+          throw new NonEmptyNamespaceException(ns)
+        g.commitRetryAll(b, s"drop namespace $db") { base =>
           (base.tables.view.filterKeys(!_.startsWith(db + "/")).toMap,
-            base.namespaces - db)
+            base.namespaces - db,
+            base.viewMap.view.filterKeys(!_.startsWith(db + "/")).toMap)
         }
         true
       case Array(_, b) =>
-        // a branch whose head still has tables is non-empty: a plain
-        // DROP NAMESPACE must not destroy it (the reference refuses too,
-        // LakeFSCatalog.java:312 NamespaceNotEmptyException)
+        // a branch whose head still has tables (or views) is non-empty:
+        // a plain DROP NAMESPACE must not destroy it (the reference
+        // refuses too, LakeFSCatalog.java:312 NamespaceNotEmptyException)
         val g = repo(ns)
-        if (!cascade && g.headCommit(b).tables.nonEmpty)
+        val h = g.headCommit(b)
+        if (!cascade && (h.tables.nonEmpty || h.viewMap.nonEmpty))
           throw new NonEmptyNamespaceException(ns)
         g.dropBranch(b); true
       case Array(r) =>
         // repo-level drop deletes every branch/commit/data file — require
         // CASCADE whenever any branch head still has tables
         val g = repo(ns)
-        if (!cascade && g.branches.exists(b => g.headCommit(b).tables.nonEmpty))
-          throw new NonEmptyNamespaceException(ns)
+        if (!cascade && g.branches.exists { b =>
+            val h = g.headCommit(b)
+            h.tables.nonEmpty || h.viewMap.nonEmpty
+          }) throw new NonEmptyNamespaceException(ns)
         // a URI dataRoot lives OUTSIDE repoPath — sweep the data plane
         // through the dataIO seam first, or every parquet + bloom
         // sidecar under the external root would be orphaned forever

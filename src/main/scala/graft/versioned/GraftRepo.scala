@@ -279,6 +279,31 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
     throw new IllegalStateException("unreachable")
   }
 
+  /** Full-map commit (tables + namespaces + views) with the same
+    * optimistic-retry protocol — for operations that atomically touch
+    * more than one map (dropping a db namespace removes its tables AND
+    * its views in ONE commit; two commits would leave a window where
+    * ghost views resolve against a dropped namespace).
+    */
+  def commitRetryAll(branch: String, message: String)(
+      mutate: Commit => (Map[String, String],
+        Map[String, Map[String, String]], Map[String, ViewDef])): Commit = {
+    var attempts = 0
+    while (true) {
+      val (v, hid) = head(branch)
+      val base = commit(hid)
+      val (tables, namespaces, views) = mutate(base)
+      try return commitAt(branch, v, Seq(hid), message, tables,
+        namespaces, views)
+      catch {
+        case e: CommitConflictException =>
+          attempts += 1
+          if (attempts >= 10) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   // ---- branch / merge / diff -------------------------------------------
 
   /** Immutable tag: a named pointer to a commit (lakeFS/git tag analog).

@@ -117,6 +117,11 @@ import org.apache.spark.sql.SparkSession
   *  - `POST .../tables/{t}/metrics` accepts (and discards) the spec's
   *    reader scan reports, even on read-only servers — telemetry must
   *    never make an engine's query path log errors.
+  *  - `DELETE .../namespaces/{ns}` drops a db namespace (tables AND
+  *    views count as content → 409 NamespaceNotEmpty) or an EMPTY
+  *    branch; `POST .../namespaces/{ns}/properties` commits the spec's
+  *    removals/updates and answers the {updated, removed, missing}
+  *    triple, surfaced back through GetNamespaceResponse.
   *  - `POST .../namespaces/{ns}/register` (r12) RE-HOMES an existing
   *    Iceberg table: the named metadata-location's current LIVE rows
   *    (deletes applied) are read through the independent importer and
@@ -228,6 +233,12 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         case ("POST", Seq("namespaces", ns, "tables", t)) =>
           reply(ex, 200, commitTable(repoFor(prefix), prefix,
             levels(ns), t, body(ex)))
+        case ("DELETE", Seq("namespaces", ns)) =>
+          dropRestNamespace(repoFor(prefix), levels(ns))
+          ex.sendResponseHeaders(204, -1); ex.close()
+        case ("POST", Seq("namespaces", ns, "properties")) =>
+          reply(ex, 200, updateNamespaceProps(repoFor(prefix),
+            levels(ns), body(ex)))
         case ("DELETE", Seq("namespaces", ns, "tables", t)) =>
           dropTable(repoFor(prefix), levels(ns), t,
             queryParam(query, "purgeRequested").contains("true"))
@@ -336,6 +347,8 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       "HEAD /v1/{prefix}/namespaces/{namespace}/views/{view}")
     val writes = Seq(
       "POST /v1/{prefix}/namespaces",
+      "DELETE /v1/{prefix}/namespaces/{namespace}",
+      "POST /v1/{prefix}/namespaces/{namespace}/properties",
       "POST /v1/{prefix}/namespaces/{namespace}/tables",
       "POST /v1/{prefix}/namespaces/{namespace}/register",
       "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}",
@@ -395,7 +408,12 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         props.put("graft.kind", "tag")
       case ref +: dirs if refNames(repo).contains(ref) && dirs.nonEmpty &&
         nsPathsAt(repo, ref).exists(k => k.length >= dirs.length &&
-          k.startsWith(dirs)) => ()
+          k.startsWith(dirs)) =>
+        // committed db-namespace properties (createNamespace /
+        // updateNamespaceProps) surface in GetNamespaceResponse — the
+        // route engines read schema properties through
+        repo.resolve(ref).namespaces.getOrElse(dirs.mkString("/"), Map.empty)
+          .foreach { case (k, v) => props.put(k, v) }
       case _ => throwNoNs(ns)
     }
     val o = mapper.createObjectNode()
@@ -1742,6 +1760,92 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         throw new NoSuchElementException(s"no such view: $key @ $ref")
       base.viewMap - key
     }
+  }
+
+  /** DropNamespaceRequest (spec: DELETE, non-empty → 409): a 1-level
+    * namespace is a BRANCH (dropped only when its head holds no tables
+    * or views — reference parity, LakeFSCatalog.java:312); deeper
+    * levels drop a db namespace on the branch, tables AND views
+    * counting as content (the same ghost-view guard native DROP
+    * NAMESPACE applies).
+    */
+  private def dropRestNamespace(repo: GraftRepo, ns: Seq[String]): Unit =
+    ns match {
+      case Seq(ref) =>
+        if (repo.tagExists(ref)) throw new IllegalArgumentException(
+          s"$ref is a tag — delete it with the graft tag API, not " +
+            "namespace drop")
+        if (!repo.branchExists(ref))
+          throw new NoSuchElementException(s"no such namespace: $ref")
+        val h = repo.headCommit(ref)
+        if (h.tables.nonEmpty || h.viewMap.nonEmpty)
+          throw new RestConflict("NamespaceNotEmptyException",
+            s"branch $ref still holds ${h.tables.size} table(s) and " +
+              s"${h.viewMap.size} view(s)")
+        repo.dropBranch(ref)
+      case ref +: dirs =>
+        if (!repo.branchExists(ref)) throw new IllegalArgumentException(
+          if (repo.tagExists(ref)) s"namespaces commit to a branch; $ref is a tag"
+          else s"no such branch: $ref")
+        val db = dirs.mkString("/")
+        val h = repo.headCommit(ref)
+        if (!h.namespaces.contains(db) &&
+            !h.tables.keys.exists(_.startsWith(db + "/")) &&
+            !h.viewMap.keys.exists(_.startsWith(db + "/")))
+          throw new NoSuchElementException(
+            s"no such namespace: ${ns.mkString(".")}")
+        if (h.tables.keys.exists(_.startsWith(db + "/")) ||
+            h.viewMap.keys.exists(_.startsWith(db + "/")))
+          throw new RestConflict("NamespaceNotEmptyException",
+            s"namespace $db still holds tables or views")
+        repo.commitRetryAll(ref, s"rest: drop namespace $db") { base =>
+          (base.tables, base.namespaces - db, base.viewMap)
+        }
+      case _ => throw new NoSuchElementException("empty namespace")
+    }
+
+  /** UpdateNamespacePropertiesRequest → one property commit; answers
+    * the spec's {updated, removed, missing} triple. Only db-level
+    * namespaces carry properties (native parity: branch namespaces
+    * describe the ref itself).
+    */
+  private def updateNamespaceProps(repo: GraftRepo, ns: Seq[String],
+      req: com.fasterxml.jackson.databind.JsonNode): ObjectNode = {
+    val (ref, dirs) = ns match {
+      case r +: ds if ds.nonEmpty => (r, ds)
+      case _ => throw new UnsupportedOperationException(
+        "only db-level namespaces carry properties (a 1-level " +
+          "namespace is the branch itself)")
+    }
+    if (!repo.branchExists(ref)) throw new IllegalArgumentException(
+      if (repo.tagExists(ref)) s"namespaces commit to a branch; $ref is a tag"
+      else s"no such branch: $ref")
+    val db = dirs.mkString("/")
+    val removals = Option(req.get("removals")).toSeq
+      .flatMap(_.elements().asScala).map(_.asText()).toSeq
+    val updates = Option(req.get("updates")).map(_.fields().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty[String, String])
+    val overlap = removals.toSet.intersect(updates.keySet)
+    if (overlap.nonEmpty) throw new IllegalArgumentException(
+      s"properties both removed and updated: ${overlap.mkString(", ")}")
+    var missing = Seq.empty[String]
+    repo.commitRetry(ref, s"rest: update namespace properties $db") { base =>
+      if (!base.namespaces.contains(db) &&
+          !base.tables.keys.exists(_.startsWith(db + "/")))
+        throw new NoSuchElementException(
+          s"no such namespace: ${ns.mkString(".")}")
+      val cur = base.namespaces.getOrElse(db, Map.empty)
+      missing = removals.filterNot(cur.contains)
+      (base.tables,
+        base.namespaces + (db -> ((cur -- removals) ++ updates)))
+    }
+    val o = mapper.createObjectNode()
+    val up = o.putArray("updated"); updates.keys.toSeq.sorted.foreach(up.add)
+    val rm = o.putArray("removed")
+    removals.filterNot(missing.contains).foreach(rm.add)
+    val ms = o.putArray("missing"); missing.foreach(ms.add)
+    o
   }
 
   /** DropTableRequest; `purge` mirrors the engine catalog's

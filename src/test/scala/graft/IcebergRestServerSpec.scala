@@ -1720,4 +1720,74 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       snap.files.flatMap(_.partValues.get("cat")).toSet shouldBe Set("a", "b")
     } finally srv.close()
   }
+
+  test("namespace drop and property updates over REST: non-empty " +
+    "(tables OR views) answers 409, empty drops commit, the " +
+    "updated/removed/missing triple round-trips") {
+    sql("CREATE NAMESPACE g.restnd")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "restnd")
+    val exports = Files.createTempDirectory("graft-restnd-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true)
+    try {
+      sql("CREATE NAMESPACE g.restnd.main.db")
+      sql("CREATE TABLE g.restnd.main.db.t (id INT)")
+      // non-empty db -> 409 NamespaceNotEmpty
+      val (cN, eN) = send("DELETE",
+        s"/v1/namespaces/${enc("main", "db")}", "", srv)
+      cN shouldBe 409
+      eN.get("error").get("type").asText() shouldBe "NamespaceNotEmptyException"
+      // a db holding ONLY a view is still non-empty (ghost-view guard)
+      sql("CREATE NAMESPACE g.restnd.main.vdb")
+      locally {
+        val vcat = graft.catalog.GraftViews.viewCatalog(spark, "g")
+        val vident = org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array("restnd", "main", "vdb"), "onlyview")
+        val vsql = "SELECT 1 AS one"
+        val inferred = org.apache.spark.sql.graftbridge.ViewContextBridge
+          .sqlWith(spark, "g", vident.namespace(), vsql).schema
+        vcat.createView(new org.apache.spark.sql.connector.catalog.ViewInfo(
+          vident, vsql, "g", vident.namespace(), inferred,
+          inferred.fieldNames, Array.empty, Array.empty,
+          java.util.Map.of()))
+      }
+      send("DELETE", s"/v1/namespaces/${enc("main", "vdb")}", "", srv)
+        ._1 shouldBe 409
+
+      // property updates: set two, remove one + one missing
+      send("POST", s"/v1/namespaces/${enc("main", "db")}/properties",
+        """{"updates":{"owner":"a","note":"x"}}""", srv)._1 shouldBe 200
+      val (cU, rU) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/properties",
+        """{"removals":["note","ghost"],"updates":{"owner":"b"}}""", srv)
+      cU shouldBe 200
+      rU.get("removed").elements().next().asText() shouldBe "note"
+      rU.get("missing").elements().next().asText() shouldBe "ghost"
+      val (_, desc) = get(s"/v1/namespaces/${enc("main", "db")}", srv)
+      desc.get("properties").get("owner").asText() shouldBe "b"
+      desc.get("properties").has("note") shouldBe false
+      // overlapping removal+update refuses (spec constraint)
+      send("POST", s"/v1/namespaces/${enc("main", "db")}/properties",
+        """{"removals":["owner"],"updates":{"owner":"c"}}""", srv)
+        ._1 shouldBe 400
+
+      // empty db drops with 204; unknown drops 404
+      sql("CREATE NAMESPACE g.restnd.main.empty")
+      send("DELETE", s"/v1/namespaces/${enc("main", "empty")}", "", srv)
+        ._1 shouldBe 204
+      get(s"/v1/namespaces/${enc("main", "empty")}", srv)._1 shouldBe 404
+      send("DELETE", s"/v1/namespaces/${enc("main", "nosuch")}", "", srv)
+        ._1 shouldBe 404
+      // a branch with content refuses; an empty branch drops
+      send("DELETE", s"/v1/namespaces/${enc("main")}", "", srv)
+        ._1 shouldBe 409
+      send("POST", "/v1/namespaces",
+        """{"namespace":["scratchbr"],"properties":{"from":"main"}}""", srv)
+        ._1 shouldBe 200
+      // scratchbr was branched FROM main, so it carries main's tables
+      send("DELETE", s"/v1/namespaces/${enc("scratchbr")}", "", srv)
+        ._1 shouldBe 409
+    } finally srv.close()
+  }
 }
