@@ -112,8 +112,10 @@ import org.apache.spark.sql.SparkSession
   *    is the served ref, graft's branch-following semantics);
   *    `POST .../views` creates (writable servers; concurrent creates
   *    race in the commit and one wins), `DELETE` drops.
-  *    Replace-view refuses with drop-and-recreate guidance (history is
-  *    in the branch either way); view rename refuses like table rename.
+  *    `POST .../views/{v}` (replace — the engine's CREATE OR REPLACE
+  *    VIEW) swaps the definition in one view commit, prior versions
+  *    staying reachable through branch history; properties-only
+  *    commits work too. View rename refuses like table rename.
   *  - `POST .../tables/{t}/metrics` accepts (and discards) the spec's
   *    reader scan reports, even on read-only servers — telemetry must
   *    never make an engine's query path log errors.
@@ -250,10 +252,8 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           reply(ex, 200, createRestView(repoFor(prefix), prefix,
             levels(ns), body(ex)))
         case ("POST", Seq("namespaces", ns, "views", v)) =>
-          throw new UnsupportedOperationException(
-            "replace-view over REST is not supported: DROP and " +
-              "re-CREATE — a graft view is versioned by the branch " +
-              "commit either way, so history is preserved regardless")
+          reply(ex, 200, replaceRestView(repoFor(prefix), prefix,
+            levels(ns), v, body(ex)))
         case ("DELETE", Seq("namespaces", ns, "views", v)) =>
           dropRestView(repoFor(prefix), levels(ns), v)
           ex.sendResponseHeaders(204, -1); ex.close()
@@ -354,6 +354,7 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}",
       "DELETE /v1/{prefix}/namespaces/{namespace}/tables/{table}",
       "POST /v1/{prefix}/namespaces/{namespace}/views",
+      "POST /v1/{prefix}/namespaces/{namespace}/views/{view}",
       "DELETE /v1/{prefix}/namespaces/{namespace}/views/{view}")
     (if (writable) reads ++ writes else reads).foreach(eps.add)
     o
@@ -1746,6 +1747,99 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         throw new RestConflict("AlreadyExistsException",
           s"view already exists: $key @ $ref")
       base.viewMap + (key -> vd)
+    }
+    loadRestView(repo, prefix, ns, name)
+  }
+
+  /** UpdateViewRequest (the engine's CREATE OR REPLACE VIEW): the
+    * posted `add-view-version` becomes the view's NEW definition in one
+    * view commit — prior definitions stay reachable through the branch
+    * history like every graft change. Requirements: `assert-view-uuid`
+    * validates against the served identity.
+    */
+  private def replaceRestView(repo: GraftRepo, prefix: Option[String],
+      ns: Seq[String], name: String,
+      req: com.fasterxml.jackson.databind.JsonNode): ObjectNode = {
+    val (ref, key, _) = resolveViewKey(repo, ns, name)
+    if (!repo.branchExists(ref)) throw new IllegalArgumentException(
+      s"view commits target a branch; $ref is a tag")
+    Option(req.get("requirements")).toSeq
+      .flatMap(_.elements().asScala).foreach { r =>
+        text(r, "type") match {
+          case "assert-view-uuid" =>
+            val want = text(r, "uuid")
+            val have = java.util.UUID.nameUUIDFromBytes(
+              s"graft-view:${repo.root}:$ref:$key"
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+            if (want != have) throw new RestConflict("CommitFailedException",
+              s"view uuid changed: expected $want, found $have")
+          case other => throw new UnsupportedOperationException(
+            s"unsupported view commit requirement: $other")
+        }
+      }
+    var vvNode: Option[com.fasterxml.jackson.databind.JsonNode] = None
+    var schemaNode: Option[com.fasterxml.jackson.databind.JsonNode] = None
+    var setProps = Map.empty[String, String]
+    var removeProps = Set.empty[String]
+    Option(req.get("updates")).toSeq
+      .flatMap(_.elements().asScala).foreach { u =>
+        text(u, "action") match {
+          case "assign-uuid" | "upgrade-format-version" |
+               "set-location" | "set-current-view-version" => ()
+          case "add-schema" =>
+            schemaNode = Some(Option(u.get("schema")).getOrElse(
+              throw new IllegalArgumentException(
+                "add-schema carries no schema")))
+          case "add-view-version" =>
+            if (vvNode.isDefined) throw new UnsupportedOperationException(
+              "one add-view-version per commit")
+            vvNode = Some(Option(u.get("view-version")).getOrElse(
+              throw new IllegalArgumentException(
+                "add-view-version carries no view-version")))
+          case "set-properties" =>
+            setProps ++= Option(u.get("updates")).toSeq
+              .flatMap(_.fields().asScala)
+              .map(e => e.getKey -> e.getValue.asText())
+          case "remove-properties" =>
+            removeProps ++= Option(u.get("removals")).toSeq
+              .flatMap(_.elements().asScala).map(_.asText())
+          case other => throw new UnsupportedOperationException(
+            s"unsupported view update over REST: $other")
+        }
+      }
+    repo.commitRetryViews(ref, s"rest: replace view $key") { base =>
+      val cur = base.viewMap.getOrElse(key,
+        throw new NoSuchElementException(s"no such view: $key @ $ref"))
+      val next = vvNode match {
+        case None => // properties-only commit
+          cur.copy(properties = (cur.properties -- removeProps) ++ setProps)
+        case Some(vv) =>
+          val reps = Option(vv.get("representations")).toSeq
+            .flatMap(_.elements().asScala).toSeq
+          val rep = reps.find(r => Option(r.get("dialect"))
+              .exists(_.asText() == "spark"))
+            .orElse(reps.headOption).getOrElse(
+              throw new IllegalArgumentException(
+                "view-version carries no SQL representation"))
+          val sql = Option(rep.get("sql")).map(_.asText()).getOrElse(
+            throw new IllegalArgumentException(
+              "representation carries no sql"))
+          val schema = schemaNode.map(IcebergImport.structOf)
+            .map(_.json).getOrElse(cur.schemaJson)
+          val dns = Option(vv.get("default-namespace")).toSeq
+            .flatMap(_.elements().asScala).map(_.asText()).toSeq
+          val nsStored =
+            if (dns.isEmpty) cur.namespace
+            else (prefix.toSeq :+ ref) ++
+              (if (refNames(repo).contains(dns.head)) dns.tail else dns)
+          cur.copy(sql = sql, schemaJson = schema, namespace = nsStored,
+            catalog = Option(vv.get("default-catalog")).map(_.asText())
+              .getOrElse(cur.catalog),
+            queryColumnNames = Nil, columnAliases = Nil,
+            columnComments = Nil,
+            properties = (cur.properties -- removeProps) ++ setProps)
+      }
+      base.viewMap + (key -> next)
     }
     loadRestView(repo, prefix, ns, name)
   }

@@ -1446,12 +1446,33 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
           |"default-namespace":["main","db"]}}"""
           .stripMargin.replaceAll("\n", ""), srv)._1 shouldBe 409
 
-      // replace refuses with guidance; drop removes
+      // replace (CREATE OR REPLACE VIEW): the new definition lands in
+      // one view commit and native reads see it immediately
       val (cR, eR) = send("POST",
         s"/v1/namespaces/${enc("main", "db")}/views/w",
-        """{"requirements":[],"updates":[]}""", srv)
-      cR shouldBe 400
-      eR.get("error").get("message").asText() should include ("re-CREATE")
+        """{"requirements":[],"updates":[
+          |{"action":"add-view-version","view-version":{"version-id":2,
+          |"timestamp-ms":1700000001000,"schema-id":0,"summary":{},
+          |"representations":[{"type":"sql","sql":"SELECT 2 AS one",
+          |"dialect":"spark"}],
+          |"default-namespace":["main","db"]}},
+          |{"action":"set-current-view-version","view-version-id":-1},
+          |{"action":"set-properties","updates":{"replaced":"yes"}}]}"""
+          .stripMargin.replaceAll("\n", ""), srv)
+      withClue(eR.toString) { cR shouldBe 200 }
+      sql("SELECT * FROM g.restv.main.db.w")
+        .collect().map(_.getInt(0)).toSeq shouldBe Seq(2)
+      eR.get("metadata").get("properties").get("replaced")
+        .asText() shouldBe "yes"
+      // a stale view-uuid requirement answers 409
+      send("POST", s"/v1/namespaces/${enc("main", "db")}/views/w",
+        """{"requirements":[{"type":"assert-view-uuid",
+          |"uuid":"00000000-0000-0000-0000-000000000000"}],
+          |"updates":[]}""".stripMargin.replaceAll("\n", ""), srv)
+        ._1 shouldBe 409
+      // replacing a missing view is 404
+      send("POST", s"/v1/namespaces/${enc("main", "db")}/views/nosuch",
+        """{"requirements":[],"updates":[]}""", srv)._1 shouldBe 404
       send("DELETE", s"/v1/namespaces/${enc("main", "db")}/views/w",
         "", srv)._1 shouldBe 204
       get(s"/v1/namespaces/${enc("main", "db")}/views/w", srv)._1 shouldBe 404
