@@ -74,7 +74,9 @@ object ScaleSmoke {
     // volume (10× rows per batch on a still-tiny table ⇒ near-pin
     // times), and every gate must complete unchanged
     Seq("vc_cdc_read", "vc_cdc_apply", "vc_ice_cdc_read",
-      "vc_rest_read", "vc_rest_commit", "vc_rest_rewrite").foreach { q =>
+      "vc_rest_read", "vc_rest_commit", "vc_rest_rewrite",
+      "vc_rest_evolve", "vc_rest_ctas", "vc_rest_mor",
+      "vc_rest_view", "vc_rest_partevo").foreach { q =>
       time(q)(SparkEntry.queries(q)(spark, dst).count())
     }
     println(s"[smoke] replica at $dst (delete when done)")
