@@ -303,6 +303,17 @@ final class IcebergRestServer private (single: Option[GraftRepo],
   private def body(ex: HttpExchange): com.fasterxml.jackson.databind.JsonNode =
     mapper.readTree(ex.getRequestBody)
 
+  /** (id, name) of a posted schema field node — absent members are the
+    * CLIENT's error (400), never a server NPE (500). */
+  private def fieldIdName(
+      f: com.fasterxml.jackson.databind.JsonNode): (Int, String) = {
+    val id = Option(f.get("id")).getOrElse(
+      throw new IllegalArgumentException("schema field missing 'id'"))
+    val nm = Option(f.get("name")).getOrElse(
+      throw new IllegalArgumentException("schema field missing 'name'"))
+    id.asInt() -> nm.asText()
+  }
+
   /** Required field of a request node, as text — absent/null fields are
     * the CLIENT's error (400), never a server NPE (500). */
   private def text(node: com.fasterxml.jackson.databind.JsonNode,
@@ -570,8 +581,8 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     val schemaNode = Option(req.get("schema")).getOrElse(
       throw new IllegalArgumentException("create carries no schema"))
     val schema = IcebergImport.structOf(schemaNode)
-    val idToName = schemaNode.get("fields").elements().asScala.map(f =>
-      f.get("id").asInt() -> f.get("name").asText()).toMap
+    val idToName = Option(schemaNode.get("fields")).toSeq
+      .flatMap(_.elements().asScala).map(fieldIdName).toMap
     val spec = Option(req.get("partition-spec"))
       .map(n => Option(n.get("fields")).getOrElse(n)) // spec object or bare list
       .map(_.elements().asScala.map(partitionFieldOf(_, idToName)).toSeq)
@@ -889,8 +900,8 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         .find(s => Option(s.get("schema-id")).exists(_.asInt() == servedSchemaId))
         .getOrElse(throw new IllegalStateException(
           s"served metadata has no schema $servedSchemaId"))
-      val idToName = curSchemaNode.get("fields").elements().asScala.map(f =>
-        f.get("id").asInt() -> f.get("name").asText()).toMap
+      val idToName = Option(curSchemaNode.get("fields")).toSeq
+        .flatMap(_.elements().asScala).map(fieldIdName).toMap
       val spec = newSpecNode
         .map(n => Option(n.get("fields")).getOrElse(n))
         .map(_.elements().asScala.map(partitionFieldOf(_, idToName)).toSeq)
@@ -1127,8 +1138,8 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     val sNode = schemaNode.getOrElse(throw new IllegalArgumentException(
       "staged create commit carries no add-schema"))
     val schema = IcebergImport.structOf(sNode)
-    val idToName = sNode.get("fields").elements().asScala.map(f =>
-      f.get("id").asInt() -> f.get("name").asText()).toMap
+    val idToName = Option(sNode.get("fields")).toSeq
+      .flatMap(_.elements().asScala).map(fieldIdName).toMap
     val spec = specNode
       .map(n => Option(n.get("fields")).getOrElse(n))
       .map(_.elements().asScala.map(partitionFieldOf(_, idToName)).toSeq)
@@ -1285,8 +1296,10 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         throw new IllegalArgumentException(
           "malformed add-schema: schema carries no fields array")
       final case class F(id: Int, name: String, tn: JN)
-      def fs(a: JN): Seq[F] = a.elements().asScala.toSeq.map(f =>
-        F(f.get("id").asInt(), f.get("name").asText(), f.get("type")))
+      def fs(a: JN): Seq[F] = a.elements().asScala.toSeq.map { f =>
+        val (id, nm) = fieldIdName(f)
+        F(id, nm, f.get("type"))
+      }
       val o = fs(oldF)
       val n = fs(newF)
       val oldById = o.map(f => f.id -> f).toMap
@@ -1317,11 +1330,14 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         case ("struct", "struct") =>
           diffFields(ot.get("fields"), nt.get("fields"), path)
         case ("list", "list")
-          if ot.get("element-id").asInt() == nt.get("element-id").asInt() =>
+          if Option(nt.get("element-id")).exists(n =>
+            Option(ot.get("element-id")).exists(_.asInt() == n.asInt())) =>
           diffType(ot.get("element"), nt.get("element"), path :+ "element")
         case ("map", "map")
-          if ot.get("key-id").asInt() == nt.get("key-id").asInt() &&
-            ot.get("value-id").asInt() == nt.get("value-id").asInt() =>
+          if Option(nt.get("key-id")).exists(n =>
+              Option(ot.get("key-id")).exists(_.asInt() == n.asInt())) &&
+            Option(nt.get("value-id")).exists(n =>
+              Option(ot.get("value-id")).exists(_.asInt() == n.asInt())) =>
           diffType(ot.get("key"), nt.get("key"), path :+ "key")
           diffType(ot.get("value"), nt.get("value"), path :+ "value")
         case _ =>
