@@ -1200,6 +1200,109 @@ object Versioned {
       "ORDER BY n_nationkey")
   }
 
+  /** Metadata-answered aggregates, ORACLE-proved (r12): count/min/max
+    * over a graft table plan as a LocalTableScan from snapshot stats
+    * (zero files read — spec-asserted in the planner suite); this gate
+    * proves those metadata answers are CORRECT against DuckDB
+    * computing the same aggregates from the raw rows — fast is only
+    * worth anything if it is also right. Two commits + a rename ride
+    * along so the stats survive appends and metadata-only evolution.
+    */
+  private def metaAgg(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = setup(s, d)
+    s.sql(s"INSERT INTO $cat.r.main.db.nation " +
+      s"SELECT n_nationkey + 1000, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation WHERE n_nationkey < 7")
+    s.sql(s"ALTER TABLE $cat.r.main.db.nation " +
+      "RENAME COLUMN n_regionkey TO region")
+    s.sql(
+      s"""SELECT count(*) AS n,
+         |       min(n_nationkey) AS min_key, max(n_nationkey) AS max_key,
+         |       min(region) AS min_region, max(region) AS max_region
+         |FROM $cat.r.main.db.nation""".stripMargin)
+  }
+
+  /** The optimistic commit protocol under real contention, ORACLE-proved
+    * (r12): 8 threads INSERT disjoint slices into ONE table through the
+    * same branch head concurrently — every commit must land exactly
+    * once whatever the interleaving (CAS losers rebase and retry inside
+    * commitAppend), so the final table is the deterministic union no
+    * matter which thread won which race. The 8-thread stress SPEC
+    * asserts protocol internals; this gate hash-proves the outcome.
+    */
+  private def concurrentCommit(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = setup(s, d)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = (0 until 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit =
+            s.sql(s"INSERT INTO $cat.r.main.db.nation " +
+              s"SELECT n_nationkey + ${1000 * (i + 1)}, n_name, n_regionkey " +
+              s"FROM $cat.r.main.db.nation " +
+              s"WHERE n_nationkey % 8 = $i AND n_nationkey < 24")
+        })
+      }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
+  }
+
+  /** Snapshot/commit expiry, ORACLE-proved (r12): several commits build
+    * history, expiry (olderThanMs=0: everything unreachable goes now)
+    * sweeps unreachable commits and snapshots — and the LIVE head must
+    * read back byte-identical afterwards: expiry may never touch data
+    * any live ref still reaches.
+    */
+  private def expireRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    // history: two overwrites whose intermediate snapshots become
+    // unreachable-by-head (still tag-less), then expire
+    s.sql(s"INSERT INTO $cat.r.main.db.nation " +
+      s"SELECT n_nationkey + 800, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation WHERE n_nationkey < 3")
+    s.sql(s"DELETE FROM $cat.r.main.db.nation WHERE n_nationkey >= 801")
+    repo.expireSnapshots(olderThanMs = 0L)
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
+  }
+
+  /** Streaming SINK into a graft table, ORACLE-proved (r12): an event
+    * stream lands through `writeStream.toTable` (GraftTable's
+    * STREAMING_WRITE — per-epoch atomic commits), and the final table
+    * aggregate must equal the one-shot batch aggregate DuckDB computes
+    * over the same events. Order-independent aggregates (exact DECIMAL
+    * sums, max event_id) make the gate deterministic however the
+    * micro-batches slice.
+    */
+  private def streamSink(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = freshCatalog(s)
+    s.sql(s"CREATE NAMESPACE $cat.r")
+    s.sql(s"CREATE NAMESPACE $cat.r.main.db")
+    val ev = T.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    s.sql(s"CREATE TABLE $cat.r.main.db.sink (${ev.schema.toDDL})")
+    val src = Files.createTempDirectory("graft-sink-src")
+    ev.repartition(4).write.mode("overwrite").parquet(src.toString)
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(src.toString)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sink-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"$cat.r.main.db.sink")
+    q.awaitTermination()
+    s.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |       cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |       max(event_id) AS last_id
+         |FROM $cat.r.main.db.sink
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   /** Incremental (checkpointed-consumer) read: `graft.fromRef = <c1>`
     * scans ONLY the files appended since commit c1 — resolved purely
     * from snapshot metadata (no listing, no diffing data). The batch
@@ -1748,6 +1851,48 @@ object Versioned {
         |)
         |ORDER BY n_nationkey""".stripMargin
     )(restRewrite),
+    Q(
+      "vc_meta_agg_read",
+      """WITH t AS (
+        |  SELECT n_nationkey, n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 1000, n_regionkey FROM nation
+        |  WHERE n_nationkey < 7)
+        |SELECT count(*) AS n,
+        |       min(n_nationkey) AS min_key, max(n_nationkey) AS max_key,
+        |       min(n_regionkey) AS min_region, max(n_regionkey) AS max_region
+        |FROM t""".stripMargin
+    )(metaAgg),
+    Q(
+      "vc_concurrent_read",
+      """SELECT n_nationkey, n_name, n_regionkey FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 1000 * (n_nationkey % 8 + 1), n_name,
+        |         n_regionkey
+        |  FROM nation WHERE n_nationkey < 24
+        |)
+        |ORDER BY n_nationkey""".stripMargin
+    )(concurrentCommit),
+    Q(
+      "vc_expire_read",
+      """SELECT n_nationkey, n_name, n_regionkey FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 800, n_name, n_regionkey FROM nation
+        |  WHERE n_nationkey < 3 AND n_nationkey + 800 < 801
+        |)
+        |ORDER BY n_nationkey""".stripMargin
+    )(expireRead),
+    Q(
+      "vc_stream_sink",
+      """SELECT event_type, count(*) AS n,
+        |       cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       max(event_id) AS last_id
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+    )(streamSink),
     Q(
       "vc_rest_partevo",
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
