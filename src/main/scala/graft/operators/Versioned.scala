@@ -1303,6 +1303,35 @@ object Versioned {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** Copy-on-write conflict validation, ORACLE-proved (r12): a rewrite
+    * built against a STALE base (its dropped file was already rewritten
+    * away by a committed DELETE) must refuse at publish time — silently
+    * landing it would resurrect the deleted rows. The gate stages
+    * exactly that race: DELETE commits first, the stale rewrite throws
+    * MergeConflictException, and the final table hash-matches ONLY the
+    * DELETE's outcome (the loser left no trace).
+    */
+  private def cowConflictRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    val key = "db/nation"
+    val staleFiles = repo.snapshot(
+      repo.resolve("main").tables(key)).files.map(_.path).toSet
+    require(staleFiles.nonEmpty, "fixture table has no files")
+    // the winning committed rewrite (CoW DELETE rewrites the file)
+    s.sql(s"DELETE FROM $cat.r.main.db.nation WHERE n_nationkey >= 20")
+    // the loser: a rewrite still dropping the ORIGINAL (now-gone) file
+    val thrown =
+      try {
+        graft.versioned.TableOps.commitRewrite(repo, "main", key,
+          staleFiles, Nil, Some("stale rewrite must refuse"))
+        false
+      } catch { case _: graft.versioned.MergeConflictException => true }
+    require(thrown, "stale rewrite was accepted — deleted rows would " +
+      "have resurrected")
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
+  }
+
   /** Incremental (checkpointed-consumer) read: `graft.fromRef = <c1>`
     * scans ONLY the files appended since commit c1 — resolved purely
     * from snapshot metadata (no listing, no diffing data). The batch
@@ -1851,6 +1880,12 @@ object Versioned {
         |)
         |ORDER BY n_nationkey""".stripMargin
     )(restRewrite),
+    Q(
+      "vc_cow_conflict_read",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey < 20
+        |ORDER BY n_nationkey""".stripMargin
+    )(cowConflictRead),
     Q(
       "vc_meta_agg_read",
       """WITH t AS (
