@@ -1332,6 +1332,40 @@ object Versioned {
       s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
   }
 
+  /** Runtime (DPP-style) filtering, ORACLE-proved rows (r12): a join
+    * whose build side is a selective dim filter lets Spark push an
+    * In-filter into the graft scan at RUNTIME (SupportsRuntimeFiltering
+    * — the planner spec asserts the file-list pruning); this gate
+    * proves the filtered scan returns exactly the right rows.
+    */
+  private def runtimeJoin(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = setup(s, d)
+    s.sql(
+      s"""SELECT n.n_nationkey, n.n_name, r.r_name
+         |FROM $cat.r.main.db.nation n
+         |JOIN (SELECT r_regionkey, r_name FROM parquet.`$d/region.parquet`
+         |      WHERE r_name IN ('ASIA', 'EUROPE')) r
+         |  ON n.n_regionkey = r.r_regionkey
+         |ORDER BY n.n_nationkey""".stripMargin)
+  }
+
+  /** DROP + recreate under the SAME name, ORACLE-proved (r12): the
+    * recreated table must read ONLY its own rows — never the dropped
+    * incarnation's bytes (fresh snapshot, fresh files) — while the
+    * pre-drop history stays reachable through earlier commits.
+    */
+  private def dropRecreate(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = setup(s, d)
+    s.sql(s"DROP TABLE $cat.r.main.db.nation")
+    s.sql(s"CREATE TABLE $cat.r.main.db.nation " +
+      "(n_nationkey INT, n_name STRING, n_regionkey INT)")
+    s.sql(s"INSERT INTO $cat.r.main.db.nation " +
+      s"SELECT n_nationkey, upper(n_name), n_regionkey " +
+      s"FROM $cat.r.dev.db.nation WHERE n_nationkey < 10")
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
+  }
+
   /** Incremental (checkpointed-consumer) read: `graft.fromRef = <c1>`
     * scans ONLY the files appended since commit c1 — resolved purely
     * from snapshot metadata (no listing, no diffing data). The batch
@@ -1880,6 +1914,19 @@ object Versioned {
         |)
         |ORDER BY n_nationkey""".stripMargin
     )(restRewrite),
+    Q(
+      "vc_runtime_join",
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA', 'EUROPE')
+        |ORDER BY n_nationkey""".stripMargin
+    )(runtimeJoin),
+    Q(
+      "vc_drop_recreate",
+      """SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey
+        |FROM nation WHERE n_nationkey < 10
+        |ORDER BY n_nationkey""".stripMargin
+    )(dropRecreate),
     Q(
       "vc_cow_conflict_read",
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
