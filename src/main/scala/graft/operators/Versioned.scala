@@ -1366,6 +1366,37 @@ object Versioned {
       s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
   }
 
+  /** Copy-on-write DELETE, ORACLE-proved on its own key (r12): the
+    * fundamental row-level op — stats-pruned candidate files, only hit
+    * files rewritten, survivors byte-preserved — read back against the
+    * oracle replaying the same predicate relationally. (Every rewrite
+    * gate exercises this implicitly; this key gates it directly.)
+    */
+  private def deleteRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = setup(s, d)
+    s.sql(s"DELETE FROM $cat.r.main.db.nation " +
+      "WHERE n_regionkey = 2 AND n_nationkey % 2 = 0")
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
+  }
+
+  /** Branch create + commit isolation, ORACLE-proved (r12): a zero-copy
+    * branch diverges — DML on it must be invisible on main and vice
+    * versa — and the gate reads BOTH heads in one result, so either
+    * leak direction breaks the hash.
+    */
+  private def branchIsolation(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = setup(s, d)
+    s.sql(s"CREATE NAMESPACE $cat.r.iso") // zero-copy branch from main
+    s.sql(s"DELETE FROM $cat.r.iso.db.nation WHERE n_nationkey >= 10")
+    s.sql(s"INSERT INTO $cat.r.main.db.nation VALUES (600, 'MAINONLY', 0)")
+    s.sql(
+      s"""SELECT 'main' AS ref, n_nationkey, n_name FROM $cat.r.main.db.nation
+         |UNION ALL
+         |SELECT 'iso', n_nationkey, n_name FROM $cat.r.iso.db.nation
+         |ORDER BY ref, n_nationkey""".stripMargin)
+  }
+
   /** Incremental (checkpointed-consumer) read: `graft.fromRef = <c1>`
     * scans ONLY the files appended since commit c1 — resolved purely
     * from snapshot metadata (no listing, no diffing data). The batch
@@ -1914,6 +1945,24 @@ object Versioned {
         |)
         |ORDER BY n_nationkey""".stripMargin
     )(restRewrite),
+    Q(
+      "vc_delete_read",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE NOT (n_regionkey = 2 AND n_nationkey % 2 = 0)
+        |ORDER BY n_nationkey""".stripMargin
+    )(deleteRead),
+    Q(
+      "vc_branch_isolation",
+      """SELECT ref, n_nationkey, n_name FROM (
+        |  SELECT 'main' AS ref, n_nationkey, n_name FROM nation
+        |  UNION ALL
+        |  SELECT 'main', 600, 'MAINONLY'
+        |  UNION ALL
+        |  SELECT 'iso', n_nationkey, n_name FROM nation
+        |  WHERE n_nationkey < 10
+        |)
+        |ORDER BY ref, n_nationkey""".stripMargin
+    )(branchIsolation),
     Q(
       "vc_runtime_join",
       """SELECT n_nationkey, n_name, r_name
