@@ -52,6 +52,36 @@ object StageProfile {
     try time("p5 full (xxhash64 key)")(
       graft.SparkEntry.queries("dd_dupspans")(spark, sfDir).count())
     finally spark.conf.unset("spark.graft.dupspans.hash")
+
+    // ---- dd_incr_persist lifecycle decomposition (the top bench row):
+    // init (build + persist the posting index for the corpus slice),
+    // admit (screen batch 1 + atomic multi-table append), screen
+    // (batch 2 vs corpus ∪ admissions) — same slices as the gate
+    locally {
+      import org.apache.spark.sql.functions._
+      val cat = "gsp" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(10)
+      val root = java.nio.file.Files.createTempDirectory(s"graft-$cat")
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+      spark.sql(s"CREATE NAMESPACE $cat.r")
+      spark.sql(s"CREATE NAMESPACE $cat.r.main.dd")
+      val repo = graft.versioned.GraftRepo.open(root.resolve("r"))
+      val docs = T.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      time("i1 indexInit (corpus)") {
+        graft.operators.Dedup.indexInit(spark, cat, repo, "main",
+          docs.filter((col("doc_id") % 100).between(10, 19)), 0.9); 0L
+      }
+      time("i2 indexAdmit (batch 1)") {
+        graft.operators.Dedup.indexAdmit(spark, cat, repo, "main",
+          docs.filter(col("doc_id") % 100 === 5), 0.9); 0L
+      }
+      time("i3 indexScreen (batch 2)")(
+        graft.operators.Dedup.indexScreen(spark, cat, "r", "main",
+          docs.filter(col("doc_id") % 100 === 0), 0.9).count())
+    }
     spark.stop()
   }
 }
