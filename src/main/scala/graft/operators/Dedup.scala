@@ -562,7 +562,13 @@ object Dedup {
     var prevRound: DataFrame = labels
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    // with per-round pointer jumping (depth halves), maxRounds=20 covers
+    // graph diameters to ~2^20 — any real dedup graph. Configurable so a
+    // pathological chain can raise it; exit-with-changes REFUSES below
+    // rather than silently mislabel.
+    val maxRounds = vertices.sparkSession.conf
+      .getOption("spark.graft.cc.maxRounds").map(_.toInt).getOrElse(20)
+    while (changed > 0 && rounds < maxRounds) {
       // min(label) over each vertex's neighborhood: the labels side is
       // shuffled by doc_id to meet the pre-partitioned edges — one |V|
       // shuffle + one |V|-group agg per round, no |E| movement
@@ -597,6 +603,14 @@ object Dedup {
     }
     // the returned labels derive from the FINAL round's checkpoint only
     org.apache.spark.sql.graftbridge.CheckpointLifecycle.unpersist(sym)
+    // a silent exit with unconverged labels would MISLABEL clusters
+    // (different docs of one component keep different labels) — refuse
+    // loudly instead; the cap is a lineage-depth bound, not a result
+    // approximation
+    if (changed > 0) throw new IllegalStateException(
+      s"connected components did not converge in $maxRounds rounds " +
+        s"($changed labels still moving) — the pair graph's diameter " +
+        "exceeds ~2^" + maxRounds + "; raise spark.graft.cc.maxRounds")
     labels
   }
 

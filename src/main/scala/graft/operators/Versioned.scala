@@ -1069,6 +1069,118 @@ object Versioned {
       s"FROM $cat.r.main.db.nation ORDER BY n_nationkey, n_name")
   }
 
+  /** Positional-delete commit over REST (r13): the default Spark MoR
+    * DELETE/UPDATE write shape — and the last engine commit the server
+    * used to refuse. A zero-copy clone takes a RANGE-predicate
+    * merge-on-read DELETE (not equality-expressible, so the exporter
+    * emits REAL v2 positional delete parquet files — the same bytes an
+    * external MoR engine posts), and the engine-shaped snapshot commits
+    * against the base table: the server lowers the posted positions
+    * onto a server-side CoW rewrite of exactly the dirty files
+    * (IcebergRestServer.commitTable posdel branch → readPlan sub-plan →
+    * commitRewrite). The gate reads the final table natively; DuckDB
+    * replays the predicate.
+    */
+  private def restPosDel(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    val srv = graft.versioned.IcebergRestServer.start(repo,
+      Files.createTempDirectory("graft-rest-pdgate"), Some(s),
+      writable = true)
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val ns = java.net.URLEncoder.encode("maindb", "UTF-8")
+      val get = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
+        .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(get.statusCode() == 200, s"loadTable failed: ${get.body()}")
+      val meta0 = mapper.readTree(get.body()).get("metadata")
+      // the engine's MoR DELETE, staged on a zero-copy clone: a range
+      // predicate is NOT equality-expressible, so the export writes
+      // positional delete files naming (file, pos) of the dead rows
+      s.sql(s"CALL $cat.system.clone_table('r', 'main', " +
+        "'db.nation', 'db.posdel_stage')")
+      s.sql(s"ALTER TABLE $cat.r.main.db.posdel_stage " +
+        "SET TBLPROPERTIES('graft.delete.mode'='merge-on-read')")
+      s.sql(s"DELETE FROM $cat.r.main.db.posdel_stage " +
+        "WHERE n_name > 'NATION_2'")
+      val stage = java.nio.file.Paths.get(java.net.URI.create(
+        meta0.get("properties").get("write.data.path").asText() + "/"))
+      Files.createDirectories(stage)
+      val listLoc = exportListLoc(repo, s, "db/posdel_stage", Some(stage))
+      val refSnap = meta0.get("refs").get("main").get("snapshot-id").asLong()
+      val resp = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          s"""{"requirements":[
+             |{"type":"assert-table-uuid",
+             |"uuid":"${meta0.get("table-uuid").asText()}"},
+             |{"type":"assert-ref-snapshot-id","ref":"main",
+             |"snapshot-id":$refSnap}],
+             |"updates":[
+             |{"action":"add-snapshot","snapshot":{"snapshot-id":9701,
+             |"timestamp-ms":1700000000000,"schema-id":0,
+             |"manifest-list":"$listLoc",
+             |"summary":{"operation":"delete"}}},
+             |{"action":"set-snapshot-ref","ref-name":"main",
+             |"snapshot-id":9701,"type":"branch"}]}""".stripMargin
+            .replaceAll("\n", ""))).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200,
+        s"positional-delete commit failed: ${resp.statusCode()} ${resp.body()}")
+      // proof it landed as CoW, not a tombstone: no MoR state remains
+      val snap = repo.snapshot(repo.resolve("main").tables("db/nation"))
+      require(graft.versioned.Tombstones.of(snap).isEmpty,
+        "positional-delete commit left a tombstone — expected CoW")
+    } finally srv.close()
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
+  }
+
+  /** Catalog migration over REST (r13 gate for the r12 op): a
+    * merge-on-read source table (clone of nation, two keys deleted as a
+    * MoR tombstone) exports with REAL delete files, and the export's
+    * metadata-location posts to `POST .../register` — the server's
+    * copy-in path reads the LIVE rows through the independent importer
+    * (deletes applied) and lands them as native graft files in one
+    * commit. The gate reads the ADOPTED table natively; DuckDB replays
+    * the delete. The zero-copy fast path (same-data-plane source, no
+    * deletes) is spec-asserted in IcebergRestServerSpec (no Spark job,
+    * shared rels) — this gate hash-proves the row-copying importer arm.
+    */
+  private def restRegister(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    val srv = graft.versioned.IcebergRestServer.start(repo,
+      Files.createTempDirectory("graft-rest-reggate"), Some(s),
+      writable = true)
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      val ns = java.net.URLEncoder.encode("maindb", "UTF-8")
+      // the foreign table being migrated: MoR deletes make its live
+      // rows differ from its raw files
+      s.sql(s"CALL $cat.system.clone_table('r', 'main', " +
+        "'db.nation', 'db.reg_src')")
+      s.sql(s"ALTER TABLE $cat.r.main.db.reg_src " +
+        "SET TBLPROPERTIES('graft.delete.mode'='merge-on-read')")
+      s.sql(s"DELETE FROM $cat.r.main.db.reg_src " +
+        "WHERE n_nationkey IN (2, 7)")
+      val metaP = graft.versioned.IcebergExport.export(repo, "main",
+        "db/reg_src", Files.createTempDirectory("graft-reg-gate-export"),
+        Some(s), 1, 1, 0)
+      val resp = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/register"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          s"""{"name":"reg_t","metadata-location":"$metaP"}"""))
+        .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200,
+        s"register failed: ${resp.statusCode()} ${resp.body()}")
+    } finally srv.close()
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.reg_t ORDER BY n_nationkey")
+  }
+
   /** Partition-spec evolution over REST (r12): an engine creates an
     * unpartitioned table through the catalog, posts the spec's
     * add-partition-spec/set-default-spec commit (lowered onto graft's
@@ -2064,6 +2176,18 @@ object Versioned {
         |)
         |ORDER BY n_nationkey, n_name""".stripMargin
     )(restMor),
+    Q(
+      "vc_rest_posdel",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE NOT (n_name > 'NATION_2')
+        |ORDER BY n_nationkey""".stripMargin
+    )(restPosDel),
+    Q(
+      "vc_rest_register",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey NOT IN (2, 7)
+        |ORDER BY n_nationkey""".stripMargin
+    )(restRegister),
     Q(
       "vc_cdc_apply",
       """SELECT n_nationkey,

@@ -1222,7 +1222,7 @@ object IcebergImport {
     * absolute local paths or non-file URIs) — renders the same canonical
     * form `normPath(_metadata.file_path)` produces on executors.
     */
-  private def normStr(s: String): String =
+  private[graft] def normStr(s: String): String =
     if (s.startsWith("/")) "file://" + s
     else if (s.startsWith("file:"))
       "file:///" + s.stripPrefix("file:").dropWhile(_ == '/')

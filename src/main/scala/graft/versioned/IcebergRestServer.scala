@@ -12,6 +12,7 @@ import com.fasterxml.jackson.databind.node.ObjectNode
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** Embedded Apache Iceberg REST catalog over graft repos — read-only by
   * default, with an opt-in WRITE path (`writable = true`) that turns
@@ -94,13 +95,21 @@ import org.apache.spark.sql.SparkSession
   *    inverse of the exporter's tombstone → equality-delete mapping:
   *    value rows become ONE tombstone at the table's next sequence,
   *    same-commit data files register at that sequence and are exempt
-  *    (the spec's strictly-lower rule — the Flink-upsert shape). What
-  *    still refuses loudly with 400: POSITIONAL delete files and DVs
-  *    (they name row positions graft would have to re-derive; the
-  *    engine posts its CoW rewrite instead, or the rows flow through
-  *    `iceberg-changes` CDC), NULL-valued or oversized
-  *    (> [[IcebergExport.MaxEqualityRows]]) equality deletes, and
-  *    replace summaries.
+  *    (the spec's strictly-lower rule — the Flink-upsert shape).
+  *    POSITIONAL delete files (content=1) and v3 DELETION VECTORS — the
+  *    default Spark MoR DELETE/UPDATE shape — lower onto a SERVER-SIDE
+  *    CoW rewrite of exactly the referenced files: the posted positions
+  *    apply through the independent importer's sequence semantics
+  *    ([[IcebergImport.readPlan]] on a dirty-files sub-plan), survivors
+  *    land as native graft files, and [[TableOps.commitRewrite]] swaps
+  *    them atomically — O(dirty files + delete rows), the cost the
+  *    engine's own CoW would have paid, with the same stale-base 409
+  *    (reference parity: LakeFSTableOperations.commit, java:115-147,
+  *    accepts any metadata swap). What still refuses loudly with 400:
+  *    NULL-valued or oversized (> [[IcebergExport.MaxEqualityRows]])
+  *    equality deletes, positional deletes referencing files not live
+  *    at the commit base, mixed positional+equality (or MoR+CoW-drop)
+  *    commits, and replace summaries.
   *  - `DELETE .../tables/{t}` drops (optionally `purgeRequested=true`
   *    with the engine catalog's purge semantics); rename stays
   *    unsupported, mirroring the reference (LakeFSCatalog.java:218).
@@ -906,7 +915,8 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         .map(n => Option(n.get("fields")).getOrElse(n))
         .map(_.elements().asScala.map(partitionFieldOf(_, idToName)).toSeq)
         .getOrElse(Nil)
-      TableOps.setPartitionSpec(repo, ref, key, spec, precheck = pin)
+      TableOps.setPartitionSpec(repo, ref, key, spec, precheck = pin,
+        setProps = setProps, removeProps = removeProps)
       return loadResult(serve(repo, prefix, ref, key))
     }
 
@@ -965,18 +975,27 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     // tombstone at the table's next sequence, data files added in the
     // SAME commit register at that sequence and are exempt (Iceberg's
     // strictly-lower rule, graft's strict `>` applicability — the
-    // Flink-upsert shape). Positional deletes / DVs keep refusing:
-    // they name row positions in files graft would have to re-read.
+    // Flink-upsert shape). POSITIONAL delete files and v3 DVs — the
+    // default Spark MoR DELETE/UPDATE shape — lower onto a server-side
+    // CoW rewrite of exactly the files they reference (see below):
+    // reference parity with LakeFSTableOperations.commit (java:115-147),
+    // which accepts any metadata swap.
     val v = served.get("format-version").asInt()
     val (postedData, postedDeletes) = IcebergImport.filesOfManifestList(
       text(snap, "manifest-list"), v)
-    val (eqDeletes, otherDeletes) =
+    val (eqDeletes, posDeletes) =
       postedDeletes.partition(d => d.content == 2 && d.dv.isEmpty)
-    if (otherDeletes.nonEmpty) throw new UnsupportedOperationException(
-      s"$op commit carries ${otherDeletes.size} positional delete " +
-        "file(s)/DV(s) — post the copy-on-write rewrite instead " +
-        "(operation=overwrite dropping the replaced data files), or " +
-        "apply row-level deletes engine-side")
+    if (posDeletes.nonEmpty && op == "append")
+      throw new IllegalArgumentException(
+        "append commit carries positional delete files (post " +
+          "operation=overwrite or delete)")
+    if (posDeletes.nonEmpty && eqDeletes.nonEmpty)
+      throw new UnsupportedOperationException(
+        "one commit mixes positional and equality delete files — " +
+          "post them as two commits")
+    if (posDeletes.nonEmpty && schemaChanges.nonEmpty)
+      throw new UnsupportedOperationException(
+        "schema changes and positional deletes cannot share one commit")
     if (eqDeletes.nonEmpty && op == "append")
       throw new IllegalArgumentException(
         "append commit carries equality delete files (post " +
@@ -996,6 +1015,10 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       throw new UnsupportedOperationException(
         "one commit mixes dropped data files (CoW) with equality " +
           "delete files (MoR) — post them as two commits")
+    if (posDeletes.nonEmpty && dropped.nonEmpty)
+      throw new UnsupportedOperationException(
+        "one commit mixes dropped data files (CoW) with positional " +
+          "delete files (MoR) — post them as two commits")
     val addedFiles = postedData.filterNot(d => basePaths(d.path))
 
     val hconf = spark.map(_.sessionState.newHadoopConf())
@@ -1004,6 +1027,77 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       .resolve(ref).resolve(key).toAbsolutePath.normalize
     val entries = ingestEntries(repo, ref, key, destRoot, addedFiles,
       ev.schema, ev.mapping, ev.spec, hconf)
+
+    // ---- positional deletes / DVs → a server-side CoW rewrite of
+    // EXACTLY the referenced (dirty) data files: the posted delete rows
+    // are applied through the independent importer's spec-sequence
+    // semantics (IcebergImport.readPlan on a sub-plan of the dirty
+    // files), the survivors land as native graft files, and
+    // commitRewrite swaps them in atomically with the same stale-base
+    // 409 every REST commit gets. Cost is O(dirty files + delete rows)
+    // — what the engine's own CoW DELETE would have paid — and new data
+    // files posted in the SAME commit (Spark's MoR UPDATE shape: new
+    // rows + positions masking the old) ride the same commit.
+    if (posDeletes.nonEmpty) {
+      val s = spark.getOrElse(throw new UnsupportedOperationException(
+        "positional-delete commits need the serving SparkSession: the " +
+          "referenced files are rewritten with a distributed read"))
+      val baseByNorm = basePlan.dataFiles
+        .map(f => IcebergImport.normStr(f.path) -> f).toMap
+      // DVs name their referenced file in the manifest; file-based
+      // positional deletes are read for their distinct file_path values
+      // (delete files are small — this is one skinny distinct scan)
+      val dvDirty = posDeletes.flatMap(_.dv)
+        .map(r => IcebergImport.normStr(r.referencedFile))
+      val fileDels = posDeletes.filter(_.dv.isEmpty)
+      val readDirty: Seq[String] =
+        if (fileDels.isEmpty) Nil
+        else {
+          val fmts = fileDels.map(_.format).distinct
+          if (fmts.exists(_ != "PARQUET"))
+            throw new UnsupportedOperationException(
+              s"positional delete files in ${fmts.mkString(",")} — this " +
+                "server lowers parquet positional deletes (and v3 DVs)")
+          s.read.parquet(fileDels.map(_.path): _*)
+            .select(col("file_path")).distinct().collect()
+            .map(r => IcebergImport.normStr(r.getString(0))).toSeq
+        }
+      val dirtyNorm = (dvDirty ++ readDirty).distinct
+      val unknown = dirtyNorm.filterNot(baseByNorm.contains)
+      if (unknown.nonEmpty) throw new IllegalArgumentException(
+        s"positional deletes reference ${unknown.size} file(s) not " +
+          s"live at the commit base (e.g. ${unknown.head}) — deletes " +
+          "against files added in the same commit (or already " +
+          "rewritten) are not a state this table ever held")
+      val dirtyFiles = dirtyNorm.map(baseByNorm)
+      val surviving = IcebergImport.readPlan(s,
+        basePlan.copy(dataFiles = dirtyFiles, deleteFiles = posDeletes))
+      // the served plan emits PHYSICAL column names (export invariant);
+      // writeFiles takes the table's LOGICAL shape + its name mapping —
+      // the exact call the native CoW DELETE makes — so the rewritten
+      // files keep partition layout and rename-proof physical stats
+      val gSchema = org.apache.spark.sql.types.DataType
+        .fromJson(head.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val survivingLogical = surviving.select(
+        gSchema.fields.toIndexedSeq.map(f =>
+          col(head.physicalName(f.name)).as(f.name)): _*)
+      val rewritten =
+        if (surviving.isEmpty) Nil
+        else TableOps.writeFiles(s, repo, survivingLogical, key,
+          head.partitionFields, head.nameMapping)
+      val dropRels = dirtyFiles.map { f =>
+        repo.dataIO.relOf(f.path).getOrElse(
+          throw new IllegalStateException(
+            s"base data file outside the repo data plane: ${f.path}"))
+      }
+      TableOps.commitRewrite(repo, ref, key, dropRels.toSet,
+        rewritten ++ entries,
+        Some(s"rest: $op $key (positional deletes materialized: " +
+          s"${dirtyFiles.size} file(s) rewritten, +${entries.size} new)"),
+        setProps, precheck = pin, removeProps = removeProps)
+      return loadResult(serve(repo, prefix, ref, key))
+    }
 
     // equality deletes → ONE tombstone predicate (Or across files/rows)
     val morFilter: Option[org.apache.spark.sql.sources.Filter] =
@@ -1521,14 +1615,23 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     }
     (en.min.get(phys), en.max.get(phys)) match {
       case (Some(mn), Some(mx)) =>
-        val ok = srcType match {
-          case ByteType | ShortType | IntegerType | LongType =>
-            val d = declared.toLong; mn.toLong <= d && d <= mx.toLong
-          case _ =>
-            // date/timestamp/boolean/string renderings all order
-            // lexicographically consistently with their value order
-            mn <= declared && declared <= mx
-        }
+        // a malformed stat rendering proves nothing — degrade to
+        // "nothing to falsify" rather than escape as a 500
+        val ok = try {
+          srcType match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              val d = declared.toLong; mn.toLong <= d && d <= mx.toLong
+            case FloatType | DoubleType | _: DecimalType =>
+              // fractional renderings are NOT lexicographically
+              // order-consistent ("9.5" > "10.2") — compare numerically
+              val d = BigDecimal(declared)
+              BigDecimal(mn) <= d && d <= BigDecimal(mx)
+            case _ =>
+              // date/timestamp/boolean/string renderings all order
+              // lexicographically consistently with their value order
+              mn <= declared && declared <= mx
+          }
+        } catch { case _: NumberFormatException => true }
         if (!ok) throw new IllegalArgumentException(
           s"posted data file $path declares identity partition " +
             s"${pf.name}=$declared but its footer stats for " +
@@ -1541,14 +1644,18 @@ final class IcebergRestServer private (single: Option[GraftRepo],
 
   /** RegisterTableRequest — the catalog-migration entry point: an
     * existing Iceberg table (its `metadata-location`) is RE-HOMED into
-    * graft. Unlike a plain Iceberg catalog's register (which only
-    * repoints metadata), graft's data plane owns its files, so the
-    * current snapshot's LIVE ROWS are read through the independent
-    * importer (positional/equality deletes and DVs applied — the
-    * table's semantics, not its file layout) and land as native graft
-    * data files in ONE commit; versioned history then begins at the
-    * registration commit while the source keeps its own. Needs the
-    * serving SparkSession (the row copy is a distributed job).
+    * graft. When the posted metadata's data files ALREADY live under
+    * this repo's data plane (re-homing a sync-dest export or a sibling
+    * export) and carry no delete files, they register IN PLACE —
+    * zero-copy, O(metadata), no Spark job (r13). Otherwise — foreign
+    * files, or a MoR source whose live rows are not its raw files —
+    * graft's data plane must own the bytes, so the current snapshot's
+    * LIVE ROWS are read through the independent importer
+    * (positional/equality deletes and DVs applied — the table's
+    * semantics, not its file layout) and land as native graft data
+    * files in ONE commit; versioned history then begins at the
+    * registration commit while the source keeps its own. The copy path
+    * needs the serving SparkSession (the row copy is a distributed job).
     * Concurrent registers race on the key and one wins; the loser's
     * staged files are unreferenced and vacuumable. Trust model:
     * register reads whatever metadata location the caller names —
@@ -1569,17 +1676,41 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     val name = text(req, "name")
     val key = (dirs :+ name).mkString("/")
     val metaLoc = text(req, "metadata-location")
-    val s = spark.getOrElse(throw new UnsupportedOperationException(
-      "register-table needs the serving SparkSession: the source " +
-        "table's rows are copied into the repo data plane with a " +
-        "distributed read"))
     if (repo.resolve(ref).tables.contains(key))
       throw new RestConflict("AlreadyExistsException",
         s"table already exists: $key @ $ref")
     val plan = IcebergImport.plan(metaLoc, None)
-    val df = IcebergImport.readPlan(s, plan)
-    val entries = TableOps.writeFiles(s, repo, df, key)
-      .map(_.copy(seq = Some(1L)))
+    // ZERO-COPY fast path: when every data file of the posted metadata
+    // already resolves under THIS repo's data plane (a sync-dest or
+    // sibling-branch export being re-homed — the same containment check
+    // commitTable's zero-copy staging uses) and no delete files change
+    // the live rows, the files register in place: O(metadata) adoption,
+    // no Spark job. Foreign files (or a MoR source whose live rows are
+    // not its raw files) take the copy path below.
+    val zeroCopyRels =
+      if (plan.deleteFiles.nonEmpty) None
+      else {
+        val rels = plan.dataFiles.map(f => repo.dataIO.relOf(f.path))
+        if (rels.nonEmpty && rels.forall(_.isDefined))
+          Some(rels.map(_.get))
+        else None
+      }
+    val entries = zeroCopyRels match {
+      case Some(rels) =>
+        val hconf = spark.map(_.sessionState.newHadoopConf())
+          .getOrElse(new org.apache.hadoop.conf.Configuration())
+        // footer stats pass only (the cost any Iceberg catalog commit
+        // pays per registered file); the rows are never read
+        TableOps.entriesFromFootersLocal(repo, rels, plan.schema, hconf)
+          .map(_.copy(seq = Some(1L)))
+      case None =>
+        val s = spark.getOrElse(throw new UnsupportedOperationException(
+          "register-table of a foreign (or merge-on-read) source needs " +
+            "the serving SparkSession: the table's live rows are copied " +
+            "into the repo data plane with a distributed read"))
+        val df = IcebergImport.readPlan(s, plan)
+        TableOps.writeFiles(s, repo, df, key).map(_.copy(seq = Some(1L)))
+    }
     repo.commitRetry(ref, s"rest: register $key " +
       s"(${entries.size} files, ${entries.map(_.rows).sum} rows " +
       s"from $metaLoc)") { base =>
@@ -1668,9 +1799,16 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       ver.put("default-catalog", vd.catalog)
     val dns = ver.putArray("default-namespace")
     // creation-time namespace with the BRANCH segment rebound to the
-    // served ref (ViewDef.namespace is [repo?, branch, db...] shaped in
-    // the native catalog; over REST the repo routes via the prefix)
-    (ref +: vd.namespace.drop(2)).foreach(dns.add)
+    // served ref. Canonical storage is [repo, branch, db...] (native
+    // createView and createRestView both write it), so two leading
+    // segments go; a legacy entry written by an old no-prefix server as
+    // [branch, db...] is detected by its ref-shaped head so the db path
+    // survives either way (external engines resolve the view's relative
+    // table references against this namespace — losing the db segment
+    // strands them at [branch]).
+    val lead = if (vd.namespace.length >= 2 &&
+      refNames(repo).contains(vd.namespace.head)) 1 else 2
+    (ref +: vd.namespace.drop(lead)).foreach(dns.add)
     meta.set[ObjectNode]("versions", mapper.createArrayNode().add(ver))
     val vl = mapper.createArrayNode()
     val vle = mapper.createObjectNode()
@@ -1748,8 +1886,12 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     val dns = Option(vv.get("default-namespace")).toSeq
       .flatMap(_.elements().asScala).map(_.asText()).toSeq
     // store the graft-shaped resolution context: [repo, branch, db...]
-    // (the branch segment rebinds to the reading branch at load)
-    val nsStored = (prefix.toSeq :+ ref) ++
+    // (the branch segment rebinds to the reading branch at load).
+    // CANONICAL SHAPE: a single-repo (no-prefix) server still records a
+    // repo segment (the repo root's directory name) so consumers that
+    // strip [repo, branch] never eat a db segment by mistake.
+    val repoSeg = prefix.getOrElse(repo.root.getFileName.toString)
+    val nsStored = Seq(repoSeg, ref) ++
       (if (dns.nonEmpty && refNames(repo).contains(dns.head)) dns.tail
        else dns)
     val props = Option(req.get("properties")).map(_.fields().asScala
@@ -1846,7 +1988,8 @@ final class IcebergRestServer private (single: Option[GraftRepo],
             .flatMap(_.elements().asScala).map(_.asText()).toSeq
           val nsStored =
             if (dns.isEmpty) cur.namespace
-            else (prefix.toSeq :+ ref) ++
+            else Seq(prefix.getOrElse(repo.root.getFileName.toString),
+              ref) ++
               (if (refNames(repo).contains(dns.head)) dns.tail else dns)
           cur.copy(sql = sql, schemaJson = schema, namespace = nsStored,
             catalog = Option(vv.get("default-catalog")).map(_.asText())
@@ -1941,8 +2084,12 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       s"properties both removed and updated: ${overlap.mkString(", ")}")
     var missing = Seq.empty[String]
     repo.commitRetry(ref, s"rest: update namespace properties $db") { base =>
+      // views prove existence too (dropRestNamespace already counts
+      // them as content): a db holding only REST-created views must
+      // answer a properties update, not 404
       if (!base.namespaces.contains(db) &&
-          !base.tables.keys.exists(_.startsWith(db + "/")))
+          !base.tables.keys.exists(_.startsWith(db + "/")) &&
+          !base.viewMap.keys.exists(_.startsWith(db + "/")))
         throw new NoSuchElementException(
           s"no such namespace: ${ns.mkString(".")}")
       val cur = base.namespaces.getOrElse(db, Map.empty)

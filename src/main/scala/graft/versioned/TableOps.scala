@@ -1220,7 +1220,9 @@ object TableOps {
     */
   def setPartitionSpec(repo: GraftRepo, branch: String, key: String,
       newSpec: Seq[PartitionField],
-      precheck: Commit => Unit = _ => ()): Seq[PartitionField] = {
+      precheck: Commit => Unit = _ => (),
+      setProps: Map[String, String] = Map.empty,
+      removeProps: Set[String] = Set.empty): Seq[PartitionField] = {
     var committed: Seq[PartitionField] = Nil
     repo.commitRetry(branch, s"set partition spec on $key") { base =>
       precheck(base)
@@ -1243,10 +1245,15 @@ object TableOps {
           pf.copy(name = fresh)
         }
       }
+      // property updates posted in the same commit ride along — an
+      // engine that bundles set/remove-properties with its spec change
+      // must see them land, not vanish
+      val props = (Option(snap.props).flatten.getOrElse(Map.empty)
+        -- removeProps) ++ setProps
       val ns = repo.writeSnapshot(key, snap.schemaJson, snap.files,
         if (rebound.isEmpty) None else Some(rebound),
         Option(snap.physicalNames).flatten,
-        Option(snap.props).flatten,
+        if (props.isEmpty) None else Some(props),
         Option(snap.retired).flatten)
       committed = rebound
       (base.tables + (key -> ns.id), base.namespaces)

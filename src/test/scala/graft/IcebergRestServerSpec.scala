@@ -999,6 +999,341 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     list
   }
 
+  /** What a Spark MoR writer commits for DELETE/UPDATE: one data
+    * manifest re-listing the base files plus `dataFiles`' additions,
+    * and one DELETE manifest carrying POSITIONAL delete files
+    * (content=1, rows of (file_path, pos)).
+    */
+  private def stagePosDeleteCommit(scratch: java.nio.file.Path, snapId: Long,
+      dataFiles: Seq[java.nio.file.Path], posFiles: Seq[java.nio.file.Path])
+      : java.nio.file.Path = {
+    def writeManifest(name: String,
+        entries: Seq[(java.nio.file.Path, Int)]): java.nio.file.Path = {
+      val m = scratch.resolve(name)
+      val mw = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](wEqEntrySchema))
+      mw.setMeta("format-version", "2")
+      mw.create(wEqEntrySchema, m.toFile)
+      try entries.foreach { case (p, content) =>
+        val dfS = wEqEntrySchema.getField("data_file").schema()
+        val df = new GenericData.Record(dfS)
+        df.put("content", content)
+        df.put("file_path", p.toUri.toString)
+        df.put("file_format", "PARQUET")
+        df.put("partition",
+          new GenericData.Record(dfS.getField("partition").schema()))
+        df.put("record_count", 1L)
+        df.put("file_size_in_bytes", Files.size(p))
+        val e = new GenericData.Record(wEqEntrySchema)
+        e.put("status", 1)
+        e.put("snapshot_id", snapId)
+        e.put("data_file", df)
+        mw.append(e)
+      } finally mw.close()
+      m
+    }
+    val dataM = writeManifest(s"m-$snapId-data.avro",
+      dataFiles.map(p => (p, 0)))
+    val delM = writeManifest(s"m-$snapId-posdel.avro",
+      posFiles.map(p => (p, 1)))
+    val list = scratch.resolve(s"snap-$snapId.avro")
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](wListSchema))
+    lw.setMeta("format-version", "2")
+    lw.create(wListSchema, list.toFile)
+    try Seq((dataM, 0), (delM, 1)).foreach { case (m, content) =>
+      val r = new GenericData.Record(wListSchema)
+      r.put("manifest_path", m.toUri.toString)
+      r.put("manifest_length", Files.size(m))
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", 2L)
+      r.put("min_sequence_number", 2L)
+      r.put("added_snapshot_id", snapId)
+      lw.append(r)
+    } finally lw.close()
+    list
+  }
+
+  test("writable server: positional-delete commit (the default Spark " +
+    "MoR DELETE/UPDATE shape) lands as a server-side CoW rewrite of " +
+    "exactly the dirty files — deleted positions disappear, untouched " +
+    "base files keep their bytes, a stale base answers 409, and a " +
+    "delete referencing an unknown file refuses 400") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.restpd")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "restpd")
+    val exports = Files.createTempDirectory("graft-restpd-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true)
+    val scratch = Files.createTempDirectory("rest-pd-scratch")
+    try {
+      sql("CREATE NAMESPACE g.restpd.main.db")
+      sql("CREATE TABLE g.restpd.main.db.p (id INT, v STRING)")
+      // two inserts → at least two base files, so the rewrite's
+      // untouched/dirty split is observable
+      sql("INSERT INTO g.restpd.main.db.p VALUES (1,'a'), (2,'b'), (3,'c')")
+      sql("INSERT INTO g.restpd.main.db.p VALUES (10,'x'), (11,'y')")
+      val (_, load) = get(s"/v1/namespaces/${enc("main", "db")}/tables/p", srv)
+      val meta = load.get("metadata")
+      val baseFiles = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(load.get("metadata-location").asText()))
+        .dataPaths.map(java.nio.file.Paths.get(_))
+      // find id=2's file and row position the way the engine does: read
+      // each file with its row index
+      val perFile = baseFiles.map { p =>
+        val rows = spark.read.parquet(p.toString)
+          .select(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.col("_metadata.row_index"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+        p -> rows
+      }
+      val (dirtyFile, dirtyRows) =
+        perFile.find(_._2.exists(_._1 == 2)).get
+      val delPos = dirtyRows.find(_._1 == 2).get._2
+      val stage = java.nio.file.Paths.get(URI.create(
+        meta.get("properties").get("write.data.path").asText() + "/"))
+      // the MoR UPDATE: mask (dirtyFile, pos of id=2), add the new row
+      val del = stage.resolve("pos-del.parquet")
+      writeOneParquet(Seq((dirtyFile.toUri.toString, delPos))
+        .toDF("file_path", "pos"), del)
+      val add = stage.resolve("p-upd.parquet")
+      writeOneParquet(Seq((2, "B2")).toDF("id", "v"), add)
+      val list = stagePosDeleteCommit(scratch, 7601L,
+        baseFiles :+ add, Seq(del))
+      val body = commitBody(meta, 7601L, list)
+        .replace("\"operation\":\"append\"", "\"operation\":\"overwrite\"")
+      val (cP, eP) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/p", body, srv)
+      withClue(eP.toString) { cP shouldBe 200 }
+      sql("SELECT id, v FROM g.restpd.main.db.p ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+        Seq((1, "a"), (2, "B2"), (3, "c"), (10, "x"), (11, "y"))
+      // it really is CoW, scoped to the dirty file: no tombstone, the
+      // dirty file is gone from the snapshot, the clean file survived
+      val g = graft.versioned.GraftRepo.open(root)
+      val snap = g.snapshot(g.resolve("main").tables("db/p"))
+      graft.versioned.Tombstones.of(snap) shouldBe empty
+      val liveAbs = snap.files.map(f =>
+        graft.versioned.IcebergImport.normStr(g.dataLocation(f.path))).toSet
+      liveAbs should not contain dirtyFile.toUri.toString
+      val cleanFile = perFile.find(!_._2.exists(_._1 == 2)).get._1
+      liveAbs should contain (cleanFile.toUri.toString)
+
+      // the SAME body again is a stale base (assert-ref-snapshot-id
+      // moved) → 409, the engine's refresh-and-retry signal
+      val (cS, eS) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/p", body, srv)
+      cS shouldBe 409
+      eS.get("error").get("type").asText() shouldBe "CommitFailedException"
+
+      // a positional delete naming a file the base never held → 400
+      val (_, load2) = get(s"/v1/namespaces/${enc("main", "db")}/tables/p", srv)
+      val meta2 = load2.get("metadata")
+      val base2 = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(load2.get("metadata-location").asText()))
+        .dataPaths.map(java.nio.file.Paths.get(_))
+      val delU = stage.resolve("pos-del-unknown.parquet")
+      writeOneParquet(Seq(("file:///nowhere/ghost.parquet", 0L))
+        .toDF("file_path", "pos"), delU)
+      val listU = stagePosDeleteCommit(scratch, 7602L, base2, Seq(delU))
+      val bodyU = commitBody(meta2, 7602L, listU)
+        .replace("\"operation\":\"append\"", "\"operation\":\"delete\"")
+      val (cU, eU) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/p", bodyU, srv)
+      cU shouldBe 400
+      eU.get("error").get("message").asText() should include ("not")
+
+      // op=append carrying positional deletes refuses loudly
+      val listA = stagePosDeleteCommit(scratch, 7603L, base2, Seq(delU))
+      val (cA, eA) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/p",
+        commitBody(meta2, 7603L, listA), srv)
+      cA shouldBe 400
+      eA.get("error").get("message").asText() should include ("append")
+    } finally srv.close()
+  }
+
+  /** v3 deletion-vector blob per the Iceberg spec (same layout the
+    * importer's Puffin reader decodes — see IcebergImportSpec.dvBlob). */
+  private def dvBlob(positions: Seq[Long]): Array[Byte] = {
+    val groups = positions.groupBy(p => (p >>> 32).toInt).toSeq.sortBy(_._1)
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeLong(java.lang.Long.reverseBytes(groups.size.toLong))
+    groups.foreach { case (k, ps) =>
+      dos.writeInt(java.lang.Integer.reverseBytes(k))
+      val rb = new org.roaringbitmap.RoaringBitmap()
+      ps.foreach(p => rb.add((p & 0xffffffffL).toInt))
+      rb.runOptimize()
+      rb.serialize(dos)
+    }
+    dos.flush()
+    val vector = bos.toByteArray
+    val magic = Array(0xd1, 0xd3, 0x39, 0x64).map(_.toByte)
+    val crc = new java.util.zip.CRC32()
+    crc.update(magic); crc.update(vector)
+    val out = java.nio.ByteBuffer.allocate(12 + vector.length)
+    out.putInt(4 + vector.length)
+    out.put(magic).put(vector)
+    out.putInt(crc.getValue.toInt)
+    out.array()
+  }
+
+  private def writePuffin(out: java.nio.file.Path,
+      blobs: Seq[Array[Byte]]): Seq[(Long, Long)] = {
+    val magic = "PFA1".getBytes("UTF-8")
+    var off = magic.length.toLong
+    val coords = blobs.map { b =>
+      val c = (off, b.length.toLong); off += b.length; c }
+    val payload = ("""{"blobs":[""" + coords.map { case (o, l) =>
+      s"""{"type":"deletion-vector-v1","fields":[],"snapshot-id":1,""" +
+        s""""sequence-number":1,"offset":$o,"length":$l}"""
+    }.mkString(",") + """],"properties":{}}""").getBytes("UTF-8")
+    val bb = java.nio.ByteBuffer
+      .allocate(magic.length * 3 + blobs.map(_.length).sum +
+        payload.length + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(magic)
+    blobs.foreach(bb.put)
+    bb.put(magic).put(payload).putInt(payload.length).putInt(0).put(magic)
+    Files.write(out, bb.array())
+    coords
+  }
+
+  private val wDvEntrySchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"r2dv","fields":[
+      |{"name":"content","type":"int"},
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"partition","type":{"type":"record","name":"r102dv","fields":[]}},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"},
+      |{"name":"referenced_data_file","type":["null","string"],"default":null},
+      |{"name":"content_offset","type":["null","long"],"default":null},
+      |{"name":"content_size_in_bytes","type":["null","long"],"default":null}
+      |]}}]}""".stripMargin.replaceAll("\n", ""))
+
+  /** What a v3 engine commits for MoR DELETE: data manifest re-listing
+    * base files, delete manifest carrying PUFFIN deletion vectors.
+    */
+  private def stageDvCommit(scratch: java.nio.file.Path, snapId: Long,
+      dataFiles: Seq[java.nio.file.Path], puffin: java.nio.file.Path,
+      dvs: Seq[(String, Long, Long)]): java.nio.file.Path = {
+    def entry(p: String, content: Int, fmt: String,
+        dv: Option[(String, Long, Long)]): GenericRecord = {
+      val dfS = wDvEntrySchema.getField("data_file").schema()
+      val df = new GenericData.Record(dfS)
+      df.put("content", content)
+      df.put("file_path", p)
+      df.put("file_format", fmt)
+      df.put("partition",
+        new GenericData.Record(dfS.getField("partition").schema()))
+      df.put("record_count", 1L)
+      df.put("file_size_in_bytes", 1L)
+      dv.foreach { case (ref, o, l) =>
+        df.put("referenced_data_file", ref)
+        df.put("content_offset", o)
+        df.put("content_size_in_bytes", l)
+      }
+      val e = new GenericData.Record(wDvEntrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapId)
+      e.put("data_file", df)
+      e
+    }
+    def writeM(name: String, es: Seq[GenericRecord]): java.nio.file.Path = {
+      val m = scratch.resolve(name)
+      val mw = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](wDvEntrySchema))
+      mw.setMeta("format-version", "3")
+      mw.create(wDvEntrySchema, m.toFile)
+      try es.foreach(mw.append) finally mw.close()
+      m
+    }
+    val dataM = writeM(s"m-$snapId-data.avro",
+      dataFiles.map(p => entry(p.toUri.toString, 0, "PARQUET", None)))
+    val delM = writeM(s"m-$snapId-dv.avro",
+      dvs.map(d => entry(puffin.toUri.toString, 1, "PUFFIN", Some(d))))
+    val list = scratch.resolve(s"snap-$snapId.avro")
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](wListSchema))
+    lw.setMeta("format-version", "3")
+    lw.create(wListSchema, list.toFile)
+    try Seq((dataM, 0), (delM, 1)).foreach { case (m, content) =>
+      val r = new GenericData.Record(wListSchema)
+      r.put("manifest_path", m.toUri.toString)
+      r.put("manifest_length", Files.size(m))
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", 2L)
+      r.put("min_sequence_number", 2L)
+      r.put("added_snapshot_id", snapId)
+      lw.append(r)
+    } finally lw.close()
+    list
+  }
+
+  test("writable server (v3): a DELETION VECTOR commit lowers onto the " +
+    "same server-side CoW rewrite — the DV's positions disappear from " +
+    "exactly the referenced file") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.restdv")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "restdv")
+    val exports = Files.createTempDirectory("graft-restdv-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true, formatVersion = 3)
+    val scratch = Files.createTempDirectory("rest-dv-scratch")
+    try {
+      sql("CREATE NAMESPACE g.restdv.main.db")
+      sql("CREATE TABLE g.restdv.main.db.d (id INT, v STRING)")
+      sql("INSERT INTO g.restdv.main.db.d VALUES (1,'a'), (2,'b'), (3,'c')")
+      val (_, load) = get(s"/v1/namespaces/${enc("main", "db")}/tables/d", srv)
+      val meta = load.get("metadata")
+      meta.get("format-version").asInt() shouldBe 3
+      val baseFiles = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(load.get("metadata-location").asText()))
+        .dataPaths.map(java.nio.file.Paths.get(_))
+      // positions of ids 1 and 3 inside their file(s), engine-style
+      val perFile = baseFiles.map { p =>
+        p -> spark.read.parquet(p.toString)
+          .select(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.col("_metadata.row_index"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+      }
+      val dvTargets = perFile
+        .map { case (p, rows) =>
+          p -> rows.filter(r => r._1 == 1 || r._1 == 3).map(_._2) }
+        .filter(_._2.nonEmpty)
+      val stage = java.nio.file.Paths.get(URI.create(
+        meta.get("properties").get("write.data.path").asText() + "/"))
+      val puffin = stage.resolve("deletes.puffin")
+      Files.createDirectories(puffin.getParent)
+      val coords = writePuffin(puffin, dvTargets.map(t => dvBlob(t._2)))
+      val dvs = dvTargets.zip(coords).map { case ((p, _), (o, l)) =>
+        (p.toUri.toString, o, l) }
+      val list = stageDvCommit(scratch, 7701L, baseFiles, puffin, dvs)
+      val body = commitBody(meta, 7701L, list)
+        .replace("\"operation\":\"append\"", "\"operation\":\"delete\"")
+      val (cD, eD) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/d", body, srv)
+      withClue(eD.toString) { cD shouldBe 200 }
+      sql("SELECT id, v FROM g.restdv.main.db.d ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+        Seq((2, "b"))
+      // CoW, not MoR: no tombstones behind the result
+      val g = graft.versioned.GraftRepo.open(root)
+      val snap = g.snapshot(g.resolve("main").tables("db/d"))
+      graft.versioned.Tombstones.of(snap) shouldBe empty
+    } finally srv.close()
+  }
+
   test("writable server: update-schema commits — add/rename/widen land " +
     "as graft metadata-only evolution; a later append carries the new " +
     "column; stale requirements answer 409; non-widening refuses 400") {
@@ -1587,6 +1922,79 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       // duplicate register refuses
       send("POST", s"/v1/namespaces/${enc("main", "db")}/register",
         bodyJson, srv)._1 shouldBe 409
+    } finally srv.close()
+  }
+
+  test("register-table ZERO-COPY fast path: a same-data-plane export " +
+    "(no delete files) registers its files in place — no Spark job, " +
+    "shared rels; a MoR export (delete files) still copies") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.regzc")
+    sql("CREATE NAMESPACE g.regzc.main.db")
+    sql("CREATE TABLE g.regzc.main.db.src (id INT, v STRING)")
+    sql("INSERT INTO g.regzc.main.db.src VALUES (1,'a'), (2,'b'), (3,'c')")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "regzc")
+    val g = GraftRepo.open(root)
+    val metaP = graft.versioned.IcebergExport.export(g, "main", "db/src",
+      Files.createTempDirectory("graft-regzc-export"), Some(spark), 1, 1, 0)
+    val exports = Files.createTempDirectory("graft-regzc-exports")
+    val srv = IcebergRestServer.start(g, exports, Some(spark),
+      writable = true)
+    try {
+      // count Spark jobs across the register call: zero-copy must not
+      // launch any (footer stats are IO-pool reads, not Spark tasks)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val (c1, r1) = try {
+        val r = send("POST", s"/v1/namespaces/${enc("main", "db")}/register",
+          s"""{"name":"adopted","metadata-location":"$metaP"}""", srv)
+        // listener events are async — give the bus a beat to drain
+        Thread.sleep(500)
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+      withClue(r1.toString) { c1 shouldBe 200 }
+      jobs.get() shouldBe 0
+      // the adopted table shares the SOURCE's exact file rels (in-place
+      // registration, not a copy)
+      val srcRels = g.snapshot(g.resolve("main").tables("db/src"))
+        .files.map(_.path).toSet
+      val adoptedRels = g.snapshot(g.resolve("main").tables("db/adopted"))
+        .files.map(_.path).toSet
+      adoptedRels shouldBe srcRels
+      sql("SELECT id, v FROM g.regzc.main.db.adopted ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+        Seq((1, "a"), (2, "b"), (3, "c"))
+      // footer stats registered (pruning works from day one)
+      g.snapshot(g.resolve("main").tables("db/adopted"))
+        .files.foreach(f => f.min should not be empty)
+
+      // a MoR source (export carries delete files) must NOT zero-copy:
+      // the live rows differ from the raw files
+      sql("CREATE TABLE g.regzc.main.db.srcm (id INT, v STRING)")
+      sql("INSERT INTO g.regzc.main.db.srcm VALUES (1,'a'), (2,'b')")
+      sql("ALTER TABLE g.regzc.main.db.srcm " +
+        "SET TBLPROPERTIES('graft.delete.mode'='merge-on-read')")
+      sql("DELETE FROM g.regzc.main.db.srcm WHERE id = 2")
+      val metaM = graft.versioned.IcebergExport.export(g, "main", "db/srcm",
+        Files.createTempDirectory("graft-regzc-exportm"), Some(spark), 1, 1, 0)
+      val (c2, r2) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/register",
+        s"""{"name":"adoptedm","metadata-location":"$metaM"}""", srv)
+      withClue(r2.toString) { c2 shouldBe 200 }
+      sql("SELECT id, v FROM g.regzc.main.db.adoptedm ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+        Seq((1, "a"))
+      val srcmRels = g.snapshot(g.resolve("main").tables("db/srcm"))
+        .files.map(_.path).toSet
+      val admRels = g.snapshot(g.resolve("main").tables("db/adoptedm"))
+        .files.map(_.path).toSet
+      admRels.intersect(srcmRels) shouldBe empty // copied, not shared
     } finally srv.close()
   }
 

@@ -406,6 +406,27 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     got shouldBe unionFindClusters(pairs, docIds)
   }
 
+  test("connectedComponents REFUSES (never mislabels) when the round cap " +
+    "is too small for the graph's diameter; the default cap converges " +
+    "the same chain") {
+    import spark.implicits._
+    // a 40-vertex chain: diameter 39 needs ~log2(39)+1 ≈ 6+ rounds of
+    // pointer jumping — 1 round cannot converge it
+    val docs = (0L until 40L).toDF("doc_id")
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    spark.conf.set("spark.graft.cc.maxRounds", "1")
+    try {
+      val e = intercept[IllegalStateException] {
+        operators.Dedup.connectedComponents(docs, chain).count()
+      }
+      e.getMessage should include ("maxRounds")
+    } finally spark.conf.unset("spark.graft.cc.maxRounds")
+    // default cap: converges, one component labeled by its minimum
+    val labels = operators.Dedup.connectedComponents(docs, chain)
+      .collect().map(_.getLong(1)).distinct
+    labels shouldBe Array(0L)
+  }
+
   test("dd_exact: groups partition the corpus (sum of copies = row count)") {
     val out = SparkEntry.queries("dd_exact")(spark, sfDir).collect()
     out.map(_.getAs[Long]("n_copies")).sum shouldBe
