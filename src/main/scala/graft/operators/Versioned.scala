@@ -1138,6 +1138,46 @@ object Versioned {
       s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
   }
 
+  /** SHOW TABLES per branch (r13 gate for the spec-only op): catalog
+    * listings are BRANCH-SCOPED state — a CTAS on main and a CTAS on
+    * dev are each visible only on their own ref. The gate unions both
+    * branches' SHOW TABLES output into one hashed result; DuckDB's
+    * oracle is the literal expected listing.
+    */
+  private def showTablesGate(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = setup(s, d)
+    s.sql(s"CREATE TABLE $cat.r.main.db.extra AS " +
+      s"SELECT * FROM $cat.r.main.db.nation WHERE n_nationkey < 3")
+    s.sql(s"CREATE TABLE $cat.r.dev.db.devonly AS " +
+      s"SELECT * FROM $cat.r.dev.db.nation WHERE n_nationkey < 2")
+    val main = s.sql(s"SHOW TABLES IN $cat.r.main.db")
+      .select(lit("main").as("ref"), col("tableName").as("table_name"))
+    val dev = s.sql(s"SHOW TABLES IN $cat.r.dev.db")
+      .select(lit("dev").as("ref"), col("tableName").as("table_name"))
+    main.unionAll(dev).orderBy(col("ref"), col("table_name"))
+  }
+
+  /** CALL procedures driving a whole branch lifecycle (r13 gate for the
+    * spec-only op): create_branch → row-level change on the branch →
+    * merge → create_tag → destructive change on main → rollback to the
+    * tag. The final state hash-proves each step: rows < 20 exist ONLY
+    * if the merge landed AND the later delete was rolled back (a failed
+    * rollback would leave < 15; a failed merge would leave all 25).
+    */
+  private def proceduresGate(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = setup(s, d)
+    def one(sql: String): Unit =
+      require(s.sql(sql).collect().nonEmpty, s"no result from: $sql")
+    one(s"CALL $cat.system.create_branch('r', 'feat', 'main')")
+    s.sql(s"DELETE FROM $cat.r.feat.db.nation WHERE n_nationkey >= 20")
+    one(s"CALL $cat.system.merge('r', 'feat', 'main')")
+    one(s"CALL $cat.system.create_tag('r', 'merged', 'main')")
+    s.sql(s"DELETE FROM $cat.r.main.db.nation WHERE n_nationkey >= 15")
+    one(s"CALL $cat.system.rollback('r', 'main', 'merged')")
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
+  }
+
   /** Catalog migration over REST (r13 gate for the r12 op): a
     * merge-on-read source table (clone of nation, two keys deleted as a
     * MoR tombstone) exports with REAL delete files, and the export's
@@ -1302,11 +1342,20 @@ object Versioned {
         .GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
       require(get.statusCode() == 200, s"loadView failed: ${get.body()}")
-      val rep = mapper.readTree(get.body()).get("metadata")
+      val ver = mapper.readTree(get.body()).get("metadata")
         .get("versions").elements().next()
-        .get("representations").elements().next()
+      val rep = ver.get("representations").elements().next()
       require(rep.get("sql").asText().contains("n_regionkey = 1"),
         s"representation did not round-trip: $rep")
+      // the served default-namespace must keep the DB segment — an
+      // external engine resolves the view's relative `nation` reference
+      // against it (r13 ADVICE: a no-prefix server used to serve just
+      // [branch], stranding external resolution)
+      val dns = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        ver.get("default-namespace").elements()).asScala
+        .map(_.asText()).toSeq
+      require(dns == Seq("main", "db"),
+        s"served default-namespace lost the db segment: $dns")
     } finally srv.close()
     s.sql(s"SELECT n_nationkey, n_name FROM $cat.r.main.db.rv " +
       "ORDER BY n_nationkey")
@@ -2188,6 +2237,20 @@ object Versioned {
         |WHERE n_nationkey NOT IN (2, 7)
         |ORDER BY n_nationkey""".stripMargin
     )(restRegister),
+    Q(
+      "vc_show_tables",
+      """SELECT * FROM (VALUES
+        |  ('dev', 'devonly'), ('dev', 'nation'),
+        |  ('main', 'extra'), ('main', 'nation')
+        |) AS t(ref, table_name)
+        |ORDER BY ref, table_name""".stripMargin
+    )(showTablesGate),
+    Q(
+      "vc_procedures",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey < 20
+        |ORDER BY n_nationkey""".stripMargin
+    )(proceduresGate),
     Q(
       "vc_cdc_apply",
       """SELECT n_nationkey,

@@ -845,7 +845,7 @@ object IcebergImport {
     * Emits `schema` columns + `__ice_fp` (canonical file path) +
     * `__ice_ri` (exact row position in file order).
     */
-  private def avroScan(spark: SparkSession, files: Seq[String],
+  private[graft] def avroScan(spark: SparkSession, files: Seq[String],
       schema: StructType, nameToId: Map[String, Int]): DataFrame = {
     val bc = broadcastHadoopConf(spark)
     val canonical = files.map(f =>

@@ -105,11 +105,17 @@ import org.apache.spark.sql.functions.col
   *    them atomically — O(dirty files + delete rows), the cost the
   *    engine's own CoW would have paid, with the same stale-base 409
   *    (reference parity: LakeFSTableOperations.commit, java:115-147,
-  *    accepts any metadata swap). What still refuses loudly with 400:
-  *    NULL-valued or oversized (> [[IcebergExport.MaxEqualityRows]])
-  *    equality deletes, positional deletes referencing files not live
-  *    at the commit base, mixed positional+equality (or MoR+CoW-drop)
-  *    commits, and replace summaries.
+  *    accepts any metadata swap). The FULL Flink-upsert checkpoint
+  *    lands in ONE commit: equality + positional deletes together,
+  *    positions referencing same-commit added files (intra-checkpoint
+  *    dedup — those adds fold into the rewrite), the equality predicate
+  *    applied physically to dirty files and as a tombstone for
+  *    untouched ones, same-commit adds exempt per the strictly-lower
+  *    rule. What still refuses loudly with 400: NULL-valued or
+  *    oversized (> [[IcebergExport.MaxEqualityRows]]) equality deletes,
+  *    positional deletes referencing files neither live at the base nor
+  *    added by the commit, MoR deletes mixed with CoW file drops, and
+  *    replace summaries.
   *  - `DELETE .../tables/{t}` drops (optionally `purgeRequested=true`
   *    with the engine catalog's purge semantics); rename stays
   *    unsupported, mirroring the reference (LakeFSCatalog.java:218).
@@ -989,10 +995,6 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       throw new IllegalArgumentException(
         "append commit carries positional delete files (post " +
           "operation=overwrite or delete)")
-    if (posDeletes.nonEmpty && eqDeletes.nonEmpty)
-      throw new UnsupportedOperationException(
-        "one commit mixes positional and equality delete files — " +
-          "post them as two commits")
     if (posDeletes.nonEmpty && schemaChanges.nonEmpty)
       throw new UnsupportedOperationException(
         "schema changes and positional deletes cannot share one commit")
@@ -1025,53 +1027,79 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       .getOrElse(new org.apache.hadoop.conf.Configuration())
     val destRoot = prefix.fold(exportRoot)(exportRoot.resolve)
       .resolve(ref).resolve(key).toAbsolutePath.normalize
-    val entries = ingestEntries(repo, ref, key, destRoot, addedFiles,
-      ev.schema, ev.mapping, ev.spec, hconf)
 
     // ---- positional deletes / DVs → a server-side CoW rewrite of
-    // EXACTLY the referenced (dirty) data files: the posted delete rows
-    // are applied through the independent importer's spec-sequence
+    // EXACTLY the referenced (dirty) files: the posted delete rows are
+    // applied through the independent importer's spec-sequence
     // semantics (IcebergImport.readPlan on a sub-plan of the dirty
-    // files), the survivors land as native graft files, and
-    // commitRewrite swaps them in atomically with the same stale-base
-    // 409 every REST commit gets. Cost is O(dirty files + delete rows)
-    // — what the engine's own CoW DELETE would have paid — and new data
-    // files posted in the SAME commit (Spark's MoR UPDATE shape: new
-    // rows + positions masking the old) ride the same commit.
+    // files), the survivors land as native graft files, and one commit
+    // swaps them in atomically with the same stale-base 409 every REST
+    // commit gets. Cost is O(dirty files + delete rows) — what the
+    // engine's own CoW DELETE would have paid. The FULL Flink-upsert
+    // commit shape lands in one piece (r13):
+    //  - new data files in the same commit (Spark MoR UPDATE: new rows
+    //    + positions masking the old) ride the same commit;
+    //  - positions may reference SAME-COMMIT added files (Flink's
+    //    intra-checkpoint dedup) — those adds are rewritten instead of
+    //    registered verbatim;
+    //  - equality deletes may ride the same commit: per the spec they
+    //    apply STRICTLY BELOW the commit's sequence, so they are
+    //    applied physically to the dirty base files' survivors during
+    //    the rewrite and land as a tombstone for the untouched files;
+    //    same-commit adds stay exempt.
     if (posDeletes.nonEmpty) {
       val s = spark.getOrElse(throw new UnsupportedOperationException(
         "positional-delete commits need the serving SparkSession: the " +
           "referenced files are rewritten with a distributed read"))
       val baseByNorm = basePlan.dataFiles
         .map(f => IcebergImport.normStr(f.path) -> f).toMap
+      val addByNorm = addedFiles
+        .map(f => IcebergImport.normStr(f.path) -> f).toMap
       // DVs name their referenced file in the manifest; file-based
       // positional deletes are read for their distinct file_path values
-      // (delete files are small — this is one skinny distinct scan)
+      // (delete files are small — this is one skinny distinct scan per
+      // format group, the same readers readPlan applies them with)
       val dvDirty = posDeletes.flatMap(_.dv)
         .map(r => IcebergImport.normStr(r.referencedFile))
       val fileDels = posDeletes.filter(_.dv.isEmpty)
-      val readDirty: Seq[String] =
-        if (fileDels.isEmpty) Nil
-        else {
-          val fmts = fileDels.map(_.format).distinct
-          if (fmts.exists(_ != "PARQUET"))
-            throw new UnsupportedOperationException(
-              s"positional delete files in ${fmts.mkString(",")} — this " +
-                "server lowers parquet positional deletes (and v3 DVs)")
-          s.read.parquet(fileDels.map(_.path): _*)
+      val posSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file_path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType)))
+      val readDirty: Seq[String] = fileDels.groupBy(_.format).toSeq
+        .sortBy(_._1).flatMap {
+          case ("PARQUET", fs) => s.read.parquet(fs.map(_.path): _*)
             .select(col("file_path")).distinct().collect()
             .map(r => IcebergImport.normStr(r.getString(0))).toSeq
+          case ("ORC", fs) => s.read.schema(posSchema).orc(fs.map(_.path): _*)
+            .select(col("file_path")).distinct().collect()
+            .map(r => IcebergImport.normStr(r.getString(0))).toSeq
+          case ("AVRO", fs) => IcebergImport.avroScan(s, fs.map(_.path),
+            posSchema, Map("file_path" -> 2147483546, "pos" -> 2147483545))
+            .select(col("file_path")).distinct().collect()
+            .map(r => IcebergImport.normStr(r.getString(0))).toSeq
+          case (other, fs) => throw new UnsupportedOperationException(
+            s"unsupported positional delete file format $other " +
+              s"(${fs.head.path})")
         }
       val dirtyNorm = (dvDirty ++ readDirty).distinct
-      val unknown = dirtyNorm.filterNot(baseByNorm.contains)
+      val (dirtyBaseNorm, restNorm) = dirtyNorm.partition(baseByNorm.contains)
+      val (dirtyAddNorm, unknown) = restNorm.partition(addByNorm.contains)
       if (unknown.nonEmpty) throw new IllegalArgumentException(
-        s"positional deletes reference ${unknown.size} file(s) not " +
-          s"live at the commit base (e.g. ${unknown.head}) — deletes " +
-          "against files added in the same commit (or already " +
-          "rewritten) are not a state this table ever held")
-      val dirtyFiles = dirtyNorm.map(baseByNorm)
+        s"positional deletes reference ${unknown.size} file(s) neither " +
+          s"live at the commit base nor added by this commit (e.g. " +
+          s"${unknown.head}) — not a state this table ever held")
+      // sub-plan sequence numbers are ASSIGNED, not trusted from the
+      // post: dirty base files at 0, same-commit adds at 1, all deletes
+      // at 1 — positional applies at <= (base AND same-commit adds),
+      // equality strictly < (base only), exactly the spec's rules for
+      // one engine commit
+      val dirtyFiles = dirtyBaseNorm.map(n => baseByNorm(n).copy(seq = 0L)) ++
+        dirtyAddNorm.map(n => addByNorm(n).copy(seq = 1L))
+      val subDeletes = (posDeletes ++ eqDeletes).map(_.copy(seq = 1L))
       val surviving = IcebergImport.readPlan(s,
-        basePlan.copy(dataFiles = dirtyFiles, deleteFiles = posDeletes))
+        basePlan.copy(dataFiles = dirtyFiles, deleteFiles = subDeletes))
       // the served plan emits PHYSICAL column names (export invariant);
       // writeFiles takes the table's LOGICAL shape + its name mapping —
       // the exact call the native CoW DELETE makes — so the rewritten
@@ -1086,18 +1114,54 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         if (surviving.isEmpty) Nil
         else TableOps.writeFiles(s, repo, survivingLogical, key,
           head.partitionFields, head.nameMapping)
-      val dropRels = dirtyFiles.map { f =>
+      val dropRels = dirtyBaseNorm.map(baseByNorm).map { f =>
         repo.dataIO.relOf(f.path).getOrElse(
           throw new IllegalStateException(
             s"base data file outside the repo data plane: ${f.path}"))
       }
-      TableOps.commitRewrite(repo, ref, key, dropRels.toSet,
-        rewritten ++ entries,
-        Some(s"rest: $op $key (positional deletes materialized: " +
-          s"${dirtyFiles.size} file(s) rewritten, +${entries.size} new)"),
-        setProps, precheck = pin, removeProps = removeProps)
+      // clean adds register as usual; dirty adds were folded into the
+      // rewrite above and must not land twice
+      val cleanEntries = ingestEntries(repo, ref, key, destRoot,
+        addedFiles.filterNot(f =>
+          dirtyAddNorm.contains(IcebergImport.normStr(f.path))),
+        ev.schema, ev.mapping, ev.spec, hconf)
+      val eqFilter =
+        if (eqDeletes.isEmpty) None
+        else Some(equalityTombstoneFilter(repo, destRoot, eqDeletes,
+          basePlan.fieldIdToName, hconf))
+      repo.commitRetry(ref, s"rest: $op $key (positional deletes " +
+        s"materialized: ${dirtyBaseNorm.size} base file(s) rewritten, " +
+        s"${dirtyAddNorm.size} add(s) folded, +${cleanEntries.size} new" +
+        (if (eqFilter.isDefined) ", equality tombstone" else "") + ")") {
+        base =>
+          pin(base)
+          val prior = repo.snapshot(base.tables(key))
+          val live = prior.files.iterator.map(_.path).toSet
+          val missing = dropRels.toSet -- live
+          if (missing.nonEmpty) throw new MergeConflictException(
+            s"rewrite of $key drops ${missing.size} file(s) not live at " +
+              s"the commit base (e.g. ${missing.head}) — refresh and retry")
+          val props0 = (prior.properties -- removeProps) ++ setProps
+          val next = Tombstones.lastSeq(props0) + 1
+          // the tombstone (untouched base files only — rewritten and
+          // added files land AT `next` and are exempt by graft's strict
+          // `>` applicability, matching the spec's strictly-lower rule)
+          val props1 = eqFilter match {
+            case Some(f) => Tombstones.append(props0, next, f)
+            case None => props0 + (Tombstones.SeqProp -> next.toString)
+          }
+          val stamped = (rewritten ++ cleanEntries).map(_.copy(seq = Some(next)))
+          val kept = prior.files.filterNot(f => dropRels.toSet(f.path))
+          val snap2 = repo.writeSnapshot(key, prior.schemaJson,
+            kept ++ stamped, prior.partitionBy, prior.physicalNames,
+            Some(props1), prior.retired)
+          (base.tables + (key -> snap2.id), base.namespaces)
+      }
       return loadResult(serve(repo, prefix, ref, key))
     }
+
+    val entries = ingestEntries(repo, ref, key, destRoot, addedFiles,
+      ev.schema, ev.mapping, ev.spec, hconf)
 
     // equality deletes → ONE tombstone predicate (Or across files/rows)
     val morFilter: Option[org.apache.spark.sql.sources.Filter] =
@@ -1805,9 +1869,14 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     // [branch, db...] is detected by its ref-shaped head so the db path
     // survives either way (external engines resolve the view's relative
     // table references against this namespace — losing the db segment
-    // strands them at [branch]).
+    // strands them at [branch]). Legacy shape: head is a ref and the
+    // SECOND segment is a db name, not a ref (a repo named like a
+    // branch keeps the canonical [repo, branch, ...] reading because
+    // its second segment IS a ref).
+    val refs = refNames(repo)
     val lead = if (vd.namespace.length >= 2 &&
-      refNames(repo).contains(vd.namespace.head)) 1 else 2
+      refs.contains(vd.namespace.head) &&
+      !refs.contains(vd.namespace(1))) 1 else 2
     (ref +: vd.namespace.drop(lead)).foreach(dns.add)
     meta.set[ObjectNode]("versions", mapper.createArrayNode().add(ver))
     val vl = mapper.createArrayNode()

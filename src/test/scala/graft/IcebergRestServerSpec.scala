@@ -1279,6 +1279,143 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     list
   }
 
+  /** Mixed-delete manifest staging: data manifest re-lists base +
+    * added files, the delete manifest carries BOTH positional
+    * (content=1) and equality (content=2 + ids) delete files — the
+    * full Flink-upsert checkpoint shape.
+    */
+  private def stageMixedDeleteCommit(scratch: java.nio.file.Path,
+      snapId: Long, dataFiles: Seq[java.nio.file.Path],
+      deletes: Seq[(java.nio.file.Path, Int, Option[Seq[Int]])])
+      : java.nio.file.Path = {
+    def writeManifest(name: String,
+        entries: Seq[(java.nio.file.Path, Int, Option[Seq[Int]])])
+        : java.nio.file.Path = {
+      val m = scratch.resolve(name)
+      val mw = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](wEqEntrySchema))
+      mw.setMeta("format-version", "2")
+      mw.create(wEqEntrySchema, m.toFile)
+      try entries.foreach { case (p, content, ids) =>
+        val dfS = wEqEntrySchema.getField("data_file").schema()
+        val df = new GenericData.Record(dfS)
+        df.put("content", content)
+        df.put("file_path", p.toUri.toString)
+        df.put("file_format", "PARQUET")
+        df.put("partition",
+          new GenericData.Record(dfS.getField("partition").schema()))
+        df.put("record_count", 1L)
+        df.put("file_size_in_bytes", Files.size(p))
+        ids.foreach { is =>
+          val arr = new java.util.ArrayList[Integer]()
+          is.foreach(i => arr.add(Integer.valueOf(i)))
+          df.put("equality_ids", arr)
+        }
+        val e = new GenericData.Record(wEqEntrySchema)
+        e.put("status", 1)
+        e.put("snapshot_id", snapId)
+        e.put("data_file", df)
+        mw.append(e)
+      } finally mw.close()
+      m
+    }
+    val dataM = writeManifest(s"m-$snapId-data.avro",
+      dataFiles.map(p => (p, 0, None)))
+    val delM = writeManifest(s"m-$snapId-mixdel.avro", deletes)
+    val list = scratch.resolve(s"snap-$snapId.avro")
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](wListSchema))
+    lw.setMeta("format-version", "2")
+    lw.create(wListSchema, list.toFile)
+    try Seq((dataM, 0), (delM, 1)).foreach { case (m, content) =>
+      val r = new GenericData.Record(wListSchema)
+      r.put("manifest_path", m.toUri.toString)
+      r.put("manifest_length", Files.size(m))
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", 2L)
+      r.put("min_sequence_number", 2L)
+      r.put("added_snapshot_id", snapId)
+      lw.append(r)
+    } finally lw.close()
+    list
+  }
+
+  test("writable server: the FULL Flink-upsert commit shape in one " +
+    "post — equality delete + positional deletes referencing a base " +
+    "file AND a same-commit added file. Spec semantics hold: the " +
+    "equality delete is exempt on the same-commit add (strictly-lower " +
+    "rule) while positions apply to both; dirty files rewrite, the " +
+    "equality predicate lands as a tombstone for untouched files") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.restfl")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "restfl")
+    val exports = Files.createTempDirectory("graft-restfl-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true)
+    val scratch = Files.createTempDirectory("rest-fl-scratch")
+    try {
+      sql("CREATE NAMESPACE g.restfl.main.db")
+      sql("CREATE TABLE g.restfl.main.db.f (id INT, v STRING)")
+      sql("INSERT INTO g.restfl.main.db.f VALUES (1,'a'), (2,'b'), (3,'c')")
+      val (_, load) = get(s"/v1/namespaces/${enc("main", "db")}/tables/f", srv)
+      val meta = load.get("metadata")
+      val idFieldId = {
+        val it = meta.get("schemas").elements().next().get("fields").elements()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .find(_.get("name").asText() == "id").get.get("id").asInt()
+      }
+      val baseFiles = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(load.get("metadata-location").asText()))
+        .dataPaths.map(java.nio.file.Paths.get(_))
+      // the base file holding id=3, and id=3's row position in it
+      val perFile = baseFiles.map { p =>
+        p -> spark.read.parquet(p.toString)
+          .select(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.col("_metadata.row_index"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+      }
+      val (dirtyBase, rows3) = perFile.find(_._2.exists(_._1 == 3)).get
+      val pos3 = rows3.find(_._1 == 3).get._2
+      val stage = java.nio.file.Paths.get(URI.create(
+        meta.get("properties").get("write.data.path").asText() + "/"))
+      // Flink's checkpoint: the add carries TWO versions of id=2 (the
+      // intra-checkpoint upsert) + a fresh id=4; a positional delete
+      // masks the superseded (2,'B1') AT POSITION 0 OF THE ADDED FILE;
+      // an equality delete on id=2 retires the OLD row in the base
+      val add = stage.resolve("f-ckpt.parquet")
+      writeOneParquet(Seq((2, "B1"), (2, "B2"), (4, "d")).toDF("id", "v"),
+        add)
+      val posDel = stage.resolve("f-pos.parquet")
+      writeOneParquet(Seq(
+        (add.toUri.toString, 0L),           // intra-checkpoint dedup
+        (dirtyBase.toUri.toString, pos3)    // plus a base-file position
+      ).toDF("file_path", "pos"), posDel)
+      val eqDel = stage.resolve("f-eq.parquet")
+      writeOneParquet(Seq(2).toDF("id"), eqDel)
+      val list = stageMixedDeleteCommit(scratch, 7801L,
+        baseFiles :+ add,
+        Seq((posDel, 1, None), (eqDel, 2, Some(Seq(idFieldId)))))
+      val body = commitBody(meta, 7801L, list)
+        .replace("\"operation\":\"append\"", "\"operation\":\"overwrite\"")
+      val (cF, eF) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/f", body, srv)
+      withClue(eF.toString) { cF shouldBe 200 }
+      // (2,'B1') pos-deleted in the add; (2,'b') eq-deleted in the
+      // base; (3,'c') pos-deleted in the base; (2,'B2') SURVIVES the
+      // equality delete (same-commit add, strictly-lower exemption)
+      sql("SELECT id, v FROM g.restfl.main.db.f ORDER BY id, v")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+        Seq((1, "a"), (2, "B2"), (4, "d"))
+      // the equality predicate landed as a tombstone (for any base file
+      // the positions did not dirty)
+      val g = graft.versioned.GraftRepo.open(root)
+      val snap = g.snapshot(g.resolve("main").tables("db/f"))
+      graft.versioned.Tombstones.of(snap).size shouldBe 1
+    } finally srv.close()
+  }
+
   test("writable server (v3): a DELETION VECTOR commit lowers onto the " +
     "same server-side CoW rewrite — the DV's positions disappear from " +
     "exactly the referenced file") {
