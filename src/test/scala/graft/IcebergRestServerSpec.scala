@@ -1005,21 +1005,21 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     * (content=1, rows of (file_path, pos)).
     */
   private def stagePosDeleteCommit(scratch: java.nio.file.Path, snapId: Long,
-      dataFiles: Seq[java.nio.file.Path], posFiles: Seq[java.nio.file.Path])
-      : java.nio.file.Path = {
+      dataFiles: Seq[java.nio.file.Path], posFiles: Seq[java.nio.file.Path],
+      delFormat: String = "PARQUET"): java.nio.file.Path = {
     def writeManifest(name: String,
-        entries: Seq[(java.nio.file.Path, Int)]): java.nio.file.Path = {
+        entries: Seq[(java.nio.file.Path, Int, String)]): java.nio.file.Path = {
       val m = scratch.resolve(name)
       val mw = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](wEqEntrySchema))
       mw.setMeta("format-version", "2")
       mw.create(wEqEntrySchema, m.toFile)
-      try entries.foreach { case (p, content) =>
+      try entries.foreach { case (p, content, fmt) =>
         val dfS = wEqEntrySchema.getField("data_file").schema()
         val df = new GenericData.Record(dfS)
         df.put("content", content)
         df.put("file_path", p.toUri.toString)
-        df.put("file_format", "PARQUET")
+        df.put("file_format", fmt)
         df.put("partition",
           new GenericData.Record(dfS.getField("partition").schema()))
         df.put("record_count", 1L)
@@ -1033,9 +1033,9 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       m
     }
     val dataM = writeManifest(s"m-$snapId-data.avro",
-      dataFiles.map(p => (p, 0)))
+      dataFiles.map(p => (p, 0, "PARQUET")))
     val delM = writeManifest(s"m-$snapId-posdel.avro",
-      posFiles.map(p => (p, 1)))
+      posFiles.map(p => (p, 1, delFormat)))
     val list = scratch.resolve(s"snap-$snapId.avro")
     val lw = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](wListSchema))
@@ -1152,6 +1152,37 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
         commitBody(meta2, 7603L, listA), srv)
       cA shouldBe 400
       eA.get("error").get("message").asText() should include ("append")
+
+      // write.delete.format=orc engines post ORC positional deletes —
+      // same lowering through the ORC reader (delete id=10's position)
+      val perFile2 = base2.map { p =>
+        p -> spark.read.parquet(p.toString)
+          .select(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.col("_metadata.row_index"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+      }
+      val (f10, rows10) = perFile2.find(_._2.exists(_._1 == 10)).get
+      val pos10 = rows10.find(_._1 == 10).get._2
+      val delO = stage.resolve("pos-del.orc")
+      locally {
+        import scala.jdk.CollectionConverters._
+        val tmp = Files.createTempDirectory("rest-orc-writer")
+        Seq((f10.toUri.toString, pos10)).toDF("file_path", "pos")
+          .coalesce(1).write.mode("overwrite").orc(tmp.toString)
+        val part = Files.list(tmp).iterator().asScala
+          .find(p => p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".orc")).get
+        Files.move(part, delO)
+      }
+      val listO = stagePosDeleteCommit(scratch, 7604L, base2, Seq(delO),
+        delFormat = "ORC")
+      val bodyO = commitBody(meta2, 7604L, listO)
+        .replace("\"operation\":\"append\"", "\"operation\":\"delete\"")
+      val (cO, eO) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/p", bodyO, srv)
+      withClue(eO.toString) { cO shouldBe 200 }
+      sql("SELECT id FROM g.restpd.main.db.p ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq shouldBe Seq(1, 2, 3, 11)
     } finally srv.close()
   }
 
