@@ -180,7 +180,11 @@ final class GraftCoWWrite(
       if (replacedEntries.isEmpty || vals.size != replacedEntries.size) None
       else Some(c -> math.min(vals.sum, inRows))
     }.toMap
-    val entries = TableOps.statsForStaged(spark, repo, staging, schema, hint)
+    // a bloom table's replacement files keep building sidecars — the
+    // opt-in's pruning must not decay under UPDATE/MERGE churn
+    val entries = TableOps.statsForStaged(spark, repo, staging, schema, hint,
+      bloomCols = graft.versioned.Blooms.physCols(op.snapshot, schema),
+      bloomItems = graft.versioned.Blooms.items(op.snapshot))
     val replacedPaths = op.replaced.map(_.path).toSet
     val scannedTombs = graft.versioned.Tombstones.signature(op.snapshot)
     repo.commitRetry(branch, s"${op.command.toString.toLowerCase} $key") { base =>

@@ -1113,7 +1113,12 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       val rewritten =
         if (surviving.isEmpty) Nil
         else TableOps.writeFiles(s, repo, survivingLogical, key,
-          head.partitionFields, head.nameMapping)
+          head.partitionFields, head.nameMapping,
+          // a bloom table's rewrite keeps building sidecars — pruning
+          // must not decay under engine-driven MoR churn
+          bloomCols = Blooms.physCols(head,
+            TableOps.toPhysical(gSchema, head.nameMapping)),
+          bloomItems = Blooms.items(head))
       val dropRels = dirtyBaseNorm.map(baseByNorm).map { f =>
         repo.dataIO.relOf(f.path).getOrElse(
           throw new IllegalStateException(

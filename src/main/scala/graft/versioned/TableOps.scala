@@ -350,12 +350,19 @@ object TableOps {
     */
   def statsForStaged(spark: SparkSession, repo: GraftRepo,
       dirRel: String, schema: StructType,
-      ndvHint: Map[String, Long] = Map.empty): Seq[FileEntry] = {
+      ndvHint: Map[String, Long] = Map.empty,
+      bloomCols: Seq[String] = Nil,
+      bloomItems: Long = Blooms.DefaultItems): Seq[FileEntry] = {
     if (!repo.dataIO.isDirectory(dirRel)) return Nil
     val paths = repo.dataIO.walkFiles(dirRel)
       .filter(_.endsWith(".parquet"))
       .map(repo.dataLocation)
-    entriesFromFooters(spark, repo, paths, schema, Nil, ndvHint)
+    // bloom tables: sidecar builds need the values, so stats ride the
+    // single-scan pass (exact NDV supersedes the hint); everything else
+    // stays on the zero-data-read footer pass
+    if (bloomCols.nonEmpty)
+      statsForFiles(spark, repo, paths, schema, Nil, bloomCols, bloomItems)
+    else entriesFromFooters(spark, repo, paths, schema, Nil, ndvHint)
   }
 
   /** FileEntry metadata for an EXPLICIT list of parquet files (absolute
@@ -901,6 +908,17 @@ object TableOps {
       throw new UnsupportedOperationException(
         s"untranslatable $what predicate: $f"))).reduce(_ && _)
 
+  /** This snapshot's bloom opt-in, rendered for [[writeFiles]]: every
+    * row-level rewrite must keep building sidecars, or a bloom table's
+    * file pruning silently decays under CoW/MoR churn (soundness is
+    * unaffected — files without sidecars are always admitted — but the
+    * opt-in's point is the pruning).
+    */
+  private def bloomArgs(snap: Snapshot, schema: StructType)
+      : (Seq[String], Long) =
+    (Blooms.physCols(snap, toPhysical(schema, snap.nameMapping)),
+      Blooms.items(snap))
+
   /** DELETE WHERE via copy-on-write: stats-prune to candidate files,
     * rewrite only those without the matching rows, commit untouched +
     * rewritten file lists. Mirrors the reference contract exercised by
@@ -923,10 +941,12 @@ object TableOps {
         val candDf = readFiles(spark, repo, snap, schema, candidates)
         val kept = candDf.filter(!coalesce(cond, lit(false)))
         val (next, props) = bumpSeq(snap)
+        val (bcols, bitems) = bloomArgs(snap, schema)
         val rewritten =
           if (kept.isEmpty) Nil
           else writeFiles(spark, repo, kept, key, snap.partitionFields,
-            snap.nameMapping).map(_.copy(seq = Some(next)))
+            snap.nameMapping, bloomCols = bcols, bloomItems = bitems)
+            .map(_.copy(seq = Some(next)))
         val newSnap = repo.writeSnapshot(key, snap.schemaJson,
           untouched ++ rewritten, snap.partitionBy, snap.physicalNames,
           Some(props), snap.retired)
@@ -972,8 +992,11 @@ object TableOps {
           }
         }: _*)
         val (next, props) = bumpSeq(snap)
+        val (bcols, bitems) = bloomArgs(snap, schema)
         val rewritten = writeFiles(spark, repo, updated, key,
-          snap.partitionFields, snap.nameMapping).map(_.copy(seq = Some(next)))
+          snap.partitionFields, snap.nameMapping,
+          bloomCols = bcols, bloomItems = bitems)
+          .map(_.copy(seq = Some(next)))
         val newSnap = repo.writeSnapshot(key, snap.schemaJson,
           untouched ++ rewritten, snap.partitionBy, snap.physicalNames,
           Some(props), snap.retired)
@@ -1022,8 +1045,10 @@ object TableOps {
         val props = Tombstones.append(snap.properties, next, phys)
         // seq = next: exempt from this tombstone (applicable is strict >),
         // subject to every later one
+        val (bcols, bitems) = bloomArgs(snap, schema)
         val appended = writeFiles(spark, repo, updated, key,
-          snap.partitionFields, m).map(_.copy(seq = Some(next)))
+          snap.partitionFields, m, bloomCols = bcols, bloomItems = bitems)
+          .map(_.copy(seq = Some(next)))
         val ns = repo.writeSnapshot(key, snap.schemaJson,
           Manifests.appended(snap.files, appended),
           snap.partitionBy, snap.physicalNames, Some(props), snap.retired)
@@ -1069,12 +1094,15 @@ object TableOps {
           if (kept.isEmpty) None else Some(kept)
         }
       val (next, props) = bumpSeq(snap)
+      val (bcols, bitems) = bloomArgs(snap, schema)
       val rewritten = survivors
         .map(writeFiles(spark, repo, _, key, snap.partitionFields,
-          snap.nameMapping)).getOrElse(Nil)
+          snap.nameMapping, bloomCols = bcols, bloomItems = bitems))
+        .getOrElse(Nil)
       val appended = writeFiles(spark, repo,
         src.select(schema.fieldNames.toIndexedSeq.map(col): _*), key,
-        snap.partitionFields, snap.nameMapping)
+        snap.partitionFields, snap.nameMapping,
+        bloomCols = bcols, bloomItems = bitems)
       val newSnap = repo.writeSnapshot(key, snap.schemaJson,
         (untouched ++ (rewritten ++ appended).map(_.copy(seq = Some(next)))),
         snap.partitionBy, snap.physicalNames,

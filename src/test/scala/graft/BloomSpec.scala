@@ -153,6 +153,32 @@ class BloomSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     sql(s"SELECT count(*) FROM g.$r.main.db.t").collect().head.getLong(0) shouldBe 99
   }
 
+  test("row-level rewrites keep building sidecars: CoW DELETE and " +
+    "UPDATE replacement files advertise blooms (pruning must not decay " +
+    "under churn)") {
+    val r = setup()
+    sql(s"DELETE FROM g.$r.main.db.t WHERE id = 42")
+    // every live file still advertises the bloom — including the one
+    // the delete just rewrote
+    headSnap(r).files.foreach { f =>
+      f.bloomCols.getOrElse(Nil) should contain ("id")
+    }
+    sql(s"UPDATE g.$r.main.db.t SET v = 'X' WHERE id = 43")
+    headSnap(r).files.foreach { f =>
+      f.bloomCols.getOrElse(Nil) should contain ("id")
+    }
+    // and the rewritten files' sidecars still PRUNE: a lookup of a key
+    // in an untouched file admits exactly one file
+    val snapF = headSnap(r)
+    val schemaF = org.apache.spark.sql.types.DataType
+      .fromJson(snapF.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val admitted = graft.versioned.Blooms.prune(repoOf(r).dataIO,
+      snapF, schemaF, Seq(org.apache.spark.sql.sources.EqualTo("id", 41)),
+      snapF.files)
+    admitted should have size 1
+  }
+
   test("compaction rewrites carry fresh blooms; vacuum GCs orphaned sidecars") {
     val r = setup()
     val repo = repoOf(r)
