@@ -62,7 +62,11 @@ final class GraftLayoutWrite(
     onCommit: Seq[graft.versioned.FileEntry] => Unit,
     // epoch-aware commit for the STREAMING sink (exactly-once append);
     // None = this write surface is batch-only (CTAS staging)
-    onEpochCommit: Option[(Long, Seq[graft.versioned.FileEntry]) => Unit] = None)
+    onEpochCommit: Option[(Long, Seq[graft.versioned.FileEntry]) => Unit] = None,
+    // batch-only executor-side adapter around the writer factory — the
+    // row-level (CoW) surface wraps it to strip Spark's __row_operation
+    // routing column (see GraftCoWWriterFactory)
+    wrapBatchFactory: DataWriterFactory => DataWriterFactory = identity)
     extends Write with RequiresDistributionAndOrdering {
 
   private val physSchema = TableOps.toPhysical(tableSchema, mapping)
@@ -196,7 +200,7 @@ final class GraftLayoutWrite(
     val (factory, entriesOf, abortBatch, _) = writeSetup()
     new BatchWrite {
       override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
-        factory
+        wrapBatchFactory(factory)
       override def commit(messages: Array[WriterCommitMessage]): Unit =
         onCommit(entriesOf(messages))
       override def abort(messages: Array[WriterCommitMessage]): Unit =

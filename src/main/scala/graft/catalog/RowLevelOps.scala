@@ -1,6 +1,5 @@
 package graft.catalog
 
-import java.util.UUID
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
@@ -24,11 +23,14 @@ import graft.versioned.{FileEntry, GraftRepo, Snapshot, TableOps}
   *     returned, because unchanged rows must be copied into the
   *     replacement. Nothing is reported as pushed.
   *  2. Spark computes the full replacement content of those files
-  *     (updated + copied rows) and writes it through [[GraftCoWWrite]],
-  *     which stages parquet via Spark's own DSv2 parquet writer.
-  *  3. Commit swaps exactly the scanned files for the staged ones in a
-  *     new snapshot (optimistic retry; concurrent appends to OTHER
-  *     files survive untouched).
+  *     (updated + copied rows) and writes it through the SAME native
+  *     layout write as INSERT/CTAS ([[GraftLayoutWrite]]) — hive
+  *     partition routing, per-file partition tuples, bloom sidecars,
+  *     inline footer stats + HLL NDV — so none of the table's pruning
+  *     machinery decays under row-level churn.
+  *  3. [[GraftCoWWrite.publish]] swaps exactly the scanned files for
+  *     the staged ones in a new snapshot (optimistic retry; concurrent
+  *     appends to OTHER files survive untouched).
   *
   * At 100 TB this is the same few-files-rewritten shape as the
   * metadata DELETE path: the scan's group pruning bounds the rewrite to
@@ -56,28 +58,23 @@ final class GraftRowLevelOperation(
     new GraftCoWScanBuilder(this, repo, snap, tableSchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    val staging =
-      s"data/$key/${UUID.randomUUID().toString.replace("-", "")}"
-    // replacement files are written (and stats keyed) under PHYSICAL
-    // names, like every other write path — rows are positional, so
-    // re-labeling the write schema is free
+    // replacement files route through the SAME native layout write as
+    // INSERT/CTAS (GraftLayoutWrite): hive-style partition directories
+    // (per-file partition tuples survive row-level churn — pruning must
+    // not decay), bloom sidecars when the table opted in, inline
+    // footer-stats + HLL NDV, and the clustered-distribution request
+    // that keeps a partitioned rewrite from interleaving values across
+    // staged files
     val physSchema = TableOps.toPhysical(tableSchema, snap.nameMapping)
-    val physInfo: LogicalWriteInfo = new LogicalWriteInfo {
-      override def options(): CaseInsensitiveStringMap = info.options()
-      override def queryId(): String = info.queryId()
-      override def schema(): StructType = physSchema
-      override def rowIdSchema(): java.util.Optional[StructType] = info.rowIdSchema()
-      override def metadataSchema(): java.util.Optional[StructType] = info.metadataSchema()
-    }
-    val inner = graftbridge.ParquetWriteBridge.writeBuilder(
-      SparkSession.active, repo.dataLocation(staging), physSchema, physInfo)
     new WriteBuilder {
-      override def build(): Write = new Write {
-        override def description(): String = s"graft-cow-$command $key"
-        override def toBatch: BatchWrite =
-          new GraftCoWWrite(GraftRowLevelOperation.this, repo, branch, key,
-            staging, physSchema, inner.build().toBatch)
-      }
+      override def build(): Write = new GraftLayoutWrite(
+        repo, key, tableSchema, snap.nameMapping, snap.partitionFields,
+        graft.versioned.Blooms.physCols(snap, physSchema),
+        graft.versioned.Blooms.items(snap),
+        s"graft-cow-$command $key",
+        onCommit = entries => GraftCoWWrite.publish(
+          GraftRowLevelOperation.this, repo, branch, key, entries),
+        wrapBatchFactory = f => new GraftCoWWriterFactory(f, physSchema))
     }
   }
 }
@@ -144,47 +141,16 @@ final class GraftCoWScanBuilder(
   }
 }
 
-/** Replacement writer: executors stream rows through Spark's vectorized
-  * parquet DSv2 writer into a staging directory under the table's data
-  * dir; the driver-side commit collects per-file stats and publishes a
-  * snapshot with the scanned files swapped for the staged ones.
-  */
-final class GraftCoWWrite(
-    op: GraftRowLevelOperation,
-    repo: GraftRepo,
-    branch: String,
-    key: String,
-    staging: String, // repo-relative
-    schema: StructType,
-    inner: BatchWrite) extends BatchWrite {
+object GraftCoWWrite {
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftCoWWriterFactory(inner.createBatchWriterFactory(info), schema)
-  override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
-
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    inner.commit(messages)
-    val spark = SparkSession.active
-    // NDV hint for the footer-stats pass — same transfer compaction
-    // performs: the REPLACED files' merged NDV (Σ per-file capped by
-    // rows, CBO's own upper-bound merge), apportioned over the staged
-    // files by row share. A rewrite preserves cardinality up to the
-    // rows it deleted/updated, so the carried estimate keeps column
-    // statistics alive (previously staged files recorded NO NDV and
-    // CBO extrapolated); requires every replaced file to carry the
-    // column's NDV — partial coverage would under-count.
-    val replacedEntries = op.replaced
-    val inRows = math.max(1L, replacedEntries.map(_.rows).sum)
-    val hint = schema.fields.map(_.name).flatMap { c =>
-      val vals = replacedEntries.flatMap(_.ndvCounts.get(c))
-      if (replacedEntries.isEmpty || vals.size != replacedEntries.size) None
-      else Some(c -> math.min(vals.sum, inRows))
-    }.toMap
-    // a bloom table's replacement files keep building sidecars — the
-    // opt-in's pruning must not decay under UPDATE/MERGE churn
-    val entries = TableOps.statsForStaged(spark, repo, staging, schema, hint,
-      bloomCols = graft.versioned.Blooms.physCols(op.snapshot, schema),
-      bloomItems = graft.versioned.Blooms.items(op.snapshot))
+  /** Publish the replacement: swap exactly the scanned files for the
+    * staged entries (stats/blooms/partition tuples already collected by
+    * [[GraftLayoutWrite]]'s commit pass — inline HLL gives staged files
+    * EXACT per-file NDV, superseding the carried-estimate transfer the
+    * old parquet-bridge path needed) in one optimistic commit.
+    */
+  def publish(op: GraftRowLevelOperation, repo: GraftRepo, branch: String,
+      key: String, entries: Seq[FileEntry]): Unit = {
     val replacedPaths = op.replaced.map(_.path).toSet
     val scannedTombs = graft.versioned.Tombstones.signature(op.snapshot)
     repo.commitRetry(branch, s"${op.command.toString.toLowerCase} $key") { base =>
@@ -197,12 +163,12 @@ final class GraftCoWWrite(
       // already rewrote one, silently swapping would resurrect its
       // deleted rows / double-apply updates — fail instead and let the
       // caller re-run the whole row-level operation on the new head.
-      GraftCoWWrite.validateReplaced(replacedPaths, cur, key)
+      validateReplaced(replacedPaths, cur, key)
       // same rule for a concurrent MERGE-ON-READ delete: it commits no
       // file change, but our replacement rows were filtered against the
       // tombstones of the SCANNED snapshot — publishing them with a
       // fresh seq would erase the newer tombstone's effect
-      GraftCoWWrite.validateTombstones(scannedTombs, cur, key)
+      validateTombstones(scannedTombs, cur, key)
       val next = graft.versioned.Tombstones.lastSeq(cur.properties) + 1
       val props = cur.properties +
         (graft.versioned.Tombstones.SeqProp -> next.toString)
@@ -214,12 +180,6 @@ final class GraftCoWWrite(
       (base.tables + (key -> newSnap.id), base.namespaces)
     }
   }
-
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    inner.abort(messages)
-}
-
-object GraftCoWWrite {
   /** Fails when any file this row-level operation scanned (and whose
     * replacement it is about to publish) is no longer live in `cur` —
     * i.e. a concurrent rewrite/delete won the race. Separated out so the

@@ -339,35 +339,10 @@ object TableOps {
         None, Some(wf.bytes), nulls = Some(wf.nulls))
     }
 
-  /** FileEntry metadata for parquet files already staged under `dir` by
-    * an external writer (the CoW row-level write path). FOOTER-based —
-    * no re-read of the staged data; a rewrite's stats cost is a footer
-    * per file regardless of how many rows it rewrote. (The bridge
-    * writer pins MICROS timestamps so footers carry real stats; any
-    * column whose stats a footer cannot prove simply records none and
-    * pruning keeps the file.) Empty result when the replacement is
-    * empty.
-    */
-  def statsForStaged(spark: SparkSession, repo: GraftRepo,
-      dirRel: String, schema: StructType,
-      ndvHint: Map[String, Long] = Map.empty,
-      bloomCols: Seq[String] = Nil,
-      bloomItems: Long = Blooms.DefaultItems): Seq[FileEntry] = {
-    if (!repo.dataIO.isDirectory(dirRel)) return Nil
-    val paths = repo.dataIO.walkFiles(dirRel)
-      .filter(_.endsWith(".parquet"))
-      .map(repo.dataLocation)
-    // bloom tables: sidecar builds need the values, so stats ride the
-    // single-scan pass (exact NDV supersedes the hint); everything else
-    // stays on the zero-data-read footer pass
-    if (bloomCols.nonEmpty)
-      statsForFiles(spark, repo, paths, schema, Nil, bloomCols, bloomItems)
-    else entriesFromFooters(spark, repo, paths, schema, Nil, ndvHint)
-  }
-
   /** FileEntry metadata for an EXPLICIT list of parquet files (absolute
-    * paths) — the native partitioned DSv2 write's commit pass. Unlike
-    * [[statsForStaged]]'s directory scan, only files named in task
+    * paths) — the native DSv2 layout write's commit pass (INSERT, CTAS,
+    * and the CoW row-level rewrite, which all stage through
+    * [[graft.catalog.GraftLayoutWrite]]). Only files named in task
     * commit messages are read, so stray output from failed/speculative
     * attempts can never leak into a snapshot. Partition values parse
     * from the hive-style path segments; bloom sidecars (when the table

@@ -58,6 +58,38 @@ class PartitionedWriteSpec extends AnyFunSuite with Matchers with BeforeAndAfter
       .collect().head.getLong(0) shouldBe 7
   }
 
+  test("row-level rewrites keep the partition layout: UPDATE and MERGE " +
+    "replacement files land in hive dirs with per-file partition " +
+    "tuples (pruning must not decay under churn), and a partition-" +
+    "moving UPDATE re-routes the row") {
+    sql("CREATE NAMESPACE g.pwrl")
+    sql("CREATE NAMESPACE g.pwrl.main.db")
+    sql("CREATE TABLE g.pwrl.main.db.t (id INT, region STRING) " +
+      "PARTITIONED BY (region)")
+    sql("INSERT INTO g.pwrl.main.db.t VALUES " +
+      (1 to 12).map(i => s"($i, 'r${i % 3}')").mkString(", "))
+    sql("UPDATE g.pwrl.main.db.t SET id = id + 100 WHERE id = 5")
+    val files = fileEntries(repo("pwrl"), "db/t")
+    files.foreach { f =>
+      f.path should include("__p_region=")
+      f.partValues.get("region") shouldBe
+        Some(Partitioning.valuesFromPath(f.path)("region"))
+    }
+    // a partition-moving update: the row physically re-routes to the
+    // new value's directory
+    sql("UPDATE g.pwrl.main.db.t SET region = 'r9' WHERE id = 105")
+    val after = fileEntries(repo("pwrl"), "db/t")
+    after.flatMap(_.partValues.get("region")).toSet should contain ("r9")
+    after.foreach { f =>
+      f.partValues.get("region") shouldBe
+        Some(Partitioning.valuesFromPath(f.path)("region"))
+    }
+    sql("SELECT region FROM g.pwrl.main.db.t WHERE id = 105")
+      .collect().head.getString(0) shouldBe "r9"
+    sql("SELECT count(*) FROM g.pwrl.main.db.t").collect()
+      .head.getLong(0) shouldBe 12
+  }
+
   test("INSERT plan DECLARES the write distribution (rebalance/exchange + sort)") {
     sql("CREATE NAMESPACE g.pw2")
     sql("CREATE NAMESPACE g.pw2.main.db")
