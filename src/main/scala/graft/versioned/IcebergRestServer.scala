@@ -1388,7 +1388,11 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       }
     }
     // stats stay keyed under PHYSICAL names — the repo-wide invariant
-    // that keeps column renames metadata-only (see TableOps.writeFiles)
+    // that keeps column renames metadata-only (see TableOps.writeFiles).
+    // Deliberately FOOTER-ONLY: registering an engine's file must not
+    // scan its rows, so a bloom table's posted files carry no sidecar
+    // until the next compaction rebuilds them (absent sidecars are
+    // always admitted — soundness unaffected).
     // partitioned tables: the posted manifest's partition record is
     // authoritative for each file's partition tuple (the Iceberg trust
     // model — the catalog registers what the engine declared, exactly
