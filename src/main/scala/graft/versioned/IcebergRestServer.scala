@@ -215,14 +215,14 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         case ("GET", Seq("namespaces", ns)) =>
           reply(ex, 200, describeNamespace(repoFor(prefix), levels(ns)))
         case ("GET", Seq("namespaces", ns, "tables")) =>
-          reply(ex, 200, listTables(repoFor(prefix), levels(ns)))
+          reply(ex, 200, listTables(repoFor(prefix), levels(ns), query))
         case ("GET", Seq("namespaces", ns, "tables", t)) =>
           reply(ex, 200, loadTable(repoFor(prefix), prefix, levels(ns), t))
         case ("HEAD", Seq("namespaces", ns, "tables", t)) =>
           resolveKey(repoFor(prefix), levels(ns), t) // throws -> 404
           ex.sendResponseHeaders(200, -1); ex.close()
         case ("GET", Seq("namespaces", ns, "views")) =>
-          reply(ex, 200, listViews(repoFor(prefix), levels(ns)))
+          reply(ex, 200, listViews(repoFor(prefix), levels(ns), query))
         case ("GET", Seq("namespaces", ns, "views", v)) =>
           reply(ex, 200, loadRestView(repoFor(prefix), prefix,
             levels(ns), v))
@@ -346,6 +346,39 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         java.net.URLDecoder.decode(kv.drop(name.length + 1), "UTF-8")
     })
 
+  /** The spec's OPAQUE-token pagination for the list routes. Listings
+    * are already deterministically sorted, so the token is simply the
+    * base64 of the last key served; a request without `pageSize` (or
+    * with a non-positive one) gets the whole listing — the spec lets
+    * clients and servers each opt out. A branch with 100k tables pages
+    * in O(pageSize) responses instead of one giant body. `keyOf` must
+    * render the SORT key of an item. Returns (page, next-page-token).
+    */
+  private def paginate[T](items: Seq[T], rawQuery: Option[String])(
+      keyOf: T => String): (Seq[T], Option[String]) = {
+    val size = queryParam(rawQuery, "pageSize").flatMap(s =>
+      scala.util.Try(s.toInt).toOption).filter(_ > 0)
+    val after = queryParam(rawQuery, "pageToken").filter(_.nonEmpty).map(t =>
+      new String(java.util.Base64.getUrlDecoder.decode(t),
+        java.nio.charset.StandardCharsets.UTF_8))
+    val remaining = after match {
+      case Some(a) => items.dropWhile(i => keyOf(i) <= a)
+      case None => items
+    }
+    size match {
+      case None => (remaining, None)
+      case Some(n) =>
+        val page = remaining.take(n)
+        val next =
+          if (remaining.lengthCompare(n) > 0 && page.nonEmpty)
+            Some(java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
+              keyOf(page.last).getBytes(
+                java.nio.charset.StandardCharsets.UTF_8)))
+          else None
+        (page, next)
+    }
+  }
+
   // ---- endpoint bodies ---------------------------------------------------
 
   private def config(rawQuery: Option[String]): ObjectNode = {
@@ -414,9 +447,13 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     }
     val o = mapper.createObjectNode()
     val arr = o.putArray("namespaces")
-    children.foreach { ns =>
+    val (page, next) = paginate(
+      // "/" never occurs inside a segment (keys come from split('/'))
+    children.sortBy(_.mkString("/")), rawQuery)(_.mkString("/"))
+    page.foreach { ns =>
       val a = arr.addArray(); ns.foreach(a.add)
     }
+    next.foreach(o.put("next-page-token", _))
     o
   }
 
@@ -449,17 +486,21 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     o
   }
 
-  private def listTables(repo: GraftRepo, ns: Seq[String]): ObjectNode =
+  private def listTables(repo: GraftRepo, ns: Seq[String],
+      rawQuery: Option[String]): ObjectNode =
     ns match {
       case ref +: dirs if refNames(repo).contains(ref) =>
         val o = mapper.createObjectNode()
         val arr = o.putArray("identifiers")
-        keysAt(repo, ref).filter(k => k.length == dirs.length + 1 &&
-          k.startsWith(dirs)).foreach { k =>
+        val all = keysAt(repo, ref).filter(k =>
+          k.length == dirs.length + 1 && k.startsWith(dirs))
+        val (page, next) = paginate(all, rawQuery)(_.mkString("/"))
+        page.foreach { k =>
           val id = arr.addObject()
           val a = id.putArray("namespace"); ns.foreach(a.add)
           id.put("name", k.last)
         }
+        next.foreach(o.put("next-page-token", _))
         o
       case _ => throwNoNs(ns)
     }
@@ -1814,19 +1855,22 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       s"no such view: ${(ns :+ name).mkString(".")}")
   }
 
-  private def listViews(repo: GraftRepo, ns: Seq[String]): ObjectNode =
+  private def listViews(repo: GraftRepo, ns: Seq[String],
+      rawQuery: Option[String]): ObjectNode =
     ns match {
       case ref +: dirs if refNames(repo).contains(ref) =>
         val o = mapper.createObjectNode()
         val arr = o.putArray("identifiers")
-        repo.resolve(ref).viewMap.keys.toSeq.sorted
+        val all = repo.resolve(ref).viewMap.keys.toSeq.sorted
           .map(_.split('/').toSeq)
           .filter(k => k.length == dirs.length + 1 && k.startsWith(dirs))
-          .foreach { k =>
-            val id = arr.addObject()
-            val a = id.putArray("namespace"); ns.foreach(a.add)
-            id.put("name", k.last)
-          }
+        val (page, next) = paginate(all, rawQuery)(_.mkString("/"))
+        page.foreach { k =>
+          val id = arr.addObject()
+          val a = id.putArray("namespace"); ns.foreach(a.add)
+          id.put("name", k.last)
+        }
+        next.foreach(o.put("next-page-token", _))
         o
       case _ => throwNoNs(ns)
     }

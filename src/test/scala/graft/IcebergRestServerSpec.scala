@@ -2093,6 +2093,56 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     } finally srv.close()
   }
 
+  test("list routes paginate with the spec's opaque token: pageSize " +
+    "bounds each response, next-page-token walks the full listing " +
+    "exactly once, and requests without pageSize get everything") {
+    sql("CREATE NAMESPACE g.pgn")
+    sql("CREATE NAMESPACE g.pgn.main.db")
+    (1 to 7).foreach(i =>
+      sql(s"CREATE TABLE g.pgn.main.db.t$i (id INT)"))
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "pgn")
+    val exports = Files.createTempDirectory("graft-pgn-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root), exports)
+    try {
+      def names(node: JsonNode): Seq[String] = {
+        import scala.jdk.CollectionConverters._
+        node.get("identifiers").elements().asScala
+          .map(_.get("name").asText()).toSeq
+      }
+      // no pageSize: the whole listing, no token
+      val (c0, all) = (get(s"/v1/namespaces/${enc("main", "db")}/tables", srv))
+      c0 shouldBe 200
+      names(all) should have size 7
+      all.has("next-page-token") shouldBe false
+      // paged walk: 3 + 3 + 1, tokens chain, no repeats, no gaps
+      var token = ""
+      var seen = Seq.empty[String]
+      var pages = 0
+      var done = false
+      while (!done) {
+        val q = s"pageSize=3" +
+          (if (token.nonEmpty) s"&pageToken=$token" else "")
+        val (c, page) = get(
+          s"/v1/namespaces/${enc("main", "db")}/tables?$q", srv)
+        c shouldBe 200
+        val ns2 = names(page)
+        ns2.size should be <= 3
+        seen ++= ns2
+        pages += 1
+        if (page.has("next-page-token"))
+          token = page.get("next-page-token").asText()
+        else done = true
+      }
+      pages shouldBe 3
+      seen shouldBe names(all) // exactly once, in order
+      // namespaces route paginates with the same token shape
+      val (cN, nsPage) = get("/v1/namespaces?pageSize=1", srv)
+      cN shouldBe 200
+      nsPage.get("namespaces").size() shouldBe 1
+    } finally srv.close()
+  }
+
   test("register-table ZERO-COPY fast path: a same-data-plane export " +
     "(no delete files) registers its files in place — no Spark job, " +
     "shared rels; a MoR export (delete files) still copies") {
