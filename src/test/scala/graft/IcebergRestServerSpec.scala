@@ -2093,6 +2093,41 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     } finally srv.close()
   }
 
+  test("maxSnapshots > 1 serves history over REST: an external engine " +
+    "time-travels by snapshot-id through the served metadata") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.rtt")
+    sql("CREATE NAMESPACE g.rtt.main.db")
+    sql("CREATE TABLE g.rtt.main.db.t (id INT)")
+    sql("INSERT INTO g.rtt.main.db.t VALUES (1), (2)")
+    sql("INSERT INTO g.rtt.main.db.t VALUES (3)")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rtt")
+    val exports = Files.createTempDirectory("graft-rtt-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root), exports,
+      Some(spark), maxSnapshots = 3)
+    try {
+      val (c, load) = get(s"/v1/namespaces/${enc("main", "db")}/tables/t", srv)
+      c shouldBe 200
+      val meta = load.get("metadata")
+      import scala.jdk.CollectionConverters._
+      // CREATE + 2 INSERTs = 3 served snapshots (empty, [1,2], [1,2,3])
+      val snaps = meta.get("snapshots").elements().asScala.toSeq
+      snaps.size shouldBe 3
+      val metaLoc = load.get("metadata-location").asText()
+      // the independent external reader time-travels via snapshot-id:
+      // each served snapshot reproduces exactly its historical rows
+      val histories = snaps.map(_.get("snapshot-id").asLong()).map { sid =>
+        graft.versioned.IcebergImport.read(spark, metaLoc, Some(sid))
+          .collect().map(_.getInt(0)).sorted.toSeq
+      }.toSet
+      histories shouldBe Set(Seq(), Seq(1, 2), Seq(1, 2, 3))
+      val curId = meta.get("current-snapshot-id").asLong()
+      graft.versioned.IcebergImport.read(spark, metaLoc, Some(curId))
+        .collect().map(_.getInt(0)).sorted.toSeq shouldBe Seq(1, 2, 3)
+    } finally srv.close()
+  }
+
   test("list routes paginate with the spec's opaque token: pageSize " +
     "bounds each response, next-page-token walks the full listing " +
     "exactly once, and requests without pageSize get everything") {
