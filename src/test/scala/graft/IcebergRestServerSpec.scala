@@ -2093,6 +2093,122 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     } finally srv.close()
   }
 
+  test("DIFFERENTIAL: randomized mixed-delete commits — the server's " +
+    "dirty-file CoW lowering reproduces exactly what the independent " +
+    "importer computes from the posted snapshot (8 seeded shapes: " +
+    "positions into base and same-commit adds, equality deletes, " +
+    "empty corners)") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.rdiff")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rdiff")
+    val exports = Files.createTempDirectory("graft-rdiff-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true)
+    val scratch = Files.createTempDirectory("rest-rdiff-scratch")
+    try {
+      sql("CREATE NAMESPACE g.rdiff.main.db")
+      for (seed <- 1 to 8) {
+        val rnd = new scala.util.Random(seed)
+        val t = s"d$seed"
+        sql(s"CREATE TABLE g.rdiff.main.db.$t (id INT, v STRING)")
+        // 2 base commits of random rows
+        val baseRows = (0 until 2).map { c =>
+          (0 until 2 + rnd.nextInt(3)).map(i =>
+            (c * 50 + i, s"b$c-$i"))
+        }
+        baseRows.foreach { rows =>
+          sql(s"INSERT INTO g.rdiff.main.db.$t VALUES " +
+            rows.map { case (i, s) => s"($i,'$s')" }.mkString(","))
+        }
+        val (_, load) = get(
+          s"/v1/namespaces/${enc("main", "db")}/tables/$t", srv)
+        val meta = load.get("metadata")
+        val idFieldId = {
+          val it = meta.get("schemas").elements().next()
+            .get("fields").elements()
+          Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+            .find(_.get("name").asText() == "id").get.get("id").asInt()
+        }
+        val stage = java.nio.file.Paths.get(URI.create(
+          meta.get("properties").get("write.data.path").asText() + "/"))
+        val metaLoc = java.nio.file.Paths.get(
+          load.get("metadata-location").asText())
+        val basePlan = graft.versioned.IcebergImport.plan(metaLoc)
+        val baseFiles = basePlan.dataPaths.map(java.nio.file.Paths.get(_))
+        // random adds (0..2 files)
+        val adds = (0 until rnd.nextInt(3)).map { a =>
+          val p = stage.resolve(s"$t-add$a.parquet")
+          val rows = (0 until 1 + rnd.nextInt(3)).map(i =>
+            (1000 + a * 10 + i, s"a$a-$i"))
+          writeOneParquet(rows.toDF("id", "v"), p)
+          p
+        }
+        // random positional deletes over base files AND adds
+        def positionsOf(p: java.nio.file.Path): Seq[Long] =
+          spark.read.parquet(p.toString)
+            .select(org.apache.spark.sql.functions.col("_metadata.row_index"))
+            .collect().map(_.getLong(0)).toSeq
+        val posRows: Seq[(String, Long)] =
+          (baseFiles ++ adds).flatMap { p =>
+            positionsOf(p).filter(_ => rnd.nextDouble() < 0.35)
+              .map(pos => (p.toUri.toString, pos))
+          }
+        val posFiles =
+          if (posRows.isEmpty) Nil
+          else {
+            val p = stage.resolve(s"$t-pos.parquet")
+            writeOneParquet(posRows.toDF("file_path", "pos"), p)
+            Seq(p)
+          }
+        // random equality delete over ids (sometimes empty)
+        val eqIds = (0 until 60).filter(_ => rnd.nextDouble() < 0.06)
+        val eqFiles =
+          if (eqIds.isEmpty) Nil
+          else {
+            val p = stage.resolve(s"$t-eq.parquet")
+            writeOneParquet(eqIds.toDF("id"), p)
+            Seq(p)
+          }
+        if (posFiles.isEmpty && eqFiles.isEmpty) {
+          // nothing to post this seed — still a valid corner elsewhere
+          sql(s"DROP TABLE g.rdiff.main.db.$t")
+        } else {
+          // EXPECTED: the independent importer applied to the POSTED
+          // snapshot (base at served seqs, adds+deletes at the commit's
+          // next seq — the engine's actual sequence assignment)
+          val nextSeq = basePlan.dataFiles.map(_.seq).max + 1
+          val postedPlan = basePlan.copy(
+            dataFiles = basePlan.dataFiles ++ adds.map(p =>
+              graft.versioned.IcebergImport.DataFile(
+                p.toString, nextSeq)),
+            deleteFiles =
+              posFiles.map(p => graft.versioned.IcebergImport.DeleteFile(
+                p.toString, 1, nextSeq, Nil)) ++
+              eqFiles.map(p => graft.versioned.IcebergImport.DeleteFile(
+                p.toString, 2, nextSeq, Seq(idFieldId))))
+          val expected = graft.versioned.IcebergImport
+            .readPlan(spark, postedPlan)
+            .collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sorted
+          // ACTUAL: post the commit, read the graft table natively
+          val list = stageMixedDeleteCommit(scratch, 8000L + seed,
+            baseFiles ++ adds,
+            posFiles.map(p => (p, 1, None)) ++
+              eqFiles.map(p => (p, 2, Some(Seq(idFieldId)))))
+          val body = commitBody(meta, 8000L + seed, list)
+            .replace("\"operation\":\"append\"", "\"operation\":\"overwrite\"")
+          val (cc, ee) = send("POST",
+            s"/v1/namespaces/${enc("main", "db")}/tables/$t", body, srv)
+          withClue(s"seed=$seed ${ee.toString}") { cc shouldBe 200 }
+          val actual = sql(s"SELECT id, v FROM g.rdiff.main.db.$t")
+            .collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sorted
+          withClue(s"seed=$seed pos=${posRows.size} eq=${eqIds.size} " +
+            s"adds=${adds.size}: ") { actual shouldBe expected }
+        }
+      }
+    } finally srv.close()
+  }
+
   test("maxSnapshots > 1 serves history over REST: an external engine " +
     "time-travels by snapshot-id through the served metadata") {
     import spark.implicits._
