@@ -1248,11 +1248,21 @@ object IcebergImport {
 
   /** A schema/struct type node → Spark StructType (recursive). */
   private[versioned] def structOf(node: com.fasterxml.jackson.databind.JsonNode)
-      : StructType =
-    StructType(node.get("fields").elements().asScala.map { f =>
-      StructField(f.get("name").asText(), sparkTypeNode(f.get("type")),
+      : StructType = {
+    // absent/misshapen members are the CLIENT's error (a 400 at the
+    // REST layer), never a server NPE
+    val fields = Option(node.get("fields")).getOrElse(
+      throw new IllegalArgumentException("schema carries no 'fields'"))
+    StructType(fields.elements().asScala.map { f =>
+      val name = Option(f.get("name")).getOrElse(
+        throw new IllegalArgumentException("schema field missing 'name'"))
+      val typ = Option(f.get("type")).getOrElse(
+        throw new IllegalArgumentException(
+          s"schema field '${name.asText()}' missing 'type'"))
+      StructField(name.asText(), sparkTypeNode(typ),
         nullable = !f.get("required").asBoolean(false))
     }.toSeq)
+  }
 
   /** An Iceberg type node — textual primitive, or object struct/list/map
     * — to its Spark type. */

@@ -1028,8 +1028,17 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     // reference parity with LakeFSTableOperations.commit (java:115-147),
     // which accepts any metadata swap.
     val v = served.get("format-version").asInt()
-    val (postedData, postedDeletes) = IcebergImport.filesOfManifestList(
-      text(snap, "manifest-list"), v)
+    // an unreadable/garbage manifest list is the CLIENT's error — the
+    // posted location either does not exist or is not avro — never a
+    // commit-state-unknown 500
+    val (postedData, postedDeletes) =
+      try IcebergImport.filesOfManifestList(text(snap, "manifest-list"), v)
+      catch {
+        case e @ (_: java.io.IOException |
+                  _: org.apache.avro.AvroRuntimeException) =>
+          throw new IllegalArgumentException(
+            s"posted manifest-list is unreadable: ${e.getMessage}")
+      }
     val (eqDeletes, posDeletes) =
       postedDeletes.partition(d => d.content == 2 && d.dv.isEmpty)
     if (posDeletes.nonEmpty && op == "append")
@@ -1793,7 +1802,16 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     if (repo.resolve(ref).tables.contains(key))
       throw new RestConflict("AlreadyExistsException",
         s"table already exists: $key @ $ref")
-    val plan = IcebergImport.plan(metaLoc, None)
+    // an unreadable/garbage metadata location is the CLIENT's error
+    val plan =
+      try IcebergImport.plan(metaLoc, None)
+      catch {
+        case e @ (_: java.io.IOException |
+                  _: org.apache.avro.AvroRuntimeException |
+                  _: com.fasterxml.jackson.core.JacksonException) =>
+          throw new IllegalArgumentException(
+            s"metadata-location is unreadable: ${e.getMessage}")
+      }
     // ZERO-COPY fast path: when every data file of the posted metadata
     // already resolves under THIS repo's data plane (a sync-dest or
     // sibling-branch export being re-homed — the same containment check
