@@ -1145,6 +1145,13 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       // at 1 — positional applies at <= (base AND same-commit adds),
       // equality strictly < (base only), exactly the spec's rules for
       // one engine commit
+      // validate (and build) the equality tombstone FIRST: a NULL-valued
+      // or oversized equality delete must refuse before any Spark job
+      // stages rewrite files
+      val eqFilter =
+        if (eqDeletes.isEmpty) None
+        else Some(equalityTombstoneFilter(repo, destRoot, eqDeletes,
+          basePlan.fieldIdToName, hconf))
       val dirtyFiles = dirtyBaseNorm.map(n => baseByNorm(n).copy(seq = 0L)) ++
         dirtyAddNorm.map(n => addByNorm(n).copy(seq = 1L))
       val subDeletes = (posDeletes ++ eqDeletes).map(_.copy(seq = 1L))
@@ -1180,10 +1187,6 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         addedFiles.filterNot(f =>
           dirtyAddNorm.contains(IcebergImport.normStr(f.path))),
         ev.schema, ev.mapping, ev.spec, hconf)
-      val eqFilter =
-        if (eqDeletes.isEmpty) None
-        else Some(equalityTombstoneFilter(repo, destRoot, eqDeletes,
-          basePlan.fieldIdToName, hconf))
       repo.commitRetry(ref, s"rest: $op $key (positional deletes " +
         s"materialized: ${dirtyBaseNorm.size} base file(s) rewritten, " +
         s"${dirtyAddNorm.size} add(s) folded, +${cleanEntries.size} new" +
