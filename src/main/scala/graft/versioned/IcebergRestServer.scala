@@ -1039,8 +1039,21 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           throw new IllegalArgumentException(
             s"posted manifest-list is unreadable: ${e.getMessage}")
       }
+    val basePlan = IcebergImport.plan(metaPath.toString, None)
+    // delete files the posted snapshot RELISTS from the served export
+    // are the table's OWN tombstones coming back (a real engine reuses
+    // existing delete manifests on every commit — an append on a
+    // MoR-tombstoned table relists them verbatim). Their semantics
+    // already live in graft's properties, so they are recognized by
+    // path and skipped: refusing would 400 every legitimate append on
+    // a tombstoned table, re-lowering would duplicate the tombstone
+    // per commit.
+    val servedDeletePaths =
+      basePlan.deleteFiles.map(d => IcebergImport.normStr(d.path)).toSet
+    val newDeletes = postedDeletes.filterNot(d =>
+      servedDeletePaths(IcebergImport.normStr(d.path)))
     val (eqDeletes, posDeletes) =
-      postedDeletes.partition(d => d.content == 2 && d.dv.isEmpty)
+      newDeletes.partition(d => d.content == 2 && d.dv.isEmpty)
     if (posDeletes.nonEmpty && op == "append")
       throw new IllegalArgumentException(
         "append commit carries positional delete files (post " +
@@ -1055,7 +1068,6 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     if (eqDeletes.nonEmpty && schemaChanges.nonEmpty)
       throw new UnsupportedOperationException(
         "schema changes and equality deletes cannot share one commit")
-    val basePlan = IcebergImport.plan(metaPath.toString, None)
     val basePaths = basePlan.dataPaths.toSet
     val postedPaths = postedData.map(_.path)
     val dropped = basePaths -- postedPaths.toSet

@@ -2093,6 +2093,55 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     } finally srv.close()
   }
 
+  test("append on a MoR-tombstoned table: the engine RELISTS the served " +
+    "delete files (real engines reuse delete manifests every commit) — " +
+    "the append lands, deleted rows stay deleted, and no duplicate " +
+    "tombstone accumulates") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.relist")
+    sql("CREATE NAMESPACE g.relist.main.db")
+    sql("CREATE TABLE g.relist.main.db.m (id INT, v STRING) " +
+      "TBLPROPERTIES('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO g.relist.main.db.m VALUES (1,'a'), (2,'b'), (3,'c')")
+    sql("DELETE FROM g.relist.main.db.m WHERE id = 2") // MoR tombstone
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "relist")
+    val exports = Files.createTempDirectory("graft-relist-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true)
+    val scratch = Files.createTempDirectory("rest-relist-scratch")
+    try {
+      val (_, load) = get(s"/v1/namespaces/${enc("main", "db")}/tables/m", srv)
+      val meta = load.get("metadata")
+      val plan0 = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(load.get("metadata-location").asText()))
+      plan0.deleteFiles should not be empty // tombstone served as delete
+      val baseFiles = plan0.dataPaths.map(java.nio.file.Paths.get(_))
+      val servedDel = java.nio.file.Paths.get(plan0.deleteFiles.head.path)
+      val servedIds = plan0.deleteFiles.head.equalityIds
+      val stage = java.nio.file.Paths.get(URI.create(
+        meta.get("properties").get("write.data.path").asText() + "/"))
+      val add = stage.resolve("m-append.parquet")
+      writeOneParquet(Seq((4, "d")).toDF("id", "v"), add)
+      // the engine's append: base data + new file + the SERVED delete
+      // file relisted verbatim (what iceberg-core's manifest reuse does)
+      val list = stageMixedDeleteCommit(scratch, 7901L,
+        baseFiles :+ add,
+        Seq((servedDel, 2, Some(servedIds))))
+      val (cA, eA) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/m",
+        commitBody(meta, 7901L, list), srv) // op stays APPEND
+      withClue(eA.toString) { cA shouldBe 200 }
+      sql("SELECT id, v FROM g.relist.main.db.m ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+        Seq((1, "a"), (3, "c"), (4, "d"))
+      // exactly the ONE original tombstone — nothing re-lowered
+      val g = graft.versioned.GraftRepo.open(root)
+      val snap = g.snapshot(g.resolve("main").tables("db/m"))
+      graft.versioned.Tombstones.of(snap).size shouldBe 1
+    } finally srv.close()
+  }
+
   test("FUZZ: malformed bodies on every write route answer 4xx, never " +
     "a 500 — a confused engine gets a ValidationException it can log, " +
     "not commit-state-unknown") {
