@@ -827,6 +827,30 @@ final class IcebergRestServer private (single: Option[GraftRepo],
             if (want != have)
               throw new RestConflict("CommitFailedException",
                 s"last assigned field id changed: expected $want, found $have")
+          case "assert-default-spec-id" =>
+            // iceberg-core's UpdateRequirements posts these two on every
+            // partition-evolution commit — a real engine's ALTER TABLE
+            // ADD PARTITION FIELD must not 400 on the requirement
+            val want = Option(r.get("default-spec-id")).map(_.asInt())
+              .getOrElse(throw new IllegalArgumentException(
+                "assert-default-spec-id carries no default-spec-id"))
+            val have = Option(served.get("default-spec-id"))
+              .map(_.asInt()).getOrElse(0)
+            if (want != have)
+              throw new RestConflict("CommitFailedException",
+                s"default partition spec changed: expected $want, found $have")
+          case "assert-last-assigned-partition-id" =>
+            val want = Option(r.get("last-assigned-partition-id"))
+              .map(_.asInt())
+              .getOrElse(throw new IllegalArgumentException(
+                "assert-last-assigned-partition-id carries no " +
+                  "last-assigned-partition-id"))
+            val have = Option(served.get("last-partition-id"))
+              .map(_.asInt()).getOrElse(999)
+            if (want != have)
+              throw new RestConflict("CommitFailedException",
+                s"last assigned partition field id changed: " +
+                  s"expected $want, found $have")
           case "assert-create" =>
             // definitive, not retryable: the CTAS lost its race (or the
             // name was taken all along) — same answer the in-commit

@@ -2093,6 +2093,60 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     } finally srv.close()
   }
 
+  test("partition-evolution requirements: assert-default-spec-id and " +
+    "assert-last-assigned-partition-id validate against the served " +
+    "metadata (matching passes, stale answers 409) — the requirement " +
+    "pair iceberg-core posts on every ADD PARTITION FIELD") {
+    sql("CREATE NAMESPACE g.reqs")
+    sql("CREATE NAMESPACE g.reqs.main.db")
+    sql("CREATE TABLE g.reqs.main.db.t (id INT, cat STRING)")
+    sql("INSERT INTO g.reqs.main.db.t VALUES (1,'a'), (2,'b')")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "reqs")
+    val exports = Files.createTempDirectory("graft-reqs-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true)
+    try {
+      val meta = get(s"/v1/namespaces/${enc("main", "db")}/tables/t", srv)
+        ._2.get("metadata")
+      val specId = meta.get("default-spec-id").asInt()
+      val lastPid = meta.get("last-partition-id").asInt()
+      val catId = {
+        val it = meta.get("schemas").elements().next().get("fields").elements()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .find(_.get("name").asText() == "cat").get.get("id").asInt()
+      }
+      def body(sid: Int, pid: Int): String =
+        s"""{"requirements":[
+           |{"type":"assert-table-uuid","uuid":"${meta.get("table-uuid").asText()}"},
+           |{"type":"assert-default-spec-id","default-spec-id":$sid},
+           |{"type":"assert-last-assigned-partition-id","last-assigned-partition-id":$pid}],
+           |"updates":[
+           |{"action":"add-partition-spec","spec":{"spec-id":1,"fields":[
+           |{"source-id":$catId,"name":"cat","transform":"identity","field-id":1000}]}},
+           |{"action":"set-default-spec","spec-id":-1}]}"""
+          .stripMargin.replaceAll("\n", "")
+      // stale requirement values → 409 with the engine's retry shape
+      val (c9, e9) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/t",
+        body(specId + 7, lastPid), srv)
+      c9 shouldBe 409
+      e9.get("error").get("type").asText() shouldBe "CommitFailedException"
+      val (c8, _) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/t",
+        body(specId, lastPid + 3), srv)
+      c8 shouldBe 409
+      // matching requirement values → the spec evolution lands
+      val (cOk, eOk) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/t",
+        body(specId, lastPid), srv)
+      withClue(eOk.toString) { cOk shouldBe 200 }
+      val g = GraftRepo.open(root)
+      g.snapshot(g.resolve("main").tables("db/t")).partitionFields shouldBe
+        Seq(graft.versioned.PartitionField("cat", "identity", "cat"))
+    } finally srv.close()
+  }
+
   test("append on a MoR-tombstoned table: the engine RELISTS the served " +
     "delete files (real engines reuse delete manifests every commit) — " +
     "the append lands, deleted rows stay deleted, and no duplicate " +
