@@ -827,6 +827,19 @@ final class IcebergRestServer private (single: Option[GraftRepo],
             if (want != have)
               throw new RestConflict("CommitFailedException",
                 s"last assigned field id changed: expected $want, found $have")
+          case "assert-default-sort-order-id" =>
+            // graft serves sort-order 0 always (orders are advisory) —
+            // validate so an engine's sort-order commit round-trips
+            val want = Option(r.get("default-sort-order-id"))
+              .map(_.asInt()).getOrElse(
+                throw new IllegalArgumentException(
+                  "assert-default-sort-order-id carries no " +
+                    "default-sort-order-id"))
+            val have = Option(served.get("default-sort-order-id"))
+              .map(_.asInt()).getOrElse(0)
+            if (want != have)
+              throw new RestConflict("CommitFailedException",
+                s"default sort order changed: expected $want, found $have")
           case "assert-default-spec-id" =>
             // iceberg-core's UpdateRequirements posts these two on every
             // partition-evolution commit — a real engine's ALTER TABLE
@@ -873,6 +886,7 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     var newSpecNode: Option[com.fasterxml.jackson.databind.JsonNode] = None
     var sawSetDefaultSpec = false
     var setCurrentSchema: Option[Int] = None
+    var sawSortOrder = false
     var setProps = Map.empty[String, String]
     var removeProps = Set.empty[String]
     // graft.* table properties are engine state (MoR tombstones, commit
@@ -919,12 +933,18 @@ final class IcebergRestServer private (single: Option[GraftRepo],
             newSpecNode = Option(u.get("spec")).orElse(Some(u))
           case "set-default-spec" =>
             sawSetDefaultSpec = true
+          // graft tables have no sort orders; an engine's declared
+          // order is advisory (write-side clustering) and drops here
+          // exactly as it does on a staged CREATE — the served
+          // default-sort-order-id stays 0
+          case "add-sort-order" | "set-default-sort-order" =>
+            sawSortOrder = true
           case other => throw new UnsupportedOperationException(
             s"unsupported metadata update over REST: $other (supported: " +
               "add-snapshot + set-snapshot-ref + set-properties + " +
               "remove-properties + add-schema + set-current-schema + " +
-              "add-partition-spec + set-default-spec; row-level position " +
-              "deletes and replace summaries stay engine-side)")
+              "add-partition-spec + set-default-spec + advisory sort " +
+              "orders; replace summaries stay engine-side)")
         }
       }
     // set-current-schema must point at the schema this commit added
@@ -993,8 +1013,14 @@ final class IcebergRestServer private (single: Option[GraftRepo],
 
     // ---- metadata-only commit (ALTER TABLE over REST): no snapshot
     if (snapNode.isEmpty) {
-      if (newSchemaNode.isEmpty && setProps.isEmpty && removeProps.isEmpty)
+      if (newSchemaNode.isEmpty && setProps.isEmpty && removeProps.isEmpty) {
+        // a PURE sort-order commit (an engine's bare WRITE ORDERED BY)
+        // is a validated no-op — orders are advisory here; anything
+        // else empty is a client bug
+        if (sawSortOrder)
+          return loadResult(serve(repo, prefix, ref, key))
         throw new IllegalArgumentException("commit carries no updates")
+      }
       repo.commitRetry(ref, s"rest: update schema $key") { base =>
         pin(base)
         val prior = repo.snapshot(base.tables(key))

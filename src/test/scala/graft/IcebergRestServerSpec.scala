@@ -2136,6 +2136,24 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
         s"/v1/namespaces/${enc("main", "db")}/tables/t",
         body(specId, lastPid + 3), srv)
       c8 shouldBe 409
+      // an engine's WRITE ORDERED BY: sort orders are advisory, the
+      // commit lands as a no-op with its requirement validated
+      val (cSo, eSo) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/t",
+        s"""{"requirements":[
+           |{"type":"assert-default-sort-order-id","default-sort-order-id":0}],
+           |"updates":[
+           |{"action":"add-sort-order","sort-order":{"order-id":1,"fields":[
+           |{"source-id":$catId,"transform":"identity","direction":"asc",
+           |"null-order":"nulls-first"}]}},
+           |{"action":"set-default-sort-order","sort-order-id":-1}]}"""
+          .stripMargin.replaceAll("\n", ""), srv)
+      withClue(eSo.toString) { cSo shouldBe 200 } // bare order = no-op
+      send("POST", s"/v1/namespaces/${enc("main", "db")}/tables/t",
+        s"""{"requirements":[
+           |{"type":"assert-default-sort-order-id","default-sort-order-id":5}],
+           |"updates":[{"action":"set-properties","updates":{"x":"y"}}]}"""
+          .stripMargin.replaceAll("\n", ""), srv)._1 shouldBe 409
       // matching requirement values → the spec evolution lands
       val (cOk, eOk) = send("POST",
         s"/v1/namespaces/${enc("main", "db")}/tables/t",
