@@ -886,7 +886,7 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     var newSpecNode: Option[com.fasterxml.jackson.databind.JsonNode] = None
     var sawSetDefaultSpec = false
     var setCurrentSchema: Option[Int] = None
-    var sawSortOrder = false
+    var sawAdvisory = false
     var setProps = Map.empty[String, String]
     var removeProps = Set.empty[String]
     // graft.* table properties are engine state (MoR tombstones, commit
@@ -938,7 +938,15 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           // exactly as it does on a staged CREATE — the served
           // default-sort-order-id stays 0
           case "add-sort-order" | "set-default-sort-order" =>
-            sawSortOrder = true
+            sawAdvisory = true
+          // an engine's ANALYZE TABLE posts Puffin statistics-file
+          // pointers; graft computes its own stats (snapshot metadata +
+          // footer NDV), so the pointers are accepted and discarded —
+          // failing the engine's ANALYZE over optional advisory
+          // metadata would be worse than not serving it back
+          case "set-statistics" | "remove-statistics" |
+               "set-partition-statistics" | "remove-partition-statistics" =>
+            sawAdvisory = true // same validated-no-op return path
           case other => throw new UnsupportedOperationException(
             s"unsupported metadata update over REST: $other (supported: " +
               "add-snapshot + set-snapshot-ref + set-properties + " +
@@ -1014,10 +1022,10 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     // ---- metadata-only commit (ALTER TABLE over REST): no snapshot
     if (snapNode.isEmpty) {
       if (newSchemaNode.isEmpty && setProps.isEmpty && removeProps.isEmpty) {
-        // a PURE sort-order commit (an engine's bare WRITE ORDERED BY)
-        // is a validated no-op — orders are advisory here; anything
+        // a PURE advisory commit (a bare WRITE ORDERED BY, an ANALYZE
+        // TABLE statistics pointer) is a validated no-op; anything
         // else empty is a client bug
-        if (sawSortOrder)
+        if (sawAdvisory)
           return loadResult(serve(repo, prefix, ref, key))
         throw new IllegalArgumentException("commit carries no updates")
       }

@@ -2149,6 +2149,14 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
            |{"action":"set-default-sort-order","sort-order-id":-1}]}"""
           .stripMargin.replaceAll("\n", ""), srv)
       withClue(eSo.toString) { cSo shouldBe 200 } // bare order = no-op
+      // an engine's ANALYZE TABLE (statistics-file pointer): accepted
+      // and discarded — advisory metadata must not fail the engine
+      send("POST", s"/v1/namespaces/${enc("main", "db")}/tables/t",
+        """{"updates":[{"action":"set-statistics","snapshot-id":1,
+          |"statistics":{"snapshot-id":1,"statistics-path":"/nowhere/s.puffin",
+          |"file-size-in-bytes":1,"file-footer-size-in-bytes":1,
+          |"blob-metadata":[]}}]}""".stripMargin.replaceAll("\n", ""),
+        srv)._1 shouldBe 200
       send("POST", s"/v1/namespaces/${enc("main", "db")}/tables/t",
         s"""{"requirements":[
            |{"type":"assert-default-sort-order-id","default-sort-order-id":5}],
