@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // replication factor: 10 is the per-round protocol; larger factors
+    // (SPARK_GRAFT_SCALE=30) measure the scaling CURVE of the heavy ops
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
     val dst = "/tmp/graft-scale10-" + java.util.UUID.randomUUID().toString.take(8)
     val ckpt = s"$dst/ckpt"
     val spark = SparkSession.builder()
@@ -35,7 +38,7 @@ object ScaleSmoke {
     def replicate(table: String, key: String, shift: Long): Unit = {
       val base = spark.read.parquet(s"$src/$table.parquet")
       val kt = base.schema(key).dataType // + lit(Long) must not widen the key
-      (0 until 10).map(i =>
+      (0 until scale).map(i =>
         base.withColumn(key, (col(key) + lit(i * shift)).cast(kt)))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dst/$table.parquet")
@@ -65,9 +68,9 @@ object ScaleSmoke {
     val ds = SparkEntry.queries("dd_dupspans")(spark, dst)
     val plan = ds.queryExecution.executedPlan.toString
     require(!plan.contains("CartesianProduct"),
-      "dd_dupspans plan degraded: CartesianProduct at 10x")
+      s"dd_dupspans plan degraded: CartesianProduct at ${scale}x")
     require(!plan.contains("BroadcastNestedLoop"),
-      "dd_dupspans plan degraded: BroadcastNestedLoopJoin at 10x")
+      s"dd_dupspans plan degraded: BroadcastNestedLoopJoin at ${scale}x")
     time("dd_dupspans")(ds.count())
 
     // CDC + REST gates on the 10× nation: cost must track the CHANGE
