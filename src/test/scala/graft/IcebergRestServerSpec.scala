@@ -1858,6 +1858,49 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     } finally srv.close()
   }
 
+  test("served view default-namespace keeps its db segment for BOTH " +
+    "namespace shapes: canonical [repo, branch, db...] and a legacy " +
+    "2-segment [branch, db] entry written by an old no-prefix server") {
+    sql("CREATE NAMESPACE g.vns")
+    sql("CREATE NAMESPACE g.vns.main.db")
+    sql("CREATE TABLE g.vns.main.db.t (id INT)")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "vns")
+    val g = GraftRepo.open(root)
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.IntegerType))).json
+    // a LEGACY entry (pre-r13 no-prefix server shape): [branch, db]
+    g.commitRetryViews("main", "seed legacy view") { base =>
+      base.viewMap + ("db/legacy" -> graft.versioned.ViewDef(
+        sql = "SELECT id FROM t", catalog = "",
+        namespace = Seq("main", "db"), schemaJson = schemaJson))
+    }
+    // a CANONICAL entry: [repo, branch, db]
+    g.commitRetryViews("main", "seed canonical view") { base =>
+      base.viewMap + ("db/canonical" -> graft.versioned.ViewDef(
+        sql = "SELECT id FROM t", catalog = "",
+        namespace = Seq("vns", "main", "db"), schemaJson = schemaJson))
+    }
+    val exports = Files.createTempDirectory("graft-vns-exports")
+    val srv = IcebergRestServer.start(g, exports, Some(spark))
+    try {
+      import scala.jdk.CollectionConverters._
+      def dns(view: String): Seq[String] = {
+        val (c, load) = get(
+          s"/v1/namespaces/${enc("main", "db")}/views/$view", srv)
+        c shouldBe 200
+        load.get("metadata").get("versions").elements().next()
+          .get("default-namespace").elements().asScala
+          .map(_.asText()).toSeq
+      }
+      // both shapes serve [branch, db] — an external engine can resolve
+      // the view's relative `t` reference either way
+      dns("legacy") shouldBe Seq("main", "db")
+      dns("canonical") shouldBe Seq("main", "db")
+    } finally srv.close()
+  }
+
   test("views over REST: list/load/head serve the graft view as spec " +
     "view metadata; create lands a versioned view readable natively; " +
     "drop removes it; replace refuses with guidance") {
