@@ -1186,6 +1186,65 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     } finally srv.close()
   }
 
+  test("positional-delete commit on a PARTITIONED table: the rewrite " +
+    "keeps hive layout + per-file partition tuples (pruning survives " +
+    "engine-driven MoR churn)") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.restpp2")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "restpp2")
+    val exports = Files.createTempDirectory("graft-restpp2-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true)
+    val scratch = Files.createTempDirectory("rest-pp2-scratch")
+    try {
+      sql("CREATE NAMESPACE g.restpp2.main.db")
+      sql("CREATE TABLE g.restpp2.main.db.p (id INT, cat STRING) " +
+        "PARTITIONED BY (cat)")
+      sql("INSERT INTO g.restpp2.main.db.p VALUES " +
+        "(1,'a'), (2,'a'), (3,'b'), (4,'b')")
+      val (_, load) = get(s"/v1/namespaces/${enc("main", "db")}/tables/p", srv)
+      val meta = load.get("metadata")
+      val baseFiles = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(load.get("metadata-location").asText()))
+        .dataPaths.map(java.nio.file.Paths.get(_))
+      // find id=3's file + position (a 'b'-partition row)
+      val perFile = baseFiles.map { p =>
+        p -> spark.read.parquet(p.toString)
+          .select(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.col("_metadata.row_index"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+      }
+      val (dirty, rows) = perFile.find(_._2.exists(_._1 == 3)).get
+      val pos3 = rows.find(_._1 == 3).get._2
+      val stage = java.nio.file.Paths.get(URI.create(
+        meta.get("properties").get("write.data.path").asText() + "/"))
+      val del = stage.resolve("pp2-pos.parquet")
+      writeOneParquet(Seq((dirty.toUri.toString, pos3))
+        .toDF("file_path", "pos"), del)
+      val list = stagePosDeleteCommit(scratch, 7950L, baseFiles, Seq(del))
+      val body = commitBody(meta, 7950L, list)
+        .replace("\"operation\":\"append\"", "\"operation\":\"delete\"")
+      val (c, e) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/p", body, srv)
+      withClue(e.toString) { c shouldBe 200 }
+      sql("SELECT id FROM g.restpp2.main.db.p ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq shouldBe Seq(1, 2, 4)
+      // every live file — including the rewritten one — carries its
+      // partition tuple and sits in a hive dir
+      val g = graft.versioned.GraftRepo.open(root)
+      val snap = g.snapshot(g.resolve("main").tables("db/p"))
+      snap.files.foreach { f =>
+        f.path should include ("__p_cat=")
+        f.partValues.get("cat") shouldBe
+          Some(graft.versioned.Partitioning.valuesFromPath(f.path)("cat"))
+      }
+      // partition pruning still separates: cat='a' admits no 'b' file
+      sql("SELECT count(*) FROM g.restpp2.main.db.p WHERE cat = 'a'")
+        .collect().head.getLong(0) shouldBe 2L
+    } finally srv.close()
+  }
+
   /** v3 deletion-vector blob per the Iceberg spec (same layout the
     * importer's Puffin reader decodes — see IcebergImportSpec.dvBlob). */
   private def dvBlob(positions: Seq[Long]): Array[Byte] = {
