@@ -2650,6 +2650,16 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       val admRels = g.snapshot(g.resolve("main").tables("db/adoptedm"))
         .files.map(_.path).toSet
       admRels.intersect(srcmRels) shouldBe empty // copied, not shared
+
+      // purge-safety for the zero-copy adoption: dropping the SOURCE
+      // with purge must not delete the files the adopted table shares
+      val (cD, _) = send("DELETE",
+        s"/v1/namespaces/${enc("main", "db")}/tables/src?purgeRequested=true",
+        "", srv)
+      cD should (be (204) or be (200))
+      sql("SELECT id, v FROM g.regzc.main.db.adopted ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+        Seq((1, "a"), (2, "b"), (3, "c"))
     } finally srv.close()
   }
 
