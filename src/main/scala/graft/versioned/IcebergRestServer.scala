@@ -229,6 +229,11 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         case ("HEAD", Seq("namespaces", ns, "views", v)) =>
           resolveViewKey(repoFor(prefix), levels(ns), v) // throws -> 404
           ex.sendResponseHeaders(200, -1); ex.close()
+        case ("HEAD", Seq("namespaces", ns)) =>
+          // namespaceExists — the spec's HEAD (204 when present);
+          // PyIceberg/iceberg-java probe it before create/use
+          describeNamespace(repoFor(prefix), levels(ns)) // throws -> 404
+          ex.sendResponseHeaders(204, -1); ex.close()
         case ("GET" | "HEAD", _) =>
           throw new NoSuchElementException(
             s"no such route: ${segs.mkString("/")}")
@@ -398,6 +403,7 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     val reads = Seq(
       "GET /v1/{prefix}/namespaces",
       "GET /v1/{prefix}/namespaces/{namespace}",
+      "HEAD /v1/{prefix}/namespaces/{namespace}",
       "GET /v1/{prefix}/namespaces/{namespace}/tables",
       "GET /v1/{prefix}/namespaces/{namespace}/tables/{table}",
       "HEAD /v1/{prefix}/namespaces/{namespace}/tables/{table}",

@@ -2577,6 +2577,16 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       val (cN, nsPage) = get("/v1/namespaces?pageSize=1", srv)
       cN shouldBe 200
       nsPage.get("namespaces").size() shouldBe 1
+      // namespaceExists (HEAD): 204 present, 404 absent — the probe
+      // PyIceberg/iceberg-java run before create/use
+      def head(path: String): Int = http.send(
+        HttpRequest.newBuilder(URI.create(s"${srv.uri}$path"))
+          .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+      head(s"/v1/namespaces/${enc("main", "db")}") shouldBe 204
+      head("/v1/namespaces/main") shouldBe 204
+      head(s"/v1/namespaces/${enc("main", "ghost")}") shouldBe 404
+      head("/v1/namespaces/nobranch") shouldBe 404
     } finally srv.close()
   }
 
