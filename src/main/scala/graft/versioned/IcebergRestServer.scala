@@ -200,9 +200,11 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       val (prefix, route) = segs match {
         case "v1" +: tail => tail match {
           case "config" +: _ => (None, tail)
-          case ("namespaces" | "tables") +: _ => (None, tail)
-          case p +: rest if rest.headOption.exists(
-            h => h == "namespaces" || h == "tables") => (Some(p), rest)
+          case ("namespaces" | "tables" | "transactions") +: _ =>
+            (None, tail)
+          case p +: rest if rest.headOption.exists(h =>
+            h == "namespaces" || h == "tables" || h == "transactions") =>
+            (Some(p), rest)
           case _ => (None, tail)
         }
         case _ => (None, segs)
@@ -282,6 +284,9 @@ final class IcebergRestServer private (single: Option[GraftRepo],
             "rename is not supported (reference parity: " +
               "LakeFSCatalog.java:218 — a rename across immutable " +
               "snapshots would break history)")
+        case ("POST", Seq("transactions", "commit")) =>
+          commitTransaction(repoFor(prefix), prefix, body(ex))
+          ex.sendResponseHeaders(204, -1); ex.close()
         case _ =>
           replyError(ex, 405, "UnsupportedOperationException",
             s"no such route for $method: ${segs.mkString("/")}")
@@ -412,6 +417,7 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       "HEAD /v1/{prefix}/namespaces/{namespace}/views/{view}")
     val writes = Seq(
       "POST /v1/{prefix}/namespaces",
+      "POST /v1/{prefix}/transactions/commit",
       "DELETE /v1/{prefix}/namespaces/{namespace}",
       "POST /v1/{prefix}/namespaces/{namespace}/properties",
       "POST /v1/{prefix}/namespaces/{namespace}/tables",
@@ -1360,6 +1366,186 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         setProps, precheck = pin, removeProps = removeProps)
     }
     loadResult(serve(repo, prefix, ref, key))
+  }
+
+  /** CommitTransactionRequest — the spec's MULTI-TABLE transaction:
+    * every table-change lands in ONE graft commit, so fact + dimension
+    * appends publish together or not at all. This is the repo-level
+    * transactionality the reference's design inherits from lakeFS (a
+    * lakeFS commit captures whole-repo state) and that per-table
+    * Iceberg catalogs cannot give — graft's native commit model serves
+    * it directly (the REST analog of [[TableOps.atomicAppend]]).
+    *
+    * Scope: each change may carry an APPEND snapshot (posted state ⊇
+    * base, no new delete files; the table's own served delete files
+    * may be relisted as always) and/or set/remove-properties, with
+    * `assert-table-uuid` / `assert-ref-snapshot-id` requirements. All
+    * tables must live on ONE branch (a graft commit is per-branch).
+    * Schema changes, CTAS, rewrites, and row-level deletes stay
+    * single-table commits — bundling them would multiply the conflict
+    * matrix for shapes no engine posts transactionally today.
+    */
+  private def commitTransaction(repo: GraftRepo, prefix: Option[String],
+      req: com.fasterxml.jackson.databind.JsonNode): Unit = {
+    val changes = Option(req.get("table-changes")).toSeq
+      .flatMap(_.elements().asScala).toSeq
+    if (changes.isEmpty) throw new IllegalArgumentException(
+      "transaction carries no table-changes")
+    val hconf = spark.map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+    final case class Staged(ref: String, key: String,
+      servedGraftSnap: String, entries: Seq[FileEntry],
+      setProps: Map[String, String], removeProps: Set[String])
+
+    val staged: Seq[Staged] = changes.map { ch =>
+      val ident = Option(ch.get("identifier")).getOrElse(
+        throw new IllegalArgumentException(
+          "table-change carries no identifier"))
+      val ns = Option(ident.get("namespace")).toSeq
+        .flatMap(_.elements().asScala).map(_.asText()).toSeq
+      val name = text(ident, "name")
+      val (ref, key) = resolveKey(repo, ns, name)
+      if (!repo.branchExists(ref)) throw new IllegalArgumentException(
+        s"transactions commit to a branch; $ref is a tag")
+      val metaPath = serve(repo, prefix, ref, key)
+      val served = mapper.readTree(Files.readString(metaPath))
+      val servedGraftSnap =
+        served.get("properties").get("graft.source-snapshot").asText()
+      val servedSnapId = Option(served.get("current-snapshot-id"))
+        .map(_.asLong()).filter(_ != -1L)
+      Option(ch.get("requirements")).toSeq
+        .flatMap(_.elements().asScala).foreach { r =>
+          text(r, "type") match {
+            case "assert-table-uuid" =>
+              val want = text(r, "uuid")
+              val have = served.get("table-uuid").asText()
+              if (want != have)
+                throw new RestConflict("CommitFailedException",
+                  s"table uuid changed for $key: expected $want, found $have")
+            case "assert-ref-snapshot-id" =>
+              val rn = Option(r.get("ref")).map(_.asText()).getOrElse("main")
+              if (rn != "main") throw new IllegalArgumentException(
+                s"graft serves one Iceberg branch (main) per graft ref: $rn")
+              val want = Option(r.get("snapshot-id")).filterNot(_.isNull)
+                .map(_.asLong())
+              if (want != servedSnapId)
+                throw new RestConflict("CommitFailedException",
+                  s"branch main moved for $key: expected " +
+                    s"${want.getOrElse("<none>")}, now at " +
+                    s"${servedSnapId.getOrElse("<none>")}")
+            case other => throw new UnsupportedOperationException(
+              s"unsupported requirement inside a transaction: $other")
+          }
+        }
+      var snapNode: Option[com.fasterxml.jackson.databind.JsonNode] = None
+      var setProps = Map.empty[String, String]
+      var removeProps = Set.empty[String]
+      def guardProp(k: String): String = {
+        if (k.startsWith("graft."))
+          throw new UnsupportedOperationException(
+            s"$k is engine-managed graft state; not settable over REST")
+        k
+      }
+      Option(ch.get("updates")).toSeq
+        .flatMap(_.elements().asScala).foreach { u =>
+          text(u, "action") match {
+            case "add-snapshot" =>
+              if (snapNode.isDefined)
+                throw new UnsupportedOperationException(
+                  s"one add-snapshot per table in a transaction ($key)")
+              snapNode = Some(Option(u.get("snapshot")).getOrElse(
+                throw new IllegalArgumentException(
+                  "add-snapshot carries no snapshot")))
+            case "set-snapshot-ref" =>
+              val rn = Option(u.get("ref-name")).map(_.asText())
+                .getOrElse("main")
+              if (rn != "main") throw new IllegalArgumentException(
+                s"graft serves one Iceberg branch (main) per graft ref: $rn")
+            case "set-properties" =>
+              setProps ++= Option(u.get("updates")).toSeq
+                .flatMap(_.fields().asScala)
+                .map(e => guardProp(e.getKey) -> e.getValue.asText())
+            case "remove-properties" =>
+              removeProps ++= Option(u.get("removals")).toSeq
+                .flatMap(_.elements().asScala).map(n => guardProp(n.asText()))
+            case other => throw new UnsupportedOperationException(
+              s"unsupported update inside a transaction: $other — " +
+                "transactions bundle APPEND commits and property " +
+                "updates; schema changes, CTAS, rewrites, and deletes " +
+                "stay single-table commits")
+          }
+        }
+      val entries: Seq[FileEntry] = snapNode match {
+        case None => Nil
+        case Some(snap) =>
+          val v = served.get("format-version").asInt()
+          val (postedData, postedDeletes) =
+            try IcebergImport.filesOfManifestList(
+              text(snap, "manifest-list"), v)
+            catch {
+              case e @ (_: java.io.IOException |
+                        _: org.apache.avro.AvroRuntimeException) =>
+                throw new IllegalArgumentException(
+                  s"posted manifest-list is unreadable: ${e.getMessage}")
+            }
+          val basePlan = IcebergImport.plan(metaPath.toString, None)
+          val servedDeletePaths = basePlan.deleteFiles
+            .map(d => IcebergImport.normStr(d.path)).toSet
+          if (postedDeletes.exists(d =>
+            !servedDeletePaths(IcebergImport.normStr(d.path))))
+            throw new UnsupportedOperationException(
+              s"transactional change for $key carries NEW delete " +
+                "files — row-level deletes stay single-table commits")
+          val basePaths = basePlan.dataPaths.toSet
+          val dropped = basePaths -- postedData.map(_.path).toSet
+          if (dropped.nonEmpty) throw new UnsupportedOperationException(
+            s"transactional change for $key drops ${dropped.size} base " +
+              "data file(s) — rewrites stay single-table commits")
+          val head = repo.snapshot(repo.resolve(ref).tables(key))
+          val destRoot = prefix.fold(exportRoot)(exportRoot.resolve)
+            .resolve(ref).resolve(key).toAbsolutePath.normalize
+          ingestEntries(repo, ref, key, destRoot,
+            postedData.filterNot(d => basePaths(d.path)),
+            org.apache.spark.sql.types.DataType.fromJson(head.schemaJson)
+              .asInstanceOf[org.apache.spark.sql.types.StructType],
+            head.nameMapping, head.partitionFields, hconf)
+      }
+      Staged(ref, key, servedGraftSnap, entries, setProps, removeProps)
+    }
+    val refs = staged.map(_.ref).distinct
+    if (refs.size != 1) throw new IllegalArgumentException(
+      s"a transaction commits to ONE branch; got ${refs.mkString(", ")} " +
+        "— post per-branch transactions")
+    val dupKeys = staged.groupBy(_.key).filter(_._2.size > 1).keys
+    if (dupKeys.nonEmpty) throw new IllegalArgumentException(
+      s"a transaction names each table once; duplicated: " +
+        dupKeys.mkString(", "))
+    val ref = refs.head
+    // ONE graft commit: all tables' appends + property updates publish
+    // together or not at all; any table's served base gone stale → 409
+    // for the WHOLE transaction (the engine refreshes and replays)
+    repo.commitRetry(ref, s"rest: transaction " +
+      s"(${staged.map(_.key).mkString(", ")})") { base =>
+      val updated = staged.foldLeft(base.tables) { case (acc, st) =>
+        if (!base.tables.get(st.key).contains(st.servedGraftSnap))
+          throw new RestConflict("CommitFailedException",
+            s"branch $ref moved since the served base of ${st.key} — " +
+              "refresh and retry")
+        val prior = acc.get(st.key).map(repo.snapshot).getOrElse(
+          throw new NoSuchElementException(s"no such table: ${st.key}"))
+        val props0 = (prior.properties -- st.removeProps) ++ st.setProps
+        val next = Tombstones.lastSeq(props0) + 1
+        val stamped = st.entries.map(_.copy(seq = Some(next)))
+        val snap2 = repo.writeSnapshot(st.key, prior.schemaJson,
+          Manifests.appended(prior.files, stamped),
+          prior.partitionBy, prior.physicalNames,
+          Some(props0 + (Tombstones.SeqProp -> next.toString)),
+          prior.retired)
+        acc + (st.key -> snap2.id)
+      }
+      (updated, base.namespaces)
+    }
   }
 
   /** The spec's staged-create publish (`stage-create: true` then a

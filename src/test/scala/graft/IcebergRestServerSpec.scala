@@ -2275,6 +2275,105 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     } finally srv.close()
   }
 
+  test("multi-table TRANSACTION: fact + dim appends land in ONE graft " +
+    "commit (together or not at all); a stale base on either table " +
+    "409s the whole transaction; rewrites/deletes inside refuse") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.txn")
+    sql("CREATE NAMESPACE g.txn.main.db")
+    sql("CREATE TABLE g.txn.main.db.fact (id INT, v STRING)")
+    sql("CREATE TABLE g.txn.main.db.dim (id INT, name STRING)")
+    sql("INSERT INTO g.txn.main.db.fact VALUES (1,'a')")
+    sql("INSERT INTO g.txn.main.db.dim VALUES (10,'x')")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "txn")
+    val exports = Files.createTempDirectory("graft-txn-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true)
+    val scratch = Files.createTempDirectory("rest-txn-scratch")
+    try {
+      def loadT(t: String) =
+        get(s"/v1/namespaces/${enc("main", "db")}/tables/$t", srv)._2
+      def change(t: String, snapId: Long, rows: Seq[(Int, String)],
+          cols: (String, String)): String = {
+        val load = loadT(t)
+        val meta = load.get("metadata")
+        val stage = java.nio.file.Paths.get(URI.create(
+          meta.get("properties").get("write.data.path").asText() + "/"))
+        val f = stage.resolve(s"$t-txn-$snapId.parquet")
+        writeOneParquet(rows.toDF(cols._1, cols._2), f)
+        val baseFiles = graft.versioned.IcebergImport.plan(
+          java.nio.file.Paths.get(load.get("metadata-location").asText()))
+          .dataPaths.map(java.nio.file.Paths.get(_))
+        val list = stageWriterCommit(scratch, snapId, baseFiles :+ f)
+        val refSnap = meta.get("refs").get("main")
+          .get("snapshot-id").asLong()
+        s"""{"identifier":{"namespace":["main","db"],"name":"$t"},
+           |"requirements":[
+           |{"type":"assert-table-uuid","uuid":"${meta.get("table-uuid").asText()}"},
+           |{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$refSnap}],
+           |"updates":[
+           |{"action":"add-snapshot","snapshot":{"snapshot-id":$snapId,
+           |"timestamp-ms":1700000000000,"schema-id":0,
+           |"manifest-list":"${list.toUri}",
+           |"summary":{"operation":"append"}}},
+           |{"action":"set-snapshot-ref","ref-name":"main",
+           |"snapshot-id":$snapId,"type":"branch"}]}"""
+          .stripMargin.replaceAll("\n", "")
+      }
+      val body = s"""{"table-changes":[
+        |${change("fact", 9001L, Seq((2, "b")), ("id", "v"))},
+        |${change("dim", 9002L, Seq((20, "y")), ("id", "name"))}]}"""
+        .stripMargin.replaceAll("\n", "")
+      val g = graft.versioned.GraftRepo.open(root)
+      val headBefore = g.headCommit("main").id
+      val (c, e) = send("POST", "/v1/transactions/commit", body, srv)
+      withClue(e.toString) { c shouldBe 204 }
+      // ONE commit moved the branch, both tables' rows landed
+      val headAfter = g.headCommit("main")
+      headAfter.parents shouldBe Seq(headBefore)
+      sql("SELECT id FROM g.txn.main.db.fact ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq shouldBe Seq(1, 2)
+      sql("SELECT id FROM g.txn.main.db.dim ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq shouldBe Seq(10, 20)
+
+      // STALE base (built against pre-transaction metadata on dim,
+      // fresh on fact): the WHOLE transaction 409s, fact does NOT land
+      val freshFact = change("fact", 9003L, Seq((3, "c")), ("id", "v"))
+      val staleDim = s"""{"identifier":{"namespace":["main","db"],"name":"dim"},
+        |"requirements":[{"type":"assert-ref-snapshot-id","ref":"main",
+        |"snapshot-id":12345}],"updates":[]}"""
+        .stripMargin.replaceAll("\n", "")
+      val (cS, eS) = send("POST", "/v1/transactions/commit",
+        s"""{"table-changes":[$freshFact,$staleDim]}""", srv)
+      cS shouldBe 409
+      eS.get("error").get("type").asText() shouldBe "CommitFailedException"
+      sql("SELECT count(*) FROM g.txn.main.db.fact")
+        .collect().head.getLong(0) shouldBe 2L // 9003 did not land
+
+      // a rewrite inside a transaction refuses loudly: posted state
+      // drops a base file
+      val loadF = loadT("fact")
+      val metaF = loadF.get("metadata")
+      val baseF = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(loadF.get("metadata-location").asText()))
+        .dataPaths.map(java.nio.file.Paths.get(_))
+      val listDrop = stageWriterCommit(scratch, 9004L, baseF.drop(1))
+      val dropChange =
+        s"""{"identifier":{"namespace":["main","db"],"name":"fact"},
+           |"requirements":[],
+           |"updates":[{"action":"add-snapshot","snapshot":{
+           |"snapshot-id":9004,"timestamp-ms":1700000000000,"schema-id":0,
+           |"manifest-list":"${listDrop.toUri}",
+           |"summary":{"operation":"overwrite"}}}]}"""
+          .stripMargin.replaceAll("\n", "")
+      val (cR, eR) = send("POST", "/v1/transactions/commit",
+        s"""{"table-changes":[$dropChange]}""", srv)
+      cR shouldBe 400
+      eR.get("error").get("message").asText() should include ("single-table")
+    } finally srv.close()
+  }
+
   test("append on a MoR-tombstoned table: the engine RELISTS the served " +
     "delete files (real engines reuse delete manifests every commit) — " +
     "the append lands, deleted rows stay deleted, and no duplicate " +
