@@ -1178,6 +1178,87 @@ object Versioned {
       s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
   }
 
+  /** Multi-table TRANSACTION over REST (r13): the spec's
+    * CommitTransactionRequest lands fact + dim appends in ONE graft
+    * commit (IcebergRestServer.commitTransaction — the REST analog of
+    * TableOps.atomicAppend, the repo-level atomicity per-table Iceberg
+    * catalogs cannot give). Two engine-shaped appends (staged on
+    * zero-copy clones, exported, manifest lists posted) hit db.nation
+    * and db.dim in one POST; the gate unions both tables' final rows
+    * into one hashed result, and requires the branch advanced by
+    * EXACTLY ONE commit.
+    */
+  private def restTxn(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    val srv = graft.versioned.IcebergRestServer.start(repo,
+      Files.createTempDirectory("graft-rest-txngate"), Some(s),
+      writable = true)
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val ns = java.net.URLEncoder.encode("main\u001Fdb", "UTF-8")
+      // the second table of the transaction: a zero-copy clone of nation
+      s.sql(s"CALL $cat.system.clone_table('r', 'main', " +
+        "'db.nation', 'db.dim')")
+      def loadMeta(t: String): com.fasterxml.jackson.databind.JsonNode = {
+        val get = http.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/$t"))
+          .GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(get.statusCode() == 200, s"loadTable $t: ${get.body()}")
+        mapper.readTree(get.body()).get("metadata")
+      }
+      // engine staging: clone, add the new row, export, grab the list
+      def stagedList(stageKey: String, insert: String): String = {
+        s.sql(s"CALL $cat.system.clone_table('r', 'main', " +
+          s"'db.nation', 'db.$stageKey')")
+        s.sql(s"INSERT INTO $cat.r.main.db.$stageKey VALUES $insert")
+        exportListLoc(repo, s, s"db/$stageKey")
+      }
+      val listA = stagedList("txn_a_stage", "(900, 'TXA', 0)")
+      val listB = stagedList("txn_b_stage", "(901, 'TXB', 1)")
+      def change(t: String, snapId: Long, listLoc: String): String = {
+        val meta = loadMeta(t)
+        val refSnap = meta.get("refs").get("main").get("snapshot-id").asLong()
+        s"""{"identifier":{"namespace":["main","db"],"name":"$t"},
+           |"requirements":[
+           |{"type":"assert-table-uuid",
+           |"uuid":"${meta.get("table-uuid").asText()}"},
+           |{"type":"assert-ref-snapshot-id","ref":"main",
+           |"snapshot-id":$refSnap}],
+           |"updates":[
+           |{"action":"add-snapshot","snapshot":{"snapshot-id":$snapId,
+           |"timestamp-ms":1700000000000,"schema-id":0,
+           |"manifest-list":"$listLoc",
+           |"summary":{"operation":"append"}}},
+           |{"action":"set-snapshot-ref","ref-name":"main",
+           |"snapshot-id":$snapId,"type":"branch"}]}""".stripMargin
+          .replaceAll("\n", "")
+      }
+      val headBefore = repo.headCommit("main").id
+      val body = s"""{"table-changes":[
+        |${change("nation", 9801L, listA)},
+        |${change("dim", 9802L, listB)}]}"""
+        .stripMargin.replaceAll("\n", "")
+      val resp = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${srv.uri}/v1/transactions/commit"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 204,
+        s"transaction failed: ${resp.statusCode()} ${resp.body()}")
+      // atomicity: exactly ONE commit moved the branch
+      val headAfter = repo.headCommit("main")
+      require(headAfter.parents == Seq(headBefore),
+        s"transaction took ${headAfter.parents} commits — expected one")
+    } finally srv.close()
+    s.sql(s"SELECT 'a' AS src, n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation " +
+      s"UNION ALL SELECT 'b', n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.dim " +
+      "ORDER BY src, n_nationkey")
+  }
+
   /** Catalog migration over REST (r13 gate for the r12 op): a
     * merge-on-read source table (clone of nation, two keys deleted as a
     * MoR tombstone) exports with REAL delete files, and the export's
@@ -2231,6 +2312,17 @@ object Versioned {
         |WHERE NOT (n_name > 'NATION_2')
         |ORDER BY n_nationkey""".stripMargin
     )(restPosDel),
+    Q(
+      "vc_rest_txn",
+      """SELECT * FROM (
+        |  SELECT 'a' AS src, n_nationkey, n_name, n_regionkey FROM nation
+        |  UNION ALL SELECT 'a', 900, 'TXA', 0
+        |  UNION ALL
+        |  SELECT 'b', n_nationkey, n_name, n_regionkey FROM nation
+        |  UNION ALL SELECT 'b', 901, 'TXB', 1
+        |)
+        |ORDER BY src, n_nationkey""".stripMargin
+    )(restTxn),
     Q(
       "vc_rest_register",
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
