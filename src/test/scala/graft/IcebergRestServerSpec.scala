@@ -2374,6 +2374,73 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     } finally srv.close()
   }
 
+  test("CONCURRENT transactions built against one served base and " +
+    "touching the same table: exactly one lands, the loser gets 409, " +
+    "and the winner's rows are intact") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.txnrace")
+    sql("CREATE NAMESPACE g.txnrace.main.db")
+    sql("CREATE TABLE g.txnrace.main.db.t (id INT, v STRING)")
+    sql("INSERT INTO g.txnrace.main.db.t VALUES (1,'a')")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "txnrace")
+    val exports = Files.createTempDirectory("graft-txnrace-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true)
+    val scratch = Files.createTempDirectory("rest-txnrace-scratch")
+    try {
+      val load = get(s"/v1/namespaces/${enc("main", "db")}/tables/t", srv)._2
+      val meta = load.get("metadata")
+      val stage = java.nio.file.Paths.get(URI.create(
+        meta.get("properties").get("write.data.path").asText() + "/"))
+      val baseFiles = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(load.get("metadata-location").asText()))
+        .dataPaths.map(java.nio.file.Paths.get(_))
+      val refSnap = meta.get("refs").get("main").get("snapshot-id").asLong()
+      def txnBody(tag: String, snapId: Long, row: (Int, String)): String = {
+        val f = stage.resolve(s"t-race-$tag.parquet")
+        writeOneParquet(Seq(row).toDF("id", "v"), f)
+        val list = stageWriterCommit(scratch, snapId, baseFiles :+ f)
+        s"""{"table-changes":[
+           |{"identifier":{"namespace":["main","db"],"name":"t"},
+           |"requirements":[
+           |{"type":"assert-table-uuid","uuid":"${meta.get("table-uuid").asText()}"},
+           |{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$refSnap}],
+           |"updates":[
+           |{"action":"add-snapshot","snapshot":{"snapshot-id":$snapId,
+           |"timestamp-ms":1700000000000,"schema-id":0,
+           |"manifest-list":"${list.toUri}",
+           |"summary":{"operation":"append"}}},
+           |{"action":"set-snapshot-ref","ref-name":"main",
+           |"snapshot-id":$snapId,"type":"branch"}]}]}"""
+          .stripMargin.replaceAll("\n", "")
+      }
+      // both transactions reference the SAME served base — fire together
+      val bodies = Seq(txnBody("x", 9601L, (2, "x")),
+        txnBody("y", 9602L, (3, "y")))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val results = bodies.map { b =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          override def call(): Int = {
+            gate.await()
+            send("POST", "/v1/transactions/commit", b, srv)._1
+          }
+        })
+      }
+      gate.countDown()
+      val codes = results.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      codes.sorted shouldBe Seq(204, 409)
+      // exactly ONE row landed beyond the base
+      val ids = sql("SELECT id FROM g.txnrace.main.db.t ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq
+      ids.length shouldBe 2
+      ids.head shouldBe 1
+      Seq(2, 3) should contain (ids(1))
+    } finally srv.close()
+  }
+
   test("append on a MoR-tombstoned table: the engine RELISTS the served " +
     "delete files (real engines reuse delete manifests every commit) — " +
     "the append lands, deleted rows stay deleted, and no duplicate " +
