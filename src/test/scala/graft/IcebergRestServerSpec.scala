@@ -2374,6 +2374,48 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     } finally srv.close()
   }
 
+  test("transactions route on a PREFIXED (warehouse) server: " +
+    "/v1/{repo}/transactions/commit lands, wrong prefix 404s") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.wtxn")
+    sql("CREATE NAMESPACE g.wtxn.main.db")
+    sql("CREATE TABLE g.wtxn.main.db.t (id INT, v STRING)")
+    sql("INSERT INTO g.wtxn.main.db.t VALUES (1,'a')")
+    val reposRoot = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"))
+    val exports = Files.createTempDirectory("graft-wtxn-exports")
+    val srv = IcebergRestServer.startWarehouse(reposRoot, exports,
+      Some(spark), writable = true)
+    val scratch = Files.createTempDirectory("rest-wtxn-scratch")
+    try {
+      val load = get(s"/v1/wtxn/namespaces/${enc("main", "db")}/tables/t",
+        srv)._2
+      val meta = load.get("metadata")
+      val stage = java.nio.file.Paths.get(URI.create(
+        meta.get("properties").get("write.data.path").asText() + "/"))
+      val f = stage.resolve("t-wtxn.parquet")
+      writeOneParquet(Seq((2, "b")).toDF("id", "v"), f)
+      val baseFiles = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(load.get("metadata-location").asText()))
+        .dataPaths.map(java.nio.file.Paths.get(_))
+      val list = stageWriterCommit(scratch, 9701L, baseFiles :+ f)
+      val body = s"""{"table-changes":[
+        |{"identifier":{"namespace":["main","db"],"name":"t"},
+        |"requirements":[],
+        |"updates":[
+        |{"action":"add-snapshot","snapshot":{"snapshot-id":9701,
+        |"timestamp-ms":1700000000000,"schema-id":0,
+        |"manifest-list":"${list.toUri}",
+        |"summary":{"operation":"append"}}}]}]}"""
+        .stripMargin.replaceAll("\n", "")
+      send("POST", "/v1/wtxn/transactions/commit", body, srv)._1 shouldBe 204
+      sql("SELECT id FROM g.wtxn.main.db.t ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq shouldBe Seq(1, 2)
+      send("POST", "/v1/nosuchrepo/transactions/commit", body, srv)
+        ._1 shouldBe 404
+    } finally srv.close()
+  }
+
   test("CONCURRENT transactions built against one served base and " +
     "touching the same table: exactly one lands, the loser gets 409, " +
     "and the winner's rows are intact") {
