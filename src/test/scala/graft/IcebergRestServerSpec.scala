@@ -2337,6 +2337,18 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       sql("SELECT id FROM g.txn.main.db.dim ORDER BY id")
         .collect().map(_.getInt(0)).toSeq shouldBe Seq(10, 20)
 
+      // property updates ride the same transaction commit
+      val (cP, eP) = send("POST", "/v1/transactions/commit",
+        s"""{"table-changes":[
+           |{"identifier":{"namespace":["main","db"],"name":"dim"},
+           |"requirements":[],
+           |"updates":[{"action":"set-properties",
+           |"updates":{"owner":"etl"}}]}]}"""
+          .stripMargin.replaceAll("\n", ""), srv)
+      withClue(eP.toString) { cP shouldBe 204 }
+      g.snapshot(g.resolve("main").tables("db/dim"))
+        .properties.get("owner") shouldBe Some("etl")
+
       // STALE base (built against pre-transaction metadata on dim,
       // fresh on fact): the WHOLE transaction 409s, fact does NOT land
       val freshFact = change("fact", 9003L, Seq((3, "c")), ("id", "v"))
