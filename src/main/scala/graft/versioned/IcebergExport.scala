@@ -736,6 +736,13 @@ object IcebergExport {
     meta.put("sort-orders", java.util.List.of(order0))
     meta.put("default-sort-order-id", 0)
     val props = new java.util.LinkedHashMap[String, Any]
+    // USER table properties round-trip to external readers (an engine
+    // that sets `owner` or a write.* knob over REST must see it echoed
+    // on the next load); graft.* keys are engine state (tombstones,
+    // commit sequence) and stay internal. Reserved/computed keys below
+    // override any same-named user value.
+    snap.properties.filterNot(_._1.startsWith("graft."))
+      .foreach { case (k, vv) => props.put(k, vv) }
     props.put("schema.name-mapping.default", nameMappingJson(phys))
     props.put("graft.source-snapshot", snap.id)
     props.put("graft.source-ref", ref)

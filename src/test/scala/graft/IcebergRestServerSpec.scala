@@ -2348,6 +2348,10 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       withClue(eP.toString) { cP shouldBe 204 }
       g.snapshot(g.resolve("main").tables("db/dim"))
         .properties.get("owner") shouldBe Some("etl")
+      // and the engine SEES it echoed on the next load (user properties
+      // round-trip through the served metadata)
+      loadT("dim").get("metadata").get("properties")
+        .get("owner").asText() shouldBe "etl"
 
       // STALE base (built against pre-transaction metadata on dim,
       // fresh on fact): the WHOLE transaction 409s, fact does NOT land
