@@ -1190,7 +1190,21 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       // DVs name their referenced file in the manifest; file-based
       // positional deletes are read for their distinct file_path values
       // (delete files are small — this is one skinny distinct scan per
-      // format group, the same readers readPlan applies them with)
+      // format group, the same readers readPlan applies them with). The
+      // distinct collects to the driver, so it is SIZE-GUARDED: a commit
+      // can only dirty files it lists, and a sane engine's per-commit
+      // delete manifest names far fewer — a post past the cap is
+      // malformed (or an attack on driver memory) and refuses 400.
+      val maxDirty = spark.flatMap(ss => scala.util.Try(ss.conf.get(
+        "spark.graft.rest.maxDirtyFiles").toInt).toOption).getOrElse(1000000)
+      def guarded(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+        val rows = df.limit(maxDirty + 1).collect()
+        if (rows.length > maxDirty) throw new IllegalArgumentException(
+          s"positional deletes reference more than $maxDirty distinct " +
+            "data files in one commit (spark.graft.rest.maxDirtyFiles) " +
+            "— split the commit or raise the cap")
+        rows.map(r => IcebergImport.normStr(r.getString(0))).toSeq
+      }
       val dvDirty = posDeletes.flatMap(_.dv)
         .map(r => IcebergImport.normStr(r.referencedFile))
       val fileDels = posDeletes.filter(_.dv.isEmpty)
@@ -1201,21 +1215,23 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           org.apache.spark.sql.types.LongType)))
       val readDirty: Seq[String] = fileDels.groupBy(_.format).toSeq
         .sortBy(_._1).flatMap {
-          case ("PARQUET", fs) => s.read.parquet(fs.map(_.path): _*)
-            .select(col("file_path")).distinct().collect()
-            .map(r => IcebergImport.normStr(r.getString(0))).toSeq
-          case ("ORC", fs) => s.read.schema(posSchema).orc(fs.map(_.path): _*)
-            .select(col("file_path")).distinct().collect()
-            .map(r => IcebergImport.normStr(r.getString(0))).toSeq
-          case ("AVRO", fs) => IcebergImport.avroScan(s, fs.map(_.path),
-            posSchema, Map("file_path" -> 2147483546, "pos" -> 2147483545))
-            .select(col("file_path")).distinct().collect()
-            .map(r => IcebergImport.normStr(r.getString(0))).toSeq
+          case ("PARQUET", fs) => guarded(s.read.parquet(fs.map(_.path): _*)
+            .select(col("file_path")).distinct())
+          case ("ORC", fs) => guarded(s.read.schema(posSchema)
+            .orc(fs.map(_.path): _*).select(col("file_path")).distinct())
+          case ("AVRO", fs) => guarded(IcebergImport.avroScan(s,
+            fs.map(_.path), posSchema,
+            Map("file_path" -> 2147483546, "pos" -> 2147483545))
+            .select(col("file_path")).distinct())
           case (other, fs) => throw new UnsupportedOperationException(
             s"unsupported positional delete file format $other " +
               s"(${fs.head.path})")
         }
       val dirtyNorm = (dvDirty ++ readDirty).distinct
+      if (dirtyNorm.size > maxDirty) throw new IllegalArgumentException(
+        s"positional deletes reference more than $maxDirty distinct " +
+          "data files in one commit (spark.graft.rest.maxDirtyFiles) " +
+          "— split the commit or raise the cap")
       val (dirtyBaseNorm, restNorm) = dirtyNorm.partition(baseByNorm.contains)
       val (dirtyAddNorm, unknown) = restNorm.partition(addByNorm.contains)
       if (unknown.nonEmpty) throw new IllegalArgumentException(
@@ -1223,10 +1239,17 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           s"live at the commit base nor added by this commit (e.g. " +
           s"${unknown.head}) — not a state this table ever held")
       // sub-plan sequence numbers are ASSIGNED, not trusted from the
-      // post: dirty base files at 0, same-commit adds at 1, all deletes
-      // at 1 — positional applies at <= (base AND same-commit adds),
-      // equality strictly < (base only), exactly the spec's rules for
-      // one engine commit
+      // post: dirty base files keep their SERVED sequence numbers and
+      // the table's EXISTING delete files (the served export of its MoR
+      // tombstones / DVs) ride the sub-plan at theirs — the rewrite must
+      // apply whatever already masked those files, because the survivors
+      // land at graft seq `next` (above every existing tombstone, which
+      // applies only at t.seq > f.seqNo) and would otherwise RESURRECT
+      // rows an earlier delete removed. The posted deletes and
+      // same-commit adds are assigned one ABOVE the served maximum:
+      // positional applies at <= (base AND same-commit adds), equality
+      // strictly < (base only), exactly the spec's rules for one engine
+      // commit, and existing deletes keep applying only to base files.
       // validate (and build) the equality tombstone FIRST: a NULL-valued
       // or oversized equality delete must refuse before any Spark job
       // stages rewrite files
@@ -1234,9 +1257,18 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         if (eqDeletes.isEmpty) None
         else Some(equalityTombstoneFilter(repo, destRoot, eqDeletes,
           basePlan.fieldIdToName, hconf))
-      val dirtyFiles = dirtyBaseNorm.map(n => baseByNorm(n).copy(seq = 0L)) ++
-        dirtyAddNorm.map(n => addByNorm(n).copy(seq = 1L))
-      val subDeletes = (posDeletes ++ eqDeletes).map(_.copy(seq = 1L))
+      val servedMaxSeq = (basePlan.dataFiles.iterator.map(_.seq) ++
+        basePlan.deleteFiles.iterator.map(_.seq) ++ Iterator(0L)).max
+      val subSeq = servedMaxSeq + 1
+      val dirtyFiles = dirtyBaseNorm.map(baseByNorm) ++
+        dirtyAddNorm.map(n => addByNorm(n).copy(seq = subSeq))
+      // existing DVs are pre-filtered to the dirty set (the manifest
+      // names their referenced file — free); file-based existing
+      // positional/equality deletes ride whole, readPlan path-matches
+      val existingDeletes = basePlan.deleteFiles.filter(d => d.dv.forall(r =>
+        dirtyNorm.contains(IcebergImport.normStr(r.referencedFile))))
+      val subDeletes = existingDeletes ++
+        (posDeletes ++ eqDeletes).map(_.copy(seq = subSeq))
       val surviving = IcebergImport.readPlan(s,
         basePlan.copy(dataFiles = dirtyFiles, deleteFiles = subDeletes))
       // the served plan emits PHYSICAL column names (export invariant);

@@ -2548,6 +2548,126 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     } finally srv.close()
   }
 
+  test("positional-delete commit against a table with a PRE-EXISTING " +
+    "MoR tombstone (served delete file relisted): the server-side CoW " +
+    "rewrite applies the existing tombstone to the dirty file's " +
+    "survivors — the earlier-deleted key stays deleted, never " +
+    "resurrected") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.pdres")
+    sql("CREATE NAMESPACE g.pdres.main.db")
+    sql("CREATE TABLE g.pdres.main.db.m (id INT, v STRING) " +
+      "TBLPROPERTIES('graft.delete.mode'='merge-on-read')")
+    // ONE physical file holding all three rows — the resurrection
+    // scenario needs the tombstoned row to share a file with the row
+    // the engine later positionally deletes
+    sql("INSERT INTO g.pdres.main.db.m SELECT /*+ COALESCE(1) */ * " +
+      "FROM VALUES (1,'a'), (2,'b'), (3,'c') AS t(id, v)")
+    sql("DELETE FROM g.pdres.main.db.m WHERE id = 2") // MoR tombstone
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "pdres")
+    val exports = Files.createTempDirectory("graft-pdres-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true)
+    val scratch = Files.createTempDirectory("rest-pdres-scratch")
+    try {
+      val (_, load) = get(s"/v1/namespaces/${enc("main", "db")}/tables/m", srv)
+      val meta = load.get("metadata")
+      val plan0 = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(load.get("metadata-location").asText()))
+      plan0.deleteFiles should not be empty // tombstone served as delete
+      val servedDel = java.nio.file.Paths.get(plan0.deleteFiles.head.path)
+      val servedIds = plan0.deleteFiles.head.equalityIds
+      val baseFiles = plan0.dataPaths.map(java.nio.file.Paths.get(_))
+      baseFiles.size shouldBe 1 // the COALESCE(1) insert made one file
+      // the engine deletes id=3 by POSITION in its physical file — that
+      // file still physically holds id=2, masked only by the tombstone
+      val perFile = baseFiles.map { p =>
+        p -> spark.read.parquet(p.toString)
+          .select(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.col("_metadata.row_index"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+      }
+      val (dirtyFile, rows) = perFile.find(_._2.exists(_._1 == 3)).get
+      rows.exists(_._1 == 2) shouldBe true // physically still present
+      val pos3 = rows.find(_._1 == 3).get._2
+      val stage = java.nio.file.Paths.get(URI.create(
+        meta.get("properties").get("write.data.path").asText() + "/"))
+      val del = stage.resolve("pdres-pos.parquet")
+      writeOneParquet(Seq((dirtyFile.toUri.toString, pos3))
+        .toDF("file_path", "pos"), del)
+      // the engine's commit relists the served (equality) delete file —
+      // real engines reuse delete manifests — plus its new positional one
+      val list = stageMixedDeleteCommit(scratch, 7951L, baseFiles,
+        Seq((servedDel, 2, Some(servedIds)), (del, 1, None)))
+      val body = commitBody(meta, 7951L, list)
+        .replace("\"operation\":\"append\"", "\"operation\":\"delete\"")
+      val (c, e) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/m", body, srv)
+      withClue(e.toString) { c shouldBe 200 }
+      // id=2 (old tombstone) AND id=3 (new positions) are both gone
+      sql("SELECT id, v FROM g.pdres.main.db.m ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+        Seq((1, "a"))
+    } finally srv.close()
+  }
+
+  test("positional-delete commit dirtying more files than " +
+    "spark.graft.rest.maxDirtyFiles refuses 400 — a malformed post " +
+    "cannot balloon the driver-side distinct") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.pdcap")
+    sql("CREATE NAMESPACE g.pdcap.main.db")
+    sql("CREATE TABLE g.pdcap.main.db.c (id INT, v STRING)")
+    sql("INSERT INTO g.pdcap.main.db.c VALUES (1,'a'), (2,'b')")
+    sql("INSERT INTO g.pdcap.main.db.c VALUES (3,'c'), (4,'d')")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "pdcap")
+    val exports = Files.createTempDirectory("graft-pdcap-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true)
+    val scratch = Files.createTempDirectory("rest-pdcap-scratch")
+    try {
+      val (_, load) = get(s"/v1/namespaces/${enc("main", "db")}/tables/c", srv)
+      val meta = load.get("metadata")
+      val baseFiles = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(load.get("metadata-location").asText()))
+        .dataPaths.map(java.nio.file.Paths.get(_))
+      baseFiles.size should be >= 2
+      // which ids sit at position 0 of each base file (layout varies
+      // with insert parallelism — compute, don't assume)
+      val pos0Ids = baseFiles.map { p =>
+        spark.read.parquet(p.toString)
+          .select(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.col("_metadata.row_index"))
+          .collect().find(_.getLong(1) == 0L).get.getInt(0)
+      }.toSet
+      val stage = java.nio.file.Paths.get(URI.create(
+        meta.get("properties").get("write.data.path").asText() + "/"))
+      val del = stage.resolve("pdcap-pos.parquet")
+      writeOneParquet(baseFiles.map(f => (f.toUri.toString, 0L))
+        .toDF("file_path", "pos"), del)
+      val list = stagePosDeleteCommit(scratch, 7961L, baseFiles, Seq(del))
+      val body = commitBody(meta, 7961L, list)
+        .replace("\"operation\":\"append\"", "\"operation\":\"delete\"")
+      spark.conf.set("spark.graft.rest.maxDirtyFiles", "1")
+      try {
+        val (c, e) = send("POST",
+          s"/v1/namespaces/${enc("main", "db")}/tables/c", body, srv)
+        c shouldBe 400
+        e.get("error").get("message").asText() should
+          include ("maxDirtyFiles")
+      } finally spark.conf.unset("spark.graft.rest.maxDirtyFiles")
+      // same body with the cap lifted lands fine
+      val (c2, e2) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/c", body, srv)
+      withClue(e2.toString) { c2 shouldBe 200 }
+      sql("SELECT id FROM g.pdcap.main.db.c ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq shouldBe
+        Seq(1, 2, 3, 4).filterNot(pos0Ids)
+    } finally srv.close()
+  }
+
   test("FUZZ: malformed bodies on every write route answer 4xx, never " +
     "a 500 — a confused engine gets a ValidationException it can log, " +
     "not commit-state-unknown") {
