@@ -816,6 +816,77 @@ object Versioned {
       s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
   }
 
+  /** REST operation=replace (r14): an external engine's OWN maintenance
+    * — Spark's rewrite_data_files / Flink compaction — posts its
+    * compaction back through the catalog it attached to. The reference
+    * accepts any metadata swap (LakeFSTableOperations.java:115–147);
+    * graft validates row preservation the way TableOps.compact's
+    * conflict check does and lands it as a structural-compaction commit.
+    * The gate stages the rewrite on a zero-copy clone (compact the
+    * clone natively → its output already lives in the repo data plane →
+    * the posted files register zero-copy), posts `operation=replace`,
+    * then REQUIREs the compact marker and that CDC across the replace
+    * nets to ZERO — a row-preserving rewrite is not a change. The final
+    * table read is hash-checked against the oracle: byte-identical rows
+    * through a full physical rewrite.
+    */
+  private def restReplace(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    // a second batch → two files, so the compaction has work to do
+    s.sql(s"INSERT INTO $cat.r.main.db.nation " +
+      s"SELECT n_nationkey + 200, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation WHERE n_nationkey < 10")
+    repo.createTag("prereplace", "main")
+    val srv = graft.versioned.IcebergRestServer.start(repo,
+      Files.createTempDirectory("graft-rest-repgate"), Some(s),
+      writable = true)
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val ns = java.net.URLEncoder.encode("maindb", "UTF-8")
+      val get = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
+        .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(get.statusCode() == 200, s"loadTable failed: ${get.body()}")
+      val meta0 = mapper.readTree(get.body()).get("metadata")
+      // the engine's rewrite, staged on a zero-copy clone: compact the
+      // clone natively — its output files live in the repo data plane
+      s.sql(s"CALL $cat.system.clone_table('r', 'main', " +
+        "'db.nation', 'db.rep_stage')")
+      TableOps.compact(s, repo, "main", "db/rep_stage")
+      val listLoc = exportListLoc(repo, s, "db/rep_stage")
+      val refSnap = meta0.get("refs").get("main").get("snapshot-id").asLong()
+      val resp = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          s"""{"requirements":[
+             |{"type":"assert-table-uuid",
+             |"uuid":"${meta0.get("table-uuid").asText()}"},
+             |{"type":"assert-ref-snapshot-id","ref":"main",
+             |"snapshot-id":$refSnap}],
+             |"updates":[
+             |{"action":"add-snapshot","snapshot":{"snapshot-id":9401,
+             |"timestamp-ms":1700000000000,"schema-id":0,
+             |"manifest-list":"$listLoc",
+             |"summary":{"operation":"replace"}}},
+             |{"action":"set-snapshot-ref","ref-name":"main",
+             |"snapshot-id":9401,"type":"branch"}]}""".stripMargin
+            .replaceAll("\n", ""))).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200,
+        s"replace commit failed: ${resp.statusCode()} ${resp.body()}")
+      require(repo.headCommit("main").markerOpt
+        .contains(graft.versioned.Commit.CompactMarker),
+        "REST replace must land as a structural-compaction commit")
+      require(TableOps.changesBetween(s, repo,
+        "prereplace", "main", "db/nation").isEmpty,
+        "CDC across a row-preserving replace must net to zero")
+    } finally srv.close()
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
+  }
+
   /** Shared REST-gate plumbing: export a staged graft table and return
     * its current snapshot's manifest-list location — what an external
     * engine's commit posts.
@@ -1217,6 +1288,11 @@ object Versioned {
       }
       val listA = stagedList("txn_a_stage", "(900, 'TXA', 0)")
       val listB = stagedList("txn_b_stage", "(901, 'TXB', 1)")
+      // the third member (r14): a METADATA-ONLY schema evolution riding
+      // the same checkpoint — the common Flink shape (one table widens
+      // while its siblings append)
+      s.sql(s"CALL $cat.system.clone_table('r', 'main', " +
+        "'db.nation', 'db.wide')")
       def change(t: String, snapId: Long, listLoc: String): String = {
         val meta = loadMeta(t)
         val refSnap = meta.get("refs").get("main").get("snapshot-id").asLong()
@@ -1235,10 +1311,37 @@ object Versioned {
            |"snapshot-id":$snapId,"type":"branch"}]}""".stripMargin
           .replaceAll("\n", "")
       }
+      // the schema-update member: served schema + one appended BIGINT
+      // field, exactly what iceberg-core's UpdateSchema posts
+      def schemaChange(t: String): String = {
+        val meta = loadMeta(t)
+        val refSnap = meta.get("refs").get("main").get("snapshot-id").asLong()
+        val s0 = meta.get("schemas").elements().next()
+        val fields = {
+          import scala.jdk.CollectionConverters._
+          s0.get("fields").elements().asScala.toSeq
+        }
+        val maxId = fields.map(_.get("id").asInt()).max
+        val kept = fields.map(f => f.toString).mkString(",")
+        s"""{"identifier":{"namespace":["main","db"],"name":"$t"},
+           |"requirements":[
+           |{"type":"assert-table-uuid",
+           |"uuid":"${meta.get("table-uuid").asText()}"},
+           |{"type":"assert-ref-snapshot-id","ref":"main",
+           |"snapshot-id":$refSnap}],
+           |"updates":[
+           |{"action":"add-schema","schema":{"type":"struct",
+           |"schema-id":1,"fields":[$kept,
+           |{"id":${maxId + 1},"name":"n_flag","required":false,
+           |"type":"long"}]}},
+           |{"action":"set-current-schema","schema-id":-1}]}""".stripMargin
+          .replaceAll("\n", "")
+      }
       val headBefore = repo.headCommit("main").id
       val body = s"""{"table-changes":[
         |${change("nation", 9801L, listA)},
-        |${change("dim", 9802L, listB)}]}"""
+        |${change("dim", 9802L, listB)},
+        |${schemaChange("wide")}]}"""
         .stripMargin.replaceAll("\n", "")
       val resp = http.send(java.net.http.HttpRequest.newBuilder(
         java.net.URI.create(s"${srv.uri}/v1/transactions/commit"))
@@ -1247,15 +1350,22 @@ object Versioned {
         java.net.http.HttpResponse.BodyHandlers.ofString())
       require(resp.statusCode() == 204,
         s"transaction failed: ${resp.statusCode()} ${resp.body()}")
-      // atomicity: exactly ONE commit moved the branch
+      // atomicity: exactly ONE commit moved the branch — appends AND
+      // the sibling evolution landed together
       val headAfter = repo.headCommit("main")
       require(headAfter.parents == Seq(headBefore),
         s"transaction took ${headAfter.parents} commits — expected one")
     } finally srv.close()
-    s.sql(s"SELECT 'a' AS src, n_nationkey, n_name, n_regionkey " +
+    s.sql(s"SELECT 'a' AS src, n_nationkey, n_name, n_regionkey, " +
+      "CAST(NULL AS BIGINT) AS n_flag " +
       s"FROM $cat.r.main.db.nation " +
-      s"UNION ALL SELECT 'b', n_nationkey, n_name, n_regionkey " +
+      s"UNION ALL SELECT 'b', n_nationkey, n_name, n_regionkey, " +
+      "CAST(NULL AS BIGINT) " +
       s"FROM $cat.r.main.db.dim " +
+      // the evolved sibling answers under the WIDENED schema: pre-
+      // evolution rows read NULL for the added column
+      s"UNION ALL SELECT 'c', n_nationkey, n_name, n_regionkey, n_flag " +
+      s"FROM $cat.r.main.db.wide " +
       "ORDER BY src, n_nationkey")
   }
 
@@ -2315,11 +2425,16 @@ object Versioned {
     Q(
       "vc_rest_txn",
       """SELECT * FROM (
-        |  SELECT 'a' AS src, n_nationkey, n_name, n_regionkey FROM nation
-        |  UNION ALL SELECT 'a', 900, 'TXA', 0
+        |  SELECT 'a' AS src, n_nationkey, n_name, n_regionkey,
+        |         CAST(NULL AS BIGINT) AS n_flag FROM nation
+        |  UNION ALL SELECT 'a', 900, 'TXA', 0, CAST(NULL AS BIGINT)
         |  UNION ALL
-        |  SELECT 'b', n_nationkey, n_name, n_regionkey FROM nation
-        |  UNION ALL SELECT 'b', 901, 'TXB', 1
+        |  SELECT 'b', n_nationkey, n_name, n_regionkey,
+        |         CAST(NULL AS BIGINT) FROM nation
+        |  UNION ALL SELECT 'b', 901, 'TXB', 1, CAST(NULL AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'c', n_nationkey, n_name, n_regionkey,
+        |         CAST(NULL AS BIGINT) FROM nation
         |)
         |ORDER BY src, n_nationkey""".stripMargin
     )(restTxn),
@@ -2329,6 +2444,16 @@ object Versioned {
         |WHERE n_nationkey NOT IN (2, 7)
         |ORDER BY n_nationkey""".stripMargin
     )(restRegister),
+    Q(
+      "vc_rest_replace",
+      """SELECT n_nationkey, n_name, n_regionkey FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 200, n_name, n_regionkey FROM nation
+        |  WHERE n_nationkey < 10
+        |)
+        |ORDER BY n_nationkey""".stripMargin
+    )(restReplace),
     Q(
       "vc_show_tables",
       """SELECT * FROM (VALUES

@@ -964,7 +964,7 @@ final class IcebergRestServer private (single: Option[GraftRepo],
               "add-snapshot + set-snapshot-ref + set-properties + " +
               "remove-properties + add-schema + set-current-schema + " +
               "add-partition-spec + set-default-spec + advisory sort " +
-              "orders; replace summaries stay engine-side)")
+              "orders)")
         }
       }
     // set-current-schema must point at the schema this commit added
@@ -1059,10 +1059,10 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     val snap = snapNode.get
     val op = Option(snap.get("summary")).flatMap(s =>
       Option(s.get("operation"))).map(_.asText()).getOrElse("append")
-    if (!Set("append", "overwrite", "delete")(op))
+    if (!Set("append", "overwrite", "delete", "replace")(op))
       throw new UnsupportedOperationException(
         s"unsupported commit operation over REST: '$op' (accepted: " +
-          "append, overwrite, delete)")
+          "append, overwrite, delete, replace)")
     // a snapshot written under the schema this same commit adds is
     // fine; any OTHER unknown schema-id is a client bug
     Option(snap.get("schema-id")).map(_.asInt()).foreach { sid =>
@@ -1159,6 +1159,82 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       .getOrElse(new org.apache.hadoop.conf.Configuration())
     val destRoot = prefix.fold(exportRoot)(exportRoot.resolve)
       .resolve(ref).resolve(key).toAbsolutePath.normalize
+
+    // ---- operation=replace: an external engine's OWN maintenance —
+    // Spark's rewrite_data_files, Flink's compaction — posting a
+    // row-preserving rewrite: dropped base files re-expressed as new
+    // files with identical live content. Reference parity:
+    // LakeFSTableOperations.java:115–147 accepts any metadata swap.
+    // Graft validates the shape the way TableOps.compact validates its
+    // own rewrite — dropped files must still be live at the commit base
+    // and the tombstone set must not have moved since the served base
+    // (a concurrent MoR delete would be silently materialized away) —
+    // and lands it as a structural compaction commit
+    // (Commit.CompactMarker), so the Iceberg export classifies it
+    // `replace` and changesBetween nets it to zero.
+    if (op == "replace") {
+      if (newDeletes.nonEmpty)
+        throw new IllegalArgumentException(
+          s"replace (compaction) commit posts ${newDeletes.size} new " +
+            "delete file(s) — a rewrite materializes deletes, it does " +
+            "not add them (post MoR deletes as operation=delete)")
+      // a served delete file this replace RETIRES must no longer apply
+      // to any surviving base file, or the rows it masked would
+      // resurrect in the engine's view of the table
+      val postedDelNorm = postedDeletes
+        .map(dd => IcebergImport.normStr(dd.path)).toSet
+      val retiredDels = basePlan.deleteFiles.filterNot(dd =>
+        postedDelNorm(IcebergImport.normStr(dd.path)))
+      val survivingBase = basePlan.dataFiles.filterNot(f => dropped(f.path))
+      retiredDels.foreach { dd =>
+        val mayApply = dd.dv match {
+          case Some(r) => survivingBase.exists(f =>
+            IcebergImport.normStr(f.path) ==
+              IcebergImport.normStr(r.referencedFile))
+          case None if dd.content == 2 => survivingBase.exists(_.seq < dd.seq)
+          // file-based positional: which files it references is not
+          // knowable without reading it — conservative refusal
+          case None => survivingBase.exists(_.seq <= dd.seq)
+        }
+        if (mayApply) throw new IllegalArgumentException(
+          s"replace commit retires delete file ${dd.path} that may " +
+            "still apply to surviving base file(s) — the rows it masks " +
+            "would resurrect; rewrite those files too or relist it")
+      }
+      val entries = ingestEntries(repo, ref, key, destRoot, addedFiles,
+        ev.schema, ev.mapping, ev.spec, hconf)
+      val dropRels = basePlan.dataFiles.filter(f => dropped(f.path)).map { f =>
+        repo.dataIO.relOf(f.path).getOrElse(
+          throw new IllegalStateException(
+            s"base data file outside the repo data plane: ${f.path}"))
+      }
+      repo.commitRetry(ref, s"rest: replace $key (engine compaction: " +
+        s"-${dropRels.size} +${entries.size} files)",
+        marker = Some(Commit.CompactMarker)) { base =>
+        pin(base)
+        val prior = repo.snapshot(base.tables(key))
+        val live = prior.files.iterator.map(_.path).toSet
+        val missing = dropRels.toSet -- live
+        if (missing.nonEmpty) throw new MergeConflictException(
+          s"replace of $key drops ${missing.size} file(s) not live at " +
+            s"the commit base (e.g. ${missing.head}) — refresh and retry")
+        if (Tombstones.signature(prior) != Tombstones.signature(head))
+          throw new MergeConflictException(
+            s"replace of $key conflicts with a concurrent merge-on-read " +
+              "delete since the served base — refresh and re-run")
+        val props0 = (prior.properties -- removeProps) ++ setProps
+        val next = Tombstones.lastSeq(props0) + 1
+        val stamped = entries.map(_.copy(seq = Some(next)))
+        val dropSet = dropRels.toSet
+        val kept = prior.files.filterNot(f => dropSet(f.path))
+        val snap2 = repo.writeSnapshot(key, prior.schemaJson,
+          kept ++ stamped, prior.partitionBy, prior.physicalNames,
+          Some(props0 + (Tombstones.SeqProp -> next.toString)),
+          prior.retired)
+        (base.tables + (key -> snap2.id), base.namespaces)
+      }
+      return loadResult(serve(repo, prefix, ref, key))
+    }
 
     // ---- positional deletes / DVs → a server-side CoW rewrite of
     // EXACTLY the referenced (dirty) files: the posted delete rows are
@@ -1428,7 +1504,8 @@ final class IcebergRestServer private (single: Option[GraftRepo],
 
     final case class Staged(ref: String, key: String,
       servedGraftSnap: String, entries: Seq[FileEntry],
-      setProps: Map[String, String], removeProps: Set[String])
+      setProps: Map[String, String], removeProps: Set[String],
+      schemaChanges: Seq[org.apache.spark.sql.connector.catalog.TableChange])
 
     val staged: Seq[Staged] = changes.map { ch =>
       val ident = Option(ch.get("identifier")).getOrElse(
@@ -1471,6 +1548,8 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           }
         }
       var snapNode: Option[com.fasterxml.jackson.databind.JsonNode] = None
+      var newSchemaNode: Option[com.fasterxml.jackson.databind.JsonNode] = None
+      var setCurrentSchema: Option[Int] = None
       var setProps = Map.empty[String, String]
       var removeProps = Set.empty[String]
       def guardProp(k: String): String = {
@@ -1501,13 +1580,52 @@ final class IcebergRestServer private (single: Option[GraftRepo],
             case "remove-properties" =>
               removeProps ++= Option(u.get("removals")).toSeq
                 .flatMap(_.elements().asScala).map(n => guardProp(n.asText()))
+            // a METADATA-ONLY schema evolution riding a multi-table
+            // checkpoint (the common Flink shape: one table's columns
+            // widened while its siblings append) — lowered onto graft's
+            // metadata-only evolution, same as the single-table path
+            case "add-schema" =>
+              if (newSchemaNode.isDefined)
+                throw new UnsupportedOperationException(
+                  s"one add-schema per table in a transaction ($key)")
+              newSchemaNode = Some(Option(u.get("schema")).getOrElse(
+                throw new IllegalArgumentException(
+                  "add-schema carries no schema")))
+            case "set-current-schema" =>
+              setCurrentSchema = Some(Option(u.get("schema-id"))
+                .map(_.asInt()).getOrElse(-1))
             case other => throw new UnsupportedOperationException(
               s"unsupported update inside a transaction: $other — " +
-                "transactions bundle APPEND commits and property " +
-                "updates; schema changes, CTAS, rewrites, and deletes " +
-                "stay single-table commits")
+                "transactions bundle APPEND commits, property updates, " +
+                "and metadata-only schema updates; CTAS, rewrites, and " +
+                "deletes stay single-table commits")
           }
         }
+      if (newSchemaNode.isDefined && snapNode.isDefined)
+        throw new UnsupportedOperationException(
+          s"transactional change for $key combines a schema update " +
+            "with a snapshot — post the evolution as its own member " +
+            "(or a single-table evolve+append commit)")
+      val servedSchemaId = Option(served.get("current-schema-id"))
+        .map(_.asInt()).getOrElse(0)
+      setCurrentSchema.foreach { sid =>
+        val addedId = newSchemaNode.flatMap(sn =>
+          Option(sn.get("schema-id")).map(_.asInt()))
+        if (sid != -1 && !addedId.contains(sid) && sid != servedSchemaId)
+          throw new IllegalArgumentException(
+            s"set-current-schema references schema-id $sid, which this " +
+              "transaction member does not add")
+      }
+      val schemaChanges: Seq[org.apache.spark.sql.connector.catalog.TableChange] =
+        newSchemaNode.map { n =>
+          val cur = Option(served.get("schemas"))
+            .map(_.elements().asScala.toSeq).getOrElse(Nil)
+            .find(sn => Option(sn.get("schema-id"))
+              .exists(_.asInt() == servedSchemaId))
+            .getOrElse(throw new IllegalStateException(
+              s"served metadata has no schema $servedSchemaId"))
+          schemaChangesOf(cur, n)
+        }.getOrElse(Nil)
       val entries: Seq[FileEntry] = snapNode match {
         case None => Nil
         case Some(snap) =>
@@ -1543,7 +1661,8 @@ final class IcebergRestServer private (single: Option[GraftRepo],
               .asInstanceOf[org.apache.spark.sql.types.StructType],
             head.nameMapping, head.partitionFields, hconf)
       }
-      Staged(ref, key, servedGraftSnap, entries, setProps, removeProps)
+      Staged(ref, key, servedGraftSnap, entries, setProps, removeProps,
+        schemaChanges)
     }
     val refs = staged.map(_.ref).distinct
     if (refs.size != 1) throw new IllegalArgumentException(
@@ -1566,14 +1685,27 @@ final class IcebergRestServer private (single: Option[GraftRepo],
               "refresh and retry")
         val prior = acc.get(st.key).map(repo.snapshot).getOrElse(
           throw new NoSuchElementException(s"no such table: ${st.key}"))
-        val props0 = (prior.properties -- st.removeProps) ++ st.setProps
-        val next = Tombstones.lastSeq(props0) + 1
-        val stamped = st.entries.map(_.copy(seq = Some(next)))
-        val snap2 = repo.writeSnapshot(st.key, prior.schemaJson,
-          Manifests.appended(prior.files, stamped),
-          prior.partitionBy, prior.physicalNames,
-          Some(props0 + (Tombstones.SeqProp -> next.toString)),
-          prior.retired)
+        val snap2 =
+          if (st.schemaChanges.nonEmpty) {
+            // metadata-only evolution member: same lowering as the
+            // single-table schema-update commit, riding the one commit
+            val ev = SchemaEvolution.evolve(prior, st.schemaChanges)
+            val props = (ev.props -- st.removeProps) ++ st.setProps
+            repo.writeSnapshot(st.key, ev.schema.json, prior.files,
+              if (ev.spec.isEmpty) None else Some(ev.spec),
+              if (ev.mapping.isEmpty) None else Some(ev.mapping),
+              if (props.isEmpty) None else Some(props),
+              if (ev.retired.isEmpty) None else Some(ev.retired.toSeq.sorted))
+          } else {
+            val props0 = (prior.properties -- st.removeProps) ++ st.setProps
+            val next = Tombstones.lastSeq(props0) + 1
+            val stamped = st.entries.map(_.copy(seq = Some(next)))
+            repo.writeSnapshot(st.key, prior.schemaJson,
+              Manifests.appended(prior.files, stamped),
+              prior.partitionBy, prior.physicalNames,
+              Some(props0 + (Tombstones.SeqProp -> next.toString)),
+              prior.retired)
+          }
         acc + (st.key -> snap2.id)
       }
       (updated, base.namespaces)

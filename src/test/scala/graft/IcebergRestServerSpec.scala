@@ -2390,6 +2390,108 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     } finally srv.close()
   }
 
+  test("multi-table TRANSACTION with a METADATA-ONLY schema-update " +
+    "member: one append + one sibling evolution land in ONE graft " +
+    "commit (the common Flink checkpoint shape); a member combining a " +
+    "schema update WITH a snapshot refuses 400") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.txnev")
+    sql("CREATE NAMESPACE g.txnev.main.db")
+    sql("CREATE TABLE g.txnev.main.db.fact (id INT, v STRING)")
+    sql("CREATE TABLE g.txnev.main.db.wide (id INT, v STRING)")
+    sql("INSERT INTO g.txnev.main.db.fact VALUES (1,'a')")
+    sql("INSERT INTO g.txnev.main.db.wide VALUES (5,'w')")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "txnev")
+    val exports = Files.createTempDirectory("graft-txnev-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true)
+    val scratch = Files.createTempDirectory("rest-txnev-scratch")
+    try {
+      def loadT(t: String) =
+        get(s"/v1/namespaces/${enc("main", "db")}/tables/$t", srv)._2
+      def reqsOf(meta: JsonNode): String = {
+        val refSnap = meta.get("refs").get("main").get("snapshot-id").asLong()
+        s"""[{"type":"assert-table-uuid",
+           |"uuid":"${meta.get("table-uuid").asText()}"},
+           |{"type":"assert-ref-snapshot-id","ref":"main",
+           |"snapshot-id":$refSnap}]""".stripMargin.replaceAll("\n", "")
+      }
+      def schemaUpd(meta: JsonNode): String = {
+        import scala.jdk.CollectionConverters._
+        val s0 = meta.get("schemas").elements().next()
+        val fields = s0.get("fields").elements().asScala.toSeq
+        val maxId = fields.map(_.get("id").asInt()).max
+        s"""{"action":"add-schema","schema":{"type":"struct",
+           |"schema-id":1,"fields":[${fields.mkString(",")},
+           |{"id":${maxId + 1},"name":"flag","required":false,
+           |"type":"long"}]}},
+           |{"action":"set-current-schema","schema-id":-1}"""
+          .stripMargin.replaceAll("\n", "")
+      }
+      val loadF = loadT("fact"); val metaF = loadF.get("metadata")
+      val stage = java.nio.file.Paths.get(URI.create(
+        metaF.get("properties").get("write.data.path").asText() + "/"))
+      val f = stage.resolve("fact-txnev.parquet")
+      writeOneParquet(Seq((2, "b")).toDF("id", "v"), f)
+      val baseF = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(loadF.get("metadata-location").asText()))
+        .dataPaths.map(java.nio.file.Paths.get(_))
+      val list = stageWriterCommit(scratch, 9101L, baseF :+ f)
+      val appendMember =
+        s"""{"identifier":{"namespace":["main","db"],"name":"fact"},
+           |"requirements":${reqsOf(metaF)},
+           |"updates":[
+           |{"action":"add-snapshot","snapshot":{"snapshot-id":9101,
+           |"timestamp-ms":1700000000000,"schema-id":0,
+           |"manifest-list":"${list.toUri}",
+           |"summary":{"operation":"append"}}},
+           |{"action":"set-snapshot-ref","ref-name":"main",
+           |"snapshot-id":9101,"type":"branch"}]}"""
+          .stripMargin.replaceAll("\n", "")
+      val metaW = loadT("wide").get("metadata")
+      val evolveMember =
+        s"""{"identifier":{"namespace":["main","db"],"name":"wide"},
+           |"requirements":${reqsOf(metaW)},
+           |"updates":[${schemaUpd(metaW)}]}"""
+          .stripMargin.replaceAll("\n", "")
+      val g = graft.versioned.GraftRepo.open(root)
+      val headBefore = g.headCommit("main").id
+      val (c, e) = send("POST", "/v1/transactions/commit",
+        s"""{"table-changes":[$appendMember,$evolveMember]}""", srv)
+      withClue(e.toString) { c shouldBe 204 }
+      // ONE commit: the append and the sibling evolution are atomic
+      g.headCommit("main").parents shouldBe Seq(headBefore)
+      sql("SELECT id FROM g.txnev.main.db.fact ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq shouldBe Seq(1, 2)
+      // the evolved table answers under the widened schema: the
+      // pre-evolution row reads NULL for the added column
+      val w = sql("SELECT id, v, flag FROM g.txnev.main.db.wide").collect()
+      w.map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe Seq((5, "w"))
+      w.head.isNullAt(2) shouldBe true
+
+      // a member combining add-schema WITH add-snapshot refuses 400
+      val loadF2 = loadT("fact"); val metaF2 = loadF2.get("metadata")
+      val baseF2 = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(loadF2.get("metadata-location").asText()))
+        .dataPaths.map(java.nio.file.Paths.get(_))
+      val list2 = stageWriterCommit(scratch, 9102L, baseF2)
+      val mixed =
+        s"""{"identifier":{"namespace":["main","db"],"name":"fact"},
+           |"requirements":${reqsOf(metaF2)},
+           |"updates":[${schemaUpd(metaF2)},
+           |{"action":"add-snapshot","snapshot":{"snapshot-id":9102,
+           |"timestamp-ms":1700000000000,"schema-id":0,
+           |"manifest-list":"${list2.toUri}",
+           |"summary":{"operation":"append"}}}]}"""
+          .stripMargin.replaceAll("\n", "")
+      val (cM, eM) = send("POST", "/v1/transactions/commit",
+        s"""{"table-changes":[$mixed]}""", srv)
+      cM shouldBe 400
+      eM.get("error").get("message").asText() should include ("own member")
+    } finally srv.close()
+  }
+
   test("transactions route on a PREFIXED (warehouse) server: " +
     "/v1/{repo}/transactions/commit lands, wrong prefix 404s") {
     import spark.implicits._
@@ -2665,6 +2767,120 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       sql("SELECT id FROM g.pdcap.main.db.c ORDER BY id")
         .collect().map(_.getInt(0)).toSeq shouldBe
         Seq(1, 2, 3, 4).filterNot(pos0Ids)
+    } finally srv.close()
+  }
+
+  test("writable server: operation=replace (an external engine's OWN " +
+    "compaction — rewrite_data_files) lands as a structural-compaction " +
+    "graft commit: rows byte-identical, file count drops, the commit " +
+    "carries the compact marker, CDC across it emits NOTHING, and a " +
+    "stale base answers 409") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.restrep")
+    sql("CREATE NAMESPACE g.restrep.main.db")
+    sql("CREATE TABLE g.restrep.main.db.c (id INT, v STRING)")
+    sql("INSERT INTO g.restrep.main.db.c VALUES (1,'a'), (2,'b')")
+    sql("INSERT INTO g.restrep.main.db.c VALUES (3,'c'), (4,'d')")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "restrep")
+    val exports = Files.createTempDirectory("graft-restrep-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true)
+    val scratch = Files.createTempDirectory("rest-rep-scratch")
+    try {
+      val g = graft.versioned.GraftRepo.open(root)
+      g.createTag("precompact", "main")
+      val filesBefore =
+        g.snapshot(g.resolve("main").tables("db/c")).files.size
+      filesBefore should be >= 2
+      val (_, load) = get(s"/v1/namespaces/${enc("main", "db")}/tables/c", srv)
+      val meta = load.get("metadata")
+      val baseFiles = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(load.get("metadata-location").asText()))
+        .dataPaths.map(java.nio.file.Paths.get(_))
+      val stage = java.nio.file.Paths.get(URI.create(
+        meta.get("properties").get("write.data.path").asText() + "/"))
+      // the engine's rewrite: all live rows, re-expressed as ONE file
+      val compacted = stage.resolve("c-compacted.parquet")
+      writeOneParquet(spark.read.parquet(baseFiles.map(_.toString): _*)
+        .orderBy("id").coalesce(1), compacted)
+      val list = stageWriterCommit(scratch, 7971L, Seq(compacted))
+      val body = commitBody(meta, 7971L, list)
+        .replace("\"operation\":\"append\"", "\"operation\":\"replace\"")
+      val (c, e) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/c", body, srv)
+      withClue(e.toString) { c shouldBe 200 }
+      // rows identical, physically compacted, structurally marked
+      sql("SELECT id, v FROM g.restrep.main.db.c ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+        Seq((1, "a"), (2, "b"), (3, "c"), (4, "d"))
+      val headC = g.headCommit("main")
+      headC.markerOpt shouldBe
+        Some(graft.versioned.Commit.CompactMarker)
+      g.snapshot(headC.tables("db/c")).files.size shouldBe 1
+      // CDC across the replace nets to zero — a row-preserving rewrite
+      // is not a change
+      graft.versioned.TableOps.changesBetween(spark, g,
+        "precompact", "main", "db/c").count() shouldBe 0L
+      // the SAME body again is a stale base → 409, refresh-and-retry
+      val (cS, eS) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/c", body, srv)
+      cS shouldBe 409
+      eS.get("error").get("type").asText() shouldBe "CommitFailedException"
+    } finally srv.close()
+  }
+
+  test("operation=replace refusals: retiring a served delete file that " +
+    "still applies to a surviving base file answers 400 (rows it masks " +
+    "would resurrect), and a replace posting NEW delete files answers " +
+    "400") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.reprf")
+    sql("CREATE NAMESPACE g.reprf.main.db")
+    sql("CREATE TABLE g.reprf.main.db.m (id INT, v STRING) " +
+      "TBLPROPERTIES('graft.delete.mode'='merge-on-read')")
+    sql("INSERT INTO g.reprf.main.db.m VALUES (1,'a'), (2,'b'), (3,'c')")
+    sql("DELETE FROM g.reprf.main.db.m WHERE id = 2") // MoR tombstone
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "reprf")
+    val exports = Files.createTempDirectory("graft-reprf-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true)
+    val scratch = Files.createTempDirectory("rest-reprf-scratch")
+    try {
+      val (_, load) = get(s"/v1/namespaces/${enc("main", "db")}/tables/m", srv)
+      val meta = load.get("metadata")
+      val plan0 = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(load.get("metadata-location").asText()))
+      plan0.deleteFiles should not be empty
+      val baseFiles = plan0.dataPaths.map(java.nio.file.Paths.get(_))
+      // replace that keeps every base file but DROPS the served delete
+      // file (no delete manifest at all) → the tombstone would stop
+      // masking id=2 in the engine's view → 400
+      val list = stageWriterCommit(scratch, 7981L, baseFiles)
+      val body = commitBody(meta, 7981L, list)
+        .replace("\"operation\":\"append\"", "\"operation\":\"replace\"")
+      val (c, e) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/m", body, srv)
+      c shouldBe 400
+      e.get("error").get("message").asText() should include ("resurrect")
+
+      // replace carrying a NEW equality delete file → 400 (deletes are
+      // materialized by a rewrite, never added by one)
+      val servedDel = java.nio.file.Paths.get(plan0.deleteFiles.head.path)
+      val servedIds = plan0.deleteFiles.head.equalityIds
+      val stage = java.nio.file.Paths.get(URI.create(
+        meta.get("properties").get("write.data.path").asText() + "/"))
+      val newDel = stage.resolve("reprf-newdel.parquet")
+      writeOneParquet(Seq(3).toDF("id"), newDel)
+      val list2 = stageMixedDeleteCommit(scratch, 7982L, baseFiles,
+        Seq((servedDel, 2, Some(servedIds)), (newDel, 2, Some(servedIds))))
+      val body2 = commitBody(meta, 7982L, list2)
+        .replace("\"operation\":\"append\"", "\"operation\":\"replace\"")
+      val (c2, e2) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/m", body2, srv)
+      c2 shouldBe 400
+      e2.get("error").get("message").asText() should include ("replace")
     } finally srv.close()
   }
 
