@@ -73,6 +73,41 @@ object ScaleSmoke {
       s"dd_dupspans plan degraded: BroadcastNestedLoopJoin at ${scale}x")
     time("dd_dupspans")(ds.count())
 
+    // dd_incr_persist's RECURRING op at scale: indexScreen of a FIXED
+    // delta against a `scale`× persisted corpus index — THE daily
+    // 100 TB operation. init is the once-ever cost (corpus-linear by
+    // design); the SCREEN must track the DELTA — probes rank under the
+    // stored dfreq and touch only matched posting lists — so its row
+    // should stay near-flat across SPARK_GRAFT_SCALE=10/30/100 while
+    // init grows linearly. The delta is the 1× %100==0 slice with
+    // shifted ids (disjoint from every replicated corpus id).
+    locally {
+      val t = 0.9
+      val cat = "gsmk" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(10)
+      val root = java.nio.file.Files.createTempDirectory(s"graft-$cat")
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+      spark.sql(s"CREATE NAMESPACE $cat.r")
+      spark.sql(s"CREATE NAMESPACE $cat.r.main.dd")
+      val repo = graft.versioned.GraftRepo.open(root.resolve("r"))
+      val corpus = spark.read.parquet(s"$dst/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .filter((col("doc_id") % 100).between(10, 19))
+      time(s"dd_indexInit") {
+        operators.Dedup.indexInit(spark, cat, repo, "main", corpus, t)
+        spark.table(s"$cat.r.main.dd.docs").count()
+      }
+      val delta = spark.read.parquet(s"$src/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 100 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+      time("dd_indexScreen")(
+        operators.Dedup.indexScreen(spark, cat, "r", "main", delta, t)
+          .count())
+    }
+
     // CDC + REST gates on the 10× nation: cost must track the CHANGE
     // volume (10× rows per batch on a still-tiny table ⇒ near-pin
     // times), and every gate must complete unchanged
@@ -80,7 +115,8 @@ object ScaleSmoke {
       "vc_rest_read", "vc_rest_commit", "vc_rest_rewrite",
       "vc_rest_evolve", "vc_rest_ctas", "vc_rest_mor",
       "vc_rest_view", "vc_rest_partevo", "vc_rest_posdel",
-      "vc_rest_register", "vc_rest_txn", "vc_show_tables", "vc_procedures").foreach { q =>
+      "vc_rest_register", "vc_rest_txn", "vc_rest_replace",
+      "vc_show_tables", "vc_procedures").foreach { q =>
       time(q)(SparkEntry.queries(q)(spark, dst).count())
     }
     println(s"[smoke] replica at $dst (delete when done)")

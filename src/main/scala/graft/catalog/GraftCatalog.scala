@@ -176,7 +176,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // reserved keys (comment/owner/engine versions) are kept verbatim:
       // they're catalog-managed metadata, and this catalog stores them
       // in the commit like any other view property
-      properties = info.properties().asScala.toMap)
+      properties = info.properties().asScala.toMap,
+      // canonical [repo, branch, db...] shape marker — lets the REST
+      // serve path skip the legacy ref-shape sniff (a degenerate
+      // creation namespace keeps 0 and falls back to the heuristic)
+      nsForm = if (info.currentNamespace().length >= 2) 2 else 0)
     g.commitRetryViews(ns(1), s"create view $key") { base =>
       if (base.viewMap.contains(key) || base.tables.contains(key))
         throw new ViewAlreadyExistsException(ident)

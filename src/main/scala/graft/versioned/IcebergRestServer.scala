@@ -360,34 +360,46 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     * are already deterministically sorted, so the token is simply the
     * base64 of the last key served; a request without `pageSize` (or
     * with a non-positive one) gets the whole listing — the spec lets
-    * clients and servers each opt out. A branch with 100k tables pages
-    * in O(pageSize) responses instead of one giant body. `keyOf` must
-    * render the SORT key of an item. Returns (page, next-page-token).
+    * clients and servers each opt out. `itemsFrom(after)` must return
+    * the sorted items STRICTLY AFTER the key `after` (None = all) as a
+    * LAZY iterator — a caller that can seek (the tree-segmented table
+    * map) serves a page in O(seek + pageSize) server work, never a
+    * full-listing walk. `keyOf` renders an item's sort key. Returns
+    * (page, next-page-token).
     */
-  private def paginate[T](items: Seq[T], rawQuery: Option[String])(
+  private def paginateFrom[T](rawQuery: Option[String])(
+      itemsFrom: Option[String] => Iterator[T])(
       keyOf: T => String): (Seq[T], Option[String]) = {
     val size = queryParam(rawQuery, "pageSize").flatMap(s =>
       scala.util.Try(s.toInt).toOption).filter(_ > 0)
     val after = queryParam(rawQuery, "pageToken").filter(_.nonEmpty).map(t =>
       new String(java.util.Base64.getUrlDecoder.decode(t),
         java.nio.charset.StandardCharsets.UTF_8))
-    val remaining = after match {
-      case Some(a) => items.dropWhile(i => keyOf(i) <= a)
-      case None => items
-    }
+    val remaining = itemsFrom(after)
     size match {
-      case None => (remaining, None)
+      case None => (remaining.toSeq, None)
       case Some(n) =>
-        val page = remaining.take(n)
-        val next =
-          if (remaining.lengthCompare(n) > 0 && page.nonEmpty)
-            Some(java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
-              keyOf(page.last).getBytes(
-                java.nio.charset.StandardCharsets.UTF_8)))
-          else None
-        (page, next)
+        // n + 1: one look-ahead decides whether a next page exists
+        // without walking the rest of the listing
+        val page = remaining.take(n + 1).toSeq
+        if (page.lengthCompare(n) > 0)
+          (page.take(n),
+            Some(java.util.Base64.getUrlEncoder.withoutPadding
+              .encodeToString(keyOf(page(n - 1)).getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))))
+        else (page, None)
     }
   }
+
+  /** Pagination over an in-memory sorted listing (namespaces, views —
+    * small by construction; the 100k-scale table listing seeks through
+    * [[paginateFrom]] with the tree map's `iteratorFrom` instead). */
+  private def paginate[T](items: Seq[T], rawQuery: Option[String])(
+      keyOf: T => String): (Seq[T], Option[String]) =
+    paginateFrom(rawQuery)(after => after match {
+      case Some(a) => items.iterator.dropWhile(i => keyOf(i) <= a)
+      case None => items.iterator
+    })(keyOf)
 
   // ---- endpoint bodies ---------------------------------------------------
 
@@ -504,13 +516,34 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       case ref +: dirs if refNames(repo).contains(ref) =>
         val o = mapper.createObjectNode()
         val arr = o.putArray("identifiers")
-        val all = keysAt(repo, ref).filter(k =>
-          k.length == dirs.length + 1 && k.startsWith(dirs))
-        val (page, next) = paginate(all, rawQuery)(_.mkString("/"))
+        val tables = repo.resolve(ref).tables
+        // namespace children are the contiguous `prefix`-keyed range of
+        // the SORTED key space ("/" never occurs inside a segment), so
+        // a page seeks to max(token, prefix) and stops at the range end
+        // — on a tree-segmented map this loads O(page) chunks, never
+        // the whole 100k-table map (Trees.LazyTableMap.iteratorFrom);
+        // nested-namespace keys inside the range are skipped, not
+        // terminal
+        val prefix = if (dirs.isEmpty) "" else dirs.mkString("/") + "/"
+        def keysFrom(after: Option[String]): Iterator[String] = {
+          // no table key ever EQUALS the prefix (names are non-empty),
+          // so strictly-after the prefix is "from the range start"
+          val seek = Some(Seq(after.getOrElse(""), prefix).max)
+            .filter(_.nonEmpty)
+          val sorted = tables match {
+            case t: Trees.LazyTableMap => t.iteratorFrom(seek).map(_._1)
+            case t =>
+              val it = t.keysIterator.toSeq.sorted.iterator
+              seek.fold(it)(a => it.dropWhile(_ <= a))
+          }
+          sorted.takeWhile(_.startsWith(prefix))
+            .filter(_.count(_ == '/') == dirs.length)
+        }
+        val (page, next) = paginateFrom(rawQuery)(keysFrom)(identity)
         page.foreach { k =>
           val id = arr.addObject()
           val a = id.putArray("namespace"); ns.foreach(a.add)
-          id.put("name", k.last)
+          id.put("name", k.split('/').last)
         }
         next.foreach(o.put("next-page-token", _))
         o
@@ -2373,10 +2406,20 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     // SECOND segment is a db name, not a ref (a repo named like a
     // branch keeps the canonical [repo, branch, ...] reading because
     // its second segment IS a ref).
-    val refs = refNames(repo)
-    val lead = if (vd.namespace.length >= 2 &&
-      refs.contains(vd.namespace.head) &&
-      !refs.contains(vd.namespace(1))) 1 else 2
+    // nsForm == 2 is the stored FORMAT MARKER (every current writer):
+    // the shape is known canonical, no sniffing — immune to the edge
+    // where a repo named like a live ref plus a since-deleted branch
+    // segment would misread. Only pre-marker entries (nsForm 0) fall
+    // back to the ref-shape heuristic, whose residual edge is accepted
+    // and documented here.
+    val lead =
+      if (vd.nsForm == 2) 2
+      else {
+        val refs = refNames(repo)
+        if (vd.namespace.length >= 2 &&
+          refs.contains(vd.namespace.head) &&
+          !refs.contains(vd.namespace(1))) 1 else 2
+      }
     (ref +: vd.namespace.drop(lead)).foreach(dns.add)
     meta.set[ObjectNode]("versions", mapper.createArrayNode().add(ver))
     val vl = mapper.createArrayNode()
@@ -2468,7 +2511,7 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       .getOrElse(Map.empty[String, String])
     val vd = ViewDef(sql = sql, catalog = dcat,
       namespace = nsStored, schemaJson = schema.json,
-      properties = props)
+      properties = props, nsForm = 2)
     repo.commitRetryViews(ref, s"rest: create view $key") { base =>
       if (base.viewMap.contains(key) || base.tables.contains(key))
         throw new RestConflict("AlreadyExistsException",
@@ -2561,6 +2604,10 @@ final class IcebergRestServer private (single: Option[GraftRepo],
               ref) ++
               (if (refNames(repo).contains(dns.head)) dns.tail else dns)
           cur.copy(sql = sql, schemaJson = schema, namespace = nsStored,
+            // a posted default-namespace rewrites the stored shape
+            // canonically; absent, the prior entry's shape (and its
+            // marker) carry over unchanged
+            nsForm = if (dns.isEmpty) cur.nsForm else 2,
             catalog = Option(vv.get("default-catalog")).map(_.asText())
               .getOrElse(cur.catalog),
             queryColumnNames = Nil, columnAliases = Nil,

@@ -213,7 +213,11 @@ final case class ViewDef(
     queryColumnNames: Seq[String] = Nil,
     columnAliases: Seq[String] = Nil,
     columnComments: Seq[String] = Nil,
-    properties: Map[String, String] = Map.empty)
+    properties: Map[String, String] = Map.empty,
+    // namespace-shape marker: 2 = canonical [repo, branch, db...]
+    // (every current writer), 0 = pre-marker entry whose shape must be
+    // ref-sniffed at serve time (legacy [branch, db...] possible)
+    nsForm: Int = 0)
 
 final case class Commit(
     id: String,

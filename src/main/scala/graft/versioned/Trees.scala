@@ -134,6 +134,34 @@ object Trees {
       }
     override def contains(key: String): Boolean = get(key).isDefined
     def iterator: Iterator[(String, String)] = underlying.iterator
+
+    /** Sorted iteration starting STRICTLY AFTER `after` (None = from
+      * the first key). On an unmaterialized map this binary-ranges the
+      * sorted chunk refs to the seek point and loads chunks LAZILY as
+      * the iterator is consumed — one page of a 100k-table listing
+      * costs O(log chunks + chunks(pageSize)), the same trick `get`
+      * uses, never a full materialization.
+      */
+    def iteratorFrom(after: Option[String]): Iterator[(String, String)] =
+      if (materialized != null) {
+        val sorted = materialized.toSeq.sortBy(_._1).iterator
+        after.fold(sorted)(a => sorted.dropWhile(_._1 <= a))
+      } else after match {
+        case None =>
+          refs.iterator.flatMap(r =>
+            load(root, io, r).iterator.map(e => e.k -> e.v))
+        case Some(a) =>
+          // first chunk whose lastKey > a (refs sorted and disjoint)
+          var lo = 0
+          var hi = refs.size
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (refs(mid).lastKey <= a) lo = mid + 1 else hi = mid
+          }
+          refs.iterator.drop(lo).flatMap(r =>
+            load(root, io, r).iterator.map(e => e.k -> e.v))
+            .dropWhile(_._1 <= a)
+      }
     def removed(key: String): Map[String, String] = underlying.removed(key)
     def updated[V1 >: String](key: String, value: V1): Map[String, V1] =
       underlying.updated(key, value)

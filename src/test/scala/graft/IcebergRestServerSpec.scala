@@ -578,7 +578,7 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     } finally srv.close()
   }
 
-  test("writable server: loud refusals — non-append summaries, delete " +
+  test("writable server: loud refusals — unknown summaries, delete " +
     "files, schema updates, tag commits, partitioned commits; drop works") {
     import spark.implicits._
     sql("CREATE NAMESPACE g.restr")
@@ -600,14 +600,17 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       val f = scratch.resolve("x.parquet")
       writeOneParquet(Seq(8).toDF("id"), f)
 
-      // replace (compaction) summaries stay engine-side
+      // an UNKNOWN summary operation refuses loudly (replace is
+      // accepted as engine compaction since r14 — see the dedicated
+      // operation=replace tests)
       val list = stageWriterCommit(scratch, 9101L, Seq(f))
-      val replace = commitBody(meta, 9101L, list)
-        .replace("\"operation\":\"append\"", "\"operation\":\"replace\"")
+      val unknownOp = commitBody(meta, 9101L, list)
+        .replace("\"operation\":\"append\"", "\"operation\":\"expire\"")
       val (co, eo) = send("POST",
-        s"/v1/namespaces/${enc("main", "db")}/tables/d", replace, srv)
+        s"/v1/namespaces/${enc("main", "db")}/tables/d", unknownOp, srv)
       co shouldBe 400
-      eo.get("error").get("message").asText() should include ("replace")
+      eo.get("error").get("message").asText() should
+        include ("unsupported commit operation")
 
       // an APPEND may not drop base files (the engine must say overwrite)
       val dropAsAppend = commitBody(meta, 9105L,
@@ -1941,10 +1944,21 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
         sql = "SELECT id FROM t", catalog = "",
         namespace = Seq("vns", "main", "db"), schemaJson = schemaJson))
     }
+    // the r14 FORMAT MARKER pins the repo-named-like-a-ref edge: a
+    // canonical entry whose repo segment IS a live ref name and whose
+    // stored branch segment no longer resolves (branch since deleted)
+    // would shape-sniff as legacy and serve a stale branch segment —
+    // nsForm=2 (what every current writer stamps) keeps it canonical
+    g.commitRetryViews("main", "seed marked view") { base =>
+      base.viewMap + ("db/marked" -> graft.versioned.ViewDef(
+        sql = "SELECT id FROM t", catalog = "",
+        namespace = Seq("main", "deletedbranch", "db"),
+        schemaJson = schemaJson, nsForm = 2))
+    }
+    import scala.jdk.CollectionConverters._
     val exports = Files.createTempDirectory("graft-vns-exports")
     val srv = IcebergRestServer.start(g, exports, Some(spark))
     try {
-      import scala.jdk.CollectionConverters._
       def dns(view: String): Seq[String] = {
         val (c, load) = get(
           s"/v1/namespaces/${enc("main", "db")}/views/$view", srv)
@@ -1953,11 +1967,33 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
           .get("default-namespace").elements().asScala
           .map(_.asText()).toSeq
       }
-      // both shapes serve [branch, db] — an external engine can resolve
+      // all shapes serve [branch, db] — an external engine can resolve
       // the view's relative `t` reference either way
       dns("legacy") shouldBe Seq("main", "db")
       dns("canonical") shouldBe Seq("main", "db")
+      dns("marked") shouldBe Seq("main", "db")
     } finally srv.close()
+    // the same entries through a WAREHOUSE (prefixed) server: the
+    // prefix segment must not eat the db path either
+    val reposRoot = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"))
+    val wsrv = IcebergRestServer.startWarehouse(reposRoot,
+      Files.createTempDirectory("graft-vnswh-exports"), Some(spark))
+    try {
+      def dnsW(view: String): Seq[String] = {
+        val r = http.send(HttpRequest.newBuilder(URI.create(
+          s"${wsrv.uri}/v1/vns/namespaces/${enc("main", "db")}" +
+            s"/views/$view")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        withClue(r.body()) { r.statusCode() shouldBe 200 }
+        mapper.readTree(r.body()).get("metadata").get("versions")
+          .elements().next().get("default-namespace").elements()
+          .asScala.map(_.asText()).toSeq
+      }
+      dnsW("legacy") shouldBe Seq("main", "db")
+      dnsW("canonical") shouldBe Seq("main", "db")
+      dnsW("marked") shouldBe Seq("main", "db")
+    } finally wsrv.close()
   }
 
   test("views over REST: list/load/head serve the graft view as spec " +
@@ -2881,6 +2917,70 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
         s"/v1/namespaces/${enc("main", "db")}/tables/m", body2, srv)
       c2 shouldBe 400
       e2.get("error").get("message").asText() should include ("replace")
+    } finally srv.close()
+  }
+
+  test("pagination over a 10k-table TREE-SEGMENTED branch SEEKS " +
+    "through the chunked map: each page loads O(page) chunks — never " +
+    "the full map — and the pages enumerate every table exactly once " +
+    "in order") {
+    // built directly through the versioned layer: 10k SQL creates
+    // would dominate the test, and the listing never loads snapshots
+    val root = Files.createTempDirectory("graft-pagseek")
+    val repo = graft.versioned.GraftRepo.init(root)
+    val (v0, head0) = repo.head("main")
+    val all = (1 to 10000).map(i => f"db/t$i%05d" -> s"s$i").toMap
+    repo.commitAt("main", v0, Seq(head0), "bulk", all, Map.empty)
+    val exports = Files.createTempDirectory("graft-pagseek-exports")
+    val srv = IcebergRestServer.start(repo, exports, Some(spark))
+    try {
+      val totalChunks = {
+        graft.versioned.Trees.clearCache()
+        repo.resolve("main").tables match {
+          case t: graft.versioned.Trees.LazyTableMap =>
+            t.iteratorFrom(None).size // materializes every chunk once
+            graft.versioned.Trees.chunkReadCount
+          case _ => fail("10k tables must be tree-segmented")
+        }
+      }
+      totalChunks should be >= 5L // the seek claim needs many chunks
+      def getPage(token: Option[String]): (Seq[String], Option[String], Long) = {
+        graft.versioned.Trees.clearCache()
+        val before = graft.versioned.Trees.chunkReadCount
+        val q = "pageSize=100" +
+          token.fold("")(t => s"&pageToken=$t")
+        val (code, body) = get(
+          s"/v1/namespaces/${enc("main", "db")}/tables?$q", srv)
+        code shouldBe 200
+        import scala.jdk.CollectionConverters._
+        val names = Option(body.get("identifiers")).toSeq
+          .flatMap(_.elements().asScala).map(_.get("name").asText()).toSeq
+        (names, Option(body.get("next-page-token")).map(_.asText()),
+          graft.versioned.Trees.chunkReadCount - before)
+      }
+      // walk the full listing page by page
+      var token: Option[String] = None
+      var seen = Vector.empty[String]
+      var pages = 0
+      var maxLoads = 0L
+      var done = false
+      while (!done) {
+        val (names, next, loads) = getPage(token)
+        seen ++= names
+        pages += 1
+        maxLoads = math.max(maxLoads, loads)
+        token = next
+        done = next.isEmpty
+      }
+      pages shouldBe 100
+      seen.size shouldBe 10000
+      seen shouldBe seen.sorted
+      seen.distinct.size shouldBe 10000
+      // THE scale claim: a 100-item page over a ~20-chunk 10k-table map
+      // touches the chunks holding that page (+1 look-ahead), not all
+      // of them — O(chunk + pageSize) per page, cold cache every page
+      maxLoads should be <= 3L
+      maxLoads should be < totalChunks
     } finally srv.close()
   }
 
