@@ -465,9 +465,44 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       case Nil => refNames(repo).map(Seq(_))
       case ref +: dirs =>
         if (!refNames(repo).contains(ref)) throwNoNs(parent)
-        nsPathsAt(repo, ref)
+        val commit = repo.resolve(ref)
+        // distinct child segments from TABLE KEYS by SUCCESSOR SEEKS
+        // over the sorted key space: after emitting child `s`, jump
+        // straight past its subtree to prefix+s+'0' ('/'+1) — on a
+        // tree-segmented map each jump is a binary range + one chunk,
+        // so a 100k-table branch lists its handful of namespaces in
+        // O(children · log chunks), never a full-key walk
+        val prefix = if (dirs.isEmpty) "" else dirs.mkString("/") + "/"
+        def sortedFrom(after: Option[String]): Iterator[String] =
+          commit.tables match {
+            case t: Trees.LazyTableMap => t.iteratorFrom(after).map(_._1)
+            case t =>
+              val sorted = t.keysIterator.toSeq.sorted
+              after.fold(sorted.iterator)(a =>
+                sorted.iterator.dropWhile(_ <= a))
+          }
+        val fromKeys = Seq.newBuilder[String]
+        var it = sortedFrom(Some(prefix).filter(_.nonEmpty))
+        var scanning = true
+        while (scanning) it.nextOption() match {
+          case Some(k) if k.startsWith(prefix) =>
+            val rest = k.drop(prefix.length)
+            val seg = rest.takeWhile(_ != '/')
+            if (rest.length > seg.length) {
+              // deeper segments exist → `seg` is a namespace child;
+              // skip its whole subtree in one seek
+              fromKeys += seg
+              it = sortedFrom(Some(prefix + seg + "0"))
+            }
+            // else k is a direct table at this level: a table `db/a`
+            // and a namespace `db/a/...` may coexist, so step past the
+            // KEY only (the very next key may open the a/ subtree)
+          case _ => scanning = false
+        }
+        val fromNs = commit.namespaces.keys.map(_.split('/').toSeq)
           .filter(k => k.length > dirs.length && k.startsWith(dirs))
-          .map(k => parent :+ k(dirs.length)).distinct
+          .map(k => k(dirs.length))
+        (fromKeys.result() ++ fromNs).distinct.map(seg => parent :+ seg)
     }
     val o = mapper.createObjectNode()
     val arr = o.putArray("namespaces")

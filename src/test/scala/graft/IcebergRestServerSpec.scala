@@ -2981,6 +2981,18 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       // of them — O(chunk + pageSize) per page, cold cache every page
       maxLoads should be <= 3L
       maxLoads should be < totalChunks
+      // listing NAMESPACES of the same branch seeks too: the one child
+      // ("db") is found and its whole 10k-key subtree skipped in one
+      // successor seek — a couple of chunk loads, never a full walk
+      graft.versioned.Trees.clearCache()
+      val beforeNs = graft.versioned.Trees.chunkReadCount
+      val (cn, bn) = get("/v1/namespaces?parent=main", srv)
+      cn shouldBe 200
+      import scala.jdk.CollectionConverters._
+      bn.get("namespaces").elements().asScala
+        .map(_.elements().asScala.map(_.asText()).toSeq).toSeq shouldBe
+        Seq(Seq("main", "db"))
+      (graft.versioned.Trees.chunkReadCount - beforeNs) should be <= 3L
     } finally srv.close()
   }
 
