@@ -899,20 +899,51 @@ object Dedup {
     val deltaDocs = delta
       .select(col("doc_id").cast("long").as("doc_id"),
         wordSet(col("text")).as("ws"))
+    // O(delta · matched postings), ENFORCED not just claimed: every
+    // join of delta-derived keys against a stored table goes through
+    // `semiPrune` — the big stored side is SCANNED (column-pruned),
+    // never shuffled: the delta-sized key set broadcasts while it fits
+    // (a keyed semi join otherwise — correct either way, and the
+    // fallback only triggers on deltas big enough to amortize it). The
+    // r14 100× smoke caught the unpruned shape: probeCandidates'
+    // token-count aggregate shuffled EVERY stored posting per screen,
+    // so a fixed daily delta slowed down as the corpus grew.
+    val bcastMax = s.conf.getOption("spark.graft.dedup.broadcastKeysMax")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(4000000)
+    def semiPrune(big: DataFrame, keys: DataFrame, on: String): DataFrame = {
+      val k = keys.localCheckpoint() // counted once, joined once
+      if (k.count() <= bcastMax)
+        big.join(org.apache.spark.sql.functions.broadcast(k),
+          Seq(on), "left_semi")
+      else big.join(k, Seq(on), "left_semi")
+    }
     // ids must be disjoint from the corpus: a delta doc_id already in
     // dd.docs would join BOTH word sets in the verify dict (a corpus
     // row self-matches at J=1.0 → silent wrongful rejection) — refuse
-    // loudly instead. One skinny semi-join over the delta's ids.
-    val clash = deltaDocs.select(col("doc_id"))
-      .join(s.table(s"$pre.docs").select(col("doc_id")),
-        Seq("doc_id"), "left_semi").limit(5)
+    // loudly instead.
+    val clash = semiPrune(s.table(s"$pre.docs").select(col("doc_id")),
+      deltaDocs.select(col("doc_id")), "doc_id").limit(5)
       .collect().map(_.getLong(0))
     require(clash.isEmpty,
       s"delta doc_ids already present in $pre.docs: ${clash.mkString(", ")}" +
         " — incremental screening requires fresh ids")
-    val probes = frozenPostings(deltaDocs, s.table(s"$pre.dfreq"), t)
-    val cand = probeCandidates(s.table(s"$pre.postings"), probes, t, maxPost)
-    val dict = deltaDocs.unionByName(s.table(s"$pre.docs"))
+    // stored dfreq pruned to the delta's vocabulary BEFORE the ranking
+    // join — the pruned side is then small enough to broadcast into
+    // frozenPostings' ordering join
+    val dfreqPruned = semiPrune(s.table(s"$pre.dfreq"),
+      deltaDocs.select(explode(col("ws")).as("tok")).distinct(), "tok")
+    val probes = frozenPostings(deltaDocs, dfreqPruned, t)
+    // stored postings pruned to the delta's PREFIX vocabulary before
+    // probeCandidates' count aggregate + probe join
+    val matched = semiPrune(s.table(s"$pre.postings"),
+      probes.select(col("tok")).distinct(), "tok")
+    val cand = probeCandidates(matched, probes, t, maxPost)
+      .localCheckpoint() // feeds the partner prune AND the verify join
+    // the verify dictionary likewise reads only the CANDIDATE partners'
+    // word sets from the stored docs table — never the whole corpus
+    val partners = semiPrune(s.table(s"$pre.docs"),
+      cand.select(col("id_b").as("doc_id")).distinct(), "doc_id")
+    val dict = deltaDocs.unionByName(partners)
     val dup = verifyPairs(s, dict, cand, t)
       .select(col("id_a").as("doc_id")).distinct()
     deltaDocs.select(col("doc_id"))

@@ -446,17 +446,24 @@ final class IcebergRestServer private (single: Option[GraftRepo],
   private def refNames(repo: GraftRepo): Seq[String] =
     repo.branches ++ repo.tags
 
-  /** Table keys visible at `ref`, as path-segment lists. */
-  private def keysAt(repo: GraftRepo, ref: String): Seq[Seq[String]] =
-    repo.resolve(ref).tables.keys.toSeq.sorted.map(_.split('/').toSeq)
+  /** Sorted table keys STRICTLY AFTER `after` as a lazy iterator — the
+    * seek primitive every list/exists route shares: a tree-segmented
+    * map binary-ranges its chunk refs (Trees.LazyTableMap.iteratorFrom)
+    * so one probe costs O(log chunks + 1), never a full-key walk. */
+  private def sortedKeysFrom(tables: Map[String, String],
+      after: Option[String]): Iterator[String] = tables match {
+    case t: Trees.LazyTableMap => t.iteratorFrom(after).map(_._1)
+    case t =>
+      val sorted = t.keysIterator.toSeq.sorted
+      after.fold(sorted.iterator)(a => sorted.iterator.dropWhile(_ <= a))
+  }
 
-  /** Namespace paths at `ref`: table-key parents plus COMMITTED (maybe
-    * still empty) namespaces — a REST createNamespace must be visible
-    * to the next list. */
-  private def nsPathsAt(repo: GraftRepo, ref: String): Seq[Seq[String]] =
-    (keysAt(repo, ref).map(_.init) ++
-      repo.resolve(ref).namespaces.keys.map(_.split('/').toSeq))
-      .filter(_.nonEmpty).distinct
+  /** Does any table key at this commit live under `dirs/`? ONE seek. */
+  private def hasKeyUnder(commit: Commit, dirs: Seq[String]): Boolean = {
+    val prefix = dirs.mkString("/") + "/"
+    sortedKeysFrom(commit.tables, Some(prefix))
+      .nextOption().exists(_.startsWith(prefix))
+  }
 
   private def listNamespaces(repo: GraftRepo,
       rawQuery: Option[String]): ObjectNode = {
@@ -473,16 +480,8 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         // so a 100k-table branch lists its handful of namespaces in
         // O(children · log chunks), never a full-key walk
         val prefix = if (dirs.isEmpty) "" else dirs.mkString("/") + "/"
-        def sortedFrom(after: Option[String]): Iterator[String] =
-          commit.tables match {
-            case t: Trees.LazyTableMap => t.iteratorFrom(after).map(_._1)
-            case t =>
-              val sorted = t.keysIterator.toSeq.sorted
-              after.fold(sorted.iterator)(a =>
-                sorted.iterator.dropWhile(_ <= a))
-          }
         val fromKeys = Seq.newBuilder[String]
-        var it = sortedFrom(Some(prefix).filter(_.nonEmpty))
+        var it = sortedKeysFrom(commit.tables, Some(prefix).filter(_.nonEmpty))
         var scanning = true
         while (scanning) it.nextOption() match {
           case Some(k) if k.startsWith(prefix) =>
@@ -492,7 +491,7 @@ final class IcebergRestServer private (single: Option[GraftRepo],
               // deeper segments exist → `seg` is a namespace child;
               // skip its whole subtree in one seek
               fromKeys += seg
-              it = sortedFrom(Some(prefix + seg + "0"))
+              it = sortedKeysFrom(commit.tables, Some(prefix + seg + "0"))
             }
             // else k is a direct table at this level: a table `db/a`
             // and a namespace `db/a/...` may coexist, so step past the
@@ -530,8 +529,12 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       case Seq(ref) if repo.tagExists(ref) =>
         props.put("graft.kind", "tag")
       case ref +: dirs if refNames(repo).contains(ref) && dirs.nonEmpty &&
-        nsPathsAt(repo, ref).exists(k => k.length >= dirs.length &&
-          k.startsWith(dirs)) =>
+        // existence = one table-key SEEK under dirs/ (O(log chunks) on
+        // a segmented map, replacing the r13 full-key walk) OR a
+        // committed namespace at/under dirs (small map by construction)
+        (hasKeyUnder(repo.resolve(ref), dirs) ||
+          repo.resolve(ref).namespaces.keys.map(_.split('/').toSeq)
+            .exists(k => k.length >= dirs.length && k.startsWith(dirs))) =>
         // committed db-namespace properties (createNamespace /
         // updateNamespaceProps) surface in GetNamespaceResponse — the
         // route engines read schema properties through

@@ -102,12 +102,15 @@ class DedupIncrementalSpec extends AnyFunSuite with Matchers with BeforeAndAfter
       (20002L, nearDupOf(7)), (20003L, docText(90003L)))
     screen(batch2) shouldBe Set(20003L)
 
-    // screening does NOT rebuild: the plan windows ONLY the delta (one
-    // row_number over 3 docs' tokens) and scans the stored postings —
-    // a rebuild would window corpus+delta postings together
+    // screening does NOT rebuild: the only Window (the delta's prefix
+    // ranking) runs inside the pre-materialized candidate stage, so
+    // the final plan carries NONE — a rebuild would window
+    // corpus+delta postings together and surface here. (The stronger
+    // no-rebuild proof is the shuffle-volume test below: screen bytes
+    // don't grow with corpus size.)
     val plan = Dedup.indexScreen(spark, "gd", "r", "main", df(batch2), t)
       .queryExecution.executedPlan.toString
-    plan.split("Window", -1).length - 1 shouldBe 1
+    plan.split("Window", -1).length - 1 shouldBe 0
 
     // id reuse refuses loudly: a delta doc_id already admitted would
     // self-match at J=1.0 in the verify dict and be silently rejected
@@ -155,6 +158,58 @@ class DedupIncrementalSpec extends AnyFunSuite with Matchers with BeforeAndAfter
     // consumers of a synced index skip them as 'replace')
     repo.headCommit("main").markerOpt shouldBe
       Some(graft.versioned.Commit.CompactMarker)
+  }
+
+  test("indexScreen SHUFFLE volume tracks the DELTA, not the corpus: " +
+    "an 8x corpus screens the same fixed batch with near-identical " +
+    "shuffle-read bytes — the stored index is pruned to the delta's " +
+    "vocabulary before any shuffle, so the daily op stays O(delta · " +
+    "matched postings) by construction") {
+    def build(ns: String, n: Long): Unit = {
+      spark.sql(s"CREATE NAMESPACE gd.$ns")
+      spark.sql(s"CREATE NAMESPACE gd.$ns.main.dd")
+      val repo = GraftRepo.open(catRoot.resolve(ns))
+      Dedup.indexInit(spark, "gd", repo, "main",
+        df((0L until n).map(i => (i, docText(i)))), t)
+    }
+    build("rs", 400L)
+    build("rl", 3200L)
+    // the SAME delta against both: ten fresh docs + one near-dup of
+    // corpus doc 3 (present in both corpora, so one real candidate
+    // pair and one verify-partner read exist each time)
+    val delta = (50000L until 50010L).map(i => (i, docText(i))) :+
+      ((60000L, nearDupOf(3)))
+    def screenBytes(ns: String): (Set[Long], Long) = {
+      val total = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) total.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val got = Dedup.indexScreen(spark, "gd", ns, "main", df(delta), t)
+          .collect().map(_.getLong(0)).toSet
+        org.apache.spark.graftbridge.TestListenerBridge
+          .drain(spark.sparkContext)
+        (got, total.get())
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val (gotS, bytesS) = screenBytes("rs")
+    val (gotL, bytesL) = screenBytes("rl")
+    val fresh = (50000L until 50010L).toSet
+    gotS shouldBe fresh // the near-dup is rejected, fresh docs admitted
+    gotL shouldBe fresh
+    // the 8x corpus must NOT show up in the screen's shuffle: before
+    // the r14 prune, the token-count aggregate shuffled EVERY stored
+    // posting (~8x bytes here); pruned, both screens shuffle the same
+    // delta-sized data (generous 3x slack + 64 KiB absolute floor for
+    // framework jitter)
+    withClue(s"small=$bytesS large=$bytesL: ") {
+      bytesL should be <= math.max(3L * bytesS, bytesS + (64L << 10))
+    }
   }
 
   test("frozen order keeps exact recall across batches: screen results " +
