@@ -896,27 +896,34 @@ object Dedup {
     val maxPost = s.conf.getOption("spark.graft.setsim.maxPostings")
       .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1024)
     val pre = s"$cat.$repoName.$branch.dd"
+    // tokenized ONCE: the delta feeds the clash guard, the vocabulary
+    // prune, the probe ranking, and the verify dict — small by contract
+    // (it's the daily batch), so the checkpoint is cheap and every
+    // downstream use reads blocks instead of re-running wordSet
     val deltaDocs = delta
       .select(col("doc_id").cast("long").as("doc_id"),
         wordSet(col("text")).as("ws"))
+      .localCheckpoint()
     // O(delta · matched postings), ENFORCED not just claimed: every
-    // join of delta-derived keys against a stored table goes through
-    // `semiPrune` — the big stored side is SCANNED (column-pruned),
-    // never shuffled: the delta-sized key set broadcasts while it fits
-    // (a keyed semi join otherwise — correct either way, and the
-    // fallback only triggers on deltas big enough to amortize it). The
-    // r14 100× smoke caught the unpruned shape: probeCandidates'
-    // token-count aggregate shuffled EVERY stored posting per screen,
-    // so a fixed daily delta slowed down as the corpus grew.
+    // join of delta-derived keys against a stored table is a left-semi
+    // with the delta side BROADCAST — the big stored side is scanned
+    // (column-pruned), never shuffled. One dispatch on the delta's
+    // vocabulary size (its largest key set) flips all of them to keyed
+    // semi joins for deltas big enough to amortize a corpus shuffle
+    // (spark.graft.dedup.broadcastKeysMax). The r14 100× smoke caught
+    // the unpruned shape: probeCandidates' token-count aggregate
+    // shuffled EVERY stored posting per screen, so a fixed daily delta
+    // slowed down as the corpus grew.
     val bcastMax = s.conf.getOption("spark.graft.dedup.broadcastKeysMax")
       .flatMap(_.toIntOption).filter(_ > 0).getOrElse(4000000)
-    def semiPrune(big: DataFrame, keys: DataFrame, on: String): DataFrame = {
-      val k = keys.localCheckpoint() // counted once, joined once
-      if (k.count() <= bcastMax)
-        big.join(org.apache.spark.sql.functions.broadcast(k),
+    val deltaToks = deltaDocs.select(explode(col("ws")).as("tok"))
+      .distinct().localCheckpoint()
+    val fits = deltaToks.count() <= bcastMax
+    def semiPrune(big: DataFrame, keys: DataFrame, on: String): DataFrame =
+      if (fits)
+        big.join(org.apache.spark.sql.functions.broadcast(keys),
           Seq(on), "left_semi")
-      else big.join(k, Seq(on), "left_semi")
-    }
+      else big.join(keys, Seq(on), "left_semi")
     // ids must be disjoint from the corpus: a delta doc_id already in
     // dd.docs would join BOTH word sets in the verify dict (a corpus
     // row self-matches at J=1.0 → silent wrongful rejection) — refuse
@@ -927,16 +934,13 @@ object Dedup {
     require(clash.isEmpty,
       s"delta doc_ids already present in $pre.docs: ${clash.mkString(", ")}" +
         " — incremental screening requires fresh ids")
-    // stored dfreq pruned to the delta's vocabulary BEFORE the ranking
-    // join — the pruned side is then small enough to broadcast into
-    // frozenPostings' ordering join
-    val dfreqPruned = semiPrune(s.table(s"$pre.dfreq"),
-      deltaDocs.select(explode(col("ws")).as("tok")).distinct(), "tok")
+    // stored dfreq and postings pruned to the delta's vocabulary BEFORE
+    // any aggregate or join (the postings prune uses the full delta
+    // vocab — a superset of the prefix vocab, equally correct: the
+    // probe join re-filters on tok)
+    val dfreqPruned = semiPrune(s.table(s"$pre.dfreq"), deltaToks, "tok")
     val probes = frozenPostings(deltaDocs, dfreqPruned, t)
-    // stored postings pruned to the delta's PREFIX vocabulary before
-    // probeCandidates' count aggregate + probe join
-    val matched = semiPrune(s.table(s"$pre.postings"),
-      probes.select(col("tok")).distinct(), "tok")
+    val matched = semiPrune(s.table(s"$pre.postings"), deltaToks, "tok")
     val cand = probeCandidates(matched, probes, t, maxPost)
       .localCheckpoint() // feeds the partner prune AND the verify join
     // the verify dictionary likewise reads only the CANDIDATE partners'
