@@ -127,6 +127,37 @@ object MetaBench {
     val inlResolve = resolveBench(inline = true)
     out += ("resolve_inline_ms" -> (math.round(inlResolve * 100) / 100.0))
 
+    // ---- 2b. paged LISTING in an nTables repo: seek vs full walk -------
+    // the REST listTables shape (r14): a cold mid-listing page of 100
+    // binary-ranges the sorted chunk refs to the token and loads O(page)
+    // chunks; the r13 shape materialized + sorted the WHOLE map per page
+    withProp("graft.tree.inline.max", "256") {
+      val repo = GraftRepo.init(Files.createTempDirectory("metabench-l"))
+      val sid = repo.writeSnapshot("db/shared", schemaJson, Nil).id
+      val tables = (0 until nTables).map(i => f"db/t$i%05d" -> sid).toMap
+      repo.commitRetry("main", "bulk") { base => (tables, base.namespaces) }
+      val token = f"db/t${nTables / 2}%05d"
+      def coldLazy = repo.headCommit("main").tables
+        .asInstanceOf[Trees.LazyTableMap]
+      val pages = (0 until 20).map { _ =>
+        Trees.clearCache()
+        val m = coldLazy
+        ms(m.iteratorFrom(Some(token)).take(100).toList)._2
+      }.sorted
+      out += ("list_page_seek_ms" ->
+        (math.round(pages(pages.size / 2) * 100) / 100.0))
+      Trees.clearCache()
+      val before = Trees.chunkReadCount
+      coldLazy.iteratorFrom(Some(token)).take(100).toList
+      out += ("list_page_chunk_reads" -> (Trees.chunkReadCount - before))
+      val walks = (0 until 5).map { _ =>
+        Trees.clearCache()
+        val m = repo.headCommit("main").tables
+        ms(m.toSeq.sortBy(_._1).dropWhile(_._1 <= token).take(100))._2
+      }.sorted
+      out += ("list_page_fullwalk_ms" -> math.round(walks(walks.size / 2)))
+    }
+
     // ---- 3. cold partition-pruned planning -----------------------------
     {
       val repo = GraftRepo.init(Files.createTempDirectory("metabench-p"))
