@@ -972,9 +972,23 @@ object Dedup {
         wordSet(col("text")).as("ws"))
       .join(admitted.select(col("surviving_id").as("doc_id")),
         Seq("doc_id"), "left_semi")
+      .localCheckpoint() // feeds the vocab prune AND both appends
+    // same delta-proportional rule as the screen: the admitted docs'
+    // postings rank against dfreq pruned to THEIR vocabulary (broadcast
+    // semi — the stored vocab is scanned, never shuffled per admit)
+    val adToks = adDocs.select(explode(col("ws")).as("tok")).distinct()
+      .localCheckpoint()
+    val bcastMax = s.conf.getOption("spark.graft.dedup.broadcastKeysMax")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(4000000)
+    val dfreqPruned =
+      if (adToks.count() <= bcastMax)
+        s.table(s"$pre.dfreq").join(
+          org.apache.spark.sql.functions.broadcast(adToks), Seq("tok"),
+          "left_semi")
+      else s.table(s"$pre.dfreq").join(adToks, Seq("tok"), "left_semi")
     graft.versioned.TableOps.atomicAppend(s, repo, branch, Seq(
       "dd/docs" -> adDocs,
-      "dd/postings" -> frozenPostings(adDocs, s.table(s"$pre.dfreq"), t)),
+      "dd/postings" -> frozenPostings(adDocs, dfreqPruned, t)),
       "dd index admit")
     admitted
   }
