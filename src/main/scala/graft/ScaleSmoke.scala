@@ -116,7 +116,7 @@ object ScaleSmoke {
       "vc_rest_evolve", "vc_rest_ctas", "vc_rest_mor",
       "vc_rest_view", "vc_rest_partevo", "vc_rest_posdel",
       "vc_rest_register", "vc_rest_txn", "vc_rest_replace",
-      "vc_show_tables", "vc_procedures").foreach { q =>
+      "vc_rest_rollback", "vc_show_tables", "vc_procedures").foreach { q =>
       time(q)(SparkEntry.queries(q)(spark, dst).count())
     }
     println(s"[smoke] replica at $dst (delete when done)")

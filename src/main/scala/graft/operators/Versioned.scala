@@ -887,6 +887,60 @@ object Versioned {
       s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
   }
 
+  /** Engine ROLLBACK over REST (r14): Spark's `rollback_to_snapshot`
+    * posts a bare set-snapshot-ref to a PRIOR snapshot id — no
+    * add-snapshot. The server inverts the export's stable snapshot
+    * naming over the graft history walk and swaps the table pointer
+    * back ZERO-COPY (content-addressed snapshots never moved). The gate
+    * deletes rows natively, rolls back through the REST door, REQUIREs
+    * the served current-snapshot-id returned to the pre-delete id, and
+    * hash-checks the restored table against the oracle.
+    */
+  private def restRollback(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    val srv = graft.versioned.IcebergRestServer.start(repo,
+      Files.createTempDirectory("graft-rest-rbgate"), Some(s),
+      maxSnapshots = 5, writable = true)
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val ns = java.net.URLEncoder.encode("maindb", "UTF-8")
+      def load(): com.fasterxml.jackson.databind.JsonNode = {
+        val r = http.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
+          .GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(r.statusCode() == 200, s"loadTable failed: ${r.body()}")
+        mapper.readTree(r.body()).get("metadata")
+      }
+      val s1 = load().get("current-snapshot-id").asLong()
+      s.sql(s"DELETE FROM $cat.r.main.db.nation WHERE n_nationkey >= 10")
+      val meta1 = load()
+      require(meta1.get("current-snapshot-id").asLong() != s1,
+        "the delete must have advanced the served snapshot")
+      val refSnap = meta1.get("refs").get("main").get("snapshot-id").asLong()
+      val resp = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          s"""{"requirements":[
+             |{"type":"assert-table-uuid",
+             |"uuid":"${meta1.get("table-uuid").asText()}"},
+             |{"type":"assert-ref-snapshot-id","ref":"main",
+             |"snapshot-id":$refSnap}],
+             |"updates":[
+             |{"action":"set-snapshot-ref","ref-name":"main",
+             |"snapshot-id":$s1,"type":"branch"}]}""".stripMargin
+            .replaceAll("\n", ""))).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200,
+        s"rollback commit failed: ${resp.statusCode()} ${resp.body()}")
+      require(load().get("current-snapshot-id").asLong() == s1,
+        "the served snapshot must be back at the pre-delete id")
+    } finally srv.close()
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+      s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
+  }
+
   /** Shared REST-gate plumbing: export a staged graft table and return
     * its current snapshot's manifest-list location — what an external
     * engine's commit posts.
@@ -2454,6 +2508,11 @@ object Versioned {
         |)
         |ORDER BY n_nationkey""".stripMargin
     )(restReplace),
+    Q(
+      "vc_rest_rollback",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin
+    )(restRollback),
     Q(
       "vc_show_tables",
       """SELECT * FROM (VALUES

@@ -970,6 +970,7 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     var sawSetDefaultSpec = false
     var setCurrentSchema: Option[Int] = None
     var sawAdvisory = false
+    var setRefTarget: Option[Long] = None
     var setProps = Map.empty[String, String]
     var removeProps = Set.empty[String]
     // graft.* table properties are engine state (MoR tombstones, commit
@@ -994,6 +995,8 @@ final class IcebergRestServer private (single: Option[GraftRepo],
             val rn = Option(u.get("ref-name")).map(_.asText()).getOrElse("main")
             if (rn != "main") throw new IllegalArgumentException(
               s"graft serves one Iceberg branch (main) per graft ref: $rn")
+            setRefTarget = Option(u.get("snapshot-id")).filterNot(_.isNull)
+              .map(_.asLong())
           case "set-properties" =>
             setProps ++= Option(u.get("updates")).toSeq
               .flatMap(_.fields().asScala)
@@ -1101,6 +1104,60 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         setProps = setProps, removeProps = removeProps)
       return loadResult(serve(repo, prefix, ref, key))
     }
+
+    // ---- engine ROLLBACK (Spark's rollback_to_snapshot / Iceberg's
+    // ManageSnapshots.setCurrentSnapshot): a bare set-snapshot-ref to a
+    // PRIOR served snapshot, no add-snapshot. The exported snapshot id
+    // is the stable 64-bit name-UUID of the graft snapshot sha
+    // (IcebergExport), so it inverts over the same first-parent history
+    // walk the export used — and the rollback is a ZERO-COPY table
+    // pointer swap (content-addressed snapshots never moved).
+    if (snapNode.isEmpty && newSchemaNode.isEmpty &&
+        setRefTarget.exists(id => !servedSnapId.contains(id))) {
+      if (setProps.nonEmpty || removeProps.nonEmpty)
+        throw new UnsupportedOperationException(
+          "rollback (set-snapshot-ref to a prior snapshot) is its own " +
+            "commit over REST — post property updates separately")
+      val target = setRefTarget.get
+      def sidOf(gid: String): Long = math.max(1L,
+        java.util.UUID.nameUUIDFromBytes(gid.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+          .getMostSignificantBits & Long.MaxValue)
+      val targetGid: Option[String] = {
+        var cur: Option[graft.versioned.Commit] = Some(repo.resolve(ref))
+        var hit: Option[String] = None
+        var hops = 0
+        while (hit.isEmpty && hops < 100000 &&
+          cur.exists(_.tables.contains(key))) {
+          val c = cur.get
+          val gid = c.tables(key)
+          if (sidOf(gid) == target) hit = Some(gid)
+          else { cur = c.parents.headOption.map(repo.commit); hops += 1 }
+        }
+        hit
+      }
+      val gid = targetGid.getOrElse(throw new IllegalArgumentException(
+        s"set-snapshot-ref names snapshot $target, which is not a " +
+          s"version of $key on $ref — nothing to roll back to"))
+      val targetSnap = repo.snapshot(gid)
+      val missing = targetSnap.files.filterNot(f =>
+        repo.dataIO.isFile(f.path))
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        s"rollback target of $key references ${missing.size} vacuumed " +
+          s"file(s) (e.g. ${missing.head.path}) — not restorable")
+      repo.commitRetry(ref, s"rest: rollback $key to snapshot $target") {
+        base =>
+          pin(base)
+          (base.tables + (key -> gid), base.namespaces)
+      }
+      return loadResult(serve(repo, prefix, ref, key))
+    }
+    // a no-op set-snapshot-ref to the CURRENT snapshot with nothing
+    // else riding: validated no-op (engines post it after refresh)
+    if (snapNode.isEmpty && newSchemaNode.isEmpty &&
+        setProps.isEmpty && removeProps.isEmpty &&
+        setRefTarget.exists(id => servedSnapId.contains(id)))
+      return loadResult(serve(repo, prefix, ref, key))
 
     // ---- metadata-only commit (ALTER TABLE over REST): no snapshot
     if (snapNode.isEmpty) {

@@ -2996,6 +2996,83 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     } finally srv.close()
   }
 
+  test("engine ROLLBACK over REST: a bare set-snapshot-ref to a PRIOR " +
+    "served snapshot (Spark's rollback_to_snapshot shape) swaps the " +
+    "table pointer back zero-copy; an unknown snapshot id refuses 400; " +
+    "rollback combined with property updates refuses 400") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.rback")
+    sql("CREATE NAMESPACE g.rback.main.db")
+    sql("CREATE TABLE g.rback.main.db.r (id INT, v STRING)")
+    sql("INSERT INTO g.rback.main.db.r VALUES (1,'a'), (2,'b')")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rback")
+    val exports = Files.createTempDirectory("graft-rback-exports")
+    // history-serving server (maxSnapshots=5): the engine discovers
+    // rollback targets from the served snapshots list — though a bare
+    // id remembered from an EARLIER load works against a depth-1 server
+    // too (the inversion walks graft history, not the served list)
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), maxSnapshots = 5, writable = true)
+    try {
+      def load() = get(s"/v1/namespaces/${enc("main", "db")}/tables/r", srv)
+        ._2.get("metadata")
+      val s1 = load().get("current-snapshot-id").asLong()
+      sql("INSERT INTO g.rback.main.db.r VALUES (3,'c')")
+      val meta2 = load()
+      val s2 = meta2.get("current-snapshot-id").asLong()
+      s2 should not be s1
+      // the engine SEES s1 in the served history
+      import scala.jdk.CollectionConverters._
+      meta2.get("snapshots").elements().asScala
+        .map(_.get("snapshot-id").asLong()).toSeq should contain (s1)
+      def rollbackBody(meta: JsonNode, target: Long, extra: String = "") = {
+        val refSnap = meta.get("refs").get("main").get("snapshot-id").asLong()
+        s"""{"requirements":[
+           |{"type":"assert-table-uuid",
+           |"uuid":"${meta.get("table-uuid").asText()}"},
+           |{"type":"assert-ref-snapshot-id","ref":"main",
+           |"snapshot-id":$refSnap}],
+           |"updates":[
+           |{"action":"set-snapshot-ref","ref-name":"main",
+           |"snapshot-id":$target,"type":"branch"}$extra]}"""
+          .stripMargin.replaceAll("\n", "")
+      }
+      val g = graft.versioned.GraftRepo.open(root)
+      val snapsBefore = g.io.list(root.resolve("snapshots")).size
+      val (c, e) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/r",
+        rollbackBody(meta2, s1), srv)
+      withClue(e.toString) { c shouldBe 200 }
+      sql("SELECT id, v FROM g.rback.main.db.r ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+        Seq((1, "a"), (2, "b"))
+      // ZERO-COPY: the pointer swapped to the existing content-addressed
+      // snapshot object — no new snapshot was written
+      g.io.list(root.resolve("snapshots")).size shouldBe snapsBefore
+      // the served metadata follows the rollback
+      load().get("current-snapshot-id").asLong() shouldBe s1
+
+      // an unknown snapshot id refuses 400
+      val meta3 = load()
+      val (cU, eU) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/r",
+        rollbackBody(meta3, 123456789L), srv)
+      cU shouldBe 400
+      eU.get("error").get("message").asText() should include ("roll back")
+
+      // rollback + property updates in one commit refuses 400
+      val s2again = meta3.get("snapshots").elements().asScala
+        .map(_.get("snapshot-id").asLong()).toSeq.filterNot(_ == s1).head
+      val (cP, eP) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/r",
+        rollbackBody(meta3, s2again,
+          """,{"action":"set-properties","updates":{"o":"x"}}"""), srv)
+      cP shouldBe 400
+      eP.get("error").get("message").asText() should include ("own commit")
+    } finally srv.close()
+  }
+
   test("FUZZ: malformed bodies on every write route answer 4xx, never " +
     "a 500 — a confused engine gets a ValidationException it can log, " +
     "not commit-state-unknown") {
