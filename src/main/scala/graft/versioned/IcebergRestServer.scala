@@ -1033,12 +1033,20 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           case "set-statistics" | "remove-statistics" |
                "set-partition-statistics" | "remove-partition-statistics" =>
             sawAdvisory = true // same validated-no-op return path
+          // an engine's expire_snapshots posts remove-snapshots; graft
+          // is a VERSIONED catalog — history retention is governed by
+          // graft's own expire/vacuum (branch semantics), and the
+          // served history depth is maxSnapshots-bounded anyway, so the
+          // request is accepted as a validated no-op rather than
+          // failing the engine's maintenance job
+          case "remove-snapshots" =>
+            sawAdvisory = true
           case other => throw new UnsupportedOperationException(
             s"unsupported metadata update over REST: $other (supported: " +
               "add-snapshot + set-snapshot-ref + set-properties + " +
               "remove-properties + add-schema + set-current-schema + " +
               "add-partition-spec + set-default-spec + advisory sort " +
-              "orders)")
+              "orders / statistics / remove-snapshots)")
         }
       }
     // set-current-schema must point at the schema this commit added

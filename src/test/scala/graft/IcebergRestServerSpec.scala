@@ -3070,6 +3070,22 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
           """,{"action":"set-properties","updates":{"o":"x"}}"""), srv)
       cP shouldBe 400
       eP.get("error").get("message").asText() should include ("own commit")
+
+      // an engine's expire_snapshots (remove-snapshots) lands as a
+      // validated no-op: graft's versioned history is governed by its
+      // own expire/vacuum, and failing the maintenance job would be
+      // worse than keeping the history the catalog owns anyway
+      val metaE = load()
+      val (cE, eE) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/r",
+        s"""{"requirements":[
+           |{"type":"assert-table-uuid",
+           |"uuid":"${metaE.get("table-uuid").asText()}"}],
+           |"updates":[{"action":"remove-snapshots",
+           |"snapshot-ids":[123456]}]}""".stripMargin
+          .replaceAll("\n", ""), srv)
+      withClue(eE.toString) { cE shouldBe 200 }
+      load().get("current-snapshot-id").asLong() shouldBe s1
     } finally srv.close()
   }
 
