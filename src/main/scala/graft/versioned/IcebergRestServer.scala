@@ -1148,6 +1148,17 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         s"set-snapshot-ref names snapshot $target, which is not a " +
           s"version of $key on $ref — nothing to roll back to"))
       val targetSnap = repo.snapshot(gid)
+      // Iceberg's rollback moves only the ref — schema stays current —
+      // but a graft snapshot bundles schema + files, so a swap across
+      // an evolution would silently revert the schema too. Served
+      // history never crosses an evolution (export eligibility), so
+      // every id the engine can SEE passes; a remembered id from
+      // before a schema change refuses honestly instead.
+      if (targetSnap.schemaJson != head.schemaJson)
+        throw new IllegalArgumentException(
+          s"rollback target of $key predates a schema change — roll " +
+            "back to a snapshot under the current schema (or use " +
+            "graft's native rollback, which restores the whole state)")
       val missing = targetSnap.files.filterNot(f =>
         repo.dataIO.isFile(f.path))
       if (missing.nonEmpty) throw new IllegalArgumentException(

@@ -3086,6 +3086,21 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
           .replaceAll("\n", ""), srv)
       withClue(eE.toString) { cE shouldBe 200 }
       load().get("current-snapshot-id").asLong() shouldBe s1
+
+      // rollback across a SCHEMA CHANGE refuses: Iceberg's rollback
+      // moves only the ref (schema stays current) — a graft pointer
+      // swap would revert the schema too, so a remembered
+      // pre-evolution id 400s honestly (served history never crosses
+      // an evolution, so every id an engine can SEE stays accepted)
+      sql("ALTER TABLE g.rback.main.db.r ADD COLUMN flag BIGINT")
+      val metaA = load()
+      metaA.get("current-snapshot-id").asLong() should not be s1
+      val (cA, eA) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/r",
+        rollbackBody(metaA, s1), srv)
+      cA shouldBe 400
+      eA.get("error").get("message").asText() should
+        include ("schema change")
     } finally srv.close()
   }
 
