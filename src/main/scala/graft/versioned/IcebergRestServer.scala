@@ -1204,6 +1204,18 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     }
 
     val snap = snapNode.get
+    // a set-snapshot-ref riding an add-snapshot must name the ADDED
+    // snapshot (or the served current) — a mismatched target is a
+    // client bug that would otherwise land the posted snapshot while
+    // the engine believes the ref moved somewhere else
+    setRefTarget.foreach { tgt =>
+      val addedId = Option(snap.get("snapshot-id")).map(_.asLong())
+      if (!addedId.contains(tgt) && !servedSnapId.contains(tgt))
+        throw new IllegalArgumentException(
+          s"set-snapshot-ref names snapshot $tgt, but this commit adds " +
+            s"${addedId.getOrElse("<none>")} — post a rollback (bare " +
+            "set-snapshot-ref) or a consistent commit")
+    }
     val op = Option(snap.get("summary")).flatMap(s =>
       Option(s.get("operation"))).map(_.asText()).getOrElse("append")
     if (!Set("append", "overwrite", "delete", "replace")(op))
@@ -1697,6 +1709,7 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       var snapNode: Option[com.fasterxml.jackson.databind.JsonNode] = None
       var newSchemaNode: Option[com.fasterxml.jackson.databind.JsonNode] = None
       var setCurrentSchema: Option[Int] = None
+      var setRefTargetTxn: Option[Long] = None
       var setProps = Map.empty[String, String]
       var removeProps = Set.empty[String]
       def guardProp(k: String): String = {
@@ -1720,6 +1733,8 @@ final class IcebergRestServer private (single: Option[GraftRepo],
                 .getOrElse("main")
               if (rn != "main") throw new IllegalArgumentException(
                 s"graft serves one Iceberg branch (main) per graft ref: $rn")
+              setRefTargetTxn = Option(u.get("snapshot-id"))
+                .filterNot(_.isNull).map(_.asLong())
             case "set-properties" =>
               setProps ++= Option(u.get("updates")).toSeq
                 .flatMap(_.fields().asScala)
@@ -1753,6 +1768,19 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           s"transactional change for $key combines a schema update " +
             "with a snapshot — post the evolution as its own member " +
             "(or a single-table evolve+append commit)")
+      // a member's ref target must be the snapshot IT adds (or the
+      // served current): anything else is a rollback riding a
+      // transaction — silently landing a no-op while the engine
+      // believes the ref moved would be worse than refusing
+      setRefTargetTxn.foreach { tgt =>
+        val addedId = snapNode.flatMap(n =>
+          Option(n.get("snapshot-id")).map(_.asLong()))
+        if (!addedId.contains(tgt) && !servedSnapId.contains(tgt))
+          throw new UnsupportedOperationException(
+            s"transactional change for $key sets main to snapshot $tgt," +
+              " which this member does not add — rollbacks stay " +
+              "single-table commits")
+      }
       val servedSchemaId = Option(served.get("current-schema-id"))
         .map(_.asInt()).getOrElse(0)
       setCurrentSchema.foreach { sid =>

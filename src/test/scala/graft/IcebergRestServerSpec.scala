@@ -3014,6 +3014,7 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     // too (the inversion walks graft history, not the served list)
     val srv = IcebergRestServer.start(GraftRepo.open(root),
       exports, Some(spark), maxSnapshots = 5, writable = true)
+    val scratchRb = Files.createTempDirectory("rest-rback-scratch")
     try {
       def load() = get(s"/v1/namespaces/${enc("main", "db")}/tables/r", srv)
         ._2.get("metadata")
@@ -3086,6 +3087,28 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
           .replaceAll("\n", ""), srv)
       withClue(eE.toString) { cE shouldBe 200 }
       load().get("current-snapshot-id").asLong() shouldBe s1
+
+      // a set-snapshot-ref riding an ADD-SNAPSHOT must name the added
+      // snapshot: a mismatched target would land the posted snapshot
+      // while the engine believes the ref moved elsewhere → 400
+      val metaM = load()
+      val stageM = java.nio.file.Paths.get(URI.create(
+        metaM.get("properties").get("write.data.path").asText() + "/"))
+      val fM = stageM.resolve("rback-mismatch.parquet")
+      writeOneParquet(Seq((9, "z")).toDF("id", "v"), fM)
+      val baseM = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(
+          get(s"/v1/namespaces/${enc("main", "db")}/tables/r", srv)
+            ._2.get("metadata-location").asText()))
+        .dataPaths.map(java.nio.file.Paths.get(_))
+      val listM = stageWriterCommit(scratchRb, 9301L, baseM :+ fM)
+      val bodyM = commitBody(metaM, 9301L, listM)
+        .replace("\"snapshot-id\":9301,\"type\":\"branch\"",
+          "\"snapshot-id\":987654,\"type\":\"branch\"")
+      val (cM, eM) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/r", bodyM, srv)
+      cM shouldBe 400
+      eM.get("error").get("message").asText() should include ("consistent")
 
       // rollback across a SCHEMA CHANGE refuses: Iceberg's rollback
       // moves only the ref (schema stays current) — a graft pointer
