@@ -1041,6 +1041,30 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           // failing the engine's maintenance job
           case "remove-snapshots" =>
             sawAdvisory = true
+          // upgrading to the version ALREADY SERVED is a validated
+          // no-op (iceberg-core posts it defensively); an actual
+          // version change is server configuration, not table state
+          case "upgrade-format-version" =>
+            val want = Option(u.get("format-version")).map(_.asInt())
+              .getOrElse(throw new IllegalArgumentException(
+                "upgrade-format-version carries no format-version"))
+            val have = Option(served.get("format-version")).map(_.asInt())
+              .getOrElse(2)
+            if (want != have) throw new UnsupportedOperationException(
+              s"this server serves format-version $have; start the " +
+                s"REST server with formatVersion=$want to change it " +
+                "(a graft table has no per-table format version)")
+            sawAdvisory = true
+          // assign-uuid matching the served identity is a no-op; a
+          // different uuid is a client addressing bug
+          case "assign-uuid" =>
+            val want = text(u, "uuid")
+            val have = Option(served.get("table-uuid")).map(_.asText())
+              .getOrElse("")
+            if (want != have) throw new IllegalArgumentException(
+              s"assign-uuid $want does not match the table's identity " +
+                s"$have")
+            sawAdvisory = true
           case other => throw new UnsupportedOperationException(
             s"unsupported metadata update over REST: $other (supported: " +
               "add-snapshot + set-snapshot-ref + set-properties + " +
