@@ -944,9 +944,18 @@ object Dedup {
     val cand = probeCandidates(matched, probes, t, maxPost)
       .localCheckpoint() // feeds the partner prune AND the verify join
     // the verify dictionary likewise reads only the CANDIDATE partners'
-    // word sets from the stored docs table — never the whole corpus
-    val partners = semiPrune(s.table(s"$pre.docs"),
-      cand.select(col("id_b").as("doc_id")).distinct(), "doc_id")
+    // word sets from the stored docs table — never the whole corpus.
+    // Partner ids get their OWN broadcast dispatch: a pathological
+    // delta can match far more distinct partners than it has tokens
+    // (cand is checkpointed, so the count is a block scan)
+    val partnerIds = cand.select(col("id_b").as("doc_id")).distinct()
+      .localCheckpoint()
+    val partners =
+      if (partnerIds.count() <= bcastMax)
+        s.table(s"$pre.docs").join(
+          org.apache.spark.sql.functions.broadcast(partnerIds),
+          Seq("doc_id"), "left_semi")
+      else s.table(s"$pre.docs").join(partnerIds, Seq("doc_id"), "left_semi")
     val dict = deltaDocs.unionByName(partners)
     val dup = verifyPairs(s, dict, cand, t)
       .select(col("id_a").as("doc_id")).distinct()
