@@ -927,10 +927,19 @@ object Dedup {
     // ids must be disjoint from the corpus: a delta doc_id already in
     // dd.docs would join BOTH word sets in the verify dict (a corpus
     // row self-matches at J=1.0 → silent wrongful rejection) — refuse
-    // loudly instead.
-    val clash = semiPrune(s.table(s"$pre.docs").select(col("doc_id")),
-      deltaDocs.select(col("doc_id")), "doc_id").limit(5)
-      .collect().map(_.getLong(0))
+    // loudly instead. The doc-id set gets its OWN count-based dispatch
+    // (like partnerIds below): a delta with many docs sharing few
+    // tokens has doc count >> vocab, and riding the vocab dispatch
+    // would broadcast an unbounded id set
+    val deltaIds = deltaDocs.select(col("doc_id"))
+    val clashKeyed =
+      if (deltaDocs.count() <= bcastMax)
+        s.table(s"$pre.docs").select(col("doc_id")).join(
+          org.apache.spark.sql.functions.broadcast(deltaIds),
+          Seq("doc_id"), "left_semi")
+      else s.table(s"$pre.docs").select(col("doc_id"))
+        .join(deltaIds, Seq("doc_id"), "left_semi")
+    val clash = clashKeyed.limit(5).collect().map(_.getLong(0))
     require(clash.isEmpty,
       s"delta doc_ids already present in $pre.docs: ${clash.mkString(", ")}" +
         " — incremental screening requires fresh ids")

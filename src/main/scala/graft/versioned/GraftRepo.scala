@@ -87,6 +87,7 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
   }
 
   def commit(id: String): Commit = {
+    GraftRepo.commitReads.incrementAndGet()
     val c = Json.read[Commit](io.readString(commitsDir.resolve(s"$id.json")))
     if (c.treeRefs.isEmpty) c
     else c.copy(tables = new Trees.LazyTableMap(root, io, c.treeRefs))
@@ -812,6 +813,11 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
 }
 
 object GraftRepo {
+  // observability hook for scale specs (the Trees.chunkReadCount
+  // pattern): counts commit-object loads process-wide
+  private val commitReads = new java.util.concurrent.atomic.AtomicLong()
+  private[graft] def commitReadCount: Long = commitReads.get()
+
   /** Create a repo with an empty root commit on branch `main`.
     * `dataRoot` (a Hadoop FS URI, e.g. `s3a://bucket/repo`) relocates
     * the DATA plane — parquet files + sidecars — to that store; it is

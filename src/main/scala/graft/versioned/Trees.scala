@@ -109,6 +109,7 @@ object Trees {
       extends scala.collection.immutable.AbstractMap[String, String]
       with java.io.Serializable {
     @volatile private var materialized: Map[String, String] = null
+    @volatile private var sortedSnap: Vector[(String, String)] = null
     private def underlying: Map[String, String] = {
       if (materialized == null)
         materialized = refs.iterator.flatMap(load(root, io, _))
@@ -144,8 +145,27 @@ object Trees {
       */
     def iteratorFrom(after: Option[String]): Iterator[(String, String)] =
       if (materialized != null) {
-        val sorted = materialized.toSeq.sortBy(_._1).iterator
-        after.fold(sorted)(a => sorted.dropWhile(_._1 <= a))
+        // sorted view memoized alongside `materialized`: listNamespaces
+        // issues one seek per namespace child, and re-sorting a 100k-
+        // entry map per seek would cost O(children · N log N) — the
+        // one-time sort plus an O(log N) binary search keeps the seek
+        // win on the materialized path too
+        if (sortedSnap == null)
+          sortedSnap = materialized.toVector.sortBy(_._1)
+        val sorted = sortedSnap
+        val from = after match {
+          case None => 0
+          case Some(a) =>
+            // first index with key STRICTLY AFTER `a`
+            var lo = 0
+            var hi = sorted.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (sorted(mid)._1 <= a) lo = mid + 1 else hi = mid
+            }
+            lo
+        }
+        Iterator.range(from, sorted.length).map(sorted)
       } else after match {
         case None =>
           refs.iterator.flatMap(r =>

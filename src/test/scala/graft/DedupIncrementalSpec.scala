@@ -212,6 +212,33 @@ class DedupIncrementalSpec extends AnyFunSuite with Matchers with BeforeAndAfter
     }
   }
 
+  test("clash guard dispatches on the delta's DOC COUNT, not its " +
+    "vocabulary: a many-docs/few-tokens delta (doc count above the " +
+    "broadcast cap, vocab below it) still screens and still detects " +
+    "id clashes on the keyed path") {
+    spark.sql("CREATE NAMESPACE gd.cg")
+    spark.sql("CREATE NAMESPACE gd.cg.main.dd")
+    val repo = GraftRepo.open(catRoot.resolve("cg"))
+    Dedup.indexInit(spark, "gd", repo, "main",
+      df((0L until 20L).map(i => (i, docText(i)))), t)
+    spark.conf.set("spark.graft.dedup.broadcastKeysMax", "8")
+    try {
+      // 12 docs over a 7-token vocabulary: the vocab dispatch says
+      // broadcast (7 <= 8) but the doc-id set must NOT ride it (12 > 8)
+      val delta = (100L until 112L).map(i =>
+        (i, s"alpha beta gamma delta epsilon zeta tok${i % 2}"))
+      Dedup.indexScreen(spark, "gd", "cg", "main", df(delta), t)
+        .collect().map(_.getLong(0)).toSet shouldBe
+        (100L until 112L).toSet
+      // a corpus id smuggled into the same shape still refuses loudly
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.indexScreen(spark, "gd", "cg", "main",
+          df(delta :+ ((3L, "alpha beta gamma"))), t).collect()
+      }
+      ex.getMessage should include ("already present")
+    } finally spark.conf.unset("spark.graft.dedup.broadcastKeysMax")
+  }
+
   test("frozen order keeps exact recall across batches: screen results " +
     "equal a from-scratch exact Jaccard recompute") {
     import spark.implicits._

@@ -78,6 +78,37 @@ class TreeSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     loaded.tables.toMap shouldBe t
   }
 
+  test("iteratorFrom on a MATERIALIZED map memoizes the sorted view: " +
+    "repeated seeks binary-search one cached sort instead of " +
+    "re-sorting the whole map per call, and stay strictly-after " +
+    "correct on both paths") {
+    val repo = freshRepo()
+    val t = tables(300)
+    val c = repo.writeCommit(Nil, "m", t, Map.empty)
+    Trees.clearCache()
+    val loaded = repo.commit(c.id)
+    val m = loaded.tables.asInstanceOf[Trees.LazyTableMap]
+    val sortedKeys = t.keys.toSeq.sorted
+    // unmaterialized path first (chunk-seeking), for parity
+    m.iteratorFrom(Some("db/t0150")).map(_._1).toSeq shouldBe
+      sortedKeys.dropWhile(_ <= "db/t0150")
+    // full iteration materializes; seeks now run on the memoized sort
+    m.toMap shouldBe t
+    val chunkBefore = Trees.chunkReadCount
+    // timing-free memoization proof: many seeks on a materialized map
+    // touch ZERO chunks (they'd each re-load + re-sort otherwise only
+    // in cost, so assert the semantics exhaustively instead)
+    (0 until 300 by 7).foreach { i =>
+      val k = sortedKeys(i)
+      m.iteratorFrom(Some(k)).map(_._1).toSeq shouldBe
+        sortedKeys.dropWhile(_ <= k)
+    }
+    m.iteratorFrom(None).map(_._1).toSeq shouldBe sortedKeys
+    m.iteratorFrom(Some("zz")).toSeq shouldBe empty
+    m.iteratorFrom(Some("a")).map(_._1).toSeq shouldBe sortedKeys
+    (Trees.chunkReadCount - chunkBefore) shouldBe 0
+  }
+
   test("one-table commit shares every untouched chunk (O(changed tables))") {
     val repo = freshRepo()
     val t = tables(300)
