@@ -1342,11 +1342,40 @@ object Versioned {
       }
       val listA = stagedList("txn_a_stage", "(900, 'TXA', 0)")
       val listB = stagedList("txn_b_stage", "(901, 'TXB', 1)")
-      // the third member (r14): a METADATA-ONLY schema evolution riding
-      // the same checkpoint — the common Flink shape (one table widens
-      // while its siblings append)
+      // the third member (r14→r15): a schema evolution COMBINED with
+      // an append in ONE member — the engine checkpoint that widens a
+      // table and writes its first rows under the new schema while
+      // siblings append. Staged on a clone evolved the same way, so
+      // the posted file is genuinely written under the widened schema.
       s.sql(s"CALL $cat.system.clone_table('r', 'main', " +
         "'db.nation', 'db.wide')")
+      s.sql(s"CALL $cat.system.clone_table('r', 'main', " +
+        "'db.nation', 'db.wide_stage')")
+      s.sql(s"ALTER TABLE $cat.r.main.db.wide_stage " +
+        "ADD COLUMN n_flag BIGINT")
+      s.sql(s"INSERT INTO $cat.r.main.db.wide_stage " +
+        "VALUES (902, 'TXW', 2, 77)")
+      val listW = exportListLoc(repo, s, "db/wide_stage")
+      // the fourth member (r15): the Flink-upsert shape — equality
+      // delete + same-commit replacement row, staged with graft's own
+      // MoR machinery so the posted list carries REAL content=2 files
+      s.sql(s"CALL $cat.system.clone_table('r', 'main', " +
+        "'db.nation', 'db.ups')")
+      s.sql(s"CALL $cat.system.clone_table('r', 'main', " +
+        "'db.nation', 'db.ups_stage')")
+      s.sql(s"ALTER TABLE $cat.r.main.db.ups_stage " +
+        "SET TBLPROPERTIES('graft.delete.mode'='merge-on-read')")
+      s.sql(s"DELETE FROM $cat.r.main.db.ups_stage WHERE n_nationkey = 2")
+      s.sql(s"INSERT INTO $cat.r.main.db.ups_stage " +
+        "VALUES (2, 'UPSERTED', 9)")
+      // a real MoR engine stages its delete files under the served
+      // write.data.path — export there so the content=2 file sits
+      // exactly where Flink would put it (restMor does the same)
+      val upsStage = java.nio.file.Paths.get(java.net.URI.create(
+        loadMeta("ups").get("properties").get("write.data.path").asText()
+          + "/"))
+      Files.createDirectories(upsStage)
+      val listUps = exportListLoc(repo, s, "db/ups_stage", Some(upsStage))
       def change(t: String, snapId: Long, listLoc: String): String = {
         val meta = loadMeta(t)
         val refSnap = meta.get("refs").get("main").get("snapshot-id").asLong()
@@ -1365,9 +1394,11 @@ object Versioned {
            |"snapshot-id":$snapId,"type":"branch"}]}""".stripMargin
           .replaceAll("\n", "")
       }
-      // the schema-update member: served schema + one appended BIGINT
-      // field, exactly what iceberg-core's UpdateSchema posts
-      def schemaChange(t: String): String = {
+      // the COMBINED member (r15): served schema + one appended BIGINT
+      // field (exactly what iceberg-core's UpdateSchema posts) AND the
+      // snapshot whose files are written under that widened schema
+      def schemaPlusAppend(t: String, snapId: Long, listLoc: String)
+          : String = {
         val meta = loadMeta(t)
         val refSnap = meta.get("refs").get("main").get("snapshot-id").asLong()
         val s0 = meta.get("schemas").elements().next()
@@ -1388,14 +1419,27 @@ object Versioned {
            |"schema-id":1,"fields":[$kept,
            |{"id":${maxId + 1},"name":"n_flag","required":false,
            |"type":"long"}]}},
-           |{"action":"set-current-schema","schema-id":-1}]}""".stripMargin
+           |{"action":"set-current-schema","schema-id":-1},
+           |{"action":"add-snapshot","snapshot":{"snapshot-id":$snapId,
+           |"timestamp-ms":1700000000000,"schema-id":1,
+           |"manifest-list":"$listLoc",
+           |"summary":{"operation":"append"}}},
+           |{"action":"set-snapshot-ref","ref-name":"main",
+           |"snapshot-id":$snapId,"type":"branch"}]}""".stripMargin
           .replaceAll("\n", "")
       }
+      // the UPSERT member (r15): equality delete + same-commit
+      // replacement row (Flink's checkpoint), posted as overwrite
+      def upsertChange(t: String, snapId: Long, listLoc: String): String =
+        change(t, snapId, listLoc).replace(
+          "\"summary\":{\"operation\":\"append\"}",
+          "\"summary\":{\"operation\":\"overwrite\"}")
       val headBefore = repo.headCommit("main").id
       val body = s"""{"table-changes":[
         |${change("nation", 9801L, listA)},
         |${change("dim", 9802L, listB)},
-        |${schemaChange("wide")}]}"""
+        |${schemaPlusAppend("wide", 9803L, listW)},
+        |${upsertChange("ups", 9804L, listUps)}]}"""
         .stripMargin.replaceAll("\n", "")
       val resp = http.send(java.net.http.HttpRequest.newBuilder(
         java.net.URI.create(s"${srv.uri}/v1/transactions/commit"))
@@ -1404,8 +1448,8 @@ object Versioned {
         java.net.http.HttpResponse.BodyHandlers.ofString())
       require(resp.statusCode() == 204,
         s"transaction failed: ${resp.statusCode()} ${resp.body()}")
-      // atomicity: exactly ONE commit moved the branch — appends AND
-      // the sibling evolution landed together
+      // atomicity: exactly ONE commit moved the branch — the appends,
+      // the widen+append member, and the upsert member landed together
       val headAfter = repo.headCommit("main")
       require(headAfter.parents == Seq(headBefore),
         s"transaction took ${headAfter.parents} commits — expected one")
@@ -1416,10 +1460,15 @@ object Versioned {
       s"UNION ALL SELECT 'b', n_nationkey, n_name, n_regionkey, " +
       "CAST(NULL AS BIGINT) " +
       s"FROM $cat.r.main.db.dim " +
-      // the evolved sibling answers under the WIDENED schema: pre-
-      // evolution rows read NULL for the added column
+      // the widened sibling answers under the NEW schema: pre-
+      // evolution rows read NULL for the added column, the member's
+      // own appended row carries its value
       s"UNION ALL SELECT 'c', n_nationkey, n_name, n_regionkey, n_flag " +
       s"FROM $cat.r.main.db.wide " +
+      // the upsert member: key 2 replaced, everything else untouched
+      s"UNION ALL SELECT 'd', n_nationkey, n_name, n_regionkey, " +
+      "CAST(NULL AS BIGINT) " +
+      s"FROM $cat.r.main.db.ups " +
       "ORDER BY src, n_nationkey")
   }
 
@@ -2489,6 +2538,11 @@ object Versioned {
         |  UNION ALL
         |  SELECT 'c', n_nationkey, n_name, n_regionkey,
         |         CAST(NULL AS BIGINT) FROM nation
+        |  UNION ALL SELECT 'c', 902, 'TXW', 2, CAST(77 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'd', n_nationkey, n_name, n_regionkey,
+        |         CAST(NULL AS BIGINT) FROM nation WHERE n_nationkey <> 2
+        |  UNION ALL SELECT 'd', 2, 'UPSERTED', 9, CAST(NULL AS BIGINT)
         |)
         |ORDER BY src, n_nationkey""".stripMargin
     )(restTxn),

@@ -168,6 +168,12 @@ final class IcebergRestServer private (single: Option[GraftRepo],
   private val mapper = new ObjectMapper()
   private val exportLocks = new ConcurrentHashMap[String, Object]()
   private val repoCache = new ConcurrentHashMap[String, GraftRepo]()
+  // rollback's exported-sid → graft-snapshot inversion, memoized per
+  // served table and keyed by the head commit it was built at: a
+  // repeat rollback loads zero commits, a rollback after new commits
+  // walks only the delta above the previously indexed head
+  private val rollbackSidIndex =
+    new ConcurrentHashMap[String, (String, Map[Long, String])]()
 
   /** The repo a request's optional `{prefix}` segment addresses. */
   private def repoFor(prefix: Option[String]): GraftRepo = (prefix, single) match {
@@ -1155,34 +1161,85 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         java.util.UUID.nameUUIDFromBytes(gid.getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
           .getMostSignificantBits & Long.MaxValue)
+      // the sid→gid inversion is MEMOIZED per served table keyed by
+      // the head commit: the first rollback (or a rollback after new
+      // commits) walks only the commits above the previously indexed
+      // head and merges; a repeat rollback to a nearby id loads ZERO
+      // commits — without this, every post re-walks the whole
+      // first-parent history, one commit load (an RPC on a remote
+      // GraftIO backend) per hop.
       val targetGid: Option[String] = {
-        var cur: Option[graft.versioned.Commit] = Some(repo.resolve(ref))
-        var hit: Option[String] = None
-        var hops = 0
-        while (hit.isEmpty && hops < 100000 &&
-          cur.exists(_.tables.contains(key))) {
-          val c = cur.get
-          val gid = c.tables(key)
-          if (sidOf(gid) == target) hit = Some(gid)
-          else { cur = c.parents.headOption.map(repo.commit); hops += 1 }
+        val headC = repo.resolve(ref)
+        val cacheKey = s"${repo.root}\u0000$ref\u0000$key"
+        val cached = Option(rollbackSidIndex.get(cacheKey))
+        cached match {
+          case Some((hid, idx)) if hid == headC.id => idx.get(target)
+          case _ =>
+            var idx = Map.empty[Long, String]
+            var cur: Option[graft.versioned.Commit] = Some(headC)
+            var hops = 0
+            var done = false
+            while (!done && hops < 100000 &&
+              cur.exists(_.tables.contains(key))) {
+              val c = cur.get
+              cached.filter(_._1 == c.id) match {
+                case Some((_, old)) =>
+                  // reached the previously indexed head: splice (the
+                  // NEWER walk wins on a sid collision, matching the
+                  // head-first walk order)
+                  idx = old ++ idx
+                  done = true
+                case None =>
+                  val gid = c.tables(key)
+                  val sid = sidOf(gid)
+                  if (!idx.contains(sid)) idx += (sid -> gid)
+                  cur = c.parents.headOption.map(repo.commit)
+                  hops += 1
+              }
+            }
+            rollbackSidIndex.put(cacheKey, (headC.id, idx))
+            idx.get(target)
         }
-        hit
       }
       val gid = targetGid.getOrElse(throw new IllegalArgumentException(
         s"set-snapshot-ref names snapshot $target, which is not a " +
           s"version of $key on $ref — nothing to roll back to"))
       val targetSnap = repo.snapshot(gid)
       // Iceberg's rollback moves only the ref — schema stays current —
-      // but a graft snapshot bundles schema + files, so a swap across
-      // an evolution would silently revert the schema too. Served
-      // history never crosses an evolution (export eligibility), so
-      // every id the engine can SEE passes; a remembered id from
-      // before a schema change refuses honestly instead.
+      // but a graft snapshot bundles schema + spec + mapping + props,
+      // so a swap across ANY metadata evolution would silently revert
+      // state Iceberg keeps current. Served history never crosses an
+      // evolution (export eligibility checks all of these), so every
+      // id the engine can SEE passes; a remembered id from before a
+      // metadata change refuses honestly instead. MoR tombstone state
+      // (graft.mor.*) is EXEMPT: delete files legitimately differ per
+      // snapshot and reverting them IS the rollback's point.
       if (targetSnap.schemaJson != head.schemaJson)
         throw new IllegalArgumentException(
           s"rollback target of $key predates a schema change — roll " +
             "back to a snapshot under the current schema (or use " +
             "graft's native rollback, which restores the whole state)")
+      if (targetSnap.partitionFields != head.partitionFields)
+        throw new IllegalArgumentException(
+          s"rollback target of $key predates a partition-spec change — " +
+            "Iceberg rollback keeps the current spec, a graft snapshot " +
+            "swap would revert it (use graft's native rollback to " +
+            "restore the whole state)")
+      if (targetSnap.nameMapping != head.nameMapping)
+        throw new IllegalArgumentException(
+          s"rollback target of $key predates a column-mapping change — " +
+            "a snapshot swap would revert the name mapping (use " +
+            "graft's native rollback to restore the whole state)")
+      def userProps(sn: graft.versioned.Snapshot): Map[String, String] =
+        sn.properties.filterNot(_._1.startsWith("graft.mor."))
+      if (userProps(targetSnap) != userProps(head))
+        throw new IllegalArgumentException(
+          s"rollback target of $key carries different table properties " +
+            "than the current snapshot — Iceberg rollback keeps " +
+            "properties current, a graft snapshot swap would revert " +
+            "them (post the property updates after rolling back " +
+            "natively, or roll back with graft, which restores the " +
+            "whole state)")
       val missing = targetSnap.files.filterNot(f =>
         repo.dataIO.isFile(f.path))
       if (missing.nonEmpty) throw new IllegalArgumentException(
@@ -1668,13 +1725,19 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     * it directly (the REST analog of [[TableOps.atomicAppend]]).
     *
     * Scope: each change may carry an APPEND snapshot (posted state ⊇
-    * base, no new delete files; the table's own served delete files
-    * may be relisted as always) and/or set/remove-properties, with
-    * `assert-table-uuid` / `assert-ref-snapshot-id` requirements. All
-    * tables must live on ONE branch (a graft commit is per-branch).
-    * Schema changes, CTAS, rewrites, and row-level deletes stay
-    * single-table commits — bundling them would multiply the conflict
-    * matrix for shapes no engine posts transactionally today.
+    * base; the table's own served delete files may be relisted as
+    * always), a schema update — alone (metadata-only) or COMBINED
+    * with the snapshot (the engine checkpoint that widens and appends
+    * one table while siblings append; lowered like the single-table
+    * evolve+append) — equality delete files (the Flink-upsert member
+    * shape, lowered onto a predicate tombstone with same-commit adds
+    * exempt), and set/remove-properties, with `assert-table-uuid` /
+    * `assert-ref-snapshot-id` requirements. All tables must live on
+    * ONE branch (a graft commit is per-branch). CTAS, rewrites
+    * (dropped base files), and positional deletes stay single-table
+    * commits — a positional member would need a per-table distributed
+    * rewrite inside the atomic fold, multiplying the conflict matrix
+    * for a shape no engine posts transactionally today.
     */
   private def commitTransaction(repo: GraftRepo, prefix: Option[String],
       req: com.fasterxml.jackson.databind.JsonNode): Unit = {
@@ -1688,7 +1751,8 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     final case class Staged(ref: String, key: String,
       servedGraftSnap: String, entries: Seq[FileEntry],
       setProps: Map[String, String], removeProps: Set[String],
-      schemaChanges: Seq[org.apache.spark.sql.connector.catalog.TableChange])
+      schemaChanges: Seq[org.apache.spark.sql.connector.catalog.TableChange],
+      eqFilter: Option[org.apache.spark.sql.sources.Filter])
 
     val staged: Seq[Staged] = changes.map { ch =>
       val ident = Option(ch.get("identifier")).getOrElse(
@@ -1782,16 +1846,12 @@ final class IcebergRestServer private (single: Option[GraftRepo],
                 .map(_.asInt()).getOrElse(-1))
             case other => throw new UnsupportedOperationException(
               s"unsupported update inside a transaction: $other — " +
-                "transactions bundle APPEND commits, property updates, " +
-                "and metadata-only schema updates; CTAS, rewrites, and " +
-                "deletes stay single-table commits")
+                "transactions bundle append/evolve+append/equality-" +
+                "delete commits, property updates, and schema updates; " +
+                "CTAS, rewrites, and positional deletes stay " +
+                "single-table commits")
           }
         }
-      if (newSchemaNode.isDefined && snapNode.isDefined)
-        throw new UnsupportedOperationException(
-          s"transactional change for $key combines a schema update " +
-            "with a snapshot — post the evolution as its own member " +
-            "(or a single-table evolve+append commit)")
       // a member's ref target must be the snapshot IT adds (or the
       // served current): anything else is a rollback riding a
       // transaction — silently landing a no-op while the engine
@@ -1825,9 +1885,17 @@ final class IcebergRestServer private (single: Option[GraftRepo],
               s"served metadata has no schema $servedSchemaId"))
           schemaChangesOf(cur, n)
         }.getOrElse(Nil)
-      val entries: Seq[FileEntry] = snapNode match {
-        case None => Nil
+      val (entries: Seq[FileEntry],
+           eqFilter: Option[org.apache.spark.sql.sources.Filter]) =
+        snapNode match {
+        case None => (Nil, None)
         case Some(snap) =>
+          val op = Option(snap.get("summary")).flatMap(s =>
+            Option(s.get("operation"))).map(_.asText()).getOrElse("append")
+          if (!Set("append", "overwrite", "delete")(op))
+            throw new UnsupportedOperationException(
+              s"unsupported transactional commit operation: '$op' " +
+                "(accepted: append, overwrite, delete)")
           val v = served.get("format-version").asInt()
           val (postedData, postedDeletes) =
             try IcebergImport.filesOfManifestList(
@@ -1841,11 +1909,30 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           val basePlan = IcebergImport.plan(metaPath.toString, None)
           val servedDeletePaths = basePlan.deleteFiles
             .map(d => IcebergImport.normStr(d.path)).toSet
-          if (postedDeletes.exists(d =>
-            !servedDeletePaths(IcebergImport.normStr(d.path))))
+          val newDeletes = postedDeletes.filterNot(d =>
+            servedDeletePaths(IcebergImport.normStr(d.path)))
+          // EQUALITY delete members — the Flink-upsert checkpoint
+          // shape — lower onto graft predicate tombstones exactly as
+          // the single-table path does (same-commit adds land at the
+          // tombstone's sequence and are exempt by graft's strict `>`
+          // applicability). Positional deletes need a per-table
+          // distributed rewrite and stay single-table commits.
+          val (eqDels, posDels) =
+            newDeletes.partition(d => d.content == 2 && d.dv.isEmpty)
+          if (posDels.nonEmpty)
             throw new UnsupportedOperationException(
-              s"transactional change for $key carries NEW delete " +
-                "files — row-level deletes stay single-table commits")
+              s"transactional change for $key carries positional " +
+                "delete files — positional deletes stay single-table " +
+                "commits")
+          if (eqDels.nonEmpty && op == "append")
+            throw new IllegalArgumentException(
+              s"transactional append for $key carries equality delete " +
+                "files (post operation=overwrite or delete)")
+          if (eqDels.nonEmpty && schemaChanges.nonEmpty)
+            throw new UnsupportedOperationException(
+              s"transactional change for $key mixes a schema update " +
+                "with equality deletes — post them as two members or " +
+                "two transactions")
           val basePaths = basePlan.dataPaths.toSet
           val dropped = basePaths -- postedData.map(_.path).toSet
           if (dropped.nonEmpty) throw new UnsupportedOperationException(
@@ -1854,14 +1941,21 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           val head = repo.snapshot(repo.resolve(ref).tables(key))
           val destRoot = prefix.fold(exportRoot)(exportRoot.resolve)
             .resolve(ref).resolve(key).toAbsolutePath.normalize
-          ingestEntries(repo, ref, key, destRoot,
+          // a member combining a schema update WITH a snapshot (the
+          // engine checkpoint that widens AND appends one table while
+          // siblings append) ingests its files under the schema it
+          // ADDS — the same lowering as the single-table evolve+append
+          val ev = SchemaEvolution.evolve(head, schemaChanges)
+          val filt =
+            if (eqDels.isEmpty) None
+            else Some(equalityTombstoneFilter(repo, destRoot, eqDels,
+              basePlan.fieldIdToName, hconf))
+          (ingestEntries(repo, ref, key, destRoot,
             postedData.filterNot(d => basePaths(d.path)),
-            org.apache.spark.sql.types.DataType.fromJson(head.schemaJson)
-              .asInstanceOf[org.apache.spark.sql.types.StructType],
-            head.nameMapping, head.partitionFields, hconf)
+            ev.schema, ev.mapping, ev.spec, hconf), filt)
       }
       Staged(ref, key, servedGraftSnap, entries, setProps, removeProps,
-        schemaChanges)
+        schemaChanges, eqFilter)
     }
     val refs = staged.map(_.ref).distinct
     if (refs.size != 1) throw new IllegalArgumentException(
@@ -1885,7 +1979,7 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         val prior = acc.get(st.key).map(repo.snapshot).getOrElse(
           throw new NoSuchElementException(s"no such table: ${st.key}"))
         val snap2 =
-          if (st.schemaChanges.nonEmpty) {
+          if (st.schemaChanges.nonEmpty && st.entries.isEmpty) {
             // metadata-only evolution member: same lowering as the
             // single-table schema-update commit, riding the one commit
             val ev = SchemaEvolution.evolve(prior, st.schemaChanges)
@@ -1895,15 +1989,35 @@ final class IcebergRestServer private (single: Option[GraftRepo],
               if (ev.mapping.isEmpty) None else Some(ev.mapping),
               if (props.isEmpty) None else Some(props),
               if (ev.retired.isEmpty) None else Some(ev.retired.toSeq.sorted))
+          } else if (st.schemaChanges.nonEmpty) {
+            // COMBINED member: evolution + first files under the new
+            // schema, the single-table evolve+append lowering riding
+            // the one multi-table commit
+            val ev = SchemaEvolution.evolve(prior, st.schemaChanges)
+            val props0 = (ev.props -- st.removeProps) ++ st.setProps
+            val next = Tombstones.lastSeq(props0) + 1
+            val stamped = st.entries.map(_.copy(seq = Some(next)))
+            repo.writeSnapshot(st.key, ev.schema.json,
+              Manifests.appended(prior.files, stamped),
+              if (ev.spec.isEmpty) None else Some(ev.spec),
+              if (ev.mapping.isEmpty) None else Some(ev.mapping),
+              Some(props0 + (Tombstones.SeqProp -> next.toString)),
+              if (ev.retired.isEmpty) None else Some(ev.retired.toSeq.sorted))
           } else {
             val props0 = (prior.properties -- st.removeProps) ++ st.setProps
             val next = Tombstones.lastSeq(props0) + 1
             val stamped = st.entries.map(_.copy(seq = Some(next)))
+            // an equality-delete member's tombstone masks base files
+            // only (strictly-lower sequences); its same-commit adds
+            // land AT `next` and stay exempt — graft's morUpdate shape
+            val props1 = st.eqFilter match {
+              case Some(f) => Tombstones.append(props0, next, f)
+              case None => props0 + (Tombstones.SeqProp -> next.toString)
+            }
             repo.writeSnapshot(st.key, prior.schemaJson,
               Manifests.appended(prior.files, stamped),
               prior.partitionBy, prior.physicalNames,
-              Some(props0 + (Tombstones.SeqProp -> next.toString)),
-              prior.retired)
+              Some(props1), prior.retired)
           }
         acc + (st.key -> snap2.id)
       }

@@ -2426,10 +2426,11 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     } finally srv.close()
   }
 
-  test("multi-table TRANSACTION with a METADATA-ONLY schema-update " +
-    "member: one append + one sibling evolution land in ONE graft " +
-    "commit (the common Flink checkpoint shape); a member combining a " +
-    "schema update WITH a snapshot refuses 400") {
+  test("multi-table TRANSACTION with schema-update members: a " +
+    "METADATA-ONLY evolution rides a sibling's append in ONE graft " +
+    "commit, and a member combining a schema update WITH a snapshot " +
+    "(the checkpoint that widens AND appends one table) lands " +
+    "atomically too — all-or-nothing on a stale member") {
     import spark.implicits._
     sql("CREATE NAMESPACE g.txnev")
     sql("CREATE NAMESPACE g.txnev.main.db")
@@ -2506,25 +2507,262 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       w.map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe Seq((5, "w"))
       w.head.isNullAt(2) shouldBe true
 
-      // a member combining add-schema WITH add-snapshot refuses 400
+      // a member combining add-schema WITH add-snapshot — the engine
+      // checkpoint that widens AND appends the SAME table atomically —
+      // lands: the member's file is written under the schema it adds,
+      // and a sibling append rides the same commit (r15)
       val loadF2 = loadT("fact"); val metaF2 = loadF2.get("metadata")
       val baseF2 = graft.versioned.IcebergImport.plan(
         java.nio.file.Paths.get(loadF2.get("metadata-location").asText()))
         .dataPaths.map(java.nio.file.Paths.get(_))
-      val list2 = stageWriterCommit(scratch, 9102L, baseF2)
+      val f2 = stage.resolve("fact-txnev-widened.parquet")
+      writeOneParquet(Seq((3, "c", 30L)).toDF("id", "v", "flag"), f2)
+      val list2 = stageWriterCommit(scratch, 9102L, baseF2 :+ f2)
       val mixed =
         s"""{"identifier":{"namespace":["main","db"],"name":"fact"},
            |"requirements":${reqsOf(metaF2)},
            |"updates":[${schemaUpd(metaF2)},
            |{"action":"add-snapshot","snapshot":{"snapshot-id":9102,
-           |"timestamp-ms":1700000000000,"schema-id":0,
+           |"timestamp-ms":1700000000000,"schema-id":1,
            |"manifest-list":"${list2.toUri}",
+           |"summary":{"operation":"append"}}},
+           |{"action":"set-snapshot-ref","ref-name":"main",
+           |"snapshot-id":9102,"type":"branch"}]}"""
+          .stripMargin.replaceAll("\n", "")
+      // sibling: a plain append on wide (already-widened) in the SAME
+      // transaction — proves the combined member coexists with others
+      val loadW2 = loadT("wide"); val metaW2 = loadW2.get("metadata")
+      val stageW = java.nio.file.Paths.get(URI.create(
+        metaW2.get("properties").get("write.data.path").asText() + "/"))
+      val fW = stageW.resolve("wide-txnev-sib.parquet")
+      writeOneParquet(Seq((6, "x", 60L)).toDF("id", "v", "flag"), fW)
+      val baseW2 = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(loadW2.get("metadata-location").asText()))
+        .dataPaths.map(java.nio.file.Paths.get(_))
+      val listW = stageWriterCommit(scratch, 9103L, baseW2 :+ fW)
+      val sibAppend =
+        s"""{"identifier":{"namespace":["main","db"],"name":"wide"},
+           |"requirements":${reqsOf(metaW2)},
+           |"updates":[
+           |{"action":"add-snapshot","snapshot":{"snapshot-id":9103,
+           |"timestamp-ms":1700000000000,"schema-id":1,
+           |"manifest-list":"${listW.toUri}",
+           |"summary":{"operation":"append"}}},
+           |{"action":"set-snapshot-ref","ref-name":"main",
+           |"snapshot-id":9103,"type":"branch"}]}"""
+          .stripMargin.replaceAll("\n", "")
+      val headBefore2 = g.headCommit("main").id
+      val (cM, eM) = send("POST", "/v1/transactions/commit",
+        s"""{"table-changes":[$mixed,$sibAppend]}""", srv)
+      withClue(eM.toString) { cM shouldBe 204 }
+      g.headCommit("main").parents shouldBe Seq(headBefore2)
+      // fact widened AND appended atomically: old rows NULL-read the
+      // added column, the new row carries its value
+      sql("SELECT id, v, flag FROM g.txnev.main.db.fact ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq shouldBe
+        Seq((1, "a", -1L), (2, "b", -1L), (3, "c", 30L))
+      sql("SELECT id FROM g.txnev.main.db.wide ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq shouldBe Seq(5, 6)
+
+      // ALL-OR-NOTHING: the same combined shape against a STALE base
+      // 409s the whole transaction and neither member lands
+      val loadF3 = loadT("fact"); val metaF3 = loadF3.get("metadata")
+      val staleMixed =
+        s"""{"identifier":{"namespace":["main","db"],"name":"fact"},
+           |"requirements":[{"type":"assert-ref-snapshot-id","ref":"main",
+           |"snapshot-id":424242}],
+           |"updates":[${schemaUpd(metaF3)}]}"""
+          .stripMargin.replaceAll("\n", "")
+      val loadW3 = loadT("wide"); val metaW3 = loadW3.get("metadata")
+      val fW3 = stageW.resolve("wide-txnev-stale.parquet")
+      writeOneParquet(Seq((7, "y", 70L)).toDF("id", "v", "flag"), fW3)
+      val baseW3 = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(loadW3.get("metadata-location").asText()))
+        .dataPaths.map(java.nio.file.Paths.get(_))
+      val listW3 = stageWriterCommit(scratch, 9104L, baseW3 :+ fW3)
+      val freshSib =
+        s"""{"identifier":{"namespace":["main","db"],"name":"wide"},
+           |"requirements":${reqsOf(metaW3)},
+           |"updates":[
+           |{"action":"add-snapshot","snapshot":{"snapshot-id":9104,
+           |"timestamp-ms":1700000000000,"schema-id":1,
+           |"manifest-list":"${listW3.toUri}",
            |"summary":{"operation":"append"}}}]}"""
           .stripMargin.replaceAll("\n", "")
-      val (cM, eM) = send("POST", "/v1/transactions/commit",
-        s"""{"table-changes":[$mixed]}""", srv)
-      cM shouldBe 400
-      eM.get("error").get("message").asText() should include ("own member")
+      val (cSt, eSt) = send("POST", "/v1/transactions/commit",
+        s"""{"table-changes":[$staleMixed,$freshSib]}""", srv)
+      cSt shouldBe 409
+      eSt.get("error").get("type").asText() shouldBe "CommitFailedException"
+      sql("SELECT count(*) FROM g.txnev.main.db.wide")
+        .collect().head.getLong(0) shouldBe 2L // 9104 did not land
+    } finally srv.close()
+  }
+
+  test("multi-table TRANSACTION with an EQUALITY-DELETE member (the " +
+    "Flink-upsert checkpoint): one member's content=2 delete files " +
+    "lower onto a tombstone with same-commit adds exempt, a sibling " +
+    "appends, all in ONE graft commit; any stale member 409s the " +
+    "whole transaction; positional-delete members still refuse 400") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.txneq")
+    sql("CREATE NAMESPACE g.txneq.main.db")
+    sql("CREATE TABLE g.txneq.main.db.ups (id INT, v STRING)")
+    sql("CREATE TABLE g.txneq.main.db.sib (id INT, v STRING)")
+    sql("INSERT INTO g.txneq.main.db.ups VALUES (1,'a'), (2,'b'), (3,'c')")
+    sql("INSERT INTO g.txneq.main.db.sib VALUES (10,'x')")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "txneq")
+    val exports = Files.createTempDirectory("graft-txneq-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true)
+    val scratch = Files.createTempDirectory("rest-txneq-scratch")
+    try {
+      def loadT(t: String) =
+        get(s"/v1/namespaces/${enc("main", "db")}/tables/$t", srv)._2
+      def reqsOf(meta: JsonNode): String = {
+        val refSnap = meta.get("refs").get("main").get("snapshot-id").asLong()
+        s"""[{"type":"assert-table-uuid",
+           |"uuid":"${meta.get("table-uuid").asText()}"},
+           |{"type":"assert-ref-snapshot-id","ref":"main",
+           |"snapshot-id":$refSnap}]""".stripMargin.replaceAll("\n", "")
+      }
+      def stageOf(meta: JsonNode) = java.nio.file.Paths.get(URI.create(
+        meta.get("properties").get("write.data.path").asText() + "/"))
+      def basePathsOf(load: JsonNode) = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(load.get("metadata-location").asText()))
+        .dataPaths.map(java.nio.file.Paths.get(_))
+      // the upsert member: UPDATE id=2 as Flink posts it — an eq
+      // delete on id=2 plus the replacement row in a same-commit add
+      // (which the strictly-lower rule exempts from the delete)
+      val loadU = loadT("ups"); val metaU = loadU.get("metadata")
+      val idFieldId = {
+        val it = metaU.get("schemas").elements().next()
+          .get("fields").elements()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .find(_.get("name").asText() == "id").get.get("id").asInt()
+      }
+      val addU = stageOf(metaU).resolve("ups-txn-ckpt.parquet")
+      writeOneParquet(Seq((2, "B2"), (4, "d")).toDF("id", "v"), addU)
+      val eqDel = stageOf(metaU).resolve("ups-txn-eq.parquet")
+      writeOneParquet(Seq(2).toDF("id"), eqDel)
+      val listU = stageMixedDeleteCommit(scratch, 9201L,
+        basePathsOf(loadU) :+ addU,
+        Seq((eqDel, 2, Some(Seq(idFieldId)))))
+      val upsertMember =
+        s"""{"identifier":{"namespace":["main","db"],"name":"ups"},
+           |"requirements":${reqsOf(metaU)},
+           |"updates":[
+           |{"action":"add-snapshot","snapshot":{"snapshot-id":9201,
+           |"timestamp-ms":1700000000000,"schema-id":0,
+           |"manifest-list":"${listU.toUri}",
+           |"summary":{"operation":"overwrite"}}},
+           |{"action":"set-snapshot-ref","ref-name":"main",
+           |"snapshot-id":9201,"type":"branch"}]}"""
+          .stripMargin.replaceAll("\n", "")
+      def sibMember(snapId: Long, fname: String, row: (Int, String),
+          reqsOverride: Option[String] = None): String = {
+        val loadS = loadT("sib"); val metaS = loadS.get("metadata")
+        val fS = stageOf(metaS).resolve(fname)
+        writeOneParquet(Seq(row).toDF("id", "v"), fS)
+        val listS = stageWriterCommit(scratch, snapId,
+          basePathsOf(loadS) :+ fS)
+        s"""{"identifier":{"namespace":["main","db"],"name":"sib"},
+           |"requirements":${reqsOverride.getOrElse(reqsOf(metaS))},
+           |"updates":[
+           |{"action":"add-snapshot","snapshot":{"snapshot-id":$snapId,
+           |"timestamp-ms":1700000000000,"schema-id":0,
+           |"manifest-list":"${listS.toUri}",
+           |"summary":{"operation":"append"}}},
+           |{"action":"set-snapshot-ref","ref-name":"main",
+           |"snapshot-id":$snapId,"type":"branch"}]}"""
+          .stripMargin.replaceAll("\n", "")
+      }
+      val g = graft.versioned.GraftRepo.open(root)
+      val headBefore = g.headCommit("main").id
+      val (c, e) = send("POST", "/v1/transactions/commit",
+        s"""{"table-changes":[$upsertMember,${
+          sibMember(9202L, "sib-txn.parquet", (20, "y"))}]}""", srv)
+      withClue(e.toString) { c shouldBe 204 }
+      g.headCommit("main").parents shouldBe Seq(headBefore)
+      // (2,'b') eq-deleted in the base; (2,'B2') survives (same-commit
+      // add, strictly-lower exemption); sibling append landed — atomic
+      sql("SELECT id, v FROM g.txneq.main.db.ups ORDER BY id, v")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+        Seq((1, "a"), (2, "B2"), (3, "c"), (4, "d"))
+      sql("SELECT id FROM g.txneq.main.db.sib ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq shouldBe Seq(10, 20)
+      val snapU = g.snapshot(g.resolve("main").tables("db/ups"))
+      graft.versioned.Tombstones.of(snapU).size shouldBe 1
+
+      // STALE upsert member + fresh sibling: the WHOLE transaction
+      // 409s, the sibling's append does NOT land
+      val loadU2 = loadT("ups"); val metaU2 = loadU2.get("metadata")
+      val eqDel2 = stageOf(metaU2).resolve("ups-txn-eq2.parquet")
+      writeOneParquet(Seq(4).toDF("id"), eqDel2)
+      val listU2 = stageMixedDeleteCommit(scratch, 9203L,
+        basePathsOf(loadU2), Seq((eqDel2, 2, Some(Seq(idFieldId)))))
+      val staleUpsert =
+        s"""{"identifier":{"namespace":["main","db"],"name":"ups"},
+           |"requirements":[{"type":"assert-ref-snapshot-id","ref":"main",
+           |"snapshot-id":555555}],
+           |"updates":[
+           |{"action":"add-snapshot","snapshot":{"snapshot-id":9203,
+           |"timestamp-ms":1700000000000,"schema-id":0,
+           |"manifest-list":"${listU2.toUri}",
+           |"summary":{"operation":"overwrite"}}}]}"""
+          .stripMargin.replaceAll("\n", "")
+      val (cS, eS) = send("POST", "/v1/transactions/commit",
+        s"""{"table-changes":[$staleUpsert,${
+          sibMember(9204L, "sib-txn-stale.parquet", (30, "z"))}]}""", srv)
+      cS shouldBe 409
+      eS.get("error").get("type").asText() shouldBe "CommitFailedException"
+      sql("SELECT count(*) FROM g.txneq.main.db.sib")
+        .collect().head.getLong(0) shouldBe 2L
+      sql("SELECT count(*) FROM g.txneq.main.db.ups WHERE id = 4")
+        .collect().head.getLong(0) shouldBe 1L
+
+      // an eq-delete member claiming operation=append refuses 400
+      val loadU3 = loadT("ups"); val metaU3 = loadU3.get("metadata")
+      val eqDel3 = stageOf(metaU3).resolve("ups-txn-eq3.parquet")
+      writeOneParquet(Seq(1).toDF("id"), eqDel3)
+      val listU3 = stageMixedDeleteCommit(scratch, 9205L,
+        basePathsOf(loadU3), Seq((eqDel3, 2, Some(Seq(idFieldId)))))
+      val appendEq =
+        s"""{"identifier":{"namespace":["main","db"],"name":"ups"},
+           |"requirements":${reqsOf(metaU3)},
+           |"updates":[
+           |{"action":"add-snapshot","snapshot":{"snapshot-id":9205,
+           |"timestamp-ms":1700000000000,"schema-id":0,
+           |"manifest-list":"${listU3.toUri}",
+           |"summary":{"operation":"append"}}}]}"""
+          .stripMargin.replaceAll("\n", "")
+      val (cA, eA) = send("POST", "/v1/transactions/commit",
+        s"""{"table-changes":[$appendEq]}""", srv)
+      cA shouldBe 400
+      eA.get("error").get("message").asText() should include ("equality")
+
+      // a POSITIONAL-delete member still refuses: the rewrite it needs
+      // stays a single-table commit
+      val posDel = stageOf(metaU3).resolve("ups-txn-pos.parquet")
+      writeOneParquet(Seq((basePathsOf(loadU3).head.toUri.toString, 0L))
+        .toDF("file_path", "pos"), posDel)
+      val listP = stageMixedDeleteCommit(scratch, 9206L,
+        basePathsOf(loadU3), Seq((posDel, 1, None)))
+      val posMember =
+        s"""{"identifier":{"namespace":["main","db"],"name":"ups"},
+           |"requirements":${reqsOf(metaU3)},
+           |"updates":[
+           |{"action":"add-snapshot","snapshot":{"snapshot-id":9206,
+           |"timestamp-ms":1700000000000,"schema-id":0,
+           |"manifest-list":"${listP.toUri}",
+           |"summary":{"operation":"overwrite"}}}]}"""
+          .stripMargin.replaceAll("\n", "")
+      val (cP, eP) = send("POST", "/v1/transactions/commit",
+        s"""{"table-changes":[$posMember]}""", srv)
+      cP shouldBe 400
+      eP.get("error").get("message").asText() should
+        include ("positional")
     } finally srv.close()
   }
 
@@ -3124,6 +3362,122 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       cA shouldBe 400
       eA.get("error").get("message").asText() should
         include ("schema change")
+    } finally srv.close()
+  }
+
+  test("ROLLBACK guards the WHOLE bundled snapshot state: a target " +
+    "from before a partition-spec or table-property change refuses " +
+    "400 (Iceberg rollback keeps those current; a graft pointer swap " +
+    "would silently revert them), while MoR tombstone state " +
+    "(graft.mor.*) stays exempt — and the sid→gid inversion is " +
+    "MEMOIZED, so a rollback after N new commits walks only those N, " +
+    "never the whole first-parent history again") {
+    sql("CREATE NAMESPACE g.rbg")
+    sql("CREATE NAMESPACE g.rbg.main.db")
+    sql("CREATE TABLE g.rbg.main.db.r (id INT, cat STRING)")
+    sql("INSERT INTO g.rbg.main.db.r VALUES (1,'a'), (2,'b')")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rbg")
+    val exports = Files.createTempDirectory("graft-rbg-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), maxSnapshots = 5, writable = true)
+    try {
+      def load() = get(s"/v1/namespaces/${enc("main", "db")}/tables/r",
+        srv)._2.get("metadata")
+      def rollbackBody(meta: JsonNode, target: Long) = {
+        val refSnap = meta.get("refs").get("main").get("snapshot-id").asLong()
+        s"""{"requirements":[
+           |{"type":"assert-table-uuid",
+           |"uuid":"${meta.get("table-uuid").asText()}"},
+           |{"type":"assert-ref-snapshot-id","ref":"main",
+           |"snapshot-id":$refSnap}],
+           |"updates":[
+           |{"action":"set-snapshot-ref","ref-name":"main",
+           |"snapshot-id":$target,"type":"branch"}]}"""
+          .stripMargin.replaceAll("\n", "")
+      }
+      def post(body: String) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/r", body, srv)
+
+      // ---- a TABLE-PROPERTY change fences rollback: the target's
+      // user properties differ from the head's
+      val sBeforeProps = load().get("current-snapshot-id").asLong()
+      sql("ALTER TABLE g.rbg.main.db.r SET TBLPROPERTIES('team'='data')")
+      val (cP, eP) = post(rollbackBody(load(), sBeforeProps))
+      cP shouldBe 400
+      eP.get("error").get("message").asText() should
+        include ("table properties")
+
+      // ---- MoR tombstone state is EXEMPT: rolling back across a
+      // merge-on-read DELETE is the rollback's whole point — only
+      // graft.mor.* differs between target and head, and that reverts
+      sql("ALTER TABLE g.rbg.main.db.r " +
+        "SET TBLPROPERTIES('graft.delete.mode'='merge-on-read')")
+      val sBeforeDelete = load().get("current-snapshot-id").asLong()
+      sql("DELETE FROM g.rbg.main.db.r WHERE id = 2")
+      sql("SELECT count(*) FROM g.rbg.main.db.r")
+        .collect().head.getLong(0) shouldBe 1L
+      val (cT, eT) = post(rollbackBody(load(), sBeforeDelete))
+      withClue(eT.toString) { cT shouldBe 200 }
+      sql("SELECT count(*) FROM g.rbg.main.db.r")
+        .collect().head.getLong(0) shouldBe 2L
+
+      // ---- a PARTITION-SPEC change fences rollback
+      val sBeforeSpec = load().get("current-snapshot-id").asLong()
+      val metaS = load()
+      val catId = {
+        val it = metaS.get("schemas").elements().next()
+          .get("fields").elements()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .find(_.get("name").asText() == "cat").get.get("id").asInt()
+      }
+      val (cSpec, eSpec) = post(s"""{"requirements":[
+         |{"type":"assert-table-uuid",
+         |"uuid":"${metaS.get("table-uuid").asText()}"}],
+         |"updates":[
+         |{"action":"add-partition-spec","spec":{"spec-id":1,
+         |"fields":[{"source-id":$catId,"name":"cat",
+         |"transform":"identity","field-id":1000}]}},
+         |{"action":"set-default-spec","spec-id":-1}]}""".stripMargin
+        .replaceAll("\n", ""))
+      withClue(eSpec.toString) { cSpec shouldBe 200 }
+      val (cS2, eS2) = post(rollbackBody(load(), sBeforeSpec))
+      cS2 shouldBe 400
+      eS2.get("error").get("message").asText() should
+        include ("partition-spec")
+
+      // ---- MEMOIZED inversion: deepen the history, roll back once
+      // (builds the index over the new commits), then roll back again
+      // — the second walk reuses the index and loads only the commits
+      // the first rollback itself added
+      (1 to 30).foreach(i =>
+        sql(s"INSERT INTO g.rbg.main.db.r VALUES (${100 + i}, 'z')"))
+      import scala.jdk.CollectionConverters._
+      val metaH = load()
+      val servedIds = metaH.get("snapshots").elements().asScala
+        .map(_.get("snapshot-id").asLong()).toSeq
+      val cur = metaH.get("current-snapshot-id").asLong()
+      val priors = servedIds.filterNot(_ == cur)
+      priors.size should be >= 2
+      val before1 = graft.versioned.GraftRepo.commitReadCount
+      val (c1, e1) = post(rollbackBody(metaH, priors.head))
+      withClue(e1.toString) { c1 shouldBe 200 }
+      val loads1 = graft.versioned.GraftRepo.commitReadCount - before1
+      val metaH2 = load()
+      val target2 = priors.find(id =>
+        id != metaH2.get("current-snapshot-id").asLong()).get
+      val before2 = graft.versioned.GraftRepo.commitReadCount
+      val (c2, e2) = post(rollbackBody(metaH2, target2))
+      withClue(e2.toString) { c2 shouldBe 200 }
+      val loads2 = graft.versioned.GraftRepo.commitReadCount - before2
+      // first walk paid the 30-insert delta; the second paid only the
+      // first rollback's own commit (+ the serve/commit overhead both
+      // walks share) — O(new commits), never O(history)
+      withClue(s"loads1=$loads1 loads2=$loads2") {
+        loads1 should be >= 30L
+        loads2 should be <= 15L
+        loads2 should be < loads1 / 2
+      }
     } finally srv.close()
   }
 
