@@ -106,6 +106,15 @@ object ScaleSmoke {
       time("dd_indexScreen")(
         operators.Dedup.indexScreen(spark, cat, "r", "main", delta, t)
           .count())
+      // the OTHER recurring half of the daily cycle: admit the same
+      // fixed delta (screen + atomic docs/postings append). Cost must
+      // track the delta across SPARK_GRAFT_SCALE like the screen —
+      // the stored dfreq is scanned via a broadcast semi, never
+      // shuffled per admit (shuffle-volume-asserted in
+      // DedupIncrementalSpec; this row records the wall-clock curve)
+      time("dd_indexAdmit")(
+        operators.Dedup.indexAdmit(spark, cat, repo, "main", delta, t)
+          .count())
     }
 
     // CDC + REST gates on the 10× nation: cost must track the CHANGE

@@ -179,7 +179,7 @@ class DedupIncrementalSpec extends AnyFunSuite with Matchers with BeforeAndAfter
     // pair and one verify-partner read exist each time)
     val delta = (50000L until 50010L).map(i => (i, docText(i))) :+
       ((60000L, nearDupOf(3)))
-    def screenBytes(ns: String): (Set[Long], Long) = {
+    def shuffleBytes[A](f: => A): (A, Long) = {
       val total = new java.util.concurrent.atomic.AtomicLong()
       val l = new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -190,12 +190,15 @@ class DedupIncrementalSpec extends AnyFunSuite with Matchers with BeforeAndAfter
       }
       spark.sparkContext.addSparkListener(l)
       try {
-        val got = Dedup.indexScreen(spark, "gd", ns, "main", df(delta), t)
-          .collect().map(_.getLong(0)).toSet
+        val got = f
         org.apache.spark.graftbridge.TestListenerBridge
           .drain(spark.sparkContext)
         (got, total.get())
       } finally spark.sparkContext.removeSparkListener(l)
+    }
+    def screenBytes(ns: String): (Set[Long], Long) = shuffleBytes {
+      Dedup.indexScreen(spark, "gd", ns, "main", df(delta), t)
+        .collect().map(_.getLong(0)).toSet
     }
     val (gotS, bytesS) = screenBytes("rs")
     val (gotL, bytesL) = screenBytes("rl")
@@ -209,6 +212,23 @@ class DedupIncrementalSpec extends AnyFunSuite with Matchers with BeforeAndAfter
     // framework jitter)
     withClue(s"small=$bytesS large=$bytesL: ") {
       bytesL should be <= math.max(3L * bytesS, bytesS + (64L << 10))
+    }
+    // the ADMIT half of the daily cycle (screen + atomic postings
+    // append) tracks the delta too: the admitted docs' postings rank
+    // against dfreq pruned via a broadcast semi — the stored table is
+    // scanned column-pruned, never shuffled — so the same fixed batch
+    // admits into the 8x corpus at ~1x shuffle bytes (r15)
+    val admitDelta = (70000L until 70010L).map(i => (i, docText(i)))
+    def admitBytes(ns: String): (Long, Long) = shuffleBytes {
+      Dedup.indexAdmit(spark, "gd", GraftRepo.open(catRoot.resolve(ns)),
+        "main", df(admitDelta), t).count()
+    }
+    val (admS, aBytesS) = admitBytes("rs")
+    val (admL, aBytesL) = admitBytes("rl")
+    admS shouldBe 10L
+    admL shouldBe 10L
+    withClue(s"admit small=$aBytesS large=$aBytesL: ") {
+      aBytesL should be <= math.max(3L * aBytesS, aBytesS + (64L << 10))
     }
   }
 
