@@ -1462,6 +1462,30 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           throw new MergeConflictException(
             s"replace of $key conflicts with a concurrent merge-on-read " +
               "delete since the served base — refresh and re-run")
+        // row-preservation sanity: a replace may only SHRINK rows, and
+        // only by materializing deletes that masked the dropped files;
+        // when nothing masked them it must preserve rows EXACTLY. The
+        // CompactMarker makes changesBetween net this commit to zero,
+        // so a lying rewrite would otherwise hide inserts (or silent
+        // row loss) from every CDC consumer.
+        val droppedEntries = {
+          val ds = dropRels.toSet
+          prior.files.filter(f => ds(f.path))
+        }
+        val droppedRows = droppedEntries.map(_.rows).sum
+        val addedRows = entries.map(_.rows).sum
+        if (addedRows > droppedRows) throw new IllegalArgumentException(
+          s"replace of $key posts $addedRows rows where the dropped " +
+            s"files held $droppedRows — a compaction never grows rows " +
+            "(post new rows as operation=append)")
+        val tombs = Tombstones.of(prior)
+        val anyMasked = retiredDels.nonEmpty || droppedEntries.exists(f =>
+          tombs.exists(_.seq > f.seq.getOrElse(0L)))
+        if (!anyMasked && addedRows != droppedRows)
+          throw new IllegalArgumentException(
+            s"replace of $key posts $addedRows rows where the dropped " +
+              s"files held $droppedRows and no delete masked them — a " +
+              "row-preserving rewrite must keep the count exact")
         val props0 = (prior.properties -- removeProps) ++ setProps
         val next = Tombstones.lastSeq(props0) + 1
         val stamped = entries.map(_.copy(seq = Some(next)))

@@ -3158,6 +3158,91 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     } finally srv.close()
   }
 
+  test("operation=replace row-preservation guard: a replace that GROWS " +
+    "rows refuses 400 (an insert masquerading as compaction would hide " +
+    "rows from CDC under the compact marker), an unmasked replace that " +
+    "SHRINKS rows refuses 400, and a delete-materializing compaction " +
+    "on a MoR table (legitimate shrink) still lands") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.reprc")
+    sql("CREATE NAMESPACE g.reprc.main.db")
+    sql("CREATE TABLE g.reprc.main.db.p (id INT, v STRING)")
+    sql("INSERT INTO g.reprc.main.db.p VALUES (1,'a'), (2,'b')")
+    sql("INSERT INTO g.reprc.main.db.p VALUES (3,'c'), (4,'d')")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "reprc")
+    val exports = Files.createTempDirectory("graft-reprc-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true)
+    val scratch = Files.createTempDirectory("rest-reprc-scratch")
+    try {
+      def loadP(t: String) =
+        get(s"/v1/namespaces/${enc("main", "db")}/tables/$t", srv)
+      def replaceBody(meta: JsonNode, snapId: Long,
+          list: java.nio.file.Path) =
+        commitBody(meta, snapId, list)
+          .replace("\"operation\":\"append\"", "\"operation\":\"replace\"")
+      val (_, load0) = loadP("p")
+      val meta0 = load0.get("metadata")
+      val baseFiles = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(load0.get("metadata-location").asText()))
+        .dataPaths.map(java.nio.file.Paths.get(_))
+      val stage = java.nio.file.Paths.get(URI.create(
+        meta0.get("properties").get("write.data.path").asText() + "/"))
+      // GROWING "compaction": all live rows plus a smuggled insert
+      val grown = stage.resolve("p-grown.parquet")
+      writeOneParquet(spark.read.parquet(baseFiles.map(_.toString): _*)
+        .unionByName(Seq((9, "SMUGGLED")).toDF("id", "v")).coalesce(1),
+        grown)
+      val (cG, eG) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/p",
+        replaceBody(meta0, 7991L, stageWriterCommit(scratch, 7991L,
+          Seq(grown))), srv)
+      cG shouldBe 400
+      eG.get("error").get("message").asText() should include ("grows")
+      // SHRINKING "compaction" with nothing masked: silently losing a
+      // row is not a rewrite
+      val shrunk = stage.resolve("p-shrunk.parquet")
+      writeOneParquet(spark.read.parquet(baseFiles.map(_.toString): _*)
+        .filter("id <> 4").coalesce(1), shrunk)
+      val (cS, eS) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/p",
+        replaceBody(meta0, 7992L, stageWriterCommit(scratch, 7992L,
+          Seq(shrunk))), srv)
+      cS shouldBe 400
+      eS.get("error").get("message").asText() should include ("exact")
+      sql("SELECT count(*) FROM g.reprc.main.db.p")
+        .collect().head.getLong(0) shouldBe 4L
+
+      // a MoR table's delete-MATERIALIZING compaction shrinks
+      // legitimately: the tombstone masked the dropped files, the
+      // rewrite carries only live rows and retires the delete file
+      sql("CREATE TABLE g.reprc.main.db.m (id INT, v STRING) " +
+        "TBLPROPERTIES('graft.delete.mode'='merge-on-read')")
+      sql("INSERT INTO g.reprc.main.db.m VALUES (1,'a'), (2,'b'), (3,'c')")
+      sql("DELETE FROM g.reprc.main.db.m WHERE id = 2")
+      val (_, loadM) = loadP("m")
+      val metaM = loadM.get("metadata")
+      val planM = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(loadM.get("metadata-location").asText()))
+      planM.deleteFiles should not be empty
+      val stageM = java.nio.file.Paths.get(URI.create(
+        metaM.get("properties").get("write.data.path").asText() + "/"))
+      val mat = stageM.resolve("m-materialized.parquet")
+      writeOneParquet(Seq((1, "a"), (3, "c")).toDF("id", "v"), mat)
+      // drops every base file, posts the live rows, relists NO delete
+      // file (retired — applies to nothing surviving)
+      val (cM, eM) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/m",
+        replaceBody(metaM, 7993L, stageWriterCommit(scratch, 7993L,
+          Seq(mat))), srv)
+      withClue(eM.toString) { cM shouldBe 200 }
+      sql("SELECT id, v FROM g.reprc.main.db.m ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+        Seq((1, "a"), (3, "c"))
+    } finally srv.close()
+  }
+
   test("pagination over a 10k-table TREE-SEGMENTED branch SEEKS " +
     "through the chunked map: each page loads O(page) chunks — never " +
     "the full map — and the pages enumerate every table exactly once " +
