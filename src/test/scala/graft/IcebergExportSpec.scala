@@ -988,14 +988,23 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
         .filter(n => n.startsWith("cm-") && n.endsWith(".avro")).toSet
       val before = cm2
       before.size shouldBe refsOf(c2).map(_.path).distinct.size
+      val filesBefore = repo
+        .snapshot(repo.resolve("main").tables("db/t")).files.size
       sql("INSERT INTO g.icemseg.main.db.t SELECT CAST(id AS INT), " +
         "CAST(id AS DOUBLE) FROM range(200, 210)")
       val c3 = repo.headCommit("main").id
+      val filesAdded = repo
+        .snapshot(repo.resolve("main").tables("db/t")).files.size -
+        filesBefore
       val after = cm2
       // the append re-emitted O(changed chunks): every chunk manifest of
-      // the previous emission that is still a live chunk was NOT rewritten,
-      // and the new files' chunks added at most a few new avros
-      (after -- before).size should be <= 3
+      // the previous emission that is still a live chunk was NOT
+      // rewritten. The new-avro count depends on where content-defined
+      // cuts fall around the appended entries (path hashes are
+      // randomized per run): worst case each appended file opens its own
+      // chunk plus the perturbed tail re-emits — bound by files added,
+      // not a fixed constant
+      (after -- before).size should be <= (filesAdded + 2)
       before.intersect(after).size should be >= (before.size - 3)
       graft.versioned.IcebergImport.read(spark, dest2)
         .orderBy("id").collect().map(r => (r.getInt(0), r.getDouble(1))) shouldBe
