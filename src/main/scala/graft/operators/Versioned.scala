@@ -1376,6 +1376,36 @@ object Versioned {
           + "/"))
       Files.createDirectories(upsStage)
       val listUps = exportListLoc(repo, s, "db/ups_stage", Some(upsStage))
+      // the fifth member (r15): a CoW REWRITE — the engine's
+      // copy-on-write DELETE drops base files and posts their
+      // survivors, riding the same atomic commit as the sibling
+      // appends (staged with graft's own CoW delete on a clone, so the
+      // posted manifest genuinely drops base files and adds rewritten
+      // ones living in the repo data plane — zero-copy registration)
+      s.sql(s"CALL $cat.system.clone_table('r', 'main', " +
+        "'db.nation', 'db.cow')")
+      s.sql(s"CALL $cat.system.clone_table('r', 'main', " +
+        "'db.nation', 'db.cow_stage')")
+      s.sql(s"DELETE FROM $cat.r.main.db.cow_stage WHERE n_nationkey >= 20")
+      val listCow = exportListLoc(repo, s, "db/cow_stage")
+      // the sixth member (r15): POSITIONAL deletes — the default Spark
+      // MoR DELETE shape (a range predicate is not equality-
+      // expressible, so the export writes content=1 position files);
+      // the server lowers the member onto a per-table CoW rewrite
+      // staged BEFORE the atomic fold
+      s.sql(s"CALL $cat.system.clone_table('r', 'main', " +
+        "'db.nation', 'db.pos')")
+      s.sql(s"CALL $cat.system.clone_table('r', 'main', " +
+        "'db.nation', 'db.pos_stage')")
+      s.sql(s"ALTER TABLE $cat.r.main.db.pos_stage " +
+        "SET TBLPROPERTIES('graft.delete.mode'='merge-on-read')")
+      s.sql(s"DELETE FROM $cat.r.main.db.pos_stage " +
+        "WHERE n_name > 'NATION_5'")
+      val posStage = java.nio.file.Paths.get(java.net.URI.create(
+        loadMeta("pos").get("properties").get("write.data.path").asText()
+          + "/"))
+      Files.createDirectories(posStage)
+      val listPos = exportListLoc(repo, s, "db/pos_stage", Some(posStage))
       def change(t: String, snapId: Long, listLoc: String): String = {
         val meta = loadMeta(t)
         val refSnap = meta.get("refs").get("main").get("snapshot-id").asLong()
@@ -1434,12 +1464,20 @@ object Versioned {
         change(t, snapId, listLoc).replace(
           "\"summary\":{\"operation\":\"append\"}",
           "\"summary\":{\"operation\":\"overwrite\"}")
+      // the rewrite and posdel members post operation=overwrite/delete
+      def rewriteChange(t: String, snapId: Long, listLoc: String,
+          op: String): String =
+        change(t, snapId, listLoc).replace(
+          "\"summary\":{\"operation\":\"append\"}",
+          s""""summary":{"operation":"$op"}""")
       val headBefore = repo.headCommit("main").id
       val body = s"""{"table-changes":[
         |${change("nation", 9801L, listA)},
         |${change("dim", 9802L, listB)},
         |${schemaPlusAppend("wide", 9803L, listW)},
-        |${upsertChange("ups", 9804L, listUps)}]}"""
+        |${upsertChange("ups", 9804L, listUps)},
+        |${rewriteChange("cow", 9805L, listCow, "overwrite")},
+        |${rewriteChange("pos", 9806L, listPos, "delete")}]}"""
         .stripMargin.replaceAll("\n", "")
       val resp = http.send(java.net.http.HttpRequest.newBuilder(
         java.net.URI.create(s"${srv.uri}/v1/transactions/commit"))
@@ -1469,6 +1507,14 @@ object Versioned {
       s"UNION ALL SELECT 'd', n_nationkey, n_name, n_regionkey, " +
       "CAST(NULL AS BIGINT) " +
       s"FROM $cat.r.main.db.ups " +
+      // the CoW rewrite member: keys >= 20 rewritten away
+      s"UNION ALL SELECT 'e', n_nationkey, n_name, n_regionkey, " +
+      "CAST(NULL AS BIGINT) " +
+      s"FROM $cat.r.main.db.cow " +
+      // the positional-delete member: names > NATION_5 materialized out
+      s"UNION ALL SELECT 'f', n_nationkey, n_name, n_regionkey, " +
+      "CAST(NULL AS BIGINT) " +
+      s"FROM $cat.r.main.db.pos " +
       "ORDER BY src, n_nationkey")
   }
 
@@ -2543,6 +2589,13 @@ object Versioned {
         |  SELECT 'd', n_nationkey, n_name, n_regionkey,
         |         CAST(NULL AS BIGINT) FROM nation WHERE n_nationkey <> 2
         |  UNION ALL SELECT 'd', 2, 'UPSERTED', 9, CAST(NULL AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'e', n_nationkey, n_name, n_regionkey,
+        |         CAST(NULL AS BIGINT) FROM nation WHERE n_nationkey < 20
+        |  UNION ALL
+        |  SELECT 'f', n_nationkey, n_name, n_regionkey,
+        |         CAST(NULL AS BIGINT) FROM nation
+        |  WHERE NOT (n_name > 'NATION_5')
         |)
         |ORDER BY src, n_nationkey""".stripMargin
     )(restTxn),

@@ -1205,51 +1205,75 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         s"set-snapshot-ref names snapshot $target, which is not a " +
           s"version of $key on $ref — nothing to roll back to"))
       val targetSnap = repo.snapshot(gid)
-      // Iceberg's rollback moves only the ref — schema stays current —
-      // but a graft snapshot bundles schema + spec + mapping + props,
-      // so a swap across ANY metadata evolution would silently revert
-      // state Iceberg keeps current. Served history never crosses an
-      // evolution (export eligibility checks all of these), so every
-      // id the engine can SEE passes; a remembered id from before a
-      // metadata change refuses honestly instead. MoR tombstone state
-      // (graft.mor.*) is EXEMPT: delete files legitimately differ per
-      // snapshot and reverting them IS the rollback's point.
-      if (targetSnap.schemaJson != head.schemaJson)
-        throw new IllegalArgumentException(
-          s"rollback target of $key predates a schema change — roll " +
-            "back to a snapshot under the current schema (or use " +
-            "graft's native rollback, which restores the whole state)")
-      if (targetSnap.partitionFields != head.partitionFields)
-        throw new IllegalArgumentException(
-          s"rollback target of $key predates a partition-spec change — " +
-            "Iceberg rollback keeps the current spec, a graft snapshot " +
-            "swap would revert it (use graft's native rollback to " +
-            "restore the whole state)")
-      if (targetSnap.nameMapping != head.nameMapping)
-        throw new IllegalArgumentException(
-          s"rollback target of $key predates a column-mapping change — " +
-            "a snapshot swap would revert the name mapping (use " +
-            "graft's native rollback to restore the whole state)")
-      def userProps(sn: graft.versioned.Snapshot): Map[String, String] =
-        sn.properties.filterNot(_._1.startsWith("graft.mor."))
-      if (userProps(targetSnap) != userProps(head))
-        throw new IllegalArgumentException(
-          s"rollback target of $key carries different table properties " +
-            "than the current snapshot — Iceberg rollback keeps " +
-            "properties current, a graft snapshot swap would revert " +
-            "them (post the property updates after rolling back " +
-            "natively, or roll back with graft, which restores the " +
-            "whole state)")
       val missing = targetSnap.files.filterNot(f =>
         repo.dataIO.isFile(f.path))
       if (missing.nonEmpty) throw new IllegalArgumentException(
         s"rollback target of $key references ${missing.size} vacuumed " +
           s"file(s) (e.g. ${missing.head.path}) — not restorable")
-      repo.commitRetry(ref, s"rest: rollback $key to snapshot $target") {
-        base =>
+      // Iceberg's rollback moves only the ref — schema, spec, mapping
+      // and properties stay CURRENT — but a graft snapshot bundles all
+      // of them, so a bare pointer swap across ANY metadata evolution
+      // would silently revert state Iceberg keeps current. Served
+      // history never crosses an evolution (export eligibility checks
+      // all of these), so every id the engine can SEE takes the
+      // zero-copy swap; a remembered id from before a metadata change
+      // lowers onto a FILE-SET REVERT instead (r15): one commit whose
+      // snapshot carries the TARGET's live files and MoR tombstone
+      // state under the HEAD's schema/spec/mapping/user properties —
+      // exactly the Iceberg observable state (rows revert, metadata
+      // does not). Old files read under the current schema the same
+      // way any post-evolution read does: physical column names are
+      // write-stable (renames rebind only the logical name) and graft
+      // evolution is metadata-only, so every file the target listed is
+      // still readable and prunable under the head metadata. MoR
+      // tombstone state (graft.mor.*) comes from the TARGET: delete
+      // state legitimately differs per snapshot and reverting it IS
+      // the rollback's point. NOTE the one protocol-visible
+      // divergence: the reverted state re-exports under a FRESH
+      // snapshot id (a new graft snapshot), where Iceberg proper would
+      // re-serve the remembered id — a client that re-posts the same
+      // rollback hits the already-reverted guard below and gets a
+      // validated no-op.
+      def userProps(sn: graft.versioned.Snapshot): Map[String, String] =
+        sn.properties.filterNot(_._1.startsWith("graft.mor."))
+      def morProps(sn: graft.versioned.Snapshot): Map[String, String] =
+        sn.properties.filter(_._1.startsWith("graft.mor."))
+      val metadataMatches =
+        targetSnap.schemaJson == head.schemaJson &&
+        targetSnap.partitionFields == head.partitionFields &&
+        targetSnap.nameMapping == head.nameMapping &&
+        userProps(targetSnap) == userProps(head)
+      // file-set equality: segmented snapshots compare O(chunks) of
+      // content-addressed manifest refs (identical lists chunk
+      // identically — content-defined cuts), never materializing a
+      // million-file list on the driver; inline snapshots compare the
+      // lists directly
+      val sameFiles =
+        if (head.manifestRefs.nonEmpty && targetSnap.manifestRefs.nonEmpty)
+          head.manifestRefs.map(_.path) == targetSnap.manifestRefs.map(_.path)
+        else if (head.manifestRefs.isEmpty && targetSnap.manifestRefs.isEmpty)
+          head.files.map(f => (f.path, f.seqNo)).toSet ==
+            targetSnap.files.map(f => (f.path, f.seqNo)).toSet
+        else false // one segmented, one inline — sizes differ by design
+      val alreadyReverted =
+        sameFiles && morProps(head) == morProps(targetSnap)
+      if (metadataMatches)
+        repo.commitRetry(ref, s"rest: rollback $key to snapshot $target") {
+          base =>
+            pin(base)
+            (base.tables + (key -> gid), base.namespaces)
+        }
+      else if (!alreadyReverted)
+        repo.commitRetry(ref, s"rest: rollback $key to snapshot $target " +
+          "(file-set revert across a metadata change)") { base =>
           pin(base)
-          (base.tables + (key -> gid), base.namespaces)
-      }
+          val prior = repo.snapshot(base.tables(key))
+          val props = userProps(prior) ++ morProps(targetSnap)
+          val ns2 = repo.writeSnapshot(key, prior.schemaJson,
+            targetSnap.files, prior.partitionBy, prior.physicalNames,
+            if (props.isEmpty) None else Some(props), prior.retired)
+          (base.tables + (key -> ns2.id), base.namespaces)
+        }
       return loadResult(serve(repo, prefix, ref, key))
     }
     // a no-op set-snapshot-ref to the CURRENT snapshot with nothing
@@ -1520,13 +1544,163 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     //    the rewrite and land as a tombstone for the untouched files;
     //    same-commit adds stay exempt.
     if (posDeletes.nonEmpty) {
-      val s = spark.getOrElse(throw new UnsupportedOperationException(
-        "positional-delete commits need the serving SparkSession: the " +
-          "referenced files are rewritten with a distributed read"))
-      val baseByNorm = basePlan.dataFiles
-        .map(f => IcebergImport.normStr(f.path) -> f).toMap
-      val addByNorm = addedFiles
-        .map(f => IcebergImport.normStr(f.path) -> f).toMap
+      val pm = materializePosDeletes(repo, ref, key, destRoot, head,
+        basePlan, addedFiles, posDeletes, eqDeletes, hconf)
+      repo.commitRetry(ref, s"rest: $op $key (positional deletes " +
+        s"materialized: ${pm.dirtyBase} base file(s) rewritten, " +
+        s"${pm.dirtyAdds} add(s) folded, +${pm.cleanEntries.size} new" +
+        (if (pm.eqFilter.isDefined) ", equality tombstone" else "") + ")") {
+        base =>
+          pin(base)
+          val prior = repo.snapshot(base.tables(key))
+          val live = prior.files.iterator.map(_.path).toSet
+          val dropSet = pm.dropBaseRels.toSet
+          val missing = dropSet -- live
+          if (missing.nonEmpty) throw new MergeConflictException(
+            s"rewrite of $key drops ${missing.size} file(s) not live at " +
+              s"the commit base (e.g. ${missing.head}) — refresh and retry")
+          val props0 = (prior.properties -- removeProps) ++ setProps
+          val next = Tombstones.lastSeq(props0) + 1
+          // the tombstone (untouched base files only — rewritten and
+          // added files land AT `next` and are exempt by graft's strict
+          // `>` applicability, matching the spec's strictly-lower rule)
+          val props1 = pm.eqFilter match {
+            case Some(f) => Tombstones.append(props0, next, f)
+            case None => props0 + (Tombstones.SeqProp -> next.toString)
+          }
+          val stamped = (pm.rewritten ++ pm.cleanEntries)
+            .map(_.copy(seq = Some(next)))
+          val kept = prior.files.filterNot(f => dropSet(f.path))
+          val snap2 = repo.writeSnapshot(key, prior.schemaJson,
+            kept ++ stamped, prior.partitionBy, prior.physicalNames,
+            Some(props1), prior.retired)
+          (base.tables + (key -> snap2.id), base.namespaces)
+      }
+      return loadResult(serve(repo, prefix, ref, key))
+    }
+
+
+    val entries = ingestEntries(repo, ref, key, destRoot, addedFiles,
+      ev.schema, ev.mapping, ev.spec, hconf)
+
+    // equality deletes → ONE tombstone predicate (Or across files/rows)
+    val morFilter: Option[org.apache.spark.sql.sources.Filter] =
+      if (eqDeletes.isEmpty) None
+      else Some(equalityTombstoneFilter(repo, destRoot, eqDeletes,
+        basePlan.fieldIdToName, hconf))
+
+    val pinMsg: graft.versioned.Commit => Unit = pin
+    if (morFilter.isDefined) {
+      // MoR commit: tombstone + (optionally) same-sequence new files —
+      // graft's morUpdate commit shape, arriving over REST
+      repo.commitRetry(ref, s"rest: $op $key (merge-on-read, " +
+        s"+${entries.size} files)") { base =>
+        pinMsg(base)
+        val prior = repo.snapshot(base.tables(key))
+        val props0 = (prior.properties -- removeProps) ++ setProps
+        val next = Tombstones.lastSeq(props0) + 1
+        val props = Tombstones.append(props0, next, morFilter.get)
+        val stamped = entries.map(_.copy(seq = Some(next)))
+        val ns2 = repo.writeSnapshot(key, prior.schemaJson,
+          Manifests.appended(prior.files, stamped),
+          prior.partitionBy, prior.physicalNames, Some(props),
+          prior.retired)
+        (base.tables + (key -> ns2.id), base.namespaces)
+      }
+    } else if (op == "append" && schemaChanges.nonEmpty) {
+      // evolution + first write under the new schema, atomically
+      repo.commitRetry(ref, s"rest: evolve+append $key " +
+        s"(+${entries.size} files)") { base =>
+        pinMsg(base)
+        val prior = repo.snapshot(base.tables(key))
+        val ev2 = SchemaEvolution.evolve(prior, schemaChanges)
+        val props0 = (ev2.props -- removeProps) ++ setProps
+        val next = Tombstones.lastSeq(props0) + 1
+        val stamped = entries.map(_.copy(seq = Some(next)))
+        val props = props0 + (Tombstones.SeqProp -> next.toString)
+        val ns2 = repo.writeSnapshot(key, ev2.schema.json,
+          Manifests.appended(prior.files, stamped),
+          if (ev2.spec.isEmpty) None else Some(ev2.spec),
+          if (ev2.mapping.isEmpty) None else Some(ev2.mapping),
+          if (props.isEmpty) None else Some(props),
+          if (ev2.retired.isEmpty) None else Some(ev2.retired.toSeq.sorted))
+        (base.tables + (key -> ns2.id), base.namespaces)
+      }
+    } else if (op == "append")
+      TableOps.commitAppend(repo, ref, key, entries, overwrite = false,
+        ev.spec, ev.mapping, head.schemaJson,
+        Some(s"rest: append $key (${entries.size} files, " +
+          s"${entries.map(_.rows).sum} rows)"),
+        setProps, precheck = pin, removeProps = removeProps)
+    else {
+      // the engine's CoW rewrite: dropped base files must be data-plane
+      // rels (they are — the served export references them in place)
+      val dropRels = dropped.toSeq.sorted.map { loc =>
+        repo.dataIO.relOf(loc).getOrElse(
+          throw new IllegalStateException(
+            s"base data file outside the repo data plane: $loc"))
+      }
+      TableOps.commitRewrite(repo, ref, key, dropRels.toSet, entries,
+        Some(s"rest: $op $key (+${entries.size}/-${dropRels.size} files, " +
+          s"+${entries.map(_.rows).sum} rows)"),
+        setProps, precheck = pin, removeProps = removeProps)
+    }
+    loadResult(serve(repo, prefix, ref, key))
+  }
+
+
+  /** Rewritten-file pieces of a lowered positional-delete commit (see
+    * [[materializePosDeletes]]): registered inside whichever atomic
+    * commit the caller runs — the single-table commit or a member slot
+    * of a multi-table transaction.
+    */
+  private final case class PosMaterialized(
+      rewritten: Seq[FileEntry], dropBaseRels: Seq[String],
+      cleanEntries: Seq[FileEntry],
+      eqFilter: Option[org.apache.spark.sql.sources.Filter],
+      dirtyBase: Int, dirtyAdds: Int)
+
+  /** Lower posted POSITIONAL deletes / v3 DVs onto a server-side CoW
+    * rewrite of EXACTLY the referenced (dirty) files: the posted delete
+    * rows apply through the independent importer's spec-sequence
+    * semantics (IcebergImport.readPlan on a sub-plan of the dirty
+    * files), and the survivors land as native graft files. Cost is
+    * O(dirty files + delete rows) — what the engine's own CoW DELETE
+    * would have paid. The full Flink-upsert commit shape lands in one
+    * piece (r13):
+    *  - new data files in the same commit (Spark MoR UPDATE: new rows
+    *    + positions masking the old) ride the same commit;
+    *  - positions may reference SAME-COMMIT added files (Flink's
+    *    intra-checkpoint dedup) — those adds are rewritten instead of
+    *    registered verbatim;
+    *  - equality deletes may ride the same commit: per the spec they
+    *    apply STRICTLY BELOW the commit's sequence, so they are
+    *    applied physically to the dirty base files' survivors during
+    *    the rewrite and land as a tombstone for the untouched files;
+    *    same-commit adds stay exempt.
+    * The Spark jobs run BEFORE the caller's atomic commit closure (a
+    * commit retry must never re-run a distributed rewrite); the caller
+    * re-validates the dropped files against ITS base inside the
+    * closure, so a concurrent change still 409s instead of silently
+    * registering stale survivors.
+    */
+  private def materializePosDeletes(repo: GraftRepo, ref: String,
+      key: String, destRoot: Path, head: graft.versioned.Snapshot,
+      basePlan: IcebergImport.Plan,
+      addedFiles: Seq[IcebergImport.DataFile],
+      posDeletes: Seq[IcebergImport.DeleteFile],
+      eqDeletes: Seq[IcebergImport.DeleteFile],
+      hconf: org.apache.hadoop.conf.Configuration): PosMaterialized = {
+    val s = spark.getOrElse(throw new UnsupportedOperationException(
+      "positional-delete commits need the serving SparkSession: the " +
+        "referenced files are rewritten with a distributed read"))
+    val baseByNorm = basePlan.dataFiles
+      .map(f => IcebergImport.normStr(f.path) -> f).toMap
+    val addByNorm = addedFiles
+      .map(f => IcebergImport.normStr(f.path) -> f).toMap
+    val gSchema = org.apache.spark.sql.types.DataType
+      .fromJson(head.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
       // DVs name their referenced file in the manifest; file-based
       // positional deletes are read for their distinct file_path values
       // (delete files are small — this is one skinny distinct scan per
@@ -1615,9 +1789,6 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       // writeFiles takes the table's LOGICAL shape + its name mapping —
       // the exact call the native CoW DELETE makes — so the rewritten
       // files keep partition layout and rename-proof physical stats
-      val gSchema = org.apache.spark.sql.types.DataType
-        .fromJson(head.schemaJson)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
       val survivingLogical = surviving.select(
         gSchema.fields.toIndexedSeq.map(f =>
           col(head.physicalName(f.name)).as(f.name)): _*)
@@ -1640,105 +1811,10 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       val cleanEntries = ingestEntries(repo, ref, key, destRoot,
         addedFiles.filterNot(f =>
           dirtyAddNorm.contains(IcebergImport.normStr(f.path))),
-        ev.schema, ev.mapping, ev.spec, hconf)
-      repo.commitRetry(ref, s"rest: $op $key (positional deletes " +
-        s"materialized: ${dirtyBaseNorm.size} base file(s) rewritten, " +
-        s"${dirtyAddNorm.size} add(s) folded, +${cleanEntries.size} new" +
-        (if (eqFilter.isDefined) ", equality tombstone" else "") + ")") {
-        base =>
-          pin(base)
-          val prior = repo.snapshot(base.tables(key))
-          val live = prior.files.iterator.map(_.path).toSet
-          val missing = dropRels.toSet -- live
-          if (missing.nonEmpty) throw new MergeConflictException(
-            s"rewrite of $key drops ${missing.size} file(s) not live at " +
-              s"the commit base (e.g. ${missing.head}) — refresh and retry")
-          val props0 = (prior.properties -- removeProps) ++ setProps
-          val next = Tombstones.lastSeq(props0) + 1
-          // the tombstone (untouched base files only — rewritten and
-          // added files land AT `next` and are exempt by graft's strict
-          // `>` applicability, matching the spec's strictly-lower rule)
-          val props1 = eqFilter match {
-            case Some(f) => Tombstones.append(props0, next, f)
-            case None => props0 + (Tombstones.SeqProp -> next.toString)
-          }
-          val stamped = (rewritten ++ cleanEntries).map(_.copy(seq = Some(next)))
-          val kept = prior.files.filterNot(f => dropRels.toSet(f.path))
-          val snap2 = repo.writeSnapshot(key, prior.schemaJson,
-            kept ++ stamped, prior.partitionBy, prior.physicalNames,
-            Some(props1), prior.retired)
-          (base.tables + (key -> snap2.id), base.namespaces)
-      }
-      return loadResult(serve(repo, prefix, ref, key))
+        gSchema, head.nameMapping, head.partitionFields, hconf)
+      PosMaterialized(rewritten, dropRels, cleanEntries, eqFilter,
+        dirtyBaseNorm.size, dirtyAddNorm.size)
     }
-
-    val entries = ingestEntries(repo, ref, key, destRoot, addedFiles,
-      ev.schema, ev.mapping, ev.spec, hconf)
-
-    // equality deletes → ONE tombstone predicate (Or across files/rows)
-    val morFilter: Option[org.apache.spark.sql.sources.Filter] =
-      if (eqDeletes.isEmpty) None
-      else Some(equalityTombstoneFilter(repo, destRoot, eqDeletes,
-        basePlan.fieldIdToName, hconf))
-
-    val pinMsg: graft.versioned.Commit => Unit = pin
-    if (morFilter.isDefined) {
-      // MoR commit: tombstone + (optionally) same-sequence new files —
-      // graft's morUpdate commit shape, arriving over REST
-      repo.commitRetry(ref, s"rest: $op $key (merge-on-read, " +
-        s"+${entries.size} files)") { base =>
-        pinMsg(base)
-        val prior = repo.snapshot(base.tables(key))
-        val props0 = (prior.properties -- removeProps) ++ setProps
-        val next = Tombstones.lastSeq(props0) + 1
-        val props = Tombstones.append(props0, next, morFilter.get)
-        val stamped = entries.map(_.copy(seq = Some(next)))
-        val ns2 = repo.writeSnapshot(key, prior.schemaJson,
-          Manifests.appended(prior.files, stamped),
-          prior.partitionBy, prior.physicalNames, Some(props),
-          prior.retired)
-        (base.tables + (key -> ns2.id), base.namespaces)
-      }
-    } else if (op == "append" && schemaChanges.nonEmpty) {
-      // evolution + first write under the new schema, atomically
-      repo.commitRetry(ref, s"rest: evolve+append $key " +
-        s"(+${entries.size} files)") { base =>
-        pinMsg(base)
-        val prior = repo.snapshot(base.tables(key))
-        val ev2 = SchemaEvolution.evolve(prior, schemaChanges)
-        val props0 = (ev2.props -- removeProps) ++ setProps
-        val next = Tombstones.lastSeq(props0) + 1
-        val stamped = entries.map(_.copy(seq = Some(next)))
-        val props = props0 + (Tombstones.SeqProp -> next.toString)
-        val ns2 = repo.writeSnapshot(key, ev2.schema.json,
-          Manifests.appended(prior.files, stamped),
-          if (ev2.spec.isEmpty) None else Some(ev2.spec),
-          if (ev2.mapping.isEmpty) None else Some(ev2.mapping),
-          if (props.isEmpty) None else Some(props),
-          if (ev2.retired.isEmpty) None else Some(ev2.retired.toSeq.sorted))
-        (base.tables + (key -> ns2.id), base.namespaces)
-      }
-    } else if (op == "append")
-      TableOps.commitAppend(repo, ref, key, entries, overwrite = false,
-        ev.spec, ev.mapping, head.schemaJson,
-        Some(s"rest: append $key (${entries.size} files, " +
-          s"${entries.map(_.rows).sum} rows)"),
-        setProps, precheck = pin, removeProps = removeProps)
-    else {
-      // the engine's CoW rewrite: dropped base files must be data-plane
-      // rels (they are — the served export references them in place)
-      val dropRels = dropped.toSeq.sorted.map { loc =>
-        repo.dataIO.relOf(loc).getOrElse(
-          throw new IllegalStateException(
-            s"base data file outside the repo data plane: $loc"))
-      }
-      TableOps.commitRewrite(repo, ref, key, dropRels.toSet, entries,
-        Some(s"rest: $op $key (+${entries.size}/-${dropRels.size} files, " +
-          s"+${entries.map(_.rows).sum} rows)"),
-        setProps, precheck = pin, removeProps = removeProps)
-    }
-    loadResult(serve(repo, prefix, ref, key))
-  }
 
   /** CommitTransactionRequest — the spec's MULTI-TABLE transaction:
     * every table-change lands in ONE graft commit, so fact + dimension
@@ -1755,13 +1831,18 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     * one table while siblings append; lowered like the single-table
     * evolve+append) — equality delete files (the Flink-upsert member
     * shape, lowered onto a predicate tombstone with same-commit adds
-    * exempt), and set/remove-properties, with `assert-table-uuid` /
-    * `assert-ref-snapshot-id` requirements. All tables must live on
-    * ONE branch (a graft commit is per-branch). CTAS, rewrites
-    * (dropped base files), and positional deletes stay single-table
-    * commits — a positional member would need a per-table distributed
-    * rewrite inside the atomic fold, multiplying the conflict matrix
-    * for a shape no engine posts transactionally today.
+    * exempt), a CoW REWRITE (r15: dropped base files leave the live
+    * set, adds register at the member's sequence — the single-table
+    * commitRewrite lowering riding the one commit), POSITIONAL delete
+    * files / DVs (r15: lowered onto the same per-table server-side CoW
+    * rewrite the single-table path runs; the distributed rewrite
+    * happens in STAGING, before the atomic fold, so a commit retry
+    * never re-runs Spark jobs and the per-member base pin still 409s
+    * the whole transaction on staleness), and set/remove-properties,
+    * with `assert-table-uuid` / `assert-ref-snapshot-id` requirements.
+    * All tables must live on ONE branch (a graft commit is
+    * per-branch). CTAS, replace (compaction), and rollbacks stay
+    * single-table commits.
     */
   private def commitTransaction(repo: GraftRepo, prefix: Option[String],
       req: com.fasterxml.jackson.databind.JsonNode): Unit = {
@@ -1776,7 +1857,8 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       servedGraftSnap: String, entries: Seq[FileEntry],
       setProps: Map[String, String], removeProps: Set[String],
       schemaChanges: Seq[org.apache.spark.sql.connector.catalog.TableChange],
-      eqFilter: Option[org.apache.spark.sql.sources.Filter])
+      eqFilter: Option[org.apache.spark.sql.sources.Filter],
+      dropRels: Seq[String])
 
     val staged: Seq[Staged] = changes.map { ch =>
       val ident = Option(ch.get("identifier")).getOrElse(
@@ -1870,10 +1952,10 @@ final class IcebergRestServer private (single: Option[GraftRepo],
                 .map(_.asInt()).getOrElse(-1))
             case other => throw new UnsupportedOperationException(
               s"unsupported update inside a transaction: $other — " +
-                "transactions bundle append/evolve+append/equality-" +
-                "delete commits, property updates, and schema updates; " +
-                "CTAS, rewrites, and positional deletes stay " +
-                "single-table commits")
+                "transactions bundle append/evolve+append/rewrite/" +
+                "equality- and positional-delete commits, property " +
+                "updates, and schema updates; CTAS, replace " +
+                "(compaction), and rollbacks stay single-table commits")
           }
         }
       // a member's ref target must be the snapshot IT adds (or the
@@ -1910,9 +1992,10 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           schemaChangesOf(cur, n)
         }.getOrElse(Nil)
       val (entries: Seq[FileEntry],
-           eqFilter: Option[org.apache.spark.sql.sources.Filter]) =
+           eqFilter: Option[org.apache.spark.sql.sources.Filter],
+           dropRels: Seq[String]) =
         snapNode match {
-        case None => (Nil, None)
+        case None => (Nil, None, Nil)
         case Some(snap) =>
           val op = Option(snap.get("summary")).flatMap(s =>
             Option(s.get("operation"))).map(_.asText()).getOrElse("append")
@@ -1939,15 +2022,24 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           // shape — lower onto graft predicate tombstones exactly as
           // the single-table path does (same-commit adds land at the
           // tombstone's sequence and are exempt by graft's strict `>`
-          // applicability). Positional deletes need a per-table
-          // distributed rewrite and stay single-table commits.
+          // applicability). POSITIONAL delete / DV members (r15) lower
+          // onto the same per-table server-side CoW rewrite the
+          // single-table path runs ([[materializePosDeletes]]): the
+          // Spark jobs run here in STAGING, the atomic fold only
+          // registers the survivors — so a member's rewrite never
+          // re-runs on a commit retry, and the per-member base pin
+          // still 409s the whole transaction on any staleness.
           val (eqDels, posDels) =
             newDeletes.partition(d => d.content == 2 && d.dv.isEmpty)
-          if (posDels.nonEmpty)
+          if (posDels.nonEmpty && op == "append")
+            throw new IllegalArgumentException(
+              s"transactional append for $key carries positional " +
+                "delete files (post operation=overwrite or delete)")
+          if (posDels.nonEmpty && schemaChanges.nonEmpty)
             throw new UnsupportedOperationException(
-              s"transactional change for $key carries positional " +
-                "delete files — positional deletes stay single-table " +
-                "commits")
+              s"transactional change for $key mixes a schema update " +
+                "with positional deletes — post them as two members " +
+                "or two transactions")
           if (eqDels.nonEmpty && op == "append")
             throw new IllegalArgumentException(
               s"transactional append for $key carries equality delete " +
@@ -1959,9 +2051,31 @@ final class IcebergRestServer private (single: Option[GraftRepo],
                 "two transactions")
           val basePaths = basePlan.dataPaths.toSet
           val dropped = basePaths -- postedData.map(_.path).toSet
-          if (dropped.nonEmpty) throw new UnsupportedOperationException(
-            s"transactional change for $key drops ${dropped.size} base " +
-              "data file(s) — rewrites stay single-table commits")
+          // a CoW REWRITE member (r15): dropped base files leave the
+          // live set, added files register at the member's sequence —
+          // the single-table commitRewrite lowering riding the one
+          // multi-table commit (an engine checkpoint that compacts or
+          // CoW-deletes one table while siblings append)
+          if (dropped.nonEmpty && op == "append")
+            throw new UnsupportedOperationException(
+              s"transactional change for $key drops ${dropped.size} " +
+                "base data file(s) — not an append (post " +
+                "operation=overwrite to rewrite files)")
+          if (dropped.nonEmpty && eqDels.nonEmpty)
+            throw new UnsupportedOperationException(
+              s"transactional change for $key mixes dropped data files " +
+                "(CoW) with equality delete files (MoR) — post them as " +
+                "two members")
+          if (dropped.nonEmpty && posDels.nonEmpty)
+            throw new UnsupportedOperationException(
+              s"transactional change for $key mixes dropped data files " +
+                "(CoW) with positional delete files (MoR) — post them " +
+                "as two members")
+          if (dropped.nonEmpty && schemaChanges.nonEmpty)
+            throw new UnsupportedOperationException(
+              s"transactional change for $key mixes a schema update " +
+                "with dropped data files — schema changes combine only " +
+                "with appends")
           val head = repo.snapshot(repo.resolve(ref).tables(key))
           val destRoot = prefix.fold(exportRoot)(exportRoot.resolve)
             .resolve(ref).resolve(key).toAbsolutePath.normalize
@@ -1970,16 +2084,28 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           // siblings append) ingests its files under the schema it
           // ADDS — the same lowering as the single-table evolve+append
           val ev = SchemaEvolution.evolve(head, schemaChanges)
-          val filt =
-            if (eqDels.isEmpty) None
-            else Some(equalityTombstoneFilter(repo, destRoot, eqDels,
-              basePlan.fieldIdToName, hconf))
-          (ingestEntries(repo, ref, key, destRoot,
-            postedData.filterNot(d => basePaths(d.path)),
-            ev.schema, ev.mapping, ev.spec, hconf), filt)
+          if (posDels.nonEmpty) {
+            val pm = materializePosDeletes(repo, ref, key, destRoot,
+              head, basePlan, postedData.filterNot(d => basePaths(d.path)),
+              posDels, eqDels, hconf)
+            (pm.rewritten ++ pm.cleanEntries, pm.eqFilter, pm.dropBaseRels)
+          } else {
+            val filt =
+              if (eqDels.isEmpty) None
+              else Some(equalityTombstoneFilter(repo, destRoot, eqDels,
+                basePlan.fieldIdToName, hconf))
+            val dropRels = dropped.toSeq.sorted.map { loc =>
+              repo.dataIO.relOf(loc).getOrElse(
+                throw new IllegalStateException(
+                  s"base data file outside the repo data plane: $loc"))
+            }
+            (ingestEntries(repo, ref, key, destRoot,
+              postedData.filterNot(d => basePaths(d.path)),
+              ev.schema, ev.mapping, ev.spec, hconf), filt, dropRels)
+          }
       }
       Staged(ref, key, servedGraftSnap, entries, setProps, removeProps,
-        schemaChanges, eqFilter)
+        schemaChanges, eqFilter, dropRels)
     }
     val refs = staged.map(_.ref).distinct
     if (refs.size != 1) throw new IllegalArgumentException(
@@ -2038,8 +2164,26 @@ final class IcebergRestServer private (single: Option[GraftRepo],
               case Some(f) => Tombstones.append(props0, next, f)
               case None => props0 + (Tombstones.SeqProp -> next.toString)
             }
-            repo.writeSnapshot(st.key, prior.schemaJson,
-              Manifests.appended(prior.files, stamped),
+            // a REWRITE or positional-delete member drops base files:
+            // the per-member pin above already proved the base never
+            // moved, so the drops are live by construction — this
+            // re-check guards the invariant (writeSnapshot retires any
+            // tombstone the drops leave with nothing to apply to)
+            val next2 =
+              if (st.dropRels.isEmpty)
+                Manifests.appended(prior.files, stamped)
+              else {
+                val dropSet = st.dropRels.toSet
+                val live = prior.files.iterator.map(_.path).toSet
+                val missing = dropSet -- live
+                if (missing.nonEmpty) throw new RestConflict(
+                  "CommitFailedException",
+                  s"rewrite member for ${st.key} drops ${missing.size} " +
+                    s"file(s) not live at the commit base (e.g. " +
+                    s"${missing.head}) — refresh and retry")
+                prior.files.filterNot(f => dropSet(f.path)) ++ stamped
+              }
+            repo.writeSnapshot(st.key, prior.schemaJson, next2,
               prior.partitionBy, prior.physicalNames,
               Some(props1), prior.retired)
           }

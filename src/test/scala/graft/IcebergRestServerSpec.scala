@@ -2313,7 +2313,8 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
 
   test("multi-table TRANSACTION: fact + dim appends land in ONE graft " +
     "commit (together or not at all); a stale base on either table " +
-    "409s the whole transaction; rewrites/deletes inside refuse") {
+    "409s the whole transaction; a CoW rewrite member lands atomically " +
+    "with a sibling append; an append member that drops files refuses") {
     import spark.implicits._
     sql("CREATE NAMESPACE g.txn")
     sql("CREATE NAMESPACE g.txn.main.db")
@@ -2403,26 +2404,57 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       sql("SELECT count(*) FROM g.txn.main.db.fact")
         .collect().head.getLong(0) shouldBe 2L // 9003 did not land
 
-      // a rewrite inside a transaction refuses loudly: posted state
-      // drops a base file
+      // a CoW REWRITE member (r15): the engine rewrites fact wholesale —
+      // every base file dropped, one new file posted — while dim appends
+      // in the SAME transaction; both land in ONE graft commit
       val loadF = loadT("fact")
       val metaF = loadF.get("metadata")
+      val stageF = java.nio.file.Paths.get(URI.create(
+        metaF.get("properties").get("write.data.path").asText() + "/"))
+      val rewrittenF = stageF.resolve("fact-txn-rewrite.parquet")
+      writeOneParquet(Seq((5, "e")).toDF("id", "v"), rewrittenF)
       val baseF = graft.versioned.IcebergImport.plan(
         java.nio.file.Paths.get(loadF.get("metadata-location").asText()))
         .dataPaths.map(java.nio.file.Paths.get(_))
-      val listDrop = stageWriterCommit(scratch, 9004L, baseF.drop(1))
+      baseF.size should be >= 2 // the rewrite genuinely drops files
+      val listDrop = stageWriterCommit(scratch, 9004L, Seq(rewrittenF))
+      val refSnapF = metaF.get("refs").get("main").get("snapshot-id").asLong()
       val dropChange =
         s"""{"identifier":{"namespace":["main","db"],"name":"fact"},
-           |"requirements":[],
+           |"requirements":[
+           |{"type":"assert-ref-snapshot-id","ref":"main",
+           |"snapshot-id":$refSnapF}],
            |"updates":[{"action":"add-snapshot","snapshot":{
            |"snapshot-id":9004,"timestamp-ms":1700000000000,"schema-id":0,
            |"manifest-list":"${listDrop.toUri}",
            |"summary":{"operation":"overwrite"}}}]}"""
           .stripMargin.replaceAll("\n", "")
+      val headBeforeRw = g.headCommit("main").id
       val (cR, eR) = send("POST", "/v1/transactions/commit",
-        s"""{"table-changes":[$dropChange]}""", srv)
-      cR shouldBe 400
-      eR.get("error").get("message").asText() should include ("single-table")
+        s"""{"table-changes":[$dropChange,${
+          change("dim", 9005L, Seq((30, "z")), ("id", "name"))}]}""", srv)
+      withClue(eR.toString) { cR shouldBe 204 }
+      g.headCommit("main").parents shouldBe Seq(headBeforeRw)
+      sql("SELECT id, v FROM g.txn.main.db.fact ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+        Seq((5, "e"))
+      sql("SELECT id FROM g.txn.main.db.dim ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq shouldBe Seq(10, 20, 30)
+      // an APPEND member that drops base files still refuses loudly
+      val loadF2 = loadT("fact")
+      val listDrop2 = stageWriterCommit(scratch, 9006L, Nil)
+      val badAppend =
+        s"""{"identifier":{"namespace":["main","db"],"name":"fact"},
+           |"requirements":[],
+           |"updates":[{"action":"add-snapshot","snapshot":{
+           |"snapshot-id":9006,"timestamp-ms":1700000000000,"schema-id":0,
+           |"manifest-list":"${listDrop2.toUri}",
+           |"summary":{"operation":"append"}}}]}"""
+          .stripMargin.replaceAll("\n", "")
+      val (cBad, eBad) = send("POST", "/v1/transactions/commit",
+        s"""{"table-changes":[$badAppend]}""", srv)
+      cBad shouldBe 400
+      eBad.get("error").get("message").asText() should include ("not an append")
     } finally srv.close()
   }
 
@@ -2603,7 +2635,8 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     "Flink-upsert checkpoint): one member's content=2 delete files " +
     "lower onto a tombstone with same-commit adds exempt, a sibling " +
     "appends, all in ONE graft commit; any stale member 409s the " +
-    "whole transaction; positional-delete members still refuse 400") {
+    "whole transaction; a POSITIONAL-delete member lands via the " +
+    "staged per-table rewrite (r15)") {
     import spark.implicits._
     sql("CREATE NAMESPACE g.txneq")
     sql("CREATE NAMESPACE g.txneq.main.db")
@@ -2742,27 +2775,53 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       cA shouldBe 400
       eA.get("error").get("message").asText() should include ("equality")
 
-      // a POSITIONAL-delete member still refuses: the rewrite it needs
-      // stays a single-table commit
+      // a POSITIONAL-delete member (r15) lands: the per-table CoW
+      // rewrite runs in staging, the survivors register inside the
+      // atomic fold, and a sibling append rides the SAME transaction.
+      // The posted position names row 0 of the original 3-row file —
+      // (1,'a') — whose row (2,'b') is ALREADY masked by the earlier
+      // eq tombstone: the rewrite must apply both (no resurrection)
+      val dirtyPath = basePathsOf(loadU3).find(p =>
+        spark.read.parquet(p.toString).collect()
+          .exists(r => r.getInt(0) == 1)).get
       val posDel = stageOf(metaU3).resolve("ups-txn-pos.parquet")
-      writeOneParquet(Seq((basePathsOf(loadU3).head.toUri.toString, 0L))
+      writeOneParquet(Seq((dirtyPath.toUri.toString, 0L))
         .toDF("file_path", "pos"), posDel)
       val listP = stageMixedDeleteCommit(scratch, 9206L,
         basePathsOf(loadU3), Seq((posDel, 1, None)))
-      val posMember =
+      def posMember(op: String): String =
         s"""{"identifier":{"namespace":["main","db"],"name":"ups"},
            |"requirements":${reqsOf(metaU3)},
            |"updates":[
            |{"action":"add-snapshot","snapshot":{"snapshot-id":9206,
            |"timestamp-ms":1700000000000,"schema-id":0,
            |"manifest-list":"${listP.toUri}",
-           |"summary":{"operation":"overwrite"}}}]}"""
+           |"summary":{"operation":"$op"}}}]}"""
           .stripMargin.replaceAll("\n", "")
+      // claiming operation=append still refuses loudly
+      val (cPA, ePA) = send("POST", "/v1/transactions/commit",
+        s"""{"table-changes":[${posMember("append")}]}""", srv)
+      cPA shouldBe 400
+      ePA.get("error").get("message").asText() should include ("positional")
+      val headBeforeP = g.headCommit("main").id
       val (cP, eP) = send("POST", "/v1/transactions/commit",
-        s"""{"table-changes":[$posMember]}""", srv)
-      cP shouldBe 400
-      eP.get("error").get("message").asText() should
-        include ("positional")
+        s"""{"table-changes":[${posMember("delete")},${
+          sibMember(9207L, "sib-txn-pos.parquet", (40, "w"))}]}""", srv)
+      withClue(eP.toString) { cP shouldBe 204 }
+      g.headCommit("main").parents shouldBe Seq(headBeforeP)
+      // (1,'a') positionally deleted; (2,'b') stayed dead through the
+      // rewrite (the existing tombstone rode the sub-plan); the
+      // sibling's append landed in the same commit
+      sql("SELECT id, v FROM g.txneq.main.db.ups ORDER BY id, v")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+        Seq((2, "B2"), (3, "c"), (4, "d"))
+      sql("SELECT id FROM g.txneq.main.db.sib ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq shouldBe Seq(10, 20, 40)
+      // the posdel lowering MATERIALIZES the positions — it must not
+      // leave a new tombstone behind (the earlier eq tombstone stays:
+      // it still masks the live (2,'b') file the rewrite never touched)
+      val snapU2 = g.snapshot(g.resolve("main").tables("db/ups"))
+      graft.versioned.Tombstones.of(snapU2).size should be <= 1
     } finally srv.close()
   }
 
@@ -3322,7 +3381,9 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
   test("engine ROLLBACK over REST: a bare set-snapshot-ref to a PRIOR " +
     "served snapshot (Spark's rollback_to_snapshot shape) swaps the " +
     "table pointer back zero-copy; an unknown snapshot id refuses 400; " +
-    "rollback combined with property updates refuses 400") {
+    "rollback combined with property updates refuses 400; rollback " +
+    "across a SCHEMA CHANGE lands as a file-set revert under the " +
+    "current schema (r15)") {
     import spark.implicits._
     sql("CREATE NAMESPACE g.rback")
     sql("CREATE NAMESPACE g.rback.main.db")
@@ -3433,30 +3494,48 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       cM shouldBe 400
       eM.get("error").get("message").asText() should include ("consistent")
 
-      // rollback across a SCHEMA CHANGE refuses: Iceberg's rollback
-      // moves only the ref (schema stays current) — a graft pointer
-      // swap would revert the schema too, so a remembered
-      // pre-evolution id 400s honestly (served history never crosses
-      // an evolution, so every id an engine can SEE stays accepted)
+      // rollback across a SCHEMA CHANGE (r15): Iceberg's rollback moves
+      // only the ref — schema stays CURRENT — so the server lowers the
+      // remembered pre-evolution id onto a FILE-SET REVERT commit: the
+      // target's files under the head's (wider) schema. Rows revert,
+      // the schema does not.
       sql("ALTER TABLE g.rback.main.db.r ADD COLUMN flag BIGINT")
+      sql("INSERT INTO g.rback.main.db.r VALUES (4, 'd', 9)")
       val metaA = load()
       metaA.get("current-snapshot-id").asLong() should not be s1
       val (cA, eA) = send("POST",
         s"/v1/namespaces/${enc("main", "db")}/tables/r",
         rollbackBody(metaA, s1), srv)
-      cA shouldBe 400
-      eA.get("error").get("message").asText() should
-        include ("schema change")
+      withClue(eA.toString) { cA shouldBe 200 }
+      sql("SELECT id, v, flag FROM g.rback.main.db.r ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.isNullAt(2)))
+        .toSeq shouldBe Seq((1, "a", true), (2, "b", true))
+      // the reverted state serves under a FRESH snapshot id (a new
+      // graft snapshot carries it — the documented divergence from
+      // Iceberg, which re-serves the remembered id); re-posting the
+      // same rollback hits the already-reverted guard: a validated
+      // no-op, no new snapshot object
+      val metaA2 = load()
+      val sReverted = metaA2.get("current-snapshot-id").asLong()
+      sReverted should not be s1
+      val snapsAfterRevert = g.io.list(root.resolve("snapshots")).size
+      val (cA2, eA2) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/r",
+        rollbackBody(metaA2, s1), srv)
+      withClue(eA2.toString) { cA2 shouldBe 200 }
+      g.io.list(root.resolve("snapshots")).size shouldBe snapsAfterRevert
+      load().get("current-snapshot-id").asLong() shouldBe sReverted
     } finally srv.close()
   }
 
-  test("ROLLBACK guards the WHOLE bundled snapshot state: a target " +
-    "from before a partition-spec or table-property change refuses " +
-    "400 (Iceberg rollback keeps those current; a graft pointer swap " +
-    "would silently revert them), while MoR tombstone state " +
-    "(graft.mor.*) stays exempt — and the sid→gid inversion is " +
-    "MEMOIZED, so a rollback after N new commits walks only those N, " +
-    "never the whole first-parent history again") {
+  test("ROLLBACK preserves CURRENT metadata across the revert (r15): " +
+    "a target from before a table-property change is a validated " +
+    "no-op when the file set matches; a target from before a " +
+    "partition-spec change lands as a file-set revert keeping the " +
+    "evolved spec; MoR tombstone state (graft.mor.*) reverts with the " +
+    "files — and the sid→gid inversion is MEMOIZED, so a rollback " +
+    "after N new commits walks only those N, never the whole " +
+    "first-parent history again") {
     sql("CREATE NAMESPACE g.rbg")
     sql("CREATE NAMESPACE g.rbg.main.db")
     sql("CREATE TABLE g.rbg.main.db.r (id INT, cat STRING)")
@@ -3484,14 +3563,18 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       def post(body: String) = send("POST",
         s"/v1/namespaces/${enc("main", "db")}/tables/r", body, srv)
 
-      // ---- a TABLE-PROPERTY change fences rollback: the target's
-      // user properties differ from the head's
+      // ---- a TABLE-PROPERTY change (r15): the target's FILE SET is
+      // the head's (the ALTER was metadata-only), and Iceberg rollback
+      // keeps properties current — a validated NO-OP: 200, nothing
+      // committed, the property stays
+      val g = graft.versioned.GraftRepo.open(root)
       val sBeforeProps = load().get("current-snapshot-id").asLong()
       sql("ALTER TABLE g.rbg.main.db.r SET TBLPROPERTIES('team'='data')")
+      val headBeforeNoop = g.headCommit("main").id
       val (cP, eP) = post(rollbackBody(load(), sBeforeProps))
-      cP shouldBe 400
-      eP.get("error").get("message").asText() should
-        include ("table properties")
+      withClue(eP.toString) { cP shouldBe 200 }
+      g.headCommit("main").id shouldBe headBeforeNoop
+      load().get("properties").get("team").asText() shouldBe "data"
 
       // ---- MoR tombstone state is EXEMPT: rolling back across a
       // merge-on-read DELETE is the rollback's whole point — only
@@ -3507,7 +3590,8 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       sql("SELECT count(*) FROM g.rbg.main.db.r")
         .collect().head.getLong(0) shouldBe 2L
 
-      // ---- a PARTITION-SPEC change fences rollback
+      // ---- a PARTITION-SPEC change (r15): rollback across it LOWERS
+      // onto a file-set revert — rows revert, the spec stays current
       val sBeforeSpec = load().get("current-snapshot-id").asLong()
       val metaS = load()
       val catId = {
@@ -3526,10 +3610,20 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
          |{"action":"set-default-spec","spec-id":-1}]}""".stripMargin
         .replaceAll("\n", ""))
       withClue(eSpec.toString) { cSpec shouldBe 200 }
+      // a post-spec-change append gives the revert real work: rolling
+      // back must drop the new file while KEEPING the evolved spec
+      sql("INSERT INTO g.rbg.main.db.r VALUES (50, 'p')")
+      sql("SELECT count(*) FROM g.rbg.main.db.r WHERE id = 50")
+        .collect().head.getLong(0) shouldBe 1L
       val (cS2, eS2) = post(rollbackBody(load(), sBeforeSpec))
-      cS2 shouldBe 400
-      eS2.get("error").get("message").asText() should
-        include ("partition-spec")
+      withClue(eS2.toString) { cS2 shouldBe 200 }
+      sql("SELECT count(*) FROM g.rbg.main.db.r WHERE id = 50")
+        .collect().head.getLong(0) shouldBe 0L
+      val snapAfterSpecRb = g.snapshot(g.resolve("main").tables("db/r"))
+      snapAfterSpecRb.partitionFields shouldBe
+        Seq(graft.versioned.PartitionField("cat", "identity", "cat"))
+      // and the user property survived both reverts
+      snapAfterSpecRb.properties.get("team") shouldBe Some("data")
 
       // ---- MEMOIZED inversion: deepen the history, roll back once
       // (builds the index over the new commits), then roll back again
