@@ -3682,7 +3682,8 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
         s"/v1/namespaces/$ns/views",
         s"/v1/namespaces/$ns/views/t",
         s"/v1/namespaces/$ns/properties",
-        s"/v1/namespaces/$ns/tables/t/metrics")
+        s"/v1/namespaces/$ns/tables/t/metrics",
+        "/v1/transactions/commit")
       val bodies = Seq(
         "{}", """{"x":1}""", "[1,2]", "\"str\"", "null", "",
         """{"nam""", // truncated JSON
@@ -3702,7 +3703,13 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
         """{"updates":[{"action":"set-properties"}]}""",
         """{"name":"v2","schema":{},"view-version":{}}""",
         """{"name":"v2","metadata-location":"/nowhere/meta.json"}""",
-        """{"removals":"x","updates":[]}""")
+        """{"removals":"x","updates":[]}""",
+        """{"table-changes":[]}""",
+        """{"table-changes":"nope"}""",
+        """{"table-changes":[{}]}""",
+        """{"table-changes":[{"identifier":{}}]}""",
+        """{"table-changes":[{"identifier":{"namespace":["main","db"],"name":"t"},"updates":[{"action":"add-snapshot","snapshot":{"snapshot-id":1,"manifest-list":"/nowhere/x.avro"}}]}]}""",
+        """{"table-changes":[{"identifier":{"namespace":["main","db"],"name":"t"},"requirements":[{"type":"assert-ref-snapshot-id"}],"updates":[]}]}""")
       for (r <- routes; b <- bodies) {
         val (code, resp) = send("POST", r, b, srv)
         // some bodies are legal no-ops on some routes (an empty
