@@ -918,28 +918,27 @@ object Dedup {
       .flatMap(_.toIntOption).filter(_ > 0).getOrElse(4000000)
     val deltaToks = deltaDocs.select(explode(col("ws")).as("tok"))
       .distinct().localCheckpoint()
-    val fits = deltaToks.count() <= bcastMax
-    def semiPrune(big: DataFrame, keys: DataFrame, on: String): DataFrame =
-      if (fits)
+    // ONE prune shape, dispatched per key set on ITS OWN row count: a
+    // delta can have vocab >> docs or docs >> vocab or candidate
+    // partners >> both, so each caller passes the count that actually
+    // bounds its broadcast
+    def semiPrune(big: DataFrame, keys: DataFrame, on: String,
+        keyCount: Long): DataFrame =
+      if (keyCount <= bcastMax)
         big.join(org.apache.spark.sql.functions.broadcast(keys),
           Seq(on), "left_semi")
       else big.join(keys, Seq(on), "left_semi")
+    val vocabCount = deltaToks.count()
     // ids must be disjoint from the corpus: a delta doc_id already in
     // dd.docs would join BOTH word sets in the verify dict (a corpus
     // row self-matches at J=1.0 → silent wrongful rejection) — refuse
-    // loudly instead. The doc-id set gets its OWN count-based dispatch
-    // (like partnerIds below): a delta with many docs sharing few
-    // tokens has doc count >> vocab, and riding the vocab dispatch
-    // would broadcast an unbounded id set
+    // loudly instead. The doc-id set dispatches on the DOC count: a
+    // delta with many docs sharing few tokens has doc count >> vocab,
+    // and riding the vocab dispatch would broadcast an unbounded id set
     val deltaIds = deltaDocs.select(col("doc_id"))
-    val clashKeyed =
-      if (deltaDocs.count() <= bcastMax)
-        s.table(s"$pre.docs").select(col("doc_id")).join(
-          org.apache.spark.sql.functions.broadcast(deltaIds),
-          Seq("doc_id"), "left_semi")
-      else s.table(s"$pre.docs").select(col("doc_id"))
-        .join(deltaIds, Seq("doc_id"), "left_semi")
-    val clash = clashKeyed.limit(5).collect().map(_.getLong(0))
+    val clash = semiPrune(s.table(s"$pre.docs").select(col("doc_id")),
+      deltaIds, "doc_id", deltaDocs.count())
+      .limit(5).collect().map(_.getLong(0))
     require(clash.isEmpty,
       s"delta doc_ids already present in $pre.docs: ${clash.mkString(", ")}" +
         " — incremental screening requires fresh ids")
@@ -947,9 +946,11 @@ object Dedup {
     // any aggregate or join (the postings prune uses the full delta
     // vocab — a superset of the prefix vocab, equally correct: the
     // probe join re-filters on tok)
-    val dfreqPruned = semiPrune(s.table(s"$pre.dfreq"), deltaToks, "tok")
+    val dfreqPruned =
+      semiPrune(s.table(s"$pre.dfreq"), deltaToks, "tok", vocabCount)
     val probes = frozenPostings(deltaDocs, dfreqPruned, t)
-    val matched = semiPrune(s.table(s"$pre.postings"), deltaToks, "tok")
+    val matched =
+      semiPrune(s.table(s"$pre.postings"), deltaToks, "tok", vocabCount)
     val cand = probeCandidates(matched, probes, t, maxPost)
       .localCheckpoint() // feeds the partner prune AND the verify join
     // the verify dictionary likewise reads only the CANDIDATE partners'
@@ -959,12 +960,8 @@ object Dedup {
     // (cand is checkpointed, so the count is a block scan)
     val partnerIds = cand.select(col("id_b").as("doc_id")).distinct()
       .localCheckpoint()
-    val partners =
-      if (partnerIds.count() <= bcastMax)
-        s.table(s"$pre.docs").join(
-          org.apache.spark.sql.functions.broadcast(partnerIds),
-          Seq("doc_id"), "left_semi")
-      else s.table(s"$pre.docs").join(partnerIds, Seq("doc_id"), "left_semi")
+    val partners = semiPrune(s.table(s"$pre.docs"), partnerIds, "doc_id",
+      partnerIds.count())
     val dict = deltaDocs.unionByName(partners)
     val dup = verifyPairs(s, dict, cand, t)
       .select(col("id_a").as("doc_id")).distinct()

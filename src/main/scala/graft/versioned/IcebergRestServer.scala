@@ -169,11 +169,16 @@ final class IcebergRestServer private (single: Option[GraftRepo],
   private val exportLocks = new ConcurrentHashMap[String, Object]()
   private val repoCache = new ConcurrentHashMap[String, GraftRepo]()
   // rollback's exported-sid → graft-snapshot inversion, memoized per
-  // served table and keyed by the head commit it was built at: a
-  // repeat rollback loads zero commits, a rollback after new commits
-  // walks only the delta above the previously indexed head
+  // served table and keyed by the head commit it was built at, with a
+  // FRONTIER (the next unwalked first-parent commit id, None =
+  // exhausted): the walk is LAZY — it stops at the requested sid, so
+  // the first rollback loads only the commits between head and target
+  // (never the whole history of a deep table), a repeat rollback loads
+  // zero commits, a deeper target resumes from the frontier, and a
+  // rollback after new commits walks only the delta above the
+  // previously indexed head
   private val rollbackSidIndex =
-    new ConcurrentHashMap[String, (String, Map[Long, String])]()
+    new ConcurrentHashMap[String, (String, Map[Long, String], Option[String])]()
 
   /** The repo a request's optional `{prefix}` segment addresses. */
   private def repoFor(prefix: Option[String]): GraftRepo = (prefix, single) match {
@@ -1162,51 +1167,85 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           java.nio.charset.StandardCharsets.UTF_8))
           .getMostSignificantBits & Long.MaxValue)
       // the sid→gid inversion is MEMOIZED per served table keyed by
-      // the head commit: the first rollback (or a rollback after new
-      // commits) walks only the commits above the previously indexed
-      // head and merges; a repeat rollback to a nearby id loads ZERO
-      // commits — without this, every post re-walks the whole
-      // first-parent history, one commit load (an RPC on a remote
-      // GraftIO backend) per hop.
+      // the head commit, and the walk is LAZY: it stops at the
+      // requested sid and records the frontier (next unwalked commit),
+      // so a rollback loads O(distance to target) commits — never the
+      // whole first-parent history of a deep table (one commit load =
+      // one RPC on a remote GraftIO backend). A repeat rollback to an
+      // indexed id loads ZERO commits; a deeper target resumes from
+      // the frontier; new commits above the old head splice onto the
+      // cached index (the NEWER walk wins on a sid collision, matching
+      // head-first order).
       val targetGid: Option[String] = {
         val headC = repo.resolve(ref)
         val cacheKey = s"${repo.root}\u0000$ref\u0000$key"
         val cached = Option(rollbackSidIndex.get(cacheKey))
+        var idx = Map.empty[Long, String]
+        var frontierId: Option[String] = Some(headC.id)
+        // headC is already loaded — spare the first walk step its RPC
+        var preloaded: Option[graft.versioned.Commit] = Some(headC)
+        // a stale-head cache still splices when the walk reaches its head
+        var splice = cached
         cached match {
-          case Some((hid, idx)) if hid == headC.id => idx.get(target)
-          case _ =>
-            var idx = Map.empty[Long, String]
-            var cur: Option[graft.versioned.Commit] = Some(headC)
-            var hops = 0
-            var done = false
-            while (!done && hops < 100000 &&
-              cur.exists(_.tables.contains(key))) {
-              val c = cur.get
-              cached.filter(_._1 == c.id) match {
-                case Some((_, old)) =>
-                  // reached the previously indexed head: splice (the
-                  // NEWER walk wins on a sid collision, matching the
-                  // head-first walk order)
-                  idx = old ++ idx
-                  done = true
-                case None =>
-                  val gid = c.tables(key)
-                  val sid = sidOf(gid)
-                  if (!idx.contains(sid)) idx += (sid -> gid)
-                  cur = c.parents.headOption.map(repo.commit)
-                  hops += 1
-              }
-            }
-            rollbackSidIndex.put(cacheKey, (headC.id, idx))
-            idx.get(target)
+          case Some((hid, i, f)) if hid == headC.id =>
+            idx = i; frontierId = f; splice = None
+          case _ => ()
         }
+        var hops = 0
+        while (!idx.contains(target) && frontierId.isDefined &&
+          hops < 100000) {
+          splice.filter(_._1 == frontierId.get) match {
+            case Some((_, old, oldF)) =>
+              idx = old ++ idx
+              frontierId = oldF
+              splice = None
+            case None =>
+              val c = preloaded.filter(_.id == frontierId.get)
+                .getOrElse(repo.commit(frontierId.get))
+              preloaded = None
+              if (!c.tables.contains(key)) frontierId = None
+              else {
+                val gid = c.tables(key)
+                val sid = sidOf(gid)
+                if (!idx.contains(sid)) idx += (sid -> gid)
+                frontierId = c.parents.headOption
+                hops += 1
+              }
+          }
+        }
+        rollbackSidIndex.put(cacheKey, (headC.id, idx, frontierId))
+        idx.get(target)
       }
       val gid = targetGid.getOrElse(throw new IllegalArgumentException(
         s"set-snapshot-ref names snapshot $target, which is not a " +
           s"version of $key on $ref — nothing to roll back to"))
       val targetSnap = repo.snapshot(gid)
-      val missing = targetSnap.files.filterNot(f =>
-        repo.dataIO.isFile(f.path))
+      // vacuum check: only files the HEAD no longer lists can have been
+      // GC'd (vacuum spares everything reachable from a branch head).
+      // Segmented tables diff content-addressed manifest refs — files
+      // in chunks the head still carries are alive for free, and only
+      // the differing chunks load, so the probe is O(changed chunks)
+      // metadata + O(their files) stats, never an O(table)
+      // materialization or stat storm on a million-file table. (A file
+      // in a differing chunk may still be alive under a shifted chunk
+      // boundary — its stat is then merely redundant, never wrong.)
+      val missing: Seq[FileEntry] =
+        if (head.manifestRefs.nonEmpty && targetSnap.manifestRefs.nonEmpty) {
+          val headChunks = head.manifestRefs.map(_.path).toSet
+          targetSnap.manifestRefs.filterNot(r => headChunks(r.path))
+            .flatMap(r => Manifests.load(repo.root, repo.io, r))
+            .filterNot(f => repo.dataIO.isFile(f.path))
+        } else if (targetSnap.manifestRefs.isEmpty) {
+          // inline target: bounded by the inline threshold
+          targetSnap.files.filterNot(f => repo.dataIO.isFile(f.path))
+        } else {
+          // target segmented, head inline (table shrank): the inline
+          // head is small — membership-filter against it, stat the rest
+          val headLive = head.files.iterator.map(_.path).toSet
+          targetSnap.files.iterator
+            .filterNot(f => headLive(f.path))
+            .filterNot(f => repo.dataIO.isFile(f.path)).toSeq
+        }
       if (missing.nonEmpty) throw new IllegalArgumentException(
         s"rollback target of $key references ${missing.size} vacuumed " +
           s"file(s) (e.g. ${missing.head.path}) — not restorable")
@@ -1503,8 +1542,11 @@ final class IcebergRestServer private (single: Option[GraftRepo],
             s"files held $droppedRows — a compaction never grows rows " +
             "(post new rows as operation=append)")
         val tombs = Tombstones.of(prior)
+        // seqNo, NOT seq.getOrElse: jackson materializes small JSON
+        // numbers as boxed Integers inside Option[Long] (Model.scala),
+        // so a loaded snapshot's f.seq unboxes to ClassCastException
         val anyMasked = retiredDels.nonEmpty || droppedEntries.exists(f =>
-          tombs.exists(_.seq > f.seq.getOrElse(0L)))
+          tombs.exists(_.seq > f.seqNo))
         if (!anyMasked && addedRows != droppedRows)
           throw new IllegalArgumentException(
             s"replace of $key posts $addedRows rows where the dropped " +
@@ -1553,27 +1595,13 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         base =>
           pin(base)
           val prior = repo.snapshot(base.tables(key))
-          val live = prior.files.iterator.map(_.path).toSet
-          val dropSet = pm.dropBaseRels.toSet
-          val missing = dropSet -- live
-          if (missing.nonEmpty) throw new MergeConflictException(
-            s"rewrite of $key drops ${missing.size} file(s) not live at " +
-              s"the commit base (e.g. ${missing.head}) — refresh and retry")
-          val props0 = (prior.properties -- removeProps) ++ setProps
-          val next = Tombstones.lastSeq(props0) + 1
-          // the tombstone (untouched base files only — rewritten and
-          // added files land AT `next` and are exempt by graft's strict
-          // `>` applicability, matching the spec's strictly-lower rule)
-          val props1 = pm.eqFilter match {
-            case Some(f) => Tombstones.append(props0, next, f)
-            case None => props0 + (Tombstones.SeqProp -> next.toString)
-          }
-          val stamped = (pm.rewritten ++ pm.cleanEntries)
-            .map(_.copy(seq = Some(next)))
-          val kept = prior.files.filterNot(f => dropSet(f.path))
-          val snap2 = repo.writeSnapshot(key, prior.schemaJson,
-            kept ++ stamped, prior.partitionBy, prior.physicalNames,
-            Some(props1), prior.retired)
+          // the shared member lowering: survivors + clean adds stamp at
+          // the next sequence (exempt from the equality tombstone by
+          // the strictly-lower rule), dirty base files leave the live
+          // set — identical to a transaction member's
+          val snap2 = memberSnapshot(repo, key, prior,
+            pm.rewritten ++ pm.cleanEntries, pm.eqFilter,
+            pm.dropBaseRels, Nil, setProps, removeProps)
           (base.tables + (key -> snap2.id), base.namespaces)
       }
       return loadResult(serve(repo, prefix, ref, key))
@@ -1592,38 +1620,25 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     val pinMsg: graft.versioned.Commit => Unit = pin
     if (morFilter.isDefined) {
       // MoR commit: tombstone + (optionally) same-sequence new files —
-      // graft's morUpdate commit shape, arriving over REST
+      // graft's morUpdate commit shape, arriving over REST (the shared
+      // member lowering — identical to a transaction member's)
       repo.commitRetry(ref, s"rest: $op $key (merge-on-read, " +
         s"+${entries.size} files)") { base =>
         pinMsg(base)
         val prior = repo.snapshot(base.tables(key))
-        val props0 = (prior.properties -- removeProps) ++ setProps
-        val next = Tombstones.lastSeq(props0) + 1
-        val props = Tombstones.append(props0, next, morFilter.get)
-        val stamped = entries.map(_.copy(seq = Some(next)))
-        val ns2 = repo.writeSnapshot(key, prior.schemaJson,
-          Manifests.appended(prior.files, stamped),
-          prior.partitionBy, prior.physicalNames, Some(props),
-          prior.retired)
+        val ns2 = memberSnapshot(repo, key, prior, entries, morFilter,
+          Nil, Nil, setProps, removeProps)
         (base.tables + (key -> ns2.id), base.namespaces)
       }
     } else if (op == "append" && schemaChanges.nonEmpty) {
-      // evolution + first write under the new schema, atomically
+      // evolution + first write under the new schema, atomically (the
+      // shared member lowering — identical to a transaction member's)
       repo.commitRetry(ref, s"rest: evolve+append $key " +
         s"(+${entries.size} files)") { base =>
         pinMsg(base)
         val prior = repo.snapshot(base.tables(key))
-        val ev2 = SchemaEvolution.evolve(prior, schemaChanges)
-        val props0 = (ev2.props -- removeProps) ++ setProps
-        val next = Tombstones.lastSeq(props0) + 1
-        val stamped = entries.map(_.copy(seq = Some(next)))
-        val props = props0 + (Tombstones.SeqProp -> next.toString)
-        val ns2 = repo.writeSnapshot(key, ev2.schema.json,
-          Manifests.appended(prior.files, stamped),
-          if (ev2.spec.isEmpty) None else Some(ev2.spec),
-          if (ev2.mapping.isEmpty) None else Some(ev2.mapping),
-          if (props.isEmpty) None else Some(props),
-          if (ev2.retired.isEmpty) None else Some(ev2.retired.toSeq.sorted))
+        val ns2 = memberSnapshot(repo, key, prior, entries, None, Nil,
+          schemaChanges, setProps, removeProps)
         (base.tables + (key -> ns2.id), base.namespaces)
       }
     } else if (op == "append")
@@ -1648,6 +1663,78 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     loadResult(serve(repo, prefix, ref, key))
   }
 
+
+
+  /** The ONE commit-member lowering: builds (and writes) the snapshot a
+    * member's validated pieces produce against `prior`. Shared by the
+    * single-table MoR / evolve+append / positional-delete commit
+    * closures AND every multi-table transaction member, so the
+    * semantics cannot drift between the one-table and atomic-fold
+    * paths: a metadata-only member (no files, no deletes, no drops)
+    * evolves schema/properties with NO sequence bump; an evolve+append
+    * member stamps its files at the next MoR sequence under the schema
+    * it adds; otherwise entries stamp at the next sequence, an equality
+    * filter lands as a tombstone masking strictly-lower sequences
+    * (same-commit adds exempt by graft's strict `>` applicability),
+    * and drops leave the live set — re-validated live against `prior`
+    * (the caller's base pin makes a violation unreachable; the check
+    * guards the invariant). writeSnapshot retires any tombstone the
+    * drops leave with nothing to apply to.
+    */
+  private def memberSnapshot(repo: GraftRepo, key: String,
+      prior: graft.versioned.Snapshot,
+      entries: Seq[FileEntry],
+      eqFilter: Option[org.apache.spark.sql.sources.Filter],
+      dropRels: Seq[String],
+      schemaChanges: Seq[org.apache.spark.sql.connector.catalog.TableChange],
+      setProps: Map[String, String],
+      removeProps: Set[String]): graft.versioned.Snapshot =
+    if (entries.isEmpty && eqFilter.isEmpty && dropRels.isEmpty) {
+      val ev = SchemaEvolution.evolve(prior, schemaChanges)
+      val props = (ev.props -- removeProps) ++ setProps
+      repo.writeSnapshot(key, ev.schema.json, prior.files,
+        if (ev.spec.isEmpty) None else Some(ev.spec),
+        if (ev.mapping.isEmpty) None else Some(ev.mapping),
+        if (props.isEmpty) None else Some(props),
+        if (ev.retired.isEmpty) None else Some(ev.retired.toSeq.sorted))
+    } else if (schemaChanges.nonEmpty) {
+      require(eqFilter.isEmpty && dropRels.isEmpty,
+        "schema changes combine only with plain appends") // guarded upstream
+      val ev = SchemaEvolution.evolve(prior, schemaChanges)
+      val props0 = (ev.props -- removeProps) ++ setProps
+      val next = Tombstones.lastSeq(props0) + 1
+      val stamped = entries.map(_.copy(seq = Some(next)))
+      repo.writeSnapshot(key, ev.schema.json,
+        Manifests.appended(prior.files, stamped),
+        if (ev.spec.isEmpty) None else Some(ev.spec),
+        if (ev.mapping.isEmpty) None else Some(ev.mapping),
+        Some(props0 + (Tombstones.SeqProp -> next.toString)),
+        if (ev.retired.isEmpty) None else Some(ev.retired.toSeq.sorted))
+    } else {
+      val props0 = (prior.properties -- removeProps) ++ setProps
+      val next = Tombstones.lastSeq(props0) + 1
+      val stamped = entries.map(_.copy(seq = Some(next)))
+      val props1 = eqFilter match {
+        case Some(f) => Tombstones.append(props0, next, f)
+        case None => props0 + (Tombstones.SeqProp -> next.toString)
+      }
+      val files2 =
+        if (dropRels.isEmpty) Manifests.appended(prior.files, stamped)
+        else {
+          val dropSet = dropRels.toSet
+          val live = prior.files.iterator.map(_.path).toSet
+          val missing = dropSet -- live
+          if (missing.nonEmpty) throw new RestConflict(
+            "CommitFailedException",
+            s"rewrite of $key drops ${missing.size} file(s) not live " +
+              s"at the commit base (e.g. ${missing.head}) — refresh " +
+              "and retry")
+          prior.files.filterNot(f => dropSet(f.path)) ++ stamped
+        }
+      repo.writeSnapshot(key, prior.schemaJson, files2,
+        prior.partitionBy, prior.physicalNames,
+        Some(props1), prior.retired)
+    }
 
   /** Rewritten-file pieces of a lowered positional-delete commit (see
     * [[materializePosDeletes]]): registered inside whichever atomic
@@ -2128,65 +2215,9 @@ final class IcebergRestServer private (single: Option[GraftRepo],
               "refresh and retry")
         val prior = acc.get(st.key).map(repo.snapshot).getOrElse(
           throw new NoSuchElementException(s"no such table: ${st.key}"))
-        val snap2 =
-          if (st.schemaChanges.nonEmpty && st.entries.isEmpty) {
-            // metadata-only evolution member: same lowering as the
-            // single-table schema-update commit, riding the one commit
-            val ev = SchemaEvolution.evolve(prior, st.schemaChanges)
-            val props = (ev.props -- st.removeProps) ++ st.setProps
-            repo.writeSnapshot(st.key, ev.schema.json, prior.files,
-              if (ev.spec.isEmpty) None else Some(ev.spec),
-              if (ev.mapping.isEmpty) None else Some(ev.mapping),
-              if (props.isEmpty) None else Some(props),
-              if (ev.retired.isEmpty) None else Some(ev.retired.toSeq.sorted))
-          } else if (st.schemaChanges.nonEmpty) {
-            // COMBINED member: evolution + first files under the new
-            // schema, the single-table evolve+append lowering riding
-            // the one multi-table commit
-            val ev = SchemaEvolution.evolve(prior, st.schemaChanges)
-            val props0 = (ev.props -- st.removeProps) ++ st.setProps
-            val next = Tombstones.lastSeq(props0) + 1
-            val stamped = st.entries.map(_.copy(seq = Some(next)))
-            repo.writeSnapshot(st.key, ev.schema.json,
-              Manifests.appended(prior.files, stamped),
-              if (ev.spec.isEmpty) None else Some(ev.spec),
-              if (ev.mapping.isEmpty) None else Some(ev.mapping),
-              Some(props0 + (Tombstones.SeqProp -> next.toString)),
-              if (ev.retired.isEmpty) None else Some(ev.retired.toSeq.sorted))
-          } else {
-            val props0 = (prior.properties -- st.removeProps) ++ st.setProps
-            val next = Tombstones.lastSeq(props0) + 1
-            val stamped = st.entries.map(_.copy(seq = Some(next)))
-            // an equality-delete member's tombstone masks base files
-            // only (strictly-lower sequences); its same-commit adds
-            // land AT `next` and stay exempt — graft's morUpdate shape
-            val props1 = st.eqFilter match {
-              case Some(f) => Tombstones.append(props0, next, f)
-              case None => props0 + (Tombstones.SeqProp -> next.toString)
-            }
-            // a REWRITE or positional-delete member drops base files:
-            // the per-member pin above already proved the base never
-            // moved, so the drops are live by construction — this
-            // re-check guards the invariant (writeSnapshot retires any
-            // tombstone the drops leave with nothing to apply to)
-            val next2 =
-              if (st.dropRels.isEmpty)
-                Manifests.appended(prior.files, stamped)
-              else {
-                val dropSet = st.dropRels.toSet
-                val live = prior.files.iterator.map(_.path).toSet
-                val missing = dropSet -- live
-                if (missing.nonEmpty) throw new RestConflict(
-                  "CommitFailedException",
-                  s"rewrite member for ${st.key} drops ${missing.size} " +
-                    s"file(s) not live at the commit base (e.g. " +
-                    s"${missing.head}) — refresh and retry")
-                prior.files.filterNot(f => dropSet(f.path)) ++ stamped
-              }
-            repo.writeSnapshot(st.key, prior.schemaJson, next2,
-              prior.partitionBy, prior.physicalNames,
-              Some(props1), prior.retired)
-          }
+        val snap2 = memberSnapshot(repo, st.key, prior, st.entries,
+          st.eqFilter, st.dropRels, st.schemaChanges, st.setProps,
+          st.removeProps)
         acc + (st.key -> snap2.id)
       }
       (updated, base.namespaces)

@@ -3299,6 +3299,44 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       sql("SELECT id, v FROM g.reprc.main.db.m ORDER BY id")
         .collect().map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
         Seq((1, "a"), (3, "c"))
+
+      // regression (jackson boxing): a replace on a table with a LIVE
+      // tombstone that RELISTS the served delete file and drops only a
+      // clean post-tombstone file evaluates the masked-rows predicate
+      // against loaded FileEntry seqs — which jackson materializes as
+      // boxed Integers inside Option[Long]; reading them via
+      // seq.getOrElse unboxed to ClassCastException → HTTP 500 on a
+      // legitimate engine compaction. Must land 200.
+      sql("CREATE TABLE g.reprc.main.db.m2 (id INT, v STRING) " +
+        "TBLPROPERTIES('graft.delete.mode'='merge-on-read')")
+      sql("INSERT INTO g.reprc.main.db.m2 VALUES (1,'a'), (2,'b')")
+      sql("DELETE FROM g.reprc.main.db.m2 WHERE id = 2")
+      sql("INSERT INTO g.reprc.main.db.m2 VALUES (5,'e')")
+      val (_, loadM2) = loadP("m2")
+      val metaM2 = loadM2.get("metadata")
+      val planM2 = graft.versioned.IcebergImport.plan(
+        java.nio.file.Paths.get(loadM2.get("metadata-location").asText()))
+      planM2.deleteFiles should not be empty
+      val baseM2 = planM2.dataPaths.map(java.nio.file.Paths.get(_))
+      val dirtyM2 = baseM2.find(p =>
+        spark.read.parquet(p.toString).collect()
+          .exists(_.getInt(0) == 5)).get
+      val keptM2 = baseM2.filterNot(_ == dirtyM2)
+      val stageM2 = java.nio.file.Paths.get(URI.create(
+        metaM2.get("properties").get("write.data.path").asText() + "/"))
+      val rewrM2 = stageM2.resolve("m2-compacted.parquet")
+      writeOneParquet(Seq((5, "e")).toDF("id", "v"), rewrM2)
+      val servedDelM2 = java.nio.file.Paths.get(planM2.deleteFiles.head.path)
+      val listM2 = stageMixedDeleteCommit(scratch, 7994L,
+        keptM2 :+ rewrM2,
+        Seq((servedDelM2, 2, Some(planM2.deleteFiles.head.equalityIds))))
+      val (cB, eB) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/m2",
+        replaceBody(metaM2, 7994L, listM2), srv)
+      withClue(eB.toString) { cB shouldBe 200 }
+      sql("SELECT id, v FROM g.reprc.main.db.m2 ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+        Seq((1, "a"), (5, "e"))
     } finally srv.close()
   }
 
@@ -3625,10 +3663,12 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       // and the user property survived both reverts
       snapAfterSpecRb.properties.get("team") shouldBe Some("data")
 
-      // ---- MEMOIZED inversion: deepen the history, roll back once
-      // (builds the index over the new commits), then roll back again
-      // — the second walk reuses the index and loads only the commits
-      // the first rollback itself added
+      // ---- LAZY + MEMOIZED inversion: deepen the history by 30
+      // commits, then roll back to a RECENT served prior — the walk
+      // STOPS at the target (frontier recorded for deeper targets), so
+      // even the FIRST rollback never pays the 30-commit delta; the
+      // second rollback reuses the index. O(distance to target)
+      // commit loads, never O(history).
       (1 to 30).foreach(i =>
         sql(s"INSERT INTO g.rbg.main.db.r VALUES (${100 + i}, 'z')"))
       import scala.jdk.CollectionConverters._
@@ -3649,15 +3689,77 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       val (c2, e2) = post(rollbackBody(metaH2, target2))
       withClue(e2.toString) { c2 shouldBe 200 }
       val loads2 = graft.versioned.GraftRepo.commitReadCount - before2
-      // first walk paid the 30-insert delta; the second paid only the
-      // first rollback's own commit (+ the serve/commit overhead both
-      // walks share) — O(new commits), never O(history)
+      // both rollbacks target snapshots a handful of commits deep: the
+      // lazy walk stops there, so neither pays the 30-insert delta —
+      // a full-history walk would load 30+ commits on top of the
+      // serve/commit overhead (~12-16 loads) both rollbacks share
       withClue(s"loads1=$loads1 loads2=$loads2") {
-        loads1 should be >= 30L
-        loads2 should be <= 15L
-        loads2 should be < loads1 / 2
+        loads1 should be <= 20L
+        loads2 should be <= 20L
       }
     } finally srv.close()
+  }
+
+  test("ROLLBACK file-set revert on a SEGMENTED table reuses the " +
+    "target's manifest chunks verbatim: ZERO new manifest objects — " +
+    "O(chunks) metadata on a million-file table, never a per-file " +
+    "rewrite") {
+    val saved = Option(System.getProperty("graft.manifest.inline.max"))
+    System.setProperty("graft.manifest.inline.max", "4")
+    try {
+      sql("CREATE NAMESPACE g.rbseg")
+      sql("CREATE NAMESPACE g.rbseg.main.db")
+      sql("CREATE TABLE g.rbseg.main.db.t (id INT, v STRING)")
+      // 6 separate inserts → 6 files > inlineMax=4 → segmented target
+      (1 to 6).foreach(i =>
+        sql(s"INSERT INTO g.rbseg.main.db.t VALUES ($i, 'v$i')"))
+      val root = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.catalog.g.root"), "rbseg")
+      val exports = Files.createTempDirectory("graft-rbseg-exports")
+      val srv = IcebergRestServer.start(GraftRepo.open(root),
+        exports, Some(spark), maxSnapshots = 8, writable = true)
+      try {
+        val g = graft.versioned.GraftRepo.open(root)
+        def load() = get(s"/v1/namespaces/${enc("main", "db")}/tables/t",
+          srv)._2.get("metadata")
+        val targetGid = g.resolve("main").tables("db/t")
+        g.snapshot(targetGid).manifestRefs should not be empty
+        val s1 = load().get("current-snapshot-id").asLong()
+        // metadata change + a file delta: the revert has real work AND
+        // must cross the evolution (the lowered path, not the swap)
+        sql("ALTER TABLE g.rbseg.main.db.t ADD COLUMN flag INT")
+        sql("INSERT INTO g.rbseg.main.db.t VALUES (100, 'x', 1)")
+        def manifestObjects(): Seq[String] = {
+          val dir = root.resolve("snapshots").resolve("manifests")
+          g.io.list(dir).map(_.getFileName.toString).sorted
+        }
+        val objsBefore = manifestObjects()
+        val meta = load()
+        val refSnap = meta.get("refs").get("main").get("snapshot-id").asLong()
+        val (c, e) = send("POST",
+          s"/v1/namespaces/${enc("main", "db")}/tables/t",
+          s"""{"requirements":[
+             |{"type":"assert-ref-snapshot-id","ref":"main",
+             |"snapshot-id":$refSnap}],
+             |"updates":[
+             |{"action":"set-snapshot-ref","ref-name":"main",
+             |"snapshot-id":$s1,"type":"branch"}]}""".stripMargin
+            .replaceAll("\n", ""), srv)
+        withClue(e.toString) { c shouldBe 200 }
+        // the revert registered the TARGET's chunk refs verbatim —
+        // nothing re-serialized, nothing new on disk
+        manifestObjects() shouldBe objsBefore
+        val reverted = g.snapshot(g.resolve("main").tables("db/t"))
+        reverted.manifestRefs.map(_.path) shouldBe
+          g.snapshot(targetGid).manifestRefs.map(_.path)
+        // rows reverted; the schema stayed wide (flag reads NULL)
+        sql("SELECT id, flag FROM g.rbseg.main.db.t ORDER BY id")
+          .collect().map(r => (r.getInt(0), r.isNullAt(1))).toSeq shouldBe
+          (1 to 6).map(i => (i, true))
+      } finally srv.close()
+    } finally saved.fold(
+      System.clearProperty("graft.manifest.inline.max"): Unit)(v =>
+      System.setProperty("graft.manifest.inline.max", v): Unit)
   }
 
   test("FUZZ: malformed bodies on every write route answer 4xx, never " +
