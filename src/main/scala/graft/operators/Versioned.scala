@@ -936,8 +936,39 @@ object Versioned {
         s"rollback commit failed: ${resp.statusCode()} ${resp.body()}")
       require(load().get("current-snapshot-id").asLong() == s1,
         "the served snapshot must be back at the pre-delete id")
+      // the REVERT path (r15b): a schema evolution then a CoW delete
+      // advance the table; rolling back to the REMEMBERED pre-evolution
+      // id cannot be a pointer swap (Iceberg rollback keeps the schema
+      // current), so the server lands a FILE-SET REVERT — the deleted
+      // rows come back, the added column stays (reading NULL)
+      s.sql(s"ALTER TABLE $cat.r.main.db.nation ADD COLUMN n_tmp INT")
+      s.sql(s"DELETE FROM $cat.r.main.db.nation WHERE n_nationkey >= 15")
+      val meta2 = load()
+      require(meta2.get("current-snapshot-id").asLong() != s1,
+        "the delete must have advanced the served snapshot")
+      val refSnap2 = meta2.get("refs").get("main").get("snapshot-id").asLong()
+      val resp2 = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          s"""{"requirements":[
+             |{"type":"assert-table-uuid",
+             |"uuid":"${meta2.get("table-uuid").asText()}"},
+             |{"type":"assert-ref-snapshot-id","ref":"main",
+             |"snapshot-id":$refSnap2}],
+             |"updates":[
+             |{"action":"set-snapshot-ref","ref-name":"main",
+             |"snapshot-id":$s1,"type":"branch"}]}""".stripMargin
+            .replaceAll("\n", ""))).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp2.statusCode() == 200,
+        s"revert rollback failed: ${resp2.statusCode()} ${resp2.body()}")
+      // the reverted state serves under a FRESH id (documented
+      // divergence: a graft snapshot is new content, Iceberg proper
+      // would re-serve the remembered id)
+      require(load().get("current-snapshot-id").asLong() != s1,
+        "the revert must serve a fresh snapshot id")
     } finally srv.close()
-    s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+    s.sql(s"SELECT n_nationkey, n_name, n_regionkey, n_tmp " +
       s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
   }
 
@@ -2617,7 +2648,8 @@ object Versioned {
     )(restReplace),
     Q(
       "vc_rest_rollback",
-      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |       CAST(NULL AS INT) AS n_tmp FROM nation
         |ORDER BY n_nationkey""".stripMargin
     )(restRollback),
     Q(
