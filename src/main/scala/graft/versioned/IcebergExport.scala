@@ -300,13 +300,22 @@ object IcebergExport {
     // changed the table, not a later commit that touched other tables
     val versions = {
       val b = scala.collection.mutable.ListBuffer.empty[(Commit, String)]
+      val seen = scala.collection.mutable.Set.empty[String]
       var cur: Option[Commit] = Some(headCommit)
       var done = false
       while (!done && cur.exists(_.tables.contains(key))) {
         val c = cur.get
         val sid = c.tables(key)
         if (b.lastOption.exists(_._2 == sid)) b(b.size - 1) = (c, sid)
-        else if (b.size < maxSnapshots) b += ((c, sid))
+        // a NON-consecutive re-occurrence means a revert re-aliased an
+        // older table version (CALL revert restores the old snapshot id
+        // in a new commit): a linear Iceberg snapshot chain cannot
+        // carry the same snapshot-id twice, so history truncates at the
+        // re-occurrence — the same shape a maxSnapshots cut serves —
+        // instead of exporting duplicate ids (iceberg-core rejects the
+        // metadata; incremental consumers would double-count the rows)
+        else if (seen.contains(sid)) done = true
+        else if (b.size < maxSnapshots) { b += ((c, sid)); seen += sid }
         else done = true
         if (!done) cur = c.parents.headOption.map(repo.commit)
       }
@@ -343,11 +352,16 @@ object IcebergExport {
     // history extends back only while those are unchanged, every file
     // still exists (vacuum breaks older reads), and partition values
     // are complete under the exported spec.
+    // per-path existence memo: consecutive history versions share most
+    // of their files, so the vacuum probe costs O(distinct files), not
+    // O(versions · files) IO calls
+    val fileExists = scala.collection.mutable.Map.empty[String, Boolean]
     def eligibleVersion(h: Snapshot): Boolean =
       h.schemaJson == snap.schemaJson &&
         h.partitionFields == snap.partitionFields &&
         h.nameMapping == snap.nameMapping &&
-        h.files.forall(f => repo.dataIO.isFile(f.path)) &&
+        h.files.forall(f =>
+          fileExists.getOrElseUpdate(f.path, repo.dataIO.isFile(f.path))) &&
         (specFields.isEmpty || h.files.forall(f =>
           specFields.forall(pf => f.partValues.contains(pf.name))))
     val history: Seq[(Commit, Snapshot)] = {
@@ -424,9 +438,14 @@ object IcebergExport {
               "v1 reader would resurrect deleted rows")
         }
       val dataEntries = h.files.map { f =>
-        // true on-disk length (readers plan range reads from it — the
-        // snapshot's estimate is not good enough here)
-        MEntry(repo.dataIO.uriOf(f.path), f.rows, repo.dataIO.size(f.path),
+        // true on-disk length (readers plan range reads from it — a
+        // rows-based guess is not good enough here): the write-time
+        // recorded exact size when present, one stat per file only for
+        // pre-`bytes` snapshots — a history export over N versions
+        // must not pay O(N·files) size RPCs for files shared unchanged
+        // across versions
+        MEntry(repo.dataIO.uriOf(f.path), f.rows,
+          f.exactBytes.getOrElse(repo.dataIO.size(f.path)),
           f.partValues, 0,
           f.seqNo + 1, Nil, Some(fileStats(f, phys)),
           addedBy = firstSeen.getOrElseUpdate(f.path, sid))
@@ -1056,19 +1075,38 @@ object IcebergExport {
     val indexRel = s"$memoRel/index.json"
     if (dest.isFile(indexRel)) {
       val idx = Json.read[PosIndex](dest.readString(indexRel))
-      // shield the whole memo (index + every delete parquet) through
-      // this emission's reuse-to-publish window (see DestIO.touch) —
-      // batched over the shared IO pool, not one serial RPC per file.
-      // No cheap restorer (rebuilding means the full Spark job), so the
-      // pre-publish re-verify fails LOUDLY if a sweep won the race.
-      Manifests.fanOut(
-        indexRel +: idx.entries.map(e => s"$memoRel/${e.name}"), 4)(
-        dest.touch)
-      idx.entries.foreach(e => reuse.note(s"$memoRel/${e.name}"))
-      return idx.entries.map(e =>
-        DeleteFile(s"$memoRel/${e.name}",
-          if (e.bytes >= 0) e.bytes else dest.size(s"$memoRel/${e.name}"),
-          e.rows, e.partValues, content = 1, e.seq, Nil))
+      // the memo is reusable only if (a) it was written under a spec
+      // compatible with THIS export — a memo from an unpartitioned-
+      // fallback emission has no partition values to stamp into a
+      // partitioned manifest (and would poison every retry with
+      // NoSuchElementException) — and (b) every delete parquet still
+      // exists — an expire sweep can remove unreferenced parquets while
+      // index.json survives (sweeping refreshes the dir mtime past the
+      // same run's dir-cleanup cutoff), and "re-run the export"
+      // would otherwise keep failing forever because recompute only
+      // triggers when index.json is absent. Incompatible/partial memo →
+      // fall through and RECOMPUTE (index.json is rewritten LAST).
+      val specOk = idx.entries.forall(e =>
+        specFields.forall(pf => e.partValues.contains(pf.name)))
+      val present = specOk && Manifests.fanOut(
+        idx.entries.map(e => s"$memoRel/${e.name}"), 4)(dest.isFile)
+        .forall(identity)
+      if (specOk && present) {
+        // shield the whole memo (index + every delete parquet) through
+        // this emission's reuse-to-publish window (see DestIO.touch) —
+        // batched over the shared IO pool, not one serial RPC per file.
+        // No cheap restorer (rebuilding means the full Spark job), so
+        // the pre-publish re-verify fails LOUDLY if a sweep won the
+        // race AFTER this point.
+        Manifests.fanOut(
+          indexRel +: idx.entries.map(e => s"$memoRel/${e.name}"), 4)(
+          dest.touch)
+        idx.entries.foreach(e => reuse.note(s"$memoRel/${e.name}"))
+        return idx.entries.map(e =>
+          DeleteFile(s"$memoRel/${e.name}",
+            if (e.bytes >= 0) e.bytes else dest.size(s"$memoRel/${e.name}"),
+            e.rows, e.partValues, content = 1, e.seq, Nil))
+      }
     }
     val (_, groups) = Tombstones.split(tombs, phys, snap.files, Some(repo.dataIO))
     if (groups.isEmpty) {
@@ -1134,9 +1172,21 @@ object IcebergExport {
     // then emits exactly one (file_path, pos)-sorted parquet per slot
     // directory, carrying the spec's reserved field ids (readers bind
     // the delete schema by id)
+    // LEFT join + loud failure on an untagged source: an inner join
+    // would silently DROP any scanned position whose normalized
+    // _metadata.file_path disagrees with the uriOf rendering (scheme
+    // authority / percent-encoding differences on a Hadoop-backed
+    // repo) — missing delete rows mean external readers RESURRECT
+    // MoR-deleted data. The DV path throws on the same mismatch
+    // ("untagged delete source"); this is its distributed analog.
     groupFrames.reduce(_ union _)
-      .join(broadcast(tagDf), "__src")
-      .select(col("__gid"),
+      .join(broadcast(tagDf), Seq("__src"), "left")
+      .select(
+        org.apache.spark.sql.functions.when(col("__gid").isNull,
+          org.apache.spark.sql.functions.raise_error(
+            org.apache.spark.sql.functions.concat(
+              lit("untagged delete source (path rendering mismatch): "),
+              col("__src")))).otherwise(col("__gid")).as("__gid"),
         col("file_path").as("file_path", idMeta(DeletePathFieldId)),
         col("pos").as("pos", idMeta(DeletePosFieldId)))
       .repartition(col("__gid"))
@@ -1236,13 +1286,22 @@ object IcebergExport {
         dv = Some(DvCoord(e.referencedUri, e.offset, e.length))))
     if (dest.isFile(indexRel)) {
       val idx = Json.read[DvIndex](dest.readString(indexRel))
-      // shield the memo through this emission's reuse-to-publish window
-      // (no cheap restorer — pre-publish re-verify fails loudly instead)
-      Manifests.fanOut(
-        indexRel +: (if (idx.entries.isEmpty) Nil else Seq(puffinRel)), 4)(
-        dest.touch)
-      if (idx.entries.nonEmpty) reuse.note(puffinRel)
-      return fromIndex(idx)
+      // reuse only a COMPLETE memo: an expire sweep can remove an
+      // unreferenced puffin while index.json survives — recomputing
+      // (index.json rewritten LAST) beats failing every retry until
+      // the next sweep finally drops the index too. (No spec-mode
+      // guard needed here: DV entries record each referenced file's
+      // FULL partition values, not the emission's slot tuples.)
+      if (idx.entries.isEmpty || dest.isFile(puffinRel)) {
+        // shield the memo through this emission's reuse-to-publish
+        // window (no cheap restorer — pre-publish re-verify fails
+        // loudly if a sweep wins the race AFTER this point)
+        Manifests.fanOut(
+          indexRel +: (if (idx.entries.isEmpty) Nil else Seq(puffinRel)), 4)(
+          dest.touch)
+        if (idx.entries.nonEmpty) reuse.note(puffinRel)
+        return fromIndex(idx)
+      }
     }
     val (_, groups) = Tombstones.split(tombs, phys, snap.files, Some(repo.dataIO))
     dest.mkdirs(memoRel)

@@ -91,9 +91,16 @@ final case class FileEntry(
     * inside Option despite the declared Long — widen via Number.
     */
   def sizeBytes(bytesPerRow: Long): Long =
+    exactBytes.getOrElse(rows * bytesPerRow)
+  /** The EXACT on-disk length recorded at write time (None for
+    * pre-`bytes` snapshots) — callers needing truth (external readers
+    * plan range reads from it) use this and stat the file only on
+    * None, instead of an unconditional per-file IO call.
+    */
+  def exactBytes: Option[Long] =
     Option(bytes).flatten.asInstanceOf[Option[Any]] match {
-      case Some(n: Number) => n.longValue()
-      case _ => rows * bytesPerRow
+      case Some(n: Number) => Some(n.longValue())
+      case _ => None
     }
   /** Commit sequence at which the file was added (merge-on-read delete
     * ordering: a tombstone applies to every file with a LOWER seq).

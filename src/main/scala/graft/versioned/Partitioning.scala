@@ -193,8 +193,19 @@ object Partitioning {
     filter match {
       case sources.And(l, r) => mayMatch(f, spec, schema, l) && mayMatch(f, spec, schema, r)
       case sources.Or(l, r) => mayMatch(f, spec, schema, l) || mayMatch(f, spec, schema, r)
+      // a NULL literal comparison is never TRUE (three-valued logic):
+      // no partition holds matching rows, and the transform evaluators
+      // below must never dereference it (an upsert source's null key
+      // would NPE). IS NULL has its own case; EqualNullSafe is not a
+      // pushed shape here.
+      case sources.EqualTo(_, null) => false
+      case sources.GreaterThan(_, null) => false
+      case sources.GreaterThanOrEqual(_, null) => false
+      case sources.LessThan(_, null) => false
+      case sources.LessThanOrEqual(_, null) => false
       case sources.EqualTo(a, v) => testValue(f, spec, schema, a, v)
-      case sources.In(a, vs) => vs.exists(v => testValue(f, spec, schema, a, v))
+      case sources.In(a, vs) => vs.exists(v =>
+        v != null && testValue(f, spec, schema, a, v))
       // range filters: identity compares EXACT values (s>v etc.); floor
       // transforms (days/months/years/hours, numeric truncate) compare
       // against the literal's floor — a file whose dir value equals the

@@ -74,11 +74,23 @@ object TableOps {
     * row, keyed `<prefix>:<col>` — shared by both write-side stat
     * collection passes.
     */
-  private def longStatsOf(r: Row, schema: StructType, prefix: String): Map[String, Long] =
-    schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
-      Option(r.getAs[Any](s"$prefix:${f.name}"))
-        .map(v => f.name -> v.asInstanceOf[Number].longValue())
+  private def longStatsOf(r: Row, leaves: Seq[(String, DataType)],
+      prefix: String): Map[String, Long] =
+    leaves.flatMap { case (n, _) =>
+      Option(r.getAs[Any](s"$prefix:$n"))
+        .map(v => n -> v.asInstanceOf[Number].longValue())
     }.toMap
+
+  /** Stat targets for the data-scan stats pass (bloom tables): every
+    * top-level statable field PLUS struct-nested leaves — the same set
+    * the footer pass records, so a bloom opt-in never silently costs
+    * nested-column pruning or exported nested bounds.
+    */
+  private def scanStatLeaves(schema: StructType): Seq[(String, DataType)] =
+    schema.fields.toSeq.filter(f => statable(f.dataType))
+      .map(f => (f.name, f.dataType)) ++
+      statableLeaves(schema).filter { case (p, _) =>
+        p.contains('.') && !schema.fieldNames.contains(p) }
 
   // ---- logical <-> physical column names (RENAME COLUMN support) -------
 
@@ -245,11 +257,12 @@ object TableOps {
       // bloom tables: sidecar builds genuinely need the values, so
       // rows/min/max/nulls/NDV/blooms all ride ONE scan of the files
       val written = spark.read.schema(schema).parquet(paths: _*)
-      val statCols = schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
-        Seq(min(col(f.name)).cast("string").as(s"min:${f.name}"),
-          max(col(f.name)).cast("string").as(s"max:${f.name}"),
-          sum(isnull(col(f.name)).cast("long")).as(s"nulls:${f.name}"),
-          approx_count_distinct(col(f.name)).as(s"ndv:${f.name}"))
+      val leaves = scanStatLeaves(schema)
+      val statCols = leaves.flatMap { case (n, _) =>
+        Seq(min(col(n)).cast("string").as(s"min:$n"),
+          max(col(n)).cast("string").as(s"max:$n"),
+          sum(isnull(col(n)).cast("long")).as(s"nulls:$n"),
+          approx_count_distinct(col(n)).as(s"ndv:$n"))
       }
       val bloomAggs = blooms.map(c =>
         Blooms.aggColumn(c, schema.fields.find(_.name == c).get.dataType,
@@ -261,8 +274,8 @@ object TableOps {
       rows.toIndexedSeq.map { r =>
         val rel = repo.dataRelOf(r.getAs[String]("__file"))
         def stats(prefix: String): Map[String, String] =
-          schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
-            Option(r.getAs[String](s"$prefix:${f.name}")).map(f.name -> _)
+          leaves.flatMap { case (n, _) =>
+            Option(r.getAs[String](s"$prefix:$n")).map(n -> _)
           }.toMap
         val pvals =
           if (spec.isEmpty) None else Some(Partitioning.valuesFromPath(rel))
@@ -272,8 +285,8 @@ object TableOps {
         FileEntry(rel, r.getAs[Long]("__rows"), stats("min"), stats("max"), pvals,
           Some(repo.dataIO.size(rel)),
           bloomCols = if (sidecar.isEmpty) None else Some(sidecar.keys.toSeq.sorted),
-          nulls = Some(longStatsOf(r, schema, "nulls")),
-          ndv = Some(longStatsOf(r, schema, "ndv")))
+          nulls = Some(longStatsOf(r, leaves, "nulls")),
+          ndv = Some(longStatsOf(r, leaves, "ndv")))
       }
     }
   }
@@ -354,11 +367,12 @@ object TableOps {
       bloomItems: Long = Blooms.DefaultItems): Seq[FileEntry] = {
     if (paths.isEmpty) return Nil
     val written = spark.read.schema(schema).parquet(paths: _*)
-    val statCols = schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
-      Seq(min(col(f.name)).cast("string").as(s"min:${f.name}"),
-        max(col(f.name)).cast("string").as(s"max:${f.name}"),
-        sum(isnull(col(f.name)).cast("long")).as(s"nulls:${f.name}"),
-        approx_count_distinct(col(f.name)).as(s"ndv:${f.name}"))
+    val leaves = scanStatLeaves(schema)
+    val statCols = leaves.flatMap { case (n, _) =>
+      Seq(min(col(n)).cast("string").as(s"min:$n"),
+        max(col(n)).cast("string").as(s"max:$n"),
+        sum(isnull(col(n)).cast("long")).as(s"nulls:$n"),
+        approx_count_distinct(col(n)).as(s"ndv:$n"))
     }
     val blooms = bloomCols.filter(c => schema.fields.exists(_.name == c))
     val bloomAggs = blooms.map(c =>
@@ -369,8 +383,8 @@ object TableOps {
       .collect().toIndexedSeq.map { r =>
         val rel = repo.dataRelOf(r.getAs[String]("__file"))
         def stats(prefix: String): Map[String, String] =
-          schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
-            Option(r.getAs[String](s"$prefix:${f.name}")).map(f.name -> _)
+          leaves.flatMap { case (n, _) =>
+            Option(r.getAs[String](s"$prefix:$n")).map(n -> _)
           }.toMap
         val pvals =
           if (spec.isEmpty) None else Some(Partitioning.valuesFromPath(rel))
@@ -380,8 +394,8 @@ object TableOps {
         FileEntry(rel, r.getAs[Long]("__rows"), stats("min"), stats("max"),
           pvals, Some(repo.dataIO.size(rel)),
           bloomCols = if (sidecar.isEmpty) None else Some(sidecar.keys.toSeq.sorted),
-          nulls = Some(longStatsOf(r, schema, "nulls")),
-          ndv = Some(longStatsOf(r, schema, "ndv")))
+          nulls = Some(longStatsOf(r, leaves, "nulls")),
+          ndv = Some(longStatsOf(r, leaves, "ndv")))
       }
   }
 
@@ -567,9 +581,15 @@ object TableOps {
     val c = repo.headCommit("main")
     val snapId = c.tables.getOrElse(key,
       throw new NoSuchElementException(s"no such table: $key"))
-    val schema = DataType.fromJson(repo.snapshot(snapId).schemaJson)
+    val snap = repo.snapshot(snapId)
+    val schema = DataType.fromJson(snap.schemaJson)
       .asInstanceOf[StructType]
-    val reader = spark.readStream.schema(schema)
+    // files are written under PHYSICAL column names (renames are
+    // metadata-only): scanning with the logical schema would null-fill
+    // every renamed column — read physical, rebind logical, like the
+    // batch path (readFiles)
+    val m = snap.nameMapping
+    val reader = spark.readStream.schema(toPhysical(schema, m))
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
     // recursive lookup (not a one-level glob): batch dirs of PARTITIONED
@@ -579,10 +599,18 @@ object TableOps {
     // Discovery has nothing to infer anyway — every data column lives
     // INSIDE graft files; __p_* dirs are engine-internal pruning
     // metadata. The glob filter keeps .bloom sidecars out of the scan.
-    reader
+    val df = reader
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*.parquet")
       .parquet(repo.dataLocation(s"data/$key"))
+    if (m.isEmpty) df
+    else {
+      val top = df.toDF(schema.fieldNames.toIndexedSeq: _*)
+      if (!m.keysIterator.exists(_.contains('.'))) top
+      else top.select(schema.fields.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+          .as(f.name)).toIndexedSeq: _*)
+    }
   }
 
   /** Snapshot property recording the last stream batch id committed into
@@ -721,12 +749,24 @@ object TableOps {
       // matches — without this, every file is a "candidate" and the CoW
       // path would rewrite the whole table to delete nothing
       case _: sources.AlwaysFalse => false
+      // a NULL literal: `a = NULL` / `a > NULL` / `IN (…, NULL)` is
+      // never TRUE (three-valued logic), so no row of any file matches
+      // on it — and the comparators must never see it (they dereference
+      // the literal; a null from e.g. an upsert source's null key would
+      // NPE the whole rewrite). EqualNullSafe keeps falling to the
+      // conservative default below.
+      case sources.EqualTo(_, null) => false
+      case sources.GreaterThan(_, null) => false
+      case sources.GreaterThanOrEqual(_, null) => false
+      case sources.LessThan(_, null) => false
+      case sources.LessThanOrEqual(_, null) => false
       case sources.EqualTo(a, v) => cmp(a, v).forall { case (l, h) => l <= 0 && h >= 0 }
       case sources.GreaterThan(a, v) => cmp(a, v).forall(_._2 > 0)
       case sources.GreaterThanOrEqual(a, v) => cmp(a, v).forall(_._2 >= 0)
       case sources.LessThan(a, v) => cmp(a, v).forall(_._1 < 0)
       case sources.LessThanOrEqual(a, v) => cmp(a, v).forall(_._1 <= 0)
-      case sources.In(a, vs) => vs.exists(v => cmp(a, v).forall { case (l, h) => l <= 0 && h >= 0 })
+      case sources.In(a, vs) => vs.exists(v =>
+        v != null && cmp(a, v).forall { case (l, h) => l <= 0 && h >= 0 })
       case sources.And(l, r) => mayMatch(f, schema, l, m) && mayMatch(f, schema, r, m)
       case sources.Or(l, r) => mayMatch(f, schema, l, m) || mayMatch(f, schema, r, m)
       case _ => true
@@ -917,11 +957,14 @@ object TableOps {
         val kept = candDf.filter(!coalesce(cond, lit(false)))
         val (next, props) = bumpSeq(snap)
         val (bcols, bitems) = bloomArgs(snap, schema)
-        val rewritten =
-          if (kept.isEmpty) Nil
-          else writeFiles(spark, repo, kept, key, snap.partitionFields,
-            snap.nameMapping, bloomCols = bcols, bloomItems = bitems)
-            .map(_.copy(seq = Some(next)))
+        // no isEmpty pre-probe: it runs a take(1) job over the same
+        // candidate scan the write pays anyway (a FULL duplicate scan
+        // when every row is deleted) — write once, drop empty outputs
+        val rewritten = writeFiles(spark, repo, kept, key,
+          snap.partitionFields, snap.nameMapping,
+          bloomCols = bcols, bloomItems = bitems)
+          .filter(_.rows > 0)
+          .map(_.copy(seq = Some(next)))
         val newSnap = repo.writeSnapshot(key, snap.schemaJson,
           untouched ++ rewritten, snap.partitionBy, snap.physicalNames,
           Some(props), snap.retired)
@@ -1063,10 +1106,11 @@ object TableOps {
           // (the enumerable guard already counted it); a huge merge
           // source must shuffle-join, never broadcast
           val srcKeys = src.select(keyCols.map(col): _*)
-          val kept = candDf.join(
+          // no isEmpty pre-probe: the write below scans once and
+          // empty outputs drop by row count
+          Some(candDf.join(
             if (enumerable.isDefined) broadcast(srcKeys) else srcKeys,
-            keyCols, "left_anti")
-          if (kept.isEmpty) None else Some(kept)
+            keyCols, "left_anti"))
         }
       val (next, props) = bumpSeq(snap)
       val (bcols, bitems) = bloomArgs(snap, schema)
@@ -1074,6 +1118,7 @@ object TableOps {
         .map(writeFiles(spark, repo, _, key, snap.partitionFields,
           snap.nameMapping, bloomCols = bcols, bloomItems = bitems))
         .getOrElse(Nil)
+        .filter(_.rows > 0)
       val appended = writeFiles(spark, repo,
         src.select(schema.fieldNames.toIndexedSeq.map(col): _*), key,
         snap.partitionFields, snap.nameMapping,
@@ -1471,28 +1516,30 @@ object TableOps {
   def atomicAppend(spark: SparkSession, repo: GraftRepo, branch: String,
       tables: Seq[(String, DataFrame)], message: String = ""): Unit = {
     val staged = tables.map { case (key, df) =>
+      // refuse a missing table BEFORE any files land: the commit body
+      // would throw on it anyway, but only after every table's full
+      // data volume was written (orphans until vacuum)
       val head = repo.headCommit(branch).tables.get(key).map(repo.snapshot)
-      val spec = head.map(_.partitionFields).getOrElse(Nil)
-      val mapping = head.map(_.nameMapping).getOrElse(Map.empty)
-      val blooms = head.map(s =>
-        Blooms.physCols(s, toPhysical(
-          DataType.fromJson(s.schemaJson).asInstanceOf[StructType], mapping)))
-        .getOrElse(Nil)
+        .getOrElse(throw new NoSuchElementException(
+          s"no such table: $key (atomicAppend appends to existing " +
+            "tables; CREATE it first)"))
+      val spec = head.partitionFields
+      val mapping = head.nameMapping
+      val blooms = Blooms.physCols(head, toPhysical(
+        DataType.fromJson(head.schemaJson).asInstanceOf[StructType],
+        mapping))
       // align source columns to the table schema BY NAME (the check SQL
       // INSERT gets from the analyzer): a stray/misnamed column — e.g.
       // an unaliased `x + 1` — would otherwise be written under its
       // expression name and read back as NULL
-      val aligned = head.map { s =>
-        val names = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
-          .fieldNames.toIndexedSeq
-        require(df.columns.toSet == names.toSet,
-          s"atomicAppend column mismatch for $key: " +
-            s"expected ${names.mkString(",")}, got ${df.columns.mkString(",")}")
-        df.select(names.map(col): _*)
-      }.getOrElse(df)
+      val names = DataType.fromJson(head.schemaJson)
+        .asInstanceOf[StructType].fieldNames.toIndexedSeq
+      require(df.columns.toSet == names.toSet,
+        s"atomicAppend column mismatch for $key: " +
+          s"expected ${names.mkString(",")}, got ${df.columns.mkString(",")}")
+      val aligned = df.select(names.map(col): _*)
       key -> writeFiles(spark, repo, aligned, key, spec, mapping,
-        bloomCols = blooms,
-        bloomItems = head.map(Blooms.items).getOrElse(Blooms.DefaultItems))
+        bloomCols = blooms, bloomItems = Blooms.items(head))
     }
     val msg = if (message.nonEmpty) message
       else s"atomic append ${tables.map(_._1).mkString(", ")}"

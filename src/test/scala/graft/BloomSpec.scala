@@ -71,6 +71,31 @@ class BloomSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     }
   }
 
+  test("bloom tables keep NESTED leaf stats: a struct member's min/max " +
+    "lands in FileEntry like the footer path records it (a bloom " +
+    "opt-in must not silently cost nested-column pruning)") {
+    n += 1; val r = s"b$n"
+    sql(s"CREATE NAMESPACE g.$r")
+    sql(s"CREATE NAMESPACE g.$r.main.db")
+    sql(s"CREATE TABLE g.$r.main.db.nt " +
+      "(id INT, meta STRUCT<author: STRING, stars: INT>) " +
+      "TBLPROPERTIES('graft.bloom.columns'='id')")
+    sql(s"INSERT INTO g.$r.main.db.nt VALUES " +
+      "(1, named_struct('author', 'ada', 'stars', 3)), " +
+      "(2, named_struct('author', 'zoe', 'stars', 9))")
+    val fs = repoOf(r).snapshot(
+      repoOf(r).headCommit("main").tables("db/nt")).files
+    fs.foreach { f =>
+      f.bloomColsList shouldBe Seq("id")
+      f.min.keySet should contain allOf ("meta.author", "meta.stars")
+      f.nullCounts.get("meta.stars") shouldBe Some(0L)
+    }
+    fs.flatMap(_.min.get("meta.author")).min shouldBe "ada"
+    fs.flatMap(_.max.get("meta.author")).max shouldBe "zoe"
+    fs.flatMap(_.min.get("meta.stars")).map(_.toInt).min shouldBe 3
+    fs.flatMap(_.max.get("meta.stars")).map(_.toInt).max shouldBe 9
+  }
+
   test("data files carry parquet-native blooms on the same columns (row-group pruning)") {
     import scala.jdk.CollectionConverters._
     val r = setup()

@@ -1014,6 +1014,44 @@ class IcebergExportSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     }
   }
 
+  test("history export truncates at a REVERT's re-aliased snapshot id: " +
+    "the snapshots list never carries a duplicate id (iceberg-core " +
+    "rejects such metadata; incremental consumers would double-count " +
+    "the re-added rows)") {
+    sql("CREATE NAMESPACE g.icerv")
+    sql("CREATE NAMESPACE g.icerv.main.db")
+    sql("CREATE TABLE g.icerv.main.db.t (id INT, v STRING)")
+    sql("INSERT INTO g.icerv.main.db.t VALUES (1, 'a')")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "icerv")
+    val repo = GraftRepo.open(root)
+    val cX = repo.headCommit("main").id
+    sql("INSERT INTO g.icerv.main.db.t VALUES (2, 'b')")
+    sql(s"CALL g.system.revert('icerv', 'main', '$cX')")
+    // first-parent chain now reads X(head), Y, X — the same table
+    // snapshot id twice, non-consecutively
+    val dest = Files.createTempDirectory("ice-revert-export")
+    val metaP = graft.versioned.IcebergExport.export(
+      repo, "main", "db/t", dest, Some(spark), 5)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(Files.readString(metaP))
+    val ids = meta.get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong()).toSeq
+    withClue(s"snapshot ids: $ids") {
+      ids.distinct.size shouldBe ids.size // NEVER a duplicate id
+      ids.size shouldBe 2 // head X + Y; the pre-revert X truncates off
+    }
+    ids should contain (meta.get("current-snapshot-id").asLong())
+    // the snapshot-log mirrors the truncated chain
+    val logIds = meta.get("snapshot-log").elements().asScala
+      .map(_.get("snapshot-id").asLong()).toSeq
+    logIds.distinct.size shouldBe logIds.size
+    // and the import reads the REVERTED state
+    graft.versioned.IcebergImport.read(spark, dest)
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe Seq((1, "a"))
+  }
+
   test("import reads a clean v1 export (no deletes) identically to graft") {
     sql("CREATE NAMESPACE g.icei")
     sql("CREATE NAMESPACE g.icei.main.db")

@@ -351,6 +351,32 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming appends read PHYSICAL column names: after RENAME " +
+    "COLUMN the stream serves the renamed column's VALUES, not nulls " +
+    "(files keep their write-time physical names)") {
+    setupRepo("r18")
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "r18"))
+    sql("ALTER TABLE g.r18.main.db.t RENAME COLUMN name TO label")
+    val q = TableOps.readStreamAppends(spark, repo, "db/t")
+      .writeStream.format("memory").queryName("graft_renamed_appends")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("graft_renamed_appends")
+      first.columns should contain ("label")
+      // pre-rename files answer under the NEW logical name WITH values
+      first.count() shouldBe 8
+      first.filter("label IS NULL").count() shouldBe 0
+      // post-rename appends flow too (written under the ORIGINAL
+      // physical name — rename is metadata-only)
+      sql("INSERT INTO g.r18.main.db.t VALUES (100, 'name_100')")
+      q.processAllAvailable()
+      spark.table("graft_renamed_appends")
+        .filter("label = 'name_100'").count() shouldBe 1
+    } finally q.stop()
+  }
+
   test("incremental read: graft.fromRef scans only files added since the ref") {
     setupRepo("r17")
     val repo = GraftRepo.open(java.nio.file.Paths.get(
@@ -530,12 +556,27 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       repo.snapshot(repo.headCommit("main").tables("db/t")))
     df.count() shouldBe 399
     // scan-level pruning: an id=250 lookup reads exactly one file
-    TableOps.pruneFiles(
-      repo.snapshot(repo.headCommit("main").tables("db/t")),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id",
-          org.apache.spark.sql.types.IntegerType))),
+    val snapT = repo.snapshot(repo.headCommit("main").tables("db/t"))
+    val schemaT = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.IntegerType)))
+    TableOps.pruneFiles(snapT, schemaT,
       Seq(org.apache.spark.sql.sources.EqualTo("id", 250))).size shouldBe 1
+    // NULL literals: a comparison with NULL is never TRUE, so no file
+    // matches — and the stats comparators must never dereference the
+    // literal (an upsert source's null key pushes exactly this shape;
+    // pre-guard it NPE'd the whole rewrite)
+    TableOps.pruneFiles(snapT, schemaT,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", null))) shouldBe empty
+    TableOps.pruneFiles(snapT, schemaT,
+      Seq(org.apache.spark.sql.sources.GreaterThan("id", null))) shouldBe empty
+    TableOps.pruneFiles(snapT, schemaT,
+      Seq(org.apache.spark.sql.sources.In("id", Array(null)))) shouldBe empty
+    // a null among real values contributes nothing, prunes like the
+    // real values alone
+    TableOps.pruneFiles(snapT, schemaT,
+      Seq(org.apache.spark.sql.sources.In("id",
+        Array(250.asInstanceOf[AnyRef], null)))).size shouldBe 1
   }
 
   test("partitioned tables: identity + bucket transforms, partition values " +
@@ -570,6 +611,15 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     rows("SELECT id, cat, v FROM g.rp.main.db.pt WHERE cat = 'a' ORDER BY id")
       .map(_.head) shouldBe (1 to 12).filter(i => "abc".charAt(i % 3) == 'a')
     rows("SELECT v FROM g.rp.main.db.pt WHERE id = 5").flatten shouldBe Seq(7.5)
+    // partition pruning with NULL literals: never a match, never an NPE
+    // in the transform evaluators (identity typedCmp / bucketOfLiteral)
+    TableOps.pruneFiles(snap, schema,
+      Seq(EqualTo("cat", null))) shouldBe empty
+    TableOps.pruneFiles(snap, schema,
+      Seq(EqualTo("id", null))) shouldBe empty
+    TableOps.pruneFiles(snap, schema,
+      Seq(org.apache.spark.sql.sources.In("id",
+        Array(5.asInstanceOf[AnyRef], null)))).size shouldBe byId.size
     // CoW delete on one category rewrites no other category's files
     val before = snap.files.toSet
     sql("DELETE FROM g.rp.main.db.pt WHERE cat = 'b'")
