@@ -128,9 +128,13 @@ private[catalog] object GraftProcedures {
         }))
       case "vacuum" => Some(new Proc(
         "vacuum",
-        Seq(("repo", StringType, None)),
+        // default age guard 10 min: an unguarded sweep would delete a
+        // concurrent writer's staged-but-uncommitted data files (see
+        // GraftRepo.vacuum); pass 0 only when no writer is in flight
+        Seq(("repo", StringType, None),
+          ("older_than_ms", LongType, Some("600000"))),
         StructType(Seq(StructField("deleted_files", IntegerType, nullable = false))),
-        in => Seq(open(str(in, 0)).vacuum())))
+        in => Seq(open(str(in, 0)).vacuum(in.getLong(1)))))
       case "create_tag" => Some(new Proc(
         "create_tag",
         Seq(("repo", StringType, None), ("tag", StringType, None),

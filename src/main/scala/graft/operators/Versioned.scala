@@ -2188,7 +2188,7 @@ object Versioned {
     s.sql(s"INSERT INTO $cat.r.main.db.nation VALUES (999, 'JUNK', 0)")
     s.sql(s"CALL $cat.system.rollback('r', 'main', '$good')")
     s.sql(s"CALL $cat.system.expire_snapshots('r', 0)")
-    s.sql(s"CALL $cat.system.vacuum('r')")
+    s.sql(s"CALL $cat.system.vacuum('r', 0)")
     s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
       s"FROM $cat.r.main.db.nation ORDER BY n_nationkey")
   }

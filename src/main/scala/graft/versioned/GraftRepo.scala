@@ -195,6 +195,12 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
     val vs = io.list(dir)
       .map(_.getFileName.toString)
       .collect { case n if n.matches("v\\d+") => n.stripPrefix("v").toInt }
+    // createBranch is mkdirs-then-casRef (not atomic): a reader racing
+    // the gap sees the directory with no ref yet — a clean error beats
+    // empty.max's UnsupportedOperationException deep in a maintenance
+    // pass (expire/vacuum map over every branch)
+    if (vs.isEmpty) throw new NoSuchElementException(
+      s"branch $branch has no committed ref yet (creation in flight?)")
     val n = vs.max
     (n, io.readString(dir.resolve(s"v$n")).trim)
   }
@@ -349,19 +355,42 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
     seen.toSet
   }
 
-  /** Lowest common ancestor (first src-ancestor found walking dst's
-    * history breadth-first).
+  /** LOWEST common ancestor of two commits — a common ancestor that is
+    * not a strict ancestor of any other common ancestor. A
+    * first-hit-by-hops BFS is NOT that: in a criss-cross DAG (both
+    * directions merged previously) the hop-nearest common commit can be
+    * a stale base whose 3-way comparison re-flags already-merged
+    * changes as conflicts, or silently picks the wrong property winner.
+    * The common set is ancestry-closed (an intersection of two closed
+    * sets), so the maximal elements fall out of one mark-the-strict-
+    * ancestors pass over it; a true criss-cross can leave several —
+    * each already contains both directions' last merge, so any is a
+    * sound base — picked deterministically by id.
     */
   def mergeBase(aCid: String, bCid: String): String = {
-    val aAnc = ancestors(aCid)
-    val q = scala.collection.mutable.Queue(bCid)
-    val seen = scala.collection.mutable.Set[String]()
+    // parents memo: the maximality pass re-walks edges already loaded
+    // by the two ancestor walks, zero extra commit reads
+    val parentsOf = scala.collection.mutable.Map[String, Seq[String]]()
+    def anc(cid: String): Set[String] = {
+      val seen = scala.collection.mutable.Set[String]()
+      val q = scala.collection.mutable.Queue(cid)
+      while (q.nonEmpty) {
+        val c = q.dequeue()
+        if (seen.add(c))
+          q.enqueueAll(parentsOf.getOrElseUpdate(c, commit(c).parents))
+      }
+      seen.toSet
+    }
+    val common = anc(aCid).intersect(anc(bCid))
+    if (common.isEmpty) throw new IllegalStateException("no common ancestor")
+    val marked = scala.collection.mutable.Set[String]()
+    val q = scala.collection.mutable.Queue.empty[String]
+    common.foreach(c => q.enqueueAll(parentsOf(c).filter(common)))
     while (q.nonEmpty) {
       val c = q.dequeue()
-      if (aAnc.contains(c)) return c
-      if (seen.add(c)) q.enqueueAll(commit(c).parents)
+      if (marked.add(c)) q.enqueueAll(parentsOf(c).filter(common))
     }
-    throw new IllegalStateException("no common ancestor")
+    (common -- marked).toSeq.min
   }
 
   /** Merge `srcBranch` into `dstBranch` (mirrors
@@ -422,10 +451,14 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
       v.map(pk -> _)
     }.toMap
     // the two sides' appends are disjoint (UUID file names), but dedupe
-    // by path anyway — a snapshot must never list one file twice
+    // by path anyway — a snapshot must never list one file twice.
+    // Manifests.appended keeps a segmented million-file base O(delta):
+    // a plain ++ would materialize the lazy list and re-chunk the
+    // whole table's metadata per merge
     val sPaths = sNew.map(_.path).toSet
     writeSnapshot(key, b.schemaJson,
-      b.files ++ sNew ++ dNew.filterNot(f => sPaths.contains(f.path)),
+      Manifests.appended(b.files,
+        sNew ++ dNew.filterNot(f => sPaths.contains(f.path))),
       b.partitionBy, b.physicalNames,
       if (props.isEmpty) None else Some(props), b.retired).id
   }
@@ -583,7 +616,8 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
         else h.properties.get(pk).orElse(p.properties.get(pk)) // head wins
       v.map(pk -> _)
     }.toMap
-    writeSnapshot(key, h.schemaJson, h.files ++ delta, h.partitionBy,
+    writeSnapshot(key, h.schemaJson, Manifests.appended(h.files, delta),
+      h.partitionBy,
       h.physicalNames, if (props.isEmpty) None else Some(props), h.retired).id
   }
 
@@ -760,7 +794,12 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
     * and an unguarded sweep would eat the in-flight batch. Returns
     * deleted file count.
     */
-  def vacuum(olderThanMs: Long = 0L): Int = {
+  // default age guard 10 min (same as expireSnapshots): an unguarded
+  // sweep (olderThanMs = 0) would delete a concurrent writer's
+  // staged-but-uncommitted data files — the commit then publishes a
+  // snapshot referencing missing files. Pass 0 only when no writer can
+  // be in flight.
+  def vacuum(olderThanMs: Long = 600000L): Int = {
     val cutoff = System.currentTimeMillis() - olderThanMs
     val roots = branches.map(b => head(b)._2) ++ tags.map(t => resolve(t).id)
     val reachableCommits = roots.flatMap(ancestors).toSet

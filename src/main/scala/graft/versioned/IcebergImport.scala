@@ -452,9 +452,19 @@ object IcebergImport {
         case "replace" => () // compaction: rewritten rows, nothing new
         case "append" =>
           readAvro(toLocal(s.get("manifest-list").asText())).foreach { r =>
+            // added_snapshot_id is REQUIRED by the spec (v1 and v2): a
+            // manifest-list row without it cannot be attributed, and
+            // defaulting it would silently drop that manifest's appends
+            // from the incremental plan (a CDC consumer reading zero
+            // rows for the batch, no error) — refuse loudly instead,
+            // like every other unprovable shape here
             val addedBy = Option(r.getSchema.getField("added_snapshot_id"))
               .flatMap(_ => Option(r.get("added_snapshot_id")))
-              .map(_.asInstanceOf[Long]).getOrElse(-1L)
+              .map(_.asInstanceOf[Long]).getOrElse(
+                throw new UnsupportedOperationException(
+                  s"manifest-list row of snapshot $sid carries no " +
+                    "added_snapshot_id — appends cannot be attributed " +
+                    "to snapshots; read via CALL iceberg_import instead"))
             val isData = Option(r.getSchema.getField("content"))
               .forall(_ => r.get("content").asInstanceOf[Int] == 0)
             if (isData && addedBy == sid) {
@@ -522,43 +532,40 @@ object IcebergImport {
     * when present, by an entry-status scan otherwise.
     */
   private[graft] def removedDataFiles(manifestListLoc: String): Boolean =
-    readAvro(manifestListLoc).exists { r =>
-      val content = Option(r.getSchema.getField("content"))
-        .map(_ => r.get("content").asInstanceOf[Int]).getOrElse(0)
-      def cnt(n: String): Option[Int] =
-        Option(r.getSchema.getField(n)).flatMap(_ => Option(r.get(n)))
-          .map(_.asInstanceOf[Number].intValue())
-      content == 0 && {
-        cnt("deleted_files_count").orElse(cnt("deleted_data_files_count")) match {
-          case Some(c) => c > 0
-          case None => readAvro(toLocal(r.get("manifest_path").toString))
-            .exists(_.get("status").asInstanceOf[Int] == 2)
-        }
-      }
-    }
+    readAvro(manifestListLoc).exists(r => manifestRemovesData(r).contains(true))
 
   /** Append-only proof for a summary-less snapshot: its manifest list
     * has no delete manifests (content != 0) and no manifest that removed
-    * data files — by `deleted_(data_)files_count` when the (optional)
-    * count is present, by an explicit entry-status scan of the manifest
-    * otherwise. Sound: an append never produces DELETED entries or
+    * data files. Sound: an append never produces DELETED entries or
     * delete files; any rewrite/delete does.
     */
   private def provablyAppendOnly(manifestListLoc: String): Boolean =
-    readAvro(manifestListLoc).forall { r =>
-      val content = Option(r.getSchema.getField("content"))
-        .map(_ => r.get("content").asInstanceOf[Int]).getOrElse(0)
+    readAvro(manifestListLoc).forall(r => manifestRemovesData(r).contains(false))
+
+  /** Does this manifest-list row's DATA manifest remove live files?
+    * None for a delete manifest (content != 0 — the MoR shape, governed
+    * separately). Checked from the spec's optional
+    * `deleted_(data_)files_count` when present, by an explicit
+    * entry-status scan of the manifest otherwise — the ONE probe behind
+    * both [[removedDataFiles]] (∃ true) and [[provablyAppendOnly]]
+    * (∀ false: no removals AND no delete manifests), so the two
+    * classifiers can never drift on count-field handling.
+    */
+  private def manifestRemovesData(r: GenericRecord): Option[Boolean] = {
+    val content = Option(r.getSchema.getField("content"))
+      .map(_ => r.get("content").asInstanceOf[Int]).getOrElse(0)
+    if (content != 0) None
+    else Some {
       def cnt(n: String): Option[Int] =
         Option(r.getSchema.getField(n)).flatMap(_ => Option(r.get(n)))
           .map(_.asInstanceOf[Number].intValue())
-      content == 0 && {
-        cnt("deleted_files_count").orElse(cnt("deleted_data_files_count")) match {
-          case Some(c) => c == 0
-          case None => readAvro(toLocal(r.get("manifest_path").toString))
-            .forall(_.get("status").asInstanceOf[Int] != 2)
-        }
+      cnt("deleted_files_count").orElse(cnt("deleted_data_files_count")) match {
+        case Some(c) => c > 0
+        case None => readAvro(toLocal(r.get("manifest_path").toString))
+          .exists(_.get("status").asInstanceOf[Int] == 2)
       }
     }
+  }
 
   /** The rows APPENDED between two snapshots as a DataFrame (see
     * [[changesPlan]] for the contract). One distributed scan over the
@@ -973,6 +980,11 @@ object IcebergImport {
       val target =
         if (hasIds) nameToId.get(n).flatMap(id =>
           fields.find(f => idOf(f).contains(id)).map(_.name()))
+          // a writer field the footer stamped NO id for still binds by
+          // name (the spec's name-mapping fallback — the parquet/ORC
+          // paths do the same); without this a later-added column in a
+          // partially-id-stamped avro file silently reads as null
+          .orElse(Option(writer.getField(n)).map(_.name()))
         else Option(writer.getField(n)).map(_.name())
       target.map(n -> _)
     }.toMap
@@ -1107,14 +1119,21 @@ object IcebergImport {
       dataPaths: Seq[String], metaCols: Seq[Column],
       probe: String => Option[Map[Int, String]],
       readFiles: (StructType, Seq[String]) => DataFrame): DataFrame = {
-    probe(dataPaths.head) match {
-      case None =>
+    // probe EVERY file (parallel footer reads), never just the head: a
+    // migrated table mixes id-less files (name-mapping writers) with
+    // id-stamped ones (Iceberg engines), and if the head happened to be
+    // id-less, binding ALL files by name would silently null-fill any
+    // column an engine renamed in the id-stamped files — an outcome
+    // that flipped with manifest ordering
+    val probed = Manifests.fanOut(dataPaths, 2)(f =>
+      (probe(f).getOrElse(Map.empty[Int, String]), f))
+    probed.filter(_._1.nonEmpty) match {
+      case Seq() =>
         readFiles(p.schema, dataPaths)
           .select(p.schema.fields.map(f => col(f.name)).toSeq ++ metaCols: _*)
-      case Some(_) =>
+      case _ =>
         val nameToId = p.fieldIdToName.map(_.swap)
-        dataPaths
-          .map(f => (probe(f).getOrElse(Map.empty), f))
+        probed
           .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
           .sortBy(_._2.head)
           .map { case (idMap, files) =>
@@ -1202,7 +1221,9 @@ object IcebergImport {
   private[graft] def assertNameBindable(spark: SparkSession, p: Plan,
       files: Seq[String]): Unit = {
     if (files.isEmpty) return
-    if (footerIds(spark, files.head).isEmpty) return // id-less writer
+    // probe every file, not just the head: a mixed table (id-less files
+    // behind an id-stamped tail, or vice versa) must be checked per
+    // file — the loop below naturally skips id-less footers
     val nameToId = p.fieldIdToName.map(_.swap)
     files.foreach { f =>
       footerIds(spark, f).foreach { idMap =>

@@ -224,7 +224,7 @@ class BloomSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     devOnly.foreach(f =>
       Files.exists(repo.root.resolve(Blooms.sidecar(f.path))) shouldBe true)
     repo.dropBranch("dev")
-    repo.vacuum() should be >= 1
+    repo.vacuum(0L) should be >= 1
     devOnly.foreach { f =>
       Files.exists(repo.root.resolve(f.path)) shouldBe false
       Files.exists(repo.root.resolve(Blooms.sidecar(f.path))) shouldBe false // GC'd together

@@ -126,7 +126,7 @@ class EngineLifecycleSpec extends AnyFunSuite with Matchers with BeforeAndAfterA
         else 0L
       openRepo(cat).dropBranch("tmp")
       sql(s"CALL $cat.system.expire_snapshots('r', 0)")
-      sql(s"CALL $cat.system.vacuum('r')")
+      sql(s"CALL $cat.system.vacuum('r', 0)")
       rows(s"SELECT count(*) FROM $cat.r.main.db.t").head.head shouldBe 100L
       if (cat == "uri")
         // vacuum's walk/delete ran against the URI store: the dropped

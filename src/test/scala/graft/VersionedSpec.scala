@@ -219,12 +219,12 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     setupRepo("r10")
     val repo = GraftRepo.open(java.nio.file.Paths.get(
       spark.conf.get("spark.sql.catalog.g.root"), "r10"))
-    repo.vacuum() shouldBe 0 // everything reachable
+    repo.vacuum(0L) shouldBe 0 // everything reachable
     sql("CREATE NAMESPACE g.r10.dev")
     sql("INSERT INTO g.r10.dev.db.t VALUES (100, 'dev_only')")
-    repo.vacuum() shouldBe 0 // dev head references the new file
+    repo.vacuum(0L) shouldBe 0 // dev head references the new file
     repo.dropBranch("dev")
-    repo.vacuum() should be >= 1 // dev-only files now orphaned
+    repo.vacuum(0L) should be >= 1 // dev-only files now orphaned
     rows("SELECT count(*) FROM g.r10.main.db.t").head.head shouldBe 8L
   }
 
@@ -258,7 +258,7 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       .head.head shouldBe 8L
     a[Exception] should be thrownBy repo.createTag("v1.0", "main") // immutable
     // the tagged commit's files survive vacuum even after CoW rewrote them
-    repo.vacuum()
+    repo.vacuum(0L)
     rows("SELECT count(*) FROM g.r16.main.db.t VERSION AS OF 'v1.0'")
       .head.head shouldBe 8L
   }
@@ -375,6 +375,37 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       spark.table("graft_renamed_appends")
         .filter("label = 'name_100'").count() shouldBe 1
     } finally q.stop()
+  }
+
+  test("mergeBase returns a LOWEST common ancestor in a criss-cross " +
+    "DAG (both directions merged from stale refs): never the deeper " +
+    "shared root, and the follow-on merge unions cleanly") {
+    val repo = GraftRepo.init(Files.createTempDirectory("graft-lca"))
+    import spark.implicits._
+    def append(branch: String, key: String, id: Int): String = {
+      TableOps.insert(spark, repo, branch, key,
+        Seq((id, s"v$id")).toDF("id", "v"), overwrite = false)
+      repo.headCommit(branch).id
+    }
+    val b0 = append("main", "db/t", 0) // B: the deep common root
+    repo.createBranch("x", "main")
+    val a = append("main", "db/a", 1) // A on main
+    val d = append("x", "db/d", 2) // D on x
+    repo.merge("x", "main") // M1 on main, parents touch A and D
+    repo.createBranch("y", a) // a STALE ref of main, pinned at A
+    append("x", "db/d2", 3) // D2 on x
+    repo.merge("y", "x") // M2 on x — criss-cross: A and D are both
+    // common ancestors now, neither an ancestor of the other
+    val m1 = repo.headCommit("main").id
+    val m2 = repo.headCommit("x").id
+    val lca = repo.mergeBase(m1, m2)
+    withClue(s"lca=$lca a=$a d=$d b0=$b0") {
+      Set(a, d) should contain (lca) // a true LOWEST — never B
+      lca should not be b0
+    }
+    repo.merge("x", "main")
+    repo.headCommit("main").tables.keySet should contain allOf
+      ("db/t", "db/a", "db/d", "db/d2")
   }
 
   test("incremental read: graft.fromRef scans only files added since the ref") {
@@ -1180,7 +1211,7 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     c.head(1).asInstanceOf[Int] should be <= c.head(0).asInstanceOf[Int]
     rows("SELECT id FROM g.rpc.main.db.t ORDER BY id").flatten shouldBe Seq(0, 2)
     // vacuum via CALL: nothing deletable while history references files
-    rows("CALL g.system.vacuum('rpc')").head.head.asInstanceOf[Int] should be >= 0
+    rows("CALL g.system.vacuum('rpc', 0)").head.head.asInstanceOf[Int] should be >= 0
   }
 
 
@@ -1211,7 +1242,7 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // GC safety: dropping the source and vacuuming must not delete the
     // files the clone still references
     sql("DROP TABLE g.rcl.main.db.t")
-    rows("CALL g.system.vacuum('rcl')")
+    rows("CALL g.system.vacuum('rcl', 0)")
     rows("SELECT id FROM g.rcl.main.db.t2 ORDER BY id").flatten shouldBe
       Seq(1, 2, 3, 9)
 
