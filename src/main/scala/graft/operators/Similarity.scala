@@ -40,20 +40,31 @@ object Similarity {
     * cartesian (every corpus-partition × query-partition pair lands on
     * some executor; no single node ever holds the query set).
     */
-  private[graft] def bruteForceImpl(s: SparkSession, d: String,
-      maxBroadcastQueries: Long = 500000): DataFrame = {
+  /** Every (query, corpus) pair with its rounded cosine — the ONE
+    * scored-pairs kernel behind [[bruteForceImpl]] (top-k window) and
+    * [[rangeSearch]] (threshold filter), sharing the corpus projection,
+    * the size-guarded broadcast dispatch, and the codegen'd dot kernel
+    * so the guard cannot drift between the two entry points.
+    */
+  private def scoredPairs(s: SparkSession, d: String,
+      maxBroadcastQueries: Long): DataFrame = {
     val corpus = T.embeddings(s, d)
       .select(col("vec_id").as("neighbor_id"), toDoubleVec(col("embedding")).as("nv"))
       .withColumn("nn", l2norm(col("nv")))
     val qs = queriesSet(s, d)
     val nQueries = qs.select(col("query_id")).count()
     val qSide = if (nQueries <= maxBroadcastQueries) broadcast(qs) else qs
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
     corpus
       .join(qSide, col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos_sim"))
+  }
+
+  private[graft] def bruteForceImpl(s: SparkSession, d: String,
+      maxBroadcastQueries: Long = 500000): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scoredPairs(s, d, maxBroadcastQueries)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .orderBy(col("query_id"), col("rank"))
@@ -257,7 +268,9 @@ object Similarity {
       .select(col("neighbor_id"), posexplode(subCol))
       .toDF("neighbor_id", "j", "sv")
       .localCheckpoint() // reused per Lloyd round + final encoding
-    val n = sub.select(col("neighbor_id")).distinct().count()
+    // N from the plain index scan — a distinct over the m-times-exploded
+    // subvector table would shuffle N·m rows to recover a known count
+    val n = index.count()
     val step = math.max(1, n / ks)
 
     // deterministic init per subspace: every step-th vector's subvector
@@ -370,20 +383,10 @@ object Similarity {
     * Spark and DuckDB filters see bit-identical doubles.
     */
   private val Tau = 0.3
-  private def rangeSearch(s: SparkSession, d: String): DataFrame = {
-    val corpus = T.embeddings(s, d)
-      .select(col("vec_id").as("neighbor_id"), toDoubleVec(col("embedding")).as("nv"))
-      .withColumn("nn", l2norm(col("nv")))
-    val qs = queriesSet(s, d)
-    val nQueries = qs.select(col("query_id")).count()
-    val qSide = if (nQueries <= 500000) broadcast(qs) else qs
-    corpus
-      .join(qSide, col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos_sim"))
+  private def rangeSearch(s: SparkSession, d: String): DataFrame =
+    scoredPairs(s, d, maxBroadcastQueries = 500000)
       .filter(col("cos_sim") >= Tau)
       .orderBy(col("query_id"), col("cos_sim").desc, col("neighbor_id"))
-  }
 
   /** Hash-checkable accuracy gate for the TRAINED ANN variants: recall@K
     * against the in-query exact brute-force answer, emitted as a row the

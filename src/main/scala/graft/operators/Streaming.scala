@@ -67,12 +67,29 @@ object Streaming {
     * fresh stream dir — shared by every source that reads it (the
     * stream-stream join reads ONE staged dir from both sides).
     */
+  // staged dirs hold a full copy of events.parquet each — without
+  // cleanup, repeated verify/bench rounds leak one per streaming query
+  // into /tmp until the disk fills. Deleted on JVM exit (the memory
+  // sink holds the results; the files are only needed while a query
+  // runs, and every query in this module completes within the JVM).
+  private val stagedDirs = java.util.Collections.synchronizedList(
+    new java.util.ArrayList[java.nio.file.Path]())
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    stagedDirs.forEach { dir =>
+      try
+        scala.util.Using.resource(Files.walk(dir))(
+          _.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { Files.deleteIfExists(p); () }))
+      catch { case _: Exception => () } // best-effort exit cleanup
+    }))
+
   private def stageStream(s: SparkSession, d: String, sentinel: Boolean,
       sentinels: Int = 1,
       sentinelTypes: Seq[String] = Seq("sentinel")): java.nio.file.Path = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (tsIsNanos, maxUs) = eventMeta(s, d)
     val dir = Files.createTempDirectory("graft-stream")
+    stagedDirs.add(dir)
     Files.copy(Paths.get(s"$d/events.parquet"), dir.resolve("0_events.parquet"),
       StandardCopyOption.COPY_ATTRIBUTES)
     if (sentinel) {

@@ -29,14 +29,18 @@ object TextAnalysis {
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars2"),
         size(col("ws")).cast("long").as("n_words"),
-        (length(col("text")).cast("double") / size(col("ws"))).as("avg_word_len"),
-        // no rounding anywhere: the divisions are bitwise deterministic given
-        // identical inputs, while round() itself disagrees across engines at
-        // decimal midpoints.
+        // nullif guards: an EMPTY document divides by zero, which under
+        // Spark 4's default ANSI mode THROWS (DIVIDE_BY_ZERO) where the
+        // DuckDB oracle yields NULL — nullif restores the shared NULL
+        // semantics. No rounding anywhere: the divisions are bitwise
+        // deterministic given identical inputs, while round() itself
+        // disagrees across engines at decimal midpoints.
+        (length(col("text")).cast("double") /
+          nullif(size(col("ws")), lit(0))).as("avg_word_len"),
         (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
-          length(col("text"))).as("alpha_ratio"),
+          nullif(length(col("text")), lit(0))).as("alpha_ratio"),
         (expr(s"size(filter(ws, w -> w IN ${inList(stops("en"))}))").cast("double") /
-          size(col("ws"))).as("stop_ratio"))
+          nullif(size(col("ws")), lit(0))).as("stop_ratio"))
       .withColumn("quality_score",
         lit(0.4) * col("alpha_ratio") +
           lit(0.3) * least(lit(1.0), col("n_words").cast("double") / 100.0) +
@@ -81,13 +85,21 @@ object TextAnalysis {
   private def fingerprint(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
       .withColumn("w", words(col("text")))
+      // try_element_at (1-based), NOT w[i]: a short document's
+      // subscripts run past the array end, which under Spark 4's
+      // default ANSI mode THROWS (INVALID_ARRAY_INDEX) — the DuckDB
+      // oracle's 1-based w[i] yields NULL there and concat_ws skips it,
+      // and try_element_at restores exactly those semantics
       .withColumn("sh", expr(
         """transform(sequence(0, greatest(size(w) - 3, 0)), i ->
-          |  md5(concat_ws(' ', w[i], w[i+1], w[i+2])))""".stripMargin))
+          |  md5(concat_ws(' ', try_element_at(w, i+1),
+          |    try_element_at(w, i+2), try_element_at(w, i+3))))""".stripMargin))
       .withColumn("fps", expr(
         """array_distinct(transform(sequence(0, greatest(size(sh) - 4, 0)), i ->
-          |  least(coalesce(sh[i], 'zz'), coalesce(sh[i+1], 'zz'),
-          |        coalesce(sh[i+2], 'zz'), coalesce(sh[i+3], 'zz'))))""".stripMargin))
+          |  least(coalesce(try_element_at(sh, i+1), 'zz'),
+          |        coalesce(try_element_at(sh, i+2), 'zz'),
+          |        coalesce(try_element_at(sh, i+3), 'zz'),
+          |        coalesce(try_element_at(sh, i+4), 'zz'))))""".stripMargin))
       .select(
         col("doc_id"),
         size(col("fps")).cast("long").as("n_fp"),
@@ -103,19 +115,25 @@ object TextAnalysis {
   private def repetition(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
       .withColumn("w", words(col("text")))
+      // try_element_at: see fingerprint — short docs must not throw
+      // under ANSI where the oracle's OOB subscripts yield NULL
       .withColumn("g2", expr(
-        "transform(sequence(0, greatest(size(w) - 2, 0)), i -> concat_ws(' ', w[i], w[i+1]))"))
+        """transform(sequence(0, greatest(size(w) - 2, 0)), i ->
+          |  concat_ws(' ', try_element_at(w, i+1),
+          |    try_element_at(w, i+2)))""".stripMargin))
       .withColumn("g3", expr(
-        "transform(sequence(0, greatest(size(w) - 3, 0)), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        """transform(sequence(0, greatest(size(w) - 3, 0)), i ->
+          |  concat_ws(' ', try_element_at(w, i+1), try_element_at(w, i+2),
+          |    try_element_at(w, i+3)))""".stripMargin))
       .select(
         col("doc_id"),
         size(col("w")).cast("long").as("n_words"),
-        (lit(1.0) - size(array_distinct(col("w"))).cast("double") / size(col("w")))
-          .as("dup_word_ratio"),
-        (lit(1.0) - size(array_distinct(col("g2"))).cast("double") / size(col("g2")))
-          .as("dup_bigram_ratio"),
-        (lit(1.0) - size(array_distinct(col("g3"))).cast("double") / size(col("g3")))
-          .as("dup_trigram_ratio"))
+        (lit(1.0) - size(array_distinct(col("w"))).cast("double") /
+          nullif(size(col("w")), lit(0))).as("dup_word_ratio"),
+        (lit(1.0) - size(array_distinct(col("g2"))).cast("double") /
+          nullif(size(col("g2")), lit(0))).as("dup_bigram_ratio"),
+        (lit(1.0) - size(array_distinct(col("g3"))).cast("double") /
+          nullif(size(col("g3")), lit(0))).as("dup_trigram_ratio"))
       .withColumn("repetitive",
         col("dup_word_ratio") > 0.5 || col("dup_trigram_ratio") > 0.2)
       .orderBy(col("doc_id"))
@@ -131,7 +149,9 @@ object TextAnalysis {
     val docs = T.documents(s, d).withColumn("w", words(col("text")))
     val grams = docs.select(col("doc_id"), explode(expr(
       """array_distinct(transform(sequence(0, greatest(size(w) - 5, 0)), i ->
-        |  concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))""".stripMargin)).as("g"))
+        |  concat_ws(' ', try_element_at(w, i+1), try_element_at(w, i+2),
+        |    try_element_at(w, i+3), try_element_at(w, i+4),
+        |    try_element_at(w, i+5))))""".stripMargin)).as("g"))
     val evalGrams = grams.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
     val hits = grams.filter(col("doc_id") % 97 =!= 0)
       .join(evalGrams, "g")
@@ -155,7 +175,7 @@ object TextAnalysis {
       .withColumn("n_words", size(col("ws")).cast("long"))
       .withColumn("alpha_ratio",
         length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
-          length(col("text")))
+          nullif(length(col("text")), lit(0)))
       .filter(col("n_words") >= 30 && col("alpha_ratio") >= 0.7)
       .groupBy(md5(normText(col("text"))).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
@@ -331,8 +351,12 @@ object TextAnalysis {
       .filter(col("pos") >= 1)
       .select(col("doc_id"), col("bg"))
     val freq = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("f"))
-    // integer threshold: floor of corpus mean bigram frequency
-    val thr = freq.agg((sum(col("f")) / count(lit(1))).cast("long").as("thr"))
+    // integer threshold: floor of corpus mean bigram frequency —
+    // EXPLICIT floor on both engines (Spark's long cast truncates
+    // toward zero, DuckDB's CAST ... AS BIGINT rounds half away: they
+    // disagree whenever the mean's fraction lands >= .5)
+    val thr = freq.agg(
+      floor(sum(col("f")) / count(lit(1))).cast("long").as("thr"))
     bigrams.join(freq, "bg")
       .crossJoin(broadcast(thr))
       .groupBy(col("doc_id"))
@@ -478,7 +502,7 @@ object TextAnalysis {
         |                   || ' ' || wd AS bg
         |  FROM w QUALIFY pos >= 2),
         |freq AS (SELECT bg, count(*) AS f FROM bg GROUP BY bg),
-        |thr AS (SELECT CAST(sum(f) / count(*) AS BIGINT) AS thr FROM freq)
+        |thr AS (SELECT CAST(FLOOR(sum(f) / count(*)) AS BIGINT) AS thr FROM freq)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |       CAST(sum(CASE WHEN f < (SELECT thr FROM thr)
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,

@@ -520,4 +520,44 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       xx shouldBe expect.toSeq
     } finally spark.conf.unset("spark.graft.dupspans.hash")
   }
+  test("text ops survive EDGE documents under ANSI mode: empty text, " +
+    "1-4 word docs — OOB subscripts and zero divisions must match the " +
+    "oracle's NULL semantics, never throw") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Spark 4 defaults spark.sql.ansi.enabled=true: w[i] past the array
+    // end throws INVALID_ARRAY_INDEX and x/0 throws DIVIDE_BY_ZERO —
+    // exactly the shapes empty/short documents feed the text ops, which
+    // the DuckDB oracle evaluates to NULL instead. The ops use
+    // try_element_at/nullif to keep the engines aligned; this pins it.
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge-docs")
+    Seq(
+      (1L, "", "en", "web", 0L),
+      (2L, "one", "en", "web", 3L),
+      (3L, "two words", "en", "web", 9L),
+      (4L, "three little words", "en", "web", 18L),
+      (5L, "four words in here", "en", "web", 18L),
+      (6L, "five whole words right here", "en", "web", 27L),
+      (7L, "a longer document with enough words to form every gram " +
+        "shape used by the fingerprint and repetition kernels",
+        "en", "web", 110L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(dir.resolve("documents.parquet").toString)
+    val d = dir.toString
+    for (q <- Seq("tx_quality", "tx_fingerprint", "tx_repetition",
+        "tx_decontaminate", "tx_pipeline", "tx_tokens", "tx_langid",
+        "tx_sentence_dedup", "tx_span_scrub", "tx_pii_scrub",
+        "tx_cdc_chunk", "tx_lm_novelty", "tx_keyword", "tx_split")) {
+      withClue(s"$q on edge docs: ") {
+        noException should be thrownBy
+          SparkEntry.queries(q)(spark, d).collect()
+      }
+    }
+    // spot semantics: the empty doc's ratios are NULL (not a crash, not
+    // a fabricated zero), matching DuckDB's x/0 -> NULL
+    val qual = SparkEntry.queries("tx_quality")(spark, d)
+      .filter(col("doc_id") === 1L).collect().head
+    qual.isNullAt(qual.fieldIndex("alpha_ratio")) shouldBe true
+  }
+
 }
