@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Compare one or more Bench JSON lines against BASELINE.md's canonical
-round-6 pin table (driver-side tooling only, not part of the shipped
+round-16 pin table (driver-side tooling only, not part of the shipped
 library).
 
 Usage: python3 tools/compare_bench.py bench1.json [bench2.json ...]
@@ -16,8 +16,8 @@ import sys
 
 def load_pins() -> dict:
     txt = open("BASELINE.md").read()
-    sec = txt.split("## Per-query baseline (round 6")[1]
-    sec = sec.split("## Per-query baseline (round 4")[0]
+    sec = txt.split("## Per-query baseline (round 16")[1]
+    sec = sec.split("## Per-query baseline (round 6")[0]
     pins = {}
     for line in sec.splitlines():
         # 2-cell rows (| query | pin |) and wider ones (| query | r3 |
