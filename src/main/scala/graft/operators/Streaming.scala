@@ -69,19 +69,29 @@ object Streaming {
     */
   // staged dirs hold a full copy of events.parquet each — without
   // cleanup, repeated verify/bench rounds leak one per streaming query
-  // into /tmp until the disk fills. Deleted on JVM exit (the memory
-  // sink holds the results; the files are only needed while a query
-  // runs, and every query in this module completes within the JVM).
+  // into /tmp until the disk fills. Reclaimed when the query that read
+  // them stops (runToTable drains the caller thread's pending stages —
+  // the memory sink holds the results, so the files are dead the moment
+  // the query terminates); the JVM shutdown hook is only the backstop
+  // for queries that never reach runToTable (an exception between
+  // staging and start). A long-lived session running many streaming
+  // queries therefore holds at most the in-flight copies, not one per
+  // query ever run.
   private val stagedDirs = java.util.Collections.synchronizedList(
     new java.util.ArrayList[java.nio.file.Path]())
+  private val pendingStages =
+    ThreadLocal.withInitial[java.util.ArrayList[java.nio.file.Path]](() =>
+      new java.util.ArrayList[java.nio.file.Path]())
+
+  private def deleteStaged(dir: java.nio.file.Path): Unit =
+    try
+      scala.util.Using.resource(Files.walk(dir))(
+        _.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { Files.deleteIfExists(p); () }))
+    catch { case _: Exception => () } // best-effort cleanup
+
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    stagedDirs.forEach { dir =>
-      try
-        scala.util.Using.resource(Files.walk(dir))(
-          _.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => { Files.deleteIfExists(p); () }))
-      catch { case _: Exception => () } // best-effort exit cleanup
-    }))
+    stagedDirs.forEach(deleteStaged)))
 
   private def stageStream(s: SparkSession, d: String, sentinel: Boolean,
       sentinels: Int = 1,
@@ -90,6 +100,7 @@ object Streaming {
     val (tsIsNanos, maxUs) = eventMeta(s, d)
     val dir = Files.createTempDirectory("graft-stream")
     stagedDirs.add(dir)
+    pendingStages.get().add(dir)
     Files.copy(Paths.get(s"$d/events.parquet"), dir.resolve("0_events.parquet"),
       StandardCopyOption.COPY_ATTRIBUTES)
     if (sentinel) {
@@ -180,7 +191,14 @@ object Streaming {
     try {
       val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
       try q.processAllAvailable() finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      // the query is stopped: every dir this thread staged for it is
+      // dead — reclaim now instead of waiting for JVM exit
+      val pending = pendingStages.get()
+      pending.forEach { dir => deleteStaged(dir); stagedDirs.remove(dir) }
+      pending.clear()
+    }
     s.table(name)
   }
 

@@ -74,10 +74,22 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
       "tables" -> (if (segmented) refs else tables),
       "namespaces" -> namespaces))
     val id = "c" + sha(body + System.nanoTime())
+    // generation = 1 + max(parent gens); stamped only when EVERY parent
+    // carries one (legacy parents poison descendants to None, keeping
+    // the gen-present ⇒ ancestry-gen-present invariant mergeBase's
+    // bounded walk relies on). Parent gens come from the per-JVM cache
+    // — the parent was almost always just written or loaded here.
+    val gen: Option[Long] =
+      if (parents.isEmpty) Some(0L)
+      else {
+        val pg = parents.map(genOf)
+        if (pg.forall(_.isDefined)) Some(pg.flatten.max + 1L) else None
+      }
     val c = Commit(id, parents, System.currentTimeMillis(), message,
       if (segmented) Map.empty else tables,
       namespaces, if (views.isEmpty) None else Some(views),
-      if (segmented) Some(refs) else None, marker)
+      if (segmented) Some(refs) else None, marker, gen)
+    genCache.put(id, gen)
     if (!io.createExclusive(commitsDir.resolve(s"$id.json"), Json.write(c)))
       throw new IllegalStateException(s"commit object collision: $id")
     // commit object (the GC root) is published — restore any reused
@@ -89,9 +101,17 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
   def commit(id: String): Commit = {
     GraftRepo.commitReads.incrementAndGet()
     val c = Json.read[Commit](io.readString(commitsDir.resolve(s"$id.json")))
+    genCache.put(id, c.genOpt)
     if (c.treeRefs.isEmpty) c
     else c.copy(tables = new Trees.LazyTableMap(root, io, c.treeRefs))
   }
+
+  /** Per-JVM commit-id → generation cache (commit objects are
+    * immutable, so entries never invalidate). */
+  private val genCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[Long]]
+  private def genOf(id: String): Option[Long] =
+    genCache.getOrElseUpdate(id, commit(id).genOpt)
 
   def writeSnapshot(table: String, schemaJson: String, files: Seq[FileEntry],
       partitionBy: Option[Seq[PartitionField]] = None,
@@ -368,29 +388,118 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
     * sound base — picked deterministically by id.
     */
   def mergeBase(aCid: String, bCid: String): String = {
-    // parents memo: the maximality pass re-walks edges already loaded
-    // by the two ancestor walks, zero extra commit reads
+    // parents memo: every pass below re-walks edges already loaded,
+    // zero extra commit reads
     val parentsOf = scala.collection.mutable.Map[String, Seq[String]]()
-    def anc(cid: String): Set[String] = {
-      val seen = scala.collection.mutable.Set[String]()
-      val q = scala.collection.mutable.Queue(cid)
+    val gens = scala.collection.mutable.Map[String, Option[Long]]()
+    def load(cid: String): Unit =
+      if (!parentsOf.contains(cid)) {
+        val c = commit(cid)
+        parentsOf(cid) = c.parents
+        gens(cid) = c.genOpt
+      }
+    load(aCid); load(bCid)
+
+    // Bounded walk (git's paint-down-to-common, exact under generation
+    // numbers): pop nodes in DESCENDING generation order, painting each
+    // side's reachability; a both-painted node is a candidate and turns
+    // STALE, which flows to its ancestors — because an ancestor's
+    // generation is STRICTLY below its descendants', a node's flags are
+    // final when it pops, so emitted candidates are exactly the maximal
+    // common ancestors. The walk STOPS when no queued node is
+    // non-stale: everything below is reachable only through stale
+    // nodes, hence stale. A merge of two branches k commits past their
+    // fork therefore loads O(k) commits, not O(history). Requires
+    // every reachable commit to carry a generation — guaranteed by the
+    // gen-present ⇒ ancestry-gen-present invariant when both HEADS
+    // have one; legacy heads take the exhaustive fallback below.
+    def bounded(): Option[String] = {
+      val P1 = 1; val P2 = 2; val STALE = 4
+      val flags = scala.collection.mutable.Map[String, Int]()
+      val pq = scala.collection.mutable.PriorityQueue
+        .empty[(Long, String)](Ordering.by(_._1))
+      val inQueue = scala.collection.mutable.Set[String]()
+      val nonStaleQ = scala.collection.mutable.Set[String]()
+      def paint(cid: String, add: Int): Unit = {
+        val before = flags.getOrElse(cid, 0)
+        val after = before | add
+        if (after == before) return
+        flags(cid) = after
+        load(cid)
+        if (!inQueue.contains(cid)) {
+          val g = gens(cid).getOrElse(throw new IllegalStateException(
+            s"commit $cid lacks a generation under a gen-stamped head " +
+              "(gen-present ⇒ ancestry-gen-present invariant broken)"))
+          pq.enqueue((g, cid))
+          inQueue += cid
+        }
+        if ((after & STALE) != 0) nonStaleQ -= cid else nonStaleQ += cid
+      }
+      paint(aCid, P1); paint(bCid, P2)
+      val candidates = scala.collection.mutable.ListBuffer[String]()
+      while (nonStaleQ.nonEmpty) {
+        val (_, cid) = pq.dequeue()
+        inQueue -= cid; nonStaleQ -= cid
+        var f = flags(cid)
+        if ((f & (P1 | P2)) == (P1 | P2) && (f & STALE) == 0) {
+          candidates += cid
+          f |= STALE
+          flags(cid) = f
+        }
+        parentsOf(cid).foreach(p => paint(p, f & (P1 | P2 | STALE)))
+      }
+      if (candidates.isEmpty) None // disjoint histories — caller throws
+      else if (candidates.size == 1) Some(candidates.head)
+      else {
+        // belt-and-suspenders maximality over the loaded region (the
+        // generation argument already implies independence; this keeps
+        // a criss-cross tie deterministic and cheap — edges are memoized)
+        val candSet = candidates.toSet
+        val marked = scala.collection.mutable.Set[String]()
+        val q = scala.collection.mutable.Queue.empty[String]
+        val seen = scala.collection.mutable.Set[String]()
+        candidates.foreach(c => q.enqueueAll(parentsOf.getOrElse(c, Nil)))
+        while (q.nonEmpty) {
+          val c = q.dequeue()
+          if (seen.add(c)) {
+            if (candSet(c)) marked += c
+            q.enqueueAll(parentsOf.getOrElse(c, Nil))
+          }
+        }
+        Some((candSet -- marked).toSeq.min)
+      }
+    }
+
+    // Exhaustive fallback (legacy commits without generations):
+    // intersect full ancestries, then mark strict ancestors within the
+    // common (ancestry-closed) set — the maximal survivors are the
+    // LCAs; a criss-cross tie picks deterministically by id.
+    def exhaustive(): String = {
+      def anc(cid: String): Set[String] = {
+        val seen = scala.collection.mutable.Set[String]()
+        val q = scala.collection.mutable.Queue(cid)
+        while (q.nonEmpty) {
+          val c = q.dequeue()
+          if (seen.add(c)) { load(c); q.enqueueAll(parentsOf(c)) }
+        }
+        seen.toSet
+      }
+      val common = anc(aCid).intersect(anc(bCid))
+      if (common.isEmpty) throw new IllegalStateException("no common ancestor")
+      val marked = scala.collection.mutable.Set[String]()
+      val q = scala.collection.mutable.Queue.empty[String]
+      common.foreach(c => q.enqueueAll(parentsOf(c).filter(common)))
       while (q.nonEmpty) {
         val c = q.dequeue()
-        if (seen.add(c))
-          q.enqueueAll(parentsOf.getOrElseUpdate(c, commit(c).parents))
+        if (marked.add(c)) q.enqueueAll(parentsOf(c).filter(common))
       }
-      seen.toSet
+      (common -- marked).toSeq.min
     }
-    val common = anc(aCid).intersect(anc(bCid))
-    if (common.isEmpty) throw new IllegalStateException("no common ancestor")
-    val marked = scala.collection.mutable.Set[String]()
-    val q = scala.collection.mutable.Queue.empty[String]
-    common.foreach(c => q.enqueueAll(parentsOf(c).filter(common)))
-    while (q.nonEmpty) {
-      val c = q.dequeue()
-      if (marked.add(c)) q.enqueueAll(parentsOf(c).filter(common))
-    }
-    (common -- marked).toSeq.min
+
+    if (gens(aCid).isDefined && gens(bCid).isDefined)
+      bounded().getOrElse(
+        throw new IllegalStateException("no common ancestor"))
+    else exhaustive()
   }
 
   /** Merge `srcBranch` into `dstBranch` (mirrors

@@ -983,8 +983,13 @@ object IcebergImport {
           // a writer field the footer stamped NO id for still binds by
           // name (the spec's name-mapping fallback — the parquet/ORC
           // paths do the same); without this a later-added column in a
-          // partially-id-stamped avro file silently reads as null
-          .orElse(Option(writer.getField(n)).map(_.name()))
+          // partially-id-stamped avro file silently reads as null.
+          // The fallback applies ONLY to id-less writer fields: an old
+          // file whose `x` carries a RETIRED id (column dropped and
+          // re-added under a fresh id) must read as null, not as the
+          // dead column's bytes.
+          .orElse(Option(writer.getField(n))
+            .filter(f => idOf(f).isEmpty).map(_.name()))
         else Option(writer.getField(n)).map(_.name())
       target.map(n -> _)
     }.toMap

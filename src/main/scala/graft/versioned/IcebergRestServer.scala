@@ -1229,26 +1229,35 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       // materialization or stat storm on a million-file table. (A file
       // in a differing chunk may still be alive under a shifted chunk
       // boundary — its stat is then merely redundant, never wrong.)
-      val missing: Seq[FileEntry] =
-        if (head.manifestRefs.nonEmpty && targetSnap.manifestRefs.nonEmpty) {
-          val headChunks = head.manifestRefs.map(_.path).toSet
-          targetSnap.manifestRefs.filterNot(r => headChunks(r.path))
-            .flatMap(r => Manifests.load(repo.root, repo.io, r))
-            .filterNot(f => repo.dataIO.isFile(f.path))
-        } else if (targetSnap.manifestRefs.isEmpty) {
-          // inline target: bounded by the inline threshold
-          targetSnap.files.filterNot(f => repo.dataIO.isFile(f.path))
-        } else {
-          // target segmented, head inline (table shrank): the inline
-          // head is small — membership-filter against it, stat the rest
-          val headLive = head.files.iterator.map(_.path).toSet
-          targetSnap.files.iterator
-            .filterNot(f => headLive(f.path))
-            .filterNot(f => repo.dataIO.isFile(f.path)).toSeq
-        }
-      if (missing.nonEmpty) throw new IllegalArgumentException(
-        s"rollback target of $key references ${missing.size} vacuumed " +
-          s"file(s) (e.g. ${missing.head.path}) — not restorable")
+      // The probe runs INSIDE each commit closure against the retry
+      // base's head (not the pre-commit head): a concurrent
+      // vacuum/expire between a pre-commit probe and the publish could
+      // GC target-only files and publish a snapshot referencing
+      // missing data — re-probing under the closure means the
+      // published base was checked, and any raced vacuum forces a
+      // retry that re-checks.
+      def requireRestorable(hd: graft.versioned.Snapshot): Unit = {
+        val missing: Seq[FileEntry] =
+          if (hd.manifestRefs.nonEmpty && targetSnap.manifestRefs.nonEmpty) {
+            val headChunks = hd.manifestRefs.map(_.path).toSet
+            targetSnap.manifestRefs.filterNot(r => headChunks(r.path))
+              .flatMap(r => Manifests.load(repo.root, repo.io, r))
+              .filterNot(f => repo.dataIO.isFile(f.path))
+          } else if (targetSnap.manifestRefs.isEmpty) {
+            // inline target: bounded by the inline threshold
+            targetSnap.files.filterNot(f => repo.dataIO.isFile(f.path))
+          } else {
+            // target segmented, head inline (table shrank): the inline
+            // head is small — membership-filter against it, stat the rest
+            val headLive = hd.files.iterator.map(_.path).toSet
+            targetSnap.files.iterator
+              .filterNot(f => headLive(f.path))
+              .filterNot(f => repo.dataIO.isFile(f.path)).toSeq
+          }
+        if (missing.nonEmpty) throw new IllegalArgumentException(
+          s"rollback target of $key references ${missing.size} vacuumed " +
+            s"file(s) (e.g. ${missing.head.path}) — not restorable")
+      }
       // Iceberg's rollback moves only the ref — schema, spec, mapping
       // and properties stay CURRENT — but a graft snapshot bundles all
       // of them, so a bare pointer swap across ANY metadata evolution
@@ -1300,6 +1309,7 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         repo.commitRetry(ref, s"rest: rollback $key to snapshot $target") {
           base =>
             pin(base)
+            requireRestorable(repo.snapshot(base.tables(key)))
             (base.tables + (key -> gid), base.namespaces)
         }
       else if (!alreadyReverted)
@@ -1307,6 +1317,7 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           "(file-set revert across a metadata change)") { base =>
           pin(base)
           val prior = repo.snapshot(base.tables(key))
+          requireRestorable(prior)
           val props = userProps(prior) ++ morProps(targetSnap)
           val ns2 = repo.writeSnapshot(key, prior.schemaJson,
             targetSnap.files, prior.partitionBy, prior.physicalNames,

@@ -235,8 +235,22 @@ final case class Commit(
     namespaces: Map[String, Map[String, String]],
     views: Option[Map[String, ViewDef]] = None,
     trees: Option[Seq[Trees.TreeRef]] = None,
-    marker: Option[String] = None) {
+    marker: Option[String] = None,
+    // generation number: 0 for a root, 1 + max(parent generations)
+    // otherwise — strictly greater than every ancestor's, which lets
+    // mergeBase walk in descending-generation order and STOP at the
+    // common-ancestry closure instead of walking both histories to the
+    // roots. None on commits written before the field existed (and on
+    // their descendants — a commit carries a generation only when ALL
+    // its parents do, so gen-present implies gen-present all the way
+    // down); mergeBase falls back to the exhaustive walk there.
+    gen: Option[Long] = None) {
   def viewMap: Map[String, ViewDef] = Option(views).flatten.getOrElse(Map.empty)
+  /** Null-safe, box-safe generation accessor (jackson erases the
+    * Option's Long — the runtime value can be a boxed Integer). */
+  def genOpt: Option[Long] =
+    Option(gen).flatten.asInstanceOf[Option[Any]]
+      .map { case n: Number => n.longValue() }
   /** STRUCTURAL machine-readable classification of what the commit did
     * ([[Commit.CompactMarker]] for rewrite-only compactions) — stamped
     * by the operation itself, never derived from the free-text

@@ -408,6 +408,66 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       ("db/t", "db/a", "db/d", "db/d2")
   }
 
+  test("mergeBase is bounded by fork distance, not history depth: two " +
+    "branches k=3 commits past their fork resolve their base in O(k) " +
+    "commit loads on a 60-deep history (generation-ordered walk stops " +
+    "at the common-ancestry closure)") {
+    val repo = GraftRepo.init(Files.createTempDirectory("graft-lca-gen"))
+    def tick(branch: String, i: Int): Unit = {
+      repo.commitRetry(branch, s"meta $i") { base =>
+        (base.tables, base.namespaces + ("db" -> Map("k" -> i.toString)))
+      }
+      ()
+    }
+    (1 to 60).foreach(tick("main", _))
+    // generations stamp 1 + max(parent) from the root (repo-init = 0)
+    repo.headCommit("main").genOpt shouldBe Some(60L)
+    val fork = repo.headCommit("main").id
+    repo.createBranch("dev", "main")
+    (61 to 63).foreach(tick("main", _))
+    (1 to 3).foreach(i => tick("dev", 100 + i))
+    val hm = repo.headCommit("main").id
+    val hd = repo.headCommit("dev").id
+    val before = GraftRepo.commitReadCount
+    repo.mergeBase(hm, hd) shouldBe fork
+    val loads = GraftRepo.commitReadCount - before
+    // bounded walk touches: 2 heads + 2x2 remaining side commits + the
+    // fork + its stale-painted parent ≈ 8; the exhaustive walk would
+    // load the full 60-deep trunk (twice the sides, once the trunk)
+    withClue(s"mergeBase commit loads = $loads") {
+      loads should be <= 15L
+    }
+  }
+
+  test("mergeBase falls back to the exhaustive walk when a head lacks " +
+    "a generation (legacy commit written before the gen field)") {
+    val root = Files.createTempDirectory("graft-lca-legacy")
+    val repo = GraftRepo.init(root)
+    def tick(r: GraftRepo, branch: String, i: Int): Unit = {
+      r.commitRetry(branch, s"meta $i") { base =>
+        (base.tables, base.namespaces + ("db" -> Map("k" -> i.toString)))
+      }
+      ()
+    }
+    (1 to 3).foreach(tick(repo, "main", _))
+    val fork = repo.headCommit("main").id
+    repo.createBranch("dev", "main")
+    tick(repo, "main", 4)
+    tick(repo, "dev", 5)
+    // strip the gen field from main's head ON DISK — a legacy commit
+    val hm = repo.headCommit("main").id
+    val f = root.resolve("commits").resolve(s"$hm.json")
+    val node = graft.versioned.Json.mapper.readTree(
+      new String(Files.readAllBytes(f), "UTF-8"))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("gen")
+    Files.write(f, node.toString.getBytes("UTF-8"))
+    val reopened = GraftRepo.open(root) // fresh caches
+    reopened.headCommit("main").genOpt shouldBe None
+    reopened.mergeBase(reopened.headCommit("main").id,
+      reopened.headCommit("dev").id) shouldBe fork
+  }
+
   test("incremental read: graft.fromRef scans only files added since the ref") {
     setupRepo("r17")
     val repo = GraftRepo.open(java.nio.file.Paths.get(
