@@ -45,8 +45,9 @@ object ScaleSmoke {
     }
     replicate("documents", "doc_id", 10000000L)
     replicate("nation", "n_nationkey", 1000L)
+    replicate("embeddings", "vec_id", 10000000L) // the ANN index corpus
     Seq("region", "customer", "supplier", "part", "orders", "lineitem",
-      "events", "embeddings").foreach { t =>
+      "events").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
@@ -115,6 +116,52 @@ object ScaleSmoke {
       time("dd_indexAdmit")(
         operators.Dedup.indexAdmit(spark, cat, repo, "main", delta, t)
           .count())
+    }
+
+    // PERSISTED ANN index at scale: init is the once-ever corpus-linear
+    // cost; the RECURRING halves must not track the corpus — APPEND of a
+    // fixed 1× delta is O(delta) encode + one atomic commit (the stored
+    // model broadcasts, the clash guard scans one pruned column), and
+    // PROBE of a fixed query batch costs |Q| × cell width — cells hold
+    // N/k = √N vectors, so the probe row grows as √scale (nprobe·√N
+    // candidates), NEVER linearly, and the plan must stay keyed (no
+    // cartesian, no nested-loop flip).
+    locally {
+      import graft.functions.TextVec._
+      val cat = "gsann" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(10)
+      val root = java.nio.file.Files.createTempDirectory(s"graft-$cat")
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+      spark.sql(s"CREATE NAMESPACE $cat.r")
+      spark.sql(s"CREATE NAMESPACE $cat.r.main.ann")
+      val repo = graft.versioned.GraftRepo.open(root.resolve("r"))
+      val emb = spark.read.parquet(s"$dst/embeddings.parquet")
+        .select(col("vec_id"), toDoubleVec(col("embedding")).as("nv"))
+      time("ann_indexInit") {
+        operators.Similarity.annIndexInit(spark, cat, repo, "main", emb)
+        spark.table(s"$cat.r.main.ann.vectors").count()
+      }
+      val delta = spark.read.parquet(s"$src/embeddings.parquet")
+        .select((col("vec_id") + lit(2000000000L)).as("vec_id"),
+          toDoubleVec(col("embedding")).as("nv"))
+      time("ann_indexAppend") {
+        operators.Similarity.annIndexAppend(spark, cat, repo, "main", delta)
+        delta.count()
+      }
+      val qs = spark.read.parquet(s"$src/embeddings.parquet")
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"),
+          toDoubleVec(col("embedding")).as("qv"))
+        .withColumn("qn", l2norm(col("qv")))
+      val probe = operators.Similarity.annIndexProbe(spark, cat, "r", "main", qs)
+      val pplan = probe.queryExecution.executedPlan.toString
+      require(!pplan.contains("CartesianProduct"),
+        s"ann_indexProbe plan degraded: CartesianProduct at ${scale}x")
+      require(!pplan.contains("BroadcastNestedLoop"),
+        s"ann_indexProbe plan degraded: BroadcastNestedLoopJoin at ${scale}x")
+      time("ann_indexProbe")(probe.count())
     }
 
     // CDC + REST gates on the 10× nation: cost must track the CHANGE

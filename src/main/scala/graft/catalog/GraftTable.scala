@@ -537,12 +537,20 @@ final class GraftScan(
 
   /** Runtime (join-driven) filters apply to partition source columns —
     * the columns whose values prune whole files via partition values
-    * and min/max stats.
+    * and min/max stats. Only columns IN THE SCAN OUTPUT are reported:
+    * Spark's PartitionPruning rule resolves these refs against the
+    * column-pruned output and THROWS on a miss (a projection of a
+    * partitioned table that drops the partition column would fail to
+    * plan any join), and a runtime filter keyed on an unprojected
+    * column can never be derived from the join anyway.
     */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    snap.partitionFields.map(pf =>
-      org.apache.spark.sql.connector.expressions.Expressions.column(pf.source)).toArray
+    snap.partitionFields
+      .filter(pf => required.fieldNames.contains(pf.source))
+      .map(pf =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(pf.source))
+      .toArray
 
   override def filter(filters: Array[sources.Filter]): Unit = {
     // best-effort pruning: runtime filters come from the join build side,

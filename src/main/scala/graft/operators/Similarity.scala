@@ -145,10 +145,21 @@ object Similarity {
     * is ever collected/broadcast.
     */
   private[graft] def kmeansIndex(s: SparkSession, d: String,
+      k: Int = 0, lloydRounds: Int = 2): (DataFrame, Seq[(Long, Seq[Double])]) =
+    kmeansIndexOf(s,
+      T.embeddings(s, d)
+        .select(col("vec_id"), toDoubleVec(col("embedding")).as("nv")),
+      k, lloydRounds)
+
+  /** Same quantizer over an arbitrary `(vec_id, nv)` corpus — the entry
+    * point [[annIndexInit]] trains through (the persisted-index path
+    * must train on exactly the rows it stores, not the raw table).
+    */
+  private[graft] def kmeansIndexOf(s: SparkSession, corpusIn: DataFrame,
       k: Int = 0, lloydRounds: Int = 2): (DataFrame, Seq[(Long, Seq[Double])]) = {
     import s.implicits._
-    val corpus = T.embeddings(s, d)
-      .select(col("vec_id"), toDoubleVec(col("embedding")).as("nv"))
+    val corpus = corpusIn
+      .select(col("vec_id"), col("nv"))
       .withColumn("nn", l2norm(col("nv")))
       .withColumn("u", expr("transform(nv, x -> x / nn)")) // unit vectors
       .localCheckpoint() // reused per Lloyd round + final index
@@ -173,6 +184,20 @@ object Similarity {
       .limit(kk)
       .select(col("vec_id").as("cell"), col("u").as("cv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    if (centroids.size < math.max(1, kk / 2)) {
+      // id-modulo seeding assumes DENSE ids; an id-sparse corpus (a
+      // filtered slice whose surviving ids share a factor with step —
+      // e.g. vec_id % 3 ≠ 0 under a step divisible by 3) can seed
+      // nothing. Deterministic hash-spread fallback: same expected
+      // seed count, uniform over any id structure, still a filter +
+      // limit (scale-safe). Dense corpora never take this branch, so
+      // every pre-existing gate keeps its exact seeds.
+      centroids = corpus
+        .filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0)
+        .limit(kk)
+        .select(col("vec_id").as("cell"), col("u").as("cv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    }
 
     def centroidDf = s.createDataFrame(centroids).toDF("cell", "cv")
     def assign(): DataFrame = {
@@ -254,64 +279,62 @@ object Similarity {
     * against the true vectors (the standard refine step: PQ error only
     * affects which candidates reach the exact pass).
     */
-  private[graft] def ivfpq(s: SparkSession, d: String,
-      k: Int = 0, nprobe: Int = 8, m: Int = 8, ks: Int = 16,
-      rerank: Int = 50): DataFrame = {
-    import s.implicits._
-    val dimPer = Dim / m
-    val (idx, model) = kmeansIndex(s, d, k, 2)
-    val index = idx.toDF("neighbor_id", "nv", "nn", "cell")
-    // subvectors of the UNIT vector: approx cos(q,v) = Σ_j qu_j · cb[j][code_j]
-    val subCol = expr(s"transform(sequence(0, ${m - 1}), " +
-      s"j -> slice(transform(nv, x -> x / nn), j * $dimPer + 1, $dimPer))")
-    val sub = index
-      .select(col("neighbor_id"), posexplode(subCol))
-      .toDF("neighbor_id", "j", "sv")
-      .localCheckpoint() // reused per Lloyd round + final encoding
-    // N from the plain index scan — a distinct over the m-times-exploded
-    // subvector table would shuffle N·m rows to recover a known count
-    val n = index.count()
-    val step = math.max(1, n / ks)
+  /** `(id, j, sv)` subvectors of each row's UNIT vector (the input
+    * carries `nv`+`nn`): approx cos(q,v) = Σ_j qu_j · cb[j][code_j].
+    */
+  private def pqSubvectors(vecs: DataFrame, idCol: String,
+      m: Int, dimPer: Int): DataFrame =
+    vecs.select(col(idCol), posexplode(
+      expr(s"transform(sequence(0, ${m - 1}), " +
+        s"j -> slice(transform(nv, x -> x / nn), j * $dimPer + 1, $dimPer))")))
+      .toDF(idCol, "j", "sv")
 
-    // deterministic init per subspace: every step-th vector's subvector
-    val initW = Window.partitionBy(col("j")).orderBy(col("neighbor_id"))
-    var codebook: Seq[(Int, Int, Seq[Double])] = sub
-      .filter(col("neighbor_id") % step === 0)
+  /** Nearest code per (vector, subspace): L2 argmin == argmin of
+    * (||cb||² - 2·sv·cb) — ||sv||² is constant per row. The codebook
+    * is an m·ks·dimPer model (~1K doubles), so the argmin is a pure
+    * codegen'd PROJECTION over a typed literal — no join, no window,
+    * no shuffle (the exact FAISS shape: tiny local codebook, local
+    * encode). array_min + array_position picks the LOWEST code among
+    * d2 ties. A code with no assigned vectors after a Lloyd update
+    * gets a far-away sentinel (1e150: d2 ≈ 8e300, finite so no NaN
+    * via 0·∞, never the argmin) — unselectable.
+    */
+  private def pqEncode(sub: DataFrame, codebook: Seq[(Int, Int, Seq[Double])],
+      idCol: String, m: Int, ks: Int, dimPer: Int): DataFrame = {
+    val sentinel = Seq.fill(dimPer)(1e150)
+    val byJC = codebook.map(e => (e._1, e._2) -> e._3).toMap
+    val dense: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
+      (0 until ks).map(c => byJC.getOrElse((j, c), sentinel).toSeq))
+    val cbLit = typedlit(dense)
+    sub
+      .withColumn("d2s", transform(element_at(cbLit, col("j") + 1),
+        cb => dot(cb, cb) - lit(2.0) * dot(col("sv"), cb)))
+      .withColumn("code",
+        (array_position(col("d2s"), array_min(col("d2s"))) - 1).cast("int"))
+      .select(col(idCol), col("j"), col("sv"), col("code"))
+  }
+
+  /** Grouped-Lloyd PQ codebook training: deterministic per-subspace
+    * init (every n/ks-th vector's subvector), 2 rounds, ALL subspaces
+    * in one job per round. Only the m·ks·dimPer model is collected.
+    */
+  private def trainPqCodebook(s: SparkSession, sub: DataFrame, n: Long,
+      idCol: String, m: Int, ks: Int, dimPer: Int): Seq[(Int, Int, Seq[Double])] = {
+    val step = math.max(1, n / ks)
+    val initW = Window.partitionBy(col("j")).orderBy(col(idCol))
+    def seed(pick: Column): Seq[(Int, Int, Seq[Double])] = sub
+      .filter(pick)
       .withColumn("rn", row_number().over(initW))
       .filter(col("rn") <= ks)
       .select(col("j"), (col("rn") - 1).cast("int").as("code"), col("sv"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
-
-    def cbDf = s.createDataFrame(codebook).toDF("j", "code", "cb")
-    // nearest code per (vector, subspace): L2 argmin == argmin of
-    // (||cb||² - 2·sv·cb) — ||sv||² is constant per row. The codebook
-    // is an m·ks·dimPer model (~1K doubles), so the argmin is a pure
-    // codegen'd PROJECTION over a typed literal — no join, no window,
-    // no shuffle. Each of the three encode passes (2 Lloyd + final)
-    // previously paid an n·m·ks-row join + row_number sort shuffle;
-    // now none do, the exact FAISS shape (tiny local codebook, local
-    // encode). array_min + array_position picks the LOWEST code among
-    // d2 ties — identical to the old (d2, code) window order.
-    def encode(): DataFrame = {
-      // dense code→cb array per subspace; a code with no assigned
-      // vectors after a Lloyd update gets a far-away sentinel (1e150:
-      // d2 ≈ 8e300, finite so no NaN via 0·∞, never the argmin) —
-      // unselectable, exactly like the old join that simply lacked
-      // the row
-      val sentinel = Seq.fill(dimPer)(1e150)
-      val byJC = codebook.map(e => (e._1, e._2) -> e._3).toMap
-      val dense: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
-        (0 until ks).map(c => byJC.getOrElse((j, c), sentinel).toSeq))
-      val cbLit = typedlit(dense)
-      sub
-        .withColumn("d2s", transform(element_at(cbLit, col("j") + 1),
-          cb => dot(cb, cb) - lit(2.0) * dot(col("sv"), cb)))
-        .withColumn("code",
-          (array_position(col("d2s"), array_min(col("d2s"))) - 1).cast("int"))
-        .select(col("neighbor_id"), col("j"), col("sv"), col("code"))
-    }
+    var codebook = seed(col(idCol) % step === 0)
+    if (codebook.size < math.max(1, m * ks / 2))
+      // same id-sparse fallback as the coarse quantizer's init (see
+      // kmeansIndexOf): dense corpora never take this branch
+      codebook = seed(pmod(xxhash64(col(idCol)), lit(step)) === 0)
     for (_ <- 1 to 2) { // Lloyd rounds, all subspaces in ONE job
-      codebook = encode()
+      codebook = pqEncode(sub, codebook, idCol, m, ks, dimPer)
         .select(col("j"), col("code"), posexplode(col("sv")))
         .groupBy(col("j"), col("code"), col("pos"))
         .agg(avg(col("col")).as("c"))
@@ -320,11 +343,33 @@ object Similarity {
         .select(col("j"), col("code"), expr("transform(dims, x -> x.c)").as("cb"))
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
     }
-    // PQ-encoded corpus: m codes per vector (+ its IVF cell)
-    val encoded = encode()
-      .groupBy(col("neighbor_id"))
+    codebook
+  }
+
+  /** `(id, codes)` — m PQ codes per vector under `codebook`. */
+  private def pqCodes(sub: DataFrame, codebook: Seq[(Int, Int, Seq[Double])],
+      idCol: String, m: Int, ks: Int, dimPer: Int): DataFrame =
+    pqEncode(sub, codebook, idCol, m, ks, dimPer)
+      .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("j"), col("code")))).as("cs"))
-      .select(col("neighbor_id"), expr("transform(cs, x -> x.code)").as("codes"))
+      .select(col(idCol), expr("transform(cs, x -> x.code)").as("codes"))
+
+  private[graft] def ivfpq(s: SparkSession, d: String,
+      k: Int = 0, nprobe: Int = 8, m: Int = 8, ks: Int = 16,
+      rerank: Int = 50): DataFrame = {
+    import s.implicits._
+    val dimPer = Dim / m
+    val (idx, model) = kmeansIndex(s, d, k, 2)
+    val index = idx.toDF("neighbor_id", "nv", "nn", "cell")
+    val sub = pqSubvectors(index, "neighbor_id", m, dimPer)
+      .localCheckpoint() // reused per Lloyd round + final encoding
+    // N from the plain index scan — a distinct over the m-times-exploded
+    // subvector table would shuffle N·m rows to recover a known count
+    val n = index.count()
+    val codebook = trainPqCodebook(s, sub, n, "neighbor_id", m, ks, dimPer)
+    def cbDf = s.createDataFrame(codebook).toDF("j", "code", "cb")
+    // PQ-encoded corpus: m codes per vector (+ its IVF cell)
+    val encoded = pqCodes(sub, codebook, "neighbor_id", m, ks, dimPer)
       .join(index.select(col("neighbor_id"), col("cell")), Seq("neighbor_id"))
 
     // query side: probed cells (coarse) + ADC contribution table
@@ -372,6 +417,238 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---- PERSISTED ANN index (IVF-PQ in versioned graft tables) ---------
+  //
+  // The rebuild-per-run gap closed: centroids, PQ codebooks, and the
+  // encoded corpus live in graft tables (same lifecycle as Dedup's
+  // dd_incr_persist index) — TRAIN once on the initial corpus, APPEND
+  // new vectors encoded under the STORED model in one atomic commit (no
+  // Lloyd re-run), PROBE any query batch against the stored index. At
+  // 100 TB the quantizer is a fixed model artifact; re-running Lloyd
+  // per query batch is not viable, and the versioned tables give the
+  // index snapshots/branches/time-travel for free.
+
+  private def annPre(cat: String, repoName: String, branch: String) =
+    s"$cat.$repoName.$branch.ann"
+
+  /** Create + train + encode: ONE atomic commit publishes all three
+    * index tables, so a reader never observes vectors without the
+    * model that encodes them. `ann/vectors` is PARTITIONED BY cell —
+    * a probe's scan prunes to its nprobe cells' files.
+    */
+  def annIndexInit(s: SparkSession, cat: String,
+      repo: graft.versioned.GraftRepo, branch: String,
+      corpus: DataFrame, k: Int = 0, m: Int = 8, ks: Int = 16): Unit = {
+    import s.implicits._
+    val r = repo.root.getFileName.toString
+    s.sql(s"CREATE TABLE ${annPre(cat, r, branch)}.centroids " +
+      "(cell BIGINT, cv ARRAY<DOUBLE>)")
+    s.sql(s"CREATE TABLE ${annPre(cat, r, branch)}.codebook " +
+      "(j INT, code INT, cb ARRAY<DOUBLE>)")
+    s.sql(s"CREATE TABLE ${annPre(cat, r, branch)}.vectors " +
+      "(vec_id BIGINT, nv ARRAY<DOUBLE>, nn DOUBLE, cell BIGINT, " +
+      "codes ARRAY<INT>) PARTITIONED BY (cell)")
+    val dimPer = Dim / m
+    val (idx, model) = kmeansIndexOf(s, corpus, k, 2)
+    val index = idx.localCheckpoint() // feeds sub, count, and the store
+    val sub = pqSubvectors(index, "vec_id", m, dimPer).localCheckpoint()
+    val n = index.count()
+    val codebook = trainPqCodebook(s, sub, n, "vec_id", m, ks, dimPer)
+    val vectors = index
+      .join(pqCodes(sub, codebook, "vec_id", m, ks, dimPer), Seq("vec_id"))
+      .select(col("vec_id"), col("nv"), col("nn"), col("cell"), col("codes"))
+      // cluster by cell BEFORE the partitioned write: one file per cell
+      // instead of (tasks × cells) shards — a probe then opens exactly
+      // its nprobe cells' files
+      .repartition(col("cell"))
+    graft.versioned.TableOps.atomicAppend(s, repo, branch, Seq(
+      // the two model tables are driver-sized — one file each
+      "ann/centroids" -> s.createDataFrame(model).toDF("cell", "cv").coalesce(1),
+      "ann/codebook" ->
+        s.createDataFrame(codebook).toDF("j", "code", "cb").coalesce(1),
+      "ann/vectors" -> vectors), "ann index init")
+  }
+
+  /** Stored model (centroids + codebook) — both driver-sized by the
+    * same guard that bounds training (k ≤ maxModelK, m·ks rows).
+    */
+  private def annModel(s: SparkSession, pre: String)
+      : (Seq[(Long, Seq[Double])], Seq[(Int, Int, Seq[Double])]) = {
+    val centroids = s.table(s"$pre.centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val codebook = s.table(s"$pre.codebook")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+    (centroids, codebook)
+  }
+
+  /** Append a `(vec_id, nv)` delta encoded under the STORED model —
+    * cell assignment against the stored centroids (broadcast model),
+    * codes against the stored codebook (local typed-literal encode),
+    * ONE atomic commit. No Lloyd re-run: the incremental path costs
+    * O(delta), not O(corpus). Fresh ids are enforced the same way the
+    * dedup index does (a clashing id would serve two vectors under one
+    * identity — refuse loudly).
+    */
+  def annIndexAppend(s: SparkSession, cat: String,
+      repo: graft.versioned.GraftRepo, branch: String,
+      delta: DataFrame): Unit = {
+    import s.implicits._
+    val r = repo.root.getFileName.toString
+    val pre = annPre(cat, r, branch)
+    val (centroids, codebook) = annModel(s, pre)
+    val m = codebook.map(_._1).max + 1
+    val ks = codebook.map(_._2).max + 1
+    val dimPer = codebook.head._3.size
+    val deltaVecs = delta
+      .select(col("vec_id").cast("long").as("vec_id"), col("nv"))
+      .withColumn("nn", l2norm(col("nv")))
+      .withColumn("u", expr("transform(nv, x -> x / nn)"))
+      .localCheckpoint() // feeds clash guard, assign, and encode
+    // delta ids must be fresh (broadcast-semi: stored vec_id column is
+    // scanned pruned, never shuffled per append)
+    val clash = s.table(s"$pre.vectors").select(col("vec_id"))
+      .join(broadcast(deltaVecs.select(col("vec_id"))), Seq("vec_id"),
+        "left_semi")
+      .limit(5).collect().map(_.getLong(0))
+    require(clash.isEmpty,
+      s"delta vec_ids already present in $pre.vectors: " +
+        s"${clash.mkString(", ")} — incremental append requires fresh ids")
+    val centroidDf = s.createDataFrame(centroids).toDF("cell", "cv")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cell"))
+    val assigned = deltaVecs
+      .join(broadcast(centroidDf), lit(true)) // k-row model, not corpus
+      .select(col("vec_id"), col("u"), col("nv"), col("nn"), col("cell"),
+        dot(col("u"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "sim")
+      .localCheckpoint() // feeds sub AND the final projection
+    val sub = pqSubvectors(assigned, "vec_id", m, dimPer)
+    val rows = assigned
+      .join(pqCodes(sub, codebook, "vec_id", m, ks, dimPer), Seq("vec_id"))
+      .select(col("vec_id"), col("nv"), col("nn"), col("cell"), col("codes"))
+      // same cell clustering as init: one file per TOUCHED cell per
+      // append (accreted files bin-pack away via the generic
+      // TableOps.compact, exactly like the dedup index's indexCompact)
+      .repartition(col("cell"))
+    graft.versioned.TableOps.atomicAppend(s, repo, branch,
+      Seq("ann/vectors" -> rows), "ann index append")
+  }
+
+  /** IVFADC probe of a `(query_id, qv, qn)` batch against the STORED
+    * index. Scale shape: the probed-cell id set is model-sized (≤ k ≤
+    * maxModelK), pushed as a scan filter so the partitioned vectors
+    * table prunes to the probed cells' FILES; the ADC scan reads only
+    * (vec_id, cell, codes) — column pruning keeps the true vectors out
+    * of the candidate pass, exactly the PQ memory story — and the
+    * exact re-rank reads (nv, nn) for the top-`rerank` shortlist only.
+    * Every join is keyed or a model-sized broadcast; the corpus is
+    * never broadcast, collected, or self-joined, so probe cost tracks
+    * the query batch × cell width (nprobe·N/k), not the corpus.
+    */
+  def annIndexProbe(s: SparkSession, cat: String, repoName: String,
+      branch: String, qs0: DataFrame, nprobe: Int = 8, rerank: Int = 50,
+      topK: Int = K): DataFrame = {
+    import s.implicits._
+    val pre = annPre(cat, repoName, branch)
+    val (centroids, codebook) = annModel(s, pre)
+    val m = codebook.map(_._1).max + 1
+    val dimPer = codebook.head._3.size
+    val centroidDf = s.createDataFrame(centroids).toDF("cell", "cv")
+    val qs = qs0.withColumn("qu", expr("transform(qv, x -> x / qn)"))
+      .localCheckpoint() // feeds cells, ADC, and the re-rank
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val queryCells = qs
+      .join(broadcast(centroidDf), lit(true))
+      .select(col("query_id"), col("cell"), dot(col("qu"), col("cv")).as("csim"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cell"))
+      .localCheckpoint() // feeds the pruning id set AND the join
+    // union of probed cells: ≤ k ids (model-sized) — pushed down so the
+    // cell-partitioned scan prunes to the probed files
+    val probed = queryCells.select(col("cell")).distinct()
+      .collect().map(_.getLong(0))
+    val candidates = s.table(s"$pre.vectors")
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
+      .filter(col("cell").isin(probed: _*))
+      .join(queryCells, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val qSubCol = expr(s"transform(sequence(0, ${m - 1}), " +
+      s"j -> slice(qu, j * $dimPer + 1, $dimPer))")
+    val adc = qs
+      .select(col("query_id"), posexplode(qSubCol)).toDF("query_id", "j", "qsv")
+      .join(broadcast(s.createDataFrame(codebook).toDF("j", "code", "cb")),
+        Seq("j"))
+      .select(col("query_id"), col("j"), col("code"),
+        dot(col("qsv"), col("cb")).as("contrib"))
+    val approxW = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_sim").desc, col("neighbor_id"))
+    val shortlist = candidates
+      .select(col("query_id"), col("neighbor_id"), posexplode(col("codes")))
+      .toDF("query_id", "neighbor_id", "j", "code")
+      .join(adc, Seq("query_id", "j", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("contrib")).as("approx_sim"))
+      .withColumn("rn", row_number().over(approxW))
+      .filter(col("rn") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank from the stored true vectors (pruned to the same
+    // probed cells — a shortlist member came from one of them)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    shortlist
+      .join(s.table(s"$pre.vectors")
+        .select(col("vec_id").as("neighbor_id"), col("nv"), col("nn"),
+          col("cell"))
+        .filter(col("cell").isin(probed: _*)).drop("cell"),
+        Seq("neighbor_id"))
+      .join(qs.select(col("query_id"), col("qv"), col("qn")), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** End-to-end gate for the PERSISTED index: train on 2/3 of the
+    * corpus, APPEND the remaining third encoded under the stored model
+    * (no retrain), probe the standard query set against the stored
+    * tables, and emit the hash-checkable recall row. The hit join
+    * includes cos_sim, so it also proves the stored-index exact
+    * re-rank is BIT-EQUAL to brute force on every recalled pair (same
+    * vectors, same codegen'd kernel, same rounding).
+    */
+  private def annPersist(s: SparkSession, d: String): DataFrame = {
+    val cat = "gann" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(10)
+    val root = java.nio.file.Files.createTempDirectory(s"graft-$cat")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+    s.sql(s"CREATE NAMESPACE $cat.r")
+    s.sql(s"CREATE NAMESPACE $cat.r.main.ann")
+    val repo = graft.versioned.GraftRepo.open(root.resolve("r"))
+    val emb = T.embeddings(s, d)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("nv"))
+    annIndexInit(s, cat, repo, "main", emb.filter(col("vec_id") % 3 =!= 0))
+    annIndexAppend(s, cat, repo, "main", emb.filter(col("vec_id") % 3 === 0))
+    val hits = annIndexProbe(s, cat, "r", "main", queriesSet(s, d))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    val exact = bruteForceImpl(s, d)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      .localCheckpoint() // feeds the hit join AND the count aggregate
+    val matched = hits.join(exact, Seq("query_id", "neighbor_id", "cos_sim"))
+    exact
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"))
+      .crossJoin(matched.agg(count(lit(1)).as("n_hits"))) // 1-row × 1-row
+      .select(col("n_queries"),
+        (col("n_hits") >= col("n_exact") * 0.4).as("recall_ok"))
   }
 
   /** Exact cosine RANGE search (radius query): every corpus vector with
@@ -501,6 +778,7 @@ object Similarity {
          |ORDER BY query_id, rank""".stripMargin
     )(lsh),
     Q("sim_ann_ivf", RecallGateOracle)(recallGate(0.5)(ivf(_, _))),
-    Q("sim_ann_ivfpq", RecallGateOracle)(recallGate(0.4)(ivfpq(_, _)))
+    Q("sim_ann_ivfpq", RecallGateOracle)(recallGate(0.4)(ivfpq(_, _))),
+    Q("sim_ann_persist", RecallGateOracle)(annPersist)
   )
 }

@@ -630,6 +630,7 @@ object Versioned {
   private def restRead(s: SparkSession, d: String): DataFrame = {
     val (cat, repo) = setup(s, d)
     s.sql(s"DELETE FROM $cat.r.main.db.nation WHERE n_nationkey % 5 = 2")
+    repo.createTag("v_gate", "main") // served as a read-only tag ref below
     val srv = graft.versioned.IcebergRestServer.start(repo,
       Files.createTempDirectory("graft-rest-gate"), Some(s))
     val view = "rest" + UUID.randomUUID().toString.replace("-", "").take(10)
@@ -641,8 +642,17 @@ object Versioned {
           .GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
       require(resp.statusCode() == 200, s"loadTable failed: ${resp.body()}")
-      val loc = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(resp.body()).get("metadata-location").asText()
+      val body = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(resp.body())
+      // the graft tag rides the served refs map (engines can
+      // `VERSION AS OF 'v_gate'` by name, no namespace hop)
+      val refs = body.get("metadata").get("refs")
+      require(refs.has("v_gate") &&
+        refs.get("v_gate").get("type").asText() == "tag" &&
+        refs.get("v_gate").get("snapshot-id").asLong() ==
+          refs.get("main").get("snapshot-id").asLong(),
+        s"tag ref not served: $refs")
+      val loc = body.get("metadata-location").asText()
       s.sql(s"CALL $cat.system.iceberg_import('$loc', '$view')")
     } finally srv.close()
     s.table(view)
@@ -1437,6 +1447,43 @@ object Versioned {
           + "/"))
       Files.createDirectories(posStage)
       val listPos = exportListLoc(repo, s, "db/pos_stage", Some(posStage))
+      // the seventh member (r16): a staged CREATE (assert-create) —
+      // the Flink checkpoint that creates a side-output table in the
+      // SAME atomic commit as its siblings' appends. The engine first
+      // stages the create (no commit), writes the first snapshot's
+      // file, then posts the create as a transaction member.
+      s.sql(s"CREATE TABLE $cat.r.main.db.sidecar_stage (id INT, v STRING)")
+      s.sql(s"INSERT INTO $cat.r.main.db.sidecar_stage VALUES (1, 'SIDE')")
+      val listSc = exportListLoc(repo, s, "db/sidecar_stage")
+      val stageResp = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          """{"name":"sidecar","stage-create":true,"schema":{
+            |"type":"struct","schema-id":0,"fields":[
+            |{"id":1,"name":"id","required":false,"type":"int"},
+            |{"id":2,"name":"v","required":false,"type":"string"}]}}"""
+            .stripMargin.replaceAll("\n", "")))
+        .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(stageResp.statusCode() == 200,
+        s"stage-create failed: ${stageResp.body()}")
+      val stagedSc = mapper.readTree(stageResp.body()).get("metadata")
+      val createMember: String =
+        s"""{"identifier":{"namespace":["main","db"],"name":"sidecar"},
+           |"requirements":[{"type":"assert-create"}],"updates":[
+           |{"action":"assign-uuid",
+           |"uuid":"${stagedSc.get("table-uuid").asText()}"},
+           |{"action":"add-schema","schema":${mapper.writeValueAsString(
+               stagedSc.get("schemas").elements().next())}},
+           |{"action":"set-current-schema","schema-id":-1},
+           |{"action":"add-partition-spec","spec":{"spec-id":0,"fields":[]}},
+           |{"action":"set-default-spec","spec-id":-1},
+           |{"action":"add-snapshot","snapshot":{"snapshot-id":9807,
+           |"timestamp-ms":1700000000000,"schema-id":0,
+           |"manifest-list":"$listSc",
+           |"summary":{"operation":"append"}}},
+           |{"action":"set-snapshot-ref","ref-name":"main",
+           |"snapshot-id":9807,"type":"branch"}]}""".stripMargin
+          .replaceAll("\n", "")
       def change(t: String, snapId: Long, listLoc: String): String = {
         val meta = loadMeta(t)
         val refSnap = meta.get("refs").get("main").get("snapshot-id").asLong()
@@ -1508,7 +1555,8 @@ object Versioned {
         |${schemaPlusAppend("wide", 9803L, listW)},
         |${upsertChange("ups", 9804L, listUps)},
         |${rewriteChange("cow", 9805L, listCow, "overwrite")},
-        |${rewriteChange("pos", 9806L, listPos, "delete")}]}"""
+        |${rewriteChange("pos", 9806L, listPos, "delete")},
+        |$createMember]}"""
         .stripMargin.replaceAll("\n", "")
       val resp = http.send(java.net.http.HttpRequest.newBuilder(
         java.net.URI.create(s"${srv.uri}/v1/transactions/commit"))
@@ -1546,6 +1594,10 @@ object Versioned {
       s"UNION ALL SELECT 'f', n_nationkey, n_name, n_regionkey, " +
       "CAST(NULL AS BIGINT) " +
       s"FROM $cat.r.main.db.pos " +
+      // the CTAS member: born (with its first row) in the SAME commit
+      s"UNION ALL SELECT 'g', id, v, CAST(NULL AS INT), " +
+      "CAST(NULL AS BIGINT) " +
+      s"FROM $cat.r.main.db.sidecar " +
       "ORDER BY src, n_nationkey")
   }
 
@@ -2627,6 +2679,8 @@ object Versioned {
         |  SELECT 'f', n_nationkey, n_name, n_regionkey,
         |         CAST(NULL AS BIGINT) FROM nation
         |  WHERE NOT (n_name > 'NATION_5')
+        |  UNION ALL SELECT 'g', 1, 'SIDE', CAST(NULL AS INT),
+        |            CAST(NULL AS BIGINT)
         |)
         |ORDER BY src, n_nationkey""".stripMargin
     )(restTxn),

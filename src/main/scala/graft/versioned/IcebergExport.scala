@@ -783,6 +783,31 @@ object IcebergExport {
     mainRef.put("type", "branch")
     val refsMap = new java.util.LinkedHashMap[String, Any]
     refsMap.put("main", mainRef)
+    // graft TAGS serve as READ-ONLY Iceberg tag refs: a tag whose
+    // commit holds this table at one of the EXPORTED versions maps to
+    // that snapshot, so engines can `VERSION AS OF '<tag>'` by name
+    // without the namespace-level branch hop. A graft tag is
+    // repo-level; per-table it denotes "the table's state at the
+    // tagged commit", which is exactly an Iceberg tag's meaning.
+    // Resolution is O(1) commit loads per tag (control-plane few);
+    // tags outside the served history window — or predating the
+    // table — are simply not stamped.
+    locally {
+      val sidToIce = artifacts.map(a => a.snap.id -> a.snapshotId).toMap
+      repo.tags.foreach { t =>
+        if (!refsMap.containsKey(t)) {
+          scala.util.Try(repo.resolve(t)).toOption
+            .flatMap(c => c.tables.get(key))
+            .flatMap(sidToIce.get)
+            .foreach { sid =>
+              val m = new java.util.LinkedHashMap[String, Any]
+              m.put("snapshot-id", sid)
+              m.put("type", "tag")
+              refsMap.put(t, m)
+            }
+        }
+      }
+    }
     meta.put("refs", refsMap)
     meta.put("snapshots", java.util.List.of(snapMaps: _*))
     // oldest → newest state-change log; external engines time travel

@@ -1939,8 +1939,10 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     * the whole transaction on staleness), and set/remove-properties,
     * with `assert-table-uuid` / `assert-ref-snapshot-id` requirements.
     * All tables must live on ONE branch (a graft commit is
-    * per-branch). CTAS, replace (compaction), and rollbacks stay
-    * single-table commits.
+    * per-branch). A member may also be a staged CREATE
+    * (`assert-create` — the Flink side-output-table checkpoint shape);
+    * replace (compaction) and rollbacks stay single-table commits (no
+    * mainstream engine posts them multi-table).
     */
   private def commitTransaction(repo: GraftRepo, prefix: Option[String],
       req: com.fasterxml.jackson.databind.JsonNode): Unit = {
@@ -1956,15 +1958,11 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       setProps: Map[String, String], removeProps: Set[String],
       schemaChanges: Seq[org.apache.spark.sql.connector.catalog.TableChange],
       eqFilter: Option[org.apache.spark.sql.sources.Filter],
-      dropRels: Seq[String])
+      dropRels: Seq[String],
+      create: Option[StagedCreate] = None, createDirs: Seq[String] = Nil)
 
-    val staged: Seq[Staged] = changes.map { ch =>
-      val ident = Option(ch.get("identifier")).getOrElse(
-        throw new IllegalArgumentException(
-          "table-change carries no identifier"))
-      val ns = Option(ident.get("namespace")).toSeq
-        .flatMap(_.elements().asScala).map(_.asText()).toSeq
-      val name = text(ident, "name")
+    def stageMember(ch: com.fasterxml.jackson.databind.JsonNode,
+        ns: Seq[String], name: String): Staged = {
       val (ref, key) = resolveKey(repo, ns, name)
       if (!repo.branchExists(ref)) throw new IllegalArgumentException(
         s"transactions commit to a branch; $ref is a tag")
@@ -2052,8 +2050,9 @@ final class IcebergRestServer private (single: Option[GraftRepo],
               s"unsupported update inside a transaction: $other — " +
                 "transactions bundle append/evolve+append/rewrite/" +
                 "equality- and positional-delete commits, property " +
-                "updates, and schema updates; CTAS, replace " +
-                "(compaction), and rollbacks stay single-table commits")
+                "updates, schema updates, and staged CREATEs " +
+                "(assert-create); replace (compaction) and rollbacks " +
+                "stay single-table commits")
           }
         }
       // a member's ref target must be the snapshot IT adds (or the
@@ -2205,6 +2204,41 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       Staged(ref, key, servedGraftSnap, entries, setProps, removeProps,
         schemaChanges, eqFilter, dropRels)
     }
+
+    val staged: Seq[Staged] = changes.map { ch =>
+      val ident = Option(ch.get("identifier")).getOrElse(
+        throw new IllegalArgumentException(
+          "table-change carries no identifier"))
+      val ns = Option(ident.get("namespace")).toSeq
+        .flatMap(_.elements().asScala).map(_.asText()).toSeq
+      val name = text(ident, "name")
+      val reqNodes = Option(ch.get("requirements")).toSeq
+        .flatMap(_.elements().asScala).toSeq
+      // a CTAS MEMBER (requirement assert-create): the engine
+      // checkpoint that creates a side-output table in the same atomic
+      // commit as its siblings' appends. Staging reuses the
+      // single-table staged-create machinery; the existence race is
+      // decided inside the atomic fold (a losing racer 409s the WHOLE
+      // transaction, and an abandoned stage never touched the branch).
+      if (reqNodes.exists(r => text(r, "type") == "assert-create")) {
+        val (ref, dirs) = ns match {
+          case r +: ds if ds.nonEmpty && refNames(repo).contains(r) =>
+            (r, ds)
+          case _ => throw new NoSuchElementException(
+            s"no such namespace: ${ns.mkString(".")}")
+        }
+        if (!repo.branchExists(ref)) throw new IllegalArgumentException(
+          s"transactions commit to a branch; $ref is a tag")
+        val key = (dirs :+ name).mkString("/")
+        // fast-fail before files stage; the fold re-checks atomically
+        if (repo.resolve(ref).tables.contains(key))
+          throw new RestConflict("AlreadyExistsException",
+            s"table already exists: $key @ $ref")
+        val sc = parseStagedCreate(repo, prefix, ref, key, reqNodes, ch)
+        Staged(ref, key, "", sc.entries, sc.props, Set.empty,
+          Nil, None, Nil, create = Some(sc), createDirs = dirs)
+      } else stageMember(ch, ns, name)
+    }
     val refs = staged.map(_.ref).distinct
     if (refs.size != 1) throw new IllegalArgumentException(
       s"a transaction commits to ONE branch; got ${refs.mkString(", ")} " +
@@ -2220,18 +2254,46 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     repo.commitRetry(ref, s"rest: transaction " +
       s"(${staged.map(_.key).mkString(", ")})") { base =>
       val updated = staged.foldLeft(base.tables) { case (acc, st) =>
-        if (!base.tables.get(st.key).contains(st.servedGraftSnap))
-          throw new RestConflict("CommitFailedException",
-            s"branch $ref moved since the served base of ${st.key} — " +
-              "refresh and retry")
-        val prior = acc.get(st.key).map(repo.snapshot).getOrElse(
-          throw new NoSuchElementException(s"no such table: ${st.key}"))
-        val snap2 = memberSnapshot(repo, st.key, prior, st.entries,
-          st.eqFilter, st.dropRels, st.schemaChanges, st.setProps,
-          st.removeProps)
-        acc + (st.key -> snap2.id)
+        st.create match {
+          case Some(sc) =>
+            // the assert-create race, decided atomically: exactly one
+            // concurrent creator wins; the loser 409s the WHOLE
+            // transaction (its siblings' appends roll back with it)
+            if (base.tables.contains(st.key))
+              throw new RestConflict("AlreadyExistsException",
+                s"table already exists: ${st.key} @ $ref")
+            val stamped = st.entries.map(_.copy(seq = Some(1L)))
+            val allProps = sc.props ++
+              (if (st.entries.isEmpty) Map.empty
+               else Map(Tombstones.SeqProp -> "1"))
+            val snap = repo.writeSnapshot(st.key, sc.schema.json, stamped,
+              if (sc.spec.isEmpty) None else Some(sc.spec), None,
+              if (allProps.isEmpty) None else Some(allProps))
+            acc + (st.key -> snap.id)
+          case None =>
+            if (!base.tables.get(st.key).contains(st.servedGraftSnap))
+              throw new RestConflict("CommitFailedException",
+                s"branch $ref moved since the served base of ${st.key} — " +
+                  "refresh and retry")
+            val prior = acc.get(st.key).map(repo.snapshot).getOrElse(
+              throw new NoSuchElementException(s"no such table: ${st.key}"))
+            val snap2 = memberSnapshot(repo, st.key, prior, st.entries,
+              st.eqFilter, st.dropRels, st.schemaChanges, st.setProps,
+              st.removeProps)
+            acc + (st.key -> snap2.id)
+        }
       }
-      (updated, base.namespaces)
+      // a create member registers its namespace too (same rule as the
+      // single-table staged create: no-op when it already exists)
+      val ns2 = staged.foldLeft(base.namespaces) { (acc, st) =>
+        if (st.create.isEmpty || st.createDirs.isEmpty) acc
+        else {
+          val k = st.createDirs.mkString("/")
+          if (acc.contains(k)) acc
+          else acc + (k -> Map.empty[String, String])
+        }
+      }
+      (updated, ns2)
     }
   }
 
@@ -2243,10 +2305,19 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     * race on `base.tables.contains(key)` and exactly one wins; an
     * abandoned stage never touched the branch and leaves nothing.
     */
-  private def commitStagedCreate(repo: GraftRepo, prefix: Option[String],
-      ref: String, dirs: Seq[String], key: String,
+  /** Parsed staged-create publish: the posted metadata updates carry
+    * the full table build (shared by the single-table staged-create
+    * route and CTAS members inside [[commitTransaction]]).
+    */
+  private final case class StagedCreate(
+      schema: org.apache.spark.sql.types.StructType,
+      spec: Seq[PartitionField], props: Map[String, String],
+      entries: Seq[FileEntry])
+
+  private def parseStagedCreate(repo: GraftRepo, prefix: Option[String],
+      ref: String, key: String,
       reqs: Seq[com.fasterxml.jackson.databind.JsonNode],
-      req: com.fasterxml.jackson.databind.JsonNode): ObjectNode = {
+      req: com.fasterxml.jackson.databind.JsonNode): StagedCreate = {
     reqs.foreach { r =>
       text(r, "type") match {
         case "assert-create" => ()
@@ -2326,6 +2397,20 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       ingestEntries(repo, ref, key, destRoot, postedData, schema,
         Map.empty, spec, hconf)
     }.getOrElse(Nil)
+    StagedCreate(schema, spec, props, entries)
+  }
+
+  /** The spec's staged-create publish as its own commit (the
+    * single-table CTAS route). */
+  private def commitStagedCreate(repo: GraftRepo, prefix: Option[String],
+      ref: String, dirs: Seq[String], key: String,
+      reqs: Seq[com.fasterxml.jackson.databind.JsonNode],
+      req: com.fasterxml.jackson.databind.JsonNode): ObjectNode = {
+    val sc = parseStagedCreate(repo, prefix, ref, key, reqs, req)
+    val schema = sc.schema
+    val spec = sc.spec
+    val props = sc.props
+    val entries = sc.entries
 
     repo.commitRetry(ref, s"rest: create table $key (staged, " +
       s"${entries.size} files, ${entries.map(_.rows).sum} rows)") { base =>

@@ -2458,6 +2458,112 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     } finally srv.close()
   }
 
+  test("multi-table TRANSACTION with a CTAS member: an assert-create " +
+    "member and a sibling append land in ONE graft commit (the Flink " +
+    "side-output-table checkpoint); the losing concurrent creator " +
+    "409s the WHOLE transaction — its sibling's append rolls back " +
+    "with it") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE g.txnc")
+    sql("CREATE NAMESPACE g.txnc.main.db")
+    sql("CREATE TABLE g.txnc.main.db.fact (id INT, v STRING)")
+    sql("INSERT INTO g.txnc.main.db.fact VALUES (1,'a')")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "txnc")
+    val exports = Files.createTempDirectory("graft-txnc-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      exports, Some(spark), writable = true)
+    val scratch = Files.createTempDirectory("rest-txnc-scratch")
+    try {
+      // engine stages the side-output table (stage-create: no commit)
+      val (c0, stagedMeta) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables",
+        """{"name":"side","stage-create":true,"schema":{"type":"struct",
+          |"schema-id":0,"fields":[
+          |{"id":1,"name":"id","required":false,"type":"int"},
+          |{"id":2,"name":"v","required":false,"type":"string"}]}}"""
+          .stripMargin.replaceAll("\n", ""), srv)
+      c0 shouldBe 200
+      val sm = stagedMeta.get("metadata")
+      val stage = java.nio.file.Paths.get(URI.create(
+        sm.get("properties").get("write.data.path").asText() + "/"))
+      def createMember(snapId: Long, rows: Seq[(Int, String)]): String = {
+        val f = stage.resolve(s"side-$snapId.parquet")
+        writeOneParquet(rows.toDF("id", "v"), f)
+        val list = stageWriterCommit(scratch, snapId, Seq(f))
+        s"""{"identifier":{"namespace":["main","db"],"name":"side"},
+           |"requirements":[{"type":"assert-create"}],"updates":[
+           |{"action":"assign-uuid","uuid":"${sm.get("table-uuid").asText()}"},
+           |{"action":"add-schema","schema":${mapper.writeValueAsString(
+               sm.get("schemas").elements().next())}},
+           |{"action":"set-current-schema","schema-id":-1},
+           |{"action":"add-partition-spec","spec":{"spec-id":0,"fields":[]}},
+           |{"action":"set-default-spec","spec-id":-1},
+           |{"action":"set-properties","updates":{"owner":"flink"}},
+           |{"action":"add-snapshot","snapshot":{"snapshot-id":$snapId,
+           |"timestamp-ms":1700000000000,"schema-id":0,
+           |"manifest-list":"${list.toUri}",
+           |"summary":{"operation":"append"}}},
+           |{"action":"set-snapshot-ref","ref-name":"main",
+           |"snapshot-id":$snapId,"type":"branch"}]}"""
+          .stripMargin.replaceAll("\n", "")
+      }
+      def factMember(snapId: Long, rows: Seq[(Int, String)]): String = {
+        val load = get(s"/v1/namespaces/${enc("main", "db")}/tables/fact",
+          srv)._2
+        val meta = load.get("metadata")
+        val fstage = java.nio.file.Paths.get(URI.create(
+          meta.get("properties").get("write.data.path").asText() + "/"))
+        val f = fstage.resolve(s"fact-txnc-$snapId.parquet")
+        writeOneParquet(rows.toDF("id", "v"), f)
+        val baseFiles = graft.versioned.IcebergImport.plan(
+          java.nio.file.Paths.get(load.get("metadata-location").asText()))
+          .dataPaths.map(java.nio.file.Paths.get(_))
+        val list = stageWriterCommit(scratch, snapId, baseFiles :+ f)
+        val refSnap = meta.get("refs").get("main").get("snapshot-id").asLong()
+        s"""{"identifier":{"namespace":["main","db"],"name":"fact"},
+           |"requirements":[
+           |{"type":"assert-ref-snapshot-id","ref":"main",
+           |"snapshot-id":$refSnap}],
+           |"updates":[{"action":"add-snapshot","snapshot":{
+           |"snapshot-id":$snapId,"timestamp-ms":1700000000000,
+           |"schema-id":0,"manifest-list":"${list.toUri}",
+           |"summary":{"operation":"append"}}},
+           |{"action":"set-snapshot-ref","ref-name":"main",
+           |"snapshot-id":$snapId,"type":"branch"}]}"""
+          .stripMargin.replaceAll("\n", "")
+      }
+      val g = graft.versioned.GraftRepo.open(root)
+      val headBefore = g.headCommit("main").id
+      val (c, e) = send("POST", "/v1/transactions/commit",
+        s"""{"table-changes":[${createMember(8801L, Seq((100, "s")))},${
+          factMember(8802L, Seq((2, "b")))}]}""", srv)
+      withClue(e.toString) { c shouldBe 204 }
+      // ONE commit created the side table AND appended the sibling
+      g.headCommit("main").parents shouldBe Seq(headBefore)
+      sql("SELECT id, v FROM g.txnc.main.db.side ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+        Seq((100, "s"))
+      sql("SELECT id FROM g.txnc.main.db.fact ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq shouldBe Seq(1, 2)
+      g.snapshot(g.resolve("main").tables("db/side"))
+        .properties.get("owner") shouldBe Some("flink")
+
+      // the LOSING racer: same create member again, riding a fresh
+      // sibling append — the whole transaction 409s and the sibling's
+      // rows never land
+      val (cL, eL) = send("POST", "/v1/transactions/commit",
+        s"""{"table-changes":[${createMember(8803L, Seq((200, "t")))},${
+          factMember(8804L, Seq((3, "c")))}]}""", srv)
+      cL shouldBe 409
+      eL.get("error").get("type").asText() shouldBe "AlreadyExistsException"
+      sql("SELECT count(*) FROM g.txnc.main.db.side")
+        .collect().head.getLong(0) shouldBe 1L
+      sql("SELECT count(*) FROM g.txnc.main.db.fact")
+        .collect().head.getLong(0) shouldBe 2L // 8804 rolled back with it
+    } finally srv.close()
+  }
+
   test("multi-table TRANSACTION with schema-update members: a " +
     "METADATA-ONLY evolution rides a sibling's append in ONE graft " +
     "commit, and a member combining a schema update WITH a snapshot " +
@@ -3973,6 +4079,54 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       graft.versioned.IcebergImport.read(spark, metaLoc, Some(curId))
         .collect().map(_.getInt(0)).sorted.toSeq shouldBe Seq(1, 2, 3)
     } finally srv.close()
+  }
+
+  test("graft tags export as READ-ONLY Iceberg tag refs: a tag on an " +
+    "exported version maps to that snapshot-id in the served refs map " +
+    "(engines VERSION AS OF by name), and a tag outside the served " +
+    "window is not stamped") {
+    sql("CREATE NAMESPACE g.rtag")
+    sql("CREATE NAMESPACE g.rtag.main.db")
+    sql("CREATE TABLE g.rtag.main.db.t (id INT)")
+    sql("INSERT INTO g.rtag.main.db.t VALUES (1), (2)")
+    sql("CALL g.system.create_tag('rtag', 'v_first', 'main')")
+    sql("INSERT INTO g.rtag.main.db.t VALUES (3)")
+    sql("CALL g.system.create_tag('rtag', 'v_head', 'main')")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rtag")
+    val exports = Files.createTempDirectory("graft-rtag-exports")
+    val srv = IcebergRestServer.start(GraftRepo.open(root), exports,
+      Some(spark), maxSnapshots = 3)
+    try {
+      val (c, load) = get(s"/v1/namespaces/${enc("main", "db")}/tables/t", srv)
+      c shouldBe 200
+      val refs = load.get("metadata").get("refs")
+      refs.get("main").get("type").asText() shouldBe "branch"
+      val mainSid = refs.get("main").get("snapshot-id").asLong()
+      // head tag rides the current snapshot
+      refs.get("v_head").get("type").asText() shouldBe "tag"
+      refs.get("v_head").get("snapshot-id").asLong() shouldBe mainSid
+      // the OLDER tag maps to ITS version's snapshot, and the
+      // independent reader recovers exactly the tagged rows from it
+      refs.get("v_first").get("type").asText() shouldBe "tag"
+      val firstSid = refs.get("v_first").get("snapshot-id").asLong()
+      firstSid should not be mainSid
+      val metaLoc = load.get("metadata-location").asText()
+      graft.versioned.IcebergImport.read(spark, metaLoc, Some(firstSid))
+        .collect().map(_.getInt(0)).sorted.toSeq shouldBe Seq(1, 2)
+    } finally srv.close()
+    // a head-only server (maxSnapshots = 1) serves the head tag but
+    // must NOT stamp the out-of-window one (its snapshot isn't served)
+    val srv1 = IcebergRestServer.start(GraftRepo.open(root),
+      Files.createTempDirectory("graft-rtag1-exports"), Some(spark))
+    try {
+      val (c1, load1) = get(s"/v1/namespaces/${enc("main", "db")}/tables/t",
+        srv1)
+      c1 shouldBe 200
+      val refs1 = load1.get("metadata").get("refs")
+      refs1.has("v_head") shouldBe true
+      refs1.has("v_first") shouldBe false
+    } finally srv1.close()
   }
 
   test("list routes paginate with the spec's opaque token: pageSize " +

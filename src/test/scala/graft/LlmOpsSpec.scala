@@ -227,6 +227,73 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     gate.head.getBoolean(1) shouldBe true
   }
 
+  test("sim_ann_persist: the STORED IVF-PQ index answers probes with " +
+    "usable recall and bit-exact re-rank cosines; append encodes under " +
+    "the stored model without retraining; clashing ids are refused") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextVec._
+    val cat = "gannspec"
+    val root = java.nio.file.Files.createTempDirectory(s"graft-$cat")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+    spark.sql(s"CREATE NAMESPACE $cat.r")
+    spark.sql(s"CREATE NAMESPACE $cat.r.main.ann")
+    val repo = graft.versioned.GraftRepo.open(root.resolve("r"))
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("nv"))
+    operators.Similarity.annIndexInit(spark, cat, repo, "main",
+      emb.filter(col("vec_id") % 3 =!= 0))
+    val modelBefore = spark.table(s"$cat.r.main.ann.centroids")
+      .collect().map(_.toSeq).toSet
+    val cbBefore = spark.table(s"$cat.r.main.ann.codebook")
+      .collect().map(_.toSeq).toSet
+    operators.Similarity.annIndexAppend(spark, cat, repo, "main",
+      emb.filter(col("vec_id") % 3 === 0))
+    // append = encode-and-store ONLY: neither model table changed, and
+    // the vectors table now covers the full corpus
+    spark.table(s"$cat.r.main.ann.centroids")
+      .collect().map(_.toSeq).toSet shouldBe modelBefore
+    spark.table(s"$cat.r.main.ann.codebook")
+      .collect().map(_.toSeq).toSet shouldBe cbBefore
+    spark.table(s"$cat.r.main.ann.vectors").count() shouldBe emb.count()
+    // appended vectors landed in STORED cells (no new cell ids)
+    val cells = modelBefore.map(_.head.asInstanceOf[Long])
+    spark.table(s"$cat.r.main.ann.vectors").select("cell").distinct()
+      .collect().map(_.getLong(0)).foreach(c => cells should contain (c))
+    // a clashing id is refused loudly
+    val err = intercept[IllegalArgumentException] {
+      operators.Similarity.annIndexAppend(spark, cat, repo, "main",
+        emb.limit(1))
+    }
+    err.getMessage should include ("fresh ids")
+    // probe the stored index: recall vs brute ≥ the ivfpq bound, and
+    // every recalled pair's cosine is BIT-EQUAL to the brute-force one
+    val brute = SparkEntry.queries("sim_ann_brute")(spark, sfDir)
+      .select("query_id", "neighbor_id", "cos_sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val hits = operators.Similarity.annIndexProbe(spark, cat, "r", "main",
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"),
+          toDoubleVec(col("embedding")).as("qv"))
+        .withColumn("qn", l2norm(col("qv"))))
+      .select("query_id", "neighbor_id", "cos_sim").collect()
+    val recalled = hits.map(r => (r.getLong(0), r.getLong(1)))
+      .toSet.intersect(brute.keySet)
+    val recall = recalled.size.toDouble / brute.size
+    info(f"persisted-index recall@10 vs brute = $recall%.3f")
+    recall should be >= 0.4
+    hits.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(1)))
+        .foreach(b => assert(b == r.getDouble(2),
+          s"re-rank cosine drifted for ${(r.getLong(0), r.getLong(1))}"))
+    }
+    // driver-facing gate row agrees
+    val gate = SparkEntry.queries("sim_ann_persist")(spark, sfDir).collect()
+    gate.length shouldBe 1
+    gate.head.getBoolean(1) shouldBe true
+  }
+
   test("sim_ann_brute: size-guarded query broadcast — forced shuffle path " +
     "returns identical results") {
     val broadcastPath = SparkEntry.queries("sim_ann_brute")(spark, sfDir)
