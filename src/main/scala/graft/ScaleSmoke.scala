@@ -155,13 +155,19 @@ object ScaleSmoke {
         .select(col("vec_id").as("query_id"),
           toDoubleVec(col("embedding")).as("qv"))
         .withColumn("qn", l2norm(col("qv")))
-      val probe = operators.Similarity.annIndexProbe(spark, cat, "r", "main", qs)
-      val pplan = probe.queryExecution.executedPlan.toString
-      require(!pplan.contains("CartesianProduct"),
-        s"ann_indexProbe plan degraded: CartesianProduct at ${scale}x")
-      require(!pplan.contains("BroadcastNestedLoop"),
-        s"ann_indexProbe plan degraded: BroadcastNestedLoopJoin at ${scale}x")
-      time("ann_indexProbe")(probe.count())
+      // construction runs EAGER work (model load, query-cell ranking
+      // checkpoints, probed-cell collect) whose cost also tracks the
+      // corpus — time the whole probe, not just the final count
+      time("ann_indexProbe") {
+        val probe =
+          operators.Similarity.annIndexProbe(spark, cat, "r", "main", qs)
+        val pplan = probe.queryExecution.executedPlan.toString
+        require(!pplan.contains("CartesianProduct"),
+          s"ann_indexProbe plan degraded: CartesianProduct at ${scale}x")
+        require(!pplan.contains("BroadcastNestedLoop"),
+          s"ann_indexProbe plan degraded: BroadcastNestedLoopJoin at ${scale}x")
+        probe.count()
+      }
     }
 
     // CDC + REST gates on the 10× nation: cost must track the CHANGE

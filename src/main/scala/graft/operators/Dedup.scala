@@ -1047,7 +1047,9 @@ object Dedup {
     val t = 0.9
     val cat = "gdd" + java.util.UUID.randomUUID().toString
       .replace("-", "").take(10)
-    val root = java.nio.file.Files.createTempDirectory(s"graft-$cat")
+    // corpus-sized scratch (the persisted index) — reclaimed at JVM exit
+    val root = GateScratch.register(
+      java.nio.file.Files.createTempDirectory(s"graft-$cat"))
     s.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.catalog.GraftCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)

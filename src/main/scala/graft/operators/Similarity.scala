@@ -626,7 +626,9 @@ object Similarity {
   private def annPersist(s: SparkSession, d: String): DataFrame = {
     val cat = "gann" + java.util.UUID.randomUUID().toString
       .replace("-", "").take(10)
-    val root = java.nio.file.Files.createTempDirectory(s"graft-$cat")
+    // corpus-sized scratch (the encoded index) — reclaimed at JVM exit
+    val root = GateScratch.register(
+      java.nio.file.Files.createTempDirectory(s"graft-$cat"))
     s.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.catalog.GraftCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)

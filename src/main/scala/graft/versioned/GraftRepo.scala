@@ -347,6 +347,19 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
   def tags: Seq[String] =
     io.list(root.resolve("tags")).map(_.getFileName.toString).sorted
 
+  /** Stable signature of the repo's tag set (sorted name=commit
+    * pairs) — consumers that bake tag state into derived artifacts
+    * (the Iceberg export's `refs` map) compare it to know when a tag
+    * create/drop invalidates them. O(tags) small reads, no commit
+    * loads.
+    */
+  def tagSignature: String = {
+    val body = tags.map(t =>
+      s"$t=${io.readString(root.resolve("tags").resolve(t)).trim}")
+      .mkString("\n")
+    sha(body)
+  }
+
   def tagExists(name: String): Boolean =
     io.isFile(root.resolve("tags").resolve(name))
 

@@ -771,6 +771,11 @@ object IcebergExport {
     // emission of the same commit carries the same id here, so external
     // audits can join fact/dim exports on it
     props.put("graft.source-commit", headCommit.id)
+    // the tag set this export baked into `refs` below: the REST serve
+    // memo compares it, so a tag created or dropped AFTER an export
+    // re-exports on the next load instead of serving stale (or undead)
+    // tag refs until the table's data happens to change
+    props.put("graft.source-tags", repo.tagSignature)
     fallbackReason.foreach(r => props.put("graft.export.partition-fallback", r))
     extraProps.foreach { case (k, vv) => props.put(k, vv) }
     meta.put("properties", props)

@@ -637,6 +637,10 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         val props = mapper.readTree(Files.readString(
           dest.resolve(s"metadata/v$v.metadata.json"))).get("properties")
         props.get("graft.source-snapshot").asText() == want &&
+          // the served refs map bakes tag state in — a tag create/drop
+          // must re-export even though the data snapshot is unchanged
+          Option(props.get("graft.source-tags"))
+            .exists(_.asText() == repo.tagSignature) &&
           stageProps.forall { case (k, vv) =>
             Option(props.get(k)).exists(_.asText() == vv)
           }
@@ -1230,12 +1234,18 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       // in a differing chunk may still be alive under a shifted chunk
       // boundary — its stat is then merely redundant, never wrong.)
       // The probe runs INSIDE each commit closure against the retry
-      // base's head (not the pre-commit head): a concurrent
-      // vacuum/expire between a pre-commit probe and the publish could
-      // GC target-only files and publish a snapshot referencing
-      // missing data — re-probing under the closure means the
-      // published base was checked, and any raced vacuum forces a
-      // retry that re-checks.
+      // base's head (not the pre-commit head), so a ref that moved
+      // between probe and publish is re-checked against the base the
+      // CAS actually publishes on. RESIDUAL RACE, documented: vacuum
+      // never advances the branch ref, so a sweep that starts after
+      // the in-closure probe and deletes target-only files before the
+      // CAS lands is invisible to commitRetry — the probe shrinks the
+      // window from "serve → publish" to "stat → publish" but cannot
+      // close it without a repo-level GC/commit mutual exclusion the
+      // format does not have (Iceberg proper has the same
+      // expire-vs-rollback race). Operationally covered by running
+      // vacuum with a generous age threshold and not concurrently
+      // with restores, which the age guard's default encodes.
       def requireRestorable(hd: graft.versioned.Snapshot): Unit = {
         val missing: Seq[FileEntry] =
           if (hd.manifestRefs.nonEmpty && targetSnap.manifestRefs.nonEmpty) {

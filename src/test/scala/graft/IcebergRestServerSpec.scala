@@ -4114,6 +4114,20 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       val metaLoc = load.get("metadata-location").asText()
       graft.versioned.IcebergImport.read(spark, metaLoc, Some(firstSid))
         .collect().map(_.getInt(0)).sorted.toSeq shouldBe Seq(1, 2)
+      // a tag created AFTER the export invalidates the serve memo even
+      // though the data snapshot is unchanged: the next load re-exports
+      // and serves the new ref (no waiting for a data commit)
+      sql("CALL g.system.create_tag('rtag', 'v_late', 'main')")
+      val (c2, load2) = get(s"/v1/namespaces/${enc("main", "db")}/tables/t",
+        srv)
+      c2 shouldBe 200
+      val refs2 = load2.get("metadata").get("refs")
+      refs2.has("v_late") shouldBe true
+      refs2.get("v_late").get("snapshot-id").asLong() shouldBe mainSid
+      // and an unchanged tag set re-serves MEMOIZED (no new version)
+      get(s"/v1/namespaces/${enc("main", "db")}/tables/t", srv)._2
+        .get("metadata-location").asText() shouldBe
+        load2.get("metadata-location").asText()
     } finally srv.close()
     // a head-only server (maxSnapshots = 1) serves the head tag but
     // must NOT stamp the out-of-window one (its snapshot isn't served)
