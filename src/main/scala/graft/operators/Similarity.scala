@@ -538,6 +538,21 @@ object Similarity {
       Seq("ann/vectors" -> rows), "ann index append")
   }
 
+  /** Maintenance for the persisted index: bin-pack `ann/vectors` (each
+    * [[annIndexAppend]] adds one file per TOUCHED cell — probes stay
+    * CORRECT as files accrete, but pay O(appends-per-cell) file opens
+    * until compacted). Delegates to the generic graft compaction:
+    * logical rows unchanged, so a post-compaction probe is
+    * bit-identical, and the commit carries the structural compaction
+    * marker so incremental consumers of a synced index skip it.
+    * Returns (files before, files after).
+    */
+  def annIndexCompact(s: SparkSession,
+      repo: graft.versioned.GraftRepo, branch: String,
+      targetFileBytes: Long = 128L << 20): (Int, Int) =
+    graft.versioned.TableOps.compact(s, repo, branch, "ann/vectors",
+      targetFileBytes)
+
   /** IVFADC probe of a `(query_id, qv, qn)` batch against the STORED
     * index. Scale shape: the probed-cell id set is model-sized (≤ k ≤
     * maxModelK), pushed as a scan filter so the partitioned vectors

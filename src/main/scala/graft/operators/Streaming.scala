@@ -428,7 +428,91 @@ object Streaming {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** CONTINUOUS ingestion dedup — the streaming marriage of
+    * dd_incr_persist, THE production shape for a training-data
+    * pipeline that never stops ingesting: a document stream runs
+    * through `foreachBatch(Dedup.indexAdmit)` against the PERSISTED
+    * near-dup index, so each micro-batch screens against corpus + every
+    * earlier batch's admissions and appends its own in ONE atomic
+    * commit (exactly-once admission per doc id via the clash guard —
+    * a replayed batch refuses loudly instead of double-admitting).
+    * Batch cost is O(batch · matched postings), corpus-independent —
+    * the same proof-gated screen/admit kernels the daily cycle uses.
+    * Membership mirrors dd_incr_persist (corpus %100 ∈ [10,19], batch 1
+    * %100=5, batch 2 %100=0) so the DuckDB oracle replays the exact
+    * sequential admission with exact Jaccard.
+    */
+  private def dedupPersistStream(s: SparkSession, d: String): DataFrame = {
+    val t = 0.9
+    val cat = "gsdp" + UUID.randomUUID().toString.replace("-", "").take(10)
+    val root = GateScratch.register(
+      Files.createTempDirectory(s"graft-$cat"))
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+    s.sql(s"CREATE NAMESPACE $cat.r")
+    s.sql(s"CREATE NAMESPACE $cat.r.main.dd")
+    val repo = graft.versioned.GraftRepo.open(root.resolve("r"))
+    val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+    Dedup.indexInit(s, cat, repo, "main",
+      docs.filter((col("doc_id") % 100).between(10, 19)), t)
+    // stage the ingestion batches as files with strictly-increasing
+    // mtimes (the file source orders micro-batches by mtime)
+    val dir = GateScratch.register(
+      Files.createTempDirectory("graft-stream-docs"))
+    def stage(name: String, f: DataFrame, mtimeOffset: Long): Unit = {
+      val tmp = dir.resolve(s"z_$name")
+      f.coalesce(1).write.parquet(tmp.toString)
+      val part = scala.util.Using.resource(Files.list(tmp))(
+        _.iterator().asScala.find(_.toString.endsWith(".parquet")).get)
+      val out = dir.resolve(s"$name.parquet")
+      Files.move(part, out)
+      Files.setLastModifiedTime(out, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() + mtimeOffset))
+    }
+    stage("b1", docs.filter(col("doc_id") % 100 === 5), 0L)
+    stage("b2", docs.filter(col("doc_id") % 100 === 0), 2000L)
+    val q = s.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Dedup.indexAdmit(s, cat, repo, "main", batch, t)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // every admitted ingest id = stored docs beyond the corpus slice
+    s.table(s"$cat.r.main.dd.docs")
+      .filter(!(col("doc_id") % 100).between(10, 19))
+      .select(col("doc_id").as("admitted_id"))
+      .orderBy(col("admitted_id"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q(
+      "st_dedup_persist",
+      """WITH w AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
+        |           FROM documents),
+        |cp AS (SELECT * FROM w WHERE doc_id % 100 BETWEEN 10 AND 19),
+        |b1 AS (SELECT * FROM w WHERE doc_id % 100 = 5),
+        |b2 AS (SELECT * FROM w WHERE doc_id % 100 = 0),
+        |dup1 AS (
+        |  SELECT DISTINCT d.doc_id FROM b1 d JOIN cp c ON
+        |    round(CAST(len(list_intersect(d.ws, c.ws)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(d.ws, c.ws))), 6) >= 0.9),
+        |a1 AS (SELECT * FROM b1 WHERE doc_id NOT IN (SELECT doc_id FROM dup1)),
+        |full1 AS (SELECT * FROM cp UNION ALL SELECT * FROM a1),
+        |dup2 AS (
+        |  SELECT DISTINCT d.doc_id FROM b2 d JOIN full1 c ON
+        |    round(CAST(len(list_intersect(d.ws, c.ws)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(d.ws, c.ws))), 6) >= 0.9),
+        |a2 AS (SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM dup2))
+        |SELECT doc_id AS admitted_id
+        |FROM (SELECT doc_id FROM a1 UNION ALL SELECT doc_id FROM a2)
+        |ORDER BY admitted_id""".stripMargin
+    )(dedupPersistStream),
     Q(
       "st_window_agg",
       """SELECT date_trunc('hour', ts) AS ws, event_type,

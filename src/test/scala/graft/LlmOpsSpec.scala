@@ -288,6 +288,19 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
         .foreach(b => assert(b == r.getDouble(2),
           s"re-rank cosine drifted for ${(r.getLong(0), r.getLong(1))}"))
     }
+    // maintenance: compaction bin-packs the accreted append files and
+    // the probe answers BIT-IDENTICALLY afterwards
+    val (filesBefore, filesAfter) =
+      operators.Similarity.annIndexCompact(spark, repo, "main")
+    filesAfter should be < filesBefore
+    val hitsAfter = operators.Similarity.annIndexProbe(spark, cat, "r",
+      "main", Tables.embeddings(spark, sfDir).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"),
+          toDoubleVec(col("embedding")).as("qv"))
+        .withColumn("qn", l2norm(col("qv"))))
+      .select("query_id", "neighbor_id", "cos_sim").collect()
+      .map(_.toSeq).toSet
+    hitsAfter shouldBe hits.map(_.toSeq).toSet
     // driver-facing gate row agrees
     val gate = SparkEntry.queries("sim_ann_persist")(spark, sfDir).collect()
     gate.length shouldBe 1
