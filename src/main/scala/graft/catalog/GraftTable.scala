@@ -469,8 +469,15 @@ final class GraftScan(
     // columnar, tombstoned splits read row-based)
     if (morDirty) Scan.ColumnarSupportMode.PARTITION_DEFINED
     else inner.columnarSupportMode()
+  // pruned count for the plan label (static pushed filters only — no
+  // bloom IO, no runtime filters; memoized: the label must not re-prune
+  // per toString). The label previously printed the UNpruned total,
+  // which made plan audits read "scanned everything" on scans that
+  // pruned fine.
+  private lazy val staticLiveCount =
+    TableOps.pruneFiles(snap, schema, pushed.toIndexedSeq).size
   override def description(): String =
-    s"GraftScan ${snap.table} (${snap.files.size} files, " +
+    s"GraftScan ${snap.table} ($staticLiveCount/${snap.files.size} files, " +
       s"pushed=[${pushed.mkString(", ")}])"
 
   /** Exact statistics from snapshot metadata, after static file pruning.
