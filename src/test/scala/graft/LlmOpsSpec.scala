@@ -307,6 +307,65 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     gate.head.getBoolean(1) shouldBe true
   }
 
+  test("annIndexAppend SHUFFLE volume tracks the DELTA, not the corpus: " +
+    "the same fixed batch appends into an 8x corpus index at ~1x " +
+    "shuffle bytes — the stored model broadcasts, the encode is " +
+    "delta-local, and the clash guard scans (never shuffles) the " +
+    "stored ids, so the recurring op is O(delta) by construction") {
+    import org.apache.spark.sql.functions._
+    def vec(i: Long): Seq[Double] =
+      (0 until 64).map(j => math.sin(i * 64.0 + j)).toSeq
+    def emb(n: Long, s0: Long) = spark.createDataFrame(
+      (0L until n).map(i => (s0 + i, vec(s0 + i)))).toDF("vec_id", "nv")
+    val cat = "gannsv"
+    val root = java.nio.file.Files.createTempDirectory(s"graft-$cat")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+    def build(ns: String, n: Long): graft.versioned.GraftRepo = {
+      spark.sql(s"CREATE NAMESPACE $cat.$ns")
+      spark.sql(s"CREATE NAMESPACE $cat.$ns.main.ann")
+      val repo = graft.versioned.GraftRepo.open(root.resolve(ns))
+      operators.Similarity.annIndexInit(spark, cat, repo, "main", emb(n, 0L))
+      repo
+    }
+    val r1 = build("r1", 400L)
+    val r8 = build("r8", 3200L)
+    def shuffleBytes[A](f: => A): (A, Long) = {
+      val total = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) total.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val got = f
+        org.apache.spark.graftbridge.TestListenerBridge
+          .drain(spark.sparkContext)
+        (got, total.get())
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val delta = emb(16L, 900000L)
+    def append(repo: graft.versioned.GraftRepo): (Long, Long) =
+      shuffleBytes {
+        operators.Similarity.annIndexAppend(spark, cat, repo, "main", delta)
+        spark.table(s"$cat.${repo.root.getFileName}.main.ann.vectors")
+          .filter(col("vec_id") >= 900000L).count()
+      }
+    val (n1, bytes1) = append(r1)
+    val (n8, bytes8) = append(r8)
+    n1 shouldBe 16L
+    n8 shouldBe 16L
+    // generous 3x slack + 64 KiB absolute floor for framework jitter —
+    // a corpus-shuffling regression would show up ~8x
+    withClue(s"small=$bytes1 large=$bytes8: ") {
+      bytes8 should be <= math.max(3L * bytes1, bytes1 + (64L << 10))
+    }
+  }
+
   test("sim_ann_brute: size-guarded query broadcast — forced shuffle path " +
     "returns identical results") {
     val broadcastPath = SparkEntry.queries("sim_ann_brute")(spark, sfDir)
