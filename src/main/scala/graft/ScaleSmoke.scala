@@ -161,12 +161,16 @@ object ScaleSmoke {
       time("ann_indexProbe") {
         val probe =
           operators.Similarity.annIndexProbe(spark, cat, "r", "main", qs)
+        val n = probe.count()
+        // assert on the POST-execution plan: AQE's final join picks are
+        // only visible after the run (a pre-execution string could hide
+        // a runtime flip to a nested-loop at larger scales)
         val pplan = probe.queryExecution.executedPlan.toString
         require(!pplan.contains("CartesianProduct"),
           s"ann_indexProbe plan degraded: CartesianProduct at ${scale}x")
         require(!pplan.contains("BroadcastNestedLoop"),
           s"ann_indexProbe plan degraded: BroadcastNestedLoopJoin at ${scale}x")
-        probe.count()
+        n
       }
     }
 

@@ -293,13 +293,20 @@ final class GraftScan(
     graft.versioned.Tombstones.applicable(morTombs, f, physDataSchema,
       Some(repo.dataIO)).nonEmpty)
 
+  // static pruning memoized: the plan label (description(), rendered by
+  // Spark for EVERY SQL execution) and the no-runtime-filter scan build
+  // share one pass instead of each re-pruning a million-file snapshot
+  private lazy val staticPruned: Seq[graft.versioned.FileEntry] =
+    TableOps.pruneFiles(snap, schema, pushed.toIndexedSeq)
+
   private[graft] def liveFiles: Seq[graft.versioned.FileEntry] = {
     val fs = (pushed ++ runtime).toIndexedSeq
     // bloom sidecars load only for files equality filters couldn't be
     // disproven on by partition values or min/max — point lookups on
     // unclustered columns prune here (including runtime DPP In-filters)
     graft.versioned.Blooms.prune(repo.dataIO, snap, schema, fs,
-      TableOps.pruneFiles(snap, schema, fs))
+      if (runtime.isEmpty) staticPruned
+      else TableOps.pruneFiles(snap, schema, fs))
   }
 
   private def inner: Scan = {
@@ -385,7 +392,7 @@ final class GraftScan(
       None
     }
     else {
-      val files = TableOps.pruneFiles(snap, schema, pushed.toIndexedSeq)
+      val files = staticPruned // shared memoized static pass
       if (files.isEmpty) None
       else {
         val keyed = files.map(f => fileKey(f) match {
@@ -470,15 +477,13 @@ final class GraftScan(
     if (morDirty) Scan.ColumnarSupportMode.PARTITION_DEFINED
     else inner.columnarSupportMode()
   // pruned count for the plan label (static pushed filters only — no
-  // bloom IO, no runtime filters; memoized: the label must not re-prune
-  // per toString). The label previously printed the UNpruned total,
-  // which made plan audits read "scanned everything" on scans that
-  // pruned fine.
-  private lazy val staticLiveCount =
-    TableOps.pruneFiles(snap, schema, pushed.toIndexedSeq).size
+  // bloom IO, no runtime filters; shares the memoized staticPruned pass
+  // with the scan build, so rendering never re-prunes). The label
+  // previously printed the UNpruned total, which made plan audits read
+  // "scanned everything" on scans that pruned fine.
   override def description(): String =
-    s"GraftScan ${snap.table} ($staticLiveCount/${snap.files.size} files, " +
-      s"pushed=[${pushed.mkString(", ")}])"
+    s"GraftScan ${snap.table} (${staticPruned.size}/${snap.files.size} " +
+      s"files, pushed=[${pushed.mkString(", ")}])"
 
   /** Exact statistics from snapshot metadata, after static file pruning.
     * Row counts are exact (CoW keeps them so); bytes are recorded

@@ -531,11 +531,26 @@ object Similarity {
       .withColumn("nn", l2norm(col("nv")))
       .withColumn("u", expr("transform(nv, x -> x / nn)"))
       .localCheckpoint() // feeds clash guard, assign, and encode
-    // delta ids must be fresh (broadcast-semi: stored vec_id column is
-    // scanned pruned, never shuffled per append)
+    // ids must be unique WITHIN the delta too: a doubled vec_id would
+    // store two vectors under one identity — the ADC sum would double
+    // its approx score and the re-rank would emit duplicate neighbors
+    val deltaCount = deltaVecs.count()
+    val dups = deltaVecs.groupBy(col("vec_id")).count()
+      .filter(col("count") > 1).limit(5).collect().map(_.getLong(0))
+    require(dups.isEmpty,
+      s"delta contains duplicated vec_ids: ${dups.mkString(", ")} — " +
+        "incremental append requires unique ids")
+    // delta ids must be fresh vs the STORED index. Same dispatch rule
+    // as the dedup index's clash guard (Dedup.semiPrune): broadcast the
+    // delta id set only while it is provably bounded; past the guard a
+    // keyed semi join does the same check without an unbounded driver
+    // collect (the stored vec_id column is scanned pruned either way).
+    val bcastMax = s.conf.getOption("spark.graft.dedup.broadcastKeysMax")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(4000000)
+    val deltaIds = deltaVecs.select(col("vec_id"))
     val clash = s.table(s"$pre.vectors").select(col("vec_id"))
-      .join(broadcast(deltaVecs.select(col("vec_id"))), Seq("vec_id"),
-        "left_semi")
+      .join(if (deltaCount <= bcastMax) broadcast(deltaIds) else deltaIds,
+        Seq("vec_id"), "left_semi")
       .limit(5).collect().map(_.getLong(0))
     require(clash.isEmpty,
       s"delta vec_ids already present in $pre.vectors: " +

@@ -351,11 +351,18 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
     * pairs) — consumers that bake tag state into derived artifacts
     * (the Iceberg export's `refs` map) compare it to know when a tag
     * create/drop invalidates them. O(tags) small reads, no commit
-    * loads.
+    * loads. Deliberately REPO-GLOBAL, not per-table: the precise key
+    * (each table's resolved tag→snapshot map) would cost a commit load
+    * per tag per comparison, while the global key's only downside is
+    * one spurious re-export per served table after a (rare,
+    * control-plane) tag mutation. A tag dropped between the list and
+    * the read is skipped — the momentary signature difference at worst
+    * re-exports once more, never fails the caller.
     */
   def tagSignature: String = {
-    val body = tags.map(t =>
-      s"$t=${io.readString(root.resolve("tags").resolve(t)).trim}")
+    val body = tags.flatMap(t =>
+      scala.util.Try(
+        s"$t=${io.readString(root.resolve("tags").resolve(t)).trim}").toOption)
       .mkString("\n")
     sha(body)
   }

@@ -2268,8 +2268,11 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           case Some(sc) =>
             // the assert-create race, decided atomically: exactly one
             // concurrent creator wins; the loser 409s the WHOLE
-            // transaction (its siblings' appends roll back with it)
-            if (base.tables.contains(st.key))
+            // transaction (its siblings' appends roll back with it).
+            // acc is checked too as a belt — duplicate same-key members
+            // are already rejected by the names-each-table-once guard
+            // above, so acc cannot differ from base here today
+            if (base.tables.contains(st.key) || acc.contains(st.key))
               throw new RestConflict("AlreadyExistsException",
                 s"table already exists: ${st.key} @ $ref")
             val stamped = st.entries.map(_.copy(seq = Some(1L)))

@@ -267,6 +267,15 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
         emb.limit(1))
     }
     err.getMessage should include ("fresh ids")
+    // ... and so is a delta that duplicates an id WITHIN itself (two
+    // vectors under one identity would double its ADC score)
+    val dupDelta = emb.limit(1).withColumn("vec_id", lit(777000L))
+      .unionByName(emb.orderBy(col("vec_id").desc).limit(1)
+        .withColumn("vec_id", lit(777000L)))
+    val dupErr = intercept[IllegalArgumentException] {
+      operators.Similarity.annIndexAppend(spark, cat, repo, "main", dupDelta)
+    }
+    dupErr.getMessage should include ("unique ids")
     // probe the stored index: recall vs brute ≥ the ivfpq bound, and
     // every recalled pair's cosine is BIT-EQUAL to the brute-force one
     val brute = SparkEntry.queries("sim_ann_brute")(spark, sfDir)
