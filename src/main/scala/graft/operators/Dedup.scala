@@ -1042,23 +1042,58 @@ object Dedup {
     * deliberately does not take — a posting-list index is the 10^5+
     * token Zipfian-vocabulary design).
     */
-  private def incrPersist(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
+  /** Per-JVM TEMPLATE of the gate corpus index (the %100 ∈ [10,19]
+    * slice at t = 0.9) — built ONCE, then byte-copied per gate: the vc
+    * fixture-template trick applied to the two lifecycle gates
+    * (dd_incr_persist, st_dedup_persist) that previously each paid the
+    * same ~2 s indexInit. The template is read-only after init; every
+    * copy mutates only its own tree. Keyed by file identity so
+    * regenerated testdata rebuilds.
+    */
+  private val gateIndexTemplate = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Long), java.nio.file.Path]
+
+  /** A fresh catalog + repo holding a COPY of the corpus-index
+    * template. Returns (catalog name, repo). */
+  private[operators] def copiedCorpusIndex(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (String, graft.versioned.GraftRepo) = {
     val t = 0.9
+    val f = java.nio.file.Paths.get(s"$d/documents.parquet")
+    val key = (d, java.nio.file.Files.getLastModifiedTime(f).toMillis,
+      java.nio.file.Files.size(f))
+    val tpl = gateIndexTemplate.getOrElseUpdate(key, {
+      val cat0 = "gtpl" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(10)
+      val root0 = GateScratch.register(
+        java.nio.file.Files.createTempDirectory(s"graft-$cat0"))
+      s.conf.set(s"spark.sql.catalog.$cat0",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat0.root", root0.toString)
+      s.sql(s"CREATE NAMESPACE $cat0.r")
+      s.sql(s"CREATE NAMESPACE $cat0.r.main.dd")
+      val repo0 = graft.versioned.GraftRepo.open(root0.resolve("r"))
+      indexInit(s, cat0, repo0,
+        "main", T.documents(s, d).select(col("doc_id"), col("text"))
+          .filter((col("doc_id") % 100).between(10, 19)), t)
+      root0
+    })
     val cat = "gdd" + java.util.UUID.randomUUID().toString
       .replace("-", "").take(10)
-    // corpus-sized scratch (the persisted index) — reclaimed at JVM exit
     val root = GateScratch.register(
       java.nio.file.Files.createTempDirectory(s"graft-$cat"))
+    GateScratch.copyTree(tpl, root)
     s.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.catalog.GraftCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
-    s.sql(s"CREATE NAMESPACE $cat.r")
-    s.sql(s"CREATE NAMESPACE $cat.r.main.dd")
-    val repo = graft.versioned.GraftRepo.open(root.resolve("r"))
+    (cat, graft.versioned.GraftRepo.open(root.resolve("r")))
+  }
+
+  private def incrPersist(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val t = 0.9
+    val (cat, repo) = copiedCorpusIndex(s, d)
     val docs = T.documents(s, d).select(col("doc_id"), col("text"))
-    indexInit(s, cat, repo, "main",
-      docs.filter((col("doc_id") % 100).between(10, 19)), t)
     indexAdmit(s, cat, repo, "main", docs.filter(col("doc_id") % 100 === 5), t)
     indexScreen(s, cat, "r", "main", docs.filter(col("doc_id") % 100 === 0), t)
       .orderBy(col("surviving_id"))

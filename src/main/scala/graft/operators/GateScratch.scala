@@ -25,4 +25,16 @@ private[operators] object GateScratch {
     dirs.add(d)
     d
   }
+
+  /** Recursive file-tree copy (template → per-gate working copy — the
+    * vc fixture-template trick for the dd/ann lifecycle gates). */
+  def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+    scala.util.Using.resource(java.nio.file.Files.walk(src))(
+      _.forEach { p =>
+        val to = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(to)
+        else java.nio.file.Files.copy(p, to,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      })
 }

@@ -444,18 +444,10 @@ object Streaming {
     */
   private def dedupPersistStream(s: SparkSession, d: String): DataFrame = {
     val t = 0.9
-    val cat = "gsdp" + UUID.randomUUID().toString.replace("-", "").take(10)
-    val root = GateScratch.register(
-      Files.createTempDirectory(s"graft-$cat"))
-    s.conf.set(s"spark.sql.catalog.$cat",
-      classOf[graft.catalog.GraftCatalog].getName)
-    s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
-    s.sql(s"CREATE NAMESPACE $cat.r")
-    s.sql(s"CREATE NAMESPACE $cat.r.main.dd")
-    val repo = graft.versioned.GraftRepo.open(root.resolve("r"))
+    // corpus index from the shared per-JVM template (same slice and
+    // threshold as dd_incr_persist — built once, byte-copied here)
+    val (cat, repo) = Dedup.copiedCorpusIndex(s, d)
     val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
-    Dedup.indexInit(s, cat, repo, "main",
-      docs.filter((col("doc_id") % 100).between(10, 19)), t)
     // stage the ingestion batches as files with strictly-increasing
     // mtimes (the file source orders micro-batches by mtime)
     val dir = GateScratch.register(
