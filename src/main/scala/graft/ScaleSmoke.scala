@@ -143,8 +143,12 @@ object ScaleSmoke {
         operators.Similarity.annIndexInit(spark, cat, repo, "main", emb)
         spark.table(s"$cat.r.main.ann.vectors").count()
       }
+      // delta ids start one replica-shift past the LAST replica's ids,
+      // so the append clash guard can never fire at any scale (a fixed
+      // base like 2e9 would collide with replicated ids at scale >= 200)
+      val deltaShift = (scale + 1).toLong * 10000000L
       val delta = spark.read.parquet(s"$src/embeddings.parquet")
-        .select((col("vec_id") + lit(2000000000L)).as("vec_id"),
+        .select((col("vec_id") + lit(deltaShift)).as("vec_id"),
           toDoubleVec(col("embedding")).as("nv"))
       time("ann_indexAppend") {
         operators.Similarity.annIndexAppend(spark, cat, repo, "main", delta)

@@ -1050,8 +1050,12 @@ object Dedup {
     * copy mutates only its own tree. Keyed by file identity so
     * regenerated testdata rebuilds.
     */
-  private val gateIndexTemplate = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, Long), java.nio.file.Path]
+  // ConcurrentHashMap.computeIfAbsent, not TrieMap.getOrElseUpdate: the
+  // builder runs a ~2 s indexInit, and getOrElseUpdate can evaluate it
+  // in two racing threads (leaking a duplicate temp tree until JVM
+  // exit) — computeIfAbsent guarantees at-most-once per key
+  private val gateIndexTemplate = new java.util.concurrent
+    .ConcurrentHashMap[(String, Long, Long), java.nio.file.Path]()
 
   /** A fresh catalog + repo holding a COPY of the corpus-index
     * template. Returns (catalog name, repo). */
@@ -1062,7 +1066,7 @@ object Dedup {
     val f = java.nio.file.Paths.get(s"$d/documents.parquet")
     val key = (d, java.nio.file.Files.getLastModifiedTime(f).toMillis,
       java.nio.file.Files.size(f))
-    val tpl = gateIndexTemplate.getOrElseUpdate(key, {
+    val tpl = gateIndexTemplate.computeIfAbsent(key, _ => {
       val cat0 = "gtpl" + java.util.UUID.randomUUID().toString
         .replace("-", "").take(10)
       val root0 = GateScratch.register(

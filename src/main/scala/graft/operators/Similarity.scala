@@ -80,14 +80,18 @@ object Similarity {
     * identity (mtime + size) — regenerated testdata must not serve
     * stale pairs.
     */
-  private val bruteCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, Long), Seq[(Long, Long, Double, Long)]]
+  // ConcurrentHashMap.computeIfAbsent, not TrieMap.getOrElseUpdate: the
+  // builder is a full |Q|×|N| brute pass, and getOrElseUpdate can run
+  // it concurrently in two racing gates — computeIfAbsent guarantees
+  // at-most-once per key
+  private val bruteCache = new java.util.concurrent
+    .ConcurrentHashMap[(String, Long, Long), Seq[(Long, Long, Double, Long)]]()
   private def bruteCached(s: SparkSession, d: String): DataFrame = {
     val f = java.nio.file.Paths.get(s"$d/embeddings.parquet")
     val key = (d,
       java.nio.file.Files.getLastModifiedTime(f).toMillis,
       java.nio.file.Files.size(f))
-    val rows = bruteCache.getOrElseUpdate(key,
+    val rows = bruteCache.computeIfAbsent(key, _ =>
       bruteForceImpl(s, d).collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq)
     s.createDataFrame(rows)

@@ -69,19 +69,17 @@ object Streaming {
     */
   // staged dirs hold a full copy of events.parquet each — without
   // cleanup, repeated verify/bench rounds leak one per streaming query
-  // into /tmp until the disk fills. Reclaimed when the query that read
-  // them stops (runToTable drains the caller thread's pending stages —
-  // the memory sink holds the results, so the files are dead the moment
-  // the query terminates); the JVM shutdown hook is only the backstop
-  // for queries that never reach runToTable (an exception between
-  // staging and start). A long-lived session running many streaming
-  // queries therefore holds at most the in-flight copies, not one per
-  // query ever run.
+  // into /tmp until the disk fills. Each dir is associated with ITS
+  // query explicitly: stageStream returns the dir and the caller passes
+  // it into runToTable, which reclaims exactly those dirs when the
+  // query stops (the memory sink holds the results, so the files are
+  // dead the moment the query terminates). The JVM shutdown hook is
+  // only the backstop for queries that never reach runToTable (an
+  // exception between staging and start). A long-lived session running
+  // many streaming queries therefore holds at most the in-flight
+  // copies, not one per query ever run.
   private val stagedDirs = java.util.Collections.synchronizedList(
     new java.util.ArrayList[java.nio.file.Path]())
-  private val pendingStages =
-    ThreadLocal.withInitial[java.util.ArrayList[java.nio.file.Path]](() =>
-      new java.util.ArrayList[java.nio.file.Path]())
 
   private def deleteStaged(dir: java.nio.file.Path): Unit =
     try
@@ -100,7 +98,6 @@ object Streaming {
     val (tsIsNanos, maxUs) = eventMeta(s, d)
     val dir = Files.createTempDirectory("graft-stream")
     stagedDirs.add(dir)
-    pendingStages.get().add(dir)
     Files.copy(Paths.get(s"$d/events.parquet"), dir.resolve("0_events.parquet"),
       StandardCopyOption.COPY_ATTRIBUTES)
     if (sentinel) {
@@ -172,11 +169,17 @@ object Streaming {
     else raw.withColumn("ts", col("ts").cast(TimestampType))
   }
 
-  /** Stage + read in one step (single-source queries). */
+  /** Stage + read in one step (single-source queries): the stream plus
+    * the dir it reads — the caller hands the dir to [[runToTable]] so
+    * reclamation is tied to exactly this query's staging.
+    */
   private def eventStream(s: SparkSession, d: String, sentinel: Boolean,
       sentinels: Int = 1,
-      sentinelTypes: Seq[String] = Seq("sentinel")): DataFrame =
-    readStaged(s, d, stageStream(s, d, sentinel, sentinels, sentinelTypes))
+      sentinelTypes: Seq[String] = Seq("sentinel"))
+      : (DataFrame, java.nio.file.Path) = {
+    val dir = stageStream(s, d, sentinel, sentinels, sentinelTypes)
+    (readStaged(s, d, dir), dir)
+  }
 
   /** Run a streaming DataFrame synchronously into a memory sink. The
     * stateful shuffle width is pinned to 4 for the run: state-store
@@ -184,7 +187,8 @@ object Streaming {
     * hundreds of keys, not millions (a real deployment sizes this to
     * keys/partition instead).
     */
-  private def runToTable(s: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
+  private def runToTable(s: SparkSession, df: DataFrame, mode: OutputMode,
+      staged: Seq[java.nio.file.Path] = Nil): DataFrame = {
     val name = "st_" + UUID.randomUUID().toString.replace("-", "").take(10)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
@@ -193,11 +197,10 @@ object Streaming {
       try q.processAllAvailable() finally q.stop()
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
-      // the query is stopped: every dir this thread staged for it is
-      // dead — reclaim now instead of waiting for JVM exit
-      val pending = pendingStages.get()
-      pending.forEach { dir => deleteStaged(dir); stagedDirs.remove(dir) }
-      pending.clear()
+      // the query is stopped: the dirs staged FOR IT (passed by the
+      // caller — never some other query's pending staging) are dead —
+      // reclaim now instead of waiting for JVM exit
+      staged.foreach { dir => deleteStaged(dir); stagedDirs.remove(dir) }
     }
     s.table(name)
   }
@@ -207,12 +210,13 @@ object Streaming {
     * order-independent oracle parity.
     */
   private def windowAgg(s: SparkSession, d: String): DataFrame = {
-    val agg = eventStream(s, d, sentinel = false)
+    val (stream, dir) = eventStream(s, d, sentinel = false)
+    val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-    runToTable(s, agg, OutputMode.Complete())
+    runToTable(s, agg, OutputMode.Complete(), Seq(dir))
       .select(col("w.start").cast(TimestampNTZType).as("ws"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("ws"), col("event_type"))
@@ -223,12 +227,13 @@ object Streaming {
     * event.
     */
   private def slidingAgg(s: SparkSession, d: String): DataFrame = {
-    val agg = eventStream(s, d, sentinel = false)
+    val (stream, dir) = eventStream(s, d, sentinel = false)
+    val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-    runToTable(s, agg, OutputMode.Complete())
+    runToTable(s, agg, OutputMode.Complete(), Seq(dir))
       .select(col("w.start").cast(TimestampNTZType).as("ws"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("ws"), col("event_type"))
@@ -242,12 +247,13 @@ object Streaming {
   private def staticJoin(s: SparkSession, d: String): DataFrame = {
     val dim = graft.Tables.customer(s, d)
       .select(col("c_custkey"), col("c_nationkey"))
-    val agg = eventStream(s, d, sentinel = false)
+    val (stream, dir) = eventStream(s, d, sentinel = false)
+    val agg = stream
       .join(dim, col("user_id") === col("c_custkey"))
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-    runToTable(s, agg, OutputMode.Complete())
+    runToTable(s, agg, OutputMode.Complete(), Seq(dir))
       .orderBy(col("c_nationkey"))
   }
 
@@ -272,7 +278,8 @@ object Streaming {
     */
   private def sessionize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val stream = eventStream(s, d, sentinel = true)
+    val (raw, dir) = eventStream(s, d, sentinel = true)
+    val stream = raw
       .withWatermark("ts", "0 seconds")
       .select(col("user_id"), col("ts"))
       .as[Ev]
@@ -309,7 +316,7 @@ object Streaming {
             closed.reverseIterator
           }
       }
-    runToTable(s, sessions.toDF(), OutputMode.Append())
+    runToTable(s, sessions.toDF(), OutputMode.Append(), Seq(dir))
       .filter(col("user_id") >= 0)
       .select(col("user_id"),
         col("session_start").cast(TimestampNTZType).as("session_start"),
@@ -329,12 +336,14 @@ object Streaming {
   private def streamJoin(s: SparkSession, d: String): DataFrame = {
     // two INDEPENDENT file sources (not two filters of one stream):
     // mirrors a real deployment's separate topics
-    val clicks = eventStream(s, d, sentinel = false)
+    val (clickStream, clickDir) = eventStream(s, d, sentinel = false)
+    val clicks = clickStream
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
-    val purchases = eventStream(s, d, sentinel = false)
+    val (purchaseStream, purchaseDir) = eventStream(s, d, sentinel = false)
+    val purchases = purchaseStream
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("purchase_ts"))
@@ -343,7 +352,7 @@ object Streaming {
       col("user_id") === col("p_user") &&
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
-    runToTable(s, joined, OutputMode.Append())
+    runToTable(s, joined, OutputMode.Append(), Seq(clickDir, purchaseDir))
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts").cast(TimestampNTZType).as("click_ts"),
         col("purchase_ts").cast(TimestampNTZType).as("purchase_ts"))
@@ -386,7 +395,7 @@ object Streaming {
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
       "leftOuter")
-    runToTable(s, joined, OutputMode.Append())
+    runToTable(s, joined, OutputMode.Append(), Seq(dir))
       .filter(col("user_id") >= 0) // static filter: sentinel rows out
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts").cast(TimestampNTZType).as("click_ts"),
@@ -403,11 +412,12 @@ object Streaming {
     * can't express natively). Same DuckDB gap-islands oracle.
     */
   private def sessionWindow(s: SparkSession, d: String): DataFrame = {
-    val agg = eventStream(s, d, sentinel = true)
+    val (stream, dir) = eventStream(s, d, sentinel = true)
+    val agg = stream
       .withWatermark("ts", "0 seconds")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"))
-    runToTable(s, agg, OutputMode.Append())
+    runToTable(s, agg, OutputMode.Append(), Seq(dir))
       .filter(col("user_id") >= 0) // drop the sentinel flush row
       .select(col("user_id"),
         col("w.start").cast(TimestampNTZType).as("session_start"),
@@ -419,11 +429,12 @@ object Streaming {
     * (dropDuplicates keyed state) — output is the distinct key set.
     */
   private def dedupStream(s: SparkSession, d: String): DataFrame = {
-    val dedup = eventStream(s, d, sentinel = false)
+    val (stream, dir) = eventStream(s, d, sentinel = false)
+    val dedup = stream
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("event_type"), col("ts"))
       .dropDuplicates("user_id", "event_type")
-    runToTable(s, dedup, OutputMode.Append())
+    runToTable(s, dedup, OutputMode.Append(), Seq(dir))
       .select(col("user_id"), col("event_type"))
       .orderBy(col("user_id"), col("event_type"))
   }

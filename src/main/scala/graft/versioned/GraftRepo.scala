@@ -106,8 +106,10 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
     else c.copy(tables = new Trees.LazyTableMap(root, io, c.treeRefs))
   }
 
-  /** Per-JVM commit-id → generation cache (commit objects are
-    * immutable, so entries never invalidate). */
+  /** Per-REPO-INSTANCE commit-id → generation cache (commit objects
+    * are immutable, so entries never invalidate; two GraftRepo
+    * instances on one root each warm their own cache, which only costs
+    * re-reads, never staleness). */
   private val genCache =
     scala.collection.concurrent.TrieMap.empty[String, Option[Long]]
   private def genOf(id: String): Option[Long] =
@@ -359,12 +361,22 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
     * the read is skipped — the momentary signature difference at worst
     * re-exports once more, never fails the caller.
     */
-  def tagSignature: String = {
-    val body = tags.flatMap(t =>
+  def tagSignature: String = tagsWithSignature._2
+
+  /** ONE consistent observation of the tag set: the resolved
+    * (name, commit id) entries plus the signature derived from those
+    * same entries. Consumers that bake both the tag CONTENT and the
+    * signature into a derived artifact (the Iceberg export stamps
+    * `graft.source-tags` and builds the `refs` map) must read them from
+    * a single call — listing tags twice leaves a window where a
+    * concurrent create/drop yields a refs map inconsistent with the
+    * stamped signature (self-healing but avoidably stale for one load).
+    */
+  def tagsWithSignature: (Seq[(String, String)], String) = {
+    val entries = tags.flatMap(t =>
       scala.util.Try(
-        s"$t=${io.readString(root.resolve("tags").resolve(t)).trim}").toOption)
-      .mkString("\n")
-    sha(body)
+        (t, io.readString(root.resolve("tags").resolve(t)).trim)).toOption)
+    (entries, sha(entries.map { case (t, c) => s"$t=$c" }.mkString("\n")))
   }
 
   def tagExists(name: String): Boolean =

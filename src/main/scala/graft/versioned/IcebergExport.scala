@@ -774,8 +774,12 @@ object IcebergExport {
     // the tag set this export baked into `refs` below: the REST serve
     // memo compares it, so a tag created or dropped AFTER an export
     // re-exports on the next load instead of serving stale (or undead)
-    // tag refs until the table's data happens to change
-    props.put("graft.source-tags", repo.tagSignature)
+    // tag refs until the table's data happens to change. ONE snapshot
+    // of the tag set feeds both the signature and the refs map — a
+    // create/drop between two separate reads would serve refs
+    // inconsistent with the stamped signature
+    val (tagEntries, tagSig) = repo.tagsWithSignature
+    props.put("graft.source-tags", tagSig)
     fallbackReason.foreach(r => props.put("graft.export.partition-fallback", r))
     extraProps.foreach { case (k, vv) => props.put(k, vv) }
     meta.put("properties", props)
@@ -799,9 +803,12 @@ object IcebergExport {
     // table — are simply not stamped.
     locally {
       val sidToIce = artifacts.map(a => a.snap.id -> a.snapshotId).toMap
-      repo.tags.foreach { t =>
+      // resolved from the SAME tag snapshot the signature was derived
+      // from (tagEntries), not a re-list — see the consistency note at
+      // the graft.source-tags stamp above
+      tagEntries.foreach { case (t, cid) =>
         if (!refsMap.containsKey(t)) {
-          scala.util.Try(repo.resolve(t)).toOption
+          scala.util.Try(repo.commit(cid)).toOption
             .flatMap(c => c.tables.get(key))
             .flatMap(sidToIce.get)
             .foreach { sid =>
