@@ -178,6 +178,67 @@ object ScaleSmoke {
       }
     }
 
+    // DISTRIBUTED-centroid ANN at scale: force maxModelK below the √N
+    // rule so the router path trains/serves (at real 100 TB scale this
+    // happens naturally past ~16M vectors; here the clamp is lowered to
+    // exercise the same code on the replica). The probe row must keep
+    // the √scale shape: the fine model is a TABLE, queries route via
+    // the coarse router (keyed joins only), so candidate width stays
+    // nprobe·N/k = nprobe·√N — the old clamp's linear nprobe·N/4096
+    // growth is exactly what this path removes.
+    locally {
+      import graft.functions.TextVec._
+      val prevK = spark.conf.getOption("spark.graft.kmeans.maxModelK")
+      spark.conf.set("spark.graft.kmeans.maxModelK", "64")
+      try {
+        val cat = "gsannd" + java.util.UUID.randomUUID().toString
+          .replace("-", "").take(10)
+        val root = java.nio.file.Files.createTempDirectory(s"graft-$cat")
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.catalog.GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+        spark.sql(s"CREATE NAMESPACE $cat.r")
+        spark.sql(s"CREATE NAMESPACE $cat.r.main.ann")
+        val repo = graft.versioned.GraftRepo.open(root.resolve("r"))
+        val emb = spark.read.parquet(s"$dst/embeddings.parquet")
+          .select(col("vec_id"), toDoubleVec(col("embedding")).as("nv"))
+        time("annd_indexInit") {
+          operators.Similarity.annIndexInit(spark, cat, repo, "main", emb)
+          val k = spark.table(s"$cat.r.main.ann.centroids").count()
+          require(k > 64,
+            s"distributed trainer still clamped: k=$k at ${scale}x")
+          k
+        }
+        val deltaShift = (scale + 1).toLong * 10000000L
+        val delta = spark.read.parquet(s"$src/embeddings.parquet")
+          .select((col("vec_id") + lit(deltaShift)).as("vec_id"),
+            toDoubleVec(col("embedding")).as("nv"))
+        time("annd_indexAppend") {
+          operators.Similarity.annIndexAppend(spark, cat, repo, "main", delta)
+          delta.count()
+        }
+        val qs = spark.read.parquet(s"$src/embeddings.parquet")
+          .filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"),
+            toDoubleVec(col("embedding")).as("qv"))
+          .withColumn("qn", l2norm(col("qv")))
+        time("annd_indexProbe") {
+          val probe =
+            operators.Similarity.annIndexProbe(spark, cat, "r", "main", qs)
+          val n = probe.count()
+          val pplan = probe.queryExecution.executedPlan.toString
+          require(!pplan.contains("CartesianProduct"),
+            s"annd_indexProbe plan degraded: CartesianProduct at ${scale}x")
+          require(!pplan.contains("BroadcastNestedLoop"),
+            s"annd_indexProbe plan degraded: BroadcastNestedLoopJoin at ${scale}x")
+          n
+        }
+      } finally prevK match {
+        case Some(v) => spark.conf.set("spark.graft.kmeans.maxModelK", v)
+        case None => spark.conf.unset("spark.graft.kmeans.maxModelK")
+      }
+    }
+
     // CDC + REST gates on the 10× nation: cost must track the CHANGE
     // volume (10× rows per batch on a still-tiny table ⇒ near-pin
     // times), and every gate must complete unchanged

@@ -1028,6 +1028,45 @@ object Dedup {
         targetFileBytes))
       .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
 
+  /** RETIRE documents from the persisted index (the GDPR-style removal
+    * a training-data index needs): ONE atomic commit appends an id
+    * tombstone to dd/docs AND dd/postings, so from the next read on a
+    * retired doc neither blocks admission ([[indexScreen]] reads both
+    * tables through the tombstone-aware scan) nor surfaces anywhere
+    * else; [[indexCompact]] materializes the removal physically (the
+    * generic compaction always rewrites tombstone-dirty files).
+    *
+    * dd/dfreq is intentionally untouched: the frozen df order is an
+    * ORDERING artifact, not a membership list — updating it would
+    * re-rank surviving postings' prefixes out from under the index
+    * (see the frozen-order note at the top of this section); keeping
+    * it costs at most slightly conservative prefixes later.
+    *
+    * The id set becomes a metadata predicate, so it must be
+    * driver-sized — bounded by `spark.graft.retire.maxIds` (default
+    * 100k; retire batches are control-plane-sized). Bulk purges that
+    * exceed it should run as several bounded retires, or as a COLUMN
+    * predicate via [[graft.versioned.TableOps.atomicDeleteMoR]]
+    * directly ("delete every doc from source X" is O(1) metadata at
+    * any cardinality).
+    */
+  def indexRetire(s: org.apache.spark.sql.SparkSession,
+      repo: graft.versioned.GraftRepo, branch: String,
+      ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "indexRetire needs at least one doc_id")
+    val maxIds = s.conf.getOption("spark.graft.retire.maxIds")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(100000)
+    require(ids.size <= maxIds,
+      s"retire batch of ${ids.size} ids exceeds spark.graft.retire.maxIds" +
+        s"=$maxIds — split the batch or retire by column predicate")
+    val p = Seq[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("doc_id",
+        ids.map(Long.box).toArray[Any]))
+    graft.versioned.TableOps.atomicDeleteMoR(repo, branch,
+      Seq("dd/docs" -> p, "dd/postings" -> p),
+      s"dd index retire ${ids.size} docs")
+  }
+
   /** End-to-end gate for the PERSISTED index: build the corpus index in
     * graft tables, atomically admit batch 1, then screen batch 2
     * against corpus + batch-1 admissions — the full daily-pipeline
@@ -1103,6 +1142,26 @@ object Dedup {
       .orderBy(col("surviving_id"))
   }
 
+  /** Gate for the RETIRE path: retire the corpus's %100==15 slice from
+    * the stored index (one atomic tombstone commit — no data rewrite),
+    * then screen the %100==0 batch against what remains. The oracle
+    * replays the screen against the corpus MINUS the retired slice, so
+    * the tombstone-aware read of docs AND postings is hash-proven:
+    * a single leaked posting for a retired doc would reject a batch
+    * doc the oracle admits.
+    */
+  private def retirePersist(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val t = 0.9
+    val (cat, repo) = copiedCorpusIndex(s, d)
+    val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+    val retired = docs.filter(col("doc_id") % 100 === 15)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    indexRetire(s, repo, "main", retired)
+    indexScreen(s, cat, "r", "main", docs.filter(col("doc_id") % 100 === 0), t)
+      .orderBy(col("surviving_id"))
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "dd_incr_persist",
@@ -1126,6 +1185,21 @@ object Dedup {
         |WHERE doc_id NOT IN (SELECT doc_id FROM dup2)
         |ORDER BY surviving_id""".stripMargin
     )(incrPersist),
+    Q(
+      "dd_retire_persist",
+      """WITH w AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
+        |           FROM documents),
+        |cp AS (SELECT * FROM w
+        |       WHERE doc_id % 100 BETWEEN 10 AND 19 AND doc_id % 100 <> 15),
+        |b AS (SELECT * FROM w WHERE doc_id % 100 = 0),
+        |dup AS (
+        |  SELECT DISTINCT d.doc_id FROM b d JOIN cp c ON
+        |    round(CAST(len(list_intersect(d.ws, c.ws)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(d.ws, c.ws))), 6) >= 0.9)
+        |SELECT doc_id AS surviving_id FROM b
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY surviving_id""".stripMargin
+    )(retirePersist),
     Q(
       "dd_incremental",
       """WITH w AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws

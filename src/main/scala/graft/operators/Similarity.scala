@@ -184,6 +184,31 @@ object Similarity {
     * point [[annIndexInit]] trains through (the persisted-index path
     * must train on exactly the rows it stores, not the raw table).
     */
+  /** The model-size rule's constant: a centroid model collected or
+    * broadcast by the driver-sized trainer may hold at most this many
+    * rows. Past it, training and serving must go through the
+    * DISTRIBUTED-centroid path ([[kmeansIndexDistributedOf]]).
+    */
+  private def maxModelK(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.kmeans.maxModelK")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(4096)
+
+  /** BELT for the model-size rule: the only way ANN code collects
+    * centroid rows to the driver. Throws (rather than OOMing three
+    * stages later) if the collect would exceed maxModelK — the
+    * distributed path must never take it for the fine model, which the
+    * lifecycle spec proves by running with a tiny maxModelK.
+    */
+  private[graft] def collectCentroids(s: SparkSession, df: DataFrame)
+      : Seq[(Long, Seq[Double])] = {
+    val cap = maxModelK(s)
+    val rows = df.limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"refusing driver-side collect of >$cap centroid rows — this model " +
+        "must stay distributed (see spark.graft.kmeans.maxModelK)")
+    rows.map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+  }
+
   private[graft] def kmeansIndexOf(s: SparkSession, corpusIn: DataFrame,
       k: Int = 0, lloydRounds: Int = 2): (DataFrame, Seq[(Long, Seq[Double])]) = {
     import s.implicits._
@@ -196,15 +221,13 @@ object Similarity {
     // Model-size guard: the Lloyd loop collects the k×dim centroid model
     // to the driver (k·dim·8 bytes — at k=4096, dim=1024 that is ~32 MB,
     // a model parameter, not data). Beyond the cap the model stops being
-    // driver-sized, so k is clamped; the documented scale-up path past
-    // the cap is to keep centroids DISTRIBUTED — assignment becomes a
-    // keyed join against a (cell, cv) table instead of a broadcast, and
-    // the mean-update aggregation already is distributed. Override with
+    // driver-sized, so THIS trainer clamps k; the scale-up path past the
+    // cap is [[kmeansIndexDistributedOf]] (centroids stay a (cell, cv)
+    // TABLE, assignment is a keyed join through a coarse router), which
+    // [[kmeansIndexAuto]] dispatches to. Override with
     // spark.graft.kmeans.maxModelK.
-    val maxModelK = s.conf.getOption("spark.graft.kmeans.maxModelK")
-      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(4096)
     val kk = math.min(
-      if (k > 0) k else math.max(4, math.sqrt(n.toDouble).toInt), maxModelK)
+      if (k > 0) k else math.max(4, math.sqrt(n.toDouble).toInt), maxModelK(s))
     val step = math.max(1, n / kk)
 
     // deterministic init: every step-th unit vector
@@ -260,6 +283,181 @@ object Similarity {
       centroids = means
     }
     (assign().select(col("vec_id"), col("nv"), col("nn"), col("cell")), centroids)
+  }
+
+  // ---- DISTRIBUTED-centroid k-means (the scale path past maxModelK) ----
+  //
+  // Past ~16M vectors the √N rule wants k > maxModelK and the driver-
+  // sized trainer above stops being honest (its clamp makes probe
+  // candidate width grow linearly, nprobe·N/maxModelK). Here the fine
+  // centroid model lives in a (cell, cv) DataFrame END TO END — never
+  // collected, never broadcast. Assignment routes through a COARSE
+  // router of kc ≤ maxModelK cells (√k — a model parameter like the PQ
+  // codebook): each fine centroid homes to its nearest coarse cell, each
+  // vector ranks the LIVE coarse cells (those holding ≥1 fine centroid,
+  // so no vector is ever candidate-less) and meets only the fine
+  // centroids homed to its top `coarseProbes` cells — a keyed equi-join
+  // of N·p·(k/kc) candidate pairs instead of an N·k broadcast pass.
+  // Assignment is approximate in exactly the sense IVF probing is; the
+  // recall gates bound the effect.
+
+  /** Fine centroids homed to their nearest coarse cell:
+    * `(ccell, cell, cv)` — a k×kc distributed dot pass, kc broadcast.
+    */
+  private def homeCentroids(s: SparkSession, cents: DataFrame,
+      coarse: Seq[(Long, Seq[Double])]): DataFrame = {
+    val coarseDf = broadcast(s.createDataFrame(coarse).toDF("ccell", "ccv"))
+    val w = Window.partitionBy(col("cell")).orderBy(col("hsim").desc, col("ccell"))
+    cents
+      .join(coarseDf, lit(true))
+      .select(col("cell"), col("cv"), col("ccell"),
+        dot(col("cv"), col("ccv")).as("hsim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("ccell"), col("cell"), col("cv"))
+  }
+
+  /** The router restricted to LIVE coarse cells (those appearing in
+    * `homed`): ≤ kc ids — model-sized by construction, so the collect
+    * is bounded like any model parameter.
+    */
+  private def liveRouter(s: SparkSession, homed: DataFrame,
+      coarse: Seq[(Long, Seq[Double])]): DataFrame = {
+    val live = homed.select(col("ccell")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    broadcast(s.createDataFrame(coarse.filter(c => live(c._1)))
+      .toDF("ccell", "ccv"))
+  }
+
+  /** Adds the `probes` nearest live-router cells to each row (unit
+    * vectors in `uCol`): |rows|×kc codegen'd dots + a per-row window —
+    * the router is broadcast, the rows never are.
+    */
+  private def routeRows(rows: DataFrame, idCol: String, uCol: String,
+      liveDf: DataFrame, probes: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("ccell"))
+    rows
+      .join(liveDf, lit(true))
+      .withColumn("csim", dot(col(uCol), col("ccv")))
+      .drop("ccv")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= probes)
+      .drop("rn", "csim")
+  }
+
+  /** Argmax assignment of `(vec_id, nv, nn, u)` rows to fine centroids
+    * via the router: keyed equi-join on the coarse cell, window argmax
+    * with the same tie-break as the driver-sized trainer.
+    */
+  private def assignByRouter(s: SparkSession, corpus: DataFrame,
+      cents: DataFrame, coarse: Seq[(Long, Seq[Double])],
+      probes: Int): DataFrame =
+    assignByHomed(s, corpus,
+      homeCentroids(s, cents, coarse).localCheckpoint(), coarse, probes)
+
+  /** Same argmax assignment against ALREADY-HOMED centroids
+    * `(ccell, cell, cv)` — the persisted index stores the homing, so
+    * append never re-pays the k×kc pass.
+    */
+  private def assignByHomed(s: SparkSession, rows: DataFrame,
+      homed: DataFrame, coarse: Seq[(Long, Seq[Double])],
+      probes: Int): DataFrame = {
+    val liveDf = liveRouter(s, homed, coarse)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cell"))
+    routeRows(rows, "vec_id", "u", liveDf, probes)
+      .join(homed, Seq("ccell"))
+      .withColumn("sim", dot(col("u"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("nv"), col("nn"), col("u"), col("cell"))
+  }
+
+  /** Distributed-centroid spherical k-means: same init rule, Lloyd
+    * update and tie-breaks as [[kmeansIndexOf]], but k is NOT clamped —
+    * centroids are a DataFrame throughout and every collect on this
+    * path goes through the model-size belt (router ids and the coarse
+    * model only, both ≤ kc ≤ maxModelK). Returns the assignment, the
+    * fine centroid table, and the coarse router model.
+    */
+  private[graft] def kmeansIndexDistributedOf(s: SparkSession,
+      corpusIn: DataFrame, kTarget: Int, lloydRounds: Int = 2,
+      coarseProbes: Int = 4)
+      : (DataFrame, DataFrame, Seq[(Long, Seq[Double])]) = {
+    val corpus = corpusIn
+      .select(col("vec_id"), col("nv"))
+      .withColumn("nn", l2norm(col("nv")))
+      .withColumn("u", expr("transform(nv, x -> x / nn)"))
+      .localCheckpoint()
+    val n = corpus.count()
+    val kk = if (kTarget > 0) kTarget
+      else math.max(4, math.sqrt(n.toDouble).toInt)
+    val step = math.max(1, n / kk)
+    // deterministic init, DISTRIBUTED: every step-th unit vector. The
+    // orderBy+limit gathers kk skinny (cell, cv) rows into one task —
+    // fine at any realistic k (k·dim·8 bytes of doubles), and they land
+    // straight in a checkpointed block, never on the driver.
+    def seeds(pick: Column): DataFrame = corpus
+      .filter(pick)
+      .orderBy(col("vec_id"))
+      .limit(kk)
+      .select(col("vec_id").as("cell"), col("u").as("cv"))
+    var centroids = seeds(col("vec_id") % step === 0).localCheckpoint()
+    if (centroids.count() < math.max(1, kk / 2))
+      // same id-sparse fallback as the driver-sized trainer
+      centroids = seeds(pmod(xxhash64(col("vec_id")), lit(step)) === 0)
+        .localCheckpoint()
+
+    // the coarse ROUTER: kc ≈ √k ≤ maxModelK cells trained by the
+    // driver-sized path on a deterministic hash sample of the corpus —
+    // the router is a bounded model parameter; the FINE model is not
+    val kc = math.min(maxModelK(s),
+      math.max(4, math.ceil(math.sqrt(kk.toDouble)).toInt))
+    val sampleEvery = math.max(1L, n / math.max(kc.toLong * 40L, 20000L))
+    val sample = corpus
+      .filter(pmod(xxhash64(col("vec_id")), lit(sampleEvery)) === 0)
+      .select(col("vec_id"), col("nv"))
+    val (_, coarse) = kmeansIndexOf(s, sample, kc, 1)
+
+    for (_ <- 1 to lloydRounds) {
+      val assigned = assignByRouter(s, corpus, centroids, coarse, coarseProbes)
+      // normalized mean of member unit vectors — all DISTRIBUTED: the
+      // (cell, dim) aggregation lands back in a (cell, cv) table
+      centroids = assigned
+        .select(col("cell"), posexplode(col("u")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dims"))
+        .select(col("cell"), expr("transform(dims, d -> d.m)").as("cv0"))
+        .withColumn("nrm",
+          sqrt(expr("aggregate(cv0, 0d, (acc, x) -> acc + x * x)")))
+        .select(col("cell"),
+          when(col("nrm") === 0, col("cv0"))
+            .otherwise(expr("transform(cv0, x -> x / nrm)")).as("cv"))
+        .localCheckpoint() // truncate per-round lineage
+    }
+    val finalAssign = assignByRouter(s, corpus, centroids, coarse, coarseProbes)
+      .select(col("vec_id"), col("nv"), col("nn"), col("cell"))
+    (finalAssign, centroids, coarse)
+  }
+
+  /** Auto dispatch on the √N rule vs maxModelK: the driver-sized
+    * trainer below the clamp (bit-identical to every existing gate),
+    * the distributed-centroid trainer past it. Returns the assignment,
+    * the centroid TABLE, and the coarse router model (empty = driver
+    * mode).
+    */
+  private[graft] def kmeansIndexAuto(s: SparkSession, corpusIn: DataFrame,
+      k: Int = 0, lloydRounds: Int = 2)
+      : (DataFrame, DataFrame, Seq[(Long, Seq[Double])]) = {
+    val kWant =
+      if (k > 0) k
+      else math.max(4, math.sqrt(corpusIn.count().toDouble).toInt)
+    if (kWant <= maxModelK(s)) {
+      val (idx, model) = kmeansIndexOf(s, corpusIn, k, lloydRounds)
+      (idx, s.createDataFrame(model).toDF("cell", "cv"), Nil)
+    } else kmeansIndexDistributedOf(s, corpusIn, kWant, lloydRounds)
   }
 
   private[graft] def ivf(s: SparkSession, d: String,
@@ -462,10 +660,26 @@ object Similarity {
   private def annPre(cat: String, repoName: String, branch: String) =
     s"$cat.$repoName.$branch.ann"
 
-  /** Create + train + encode: ONE atomic commit publishes all three
-    * index tables, so a reader never observes vectors without the
-    * model that encodes them. `ann/vectors` is PARTITIONED BY cell —
-    * a probe's scan prunes to its nprobe cells' files.
+  /** Create + train + encode: ONE atomic commit publishes every index
+    * table, so a reader never observes vectors without the model that
+    * encodes them. `ann/vectors` is PARTITIONED BY cell — a probe's
+    * scan prunes to its nprobe cells' files. Tables:
+    *
+    *   centroids (cell, cv, ccell) — the fine quantizer; ccell = the
+    *     coarse router cell each fine centroid homes to (−1 in driver
+    *     mode, where the whole model broadcasts)
+    *   coarse    (cell, cv)        — the router model (EMPTY in driver
+    *     mode); always ≤ maxModelK rows, i.e. driver-sized
+    *   codebook  (j, code, cb)     — the PQ model (m·ks rows)
+    *   meta      (m, ks, dim_per, coarse_k) — the encode parameters,
+    *     persisted EXPLICITLY (not inferred from surviving codebook
+    *     rows) so the stored model is self-describing
+    *   vectors   (vec_id, nv, nn, cell, codes) partitioned by cell
+    *
+    * Training dispatches on the √N rule vs maxModelK
+    * ([[kmeansIndexAuto]]): past the clamp the fine model never touches
+    * the driver — it streams from the Lloyd output straight into the
+    * centroids table, and probes route through the stored coarse table.
     */
   def annIndexInit(s: SparkSession, cat: String,
       repo: graft.versioned.GraftRepo, branch: String,
@@ -473,14 +687,18 @@ object Similarity {
     import s.implicits._
     val r = repo.root.getFileName.toString
     s.sql(s"CREATE TABLE ${annPre(cat, r, branch)}.centroids " +
+      "(cell BIGINT, cv ARRAY<DOUBLE>, ccell BIGINT)")
+    s.sql(s"CREATE TABLE ${annPre(cat, r, branch)}.coarse " +
       "(cell BIGINT, cv ARRAY<DOUBLE>)")
     s.sql(s"CREATE TABLE ${annPre(cat, r, branch)}.codebook " +
       "(j INT, code INT, cb ARRAY<DOUBLE>)")
+    s.sql(s"CREATE TABLE ${annPre(cat, r, branch)}.meta " +
+      "(m INT, ks INT, dim_per INT, coarse_k INT)")
     s.sql(s"CREATE TABLE ${annPre(cat, r, branch)}.vectors " +
       "(vec_id BIGINT, nv ARRAY<DOUBLE>, nn DOUBLE, cell BIGINT, " +
       "codes ARRAY<INT>) PARTITIONED BY (cell)")
     val dimPer = Dim / m
-    val (idx, model) = kmeansIndexOf(s, corpus, k, 2)
+    val (idx, centsDf, coarse) = kmeansIndexAuto(s, corpus, k, 2)
     val index = idx.localCheckpoint() // feeds sub, count, and the store
     val sub = pqSubvectors(index, "vec_id", m, dimPer).localCheckpoint()
     val n = index.count()
@@ -492,25 +710,64 @@ object Similarity {
       // instead of (tasks × cells) shards — a probe then opens exactly
       // its nprobe cells' files
       .repartition(col("cell"))
+    // centroids stored WITH their router homing, so probe/append never
+    // re-pay the k×kc homing pass; driver mode stamps −1
+    val storedCents =
+      if (coarse.isEmpty) centsDf.withColumn("ccell", lit(-1L)).coalesce(1)
+      else homeCentroids(s, centsDf, coarse)
+        .select(col("cell"), col("cv"), col("ccell"))
+        .coalesce(8) // k rows of doubles — small files, not driver data
+    val metaDf = s.createDataFrame(
+      Seq((m, ks, dimPer, coarse.size))).toDF("m", "ks", "dim_per", "coarse_k")
     graft.versioned.TableOps.atomicAppend(s, repo, branch, Seq(
-      // the two model tables are driver-sized — one file each
-      "ann/centroids" -> s.createDataFrame(model).toDF("cell", "cv").coalesce(1),
+      "ann/centroids" -> storedCents,
+      "ann/coarse" ->
+        s.createDataFrame(coarse).toDF("cell", "cv").coalesce(1),
       "ann/codebook" ->
         s.createDataFrame(codebook).toDF("j", "code", "cb").coalesce(1),
+      "ann/meta" -> metaDf.coalesce(1),
       "ann/vectors" -> vectors), "ann index init")
   }
 
-  /** Stored model (centroids + codebook) — both driver-sized by the
-    * same guard that bounds training (k ≤ maxModelK, m·ks rows).
+  /** Stored encode parameters. Falls back to inferring m/ks/dimPer from
+    * surviving codebook rows for indexes created before the meta table
+    * existed (coarse_k 0 = driver mode).
+    */
+  private case class AnnMeta(m: Int, ks: Int, dimPer: Int, coarseK: Int)
+  private def annMeta(s: SparkSession, pre: String): AnnMeta = {
+    val fromMeta = scala.util.Try {
+      val r = s.table(s"$pre.meta").head()
+      AnnMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+    }.toOption
+    fromMeta.getOrElse {
+      val cb = s.table(s"$pre.codebook")
+        .agg(max(col("j")), max(col("code")), first(size(col("cb")))).head()
+      AnnMeta(cb.getInt(0) + 1, cb.getInt(1) + 1, cb.getInt(2), 0)
+    }
+  }
+
+  /** Stored driver-sized models. The CENTROID collect goes through the
+    * model-size belt — a distributed-mode index (coarse_k > 0) must
+    * never reach this for its fine model; callers dispatch on
+    * [[annMeta]] first.
     */
   private def annModel(s: SparkSession, pre: String)
       : (Seq[(Long, Seq[Double])], Seq[(Int, Int, Seq[Double])]) = {
-    val centroids = s.table(s"$pre.centroids")
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-    val codebook = s.table(s"$pre.codebook")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+    val centroids = collectCentroids(s,
+      s.table(s"$pre.centroids").select(col("cell"), col("cv")))
+    val codebook = annCodebook(s, pre)
     (centroids, codebook)
   }
+
+  /** The PQ codebook is m·ks rows in EVERY mode — always driver-sized. */
+  private def annCodebook(s: SparkSession, pre: String)
+      : Seq[(Int, Int, Seq[Double])] =
+    s.table(s"$pre.codebook")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+
+  /** The stored coarse router model (≤ maxModelK rows by construction). */
+  private def annCoarse(s: SparkSession, pre: String): Seq[(Long, Seq[Double])] =
+    collectCentroids(s, s.table(s"$pre.coarse"))
 
   /** Append a `(vec_id, nv)` delta encoded under the STORED model —
     * cell assignment against the stored centroids (broadcast model),
@@ -526,10 +783,11 @@ object Similarity {
     import s.implicits._
     val r = repo.root.getFileName.toString
     val pre = annPre(cat, r, branch)
-    val (centroids, codebook) = annModel(s, pre)
-    val m = codebook.map(_._1).max + 1
-    val ks = codebook.map(_._2).max + 1
-    val dimPer = codebook.head._3.size
+    val meta = annMeta(s, pre)
+    val codebook = annCodebook(s, pre)
+    val m = meta.m
+    val ks = meta.ks
+    val dimPer = meta.dimPer
     val deltaVecs = delta
       .select(col("vec_id").cast("long").as("vec_id"), col("nv"))
       .withColumn("nn", l2norm(col("nv")))
@@ -559,17 +817,29 @@ object Similarity {
     require(clash.isEmpty,
       s"delta vec_ids already present in $pre.vectors: " +
         s"${clash.mkString(", ")} — incremental append requires fresh ids")
-    val centroidDf = s.createDataFrame(centroids).toDF("cell", "cv")
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cell"))
-    val assigned = deltaVecs
-      .join(broadcast(centroidDf), lit(true)) // k-row model, not corpus
-      .select(col("vec_id"), col("u"), col("nv"), col("nn"), col("cell"),
-        dot(col("u"), col("cv")).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "sim")
-      .localCheckpoint() // feeds sub AND the final projection
+    // cell assignment under the STORED model, dispatched on its mode:
+    // driver-sized models broadcast (the original shape); distributed
+    // models route through the stored coarse table + homed centroids —
+    // the fine model never reaches the driver
+    val assigned = (if (meta.coarseK == 0) {
+      val centroids = collectCentroids(s,
+        s.table(s"$pre.centroids").select(col("cell"), col("cv")))
+      val centroidDf = s.createDataFrame(centroids).toDF("cell", "cv")
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("cell"))
+      deltaVecs
+        .join(broadcast(centroidDf), lit(true)) // k-row model, not corpus
+        .select(col("vec_id"), col("u"), col("nv"), col("nn"), col("cell"),
+          dot(col("u"), col("cv")).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn", "sim")
+    } else {
+      val homed = s.table(s"$pre.centroids")
+        .select(col("ccell"), col("cell"), col("cv"))
+      assignByHomed(s, deltaVecs, homed, annCoarse(s, pre), probes = 4)
+        .select(col("vec_id"), col("u"), col("nv"), col("nn"), col("cell"))
+    }).localCheckpoint() // feeds sub AND the final projection
     val sub = pqSubvectors(assigned, "vec_id", m, dimPer)
     val rows = assigned
       .join(pqCodes(sub, codebook, "vec_id", m, ks, dimPer), Seq("vec_id"))
@@ -597,6 +867,39 @@ object Similarity {
     graft.versioned.TableOps.compact(s, repo, branch, "ann/vectors",
       targetFileBytes)
 
+  /** RETIRE vectors from the persisted index (the GDPR-style removal a
+    * training-data index needs): ONE metadata commit appends an id
+    * tombstone to `ann/vectors` — no data file is read or written, and
+    * from the next read on a retired vector never surfaces as a
+    * neighbor (every probe scan of the vectors table is tombstone-
+    * aware, the ADC pass and the exact re-rank both). Retired ids
+    * become appendable again only after [[annIndexCompact]]
+    * materializes the removal (the clash guard reads the same
+    * tombstone-aware scan, so a re-append before compaction is also
+    * correct — the guard no longer sees the id).
+    *
+    * The id set becomes a metadata predicate, so it must be driver-
+    * sized — bounded by `spark.graft.retire.maxIds` like the dedup
+    * index's retire; bulk purges go through
+    * [[graft.versioned.TableOps.atomicDeleteMoR]] with a column
+    * predicate instead.
+    */
+  def annIndexRetire(s: SparkSession, repo: graft.versioned.GraftRepo,
+      branch: String, vecIds: Seq[Long]): Unit = {
+    require(vecIds.nonEmpty, "annIndexRetire needs at least one vec_id")
+    val maxIds = s.conf.getOption("spark.graft.retire.maxIds")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(100000)
+    require(vecIds.size <= maxIds,
+      s"retire batch of ${vecIds.size} ids exceeds " +
+        s"spark.graft.retire.maxIds=$maxIds — split the batch or retire " +
+        "by column predicate")
+    graft.versioned.TableOps.atomicDeleteMoR(repo, branch,
+      Seq("ann/vectors" -> Seq[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("vec_id",
+          vecIds.map(Long.box).toArray[Any]))),
+      s"ann index retire ${vecIds.size} vectors")
+  }
+
   /** IVFADC probe of a `(query_id, qv, qn)` batch against the STORED
     * index. Scale shape: the probed-cell id set is model-sized (≤ k ≤
     * maxModelK), pushed as a scan filter so the partitioned vectors
@@ -613,28 +916,57 @@ object Similarity {
       topK: Int = K): DataFrame = {
     import s.implicits._
     val pre = annPre(cat, repoName, branch)
-    val (centroids, codebook) = annModel(s, pre)
-    val m = codebook.map(_._1).max + 1
-    val dimPer = codebook.head._3.size
-    val centroidDf = s.createDataFrame(centroids).toDF("cell", "cv")
+    val meta = annMeta(s, pre)
+    val codebook = annCodebook(s, pre)
+    val m = meta.m
+    val dimPer = meta.dimPer
     val qs = qs0.withColumn("qu", expr("transform(qv, x -> x / qn)"))
       .localCheckpoint() // feeds cells, ADC, and the re-rank
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("cell"))
-    val queryCells = qs
-      .join(broadcast(centroidDf), lit(true))
-      .select(col("query_id"), col("cell"), dot(col("qu"), col("cv")).as("csim"))
+    // nprobe fine cells per query, dispatched on the stored model's
+    // mode: driver-sized models broadcast and rank all k cells (the
+    // original shape); distributed models rank only the fine centroids
+    // homed to each query's nearest coarse cells — a keyed join, the
+    // fine model never broadcast or collected
+    val queryCells = (if (meta.coarseK == 0) {
+      val centroids = collectCentroids(s,
+        s.table(s"$pre.centroids").select(col("cell"), col("cv")))
+      qs.join(broadcast(s.createDataFrame(centroids).toDF("cell", "cv")),
+          lit(true))
+        .select(col("query_id"), col("cell"),
+          dot(col("qu"), col("cv")).as("csim"))
+    } else {
+      val homed = s.table(s"$pre.centroids")
+        .select(col("ccell"), col("cell"), col("cv"))
+      val liveDf = liveRouter(s, homed, annCoarse(s, pre))
+      routeRows(qs.select(col("query_id"), col("qu")), "query_id", "qu",
+          liveDf, probes = 4)
+        .join(homed, Seq("ccell"))
+        .select(col("query_id"), col("cell"),
+          dot(col("qu"), col("cv")).as("csim"))
+    })
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("cell"))
       .localCheckpoint() // feeds the pruning id set AND the join
-    // union of probed cells: ≤ k ids (model-sized) — pushed down so the
-    // cell-partitioned scan prunes to the probed files
-    val probed = queryCells.select(col("cell")).distinct()
-      .collect().map(_.getLong(0))
-    val candidates = s.table(s"$pre.vectors")
-      .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
-      .filter(col("cell").isin(probed: _*))
+    // union of probed cells, pushed down so the cell-partitioned scan
+    // prunes to the probed files. The set is ≤ |Q|·nprobe ids — guarded:
+    // past spark.graft.ann.pruneCellsMax (a huge query batch probing
+    // most of the index) the static prune is SKIPPED and the keyed join
+    // alone narrows candidates — correct either way, the prune is a
+    // file-open optimization, never a filter the join doesn't re-apply
+    val pruneMax = s.conf.getOption("spark.graft.ann.pruneCellsMax")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(10000)
+    val probedRows = queryCells.select(col("cell")).distinct()
+      .limit(pruneMax + 1).collect()
+    val probed: Option[Seq[Long]] =
+      if (probedRows.length <= pruneMax) Some(probedRows.map(_.getLong(0)).toSeq)
+      else None
+    def pruneToProbed(df: DataFrame): DataFrame =
+      probed.fold(df)(p => df.filter(col("cell").isin(p: _*)))
+    val candidates = pruneToProbed(s.table(s"$pre.vectors")
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes")))
       .join(queryCells, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
     val qSubCol = expr(s"transform(sequence(0, ${m - 1}), " +
@@ -661,10 +993,9 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     shortlist
-      .join(s.table(s"$pre.vectors")
+      .join(pruneToProbed(s.table(s"$pre.vectors")
         .select(col("vec_id").as("neighbor_id"), col("nv"), col("nn"),
-          col("cell"))
-        .filter(col("cell").isin(probed: _*)).drop("cell"),
+          col("cell"))).drop("cell"),
         Seq("neighbor_id"))
       .join(qs.select(col("query_id"), col("qv"), col("qn")), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -682,24 +1013,68 @@ object Similarity {
     * re-rank is BIT-EQUAL to brute force on every recalled pair (same
     * vectors, same codegen'd kernel, same rounding).
     */
-  private def annPersist(s: SparkSession, d: String): DataFrame = {
+  /** Per-JVM TEMPLATES of the gate index (train on 2/3 of the corpus,
+    * append the remaining third under the stored model), byte-copied
+    * per gate — the same fixture-template trick as the dedup lifecycle
+    * gates: three gates (persist, retire, dist) each get a PRIVATE copy
+    * to mutate/probe, but the ~same init+append cost is paid once per
+    * JVM per mode, not per gate. "std" trains under the session's
+    * maxModelK (driver-sized at gate scale); "dist" forces maxModelK=8
+    * so the √N rule exceeds it and the DISTRIBUTED-centroid path
+    * trains/serves (coarse router stored, fine model never collected).
+    * Keyed by file identity so regenerated testdata rebuilds.
+    */
+  private val gateAnnTemplate = new java.util.concurrent
+    .ConcurrentHashMap[(String, Long, Long, String), java.nio.file.Path]()
+
+  private def copiedAnnIndex(s: SparkSession, d: String, mode: String)
+      : (String, graft.versioned.GraftRepo) = {
+    val f = java.nio.file.Paths.get(s"$d/embeddings.parquet")
+    val key = (d, java.nio.file.Files.getLastModifiedTime(f).toMillis,
+      java.nio.file.Files.size(f), mode)
+    val tpl = gateAnnTemplate.computeIfAbsent(key, _ => {
+      val cat0 = "gannt" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(10)
+      val root0 = GateScratch.register(
+        java.nio.file.Files.createTempDirectory(s"graft-$cat0"))
+      s.conf.set(s"spark.sql.catalog.$cat0",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat0.root", root0.toString)
+      s.sql(s"CREATE NAMESPACE $cat0.r")
+      s.sql(s"CREATE NAMESPACE $cat0.r.main.ann")
+      val repo0 = graft.versioned.GraftRepo.open(root0.resolve("r"))
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), toDoubleVec(col("embedding")).as("nv"))
+      val prevK = s.conf.getOption("spark.graft.kmeans.maxModelK")
+      try {
+        if (mode == "dist") s.conf.set("spark.graft.kmeans.maxModelK", "8")
+        annIndexInit(s, cat0, repo0, "main", emb.filter(col("vec_id") % 3 =!= 0))
+        annIndexAppend(s, cat0, repo0, "main", emb.filter(col("vec_id") % 3 === 0))
+      } finally {
+        prevK match {
+          case Some(v) => s.conf.set("spark.graft.kmeans.maxModelK", v)
+          case None => s.conf.unset("spark.graft.kmeans.maxModelK")
+        }
+      }
+      root0
+    })
     val cat = "gann" + java.util.UUID.randomUUID().toString
       .replace("-", "").take(10)
-    // corpus-sized scratch (the encoded index) — reclaimed at JVM exit
     val root = GateScratch.register(
       java.nio.file.Files.createTempDirectory(s"graft-$cat"))
+    GateScratch.copyTree(tpl, root)
     s.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.catalog.GraftCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
-    s.sql(s"CREATE NAMESPACE $cat.r")
-    s.sql(s"CREATE NAMESPACE $cat.r.main.ann")
-    val repo = graft.versioned.GraftRepo.open(root.resolve("r"))
-    val emb = T.embeddings(s, d)
-      .select(col("vec_id"), toDoubleVec(col("embedding")).as("nv"))
-    annIndexInit(s, cat, repo, "main", emb.filter(col("vec_id") % 3 =!= 0))
-    annIndexAppend(s, cat, repo, "main", emb.filter(col("vec_id") % 3 === 0))
-    val hits = annIndexProbe(s, cat, "r", "main", queriesSet(s, d))
-      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    (cat, graft.versioned.GraftRepo.open(root.resolve("r")))
+  }
+
+  /** The recall row both persisted gates emit: hits joined to the
+    * memoized exact pairs ON cos_sim TOO, so every recalled pair also
+    * proves the stored-index exact re-rank bit-equal to brute force.
+    */
+  private def persistRecallRow(s: SparkSession, d: String, hits: DataFrame,
+      bound: Double, extra: Seq[Column] = Nil): DataFrame = {
     val exact = bruteCached(s, d)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
     val matched = hits.join(exact, Seq("query_id", "neighbor_id", "cos_sim"))
@@ -707,8 +1082,71 @@ object Similarity {
       .agg(countDistinct(col("query_id")).as("n_queries"),
         count(lit(1)).as("n_exact"))
       .crossJoin(matched.agg(count(lit(1)).as("n_hits"))) // 1-row × 1-row
+      .select((col("n_queries") +:
+        (col("n_hits") >= col("n_exact") * bound).as("recall_ok") +:
+        extra): _*)
+  }
+
+  /** End-to-end gate for the PERSISTED index: train on 2/3 of the
+    * corpus, APPEND the remaining third encoded under the stored model
+    * (no retrain — via the per-JVM template), probe the standard query
+    * set against the stored tables, and emit the hash-checkable recall
+    * row.
+    */
+  private def annPersist(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = copiedAnnIndex(s, d, "std")
+    val hits = annIndexProbe(s, cat, "r", "main", queriesSet(s, d))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    persistRecallRow(s, d, hits, 0.4)
+  }
+
+  /** Gate for the RETIRE path: tombstone the %7==0 vectors out of the
+    * stored index (one metadata commit), probe, and prove BOTH that no
+    * retired vector surfaces as a neighbor (`no_retired` — a single
+    * leaked posting flips the hash) and that recall against the still-
+    * live exact pairs holds. The exact side filters the memoized brute
+    * pairs to non-retired neighbors — every one of those is still in
+    * the index and still reachable.
+    */
+  private def annRetire(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = copiedAnnIndex(s, d, "std")
+    val retired = T.embeddings(s, d)
+      .filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    annIndexRetire(s, repo, "main", retired)
+    val hits = annIndexProbe(s, cat, "r", "main", queriesSet(s, d))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      .localCheckpoint() // feeds the recall join AND the leak check
+    val exact = bruteCached(s, d)
+      .filter(col("neighbor_id") % 7 =!= 0) // still-live truth
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    val matched = hits.join(exact, Seq("query_id", "neighbor_id", "cos_sim"))
+    exact
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"))
+      .crossJoin(matched.agg(count(lit(1)).as("n_hits")))
+      .crossJoin(hits.agg(
+        (count(when(col("neighbor_id") % 7 === 0, 1)) === 0).as("no_retired")))
       .select(col("n_queries"),
-        (col("n_hits") >= col("n_exact") * 0.4).as("recall_ok"))
+        (col("n_hits") >= col("n_exact") * 0.4).as("recall_ok"),
+        col("no_retired"))
+  }
+
+  /** Gate for the DISTRIBUTED-centroid path: the template trains with
+    * maxModelK forced to 8, so the √N rule (k ≈ 18–45 at gate scale)
+    * exceeds the clamp and init/append/probe all run the router path —
+    * fine model in tables only, coarse router stored. `unclamped`
+    * hash-proves the fine model really is bigger than the clamp (the
+    * old behavior would have trained exactly 8 cells), recall proves
+    * the routed probe still finds the true neighbors.
+    */
+  private def annDist(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = copiedAnnIndex(s, d, "dist")
+    val unclamped = s.table(s"$cat.r.main.ann.centroids").count() > 8 &&
+      s.table(s"$cat.r.main.ann.coarse").count() > 0
+    val hits = annIndexProbe(s, cat, "r", "main", queriesSet(s, d))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    persistRecallRow(s, d, hits, 0.4, Seq(lit(unclamped).as("unclamped")))
   }
 
   /** Exact cosine RANGE search (radius query): every corpus vector with
@@ -838,6 +1276,18 @@ object Similarity {
     )(lsh),
     Q("sim_ann_ivf", RecallGateOracle)(recallGate(0.5)(ivf(_, _))),
     Q("sim_ann_ivfpq", RecallGateOracle)(recallGate(0.4)(ivfpq(_, _))),
-    Q("sim_ann_persist", RecallGateOracle)(annPersist)
+    Q("sim_ann_persist", RecallGateOracle)(annPersist),
+    Q(
+      "sim_ann_retire",
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok,
+        |       true AS no_retired
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin
+    )(annRetire),
+    Q(
+      "sim_ann_dist",
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok,
+        |       true AS unclamped
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin
+    )(annDist)
   )
 }

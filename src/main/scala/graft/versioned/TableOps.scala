@@ -910,6 +910,44 @@ object TableOps {
     }
   }
 
+  /** Multi-table merge-on-read DELETE in ONE atomic commit: each listed
+    * table gets its predicate appended as a tombstone (same semantics
+    * and physical-name handling as [[deleteWhereMoR]]), and all of them
+    * become visible together — a reader never observes one index table
+    * with the rows gone and its sibling still serving them. The
+    * persisted dedup/ANN indexes retire ids through this (their docs +
+    * postings tables must agree on membership).
+    */
+  def atomicDeleteMoR(repo: GraftRepo, branch: String,
+      items: Seq[(String, Seq[sources.Filter])],
+      message: String): Unit = {
+    require(items.nonEmpty && items.forall(_._2.nonEmpty),
+      "atomic merge-on-read DELETE needs at least one (table, predicate)")
+    repo.commitRetry(branch, message) { base =>
+      // fold over base.tables directly (it may be tree-backed and lazy;
+      // `+` keeps it lazy, a .toMap would force every table's tree)
+      val tables = items.foldLeft(base.tables) {
+        case (acc, (key, filters)) =>
+          val snap = repo.snapshot(acc.getOrElse(key,
+            throw new NoSuchElementException(s"no such table: $key")))
+          val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+          val candidates = pruneFilesBloom(repo, snap, schema, filters)
+          if (candidates.isEmpty) acc // provably no match in this table
+          else {
+            val m = snap.nameMapping
+            val phys = filters.map(renameFilter(_, m)).reduce(sources.And(_, _))
+            val next = Tombstones.lastSeq(snap.properties) + 1
+            val props = Tombstones.append(snap.properties, next, phys)
+            val ns = repo.writeSnapshot(key, snap.schemaJson, snap.files,
+              snap.partitionBy, snap.physicalNames, Some(props), snap.retired)
+            acc + (key -> ns.id)
+          }
+      }
+      (tables, base.namespaces)
+    }
+    ()
+  }
+
   // ---- copy-on-write delete --------------------------------------------
 
   /** Conjunction of ALL filters, or a loud failure if any one of them

@@ -289,4 +289,53 @@ class DedupIncrementalSpec extends AnyFunSuite with Matchers with BeforeAndAfter
     }.map(_._1).toSet
     got shouldBe want
   }
+
+  test("indexRetire: ONE atomic tombstone commit removes a doc from docs " +
+    "AND postings — a retired near-duplicate stops blocking admission, " +
+    "its id becomes appendable again, and compaction materializes the " +
+    "removal physically with screens unchanged") {
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE NAMESPACE gd.rret")
+    spark.sql("CREATE NAMESPACE gd.rret.main.dd")
+    val repo = GraftRepo.open(catRoot.resolve("rret"))
+    val corpus = (0L until 50L).map(i => (i, docText(i)))
+    Dedup.indexInit(spark, "gd", repo, "main", df(corpus), t)
+
+    // doc 100 is a near-dup of CORPUS doc 7 → blocked
+    val probe = Seq((100L, nearDupOf(7L)))
+    Dedup.indexScreen(spark, "gd", "rret", "main", df(probe), t)
+      .collect() shouldBe empty
+
+    val commitsBefore =
+      spark.sql("SELECT count(*) FROM gd.rret.main.dd.docs.history")
+        .head().getLong(0)
+    Dedup.indexRetire(spark, repo, "main", Seq(7L))
+    // one commit covers BOTH tables (atomic multi-table tombstone)
+    spark.sql("SELECT count(*) FROM gd.rret.main.dd.docs.history")
+      .head().getLong(0) shouldBe commitsBefore + 1
+    spark.table("gd.rret.main.dd.docs")
+      .filter(col("doc_id") === 7L).count() shouldBe 0L
+    spark.table("gd.rret.main.dd.postings")
+      .filter(col("doc_id") === 7L).count() shouldBe 0L
+
+    // the retired doc no longer blocks admission — and the freed id is
+    // re-admittable (the clash guard reads the tombstone-aware scan)
+    Dedup.indexScreen(spark, "gd", "rret", "main", df(probe), t)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(100L)
+    Dedup.indexAdmit(spark, "gd", repo, "main",
+      df(Seq((7L, docText(90007L)))), t)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(7L)
+
+    // compaction materializes the tombstone: rewritten files hold no
+    // trace of the ORIGINAL doc 7 (the re-admitted 90007-text one
+    // stays), and a post-compaction screen is bit-identical
+    Dedup.indexCompact(spark, repo, "main")
+    graft.versioned.Tombstones.of(repo.snapshot(
+      repo.headCommit("main").tables("dd/docs"))) shouldBe empty
+    spark.table("gd.rret.main.dd.docs")
+      .filter(col("doc_id") === 7L).count() shouldBe 1L
+    Dedup.indexScreen(spark, "gd", "rret", "main",
+      df(Seq((101L, nearDupOf(8L)), (102L, docText(70102L)))), t)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(102L)
+  }
 }

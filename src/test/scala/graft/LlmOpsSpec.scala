@@ -493,6 +493,139 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     } finally spark.conf.unset(key)
   }
 
+  test("model-size BELT: collectCentroids refuses a driver-side collect " +
+    "bigger than maxModelK — the distributed path cannot silently " +
+    "regress to collecting the fine model") {
+    import spark.implicits._
+    val key = "spark.graft.kmeans.maxModelK"
+    spark.conf.set(key, "8")
+    try {
+      val big = (0L until 20L).map(i => (i, Seq(1.0, 2.0)))
+        .toDF("cell", "cv")
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.Similarity.collectCentroids(spark, big)
+      }
+      e.getMessage should include("stay distributed")
+      // ≤ cap passes through
+      graft.operators.Similarity.collectCentroids(spark,
+        big.limit(8)).size shouldBe 8
+    } finally spark.conf.unset(key)
+  }
+
+  test("DISTRIBUTED-centroid k-means: past maxModelK the trainer is NOT " +
+    "clamped — the fine model stays a table, every driver collect on the " +
+    "path rides the belt (a fine-model collect would throw at this cap), " +
+    "and the full persisted lifecycle (init → append under the stored " +
+    "model → probe) recalls true neighbors through the stored router") {
+    import org.apache.spark.sql.functions._
+    def vec(i: Long): Seq[Double] =
+      (0 until 64).map(j => math.sin(i * 64.0 + j)).toSeq
+    def emb(ids: Seq[Long]) = spark.createDataFrame(
+      ids.map(i => (i, vec(i)))).toDF("vec_id", "nv")
+    val key = "spark.graft.kmeans.maxModelK"
+    spark.conf.set(key, "8")
+    val cat = "ganndist"
+    val root = java.nio.file.Files.createTempDirectory(s"graft-$cat")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+    try {
+      spark.sql(s"CREATE NAMESPACE $cat.r")
+      spark.sql(s"CREATE NAMESPACE $cat.r.main.ann")
+      val repo = graft.versioned.GraftRepo.open(root.resolve("r"))
+      // 1200 vectors → √N rule wants ~34 cells, > the forced cap of 8
+      val all = (0L until 1200L)
+      operators.Similarity.annIndexInit(spark, cat, repo, "main",
+        emb(all.filter(_ % 3 != 0)))
+      // UNCLAMPED fine model, stored coarse router, self-describing meta
+      val kFine = spark.table(s"$cat.r.main.ann.centroids").count()
+      kFine should be > 8L
+      spark.table(s"$cat.r.main.ann.coarse").count() should be > 0L
+      val meta = spark.table(s"$cat.r.main.ann.meta").head()
+      meta.getInt(3) should be > 0 // coarse_k
+      // every fine centroid homes to a stored coarse cell
+      val coarseIds = spark.table(s"$cat.r.main.ann.coarse")
+        .select("cell").collect().map(_.getLong(0)).toSet
+      spark.table(s"$cat.r.main.ann.centroids")
+        .select("ccell").collect().map(_.getLong(0)).toSet
+        .subsetOf(coarseIds) shouldBe true
+      // append encodes under the STORED model (no retrain, cells exist)
+      operators.Similarity.annIndexAppend(spark, cat, repo, "main",
+        emb(all.filter(_ % 3 == 0)))
+      spark.table(s"$cat.r.main.ann.vectors").count() shouldBe 1200L
+      val storedCells = spark.table(s"$cat.r.main.ann.vectors")
+        .select("cell").distinct().collect().map(_.getLong(0)).toSet
+      storedCells.subsetOf(
+        spark.table(s"$cat.r.main.ann.centroids")
+          .select("cell").collect().map(_.getLong(0)).toSet) shouldBe true
+      // probe through the stored router: recall vs exact brute force
+      val qids = all.filter(_ % 97 == 0)
+      val qs = emb(qids)
+        .select(col("vec_id").as("query_id"), col("nv").as("qv"))
+        .withColumn("qn", graft.functions.TextVec.l2norm(col("qv")))
+      val hits = operators.Similarity.annIndexProbe(spark, cat, "r", "main",
+        qs, nprobe = 8, rerank = 50)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // exact top-10 per query by cosine (driver-side oracle)
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val exact = qids.flatMap { q =>
+        all.filter(_ != q)
+          .map(n => (n, cos(vec(q), vec(n))))
+          .sortBy { case (n, c) => (-c, n) }
+          .take(10).map { case (n, _) => (q, n) }
+      }.toSet
+      val recall = hits.intersect(exact).size.toDouble / exact.size
+      recall should be >= 0.4
+    } finally {
+      spark.conf.unset(key)
+    }
+  }
+
+  test("annIndexRetire: a retired vector never surfaces as a neighbor " +
+    "(tombstone-aware probe), its id becomes appendable again, and " +
+    "compaction materializes the removal with probes unchanged") {
+    import org.apache.spark.sql.functions._
+    def vec(i: Long): Seq[Double] =
+      (0 until 64).map(j => math.sin(i * 64.0 + j)).toSeq
+    def emb(ids: Seq[Long]) = spark.createDataFrame(
+      ids.map(i => (i, vec(i)))).toDF("vec_id", "nv")
+    val cat = "gannret"
+    val root = java.nio.file.Files.createTempDirectory(s"graft-$cat")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+    spark.sql(s"CREATE NAMESPACE $cat.r")
+    spark.sql(s"CREATE NAMESPACE $cat.r.main.ann")
+    val repo = graft.versioned.GraftRepo.open(root.resolve("r"))
+    val all = (0L until 400L)
+    operators.Similarity.annIndexInit(spark, cat, repo, "main", emb(all))
+    val qs = emb(Seq(5L))
+      .select(col("vec_id").as("query_id"), col("nv").as("qv"))
+      .withColumn("qn", graft.functions.TextVec.l2norm(col("qv")))
+    def probe(): Set[Long] =
+      operators.Similarity.annIndexProbe(spark, cat, "r", "main", qs)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    val before = probe()
+    before.nonEmpty shouldBe true
+    val victim = before.head
+    operators.Similarity.annIndexRetire(spark, repo, "main", Seq(victim))
+    val after = probe()
+    after.contains(victim) shouldBe false
+    // the freed id is appendable again (clash guard is tombstone-aware)
+    operators.Similarity.annIndexAppend(spark, cat, repo, "main",
+      emb(Seq(victim)))
+    // compaction materializes; probe results unchanged vs pre-compaction
+    val preCompact = probe()
+    operators.Similarity.annIndexCompact(spark, repo, "main")
+    graft.versioned.Tombstones.of(repo.snapshot(
+      repo.headCommit("main").tables("ann/vectors"))) shouldBe empty
+    probe() shouldBe preCompact
+  }
+
   test("q24_approx_distinct: HLL estimates within 5% of exact counts") {
     val approx = SparkEntry.queries("q24_approx_distinct")(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
