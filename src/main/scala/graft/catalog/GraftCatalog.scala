@@ -673,9 +673,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     true
   }
 
-  /** Rename unsupported — mirrors the reference (LakeFSCatalog.java:218):
-    * a rename across branches would break the immutable-snapshot model.
+  /** RENAME TABLE as a metadata-only commit-map re-key. The reference
+    * throws here (LakeFSCatalog.java:218) because its table identity is
+    * the storage path; graft's commit maps table KEYS to immutable
+    * snapshot ids, so a rename within one repo+branch is one commit
+    * that moves the key — no file, snapshot, or history object is
+    * touched, and time travel to pre-rename commits still sees the old
+    * name (names are per-commit, exactly like branch isolation).
+    * Cross-repo or cross-branch renames stay rejected: they would alias
+    * one table's snapshots into another line of history.
     */
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("rename is not supported")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val ons = oldIdent.namespace()
+    val nns = newIdent.namespace()
+    if (ons.length != 3) throw new NoSuchTableException(oldIdent)
+    if (nns.length != 3 || ons(0) != nns(0) || ons(1) != nns(1))
+      throw new UnsupportedOperationException(
+        "rename across repos or branches is not supported — tables are " +
+          "versioned per branch; use clone for cross-branch copies")
+    val g = repo(ons)
+    if (!g.branchExists(ons(1))) throw new NoSuchTableException(oldIdent)
+    val oldKey = tableKey(oldIdent)
+    val newKey = tableKey(newIdent)
+    if (oldKey == newKey) return
+    g.commitRetry(ons(1), s"rename table $oldKey to $newKey") { base =>
+      val snapId = base.tables.getOrElse(oldKey,
+        throw new NoSuchTableException(oldIdent))
+      if (base.tables.contains(newKey))
+        throw new TableAlreadyExistsException(newIdent)
+      if (base.viewMap.contains(newKey))
+        throw new org.apache.spark.sql.catalyst.analysis
+          .ViewAlreadyExistsException(newIdent)
+      (base.tables - oldKey + (newKey -> snapId),
+        // implicit db namespace for the destination, like createTable
+        if (base.namespaces.contains(nns(2))) base.namespaces
+        else base.namespaces + (nns(2) -> Map.empty[String, String]))
+    }
+    ()
+  }
 }

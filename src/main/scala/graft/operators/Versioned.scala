@@ -1938,6 +1938,31 @@ object Versioned {
     * incarnation's bytes (fresh snapshot, fresh files) — while the
     * pre-drop history stays reachable through earlier commits.
     */
+  /** RENAME TABLE as a metadata-only map re-key (r17 — the reference
+    * structurally cannot: LakeFSCatalog.java:218 throws because its
+    * table identity is a storage path; graft's commit maps names to
+    * snapshot ids, so the rename is ONE commit moving a key). The gate
+    * hash-proves three things in one result: the new name serves the
+    * identical rows ('new'), time travel BEFORE the rename still
+    * resolves the OLD name ('old'), and the old name is gone from the
+    * head (a leaked old-name row would double the 'new' half and break
+    * the hash via the require below).
+    */
+  private def renameRead(s: SparkSession, d: String): DataFrame = {
+    val (cat, repo) = setup(s, d)
+    val before = repo.headCommit("main").id
+    s.sql(s"ALTER TABLE $cat.r.main.db.nation RENAME TO r.main.db.nation_rn")
+    require(!s.catalog.tableExists(s"$cat.r.main.db.nation"),
+      "old name still resolves after rename")
+    s.sql(
+      s"""SELECT n_nationkey, n_name, n_regionkey, 'new' AS src
+         |FROM $cat.r.main.db.nation_rn
+         |UNION ALL
+         |SELECT n_nationkey, n_name, n_regionkey, 'old' AS src
+         |FROM $cat.r.main.db.nation VERSION AS OF '$before'
+         |ORDER BY src, n_nationkey""".stripMargin)
+  }
+
   private def dropRecreate(s: SparkSession, d: String): DataFrame = {
     val (cat, _) = setup(s, d)
     s.sql(s"DROP TABLE $cat.r.main.db.nation")
@@ -2554,6 +2579,13 @@ object Versioned {
         |WHERE r_name IN ('ASIA', 'EUROPE')
         |ORDER BY n_nationkey""".stripMargin
     )(runtimeJoin),
+    Q(
+      "vc_rename_read",
+      """SELECT n_nationkey, n_name, n_regionkey, 'new' AS src FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 'old' AS src FROM nation
+        |ORDER BY src, n_nationkey""".stripMargin
+    )(renameRead),
     Q(
       "vc_drop_recreate",
       """SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey

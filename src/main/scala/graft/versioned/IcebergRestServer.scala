@@ -117,8 +117,10 @@ import org.apache.spark.sql.functions.col
   *    added by the commit, MoR deletes mixed with CoW file drops, and
   *    replace summaries.
   *  - `DELETE .../tables/{t}` drops (optionally `purgeRequested=true`
-  *    with the engine catalog's purge semantics); rename stays
-  *    unsupported, mirroring the reference (LakeFSCatalog.java:218).
+  *    with the engine catalog's purge semantics); `POST /tables/rename`
+  *    re-keys the commit map in one metadata commit, same-branch only
+  *    (r17 — the reference throws, LakeFSCatalog.java:218, because its
+  *    table identity is a storage path; graft's is a commit-map key).
   *  - VIEWS (r12): graft's versioned views serve over the spec's REST
   *    view API — `GET .../views` lists, `GET/HEAD .../views/{v}` load
   *    real ViewMetadata (one current version per served head — graft
@@ -290,11 +292,12 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         case ("DELETE", Seq("namespaces", ns, "views", v)) =>
           dropRestView(repoFor(prefix), levels(ns), v)
           ex.sendResponseHeaders(204, -1); ex.close()
-        case ("POST", Seq("tables", "rename") | Seq("views", "rename")) =>
+        case ("POST", Seq("tables", "rename")) =>
+          renameRestTable(repoFor(prefix), body(ex))
+          ex.sendResponseHeaders(204, -1); ex.close()
+        case ("POST", Seq("views", "rename")) =>
           throw new UnsupportedOperationException(
-            "rename is not supported (reference parity: " +
-              "LakeFSCatalog.java:218 — a rename across immutable " +
-              "snapshots would break history)")
+            "view rename is not supported")
         case ("POST", Seq("transactions", "commit")) =>
           commitTransaction(repoFor(prefix), prefix, body(ex))
           ex.sendResponseHeaders(204, -1); ex.close()
@@ -3311,6 +3314,52 @@ final class IcebergRestServer private (single: Option[GraftRepo],
 
   /** DropTableRequest; `purge` mirrors the engine catalog's
     * `purgeTable` (files referenced by no other live head deleted). */
+  /** POST /tables/rename — the engine catalog's metadata-only commit-map
+    * re-key served over REST (the reference throws here,
+    * LakeFSCatalog.java:218, because its table identity is a storage
+    * path; graft's is a commit-map key). Same-branch only: a
+    * cross-branch rename would alias one table's snapshots into another
+    * line of history. One commit moves the key; no file or snapshot
+    * object is touched, and pre-rename commits still serve the old
+    * name.
+    */
+  private def renameRestTable(repo: GraftRepo,
+      b: com.fasterxml.jackson.databind.JsonNode): Unit = {
+    def ident(field: String): (Seq[String], String) = {
+      val n = Option(b.get(field)).getOrElse(throw new IllegalArgumentException(
+        s"rename request needs source and destination; missing: $field"))
+      val ns = Option(n.get("namespace"))
+        .map(_.elements().asScala.map(_.asText()).toSeq)
+        .getOrElse(Seq.empty)
+      (ns, Option(n.get("name")).map(_.asText()).getOrElse(
+        throw new IllegalArgumentException(s"$field.name is required")))
+    }
+    val (sns, sname) = ident("source")
+    val (dns, dname) = ident("destination")
+    val (ref, oldKey) = resolveKey(repo, sns, sname)
+    if (!repo.branchExists(ref)) throw new IllegalArgumentException(
+      s"renames commit to a branch; $ref is a tag")
+    if (dns.size < 2 || dns.head != ref)
+      throw new UnsupportedOperationException(
+        "rename across branches is not supported — tables are versioned " +
+          s"per branch (source @ $ref, destination @ " +
+          s"${dns.headOption.getOrElse("?")})")
+    val newKey = (dns.drop(1) :+ dname).mkString("/")
+    if (newKey == oldKey) return
+    repo.commitRetry(ref, s"rest: rename table $oldKey to $newKey") { base =>
+      val snapId = base.tables.getOrElse(oldKey,
+        throw new NoSuchElementException(s"no such table: $oldKey @ $ref"))
+      if (base.tables.contains(newKey))
+        throw new RestConflict("AlreadyExistsException",
+          s"table already exists: $newKey @ $ref")
+      if (base.viewMap.contains(newKey))
+        throw new RestConflict("AlreadyExistsException",
+          s"view already exists: $newKey @ $ref")
+      (base.tables - oldKey + (newKey -> snapId), base.namespaces)
+    }
+    ()
+  }
+
   private def dropTable(repo: GraftRepo, ns: Seq[String], name: String,
       purge: Boolean): Unit = {
     val (ref, key) = resolveKey(repo, ns, name)

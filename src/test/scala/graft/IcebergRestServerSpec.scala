@@ -668,9 +668,37 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       cd shouldBe 409
       ed.get("error").get("type").asText() shouldBe "AlreadyExistsException"
 
-      // rename: unsupported, mirroring the reference
+      // rename: a metadata-only commit-map re-key (same-branch only).
+      // malformed idents refuse
       send("POST", "/v1/tables/rename",
         """{"source":{},"destination":{}}""", srv)._1 shouldBe 400
+      send("POST", "/v1/tables/rename",
+        """{"source":{"namespace":["main","db"],"name":"d"},
+          |"destination":{"namespace":["main","db"],"name":"d2"}}"""
+          .stripMargin.replaceAll("\n", ""), srv)._1 shouldBe 204
+      get(s"/v1/namespaces/${enc("main", "db")}/tables/d", srv)
+        ._1 shouldBe 404
+      get(s"/v1/namespaces/${enc("main", "db")}/tables/d2", srv)
+        ._1 shouldBe 200
+      sql("SELECT id FROM g.restr.main.db.d2").collect()
+        .map(_.getInt(0)).toSeq shouldBe Seq(7)
+      // destination collision → 409 AlreadyExists
+      val (rnc, rne) = send("POST", "/v1/tables/rename",
+        """{"source":{"namespace":["main","db"],"name":"d2"},
+          |"destination":{"namespace":["main","db"],"name":"p"}}"""
+          .stripMargin.replaceAll("\n", ""), srv)
+      rnc shouldBe 409
+      rne.get("error").get("type").asText() shouldBe "AlreadyExistsException"
+      // cross-branch rename refuses
+      send("POST", "/v1/tables/rename",
+        """{"source":{"namespace":["main","db"],"name":"d2"},
+          |"destination":{"namespace":["elsewhere","db"],"name":"d3"}}"""
+          .stripMargin.replaceAll("\n", ""), srv)._1 shouldBe 400
+      // round-trip back so the branch/drop assertions below see "d"
+      send("POST", "/v1/tables/rename",
+        """{"source":{"namespace":["main","db"],"name":"d2"},
+          |"destination":{"namespace":["main","db"],"name":"d"}}"""
+          .stripMargin.replaceAll("\n", ""), srv)._1 shouldBe 204
 
       // REST branch creation + drop table
       send("POST", "/v1/namespaces",

@@ -2134,4 +2134,41 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // parquet), not externally-converted rows
     plan.collectLeaves().exists(_.supportsColumnar) shouldBe true
   }
+
+  test("RENAME TABLE: metadata-only map re-key — same rows under the new " +
+    "name, old name gone from the head but alive in history; collisions " +
+    "and cross-branch renames refuse") {
+    setupRepo("rrn")
+    val before = rows("SELECT id, name FROM g.rrn.main.db.t ORDER BY id")
+    val repo = graft.versioned.GraftRepo.open(
+      java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.catalog.g.root")).resolve("rrn"))
+    val preRename = repo.headCommit("main").id
+    val filesBefore = repo.snapshot(
+      repo.headCommit("main").tables("db/t")).files.map(_.path)
+    sql("CREATE NAMESPACE g.rrn.dev") // branch BEFORE the rename
+
+    sql("ALTER TABLE g.rrn.main.db.t RENAME TO rrn.main.db.t2")
+    rows("SELECT id, name FROM g.rrn.main.db.t2 ORDER BY id") shouldBe before
+    spark.catalog.tableExists("g.rrn.main.db.t") shouldBe false
+    // METADATA-ONLY: the renamed table references the exact same files
+    repo.snapshot(repo.headCommit("main").tables("db/t2"))
+      .files.map(_.path) shouldBe filesBefore
+    // history unbroken: the old name resolves at the pre-rename commit
+    rows(s"SELECT id, name FROM g.rrn.main.db.t VERSION AS OF '$preRename' " +
+      "ORDER BY id") shouldBe before
+
+    // collision refuses
+    sql("CREATE TABLE g.rrn.main.db.other (id INT)")
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
+      sql("ALTER TABLE g.rrn.main.db.t2 RENAME TO rrn.main.db.other")
+    }
+    // cross-branch refuses (tables are versioned per branch)
+    intercept[UnsupportedOperationException] {
+      sql("ALTER TABLE g.rrn.main.db.t2 RENAME TO rrn.dev.db.t3")
+    }
+    // a dev-branch read after all this still sees the ORIGINAL name:
+    // dev was branched from a pre-rename main, names are per-commit
+    rows("SELECT id, name FROM g.rrn.dev.db.t ORDER BY id") shouldBe before
+  }
 }
