@@ -382,6 +382,14 @@ final class GraftRepo private (val root: Path, val io: GraftIO,
   def tagExists(name: String): Boolean =
     io.isFile(root.resolve("tags").resolve(name))
 
+  /** Drop a tag: removes the named GC root (tags are immutable while
+    * they exist — drop-and-recreate is the only way to move one, which
+    * keeps every consumer's "a tag never changes under me" assumption).
+    * Returns false if the tag did not exist.
+    */
+  def dropTag(name: String): Boolean =
+    io.deleteIfExists(root.resolve("tags").resolve(name))
+
   /** Zero-copy branch: new ref pointing at `fromRef`'s commit. */
   def createBranch(name: String, fromRef: String): Unit = {
     val cid = resolve(fromRef).id

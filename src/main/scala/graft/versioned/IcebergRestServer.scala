@@ -905,14 +905,26 @@ final class IcebergRestServer private (single: Option[GraftRepo],
               s"table uuid changed: expected $want, found $have")
           case "assert-ref-snapshot-id" =>
             val rn = Option(r.get("ref")).map(_.asText()).getOrElse("main")
-            if (rn != "main") throw new IllegalArgumentException(
-              s"graft serves one Iceberg branch (main) per graft ref: $rn")
             val want = Option(r.get("snapshot-id")).filterNot(_.isNull)
               .map(_.asLong())
-            if (want != servedSnapId)
-              throw new RestConflict("CommitFailedException",
-                s"branch main moved: expected snapshot ${want.getOrElse("<none>")}, " +
-                  s"now at ${servedSnapId.getOrElse("<none>")}")
+            if (rn == "main") {
+              if (want != servedSnapId)
+                throw new RestConflict("CommitFailedException",
+                  s"branch main moved: expected snapshot ${want.getOrElse("<none>")}, " +
+                    s"now at ${servedSnapId.getOrElse("<none>")}")
+            } else {
+              // a NAMED ref requirement (iceberg-core posts snapshot-id
+              // null on createTag: "the ref must not exist yet"):
+              // validate against the served refs map, which bakes graft
+              // tag state in
+              val have = Option(served.get("refs"))
+                .flatMap(rs => Option(rs.get(rn)))
+                .flatMap(n => Option(n.get("snapshot-id"))).map(_.asLong())
+              if (want != have)
+                throw new RestConflict("CommitFailedException",
+                  s"ref $rn changed: expected ${want.getOrElse("<none>")}, " +
+                    s"now at ${have.getOrElse("<none>")}")
+            }
           case "assert-current-schema-id" =>
             val want = Option(r.get("current-schema-id")).map(_.asInt())
               .getOrElse(throw new IllegalArgumentException(
@@ -989,6 +1001,8 @@ final class IcebergRestServer private (single: Option[GraftRepo],
     var setCurrentSchema: Option[Int] = None
     var sawAdvisory = false
     var setRefTarget: Option[Long] = None
+    var tagCreate: Option[(String, Long)] = None
+    var tagRemove: Option[String] = None
     var setProps = Map.empty[String, String]
     var removeProps = Set.empty[String]
     // graft.* table properties are engine state (MoR tombstones, commit
@@ -1011,10 +1025,28 @@ final class IcebergRestServer private (single: Option[GraftRepo],
                 "add-snapshot carries no snapshot")))
           case "set-snapshot-ref" =>
             val rn = Option(u.get("ref-name")).map(_.asText()).getOrElse("main")
-            if (rn != "main") throw new IllegalArgumentException(
-              s"graft serves one Iceberg branch (main) per graft ref: $rn")
-            setRefTarget = Option(u.get("snapshot-id")).filterNot(_.isNull)
-              .map(_.asLong())
+            val rt = Option(u.get("type")).map(_.asText()).getOrElse("branch")
+            if (rn == "main")
+              setRefTarget = Option(u.get("snapshot-id")).filterNot(_.isNull)
+                .map(_.asLong())
+            else if (rt == "tag")
+              // named TAG ref write (Spark's ALTER TABLE ... CREATE TAG,
+              // ManageSnapshots.createTag): lowers onto a graft repo tag
+              // at the commit where this table served the named snapshot
+              // — handled as its own commit below
+              tagCreate = Some((rn, Option(u.get("snapshot-id"))
+                .filterNot(_.isNull).map(_.asLong()).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"set-snapshot-ref tag $rn carries no snapshot-id"))))
+            else throw new UnsupportedOperationException(
+              s"named BRANCH refs are repo-level in graft — create a " +
+                s"graft branch and address it as its own namespace " +
+                s"(ref $rn); only TAG refs can be written per-table")
+          case "remove-snapshot-ref" =>
+            val rn = text(u, "ref-name")
+            if (rn == "main") throw new IllegalArgumentException(
+              "cannot remove the main ref")
+            tagRemove = Some(rn)
           case "set-properties" =>
             setProps ++= Option(u.get("updates")).toSeq
               .flatMap(_.fields().asScala)
@@ -1152,6 +1184,63 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         .getOrElse(Nil)
       TableOps.setPartitionSpec(repo, ref, key, spec, precheck = pin,
         setProps = setProps, removeProps = removeProps)
+      return loadResult(serve(repo, prefix, ref, key))
+    }
+
+    // ---- TAG ref writes (set-snapshot-ref type=tag / remove-snapshot-
+    // ref): Spark's ALTER TABLE ... CREATE/DROP TAG lowers onto graft
+    // REPO tags — the created tag pins the newest first-parent commit
+    // where this table served the named snapshot (for "tag the current
+    // state", the head commit); the read side then serves it back in
+    // every exported table's refs map (an Iceberg tag means "the
+    // table's state at the tagged commit", so the repo-level scope is a
+    // superset, never a lie — SURVEY §6). Its own commit: combining a
+    // tag write with data/schema updates would entangle the tag with an
+    // uncommitted snapshot.
+    if (tagCreate.isDefined || tagRemove.isDefined) {
+      if (snapNode.isDefined || newSchemaNode.isDefined ||
+        newSpecNode.isDefined || setRefTarget.isDefined ||
+        setProps.nonEmpty || removeProps.nonEmpty)
+        throw new UnsupportedOperationException(
+          "tag ref writes are their own commit over REST — post other " +
+            "updates separately")
+      tagCreate.foreach { case (name, sid) =>
+        def sidOfT(gid: String): Long = math.max(1L,
+          java.util.UUID.nameUUIDFromBytes(gid.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+            .getMostSignificantBits & Long.MaxValue)
+        // newest-first first-parent walk, O(distance to target) commit
+        // loads — tag creation is control-plane rare, no memo needed
+        var cur: Option[graft.versioned.Commit] = Some(repo.resolve(ref))
+        var found: Option[String] = None
+        var hops = 0
+        while (found.isEmpty && cur.isDefined && hops < 100000) {
+          val c = cur.get
+          c.tables.get(key) match {
+            case Some(gid) if sidOfT(gid) == sid => found = Some(c.id)
+            case Some(_) =>
+              cur = c.parents.headOption.map(repo.commit); hops += 1
+            case None => cur = None
+          }
+        }
+        val cid = found.getOrElse(throw new IllegalArgumentException(
+          s"set-snapshot-ref tag $name names snapshot $sid, which is " +
+            s"not a version of $key on $ref"))
+        if (repo.tagExists(name)) {
+          // idempotent when it already points at the same commit;
+          // otherwise refuse — graft tags are immutable while they live
+          if (!scala.util.Try(repo.resolve(name).id).toOption.contains(cid))
+            throw new RestConflict("AlreadyExistsException",
+              s"tag already exists: $name")
+        } else repo.createTag(name, cid)
+      }
+      tagRemove.foreach { name =>
+        if (!repo.tagExists(name))
+          throw new NoSuchElementException(s"no such tag: $name")
+        repo.dropTag(name)
+      }
+      // tag state is baked into the serve memo's graft.source-tags
+      // signature, so this re-serve re-exports with the fresh refs map
       return loadResult(serve(repo, prefix, ref, key))
     }
 

@@ -422,6 +422,91 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       .replaceAll("\n", "")
   }
 
+  test("tag ref WRITES over REST: set-snapshot-ref type=tag creates a " +
+    "graft tag at the commit serving that snapshot, the refs map serves " +
+    "it back, engines time-travel by name; duplicate at a different " +
+    "snapshot 409s, re-create at the same one is idempotent, " +
+    "remove-snapshot-ref drops it, named branch refs still refuse") {
+    sql("CREATE NAMESPACE g.restt")
+    sql("CREATE TABLE g.restt.main.db.t (id INT, v STRING)")
+    sql("INSERT INTO g.restt.main.db.t VALUES (1, 'a')")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "restt")
+    // maxSnapshots > 1: tag refs only stamp for snapshots inside the
+    // served history window (read-side contract) — a depth-1 server
+    // forgets a tag the moment main moves past it
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      Files.createTempDirectory("graft-restt-exports"), Some(spark),
+      maxSnapshots = 5, writable = true)
+    try {
+      def served(): JsonNode =
+        get(s"/v1/namespaces/${enc("main", "db")}/tables/t", srv)
+          ._2.get("metadata")
+      val sid0 = served().get("refs").get("main").get("snapshot-id").asLong()
+      // CREATE TAG at the current snapshot — the exact commit iceberg-
+      // core's ManageSnapshots.createTag posts (requirement: absent ref)
+      def tagBody(name: String, sid: Long, withReq: Boolean): String = {
+        val req = if (withReq)
+          s"""{"type":"assert-ref-snapshot-id","ref":"$name"}""" else ""
+        s"""{"requirements":[$req],"updates":[
+           |{"action":"set-snapshot-ref","ref-name":"$name",
+           |"snapshot-id":$sid,"type":"tag"}]}"""
+          .stripMargin.replaceAll("\n", "")
+      }
+      val (c1, e1) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/t",
+        tagBody("v1", sid0, withReq = true), srv)
+      withClue(e1.toString) { c1 shouldBe 200 }
+      val refs1 = served().get("refs")
+      refs1.get("v1").get("snapshot-id").asLong() shouldBe sid0
+      refs1.get("v1").get("type").asText() shouldBe "tag"
+      GraftRepo.open(root).tagExists("v1") shouldBe true
+
+      // move main forward; the tag keeps serving the old state by name
+      sql("INSERT INTO g.restt.main.db.t VALUES (2, 'b')")
+      sql("SELECT id FROM g.restt.main.db.t VERSION AS OF 'v1'")
+        .collect().map(_.getInt(0)).toSeq shouldBe Seq(1)
+      val sid2 = served().get("refs").get("main").get("snapshot-id").asLong()
+      (sid2 == sid0) shouldBe false
+
+      // duplicate at a DIFFERENT snapshot → 409 AlreadyExists; the
+      // absent-ref requirement now fails first when posted → 409 too
+      val (cd, ed) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/t",
+        tagBody("v1", sid2, withReq = false), srv)
+      cd shouldBe 409
+      ed.get("error").get("type").asText() shouldBe "AlreadyExistsException"
+      send("POST", s"/v1/namespaces/${enc("main", "db")}/tables/t",
+        tagBody("v1", sid2, withReq = true), srv)._1 shouldBe 409
+      // idempotent re-create at the SAME (now prior) snapshot — the
+      // history walk resolves sid0 to the already-tagged commit
+      send("POST", s"/v1/namespaces/${enc("main", "db")}/tables/t",
+        tagBody("v1", sid0, withReq = false), srv)._1 shouldBe 200
+      // a SECOND tag at the prior snapshot walks history to an ancestor
+      send("POST", s"/v1/namespaces/${enc("main", "db")}/tables/t",
+        tagBody("v0", sid0, withReq = false), srv)._1 shouldBe 200
+      served().get("refs").get("v0").get("snapshot-id").asLong() shouldBe sid0
+      // v1 (same ancestor commit) also stays stamped across the move
+      served().get("refs").get("v1").get("snapshot-id").asLong() shouldBe sid0
+
+      // remove-snapshot-ref drops the tag; refs map and repo both agree
+      val (cr, er) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/t",
+        """{"requirements":[],"updates":[
+          |{"action":"remove-snapshot-ref","ref-name":"v1"}]}"""
+          .stripMargin.replaceAll("\n", ""), srv)
+      withClue(er.toString) { cr shouldBe 200 }
+      Option(served().get("refs").get("v1")) shouldBe None
+      GraftRepo.open(root).tagExists("v1") shouldBe false
+      // named BRANCH refs stay repo-level: per-table write refuses
+      send("POST", s"/v1/namespaces/${enc("main", "db")}/tables/t",
+        s"""{"requirements":[],"updates":[
+           |{"action":"set-snapshot-ref","ref-name":"side",
+           |"snapshot-id":$sid2,"type":"branch"}]}"""
+          .stripMargin.replaceAll("\n", ""), srv)._1 shouldBe 400
+    } finally srv.close()
+  }
+
   test("writable server: REST createNamespace + createTable + two append " +
     "commits (zero-copy staged + copy-in external), read back via graft " +
     "SQL and an independent import of the refreshed metadata") {

@@ -16,7 +16,7 @@ import sys
 
 def load_pins() -> dict:
     txt = open("BASELINE.md").read()
-    sec = txt.split("## Per-query baseline (round 16")[1]
+    sec = txt.split("## Round-17 quiet pair + new-gate pins")[1]
     sec = sec.split("## Per-query baseline (round 6")[0]
     pins = {}
     for line in sec.splitlines():
