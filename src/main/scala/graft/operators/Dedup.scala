@@ -724,17 +724,28 @@ object Dedup {
     * never one giant cell. Delta membership here: doc_id % 10 = 0.
     */
   private def incremental(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
+      d: String): DataFrame =
+    incrementalScreen(s,
+      T.documents(s, d).select(col("doc_id"), wordSet(col("text")).as("ws")),
+      id => id % 10 === 0, // the GATE's delta-membership convention
+      t = 0.9)
+
+  /** The reusable in-memory incremental screen behind `dd_incremental`:
+    * admit the `isDelta` docs of `raw (doc_id, ws)` that have no
+    * corpus (non-delta) near-duplicate at Jaccard ≥ t. `isDelta` is the
+    * CALLER's membership predicate over an id column — the `%10` slice
+    * is purely the gate's fixture convention, not library semantics
+    * (the persisted form, [[indexScreen]], takes a real delta frame).
+    */
+  private[graft] def incrementalScreen(s: org.apache.spark.sql.SparkSession,
+      raw: DataFrame, isDelta: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column, t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = 0.9
     val maxPost = s.conf.getOption("spark.graft.setsim.maxPostings")
       .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1024)
     val par = s.sparkContext.defaultParallelism
-    val isDelta = col("doc_id") % 10 === 0
-    val raw = T.documents(s, d)
-      .select(col("doc_id"), wordSet(col("text")).as("ws"))
     def admit(dup: DataFrame): DataFrame =
-      raw.filter(isDelta).select(col("doc_id"))
+      raw.filter(isDelta(col("doc_id"))).select(col("doc_id"))
         .join(dup, Seq("doc_id"), "left_anti")
         .select(col("doc_id").as("surviving_id"))
         .orderBy(col("surviving_id"))
@@ -754,7 +765,7 @@ object Dedup {
               .select(col("id_a").as("doc_id"), col("id_b").as("o"))
               .unionByName(pairs.select(col("id_b").as("doc_id"),
                 col("id_a").as("o")))
-              .filter(col("doc_id") % 10 === 0 && col("o") % 10 =!= 0)
+              .filter(isDelta(col("doc_id")) && !isDelta(col("o")))
               .select(col("doc_id")).distinct()
             return admit(dup)
           case None => () // distinct-mask cap: asymmetric probe below
@@ -763,7 +774,8 @@ object Dedup {
     val docs = raw.withColumn("sz", size(col("ws")))
     // one token pass, sides tagged; document-frequency order computed
     // over BOTH sides (prefixes must share one global order)
-    val tok = docs.select(col("doc_id"), col("sz"), isDelta.as("dl"),
+    val tok = docs.select(col("doc_id"), col("sz"),
+      isDelta(col("doc_id")).as("dl"),
       explode(col("ws")).as("tok"))
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val prefix = tok
