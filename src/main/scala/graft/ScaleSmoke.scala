@@ -205,8 +205,12 @@ object ScaleSmoke {
         time("annd_indexInit") {
           operators.Similarity.annIndexInit(spark, cat, repo, "main", emb)
           val k = spark.table(s"$cat.r.main.ann.centroids").count()
-          require(k > 64,
-            s"distributed trainer still clamped: k=$k at ${scale}x")
+          val n = spark.table(s"$cat.r.main.ann.vectors").count()
+          // only assert the unclamped dispatch when √N actually exceeds
+          // the forced cap — a small replica (scale 1-2) legitimately
+          // stays in driver mode
+          require(k > 64 || n <= 64L * 64L,
+            s"distributed trainer still clamped: k=$k for n=$n at ${scale}x")
           k
         }
         val deltaShift = (scale + 1).toLong * 10000000L

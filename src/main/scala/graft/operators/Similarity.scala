@@ -451,13 +451,19 @@ object Similarity {
   private[graft] def kmeansIndexAuto(s: SparkSession, corpusIn: DataFrame,
       k: Int = 0, lloydRounds: Int = 2)
       : (DataFrame, DataFrame, Seq[(Long, Seq[Double])]) = {
-    val kWant =
-      if (k > 0) k
-      else math.max(4, math.sqrt(corpusIn.count().toDouble).toInt)
+    // size the √N rule WITHOUT a second full-corpus pass: checkpoint the
+    // skinny projection once and hand it to the chosen trainer (whose
+    // own count then reads checkpoint blocks, not the source again)
+    val (corpus, kWant) =
+      if (k > 0) (corpusIn, k)
+      else {
+        val pre = corpusIn.select(col("vec_id"), col("nv")).localCheckpoint()
+        (pre, math.max(4, math.sqrt(pre.count().toDouble).toInt))
+      }
     if (kWant <= maxModelK(s)) {
-      val (idx, model) = kmeansIndexOf(s, corpusIn, k, lloydRounds)
+      val (idx, model) = kmeansIndexOf(s, corpus, kWant, lloydRounds)
       (idx, s.createDataFrame(model).toDF("cell", "cv"), Nil)
-    } else kmeansIndexDistributedOf(s, corpusIn, kWant, lloydRounds)
+    } else kmeansIndexDistributedOf(s, corpus, kWant, lloydRounds)
   }
 
   private[graft] def ivf(s: SparkSession, d: String,
@@ -746,19 +752,6 @@ object Similarity {
     }
   }
 
-  /** Stored driver-sized models. The CENTROID collect goes through the
-    * model-size belt — a distributed-mode index (coarse_k > 0) must
-    * never reach this for its fine model; callers dispatch on
-    * [[annMeta]] first.
-    */
-  private def annModel(s: SparkSession, pre: String)
-      : (Seq[(Long, Seq[Double])], Seq[(Int, Int, Seq[Double])]) = {
-    val centroids = collectCentroids(s,
-      s.table(s"$pre.centroids").select(col("cell"), col("cv")))
-    val codebook = annCodebook(s, pre)
-    (centroids, codebook)
-  }
-
   /** The PQ codebook is m·ks rows in EVERY mode — always driver-sized. */
   private def annCodebook(s: SparkSession, pre: String)
       : Seq[(Int, Int, Seq[Double])] =
@@ -1030,32 +1023,34 @@ object Similarity {
   private def copiedAnnIndex(s: SparkSession, d: String, mode: String)
       : (String, graft.versioned.GraftRepo) = {
     val f = java.nio.file.Paths.get(s"$d/embeddings.parquet")
+    // the template's content depends on the EFFECTIVE clamp it was
+    // built under — key it in, so a "std" template built while a caller
+    // had a non-default maxModelK never serves the wrong mode later
+    val effK = if (mode == "dist") 8 else maxModelK(s)
     val key = (d, java.nio.file.Files.getLastModifiedTime(f).toMillis,
-      java.nio.file.Files.size(f), mode)
+      java.nio.file.Files.size(f), s"$mode:$effK")
     val tpl = gateAnnTemplate.computeIfAbsent(key, _ => {
       val cat0 = "gannt" + java.util.UUID.randomUUID().toString
         .replace("-", "").take(10)
       val root0 = GateScratch.register(
         java.nio.file.Files.createTempDirectory(s"graft-$cat0"))
-      s.conf.set(s"spark.sql.catalog.$cat0",
-        classOf[graft.catalog.GraftCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cat0.root", root0.toString)
-      s.sql(s"CREATE NAMESPACE $cat0.r")
-      s.sql(s"CREATE NAMESPACE $cat0.r.main.ann")
+      // build on an ISOLATED cloned session: the forced clamp must
+      // never be visible to gates running concurrently on `s` (a
+      // mutate-and-restore on the shared conf would clamp a racing
+      // kmeansIndexOf to 8 cells mid-window)
+      val sb: SparkSession = org.apache.spark.sql.graftbridge
+        .SessionCloneBridge.withConf(s, Map(
+          "spark.graft.kmeans.maxModelK" -> effK.toString,
+          s"spark.sql.catalog.$cat0" ->
+            classOf[graft.catalog.GraftCatalog].getName,
+          s"spark.sql.catalog.$cat0.root" -> root0.toString))
+      sb.sql(s"CREATE NAMESPACE $cat0.r")
+      sb.sql(s"CREATE NAMESPACE $cat0.r.main.ann")
       val repo0 = graft.versioned.GraftRepo.open(root0.resolve("r"))
-      val emb = T.embeddings(s, d)
+      val emb = T.embeddings(sb, d)
         .select(col("vec_id"), toDoubleVec(col("embedding")).as("nv"))
-      val prevK = s.conf.getOption("spark.graft.kmeans.maxModelK")
-      try {
-        if (mode == "dist") s.conf.set("spark.graft.kmeans.maxModelK", "8")
-        annIndexInit(s, cat0, repo0, "main", emb.filter(col("vec_id") % 3 =!= 0))
-        annIndexAppend(s, cat0, repo0, "main", emb.filter(col("vec_id") % 3 === 0))
-      } finally {
-        prevK match {
-          case Some(v) => s.conf.set("spark.graft.kmeans.maxModelK", v)
-          case None => s.conf.unset("spark.graft.kmeans.maxModelK")
-        }
-      }
+      annIndexInit(sb, cat0, repo0, "main", emb.filter(col("vec_id") % 3 =!= 0))
+      annIndexAppend(sb, cat0, repo0, "main", emb.filter(col("vec_id") % 3 === 0))
       root0
     })
     val cat = "gann" + java.util.UUID.randomUUID().toString

@@ -67,6 +67,16 @@ object IcebergExport {
   val DeletePathFieldId = 2147483546L
   val DeletePosFieldId = 2147483545L
 
+  /** The exported Iceberg snapshot id of a graft table snapshot: the
+    * stable 64-bit name-UUID of the graft snapshot sha. ONE definition —
+    * the export stamps it, and the REST server's rollback/tag-create
+    * paths invert it; a drifted copy would make every inversion miss.
+    */
+  def icebergSnapshotId(graftSnapId: String): Long = math.max(1L,
+    java.util.UUID.nameUUIDFromBytes(graftSnapId.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+      .getMostSignificantBits & Long.MaxValue)
+
   /** Cap on the value-row cross product an In-conjunction tombstone may
     * expand to as an equality delete before falling back to positional.
     */
@@ -414,9 +424,7 @@ object IcebergExport {
       // 64-bit name-UUID of the graft snapshot sha — stable across
       // exports of the same snapshot (needed BEFORE the delete writers:
       // v3 puffin footers stamp it per blob)
-      val sid = math.max(1L, UUID.nameUUIDFromBytes(
-        h.id.getBytes(StandardCharsets.UTF_8))
-        .getMostSignificantBits & Long.MaxValue)
+      val sid = icebergSnapshotId(h.id)
       val tombs = Tombstones.of(h)
       val (eqTombs, posTombs) =
         tombs.partition(t => equalityRows(t.filter, phys).isDefined)

@@ -1205,10 +1205,6 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           "tag ref writes are their own commit over REST — post other " +
             "updates separately")
       tagCreate.foreach { case (name, sid) =>
-        def sidOfT(gid: String): Long = math.max(1L,
-          java.util.UUID.nameUUIDFromBytes(gid.getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
-            .getMostSignificantBits & Long.MaxValue)
         // newest-first first-parent walk, O(distance to target) commit
         // loads — tag creation is control-plane rare, no memo needed
         var cur: Option[graft.versioned.Commit] = Some(repo.resolve(ref))
@@ -1217,7 +1213,8 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         while (found.isEmpty && cur.isDefined && hops < 100000) {
           val c = cur.get
           c.tables.get(key) match {
-            case Some(gid) if sidOfT(gid) == sid => found = Some(c.id)
+            case Some(gid) if IcebergExport.icebergSnapshotId(gid) == sid =>
+              found = Some(c.id)
             case Some(_) =>
               cur = c.parents.headOption.map(repo.commit); hops += 1
             case None => cur = None
@@ -1227,9 +1224,15 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           s"set-snapshot-ref tag $name names snapshot $sid, which is " +
             s"not a version of $key on $ref"))
         if (repo.tagExists(name)) {
-          // idempotent when it already points at the same commit;
-          // otherwise refuse — graft tags are immutable while they live
-          if (!scala.util.Try(repo.resolve(name).id).toOption.contains(cid))
+          // IDEMPOTENT when the existing tag serves the SAME snapshot
+          // for this table (not same-commit: an unrelated commit can
+          // move head so a retried create resolves a different commit
+          // with the identical table state); a genuinely different
+          // target refuses — graft tags are immutable while they live
+          val sameState = scala.util.Try(repo.resolve(name)).toOption
+            .flatMap(_.tables.get(key))
+            .exists(g => IcebergExport.icebergSnapshotId(g) == sid)
+          if (!sameState)
             throw new RestConflict("AlreadyExistsException",
               s"tag already exists: $name")
         } else repo.createTag(name, cid)
@@ -1258,10 +1261,7 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           "rollback (set-snapshot-ref to a prior snapshot) is its own " +
             "commit over REST — post property updates separately")
       val target = setRefTarget.get
-      def sidOf(gid: String): Long = math.max(1L,
-        java.util.UUID.nameUUIDFromBytes(gid.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
-          .getMostSignificantBits & Long.MaxValue)
+      def sidOf(gid: String): Long = IcebergExport.icebergSnapshotId(gid)
       // the sid→gid inversion is MEMOIZED per served table keyed by
       // the head commit, and the walk is LAZY: it stops at the
       // requested sid and records the frontier (next unwalked commit),
@@ -3444,7 +3444,13 @@ final class IcebergRestServer private (single: Option[GraftRepo],
       if (base.viewMap.contains(newKey))
         throw new RestConflict("AlreadyExistsException",
           s"view already exists: $newKey @ $ref")
-      (base.tables - oldKey + (newKey -> snapId), base.namespaces)
+      // implicit db namespace for the destination, like createTable and
+      // the engine catalog's rename — without it, namespace-walking
+      // clients (SHOW NAMESPACES) never discover the renamed table
+      val dbNs = dns.drop(1).mkString("/")
+      (base.tables - oldKey + (newKey -> snapId),
+        if (base.namespaces.contains(dbNs)) base.namespaces
+        else base.namespaces + (dbNs -> Map.empty[String, String]))
     }
     ()
   }

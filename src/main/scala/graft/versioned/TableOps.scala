@@ -892,22 +892,8 @@ object TableOps {
   def deleteWhereMoR(repo: GraftRepo, branch: String, key: String,
       filters: Seq[sources.Filter]): Unit = {
     require(filters.nonEmpty, "merge-on-read DELETE needs a predicate")
-    repo.commitRetry(branch, s"delete (merge-on-read) from $key") { base =>
-      val snap = repo.snapshot(base.tables.getOrElse(key,
-        throw new NoSuchElementException(s"no such table: $key")))
-      val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-      val candidates = pruneFilesBloom(repo, snap, schema, filters)
-      if (candidates.isEmpty) (base.tables, base.namespaces) // provably no match
-      else {
-        val m = snap.nameMapping
-        val phys = filters.map(renameFilter(_, m)).reduce(sources.And(_, _))
-        val next = Tombstones.lastSeq(snap.properties) + 1
-        val props = Tombstones.append(snap.properties, next, phys)
-        val ns = repo.writeSnapshot(key, snap.schemaJson, snap.files,
-          snap.partitionBy, snap.physicalNames, Some(props), snap.retired)
-        (base.tables + (key -> ns.id), base.namespaces)
-      }
-    }
+    atomicDeleteMoR(repo, branch, Seq(key -> filters),
+      s"delete (merge-on-read) from $key")
   }
 
   /** Multi-table merge-on-read DELETE in ONE atomic commit: each listed

@@ -486,6 +486,12 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
       send("POST", s"/v1/namespaces/${enc("main", "db")}/tables/t",
         tagBody("v0", sid0, withReq = false), srv)._1 shouldBe 200
       served().get("refs").get("v0").get("snapshot-id").asLong() shouldBe sid0
+      // idempotency survives an UNRELATED commit moving head: the walk
+      // now resolves a different commit with the identical table state,
+      // and the retry must still be a no-op, not a 409
+      sql("CREATE TABLE g.restt.main.db.other (id INT)")
+      send("POST", s"/v1/namespaces/${enc("main", "db")}/tables/t",
+        tagBody("v0", sid0, withReq = false), srv)._1 shouldBe 200
       // v1 (same ancestor commit) also stays stamped across the move
       served().get("refs").get("v1").get("snapshot-id").asLong() shouldBe sid0
 

@@ -25,7 +25,10 @@ def load_pins() -> dict:
         m = re.match(r"\|\s*([a-z0-9_]+)\s*\|(?:.*\|)?\s*([0-9.]+)\s*\|\s*$",
                      line)
         if m:
-            pins[m.group(1)] = float(m.group(2))
+            # EARLIEST section wins: the round-17 table precedes the
+            # round-16 one in the slice, so an r17 re-pin must not be
+            # silently overridden by the older row of the same name
+            pins.setdefault(m.group(1), float(m.group(2)))
     return pins
 
 
