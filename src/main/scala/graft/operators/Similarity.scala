@@ -1144,6 +1144,32 @@ object Similarity {
     persistRecallRow(s, d, hits, 0.4, Seq(lit(unclamped).as("unclamped")))
   }
 
+  /** Symmetric per-dimension INT8 quantization of the embedding corpus
+    * — the 4× memory cut a 100 TB embedding store takes before serving
+    * (and the scalar-quantization baseline next to the PQ path above):
+    * per-dim scale = max|x| over the corpus, code = clamp±127 of
+    * round-half-up(x/scale·127), all in one (dim)-grained aggregate
+    * (64 rows, broadcast back) plus a row-local encode pass. The gate
+    * emits per vector the exact CODE SUM (order-independent, so the
+    * hash proves every individual code) and the 6-dp max reconstruction
+    * error — a single drifted code or a wrong scale flips the hash.
+    */
+  private def quantizeInt8(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d)
+      .select(col("vec_id"), posexplode(toDoubleVec(col("embedding"))))
+      .toDF("vec_id", "pos", "x")
+    val scales = e.groupBy(col("pos")).agg(max(abs(col("x"))).as("scale"))
+    e.join(broadcast(scales), Seq("pos"))
+      .withColumn("code", when(col("scale") === 0, lit(0L)).otherwise(
+        greatest(lit(-127L),
+          least(lit(127L), floor(col("x") / col("scale") * 127 + 0.5)))))
+      .withColumn("err", abs(col("code") * col("scale") / 127 - col("x")))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("code")).as("code_sum"),
+        round(max(col("err")), 6).as("max_err"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Exact cosine RANGE search (radius query): every corpus vector with
     * cos_sim >= tau for each query, not a fixed top-k. Same broadcast
     * guard and codegen'd dot kernel as [[bruteForceImpl]]; the result
@@ -1272,6 +1298,22 @@ object Similarity {
     Q("sim_ann_ivf", RecallGateOracle)(recallGate(0.5)(ivf(_, _))),
     Q("sim_ann_ivfpq", RecallGateOracle)(recallGate(0.4)(ivfpq(_, _))),
     Q("sim_ann_persist", RecallGateOracle)(annPersist),
+    Q(
+      "sim_quantize_int8",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |x AS (SELECT vec_id, unnest(v) AS x,
+        |             unnest(generate_series(1, len(v))) AS pos FROM e),
+        |s AS (SELECT pos, max(abs(x)) AS scale FROM x GROUP BY pos),
+        |c AS (SELECT x.vec_id,
+        |        CASE WHEN s.scale = 0 THEN 0
+        |             ELSE greatest(-127, least(127, floor(x.x / s.scale * 127 + 0.5))) END AS code,
+        |        s.scale, x.x
+        |      FROM x JOIN s USING (pos))
+        |SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+        |       round(max(abs(code * scale / 127 - x)), 6) AS max_err
+        |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    )(quantizeInt8),
     Q(
       "sim_ann_retire",
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok,

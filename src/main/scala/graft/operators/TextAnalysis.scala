@@ -426,7 +426,50 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Token-budget mixture FILL — the step after [[domainMix]]'s
+    * weights: per source, keep the deterministic doc_id-ordered prefix
+    * whose cumulative tokens fit that source's budget (25% of its
+    * total here — the knob a mixture config sets per source). This is
+    * how a pretraining mix is actually assembled: "N tokens of web,
+    * M of code" becomes a reproducible document subset. Shape at
+    * 100 TB: one per-source window cumsum (a single keyed shuffle) +
+    * a |sources|-row broadcast of the budgets — the corpus is touched
+    * once, nothing collected.
+    */
+  private def mixBudget(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val budgets = toks.groupBy(col("source"))
+      .agg(ceil(sum(col("tokens")) * 0.25).cast("long").as("budget"))
+    toks
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .join(broadcast(budgets), Seq("source"))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("doc_id"), col("source"), col("tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q(
+      "tx_mix_budget",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |b AS (SELECT source, CAST(ceil(sum(tokens) * 0.25) AS BIGINT) AS budget
+        |      FROM t GROUP BY source),
+        |c AS (SELECT doc_id, source, tokens,
+        |        sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |      FROM t)
+        |SELECT c.doc_id, c.source, c.tokens, c.cum_tokens
+        |FROM c JOIN b USING (source)
+        |WHERE c.cum_tokens <= b.budget
+        |ORDER BY c.doc_id""".stripMargin
+    )(mixBudget),
     Q(
       "tx_domain_mix",
       """WITH per AS (
