@@ -438,14 +438,36 @@ object TextAnalysis {
     */
   private def mixBudget(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the per-source cumsum is TWO-PASS CHUNKED, not one window per
+    // source: partitionBy(source) alone would put a billion-doc source
+    // on one reducer. Chunk = doc_id div C (monotone in doc_id, so
+    // chunk-asc-then-doc-asc IS doc-asc and the math is unchanged):
+    // pass 1 windows within (source, chunk) — every partition ≤ C
+    // rows — pass 2 windows the tiny (source, chunk) totals table for
+    // running offsets; cum = offset + within-chunk cumsum.
+    val chunkDocs = s.conf.getOption("spark.graft.mix.chunkDocs")
+      .flatMap(_.toLongOption).filter(_ > 0).getOrElse(1L << 20)
     val toks = T.documents(s, d)
       .select(col("doc_id"), col("source"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      // integer div, not floor-of-double-division: doc ids past 2^53
+      // would misbucket under double rounding
+      .withColumn("chunk", expr(s"doc_id div $chunkDocs"))
+      .localCheckpoint() // feeds both passes + the budgets aggregate
+    val wIn = Window.partitionBy(col("source"), col("chunk"))
+      .orderBy(col("doc_id"))
+    val wOff = Window.partitionBy(col("source")).orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy(col("source"), col("chunk"))
+      .agg(sum(col("tokens")).as("ct"))
+      .withColumn("off", coalesce(sum(col("ct")).over(wOff), lit(0L)))
+      .select(col("source"), col("chunk"), col("off"))
     val budgets = toks.groupBy(col("source"))
       .agg(ceil(sum(col("tokens")) * 0.25).cast("long").as("budget"))
     toks
-      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .withColumn("cum_in", sum(col("tokens")).over(wIn))
+      .join(offsets, Seq("source", "chunk")) // N/C rows — keyed join
+      .withColumn("cum_tokens", col("off") + col("cum_in"))
       .join(broadcast(budgets), Seq("source"))
       .filter(col("cum_tokens") <= col("budget"))
       .select(col("doc_id"), col("source"), col("tokens"), col("cum_tokens"))
