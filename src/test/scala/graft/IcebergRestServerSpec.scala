@@ -790,6 +790,20 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
         """{"source":{"namespace":["main","db"],"name":"d2"},
           |"destination":{"namespace":["main","db"],"name":"d"}}"""
           .stripMargin.replaceAll("\n", ""), srv)._1 shouldBe 204
+      // rename INTO a fresh db registers the implicit namespace, so
+      // namespace-walking clients discover the moved table
+      send("POST", "/v1/tables/rename",
+        """{"source":{"namespace":["main","db"],"name":"d"},
+          |"destination":{"namespace":["main","db2"],"name":"dx"}}"""
+          .stripMargin.replaceAll("\n", ""), srv)._1 shouldBe 204
+      sql("SHOW NAMESPACES IN g.restr.main").collect()
+        .map(_.getString(0)) should contain ("restr.main.db2")
+      sql("SELECT id FROM g.restr.main.db2.dx").collect()
+        .map(_.getInt(0)).toSeq shouldBe Seq(7)
+      send("POST", "/v1/tables/rename",
+        """{"source":{"namespace":["main","db2"],"name":"dx"},
+          |"destination":{"namespace":["main","db"],"name":"d"}}"""
+          .stripMargin.replaceAll("\n", ""), srv)._1 shouldBe 204
 
       // REST branch creation + drop table
       send("POST", "/v1/namespaces",
