@@ -323,8 +323,15 @@ object Similarity {
     */
   private def liveRouter(s: SparkSession, homed: DataFrame,
       coarse: Seq[(Long, Seq[Double])]): DataFrame = {
-    val live = homed.select(col("ccell")).distinct()
-      .collect().map(_.getLong(0)).toSet
+    val cap = maxModelK(s)
+    val rows = homed.select(col("ccell")).distinct()
+      .limit(cap + 1).collect()
+    // same belt as collectCentroids: the router is ≤ kc ≤ maxModelK by
+    // construction — a wider set here means a corrupted homing, and
+    // refusing beats silently collecting it
+    require(rows.length <= cap,
+      s"router cell set exceeds maxModelK=$cap — corrupted centroid homing")
+    val live = rows.map(_.getLong(0)).toSet
     broadcast(s.createDataFrame(coarse.filter(c => live(c._1)))
       .toDF("ccell", "ccv"))
   }
