@@ -580,6 +580,14 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       }.toSet
       val recall = hits.intersect(exact).size.toDouble / exact.size
       recall should be >= 0.4
+      // retire composes with the DISTRIBUTED mode too: the router probe
+      // reads the vectors table through the same tombstone-aware scan
+      val victim = hits.head._2
+      operators.Similarity.annIndexRetire(spark, repo, "main", Seq(victim))
+      val afterRetire = operators.Similarity.annIndexProbe(spark, cat, "r",
+        "main", qs, nprobe = 8, rerank = 50)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+      afterRetire.contains(victim) shouldBe false
     } finally {
       spark.conf.unset(key)
     }
