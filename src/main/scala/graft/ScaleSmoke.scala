@@ -206,11 +206,15 @@ object ScaleSmoke {
           operators.Similarity.annIndexInit(spark, cat, repo, "main", emb)
           val k = spark.table(s"$cat.r.main.ann.centroids").count()
           val n = spark.table(s"$cat.r.main.ann.vectors").count()
-          // only assert the unclamped dispatch when √N actually exceeds
-          // the forced cap — a small replica (scale 1-2) legitimately
-          // stays in driver mode
-          require(k > 64 || n <= 64L * 64L,
-            s"distributed trainer still clamped: k=$k for n=$n at ${scale}x")
+          val coarseK = spark.table(s"$cat.r.main.ann.coarse").count()
+          // assert the MODE, not a centroid count (empty Lloyd cells can
+          // shrink k; sqrt truncation makes count thresholds off-by-one):
+          // distributed mode always stores a coarse router, and it must
+          // engage exactly when the sqrt-N rule exceeds the forced cap
+          val kWant = math.max(4, math.sqrt(n.toDouble).toInt)
+          require((coarseK > 0) == (kWant > 64),
+            s"dispatch mismatch: coarse_k=$coarseK for kWant=$kWant " +
+              s"(n=$n, cap 64) at ${scale}x")
           k
         }
         val deltaShift = (scale + 1).toLong * 10000000L

@@ -209,14 +209,25 @@ object Similarity {
     rows.map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
   }
 
-  private[graft] def kmeansIndexOf(s: SparkSession, corpusIn: DataFrame,
-      k: Int = 0, lloydRounds: Int = 2): (DataFrame, Seq[(Long, Seq[Double])]) = {
-    import s.implicits._
-    val corpus = corpusIn
+  /** `(vec_id, nv, nn, u)` CHECKPOINTED — the shared trainer input.
+    * Inputs already carrying the normalized shape (kmeansIndexAuto
+    * preps and checkpoints once for its sizing count) pass through
+    * untouched, so the corpus is never materialized into block storage
+    * twice on the dispatch path.
+    */
+  private def normalizedCorpus(corpusIn: DataFrame): DataFrame =
+    if (corpusIn.columns.contains("u") && corpusIn.columns.contains("nn"))
+      corpusIn
+    else corpusIn
       .select(col("vec_id"), col("nv"))
       .withColumn("nn", l2norm(col("nv")))
       .withColumn("u", expr("transform(nv, x -> x / nn)")) // unit vectors
       .localCheckpoint() // reused per Lloyd round + final index
+
+  private[graft] def kmeansIndexOf(s: SparkSession, corpusIn: DataFrame,
+      k: Int = 0, lloydRounds: Int = 2): (DataFrame, Seq[(Long, Seq[Double])]) = {
+    import s.implicits._
+    val corpus = normalizedCorpus(corpusIn)
     val n = corpus.count()
     // Model-size guard: the Lloyd loop collects the k×dim centroid model
     // to the driver (k·dim·8 bytes — at k=4096, dim=1024 that is ~32 MB,
@@ -391,11 +402,7 @@ object Similarity {
       corpusIn: DataFrame, kTarget: Int, lloydRounds: Int = 2,
       coarseProbes: Int = 4)
       : (DataFrame, DataFrame, Seq[(Long, Seq[Double])]) = {
-    val corpus = corpusIn
-      .select(col("vec_id"), col("nv"))
-      .withColumn("nn", l2norm(col("nv")))
-      .withColumn("u", expr("transform(nv, x -> x / nn)"))
-      .localCheckpoint()
+    val corpus = normalizedCorpus(corpusIn)
     val n = corpus.count()
     val kk = if (kTarget > 0) kTarget
       else math.max(4, math.sqrt(n.toDouble).toInt)
@@ -458,13 +465,14 @@ object Similarity {
   private[graft] def kmeansIndexAuto(s: SparkSession, corpusIn: DataFrame,
       k: Int = 0, lloydRounds: Int = 2)
       : (DataFrame, DataFrame, Seq[(Long, Seq[Double])]) = {
-    // size the √N rule WITHOUT a second full-corpus pass: checkpoint the
-    // skinny projection once and hand it to the chosen trainer (whose
-    // own count then reads checkpoint blocks, not the source again)
+    // size the √N rule WITHOUT a second full-corpus pass OR a second
+    // corpus copy in block storage: normalize+checkpoint ONCE here and
+    // hand the prepped frame to the chosen trainer, which recognizes
+    // the shape and skips its own materialization
     val (corpus, kWant) =
       if (k > 0) (corpusIn, k)
       else {
-        val pre = corpusIn.select(col("vec_id"), col("nv")).localCheckpoint()
+        val pre = normalizedCorpus(corpusIn)
         (pre, math.max(4, math.sqrt(pre.count().toDouble).toInt))
       }
     if (kWant <= maxModelK(s)) {
@@ -1165,6 +1173,7 @@ object Similarity {
     val e = T.embeddings(s, d)
       .select(col("vec_id"), posexplode(toDoubleVec(col("embedding"))))
       .toDF("vec_id", "pos", "x")
+      .localCheckpoint() // feeds BOTH the scales aggregate and the encode
     val scales = e.groupBy(col("pos")).agg(max(abs(col("x"))).as("scale"))
     e.join(broadcast(scales), Seq("pos"))
       .withColumn("code", when(col("scale") === 0, lit(0L)).otherwise(
