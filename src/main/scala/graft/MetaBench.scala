@@ -68,7 +68,7 @@ object MetaBench {
       val max = if (inline) Int.MaxValue.toString else "256"
       withProp("graft.manifest.inline.max", max) {
         val repo = GraftRepo.init(
-          Files.createTempDirectory(s"metabench-a$inline"))
+          operators.GateScratch.register(Files.createTempDirectory(s"metabench-a$inline")))
         val base = (0 until nFiles).map(entry(_, nFiles, parts))
         val spec = Some(Seq(PartitionField("cat", "identity", "cat")))
         val (s0, initMs) = ms(repo.writeSnapshot("db/t", schemaJson, base, spec))
@@ -97,7 +97,7 @@ object MetaBench {
       val max = if (inline) Int.MaxValue.toString else "256"
       withProp("graft.tree.inline.max", max) {
         val repo = GraftRepo.init(
-          Files.createTempDirectory(s"metabench-r$inline"))
+          operators.GateScratch.register(Files.createTempDirectory(s"metabench-r$inline")))
         val sid = repo.writeSnapshot("db/shared", schemaJson, Nil).id
         val tables = (0 until nTables).map(i => f"db/t$i%05d" -> sid).toMap
         repo.commitRetry("main", "bulk") { base => (tables, base.namespaces) }
@@ -114,7 +114,7 @@ object MetaBench {
     out += ("resolve_tree_chunk_reads" -> {
       // gate-style observability: one cold point-get reads exactly 1 chunk
       withProp("graft.tree.inline.max", "256") {
-        val repo = GraftRepo.init(Files.createTempDirectory("metabench-rc"))
+        val repo = GraftRepo.init(operators.GateScratch.register(Files.createTempDirectory("metabench-rc")))
         val sid = repo.writeSnapshot("db/shared", schemaJson, Nil).id
         val tables = (0 until nTables).map(i => f"db/t$i%05d" -> sid).toMap
         repo.commitRetry("main", "bulk") { base => (tables, base.namespaces) }
@@ -132,7 +132,7 @@ object MetaBench {
     // binary-ranges the sorted chunk refs to the token and loads O(page)
     // chunks; the r13 shape materialized + sorted the WHOLE map per page
     withProp("graft.tree.inline.max", "256") {
-      val repo = GraftRepo.init(Files.createTempDirectory("metabench-l"))
+      val repo = GraftRepo.init(operators.GateScratch.register(Files.createTempDirectory("metabench-l")))
       val sid = repo.writeSnapshot("db/shared", schemaJson, Nil).id
       val tables = (0 until nTables).map(i => f"db/t$i%05d" -> sid).toMap
       repo.commitRetry("main", "bulk") { base => (tables, base.namespaces) }
@@ -160,7 +160,7 @@ object MetaBench {
 
     // ---- 3. cold partition-pruned planning -----------------------------
     {
-      val repo = GraftRepo.init(Files.createTempDirectory("metabench-p"))
+      val repo = GraftRepo.init(operators.GateScratch.register(Files.createTempDirectory("metabench-p")))
       val schema = StructType(Seq(
         StructField("id", IntegerType), StructField("cat", StringType)))
       val files = (0 until nFiles).map(entry(_, nFiles, parts))

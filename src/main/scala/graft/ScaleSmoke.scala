@@ -86,7 +86,7 @@ object ScaleSmoke {
       val t = 0.9
       val cat = "gsmk" + java.util.UUID.randomUUID().toString
         .replace("-", "").take(10)
-      val root = java.nio.file.Files.createTempDirectory(s"graft-$cat")
+      val root = operators.GateScratch.register(java.nio.file.Files.createTempDirectory(s"graft-$cat"))
       spark.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.catalog.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -130,7 +130,7 @@ object ScaleSmoke {
       import graft.functions.TextVec._
       val cat = "gsann" + java.util.UUID.randomUUID().toString
         .replace("-", "").take(10)
-      val root = java.nio.file.Files.createTempDirectory(s"graft-$cat")
+      val root = operators.GateScratch.register(java.nio.file.Files.createTempDirectory(s"graft-$cat"))
       spark.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.catalog.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -193,7 +193,7 @@ object ScaleSmoke {
       try {
         val cat = "gsannd" + java.util.UUID.randomUUID().toString
           .replace("-", "").take(10)
-        val root = java.nio.file.Files.createTempDirectory(s"graft-$cat")
+        val root = operators.GateScratch.register(java.nio.file.Files.createTempDirectory(s"graft-$cat"))
         spark.conf.set(s"spark.sql.catalog.$cat",
           classOf[graft.catalog.GraftCatalog].getName)
         spark.conf.set(s"spark.sql.catalog.$cat.root", root.toString)

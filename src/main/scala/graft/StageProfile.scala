@@ -61,7 +61,7 @@ object StageProfile {
       import org.apache.spark.sql.functions._
       val cat = "gsp" + java.util.UUID.randomUUID().toString
         .replace("-", "").take(10)
-      val root = java.nio.file.Files.createTempDirectory(s"graft-$cat")
+      val root = operators.GateScratch.register(java.nio.file.Files.createTempDirectory(s"graft-$cat"))
       spark.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.catalog.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.root", root.toString)

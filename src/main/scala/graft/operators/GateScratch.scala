@@ -8,7 +8,7 @@ package graft.operators
   * /tmp (the same failure mode Streaming's staged-dir cleanup covers
   * for the event streams).
   */
-private[operators] object GateScratch {
+private[graft] object GateScratch {
   private val dirs = java.util.Collections.synchronizedList(
     new java.util.ArrayList[java.nio.file.Path]())
 

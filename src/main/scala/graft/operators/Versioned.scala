@@ -24,7 +24,7 @@ object Versioned {
     */
   private def freshCatalog(s: SparkSession): (String, java.nio.file.Path) = {
     val cat = "gvc" + UUID.randomUUID().toString.replace("-", "").take(10)
-    val root = Files.createTempDirectory(s"graft-$cat")
+    val root = GateScratch.register(Files.createTempDirectory(s"graft-$cat"))
     s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
     (cat, root)
@@ -470,7 +470,7 @@ object Versioned {
     // dest as a file:// URI: the export AND the import both run through
     // the Hadoop-FS dest seam (DestIO/HadoopDestIO — the s3a:// path),
     // so the gate hash-proves that route too, not just local nio
-    val dest = Files.createTempDirectory("graft-ice-export")
+    val dest = GateScratch.register(Files.createTempDirectory("graft-ice-export"))
       .toUri.toString.stripSuffix("/")
     val metaPath = s.sql(s"CALL $cat.system.iceberg_export('r', 'main', " +
       s"'db.orders', '$dest')").collect().head.getString(0)
@@ -496,7 +496,7 @@ object Versioned {
     */
   private def iceCdcRead(s: SparkSession, d: String): DataFrame = {
     val (cat, _) = setup2(s, d)
-    val dest = Files.createTempDirectory("graft-ice-cdc")
+    val dest = GateScratch.register(Files.createTempDirectory("graft-ice-cdc"))
     s.sql(s"CALL $cat.system.iceberg_export('r', 'main', 'db.nation', " +
       s"'$dest', sync => true)")
     val name = "vic" + UUID.randomUUID().toString.replace("-", "").take(10)
@@ -632,7 +632,7 @@ object Versioned {
     s.sql(s"DELETE FROM $cat.r.main.db.nation WHERE n_nationkey % 5 = 2")
     repo.createTag("v_gate", "main") // served as a read-only tag ref below
     val srv = graft.versioned.IcebergRestServer.start(repo,
-      Files.createTempDirectory("graft-rest-gate"), Some(s))
+      GateScratch.register(Files.createTempDirectory("graft-rest-gate")), Some(s))
     val view = "rest" + UUID.randomUUID().toString.replace("-", "").take(10)
     try {
       val ns = java.net.URLEncoder.encode("main\u001Fdb", "UTF-8")
@@ -676,7 +676,7 @@ object Versioned {
   private def restCommit(s: SparkSession, d: String): DataFrame = {
     val (cat, repo) = setup(s, d)
     val srv = graft.versioned.IcebergRestServer.start(repo,
-      Files.createTempDirectory("graft-rest-wgate"), Some(s),
+      GateScratch.register(Files.createTempDirectory("graft-rest-wgate")), Some(s),
       writable = true)
     try {
       val http = java.net.http.HttpClient.newHttpClient()
@@ -704,7 +704,7 @@ object Versioned {
       def appendViaRest(stageKey: String, snapId: Long,
           base: com.fasterxml.jackson.databind.JsonNode)
           : com.fasterxml.jackson.databind.JsonNode = {
-        val dest = Files.createTempDirectory(s"graft-rest-stage")
+        val dest = GateScratch.register(Files.createTempDirectory(s"graft-rest-stage"))
         val metaP = graft.versioned.IcebergExport.export(repo, "main",
           s"db/$stageKey", dest, Some(s), 1, 1, 0)
         val stageMeta = mapper.readTree(java.nio.file.Files.readString(metaP))
@@ -769,7 +769,7 @@ object Versioned {
       s"SELECT n_nationkey + 100, n_name, n_regionkey " +
       s"FROM $cat.r.main.db.nation")
     val srv = graft.versioned.IcebergRestServer.start(repo,
-      Files.createTempDirectory("graft-rest-owgate"), Some(s),
+      GateScratch.register(Files.createTempDirectory("graft-rest-owgate")), Some(s),
       writable = true)
     try {
       val http = java.net.http.HttpClient.newHttpClient()
@@ -786,7 +786,7 @@ object Versioned {
       s.sql(s"CALL $cat.system.clone_table('r', 'main', " +
         "'db.nation', 'db.ow_stage')")
       s.sql(s"DELETE FROM $cat.r.main.db.ow_stage WHERE n_nationkey >= 110")
-      val dest = Files.createTempDirectory("graft-rest-owstage")
+      val dest = GateScratch.register(Files.createTempDirectory("graft-rest-owstage"))
       val metaP = graft.versioned.IcebergExport.export(repo, "main",
         "db/ow_stage", dest, Some(s), 1, 1, 0)
       val stageMeta = mapper.readTree(java.nio.file.Files.readString(metaP))
@@ -848,7 +848,7 @@ object Versioned {
       s"FROM $cat.r.main.db.nation WHERE n_nationkey < 10")
     repo.createTag("prereplace", "main")
     val srv = graft.versioned.IcebergRestServer.start(repo,
-      Files.createTempDirectory("graft-rest-repgate"), Some(s),
+      GateScratch.register(Files.createTempDirectory("graft-rest-repgate")), Some(s),
       writable = true)
     try {
       val http = java.net.http.HttpClient.newHttpClient()
@@ -909,7 +909,7 @@ object Versioned {
   private def restRollback(s: SparkSession, d: String): DataFrame = {
     val (cat, repo) = setup(s, d)
     val srv = graft.versioned.IcebergRestServer.start(repo,
-      Files.createTempDirectory("graft-rest-rbgate"), Some(s),
+      GateScratch.register(Files.createTempDirectory("graft-rest-rbgate")), Some(s),
       maxSnapshots = 5, writable = true)
     try {
       val http = java.net.http.HttpClient.newHttpClient()
@@ -991,7 +991,7 @@ object Versioned {
       destOverride: Option[java.nio.file.Path] = None): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val dest = destOverride.getOrElse(
-      Files.createTempDirectory("graft-rest-stage"))
+      GateScratch.register(Files.createTempDirectory("graft-rest-stage")))
     val metaP = graft.versioned.IcebergExport.export(repo, "main",
       key, dest, Some(s), 1, 1, 0)
     val stageMeta = mapper.readTree(java.nio.file.Files.readString(metaP))
@@ -1021,7 +1021,7 @@ object Versioned {
   private def restEvolve(s: SparkSession, d: String): DataFrame = {
     val (cat, repo) = setup(s, d)
     val srv = graft.versioned.IcebergRestServer.start(repo,
-      Files.createTempDirectory("graft-rest-evgate"), Some(s),
+      GateScratch.register(Files.createTempDirectory("graft-rest-evgate")), Some(s),
       writable = true)
     try {
       val http = java.net.http.HttpClient.newHttpClient()
@@ -1112,7 +1112,7 @@ object Versioned {
   private def restCtas(s: SparkSession, d: String): DataFrame = {
     val (cat, repo) = setup(s, d)
     val srv = graft.versioned.IcebergRestServer.start(repo,
-      Files.createTempDirectory("graft-rest-ctasgate"), Some(s),
+      GateScratch.register(Files.createTempDirectory("graft-rest-ctasgate")), Some(s),
       writable = true)
     try {
       val http = java.net.http.HttpClient.newHttpClient()
@@ -1180,7 +1180,7 @@ object Versioned {
   private def restMor(s: SparkSession, d: String): DataFrame = {
     val (cat, repo) = setup(s, d)
     val srv = graft.versioned.IcebergRestServer.start(repo,
-      Files.createTempDirectory("graft-rest-morgate"), Some(s),
+      GateScratch.register(Files.createTempDirectory("graft-rest-morgate")), Some(s),
       writable = true)
     try {
       val http = java.net.http.HttpClient.newHttpClient()
@@ -1250,7 +1250,7 @@ object Versioned {
   private def restPosDel(s: SparkSession, d: String): DataFrame = {
     val (cat, repo) = setup(s, d)
     val srv = graft.versioned.IcebergRestServer.start(repo,
-      Files.createTempDirectory("graft-rest-pdgate"), Some(s),
+      GateScratch.register(Files.createTempDirectory("graft-rest-pdgate")), Some(s),
       writable = true)
     try {
       val http = java.net.http.HttpClient.newHttpClient()
@@ -1357,7 +1357,7 @@ object Versioned {
   private def restTxn(s: SparkSession, d: String): DataFrame = {
     val (cat, repo) = setup(s, d)
     val srv = graft.versioned.IcebergRestServer.start(repo,
-      Files.createTempDirectory("graft-rest-txngate"), Some(s),
+      GateScratch.register(Files.createTempDirectory("graft-rest-txngate")), Some(s),
       writable = true)
     try {
       val http = java.net.http.HttpClient.newHttpClient()
@@ -1615,7 +1615,7 @@ object Versioned {
   private def restRegister(s: SparkSession, d: String): DataFrame = {
     val (cat, repo) = setup(s, d)
     val srv = graft.versioned.IcebergRestServer.start(repo,
-      Files.createTempDirectory("graft-rest-reggate"), Some(s),
+      GateScratch.register(Files.createTempDirectory("graft-rest-reggate")), Some(s),
       writable = true)
     try {
       val http = java.net.http.HttpClient.newHttpClient()
@@ -1629,7 +1629,7 @@ object Versioned {
       s.sql(s"DELETE FROM $cat.r.main.db.reg_src " +
         "WHERE n_nationkey IN (2, 7)")
       val metaP = graft.versioned.IcebergExport.export(repo, "main",
-        "db/reg_src", Files.createTempDirectory("graft-reg-gate-export"),
+        "db/reg_src", GateScratch.register(Files.createTempDirectory("graft-reg-gate-export")),
         Some(s), 1, 1, 0)
       val resp = http.send(java.net.http.HttpRequest.newBuilder(
         java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/register"))
@@ -1657,7 +1657,7 @@ object Versioned {
   private def restPartEvo(s: SparkSession, d: String): DataFrame = {
     val (cat, repo) = setup(s, d)
     val srv = graft.versioned.IcebergRestServer.start(repo,
-      Files.createTempDirectory("graft-rest-pegate"), Some(s),
+      GateScratch.register(Files.createTempDirectory("graft-rest-pegate")), Some(s),
       writable = true)
     try {
       val http = java.net.http.HttpClient.newHttpClient()
@@ -1736,7 +1736,7 @@ object Versioned {
   private def restView(s: SparkSession, d: String): DataFrame = {
     val (cat, repo) = setup(s, d)
     val srv = graft.versioned.IcebergRestServer.start(repo,
-      Files.createTempDirectory("graft-rest-viewgate"), Some(s),
+      GateScratch.register(Files.createTempDirectory("graft-rest-viewgate")), Some(s),
       writable = true)
     try {
       val http = java.net.http.HttpClient.newHttpClient()
@@ -1867,14 +1867,14 @@ object Versioned {
     val ev = T.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     s.sql(s"CREATE TABLE $cat.r.main.db.sink (${ev.schema.toDDL})")
-    val src = Files.createTempDirectory("graft-sink-src")
+    val src = GateScratch.register(Files.createTempDirectory("graft-sink-src"))
     ev.repartition(4).write.mode("overwrite").parquet(src.toString)
     val q = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "2")
       .parquet(src.toString)
       .writeStream
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-sink-ckpt").toString)
+        GateScratch.register(Files.createTempDirectory("graft-sink-ckpt")).toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .toTable(s"$cat.r.main.db.sink")
     q.awaitTermination()
