@@ -484,8 +484,9 @@ object TextAnalysis {
         |b AS (SELECT source, CAST(ceil(sum(tokens) * 0.25) AS BIGINT) AS budget
         |      FROM t GROUP BY source),
         |c AS (SELECT doc_id, source, tokens,
-        |        sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |                          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |        CAST(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |          AS cum_tokens
         |      FROM t)
         |SELECT c.doc_id, c.source, c.tokens, c.cum_tokens
         |FROM c JOIN b USING (source)

@@ -26,6 +26,50 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def col_kind(s: pd.Series) -> str:
+    """Canonical dtype kind. The driver's hash is dtype-sensitive (121 vs
+    121.0 hash differently), so the local mirror must be too: an oracle
+    whose windowed sum(BIGINT) comes back HUGEINT->float64 must FAIL here,
+    not slip through on Python int == float (the r17 tx_mix_budget trap)."""
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    if k == "m":
+        return "timedelta"
+    # object column: classify by first non-null element
+    for v in s:
+        if v is None:
+            continue
+        try:
+            if pd.isna(v):
+                continue
+        except (TypeError, ValueError):
+            pass
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, float):
+            return "float"
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, (bytes, bytearray)):
+            return "bytes"
+        import decimal
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if hasattr(v, "__len__"):
+            return "list"
+        return type(v).__name__
+    return "all-null"
+
+
 def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -38,6 +82,15 @@ def values_equal(a, b) -> bool:
             return True
     except (TypeError, ValueError):
         pass
+    # dtype-strict: int vs float (or Decimal vs float) must NOT compare
+    # equal — the driver's hash distinguishes them.
+    import decimal
+    num_kinds = (bool, int, float, decimal.Decimal)
+    if isinstance(a, num_kinds) and isinstance(b, num_kinds):
+        ka = "float" if isinstance(a, float) else ("decimal" if isinstance(a, decimal.Decimal) else ("bool" if isinstance(a, bool) else "int"))
+        kb = "float" if isinstance(b, float) else ("decimal" if isinstance(b, decimal.Decimal) else ("bool" if isinstance(b, bool) else "int"))
+        if ka != kb:
+            return False
     if hasattr(a, "__len__") and not isinstance(a, str):
         if len(a) != len(b):
             return False
@@ -71,8 +124,17 @@ def main():
             results[name] = {"status": "oracle-failed", "err": str(e)[:200]}
             continue
         r = {"rows": len(got), "exp_rows": len(exp)}
+        dtype_bad = [
+            f"{c}: got={col_kind(got[c])} exp={col_kind(exp[c])}"
+            for c in got.columns
+            if c in exp.columns
+            and "all-null" not in (col_kind(got[c]), col_kind(exp[c]))
+            and col_kind(got[c]) != col_kind(exp[c])
+        ]
         if list(got.columns) != list(exp.columns):
             r.update(status="schema-mismatch", got_cols=list(got.columns), exp_cols=list(exp.columns))
+        elif dtype_bad:
+            r.update(status="dtype-mismatch", dtypes=dtype_bad)
         elif len(got) != len(exp):
             r.update(status="rowcount-mismatch")
         else:
