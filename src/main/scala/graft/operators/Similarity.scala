@@ -200,12 +200,23 @@ object Similarity {
     * lifecycle spec proves by running with a tiny maxModelK.
     */
   private[graft] def collectCentroids(s: SparkSession, df: DataFrame)
+      : Seq[(Long, Seq[Double])] =
+    collectCentroids(df, maxModelK(s))
+
+  /** Cap-explicit variant: serve-time paths over a PERSISTED index
+    * validate against the clamp the index was BUILT under (stored in
+    * ann/meta), not the probing session's conf — a driver-mode index
+    * legitimately built with a larger cap must stay probe-able from a
+    * default-configured session.
+    */
+  private[graft] def collectCentroids(df: DataFrame, cap: Int)
       : Seq[(Long, Seq[Double])] = {
-    val cap = maxModelK(s)
     val rows = df.limit(cap + 1).collect()
     require(rows.length <= cap,
       s"refusing driver-side collect of >$cap centroid rows — this model " +
-        "must stay distributed (see spark.graft.kmeans.maxModelK)")
+        "must stay distributed (cap = the index's build-time " +
+        "spark.graft.kmeans.maxModelK when stored in ann/meta, else the " +
+        "session's)")
     rows.map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
   }
 
@@ -334,14 +345,19 @@ object Similarity {
     */
   private def liveRouter(s: SparkSession, homed: DataFrame,
       coarse: Seq[(Long, Seq[Double])]): DataFrame = {
-    val cap = maxModelK(s)
+    // the live set is a SUBSET of the coarse model's cells by
+    // construction, so the model already in hand bounds the collect —
+    // no session conf is consulted, so a cap mismatch between the
+    // building and probing sessions can never masquerade as corruption.
+    // A wider set really IS corruption: fine centroids homed to cells
+    // the router does not know.
+    val cap = coarse.size
     val rows = homed.select(col("ccell")).distinct()
       .limit(cap + 1).collect()
-    // same belt as collectCentroids: the router is ≤ kc ≤ maxModelK by
-    // construction — a wider set here means a corrupted homing, and
-    // refusing beats silently collecting it
     require(rows.length <= cap,
-      s"router cell set exceeds maxModelK=$cap — corrupted centroid homing")
+      s"live router cells exceed the stored coarse model ($cap cells) — " +
+        "fine centroids are homed to cells the router does not know " +
+        "(corrupted homing)")
     val live = rows.map(_.getLong(0)).toSet
     broadcast(s.createDataFrame(coarse.filter(c => live(c._1)))
       .toDF("ccell", "ccv"))
@@ -406,21 +422,21 @@ object Similarity {
     val n = corpus.count()
     val kk = if (kTarget > 0) kTarget
       else math.max(4, math.sqrt(n.toDouble).toInt)
-    val step = math.max(1, n / kk)
-    // deterministic init, DISTRIBUTED: every step-th unit vector. The
-    // orderBy+limit gathers kk skinny (cell, cv) rows into one task —
-    // fine at any realistic k (k·dim·8 bytes of doubles), and they land
-    // straight in a checkpointed block, never on the driver.
-    def seeds(pick: Column): DataFrame = corpus
-      .filter(pick)
-      .orderBy(col("vec_id"))
-      .limit(kk)
-      .select(col("vec_id").as("cell"), col("u").as("cv"))
-    var centroids = seeds(col("vec_id") % step === 0).localCheckpoint()
-    if (centroids.count() < math.max(1, kk / 2))
-      // same id-sparse fallback as the driver-sized trainer
-      centroids = seeds(pmod(xxhash64(col("vec_id")), lit(step)) === 0)
-        .localCheckpoint()
+    // deterministic init, fully DISTRIBUTED: one seed per
+    // pmod(xxhash64(vec_id), kk) hash bucket — the bucket's min-vec_id
+    // unit vector, picked by ONE keyed aggregate whose partial state is
+    // ≤ kk candidates per task. Nothing funnels k·dim doubles through a
+    // single task (the previous orderBy+limit gather was ~32 GB in one
+    // task at k=4M × dim=1024 — the last single-point concentration on
+    // this path). Hash bucketing is id-structure-free, so the id-sparse
+    // fallback the modulo seeding needed is subsumed: a corpus with
+    // n ≫ kk rows occupies essentially every bucket, and a smaller one
+    // seeds one centroid per surviving bucket either way.
+    var centroids = corpus
+      .groupBy(pmod(xxhash64(col("vec_id")), lit(kk.toLong)).as("b"))
+      .agg(min_by(struct(col("vec_id"), col("u")), col("vec_id")).as("sd"))
+      .select(col("sd.vec_id").as("cell"), col("sd.u").as("cv"))
+      .localCheckpoint()
 
     // the coarse ROUTER: kc ≈ √k ≤ maxModelK cells trained by the
     // driver-sized path on a deterministic hash sample of the corpus —
@@ -714,7 +730,7 @@ object Similarity {
     s.sql(s"CREATE TABLE ${annPre(cat, r, branch)}.codebook " +
       "(j INT, code INT, cb ARRAY<DOUBLE>)")
     s.sql(s"CREATE TABLE ${annPre(cat, r, branch)}.meta " +
-      "(m INT, ks INT, dim_per INT, coarse_k INT)")
+      "(m INT, ks INT, dim_per INT, coarse_k INT, max_model_k INT)")
     s.sql(s"CREATE TABLE ${annPre(cat, r, branch)}.vectors " +
       "(vec_id BIGINT, nv ARRAY<DOUBLE>, nn DOUBLE, cell BIGINT, " +
       "codes ARRAY<INT>) PARTITIONED BY (cell)")
@@ -738,8 +754,11 @@ object Similarity {
       else homeCentroids(s, centsDf, coarse)
         .select(col("cell"), col("cv"), col("ccell"))
         .coalesce(8) // k rows of doubles — small files, not driver data
+    // max_model_k = the clamp the model was BUILT under: serve-time
+    // collects validate against THIS, not the probing session's conf
     val metaDf = s.createDataFrame(
-      Seq((m, ks, dimPer, coarse.size))).toDF("m", "ks", "dim_per", "coarse_k")
+      Seq((m, ks, dimPer, coarse.size, maxModelK(s))))
+      .toDF("m", "ks", "dim_per", "coarse_k", "max_model_k")
     graft.versioned.TableOps.atomicAppend(s, repo, branch, Seq(
       "ann/centroids" -> storedCents,
       "ann/coarse" ->
@@ -754,16 +773,22 @@ object Similarity {
     * surviving codebook rows for indexes created before the meta table
     * existed (coarse_k 0 = driver mode).
     */
-  private case class AnnMeta(m: Int, ks: Int, dimPer: Int, coarseK: Int)
+  private case class AnnMeta(m: Int, ks: Int, dimPer: Int, coarseK: Int,
+      maxModelK: Int)
   private def annMeta(s: SparkSession, pre: String): AnnMeta = {
     val fromMeta = scala.util.Try {
-      val r = s.table(s"$pre.meta").head()
-      AnnMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      val t = s.table(s"$pre.meta")
+      val r = t.head()
+      // indexes created before max_model_k existed fall back to the
+      // session's clamp (the pre-r18 behavior)
+      val mk = if (t.columns.contains("max_model_k"))
+        r.getInt(r.fieldIndex("max_model_k")) else maxModelK(s)
+      AnnMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), mk)
     }.toOption
     fromMeta.getOrElse {
       val cb = s.table(s"$pre.codebook")
         .agg(max(col("j")), max(col("code")), first(size(col("cb")))).head()
-      AnnMeta(cb.getInt(0) + 1, cb.getInt(1) + 1, cb.getInt(2), 0)
+      AnnMeta(cb.getInt(0) + 1, cb.getInt(1) + 1, cb.getInt(2), 0, maxModelK(s))
     }
   }
 
@@ -773,9 +798,12 @@ object Similarity {
     s.table(s"$pre.codebook")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
 
-  /** The stored coarse router model (≤ maxModelK rows by construction). */
-  private def annCoarse(s: SparkSession, pre: String): Seq[(Long, Seq[Double])] =
-    collectCentroids(s, s.table(s"$pre.coarse"))
+  /** The stored coarse router model — ≤ the BUILD-time maxModelK rows
+    * by construction, which is the cap the collect validates against.
+    */
+  private def annCoarse(s: SparkSession, pre: String, cap: Int)
+      : Seq[(Long, Seq[Double])] =
+    collectCentroids(s.table(s"$pre.coarse"), cap)
 
   /** Append a `(vec_id, nv)` delta encoded under the STORED model —
     * cell assignment against the stored centroids (broadcast model),
@@ -830,8 +858,9 @@ object Similarity {
     // models route through the stored coarse table + homed centroids —
     // the fine model never reaches the driver
     val assigned = (if (meta.coarseK == 0) {
-      val centroids = collectCentroids(s,
-        s.table(s"$pre.centroids").select(col("cell"), col("cv")))
+      val centroids = collectCentroids(
+        s.table(s"$pre.centroids").select(col("cell"), col("cv")),
+        meta.maxModelK)
       val centroidDf = s.createDataFrame(centroids).toDF("cell", "cv")
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("sim").desc, col("cell"))
@@ -845,7 +874,8 @@ object Similarity {
     } else {
       val homed = s.table(s"$pre.centroids")
         .select(col("ccell"), col("cell"), col("cv"))
-      assignByHomed(s, deltaVecs, homed, annCoarse(s, pre), probes = 4)
+      assignByHomed(s, deltaVecs, homed, annCoarse(s, pre, meta.maxModelK),
+          probes = 4)
         .select(col("vec_id"), col("u"), col("nv"), col("nn"), col("cell"))
     }).localCheckpoint() // feeds sub AND the final projection
     val sub = pqSubvectors(assigned, "vec_id", m, dimPer)
@@ -938,8 +968,9 @@ object Similarity {
     // homed to each query's nearest coarse cells — a keyed join, the
     // fine model never broadcast or collected
     val queryCells = (if (meta.coarseK == 0) {
-      val centroids = collectCentroids(s,
-        s.table(s"$pre.centroids").select(col("cell"), col("cv")))
+      val centroids = collectCentroids(
+        s.table(s"$pre.centroids").select(col("cell"), col("cv")),
+        meta.maxModelK)
       qs.join(broadcast(s.createDataFrame(centroids).toDF("cell", "cv")),
           lit(true))
         .select(col("query_id"), col("cell"),
@@ -947,7 +978,7 @@ object Similarity {
     } else {
       val homed = s.table(s"$pre.centroids")
         .select(col("ccell"), col("cell"), col("cv"))
-      val liveDf = liveRouter(s, homed, annCoarse(s, pre))
+      val liveDf = liveRouter(s, homed, annCoarse(s, pre, meta.maxModelK))
       routeRows(qs.select(col("query_id"), col("qu")), "query_id", "qu",
           liveDf, probes = 4)
         .join(homed, Seq("ccell"))

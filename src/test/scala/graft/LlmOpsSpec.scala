@@ -512,6 +512,45 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     } finally spark.conf.unset(key)
   }
 
+  test("persisted-index cap skew: an index built under a LARGER clamp " +
+    "stays probe-able and append-able from a session with a smaller one " +
+    "— serve-time collects validate against the ann/meta build-time cap, " +
+    "not the probing session's conf") {
+    import org.apache.spark.sql.functions._
+    def vec(i: Long): Seq[Double] =
+      (0 until 64).map(j => math.sin(i * 64.0 + j)).toSeq
+    def emb(ids: Seq[Long]) = spark.createDataFrame(
+      ids.map(i => (i, vec(i)))).toDF("vec_id", "nv")
+    val cat = "gannskew"
+    val root = java.nio.file.Files.createTempDirectory(s"graft-$cat")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+    spark.sql(s"CREATE NAMESPACE $cat.r")
+    spark.sql(s"CREATE NAMESPACE $cat.r.main.ann")
+    val repo = graft.versioned.GraftRepo.open(root.resolve("r"))
+    // build under the DEFAULT clamp: 400 vectors → √N rule trains ~20
+    // driver-mode cells; meta records max_model_k = 4096
+    operators.Similarity.annIndexInit(spark, cat, repo, "main",
+      emb((0L until 400L).filter(_ % 5 != 0)))
+    spark.table(s"$cat.r.main.ann.centroids").count() should be > 8L
+    spark.table(s"$cat.r.main.ann.meta")
+      .select("max_model_k").head().getInt(0) shouldBe 4096
+    val key = "spark.graft.kmeans.maxModelK"
+    spark.conf.set(key, "8") // the probing session's (smaller) clamp
+    try {
+      // pre-fix both of these refused with "driver-side collect of >8"
+      val qs = emb(Seq(7L))
+        .select(col("vec_id").as("query_id"), col("nv").as("qv"))
+        .withColumn("qn", graft.functions.TextVec.l2norm(col("qv")))
+      operators.Similarity.annIndexProbe(spark, cat, "r", "main", qs)
+        .count() should be > 0L
+      operators.Similarity.annIndexAppend(spark, cat, repo, "main",
+        emb((0L until 400L).filter(_ % 5 == 0)))
+      spark.table(s"$cat.r.main.ann.vectors").count() shouldBe 400L
+    } finally spark.conf.unset(key)
+  }
+
   test("DISTRIBUTED-centroid k-means: past maxModelK the trainer is NOT " +
     "clamped — the fine model stays a table, every driver collect on the " +
     "path rides the belt (a fine-model collect would throw at this cap), " +
