@@ -872,10 +872,31 @@ object Dedup {
   /** Create + populate the index tables from the corpus `(doc_id,
     * text)` — the once-per-corpus cost every later batch amortizes.
     * One atomic commit covers all three tables.
+    *
+    * `mode` picks the SCREEN STRATEGY the index stores:
+    *   - `ppjoin` (default): exact prefix-filter posting lists — full
+    *     recall at any threshold, the right default. Its known worst
+    *     case is a DENSE shared vocabulary (every doc carries the hot
+    *     tokens, so posting lists grow with the corpus even after the
+    *     delta-vocabulary prune).
+    *   - `minhash`: banded MinHash signatures (64 perms, 8×8 — the
+    *     [[minhashLsh]] scheme). Candidates come from band-bucket
+    *     collisions, so the per-doc index cost is a FIXED 8 rows
+    *     regardless of vocabulary shape — the sketch answer for the
+    *     dense-vocabulary 100 TB corpus — at banding's recall
+    *     (J ≥ 0.9 pairs caught w.p. ~0.989; survivors still
+    *     EXACT-verified, so no false rejection ever). Same
+    *     screen/admit/retire/compact API, same atomic multi-table
+    *     commit machinery; the mode is stored in `dd/meta` and
+    *     dispatched on automatically.
     */
   def indexInit(s: org.apache.spark.sql.SparkSession, cat: String,
       repo: graft.versioned.GraftRepo, branch: String,
-      corpus: DataFrame, t: Double): Unit = {
+      corpus: DataFrame, t: Double, mode: String = "ppjoin"): Unit = {
+    require(mode == "ppjoin" || mode == "minhash",
+      s"unknown dedup index mode '$mode' (ppjoin | minhash)")
+    if (mode == "minhash") return indexInitMinhash(s, cat, repo, branch,
+      corpus, t)
     val r = repoName(repo)
     s.sql(s"CREATE TABLE $cat.$r.$branch.dd.docs " +
       "(doc_id BIGINT, ws ARRAY<STRING>)")
@@ -896,11 +917,134 @@ object Dedup {
       "dd/dfreq" -> frozen), "dd index init")
   }
 
+  // ---- MinHash sketch mode of the persisted index ------------------------
+
+  /** MinHash band parameters of the sketch mode — the [[minhashLsh]]
+    * scheme (64 perms, 8 bands × 8 rows: catches J ≳ 0.77 w.h.p.).
+    * Persisted in `dd/meta` so a stored index is self-describing and
+    * probes band identically forever, even if these defaults change.
+    */
+  private val MhBands = 8
+  private val MhRows = 8
+
+  /** Banded signature rows `(band, bh, doc_id)` of `(doc_id, ws)` docs
+    * — used for the initial corpus, every batch's probes, and every
+    * admitted batch's appended bands, so all three agree (the
+    * [[frozenPostings]] analog of the sketch mode).
+    */
+  private def minhashBandRows(docs: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    docs
+      .withColumn("sig", graft.functions.HashExpressions
+        .minHashSignatureNative(col("ws"), k = bands * rowsPerBand))
+      .select(col("doc_id"), posexplode(lshBandsExpr("sig", bands, rowsPerBand)))
+      .toDF("doc_id", "band", "bh")
+      .select(col("band").cast("int").as("band"), col("bh"), col("doc_id"))
+
+  /** The stored sketch-mode parameters, or None for a PPJoin index
+    * (which predates — and never writes — `dd/meta`).
+    */
+  private def ddMeta(s: org.apache.spark.sql.SparkSession, pre: String)
+      : Option[(Int, Int)] =
+    scala.util.Try {
+      val r = s.table(s"$pre.meta")
+        .select(col("mode"), col("bands"), col("rows_per_band")).head()
+      (r.getString(0), r.getInt(1), r.getInt(2))
+    }.toOption.collect { case ("minhash", b, rp) => (b, rp) }
+
+  /** [[indexInit]] in sketch mode: `dd/docs` (word sets — the exact-
+    * verify dictionary), `dd/bands` (banded signatures — the candidate
+    * index; a FIXED `bands` rows per doc, immune to vocabulary shape),
+    * and `dd/meta` (the band scheme), in ONE atomic commit.
+    */
+  private def indexInitMinhash(s: org.apache.spark.sql.SparkSession,
+      cat: String, repo: graft.versioned.GraftRepo, branch: String,
+      corpus: DataFrame, t: Double): Unit = {
+    val r = repoName(repo)
+    s.sql(s"CREATE TABLE $cat.$r.$branch.dd.docs " +
+      "(doc_id BIGINT, ws ARRAY<STRING>)")
+    s.sql(s"CREATE TABLE $cat.$r.$branch.dd.bands " +
+      "(band INT, bh BIGINT, doc_id BIGINT)")
+    s.sql(s"CREATE TABLE $cat.$r.$branch.dd.meta " +
+      "(mode STRING, t DOUBLE, num_perm INT, bands INT, rows_per_band INT)")
+    val docs = corpus
+      .select(col("doc_id").cast("long").as("doc_id"),
+        wordSet(col("text")).as("ws"))
+      .localCheckpoint() // feeds BOTH the docs store and the band rows
+    val metaDf = s.createDataFrame(
+      Seq(("minhash", t, MhBands * MhRows, MhBands, MhRows)))
+      .toDF("mode", "t", "num_perm", "bands", "rows_per_band")
+    graft.versioned.TableOps.atomicAppend(s, repo, branch, Seq(
+      "dd/docs" -> docs,
+      "dd/bands" -> minhashBandRows(docs, MhBands, MhRows),
+      "dd/meta" -> metaDf.coalesce(1)), "dd index init (minhash)")
+  }
+
+  /** Sketch-mode screen: delta band rows join the stored bands table —
+    * pruned to the delta's (band, bh) key set BEFORE any shuffle, the
+    * same delta-proportional discipline as the PPJoin screen — and the
+    * colliding pairs are EXACT-verified against word sets read from the
+    * stored docs table (candidate-partner-pruned). Cost is
+    * O(delta · matched band buckets), corpus-independent; banding's
+    * recall is the only approximation (a missed true pair ADMITS a doc
+    * the exact screen would reject — never the reverse).
+    */
+  private def indexScreenMinhash(s: org.apache.spark.sql.SparkSession,
+      pre: String, delta: DataFrame, t: Double, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val deltaDocs = delta
+      .select(col("doc_id").cast("long").as("doc_id"),
+        wordSet(col("text")).as("ws"))
+      .localCheckpoint() // feeds clash guard, band rows, and verify dict
+    val bcastMax = s.conf.getOption("spark.graft.dedup.broadcastKeysMax")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(4000000)
+    def semiPrune(big: DataFrame, keys: DataFrame, on: Seq[String],
+        keyCount: Long): DataFrame =
+      if (keyCount <= bcastMax)
+        big.join(org.apache.spark.sql.functions.broadcast(keys), on,
+          "left_semi")
+      else big.join(keys, on, "left_semi")
+    // same clash guard as the PPJoin screen: a reused id would
+    // self-match at J=1.0 in the verify dict → silent wrongful rejection
+    val clash = semiPrune(s.table(s"$pre.docs").select(col("doc_id")),
+      deltaDocs.select(col("doc_id")), Seq("doc_id"), deltaDocs.count())
+      .limit(5).collect().map(_.getLong(0))
+    require(clash.isEmpty,
+      s"delta doc_ids already present in $pre.docs: ${clash.mkString(", ")}" +
+        " — incremental screening requires fresh ids")
+    // delta band rows (bands·|delta| rows) + their distinct key set;
+    // the stored bands table is scanned column-pruned and semi-pruned
+    // to the delta's keys — never shuffled whole per screen
+    val dBands = minhashBandRows(deltaDocs, bands, rowsPerBand)
+      .localCheckpoint() // feeds the key set AND the collision join
+    val keys = dBands.select(col("band"), col("bh")).distinct()
+      .localCheckpoint()
+    val matched = semiPrune(s.table(s"$pre.bands"), keys,
+      Seq("band", "bh"), keys.count())
+    val cand = dBands.as("a")
+      .join(matched.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .localCheckpoint() // feeds the partner prune AND the verify join
+    // exact verify reads only the CANDIDATE partners' word sets
+    val partnerIds = cand.select(col("id_b").as("doc_id")).distinct()
+      .localCheckpoint()
+    val partners = semiPrune(s.table(s"$pre.docs"), partnerIds,
+      Seq("doc_id"), partnerIds.count())
+    val dup = verifyPairs(s, deltaDocs.unionByName(partners), cand, t)
+      .select(col("id_a").as("doc_id")).distinct()
+    deltaDocs.select(col("doc_id"))
+      .join(dup, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("surviving_id"))
+  }
+
   /** Screen a batch `(doc_id, text)` against the STORED index: admitted
     * ids (no corpus near-duplicate at Jaccard ≥ t). The corpus is never
     * re-tokenized — probes rank under the stored dfreq, candidates come
     * from the stored postings, and exact verification reads partner
-    * word sets from the stored docs table.
+    * word sets from the stored docs table. A sketch-mode index
+    * (`dd/meta` mode=minhash) dispatches to [[indexScreenMinhash]].
     */
   def indexScreen(s: org.apache.spark.sql.SparkSession, cat: String,
       repoName: String, branch: String, delta: DataFrame,
@@ -908,6 +1052,10 @@ object Dedup {
     val maxPost = s.conf.getOption("spark.graft.setsim.maxPostings")
       .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1024)
     val pre = s"$cat.$repoName.$branch.dd"
+    ddMeta(s, pre) match {
+      case Some((b, rp)) => return indexScreenMinhash(s, pre, delta, t, b, rp)
+      case None => ()
+    }
     // tokenized ONCE: the delta feeds the clash guard, the vocabulary
     // prune, the probe ranking, and the verify dict — small by contract
     // (it's the daily batch), so the checkpoint is cheap and every
@@ -1000,6 +1148,17 @@ object Dedup {
       .join(admitted.select(col("surviving_id").as("doc_id")),
         Seq("doc_id"), "left_semi")
       .localCheckpoint() // feeds the vocab prune AND both appends
+    ddMeta(s, pre) match {
+      case Some((b, rp)) =>
+        // sketch mode: admitted docs + their band rows, one atomic
+        // commit (banding needs no frozen global order, so no dfreq)
+        graft.versioned.TableOps.atomicAppend(s, repo, branch, Seq(
+          "dd/docs" -> adDocs,
+          "dd/bands" -> minhashBandRows(adDocs, b, rp)),
+          "dd index admit")
+        return admitted
+      case None => ()
+    }
     // same delta-proportional rule as the screen: the admitted docs'
     // postings rank against dfreq pruned to THEIR vocabulary (broadcast
     // semi — the stored vocab is scanned, never shuffled per admit)
@@ -1034,11 +1193,16 @@ object Dedup {
     */
   def indexCompact(s: org.apache.spark.sql.SparkSession,
       repo: graft.versioned.GraftRepo, branch: String,
-      targetFileBytes: Long = 128L << 20): (Int, Int) =
-    Seq("dd/docs", "dd/postings")
+      targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    // the candidate table depends on the index MODE: postings (ppjoin)
+    // or bands (minhash) — compact whichever the head commit carries
+    val present = repo.headCommit(branch).tables
+    Seq("dd/docs", "dd/postings", "dd/bands")
+      .filter(present.contains)
       .map(k => graft.versioned.TableOps.compact(s, repo, branch, k,
         targetFileBytes))
       .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+  }
 
   /** RETIRE documents from the persisted index (the GDPR-style removal
     * a training-data index needs): ONE atomic commit appends an id
@@ -1074,9 +1238,13 @@ object Dedup {
     val p = Seq[org.apache.spark.sql.sources.Filter](
       org.apache.spark.sql.sources.In("doc_id",
         ids.map(Long.box).toArray[Any]))
+    // tombstone the mode's candidate table alongside docs: postings
+    // (ppjoin) or bands (minhash), whichever the head commit carries
+    val present = repo.headCommit(branch).tables
+    val targets = Seq("dd/docs", "dd/postings", "dd/bands")
+      .filter(present.contains)
     graft.versioned.TableOps.atomicDeleteMoR(repo, branch,
-      Seq("dd/docs" -> p, "dd/postings" -> p),
-      s"dd index retire ${ids.size} docs")
+      targets.map(_ -> p), s"dd index retire ${ids.size} docs")
   }
 
   /** End-to-end gate for the PERSISTED index: build the corpus index in
@@ -1106,17 +1274,18 @@ object Dedup {
   // in two racing threads (leaking a duplicate temp tree until JVM
   // exit) — computeIfAbsent guarantees at-most-once per key
   private val gateIndexTemplate = new java.util.concurrent
-    .ConcurrentHashMap[(String, Long, Long), java.nio.file.Path]()
+    .ConcurrentHashMap[(String, Long, Long, String), java.nio.file.Path]()
 
   /** A fresh catalog + repo holding a COPY of the corpus-index
-    * template. Returns (catalog name, repo). */
+    * template in the given `mode`. Returns (catalog name, repo). */
   private[operators] def copiedCorpusIndex(
-      s: org.apache.spark.sql.SparkSession, d: String)
+      s: org.apache.spark.sql.SparkSession, d: String,
+      mode: String = "ppjoin")
       : (String, graft.versioned.GraftRepo) = {
     val t = 0.9
     val f = java.nio.file.Paths.get(s"$d/documents.parquet")
     val key = (d, java.nio.file.Files.getLastModifiedTime(f).toMillis,
-      java.nio.file.Files.size(f))
+      java.nio.file.Files.size(f), mode)
     val tpl = gateIndexTemplate.computeIfAbsent(key, _ => {
       val cat0 = "gtpl" + java.util.UUID.randomUUID().toString
         .replace("-", "").take(10)
@@ -1130,7 +1299,7 @@ object Dedup {
       val repo0 = graft.versioned.GraftRepo.open(root0.resolve("r"))
       indexInit(s, cat0, repo0,
         "main", T.documents(s, d).select(col("doc_id"), col("text"))
-          .filter((col("doc_id") % 100).between(10, 19)), t)
+          .filter((col("doc_id") % 100).between(10, 19)), t, mode)
       root0
     })
     val cat = "gdd" + java.util.UUID.randomUUID().toString
@@ -1174,7 +1343,61 @@ object Dedup {
       .orderBy(col("surviving_id"))
   }
 
+  /** Gate for the SKETCH-mode persisted index: init (minhash) on the
+    * same corpus slice, atomically admit batch 1, screen batch 2, then
+    * prove both halves of the sketch contract against an engine-side
+    * EXACT screen over the SAME stored state (the docs table after the
+    * admit — so the proof covers exactly what the screen saw):
+    * `no_false_reject` — every rejected doc really has an exact-J ≥ t
+    * partner in the stored corpus (exact-verify wiring; a single
+    * banding false positive surviving verification flips it) — and
+    * `recall_ok` — banding caught ≥ 95% of the docs the exact screen
+    * rejects (a band-scheme regression flips it). Deterministic on
+    * fixed data: the minhash permutations are unseeded.
+    */
+  private def mhPersist(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val t = 0.9
+    val (cat, repo) = copiedCorpusIndex(s, d, "minhash")
+    val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+    indexAdmit(s, cat, repo, "main", docs.filter(col("doc_id") % 100 === 5), t)
+    val batch = docs.filter(col("doc_id") % 100 === 0)
+    val surv = indexScreen(s, cat, "r", "main", batch, t)
+      .localCheckpoint() // feeds the rejected-set anti join
+    // exact truth: brute batch × stored-docs Jaccard. GATE-ONLY shape —
+    // the %100 slices keep both sides ~50 docs; the library screen
+    // above never does this
+    val bws = batch
+      .select(col("doc_id").cast("long").as("doc_id"),
+        wordSet(col("text")).as("ws"))
+      .localCheckpoint() // feeds the brute pass AND the batch-id count
+    val exactRej = bws.as("a")
+      .crossJoin(s.table(s"$cat.r.main.dd.docs")
+        .select(col("doc_id").as("o_id"), col("ws").as("ows")).as("b"))
+      .filter(round(graft.functions.HashExpressions.setJaccardNative(
+        col("ws"), col("ows")), 6) >= t)
+      .select(col("doc_id")).distinct()
+      .localCheckpoint() // feeds the false-reject join AND its count
+    val rejected = bws.select(col("doc_id"))
+      .join(surv.select(col("surviving_id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint() // feeds the subset check AND the recall count
+    val falseRej = rejected.join(exactRej, Seq("doc_id"), "left_anti")
+    bws.agg(count(lit(1)).as("n_batch"))
+      .crossJoin(falseRej.agg((count(lit(1)) === 0).as("no_false_reject")))
+      .crossJoin(rejected.agg(count(lit(1)).as("n_rej")))
+      .crossJoin(exactRej.agg(count(lit(1)).as("n_exact_rej")))
+      .select(col("n_batch"), col("no_false_reject"),
+        (col("n_rej") >= col("n_exact_rej") * 0.95).as("recall_ok"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q(
+      "dd_mh_persist",
+      """SELECT CAST(count(*) AS BIGINT) AS n_batch,
+        |       true AS no_false_reject, true AS recall_ok
+        |FROM documents WHERE doc_id % 100 = 0""".stripMargin
+    )(mhPersist),
     Q(
       "dd_incr_persist",
       """WITH w AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws

@@ -338,4 +338,102 @@ class DedupIncrementalSpec extends AnyFunSuite with Matchers with BeforeAndAfter
       df(Seq((101L, nearDupOf(8L)), (102L, docText(70102L)))), t)
       .collect().map(_.getLong(0)).toSet shouldBe Set(102L)
   }
+
+  test("MINHASH mode: init → screen → atomic admit → batch 2 sees " +
+    "batch 1's admissions; retire unblocks and frees the id; compact " +
+    "materializes the tombstone with screens unchanged") {
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE NAMESPACE gd.mh")
+    spark.sql("CREATE NAMESPACE gd.mh.main.dd")
+    val repo = GraftRepo.open(catRoot.resolve("mh"))
+    val corpus = (0L until 300L).map(i => (i, docText(i)))
+    Dedup.indexInit(spark, "gd", repo, "main", df(corpus), t, "minhash")
+    // self-describing sketch tables: 8 band rows per doc, meta stored
+    spark.table("gd.mh.main.dd.meta").head().getString(0) shouldBe "minhash"
+    spark.sql("SELECT count(*) FROM gd.mh.main.dd.bands")
+      .head().getLong(0) shouldBe 2400L
+
+    def mhScreen(batch: Seq[(Long, String)]) =
+      Dedup.indexScreen(spark, "gd", "mh", "main", df(batch), t)
+        .collect().map(_.getLong(0)).toSet
+
+    // batch 1: one near-dup of corpus doc 5 (rejected), two fresh docs
+    val batch1 = Seq((10001L, nearDupOf(5)),
+      (10002L, docText(90001L)), (10003L, docText(90002L)))
+    mhScreen(batch1) shouldBe Set(10002L, 10003L)
+    val bandsBefore =
+      spark.sql("SELECT count(*) FROM gd.mh.main.dd.bands").head().getLong(0)
+    Dedup.indexAdmit(spark, "gd", repo, "main", df(batch1), t)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(10002L, 10003L)
+    // admitted docs' band rows joined the index atomically: 8 per doc
+    spark.sql("SELECT count(*) FROM gd.mh.main.dd.bands")
+      .head().getLong(0) shouldBe bandsBefore + 16L
+    // batch 2: a near-dup of a BATCH-1 ADMISSION (index-reuse proof),
+    // a near-dup of an ORIGINAL corpus doc, and a fresh doc
+    mhScreen(Seq((20001L, nearDupOf(90001L)), (20002L, nearDupOf(7)),
+      (20003L, docText(90003L)))) shouldBe Set(20003L)
+    // id reuse refuses loudly (same clash guard as PPJoin mode)
+    val e = intercept[IllegalArgumentException](
+      mhScreen(Seq((10002L, docText(99999L)))))
+    e.getMessage should include("10002")
+
+    // retire: one atomic tombstone over docs AND bands; the near-dup
+    // stops blocking, the id frees up, compaction materializes it
+    mhScreen(Seq((30001L, nearDupOf(9L)))) shouldBe empty
+    Dedup.indexRetire(spark, repo, "main", Seq(9L))
+    spark.table("gd.mh.main.dd.bands")
+      .filter(col("doc_id") === 9L).count() shouldBe 0L
+    mhScreen(Seq((30001L, nearDupOf(9L)))) shouldBe Set(30001L)
+    Dedup.indexCompact(spark, repo, "main")
+    graft.versioned.Tombstones.of(repo.snapshot(
+      repo.headCommit("main").tables("dd/bands"))) shouldBe empty
+    mhScreen(Seq((30002L, nearDupOf(9L)), (30003L, docText(70303L)))) shouldBe
+      Set(30002L, 30003L)
+  }
+
+  test("MINHASH-mode indexScreen SHUFFLE volume tracks the DELTA, not " +
+    "the corpus: an 8x corpus screens the same fixed batch at ~1x " +
+    "shuffle-read bytes — the stored bands table is pruned to the " +
+    "delta's (band, bh) keys before any shuffle") {
+    def build(ns: String, n: Long): Unit = {
+      spark.sql(s"CREATE NAMESPACE gd.$ns")
+      spark.sql(s"CREATE NAMESPACE gd.$ns.main.dd")
+      val repo = GraftRepo.open(catRoot.resolve(ns))
+      Dedup.indexInit(spark, "gd", repo, "main",
+        df((0L until n).map(i => (i, docText(i)))), t, "minhash")
+    }
+    build("mhs", 400L)
+    build("mhl", 3200L)
+    val delta = (50000L until 50010L).map(i => (i, docText(i))) :+
+      ((60000L, nearDupOf(3)))
+    def shuffleBytes[A](f: => A): (A, Long) = {
+      val total = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) total.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val got = f
+        org.apache.spark.graftbridge.TestListenerBridge
+          .drain(spark.sparkContext)
+        (got, total.get())
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    def screenBytes(ns: String): (Set[Long], Long) = shuffleBytes {
+      Dedup.indexScreen(spark, "gd", ns, "main", df(delta), t)
+        .collect().map(_.getLong(0)).toSet
+    }
+    val (gotS, bytesS) = screenBytes("mhs")
+    val (gotL, bytesL) = screenBytes("mhl")
+    val fresh = (50000L until 50010L).toSet
+    gotS shouldBe fresh
+    gotL shouldBe fresh
+    withClue(s"small=$bytesS large=$bytesL: ") {
+      bytesL should be <= math.max(3L * bytesS, bytesS + (64L << 10))
+    }
+  }
 }
