@@ -619,6 +619,21 @@ object Versioned {
     s.table(s"$cat.mir.main.db.nation").orderBy(col("n_nationkey"))
   }
 
+  /** Every vc_rest_* gate runs with bearer auth ON: the server starts
+    * requiring this token and every gate request carries it, so the
+    * whole served REST surface is proven to work AUTHENTICATED (the
+    * reject side — missing/wrong token → 401 — is spec-gated in
+    * IcebergRestServerSpec).
+    */
+  private val GateRestToken = "graft-gate-bearer"
+
+  /** A request builder with the gate bearer header attached — the
+    * drop-in for `HttpRequest.newBuilder` every gate request uses.
+    */
+  private def restReq(uri: java.net.URI): java.net.http.HttpRequest.Builder =
+    java.net.http.HttpRequest.newBuilder(uri)
+      .header("Authorization", s"Bearer $GateRestToken")
+
   /** Embedded Iceberg REST catalog ([[graft.versioned.IcebergRestServer]]):
     * the repo serves the public REST protocol on an ephemeral port, a
     * plain JDK HTTP client walks config → loadTable exactly as an
@@ -632,12 +647,13 @@ object Versioned {
     s.sql(s"DELETE FROM $cat.r.main.db.nation WHERE n_nationkey % 5 = 2")
     repo.createTag("v_gate", "main") // served as a read-only tag ref below
     val srv = graft.versioned.IcebergRestServer.start(repo,
-      GateScratch.register(Files.createTempDirectory("graft-rest-gate")), Some(s))
+      GateScratch.register(Files.createTempDirectory("graft-rest-gate")), Some(s),
+      token = Some(GateRestToken))
     val view = "rest" + UUID.randomUUID().toString.replace("-", "").take(10)
     try {
       val ns = java.net.URLEncoder.encode("main\u001Fdb", "UTF-8")
       val resp = java.net.http.HttpClient.newHttpClient().send(
-        java.net.http.HttpRequest.newBuilder(
+        restReq(
           java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
           .GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
@@ -677,14 +693,14 @@ object Versioned {
     val (cat, repo) = setup(s, d)
     val srv = graft.versioned.IcebergRestServer.start(repo,
       GateScratch.register(Files.createTempDirectory("graft-rest-wgate")), Some(s),
-      writable = true)
+      writable = true, token = Some(GateRestToken))
     try {
       val http = java.net.http.HttpClient.newHttpClient()
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val ns = java.net.URLEncoder.encode("maindb", "UTF-8")
       def post(path: String, body: String)
           : com.fasterxml.jackson.databind.JsonNode = {
-        val resp = http.send(java.net.http.HttpRequest.newBuilder(
+        val resp = http.send(restReq(
           java.net.URI.create(s"${srv.uri}$path"))
           .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
           .build(),
@@ -770,12 +786,12 @@ object Versioned {
       s"FROM $cat.r.main.db.nation")
     val srv = graft.versioned.IcebergRestServer.start(repo,
       GateScratch.register(Files.createTempDirectory("graft-rest-owgate")), Some(s),
-      writable = true)
+      writable = true, token = Some(GateRestToken))
     try {
       val http = java.net.http.HttpClient.newHttpClient()
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val ns = java.net.URLEncoder.encode("maindb", "UTF-8")
-      val get = http.send(java.net.http.HttpRequest.newBuilder(
+      val get = http.send(restReq(
         java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
         .GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
@@ -802,7 +818,7 @@ object Versioned {
         loc
       }
       val refSnap = meta0.get("refs").get("main").get("snapshot-id").asLong()
-      val resp = http.send(java.net.http.HttpRequest.newBuilder(
+      val resp = http.send(restReq(
         java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
           s"""{"requirements":[
@@ -849,12 +865,12 @@ object Versioned {
     repo.createTag("prereplace", "main")
     val srv = graft.versioned.IcebergRestServer.start(repo,
       GateScratch.register(Files.createTempDirectory("graft-rest-repgate")), Some(s),
-      writable = true)
+      writable = true, token = Some(GateRestToken))
     try {
       val http = java.net.http.HttpClient.newHttpClient()
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val ns = java.net.URLEncoder.encode("maindb", "UTF-8")
-      val get = http.send(java.net.http.HttpRequest.newBuilder(
+      val get = http.send(restReq(
         java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
         .GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
@@ -867,7 +883,7 @@ object Versioned {
       TableOps.compact(s, repo, "main", "db/rep_stage")
       val listLoc = exportListLoc(repo, s, "db/rep_stage")
       val refSnap = meta0.get("refs").get("main").get("snapshot-id").asLong()
-      val resp = http.send(java.net.http.HttpRequest.newBuilder(
+      val resp = http.send(restReq(
         java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
           s"""{"requirements":[
@@ -910,13 +926,13 @@ object Versioned {
     val (cat, repo) = setup(s, d)
     val srv = graft.versioned.IcebergRestServer.start(repo,
       GateScratch.register(Files.createTempDirectory("graft-rest-rbgate")), Some(s),
-      maxSnapshots = 5, writable = true)
+      maxSnapshots = 5, writable = true, token = Some(GateRestToken))
     try {
       val http = java.net.http.HttpClient.newHttpClient()
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val ns = java.net.URLEncoder.encode("maindb", "UTF-8")
       def load(): com.fasterxml.jackson.databind.JsonNode = {
-        val r = http.send(java.net.http.HttpRequest.newBuilder(
+        val r = http.send(restReq(
           java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
           .GET().build(),
           java.net.http.HttpResponse.BodyHandlers.ofString())
@@ -929,7 +945,7 @@ object Versioned {
       require(meta1.get("current-snapshot-id").asLong() != s1,
         "the delete must have advanced the served snapshot")
       val refSnap = meta1.get("refs").get("main").get("snapshot-id").asLong()
-      val resp = http.send(java.net.http.HttpRequest.newBuilder(
+      val resp = http.send(restReq(
         java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
           s"""{"requirements":[
@@ -957,7 +973,7 @@ object Versioned {
       require(meta2.get("current-snapshot-id").asLong() != s1,
         "the delete must have advanced the served snapshot")
       val refSnap2 = meta2.get("refs").get("main").get("snapshot-id").asLong()
-      val resp2 = http.send(java.net.http.HttpRequest.newBuilder(
+      val resp2 = http.send(restReq(
         java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
           s"""{"requirements":[
@@ -1022,13 +1038,13 @@ object Versioned {
     val (cat, repo) = setup(s, d)
     val srv = graft.versioned.IcebergRestServer.start(repo,
       GateScratch.register(Files.createTempDirectory("graft-rest-evgate")), Some(s),
-      writable = true)
+      writable = true, token = Some(GateRestToken))
     try {
       val http = java.net.http.HttpClient.newHttpClient()
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val ns = java.net.URLEncoder.encode("main\u001Fdb", "UTF-8")
       def post(body: String): Unit = {
-        val resp = http.send(java.net.http.HttpRequest.newBuilder(
+        val resp = http.send(restReq(
           java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
           .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
           .build(),
@@ -1037,7 +1053,7 @@ object Versioned {
           s"commit -> ${resp.statusCode()}: ${resp.body()}")
       }
       def load(): com.fasterxml.jackson.databind.JsonNode = {
-        val r = http.send(java.net.http.HttpRequest.newBuilder(
+        val r = http.send(restReq(
           java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
           .GET().build(),
           java.net.http.HttpResponse.BodyHandlers.ofString())
@@ -1113,14 +1129,14 @@ object Versioned {
     val (cat, repo) = setup(s, d)
     val srv = graft.versioned.IcebergRestServer.start(repo,
       GateScratch.register(Files.createTempDirectory("graft-rest-ctasgate")), Some(s),
-      writable = true)
+      writable = true, token = Some(GateRestToken))
     try {
       val http = java.net.http.HttpClient.newHttpClient()
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val ns = java.net.URLEncoder.encode("main\u001Fdb", "UTF-8")
       def post(path: String, body: String)
           : com.fasterxml.jackson.databind.JsonNode = {
-        val resp = http.send(java.net.http.HttpRequest.newBuilder(
+        val resp = http.send(restReq(
           java.net.URI.create(s"${srv.uri}$path"))
           .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
           .build(),
@@ -1181,12 +1197,12 @@ object Versioned {
     val (cat, repo) = setup(s, d)
     val srv = graft.versioned.IcebergRestServer.start(repo,
       GateScratch.register(Files.createTempDirectory("graft-rest-morgate")), Some(s),
-      writable = true)
+      writable = true, token = Some(GateRestToken))
     try {
       val http = java.net.http.HttpClient.newHttpClient()
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val ns = java.net.URLEncoder.encode("main\u001Fdb", "UTF-8")
-      val get = http.send(java.net.http.HttpRequest.newBuilder(
+      val get = http.send(restReq(
         java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
         .GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
@@ -1211,7 +1227,7 @@ object Versioned {
       Files.createDirectories(stage)
       val listLoc = exportListLoc(repo, s, "db/mor_stage", Some(stage))
       val refSnap = meta0.get("refs").get("main").get("snapshot-id").asLong()
-      val resp = http.send(java.net.http.HttpRequest.newBuilder(
+      val resp = http.send(restReq(
         java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
           s"""{"requirements":[
@@ -1251,12 +1267,12 @@ object Versioned {
     val (cat, repo) = setup(s, d)
     val srv = graft.versioned.IcebergRestServer.start(repo,
       GateScratch.register(Files.createTempDirectory("graft-rest-pdgate")), Some(s),
-      writable = true)
+      writable = true, token = Some(GateRestToken))
     try {
       val http = java.net.http.HttpClient.newHttpClient()
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val ns = java.net.URLEncoder.encode("maindb", "UTF-8")
-      val get = http.send(java.net.http.HttpRequest.newBuilder(
+      val get = http.send(restReq(
         java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
         .GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
@@ -1276,7 +1292,7 @@ object Versioned {
       Files.createDirectories(stage)
       val listLoc = exportListLoc(repo, s, "db/posdel_stage", Some(stage))
       val refSnap = meta0.get("refs").get("main").get("snapshot-id").asLong()
-      val resp = http.send(java.net.http.HttpRequest.newBuilder(
+      val resp = http.send(restReq(
         java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
           s"""{"requirements":[
@@ -1358,7 +1374,7 @@ object Versioned {
     val (cat, repo) = setup(s, d)
     val srv = graft.versioned.IcebergRestServer.start(repo,
       GateScratch.register(Files.createTempDirectory("graft-rest-txngate")), Some(s),
-      writable = true)
+      writable = true, token = Some(GateRestToken))
     try {
       val http = java.net.http.HttpClient.newHttpClient()
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -1367,7 +1383,7 @@ object Versioned {
       s.sql(s"CALL $cat.system.clone_table('r', 'main', " +
         "'db.nation', 'db.dim')")
       def loadMeta(t: String): com.fasterxml.jackson.databind.JsonNode = {
-        val get = http.send(java.net.http.HttpRequest.newBuilder(
+        val get = http.send(restReq(
           java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/$t"))
           .GET().build(),
           java.net.http.HttpResponse.BodyHandlers.ofString())
@@ -1455,7 +1471,7 @@ object Versioned {
       s.sql(s"CREATE TABLE $cat.r.main.db.sidecar_stage (id INT, v STRING)")
       s.sql(s"INSERT INTO $cat.r.main.db.sidecar_stage VALUES (1, 'SIDE')")
       val listSc = exportListLoc(repo, s, "db/sidecar_stage")
-      val stageResp = http.send(java.net.http.HttpRequest.newBuilder(
+      val stageResp = http.send(restReq(
         java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables"))
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
           """{"name":"sidecar","stage-create":true,"schema":{
@@ -1558,7 +1574,7 @@ object Versioned {
         |${rewriteChange("pos", 9806L, listPos, "delete")},
         |$createMember]}"""
         .stripMargin.replaceAll("\n", "")
-      val resp = http.send(java.net.http.HttpRequest.newBuilder(
+      val resp = http.send(restReq(
         java.net.URI.create(s"${srv.uri}/v1/transactions/commit"))
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
         .build(),
@@ -1616,7 +1632,7 @@ object Versioned {
     val (cat, repo) = setup(s, d)
     val srv = graft.versioned.IcebergRestServer.start(repo,
       GateScratch.register(Files.createTempDirectory("graft-rest-reggate")), Some(s),
-      writable = true)
+      writable = true, token = Some(GateRestToken))
     try {
       val http = java.net.http.HttpClient.newHttpClient()
       val ns = java.net.URLEncoder.encode("maindb", "UTF-8")
@@ -1631,7 +1647,7 @@ object Versioned {
       val metaP = graft.versioned.IcebergExport.export(repo, "main",
         "db/reg_src", GateScratch.register(Files.createTempDirectory("graft-reg-gate-export")),
         Some(s), 1, 1, 0)
-      val resp = http.send(java.net.http.HttpRequest.newBuilder(
+      val resp = http.send(restReq(
         java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/register"))
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
           s"""{"name":"reg_t","metadata-location":"$metaP"}"""))
@@ -1658,14 +1674,14 @@ object Versioned {
     val (cat, repo) = setup(s, d)
     val srv = graft.versioned.IcebergRestServer.start(repo,
       GateScratch.register(Files.createTempDirectory("graft-rest-pegate")), Some(s),
-      writable = true)
+      writable = true, token = Some(GateRestToken))
     try {
       val http = java.net.http.HttpClient.newHttpClient()
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val ns = java.net.URLEncoder.encode("main\u001Fdb", "UTF-8")
       def post(path: String, body: String)
           : com.fasterxml.jackson.databind.JsonNode = {
-        val resp = http.send(java.net.http.HttpRequest.newBuilder(
+        val resp = http.send(restReq(
           java.net.URI.create(s"${srv.uri}$path"))
           .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
           .build(),
@@ -1701,7 +1717,7 @@ object Versioned {
       s.sql(s"INSERT INTO $cat.r.main.db.pe_stage " +
         s"SELECT n_nationkey, n_name, n_regionkey FROM $cat.r.main.db.nation")
       val listLoc = exportListLoc(repo, s, "db/pe_stage")
-      val get = http.send(java.net.http.HttpRequest.newBuilder(
+      val get = http.send(restReq(
         java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/wpart"))
         .GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
@@ -1737,12 +1753,12 @@ object Versioned {
     val (cat, repo) = setup(s, d)
     val srv = graft.versioned.IcebergRestServer.start(repo,
       GateScratch.register(Files.createTempDirectory("graft-rest-viewgate")), Some(s),
-      writable = true)
+      writable = true, token = Some(GateRestToken))
     try {
       val http = java.net.http.HttpClient.newHttpClient()
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val ns = java.net.URLEncoder.encode("maindb", "UTF-8")
-      val resp = http.send(java.net.http.HttpRequest.newBuilder(
+      val resp = http.send(restReq(
         java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/views"))
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
           """{"name":"rv","schema":{"type":"struct","schema-id":0,"fields":[
@@ -1760,7 +1776,7 @@ object Versioned {
       require(resp.statusCode() == 200,
         s"create view -> ${resp.statusCode()}: ${resp.body()}")
       // load back: the representation round-trips verbatim
-      val get = http.send(java.net.http.HttpRequest.newBuilder(
+      val get = http.send(restReq(
         java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/views/rv"))
         .GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())

@@ -151,7 +151,7 @@ import org.apache.spark.sql.functions.col
 final class IcebergRestServer private (single: Option[GraftRepo],
     reposRoot: Option[Path], exportRoot: Path, spark: Option[SparkSession],
     maxSnapshots: Int, formatVersion: Int, writable: Boolean,
-    server: HttpServer) {
+    token: Option[String], server: HttpServer) {
 
   def port: Int = server.getAddress.getPort
 
@@ -221,6 +221,28 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           case _ => (None, tail)
         }
         case _ => (None, segs)
+      }
+      // Bearer auth (opt-in via the `token` start option): every route
+      // except `GET /v1/config` requires `Authorization: Bearer <token>`
+      // — the config endpoint stays open so a client can discover the
+      // catalog's capabilities (and that it must authenticate) before
+      // presenting credentials. Constant-time compare: the token check
+      // must not leak a prefix-length oracle through response timing.
+      val authOk = token.forall { tok =>
+        (method == "GET" && route == Seq("config")) ||
+          Option(ex.getRequestHeaders.getFirst("Authorization")).exists { h =>
+            val t = h.trim
+            t.length > 7 && t.substring(0, 7).equalsIgnoreCase("Bearer ") &&
+              java.security.MessageDigest.isEqual(
+                t.substring(7).trim
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+      }
+      if (!authOk) {
+        replyError(ex, 401, "NotAuthorizedException",
+          "missing or invalid bearer token")
+        return
       }
       (method, route) match {
         case ("GET", Seq("config")) =>
@@ -3526,9 +3548,10 @@ object IcebergRestServer {
   def start(repo: GraftRepo, exportRoot: Path,
       spark: Option[SparkSession] = None, port: Int = 0,
       maxSnapshots: Int = 1, formatVersion: Int = 0,
-      writable: Boolean = false): IcebergRestServer =
+      writable: Boolean = false,
+      token: Option[String] = None): IcebergRestServer =
     boot(Some(repo), None, exportRoot, spark, port, maxSnapshots,
-      formatVersion, writable)
+      formatVersion, writable, token)
 
   /** Start serving EVERY repo under `reposRoot` (a graft catalog root:
     * each child dir with a `refs/` dir is a repo), routed by the spec's
@@ -3540,18 +3563,19 @@ object IcebergRestServer {
   def startWarehouse(reposRoot: Path, exportRoot: Path,
       spark: Option[SparkSession] = None, port: Int = 0,
       maxSnapshots: Int = 1, formatVersion: Int = 0,
-      writable: Boolean = false): IcebergRestServer =
+      writable: Boolean = false,
+      token: Option[String] = None): IcebergRestServer =
     boot(None, Some(reposRoot), exportRoot, spark, port, maxSnapshots,
-      formatVersion, writable)
+      formatVersion, writable, token)
 
   private def boot(single: Option[GraftRepo], reposRoot: Option[Path],
       exportRoot: Path, spark: Option[SparkSession], port: Int,
       maxSnapshots: Int, formatVersion: Int,
-      writable: Boolean): IcebergRestServer = {
+      writable: Boolean, token: Option[String]): IcebergRestServer = {
     Files.createDirectories(exportRoot)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     val srv = new IcebergRestServer(single, reposRoot, exportRoot, spark,
-      maxSnapshots, formatVersion, writable, server)
+      maxSnapshots, formatVersion, writable, token, server)
     server.createContext("/", (ex: HttpExchange) => srv.handle(ex))
     server.setExecutor(Executors.newFixedThreadPool(4, r => {
       val t = new Thread(r, "graft-rest-catalog"); t.setDaemon(true); t

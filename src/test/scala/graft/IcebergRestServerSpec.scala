@@ -4640,4 +4640,64 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
         ._1 shouldBe 409
     } finally srv.close()
   }
+
+  test("bearer auth (opt-in token): config stays open, every other " +
+    "route 401s a missing/wrong token with a spec ErrorResponse, the " +
+    "right token serves normally, and auth precedes the read-only check") {
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rest")
+    def sendTo(srv: IcebergRestServer, method: String, path: String,
+        tok: Option[String], body: String = ""): (Int, JsonNode) = {
+      val b = HttpRequest.newBuilder(URI.create(s"${srv.uri}$path"))
+        .method(method, HttpRequest.BodyPublishers.ofString(body))
+      tok.foreach(t => b.header("Authorization", s"Bearer $t"))
+      val r = http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(),
+        if (r.body().nonEmpty) mapper.readTree(r.body())
+        else mapper.createObjectNode())
+    }
+    val ro = IcebergRestServer.start(GraftRepo.open(root),
+      Files.createTempDirectory("graft-rest-auth"), Some(spark),
+      token = Some("s3cret"))
+    try {
+      // capability discovery needs no credentials
+      sendTo(ro, "GET", "/v1/config", None)._1 shouldBe 200
+      // everything else refuses missing AND wrong tokens, spec-shaped
+      val (c1, e1) = sendTo(ro, "GET", "/v1/namespaces", None)
+      c1 shouldBe 401
+      e1.get("error").get("type").asText() shouldBe "NotAuthorizedException"
+      e1.get("error").get("code").asInt() shouldBe 401
+      sendTo(ro, "GET", "/v1/namespaces", Some("wrong"))._1 shouldBe 401
+      sendTo(ro, "GET",
+        s"/v1/namespaces/${enc("main", "db")}/tables/t", Some("s3cre"))
+        ._1 shouldBe 401
+      // the right token serves normally
+      sendTo(ro, "GET", "/v1/namespaces", Some("s3cret"))._1 shouldBe 200
+      sendTo(ro, "GET",
+        s"/v1/namespaces/${enc("main", "db")}/tables/t", Some("s3cret"))
+        ._1 shouldBe 200
+      // auth runs BEFORE the read-only refusal: an unauthenticated
+      // write is 401 (not 405), an authenticated one 405 (read-only)
+      sendTo(ro, "POST", "/v1/namespaces",
+        None, """{"namespace":["x"]}""")._1 shouldBe 401
+      sendTo(ro, "POST", "/v1/namespaces",
+        Some("s3cret"), """{"namespace":["x"]}""")._1 shouldBe 405
+    } finally ro.close()
+    // a WRITABLE authed server: the same write 401s without the token
+    // and lands with it
+    val rw = IcebergRestServer.start(GraftRepo.open(root),
+      Files.createTempDirectory("graft-rest-auth-rw"), Some(spark),
+      writable = true, token = Some("s3cret"))
+    try {
+      sendTo(rw, "POST", "/v1/namespaces",
+        None, """{"namespace":["authbr"],"properties":{"from":"main"}}""")
+        ._1 shouldBe 401
+      sendTo(rw, "POST", "/v1/namespaces",
+        Some("s3cret"),
+        """{"namespace":["authbr"],"properties":{"from":"main"}}""")
+        ._1 shouldBe 200
+      sendTo(rw, "GET", s"/v1/namespaces/${enc("authbr")}", Some("s3cret"))
+        ._1 shouldBe 200
+    } finally rw.close()
+  }
 }
