@@ -730,7 +730,10 @@ object Similarity {
     s.sql(s"CREATE TABLE ${annPre(cat, r, branch)}.codebook " +
       "(j INT, code INT, cb ARRAY<DOUBLE>)")
     s.sql(s"CREATE TABLE ${annPre(cat, r, branch)}.meta " +
-      "(m INT, ks INT, dim_per INT, coarse_k INT, max_model_k INT)")
+      "(m INT, ks INT, dim_per INT, coarse_k INT, max_model_k INT, " +
+      "drift_ref DOUBLE)")
+    s.sql(s"CREATE TABLE ${annPre(cat, r, branch)}.drift " +
+      "(n_rows BIGINT, n_below BIGINT, frac_below DOUBLE)")
     s.sql(s"CREATE TABLE ${annPre(cat, r, branch)}.vectors " +
       "(vec_id BIGINT, nv ARRAY<DOUBLE>, nn DOUBLE, cell BIGINT, " +
       "codes ARRAY<INT>) PARTITIONED BY (cell)")
@@ -747,6 +750,48 @@ object Similarity {
       // instead of (tasks × cells) shards — a probe then opens exactly
       // its nprobe cells' files
       .repartition(col("cell"))
+    graft.versioned.TableOps.atomicAppend(s, repo, branch,
+      shapeModelTables(s, index, centsDf, coarse, m, ks, dimPer) ++ Seq(
+        "ann/codebook" ->
+          s.createDataFrame(codebook).toDF("j", "code", "cb").coalesce(1),
+        "ann/vectors" -> vectors), "ann index init")
+  }
+
+  /** Per-row top-1 cosine against a driver-sized `(cell, cv)` model —
+    * the homing-quality measure behind the drift guard (the coarse
+    * router in distributed mode, the fine model in driver mode; both
+    * bounded by the build-time clamp, so the broadcast is a model
+    * parameter).
+    */
+  private def top1ModelSim(rows: DataFrame, model: DataFrame): DataFrame =
+    rows.select(col("vec_id"), col("u"))
+      .join(broadcast(model.select(col("cv"))), lit(true))
+      .groupBy(col("vec_id"))
+      .agg(max(dot(col("u"), col("cv"))).as("top1"))
+
+  /** One drift-log row from a batch's top-1 similarities: the count and
+    * fraction homing WORSE than the model's init/retrain-time 5th
+    * percentile (`ref`). A healthy batch sits near 0.05; a distribution
+    * shift pushes it toward 1.
+    */
+  private def driftRow(top1: DataFrame, ref: Double): DataFrame =
+    top1.agg(count(lit(1)).as("n_rows"),
+      count(when(col("top1") < ref, 1)).as("n_below"))
+      .select(col("n_rows"), col("n_below"),
+        when(col("n_rows") === 0, lit(0.0))
+          .otherwise(col("n_below").cast("double") / col("n_rows"))
+          .as("frac_below"))
+
+  /** The model-describing table contents init and retrain share: homed
+    * centroids, the coarse router, self-describing meta — including a
+    * freshly measured `drift_ref` (the 5th percentile of the corpus's
+    * top-1 router similarity, the baseline every later append's drift
+    * row compares against) — and the drift log's seed row.
+    */
+  private def shapeModelTables(s: SparkSession, index: DataFrame,
+      centsDf: DataFrame, coarse: Seq[(Long, Seq[Double])],
+      m: Int, ks: Int, dimPer: Int): Seq[(String, DataFrame)] = {
+    import s.implicits._
     // centroids stored WITH their router homing, so probe/append never
     // re-pay the k×kc homing pass; driver mode stamps −1
     val storedCents =
@@ -754,19 +799,59 @@ object Similarity {
       else homeCentroids(s, centsDf, coarse)
         .select(col("cell"), col("cv"), col("ccell"))
         .coalesce(8) // k rows of doubles — small files, not driver data
+    val routerModel =
+      if (coarse.isEmpty) centsDf
+      else s.createDataFrame(coarse).toDF("cell", "cv")
+    val top1 = top1ModelSim(
+      index.withColumn("u", expr("transform(nv, x -> x / nn)")), routerModel)
+      .localCheckpoint() // feeds the percentile AND the seed row
+    val driftRef = top1
+      .agg(percentile_approx(col("top1"), lit(0.05), lit(10000)))
+      .head().getDouble(0)
     // max_model_k = the clamp the model was BUILT under: serve-time
     // collects validate against THIS, not the probing session's conf
     val metaDf = s.createDataFrame(
-      Seq((m, ks, dimPer, coarse.size, maxModelK(s))))
-      .toDF("m", "ks", "dim_per", "coarse_k", "max_model_k")
-    graft.versioned.TableOps.atomicAppend(s, repo, branch, Seq(
+      Seq((m, ks, dimPer, coarse.size, maxModelK(s), driftRef)))
+      .toDF("m", "ks", "dim_per", "coarse_k", "max_model_k", "drift_ref")
+    Seq(
       "ann/centroids" -> storedCents,
       "ann/coarse" ->
         s.createDataFrame(coarse).toDF("cell", "cv").coalesce(1),
-      "ann/codebook" ->
-        s.createDataFrame(codebook).toDF("j", "code", "cb").coalesce(1),
       "ann/meta" -> metaDf.coalesce(1),
-      "ann/vectors" -> vectors), "ann index init")
+      "ann/drift" -> driftRow(top1, driftRef).coalesce(1))
+  }
+
+  /** RETRAIN the fine quantizer (and router) on the index's CURRENT
+    * live contents — the drift guard's remedy: appends encode under the
+    * stored model forever, so after heavy accretion the coarse homing
+    * degrades silently (the drift log makes it visible; this makes it
+    * right). The stored PQ codebook and every stored CODE are KEPT —
+    * codes depend only on the codebook, never on cell assignment — so
+    * nothing is re-encoded: the cost is the Lloyd rounds plus one
+    * clustered rewrite of the vectors table. Published as ONE atomic
+    * multi-table replace (readers flip models all-or-nothing; the prior
+    * model stays time-travelable), with `drift_ref` re-baselined and
+    * the drift log re-seeded. Reading the live rows also materializes
+    * any pending retire tombstones into the rewritten table.
+    */
+  def annIndexRetrain(s: SparkSession, cat: String,
+      repo: graft.versioned.GraftRepo, branch: String, k: Int = 0): Unit = {
+    val r = repo.root.getFileName.toString
+    val pre = annPre(cat, r, branch)
+    val meta = annMeta(s, pre)
+    val stored = s.table(s"$pre.vectors")
+      .select(col("vec_id"), col("nv"), col("codes"))
+      .localCheckpoint() // feeds the trainer AND the codes re-join
+    val (idx, centsDf, coarse) = kmeansIndexAuto(s,
+      stored.select(col("vec_id"), col("nv")), k, 2)
+    val index = idx.localCheckpoint() // feeds the store AND the drift ref
+    val vectors = index
+      .join(stored.select(col("vec_id"), col("codes")), Seq("vec_id"))
+      .select(col("vec_id"), col("nv"), col("nn"), col("cell"), col("codes"))
+      .repartition(col("cell")) // same one-file-per-cell clustering as init
+    graft.versioned.TableOps.atomicReplace(s, repo, branch,
+      shapeModelTables(s, index, centsDf, coarse, meta.m, meta.ks,
+        meta.dimPer) :+ ("ann/vectors" -> vectors), "ann index retrain")
   }
 
   /** Stored encode parameters. Falls back to inferring m/ks/dimPer from
@@ -774,21 +859,24 @@ object Similarity {
     * existed (coarse_k 0 = driver mode).
     */
   private case class AnnMeta(m: Int, ks: Int, dimPer: Int, coarseK: Int,
-      maxModelK: Int)
+      maxModelK: Int, driftRef: Double)
   private def annMeta(s: SparkSession, pre: String): AnnMeta = {
     val fromMeta = scala.util.Try {
       val t = s.table(s"$pre.meta")
       val r = t.head()
-      // indexes created before max_model_k existed fall back to the
-      // session's clamp (the pre-r18 behavior)
+      // indexes created before max_model_k / drift_ref existed fall
+      // back to the session's clamp / NaN (drift logging skipped)
       val mk = if (t.columns.contains("max_model_k"))
         r.getInt(r.fieldIndex("max_model_k")) else maxModelK(s)
-      AnnMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), mk)
+      val dr = if (t.columns.contains("drift_ref"))
+        r.getDouble(r.fieldIndex("drift_ref")) else Double.NaN
+      AnnMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), mk, dr)
     }.toOption
     fromMeta.getOrElse {
       val cb = s.table(s"$pre.codebook")
         .agg(max(col("j")), max(col("code")), first(size(col("cb")))).head()
-      AnnMeta(cb.getInt(0) + 1, cb.getInt(1) + 1, cb.getInt(2), 0, maxModelK(s))
+      AnnMeta(cb.getInt(0) + 1, cb.getInt(1) + 1, cb.getInt(2), 0,
+        maxModelK(s), Double.NaN)
     }
   }
 
@@ -857,27 +945,30 @@ object Similarity {
     // driver-sized models broadcast (the original shape); distributed
     // models route through the stored coarse table + homed centroids —
     // the fine model never reaches the driver
-    val assigned = (if (meta.coarseK == 0) {
+    val (assigned0, driftModel) = if (meta.coarseK == 0) {
       val centroids = collectCentroids(
         s.table(s"$pre.centroids").select(col("cell"), col("cv")),
         meta.maxModelK)
       val centroidDf = s.createDataFrame(centroids).toDF("cell", "cv")
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("sim").desc, col("cell"))
-      deltaVecs
+      (deltaVecs
         .join(broadcast(centroidDf), lit(true)) // k-row model, not corpus
         .select(col("vec_id"), col("u"), col("nv"), col("nn"), col("cell"),
           dot(col("u"), col("cv")).as("sim"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .drop("rn", "sim")
+        .drop("rn", "sim"), centroidDf)
     } else {
       val homed = s.table(s"$pre.centroids")
         .select(col("ccell"), col("cell"), col("cv"))
-      assignByHomed(s, deltaVecs, homed, annCoarse(s, pre, meta.maxModelK),
-          probes = 4)
-        .select(col("vec_id"), col("u"), col("nv"), col("nn"), col("cell"))
-    }).localCheckpoint() // feeds sub AND the final projection
+      val coarseModel = annCoarse(s, pre, meta.maxModelK)
+      (assignByHomed(s, deltaVecs, homed, coarseModel, probes = 4)
+        .select(col("vec_id"), col("u"), col("nv"), col("nn"), col("cell")),
+        s.createDataFrame(coarseModel).toDF("cell", "cv"))
+    }
+    val assigned =
+      assigned0.localCheckpoint() // feeds sub AND the final projection
     val sub = pqSubvectors(assigned, "vec_id", m, dimPer)
     val rows = assigned
       .join(pqCodes(sub, codebook, "vec_id", m, ks, dimPer), Seq("vec_id"))
@@ -886,8 +977,19 @@ object Similarity {
       // append (accreted files bin-pack away via the generic
       // TableOps.compact, exactly like the dedup index's indexCompact)
       .repartition(col("cell"))
+    // drift guard: ONE model-broadcast aggregate per append — the
+    // fraction of the delta whose top-1 router similarity falls below
+    // the init/retrain-time 5th percentile (meta.drift_ref). Logged in
+    // the SAME commit as the vectors; read it via `ann/drift`, act on
+    // a sustained rise via [[annIndexRetrain]]. Indexes from before the
+    // drift tables existed skip the logging (NaN ref / missing table).
+    val driftLog =
+      if (meta.driftRef.isNaN ||
+        !repo.headCommit(branch).tables.contains("ann/drift")) Nil
+      else Seq("ann/drift" -> driftRow(
+        top1ModelSim(deltaVecs, driftModel), meta.driftRef).coalesce(1))
     graft.versioned.TableOps.atomicAppend(s, repo, branch,
-      Seq("ann/vectors" -> rows), "ann index append")
+      Seq("ann/vectors" -> rows) ++ driftLog, "ann index append")
   }
 
   /** Maintenance for the persisted index: bin-pack `ann/vectors` (each

@@ -1585,6 +1585,54 @@ object TableOps {
     }
   }
 
+  /** Multi-table ATOMIC REPLACE: stage full NEW contents for several
+    * tables, publish them all in ONE commit — [[atomicAppend]]'s
+    * sibling for rebuild operations (e.g. an ANN index retrain), where
+    * each table's next snapshot carries ONLY the newly staged files.
+    * Schema and partitioning are preserved; merge-on-read tombstones
+    * retire (nothing they referenced survives the rewrite); the seq
+    * counter still advances monotonically so incremental consumers
+    * order correctly. Prior contents stay time-travelable.
+    */
+  def atomicReplace(spark: SparkSession, repo: GraftRepo, branch: String,
+      tables: Seq[(String, DataFrame)], message: String = ""): Unit = {
+    val staged = tables.map { case (key, df) =>
+      val head = repo.headCommit(branch).tables.get(key).map(repo.snapshot)
+        .getOrElse(throw new NoSuchElementException(
+          s"no such table: $key (atomicReplace rewrites existing " +
+            "tables; CREATE it first)"))
+      val names = DataType.fromJson(head.schemaJson)
+        .asInstanceOf[StructType].fieldNames.toIndexedSeq
+      require(df.columns.toSet == names.toSet,
+        s"atomicReplace column mismatch for $key: " +
+          s"expected ${names.mkString(",")}, got ${df.columns.mkString(",")}")
+      val aligned = df.select(names.map(col): _*)
+      key -> writeFiles(spark, repo, aligned, key, head.partitionFields,
+        head.nameMapping,
+        bloomCols = Blooms.physCols(head, toPhysical(
+          DataType.fromJson(head.schemaJson).asInstanceOf[StructType],
+          head.nameMapping)),
+        bloomItems = Blooms.items(head))
+    }
+    val msg = if (message.nonEmpty) message
+      else s"atomic replace ${tables.map(_._1).mkString(", ")}"
+    repo.commitRetry(branch, msg) { base =>
+      val updated = staged.foldLeft(base.tables) { case (acc, (key, newFiles)) =>
+        val prior = acc.get(key).map(repo.snapshot).getOrElse(
+          throw new NoSuchElementException(s"no such table: $key"))
+        val (next, props0) = bumpSeq(prior)
+        // tombstones retire with the files they applied to
+        val props = props0 - Tombstones.TombProp
+        val snap = repo.writeSnapshot(key, prior.schemaJson,
+          newFiles.map(_.copy(seq = Some(next))),
+          prior.partitionBy, prior.physicalNames,
+          Some(props), prior.retired)
+        acc + (key -> snap.id)
+      }
+      (updated, base.namespaces)
+    }
+  }
+
   /** CDC change feed: the NET row-level changes of one table between two
     * refs, as `_change_type` ∈ insert/delete rows (an update = delete of
     * the old version + insert of the new — Iceberg's changelog contract).

@@ -632,6 +632,99 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     }
   }
 
+  test("ANN drift guard + retrain: every append logs one router-homing " +
+    "drift row atomically; a skewed append shows up as a high " +
+    "frac_below; annIndexRetrain re-trains centroids on the live rows " +
+    "KEEPING every stored PQ code, re-baselines drift_ref, and recall " +
+    "over the mixed corpus holds") {
+    import org.apache.spark.sql.functions._
+    def vecA(i: Long): Seq[Double] = // the init distribution
+      (0 until 64).map(j => math.sin(i * 64.0 + j)).toSeq
+    def vecB(i: Long): Seq[Double] = // the SHIFTED distribution
+      (0 until 64).map(j => math.cos(i * 64.0 + j) + 2.0).toSeq
+    def emb(rows: Seq[(Long, Seq[Double])]) =
+      spark.createDataFrame(rows).toDF("vec_id", "nv")
+    val key = "spark.graft.kmeans.maxModelK"
+    spark.conf.set(key, "8") // router (distributed) mode end to end
+    val cat = "ganndrift"
+    val root = java.nio.file.Files.createTempDirectory(s"graft-$cat")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+    try {
+      spark.sql(s"CREATE NAMESPACE $cat.r")
+      spark.sql(s"CREATE NAMESPACE $cat.r.main.ann")
+      val repo = graft.versioned.GraftRepo.open(root.resolve("r"))
+      val corpusIds = (0L until 900L)
+      operators.Similarity.annIndexInit(spark, cat, repo, "main",
+        emb(corpusIds.map(i => (i, vecA(i)))))
+      // the drift log seeds with the init row: frac_below ≈ p05 by
+      // construction of the reference
+      val seed = spark.table(s"$cat.r.main.ann.drift").collect()
+      seed.length shouldBe 1
+      seed.head.getDouble(2) should be <= 0.2
+      val driftRef = spark.table(s"$cat.r.main.ann.meta")
+        .select("drift_ref").head().getDouble(0)
+      driftRef.isNaN shouldBe false
+
+      // an IN-distribution append homes fine; the SKEWED one does not —
+      // and each logs exactly one row in the same commit as its vectors
+      operators.Similarity.annIndexAppend(spark, cat, repo, "main",
+        emb((2000L until 2100L).map(i => (i, vecA(i)))))
+      operators.Similarity.annIndexAppend(spark, cat, repo, "main",
+        emb((3000L until 3300L).map(i => (i, vecB(i)))))
+      val log = spark.table(s"$cat.r.main.ann.drift").collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+      log.length shouldBe 3
+      val inDist = log.find(_._1 == 100L).get._2
+      val skewed = log.find(_._1 == 300L).get._2
+      inDist should be <= 0.3
+      skewed should be >= 0.6 // the guard actually fires on real skew
+
+      // RETRAIN: centroids/router re-fit on the live mixed corpus,
+      // every stored code KEPT bit-identically, drift re-baselined
+      val codesBefore = spark.table(s"$cat.r.main.ann.vectors")
+        .select(col("vec_id"), col("codes")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      operators.Similarity.annIndexRetrain(spark, cat, repo, "main")
+      val after = spark.table(s"$cat.r.main.ann.vectors")
+        .select(col("vec_id"), col("codes")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      after.keySet shouldBe codesBefore.keySet
+      after.foreach { case (id, cs) => cs shouldBe codesBefore(id) }
+      spark.table(s"$cat.r.main.ann.drift").count() shouldBe 1L
+      spark.table(s"$cat.r.main.ann.coarse").count() should be > 0L
+
+      // recall over the MIXED corpus through the retrained router: the
+      // queries draw from BOTH distributions
+      val allRows = corpusIds.map(i => (i, vecA(i))) ++
+        (2000L until 2100L).map(i => (i, vecA(i))) ++
+        (3000L until 3300L).map(i => (i, vecB(i)))
+      val byId = allRows.toMap
+      val qids = allRows.map(_._1).filter(i => i % 97 == 0)
+      val qs = emb(qids.map(i => (i, byId(i))))
+        .select(col("vec_id").as("query_id"), col("nv").as("qv"))
+        .withColumn("qn", graft.functions.TextVec.l2norm(col("qv")))
+      val hits = operators.Similarity.annIndexProbe(spark, cat, "r", "main",
+        qs, nprobe = 8, rerank = 50)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        dot / (math.sqrt(a.map(x => x * x).sum) *
+          math.sqrt(b.map(x => x * x).sum))
+      }
+      val exact = qids.flatMap { q =>
+        allRows.filter(_._1 != q)
+          .map { case (n, v) => (n, cos(byId(q), v)) }
+          .sortBy { case (n, c) => (-c, n) }
+          .take(10).map { case (n, _) => (q, n) }
+      }.toSet
+      val recall = hits.intersect(exact).size.toDouble / exact.size
+      recall should be >= 0.4
+    } finally spark.conf.unset(key)
+  }
+
   test("annIndexRetire: a retired vector never surfaces as a neighbor " +
     "(tombstone-aware probe), its id becomes appendable again, and " +
     "compaction materializes the removal with probes unchanged") {
