@@ -217,7 +217,7 @@ object Bench {
       .filter { case (_, dt, _, c, a, d, da) => dt > 0.8 && rowDrifted(c, a, d, da) }
       .sortBy(-_._2).take(retryMax).map(_._1).toSet
     val retriedPairs = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
-    val results = firstPass.map { case row @ (n, dt, _, _, _, _, _) =>
+    val results = firstPass.map { case row @ (n, dt, _, c, a, d, da) =>
       if (!toRetry(n)) row
       else {
         waitQuiet(120)
@@ -228,8 +228,21 @@ object Bench {
         val calibAfter2 = calibrate()
         val diskAfter2 = diskProbe()
         retriedPairs(n) = (dt, dt2)
-        if (dt2 < dt) (n, dt2, load2, calib2, calibAfter2, disk2, diskAfter2)
-        else row // retry ran under worse conditions — keep the original
+        // keep the sample whose MARKERS are quieter, not the faster one
+        // (min-of-two on committed rows is plain selection bias when the
+        // drift flag was a false positive): a marker-clean retry always
+        // replaces the drift-flagged original; if the retry drifted too,
+        // the lower combined calib+disk noise wins, original on ties
+        val retryRow = (n, dt2, load2, calib2, calibAfter2, disk2, diskAfter2)
+        if (!rowDrifted(calib2, calibAfter2, disk2, diskAfter2)) retryRow
+        else {
+          def noise(c1: Double, a1: Double, d1: Double, da1: Double) =
+            math.max(c1, a1) / minCalib0 +
+              math.max(d1, da1) / math.max(minDisk0, 1e-9)
+          if (noise(calib2, calibAfter2, disk2, diskAfter2) <
+            noise(c, a, d, da)) retryRow
+          else row
+        }
       }
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

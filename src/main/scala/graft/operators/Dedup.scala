@@ -1245,6 +1245,30 @@ object Dedup {
       .filter(present.contains)
     graft.versioned.TableOps.atomicDeleteMoR(repo, branch,
       targets.map(_ -> p), s"dd index retire ${ids.size} docs")
+    warnTombstoneBytes(s, repo, branch, targets, "Dedup.indexCompact")
+  }
+
+  /** Repeated bounded retires COMPOUND: each one appends an id-list
+    * tombstone to snapshot properties, and every later commit
+    * re-carries the JSON until compaction materializes the deletes.
+    * Warn past `spark.graft.retire.tombstoneWarnBytes` (default 256
+    * KiB) so the hot commit path never silently drags megabytes of
+    * retire predicates.
+    */
+  private[operators] def warnTombstoneBytes(
+      s: org.apache.spark.sql.SparkSession,
+      repo: graft.versioned.GraftRepo, branch: String,
+      keys: Seq[String], compactHint: String): Unit = {
+    val warnBytes = s.conf.getOption("spark.graft.retire.tombstoneWarnBytes")
+      .flatMap(_.toLongOption).filter(_ > 0).getOrElse(256L << 10)
+    keys.map(k => k ->
+      graft.versioned.TableOps.tombstonePropBytes(repo, branch, k))
+      .filter(_._2 > warnBytes)
+      .foreach { case (k, bytes) =>
+        System.err.println(s"[graft] WARNING: $k carries $bytes bytes of " +
+          "retire tombstones in snapshot properties — every commit " +
+          s"re-carries them until compaction; run $compactHint")
+      }
   }
 
   /** End-to-end gate for the PERSISTED index: build the corpus index in

@@ -1038,6 +1038,8 @@ object Similarity {
         org.apache.spark.sql.sources.In("vec_id",
           vecIds.map(Long.box).toArray[Any]))),
       s"ann index retire ${vecIds.size} vectors")
+    Dedup.warnTombstoneBytes(s, repo, branch, Seq("ann/vectors"),
+      "Similarity.annIndexCompact")
   }
 
   /** IVFADC probe of a `(query_id, qv, qn)` batch against the STORED

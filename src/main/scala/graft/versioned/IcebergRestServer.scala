@@ -1227,19 +1227,28 @@ final class IcebergRestServer private (single: Option[GraftRepo],
           "tag ref writes are their own commit over REST — post other " +
             "updates separately")
       tagCreate.foreach { case (name, sid) =>
-        // newest-first first-parent walk, O(distance to target) commit
-        // loads — tag creation is control-plane rare, no memo needed
-        var cur: Option[graft.versioned.Commit] = Some(repo.resolve(ref))
+        // newest-first walk over ALL parents (bounded breadth-first),
+        // O(distance to target) commit loads — tag creation is
+        // control-plane rare, no memo needed. All parents, not just the
+        // first: a snapshot reachable only through a merge's SECOND
+        // parent is still one an engine observed via the served
+        // metadata, so it must be taggable (the first-parent-only walk
+        // 400'd it as "not a version"). A path stops at the table's
+        // creation commit (table absent → parents not walked).
+        val head = repo.resolve(ref)
+        val seen = scala.collection.mutable.HashSet[String](head.id)
+        val queue = scala.collection.mutable.Queue[graft.versioned.Commit](head)
         var found: Option[String] = None
         var hops = 0
-        while (found.isEmpty && cur.isDefined && hops < 100000) {
-          val c = cur.get
+        while (found.isEmpty && queue.nonEmpty && hops < 100000) {
+          val c = queue.dequeue()
+          hops += 1
           c.tables.get(key) match {
             case Some(gid) if IcebergExport.icebergSnapshotId(gid) == sid =>
               found = Some(c.id)
             case Some(_) =>
-              cur = c.parents.headOption.map(repo.commit); hops += 1
-            case None => cur = None
+              c.parents.filter(seen.add).foreach(p => queue.enqueue(repo.commit(p)))
+            case None => ()
           }
         }
         val cid = found.getOrElse(throw new IllegalArgumentException(

@@ -1585,6 +1585,19 @@ object TableOps {
     }
   }
 
+  /** Serialized merge-on-read tombstone bytes riding `key`'s HEAD
+    * snapshot properties. Every subsequent snapshot write re-carries
+    * them until compaction materializes the deletes, so retire paths
+    * check this after each bounded retire and warn past a threshold —
+    * repeated large retires must not silently compound metadata on the
+    * hot commit path.
+    */
+  def tombstonePropBytes(repo: GraftRepo, branch: String, key: String): Long =
+    repo.headCommit(branch).tables.get(key).map(repo.snapshot)
+      .flatMap(_.properties.get(Tombstones.TombProp))
+      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+      .getOrElse(0L)
+
   /** Multi-table ATOMIC REPLACE: stage full NEW contents for several
     * tables, publish them all in ONE commit — [[atomicAppend]]'s
     * sibling for rebuild operations (e.g. an ANN index retrain), where

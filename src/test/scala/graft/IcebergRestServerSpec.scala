@@ -513,6 +513,51 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
     } finally srv.close()
   }
 
+  test("tag ref WRITES resolve a snapshot reachable only through a " +
+    "merge's SECOND parent: the walk covers all parents, so a state an " +
+    "engine observed on the merged-in branch stays taggable") {
+    sql("CREATE NAMESPACE g.restm")
+    sql("CREATE TABLE g.restm.main.db.t (id INT)")
+    sql("INSERT INTO g.restm.main.db.t VALUES (1)")
+    sql("CREATE TABLE g.restm.main.db.other (k INT)")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "restm")
+    val repo = GraftRepo.open(root)
+    // dev advances t TWICE (the intermediate state is the target);
+    // main advances an unrelated table so the merge is a TRUE merge
+    // commit and dev's commits sit only on the second-parent path
+    sql("CREATE NAMESPACE g.restm.dev")
+    sql("INSERT INTO g.restm.dev.db.t VALUES (2)")
+    val sidMid = graft.versioned.IcebergExport.icebergSnapshotId(
+      repo.resolve("dev").tables("db/t"))
+    sql("INSERT INTO g.restm.dev.db.t VALUES (3)")
+    sql("INSERT INTO g.restm.main.db.other VALUES (10)")
+    sql("CALL g.system.merge('restm', 'dev', 'main')")
+    repo.resolve("main").parents.size shouldBe 2
+    val srv = IcebergRestServer.start(repo,
+      Files.createTempDirectory("graft-restm-exports"), Some(spark),
+      maxSnapshots = 5, writable = true)
+    try {
+      // first-parent-only resolution 400'd this as "not a version"
+      val (c, e) = send("POST",
+        s"/v1/namespaces/${enc("main", "db")}/tables/t",
+        s"""{"requirements":[],"updates":[
+           |{"action":"set-snapshot-ref","ref-name":"midway",
+           |"snapshot-id":$sidMid,"type":"tag"}]}"""
+          .stripMargin.replaceAll("\n", ""), srv)
+      withClue(e.toString) { c shouldBe 200 }
+      repo.tagExists("midway") shouldBe true
+      sql("SELECT id FROM g.restm.main.db.t VERSION AS OF 'midway'")
+        .collect().map(_.getInt(0)).toSet shouldBe Set(1, 2)
+      // a snapshot id nobody ever served still refuses
+      send("POST", s"/v1/namespaces/${enc("main", "db")}/tables/t",
+        s"""{"requirements":[],"updates":[
+           |{"action":"set-snapshot-ref","ref-name":"ghost",
+           |"snapshot-id":123456789,"type":"tag"}]}"""
+          .stripMargin.replaceAll("\n", ""), srv)._1 shouldBe 400
+    } finally srv.close()
+  }
+
   test("writable server: REST createNamespace + createTable + two append " +
     "commits (zero-copy staged + copy-in external), read back via graft " +
     "SQL and an independent import of the refreshed metadata") {
