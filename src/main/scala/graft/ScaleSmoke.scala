@@ -46,8 +46,13 @@ object ScaleSmoke {
     replicate("documents", "doc_id", 10000000L)
     replicate("nation", "n_nationkey", 1000L)
     replicate("embeddings", "vec_id", 10000000L) // the ANN index corpus
-    Seq("region", "customer", "supplier", "part", "orders", "lineitem",
-      "events").foreach { t =>
+    // the q-family fact tables replicate on a CONSISTENT order-key
+    // shift, so orders↔lineitem joins keep matching while dim keys
+    // (cust/part/supp) stay in the 1× domain — each dim row fans out
+    // scale× fact rows, the real 100-TB shape
+    replicate("lineitem", "l_orderkey", 100000000L)
+    replicate("orders", "o_orderkey", 100000000L)
+    Seq("region", "customer", "supplier", "part", "events").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
@@ -258,6 +263,47 @@ object ScaleSmoke {
       "vc_rest_rollback", "vc_show_tables", "vc_procedures").foreach { q =>
       time(q)(SparkEntry.queries(q)(spark, dst).count())
     }
+    // ---- q-family headline queries on the replicated fact tables -------
+    // The same 100-TB evidence class the dd/ann sections carry: run the
+    // five headline relational shapes on scale× lineitem/orders and
+    // REQUIRE the post-AQE physical plan kept its shape — explicitly
+    // broadcast dims stayed broadcast after AQE's runtime re-plan, no
+    // join flipped to a cartesian/nested-loop, aggregates stayed
+    // partial (map-side combine before the exchange), and the global
+    // top-k stayed a TakeOrdered, never a total sort.
+    def qPlan(q: String, asserts: Seq[(String, String => Boolean)]): Unit =
+      time(q) {
+        val df = SparkEntry.queries(q)(spark, dst)
+        val n = df.count() // execute first: asserts read the FINAL plan
+        val plan = df.queryExecution.executedPlan.toString
+        require(!plan.contains("CartesianProduct"),
+          s"$q plan degraded: CartesianProduct at ${scale}x")
+        require(!plan.contains("BroadcastNestedLoop"),
+          s"$q plan degraded: BroadcastNestedLoopJoin at ${scale}x")
+        asserts.foreach { case (what, ok) =>
+          require(ok(plan), s"$q plan degraded: $what at ${scale}x")
+        }
+        n
+      }
+    def countOf(token: String)(plan: String): Int =
+      plan.sliding(token.length).count(_ == token)
+    qPlan("q01_agg", Seq(
+      // partial + final aggregate pair = map-side combine held
+      "partial aggregation" -> (p => countOf("HashAggregate")(p) >= 2)))
+    qPlan("q03_join_agg", Seq(
+      "customer broadcast" -> (_.contains("BroadcastHashJoin")),
+      "top-k via TakeOrdered" -> (_.contains("TakeOrdered"))))
+    qPlan("q05_multi_join", Seq(
+      // nation×region dims AND supplier both explicitly broadcast —
+      // AQE's re-plan must keep them broadcast, never demote to SMJ
+      "two broadcast joins" ->
+        (p => countOf("BroadcastHashJoin")(p) >= 2)))
+    qPlan("q22_asof_join", Seq(
+      // the as-of lowers to keyed shuffles + window, never a band/theta
+      // join (those surface as cartesian/BNLJ, asserted above)
+      "windowed as-of" -> (_.contains("Window"))))
+    qPlan("q25_topk", Seq(
+      "global top-k via TakeOrdered" -> (_.contains("TakeOrdered"))))
     println(s"[smoke] replica at $dst (delete when done)")
     spark.stop()
   }
