@@ -799,11 +799,17 @@ object Similarity {
       else homeCentroids(s, centsDf, coarse)
         .select(col("cell"), col("cv"), col("ccell"))
         .coalesce(8) // k rows of doubles — small files, not driver data
-    val routerModel =
-      if (coarse.isEmpty) centsDf
-      else s.createDataFrame(coarse).toDF("cell", "cv")
-    val top1 = top1ModelSim(
-      index.withColumn("u", expr("transform(nv, x -> x / nn)")), routerModel)
+    val withU = index.withColumn("u", expr("transform(nv, x -> x / nn)"))
+    // driver mode: the assigned cell IS the fine-model argmax, so the
+    // top-1 similarity is ONE dot per row against the assigned centroid
+    // (a k-row broadcast equi-join) — not a second N·k pass duplicating
+    // the assignment. Distributed mode measures top-1 against the
+    // COARSE router (kc = √k rows): the same quantity every append's
+    // drift row measures, so the baseline and the samples agree.
+    val top1 = (if (coarse.isEmpty)
+      withU.join(broadcast(centsDf), Seq("cell"))
+        .select(col("vec_id"), dot(col("u"), col("cv")).as("top1"))
+    else top1ModelSim(withU, s.createDataFrame(coarse).toDF("cell", "cv")))
       .localCheckpoint() // feeds the percentile AND the seed row
     val driftRef = top1
       .agg(percentile_approx(col("top1"), lit(0.05), lit(10000)))
