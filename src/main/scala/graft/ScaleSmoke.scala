@@ -70,14 +70,16 @@ object ScaleSmoke {
       .groupBy("k").count().collect()
 
     // dd_dupspans at 10×: corpus-linear stages, and the PLAN must keep
-    // its two keyed shuffles — no cartesian, no nested-loop flip
+    // its two keyed shuffles — no cartesian, no nested-loop flip.
+    // collect() drives THIS dataset's QueryExecution (count() would plan
+    // a separate one), so the assert string is the POST-AQE final plan
     val ds = SparkEntry.queries("dd_dupspans")(spark, dst)
+    time("dd_dupspans")(ds.collect().length.toLong)
     val plan = ds.queryExecution.executedPlan.toString
     require(!plan.contains("CartesianProduct"),
       s"dd_dupspans plan degraded: CartesianProduct at ${scale}x")
     require(!plan.contains("BroadcastNestedLoop"),
       s"dd_dupspans plan degraded: BroadcastNestedLoopJoin at ${scale}x")
-    time("dd_dupspans")(ds.count())
 
     // dd_incr_persist's RECURRING op at scale: indexScreen of a FIXED
     // delta against a `scale`× persisted corpus index — THE daily
@@ -170,7 +172,9 @@ object ScaleSmoke {
       time("ann_indexProbe") {
         val probe =
           operators.Similarity.annIndexProbe(spark, cat, "r", "main", qs)
-        val n = probe.count()
+        // collect() drives the probe's OWN QueryExecution (count() plans
+        // a separate one whose final plan the assert would never see)
+        val n = probe.collect().length.toLong
         // assert on the POST-execution plan: AQE's final join picks are
         // only visible after the run (a pre-execution string could hide
         // a runtime flip to a nested-loop at larger scales)
@@ -238,7 +242,7 @@ object ScaleSmoke {
         time("annd_indexProbe") {
           val probe =
             operators.Similarity.annIndexProbe(spark, cat, "r", "main", qs)
-          val n = probe.count()
+          val n = probe.collect().length.toLong // drive THIS QE (see above)
           val pplan = probe.queryExecution.executedPlan.toString
           require(!pplan.contains("CartesianProduct"),
             s"annd_indexProbe plan degraded: CartesianProduct at ${scale}x")
@@ -274,7 +278,12 @@ object ScaleSmoke {
     def qPlan(q: String, asserts: Seq[(String, String => Boolean)]): Unit =
       time(q) {
         val df = SparkEntry.queries(q)(spark, dst)
-        val n = df.count() // execute first: asserts read the FINAL plan
+        // collect(), not count(): count() plans a SEPARATE QueryExecution,
+        // leaving df's own executedPlan un-executed — its toString would
+        // print the INITIAL (pre-AQE) plan and the asserts would never
+        // see a runtime demotion. collect() drives this QE to its final
+        // adaptive plan.
+        val n = df.collect().length.toLong
         val plan = df.queryExecution.executedPlan.toString
         require(!plan.contains("CartesianProduct"),
           s"$q plan degraded: CartesianProduct at ${scale}x")

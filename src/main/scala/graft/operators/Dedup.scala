@@ -941,6 +941,26 @@ object Dedup {
       .toDF("doc_id", "band", "bh")
       .select(col("band").cast("int").as("band"), col("bh"), col("doc_id"))
 
+  /** ONE delta-proportional prune shape for every stored-table scan:
+    * left-semi join of `big` to the delta-derived `keys`, the keys side
+    * BROADCAST while provably bounded
+    * (spark.graft.dedup.broadcastKeysMax) and a keyed semi join past
+    * the cap — shared by BOTH screen modes and the admit path, so a
+    * dispatch-rule fix can never apply to one and not the others.
+    * Callers pass the count that actually bounds THEIR key set (vocab,
+    * doc ids, band keys, candidate partners — they differ per site).
+    */
+  private def semiPrune(s: org.apache.spark.sql.SparkSession,
+      big: DataFrame, keys: DataFrame, on: Seq[String],
+      keyCount: Long): DataFrame = {
+    val bcastMax = s.conf.getOption("spark.graft.dedup.broadcastKeysMax")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(4000000)
+    if (keyCount <= bcastMax)
+      big.join(org.apache.spark.sql.functions.broadcast(keys), on,
+        "left_semi")
+    else big.join(keys, on, "left_semi")
+  }
+
   /** The stored sketch-mode parameters, or None for a PPJoin index
     * (which predates — and never writes — `dd/meta`).
     */
@@ -996,17 +1016,9 @@ object Dedup {
       .select(col("doc_id").cast("long").as("doc_id"),
         wordSet(col("text")).as("ws"))
       .localCheckpoint() // feeds clash guard, band rows, and verify dict
-    val bcastMax = s.conf.getOption("spark.graft.dedup.broadcastKeysMax")
-      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(4000000)
-    def semiPrune(big: DataFrame, keys: DataFrame, on: Seq[String],
-        keyCount: Long): DataFrame =
-      if (keyCount <= bcastMax)
-        big.join(org.apache.spark.sql.functions.broadcast(keys), on,
-          "left_semi")
-      else big.join(keys, on, "left_semi")
     // same clash guard as the PPJoin screen: a reused id would
     // self-match at J=1.0 in the verify dict → silent wrongful rejection
-    val clash = semiPrune(s.table(s"$pre.docs").select(col("doc_id")),
+    val clash = semiPrune(s, s.table(s"$pre.docs").select(col("doc_id")),
       deltaDocs.select(col("doc_id")), Seq("doc_id"), deltaDocs.count())
       .limit(5).collect().map(_.getLong(0))
     require(clash.isEmpty,
@@ -1019,7 +1031,7 @@ object Dedup {
       .localCheckpoint() // feeds the key set AND the collision join
     val keys = dBands.select(col("band"), col("bh")).distinct()
       .localCheckpoint()
-    val matched = semiPrune(s.table(s"$pre.bands"), keys,
+    val matched = semiPrune(s, s.table(s"$pre.bands"), keys,
       Seq("band", "bh"), keys.count())
     val cand = dBands.as("a")
       .join(matched.as("b"),
@@ -1030,7 +1042,7 @@ object Dedup {
     // exact verify reads only the CANDIDATE partners' word sets
     val partnerIds = cand.select(col("id_b").as("doc_id")).distinct()
       .localCheckpoint()
-    val partners = semiPrune(s.table(s"$pre.docs"), partnerIds,
+    val partners = semiPrune(s, s.table(s"$pre.docs"), partnerIds,
       Seq("doc_id"), partnerIds.count())
     val dup = verifyPairs(s, deltaDocs.unionByName(partners), cand, t)
       .select(col("id_a").as("doc_id")).distinct()
@@ -1074,20 +1086,12 @@ object Dedup {
     // the unpruned shape: probeCandidates' token-count aggregate
     // shuffled EVERY stored posting per screen, so a fixed daily delta
     // slowed down as the corpus grew.
-    val bcastMax = s.conf.getOption("spark.graft.dedup.broadcastKeysMax")
-      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(4000000)
     val deltaToks = deltaDocs.select(explode(col("ws")).as("tok"))
       .distinct().localCheckpoint()
-    // ONE prune shape, dispatched per key set on ITS OWN row count: a
-    // delta can have vocab >> docs or docs >> vocab or candidate
-    // partners >> both, so each caller passes the count that actually
-    // bounds its broadcast
-    def semiPrune(big: DataFrame, keys: DataFrame, on: String,
-        keyCount: Long): DataFrame =
-      if (keyCount <= bcastMax)
-        big.join(org.apache.spark.sql.functions.broadcast(keys),
-          Seq(on), "left_semi")
-      else big.join(keys, Seq(on), "left_semi")
+    // the shared [[semiPrune]] shape, dispatched per key set on ITS OWN
+    // row count: a delta can have vocab >> docs or docs >> vocab or
+    // candidate partners >> both, so each caller passes the count that
+    // actually bounds its broadcast
     val vocabCount = deltaToks.count()
     // ids must be disjoint from the corpus: a delta doc_id already in
     // dd.docs would join BOTH word sets in the verify dict (a corpus
@@ -1096,8 +1100,8 @@ object Dedup {
     // delta with many docs sharing few tokens has doc count >> vocab,
     // and riding the vocab dispatch would broadcast an unbounded id set
     val deltaIds = deltaDocs.select(col("doc_id"))
-    val clash = semiPrune(s.table(s"$pre.docs").select(col("doc_id")),
-      deltaIds, "doc_id", deltaDocs.count())
+    val clash = semiPrune(s, s.table(s"$pre.docs").select(col("doc_id")),
+      deltaIds, Seq("doc_id"), deltaDocs.count())
       .limit(5).collect().map(_.getLong(0))
     require(clash.isEmpty,
       s"delta doc_ids already present in $pre.docs: ${clash.mkString(", ")}" +
@@ -1107,10 +1111,11 @@ object Dedup {
     // vocab — a superset of the prefix vocab, equally correct: the
     // probe join re-filters on tok)
     val dfreqPruned =
-      semiPrune(s.table(s"$pre.dfreq"), deltaToks, "tok", vocabCount)
+      semiPrune(s, s.table(s"$pre.dfreq"), deltaToks, Seq("tok"), vocabCount)
     val probes = frozenPostings(deltaDocs, dfreqPruned, t)
     val matched =
-      semiPrune(s.table(s"$pre.postings"), deltaToks, "tok", vocabCount)
+      semiPrune(s, s.table(s"$pre.postings"), deltaToks, Seq("tok"),
+        vocabCount)
     val cand = probeCandidates(matched, probes, t, maxPost)
       .localCheckpoint() // feeds the partner prune AND the verify join
     // the verify dictionary likewise reads only the CANDIDATE partners'
@@ -1120,8 +1125,8 @@ object Dedup {
     // (cand is checkpointed, so the count is a block scan)
     val partnerIds = cand.select(col("id_b").as("doc_id")).distinct()
       .localCheckpoint()
-    val partners = semiPrune(s.table(s"$pre.docs"), partnerIds, "doc_id",
-      partnerIds.count())
+    val partners = semiPrune(s, s.table(s"$pre.docs"), partnerIds,
+      Seq("doc_id"), partnerIds.count())
     val dict = deltaDocs.unionByName(partners)
     val dup = verifyPairs(s, dict, cand, t)
       .select(col("id_a").as("doc_id")).distinct()
@@ -1164,14 +1169,8 @@ object Dedup {
     // semi — the stored vocab is scanned, never shuffled per admit)
     val adToks = adDocs.select(explode(col("ws")).as("tok")).distinct()
       .localCheckpoint()
-    val bcastMax = s.conf.getOption("spark.graft.dedup.broadcastKeysMax")
-      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(4000000)
-    val dfreqPruned =
-      if (adToks.count() <= bcastMax)
-        s.table(s"$pre.dfreq").join(
-          org.apache.spark.sql.functions.broadcast(adToks), Seq("tok"),
-          "left_semi")
-      else s.table(s"$pre.dfreq").join(adToks, Seq("tok"), "left_semi")
+    val dfreqPruned = semiPrune(s, s.table(s"$pre.dfreq"), adToks,
+      Seq("tok"), adToks.count())
     graft.versioned.TableOps.atomicAppend(s, repo, branch, Seq(
       "dd/docs" -> adDocs,
       "dd/postings" -> frozenPostings(adDocs, dfreqPruned, t)),
@@ -1197,8 +1196,11 @@ object Dedup {
     // the candidate table depends on the index MODE: postings (ppjoin)
     // or bands (minhash) — compact whichever the head commit carries
     val present = repo.headCommit(branch).tables
-    Seq("dd/docs", "dd/postings", "dd/bands")
+    val targets = Seq("dd/docs", "dd/postings", "dd/bands")
       .filter(present.contains)
+    require(targets.nonEmpty,
+      s"no dedup index tables on $branch — indexInit first")
+    targets
       .map(k => graft.versioned.TableOps.compact(s, repo, branch, k,
         targetFileBytes))
       .reduce((a, b) => (a._1 + b._1, a._2 + b._2))

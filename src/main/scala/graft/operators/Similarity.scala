@@ -845,6 +845,17 @@ object Similarity {
     val r = repo.root.getFileName.toString
     val pre = annPre(cat, r, branch)
     val meta = annMeta(s, pre)
+    // retrain rewrites the r18-format model/drift tables; an index
+    // created before they existed has nothing to re-baseline into —
+    // refuse with the version gap named, not a column-mismatch error
+    require(scala.util.Try(s.table(s"$pre.meta").columns
+        .contains("drift_ref")).getOrElse(false) &&
+      repo.headCommit(branch).tables.contains("ann/drift"),
+      "annIndexRetrain needs an r18-format index (ann/meta.drift_ref + " +
+        "the ann/drift log); rebuild older indexes with annIndexInit")
+    // captured BEFORE the vectors read: a retire/append landing after
+    // this point conflicts the replace instead of being silently undone
+    val baseIds = repo.headCommit(branch).tables
     val stored = s.table(s"$pre.vectors")
       .select(col("vec_id"), col("nv"), col("codes"))
       .localCheckpoint() // feeds the trainer AND the codes re-join
@@ -857,7 +868,8 @@ object Similarity {
       .repartition(col("cell")) // same one-file-per-cell clustering as init
     graft.versioned.TableOps.atomicReplace(s, repo, branch,
       shapeModelTables(s, index, centsDf, coarse, meta.m, meta.ks,
-        meta.dimPer) :+ ("ann/vectors" -> vectors), "ann index retrain")
+        meta.dimPer) :+ ("ann/vectors" -> vectors), "ann index retrain",
+      expectBase = Map(baseIds.toSeq: _*))
   }
 
   /** Stored encode parameters. Falls back to inferring m/ks/dimPer from
@@ -951,27 +963,30 @@ object Similarity {
     // driver-sized models broadcast (the original shape); distributed
     // models route through the stored coarse table + homed centroids —
     // the fine model never reaches the driver
-    val (assigned0, driftModel) = if (meta.coarseK == 0) {
+    val (assigned0, coarseDriftModel) = if (meta.coarseK == 0) {
       val centroids = collectCentroids(
         s.table(s"$pre.centroids").select(col("cell"), col("cv")),
         meta.maxModelK)
       val centroidDf = s.createDataFrame(centroids).toDF("cell", "cv")
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("sim").desc, col("cell"))
+      // `sim` stays through the checkpoint: the argmax row's sim IS the
+      // top-1 model similarity, so the drift row below reads it for
+      // free instead of re-running the delta×k model pass
       (deltaVecs
         .join(broadcast(centroidDf), lit(true)) // k-row model, not corpus
         .select(col("vec_id"), col("u"), col("nv"), col("nn"), col("cell"),
           dot(col("u"), col("cv")).as("sim"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .drop("rn", "sim"), centroidDf)
+        .drop("rn"), None)
     } else {
       val homed = s.table(s"$pre.centroids")
         .select(col("ccell"), col("cell"), col("cv"))
       val coarseModel = annCoarse(s, pre, meta.maxModelK)
       (assignByHomed(s, deltaVecs, homed, coarseModel, probes = 4)
         .select(col("vec_id"), col("u"), col("nv"), col("nn"), col("cell")),
-        s.createDataFrame(coarseModel).toDF("cell", "cv"))
+        Some(s.createDataFrame(coarseModel).toDF("cell", "cv")))
     }
     val assigned =
       assigned0.localCheckpoint() // feeds sub AND the final projection
@@ -983,17 +998,25 @@ object Similarity {
       // append (accreted files bin-pack away via the generic
       // TableOps.compact, exactly like the dedup index's indexCompact)
       .repartition(col("cell"))
-    // drift guard: ONE model-broadcast aggregate per append — the
-    // fraction of the delta whose top-1 router similarity falls below
-    // the init/retrain-time 5th percentile (meta.drift_ref). Logged in
-    // the SAME commit as the vectors; read it via `ann/drift`, act on
-    // a sustained rise via [[annIndexRetrain]]. Indexes from before the
+    // drift guard: one aggregate per append — the fraction of the delta
+    // whose top-1 router similarity falls below the init/retrain-time
+    // 5th percentile (meta.drift_ref). Driver mode reads the top-1 off
+    // the checkpointed assignment (zero extra model passes);
+    // distributed mode pays one delta×kc router pass (kc = √k —
+    // small next to the assignment's candidate join). Logged in the
+    // SAME commit as the vectors; read it via `ann/drift`, act on a
+    // sustained rise via [[annIndexRetrain]]. Indexes from before the
     // drift tables existed skip the logging (NaN ref / missing table).
     val driftLog =
       if (meta.driftRef.isNaN ||
         !repo.headCommit(branch).tables.contains("ann/drift")) Nil
-      else Seq("ann/drift" -> driftRow(
-        top1ModelSim(deltaVecs, driftModel), meta.driftRef).coalesce(1))
+      else {
+        val top1 = coarseDriftModel match {
+          case None => assigned.select(col("vec_id"), col("sim").as("top1"))
+          case Some(m) => top1ModelSim(deltaVecs, m)
+        }
+        Seq("ann/drift" -> driftRow(top1, meta.driftRef).coalesce(1))
+      }
     graft.versioned.TableOps.atomicAppend(s, repo, branch,
       Seq("ann/vectors" -> rows) ++ driftLog, "ann index append")
   }

@@ -1606,9 +1606,27 @@ object TableOps {
     * retire (nothing they referenced survives the rewrite); the seq
     * counter still advances monotonically so incremental consumers
     * order correctly. Prior contents stay time-travelable.
+    *
+    * CONCURRENCY: the staged content derives from a snapshot the caller
+    * read earlier, so a commit landing on any replaced table in between
+    * would be silently overwritten (and its tombstones dropped without
+    * ever being applied). The commit therefore validates each table's
+    * snapshot id against `expectBase` — the id the caller read from
+    * (pass the head-commit table map captured BEFORE reading) — or,
+    * absent an entry, against the id observed when staging began; a
+    * moved table throws [[MergeConflictException]]: re-derive and
+    * retry, the same contract as [[compact]].
     */
   def atomicReplace(spark: SparkSession, repo: GraftRepo, branch: String,
-      tables: Seq[(String, DataFrame)], message: String = ""): Unit = {
+      tables: Seq[(String, DataFrame)], message: String = "",
+      expectBase: Map[String, String] = Map.empty): Unit = {
+    val head0 = repo.headCommit(branch).tables
+    val expect = tables.map { case (key, _) =>
+      key -> expectBase.getOrElse(key, head0.getOrElse(key,
+        throw new NoSuchElementException(
+          s"no such table: $key (atomicReplace rewrites existing " +
+            "tables; CREATE it first)")))
+    }.toMap
     val staged = tables.map { case (key, df) =>
       val head = repo.headCommit(branch).tables.get(key).map(repo.snapshot)
         .getOrElse(throw new NoSuchElementException(
@@ -1631,10 +1649,17 @@ object TableOps {
       else s"atomic replace ${tables.map(_._1).mkString(", ")}"
     repo.commitRetry(branch, msg) { base =>
       val updated = staged.foldLeft(base.tables) { case (acc, (key, newFiles)) =>
-        val prior = acc.get(key).map(repo.snapshot).getOrElse(
+        val curId = acc.getOrElse(key,
           throw new NoSuchElementException(s"no such table: $key"))
+        if (curId != expect(key))
+          throw new MergeConflictException(
+            s"replace of $key conflicts with a concurrent commit " +
+              "(the staged content derives from a superseded snapshot); " +
+              "re-derive and retry")
+        val prior = repo.snapshot(curId)
         val (next, props0) = bumpSeq(prior)
-        // tombstones retire with the files they applied to
+        // tombstones retire with the files they applied to (safe: the
+        // precheck above proves no tombstone landed since staging)
         val props = props0 - Tombstones.TombProp
         val snap = repo.writeSnapshot(key, prior.schemaJson,
           newFiles.map(_.copy(seq = Some(next))),

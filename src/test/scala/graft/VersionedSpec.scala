@@ -2052,6 +2052,49 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     rows("SELECT id FROM g.rtxn.main.db.fact ORDER BY id").flatten shouldBe Seq(1, 2, 3)
   }
 
+  test("atomicReplace: full multi-table swap in ONE commit, tombstones " +
+    "retire, and a concurrent commit on a replaced table CONFLICTS " +
+    "instead of being silently overwritten") {
+    sql("CREATE NAMESPACE g.rrep")
+    sql("CREATE NAMESPACE g.rrep.main.db")
+    sql("CREATE TABLE g.rrep.main.db.a (id INT, v STRING) " +
+      "TBLPROPERTIES('graft.delete.mode'='merge-on-read')")
+    sql("CREATE TABLE g.rrep.main.db.b (id INT)")
+    sql("INSERT INTO g.rrep.main.db.a VALUES (1, 'x'), (2, 'y')")
+    sql("INSERT INTO g.rrep.main.db.b VALUES (10)")
+    sql("DELETE FROM g.rrep.main.db.a WHERE id = 2") // MoR tombstone
+    val repo = GraftRepo.open(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rrep"))
+    import spark.implicits._
+    val commitsBefore = sql("SELECT * FROM g.rrep.main.db.a.history").count()
+    TableOps.atomicReplace(spark, repo, "main", Seq(
+      "db/a" -> Seq((5, "z")).toDF("id", "v"),
+      "db/b" -> Seq(99).toDF("id")))
+    rows("SELECT id FROM g.rrep.main.db.a").flatten shouldBe Seq(5)
+    rows("SELECT id FROM g.rrep.main.db.b").flatten shouldBe Seq(99)
+    // ONE commit, both tables; the spent MoR tombstone retired with the
+    // files it applied to; prior state stays time-travelable
+    sql("SELECT * FROM g.rrep.main.db.a.history").count() shouldBe
+      commitsBefore + 1
+    graft.versioned.Tombstones.of(repo.snapshot(
+      repo.headCommit("main").tables("db/a"))) shouldBe empty
+    val prior = repo.commit(repo.headCommit("main").parents.head).id
+    sql(s"SELECT id FROM g.rrep.main.db.a VERSION AS OF '$prior' ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq shouldBe Seq(1)
+    // a commit landing between the caller's read and the replace must
+    // CONFLICT: the staged content derives from a superseded snapshot
+    // (a retire tombstone here would otherwise be dropped unapplied)
+    val baseIds = Map(repo.headCommit("main").tables.toSeq: _*)
+    sql("INSERT INTO g.rrep.main.db.a VALUES (6, 'w')") // the racer
+    a[MergeConflictException] should be thrownBy
+      TableOps.atomicReplace(spark, repo, "main",
+        Seq("db/a" -> Seq((7, "q")).toDF("id", "v")),
+        expectBase = baseIds)
+    // nothing moved: the racer's row is intact
+    rows("SELECT id FROM g.rrep.main.db.a ORDER BY id").flatten shouldBe
+      Seq(5, 6)
+  }
+
   test("changesBetween: net CDC rows across CoW delete + insert") {
     setupRepo("rcdc1")
     val repo = GraftRepo.open(java.nio.file.Paths.get(

@@ -51,11 +51,12 @@ def col_kind(s: pd.Series) -> str:
                 continue
         except (TypeError, ValueError):
             pass
-        if isinstance(v, bool):
+        import numbers
+        if isinstance(v, bool) or type(v).__name__ == "bool_":
             return "bool"
-        if isinstance(v, int):
+        if isinstance(v, numbers.Integral):
             return "int"
-        if isinstance(v, float):
+        if isinstance(v, numbers.Real) and not isinstance(v, numbers.Integral):
             return "float"
         if isinstance(v, str):
             return "str"
@@ -83,14 +84,24 @@ def values_equal(a, b) -> bool:
     except (TypeError, ValueError):
         pass
     # dtype-strict: int vs float (or Decimal vs float) must NOT compare
-    # equal — the driver's hash distinguishes them.
+    # equal — the driver's hash distinguishes them. numbers-ABC based so
+    # numpy scalars INSIDE list columns are covered too (np.int64 is not
+    # isinstance(int), but it IS numbers.Integral).
     import decimal
-    num_kinds = (bool, int, float, decimal.Decimal)
-    if isinstance(a, num_kinds) and isinstance(b, num_kinds):
-        ka = "float" if isinstance(a, float) else ("decimal" if isinstance(a, decimal.Decimal) else ("bool" if isinstance(a, bool) else "int"))
-        kb = "float" if isinstance(b, float) else ("decimal" if isinstance(b, decimal.Decimal) else ("bool" if isinstance(b, bool) else "int"))
-        if ka != kb:
-            return False
+    import numbers
+    def num_kind(v):
+        if isinstance(v, (bool,)) or type(v).__name__ == "bool_":
+            return "bool"
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, numbers.Integral):
+            return "int"
+        if isinstance(v, numbers.Real):
+            return "float"
+        return None
+    ka, kb = num_kind(a), num_kind(b)
+    if ka is not None and kb is not None and ka != kb:
+        return False
     if hasattr(a, "__len__") and not isinstance(a, str):
         if len(a) != len(b):
             return False
