@@ -16,8 +16,10 @@ import sys
 
 def load_pins() -> dict:
     txt = open("BASELINE.md").read()
-    sec = txt.split("## Round-17 quiet pair + new-gate pins")[1]
-    sec = sec.split("## Per-query baseline (round 6")[0]
+    # anchor on the FIRST pin section header: newest sections sit above
+    # older ones in the file, and "earliest row wins" below keeps a
+    # newer re-pin from being overridden by an older row of the same name
+    sec = txt.split("quiet pair + new-gate pins", 1)[1]
     pins = {}
     for line in sec.splitlines():
         # 2-cell rows (| query | pin |) and wider ones (| query | r3 |
