@@ -1229,7 +1229,12 @@ object Similarity {
       val emb = T.embeddings(sb, d)
         .select(col("vec_id"), toDoubleVec(col("embedding")).as("nv"))
       annIndexInit(sb, cat0, repo0, "main", emb.filter(col("vec_id") % 3 =!= 0))
-      annIndexAppend(sb, cat0, repo0, "main", emb.filter(col("vec_id") % 3 === 0))
+      // "base" = the trained index BEFORE any append — the streaming
+      // gate ingests the remaining third itself, one micro-batch at a
+      // time, and must start from a state that has never seen those ids
+      if (mode != "base")
+        annIndexAppend(sb, cat0, repo0, "main",
+          emb.filter(col("vec_id") % 3 === 0))
       root0
     })
     val cat = "gann" + java.util.UUID.randomUUID().toString
@@ -1241,6 +1246,65 @@ object Similarity {
       classOf[graft.catalog.GraftCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
     (cat, graft.versioned.GraftRepo.open(root.resolve("r")))
+  }
+
+  /** CONTINUOUS embedding ingestion — the streaming marriage of
+    * sim_ann_persist, the production shape for an embedding store that
+    * never stops ingesting (registered as `st_ann_persist` in the
+    * streaming pack): an embedding stream runs
+    * `foreachBatch(annIndexAppend)` against the PERSISTED index, so
+    * each micro-batch encodes under the STORED model (no Lloyd re-run),
+    * appends its vectors AND its router-drift row in ONE atomic commit,
+    * and the clash guard makes admission exactly-once per vec_id (a
+    * replayed batch refuses loudly instead of double-storing). The gate
+    * starts from the append-free "base" template, streams the remaining
+    * third in TWO micro-batches, and probes: the final stored state
+    * equals sim_ann_persist's, so the same recall oracle applies;
+    * `drift_logged` hash-proves one drift row landed per batch (seed +
+    * 2 appends) — the accretion guard is exercised by the stream
+    * itself.
+    */
+  private[operators] def annPersistStream(s: SparkSession,
+      d: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val (cat, repo) = copiedAnnIndex(s, d, "base")
+    val emb = T.embeddings(s, d)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("nv"))
+    // stage the ingestion batches as files with strictly-increasing
+    // mtimes (the file source orders micro-batches by mtime) — the
+    // %3==0 third split as %6 ∈ {0, 3}
+    val dir = GateScratch.register(
+      java.nio.file.Files.createTempDirectory("graft-stream-emb"))
+    def stage(name: String, f: DataFrame, mtimeOffset: Long): Unit = {
+      val tmp = dir.resolve(s"z_$name")
+      f.coalesce(1).write.parquet(tmp.toString)
+      val part = scala.util.Using.resource(java.nio.file.Files.list(tmp))(
+        _.iterator().asScala.find(_.toString.endsWith(".parquet")).get)
+      val out = dir.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part, out)
+      java.nio.file.Files.setLastModifiedTime(out,
+        java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis() + mtimeOffset))
+    }
+    stage("b1", emb.filter(col("vec_id") % 6 === 0), 0L)
+    stage("b2", emb.filter(col("vec_id") % 6 === 3), 2000L)
+    val q = s.readStream
+      .schema(emb.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        annIndexAppend(s, cat, repo, "main", batch)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val hits = annIndexProbe(s, cat, "r", "main", queriesSet(s, d))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    // the init seed row + exactly one drift row per streamed batch
+    val driftLogged = s.table(s"$cat.r.main.ann.drift").count() == 3L
+    persistRecallRow(s, d, hits, 0.4,
+      Seq(lit(driftLogged).as("drift_logged")))
   }
 
   /** The recall row both persisted gates emit: hits joined to the

@@ -516,6 +516,15 @@ object Streaming {
         |FROM (SELECT doc_id FROM a1 UNION ALL SELECT doc_id FROM a2)
         |ORDER BY admitted_id""".stripMargin
     )(dedupPersistStream),
+    // CONTINUOUS embedding ingestion into the persisted ANN index —
+    // the sim_ann_persist analog of st_dedup_persist; implementation +
+    // rationale live with the index (Similarity.annPersistStream)
+    Q(
+      "st_ann_persist",
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok,
+        |       true AS drift_logged
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin
+    )(Similarity.annPersistStream),
     Q(
       "st_window_agg",
       """SELECT date_trunc('hour', ts) AS ws, event_type,
