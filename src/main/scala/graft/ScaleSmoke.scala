@@ -71,10 +71,11 @@ object ScaleSmoke {
 
     // dd_dupspans at 10×: corpus-linear stages, and the PLAN must keep
     // its two keyed shuffles — no cartesian, no nested-loop flip.
-    // collect() drives THIS dataset's QueryExecution (count() would plan
-    // a separate one), so the assert string is the POST-AQE final plan
+    // queryExecution.toRdd drives THIS dataset's QueryExecution to its
+    // final adaptive plan (Dataset.count() would plan a SEPARATE one)
+    // without materializing the result on the driver
     val ds = SparkEntry.queries("dd_dupspans")(spark, dst)
-    time("dd_dupspans")(ds.collect().length.toLong)
+    time("dd_dupspans")(ds.queryExecution.toRdd.count())
     val plan = ds.queryExecution.executedPlan.toString
     require(!plan.contains("CartesianProduct"),
       s"dd_dupspans plan degraded: CartesianProduct at ${scale}x")
@@ -172,9 +173,10 @@ object ScaleSmoke {
       time("ann_indexProbe") {
         val probe =
           operators.Similarity.annIndexProbe(spark, cat, "r", "main", qs)
-        // collect() drives the probe's OWN QueryExecution (count() plans
-        // a separate one whose final plan the assert would never see)
-        val n = probe.collect().length.toLong
+        // drive the probe's OWN QueryExecution (count() plans a separate
+        // one whose final plan the assert would never see), no driver
+        // materialization
+        val n = probe.queryExecution.toRdd.count()
         // assert on the POST-execution plan: AQE's final join picks are
         // only visible after the run (a pre-execution string could hide
         // a runtime flip to a nested-loop at larger scales)
@@ -242,7 +244,7 @@ object ScaleSmoke {
         time("annd_indexProbe") {
           val probe =
             operators.Similarity.annIndexProbe(spark, cat, "r", "main", qs)
-          val n = probe.collect().length.toLong // drive THIS QE (see above)
+          val n = probe.queryExecution.toRdd.count() // drive THIS QE (see above)
           val pplan = probe.queryExecution.executedPlan.toString
           require(!pplan.contains("CartesianProduct"),
             s"annd_indexProbe plan degraded: CartesianProduct at ${scale}x")
@@ -278,12 +280,12 @@ object ScaleSmoke {
     def qPlan(q: String, asserts: Seq[(String, String => Boolean)]): Unit =
       time(q) {
         val df = SparkEntry.queries(q)(spark, dst)
-        // collect(), not count(): count() plans a SEPARATE QueryExecution,
-        // leaving df's own executedPlan un-executed — its toString would
-        // print the INITIAL (pre-AQE) plan and the asserts would never
-        // see a runtime demotion. collect() drives this QE to its final
-        // adaptive plan.
-        val n = df.collect().length.toLong
+        // queryExecution.toRdd, not count(): count() plans a SEPARATE
+        // QueryExecution, leaving df's own executedPlan un-executed — its
+        // toString would print the INITIAL (pre-AQE) plan and the asserts
+        // would never see a runtime demotion. toRdd drives THIS QE to its
+        // final adaptive plan without materializing rows on the driver.
+        val n = df.queryExecution.toRdd.count()
         val plan = df.queryExecution.executedPlan.toString
         require(!plan.contains("CartesianProduct"),
           s"$q plan degraded: CartesianProduct at ${scale}x")

@@ -26,6 +26,26 @@ private[graft] object GateScratch {
     d
   }
 
+  /** Stage one streaming-ingestion micro-batch as a single parquet
+    * file with a controlled mtime (the file source orders micro-batches
+    * by mtime) — shared by the streaming lifecycle gates
+    * (st_dedup_persist, st_ann_persist), so the staging protocol can
+    * never diverge between them.
+    */
+  def stageParquetBatch(dir: java.nio.file.Path, name: String,
+      df: org.apache.spark.sql.DataFrame, mtimeOffset: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val tmp = dir.resolve(s"z_$name")
+    df.coalesce(1).write.parquet(tmp.toString)
+    val part = scala.util.Using.resource(java.nio.file.Files.list(tmp))(
+      _.iterator().asScala.find(_.toString.endsWith(".parquet")).get)
+    val out = dir.resolve(s"$name.parquet")
+    java.nio.file.Files.move(part, out)
+    java.nio.file.Files.setLastModifiedTime(out,
+      java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() + mtimeOffset))
+  }
+
   /** Recursive file-tree copy (template → per-gate working copy — the
     * vc fixture-template trick for the dd/ann lifecycle gates). */
   def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =

@@ -1266,7 +1266,6 @@ object Similarity {
     */
   private[operators] def annPersistStream(s: SparkSession,
       d: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
     val (cat, repo) = copiedAnnIndex(s, d, "base")
     val emb = T.embeddings(s, d)
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("nv"))
@@ -1275,19 +1274,10 @@ object Similarity {
     // %3==0 third split as %6 ∈ {0, 3}
     val dir = GateScratch.register(
       java.nio.file.Files.createTempDirectory("graft-stream-emb"))
-    def stage(name: String, f: DataFrame, mtimeOffset: Long): Unit = {
-      val tmp = dir.resolve(s"z_$name")
-      f.coalesce(1).write.parquet(tmp.toString)
-      val part = scala.util.Using.resource(java.nio.file.Files.list(tmp))(
-        _.iterator().asScala.find(_.toString.endsWith(".parquet")).get)
-      val out = dir.resolve(s"$name.parquet")
-      java.nio.file.Files.move(part, out)
-      java.nio.file.Files.setLastModifiedTime(out,
-        java.nio.file.attribute.FileTime
-          .fromMillis(System.currentTimeMillis() + mtimeOffset))
-    }
-    stage("b1", emb.filter(col("vec_id") % 6 === 0), 0L)
-    stage("b2", emb.filter(col("vec_id") % 6 === 3), 2000L)
+    GateScratch.stageParquetBatch(dir, "b1",
+      emb.filter(col("vec_id") % 6 === 0), 0L)
+    GateScratch.stageParquetBatch(dir, "b2",
+      emb.filter(col("vec_id") % 6 === 3), 2000L)
     val q = s.readStream
       .schema(emb.schema)
       .option("maxFilesPerTrigger", "1")

@@ -460,21 +460,13 @@ object Streaming {
     val (cat, repo) = Dedup.copiedCorpusIndex(s, d)
     val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
     // stage the ingestion batches as files with strictly-increasing
-    // mtimes (the file source orders micro-batches by mtime)
+    // mtimes (shared staging helper — see GateScratch.stageParquetBatch)
     val dir = GateScratch.register(
       Files.createTempDirectory("graft-stream-docs"))
-    def stage(name: String, f: DataFrame, mtimeOffset: Long): Unit = {
-      val tmp = dir.resolve(s"z_$name")
-      f.coalesce(1).write.parquet(tmp.toString)
-      val part = scala.util.Using.resource(Files.list(tmp))(
-        _.iterator().asScala.find(_.toString.endsWith(".parquet")).get)
-      val out = dir.resolve(s"$name.parquet")
-      Files.move(part, out)
-      Files.setLastModifiedTime(out, java.nio.file.attribute.FileTime
-        .fromMillis(System.currentTimeMillis() + mtimeOffset))
-    }
-    stage("b1", docs.filter(col("doc_id") % 100 === 5), 0L)
-    stage("b2", docs.filter(col("doc_id") % 100 === 0), 2000L)
+    GateScratch.stageParquetBatch(dir, "b1",
+      docs.filter(col("doc_id") % 100 === 5), 0L)
+    GateScratch.stageParquetBatch(dir, "b2",
+      docs.filter(col("doc_id") % 100 === 0), 2000L)
     val q = s.readStream
       .schema(docs.schema)
       .option("maxFilesPerTrigger", "1")

@@ -1628,10 +1628,10 @@ object TableOps {
             "tables; CREATE it first)")))
     }.toMap
     val staged = tables.map { case (key, df) =>
-      val head = repo.headCommit(branch).tables.get(key).map(repo.snapshot)
-        .getOrElse(throw new NoSuchElementException(
-          s"no such table: $key (atomicReplace rewrites existing " +
-            "tables; CREATE it first)"))
+      // staged against the SAME head0 the expect map pinned — a second
+      // head read here could observe a commit the precheck would then
+      // blame on the caller
+      val head = repo.snapshot(expect(key))
       val names = DataType.fromJson(head.schemaJson)
         .asInstanceOf[StructType].fieldNames.toIndexedSeq
       require(df.columns.toSet == names.toSet,

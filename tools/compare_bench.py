@@ -20,6 +20,11 @@ def load_pins() -> dict:
     # older ones in the file, and "earliest row wins" below keeps a
     # newer re-pin from being overridden by an older row of the same name
     sec = txt.split("quiet pair + new-gate pins", 1)[1]
+    # stop before the first SUPERSEDED historical table: its rows come
+    # from retired hosts/protocols, and a query that a future re-base
+    # drops from the live sections must surface as UNPINNED, not
+    # silently resurrect a years-old pin
+    sec = sec.split("SUPERSEDED")[0]
     pins = {}
     for line in sec.splitlines():
         # 2-cell rows (| query | pin |) and wider ones (| query | r3 |
