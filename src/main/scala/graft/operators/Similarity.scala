@@ -1015,7 +1015,22 @@ object Similarity {
           case None => assigned.select(col("vec_id"), col("sim").as("top1"))
           case Some(m) => top1ModelSim(deltaVecs, m)
         }
-        Seq("ann/drift" -> driftRow(top1, meta.driftRef).coalesce(1))
+        // computed once (1 row): feeds the committed log AND the warn
+        val row = driftRow(top1, meta.driftRef).coalesce(1).localCheckpoint()
+        // a batch whose below-baseline fraction exceeds the warn knob is
+        // homing badly under the stored model — surface it at append
+        // time (the log alone is silent until someone reads it)
+        val warnFrac = s.conf.getOption("spark.graft.ann.drift.warnFrac")
+          .flatMap(_.toDoubleOption).filter(f => f > 0 && f <= 1)
+          .getOrElse(0.5)
+        val frac = row.head().getDouble(2)
+        if (frac >= warnFrac)
+          System.err.println(f"[graft] WARNING: ann append drift " +
+            f"frac_below=$frac%.3f >= $warnFrac%.2f (ref p05=" +
+            f"${meta.driftRef}%.4f) — the delta homes poorly under the " +
+            "stored router; consider Similarity.annIndexRetrain " +
+            "(knob: spark.graft.ann.drift.warnFrac)")
+        Seq("ann/drift" -> row)
       }
     graft.versioned.TableOps.atomicAppend(s, repo, branch,
       Seq("ann/vectors" -> rows) ++ driftLog, "ann index append")
