@@ -2093,6 +2093,27 @@ class VersionedSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // nothing moved: the racer's row is intact
     rows("SELECT id FROM g.rrep.main.db.a ORDER BY id").flatten shouldBe
       Seq(5, 6)
+
+    // CAS races on UNRELATED tables must NOT conflict: commitRetry
+    // rebases the replace onto the racing heads and publishes, while
+    // the replaced table's expectBase still guards. Concurrent inserts
+    // hammer db/b while db/a is replaced.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val base2 = Map(repo.headCommit("main").tables.toSeq: _*)
+    val hammer = Future {
+      (1 to 6).foreach(i =>
+        sql(s"INSERT INTO g.rrep.main.db.b VALUES (${1000 + i})"))
+    }
+    TableOps.atomicReplace(spark, repo, "main",
+      Seq("db/a" -> Seq((8, "r")).toDF("id", "v")),
+      expectBase = base2)
+    Await.result(hammer, 60.seconds)
+    rows("SELECT id FROM g.rrep.main.db.a").flatten shouldBe Seq(8)
+    // every racing insert survived the rebase
+    sql("SELECT count(*) FROM g.rrep.main.db.b WHERE id > 1000")
+      .head().getLong(0) shouldBe 6L
   }
 
   test("changesBetween: net CDC rows across CoW delete + insert") {
