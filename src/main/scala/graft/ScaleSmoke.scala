@@ -124,6 +124,30 @@ object ScaleSmoke {
       time("dd_indexAdmit")(
         operators.Dedup.indexAdmit(spark, cat, repo, "main", delta, t)
           .count())
+      // the MINHASH SKETCH MODE over the same corpus/delta: the bands
+      // table holds a FIXED 8 rows per doc, and the screen prunes it to
+      // the delta's (band, bh) keys before any shuffle — its row must
+      // track the delta across 10/30/100× exactly like the PPJoin
+      // screen (the sketch's whole point is surviving vocabularies the
+      // posting lists cannot)
+      val catM = "gsmkmh" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(10)
+      val rootM = operators.GateScratch.register(
+        java.nio.file.Files.createTempDirectory(s"graft-$catM"))
+      spark.conf.set(s"spark.sql.catalog.$catM",
+        classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$catM.root", rootM.toString)
+      spark.sql(s"CREATE NAMESPACE $catM.r")
+      spark.sql(s"CREATE NAMESPACE $catM.r.main.dd")
+      val repoM = graft.versioned.GraftRepo.open(rootM.resolve("r"))
+      time("dd_mhIndexInit") {
+        operators.Dedup.indexInit(spark, catM, repoM, "main", corpus, t,
+          "minhash")
+        spark.table(s"$catM.r.main.dd.bands").count()
+      }
+      time("dd_mhIndexScreen")(
+        operators.Dedup.indexScreen(spark, catM, "r", "main", delta, t)
+          .count())
     }
 
     // PERSISTED ANN index at scale: init is the once-ever corpus-linear

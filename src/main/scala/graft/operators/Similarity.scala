@@ -1419,6 +1419,54 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** QUANTIZED SERVING — top-k over the INT8-reconstructed store (the
+    * query path a 4×-compressed embedding serving tier actually runs,
+    * completing [[quantizeInt8]]'s encode with its decode+search half):
+    * per-dim symmetric INT8 codes reconstruct as code·scale/127 and the
+    * brute top-k runs over the RECONSTRUCTED vectors — one (dim)-grained
+    * scale aggregate broadcast back, a row-local encode/decode pass, the
+    * same size-guarded broadcast + codegen'd dot kernel as
+    * [[bruteForceImpl]]. Every step is engine-replayable integer/double
+    * arithmetic, so unlike the recall-bounded ANN gates this one is
+    * HASH-EXACT: DuckDB reproduces every code, every reconstructed
+    * coordinate, and every ranked neighbor bit-for-bit.
+    */
+  private def annQuantized(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d)
+      .select(col("vec_id"), posexplode(toDoubleVec(col("embedding"))))
+      .toDF("vec_id", "pos", "x")
+      .localCheckpoint() // feeds the scale aggregate AND the encode
+    val scales = e.groupBy(col("pos")).agg(max(abs(col("x"))).as("scale"))
+    val recon = e.join(broadcast(scales), Seq("pos"))
+      .withColumn("code", when(col("scale") === 0, lit(0L)).otherwise(
+        greatest(lit(-127L),
+          least(lit(127L), floor(col("x") / col("scale") * 127 + 0.5)))))
+      .withColumn("r", col("code") * col("scale") / 127)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("r")))).as("ds"))
+      .select(col("vec_id"), expr("transform(ds, d -> d.r)").as("rv"))
+      .withColumn("rn", l2norm(col("rv")))
+      .localCheckpoint() // feeds BOTH sides of the search
+    val qs = recon.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("rv").as("qv"),
+        col("rn").as("qn"))
+    // same size-guarded broadcast dispatch as scoredPairs: a huge query
+    // batch falls back to the non-broadcast join rather than OOMing
+    val qSide = if (qs.count() <= 500000) broadcast(qs) else qs
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    recon
+      .select(col("vec_id").as("neighbor_id"), col("rv").as("nv"),
+        col("rn").as("nn"))
+      .join(qSide, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Exact cosine RANGE search (radius query): every corpus vector with
     * cos_sim >= tau for each query, not a fixed top-k. Same broadcast
     * guard and codegen'd dot kernel as [[bruteForceImpl]]; the result
@@ -1563,6 +1611,37 @@ object Similarity {
         |       round(max(abs(code * scale / 127 - x)), 6) AS max_err
         |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin
     )(quantizeInt8),
+    Q(
+      "sim_ann_quantized",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |x AS (SELECT vec_id, unnest(v) AS x,
+         |             unnest(generate_series(1, len(v))) AS pos FROM e),
+         |s AS (SELECT pos, max(abs(x)) AS scale FROM x GROUP BY pos),
+         |r AS (SELECT x.vec_id, x.pos,
+         |        CASE WHEN s.scale = 0 THEN CAST(0 AS DOUBLE)
+         |             ELSE greatest(-127, least(127,
+         |                    floor(x.x / s.scale * 127 + 0.5)))
+         |                  * s.scale / 127 END AS r
+         |      FROM x JOIN s USING (pos)),
+         |rv AS (SELECT vec_id, list(r ORDER BY pos) AS rv FROM r
+         |       GROUP BY vec_id),
+         |q AS (SELECT vec_id AS query_id, rv AS qv FROM rv
+         |      WHERE vec_id % 50 = 0)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+         |  SELECT q.query_id, n.vec_id AS neighbor_id,
+         |         round(list_sum(list_transform(list_zip(q.qv, n.rv), p -> p[1] * p[2])) /
+         |               (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+         |                sqrt(list_sum(list_transform(n.rv, x -> x * x)))), 6) AS cos_sim,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |                            ORDER BY round(list_sum(list_transform(list_zip(q.qv, n.rv), p -> p[1] * p[2])) /
+         |                                           (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+         |                                            sqrt(list_sum(list_transform(n.rv, x -> x * x)))), 6) DESC,
+         |                            n.vec_id) AS rank
+         |  FROM q JOIN rv n ON n.vec_id <> q.query_id) t
+         |WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin
+    )(annQuantized),
     Q(
       "sim_ann_retire",
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok,

@@ -200,6 +200,22 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     gate.head.getBoolean(1) shouldBe true
   }
 
+  test("sim_ann_quantized: serving from the INT8-reconstructed store " +
+    "recalls nearly all true top-k neighbors — the quantization error " +
+    "budget the 4x memory cut buys") {
+    val brute = SparkEntry.queries("sim_ann_brute")(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = SparkEntry.queries("sim_ann_quantized")(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    quant.size shouldBe brute.size // same top-k width per query
+    val recall = quant.intersect(brute).size.toDouble / brute.size
+    // per-dim symmetric INT8 keeps relative error ~1/254 per coordinate;
+    // top-10 membership should survive almost untouched
+    recall should be >= 0.9
+  }
+
   test("sim_ann_ivfpq: PQ codes + exact re-rank track the plain IVF probe") {
     val brute = SparkEntry.queries("sim_ann_brute")(spark, sfDir)
       .select("query_id", "neighbor_id").collect()
