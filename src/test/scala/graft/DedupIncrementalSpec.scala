@@ -436,4 +436,47 @@ class DedupIncrementalSpec extends AnyFunSuite with Matchers with BeforeAndAfter
       bytesL should be <= math.max(3L * bytesS, bytesS + (64L << 10))
     }
   }
+
+  test("STREAMING admission composes with the MINHASH sketch mode: " +
+    "foreachBatch(indexAdmit) against a minhash-mode index screens " +
+    "each micro-batch against corpus + earlier batches' admissions " +
+    "(the st_dedup_persist shape is mode-agnostic)") {
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE NAMESPACE gd.mhst")
+    spark.sql("CREATE NAMESPACE gd.mhst.main.dd")
+    val repo = GraftRepo.open(catRoot.resolve("mhst"))
+    Dedup.indexInit(spark, "gd", repo, "main",
+      df((0L until 200L).map(i => (i, docText(i)))), t, "minhash")
+
+    // batch 1: a near-dup of corpus doc 3 (rejected) + two fresh docs;
+    // batch 2: a near-dup of a BATCH-1 ADMISSION (the cross-batch
+    // index-reuse proof — only the stored sketch can reject it) + fresh
+    val b1 = df(Seq((10001L, nearDupOf(3)),
+      (10002L, docText(90001L)), (10003L, docText(90002L))))
+    val b2 = df(Seq((20001L, nearDupOf(90001L)), (20002L, docText(90003L))))
+    val dir = graft.operators.GateScratch.register(
+      Files.createTempDirectory("graft-mhst-docs"))
+    graft.operators.GateScratch.stageParquetBatch(dir, "b1", b1, 0L)
+    graft.operators.GateScratch.stageParquetBatch(dir, "b2", b2, 2000L)
+    val q = spark.readStream
+      .schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Dedup.indexAdmit(spark, "gd", repo, "main", batch, t)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // only the fresh docs were admitted, in stream order
+    spark.table("gd.mhst.main.dd.docs")
+      .filter(col("doc_id") >= 10000L).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet shouldBe
+      Set(10002L, 10003L, 20002L)
+    // each admission carried its 8 band rows in the same atomic commit
+    spark.table("gd.mhst.main.dd.bands")
+      .filter(col("doc_id") >= 10000L).count() shouldBe 24L
+  }
 }
