@@ -151,7 +151,8 @@ import org.apache.spark.sql.functions.col
 final class IcebergRestServer private (single: Option[GraftRepo],
     reposRoot: Option[Path], exportRoot: Path, spark: Option[SparkSession],
     maxSnapshots: Int, formatVersion: Int, writable: Boolean,
-    token: Option[String], server: HttpServer) {
+    token: Option[String], credential: Option[String], oauthTtlSec: Long,
+    server: HttpServer) {
 
   def port: Int = server.getAddress.getPort
 
@@ -168,6 +169,14 @@ final class IcebergRestServer private (single: Option[GraftRepo],
   }
 
   private val mapper = new ObjectMapper()
+  // OAuth2 client_credentials support (opt-in via the `credential`
+  // start option, "client_id:client_secret"): tokens minted by
+  // `POST /v1/oauth/tokens`, stored as SHA-256 digests → expiry
+  // epoch-millis (the raw token never lands server-side; expired
+  // entries are evicted on every mint, so the map is bounded by the
+  // number of LIVE tokens)
+  private val mintedTokens = new ConcurrentHashMap[String, java.lang.Long]()
+  private val tokenRng = new java.security.SecureRandom()
   private val exportLocks = new ConcurrentHashMap[String, Object]()
   private val repoCache = new ConcurrentHashMap[String, GraftRepo]()
   // rollback's exported-sid → graft-snapshot inversion, memoized per
@@ -222,29 +231,32 @@ final class IcebergRestServer private (single: Option[GraftRepo],
         }
         case _ => (None, segs)
       }
-      // Bearer auth (opt-in via the `token` start option): every route
-      // except `GET /v1/config` requires `Authorization: Bearer <token>`
-      // — the config endpoint stays open so a client can discover the
+      // Bearer auth (opt-in via the `token` and/or `credential` start
+      // options): every route except `GET /v1/config` and the OAuth
+      // exchange itself requires a valid `Authorization: Bearer` — the
+      // config endpoint stays open so a client can discover the
       // catalog's capabilities (and that it must authenticate) before
-      // presenting credentials. Constant-time compare: the token check
-      // must not leak a prefix-length oracle through response timing.
-      val authOk = token.forall { tok =>
-        (method == "GET" && route == Seq("config")) ||
-          Option(ex.getRequestHeaders.getFirst("Authorization")).exists { h =>
-            val t = h.trim
-            t.length > 7 && t.substring(0, 7).equalsIgnoreCase("Bearer ") &&
-              java.security.MessageDigest.isEqual(
-                t.substring(7).trim
-                  .getBytes(java.nio.charset.StandardCharsets.UTF_8),
-                tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          }
-      }
+      // presenting credentials, and `POST /v1/oauth/tokens` IS the
+      // credential presentation. A bearer is valid if it matches the
+      // static `token` (constant-time compare: the check must not leak
+      // a prefix-length oracle through response timing) or is a LIVE
+      // minted OAuth token (digest lookup — the compare is against
+      // SHA-256 images, inheriting the same property).
+      val openRoute = (method == "GET" && route == Seq("config")) ||
+        (method == "POST" && route == Seq("oauth", "tokens"))
+      val authOk = openRoute || ((token, credential) match {
+        case (None, None) => true
+        case _ => bearerOf(ex).exists(t =>
+          token.exists(ctEq(t, _)) || mintedValid(t))
+      })
       if (!authOk) {
         replyError(ex, 401, "NotAuthorizedException",
           "missing or invalid bearer token")
         return
       }
       (method, route) match {
+        case ("POST", Seq("oauth", "tokens")) =>
+          handleOauth(ex)
         case ("GET", Seq("config")) =>
           reply(ex, 200, config(query))
         case ("GET", Seq("namespaces")) =>
@@ -3516,6 +3528,91 @@ final class IcebergRestServer private (single: Option[GraftRepo],
 
   // ---- plumbing ----------------------------------------------------------
 
+  // ---- OAuth2 client_credentials (the spec's token endpoint) -------------
+
+  private def ctEq(a: String, b: String): Boolean =
+    java.security.MessageDigest.isEqual(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def bearerOf(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Authorization")).map(_.trim)
+      .filter(h => h.length > 7 &&
+        h.substring(0, 7).equalsIgnoreCase("Bearer "))
+      .map(_.substring(7).trim)
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** A minted token is valid while unexpired; an expired one is evicted
+    * on sight, so a replay after expiry 401s exactly like a wrong
+    * static token.
+    */
+  private def mintedValid(t: String): Boolean = {
+    val key = sha256Hex(t)
+    Option(mintedTokens.get(key)).exists { exp =>
+      val live = System.currentTimeMillis() < exp
+      if (!live) mintedTokens.remove(key)
+      live
+    }
+  }
+
+  /** The Iceberg REST spec's OAuth2 token endpoint
+    * (`POST /v1/oauth/tokens`, form-encoded OAuthTokenRequest): an
+    * engine configured with `credential = "<id>:<secret>"` exchanges it
+    * here for a short-lived bearer before touching any catalog route —
+    * the flow iceberg-core's OAuth2Util / PyIceberg run when given a
+    * `credential` instead of a static `token`. Only the
+    * `client_credentials` grant is supported; errors answer the OAuth
+    * error shape (`{"error", "error_description"}` — RFC 6749 §5.2),
+    * NOT the catalog ErrorResponse, because that is what OAuth clients
+    * parse. The minted token answers `expires_in` = `oauthTtlSec`.
+    */
+  private def handleOauth(ex: HttpExchange): Unit = {
+    def err(code: Int, e: String, desc: String): Unit = {
+      val o = mapper.createObjectNode()
+      o.put("error", e); o.put("error_description", desc)
+      reply(ex, code, o)
+    }
+    val raw = new String(ex.getRequestBody.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val form = raw.split("&").iterator.filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      val (k, v) = if (i < 0) (kv, "") else
+        (kv.substring(0, i), kv.substring(i + 1))
+      java.net.URLDecoder.decode(k, "UTF-8") ->
+        java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+    if (credential.isEmpty)
+      err(401, "invalid_client",
+        "this server exchanges no client credentials (start it with " +
+          "the `credential` option, or present the static bearer token)")
+    else if (!form.get("grant_type").contains("client_credentials"))
+      err(400, "unsupported_grant_type",
+        "only grant_type=client_credentials is supported")
+    else if (!credential.exists(c => ctEq(
+      form.getOrElse("client_id", "") + ":" +
+        form.getOrElse("client_secret", ""), c)))
+      err(401, "invalid_client", "unknown client_id or wrong secret")
+    else {
+      val now = System.currentTimeMillis()
+      mintedTokens.entrySet().removeIf(e => e.getValue <= now)
+      val buf = new Array[Byte](32)
+      tokenRng.nextBytes(buf)
+      val tok = buf.map("%02x".format(_)).mkString
+      mintedTokens.put(sha256Hex(tok), now + oauthTtlSec * 1000L)
+      val o = mapper.createObjectNode()
+      o.put("access_token", tok)
+      o.put("token_type", "bearer")
+      o.put("expires_in", oauthTtlSec)
+      o.put("issued_token_type",
+        "urn:ietf:params:oauth:token-type:access_token")
+      reply(ex, 200, o)
+    }
+  }
+
   private def reply(ex: HttpExchange, code: Int, body: ObjectNode): Unit = {
     val bytes = mapper.writeValueAsBytes(body)
     ex.getResponseHeaders.add("Content-Type", "application/json")
@@ -3558,9 +3655,11 @@ object IcebergRestServer {
       spark: Option[SparkSession] = None, port: Int = 0,
       maxSnapshots: Int = 1, formatVersion: Int = 0,
       writable: Boolean = false,
-      token: Option[String] = None): IcebergRestServer =
+      token: Option[String] = None,
+      credential: Option[String] = None,
+      oauthTtlSec: Long = 3600L): IcebergRestServer =
     boot(Some(repo), None, exportRoot, spark, port, maxSnapshots,
-      formatVersion, writable, token)
+      formatVersion, writable, token, credential, oauthTtlSec)
 
   /** Start serving EVERY repo under `reposRoot` (a graft catalog root:
     * each child dir with a `refs/` dir is a repo), routed by the spec's
@@ -3573,18 +3672,25 @@ object IcebergRestServer {
       spark: Option[SparkSession] = None, port: Int = 0,
       maxSnapshots: Int = 1, formatVersion: Int = 0,
       writable: Boolean = false,
-      token: Option[String] = None): IcebergRestServer =
+      token: Option[String] = None,
+      credential: Option[String] = None,
+      oauthTtlSec: Long = 3600L): IcebergRestServer =
     boot(None, Some(reposRoot), exportRoot, spark, port, maxSnapshots,
-      formatVersion, writable, token)
+      formatVersion, writable, token, credential, oauthTtlSec)
 
   private def boot(single: Option[GraftRepo], reposRoot: Option[Path],
       exportRoot: Path, spark: Option[SparkSession], port: Int,
       maxSnapshots: Int, formatVersion: Int,
-      writable: Boolean, token: Option[String]): IcebergRestServer = {
+      writable: Boolean, token: Option[String],
+      credential: Option[String], oauthTtlSec: Long): IcebergRestServer = {
+    credential.foreach(c => require(c.contains(":"),
+      "credential must be \"client_id:client_secret\""))
+    require(oauthTtlSec > 0, "oauthTtlSec must be positive")
     Files.createDirectories(exportRoot)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     val srv = new IcebergRestServer(single, reposRoot, exportRoot, spark,
-      maxSnapshots, formatVersion, writable, token, server)
+      maxSnapshots, formatVersion, writable, token, credential, oauthTtlSec,
+      server)
     server.createContext("/", (ex: HttpExchange) => srv.handle(ex))
     server.setExecutor(Executors.newFixedThreadPool(4, r => {
       val t = new Thread(r, "graft-rest-catalog"); t.setDaemon(true); t

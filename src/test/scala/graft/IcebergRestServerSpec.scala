@@ -4745,4 +4745,87 @@ class IcebergRestServerSpec extends AnyFunSuite with Matchers
         ._1 shouldBe 200
     } finally rw.close()
   }
+
+  test("OAuth2 client_credentials: POST /v1/oauth/tokens exchanges the " +
+    "configured credential for a live bearer (the iceberg-core/" +
+    "PyIceberg `credential` flow), wrong creds answer the OAuth error " +
+    "shape, and an expired mint 401s like a wrong static token") {
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g.root"), "rest")
+    def req(srv: IcebergRestServer, method: String, path: String,
+        tok: Option[String], body: String = ""): (Int, JsonNode) = {
+      val b = HttpRequest.newBuilder(URI.create(s"${srv.uri}$path"))
+        .method(method, HttpRequest.BodyPublishers.ofString(body))
+      tok.foreach(t => b.header("Authorization", s"Bearer $t"))
+      val r = http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(),
+        if (r.body().nonEmpty) mapper.readTree(r.body())
+        else mapper.createObjectNode())
+    }
+    def mint(srv: IcebergRestServer, form: String): (Int, JsonNode) =
+      req(srv, "POST", "/v1/oauth/tokens", None, form)
+
+    val srv = IcebergRestServer.start(GraftRepo.open(root),
+      Files.createTempDirectory("graft-rest-oauth"), Some(spark),
+      credential = Some("bob:hunter2"))
+    try {
+      // a configured credential makes auth REQUIRED, like a static token
+      req(srv, "GET", "/v1/config", None)._1 shouldBe 200
+      req(srv, "GET", "/v1/namespaces", None)._1 shouldBe 401
+      // the exchange itself needs no bearer — it IS the bootstrap
+      val (cm, m) = mint(srv, "grant_type=client_credentials" +
+        "&client_id=bob&client_secret=hunter2")
+      cm shouldBe 200
+      m.get("token_type").asText() shouldBe "bearer"
+      m.get("expires_in").asLong() shouldBe 3600L
+      val tok = m.get("access_token").asText()
+      tok.length shouldBe 64 // 32 random bytes, hex
+      // the minted bearer serves every route a static token would
+      req(srv, "GET", "/v1/namespaces", Some(tok))._1 shouldBe 200
+      req(srv, "GET",
+        s"/v1/namespaces/${enc("main", "db")}/tables/t", Some(tok))
+        ._1 shouldBe 200
+      // wrong secret / unknown grant: RFC 6749 error shape, not the
+      // catalog ErrorResponse
+      val (cw, w) = mint(srv, "grant_type=client_credentials" +
+        "&client_id=bob&client_secret=wrong")
+      cw shouldBe 401
+      w.get("error").asText() shouldBe "invalid_client"
+      val (cg, g) = mint(srv, "grant_type=password" +
+        "&client_id=bob&client_secret=hunter2")
+      cg shouldBe 400
+      g.get("error").asText() shouldBe "unsupported_grant_type"
+      // a made-up bearer is refused
+      req(srv, "GET", "/v1/namespaces", Some("f" * 64))._1 shouldBe 401
+    } finally srv.close()
+
+    // no credential configured → the endpoint refuses (a static-token
+    // server has nothing to exchange); the static bearer still works
+    val st = IcebergRestServer.start(GraftRepo.open(root),
+      Files.createTempDirectory("graft-rest-oauth-st"), Some(spark),
+      token = Some("s3cret"))
+    try {
+      val (c0, e0) = mint(st, "grant_type=client_credentials" +
+        "&client_id=bob&client_secret=hunter2")
+      c0 shouldBe 401
+      e0.get("error").asText() shouldBe "invalid_client"
+      req(st, "GET", "/v1/namespaces", Some("s3cret"))._1 shouldBe 200
+    } finally st.close()
+
+    // expiry: a 1-second TTL mint stops serving once elapsed — same
+    // 401 as a wrong token, and the expires_in told the client when
+    val sh = IcebergRestServer.start(GraftRepo.open(root),
+      Files.createTempDirectory("graft-rest-oauth-ttl"), Some(spark),
+      credential = Some("bob:hunter2"), oauthTtlSec = 1L)
+    try {
+      val (c1, m1) = mint(sh, "grant_type=client_credentials" +
+        "&client_id=bob&client_secret=hunter2")
+      c1 shouldBe 200
+      m1.get("expires_in").asLong() shouldBe 1L
+      val tok = m1.get("access_token").asText()
+      req(sh, "GET", "/v1/namespaces", Some(tok))._1 shouldBe 200
+      Thread.sleep(1100)
+      req(sh, "GET", "/v1/namespaces", Some(tok))._1 shouldBe 401
+    } finally sh.close()
+  }
 }
