@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, MinHashSignature, SetJaccard, SigAgree, SimHash64, SimHash64Md5}
+import graft.functions.{BpeEncode, DotProduct, MinHashSignature, SetJaccard, SigAgree, SimHash64, SimHash64Md5}
 
 /** Session extensions exposing graft's native Catalyst kernels to SQL:
   * {{{
@@ -59,5 +59,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_sig_agree"),
       info("graft_sig_agree", classOf[SigAgree]),
       (args: Seq[Expression]) => SigAgree(args(0), args(1))))
+
+    ext.injectFunction((FunctionIdentifier("graft_bpe_encode"),
+      info("graft_bpe_encode", classOf[BpeEncode]),
+      (args: Seq[Expression]) => BpeEncode(args(0), args(1))))
   }
 }

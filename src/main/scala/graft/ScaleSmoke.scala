@@ -150,6 +150,14 @@ object ScaleSmoke {
           .count())
     }
 
+    // BPE tokenizer training at scale: the replicated corpus has the
+    // SAME vocabulary at every scale (shifted doc_ids, identical text),
+    // so the K merge rounds are vocabulary-sized and the only part that
+    // may track the corpus is the once-ever word-frequency pass — the
+    // row must grow far slower than the corpus (sub-linear curve)
+    time("tx_bpeTrain")(
+      operators.TextAnalysis.bpeTrain(spark, dst, 4).size.toLong)
+
     // PERSISTED ANN index at scale: init is the once-ever corpus-linear
     // cost; the RECURRING halves must not track the corpus — APPEND of a
     // fixed 1× delta is O(delta) encode + one atomic commit (the stored

@@ -126,6 +126,52 @@ object HashKernels {
     new GenericArrayData(mins)
   }
 
+  /** BPE encode of ONE word under a rank-ordered merge table
+    * (`array<array<string>>` of [a, b] pairs): symbols start as UTF-16
+    * code-unit characters (the same units the trainer's
+    * `split(word, '')` produces), and each merge applies left-to-right
+    * non-overlapping in rank order — the standard BPE inference loop.
+    * O(len · merges) per word in one tight JVM loop with in-place
+    * compaction (write never passes read), invoked from generated code.
+    */
+  def bpeEncode(w: org.apache.spark.unsafe.types.UTF8String,
+      merges: ArrayData): ArrayData = {
+    val word = w.toString
+    val syms = new Array[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      syms(i) = String.valueOf(word.charAt(i)); i += 1
+    }
+    var len = word.length
+    val m = merges.numElements()
+    var r = 0
+    while (r < m && len > 1) {
+      val pair = merges.getArray(r)
+      val a = pair.getUTF8String(0).toString
+      val b = pair.getUTF8String(1).toString
+      val ab = a + b
+      var read = 0
+      var write = 0
+      while (read < len) {
+        if (read + 1 < len && syms(read) == a && syms(read + 1) == b) {
+          syms(write) = ab; read += 2
+        } else {
+          syms(write) = syms(read); read += 1
+        }
+        write += 1
+      }
+      len = write
+      r += 1
+    }
+    val out = new Array[Any](len)
+    i = 0
+    while (i < len) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(syms(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Random-hyperplane sign bucket of a double vector: bit j = sign of the
     * projection onto a ±1 hyperplane whose entries derive from
     * xxhash64(i, planeOffset+j) — chained exactly like the SQL two-arg
@@ -350,6 +396,30 @@ case class SimHash64Md5(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** BPE-encode a word under a rank-ordered merge table (codegen'd): the
+  * inference half of `graft.operators.TextAnalysis.bpeTrain`'s model.
+  * `right` is the model as `array<array<string>>` of `[a, b]` pairs in
+  * rank order — K rows, a foldable literal in practice.
+  */
+case class BpeEncode(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_encode"
+
+  override def nullSafeEval(w: Any, m: Any): Any =
+    HashKernels.bpeEncode(
+      w.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      m.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (w, m) => s"graft.functions.HashKernels.bpeEncode($w, $m)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** k-permutation MinHash signature of an array-of-string column. */
 case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -380,4 +450,6 @@ object HashExpressions {
     Bridge.column(HyperplaneBucket(Bridge.expression(v), nbits, planeOffset))
   def hyperplaneBucketMd5Native(v: Column, nbits: Int, planeOffset: Int): Column =
     Bridge.column(HyperplaneBucketMd5(Bridge.expression(v), nbits, planeOffset))
+  def bpeEncodeNative(word: Column, merges: Column): Column =
+    Bridge.column(BpeEncode(Bridge.expression(word), Bridge.expression(merges)))
 }

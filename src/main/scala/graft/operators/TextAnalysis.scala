@@ -474,7 +474,141 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Distinct-word frequency table — the ONE corpus-linear pass
+    * distributed BPE training makes. Everything after it (pair
+    * counting, merge rounds) runs on this VOCABULARY-sized table, so a
+    * 100-TB corpus is read exactly once and the iterative part scales
+    * with |vocab| · avg word length, not corpus bytes. Tokenization
+    * matches the rest of the tx pack: lowercase, split on whitespace.
+    */
+  private def bpeWords(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 2) // 1-char words carry no pairs
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** BPE pair-count kernel (the gate): frequency of every adjacent
+    * CHARACTER pair over all word occurrences — the round-0 merge
+    * statistic a BPE tokenizer trainer computes, and the aggregate
+    * every later round repeats on merged symbols. Counted as
+    * Σ freq(word) · pairs(word) over the distinct-word table (numbers
+    * identical to counting raw occurrences — the oracle does that).
+    * One keyed shuffle on the pair, map-side combined; top-100 with a
+    * deterministic (cnt desc, pair) tie-break so the gate is
+    * hash-exact.
+    */
+  private def bpePairs(s: SparkSession, d: String): DataFrame =
+    bpeWords(s, d)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(100)
+
+  /** One learned merge: at `rank`, `(a, b)` was the most frequent
+    * adjacent symbol pair (`cnt` weighted occurrences).
+    */
+  final case class BpeMerge(rank: Int, a: String, b: String, cnt: Long)
+
+  /** Distributed BPE tokenizer TRAINING — the tokenizer-prep step a
+    * training-data pipeline runs over its own corpus before anything
+    * tokenizes. Classic algorithm (Sennrich et al. 2016,
+    * arXiv:1508.07909), re-expressed in Spark's execution model:
+    *
+    *  - the corpus is read ONCE into [[bpeWords]] (distinct word →
+    *    freq); every merge round after that is vocabulary-sized.
+    *  - each round = one keyed aggregate (adjacent-pair counts, map-side
+    *    combined, deterministic (cnt, a, b) argmax — a 1-row collect)
+    *    plus one row-local `aggregate` HOF pass that merges the chosen
+    *    pair left-to-right non-overlapping in every word's symbol
+    *    array. No round touches corpus bytes; nothing but the 1-row
+    *    argmax and the K-row merge table ever reaches the driver (the
+    *    merge table IS the model — K rows by construction, the same
+    *    driver-sized-model rule the k-means trainers follow).
+    *  - words reduced to one symbol drop out of the working set (they
+    *    can never merge again), so rounds shrink as training converges.
+    *
+    * Returns the rank-ordered merge table; stops early when no pair is
+    * left. A tokenizer runtime applies these ranks in order — that
+    * (inference) half is deliberately out of scope here, the engine's
+    * job is producing the model from corpus statistics.
+    */
+  /** The trained merge table as a foldable literal column — the shape
+    * [[graft.functions.HashExpressions.bpeEncodeNative]] /
+    * `graft_bpe_encode` take the model in (K rows; ships in the plan,
+    * no broadcast needed).
+    */
+  def bpeMergesLit(merges: Seq[BpeMerge]): org.apache.spark.sql.Column =
+    if (merges.isEmpty) array().cast("array<array<string>>")
+    else array(merges.sortBy(_.rank).map(m => array(lit(m.a), lit(m.b))): _*)
+
+  def bpeTrain(s: SparkSession, d: String, merges: Int): Seq[BpeMerge] = {
+    require(merges > 0, "merges must be positive")
+    val out = scala.collection.mutable.Buffer[BpeMerge]()
+    var cur = bpeWords(s, d)
+      .select(split(col("word"), "").as("syms"), col("freq"))
+      .localCheckpoint()
+    var rank = 0
+    var done = false
+    while (rank < merges && !done) {
+      val top = cur
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += BpeMerge(rank, a, b, cnt)
+        // merge (a,b) → a+b left-to-right non-overlapping: a fold with
+        // a one-symbol lookbehind (`pend` awaits a possible merge).
+        // Built with the Column API, not an expr() string — symbols
+        // come from corpus text and must never be spliced into SQL.
+        val al = lit(a); val bl = lit(b); val ab = lit(a + b)
+        val merged = aggregate(
+          col("syms"),
+          struct(array().cast("array<string>").as("acc"),
+            lit(null).cast("string").as("pend")),
+          (st, x) => when(st.getField("pend").isNull,
+            struct(st.getField("acc").as("acc"), x.as("pend")))
+            .when(st.getField("pend") === al && x === bl,
+              struct(concat(st.getField("acc"), array(ab)).as("acc"),
+                lit(null).cast("string").as("pend")))
+            .otherwise(
+              struct(concat(st.getField("acc"),
+                array(st.getField("pend"))).as("acc"), x.as("pend"))),
+          st => when(st.getField("pend").isNull, st.getField("acc"))
+            .otherwise(concat(st.getField("acc"),
+              array(st.getField("pend")))))
+        cur = cur.select(merged.as("syms"), col("freq"))
+          .filter(size(col("syms")) >= 2) // fully-merged words retire
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
   val all: Seq[Q] = Seq(
+    Q(
+      "tx_bpe_pairs",
+      """WITH w AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        |  FROM documents),
+        |w2 AS (SELECT word FROM w WHERE len(word) >= 2),
+        |p AS (SELECT substr(word, CAST(pos AS INT), 2) AS pair FROM (
+        |  SELECT word, unnest(generate_series(1, len(word) - 1)) AS pos
+        |  FROM w2)),
+        |c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM p GROUP BY pair)
+        |SELECT pair, cnt FROM c
+        |ORDER BY cnt DESC, pair LIMIT 100""".stripMargin
+    )(bpePairs),
     Q(
       "tx_mix_budget",
       """WITH t AS (

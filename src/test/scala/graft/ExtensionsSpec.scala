@@ -90,4 +90,19 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     r.getInt(0) shouldBe 16
     r.getInt(1) shouldBe 2
   }
+
+  test("graft_bpe_encode from SQL: rank-ordered left-to-right " +
+    "non-overlapping merges, later ranks see earlier ranks' tokens") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_bpe_encode('abab', array(array('a','b'))) AS m1,
+        |  graft_bpe_encode('aaa',  array(array('a','a'))) AS overlap,
+        |  graft_bpe_encode('abc',  array(array('a','b'), array('ab','c'))) AS chain,
+        |  graft_bpe_encode('xy',   array()) AS none
+        |""".stripMargin).head()
+    r.getSeq[String](0) shouldBe Seq("ab", "ab")
+    r.getSeq[String](1) shouldBe Seq("aa", "a") // non-overlapping
+    r.getSeq[String](2) shouldBe Seq("abc")     // rank 1 merges rank 0's token
+    r.getSeq[String](3) shouldBe Seq("x", "y")
+  }
 }

@@ -465,6 +465,85 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     }
   }
 
+  test("bpeTrain: K distributed merge rounds reproduce the reference " +
+    "BPE algorithm exactly — pair argmax with the (cnt, a, b) " +
+    "tie-break, left-to-right non-overlapping merges") {
+    import org.apache.spark.sql.functions._
+    val k = 8
+    val got = operators.TextAnalysis.bpeTrain(spark, sfDir, k)
+
+    // reference: same tokenization, plain in-memory BPE over the freqs
+    val words = graft.Tables.documents(spark, sfDir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(org.apache.spark.sql.functions.length(col("w")) >= 2)
+      .groupBy("w").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    var ws = words.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val ref = scala.collection.mutable.Buffer[(String, String, Long)]()
+    var stop = false
+    for (_ <- 0 until k if !stop) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- ws; i <- 0 until syms.length - 1) {
+        val key = (syms(i), syms(i + 1))
+        counts(key) = counts.getOrElse(key, 0L) + f
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val ((a, b), c) = counts.toSeq
+          .minBy { case ((pa, pb), pc) => (-pc, pa, pb) }
+        ref += ((a, b, c))
+        ws = ws.map { case (syms, f) =>
+          val nb = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              nb += (a + b); i += 2
+            } else { nb += syms(i); i += 1 }
+          }
+          (nb.result(), f)
+        }.filter(_._1.length >= 2)
+      }
+    }
+    got.map(m => (m.a, m.b, m.cnt)) shouldBe ref.toSeq
+    got.map(_.rank) shouldBe got.indices
+    // training actually COMPOSED symbols: by rank 8 some merge uses a
+    // token built by an earlier merge
+    got.exists(m => (m.a + m.b).length > 2) shouldBe true
+  }
+
+  test("graft_bpe_encode: the codegen'd inference half applies the " +
+    "trained merge table exactly — every corpus word encodes to what " +
+    "an in-memory reference reaches under the same ranks") {
+    import org.apache.spark.sql.functions._
+    val merges = operators.TextAnalysis.bpeTrain(spark, sfDir, 6)
+    merges.size shouldBe 6
+    val enc = graft.Tables.documents(spark, sfDir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .distinct()
+      .select(col("w"), graft.functions.HashExpressions.bpeEncodeNative(
+        col("w"), operators.TextAnalysis.bpeMergesLit(merges)).as("toks"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    def refEnc(w: String): Seq[String] = {
+      var syms = w.map(_.toString).toVector
+      for (m <- merges) {
+        val nb = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == m.a && syms(i + 1) == m.b) {
+            nb += (m.a + m.b); i += 2
+          } else { nb += syms(i); i += 1 }
+        }
+        syms = nb.result()
+      }
+      syms
+    }
+    enc.foreach { case (w, toks) =>
+      withClue(s"word '$w': ") { toks shouldBe refEnc(w) }
+    }
+    // the trained merges actually fire on the corpus they came from
+    enc.exists(_._2.exists(_.length > 1)) shouldBe true
+  }
+
   test("dd_semdedup: deterministic survivors; no survivor has a lower-id " +
     "near-duplicate in its own cluster; duplicates were actually removed") {
     import org.apache.spark.sql.functions._
