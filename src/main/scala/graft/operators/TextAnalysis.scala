@@ -530,19 +530,10 @@ object TextAnalysis {
     *    can never merge again), so rounds shrink as training converges.
     *
     * Returns the rank-ordered merge table; stops early when no pair is
-    * left. A tokenizer runtime applies these ranks in order — that
-    * (inference) half is deliberately out of scope here, the engine's
-    * job is producing the model from corpus statistics.
+    * left. The inference half is `graft_bpe_encode`
+    * ([[graft.functions.BpeEncode]]) — apply the ranks to any word
+    * column via [[bpeMergesLit]].
     */
-  /** The trained merge table as a foldable literal column — the shape
-    * [[graft.functions.HashExpressions.bpeEncodeNative]] /
-    * `graft_bpe_encode` take the model in (K rows; ships in the plan,
-    * no broadcast needed).
-    */
-  def bpeMergesLit(merges: Seq[BpeMerge]): org.apache.spark.sql.Column =
-    if (merges.isEmpty) array().cast("array<array<string>>")
-    else array(merges.sortBy(_.rank).map(m => array(lit(m.a), lit(m.b))): _*)
-
   def bpeTrain(s: SparkSession, d: String, merges: Int): Seq[BpeMerge] = {
     require(merges > 0, "merges must be positive")
     val out = scala.collection.mutable.Buffer[BpeMerge]()
@@ -593,6 +584,18 @@ object TextAnalysis {
     }
     out.toSeq
   }
+
+  /** The trained merge table as a foldable literal column — the shape
+    * [[graft.functions.HashExpressions.bpeEncodeNative]] /
+    * `graft_bpe_encode` take the model in. Right for the K ≤ a few
+    * thousand merges this trainer targets; a production-vocab model
+    * (32k+ merges) should instead ride a one-row model DataFrame
+    * broadcast-joined onto the corpus — the expression takes any
+    * `array<array<string>>` column, not just a literal.
+    */
+  def bpeMergesLit(merges: Seq[BpeMerge]): org.apache.spark.sql.Column =
+    if (merges.isEmpty) array().cast("array<array<string>>")
+    else array(merges.sortBy(_.rank).map(m => array(lit(m.a), lit(m.b))): _*)
 
   val all: Seq[Q] = Seq(
     Q(
