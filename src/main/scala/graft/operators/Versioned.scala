@@ -623,7 +623,10 @@ object Versioned {
     * requiring this token and every gate request carries it, so the
     * whole served REST surface is proven to work AUTHENTICATED (the
     * reject side — missing/wrong token → 401 — is spec-gated in
-    * IcebergRestServerSpec).
+    * IcebergRestServerSpec). The flagship read gate ([[restRead]])
+    * additionally authenticates via the OAuth2 client_credentials
+    * exchange — a MINTED bearer, not this static one — so both bearer
+    * kinds are driver-gate-proven.
     */
   private val GateRestToken = "graft-gate-bearer"
 
@@ -648,13 +651,32 @@ object Versioned {
     repo.createTag("v_gate", "main") // served as a read-only tag ref below
     val srv = graft.versioned.IcebergRestServer.start(repo,
       GateScratch.register(Files.createTempDirectory("graft-rest-gate")), Some(s),
-      token = Some(GateRestToken))
+      token = Some(GateRestToken),
+      credential = Some("gate-client:gate-secret"))
     val view = "rest" + UUID.randomUUID().toString.replace("-", "").take(10)
     try {
       val ns = java.net.URLEncoder.encode("main\u001Fdb", "UTF-8")
-      val resp = java.net.http.HttpClient.newHttpClient().send(
-        restReq(
+      // this flagship read gate authenticates the OAUTH way: exchange
+      // the client credential for a minted bearer and load with THAT —
+      // the other rest gates keep the static token, so BOTH bearer
+      // kinds are proven under the driver gate, not just the spec
+      val http = java.net.http.HttpClient.newHttpClient()
+      val mintResp = http.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${srv.uri}/v1/oauth/tokens"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            "grant_type=client_credentials" +
+              "&client_id=gate-client&client_secret=gate-secret"))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(mintResp.statusCode() == 200,
+        s"oauth mint failed: ${mintResp.body()}")
+      val minted = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(mintResp.body()).get("access_token").asText()
+      val resp = http.send(
+        java.net.http.HttpRequest.newBuilder(
           java.net.URI.create(s"${srv.uri}/v1/namespaces/$ns/tables/nation"))
+          .header("Authorization", s"Bearer $minted")
           .GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
       require(resp.statusCode() == 200, s"loadTable failed: ${resp.body()}")
