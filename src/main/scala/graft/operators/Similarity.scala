@@ -1096,10 +1096,20 @@ object Similarity {
     * Every join is keyed or a model-sized broadcast; the corpus is
     * never broadcast, collected, or self-joined, so probe cost tracks
     * the query batch × cell width (nprobe·N/k), not the corpus.
+    *
+    * `allowed` (FILTERED search — the serving shape a real embedding
+    * store runs: "top-k among vectors matching a metadata predicate"):
+    * a `vec_id` set derived from any predicate, applied to the
+    * candidate set BEFORE the ADC scoring pass — a selective filter
+    * cuts scoring work, not just the result — as a keyed semi-join
+    * (never collected; AQE broadcasts it when small). Selective
+    * filters thin each probed cell, so callers should WIDEN `nprobe`
+    * roughly by 1/selectivity to hold recall — the gate probes 2× for
+    * a 25% filter.
     */
   def annIndexProbe(s: SparkSession, cat: String, repoName: String,
       branch: String, qs0: DataFrame, nprobe: Int = 8, rerank: Int = 50,
-      topK: Int = K): DataFrame = {
+      topK: Int = K, allowed: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val pre = annPre(cat, repoName, branch)
     val meta = annMeta(s, pre)
@@ -1152,10 +1162,14 @@ object Similarity {
       else None
     def pruneToProbed(df: DataFrame): DataFrame =
       probed.fold(df)(p => df.filter(col("cell").isin(p: _*)))
-    val candidates = pruneToProbed(s.table(s"$pre.vectors")
+    val candidates0 = pruneToProbed(s.table(s"$pre.vectors")
       .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes")))
       .join(queryCells, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
+    // metadata filter lands HERE — before any code is scored
+    val candidates = allowed.fold(candidates0)(a =>
+      candidates0.join(a.select(col("vec_id").as("neighbor_id")).distinct(),
+        Seq("neighbor_id"), "left_semi"))
     val qSubCol = expr(s"transform(sequence(0, ${m - 1}), " +
       s"j -> slice(qu, j * $dimPer + 1, $dimPer))")
     val adc = qs
@@ -1341,6 +1355,59 @@ object Similarity {
     val hits = annIndexProbe(s, cat, "r", "main", queriesSet(s, d))
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
     persistRecallRow(s, d, hits, 0.4)
+  }
+
+  /** Gate for FILTERED search over the stored index: top-k among the
+    * vectors matching a metadata predicate (label%4==1, ~25% of the
+    * corpus — the "only docs from source X" serving query). The filter
+    * rides [[annIndexProbe]]'s `allowed` semi-join (applied BEFORE ADC
+    * scoring), nprobe widened 2× per the selectivity note. Ground
+    * truth is the FILTERED brute top-k — same kernel, rounding, and
+    * tie-break as the brute gate, restricted to allowed neighbors —
+    * NOT a filter over the unfiltered top-k: a selective predicate
+    * surfaces neighbors far below the global top-k, which is exactly
+    * what makes filtered search its own operator. Emits recall vs that
+    * truth plus `all_allowed` (a single out-of-filter neighbor flips
+    * the hash).
+    */
+  private def annFiltered(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = copiedAnnIndex(s, d, "std")
+    val allowed = T.embeddings(s, d).filter(col("label") % 4 === 1)
+      .select(col("vec_id"))
+      .localCheckpoint() // feeds the probe, the truth, and the leak check
+    val hits = annIndexProbe(s, cat, "r", "main", queriesSet(s, d),
+      nprobe = 16, allowed = Some(allowed))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      .localCheckpoint() // feeds the recall join AND the leak check
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val corpus = T.embeddings(s, d)
+      .join(allowed, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("neighbor_id"),
+        toDoubleVec(col("embedding")).as("nv"))
+      .withColumn("nn", l2norm(col("nv")))
+    val exact = corpus
+      .join(broadcast(queriesSet(s, d)),
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      .localCheckpoint() // feeds the recall join AND its own count agg
+    val matched = hits.join(exact, Seq("query_id", "neighbor_id", "cos_sim"))
+    exact
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"))
+      .crossJoin(matched.agg(count(lit(1)).as("n_hits"))) // 1-row × 1-row
+      .crossJoin(hits.join(
+        allowed.select(col("vec_id").as("neighbor_id")),
+        Seq("neighbor_id"), "left_anti")
+        .agg((count(lit(1)) === 0).as("all_allowed")))
+      .select(col("n_queries"),
+        (col("n_hits") >= col("n_exact") * 0.4).as("recall_ok"),
+        col("all_allowed"))
   }
 
   /** Gate for the RETIRE path: tombstone the %7==0 vectors out of the
@@ -1595,6 +1662,12 @@ object Similarity {
     Q("sim_ann_ivf", RecallGateOracle)(recallGate(0.5)(ivf(_, _))),
     Q("sim_ann_ivfpq", RecallGateOracle)(recallGate(0.4)(ivfpq(_, _))),
     Q("sim_ann_persist", RecallGateOracle)(annPersist),
+    Q(
+      "sim_ann_filtered",
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok,
+        |       true AS all_allowed
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin
+    )(annFiltered),
     Q(
       "sim_quantize_int8",
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

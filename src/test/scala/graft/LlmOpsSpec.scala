@@ -216,6 +216,26 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     recall should be >= 0.9
   }
 
+  test("sim_ann_filtered: the filtered probe recalls the FILTERED " +
+    "ground truth with only allowed neighbors, and the filter " +
+    "genuinely bites — the global top-k alone cannot fill it") {
+    import org.apache.spark.sql.functions._
+    val gate = SparkEntry.queries("sim_ann_filtered")(spark, sfDir).collect()
+    gate.length shouldBe 1
+    gate.head.getBoolean(1) shouldBe true // recall_ok vs filtered brute
+    gate.head.getBoolean(2) shouldBe true // no out-of-filter neighbor
+    // the filtered truth is NOT a filter over the global top-k: some
+    // query has fewer allowed rows in its global top-10 than the 10 the
+    // filtered search returns, so deeper-than-global neighbors surface
+    val allowed = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("label") % 4 === 1).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    val global = SparkEntry.queries("sim_ann_brute")(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    global.count(p => allowed(p._2)) should be < global.length
+  }
+
   test("sim_ann_ivfpq: PQ codes + exact re-rank track the plain IVF probe") {
     val brute = SparkEntry.queries("sim_ann_brute")(spark, sfDir)
       .select("query_id", "neighbor_id").collect()
