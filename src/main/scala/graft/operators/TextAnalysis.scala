@@ -597,7 +597,102 @@ object TextAnalysis {
     if (merges.isEmpty) array().cast("array<array<string>>")
     else array(merges.sortBy(_.rank).map(m => array(lit(m.a), lit(m.b))): _*)
 
+  /** BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene
+    * `ln(1 + (N-df+0.5)/(df+0.5))` idf, k1=1.2, b=0.75) — the LEXICAL
+    * retrieval baseline next to the ANN stack; a training-data
+    * pipeline runs exactly this for targeted corpus slicing ("find the
+    * docs about X") and hybrid keyword+vector retrieval. Shape at
+    * 100 TB: tf and doc-length are ONE keyed aggregate each over the
+    * exploded corpus, df is vocabulary-sized, the query-term table is
+    * tiny and broadcast — scoring touches only the postings of the
+    * query terms (a keyed join), never corpus × corpus.
+    *
+    * Queries are derived deterministically from the corpus itself:
+    * the alphabetically-first 15 words with df ≥ 5 (hapax noise
+    * dropped; this corpus's ~31-word shared vocabulary is the
+    * documented dense-vocab worst case, so a mid-frequency band would
+    * select nothing — the gate's point is scoring correctness),
+    * grouped in threes → 5 three-term queries. Per-term contributions
+    * round to
+    * 6dp then sum as DECIMAL (order-independent, bit-exact across
+    * engines — the money-sum trick); top-10 docs per query,
+    * (score desc, doc_id) tie-break, hash-exact against DuckDB.
+    */
+  private def bm25(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = T.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .localCheckpoint() // feeds tf, dl, and (via tf) df
+    val tf = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds df AND the scoring join
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val qw = Window.orderBy(col("word")) // 15 rows post-limit — driver-trivial
+    val terms = dfreq.join(broadcast(stats), lit(true))
+      .filter(col("df") >= 5)
+      .orderBy(col("word")).limit(15)
+      .withColumn("qid", ((row_number().over(qw) - 1) / 3).cast("long"))
+      .select(col("qid"), col("word"), col("df"), col("n_docs"),
+        col("avgdl"))
+    val contrib = tf.join(broadcast(terms), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .select(col("qid"), col("doc_id"),
+        round(
+          log(lit(1.0) +
+            (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * (lit(1.2) + 1.0)) /
+            (col("tf") + lit(1.2) *
+              (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))),
+          6).cast("decimal(28,6)").as("c"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    contrib.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("c")).cast("double").as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q(
+      "tx_bm25",
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        |  FROM documents),
+        |w1 AS (SELECT doc_id, word FROM w WHERE len(word) >= 1),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        |       FROM w1 GROUP BY doc_id, word),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |       FROM w1 GROUP BY doc_id),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl
+        |       FROM dl),
+        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY word),
+        |t0 AS (SELECT word, df, n_docs, avgdl FROM dfq, st
+        |       WHERE df >= 5 ORDER BY word LIMIT 15),
+        |terms AS (SELECT word, df, n_docs, avgdl,
+        |                 (row_number() OVER (ORDER BY word) - 1) // 3 AS qid
+        |          FROM t0),
+        |c AS (SELECT t.qid, tf.doc_id,
+        |        CAST(round(ln(1.0 + (t.n_docs - t.df + 0.5) / (t.df + 0.5)) *
+        |               (tf.tf * (1.2 + 1.0)) /
+        |               (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / t.avgdl)), 6)
+        |             AS DECIMAL(28,6)) AS c
+        |      FROM tf JOIN terms t USING (word) JOIN dl USING (doc_id)),
+        |sc AS (SELECT qid, doc_id, CAST(sum(c) AS DOUBLE) AS score
+        |       FROM c GROUP BY qid, doc_id)
+        |SELECT qid, doc_id, score, rank FROM (
+        |  SELECT qid, doc_id, score,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc) WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin
+    )(bm25),
     Q(
       "tx_bpe_pairs",
       """WITH w AS (

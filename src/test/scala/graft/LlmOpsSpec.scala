@@ -485,6 +485,38 @@ class LlmOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     }
   }
 
+  test("tx_bm25: dense positive-score rankings; every ranked doc " +
+    "actually contains a term of its query") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("tx_bm25")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    out.length should be > 0
+    out.groupBy(_._1).values.foreach { g =>
+      g.map(_._4).sorted shouldBe (1L to g.length)          // dense ranks
+      g.sortBy(_._4).map(_._3).sliding(2).foreach { p =>     // scores sorted
+        if (p.length == 2) p(0) should be >= p(1)
+      }
+      g.foreach(_._3 should be > 0.0)
+    }
+    // rebuild the deterministic query-term table and check containment
+    val words = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(org.apache.spark.sql.functions.length(col("word")) >= 1)
+    val termList = words.select(col("doc_id"), col("word")).distinct()
+      .groupBy("word").count().filter(col("count") >= 5)
+      .orderBy("word").limit(15).collect().map(_.getString(0))
+    val termsByQ = termList.zipWithIndex
+      .groupBy(_._2 / 3).map { case (q, ws) => (q.toLong, ws.map(_._1).toSet) }
+    val docWords = words.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (d, ws) => (d, ws.map(_._2).toSet) }
+    out.foreach { case (qid, doc, _, _) =>
+      withClue(s"qid=$qid doc=$doc: ") {
+        docWords(doc).intersect(termsByQ(qid)).nonEmpty shouldBe true
+      }
+    }
+  }
+
   test("bpeTrain: K distributed merge rounds reproduce the reference " +
     "BPE algorithm exactly — pair argmax with the (cnt, a, b) " +
     "tie-break, left-to-right non-overlapping merges") {
