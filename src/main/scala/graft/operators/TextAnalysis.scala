@@ -620,14 +620,18 @@ object TextAnalysis {
     */
   private def bm25(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // deliberately NOT checkpointed: words is the EXPLODED corpus and
+    // tf is doc×word — materializing either is O(total tokens) at
+    // 100 TB, while the extra traversals each re-run a column-pruned
+    // pushed-down parquet scan + one keyed aggregate, the cheap path
+    // at scale (the df/scoring reuse saves far less than the
+    // materialization costs)
     val words = T.documents(s, d)
       .select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
       .filter(length(col("word")) >= 1)
-      .localCheckpoint() // feeds tf, dl, and (via tf) df
     val tf = words.groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // feeds df AND the scoring join
     val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
