@@ -686,13 +686,19 @@ object Dedup {
     val k = math.ceil(math.sqrt(e.count().toDouble)).toLong
     val cents = e.orderBy(col("vec_id")).limit(k.toInt)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // argmax as a max_by AGGREGATE, not a window: map-side partial
+    // aggregation collapses each vector's k candidate rows before the
+    // exchange, where the window shuffled+sorted all N·k rows. Same
+    // rounded sims, same (sim DESC, cid ASC) tie-break — the assignment
+    // (and so the hash-gated output) is bit-identical.
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("sim",
         round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid").as("cell"), col("v"), col("nrm"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("v"), col("nrm")),
+        struct(col("sim"), negate(col("cid")))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cell"),
+        col("best.v").as("v"), col("best.nrm").as("nrm"))
     val idx = assigned.repartition(col("cell")).localCheckpoint()
     val dups = idx.as("a")
       .join(idx.as("b"),

@@ -220,6 +220,45 @@ object Similarity {
     rows.map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
   }
 
+  // ---- row-local model scoring (the pqEncode shape, generalized) -------
+  //
+  // Every assignment/routing pass in this pack scores rows against a
+  // DRIVER-RESIDENT `(cell, cv)` model (the Lloyd loop's centroids, the
+  // coarse router, a collected stored model — all ≤ maxModelK rows by
+  // the model-size belt). The original shape materialized N·k candidate
+  // ROWS (broadcast join on lit(true)) and ran a window argmax over
+  // them — at scale that is a full Exchange + Sort of N·k rows per
+  // pass, the trainer's dominant shuffle. Embedding the model as ONE
+  // typed literal turns the whole pass into a codegen'd PROJECTION:
+  // zero extra rows, zero exchange, zero sort; same dots, same argmax,
+  // same (sim desc, cell asc) tie-break, bit-identical assignment.
+
+  /** `(sim, -cell, cell)` struct per model cell scored against `u` —
+    * struct comparison realizes the (sim DESC, cell ASC) tie-break of
+    * the old window argmax: max = highest sim, smallest cell on ties.
+    */
+  private def scoredCellsLocal(model: Seq[(Long, Seq[Double])],
+      u: Column): Column =
+    zip_with(typedlit(model.map(_._2)), typedlit(model.map(_._1)),
+      (cv, cell) => struct(dot(u, cv).as("sim"),
+        negate(cell).as("negcell"), cell.as("cell")))
+
+  /** Argmax cell struct (fields `sim`, `cell`) of `u` against a
+    * driver-resident model — one row-local array_max, no join/window.
+    */
+  private def bestCellLocal(model: Seq[(Long, Seq[Double])],
+      u: Column): Column =
+    array_max(scoredCellsLocal(model, u))
+
+  /** The `probes` best cell ids of `u` against a driver-resident model,
+    * best-first — row-local sort of k structs instead of a window over
+    * N·k candidate rows.
+    */
+  private def topCellsLocal(model: Seq[(Long, Seq[Double])], u: Column,
+      probes: Int): Column =
+    transform(slice(reverse(array_sort(scoredCellsLocal(model, u))),
+      1, probes), x => x.getField("cell"))
+
   /** `(vec_id, nv, nn, u)` CHECKPOINTED — the shared trainer input.
     * Inputs already carrying the normalized shape (kmeansIndexAuto
     * preps and checkpoints once for its sizing count) pass through
@@ -236,10 +275,13 @@ object Similarity {
       .localCheckpoint() // reused per Lloyd round + final index
 
   private[graft] def kmeansIndexOf(s: SparkSession, corpusIn: DataFrame,
-      k: Int = 0, lloydRounds: Int = 2): (DataFrame, Seq[(Long, Seq[Double])]) = {
+      k: Int = 0, lloydRounds: Int = 2,
+      nKnown: Long = -1L): (DataFrame, Seq[(Long, Seq[Double])]) = {
     import s.implicits._
     val corpus = normalizedCorpus(corpusIn)
-    val n = corpus.count()
+    // callers that already sized the corpus (kmeansIndexAuto) pass the
+    // count through — the checkpointed re-count was a wasted job
+    val n = if (nKnown >= 0) nKnown else corpus.count()
     // Model-size guard: the Lloyd loop collects the k×dim centroid model
     // to the driver (k·dim·8 bytes — at k=4096, dim=1024 that is ~32 MB,
     // a model parameter, not data). Beyond the cap the model stops being
@@ -273,32 +315,30 @@ object Similarity {
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     }
 
-    def centroidDf = s.createDataFrame(centroids).toDF("cell", "cv")
-    def assign(): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("cell"))
-      corpus
-        .join(broadcast(centroidDf), lit(true)) // k-row model, not corpus
-        .select(col("vec_id"), col("u"), col("nv"), col("nn"), col("cell"),
-          dot(col("u"), col("cv")).as("sim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .drop("rn", "sim")
-    }
+    // row-local argmax against the driver-resident model (the pqEncode
+    // shape — see scoredCellsLocal): the old broadcast-join + window put
+    // N·k candidate rows through an Exchange + Sort per Lloyd pass; this
+    // is a pure projection with the same dots and the same tie-break
+    def assign(): DataFrame =
+      corpus.select(col("vec_id"), col("u"), col("nv"), col("nn"),
+        bestCellLocal(centroids, col("u")).getField("cell").as("cell"))
 
     for (_ <- 1 to lloydRounds) {
       val assigned = assign()
-      // new centroid = normalized mean of member unit vectors:
+      // new centroid = normalized mean of member unit vectors: ONE
       // (cell, dim)-grained aggregation, k×dim rows back to the driver
+      // (the model-sized payload this trainer collects anyway). The
+      // per-cell vectors are assembled driver-side — the old second
+      // groupBy + sort_array paid a whole extra Exchange per round to
+      // assemble arrays the driver was about to take apart again.
       val means = assigned
         .select(col("cell"), posexplode(col("u")))
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("col")).as("m"))
-        .groupBy(col("cell"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dims"))
-        .select(col("cell"), expr("transform(dims, d -> d.m)").as("cv"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .map { case (c, v) =>
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (c, rows) =>
+          val v = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
           val nrm = math.sqrt(v.map(x => x * x).sum)
           (c, if (nrm == 0) v else v.map(_ / nrm))
         }.toSeq
@@ -327,24 +367,20 @@ object Similarity {
     * `(ccell, cell, cv)` — a k×kc distributed dot pass, kc broadcast.
     */
   private def homeCentroids(s: SparkSession, cents: DataFrame,
-      coarse: Seq[(Long, Seq[Double])]): DataFrame = {
-    val coarseDf = broadcast(s.createDataFrame(coarse).toDF("ccell", "ccv"))
-    val w = Window.partitionBy(col("cell")).orderBy(col("hsim").desc, col("ccell"))
-    cents
-      .join(coarseDf, lit(true))
-      .select(col("cell"), col("cv"), col("ccell"),
-        dot(col("cv"), col("ccv")).as("hsim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("ccell"), col("cell"), col("cv"))
-  }
+      coarse: Seq[(Long, Seq[Double])]): DataFrame =
+    // row-local argmax against the driver-resident router (see
+    // scoredCellsLocal): the k×kc candidate join + window became a
+    // projection over the fine-centroid table
+    cents.select(
+      bestCellLocal(coarse, col("cv")).getField("cell").as("ccell"),
+      col("cell"), col("cv"))
 
   /** The router restricted to LIVE coarse cells (those appearing in
     * `homed`): ≤ kc ids — model-sized by construction, so the collect
     * is bounded like any model parameter.
     */
   private def liveRouter(s: SparkSession, homed: DataFrame,
-      coarse: Seq[(Long, Seq[Double])]): DataFrame = {
+      coarse: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] = {
     // the live set is a SUBSET of the coarse model's cells by
     // construction, so the model already in hand bounds the collect —
     // no session conf is consulted, so a cap mismatch between the
@@ -359,25 +395,19 @@ object Similarity {
         "fine centroids are homed to cells the router does not know " +
         "(corrupted homing)")
     val live = rows.map(_.getLong(0)).toSet
-    broadcast(s.createDataFrame(coarse.filter(c => live(c._1)))
-      .toDF("ccell", "ccv"))
+    coarse.filter(c => live(c._1))
   }
 
   /** Adds the `probes` nearest live-router cells to each row (unit
-    * vectors in `uCol`): |rows|×kc codegen'd dots + a per-row window —
-    * the router is broadcast, the rows never are.
+    * vectors in `uCol`): |rows|×kc codegen'd dots, ROW-LOCAL against the
+    * driver-resident router (see scoredCellsLocal) — the old
+    * broadcast-join + window shuffled |rows|·kc candidate rows; this
+    * explodes exactly `probes` ids per row out of a local sort.
     */
   private def routeRows(rows: DataFrame, idCol: String, uCol: String,
-      liveDf: DataFrame, probes: Int): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("ccell"))
-    rows
-      .join(liveDf, lit(true))
-      .withColumn("csim", dot(col(uCol), col("ccv")))
-      .drop("ccv")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= probes)
-      .drop("rn", "csim")
-  }
+      router: Seq[(Long, Seq[Double])], probes: Int): DataFrame =
+    rows.withColumn("ccell",
+      explode(topCellsLocal(router, col(uCol), probes)))
 
   /** Argmax assignment of `(vec_id, nv, nn, u)` rows to fine centroids
     * via the router: keyed equi-join on the coarse cell, window argmax
@@ -396,15 +426,22 @@ object Similarity {
   private def assignByHomed(s: SparkSession, rows: DataFrame,
       homed: DataFrame, coarse: Seq[(Long, Seq[Double])],
       probes: Int): DataFrame = {
-    val liveDf = liveRouter(s, homed, coarse)
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cell"))
-    routeRows(rows, "vec_id", "u", liveDf, probes)
+    val live = liveRouter(s, homed, coarse)
+    // the candidate join stays KEYED (the fine model is a table, never
+    // driver-resident on this path); the argmax is a max_by aggregate —
+    // map-side partial aggregation collapses each vector's candidates
+    // before the exchange, where the old window shuffled+sorted all
+    // N·p·(k/kc) candidate rows. Same (sim DESC, cell ASC) tie-break.
+    routeRows(rows, "vec_id", "u", live, probes)
       .join(homed, Seq("ccell"))
-      .withColumn("sim", dot(col("u"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("nv"), col("nn"), col("u"), col("cell"))
+      .select(col("vec_id"), col("nv"), col("nn"), col("u"), col("cell"),
+        dot(col("u"), col("cv")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("nv"), col("nn"), col("u"), col("cell")),
+        struct(col("sim"), negate(col("cell")))).as("best"))
+      .select(col("vec_id"), col("best.nv").as("nv"),
+        col("best.nn").as("nn"), col("best.u").as("u"),
+        col("best.cell").as("cell"))
   }
 
   /** Distributed-centroid spherical k-means: same init rule, Lloyd
@@ -416,10 +453,10 @@ object Similarity {
     */
   private[graft] def kmeansIndexDistributedOf(s: SparkSession,
       corpusIn: DataFrame, kTarget: Int, lloydRounds: Int = 2,
-      coarseProbes: Int = 4)
+      coarseProbes: Int = 4, nKnown: Long = -1L)
       : (DataFrame, DataFrame, Seq[(Long, Seq[Double])]) = {
     val corpus = normalizedCorpus(corpusIn)
-    val n = corpus.count()
+    val n = if (nKnown >= 0) nKnown else corpus.count()
     val kk = if (kTarget > 0) kTarget
       else math.max(4, math.sqrt(n.toDouble).toInt)
     // deterministic init, fully DISTRIBUTED: one seed per
@@ -480,21 +517,24 @@ object Similarity {
     */
   private[graft] def kmeansIndexAuto(s: SparkSession, corpusIn: DataFrame,
       k: Int = 0, lloydRounds: Int = 2)
-      : (DataFrame, DataFrame, Seq[(Long, Seq[Double])]) = {
+      : (DataFrame, DataFrame, Seq[(Long, Seq[Double])], Long) = {
     // size the √N rule WITHOUT a second full-corpus pass OR a second
-    // corpus copy in block storage: normalize+checkpoint ONCE here and
-    // hand the prepped frame to the chosen trainer, which recognizes
-    // the shape and skips its own materialization
-    val (corpus, kWant) =
-      if (k > 0) (corpusIn, k)
-      else {
-        val pre = normalizedCorpus(corpusIn)
-        (pre, math.max(4, math.sqrt(pre.count().toDouble).toInt))
-      }
+    // corpus copy in block storage: normalize+checkpoint ONCE here,
+    // count ONCE, and hand both the prepped frame and the count to the
+    // chosen trainer (the re-count per trainer was a wasted job). The
+    // count rides out in the result so callers (annIndexInit's PQ
+    // sizing) never re-count the assignment either.
+    val corpus = normalizedCorpus(corpusIn)
+    val n = corpus.count()
+    val kWant = if (k > 0) k else math.max(4, math.sqrt(n.toDouble).toInt)
     if (kWant <= maxModelK(s)) {
-      val (idx, model) = kmeansIndexOf(s, corpus, kWant, lloydRounds)
-      (idx, s.createDataFrame(model).toDF("cell", "cv"), Nil)
-    } else kmeansIndexDistributedOf(s, corpus, kWant, lloydRounds)
+      val (idx, model) = kmeansIndexOf(s, corpus, kWant, lloydRounds, n)
+      (idx, s.createDataFrame(model).toDF("cell", "cv"), Nil, n)
+    } else {
+      val (idx, cents, coarse) =
+        kmeansIndexDistributedOf(s, corpus, kWant, lloydRounds, nKnown = n)
+      (idx, cents, coarse, n)
+    }
   }
 
   private[graft] def ivf(s: SparkSession, d: String,
@@ -598,14 +638,18 @@ object Similarity {
       // kmeansIndexOf): dense corpora never take this branch
       codebook = seed(pmod(xxhash64(col(idCol)), lit(step)) === 0)
     for (_ <- 1 to 2) { // Lloyd rounds, all subspaces in ONE job
+      // one (j, code, pos)-grained aggregate; the m·ks·dimPer model rows
+      // are assembled driver-side (same move as kmeansIndexOf's means —
+      // the second groupBy's Exchange bought nothing)
       codebook = pqEncode(sub, codebook, idCol, m, ks, dimPer)
         .select(col("j"), col("code"), posexplode(col("sv")))
         .groupBy(col("j"), col("code"), col("pos"))
         .agg(avg(col("col")).as("c"))
-        .groupBy(col("j"), col("code"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("dims"))
-        .select(col("j"), col("code"), expr("transform(dims, x -> x.c)").as("cb"))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case ((j, c), rows) =>
+          (j, c, rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+        }.toSeq
     }
     codebook
   }
@@ -738,10 +782,11 @@ object Similarity {
       "(vec_id BIGINT, nv ARRAY<DOUBLE>, nn DOUBLE, cell BIGINT, " +
       "codes ARRAY<INT>) PARTITIONED BY (cell)")
     val dimPer = Dim / m
-    val (idx, centsDf, coarse) = kmeansIndexAuto(s, corpus, k, 2)
-    val index = idx.localCheckpoint() // feeds sub, count, and the store
+    val (idx, centsDf, coarse, n) = kmeansIndexAuto(s, corpus, k, 2)
+    val index = idx.localCheckpoint() // feeds sub and the store
     val sub = pqSubvectors(index, "vec_id", m, dimPer).localCheckpoint()
-    val n = index.count()
+    // n (= |index|: every vector gets exactly one cell) rides out of the
+    // trainer — the old per-init re-count was a wasted job
     val codebook = trainPqCodebook(s, sub, n, "vec_id", m, ks, dimPer)
     val vectors = index
       .join(pqCodes(sub, codebook, "vec_id", m, ks, dimPer), Seq("vec_id"))
@@ -859,7 +904,7 @@ object Similarity {
     val stored = s.table(s"$pre.vectors")
       .select(col("vec_id"), col("nv"), col("codes"))
       .localCheckpoint() // feeds the trainer AND the codes re-join
-    val (idx, centsDf, coarse) = kmeansIndexAuto(s,
+    val (idx, centsDf, coarse, _) = kmeansIndexAuto(s,
       stored.select(col("vec_id"), col("nv")), k, 2)
     val index = idx.localCheckpoint() // feeds the store AND the drift ref
     val vectors = index
@@ -937,13 +982,19 @@ object Similarity {
       .localCheckpoint() // feeds clash guard, assign, and encode
     // ids must be unique WITHIN the delta too: a doubled vec_id would
     // store two vectors under one identity — the ADC sum would double
-    // its approx score and the re-rank would emit duplicate neighbors
-    val deltaCount = deltaVecs.count()
-    val dups = deltaVecs.groupBy(col("vec_id")).count()
-      .filter(col("count") > 1).limit(5).collect().map(_.getLong(0))
-    require(dups.isEmpty,
-      s"delta contains duplicated vec_ids: ${dups.mkString(", ")} — " +
-        "incremental append requires unique ids")
+    // its approx score and the re-rank would emit duplicate neighbors.
+    // One aggregate job yields the delta count AND the dup check (they
+    // were two separate passes over the checkpointed delta).
+    val idStats = deltaVecs.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("total"),
+        count(when(col("cnt") > 1, 1)).as("n_dup"),
+        min(when(col("cnt") > 1, col("vec_id"))).as("dup_id"))
+      .head()
+    val deltaCount = if (idStats.isNullAt(0)) 0L else idStats.getLong(0)
+    require(idStats.getLong(1) == 0L,
+      s"delta contains ${idStats.getLong(1)} duplicated vec_ids " +
+        s"(e.g. ${idStats.get(2)}) — incremental append requires unique ids")
     // delta ids must be fresh vs the STORED index. Same dispatch rule
     // as the dedup index's clash guard (Dedup.semiPrune): broadcast the
     // delta id set only while it is provably bounded; past the guard a
@@ -967,19 +1018,16 @@ object Similarity {
       val centroids = collectCentroids(
         s.table(s"$pre.centroids").select(col("cell"), col("cv")),
         meta.maxModelK)
-      val centroidDf = s.createDataFrame(centroids).toDF("cell", "cv")
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("cell"))
-      // `sim` stays through the checkpoint: the argmax row's sim IS the
-      // top-1 model similarity, so the drift row below reads it for
-      // free instead of re-running the delta×k model pass
+      // row-local argmax against the collected driver-sized model (see
+      // scoredCellsLocal) — no candidate join, no window. `sim` stays
+      // through the checkpoint: the argmax row's sim IS the top-1 model
+      // similarity, so the drift row below reads it for free instead of
+      // re-running the delta×k model pass
+      val best = bestCellLocal(centroids, col("u"))
       (deltaVecs
-        .join(broadcast(centroidDf), lit(true)) // k-row model, not corpus
-        .select(col("vec_id"), col("u"), col("nv"), col("nn"), col("cell"),
-          dot(col("u"), col("cv")).as("sim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .drop("rn"), None)
+        .withColumn("best", best)
+        .select(col("vec_id"), col("u"), col("nv"), col("nn"),
+          col("best.cell").as("cell"), col("best.sim").as("sim")), None)
     } else {
       val homed = s.table(s"$pre.centroids")
         .select(col("ccell"), col("cell"), col("cv"))
@@ -1015,15 +1063,20 @@ object Similarity {
           case None => assigned.select(col("vec_id"), col("sim").as("top1"))
           case Some(m) => top1ModelSim(deltaVecs, m)
         }
-        // computed once (1 row): feeds the committed log AND the warn
-        val row = driftRow(top1, meta.driftRef).coalesce(1).localCheckpoint()
+        // ONE action computes the 1-row drift log; the commit stores the
+        // collected row as a local frame (the old checkpoint-then-head
+        // was two jobs for one row)
+        val r = driftRow(top1, meta.driftRef).head()
+        val row = s.createDataFrame(Seq(
+          (r.getLong(0), r.getLong(1), r.getDouble(2))))
+          .toDF("n_rows", "n_below", "frac_below")
         // a batch whose below-baseline fraction exceeds the warn knob is
         // homing badly under the stored model — surface it at append
         // time (the log alone is silent until someone reads it)
         val warnFrac = s.conf.getOption("spark.graft.ann.drift.warnFrac")
           .flatMap(_.toDoubleOption).filter(f => f > 0 && f <= 1)
           .getOrElse(0.5)
-        val frac = row.head().getDouble(2)
+        val frac = r.getDouble(2)
         if (frac >= warnFrac)
           System.err.println(f"[graft] WARNING: ann append drift " +
             f"frac_below=$frac%.3f >= $warnFrac%.2f (ref p05=" +
@@ -1126,26 +1179,30 @@ object Similarity {
     // homed to each query's nearest coarse cells — a keyed join, the
     // fine model never broadcast or collected
     val queryCells = (if (meta.coarseK == 0) {
+      // driver-sized model: the nprobe ranking is ROW-LOCAL against the
+      // collected model (see scoredCellsLocal) — no |Q|·k candidate
+      // join, no window
       val centroids = collectCentroids(
         s.table(s"$pre.centroids").select(col("cell"), col("cv")),
         meta.maxModelK)
-      qs.join(broadcast(s.createDataFrame(centroids).toDF("cell", "cv")),
-          lit(true))
-        .select(col("query_id"), col("cell"),
-          dot(col("qu"), col("cv")).as("csim"))
+      qs.select(col("query_id"),
+        explode(topCellsLocal(centroids, col("qu"), nprobe)).as("cell"))
     } else {
+      // distributed model: candidates stay a KEYED join (the fine model
+      // is a table); the per-query top-nprobe stays a window over the
+      // ~nprobe·k/kc routed candidates
       val homed = s.table(s"$pre.centroids")
         .select(col("ccell"), col("cell"), col("cv"))
-      val liveDf = liveRouter(s, homed, annCoarse(s, pre, meta.maxModelK))
+      val live = liveRouter(s, homed, annCoarse(s, pre, meta.maxModelK))
       routeRows(qs.select(col("query_id"), col("qu")), "query_id", "qu",
-          liveDf, probes = 4)
+          live, probes = 4)
         .join(homed, Seq("ccell"))
         .select(col("query_id"), col("cell"),
           dot(col("qu"), col("cv")).as("csim"))
+        .withColumn("rn", row_number().over(probeW))
+        .filter(col("rn") <= nprobe)
+        .select(col("query_id"), col("cell"))
     })
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("cell"))
       .localCheckpoint() // feeds the pruning id set AND the join
     // union of probed cells, pushed down so the cell-partitioned scan
     // prunes to the probed files. The set is ≤ |Q|·nprobe ids — guarded:
@@ -1228,8 +1285,8 @@ object Similarity {
   private val gateAnnTemplate = new java.util.concurrent
     .ConcurrentHashMap[(String, Long, Long, String), java.nio.file.Path]()
 
-  private def copiedAnnIndex(s: SparkSession, d: String, mode: String)
-      : (String, graft.versioned.GraftRepo) = {
+  private def annTemplateFor(s: SparkSession, d: String, mode: String)
+      : java.nio.file.Path = {
     val f = java.nio.file.Paths.get(s"$d/embeddings.parquet")
     // the template's content depends on the EFFECTIVE clamp it was
     // built under — key it in, so a "std" template built while a caller
@@ -1237,7 +1294,14 @@ object Similarity {
     val effK = if (mode == "dist") 8 else maxModelK(s)
     val key = (d, java.nio.file.Files.getLastModifiedTime(f).toMillis,
       java.nio.file.Files.size(f), s"$mode:$effK")
-    val tpl = gateAnnTemplate.computeIfAbsent(key, _ => {
+    // "std" is "base" + the %3==0 append — materialize the base
+    // template FIRST (outside std's computeIfAbsent: CHM forbids
+    // re-entrant updates), then std's builder byte-copies it and runs
+    // only the append, so the init TRAINING runs once per JVM for the
+    // two driver-mode templates instead of once per mode
+    val baseTpl: Option[java.nio.file.Path] =
+      if (mode == "std") Some(annTemplateFor(s, d, "base")) else None
+    gateAnnTemplate.computeIfAbsent(key, _ => {
       val cat0 = "gannt" + java.util.UUID.randomUUID().toString
         .replace("-", "").take(10)
       val root0 = GateScratch.register(
@@ -1252,20 +1316,35 @@ object Similarity {
           s"spark.sql.catalog.$cat0" ->
             classOf[graft.catalog.GraftCatalog].getName,
           s"spark.sql.catalog.$cat0.root" -> root0.toString))
-      sb.sql(s"CREATE NAMESPACE $cat0.r")
-      sb.sql(s"CREATE NAMESPACE $cat0.r.main.ann")
-      val repo0 = graft.versioned.GraftRepo.open(root0.resolve("r"))
       val emb = T.embeddings(sb, d)
         .select(col("vec_id"), toDoubleVec(col("embedding")).as("nv"))
-      annIndexInit(sb, cat0, repo0, "main", emb.filter(col("vec_id") % 3 =!= 0))
-      // "base" = the trained index BEFORE any append — the streaming
-      // gate ingests the remaining third itself, one micro-batch at a
-      // time, and must start from a state that has never seen those ids
-      if (mode != "base")
-        annIndexAppend(sb, cat0, repo0, "main",
-          emb.filter(col("vec_id") % 3 === 0))
+      baseTpl match {
+        case Some(base) =>
+          GateScratch.copyTree(base, root0)
+          val repo0 = graft.versioned.GraftRepo.open(root0.resolve("r"))
+          annIndexAppend(sb, cat0, repo0, "main",
+            emb.filter(col("vec_id") % 3 === 0))
+        case None =>
+          sb.sql(s"CREATE NAMESPACE $cat0.r")
+          sb.sql(s"CREATE NAMESPACE $cat0.r.main.ann")
+          val repo0 = graft.versioned.GraftRepo.open(root0.resolve("r"))
+          annIndexInit(sb, cat0, repo0, "main",
+            emb.filter(col("vec_id") % 3 =!= 0))
+          // "base" = the trained index BEFORE any append — the streaming
+          // gate ingests the remaining third itself, one micro-batch at
+          // a time, and must start from a state that has never seen
+          // those ids
+          if (mode != "base")
+            annIndexAppend(sb, cat0, repo0, "main",
+              emb.filter(col("vec_id") % 3 === 0))
+      }
       root0
     })
+  }
+
+  private def copiedAnnIndex(s: SparkSession, d: String, mode: String)
+      : (String, graft.versioned.GraftRepo) = {
+    val tpl = annTemplateFor(s, d, mode)
     val cat = "gann" + java.util.UUID.randomUUID().toString
       .replace("-", "").take(10)
     val root = GateScratch.register(
