@@ -17,6 +17,10 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // any k=v arg becomes a session conf (e.g. spark.graft.dupspans.hash=md5)
+    args.filter(_.contains('=')).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    }
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
     if (run) {

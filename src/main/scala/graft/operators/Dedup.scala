@@ -984,6 +984,37 @@ object Dedup {
       (r.getString(0), r.getInt(1), r.getInt(2))
     }.toOption.collect { case ("minhash", b, rp) => (b, rp) }
 
+  /** Per-JVM cache of [[ddMeta]] keyed by the dd/meta table's SNAPSHOT
+    * ID (immutable content address — the table is written once at init
+    * and never appended to): every screen AND admit re-read the 1-row
+    * mode dispatch as its own Spark job. PPJoin indexes (no dd/meta in
+    * the head commit) resolve no id and stay on the uncached path —
+    * which is job-free for them anyway (the missing-table read fails at
+    * analysis).
+    */
+  private val ddMetaCache = new java.util.concurrent
+    .ConcurrentHashMap[(String, String), (String, Option[(Int, Int)])]()
+
+  private def ddMetaCached(s: org.apache.spark.sql.SparkSession,
+      cat: String, repoName: String, branch: String, pre: String)
+      : Option[(Int, Int)] = {
+    val resolved: Option[(String, String)] =
+      try s.conf.getOption(s"spark.sql.catalog.$cat.root").flatMap { root =>
+        graft.versioned.GraftRepo.open(
+          java.nio.file.Paths.get(root).resolve(repoName))
+          .headCommit(branch).tables.get("dd/meta")
+          .map(id => (s"$root/$repoName", id))
+      } catch { case _: Exception => None }
+    resolved match {
+      case None => ddMeta(s, pre)
+      case Some((rootKey, id)) =>
+        val key = (rootKey, branch)
+        val cur = ddMetaCache.get(key)
+        if (cur != null && cur._1 == id) cur._2
+        else { val v = ddMeta(s, pre); ddMetaCache.put(key, (id, v)); v }
+    }
+  }
+
   /** [[indexInit]] in sketch mode: `dd/docs` (word sets — the exact-
     * verify dictionary), `dd/bands` (banded signatures — the candidate
     * index; a FIXED `bands` rows per doc, immune to vocabulary shape),
@@ -1076,7 +1107,7 @@ object Dedup {
     val maxPost = s.conf.getOption("spark.graft.setsim.maxPostings")
       .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1024)
     val pre = s"$cat.$repoName.$branch.dd"
-    ddMeta(s, pre) match {
+    ddMetaCached(s, cat, repoName, branch, pre) match {
       case Some((b, rp)) => return indexScreenMinhash(s, pre, delta, t, b, rp)
       case None => ()
     }
@@ -1165,7 +1196,7 @@ object Dedup {
       .join(admitted.select(col("surviving_id").as("doc_id")),
         Seq("doc_id"), "left_semi")
       .localCheckpoint() // feeds the vocab prune AND both appends
-    ddMeta(s, pre) match {
+    ddMetaCached(s, cat, repoName(repo), branch, pre) match {
       case Some((b, rp)) =>
         // sketch mode: admitted docs + their band rows, one atomic
         // commit (banding needs no frozen global order, so no dfreq)

@@ -949,6 +949,46 @@ object Similarity {
     s.table(s"$pre.codebook")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
 
+  /** Per-JVM cache of driver-resident STORED-MODEL artifacts (ann/meta,
+    * ann/codebook, driver-mode ann/centroids, ann/coarse + its live
+    * subset): a serving node keeps the quantizer model in RAM —
+    * re-collecting the same model tables from block storage on EVERY
+    * probe/append was 3-4 small Spark jobs per call. Entries are keyed
+    * by the table's SNAPSHOT ID (graft snapshots are immutable content
+    * addresses): appends move only ann/vectors + ann/drift, so serving
+    * keeps hitting; a retrain replaces the model tables in one atomic
+    * commit, the id changes, and the next touch reloads. Payload sizes
+    * are the SAME ones the collect belts already bound (meta 1 row,
+    * codebook m·ks rows, centroids/coarse ≤ the build-time clamp).
+    */
+  private val storedModelCache = new java.util.concurrent
+    .ConcurrentHashMap[(String, String, String), (String, AnyRef)]()
+
+  /** Load-through wrapper for [[storedModelCache]]. Falls back to an
+    * UNCACHED load when the catalog root or the table's snapshot id
+    * cannot be resolved (e.g. a pre-meta-table index, whose decoded
+    * clamp legitimately depends on the calling session's conf).
+    */
+  private def cachedModel[A <: AnyRef](s: SparkSession, cat: String,
+      repoName: String, branch: String, table: String, kind: String = "")(
+      load: => A): A = {
+    val resolved: Option[(String, String)] =
+      try s.conf.getOption(s"spark.sql.catalog.$cat.root").flatMap { root =>
+        val repo = graft.versioned.GraftRepo.open(
+          java.nio.file.Paths.get(root).resolve(repoName))
+        repo.headCommit(branch).tables.get(table)
+          .map(id => (s"$root/$repoName", id))
+      } catch { case _: Exception => None }
+    resolved match {
+      case None => load
+      case Some((rootKey, id)) =>
+        val key = (rootKey, branch, s"$table#$kind")
+        val cur = storedModelCache.get(key)
+        if (cur != null && cur._1 == id) cur._2.asInstanceOf[A]
+        else { val v = load; storedModelCache.put(key, (id, v)); v }
+    }
+  }
+
   /** The stored coarse router model — ≤ the BUILD-time maxModelK rows
     * by construction, which is the cap the collect validates against.
     */
@@ -970,8 +1010,9 @@ object Similarity {
     import s.implicits._
     val r = repo.root.getFileName.toString
     val pre = annPre(cat, r, branch)
-    val meta = annMeta(s, pre)
-    val codebook = annCodebook(s, pre)
+    val meta = cachedModel(s, cat, r, branch, "ann/meta")(annMeta(s, pre))
+    val codebook =
+      cachedModel(s, cat, r, branch, "ann/codebook")(annCodebook(s, pre))
     val m = meta.m
     val ks = meta.ks
     val dimPer = meta.dimPer
@@ -1015,9 +1056,10 @@ object Similarity {
     // models route through the stored coarse table + homed centroids —
     // the fine model never reaches the driver
     val (assigned0, coarseDriftModel) = if (meta.coarseK == 0) {
-      val centroids = collectCentroids(
-        s.table(s"$pre.centroids").select(col("cell"), col("cv")),
-        meta.maxModelK)
+      val centroids = cachedModel(s, cat, r, branch, "ann/centroids")(
+        collectCentroids(
+          s.table(s"$pre.centroids").select(col("cell"), col("cv")),
+          meta.maxModelK))
       // row-local argmax against the collected driver-sized model (see
       // scoredCellsLocal) — no candidate join, no window. `sim` stays
       // through the checkpoint: the argmax row's sim IS the top-1 model
@@ -1031,7 +1073,8 @@ object Similarity {
     } else {
       val homed = s.table(s"$pre.centroids")
         .select(col("ccell"), col("cell"), col("cv"))
-      val coarseModel = annCoarse(s, pre, meta.maxModelK)
+      val coarseModel = cachedModel(s, cat, r, branch, "ann/coarse")(
+        annCoarse(s, pre, meta.maxModelK))
       (assignByHomed(s, deltaVecs, homed, coarseModel, probes = 4)
         .select(col("vec_id"), col("u"), col("nv"), col("nn"), col("cell")),
         Some(s.createDataFrame(coarseModel).toDF("cell", "cv")))
@@ -1165,8 +1208,10 @@ object Similarity {
       topK: Int = K, allowed: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val pre = annPre(cat, repoName, branch)
-    val meta = annMeta(s, pre)
-    val codebook = annCodebook(s, pre)
+    val meta =
+      cachedModel(s, cat, repoName, branch, "ann/meta")(annMeta(s, pre))
+    val codebook = cachedModel(s, cat, repoName, branch, "ann/codebook")(
+      annCodebook(s, pre))
     val m = meta.m
     val dimPer = meta.dimPer
     val qs = qs0.withColumn("qu", expr("transform(qv, x -> x / qn)"))
@@ -1182,18 +1227,25 @@ object Similarity {
       // driver-sized model: the nprobe ranking is ROW-LOCAL against the
       // collected model (see scoredCellsLocal) — no |Q|·k candidate
       // join, no window
-      val centroids = collectCentroids(
-        s.table(s"$pre.centroids").select(col("cell"), col("cv")),
-        meta.maxModelK)
+      val centroids = cachedModel(s, cat, repoName, branch, "ann/centroids")(
+        collectCentroids(
+          s.table(s"$pre.centroids").select(col("cell"), col("cv")),
+          meta.maxModelK))
       qs.select(col("query_id"),
         explode(topCellsLocal(centroids, col("qu"), nprobe)).as("cell"))
     } else {
       // distributed model: candidates stay a KEYED join (the fine model
       // is a table); the per-query top-nprobe stays a window over the
-      // ~nprobe·k/kc routed candidates
+      // ~nprobe·k/kc routed candidates. The LIVE router subset depends
+      // only on the centroids table's content, so it caches under that
+      // table's snapshot id like the other model artifacts.
       val homed = s.table(s"$pre.centroids")
         .select(col("ccell"), col("cell"), col("cv"))
-      val live = liveRouter(s, homed, annCoarse(s, pre, meta.maxModelK))
+      val live = cachedModel(s, cat, repoName, branch, "ann/centroids",
+        kind = "live")(
+        liveRouter(s, homed,
+          cachedModel(s, cat, repoName, branch, "ann/coarse")(
+            annCoarse(s, pre, meta.maxModelK))))
       routeRows(qs.select(col("query_id"), col("qu")), "query_id", "qu",
           live, probes = 4)
         .join(homed, Seq("ccell"))

@@ -165,6 +165,41 @@ object TableOps {
 
   // ---- write -----------------------------------------------------------
 
+  /** Stage each table of a multi-table commit on its own driver thread,
+    * preserving input order. The per-table write jobs are independent
+    * (writeFiles lands each table under its own UUID dir and reads its
+    * own session clone for conf overrides), and Spark happily runs
+    * several jobs at once — staging them sequentially left the cluster
+    * idle through each small table's job-submission + footer-read
+    * latency (an ANN index init commits SIX tables, five of them
+    * model-sized). 2-3 jobs in flight is plenty (guide §2.6): enough to
+    * fill the tail, not so many that they fight for executors. Failures
+    * propagate exactly as before — the first staging exception aborts
+    * the commit before anything is published (already-written files are
+    * orphans until vacuum, the same contract as a sequential partial
+    * failure).
+    */
+  private def stageConcurrently[A](tables: Seq[(String, DataFrame)])(
+      stage: ((String, DataFrame)) => A): Seq[A] =
+    if (tables.size <= 1) tables.map(stage)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(tables.size, 3))
+      try {
+        val futures = tables.map(t =>
+          pool.submit(new java.util.concurrent.Callable[A] {
+            override def call(): A = stage(t)
+          }))
+        futures.map(f =>
+          try f.get()
+          catch {
+            // surface the staging failure itself, not the wrapper
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          })
+      } finally pool.shutdown()
+    }
+
   /** Write `df` as immutable parquet files under
     * `data/<db>/<table>/<uuid>/` and return FileEntry metadata with
     * per-file row counts and min/max column stats (collected in ONE scan
@@ -1539,7 +1574,7 @@ object TableOps {
     */
   def atomicAppend(spark: SparkSession, repo: GraftRepo, branch: String,
       tables: Seq[(String, DataFrame)], message: String = ""): Unit = {
-    val staged = tables.map { case (key, df) =>
+    val staged = stageConcurrently(tables) { case (key, df) =>
       // refuse a missing table BEFORE any files land: the commit body
       // would throw on it anyway, but only after every table's full
       // data volume was written (orphans until vacuum)
@@ -1627,7 +1662,7 @@ object TableOps {
           s"no such table: $key (atomicReplace rewrites existing " +
             "tables; CREATE it first)")))
     }.toMap
-    val staged = tables.map { case (key, df) =>
+    val staged = stageConcurrently(tables) { case (key, df) =>
       // staged against the SAME head0 the expect map pinned — a second
       // head read here could observe a commit the precheck would then
       // blame on the caller
